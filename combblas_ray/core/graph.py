@@ -1,0 +1,196 @@
+"""Edge-table Graph: the Ray-Data-native `SpParMat`.
+
+A directed graph / sparse matrix is ONE `ray.data.Dataset` with schema
+``(src:int64, dst:int64, w:float64)`` — the `DistEdgeList`/`SpTuples` triple
+form of the reference (``DistEdgeList.h:81-108``, ``SpTuples.h:65``). All
+structural operators below are lazy Dataset transforms; the iterative
+numeric core lives in `engine.py` (resident CSR block actors).
+
+Operator parity (reference file:line):
+- ``dedup_sum``      <- `SpTuples::RemoveDuplicates` after ingest shuffle
+                        (``SpParMat.cpp:2975-2978``)
+- ``remove_loops``   <- `SpParMat::RemoveLoops` (``SpParMat.cpp:3270``)
+- ``add_loops``      <- `SpParMat::AddLoops` (``SpParMat.cpp:3290,3307``)
+- ``transpose``      <- `SpParMat::Transpose` (``SpParMat.cpp:3541``) —
+                        a column swap; the physical exchange is deferred to
+                        the next keyed shuffle.
+- ``apply``/``prune``<- `SpParMat::Apply`/`Prune` (``SpParMat.h:147-189``)
+- ``reduce``         <- `SpParMat::Reduce(dim, binop)` (``SpParMat.cpp:888``)
+- ``symmetrize``     <- `A += A^T` (``TopDownBFS.cpp:162``,
+                        ``SpParMat.cpp:741``)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _pa_filter(fn):
+    def _f(batch: pa.Table) -> pa.Table:
+        return fn(batch)
+
+    return _f
+
+
+@dataclass
+class Graph:
+    """n vertices (dense ids 0..n-1) + a lazy edge Dataset (src, dst, w)."""
+
+    n: int
+    edges: "ray.data.Dataset"  # noqa: F821
+    labels: Optional[np.ndarray] = None  # id -> label (sorted), if labeled
+
+    # ---- per-batch maps / filters (embarrassingly parallel, zero-copy) ----
+
+    def apply(self, np_fn) -> "Graph":
+        """Map over nonzero values in place (`SpParMat::Apply`)."""
+
+        def _apply(batch: pa.Table) -> pa.Table:
+            w = np_fn(np.asarray(batch.column("w")))
+            return batch.set_column(batch.schema.get_field_index("w"), "w", pa.array(w))
+
+        return self._with(self.edges.map_batches(_apply, batch_format="pyarrow",
+                                                 zero_copy_batch=True))
+
+    def prune(self, mask_fn) -> "Graph":
+        """Drop nonzeros where ``mask_fn(src, dst, w)`` is True (`Prune`/`PruneI`)."""
+
+        def _prune(batch: pa.Table) -> pa.Table:
+            m = mask_fn(
+                np.asarray(batch.column("src")),
+                np.asarray(batch.column("dst")),
+                np.asarray(batch.column("w")),
+            )
+            return batch.filter(pa.array(~m))
+
+        return self._with(self.edges.map_batches(_prune, batch_format="pyarrow",
+                                                 zero_copy_batch=True))
+
+    def remove_loops(self) -> "Graph":
+        return self._with(self.edges.filter(expr="src != dst"))
+
+    def add_loops(self, value: float = 1.0) -> "Graph":
+        import ray
+
+        n = self.n
+        diag = ray.data.range(n).map_batches(
+            lambda b: pa.table(
+                {
+                    "src": pa.array(b["id"].astype(np.int64)),
+                    "dst": pa.array(b["id"].astype(np.int64)),
+                    "w": pa.array(np.full(len(b["id"]), value, dtype=np.float64)),
+                }
+            ),
+            batch_format="numpy",
+        )
+        return self._with(self.remove_loops().edges.union(diag))
+
+    def transpose(self) -> "Graph":
+        def _swap(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "src": batch.column("dst"),
+                    "dst": batch.column("src"),
+                    "w": batch.column("w"),
+                }
+            )
+
+        return self._with(self.edges.map_batches(_swap, batch_format="pyarrow",
+                                                 zero_copy_batch=True))
+
+    def cast_bool(self) -> "Graph":
+        """Structure-only copy: w := 1.0 (bool-matrix conversion,
+        ``SpParMat.h:206``, used at ``TopDownBFS.cpp:207``)."""
+        return self.apply(lambda w: np.ones_like(w))
+
+    # ---- shuffling operators ----
+
+    def dedup_sum(self) -> "Graph":
+        """Merge duplicate (src,dst) entries with +. Partial combine inside
+        each batch first (numpy unique), then one hash-shuffle groupby."""
+
+        def _partial(batch: pa.Table) -> pa.Table:
+            src = np.asarray(batch.column("src"))
+            dst = np.asarray(batch.column("dst"))
+            w = np.asarray(batch.column("w"))
+            key = src * np.int64(self.n) + dst
+            uk, inv = np.unique(key, return_inverse=True)
+            ws = np.bincount(inv, weights=w)
+            return pa.table(
+                {
+                    "src": pa.array((uk // self.n).astype(np.int64)),
+                    "dst": pa.array((uk % self.n).astype(np.int64)),
+                    "w": pa.array(ws.astype(np.float64)),
+                }
+            )
+
+        partial = self.edges.map_batches(_partial, batch_format="pyarrow",
+                                         zero_copy_batch=True)
+        merged = partial.groupby(["src", "dst"]).sum("w").map_batches(
+            lambda b: pa.table(
+                {
+                    "src": b.column("src"),
+                    "dst": b.column("dst"),
+                    "w": b.column("sum(w)"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        return self._with(merged)
+
+    def symmetrize(self) -> "Graph":
+        """A := A + A^T with overlap summed (`operator+=`, ``SpParMat.cpp:741``)."""
+        return self._with(self.edges.union(self.transpose().edges)).dedup_sum()
+
+    def union_max(self) -> "Graph":
+        """Undirected structural view: A | A^T with w = 1 (no double count)."""
+        g = self._with(self.cast_bool().edges.union(self.transpose().cast_bool().edges))
+        return g.dedup_sum().apply(lambda w: np.ones_like(w))
+
+    # ---- reductions ----
+
+    def reduce(self, dim: str, agg: str = "sum", unop=None):
+        """Per-row/column reduce of nonzeros (`SpParMat::Reduce`).
+
+        dim='row' groups by ``src`` (out-direction), dim='col' by ``dst``.
+        Returns a Dataset (v, val). ``unop`` maps w first (e.g. ``lambda w:
+        np.ones_like(w)`` for degrees).
+        """
+        key = "src" if dim == "row" else "dst"
+        ds = self.edges
+        if unop is not None:
+            def _u(batch: pa.Table) -> pa.Table:
+                return batch.set_column(
+                    batch.schema.get_field_index("w"), "w",
+                    pa.array(unop(np.asarray(batch.column("w")))),
+                )
+            ds = ds.map_batches(_u, batch_format="pyarrow", zero_copy_batch=True)
+        grouped = ds.groupby(key)
+        out = getattr(grouped, agg)("w")
+        agg_col = f"{agg}(w)"
+        return out.map_batches(
+            lambda b: pa.table({"v": b.column(key), "val": b.column(agg_col)}),
+            batch_format="pyarrow",
+        )
+
+    def out_weight_sums(self) -> np.ndarray:
+        """Dense out-weight vector (driver-side, length n) — the
+        `MakeColStochastic` input (``MCL.cpp:388-394``)."""
+        rows = self.reduce("row", "sum").take_all()
+        out = np.zeros(self.n, dtype=np.float64)
+        for r in rows:
+            out[int(r["v"])] = r["val"]
+        return out
+
+    def nnz(self) -> int:
+        return self.edges.count()
+
+    # ---- helpers ----
+
+    def _with(self, edges) -> "Graph":
+        return Graph(n=self.n, edges=edges, labels=self.labels)

@@ -1,0 +1,99 @@
+"""Semiring protocol + the built-in catalog.
+
+The reference parameterizes every SpMV/SpGEMM/Reduce by a semiring struct
+with ``add``/``multiply``/``id`` (``include/CombBLAS/Semirings.h``). Here a
+semiring is a small Python object exposing *vectorized* numpy kernels:
+
+- ``mul(edge_vals, x_vals) -> np.ndarray`` — the per-nonzero multiply,
+  applied to whole blocks at once;
+- ``reduce_segments(vals, indptr)`` — ordered per-row combine (CSR layout);
+- ``reduce_unordered(vals, seg_ids, n)`` — unordered combine (shuffle merge);
+- ``combine(a, b)`` — elementwise merge of two partial dense vectors
+  (the cross-block / cross-actor reduce, MPI_Reduce analog).
+
+Catalog parity with the reference (``Semirings.h``):
+- ``plus_times``   <- ``PlusTimesSRing``      (Semirings.h:212-232)
+- ``min_plus``     <- ``MinPlusSRing``        (Semirings.h:235-255)
+- ``select2nd_min``<- app semiring ``Select2ndMinSR`` (CC.h:62-84,
+                      FastSV.h:26-44): multiply returns the vector operand,
+                      add is min — the min-label-propagation semiring.
+- ``select2nd_max``<- ``SelectMaxSRing``      (Semirings.h:166-210) as used
+                      by BFS parent selection (multiply = 2nd operand).
+- ``bool_or_and``  <- ``BoolCopy*SRing``-style structural semiring.
+- ``max_times``    <- max-plus/times family used by column stats.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+import numpy as np
+
+from .segments import segment_reduce, segment_sum
+
+__all__ = ["Semiring", "SEMIRINGS", "get_semiring"]
+
+
+@dataclass(frozen=True)
+class Semiring:
+    name: str
+    mul: Callable[[np.ndarray, np.ndarray], np.ndarray]
+    add_ufunc: np.ufunc
+    identity: float
+    dtype: np.dtype = np.dtype(np.float64)
+    # True when the additive monoid is plain +: enables the bincount
+    # fast path for unordered merges.
+    is_plus: bool = field(default=False)
+
+    def reduce_segments(self, vals: np.ndarray, indptr: np.ndarray) -> np.ndarray:
+        return segment_reduce(self.add_ufunc, vals, indptr, self.identity)
+
+    def reduce_unordered(self, vals: np.ndarray, seg_ids: np.ndarray, n: int) -> np.ndarray:
+        if self.is_plus:
+            return segment_sum(vals, seg_ids, n)
+        out = np.full(n, self.identity, dtype=self.dtype)
+        # ufunc.at is unbuffered (correct with repeated indices); only used
+        # on already-combined per-block partials, never on raw nnz streams.
+        self.add_ufunc.at(out, seg_ids, vals.astype(self.dtype, copy=False))
+        return out
+
+    def combine(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        return self.add_ufunc(a, b)
+
+    def empty(self, n: int) -> np.ndarray:
+        return np.full(n, self.identity, dtype=self.dtype)
+
+
+def _times(a, x):
+    return a * x
+
+
+def _plus(a, x):
+    return a + x
+
+
+def _second(a, x):
+    # "multiply returns the second (vector) operand" — Select2nd semantics.
+    return x if x.dtype != np.dtype(object) else np.asarray(x)
+
+
+def _and(a, x):
+    return np.logical_and(a != 0, x != 0).astype(np.float64)
+
+
+SEMIRINGS: dict[str, Semiring] = {
+    "plus_times": Semiring("plus_times", _times, np.add, 0.0, is_plus=True),
+    "min_plus": Semiring("min_plus", _plus, np.minimum, np.inf),
+    "min_times": Semiring("min_times", _times, np.minimum, np.inf),
+    "select2nd_min": Semiring("select2nd_min", _second, np.minimum, np.inf),
+    "select2nd_max": Semiring("select2nd_max", _second, np.maximum, -np.inf),
+    "max_times": Semiring("max_times", _times, np.maximum, -np.inf),
+    "plus_and": Semiring("plus_and", _and, np.add, 0.0, is_plus=True),
+}
+
+
+def get_semiring(name: str | Semiring) -> Semiring:
+    if isinstance(name, Semiring):
+        return name
+    return SEMIRINGS[name]

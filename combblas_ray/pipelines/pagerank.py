@@ -1,0 +1,147 @@
+"""PageRank = power iteration of semiring SpMV over the resident CSR grid.
+
+The reference pattern is iterated ``SpMV<PlusTimesSRing>`` +
+`MakeColStochastic`-style normalization (``MCL.cpp:388-394`` /
+``ParFriends.h:2379-2451``); dangling-vertex handling mirrors the
+isolated-vertex special-casing of CC (``CC.h:1415-1417``).
+
+Scale design: the rank vector lives as ``g`` chunks in the object store;
+every per-chunk elementwise step is a small Ray task, the SpMV is the
+engine's 2D partial + combine, and the driver only ever touches scalars
+(dangling mass, L1 delta). Checkpoint every ``ckpt_every`` iterations
+writes per-chunk .npz + a manifest (iteration, chunk, path, rows, sha) —
+resume picks up the latest complete iteration.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+import numpy as np
+
+import ray
+
+from ..core.engine import SpmvEngine
+
+
+@ray.remote
+def _make_x(r: np.ndarray, inv_outw: np.ndarray) -> np.ndarray:
+    return r * inv_outw
+
+
+@ray.remote
+def _dangling_mass(r: np.ndarray, dang: np.ndarray) -> float:
+    return float(r[dang].sum())
+
+
+@ray.remote
+def _update(y: np.ndarray, n: int, d: float, dmass: float) -> np.ndarray:
+    return (1.0 - d) / n + d * (y + dmass / n)
+
+
+@ray.remote
+def _l1_delta(a: np.ndarray, b: np.ndarray) -> float:
+    return float(np.abs(a - b).sum())
+
+
+@ray.remote
+def _save_chunk(path: str, arr: np.ndarray) -> str:
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, r=arr)
+    os.replace(tmp, path)
+    return hashlib.sha256(arr.tobytes()).hexdigest()[:16]
+
+
+def pagerank(
+    engine: SpmvEngine,
+    *,
+    damping: float = 0.85,
+    iters: int | None = None,
+    tol: float | None = 1e-10,
+    max_iters: int = 100,
+    ckpt_dir: str | None = None,
+    ckpt_every: int = 5,
+    resume: bool = True,
+) -> tuple[np.ndarray, dict]:
+    """Returns (rank vector, info). ``iters`` forces an exact iteration count
+    (oracle mode); otherwise runs to L1 ``tol``."""
+    n, g = engine.n, engine.g
+    outw = engine.out_weights()
+    dang_full = outw == 0.0
+    inv_full = np.where(dang_full, 0.0, 1.0 / np.where(dang_full, 1.0, outw))
+
+    inv_refs = engine.chunk(inv_full)
+    dang_refs = engine.chunk(dang_full)
+
+    start_iter = 0
+    r_refs = None
+    if ckpt_dir:
+        os.makedirs(ckpt_dir, exist_ok=True)
+        if resume:
+            start_iter, r_refs = _load_latest(engine, ckpt_dir)
+    if r_refs is None:
+        r_refs = engine.chunk(np.full(n, 1.0 / n, dtype=np.float64))
+        start_iter = 0
+
+    total = iters if iters is not None else max_iters
+    info = {"iters": 0, "delta": None, "iter_times": [], "resumed_at": start_iter}
+    k = start_iter
+    while k < total:
+        t0 = time.perf_counter()
+        x_refs = [_make_x.remote(r_refs[i], inv_refs[i]) for i in range(g)]
+        dmass = sum(ray.get([_dangling_mass.remote(r_refs[i], dang_refs[i])
+                             for i in range(g)]))
+        y_refs = engine.spmv_refs(x_refs, "plus_times")
+        new_refs = [_update.remote(y_refs[i], n, damping, dmass) for i in range(g)]
+        delta = sum(ray.get([_l1_delta.remote(new_refs[i], r_refs[i])
+                             for i in range(g)]))
+        r_refs = new_refs
+        k += 1
+        info["iter_times"].append(time.perf_counter() - t0)
+        info["delta"] = delta
+        if ckpt_dir and (k % ckpt_every == 0 or k == total):
+            _checkpoint(ckpt_dir, k, r_refs)
+        if iters is None and tol is not None and delta < tol:
+            break
+    info["iters"] = k
+    return engine.unchunk(r_refs), info
+
+
+def _checkpoint(ckpt_dir: str, k: int, r_refs: list) -> None:
+    paths = [os.path.join(ckpt_dir, f"iter{k:05d}_chunk{i:03d}.npz")
+             for i in range(len(r_refs))]
+    shas = ray.get([_save_chunk.remote(p, r) for p, r in zip(paths, r_refs)])
+    man = {
+        "iteration": k,
+        "chunks": [
+            {"chunk": i, "path": p, "sha": s}
+            for i, (p, s) in enumerate(zip(paths, shas))
+        ],
+    }
+    tmp = os.path.join(ckpt_dir, f"iter{k:05d}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(man, f)
+    os.replace(tmp, os.path.join(ckpt_dir, f"iter{k:05d}.json"))
+
+
+def _load_latest(engine: SpmvEngine, ckpt_dir: str):
+    manifests = sorted(
+        f for f in os.listdir(ckpt_dir) if f.startswith("iter") and f.endswith(".json")
+    )
+    for mf in reversed(manifests):
+        try:
+            with open(os.path.join(ckpt_dir, mf)) as f:
+                man = json.load(f)
+            chunks = []
+            for c in man["chunks"]:
+                arr = np.load(c["path"])["r"]
+                if hashlib.sha256(arr.tobytes()).hexdigest()[:16] != c["sha"]:
+                    raise ValueError("chunk sha mismatch")
+                chunks.append(ray.put(arr))
+            return man["iteration"], chunks
+        except Exception:
+            continue
+    return 0, None

@@ -1,0 +1,170 @@
+"""Deterministic source-code corpus (repo, path, commit, lang, content).
+
+The north-star input is a Parquet corpus of source-code repositories with
+columns ``(repo, path, commit, lang, content)``; the graph is the
+import-dependency graph extracted from ``content``. In this sandbox we
+synthesise the corpus deterministically (seedless pure arithmetic) so that
+
+1. the whole extraction pipeline (content -> parse imports -> string-labeled
+   edges -> dense vertex ids -> edge table) runs for real on Ray Data, and
+2. a DuckDB oracle can regenerate the *identical* rows/edges from the same
+   integer arithmetic (``generate_series``) — giving exact end-to-end
+   correctness checks including per-row ``sha256(content)`` parity
+   (the input_hint invariant).
+
+Spec (file index ``i`` in ``[0, n)``; every formula uses non-negative ints so
+Python ``%`` == SQL ``%``):
+
+- ``repo    = 'repo_' + str(i % 100)``
+- ``path    = 'src/m_' + str(i) + '.py'``   (vertex label = ``m_<i>``)
+- ``lang    = ['py','js','go','rs'][i % 4]``
+- ``commit  = format((i*2654435761 + 40503) % 2**32, '040x')``
+- import targets, in order: ``ord 0``: hub ``i % 64`` (64 hub vertices ->
+  power-law-ish in-degree skew); ``ord t`` for ``t in 1..(i % 5)``:
+  ``(i*101 + t*4099 + 17) % n``
+- ``content = '\n'.join('import m_'+str(j) for j in targets)
+             + '\n# file m_' + str(i) + ' lang=' + lang``
+
+Edge semantics downstream (mirrors the reference ingest,
+``SpParMat.cpp:3153-3270`` "keeps self-loops, sums duplicates" +
+``RemoveLoops`` ``SpParMat.cpp:3270``): one (src,dst,1.0) per import
+statement, duplicates summed, then self-loops dropped.
+
+The string-label -> dense-id step is the ``ReadGeneralizedTuples`` analog
+(``SpParMat.cpp:3889-3984``): distinct labels, sorted lexicographically,
+ranked 0..n-1.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+LANGS = ["py", "js", "go", "rs"]
+NUM_HUBS = 64
+NUM_REPOS = 100
+SF_FILE_FACTOR = 10  # corpus files per `documents` row
+
+
+def n_files_for(sf_dir: str) -> int:
+    """Corpus size for a test-data scale factor dir (metadata read only)."""
+    md = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata
+    return md.num_rows * SF_FILE_FACTOR
+
+
+def _targets_arrays(ids: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized (src_i, ord, dst_j) triples for a batch of file ids."""
+    ids = ids.astype(np.int64)
+    n_ext = ids % 5
+    # hub edges (ord 0)
+    hub_src = ids
+    hub_ord = np.zeros(len(ids), dtype=np.int64)
+    hub_dst = ids % NUM_HUBS
+    # extras: repeat each id n_ext[i] times with ord 1..n_ext[i]
+    reps = n_ext
+    ext_src = np.repeat(ids, reps)
+    # per-row ord sequence 1..n_ext
+    csum = np.concatenate(([0], np.cumsum(reps)))[:-1]
+    ext_ord = np.arange(len(ext_src), dtype=np.int64) - np.repeat(csum, reps) + 1
+    ext_dst = (ext_src * 101 + ext_ord * 4099 + 17) % n
+    src = np.concatenate([hub_src, ext_src])
+    order = np.concatenate([hub_ord, ext_ord])
+    dst = np.concatenate([hub_dst, ext_dst])
+    # sort by (src, ord) so per-file target order is canonical
+    perm = np.lexsort((order, src))
+    return src[perm], order[perm], dst[perm]
+
+
+def corpus_batch(ids: np.ndarray, n: int, with_sha: bool = False) -> pa.Table:
+    """Build corpus rows for a batch of file ids (used inside map_batches)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    repo = [f"repo_{i % NUM_REPOS}" for i in ids]
+    path = [f"src/m_{i}.py" for i in ids]
+    lang = [LANGS[i % 4] for i in ids]
+    commit = [format((int(i) * 2654435761 + 40503) % 2**32, "040x") for i in ids]
+    src, _ord, dst = _targets_arrays(ids, n)
+    # group dst lists back per file (src is sorted, ids are sorted ranges
+    # inside a batch but not necessarily contiguous -> use searchsorted)
+    starts = np.searchsorted(src, ids, side="left")
+    ends = np.searchsorted(src, ids, side="right")
+    contents = []
+    for k, i in enumerate(ids):
+        tj = dst[starts[k] : ends[k]]
+        lines = [f"import m_{j}" for j in tj]
+        lines.append(f"# file m_{i} lang={lang[k]}")
+        contents.append("\n".join(lines))
+    cols = {
+        "repo": repo,
+        "path": path,
+        "commit": commit,
+        "lang": lang,
+        "content": contents,
+    }
+    if with_sha:
+        cols["sha256"] = [hashlib.sha256(c.encode()).hexdigest() for c in contents]
+    return pa.table(cols)
+
+
+def corpus_dataset(n: int, *, override_num_blocks: int | None = None):
+    """The corpus as a streaming Ray Dataset (no full materialization)."""
+    import ray
+
+    ds = ray.data.range(n, override_num_blocks=override_num_blocks)
+    return ds.map_batches(
+        lambda b: corpus_batch(b["id"], n),
+        batch_format="numpy",
+        batch_size=8192,
+    )
+
+
+def extract_labeled_edges(corpus_ds):
+    """content -> (src_label, dst_label) string edge pairs, fully vectorized.
+
+    Arrow kernels only: split content into lines, flatten with parent ids,
+    keep ``import m_*`` lines, slice off the ``import `` prefix. No per-row
+    Python in this stage (the hot path of the 100 TB scan).
+    """
+
+    def _extract(batch: pa.Table) -> pa.Table:
+        content = batch.column("content")
+        path = batch.column("path")
+        # src label from path: 'src/<label>.py' -> <label>
+        src_label = pc.struct_field(
+            pc.extract_regex(path, r"src/(?P<label>m_\d+)\.py"), "label"
+        )
+        lines = pc.split_pattern(content, "\n")
+        flat = pc.list_flatten(lines)
+        parents = pc.list_parent_indices(lines)
+        is_imp = pc.starts_with(flat, "import m_")
+        imp = pc.filter(flat, is_imp)
+        imp_parent = pc.filter(parents, is_imp)
+        dst_label = pc.utf8_slice_codeunits(imp, 7)
+        src_for_line = pc.take(src_label, imp_parent)
+        return pa.table({"src_label": src_for_line, "dst_label": dst_label})
+
+    return corpus_ds.map_batches(_extract, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def content_sha_dataset(corpus_ds):
+    """(repo, path, commit, lang, sha256) — the per-row content-parity scan."""
+
+    def _sha(batch: pa.Table) -> pa.Table:
+        shas = [
+            hashlib.sha256(c.encode()).hexdigest()
+            for c in batch.column("content").to_pylist()
+        ]
+        return pa.table(
+            {
+                "repo": batch.column("repo"),
+                "path": batch.column("path"),
+                "commit": batch.column("commit"),
+                "lang": batch.column("lang"),
+                "sha256": pa.array(shas, type=pa.string()),
+            }
+        )
+
+    return corpus_ds.map_batches(_sha, batch_format="pyarrow", zero_copy_batch=True)
