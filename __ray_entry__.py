@@ -1,16 +1,7 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init()`` / ``ray.shutdown()`` here or in the library code.
 """
 
 from __future__ import annotations
@@ -20,25 +11,59 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: synthetic source-code
+    corpus -> import-edge extraction -> dense vertex ids -> 2D CSR block
+    engine -> PageRank to convergence. Returns (label, score) pandas."""
+    import numpy as np
+    import pandas as pd
+
+    from combblas_ray.pipelines.context import get_context
+    from combblas_ray.pipelines.pagerank import pagerank
+
+    ctx = get_context("/root/testdata/sf0.001")
+    eng = ctx.engine("directed")
+    r, info = pagerank(eng, tol=1e-10, max_iters=100)
+    return pd.DataFrame(
+        {"label": np.asarray(ctx.labels), "score": r}
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from combblas_ray.pipelines import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "corpus_scan": q.q_corpus_scan,
+        "edge_table": q.q_edge_table,
+        "vertex_ids": q.q_vertex_ids,
+        "out_degrees": q.q_out_degrees,
+        "in_degrees": q.q_in_degrees,
+        "spmv_plus_times": q.q_spmv_plus_times,
+        "spmv_min_plus": q.q_spmv_min_plus,
+        "pagerank": q.q_pagerank,
+        "connected_components": q.q_connected_components,
+        "bfs": q.q_bfs,
+        "sssp": q.q_sssp,
+        "label_propagation": q.q_label_propagation,
+        "triangle_count": q.q_triangle_count,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from combblas_ray.oracle import sqlgen as o
+    from combblas_ray.pipelines import queries as q
+
+    return {
+        "corpus_scan": o.corpus_scan(),
+        "edge_table": o.edge_table(),
+        "vertex_ids": o.vertex_ids(),
+        "out_degrees": o.out_degrees(),
+        "in_degrees": o.in_degrees(),
+        "spmv_plus_times": o.spmv_plus_times(),
+        "spmv_min_plus": o.spmv_min_plus(),
+        "pagerank": o.pagerank(q.PR_ITERS),
+        "connected_components": o.connected_components(q.CC_ITERS),
+        "bfs": o.bfs_distance("m_0", q.BFS_ITERS),
+        "sssp": o.sssp("m_1", q.SSSP_ITERS),
+        "label_propagation": o.label_propagation(q.LP_ITERS, q.LP_CLASSES),
+        "triangle_count": o.triangle_count(),
+    }

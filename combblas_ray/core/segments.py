@@ -51,11 +51,12 @@ def segment_reduce(
     empty = starts == indptr[1:]
     if len(values) == 0:
         return np.full(n_seg, identity, dtype=np.result_type(type(identity)))
-    # Clamp starts that point past the end (trailing empty segments) so
-    # reduceat doesn't raise; those slots are overwritten with identity below.
-    safe_starts = np.minimum(starts, len(values) - 1)
-    out = ufunc.reduceat(values, safe_starts)
-    if empty.any():
-        out = out.astype(np.result_type(out.dtype, type(identity)), copy=False)
-        out[empty] = identity
+    # Segments starting at len(values) are a trailing-empty suffix (indptr is
+    # nondecreasing); reduceat would raise on them. Reduce the valid prefix,
+    # fill the suffix — and all other empty segments — with the identity.
+    valid = starts < len(values)
+    red = ufunc.reduceat(values, starts[valid])
+    out = np.full(n_seg, identity, dtype=np.result_type(red.dtype, type(identity)))
+    out[valid] = red
+    out[empty] = identity
     return out

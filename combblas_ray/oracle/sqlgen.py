@@ -1,0 +1,294 @@
+"""DuckDB oracle SQL for every corpus/graph query.
+
+The synthetic corpus (see ``sources/corpus.py``) is pure integer
+arithmetic, so these oracles REGENERATE the corpus/edge table inside SQL
+(``documents`` x ``generate_series`` -> file ids) and re-derive each query's
+answer independently of any Ray code. Fixed-iteration algorithms (PageRank,
+CC, BFS, SSSP, label propagation) are emitted as unrolled CTE chains.
+
+Column names match the Ray pipelines exactly (the driver hash-compares by
+sorted column name).
+"""
+
+from __future__ import annotations
+
+import functools
+import re
+
+
+def _materialized(fn):
+    """Force every CTE to MATERIALIZED — the unrolled iteration chains
+    reference each prior CTE several times; inlining would re-evaluate the
+    whole chain exponentially."""
+
+    @functools.wraps(fn)
+    def wrap(*a, **k):
+        return re.sub(r"\bAS \(", "AS MATERIALIZED (", fn(*a, **k))
+
+    return wrap
+
+
+# n = 10 * rows(documents); file ids are dense 0..n-1.
+PREFIX = """
+WITH params AS (SELECT 10 * count(*) AS n FROM documents),
+docranks AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS rn FROM documents
+),
+files AS (
+  SELECT d.rn * 10 + k.k AS i FROM docranks d, generate_series(0, 9) k(k)
+),
+targets AS (
+  SELECT i, CAST(0 AS BIGINT) AS ord, i % 64 AS j FROM files
+  UNION ALL
+  SELECT f.i, CAST(t.t AS BIGINT) AS ord,
+         (f.i * 101 + t.t * 4099 + 17) % p.n AS j
+  FROM files f CROSS JOIN params p, generate_series(1, 4) t(t)
+  WHERE t.t <= f.i % 5
+),
+edges AS (
+  SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+  FROM (SELECT i AS src, j AS dst FROM targets WHERE i <> j)
+  GROUP BY src, dst
+),
+verts AS (SELECT i, 'm_' || i AS label FROM files)
+"""
+
+
+@_materialized
+def corpus_scan() -> str:
+    return PREFIX + """
+, contents AS (
+  SELECT f.i,
+         string_agg('import m_' || t.j, chr(10) ORDER BY t.ord)
+         || chr(10) || '# file m_' || f.i || ' lang='
+         || (['py','js','go','rs'])[(f.i % 4) + 1] AS content
+  FROM files f JOIN targets t ON t.i = f.i
+  GROUP BY f.i
+)
+SELECT 'repo_' || (c.i % 100) AS repo,
+       'src/m_' || c.i || '.py' AS path,
+       printf('%040x', (c.i * 2654435761 + 40503) % 4294967296) AS "commit",
+       (['py','js','go','rs'])[(c.i % 4) + 1] AS lang,
+       sha256(c.content) AS sha256
+FROM contents c
+"""
+
+
+@_materialized
+def edge_table() -> str:
+    return PREFIX + """
+SELECT vs.label AS src_label, vd.label AS dst_label, e.w AS w
+FROM edges e JOIN verts vs ON vs.i = e.src JOIN verts vd ON vd.i = e.dst
+"""
+
+
+@_materialized
+def vertex_ids() -> str:
+    return PREFIX + """
+SELECT label, row_number() OVER (ORDER BY label) - 1 AS vid FROM verts
+"""
+
+
+@_materialized
+def out_degrees() -> str:
+    return PREFIX + """
+SELECT v.label AS label, count(*) AS outdeg, sum(e.w) AS outw
+FROM edges e JOIN verts v ON v.i = e.src GROUP BY v.label
+"""
+
+
+@_materialized
+def in_degrees() -> str:
+    return PREFIX + """
+SELECT v.label AS label, count(*) AS indeg, sum(e.w) AS inw
+FROM edges e JOIN verts v ON v.i = e.dst GROUP BY v.label
+"""
+
+
+@_materialized
+def spmv_plus_times() -> str:
+    # x[i] = (i % 11) + 1 in arithmetic space; y = A (.) x summed over in-edges
+    return PREFIX + """
+SELECT v.label AS label, sum(e.w * ((e.src % 11) + 1)) AS y
+FROM edges e JOIN verts v ON v.i = e.dst GROUP BY v.label
+"""
+
+
+@_materialized
+def spmv_min_plus() -> str:
+    return PREFIX + """
+SELECT v.label AS label, min(e.w + ((e.src % 11) + 1)) AS y
+FROM edges e JOIN verts v ON v.i = e.dst GROUP BY v.label
+"""
+
+
+@_materialized
+def pagerank(iters: int = 10, damping: float = 0.85) -> str:
+    d = damping
+    sql = PREFIX + f"""
+, outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+r0 AS (SELECT f.i, 1.0 / p.n AS score FROM files f CROSS JOIN params p)
+"""
+    prev = "r0"
+    for k in range(1, iters + 1):
+        sql += f"""
+, dang{k} AS (
+  SELECT coalesce(sum(r.score), 0.0) AS dm FROM {prev} r
+  LEFT JOIN outw o ON o.src = r.i WHERE o.src IS NULL
+),
+contrib{k} AS (
+  SELECT e.dst AS i, sum(r.score * e.w / o.ow) AS c
+  FROM edges e JOIN {prev} r ON r.i = e.src JOIN outw o ON o.src = e.src
+  GROUP BY e.dst
+),
+r{k} AS (
+  SELECT f.i,
+         (1.0 - {d}) / p.n + {d} * (coalesce(c.c, 0.0) + dg.dm / p.n) AS score
+  FROM files f CROSS JOIN params p CROSS JOIN dang{k} dg
+  LEFT JOIN contrib{k} c ON c.i = f.i
+)"""
+        prev = f"r{k}"
+    sql += f"""
+SELECT v.label AS label, round(r.score * p.n, 6) AS score
+FROM {prev} r JOIN verts v ON v.i = r.i CROSS JOIN params p
+"""
+    return sql
+
+
+@_materialized
+def connected_components(iters: int = 12) -> str:
+    """Fixed-iteration synchronous min-label propagation over the
+    undirected view; component id = lexicographically smallest label."""
+    sql = PREFIX + """
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+l0 AS (SELECT i, label AS comp FROM verts)
+"""
+    prev = "l0"
+    for k in range(1, iters + 1):
+        sql += f"""
+, l{k} AS (
+  SELECT v.i, least(l.comp, coalesce(m.mn, l.comp)) AS comp
+  FROM verts v JOIN {prev} l ON l.i = v.i
+  LEFT JOIN (
+    SELECT u.dst AS i, min(lp.comp) AS mn
+    FROM und u JOIN {prev} lp ON lp.i = u.src GROUP BY u.dst
+  ) m ON m.i = v.i
+)"""
+        prev = f"l{k}"
+    sql += f"""
+SELECT v.label AS label, l.comp AS comp
+FROM {prev} l JOIN verts v ON v.i = l.i
+"""
+    return sql
+
+
+@_materialized
+def bfs_distance(root_label: str = "m_0", iters: int = 12) -> str:
+    """Unrolled min-plus BFS distances from root over the undirected view;
+    unreached vertices are omitted (inner semantics)."""
+    sql = PREFIX + f"""
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+d0 AS (SELECT i, 0 AS dist FROM verts WHERE label = '{root_label}')
+"""
+    prev = "d0"
+    for k in range(1, iters + 1):
+        sql += f"""
+, d{k} AS (
+  SELECT i, min(dist) AS dist FROM (
+    SELECT i, dist FROM {prev}
+    UNION ALL
+    SELECT u.dst AS i, dp.dist + 1 AS dist
+    FROM und u JOIN {prev} dp ON dp.i = u.src
+  ) GROUP BY i
+)"""
+        prev = f"d{k}"
+    sql += f"""
+SELECT v.label AS label, CAST(d.dist AS BIGINT) AS dist
+FROM {prev} d JOIN verts v ON v.i = d.i
+"""
+    return sql
+
+
+@_materialized
+def sssp(root_label: str = "m_0", iters: int = 15) -> str:
+    """Unrolled Bellman-Ford on the DIRECTED graph with integer lengths
+    len(u,v) = 1 + (u + 2v) % 7; reached vertices only."""
+    sql = PREFIX + f"""
+, wedges AS (
+  SELECT src, dst, CAST(1 + (src + 2 * dst) % 7 AS DOUBLE) AS len FROM edges
+),
+d0 AS (SELECT i, CAST(0 AS DOUBLE) AS dist FROM verts WHERE label = '{root_label}')
+"""
+    prev = "d0"
+    for k in range(1, iters + 1):
+        sql += f"""
+, d{k} AS (
+  SELECT i, min(dist) AS dist FROM (
+    SELECT i, dist FROM {prev}
+    UNION ALL
+    SELECT e.dst AS i, dp.dist + e.len AS dist
+    FROM wedges e JOIN {prev} dp ON dp.i = e.src
+  ) GROUP BY i
+)"""
+        prev = f"d{k}"
+    sql += f"""
+SELECT v.label AS label, d.dist AS dist
+FROM {prev} d JOIN verts v ON v.i = d.i
+"""
+    return sql
+
+
+@_materialized
+def label_propagation(iters: int = 5, num_classes: int = 10) -> str:
+    """Synchronous mode-of-in-neighbors label propagation (directed, using
+    the undirected view), init class = i % num_classes, tie -> smaller
+    class, no in-neighbors -> keep. Exact integer output."""
+    sql = PREFIX + f"""
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+c0 AS (SELECT i, i % {num_classes} AS cls FROM files)
+"""
+    prev = "c0"
+    for k in range(1, iters + 1):
+        sql += f"""
+, cnt{k} AS (
+  SELECT u.dst AS i, c.cls, count(*) AS cnt
+  FROM und u JOIN {prev} c ON c.i = u.src
+  GROUP BY u.dst, c.cls
+),
+best{k} AS (
+  SELECT i, cls FROM (
+    SELECT i, cls, row_number() OVER (
+      PARTITION BY i ORDER BY cnt DESC, cls ASC) AS rn
+    FROM cnt{k}
+  ) WHERE rn = 1
+),
+c{k} AS (
+  SELECT c.i, coalesce(b.cls, c.cls) AS cls
+  FROM {prev} c LEFT JOIN best{k} b ON b.i = c.i
+)"""
+        prev = f"c{k}"
+    sql += f"""
+SELECT v.label AS label, CAST(c.cls AS BIGINT) AS cls
+FROM {prev} c JOIN verts v ON v.i = c.i
+"""
+    return sql
+
+
+@_materialized
+def triangle_count() -> str:
+    """Masked SpGEMM triangle count: L(u<v) path u->w->v (u<w<v) closed by
+    L(u,v). One row: (triangles BIGINT)."""
+    return PREFIX + """
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+L AS (SELECT src, dst FROM und WHERE src < dst)
+SELECT count(*) AS triangles
+FROM L a JOIN L b ON b.src = a.dst JOIN L m ON m.src = a.src AND m.dst = b.dst
+"""

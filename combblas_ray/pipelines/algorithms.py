@@ -1,0 +1,197 @@
+"""Graph algorithms over the resident CSR engine + Dataset pipelines.
+
+Parity map (reference file:line):
+- ``connected_components``   <- FastSV/LACC min-label loop
+  (``FastSV.h:335-374``, ``CC.h:1404-1544``): SpMV over the
+  ``Select2ndMinSR`` semiring (``CC.h:62-84``) + pointer-jumping Shortcut
+  (``CC.h:1321-1341``).
+- ``cc_fixed`` — oracle-mode: pure synchronous min-label rounds (no
+  jumping), exact-iteration semantics.
+- ``bfs_distances``          <- level-synchronous BFS (``TopDownBFS.cpp:
+  440-449``) expressed as min-plus relaxation (dense form).
+- ``sssp``                   <- Bellman-Ford = iterated ``MinPlusSRing``
+  SpMV (``Semirings.h:235-255``).
+- ``label_propagation``      <- generalized CC inner step: per-class count
+  SpMVs + argmax update.
+- ``triangle_count``         <- masked SpGEMM recipe (``SpParMat.h:161``
+  PruneI lower-triangular; ``Mult_AnXBn_Synch`` ``ParFriends.h:1447``;
+  ``EWiseMult`` mask ``ParFriends.h:2629``) as a Dataset join pipeline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..core.engine import SpmvEngine
+
+
+# --------------------------------------------------------------------------
+# connected components
+# --------------------------------------------------------------------------
+
+
+def cc_fixed(engine: SpmvEngine, iters: int) -> np.ndarray:
+    """`iters` synchronous rounds of l' = min(l, min over neighbors l[u])
+    on the symmetrized engine. Returns dense-id component labels."""
+    n = engine.n
+    l = np.arange(n, dtype=np.float64)
+    for _ in range(iters):
+        nl = engine.spmv(l, "select2nd_min")
+        l = np.minimum(l, nl)
+    return l.astype(np.int64)
+
+
+def connected_components(engine: SpmvEngine, max_iters: int = 100) -> tuple[np.ndarray, int]:
+    """Min-label propagation + pointer-jumping shortcut, to convergence.
+    Returns (labels, iterations)."""
+    n = engine.n
+    l = np.arange(n, dtype=np.float64)
+    for k in range(1, max_iters + 1):
+        nl = engine.spmv(l, "select2nd_min")
+        l2 = np.minimum(l, nl)
+        # Shortcut: parent = parent(parent) until stable (CC.h:1321-1341)
+        idx = l2.astype(np.int64)
+        while True:
+            jumped = l2[idx].astype(np.int64)
+            if np.array_equal(jumped, idx):
+                break
+            idx = jumped
+        l2 = idx.astype(np.float64)
+        if np.array_equal(l2, l):
+            return l2.astype(np.int64), k
+        l = l2
+    return l.astype(np.int64), max_iters
+
+
+# --------------------------------------------------------------------------
+# BFS / SSSP (min-plus relaxations, dense vector form)
+# --------------------------------------------------------------------------
+
+
+def min_plus_distances(
+    engine: SpmvEngine, root: int, iters: int | None = None, max_iters: int = 10_000
+) -> np.ndarray:
+    """d' = min(d, min over in-edges (w(u,v) + d[u])); fixed `iters` rounds
+    (oracle mode) or until fixpoint. Unreached = +inf."""
+    n = engine.n
+    d = np.full(n, np.inf)
+    d[root] = 0.0
+    total = iters if iters is not None else max_iters
+    for _ in range(total):
+        nd = engine.spmv(d, "min_plus")
+        nd = np.minimum(d, nd)
+        if iters is None and np.array_equal(
+            np.nan_to_num(nd, posinf=-1), np.nan_to_num(d, posinf=-1)
+        ):
+            return nd
+        d = nd
+    return d
+
+
+# --------------------------------------------------------------------------
+# label propagation (mode of neighbor classes)
+# --------------------------------------------------------------------------
+
+
+def label_propagation(
+    engine: SpmvEngine, init: np.ndarray, num_classes: int, iters: int
+) -> np.ndarray:
+    """Synchronous mode-of-neighbors update; tie -> smallest class id;
+    isolated vertices keep their class. Class counts are computed as one
+    plus_times SpMV per class over 0/1 indicator vectors (batched SpMV =
+    the SpMM pattern of BetwCent.cpp:179-187)."""
+    n = engine.n
+    cls = init.astype(np.int64).copy()
+    for _ in range(iters):
+        counts = np.empty((num_classes, n), dtype=np.float64)
+        for c in range(num_classes):
+            ind = (cls == c).astype(np.float64)
+            counts[c] = engine.spmv(ind, "plus_times")
+        total = counts.sum(axis=0)
+        best = counts.argmax(axis=0)  # first max -> smallest class id
+        cls = np.where(total > 0, best, cls).astype(np.int64)
+    return cls
+
+
+# --------------------------------------------------------------------------
+# triangle counting (Dataset-native masked SpGEMM)
+# --------------------------------------------------------------------------
+
+
+def triangle_count(
+    sym_edges_ds, n: int, method: str = "broadcast", num_partitions: int = 16
+) -> int:
+    """Count triangles from the structural undirected edge Dataset (both
+    directions present, w=1): L = edges with src<dst; count closed wedges
+    u<w<v with (u,v) in L.
+
+    method="broadcast": L's CSR adjacency + a sorted edge-key array are put
+    in the object store ONCE; each map_batches task expands its edges'
+    wedges vectorized (repeat/searchsorted) and emits a partial count. This
+    is the `EWiseMult(B, L)` mask fused into the multiply — no shuffle at
+    all; right while L fits in worker memory (~10^9 edges).
+
+    method="join": two distributed hash joins (the scale-out path when the
+    filtered adjacency no longer fits: SUMMA-style shuffle SpGEMM).
+    """
+    L = sym_edges_ds.filter(expr="src < dst").select_columns(["src", "dst"])
+    if method == "join":
+        paths = L.join(
+            L,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("dst",),
+            right_on=("src",),
+            left_suffix="_a",
+            right_suffix="_b",
+        )
+        closed = paths.join(
+            L.rename_columns({"src": "m_src", "dst": "m_dst"}),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("src", "dst_b"),
+            right_on=("m_src", "m_dst"),
+        )
+        return closed.count()
+
+    import ray
+
+    tbl = L.to_arrow_refs()
+    srcs, dsts = [], []
+    for t in ray.get(tbl):
+        srcs.append(np.asarray(t.column("src")))
+        dsts.append(np.asarray(t.column("dst")))
+    src = np.concatenate(srcs) if srcs else np.empty(0, np.int64)
+    dst = np.concatenate(dsts) if dsts else np.empty(0, np.int64)
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(indptr, src + 1, 1)
+    np.cumsum(indptr, out=indptr)
+    keys = src * np.int64(n) + dst  # sorted ascending by construction
+    adj_ref = ray.put((indptr, dst, keys, n))
+
+    def _count(batch: pa.Table, *, _ref=adj_ref) -> pa.Table:
+        indptr, adj_dst, keys, n = _ref if isinstance(_ref, tuple) else ray.get(_ref)
+        u = np.asarray(batch.column("src"))
+        w = np.asarray(batch.column("dst"))
+        starts, ends = indptr[w], indptr[w + 1]
+        lens = ends - starts
+        total = int(lens.sum())
+        if total == 0:
+            return pa.table({"c": pa.array([0], type=pa.int64())})
+        offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        idx = np.repeat(starts, lens) + (
+            np.arange(total) - np.repeat(offs, lens)
+        )
+        v = adj_dst[idx]  # wedge u - w - v with w<v
+        uu = np.repeat(u, lens)
+        probe = uu * np.int64(n) + v
+        pos = np.searchsorted(keys, probe)
+        pos = np.minimum(pos, len(keys) - 1)
+        hits = int((keys[pos] == probe).sum())
+        return pa.table({"c": pa.array([hits], type=pa.int64())})
+
+    parts = L.map_batches(_count, batch_format="pyarrow").take_all()
+    return int(sum(p["c"] for p in parts))

@@ -50,12 +50,10 @@ class GraphContext:
         if variant == "directed":
             g = base
         elif variant == "sym":
-            # structural undirected view (w irrelevant for min/BFS semirings)
-            g = Graph(
-                n=self.n,
-                edges=base.edges.union(base.transpose().edges).materialize(),
-                labels=self.labels,
-            )
+            # structural undirected view: A | A^T with w = 1 per edge
+            # (`Symmetricize`, TopDownBFS.cpp:162, on the bool matrix)
+            g = base.union_max()
+            g = Graph(n=self.n, edges=g.edges.materialize(), labels=self.labels)
         elif variant == "sssp":
             g = self._sssp_graph(base)
         else:

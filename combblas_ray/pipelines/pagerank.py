@@ -27,24 +27,16 @@ import ray
 from ..core.engine import SpmvEngine
 
 
-@ray.remote
-def _make_x(r: np.ndarray, inv_outw: np.ndarray) -> np.ndarray:
-    return r * inv_outw
+@ray.remote(num_returns=2)
+def _make_x(r: np.ndarray, inv_outw: np.ndarray, dang: np.ndarray):
+    """x = r / outw (0 on dangling) + this chunk's dangling mass."""
+    return r * inv_outw, float(r[dang].sum())
 
 
-@ray.remote
-def _dangling_mass(r: np.ndarray, dang: np.ndarray) -> float:
-    return float(r[dang].sum())
-
-
-@ray.remote
-def _update(y: np.ndarray, n: int, d: float, dmass: float) -> np.ndarray:
-    return (1.0 - d) / n + d * (y + dmass / n)
-
-
-@ray.remote
-def _l1_delta(a: np.ndarray, b: np.ndarray) -> float:
-    return float(np.abs(a - b).sum())
+@ray.remote(num_returns=2)
+def _update(y: np.ndarray, r_prev: np.ndarray, n: int, d: float, dmass: float):
+    r_new = (1.0 - d) / n + d * (y + dmass / n)
+    return r_new, float(np.abs(r_new - r_prev).sum())
 
 
 @ray.remote
@@ -88,23 +80,29 @@ def pagerank(
 
     total = iters if iters is not None else max_iters
     info = {"iters": 0, "delta": None, "iter_times": [], "resumed_at": start_iter}
+    fixed = iters is not None
     k = start_iter
     while k < total:
         t0 = time.perf_counter()
-        x_refs = [_make_x.remote(r_refs[i], inv_refs[i]) for i in range(g)]
-        dmass = sum(ray.get([_dangling_mass.remote(r_refs[i], dang_refs[i])
-                             for i in range(g)]))
+        made = [_make_x.remote(r_refs[i], inv_refs[i], dang_refs[i]) for i in range(g)]
+        x_refs = [m[0] for m in made]
+        # one sync point per iteration: the scalar dangling mass
+        dmass = sum(ray.get([m[1] for m in made]))
         y_refs = engine.spmv_refs(x_refs, "plus_times")
-        new_refs = [_update.remote(y_refs[i], n, damping, dmass) for i in range(g)]
-        delta = sum(ray.get([_l1_delta.remote(new_refs[i], r_refs[i])
-                             for i in range(g)]))
+        upd = [
+            _update.remote(y_refs[i], r_refs[i], n, damping, dmass)
+            for i in range(g)
+        ]
+        new_refs = [u[0] for u in upd]
+        if not fixed:
+            delta = sum(ray.get([u[1] for u in upd]))
+            info["delta"] = delta
         r_refs = new_refs
         k += 1
         info["iter_times"].append(time.perf_counter() - t0)
-        info["delta"] = delta
         if ckpt_dir and (k % ckpt_every == 0 or k == total):
             _checkpoint(ckpt_dir, k, r_refs)
-        if iters is None and tol is not None and delta < tol:
+        if not fixed and tol is not None and info["delta"] < tol:
             break
     info["iters"] = k
     return engine.unchunk(r_refs), info

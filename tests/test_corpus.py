@@ -1,0 +1,47 @@
+import hashlib
+
+import numpy as np
+
+from combblas_ray.sources.corpus import corpus_batch
+
+from .conftest import brute_adjacency
+
+
+def test_corpus_batch_deterministic():
+    a = corpus_batch(np.arange(50), 500, with_sha=True)
+    b = corpus_batch(np.arange(50), 500, with_sha=True)
+    assert a.equals(b)
+    # spot-check one row against the spec by hand
+    row = {c: a.column(c)[3].as_py() for c in a.column_names}
+    assert row["repo"] == "repo_3"
+    assert row["path"] == "src/m_3.py"
+    assert row["lang"] == "rs"
+    # i=3: hub=3, extras t=1..3: (3*101 + t*4099 + 17) % 500
+    tg = [3] + [(3 * 101 + t * 4099 + 17) % 500 for t in range(1, 4)]
+    expect = "\n".join(f"import m_{j}" for j in tg) + "\n# file m_3 lang=rs"
+    assert row["content"] == expect
+    assert row["sha256"] == hashlib.sha256(expect.encode()).hexdigest()
+
+
+def test_extracted_edges_match_arithmetic(ctx500):
+    """End-to-end: content regex extraction + id encoding + dedup + loop
+    removal reproduces the arithmetic edge relation exactly."""
+    n = ctx500.n
+    ref = brute_adjacency(n)
+    ref_edges = {
+        (i, j): w for j, srcs in ref.items() for i, w in srcs.items()
+    }
+    rows = ctx500.edges.take_all()
+    got = {}
+    for r in rows:
+        i = int(ctx500.arith[int(r["src"])])
+        j = int(ctx500.arith[int(r["dst"])])
+        got[(i, j)] = r["w"]
+    assert got == ref_edges
+
+
+def test_labels_are_sorted_dense_ids(ctx500):
+    labs = np.asarray(ctx500.labels)
+    assert len(labs) == 500
+    assert (labs == np.sort(labs)).all()
+    assert labs[0] == "m_0"

@@ -1,0 +1,90 @@
+import numpy as np
+import pytest
+
+from .conftest import brute_dense_matrix
+
+
+@pytest.fixture(scope="module")
+def dense_A(ctx500):
+    return brute_dense_matrix(ctx500)
+
+
+def test_spmv_plus_times_matches_dense(ctx500, dense_A):
+    eng = ctx500.engine("directed", g=2)
+    x = ((np.arange(ctx500.n) * 7) % 13).astype(np.float64)
+    y = eng.spmv(x, "plus_times")
+    assert np.allclose(y, dense_A @ x)
+
+
+def test_spmv_min_plus_matches_dense(ctx500, dense_A):
+    eng = ctx500.engine("directed", g=2)
+    x = ((np.arange(ctx500.n) * 3) % 20).astype(np.float64)
+    with np.errstate(invalid="ignore"):
+        M = np.where(dense_A > 0, dense_A, np.inf)
+        expect = (M + x[None, :]).min(axis=1)
+    y = eng.spmv(x, "min_plus")
+    assert np.allclose(y, expect)
+
+
+def test_cross_plan_agreement_grids(ctx500):
+    """Same SpMV under different 2D grids must agree exactly (the
+    reference's cross-kernel agreement strategy, MultTest.cpp:162-239)."""
+    x = np.arange(ctx500.n, dtype=np.float64)
+    y2 = ctx500.engine("directed", g=2).spmv(x, "plus_times")
+    y4 = ctx500.engine("directed", g=4).spmv(x, "plus_times")
+    assert np.allclose(y2, y4, rtol=1e-12, atol=1e-12)
+    m2 = ctx500.engine("directed", g=2).spmv(x, "select2nd_min")
+    m4 = ctx500.engine("directed", g=4).spmv(x, "select2nd_min")
+    assert np.array_equal(m2, m4)
+
+
+def test_out_in_weights(ctx500, dense_A):
+    eng = ctx500.engine("directed", g=2)
+    assert np.allclose(eng.out_weights(), dense_A.sum(axis=0))
+    assert np.allclose(eng.in_weights(), dense_A.sum(axis=1))
+
+
+def test_block_build_resume(ctx500, tmp_path):
+    """Second build with an existing complete manifest must not reshuffle."""
+    from combblas_ray.core.engine import build_blocks
+
+    g = ctx500.graph("directed")
+    d = str(tmp_path / "blk")
+    man1 = build_blocks(g, 2, d)
+    import os
+
+    mtimes = {b["path"]: os.path.getmtime(b["path"]) for b in man1["blocks"]}
+    man2 = build_blocks(g, 2, d)
+    assert man1 == man2
+    for b in man2["blocks"]:
+        assert os.path.getmtime(b["path"]) == mtimes[b["path"]]
+
+
+def test_spmspv_matches_dense(ctx500, dense_A):
+    import ray
+
+    eng = ctx500.engine("directed", g=2)
+    n = ctx500.n
+    # sparse frontier: 5 vertices
+    idx = np.array([1, 10, 100, 250, 499], dtype=np.int64)
+    xv = np.array([2.0, 1.0, 5.0, 3.0, 4.0])
+    x = np.zeros(n)
+    x[idx] = xv
+    expect = dense_A @ x
+    # SpMSpV via engine actors
+    from combblas_ray.core.semiring import get_semiring
+
+    sr = get_semiring("plus_times")
+    y = np.zeros(n)
+    futs = []
+    for bid, actor in eng.actors.items():
+        br, bc = bid // eng.g, bid % eng.g
+        s, e = eng.bounds[bc]
+        sel = (idx >= s) & (idx < e)
+        futs.append(
+            (br, actor.spmspv_partial.remote(idx[sel] - s, xv[sel], "plus_times"))
+        )
+    for br, f in futs:
+        rows, vals = ray.get(f)
+        y[eng.bounds[br][0] + rows] += vals
+    assert np.allclose(y, expect)

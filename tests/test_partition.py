@@ -1,0 +1,45 @@
+import numpy as np
+
+from combblas_ray.core.partition import (
+    block_id,
+    chunk_bounds,
+    local_size,
+    owner,
+    salt_keys,
+)
+
+
+def test_owner_covers_all_and_matches_bounds():
+    for n in [1, 7, 64, 100, 1001]:
+        for parts in [1, 2, 3, 7, 8]:
+            idx = np.arange(n)
+            own = owner(idx, n, parts)
+            assert own.min() >= 0 and own.max() <= parts - 1
+            bounds = chunk_bounds(n, parts)
+            # bounds tile [0, n)
+            assert bounds[0][0] == 0 and bounds[-1][1] == n
+            for k, (s, e) in enumerate(bounds):
+                if e > s:
+                    assert (own[s:e] == k).all()
+
+
+def test_owner_reference_arithmetic():
+    # min(i // (n // parts), parts-1) — SpParMat.cpp:5081 semantics
+    n, parts = 10, 4
+    ls = local_size(n, parts)
+    assert ls == 2
+    assert owner(9, n, parts) == 3
+    assert owner(7, n, parts) == 3  # clamped to last
+
+
+def test_block_id_roundtrip():
+    gc = 5
+    assert block_id(2, 3, gc) == 13
+
+
+def test_salt_deterministic_and_bounded():
+    keys = np.array([7, 7, 7, 9, 9], dtype=np.int64)
+    s1 = salt_keys(keys, 4)
+    s2 = salt_keys(keys, 4)
+    assert (s1 == s2).all()
+    assert s1.min() >= 0 and s1.max() < 4
