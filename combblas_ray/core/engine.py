@@ -153,13 +153,8 @@ def build_blocks(graph, g: int, ckpt_dir: str, *, resume: bool = True) -> dict:
 # --------------------------------------------------------------------------
 
 
-@ray.remote
-class CsrBlockActor:
-    """Holds one CSR block resident; serves semiring SpMV partials.
-
-    Setup cost (file load, CSR/CSC indexing) is paid once in __init__ —
-    never per iteration (`OptimizeForGraph500` analog).
-    """
+class _Block:
+    """One resident CSR block (built once at actor init)."""
 
     def __init__(self, path: str):
         z = np.load(path)
@@ -172,12 +167,7 @@ class CsrBlockActor:
         self.nr = int(meta[5])
         self._csc = None  # built lazily for sparse-frontier SpMSpV
 
-    def ping(self) -> int:
-        return self.bid
-
-    def spmv_partial(self, x_chunk: np.ndarray, sr_name: str) -> np.ndarray:
-        """Dense-input SpMV partial for this block: y_local = A_blk (x) x_chunk."""
-        sr = get_semiring(sr_name)
+    def spmv_partial(self, x_chunk: np.ndarray, sr) -> np.ndarray:
         vals = sr.mul(self.w, x_chunk[self.cols])
         if sr.is_plus:
             return np.bincount(self.rows, weights=vals, minlength=self.nr).astype(
@@ -188,41 +178,32 @@ class CsrBlockActor:
     def _ensure_csc(self):
         if self._csc is None:
             order = np.lexsort((self.rows, self.cols))
-            self._csc = (
-                self.cols[order],
-                self.rows[order],
-                self.w[order],
-            )
-            nc_max = int(self._csc[0].max()) + 1 if len(self._csc[0]) else 0
+            ccols, crows, cw = self.cols[order], self.rows[order], self.w[order]
+            nc_max = int(ccols.max()) + 1 if len(ccols) else 0
             indptr = np.zeros(nc_max + 1, dtype=np.int64)
-            np.add.at(indptr, self._csc[0] + 1, 1)
+            np.add.at(indptr, ccols + 1, 1)
             np.cumsum(indptr, out=indptr)
-            self._csc = self._csc + (indptr,)
+            self._csc = (ccols, crows, cw, indptr)
 
-    def spmspv_partial(
-        self, frontier_idx: np.ndarray, frontier_val: np.ndarray, sr_name: str
-    ):
+    def spmspv_partial(self, frontier_idx, frontier_val, sr):
         """Sparse-frontier SpMV (SpMSpV, ``ParFriends.h:2179-2336``):
-        frontier indices are local to this block's column range. Returns
-        (row_ids_local, vals) partial pairs (unmerged)."""
-        sr = get_semiring(sr_name)
+        frontier indices local to this block's column range. Returns
+        (row_ids_local, vals), merged per row."""
         self._ensure_csc()
         ccols, crows, cw, cindptr = self._csc
         nc = len(cindptr) - 1
-        sel = frontier_idx[frontier_idx < nc]
-        fval = frontier_val[frontier_idx < nc]
+        keep = frontier_idx < nc
+        sel, fval = frontier_idx[keep], frontier_val[keep]
         starts, ends = cindptr[sel], cindptr[sel + 1]
         lens = ends - starts
-        if lens.sum() == 0:
+        total = int(lens.sum())
+        if total == 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-        # expand [starts, ends) ranges vectorized
-        idx = np.repeat(starts, lens) + (
-            np.arange(lens.sum()) - np.repeat(np.concatenate(([0], np.cumsum(lens)))[:-1], lens)
-        )
+        offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        idx = np.repeat(starts, lens) + (np.arange(total) - np.repeat(offs, lens))
         xv = np.repeat(fval, lens)
         vals = sr.mul(cw[idx], xv)
         rows = crows[idx]
-        # local merge per row before shipping (partial combine)
         ur, inv = np.unique(rows, return_inverse=True)
         if sr.is_plus:
             merged = np.bincount(inv, weights=vals)
@@ -232,21 +213,84 @@ class CsrBlockActor:
         return ur, merged
 
     def col_sums(self) -> np.ndarray:
-        """Partial out-weight sums for this block's src (column) range —
-        `Reduce(Row, plus)` fused into the resident blocks."""
         nc = int(self.cols.max()) + 1 if len(self.cols) else 0
         return np.bincount(self.cols, weights=self.w, minlength=nc)
 
     def row_sums(self) -> np.ndarray:
         return np.bincount(self.rows, weights=self.w, minlength=self.nr)
 
-    def row_counts(self) -> np.ndarray:
-        return np.bincount(self.rows, minlength=self.nr).astype(np.float64)
+
+@ray.remote(num_cpus=0)
+class CsrPoolActor:
+    """A worker of the stateful actor pool: holds SEVERAL CSR blocks
+    resident (multiple blocks per worker decouples the logical g x g grid
+    from the physical worker count, like `ActivateThreading`'s splits,
+    ``SpParMat.cpp:3457``). Created with num_cpus=0 by default so many
+    cached engines coexist; the scaling benchmark overrides with
+    ``.options(num_cpus=1)`` (via ``pool_cpus=1``) so measured parallelism
+    is honestly bounded by the cluster size."""
+
+    def __init__(self, paths: list[str]):
+        self.blocks = [_Block(p) for p in paths]
+        # row-blocks served, sorted; partials for same br merge locally
+        self.brs = sorted({b.br for b in self.blocks})
+
+    def ping(self) -> list[int]:
+        return [b.bid for b in self.blocks]
+
+    def spmv_partial(self, x_refs: list, sr_name: str):
+        """Compute this worker's partials, pre-merged per row-block.
+        Returns len(self.brs) arrays (dynamic num_returns)."""
+        sr = get_semiring(sr_name)
+        need = {b.bc for b in self.blocks}
+        fetched = {bc: x_refs[bc] for bc in need}
+        for bc, v in fetched.items():
+            if isinstance(v, ray.ObjectRef):
+                fetched[bc] = ray.get(v)
+        out = {}
+        for b in self.blocks:
+            part = b.spmv_partial(fetched[b.bc], sr)
+            if b.br in out:
+                prev = out[b.br]
+                if len(prev) < len(part):
+                    prev, part = part, prev
+                if len(part) < len(prev):
+                    q = sr.empty(len(prev))
+                    q[: len(part)] = part
+                    part = q
+                out[b.br] = sr.combine(prev, part)
+            else:
+                out[b.br] = part
+        res = [out[br] for br in self.brs]
+        return res[0] if len(res) == 1 else tuple(res)
+
+    def spmspv_partial(self, fr_idx_refs: list, fr_val_refs: list, sr_name: str):
+        """Sparse frontier partials: returns list of (br, rows, vals)."""
+        sr = get_semiring(sr_name)
+        out = []
+        for b in self.blocks:
+            fi, fv = fr_idx_refs[b.bc], fr_val_refs[b.bc]
+            if isinstance(fi, ray.ObjectRef):
+                fi = ray.get(fi)
+            if isinstance(fv, ray.ObjectRef):
+                fv = ray.get(fv)
+            rows, vals = b.spmspv_partial(fi, fv, sr)
+            out.append((b.br, rows, vals))
+        return out
+
+    def col_sums(self):
+        """(bc, partial) pairs — `Reduce(Row, plus)` fused into residency."""
+        return [(b.bc, b.col_sums()) for b in self.blocks]
+
+    def row_sums(self):
+        return [(b.br, b.row_sums()) for b in self.blocks]
 
 
-@ray.remote
+@ray.remote(num_cpus=0)
 def _combine(sr_name: str, nrows: int, *parts: np.ndarray) -> np.ndarray:
-    """Merge per-row-block partials with the semiring add (MergeContributions)."""
+    """Merge per-row-block partials with the semiring add (MergeContributions).
+    num_cpus=0: tiny O(n/g) merges must not queue behind the CPU-reserving
+    block workers."""
     sr = get_semiring(sr_name)
     out = sr.empty(nrows)
     for p in parts:
@@ -263,29 +307,50 @@ def _combine(sr_name: str, nrows: int, *parts: np.ndarray) -> np.ndarray:
 # --------------------------------------------------------------------------
 
 
+def _default_pool_size(num_blocks: int) -> int:
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(1, min(num_blocks, cpus - 2 if cpus > 4 else cpus - 1))
+
+
 @dataclass
 class SpmvEngine:
     n: int
     g: int
     manifest: dict
-    actors: dict = field(default_factory=dict)  # bid -> actor
+    actors: list = field(default_factory=list)
+    actor_brs: list = field(default_factory=list)  # per actor: sorted row-blocks
     bounds: list = field(default_factory=list)
 
     @classmethod
-    def from_graph(cls, graph, g: int, ckpt_dir: str, *, resume: bool = True):
+    def from_graph(cls, graph, g: int, ckpt_dir: str, *, resume: bool = True,
+                   pool_size: int | None = None, pool_cpus: float = 0):
         man = build_blocks(graph, g, ckpt_dir, resume=resume)
-        return cls.from_manifest(man)
+        return cls.from_manifest(man, pool_size=pool_size, pool_cpus=pool_cpus)
 
     @classmethod
-    def from_manifest(cls, man: dict):
+    def from_manifest(cls, man: dict, *, pool_size: int | None = None,
+                      pool_cpus: float = 0):
         n, g = man["n"], man["g"]
-        actors = {
-            b["bid"]: CsrBlockActor.remote(b["path"]) for b in man["blocks"]
-        }
-        eng = cls(n=n, g=g, manifest=man, actors=actors,
+        blocks = man["blocks"]
+        a = pool_size or _default_pool_size(len(blocks))
+        # round-robin by bid keeps each worker's blocks spread over rows/cols
+        assign: list[list[dict]] = [[] for _ in range(a)]
+        for k, b in enumerate(blocks):
+            assign[k % a].append(b)
+        assign = [grp for grp in assign if grp]
+        actors, actor_brs = [], []
+        cls_handle = (
+            CsrPoolActor.options(num_cpus=pool_cpus) if pool_cpus else CsrPoolActor
+        )
+        for grp in assign:
+            actors.append(cls_handle.remote([b["path"] for b in grp]))
+            actor_brs.append(sorted({b["br"] for b in grp}))
+        eng = cls(n=n, g=g, manifest=man, actors=actors, actor_brs=actor_brs,
                   bounds=chunk_bounds(n, g))
-        # block until all actors have loaded their blocks
-        ray.get([a.ping.remote() for a in actors.values()])
+        ray.get([a.ping.remote() for a in actors])  # wait for residency
         return eng
 
     # ---- chunked vertex-vector helpers ----
@@ -306,9 +371,14 @@ class SpmvEngine:
         ObjectRefs (the driver never touches full vectors here)."""
         sr = get_semiring(sr)
         partials: dict[int, list] = {br: [] for br in range(self.g)}
-        for bid, actor in self.actors.items():
-            br, bc = bid // self.g, bid % self.g
-            partials[br].append(actor.spmv_partial.remote(x_refs[bc], sr.name))
+        for actor, brs in zip(self.actors, self.actor_brs):
+            refs = actor.spmv_partial.options(num_returns=len(brs)).remote(
+                x_refs, sr.name
+            )
+            if len(brs) == 1:
+                refs = [refs]
+            for br, ref in zip(brs, refs):
+                partials[br].append(ref)
         out = []
         for br in range(self.g):
             nrows = self.bounds[br][1] - self.bounds[br][0]
@@ -318,28 +388,60 @@ class SpmvEngine:
     def spmv(self, x: np.ndarray, sr: Semiring | str) -> np.ndarray:
         return self.unchunk(self.spmv_refs(self.chunk(x), sr))
 
+    def spmspv(self, idx: np.ndarray, vals: np.ndarray, sr: Semiring | str):
+        """Sparse-frontier SpMV: y = A (x) sparse(idx, vals). Returns
+        (nonzero_idx, nonzero_vals) in the same sparse form — the
+        `FullyDistSpVec` result of the reference (``ParFriends.h:2179``)."""
+        sr = get_semiring(sr)
+        order = np.argsort(idx)
+        idx, vals = idx[order], vals[order]
+        fi_refs, fv_refs = [], []
+        for s, e in self.bounds:
+            lo, hi = np.searchsorted(idx, s), np.searchsorted(idx, e)
+            fi_refs.append(ray.put(idx[lo:hi] - s))
+            fv_refs.append(ray.put(vals[lo:hi]))
+        results = ray.get(
+            [a.spmspv_partial.remote(fi_refs, fv_refs, sr.name) for a in self.actors]
+        )
+        gids, gvals = [], []
+        for triples in results:
+            for br, rows, pv in triples:
+                gids.append(rows + self.bounds[br][0])
+                gvals.append(pv)
+        if not gids:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        gi = np.concatenate(gids)
+        gv = np.concatenate(gvals)
+        ui, inv = np.unique(gi, return_inverse=True)
+        if sr.is_plus:
+            merged = np.bincount(inv, weights=gv)
+        else:
+            merged = np.full(len(ui), sr.identity, dtype=np.float64)
+            sr.add_ufunc.at(merged, inv, gv)
+        return ui, merged
+
     # ---- fused reductions over resident blocks ----
 
+    def _fused_sums(self, method: str) -> np.ndarray:
+        parts: dict[int, list] = {k: [] for k in range(self.g)}
+        results = ray.get([getattr(a, method).remote() for a in self.actors])
+        for pairs in results:
+            for key, arr in pairs:
+                parts[key].append(arr)
+        full = np.zeros(self.n, dtype=np.float64)
+        for k in range(self.g):
+            s, e = self.bounds[k]
+            for arr in parts[k]:
+                full[s : s + len(arr)] += arr
+        return full
+
     def out_weights(self) -> np.ndarray:
-        """Dense out-weight vector (sum of w per src)."""
-        parts: dict[int, list] = {bc: [] for bc in range(self.g)}
-        for bid, actor in self.actors.items():
-            parts[bid % self.g].append(actor.col_sums.remote())
-        chunks = []
-        for bc in range(self.g):
-            ncols = self.bounds[bc][1] - self.bounds[bc][0]
-            chunks.append(_combine.remote("plus_times", ncols, *parts[bc]))
-        return self.unchunk(chunks)
+        """Dense out-weight vector (sum of w per src) — `Reduce(Row, plus)`
+        fused into the resident blocks."""
+        return self._fused_sums("col_sums")
 
     def in_weights(self) -> np.ndarray:
-        parts: dict[int, list] = {br: [] for br in range(self.g)}
-        for bid, actor in self.actors.items():
-            parts[bid // self.g].append(actor.row_sums.remote())
-        chunks = []
-        for br in range(self.g):
-            nrows = self.bounds[br][1] - self.bounds[br][0]
-            chunks.append(_combine.remote("plus_times", nrows, *parts[br]))
-        return self.unchunk(chunks)
+        return self._fused_sums("row_sums")
 
     def load_imbalance(self) -> float:
         """max block nnz / mean block nnz (`LoadImbalance`, ``SpParMat.h:99``)."""
@@ -348,7 +450,10 @@ class SpmvEngine:
         mean = sum(full) / len(full) if full else 0.0
         return (max(full) / mean) if mean else 0.0
 
+    def nnz(self) -> int:
+        return sum(b["nnz"] for b in self.manifest["blocks"])
+
     def shutdown(self):
-        for a in self.actors.values():
+        for a in self.actors:
             ray.kill(a)
-        self.actors = {}
+        self.actors = []

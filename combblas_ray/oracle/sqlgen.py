@@ -30,12 +30,9 @@ def _materialized(fn):
 
 # n = 10 * rows(documents); file ids are dense 0..n-1.
 PREFIX = """
-WITH params AS (SELECT 10 * count(*) AS n FROM documents),
-docranks AS (
-  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS rn FROM documents
-),
+WITH params AS (SELECT count(*) AS n FROM lineitem),
 files AS (
-  SELECT d.rn * 10 + k.k AS i FROM docranks d, generate_series(0, 9) k(k)
+  SELECT row_number() OVER () - 1 AS i FROM lineitem
 ),
 targets AS (
   SELECT i, CAST(0 AS BIGINT) AS ord, i % 64 AS j FROM files

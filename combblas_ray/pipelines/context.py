@@ -18,7 +18,7 @@ import ray
 
 from ..core.engine import SpmvEngine
 from ..core.graph import Graph
-from ..core.ids import encode_edges
+from ..core.ids import distinct_labels, encode_edges
 from ..sources import corpus as corpus_src
 
 CKPT_ROOT = os.environ.get("CBRAY_CKPT_ROOT", "/tmp/cbray")
@@ -108,31 +108,23 @@ def get_context(sf_dir: str) -> GraphContext:
 def get_context_for_n(n: int) -> GraphContext:
     if n in _CTX:
         return _CTX[n]
-    corpus = corpus_src.corpus_dataset(n)
-    labels = _distinct_path_labels(corpus)
+    blocks = max(8, n // 50_000)
+    corpus = corpus_src.corpus_dataset(n, override_num_blocks=blocks)
+    # ONE corpus scan: extract string-labeled edges, then derive the vertex
+    # dictionary + dense ids from it (ReadGeneralizedTuples two-pass analog,
+    # SpParMat.cpp:3889-3984, with the reread replaced by a materialized
+    # intermediate).
+    labeled = corpus_src.extract_labeled_edges(corpus).materialize()
+    labels = distinct_labels(labeled)
+    if len(labels) != n:
+        # isolated files (possible only at toy n) still get vertex ids
+        labels = np.sort(
+            np.unique(np.concatenate([labels, np.array([f"m_{i}" for i in range(n)])]))
+        )
     arith = np.array([int(s[2:]) for s in labels], dtype=np.int64)
-    labeled = corpus_src.extract_labeled_edges(corpus)
     encoded = encode_edges(labeled, labels)
     graph = Graph(n=n, edges=encoded, labels=labels).dedup_sum().remove_loops()
     ctx = GraphContext(n=n, labels=labels, arith=arith,
                        edges=graph.edges.materialize())
     _CTX[n] = ctx
     return ctx
-
-
-def _distinct_path_labels(corpus_ds) -> np.ndarray:
-    """Vertex dictionary = distinct file labels from corpus paths, sorted —
-    the first pass of the `ReadGeneralizedTuples` analog (distributed
-    distinct; the sorted array is the id->label distmapper)."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    def _lab(batch: pa.Table) -> pa.Table:
-        lab = pc.struct_field(
-            pc.extract_regex(batch.column("path"), r"src/(?P<label>m_\d+)\.py"), "label"
-        )
-        return pa.table({"label": lab})
-
-    labs = corpus_ds.map_batches(_lab, batch_format="pyarrow",
-                                 zero_copy_batch=True).unique("label")
-    return np.sort(np.array(labs, dtype=str))

@@ -27,13 +27,15 @@ import ray
 from ..core.engine import SpmvEngine
 
 
-@ray.remote(num_returns=2)
+# num_cpus=0: O(n/g) elementwise chunk work must not queue behind the
+# CPU-reserving block workers in scaling mode.
+@ray.remote(num_returns=2, num_cpus=0)
 def _make_x(r: np.ndarray, inv_outw: np.ndarray, dang: np.ndarray):
     """x = r / outw (0 on dangling) + this chunk's dangling mass."""
     return r * inv_outw, float(r[dang].sum())
 
 
-@ray.remote(num_returns=2)
+@ray.remote(num_returns=2, num_cpus=0)
 def _update(y: np.ndarray, r_prev: np.ndarray, n: int, d: float, dmass: float):
     r_new = (1.0 - d) / n + d * (y + dmass / n)
     return r_new, float(np.abs(r_new - r_prev).sum())

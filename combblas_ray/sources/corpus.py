@@ -47,13 +47,13 @@ import pyarrow.parquet as pq
 LANGS = ["py", "js", "go", "rs"]
 NUM_HUBS = 64
 NUM_REPOS = 100
-SF_FILE_FACTOR = 10  # corpus files per `documents` row
 
 
 def n_files_for(sf_dir: str) -> int:
-    """Corpus size for a test-data scale factor dir (metadata read only)."""
-    md = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata
-    return md.num_rows * SF_FILE_FACTOR
+    """Corpus size for a test-data scale factor dir = rows(lineitem)
+    (metadata read only; the SQL oracles use count(*) of the same table)."""
+    md = pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata
+    return md.num_rows
 
 
 def _targets_arrays(ids: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -119,6 +119,38 @@ def corpus_dataset(n: int, *, override_num_blocks: int | None = None):
         batch_format="numpy",
         batch_size=8192,
     )
+
+
+def arith_edges_dataset(
+    n: int, extras_mod: int = 5, *, override_num_blocks: int | None = None
+):
+    """The corpus import graph emitted directly as (src, dst, w) int edges
+    from the generating arithmetic — no strings. Used for large-scale
+    benchmarking (same graph family, scaled density via ``extras_mod``);
+    ids here are the arithmetic file ids. One weight per import statement;
+    dedup/loop policy applied downstream as usual."""
+    import ray
+
+    def _edges(batch) -> pa.Table:
+        ids = batch["id"].astype(np.int64)
+        n_ext = ids % extras_mod
+        hub_src, hub_dst = ids, ids % NUM_HUBS
+        ext_src = np.repeat(ids, n_ext)
+        csum = np.concatenate(([0], np.cumsum(n_ext)))[:-1]
+        ext_ord = np.arange(len(ext_src), dtype=np.int64) - np.repeat(csum, n_ext) + 1
+        ext_dst = (ext_src * 101 + ext_ord * 4099 + 17) % n
+        src = np.concatenate([hub_src, ext_src])
+        dst = np.concatenate([hub_dst, ext_dst])
+        return pa.table(
+            {
+                "src": pa.array(src),
+                "dst": pa.array(dst),
+                "w": pa.array(np.ones(len(src), dtype=np.float64)),
+            }
+        )
+
+    ds = ray.data.range(n, override_num_blocks=override_num_blocks)
+    return ds.map_batches(_edges, batch_format="numpy", batch_size=262144)
 
 
 def extract_labeled_edges(corpus_ds):

@@ -61,30 +61,23 @@ def test_block_build_resume(ctx500, tmp_path):
 
 
 def test_spmspv_matches_dense(ctx500, dense_A):
-    import ray
-
     eng = ctx500.engine("directed", g=2)
     n = ctx500.n
-    # sparse frontier: 5 vertices
     idx = np.array([1, 10, 100, 250, 499], dtype=np.int64)
     xv = np.array([2.0, 1.0, 5.0, 3.0, 4.0])
     x = np.zeros(n)
     x[idx] = xv
     expect = dense_A @ x
-    # SpMSpV via engine actors
-    from combblas_ray.core.semiring import get_semiring
-
-    sr = get_semiring("plus_times")
+    ui, uv = eng.spmspv(idx, xv, "plus_times")
     y = np.zeros(n)
-    futs = []
-    for bid, actor in eng.actors.items():
-        br, bc = bid // eng.g, bid % eng.g
-        s, e = eng.bounds[bc]
-        sel = (idx >= s) & (idx < e)
-        futs.append(
-            (br, actor.spmspv_partial.remote(idx[sel] - s, xv[sel], "plus_times"))
-        )
-    for br, f in futs:
-        rows, vals = ray.get(f)
-        y[eng.bounds[br][0] + rows] += vals
+    y[ui] = uv
     assert np.allclose(y, expect)
+    # min_plus agreement between sparse and dense plans (cross-kernel
+    # agreement, MultTest.cpp:199-208)
+    xm = np.full(n, np.inf)
+    xm[idx] = xv
+    dense_min = eng.spmv(xm, "min_plus")
+    ui2, uv2 = eng.spmspv(idx, xv, "min_plus")
+    ym = np.full(n, np.inf)
+    ym[ui2] = uv2
+    assert np.array_equal(ym, dense_min)
