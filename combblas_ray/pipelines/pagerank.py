@@ -41,6 +41,19 @@ def _update(y: np.ndarray, r_prev: np.ndarray, n: int, d: float, dmass: float):
     return r_new, float(np.abs(r_new - r_prev).sum())
 
 
+@ray.remote(num_returns=2, num_cpus=0)
+def _combine_update(nrows: int, n: int, d: float, dmass: float,
+                    dang: np.ndarray, *parts: np.ndarray):
+    """Fused MergeContributions + PageRank axpy: sum the row-block partials,
+    apply teleport + dangling mass, emit the chunk's next dangling mass.
+    One task per row block per iteration — no separate update stage."""
+    y = np.zeros(nrows, dtype=np.float64)
+    for p in parts:
+        y[: len(p)] += p
+    r_new = (1.0 - d) / n + d * (y + dmass / n)
+    return r_new, float(r_new[dang].sum())
+
+
 @ray.remote
 def _save_chunk(path: str, arr: np.ndarray) -> str:
     tmp = path + ".tmp.npz"
@@ -107,6 +120,46 @@ def pagerank(
         if not fixed and tol is not None and info["delta"] < tol:
             break
     info["iters"] = k
+    return engine.unchunk(r_refs), info
+
+
+def pagerank_prenormalized(
+    engine: SpmvEngine,
+    *,
+    damping: float = 0.85,
+    iters: int = 10,
+) -> tuple[np.ndarray, dict]:
+    """PageRank with the column-stochastic scaling baked into the resident
+    blocks once (`DimApply` + `MakeColStochastic`, ``MCL.cpp:388-394``):
+    the iteration is then a bare ``y = W r`` SpMV + axpy — the minimal
+    per-iteration memory traffic. Mutates the engine's resident weights;
+    use a dedicated engine (benchmark path).
+    """
+    n, g = engine.n, engine.g
+    outw = engine.out_weights()
+    dang_full = outw == 0.0
+    inv_full = np.where(dang_full, 0.0, 1.0 / np.where(dang_full, 1.0, outw))
+    engine.dim_apply("col", inv_full)
+
+    dang_refs = engine.chunk(dang_full)
+    r_refs = engine.chunk(np.full(n, 1.0 / n, dtype=np.float64))
+    dmass = float(dang_full.sum()) / n  # sum of r0 over dangling vertices
+
+    sizes = engine.chunk_sizes()
+    info = {"iters": 0, "delta": None, "iter_times": []}
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        partials = engine.spmv_partial_refs(r_refs, "plus_times")
+        upd = [
+            _combine_update.remote(
+                sizes[i], n, damping, dmass, dang_refs[i], *partials[i]
+            )
+            for i in range(g)
+        ]
+        r_refs = [u[0] for u in upd]
+        dmass = sum(ray.get([u[1] for u in upd]))  # one scalar sync per iter
+        info["iter_times"].append(time.perf_counter() - t0)
+        info["iters"] += 1
     return engine.unchunk(r_refs), info
 
 

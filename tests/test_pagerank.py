@@ -51,3 +51,18 @@ def test_pagerank_checkpoint_resume(ctx500, tmp_path):
     r2, info2 = pagerank(eng, iters=10, ckpt_dir=ck, ckpt_every=3)
     assert info2["resumed_at"] == 6
     assert np.allclose(r2, full, rtol=1e-14, atol=1e-16)
+
+
+def test_pagerank_prenormalized_matches(ctx500, tmp_path):
+    from combblas_ray.core.engine import SpmvEngine
+    from combblas_ray.pipelines.pagerank import pagerank_prenormalized
+
+    # dedicated engine: prenormalization mutates resident weights
+    eng = SpmvEngine.from_graph(
+        ctx500.graph("directed"), 2, str(tmp_path / "pre")
+    )
+    r_pre, _ = pagerank_prenormalized(eng, iters=10)
+    A = brute_dense_matrix(ctx500)
+    ref = ref_pagerank(A, iters=10)
+    assert np.allclose(r_pre, ref, rtol=1e-10, atol=1e-14)
+    eng.shutdown()
