@@ -14,3 +14,14 @@ is Ray-Data-first.
 """
 
 __version__ = "0.1.0"
+
+# Every keyed shuffle in this engine uses repartition(keys=...) + local
+# numpy reduce, which requires Ray Data's hash shuffle strategy. Datasets
+# capture the DataContext at creation, so set it at import time (process-
+# local config; no Ray session is started here).
+try:  # pragma: no cover - depends on ray version
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    DataContext.get_current().shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+except Exception:  # noqa: BLE001
+    pass

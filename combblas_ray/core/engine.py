@@ -58,7 +58,7 @@ def _block_file(ckpt_dir: str, bid: int) -> str:
 
 
 def build_blocks(graph, g: int, ckpt_dir: str, *, resume: bool = True,
-                 w_dtype: str = "f8") -> dict:
+                 w_dtype: str = "f8", structural: bool = False) -> dict:
     """Shuffle the edge table into a g x g block grid of CSR .npz files.
 
     Local indices are stored in the smallest dtype that fits the block dims
@@ -80,6 +80,7 @@ def build_blocks(graph, g: int, ckpt_dir: str, *, resume: bool = True,
             and man["n"] == graph.n
             and man["g"] == g
             and man.get("w_dtype", "f8") == w_dtype
+            and man.get("structural", False) == structural
             and all(os.path.exists(b["path"]) for b in man["blocks"])
         ):
             return man
@@ -93,24 +94,28 @@ def build_blocks(graph, g: int, ckpt_dir: str, *, resume: bool = True,
         bc = owner(src, n, gc)
         return batch.append_column("bid", pa.array(br * gc + bc))
 
+    from .shuffle import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
     keyed = graph.edges.map_batches(_key, batch_format="pyarrow", zero_copy_batch=True)
+    parts = keyed.repartition(num_blocks=min(gr * gc, 128), keys=["bid"])
 
     ls_r = local_size(n, gr)
     ls_c = local_size(n, gc)
 
-    def _build(group: pa.Table) -> pa.Table:
-        bid = int(group.column("bid")[0].as_py())
+    def _build_one(bid: int, dst, src, w) -> dict:
         br, bc = bid // gc, bid % gc
         row0, col0 = br * ls_r, bc * ls_c
         nr = (n - row0) if br == gr - 1 else ls_r
-        rows = (np.asarray(group.column("dst")) - row0).astype(np.int64)
-        cols = (np.asarray(group.column("src")) - col0).astype(np.int64)
-        w = np.asarray(group.column("w")).astype(np.float64)
+        nc = (n - col0) if bc == gc - 1 else ls_c
+        rows = (dst - row0).astype(np.int64)
+        cols = (src - col0).astype(np.int64)
         # local dedup-sum (SpTuples::RemoveDuplicates, SpParMat.cpp:2975-2978)
         key = rows * np.int64(n) + cols
         uk, inv = np.unique(key, return_inverse=True)
         w = np.bincount(inv, weights=w)
-        nc = (n - col0) if bc == gc - 1 else ls_c
+        if structural:
+            w = np.ones_like(w)  # bool-matrix semantics: presence only
         idx_dt = np.uint16 if max(nr, nc) <= 65536 else np.int32
         rows = (uk // n).astype(idx_dt)
         cols = (uk % n).astype(idx_dt)
@@ -127,26 +132,34 @@ def build_blocks(graph, g: int, ckpt_dir: str, *, resume: bool = True,
         sha = hashlib.sha256(
             rows.tobytes() + cols.tobytes() + w.tobytes()
         ).hexdigest()[:16]
-        return pa.table(
-            {
-                "bid": [bid],
-                "br": [br],
-                "bc": [bc],
-                "path": [path],
-                "nnz": [len(w)],
-                "sha": [sha],
-            }
-        )
+        return {"bid": bid, "br": br, "bc": bc, "path": path,
+                "nnz": len(w), "sha": sha}
 
-    man_rows = (
-        keyed.groupby("bid")
-        .map_groups(_build, batch_format="pyarrow")
-        .take_all()
-    )
+    def _build_part(batch: pa.Table) -> pa.Table:
+        bids = np.asarray(batch.column("bid"))
+        dst = np.asarray(batch.column("dst"))
+        src = np.asarray(batch.column("src"))
+        w = np.asarray(batch.column("w")).astype(np.float64)
+        order = np.argsort(bids, kind="stable")
+        bids, dst, src, w = bids[order], dst[order], src[order], w[order]
+        ub, starts = np.unique(bids, return_index=True)
+        ends = np.append(starts[1:], len(bids))
+        rows = [
+            _build_one(int(b), dst[s:e], src[s:e], w[s:e])
+            for b, s, e in zip(ub, starts, ends)
+        ]
+        if not rows:
+            return pa.table({"bid": pa.array([], type=pa.int64())})
+        return pa.table({k: [r[k] for r in rows] for k in rows[0]})
+
+    man_rows = parts.map_batches(
+        _build_part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).take_all()
     man = {
         "n": n,
         "g": g,
         "w_dtype": w_dtype,
+        "structural": structural,
         "complete": True,
         "blocks": sorted(
             ({k: r[k] for k in ("bid", "br", "bc", "path", "nnz", "sha")} for r in man_rows),
@@ -373,8 +386,10 @@ class SpmvEngine:
 
     @classmethod
     def from_graph(cls, graph, g: int, ckpt_dir: str, *, resume: bool = True,
-                   pool_size: int | None = None, pool_cpus: float = 0):
-        man = build_blocks(graph, g, ckpt_dir, resume=resume)
+                   pool_size: int | None = None, pool_cpus: float = 0,
+                   w_dtype: str = "f8", structural: bool = False):
+        man = build_blocks(graph, g, ckpt_dir, resume=resume, w_dtype=w_dtype,
+                           structural=structural)
         return cls.from_manifest(man, pool_size=pool_size, pool_cpus=pool_cpus)
 
     @classmethod

