@@ -209,6 +209,15 @@ class _Block:
             )
         return sr.reduce_segments(vals, self.indptr)
 
+    def spmm_partial(self, X_chunk: np.ndarray, sr) -> np.ndarray:
+        """Multi-vector SpMV: X_chunk is (k, nc); returns (k, nr) — the
+        tall-skinny SpMM of BetwCent's batched BFS (BetwCent.cpp:179-187)."""
+        k = X_chunk.shape[0]
+        out = np.empty((k, self.nr), dtype=np.float64)
+        for i in range(k):
+            out[i] = self.spmv_partial(X_chunk[i], sr)
+        return out
+
     def _ensure_csc(self):
         if self._csc is None:
             order = np.lexsort((self.rows, self.cols))
@@ -301,6 +310,27 @@ class CsrPoolActor:
                 if len(part) < len(prev):
                     q = sr.empty(len(prev))
                     q[: len(part)] = part
+                    part = q
+                out[b.br] = sr.combine(prev, part)
+            else:
+                out[b.br] = part
+        res = [out[br] for br in self.brs]
+        return res[0] if len(res) == 1 else tuple(res)
+
+    def spmm_partial(self, sr_name: str, *X_chunks: np.ndarray):
+        """Batched SpMV partials; one roundtrip for k vectors."""
+        sr = get_semiring(sr_name)
+        fetched = dict(zip(self.bcs, X_chunks))
+        out = {}
+        for b in self.blocks:
+            part = b.spmm_partial(fetched[b.bc], sr)
+            if b.br in out:
+                prev = out[b.br]
+                if prev.shape[1] < part.shape[1]:
+                    prev, part = part, prev
+                if part.shape[1] < prev.shape[1]:
+                    q = np.full(prev.shape, sr.identity)
+                    q[:, : part.shape[1]] = part
                     part = q
                 out[b.br] = sr.combine(prev, part)
             else:
@@ -473,6 +503,37 @@ class SpmvEngine:
 
     def spmv(self, x: np.ndarray, sr: Semiring | str) -> np.ndarray:
         return self.unchunk(self.spmv_refs(self.chunk(x), sr))
+
+    def spmm(self, X: np.ndarray, sr: Semiring | str) -> np.ndarray:
+        """Batched dense SpMM: X is (k, n) -> (k, n); one actor roundtrip
+        for all k vectors (the per-class indicator counts of label
+        propagation, multi-source BFS, ...)."""
+        sr = get_semiring(sr)
+        k = X.shape[0]
+        x_refs = [
+            ray.put(np.ascontiguousarray(X[:, s:e])) for s, e in self.bounds
+        ]
+        partials: dict[int, list] = {br: [] for br in range(self.g)}
+        for actor, brs, bcs in zip(self.actors, self.actor_brs, self.actor_bcs):
+            refs = actor.spmm_partial.options(num_returns=len(brs)).remote(
+                sr.name, *[x_refs[bc] for bc in bcs]
+            )
+            if len(brs) == 1:
+                refs = [refs]
+            for br, ref in zip(brs, refs):
+                partials[br].append(ref)
+        out = np.empty((k, self.n), dtype=np.float64)
+        for br in range(self.g):
+            s, e = self.bounds[br]
+            merged = np.full((k, e - s), sr.identity)
+            for p in ray.get(partials[br]):
+                if p.shape[1] < e - s:
+                    q = np.full((k, e - s), sr.identity)
+                    q[:, : p.shape[1]] = p
+                    p = q
+                merged = sr.combine(merged, p)
+            out[:, s:e] = merged
+        return out
 
     def spmspv(self, idx: np.ndarray, vals: np.ndarray, sr: Semiring | str):
         """Sparse-frontier SpMV: y = A (x) sparse(idx, vals). Returns

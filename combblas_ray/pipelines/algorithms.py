@@ -103,11 +103,10 @@ def label_propagation(
     the SpMM pattern of BetwCent.cpp:179-187)."""
     n = engine.n
     cls = init.astype(np.int64).copy()
+    classes = np.arange(num_classes)
     for _ in range(iters):
-        counts = np.empty((num_classes, n), dtype=np.float64)
-        for c in range(num_classes):
-            ind = (cls == c).astype(np.float64)
-            counts[c] = engine.spmv(ind, "plus_times")
+        ind = (cls[None, :] == classes[:, None]).astype(np.float64)
+        counts = engine.spmm(ind, "plus_times")  # one roundtrip for all k
         total = counts.sum(axis=0)
         best = counts.argmax(axis=0)  # first max -> smallest class id
         cls = np.where(total > 0, best, cls).astype(np.int64)
