@@ -45,6 +45,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp": q.q_sssp,
         "label_propagation": q.q_label_propagation,
         "triangle_count": q.q_triangle_count,
+        "spgemm_aa": q.q_spgemm_aa,
+        "ewise_mult": q.q_ewise_mult,
+        "set_difference": q.q_set_difference,
+        "kselect2": q.q_kselect2,
+        "reduce_colmax": q.q_reduce_colmax,
+        "subgraph": q.q_subgraph,
+        "invert_vec": q.q_invert_vec,
+        "uniq_degrees": q.q_uniq_degrees,
+        "prune_w2": q.q_prune_w2,
+        "bandwidth": q.q_bandwidth,
+        "tpch_q1": q.q_tpch_q1,
+        "top_customers": q.q_top_customers,
+        "events_hourly": q.q_events_hourly,
     }
 
 
@@ -66,4 +79,17 @@ def oracle_sql() -> dict[str, str]:
         "sssp": o.sssp("m_1", q.SSSP_ITERS),
         "label_propagation": o.label_propagation(q.LP_ITERS, q.LP_CLASSES),
         "triangle_count": o.triangle_count(),
+        "spgemm_aa": o.spgemm_aa(),
+        "ewise_mult": o.ewise_mult(),
+        "set_difference": o.set_difference(),
+        "kselect2": o.kselect2(),
+        "reduce_colmax": o.reduce_colmax(),
+        "subgraph": o.subgraph(),
+        "invert_vec": o.invert_vec(),
+        "uniq_degrees": o.uniq_degrees(),
+        "prune_w2": o.prune_w2(),
+        "bandwidth": o.bandwidth(),
+        "tpch_q1": o.tpch_q1(),
+        "top_customers": o.top_customers(),
+        "events_hourly": o.events_hourly(),
     }

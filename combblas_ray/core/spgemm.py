@@ -1,0 +1,120 @@
+"""Sparse matrix-matrix multiply (SpGEMM) as relational join + aggregate.
+
+``C(i,j) = SR.add over k of SR.mul(A(i,k), B(k,j))`` — the semantics of the
+reference's SUMMA kernels (`Mult_AnXBn_Synch` ``ParFriends.h:1447-1556``,
+local kernel ``mtSpGEMM.h:212-460``). The SUMMA broadcast schedule is an
+MPI artifact; here the inner-dimension co-location is ONE distributed hash
+join on k (Ray Data hash join), and the (i,j) merge is one hash
+repartition + whole-partition numpy reduce.
+
+Edge-table convention: a table row (src, dst, w) is the path src->dst, so
+``compose(A, B)`` = paths A then B = matrix product B_mat @ A_mat under the
+M[dst,src] convention used throughout.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .shuffle import group_reduce_per_key, keyed_reduce
+
+
+def spgemm(A_ds, B_ds, n: int, *, add: str = "sum", num_partitions: int = 32,
+           mask_ds=None, mask_anti: bool = False):
+    """Compose path relations: C = {(i, j): i -k-> (A), k -j-> (B)} with
+    w_C = add-combine over k of wA * wB.
+
+    ``mask_ds`` (edge table) restricts output to (anti=False) or away from
+    (anti=True) the mask's coordinate set — `EWiseMult(C, M, exclude)`
+    (``ParFriends.h:2629-2647``) fused after the multiply.
+    """
+    joined = A_ds.join(
+        B_ds,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("dst",),
+        right_on=("src",),
+        left_suffix="_a",
+        right_suffix="_b",
+    )
+
+    def _mul(batch: pa.Table) -> pa.Table:
+        i = np.asarray(batch.column("src"))
+        j = np.asarray(batch.column("dst_b" if "dst_b" in batch.column_names else "dst_r"))
+        wa = np.asarray(batch.column("w_a" if "w_a" in batch.column_names else "w_l"))
+        wb = np.asarray(batch.column("w_b" if "w_b" in batch.column_names else "w_r"))
+        w = wa * wb
+        # batch-local partial combine before the (i,j) shuffle
+        uk, red = group_reduce_per_key(w, i * np.int64(n) + j, "sum" if add == "sum" else add)
+        return pa.table({"key": pa.array(uk), "w": pa.array(red)})
+
+    partial = joined.map_batches(_mul, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _merge(batch: pa.Table) -> pa.Table:
+        uk, red = group_reduce_per_key(
+            np.asarray(batch.column("w")), np.asarray(batch.column("key")),
+            "sum" if add == "sum" else add,
+        )
+        return pa.table(
+            {
+                "src": pa.array((uk // n).astype(np.int64)),
+                "dst": pa.array((uk % n).astype(np.int64)),
+                "w": pa.array(red),
+            }
+        )
+
+    out = keyed_reduce(partial, ["key"], _merge)
+    if mask_ds is not None:
+        out = coordinate_mask(out, mask_ds, n, anti=mask_anti,
+                              num_partitions=num_partitions)
+    return out
+
+
+def coordinate_mask(C_ds, mask_ds, n: int, *, anti: bool = False,
+                    num_partitions: int = 32):
+    """Keep C entries whose (src,dst) is (not, for anti) present in mask —
+    `EWiseMult exclude` / `SetDifference` (``SpParMat.cpp:2815``)."""
+    mask_keys = mask_ds.map_batches(
+        lambda b: pa.table(
+            {
+                "key": pa.array(
+                    np.asarray(b.column("src")) * np.int64(n)
+                    + np.asarray(b.column("dst"))
+                )
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    keyed = C_ds.map_batches(
+        lambda b: b.append_column(
+            "key",
+            pa.array(
+                np.asarray(b.column("src")) * np.int64(n)
+                + np.asarray(b.column("dst"))
+            ),
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    join_type = "left_outer" if anti else "inner"
+    j = keyed.join(
+        mask_keys.map_batches(
+            lambda b: b.append_column("mhit", pa.array(np.ones(b.num_rows))),
+            batch_format="pyarrow",
+        ),
+        join_type=join_type,
+        num_partitions=num_partitions,
+        on=("key",),
+    )
+
+    def _post(batch: pa.Table) -> pa.Table:
+        cols = {c: batch.column(c) for c in ("src", "dst", "w")}
+        if anti:
+            hit = batch.column("mhit")
+            keep = pa.compute.is_null(hit)
+            return pa.table(cols).filter(keep)
+        return pa.table(cols)
+
+    return j.map_batches(_post, batch_format="pyarrow")

@@ -289,3 +289,132 @@ L AS (SELECT src, dst FROM und WHERE src < dst)
 SELECT count(*) AS triangles
 FROM L a JOIN L b ON b.src = a.dst JOIN L m ON m.src = a.src AND m.dst = b.dst
 """
+
+
+@_materialized
+def spgemm_aa() -> str:
+    return PREFIX + """
+SELECT vs.label AS src_label, vd.label AS dst_label, sum(a.w * b.w) AS val
+FROM edges a JOIN edges b ON b.src = a.dst
+JOIN verts vs ON vs.i = a.src JOIN verts vd ON vd.i = b.dst
+GROUP BY vs.label, vd.label
+"""
+
+
+@_materialized
+def ewise_mult() -> str:
+    return PREFIX + """
+SELECT vs.label AS src_label, vd.label AS dst_label, a.w * b.w AS val
+FROM edges a JOIN edges b ON b.src = a.dst AND b.dst = a.src
+JOIN verts vs ON vs.i = a.src JOIN verts vd ON vd.i = a.dst
+"""
+
+
+@_materialized
+def set_difference() -> str:
+    return PREFIX + """
+SELECT vs.label AS src_label, vd.label AS dst_label, a.w AS w
+FROM edges a
+JOIN verts vs ON vs.i = a.src JOIN verts vd ON vd.i = a.dst
+WHERE NOT EXISTS (
+  SELECT 1 FROM edges b WHERE b.src = a.dst AND b.dst = a.src
+)
+"""
+
+
+@_materialized
+def kselect2() -> str:
+    return PREFIX + """
+SELECT v.label AS label, x.w AS v2
+FROM (
+  SELECT dst, w, row_number() OVER (PARTITION BY dst ORDER BY w DESC) AS rn
+  FROM edges
+) x JOIN verts v ON v.i = x.dst
+WHERE x.rn = 2
+"""
+
+
+@_materialized
+def reduce_colmax() -> str:
+    return PREFIX + """
+SELECT v.label AS label, max(e.w) AS maxw
+FROM edges e JOIN verts v ON v.i = e.dst GROUP BY v.label
+"""
+
+
+@_materialized
+def subgraph() -> str:
+    return PREFIX + """
+, sel AS (
+  SELECT i, row_number() OVER (ORDER BY label) - 1 AS sid
+  FROM verts WHERE i % 3 = 0
+)
+SELECT s1.sid AS si, s2.sid AS sj, e.w AS w
+FROM edges e JOIN sel s1 ON s1.i = e.src JOIN sel s2 ON s2.i = e.dst
+"""
+
+
+@_materialized
+def invert_vec() -> str:
+    return PREFIX + """
+SELECT (7 * f.i + 3) % p.n AS y, min(f.i) AS i
+FROM files f CROSS JOIN params p
+GROUP BY (7 * f.i + 3) % p.n
+"""
+
+
+@_materialized
+def uniq_degrees() -> str:
+    return PREFIX + """
+SELECT d.deg AS deg, min(v.label) AS label
+FROM (SELECT dst, count(*) AS deg FROM edges GROUP BY dst) d
+JOIN verts v ON v.i = d.dst
+GROUP BY d.deg
+"""
+
+
+@_materialized
+def prune_w2() -> str:
+    return PREFIX + """
+SELECT vs.label AS src_label, vd.label AS dst_label, e.w AS w
+FROM edges e
+JOIN verts vs ON vs.i = e.src JOIN verts vd ON vd.i = e.dst
+WHERE e.w >= 2
+"""
+
+
+@_materialized
+def bandwidth() -> str:
+    return PREFIX + """
+SELECT CAST(max(abs(src - dst)) AS BIGINT) AS bw FROM edges
+"""
+
+
+def tpch_q1() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_discount) / count(*), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def top_customers() -> str:
+    return """
+SELECT o.o_custkey AS c_custkey, c.c_name AS c_name,
+       round(sum(o.o_totalprice), 2) AS total
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY o.o_custkey, c.c_name
+ORDER BY sum(o.o_totalprice) DESC, o.o_custkey ASC
+LIMIT 10
+"""
+
+
+def events_hourly() -> str:
+    return """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS cnt, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""

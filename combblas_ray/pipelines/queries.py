@@ -163,3 +163,348 @@ def q_triangle_count(sf_dir: str):
     ctx = get_context(sf_dir)
     cnt = alg.triangle_count(ctx.graph("sym").edges, ctx.n)
     return pa.table({"triangles": pa.array([cnt], type=pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# wave 2: SpGEMM / EWise joins / selects / vector ops / relational breadth
+# ---------------------------------------------------------------------------
+
+
+def _decode_edge_labels(ctx, ds, val_name="w"):
+    import ray
+
+    lab_ref = ray.put(np.asarray(ctx.labels))
+
+    def _dec(batch: pa.Table, *, _ref=lab_ref) -> pa.Table:
+        labels = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+        src = np.asarray(batch.column("src"))
+        dst = np.asarray(batch.column("dst"))
+        return pa.table(
+            {
+                "src_label": pa.array(labels[src], type=pa.string()),
+                "dst_label": pa.array(labels[dst], type=pa.string()),
+                val_name: batch.column("w"),
+            }
+        )
+
+    return ds.map_batches(_dec, batch_format="pyarrow")
+
+
+def q_spgemm_aa(sf_dir: str):
+    """C = A*A (plus_times) as an edge table — `Mult_AnXBn_Synch` analog."""
+    from ..core.spgemm import spgemm
+
+    ctx = get_context(sf_dir)
+    C = spgemm(ctx.edges, ctx.edges, ctx.n)
+    return _decode_edge_labels(ctx, C, "val")
+
+
+def q_ewise_mult(sf_dir: str):
+    """A .* A^T (inner coordinate join, product) — `EWiseMult exclude=false`."""
+    ctx = get_context(sf_dir)
+    g = ctx.graph("directed")
+    at = g.transpose().edges
+    j = ctx.edges.join(
+        at,
+        join_type="inner",
+        num_partitions=16,
+        on=("src", "dst"),
+        left_suffix="_a",
+        right_suffix="_b",
+    )
+
+    def _mul(batch: pa.Table) -> pa.Table:
+        w = np.asarray(batch.column("w_a")) * np.asarray(batch.column("w_b"))
+        return pa.table(
+            {"src": batch.column("src"), "dst": batch.column("dst"),
+             "w": pa.array(w)}
+        )
+
+    return _decode_edge_labels(ctx, j.map_batches(_mul, batch_format="pyarrow"),
+                               "val")
+
+
+def q_set_difference(sf_dir: str):
+    """A minus A^T (structural anti join) — `SetDifference` SpParMat.cpp:2815."""
+    from ..core.spgemm import coordinate_mask
+
+    ctx = get_context(sf_dir)
+    at = ctx.graph("directed").transpose().edges
+    out = coordinate_mask(ctx.edges, at, ctx.n, anti=True)
+    return _decode_edge_labels(ctx, out, "w")
+
+
+def q_kselect2(sf_dir: str):
+    """Per-column 2nd-largest nonzero value — `Kselect` (SpParMat.cpp:1120)."""
+    from ..core.shuffle import keyed_reduce
+
+    ctx = get_context(sf_dir)
+    import ray
+
+    lab_ref = ray.put(np.asarray(ctx.labels))
+
+    def _local(batch: pa.Table) -> pa.Table:
+        dst = np.asarray(batch.column("dst"))
+        w = np.asarray(batch.column("w"))
+        order = np.lexsort((-w, dst))
+        dst, w = dst[order], w[order]
+        uk, starts = np.unique(dst, return_index=True)
+        ends = np.append(starts[1:], len(dst))
+        keep = ends - starts >= 2
+        return pa.table(
+            {
+                "v": pa.array(uk[keep]),
+                "val": pa.array(w[starts[keep] + 1]),
+            }
+        )
+
+    # dst-partitioned: every column's nonzeros land in one partition, so the
+    # local top-k IS the global top-k (no distributed median machinery needed)
+    part = keyed_reduce(ctx.edges, ["dst"], _local)
+
+    def _dec(batch: pa.Table, *, _ref=lab_ref) -> pa.Table:
+        labels = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+        v = np.asarray(batch.column("v"))
+        return pa.table(
+            {"label": pa.array(labels[v], type=pa.string()),
+             "v2": batch.column("val")}
+        )
+
+    return part.map_batches(_dec, batch_format="pyarrow")
+
+
+def q_reduce_colmax(sf_dir: str):
+    """Per-column max — `Reduce(Column, maximum)`."""
+    ctx = get_context(sf_dir)
+    import ray
+
+    lab_ref = ray.put(np.asarray(ctx.labels))
+    red = ctx.graph("directed").reduce("col", "max")
+
+    def _dec(batch: pa.Table, *, _ref=lab_ref) -> pa.Table:
+        labels = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+        v = np.asarray(batch.column("v"))
+        return pa.table(
+            {"label": pa.array(labels[v], type=pa.string()),
+             "maxw": batch.column("val")}
+        )
+
+    return red.map_batches(_dec, batch_format="pyarrow")
+
+
+def q_subgraph(sf_dir: str):
+    """Induced subgraph on vertices with arith id % 3 == 0, densely
+    re-indexed — `SubsRef` A(ri,ri) (SpParMat.cpp:2030)."""
+    ctx = get_context(sf_dir)
+    import ray
+
+    sel_mask = ctx.arith % 3 == 0
+    sel_ids = np.nonzero(sel_mask)[0]  # dense ids, ascending = label-sorted
+    sel_ref = ray.put(sel_ids)
+
+    def _filter(batch: pa.Table, *, _ref=sel_ref) -> pa.Table:
+        sel = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+        src = np.asarray(batch.column("src"))
+        dst = np.asarray(batch.column("dst"))
+        si = np.searchsorted(sel, src)
+        sj = np.searchsorted(sel, dst)
+        si = np.minimum(si, len(sel) - 1)
+        sj = np.minimum(sj, len(sel) - 1)
+        keep = (sel[si] == src) & (sel[sj] == dst)
+        return pa.table(
+            {
+                "si": pa.array(si[keep].astype(np.int64)),
+                "sj": pa.array(sj[keep].astype(np.int64)),
+                "w": pa.compute.filter(batch.column("w"), pa.array(keep)),
+            }
+        )
+
+    return ctx.edges.map_batches(_filter, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+
+def q_invert_vec(sf_dir: str):
+    """Invert the vector val[i] = (7i+3) % n (arith space): out[y] = min i —
+    `FullyDistSpVec::Invert` (FullyDistSpVec.cpp:1900)."""
+    from ..core import vecops
+
+    ctx = get_context(sf_dir)
+    n = ctx.n
+    import ray
+
+    def _vec(batch) -> pa.Table:
+        ids = batch["id"].astype(np.int64)
+        return pa.table(
+            {"v": pa.array(ids), "val": pa.array((7 * ids + 3) % n)}
+        )
+
+    vec = ray.data.range(n).map_batches(_vec, batch_format="numpy")
+    inv = vecops.invert(vec, dup="min")
+    return inv.map_batches(
+        lambda b: pa.table({"y": b.column("v"), "i": b.column("val")}),
+        batch_format="pyarrow",
+    )
+
+
+def q_uniq_degrees(sf_dir: str):
+    """Distinct in-degree values, keeping the lexicographically-least vertex
+    as representative — `FullyDistSpVec::Uniq` (FullyDistSpVec.cpp:890)."""
+    from ..core import vecops
+
+    ctx = get_context(sf_dir)
+    import ray
+
+    lab_ref = ray.put(np.asarray(ctx.labels))
+    deg = ctx.graph("directed").reduce("col", "count")
+    uq = vecops.uniq(deg, rep="min")
+
+    def _dec(batch: pa.Table, *, _ref=lab_ref) -> pa.Table:
+        labels = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+        v = np.asarray(batch.column("v"))
+        return pa.table(
+            {
+                "deg": pa.array(np.asarray(batch.column("val")).astype(np.int64)),
+                "label": pa.array(labels[v], type=pa.string()),
+            }
+        )
+
+    return uq.map_batches(_dec, batch_format="pyarrow")
+
+
+def q_prune_w2(sf_dir: str):
+    """Edges with multiplicity >= 2 — `Prune` (SpParMat.h:177)."""
+    ctx = get_context(sf_dir)
+    pruned = ctx.graph("directed").prune(lambda s, d, w: w < 2.0)
+    return _decode_edge_labels(ctx, pruned.edges, "w")
+
+
+def q_bandwidth(sf_dir: str):
+    """max |i - j| over edges in arithmetic id space — `Bandwidth()`
+    (SpParMat.cpp:1743). One row."""
+    ctx = get_context(sf_dir)
+    import ray
+
+    arith_ref = ray.put(ctx.arith)
+
+    def _bw(batch: pa.Table, *, _ref=arith_ref) -> pa.Table:
+        arith = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+        src = arith[np.asarray(batch.column("src"))]
+        dst = arith[np.asarray(batch.column("dst"))]
+        m = int(np.abs(src - dst).max()) if len(src) else 0
+        return pa.table({"bw": pa.array([m], type=pa.int64())})
+
+    parts = ctx.edges.map_batches(_bw, batch_format="pyarrow").take_all()
+    return pa.table(
+        {"bw": pa.array([max(p["bw"] for p in parts)], type=pa.int64())}
+    )
+
+
+# ---- relational breadth over the provided TPC-H-ish tables ----
+
+
+def q_tpch_q1(sf_dir: str):
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc=("l_discount", "sum"),
+            count_order=("l_quantity", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    part = ds.map_batches(_partial, batch_format="pyarrow")
+    rows = part.take_all()
+    import pandas as pd
+
+    df = pd.DataFrame(rows)
+    g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+        sum_qty=("sum_qty", "sum"),
+        sum_base_price=("sum_base_price", "sum"),
+        sum_disc=("sum_disc", "sum"),
+        count_order=("count_order", "sum"),
+    )
+    g["avg_disc"] = (g["sum_disc"] / g["count_order"]).round(6)
+    g["sum_qty"] = g["sum_qty"].round(2)
+    g["sum_base_price"] = g["sum_base_price"].round(2)
+    g = g.drop(columns=["sum_disc"])
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def q_top_customers(sf_dir: str):
+    """Top-10 customers by total order value (join + groupby + sort + limit)."""
+    import ray
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    from ..core.shuffle import group_sum_per_key, keyed_reduce
+
+    def _p(batch: pa.Table) -> pa.Table:
+        uk, s = group_sum_per_key(
+            np.asarray(batch.column("o_totalprice")),
+            np.asarray(batch.column("o_custkey")),
+        )
+        return pa.table({"key": pa.array(uk), "total": pa.array(s)})
+
+    def _m(batch: pa.Table) -> pa.Table:
+        uk, s = group_sum_per_key(
+            np.asarray(batch.column("total")), np.asarray(batch.column("key"))
+        )
+        return pa.table({"c_custkey": pa.array(uk), "total": pa.array(s)})
+
+    totals = keyed_reduce(orders.map_batches(_p, batch_format="pyarrow"),
+                          ["key"], _m)
+    top = (
+        totals.sort(["total", "c_custkey"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    cust = (
+        ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_name"])
+        .to_pandas()
+    )
+    out = top.merge(cust, on="c_custkey")
+    out["total"] = out["total"].round(2)
+    return pa.Table.from_pandas(out[["c_custkey", "c_name", "total"]],
+                                preserve_index=False)
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling 1h window count+sum per event type (windowed aggregate)."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def _p(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        df["hour"] = df["ts"].dt.floor("h")
+        g = df.groupby(["hour", "event_type"], as_index=False).agg(
+            cnt=("value", "size"), sum_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rows = ds.map_batches(_p, batch_format="pyarrow").take_all()
+    import pandas as pd
+
+    df = pd.DataFrame(rows)
+    g = df.groupby(["hour", "event_type"], as_index=False).agg(
+        cnt=("cnt", "sum"), sum_value=("sum_value", "sum")
+    )
+    g["sum_value"] = g["sum_value"].round(6)
+    return pa.Table.from_pandas(g, preserve_index=False)
