@@ -58,6 +58,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q1": q.q_tpch_q1,
         "top_customers": q.q_top_customers,
         "events_hourly": q.q_events_hourly,
+        "token_stats": q.q_token_stats,
+        "langid": q.q_langid,
+        "quality": q.q_quality,
+        "fingerprint": q.q_fingerprint,
+        "dedup_exact": q.q_dedup_exact,
+        "jaccard_pairs": q.q_jaccard_pairs,
+        "minhash_pairs": q.q_minhash_pairs,
+        "simhash": q.q_simhash,
+        "ann_topk": q.q_ann_topk,
+        "ann_lsh": q.q_ann_lsh,
     }
 
 
@@ -92,4 +102,13 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q1": o.tpch_q1(),
         "top_customers": o.top_customers(),
         "events_hourly": o.events_hourly(),
+        "token_stats": o.token_stats(),
+        "langid": o.langid(),
+        "quality": o.quality(),
+        "dedup_exact": o.dedup_exact(),
+        "jaccard_pairs": o.jaccard_pairs(),
+        "ann_topk": o.ann_topk(),
+        # fingerprint / minhash_pairs / simhash / ann_lsh: deliberately no
+        # SQL oracle (hash pipelines not SQL-expressible); the driver records
+        # rows-only checks and pytest verifies them against brute-force.
     }

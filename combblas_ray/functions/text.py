@@ -1,0 +1,124 @@
+"""Text-analysis stages for large-scale training-data pipelines.
+
+All operators are Ray Data `map_batches` transforms over the `documents`
+table. Tokenization uses Arrow kernels (`split_pattern` -> list arrays);
+per-token statistics flatten to numpy with parent offsets — no per-row
+Python except where string assembly is inherent (shingling).
+
+Deterministic definitions (shared verbatim by the DuckDB oracles):
+- tokens       = text split on single space, empties kept
+- shingles     = token 3-grams joined by ' '
+- langid       = argmax over marker-token counts, tie -> alphabetically
+                 first language
+- quality      = distinct-token ratio + average token length (round 6)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+LANG_MARKERS = {
+    "de": "sort",
+    "en": "the",
+    "es": "data",
+    "fr": "join",
+    "zh": "batch",
+}
+
+
+def tokens_list(batch: pa.Table) -> pa.ListArray:
+    return pc.split_pattern(batch.column("text"), " ")
+
+
+def token_stats(batch: pa.Table) -> pa.Table:
+    toks = tokens_list(batch)
+    n_tokens = pc.list_value_length(toks)
+    n_chars = pc.utf8_length(batch.column("text"))
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pc.cast(n_tokens, pa.int64()),
+            "n_chars_calc": pc.cast(n_chars, pa.int64()),
+        }
+    )
+
+
+def langid(batch: pa.Table) -> pa.Table:
+    toks = tokens_list(batch)
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks)
+    nrows = batch.num_rows
+    langs = sorted(LANG_MARKERS)  # alphabetical: tie -> first
+    counts = np.zeros((len(langs), nrows), dtype=np.int64)
+    par = np.asarray(parents)
+    for li, lang in enumerate(langs):
+        hit = np.asarray(pc.equal(flat, LANG_MARKERS[lang]))
+        if hit.any():
+            counts[li] = np.bincount(par[hit], minlength=nrows)
+    best = counts.argmax(axis=0)  # first max -> alphabetically first lang
+    pred = np.array(langs, dtype=object)[best]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "pred_lang": pa.array(pred.tolist(), type=pa.string()),
+        }
+    )
+
+
+def quality(batch: pa.Table) -> pa.Table:
+    toks = tokens_list(batch)
+    flat = np.asarray(pc.list_flatten(toks)).astype(str)
+    par = np.asarray(pc.list_parent_indices(toks))
+    nrows = batch.num_rows
+    n_tokens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+    # distinct tokens per row: sort (parent, token) then count boundaries
+    order = np.lexsort((flat, par))
+    sp, st = par[order], flat[order]
+    new = np.ones(len(sp), dtype=bool)
+    new[1:] = (sp[1:] != sp[:-1]) | (st[1:] != st[:-1])
+    n_distinct = np.bincount(sp[new], minlength=nrows)
+    tok_lens = np.char.str_len(flat)
+    charsum = np.bincount(par, weights=tok_lens, minlength=nrows)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        distinct_ratio = np.round(n_distinct / np.maximum(n_tokens, 1), 6)
+        avg_tok_len = np.round(charsum / np.maximum(n_tokens, 1), 6)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "distinct_ratio": pa.array(distinct_ratio),
+            "avg_tok_len": pa.array(avg_tok_len),
+        }
+    )
+
+
+def shingle_sets(batch: pa.Table, k: int = 3) -> list[set[str]]:
+    """Per-row sets of token k-gram shingles (string assembly is inherently
+    per-row; everything downstream is vectorized)."""
+    toks = tokens_list(batch)
+    out = []
+    for row in toks.to_pylist():
+        out.append(
+            {" ".join(row[i : i + k]) for i in range(len(row) - k + 1)}
+        )
+    return out
+
+
+def fingerprint(batch: pa.Table) -> pa.Table:
+    """Rolling polynomial hash over token hashes (document fingerprint)."""
+    import zlib
+
+    toks = tokens_list(batch)
+    fps = []
+    for row in toks.to_pylist():
+        h = 0
+        for t in row:
+            h = (h * 1000003 + zlib.crc32(t.encode())) % (1 << 61)
+        fps.append(h)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "fingerprint": pa.array(fps, type=pa.int64()),
+        }
+    )

@@ -418,3 +418,104 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS cnt, round(sum(value), 6) AS sum_value
 FROM events GROUP BY 1, 2
 """
+
+
+def token_stats() -> str:
+    return """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_calc
+FROM documents
+"""
+
+
+def langid() -> str:
+    return """
+WITH c AS (
+  SELECT doc_id,
+    len(list_filter(string_split(text,' '), t -> t = 'sort'))  AS c_de,
+    len(list_filter(string_split(text,' '), t -> t = 'the'))   AS c_en,
+    len(list_filter(string_split(text,' '), t -> t = 'data'))  AS c_es,
+    len(list_filter(string_split(text,' '), t -> t = 'join'))  AS c_fr,
+    len(list_filter(string_split(text,' '), t -> t = 'batch')) AS c_zh
+  FROM documents
+)
+SELECT doc_id, CASE
+  WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+  WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+  WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
+  WHEN c_fr >= c_zh THEN 'fr'
+  ELSE 'zh' END AS pred_lang
+FROM c
+"""
+
+
+def quality() -> str:
+    return """
+SELECT doc_id,
+  round(len(list_distinct(string_split(text,' '))) * 1.0
+        / greatest(len(string_split(text,' ')), 1), 6) AS distinct_ratio,
+  round(list_aggregate(list_transform(string_split(text,' '),
+                                      t -> length(t)), 'sum') * 1.0
+        / greatest(len(string_split(text,' ')), 1), 6) AS avg_tok_len
+FROM documents
+"""
+
+
+def dedup_exact() -> str:
+    return """
+SELECT doc_id,
+       min(doc_id) OVER (
+         PARTITION BY array_to_string(
+           list_sort(list_distinct(string_split(text, ' '))), ' ')
+       ) AS canon_id
+FROM documents
+"""
+
+
+def jaccard_pairs(tau: float = 0.5, df_cap: int = 1000) -> str:
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+sh AS MATERIALIZED (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+  ))) AS s FROM toks
+),
+counts AS MATERIALIZED (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+df AS MATERIALIZED (SELECT s, count(*) AS dfc FROM sh GROUP BY s),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  JOIN df ON df.s = a.s WHERE df.dfc <= {df_cap}
+),
+inter AS MATERIALIZED (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT c.a AS a, c.b AS b,
+       round(i.i * 1.0 / (ca.nsh + cb.nsh - i.i), 6) AS jac
+FROM cand c JOIN inter i ON i.a = c.a AND i.b = c.b
+JOIN counts ca ON ca.doc_id = c.a JOIN counts cb ON cb.doc_id = c.b
+WHERE i.i * 1.0 / (ca.nsh + cb.nsh - i.i) >= {tau}
+"""
+
+
+def ann_topk(nq: int = 10, k: int = 5) -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id < {nq}),
+sims AS (
+  SELECT q.qid, e.vec_id AS nid,
+         list_cosine_similarity(q.qe, e.embedding) AS sim
+  FROM q, embeddings e WHERE e.vec_id <> q.qid
+)
+SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS BIGINT) AS rnk
+FROM (
+  SELECT qid, nid,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rn
+  FROM sims
+)
+WHERE rn <= {k}
+"""

@@ -508,3 +508,87 @@ def q_events_hourly(sf_dir: str):
     )
     g["sum_value"] = g["sum_value"].round(6)
     return pa.Table.from_pandas(g, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# wave 3: training-data pipeline operators (documents / embeddings tables)
+# ---------------------------------------------------------------------------
+
+
+def _docs(sf_dir: str):
+    import ray
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+
+def q_token_stats(sf_dir: str):
+    from ..functions import text as T
+
+    return _docs(sf_dir).map_batches(T.token_stats, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+
+
+def q_langid(sf_dir: str):
+    from ..functions import text as T
+
+    return _docs(sf_dir).map_batches(T.langid, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+
+
+def q_quality(sf_dir: str):
+    from ..functions import text as T
+
+    return _docs(sf_dir).map_batches(T.quality, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+
+
+def q_fingerprint(sf_dir: str):
+    from ..functions import text as T
+
+    return _docs(sf_dir).map_batches(T.fingerprint, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+
+
+def q_dedup_exact(sf_dir: str):
+    from ..functions import dedup as D
+
+    return D.exact_dedup(_docs(sf_dir))
+
+
+def q_jaccard_pairs(sf_dir: str):
+    from ..functions import dedup as D
+
+    return D.jaccard_pairs(_docs(sf_dir), tau=0.5)
+
+
+def q_minhash_pairs(sf_dir: str):
+    from ..functions import dedup as D
+
+    return D.minhash_lsh_pairs(_docs(sf_dir), tau=0.5)
+
+
+def q_simhash(sf_dir: str):
+    from ..functions import dedup as D
+
+    return D.simhash(_docs(sf_dir))
+
+
+def q_ann_topk(sf_dir: str):
+    import ray
+
+    from ..functions import ann as A
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    return A.ann_bruteforce_topk(emb, np.arange(10), k=5)
+
+
+def q_ann_lsh(sf_dir: str):
+    import ray
+
+    from ..functions import ann as A
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    return A.ann_lsh_topk(emb, np.arange(10), k=5)

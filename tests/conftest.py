@@ -3,6 +3,8 @@ import pytest
 
 import ray
 
+import combblas_ray  # noqa: F401  (sets the hash shuffle strategy before any dataset is created)
+
 
 @pytest.fixture(scope="session", autouse=True)
 def ray_session():

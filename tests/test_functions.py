@@ -1,0 +1,191 @@
+"""Training-data operators: dedup / text / ANN / multimodal / IO."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    return ray.data.read_parquet(f"{SF}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def doc_rows(docs):
+    return docs.take_all()
+
+
+def _brute_shingles(rows):
+    out = {}
+    for r in rows:
+        t = r["text"].split(" ")
+        out[r["doc_id"]] = {
+            " ".join(t[i : i + 3]) for i in range(len(t) - 2)
+        }
+    return out
+
+
+def _brute_jaccard_pairs(rows, tau):
+    import itertools
+
+    sh = _brute_shingles(rows)
+    pairs = {}
+    for a, b in itertools.combinations(sorted(sh), 2):
+        inter = len(sh[a] & sh[b])
+        if not inter:
+            continue
+        jac = inter / (len(sh[a]) + len(sh[b]) - inter)
+        if jac >= tau:
+            pairs[(a, b)] = round(jac, 6)
+    return pairs
+
+
+def test_jaccard_pairs_match_brute(docs, doc_rows):
+    from combblas_ray.functions.dedup import jaccard_pairs
+
+    got = {
+        (r["a"], r["b"]): r["jac"] for r in jaccard_pairs(docs, 0.5).to_pylist()
+    }
+    assert got == _brute_jaccard_pairs(doc_rows, 0.5)
+
+
+def test_minhash_lsh_finds_same_pairs(docs, doc_rows):
+    """On this corpus every true pair has jaccard ~1.0, so 16x4 banding
+    must reach recall 1.0 (and exact verification kills false positives)."""
+    from combblas_ray.functions.dedup import minhash_lsh_pairs
+
+    got = {
+        (r["a"], r["b"]): r["jac"]
+        for r in minhash_lsh_pairs(docs, 0.5).to_pylist()
+    }
+    assert got == _brute_jaccard_pairs(doc_rows, 0.5)
+
+
+def test_simhash_near_dups_have_close_hashes(docs, doc_rows):
+    from combblas_ray.functions.dedup import simhash
+
+    hs = {r["doc_id"]: r["simhash"] for r in simhash(docs).take_all()}
+    true_pairs = _brute_jaccard_pairs(doc_rows, 0.9)
+    assert true_pairs
+    # near-dups must land far below the ~32-bit expectation of random pairs
+    for (a, b) in true_pairs:
+        ham = bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1")
+        assert ham <= 16, (a, b, ham)
+
+
+def test_exact_dedup_groups(docs, doc_rows):
+    from combblas_ray.functions.dedup import exact_dedup
+
+    got = {r["doc_id"]: r["canon_id"] for r in exact_dedup(docs).take_all()}
+    keys = {}
+    for r in doc_rows:
+        k = " ".join(sorted(set(r["text"].split(" "))))
+        keys.setdefault(k, []).append(r["doc_id"])
+    for ids in keys.values():
+        m = min(ids)
+        for d in ids:
+            assert got[d] == m
+    assert len(got) == len(doc_rows)
+
+
+def test_fingerprint_deterministic(docs):
+    from combblas_ray.functions.text import fingerprint
+
+    a = sorted(docs.map_batches(fingerprint, batch_format="pyarrow").take_all(),
+               key=lambda r: r["doc_id"])
+    b = sorted(docs.map_batches(fingerprint, batch_format="pyarrow").take_all(),
+               key=lambda r: r["doc_id"])
+    assert a == b
+    assert len({r["fingerprint"] for r in a}) > len(a) // 2
+
+
+def test_ann_lsh_recall_vs_brute(ray_session):
+    from combblas_ray.functions.ann import ann_bruteforce_topk, ann_lsh_topk
+
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    brute = ann_bruteforce_topk(emb, np.arange(10), k=5).to_pylist()
+    lsh = ann_lsh_topk(emb, np.arange(10), k=5).to_pylist()
+    bsets = {}
+    for r in brute:
+        bsets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    lsets = {}
+    for r in lsh:
+        lsets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(bsets[q] & lsets.get(q, set())) / len(bsets[q]) for q in bsets
+    ]
+    assert np.mean(recalls) >= 0.5, recalls
+
+
+def test_multimodal_decode_pipeline(ray_session):
+    from combblas_ray.functions.multimodal import (
+        decode_image_real,
+        decode_pipeline,
+        make_blob,
+        synth_blob_dataset,
+    )
+
+    ds = synth_blob_dataset(100)
+    feats = {r["item_id"]: r for r in decode_pipeline(ds).take_all()}
+    assert len(feats) == 100
+    # recompute one row by hand
+    import struct
+
+    blob = make_blob(17)
+    kind, w, h = struct.unpack_from("<III", blob, 0)
+    pix = np.frombuffer(blob, dtype=np.uint8, offset=12)
+    assert feats[17]["width"] == w and feats[17]["height"] == h
+    assert feats[17]["mean_pixel"] == pytest.approx(float(pix.mean()))
+    with pytest.raises(NotImplementedError):
+        decode_image_real(b"")
+
+
+def test_matrix_market_roundtrip(ctx500, tmp_path):
+    from combblas_ray.sources.io import read_matrix_market, write_matrix_market
+
+    g = ctx500.graph("directed")
+    path = str(tmp_path / "g.mtx")
+    write_matrix_market(g, path)
+    g2 = read_matrix_market(path)
+    assert g2.n == g.n
+    a = sorted((r["src"], r["dst"], r["w"]) for r in g.edges.take_all())
+    b = sorted((r["src"], r["dst"], r["w"]) for r in g2.edges.take_all())
+    assert a == b
+
+
+def test_mm_reader_merges_duplicates(ray_session, tmp_path):
+    from combblas_ray.sources.io import read_matrix_market
+
+    p = tmp_path / "dup.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate real general\n"
+        "3 3 4\n"
+        "1 2 1.5\n"
+        "1 2 2.5\n"
+        "3 1 1\n"
+        "2 3 4\n"
+    )
+    g = read_matrix_market(str(p)).dedup_sum()
+    rows = {(r["src"], r["dst"]): r["w"] for r in g.edges.take_all()}
+    # file lists A(i,j) = edge j->i: (1,2,w) -> src=1,dst=0 zero-based
+    assert rows[(1, 0)] == 4.0
+    assert rows[(0, 2)] == 1.0
+    assert rows[(2, 1)] == 4.0
+
+
+def test_edges_parquet_partitioned_roundtrip(ctx500, tmp_path):
+    from combblas_ray.sources.io import read_edges_parquet, write_edges_parquet
+
+    g = ctx500.graph("directed")
+    path = str(tmp_path / "edges_pq")
+    write_edges_parquet(g, path, partition_by_block=2)
+    g2 = read_edges_parquet(path, g.n)
+    a = sorted((r["src"], r["dst"], r["w"]) for r in g.edges.take_all())
+    b = sorted((r["src"], r["dst"], r["w"]) for r in g2.edges.take_all())
+    assert a == b
