@@ -68,6 +68,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q.q_simhash,
         "ann_topk": q.q_ann_topk,
         "ann_lsh": q.q_ann_lsh,
+        "bfs_parents": q.q_bfs_parents,
+        "colstochastic": q.q_colstochastic,
+        "masked_colsums": q.q_masked_colsums,
+        "mis": q.q_mis,
     }
 
 
@@ -108,6 +112,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": o.dedup_exact(),
         "jaccard_pairs": o.jaccard_pairs(),
         "ann_topk": o.ann_topk(),
+        "bfs_parents": o.bfs_parents("m_0", q.BFS_ITERS),
+        "colstochastic": o.colstochastic(),
+        "masked_colsums": o.masked_colsums(),
+        # mis: no SQL oracle (iterative random-priority algorithm);
+        # pytest asserts independence + maximality invariants.
         # fingerprint / minhash_pairs / simhash / ann_lsh: deliberately no
         # SQL oracle (hash pipelines not SQL-expressible); the driver records
         # rows-only checks and pytest verifies them against brute-force.

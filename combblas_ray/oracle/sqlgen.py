@@ -519,3 +519,59 @@ FROM (
 )
 WHERE rn <= {k}
 """
+
+
+@_materialized
+def bfs_parents(root_label: str = "m_0", iters: int = 12) -> str:
+    """Parent = lexicographically smallest neighbor one level closer
+    (deterministic independently of frontier mechanics)."""
+    sql = PREFIX + f"""
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+d0 AS (SELECT i, 0 AS dist FROM verts WHERE label = '{root_label}')
+"""
+    prev = "d0"
+    for k in range(1, iters + 1):
+        sql += f"""
+, d{k} AS (
+  SELECT i, min(dist) AS dist FROM (
+    SELECT i, dist FROM {prev}
+    UNION ALL
+    SELECT u.dst AS i, dp.dist + 1 AS dist
+    FROM und u JOIN {prev} dp ON dp.i = u.src
+  ) GROUP BY i
+)"""
+        prev = f"d{k}"
+    sql += f"""
+SELECT v.label AS label,
+       CASE WHEN d.dist = 0 THEN v.label ELSE (
+         SELECT min(vp.label)
+         FROM und u JOIN {prev} dp ON dp.i = u.src
+         JOIN verts vp ON vp.i = u.src
+         WHERE u.dst = d.i AND dp.dist = d.dist - 1
+       ) END AS parent_label
+FROM {prev} d JOIN verts v ON v.i = d.i
+"""
+    return sql
+
+
+@_materialized
+def colstochastic() -> str:
+    return PREFIX + """
+, outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src)
+SELECT vs.label AS src_label, vd.label AS dst_label,
+       round(e.w / o.ow, 10) AS w_norm
+FROM edges e JOIN outw o ON o.src = e.src
+JOIN verts vs ON vs.i = e.src JOIN verts vd ON vd.i = e.dst
+"""
+
+
+@_materialized
+def masked_colsums() -> str:
+    return PREFIX + """
+SELECT v.label AS label, sum(e.w) AS msum
+FROM edges e JOIN verts v ON v.i = e.dst
+WHERE e.src % 5 = 0
+GROUP BY v.label
+"""

@@ -89,6 +89,62 @@ def min_plus_distances(
     return d
 
 
+def bfs_parents(engine: SpmvEngine, root: int, max_iters: int = 10_000):
+    """Frontier-driven top-down BFS producing the parent tree — the actual
+    reference loop (``TopDownBFS.cpp:440-449``): per level,
+    ``fringe = SpMSpV(A, fringe)`` with the min-parent-id semiring,
+    ``fringe = EWiseMult(fringe, parents, exclude=true)`` (drop visited),
+    ``parents.Set(fringe)``. Parent tie-break: smallest dense id among
+    previous-level neighbors. Returns (parents, dist); parents[root]=root,
+    unreached = -1."""
+    n = engine.n
+    parents = np.full(n, -1, dtype=np.int64)
+    dist = np.full(n, -1, dtype=np.int64)
+    parents[root] = root
+    dist[root] = 0
+    frontier = np.array([root], dtype=np.int64)
+    level = 0
+    while len(frontier) and level < max_iters:
+        level += 1
+        # x value = candidate parent id (the frontier vertex's own id)
+        cand_idx, cand_parent = engine.spmspv(
+            frontier, frontier.astype(np.float64), "select2nd_min"
+        )
+        unvisited = parents[cand_idx] == -1  # EWiseMult exclude=true
+        frontier = cand_idx[unvisited]
+        parents[frontier] = cand_parent[unvisited].astype(np.int64)
+        dist[frontier] = level
+    return parents, dist
+
+
+def luby_mis(engine: SpmvEngine, seed: int = 5) -> np.ndarray:
+    """Luby's maximal independent set over the symmetrized engine
+    (`FilteredMIS.cpp` workload family): deterministic per-vertex
+    priorities; iterate: v joins MIS if its priority beats every active
+    neighbor's; neighbors of MIS vertices deactivate."""
+    n = engine.n
+    rng = np.random.RandomState(seed)
+    prio = rng.permutation(n).astype(np.float64)
+    active = np.ones(n, dtype=bool)
+    in_mis = np.zeros(n, dtype=bool)
+    while active.any():
+        # min active-neighbor priority via SpMV over select2nd_min
+        x = np.where(active, prio, np.inf)
+        nb_min = engine.spmv(x, "select2nd_min")
+        winners = active & (prio < nb_min)
+        if not winners.any():
+            # isolated actives (no neighbors): nb_min = inf -> winners;
+            # only reachable if priorities tie, which permutation prevents
+            break
+        in_mis[winners] = True
+        # deactivate winners and their neighbors
+        win_ind = np.zeros(n)
+        win_ind[winners] = 1.0
+        nb_win = engine.spmv(win_ind, "plus_times") > 0
+        active &= ~(winners | nb_win)
+    return in_mis
+
+
 # --------------------------------------------------------------------------
 # label propagation (mode of neighbor classes)
 # --------------------------------------------------------------------------

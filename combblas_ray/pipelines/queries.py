@@ -592,3 +592,96 @@ def q_ann_lsh(sf_dir: str):
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                 columns=["vec_id", "embedding"])
     return A.ann_lsh_topk(emb, np.arange(10), k=5)
+
+
+# ---------------------------------------------------------------------------
+# wave 4: frontier BFS parents, DimApply, MaskedReduce, MIS
+# ---------------------------------------------------------------------------
+
+
+def q_bfs_parents(sf_dir: str):
+    """Top-down frontier BFS parent tree (SpMSpV loop, TopDownBFS.cpp:440)."""
+    ctx = get_context(sf_dir)
+    root = int(np.searchsorted(ctx.labels, "m_0"))
+    parents, dist = alg.bfs_parents(ctx.engine("sym"), root)
+    ids = np.nonzero(parents >= 0)[0]
+    return pa.table(
+        {
+            "label": _label_col(ctx, ids),
+            "parent_label": _label_col(ctx, parents[ids]),
+        }
+    )
+
+
+def q_colstochastic(sf_dir: str):
+    """Column-stochastic edge weights: w / out-weight(src) — `DimApply` +
+    `MakeColStochastic` (MCL.cpp:388-394) via broadcast vector."""
+    import ray
+
+    ctx = get_context(sf_dir)
+    outw = ctx.engine("directed").out_weights()
+    ow_ref = ray.put(outw)
+    lab_ref = ray.put(np.asarray(ctx.labels))
+
+    def _norm(batch: pa.Table, *, _ow=ow_ref, _lab=lab_ref) -> pa.Table:
+        ow = _ow if isinstance(_ow, np.ndarray) else ray.get(_ow)
+        labels = _lab if isinstance(_lab, np.ndarray) else ray.get(_lab)
+        src = np.asarray(batch.column("src"))
+        dst = np.asarray(batch.column("dst"))
+        w = np.asarray(batch.column("w"))
+        wn = np.round(w / ow[src], 10)
+        return pa.table(
+            {
+                "src_label": pa.array(labels[src], type=pa.string()),
+                "dst_label": pa.array(labels[dst], type=pa.string()),
+                "w_norm": pa.array(wn),
+            }
+        )
+
+    return ctx.edges.map_batches(_norm, batch_format="pyarrow")
+
+
+def q_masked_colsums(sf_dir: str):
+    """Column sums restricted to source vertices with arith id % 5 == 0 —
+    `MaskedReduce` (SpParMat.cpp:1849)."""
+    import ray
+
+    ctx = get_context(sf_dir)
+    arith_ref = ray.put(ctx.arith)
+    lab_ref = ray.put(np.asarray(ctx.labels))
+
+    def _mask(batch: pa.Table, *, _ref=arith_ref) -> pa.Table:
+        arith = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+        src = np.asarray(batch.column("src"))
+        return batch.filter(pa.array(arith[src] % 5 == 0))
+
+    masked = ctx.edges.map_batches(_mask, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    from ..core.graph import Graph
+
+    red = Graph(n=ctx.n, edges=masked).reduce("col", "sum")
+
+    def _dec(batch: pa.Table, *, _ref=lab_ref) -> pa.Table:
+        labels = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+        v = np.asarray(batch.column("v"))
+        return pa.table(
+            {
+                "label": pa.array(labels[v], type=pa.string()),
+                "msum": batch.column("val"),
+            }
+        )
+
+    return red.map_batches(_dec, batch_format="pyarrow")
+
+
+def q_mis(sf_dir: str):
+    """Luby maximal independent set (rows-only; invariants in pytest)."""
+    ctx = get_context(sf_dir)
+    in_mis = alg.luby_mis(ctx.engine("sym"))
+    ids = np.arange(ctx.n)
+    return pa.table(
+        {
+            "label": _label_col(ctx, ids),
+            "in_mis": pa.array(in_mis.astype(np.int64)),
+        }
+    )

@@ -1,0 +1,107 @@
+import numpy as np
+
+from combblas_ray.pipelines import algorithms as alg
+
+from .conftest import brute_dense_matrix
+
+
+def _und(A):
+    U = ((A + A.T) > 0).astype(np.float64)
+    np.fill_diagonal(U, 0)
+    return U
+
+
+def test_bfs_parents_valid_tree(ctx500):
+    A = brute_dense_matrix(ctx500)
+    U = _und(A)
+    root = int(np.searchsorted(ctx500.labels, "m_0"))
+    parents, dist = alg.bfs_parents(ctx500.engine("sym", g=2), root)
+    # distances must match dense min-plus BFS
+    ref = alg.min_plus_distances(ctx500.engine("sym", g=2), root, iters=12)
+    got = np.where(dist < 0, np.inf, dist.astype(np.float64))
+    assert np.array_equal(got, ref)
+    # every reached non-root vertex: parent one level closer, edge exists,
+    # and parent is the MINIMUM id among previous-level neighbors
+    for v in np.nonzero(dist > 0)[0]:
+        p = parents[v]
+        assert dist[p] == dist[v] - 1
+        assert U[v, p] == 1 or U[p, v] == 1
+        prev_nbrs = [u for u in np.nonzero(U[:, v] + U[v, :])[0]
+                     if dist[u] == dist[v] - 1 and dist[u] >= 0]
+        assert p == min(prev_nbrs)
+
+
+def test_luby_mis_invariants(ctx500):
+    A = brute_dense_matrix(ctx500)
+    U = _und(A)
+    mis = alg.luby_mis(ctx500.engine("sym", g=2))
+    # independence: no edge inside the set
+    sel = np.nonzero(mis)[0]
+    assert U[np.ix_(sel, sel)].sum() == 0
+    # maximality: every outside vertex has a neighbor in the set
+    out = np.nonzero(~mis)[0]
+    for v in out:
+        assert U[v, sel].sum() + U[sel, v].sum() > 0
+
+
+def test_rmat_deterministic_and_batch_invariant(ray_session):
+    import ray
+
+    from combblas_ray.sources.rmat import rmat_batch, rmat_dataset
+
+    a = rmat_batch(np.arange(1000), 10)
+    b = rmat_batch(np.arange(1000), 10)
+    assert a.equals(b)
+    # batching must not change output
+    c1 = rmat_batch(np.arange(0, 500), 10)
+    c2 = rmat_batch(np.arange(500, 1000), 10)
+    import pyarrow as pa
+
+    assert pa.concat_tables([c1, c2]).equals(a)
+    ds = rmat_dataset(8, edgefactor=4)
+    rows = ds.take_all()
+    assert len(rows) == 4 * 256
+    assert max(max(r["src"], r["dst"]) for r in rows) < 256
+    # power-law-ish: top vertex degree well above average
+    import collections
+
+    deg = collections.Counter()
+    for r in rows:
+        deg[r["src"]] += 1
+    assert max(deg.values()) > 4 * (len(rows) / 256)
+
+
+def test_pagerank_invariant_under_relabeling(ctx500, tmp_path):
+    """Skew-mitigation check (`RandPerm` semantics, FullyDistVec.cpp:784):
+    permuting vertex ids must not change PageRank scores (up to the
+    permutation) — validates that partitioning arithmetic carries no
+    id-dependent bias."""
+    import pyarrow as pa
+
+    import ray
+
+    from combblas_ray.core.engine import SpmvEngine
+    from combblas_ray.core.graph import Graph
+    from combblas_ray.pipelines.pagerank import pagerank
+
+    n = ctx500.n
+    rng = np.random.RandomState(3)
+    perm = rng.permutation(n).astype(np.int64)
+    perm_ref = ray.put(perm)
+
+    def _relabel(batch: pa.Table, *, _ref=perm_ref) -> pa.Table:
+        p = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+        return pa.table(
+            {
+                "src": pa.array(p[np.asarray(batch.column("src"))]),
+                "dst": pa.array(p[np.asarray(batch.column("dst"))]),
+                "w": batch.column("w"),
+            }
+        )
+
+    g2 = Graph(n=n, edges=ctx500.edges.map_batches(_relabel, batch_format="pyarrow"))
+    e2 = SpmvEngine.from_graph(g2, 2, str(tmp_path / "perm"))
+    r2, _ = pagerank(e2, iters=8)
+    r1, _ = pagerank(ctx500.engine("directed", g=2), iters=8)
+    assert np.allclose(r2[perm], r1, rtol=1e-9, atol=1e-15)
+    e2.shutdown()
