@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "colstochastic": q.q_colstochastic,
         "masked_colsums": q.q_masked_colsums,
         "mis": q.q_mis,
+        "mcl": q.q_mcl,
     }
 
 

@@ -21,13 +21,21 @@ from .shuffle import group_reduce_per_key, keyed_reduce
 
 
 def spgemm(A_ds, B_ds, n: int, *, add: str = "sum", num_partitions: int = 32,
-           mask_ds=None, mask_anti: bool = False):
+           mask_ds=None, mask_anti: bool = False, partition_on: str = "pair",
+           post_fn=None):
     """Compose path relations: C = {(i, j): i -k-> (A), k -j-> (B)} with
     w_C = add-combine over k of wA * wB.
 
     ``mask_ds`` (edge table) restricts output to (anti=False) or away from
     (anti=True) the mask's coordinate set — `EWiseMult(C, M, exclude)`
     (``ParFriends.h:2629-2647``) fused after the multiply.
+
+    ``partition_on='src'`` hash-partitions the output merge by the SOURCE
+    (column) index instead of the (i,j) pair, so every output column lands
+    whole in one partition; ``post_fn`` (pa.Table -> pa.Table) then runs
+    per partition with complete columns in hand — the fusion hook for
+    per-column prune/select/normalize (`MCLPruneRecoverySelect` applied
+    inside `MemEfficientSpGEMM`, ``ParFriends.h:452-779``).
     """
     joined = A_ds.join(
         B_ds,
@@ -56,15 +64,30 @@ def spgemm(A_ds, B_ds, n: int, *, add: str = "sum", num_partitions: int = 32,
             np.asarray(batch.column("w")), np.asarray(batch.column("key")),
             "sum" if add == "sum" else add,
         )
-        return pa.table(
+        out_t = pa.table(
             {
                 "src": pa.array((uk // n).astype(np.int64)),
                 "dst": pa.array((uk % n).astype(np.int64)),
                 "w": pa.array(red),
             }
         )
+        if post_fn is not None:
+            out_t = post_fn(out_t)
+        return out_t
 
-    out = keyed_reduce(partial, ["key"], _merge)
+    if partition_on == "src":
+        def _add_pcol(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "pcol", pa.array(np.asarray(batch.column("key")) // n)
+            )
+
+        partial = partial.map_batches(_add_pcol, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+        out = keyed_reduce(partial, ["pcol"], _merge,
+                           num_blocks=num_partitions)
+    else:
+        out = keyed_reduce(partial, ["key"], _merge,
+                           num_blocks=num_partitions)
     if mask_ds is not None:
         out = coordinate_mask(out, mask_ds, n, anti=mask_anti,
                               num_partitions=num_partitions)

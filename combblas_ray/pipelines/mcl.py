@@ -1,0 +1,267 @@
+"""Markov clustering (HipMCL) — the reference's flagship application.
+
+Parity with ``Applications/MCL.cpp``:
+- ``AdjustLoops``: self-loop := column max      (MCL.cpp:462-473)
+- ``MakeColStochastic``: w /= colsum            (MCL.cpp:388-394)
+- loop until Chaos < eps                        (MCL.cpp:554-612):
+    expand   A := A * A   (`MemEfficientSpGEMM`, here the hash-join
+                           SpGEMM with the prune/select fused after)
+    prune    hard threshold + per-column top-S  (`MCLPruneRecoverySelect`,
+                           ParFriends.h:185-354, via the dst-partitioned
+                           local top-k — a column's entries co-locate)
+    inflate  w := w^r; re-normalize             (MCL.cpp:445-449)
+    chaos    max_col(colmax - colssq)           (MCL.cpp:406-420)
+- ``Interpret``: clusters = connected components of the converged matrix
+                                                (MCL.cpp:371-385)
+
+The per-iteration matrix is re-materialized (natural lineage cut — the
+reference's rank-resident evolving A). Column stats travel as a broadcast
+vector (scale path: keyed join, same semantics).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..core.shuffle import group_sum_per_key, keyed_reduce
+from ..core.spgemm import spgemm
+
+
+def _col_normalize(edges_ds, n: int):
+    """w /= colsum(src) via broadcast vector (MakeColStochastic)."""
+    import ray
+
+    sums = np.zeros(n)
+    for r in _colsums(edges_ds, n).take_all():
+        sums[int(r["v"])] = r["val"]
+    ref = ray.put(sums)
+
+    def _norm(batch: pa.Table, *, _ref=ref) -> pa.Table:
+        s = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+        src = np.asarray(batch.column("src"))
+        w = np.asarray(batch.column("w"))
+        return pa.table(
+            {
+                "src": batch.column("src"),
+                "dst": batch.column("dst"),
+                "w": pa.array(w / np.where(s[src] == 0, 1.0, s[src])),
+            }
+        )
+
+    return edges_ds.map_batches(_norm, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+
+def _colsums(edges_ds, n: int):
+    def _p(batch: pa.Table) -> pa.Table:
+        uk, s = group_sum_per_key(
+            np.asarray(batch.column("w")), np.asarray(batch.column("src"))
+        )
+        return pa.table({"v": pa.array(uk), "val": pa.array(s)})
+
+    def _m(batch: pa.Table) -> pa.Table:
+        uk, s = group_sum_per_key(
+            np.asarray(batch.column("val")), np.asarray(batch.column("v"))
+        )
+        return pa.table({"v": pa.array(uk), "val": pa.array(s)})
+
+    return keyed_reduce(edges_ds.map_batches(_p, batch_format="pyarrow",
+                                             zero_copy_batch=True), ["v"], _m)
+
+
+def _prune_select(edges_ds, threshold: float, select: int):
+    """Drop entries < threshold, keep top-`select` per column (by value,
+    ties by dst asc) — columns co-locate under the src hash partition."""
+
+    def _local(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch.column("src"))
+        dst = np.asarray(batch.column("dst"))
+        w = np.asarray(batch.column("w"))
+        keep = w >= threshold
+        src, dst, w = src[keep], dst[keep], w[keep]
+        if len(src) == 0:
+            return pa.table(
+                {"src": pa.array([], type=pa.int64()),
+                 "dst": pa.array([], type=pa.int64()),
+                 "w": pa.array([], type=pa.float64())}
+            )
+        order = np.lexsort((dst, -w, src))
+        src, dst, w = src[order], dst[order], w[order]
+        uk, starts = np.unique(src, return_index=True)
+        ends = np.append(starts[1:], len(src))
+        keep_idx = np.concatenate(
+            [np.arange(s, min(s + select, e)) for s, e in zip(starts, ends)]
+        )
+        return pa.table(
+            {
+                "src": pa.array(src[keep_idx]),
+                "dst": pa.array(dst[keep_idx]),
+                "w": pa.array(w[keep_idx]),
+            }
+        )
+
+    return keyed_reduce(edges_ds, ["src"], _local)
+
+
+def _chaos(edges_ds, n: int) -> float:
+    """max over columns of (colmax - col sum of squares); 0 at fixpoint."""
+
+    def _p(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch.column("src"))
+        w = np.asarray(batch.column("w"))
+        order = np.argsort(src, kind="stable")
+        ss, sw = src[order], w[order]
+        u2, starts = np.unique(ss, return_index=True)
+        ends = np.append(starts[1:], len(ss))
+        mxs = np.maximum.reduceat(sw, starts)
+        ssq = np.add.reduceat(sw * sw, starts)
+        return pa.table(
+            {"v": pa.array(u2), "mx": pa.array(mxs), "ssq": pa.array(ssq)}
+        )
+
+    def _m(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column("v"))
+        order = np.argsort(v, kind="stable")
+        vv = v[order]
+        mx = np.asarray(batch.column("mx"))[order]
+        ssq = np.asarray(batch.column("ssq"))[order]
+        u2, starts = np.unique(vv, return_index=True)
+        ends = np.append(starts[1:], len(vv))
+        return pa.table(
+            {
+                "v": pa.array(u2),
+                "chaos": pa.array(
+                    np.maximum.reduceat(mx, starts)
+                    - np.add.reduceat(ssq, starts)
+                ),
+            }
+        )
+
+    stats = keyed_reduce(edges_ds.map_batches(_p, batch_format="pyarrow",
+                                              zero_copy_batch=True), ["v"], _m)
+    m = stats.max("chaos")
+    return float(m) if m is not None else 0.0
+
+
+def mcl(
+    sym_edges_ds,
+    n: int,
+    *,
+    inflation: float = 2.0,
+    prune_threshold: float = 1e-4,
+    select: int = 50,
+    eps: float = 1e-3,
+    max_iters: int = 20,
+) -> tuple[np.ndarray, dict]:
+    """Returns (cluster labels per vertex, info). Input: structural
+    undirected edge Dataset (both directions present)."""
+    import ray
+
+    from ..core.graph import Graph
+
+    # AdjustLoops: add self loops with weight = column max (here 1.0 on the
+    # structural matrix), then normalize
+    g = Graph(n=n, edges=sym_edges_ds).dedup_sum().apply(lambda w: np.ones_like(w))
+    A = g.add_loops(1.0).edges
+    A = _col_normalize(A, n).materialize()
+    info = {"iters": 0, "chaos": []}
+
+    def _fused_post(tbl: pa.Table) -> pa.Table:
+        """Per-partition (whole columns): normalize -> prune -> top-select
+        -> inflate -> normalize -> chaos stats. Emits edges plus one
+        sentinel row (src=-1) carrying the partition's chaos."""
+        src = np.asarray(tbl.column("src"))
+        dst = np.asarray(tbl.column("dst"))
+        w = np.asarray(tbl.column("w")).astype(np.float64)
+        if len(src) == 0:
+            return pa.table(
+                {"src": pa.array([], type=pa.int64()),
+                 "dst": pa.array([], type=pa.int64()),
+                 "w": pa.array([], type=pa.float64())}
+            )
+        order = np.lexsort((dst, -w, src))
+        src, dst, w = src[order], dst[order], w[order]
+
+        def colsums(vals):
+            u, starts = np.unique(src, return_index=True)
+            sums = np.add.reduceat(vals, starts)
+            # broadcast back per entry
+            seg = np.zeros(len(src), dtype=np.int64)
+            seg[starts[1:]] = 1
+            return sums[np.cumsum(seg)]
+
+        w = w / colsums(w)  # stochastic (prune threshold semantics)
+        keep = w >= prune_threshold
+        src, dst, w = src[keep], dst[keep], w[keep]
+        if len(src) == 0:
+            return pa.table(
+                {"src": pa.array([], type=pa.int64()),
+                 "dst": pa.array([], type=pa.int64()),
+                 "w": pa.array([], type=pa.float64())}
+            )
+        # top-`select` per column (already sorted by (src, -w))
+        u, starts = np.unique(src, return_index=True)
+        ends = np.append(starts[1:], len(src))
+        keep_idx = np.concatenate(
+            [np.arange(s, min(s + select, e)) for s, e in zip(starts, ends)]
+        )
+        src, dst, w = src[keep_idx], dst[keep_idx], w[keep_idx]
+        w = w ** inflation
+        w = w / colsums(w)
+        # chaos: max over columns of (colmax - col sum of squares)
+        u, starts = np.unique(src, return_index=True)
+        chaos = float(
+            (np.maximum.reduceat(w, starts)
+             - np.add.reduceat(w * w, starts)).max()
+        )
+        return pa.table(
+            {
+                "src": pa.array(np.append(src, -1)),
+                "dst": pa.array(np.append(dst, -1)),
+                "w": pa.array(np.append(w, chaos)),
+            }
+        )
+
+    for it in range(max_iters):
+        # ONE SpGEMM execution per iteration with the whole MCL column step
+        # fused into the src-partitioned merge
+        A_next = spgemm(
+            A, A, n, num_partitions=8, partition_on="src", post_fn=_fused_post
+        ).materialize()
+        sent = A_next.filter(expr="src < 0")
+        ch = max((r["w"] for r in sent.take_all()), default=0.0)
+        A = A_next.filter(expr="src >= 0")
+        info["chaos"].append(ch)
+        info["iters"] = it + 1
+        if ch < eps:
+            break
+    # Interpret: clusters = CC of the structural converged matrix
+    clusters = _interpret_cc(A, n)
+    return clusters, info
+
+
+def _interpret_cc(edges_ds, n: int) -> np.ndarray:
+    """Driver-side union-find over the (small) converged matrix structure
+    (`Interpret` = CC, MCL.cpp:371-385). The converged MCL matrix is
+    near-diagonal (<= select entries per column)."""
+    parent = np.arange(n, dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    import ray
+
+    for t in ray.get(edges_ds.to_arrow_refs()):
+        if t.num_rows == 0 or "src" not in t.column_names:
+            continue  # empty shuffle partitions may carry an empty schema
+        for s, d in zip(
+            np.asarray(t.column("src")), np.asarray(t.column("dst"))
+        ):
+            rs, rd = find(int(s)), find(int(d))
+            if rs != rd:
+                parent[max(rs, rd)] = min(rs, rd)
+    return np.array([find(i) for i in range(n)], dtype=np.int64)

@@ -685,3 +685,47 @@ def q_mis(sf_dir: str):
             "in_mis": pa.array(in_mis.astype(np.int64)),
         }
     )
+
+
+MCL_SUB = 500  # induced-subgraph size for the MCL query (bounded runtime)
+
+
+def q_mcl(sf_dir: str):
+    """Markov clustering (HipMCL analog) on the induced subgraph of the
+    first MCL_SUB arithmetic ids. Rows-only check (iterative clustering is
+    not SQL-expressible); invariants in pytest."""
+    import ray
+
+    from .mcl import mcl
+
+    ctx = get_context(sf_dir)
+    sub = min(MCL_SUB, ctx.n)
+    sel_ids = np.nonzero(ctx.arith < sub)[0]  # dense ids, label-sorted
+    sel_ref = ray.put(sel_ids)
+
+    def _sub(batch: pa.Table, *, _ref=sel_ref) -> pa.Table:
+        sel = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+        src = np.asarray(batch.column("src"))
+        dst = np.asarray(batch.column("dst"))
+        si = np.minimum(np.searchsorted(sel, src), len(sel) - 1)
+        sj = np.minimum(np.searchsorted(sel, dst), len(sel) - 1)
+        keep = (sel[si] == src) & (sel[sj] == dst)
+        return pa.table(
+            {
+                "src": pa.array(si[keep].astype(np.int64)),
+                "dst": pa.array(sj[keep].astype(np.int64)),
+                "w": pa.compute.filter(batch.column("w"), pa.array(keep)),
+            }
+        )
+
+    sub_edges = ctx.graph("sym").edges.map_batches(
+        _sub, batch_format="pyarrow", zero_copy_batch=True
+    )
+    clusters, _info = mcl(sub_edges, len(sel_ids))
+    labels = np.asarray(ctx.labels)[sel_ids]
+    return pa.table(
+        {
+            "label": pa.array(labels, type=pa.string()),
+            "cluster": pa.array(labels[clusters], type=pa.string()),
+        }
+    )

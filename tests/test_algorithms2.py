@@ -105,3 +105,29 @@ def test_pagerank_invariant_under_relabeling(ctx500, tmp_path):
     r1, _ = pagerank(ctx500.engine("directed", g=2), iters=8)
     assert np.allclose(r2[perm], r1, rtol=1e-9, atol=1e-15)
     e2.shutdown()
+
+
+def test_mcl_two_triangles(ray_session):
+    import pyarrow as pa
+
+    import ray
+
+    from combblas_ray.pipelines.mcl import mcl
+
+    und = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    src = [a for a, b in und] + [b for a, b in und]
+    dst = [b for a, b in und] + [a for a, b in und]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(src, type=pa.int64()),
+                "dst": pa.array(dst, type=pa.int64()),
+                "w": pa.array([1.0] * len(src)),
+            }
+        )
+    )
+    labels, info = mcl(ds, 6)
+    assert labels[0] == labels[1] == labels[2]
+    assert labels[3] == labels[4] == labels[5]
+    assert labels[0] != labels[3]
+    assert info["chaos"][-1] < 1e-3
