@@ -721,7 +721,7 @@ def q_mcl(sf_dir: str):
     sub_edges = ctx.graph("sym").edges.map_batches(
         _sub, batch_format="pyarrow", zero_copy_batch=True
     )
-    clusters, _info = mcl(sub_edges, len(sel_ids))
+    clusters, _info = mcl(sub_edges, len(sel_ids), max_iters=8)
     labels = np.asarray(ctx.labels)[sel_ids]
     return pa.table(
         {
