@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "masked_colsums": q.q_masked_colsums,
         "mis": q.q_mis,
         "mcl": q.q_mcl,
+        "ewise_apply_outer": q.q_ewise_apply_outer,
     }
 
 
@@ -116,6 +117,7 @@ def oracle_sql() -> dict[str, str]:
         "bfs_parents": o.bfs_parents("m_0", q.BFS_ITERS),
         "colstochastic": o.colstochastic(),
         "masked_colsums": o.masked_colsums(),
+        "ewise_apply_outer": o.ewise_apply_outer(),
         # mis: no SQL oracle (iterative random-priority algorithm);
         # pytest asserts independence + maximality invariants.
         # fingerprint / minhash_pairs / simhash / ann_lsh: deliberately no

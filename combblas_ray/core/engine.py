@@ -617,6 +617,25 @@ class SpmvEngine:
     def nnz(self) -> int:
         return sum(b["nnz"] for b in self.manifest["blocks"])
 
+    def metrics(self) -> dict:
+        """Engine health/diagnostics (LoadImbalance-style, SpParMat.h:99)."""
+        per_worker = [
+            sum(b["nnz"] for b in self.manifest["blocks"]
+                if b["br"] in brs and b["bc"] in bcs)
+            for brs, bcs in zip(self.actor_brs, self.actor_bcs)
+        ]
+        return {
+            "n": self.n,
+            "g": self.g,
+            "nnz": self.nnz(),
+            "num_blocks": len(self.manifest["blocks"]),
+            "num_workers": len(self.actors),
+            "block_load_imbalance": round(self.load_imbalance(), 4),
+            "worker_nnz_max": max(per_worker) if per_worker else 0,
+            "worker_nnz_min": min(per_worker) if per_worker else 0,
+            "w_dtype": self.manifest.get("w_dtype", "f8"),
+        }
+
     def shutdown(self):
         for a in self.actors:
             ray.kill(a)

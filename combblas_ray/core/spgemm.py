@@ -94,6 +94,67 @@ def spgemm(A_ds, B_ds, n: int, *, add: str = "sum", num_partitions: int = 32,
     return out
 
 
+def ewise_apply(
+    A_ds,
+    B_ds,
+    n: int,
+    fn,
+    *,
+    allow_a_nulls: bool = True,
+    allow_b_nulls: bool = True,
+    a_null: float = 0.0,
+    b_null: float = 0.0,
+    num_partitions: int = 16,
+):
+    """General coordinate-wise join of two edge tables —
+    `EWiseApply(A, B, binop, allowANulls, allowBNulls, ANull, BNull)`
+    (``ParFriends.h:2649-2697``): full/left/right/inner outer join on
+    (src,dst) selected by the null flags, missing side filled with the
+    null substitute, ``fn(wa, wb)`` vectorized numpy."""
+    how = (
+        "full_outer"
+        if allow_a_nulls and allow_b_nulls
+        else "left_outer"
+        if allow_b_nulls
+        else "right_outer"
+        if allow_a_nulls
+        else "inner"
+    )
+
+    def _key(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch.column("src")) * np.int64(n) + np.asarray(
+            batch.column("dst")
+        )
+        return pa.table({"key": pa.array(k), "w": batch.column("w")})
+
+    ka = A_ds.map_batches(_key, batch_format="pyarrow", zero_copy_batch=True)
+    kb = B_ds.map_batches(_key, batch_format="pyarrow", zero_copy_batch=True)
+    j = ka.join(
+        kb,
+        join_type=how,
+        num_partitions=num_partitions,
+        on=("key",),
+        left_suffix="_a",
+        right_suffix="_b",
+    )
+
+    def _apply(batch: pa.Table) -> pa.Table:
+        key = np.asarray(batch.column("key"))
+        wa = np.asarray(batch.column("w_a"), dtype=np.float64)
+        wb = np.asarray(batch.column("w_b"), dtype=np.float64)
+        wa = np.where(np.isnan(wa), a_null, wa)
+        wb = np.where(np.isnan(wb), b_null, wb)
+        return pa.table(
+            {
+                "src": pa.array((key // n).astype(np.int64)),
+                "dst": pa.array((key % n).astype(np.int64)),
+                "w": pa.array(fn(wa, wb)),
+            }
+        )
+
+    return j.map_batches(_apply, batch_format="pyarrow")
+
+
 def coordinate_mask(C_ds, mask_ds, n: int, *, anti: bool = False,
                     num_partitions: int = 32):
     """Keep C entries whose (src,dst) is (not, for anti) present in mask —

@@ -575,3 +575,17 @@ FROM edges e JOIN verts v ON v.i = e.dst
 WHERE e.src % 5 = 0
 GROUP BY v.label
 """
+
+
+@_materialized
+def ewise_apply_outer() -> str:
+    return PREFIX + """
+, at AS (SELECT dst AS src, src AS dst, w FROM edges),
+j AS (
+  SELECT coalesce(a.src, b.src) AS src, coalesce(a.dst, b.dst) AS dst,
+         2.0 * coalesce(a.w, 0.0) + coalesce(b.w, 0.0) AS val
+  FROM edges a FULL OUTER JOIN at b ON b.src = a.src AND b.dst = a.dst
+)
+SELECT vs.label AS src_label, vd.label AS dst_label, j.val AS val
+FROM j JOIN verts vs ON vs.i = j.src JOIN verts vd ON vd.i = j.dst
+"""

@@ -117,6 +117,33 @@ def bfs_parents(engine: SpmvEngine, root: int, max_iters: int = 10_000):
     return parents, dist
 
 
+def bfs_distances_auto(engine: SpmvEngine, root: int) -> np.ndarray:
+    """BFS distances with the sparse/dense plan switch: when the frontier
+    is below n/50 use SpMSpV, else dense min-plus SpMV — the reference's
+    density-threshold switch (``CC.h:1256``, ``FastSV.h:346``)."""
+    n = engine.n
+    d = np.full(n, np.inf)
+    d[root] = 0.0
+    frontier = np.array([root], dtype=np.int64)
+    level = 0
+    while len(frontier):
+        level += 1
+        if len(frontier) * 50 < n:
+            # SpMSpV: val = w + x = 1 + (level-1) = level for structural w=1
+            idx, vals = engine.spmspv(
+                frontier, np.full(len(frontier), level - 1.0), "min_plus"
+            )
+            newly = idx[vals < d[idx]]
+            d[newly] = level
+            frontier = newly
+        else:
+            nd = np.minimum(d, engine.spmv(d, "min_plus"))
+            newly = np.nonzero(nd < d)[0]
+            d = nd
+            frontier = newly
+    return d
+
+
 def luby_mis(engine: SpmvEngine, seed: int = 5) -> np.ndarray:
     """Luby's maximal independent set over the symmetrized engine
     (`FilteredMIS.cpp` workload family): deterministic per-vertex

@@ -120,7 +120,27 @@ def pagerank(
         if not fixed and tol is not None and info["delta"] < tol:
             break
     info["iters"] = k
+    if ckpt_dir:
+        _write_metrics(ckpt_dir, engine, info)
     return engine.unchunk(r_refs), info
+
+
+def _write_metrics(ckpt_dir: str, engine: SpmvEngine, info: dict) -> None:
+    m = dict(engine.metrics())
+    m.update(
+        {
+            "iters": info["iters"],
+            "delta": info["delta"],
+            "iter_time_mean_sec": (
+                float(np.mean(info["iter_times"])) if info["iter_times"] else None
+            ),
+            "resumed_at": info.get("resumed_at", 0),
+        }
+    )
+    tmp = os.path.join(ckpt_dir, "metrics.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(m, f, indent=1)
+    os.replace(tmp, os.path.join(ckpt_dir, "metrics.json"))
 
 
 def pagerank_prenormalized(

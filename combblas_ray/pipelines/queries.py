@@ -729,3 +729,17 @@ def q_mcl(sf_dir: str):
             "cluster": pa.array(labels[clusters], type=pa.string()),
         }
     )
+
+
+def q_ewise_apply_outer(sf_dir: str):
+    """Full-outer EWiseApply of A and A^T: val = 2*wA + wB with 0 nulls —
+    `EWiseApply` null-policy join (ParFriends.h:2649)."""
+    from ..core.spgemm import ewise_apply
+
+    ctx = get_context(sf_dir)
+    at = ctx.graph("directed").transpose().edges
+    out = ewise_apply(
+        ctx.edges, at, ctx.n, lambda a, b: 2.0 * a + b,
+        allow_a_nulls=True, allow_b_nulls=True,
+    )
+    return _decode_edge_labels(ctx, out, "val")

@@ -131,3 +131,11 @@ def test_mcl_two_triangles(ray_session):
     assert labels[3] == labels[4] == labels[5]
     assert labels[0] != labels[3]
     assert info["chaos"][-1] < 1e-3
+
+
+def test_bfs_auto_plan_switch_matches_dense(ctx500):
+    root = int(np.searchsorted(ctx500.labels, "m_0"))
+    eng = ctx500.engine("sym", g=2)
+    auto = alg.bfs_distances_auto(eng, root)
+    ref = alg.min_plus_distances(eng, root, iters=12)
+    assert np.array_equal(auto, ref)
