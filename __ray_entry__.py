@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mis": q.q_mis,
         "mcl": q.q_mcl,
         "ewise_apply_outer": q.q_ewise_apply_outer,
+        "betweenness": q.q_betweenness,
     }
 
 

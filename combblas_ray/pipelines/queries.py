@@ -743,3 +743,21 @@ def q_ewise_apply_outer(sf_dir: str):
         allow_a_nulls=True, allow_b_nulls=True,
     )
     return _decode_edge_labels(ctx, out, "val")
+
+
+def q_betweenness(sf_dir: str):
+    """Batched Brandes betweenness from 16 deterministic sources
+    (`BetwCent.cpp` analog). Rows-only: scores are verified against a
+    brute-force Brandes in pytest."""
+    from .betweenness import betweenness_centrality
+
+    ctx = get_context(sf_dir)
+    sources = np.arange(16, dtype=np.int64)  # dense ids
+    bc = betweenness_centrality(ctx.engine("sym"), sources)
+    ids = np.nonzero(bc > 0)[0]
+    return pa.table(
+        {
+            "label": _label_col(ctx, ids),
+            "bc": pa.array(np.round(bc[ids], 6)),
+        }
+    )

@@ -139,3 +139,17 @@ def test_bfs_auto_plan_switch_matches_dense(ctx500):
     auto = alg.bfs_distances_auto(eng, root)
     ref = alg.min_plus_distances(eng, root, iters=12)
     assert np.array_equal(auto, ref)
+
+
+def test_betweenness_matches_brute(ctx500):
+    from combblas_ray.pipelines.betweenness import (
+        betweenness_centrality,
+        brute_betweenness,
+    )
+
+    A = brute_dense_matrix(ctx500)
+    U = _und(A)
+    sources = np.array([0, 7, 33, 100, 250], dtype=np.int64)
+    got = betweenness_centrality(ctx500.engine("sym", g=2), sources)
+    ref = brute_betweenness(U, sources)
+    assert np.allclose(got, ref, rtol=1e-9, atol=1e-9)
