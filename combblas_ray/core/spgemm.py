@@ -94,6 +94,70 @@ def spgemm(A_ds, B_ds, n: int, *, add: str = "sum", num_partitions: int = 32,
     return out
 
 
+def spgemm_broadcast(A_ds, B_ds, n: int, *, add: str = "sum"):
+    """Plan B (broadcast join): B is small — build its CSR once, `ray.put`
+    it, and compose against A inside `map_batches` with no shuffle on the
+    big side except the final (i,j) merge of pre-combined partials. The
+    analog of the reference's small-side/broadcast cost switches
+    (`Extract` bcast test FastSV.h:221-228; SURVEY §4)."""
+    import ray
+
+    from .shuffle import group_reduce_per_key, keyed_reduce
+
+    rows_src, rows_dst, rows_w = [], [], []
+    for t in ray.get(B_ds.to_arrow_refs()):
+        if t.num_rows == 0 or "src" not in t.column_names:
+            continue
+        rows_src.append(np.asarray(t.column("src")))
+        rows_dst.append(np.asarray(t.column("dst")))
+        rows_w.append(np.asarray(t.column("w")))
+    bs = np.concatenate(rows_src) if rows_src else np.empty(0, np.int64)
+    bd = np.concatenate(rows_dst) if rows_dst else np.empty(0, np.int64)
+    bw = np.concatenate(rows_w) if rows_w else np.empty(0, np.float64)
+    order = np.argsort(bs, kind="stable")
+    bs, bd, bw = bs[order], bd[order], bw[order]
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(indptr, bs + 1, 1)
+    np.cumsum(indptr, out=indptr)
+    b_ref = ray.put((indptr, bd, bw))
+
+    def _compose(batch: pa.Table, *, _ref=b_ref) -> pa.Table:
+        indptr, bd, bw = _ref if isinstance(_ref, tuple) else ray.get(_ref)
+        ai = np.asarray(batch.column("src"))
+        ak = np.asarray(batch.column("dst"))
+        aw = np.asarray(batch.column("w"))
+        starts, ends = indptr[ak], indptr[ak + 1]
+        lens = ends - starts
+        total = int(lens.sum())
+        if total == 0:
+            return pa.table({"key": pa.array([], type=pa.int64()),
+                             "w": pa.array([], type=pa.float64())})
+        offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        idx = np.repeat(starts, lens) + (np.arange(total) - np.repeat(offs, lens))
+        i = np.repeat(ai, lens)
+        j = bd[idx]
+        w = np.repeat(aw, lens) * bw[idx]
+        uk, red = group_reduce_per_key(w, i * np.int64(n) + j, add)
+        return pa.table({"key": pa.array(uk), "w": pa.array(red)})
+
+    partial = A_ds.map_batches(_compose, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def _merge(batch: pa.Table) -> pa.Table:
+        uk, red = group_reduce_per_key(
+            np.asarray(batch.column("w")), np.asarray(batch.column("key")), add
+        )
+        return pa.table(
+            {
+                "src": pa.array((uk // n).astype(np.int64)),
+                "dst": pa.array((uk % n).astype(np.int64)),
+                "w": pa.array(red),
+            }
+        )
+
+    return keyed_reduce(partial, ["key"], _merge)
+
+
 def ewise_apply(
     A_ds,
     B_ds,

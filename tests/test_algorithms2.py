@@ -153,3 +153,16 @@ def test_betweenness_matches_brute(ctx500):
     got = betweenness_centrality(ctx500.engine("sym", g=2), sources)
     ref = brute_betweenness(U, sources)
     assert np.allclose(got, ref, rtol=1e-9, atol=1e-9)
+
+
+def test_spgemm_plans_agree(ctx500):
+    """Shuffle-join plan vs broadcast plan must produce identical products
+    (the reference's cross-kernel agreement strategy)."""
+    from combblas_ray.core.spgemm import spgemm, spgemm_broadcast
+
+    n = ctx500.n
+    a = spgemm(ctx500.edges, ctx500.edges, n, num_partitions=4)
+    b = spgemm_broadcast(ctx500.edges, ctx500.edges, n)
+    ra = sorted((r["src"], r["dst"], r["w"]) for r in a.take_all())
+    rb = sorted((r["src"], r["dst"], r["w"]) for r in b.take_all())
+    assert ra == rb
