@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mcl": q.q_mcl,
         "ewise_apply_outer": q.q_ewise_apply_outer,
         "betweenness": q.q_betweenness,
+        "sessions": q.q_sessions,
     }
 
 
@@ -119,6 +120,7 @@ def oracle_sql() -> dict[str, str]:
         "colstochastic": o.colstochastic(),
         "masked_colsums": o.masked_colsums(),
         "ewise_apply_outer": o.ewise_apply_outer(),
+        "sessions": o.sessions(),
         # mis: no SQL oracle (iterative random-priority algorithm);
         # pytest asserts independence + maximality invariants.
         # fingerprint / minhash_pairs / simhash / ann_lsh: deliberately no

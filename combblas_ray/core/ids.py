@@ -23,10 +23,43 @@ import ray
 
 
 def distinct_labels(labeled_edges_ds) -> np.ndarray:
-    """Distinct sorted labels across both endpoints (numpy unicode array)."""
-    srcs = labeled_edges_ds.select_columns(["src_label"]).unique("src_label")
-    dsts = labeled_edges_ds.select_columns(["dst_label"]).unique("dst_label")
-    return np.unique(np.asarray(list(set(srcs) | set(dsts)), dtype=str))
+    """Distinct sorted labels across both endpoints (numpy unicode array).
+
+    Batch-local unique -> hash repartition on a label hash -> partition
+    unique -> driver sort (the label exchange of `ReadGeneralizedTuples`'s
+    first pass, ``SpParMat.cpp:3680-3885``)."""
+    import zlib
+
+    from .shuffle import keyed_reduce
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        both = np.unique(
+            np.concatenate(
+                [
+                    np.asarray(batch.column("src_label")).astype(str),
+                    np.asarray(batch.column("dst_label")).astype(str),
+                ]
+            )
+        )
+        h = np.array([zlib.crc32(s.encode()) for s in both], dtype=np.int64)
+        return pa.table(
+            {"h": pa.array(h), "label": pa.array(both.tolist(), type=pa.string())}
+        )
+
+    def _merge(batch: pa.Table) -> pa.Table:
+        u = np.unique(np.asarray(batch.column("label")).astype(str))
+        return pa.table({"label": pa.array(u.tolist(), type=pa.string())})
+
+    ds = keyed_reduce(
+        labeled_edges_ds.map_batches(_partial, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+        ["h"],
+        _merge,
+    )
+    out = []
+    for row in ds.take_all():
+        out.append(row["label"])
+    return np.sort(np.array(out, dtype=str))
 
 
 def encode_edges(labeled_edges_ds, sorted_labels: np.ndarray):

@@ -589,3 +589,26 @@ j AS (
 SELECT vs.label AS src_label, vd.label AS dst_label, j.val AS val
 FROM j JOIN verts vs ON vs.i = j.src JOIN verts vd ON vd.i = j.dst
 """
+
+
+def sessions(gap_minutes: int = 30) -> str:
+    return f"""
+WITH ordered AS (
+  SELECT event_id, ts, user_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL {gap_minutes} MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+tagged AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM ordered
+)
+SELECT user_id,
+       min(event_id) AS session_start_event,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM tagged GROUP BY user_id, sess
+"""

@@ -761,3 +761,43 @@ def q_betweenness(sf_dir: str):
             "bc": pa.array(np.round(bc[ids], 6)),
         }
     )
+
+
+SESSION_GAP_MIN = 30
+
+
+def q_sessions(sf_dir: str):
+    """Gap-based sessionization of the events stream: per user, order by
+    (ts, event_id), close a session after a 30-minute silence. A stateful
+    keyed window operator the reference lacks — implemented as a hash
+    repartition on user_id + whole-partition vectorized session assembly.
+    Output: (user_id, session_start_event, n_events, sum_value)."""
+    import pandas as pd
+
+    import ray
+
+    from ..core.shuffle import keyed_reduce
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+
+    def _sessions(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(["user_id", "ts", "event_id"])
+        gap = pd.Timedelta(minutes=SESSION_GAP_MIN)
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        gap_break = df["ts"] - df["ts"].shift() > gap
+        start = (new_user | gap_break).astype(int)
+        df["sess"] = start.cumsum()
+        g = df.groupby("sess")
+        out = pd.DataFrame(
+            {
+                "user_id": g["user_id"].first(),
+                "session_start_event": g["event_id"].min(),
+                "n_events": g["event_id"].size().astype("int64"),
+                "sum_value": g["value"].sum().round(6),
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return keyed_reduce(ds, ["user_id"], _sessions)
