@@ -76,6 +76,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ewise_apply_outer": q.q_ewise_apply_outer,
         "betweenness": q.q_betweenness,
         "sessions": q.q_sessions,
+        "prune_rect": q.q_prune_rect,
+        "spasgn": q.q_spasgn,
+        "matching": q.q_matching,
     }
 
 
@@ -121,6 +124,8 @@ def oracle_sql() -> dict[str, str]:
         "masked_colsums": o.masked_colsums(),
         "ewise_apply_outer": o.ewise_apply_outer(),
         "sessions": o.sessions(),
+        "prune_rect": o.prune_rect(),
+        "spasgn": o.spasgn(),
         # mis: no SQL oracle (iterative random-priority algorithm);
         # pytest asserts independence + maximality invariants.
         # fingerprint / minhash_pairs / simhash / ann_lsh: deliberately no

@@ -612,3 +612,31 @@ SELECT user_id,
        round(sum(value), 6) AS sum_value
 FROM tagged GROUP BY user_id, sess
 """
+
+
+@_materialized
+def prune_rect() -> str:
+    return PREFIX + """
+SELECT vs.label AS src_label, vd.label AS dst_label, e.w AS w
+FROM edges e
+JOIN verts vs ON vs.i = e.src JOIN verts vd ON vd.i = e.dst
+WHERE NOT (e.src % 7 = 0 AND e.dst % 3 = 0)
+"""
+
+
+@_materialized
+def spasgn() -> str:
+    return PREFIX + """
+, carved AS (
+  SELECT src, dst, w FROM edges
+  WHERE NOT (src % 7 = 0 AND dst % 7 = 0)
+),
+assigned AS (
+  SELECT src, dst, w FROM carved
+  UNION ALL
+  SELECT i AS src, i AS dst, 9.0 AS w FROM files WHERE i % 7 = 0
+)
+SELECT vs.label AS src_label, vd.label AS dst_label, a.w AS w
+FROM assigned a
+JOIN verts vs ON vs.i = a.src JOIN verts vd ON vd.i = a.dst
+"""

@@ -172,6 +172,41 @@ def luby_mis(engine: SpmvEngine, seed: int = 5) -> np.ndarray:
     return in_mis
 
 
+def maximal_matching(engine: SpmvEngine, seed: int = 9) -> np.ndarray:
+    """Maximal matching via local-minimum proposals (the
+    `BipartiteMatchings` family's maximal-matching kernel, generalized to
+    the symmetric graph): per round, every unmatched vertex whose priority
+    beats all unmatched neighbors proposes to its min-priority unmatched
+    neighbor; proposal targets accept their min-priority proposer. The
+    global minimum always matches -> guaranteed progress. Returns partner
+    ids (-1 = unmatched)."""
+    n = engine.n
+    rng = np.random.RandomState(seed)
+    prio = rng.permutation(n).astype(np.float64)
+    match = np.full(n, -1, dtype=np.int64)
+    while True:
+        unmatched = match == -1
+        # encode (priority, id) as one comparable float: prio*n + id
+        x = np.where(unmatched, prio * n + np.arange(n), np.inf)
+        nb = engine.spmv(x, "select2nd_min")  # min unmatched neighbor code
+        has_nb = np.isfinite(nb)
+        if not (unmatched & has_nb).any():
+            break  # no unmatched vertex has an unmatched neighbor: maximal
+        nb_prio = np.floor_divide(nb, n, where=has_nb, out=np.full(n, np.inf))
+        local_min = unmatched & has_nb & (prio < nb_prio)
+        proposers = np.nonzero(local_min)[0]
+        partners = (nb[proposers] % n).astype(np.int64)
+        # each target accepts its min-priority proposer
+        order = np.lexsort((prio[proposers], partners))
+        sp, st = proposers[order], partners[order]
+        first = np.ones(len(st), dtype=bool)
+        first[1:] = st[1:] != st[:-1]
+        acc_v, acc_p = sp[first], st[first]
+        match[acc_v] = acc_p
+        match[acc_p] = acc_v
+    return match
+
+
 # --------------------------------------------------------------------------
 # label propagation (mode of neighbor classes)
 # --------------------------------------------------------------------------

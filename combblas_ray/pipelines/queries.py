@@ -801,3 +801,74 @@ def q_sessions(sf_dir: str):
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return keyed_reduce(ds, ["user_id"], _sessions)
+
+
+def q_prune_rect(sf_dir: str):
+    """Delete entries with src in S AND dst in T (S: arith%7==0,
+    T: arith%3==0) — `SpParMat::Prune(ri,ci)` (SpParMat.cpp:2484)."""
+    import ray
+
+    ctx = get_context(sf_dir)
+    arith_ref = ray.put(ctx.arith)
+
+    def _prune(batch: pa.Table, *, _ref=arith_ref) -> pa.Table:
+        arith = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+        src = np.asarray(batch.column("src"))
+        dst = np.asarray(batch.column("dst"))
+        drop = (arith[src] % 7 == 0) & (arith[dst] % 3 == 0)
+        return batch.filter(pa.array(~drop))
+
+    return _decode_edge_labels(
+        ctx,
+        ctx.edges.map_batches(_prune, batch_format="pyarrow",
+                              zero_copy_batch=True),
+        "w",
+    )
+
+
+def q_spasgn(sf_dir: str):
+    """A(ri,ri) := B — `SpAsgn` (SpParMat.cpp:2436): carve the (ri x ri)
+    region out of A (rectangular anti mask) and union in B; here ri =
+    vertices with arith%7==0 and B = 9.0-weighted diagonal on ri."""
+    import ray
+
+    ctx = get_context(sf_dir)
+    arith_ref = ray.put(ctx.arith)
+
+    def _carve(batch: pa.Table, *, _ref=arith_ref) -> pa.Table:
+        arith = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+        src = np.asarray(batch.column("src"))
+        dst = np.asarray(batch.column("dst"))
+        drop = (arith[src] % 7 == 0) & (arith[dst] % 7 == 0)
+        return batch.filter(pa.array(~drop))
+
+    carved = ctx.edges.map_batches(_carve, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    sel = np.nonzero(ctx.arith % 7 == 0)[0].astype(np.int64)
+    diag = pa.table(
+        {
+            "src": pa.array(sel),
+            "dst": pa.array(sel),
+            "w": pa.array(np.full(len(sel), 9.0)),
+        }
+    )
+    import ray as _ray
+
+    out = carved.union(_ray.data.from_arrow(diag))
+    return _decode_edge_labels(ctx, out, "w")
+
+
+def q_matching(sf_dir: str):
+    """Maximal matching (BipartiteMatchings-family kernel). Rows-only;
+    validity/maximality invariants asserted in pytest."""
+    ctx = get_context(sf_dir)
+    m = alg.maximal_matching(ctx.engine("sym"))
+    ids = np.nonzero(m >= 0)[0]
+    keep = ids < m[ids]  # one row per matched pair
+    ids = ids[keep]
+    return pa.table(
+        {
+            "label": _label_col(ctx, ids),
+            "partner": _label_col(ctx, m[ids]),
+        }
+    )

@@ -166,3 +166,18 @@ def test_spgemm_plans_agree(ctx500):
     ra = sorted((r["src"], r["dst"], r["w"]) for r in a.take_all())
     rb = sorted((r["src"], r["dst"], r["w"]) for r in b.take_all())
     assert ra == rb
+
+
+def test_maximal_matching_valid(ctx500):
+    A = brute_dense_matrix(ctx500)
+    U = _und(A)
+    m = alg.maximal_matching(ctx500.engine("sym", g=2))
+    n = ctx500.n
+    for v in range(n):
+        if m[v] >= 0:
+            assert m[m[v]] == v  # symmetric
+            assert U[v, m[v]] == 1 or U[m[v], v] == 1  # real edge
+    # maximality: no edge joins two unmatched vertices
+    un = np.nonzero(m < 0)[0]
+    assert U[np.ix_(un, un)].sum() == 0
+    assert (m >= 0).sum() > 0
