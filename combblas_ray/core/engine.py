@@ -218,6 +218,38 @@ class _Block:
             out[i] = self.spmv_partial(X_chunk[i], sr)
         return out
 
+    _PREDS = {
+        "ge": np.greater_equal,
+        "le": np.less_equal,
+        "gt": np.greater,
+        "lt": np.less,
+        "eq": np.equal,
+    }
+
+    def filtered_view(self, pred_op: str, pred_val: float) -> "_Block":
+        """Materialized edge-predicate view of this block — the filtered
+        semantic graph of `FilteredBFS.cpp:107-110` (`Twitter_materialize`):
+        the predicate is evaluated ONCE per (block, predicate) and cached;
+        SpMV then runs on the filtered arrays at full speed."""
+        if not hasattr(self, "_views"):
+            self._views = {}
+        key = (pred_op, float(pred_val))
+        if key not in self._views:
+            keep = self._PREDS[pred_op](self.w, pred_val)
+            v = object.__new__(_Block)
+            v.rows = self.rows[keep]
+            v.cols = self.cols[keep]
+            v.w = self.w[keep]
+            v.bid, v.br, v.bc, v.nr = self.bid, self.br, self.bc, self.nr
+            indptr = np.zeros(self.nr + 1, dtype=np.int64)
+            np.add.at(indptr, v.rows.astype(np.int64) + 1, 1)
+            np.cumsum(indptr, out=indptr)
+            v.indptr = indptr
+            v._csc = None
+            v._buf = np.empty(len(v.w), dtype=np.float64)
+            self._views[key] = v
+        return self._views[key]
+
     def _ensure_csc(self):
         if self._csc is None:
             order = np.lexsort((self.rows, self.cols))
@@ -303,6 +335,30 @@ class CsrPoolActor:
         out = {}
         for b in self.blocks:
             part = b.spmv_partial(fetched[b.bc], sr)
+            if b.br in out:
+                prev = out[b.br]
+                if len(prev) < len(part):
+                    prev, part = part, prev
+                if len(part) < len(prev):
+                    q = sr.empty(len(prev))
+                    q[: len(part)] = part
+                    part = q
+                out[b.br] = sr.combine(prev, part)
+            else:
+                out[b.br] = part
+        res = [out[br] for br in self.brs]
+        return res[0] if len(res) == 1 else tuple(res)
+
+    def spmv_filtered_partial(
+        self, sr_name: str, pred_op: str, pred_val: float, *x_chunks: np.ndarray
+    ):
+        """SpMV over the cached filtered views (FilteredBFS semantics)."""
+        sr = get_semiring(sr_name)
+        fetched = dict(zip(self.bcs, x_chunks))
+        out = {}
+        for b in self.blocks:
+            fb = b.filtered_view(pred_op, pred_val)
+            part = fb.spmv_partial(fetched[b.bc], sr)
             if b.br in out:
                 prev = out[b.br]
                 if len(prev) < len(part):
@@ -503,6 +559,28 @@ class SpmvEngine:
 
     def spmv(self, x: np.ndarray, sr: Semiring | str) -> np.ndarray:
         return self.unchunk(self.spmv_refs(self.chunk(x), sr))
+
+    def spmv_filtered(
+        self, x: np.ndarray, sr: Semiring | str, pred_op: str, pred_val: float
+    ) -> np.ndarray:
+        """SpMV with an edge-value predicate pushed into the multiply —
+        the filtered-semantic-graph SpMV of `FilteredBFS`/`FilteredMIS`."""
+        sr = get_semiring(sr)
+        x_refs = self.chunk(x)
+        partials: dict[int, list] = {br: [] for br in range(self.g)}
+        for actor, brs, bcs in zip(self.actors, self.actor_brs, self.actor_bcs):
+            refs = actor.spmv_filtered_partial.options(num_returns=len(brs)).remote(
+                sr.name, pred_op, pred_val, *[x_refs[bc] for bc in bcs]
+            )
+            if len(brs) == 1:
+                refs = [refs]
+            for br, ref in zip(brs, refs):
+                partials[br].append(ref)
+        out = []
+        for br in range(self.g):
+            nrows = self.bounds[br][1] - self.bounds[br][0]
+            out.append(_combine.remote(sr.name, nrows, *partials[br]))
+        return self.unchunk(out)
 
     def spmm(self, X: np.ndarray, sr: Semiring | str) -> np.ndarray:
         """Batched dense SpMM: X is (k, n) -> (k, n); one actor roundtrip
