@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prune_rect": q.q_prune_rect,
         "spasgn": q.q_spasgn,
         "matching": q.q_matching,
+        "rcm": q.q_rcm,
     }
 
 

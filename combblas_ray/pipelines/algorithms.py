@@ -172,6 +172,39 @@ def luby_mis(engine: SpmvEngine, seed: int = 5) -> np.ndarray:
     return in_mis
 
 
+def rcm_ordering(engine: SpmvEngine) -> np.ndarray:
+    """Reverse Cuthill-McKee ordering, level-synchronous relaxation (the
+    shape distributed RCM implementations use — reference app
+    `Applications/Ordering/RCM.cpp`): per connected component, BFS from
+    the min-degree vertex, order vertices by (component, BFS level,
+    degree, id), then reverse. Returns perm where perm[old] = new index.
+    """
+    n = engine.n
+    # structural degree = row sums of the 0/1 symmetric matrix
+    deg = engine.in_weights().astype(np.int64)
+    comp, _ = connected_components(engine)
+    # min-degree root per component (ties -> smallest id)
+    order = np.lexsort((np.arange(n), deg, comp))
+    comp_sorted = comp[order]
+    first = np.ones(n, dtype=bool)
+    first[1:] = comp_sorted[1:] != comp_sorted[:-1]
+    roots = order[first]
+    # one multi-source BFS (components are disjoint)
+    d = np.full(n, np.inf)
+    d[roots] = 0.0
+    while True:
+        nd = np.minimum(d, engine.spmv(d, "min_plus"))
+        if np.array_equal(np.nan_to_num(nd, posinf=-1), np.nan_to_num(d, posinf=-1)):
+            break
+        d = nd
+    level = np.where(np.isfinite(d), d, n).astype(np.int64)
+    cm = np.lexsort((np.arange(n), deg, level, comp))
+    rcm = cm[::-1]
+    perm = np.empty(n, dtype=np.int64)
+    perm[rcm] = np.arange(n)
+    return perm
+
+
 def maximal_matching(engine: SpmvEngine, seed: int = 9) -> np.ndarray:
     """Maximal matching via local-minimum proposals (the
     `BipartiteMatchings` family's maximal-matching kernel, generalized to

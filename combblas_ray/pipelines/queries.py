@@ -872,3 +872,14 @@ def q_matching(sf_dir: str):
             "partner": _label_col(ctx, m[ids]),
         }
     )
+
+
+def q_rcm(sf_dir: str):
+    """Reverse Cuthill-McKee ordering (Ordering/RCM.cpp analog).
+    Rows-only; profile reduction asserted in pytest."""
+    ctx = get_context(sf_dir)
+    perm = alg.rcm_ordering(ctx.engine("sym"))
+    ids = np.arange(ctx.n)
+    return pa.table(
+        {"label": _label_col(ctx, ids), "rcm_index": pa.array(perm)}
+    )

@@ -181,3 +181,18 @@ def test_maximal_matching_valid(ctx500):
     un = np.nonzero(m < 0)[0]
     assert U[np.ix_(un, un)].sum() == 0
     assert (m >= 0).sum() > 0
+
+
+def test_rcm_reduces_bandwidth(ctx500):
+    A = brute_dense_matrix(ctx500)
+    U = _und(A)
+    perm = alg.rcm_ordering(ctx500.engine("sym", g=2))
+    n = ctx500.n
+    assert sorted(perm.tolist()) == list(range(n))  # valid permutation
+    i, j = np.nonzero(U)
+    bw_before = int(np.abs(i - j).max())
+    bw_after = int(np.abs(perm[i] - perm[j]).max())
+    # mean |i-j| is the robust profile metric for the relaxed variant
+    prof_before = float(np.abs(i - j).mean())
+    prof_after = float(np.abs(perm[i] - perm[j]).mean())
+    assert prof_after < prof_before
