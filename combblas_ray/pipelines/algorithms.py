@@ -42,12 +42,27 @@ def cc_fixed(engine: SpmvEngine, iters: int) -> np.ndarray:
     return l.astype(np.int64)
 
 
-def connected_components(engine: SpmvEngine, max_iters: int = 100) -> tuple[np.ndarray, int]:
+def connected_components(
+    engine: SpmvEngine,
+    max_iters: int = 100,
+    *,
+    ckpt_dir: str | None = None,
+    ckpt_every: int = 5,
+    resume: bool = True,
+) -> tuple[np.ndarray, int]:
     """Min-label propagation + pointer-jumping shortcut, to convergence.
-    Returns (labels, iterations)."""
+    Returns (labels, iterations). With ``ckpt_dir``, the label vector is
+    snapshotted every ``ckpt_every`` rounds and restored on rerun."""
     n = engine.n
     l = np.arange(n, dtype=np.float64)
-    for k in range(1, max_iters + 1):
+    start = 0
+    if ckpt_dir and resume:
+        from ..state.checkpoint import load_latest
+
+        start, chunks = load_latest(ckpt_dir, "cc")
+        if chunks is not None:
+            l = engine.unchunk(chunks)
+    for k in range(start + 1, max_iters + 1):
         nl = engine.spmv(l, "select2nd_min")
         l2 = np.minimum(l, nl)
         # Shortcut: parent = parent(parent) until stable (CC.h:1321-1341)
@@ -58,6 +73,10 @@ def connected_components(engine: SpmvEngine, max_iters: int = 100) -> tuple[np.n
                 break
             idx = jumped
         l2 = idx.astype(np.float64)
+        if ckpt_dir and k % ckpt_every == 0:
+            from ..state.checkpoint import save_state
+
+            save_state(ckpt_dir, "cc", k, engine.chunk(l2))
         if np.array_equal(l2, l):
             return l2.astype(np.int64), k
         l = l2

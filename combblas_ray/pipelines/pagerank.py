@@ -15,7 +15,6 @@ resume picks up the latest complete iteration.
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 import time
@@ -54,12 +53,6 @@ def _combine_update(nrows: int, n: int, d: float, dmass: float,
     return r_new, float(r_new[dang].sum())
 
 
-@ray.remote
-def _save_chunk(path: str, arr: np.ndarray) -> str:
-    tmp = path + ".tmp.npz"
-    np.savez(tmp, r=arr)
-    os.replace(tmp, path)
-    return hashlib.sha256(arr.tobytes()).hexdigest()[:16]
 
 
 def pagerank(
@@ -184,37 +177,12 @@ def pagerank_prenormalized(
 
 
 def _checkpoint(ckpt_dir: str, k: int, r_refs: list) -> None:
-    paths = [os.path.join(ckpt_dir, f"iter{k:05d}_chunk{i:03d}.npz")
-             for i in range(len(r_refs))]
-    shas = ray.get([_save_chunk.remote(p, r) for p, r in zip(paths, r_refs)])
-    man = {
-        "iteration": k,
-        "chunks": [
-            {"chunk": i, "path": p, "sha": s}
-            for i, (p, s) in enumerate(zip(paths, shas))
-        ],
-    }
-    tmp = os.path.join(ckpt_dir, f"iter{k:05d}.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(man, f)
-    os.replace(tmp, os.path.join(ckpt_dir, f"iter{k:05d}.json"))
+    from ..state.checkpoint import save_state
+
+    save_state(ckpt_dir, "pr", k, r_refs)
 
 
 def _load_latest(engine: SpmvEngine, ckpt_dir: str):
-    manifests = sorted(
-        f for f in os.listdir(ckpt_dir) if f.startswith("iter") and f.endswith(".json")
-    )
-    for mf in reversed(manifests):
-        try:
-            with open(os.path.join(ckpt_dir, mf)) as f:
-                man = json.load(f)
-            chunks = []
-            for c in man["chunks"]:
-                arr = np.load(c["path"])["r"]
-                if hashlib.sha256(arr.tobytes()).hexdigest()[:16] != c["sha"]:
-                    raise ValueError("chunk sha mismatch")
-                chunks.append(ray.put(arr))
-            return man["iteration"], chunks
-        except Exception:
-            continue
-    return 0, None
+    from ..state.checkpoint import load_latest
+
+    return load_latest(ckpt_dir, "pr")

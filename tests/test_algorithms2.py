@@ -196,3 +196,15 @@ def test_rcm_reduces_bandwidth(ctx500):
     prof_before = float(np.abs(i - j).mean())
     prof_after = float(np.abs(perm[i] - perm[j]).mean())
     assert prof_after < prof_before
+
+
+def test_cc_checkpoint_resume(ctx500, tmp_path):
+    eng = ctx500.engine("sym", g=2)
+    full, _ = alg.connected_components(eng)
+    ck = str(tmp_path / "cc")
+    # checkpoint every round, then resume from the snapshots
+    r1, it1 = alg.connected_components(eng, ckpt_dir=ck, ckpt_every=1)
+    r2, it2 = alg.connected_components(eng, ckpt_dir=ck, ckpt_every=1)
+    assert np.array_equal(r1, full)
+    assert np.array_equal(r2, full)
+    assert it2 <= it1  # resumed at (or after) the converged snapshot
