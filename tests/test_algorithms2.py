@@ -207,4 +207,5 @@ def test_cc_checkpoint_resume(ctx500, tmp_path):
     r2, it2 = alg.connected_components(eng, ckpt_dir=ck, ckpt_every=1)
     assert np.array_equal(r1, full)
     assert np.array_equal(r2, full)
-    assert it2 <= it1  # resumed at (or after) the converged snapshot
+    # resumed from the converged snapshot: at most one verification round
+    assert it2 <= it1 + 1
