@@ -121,6 +121,29 @@ def corpus_dataset(n: int, *, override_num_blocks: int | None = None):
     )
 
 
+def write_corpus_parquet(n: int, path: str, *, overwrite: bool = False) -> str:
+    """Materialize the synthetic corpus as partitioned parquet — the
+    north-star input shape (a Parquet corpus of source files). Returns the
+    path; skips work if already present (deterministic content)."""
+    import os
+
+    done = os.path.join(path, "_DONE")
+    if os.path.exists(done) and not overwrite:
+        return path
+    corpus_dataset(n).write_parquet(path)
+    with open(done, "w") as f:
+        f.write(str(n))
+    return path
+
+
+def corpus_from_parquet(path: str, *, columns: list[str] | None = None):
+    """Read the corpus back with column pruning — an edge-extraction scan
+    needs ONLY (path, content); never read the other columns off storage."""
+    import ray
+
+    return ray.data.read_parquet(path, columns=columns or ["path", "content"])
+
+
 def arith_edges_dataset(
     n: int, extras_mod: int = 5, *, override_num_blocks: int | None = None
 ):

@@ -45,3 +45,28 @@ def test_labels_are_sorted_dense_ids(ctx500):
     assert len(labs) == 500
     assert (labs == np.sort(labs)).all()
     assert labs[0] == "m_0"
+
+
+def test_corpus_parquet_roundtrip_edges(ctx500, tmp_path, ray_session):
+    """Edges extracted from the on-disk parquet corpus (column-pruned
+    read) must equal edges from the in-memory generator."""
+    from combblas_ray.sources.corpus import (
+        corpus_from_parquet,
+        extract_labeled_edges,
+        write_corpus_parquet,
+    )
+
+    p = write_corpus_parquet(500, str(tmp_path / "corpus_pq"))
+    ds = corpus_from_parquet(p)
+    assert set(ds.schema().names) == {"path", "content"}
+    got = sorted(
+        (r["src_label"], r["dst_label"])
+        for r in extract_labeled_edges(ds).take_all()
+    )
+    from combblas_ray.sources.corpus import corpus_dataset
+
+    ref = sorted(
+        (r["src_label"], r["dst_label"])
+        for r in extract_labeled_edges(corpus_dataset(500)).take_all()
+    )
+    assert got == ref
