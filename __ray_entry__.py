@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spasgn": q.q_spasgn,
         "matching": q.q_matching,
         "rcm": q.q_rcm,
+        "clean_corpus": q.q_clean_corpus,
     }
 
 
@@ -126,6 +127,7 @@ def oracle_sql() -> dict[str, str]:
         "ewise_apply_outer": o.ewise_apply_outer(),
         "sessions": o.sessions(),
         "prune_rect": o.prune_rect(),
+        "clean_corpus": o.clean_corpus(),
         "spasgn": o.spasgn(),
         # mis: no SQL oracle (iterative random-priority algorithm);
         # pytest asserts independence + maximality invariants.

@@ -640,3 +640,21 @@ SELECT vs.label AS src_label, vd.label AS dst_label, a.w AS w
 FROM assigned a
 JOIN verts vs ON vs.i = a.src JOIN verts vd ON vd.i = a.dst
 """
+
+
+def clean_corpus() -> str:
+    return """
+WITH stats AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text,' '))) * 1.0
+           / greatest(len(string_split(text,' ')), 1) AS dr,
+         min(doc_id) OVER (
+           PARTITION BY array_to_string(
+             list_sort(list_distinct(string_split(text, ' '))), ' ')
+         ) AS canon_id
+  FROM documents
+)
+SELECT doc_id FROM stats
+WHERE dr >= 0.3 AND n_tokens >= 20 AND doc_id = canon_id
+"""

@@ -883,3 +883,29 @@ def q_rcm(sf_dir: str):
     return pa.table(
         {"label": _label_col(ctx, ids), "rcm_index": pa.array(perm)}
     )
+
+
+def q_clean_corpus(sf_dir: str):
+    """End-to-end training-data cleaning: quality filter (distinct-token
+    ratio >= 0.3 and >= 20 tokens) then exact dedup (keep canonical doc) —
+    the filter->dedup->keep pipeline of a pretraining corpus pass."""
+    from ..functions import dedup as D
+    from ..functions import text as T
+
+    docs = _docs(sf_dir)
+    qual = docs.map_batches(T.token_stats, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    quality = docs.map_batches(T.quality, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    keep_q = {
+        r["doc_id"]
+        for r in quality.filter(expr="distinct_ratio >= 0.3").take_all()
+    }
+    keep_t = {r["doc_id"] for r in qual.filter(expr="n_tokens >= 20").take_all()}
+    canon = {
+        r["doc_id"]
+        for r in D.exact_dedup(docs).take_all()
+        if r["doc_id"] == r["canon_id"]
+    }
+    kept = sorted(keep_q & keep_t & canon)
+    return pa.table({"doc_id": pa.array(kept, type=pa.int64())})
