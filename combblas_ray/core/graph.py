@@ -27,14 +27,6 @@ from typing import Optional
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
-
-
-def _pa_filter(fn):
-    def _f(batch: pa.Table) -> pa.Table:
-        return fn(batch)
-
-    return _f
 
 
 @dataclass

@@ -15,7 +15,6 @@ which mirrors the reference's ingest exchange + local merge
 from __future__ import annotations
 
 import numpy as np
-import pyarrow as pa
 
 
 def ensure_hash_shuffle() -> None:
