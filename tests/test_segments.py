@@ -35,3 +35,31 @@ def test_semiring_reduce_unordered_min():
     sr = SEMIRINGS["select2nd_min"]
     out = sr.reduce_unordered(np.array([5.0, 2.0, 7.0]), np.array([1, 1, 0]), 3)
     assert out[0] == 7.0 and out[1] == 2.0 and out[2] == np.inf
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.floats(0.5, 8.0)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(1, 5),
+)
+@settings(max_examples=40, deadline=None)
+def test_semiring_partial_final_associativity(pairs, nsplit):
+    """partial-reduce per arbitrary split + final reduce == direct reduce
+    for every shipped semiring's additive monoid (SURVEY §7.4 requirement
+    for correctness of the two-level shuffle combine)."""
+    keys = np.array([k for k, _ in pairs], dtype=np.int64)
+    vals = np.array([v for _, v in pairs], dtype=np.float64)
+    for name, sr in SEMIRINGS.items():
+        direct = sr.reduce_unordered(vals, keys, 10)
+        # split rows arbitrarily, reduce each part, then combine parts
+        parts = np.array_split(np.arange(len(keys)), nsplit)
+        acc = sr.empty(10)
+        for p in parts:
+            if len(p) == 0:
+                continue
+            partial = sr.reduce_unordered(vals[p], keys[p], 10)
+            acc = sr.combine(acc, partial)
+        assert np.allclose(acc, direct, equal_nan=True), name
