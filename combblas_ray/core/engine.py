@@ -428,6 +428,45 @@ class CsrPoolActor:
 
 
 @ray.remote(num_cpus=0)
+def _gather_from_owner(owner_vals: np.ndarray, local_idx: np.ndarray) -> np.ndarray:
+    return owner_vals[local_idx]
+
+
+@ray.remote(num_cpus=0)
+def _gather_route(idx: np.ndarray, bounds: list):
+    """Split a chunk's request indices by owner chunk. Returns 2g arrays
+    (dynamic num_returns): g owner-local index arrays, then g position
+    arrays."""
+    owners_idx, owners_pos = [], []
+    for (s, e) in bounds:
+        sel = (idx >= s) & (idx < e)
+        owners_idx.append((idx[sel] - s).astype(np.int64))
+        owners_pos.append(np.nonzero(sel)[0])
+    return tuple(owners_idx) + tuple(owners_pos)
+
+
+@ray.remote(num_cpus=0)
+def _gather_assemble(nrows: int, g: int, *pos_and_vals: np.ndarray):
+    positions, val_parts = pos_and_vals[:g], pos_and_vals[g:]
+    dtype = val_parts[0].dtype if val_parts else np.float64
+    out = np.empty(nrows, dtype=dtype)
+    for pos, vals in zip(positions, val_parts):
+        out[pos] = vals
+    return out
+
+
+@ray.remote(num_cpus=0)
+def _scatter_partial(idx: np.ndarray, vals: np.ndarray, s: int, e: int,
+                     sr_name: str):
+    sr = get_semiring(sr_name)
+    sel = (idx >= s) & (idx < e)
+    out = sr.empty(e - s)
+    li = (idx[sel] - s).astype(np.int64)
+    sr.add_ufunc.at(out, li, vals[sel])
+    return out
+
+
+@ray.remote(num_cpus=0)
 def _combine(sr_name: str, nrows: int, *parts: np.ndarray) -> np.ndarray:
     """Merge per-row-block partials with the semiring add (MergeContributions).
     num_cpus=0: tiny O(n/g) merges must not queue behind the CPU-reserving
@@ -559,6 +598,52 @@ class SpmvEngine:
 
     def spmv(self, x: np.ndarray, sr: Semiring | str) -> np.ndarray:
         return self.unchunk(self.spmv_refs(self.chunk(x), sr))
+
+    def gather_refs(self, value_refs: list, idx_refs: list) -> list:
+        """Distributed bulk gather out[i] = values[idx[i]] over chunked
+        vectors — `Extract` (``CC.h:419-577``): each requesting chunk
+        routes its indices to owner chunks (g x g small tasks), owners
+        serve slices, results reassemble per chunk. The driver never
+        touches a full vector."""
+        g = self.g
+        out = []
+        for i in range(g):
+            nrows = self.bounds[i][1] - self.bounds[i][0]
+            routed = _gather_route.options(num_returns=2 * g).remote(
+                idx_refs[i], self.bounds
+            )
+            owners_idx, owners_pos = routed[:g], routed[g:]
+            parts = [
+                _gather_from_owner.remote(value_refs[k], owners_idx[k])
+                for k in range(g)
+            ]
+            out.append(
+                _gather_assemble.remote(nrows, g, *owners_pos, *parts)
+            )
+        return out
+
+    def gather(self, values: np.ndarray, idx: np.ndarray) -> np.ndarray:
+        v_refs = self.chunk(np.ascontiguousarray(values))
+        i_refs = [
+            ray.put(np.ascontiguousarray(idx[s:e].astype(np.int64)))
+            for s, e in self.bounds
+        ]
+        return self.unchunk(self.gather_refs(v_refs, i_refs))
+
+    def scatter_reduce(self, idx: np.ndarray, vals: np.ndarray,
+                       sr: Semiring | str) -> np.ndarray:
+        """Distributed scatter with semiring conflict resolution —
+        `Assign`/`ReduceAssign` (``CC.h:579-1032``, ``FastSV.h:67-200``):
+        (idx, val) pairs route to owner ranges, each owner reduces its
+        slice with the semiring add."""
+        sr = get_semiring(sr)
+        i_ref = ray.put(idx.astype(np.int64))
+        v_ref = ray.put(vals.astype(np.float64))
+        parts = [
+            _scatter_partial.remote(i_ref, v_ref, s, e, sr.name)
+            for (s, e) in self.bounds
+        ]
+        return self.unchunk(parts)
 
     def spmv_filtered(
         self, x: np.ndarray, sr: Semiring | str, pred_op: str, pred_val: float

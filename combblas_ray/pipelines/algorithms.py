@@ -108,6 +108,36 @@ def min_plus_distances(
     return d
 
 
+def fastsv(engine: SpmvEngine, max_iters: int = 200) -> tuple[np.ndarray, int]:
+    """FastSV connected components (``FastSV.h:335-374``), with the
+    reference's primitive structure mapped to distributed ops:
+    - mngp = SpMV-min of grandparents          (Select2ndMinSR SpMV)
+    - stochastic hooking: f[f[u]] = min(mngp)  (`Assign` scatter-min)
+    - aggressive hooking: f[u] = min(f[u], mngp)
+    - shortcutting: f = f[f]                   (`Extract` distributed gather)
+    Converges when no grandparent changes. Returns (labels, iters)."""
+    n = engine.n
+    f = np.arange(n, dtype=np.float64)  # parent
+    gp = f.copy()  # grandparent
+    for it in range(1, max_iters + 1):
+        mngp = engine.spmv(gp, "select2nd_min")  # min neighbor grandparent
+        mngp = np.minimum(mngp, gp)
+        # stochastic hooking: scatter-min onto parents' slots
+        hook = engine.scatter_reduce(
+            f.astype(np.int64), mngp, "select2nd_min"
+        )
+        f = np.minimum(f, hook)
+        # aggressive hooking onto own slot
+        f = np.minimum(f, mngp)
+        # shortcutting: f = f[f] (distributed gather)
+        f = engine.gather(f, f.astype(np.int64))
+        new_gp = engine.gather(f, f.astype(np.int64))
+        if np.array_equal(new_gp, gp):
+            return f.astype(np.int64), it
+        gp = new_gp
+    return f.astype(np.int64), max_iters
+
+
 def bfs_parents(engine: SpmvEngine, root: int, max_iters: int = 10_000):
     """Frontier-driven top-down BFS producing the parent tree — the actual
     reference loop (``TopDownBFS.cpp:440-449``): per level,

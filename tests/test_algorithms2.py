@@ -209,3 +209,11 @@ def test_cc_checkpoint_resume(ctx500, tmp_path):
     assert np.array_equal(r2, full)
     # resumed from the converged snapshot: at most one verification round
     assert it2 <= it1 + 1
+
+
+def test_fastsv_matches_cc(ctx500):
+    eng = ctx500.engine("sym", g=2)
+    ref, _ = alg.connected_components(eng)
+    got, iters = alg.fastsv(eng)
+    assert np.array_equal(got, ref)
+    assert iters < 20

@@ -121,3 +121,20 @@ def test_block_rebuild_after_lost_file(ctx500, tmp_path):
     man2 = build_blocks(g, 2, d)
     assert os.path.exists(victim)
     assert [b["sha"] for b in man2["blocks"]] == [b["sha"] for b in man1["blocks"]]
+
+
+def test_distributed_gather_scatter(ctx500):
+    rng = np.random.RandomState(0)
+    n = ctx500.n
+    eng = ctx500.engine("sym", g=4)
+    vals = rng.rand(n)
+    idx = rng.randint(0, n, size=n)
+    got = eng.gather(vals, idx)
+    assert np.array_equal(got, vals[idx])
+    # scatter-min with conflicts
+    tgt = rng.randint(0, n, size=2 * n)
+    sv = rng.rand(2 * n)
+    out = eng.scatter_reduce(tgt, sv, "select2nd_min")
+    ref = np.full(n, np.inf)
+    np.minimum.at(ref, tgt, sv)
+    assert np.array_equal(out, ref)
