@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "matching": q.q_matching,
         "rcm": q.q_rcm,
         "clean_corpus": q.q_clean_corpus,
+        "fastsv": q.q_fastsv,
+        "token_counts_re": q.q_token_counts_re,
     }
 
 
@@ -128,6 +130,8 @@ def oracle_sql() -> dict[str, str]:
         "sessions": o.sessions(),
         "prune_rect": o.prune_rect(),
         "clean_corpus": o.clean_corpus(),
+        "fastsv": o.connected_components(q.CC_ITERS),
+        "token_counts_re": o.token_counts_re(),
         "spasgn": o.spasgn(),
         # mis: no SQL oracle (iterative random-priority algorithm);
         # pytest asserts independence + maximality invariants.

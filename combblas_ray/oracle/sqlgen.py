@@ -658,3 +658,12 @@ WITH stats AS (
 SELECT doc_id FROM stats
 WHERE dr >= 0.3 AND n_tokens >= 20 AND doc_id = canon_id
 """
+
+
+def token_counts_re() -> str:
+    return r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+            AS BIGINT) AS n_re_tokens
+FROM documents
+"""

@@ -909,3 +909,35 @@ def q_clean_corpus(sf_dir: str):
     }
     kept = sorted(keep_q & keep_t & canon)
     return pa.table({"doc_id": pa.array(kept, type=pa.int64())})
+
+
+def q_fastsv(sf_dir: str):
+    """FastSV connected components (FastSV.h:335-374): must equal the
+    min-label CC fixpoint, so it shares the CC oracle."""
+    ctx = get_context(sf_dir)
+    comp, _ = alg.fastsv(ctx.engine("sym"))
+    ids = np.arange(ctx.n)
+    return pa.table(
+        {"label": _label_col(ctx, ids), "comp": _label_col(ctx, comp)}
+    )
+
+
+BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def q_token_counts_re(sf_dir: str):
+    """BPE-ish regex token counting (vectorized Arrow regex kernels):
+    (doc_id, n_re_tokens)."""
+    import pyarrow.compute as pc
+
+    def _cnt(batch: pa.Table) -> pa.Table:
+        matches = pc.count_substring_regex(batch.column("text"), BPE_RE)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_re_tokens": pc.cast(matches, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(_cnt, batch_format="pyarrow",
+                                     zero_copy_batch=True)
