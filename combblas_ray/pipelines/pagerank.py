@@ -35,7 +35,12 @@ def _make_x(r: np.ndarray, inv_outw: np.ndarray, dang: np.ndarray):
 
 
 @ray.remote(num_returns=2, num_cpus=0)
-def _update(y: np.ndarray, r_prev: np.ndarray, n: int, d: float, dmass: float):
+def _combine_update_delta(nrows: int, n: int, d: float, dmass: float,
+                          r_prev: np.ndarray, *parts: np.ndarray):
+    """Fused MergeContributions + axpy + L1 delta for the general path."""
+    y = np.zeros(nrows, dtype=np.float64)
+    for p in parts:
+        y[: len(p)] += p
     r_new = (1.0 - d) / n + d * (y + dmass / n)
     return r_new, float(np.abs(r_new - r_prev).sum())
 
@@ -89,6 +94,7 @@ def pagerank(
     total = iters if iters is not None else max_iters
     info = {"iters": 0, "delta": None, "iter_times": [], "resumed_at": start_iter}
     fixed = iters is not None
+    sizes = engine.chunk_sizes()
     k = start_iter
     while k < total:
         t0 = time.perf_counter()
@@ -96,9 +102,11 @@ def pagerank(
         x_refs = [m[0] for m in made]
         # one sync point per iteration: the scalar dangling mass
         dmass = sum(ray.get([m[1] for m in made]))
-        y_refs = engine.spmv_refs(x_refs, "plus_times")
+        partials = engine.spmv_partial_refs(x_refs, "plus_times")
         upd = [
-            _update.remote(y_refs[i], r_refs[i], n, damping, dmass)
+            _combine_update_delta.remote(
+                sizes[i], n, damping, dmass, r_refs[i], *partials[i]
+            )
             for i in range(g)
         ]
         new_refs = [u[0] for u in upd]
