@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus": q.q_clean_corpus,
         "fastsv": q.q_fastsv,
         "token_counts_re": q.q_token_counts_re,
+        "knn_components": q.q_knn_components,
     }
 
 

@@ -941,3 +941,44 @@ def q_token_counts_re(sf_dir: str):
 
     return _docs(sf_dir).map_batches(_cnt, batch_format="pyarrow",
                                      zero_copy_batch=True)
+
+
+def q_knn_components(sf_dir: str):
+    """Embedding-space communities: kNN graph (exact cosine top-5 per
+    vector) -> symmetrize -> connected components. The ANN-graph +
+    graph-engine integration showcase. Rows-only (float top-k graph);
+    component validity follows from the CC machinery's own oracles."""
+    import ray
+
+    from ..core.engine import SpmvEngine
+    from ..core.graph import Graph
+    from ..functions.ann import ann_bruteforce_topk
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    ids = np.array([r["vec_id"] for r in emb.take_all()], dtype=np.int64)
+    n = int(ids.max()) + 1
+    topk = ann_bruteforce_topk(emb, ids, k=5)
+    edges = pa.table(
+        {
+            "src": topk.column("query_id"),
+            "dst": topk.column("neighbor_id"),
+            "w": pa.array(np.ones(topk.num_rows)),
+        }
+    )
+    g = Graph(n=n, edges=ray.data.from_arrow(edges))
+    import os
+
+    from .context import CKPT_ROOT
+
+    eng = SpmvEngine.from_graph(
+        g.union_max(), 2, os.path.join(CKPT_ROOT, f"knn_n{n}"), structural=True
+    )
+    comp, _ = alg.connected_components(eng)
+    eng.shutdown()
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "component": pa.array(comp),
+        }
+    )
