@@ -173,6 +173,99 @@ def build_blocks(graph, g: int, ckpt_dir: str, *, resume: bool = True,
     return man
 
 
+def update_blocks(man: dict, delta_graph, ckpt_dir: str) -> dict:
+    """Incremental ingest (the `Applications/Incremental` family, e.g.
+    ``IncrementalMCLSquare``, reimagined for the checkpointed block store):
+    merge a DELTA edge table into an existing block manifest, rebuilding
+    ONLY the blocks whose (br, bc) the delta touches — untouched block
+    files (and their shas) are reused verbatim. Weights of coinciding
+    edges sum (`operator+=` semantics, ``SpParMat.cpp:741``)."""
+    n, g = man["n"], man["g"]
+    if delta_graph.n != n:
+        raise ValueError("delta must share the vertex space")
+
+    def _key(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch.column("src"))
+        dst = np.asarray(batch.column("dst"))
+        br = owner(dst, n, g)
+        bc = owner(src, n, g)
+        return batch.append_column("bid", pa.array(br * g + bc))
+
+    from .shuffle import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+    keyed = delta_graph.edges.map_batches(_key, batch_format="pyarrow",
+                                          zero_copy_batch=True)
+    by_block = man["g"], {b["bid"]: b for b in man["blocks"]}
+
+    def _merge_delta(batch: pa.Table) -> pa.Table:
+        gcols, existing = by_block
+        bids = np.asarray(batch.column("bid"))
+        rows_out = []
+        for bid in np.unique(bids):
+            sel = bids == bid
+            src = np.asarray(batch.column("src"))[sel]
+            dst = np.asarray(batch.column("dst"))[sel]
+            w = np.asarray(batch.column("w"))[sel].astype(np.float64)
+            old = existing.get(int(bid))
+            if old is not None:
+                z = np.load(old["path"])
+                br, bc = int(bid) // g, int(bid) % g
+                ls_r = local_size(n, g)
+                ls_c = local_size(n, g)
+                src = np.concatenate([src, z["cols"].astype(np.int64) + bc * ls_c])
+                dst = np.concatenate([dst, z["rows"].astype(np.int64) + br * ls_r])
+                w = np.concatenate([w, z["w"].astype(np.float64)])
+            info = _rebuild_one_block(int(bid), src, dst, w, n, g, ckpt_dir)
+            rows_out.append(info)
+        if not rows_out:
+            return pa.table({"bid": pa.array([], type=pa.int64())})
+        return pa.table({k: [r[k] for r in rows_out] for k in rows_out[0]})
+
+    changed = keyed.repartition(
+        num_blocks=min(g * g, 64), keys=["bid"]
+    ).map_batches(_merge_delta, batch_format="pyarrow", batch_size=None).take_all()
+    merged = {b["bid"]: b for b in man["blocks"]}
+    for r in changed:
+        merged[r["bid"]] = {k: r[k] for k in ("bid", "br", "bc", "path", "nnz", "sha")}
+    new_man = dict(man)
+    new_man["blocks"] = sorted(merged.values(), key=lambda b: b["bid"])
+    mpath = os.path.join(ckpt_dir, MANIFEST_NAME)
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(new_man, f)
+    os.replace(tmp, mpath)
+    return new_man
+
+
+def _rebuild_one_block(bid: int, src, dst, w, n: int, g: int, ckpt_dir: str) -> dict:
+    ls_r = local_size(n, g)
+    ls_c = local_size(n, g)
+    br, bc = bid // g, bid % g
+    row0, col0 = br * ls_r, bc * ls_c
+    nr = (n - row0) if br == g - 1 else ls_r
+    nc = (n - col0) if bc == g - 1 else ls_c
+    rows = (np.asarray(dst) - row0).astype(np.int64)
+    cols = (np.asarray(src) - col0).astype(np.int64)
+    key = rows * np.int64(n) + cols
+    uk, inv = np.unique(key, return_inverse=True)
+    wm = np.bincount(inv, weights=w)
+    idx_dt = np.uint16 if max(nr, nc) <= 65536 else np.int32
+    rows = (uk // n).astype(idx_dt)
+    cols = (uk % n).astype(idx_dt)
+    wm = wm.astype(np.float64)
+    indptr = np.zeros(nr + 1, dtype=np.int64)
+    np.add.at(indptr, rows.astype(np.int64) + 1, 1)
+    np.cumsum(indptr, out=indptr)
+    path = _block_file(ckpt_dir, bid)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, indptr=indptr, rows=rows, cols=cols, w=wm,
+             meta=np.array([bid, br, bc, row0, col0, nr], dtype=np.int64))
+    os.replace(tmp, path)
+    sha = hashlib.sha256(rows.tobytes() + cols.tobytes() + wm.tobytes()).hexdigest()[:16]
+    return {"bid": bid, "br": br, "bc": bc, "path": path, "nnz": len(wm), "sha": sha}
+
+
 # --------------------------------------------------------------------------
 # resident block actors
 # --------------------------------------------------------------------------

@@ -138,3 +138,53 @@ def test_distributed_gather_scatter(ctx500):
     ref = np.full(n, np.inf)
     np.minimum.at(ref, tgt, sv)
     assert np.array_equal(out, ref)
+
+
+def test_incremental_block_update(ctx500, tmp_path, ray_session):
+    """Merging a delta into the block store must equal a full rebuild of
+    the unioned edge set, and untouched blocks must not be rewritten."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+
+    import ray
+
+    from combblas_ray.core.engine import build_blocks, update_blocks
+    from combblas_ray.core.graph import Graph
+
+    g = ctx500.graph("directed")
+    n = ctx500.n
+    d1 = str(tmp_path / "inc")
+    man = build_blocks(g, 4, d1)
+    mtimes = {b["bid"]: os.path.getmtime(b["path"]) for b in man["blocks"]}
+
+    # delta touching only low-id dst region (block rows 0)
+    delta_tbl = pa.table(
+        {
+            "src": pa.array([5, 10, 400], type=pa.int64()),
+            "dst": pa.array([3, 3, 7], type=pa.int64()),
+            "w": pa.array([2.0, 1.0, 5.0]),
+        }
+    )
+    delta = Graph(n=n, edges=ray.data.from_arrow(delta_tbl))
+    man2 = update_blocks(man, delta, d1)
+
+    # reference: full rebuild of union
+    d2 = str(tmp_path / "full")
+    union = Graph(n=n, edges=g.edges.union(ray.data.from_arrow(delta_tbl)))
+    man3 = build_blocks(union, 4, d2)
+    assert {b["bid"]: b["sha"] for b in man2["blocks"]} == {
+        b["bid"]: b["sha"] for b in man3["blocks"]
+    }
+    # only delta-touched blocks rewritten
+    touched = {b["bid"] for b in man2["blocks"]
+               if os.path.getmtime(b["path"]) != mtimes.get(b["bid"])}
+    expect_touched = set()
+    from combblas_ray.core.partition import owner
+
+    import numpy as np
+
+    for s, dd in [(5, 3), (10, 3), (400, 7)]:
+        expect_touched.add(int(owner(dd, n, 4)) * 4 + int(owner(s, n, 4)))
+    assert touched == expect_touched
