@@ -84,6 +84,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fastsv": q.q_fastsv,
         "token_counts_re": q.q_token_counts_re,
         "knn_components": q.q_knn_components,
+        "spmm_batch": q.q_spmm_batch,
+        "reduce_rowmin": q.q_reduce_rowmin,
+        "vec_ewise_add": q.q_vec_ewise_add,
     }
 
 
@@ -133,6 +136,9 @@ def oracle_sql() -> dict[str, str]:
         "clean_corpus": o.clean_corpus(),
         "fastsv": o.connected_components(q.CC_ITERS),
         "token_counts_re": o.token_counts_re(),
+        "spmm_batch": o.spmm_batch(),
+        "reduce_rowmin": o.reduce_rowmin(),
+        "vec_ewise_add": o.vec_ewise_add(),
         "spasgn": o.spasgn(),
         # mis: no SQL oracle (iterative random-priority algorithm);
         # pytest asserts independence + maximality invariants.

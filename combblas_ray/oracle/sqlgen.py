@@ -667,3 +667,36 @@ SELECT doc_id,
             AS BIGINT) AS n_re_tokens
 FROM documents
 """
+
+
+@_materialized
+def spmm_batch() -> str:
+    return PREFIX + """
+SELECT v.label AS label,
+       sum(e.w * (((e.src + 0) % 7) + 1)) AS y0,
+       sum(e.w * (((e.src + 1) % 7) + 1)) AS y1,
+       sum(e.w * (((e.src + 2) % 7) + 1)) AS y2
+FROM edges e JOIN verts v ON v.i = e.dst GROUP BY v.label
+"""
+
+
+@_materialized
+def reduce_rowmin() -> str:
+    return PREFIX + """
+SELECT v.label AS label, min(e.w) AS minw
+FROM edges e JOIN verts v ON v.i = e.src GROUP BY v.label
+"""
+
+
+@_materialized
+def vec_ewise_add() -> str:
+    return PREFIX + """
+, outd AS (SELECT src AS i, count(*) AS c FROM edges GROUP BY src),
+ind AS (SELECT dst AS i, count(*) AS c FROM edges GROUP BY dst),
+j AS (
+  SELECT coalesce(o.i, d.i) AS i,
+         CAST(coalesce(o.c, 0) + 2 * coalesce(d.c, 0) AS DOUBLE) AS val
+  FROM outd o FULL OUTER JOIN ind d ON d.i = o.i
+)
+SELECT v.label AS label, j.val AS val FROM j JOIN verts v ON v.i = j.i
+"""

@@ -982,3 +982,72 @@ def q_knn_components(sf_dir: str):
             "component": pa.array(comp),
         }
     )
+
+
+def q_spmm_batch(sf_dir: str):
+    """Batched SpMM: 3 simultaneous plus_times SpMVs with x_k[i] =
+    ((i+k) % 7) + 1 — the tall-skinny multi-vector product
+    (BetwCent.cpp:179-187). Output (label, y0, y1, y2)."""
+    ctx = get_context(sf_dir)
+    n = ctx.n
+    X = np.stack([((ctx.arith + k) % 7 + 1).astype(np.float64) for k in range(3)])
+    Y = ctx.engine("directed").spmm(X, "plus_times")
+    ids = np.nonzero(Y.sum(axis=0) > 0)[0]
+    return pa.table(
+        {
+            "label": _label_col(ctx, ids),
+            "y0": pa.array(Y[0, ids]),
+            "y1": pa.array(Y[1, ids]),
+            "y2": pa.array(Y[2, ids]),
+        }
+    )
+
+
+def q_reduce_rowmin(sf_dir: str):
+    """Per-row (src) min of nonzeros — `Reduce(Row, minimum)`."""
+    import ray
+
+    ctx = get_context(sf_dir)
+    lab_ref = ray.put(np.asarray(ctx.labels))
+    red = ctx.graph("directed").reduce("row", "min")
+
+    def _dec(batch: pa.Table, *, _ref=lab_ref) -> pa.Table:
+        labels = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+        v = np.asarray(batch.column("v"))
+        return pa.table(
+            {"label": pa.array(labels[v], type=pa.string()),
+             "minw": batch.column("val")}
+        )
+
+    return red.map_batches(_dec, batch_format="pyarrow")
+
+
+def q_vec_ewise_add(sf_dir: str):
+    """EWise join of the out-degree and in-degree vectors (full outer,
+    nulls -> 0): val = outdeg + 2*indeg — `EWiseApply` vector family."""
+    from ..core import vecops
+
+    ctx = get_context(sf_dir)
+    g = ctx.graph("directed")
+    outd = g.reduce("row", "count")
+    ind = g.reduce("col", "count")
+    import ray
+
+    lab_ref = ray.put(np.asarray(ctx.labels))
+    joined = vecops.ewise_join(
+        outd, ind,
+        lambda a, b: np.nan_to_num(a) + 2 * np.nan_to_num(b),
+        how="full_outer",
+    )
+
+    def _dec(batch: pa.Table, *, _ref=lab_ref) -> pa.Table:
+        labels = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+        v = np.asarray(batch.column("v"))
+        return pa.table(
+            {
+                "label": pa.array(labels[v], type=pa.string()),
+                "val": batch.column("val"),
+            }
+        )
+
+    return joined.map_batches(_dec, batch_format="pyarrow")
