@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spmm_batch": q.q_spmm_batch,
         "reduce_rowmin": q.q_reduce_rowmin,
         "vec_ewise_add": q.q_vec_ewise_add,
+        "auction_matching": q.q_auction_matching,
     }
 
 

@@ -466,6 +466,37 @@ class CsrPoolActor:
         res = [out[br] for br in self.brs]
         return res[0] if len(res) == 1 else tuple(res)
 
+    def auction_bids_partial(self, *chunks: np.ndarray):
+        """Auction-matching bid computation (AWPM,
+        `Applications/BipartiteMatchings`): persons = rows (dst), objects =
+        columns (src). For each ACTIVE person row, over this worker's
+        blocks: values v = w - price[col]; returns per row-block arrays
+        (rows_local, best_v, best_col_global, second_v) — partials, the
+        driver merges across workers. ``chunks`` = price chunks aligned
+        with self.bcs, then active-mask chunks aligned with self.brs."""
+        nb = len(self.bcs)
+        price = dict(zip(self.bcs, chunks[:nb]))
+        active = dict(zip(self.brs, chunks[nb:]))
+        out = []
+        for b in self.blocks:
+            act = active[b.br]
+            keep = act[b.rows.astype(np.int64)]
+            if not keep.any():
+                continue
+            rows = b.rows[keep].astype(np.int64)
+            cols = b.cols[keep].astype(np.int64)
+            w = b.w[keep].astype(np.float64)
+            vals = w - price[b.bc][cols]
+            order = np.lexsort((-vals, rows))
+            rows, cols, vals = rows[order], cols[order], vals[order]
+            ur, starts = np.unique(rows, return_index=True)
+            ends = np.append(starts[1:], len(rows))
+            best_v = vals[starts]
+            best_c = cols[starts]  # local col; driver adds the bc offset
+            second_v = np.where(ends - starts >= 2, vals[np.minimum(starts + 1, len(vals) - 1)], -np.inf)
+            out.append((b.br, b.bc, ur, best_v, best_c, second_v))
+        return out
+
     def spmm_partial(self, sr_name: str, *X_chunks: np.ndarray):
         """Batched SpMV partials; one roundtrip for k vectors."""
         sr = get_semiring(sr_name)

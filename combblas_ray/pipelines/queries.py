@@ -1051,3 +1051,19 @@ def q_vec_ewise_add(sf_dir: str):
         )
 
     return joined.map_batches(_dec, batch_format="pyarrow")
+
+
+def q_auction_matching(sf_dir: str):
+    """Auction maximum-weight matching (AWPM analog) on the weighted
+    directed graph. Rows-only; optimality vs brute force in pytest."""
+    from .auction import auction_matching
+
+    ctx = get_context(sf_dir)
+    p2o, _price, _info = auction_matching(ctx.engine("sssp"), eps=1e-3)
+    ids = np.nonzero(p2o >= 0)[0]
+    return pa.table(
+        {
+            "label": _label_col(ctx, ids),
+            "object": _label_col(ctx, p2o[ids]),
+        }
+    )

@@ -217,3 +217,58 @@ def test_fastsv_matches_cc(ctx500):
     got, iters = alg.fastsv(eng)
     assert np.array_equal(got, ref)
     assert iters < 20
+
+
+def test_auction_matching_optimal_on_dense(ray_session, tmp_path):
+    import itertools
+
+    import pyarrow as pa
+
+    import ray
+
+    from combblas_ray.core.engine import SpmvEngine
+    from combblas_ray.core.graph import Graph
+    from combblas_ray.pipelines.auction import auction_matching
+
+    for trial in range(3):
+        rng = np.random.RandomState(trial)
+        n = 6
+        W = rng.randint(1, 50, size=(n, n)).astype(np.float64)
+        s_l, d_l, w_l = [], [], []
+        for p in range(n):
+            for o in range(n):
+                s_l.append(o)
+                d_l.append(p)
+                w_l.append(W[p, o])
+        ds = ray.data.from_arrow(
+            pa.table({"src": pa.array(s_l, type=pa.int64()),
+                      "dst": pa.array(d_l, type=pa.int64()),
+                      "w": pa.array(w_l)})
+        )
+        eng = SpmvEngine.from_graph(
+            Graph(n=n, edges=ds), 2, str(tmp_path / f"a{trial}"), resume=False
+        )
+        p2o, price, info = auction_matching(eng, eps=1e-4)
+        got = sum(W[p, p2o[p]] for p in range(n) if p2o[p] >= 0)
+        best = max(
+            sum(W[p, perm[p]] for p in range(n))
+            for perm in itertools.permutations(range(n))
+        )
+        assert abs(got - best) < n * 1e-4 + 1e-9
+        objs = [o for o in p2o if o >= 0]
+        assert len(objs) == len(set(objs))
+        eng.shutdown()
+
+
+def test_auction_on_sparse_graph_valid(ctx500):
+    from combblas_ray.pipelines.auction import auction_matching
+
+    eng = ctx500.engine("sssp", g=2)
+    p2o, price, info = auction_matching(eng, eps=1e-3)
+    objs = [o for o in p2o if o >= 0]
+    assert len(objs) == len(set(objs))  # each object once
+    assert info["assigned"] > 0
+    # assigned pairs must be real edges
+    A = brute_dense_matrix(ctx500)
+    for p in np.nonzero(p2o >= 0)[0]:
+        assert A[p, p2o[p]] > 0
