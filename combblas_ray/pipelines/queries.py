@@ -1059,7 +1059,7 @@ def q_auction_matching(sf_dir: str):
     from .auction import auction_matching
 
     ctx = get_context(sf_dir)
-    p2o, _price, _info = auction_matching(ctx.engine("sssp"), eps=1e-3)
+    p2o, _price, _info = auction_matching(ctx.engine("sssp"), eps=0.1, max_rounds=300)
     ids = np.nonzero(p2o >= 0)[0]
     return pa.table(
         {
