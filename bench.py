@@ -203,15 +203,82 @@ def run_scaling() -> None:
     )
 
 
+def run_graph500(scale: int, edgefactor: int = 16, nroots: int = 8) -> None:
+    """Graph500-style BFS benchmark: R-MAT graph, K BFS runs from sampled
+    roots, harmonic-mean MTEPS (the reference's headline metric,
+    ``TopDownBFS.cpp:465-469``)."""
+    import numpy as np
+
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+
+    from combblas_ray.core.engine import SpmvEngine
+    from combblas_ray.core.graph import Graph
+    from combblas_ray.pipelines.algorithms import bfs_parents
+    from combblas_ray.sources.rmat import rmat_dataset
+
+    n = 1 << scale
+    t0 = time.perf_counter()
+    g = Graph(n=n, edges=rmat_dataset(scale, edgefactor)).remove_loops().union_max()
+    ckpt = os.path.join(
+        os.environ.get("CBRAY_CKPT_ROOT", "/tmp/cbray"),
+        f"g500_s{scale}_e{edgefactor}",
+    )
+    eng = SpmvEngine.from_graph(g, 8, ckpt, structural=True)
+    build_sec = time.perf_counter() - t0
+    nnz = eng.nnz()
+    # sample roots with nonzero degree (reference samples non-isolated)
+    deg = eng.in_weights()
+    rng = np.random.RandomState(1)
+    roots = rng.choice(np.nonzero(deg > 0)[0], size=nroots, replace=False)
+    bfs_parents(eng, int(roots[0]))  # warmup (lazy per-block CSC builds)
+    teps = []
+    times = []
+    for r in roots:
+        t0 = time.perf_counter()
+        parents, dist = bfs_parents(eng, int(r))
+        dt = time.perf_counter() - t0
+        # edges traversed = sum of degrees of reached vertices / 2 (G500)
+        traversed = float(deg[dist >= 0].sum()) / 2.0
+        teps.append(traversed / dt)
+        times.append(dt)
+    hmean = len(teps) / sum(1.0 / t for t in teps)
+    print(
+        json.dumps(
+            {
+                "metric": "graph500_bfs_harmonic_mean_MTEPS",
+                "value": round(hmean / 1e6, 2),
+                "unit": "MTEPS",
+                "queries": {f"bfs_root{int(r)}": round(t, 3)
+                            for r, t in zip(roots, times)},
+                "sf": f"rmat_scale{scale}_ef{edgefactor}",
+                "num_cpus": num_cpus,
+                "nnz_sym": int(nnz),
+                "build_sec": round(build_sec, 2),
+                "max_MTEPS": round(max(teps) / 1e6, 2),
+            }
+        )
+    )
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scaling-child", action="store_true")
+    ap.add_argument("--graph500", action="store_true")
+    ap.add_argument("--scale", type=int, default=20)
+    ap.add_argument("--edgefactor", type=int, default=16)
     ap.add_argument("--cpus", type=int, default=8)
     args = ap.parse_args()
     if args.scaling_child:
         run_scaling_child(args.cpus)
     elif args.scaling:
         run_scaling()
+    elif args.graph500:
+        run_graph500(args.scale, args.edgefactor)
     else:
         run_headline()

@@ -155,10 +155,19 @@ def bfs_parents(engine: SpmvEngine, root: int, max_iters: int = 10_000):
     level = 0
     while len(frontier) and level < max_iters:
         level += 1
-        # x value = candidate parent id (the frontier vertex's own id)
-        cand_idx, cand_parent = engine.spmspv(
-            frontier, frontier.astype(np.float64), "select2nd_min"
-        )
+        if len(frontier) * 50 < n:
+            # top-down: sparse frontier SpMSpV
+            cand_idx, cand_parent = engine.spmspv(
+                frontier, frontier.astype(np.float64), "select2nd_min"
+            )
+        else:
+            # bottom-up analog (`DirOptBFS.cpp` switch): dense SpMV over
+            # the frontier indicator; x = frontier vertex ids
+            x = np.full(n, np.inf)
+            x[frontier] = frontier.astype(np.float64)
+            res = engine.spmv(x, "select2nd_min")
+            cand_idx = np.nonzero(np.isfinite(res))[0]
+            cand_parent = res[cand_idx]
         unvisited = parents[cand_idx] == -1  # EWiseMult exclude=true
         frontier = cand_idx[unvisited]
         parents[frontier] = cand_parent[unvisited].astype(np.int64)
