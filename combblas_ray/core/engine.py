@@ -349,7 +349,8 @@ class _Block:
             ccols, crows, cw = self.cols[order], self.rows[order], self.w[order]
             nc_max = int(ccols.max()) + 1 if len(ccols) else 0
             indptr = np.zeros(nc_max + 1, dtype=np.int64)
-            np.add.at(indptr, ccols + 1, 1)
+            # cast before +1: uint16 col index 65535 would wrap to 0
+            np.add.at(indptr, ccols.astype(np.int64) + 1, 1)
             np.cumsum(indptr, out=indptr)
             self._csc = (ccols, crows, cw, indptr)
 
@@ -846,11 +847,11 @@ class SpmvEngine:
         gids, gvals = [], []
         for triples in results:
             for br, rows, pv in triples:
-                gids.append(rows + self.bounds[br][0])
+                gids.append(rows.astype(np.int64) + self.bounds[br][0])
                 gvals.append(pv)
         if not gids:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-        gi = np.concatenate(gids)
+        gi = np.concatenate(gids).astype(np.int64, copy=False)
         gv = np.concatenate(gvals)
         ui, inv = np.unique(gi, return_inverse=True)
         if sr.is_plus:
