@@ -188,3 +188,42 @@ def test_incremental_block_update(ctx500, tmp_path, ray_session):
     for s, dd in [(5, 3), (10, 3), (400, 7)]:
         expect_touched.add(int(owner(dd, n, 4)) * 4 + int(owner(s, n, 4)))
     assert touched == expect_touched
+
+
+def test_uint16_boundary_block(ray_session, tmp_path):
+    """Blocks with exactly 2^16 local rows/cols: index 65535 must survive
+    the uint16 storage (wraparound regression test)."""
+    import pyarrow as pa
+
+    import ray
+
+    from combblas_ray.core.engine import SpmvEngine
+    from combblas_ray.core.graph import Graph
+
+    n = 131072  # g=2 -> 65536-wide chunks, local indices up to 65535
+    edges = pa.table(
+        {
+            "src": pa.array([65535, 0, 131071, 65536], type=pa.int64()),
+            "dst": pa.array([0, 65535, 65536, 131071], type=pa.int64()),
+            "w": pa.array([2.0, 3.0, 4.0, 5.0]),
+        }
+    )
+    g = Graph(n=n, edges=ray.data.from_arrow(edges))
+    eng = SpmvEngine.from_graph(g, 2, str(tmp_path / "u16"))
+    x = np.zeros(n)
+    x[65535] = 1.0
+    x[131071] = 10.0
+    y = eng.spmv(x, "plus_times")
+    assert y[0] == 2.0 and y[65536] == 0.0 and y[131071] == 0.0
+    x2 = np.zeros(n)
+    x2[0] = 1.0
+    x2[65536] = 1.0
+    y2 = eng.spmv(x2, "plus_times")
+    assert y2[65535] == 3.0 and y2[131071] == 5.0
+    # sparse path across the boundary
+    ui, uv = eng.spmspv(
+        np.array([0, 65536], dtype=np.int64), np.array([1.0, 1.0]), "plus_times"
+    )
+    got = dict(zip(ui.tolist(), uv.tolist()))
+    assert got == {65535: 3.0, 131071: 5.0}
+    eng.shutdown()
