@@ -214,7 +214,7 @@ def test_uint16_boundary_block(ray_session, tmp_path):
     x[65535] = 1.0
     x[131071] = 10.0
     y = eng.spmv(x, "plus_times")
-    assert y[0] == 2.0 and y[65536] == 0.0 and y[131071] == 0.0
+    assert y[0] == 2.0 and y[65536] == 40.0 and y[131071] == 0.0
     x2 = np.zeros(n)
     x2[0] = 1.0
     x2[65536] = 1.0
