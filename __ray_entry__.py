@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reduce_rowmin": q.q_reduce_rowmin,
         "vec_ewise_add": q.q_vec_ewise_add,
         "auction_matching": q.q_auction_matching,
+        "vec_argmin": q.q_vec_argmin,
     }
 
 
@@ -140,6 +141,7 @@ def oracle_sql() -> dict[str, str]:
         "spmm_batch": o.spmm_batch(),
         "reduce_rowmin": o.reduce_rowmin(),
         "vec_ewise_add": o.vec_ewise_add(),
+        "vec_argmin": o.vec_argmin(),
         "spasgn": o.spasgn(),
         # mis: no SQL oracle (iterative random-priority algorithm);
         # pytest asserts independence + maximality invariants.

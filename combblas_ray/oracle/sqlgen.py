@@ -700,3 +700,13 @@ j AS (
 )
 SELECT v.label AS label, j.val AS val FROM j JOIN verts v ON v.i = j.i
 """
+
+
+@_materialized
+def vec_argmin() -> str:
+    return PREFIX + """
+, ind AS (SELECT dst AS i, count(*) AS c FROM edges GROUP BY dst)
+SELECT v.label AS label, CAST(d.c AS BIGINT) AS minval
+FROM ind d JOIN verts v ON v.i = d.i
+ORDER BY d.c ASC, v.label ASC LIMIT 1
+"""

@@ -1067,3 +1067,17 @@ def q_auction_matching(sf_dir: str):
             "object": _label_col(ctx, p2o[ids]),
         }
     )
+
+
+def q_vec_argmin(sf_dir: str):
+    """Global argmin of the in-degree vector (`FullyDistVec::MinElement`,
+    FullyDistVec.h:262): one row (label, minval); ties -> smallest label."""
+    ctx = get_context(sf_dir)
+    deg = ctx.graph("directed").reduce("col", "count")
+    row = deg.sort(["val", "v"]).limit(1).take_all()[0]
+    return pa.table(
+        {
+            "label": pa.array([str(np.asarray(ctx.labels)[int(row["v"])])]),
+            "minval": pa.array([int(row["val"])], type=pa.int64()),
+        }
+    )
