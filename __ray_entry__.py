@@ -22,7 +22,13 @@ def entry() -> Any:
 
     ctx = get_context("/root/testdata/sf0.001")
     eng = ctx.engine("directed")
-    r, info = pagerank(eng, tol=1e-10, max_iters=100)
+    r, info = pagerank(
+        eng,
+        tol=1e-10,
+        max_iters=100,
+        ckpt_dir="/tmp/cbray/entry_flagship",  # checkpoint + metrics demo
+        ckpt_every=10,
+    )
     return pd.DataFrame(
         {"label": np.asarray(ctx.labels), "score": r}
     )
