@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vec_ewise_add": q.q_vec_ewise_add,
         "auction_matching": q.q_auction_matching,
         "vec_argmin": q.q_vec_argmin,
+        "asof_click": q.q_asof_click,
     }
 
 
@@ -148,6 +149,7 @@ def oracle_sql() -> dict[str, str]:
         "reduce_rowmin": o.reduce_rowmin(),
         "vec_ewise_add": o.vec_ewise_add(),
         "vec_argmin": o.vec_argmin(),
+        "asof_click": o.asof_click(),
         "spasgn": o.spasgn(),
         # mis: no SQL oracle (iterative random-priority algorithm);
         # pytest asserts independence + maximality invariants.

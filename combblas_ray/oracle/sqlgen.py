@@ -710,3 +710,15 @@ SELECT v.label AS label, CAST(d.c AS BIGINT) AS minval
 FROM ind d JOIN verts v ON v.i = d.i
 ORDER BY d.c ASC, v.label ASC LIMIT 1
 """
+
+
+def asof_click() -> str:
+    return """
+SELECT event_id,
+       coalesce(
+         max_by(event_id, ts) FILTER (event_type = 'click')
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         -1) AS prior_click
+FROM events
+"""

@@ -1081,3 +1081,37 @@ def q_vec_argmin(sf_dir: str):
             "minval": pa.array([int(row["val"])], type=pa.int64()),
         }
     )
+
+
+def q_asof_click(sf_dir: str):
+    """As-of join: each event is annotated with the user's most recent
+    STRICTLY-earlier 'click' event id (-1 if none) — the keyed as-of join
+    from the custom-operator list: hash repartition on user_id +
+    whole-partition vectorized forward-fill. (user_id, ts) is unique in
+    the events table, so the order key is unambiguous."""
+    import pandas as pd
+
+    import ray
+
+    from ..core.shuffle import keyed_reduce
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id",
+                                            "event_type"]
+    )
+
+    def _asof(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(["user_id", "ts", "event_id"])
+        click_id = df["event_id"].where(df["event_type"] == "click")
+        # last click at-or-before each row, per user, then shift -> strictly before
+        ff = click_id.groupby(df["user_id"]).ffill()
+        prior = ff.groupby(df["user_id"].values).shift(1)
+        out = pd.DataFrame(
+            {
+                "event_id": df["event_id"],
+                "prior_click": prior.fillna(-1).astype("int64"),
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return keyed_reduce(ds, ["user_id"], _asof)
