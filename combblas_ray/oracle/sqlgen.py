@@ -28,7 +28,7 @@ def _materialized(fn):
     return wrap
 
 
-# n = 10 * rows(documents); file ids are dense 0..n-1.
+# n = rows(lineitem); file ids are dense 0..n-1.
 PREFIX = """
 WITH params AS (SELECT count(*) AS n FROM lineitem),
 files AS (

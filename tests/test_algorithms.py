@@ -32,8 +32,6 @@ def test_cc_matches_union_find(ctx500):
     # min-relabel per component
     labels, it = alg.connected_components(ctx500.engine("sym", g=2))
     # same partition: labels equal iff ref equal
-    import collections
-
     m1, m2 = {}, {}
     for a, b in zip(labels, ref):
         m1.setdefault(a, set()).add(b)

@@ -144,7 +144,6 @@ def test_incremental_block_update(ctx500, tmp_path, ray_session):
     """Merging a delta into the block store must equal a full rebuild of
     the unioned edge set, and untouched blocks must not be rewritten."""
     import os
-    import shutil
 
     import pyarrow as pa
 

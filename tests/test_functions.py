@@ -1,7 +1,6 @@
 """Training-data operators: dedup / text / ANN / multimodal / IO."""
 
 import numpy as np
-import pyarrow as pa
 import pytest
 
 import ray
