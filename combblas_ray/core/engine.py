@@ -196,6 +196,9 @@ def update_blocks(man: dict, delta_graph, ckpt_dir: str) -> dict:
     ensure_hash_shuffle()
     keyed = delta_graph.edges.map_batches(_key, batch_format="pyarrow",
                                           zero_copy_batch=True)
+    gen = int(man.get("gen", 0)) + 1
+    w_dtype = man.get("w_dtype", "f8")
+    structural = bool(man.get("structural", False))
     by_block = man["g"], {b["bid"]: b for b in man["blocks"]}
 
     def _merge_delta(batch: pa.Table) -> pa.Table:
@@ -216,7 +219,9 @@ def update_blocks(man: dict, delta_graph, ckpt_dir: str) -> dict:
                 src = np.concatenate([src, z["cols"].astype(np.int64) + bc * ls_c])
                 dst = np.concatenate([dst, z["rows"].astype(np.int64) + br * ls_r])
                 w = np.concatenate([w, z["w"].astype(np.float64)])
-            info = _rebuild_one_block(int(bid), src, dst, w, n, g, ckpt_dir)
+            info = _rebuild_one_block(int(bid), src, dst, w, n, g, ckpt_dir,
+                                      w_dtype=w_dtype, structural=structural,
+                                      gen=gen)
             rows_out.append(info)
         if not rows_out:
             return pa.table({"bid": pa.array([], type=pa.int64())})
@@ -229,6 +234,7 @@ def update_blocks(man: dict, delta_graph, ckpt_dir: str) -> dict:
     for r in changed:
         merged[r["bid"]] = {k: r[k] for k in ("bid", "br", "bc", "path", "nnz", "sha")}
     new_man = dict(man)
+    new_man["gen"] = gen
     new_man["blocks"] = sorted(merged.values(), key=lambda b: b["bid"])
     mpath = os.path.join(ckpt_dir, MANIFEST_NAME)
     tmp = mpath + ".tmp"
@@ -238,7 +244,14 @@ def update_blocks(man: dict, delta_graph, ckpt_dir: str) -> dict:
     return new_man
 
 
-def _rebuild_one_block(bid: int, src, dst, w, n: int, g: int, ckpt_dir: str) -> dict:
+def _rebuild_one_block(bid: int, src, dst, w, n: int, g: int, ckpt_dir: str,
+                       *, w_dtype: str = "f8", structural: bool = False,
+                       gen: int = 0) -> dict:
+    """Rebuild one block from (possibly merged) triples, honouring the
+    manifest's ``w_dtype``/``structural`` flags so delta merges keep the
+    original block semantics. ``gen > 0`` writes a generation-suffixed file
+    instead of mutating the prior block file, so Ray task replays after a
+    partial failure are idempotent (the old generation is never touched)."""
     ls_r = local_size(n, g)
     ls_c = local_size(n, g)
     br, bc = bid // g, bid % g
@@ -250,14 +263,17 @@ def _rebuild_one_block(bid: int, src, dst, w, n: int, g: int, ckpt_dir: str) -> 
     key = rows * np.int64(n) + cols
     uk, inv = np.unique(key, return_inverse=True)
     wm = np.bincount(inv, weights=w)
+    if structural:
+        wm = np.ones_like(wm)
     idx_dt = np.uint16 if max(nr, nc) <= 65536 else np.int32
     rows = (uk // n).astype(idx_dt)
     cols = (uk % n).astype(idx_dt)
-    wm = wm.astype(np.float64)
+    wm = wm.astype(np.float32 if w_dtype == "f4" else np.float64)
     indptr = np.zeros(nr + 1, dtype=np.int64)
     np.add.at(indptr, rows.astype(np.int64) + 1, 1)
     np.cumsum(indptr, out=indptr)
-    path = _block_file(ckpt_dir, bid)
+    path = (_block_file(ckpt_dir, bid) if gen == 0
+            else os.path.join(ckpt_dir, f"block_{bid:06d}_g{gen}.npz"))
     tmp = path + ".tmp.npz"
     np.savez(tmp, indptr=indptr, rows=rows, cols=cols, w=wm,
              meta=np.array([bid, br, bc, row0, col0, nr], dtype=np.int64))
@@ -592,6 +608,90 @@ def _scatter_partial(idx: np.ndarray, vals: np.ndarray, s: int, e: int,
 
 
 @ray.remote(num_cpus=0)
+def _apply_chunk(fn, *chunks):
+    """Run a (module-level, cloudpickled) chunk kernel on aligned chunks —
+    the elementwise leg of refs-only iteration loops. Extra non-array args
+    ride along after the chunks."""
+    return fn(*chunks)
+
+
+@ray.remote(num_cpus=0)
+def _chunks_equal(a: np.ndarray, b: np.ndarray) -> bool:
+    return bool(np.array_equal(a, b))
+
+
+@ray.remote(num_cpus=0)
+def _chunk_scalar(fn, *chunks):
+    """Reduce chunk(s) to one small Python scalar (convergence checks)."""
+    return fn(*chunks)
+
+
+@ray.remote(num_cpus=0)
+def _split_pair(pair):
+    """(idx, vals) tuple ref -> two refs (feeds actor spmspv_partial)."""
+    return pair[0], pair[1]
+
+
+@ray.remote(num_cpus=0)
+def _spmspv_merge(sr_name: str, br: int, *worker_results):
+    """Merge one row-chunk's sparse partials from every worker's
+    spmspv_partial result ([(br, rows, vals), ...]) into a local sparse
+    (idx, vals) pair."""
+    sr = get_semiring(sr_name)
+    gids, gvals = [], []
+    for triples in worker_results:
+        for b, rows, pv in triples:
+            if b == br:
+                gids.append(rows.astype(np.int64))
+                gvals.append(pv)
+    if not gids:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    gi = np.concatenate(gids)
+    gv = np.concatenate(gvals)
+    ui, inv = np.unique(gi, return_inverse=True)
+    if sr.is_plus:
+        merged = np.bincount(inv, weights=gv)
+    else:
+        merged = np.full(len(ui), sr.identity, dtype=np.float64)
+        sr.add_ufunc.at(merged, inv, gv)
+    return ui, merged
+
+
+@ray.remote(num_cpus=0)
+def _scatter_route(idx: np.ndarray, vals: np.ndarray, bounds: list):
+    """Split (global idx, vals) pairs by owner chunk (num_returns=g)."""
+    out = []
+    for (s, e) in bounds:
+        sel = (idx >= s) & (idx < e)
+        out.append((idx[sel] - s, vals[sel]))
+    return out[0] if len(out) == 1 else tuple(out)
+
+
+@ray.remote(num_cpus=0)
+def _scatter_merge(sr_name: str, nrows: int, *parts):
+    """Owner-side reduce of routed (local idx, vals) parts."""
+    sr = get_semiring(sr_name)
+    out = sr.empty(nrows)
+    for idx, vals in parts:
+        sr.add_ufunc.at(out, idx.astype(np.int64), vals)
+    return out
+
+
+@ray.remote(num_cpus=0)
+def _combine_mat(sr_name: str, k: int, nrows: int, *parts: np.ndarray):
+    """Merge per-row-block (k, nrows) SpMM partials with the semiring add."""
+    sr = get_semiring(sr_name)
+    merged = np.full((k, nrows), sr.identity)
+    for p in parts:
+        if p.shape[1] < nrows:
+            q = np.full((k, nrows), sr.identity)
+            q[:, : p.shape[1]] = p
+            p = q
+        merged = sr.combine(merged, p)
+    return merged
+
+
+@ray.remote(num_cpus=0)
 def _combine(sr_name: str, nrows: int, *parts: np.ndarray) -> np.ndarray:
     """Merge per-row-block partials with the semiring add (MergeContributions).
     num_cpus=0: tiny O(n/g) merges must not queue behind the CPU-reserving
@@ -724,6 +824,104 @@ class SpmvEngine:
     def spmv(self, x: np.ndarray, sr: Semiring | str) -> np.ndarray:
         return self.unchunk(self.spmv_refs(self.chunk(x), sr))
 
+    # ---- refs-only iteration helpers (no full-n array on the driver) ----
+
+    def map_chunks(self, fn, *refs_lists) -> list:
+        """Apply a module-level chunk kernel elementwise over aligned
+        chunked vectors; returns new chunk refs. The driver only submits
+        tasks — vertex state never leaves the object store."""
+        return [
+            _apply_chunk.remote(fn, *[refs[i] for refs in refs_lists])
+            for i in range(self.g)
+        ]
+
+    def map_chunks_i(self, fn, *refs_lists) -> list:
+        """Like map_chunks but fn also receives (chunk_start, chunk_end) —
+        kernels that need global vertex ids (iota, masks by id)."""
+        return [
+            _apply_chunk.remote(
+                fn, *[refs[i] for refs in refs_lists], self.bounds[i]
+            )
+            for i in range(self.g)
+        ]
+
+    def map_chunks_n(self, fn, nout: int, *refs_lists,
+                     with_bounds: bool = False) -> list:
+        """Multi-output chunk kernel: fn returns an nout-tuple per chunk;
+        result is nout aligned refs lists."""
+        outs: list[list] = [[] for _ in range(nout)]
+        for i in range(self.g):
+            args = [refs[i] for refs in refs_lists]
+            if with_bounds:
+                args.append(self.bounds[i])
+            r = _apply_chunk.options(num_returns=nout).remote(fn, *args)
+            if nout == 1:
+                r = [r]
+            for j in range(nout):
+                outs[j].append(r[j])
+        return outs
+
+    def chunks_equal(self, a_refs: list, b_refs: list) -> bool:
+        """ONE scalar sync: all chunks pairwise array_equal."""
+        return all(
+            ray.get([_chunks_equal.remote(a, b) for a, b in zip(a_refs, b_refs)])
+        )
+
+    def chunk_scalars(self, fn, *refs_lists) -> list:
+        """Per-chunk small scalars (frontier sizes, deltas) — one sync."""
+        return ray.get(
+            [
+                _chunk_scalar.remote(fn, *[refs[i] for refs in refs_lists])
+                for i in range(self.g)
+            ]
+        )
+
+    def scatter_reduce_refs(self, pairs: list, sr: Semiring | str) -> list:
+        """Refs-only `Assign`/`ReduceAssign` (``CC.h:579-1032``): ``pairs``
+        is a list of (idx_ref, val_ref) with GLOBAL indices (dense chunks
+        or sparse arrays); each source routes to the g owner ranges, each
+        owner reduces its incoming slices with the semiring add. Returns
+        chunked result refs (identity where no index hit)."""
+        sr = get_semiring(sr)
+        routed = []
+        for i_ref, v_ref in pairs:
+            r = _scatter_route.options(num_returns=self.g).remote(
+                i_ref, v_ref, self.bounds
+            )
+            routed.append([r] if self.g == 1 else list(r))
+        out = []
+        for k in range(self.g):
+            s, e = self.bounds[k]
+            out.append(
+                _scatter_merge.remote(
+                    sr.name, e - s, *[routed[j][k] for j in range(len(pairs))]
+                )
+            )
+        return out
+
+    def spmspv_refs(self, frontier_refs: list, sr: Semiring | str) -> list:
+        """Refs-only SpMSpV: ``frontier_refs[i]`` is a ref to a tuple
+        (local_idx, vals) for column chunk i. Returns per-row-chunk refs to
+        (local_idx, merged_vals) tuples — the sparse frontier never
+        concatenates on the driver."""
+        sr = get_semiring(sr)
+        split = [
+            _split_pair.options(num_returns=2).remote(frontier_refs[i])
+            for i in range(self.g)
+        ]
+        fi_refs = [s[0] for s in split]
+        fv_refs = [s[1] for s in split]
+        results = [
+            a.spmspv_partial.remote(
+                sr.name, *[r for bc in bcs for r in (fi_refs[bc], fv_refs[bc])]
+            )
+            for a, bcs in zip(self.actors, self.actor_bcs)
+        ]
+        return [
+            _spmspv_merge.remote(sr.name, br, *results)
+            for br in range(self.g)
+        ]
+
     def gather_refs(self, value_refs: list, idx_refs: list) -> list:
         """Distributed bulk gather out[i] = values[idx[i]] over chunked
         vectors — `Extract` (``CC.h:419-577``): each requesting chunk
@@ -792,15 +990,12 @@ class SpmvEngine:
             out.append(_combine.remote(sr.name, nrows, *partials[br]))
         return self.unchunk(out)
 
-    def spmm(self, X: np.ndarray, sr: Semiring | str) -> np.ndarray:
-        """Batched dense SpMM: X is (k, n) -> (k, n); one actor roundtrip
-        for all k vectors (the per-class indicator counts of label
-        propagation, multi-source BFS, ...)."""
+    def spmm_refs(self, x_refs: list, k: int, sr: Semiring | str) -> list:
+        """Chunked batched SpMM: ``x_refs[i]`` is a (k, chunk_len) array
+        ref; returns per-row-chunk (k, chunk_len) refs. The (k, n) state
+        lives only as chunks in the object store (BetwCent.cpp:179-187's
+        batched fringes, label propagation's per-class counts)."""
         sr = get_semiring(sr)
-        k = X.shape[0]
-        x_refs = [
-            ray.put(np.ascontiguousarray(X[:, s:e])) for s, e in self.bounds
-        ]
         partials: dict[int, list] = {br: [] for br in range(self.g)}
         for actor, brs, bcs in zip(self.actors, self.actor_brs, self.actor_bcs):
             refs = actor.spmm_partial.options(num_returns=len(brs)).remote(
@@ -810,18 +1005,26 @@ class SpmvEngine:
                 refs = [refs]
             for br, ref in zip(brs, refs):
                 partials[br].append(ref)
-        out = np.empty((k, self.n), dtype=np.float64)
-        for br in range(self.g):
-            s, e = self.bounds[br]
-            merged = np.full((k, e - s), sr.identity)
-            for p in ray.get(partials[br]):
-                if p.shape[1] < e - s:
-                    q = np.full((k, e - s), sr.identity)
-                    q[:, : p.shape[1]] = p
-                    p = q
-                merged = sr.combine(merged, p)
-            out[:, s:e] = merged
-        return out
+        return [
+            _combine_mat.remote(
+                sr.name, k, self.bounds[br][1] - self.bounds[br][0],
+                *partials[br]
+            )
+            for br in range(self.g)
+        ]
+
+    def chunk_mat(self, X: np.ndarray) -> list:
+        return [
+            ray.put(np.ascontiguousarray(X[:, s:e])) for s, e in self.bounds
+        ]
+
+    def spmm(self, X: np.ndarray, sr: Semiring | str) -> np.ndarray:
+        """Batched dense SpMM: X is (k, n) -> (k, n); one actor roundtrip
+        for all k vectors. Driver-side convenience wrapper over
+        ``spmm_refs`` — iterative loops should stay on the refs form."""
+        k = X.shape[0]
+        out_refs = self.spmm_refs(self.chunk_mat(X), k, sr)
+        return np.concatenate([np.asarray(c) for c in ray.get(out_refs)], axis=1)
 
     def spmspv(self, idx: np.ndarray, vals: np.ndarray, sr: Semiring | str):
         """Sparse-frontier SpMV: y = A (x) sparse(idx, vals). Returns

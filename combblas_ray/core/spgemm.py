@@ -204,10 +204,19 @@ def ewise_apply(
 
     def _apply(batch: pa.Table) -> pa.Table:
         key = np.asarray(batch.column("key"))
-        wa = np.asarray(batch.column("w_a"), dtype=np.float64)
-        wb = np.asarray(batch.column("w_b"), dtype=np.float64)
-        wa = np.where(np.isnan(wa), a_null, wa)
-        wb = np.where(np.isnan(wb), b_null, wb)
+        # absent-side detection via Arrow null validity, NOT isnan: a
+        # legitimate NaN weight must survive as NaN, only a missing join
+        # side gets the a_null/b_null substitute (reference EWiseApply's
+        # explicit nullity semantics, ParFriends.h:2649-2697).
+        ca, cb = batch.column("w_a"), batch.column("w_b")
+        miss_a = np.asarray(pa.compute.is_null(ca))
+        miss_b = np.asarray(pa.compute.is_null(cb))
+        wa = np.asarray(ca.fill_null(0.0) if ca.null_count else ca,
+                        dtype=np.float64)
+        wb = np.asarray(cb.fill_null(0.0) if cb.null_count else cb,
+                        dtype=np.float64)
+        wa = np.where(miss_a, a_null, wa)
+        wb = np.where(miss_b, b_null, wb)
         return pa.table(
             {
                 "src": pa.array((key // n).astype(np.int64)),

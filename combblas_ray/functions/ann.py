@@ -100,54 +100,72 @@ def lsh_planes(dim: int, nbits: int = 16, seed: int = 11) -> np.ndarray:
     return rng.randn(nbits, dim)
 
 
+def _sign_codes(M: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (M @ planes.T > 0).astype(np.int64)
+    return (bits * (1 << np.arange(planes.shape[0]))).sum(axis=1)
+
+
 def ann_lsh_topk(emb_ds, query_ids: np.ndarray, k: int = 5, nbits: int = 6,
                  probe_bits: int = 2):
     """Bucketed variant: sign-LSH code per vector; candidates = vectors in
     the query's bucket or any bucket within `probe_bits` bit flips
-    (multi-probe). Exact re-rank on candidates."""
+    (multi-probe). Exact re-rank on candidates.
+
+    Distributed: the (tiny) query side is read once, each query's probed
+    bucket set is computed driver-side and broadcast via ``ray.put``; each
+    ``map_batches`` task codes its shard, keeps only vectors landing in a
+    probed bucket and emits a per-shard top-(k+1) partial per query. The
+    driver merges partials of size O(num_queries * k * shards) only — the
+    embedding table itself never leaves the cluster."""
     import itertools
 
     import ray
 
-    rows = emb_ds.take_all()  # index-build side; at scale this is sharded
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    M = _normalize(np.array([r["embedding"] for r in rows], dtype=np.float64))
-    planes = lsh_planes(M.shape[1], nbits)
-    codes = (M @ planes.T > 0).astype(np.int64)
-    code_vals = (codes * (1 << np.arange(nbits))).sum(axis=1)
-    qsel = np.isin(ids, query_ids)
-    out_parts = []
-    buckets: dict[int, np.ndarray] = {}
-    for cv in np.unique(code_vals):
-        buckets[int(cv)] = np.nonzero(code_vals == cv)[0]
+    q_max = int(np.max(query_ids) + 1)
+    q_rows = [r for r in emb_ds.filter(expr=f"vec_id < {q_max}").take_all()
+              if r["vec_id"] in set(query_ids.tolist())]
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = _normalize(np.array([r["embedding"] for r in q_rows], dtype=np.float64))
+    planes = lsh_planes(Q.shape[1], nbits)
+    q_codes = _sign_codes(Q, planes)
     flips = [0] + [
         sum(1 << b for b in combo)
         for r in range(1, probe_bits + 1)
         for combo in itertools.combinations(range(nbits), r)
     ]
-    for qpos in np.nonzero(qsel)[0]:
-        qid = ids[qpos]
-        cand = []
+    # bucket code -> query positions probing it
+    probe: dict[int, list[int]] = {}
+    for qi in range(len(q_ids)):
         for f in flips:
-            cv = int(code_vals[qpos]) ^ f
-            if cv in buckets:
-                cand.append(buckets[cv])
-        cand = np.unique(np.concatenate(cand))
-        sims = M[cand] @ M[qpos]
-        order = np.lexsort((cand, -sims))
-        rnk = 0
-        for pos in order:
-            nid = int(ids[cand[pos]])
-            if nid == qid:
-                continue
-            rnk += 1
-            out_parts.append((int(qid), nid, rnk))
-            if rnk >= k:
-                break
-    return pa.table(
-        {
-            "query_id": pa.array([p[0] for p in out_parts], type=pa.int64()),
-            "neighbor_id": pa.array([p[1] for p in out_parts], type=pa.int64()),
-            "rnk": pa.array([p[2] for p in out_parts], type=pa.int64()),
-        }
-    )
+            probe.setdefault(int(q_codes[qi]) ^ f, []).append(qi)
+    bcast = ray.put((q_ids, Q, probe))
+
+    def _partial(batch: pa.Table, *, _ref=bcast) -> pa.Table:
+        q_ids, Q, probe = _ref if isinstance(_ref, tuple) else ray.get(_ref)
+        ids, emb = _to_matrix(batch)
+        M = _normalize(emb)
+        codes = _sign_codes(M, planes)
+        hit = np.isin(codes, np.fromiter(probe, dtype=np.int64,
+                                         count=len(probe)))
+        qs, ns, ss = [], [], []
+        if hit.any():
+            ids_h, M_h, codes_h = ids[hit], M[hit], codes[hit]
+            for cv in np.unique(codes_h):
+                sel = np.nonzero(codes_h == cv)[0]
+                for qi in probe[int(cv)]:
+                    sims = M_h[sel] @ Q[qi]
+                    kk = min(k + 1, len(sel))
+                    part = np.argpartition(-sims, kk - 1)[:kk]
+                    qs.extend([q_ids[qi]] * len(part))
+                    ns.extend(ids_h[sel[part]].tolist())
+                    ss.extend(sims[part].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qs, type=pa.int64()),
+                "neighbor_id": pa.array(ns, type=pa.int64()),
+                "sim": pa.array(ss, type=pa.float64()),
+            }
+        )
+
+    parts = emb_ds.map_batches(_partial, batch_format="pyarrow").take_all()
+    return _merge_topk(parts, k)

@@ -4,11 +4,20 @@
                           (exact dedup; the key here is the sorted distinct
                           token set so near-identical word-soup docs group).
 - ``jaccard_pairs``     : exact token-shingle Jaccard over candidate pairs
-                          from an inverted shingle index (df-capped).
+                          from a distributed inverted shingle index
+                          (df-capped posting lists, pairs deduped by a
+                          keyed shuffle).
 - ``minhash_lsh_pairs`` : MinHash signatures + banded LSH candidate
-                          generation, verified with exact Jaccard.
-- ``simhash``           : 64-bit SimHash over token crc32 hashes.
+                          generation, verified with exact Jaccard via
+                          distributed joins against the shingle table.
+- ``simhash``           : 64-bit SimHash over token crc32 hashes
+                          (vectorized: one ±1 bit matrix per batch).
 
+Everything stays a Ray Dataset end-to-end: candidate generation is a
+df-capped posting-list shuffle, pair dedup is a keyed shuffle, and the
+exact-Jaccard verify is two hash joins of the candidate pairs against the
+(doc_id, shingles) table — no driver-side dict or ``take_all`` anywhere,
+so the memory high-water mark per task is one partition, not the corpus.
 All shuffles use the hash-repartition + whole-partition numpy pattern.
 """
 
@@ -72,70 +81,171 @@ def exact_dedup(docs_ds):
     return keyed_reduce(keyed, ["kh"], _group)
 
 
-def _jaccard_from_candidates(shingles: dict[int, set], cands: set, tau: float):
-    rows = []
-    for a, b in sorted(cands):
-        sa, sb = shingles[a], shingles[b]
-        inter = len(sa & sb)
-        if not inter:
-            continue
-        jac = inter / (len(sa) + len(sb) - inter)
-        if jac >= tau:
-            rows.append((a, b, round(jac, 6)))
-    return pa.table(
-        {
-            "a": pa.array([r[0] for r in rows], type=pa.int64()),
-            "b": pa.array([r[1] for r in rows], type=pa.int64()),
-            "jac": pa.array([r[2] for r in rows], type=pa.float64()),
-        }
-    )
+# ---------------------------------------------------------------------------
+# distributed shingle table + inverted index + exact-Jaccard verify
+# ---------------------------------------------------------------------------
 
 
-def _collect_shingles(docs_ds) -> dict[int, set]:
-    """Materialize per-doc shingle sets driver-side via distributed map
-    (each task shingles its batch; the dict is the collected index)."""
+_SEP = "\x1f"  # shingles can't contain it (tokens are space-joined words)
+
+
+def shingle_table(docs_ds):
+    """(doc_id, shingles) as a distributed Dataset — the per-doc shingle
+    set packed into ONE delimiter-joined string so it can ride through
+    Arrow hash joins (list<string> is unsupported as a join payload)."""
 
     def _sh(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
         sets = shingle_sets(batch)
         return pa.table(
             {
-                "doc_id": pa.array(ids, type=pa.int64()),
-                "shingles": pa.array([sorted(s) for s in sets],
-                                     type=pa.list_(pa.string())),
+                "doc_id": batch.column("doc_id"),
+                "shingles": pa.array([_SEP.join(sorted(s)) for s in sets],
+                                     type=pa.string()),
             }
         )
 
-    out = {}
-    for row in docs_ds.map_batches(_sh, batch_format="pyarrow").take_all():
-        out[row["doc_id"]] = set(row["shingles"])
-    return out
+    return docs_ds.map_batches(_sh, batch_format="pyarrow")
+
+
+def _exploded_shingles(docs_ds):
+    """One (shingle, doc_id) row per distinct shingle per doc."""
+
+    def _ex(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out_s: list[str] = []
+        out_d: list[int] = []
+        for d, ss in zip(ids, shingle_sets(batch)):
+            out_s.extend(ss)
+            out_d.extend([d] * len(ss))
+        return pa.table(
+            {
+                "shingle": pa.array(out_s, type=pa.string()),
+                "doc_id": pa.array(out_d, type=pa.int64()),
+            }
+        )
+
+    return docs_ds.map_batches(_ex, batch_format="pyarrow")
+
+
+def _postings_pairs(batch: pa.Table, df_cap: int = DF_CAP) -> pa.Table:
+    """Whole-partition reduce over a hash-partitioned posting list: for
+    each shingle with 2 <= df <= df_cap emit all doc pairs (a < b).
+    Pairs may repeat across shingles/partitions — deduped downstream."""
+    sh = np.asarray(batch.column("shingle")).astype(object)
+    ds = np.asarray(batch.column("doc_id"), dtype=np.int64)
+    order = np.lexsort((ds, sh))
+    sh, ds = sh[order], ds[order]
+    new = np.ones(len(sh), dtype=bool)
+    if len(sh):
+        new[1:] = sh[1:] != sh[:-1]
+    starts = np.nonzero(new)[0]
+    ends = np.append(starts[1:], len(sh))
+    a_out, b_out = [], []
+    for s, e in zip(starts, ends):
+        df = e - s
+        if df < 2 or df > df_cap:
+            continue
+        ids = np.unique(ds[s:e])
+        if len(ids) < 2:
+            continue
+        ii, jj = np.triu_indices(len(ids), k=1)
+        a_out.append(ids[ii])
+        b_out.append(ids[jj])
+    if not a_out:
+        return pa.table({"a": pa.array([], type=pa.int64()),
+                         "b": pa.array([], type=pa.int64())})
+    return pa.table({"a": pa.array(np.concatenate(a_out)),
+                     "b": pa.array(np.concatenate(b_out))})
+
+
+def _dedup_pairs(pairs_ds):
+    """Distinct (a, b) via hash shuffle on both keys + per-partition
+    lexsort/unique."""
+
+    def _uniq(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("a"), dtype=np.int64)
+        b = np.asarray(batch.column("b"), dtype=np.int64)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        keep = np.ones(len(a), dtype=bool)
+        if len(a):
+            keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
+
+    return keyed_reduce(pairs_ds, ["a", "b"], _uniq)
+
+
+def _join_partitions() -> int:
+    """Join fan-out sized to the cluster: each aggregator reserves
+    0.125 CPU, and a verify pipeline runs two chained joins — cap the
+    total reservation so small clusters don't starve the map tasks."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(2, min(16, cpus // 2))
+
+
+def _verify_pairs(cand_ds, sh_tbl, tau: float,
+                  num_partitions: int | None = None):
+    """Exact-Jaccard verify as two distributed hash joins: candidates
+    x shingles(a), then x shingles(b); per-partition set intersection.
+    Output (a, b, jac round 6) for jac >= tau (unordered)."""
+    np_ = num_partitions or _join_partitions()
+    sa = sh_tbl.rename_columns({"doc_id": "a", "shingles": "sh_a"})
+    sb = sh_tbl.rename_columns({"doc_id": "b", "shingles": "sh_b"})
+    j = cand_ds.join(sa, "inner", np_, on=("a",))
+    j = j.join(sb, "inner", np_, on=("b",))
+
+    def _jac(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_pylist()
+        b = batch.column("b").to_pylist()
+        sha = batch.column("sh_a").to_pylist()
+        shb = batch.column("sh_b").to_pylist()
+        rows = []
+        for ai, bi, la, lb in zip(a, b, sha, shb):
+            s1 = set(la.split(_SEP)) if la else set()
+            s2 = set(lb.split(_SEP)) if lb else set()
+            inter = len(s1 & s2)
+            if not inter:
+                continue
+            jac = inter / (len(s1) + len(s2) - inter)
+            if jac >= tau:
+                rows.append((ai, bi, round(jac, 6)))
+        return pa.table(
+            {
+                "a": pa.array([r[0] for r in rows], type=pa.int64()),
+                "b": pa.array([r[1] for r in rows], type=pa.int64()),
+                "jac": pa.array([r[2] for r in rows], type=pa.float64()),
+            }
+        )
+
+    return j.map_batches(_jac, batch_format="pyarrow")
 
 
 def jaccard_pairs(docs_ds, tau: float = 0.5):
     """Exact near-dup pairs (a < b, jaccard >= tau) among docs sharing at
-    least one shingle with document frequency <= DF_CAP."""
-    shingles = _collect_shingles(docs_ds)
-    inv: dict[str, list[int]] = {}
-    for d, ss in shingles.items():
-        for s in ss:
-            inv.setdefault(s, []).append(d)
-    cands = set()
-    for s, ids in inv.items():
-        if len(ids) > DF_CAP or len(ids) < 2:
-            continue
-        ids = sorted(ids)
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                cands.add((ids[i], ids[j]))
-    return _jaccard_from_candidates(shingles, cands, tau)
+    least one shingle with document frequency <= DF_CAP. Fully
+    distributed: posting-list shuffle -> pair dedup shuffle -> join
+    verify. Returns a Dataset (a, b, jac)."""
+    docs = docs_ds.materialize()  # scanned twice (postings + shingle table)
+    cands = _dedup_pairs(
+        keyed_reduce(_exploded_shingles(docs), ["shingle"], _postings_pairs)
+    )
+    return _verify_pairs(cands, shingle_table(docs), tau)
 
 
 def _minhash_params(num_perm: int = 64, seed: int = 7):
+    """Universal-hash family h(x) = (a*x + b) mod p over 32-bit inputs,
+    p = 2^61 - 1. a, b are 32-bit so a*x + b < 2^64 — computed exactly
+    in uint64, no silent wraparound (the earlier int64 (hv*a+b) %% p
+    overflowed and broke the collision-probability guarantee)."""
     rng = np.random.RandomState(seed)
-    p = (1 << 61) - 1
-    a = rng.randint(1, p, size=num_perm, dtype=np.int64)
-    b = rng.randint(0, p, size=num_perm, dtype=np.int64)
+    p = np.uint64((1 << 61) - 1)
+    a = rng.randint(1, 1 << 32, size=num_perm).astype(np.uint64)
+    b = rng.randint(0, 1 << 32, size=num_perm).astype(np.uint64)
     return a, b, p
 
 
@@ -152,10 +262,10 @@ def minhash_signatures(docs_ds, num_perm: int = 64):
                 sigs.append([0] * num_perm)
                 continue
             hv = np.array(
-                [zlib.crc32(s.encode()) for s in ss], dtype=np.int64
+                [zlib.crc32(s.encode()) for s in ss], dtype=np.uint64
             )
             m = ((hv[:, None] * a[None, :] + b[None, :]) % p).min(axis=0)
-            sigs.append(m.tolist())
+            sigs.append(m.astype(np.int64).tolist())  # < 2^61 — fits int64
         return pa.table(
             {
                 "doc_id": pa.array(ids, type=pa.int64()),
@@ -168,11 +278,13 @@ def minhash_signatures(docs_ds, num_perm: int = 64):
 
 def minhash_lsh_pairs(docs_ds, tau: float = 0.5, num_perm: int = 64,
                       bands: int = 16):
-    """LSH candidate pairs (banded minhash buckets -> groupby) verified with
-    exact Jaccard — the scalable near-dup path: shingle -> minhash -> band
-    bucket shuffle -> per-bucket pairs -> exact verify."""
+    """LSH candidate pairs (banded minhash buckets -> bucket shuffle ->
+    per-bucket pairs -> pair-dedup shuffle) verified with exact Jaccard
+    via distributed joins — the scalable near-dup path. Returns a
+    Dataset (a, b, jac)."""
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(docs_ds, num_perm)
+    docs = docs_ds.materialize()  # scanned twice (signatures + verify)
+    sigs = minhash_signatures(docs, num_perm)
 
     def _buckets(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -211,39 +323,44 @@ def minhash_lsh_pairs(docs_ds, tau: float = 0.5, num_perm: int = 64,
         )
 
     bucketed = sigs.map_batches(_buckets, batch_format="pyarrow")
-    cand_ds = keyed_reduce(bucketed, ["bucket"], _pairs)
-    cands = {(r["a"], r["b"]) for r in cand_ds.take_all()}
-    shingles = _collect_shingles(docs_ds)
-    return _jaccard_from_candidates(shingles, cands, tau)
+    cands = _dedup_pairs(keyed_reduce(bucketed, ["bucket"], _pairs))
+    return _verify_pairs(cands, shingle_table(docs), tau)
 
 
 def simhash(docs_ds):
-    """64-bit SimHash over token crc32 hashes -> (doc_id, simhash int64)."""
+    """64-bit SimHash over token crc32 hashes -> (doc_id, simhash int64).
+
+    Vectorized: hash each DISTINCT token in the batch once (the only
+    Python loop), expand via np.unique's inverse, build the full
+    (n_token_occurrences, 64) ±1 bit matrix and scatter-add it into
+    per-doc accumulators with one np.add.at."""
 
     def _sh(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         toks = tokens_list(batch)
-        out = []
+        flat = np.asarray(pc.list_flatten(toks)).astype(object)
+        par = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+        nrows = batch.num_rows
         shifts = np.arange(64, dtype=np.uint64)
-        for row in toks.to_pylist():
-            acc = np.zeros(64, dtype=np.int64)
-            for t in row:
-                h = np.uint64(
+        acc = np.zeros((nrows, 64), dtype=np.int64)
+        if len(flat):
+            uniq, inv = np.unique(flat.astype(str), return_inverse=True)
+            hu = np.empty(len(uniq), dtype=np.uint64)
+            for i, t in enumerate(uniq):
+                hu[i] = np.uint64(
                     zlib.crc32(t.encode()) | (zlib.crc32(t[::-1].encode()) << 32)
                 )
-                bits = (h >> shifts) & np.uint64(1)
-                acc += np.where(bits == 1, 1, -1)
-            val = 0
-            for i in range(64):
-                if acc[i] > 0:
-                    val |= 1 << i
-            # store as signed int64
-            if val >= 1 << 63:
-                val -= 1 << 64
-            out.append(val)
+            h = hu[inv]  # per-occurrence hash
+            bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            np.add.at(acc, par, bits * 2 - 1)
+        pos = (acc > 0).astype(np.uint64)
+        vals = (pos << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+        out = vals.view(np.int64)  # store as signed int64
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "simhash": pa.array(out, type=pa.int64()),
+                "simhash": pa.array(out),
             }
         )
 

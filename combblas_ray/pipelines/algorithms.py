@@ -16,14 +16,55 @@ Parity map (reference file:line):
 - ``triangle_count``         <- masked SpGEMM recipe (``SpParMat.h:161``
   PruneI lower-triangular; ``Mult_AnXBn_Synch`` ``ParFriends.h:1447``;
   ``EWiseMult`` mask ``ParFriends.h:2629``) as a Dataset join pipeline.
+
+Every iterative loop here is REFS-ONLY: vertex state lives as per-chunk
+ObjectRefs in the object store end-to-end (the `FullyDistVec` analog);
+the driver submits chunk kernels and syncs only small scalars
+(convergence counts, frontier sizes). Full vectors materialize once, at
+the final return.
 """
 
 from __future__ import annotations
+
+from functools import partial
 
 import numpy as np
 import pyarrow as pa
 
 from ..core.engine import SpmvEngine
+
+
+# --------------------------------------------------------------------------
+# chunk kernels (module-level so cloudpickle ships them cheaply)
+# --------------------------------------------------------------------------
+
+
+def _iota(bounds):
+    s, e = bounds
+    return np.arange(s, e, dtype=np.float64)
+
+
+def _min2(a, b):
+    return np.minimum(a, b)
+
+
+def _as_int(a):
+    return a.astype(np.int64)
+
+
+def _as_float(a):
+    return a.astype(np.float64)
+
+
+def _neq_inf_count(a, b):
+    """Mismatch count treating +inf as a regular value (NaN-safe)."""
+    return int(
+        np.sum(np.nan_to_num(a, posinf=-1.0) != np.nan_to_num(b, posinf=-1.0))
+    )
+
+
+def _pair_len(pair):
+    return int(len(pair[0]))
 
 
 # --------------------------------------------------------------------------
@@ -33,13 +74,13 @@ from ..core.engine import SpmvEngine
 
 def cc_fixed(engine: SpmvEngine, iters: int) -> np.ndarray:
     """`iters` synchronous rounds of l' = min(l, min over neighbors l[u])
-    on the symmetrized engine. Returns dense-id component labels."""
-    n = engine.n
-    l = np.arange(n, dtype=np.float64)
+    on the symmetrized engine. Returns dense-id component labels. Labels
+    stay chunked in the object store across rounds."""
+    l = engine.map_chunks_i(_iota)
     for _ in range(iters):
-        nl = engine.spmv(l, "select2nd_min")
-        l = np.minimum(l, nl)
-    return l.astype(np.int64)
+        nl = engine.spmv_refs(l, "select2nd_min")
+        l = engine.map_chunks(_min2, l, nl)
+    return engine.unchunk(l).astype(np.int64)
 
 
 def connected_components(
@@ -52,60 +93,68 @@ def connected_components(
 ) -> tuple[np.ndarray, int]:
     """Min-label propagation + pointer-jumping shortcut, to convergence.
     Returns (labels, iterations). With ``ckpt_dir``, the label vector is
-    snapshotted every ``ckpt_every`` rounds and restored on rerun."""
-    n = engine.n
-    l = np.arange(n, dtype=np.float64)
+    snapshotted every ``ckpt_every`` rounds and restored on rerun. The
+    label vector is chunked refs throughout; each pointer jump is a
+    distributed gather (`Extract`, ``CC.h:419-577``)."""
+    l = engine.map_chunks_i(_iota)
     start = 0
     if ckpt_dir and resume:
         from ..state.checkpoint import load_latest
 
-        start, chunks = load_latest(ckpt_dir, "cc")
+        start, chunks = load_latest(ckpt_dir, "cc",
+                                    expected_sizes=engine.chunk_sizes())
         if chunks is not None:
-            l = engine.unchunk(chunks)
+            l = list(chunks)  # already per-chunk ObjectRefs
     for k in range(start + 1, max_iters + 1):
-        nl = engine.spmv(l, "select2nd_min")
-        l2 = np.minimum(l, nl)
+        nl = engine.spmv_refs(l, "select2nd_min")
+        l2 = engine.map_chunks(_min2, l, nl)
         # Shortcut: parent = parent(parent) until stable (CC.h:1321-1341)
-        idx = l2.astype(np.int64)
+        idx = engine.map_chunks(_as_int, l2)
         while True:
-            jumped = l2[idx].astype(np.int64)
-            if np.array_equal(jumped, idx):
+            jumped = engine.map_chunks(
+                _as_int, engine.gather_refs(l2, idx)
+            )
+            if engine.chunks_equal(jumped, idx):
                 break
             idx = jumped
-        l2 = idx.astype(np.float64)
+        l2 = engine.map_chunks(_as_float, idx)
         if ckpt_dir and k % ckpt_every == 0:
             from ..state.checkpoint import save_state
 
-            save_state(ckpt_dir, "cc", k, engine.chunk(l2))
-        if np.array_equal(l2, l):
-            return l2.astype(np.int64), k
+            save_state(ckpt_dir, "cc", k, l2)
+        if engine.chunks_equal(l2, l):
+            return engine.unchunk(l2).astype(np.int64), k
         l = l2
-    return l.astype(np.int64), max_iters
+    return engine.unchunk(l).astype(np.int64), max_iters
 
 
 # --------------------------------------------------------------------------
-# BFS / SSSP (min-plus relaxations, dense vector form)
+# BFS / SSSP (min-plus relaxations)
 # --------------------------------------------------------------------------
+
+
+def _root_init(bounds, root):
+    s, e = bounds
+    d = np.full(e - s, np.inf)
+    if s <= root < e:
+        d[root - s] = 0.0
+    return d
 
 
 def min_plus_distances(
     engine: SpmvEngine, root: int, iters: int | None = None, max_iters: int = 10_000
 ) -> np.ndarray:
     """d' = min(d, min over in-edges (w(u,v) + d[u])); fixed `iters` rounds
-    (oracle mode) or until fixpoint. Unreached = +inf."""
-    n = engine.n
-    d = np.full(n, np.inf)
-    d[root] = 0.0
+    (oracle mode) or until fixpoint. Unreached = +inf. Distance vector is
+    chunked refs; convergence syncs one small count per round."""
+    d = engine.map_chunks_i(partial(_root_init, root=root))
     total = iters if iters is not None else max_iters
     for _ in range(total):
-        nd = engine.spmv(d, "min_plus")
-        nd = np.minimum(d, nd)
-        if iters is None and np.array_equal(
-            np.nan_to_num(nd, posinf=-1), np.nan_to_num(d, posinf=-1)
-        ):
-            return nd
+        nd = engine.map_chunks(_min2, d, engine.spmv_refs(d, "min_plus"))
+        if iters is None and sum(engine.chunk_scalars(_neq_inf_count, nd, d)) == 0:
+            return engine.unchunk(nd)
         d = nd
-    return d
+    return engine.unchunk(d)
 
 
 def fastsv(engine: SpmvEngine, max_iters: int = 200) -> tuple[np.ndarray, int]:
@@ -115,27 +164,66 @@ def fastsv(engine: SpmvEngine, max_iters: int = 200) -> tuple[np.ndarray, int]:
     - stochastic hooking: f[f[u]] = min(mngp)  (`Assign` scatter-min)
     - aggressive hooking: f[u] = min(f[u], mngp)
     - shortcutting: f = f[f]                   (`Extract` distributed gather)
-    Converges when no grandparent changes. Returns (labels, iters)."""
-    n = engine.n
-    f = np.arange(n, dtype=np.float64)  # parent
-    gp = f.copy()  # grandparent
+    Converges when no grandparent changes. Returns (labels, iters).
+    All vectors are chunked refs; hooking is `scatter_reduce_refs`."""
+    f = engine.map_chunks_i(_iota)  # parent
+    gp = f  # grandparent
     for it in range(1, max_iters + 1):
-        mngp = engine.spmv(gp, "select2nd_min")  # min neighbor grandparent
-        mngp = np.minimum(mngp, gp)
+        mngp = engine.spmv_refs(gp, "select2nd_min")  # min nbr grandparent
+        mngp = engine.map_chunks(_min2, mngp, gp)
         # stochastic hooking: scatter-min onto parents' slots
-        hook = engine.scatter_reduce(
-            f.astype(np.int64), mngp, "select2nd_min"
+        f_idx = engine.map_chunks(_as_int, f)
+        hook = engine.scatter_reduce_refs(
+            list(zip(f_idx, mngp)), "select2nd_min"
         )
-        f = np.minimum(f, hook)
+        f = engine.map_chunks(_min2, f, hook)
         # aggressive hooking onto own slot
-        f = np.minimum(f, mngp)
+        f = engine.map_chunks(_min2, f, mngp)
         # shortcutting: f = f[f] (distributed gather)
-        f = engine.gather(f, f.astype(np.int64))
-        new_gp = engine.gather(f, f.astype(np.int64))
-        if np.array_equal(new_gp, gp):
-            return f.astype(np.int64), it
+        f = engine.gather_refs(f, engine.map_chunks(_as_int, f))
+        new_gp = engine.gather_refs(f, engine.map_chunks(_as_int, f))
+        if engine.chunks_equal(new_gp, gp):
+            return engine.unchunk(f).astype(np.int64), it
         gp = new_gp
-    return f.astype(np.int64), max_iters
+    return engine.unchunk(f).astype(np.int64), max_iters
+
+
+def _frontier_seed(bounds, root):
+    s, e = bounds
+    if s <= root < e:
+        return (np.array([root - s], dtype=np.int64),
+                np.array([float(root)], dtype=np.float64))
+    return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+
+
+def _bfs_dense_x(pair, bounds):
+    s, e = bounds
+    x = np.full(e - s, np.inf)
+    x[pair[0]] = pair[1]
+    return x
+
+
+def _dense_to_pair(res):
+    idx = np.nonzero(np.isfinite(res))[0]
+    return idx, res[idx]
+
+
+def _bfs_step(parents, dist, pair, bounds, level):
+    """Per-chunk: drop visited candidates (EWiseMult exclude=true), set
+    parents/dist, and emit the next frontier pair (vals = global ids)."""
+    idx, pv = pair
+    unv = parents[idx] == -1
+    fi = idx[unv]
+    parents = parents.copy()
+    dist = dist.copy()
+    parents[fi] = pv[unv].astype(np.int64)
+    dist[fi] = level
+    return parents, dist, (fi, (fi + bounds[0]).astype(np.float64))
+
+
+def _neg_ones(bounds):
+    s, e = bounds
+    return np.full(e - s, -1, dtype=np.int64)
 
 
 def bfs_parents(engine: SpmvEngine, root: int, max_iters: int = 10_000):
@@ -145,34 +233,52 @@ def bfs_parents(engine: SpmvEngine, root: int, max_iters: int = 10_000):
     ``fringe = EWiseMult(fringe, parents, exclude=true)`` (drop visited),
     ``parents.Set(fringe)``. Parent tie-break: smallest dense id among
     previous-level neighbors. Returns (parents, dist); parents[root]=root,
-    unreached = -1."""
+    unreached = -1. Frontier/parents/dist are chunked refs; the driver
+    syncs one frontier-size scalar per level."""
+    import ray
+
     n = engine.n
-    parents = np.full(n, -1, dtype=np.int64)
-    dist = np.full(n, -1, dtype=np.int64)
-    parents[root] = root
-    dist[root] = 0
-    frontier = np.array([root], dtype=np.int64)
+    parents = engine.map_chunks_i(_neg_ones)
+    dist = engine.map_chunks_i(_neg_ones)
+    seed = engine.map_chunks_i(partial(_frontier_seed, root=root))
+    parents, dist, frontier = engine.map_chunks_n(
+        partial(_bfs_step, level=0), 3, parents, dist, seed, with_bounds=True
+    )
+    fsize = sum(engine.chunk_scalars(_pair_len, frontier))
     level = 0
-    while len(frontier) and level < max_iters:
+    while fsize and level < max_iters:
         level += 1
-        if len(frontier) * 50 < n:
+        if fsize * 50 < n:
             # top-down: sparse frontier SpMSpV
-            cand_idx, cand_parent = engine.spmspv(
-                frontier, frontier.astype(np.float64), "select2nd_min"
-            )
+            cand = engine.spmspv_refs(frontier, "select2nd_min")
         else:
             # bottom-up analog (`DirOptBFS.cpp` switch): dense SpMV over
             # the frontier indicator; x = frontier vertex ids
-            x = np.full(n, np.inf)
-            x[frontier] = frontier.astype(np.float64)
-            res = engine.spmv(x, "select2nd_min")
-            cand_idx = np.nonzero(np.isfinite(res))[0]
-            cand_parent = res[cand_idx]
-        unvisited = parents[cand_idx] == -1  # EWiseMult exclude=true
-        frontier = cand_idx[unvisited]
-        parents[frontier] = cand_parent[unvisited].astype(np.int64)
-        dist[frontier] = level
-    return parents, dist
+            x = engine.map_chunks_i(_bfs_dense_x, frontier)
+            cand = engine.map_chunks(
+                _dense_to_pair, engine.spmv_refs(x, "select2nd_min")
+            )
+        parents, dist, frontier = engine.map_chunks_n(
+            partial(_bfs_step, level=level), 3, parents, dist, cand,
+            with_bounds=True,
+        )
+        fsize = sum(engine.chunk_scalars(_pair_len, frontier))
+    return engine.unchunk(parents), engine.unchunk(dist)
+
+
+def _bfsd_sparse_step(d, pair, bounds, level):
+    """Per-chunk relax of SpMSpV candidates: vals = w + x = level."""
+    idx, vals = pair
+    newly = idx[vals < d[idx]]
+    d = d.copy()
+    d[newly] = level
+    return d, (newly, np.full(len(newly), float(level)))
+
+
+def _bfsd_dense_step(d, nd):
+    nd = np.minimum(d, nd)
+    newly = np.nonzero(nd < d)[0]
+    return nd, (newly, nd[newly])
 
 
 def bfs_distances_auto(engine: SpmvEngine, root: int) -> np.ndarray:
@@ -180,54 +286,82 @@ def bfs_distances_auto(engine: SpmvEngine, root: int) -> np.ndarray:
     is below n/50 use SpMSpV, else dense min-plus SpMV — the reference's
     density-threshold switch (``CC.h:1256``, ``FastSV.h:346``)."""
     n = engine.n
-    d = np.full(n, np.inf)
-    d[root] = 0.0
-    frontier = np.array([root], dtype=np.int64)
+    d = engine.map_chunks_i(partial(_root_init, root=root))
+    frontier = engine.map_chunks_i(partial(_frontier_seed, root=root))
+    # seed vals must be d[root] = 0 (min_plus x), not the vertex id
+    fsize = sum(engine.chunk_scalars(_pair_len, frontier))
     level = 0
-    while len(frontier):
+    while fsize:
         level += 1
-        if len(frontier) * 50 < n:
+        if fsize * 50 < n:
             # SpMSpV: val = w + x = 1 + (level-1) = level for structural w=1
-            idx, vals = engine.spmspv(
-                frontier, np.full(len(frontier), level - 1.0), "min_plus"
+            cand = engine.spmspv_refs(frontier, "min_plus")
+            d, frontier = engine.map_chunks_n(
+                partial(_bfsd_sparse_step, level=level), 2, d, cand,
+                with_bounds=True,
             )
-            newly = idx[vals < d[idx]]
-            d[newly] = level
-            frontier = newly
         else:
-            nd = np.minimum(d, engine.spmv(d, "min_plus"))
-            newly = np.nonzero(nd < d)[0]
-            d = nd
-            frontier = newly
-    return d
+            nd = engine.spmv_refs(d, "min_plus")
+            d, frontier = engine.map_chunks_n(_bfsd_dense_step, 2, d, nd)
+        fsize = sum(engine.chunk_scalars(_pair_len, frontier))
+    return engine.unchunk(d)
+
+
+# --------------------------------------------------------------------------
+# MIS / matching / orderings
+# --------------------------------------------------------------------------
+
+
+def _mis_x(active, prio):
+    return np.where(active, prio, np.inf)
+
+
+def _mis_winners(active, prio, nb_min):
+    return active & (prio < nb_min)
+
+
+def _count_true(a):
+    return int(np.count_nonzero(a))
+
+
+def _or2(a, b):
+    return a | b
+
+
+def _bool_to_f(a):
+    return a.astype(np.float64)
+
+
+def _mis_deact(active, winners, nb_win):
+    return active & ~(winners | (nb_win > 0))
 
 
 def luby_mis(engine: SpmvEngine, seed: int = 5) -> np.ndarray:
     """Luby's maximal independent set over the symmetrized engine
     (`FilteredMIS.cpp` workload family): deterministic per-vertex
     priorities; iterate: v joins MIS if its priority beats every active
-    neighbor's; neighbors of MIS vertices deactivate."""
+    neighbor's; neighbors of MIS vertices deactivate. Priorities are
+    chunked once at init; the loop is refs-only."""
     n = engine.n
     rng = np.random.RandomState(seed)
-    prio = rng.permutation(n).astype(np.float64)
-    active = np.ones(n, dtype=bool)
-    in_mis = np.zeros(n, dtype=bool)
-    while active.any():
+    prio = engine.chunk(rng.permutation(n).astype(np.float64))
+    active = engine.map_chunks_i(lambda b: np.ones(b[1] - b[0], dtype=bool))
+    in_mis = engine.map_chunks_i(lambda b: np.zeros(b[1] - b[0], dtype=bool))
+    while sum(engine.chunk_scalars(_count_true, active)):
         # min active-neighbor priority via SpMV over select2nd_min
-        x = np.where(active, prio, np.inf)
-        nb_min = engine.spmv(x, "select2nd_min")
-        winners = active & (prio < nb_min)
-        if not winners.any():
+        x = engine.map_chunks(_mis_x, active, prio)
+        nb_min = engine.spmv_refs(x, "select2nd_min")
+        winners = engine.map_chunks(_mis_winners, active, prio, nb_min)
+        if sum(engine.chunk_scalars(_count_true, winners)) == 0:
             # isolated actives (no neighbors): nb_min = inf -> winners;
             # only reachable if priorities tie, which permutation prevents
             break
-        in_mis[winners] = True
+        in_mis = engine.map_chunks(_or2, in_mis, winners)
         # deactivate winners and their neighbors
-        win_ind = np.zeros(n)
-        win_ind[winners] = 1.0
-        nb_win = engine.spmv(win_ind, "plus_times") > 0
-        active &= ~(winners | nb_win)
-    return in_mis
+        win_ind = engine.map_chunks(_bool_to_f, winners)
+        nb_win = engine.spmv_refs(win_ind, "plus_times")
+        active = engine.map_chunks(_mis_deact, active, winners, nb_win)
+    return engine.unchunk(in_mis)
 
 
 def rcm_ordering(engine: SpmvEngine) -> np.ndarray:
@@ -236,7 +370,10 @@ def rcm_ordering(engine: SpmvEngine) -> np.ndarray:
     `Applications/Ordering/RCM.cpp`): per connected component, BFS from
     the min-degree vertex, order vertices by (component, BFS level,
     degree, id), then reverse. Returns perm where perm[old] = new index.
-    """
+    The BFS loop is refs-only; the final lexsort is a one-time O(n log n)
+    on the (small) output permutation."""
+    import ray
+
     n = engine.n
     # structural degree = row sums of the 0/1 symmetric matrix
     deg = engine.in_weights().astype(np.int64)
@@ -247,20 +384,73 @@ def rcm_ordering(engine: SpmvEngine) -> np.ndarray:
     first = np.ones(n, dtype=bool)
     first[1:] = comp_sorted[1:] != comp_sorted[:-1]
     roots = order[first]
-    # one multi-source BFS (components are disjoint)
-    d = np.full(n, np.inf)
-    d[roots] = 0.0
+    # one multi-source BFS (components are disjoint), refs-only loop
+    root_set = np.zeros(n, dtype=bool)
+    root_set[roots] = True
+    d_full = np.full(n, np.inf)
+    d_full[roots] = 0.0
+    d = engine.chunk(d_full)
     while True:
-        nd = np.minimum(d, engine.spmv(d, "min_plus"))
-        if np.array_equal(np.nan_to_num(nd, posinf=-1), np.nan_to_num(d, posinf=-1)):
+        nd = engine.map_chunks(_min2, d, engine.spmv_refs(d, "min_plus"))
+        if sum(engine.chunk_scalars(_neq_inf_count, nd, d)) == 0:
             break
         d = nd
+    d = engine.unchunk(d)
     level = np.where(np.isfinite(d), d, n).astype(np.int64)
     cm = np.lexsort((np.arange(n), deg, level, comp))
     rcm = cm[::-1]
     perm = np.empty(n, dtype=np.int64)
     perm[rcm] = np.arange(n)
     return perm
+
+
+def _mm_x(match, prio, bounds, n):
+    s, e = bounds
+    unmatched = match == -1
+    return np.where(unmatched, prio * n + np.arange(s, e), np.inf)
+
+
+def _mm_active(match, nb):
+    return int(np.count_nonzero((match == -1) & np.isfinite(nb)))
+
+
+def _mm_props(match, prio, nb, bounds, n):
+    """Per-chunk local-minimum proposals: (partner global idx, proposer
+    code) sparse pair; proposer code = prio*n + global id."""
+    s, e = bounds
+    unmatched = match == -1
+    has_nb = np.isfinite(nb)
+    nb_prio = np.floor_divide(nb, n, where=has_nb,
+                              out=np.full(len(nb), np.inf))
+    local_min = unmatched & has_nb & (prio < nb_prio)
+    proposers = np.nonzero(local_min)[0]
+    partners = (nb[proposers] % n).astype(np.int64)
+    codes = prio[proposers] * n + (proposers + s)
+    return partners, codes
+
+
+def _mm_accept(match, best, bounds, n):
+    """Targets accept their min-code proposer (scatter-min result)."""
+    hit = np.isfinite(best) & (match == -1)
+    match = match.copy()
+    match[hit] = (best[hit] % n).astype(np.int64)
+    return match
+
+
+def _mm_backpairs(match_old, best, bounds, n):
+    """(proposer global idx, target global id) for accepted proposals."""
+    s, e = bounds
+    hit = np.isfinite(best) & (match_old == -1)
+    props = (best[hit] % n).astype(np.int64)
+    targets = np.nonzero(hit)[0] + s
+    return props, targets.astype(np.float64)
+
+
+def _mm_setback(match, back):
+    hit = np.isfinite(back)
+    match = match.copy()
+    match[hit] = back[hit].astype(np.int64)
+    return match
 
 
 def maximal_matching(engine: SpmvEngine, seed: int = 9) -> np.ndarray:
@@ -270,32 +460,36 @@ def maximal_matching(engine: SpmvEngine, seed: int = 9) -> np.ndarray:
     beats all unmatched neighbors proposes to its min-priority unmatched
     neighbor; proposal targets accept their min-priority proposer. The
     global minimum always matches -> guaranteed progress. Returns partner
-    ids (-1 = unmatched)."""
+    ids (-1 = unmatched). Accepted (proposer, target) links route back via
+    a second scatter — acc_v and acc_p are provably disjoint (a proposer
+    beats every unmatched neighbor's priority, so it can't also be a
+    proposal target), so the two writes never conflict."""
     n = engine.n
     rng = np.random.RandomState(seed)
-    prio = rng.permutation(n).astype(np.float64)
-    match = np.full(n, -1, dtype=np.int64)
+    prio = engine.chunk(rng.permutation(n).astype(np.float64))
+    match = engine.map_chunks_i(_neg_ones)
     while True:
-        unmatched = match == -1
         # encode (priority, id) as one comparable float: prio*n + id
-        x = np.where(unmatched, prio * n + np.arange(n), np.inf)
-        nb = engine.spmv(x, "select2nd_min")  # min unmatched neighbor code
-        has_nb = np.isfinite(nb)
-        if not (unmatched & has_nb).any():
+        x = engine.map_chunks_i(partial(_mm_x, n=n), match, prio)
+        nb = engine.spmv_refs(x, "select2nd_min")  # min unmatched nbr code
+        if sum(engine.chunk_scalars(_mm_active, match, nb)) == 0:
             break  # no unmatched vertex has an unmatched neighbor: maximal
-        nb_prio = np.floor_divide(nb, n, where=has_nb, out=np.full(n, np.inf))
-        local_min = unmatched & has_nb & (prio < nb_prio)
-        proposers = np.nonzero(local_min)[0]
-        partners = (nb[proposers] % n).astype(np.int64)
-        # each target accepts its min-priority proposer
-        order = np.lexsort((prio[proposers], partners))
-        sp, st = proposers[order], partners[order]
-        first = np.ones(len(st), dtype=bool)
-        first[1:] = st[1:] != st[:-1]
-        acc_v, acc_p = sp[first], st[first]
-        match[acc_v] = acc_p
-        match[acc_p] = acc_v
-    return match
+        pr_idx, pr_code = engine.map_chunks_n(
+            partial(_mm_props, n=n), 2, match, prio, nb, with_bounds=True
+        )
+        # each target accepts its min-code (= min-priority) proposer
+        best = engine.scatter_reduce_refs(
+            list(zip(pr_idx, pr_code)), "select2nd_min"
+        )
+        back_i, back_t = engine.map_chunks_n(
+            partial(_mm_backpairs, n=n), 2, match, best, with_bounds=True
+        )
+        match = engine.map_chunks_i(partial(_mm_accept, n=n), match, best)
+        back = engine.scatter_reduce_refs(
+            list(zip(back_i, back_t)), "select2nd_min"
+        )
+        match = engine.map_chunks(_mm_setback, match, back)
+    return engine.unchunk(match)
 
 
 # --------------------------------------------------------------------------
@@ -303,23 +497,32 @@ def maximal_matching(engine: SpmvEngine, seed: int = 9) -> np.ndarray:
 # --------------------------------------------------------------------------
 
 
+def _lp_indicator(cls, num_classes):
+    return (cls[None, :] == np.arange(num_classes)[:, None]).astype(np.float64)
+
+
+def _lp_update(cls, counts):
+    total = counts.sum(axis=0)
+    best = counts.argmax(axis=0)  # first max -> smallest class id
+    return np.where(total > 0, best, cls).astype(np.int64)
+
+
 def label_propagation(
     engine: SpmvEngine, init: np.ndarray, num_classes: int, iters: int
 ) -> np.ndarray:
     """Synchronous mode-of-neighbors update; tie -> smallest class id;
     isolated vertices keep their class. Class counts are computed as one
-    plus_times SpMV per class over 0/1 indicator vectors (batched SpMV =
-    the SpMM pattern of BetwCent.cpp:179-187)."""
-    n = engine.n
-    cls = init.astype(np.int64).copy()
-    classes = np.arange(num_classes)
+    plus_times chunked SpMM per round (the batched-SpMV pattern of
+    BetwCent.cpp:179-187); the (k, n) count matrix exists only as
+    per-chunk refs, the argmax update is chunk-local."""
+    cls = engine.chunk(init.astype(np.int64))
     for _ in range(iters):
-        ind = (cls[None, :] == classes[:, None]).astype(np.float64)
-        counts = engine.spmm(ind, "plus_times")  # one roundtrip for all k
-        total = counts.sum(axis=0)
-        best = counts.argmax(axis=0)  # first max -> smallest class id
-        cls = np.where(total > 0, best, cls).astype(np.int64)
-    return cls
+        ind = engine.map_chunks(
+            partial(_lp_indicator, num_classes=num_classes), cls
+        )
+        counts = engine.spmm_refs(ind, num_classes, "plus_times")
+        cls = engine.map_chunks(_lp_update, cls, counts)
+    return engine.unchunk(cls)
 
 
 # --------------------------------------------------------------------------

@@ -193,4 +193,4 @@ def _checkpoint(ckpt_dir: str, k: int, r_refs: list) -> None:
 def _load_latest(engine: SpmvEngine, ckpt_dir: str):
     from ..state.checkpoint import load_latest
 
-    return load_latest(ckpt_dir, "pr")
+    return load_latest(ckpt_dir, "pr", expected_sizes=engine.chunk_sizes())

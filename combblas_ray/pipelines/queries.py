@@ -470,9 +470,16 @@ def q_top_customers(sf_dir: str):
         .limit(10)
         .to_pandas()
     )
+    # semi-join: push the 10 winning keys into the parquet read as a row
+    # filter — never scan the whole customer table onto the driver
+    import pyarrow.compute as pc
+
     cust = (
-        ray.data.read_parquet(f"{sf_dir}/customer.parquet",
-                              columns=["c_custkey", "c_name"])
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_name"],
+            filter=pc.field("c_custkey").isin(top["c_custkey"].tolist()),
+        )
         .to_pandas()
     )
     out = top.merge(cust, on="c_custkey")
@@ -892,23 +899,28 @@ def q_clean_corpus(sf_dir: str):
     from ..functions import dedup as D
     from ..functions import text as T
 
-    docs = _docs(sf_dir)
+    docs = _docs(sf_dir).materialize()  # scanned three times below
     qual = docs.map_batches(T.token_stats, batch_format="pyarrow",
                             zero_copy_batch=True)
     quality = docs.map_batches(T.quality, batch_format="pyarrow",
                                zero_copy_batch=True)
-    keep_q = {
-        r["doc_id"]
-        for r in quality.filter(expr="distinct_ratio >= 0.3").take_all()
-    }
-    keep_t = {r["doc_id"] for r in qual.filter(expr="n_tokens >= 20").take_all()}
-    canon = {
-        r["doc_id"]
-        for r in D.exact_dedup(docs).take_all()
-        if r["doc_id"] == r["canon_id"]
-    }
-    kept = sorted(keep_q & keep_t & canon)
-    return pa.table({"doc_id": pa.array(kept, type=pa.int64())})
+    # three distributed semi-joins on doc_id — no driver-side id sets
+    keep_q = (quality.filter(expr="distinct_ratio >= 0.3")
+              .select_columns(["doc_id"]))
+    keep_t = qual.filter(expr="n_tokens >= 20").select_columns(["doc_id"])
+
+    def _canon_only(batch: pa.Table) -> pa.Table:
+        keep = pa.compute.equal(batch.column("doc_id"),
+                                batch.column("canon_id"))
+        return batch.filter(keep).select(["doc_id"])
+
+    canon = D.exact_dedup(docs).map_batches(_canon_only,
+                                            batch_format="pyarrow")
+    np_ = D._join_partitions()
+    kept = keep_q.join(keep_t, "inner", np_, on=("doc_id",)).join(
+        canon, "inner", np_, on=("doc_id",)
+    )
+    return kept.sort("doc_id")
 
 
 def q_fastsv(sf_dir: str):
@@ -956,9 +968,8 @@ def q_knn_components(sf_dir: str):
 
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                 columns=["vec_id", "embedding"])
-    ids = np.array([r["vec_id"] for r in emb.take_all()], dtype=np.int64)
-    n = int(ids.max()) + 1
-    topk = ann_bruteforce_topk(emb, ids, k=5)
+    n = int(emb.max("vec_id")) + 1  # distributed max — no id materialization
+    topk = ann_bruteforce_topk(emb, np.arange(n, dtype=np.int64), k=5)
     edges = pa.table(
         {
             "src": topk.column("query_id"),

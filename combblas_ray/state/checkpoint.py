@@ -42,14 +42,22 @@ def save_state(ckpt_dir: str, tag: str, iteration: int, chunk_refs: list) -> Non
             for i, (p, s) in enumerate(zip(paths, shas))
         ],
     }
+    # shape fingerprint so a stale dir from a differently-configured run
+    # (other n or g) can't silently restore wrong-shaped state
+    man["num_chunks"] = len(chunk_refs)
     tmp = os.path.join(ckpt_dir, f"{tag}_iter{iteration:05d}.json.tmp")
     with open(tmp, "w") as f:
         json.dump(man, f)
     os.replace(tmp, os.path.join(ckpt_dir, f"{tag}_iter{iteration:05d}.json"))
 
 
-def load_latest(ckpt_dir: str, tag: str):
-    """-> (iteration, [chunk ObjectRefs]) or (0, None)."""
+def load_latest(ckpt_dir: str, tag: str, expected_sizes: list[int] | None = None):
+    """-> (iteration, [chunk ObjectRefs]) or (0, None).
+
+    ``expected_sizes`` (the caller engine's per-chunk lengths) guards
+    against restoring a sha-valid snapshot written by a run with a
+    different n/g: a snapshot whose chunk count or any chunk length
+    disagrees is skipped like a corrupt one."""
     if not os.path.isdir(ckpt_dir):
         return 0, None
     manifests = sorted(
@@ -61,11 +69,17 @@ def load_latest(ckpt_dir: str, tag: str):
         try:
             with open(os.path.join(ckpt_dir, mf)) as f:
                 man = json.load(f)
+            if expected_sizes is not None and len(man["chunks"]) != len(
+                expected_sizes
+            ):
+                raise ValueError("chunk count mismatch")
             chunks = []
-            for c in man["chunks"]:
+            for i, c in enumerate(man["chunks"]):
                 arr = np.load(c["path"])["a"]
                 if hashlib.sha256(arr.tobytes()).hexdigest()[:16] != c["sha"]:
                     raise ValueError("chunk sha mismatch")
+                if expected_sizes is not None and len(arr) != expected_sizes[i]:
+                    raise ValueError("chunk length mismatch")
                 chunks.append(ray.put(arr))
             return man["iteration"], chunks
         except Exception:  # noqa: BLE001 — fall back to the previous snapshot

@@ -226,3 +226,86 @@ def test_uint16_boundary_block(ray_session, tmp_path):
     got = dict(zip(ui.tolist(), uv.tolist()))
     assert got == {65535: 3.0, 131071: 5.0}
     eng.shutdown()
+
+
+def test_incremental_update_preserves_structural_dtype(tmp_path, ray_session):
+    """Delta merge on a structural=True / f4 store must keep w=1 presence
+    semantics and float32 dtype, and must write a NEW generation file
+    (replay idempotence) instead of mutating the old block in place."""
+    import pyarrow as pa
+
+    import ray
+
+    from combblas_ray.core.engine import build_blocks, update_blocks
+    from combblas_ray.core.graph import Graph
+
+    def mk(edges, n=10):
+        t = pa.table(
+            {
+                "src": pa.array([e[0] for e in edges], type=pa.int64()),
+                "dst": pa.array([e[1] for e in edges], type=pa.int64()),
+                "w": pa.array([float(e[2]) for e in edges]),
+            }
+        )
+        return Graph(n=n, edges=ray.data.from_arrow(t))
+
+    d = str(tmp_path / "inc_struct")
+    man = build_blocks(mk([(0, 1, 5.0), (1, 2, 3.0)]), 2, d,
+                       structural=True, w_dtype="f4")
+    old_paths = {b["bid"]: b["path"] for b in man["blocks"]}
+    man2 = update_blocks(man, mk([(0, 1, 7.0), (3, 4, 2.0)]), d)
+    assert man2["gen"] == 1
+    touched = 0
+    for b in man2["blocks"]:
+        z = np.load(b["path"])
+        assert z["w"].dtype == np.float32
+        assert (z["w"] == 1.0).all()  # presence-only, not summed weights
+        if b["path"] != old_paths.get(b["bid"]):
+            touched += 1
+            assert "_g1" in b["path"]
+    assert touched >= 1
+
+
+def test_checkpoint_shape_guard(tmp_path, ray_session):
+    """load_latest must skip sha-valid snapshots whose chunking disagrees
+    with the caller's engine (stale dir from another n/g config)."""
+    import ray
+
+    from combblas_ray.state.checkpoint import load_latest, save_state
+
+    cd = str(tmp_path / "ck")
+    save_state(cd, "cc", 5, [ray.put(np.ones(7)), ray.put(np.ones(7))])
+    assert load_latest(cd, "cc", expected_sizes=[9, 9]) == (0, None)
+    assert load_latest(cd, "cc", expected_sizes=[7, 7, 7]) == (0, None)
+    it, chunks = load_latest(cd, "cc", expected_sizes=[7, 7])
+    assert it == 5 and chunks is not None
+
+
+def test_ewise_apply_nan_is_not_null(ray_session):
+    """A legitimate NaN weight must reach fn as NaN; only a truly missing
+    join side gets the a_null/b_null substitute (Arrow null validity, not
+    isnan — reference EWiseApply's explicit nullity)."""
+    import pyarrow as pa
+
+    import ray
+
+    from combblas_ray.core.spgemm import ewise_apply
+
+    A = ray.data.from_arrow(pa.table(
+        {"src": pa.array([0, 1], type=pa.int64()),
+         "dst": pa.array([0, 1], type=pa.int64()),
+         "w": pa.array([np.nan, 2.0])}))
+    B = ray.data.from_arrow(pa.table(
+        {"src": pa.array([0, 2], type=pa.int64()),
+         "dst": pa.array([0, 2], type=pa.int64()),
+         "w": pa.array([5.0, 7.0])}))
+
+    def fn(wa, wb):
+        return np.where(np.isnan(wa), -99.0, wa + wb)
+
+    rows = {(r["src"], r["dst"]): r["w"]
+            for r in ewise_apply(A, B, 10, fn, a_null=0.0, b_null=0.0,
+                                 num_partitions=2).take_all()}
+    assert rows[(0, 0)] == -99.0          # NaN preserved into fn
+    assert rows[(1, 1)] == 2.0            # missing B side -> b_null=0
+    assert rows[(2, 2)] == 7.0            # missing A side -> a_null=0

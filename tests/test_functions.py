@@ -48,7 +48,7 @@ def test_jaccard_pairs_match_brute(docs, doc_rows):
     from combblas_ray.functions.dedup import jaccard_pairs
 
     got = {
-        (r["a"], r["b"]): r["jac"] for r in jaccard_pairs(docs, 0.5).to_pylist()
+        (r["a"], r["b"]): r["jac"] for r in jaccard_pairs(docs, 0.5).take_all()
     }
     assert got == _brute_jaccard_pairs(doc_rows, 0.5)
 
@@ -60,7 +60,7 @@ def test_minhash_lsh_finds_same_pairs(docs, doc_rows):
 
     got = {
         (r["a"], r["b"]): r["jac"]
-        for r in minhash_lsh_pairs(docs, 0.5).to_pylist()
+        for r in minhash_lsh_pairs(docs, 0.5).take_all()
     }
     assert got == _brute_jaccard_pairs(doc_rows, 0.5)
 
