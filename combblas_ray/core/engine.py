@@ -569,8 +569,11 @@ class CsrPoolActor:
 
 
 @ray.remote(num_cpus=0)
-def _gather_from_owner(owner_vals: np.ndarray, local_idx: np.ndarray) -> np.ndarray:
-    return owner_vals[local_idx]
+def _gather_serve(owner_vals: np.ndarray, *idx_lists: np.ndarray):
+    """Owner chunk serves ALL g requesters in one task (num_returns=g) —
+    keeps the gather at 3g tasks instead of g^2 fetches."""
+    out = tuple(owner_vals[ix] for ix in idx_lists)
+    return out[0] if len(out) == 1 else out
 
 
 @ray.remote(num_cpus=0)
@@ -929,19 +932,29 @@ class SpmvEngine:
         serve slices, results reassemble per chunk. The driver never
         touches a full vector."""
         g = self.g
+        # 3g tasks total: g routes, g owner serves (each answering all g
+        # requesters), g assembles — not g^2 point-to-point fetches.
+        routes = [
+            _gather_route.options(num_returns=2 * g).remote(
+                idx_refs[i], self.bounds
+            )
+            for i in range(g)
+        ]
+        served = []
+        for k in range(g):
+            s = _gather_serve.options(num_returns=g).remote(
+                value_refs[k], *[routes[i][k] for i in range(g)]
+            )
+            served.append([s] if g == 1 else list(s))
         out = []
         for i in range(g):
             nrows = self.bounds[i][1] - self.bounds[i][0]
-            routed = _gather_route.options(num_returns=2 * g).remote(
-                idx_refs[i], self.bounds
-            )
-            owners_idx, owners_pos = routed[:g], routed[g:]
-            parts = [
-                _gather_from_owner.remote(value_refs[k], owners_idx[k])
-                for k in range(g)
-            ]
             out.append(
-                _gather_assemble.remote(nrows, g, *owners_pos, *parts)
+                _gather_assemble.remote(
+                    nrows, g,
+                    *[routes[i][g + k] for k in range(g)],
+                    *[served[k][i] for k in range(g)],
+                )
             )
         return out
 

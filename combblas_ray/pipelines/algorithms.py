@@ -67,6 +67,12 @@ def _pair_len(pair):
     return int(len(pair[0]))
 
 
+def _jump_step(jumped_f, idx):
+    """Fused pointer-jump chunk kernel: int-cast + changed count."""
+    nj = jumped_f.astype(np.int64)
+    return nj, int(np.count_nonzero(nj != idx))
+
+
 # --------------------------------------------------------------------------
 # connected components
 # --------------------------------------------------------------------------
@@ -106,17 +112,18 @@ def connected_components(
         if chunks is not None:
             l = list(chunks)  # already per-chunk ObjectRefs
     for k in range(start + 1, max_iters + 1):
+        import ray
+
         nl = engine.spmv_refs(l, "select2nd_min")
         l2 = engine.map_chunks(_min2, l, nl)
         # Shortcut: parent = parent(parent) until stable (CC.h:1321-1341)
         idx = engine.map_chunks(_as_int, l2)
         while True:
-            jumped = engine.map_chunks(
-                _as_int, engine.gather_refs(l2, idx)
-            )
-            if engine.chunks_equal(jumped, idx):
+            jumped_f = engine.gather_refs(l2, idx)
+            new_idx, changed = engine.map_chunks_n(_jump_step, 2, jumped_f, idx)
+            if sum(ray.get(changed)) == 0:
                 break
-            idx = jumped
+            idx = new_idx
         l2 = engine.map_chunks(_as_float, idx)
         if ckpt_dir and k % ckpt_every == 0:
             from ..state.checkpoint import save_state
