@@ -537,64 +537,241 @@ def label_propagation(
 # --------------------------------------------------------------------------
 
 
-def triangle_count(
-    sym_edges_ds, n: int, method: str = "broadcast", num_partitions: int = 16
-) -> int:
-    """Count triangles from the structural undirected edge Dataset (both
-    directions present, w=1): L = edges with src<dst; count closed wedges
-    u<w<v with (u,v) in L.
+_FIB = np.uint64(11400714819323198485)  # Fibonacci multiplicative mix
 
-    method="broadcast": L's CSR adjacency + a sorted edge-key array are put
-    in the object store ONCE; each map_batches task expands its edges'
-    wedges vectorized (repeat/searchsorted) and emits a partial count. This
-    is the `EWiseMult(B, L)` mask fused into the multiply — no shuffle at
-    all; right while L fits in worker memory (~10^9 edges).
 
-    method="join": two distributed hash joins (the scale-out path when the
-    filtered adjacency no longer fits: SUMMA-style shuffle SpGEMM).
-    """
-    if method == "join":
-        from ..core.graph import Graph
+def _tc_part(x: np.ndarray, g: int) -> np.ndarray:
+    """Cheap well-mixed partition assignment for raw-task shuffles."""
+    return ((x.astype(np.uint64) * _FIB) >> np.uint64(33)).astype(np.int64) % g
 
-        sym_edges_ds = Graph(n=n, edges=sym_edges_ds).dedup_sum().edges
-        L = sym_edges_ds.filter(expr="src < dst").select_columns(["src", "dst"])
-        paths = L.join(
-            L,
-            join_type="inner",
-            num_partitions=num_partitions,
-            on=("dst",),
-            right_on=("src",),
-            left_suffix="_a",
-            right_suffix="_b",
-        )
-        closed = paths.join(
-            L.rename_columns({"src": "m_src", "dst": "m_dst"}),
-            join_type="inner",
-            num_partitions=num_partitions,
-            on=("src", "dst_b"),
-            right_on=("m_src", "m_dst"),
-        )
-        return closed.count()
 
-    import ray
+def _tc_split(arrs: tuple, p: np.ndarray, g: int):
+    out = [tuple(a[p == i] for a in arrs) for i in range(g)]
+    return out[0] if g == 1 else tuple(out)
 
-    # Distinct undirected pairs (structural dedup in numpy), then orient
-    # every edge from its LOWER (degree, id)-ranked endpoint — the standard
-    # degree-ordering that bounds wedge counts by O(m^1.5) even with hub
-    # vertices (the reference's equivalent is the lower-triangular PruneI
-    # mask; id-order alone explodes on power-law hubs).
-    srcs, dsts = [], []
-    for t in ray.get(sym_edges_ds.to_arrow_refs()):
-        srcs.append(np.asarray(t.column("src")))
-        dsts.append(np.asarray(t.column("dst")))
-    src = np.concatenate(srcs) if srcs else np.empty(0, np.int64)
-    dst = np.concatenate(dsts) if dsts else np.empty(0, np.int64)
+
+def _tc_route_blocks(tbl: pa.Table, g: int, n: int):
+    """Per input edge block: batch-local undirected dedup, route distinct
+    pair keys by hash(key)."""
+    import ray  # noqa: F401  (remote context)
+
+    src = np.asarray(tbl.column("src"))
+    dst = np.asarray(tbl.column("dst"))
     lo = np.minimum(src, dst)
     hi = np.maximum(src, dst)
     keep = lo != hi
-    pair = np.unique(lo[keep] * np.int64(n) + hi[keep])
-    a = (pair // n).astype(np.int64)
-    b = (pair % n).astype(np.int64)
+    key = np.unique(lo[keep] * np.int64(n) + hi[keep])
+    return _tc_split((key,), _tc_part(key, g), g)
+
+
+def _tc_dedup_route_v(g: int, n: int, *parts):
+    """Per key-partition: global dedup of pair keys, then route endpoint
+    rows (v, key) by hash(v) for the degree/orientation stage. Returns
+    g routed parts, then the partition's distinct key array (broadcast
+    path input), then its count (num_returns = g + 2)."""
+    key = np.unique(np.concatenate([p[0] for p in parts])) if parts else (
+        np.empty(0, dtype=np.int64))
+    a = (key // n).astype(np.int64)
+    b = (key % n).astype(np.int64)
+    v = np.concatenate([a, b])
+    k2 = np.concatenate([key, key])
+    routed = _tc_split((v, k2), _tc_part(v, g), g)
+    if g == 1:
+        routed = (routed,)
+    return tuple(routed) + (key, int(len(key)))
+
+
+def _tc_attach_route_other(g: int, n: int, *parts):
+    """Per v-partition: every endpoint row of v is here, so deg(v) = row
+    count; rank r(v) = deg*n + v. Route (other_endpoint, v, r_v) rows by
+    hash(other)."""
+    if parts:
+        v = np.concatenate([p[0] for p in parts])
+        key = np.concatenate([p[1] for p in parts])
+    else:
+        v = key = np.empty(0, dtype=np.int64)
+    if len(v):
+        uv, inv, cnt = np.unique(v, return_inverse=True, return_counts=True)
+        r = cnt[inv].astype(np.int64) * np.int64(n) + v
+    else:
+        r = np.empty(0, dtype=np.int64)
+    a = key // n
+    b = key % n
+    other = np.where(a == v, b, a)
+    return _tc_split((other, v, r), _tc_part(other, g), g)
+
+
+def _tc_wedge_route_key(g: int, n: int, *parts):
+    """Per m-partition: rows (m, u, r_u) for every neighbor u of each m
+    here; deg(m) = m's row count so r(m) is local. ins = lower-rank
+    neighbors, outs = higher-rank; emit per-(u_in, u_out) wedge keys
+    (pre-aggregated) and the oriented L membership rows, both routed by
+    hash(wedge key)."""
+    if parts:
+        m = np.concatenate([p[0] for p in parts])
+        u = np.concatenate([p[1] for p in parts])
+        ru = np.concatenate([p[2] for p in parts])
+    else:
+        m = u = ru = np.empty(0, dtype=np.int64)
+    empty = (np.empty(0, dtype=np.int64),) * 3
+    if not len(m):
+        out = [empty for _ in range(g)]
+        return out[0] if g == 1 else tuple(out)
+    order = np.lexsort((ru, m))
+    m, u, ru = m[order], u[order], ru[order]
+    um, starts, cnts = np.unique(m, return_index=True, return_counts=True)
+    rm = np.repeat(cnts.astype(np.int64) * np.int64(n) + um, cnts)
+    is_out = ru > rm  # strict: ranks are unique (id tie-break)
+    grp = np.repeat(np.arange(len(um)), cnts)
+    n_out = np.bincount(grp, weights=is_out, minlength=len(um)).astype(np.int64)
+    n_in = cnts - n_out
+    out_start = starts + n_in  # outs are each group's suffix (sorted by ru)
+    in_rows = np.nonzero(~is_out)[0]
+    lens = n_out[grp[in_rows]]
+    total = int(lens.sum())
+    if total:
+        offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        idx = np.repeat(out_start[grp[in_rows]], lens) + (
+            np.arange(total) - np.repeat(offs, lens)
+        )
+        wk = np.repeat(u[in_rows], lens) * np.int64(n) + u[idx]
+        uk, cnt = np.unique(wk, return_counts=True)
+        cnt = cnt.astype(np.int64)
+    else:
+        uk = cnt = np.empty(0, dtype=np.int64)
+    mk = m[is_out] * np.int64(n) + u[is_out]  # oriented edge, emitted once
+    pw = _tc_part(uk, g)
+    pm = _tc_part(mk, g)
+    out = [(uk[pw == i], cnt[pw == i], mk[pm == i]) for i in range(g)]
+    return out[0] if g == 1 else tuple(out)
+
+
+def _tc_close(*parts) -> int:
+    """Per wedge-key partition: sum wedge multiplicities whose (u, w) key
+    is an oriented L edge."""
+    wk = np.concatenate([p[0] for p in parts])
+    wc = np.concatenate([p[1] for p in parts])
+    mk = np.sort(np.concatenate([p[2] for p in parts]))
+    if not len(wk) or not len(mk):
+        return 0
+    pos = np.searchsorted(mk, wk)
+    pos = np.minimum(pos, len(mk) - 1)
+    return int(wc[mk[pos] == wk].sum())
+
+
+def _tc_shuffle(pairs_parts: list, n: int, num_partitions: int) -> int:
+    """Fully-distributed triangle count — the scale path when the oriented
+    adjacency no longer fits one worker (the shuffle SpGEMM with a
+    lower-triangular mask, ``Mult_AnXBn_Synch`` ``ParFriends.h:1447`` +
+    PruneI ``SpParMat.h:161``). Three raw-task shuffle rounds over
+    ``num_cpus=0`` tasks (the engine's scatter/gather discipline — Ray
+    Data's actor-pool hash shuffle costs ~5s spawn per round here):
+
+      route-by-v -> degree+rank, route-by-other -> wedge expansion +
+      oriented-L membership, route-by-wedge-key -> closure partials.
+
+    No process ever holds the full pair set, L, or wedge set."""
+    import ray
+
+    g = num_partitions
+    t_attach = [
+        _rt(_tc_attach_route_other).options(num_returns=g).remote(
+            g, n, *[pairs_parts[j][i] for j in range(len(pairs_parts))]
+        )
+        for i in range(g)
+    ]
+    t_attach = [[t] if g == 1 else list(t) for t in t_attach]
+    t_wedge = [
+        _rt(_tc_wedge_route_key).options(num_returns=g).remote(
+            g, n, *[t_attach[j][i] for j in range(g)]
+        )
+        for i in range(g)
+    ]
+    t_wedge = [[t] if g == 1 else list(t) for t in t_wedge]
+    parts = [
+        _rt(_tc_close).remote(*[t_wedge[j][i] for j in range(g)])
+        for i in range(g)
+    ]
+    return int(sum(ray.get(parts)))
+
+
+_RT_CACHE: dict = {}
+
+
+def _rt(fn):
+    """Cached @ray.remote(num_cpus=0) wrapper for module-level kernels."""
+    import ray
+
+    if fn not in _RT_CACHE:
+        _RT_CACHE[fn] = ray.remote(num_cpus=0)(fn)
+    return _RT_CACHE[fn]
+
+
+def triangle_count(
+    sym_edges_ds, n: int, method: str = "auto", num_partitions: int = 16,
+    broadcast_max_edges: int = 200_000,
+) -> int:
+    """Count triangles from the structural undirected edge Dataset (both
+    directions present, w=1). Distinct-pair dedup is ALWAYS distributed
+    (one hash shuffle); every edge is then oriented from its LOWER
+    (degree, id)-ranked endpoint — the standard degree-ordering that
+    bounds wedge counts by O(m^1.5) even with hub vertices (the
+    reference's equivalent is the lower-triangular PruneI mask,
+    ``SpParMat.h:161``; id-order alone explodes on power-law hubs).
+
+    method="broadcast": the oriented CSR adjacency + a sorted edge-key
+    array are put in the object store ONCE; each map_batches task expands
+    its edges' wedges vectorized (repeat/searchsorted) and emits a partial
+    count — `EWiseMult(B, L)` fused into the multiply, no further shuffle.
+    Right while the oriented L fits in worker memory.
+
+    method="join": degree table + orientation + wedge expansion + closure
+    all as distributed hash joins (the shuffle-SpGEMM scale-out path,
+    ``Mult_AnXBn_Synch`` ``ParFriends.h:1447``) — nothing ever holds L
+    whole.
+
+    method="auto" (default): count the distinct pairs and pick the
+    distributed join plan except for toy graphs — the reference's own
+    cost-based plan switches (``FastSV.h:221-228``). Measured at sf0.1 /
+    32 CPUs the raw-task join plan (1.3s) beats broadcast (3-5s) AND
+    never holds L whole, so it is the default at any real size.
+    """
+    import ray
+
+    g = num_partitions
+    # distributed distinct-pair dedup as ONE raw-task shuffle round: per
+    # input block batch-local unique + route by key hash, per partition
+    # global unique. Raw num_cpus=0 tasks — Ray Data's actor-pool hash
+    # shuffle pays ~5s of aggregator spawn per round on this box.
+    blocks = sym_edges_ds.to_arrow_refs()
+    routed = [
+        _rt(_tc_route_blocks).options(num_returns=g).remote(bref, g, n)
+        for bref in blocks
+    ]
+    routed = [[r] if g == 1 else list(r) for r in routed]
+    dedup = [
+        _rt(_tc_dedup_route_v).options(num_returns=g + 2).remote(
+            g, n, *[routed[j][i] for j in range(len(routed))]
+        )
+        for i in range(g)
+    ]
+    pair_counts = ray.get([d[g + 1] for d in dedup])
+    m_distinct = int(sum(pair_counts))
+    if method == "auto":
+        method = "broadcast" if m_distinct <= broadcast_max_edges else "join"
+
+    if method == "join":
+        pairs_parts = [[d[i] for i in range(g)] for d in dedup]
+        return _tc_shuffle(pairs_parts, n, num_partitions)
+
+    # broadcast: assemble the (already deduped, distributed) pair keys
+    # into one oriented CSR and ray.put it once — the small-side
+    # broadcast pattern; only taken when the count is under threshold.
+    keys_parts = ray.get([d[g] for d in dedup])
+    key = (np.concatenate(keys_parts) if keys_parts
+           else np.empty(0, dtype=np.int64))
+    a = (key // n).astype(np.int64)
+    b = (key % n).astype(np.int64)
     deg = np.bincount(a, minlength=n) + np.bincount(b, minlength=n)
     # orientation rank: (deg, id) as a single comparable scalar
     rank = deg.astype(np.int64) * np.int64(n) + np.arange(n, dtype=np.int64)

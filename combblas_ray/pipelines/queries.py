@@ -161,7 +161,7 @@ def q_label_propagation(sf_dir: str):
 
 def q_triangle_count(sf_dir: str):
     ctx = get_context(sf_dir)
-    cnt = alg.triangle_count(ctx.graph("sym").edges, ctx.n)
+    cnt = alg.triangle_count(ctx.graph("sym").edges, ctx.n, method="join")
     return pa.table({"triangles": pa.array([cnt], type=pa.int64())})
 
 
