@@ -96,6 +96,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "auction_matching": q.q_auction_matching,
         "vec_argmin": q.q_vec_argmin,
         "asof_click": q.q_asof_click,
+        "prune_column": q.q_prune_column,
+        "prune_column_idx": q.q_prune_column_idx,
+        "spgemm_phased": q.q_spgemm_phased,
     }
 
 
@@ -151,6 +154,9 @@ def oracle_sql() -> dict[str, str]:
         "vec_argmin": o.vec_argmin(),
         "asof_click": o.asof_click(),
         "spasgn": o.spasgn(),
+        "prune_column": o.prune_column(),
+        "prune_column_idx": o.prune_column_idx(),
+        "spgemm_phased": o.spgemm_aa(),  # phased result must equal unphased
         # mis: no SQL oracle (iterative random-priority algorithm);
         # pytest asserts independence + maximality invariants.
         # fingerprint / minhash_pairs / simhash / ann_lsh: deliberately no

@@ -63,6 +63,51 @@ class Graph:
         return self._with(self.edges.map_batches(_prune, batch_format="pyarrow",
                                                  zero_copy_batch=True))
 
+    _PRUNE_OPS = {
+        "lt": np.less, "le": np.less_equal, "gt": np.greater,
+        "ge": np.greater_equal, "eq": np.equal, "ne": np.not_equal,
+    }
+
+    def prune_column(self, pvals: np.ndarray, op: str = "lt") -> "Graph":
+        """Standalone vector `PruneColumn(pvals, binary_op)`
+        (``SpParMat.cpp:2578-2654``, local kernel ``dcsc.cpp:759-838``):
+        DROP every nonzero A(i,j) where ``op(A(i,j), pvals[j])`` is true,
+        column j = ``src`` under the M[dst,src] convention. ``pvals`` is
+        broadcast once via ``ray.put`` and indexed per batch."""
+        import ray
+
+        if len(pvals) != self.n:
+            raise ValueError("pvals length must equal n")
+        p_ref = ray.put(np.asarray(pvals, dtype=np.float64))
+        ufunc = self._PRUNE_OPS[op]
+
+        def _pc(batch: pa.Table, *, _ref=p_ref) -> pa.Table:
+            pv = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+            w = np.asarray(batch.column("w"))
+            src = np.asarray(batch.column("src"))
+            return batch.filter(pa.array(~ufunc(w, pv[src])))
+
+        return self._with(self.edges.map_batches(_pc, batch_format="pyarrow",
+                                                 zero_copy_batch=True))
+
+    def prune_column_by_index(self, cols: np.ndarray) -> "Graph":
+        """`PruneColumnByIndex(ci)` (``SpDCCols.cpp:574``,
+        ``dcsc.cpp:840-898``): drop ALL nonzeros in the listed columns."""
+        import ray
+
+        c_ref = ray.put(np.unique(np.asarray(cols, dtype=np.int64)))
+
+        def _pci(batch: pa.Table, *, _ref=c_ref) -> pa.Table:
+            ci = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+            src = np.asarray(batch.column("src"))
+            pos = np.searchsorted(ci, src)
+            pos = np.minimum(pos, len(ci) - 1) if len(ci) else pos
+            hit = (ci[pos] == src) if len(ci) else np.zeros(len(src), bool)
+            return batch.filter(pa.array(~hit))
+
+        return self._with(self.edges.map_batches(_pci, batch_format="pyarrow",
+                                                 zero_copy_batch=True))
+
     def remove_loops(self) -> "Graph":
         return self._with(self.edges.filter(expr="src != dst"))
 

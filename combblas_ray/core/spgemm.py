@@ -94,6 +94,87 @@ def spgemm(A_ds, B_ds, n: int, *, add: str = "sum", num_partitions: int = 32,
     return out
 
 
+def estimate_flop(A_ds, B_ds, n: int) -> float:
+    """`EstimateFLOP` (``ParFriends.h:356-450``): flops = sum over k of
+    nnz(A(:,k)) * nnz(B(k,:)). Inner-dimension histograms are computed as
+    distributed partial bincounts (sparse (v, c) rows), merged into two
+    O(n) vectors on the driver — never the edge sets themselves."""
+
+    def _cnt(col):
+        def _p(batch: pa.Table) -> pa.Table:
+            c = np.bincount(np.asarray(batch.column(col)), minlength=n)
+            nz = np.nonzero(c)[0]
+            return pa.table({"v": pa.array(nz), "c": pa.array(c[nz])})
+
+        return _p
+
+    degA = np.zeros(n, dtype=np.int64)
+    for r in A_ds.select_columns(["dst"]).map_batches(
+        _cnt("dst"), batch_format="pyarrow"
+    ).take_all():
+        degA[r["v"]] += r["c"]
+    degB = np.zeros(n, dtype=np.int64)
+    for r in B_ds.select_columns(["src"]).map_batches(
+        _cnt("src"), batch_format="pyarrow"
+    ).take_all():
+        degB[r["v"]] += r["c"]
+    return float(np.dot(degA, degB))
+
+
+def spgemm_phased(A_ds, B_ds, n: int, *, add: str = "sum",
+                  num_partitions: int = 32, post_fn=None, mask_ds=None,
+                  mask_anti: bool = False, partition_on: str = "pair",
+                  per_process_memory: int = 2 << 30, phases: int | None = None,
+                  max_phases: int = 64) -> tuple:
+    """Memory-phased SpGEMM — `MemEfficientSpGEMM`
+    (``ParFriends.h:452-779``): estimate the multiply's FLOP count
+    (sampled column histograms, ``ParFriends.h:485-556``), split B's
+    OUTPUT columns (our ``dst``) into ``phases`` hash groups so each
+    phase's intermediate fits the per-process budget, run the join
+    SpGEMM phase by phase with the fused ``post_fn`` (the
+    `MCLPruneRecoverySelect` hook), and union the results. Output
+    columns are disjoint across phases, so the union equals the
+    unphased product exactly.
+
+    Returns (C_ds, phases). ``phases`` overrides the estimator (tests /
+    forced splits); the estimate is clamped to ``max_phases`` — beyond
+    that the per-phase pipeline overhead dominates any memory win."""
+    if phases is None:
+        flops = estimate_flop(A_ds, B_ds, n)
+        bytes_per_flop = 24  # key(i,j) + value + merge overhead
+        budget = max(1, per_process_memory) * max(1, num_partitions)
+        phases = max(1, min(max_phases,
+                            int(np.ceil(flops * bytes_per_flop / budget))))
+    if phases == 1:
+        return (
+            spgemm(A_ds, B_ds, n, add=add, num_partitions=num_partitions,
+                   post_fn=post_fn, mask_ds=mask_ds, mask_anti=mask_anti,
+                   partition_on=partition_on),
+            1,
+        )
+    B_ds = B_ds.materialize()  # scanned once per phase
+    outs = []
+    for p in range(phases):
+        def _phase(batch: pa.Table, *, _p=p, _k=phases) -> pa.Table:
+            d = np.asarray(batch.column("dst"))
+            return batch.filter(pa.array(d % _k == _p))
+
+        Bp = B_ds.map_batches(_phase, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        # materialize each phase before starting the next — the whole
+        # point of phasing: only one phase's intermediate is in flight
+        # at a time (ParFriends.h:569-760's per-phase loop)
+        outs.append(
+            spgemm(A_ds, Bp, n, add=add, num_partitions=num_partitions,
+                   post_fn=post_fn, mask_ds=mask_ds, mask_anti=mask_anti,
+                   partition_on=partition_on).materialize()
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out, phases
+
+
 def spgemm_broadcast(A_ds, B_ds, n: int, *, add: str = "sum"):
     """Plan B (broadcast join): B is small — build its CSR once, `ray.put`
     it, and compose against A inside `map_batches` with no shuffle on the

@@ -722,3 +722,27 @@ SELECT event_id,
          -1) AS prior_click
 FROM events
 """
+
+
+@_materialized
+def prune_column() -> str:
+    """PruneColumn(pvals=colmax, lt): keep only per-column (src) maxima."""
+    return PREFIX + """
+, colmax AS (SELECT src, max(w) AS mw FROM edges GROUP BY src)
+SELECT vs.label AS src_label, vd.label AS dst_label, e.w AS w
+FROM edges e
+JOIN colmax c ON c.src = e.src
+JOIN verts vs ON vs.i = e.src JOIN verts vd ON vd.i = e.dst
+WHERE e.w >= c.mw
+"""
+
+
+@_materialized
+def prune_column_idx() -> str:
+    """PruneColumnByIndex: drop columns with src % 5 == 0."""
+    return PREFIX + """
+SELECT vs.label AS src_label, vd.label AS dst_label, e.w AS w
+FROM edges e
+JOIN verts vs ON vs.i = e.src JOIN verts vd ON vd.i = e.dst
+WHERE e.src % 5 != 0
+"""

@@ -7,17 +7,68 @@ with tall-skinny B"), the backward sweep accumulates dependencies with the
 transposed product, level masks play the role of the reference's
 `EWiseMult` fringe filtering.
 
-All per-level math is batched numpy on (K, n) matrices; graph access goes
-through the resident block engine (one `spmm` per level per direction).
-Requires the STRUCTURAL symmetric engine (w=1) and its transpose-free use:
-the symmetric matrix is its own transpose.
+All (K, n) state matrices live as per-chunk (K, n/g) ObjectRefs — the
+driver never holds a full (K, n) array and syncs only a per-level
+boolean; per-level math is chunk-local numpy, graph access is one
+``spmm_refs`` per level per direction. Requires the STRUCTURAL symmetric
+engine (w=1) and its transpose-free use: the symmetric matrix is its own
+transpose.
 """
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 
 from ..core.engine import SpmvEngine
+
+
+def _bc_init(bounds, sources):
+    s, e = bounds
+    K = len(sources)
+    sigma = np.zeros((K, e - s), dtype=np.float64)
+    depth = np.full((K, e - s), -1, dtype=np.int64)
+    fringe = np.zeros((K, e - s), dtype=np.float64)
+    sel = (sources >= s) & (sources < e)
+    ks = np.nonzero(sel)[0]
+    loc = sources[sel] - s
+    sigma[ks, loc] = 1.0
+    depth[ks, loc] = 0
+    fringe[ks, loc] = 1.0
+    return sigma, depth, fringe
+
+
+def _bc_forward(sigma, depth, prop, level):
+    """Per chunk: mask newly-reached entries, advance sigma/depth; the
+    4th output is the chunk's 'any new fringe' scalar (loop control)."""
+    new_mask = (depth == -1) & (prop > 0)
+    fringe = np.where(new_mask, prop, 0.0)
+    depth = np.where(new_mask, level, depth)
+    sigma = sigma + fringe
+    return sigma, depth, fringe, bool(new_mask.any())
+
+
+def _bc_coeff(depth, delta, sigma, level):
+    at_level = depth == level
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where(
+            at_level, (1.0 + delta) / np.where(sigma == 0, 1, sigma), 0.0
+        )
+
+
+def _bc_backstep(depth, delta, sigma, back, level):
+    prev_mask = depth == (level - 1)
+    return delta + np.where(prev_mask, back * sigma, 0.0)
+
+
+def _bc_final(delta, bounds, sources):
+    """Zero each source's own dependency, reduce the K axis."""
+    s, e = bounds
+    d = delta.copy()
+    sel = (sources >= s) & (sources < e)
+    d[np.nonzero(sel)[0], sources[sel] - s] = 0.0
+    return d.sum(axis=0)
 
 
 def betweenness_centrality(
@@ -28,41 +79,42 @@ def betweenness_centrality(
 ) -> np.ndarray:
     """Approximate BC from the given source batch (exact if sources = all
     vertices). Engine must hold the undirected structural graph."""
+    import ray
+
     n = engine.n
     K = len(sources)
-    bc = np.zeros(n, dtype=np.float64)
+    sources = np.asarray(sources, dtype=np.int64)
 
-    # forward: level-synchronous path counting
-    sigma = np.zeros((K, n), dtype=np.float64)
-    depth = np.full((K, n), -1, dtype=np.int64)
-    sigma[np.arange(K), sources] = 1.0
-    depth[np.arange(K), sources] = 0
-    fringes = []  # per level: (K, n) path-count contributions
-    fringe = np.zeros((K, n), dtype=np.float64)
-    fringe[np.arange(K), sources] = 1.0
+    # forward: level-synchronous path counting, all state chunked
+    sigma, depth, fringe = engine.map_chunks_n(
+        partial(_bc_init, sources=sources), 3, with_bounds=True
+    )
     level = 0
-    while fringe.any():
+    num_levels = 0
+    while True:
         level += 1
-        prop = engine.spmm(fringe, "plus_times")  # paths reaching neighbors
-        new_mask = (depth == -1) & (prop > 0)
-        fringe = np.where(new_mask, prop, 0.0)
-        depth[new_mask] = level
-        sigma += fringe
-        fringes.append(fringe.copy())
+        prop = engine.spmm_refs(fringe, K, "plus_times")
+        sigma, depth, fringe, anynew = engine.map_chunks_n(
+            partial(_bc_forward, level=level), 4, sigma, depth, prop
+        )
+        if not any(ray.get(anynew)):
+            break
+        num_levels = level
 
     # backward: dependency accumulation (Brandes)
-    delta = np.zeros((K, n), dtype=np.float64)
-    for level in range(len(fringes), 0, -1):
-        at_level = depth == level
-        with np.errstate(divide="ignore", invalid="ignore"):
-            coeff = np.where(at_level, (1.0 + delta) / np.where(sigma == 0, 1, sigma), 0.0)
-        back = engine.spmm(coeff, "plus_times")  # symmetric: A == A^T
-        prev_mask = depth == (level - 1)
-        delta += np.where(prev_mask, back * sigma, 0.0)
-    for k in range(K):
-        d = delta[k].copy()
-        d[sources[k]] = 0.0
-        bc += d
+    delta = engine.map_chunks(lambda s: np.zeros_like(s), sigma)
+    for level in range(num_levels, 0, -1):
+        coeff = engine.map_chunks(
+            partial(_bc_coeff, level=level), depth, delta, sigma
+        )
+        back = engine.spmm_refs(coeff, K, "plus_times")  # symmetric: A==A^T
+        delta = engine.map_chunks(
+            partial(_bc_backstep, level=level), depth, delta, sigma, back
+        )
+    bc_chunks = engine.map_chunks_i(
+        partial(_bc_final, sources=sources), delta
+    )
+    bc = engine.unchunk(bc_chunks)
     if normalize and n > 2:
         bc /= (n - 1) * (n - 2)
     return bc

@@ -1126,3 +1126,38 @@ def q_asof_click(sf_dir: str):
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return keyed_reduce(ds, ["user_id"], _asof)
+
+
+def q_prune_column(sf_dir: str):
+    """Standalone vector PruneColumn (SpParMat.cpp:2578-2654): pvals =
+    per-column max weight; drop entries with w < pvals[col] — keeps
+    exactly each column's maxima."""
+    ctx = get_context(sf_dir)
+    g = ctx.graph("directed")
+    rows = g.reduce("row", "max").take_all()  # per-src (column) max
+    pvals = np.zeros(ctx.n, dtype=np.float64)
+    for r in rows:
+        pvals[int(r["v"])] = r["val"]
+    return _decode_edge_labels(ctx, g.prune_column(pvals, "lt").edges, "w")
+
+
+def q_prune_column_idx(sf_dir: str):
+    """PruneColumnByIndex (SpDCCols.cpp:574): drop every column whose
+    ARITHMETIC id is divisible by 5 (the oracle's id space)."""
+    ctx = get_context(sf_dir)
+    g = ctx.graph("directed")
+    cols = np.nonzero(ctx.arith % 5 == 0)[0].astype(np.int64)
+    return _decode_edge_labels(ctx, g.prune_column_by_index(cols).edges, "w")
+
+
+def q_spgemm_phased(sf_dir: str):
+    """Memory-phased SpGEMM (MemEfficientSpGEMM, ParFriends.h:452-779):
+    forced small per-process budget so the multiply runs in >1 output
+    phases; must equal the unphased spgemm_aa exactly (shares its
+    oracle)."""
+    from ..core.spgemm import spgemm_phased
+
+    ctx = get_context(sf_dir)
+    C, phases = spgemm_phased(ctx.edges, ctx.edges, ctx.n, phases=3)
+    assert phases > 1, phases
+    return _decode_edge_labels(ctx, C, "val")

@@ -309,3 +309,67 @@ def test_ewise_apply_nan_is_not_null(ray_session):
     assert rows[(0, 0)] == -99.0          # NaN preserved into fn
     assert rows[(1, 1)] == 2.0            # missing B side -> b_null=0
     assert rows[(2, 2)] == 7.0            # missing A side -> a_null=0
+
+
+def test_spgemm_phased_equals_unphased(ctx500, ray_session):
+    """Memory-phased SpGEMM (MemEfficientSpGEMM, ParFriends.h:452-779):
+    forced >1 phases must produce the identical product."""
+    from combblas_ray.core.spgemm import spgemm, spgemm_phased
+
+    n = ctx500.n
+    ref = {
+        (r["src"], r["dst"]): r["w"]
+        for r in spgemm(ctx500.edges, ctx500.edges, n,
+                        num_partitions=4).take_all()
+    }
+    C, phases = spgemm_phased(ctx500.edges, ctx500.edges, n, phases=3,
+                              num_partitions=4)
+    assert phases == 3
+    got = {(r["src"], r["dst"]): r["w"] for r in C.take_all()}
+    assert got == ref
+
+
+def test_spgemm_phase_estimator(ctx500, ray_session):
+    """The flop estimator drives the phase count: a tiny budget must
+    force >1 phases, a huge one exactly 1."""
+    from combblas_ray.core.spgemm import estimate_flop, spgemm_phased
+
+    n = ctx500.n
+    flops = estimate_flop(ctx500.edges, ctx500.edges, n)
+    assert flops > 0
+    _, p_small = spgemm_phased(ctx500.edges, ctx500.edges, n,
+                               per_process_memory=64, num_partitions=4,
+                               max_phases=4)
+    assert p_small > 1
+    _, p_big = spgemm_phased(ctx500.edges, ctx500.edges, n,
+                             per_process_memory=8 << 30, num_partitions=4)
+    assert p_big == 1
+
+
+def test_prune_column_vec(ctx500, ray_session):
+    """PruneColumn(pvals, lt) keeps exactly the per-column maxima
+    (dcsc.cpp:759-838 semantics: drop where op(w, pvals[col]) is true)."""
+    g = ctx500.graph("directed")
+    rows = g.reduce("row", "max").take_all()
+    pvals = np.zeros(ctx500.n)
+    for r in rows:
+        pvals[int(r["v"])] = r["val"]
+    kept = g.prune_column(pvals, "lt").edges.take_all()
+    assert kept
+    for r in kept:
+        assert r["w"] >= pvals[r["src"]]
+    # every column that had nonzeros retains at least its max
+    srcs = {r["src"] for r in kept}
+    assert srcs == {r["src"] for r in g.edges.take_all()}
+
+
+def test_prune_column_by_index(ctx500, ray_session):
+    g = ctx500.graph("directed")
+    cols = np.arange(0, ctx500.n, 7)
+    kept = g.prune_column_by_index(cols).edges.take_all()
+    dropped = set(cols.tolist())
+    assert kept
+    assert all(r["src"] not in dropped for r in kept)
+    before = g.edges.count()
+    in_cols = sum(1 for r in g.edges.take_all() if r["src"] in dropped)
+    assert len(kept) == before - in_cols
