@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from combblas_ray.pipelines import queries as q
 
     return {
+        # core ingest + engine (oracle-exact, fast)
         "corpus_scan": q.q_corpus_scan,
         "edge_table": q.q_edge_table,
         "vertex_ids": q.q_vertex_ids,
@@ -47,58 +48,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spmv_min_plus": q.q_spmv_min_plus,
         "pagerank": q.q_pagerank,
         "connected_components": q.q_connected_components,
+        "fastsv": q.q_fastsv,
         "bfs": q.q_bfs,
+        "bfs_parents": q.q_bfs_parents,
         "sssp": q.q_sssp,
         "label_propagation": q.q_label_propagation,
         "triangle_count": q.q_triangle_count,
         "spgemm_aa": q.q_spgemm_aa,
+        "spgemm_phased": q.q_spgemm_phased,
         "ewise_mult": q.q_ewise_mult,
+        "ewise_apply_outer": q.q_ewise_apply_outer,
         "set_difference": q.q_set_difference,
         "kselect2": q.q_kselect2,
         "reduce_colmax": q.q_reduce_colmax,
+        "reduce_rowmin": q.q_reduce_rowmin,
         "subgraph": q.q_subgraph,
-        "invert_vec": q.q_invert_vec,
-        "uniq_degrees": q.q_uniq_degrees,
         "prune_w2": q.q_prune_w2,
+        "prune_rect": q.q_prune_rect,
+        "prune_column": q.q_prune_column,
+        "prune_column_idx": q.q_prune_column_idx,
+        "spasgn": q.q_spasgn,
+        "colstochastic": q.q_colstochastic,
+        "masked_colsums": q.q_masked_colsums,
+        "invert_vec": q.q_invert_vec,
+        "vec_ewise_add": q.q_vec_ewise_add,
+        "vec_argmin": q.q_vec_argmin,
+        "spmm_batch": q.q_spmm_batch,
         "bandwidth": q.q_bandwidth,
-        "tpch_q1": q.q_tpch_q1,
-        "top_customers": q.q_top_customers,
-        "events_hourly": q.q_events_hourly,
+        # LLM-data layer
+        "dedup_exact": q.q_dedup_exact,
+        "jaccard_pairs": q.q_jaccard_pairs,
+        "ann_topk": q.q_ann_topk,
+        "clean_corpus": q.q_clean_corpus,
+        "token_counts_re": q.q_token_counts_re,
         "token_stats": q.q_token_stats,
         "langid": q.q_langid,
         "quality": q.q_quality,
+        # relational / windowed
+        "tpch_q1": q.q_tpch_q1,
+        "top_customers": q.q_top_customers,
+        "events_hourly": q.q_events_hourly,
+        "sessions": q.q_sessions,
+        "asof_click": q.q_asof_click,
+        "uniq_degrees": q.q_uniq_degrees,
+        # rows-only / iterative-hash pipelines (pytest-invariant-backed)
         "fingerprint": q.q_fingerprint,
-        "dedup_exact": q.q_dedup_exact,
-        "jaccard_pairs": q.q_jaccard_pairs,
         "minhash_pairs": q.q_minhash_pairs,
         "simhash": q.q_simhash,
-        "ann_topk": q.q_ann_topk,
         "ann_lsh": q.q_ann_lsh,
-        "bfs_parents": q.q_bfs_parents,
-        "colstochastic": q.q_colstochastic,
-        "masked_colsums": q.q_masked_colsums,
-        "mis": q.q_mis,
-        "mcl": q.q_mcl,
-        "ewise_apply_outer": q.q_ewise_apply_outer,
-        "betweenness": q.q_betweenness,
-        "sessions": q.q_sessions,
-        "prune_rect": q.q_prune_rect,
-        "spasgn": q.q_spasgn,
-        "matching": q.q_matching,
-        "rcm": q.q_rcm,
-        "clean_corpus": q.q_clean_corpus,
-        "fastsv": q.q_fastsv,
-        "token_counts_re": q.q_token_counts_re,
         "knn_components": q.q_knn_components,
-        "spmm_batch": q.q_spmm_batch,
-        "reduce_rowmin": q.q_reduce_rowmin,
-        "vec_ewise_add": q.q_vec_ewise_add,
+        "mis": q.q_mis,
+        "matching": q.q_matching,
         "auction_matching": q.q_auction_matching,
-        "vec_argmin": q.q_vec_argmin,
-        "asof_click": q.q_asof_click,
-        "prune_column": q.q_prune_column,
-        "prune_column_idx": q.q_prune_column_idx,
-        "spgemm_phased": q.q_spgemm_phased,
+        "rcm": q.q_rcm,
+        "betweenness": q.q_betweenness,
+        "mcl": q.q_mcl,
     }
 
 

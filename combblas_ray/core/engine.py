@@ -57,6 +57,29 @@ def _block_file(ckpt_dir: str, bid: int) -> str:
     return os.path.join(ckpt_dir, f"block_{bid:06d}.npz")
 
 
+def rebase_manifest(man: dict, root: str) -> dict:
+    """Re-anchor a manifest's block paths under ``root`` — the block
+    store is RELOCATABLE: block files are addressed by basename inside
+    the checkpoint dir, so the dir can be rsynced / remounted (a shared
+    filesystem path on a multi-node cluster) and resumed in place. Paths
+    that still resolve are left alone; missing ones are rebased when the
+    file exists under ``root``."""
+    for b in man["blocks"]:
+        if not os.path.exists(b["path"]):
+            cand = os.path.join(root, os.path.basename(b["path"]))
+            if os.path.exists(cand):
+                b["path"] = cand
+    return man
+
+
+def load_manifest(ckpt_dir: str) -> dict:
+    """Load + rebase the manifest stored in ``ckpt_dir`` (the relocated
+    block store entry point)."""
+    with open(os.path.join(ckpt_dir, MANIFEST_NAME)) as f:
+        man = json.load(f)
+    return rebase_manifest(man, ckpt_dir)
+
+
 def build_blocks(graph, g: int, ckpt_dir: str, *, resume: bool = True,
                  w_dtype: str = "f8", structural: bool = False) -> dict:
     """Shuffle the edge table into a g x g block grid of CSR .npz files.
@@ -75,6 +98,7 @@ def build_blocks(graph, g: int, ckpt_dir: str, *, resume: bool = True,
     if resume and os.path.exists(mpath):
         with open(mpath) as f:
             man = json.load(f)
+        rebase_manifest(man, ckpt_dir)
         if (
             man.get("complete")
             and man["n"] == graph.n

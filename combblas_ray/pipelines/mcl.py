@@ -241,6 +241,84 @@ def mcl(
     return clusters, info
 
 
+def mcl_incremental(
+    prev_edges_ds,
+    prev_clusters: np.ndarray,
+    delta_edges_ds,
+    n: int,
+    **mcl_kwargs,
+) -> tuple[np.ndarray, dict]:
+    """Incremental MCL (`Applications/Incremental/`, the
+    ``IncrementalMCLSquare`` family, ``ParFriends.h:843-1237`` spec):
+    instead of re-clustering the whole graph after a delta, re-run MCL
+    only on the PERTURBED REGION — the delta's endpoints plus every
+    vertex sharing a previous cluster with one — and carry the remaining
+    clusters over unchanged. Cluster labels are canonical (min member
+    dense id) on both paths, so on fixtures whose perturbation does not
+    leak across cluster boundaries the result is IDENTICAL to a full
+    re-run (asserted in tests).
+
+    ``prev_edges_ds``: the pre-delta structural symmetric edge Dataset.
+    ``prev_clusters``: labels from the previous (full or incremental) run.
+    ``delta_edges_ds``: new symmetric structural edges.
+    Returns (labels, info); info["affected"] = re-clustered vertex count.
+    """
+    import ray
+
+    # 1. perturbed region: delta endpoints ∪ their previous clusters
+    dv: set[int] = set()
+    for t in ray.get(delta_edges_ds.to_arrow_refs()):
+        if t.num_rows == 0 or "src" not in t.column_names:
+            continue
+        dv.update(np.asarray(t.column("src")).tolist())
+        dv.update(np.asarray(t.column("dst")).tolist())
+    aff_clusters = {int(prev_clusters[v]) for v in dv}
+    affected = np.nonzero(
+        np.isin(prev_clusters, np.fromiter(aff_clusters, dtype=np.int64))
+    )[0]
+    # delta may introduce brand-new vertices with no previous cluster row
+    affected = np.unique(
+        np.concatenate([affected, np.fromiter(dv, dtype=np.int64)])
+    )
+    info: dict = {"affected": int(len(affected))}
+
+    # 2. merged edge set, induced on the affected set, compactly relabeled
+    member = np.zeros(n, dtype=bool)
+    member[affected] = True
+    local_of = np.full(n, -1, dtype=np.int64)
+    local_of[affected] = np.arange(len(affected))
+    m_ref = ray.put((member, local_of))
+
+    def _induce(batch: pa.Table, *, _ref=m_ref) -> pa.Table:
+        mem, loc = _ref if isinstance(_ref, tuple) else ray.get(_ref)
+        src = np.asarray(batch.column("src"))
+        dst = np.asarray(batch.column("dst"))
+        keep = mem[src] & mem[dst]
+        return pa.table(
+            {
+                "src": pa.array(loc[src[keep]]),
+                "dst": pa.array(loc[dst[keep]]),
+                "w": pa.array(np.asarray(batch.column("w"))[keep]),
+            }
+        )
+
+    merged = prev_edges_ds.union(delta_edges_ds)
+    sub = merged.map_batches(_induce, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    # 3. re-cluster the region, map labels back to canonical global ids
+    sub_labels, sub_info = mcl(sub, len(affected), **mcl_kwargs)
+    info["mcl"] = sub_info
+    out = prev_clusters.copy()
+    glob = affected[sub_labels]  # label = min LOCAL id -> its global id
+    # canonicalize: min GLOBAL id per new cluster
+    uniq, inv = np.unique(glob, return_inverse=True)
+    mins = np.full(len(uniq), np.iinfo(np.int64).max)
+    np.minimum.at(mins, inv, affected)
+    out[affected] = mins[inv]
+    return out, info
+
+
 def _interpret_cc(edges_ds, n: int) -> np.ndarray:
     """Driver-side union-find over the (small) converged matrix structure
     (`Interpret` = CC, MCL.cpp:371-385). The converged MCL matrix is

@@ -272,3 +272,40 @@ def test_auction_on_sparse_graph_valid(ctx500):
     A = brute_dense_matrix(ctx500)
     for p in np.nonzero(p2o >= 0)[0]:
         assert A[p, p2o[p]] > 0
+
+
+def test_incremental_mcl_matches_full_rerun(ray_session):
+    """Incremental MCL (Applications/Incremental family): start from a
+    clustered graph, add a THIRD triangle attached to the second one via
+    a bridge; the incremental path re-clusters only the perturbed region
+    and must equal a full re-run on the union (canonical min-id labels).
+    """
+    import pyarrow as pa
+
+    import ray
+
+    from combblas_ray.pipelines.mcl import mcl, mcl_incremental
+
+    def sym_ds(und):
+        src = [a for a, b in und] + [b for a, b in und]
+        dst = [b for a, b in und] + [a for a, b in und]
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array(src, type=pa.int64()),
+                    "dst": pa.array(dst, type=pa.int64()),
+                    "w": pa.array([1.0] * len(src)),
+                }
+            )
+        )
+
+    base = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    delta = [(5, 6), (6, 7), (7, 8), (6, 8)]  # bridge + new triangle
+    n = 9
+    prev, _ = mcl(sym_ds(base), n)  # vertices 6-8 isolated singletons
+    inc, info = mcl_incremental(sym_ds(base), prev, sym_ds(delta), n)
+    full, _ = mcl(sym_ds(base + delta), n)
+    assert np.array_equal(inc, full), (inc, full)
+    # the first triangle must NOT have been re-clustered
+    assert info["affected"] < n
+    assert np.array_equal(inc[:3], prev[:3])

@@ -373,3 +373,34 @@ def test_prune_column_by_index(ctx500, ray_session):
     before = g.edges.count()
     in_cols = sum(1 for r in g.edges.take_all() if r["src"] in dropped)
     assert len(kept) == before - in_cols
+
+
+def test_block_store_relocation(ctx500, tmp_path, ray_session):
+    """The block store is relocatable: build under one dir, MOVE the dir,
+    resume from the new location — same shas, working engine (multi-node
+    shared-fs portability; round-1 stores were pinned to absolute
+    paths)."""
+    import shutil
+
+    from combblas_ray.core.engine import (
+        SpmvEngine,
+        build_blocks,
+        load_manifest,
+    )
+
+    g = ctx500.graph("directed")
+    d1 = str(tmp_path / "store_a")
+    man1 = build_blocks(g, 2, d1)
+    shas1 = {b["bid"]: b["sha"] for b in man1["blocks"]}
+    d2 = str(tmp_path / "store_b")
+    shutil.move(d1, d2)
+    man2 = load_manifest(d2)
+    assert {b["bid"]: b["sha"] for b in man2["blocks"]} == shas1
+    assert all(b["path"].startswith(d2) for b in man2["blocks"])
+    # resume via build_blocks on the new dir must NOT reshuffle
+    man3 = build_blocks(g, 2, d2)
+    assert {b["bid"]: b["sha"] for b in man3["blocks"]} == shas1
+    eng = SpmvEngine.from_manifest(man2)
+    y = eng.spmv(np.ones(ctx500.n), "plus_times")
+    assert y.sum() > 0
+    eng.shutdown()
