@@ -103,6 +103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rcm": q.q_rcm,
         "betweenness": q.q_betweenness,
         "mcl": q.q_mcl,
+        "max_matching": q.q_max_matching,
+        "md_ordering": q.q_md_ordering,
     }
 
 

@@ -499,6 +499,200 @@ def maximal_matching(engine: SpmvEngine, seed: int = 9) -> np.ndarray:
     return engine.unchunk(match)
 
 
+def _md_reach(engine: SpmvEngine, source: int, enodes: np.ndarray):
+    """`getReach` (``Applications/Ordering/MD.cpp:146-169``): vertices
+    reachable from ``source`` where traversal may only pass THROUGH
+    already-eliminated vertices (the quotient-graph neighborhood).
+    Each hop is one distributed SpMSpV."""
+    n = engine.n
+    visited = np.zeros(n, dtype=bool)
+    visited[source] = True
+    x = np.array([source], dtype=np.int64)
+    while len(x):
+        ri, _ = engine.spmspv(x, np.ones(len(x)), "select2nd_min")
+        new = ri[~visited[ri]]
+        visited[new] = True
+        x = new[enodes[new]]  # continue only through eliminated vertices
+    reach = visited & ~enodes
+    reach[source] = False
+    return np.nonzero(reach)[0]
+
+
+def md_ordering(engine: SpmvEngine) -> np.ndarray:
+    """Minimum-degree ordering — `MD`
+    (``Applications/Ordering/MD.cpp:289-361``). Like the reference, a
+    sequential greedy driver loop (pick the min-degree vertex, eliminate,
+    update the quotient-graph degrees of its reach set) whose inner
+    traversals are distributed: single-source reach via SpMSpV hops,
+    the batched reach-degree update via the multisource guided BFS as a
+    chunked SpMM (`getReachesSPMM`, ``MD.cpp:185-260``). Returns perm
+    where perm[k] = k-th eliminated vertex (dense ids)."""
+    n = engine.n
+    # structural degree (loop-free symmetric engine): row sums
+    deg = engine.in_weights().astype(np.float64)
+    enodes = np.zeros(n, dtype=bool)
+    order = np.empty(n, dtype=np.int64)
+    degrees = deg.copy()
+    for i in range(n):
+        s = int(np.argmin(degrees))  # min degree, ties -> min id
+        order[i] = s
+        enodes[s] = True
+        degrees[s] = np.inf
+        reach = _md_reach(engine, s, enodes)
+        if not len(reach):
+            continue
+        # multisource guided BFS (getReachesSPMM): per reach vertex v,
+        # new degree = |reach(v)|; frontier/visited are (k, n) chunked
+        # through the engine's batched SpMM
+        k = len(reach)
+        V = np.zeros((k, n), dtype=bool)
+        V[np.arange(k), reach] = True
+        F = V.copy()
+        while F.any():
+            nxt = engine.spmm(F.astype(np.float64), "plus_times") > 0
+            nxt &= ~V
+            V |= nxt
+            F = nxt & enodes[None, :]
+        cnt = (V & ~enodes[None, :]).sum(axis=1) - 1  # exclude self
+        degrees[reach] = cnt
+    return order
+
+
+def brute_md_ordering(U: np.ndarray) -> np.ndarray:
+    """Pure-python MD oracle with identical tie-breaks (tests)."""
+    n = U.shape[0]
+    deg = (U > 0).sum(axis=0).astype(float)
+    enodes = np.zeros(n, dtype=bool)
+    order = np.empty(n, dtype=np.int64)
+    degrees = deg.copy()
+    for i in range(n):
+        s = int(np.argmin(degrees))
+        order[i] = s
+        enodes[s] = True
+        degrees[s] = np.inf
+
+        def reach_of(src):
+            seen = {src}
+            stack = [src]
+            out = set()
+            while stack:
+                v = stack.pop()
+                for w in np.nonzero(U[:, v] + U[v, :])[0]:
+                    if w in seen:
+                        continue
+                    seen.add(int(w))
+                    if enodes[w]:
+                        stack.append(int(w))
+                    else:
+                        out.add(int(w))
+            out.discard(src)
+            return out
+
+        for v in reach_of(s):
+            degrees[v] = len(reach_of(v))
+    return order
+
+
+def maximum_matching(engine: SpmvEngine, max_phases: int = 10_000):
+    """Maximum-cardinality bipartite matching by multi-source BFS +
+    vertex-disjoint augmenting paths — `maximumMatching`
+    (``Applications/BipartiteMatchings/BPMaximumMatching.h:231-420``),
+    on the bipartite view of the directed matrix (columns = src side,
+    rows = dst side).
+
+    Per phase: MS-BFS from every unmatched column (the reference's
+    ``fringeCol``), each frontier step one distributed SpMSpV over the
+    ``select2nd_min`` semiring with the (root, parent) pair encoded as
+    ``root*n + parent`` (exact in float64 while n^2 < 2^53); rows keep
+    ONE (root, parent) each so the BFS forest is vertex-disjoint by
+    construction. Unmatched rows reached become leaves (one per root,
+    min row id); all augmenting paths then flip in lockstep with
+    vectorized pointer walks (the reference's `Augment`). Phases repeat
+    until no augmenting path exists — a maximum matching (Berge).
+
+    Returns (mate_col, mate_row): for the src side and dst side
+    respectively, -1 where unmatched."""
+    n = engine.n
+    mate_col = np.full(n, -1, dtype=np.int64)  # src side -> matched row
+    mate_row = np.full(n, -1, dtype=np.int64)  # dst side -> matched col
+    enc = np.int64(n)
+    for _phase in range(max_phases):
+        roots = np.nonzero(mate_col == -1)[0]
+        if not len(roots):
+            break
+        # frontier: unmatched cols, val = root*n + parent(col itself)
+        f_idx = roots
+        f_val = (roots * enc + roots).astype(np.float64)
+        parent_col = np.full(n, -1, dtype=np.int64)  # per row: its BFS col
+        root_row = np.full(n, -1, dtype=np.int64)
+        leaf = np.full(n, -1, dtype=np.int64)  # per root: leaf row
+        active = np.ones(n, dtype=bool)  # roots still searching
+        while len(f_idx):
+            ri, rv = engine.spmspv(f_idx, f_val, "select2nd_min")
+            fresh = parent_col[ri] == -1
+            ri, rv = ri[fresh], rv[fresh]
+            rt = (rv // n).astype(np.int64)
+            keep = active[rt]
+            ri, rt = ri[keep], rt[keep]
+            pc = (rv[keep] % n).astype(np.int64)
+            parent_col[ri] = pc
+            root_row[ri] = rt
+            um = mate_row[ri] == -1
+            # one leaf per root: min row id among its unmatched rows
+            if um.any():
+                lr, lt = ri[um], rt[um]
+                order = np.lexsort((lr, lt))
+                lr, lt = lr[order], lt[order]
+                first = np.ones(len(lt), dtype=bool)
+                first[1:] = lt[1:] != lt[:-1]
+                new = leaf[lt[first]] == -1
+                leaf[lt[first][new]] = lr[first][new]
+                active[lt[first][new]] = False
+            # continue BFS through matched rows' mates
+            cont = ~um & active[rt]
+            next_cols = mate_row[ri[cont]]
+            f_idx = next_cols
+            f_val = (rt[cont] * enc + next_cols).astype(np.float64)
+        aug_roots = np.nonzero(leaf >= 0)[0]
+        if not len(aug_roots):
+            break
+        # vectorized lockstep augmentation: all paths are vertex-disjoint
+        cur = leaf[aug_roots]
+        while len(cur):
+            cols = parent_col[cur]
+            prev = mate_col[cols]
+            mate_row[cur] = cols
+            mate_col[cols] = cur
+            cont = prev >= 0
+            cur = prev[cont]
+    return mate_col, mate_row
+
+
+def brute_max_matching_size(U_edges: list, n: int) -> int:
+    """Hungarian-style augmenting DFS (test oracle): maximum bipartite
+    matching size over (col, row) edge list."""
+    adj: dict[int, list[int]] = {}
+    for c, r in U_edges:
+        adj.setdefault(int(c), []).append(int(r))
+    mate_row = {}
+
+    def try_aug(c, seen):
+        for r in adj.get(c, ()):
+            if r in seen:
+                continue
+            seen.add(r)
+            if r not in mate_row or try_aug(mate_row[r], seen):
+                mate_row[r] = c
+                return True
+        return False
+
+    size = 0
+    for c in range(n):
+        if try_aug(c, set()):
+            size += 1
+    return size
+
+
 # --------------------------------------------------------------------------
 # label propagation (mode of neighbor classes)
 # --------------------------------------------------------------------------

@@ -1161,3 +1161,72 @@ def q_spgemm_phased(sf_dir: str):
     C, phases = spgemm_phased(ctx.edges, ctx.edges, ctx.n, phases=3)
     assert phases > 1, phases
     return _decode_edge_labels(ctx, C, "val")
+
+
+def q_max_matching(sf_dir: str):
+    """Maximum-cardinality bipartite matching (BPMaximumMatching.h:231):
+    (label, mate_label) over the directed bipartite view. Deterministic
+    (min-root/min-parent tie-breaks) but iterative — rows-only; exact
+    maximum size vs augmenting-DFS oracle in pytest."""
+    ctx = get_context(sf_dir)
+    mate_col, _mate_row = alg.maximum_matching(ctx.engine("directed"))
+    ids = np.nonzero(mate_col >= 0)[0]
+    return pa.table(
+        {
+            "label": _label_col(ctx, ids),
+            "mate": _label_col(ctx, mate_col[ids]),
+        }
+    )
+
+
+def q_md_ordering(sf_dir: str):
+    """Minimum-degree ordering (MD.cpp:289-361) on the induced subgraph
+    of the first MD_SUB arithmetic ids (the greedy loop is inherently
+    sequential — bounded like the mcl query). Rows-only; exact equality
+    with the brute MD oracle in pytest."""
+    import os
+
+    import ray
+
+    from ..core.engine import SpmvEngine
+    from ..core.graph import Graph
+    from .context import CKPT_ROOT
+
+    ctx = get_context(sf_dir)
+    sub = min(MD_SUB, ctx.n)
+    sel_ids = np.nonzero(ctx.arith < sub)[0]
+    sel_ref = ray.put(sel_ids)
+
+    def _sub(batch: pa.Table, *, _ref=sel_ref) -> pa.Table:
+        sel = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+        src = np.asarray(batch.column("src"))
+        dst = np.asarray(batch.column("dst"))
+        si = np.minimum(np.searchsorted(sel, src), len(sel) - 1)
+        sj = np.minimum(np.searchsorted(sel, dst), len(sel) - 1)
+        keep = (sel[si] == src) & (sel[sj] == dst)
+        return pa.table(
+            {
+                "src": pa.array(si[keep].astype(np.int64)),
+                "dst": pa.array(sj[keep].astype(np.int64)),
+                "w": pa.compute.filter(batch.column("w"), pa.array(keep)),
+            }
+        )
+
+    sub_edges = ctx.graph("sym").edges.map_batches(_sub, batch_format="pyarrow")
+    g = Graph(n=len(sel_ids), edges=sub_edges).dedup_sum()
+    eng = SpmvEngine.from_graph(
+        g, 2, os.path.join(CKPT_ROOT, f"md_{sub}_{len(sel_ids)}"),
+        structural=True,
+    )
+    order = alg.md_ordering(eng)
+    eng.shutdown()
+    labels = np.asarray(ctx.labels)[sel_ids]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(order), dtype=np.int64)),
+            "label": pa.array(labels[order], type=pa.string()),
+        }
+    )
+
+
+MD_SUB = 200

@@ -309,3 +309,37 @@ def test_incremental_mcl_matches_full_rerun(ray_session):
     # the first triangle must NOT have been re-clustered
     assert info["affected"] < n
     assert np.array_equal(inc[:3], prev[:3])
+
+
+def test_maximum_matching_is_maximum(ctx500):
+    """MS-BFS augmenting-path matching (BPMaximumMatching.h:231-420) must
+    reach the exact maximum-cardinality size (vs augmenting-DFS oracle)
+    and be a valid matching on the bipartite view."""
+    import sys
+
+    sys.setrecursionlimit(10000)
+    edges = [(r["src"], r["dst"]) for r in ctx500.edges.take_all()]
+    eng = ctx500.engine("directed", g=2)
+    mate_col, mate_row = alg.maximum_matching(eng)
+    # validity: involution + real edges
+    eset = set(edges)
+    for c in range(ctx500.n):
+        if mate_col[c] >= 0:
+            assert mate_row[mate_col[c]] == c
+            assert (c, int(mate_col[c])) in eset
+    size = int((mate_col >= 0).sum())
+    assert size == alg.brute_max_matching_size(edges, ctx500.n)
+
+
+def test_md_ordering_matches_brute(ray_session):
+    """Minimum-degree ordering (MD.cpp:289-361) vs a pure-python oracle
+    with identical tie-breaks, on the n=120 corpus graph."""
+    from combblas_ray.pipelines.context import get_context_for_n
+
+    from .conftest import brute_dense_matrix
+
+    ctx = get_context_for_n(120)
+    U = _und(brute_dense_matrix(ctx))
+    got = alg.md_ordering(ctx.engine("sym", g=2))
+    ref = alg.brute_md_ordering(U)
+    assert np.array_equal(got, ref)
