@@ -94,6 +94,157 @@ def spgemm(A_ds, B_ds, n: int, *, add: str = "sum", num_partitions: int = 32,
     return out
 
 
+_FIB = np.uint64(11400714819323198485)
+
+
+def _sg_part(x: np.ndarray, g: int) -> np.ndarray:
+    return ((x.astype(np.uint64) * _FIB) >> np.uint64(33)).astype(np.int64) % g
+
+
+def _sg_route_inner(tbl, g: int, roles: str):
+    """Route one edge block by the inner dimension k: role 'A' keys on
+    dst, role 'B' on src, 'AB' emits both (num_returns = g or 2g)."""
+    if tbl.num_rows == 0 or "src" not in tbl.column_names:
+        # empty shuffle partitions may carry an empty schema
+        src = dst = np.empty(0, dtype=np.int64)
+        w = np.empty(0, dtype=np.float64)
+    else:
+        src = np.asarray(tbl.column("src"))
+        dst = np.asarray(tbl.column("dst"))
+        w = np.asarray(tbl.column("w"), dtype=np.float64)
+    outs = []
+    if "A" in roles:
+        p = _sg_part(dst, g)
+        outs.extend((src[p == i], dst[p == i], w[p == i]) for i in range(g))
+    if "B" in roles:
+        p = _sg_part(src, g)
+        outs.extend((src[p == i], dst[p == i], w[p == i]) for i in range(g))
+    return outs[0] if len(outs) == 1 else tuple(outs)
+
+
+def _sg_local_mul(g: int, n: int, add: str, by_col: bool, nA: int, *parts):
+    """Per inner-k partition: CSR-expand B's rows over A's entries with
+    matching k (the local SpGEMM kernel, ``mtSpGEMM.h:212-460``),
+    partial-combine by output key, route by output column (by_col) or
+    key hash (num_returns = g)."""
+    A = parts[:nA]
+    B = parts[nA:]
+    ai = np.concatenate([p[0] for p in A]) if A else np.empty(0, np.int64)
+    ak = np.concatenate([p[1] for p in A]) if A else np.empty(0, np.int64)
+    aw = np.concatenate([p[2] for p in A]) if A else np.empty(0, np.float64)
+    bk = np.concatenate([p[0] for p in B]) if B else np.empty(0, np.int64)
+    bj = np.concatenate([p[1] for p in B]) if B else np.empty(0, np.int64)
+    bw = np.concatenate([p[2] for p in B]) if B else np.empty(0, np.float64)
+    empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+    if not len(ai) or not len(bk):
+        out = [empty for _ in range(g)]
+        return out[0] if g == 1 else tuple(out)
+    order = np.argsort(bk, kind="stable")
+    bk, bj, bw = bk[order], bj[order], bw[order]
+    uk, starts = np.unique(bk, return_index=True)
+    lens_all = np.append(starts[1:], len(bk)) - starts
+    pos = np.minimum(np.searchsorted(uk, ak), len(uk) - 1)
+    valid = uk[pos] == ak
+    s = starts[pos[valid]]
+    lens = lens_all[pos[valid]]
+    total = int(lens.sum())
+    if total == 0:
+        out = [empty for _ in range(g)]
+        return out[0] if g == 1 else tuple(out)
+    offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    idx = np.repeat(s, lens) + (np.arange(total) - np.repeat(offs, lens))
+    i = np.repeat(ai[valid], lens)
+    j = bj[idx]
+    w = np.repeat(aw[valid], lens) * bw[idx]
+    key = i * np.int64(n) + j
+    ukey, red = group_reduce_per_key(w, key, add)  # partition pre-combine
+    p = _sg_part((ukey // n) if by_col else ukey, g)
+    out = [(ukey[p == q], red[p == q]) for q in range(g)]
+    return out[0] if g == 1 else tuple(out)
+
+
+def _sg_merge(n: int, add: str, post_fn, *parts):
+    """Per output partition: final combine + optional fused post_fn
+    (whole output columns in hand when routed by column)."""
+    key = np.concatenate([p[0] for p in parts])
+    w = np.concatenate([p[1] for p in parts])
+    if len(key):
+        key, w = group_reduce_per_key(w, key, add)
+    tbl = pa.table(
+        {
+            "src": pa.array((key // n).astype(np.int64)),
+            "dst": pa.array((key % n).astype(np.int64)),
+            "w": pa.array(w),
+        }
+    )
+    if post_fn is not None:
+        tbl = post_fn(tbl)
+    return tbl
+
+
+_SG_RT: dict = {}
+
+
+def _sg_rt(fn):
+    import ray
+
+    if fn not in _SG_RT:
+        _SG_RT[fn] = ray.remote(num_cpus=0)(fn)
+    return _SG_RT[fn]
+
+
+def spgemm_tasks(A_ds, B_ds, n: int, *, add: str = "sum",
+                 num_partitions: int = 16, partition_on: str = "pair",
+                 post_fn=None):
+    """SpGEMM as TWO raw-task shuffle rounds (route by inner k ->
+    local CSR-expand multiply with partition pre-combine -> route by
+    output key/column -> merge + fused post_fn). Same semantics as
+    ``spgemm`` but on warm ``num_cpus=0`` tasks — Ray Data's join/hash
+    operators pay ~5s of actor-pool spawn per round on this box, which
+    dominates iterative callers like MCL. A is B is detected and routed
+    once with dual roles. Returns a Dataset."""
+    import ray
+
+    g = num_partitions
+    by_col = partition_on == "src"
+    same = A_ds is B_ds
+    if same:
+        blocks = A_ds.to_arrow_refs()
+        routed = [
+            _sg_rt(_sg_route_inner).options(num_returns=2 * g).remote(b, g, "AB")
+            for b in blocks
+        ]
+        a_parts = [[r[i] for r in routed] for i in range(g)]
+        b_parts = [[r[g + i] for r in routed] for i in range(g)]
+    else:
+        ab = A_ds.to_arrow_refs()
+        bb = B_ds.to_arrow_refs()
+        ra = [
+            _sg_rt(_sg_route_inner).options(num_returns=g).remote(b, g, "A")
+            for b in ab
+        ]
+        rb = [
+            _sg_rt(_sg_route_inner).options(num_returns=g).remote(b, g, "B")
+            for b in bb
+        ]
+        ra = [[r] if g == 1 else list(r) for r in ra]
+        rb = [[r] if g == 1 else list(r) for r in rb]
+        a_parts = [[r[i] for r in ra] for i in range(g)]
+        b_parts = [[r[i] for r in rb] for i in range(g)]
+    mul = [
+        _sg_rt(_sg_local_mul).options(num_returns=g).remote(
+            g, n, add, by_col, len(a_parts[i]), *a_parts[i], *b_parts[i]
+        )
+        for i in range(g)
+    ]
+    mul = [[m] if g == 1 else list(m) for m in mul]
+    out_tbls = [
+        _sg_rt(_sg_merge).remote(n, add, post_fn, *[mul[j][i] for j in range(g)])
+        for i in range(g)
+    ]
+    return ray.data.from_arrow_refs(out_tbls)
+
+
 def estimate_flop(A_ds, B_ds, n: int) -> float:
     """`EstimateFLOP` (``ParFriends.h:356-450``): flops = sum over k of
     nnz(A(:,k)) * nnz(B(k,:)). Inner-dimension histograms are computed as

@@ -223,10 +223,13 @@ def mcl(
             }
         )
 
+    from ..core.spgemm import spgemm_tasks
+
     for it in range(max_iters):
         # ONE SpGEMM execution per iteration with the whole MCL column step
-        # fused into the src-partitioned merge
-        A_next = spgemm(
+        # fused into the src-partitioned merge; the raw-task plan keeps the
+        # iterative loop off Ray Data's per-round actor-pool spawn cost
+        A_next = spgemm_tasks(
             A, A, n, num_partitions=8, partition_on="src", post_fn=_fused_post
         ).materialize()
         sent = A_next.filter(expr="src < 0")
