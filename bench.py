@@ -173,7 +173,9 @@ def run_scaling() -> None:
     Each level's throughput + efficiency (speedup / cpu-ratio) is
     reported; the headline value is the best pair (the single-box VM's
     shared-memory bandwidth ceiling caps the high pair — see BASELINE.md)."""
-    res = {c: _child(c) for c in (2, 8, 32)}
+    # 32 first: it builds the shared block checkpoint fastest; the lower
+    # levels resume the same store (only iteration throughput compares)
+    res = {c: _child(c) for c in (32, 8, 2)}
     pairs = {}
     for lo_c, hi_c in ((2, 8), (8, 32)):
         lo, hi = res[lo_c], res[hi_c]

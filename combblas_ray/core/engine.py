@@ -122,7 +122,15 @@ def build_blocks(graph, g: int, ckpt_dir: str, *, resume: bool = True,
 
     ensure_hash_shuffle()
     keyed = graph.edges.map_batches(_key, batch_format="pyarrow", zero_copy_batch=True)
-    parts = keyed.repartition(num_blocks=min(gr * gc, 128), keys=["bid"])
+    # shuffle fan-out scaled to the cluster: hash-shuffle aggregators
+    # reserve ~0.125 CPU each, so 128 partitions on a 2-CPU cluster
+    # starves the map tasks outright (observed deadlock)
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    nb = min(gr * gc, 128, max(8, 4 * cpus))
+    parts = keyed.repartition(num_blocks=nb, keys=["bid"])
 
     ls_r = local_size(n, gr)
     ls_c = local_size(n, gc)
@@ -251,8 +259,12 @@ def update_blocks(man: dict, delta_graph, ckpt_dir: str) -> dict:
             return pa.table({"bid": pa.array([], type=pa.int64())})
         return pa.table({k: [r[k] for r in rows_out] for k in rows_out[0]})
 
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
     changed = keyed.repartition(
-        num_blocks=min(g * g, 64), keys=["bid"]
+        num_blocks=min(g * g, 64, max(8, 4 * cpus)), keys=["bid"]
     ).map_batches(_merge_delta, batch_format="pyarrow", batch_size=None).take_all()
     merged = {b["bid"]: b for b in man["blocks"]}
     for r in changed:
