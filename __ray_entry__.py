@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": q.q_jaccard_pairs,
         "ann_topk": q.q_ann_topk,
         "clean_corpus": q.q_clean_corpus,
+        "embed_dups": q.q_embed_dups,
         "token_counts_re": q.q_token_counts_re,
         "token_stats": q.q_token_stats,
         "langid": q.q_langid,
@@ -96,6 +97,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": q.q_minhash_pairs,
         "simhash": q.q_simhash,
         "ann_lsh": q.q_ann_lsh,
+        "embed_dups_lsh": q.q_embed_dups_lsh,
+        "ann_ivf": q.q_ann_ivf,
         "knn_components": q.q_knn_components,
         "mis": q.q_mis,
         "matching": q.q_matching,
@@ -152,6 +155,7 @@ def oracle_sql() -> dict[str, str]:
         "sessions": o.sessions(),
         "prune_rect": o.prune_rect(),
         "clean_corpus": o.clean_corpus(),
+        "embed_dups": o.embed_dups(),
         "fastsv": o.connected_components(q.CC_ITERS),
         "token_counts_re": o.token_counts_re(),
         "spmm_batch": o.spmm_batch(),

@@ -169,3 +169,217 @@ def ann_lsh_topk(emb_ds, query_ids: np.ndarray, k: int = 5, nbits: int = 6,
 
     parts = emb_ds.map_batches(_partial, batch_format="pyarrow").take_all()
     return _merge_topk(parts, k)
+
+
+def embedding_dup_pairs(emb_ds, tau: float = 0.4):
+    """Exact embedding-cosine near-duplicate pairs (a < b, cosine >= tau)
+    — the all-pairs baseline: the normalized matrix is broadcast ONCE
+    (``ray.put``), each map_batches task matmuls its row shard against it
+    and emits its qualifying pairs. O(N^2/shards) compute per task, no
+    shuffle; the LSH-bucketed variant below is the scale path."""
+    import ray
+
+    ids_all, M = _collect_matrix(emb_ds)
+    m_ref = ray.put((ids_all, _normalize(M)))
+
+    def _pairs(batch: pa.Table, *, _ref=m_ref) -> pa.Table:
+        ids_all, M = _ref if isinstance(_ref, tuple) else ray.get(_ref)
+        ids, emb = _to_matrix(batch)
+        sims = _normalize(emb) @ M.T  # (shard, N)
+        bi, bj = np.nonzero(sims >= tau)
+        a = ids[bi]
+        b = ids_all[bj]
+        keep = a < b  # each unordered pair emitted by its lower-id shard row
+        return pa.table(
+            {
+                "a": pa.array(a[keep], type=pa.int64()),
+                "b": pa.array(b[keep], type=pa.int64()),
+            }
+        )
+
+    return emb_ds.map_batches(_pairs, batch_format="pyarrow")
+
+
+def _collect_matrix(emb_ds):
+    import ray
+
+    ids_parts, rows = [], []
+    for t in ray.get(emb_ds.to_arrow_refs()):
+        if t.num_rows == 0 or "vec_id" not in t.column_names:
+            continue
+        ids_parts.append(np.asarray(t.column("vec_id")))
+        rows.append(np.array(t.column("embedding").to_pylist(),
+                             dtype=np.float64))
+    ids = np.concatenate(ids_parts) if ids_parts else np.empty(0, np.int64)
+    M = np.vstack(rows) if rows else np.empty((0, 0))
+    order = np.argsort(ids)
+    return ids[order], M[order]
+
+
+def embedding_dup_pairs_lsh(emb_ds, tau: float = 0.4, nbits: int = 4,
+                            probe_bits: int = 1, seed: int = 11):
+    """Scale path for embedding near-dup: sign-LSH code per vector,
+    candidate pairs restricted to identical (or probe_bits-flipped)
+    buckets via a keyed shuffle, exact cosine verify per partition —
+    the embedding analog of the MinHash-LSH near-dup pipeline; recall
+    vs the exact baseline asserted in pytest."""
+    import itertools
+
+    import ray
+
+    from ..core.shuffle import keyed_reduce
+
+    # planes need the dim — probe one row
+    first = emb_ds.take(1)
+    dim = len(first[0]["embedding"])
+    planes = lsh_planes(dim, nbits, seed)
+    flips = [0] + [
+        sum(1 << b for b in combo)
+        for r in range(1, probe_bits + 1)
+        for combo in itertools.combinations(range(nbits), r)
+    ]
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        ids, emb = _to_matrix(batch)
+        M = _normalize(emb)
+        codes = _sign_codes(M, planes)
+        out_b, out_i, out_e = [], [], []
+        for f in flips:
+            bc = np.minimum(codes, codes ^ f)  # canonical bucket of the pair
+            out_b.append(bc)
+            out_i.append(ids)
+            out_e.append(M)
+        return pa.table(
+            {
+                "bucket": pa.array(np.concatenate(out_b), type=pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_i), type=pa.int64()),
+                "embedding": pa.array(np.vstack(out_e).tolist(),
+                                      type=pa.list_(pa.float64())),
+            }
+        )
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        bk = np.asarray(batch.column("bucket"))
+        ids = np.asarray(batch.column("vec_id"))
+        M = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        a_out, b_out = [], []
+        order = np.argsort(bk, kind="stable")
+        bk, ids, M = bk[order], ids[order], M[order]
+        ub, starts = np.unique(bk, return_index=True)
+        ends = np.append(starts[1:], len(bk))
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            gi, gm = ids[s:e], M[s:e]
+            sims = gm @ gm.T
+            bi, bj = np.nonzero(sims >= tau)
+            keep = gi[bi] < gi[bj]
+            a_out.append(gi[bi][keep])
+            b_out.append(gi[bj][keep])
+        if not a_out:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64())})
+        a = np.concatenate(a_out)
+        b = np.concatenate(b_out)
+        key = a * np.int64(1 << 31) + b
+        uk = np.unique(key)
+        return pa.table(
+            {
+                "a": pa.array(uk // (1 << 31)),
+                "b": pa.array(uk % (1 << 31)),
+            }
+        )
+
+    bucketed = emb_ds.map_batches(_bucket, batch_format="pyarrow")
+    pairs = keyed_reduce(bucketed, ["bucket"], _verify)
+
+    # dedup across buckets (multi-probe can emit a pair twice)
+    def _uniq(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("a"))
+        b = np.asarray(batch.column("b"))
+        key = a * np.int64(1 << 31) + b
+        uk = np.unique(key)
+        return pa.table({"a": pa.array(uk // (1 << 31)),
+                         "b": pa.array(uk % (1 << 31))})
+
+    return keyed_reduce(pairs, ["a", "b"], _uniq)
+
+
+def ann_ivf_topk(emb_ds, query_ids: np.ndarray, k: int = 5, nlist: int = 16,
+                 nprobe: int = 4, kmeans_iters: int = 5):
+    """IVF (inverted-file) ANN: a coarse k-means quantizer is trained
+    with DISTRIBUTED Lloyd iterations (per-batch assign + partial sums,
+    driver combines nlist centroid vectors only), then each query probes
+    its ``nprobe`` nearest lists and tasks re-rank only vectors whose
+    list is probed — the classic IVF scale path next to the brute-force
+    and sign-LSH variants. Deterministic (centroid init = vectors
+    0..nlist-1). Returns (query_id, neighbor_id, rnk)."""
+    import ray
+
+    # deterministic init: the first nlist vectors by id
+    init_rows = [r for r in emb_ds.filter(expr=f"vec_id < {nlist}").take_all()]
+    init_rows.sort(key=lambda r: r["vec_id"])
+    C = _normalize(np.array([r["embedding"] for r in init_rows],
+                            dtype=np.float64))
+    for _ in range(kmeans_iters):
+        c_ref = ray.put(C)
+
+        def _partial(batch: pa.Table, *, _ref=c_ref) -> pa.Table:
+            C = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+            _, emb = _to_matrix(batch)
+            M = _normalize(emb)
+            assign = np.argmax(M @ C.T, axis=1)
+            sums = np.zeros_like(C)
+            np.add.at(sums, assign, M)
+            cnt = np.bincount(assign, minlength=len(C))
+            return pa.table(
+                {
+                    "cl": pa.array(np.arange(len(C)), type=pa.int64()),
+                    "s": pa.array(sums.tolist(), type=pa.list_(pa.float64())),
+                    "c": pa.array(cnt, type=pa.int64()),
+                }
+            )
+
+        sums = np.zeros_like(C)
+        cnts = np.zeros(len(C))
+        for r in emb_ds.map_batches(_partial, batch_format="pyarrow").take_all():
+            sums[r["cl"]] += np.asarray(r["s"])
+            cnts[r["cl"]] += r["c"]
+        nz = cnts > 0
+        C[nz] = _normalize(sums[nz] / cnts[nz, None])
+
+    # query side: tiny — probe lists
+    q_max = int(np.max(query_ids) + 1)
+    q_rows = [r for r in emb_ds.filter(expr=f"vec_id < {q_max}").take_all()
+              if r["vec_id"] in set(query_ids.tolist())]
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = _normalize(np.array([r["embedding"] for r in q_rows], dtype=np.float64))
+    probes = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
+    bcast = ray.put((q_ids, Q, C, probes))
+
+    def _rank(batch: pa.Table, *, _ref=bcast) -> pa.Table:
+        q_ids, Q, C, probes = _ref if isinstance(_ref, tuple) else ray.get(_ref)
+        ids, emb = _to_matrix(batch)
+        M = _normalize(emb)
+        assign = np.argmax(M @ C.T, axis=1)
+        qs, ns, ss = [], [], []
+        for qi in range(len(q_ids)):
+            sel = np.isin(assign, probes[qi])
+            if not sel.any():
+                continue
+            sims = M[sel] @ Q[qi]
+            kk = min(k + 1, len(sims))
+            part = np.argpartition(-sims, kk - 1)[:kk]
+            qs.extend([q_ids[qi]] * len(part))
+            ns.extend(ids[sel][part].tolist())
+            ss.extend(sims[part].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qs, type=pa.int64()),
+                "neighbor_id": pa.array(ns, type=pa.int64()),
+                "sim": pa.array(ss, type=pa.float64()),
+            }
+        )
+
+    parts = emb_ds.map_batches(_rank, batch_format="pyarrow").take_all()
+    return _merge_topk(parts, k)

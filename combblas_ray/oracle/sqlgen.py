@@ -746,3 +746,14 @@ FROM edges e
 JOIN verts vs ON vs.i = e.src JOIN verts vd ON vd.i = e.dst
 WHERE e.src % 5 != 0
 """
+
+
+def embed_dups(tau: float = 0.4) -> str:
+    """Exact all-pairs cosine near-dup (pairs only — no float column, so
+    the hash compare is ulp-safe; tau sits in a gap of the sim
+    distribution)."""
+    return f"""
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= {tau}
+"""

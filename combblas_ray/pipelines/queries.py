@@ -1230,3 +1230,35 @@ def q_md_ordering(sf_dir: str):
 
 
 MD_SUB = 200
+
+
+def _emb(sf_dir: str):
+    import ray
+
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                 columns=["vec_id", "embedding"])
+
+
+def q_embed_dups(sf_dir: str):
+    """Embedding-cosine near-dup pairs (a < b, cosine >= 0.4) — exact
+    all-pairs baseline with the normalized matrix broadcast once."""
+    from ..functions.ann import embedding_dup_pairs
+
+    return embedding_dup_pairs(_emb(sf_dir), tau=0.4)
+
+
+def q_embed_dups_lsh(sf_dir: str):
+    """Sign-LSH-bucketed embedding near-dup (scale path): candidates from
+    canonical-bucket shuffle + exact per-bucket verify. Rows-only; recall
+    vs the exact baseline asserted in pytest."""
+    from ..functions.ann import embedding_dup_pairs_lsh
+
+    return embedding_dup_pairs_lsh(_emb(sf_dir), tau=0.4)
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF ANN: distributed-Lloyd coarse quantizer + nprobe list scan.
+    Rows-only; recall vs brute force asserted in pytest."""
+    from ..functions.ann import ann_ivf_topk
+
+    return ann_ivf_topk(_emb(sf_dir), np.arange(10), k=5)

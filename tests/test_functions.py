@@ -188,3 +188,39 @@ def test_edges_parquet_partitioned_roundtrip(ctx500, tmp_path):
     a = sorted((r["src"], r["dst"], r["w"]) for r in g.edges.take_all())
     b = sorted((r["src"], r["dst"], r["w"]) for r in g2.edges.take_all())
     assert a == b
+
+
+def test_embed_dups_lsh_recall(ray_session):
+    """Sign-LSH-bucketed embedding near-dup vs exact all-pairs: every LSH
+    pair must be a true pair (exact verify), recall reasonable."""
+    from combblas_ray.functions.ann import (
+        embedding_dup_pairs,
+        embedding_dup_pairs_lsh,
+    )
+
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    exact = {(r["a"], r["b"]) for r in embedding_dup_pairs(emb, 0.4).take_all()}
+    lsh = {(r["a"], r["b"])
+           for r in embedding_dup_pairs_lsh(emb, 0.4).take_all()}
+    assert exact, "fixture must contain near-dup pairs"
+    assert lsh <= exact  # no false positives (exact verify)
+    assert len(lsh) / len(exact) >= 0.4, (len(lsh), len(exact))
+
+
+def test_ann_ivf_recall_vs_brute(ray_session):
+    from combblas_ray.functions.ann import ann_bruteforce_topk, ann_ivf_topk
+
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    brute = ann_bruteforce_topk(emb, np.arange(10), k=5).to_pylist()
+    ivf = ann_ivf_topk(emb, np.arange(10), k=5).to_pylist()
+    bsets, isets = {}, {}
+    for r in brute:
+        bsets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in ivf:
+        isets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(bsets[q] & isets.get(q, set())) / len(bsets[q]) for q in bsets
+    ]
+    assert np.mean(recalls) >= 0.5, recalls
