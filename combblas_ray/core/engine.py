@@ -583,6 +583,18 @@ class CsrPoolActor:
             out.append((b.br, rows, vals))
         return out
 
+    def spmspv_partial_pairs(self, sr_name: str, *pair_chunks):
+        """Like ``spmspv_partial`` but each arg is one (idx, vals) tuple
+        (the chunked-refs frontier form) — avoids per-level split tasks."""
+        sr = get_semiring(sr_name)
+        pairs = dict(zip(self.bcs, pair_chunks))
+        out = []
+        for b in self.blocks:
+            fi, fv = pairs[b.bc]
+            rows, vals = b.spmspv_partial(fi, fv, sr)
+            out.append((b.br, rows, vals))
+        return out
+
     def col_sums(self):
         """(bc, partial) pairs — `Reduce(Row, plus)` fused into residency."""
         return [(b.bc, b.col_sums()) for b in self.blocks]
@@ -663,12 +675,6 @@ def _chunks_equal(a: np.ndarray, b: np.ndarray) -> bool:
 def _chunk_scalar(fn, *chunks):
     """Reduce chunk(s) to one small Python scalar (convergence checks)."""
     return fn(*chunks)
-
-
-@ray.remote(num_cpus=0)
-def _split_pair(pair):
-    """(idx, vals) tuple ref -> two refs (feeds actor spmspv_partial)."""
-    return pair[0], pair[1]
 
 
 @ray.remote(num_cpus=0)
@@ -944,15 +950,9 @@ class SpmvEngine:
         (local_idx, merged_vals) tuples — the sparse frontier never
         concatenates on the driver."""
         sr = get_semiring(sr)
-        split = [
-            _split_pair.options(num_returns=2).remote(frontier_refs[i])
-            for i in range(self.g)
-        ]
-        fi_refs = [s[0] for s in split]
-        fv_refs = [s[1] for s in split]
         results = [
-            a.spmspv_partial.remote(
-                sr.name, *[r for bc in bcs for r in (fi_refs[bc], fv_refs[bc])]
+            a.spmspv_partial_pairs.remote(
+                sr.name, *[frontier_refs[bc] for bc in bcs]
             )
             for a, bcs in zip(self.actors, self.actor_bcs)
         ]

@@ -303,7 +303,9 @@ def spgemm_phased(A_ds, B_ds, n: int, *, add: str = "sum",
                    partition_on=partition_on),
             1,
         )
+    same = A_ds is B_ds
     B_ds = B_ds.materialize()  # scanned once per phase
+    A_ds = B_ds if same else A_ds.materialize()
     outs = []
     for p in range(phases):
         def _phase(batch: pa.Table, *, _p=p, _k=phases) -> pa.Table:
@@ -314,12 +316,21 @@ def spgemm_phased(A_ds, B_ds, n: int, *, add: str = "sum",
                               zero_copy_batch=True)
         # materialize each phase before starting the next — the whole
         # point of phasing: only one phase's intermediate is in flight
-        # at a time (ParFriends.h:569-760's per-phase loop)
-        outs.append(
-            spgemm(A_ds, Bp, n, add=add, num_partitions=num_partitions,
-                   post_fn=post_fn, mask_ds=mask_ds, mask_anti=mask_anti,
-                   partition_on=partition_on).materialize()
-        )
+        # at a time (ParFriends.h:569-760's per-phase loop). The raw-task
+        # plan is used when its features suffice (no coordinate mask).
+        if mask_ds is None:
+            outs.append(
+                spgemm_tasks(A_ds, Bp, n, add=add,
+                             num_partitions=num_partitions,
+                             partition_on=partition_on,
+                             post_fn=post_fn).materialize()
+            )
+        else:
+            outs.append(
+                spgemm(A_ds, Bp, n, add=add, num_partitions=num_partitions,
+                       post_fn=post_fn, mask_ds=mask_ds, mask_anti=mask_anti,
+                       partition_on=partition_on).materialize()
+            )
     out = outs[0]
     for o in outs[1:]:
         out = out.union(o)

@@ -217,7 +217,8 @@ def _dense_to_pair(res):
 
 def _bfs_step(parents, dist, pair, bounds, level):
     """Per-chunk: drop visited candidates (EWiseMult exclude=true), set
-    parents/dist, and emit the next frontier pair (vals = global ids)."""
+    parents/dist, emit the next frontier pair (vals = global ids) and its
+    size (fused loop-control scalar — no extra task round)."""
     idx, pv = pair
     unv = parents[idx] == -1
     fi = idx[unv]
@@ -225,7 +226,7 @@ def _bfs_step(parents, dist, pair, bounds, level):
     dist = dist.copy()
     parents[fi] = pv[unv].astype(np.int64)
     dist[fi] = level
-    return parents, dist, (fi, (fi + bounds[0]).astype(np.float64))
+    return parents, dist, (fi, (fi + bounds[0]).astype(np.float64)), len(fi)
 
 
 def _neg_ones(bounds):
@@ -248,10 +249,10 @@ def bfs_parents(engine: SpmvEngine, root: int, max_iters: int = 10_000):
     parents = engine.map_chunks_i(_neg_ones)
     dist = engine.map_chunks_i(_neg_ones)
     seed = engine.map_chunks_i(partial(_frontier_seed, root=root))
-    parents, dist, frontier = engine.map_chunks_n(
-        partial(_bfs_step, level=0), 3, parents, dist, seed, with_bounds=True
+    parents, dist, frontier, sizes = engine.map_chunks_n(
+        partial(_bfs_step, level=0), 4, parents, dist, seed, with_bounds=True
     )
-    fsize = sum(engine.chunk_scalars(_pair_len, frontier))
+    fsize = sum(ray.get(sizes))
     level = 0
     while fsize and level < max_iters:
         level += 1
@@ -265,11 +266,11 @@ def bfs_parents(engine: SpmvEngine, root: int, max_iters: int = 10_000):
             cand = engine.map_chunks(
                 _dense_to_pair, engine.spmv_refs(x, "select2nd_min")
             )
-        parents, dist, frontier = engine.map_chunks_n(
-            partial(_bfs_step, level=level), 3, parents, dist, cand,
+        parents, dist, frontier, sizes = engine.map_chunks_n(
+            partial(_bfs_step, level=level), 4, parents, dist, cand,
             with_bounds=True,
         )
-        fsize = sum(engine.chunk_scalars(_pair_len, frontier))
+        fsize = sum(ray.get(sizes))
     return engine.unchunk(parents), engine.unchunk(dist)
 
 
@@ -279,13 +280,13 @@ def _bfsd_sparse_step(d, pair, bounds, level):
     newly = idx[vals < d[idx]]
     d = d.copy()
     d[newly] = level
-    return d, (newly, np.full(len(newly), float(level)))
+    return d, (newly, np.full(len(newly), float(level))), len(newly)
 
 
 def _bfsd_dense_step(d, nd):
     nd = np.minimum(d, nd)
     newly = np.nonzero(nd < d)[0]
-    return nd, (newly, nd[newly])
+    return nd, (newly, nd[newly]), len(newly)
 
 
 def bfs_distances_auto(engine: SpmvEngine, root: int) -> np.ndarray:
@@ -293,6 +294,8 @@ def bfs_distances_auto(engine: SpmvEngine, root: int) -> np.ndarray:
     is below n/50 use SpMSpV, else dense min-plus SpMV — the reference's
     density-threshold switch (``CC.h:1256``, ``FastSV.h:346``)."""
     n = engine.n
+    import ray
+
     d = engine.map_chunks_i(partial(_root_init, root=root))
     frontier = engine.map_chunks_i(partial(_frontier_seed, root=root))
     # seed vals must be d[root] = 0 (min_plus x), not the vertex id
@@ -303,14 +306,14 @@ def bfs_distances_auto(engine: SpmvEngine, root: int) -> np.ndarray:
         if fsize * 50 < n:
             # SpMSpV: val = w + x = 1 + (level-1) = level for structural w=1
             cand = engine.spmspv_refs(frontier, "min_plus")
-            d, frontier = engine.map_chunks_n(
-                partial(_bfsd_sparse_step, level=level), 2, d, cand,
+            d, frontier, sizes = engine.map_chunks_n(
+                partial(_bfsd_sparse_step, level=level), 3, d, cand,
                 with_bounds=True,
             )
         else:
             nd = engine.spmv_refs(d, "min_plus")
-            d, frontier = engine.map_chunks_n(_bfsd_dense_step, 2, d, nd)
-        fsize = sum(engine.chunk_scalars(_pair_len, frontier))
+            d, frontier, sizes = engine.map_chunks_n(_bfsd_dense_step, 3, d, nd)
+        fsize = sum(ray.get(sizes))
     return engine.unchunk(d)
 
 
