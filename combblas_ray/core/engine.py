@@ -356,7 +356,10 @@ class _Block:
 
     def spmm_partial(self, X_chunk: np.ndarray, sr) -> np.ndarray:
         """Multi-vector SpMV: X_chunk is (k, nc); returns (k, nr) — the
-        tall-skinny SpMM of BetwCent's batched BFS (BetwCent.cpp:179-187)."""
+        tall-skinny SpMM of BetwCent's batched BFS (BetwCent.cpp:179-187).
+        Stays a per-vector bincount loop ON PURPOSE: a fused (k, nnz)
+        gather + axis-1 reduceat was measured 2.3x SLOWER than k bincount
+        passes (strided segment reduction vs contiguous bincount)."""
         k = X_chunk.shape[0]
         out = np.empty((k, self.nr), dtype=np.float64)
         for i in range(k):
