@@ -102,3 +102,207 @@ def decode_pipeline(blob_ds, *, concurrency: int = 2, batch_size: int = 64):
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# audio: (kind=2, sample_rate, n_samples) header + int16 PCM samples
+# ---------------------------------------------------------------------------
+
+
+def make_audio_blob(item_id: int) -> bytes:
+    sr = 8000 + (item_id % 3) * 4000
+    n = 256 + (item_id % 7) * 64
+    t = np.arange(n, dtype=np.float64)
+    wave = (np.sin(t * (0.01 + (item_id % 11) * 0.005)) * 12000).astype(
+        np.int16
+    )
+    return HEADER.pack(2, sr, n) + wave.tobytes()
+
+
+def synth_audio_dataset(n: int, *, batch_size: int = 256):
+    import ray
+
+    def _gen(batch) -> pa.Table:
+        ids = batch["id"].astype(np.int64)
+        return pa.table(
+            {
+                "item_id": pa.array(ids),
+                "payload": pa.array(
+                    [make_audio_blob(int(i)) for i in ids], type=pa.binary()
+                ),
+                "kind": pa.array(["audio"] * len(ids), type=pa.string()),
+            }
+        )
+
+    return ray.data.range(n).map_batches(
+        _gen, batch_format="numpy", batch_size=batch_size
+    )
+
+
+class AudioFeatureStage:
+    """Actor-pool audio feature extraction (real DSP on the raw PCM — no
+    codec needed once payloads are PCM): duration, RMS energy,
+    zero-crossing rate. Per-actor setup in __init__, as a real
+    model/codec would be."""
+
+    def __init__(self):
+        self.header = HEADER
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, durs, rmss, zcrs = [], [], [], []
+        for item_id, payload in zip(
+            batch.column("item_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            kind, sr, n = self.header.unpack_from(payload, 0)
+            pcm = np.frombuffer(payload, dtype=np.int16,
+                                offset=self.header.size).astype(np.float64)
+            ids.append(item_id)
+            durs.append(n / sr if sr else 0.0)
+            rmss.append(float(np.sqrt(np.mean(pcm * pcm))) if n else 0.0)
+            zcrs.append(
+                float(np.mean(np.signbit(pcm[1:]) != np.signbit(pcm[:-1])))
+                if n > 1 else 0.0
+            )
+        return pa.table(
+            {
+                "item_id": pa.array(ids, type=pa.int64()),
+                "duration_sec": pa.array(np.round(durs, 6)),
+                "rms": pa.array(np.round(rmss, 6)),
+                "zcr": pa.array(np.round(zcrs, 6)),
+            }
+        )
+
+
+def decode_audio_real(payload: bytes):
+    """Real-codec audio decode (mp3/flac/...) — library not in this
+    container; the AudioFeatureStage pipeline shape is identical."""
+    raise NotImplementedError(
+        "compressed-audio decoding needs soundfile/ffmpeg; not available "
+        "here — swap this in when the codec exists; features run on PCM"
+    )
+
+
+# ---------------------------------------------------------------------------
+# video: (kind=3, n_frames, w*h) header + n_frames grayscale frames
+# ---------------------------------------------------------------------------
+
+
+def make_video_blob(item_id: int, w: int = 8, h: int = 8) -> bytes:
+    nf = 4 + (item_id % 5)
+    frames = (
+        (np.arange(nf * w * h, dtype=np.int64) * (item_id + 3)) % 241
+    ).astype(np.uint8)
+    return HEADER.pack(3, nf, w * h) + frames.tobytes()
+
+
+def synth_video_dataset(n: int, *, batch_size: int = 128):
+    import ray
+
+    def _gen(batch) -> pa.Table:
+        ids = batch["id"].astype(np.int64)
+        return pa.table(
+            {
+                "item_id": pa.array(ids),
+                "payload": pa.array(
+                    [make_video_blob(int(i)) for i in ids], type=pa.binary()
+                ),
+                "kind": pa.array(["video"] * len(ids), type=pa.string()),
+            }
+        )
+
+    return ray.data.range(n).map_batches(
+        _gen, batch_format="numpy", batch_size=batch_size
+    )
+
+
+class FrameSampleStage:
+    """Actor-pool frame sampling: keep every ``stride``-th frame, emit one
+    ROW PER SAMPLED FRAME (flat_map shape) with its mean intensity —
+    the decode -> sample -> per-frame-feature layout of a video
+    pretraining pipeline."""
+
+    def __init__(self, stride: int = 2):
+        self.header = HEADER
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, means = [], [], []
+        for item_id, payload in zip(
+            batch.column("item_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            kind, nf, fsz = self.header.unpack_from(payload, 0)
+            data = np.frombuffer(payload, dtype=np.uint8,
+                                 offset=self.header.size)
+            frames = data.reshape(nf, fsz)
+            for j in range(0, nf, self.stride):
+                ids.append(item_id)
+                fidx.append(j)
+                means.append(float(frames[j].mean()))
+        return pa.table(
+            {
+                "item_id": pa.array(ids, type=pa.int64()),
+                "frame": pa.array(fidx, type=pa.int64()),
+                "mean_intensity": pa.array(np.round(means, 6)),
+            }
+        )
+
+
+class ResizeStage:
+    """REAL image resize on the raw pixel payloads (2x2 mean pooling) —
+    no codec involved, so this one is not a stub: payload in, resized
+    payload out, same schema (the transform-in-place pattern)."""
+
+    def __init__(self):
+        self.header = HEADER
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, outs = [], []
+        for item_id, payload in zip(
+            batch.column("item_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            kind, w, h = self.header.unpack_from(payload, 0)
+            pix = np.frombuffer(payload, dtype=np.uint8,
+                                offset=self.header.size)
+            img = pix.reshape(h, w)
+            h2, w2 = h // 2 * 2, w // 2 * 2
+            small = (
+                img[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2)
+                .mean(axis=(1, 3)).astype(np.uint8)
+            )
+            ids.append(item_id)
+            outs.append(
+                self.header.pack(1, w2 // 2, h2 // 2) + small.tobytes()
+            )
+        return pa.table(
+            {
+                "item_id": pa.array(ids, type=pa.int64()),
+                "payload": pa.array(outs, type=pa.binary()),
+                "kind": pa.array(["image"] * len(ids), type=pa.string()),
+            }
+        )
+
+
+def audio_pipeline(blob_ds, *, concurrency: int = 2, batch_size: int = 64):
+    return blob_ds.map_batches(
+        AudioFeatureStage, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def video_pipeline(blob_ds, *, stride: int = 2, concurrency: int = 2,
+                   batch_size: int = 32):
+    return blob_ds.map_batches(
+        FrameSampleStage, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"stride": stride},
+    )
+
+
+def resize_pipeline(blob_ds, *, concurrency: int = 2, batch_size: int = 64):
+    return blob_ds.map_batches(
+        ResizeStage, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -224,3 +224,66 @@ def test_ann_ivf_recall_vs_brute(ray_session):
         len(bsets[q] & isets.get(q, set())) / len(bsets[q]) for q in bsets
     ]
     assert np.mean(recalls) >= 0.5, recalls
+
+
+def test_multimodal_audio_pipeline(ray_session):
+    from combblas_ray.functions.multimodal import (
+        HEADER,
+        audio_pipeline,
+        make_audio_blob,
+        synth_audio_dataset,
+    )
+
+    feats = {r["item_id"]: r
+             for r in audio_pipeline(synth_audio_dataset(60)).take_all()}
+    assert len(feats) == 60
+    blob = make_audio_blob(11)
+    _, sr, n = HEADER.unpack_from(blob, 0)
+    pcm = np.frombuffer(blob, dtype=np.int16, offset=HEADER.size).astype(float)
+    assert feats[11]["duration_sec"] == pytest.approx(n / sr, abs=1e-6)
+    assert feats[11]["rms"] == pytest.approx(
+        float(np.sqrt(np.mean(pcm * pcm))), abs=1e-4)
+
+
+def test_multimodal_video_frame_sampling(ray_session):
+    from combblas_ray.functions.multimodal import (
+        HEADER,
+        make_video_blob,
+        synth_video_dataset,
+        video_pipeline,
+    )
+
+    rows = video_pipeline(synth_video_dataset(30), stride=2).take_all()
+    by_item = {}
+    for r in rows:
+        by_item.setdefault(r["item_id"], []).append(r["frame"])
+    assert len(by_item) == 30
+    blob = make_video_blob(7)
+    _, nf, fsz = HEADER.unpack_from(blob, 0)
+    assert sorted(by_item[7]) == list(range(0, nf, 2))
+    frames = np.frombuffer(blob, dtype=np.uint8,
+                           offset=HEADER.size).reshape(nf, fsz)
+    got = {r["frame"]: r["mean_intensity"] for r in rows if r["item_id"] == 7}
+    assert got[0] == pytest.approx(round(float(frames[0].mean()), 6))
+
+
+def test_multimodal_resize_roundtrip(ray_session):
+    """Resize is REAL compute (2x2 mean pooling on raw pixels): resized
+    output must decode through the same DecodeStage with halved dims."""
+    from combblas_ray.functions.multimodal import (
+        decode_pipeline,
+        make_blob,
+        resize_pipeline,
+        synth_blob_dataset,
+        HEADER,
+    )
+
+    ds = synth_blob_dataset(40)
+    # chained actor pools: keep total actors < session CPUs (4) or the
+    # producer tasks starve
+    small = resize_pipeline(ds, concurrency=1).materialize()
+    feats = {r["item_id"]: r
+             for r in decode_pipeline(small, concurrency=1).take_all()}
+    _, w, h = HEADER.unpack_from(make_blob(13), 0)
+    assert feats[13]["width"] == w // 2
+    assert feats[13]["height"] == h // 2
