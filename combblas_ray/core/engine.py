@@ -586,6 +586,33 @@ class CsrPoolActor:
             out.append((b.br, rows, vals))
         return out
 
+    def spmm_indicator_partial(self, num_classes: int, *cls_chunks):
+        """Label-propagation-specialized SpMM (the BFS-specialized-SpMV
+        pattern, ``TopDownBFS.cpp``): build the per-class indicator from
+        the int class chunk INSIDE the actor (saves one task round per
+        iteration) and return plus_times partials per row block."""
+        sr = get_semiring("plus_times")
+        fetched = dict(zip(self.bcs, cls_chunks))
+        out = {}
+        classes = np.arange(num_classes)
+        for b in self.blocks:
+            cls = fetched[b.bc]
+            ind = (cls[None, :] == classes[:, None]).astype(np.float64)
+            part = b.spmm_partial(ind, sr)
+            if b.br in out:
+                prev = out[b.br]
+                if prev.shape[1] < part.shape[1]:
+                    prev, part = part, prev
+                if part.shape[1] < prev.shape[1]:
+                    q = np.full(prev.shape, sr.identity)
+                    q[:, : part.shape[1]] = part
+                    part = q
+                out[b.br] = sr.combine(prev, part)
+            else:
+                out[b.br] = part
+        res = [out[br] for br in self.brs]
+        return res[0] if len(res) == 1 else tuple(res)
+
     def spmspv_partial_pairs(self, sr_name: str, *pair_chunks):
         """Like ``spmspv_partial`` but each arg is one (idx, vals) tuple
         (the chunked-refs frontier form) — avoids per-level split tasks."""
@@ -723,6 +750,19 @@ def _scatter_merge(sr_name: str, nrows: int, *parts):
     for idx, vals in parts:
         sr.add_ufunc.at(out, idx.astype(np.int64), vals)
     return out
+
+
+@ray.remote(num_cpus=0)
+def _lp_combine(k: int, nrows: int, cls_chunk: np.ndarray, *parts: np.ndarray):
+    """Merge per-class count partials and apply the label-propagation
+    update in one task: argmax (first max -> smallest class), isolated
+    vertices keep their class."""
+    merged = np.zeros((k, nrows), dtype=np.float64)
+    for p in parts:
+        merged[:, : p.shape[1]] += p
+    total = merged.sum(axis=0)
+    best = merged.argmax(axis=0)
+    return np.where(total > 0, best, cls_chunk).astype(np.int64)
 
 
 @ray.remote(num_cpus=0)
@@ -1061,6 +1101,27 @@ class SpmvEngine:
             _combine_mat.remote(
                 sr.name, k, self.bounds[br][1] - self.bounds[br][0],
                 *partials[br]
+            )
+            for br in range(self.g)
+        ]
+
+    def labelprop_round(self, cls_refs: list, num_classes: int) -> list:
+        """One synchronous label-propagation round in TWO task rounds:
+        actor-side indicator + SpMM partials, then fused combine+argmax
+        per row chunk. cls_refs are int64 chunk refs; returns new refs."""
+        partials: dict[int, list] = {br: [] for br in range(self.g)}
+        for actor, brs, bcs in zip(self.actors, self.actor_brs, self.actor_bcs):
+            refs = actor.spmm_indicator_partial.options(
+                num_returns=len(brs)
+            ).remote(num_classes, *[cls_refs[bc] for bc in bcs])
+            if len(brs) == 1:
+                refs = [refs]
+            for br, ref in zip(brs, refs):
+                partials[br].append(ref)
+        return [
+            _lp_combine.remote(
+                num_classes, self.bounds[br][1] - self.bounds[br][0],
+                cls_refs[br], *partials[br]
             )
             for br in range(self.g)
         ]

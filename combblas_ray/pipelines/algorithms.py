@@ -715,17 +715,13 @@ def label_propagation(
     engine: SpmvEngine, init: np.ndarray, num_classes: int, iters: int
 ) -> np.ndarray:
     """Synchronous mode-of-neighbors update; tie -> smallest class id;
-    isolated vertices keep their class. Class counts are computed as one
-    plus_times chunked SpMM per round (the batched-SpMV pattern of
-    BetwCent.cpp:179-187); the (k, n) count matrix exists only as
-    per-chunk refs, the argmax update is chunk-local."""
+    isolated vertices keep their class. Each round is the fused
+    engine.labelprop_round: indicator built inside the resident actors,
+    per-class counts merged and argmax'd in one combine task — two task
+    rounds per iteration, (k, n) state never leaves the object store."""
     cls = engine.chunk(init.astype(np.int64))
     for _ in range(iters):
-        ind = engine.map_chunks(
-            partial(_lp_indicator, num_classes=num_classes), cls
-        )
-        counts = engine.spmm_refs(ind, num_classes, "plus_times")
-        cls = engine.map_chunks(_lp_update, cls, counts)
+        cls = engine.labelprop_round(cls, num_classes)
     return engine.unchunk(cls)
 
 
