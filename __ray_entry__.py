@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prune_column": q.q_prune_column,
         "prune_column_idx": q.q_prune_column_idx,
         "spasgn": q.q_spasgn,
+        "ewise_scale": q.q_ewise_scale,
         "colstochastic": q.q_colstochastic,
         "masked_colsums": q.q_masked_colsums,
         "invert_vec": q.q_invert_vec,
@@ -164,6 +165,7 @@ def oracle_sql() -> dict[str, str]:
         "vec_argmin": o.vec_argmin(),
         "asof_click": o.asof_click(),
         "spasgn": o.spasgn(),
+        "ewise_scale": o.ewise_scale(),
         "prune_column": o.prune_column(),
         "prune_column_idx": o.prune_column_idx(),
         "spgemm_phased": o.spgemm_aa(),  # phased result must equal unphased

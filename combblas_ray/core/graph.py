@@ -63,6 +63,43 @@ class Graph:
         return self._with(self.edges.map_batches(_prune, batch_format="pyarrow",
                                                  zero_copy_batch=True))
 
+    def ewise_scale(self, dense) -> "Graph":
+        """`EWiseScale(DenseParMat)` (``SpParMat.cpp:2830``): multiply
+        each nonzero elementwise by a dense matrix, w(i,j) *= D[i,j].
+        ``dense`` is either an (n, n) ndarray (broadcast once via
+        ``ray.put`` — the reference's only app use is small BC tallies,
+        ``BetwCent.cpp:195``) or a callable ``(dst_ids, src_ids) ->
+        factors`` (the functional dense matrix — the form that scales:
+        nothing n x n ever materializes)."""
+        import ray
+
+        if callable(dense):
+            def _sc(batch: pa.Table) -> pa.Table:
+                src = np.asarray(batch.column("src"))
+                dst = np.asarray(batch.column("dst"))
+                w = np.asarray(batch.column("w")) * np.asarray(
+                    dense(dst, src), dtype=np.float64
+                )
+                return pa.table(
+                    {"src": batch.column("src"), "dst": batch.column("dst"),
+                     "w": pa.array(w)}
+                )
+        else:
+            d_ref = ray.put(np.asarray(dense, dtype=np.float64))
+
+            def _sc(batch: pa.Table, *, _ref=d_ref) -> pa.Table:
+                D = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+                src = np.asarray(batch.column("src"))
+                dst = np.asarray(batch.column("dst"))
+                w = np.asarray(batch.column("w")) * D[dst, src]
+                return pa.table(
+                    {"src": batch.column("src"), "dst": batch.column("dst"),
+                     "w": pa.array(w)}
+                )
+
+        return self._with(self.edges.map_batches(_sc, batch_format="pyarrow",
+                                                 zero_copy_batch=True))
+
     _PRUNE_OPS = {
         "lt": np.less, "le": np.less_equal, "gt": np.greater,
         "ge": np.greater_equal, "eq": np.equal, "ne": np.not_equal,

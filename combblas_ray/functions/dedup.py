@@ -58,22 +58,21 @@ def exact_dedup(docs_ds):
         )
 
     def _group(batch: pa.Table) -> pa.Table:
-        import collections
-
-        groups: dict[str, list[int]] = collections.defaultdict(list)
-        for k, d in zip(
-            batch.column("key").to_pylist(), batch.column("doc_id").to_pylist()
-        ):
-            groups[k].append(d)
-        doc_ids, canon = [], []
-        for ids in groups.values():
-            m = min(ids)
-            doc_ids.extend(ids)
-            canon.extend([m] * len(ids))
+        """Vectorized group-min: sort by (key, id) — the first row of each
+        key run is its min doc_id; broadcast it down the run."""
+        keys = np.asarray(batch.column("key")).astype(object)
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        order = np.lexsort((ids, keys))
+        k, d = keys[order], ids[order]
+        new = np.ones(len(k), dtype=bool)
+        if len(k):
+            new[1:] = k[1:] != k[:-1]
+        grp = np.cumsum(new) - 1
+        canon = d[new][grp] if len(k) else d
         return pa.table(
             {
-                "doc_id": pa.array(doc_ids, type=pa.int64()),
-                "canon_id": pa.array(canon, type=pa.int64()),
+                "doc_id": pa.array(d),
+                "canon_id": pa.array(canon),
             }
         )
 

@@ -757,3 +757,14 @@ SELECT a.vec_id AS a, b.vec_id AS b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= {tau}
 """
+
+
+@_materialized
+def ewise_scale() -> str:
+    """EWiseScale by the functional dense matrix ((i + 2j) % 5) + 1."""
+    return PREFIX + """
+SELECT vs.label AS src_label, vd.label AS dst_label,
+       e.w * ((e.dst + 2 * e.src) % 5 + 1) AS w
+FROM edges e
+JOIN verts vs ON vs.i = e.src JOIN verts vd ON vd.i = e.dst
+"""

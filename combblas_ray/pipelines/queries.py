@@ -1262,3 +1262,20 @@ def q_ann_ivf(sf_dir: str):
     from ..functions.ann import ann_ivf_topk
 
     return ann_ivf_topk(_emb(sf_dir), np.arange(10), k=5)
+
+
+def q_ewise_scale(sf_dir: str):
+    """EWiseScale(DenseParMat) (SpParMat.cpp:2830): w(i,j) *= D[i,j] with
+    the functional dense matrix D = ((arith_i + 2*arith_j) % 5) + 1 —
+    nothing n x n materializes."""
+    import ray
+
+    ctx = get_context(sf_dir)
+    arith_ref = ray.put(ctx.arith)
+
+    def factor(dst, src, *, _ref=arith_ref):
+        a = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+        return ((a[dst] + 2 * a[src]) % 5 + 1).astype(np.float64)
+
+    g2 = ctx.graph("directed").ewise_scale(factor)
+    return _decode_edge_labels(ctx, g2.edges, "w")

@@ -404,3 +404,20 @@ def test_block_store_relocation(ctx500, tmp_path, ray_session):
     y = eng.spmv(np.ones(ctx500.n), "plus_times")
     assert y.sum() > 0
     eng.shutdown()
+
+
+def test_ewise_scale_dense_and_functional(ctx500, ray_session):
+    """EWiseScale(DenseParMat) (SpParMat.cpp:2830): ndarray-broadcast and
+    functional forms must agree and equal the per-entry product."""
+    n = ctx500.n
+    g = ctx500.graph("directed")
+    D = ((np.add.outer(np.arange(n), 2 * np.arange(n)) % 7) + 1).astype(float)
+    a = {(r["src"], r["dst"]): r["w"]
+         for r in g.ewise_scale(D).edges.take_all()}
+    b = {(r["src"], r["dst"]): r["w"]
+         for r in g.ewise_scale(
+             lambda dst, src: (dst + 2 * src) % 7 + 1).edges.take_all()}
+    base = {(r["src"], r["dst"]): r["w"] for r in g.edges.take_all()}
+    assert a == b
+    for (s, d), w in base.items():
+        assert a[(s, d)] == w * (((d + 2 * s) % 7) + 1)
