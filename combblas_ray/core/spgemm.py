@@ -37,6 +37,8 @@ def spgemm(A_ds, B_ds, n: int, *, add: str = "sum", num_partitions: int = 32,
     per-column prune/select/normalize (`MCLPruneRecoverySelect` applied
     inside `MemEfficientSpGEMM`, ``ParFriends.h:452-779``).
     """
+    A_ds = _edge_schema_guard(A_ds)
+    B_ds = _edge_schema_guard(B_ds)
     joined = A_ds.join(
         B_ds,
         join_type="inner",
@@ -92,6 +94,28 @@ def spgemm(A_ds, B_ds, n: int, *, add: str = "sum", num_partitions: int = 32,
         out = coordinate_mask(out, mask_ds, n, anti=mask_anti,
                               num_partitions=num_partitions)
     return out
+
+
+_EDGE_EMPTY = pa.table(
+    {
+        "src": pa.array([], type=pa.int64()),
+        "dst": pa.array([], type=pa.int64()),
+        "w": pa.array([], type=pa.float64()),
+    }
+)
+
+
+def _edge_schema_guard(ds):
+    """Hash-shuffle operators can emit EMPTY blocks with an empty schema;
+    Arrow joins then fail with 'No match for key field'. Normalize every
+    block to the (src, dst, w) schema (no-op for valid blocks)."""
+
+    def _g(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "src" not in batch.column_names:
+            return _EDGE_EMPTY
+        return batch.select(["src", "dst", "w"])
+
+    return ds.map_batches(_g, batch_format="pyarrow", zero_copy_batch=True)
 
 
 _FIB = np.uint64(11400714819323198485)
@@ -434,8 +458,10 @@ def ewise_apply(
         )
         return pa.table({"key": pa.array(k), "w": batch.column("w")})
 
-    ka = A_ds.map_batches(_key, batch_format="pyarrow", zero_copy_batch=True)
-    kb = B_ds.map_batches(_key, batch_format="pyarrow", zero_copy_batch=True)
+    ka = _edge_schema_guard(A_ds).map_batches(_key, batch_format="pyarrow",
+                                              zero_copy_batch=True)
+    kb = _edge_schema_guard(B_ds).map_batches(_key, batch_format="pyarrow",
+                                              zero_copy_batch=True)
     j = ka.join(
         kb,
         join_type=how,
@@ -475,6 +501,8 @@ def coordinate_mask(C_ds, mask_ds, n: int, *, anti: bool = False,
                     num_partitions: int = 32):
     """Keep C entries whose (src,dst) is (not, for anti) present in mask —
     `EWiseMult exclude` / `SetDifference` (``SpParMat.cpp:2815``)."""
+    C_ds = _edge_schema_guard(C_ds)
+    mask_ds = _edge_schema_guard(mask_ds)
     mask_keys = mask_ds.map_batches(
         lambda b: pa.table(
             {

@@ -748,6 +748,10 @@ def _tc_route_blocks(tbl: pa.Table, g: int, n: int):
     pair keys by hash(key)."""
     import ray  # noqa: F401  (remote context)
 
+    if tbl.num_rows == 0 or "src" not in tbl.column_names:
+        # empty hash-shuffle partitions may carry an empty schema
+        key = np.empty(0, dtype=np.int64)
+        return _tc_split((key,), _tc_part(key, g), g)
     src = np.asarray(tbl.column("src"))
     dst = np.asarray(tbl.column("dst"))
     lo = np.minimum(src, dst)
