@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vec_argmin": q.q_vec_argmin,
         "spmm_batch": q.q_spmm_batch,
         "bandwidth": q.q_bandwidth,
+        "sample_edges": q.q_sample_edges,
+        "randperm_edges": q.q_randperm_edges,
         # LLM-data layer
         "dedup_exact": q.q_dedup_exact,
         "jaccard_pairs": q.q_jaccard_pairs,
@@ -166,6 +168,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_click": o.asof_click(),
         "spasgn": o.spasgn(),
         "ewise_scale": o.ewise_scale(),
+        "sample_edges": o.sample_edges(),
+        "randperm_edges": o.randperm_edges(),
         "prune_column": o.prune_column(),
         "prune_column_idx": o.prune_column_idx(),
         "spgemm_phased": o.spgemm_aa(),  # phased result must equal unphased

@@ -768,3 +768,31 @@ SELECT vs.label AS src_label, vd.label AS dst_label,
 FROM edges e
 JOIN verts vs ON vs.i = e.src JOIN verts vd ON vd.i = e.dst
 """
+
+
+@_materialized
+def sample_edges() -> str:
+    """Deterministic 10% Knuth-hash edge sample in DENSE-id space: dense
+    id = rank of label; key = dsrc*n + ddst."""
+    return PREFIX + """
+, dense AS (
+  SELECT i, row_number() OVER (ORDER BY label) - 1 AS d FROM verts
+)
+SELECT vs.label AS src_label, vd.label AS dst_label, e.w AS w
+FROM edges e
+JOIN dense ds ON ds.i = e.src JOIN dense dd ON dd.i = e.dst
+JOIN verts vs ON vs.i = e.src JOIN verts vd ON vd.i = e.dst
+CROSS JOIN params p
+WHERE (((ds.d * p.n + dd.d) % 1048576) * 2654435761 + (ds.d * p.n + dd.d) // 1048576) % 4294967296 % 100 < 10
+"""
+
+
+@_materialized
+def randperm_edges() -> str:
+    """Modular-permutation relabeling in arithmetic space."""
+    return PREFIX + """
+SELECT (e.src * 48271) % p.n AS psrc,
+       (e.dst * 48271) % p.n AS pdst,
+       e.w AS w
+FROM edges e CROSS JOIN params p
+"""

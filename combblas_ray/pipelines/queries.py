@@ -1279,3 +1279,55 @@ def q_ewise_scale(sf_dir: str):
 
     g2 = ctx.graph("directed").ewise_scale(factor)
     return _decode_edge_labels(ctx, g2.edges, "w")
+
+
+def q_sample_edges(sf_dir: str):
+    """Deterministic 10% edge sample (`SelectCandidates`-style sampling,
+    §2.8): keep edges whose Knuth-hash of (src*n+dst) lands under the
+    rate — reproducible, shuffle-free, SQL-expressible."""
+    ctx = get_context(sf_dir)
+    n = ctx.n
+
+    def _s(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch.column("src"))
+        dst = np.asarray(batch.column("dst"))
+        key = src * np.int64(n) + dst
+        # split-key hash: every intermediate fits int64 EXACTLY on both
+        # the numpy and the SQL side (no silent wrap, no SQL overflow)
+        h = ((key % (1 << 20)) * np.int64(2654435761)
+             + key // (1 << 20)) % np.int64(1 << 32)
+        return batch.filter(pa.array(h % 100 < 10))
+
+    return _decode_edge_labels(
+        ctx, ctx.edges.map_batches(_s, batch_format="pyarrow",
+                                   zero_copy_batch=True), "w")
+
+
+def q_randperm_edges(sf_dir: str):
+    """`RandPerm` (FullyDistVec.cpp:784 semantics, deterministic variant):
+    relabel every vertex by the modular permutation p(i) = (i * 48271)
+    mod n (48271 prime => bijection while n is not a multiple of it) and
+    emit the permuted ARITHMETIC-space edge table — the skew-decorrelation
+    primitive."""
+    ctx = get_context(sf_dir)
+    n = ctx.n
+    if n % 48271 == 0:  # keep the bijection guarantee explicit
+        raise ValueError("n multiple of 48271; pick another multiplier")
+    import ray
+
+    arith_ref = ray.put(ctx.arith)
+
+    def _p(batch: pa.Table, *, _ref=arith_ref) -> pa.Table:
+        a = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+        src = a[np.asarray(batch.column("src"))]
+        dst = a[np.asarray(batch.column("dst"))]
+        return pa.table(
+            {
+                "psrc": pa.array((src * np.int64(48271)) % n),
+                "pdst": pa.array((dst * np.int64(48271)) % n),
+                "w": batch.column("w"),
+            }
+        )
+
+    return ctx.edges.map_batches(_p, batch_format="pyarrow",
+                                 zero_copy_batch=True)
