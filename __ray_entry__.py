@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vec_argmin": q.q_vec_argmin,
         "spmm_batch": q.q_spmm_batch,
         "bandwidth": q.q_bandwidth,
+        "rcm": q.q_rcm,
         "sample_edges": q.q_sample_edges,
         "randperm_edges": q.q_randperm_edges,
         # LLM-data layer
@@ -106,7 +107,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mis": q.q_mis,
         "matching": q.q_matching,
         "auction_matching": q.q_auction_matching,
-        "rcm": q.q_rcm,
         "betweenness": q.q_betweenness,
         "mcl": q.q_mcl,
         "max_matching": q.q_max_matching,
@@ -170,6 +170,7 @@ def oracle_sql() -> dict[str, str]:
         "ewise_scale": o.ewise_scale(),
         "sample_edges": o.sample_edges(),
         "randperm_edges": o.randperm_edges(),
+        "rcm": o.rcm_ordering(),
         "prune_column": o.prune_column(),
         "prune_column_idx": o.prune_column_idx(),
         "spgemm_phased": o.spgemm_aa(),  # phased result must equal unphased

@@ -796,3 +796,86 @@ SELECT (e.src * 48271) % p.n AS psrc,
        e.w AS w
 FROM edges e CROSS JOIN params p
 """
+
+
+@_materialized
+def rcm_ordering(cc_iters: int = 12, bfs_iters: int = 16) -> str:
+    """RCM ordering, fully re-derived in SQL (dense-id space): structural
+    undirected degree, min-label CC fixpoint, per-component min-(deg,id)
+    roots, unrolled multi-source BFS levels, then the reversed
+    (comp, level, deg, id) lexicographic rank."""
+    sql = PREFIX + """
+, dense AS (SELECT i, row_number() OVER (ORDER BY label) - 1 AS d FROM verts),
+dpairs AS (
+  SELECT ds.d AS a, dd.d AS b FROM edges e
+  JOIN dense ds ON ds.i = e.src JOIN dense dd ON dd.i = e.dst
+  WHERE ds.d <> dd.d
+),
+dund AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM dpairs UNION ALL SELECT b, a FROM dpairs
+  )
+),
+allv AS (SELECT d AS v FROM dense),
+degs AS (
+  SELECT av.v, coalesce(cnt.c, 0) AS deg
+  FROM allv av LEFT JOIN (
+    SELECT a AS v, count(*) AS c FROM dund GROUP BY a
+  ) cnt ON cnt.v = av.v
+),
+l0 AS (SELECT v, v AS comp FROM allv)
+"""
+    prev = "l0"
+    for k in range(1, cc_iters + 1):
+        sql += f"""
+, l{k} AS (
+  SELECT a.v, least(l.comp, coalesce(m.mn, l.comp)) AS comp
+  FROM allv a JOIN {prev} l ON l.v = a.v
+  LEFT JOIN (
+    SELECT u.b AS v, min(lp.comp) AS mn
+    FROM dund u JOIN {prev} lp ON lp.v = u.a GROUP BY u.b
+  ) m ON m.v = a.v
+)"""
+        prev = f"l{k}"
+    sql += f"""
+, comps AS (SELECT v, comp FROM {prev}),
+roots AS (
+  SELECT v FROM (
+    SELECT c.v,
+           row_number() OVER (PARTITION BY c.comp
+                              ORDER BY g.deg, c.v) AS rn
+    FROM comps c JOIN degs g ON g.v = c.v
+  ) WHERE rn = 1
+),
+d0 AS (SELECT v, 0 AS dist FROM roots)
+"""
+    prev = "d0"
+    for k in range(1, bfs_iters + 1):
+        sql += f"""
+, d{k} AS (
+  SELECT v, min(dist) AS dist FROM (
+    SELECT v, dist FROM {prev}
+    UNION ALL
+    SELECT u.b AS v, dp.dist + 1 AS dist
+    FROM dund u JOIN {prev} dp ON dp.v = u.a
+  ) GROUP BY v
+)"""
+        prev = f"d{k}"
+    sql += f"""
+, levels AS (
+  SELECT a.v, coalesce(d.dist, p.n) AS lvl
+  FROM allv a CROSS JOIN params p LEFT JOIN {prev} d ON d.v = a.v
+),
+ranked AS (
+  SELECT c.v,
+         row_number() OVER (
+           ORDER BY c.comp, lv.lvl, g.deg, c.v
+         ) - 1 AS rn
+  FROM comps c JOIN levels lv ON lv.v = c.v JOIN degs g ON g.v = c.v
+)
+SELECT vt.label AS label,
+       CAST(p.n - 1 - r.rn AS BIGINT) AS rcm_index
+FROM ranked r CROSS JOIN params p
+JOIN dense dn ON dn.d = r.v JOIN verts vt ON vt.i = dn.i
+"""
+    return sql
