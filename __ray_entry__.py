@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q.q_ann_topk,
         "clean_corpus": q.q_clean_corpus,
         "embed_dups": q.q_embed_dups,
+        "knn_components": q.q_knn_components,
         "token_counts_re": q.q_token_counts_re,
         "token_stats": q.q_token_stats,
         "langid": q.q_langid,
@@ -103,7 +104,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": q.q_ann_lsh,
         "embed_dups_lsh": q.q_embed_dups_lsh,
         "ann_ivf": q.q_ann_ivf,
-        "knn_components": q.q_knn_components,
         "mis": q.q_mis,
         "matching": q.q_matching,
         "auction_matching": q.q_auction_matching,
@@ -159,6 +159,7 @@ def oracle_sql() -> dict[str, str]:
         "prune_rect": o.prune_rect(),
         "clean_corpus": o.clean_corpus(),
         "embed_dups": o.embed_dups(),
+        "knn_components": o.knn_components(),
         "fastsv": o.connected_components(q.CC_ITERS),
         "token_counts_re": o.token_counts_re(),
         "spmm_batch": o.spmm_batch(),

@@ -879,3 +879,49 @@ FROM ranked r CROSS JOIN params p
 JOIN dense dn ON dn.d = r.v JOIN verts vt ON vt.i = dn.i
 """
     return sql
+
+
+@_materialized
+def knn_components(k: int = 5, cc_iters: int = 25) -> str:
+    """kNN-graph communities re-derived in SQL: exact cosine top-k per
+    vector (ties by neighbor id), symmetrized, then unrolled min-label
+    CC — component = min vec_id (no label mapping involved)."""
+    sql = f"""
+WITH sims AS MATERIALIZED (
+  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         list_cosine_similarity(a.embedding, b.embedding) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+topk AS MATERIALIZED (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY sim DESC, nid ASC) AS rn
+    FROM sims
+  ) WHERE rn <= {k}
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT qid AS a, nid AS b FROM topk
+    UNION ALL SELECT nid, qid FROM topk
+  )
+),
+verts2 AS MATERIALIZED (SELECT DISTINCT vec_id AS v FROM embeddings),
+l0 AS MATERIALIZED (SELECT v, v AS comp FROM verts2)
+"""
+    prev = "l0"
+    for i in range(1, cc_iters + 1):
+        sql += f"""
+, l{i} AS MATERIALIZED (
+  SELECT a.v, least(l.comp, coalesce(m.mn, l.comp)) AS comp
+  FROM verts2 a JOIN {prev} l ON l.v = a.v
+  LEFT JOIN (
+    SELECT u.b AS v, min(lp.comp) AS mn
+    FROM und u JOIN {prev} lp ON lp.v = u.a GROUP BY u.b
+  ) m ON m.v = a.v
+)"""
+        prev = f"l{i}"
+    sql += f"""
+SELECT v AS vec_id, CAST(comp AS BIGINT) AS component FROM {prev}
+"""
+    return sql
