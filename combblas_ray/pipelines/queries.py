@@ -1229,7 +1229,7 @@ def q_md_ordering(sf_dir: str):
     )
 
 
-MD_SUB = 200
+MD_SUB = 150
 
 
 def _emb(sf_dir: str):
