@@ -701,16 +701,6 @@ def brute_max_matching_size(U_edges: list, n: int) -> int:
 # --------------------------------------------------------------------------
 
 
-def _lp_indicator(cls, num_classes):
-    return (cls[None, :] == np.arange(num_classes)[:, None]).astype(np.float64)
-
-
-def _lp_update(cls, counts):
-    total = counts.sum(axis=0)
-    best = counts.argmax(axis=0)  # first max -> smallest class id
-    return np.where(total > 0, best, cls).astype(np.int64)
-
-
 def label_propagation(
     engine: SpmvEngine, init: np.ndarray, num_classes: int, iters: int
 ) -> np.ndarray:

@@ -25,7 +25,6 @@ import numpy as np
 import pyarrow as pa
 
 from ..core.shuffle import group_sum_per_key, keyed_reduce
-from ..core.spgemm import spgemm
 
 
 def _col_normalize(edges_ds, n: int):
