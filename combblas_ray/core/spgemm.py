@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .shuffle import group_reduce_per_key, keyed_reduce
 
@@ -478,8 +479,8 @@ def ewise_apply(
         # side gets the a_null/b_null substitute (reference EWiseApply's
         # explicit nullity semantics, ParFriends.h:2649-2697).
         ca, cb = batch.column("w_a"), batch.column("w_b")
-        miss_a = np.asarray(pa.compute.is_null(ca))
-        miss_b = np.asarray(pa.compute.is_null(cb))
+        miss_a = np.asarray(pc.is_null(ca))
+        miss_b = np.asarray(pc.is_null(cb))
         wa = np.asarray(ca.fill_null(0.0) if ca.null_count else ca,
                         dtype=np.float64)
         wb = np.asarray(cb.fill_null(0.0) if cb.null_count else cb,
@@ -541,7 +542,7 @@ def coordinate_mask(C_ds, mask_ds, n: int, *, anti: bool = False,
         cols = {c: batch.column(c) for c in ("src", "dst", "w")}
         if anti:
             hit = batch.column("mhit")
-            keep = pa.compute.is_null(hit)
+            keep = pc.is_null(hit)
             return pa.table(cols).filter(keep)
         return pa.table(cols)
 

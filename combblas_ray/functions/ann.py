@@ -27,6 +27,25 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / nrm
 
 
+def _topk_positions(sims: np.ndarray, ids: np.ndarray, kk: int) -> np.ndarray:
+    """Top-kk positions by (-sim, id) lexicographic order — deterministic
+    under exact-duplicate sims (argpartition would break ties by block
+    layout, making per-shard partials block-boundary-dependent)."""
+    return np.lexsort((ids, -sims))[:kk]
+
+
+def _dedup_pairs(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Unique (a, b) rows via lexsort on the column pair — no int64
+    packing, so safe for any id range."""
+    if len(a) == 0:
+        return a.astype(np.int64), b.astype(np.int64)
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    keep = np.ones(len(a), dtype=bool)
+    keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    return a[keep], b[keep]
+
+
 def ann_bruteforce_topk(emb_ds, query_ids: np.ndarray, k: int = 5):
     """(query_id, neighbor_id, rnk) — exact cosine top-k per query,
     self excluded; ties broken by neighbor id ascending."""
@@ -48,7 +67,7 @@ def ann_bruteforce_topk(emb_ds, query_ids: np.ndarray, k: int = 5):
         kk = min(k + 1, sims.shape[1])
         for qi in range(len(q_ids)):
             row = sims[qi]
-            part = np.argpartition(-row, kk - 1)[:kk]
+            part = _topk_positions(row, ids, kk)
             qs.extend([q_ids[qi]] * len(part))
             ns.extend(ids[part].tolist())
             ss.extend(row[part].tolist())
@@ -155,7 +174,7 @@ def ann_lsh_topk(emb_ds, query_ids: np.ndarray, k: int = 5, nbits: int = 6,
                 for qi in probe[int(cv)]:
                     sims = M_h[sel] @ Q[qi]
                     kk = min(k + 1, len(sel))
-                    part = np.argpartition(-sims, kk - 1)[:kk]
+                    part = _topk_positions(sims, ids_h[sel], kk)
                     qs.extend([q_ids[qi]] * len(part))
                     ns.extend(ids_h[sel[part]].tolist())
                     ss.extend(sims[part].tolist())
@@ -279,28 +298,19 @@ def embedding_dup_pairs_lsh(emb_ds, tau: float = 0.4, nbits: int = 4,
         if not a_out:
             return pa.table({"a": pa.array([], type=pa.int64()),
                              "b": pa.array([], type=pa.int64())})
-        a = np.concatenate(a_out)
-        b = np.concatenate(b_out)
-        key = a * np.int64(1 << 31) + b
-        uk = np.unique(key)
-        return pa.table(
-            {
-                "a": pa.array(uk // (1 << 31)),
-                "b": pa.array(uk % (1 << 31)),
-            }
-        )
+        a, b = _dedup_pairs(np.concatenate(a_out), np.concatenate(b_out))
+        return pa.table({"a": pa.array(a, type=pa.int64()),
+                         "b": pa.array(b, type=pa.int64())})
 
     bucketed = emb_ds.map_batches(_bucket, batch_format="pyarrow")
     pairs = keyed_reduce(bucketed, ["bucket"], _verify)
 
     # dedup across buckets (multi-probe can emit a pair twice)
     def _uniq(batch: pa.Table) -> pa.Table:
-        a = np.asarray(batch.column("a"))
-        b = np.asarray(batch.column("b"))
-        key = a * np.int64(1 << 31) + b
-        uk = np.unique(key)
-        return pa.table({"a": pa.array(uk // (1 << 31)),
-                         "b": pa.array(uk % (1 << 31))})
+        a, b = _dedup_pairs(np.asarray(batch.column("a")),
+                            np.asarray(batch.column("b")))
+        return pa.table({"a": pa.array(a, type=pa.int64()),
+                         "b": pa.array(b, type=pa.int64())})
 
     return keyed_reduce(pairs, ["a", "b"], _uniq)
 
@@ -369,7 +379,7 @@ def ann_ivf_topk(emb_ds, query_ids: np.ndarray, k: int = 5, nlist: int = 16,
                 continue
             sims = M[sel] @ Q[qi]
             kk = min(k + 1, len(sims))
-            part = np.argpartition(-sims, kk - 1)[:kk]
+            part = _topk_positions(sims, ids[sel], kk)
             qs.extend([q_ids[qi]] * len(part))
             ns.extend(ids[sel][part].tolist())
             ss.extend(sims[part].tolist())

@@ -196,10 +196,23 @@ def fastsv(engine: SpmvEngine, max_iters: int = 200) -> tuple[np.ndarray, int]:
 
 
 def _frontier_seed(bounds, root):
+    """Parent-BFS seed: vals carry the PARENT id (root is its own parent),
+    matching the select2nd parent-propagation semiring."""
     s, e = bounds
     if s <= root < e:
         return (np.array([root - s], dtype=np.int64),
                 np.array([float(root)], dtype=np.float64))
+    return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+
+
+def _frontier_seed_zero(bounds, root):
+    """Distance-BFS seed: vals carry d[root] = 0 so min_plus propagation
+    (w + x) is correct by construction, not incidentally (a reused
+    id-valued seed would break weighted SSSP-style reuse)."""
+    s, e = bounds
+    if s <= root < e:
+        return (np.array([root - s], dtype=np.int64),
+                np.array([0.0], dtype=np.float64))
     return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
 
 
@@ -297,8 +310,7 @@ def bfs_distances_auto(engine: SpmvEngine, root: int) -> np.ndarray:
     import ray
 
     d = engine.map_chunks_i(partial(_root_init, root=root))
-    frontier = engine.map_chunks_i(partial(_frontier_seed, root=root))
-    # seed vals must be d[root] = 0 (min_plus x), not the vertex id
+    frontier = engine.map_chunks_i(partial(_frontier_seed_zero, root=root))
     fsize = sum(engine.chunk_scalars(_pair_len, frontier))
     level = 0
     while fsize:

@@ -274,6 +274,9 @@ def mcl_incremental(
             continue
         dv.update(np.asarray(t.column("src")).tolist())
         dv.update(np.asarray(t.column("dst")).tolist())
+    if not dv:
+        # empty delta: nothing perturbed, previous clustering stands
+        return prev_clusters.copy(), {"affected": 0}
     aff_clusters = {int(prev_clusters[v]) for v in dv}
     affected = np.nonzero(
         np.isin(prev_clusters, np.fromiter(aff_clusters, dtype=np.int64))

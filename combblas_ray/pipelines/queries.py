@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..core.ids import labels_table
 from ..sources import corpus as corpus_src
@@ -315,7 +316,7 @@ def q_subgraph(sf_dir: str):
             {
                 "si": pa.array(si[keep].astype(np.int64)),
                 "sj": pa.array(sj[keep].astype(np.int64)),
-                "w": pa.compute.filter(batch.column("w"), pa.array(keep)),
+                "w": pc.filter(batch.column("w"), pa.array(keep)),
             }
         )
 
@@ -472,7 +473,6 @@ def q_top_customers(sf_dir: str):
     )
     # semi-join: push the 10 winning keys into the parquet read as a row
     # filter — never scan the whole customer table onto the driver
-    import pyarrow.compute as pc
 
     cust = (
         ray.data.read_parquet(
@@ -721,7 +721,7 @@ def q_mcl(sf_dir: str):
             {
                 "src": pa.array(si[keep].astype(np.int64)),
                 "dst": pa.array(sj[keep].astype(np.int64)),
-                "w": pa.compute.filter(batch.column("w"), pa.array(keep)),
+                "w": pc.filter(batch.column("w"), pa.array(keep)),
             }
         )
 
@@ -910,7 +910,7 @@ def q_clean_corpus(sf_dir: str):
     keep_t = qual.filter(expr="n_tokens >= 20").select_columns(["doc_id"])
 
     def _canon_only(batch: pa.Table) -> pa.Table:
-        keep = pa.compute.equal(batch.column("doc_id"),
+        keep = pc.equal(batch.column("doc_id"),
                                 batch.column("canon_id"))
         return batch.filter(keep).select(["doc_id"])
 
@@ -940,7 +940,6 @@ BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9 ]"
 def q_token_counts_re(sf_dir: str):
     """BPE-ish regex token counting (vectorized Arrow regex kernels):
     (doc_id, n_re_tokens)."""
-    import pyarrow.compute as pc
 
     def _cnt(batch: pa.Table) -> pa.Table:
         matches = pc.count_substring_regex(batch.column("text"), BPE_RE)
@@ -1208,7 +1207,7 @@ def q_md_ordering(sf_dir: str):
             {
                 "src": pa.array(si[keep].astype(np.int64)),
                 "dst": pa.array(sj[keep].astype(np.int64)),
-                "w": pa.compute.filter(batch.column("w"), pa.array(keep)),
+                "w": pc.filter(batch.column("w"), pa.array(keep)),
             }
         )
 

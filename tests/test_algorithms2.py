@@ -310,6 +310,12 @@ def test_incremental_mcl_matches_full_rerun(ray_session):
     assert info["affected"] < n
     assert np.array_equal(inc[:3], prev[:3])
 
+    # empty delta: previous clustering must stand, zero re-clustering
+    empty = sym_ds([])
+    same, info0 = mcl_incremental(sym_ds(base), prev, empty, n)
+    assert info0["affected"] == 0
+    assert np.array_equal(same, prev)
+
 
 def test_maximum_matching_is_maximum(ctx500):
     """MS-BFS augmenting-path matching (BPMaximumMatching.h:231-420) must
