@@ -3,18 +3,27 @@
 The ``ReadGeneralizedTuples`` analog (reference ``SpParMat.cpp:3889-3984``):
 the reference hashes string labels to owner ranks, builds a per-rank
 label->denseId permutation, then renames both edge endpoints and returns an
-id->label "distmapper". Here:
+id->label "distmapper". Two paths here, same semantics (ids = lexicographic
+rank of the distinct label set):
 
-1. distinct labels = ``union(src_label, dst_label)`` -> groupby-distinct
-   (a hash shuffle, like the reference's label exchange);
-2. deterministic id assignment = lexicographic rank (sort);
-3. encoding joins: the dictionary is broadcast via ``ray.put`` once and each
-   ``map_batches`` task does a vectorized ``searchsorted`` gather — the
-   broadcast-hash-join path (right for dictionaries up to ~10^8 labels; past
-   that, swap in a shuffle join on ``label``, same semantics).
+1. **Distributed (default, `build_vertex_dict` + `encode_edges_dict`)** —
+   batch-local unique -> hash-shuffle distinct -> distributed
+   ``ds.sort("label")`` -> per-chunk rank offsets (a count prefix-sum; the
+   driver holds one count + one boundary label per chunk, never the labels)
+   -> a 3-round route/serve/assemble encode: each edge block routes its
+   *unique* labels to the dictionary chunk whose range covers them, owners
+   answer with vids, blocks reassemble ``(src, dst, w)`` locally. This is
+   the two-pass label exchange of ``SpParMat.cpp:3680-3984`` with range
+   owners instead of hash owners (range keeps ids sorted).
+2. **Broadcast fast path (`distinct_labels` + `encode_edges`)** — the full
+   sorted dictionary is `ray.put` once and every encode task does a
+   ``searchsorted`` gather. Right for small dictionaries (< ~10^7); kept as
+   the fallback for toy graphs with isolated vertices.
 """
 
 from __future__ import annotations
+
+from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
@@ -79,6 +88,223 @@ def encode_edges(labeled_edges_ds, sorted_labels: np.ndarray):
         )
 
     return labeled_edges_ds.map_batches(_encode, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Distributed dictionary (default path)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class VertexDict:
+    """Distributed (label -> dense id) dictionary: sorted label chunks live
+    in the object store; the driver holds only per-chunk counts and one
+    boundary label per chunk (the reference's distmapper stays distributed,
+    ``SpParMat.cpp:3889-3984``)."""
+
+    chunk_refs: list  # ObjectRef[(labels: np.ndarray[str] sorted, vids: int64)]
+    offsets: np.ndarray  # start vid of each chunk
+    boundaries: np.ndarray  # p-1 range cut points; chunk k owns
+    #   [boundaries[k-1], boundaries[k]) under searchsorted side="left"
+    n: int
+
+    def materialize_labels(self) -> np.ndarray:
+        """Driver-side dense id -> label array. Small-graph convenience for
+        the query surface / oracles — NOT used by the build path."""
+        parts = ray.get(list(self.chunk_refs))
+        return np.concatenate([p[0] for p in parts])
+
+
+_EMPTY_STR = np.empty(0, dtype="U1")
+
+
+@ray.remote(num_cpus=0, num_returns=2)
+def _uniq_and_sample(block, k: int):
+    """Per-edge-block sorted unique labels + an evenly spaced sample of
+    them (the sample feeds the driver's range-boundary pick — the sample
+    step of a sample sort, ``MemoryEfficientPSort`` analog)."""
+    u = np.unique(
+        np.concatenate(
+            [
+                np.asarray(block.column("src_label")).astype(str),
+                np.asarray(block.column("dst_label")).astype(str),
+            ]
+        )
+    )
+    if len(u) == 0:
+        return u, u
+    idx = np.linspace(0, len(u) - 1, min(k, len(u))).astype(np.int64)
+    return u, u[idx]
+
+
+@ray.remote(num_cpus=0)
+def _range_split(u: np.ndarray, boundaries: np.ndarray, p: int):
+    """Split one block's sorted unique labels into p contiguous range
+    pieces; partition k owns [boundaries[k-1], boundaries[k])."""
+    cuts = np.searchsorted(u, boundaries, side="left")
+    pieces = np.split(u, cuts)
+    return tuple(pieces) if p > 1 else pieces[0]
+
+
+@ray.remote(num_cpus=0, num_returns=2)
+def _merge_distinct(*pieces):
+    """One range partition's distinct sorted labels (+ its count)."""
+    u = np.unique(np.concatenate(pieces)) if pieces else _EMPTY_STR
+    return u, len(u)
+
+
+@ray.remote(num_cpus=0)
+def _attach_vids(labels: np.ndarray, offset: int):
+    return labels, np.arange(offset, offset + len(labels), dtype=np.int64)
+
+
+@ray.remote(num_cpus=0)
+def _serve_vids(labels: np.ndarray, offset: int, *requests):
+    """One dictionary partition answers every edge block's label requests
+    with dense ids (labels are guaranteed present — the dictionary was
+    built from the same label set)."""
+    out = tuple(
+        (offset + np.searchsorted(labels, req)).astype(np.int64)
+        for req in requests
+    )
+    return out if len(requests) > 1 else out[0]
+
+
+@ray.remote(num_cpus=0)
+def _encode_assemble(block, u: np.ndarray, *vid_pieces):
+    """Rebuild (src, dst, w) for one edge block: the concatenated per-range
+    vid answers align with the block's sorted unique label array ``u``."""
+    src_l = np.asarray(block.column("src_label")).astype(str)
+    dst_l = np.asarray(block.column("dst_label")).astype(str)
+    allv = np.concatenate([np.asarray(p, dtype=np.int64) for p in vid_pieces]) \
+        if vid_pieces else np.empty(0, dtype=np.int64)
+    src = allv[np.searchsorted(u, src_l)]
+    dst = allv[np.searchsorted(u, dst_l)]
+    return pa.table(
+        {
+            "src": pa.array(src),
+            "dst": pa.array(dst),
+            "w": pa.array(np.ones(len(src), dtype=np.float64)),
+        }
+    )
+
+
+def _pick_boundaries(samples: list[np.ndarray], p: int) -> np.ndarray:
+    allsamp = np.sort(np.concatenate(samples)) if samples else _EMPTY_STR
+    if len(allsamp) == 0 or p <= 1:
+        return _EMPTY_STR
+    idx = (np.arange(1, p) * len(allsamp)) // p
+    return np.unique(allsamp[idx])
+
+
+def _dict_pipeline(labeled_edges_ds, with_encode: bool,
+                   num_partitions: int | None = None):
+    """Shared raw-task pipeline: per-block unique+sample -> driver picks
+    range boundaries -> range shuffle of *unique* labels -> per-range
+    distinct+rank (count prefix-sum on the driver) [-> serve vids back to
+    blocks -> assemble encoded edges]. All num_cpus=0 tasks — no Ray Data
+    shuffle actor pools (measured ~5 s spawn per round on this box), and
+    each block's ``np.unique`` is computed exactly once and shared between
+    the dictionary build and the encode."""
+    from .shuffle import default_shuffle_blocks
+
+    edge_refs = labeled_edges_ds.to_arrow_refs()
+    e = len(edge_refs)
+    us = [_uniq_and_sample.remote(r, 64) for r in edge_refs]
+    u_refs = [r[0] for r in us]
+    samples = ray.get([r[1] for r in us])
+    boundaries = _pick_boundaries(samples, num_partitions
+                                  or default_shuffle_blocks())
+    p = len(boundaries) + 1
+    routes = [
+        _range_split.options(num_returns=p).remote(u_refs[b], boundaries, p)
+        for b in range(e)
+    ]
+    routes = [[rt] if p == 1 else list(rt) for rt in routes]
+    merged = [
+        _merge_distinct.remote(*[routes[b][k] for b in range(e)])
+        for k in range(p)
+    ]
+    counts = np.array(ray.get([m[1] for m in merged]), dtype=np.int64)
+    offsets = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    chunk_refs = [
+        _attach_vids.remote(merged[k][0], int(offsets[k])) for k in range(p)
+    ]
+    vdict = VertexDict(
+        chunk_refs=chunk_refs,
+        offsets=offsets,
+        boundaries=boundaries,
+        n=int(counts.sum()),
+    )
+    if not with_encode:
+        return vdict, None
+    served = []
+    for k in range(p):
+        s = _serve_vids.options(num_returns=e).remote(
+            merged[k][0], int(offsets[k]), *[routes[b][k] for b in range(e)]
+        )
+        served.append([s] if e == 1 else list(s))
+    assembled = [
+        _encode_assemble.remote(
+            edge_refs[b], u_refs[b], *[served[k][b] for k in range(p)]
+        )
+        for b in range(e)
+    ]
+    return vdict, ray.data.from_arrow_refs(assembled)
+
+
+def build_vertex_dict(labeled_edges_ds,
+                      num_partitions: int | None = None) -> VertexDict:
+    """Distinct labels -> sorted distributed dictionary with global
+    lexicographic ranks. Driver memory: O(samples + num_chunks)."""
+    vdict, _ = _dict_pipeline(labeled_edges_ds, with_encode=False,
+                              num_partitions=num_partitions)
+    return vdict
+
+
+def assign_and_encode(labeled_edges_ds, num_partitions: int | None = None):
+    """Fused dictionary build + edge encode (one unique per block, one
+    label shuffle): returns (VertexDict, encoded (src, dst, w) Dataset) —
+    the full ``ReadGeneralizedTuples`` two-pass exchange
+    (``SpParMat.cpp:3680-3984``)."""
+    return _dict_pipeline(labeled_edges_ds, with_encode=True,
+                          num_partitions=num_partitions)
+
+
+def encode_edges_dict(labeled_edges_ds, vdict: VertexDict):
+    """(src_label, dst_label) -> (src, dst, w=1.0) against an existing
+    distributed dictionary: 3 task rounds (E routes, p serves, E
+    assembles), moving only each block's *unique* labels."""
+    edge_refs = labeled_edges_ds.to_arrow_refs()
+    e, p = len(edge_refs), len(vdict.chunk_refs)
+    us = [_uniq_and_sample.remote(r, 1) for r in edge_refs]
+    u_refs = [r[0] for r in us]
+    routes = [
+        _range_split.options(num_returns=p).remote(u_refs[b],
+                                                   vdict.boundaries, p)
+        for b in range(e)
+    ]
+    routes = [[rt] if p == 1 else list(rt) for rt in routes]
+    served = []
+    for k in range(p):
+        s = _serve_chunk_vids.options(num_returns=e).remote(
+            vdict.chunk_refs[k], *[routes[b][k] for b in range(e)]
+        )
+        served.append([s] if e == 1 else list(s))
+    assembled = [
+        _encode_assemble.remote(
+            edge_refs[b], u_refs[b], *[served[k][b] for k in range(p)]
+        )
+        for b in range(e)
+    ]
+    return ray.data.from_arrow_refs(assembled)
+
+
+@ray.remote(num_cpus=0)
+def _serve_chunk_vids(chunk, *requests):
+    labels, vids = chunk
+    out = tuple(vids[np.searchsorted(labels, req)] for req in requests)
+    return out if len(requests) > 1 else out[0]
 
 
 def labels_table(sorted_labels: np.ndarray) -> pa.Table:

@@ -18,7 +18,7 @@ import ray
 
 from ..core.engine import SpmvEngine
 from ..core.graph import Graph
-from ..core.ids import distinct_labels, encode_edges
+from ..core.ids import assign_and_encode, encode_edges
 from ..sources import corpus as corpus_src
 
 CKPT_ROOT = os.environ.get("CBRAY_CKPT_ROOT", "/tmp/cbray")
@@ -121,14 +121,25 @@ def get_context_for_n(n: int) -> GraphContext:
     # SpParMat.cpp:3889-3984, with the reread replaced by a materialized
     # intermediate).
     labeled = corpus_src.extract_labeled_edges(corpus).materialize()
-    labels = distinct_labels(labeled)
-    if len(labels) != n:
-        # isolated files (possible only at toy n) still get vertex ids
+    # distributed dictionary build + encode (driver holds per-chunk counts
+    # only); the driver-side `labels` copy below exists solely for the
+    # query/oracle surface at test scale, not for the build path
+    vdict, encoded = assign_and_encode(labeled)
+    if vdict.n != n:
+        # isolated files (possible only at toy n) still get vertex ids —
+        # broadcast fast path, since the dictionary must be amended
         labels = np.sort(
-            np.unique(np.concatenate([labels, np.array([f"m_{i}" for i in range(n)])]))
+            np.unique(
+                np.concatenate(
+                    [vdict.materialize_labels(),
+                     np.array([f"m_{i}" for i in range(n)])]
+                )
+            )
         )
+        encoded = encode_edges(labeled, labels)
+    else:
+        labels = vdict.materialize_labels()
     arith = np.array([int(s[2:]) for s in labels], dtype=np.int64)
-    encoded = encode_edges(labeled, labels)
     graph = Graph(n=n, edges=encoded, labels=labels).dedup_sum().remove_loops()
     ctx = GraphContext(n=n, labels=labels, arith=arith,
                        edges=graph.edges.materialize())
