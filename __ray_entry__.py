@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prune_column": q.q_prune_column,
         "prune_column_idx": q.q_prune_column_idx,
         "spasgn": q.q_spasgn,
+        "subsref_perm": q.q_subsref_perm,
+        "spasgn_general": q.q_spasgn_general,
         "ewise_scale": q.q_ewise_scale,
         "colstochastic": q.q_colstochastic,
         "masked_colsums": q.q_masked_colsums,
@@ -168,6 +170,8 @@ def oracle_sql() -> dict[str, str]:
         "vec_argmin": o.vec_argmin(),
         "asof_click": o.asof_click(),
         "spasgn": o.spasgn(),
+        "subsref_perm": o.subsref_perm(),
+        "spasgn_general": o.spasgn_general(),
         "ewise_scale": o.ewise_scale(),
         "sample_edges": o.sample_edges(),
         "randperm_edges": o.randperm_edges(),

@@ -303,6 +303,29 @@ class Graph:
             out[int(r["v"])] = r["val"]
         return out
 
+    # ---- generalized indexing (`SubsRef` / `SpAsgn`) ----
+
+    def subsref(self, ri: np.ndarray, ci: np.ndarray) -> "Graph":
+        """``B = A(ri, ci)`` with arbitrary (permuted, repeated, ri != ci)
+        index vectors (``SpParMat.cpp:2030-2264``). Returns a
+        ``len(ri) x len(ci)`` matrix as a Graph with edges (src=bi, dst=bj,
+        w); ``n = max(len(ri), len(ci))``."""
+        from .indexing import subsref as _subsref
+
+        out = _subsref(self.edges, ri, ci).map_batches(
+            lambda b: pa.table({"src": b.column("bi"), "dst": b.column("bj"),
+                                "w": b.column("w")}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        return Graph(n=max(len(ri), len(ci)), edges=out)
+
+    def spasgn(self, ri: np.ndarray, ci: np.ndarray, B: "Graph") -> "Graph":
+        """``A(ri, ci) = B`` for distinct index vectors
+        (``SpParMat.cpp:2436-2482``)."""
+        from .indexing import spasgn as _spasgn
+
+        return self._with(_spasgn(self.edges, ri, ci, B.edges))
+
     def nnz(self) -> int:
         return self.edges.count()
 

@@ -642,6 +642,49 @@ JOIN verts vs ON vs.i = a.src JOIN verts vd ON vd.i = a.dst
 """
 
 
+@_materialized
+def subsref_perm() -> str:
+    """B = A(ri, ci), ri/ci permuted + repeated + rectangular: every edge
+    (src, dst) expands to all (i, j) with ri[i]=src, ci[j]=dst."""
+    return PREFIX + """
+, ri AS (SELECT t.i AS i, (7 * t.i + 3) % 101 AS v
+         FROM generate_series(0, 199) t(i)),
+ci AS (SELECT t.j AS j, (5 * t.j + 2) % 173 AS v
+       FROM generate_series(0, 149) t(j))
+SELECT r.i AS bi, c.j AS bj, e.w AS w
+FROM edges e JOIN ri r ON r.v = e.src JOIN ci c ON c.v = e.dst
+"""
+
+
+@_materialized
+def spasgn_general() -> str:
+    """A(ri, ci) := B: carve the ri x ci cross product, insert B mapped
+    through the index vectors."""
+    return PREFIX + """
+, ri AS (SELECT t.i AS i, (11 * t.i + 5) % p.n AS v
+         FROM generate_series(0, 299) t(i) CROSS JOIN params p),
+ci AS (SELECT t.j AS j, (13 * t.j + 1) % p.n AS v
+       FROM generate_series(0, 199) t(j) CROSS JOIN params p),
+carved AS (
+  SELECT e.src, e.dst, e.w FROM edges e
+  WHERE e.src NOT IN (SELECT v FROM ri)
+     OR e.dst NOT IN (SELECT v FROM ci)
+),
+bmap AS (
+  SELECT r.v AS src, c.v AS dst, CAST(1 + (r.i % 4) AS DOUBLE) AS w
+  FROM ri r JOIN ci c ON c.j = (5 * r.i + 2) % 200
+),
+assigned AS (
+  SELECT src, dst, w FROM carved
+  UNION ALL
+  SELECT src, dst, w FROM bmap
+)
+SELECT vs.label AS src_label, vd.label AS dst_label, a.w AS w
+FROM assigned a
+JOIN verts vs ON vs.i = a.src JOIN verts vd ON vd.i = a.dst
+"""
+
+
 def clean_corpus() -> str:
     return """
 WITH stats AS (

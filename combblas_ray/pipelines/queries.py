@@ -865,6 +865,49 @@ def q_spasgn(sf_dir: str):
     return _decode_edge_labels(ctx, out, "w")
 
 
+def q_subsref_perm(sf_dir: str):
+    """General `SubsRef` B = A(ri, ci) with permuted, repeated, ri != ci
+    index vectors (SpParMat.cpp:2030-2264; IndexingTest.cpp analog):
+    ri[i] = file (7i+3) % 101 for i < 200 (repeats: 200 > 101),
+    ci[j] = file (5j+2) % 173 for j < 150. Output (bi, bj, w)."""
+    from ..core.indexing import subsref
+
+    ctx = get_context(sf_dir)
+    inv = np.empty(ctx.n, dtype=np.int64)
+    inv[ctx.arith] = np.arange(ctx.n, dtype=np.int64)
+    ri = inv[(7 * np.arange(200, dtype=np.int64) + 3) % 101]
+    ci = inv[(5 * np.arange(150, dtype=np.int64) + 2) % 173]
+    return subsref(ctx.edges, ri, ci)
+
+
+def q_spasgn_general(sf_dir: str):
+    """General `SpAsgn` A(ri, ci) := B with arbitrary distinct rectangular
+    index vectors and a non-diagonal B (SpParMat.cpp:2436-2482;
+    SpAsgnTest.cpp analog): ri[i] = file (11i+5) % n (300 rows),
+    ci[j] = file (13j+1) % n (200 cols), B[i, (5i+2) % 200] = 1 + i % 4."""
+    import ray
+
+    from ..core.indexing import spasgn
+
+    ctx = get_context(sf_dir)
+    n = ctx.n
+    inv = np.empty(n, dtype=np.int64)
+    inv[ctx.arith] = np.arange(n, dtype=np.int64)
+    bi = np.arange(300, dtype=np.int64)
+    ri = inv[(11 * bi + 5) % n]
+    ci = inv[(13 * np.arange(200, dtype=np.int64) + 1) % n]
+    b_ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(bi),
+                "dst": pa.array((5 * bi + 2) % 200),
+                "w": pa.array((1 + bi % 4).astype(np.float64)),
+            }
+        )
+    )
+    return _decode_edge_labels(ctx, spasgn(ctx.edges, ri, ci, b_ds), "w")
+
+
 def q_matching(sf_dir: str):
     """Maximal matching (BipartiteMatchings-family kernel). Rows-only;
     validity/maximality invariants asserted in pytest."""
