@@ -14,11 +14,20 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+import ray
+
 
 def _to_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, (n, d) float matrix) from an Arrow batch — zero-copy flatten
+    of the list<float> column (no per-row to_pylist)."""
     ids = np.asarray(batch.column("vec_id"))
-    emb = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
-    return ids, emb
+    col = batch.column("embedding")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = np.asarray(col.flatten(), dtype=np.float64)
+    if len(ids) == 0:
+        return ids, flat.reshape(0, 0)
+    return ids, flat.reshape(len(ids), len(flat) // len(ids))
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -114,6 +123,83 @@ def _merge_topk(part_rows: list[dict], k: int) -> pa.Table:
     )
 
 
+@ray.remote(num_cpus=0)
+def _norm_chunk(block):
+    """(ids ascending, row-normalized matrix) for one embedding block —
+    id-sorted columns make stable argsort break similarity ties by
+    ascending id for free."""
+    ids, emb = _to_matrix(block)
+    order = np.argsort(ids, kind="stable")
+    return ids[order].astype(np.int64), _normalize(emb[order])
+
+
+@ray.remote
+def _tile_topk(qchunk, dchunk, k: int):
+    """Per-query top-(k+1) partial of one (query-chunk x db-chunk) tile."""
+    q_ids, Q = qchunk
+    d_ids, D = dchunk
+    if len(q_ids) == 0 or len(d_ids) == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.reshape(0, 0), z.reshape(0, 0).astype(np.float64)
+    sims = Q @ D.T
+    kk = min(k + 1, sims.shape[1])
+    idx = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+    return q_ids, d_ids[idx], np.take_along_axis(sims, idx, axis=1)
+
+
+@ray.remote
+def _merge_knn(k: int, *tiles) -> pa.Table:
+    """Merge one query chunk's tile partials into final (query_id,
+    neighbor_id, rnk) rows — fully vectorized (lexsort + group ranks)."""
+    qs = np.concatenate(
+        [np.repeat(t[0], t[1].shape[1]) for t in tiles if len(t[0])]
+        or [np.empty(0, dtype=np.int64)]
+    )
+    ns = np.concatenate([t[1].ravel() for t in tiles if len(t[0])]
+                        or [np.empty(0, dtype=np.int64)])
+    ss = np.concatenate([t[2].ravel() for t in tiles if len(t[0])]
+                        or [np.empty(0, dtype=np.float64)])
+    m = qs != ns  # self-excluded
+    qs, ns, ss = qs[m], ns[m], ss[m]
+    order = np.lexsort((ns, -ss, qs))
+    qs, ns, ss = qs[order], ns[order], ss[order]
+    _, starts, counts = np.unique(qs, return_index=True, return_counts=True)
+    rnk = np.arange(len(qs), dtype=np.int64) - np.repeat(starts, counts) + 1
+    keep = rnk <= k
+    return pa.table(
+        {
+            "query_id": pa.array(qs[keep]),
+            "neighbor_id": pa.array(ns[keep]),
+            "rnk": pa.array(rnk[keep]),
+        }
+    )
+
+
+def knn_graph(emb_ds, k: int = 5, num_chunks: int | None = None):
+    """Exact cosine kNN graph over ALL vectors as a Dataset of
+    (query_id, neighbor_id, rnk) — 2D block-pair tiling, the SpGEMM-style
+    plan: C normalized chunks, C^2 tile tasks each holding ONE query chunk
+    and ONE db chunk, then a per-query-chunk vectorized merge. No full
+    matrix on the driver, no full-matrix broadcast (contrast
+    ``ann_bruteforce_topk``, which ships the whole query matrix to every
+    shard — kept as the small-query-set / pytest-oracle path). Exact kNN is
+    inherently O(N^2) flops; the sub-quadratic paths are ``ann_lsh_topk``
+    / ``ann_ivf_topk``."""
+    if num_chunks is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        num_chunks = max(2, min(16, int(np.ceil(np.sqrt(cpus)))))
+    refs = emb_ds.repartition(num_chunks).to_arrow_refs()
+    chunks = [_norm_chunk.remote(r) for r in refs]
+    c = len(chunks)
+    tiles = [[_tile_topk.remote(chunks[qc], chunks[dc], k) for dc in range(c)]
+             for qc in range(c)]
+    merged = [_merge_knn.remote(k, *tiles[qc]) for qc in range(c)]
+    return ray.data.from_arrow_refs(merged)
+
+
 def lsh_planes(dim: int, nbits: int = 16, seed: int = 11) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.randn(nbits, dim)
@@ -190,49 +276,58 @@ def ann_lsh_topk(emb_ds, query_ids: np.ndarray, k: int = 5, nbits: int = 6,
     return _merge_topk(parts, k)
 
 
-def embedding_dup_pairs(emb_ds, tau: float = 0.4):
+@ray.remote
+def _tile_dup_pairs(achunk, bchunk, tau: float, diagonal: bool) -> pa.Table:
+    """Qualifying (a < b, cosine >= tau) pairs of one chunk-pair tile.
+    Diagonal tiles (same chunk both sides) see each unordered pair twice
+    and keep the a < b orientation; off-diagonal tiles see it once in
+    arbitrary orientation and canonicalize to (min, max)."""
+    a_ids, A = achunk
+    b_ids, B = bchunk
+    if len(a_ids) == 0 or len(b_ids) == 0:
+        z = pa.array([], type=pa.int64())
+        return pa.table({"a": z, "b": z})
+    sims = A @ B.T
+    bi, bj = np.nonzero(sims >= tau)
+    a, b = a_ids[bi], b_ids[bj]
+    if diagonal:
+        keep = a < b
+        a, b = a[keep], b[keep]
+    else:
+        a, b = np.minimum(a, b), np.maximum(a, b)
+    return pa.table(
+        {
+            "a": pa.array(a, type=pa.int64()),
+            "b": pa.array(b, type=pa.int64()),
+        }
+    )
+
+
+def embedding_dup_pairs(emb_ds, tau: float = 0.4,
+                        num_chunks: int | None = None):
     """Exact embedding-cosine near-duplicate pairs (a < b, cosine >= tau)
-    — the all-pairs baseline: the normalized matrix is broadcast ONCE
-    (``ray.put``), each map_batches task matmuls its row shard against it
-    and emits its qualifying pairs. O(N^2/shards) compute per task, no
-    shuffle; the LSH-bucketed variant below is the scale path."""
-    import ray
-
-    ids_all, M = _collect_matrix(emb_ds)
-    m_ref = ray.put((ids_all, _normalize(M)))
-
-    def _pairs(batch: pa.Table, *, _ref=m_ref) -> pa.Table:
-        ids_all, M = _ref if isinstance(_ref, tuple) else ray.get(_ref)
-        ids, emb = _to_matrix(batch)
-        sims = _normalize(emb) @ M.T  # (shard, N)
-        bi, bj = np.nonzero(sims >= tau)
-        a = ids[bi]
-        b = ids_all[bj]
-        keep = a < b  # each unordered pair emitted by its lower-id shard row
-        return pa.table(
-            {
-                "a": pa.array(a[keep], type=pa.int64()),
-                "b": pa.array(b[keep], type=pa.int64()),
-            }
-        )
-
-    return emb_ds.map_batches(_pairs, batch_format="pyarrow")
-
-
-def _collect_matrix(emb_ds):
-    import ray
-
-    ids_parts, rows = [], []
-    for t in ray.get(emb_ds.to_arrow_refs()):
-        if t.num_rows == 0 or "vec_id" not in t.column_names:
-            continue
-        ids_parts.append(np.asarray(t.column("vec_id")))
-        rows.append(np.array(t.column("embedding").to_pylist(),
-                             dtype=np.float64))
-    ids = np.concatenate(ids_parts) if ids_parts else np.empty(0, np.int64)
-    M = np.vstack(rows) if rows else np.empty((0, 0))
-    order = np.argsort(ids)
-    return ids[order], M[order]
+    — 2D block-pair tiling: C normalized chunks, upper-triangular
+    C(C+1)/2 tile tasks each holding exactly two chunks. Nothing is
+    materialized on the driver and no full matrix is broadcast (each task
+    pulls two object-store chunks). Exact all-pairs is inherently O(N^2)
+    flops; ``embedding_dup_pairs_lsh`` below is the sub-quadratic path."""
+    if num_chunks is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        num_chunks = max(2, min(16, int(np.ceil(np.sqrt(cpus)))))
+    refs = emb_ds.repartition(num_chunks).to_arrow_refs()
+    chunks = [_norm_chunk.remote(r) for r in refs]
+    c = len(chunks)
+    # upper triangle only: pair (a, b) with a < b appears in exactly one
+    # tile regardless of which chunk holds which id
+    tiles = [
+        _tile_dup_pairs.remote(chunks[i], chunks[j], tau, i == j)
+        for i in range(c)
+        for j in range(i, c)
+    ]
+    return ray.data.from_arrow_refs(tiles)
 
 
 def embedding_dup_pairs_lsh(emb_ds, tau: float = 0.4, nbits: int = 4,

@@ -999,27 +999,31 @@ def q_token_counts_re(sf_dir: str):
 
 def q_knn_components(sf_dir: str):
     """Embedding-space communities: kNN graph (exact cosine top-5 per
-    vector) -> symmetrize -> connected components. The ANN-graph +
-    graph-engine integration showcase. Rows-only (float top-k graph);
-    component validity follows from the CC machinery's own oracles."""
+    vector, 2D block-pair tiling — no full-matrix broadcast, no driver
+    merge) -> symmetrize -> connected components. The ANN-graph +
+    graph-engine integration showcase."""
     import ray
 
     from ..core.engine import SpmvEngine
     from ..core.graph import Graph
-    from ..functions.ann import ann_bruteforce_topk
+    from ..functions.ann import knn_graph
 
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                 columns=["vec_id", "embedding"])
     n = int(emb.max("vec_id")) + 1  # distributed max — no id materialization
-    topk = ann_bruteforce_topk(emb, np.arange(n, dtype=np.int64), k=5)
-    edges = pa.table(
-        {
-            "src": topk.column("query_id"),
-            "dst": topk.column("neighbor_id"),
-            "w": pa.array(np.ones(topk.num_rows)),
-        }
-    )
-    g = Graph(n=n, edges=ray.data.from_arrow(edges))
+    topk = knn_graph(emb, k=5)
+
+    def _as_edges(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": batch.column("query_id"),
+                "dst": batch.column("neighbor_id"),
+                "w": pa.array(np.ones(batch.num_rows)),
+            }
+        )
+
+    g = Graph(n=n, edges=topk.map_batches(_as_edges, batch_format="pyarrow",
+                                          zero_copy_batch=True))
     import os
 
     from .context import CKPT_ROOT
@@ -1282,8 +1286,8 @@ def _emb(sf_dir: str):
 
 
 def q_embed_dups(sf_dir: str):
-    """Embedding-cosine near-dup pairs (a < b, cosine >= 0.4) — exact
-    all-pairs baseline with the normalized matrix broadcast once."""
+    """Embedding-cosine near-dup pairs (a < b, cosine >= 0.4) — exact,
+    via 2D block-pair tiling (no driver matrix, no full broadcast)."""
     from ..functions.ann import embedding_dup_pairs
 
     return embedding_dup_pairs(_emb(sf_dir), tau=0.4)

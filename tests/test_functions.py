@@ -122,6 +122,27 @@ def test_ann_lsh_recall_vs_brute(ray_session):
     assert np.mean(recalls) >= 0.5, recalls
 
 
+def test_knn_graph_tiled_equals_bruteforce(ray_session):
+    """The 2D block-pair tiled kNN graph must reproduce the broadcast
+    brute-force result EXACTLY (same sims, same (-sim, id) tie-break) for
+    every vector, at several chunk counts."""
+    from combblas_ray.functions.ann import ann_bruteforce_topk, knn_graph
+
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    n = int(emb.max("vec_id")) + 1
+    brute = sorted(
+        ann_bruteforce_topk(emb, np.arange(n), k=5).to_pylist(),
+        key=lambda r: (r["query_id"], r["rnk"]),
+    )
+    for c in (1, 3, 7):
+        tiled = sorted(
+            knn_graph(emb, k=5, num_chunks=c).take_all(),
+            key=lambda r: (r["query_id"], r["rnk"]),
+        )
+        assert tiled == brute, f"num_chunks={c}"
+
+
 def test_multimodal_decode_pipeline(ray_session):
     from combblas_ray.functions.multimodal import (
         decode_image_real,
