@@ -24,123 +24,36 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..core.shuffle import group_sum_per_key, keyed_reduce
+from ..core.shuffle import keyed_reduce
 
 
 def _col_normalize(edges_ds, n: int):
-    """w /= colsum(src) via broadcast vector (MakeColStochastic)."""
-    import ray
+    """w /= colsum(src) (MakeColStochastic, MCL.cpp:388-394) as ONE
+    src-hash shuffle + whole-partition vectorized divide. A column's
+    entries co-locate under the hash partition, so the sums never leave
+    the partition — no driver vector, no broadcast (the scale path the
+    reference gets from its column-distributed layout)."""
 
-    sums = np.zeros(n)
-    for r in _colsums(edges_ds, n).take_all():
-        sums[int(r["v"])] = r["val"]
-    ref = ray.put(sums)
-
-    def _norm(batch: pa.Table, *, _ref=ref) -> pa.Table:
-        s = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+    def _norm(batch: pa.Table) -> pa.Table:
         src = np.asarray(batch.column("src"))
-        w = np.asarray(batch.column("w"))
-        return pa.table(
-            {
-                "src": batch.column("src"),
-                "dst": batch.column("dst"),
-                "w": pa.array(w / np.where(s[src] == 0, 1.0, s[src])),
-            }
-        )
-
-    return edges_ds.map_batches(_norm, batch_format="pyarrow",
-                                zero_copy_batch=True)
-
-
-def _colsums(edges_ds, n: int):
-    def _p(batch: pa.Table) -> pa.Table:
-        uk, s = group_sum_per_key(
-            np.asarray(batch.column("w")), np.asarray(batch.column("src"))
-        )
-        return pa.table({"v": pa.array(uk), "val": pa.array(s)})
-
-    def _m(batch: pa.Table) -> pa.Table:
-        uk, s = group_sum_per_key(
-            np.asarray(batch.column("val")), np.asarray(batch.column("v"))
-        )
-        return pa.table({"v": pa.array(uk), "val": pa.array(s)})
-
-    return keyed_reduce(edges_ds.map_batches(_p, batch_format="pyarrow",
-                                             zero_copy_batch=True), ["v"], _m)
-
-
-def _prune_select(edges_ds, threshold: float, select: int):
-    """Drop entries < threshold, keep top-`select` per column (by value,
-    ties by dst asc) — columns co-locate under the src hash partition."""
-
-    def _local(batch: pa.Table) -> pa.Table:
-        src = np.asarray(batch.column("src"))
-        dst = np.asarray(batch.column("dst"))
-        w = np.asarray(batch.column("w"))
-        keep = w >= threshold
-        src, dst, w = src[keep], dst[keep], w[keep]
         if len(src) == 0:
             return pa.table(
                 {"src": pa.array([], type=pa.int64()),
                  "dst": pa.array([], type=pa.int64()),
                  "w": pa.array([], type=pa.float64())}
             )
-        order = np.lexsort((dst, -w, src))
-        src, dst, w = src[order], dst[order], w[order]
-        uk, starts = np.unique(src, return_index=True)
-        ends = np.append(starts[1:], len(src))
-        keep_idx = np.concatenate(
-            [np.arange(s, min(s + select, e)) for s, e in zip(starts, ends)]
-        )
+        w = np.asarray(batch.column("w")).astype(np.float64)
+        uk, inv = np.unique(src, return_inverse=True)
+        s = np.bincount(inv, weights=w)[inv]
         return pa.table(
             {
-                "src": pa.array(src[keep_idx]),
-                "dst": pa.array(dst[keep_idx]),
-                "w": pa.array(w[keep_idx]),
+                "src": batch.column("src"),
+                "dst": batch.column("dst"),
+                "w": pa.array(w / np.where(s == 0, 1.0, s)),
             }
         )
 
-    return keyed_reduce(edges_ds, ["src"], _local)
-
-
-def _chaos(edges_ds, n: int) -> float:
-    """max over columns of (colmax - col sum of squares); 0 at fixpoint."""
-
-    def _p(batch: pa.Table) -> pa.Table:
-        src = np.asarray(batch.column("src"))
-        w = np.asarray(batch.column("w"))
-        order = np.argsort(src, kind="stable")
-        ss, sw = src[order], w[order]
-        u2, starts = np.unique(ss, return_index=True)
-        ends = np.append(starts[1:], len(ss))
-        mxs = np.maximum.reduceat(sw, starts)
-        ssq = np.add.reduceat(sw * sw, starts)
-        return pa.table(
-            {"v": pa.array(u2), "mx": pa.array(mxs), "ssq": pa.array(ssq)}
-        )
-
-    def _m(batch: pa.Table) -> pa.Table:
-        v = np.asarray(batch.column("v"))
-        order = np.argsort(v, kind="stable")
-        vv = v[order]
-        mx = np.asarray(batch.column("mx"))[order]
-        ssq = np.asarray(batch.column("ssq"))[order]
-        u2, starts = np.unique(vv, return_index=True)
-        ends = np.append(starts[1:], len(vv))
-        return pa.table(
-            {
-                "v": pa.array(u2),
-                "chaos": pa.array(
-                    np.maximum.reduceat(mx, starts)
-                    - np.add.reduceat(ssq, starts)
-                ),
-            }
-        )
-
-    stats = keyed_reduce(edges_ds.map_batches(_p, batch_format="pyarrow",
-                                              zero_copy_batch=True), ["v"], _m)
-    m = stats.max("chaos")
-    return float(m) if m is not None else 0.0
+    return keyed_reduce(edges_ds, ["src"], _norm)
 
 
 def mcl(
@@ -159,12 +72,16 @@ def mcl(
 
     from ..core.graph import Graph
 
+    import time
+
+    t0 = time.perf_counter()
     # AdjustLoops: add self loops with weight = column max (here 1.0 on the
     # structural matrix), then normalize
     g = Graph(n=n, edges=sym_edges_ds).dedup_sum().apply(lambda w: np.ones_like(w))
     A = g.add_loops(1.0).edges
     A = _col_normalize(A, n).materialize()
-    info = {"iters": 0, "chaos": []}
+    info = {"iters": 0, "chaos": [],
+            "t_init": time.perf_counter() - t0, "t_iter": []}
 
     def _fused_post(tbl: pa.Table) -> pa.Table:
         """Per-partition (whole columns): normalize -> prune -> top-select
@@ -225,6 +142,7 @@ def mcl(
     from ..core.spgemm import spgemm_tasks
 
     for it in range(max_iters):
+        t1 = time.perf_counter()
         # ONE SpGEMM execution per iteration with the whole MCL column step
         # fused into the src-partitioned merge; the raw-task plan keeps the
         # iterative loop off Ray Data's per-round actor-pool spawn cost
@@ -236,10 +154,13 @@ def mcl(
         A = A_next.filter(expr="src >= 0")
         info["chaos"].append(ch)
         info["iters"] = it + 1
+        info["t_iter"].append(time.perf_counter() - t1)
         if ch < eps:
             break
     # Interpret: clusters = CC of the structural converged matrix
+    t1 = time.perf_counter()
     clusters = _interpret_cc(A, n)
+    info["t_interpret"] = time.perf_counter() - t1
     return clusters, info
 
 
@@ -325,26 +246,31 @@ def mcl_incremental(
 
 
 def _interpret_cc(edges_ds, n: int) -> np.ndarray:
-    """Driver-side union-find over the (small) converged matrix structure
-    (`Interpret` = CC, MCL.cpp:371-385). The converged MCL matrix is
-    near-diagonal (<= select entries per column)."""
-    parent = np.arange(n, dtype=np.int64)
+    """``Interpret``: clusters = connected components of the converged
+    matrix structure (MCL.cpp:371-385), run on the distributed CC engine
+    (min-label propagation + pointer jumping over a structural block
+    grid) — no driver-side edge loop, labels = min member dense id (the
+    same canonical labels the old union-find produced)."""
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    import shutil
+    import tempfile
 
-    def find(x: int) -> int:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
+    from ..core.engine import SpmvEngine
+    from ..core.graph import Graph
+    from .algorithms import connected_components
 
-    import ray
-
-    for t in ray.get(edges_ds.to_arrow_refs()):
-        if t.num_rows == 0 or "src" not in t.column_names:
-            continue  # empty shuffle partitions may carry an empty schema
-        for s, d in zip(
-            np.asarray(t.column("src")), np.asarray(t.column("dst"))
-        ):
-            rs, rd = find(int(s)), find(int(d))
-            if rs != rd:
-                parent[max(rs, rd)] = min(rs, rd)
-    return np.array([find(i) for i in range(n)], dtype=np.int64)
+    g = 1 if n < (1 << 20) else 4
+    ckpt = tempfile.mkdtemp(prefix="mcl_interpret_", dir="/tmp")
+    eng = None
+    try:
+        eng = SpmvEngine.from_graph(
+            Graph(n=n, edges=edges_ds).union_max(), g, ckpt,
+            resume=False, structural=True,
+        )
+        labels, _iters = connected_components(eng)
+        return labels
+    finally:
+        if eng is not None:
+            eng.shutdown()
+        shutil.rmtree(ckpt, ignore_errors=True)

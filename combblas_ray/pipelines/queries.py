@@ -404,7 +404,12 @@ def q_bandwidth(sf_dir: str):
 
 
 def q_tpch_q1(sf_dir: str):
+    """TPC-H Q1-style pricing summary, all-Arrow: per-batch hash-aggregate
+    partials (pyarrow group_by) -> key-hash shuffle -> whole-partition
+    final combine via keyed_reduce. No pandas, no driver-side merge."""
     import ray
+
+    from ..core.shuffle import keyed_reduce
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -413,33 +418,47 @@ def q_tpch_q1(sf_dir: str):
     )
 
     def _partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = batch.to_pandas()
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("l_quantity", "sum"),
-            sum_base_price=("l_extendedprice", "sum"),
-            sum_disc=("l_discount", "sum"),
-            count_order=("l_quantity", "size"),
+        g = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("l_discount", "sum"), ("l_quantity", "count")]
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.table(
+            {
+                "l_returnflag": g.column("l_returnflag"),
+                "l_linestatus": g.column("l_linestatus"),
+                "sum_qty": g.column("l_quantity_sum"),
+                "sum_base_price": g.column("l_extendedprice_sum"),
+                "sum_disc": g.column("l_discount_sum"),
+                "count_order": g.column("l_quantity_count"),
+            }
+        )
 
-    part = ds.map_batches(_partial, batch_format="pyarrow")
-    rows = part.take_all()
-    import pandas as pd
+    def _final(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("sum_qty", "sum"), ("sum_base_price", "sum"),
+             ("sum_disc", "sum"), ("count_order", "sum")]
+        )
+        cnt = np.asarray(g.column("count_order_sum"), dtype=np.int64)
+        sd = np.asarray(g.column("sum_disc_sum"), dtype=np.float64)
+        # np.round (not pc.round): bit-exact vs the SQL oracle's ROUND
+        return pa.table(
+            {
+                "l_returnflag": g.column("l_returnflag"),
+                "l_linestatus": g.column("l_linestatus"),
+                "sum_qty": pa.array(np.round(
+                    np.asarray(g.column("sum_qty_sum"), dtype=np.float64), 2)),
+                "sum_base_price": pa.array(np.round(
+                    np.asarray(g.column("sum_base_price_sum"),
+                               dtype=np.float64), 2)),
+                "count_order": pa.array(cnt),
+                "avg_disc": pa.array(
+                    np.round(sd / np.maximum(cnt, 1), 6)),
+            }
+        )
 
-    df = pd.DataFrame(rows)
-    g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-        sum_qty=("sum_qty", "sum"),
-        sum_base_price=("sum_base_price", "sum"),
-        sum_disc=("sum_disc", "sum"),
-        count_order=("count_order", "sum"),
-    )
-    g["avg_disc"] = (g["sum_disc"] / g["count_order"]).round(6)
-    g["sum_qty"] = g["sum_qty"].round(2)
-    g["sum_base_price"] = g["sum_base_price"].round(2)
-    g = g.drop(columns=["sum_disc"])
-    return pa.Table.from_pandas(g, preserve_index=False)
+    part = ds.map_batches(_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return keyed_reduce(part, ["l_returnflag", "l_linestatus"], _final)
 
 
 def q_top_customers(sf_dir: str):
@@ -496,25 +515,41 @@ def q_events_hourly(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
     )
 
+    from ..core.shuffle import keyed_reduce
+
     def _p(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = batch.to_pandas()
-        df["hour"] = df["ts"].dt.floor("h")
-        g = df.groupby(["hour", "event_type"], as_index=False).agg(
-            cnt=("value", "size"), sum_value=("value", "sum")
+        t = batch.append_column(
+            "hour", pc.floor_temporal(batch.column("ts"), unit="hour")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = t.group_by(["hour", "event_type"]).aggregate(
+            [("value", "count"), ("value", "sum")]
+        )
+        return pa.table(
+            {
+                "hour": g.column("hour"),
+                "event_type": g.column("event_type"),
+                "cnt": g.column("value_count"),
+                "sum_value": g.column("value_sum"),
+            }
+        )
 
-    rows = ds.map_batches(_p, batch_format="pyarrow").take_all()
-    import pandas as pd
+    def _final(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["hour", "event_type"]).aggregate(
+            [("cnt", "sum"), ("sum_value", "sum")]
+        )
+        return pa.table(
+            {
+                "hour": g.column("hour"),
+                "event_type": g.column("event_type"),
+                "cnt": g.column("cnt_sum"),
+                "sum_value": pa.array(np.round(
+                    np.asarray(g.column("sum_value_sum"), dtype=np.float64),
+                    6)),
+            }
+        )
 
-    df = pd.DataFrame(rows)
-    g = df.groupby(["hour", "event_type"], as_index=False).agg(
-        cnt=("cnt", "sum"), sum_value=("sum_value", "sum")
-    )
-    g["sum_value"] = g["sum_value"].round(6)
-    return pa.Table.from_pandas(g, preserve_index=False)
+    part = ds.map_batches(_p, batch_format="pyarrow", zero_copy_batch=True)
+    return keyed_reduce(part, ["hour", "event_type"], _final)
 
 
 # ---------------------------------------------------------------------------
@@ -1178,12 +1213,19 @@ def q_prune_column(sf_dir: str):
     """Standalone vector PruneColumn (SpParMat.cpp:2578-2654): pvals =
     per-column max weight; drop entries with w < pvals[col] — keeps
     exactly each column's maxima."""
+    import ray
+
     ctx = get_context(sf_dir)
     g = ctx.graph("directed")
-    rows = g.reduce("row", "max").take_all()  # per-src (column) max
+    # per-src (column) max -> dense pvals via one vectorized scatter
+    # (pvals is the FullyDistVec analog: O(n) is inherent to the op)
     pvals = np.zeros(ctx.n, dtype=np.float64)
-    for r in rows:
-        pvals[int(r["v"])] = r["val"]
+    for t in ray.get(g.reduce("row", "max").to_arrow_refs()):
+        if t.num_rows == 0 or "v" not in t.column_names:
+            continue  # empty shuffle partitions may carry an empty schema
+        pvals[np.asarray(t.column("v"), dtype=np.int64)] = np.asarray(
+            t.column("val"), dtype=np.float64
+        )
     return _decode_edge_labels(ctx, g.prune_column(pvals, "lt").edges, "w")
 
 
