@@ -729,7 +729,9 @@ def q_mis(sf_dir: str):
     )
 
 
-MCL_SUB = 500  # induced-subgraph size for the MCL query (bounded runtime)
+MCL_SUB = 6000  # induced-subgraph size for the MCL query (~20 s at sf0.01;
+# the full 60k-vertex graph runs in ~150 s — see pipelines/mcl.py — but that
+# exceeds the driver's per-round budget, so the query stays bounded)
 
 
 def q_mcl(sf_dir: str):
