@@ -73,6 +73,28 @@ def _jump_step(jumped_f, idx):
     return nj, int(np.count_nonzero(nj != idx))
 
 
+# Ceiling for the single-task Shortcut fast path (~64 MB of f8 labels).
+# Below it the whole jump-to-stable loop runs in ONE task round; above it
+# each jump is a distributed gather (3g tasks) + map + driver sync, which
+# stays refs-only at any n but pays ~25 ms/round of task latency.
+_CC_JUMP_LOCAL_MAX_N = 1 << 23
+
+
+def _jump_to_stable(sizes, *chunks):
+    """Whole pointer-jump Shortcut (CC.h:1321-1341) fused into one task:
+    idx := idx[idx] until stable, returned as float label chunks."""
+    idx = np.concatenate(chunks).astype(np.int64)
+    while True:
+        ni = idx[idx]
+        if np.array_equal(ni, idx):
+            break
+        idx = ni
+    out = idx.astype(np.float64)
+    if len(sizes) == 1:
+        return out
+    return tuple(np.split(out, np.cumsum(sizes)[:-1]))
+
+
 # --------------------------------------------------------------------------
 # connected components
 # --------------------------------------------------------------------------
@@ -117,14 +139,22 @@ def connected_components(
         nl = engine.spmv_refs(l, "select2nd_min")
         l2 = engine.map_chunks(_min2, l, nl)
         # Shortcut: parent = parent(parent) until stable (CC.h:1321-1341)
-        idx = engine.map_chunks(_as_int, l2)
-        while True:
-            jumped_f = engine.gather_refs(l2, idx)
-            new_idx, changed = engine.map_chunks_n(_jump_step, 2, jumped_f, idx)
-            if sum(ray.get(changed)) == 0:
-                break
-            idx = new_idx
-        l2 = engine.map_chunks(_as_float, idx)
+        if engine.n <= _CC_JUMP_LOCAL_MAX_N:
+            r = _rt(_jump_to_stable).options(num_returns=engine.g).remote(
+                engine.chunk_sizes(), *l2
+            )
+            l2 = [r] if engine.g == 1 else list(r)
+        else:
+            idx = engine.map_chunks(_as_int, l2)
+            while True:
+                jumped_f = engine.gather_refs(l2, idx)
+                new_idx, changed = engine.map_chunks_n(
+                    _jump_step, 2, jumped_f, idx
+                )
+                if sum(ray.get(changed)) == 0:
+                    break
+                idx = new_idx
+            l2 = engine.map_chunks(_as_float, idx)
         if ckpt_dir and k % ckpt_every == 0:
             from ..state.checkpoint import save_state
 
