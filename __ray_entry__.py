@@ -66,7 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "set_difference": q.q_set_difference,
         "kselect2": q.q_kselect2,
         "reduce_colmax": q.q_reduce_colmax,
-        "subgraph": q.q_subgraph,
+        "reach2_bool": q.q_reach2_bool,
         "prune_rect": q.q_prune_rect,
         "prune_column": q.q_prune_column,
         "spasgn": q.q_spasgn,
@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the driver window: oracle-exact, code path covered by an
         # in-window sibling (locally gated every round) ---
         "in_degrees": q.q_in_degrees,          # reduce path: out_degrees
+        "subgraph": q.q_subgraph,              # SubsRef special case: subsref_perm
         "spmv_min_plus": q.q_spmv_min_plus,    # semiring spmv: sssp
         "reduce_rowmin": q.q_reduce_rowmin,    # reduce path: reduce_colmax
         "prune_w2": q.q_prune_w2,              # prune path: prune_rect
@@ -137,6 +138,7 @@ def oracle_sql() -> dict[str, str]:
         "in_degrees": o.in_degrees(),
         "spmv_plus_times": o.spmv_plus_times(),
         "spmv_min_plus": o.spmv_min_plus(),
+        "reach2_bool": o.reach2_bool(),
         "pagerank": o.pagerank(q.PR_ITERS),
         "connected_components": o.connected_components(q.CC_ITERS),
         "bfs": o.bfs_distance("m_0", q.BFS_ITERS),

@@ -234,13 +234,18 @@ class Graph:
 
         dim='row' groups by ``src`` (out-direction), dim='col' by ``dst``.
         Returns a Dataset (v, val). ``unop`` maps w first (e.g. ``lambda w:
-        np.ones_like(w)`` for degrees). agg in {sum, count, min, max};
-        count composes as sum of local counts.
+        np.ones_like(w)`` for degrees). agg in {sum, count, min, max} plus
+        the binary-functor tail {band, bor, bxor, lxor, rand}
+        (``Operations.h:184-293`` — MPI_BAND/BOR/BXOR/LXOR + RandReduce);
+        count composes as sum of local counts, every other op is
+        associative so partial and final use the same op.
         """
         from .shuffle import group_reduce_per_key, keyed_reduce
 
         key = "src" if dim == "row" else "dst"
-        final_ufn = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}[agg]
+        final_ufn = {"sum": "sum", "count": "sum", "min": "min", "max": "max",
+                     "band": "band", "bor": "bor", "bxor": "bxor",
+                     "lxor": "lxor", "rand": "rand"}[agg]
 
         def _partial(batch: pa.Table) -> pa.Table:
             v = np.asarray(batch.column(key))

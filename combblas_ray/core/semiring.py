@@ -90,6 +90,9 @@ SEMIRINGS: dict[str, Semiring] = {
     "select2nd_max": Semiring("select2nd_max", _second, np.maximum, -np.inf),
     "max_times": Semiring("max_times", _times, np.maximum, -np.inf),
     "plus_and": Semiring("plus_and", _and, np.add, 0.0, is_plus=True),
+    # Boolean OR-AND structural semiring (`BoolCopy*SRing`): operands live
+    # on the 0/1 domain, where max IS logical-or (identity 0 = false).
+    "bool_or_and": Semiring("bool_or_and", _and, np.maximum, 0.0),
 }
 
 

@@ -52,17 +52,52 @@ def group_sum_per_key(values: np.ndarray, keys: np.ndarray):
     return uk, np.bincount(inv, weights=values)
 
 
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — deterministic uint64 value hash."""
+    z = x.astype(np.uint64, copy=True)
+    z += np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
 def group_reduce_per_key(values: np.ndarray, keys: np.ndarray, op: str):
-    """(unique_keys, reduced) for op in {sum, count, min, max} — local
-    whole-partition reduce used after a hash repartition."""
+    """(unique_keys, reduced) — local whole-partition reduce used after a
+    hash repartition. op in {sum, count, min, max} plus the reference's
+    binary-functor tail (``Operations.h:184-293``):
+
+    - ``band``/``bor``/``bxor`` — bitwise and/or/xor of int64-cast values
+      (`bitwise_and/or/xor`, MPI_BAND/BOR/BXOR analogs);
+    - ``lxor`` — logical exclusive-or = parity of nonzero count
+      (`logical_xor`, MPI_LXOR);
+    - ``rand`` — `RandReduce`: pick one element of the group. The
+      reference flips an (optionally seeded) Mersenne coin per pairwise
+      combine; here the pick is the group element whose value-hash is
+      minimal (rendezvous hashing) — same "arbitrary but fair" contract,
+      but associative and partition-invariant, so partial+final reduces
+      compose deterministically.
+    """
     uk, inv = np.unique(keys, return_inverse=True)
     if op == "sum":
         return uk, np.bincount(inv, weights=values)
     if op == "count":
         return uk, np.bincount(inv).astype(np.float64)
+    if op == "lxor":
+        nz = (np.asarray(values) != 0).astype(np.float64)
+        return uk, np.bincount(inv, weights=nz) % 2.0
+    if op == "rand":
+        h = _mix64(np.ascontiguousarray(values, dtype=np.float64).view(np.uint64))
+        order = np.lexsort((h, inv))
+        starts = np.concatenate(([0], np.cumsum(np.bincount(inv))[:-1]))
+        return uk, np.asarray(values)[order][starts]
     order = np.argsort(inv, kind="stable")
     sv = values[order]
     counts = np.bincount(inv)
     indptr = np.concatenate(([0], np.cumsum(counts)))
+    if op in ("band", "bor", "bxor"):
+        ufunc = {"band": np.bitwise_and, "bor": np.bitwise_or,
+                 "bxor": np.bitwise_xor}[op]
+        red = ufunc.reduceat(sv.astype(np.int64), indptr[:-1])
+        return uk, red.astype(np.float64)
     ufunc = np.minimum if op == "min" else np.maximum
     return uk, ufunc.reduceat(sv, indptr[:-1])

@@ -120,6 +120,25 @@ FROM edges e JOIN verts v ON v.i = e.dst GROUP BY v.label
 
 
 @_materialized
+def reach2_bool() -> str:
+    # seeds = arith ids % 97 == 0; 2 hops of src->dst edges, seeds included
+    return PREFIX + """
+, seeds AS (SELECT i FROM files WHERE i % 97 = 0),
+hop1 AS (
+  SELECT i FROM seeds
+  UNION
+  SELECT e.dst AS i FROM edges e JOIN seeds s ON s.i = e.src
+),
+hop2 AS (
+  SELECT i FROM hop1
+  UNION
+  SELECT e.dst AS i FROM edges e JOIN hop1 h ON h.i = e.src
+)
+SELECT v.label AS label FROM hop2 JOIN verts v ON v.i = hop2.i
+"""
+
+
+@_materialized
 def pagerank(iters: int = 10, damping: float = 0.85) -> str:
     d = damping
     sql = PREFIX + f"""

@@ -113,6 +113,19 @@ def q_spmv_min_plus(sf_dir: str):
     return pa.table({"label": _label_col(ctx, ids), "y": pa.array(y[ids])})
 
 
+def q_reach2_bool(sf_dir: str):
+    """Vertices reachable within 2 hops of the seed set (arith % 97 == 0),
+    via two `bool_or_and` SpMVs — the BoolCopy*SRing structural semiring
+    (Semirings.h + Operations.h catalog tail)."""
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("directed")
+    r = (np.asarray(ctx.arith) % 97 == 0).astype(np.float64)
+    for _ in range(2):
+        r = np.maximum(r, eng.spmv(r, "bool_or_and"))
+    ids = np.nonzero(r > 0)[0]
+    return pa.table({"label": _label_col(ctx, ids)})
+
+
 def q_pagerank(sf_dir: str):
     ctx = get_context(sf_dir)
     eng = ctx.engine("directed")

@@ -63,3 +63,72 @@ def test_semiring_partial_final_associativity(pairs, nsplit):
             partial = sr.reduce_unordered(vals[p], keys[p], 10)
             acc = sr.combine(acc, partial)
         assert np.allclose(acc, direct, equal_nan=True), name
+
+
+def test_group_reduce_binop_tail_matches_brute():
+    """band/bor/bxor/lxor vs per-group brute force (Operations.h:184-293)."""
+    from combblas_ray.core.shuffle import group_reduce_per_key
+
+    rng = np.random.RandomState(7)
+    keys = rng.randint(0, 9, size=200).astype(np.int64)
+    vals = rng.randint(0, 255, size=200).astype(np.float64)
+    vals[rng.rand(200) < 0.2] = 0.0  # exercise lxor zeros
+    for op, ufunc in [
+        ("band", np.bitwise_and),
+        ("bor", np.bitwise_or),
+        ("bxor", np.bitwise_xor),
+    ]:
+        uk, red = group_reduce_per_key(vals, keys, op)
+        for k, r in zip(uk, red):
+            expect = ufunc.reduce(vals[keys == k].astype(np.int64))
+            assert r == float(expect), (op, k)
+    uk, red = group_reduce_per_key(vals, keys, "lxor")
+    for k, r in zip(uk, red):
+        assert r == float(np.count_nonzero(vals[keys == k]) % 2), k
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.floats(0.5, 8.0)),
+        min_size=1,
+        max_size=50,
+    ),
+    st.integers(1, 4),
+)
+@settings(max_examples=40, deadline=None)
+def test_rand_reduce_is_member_and_partition_invariant(pairs, nsplit):
+    """RandReduce analog: the pick is a member of the group, and partial
+    picks per arbitrary split recombine to the same global pick
+    (associativity requirement for two-level shuffle combines)."""
+    from combblas_ray.core.shuffle import group_reduce_per_key
+
+    keys = np.array([k for k, _ in pairs], dtype=np.int64)
+    vals = np.array([v for _, v in pairs], dtype=np.float64)
+    uk, direct = group_reduce_per_key(vals, keys, "rand")
+    for k, r in zip(uk, direct):
+        assert r in vals[keys == k]
+    parts = np.array_split(np.arange(len(keys)), nsplit)
+    pk, pv = [], []
+    for p in parts:
+        if len(p) == 0:
+            continue
+        a, b = group_reduce_per_key(vals[p], keys[p], "rand")
+        pk.append(a)
+        pv.append(b)
+    fk, fv = group_reduce_per_key(np.concatenate(pv), np.concatenate(pk), "rand")
+    assert fk.tolist() == uk.tolist()
+    assert fv.tolist() == direct.tolist()
+
+
+def test_bool_or_and_semiring_is_reachability():
+    """bool_or_and spmv step == boolean adjacency reachability hop."""
+    sr = SEMIRINGS["bool_or_and"]
+    # edges (src, dst): 0->1, 1->2, 3->2 ; x = {0,3}
+    src = np.array([0, 1, 3])
+    dst = np.array([1, 2, 2])
+    w = np.ones(3)
+    x = np.array([1.0, 0.0, 0.0, 1.0])
+    contrib = sr.mul(w, x[src])
+    y = sr.reduce_unordered(contrib, dst, 4)
+    y = np.where(np.isfinite(y), y, 0.0)
+    assert y.tolist() == [0.0, 1.0, 1.0, 0.0]
