@@ -79,7 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spmm_batch": q.q_spmm_batch,
         "bandwidth": q.q_bandwidth,
         "rcm": q.q_rcm,
-        "randperm_edges": q.q_randperm_edges,
+        "randperm_sorted": q.q_randperm_sorted,
         # LLM-data layer
         "dedup_exact": q.q_dedup_exact,
         "jaccard_pairs": q.q_jaccard_pairs,
@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "masked_colsums": q.q_masked_colsums,  # reduce path: colstochastic
         "vec_ewise_add": q.q_vec_ewise_add,    # vecops path: invert_vec
         "sample_edges": q.q_sample_edges,      # hash path: randperm_edges
+        "randperm_edges": q.q_randperm_edges,  # modular-relabel map (trivial)
         # rows-only / iterative-hash pipelines (pytest-invariant-backed)
         "fingerprint": q.q_fingerprint,
         "minhash_pairs": q.q_minhash_pairs,
@@ -186,6 +187,7 @@ def oracle_sql() -> dict[str, str]:
         "ewise_scale": o.ewise_scale(),
         "sample_edges": o.sample_edges(),
         "randperm_edges": o.randperm_edges(),
+        "randperm_sorted": o.randperm_sorted(q.RP_SEED),
         "rcm": o.rcm_ordering(),
         "prune_column": o.prune_column(),
         "prune_column_idx": o.prune_column_idx(),

@@ -84,6 +84,38 @@ def run_headline() -> None:
     tri = alg.triangle_count(ctx.graph("sym").edges, ctx.n)
     timings["triangles"] = time.perf_counter() - t0
 
+    # sort-based RandPerm relabel: 8x8 block-grid nnz imbalance before vs
+    # after (FullyDistVec::RandPerm's skew-decorrelation purpose, measured)
+    t0 = time.perf_counter()
+    import pyarrow as pa
+
+    from combblas_ray.core.vecops import randperm
+
+    pdf = randperm(ctx.n, seed=7).to_pandas()
+    perm = np.empty(ctx.n, dtype=np.int64)
+    perm[pdf["v"].to_numpy()] = pdf["val"].to_numpy()
+    perm_ref = ray.put(perm)  # bench diagnostic; relabel-at-scale is a join
+    G, n = 8, ctx.n
+
+    def _blk_counts(batch: pa.Table, *, _ref=perm_ref) -> pa.Table:
+        p = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+        s = np.asarray(batch.column("src"))
+        d = np.asarray(batch.column("dst"))
+        b0 = (s * G // n) * G + (d * G // n)
+        b1 = (p[s] * G // n) * G + (p[d] * G // n)
+        return pa.table({
+            "b": pa.array(np.arange(G * G, dtype=np.int64)),
+            "c0": pa.array(np.bincount(b0, minlength=G * G).astype(np.int64)),
+            "c1": pa.array(np.bincount(b1, minlength=G * G).astype(np.int64)),
+        })
+
+    bc = (ctx.edges.map_batches(_blk_counts, batch_format="pyarrow",
+                                zero_copy_batch=True)
+          .to_pandas().groupby("b").sum())
+    imb_before = float(bc["c0"].max() / bc["c0"].mean())
+    imb_after = float(bc["c1"].max() / bc["c1"].mean())
+    timings["randperm_relabel"] = time.perf_counter() - t0
+
     total = sum(timings.values())
     out = {
         "metric": "headline_pipeline_total",
@@ -98,6 +130,8 @@ def run_headline() -> None:
         "pagerank_edges_per_sec": round(pr_eps, 1),
         "cc_iters": cc_iters,
         "triangles": int(tri),
+        "block_imbalance_before_randperm": round(imb_before, 4),
+        "block_imbalance_after_randperm": round(imb_after, 4),
     }
     print(json.dumps(out))
     ray.shutdown()

@@ -107,3 +107,80 @@ def vec_reduce(vec_ds, op: str = "sum") -> float:
     if op == "max":
         return vec_ds.max(col)
     raise ValueError(op)
+
+
+# ---------------------------------------------------------------------------
+# Sort-based RandPerm (`FullyDistVec::RandPerm`, FullyDistVec.cpp:784-922:
+# attach random keys -> distributed sort -> re-id by global rank).
+# ---------------------------------------------------------------------------
+
+_RP_P = 2147483647  # 2^31 - 1, prime
+_RP_A = 48271  # MINSTD multiplier, primitive root mod P
+
+
+def _rp_key(i: np.ndarray, seed: int) -> np.ndarray:
+    """key(i) = (a*i + b) mod P — a bijection on [0, P), so keys are
+    DISTINCT whenever n <= P and the rank order is a true permutation.
+    Mirrors the reference's attach-random-keys step with a seeded LCG
+    scramble instead of a stateful RNG (partition-invariant, and exactly
+    reproducible in the DuckDB oracle with BIGINT arithmetic)."""
+    b = np.int64((seed * 2654435761 + 11) % _RP_P)
+    return (i.astype(np.int64) * np.int64(_RP_A) + b) % np.int64(_RP_P)
+
+
+def _rp_route(lo: int, hi: int, g: int, seed: int):
+    """Range-bucket ids [lo, hi) by key; returns g shard arrays + the
+    (g,) count vector (shard g of the num_returns=g+1 task)."""
+    i = np.arange(lo, hi, dtype=np.int64)
+    bucket = (_rp_key(i, seed) * np.int64(g)) // np.int64(_RP_P)
+    order = np.argsort(bucket, kind="stable")
+    counts = np.bincount(bucket, minlength=g)
+    splits = np.cumsum(counts)[:-1]
+    parts = np.split(i[order], splits)
+    return (*parts, counts)
+
+
+def _rp_merge(offset: int, seed: int, *shards) -> pa.Table:
+    """Sort one key-range bucket locally; global rank = bucket offset +
+    local rank (keys are distinct, so the order is unambiguous)."""
+    i = (np.concatenate(shards) if shards
+         else np.empty(0, dtype=np.int64))
+    order = np.argsort(_rp_key(i, seed), kind="stable")
+    rank = np.int64(offset) + np.arange(len(i), dtype=np.int64)
+    return pa.table({"v": pa.array(i[order]), "val": pa.array(rank)})
+
+
+def randperm(n: int, seed: int = 0, num_buckets: int | None = None):
+    """Distributed sort-based random permutation: Dataset (v, val) with
+    val = p(v), a bijection on [0, n).
+
+    Plan (the engine's raw-task shuffle discipline — no Ray Data
+    actor-pool spawn cost, no driver materialization beyond the g^2 tiny
+    bucket counts used for the rank prefix sum):
+
+      g route tasks (key + range-bucket, num_returns=g+1)
+        -> driver prefix-sums the g bucket totals
+        -> g merge tasks (local sort, rank = offset + arange).
+    """
+    import ray
+
+    from ..pipelines.algorithms import _rt
+    from .shuffle import default_shuffle_blocks
+
+    g = num_buckets or max(1, min(default_shuffle_blocks(), n // 4096 + 1))
+    bounds = np.linspace(0, n, g + 1).astype(np.int64)
+    routed = [
+        _rt(_rp_route).options(num_returns=g + 1).remote(
+            int(bounds[k]), int(bounds[k + 1]), g, seed
+        )
+        for k in range(g)
+    ]
+    routed = [list(t) for t in routed]  # num_returns=g+1 >= 2 always
+    counts = np.sum(ray.get([t[g] for t in routed]), axis=0)
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    merged = [
+        _rt(_rp_merge).remote(int(offsets[b]), seed,
+                              *[routed[k][b] for k in range(g)])
+        for b in range(g)
+    ]
+    return ray.data.from_arrow_refs(merged)

@@ -987,3 +987,15 @@ l0 AS MATERIALIZED (SELECT v, v AS comp FROM verts2)
 SELECT v AS vec_id, CAST(comp AS BIGINT) AS component FROM {prev}
 """
     return sql
+
+
+@_materialized
+def randperm_sorted(seed: int = 7) -> str:
+    """Sort-based RandPerm: rank of the seeded LCG key (a*i + b) mod P,
+    P = 2^31-1 prime — a bijection, so ORDER BY is tie-free."""
+    b = (seed * 2654435761 + 11) % 2147483647
+    return PREFIX + f"""
+SELECT 'm_' || i AS label,
+       row_number() OVER (ORDER BY (i * 48271 + {b}) % 2147483647) - 1 AS p
+FROM files
+"""

@@ -1434,3 +1434,28 @@ def q_randperm_edges(sf_dir: str):
 
     return ctx.edges.map_batches(_p, batch_format="pyarrow",
                                  zero_copy_batch=True)
+
+
+RP_SEED = 7
+
+
+def q_randperm_sorted(sf_dir: str):
+    """Sort-based `RandPerm` (`FullyDistVec.cpp:784-922`): attach seeded
+    pseudo-random keys, distributed range-bucket sort, global rank =
+    bucket-count prefix sum + local rank. Unlike q_randperm_edges'
+    fixed modular bijection, this is the reference's actual operator
+    shape (random keys -> psort -> re-id); the key generator is a seeded
+    LCG scramble so the oracle can replay it in BIGINT SQL."""
+    ctx = get_context(sf_dir)
+    from ..core.vecops import randperm
+
+    def _lab(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column("v"))
+        return pa.table({
+            "label": pa.array(np.char.add("m_", v.astype("U20"))),
+            "p": batch.column("val"),
+        })
+
+    return randperm(ctx.n, seed=RP_SEED).map_batches(
+        _lab, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -43,3 +43,25 @@ def test_salt_deterministic_and_bounded():
     s2 = salt_keys(keys, 4)
     assert (s1 == s2).all()
     assert s1.min() >= 0 and s1.max() < 4
+
+
+def test_randperm_sorted_is_bijection_and_bucket_invariant(ray_session):
+    """Sort-based RandPerm (FullyDistVec.cpp:784-922): result is a true
+    permutation, equals the key-argsort rank, and is invariant to the
+    bucket fan-out (partition-count independence of the distributed
+    sample-sort rank)."""
+    import numpy as np
+
+    from combblas_ray.core.vecops import _rp_key, randperm
+
+    n, seed = 777, 3
+    key = _rp_key(np.arange(n), seed)
+    assert len(np.unique(key)) == n  # LCG keys distinct => tie-free sort
+    expect = np.empty(n, dtype=np.int64)
+    expect[np.argsort(key, kind="stable")] = np.arange(n)
+    for g in (1, 2, 5):
+        df = randperm(n, seed=seed, num_buckets=g).to_pandas()
+        p = np.empty(n, dtype=np.int64)
+        p[df["v"].to_numpy()] = df["val"].to_numpy()
+        assert sorted(p.tolist()) == list(range(n))
+        assert (p == expect).all(), g
