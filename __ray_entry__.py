@@ -54,7 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q.q_pagerank,
         "connected_components": q.q_connected_components,
         "fastsv": q.q_fastsv,
-        "bfs": q.q_bfs,
+        "filtered_bfs_payload": q.q_filtered_bfs_payload,
         "bfs_parents": q.q_bfs_parents,
         "sssp": q.q_sssp,
         "label_propagation": q.q_label_propagation,
@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the driver window: oracle-exact, code path covered by an
         # in-window sibling (locally gated every round) ---
         "in_degrees": q.q_in_degrees,          # reduce path: out_degrees
+        "bfs": q.q_bfs,                        # min_plus_distances path: sssp
         "subgraph": q.q_subgraph,              # SubsRef special case: subsref_perm
         "spmv_min_plus": q.q_spmv_min_plus,    # semiring spmv: sssp
         "reduce_rowmin": q.q_reduce_rowmin,    # reduce path: reduce_colmax
@@ -143,6 +144,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": o.pagerank(q.PR_ITERS),
         "connected_components": o.connected_components(q.CC_ITERS),
         "bfs": o.bfs_distance("m_0", q.BFS_ITERS),
+        "filtered_bfs_payload": o.filtered_bfs_payload(
+            "m_7", q.BFS_ITERS, q.FBFS_LATEST_MIN),
         "sssp": o.sssp("m_1", q.SSSP_ITERS),
         "label_propagation": o.label_propagation(q.LP_ITERS, q.LP_CLASSES),
         "triangle_count": o.triangle_count(),

@@ -80,8 +80,29 @@ def load_manifest(ckpt_dir: str) -> dict:
     return rebase_manifest(man, ckpt_dir)
 
 
+def _payload_combine(vals: np.ndarray, first_idx: np.ndarray,
+                     inv: np.ndarray, agg: str) -> np.ndarray:
+    """Dedup-combine one payload field over the (row, col) duplicate
+    groups — the per-field `operator+=` of a struct nonzero
+    (``TwitterEdge.h:36-42``: count sums, follower ORs, latest maxes).
+    agg in {sum, min, max, or, and, first}."""
+    if agg == "sum":
+        out = np.bincount(inv, weights=vals.astype(np.float64))
+        return out.astype(vals.dtype, copy=False) if vals.dtype.kind in "iu" else out
+    if agg == "first":  # arbitrary representative (post-shuffle order)
+        return vals[first_idx]
+    ufunc = {"min": np.minimum, "max": np.maximum,
+             "or": np.maximum, "and": np.minimum}[agg]
+    # seed each group with one member, then fold every element; the seed
+    # is folded twice, which is safe: min/max/or/and are idempotent
+    out = vals[first_idx].copy()
+    ufunc.at(out, inv, vals)
+    return out
+
+
 def build_blocks(graph, g: int, ckpt_dir: str, *, resume: bool = True,
-                 w_dtype: str = "f8", structural: bool = False) -> dict:
+                 w_dtype: str = "f8", structural: bool = False,
+                 payload: dict[str, str] | None = None) -> dict:
     """Shuffle the edge table into a g x g block grid of CSR .npz files.
 
     Local indices are stored in the smallest dtype that fits the block dims
@@ -90,8 +111,15 @@ def build_blocks(graph, g: int, ckpt_dir: str, *, resume: bool = True,
     ``w_dtype='f4'`` stores float32 edge values (benchmark graphs; keep
     'f8' where 1e-6 numeric parity is asserted).
 
+    ``payload`` maps extra edge-table columns to their duplicate-combine
+    agg ({sum, min, max, or, and, first}) — typed struct nonzeros
+    (``TwitterEdge.h:15-58`` + `promote_trait`): the arrays ride beside
+    ``w`` in each block, aligned with (rows, cols), and feed payload-field
+    predicates in filtered SpMV (`FilteredBFS.cpp:107-110`).
+
     Returns the manifest dict. If ``resume`` and a complete manifest exists
-    (same n/g/w_dtype), the shuffle is skipped (checkpoint/resume path).
+    (same n/g/w_dtype/payload), the shuffle is skipped (checkpoint/resume
+    path).
     """
     os.makedirs(ckpt_dir, exist_ok=True)
     mpath = os.path.join(ckpt_dir, MANIFEST_NAME)
@@ -105,6 +133,7 @@ def build_blocks(graph, g: int, ckpt_dir: str, *, resume: bool = True,
             and man["g"] == g
             and man.get("w_dtype", "f8") == w_dtype
             and man.get("structural", False) == structural
+            and man.get("payload") == (payload or None)
             and all(os.path.exists(b["path"]) for b in man["blocks"])
         ):
             return man
@@ -135,7 +164,7 @@ def build_blocks(graph, g: int, ckpt_dir: str, *, resume: bool = True,
     ls_r = local_size(n, gr)
     ls_c = local_size(n, gc)
 
-    def _build_one(bid: int, dst, src, w) -> dict:
+    def _build_one(bid: int, dst, src, w, pay: dict) -> dict:
         br, bc = bid // gc, bid % gc
         row0, col0 = br * ls_r, bc * ls_c
         nr = (n - row0) if br == gr - 1 else ls_r
@@ -144,7 +173,10 @@ def build_blocks(graph, g: int, ckpt_dir: str, *, resume: bool = True,
         cols = (src - col0).astype(np.int64)
         # local dedup-sum (SpTuples::RemoveDuplicates, SpParMat.cpp:2975-2978)
         key = rows * np.int64(n) + cols
-        uk, inv = np.unique(key, return_inverse=True)
+        uk, first_idx, inv = np.unique(key, return_index=True,
+                                       return_inverse=True)
+        pcols = {f: _payload_combine(v, first_idx, inv, payload[f])
+                 for f, v in pay.items()}
         w = np.bincount(inv, weights=w)
         if structural:
             w = np.ones_like(w)  # bool-matrix semantics: presence only
@@ -159,7 +191,8 @@ def build_blocks(graph, g: int, ckpt_dir: str, *, resume: bool = True,
         path = _block_file(ckpt_dir, bid)
         tmp = path + ".tmp.npz"
         np.savez(tmp, indptr=indptr, rows=rows, cols=cols, w=w,
-                 meta=np.array([bid, br, bc, row0, col0, nr], dtype=np.int64))
+                 meta=np.array([bid, br, bc, row0, col0, nr], dtype=np.int64),
+                 **{f"p_{f}": v for f, v in pcols.items()})
         os.replace(tmp, path)
         sha = hashlib.sha256(
             rows.tobytes() + cols.tobytes() + w.tobytes()
@@ -174,10 +207,12 @@ def build_blocks(graph, g: int, ckpt_dir: str, *, resume: bool = True,
         w = np.asarray(batch.column("w")).astype(np.float64)
         order = np.argsort(bids, kind="stable")
         bids, dst, src, w = bids[order], dst[order], src[order], w[order]
+        pays = {f: np.asarray(batch.column(f))[order] for f in (payload or ())}
         ub, starts = np.unique(bids, return_index=True)
         ends = np.append(starts[1:], len(bids))
         rows = [
-            _build_one(int(b), dst[s:e], src[s:e], w[s:e])
+            _build_one(int(b), dst[s:e], src[s:e], w[s:e],
+                       {f: v[s:e] for f, v in pays.items()})
             for b, s, e in zip(ub, starts, ends)
         ]
         if not rows:
@@ -192,6 +227,7 @@ def build_blocks(graph, g: int, ckpt_dir: str, *, resume: bool = True,
         "g": g,
         "w_dtype": w_dtype,
         "structural": structural,
+        "payload": payload or None,
         "complete": True,
         "blocks": sorted(
             ({k: r[k] for k in ("bid", "br", "bc", "path", "nnz", "sha")} for r in man_rows),
@@ -215,6 +251,11 @@ def update_blocks(man: dict, delta_graph, ckpt_dir: str) -> dict:
     n, g = man["n"], man["g"]
     if delta_graph.n != n:
         raise ValueError("delta must share the vertex space")
+    if man.get("payload"):
+        raise NotImplementedError(
+            "incremental update of payload-typed blocks is not supported; "
+            "rebuild with build_blocks(resume=False)"
+        )
 
     def _key(batch: pa.Table) -> pa.Table:
         src = np.asarray(batch.column("src"))
@@ -334,6 +375,9 @@ class _Block:
         self.rows = z["rows"]
         self.cols = z["cols"]
         self.w = z["w"]
+        # struct-nonzero payload fields (TwitterEdge.h:15-58), aligned
+        # with (rows, cols); empty dict for plain scalar graphs
+        self.payload = {k[2:]: z[k] for k in z.files if k.startswith("p_")}
         meta = z["meta"]
         self.bid, self.br, self.bc = int(meta[0]), int(meta[1]), int(meta[2])
         self.nr = int(meta[5])
@@ -374,20 +418,28 @@ class _Block:
         "eq": np.equal,
     }
 
-    def filtered_view(self, pred_op: str, pred_val: float) -> "_Block":
+    def filtered_view(self, spec) -> "_Block":
         """Materialized edge-predicate view of this block — the filtered
         semantic graph of `FilteredBFS.cpp:107-110` (`Twitter_materialize`):
         the predicate is evaluated ONCE per (block, predicate) and cached;
-        SpMV then runs on the filtered arrays at full speed."""
+        SpMV then runs on the filtered arrays at full speed.
+
+        ``spec`` is a conjunction of (field, op, val) triples, where field
+        is ``'w'`` or a payload column — the struct-nonzero predicate of
+        the Twitter filter (count > 0 AND latest > since)."""
         if not hasattr(self, "_views"):
             self._views = {}
-        key = (pred_op, float(pred_val))
+        key = tuple((f, o, float(x)) for f, o, x in spec)
         if key not in self._views:
-            keep = self._PREDS[pred_op](self.w, pred_val)
+            keep = np.ones(len(self.w), dtype=bool)
+            for f, o, x in key:
+                arr = self.w if f == "w" else self.payload[f]
+                keep &= self._PREDS[o](arr, x)
             v = object.__new__(_Block)
             v.rows = self.rows[keep]
             v.cols = self.cols[keep]
             v.w = self.w[keep]
+            v.payload = {}  # views are SpMV-only; payload stays on the base
             v.bid, v.br, v.bc, v.nr = self.bid, self.br, self.bc, self.nr
             indptr = np.zeros(self.nr + 1, dtype=np.int64)
             np.add.at(indptr, v.rows.astype(np.int64) + 1, 1)
@@ -499,14 +551,15 @@ class CsrPoolActor:
         return res[0] if len(res) == 1 else tuple(res)
 
     def spmv_filtered_partial(
-        self, sr_name: str, pred_op: str, pred_val: float, *x_chunks: np.ndarray
+        self, sr_name: str, spec, *x_chunks: np.ndarray
     ):
-        """SpMV over the cached filtered views (FilteredBFS semantics)."""
+        """SpMV over the cached filtered views (FilteredBFS semantics);
+        ``spec`` = tuple of (field, op, val) conjunctions."""
         sr = get_semiring(sr_name)
         fetched = dict(zip(self.bcs, x_chunks))
         out = {}
         for b in self.blocks:
-            fb = b.filtered_view(pred_op, pred_val)
+            fb = b.filtered_view(spec)
             part = fb.spmv_partial(fetched[b.bc], sr)
             if b.br in out:
                 prev = out[b.br]
@@ -825,9 +878,10 @@ class SpmvEngine:
     @classmethod
     def from_graph(cls, graph, g: int, ckpt_dir: str, *, resume: bool = True,
                    pool_size: int | None = None, pool_cpus: float = 0,
-                   w_dtype: str = "f8", structural: bool = False):
+                   w_dtype: str = "f8", structural: bool = False,
+                   payload: dict[str, str] | None = None):
         man = build_blocks(graph, g, ckpt_dir, resume=resume, w_dtype=w_dtype,
-                           structural=structural)
+                           structural=structural, payload=payload)
         return cls.from_manifest(man, pool_size=pool_size, pool_cpus=pool_cpus)
 
     @classmethod
@@ -1061,16 +1115,23 @@ class SpmvEngine:
         return self.unchunk(parts)
 
     def spmv_filtered(
-        self, x: np.ndarray, sr: Semiring | str, pred_op: str, pred_val: float
+        self, x: np.ndarray, sr: Semiring | str, pred_op: str | None = None,
+        pred_val: float | None = None, *, spec=None
     ) -> np.ndarray:
-        """SpMV with an edge-value predicate pushed into the multiply —
-        the filtered-semantic-graph SpMV of `FilteredBFS`/`FilteredMIS`."""
+        """SpMV with an edge predicate pushed into the multiply — the
+        filtered-semantic-graph SpMV of `FilteredBFS`/`FilteredMIS`.
+        Either (pred_op, pred_val) on the scalar w, or ``spec`` — a tuple
+        of (field, op, val) conjunctions over w and payload fields
+        (struct-nonzero predicates, `FilteredBFS.cpp:107-110`)."""
+        if spec is None:
+            spec = (("w", pred_op, float(pred_val)),)
+        spec = tuple((f, o, float(v)) for f, o, v in spec)
         sr = get_semiring(sr)
         x_refs = self.chunk(x)
         partials: dict[int, list] = {br: [] for br in range(self.g)}
         for actor, brs, bcs in zip(self.actors, self.actor_brs, self.actor_bcs):
             refs = actor.spmv_filtered_partial.options(num_returns=len(brs)).remote(
-                sr.name, pred_op, pred_val, *[x_refs[bc] for bc in bcs]
+                sr.name, spec, *[x_refs[bc] for bc in bcs]
             )
             if len(brs) == 1:
                 refs = [refs]

@@ -999,3 +999,35 @@ SELECT 'm_' || i AS label,
        row_number() OVER (ORDER BY (i * 48271 + {b}) % 2147483647) - 1 AS p
 FROM files
 """
+
+
+@_materialized
+def filtered_bfs_payload(root_label: str = "m_0", iters: int = 12,
+                         latest_min: int = 300) -> str:
+    """Unrolled BFS distances on the DIRECTED graph restricted to edges
+    whose arithmetic payload passes cnt > 0 AND latest >= latest_min
+    (cnt = (src*7 + dst) % 5, latest = (src + 2*dst) % 1000)."""
+    sql = PREFIX + f"""
+, fedges AS (
+  SELECT src, dst FROM edges
+  WHERE (src * 7 + dst) % 5 > 0 AND (src + 2 * dst) % 1000 >= {latest_min}
+),
+d0 AS (SELECT i, 0 AS dist FROM verts WHERE label = '{root_label}')
+"""
+    prev = "d0"
+    for k in range(1, iters + 1):
+        sql += f"""
+, d{k} AS (
+  SELECT i, min(dist) AS dist FROM (
+    SELECT i, dist FROM {prev}
+    UNION ALL
+    SELECT u.dst AS i, dp.dist + 1 AS dist
+    FROM fedges u JOIN {prev} dp ON dp.i = u.src
+  ) GROUP BY i
+)"""
+        prev = f"d{k}"
+    sql += f"""
+SELECT v.label AS label, CAST(d.dist AS BIGINT) AS dist
+FROM {prev} d JOIN verts v ON v.i = d.i
+"""
+    return sql

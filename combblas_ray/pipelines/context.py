@@ -23,6 +23,10 @@ from ..sources import corpus as corpus_src
 
 CKPT_ROOT = os.environ.get("CBRAY_CKPT_ROOT", "/tmp/cbray")
 
+# duplicate-combine policy per payload field (TwitterEdge::operator+=:
+# follower ORs, count sums, latest maxes)
+PAYLOAD_SPEC = {"follower": "or", "cnt": "sum", "latest": "max"}
+
 
 def default_grid() -> int:
     try:
@@ -60,6 +64,8 @@ class GraphContext:
             )
         elif variant == "sssp":
             g = self._sssp_graph(base)
+        elif variant == "payload":
+            g = self._payload_graph(base)
         else:
             raise ValueError(variant)
         self._graphs[variant] = g
@@ -83,6 +89,31 @@ class GraphContext:
         return Graph(n=self.n, edges=base.edges.map_batches(
             _w, batch_format="pyarrow", zero_copy_batch=True), labels=self.labels)
 
+    def _payload_graph(self, base: Graph) -> Graph:
+        """Struct-nonzero edges (`TwitterEdge.h:15-58` analog) with
+        SQL-replicable arithmetic payload fields over the arith file ids:
+        follower = (a_src + a_dst) % 3 == 0, cnt = (a_src*7 + a_dst) % 5,
+        latest = (a_src + 2*a_dst) % 1000."""
+        import pyarrow as pa
+
+        arith_ref = ray.put(self.arith)
+
+        def _p(batch, *, _ref=arith_ref):
+            arith = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+            a_s = arith[np.asarray(batch.column("src"))]
+            a_d = arith[np.asarray(batch.column("dst"))]
+            return pa.table({
+                "src": batch.column("src"),
+                "dst": batch.column("dst"),
+                "w": batch.column("w"),
+                "follower": pa.array(((a_s + a_d) % 3 == 0).astype(np.int8)),
+                "cnt": pa.array(((a_s * 7 + a_d) % 5).astype(np.int32)),
+                "latest": pa.array(((a_s + 2 * a_d) % 1000).astype(np.int64)),
+            })
+
+        return Graph(n=self.n, edges=base.edges.map_batches(
+            _p, batch_format="pyarrow", zero_copy_batch=True), labels=self.labels)
+
     # ---- engines (resident CSR actor pools) ----
 
     def engine(self, variant: str = "directed", g: int | None = None) -> SpmvEngine:
@@ -92,7 +123,8 @@ class GraphContext:
             return self._engines[key]
         ckpt = os.path.join(CKPT_ROOT, f"n{self.n}", f"{variant}_g{g}")
         eng = SpmvEngine.from_graph(
-            self.graph(variant), g, ckpt, structural=(variant == "sym")
+            self.graph(variant), g, ckpt, structural=(variant == "sym"),
+            payload=(PAYLOAD_SPEC if variant == "payload" else None),
         )
         self._engines[key] = eng
         return eng

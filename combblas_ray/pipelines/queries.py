@@ -1459,3 +1459,34 @@ def q_randperm_sorted(sf_dir: str):
     return randperm(ctx.n, seed=RP_SEED).map_batches(
         _lab, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+FBFS_LATEST_MIN = 300
+
+
+def q_filtered_bfs_payload(sf_dir: str):
+    """BFS over the struct-payload graph keeping only edges with
+    cnt > 0 AND latest >= 300 — the Twitter filtered-semantic BFS
+    (`FilteredBFS.cpp:107-110` predicate over `TwitterEdge.h:15-58`
+    struct nonzeros), as bool_or_and SpMVs over per-(block, predicate)
+    cached filtered views."""
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("payload")
+    root = int(np.searchsorted(ctx.labels, "m_7"))
+    spec = (("cnt", "gt", 0), ("latest", "ge", FBFS_LATEST_MIN))
+    d = np.full(ctx.n, np.inf)
+    d[root] = 0.0
+    r = np.zeros(ctx.n)
+    r[root] = 1.0
+    for level in range(1, BFS_ITERS + 1):
+        r = eng.spmv_filtered(r, "bool_or_and", spec=spec)
+        new = (r > 0) & ~np.isfinite(d)
+        if not new.any():
+            break
+        d[new] = level
+        r = np.isfinite(d).astype(np.float64)
+    ids = np.nonzero(np.isfinite(d))[0]
+    return pa.table({
+        "label": _label_col(ctx, ids),
+        "dist": pa.array(d[ids].astype(np.int64)),
+    })

@@ -421,3 +421,54 @@ def test_ewise_scale_dense_and_functional(ctx500, ray_session):
     assert a == b
     for (s, d), w in base.items():
         assert a[(s, d)] == w * (((d + 2 * s) % 7) + 1)
+
+
+def test_payload_combine_policies():
+    """Struct-nonzero duplicate combine (TwitterEdge.h:36-42): per-field
+    sum/or/max/min/first over (row, col) duplicate groups."""
+    import numpy as np
+
+    from combblas_ray.core.engine import _payload_combine
+
+    key = np.array([3, 1, 3, 1, 7])
+    vals = np.array([2, 5, 4, 1, 9], dtype=np.int64)
+    uk, first_idx, inv = np.unique(key, return_index=True, return_inverse=True)
+    assert uk.tolist() == [1, 3, 7]
+    assert _payload_combine(vals, first_idx, inv, "sum").tolist() == [6, 6, 9]
+    assert _payload_combine(vals, first_idx, inv, "max").tolist() == [5, 4, 9]
+    assert _payload_combine(vals, first_idx, inv, "min").tolist() == [1, 2, 9]
+    b = np.array([1, 0, 0, 1, 0], dtype=np.int8)
+    assert _payload_combine(b, first_idx, inv, "or").tolist() == [1, 1, 0]
+    assert _payload_combine(b, first_idx, inv, "and").tolist() == [0, 0, 0]
+    f = _payload_combine(vals, first_idx, inv, "first")
+    assert f[0] in (5, 1) and f[1] in (2, 4) and f[2] == 9
+
+
+def test_payload_filtered_spmv_matches_scalar_prefilter(ctx500):
+    """Payload-field predicate SpMV == SpMV on the manually pre-filtered
+    dense matrix (FilteredBFS.cpp:107-110 Twitter predicate equivalence:
+    cnt > 0 AND latest >= 300 over struct nonzeros)."""
+    import numpy as np
+
+    from .conftest import brute_dense_matrix
+
+    eng = ctx500.engine("payload", g=2)
+    A = brute_dense_matrix(ctx500)
+    arith = ctx500.arith
+    n = ctx500.n
+    nz = np.nonzero(A)
+    a_s, a_d = arith[nz[1]], arith[nz[0]]  # A[dst, src] layout
+    keep = (((a_s * 7 + a_d) % 5) > 0) & (((a_s + 2 * a_d) % 1000) >= 300)
+    M = np.zeros((n, n))
+    M[nz[0][keep], nz[1][keep]] = A[nz[0][keep], nz[1][keep]]
+    x = ((np.arange(n) * 5) % 7 + 1).astype(np.float64)
+    got = eng.spmv_filtered(
+        x, "plus_times", spec=(("cnt", "gt", 0), ("latest", "ge", 300))
+    )
+    assert np.allclose(got, M @ x)
+    # single-field payload predicate too
+    keep1 = ((a_s + 2 * a_d) % 1000) >= 300
+    M1 = np.zeros((n, n))
+    M1[nz[0][keep1], nz[1][keep1]] = A[nz[0][keep1], nz[1][keep1]]
+    got1 = eng.spmv_filtered(x, "plus_times", spec=(("latest", "ge", 300),))
+    assert np.allclose(got1, M1 @ x)
