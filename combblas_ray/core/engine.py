@@ -651,13 +651,16 @@ class CsrPoolActor:
         for b in self.blocks:
             cls = fetched[b.bc]
             ind = (cls[None, :] == classes[:, None]).astype(np.float64)
-            part = b.spmm_partial(ind, sr)
+            # neighbor-class COUNTS are exact in float32 up to 2^24;
+            # shipping f32 partials halves the dominant per-round object
+            # transfer ((k, n/g) per covered block)
+            part = b.spmm_partial(ind, sr).astype(np.float32)
             if b.br in out:
                 prev = out[b.br]
                 if prev.shape[1] < part.shape[1]:
                     prev, part = part, prev
                 if part.shape[1] < prev.shape[1]:
-                    q = np.full(prev.shape, sr.identity)
+                    q = np.full(prev.shape, sr.identity, dtype=np.float32)
                     q[:, : part.shape[1]] = part
                     part = q
                 out[b.br] = sr.combine(prev, part)
@@ -810,7 +813,7 @@ def _lp_combine(k: int, nrows: int, cls_chunk: np.ndarray, *parts: np.ndarray):
     """Merge per-class count partials and apply the label-propagation
     update in one task: argmax (first max -> smallest class), isolated
     vertices keep their class."""
-    merged = np.zeros((k, nrows), dtype=np.float64)
+    merged = np.zeros((k, nrows), dtype=np.float32)
     for p in parts:
         merged[:, : p.shape[1]] += p
     total = merged.sum(axis=0)
