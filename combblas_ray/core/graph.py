@@ -184,14 +184,19 @@ class Graph:
 
     # ---- shuffling operators ----
 
-    def dedup_sum(self) -> "Graph":
+    def dedup_sum(self, plan: str = "tasks") -> "Graph":
         """Merge duplicate (src,dst) entries with +: batch-local combine,
-        ONE hash shuffle on the fused key, whole-partition numpy merge
+        ONE exchange on the fused key, whole-partition numpy merge
         (`RemoveDuplicates` after the ingest exchange,
-        ``SpParMat.cpp:2975-2978``)."""
-        from .shuffle import group_sum_per_key, keyed_reduce
+        ``SpParMat.cpp:2975-2978``). plan='tasks' (default) routes via
+        warm num_cpus=0 tasks — the Ray Data hash-shuffle operator pays
+        ~2s of actor-pool spawn per use on this box; plan='shuffle' keeps
+        the Dataset-native hash repartition (equality is pytest-gated)."""
+        from .shuffle import dedup_sum_tasks, group_sum_per_key, keyed_reduce
 
         n = self.n
+        if plan == "tasks":
+            return self._with(dedup_sum_tasks(self.edges, n))
 
         def _partial(batch: pa.Table) -> pa.Table:
             src = np.asarray(batch.column("src"))

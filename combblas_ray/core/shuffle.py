@@ -101,3 +101,79 @@ def group_reduce_per_key(values: np.ndarray, keys: np.ndarray, op: str):
         return uk, red.astype(np.float64)
     ufunc = np.minimum if op == "min" else np.maximum
     return uk, ufunc.reduceat(sv, indptr[:-1])
+
+
+# ---------------------------------------------------------------------------
+# Raw-task keyed sum (`SparseCommon` exchange + `RemoveDuplicates`,
+# ``SpParMat.cpp:2906-2981``) — the warm-task alternative to the Ray Data
+# hash shuffle for ONE-SHOT build steps on this box, where the hash-shuffle
+# operator pays ~2s of actor-pool spawn per use. Same route/merge
+# discipline as the engine's iterative shuffles (num_cpus=0 tasks,
+# num_returns=g, refs passed as top-level args).
+# ---------------------------------------------------------------------------
+
+_FIB64 = np.uint64(11400714819323198485)
+_RT_CACHE: dict = {}
+
+
+def _rt0(fn):
+    import ray
+
+    if fn not in _RT_CACHE:
+        _RT_CACHE[fn] = ray.remote(num_cpus=0)(fn)
+    return _RT_CACHE[fn]
+
+
+def _ds_route(tbl, g: int, n: int):
+    """Batch-local (src,dst) group-sum, then route fused keys by hash."""
+    if tbl.num_rows == 0 or "src" not in tbl.column_names:
+        k = np.empty(0, dtype=np.int64)
+        w = np.empty(0, dtype=np.float64)
+        out = [(k, w)] * g
+        return out[0] if g == 1 else tuple(out)
+    src = np.asarray(tbl.column("src"))
+    dst = np.asarray(tbl.column("dst"))
+    w = np.asarray(tbl.column("w")).astype(np.float64)
+    uk, ws = group_sum_per_key(w, src * np.int64(n) + dst)
+    p = ((uk.astype(np.uint64) * _FIB64) >> np.uint64(33)).astype(np.int64) % g
+    order = np.argsort(p, kind="stable")
+    uk, ws, p = uk[order], ws[order], p[order]
+    counts = np.bincount(p, minlength=g)
+    splits = np.cumsum(counts)[:-1]
+    ks = np.split(uk, splits)
+    vs = np.split(ws, splits)
+    out = list(zip(ks, vs))
+    return out[0] if g == 1 else tuple(out)
+
+
+def _ds_merge(n: int, *parts):
+    import pyarrow as pa
+
+    ks = np.concatenate([p[0] for p in parts])
+    ws = np.concatenate([p[1] for p in parts])
+    uk, merged = group_sum_per_key(ws, ks)
+    uk = uk.astype(np.int64)
+    return pa.table({
+        "src": pa.array(uk // n),
+        "dst": pa.array(uk % n),
+        "w": pa.array(merged.astype(np.float64)),
+    })
+
+
+def dedup_sum_tasks(edges_ds, n: int, num_partitions: int | None = None):
+    """Duplicate-merge an edge Dataset with + via warm raw tasks:
+    per-block pre-combine + route (num_returns=g), per-partition merge.
+    Returns a Dataset (src, dst, w)."""
+    import ray
+
+    g = num_partitions or default_shuffle_blocks()
+    blocks = edges_ds.to_arrow_refs()
+    routed = [
+        _rt0(_ds_route).options(num_returns=g).remote(b, g, n) for b in blocks
+    ]
+    routed = [[r] if g == 1 else list(r) for r in routed]
+    merged = [
+        _rt0(_ds_merge).remote(n, *[routed[j][i] for j in range(len(routed))])
+        for i in range(g)
+    ]
+    return ray.data.from_arrow_refs(merged)
