@@ -563,43 +563,89 @@ def _md_reach(engine: SpmvEngine, source: int, enodes: np.ndarray):
     return np.nonzero(reach)[0]
 
 
+MD_DENSE_MAX = 4096  # below this, dense driver (k, n) beats task-round latency
+
+
+def _md_ms_init(bounds, *, reach: np.ndarray):
+    s, e = bounds
+    k = len(reach)
+    V = np.zeros((k, e - s), dtype=bool)
+    sel = (reach >= s) & (reach < e)
+    V[np.nonzero(sel)[0], reach[sel] - s] = True
+    return V, V.astype(np.float64)
+
+
+def _md_ms_step(V, prop, en_chunk):
+    nxt = (prop > 0) & ~V
+    Vn = V | nxt
+    Fn = (nxt & en_chunk[None, :]).astype(np.float64)
+    return Vn, Fn, bool(Fn.any())
+
+
+def _md_ms_count(V, en_chunk):
+    return (V & ~en_chunk[None, :]).sum(axis=1)
+
+
 def md_ordering(engine: SpmvEngine) -> np.ndarray:
     """Minimum-degree ordering — `MD`
     (``Applications/Ordering/MD.cpp:289-361``). Like the reference, a
     sequential greedy driver loop (pick the min-degree vertex, eliminate,
     update the quotient-graph degrees of its reach set) whose inner
     traversals are distributed: single-source reach via SpMSpV hops,
-    the batched reach-degree update via the multisource guided BFS as a
-    chunked SpMM (`getReachesSPMM`, ``MD.cpp:185-260``). Returns perm
-    where perm[k] = k-th eliminated vertex (dense ids)."""
+    the batched reach-degree update via the multisource guided BFS
+    (`getReachesSPMM`, ``MD.cpp:185-260``) with the (k, n) visited/
+    frontier matrices kept as PER-CHUNK REFS in the object store (the
+    betweenness discipline) — the driver holds only O(n) scalars per
+    vertex plus O(k) count partials, never a dense (k, n) matrix.
+    Returns perm where perm[k] = k-th eliminated vertex (dense ids)."""
+    import ray
+
     n = engine.n
     # structural degree (loop-free symmetric engine): row sums
     deg = engine.in_weights().astype(np.float64)
     enodes = np.zeros(n, dtype=bool)
     order = np.empty(n, dtype=np.int64)
     degrees = deg.copy()
+    bounds = engine.bounds
+    enodes_refs = engine.chunk(enodes)
     for i in range(n):
         s = int(np.argmin(degrees))  # min degree, ties -> min id
         order[i] = s
         enodes[s] = True
         degrees[s] = np.inf
+        # refresh only the chunk containing s
+        c = next(j for j, (lo, hi) in enumerate(bounds) if lo <= s < hi)
+        enodes_refs[c] = ray.put(np.ascontiguousarray(
+            enodes[bounds[c][0]:bounds[c][1]]))
         reach = _md_reach(engine, s, enodes)
         if not len(reach):
             continue
-        # multisource guided BFS (getReachesSPMM): per reach vertex v,
-        # new degree = |reach(v)|; frontier/visited are (k, n) chunked
-        # through the engine's batched SpMM
         k = len(reach)
-        V = np.zeros((k, n), dtype=bool)
-        V[np.arange(k), reach] = True
-        F = V.copy()
-        while F.any():
-            nxt = engine.spmm(F.astype(np.float64), "plus_times") > 0
-            nxt &= ~V
-            V |= nxt
-            F = nxt & enodes[None, :]
-        cnt = (V & ~enodes[None, :]).sum(axis=1) - 1  # exclude self
-        degrees[reach] = cnt
+        if n <= MD_DENSE_MAX:
+            # small-n fast path: dense (k, n) on the driver skips the
+            # ~3 task rounds per BFS level (the CC-shortcut trade)
+            V = np.zeros((k, n), dtype=bool)
+            V[np.arange(k), reach] = True
+            F = V.copy()
+            while F.any():
+                nxt = engine.spmm(F.astype(np.float64), "plus_times") > 0
+                nxt &= ~V
+                V |= nxt
+                F = nxt & enodes[None, :]
+            degrees[reach] = (V & ~enodes[None, :]).sum(axis=1) - 1
+            continue
+        V, F = engine.map_chunks_n(
+            partial(_md_ms_init, reach=reach), 2, with_bounds=True
+        )
+        while True:
+            prop = engine.spmm_refs(F, k, "plus_times")
+            V, F, anyf = engine.map_chunks_n(
+                _md_ms_step, 3, V, prop, enodes_refs
+            )
+            if not any(ray.get(anyf)):
+                break
+        parts = ray.get(engine.map_chunks(_md_ms_count, V, enodes_refs))
+        degrees[reach] = np.sum(parts, axis=0) - 1  # exclude self
     return order
 
 

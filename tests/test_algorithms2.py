@@ -349,3 +349,22 @@ def test_md_ordering_matches_brute(ray_session):
     got = alg.md_ordering(ctx.engine("sym", g=2))
     ref = alg.brute_md_ordering(U)
     assert np.array_equal(got, ref)
+
+
+def test_md_ordering_refs_path_matches_brute(ray_session, monkeypatch):
+    """Force the chunked-refs multisource BFS path (the at-scale plan)
+    and assert it matches the brute MD oracle exactly."""
+    import numpy as np
+
+    from combblas_ray.pipelines import algorithms as alg
+    from combblas_ray.pipelines.context import get_context_for_n
+    from .conftest import brute_dense_matrix
+
+    monkeypatch.setattr(alg, "MD_DENSE_MAX", 0)
+    ctx = get_context_for_n(120)
+    U = brute_dense_matrix(ctx)
+    U = ((U + U.T) > 0).astype(float)
+    np.fill_diagonal(U, 0.0)
+    got = alg.md_ordering(ctx.engine("sym", g=2))
+    ref = alg.brute_md_ordering(U)
+    assert got.tolist() == ref.tolist()
