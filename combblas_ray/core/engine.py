@@ -726,6 +726,9 @@ def _gather_route(idx: np.ndarray, bounds: list):
 @ray.remote(num_cpus=0)
 def _gather_assemble(nrows: int, g: int, *pos_and_vals: np.ndarray):
     positions, val_parts = pos_and_vals[:g], pos_and_vals[g:]
+    # idx chunks may be SPARSE request lists (shorter than the chunk
+    # size); the true output length is the number of routed positions
+    nrows = int(sum(len(p) for p in positions))
     dtype = val_parts[0].dtype if val_parts else np.float64
     out = np.empty(nrows, dtype=dtype)
     for pos, vals in zip(positions, val_parts):

@@ -684,6 +684,178 @@ def brute_md_ordering(U: np.ndarray) -> np.ndarray:
     return order
 
 
+MM_DENSE_MAX = 1 << 23  # below this, driver mate/parent arrays are cheap
+
+
+def _mm_roots_frontier(mate_col, bounds, *, enc):
+    s, _ = bounds
+    loc = np.nonzero(mate_col < 0)[0]
+    g = loc + s
+    return (loc, (g * enc + g).astype(np.float64)), len(loc)
+
+
+def _mm_cand_filter(cand, parent_col, *, enc):
+    """Per row chunk: drop claimed rows, split (root, parent-col)."""
+    ri, rv = cand
+    fresh = parent_col[ri] < 0
+    ri, rv = ri[fresh], rv[fresh]
+    rt = (rv // enc).astype(np.int64)
+    return ri, rt, (rv % enc).astype(np.int64)
+
+
+def _trip0(t):
+    return t[0]
+
+
+def _trip1(t):
+    return t[1]
+
+
+def _mm_claim(trip, act, parent_col, mate_row, bounds, *, enc):
+    """Per row chunk: claim rows for still-active roots; emit leaf
+    candidates (unmatched rows) and continuation triples (matched)."""
+    ri, rt, pc = trip
+    keep = act > 0.5
+    ri, rt, pc = ri[keep], rt[keep], pc[keep]
+    parent_col = parent_col.copy()
+    parent_col[ri] = pc
+    row_g = ri + bounds[0]
+    um = mate_row[ri] < 0
+    leaf_pair = (rt[um], row_g[um].astype(np.float64))
+    cont_col = mate_row[ri[~um]].astype(np.int64)
+    cont_trip = (rt[~um], cont_col,
+                 (rt[~um] * enc + cont_col).astype(np.float64))
+    return parent_col, leaf_pair, cont_trip
+
+
+def _mm_leaf_merge(pending, leaf, active):
+    """Per col chunk: adopt min-row pending leaves for still-active
+    roots, deactivate them."""
+    leaf = leaf.copy()
+    active = active.copy()
+    new = (leaf < 0) & np.isfinite(pending) & (active > 0.5)
+    leaf[new] = pending[new].astype(np.int64)
+    active[new] = 0.0
+    return leaf, active, int(new.sum())
+
+
+def _mm_cont_filter(trip, act2):
+    """Keep continuation edges only for roots still active AFTER this
+    level's leaf adoption (the reference's second active[] read)."""
+    _, col, val = trip
+    keep = act2 > 0.5
+    return col[keep], val[keep]
+
+
+def _mm_aug_init(leaf):
+    return leaf[leaf >= 0].astype(np.int64)
+
+
+def _to_f8(a):
+    return a.astype(np.float64)
+
+
+def _mm_merge_assign(scat, old):
+    out = old.copy()
+    f = np.isfinite(scat)
+    out[f] = scat[f].astype(np.int64)
+    return out
+
+
+def _mm_next_cur(prev):
+    p = prev.astype(np.int64)
+    return p[p >= 0]
+
+
+def _arr_len(a):
+    return int(len(a))
+
+
+def _count_nonneg(a):
+    return int((a >= 0).sum())
+
+
+def _neg_count(a):
+    return int((a < 0).sum())
+
+
+def _mm_refs(engine: SpmvEngine, max_phases: int):
+    """Refs-only maximum matching: every per-vertex array (mate_col,
+    mate_row, parent_col, leaf, active) lives as chunked ObjectRefs — the
+    reference's own FullyDistVec layout (`BPMaximumMatching.h:231-420`).
+    The driver syncs only per-chunk counts. Frontier routing across the
+    col space reuses the scatter machinery (vals collide only for
+    distinct roots reaching one col; min-val merge keeps one, identical
+    to the dense path's per-row select2nd_min)."""
+    import ray
+
+    n = engine.n
+    enc = np.int64(n)
+    mate_col = engine.map_chunks_i(_neg_ones)
+    mate_row = engine.map_chunks_i(_neg_ones)
+    for _phase in range(max_phases):
+        rf = engine.map_chunks_n(
+            partial(_mm_roots_frontier, enc=enc), 2, mate_col,
+            with_bounds=True,
+        )
+        frontier, sizes = rf
+        if sum(ray.get(sizes)) == 0:
+            break
+        parent_col = engine.map_chunks_i(_neg_ones)
+        leaf = engine.map_chunks_i(_neg_ones)
+        active = engine.map_chunks(lambda m: (m < 0).astype(np.float64),
+                                   mate_col)
+        fsize = 1
+        while fsize:
+            cand = engine.spmspv_refs(frontier, "select2nd_min")
+            trip = engine.map_chunks(
+                partial(_mm_cand_filter, enc=enc), cand, parent_col
+            )
+            act = engine.gather_refs(active, engine.map_chunks(_trip1, trip))
+            parent_col, leaf_pair, cont = engine.map_chunks_n(
+                partial(_mm_claim, enc=enc), 3, trip, act, parent_col,
+                mate_row, with_bounds=True,
+            )
+            pending = engine.scatter_reduce_refs(
+                list(zip(
+                    engine.map_chunks(_trip0, leaf_pair),
+                    engine.map_chunks(_trip1, leaf_pair),
+                )),
+                "min_plus",
+            )
+            leaf, active, _found = engine.map_chunks_n(
+                _mm_leaf_merge, 3, pending, leaf, active
+            )
+            act2 = engine.gather_refs(active, engine.map_chunks(_trip0, cont))
+            cont_pairs = engine.map_chunks(_mm_cont_filter, cont, act2)
+            routed = engine.scatter_reduce_refs(
+                list(zip(
+                    engine.map_chunks(_trip0, cont_pairs),
+                    engine.map_chunks(_trip1, cont_pairs),
+                )),
+                "min_plus",
+            )
+            frontier = engine.map_chunks(_dense_to_pair, routed)
+            fsize = sum(engine.chunk_scalars(_pair_len, frontier))
+        if sum(engine.chunk_scalars(_count_nonneg, leaf)) == 0:
+            break
+        cur = engine.map_chunks(_mm_aug_init, leaf)
+        while sum(engine.chunk_scalars(_arr_len, cur)):
+            cols = engine.gather_refs(parent_col, cur)
+            prev = engine.gather_refs(mate_col, cols)
+            scat_mr = engine.scatter_reduce_refs(
+                list(zip(cur, engine.map_chunks(_to_f8, cols))), "min_plus"
+            )
+            mate_row = engine.map_chunks(_mm_merge_assign, scat_mr, mate_row)
+            scat_mc = engine.scatter_reduce_refs(
+                list(zip(cols, engine.map_chunks(_to_f8, cur))), "min_plus"
+            )
+            mate_col = engine.map_chunks(_mm_merge_assign, scat_mc, mate_col)
+            cur = engine.map_chunks(_mm_next_cur, prev)
+    return (engine.unchunk(mate_col).astype(np.int64),
+            engine.unchunk(mate_row).astype(np.int64))
+
+
 def maximum_matching(engine: SpmvEngine, max_phases: int = 10_000):
     """Maximum-cardinality bipartite matching by multi-source BFS +
     vertex-disjoint augmenting paths — `maximumMatching`
@@ -702,8 +874,15 @@ def maximum_matching(engine: SpmvEngine, max_phases: int = 10_000):
     until no augmenting path exists — a maximum matching (Berge).
 
     Returns (mate_col, mate_row): for the src side and dst side
-    respectively, -1 where unmatched."""
+    respectively, -1 where unmatched.
+
+    Above ``MM_DENSE_MAX`` vertices the refs-only plan (`_mm_refs`) runs:
+    all per-vertex state chunked in the object store, scatter/gather
+    rounds instead of driver arrays — at n=10^9 the dense driver path
+    would hold 40+ GB of int64 state."""
     n = engine.n
+    if n > MM_DENSE_MAX:
+        return _mm_refs(engine, max_phases)
     mate_col = np.full(n, -1, dtype=np.int64)  # src side -> matched row
     mate_row = np.full(n, -1, dtype=np.int64)  # dst side -> matched col
     enc = np.int64(n)

@@ -368,3 +368,23 @@ def test_md_ordering_refs_path_matches_brute(ray_session, monkeypatch):
     got = alg.md_ordering(ctx.engine("sym", g=2))
     ref = alg.brute_md_ordering(U)
     assert got.tolist() == ref.tolist()
+
+
+def test_maximum_matching_refs_path_is_maximum(ctx500, monkeypatch):
+    """Force the refs-only plan (chunked mate/parent/leaf state, the
+    at-scale layout) and assert validity + exact maximum size."""
+    import numpy as np
+
+    from combblas_ray.pipelines import algorithms as alg
+
+    monkeypatch.setattr(alg, "MM_DENSE_MAX", 0)
+    edges = [(r["src"], r["dst"]) for r in ctx500.edges.take_all()]
+    eng = ctx500.engine("directed", g=2)
+    mate_col, mate_row = alg.maximum_matching(eng)
+    eset = set(edges)
+    for c in range(ctx500.n):
+        if mate_col[c] >= 0:
+            assert mate_row[mate_col[c]] == c
+            assert (c, int(mate_col[c])) in eset
+    size = int((mate_col >= 0).sum())
+    assert size == alg.brute_max_matching_size(edges, ctx500.n)
