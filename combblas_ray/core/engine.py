@@ -596,7 +596,9 @@ class CsrPoolActor:
             cols = b.cols[keep].astype(np.int64)
             w = b.w[keep].astype(np.float64)
             vals = w - price[b.bc][cols]
-            order = np.lexsort((-vals, rows))
+            # col id as the last tie-break key => partials (and hence the
+            # whole auction trace) are independent of block/actor order
+            order = np.lexsort((cols, -vals, rows))
             rows, cols, vals = rows[order], cols[order], vals[order]
             ur, starts = np.unique(rows, return_index=True)
             ends = np.append(starts[1:], len(rows))

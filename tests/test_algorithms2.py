@@ -388,3 +388,18 @@ def test_maximum_matching_refs_path_is_maximum(ctx500, monkeypatch):
             assert (c, int(mate_col[c])) in eset
     size = int((mate_col >= 0).sum())
     assert size == alg.brute_max_matching_size(edges, ctx500.n)
+
+
+def test_auction_refs_path_matches_dense(ctx500, monkeypatch):
+    """Force the refs-only plan (chunked price/mate/active state, the
+    at-scale layout); with order-independent tie-breaks it must be
+    trace-identical to the dense driver path."""
+    from combblas_ray.pipelines import auction as auc
+
+    eng = ctx500.engine("sssp", g=2)
+    p2o_d, price_d, info_d = auc.auction_matching(eng, eps=1e-3)
+    monkeypatch.setattr(auc, "AUC_DENSE_MAX", 0)
+    p2o_r, price_r, info_r = auc.auction_matching(eng, eps=1e-3)
+    assert np.array_equal(p2o_d, p2o_r)
+    assert np.allclose(price_d, price_r)
+    assert info_d == info_r
