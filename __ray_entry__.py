@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "auction_matching": q.q_auction_matching,
         "betweenness": q.q_betweenness,
         "mcl": q.q_mcl,
+        "mcl_incremental": q.q_mcl_incremental,
         "max_matching": q.q_max_matching,
         "md_ordering": q.q_md_ordering,
     }

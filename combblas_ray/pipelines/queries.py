@@ -788,6 +788,62 @@ def q_mcl(sf_dir: str):
     )
 
 
+def q_mcl_incremental(sf_dir: str):
+    """Incremental MCL (`Applications/Incremental/` family): cluster the
+    MCL subgraph WITHOUT edges incident to its last MCL_INC_D ids, then
+    feed those edges as the delta through ``mcl_incremental`` — only the
+    perturbed region re-clusters. Rows-only (iterative); equality with a
+    full re-run is asserted in pytest on a boundary-clean fixture.
+    Bounded to MCL_SUB/2 ids (the query runs a full MCL as its baseline
+    plus the incremental pass — twice the q_mcl work per vertex)."""
+    import ray
+
+    from .mcl import mcl, mcl_incremental
+
+    ctx = get_context(sf_dir)
+    sub = min(MCL_SUB // 2, ctx.n)
+    sel_ids = np.nonzero(ctx.arith < sub)[0]
+    sel_ref = ray.put(sel_ids)
+    m = len(sel_ids)
+    cut = m - min(10, m // 2)  # delta = edges touching the last ids
+
+    def _split(which):
+        def _f(batch: pa.Table, *, _ref=sel_ref) -> pa.Table:
+            sel = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+            src = np.asarray(batch.column("src"))
+            dst = np.asarray(batch.column("dst"))
+            si = np.minimum(np.searchsorted(sel, src), len(sel) - 1)
+            sj = np.minimum(np.searchsorted(sel, dst), len(sel) - 1)
+            keep = (sel[si] == src) & (sel[sj] == dst)
+            delta = (si >= cut) | (sj >= cut)  # symmetric split
+            keep &= delta if which == "delta" else ~delta
+            return pa.table(
+                {
+                    "src": pa.array(si[keep].astype(np.int64)),
+                    "dst": pa.array(sj[keep].astype(np.int64)),
+                    "w": pc.filter(batch.column("w"), pa.array(keep)),
+                }
+            )
+        return _f
+
+    edges = ctx.graph("sym").edges
+    prev = edges.map_batches(_split("prev"), batch_format="pyarrow",
+                             zero_copy_batch=True)
+    delta = edges.map_batches(_split("delta"), batch_format="pyarrow",
+                              zero_copy_batch=True)
+    prev_clusters, _ = mcl(prev, m, max_iters=8)
+    clusters, info = mcl_incremental(prev, prev_clusters, delta, m,
+                                     max_iters=8)
+    assert info["affected"] > 0, info
+    labels = np.asarray(ctx.labels)[sel_ids]
+    return pa.table(
+        {
+            "label": pa.array(labels, type=pa.string()),
+            "cluster": pa.array(labels[clusters], type=pa.string()),
+        }
+    )
+
+
 def q_ewise_apply_outer(sf_dir: str):
     """Full-outer EWiseApply of A and A^T: val = 2*wA + wB with 0 nulls —
     `EWiseApply` null-policy join (ParFriends.h:2649)."""
