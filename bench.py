@@ -116,8 +116,22 @@ def run_headline() -> None:
     imb_after = float(bc["c1"].max() / bc["c1"].mean())
     timings["randperm_relabel"] = time.perf_counter() - t0
 
+    # Ray Data execution stats for the build pipeline (per-stage wall
+    # time / block sizes) — the iterate-on-ds.stats() feedback loop,
+    # persisted for offline inspection without bloating the JSON line
+    stats_file = os.path.join(
+        os.environ.get("CBRAY_CKPT_ROOT", "/tmp/cbray"), "bench_stats.txt"
+    )
+    try:
+        os.makedirs(os.path.dirname(stats_file), exist_ok=True)
+        with open(stats_file, "w") as fh:
+            fh.write(ctx.edges.stats())
+    except Exception as exc:  # stats are diagnostic only
+        stats_file = f"unavailable: {exc}"
+
     total = sum(timings.values())
     out = {
+        "build_stats_file": stats_file,
         "metric": "headline_pipeline_total",
         "value": round(total, 3),
         "unit": "sec",
