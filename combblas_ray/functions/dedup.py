@@ -27,6 +27,7 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..core.shuffle import keyed_reduce
 from .text import shingle_sets, tokens_list
@@ -199,25 +200,53 @@ def _verify_pairs(cand_ds, sh_tbl, tau: float,
     j = j.join(sb, "inner", np_, on=("b",))
 
     def _jac(batch: pa.Table) -> pa.Table:
-        a = batch.column("a").to_pylist()
-        b = batch.column("b").to_pylist()
-        sha = batch.column("sh_a").to_pylist()
-        shb = batch.column("sh_b").to_pylist()
-        rows = []
-        for ai, bi, la, lb in zip(a, b, sha, shb):
-            s1 = set(la.split(_SEP)) if la else set()
-            s2 = set(lb.split(_SEP)) if lb else set()
-            inter = len(s1 & s2)
-            if not inter:
-                continue
-            jac = inter / (len(s1) + len(s2) - inter)
-            if jac >= tau:
-                rows.append((ai, bi, round(jac, 6)))
+        """Vectorized per-pair set intersection: dictionary-encode every
+        shingle token once per batch, key tokens as pair*K + code, and
+        count per-pair duplicates across the two sides with bincount —
+        no Python loop over pairs."""
+        empty = pa.table(
+            {
+                "a": pa.array([], type=pa.int64()),
+                "b": pa.array([], type=pa.int64()),
+                "jac": pa.array([], type=pa.float64()),
+            }
+        )
+        npairs = batch.num_rows
+        if npairs == 0:
+            return empty
+        sh_a = pc.split_pattern(batch.column("sh_a"), _SEP).combine_chunks()
+        sh_b = pc.split_pattern(batch.column("sh_b"), _SEP).combine_chunks()
+        flat_a = pc.list_flatten(sh_a)
+        flat_b = pc.list_flatten(sh_b)
+        comb = pa.concat_arrays([flat_a, flat_b])
+        enc = comb.dictionary_encode()
+        K = np.int64(len(enc.dictionary))
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # "" packs an empty shingle set -> split yields one "" token
+        nonempty = np.asarray(pc.not_equal(comb, "")) if len(comb) else (
+            np.zeros(0, dtype=bool))
+        pia = pc.list_parent_indices(sh_a).to_numpy().astype(np.int64)
+        pib = pc.list_parent_indices(sh_b).to_numpy().astype(np.int64)
+        na = len(flat_a)
+        keys_a = np.unique(
+            (pia * K + codes[:na])[nonempty[:na]])  # dedupe within doc
+        keys_b = np.unique((pib * K + codes[na:])[nonempty[na:]])
+        len_a = np.bincount(keys_a // K, minlength=npairs)
+        len_b = np.bincount(keys_b // K, minlength=npairs)
+        keys = np.sort(np.concatenate([keys_a, keys_b]))
+        dup = keys[:-1][keys[1:] == keys[:-1]] if len(keys) else keys
+        inter = np.bincount(dup // K, minlength=npairs)
+        union = len_a + len_b - inter
+        jac = inter / np.maximum(union, 1)
+        keep = (inter > 0) & (jac >= tau)  # threshold BEFORE rounding
+        jac = np.round(jac, 6)
+        if not keep.any():
+            return empty
         return pa.table(
             {
-                "a": pa.array([r[0] for r in rows], type=pa.int64()),
-                "b": pa.array([r[1] for r in rows], type=pa.int64()),
-                "jac": pa.array([r[2] for r in rows], type=pa.float64()),
+                "a": pc.filter(batch.column("a"), pa.array(keep)),
+                "b": pc.filter(batch.column("b"), pa.array(keep)),
+                "jac": pa.array(jac[keep], type=pa.float64()),
             }
         )
 
