@@ -403,3 +403,17 @@ def test_auction_refs_path_matches_dense(ctx500, monkeypatch):
     assert np.array_equal(p2o_d, p2o_r)
     assert np.allclose(price_d, price_r)
     assert info_d == info_r
+
+
+def test_auction_refs_path_matches_dense_g3(ctx500, monkeypatch):
+    """Uneven chunking (500 / 3) exercises the bounds arithmetic in the
+    routed bid slices and the winner/evict apply."""
+    from combblas_ray.pipelines import auction as auc
+
+    eng = ctx500.engine("sssp", g=3)
+    p2o_d, price_d, info_d = auc.auction_matching(eng, eps=1e-3)
+    monkeypatch.setattr(auc, "AUC_DENSE_MAX", 0)
+    p2o_r, price_r, info_r = auc.auction_matching(eng, eps=1e-3)
+    assert np.array_equal(p2o_d, p2o_r)
+    assert np.allclose(price_d, price_r)
+    assert info_d == info_r
