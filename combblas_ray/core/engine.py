@@ -794,6 +794,55 @@ def _spmspv_merge(sr_name: str, br: int, *worker_results):
 
 
 @ray.remote(num_cpus=0)
+def _spmspv_merge_apply(sr_name: str, br: int, fn, n_state: int,
+                        bounds_i, *args):
+    """Fused SpMSpV merge + per-chunk step kernel: merges this row
+    chunk's sparse partials (as `_spmspv_merge`) and immediately applies
+    ``fn(*state_chunks, (idx, vals), bounds_i)`` — one task round per
+    iteration instead of merge + apply (the per-level task-round count
+    is the latency floor of every frontier loop)."""
+    state, worker_results = args[:n_state], args[n_state:]
+    sr = get_semiring(sr_name)
+    gids, gvals = [], []
+    for triples in worker_results:
+        for b, rows, pv in triples:
+            if b == br:
+                gids.append(rows.astype(np.int64))
+                gvals.append(pv)
+    if not gids:
+        pair = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+    else:
+        gi = np.concatenate(gids)
+        gv = np.concatenate(gvals)
+        ui, inv = np.unique(gi, return_inverse=True)
+        if sr.is_plus:
+            merged = np.bincount(inv, weights=gv)
+        else:
+            merged = np.full(len(ui), sr.identity, dtype=np.float64)
+            sr.add_ufunc.at(merged, inv, gv)
+        pair = (ui, merged)
+    return fn(*state, pair, bounds_i)
+
+
+@ray.remote(num_cpus=0)
+def _spmv_combine_apply(sr_name: str, fn, n_state: int, bounds_i, *args):
+    """Fused dense-SpMV combine + per-chunk step kernel: merges this row
+    chunk's dense partials (as `_combine`) and applies
+    ``fn(*state_chunks, y, bounds_i)``."""
+    state, parts = args[:n_state], args[n_state:]
+    sr = get_semiring(sr_name)
+    nrows = bounds_i[1] - bounds_i[0]
+    out = sr.empty(nrows)
+    for p in parts:
+        if len(p) < nrows:
+            q = sr.empty(nrows)
+            q[: len(p)] = p
+            p = q
+        out = sr.combine(out, p)
+    return fn(*state, out, bounds_i)
+
+
+@ray.remote(num_cpus=0)
 def _scatter_route(idx: np.ndarray, vals: np.ndarray, bounds: list):
     """Split (global idx, vals) pairs by owner chunk (num_returns=g)."""
     out = []
@@ -1065,6 +1114,49 @@ class SpmvEngine:
             _spmspv_merge.remote(sr.name, br, *results)
             for br in range(self.g)
         ]
+
+    def spmspv_apply_refs(self, frontier_refs: list, sr: Semiring | str,
+                          fn, nout: int, *state_refs_lists) -> list:
+        """Fused refs-only SpMSpV + step: per row chunk, ONE task merges
+        the sparse partials and runs ``fn(*state_chunks, (idx, vals),
+        bounds_i)`` (an nout-tuple kernel, `map_chunks_n` convention).
+        Saves a task round per iteration vs spmspv_refs + map_chunks_n."""
+        sr = get_semiring(sr)
+        results = [
+            a.spmspv_partial_pairs.remote(
+                sr.name, *[frontier_refs[bc] for bc in bcs]
+            )
+            for a, bcs in zip(self.actors, self.actor_bcs)
+        ]
+        outs: list[list] = [[] for _ in range(nout)]
+        for br in range(self.g):
+            r = _spmspv_merge_apply.options(num_returns=nout).remote(
+                sr.name, br, fn, len(state_refs_lists), self.bounds[br],
+                *[refs[br] for refs in state_refs_lists], *results
+            )
+            if nout == 1:
+                r = [r]
+            for j in range(nout):
+                outs[j].append(r[j])
+        return outs
+
+    def spmv_apply_refs(self, x_refs: list, sr: Semiring | str,
+                        fn, nout: int, *state_refs_lists) -> list:
+        """Fused dense SpMV + step: per row chunk, ONE task combines the
+        dense partials and runs ``fn(*state_chunks, y, bounds_i)``."""
+        sr = get_semiring(sr)
+        partials = self.spmv_partial_refs(x_refs, sr)
+        outs: list[list] = [[] for _ in range(nout)]
+        for br in range(self.g):
+            r = _spmv_combine_apply.options(num_returns=nout).remote(
+                sr.name, fn, len(state_refs_lists), self.bounds[br],
+                *[refs[br] for refs in state_refs_lists], *partials[br]
+            )
+            if nout == 1:
+                r = [r]
+            for j in range(nout):
+                outs[j].append(r[j])
+        return outs
 
     def gather_refs(self, value_refs: list, idx_refs: list) -> list:
         """Distributed bulk gather out[i] = values[idx[i]] over chunked

@@ -272,6 +272,12 @@ def _bfs_step(parents, dist, pair, bounds, level):
     return parents, dist, (fi, (fi + bounds[0]).astype(np.float64)), len(fi)
 
 
+def _bfs_step_dense(parents, dist, y, bounds, level):
+    """Dense-branch step: convert the combined SpMV result to a sparse
+    pair, then the shared `_bfs_step` (fused into the combine task)."""
+    return _bfs_step(parents, dist, _dense_to_pair(y), bounds, level)
+
+
 def _neg_ones(bounds):
     s, e = bounds
     return np.full(e - s, -1, dtype=np.int64)
@@ -300,19 +306,20 @@ def bfs_parents(engine: SpmvEngine, root: int, max_iters: int = 10_000):
     while fsize and level < max_iters:
         level += 1
         if fsize * 50 < n:
-            # top-down: sparse frontier SpMSpV
-            cand = engine.spmspv_refs(frontier, "select2nd_min")
+            # top-down: sparse frontier SpMSpV, merge+step in ONE fused
+            # task round (2 rounds/level total — the latency floor)
+            parents, dist, frontier, sizes = engine.spmspv_apply_refs(
+                frontier, "select2nd_min", partial(_bfs_step, level=level),
+                4, parents, dist,
+            )
         else:
             # bottom-up analog (`DirOptBFS.cpp` switch): dense SpMV over
             # the frontier indicator; x = frontier vertex ids
             x = engine.map_chunks_i(_bfs_dense_x, frontier)
-            cand = engine.map_chunks(
-                _dense_to_pair, engine.spmv_refs(x, "select2nd_min")
+            parents, dist, frontier, sizes = engine.spmv_apply_refs(
+                x, "select2nd_min", partial(_bfs_step_dense, level=level),
+                4, parents, dist,
             )
-        parents, dist, frontier, sizes = engine.map_chunks_n(
-            partial(_bfs_step, level=level), 4, parents, dist, cand,
-            with_bounds=True,
-        )
         fsize = sum(ray.get(sizes))
     return engine.unchunk(parents), engine.unchunk(dist)
 
@@ -332,6 +339,10 @@ def _bfsd_dense_step(d, nd):
     return nd, (newly, nd[newly]), len(newly)
 
 
+def _bfsd_dense_step_b(d, nd, bounds):
+    return _bfsd_dense_step(d, nd)
+
+
 def bfs_distances_auto(engine: SpmvEngine, root: int) -> np.ndarray:
     """BFS distances with the sparse/dense plan switch: when the frontier
     is below n/50 use SpMSpV, else dense min-plus SpMV — the reference's
@@ -346,15 +357,16 @@ def bfs_distances_auto(engine: SpmvEngine, root: int) -> np.ndarray:
     while fsize:
         level += 1
         if fsize * 50 < n:
-            # SpMSpV: val = w + x = 1 + (level-1) = level for structural w=1
-            cand = engine.spmspv_refs(frontier, "min_plus")
-            d, frontier, sizes = engine.map_chunks_n(
-                partial(_bfsd_sparse_step, level=level), 3, d, cand,
-                with_bounds=True,
+            # SpMSpV: val = w + x = 1 + (level-1) = level for structural
+            # w=1; merge + relax fused into one task round
+            d, frontier, sizes = engine.spmspv_apply_refs(
+                frontier, "min_plus",
+                partial(_bfsd_sparse_step, level=level), 3, d,
             )
         else:
-            nd = engine.spmv_refs(d, "min_plus")
-            d, frontier, sizes = engine.map_chunks_n(_bfsd_dense_step, 3, d, nd)
+            d, frontier, sizes = engine.spmv_apply_refs(
+                d, "min_plus", _bfsd_dense_step_b, 3, d
+            )
         fsize = sum(ray.get(sizes))
     return engine.unchunk(d)
 
