@@ -307,10 +307,15 @@ class Graph:
     def out_weight_sums(self) -> np.ndarray:
         """Dense out-weight vector (driver-side, length n) — the
         `MakeColStochastic` input (``MCL.cpp:388-394``)."""
-        rows = self.reduce("row", "sum").take_all()
+        import ray
+
         out = np.zeros(self.n, dtype=np.float64)
-        for r in rows:
-            out[int(r["v"])] = r["val"]
+        for t in ray.get(self.reduce("row", "sum").to_arrow_refs()):
+            if t.num_rows == 0 or "v" not in t.column_names:
+                continue  # empty shuffle partitions may carry an empty schema
+            out[np.asarray(t.column("v"), dtype=np.int64)] = np.asarray(
+                t.column("val"), dtype=np.float64
+            )
         return out
 
     # ---- generalized indexing (`SubsRef` / `SpAsgn`) ----

@@ -715,6 +715,11 @@ def _mm_cand_filter(cand, parent_col, *, enc):
     return ri, rt, (rv % enc).astype(np.int64)
 
 
+def _mm_cand_filter_f(parent_col, pair, bounds, *, enc):
+    """spmspv_apply_refs adapter: fused merge + candidate filter."""
+    return _mm_cand_filter(pair, parent_col, enc=enc)
+
+
 def _trip0(t):
     return t[0]
 
@@ -819,10 +824,10 @@ def _mm_refs(engine: SpmvEngine, max_phases: int):
                                    mate_col)
         fsize = 1
         while fsize:
-            cand = engine.spmspv_refs(frontier, "select2nd_min")
-            trip = engine.map_chunks(
-                partial(_mm_cand_filter, enc=enc), cand, parent_col
-            )
+            trip = engine.spmspv_apply_refs(
+                frontier, "select2nd_min",
+                partial(_mm_cand_filter_f, enc=enc), 1, parent_col,
+            )[0]
             act = engine.gather_refs(active, engine.map_chunks(_trip1, trip))
             parent_col, leaf_pair, cont = engine.map_chunks_n(
                 partial(_mm_claim, enc=enc), 3, trip, act, parent_col,
