@@ -48,6 +48,12 @@ def _min2(a, b):
     return np.minimum(a, b)
 
 
+def _min2_b(a, y, bounds):
+    """spmv_apply_refs adapter: fuse the partial combine with the
+    elementwise min against prior state (one task round, not two)."""
+    return np.minimum(a, y)
+
+
 def _as_int(a):
     return a.astype(np.int64)
 
@@ -106,8 +112,7 @@ def cc_fixed(engine: SpmvEngine, iters: int) -> np.ndarray:
     stay chunked in the object store across rounds."""
     l = engine.map_chunks_i(_iota)
     for _ in range(iters):
-        nl = engine.spmv_refs(l, "select2nd_min")
-        l = engine.map_chunks(_min2, l, nl)
+        l = engine.spmv_apply_refs(l, "select2nd_min", _min2_b, 1, l)[0]
     return engine.unchunk(l).astype(np.int64)
 
 
@@ -136,8 +141,7 @@ def connected_components(
     for k in range(start + 1, max_iters + 1):
         import ray
 
-        nl = engine.spmv_refs(l, "select2nd_min")
-        l2 = engine.map_chunks(_min2, l, nl)
+        l2 = engine.spmv_apply_refs(l, "select2nd_min", _min2_b, 1, l)[0]
         # Shortcut: parent = parent(parent) until stable (CC.h:1321-1341)
         if engine.n <= _CC_JUMP_LOCAL_MAX_N:
             r = _rt(_jump_to_stable).options(num_returns=engine.g).remote(
@@ -187,7 +191,7 @@ def min_plus_distances(
     d = engine.map_chunks_i(partial(_root_init, root=root))
     total = iters if iters is not None else max_iters
     for _ in range(total):
-        nd = engine.map_chunks(_min2, d, engine.spmv_refs(d, "min_plus"))
+        nd = engine.spmv_apply_refs(d, "min_plus", _min2_b, 1, d)[0]
         if iters is None and sum(engine.chunk_scalars(_neq_inf_count, nd, d)) == 0:
             return engine.unchunk(nd)
         d = nd
@@ -206,8 +210,8 @@ def fastsv(engine: SpmvEngine, max_iters: int = 200) -> tuple[np.ndarray, int]:
     f = engine.map_chunks_i(_iota)  # parent
     gp = f  # grandparent
     for it in range(1, max_iters + 1):
-        mngp = engine.spmv_refs(gp, "select2nd_min")  # min nbr grandparent
-        mngp = engine.map_chunks(_min2, mngp, gp)
+        # min nbr grandparent, fused with min against own grandparent
+        mngp = engine.spmv_apply_refs(gp, "select2nd_min", _min2_b, 1, gp)[0]
         # stochastic hooking: scatter-min onto parents' slots
         f_idx = engine.map_chunks(_as_int, f)
         hook = engine.scatter_reduce_refs(
@@ -400,6 +404,15 @@ def _mis_deact(active, winners, nb_win):
     return active & ~(winners | (nb_win > 0))
 
 
+def _mis_winners_f(active, prio, nb_min, bounds):
+    """Fused combine+winners (spmv_apply_refs adapter)."""
+    return _mis_winners(active, prio, nb_min)
+
+
+def _mis_deact_f(active, winners, nb_win, bounds):
+    return _mis_deact(active, winners, nb_win)
+
+
 def luby_mis(engine: SpmvEngine, seed: int = 5) -> np.ndarray:
     """Luby's maximal independent set over the symmetrized engine
     (`FilteredMIS.cpp` workload family): deterministic per-vertex
@@ -412,19 +425,22 @@ def luby_mis(engine: SpmvEngine, seed: int = 5) -> np.ndarray:
     active = engine.map_chunks_i(lambda b: np.ones(b[1] - b[0], dtype=bool))
     in_mis = engine.map_chunks_i(lambda b: np.zeros(b[1] - b[0], dtype=bool))
     while sum(engine.chunk_scalars(_count_true, active)):
-        # min active-neighbor priority via SpMV over select2nd_min
+        # min active-neighbor priority via SpMV over select2nd_min;
+        # partial combine + winner test fused into one task round
         x = engine.map_chunks(_mis_x, active, prio)
-        nb_min = engine.spmv_refs(x, "select2nd_min")
-        winners = engine.map_chunks(_mis_winners, active, prio, nb_min)
+        winners = engine.spmv_apply_refs(
+            x, "select2nd_min", _mis_winners_f, 1, active, prio
+        )[0]
         if sum(engine.chunk_scalars(_count_true, winners)) == 0:
             # isolated actives (no neighbors): nb_min = inf -> winners;
             # only reachable if priorities tie, which permutation prevents
             break
         in_mis = engine.map_chunks(_or2, in_mis, winners)
-        # deactivate winners and their neighbors
+        # deactivate winners and their neighbors (combine+deact fused)
         win_ind = engine.map_chunks(_bool_to_f, winners)
-        nb_win = engine.spmv_refs(win_ind, "plus_times")
-        active = engine.map_chunks(_mis_deact, active, winners, nb_win)
+        active = engine.spmv_apply_refs(
+            win_ind, "plus_times", _mis_deact_f, 1, active, winners
+        )[0]
     return engine.unchunk(in_mis)
 
 
@@ -455,7 +471,7 @@ def rcm_ordering(engine: SpmvEngine) -> np.ndarray:
     d_full[roots] = 0.0
     d = engine.chunk(d_full)
     while True:
-        nd = engine.map_chunks(_min2, d, engine.spmv_refs(d, "min_plus"))
+        nd = engine.spmv_apply_refs(d, "min_plus", _min2_b, 1, d)[0]
         if sum(engine.chunk_scalars(_neq_inf_count, nd, d)) == 0:
             break
         d = nd
