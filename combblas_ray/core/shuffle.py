@@ -177,3 +177,61 @@ def dedup_sum_tasks(edges_ds, n: int, num_partitions: int | None = None):
         for i in range(g)
     ]
     return ray.data.from_arrow_refs(merged)
+
+
+def _ga_route(tbl, g: int, key: str):
+    """Route whole edge rows by key hash (num_returns=g)."""
+    import pyarrow as pa
+
+    if tbl.num_rows == 0 or key not in tbl.column_names:
+        e = pa.table({
+            "src": pa.array([], type=pa.int64()),
+            "dst": pa.array([], type=pa.int64()),
+            "w": pa.array([], type=pa.float64()),
+        })
+        return e if g == 1 else tuple([e] * g)
+    k = np.asarray(tbl.column(key)).astype(np.uint64)
+    p = ((k * _FIB64) >> np.uint64(33)).astype(np.int64) % g
+    order = np.argsort(p, kind="stable")
+    t2 = tbl.take(pa.array(order))
+    counts = np.bincount(p, minlength=g)
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    out = [t2.slice(int(offs[i]), int(counts[i])) for i in range(g)]
+    return out[0] if g == 1 else tuple(out)
+
+
+def _ga_merge(fn, *parts):
+    import pyarrow as pa
+
+    ts = [t for t in parts if t.num_rows]
+    if not ts:
+        return parts[0]
+    return fn(pa.concat_tables(ts).combine_chunks())
+
+
+def edge_group_apply_tasks(edges_ds, key: str, np_apply,
+                           num_partitions: int | None = None):
+    """Warm raw-task analog of ``keyed_reduce`` for (src, dst, w) edge
+    tables: route rows by ``key`` hash via num_cpus=0 tasks
+    (num_returns=g), then one whole-partition ``np_apply`` per
+    partition. Avoids the Ray Data hash-shuffle operator's ~2 s
+    actor-pool spawn per use on one-shot steps (same discipline as
+    `dedup_sum_tasks`); all of a key's rows co-locate, so keyed
+    normalizations stay partition-local."""
+    import ray
+
+    g = num_partitions or default_shuffle_blocks()
+    blocks = edges_ds.to_arrow_refs()
+    routed = [
+        _rt0(_ga_route).options(num_returns=g).remote(b, g, key)
+        for b in blocks
+    ]
+    routed = [[r] if g == 1 else list(r) for r in routed]
+    return ray.data.from_arrow_refs(
+        [
+            _rt0(_ga_merge).remote(
+                np_apply, *[routed[j][i] for j in range(len(routed))]
+            )
+            for i in range(g)
+        ]
+    )

@@ -24,7 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..core.shuffle import keyed_reduce
+from ..core.shuffle import edge_group_apply_tasks
 
 
 def _col_normalize(edges_ds, n: int):
@@ -53,7 +53,7 @@ def _col_normalize(edges_ds, n: int):
             }
         )
 
-    return keyed_reduce(edges_ds, ["src"], _norm)
+    return edge_group_apply_tasks(edges_ds, "src", _norm)
 
 
 def mcl(
@@ -253,14 +253,56 @@ def mcl_incremental(
     return out, info
 
 
+def _cc_one_task(n: int, *tbls) -> np.ndarray:
+    """Whole-graph min-label CC in ONE warm task (small-n interpret fast
+    path): minimum.at over both edge directions + pointer jumping to a
+    fixpoint. Labels = min member dense id — identical to the engine CC."""
+    ss, dd = [], []
+    for t in tbls:
+        if t.num_rows == 0 or "src" not in t.column_names:
+            continue
+        ss.append(np.asarray(t.column("src"), dtype=np.int64))
+        dd.append(np.asarray(t.column("dst"), dtype=np.int64))
+    lab = np.arange(n, dtype=np.int64)
+    if not ss:
+        return lab
+    src = np.concatenate(ss)
+    dst = np.concatenate(dd)
+    while True:
+        l2 = lab.copy()
+        np.minimum.at(l2, dst, lab[src])
+        np.minimum.at(l2, src, lab[dst])
+        while True:
+            l3 = l2[l2]
+            if np.array_equal(l3, l2):
+                break
+            l2 = l3
+        if np.array_equal(l2, lab):
+            return lab
+        lab = l2
+
+
+_INTERPRET_LOCAL_MAX_N = 1 << 17  # <= 6.5M pruned entries in one task
+
+
 def _interpret_cc(edges_ds, n: int) -> np.ndarray:
     """``Interpret``: clusters = connected components of the converged
     matrix structure (MCL.cpp:371-385), run on the distributed CC engine
     (min-label propagation + pointer jumping over a structural block
     grid) — no driver-side edge loop, labels = min member dense id (the
-    same canonical labels the old union-find produced)."""
+    same canonical labels the old union-find produced). Below
+    ``_INTERPRET_LOCAL_MAX_N`` the converged matrix (<= select*n entries)
+    fits one warm task — skip the engine build entirely."""
     if n == 0:
         return np.zeros(0, dtype=np.int64)
+    if n <= _INTERPRET_LOCAL_MAX_N:
+        import ray
+
+        from ..core.shuffle import _rt0
+
+        return ray.get(
+            _rt0(_cc_one_task).remote(n, *edges_ds.to_arrow_refs())
+        )
     import shutil
     import tempfile
 
