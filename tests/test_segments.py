@@ -132,3 +132,45 @@ def test_bool_or_and_semiring_is_reachability():
     y = sr.reduce_unordered(contrib, dst, 4)
     y = np.where(np.isfinite(y), y, 0.0)
     assert y.tolist() == [0.0, 1.0, 1.0, 0.0]
+
+
+def test_edge_group_apply_tasks_matches_keyed_reduce(ray_session):
+    """The warm raw-task keyed apply must equal the Ray-Data hash-shuffle
+    keyed_reduce on a keyed normalization (MCL's _col_normalize shape)."""
+    import pyarrow as pa
+
+    import ray
+
+    from combblas_ray.core.shuffle import edge_group_apply_tasks, keyed_reduce
+
+    rng = np.random.RandomState(3)
+    m = 5000
+    src = rng.randint(0, 400, m).astype(np.int64)
+    dst = rng.randint(0, 400, m).astype(np.int64)
+    w = rng.rand(m)
+    ds = ray.data.from_arrow(
+        pa.table({"src": pa.array(src), "dst": pa.array(dst),
+                  "w": pa.array(w)})
+    ).repartition(8)
+
+    def _norm(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch.column("src"))
+        if len(s) == 0:
+            return batch
+        v = np.asarray(batch.column("w")).astype(np.float64)
+        uk, inv = np.unique(s, return_inverse=True)
+        sums = np.bincount(inv, weights=v)[inv]
+        return pa.table({"src": batch.column("src"),
+                         "dst": batch.column("dst"),
+                         "w": pa.array(v / sums)})
+
+    def _collect(out_ds):
+        rows = sorted(
+            (r["src"], r["dst"], round(r["w"], 12))
+            for r in out_ds.take_all()
+        )
+        return rows
+
+    a = _collect(edge_group_apply_tasks(ds, "src", _norm))
+    b = _collect(keyed_reduce(ds, ["src"], _norm))
+    assert a == b
