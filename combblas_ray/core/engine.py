@@ -843,6 +843,25 @@ def _spmv_combine_apply(sr_name: str, fn, n_state: int, bounds_i, *args):
 
 
 @ray.remote(num_cpus=0)
+def _spmm_combine_apply(sr_name: str, k: int, fn, n_state: int, bounds_i,
+                        *args):
+    """Fused SpMM combine + per-chunk step kernel: merges this row
+    chunk's (k, nrows) partials (as `_combine_mat`) and applies
+    ``fn(*state_chunks, Y, bounds_i)``."""
+    state, parts = args[:n_state], args[n_state:]
+    sr = get_semiring(sr_name)
+    nrows = bounds_i[1] - bounds_i[0]
+    merged = np.full((k, nrows), sr.identity)
+    for p in parts:
+        if p.shape[1] < nrows:
+            q = np.full((k, nrows), sr.identity)
+            q[:, : p.shape[1]] = p
+            p = q
+        merged = sr.combine(merged, p)
+    return fn(*state, merged, bounds_i)
+
+
+@ray.remote(num_cpus=0)
 def _scatter_route(idx: np.ndarray, vals: np.ndarray, bounds: list):
     """Split (global idx, vals) pairs by owner chunk (num_returns=g)."""
     out = []
@@ -1150,6 +1169,34 @@ class SpmvEngine:
         for br in range(self.g):
             r = _spmv_combine_apply.options(num_returns=nout).remote(
                 sr.name, fn, len(state_refs_lists), self.bounds[br],
+                *[refs[br] for refs in state_refs_lists], *partials[br]
+            )
+            if nout == 1:
+                r = [r]
+            for j in range(nout):
+                outs[j].append(r[j])
+        return outs
+
+    def spmm_apply_refs(self, x_refs: list, k: int, sr: Semiring | str,
+                        fn, nout: int, *state_refs_lists) -> list:
+        """Fused batched SpMM + step: per row chunk, ONE task combines
+        the (k, nrows) partials and runs ``fn(*state_chunks, Y,
+        bounds_i)`` (nout-tuple kernel, `map_chunks_n` convention)."""
+        sr = get_semiring(sr)
+        partials: dict[int, list] = {br: [] for br in range(self.g)}
+        for actor, brs, bcs in zip(self.actors, self.actor_brs,
+                                   self.actor_bcs):
+            refs = actor.spmm_partial.options(num_returns=len(brs)).remote(
+                sr.name, *[x_refs[bc] for bc in bcs]
+            )
+            if len(brs) == 1:
+                refs = [refs]
+            for br, ref in zip(brs, refs):
+                partials[br].append(ref)
+        outs: list[list] = [[] for _ in range(nout)]
+        for br in range(self.g):
+            r = _spmm_combine_apply.options(num_returns=nout).remote(
+                sr.name, k, fn, len(state_refs_lists), self.bounds[br],
                 *[refs[br] for refs in state_refs_lists], *partials[br]
             )
             if nout == 1:

@@ -62,6 +62,15 @@ def _bc_backstep(depth, delta, sigma, back, level):
     return delta + np.where(prev_mask, back * sigma, 0.0)
 
 
+def _bc_forward_f(sigma, depth, prop, bounds, level):
+    """spmm_apply_refs adapter: fused combine + forward step."""
+    return _bc_forward(sigma, depth, prop, level)
+
+
+def _bc_backstep_f(depth, delta, sigma, back, bounds, level):
+    return _bc_backstep(depth, delta, sigma, back, level)
+
+
 def _bc_final(delta, bounds, sources):
     """Zero each source's own dependency, reduce the K axis."""
     s, e = bounds
@@ -93,9 +102,9 @@ def betweenness_centrality(
     num_levels = 0
     while True:
         level += 1
-        prop = engine.spmm_refs(fringe, K, "plus_times")
-        sigma, depth, fringe, anynew = engine.map_chunks_n(
-            partial(_bc_forward, level=level), 4, sigma, depth, prop
+        sigma, depth, fringe, anynew = engine.spmm_apply_refs(
+            fringe, K, "plus_times",
+            partial(_bc_forward_f, level=level), 4, sigma, depth,
         )
         if not any(ray.get(anynew)):
             break
@@ -107,10 +116,11 @@ def betweenness_centrality(
         coeff = engine.map_chunks(
             partial(_bc_coeff, level=level), depth, delta, sigma
         )
-        back = engine.spmm_refs(coeff, K, "plus_times")  # symmetric: A==A^T
-        delta = engine.map_chunks(
-            partial(_bc_backstep, level=level), depth, delta, sigma, back
-        )
+        # symmetric graph: A == A^T; combine + backstep fused
+        delta = engine.spmm_apply_refs(
+            coeff, K, "plus_times",
+            partial(_bc_backstep_f, level=level), 1, depth, delta, sigma,
+        )[0]
     bc_chunks = engine.map_chunks_i(
         partial(_bc_final, sources=sources), delta
     )
