@@ -509,6 +509,13 @@ def _mm_props(match, prio, nb, bounds, n):
     return partners, codes
 
 
+def _mm_props_f(match, prio, nb, bounds, n):
+    """spmv_apply_refs adapter: fused combine + proposals + the active
+    count (loop-control scalar), one task round instead of three."""
+    partners, codes = _mm_props(match, prio, nb, bounds, n)
+    return partners, codes, _mm_active(match, nb)
+
+
 def _mm_accept(match, best, bounds, n):
     """Targets accept their min-code proposer (scatter-min result)."""
     hit = np.isfinite(best) & (match == -1)
@@ -548,15 +555,17 @@ def maximal_matching(engine: SpmvEngine, seed: int = 9) -> np.ndarray:
     rng = np.random.RandomState(seed)
     prio = engine.chunk(rng.permutation(n).astype(np.float64))
     match = engine.map_chunks_i(_neg_ones)
+    import ray
+
     while True:
         # encode (priority, id) as one comparable float: prio*n + id
         x = engine.map_chunks_i(partial(_mm_x, n=n), match, prio)
-        nb = engine.spmv_refs(x, "select2nd_min")  # min unmatched nbr code
-        if sum(engine.chunk_scalars(_mm_active, match, nb)) == 0:
-            break  # no unmatched vertex has an unmatched neighbor: maximal
-        pr_idx, pr_code = engine.map_chunks_n(
-            partial(_mm_props, n=n), 2, match, prio, nb, with_bounds=True
+        # min unmatched nbr code: combine + proposals + active count fused
+        pr_idx, pr_code, act = engine.spmv_apply_refs(
+            x, "select2nd_min", partial(_mm_props_f, n=n), 3, match, prio
         )
+        if sum(ray.get(act)) == 0:
+            break  # no unmatched vertex has an unmatched neighbor: maximal
         # each target accepts its min-code (= min-priority) proposer
         best = engine.scatter_reduce_refs(
             list(zip(pr_idx, pr_code)), "select2nd_min"
