@@ -619,6 +619,11 @@ def _md_ms_step(V, prop, en_chunk):
     return Vn, Fn, bool(Fn.any())
 
 
+def _md_ms_step_f(V, en_chunk, prop, bounds):
+    """spmm_apply_refs adapter: fused combine + multisource-BFS step."""
+    return _md_ms_step(V, prop, en_chunk)
+
+
 def _md_ms_count(V, en_chunk):
     return (V & ~en_chunk[None, :]).sum(axis=1)
 
@@ -675,9 +680,8 @@ def md_ordering(engine: SpmvEngine) -> np.ndarray:
             partial(_md_ms_init, reach=reach), 2, with_bounds=True
         )
         while True:
-            prop = engine.spmm_refs(F, k, "plus_times")
-            V, F, anyf = engine.map_chunks_n(
-                _md_ms_step, 3, V, prop, enodes_refs
+            V, F, anyf = engine.spmm_apply_refs(
+                F, k, "plus_times", _md_ms_step_f, 3, V, enodes_refs
             )
             if not any(ray.get(anyf)):
                 break
