@@ -151,6 +151,81 @@ def run_headline() -> None:
     ray.shutdown()
 
 
+def run_dataops() -> None:
+    """Training-data-ops bench: the dedup/ANN/text family over the
+    sf0.1 documents + embeddings tables (10x the driver's correctness
+    scale) — evidences the LLM-pipeline operators at scale headroom."""
+    import ray
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+
+    from combblas_ray.functions.ann import ann_lsh_topk, embedding_dup_pairs_lsh
+    from combblas_ray.functions.dedup import (
+        exact_dedup, jaccard_pairs, minhash_lsh_pairs,
+    )
+    from combblas_ray.functions.text import token_stats
+
+    import numpy as np
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).materialize()
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet").materialize()
+    ndocs = docs.count()
+    nvec = emb.count()
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    t0 = time.perf_counter()
+    counts["exact_dup_rows"] = exact_dedup(docs).count()
+    timings["exact_dedup"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    counts["jaccard_pairs"] = jaccard_pairs(docs, tau=0.5).count()
+    timings["jaccard_pairs"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    counts["minhash_pairs"] = minhash_lsh_pairs(docs, tau=0.5).count()
+    timings["minhash_lsh"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    counts["token_stat_rows"] = docs.map_batches(
+        token_stats, batch_format="pyarrow", zero_copy_batch=True
+    ).count()
+    timings["token_stats"] = time.perf_counter() - t0
+
+    def _nrows(res) -> int:
+        return res.num_rows if hasattr(res, "num_rows") else res.count()
+
+    t0 = time.perf_counter()
+    counts["ann_topk_rows"] = _nrows(
+        ann_lsh_topk(emb, np.arange(32, dtype=np.int64), k=10)
+    )
+    timings["ann_lsh_topk"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    counts["embed_dup_pairs"] = _nrows(embedding_dup_pairs_lsh(emb, tau=0.4))
+    timings["embed_dups_lsh"] = time.perf_counter() - t0
+
+    total = sum(timings.values())
+    print(json.dumps({
+        "metric": "dataops_pipeline_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_docs": int(ndocs),
+        "n_vectors": int(nvec),
+        "counts": counts,
+    }))
+    ray.shutdown()
+
+
 def run_scaling_child(num_cpus: int) -> None:
     import ray
 
@@ -320,6 +395,7 @@ if __name__ == "__main__":
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scaling-child", action="store_true")
     ap.add_argument("--graph500", action="store_true")
+    ap.add_argument("--dataops", action="store_true")
     ap.add_argument("--scale", type=int, default=20)
     ap.add_argument("--edgefactor", type=int, default=16)
     ap.add_argument("--cpus", type=int, default=8)
@@ -330,5 +406,7 @@ if __name__ == "__main__":
         run_scaling()
     elif args.graph500:
         run_graph500(args.scale, args.edgefactor)
+    elif args.dataops:
+        run_dataops()
     else:
         run_headline()

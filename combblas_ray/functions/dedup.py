@@ -107,22 +107,28 @@ def shingle_table(docs_ds):
     return docs_ds.map_batches(_sh, batch_format="pyarrow")
 
 
-def _exploded_shingles(docs_ds):
-    """One (shingle, doc_id) row per distinct shingle per doc."""
+def _exploded_shingles(docs_ds, with_size: bool = False):
+    """One (shingle, doc_id) row per distinct shingle per doc;
+    ``with_size`` adds the doc's shingle-set size to every row so the
+    count-based verify needs no size join."""
 
     def _ex(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         out_s: list[str] = []
         out_d: list[int] = []
+        out_z: list[int] = []
         for d, ss in zip(ids, shingle_sets(batch)):
             out_s.extend(ss)
             out_d.extend([d] * len(ss))
-        return pa.table(
-            {
-                "shingle": pa.array(out_s, type=pa.string()),
-                "doc_id": pa.array(out_d, type=pa.int64()),
-            }
-        )
+            if with_size:
+                out_z.extend([len(ss)] * len(ss))
+        cols = {
+            "shingle": pa.array(out_s, type=pa.string()),
+            "doc_id": pa.array(out_d, type=pa.int64()),
+        }
+        if with_size:
+            cols["size"] = pa.array(out_z, type=pa.int64())
+        return pa.table(cols)
 
     return docs_ds.map_batches(_ex, batch_format="pyarrow")
 
@@ -253,16 +259,109 @@ def _verify_pairs(cand_ds, sh_tbl, tau: float,
     return j.map_batches(_jac, batch_format="pyarrow")
 
 
+def _postings_pairs_counted(batch: pa.Table,
+                            df_cap: int = DF_CAP) -> pa.Table:
+    """Whole-partition reduce over a hash-partitioned posting list: for
+    each shingle with 2 <= df <= df_cap emit (a, b, size_a, size_b) doc
+    pairs (a < b) WITH multiplicity — the per-(a,b) copy count IS the
+    shingle-intersection size. One sentinel row (a=-1, b=count) records
+    shingles over the cap (forces the string-verify fallback)."""
+    sh = np.asarray(batch.column("shingle")).astype(object)
+    ds = np.asarray(batch.column("doc_id"), dtype=np.int64)
+    sz = np.asarray(batch.column("size"), dtype=np.int64)
+    order = np.lexsort((ds, sh))
+    sh, ds, sz = sh[order], ds[order], sz[order]
+    new = np.ones(len(sh), dtype=bool)
+    if len(sh):
+        new[1:] = sh[1:] != sh[:-1]
+    starts = np.nonzero(new)[0]
+    ends = np.append(starts[1:], len(sh))
+    a_out, b_out, sa_out, sb_out = [], [], [], []
+    capped = 0
+    for s, e in zip(starts, ends):
+        df = e - s
+        if df > df_cap:
+            capped += 1
+            continue
+        if df < 2:
+            continue
+        ids, ui = np.unique(ds[s:e], return_index=True)
+        if len(ids) < 2:
+            continue
+        szs = sz[s:e][ui]
+        ii, jj = np.triu_indices(len(ids), k=1)
+        a_out.append(ids[ii])
+        b_out.append(ids[jj])
+        sa_out.append(szs[ii])
+        sb_out.append(szs[jj])
+    if capped:
+        a_out.append(np.array([-1], dtype=np.int64))
+        b_out.append(np.array([capped], dtype=np.int64))
+        sa_out.append(np.zeros(1, dtype=np.int64))
+        sb_out.append(np.zeros(1, dtype=np.int64))
+    if not a_out:
+        return pa.table({"a": pa.array([], type=pa.int64()),
+                         "b": pa.array([], type=pa.int64()),
+                         "sa": pa.array([], type=pa.int64()),
+                         "sb": pa.array([], type=pa.int64())})
+    return pa.table({"a": pa.array(np.concatenate(a_out)),
+                     "b": pa.array(np.concatenate(b_out)),
+                     "sa": pa.array(np.concatenate(sa_out)),
+                     "sb": pa.array(np.concatenate(sb_out))})
+
+
+def _pair_jac_reduce(tau: float):
+    """Per (a,b)-partition: multiplicity = |intersection|, sizes ride the
+    rows -> exact Jaccard with zero string movement."""
+
+    def _f(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], type=pa.int64()),
+                          "b": pa.array([], type=pa.int64()),
+                          "jac": pa.array([], type=pa.float64())})
+        if batch.num_rows == 0 or "a" not in batch.column_names:
+            return empty
+        a = np.asarray(batch.column("a"), dtype=np.int64)
+        b = np.asarray(batch.column("b"), dtype=np.int64)
+        sa = np.asarray(batch.column("sa"), dtype=np.int64)
+        sb = np.asarray(batch.column("sb"), dtype=np.int64)
+        order = np.lexsort((b, a))
+        a, b, sa, sb = a[order], b[order], sa[order], sb[order]
+        new = np.ones(len(a), dtype=bool)
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.nonzero(new)[0]
+        co = np.diff(np.append(starts, len(a)))
+        a0, b0, sa0, sb0 = a[starts], b[starts], sa[starts], sb[starts]
+        jac = co / (sa0 + sb0 - co)
+        keep = jac >= tau  # threshold BEFORE rounding (oracle parity)
+        if not keep.any():
+            return empty
+        return pa.table({"a": pa.array(a0[keep]), "b": pa.array(b0[keep]),
+                         "jac": pa.array(np.round(jac[keep], 6))})
+
+    return _f
+
+
 def jaccard_pairs(docs_ds, tau: float = 0.5):
     """Exact near-dup pairs (a < b, jaccard >= tau) among docs sharing at
     least one shingle with document frequency <= DF_CAP. Fully
-    distributed: posting-list shuffle -> pair dedup shuffle -> join
-    verify. Returns a Dataset (a, b, jac)."""
-    docs = docs_ds.materialize()  # scanned twice (postings + shingle table)
-    cands = _dedup_pairs(
-        keyed_reduce(_exploded_shingles(docs), ["shingle"], _postings_pairs)
-    )
-    return _verify_pairs(cands, shingle_table(docs), tau)
+    distributed, count-based: posting-list shuffle emits pairs with
+    multiplicity + doc sizes, ONE (a,b) shuffle turns multiplicity into
+    the exact intersection — no shingle strings ever ship per pair.
+    If any shingle exceeds DF_CAP (its shared shingles are dropped from
+    the pair stream, so counts would undercount), falls back to the
+    exact string-verify join path. Returns a Dataset (a, b, jac)."""
+    docs = docs_ds.materialize()
+    posted = keyed_reduce(
+        _exploded_shingles(docs, with_size=True), ["shingle"],
+        _postings_pairs_counted,
+    ).materialize()
+    capped = posted.filter(expr="a < 0").sum("b")
+    if capped:
+        cands = _dedup_pairs(
+            posted.filter(expr="a >= 0").select_columns(["a", "b"])
+        )
+        return _verify_pairs(cands, shingle_table(docs), tau)
+    return keyed_reduce(posted, ["a", "b"], _pair_jac_reduce(tau))
 
 
 def _minhash_params(num_perm: int = 64, seed: int = 7):
