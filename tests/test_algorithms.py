@@ -99,3 +99,31 @@ def test_label_propagation_matches_brute(ctx500):
         cls = np.where(total > 0, best, cls)
     got = alg.label_propagation(ctx500.engine("sym", g=2), init, 10, 3)
     assert np.array_equal(got, cls)
+
+
+def test_bfs_from_isolated_vertex(ray_session, tmp_path):
+    """Isolated-root BFS: the fused merge+step tasks must handle an
+    all-empty frontier on every chunk (no partials at all)."""
+    import pyarrow as pa
+
+    import ray
+
+    from combblas_ray.core.engine import SpmvEngine
+    from combblas_ray.core.graph import Graph
+
+    ds = ray.data.from_arrow(
+        pa.table({"src": pa.array([0, 1], type=pa.int64()),
+                  "dst": pa.array([1, 2], type=pa.int64()),
+                  "w": pa.array([1.0, 1.0])})
+    )
+    eng = SpmvEngine.from_graph(
+        Graph(n=6, edges=ds), 2, str(tmp_path / "iso"), resume=False
+    )
+    parents, dist = alg.bfs_parents(eng, 5)
+    assert parents[5] == 5
+    others = np.arange(6) != 5
+    assert (parents[others] == -1).all()
+    d = alg.bfs_distances_auto(eng, 5)
+    assert d[5] == 0
+    assert np.isinf(d[others]).all()
+    eng.shutdown()
