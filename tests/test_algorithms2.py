@@ -417,3 +417,16 @@ def test_auction_refs_path_matches_dense_g3(ctx500, monkeypatch):
     assert np.array_equal(p2o_d, p2o_r)
     assert np.allclose(price_d, price_r)
     assert info_d == info_r
+
+
+def test_auction_floor_quits_all(ctx500, monkeypatch):
+    """floor above every weight: all bidders quit round 1 — exercises the
+    kept==0 continue branch in the refs plan and the dense equivalent."""
+    from combblas_ray.pipelines import auction as auc
+
+    eng = ctx500.engine("sssp", g=2)
+    p2o_d, _, info_d = auc.auction_matching(eng, eps=1e-3, floor=1e9)
+    monkeypatch.setattr(auc, "AUC_DENSE_MAX", 0)
+    p2o_r, _, info_r = auc.auction_matching(eng, eps=1e-3, floor=1e9)
+    assert info_d["assigned"] == 0 and info_r["assigned"] == 0
+    assert (p2o_d == -1).all() and (p2o_r == -1).all()
