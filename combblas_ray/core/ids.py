@@ -65,10 +65,14 @@ def distinct_labels(labeled_edges_ds) -> np.ndarray:
         ["h"],
         _merge,
     )
-    out = []
-    for row in ds.take_all():
-        out.append(row["label"])
-    return np.sort(np.array(out, dtype=str))
+    parts = [
+        np.asarray(t.column("label")).astype(str)
+        for t in ray.get(ds.to_arrow_refs())
+        if t.num_rows and "label" in t.column_names
+    ]
+    if not parts:
+        return np.array([], dtype=str)
+    return np.sort(np.concatenate(parts))
 
 
 def encode_edges(labeled_edges_ds, sorted_labels: np.ndarray):
