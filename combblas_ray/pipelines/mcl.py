@@ -56,6 +56,18 @@ def _col_normalize(edges_ds, n: int):
     return edge_group_apply_tasks(edges_ds, "src", _norm)
 
 
+def _split_sentinel(tbl: pa.Table):
+    """(real edge rows, partition chaos max) from a _fused_post output."""
+    if tbl.num_rows == 0 or "src" not in tbl.column_names:
+        return tbl, 0.0
+    src = np.asarray(tbl.column("src"))
+    neg = src < 0
+    if not neg.any():
+        return tbl, 0.0
+    w = np.asarray(tbl.column("w"), dtype=np.float64)
+    return tbl.filter(pa.array(~neg)), float(w[neg].max())
+
+
 def mcl(
     sym_edges_ds,
     n: int,
@@ -156,10 +168,18 @@ def mcl(
         A_next = spgemm_tasks(
             A, A, n, num_partitions=_mcl_partitions(),
             partition_on="src", post_fn=_fused_post
-        ).materialize()
-        sent = A_next.filter(expr="src < 0")
-        ch = max((r["w"] for r in sent.take_all()), default=0.0)
-        A = A_next.filter(expr="src >= 0")
+        )
+        # split the per-partition chaos sentinels in one warm task wave
+        # (a filter operator execution per iteration costs more than the
+        # split itself)
+        from ..core.shuffle import _rt0
+
+        halves = [
+            _rt0(_split_sentinel).options(num_returns=2).remote(b)
+            for b in A_next.to_arrow_refs()
+        ]
+        A = ray.data.from_arrow_refs([h[0] for h in halves])
+        ch = max(ray.get([h[1] for h in halves]), default=0.0)
         info["chaos"].append(ch)
         info["iters"] = it + 1
         info["t_iter"].append(time.perf_counter() - t1)
