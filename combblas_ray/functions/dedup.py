@@ -3,22 +3,24 @@
 - ``exact_dedup``       : hash-partition on a canonical key + per-group min
                           (exact dedup; the key here is the sorted distinct
                           token set so near-identical word-soup docs group).
-- ``jaccard_pairs``     : exact token-shingle Jaccard over candidate pairs
-                          from a distributed inverted shingle index
-                          (df-capped posting lists, pairs deduped by a
-                          keyed shuffle).
-- ``minhash_lsh_pairs`` : MinHash signatures + banded LSH candidate
-                          generation, verified with exact Jaccard via
-                          distributed joins against the shingle table.
+- ``jaccard_pairs``     : exact token-shingle Jaccard, COUNT-based: the
+                          df-capped posting shuffle emits doc pairs with
+                          multiplicity (+ riding doc sizes); one (a,b)
+                          shuffle turns multiplicity into the exact
+                          intersection — no shingle strings ship per pair.
+                          Falls back to the string-verify join path only
+                          when some shingle exceeds DF_CAP.
+- ``minhash_lsh_pairs`` : MinHash signatures (distinct-shingle crc32 +
+                          segment reduceat) + banded LSH candidates,
+                          verified with exact Jaccard via distributed
+                          joins against the shingle table.
 - ``simhash``           : 64-bit SimHash over token crc32 hashes
                           (vectorized: one ±1 bit matrix per batch).
 
-Everything stays a Ray Dataset end-to-end: candidate generation is a
-df-capped posting-list shuffle, pair dedup is a keyed shuffle, and the
-exact-Jaccard verify is two hash joins of the candidate pairs against the
-(doc_id, shingles) table — no driver-side dict or ``take_all`` anywhere,
-so the memory high-water mark per task is one partition, not the corpus.
-All shuffles use the hash-repartition + whole-partition numpy pattern.
+Everything stays a Ray Dataset end-to-end — no driver-side dict or
+``take_all`` anywhere, so the memory high-water mark per task is one
+partition, not the corpus. All shuffles use the hash-repartition +
+whole-partition numpy pattern.
 """
 
 from __future__ import annotations
@@ -131,37 +133,6 @@ def _exploded_shingles(docs_ds, with_size: bool = False):
         return pa.table(cols)
 
     return docs_ds.map_batches(_ex, batch_format="pyarrow")
-
-
-def _postings_pairs(batch: pa.Table, df_cap: int = DF_CAP) -> pa.Table:
-    """Whole-partition reduce over a hash-partitioned posting list: for
-    each shingle with 2 <= df <= df_cap emit all doc pairs (a < b).
-    Pairs may repeat across shingles/partitions — deduped downstream."""
-    sh = np.asarray(batch.column("shingle")).astype(object)
-    ds = np.asarray(batch.column("doc_id"), dtype=np.int64)
-    order = np.lexsort((ds, sh))
-    sh, ds = sh[order], ds[order]
-    new = np.ones(len(sh), dtype=bool)
-    if len(sh):
-        new[1:] = sh[1:] != sh[:-1]
-    starts = np.nonzero(new)[0]
-    ends = np.append(starts[1:], len(sh))
-    a_out, b_out = [], []
-    for s, e in zip(starts, ends):
-        df = e - s
-        if df < 2 or df > df_cap:
-            continue
-        ids = np.unique(ds[s:e])
-        if len(ids) < 2:
-            continue
-        ii, jj = np.triu_indices(len(ids), k=1)
-        a_out.append(ids[ii])
-        b_out.append(ids[jj])
-    if not a_out:
-        return pa.table({"a": pa.array([], type=pa.int64()),
-                         "b": pa.array([], type=pa.int64())})
-    return pa.table({"a": pa.array(np.concatenate(a_out)),
-                     "b": pa.array(np.concatenate(b_out))})
 
 
 def _dedup_pairs(pairs_ds):

@@ -9,8 +9,8 @@ transposed product, level masks play the role of the reference's
 
 All (K, n) state matrices live as per-chunk (K, n/g) ObjectRefs — the
 driver never holds a full (K, n) array and syncs only a per-level
-boolean; per-level math is chunk-local numpy, graph access is one
-``spmm_refs`` per level per direction. Requires the STRUCTURAL symmetric
+boolean; per-level math is chunk-local numpy, graph access is one fused
+SpMM+step task round per level per direction. Requires the STRUCTURAL symmetric
 engine (w=1) and its transpose-free use: the symmetric matrix is its own
 transpose.
 """
