@@ -115,21 +115,46 @@ def _exploded_shingles(docs_ds, with_size: bool = False):
     count-based verify needs no size join."""
 
     def _ex(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        out_s: list[str] = []
-        out_d: list[int] = []
-        out_z: list[int] = []
-        for d, ss in zip(ids, shingle_sets(batch)):
-            out_s.extend(ss)
-            out_d.extend([d] * len(ss))
-            if with_size:
-                out_z.extend([len(ss)] * len(ss))
-        cols = {
-            "shingle": pa.array(out_s, type=pa.string()),
-            "doc_id": pa.array(out_d, type=pa.int64()),
+        """Fully vectorized: 3-gram shingles assembled with ONE Arrow
+        binary_join_element_wise over shifted flat-token slices (windows
+        crossing doc boundaries masked by parent index), distinct per doc
+        via lexsort — no Python per row."""
+        empty = {
+            "shingle": pa.array([], type=pa.string()),
+            "doc_id": pa.array([], type=pa.int64()),
         }
         if with_size:
-            cols["size"] = pa.array(out_z, type=pa.int64())
+            empty["size"] = pa.array([], type=pa.int64())
+        toks = tokens_list(batch)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        m = len(flat)
+        if m < 3:
+            return pa.table(empty)
+        par = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+        sh = pc.binary_join_element_wise(
+            flat.slice(0, m - 2), flat.slice(1, m - 2),
+            flat.slice(2, m - 2), " ",
+        )
+        within = par[: m - 2] == par[2:]  # window stays inside one doc
+        if not within.any():
+            return pa.table(empty)
+        s_arr = np.asarray(sh).astype(str)[within]
+        d_arr = par[: m - 2][within]
+        order = np.lexsort((s_arr, d_arr))
+        s_arr, d_arr = s_arr[order], d_arr[order]
+        keep = np.ones(len(d_arr), dtype=bool)
+        keep[1:] = (d_arr[1:] != d_arr[:-1]) | (s_arr[1:] != s_arr[:-1])
+        s_arr, d_arr = s_arr[keep], d_arr[keep]
+        doc_ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        cols = {
+            "shingle": pa.array(s_arr.tolist(), type=pa.string()),
+            "doc_id": pa.array(doc_ids[d_arr]),
+        }
+        if with_size:
+            sizes = np.bincount(d_arr, minlength=batch.num_rows)
+            cols["size"] = pa.array(sizes[d_arr])
         return pa.table(cols)
 
     return docs_ds.map_batches(_ex, batch_format="pyarrow")
