@@ -726,10 +726,10 @@ def _gather_route(idx: np.ndarray, bounds: list):
 
 
 @ray.remote(num_cpus=0)
-def _gather_assemble(nrows: int, g: int, *pos_and_vals: np.ndarray):
+def _gather_assemble(g: int, *pos_and_vals: np.ndarray):
     positions, val_parts = pos_and_vals[:g], pos_and_vals[g:]
     # idx chunks may be SPARSE request lists (shorter than the chunk
-    # size); the true output length is the number of routed positions
+    # size); the output length is the number of routed positions
     nrows = int(sum(len(p) for p in positions))
     dtype = val_parts[0].dtype if val_parts else np.float64
     out = np.empty(nrows, dtype=dtype)
@@ -768,12 +768,9 @@ def _chunk_scalar(fn, *chunks):
     return fn(*chunks)
 
 
-@ray.remote(num_cpus=0)
-def _spmspv_merge(sr_name: str, br: int, *worker_results):
-    """Merge one row-chunk's sparse partials from every worker's
-    spmspv_partial result ([(br, rows, vals), ...]) into a local sparse
-    (idx, vals) pair."""
-    sr = get_semiring(sr_name)
+def _merge_sparse_partials(sr, br: int, worker_results):
+    """Shared body: one row-chunk's sparse partials ([(br, rows, vals),
+    ...] per worker) -> local sparse (idx, vals) pair."""
     gids, gvals = [], []
     for triples in worker_results:
         for b, rows, pv in triples:
@@ -793,6 +790,38 @@ def _spmspv_merge(sr_name: str, br: int, *worker_results):
     return ui, merged
 
 
+def _merge_dense_partials(sr, nrows: int, parts):
+    """Shared body: pad-and-combine dense per-row-block partials."""
+    out = sr.empty(nrows)
+    for p in parts:
+        if len(p) < nrows:
+            q = sr.empty(nrows)
+            q[: len(p)] = p
+            p = q
+        out = sr.combine(out, p)
+    return out
+
+
+def _merge_mat_partials(sr, k: int, nrows: int, parts):
+    """Shared body: pad-and-combine (k, nrows) SpMM partials."""
+    merged = np.full((k, nrows), sr.identity)
+    for p in parts:
+        if p.shape[1] < nrows:
+            q = np.full((k, nrows), sr.identity)
+            q[:, : p.shape[1]] = p
+            p = q
+        merged = sr.combine(merged, p)
+    return merged
+
+
+@ray.remote(num_cpus=0)
+def _spmspv_merge(sr_name: str, br: int, *worker_results):
+    """Merge one row-chunk's sparse partials from every worker's
+    spmspv_partial result ([(br, rows, vals), ...]) into a local sparse
+    (idx, vals) pair."""
+    return _merge_sparse_partials(get_semiring(sr_name), br, worker_results)
+
+
 @ray.remote(num_cpus=0)
 def _spmspv_merge_apply(sr_name: str, br: int, fn, n_state: int,
                         bounds_i, *args):
@@ -802,25 +831,7 @@ def _spmspv_merge_apply(sr_name: str, br: int, fn, n_state: int,
     iteration instead of merge + apply (the per-level task-round count
     is the latency floor of every frontier loop)."""
     state, worker_results = args[:n_state], args[n_state:]
-    sr = get_semiring(sr_name)
-    gids, gvals = [], []
-    for triples in worker_results:
-        for b, rows, pv in triples:
-            if b == br:
-                gids.append(rows.astype(np.int64))
-                gvals.append(pv)
-    if not gids:
-        pair = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
-    else:
-        gi = np.concatenate(gids)
-        gv = np.concatenate(gvals)
-        ui, inv = np.unique(gi, return_inverse=True)
-        if sr.is_plus:
-            merged = np.bincount(inv, weights=gv)
-        else:
-            merged = np.full(len(ui), sr.identity, dtype=np.float64)
-            sr.add_ufunc.at(merged, inv, gv)
-        pair = (ui, merged)
+    pair = _merge_sparse_partials(get_semiring(sr_name), br, worker_results)
     return fn(*state, pair, bounds_i)
 
 
@@ -830,15 +841,9 @@ def _spmv_combine_apply(sr_name: str, fn, n_state: int, bounds_i, *args):
     chunk's dense partials (as `_combine`) and applies
     ``fn(*state_chunks, y, bounds_i)``."""
     state, parts = args[:n_state], args[n_state:]
-    sr = get_semiring(sr_name)
-    nrows = bounds_i[1] - bounds_i[0]
-    out = sr.empty(nrows)
-    for p in parts:
-        if len(p) < nrows:
-            q = sr.empty(nrows)
-            q[: len(p)] = p
-            p = q
-        out = sr.combine(out, p)
+    out = _merge_dense_partials(
+        get_semiring(sr_name), bounds_i[1] - bounds_i[0], parts
+    )
     return fn(*state, out, bounds_i)
 
 
@@ -849,15 +854,9 @@ def _spmm_combine_apply(sr_name: str, k: int, fn, n_state: int, bounds_i,
     chunk's (k, nrows) partials (as `_combine_mat`) and applies
     ``fn(*state_chunks, Y, bounds_i)``."""
     state, parts = args[:n_state], args[n_state:]
-    sr = get_semiring(sr_name)
-    nrows = bounds_i[1] - bounds_i[0]
-    merged = np.full((k, nrows), sr.identity)
-    for p in parts:
-        if p.shape[1] < nrows:
-            q = np.full((k, nrows), sr.identity)
-            q[:, : p.shape[1]] = p
-            p = q
-        merged = sr.combine(merged, p)
+    merged = _merge_mat_partials(
+        get_semiring(sr_name), k, bounds_i[1] - bounds_i[0], parts
+    )
     return fn(*state, merged, bounds_i)
 
 
@@ -897,15 +896,7 @@ def _lp_combine(k: int, nrows: int, cls_chunk: np.ndarray, *parts: np.ndarray):
 @ray.remote(num_cpus=0)
 def _combine_mat(sr_name: str, k: int, nrows: int, *parts: np.ndarray):
     """Merge per-row-block (k, nrows) SpMM partials with the semiring add."""
-    sr = get_semiring(sr_name)
-    merged = np.full((k, nrows), sr.identity)
-    for p in parts:
-        if p.shape[1] < nrows:
-            q = np.full((k, nrows), sr.identity)
-            q[:, : p.shape[1]] = p
-            p = q
-        merged = sr.combine(merged, p)
-    return merged
+    return _merge_mat_partials(get_semiring(sr_name), k, nrows, parts)
 
 
 @ray.remote(num_cpus=0)
@@ -913,15 +904,7 @@ def _combine(sr_name: str, nrows: int, *parts: np.ndarray) -> np.ndarray:
     """Merge per-row-block partials with the semiring add (MergeContributions).
     num_cpus=0: tiny O(n/g) merges must not queue behind the CPU-reserving
     block workers."""
-    sr = get_semiring(sr_name)
-    out = sr.empty(nrows)
-    for p in parts:
-        if len(p) < nrows:
-            q = sr.empty(nrows)
-            q[: len(p)] = p
-            p = q
-        out = sr.combine(out, p)
-    return out
+    return _merge_dense_partials(get_semiring(sr_name), nrows, parts)
 
 
 # --------------------------------------------------------------------------
@@ -1228,10 +1211,9 @@ class SpmvEngine:
             served.append([s] if g == 1 else list(s))
         out = []
         for i in range(g):
-            nrows = self.bounds[i][1] - self.bounds[i][0]
             out.append(
                 _gather_assemble.remote(
-                    nrows, g,
+                    g,
                     *[routes[i][g + k] for k in range(g)],
                     *[served[k][i] for k in range(g)],
                 )

@@ -183,7 +183,11 @@ def _ga_route(tbl, g: int, key: str):
     """Route whole edge rows by key hash (num_returns=g)."""
     import pyarrow as pa
 
-    if tbl.num_rows == 0 or key not in tbl.column_names:
+    if tbl.num_rows and key not in tbl.column_names:
+        raise KeyError(
+            f"edge_group_apply_tasks: key {key!r} not in {tbl.column_names}"
+        )
+    if tbl.num_rows == 0:
         e = pa.table({
             "src": pa.array([], type=pa.int64()),
             "dst": pa.array([], type=pa.int64()),
@@ -201,12 +205,12 @@ def _ga_route(tbl, g: int, key: str):
 
 
 def _ga_merge(fn, *parts):
+    # fn ALWAYS runs, including on an empty partition, so every output
+    # block carries fn's output schema (fn must handle num_rows == 0)
     import pyarrow as pa
 
     ts = [t for t in parts if t.num_rows]
-    if not ts:
-        return parts[0]
-    return fn(pa.concat_tables(ts).combine_chunks())
+    return fn(pa.concat_tables(ts).combine_chunks() if ts else parts[0])
 
 
 def edge_group_apply_tasks(edges_ds, key: str, np_apply,

@@ -306,6 +306,19 @@ def _postings_pairs_counted(batch: pa.Table,
                      "sb": pa.array(np.concatenate(sb_out))})
 
 
+def _split_cap_sentinel(tbl: pa.Table):
+    """(real pair rows, capped-shingle count) from a counted-postings
+    partition (sentinel rows have a < 0)."""
+    if tbl.num_rows == 0 or "a" not in tbl.column_names:
+        return tbl, 0
+    a = np.asarray(tbl.column("a"), dtype=np.int64)
+    neg = a < 0
+    if not neg.any():
+        return tbl, 0
+    b = np.asarray(tbl.column("b"), dtype=np.int64)
+    return tbl.filter(pa.array(~neg)), int(b[neg].sum())
+
+
 def _pair_jac_reduce(tau: float):
     """Per (a,b)-partition: multiplicity = |intersection|, sizes ride the
     rows -> exact Jaccard with zero string movement."""
@@ -346,18 +359,27 @@ def jaccard_pairs(docs_ds, tau: float = 0.5):
     If any shingle exceeds DF_CAP (its shared shingles are dropped from
     the pair stream, so counts would undercount), falls back to the
     exact string-verify join path. Returns a Dataset (a, b, jac)."""
+    import ray
+
+    from ..core.shuffle import _rt0
+
     docs = docs_ds.materialize()
     posted = keyed_reduce(
         _exploded_shingles(docs, with_size=True), ["shingle"],
         _postings_pairs_counted,
-    ).materialize()
-    capped = posted.filter(expr="a < 0").sum("b")
+    )
+    # one warm task wave splits off the per-partition cap sentinels
+    # (cheaper than a filter+sum operator execution per call)
+    halves = [
+        _rt0(_split_cap_sentinel).options(num_returns=2).remote(b)
+        for b in posted.to_arrow_refs()
+    ]
+    pairs = ray.data.from_arrow_refs([h[0] for h in halves])
+    capped = sum(ray.get([h[1] for h in halves]))
     if capped:
-        cands = _dedup_pairs(
-            posted.filter(expr="a >= 0").select_columns(["a", "b"])
-        )
+        cands = _dedup_pairs(pairs.select_columns(["a", "b"]))
         return _verify_pairs(cands, shingle_table(docs), tau)
-    return keyed_reduce(posted, ["a", "b"], _pair_jac_reduce(tau))
+    return keyed_reduce(pairs, ["a", "b"], _pair_jac_reduce(tau))
 
 
 def _minhash_params(num_perm: int = 64, seed: int = 7):

@@ -552,6 +552,11 @@ def maximal_matching(engine: SpmvEngine, seed: int = 9) -> np.ndarray:
     beats every unmatched neighbor's priority, so it can't also be a
     proposal target), so the two writes never conflict."""
     n = engine.n
+    if n * n >= (1 << 53):
+        raise NotImplementedError(
+            "maximal_matching: prio*n + id float64 encoding requires "
+            "n^2 < 2^53 (~9.49e7 vertices)"
+        )
     rng = np.random.RandomState(seed)
     prio = engine.chunk(rng.permutation(n).astype(np.float64))
     match = engine.map_chunks_i(_neg_ones)
@@ -832,10 +837,22 @@ def _mm_refs(engine: SpmvEngine, max_phases: int):
     The driver syncs only per-chunk counts. Frontier routing across the
     col space reuses the scatter machinery (vals collide only for
     distinct roots reaching one col; min-val merge keeps one, identical
-    to the dense path's per-row select2nd_min)."""
+    to the dense path's per-row select2nd_min).
+
+    The (root, parent) pair rides the float64 value channel as
+    root*n + id, exact only while n^2 < 2^53 — the same ceiling the
+    dense path documents. Guarded explicitly: beyond ~9.49e7 vertices
+    the encode would silently corrupt, so raise instead."""
     import ray
 
     n = engine.n
+    if n * n >= (1 << 53):
+        raise NotImplementedError(
+            f"maximum_matching: n={n} exceeds the exact float64 "
+            "(root*n + id) encoding range (n^2 < 2^53 required); an "
+            "int64 value channel or split root/parent frontiers is "
+            "needed beyond ~9.49e7 vertices"
+        )
     enc = np.int64(n)
     mate_col = engine.map_chunks_i(_neg_ones)
     mate_row = engine.map_chunks_i(_neg_ones)
@@ -924,8 +941,10 @@ def maximum_matching(engine: SpmvEngine, max_phases: int = 10_000):
 
     Above ``MM_DENSE_MAX`` vertices the refs-only plan (`_mm_refs`) runs:
     all per-vertex state chunked in the object store, scatter/gather
-    rounds instead of driver arrays — at n=10^9 the dense driver path
-    would hold 40+ GB of int64 state."""
+    rounds instead of driver arrays. Both plans encode (root, parent)
+    as root*n + id in the float64 value channel — exact while
+    n^2 < 2^53 (guarded in `_mm_refs`); past ~9.49e7 vertices an int64
+    channel is required."""
     n = engine.n
     if n > MM_DENSE_MAX:
         return _mm_refs(engine, max_phases)

@@ -24,6 +24,7 @@ import numpy as np
 import ray
 
 from ..core.engine import SpmvEngine
+from .algorithms import _count_nonneg, _count_true
 
 
 AUC_DENSE_MAX = 1 << 23  # below this, driver price/mate arrays are cheap
@@ -32,7 +33,7 @@ _EMPTY_I = np.empty(0, dtype=np.int64)
 
 
 @ray.remote(num_cpus=0)
-def _auc_row_merge(br, bounds, floor, eps, active, *actor_outs):
+def _auc_row_merge(br, bounds, floor, active, *actor_outs):
     """Per person chunk: merge bid partials across workers (global
     best / second, same keys as the dense merge), retire quitters and
     edge-less bidders, route the kept bids to their object chunks.
@@ -150,14 +151,6 @@ def _ones_bool(bounds):
     return np.ones(e - s, dtype=bool)
 
 
-def _count_true(a):
-    return int(a.sum())
-
-
-def _count_nonneg(a):
-    return int((a >= 0).sum())
-
-
 def _auction_refs(engine: SpmvEngine, *, eps, floor, max_rounds):
     """Refs-only auction: price / p2o / o2p / active live as chunked
     ObjectRefs (the reference's FullyDistVec layout); the driver syncs
@@ -186,7 +179,7 @@ def _auction_refs(engine: SpmvEngine, *, eps, floor, max_rounds):
         kept_refs = []
         for br in range(g):
             r = _auc_row_merge.options(num_returns=g + 2).remote(
-                br, bounds, floor, eps, active[br], *futs
+                br, bounds, floor, active[br], *futs
             )
             slices.append(r[:g])
             new_active.append(r[g])

@@ -24,7 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..core.shuffle import edge_group_apply_tasks
+from ..core.shuffle import _rt0, edge_group_apply_tasks
 
 
 def _col_normalize(edges_ds, n: int):
@@ -172,8 +172,6 @@ def mcl(
         # split the per-partition chaos sentinels in one warm task wave
         # (a filter operator execution per iteration costs more than the
         # split itself)
-        from ..core.shuffle import _rt0
-
         halves = [
             _rt0(_split_sentinel).options(num_returns=2).remote(b)
             for b in A_next.to_arrow_refs()
