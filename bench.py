@@ -13,6 +13,10 @@ reports throughput at both plus the scaling efficiency
 (= speedup / cpu-ratio). Block checkpoints are shared between the two runs
 (the second resumes the same 2D partitioning), so only iteration
 throughput is compared.
+
+``--graph500 [--scale S]``: R-MAT BFS harmonic-mean MTEPS (the
+reference's headline metric). ``--dataops``: the dedup/ANN/text
+training-data family over the sf0.1 documents + embeddings tables.
 """
 
 from __future__ import annotations
