@@ -37,9 +37,29 @@ from .text import shingle_sets, tokens_list
 DF_CAP = 1000  # inverted-index document-frequency cap (both sides of oracle)
 
 
-def dedup_key(batch: pa.Table) -> list[str]:
+def dedup_key(batch: pa.Table) -> pa.Array:
+    """Canonical key per doc: sorted distinct tokens space-joined —
+    vectorized (flat tokens -> lexsort distinct per doc -> rebuilt list
+    array -> one Arrow binary_join), no Python per row."""
     toks = tokens_list(batch)
-    return [" ".join(sorted(set(row))) for row in toks.to_pylist()]
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = np.asarray(pc.list_flatten(toks)).astype(str)
+    par = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+    nrows = batch.num_rows
+    if len(flat) == 0:
+        return pa.array([""] * nrows, type=pa.string())
+    order = np.lexsort((flat, par))
+    f, p = flat[order], par[order]
+    keep = np.ones(len(f), dtype=bool)
+    keep[1:] = (p[1:] != p[:-1]) | (f[1:] != f[:-1])
+    f, p = f[keep], p[keep]
+    counts = np.bincount(p, minlength=nrows)
+    offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+    lst = pa.ListArray.from_arrays(
+        pa.array(offsets), pa.array(f.tolist(), type=pa.string())
+    )
+    return pc.binary_join(lst, " ")
 
 
 def exact_dedup(docs_ds):
@@ -51,11 +71,16 @@ def exact_dedup(docs_ds):
 
     def _keyed(batch: pa.Table) -> pa.Table:
         keys = dedup_key(batch)
-        kh = [zlib.crc32(k.encode()) for k in keys]
+        ks = np.asarray(keys).astype(str)
+        uniq, inv = np.unique(ks, return_inverse=True)  # dups hash once
+        hu = np.fromiter(
+            (zlib.crc32(k.encode()) for k in uniq),
+            dtype=np.int64, count=len(uniq),
+        )
         return pa.table(
             {
-                "kh": pa.array(kh, type=pa.int64()),
-                "key": pa.array(keys, type=pa.string()),
+                "kh": pa.array(hu[inv]),
+                "key": keys,
                 "doc_id": batch.column("doc_id"),
             }
         )
