@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..core.shuffle import keyed_reduce
-from .text import shingle_sets, tokens_list
+from .text import tokens_list
 
 DF_CAP = 1000  # inverted-index document-frequency cap (both sides of oracle)
 
@@ -116,18 +116,58 @@ def exact_dedup(docs_ds):
 _SEP = "\x1f"  # shingles can't contain it (tokens are space-joined words)
 
 
+def _flat_distinct_shingles(batch: pa.Table, k: int = 3):
+    """Vectorized per-batch shingle construction shared by the inverted
+    index, the shingle table and minhash: 3-gram shingles from ONE Arrow
+    binary_join_element_wise over shifted flat-token slices (windows
+    crossing doc boundaries masked by parent index), distinct per doc
+    via lexsort. Returns (shingles sorted by (doc, shingle), doc row
+    positions) as numpy arrays — both empty when no doc has k tokens."""
+    toks = tokens_list(batch)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.list_flatten(toks)
+    m = len(flat)
+    none = (np.empty(0, dtype=str), np.empty(0, dtype=np.int64))
+    if m < k:
+        return none
+    par = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+    sh = pc.binary_join_element_wise(
+        *[flat.slice(j, m - k + 1) for j in range(k)], " "
+    )
+    within = par[: m - k + 1] == par[k - 1:]
+    if not within.any():
+        return none
+    s_arr = np.asarray(sh).astype(str)[within]
+    d_arr = par[: m - k + 1][within]
+    order = np.lexsort((s_arr, d_arr))
+    s_arr, d_arr = s_arr[order], d_arr[order]
+    keep = np.ones(len(d_arr), dtype=bool)
+    keep[1:] = (d_arr[1:] != d_arr[:-1]) | (s_arr[1:] != s_arr[:-1])
+    return s_arr[keep], d_arr[keep]
+
+
+def _rebuild_list(s_arr, d_arr, nrows: int) -> pa.ListArray:
+    """(values sorted by doc, doc positions) -> per-doc list array."""
+    counts = np.bincount(d_arr, minlength=nrows)
+    offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+    return pa.ListArray.from_arrays(
+        pa.array(offsets), pa.array(s_arr.tolist(), type=pa.string())
+    )
+
+
 def shingle_table(docs_ds):
     """(doc_id, shingles) as a distributed Dataset — the per-doc shingle
     set packed into ONE delimiter-joined string so it can ride through
     Arrow hash joins (list<string> is unsupported as a join payload)."""
 
     def _sh(batch: pa.Table) -> pa.Table:
-        sets = shingle_sets(batch)
+        s_arr, d_arr = _flat_distinct_shingles(batch)
+        lst = _rebuild_list(s_arr, d_arr, batch.num_rows)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "shingles": pa.array([_SEP.join(sorted(s)) for s in sets],
-                                     type=pa.string()),
+                "shingles": pc.binary_join(lst, _SEP),
             }
         )
 
@@ -140,38 +180,17 @@ def _exploded_shingles(docs_ds, with_size: bool = False):
     count-based verify needs no size join."""
 
     def _ex(batch: pa.Table) -> pa.Table:
-        """Fully vectorized: 3-gram shingles assembled with ONE Arrow
-        binary_join_element_wise over shifted flat-token slices (windows
-        crossing doc boundaries masked by parent index), distinct per doc
-        via lexsort — no Python per row."""
-        empty = {
-            "shingle": pa.array([], type=pa.string()),
-            "doc_id": pa.array([], type=pa.int64()),
-        }
-        if with_size:
-            empty["size"] = pa.array([], type=pa.int64())
-        toks = tokens_list(batch)
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        flat = pc.list_flatten(toks)
-        m = len(flat)
-        if m < 3:
-            return pa.table(empty)
-        par = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
-        sh = pc.binary_join_element_wise(
-            flat.slice(0, m - 2), flat.slice(1, m - 2),
-            flat.slice(2, m - 2), " ",
-        )
-        within = par[: m - 2] == par[2:]  # window stays inside one doc
-        if not within.any():
-            return pa.table(empty)
-        s_arr = np.asarray(sh).astype(str)[within]
-        d_arr = par[: m - 2][within]
-        order = np.lexsort((s_arr, d_arr))
-        s_arr, d_arr = s_arr[order], d_arr[order]
-        keep = np.ones(len(d_arr), dtype=bool)
-        keep[1:] = (d_arr[1:] != d_arr[:-1]) | (s_arr[1:] != s_arr[:-1])
-        s_arr, d_arr = s_arr[keep], d_arr[keep]
+        """Fully vectorized via `_flat_distinct_shingles` — no Python
+        per row."""
+        s_arr, d_arr = _flat_distinct_shingles(batch)
+        if len(s_arr) == 0:
+            cols = {
+                "shingle": pa.array([], type=pa.string()),
+                "doc_id": pa.array([], type=pa.int64()),
+            }
+            if with_size:
+                cols["size"] = pa.array([], type=pa.int64())
+            return pa.table(cols)
         doc_ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
         cols = {
             "shingle": pa.array(s_arr.tolist(), type=pa.string()),
@@ -430,13 +449,11 @@ def minhash_signatures(docs_ds, num_perm: int = 64):
         (U, num_perm) matrix op, per-doc min via segment reduceat —
         bit-identical to the per-doc loop it replaces."""
         ids = batch.column("doc_id").to_pylist()
-        sets = shingle_sets(batch)
-        lens = np.array([len(s) for s in sets], dtype=np.int64)
+        s_arr, d_arr = _flat_distinct_shingles(batch)
+        lens = np.bincount(d_arr, minlength=batch.num_rows)
         sigs = np.zeros((len(ids), num_perm), dtype=np.uint64)
-        flat = [s for ss in sets for s in ss]
-        if flat:
-            uniq, inv = np.unique(np.array(flat, dtype=object).astype(str),
-                                  return_inverse=True)
+        if len(s_arr):
+            uniq, inv = np.unique(s_arr, return_inverse=True)
             hu = np.fromiter(
                 (zlib.crc32(t.encode()) for t in uniq),
                 dtype=np.uint64, count=len(uniq),
