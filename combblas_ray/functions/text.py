@@ -3,7 +3,8 @@
 All operators are Ray Data `map_batches` transforms over the `documents`
 table. Tokenization uses Arrow kernels (`split_pattern` -> list arrays);
 per-token statistics flatten to numpy with parent offsets — no per-row
-Python except where string assembly is inherent (shingling).
+Python anywhere (shingle assembly is one Arrow join over shifted flat
+slices, see `functions/dedup._flat_distinct_shingles`).
 
 Deterministic definitions (shared verbatim by the DuckDB oracles):
 - tokens       = text split on single space, empties kept
@@ -91,18 +92,6 @@ def quality(batch: pa.Table) -> pa.Table:
             "avg_tok_len": pa.array(avg_tok_len),
         }
     )
-
-
-def shingle_sets(batch: pa.Table, k: int = 3) -> list[set[str]]:
-    """Per-row sets of token k-gram shingles (string assembly is inherently
-    per-row; everything downstream is vectorized)."""
-    toks = tokens_list(batch)
-    out = []
-    for row in toks.to_pylist():
-        out.append(
-            {" ".join(row[i : i + k]) for i in range(len(row) - k + 1)}
-        )
-    return out
 
 
 _FP_MASK = np.uint64((1 << 61) - 1)
