@@ -308,3 +308,38 @@ def test_multimodal_resize_roundtrip(ray_session):
     _, w, h = HEADER.unpack_from(make_blob(13), 0)
     assert feats[13]["width"] == w // 2
     assert feats[13]["height"] == h // 2
+
+
+def test_jaccard_fallback_when_df_cap_binds(docs, doc_rows, monkeypatch):
+    """Force shingles over the DF cap: the count path must detect the
+    sentinel and fall back to the exact string-verify join, with the
+    capped-candidate semantics (pairs must share a <=cap-df shingle)."""
+    import functools
+    from collections import Counter
+    from itertools import combinations
+
+    from combblas_ray.functions import dedup as D
+
+    CAP = 3
+    orig = D._postings_pairs_counted
+    monkeypatch.setattr(
+        D, "_postings_pairs_counted",
+        functools.partial(orig, df_cap=CAP),
+    )
+    got = {
+        (r["a"], r["b"]): r["jac"]
+        for r in D.jaccard_pairs(docs, 0.5).take_all()
+    }
+    sh = _brute_shingles(doc_rows)
+    df = Counter(s for ss in sh.values() for s in ss)
+    assert any(c > CAP for c in df.values())  # the fallback really fired
+    want = {}
+    for a, b in combinations(sorted(sh), 2):
+        shared = sh[a] & sh[b]
+        if not any(df[s] <= CAP for s in shared):
+            continue
+        inter = len(shared)
+        jac = inter / (len(sh[a]) + len(sh[b]) - inter)
+        if jac >= 0.5:
+            want[(a, b)] = round(jac, 6)
+    assert got == want
