@@ -794,14 +794,15 @@ def q_mcl_incremental(sf_dir: str):
     feed those edges as the delta through ``mcl_incremental`` — only the
     perturbed region re-clusters. Rows-only (iterative); equality with a
     full re-run is asserted in pytest on a boundary-clean fixture.
-    Bounded to MCL_SUB/2 ids (the query runs a full MCL as its baseline
-    plus the incremental pass — twice the q_mcl work per vertex)."""
+    Bounded to MCL_SUB/3 ids (the query runs a full MCL as its baseline
+    plus the incremental pass — twice the q_mcl work per vertex; the
+    machinery itself is pytest-proven equal to a full re-run)."""
     import ray
 
     from .mcl import mcl, mcl_incremental
 
     ctx = get_context(sf_dir)
-    sub = min(MCL_SUB // 2, ctx.n)
+    sub = min(MCL_SUB // 3, ctx.n)
     sel_ids = np.nonzero(ctx.arith < sub)[0]
     sel_ref = ray.put(sel_ids)
     m = len(sel_ids)
