@@ -239,3 +239,159 @@ def edge_group_apply_tasks(edges_ds, key: str, np_apply,
             for i in range(g)
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# Generic warm-task keyed shuffle + hash join over arbitrary Arrow tables.
+# Same route/merge discipline as `dedup_sum_tasks` / the engine's iterative
+# exchanges (`SpParMat.cpp:2906-2981` SparseCommon): num_cpus=0 tasks on a
+# warm worker pool, num_returns=g routing, one whole-partition apply per
+# partition. Used by the dedup/ANN family, whose chains of 2-6 Ray Data
+# hash-shuffle / join operators each paid ~2-5 s of actor-pool spawn per
+# use at toy scale.
+# ---------------------------------------------------------------------------
+
+
+def _col_hash(col, nrows: int) -> np.ndarray:
+    """Deterministic uint64 hash of one Arrow column (int-like or
+    string/binary). Strings hash via dictionary-encode + crc32 of the
+    (small) dictionary, so per-row Python never runs."""
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.types as pat
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if pat.is_string(t) or pat.is_large_string(t) or pat.is_binary(t):
+        enc = col.dictionary_encode()
+        dic = enc.dictionary.to_pylist()
+        hu = np.fromiter(
+            (zlib.crc32(s.encode() if isinstance(s, str) else s)
+             for s in dic),
+            dtype=np.uint64, count=len(dic),
+        )
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        out = np.zeros(nrows, dtype=np.uint64)
+        valid = idx >= 0 if idx.dtype.kind == "i" else ~np.isnan(idx)
+        out[valid] = hu[idx[valid].astype(np.int64)]
+        return _mix64(out)
+    vals = np.asarray(col)
+    if vals.dtype == np.float64 or vals.dtype == np.float32:
+        return _mix64(vals.astype(np.float64).view(np.uint64))
+    return _mix64(vals.astype(np.int64).view(np.uint64))
+
+
+def _gen_route(tbl, g: int, keys):
+    """Route whole rows of an arbitrary Arrow table by combined key hash
+    (num_returns=g). Empty inputs keep their schema via slice(0, 0)."""
+    import pyarrow as pa
+
+    if tbl.num_rows == 0:
+        e = tbl.slice(0, 0)
+        return e if g == 1 else tuple([e] * g)
+    acc = np.zeros(tbl.num_rows, dtype=np.uint64)
+    for key in keys:
+        acc = _mix64(acc * _FIB64 + _col_hash(tbl.column(key), tbl.num_rows))
+    p = (acc >> np.uint64(33)).astype(np.int64) % g
+    order = np.argsort(p, kind="stable")
+    t2 = tbl.take(pa.array(order))
+    counts = np.bincount(p, minlength=g)
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    out = [t2.slice(int(offs[i]), int(counts[i])) for i in range(g)]
+    return out[0] if g == 1 else tuple(out)
+
+
+def _gen_merge(fn, *parts):
+    # fn ALWAYS runs (fn must handle num_rows == 0) so every output block
+    # carries fn's output schema; among all-empty parts keep the widest
+    # schema (zero-column blocks can reach here from schema-less upstreams)
+    import pyarrow as pa
+
+    ts = [t for t in parts if t.num_rows]
+    if ts:
+        return fn(pa.concat_tables(ts).combine_chunks())
+    return fn(max(parts, key=lambda t: t.num_columns))
+
+
+def group_apply_tasks(ds, keys: list[str], np_apply,
+                      num_partitions: int | None = None):
+    """Warm raw-task ``keyed_reduce`` for ANY Arrow-schema Dataset:
+    hash-route rows on ``keys`` (ints or strings) with num_cpus=0 tasks,
+    then one whole-partition ``np_apply(pa.Table) -> pa.Table`` per
+    partition. Materializes the upstream into object-store refs (the Ray
+    Data hash shuffle does the same at its barrier) but skips its per-use
+    actor-pool spawn. All rows of a key co-locate in one partition."""
+    import ray
+
+    g = num_partitions or default_shuffle_blocks()
+    blocks = ds.to_arrow_refs()
+    routed = [
+        _rt0(_gen_route).options(num_returns=g).remote(b, g, keys)
+        for b in blocks
+    ]
+    routed = [[r] if g == 1 else list(r) for r in routed]
+    return ray.data.from_arrow_refs(
+        [
+            _rt0(_gen_merge).remote(
+                np_apply, *[routed[j][i] for j in range(len(routed))]
+            )
+            for i in range(g)
+        ]
+    )
+
+
+def _gen_join(on, left_parts_n, post, *parts):
+    """Per-partition Arrow hash join (Acero) of co-routed sides; ``post``
+    optionally transforms the joined table (fused next-stage kernel)."""
+    import pyarrow as pa
+
+    left = [t for t in parts[:left_parts_n] if t.num_rows]
+    right = [t for t in parts[left_parts_n:] if t.num_rows]
+    if not left or not right:
+        lt = (pa.concat_tables(left).combine_chunks() if left
+              else max(parts[:left_parts_n], key=lambda t: t.num_columns))
+        rt = (pa.concat_tables(right).combine_chunks() if right
+              else max(parts[left_parts_n:], key=lambda t: t.num_columns))
+        joined = lt.slice(0, 0).join(rt.slice(0, 0), keys=list(on))
+    else:
+        joined = (pa.concat_tables(left).combine_chunks()
+                  .join(pa.concat_tables(right).combine_chunks(),
+                        keys=list(on)))
+    return post(joined) if post is not None else joined
+
+
+def hash_join_tasks(left_ds, right_ds, on, num_partitions: int | None = None,
+                    post=None):
+    """Warm raw-task inner hash join: both sides routed by the same key
+    hash (num_cpus=0 tasks), one pyarrow ``Table.join`` per partition —
+    co-partitioning makes the partition-local joins exact. ``post``
+    (pa.Table -> pa.Table), when given, is fused into the join task so
+    the joined rows never re-ship. Replaces ``Dataset.join``'s per-use
+    actor-pool spawn for one-shot verify steps."""
+    import ray
+
+    on = [on] if isinstance(on, str) else list(on)
+    g = num_partitions or default_shuffle_blocks()
+    lrouted = [
+        _rt0(_gen_route).options(num_returns=g).remote(b, g, on)
+        for b in left_ds.to_arrow_refs()
+    ]
+    rrouted = [
+        _rt0(_gen_route).options(num_returns=g).remote(b, g, on)
+        for b in right_ds.to_arrow_refs()
+    ]
+    lrouted = [[r] if g == 1 else list(r) for r in lrouted]
+    rrouted = [[r] if g == 1 else list(r) for r in rrouted]
+    nl = len(lrouted)
+    return ray.data.from_arrow_refs(
+        [
+            _rt0(_gen_join).remote(
+                tuple(on), nl, post,
+                *[lrouted[j][i] for j in range(nl)],
+                *[rrouted[j][i] for j in range(len(rrouted))],
+            )
+            for i in range(g)
+        ]
+    )

@@ -341,7 +341,7 @@ def embedding_dup_pairs_lsh(emb_ds, tau: float = 0.4, nbits: int = 4,
 
     import ray
 
-    from ..core.shuffle import keyed_reduce
+    from ..core.shuffle import group_apply_tasks
 
     # planes need the dim — probe one row
     first = emb_ds.take(1)
@@ -398,7 +398,7 @@ def embedding_dup_pairs_lsh(emb_ds, tau: float = 0.4, nbits: int = 4,
                          "b": pa.array(b, type=pa.int64())})
 
     bucketed = emb_ds.map_batches(_bucket, batch_format="pyarrow")
-    pairs = keyed_reduce(bucketed, ["bucket"], _verify)
+    pairs = group_apply_tasks(bucketed, ["bucket"], _verify)
 
     # dedup across buckets (multi-probe can emit a pair twice)
     def _uniq(batch: pa.Table) -> pa.Table:
@@ -407,7 +407,7 @@ def embedding_dup_pairs_lsh(emb_ds, tau: float = 0.4, nbits: int = 4,
         return pa.table({"a": pa.array(a, type=pa.int64()),
                          "b": pa.array(b, type=pa.int64())})
 
-    return keyed_reduce(pairs, ["a", "b"], _uniq)
+    return group_apply_tasks(pairs, ["a", "b"], _uniq)
 
 
 def ann_ivf_topk(emb_ds, query_ids: np.ndarray, k: int = 5, nlist: int = 16,

@@ -31,7 +31,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..core.shuffle import keyed_reduce
+from ..core.shuffle import group_apply_tasks, hash_join_tasks
 from .text import tokens_list
 
 DF_CAP = 1000  # inverted-index document-frequency cap (both sides of oracle)
@@ -105,7 +105,7 @@ def exact_dedup(docs_ds):
         )
 
     keyed = docs_ds.map_batches(_keyed, batch_format="pyarrow")
-    return keyed_reduce(keyed, ["kh"], _group)
+    return group_apply_tasks(keyed, ["kh"], _group)
 
 
 # ---------------------------------------------------------------------------
@@ -218,7 +218,7 @@ def _dedup_pairs(pairs_ds):
             keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
         return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
 
-    return keyed_reduce(pairs_ds, ["a", "b"], _uniq)
+    return group_apply_tasks(pairs_ds, ["a", "b"], _uniq)
 
 
 def _join_partitions() -> int:
@@ -236,14 +236,15 @@ def _join_partitions() -> int:
 
 def _verify_pairs(cand_ds, sh_tbl, tau: float,
                   num_partitions: int | None = None):
-    """Exact-Jaccard verify as two distributed hash joins: candidates
-    x shingles(a), then x shingles(b); per-partition set intersection.
-    Output (a, b, jac round 6) for jac >= tau (unordered)."""
+    """Exact-Jaccard verify as two distributed hash joins (warm-task
+    co-partitioned Arrow joins — no per-use operator spawn): candidates
+    x shingles(a), then x shingles(b) with the per-partition set
+    intersection fused into the second join task. Output (a, b, jac
+    round 6) for jac >= tau (unordered)."""
     np_ = num_partitions or _join_partitions()
-    sa = sh_tbl.rename_columns({"doc_id": "a", "shingles": "sh_a"})
-    sb = sh_tbl.rename_columns({"doc_id": "b", "shingles": "sh_b"})
-    j = cand_ds.join(sa, "inner", np_, on=("a",))
-    j = j.join(sb, "inner", np_, on=("b",))
+    sh_m = sh_tbl.materialize()
+    sa = sh_m.rename_columns({"doc_id": "a", "shingles": "sh_a"})
+    sb = sh_m.rename_columns({"doc_id": "b", "shingles": "sh_b"})
 
     def _jac(batch: pa.Table) -> pa.Table:
         """Vectorized per-pair set intersection: dictionary-encode every
@@ -296,7 +297,8 @@ def _verify_pairs(cand_ds, sh_tbl, tau: float,
             }
         )
 
-    return j.map_batches(_jac, batch_format="pyarrow")
+    j = hash_join_tasks(cand_ds, sa, on="a", num_partitions=np_)
+    return hash_join_tasks(j, sb, on="b", num_partitions=np_, post=_jac)
 
 
 def _postings_pairs_counted(batch: pa.Table,
@@ -408,7 +410,7 @@ def jaccard_pairs(docs_ds, tau: float = 0.5):
     from ..core.shuffle import _rt0
 
     docs = docs_ds.materialize()
-    posted = keyed_reduce(
+    posted = group_apply_tasks(
         _exploded_shingles(docs, with_size=True), ["shingle"],
         _postings_pairs_counted,
     )
@@ -423,7 +425,7 @@ def jaccard_pairs(docs_ds, tau: float = 0.5):
     if capped:
         cands = _dedup_pairs(pairs.select_columns(["a", "b"]))
         return _verify_pairs(cands, shingle_table(docs), tau)
-    return keyed_reduce(pairs, ["a", "b"], _pair_jac_reduce(tau))
+    return group_apply_tasks(pairs, ["a", "b"], _pair_jac_reduce(tau))
 
 
 def _minhash_params(num_perm: int = 64, seed: int = 7):
@@ -524,7 +526,7 @@ def minhash_lsh_pairs(docs_ds, tau: float = 0.5, num_perm: int = 64,
         )
 
     bucketed = sigs.map_batches(_buckets, batch_format="pyarrow")
-    cands = _dedup_pairs(keyed_reduce(bucketed, ["bucket"], _pairs))
+    cands = _dedup_pairs(group_apply_tasks(bucketed, ["bucket"], _pairs))
     return _verify_pairs(cands, shingle_table(docs), tau)
 
 
