@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vec_ewise_add": q.q_vec_ewise_add,    # vecops path: invert_vec
         "sample_edges": q.q_sample_edges,      # hash path: randperm_edges
         "randperm_edges": q.q_randperm_edges,  # modular-relabel map (trivial)
+        "dedup_exact_digest": q.q_dedup_exact_digest,  # digest key: dedup_exact
         # rows-only / iterative-hash pipelines (pytest-invariant-backed)
         "fingerprint": q.q_fingerprint,
         "minhash_pairs": q.q_minhash_pairs,
@@ -167,6 +168,7 @@ def oracle_sql() -> dict[str, str]:
         "langid": o.langid(),
         "quality": o.quality(),
         "dedup_exact": o.dedup_exact(),
+        "dedup_exact_digest": o.dedup_exact(),
         "jaccard_pairs": o.jaccard_pairs(),
         "ann_topk": o.ann_topk(),
         "bfs_parents": o.bfs_parents("m_0", q.BFS_ITERS),

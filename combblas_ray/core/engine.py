@@ -474,7 +474,7 @@ class _Block:
         lens = ends - starts
         total = int(lens.sum())
         if total == 0:
-            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=sr.dtype)
         offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
         idx = np.repeat(starts, lens) + (np.arange(total) - np.repeat(offs, lens))
         xv = np.repeat(fval, lens)
@@ -484,7 +484,7 @@ class _Block:
         if sr.is_plus:
             merged = np.bincount(inv, weights=vals)
         else:
-            merged = np.full(len(ur), sr.identity, dtype=np.float64)
+            merged = np.full(len(ur), sr.identity, dtype=sr.dtype)
             sr.add_ufunc.at(merged, inv, vals)
         return ur, merged
 
@@ -778,14 +778,14 @@ def _merge_sparse_partials(sr, br: int, worker_results):
                 gids.append(rows.astype(np.int64))
                 gvals.append(pv)
     if not gids:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=sr.dtype)
     gi = np.concatenate(gids)
     gv = np.concatenate(gvals)
     ui, inv = np.unique(gi, return_inverse=True)
     if sr.is_plus:
         merged = np.bincount(inv, weights=gv)
     else:
-        merged = np.full(len(ui), sr.identity, dtype=np.float64)
+        merged = np.full(len(ui), sr.identity, dtype=sr.dtype)
         sr.add_ufunc.at(merged, inv, gv)
     return ui, merged
 
@@ -1236,7 +1236,7 @@ class SpmvEngine:
         slice with the semiring add."""
         sr = get_semiring(sr)
         i_ref = ray.put(idx.astype(np.int64))
-        v_ref = ray.put(vals.astype(np.float64))
+        v_ref = ray.put(vals.astype(sr.dtype, copy=False))
         parts = [
             _scatter_partial.remote(i_ref, v_ref, s, e, sr.name)
             for (s, e) in self.bounds
@@ -1356,14 +1356,14 @@ class SpmvEngine:
                 gids.append(rows.astype(np.int64) + self.bounds[br][0])
                 gvals.append(pv)
         if not gids:
-            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=sr.dtype)
         gi = np.concatenate(gids).astype(np.int64, copy=False)
         gv = np.concatenate(gvals)
         ui, inv = np.unique(gi, return_inverse=True)
         if sr.is_plus:
             merged = np.bincount(inv, weights=gv)
         else:
-            merged = np.full(len(ui), sr.identity, dtype=np.float64)
+            merged = np.full(len(ui), sr.identity, dtype=sr.dtype)
             sr.add_ufunc.at(merged, inv, gv)
         return ui, merged
 

@@ -82,6 +82,8 @@ def _and(a, x):
     return np.logical_and(a != 0, x != 0).astype(np.float64)
 
 
+I64MAX = np.iinfo(np.int64).max
+
 SEMIRINGS: dict[str, Semiring] = {
     "plus_times": Semiring("plus_times", _times, np.add, 0.0, is_plus=True),
     "min_plus": Semiring("min_plus", _plus, np.minimum, np.inf),
@@ -93,6 +95,15 @@ SEMIRINGS: dict[str, Semiring] = {
     # Boolean OR-AND structural semiring (`BoolCopy*SRing`): operands live
     # on the 0/1 domain, where max IS logical-or (identity 0 = false).
     "bool_or_and": Semiring("bool_or_and", _and, np.maximum, 0.0),
+    # Exact int64 value channel for select/min-only flows (no arithmetic
+    # ever leaves int64). The matchings' (root*n + id) pair encode rides
+    # this channel, lifting the float64 2^53 ceiling (n <= ~3.04e9
+    # vertices instead of ~9.49e7); identity = int64 max is the "no
+    # value" sentinel (the +inf analog).
+    "select2nd_min_i64": Semiring(
+        "select2nd_min_i64", _second, np.minimum, I64MAX,
+        dtype=np.dtype(np.int64),
+    ),
 }
 
 

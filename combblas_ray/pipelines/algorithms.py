@@ -32,6 +32,11 @@ import numpy as np
 import pyarrow as pa
 
 from ..core.engine import SpmvEngine
+from ..core.semiring import I64MAX
+
+# int64 value-channel ceiling: the matchings encode (root, id) pairs as
+# root*n + id, exact while n^2 <= int64 max -> n <= floor(sqrt(2^63 - 1))
+_I64_ENC_MAX_N = 3_037_000_499
 
 
 # --------------------------------------------------------------------------
@@ -487,21 +492,23 @@ def rcm_ordering(engine: SpmvEngine) -> np.ndarray:
 def _mm_x(match, prio, bounds, n):
     s, e = bounds
     unmatched = match == -1
-    return np.where(unmatched, prio * n + np.arange(s, e), np.inf)
+    return np.where(unmatched, prio * n + np.arange(s, e), I64MAX)
 
 
 def _mm_active(match, nb):
-    return int(np.count_nonzero((match == -1) & np.isfinite(nb)))
+    return int(np.count_nonzero((match == -1) & (nb != I64MAX)))
 
 
 def _mm_props(match, prio, nb, bounds, n):
     """Per-chunk local-minimum proposals: (partner global idx, proposer
-    code) sparse pair; proposer code = prio*n + global id."""
+    code) sparse pair; proposer code = prio*n + global id (int64 value
+    channel — exact while n^2 <= int64 max)."""
     s, e = bounds
     unmatched = match == -1
-    has_nb = np.isfinite(nb)
-    nb_prio = np.floor_divide(nb, n, where=has_nb,
-                              out=np.full(len(nb), np.inf))
+    has_nb = nb != I64MAX
+    nb_prio = np.floor_divide(
+        nb, n, where=has_nb, out=np.full(len(nb), I64MAX, dtype=np.int64)
+    )
     local_min = unmatched & has_nb & (prio < nb_prio)
     proposers = np.nonzero(local_min)[0]
     partners = (nb[proposers] % n).astype(np.int64)
@@ -518,7 +525,7 @@ def _mm_props_f(match, prio, nb, bounds, n):
 
 def _mm_accept(match, best, bounds, n):
     """Targets accept their min-code proposer (scatter-min result)."""
-    hit = np.isfinite(best) & (match == -1)
+    hit = (best != I64MAX) & (match == -1)
     match = match.copy()
     match[hit] = (best[hit] % n).astype(np.int64)
     return match
@@ -527,14 +534,14 @@ def _mm_accept(match, best, bounds, n):
 def _mm_backpairs(match_old, best, bounds, n):
     """(proposer global idx, target global id) for accepted proposals."""
     s, e = bounds
-    hit = np.isfinite(best) & (match_old == -1)
+    hit = (best != I64MAX) & (match_old == -1)
     props = (best[hit] % n).astype(np.int64)
     targets = np.nonzero(hit)[0] + s
-    return props, targets.astype(np.float64)
+    return props, targets
 
 
 def _mm_setback(match, back):
-    hit = np.isfinite(back)
+    hit = back != I64MAX
     match = match.copy()
     match[hit] = back[hit].astype(np.int64)
     return match
@@ -552,35 +559,36 @@ def maximal_matching(engine: SpmvEngine, seed: int = 9) -> np.ndarray:
     beats every unmatched neighbor's priority, so it can't also be a
     proposal target), so the two writes never conflict."""
     n = engine.n
-    if n * n >= (1 << 53):
+    if n > _I64_ENC_MAX_N:
         raise NotImplementedError(
-            "maximal_matching: prio*n + id float64 encoding requires "
-            "n^2 < 2^53 (~9.49e7 vertices)"
+            "maximal_matching: prio*n + id int64 encoding requires "
+            "n^2 <= 2^63 - 1 (~3.04e9 vertices); a split prio/id channel "
+            "is needed beyond that"
         )
     rng = np.random.RandomState(seed)
-    prio = engine.chunk(rng.permutation(n).astype(np.float64))
+    prio = engine.chunk(rng.permutation(n).astype(np.int64))
     match = engine.map_chunks_i(_neg_ones)
     import ray
 
     while True:
-        # encode (priority, id) as one comparable float: prio*n + id
+        # encode (priority, id) as one comparable int64: prio*n + id
         x = engine.map_chunks_i(partial(_mm_x, n=n), match, prio)
         # min unmatched nbr code: combine + proposals + active count fused
         pr_idx, pr_code, act = engine.spmv_apply_refs(
-            x, "select2nd_min", partial(_mm_props_f, n=n), 3, match, prio
+            x, "select2nd_min_i64", partial(_mm_props_f, n=n), 3, match, prio
         )
         if sum(ray.get(act)) == 0:
             break  # no unmatched vertex has an unmatched neighbor: maximal
         # each target accepts its min-code (= min-priority) proposer
         best = engine.scatter_reduce_refs(
-            list(zip(pr_idx, pr_code)), "select2nd_min"
+            list(zip(pr_idx, pr_code)), "select2nd_min_i64"
         )
         back_i, back_t = engine.map_chunks_n(
             partial(_mm_backpairs, n=n), 2, match, best, with_bounds=True
         )
         match = engine.map_chunks_i(partial(_mm_accept, n=n), match, best)
         back = engine.scatter_reduce_refs(
-            list(zip(back_i, back_t)), "select2nd_min"
+            list(zip(back_i, back_t)), "select2nd_min_i64"
         )
         match = engine.map_chunks(_mm_setback, match, back)
     return engine.unchunk(match)
@@ -737,7 +745,7 @@ def _mm_roots_frontier(mate_col, bounds, *, enc):
     s, _ = bounds
     loc = np.nonzero(mate_col < 0)[0]
     g = loc + s
-    return (loc, (g * enc + g).astype(np.float64)), len(loc)
+    return (loc, g * enc + g), len(loc)  # int64 value channel
 
 
 def _mm_cand_filter(cand, parent_col, *, enc):
@@ -772,10 +780,9 @@ def _mm_claim(trip, act, parent_col, mate_row, bounds, *, enc):
     parent_col[ri] = pc
     row_g = ri + bounds[0]
     um = mate_row[ri] < 0
-    leaf_pair = (rt[um], row_g[um].astype(np.float64))
+    leaf_pair = (rt[um], row_g[um])
     cont_col = mate_row[ri[~um]].astype(np.int64)
-    cont_trip = (rt[~um], cont_col,
-                 (rt[~um] * enc + cont_col).astype(np.float64))
+    cont_trip = (rt[~um], cont_col, rt[~um] * enc + cont_col)
     return parent_col, leaf_pair, cont_trip
 
 
@@ -784,7 +791,7 @@ def _mm_leaf_merge(pending, leaf, active):
     roots, deactivate them."""
     leaf = leaf.copy()
     active = active.copy()
-    new = (leaf < 0) & np.isfinite(pending) & (active > 0.5)
+    new = (leaf < 0) & (pending != I64MAX) & (active > 0.5)
     leaf[new] = pending[new].astype(np.int64)
     active[new] = 0.0
     return leaf, active, int(new.sum())
@@ -802,13 +809,15 @@ def _mm_aug_init(leaf):
     return leaf[leaf >= 0].astype(np.int64)
 
 
-def _to_f8(a):
-    return a.astype(np.float64)
+def _dense_to_pair_i64(res):
+    """int64-channel analog of `_dense_to_pair` (sentinel = int64 max)."""
+    idx = np.nonzero(res != I64MAX)[0]
+    return idx, res[idx]
 
 
 def _mm_merge_assign(scat, old):
     out = old.copy()
-    f = np.isfinite(scat)
+    f = scat != I64MAX
     out[f] = scat[f].astype(np.int64)
     return out
 
@@ -839,19 +848,20 @@ def _mm_refs(engine: SpmvEngine, max_phases: int):
     distinct roots reaching one col; min-val merge keeps one, identical
     to the dense path's per-row select2nd_min).
 
-    The (root, parent) pair rides the float64 value channel as
-    root*n + id, exact only while n^2 < 2^53 — the same ceiling the
-    dense path documents. Guarded explicitly: beyond ~9.49e7 vertices
-    the encode would silently corrupt, so raise instead."""
+    The (root, parent) pair rides the INT64 value channel
+    (`select2nd_min_i64`, sentinel = int64 max) as root*n + id — exact
+    while n^2 <= 2^63 - 1, i.e. up to ~3.04e9 vertices (the former
+    float64 channel capped at n^2 < 2^53 ~ 9.49e7). Guarded explicitly:
+    beyond that the encode would silently corrupt, so raise instead."""
     import ray
 
     n = engine.n
-    if n * n >= (1 << 53):
+    if n > _I64_ENC_MAX_N:
         raise NotImplementedError(
-            f"maximum_matching: n={n} exceeds the exact float64 "
-            "(root*n + id) encoding range (n^2 < 2^53 required); an "
-            "int64 value channel or split root/parent frontiers is "
-            "needed beyond ~9.49e7 vertices"
+            f"maximum_matching: n={n} exceeds the exact int64 "
+            "(root*n + id) encoding range (n^2 <= 2^63 - 1 required); "
+            "split root/parent frontiers are needed beyond ~3.04e9 "
+            "vertices"
         )
     enc = np.int64(n)
     mate_col = engine.map_chunks_i(_neg_ones)
@@ -871,7 +881,7 @@ def _mm_refs(engine: SpmvEngine, max_phases: int):
         fsize = 1
         while fsize:
             trip = engine.spmspv_apply_refs(
-                frontier, "select2nd_min",
+                frontier, "select2nd_min_i64",
                 partial(_mm_cand_filter_f, enc=enc), 1, parent_col,
             )[0]
             act = engine.gather_refs(active, engine.map_chunks(_trip1, trip))
@@ -884,7 +894,7 @@ def _mm_refs(engine: SpmvEngine, max_phases: int):
                     engine.map_chunks(_trip0, leaf_pair),
                     engine.map_chunks(_trip1, leaf_pair),
                 )),
-                "min_plus",
+                "select2nd_min_i64",
             )
             leaf, active, _found = engine.map_chunks_n(
                 _mm_leaf_merge, 3, pending, leaf, active
@@ -896,9 +906,9 @@ def _mm_refs(engine: SpmvEngine, max_phases: int):
                     engine.map_chunks(_trip0, cont_pairs),
                     engine.map_chunks(_trip1, cont_pairs),
                 )),
-                "min_plus",
+                "select2nd_min_i64",
             )
-            frontier = engine.map_chunks(_dense_to_pair, routed)
+            frontier = engine.map_chunks(_dense_to_pair_i64, routed)
             fsize = sum(engine.chunk_scalars(_pair_len, frontier))
         if sum(engine.chunk_scalars(_count_nonneg, leaf)) == 0:
             break
@@ -907,11 +917,11 @@ def _mm_refs(engine: SpmvEngine, max_phases: int):
             cols = engine.gather_refs(parent_col, cur)
             prev = engine.gather_refs(mate_col, cols)
             scat_mr = engine.scatter_reduce_refs(
-                list(zip(cur, engine.map_chunks(_to_f8, cols))), "min_plus"
+                list(zip(cur, cols)), "select2nd_min_i64"
             )
             mate_row = engine.map_chunks(_mm_merge_assign, scat_mr, mate_row)
             scat_mc = engine.scatter_reduce_refs(
-                list(zip(cols, engine.map_chunks(_to_f8, cur))), "min_plus"
+                list(zip(cols, cur)), "select2nd_min_i64"
             )
             mate_col = engine.map_chunks(_mm_merge_assign, scat_mc, mate_col)
             cur = engine.map_chunks(_mm_next_cur, prev)
@@ -942,9 +952,9 @@ def maximum_matching(engine: SpmvEngine, max_phases: int = 10_000):
     Above ``MM_DENSE_MAX`` vertices the refs-only plan (`_mm_refs`) runs:
     all per-vertex state chunked in the object store, scatter/gather
     rounds instead of driver arrays. Both plans encode (root, parent)
-    as root*n + id in the float64 value channel — exact while
-    n^2 < 2^53 (guarded in `_mm_refs`); past ~9.49e7 vertices an int64
-    channel is required."""
+    as root*n + id in the INT64 value channel (`select2nd_min_i64`) —
+    exact while n^2 <= 2^63 - 1 (guarded in `_mm_refs`), i.e. up to
+    ~3.04e9 vertices."""
     n = engine.n
     if n > MM_DENSE_MAX:
         return _mm_refs(engine, max_phases)
@@ -957,13 +967,13 @@ def maximum_matching(engine: SpmvEngine, max_phases: int = 10_000):
             break
         # frontier: unmatched cols, val = root*n + parent(col itself)
         f_idx = roots
-        f_val = (roots * enc + roots).astype(np.float64)
+        f_val = roots * enc + roots  # int64 value channel
         parent_col = np.full(n, -1, dtype=np.int64)  # per row: its BFS col
         root_row = np.full(n, -1, dtype=np.int64)
         leaf = np.full(n, -1, dtype=np.int64)  # per root: leaf row
         active = np.ones(n, dtype=bool)  # roots still searching
         while len(f_idx):
-            ri, rv = engine.spmspv(f_idx, f_val, "select2nd_min")
+            ri, rv = engine.spmspv(f_idx, f_val, "select2nd_min_i64")
             fresh = parent_col[ri] == -1
             ri, rv = ri[fresh], rv[fresh]
             rt = (rv // n).astype(np.int64)
@@ -987,7 +997,7 @@ def maximum_matching(engine: SpmvEngine, max_phases: int = 10_000):
             cont = ~um & active[rt]
             next_cols = mate_row[ri[cont]]
             f_idx = next_cols
-            f_val = (rt[cont] * enc + next_cols).astype(np.float64)
+            f_val = rt[cont] * enc + next_cols
         aug_roots = np.nonzero(leaf >= 0)[0]
         if not len(aug_roots):
             break

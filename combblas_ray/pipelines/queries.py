@@ -611,6 +611,15 @@ def q_dedup_exact(sf_dir: str):
     return D.exact_dedup(_docs(sf_dir))
 
 
+def q_dedup_exact_digest(sf_dir: str):
+    """The digest scale path (128-bit key digest through the shuffle,
+    ~100x fewer bytes): identical output to `dedup_exact` unless two
+    distinct keys collide in 128 bits, so the same SQL oracle applies."""
+    from ..functions import dedup as D
+
+    return D.exact_dedup(_docs(sf_dir), digest=True)
+
+
 def q_jaccard_pairs(sf_dir: str):
     from ..functions import dedup as D
 

@@ -92,6 +92,17 @@ def test_exact_dedup_groups(docs, doc_rows):
     assert len(got) == len(doc_rows)
 
 
+def test_exact_dedup_digest_path_matches_string_path(docs):
+    """digest=True (128-bit blake2b key pair, the scale path: ~100x fewer
+    shuffle bytes) must produce exactly the exact-string-path groups."""
+    from combblas_ray.functions.dedup import exact_dedup
+
+    s = {r["doc_id"]: r["canon_id"] for r in exact_dedup(docs).take_all()}
+    d = {r["doc_id"]: r["canon_id"]
+         for r in exact_dedup(docs, digest=True).take_all()}
+    assert s == d
+
+
 def test_fingerprint_deterministic(docs):
     from combblas_ray.functions.text import fingerprint
 
