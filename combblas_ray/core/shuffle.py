@@ -354,11 +354,12 @@ def _gen_join(on, left_parts_n, post, *parts):
               else max(parts[:left_parts_n], key=lambda t: t.num_columns))
         rt = (pa.concat_tables(right).combine_chunks() if right
               else max(parts[left_parts_n:], key=lambda t: t.num_columns))
-        joined = lt.slice(0, 0).join(rt.slice(0, 0), keys=list(on))
+        joined = lt.slice(0, 0).join(rt.slice(0, 0), keys=list(on),
+                                     join_type="inner")
     else:
         joined = (pa.concat_tables(left).combine_chunks()
                   .join(pa.concat_tables(right).combine_chunks(),
-                        keys=list(on)))
+                        keys=list(on), join_type="inner"))
     return post(joined) if post is not None else joined
 
 

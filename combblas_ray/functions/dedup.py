@@ -336,13 +336,38 @@ def _verify_pairs(cand_ds, sh_tbl, tau: float,
     return hash_join_tasks(j, sb, on="b", num_partitions=np_, post=_jac)
 
 
+def _run_pairs(starts: np.ndarray, sizes: np.ndarray, *cols: np.ndarray):
+    """All within-run (i < j) pairs over run-structured arrays, batched by
+    DISTINCT run size: runs of equal size m stack into an (R, m) matrix
+    and emit their triangular pairs in one fancy-index op — Python loops
+    over the few distinct sizes, never over runs or rows. Returns, per
+    input column, (left_values, right_values) concatenated across runs."""
+    outs = [[] for _ in range(2 * len(cols))]
+    for m in np.unique(sizes):
+        if m < 2:
+            continue
+        s_m = starts[sizes == m]
+        idx = s_m[:, None] + np.arange(m)
+        ii, jj = np.triu_indices(int(m), k=1)
+        for c, col in enumerate(cols):
+            mat = col[idx]
+            outs[2 * c].append(mat[:, ii].ravel())
+            outs[2 * c + 1].append(mat[:, jj].ravel())
+    if not outs[0]:
+        return tuple(np.empty(0, dtype=np.int64) for _ in range(2 * len(cols)))
+    return tuple(np.concatenate(o) for o in outs)
+
+
 def _postings_pairs_counted(batch: pa.Table,
                             df_cap: int = DF_CAP) -> pa.Table:
     """Whole-partition reduce over a hash-partitioned posting list: for
     each shingle with 2 <= df <= df_cap emit (a, b, size_a, size_b) doc
     pairs (a < b) WITH multiplicity — the per-(a,b) copy count IS the
     shingle-intersection size. One sentinel row (a=-1, b=count) records
-    shingles over the cap (forces the string-verify fallback)."""
+    shingles over the cap (forces the string-verify fallback).
+    (shingle, doc) rows are distinct by construction (`_exploded_shingles`
+    emits per-doc distinct shingles), so runs sorted by (shingle, doc)
+    pair directly via `_run_pairs` — no per-run Python."""
     sh = np.asarray(batch.column("shingle")).astype(object)
     ds = np.asarray(batch.column("doc_id"), dtype=np.int64)
     sz = np.asarray(batch.column("size"), dtype=np.int64)
@@ -352,39 +377,28 @@ def _postings_pairs_counted(batch: pa.Table,
     if len(sh):
         new[1:] = sh[1:] != sh[:-1]
     starts = np.nonzero(new)[0]
-    ends = np.append(starts[1:], len(sh))
-    a_out, b_out, sa_out, sb_out = [], [], [], []
-    capped = 0
-    for s, e in zip(starts, ends):
-        df = e - s
-        if df > df_cap:
-            capped += 1
-            continue
-        if df < 2:
-            continue
-        ids, ui = np.unique(ds[s:e], return_index=True)
-        if len(ids) < 2:
-            continue
-        szs = sz[s:e][ui]
-        ii, jj = np.triu_indices(len(ids), k=1)
-        a_out.append(ids[ii])
-        b_out.append(ids[jj])
-        sa_out.append(szs[ii])
-        sb_out.append(szs[jj])
+    sizes = np.diff(np.append(starts, len(sh)))
+    capped = int((sizes > df_cap).sum())
+    ok = sizes <= df_cap
+    a, b, sa, sb = ([], [], [], [])
+    if ok.any():
+        # (doc_left, doc_right, size_left, size_right)
+        av, bv, sav, sbv = _run_pairs(starts[ok], sizes[ok], ds, sz)
+        a, b, sa, sb = [av], [bv], [sav], [sbv]
     if capped:
-        a_out.append(np.array([-1], dtype=np.int64))
-        b_out.append(np.array([capped], dtype=np.int64))
-        sa_out.append(np.zeros(1, dtype=np.int64))
-        sb_out.append(np.zeros(1, dtype=np.int64))
-    if not a_out:
+        a.append(np.array([-1], dtype=np.int64))
+        b.append(np.array([capped], dtype=np.int64))
+        sa.append(np.zeros(1, dtype=np.int64))
+        sb.append(np.zeros(1, dtype=np.int64))
+    if not a:
         return pa.table({"a": pa.array([], type=pa.int64()),
                          "b": pa.array([], type=pa.int64()),
                          "sa": pa.array([], type=pa.int64()),
                          "sb": pa.array([], type=pa.int64())})
-    return pa.table({"a": pa.array(np.concatenate(a_out)),
-                     "b": pa.array(np.concatenate(b_out)),
-                     "sa": pa.array(np.concatenate(sa_out)),
-                     "sb": pa.array(np.concatenate(sb_out))})
+    return pa.table({"a": pa.array(np.concatenate(a)),
+                     "b": pa.array(np.concatenate(b)),
+                     "sa": pa.array(np.concatenate(sa)),
+                     "sb": pa.array(np.concatenate(sb))})
 
 
 def _split_cap_sentinel(tbl: pa.Table):
@@ -557,8 +571,8 @@ def minhash_lsh_pairs(docs_ds, tau: float = 0.5, num_perm: int = 64,
 
     def _pairs(batch: pa.Table) -> pa.Table:
         """Whole-partition pair emission: lexsort (bucket, doc), distinct,
-        per-bucket-run triangular pairs (the `_postings_pairs_counted`
-        discipline — Python touches bucket runs, never rows)."""
+        bucket-run triangular pairs via `_run_pairs` (Python loops over
+        distinct run sizes only, never rows)."""
         bk = np.asarray(batch.column("bucket"), dtype=np.int64)
         ds = np.asarray(batch.column("doc_id"), dtype=np.int64)
         order = np.lexsort((ds, bk))
@@ -571,21 +585,9 @@ def minhash_lsh_pairs(docs_ds, tau: float = 0.5, num_perm: int = 64,
         if len(bk):
             new[1:] = bk[1:] != bk[:-1]
         starts = np.nonzero(new)[0]
-        ends = np.append(starts[1:], len(bk))
-        a_out, b_out = [], []
-        for s, e in zip(starts, ends):
-            if e - s < 2:
-                continue
-            ii, jj = np.triu_indices(e - s, k=1)
-            a_out.append(ds[s:e][ii])
-            b_out.append(ds[s:e][jj])
-        if not a_out:
-            return pa.table({"a": pa.array([], type=pa.int64()),
-                             "b": pa.array([], type=pa.int64())})
-        return pa.table(
-            {"a": pa.array(np.concatenate(a_out)),
-             "b": pa.array(np.concatenate(b_out))}
-        )
+        sizes = np.diff(np.append(starts, len(bk)))
+        a, b = _run_pairs(starts, sizes, ds)
+        return pa.table({"a": pa.array(a), "b": pa.array(b)})
 
     bucketed = sigs.map_batches(_buckets, batch_format="pyarrow")
     cands = _dedup_pairs(group_apply_tasks(bucketed, ["bucket"], _pairs))

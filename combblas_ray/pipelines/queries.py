@@ -215,27 +215,21 @@ def q_spgemm_aa(sf_dir: str):
 
 def q_ewise_mult(sf_dir: str):
     """A .* A^T (inner coordinate join, product) — `EWiseMult exclude=false`."""
+    from ..core.shuffle import hash_join_tasks
+
     ctx = get_context(sf_dir)
     g = ctx.graph("directed")
-    at = g.transpose().edges
-    j = ctx.edges.join(
-        at,
-        join_type="inner",
-        num_partitions=16,
-        on=("src", "dst"),
-        left_suffix="_a",
-        right_suffix="_b",
-    )
+    at = g.transpose().edges.rename_columns({"w": "w_b"})
 
     def _mul(batch: pa.Table) -> pa.Table:
-        w = np.asarray(batch.column("w_a")) * np.asarray(batch.column("w_b"))
+        w = np.asarray(batch.column("w")) * np.asarray(batch.column("w_b"))
         return pa.table(
             {"src": batch.column("src"), "dst": batch.column("dst"),
              "w": pa.array(w)}
         )
 
-    return _decode_edge_labels(ctx, j.map_batches(_mul, batch_format="pyarrow"),
-                               "val")
+    j = hash_join_tasks(ctx.edges, at, on=("src", "dst"), post=_mul)
+    return _decode_edge_labels(ctx, j, "val")
 
 
 def q_set_difference(sf_dir: str):
@@ -250,7 +244,7 @@ def q_set_difference(sf_dir: str):
 
 def q_kselect2(sf_dir: str):
     """Per-column 2nd-largest nonzero value — `Kselect` (SpParMat.cpp:1120)."""
-    from ..core.shuffle import keyed_reduce
+    from ..core.shuffle import group_apply_tasks
 
     ctx = get_context(sf_dir)
     import ray
@@ -274,7 +268,7 @@ def q_kselect2(sf_dir: str):
 
     # dst-partitioned: every column's nonzeros land in one partition, so the
     # local top-k IS the global top-k (no distributed median machinery needed)
-    part = keyed_reduce(ctx.edges, ["dst"], _local)
+    part = group_apply_tasks(ctx.edges, ["dst"], _local)
 
     def _dec(batch: pa.Table, *, _ref=lab_ref) -> pa.Table:
         labels = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
@@ -419,10 +413,10 @@ def q_bandwidth(sf_dir: str):
 def q_tpch_q1(sf_dir: str):
     """TPC-H Q1-style pricing summary, all-Arrow: per-batch hash-aggregate
     partials (pyarrow group_by) -> key-hash shuffle -> whole-partition
-    final combine via keyed_reduce. No pandas, no driver-side merge."""
+    final combine via a warm-task keyed shuffle. No pandas, no driver-side merge."""
     import ray
 
-    from ..core.shuffle import keyed_reduce
+    from ..core.shuffle import group_apply_tasks
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -471,7 +465,7 @@ def q_tpch_q1(sf_dir: str):
 
     part = ds.map_batches(_partial, batch_format="pyarrow",
                           zero_copy_batch=True)
-    return keyed_reduce(part, ["l_returnflag", "l_linestatus"], _final)
+    return group_apply_tasks(part, ["l_returnflag", "l_linestatus"], _final)
 
 
 def q_top_customers(sf_dir: str):
@@ -481,7 +475,7 @@ def q_top_customers(sf_dir: str):
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
-    from ..core.shuffle import group_sum_per_key, keyed_reduce
+    from ..core.shuffle import group_apply_tasks, group_sum_per_key
 
     def _p(batch: pa.Table) -> pa.Table:
         uk, s = group_sum_per_key(
@@ -496,7 +490,7 @@ def q_top_customers(sf_dir: str):
         )
         return pa.table({"c_custkey": pa.array(uk), "total": pa.array(s)})
 
-    totals = keyed_reduce(orders.map_batches(_p, batch_format="pyarrow"),
+    totals = group_apply_tasks(orders.map_batches(_p, batch_format="pyarrow"),
                           ["key"], _m)
     top = (
         totals.sort(["total", "c_custkey"], descending=[True, False])
@@ -528,7 +522,7 @@ def q_events_hourly(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
     )
 
-    from ..core.shuffle import keyed_reduce
+    from ..core.shuffle import group_apply_tasks
 
     def _p(batch: pa.Table) -> pa.Table:
         t = batch.append_column(
@@ -562,7 +556,7 @@ def q_events_hourly(sf_dir: str):
         )
 
     part = ds.map_batches(_p, batch_format="pyarrow", zero_copy_batch=True)
-    return keyed_reduce(part, ["hour", "event_type"], _final)
+    return group_apply_tasks(part, ["hour", "event_type"], _final)
 
 
 # ---------------------------------------------------------------------------
@@ -899,7 +893,7 @@ def q_sessions(sf_dir: str):
 
     import ray
 
-    from ..core.shuffle import keyed_reduce
+    from ..core.shuffle import group_apply_tasks
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
@@ -923,7 +917,7 @@ def q_sessions(sf_dir: str):
         )
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    return keyed_reduce(ds, ["user_id"], _sessions)
+    return group_apply_tasks(ds, ["user_id"], _sessions)
 
 
 def q_prune_rect(sf_dir: str):
@@ -1075,9 +1069,12 @@ def q_clean_corpus(sf_dir: str):
 
     canon = D.exact_dedup(docs).map_batches(_canon_only,
                                             batch_format="pyarrow")
+    from ..core.shuffle import hash_join_tasks
+
     np_ = D._join_partitions()
-    kept = keep_q.join(keep_t, "inner", np_, on=("doc_id",)).join(
-        canon, "inner", np_, on=("doc_id",)
+    kept = hash_join_tasks(
+        hash_join_tasks(keep_q, keep_t, on="doc_id", num_partitions=np_),
+        canon, on="doc_id", num_partitions=np_,
     )
     return kept.sort("doc_id")
 
@@ -1266,7 +1263,7 @@ def q_asof_click(sf_dir: str):
 
     import ray
 
-    from ..core.shuffle import keyed_reduce
+    from ..core.shuffle import group_apply_tasks
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id",
@@ -1287,7 +1284,7 @@ def q_asof_click(sf_dir: str):
         )
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    return keyed_reduce(ds, ["user_id"], _asof)
+    return group_apply_tasks(ds, ["user_id"], _asof)
 
 
 def q_prune_column(sf_dir: str):
