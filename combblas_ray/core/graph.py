@@ -192,7 +192,7 @@ class Graph:
         warm num_cpus=0 tasks — the Ray Data hash-shuffle operator pays
         ~2s of actor-pool spawn per use on this box; plan='shuffle' keeps
         the Dataset-native hash repartition (equality is pytest-gated)."""
-        from .shuffle import dedup_sum_tasks, group_sum_per_key, keyed_reduce
+        from .shuffle import dedup_sum_tasks, group_apply_tasks, group_sum_per_key
 
         n = self.n
         if plan == "tasks":
@@ -219,7 +219,7 @@ class Graph:
 
         partial = self.edges.map_batches(_partial, batch_format="pyarrow",
                                          zero_copy_batch=True)
-        return self._with(keyed_reduce(partial, ["key"], _merge))
+        return self._with(group_apply_tasks(partial, ["key"], _merge))
 
     def symmetrize(self) -> "Graph":
         """A := A + A^T with overlap summed (`operator+=`, ``SpParMat.cpp:741``)."""
@@ -245,7 +245,7 @@ class Graph:
         count composes as sum of local counts, every other op is
         associative so partial and final use the same op.
         """
-        from .shuffle import group_reduce_per_key, keyed_reduce
+        from .shuffle import group_apply_tasks, group_reduce_per_key
 
         key = "src" if dim == "row" else "dst"
         final_ufn = {"sum": "sum", "count": "sum", "min": "min", "max": "max",
@@ -270,12 +270,12 @@ class Graph:
 
         partial = self.edges.map_batches(_partial, batch_format="pyarrow",
                                          zero_copy_batch=True)
-        return keyed_reduce(partial, ["v"], _final)
+        return group_apply_tasks(partial, ["v"], _final)
 
     def degree_table(self, dim: str):
         """(v, cnt, wsum) per src (dim='row') or dst (dim='col') — the
         degree/colsum composite used by the degree queries."""
-        from .shuffle import group_sum_per_key, keyed_reduce
+        from .shuffle import group_apply_tasks, group_sum_per_key
 
         key = "src" if dim == "row" else "dst"
 
@@ -302,7 +302,7 @@ class Graph:
 
         partial = self.edges.map_batches(_partial, batch_format="pyarrow",
                                          zero_copy_batch=True)
-        return keyed_reduce(partial, ["v"], _final)
+        return group_apply_tasks(partial, ["v"], _final)
 
     def out_weight_sums(self) -> np.ndarray:
         """Dense out-weight vector (driver-side, length n) — the

@@ -342,45 +342,52 @@ def group_apply_tasks(ds, keys: list[str], np_apply,
     )
 
 
-def _gen_join(on, left_parts_n, post, *parts):
+def _gen_join(on, right_on, join_type, suffixes, left_parts_n, post, *parts):
     """Per-partition Arrow hash join (Acero) of co-routed sides; ``post``
     optionally transforms the joined table (fused next-stage kernel)."""
     import pyarrow as pa
 
     left = [t for t in parts[:left_parts_n] if t.num_rows]
     right = [t for t in parts[left_parts_n:] if t.num_rows]
-    if not left or not right:
-        lt = (pa.concat_tables(left).combine_chunks() if left
-              else max(parts[:left_parts_n], key=lambda t: t.num_columns))
-        rt = (pa.concat_tables(right).combine_chunks() if right
-              else max(parts[left_parts_n:], key=lambda t: t.num_columns))
-        joined = lt.slice(0, 0).join(rt.slice(0, 0), keys=list(on),
-                                     join_type="inner")
-    else:
-        joined = (pa.concat_tables(left).combine_chunks()
-                  .join(pa.concat_tables(right).combine_chunks(),
-                        keys=list(on), join_type="inner"))
+    lt = (pa.concat_tables(left).combine_chunks() if left
+          else max(parts[:left_parts_n], key=lambda t: t.num_columns))
+    rt = (pa.concat_tables(right).combine_chunks() if right
+          else max(parts[left_parts_n:], key=lambda t: t.num_columns))
+    joined = lt.join(
+        rt, keys=list(on), right_keys=list(right_on),
+        join_type=join_type, left_suffix=suffixes[0],
+        right_suffix=suffixes[1],
+    )
     return post(joined) if post is not None else joined
 
 
 def hash_join_tasks(left_ds, right_ds, on, num_partitions: int | None = None,
-                    post=None):
-    """Warm raw-task inner hash join: both sides routed by the same key
-    hash (num_cpus=0 tasks), one pyarrow ``Table.join`` per partition —
-    co-partitioning makes the partition-local joins exact. ``post``
-    (pa.Table -> pa.Table), when given, is fused into the join task so
-    the joined rows never re-ship. Replaces ``Dataset.join``'s per-use
-    actor-pool spawn for one-shot verify steps."""
+                    post=None, *, right_on=None, join_type: str = "inner",
+                    left_suffix: str | None = None,
+                    right_suffix: str | None = None):
+    """Warm raw-task hash join: both sides routed by the same key hash
+    (num_cpus=0 tasks; the right side by ``right_on`` when the key
+    columns are named differently), one pyarrow ``Table.join`` per
+    partition — co-partitioning makes the partition-local joins exact,
+    including the outer variants ("left outer" / "right outer" /
+    "full outer": a key's rows all land in one partition, so partition-
+    local null-padding is globally correct). ``post`` (pa.Table ->
+    pa.Table), when given, is fused into the join task so the joined
+    rows never re-ship. Replaces ``Dataset.join``'s per-use actor-pool
+    spawn for one-shot steps."""
     import ray
 
     on = [on] if isinstance(on, str) else list(on)
+    right_on = (on if right_on is None
+                else [right_on] if isinstance(right_on, str)
+                else list(right_on))
     g = num_partitions or default_shuffle_blocks()
     lrouted = [
         _rt0(_gen_route).options(num_returns=g).remote(b, g, on)
         for b in left_ds.to_arrow_refs()
     ]
     rrouted = [
-        _rt0(_gen_route).options(num_returns=g).remote(b, g, on)
+        _rt0(_gen_route).options(num_returns=g).remote(b, g, right_on)
         for b in right_ds.to_arrow_refs()
     ]
     lrouted = [[r] if g == 1 else list(r) for r in lrouted]
@@ -389,7 +396,8 @@ def hash_join_tasks(left_ds, right_ds, on, num_partitions: int | None = None,
     return ray.data.from_arrow_refs(
         [
             _rt0(_gen_join).remote(
-                tuple(on), nl, post,
+                tuple(on), tuple(right_on), join_type,
+                (left_suffix, right_suffix), nl, post,
                 *[lrouted[j][i] for j in range(nl)],
                 *[rrouted[j][i] for j in range(len(rrouted))],
             )

@@ -38,29 +38,28 @@ def spgemm(A_ds, B_ds, n: int, *, add: str = "sum", num_partitions: int = 32,
     per-column prune/select/normalize (`MCLPruneRecoverySelect` applied
     inside `MemEfficientSpGEMM`, ``ParFriends.h:452-779``).
     """
+    from .shuffle import group_apply_tasks, hash_join_tasks
+
     A_ds = _edge_schema_guard(A_ds)
-    B_ds = _edge_schema_guard(B_ds)
-    joined = A_ds.join(
-        B_ds,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("dst",),
-        right_on=("src",),
-        left_suffix="_a",
-        right_suffix="_b",
+    B_ds = _edge_schema_guard(B_ds).map_batches(
+        # positional rename (guarded schema IS (src, dst, w)): join key
+        # gets the left's name, payload columns can't collide
+        lambda b: b.rename_columns(["dst", "j_b", "w_b"]),
+        batch_format="pyarrow", zero_copy_batch=True,
     )
 
     def _mul(batch: pa.Table) -> pa.Table:
         i = np.asarray(batch.column("src"))
-        j = np.asarray(batch.column("dst_b" if "dst_b" in batch.column_names else "dst_r"))
-        wa = np.asarray(batch.column("w_a" if "w_a" in batch.column_names else "w_l"))
-        wb = np.asarray(batch.column("w_b" if "w_b" in batch.column_names else "w_r"))
-        w = wa * wb
-        # batch-local partial combine before the (i,j) shuffle
+        j = np.asarray(batch.column("j_b"))
+        w = np.asarray(batch.column("w")) * np.asarray(batch.column("w_b"))
+        # join-task-local partial combine before the (i,j) shuffle
         uk, red = group_reduce_per_key(w, i * np.int64(n) + j, "sum" if add == "sum" else add)
         return pa.table({"key": pa.array(uk), "w": pa.array(red)})
 
-    partial = joined.map_batches(_mul, batch_format="pyarrow", zero_copy_batch=True)
+    # warm-task co-partitioned join on the contraction index k, with the
+    # multiply + partial combine fused into the join task
+    partial = hash_join_tasks(A_ds, B_ds, on="dst",
+                              num_partitions=num_partitions, post=_mul)
 
     def _merge(batch: pa.Table) -> pa.Table:
         uk, red = group_reduce_per_key(
@@ -86,11 +85,11 @@ def spgemm(A_ds, B_ds, n: int, *, add: str = "sum", num_partitions: int = 32,
 
         partial = partial.map_batches(_add_pcol, batch_format="pyarrow",
                                       zero_copy_batch=True)
-        out = keyed_reduce(partial, ["pcol"], _merge,
-                           num_blocks=num_partitions)
+        out = group_apply_tasks(partial, ["pcol"], _merge,
+                                num_partitions=num_partitions)
     else:
-        out = keyed_reduce(partial, ["key"], _merge,
-                           num_blocks=num_partitions)
+        out = group_apply_tasks(partial, ["key"], _merge,
+                                num_partitions=num_partitions)
     if mask_ds is not None:
         out = coordinate_mask(out, mask_ds, n, anti=mask_anti,
                               num_partitions=num_partitions)
@@ -370,7 +369,7 @@ def spgemm_broadcast(A_ds, B_ds, n: int, *, add: str = "sum"):
     (`Extract` bcast test FastSV.h:221-228; SURVEY §4)."""
     import ray
 
-    from .shuffle import group_reduce_per_key, keyed_reduce
+    from .shuffle import group_apply_tasks, group_reduce_per_key
 
     rows_src, rows_dst, rows_w = [], [], []
     for t in ray.get(B_ds.to_arrow_refs()):
@@ -423,7 +422,7 @@ def spgemm_broadcast(A_ds, B_ds, n: int, *, add: str = "sum"):
             }
         )
 
-    return keyed_reduce(partial, ["key"], _merge)
+    return group_apply_tasks(partial, ["key"], _merge)
 
 
 def ewise_apply(
@@ -443,12 +442,14 @@ def ewise_apply(
     (``ParFriends.h:2649-2697``): full/left/right/inner outer join on
     (src,dst) selected by the null flags, missing side filled with the
     null substitute, ``fn(wa, wb)`` vectorized numpy."""
+    from .shuffle import hash_join_tasks
+
     how = (
-        "full_outer"
+        "full outer"
         if allow_a_nulls and allow_b_nulls
-        else "left_outer"
+        else "left outer"
         if allow_b_nulls
-        else "right_outer"
+        else "right outer"
         if allow_a_nulls
         else "inner"
     )
@@ -463,14 +464,10 @@ def ewise_apply(
                                               zero_copy_batch=True)
     kb = _edge_schema_guard(B_ds).map_batches(_key, batch_format="pyarrow",
                                               zero_copy_batch=True)
-    j = ka.join(
-        kb,
-        join_type=how,
-        num_partitions=num_partitions,
-        on=("key",),
-        left_suffix="_a",
-        right_suffix="_b",
-    )
+    # co-partitioned warm-task join: outer variants are exact because a
+    # key's rows (both sides) land whole in one partition
+    j = hash_join_tasks(ka, kb, on="key", num_partitions=num_partitions,
+                        join_type=how, left_suffix="_a", right_suffix="_b")
 
     def _apply(batch: pa.Table) -> pa.Table:
         key = np.asarray(batch.column("key"))
@@ -527,16 +524,7 @@ def coordinate_mask(C_ds, mask_ds, n: int, *, anti: bool = False,
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    join_type = "left_outer" if anti else "inner"
-    j = keyed.join(
-        mask_keys.map_batches(
-            lambda b: b.append_column("mhit", pa.array(np.ones(b.num_rows))),
-            batch_format="pyarrow",
-        ),
-        join_type=join_type,
-        num_partitions=num_partitions,
-        on=("key",),
-    )
+    from .shuffle import hash_join_tasks
 
     def _post(batch: pa.Table) -> pa.Table:
         cols = {c: batch.column(c) for c in ("src", "dst", "w")}
@@ -546,4 +534,14 @@ def coordinate_mask(C_ds, mask_ds, n: int, *, anti: bool = False,
             return pa.table(cols).filter(keep)
         return pa.table(cols)
 
-    return j.map_batches(_post, batch_format="pyarrow")
+    return hash_join_tasks(
+        keyed,
+        mask_keys.map_batches(
+            lambda b: b.append_column("mhit", pa.array(np.ones(b.num_rows))),
+            batch_format="pyarrow",
+        ),
+        on="key",
+        num_partitions=num_partitions,
+        join_type="left outer" if anti else "inner",
+        post=_post,
+    )

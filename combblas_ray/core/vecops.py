@@ -18,7 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .shuffle import group_reduce_per_key, keyed_reduce
+from .shuffle import group_apply_tasks, group_reduce_per_key, hash_join_tasks
 
 
 def from_numpy(vals: np.ndarray, idx: np.ndarray | None = None):
@@ -34,12 +34,9 @@ def from_numpy(vals: np.ndarray, idx: np.ndarray | None = None):
 def ewise_join(va_ds, vb_ds, fn, how: str = "inner", num_partitions: int = 16):
     """Join two vertex vectors on v; fn(val_a, val_b) vectorized numpy.
     how in {inner, left_outer, full_outer}; missing side passed as NaN."""
-    j = va_ds.join(
-        vb_ds,
-        join_type=how,
-        num_partitions=num_partitions,
-        on=("v",),
-        left_suffix="_a",
+    j = hash_join_tasks(
+        va_ds, vb_ds, on="v", num_partitions=num_partitions,
+        join_type=how.replace("_", " "), left_suffix="_a",
         right_suffix="_b",
     )
 
@@ -70,7 +67,7 @@ def invert(vec_ds, dup: str = "min"):
             {"v": pa.array(uk), "val": pa.array(red.astype(np.int64))}
         )
 
-    return keyed_reduce(vec_ds.map_batches(_swap, batch_format="pyarrow",
+    return group_apply_tasks(vec_ds.map_batches(_swap, batch_format="pyarrow",
                                            zero_copy_batch=True), ["key"], _merge)
 
 
@@ -93,7 +90,7 @@ def uniq(vec_ds, rep: str = "min"):
             {"v": pa.array(red.astype(np.int64)), "val": pa.array(uk)}
         )
 
-    return keyed_reduce(vec_ds.map_batches(_pre, batch_format="pyarrow",
+    return group_apply_tasks(vec_ds.map_batches(_pre, batch_format="pyarrow",
                                            zero_copy_batch=True), ["key"], _merge)
 
 

@@ -363,33 +363,59 @@ def embedding_dup_pairs_lsh(emb_ds, tau: float = 0.4, nbits: int = 4,
             out_b.append(bc)
             out_i.append(ids)
             out_e.append(M)
+        E = np.vstack(out_e) if out_e else np.zeros((0, 0))
+        d = E.shape[1]
+        if len(E) == 0 or d == 0:
+            lst = pa.array([], type=pa.list_(pa.float64()))
+        else:
+            lst = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (len(E) + 1) * d, d, dtype=np.int32)),
+                pa.array(E.ravel(), type=pa.float64()),
+            )
         return pa.table(
             {
                 "bucket": pa.array(np.concatenate(out_b), type=pa.int64()),
                 "vec_id": pa.array(np.concatenate(out_i), type=pa.int64()),
-                "embedding": pa.array(np.vstack(out_e).tolist(),
-                                      type=pa.list_(pa.float64())),
+                "embedding": lst,
             }
         )
 
     def _verify(batch: pa.Table) -> pa.Table:
+        """Per-bucket exact cosine verify, batched by DISTINCT bucket
+        size: buckets of equal size m stack into one (R, m, d) tensor and
+        verify with a single batched matmul — Python loops over the few
+        distinct sizes, never over buckets (the `_run_pairs` discipline).
+        `embedding` arrives flattened zero-copy, not via to_pylist."""
         bk = np.asarray(batch.column("bucket"))
         ids = np.asarray(batch.column("vec_id"))
-        M = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
-        a_out, b_out = [], []
-        order = np.argsort(bk, kind="stable")
+        col = batch.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = np.asarray(col.flatten(), dtype=np.float64)
+        if len(ids) == 0:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64())})
+        M = flat.reshape(len(ids), len(flat) // len(ids))
+        order = np.lexsort((ids, bk))
         bk, ids, M = bk[order], ids[order], M[order]
-        ub, starts = np.unique(bk, return_index=True)
-        ends = np.append(starts[1:], len(bk))
-        for s, e in zip(starts, ends):
-            if e - s < 2:
+        new = np.ones(len(bk), dtype=bool)
+        new[1:] = bk[1:] != bk[:-1]
+        starts = np.nonzero(new)[0]
+        sizes = np.diff(np.append(starts, len(bk)))
+        a_out, b_out = [], []
+        for m in np.unique(sizes):
+            if m < 2:
                 continue
-            gi, gm = ids[s:e], M[s:e]
-            sims = gm @ gm.T
-            bi, bj = np.nonzero(sims >= tau)
-            keep = gi[bi] < gi[bj]
-            a_out.append(gi[bi][keep])
-            b_out.append(gi[bj][keep])
+            s_m = starts[sizes == m]
+            idx = s_m[:, None] + np.arange(m)
+            G = M[idx]                          # (R, m, d)
+            sims = np.einsum("rmd,rnd->rmn", G, G)
+            ri, bi, bj = np.nonzero(sims >= tau)
+            gi = ids[idx]                       # (R, m)
+            av, bv = gi[ri, bi], gi[ri, bj]
+            keep = av < bv
+            a_out.append(av[keep])
+            b_out.append(bv[keep])
         if not a_out:
             return pa.table({"a": pa.array([], type=pa.int64()),
                              "b": pa.array([], type=pa.int64())})
