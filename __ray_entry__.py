@@ -171,6 +171,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_digest": o.dedup_exact(),
         "jaccard_pairs": o.jaccard_pairs(),
         "ann_topk": o.ann_topk(),
+        "ann_lsh": o.ann_lsh(),
         "bfs_parents": o.bfs_parents("m_0", q.BFS_ITERS),
         "colstochastic": o.colstochastic(),
         "masked_colsums": o.masked_colsums(),
@@ -179,6 +180,7 @@ def oracle_sql() -> dict[str, str]:
         "prune_rect": o.prune_rect(),
         "clean_corpus": o.clean_corpus(),
         "embed_dups": o.embed_dups(),
+        "embed_dups_lsh": o.embed_dups_lsh(),
         "knn_components": o.knn_components(),
         "fastsv": o.connected_components(q.CC_ITERS),
         "token_counts_re": o.token_counts_re(),

@@ -540,6 +540,57 @@ WHERE rn <= {k}
 """
 
 
+def ann_lsh(nq: int = 10, k: int = 5, nbits: int = 6, probe_bits: int = 2,
+            seed: int = 11, dim: int = 64) -> str:
+    """Multi-probe sign-LSH ANN re-derived in SQL: seeded hyperplanes as
+    DOUBLE literals, per-vector sign codes, candidates = vectors whose
+    code equals the query's code xor any <=probe_bits-bit flip, exact
+    cosine re-rank with the (sim DESC, id ASC) tie-break of the green
+    brute-force `ann_topk` oracle. Mirrors `ann.py:ann_lsh_topk`."""
+    import itertools
+
+    import numpy as np
+
+    planes = np.random.RandomState(seed).randn(nbits, dim)
+    code_expr = " + ".join(
+        "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ["
+        + ", ".join("%.17g" % v for v in row)
+        + f"]) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, row in enumerate(planes)
+    )
+    flips = [0] + [
+        sum(1 << b for b in combo)
+        for r in range(1, probe_bits + 1)
+        for combo in itertools.combinations(range(nbits), r)
+    ]
+    flip_vals = ", ".join(f"({f})" for f in flips)
+    return f"""
+WITH codes AS MATERIALIZED (
+  SELECT vec_id, {code_expr} AS code FROM embeddings
+),
+q AS MATERIALIZED (
+  SELECT e.vec_id AS qid, e.embedding AS qe, c.code AS qcode
+  FROM embeddings e JOIN codes c ON c.vec_id = e.vec_id
+  WHERE e.vec_id < {nq}
+),
+sims AS MATERIALIZED (
+  SELECT q.qid, e.vec_id AS nid,
+         list_cosine_similarity(q.qe, e.embedding) AS sim
+  FROM q
+  CROSS JOIN (VALUES {flip_vals}) AS f(flip)
+  JOIN codes c ON c.code = xor(q.qcode, f.flip)
+  JOIN embeddings e ON e.vec_id = c.vec_id AND e.vec_id <> q.qid
+)
+SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS BIGINT) AS rnk
+FROM (
+  SELECT qid, nid,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rn
+  FROM sims
+)
+WHERE rn <= {k}
+"""
+
+
 @_materialized
 def bfs_parents(root_label: str = "m_0", iters: int = 12) -> str:
     """Parent = lexicographically smallest neighbor one level closer
@@ -818,6 +869,52 @@ def embed_dups(tau: float = 0.4) -> str:
 SELECT a.vec_id AS a, b.vec_id AS b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= {tau}
+"""
+
+
+def embed_dups_lsh(tau: float = 0.4, nbits: int = 4, probe_bits: int = 1,
+                   seed: int = 11, dim: int = 64) -> str:
+    """Sign-LSH-bucketed near-dup, fully re-derived in SQL: the seeded
+    hyperplanes are emitted as DOUBLE literals (17 sig digits = exact
+    float64 round-trip), sign codes via list_dot_product on the
+    DOUBLE-cast embeddings (sign is normalization-invariant), multi-probe
+    buckets via least(code, xor(code, flip)), candidates = shared-bucket
+    pairs, exact cosine verify (same kernel as the green `embed_dups`
+    oracle). Mirrors `functions/ann.py:embedding_dup_pairs_lsh`."""
+    import itertools
+
+    import numpy as np
+
+    planes = np.random.RandomState(seed).randn(nbits, dim)
+    code_expr = " + ".join(
+        "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ["
+        + ", ".join("%.17g" % v for v in row)
+        + f"]) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, row in enumerate(planes)
+    )
+    flips = [0] + [
+        sum(1 << b for b in combo)
+        for r in range(1, probe_bits + 1)
+        for combo in itertools.combinations(range(nbits), r)
+    ]
+    flip_vals = ", ".join(f"({f})" for f in flips)
+    return f"""
+WITH codes AS MATERIALIZED (
+  SELECT vec_id, {code_expr} AS code FROM embeddings
+),
+buckets AS MATERIALIZED (
+  SELECT vec_id, least(code, xor(code, f.flip)) AS bucket
+  FROM codes, (VALUES {flip_vals}) AS f(flip)
+),
+cands AS MATERIALIZED (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM buckets x JOIN buckets y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT c.a, c.b
+FROM cands c
+JOIN embeddings ea ON ea.vec_id = c.a
+JOIN embeddings eb ON eb.vec_id = c.b
+WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= {tau}
 """
 
 
