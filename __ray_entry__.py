@@ -181,6 +181,8 @@ def oracle_sql() -> dict[str, str]:
         "clean_corpus": o.clean_corpus(),
         "embed_dups": o.embed_dups(),
         "embed_dups_lsh": o.embed_dups_lsh(),
+        "fingerprint": o.fingerprint(),
+        "simhash": o.simhash_sql(),
         "knn_components": o.knn_components(),
         "fastsv": o.connected_components(q.CC_ITERS),
         "token_counts_re": o.token_counts_re(),

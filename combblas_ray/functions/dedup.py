@@ -595,12 +595,15 @@ def minhash_lsh_pairs(docs_ds, tau: float = 0.5, num_perm: int = 64,
 
 
 def simhash(docs_ds):
-    """64-bit SimHash over token crc32 hashes -> (doc_id, simhash int64).
+    """64-bit SimHash over md5-low-64 token hashes -> (doc_id, simhash
+    int64). The hash basis is DuckDB's ``md5_number_lower``
+    (`text.md5_lower64`), so the SQL oracle reproduces it bit-exactly.
 
     Vectorized: hash each DISTINCT token in the batch once (the only
     Python loop), expand via np.unique's inverse, build the full
     (n_token_occurrences, 64) ±1 bit matrix and scatter-add it into
     per-doc accumulators with one np.add.at."""
+    from .text import md5_lower64
 
     def _sh(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -615,9 +618,7 @@ def simhash(docs_ds):
             uniq, inv = np.unique(flat.astype(str), return_inverse=True)
             hu = np.empty(len(uniq), dtype=np.uint64)
             for i, t in enumerate(uniq):
-                hu[i] = np.uint64(
-                    zlib.crc32(t.encode()) | (zlib.crc32(t[::-1].encode()) << 32)
-                )
+                hu[i] = md5_lower64(t)
             h = hu[inv]  # per-occurrence hash
             bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
             np.add.at(acc, par, bits * 2 - 1)

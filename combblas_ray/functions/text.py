@@ -107,13 +107,24 @@ def _fp_mulmod(h: np.ndarray) -> np.ndarray:
     return (part + lo * _FP_MULT) & _FP_MASK
 
 
+def md5_lower64(t: str) -> int:
+    """Low 64 bits of md5 = DuckDB's ``md5_number_lower`` exactly
+    (little-endian uint64 of the digest's last 8 bytes) — the token hash
+    basis shared by `fingerprint` and `simhash` so both have bit-exact
+    SQL oracles."""
+    import hashlib
+    import struct
+
+    return struct.unpack("<Q", hashlib.md5(t.encode()).digest()[8:])[0]
+
+
 def fingerprint(batch: pa.Table) -> pa.Table:
     """Rolling polynomial hash over token hashes (document fingerprint):
-    h = (h * 1000003 + crc32(token)) mod 2^61, Horner-evaluated
-    COLUMN-WISE — one vector step per token position instead of a Python
-    loop per token; each distinct token is crc32-hashed once."""
-    import zlib
-
+    h = (h * 1000003 + (md5_lower64(token) mod 2^61)) mod 2^61,
+    Horner-evaluated COLUMN-WISE — one vector step per token position
+    instead of a Python loop per token; each distinct token is hashed
+    once. md5-based so the DuckDB oracle (`sqlgen.fingerprint`:
+    list_transform + list_reduce in HUGEINT) reproduces it bit-exactly."""
     toks = tokens_list(batch)
     flat = np.asarray(pc.list_flatten(toks)).astype(str)
     lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
@@ -124,8 +135,8 @@ def fingerprint(batch: pa.Table) -> pa.Table:
         uniq, inv = np.unique(flat, return_inverse=True)
         hu = np.empty(len(uniq), dtype=np.uint64)
         for i, t in enumerate(uniq):
-            hu[i] = zlib.crc32(t.encode())
-        hv = hu[inv]
+            hu[i] = md5_lower64(t)
+        hv = hu[inv] & _FP_MASK
         for j in range(int(lens.max())):
             rows = np.nonzero(lens > j)[0]
             h[rows] = (_fp_mulmod(h[rows]) + hv[offsets[rows] + j]) & _FP_MASK

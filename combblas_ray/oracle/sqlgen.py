@@ -872,6 +872,48 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= {tau}
 """
 
 
+def fingerprint() -> str:
+    """Bit-exact twin of `text.fingerprint`: Horner chain
+    h = (h*1000003 + md5_number_lower(tok) % 2^61) % 2^61 via
+    list_transform + list_reduce in HUGEINT (the multiply overflows
+    int64)."""
+    p = 1 << 61
+    return f"""
+SELECT doc_id,
+  CAST(list_reduce(
+    list_prepend(CAST(0 AS HUGEINT),
+      list_transform(string_split(text, ' '),
+                     t -> CAST(md5_number_lower(t) % {p} AS HUGEINT))),
+    (acc, x) -> (acc * 1000003 + x) % {p}
+  ) AS BIGINT) AS fingerprint
+FROM documents
+"""
+
+
+def simhash_sql() -> str:
+    """Bit-exact twin of `dedup.simhash`: per-bit signed token-occurrence
+    majority over md5_number_lower hashes, reassembled into the int64
+    bit pattern (bit 63 contributes -2^63)."""
+    return """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+bits AS MATERIALIZED (
+  SELECT doc_id, j,
+         SUM(CASE WHEN (md5_number_lower(tok) >> j) & 1 = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM toks CROSS JOIN generate_series(0, 63) AS g(j)
+  GROUP BY doc_id, j
+)
+SELECT doc_id,
+  CAST(SUM(CASE WHEN s > 0 AND j < 63 THEN CAST(1 AS HUGEINT) << j ELSE 0 END)
+     + SUM(CASE WHEN s > 0 AND j = 63
+                THEN CAST(-9223372036854775808 AS HUGEINT) ELSE 0 END)
+  AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
 def embed_dups_lsh(tau: float = 0.4, nbits: int = 4, probe_bits: int = 1,
                    seed: int = 11, dim: int = 64) -> str:
     """Sign-LSH-bucketed near-dup, fully re-derived in SQL: the seeded
