@@ -170,6 +170,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": o.dedup_exact(),
         "dedup_exact_digest": o.dedup_exact(),
         "jaccard_pairs": o.jaccard_pairs(),
+        "minhash_pairs": o.minhash_pairs(),
         "ann_topk": o.ann_topk(),
         "ann_lsh": o.ann_lsh(),
         "bfs_parents": o.bfs_parents("m_0", q.BFS_ITERS),

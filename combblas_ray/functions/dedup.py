@@ -490,12 +490,16 @@ def _minhash_params(num_perm: int = 64, seed: int = 7):
 
 
 def minhash_signatures(docs_ds, num_perm: int = 64):
-    """(doc_id, sig list<int64>) — signature via crc32 shingle hashes and
-    universal hashing; fully deterministic."""
+    """(doc_id, sig list<int64>) — signature via md5-low-64 shingle
+    hashes folded to 32 bits (= DuckDB ``md5_number_lower(s) %% 2^32``,
+    so the SQL oracle reproduces signatures bit-exactly) and universal
+    hashing; fully deterministic."""
+    from .text import md5_lower64
+
     a, b, p = _minhash_params(num_perm)
 
     def _sig(batch: pa.Table) -> pa.Table:
-        """Batch-vectorized: crc32 each DISTINCT shingle once (shingles
+        """Batch-vectorized: hash each DISTINCT shingle once (shingles
         repeat heavily across docs), permute the unique hashes in one
         (U, num_perm) matrix op, per-doc min via segment reduceat —
         bit-identical to the per-doc loop it replaces."""
@@ -506,9 +510,9 @@ def minhash_signatures(docs_ds, num_perm: int = 64):
         if len(s_arr):
             uniq, inv = np.unique(s_arr, return_inverse=True)
             hu = np.fromiter(
-                (zlib.crc32(t.encode()) for t in uniq),
+                (md5_lower64(t) for t in uniq),
                 dtype=np.uint64, count=len(uniq),
-            )
+            ) % np.uint64(1 << 32)
             Hu = (hu[:, None] * a[None, :] + b[None, :]) % p
             Hi = Hu[inv]  # instance rows, already in doc order
             offsets = np.concatenate(([0], np.cumsum(lens)))
@@ -534,7 +538,7 @@ def minhash_lsh_pairs(docs_ds, tau: float = 0.5, num_perm: int = 64,
     per-bucket pairs -> pair-dedup shuffle) verified with exact Jaccard
     via distributed joins — the scalable near-dup path. Returns a
     Dataset (a, b, jac)."""
-    from ..core.shuffle import _mix64
+    from .text import _FP_MASK, _fp_mulmod
 
     rows_per_band = num_perm // bands
     docs = docs_ds.materialize()  # scanned twice (signatures + verify)
@@ -542,11 +546,12 @@ def minhash_lsh_pairs(docs_ds, tau: float = 0.5, num_perm: int = 64,
 
     def _buckets(batch: pa.Table) -> pa.Table:
         """Vectorized banded bucketing: the (n, num_perm) signature matrix
-        folds each band's rows_per_band lanes with a splitmix64 polynomial
-        hash, band index mixed in — one (n, bands) matrix op, no per-row
-        Python. Bucket ids differ from a byte-hash formulation but the
-        LSH contract (same band chunk -> same bucket) is identical, and
-        every candidate is exact-Jaccard verified downstream."""
+        folds each band's rows_per_band lanes with a Horner chain
+        h = (h*1000003 + sig) mod 2^61 seeded with band+1 — one
+        (n, bands) matrix op, no per-row Python, and bit-reproducible in
+        SQL (HUGEINT list_reduce, `sqlgen.minhash_pairs`). Sig values are
+        < 2^61 - 1, so the fold is exact in uint64; every candidate is
+        exact-Jaccard verified downstream."""
         ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
         nrows = batch.num_rows
         sig = batch.column("sig")
@@ -557,11 +562,12 @@ def minhash_lsh_pairs(docs_ds, tau: float = 0.5, num_perm: int = 64,
                              "doc_id": pa.array([], type=pa.int64())})
         S = np.asarray(pc.list_flatten(sig), dtype=np.int64).reshape(
             nrows, bands, rows_per_band).view(np.uint64)
-        h = np.zeros((nrows, bands), dtype=np.uint64)
+        h = np.broadcast_to(
+            np.arange(1, bands + 1, dtype=np.uint64)[None, :], (nrows, bands)
+        ).copy()
         for j in range(rows_per_band):
-            h = _mix64(h * np.uint64(0x100000001B3) + S[:, :, j])
-        h = _mix64(h + np.arange(1, bands + 1, dtype=np.uint64)[None, :])
-        bucket = (h >> np.uint64(1)).astype(np.int64)  # nonnegative
+            h = (_fp_mulmod(h) + S[:, :, j]) & _FP_MASK
+        bucket = h.astype(np.int64)  # < 2^61, nonnegative
         return pa.table(
             {
                 "bucket": pa.array(bucket.reshape(-1)),

@@ -521,6 +521,71 @@ WHERE i.i * 1.0 / (ca.nsh + cb.nsh - i.i) >= {tau}
 """
 
 
+def minhash_pairs(tau: float = 0.5, num_perm: int = 64, bands: int = 16,
+                  seed: int = 7) -> str:
+    """Bit-exact twin of `dedup.minhash_lsh_pairs`: signatures from
+    md5-low-32 shingle hashes through the seeded universal-hash family
+    (a, b literals below; exact in HUGEINT), banded Horner buckets
+    (h = (h*1000003 + sv) mod 2^61 seeded band+1, matching the numpy
+    `_fp_mulmod` fold), candidates = any shared bucket value, exact
+    Jaccard verify with the green `jaccard_pairs` oracle's tail."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, 1 << 32, size=num_perm)
+    b = rng.randint(0, 1 << 32, size=num_perm)
+    perm_vals = ", ".join(
+        f"({i}, {int(a[i])}, {int(b[i])})" for i in range(num_perm)
+    )
+    rpb = num_perm // bands
+    p61m = (1 << 61) - 1
+    mod61 = 1 << 61
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+sh AS MATERIALIZED (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+  ))) AS s FROM toks
+),
+counts AS MATERIALIZED (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+base AS MATERIALIZED (
+  SELECT doc_id, CAST(md5_number_lower(s) % 4294967296 AS HUGEINT) AS hv
+  FROM sh
+),
+perms(i, pa, pb) AS MATERIALIZED (SELECT * FROM (VALUES {perm_vals})),
+sig AS MATERIALIZED (
+  SELECT doc_id, p.i, MIN((p.pa * hv + p.pb) % {p61m}) AS sv
+  FROM base CROSS JOIN perms p GROUP BY doc_id, p.i
+),
+chunks AS MATERIALIZED (
+  SELECT doc_id, i // {rpb} AS band, list(sv ORDER BY i) AS chunk
+  FROM sig GROUP BY doc_id, i // {rpb}
+),
+buckets AS MATERIALIZED (
+  SELECT doc_id,
+    list_reduce(list_prepend(CAST(band + 1 AS HUGEINT), chunk),
+                (acc, x) -> (acc * 1000003 + x) % {mod61}) AS bucket
+  FROM chunks
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM buckets x JOIN buckets y ON x.bucket = y.bucket
+                               AND x.doc_id < y.doc_id
+),
+inter AS MATERIALIZED (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT c.a AS a, c.b AS b,
+       round(i.i * 1.0 / (ca.nsh + cb.nsh - i.i), 6) AS jac
+FROM cand c JOIN inter i ON i.a = c.a AND i.b = c.b
+JOIN counts ca ON ca.doc_id = c.a JOIN counts cb ON cb.doc_id = c.b
+WHERE i.i * 1.0 / (ca.nsh + cb.nsh - i.i) >= {tau}
+"""
+
+
 def ann_topk(nq: int = 10, k: int = 5) -> str:
     return f"""
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
