@@ -342,17 +342,27 @@ def group_apply_tasks(ds, keys: list[str], np_apply,
     )
 
 
-def _gen_join(on, right_on, join_type, suffixes, left_parts_n, post, *parts):
+def _gen_join(on, right_on, join_type, suffixes, schemas, left_parts_n,
+              post, *parts):
     """Per-partition Arrow hash join (Acero) of co-routed sides; ``post``
-    optionally transforms the joined table (fused next-stage kernel)."""
+    optionally transforms the joined table (fused next-stage kernel).
+    ``schemas`` = (left, right) Arrow schemas used as the fallback for
+    all-empty sides (Ray can materialize 0-row datasets as zero-column
+    blocks, which would otherwise break the key reference)."""
     import pyarrow as pa
 
-    left = [t for t in parts[:left_parts_n] if t.num_rows]
-    right = [t for t in parts[left_parts_n:] if t.num_rows]
-    lt = (pa.concat_tables(left).combine_chunks() if left
-          else max(parts[:left_parts_n], key=lambda t: t.num_columns))
-    rt = (pa.concat_tables(right).combine_chunks() if right
-          else max(parts[left_parts_n:], key=lambda t: t.num_columns))
+    def _side(ts, keys, schema):
+        rows = [t for t in ts if t.num_rows]
+        if rows:
+            return pa.concat_tables(rows).combine_chunks()
+        best = max(ts, key=lambda t: t.num_columns)
+        if schema is not None and not all(k in best.column_names
+                                          for k in keys):
+            return schema.empty_table()
+        return best
+
+    lt = _side(parts[:left_parts_n], on, schemas[0])
+    rt = _side(parts[left_parts_n:], right_on, schemas[1])
     joined = lt.join(
         rt, keys=list(on), right_keys=list(right_on),
         join_type=join_type, left_suffix=suffixes[0],
@@ -374,7 +384,12 @@ def hash_join_tasks(left_ds, right_ds, on, num_partitions: int | None = None,
     local null-padding is globally correct). ``post`` (pa.Table ->
     pa.Table), when given, is fused into the join task so the joined
     rows never re-ship. Replaces ``Dataset.join``'s per-use actor-pool
-    spawn for one-shot steps."""
+    spawn for one-shot steps.
+
+    Contract: a side that can be globally EMPTY must carry its schema in
+    at least one block (map_batches outputs always do; Ray's repartition
+    of a fully-empty dataset erases the schema, and `ds.schema()` then
+    returns None, so no fallback is possible)."""
     import ray
 
     on = [on] if isinstance(on, str) else list(on)
@@ -382,13 +397,16 @@ def hash_join_tasks(left_ds, right_ds, on, num_partitions: int | None = None,
                 else [right_on] if isinstance(right_on, str)
                 else list(right_on))
     g = num_partitions or default_shuffle_blocks()
+    lrefs = left_ds.to_arrow_refs()
+    rrefs = right_ds.to_arrow_refs()
+    schemas = (_arrow_schema(left_ds), _arrow_schema(right_ds))
     lrouted = [
         _rt0(_gen_route).options(num_returns=g).remote(b, g, on)
-        for b in left_ds.to_arrow_refs()
+        for b in lrefs
     ]
     rrouted = [
         _rt0(_gen_route).options(num_returns=g).remote(b, g, right_on)
-        for b in right_ds.to_arrow_refs()
+        for b in rrefs
     ]
     lrouted = [[r] if g == 1 else list(r) for r in lrouted]
     rrouted = [[r] if g == 1 else list(r) for r in rrouted]
@@ -397,10 +415,24 @@ def hash_join_tasks(left_ds, right_ds, on, num_partitions: int | None = None,
         [
             _rt0(_gen_join).remote(
                 tuple(on), tuple(right_on), join_type,
-                (left_suffix, right_suffix), nl, post,
+                (left_suffix, right_suffix), schemas, nl, post,
                 *[lrouted[j][i] for j in range(nl)],
                 *[rrouted[j][i] for j in range(len(rrouted))],
             )
             for i in range(g)
         ]
     )
+
+
+def _arrow_schema(ds):
+    """The dataset's Arrow schema, or None when unavailable — used only
+    as the all-empty-side fallback in `_gen_join` (cheap: the dataset is
+    already materialized by to_arrow_refs when this runs)."""
+    import pyarrow as pa
+
+    try:
+        s = ds.schema(fetch_if_missing=True)
+        base = getattr(s, "base_schema", None)
+        return base if isinstance(base, pa.Schema) else None
+    except Exception:
+        return None
