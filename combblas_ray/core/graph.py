@@ -184,7 +184,8 @@ class Graph:
 
     # ---- shuffling operators ----
 
-    def dedup_sum(self, plan: str = "tasks") -> "Graph":
+    def dedup_sum(self, plan: str = "tasks",
+                  drop_loops: bool = False) -> "Graph":
         """Merge duplicate (src,dst) entries with +: batch-local combine,
         ONE exchange on the fused key, whole-partition numpy merge
         (`RemoveDuplicates` after the ingest exchange,
@@ -196,7 +197,11 @@ class Graph:
 
         n = self.n
         if plan == "tasks":
-            return self._with(dedup_sum_tasks(self.edges, n))
+            return self._with(
+                dedup_sum_tasks(self.edges, n, drop_loops=drop_loops))
+        if drop_loops:  # shuffle plan: fall back to the filter pass
+            return self._with(
+                self.edges.filter(expr="src != dst")).dedup_sum("shuffle")
 
         def _partial(batch: pa.Table) -> pa.Table:
             src = np.asarray(batch.column("src"))

@@ -124,8 +124,10 @@ def _rt0(fn):
     return _RT_CACHE[fn]
 
 
-def _ds_route(tbl, g: int, n: int):
-    """Batch-local (src,dst) group-sum, then route fused keys by hash."""
+def _ds_route(tbl, g: int, n: int, drop_loops: bool = False):
+    """Batch-local (src,dst) group-sum, then route fused keys by hash.
+    ``drop_loops`` filters src == dst before combining (fused
+    `RemoveLoops` — saves a separate filter pass over the merged table)."""
     if tbl.num_rows == 0 or "src" not in tbl.column_names:
         k = np.empty(0, dtype=np.int64)
         w = np.empty(0, dtype=np.float64)
@@ -134,6 +136,9 @@ def _ds_route(tbl, g: int, n: int):
     src = np.asarray(tbl.column("src"))
     dst = np.asarray(tbl.column("dst"))
     w = np.asarray(tbl.column("w")).astype(np.float64)
+    if drop_loops:
+        keep = src != dst
+        src, dst, w = src[keep], dst[keep], w[keep]
     uk, ws = group_sum_per_key(w, src * np.int64(n) + dst)
     p = ((uk.astype(np.uint64) * _FIB64) >> np.uint64(33)).astype(np.int64) % g
     order = np.argsort(p, kind="stable")
@@ -160,16 +165,19 @@ def _ds_merge(n: int, *parts):
     })
 
 
-def dedup_sum_tasks(edges_ds, n: int, num_partitions: int | None = None):
+def dedup_sum_tasks(edges_ds, n: int, num_partitions: int | None = None,
+                    drop_loops: bool = False):
     """Duplicate-merge an edge Dataset with + via warm raw tasks:
     per-block pre-combine + route (num_returns=g), per-partition merge.
-    Returns a Dataset (src, dst, w)."""
+    ``drop_loops`` fuses `RemoveLoops` into the route tasks. Returns a
+    Dataset (src, dst, w)."""
     import ray
 
     g = num_partitions or default_shuffle_blocks()
     blocks = edges_ds.to_arrow_refs()
     routed = [
-        _rt0(_ds_route).options(num_returns=g).remote(b, g, n) for b in blocks
+        _rt0(_ds_route).options(num_returns=g).remote(b, g, n, drop_loops)
+        for b in blocks
     ]
     routed = [[r] if g == 1 else list(r) for r in routed]
     merged = [

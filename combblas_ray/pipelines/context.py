@@ -171,8 +171,17 @@ def get_context_for_n(n: int) -> GraphContext:
         encoded = encode_edges(labeled, labels)
     else:
         labels = vdict.materialize_labels()
-    arith = np.array([int(s[2:]) for s in labels], dtype=np.int64)
-    graph = Graph(n=n, edges=encoded, labels=labels).dedup_sum().remove_loops()
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    # labels are "m_<i>": slice + cast in Arrow (a Python int() loop over
+    # 600k labels cost ~1 s at sf0.1)
+    arith = pc.cast(
+        pc.utf8_slice_codeunits(pa.array(labels), 2), pa.int64()
+    ).to_numpy()
+    # loop-drop fused into the dedup merge tasks (no separate filter pass)
+    graph = Graph(n=n, edges=encoded, labels=labels).dedup_sum(
+        drop_loops=True)
     ctx = GraphContext(n=n, labels=labels, arith=arith,
                        edges=graph.edges.materialize())
     _CTX[n] = ctx
