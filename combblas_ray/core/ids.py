@@ -27,6 +27,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -116,74 +117,114 @@ class VertexDict:
         """Driver-side dense id -> label array. Small-graph convenience for
         the query surface / oracles — NOT used by the build path."""
         parts = ray.get(list(self.chunk_refs))
-        return np.concatenate([p[0] for p in parts])
+        return np.concatenate(
+            [np.asarray(p[0]).astype(str) for p in parts]
+        ) if parts else _EMPTY_STR
 
 
 _EMPTY_STR = np.empty(0, dtype="U1")
+_EMPTY_PA = pa.array([], type=pa.string())
+
+
+def _sorted_unique(arr: pa.Array) -> pa.Array:
+    """Arrow unique + sort — ~4x the numpy unicode-dtype equivalent.
+    ASCII labels, so Arrow's byte-wise utf8 order == numpy's code-point
+    order (parity with the broadcast path's np.sort)."""
+    u = pc.unique(arr)
+    return u.take(pc.array_sort_indices(u))
+
+
+def _lower_bounds(u: pa.Array, boundaries: np.ndarray) -> np.ndarray:
+    """searchsorted(side='left') of a FEW boundary strings against a
+    sorted Arrow string array — per-boundary binary search with O(log n)
+    scalar reads, no full numpy-str conversion."""
+    out = np.empty(len(boundaries), dtype=np.int64)
+    for i, b in enumerate(boundaries):
+        lo, hi = 0, len(u)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if u[mid].as_py() < b:
+                lo = mid + 1
+            else:
+                hi = mid
+        out[i] = lo
+    return out
 
 
 @ray.remote(num_cpus=0, num_returns=2)
 def _uniq_and_sample(block, k: int):
-    """Per-edge-block sorted unique labels + an evenly spaced sample of
-    them (the sample feeds the driver's range-boundary pick — the sample
-    step of a sample sort, ``MemoryEfficientPSort`` analog)."""
-    u = np.unique(
-        np.concatenate(
-            [
-                np.asarray(block.column("src_label")).astype(str),
-                np.asarray(block.column("dst_label")).astype(str),
-            ]
-        )
-    )
+    """Per-edge-block sorted unique labels (Arrow) + an evenly spaced
+    numpy sample of them (the sample feeds the driver's range-boundary
+    pick — the sample step of a sample sort, ``MemoryEfficientPSort``
+    analog)."""
+    u = _sorted_unique(pa.concat_arrays([
+        block.column("src_label").combine_chunks(),
+        block.column("dst_label").combine_chunks(),
+    ]))
     if len(u) == 0:
-        return u, u
+        return u, _EMPTY_STR
     idx = np.linspace(0, len(u) - 1, min(k, len(u))).astype(np.int64)
-    return u, u[idx]
+    return u, np.asarray(u.take(pa.array(idx))).astype(str)
 
 
 @ray.remote(num_cpus=0)
-def _range_split(u: np.ndarray, boundaries: np.ndarray, p: int):
+def _range_split(u: pa.Array, boundaries: np.ndarray, p: int):
     """Split one block's sorted unique labels into p contiguous range
     pieces; partition k owns [boundaries[k-1], boundaries[k])."""
-    cuts = np.searchsorted(u, boundaries, side="left")
-    pieces = np.split(u, cuts)
+    cuts = _lower_bounds(u, boundaries)
+    edges = np.concatenate(([0], cuts, [len(u)]))
+    # concat_arrays([slice]) COMPACTS: a bare slice pickles with its whole
+    # parent buffer, which would ship every block's full label set to all
+    # p partitions
+    pieces = [
+        pa.concat_arrays(
+            [u.slice(int(edges[i]), int(edges[i + 1] - edges[i]))]
+        )
+        for i in range(p)
+    ]
     return tuple(pieces) if p > 1 else pieces[0]
 
 
 @ray.remote(num_cpus=0, num_returns=2)
 def _merge_distinct(*pieces):
     """One range partition's distinct sorted labels (+ its count)."""
-    u = np.unique(np.concatenate(pieces)) if pieces else _EMPTY_STR
+    ps = [p for p in pieces if len(p)]
+    if not ps:
+        return _EMPTY_PA, 0
+    u = _sorted_unique(pa.concat_arrays(
+        [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+         for p in ps]))
     return u, len(u)
 
 
 @ray.remote(num_cpus=0)
-def _attach_vids(labels: np.ndarray, offset: int):
+def _attach_vids(labels: pa.Array, offset: int):
     return labels, np.arange(offset, offset + len(labels), dtype=np.int64)
 
 
 @ray.remote(num_cpus=0)
-def _serve_vids(labels: np.ndarray, offset: int, *requests):
+def _serve_vids(labels: pa.Array, offset: int, *requests):
     """One dictionary partition answers every edge block's label requests
     with dense ids (labels are guaranteed present — the dictionary was
-    built from the same label set)."""
+    built from the same label set; equality lookup via pc.index_in)."""
     out = tuple(
-        (offset + np.searchsorted(labels, req)).astype(np.int64)
+        (offset + pc.index_in(req, value_set=labels)
+         .to_numpy(zero_copy_only=False).astype(np.int64))
         for req in requests
     )
     return out if len(requests) > 1 else out[0]
 
 
 @ray.remote(num_cpus=0)
-def _encode_assemble(block, u: np.ndarray, *vid_pieces):
+def _encode_assemble(block, u: pa.Array, *vid_pieces):
     """Rebuild (src, dst, w) for one edge block: the concatenated per-range
     vid answers align with the block's sorted unique label array ``u``."""
-    src_l = np.asarray(block.column("src_label")).astype(str)
-    dst_l = np.asarray(block.column("dst_label")).astype(str)
     allv = np.concatenate([np.asarray(p, dtype=np.int64) for p in vid_pieces]) \
         if vid_pieces else np.empty(0, dtype=np.int64)
-    src = allv[np.searchsorted(u, src_l)]
-    dst = allv[np.searchsorted(u, dst_l)]
+    si = pc.index_in(block.column("src_label").combine_chunks(), value_set=u)
+    di = pc.index_in(block.column("dst_label").combine_chunks(), value_set=u)
+    src = allv[si.to_numpy(zero_copy_only=False).astype(np.int64)]
+    dst = allv[di.to_numpy(zero_copy_only=False).astype(np.int64)]
     return pa.table(
         {
             "src": pa.array(src),
@@ -306,8 +347,12 @@ def encode_edges_dict(labeled_edges_ds, vdict: VertexDict):
 
 @ray.remote(num_cpus=0)
 def _serve_chunk_vids(chunk, *requests):
-    labels, vids = chunk
-    out = tuple(vids[np.searchsorted(labels, req)] for req in requests)
+    labels, vids = chunk  # labels: sorted pa.Array (see _attach_vids)
+    out = tuple(
+        vids[pc.index_in(req, value_set=labels)
+             .to_numpy(zero_copy_only=False).astype(np.int64)]
+        for req in requests
+    )
     return out if len(requests) > 1 else out[0]
 
 
