@@ -147,19 +147,15 @@ def build_blocks(graph, g: int, ckpt_dir: str, *, resume: bool = True,
         bc = owner(src, n, gc)
         return batch.append_column("bid", pa.array(br * gc + bc))
 
-    from .shuffle import ensure_hash_shuffle
-
-    ensure_hash_shuffle()
     keyed = graph.edges.map_batches(_key, batch_format="pyarrow", zero_copy_batch=True)
-    # shuffle fan-out scaled to the cluster: hash-shuffle aggregators
-    # reserve ~0.125 CPU each, so 128 partitions on a 2-CPU cluster
-    # starves the map tasks outright (observed deadlock)
+    # warm-task shuffle on bid (route/merge num_cpus=0 tasks): skips the
+    # Ray Data hash-shuffle operator's per-use actor-pool spawn, which
+    # dominated block-build wall time on cold benchmark graphs
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
     nb = min(gr * gc, 128, max(8, 4 * cpus))
-    parts = keyed.repartition(num_blocks=nb, keys=["bid"])
 
     ls_r = local_size(n, gr)
     ls_c = local_size(n, gc)
@@ -219,8 +215,10 @@ def build_blocks(graph, g: int, ckpt_dir: str, *, resume: bool = True,
             return pa.table({"bid": pa.array([], type=pa.int64())})
         return pa.table({k: [r[k] for r in rows] for k in rows[0]})
 
-    man_rows = parts.map_batches(
-        _build_part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    from .shuffle import group_apply_tasks
+
+    man_rows = group_apply_tasks(
+        keyed, ["bid"], _build_part, num_partitions=nb
     ).take_all()
     man = {
         "n": n,
@@ -264,9 +262,6 @@ def update_blocks(man: dict, delta_graph, ckpt_dir: str) -> dict:
         bc = owner(src, n, g)
         return batch.append_column("bid", pa.array(br * g + bc))
 
-    from .shuffle import ensure_hash_shuffle
-
-    ensure_hash_shuffle()
     keyed = delta_graph.edges.map_batches(_key, batch_format="pyarrow",
                                           zero_copy_batch=True)
     gen = int(man.get("gen", 0)) + 1
@@ -300,13 +295,16 @@ def update_blocks(man: dict, delta_graph, ckpt_dir: str) -> dict:
             return pa.table({"bid": pa.array([], type=pa.int64())})
         return pa.table({k: [r[k] for r in rows_out] for k in rows_out[0]})
 
+    from .shuffle import group_apply_tasks
+
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    changed = keyed.repartition(
-        num_blocks=min(g * g, 64, max(8, 4 * cpus)), keys=["bid"]
-    ).map_batches(_merge_delta, batch_format="pyarrow", batch_size=None).take_all()
+    changed = group_apply_tasks(
+        keyed, ["bid"], _merge_delta,
+        num_partitions=min(g * g, 64, max(8, 4 * cpus)),
+    ).take_all()
     merged = {b["bid"]: b for b in man["blocks"]}
     for r in changed:
         merged[r["bid"]] = {k: r[k] for k in ("bid", "br", "bc", "path", "nnz", "sha")}

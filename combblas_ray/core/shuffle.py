@@ -205,10 +205,13 @@ def _ga_route(tbl, g: int, key: str):
     k = np.asarray(tbl.column(key)).astype(np.uint64)
     p = ((k * _FIB64) >> np.uint64(33)).astype(np.int64) % g
     order = np.argsort(p, kind="stable")
-    t2 = tbl.take(pa.array(order))
     counts = np.bincount(p, minlength=g)
     offs = np.concatenate([[0], np.cumsum(counts)])
-    out = [t2.slice(int(offs[i]), int(counts[i])) for i in range(g)]
+    # per-partition take, NOT take-then-slice: a pyarrow Table slice
+    # pickles with its WHOLE parent buffer (g-fold shuffle blow-up)
+    out = [
+        tbl.take(pa.array(order[offs[i]:offs[i + 1]])) for i in range(g)
+    ]
     return out[0] if g == 1 else tuple(out)
 
 
@@ -304,10 +307,13 @@ def _gen_route(tbl, g: int, keys):
         acc = _mix64(acc * _FIB64 + _col_hash(tbl.column(key), tbl.num_rows))
     p = (acc >> np.uint64(33)).astype(np.int64) % g
     order = np.argsort(p, kind="stable")
-    t2 = tbl.take(pa.array(order))
     counts = np.bincount(p, minlength=g)
     offs = np.concatenate([[0], np.cumsum(counts)])
-    out = [t2.slice(int(offs[i]), int(counts[i])) for i in range(g)]
+    # per-partition take, NOT take-then-slice: a pyarrow Table slice
+    # pickles with its WHOLE parent buffer (g-fold shuffle blow-up)
+    out = [
+        tbl.take(pa.array(order[offs[i]:offs[i + 1]])) for i in range(g)
+    ]
     return out[0] if g == 1 else tuple(out)
 
 
