@@ -212,7 +212,14 @@ def build_blocks(graph, g: int, ckpt_dir: str, *, resume: bool = True,
             for b, s, e in zip(ub, starts, ends)
         ]
         if not rows:
-            return pa.table({"bid": pa.array([], type=pa.int64())})
+            return pa.table({
+                "bid": pa.array([], type=pa.int64()),
+                "br": pa.array([], type=pa.int64()),
+                "bc": pa.array([], type=pa.int64()),
+                "path": pa.array([], type=pa.string()),
+                "nnz": pa.array([], type=pa.int64()),
+                "sha": pa.array([], type=pa.string()),
+            })
         return pa.table({k: [r[k] for r in rows] for k in rows[0]})
 
     from .shuffle import group_apply_tasks
@@ -292,7 +299,14 @@ def update_blocks(man: dict, delta_graph, ckpt_dir: str) -> dict:
                                       gen=gen)
             rows_out.append(info)
         if not rows_out:
-            return pa.table({"bid": pa.array([], type=pa.int64())})
+            return pa.table({
+                "bid": pa.array([], type=pa.int64()),
+                "br": pa.array([], type=pa.int64()),
+                "bc": pa.array([], type=pa.int64()),
+                "path": pa.array([], type=pa.string()),
+                "nnz": pa.array([], type=pa.int64()),
+                "sha": pa.array([], type=pa.string()),
+            })
         return pa.table({k: [r[k] for r in rows_out] for k in rows_out[0]})
 
     from .shuffle import group_apply_tasks
