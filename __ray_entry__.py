@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_dups_lsh": q.q_embed_dups_lsh,
         "ann_ivf": q.q_ann_ivf,
         "mis": q.q_mis,
+        "mis_fixed": q.q_mis_fixed,
         "matching": q.q_matching,
         "auction_matching": q.q_auction_matching,
         "betweenness": q.q_betweenness,
@@ -173,6 +174,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": o.minhash_pairs(),
         "ann_topk": o.ann_topk(),
         "ann_lsh": o.ann_lsh(),
+        "mis_fixed": o.mis_fixed(q.MIS_ROUNDS),
         "bfs_parents": o.bfs_parents("m_0", q.BFS_ITERS),
         "colstochastic": o.colstochastic(),
         "masked_colsums": o.masked_colsums(),

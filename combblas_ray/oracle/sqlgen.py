@@ -586,6 +586,59 @@ WHERE i.i * 1.0 / (ca.nsh + cb.nsh - i.i) >= {tau}
 """
 
 
+@_materialized
+def mis_fixed(rounds: int = 12, seed: int = 0) -> str:
+    """Fixed-round Luby MIS twin of `queries.q_mis_fixed`: LCG priorities
+    prio(d) = (d*48271 + b) mod 2^31-1 on DENSE ids (label ranks), then
+    ``rounds`` unrolled synchronous rounds — per round, an active vertex
+    wins if its priority beats every active neighbor's (isolated actives
+    win vacuously); winners and their neighbors deactivate."""
+    p = 2147483647
+    b = (seed * 2654435761 + 11) % p
+    sql = PREFIX + f"""
+, dense AS (
+  SELECT i, row_number() OVER (ORDER BY label) - 1 AS d, label FROM verts
+),
+pri AS (
+  SELECT d, label, (d * 48271 + {b}) % {p} AS prio FROM dense
+),
+du AS (
+  SELECT ds.d AS u, dd.d AS v
+  FROM edges e JOIN dense ds ON ds.i = e.src JOIN dense dd ON dd.i = e.dst
+  UNION
+  SELECT dd.d, ds.d
+  FROM edges e JOIN dense ds ON ds.i = e.src JOIN dense dd ON dd.i = e.dst
+),
+mis0 AS (SELECT d FROM pri WHERE 1 = 0),
+act0 AS (SELECT d, prio FROM pri)
+"""
+    prev_mis, prev_act = "mis0", "act0"
+    for k in range(1, rounds + 1):
+        sql += f"""
+, nbmin{k} AS (
+  SELECT e.u AS d, min(p2.prio) AS m
+  FROM du e JOIN {prev_act} p2 ON p2.d = e.v GROUP BY e.u
+),
+win{k} AS (
+  SELECT a.d FROM {prev_act} a LEFT JOIN nbmin{k} nb ON nb.d = a.d
+  WHERE a.prio < COALESCE(nb.m, {p + 1})
+),
+mis{k} AS (SELECT d FROM {prev_mis} UNION SELECT d FROM win{k}),
+act{k} AS (
+  SELECT a.d, a.prio FROM {prev_act} a
+  WHERE a.d NOT IN (SELECT d FROM win{k})
+    AND NOT EXISTS (SELECT 1 FROM du e JOIN win{k} w ON w.d = e.v
+                    WHERE e.u = a.d)
+)"""
+        prev_mis, prev_act = f"mis{k}", f"act{k}"
+    sql += f"""
+SELECT p3.label AS label,
+       CAST(CASE WHEN m.d IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_mis
+FROM pri p3 LEFT JOIN {prev_mis} m ON m.d = p3.d
+"""
+    return sql
+
+
 def ann_topk(nq: int = 10, k: int = 5) -> str:
     return f"""
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings

@@ -418,18 +418,31 @@ def _mis_deact_f(active, winners, nb_win, bounds):
     return _mis_deact(active, winners, nb_win)
 
 
-def luby_mis(engine: SpmvEngine, seed: int = 5) -> np.ndarray:
+def luby_mis(engine: SpmvEngine, seed: int = 5,
+             prio_full: np.ndarray | None = None,
+             max_rounds: int | None = None) -> np.ndarray:
     """Luby's maximal independent set over the symmetrized engine
     (`FilteredMIS.cpp` workload family): deterministic per-vertex
     priorities; iterate: v joins MIS if its priority beats every active
     neighbor's; neighbors of MIS vertices deactivate. Priorities are
-    chunked once at init; the loop is refs-only."""
+    chunked once at init; the loop is refs-only.
+
+    ``prio_full`` overrides the seeded permutation (must be distinct
+    values — the `mis_fixed` oracle query injects the SQL-reproducible
+    LCG bijection (v*48271 + b) mod 2^31-1); ``max_rounds`` caps the
+    rounds for fixed-round oracle parity (the state after exactly K
+    rounds is deterministic whether or not the MIS converged)."""
     n = engine.n
-    rng = np.random.RandomState(seed)
-    prio = engine.chunk(rng.permutation(n).astype(np.float64))
+    if prio_full is None:
+        prio_full = np.random.RandomState(seed).permutation(n)
+    prio = engine.chunk(prio_full.astype(np.float64))
     active = engine.map_chunks_i(lambda b: np.ones(b[1] - b[0], dtype=bool))
     in_mis = engine.map_chunks_i(lambda b: np.zeros(b[1] - b[0], dtype=bool))
+    rounds = 0
     while sum(engine.chunk_scalars(_count_true, active)):
+        if max_rounds is not None and rounds >= max_rounds:
+            break
+        rounds += 1
         # min active-neighbor priority via SpMV over select2nd_min;
         # partial combine + winner test fused into one task round
         x = engine.map_chunks(_mis_x, active, prio)

@@ -745,6 +745,28 @@ def q_mis(sf_dir: str):
     )
 
 
+MIS_ROUNDS = 12
+MIS_PRIO_P = 2147483647  # 2^31 - 1 (prime); 48271 is a primitive root
+
+
+def q_mis_fixed(sf_dir: str):
+    """Oracle-mode Luby MIS: SQL-reproducible LCG priorities
+    prio(v) = (v*48271 + 11) mod 2^31-1 (a bijection -> distinct) and
+    exactly MIS_ROUNDS synchronous rounds — the `cc_fixed` trick applied
+    to MIS, so DuckDB can unroll the identical rounds."""
+    ctx = get_context(sf_dir)
+    prio_full = (np.arange(ctx.n, dtype=np.int64) * 48271 + 11) % MIS_PRIO_P
+    in_mis = alg.luby_mis(ctx.engine("sym"), prio_full=prio_full,
+                          max_rounds=MIS_ROUNDS)
+    ids = np.arange(ctx.n)
+    return pa.table(
+        {
+            "label": _label_col(ctx, ids),
+            "in_mis": pa.array(in_mis.astype(np.int64)),
+        }
+    )
+
+
 MCL_SUB = 6000  # induced-subgraph size for the MCL query (~20 s at sf0.01;
 # the full 60k-vertex graph runs in ~150 s — see pipelines/mcl.py — but that
 # exceeds the driver's per-round budget, so the query stays bounded)
