@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mis": q.q_mis,
         "mis_fixed": q.q_mis_fixed,
         "matching": q.q_matching,
+        "matching_fixed": q.q_matching_fixed,
         "auction_matching": q.q_auction_matching,
         "betweenness": q.q_betweenness,
         "mcl": q.q_mcl,
@@ -175,6 +176,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": o.ann_topk(),
         "ann_lsh": o.ann_lsh(),
         "mis_fixed": o.mis_fixed(q.MIS_ROUNDS),
+        "matching_fixed": o.matching_fixed(q.MATCH_ROUNDS),
         "bfs_parents": o.bfs_parents("m_0", q.BFS_ITERS),
         "colstochastic": o.colstochastic(),
         "masked_colsums": o.masked_colsums(),

@@ -639,6 +639,73 @@ FROM pri p3 LEFT JOIN {prev_mis} m ON m.d = p3.d
     return sql
 
 
+@_materialized
+def matching_fixed(rounds: int = 12, b: int = 23) -> str:
+    """Fixed-round maximal-matching twin of `queries.q_matching_fixed`.
+    Per round over unmatched vertices with LCG priorities
+    prio(d) = (d*48271 + b) mod 2^31-1: encode x = prio*n + d, nb = min x
+    over neighbors, v proposes to nb%n when prio(v) < nb//n, each target
+    accepts its min-code proposer, both endpoints leave the pool.
+    Proposers are never targets (a proposer beats every unmatched
+    neighbor's priority), so the per-round accepts are conflict-free —
+    identical to the engine kernels `_mm_x/_mm_props/_mm_accept`."""
+    p = 2147483647
+    sql = PREFIX + f"""
+, dense AS (
+  SELECT i, row_number() OVER (ORDER BY label) - 1 AS d, label FROM verts
+),
+pri AS (
+  SELECT d, label, (d * 48271 + {b}) % {p} AS prio FROM dense
+),
+du AS (
+  SELECT ds.d AS u, dd.d AS v
+  FROM edges e JOIN dense ds ON ds.i = e.src JOIN dense dd ON dd.i = e.dst
+  UNION
+  SELECT dd.d, ds.d
+  FROM edges e JOIN dense ds ON ds.i = e.src JOIN dense dd ON dd.i = e.dst
+),
+match0 AS (SELECT d, d AS mate FROM pri WHERE 1 = 0)
+"""
+    prev = "match0"
+    for k in range(1, rounds + 1):
+        sql += f"""
+, um{k} AS (
+  SELECT pr.d, pr.prio FROM pri pr
+  LEFT JOIN {prev} m ON m.d = pr.d WHERE m.d IS NULL
+),
+x{k} AS (
+  SELECT u.d, u.prio * p.n + u.d AS x FROM um{k} u CROSS JOIN params p
+),
+nb{k} AS (
+  SELECT e.u AS d, min(x.x) AS nbx
+  FROM du e JOIN x{k} x ON x.d = e.v GROUP BY e.u
+),
+prop{k} AS (
+  SELECT nb.nbx % p.n AS partner, u.prio * p.n + u.d AS code
+  FROM um{k} u JOIN nb{k} nb ON nb.d = u.d CROSS JOIN params p
+  WHERE u.prio < nb.nbx // p.n
+),
+acc{k} AS (
+  SELECT b2.t AS d, b2.bc % p.n AS mate
+  FROM (SELECT partner AS t, min(code) AS bc FROM prop{k}
+        GROUP BY partner) b2
+  CROSS JOIN params p
+),
+match{k} AS (
+  SELECT d, mate FROM {prev}
+  UNION ALL SELECT d, mate FROM acc{k}
+  UNION ALL SELECT mate AS d, d AS mate FROM acc{k}
+)"""
+        prev = f"match{k}"
+    sql += f"""
+SELECT da.label AS label, db.label AS partner
+FROM {prev} m
+JOIN dense da ON da.d = m.d JOIN dense db ON db.d = m.mate
+WHERE m.d < m.mate
+"""
+    return sql
+
+
 def ann_topk(nq: int = 10, k: int = 5) -> str:
     return f"""
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings

@@ -560,7 +560,9 @@ def _mm_setback(match, back):
     return match
 
 
-def maximal_matching(engine: SpmvEngine, seed: int = 9) -> np.ndarray:
+def maximal_matching(engine: SpmvEngine, seed: int = 9,
+                     prio_full: np.ndarray | None = None,
+                     max_rounds: int | None = None) -> np.ndarray:
     """Maximal matching via local-minimum proposals (the
     `BipartiteMatchings` family's maximal-matching kernel, generalized to
     the symmetric graph): per round, every unmatched vertex whose priority
@@ -578,12 +580,17 @@ def maximal_matching(engine: SpmvEngine, seed: int = 9) -> np.ndarray:
             "n^2 <= 2^63 - 1 (~3.04e9 vertices); a split prio/id channel "
             "is needed beyond that"
         )
-    rng = np.random.RandomState(seed)
-    prio = engine.chunk(rng.permutation(n).astype(np.int64))
+    if prio_full is None:
+        prio_full = np.random.RandomState(seed).permutation(n)
+    prio = engine.chunk(prio_full.astype(np.int64))
     match = engine.map_chunks_i(_neg_ones)
     import ray
 
+    rounds = 0
     while True:
+        if max_rounds is not None and rounds >= max_rounds:
+            break
+        rounds += 1
         # encode (priority, id) as one comparable int64: prio*n + id
         x = engine.map_chunks_i(partial(_mm_x, n=n), match, prio)
         # min unmatched nbr code: combine + proposals + active count fused

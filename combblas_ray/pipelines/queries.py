@@ -1056,6 +1056,29 @@ def q_matching(sf_dir: str):
     )
 
 
+MATCH_ROUNDS = 12
+
+
+def q_matching_fixed(sf_dir: str):
+    """Oracle-mode maximal matching: SQL-reproducible LCG priorities
+    (v*48271 + 23) mod 2^31-1 and exactly MATCH_ROUNDS propose/accept
+    rounds — the `mis_fixed`/`cc_fixed` trick applied to the matching
+    kernel so DuckDB can unroll the identical rounds."""
+    ctx = get_context(sf_dir)
+    prio_full = (np.arange(ctx.n, dtype=np.int64) * 48271 + 23) % MIS_PRIO_P
+    m = alg.maximal_matching(ctx.engine("sym"), prio_full=prio_full,
+                             max_rounds=MATCH_ROUNDS)
+    ids = np.nonzero(m >= 0)[0]
+    keep = ids < m[ids]  # one row per matched pair
+    ids = ids[keep]
+    return pa.table(
+        {
+            "label": _label_col(ctx, ids),
+            "partner": _label_col(ctx, m[ids]),
+        }
+    )
+
+
 def q_rcm(sf_dir: str):
     """Reverse Cuthill-McKee ordering (Ordering/RCM.cpp analog).
     Rows-only; profile reduction asserted in pytest."""
