@@ -189,6 +189,10 @@ def run_dataops() -> None:
     timings["exact_dedup"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
+    counts["exact_dup_digest_rows"] = exact_dedup(docs, digest=True).count()
+    timings["exact_dedup_digest"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
     counts["jaccard_pairs"] = jaccard_pairs(docs, tau=0.5).count()
     timings["jaccard_pairs"] = time.perf_counter() - t0
 
