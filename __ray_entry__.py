@@ -69,13 +69,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reach2_bool": q.q_reach2_bool,
         "prune_rect": q.q_prune_rect,
         "prune_column": q.q_prune_column,
-        "spasgn": q.q_spasgn,
+        "matching_fixed": q.q_matching_fixed,
         "subsref_perm": q.q_subsref_perm,
         "spasgn_general": q.q_spasgn_general,
         "ewise_scale": q.q_ewise_scale,
         "colstochastic": q.q_colstochastic,
         "invert_vec": q.q_invert_vec,
-        "vec_argmin": q.q_vec_argmin,
+        "embed_dups_lsh": q.q_embed_dups_lsh,
         "spmm_batch": q.q_spmm_batch,
         "bandwidth": q.q_bandwidth,
         "rcm": q.q_rcm,
@@ -87,9 +87,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus": q.q_clean_corpus,
         "embed_dups": q.q_embed_dups,
         "knn_components": q.q_knn_components,
-        "token_counts_re": q.q_token_counts_re,
+        "minhash_pairs": q.q_minhash_pairs,
         "token_stats": q.q_token_stats,
-        "langid": q.q_langid,
+        "mis_fixed": q.q_mis_fixed,
         "quality": q.q_quality,
         # relational / windowed
         "tpch_q1": q.q_tpch_q1,
@@ -101,6 +101,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the driver window: oracle-exact, code path covered by an
         # in-window sibling (locally gated every round) ---
         "in_degrees": q.q_in_degrees,          # reduce path: out_degrees
+        "token_counts_re": q.q_token_counts_re,  # text path: token_stats
+        "langid": q.q_langid,                  # text path: quality
+        "spasgn": q.q_spasgn,                  # special case: spasgn_general
+        "vec_argmin": q.q_vec_argmin,          # vecops path: invert_vec
         "bfs": q.q_bfs,                        # min_plus_distances path: sssp
         "subgraph": q.q_subgraph,              # SubsRef special case: subsref_perm
         "spmv_min_plus": q.q_spmv_min_plus,    # semiring spmv: sssp
@@ -114,15 +118,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_digest": q.q_dedup_exact_digest,  # digest key: dedup_exact
         # rows-only / iterative-hash pipelines (pytest-invariant-backed)
         "fingerprint": q.q_fingerprint,
-        "minhash_pairs": q.q_minhash_pairs,
         "simhash": q.q_simhash,
         "ann_lsh": q.q_ann_lsh,
-        "embed_dups_lsh": q.q_embed_dups_lsh,
         "ann_ivf": q.q_ann_ivf,
         "mis": q.q_mis,
-        "mis_fixed": q.q_mis_fixed,
         "matching": q.q_matching,
-        "matching_fixed": q.q_matching_fixed,
         "auction_matching": q.q_auction_matching,
         "betweenness": q.q_betweenness,
         "mcl": q.q_mcl,
