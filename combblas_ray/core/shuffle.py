@@ -329,6 +329,33 @@ def _gen_merge(fn, *parts):
     return fn(max(parts, key=lambda t: t.num_columns))
 
 
+def _gen_concat(*parts):
+    """Pure concat of co-partition pieces (tree fan-in stage)."""
+    import pyarrow as pa
+
+    ts = [t for t in parts if t.num_rows]
+    if ts:
+        return pa.concat_tables(ts).combine_chunks()
+    return max(parts, key=lambda t: t.num_columns)
+
+
+_MERGE_FANIN = 128
+
+
+def _tree_fanin(refs: list) -> list:
+    """Cap per-task argument fan-in: with E input blocks each merge task
+    would take E refs — at cluster scale (thousands of blocks) that is a
+    driver/arg-pinning bottleneck, so pre-concat in a _MERGE_FANIN-ary
+    tree of num_cpus=0 tasks (pure concat; the merge fn still sees one
+    whole partition)."""
+    while len(refs) > _MERGE_FANIN:
+        refs = [
+            _rt0(_gen_concat).remote(*refs[i:i + _MERGE_FANIN])
+            for i in range(0, len(refs), _MERGE_FANIN)
+        ]
+    return refs
+
+
 def group_apply_tasks(ds, keys: list[str], np_apply,
                       num_partitions: int | None = None):
     """Warm raw-task ``keyed_reduce`` for ANY Arrow-schema Dataset:
@@ -349,7 +376,8 @@ def group_apply_tasks(ds, keys: list[str], np_apply,
     return ray.data.from_arrow_refs(
         [
             _rt0(_gen_merge).remote(
-                np_apply, *[routed[j][i] for j in range(len(routed))]
+                np_apply,
+                *_tree_fanin([routed[j][i] for j in range(len(routed))]),
             )
             for i in range(g)
         ]
@@ -424,18 +452,18 @@ def hash_join_tasks(left_ds, right_ds, on, num_partitions: int | None = None,
     ]
     lrouted = [[r] if g == 1 else list(r) for r in lrouted]
     rrouted = [[r] if g == 1 else list(r) for r in rrouted]
-    nl = len(lrouted)
-    return ray.data.from_arrow_refs(
-        [
+    out = []
+    for i in range(g):
+        lcol = _tree_fanin([lrouted[j][i] for j in range(len(lrouted))])
+        rcol = _tree_fanin([rrouted[j][i] for j in range(len(rrouted))])
+        out.append(
             _rt0(_gen_join).remote(
                 tuple(on), tuple(right_on), join_type,
-                (left_suffix, right_suffix), schemas, nl, post,
-                *[lrouted[j][i] for j in range(nl)],
-                *[rrouted[j][i] for j in range(len(rrouted))],
+                (left_suffix, right_suffix), schemas, len(lcol), post,
+                *lcol, *rcol,
             )
-            for i in range(g)
-        ]
-    )
+        )
+    return ray.data.from_arrow_refs(out)
 
 
 def _arrow_schema(ds):

@@ -108,6 +108,38 @@ def test_hash_join_tasks_right_on_and_post(ray_session):
     assert set(zip(got["dst"], got["prod"])) == want
 
 
+def test_tree_fanin_merge_and_join(ray_session, monkeypatch):
+    """Force the _MERGE_FANIN pre-concat tree (normally only hit past 128
+    input blocks) and assert results are unchanged."""
+    import combblas_ray.core.shuffle as sh
+
+    monkeypatch.setattr(sh, "_MERGE_FANIN", 2)
+    rng = np.random.RandomState(11)
+    k = rng.randint(0, 9, size=400)
+    v = rng.randint(0, 50, size=400)
+    ds = _table_ds(pa.table({"k": pa.array(k), "v": pa.array(v)}), blocks=8)
+
+    def _sum(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"k": z, "s": z})
+        kk = np.asarray(batch.column("k"), dtype=np.int64)
+        vv = np.asarray(batch.column("v"), dtype=np.int64)
+        uk, inv = np.unique(kk, return_inverse=True)
+        return pa.table({"k": pa.array(uk),
+                         "s": pa.array(np.bincount(inv, weights=vv).astype(np.int64))})
+
+    got = sh.group_apply_tasks(ds, ["k"], _sum, num_partitions=5).to_pandas()
+    want = pd.DataFrame({"k": k, "v": v}).groupby("k")["v"].sum()
+    assert (got.set_index("k")["s"].sort_index() == want.sort_index()).all()
+
+    right = _table_ds(pa.table({"k": pa.array(np.arange(9)),
+                                "r": pa.array(np.arange(9) * 10)}), blocks=6)
+    j = sh.hash_join_tasks(ds, right, on="k", num_partitions=5).to_pandas()
+    assert len(j) == 400
+    assert (j["r"] == j["k"] * 10).all()
+
+
 def test_hash_join_tasks_empty_side(ray_session):
     """Empty sides must carry their schema in at least one block (the
     map_batches contract every call site satisfies; Ray's repartition of
