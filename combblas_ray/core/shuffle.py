@@ -165,12 +165,30 @@ def _ds_merge(n: int, *parts):
     })
 
 
+def _ds_concat(*parts):
+    """Tree fan-in stage for (keys, weights) pair partials: pre-combine
+    with the keyed sum (associative) so tree nodes also SHRINK data."""
+    ks = np.concatenate([p[0] for p in parts])
+    ws = np.concatenate([p[1] for p in parts])
+    return group_sum_per_key(ws, ks)
+
+
+def _pair_tree_fanin(refs: list) -> list:
+    while len(refs) > _MERGE_FANIN:
+        refs = [
+            _rt0(_ds_concat).remote(*refs[i:i + _MERGE_FANIN])
+            for i in range(0, len(refs), _MERGE_FANIN)
+        ]
+    return refs
+
+
 def dedup_sum_tasks(edges_ds, n: int, num_partitions: int | None = None,
                     drop_loops: bool = False):
     """Duplicate-merge an edge Dataset with + via warm raw tasks:
-    per-block pre-combine + route (num_returns=g), per-partition merge.
-    ``drop_loops`` fuses `RemoveLoops` into the route tasks. Returns a
-    Dataset (src, dst, w)."""
+    per-block pre-combine + route (num_returns=g), per-partition merge
+    (fan-in capped by a combining tree — the + monoid is associative, so
+    tree nodes pre-reduce). ``drop_loops`` fuses `RemoveLoops` into the
+    route tasks. Returns a Dataset (src, dst, w)."""
     import ray
 
     g = num_partitions or default_shuffle_blocks()
@@ -181,7 +199,9 @@ def dedup_sum_tasks(edges_ds, n: int, num_partitions: int | None = None,
     ]
     routed = [[r] if g == 1 else list(r) for r in routed]
     merged = [
-        _rt0(_ds_merge).remote(n, *[routed[j][i] for j in range(len(routed))])
+        _rt0(_ds_merge).remote(
+            n, *_pair_tree_fanin([routed[j][i] for j in range(len(routed))])
+        )
         for i in range(g)
     ]
     return ray.data.from_arrow_refs(merged)
@@ -245,7 +265,8 @@ def edge_group_apply_tasks(edges_ds, key: str, np_apply,
     return ray.data.from_arrow_refs(
         [
             _rt0(_ga_merge).remote(
-                np_apply, *[routed[j][i] for j in range(len(routed))]
+                np_apply,
+                *_tree_fanin([routed[j][i] for j in range(len(routed))]),
             )
             for i in range(g)
         ]

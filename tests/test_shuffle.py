@@ -139,6 +139,19 @@ def test_tree_fanin_merge_and_join(ray_session, monkeypatch):
     assert len(j) == 400
     assert (j["r"] == j["k"] * 10).all()
 
+    # edge-table variants through their combining trees
+    src = rng.randint(0, 20, size=300)
+    dst = rng.randint(0, 20, size=300)
+    w = rng.rand(300)
+    eds = _table_ds(pa.table({"src": pa.array(src), "dst": pa.array(dst),
+                              "w": pa.array(w)}), blocks=8)
+    got2 = sh.dedup_sum_tasks(eds, 20, num_partitions=5).to_pandas()
+    want2 = (pd.DataFrame({"src": src, "dst": dst, "w": w})
+             .groupby(["src", "dst"])["w"].sum())
+    m2 = got2.set_index(["src", "dst"])["w"].sort_index()
+    assert np.allclose(m2.values, want2.sort_index().values)
+    assert len(m2) == len(want2)
+
 
 def test_hash_join_tasks_empty_side(ray_session):
     """Empty sides must carry their schema in at least one block (the
