@@ -503,7 +503,7 @@ def minhash_signatures(docs_ds, num_perm: int = 64):
         repeat heavily across docs), permute the unique hashes in one
         (U, num_perm) matrix op, per-doc min via segment reduceat —
         bit-identical to the per-doc loop it replaces."""
-        ids = batch.column("doc_id").to_pylist()
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
         s_arr, d_arr = _flat_distinct_shingles(batch)
         lens = np.bincount(d_arr, minlength=batch.num_rows)
         sigs = np.zeros((len(ids), num_perm), dtype=np.uint64)
