@@ -100,6 +100,28 @@ def _payload_combine(vals: np.ndarray, first_idx: np.ndarray,
     return out
 
 
+
+def _empty_manifest_table() -> pa.Table:
+    """Schema-stable empty manifest partition (block build/update)."""
+    return pa.table({
+        "bid": pa.array([], type=pa.int64()),
+        "br": pa.array([], type=pa.int64()),
+        "bc": pa.array([], type=pa.int64()),
+        "path": pa.array([], type=pa.string()),
+        "nnz": pa.array([], type=pa.int64()),
+        "sha": pa.array([], type=pa.string()),
+    })
+
+
+def _shuffle_partitions(g: int, cap: int = 128) -> int:
+    """Block-exchange fan-out sized to the cluster."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return min(g * g, cap, max(8, 4 * cpus))
+
+
 def build_blocks(graph, g: int, ckpt_dir: str, *, resume: bool = True,
                  w_dtype: str = "f8", structural: bool = False,
                  payload: dict[str, str] | None = None) -> dict:
@@ -151,11 +173,7 @@ def build_blocks(graph, g: int, ckpt_dir: str, *, resume: bool = True,
     # warm-task shuffle on bid (route/merge num_cpus=0 tasks): skips the
     # Ray Data hash-shuffle operator's per-use actor-pool spawn, which
     # dominated block-build wall time on cold benchmark graphs
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
-    nb = min(gr * gc, 128, max(8, 4 * cpus))
+    nb = _shuffle_partitions(g)
 
     ls_r = local_size(n, gr)
     ls_c = local_size(n, gc)
@@ -212,14 +230,7 @@ def build_blocks(graph, g: int, ckpt_dir: str, *, resume: bool = True,
             for b, s, e in zip(ub, starts, ends)
         ]
         if not rows:
-            return pa.table({
-                "bid": pa.array([], type=pa.int64()),
-                "br": pa.array([], type=pa.int64()),
-                "bc": pa.array([], type=pa.int64()),
-                "path": pa.array([], type=pa.string()),
-                "nnz": pa.array([], type=pa.int64()),
-                "sha": pa.array([], type=pa.string()),
-            })
+            return _empty_manifest_table()
         return pa.table({k: [r[k] for r in rows] for k in rows[0]})
 
     from .shuffle import group_apply_tasks
@@ -299,25 +310,14 @@ def update_blocks(man: dict, delta_graph, ckpt_dir: str) -> dict:
                                       gen=gen)
             rows_out.append(info)
         if not rows_out:
-            return pa.table({
-                "bid": pa.array([], type=pa.int64()),
-                "br": pa.array([], type=pa.int64()),
-                "bc": pa.array([], type=pa.int64()),
-                "path": pa.array([], type=pa.string()),
-                "nnz": pa.array([], type=pa.int64()),
-                "sha": pa.array([], type=pa.string()),
-            })
+            return _empty_manifest_table()
         return pa.table({k: [r[k] for r in rows_out] for k in rows_out[0]})
 
     from .shuffle import group_apply_tasks
 
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
     changed = group_apply_tasks(
         keyed, ["bid"], _merge_delta,
-        num_partitions=min(g * g, 64, max(8, 4 * cpus)),
+        num_partitions=_shuffle_partitions(g, cap=64),
     ).take_all()
     merged = {b["bid"]: b for b in man["blocks"]}
     for r in changed:

@@ -193,7 +193,7 @@ class Graph:
         warm num_cpus=0 tasks — the Ray Data hash-shuffle operator pays
         ~2s of actor-pool spawn per use on this box; plan='shuffle' keeps
         the Dataset-native hash repartition (equality is pytest-gated)."""
-        from .shuffle import dedup_sum_tasks, group_apply_tasks, group_sum_per_key
+        from .shuffle import dedup_sum_tasks, group_sum_per_key, keyed_reduce
 
         n = self.n
         if plan == "tasks":
@@ -222,9 +222,12 @@ class Graph:
                 }
             )
 
+        # plan='shuffle' stays on the Ray-Data-native keyed_reduce ON
+        # PURPOSE: it is the independent machinery that A/B-gates the
+        # warm-task route (test_shuffle.py::test_dedup_sum_plans_agree)
         partial = self.edges.map_batches(_partial, batch_format="pyarrow",
                                          zero_copy_batch=True)
-        return self._with(group_apply_tasks(partial, ["key"], _merge))
+        return self._with(keyed_reduce(partial, ["key"], _merge))
 
     def symmetrize(self) -> "Graph":
         """A := A + A^T with overlap summed (`operator+=`, ``SpParMat.cpp:741``)."""

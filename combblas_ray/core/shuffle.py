@@ -1,15 +1,25 @@
-"""Hash-shuffle helpers.
+"""Keyed shuffle / join layer.
 
-Ray Data's groupby().aggregate() machinery costs ~10x more than a bare
-hash `repartition(keys=...)` followed by a whole-block numpy reduce
-(measured: 27s vs 2.3s deduping a 1.8M-row edge table on 32 cpus). Every
-keyed reduction in this engine therefore uses the pattern:
+Two tiers, same route + whole-partition-merge discipline (the
+reference's ingest exchange + local merge, `SparseCommon`
+``SpParMat.cpp:2906-2981`` + `RemoveDuplicates`):
 
-    ds.repartition(num_blocks=K, keys=[...])        # the only shuffle
-      .map_batches(np_reduce, batch_size=None)      # whole-partition numpy
-
-which mirrors the reference's ingest exchange + local merge
-(`SparseCommon` ``SpParMat.cpp:2906-2981`` + `RemoveDuplicates`).
+1. **Warm raw-task exchanges (the default everywhere)** —
+   `group_apply_tasks` (keyed reduce over any Arrow schema),
+   `hash_join_tasks` (co-partitioned per-partition pyarrow joins,
+   inner/outer, fused post kernels), `dedup_sum_tasks` /
+   `edge_group_apply_tasks` (edge-table fast forms). num_cpus=0 tasks
+   route with num_returns=g and per-partition `take` copies (an Arrow
+   slice pickles its WHOLE parent buffer); merge fan-in is capped by a
+   128-ary pre-combine tree. These skip the Ray Data hash-shuffle /
+   join operators' per-use actor-pool spawn (~2-5 s at test scale;
+   12.9 s vs 2.8 s for a 31M-row x 128-partition exchange).
+2. **Dataset-native `keyed_reduce`** — hash `repartition(keys=...)` +
+   whole-partition numpy (itself ~10x cheaper than
+   ``groupby().aggregate()``; measured 27 s vs 2.3 s on a 1.8M-row
+   dedup). Retained as the independent machinery that A/B-gates the
+   warm-task tier (`Graph.dedup_sum(plan='shuffle')`) and for callers
+   that want a plain streaming Dataset op.
 """
 
 from __future__ import annotations
@@ -78,6 +88,10 @@ def group_reduce_per_key(values: np.ndarray, keys: np.ndarray, op: str):
       compose deterministically.
     """
     uk, inv = np.unique(keys, return_inverse=True)
+    if len(uk) == 0:
+        # merge fns run on EMPTY partitions too (schema stability); the
+        # 'rand' branch would otherwise index starts=[0] into nothing
+        return uk, np.asarray(values, dtype=np.float64)
     if op == "sum":
         return uk, np.bincount(inv, weights=values)
     if op == "count":
@@ -173,15 +187,6 @@ def _ds_concat(*parts):
     return group_sum_per_key(ws, ks)
 
 
-def _pair_tree_fanin(refs: list) -> list:
-    while len(refs) > _MERGE_FANIN:
-        refs = [
-            _rt0(_ds_concat).remote(*refs[i:i + _MERGE_FANIN])
-            for i in range(0, len(refs), _MERGE_FANIN)
-        ]
-    return refs
-
-
 def dedup_sum_tasks(edges_ds, n: int, num_partitions: int | None = None,
                     drop_loops: bool = False):
     """Duplicate-merge an edge Dataset with + via warm raw tasks:
@@ -200,7 +205,9 @@ def dedup_sum_tasks(edges_ds, n: int, num_partitions: int | None = None,
     routed = [[r] if g == 1 else list(r) for r in routed]
     merged = [
         _rt0(_ds_merge).remote(
-            n, *_pair_tree_fanin([routed[j][i] for j in range(len(routed))])
+            n,
+            *_tree_fanin([routed[j][i] for j in range(len(routed))],
+                         _ds_concat),
         )
         for i in range(g)
     ]
@@ -363,15 +370,17 @@ def _gen_concat(*parts):
 _MERGE_FANIN = 128
 
 
-def _tree_fanin(refs: list) -> list:
+def _tree_fanin(refs: list, concat_fn=None) -> list:
     """Cap per-task argument fan-in: with E input blocks each merge task
     would take E refs — at cluster scale (thousands of blocks) that is a
-    driver/arg-pinning bottleneck, so pre-concat in a _MERGE_FANIN-ary
-    tree of num_cpus=0 tasks (pure concat; the merge fn still sees one
-    whole partition)."""
+    driver/arg-pinning bottleneck, so pre-combine in a _MERGE_FANIN-ary
+    tree of num_cpus=0 tasks. ``concat_fn`` defaults to the pure table
+    concat (`_gen_concat`); associative leaf types pass a combining fn
+    (e.g. `_ds_concat`'s keyed sum) so tree nodes also shrink data."""
+    fn = _gen_concat if concat_fn is None else concat_fn
     while len(refs) > _MERGE_FANIN:
         refs = [
-            _rt0(_gen_concat).remote(*refs[i:i + _MERGE_FANIN])
+            _rt0(fn).remote(*refs[i:i + _MERGE_FANIN])
             for i in range(0, len(refs), _MERGE_FANIN)
         ]
     return refs

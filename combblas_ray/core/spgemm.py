@@ -3,9 +3,10 @@
 ``C(i,j) = SR.add over k of SR.mul(A(i,k), B(k,j))`` — the semantics of the
 reference's SUMMA kernels (`Mult_AnXBn_Synch` ``ParFriends.h:1447-1556``,
 local kernel ``mtSpGEMM.h:212-460``). The SUMMA broadcast schedule is an
-MPI artifact; here the inner-dimension co-location is ONE distributed hash
-join on k (Ray Data hash join), and the (i,j) merge is one hash
-repartition + whole-partition numpy reduce.
+MPI artifact; here the inner-dimension co-location is ONE co-partitioned
+warm-task hash join on k (`shuffle.hash_join_tasks`, multiply + partial
+combine fused into the join task), and the (i,j) merge is one warm-task
+keyed exchange (`shuffle.group_apply_tasks`).
 
 Edge-table convention: a table row (src, dst, w) is the path src->dst, so
 ``compose(A, B)`` = paths A then B = matrix product B_mat @ A_mat under the

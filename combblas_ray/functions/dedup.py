@@ -560,7 +560,10 @@ def minhash_lsh_pairs(docs_ds, tau: float = 0.5, num_perm: int = 64,
         if nrows == 0:
             return pa.table({"bucket": pa.array([], type=pa.int64()),
                              "doc_id": pa.array([], type=pa.int64())})
+        # use the first bands*rows_per_band lanes (bands need not divide
+        # num_perm — parity with the pre-vectorized slicing loop)
         S = np.asarray(pc.list_flatten(sig), dtype=np.int64).reshape(
+            nrows, num_perm)[:, : bands * rows_per_band].reshape(
             nrows, bands, rows_per_band).view(np.uint64)
         h = np.broadcast_to(
             np.arange(1, bands + 1, dtype=np.uint64)[None, :], (nrows, bands)

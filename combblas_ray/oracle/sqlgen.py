@@ -732,23 +732,7 @@ def ann_lsh(nq: int = 10, k: int = 5, nbits: int = 6, probe_bits: int = 2,
     code equals the query's code xor any <=probe_bits-bit flip, exact
     cosine re-rank with the (sim DESC, id ASC) tie-break of the green
     brute-force `ann_topk` oracle. Mirrors `ann.py:ann_lsh_topk`."""
-    import itertools
-
-    import numpy as np
-
-    planes = np.random.RandomState(seed).randn(nbits, dim)
-    code_expr = " + ".join(
-        "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ["
-        + ", ".join("%.17g" % v for v in row)
-        + f"]) > 0 THEN {1 << i} ELSE 0 END)"
-        for i, row in enumerate(planes)
-    )
-    flips = [0] + [
-        sum(1 << b for b in combo)
-        for r in range(1, probe_bits + 1)
-        for combo in itertools.combinations(range(nbits), r)
-    ]
-    flip_vals = ", ".join(f"({f})" for f in flips)
+    code_expr, flip_vals = _lsh_sql_parts(nbits, probe_bits, seed, dim)
     return f"""
 WITH codes AS MATERIALIZED (
   SELECT vec_id, {code_expr} AS code FROM embeddings
@@ -1057,6 +1041,30 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= {tau}
 """
 
 
+def _lsh_sql_parts(nbits: int, probe_bits: int, seed: int, dim: int):
+    """(code_expr, flip_vals) shared by the sign-LSH oracles: seeded
+    hyperplanes as 17-sig-digit DOUBLE literals (exact float64
+    round-trip; MUST stay bit-identical to `ann.lsh_planes` +
+    `_sign_codes`) and the multi-probe flip VALUES list."""
+    import itertools
+
+    import numpy as np
+
+    planes = np.random.RandomState(seed).randn(nbits, dim)
+    code_expr = " + ".join(
+        "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ["
+        + ", ".join("%.17g" % v for v in row)
+        + f"]) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, row in enumerate(planes)
+    )
+    flips = [0] + [
+        sum(1 << b for b in combo)
+        for r in range(1, probe_bits + 1)
+        for combo in itertools.combinations(range(nbits), r)
+    ]
+    return code_expr, ", ".join(f"({f})" for f in flips)
+
+
 def fingerprint() -> str:
     """Bit-exact twin of `text.fingerprint`: Horner chain
     h = (h*1000003 + md5_number_lower(tok) % 2^61) % 2^61 via
@@ -1108,23 +1116,7 @@ def embed_dups_lsh(tau: float = 0.4, nbits: int = 4, probe_bits: int = 1,
     buckets via least(code, xor(code, flip)), candidates = shared-bucket
     pairs, exact cosine verify (same kernel as the green `embed_dups`
     oracle). Mirrors `functions/ann.py:embedding_dup_pairs_lsh`."""
-    import itertools
-
-    import numpy as np
-
-    planes = np.random.RandomState(seed).randn(nbits, dim)
-    code_expr = " + ".join(
-        "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ["
-        + ", ".join("%.17g" % v for v in row)
-        + f"]) > 0 THEN {1 << i} ELSE 0 END)"
-        for i, row in enumerate(planes)
-    )
-    flips = [0] + [
-        sum(1 << b for b in combo)
-        for r in range(1, probe_bits + 1)
-        for combo in itertools.combinations(range(nbits), r)
-    ]
-    flip_vals = ", ".join(f"({f})" for f in flips)
+    code_expr, flip_vals = _lsh_sql_parts(nbits, probe_bits, seed, dim)
     return f"""
 WITH codes AS MATERIALIZED (
   SELECT vec_id, {code_expr} AS code FROM embeddings

@@ -755,6 +755,12 @@ def q_mis_fixed(sf_dir: str):
     exactly MIS_ROUNDS synchronous rounds — the `cc_fixed` trick applied
     to MIS, so DuckDB can unroll the identical rounds."""
     ctx = get_context(sf_dir)
+    if ctx.n >= MIS_PRIO_P:
+        raise NotImplementedError(
+            "mis_fixed: the LCG priority (v*48271 + b) mod 2^31-1 is a "
+            "bijection (distinct priorities) only while n < 2^31-1; a "
+            "wider-modulus LCG is needed beyond that"
+        )
     prio_full = (np.arange(ctx.n, dtype=np.int64) * 48271 + 11) % MIS_PRIO_P
     in_mis = alg.luby_mis(ctx.engine("sym"), prio_full=prio_full,
                           max_rounds=MIS_ROUNDS)
@@ -1065,6 +1071,11 @@ def q_matching_fixed(sf_dir: str):
     rounds — the `mis_fixed`/`cc_fixed` trick applied to the matching
     kernel so DuckDB can unroll the identical rounds."""
     ctx = get_context(sf_dir)
+    if ctx.n >= MIS_PRIO_P:
+        raise NotImplementedError(
+            "matching_fixed: LCG priorities are distinct only while "
+            "n < 2^31-1 (see mis_fixed)"
+        )
     prio_full = (np.arange(ctx.n, dtype=np.int64) * 48271 + 23) % MIS_PRIO_P
     m = alg.maximal_matching(ctx.engine("sym"), prio_full=prio_full,
                              max_rounds=MATCH_ROUNDS)

@@ -153,6 +153,45 @@ def test_tree_fanin_merge_and_join(ray_session, monkeypatch):
     assert len(m2) == len(want2)
 
 
+def test_dedup_sum_plans_agree(ray_session):
+    """plan='tasks' (warm-task route) vs plan='shuffle' (Ray-Data-native
+    keyed_reduce) — the independent-machinery A/B gate."""
+    from combblas_ray.core.graph import Graph
+
+    rng = np.random.RandomState(13)
+    src = rng.randint(0, 30, size=500)
+    dst = rng.randint(0, 30, size=500)
+    w = rng.rand(500)
+    eds = _table_ds(pa.table({"src": pa.array(src), "dst": pa.array(dst),
+                              "w": pa.array(w)}), blocks=6)
+    g = Graph(n=30, edges=eds, labels=None)
+    a = (g.dedup_sum("tasks").edges.to_pandas()
+         .set_index(["src", "dst"])["w"].sort_index())
+    b = (g.dedup_sum("shuffle").edges.to_pandas()
+         .set_index(["src", "dst"])["w"].sort_index())
+    assert len(a) == len(b)
+    assert np.allclose(a.values, b.values)
+
+
+def test_rand_reduce_survives_empty_partitions(ray_session):
+    """Graph.reduce(agg='rand') with more partitions than keys: merge fns
+    run on EMPTY partitions (schema stability), which used to crash the
+    'rand' branch of group_reduce_per_key."""
+    from combblas_ray.core.graph import Graph
+    from combblas_ray.core.shuffle import group_reduce_per_key
+
+    uk, red = group_reduce_per_key(
+        np.empty(0, dtype=np.float64), np.empty(0, dtype=np.int64), "rand")
+    assert len(uk) == 0 and len(red) == 0
+    eds = _table_ds(pa.table({"src": pa.array([0, 0, 1]),
+                              "dst": pa.array([1, 1, 0]),
+                              "w": pa.array([2.0, 3.0, 4.0])}), blocks=2)
+    g = Graph(n=2, edges=eds, labels=None)
+    out = g.reduce("row", "rand").to_pandas().set_index("v")["val"]
+    assert set(out.index) == {0, 1}
+    assert out[0] in (2.0, 3.0) and out[1] == 4.0
+
+
 def test_hash_join_tasks_empty_side(ray_session):
     """Empty sides must carry their schema in at least one block (the
     map_batches contract every call site satisfies; Ray's repartition of
