@@ -79,33 +79,86 @@ def _targets_arrays(ids: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray, np
     return src[perm], order[perm], dst[perm]
 
 
+def _hex40(v: np.ndarray) -> pa.Array:
+    """Vectorized ``format(v, '040x')`` for v < 2^32: a (n, 40) uint8
+    char matrix (32 zero pads + 8 hex nibbles) viewed as fixed-width
+    bytes — no per-row Python."""
+    v = v.astype(np.uint64)
+    out = np.full((len(v), 40), ord("0"), dtype=np.uint8)
+    digits = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+    for k in range(8):
+        out[:, 32 + k] = digits[(v >> np.uint64(4 * (7 - k))) & np.uint64(0xF)]
+    return pa.array(out.reshape(-1).view("S40").astype(str))
+
+
+def _istr(a: np.ndarray) -> pa.Array:
+    return pc.cast(pa.array(a.astype(np.int64)), pa.string())
+
+
 def corpus_batch(ids: np.ndarray, n: int, with_sha: bool = False) -> pa.Table:
-    """Build corpus rows for a batch of file ids (used inside map_batches)."""
+    """Build corpus rows for a batch of file ids (used inside map_batches).
+    Fully vectorized (Arrow string joins + a fixed-width hex matrix); the
+    only per-row Python left is the optional sha256, which is inherently
+    per-payload."""
     ids = np.asarray(ids, dtype=np.int64)
-    repo = [f"repo_{i % NUM_REPOS}" for i in ids]
-    path = [f"src/m_{i}.py" for i in ids]
-    lang = [LANGS[i % 4] for i in ids]
-    commit = [format((int(i) * 2654435761 + 40503) % 2**32, "040x") for i in ids]
+    repo = pc.binary_join_element_wise("repo_", _istr(ids % NUM_REPOS), "")
+    path = pc.binary_join_element_wise("src/m_", _istr(ids), ".py", "")
+    lang_arr = np.array(LANGS)[ids % 4]
+    lang = pa.array(lang_arr, type=pa.string())
+    commit = _hex40((ids.astype(np.uint64) * np.uint64(2654435761)
+                     + np.uint64(40503)) % np.uint64(2**32))
     src, _ord, dst = _targets_arrays(ids, n)
     # group dst lists back per file (src is sorted, ids are sorted ranges
     # inside a batch but not necessarily contiguous -> use searchsorted)
     starts = np.searchsorted(src, ids, side="left")
     ends = np.searchsorted(src, ids, side="right")
-    contents = []
-    for k, i in enumerate(ids):
-        tj = dst[starts[k] : ends[k]]
-        lines = [f"import m_{j}" for j in tj]
-        lines.append(f"# file m_{i} lang={lang[k]}")
-        contents.append("\n".join(lines))
+    cnt = (ends - starts).astype(np.int64)
+    # per-file line list = its imports then one comment line; map_batches
+    # may COALESCE blocks in arbitrary order, so batch ids are NOT
+    # globally sorted — gather each file's dst rows explicitly instead of
+    # assuming they tile the arrays in ids order
+    csum = np.concatenate(([0], np.cumsum(cnt)))[:-1]
+    within = np.arange(int(cnt.sum()), dtype=np.int64) - np.repeat(csum, cnt)
+    take_idx = np.repeat(starts, cnt) + within
+    imp = pc.binary_join_element_wise("import m_", _istr(dst[take_idx]), "")
+    comment = pc.binary_join_element_wise(
+        "# file m_", _istr(ids), " lang=", lang, "")
+    total = cnt + 1
+    offs = np.cumsum(total) - total
+    flat = np.empty(len(dst) + len(ids), dtype=object)
+    flat[np.repeat(offs, cnt) + within] = np.asarray(imp).astype(object)
+    flat[offs + cnt] = np.asarray(comment).astype(object)
+    lst = pa.ListArray.from_arrays(
+        pa.array(np.concatenate(([0], np.cumsum(total))), type=pa.int32()),
+        pa.array(flat, type=pa.string()),
+    )
+    content = pc.binary_join(lst, "\n")
+    if content.null_count:
+        nulls = np.nonzero(np.asarray(pc.is_null(content)))[0][:5]
+        raise AssertionError(
+            "corpus_batch: unfilled content line slots — batch ids are "
+            "expected to be sorted and unique (ray.data.range contract); "
+            f"diag: nrows={len(ids)} ids[:3]={ids[:3]} ids[-3:]={ids[-3:]} "
+            f"sorted={bool((np.diff(ids) > 0).all())} "
+            f"len(dst)={len(dst)} cnt.sum={int(cnt.sum())} "
+            f"flat_none={int(sum(x is None for x in flat))} "
+            f"imp_len={len(imp)} imp_nulls={imp.null_count} "
+            f"comment_nulls={comment.null_count} "
+            f"null_rows={nulls.tolist()}"
+        )
     cols = {
         "repo": repo,
         "path": path,
         "commit": commit,
         "lang": lang,
-        "content": contents,
+        "content": content,
     }
     if with_sha:
-        cols["sha256"] = [hashlib.sha256(c.encode()).hexdigest() for c in contents]
+        cols["sha256"] = pa.array(
+            [hashlib.sha256(c.encode()).hexdigest()
+             for c in content.to_pylist()],
+            type=pa.string(),
+        )
     return pa.table(cols)
 
 
