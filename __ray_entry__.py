@@ -77,15 +77,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "invert_vec": q.q_invert_vec,
         "embed_dups_lsh": q.q_embed_dups_lsh,
         "spmm_batch": q.q_spmm_batch,
-        "bandwidth": q.q_bandwidth,
-        "rcm": q.q_rcm,
         "randperm_sorted": q.q_randperm_sorted,
+        # new-this-round operators (highest regression risk -> in window)
+        "clustering_coeff": q.q_clustering_coeff,
+        "kcore_fixed": q.q_kcore_fixed,
+        "hits_fixed": q.q_hits_fixed,
+        "vocab_topk": q.q_vocab_topk,
+        "decontaminate": q.q_decontaminate,
         # LLM-data layer
         "dedup_exact": q.q_dedup_exact,
         "jaccard_pairs": q.q_jaccard_pairs,
         "ann_topk": q.q_ann_topk,
         "clean_corpus": q.q_clean_corpus,
-        "embed_dups": q.q_embed_dups,
         "knn_components": q.q_knn_components,
         "minhash_pairs": q.q_minhash_pairs,
         "token_stats": q.q_token_stats,
@@ -93,13 +96,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": q.q_quality,
         # relational / windowed
         "tpch_q1": q.q_tpch_q1,
-        "top_customers": q.q_top_customers,
         "events_hourly": q.q_events_hourly,
         "sessions": q.q_sessions,
         "asof_click": q.q_asof_click,
-        "uniq_degrees": q.q_uniq_degrees,
         # --- past the driver window: oracle-exact, code path covered by an
         # in-window sibling (locally gated every round) ---
+        "embed_dups": q.q_embed_dups,          # exact 2D-tiled path: embed_dups_lsh
+        "bandwidth": q.q_bandwidth,            # profile composite (stable r1)
+        "rcm": q.q_rcm,                        # ordering path (stable since r1)
+        "top_customers": q.q_top_customers,    # sort+limit (stable r1)
+        "uniq_degrees": q.q_uniq_degrees,      # vecops uniq (stable r1)
         "in_degrees": q.q_in_degrees,          # reduce path: out_degrees
         "token_counts_re": q.q_token_counts_re,  # text path: token_stats
         "langid": q.q_langid,                  # text path: quality
@@ -176,6 +182,11 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": o.ann_topk(),
         "ann_lsh": o.ann_lsh(),
         "mis_fixed": o.mis_fixed(q.MIS_ROUNDS),
+        "clustering_coeff": o.clustering_coeff(),
+        "kcore_fixed": o.kcore_fixed(q.KCORE_K, q.KCORE_ROUNDS),
+        "hits_fixed": o.hits_fixed(q.HITS_ITERS),
+        "vocab_topk": o.vocab_topk(q.VOCAB_K),
+        "decontaminate": o.decontaminate(q.DECON_MOD),
         "matching_fixed": o.matching_fixed(q.MATCH_ROUNDS),
         "bfs_parents": o.bfs_parents("m_0", q.BFS_ITERS),
         "colstochastic": o.colstochastic(),

@@ -642,3 +642,84 @@ def simhash(docs_ds):
         )
 
     return docs_ds.map_batches(_sh, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def _bench_shingles(mod: int):
+    def _b(batch: pa.Table) -> pa.Table:
+        doc = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        keep = doc % mod == 0
+        if not keep.any():
+            return pa.table({"s": pa.array([], type=pa.string())})
+        s_arr, d_arr = _flat_distinct_shingles(
+            batch.filter(pa.array(keep))
+        )
+        return pa.table({
+            "s": pa.array(np.unique(s_arr).tolist(), type=pa.string())
+        })
+    return _b
+
+
+def _contam_probe(bench_ref, mod: int):
+    import ray
+
+    def _p(batch: pa.Table) -> pa.Table:
+        bench = (bench_ref if isinstance(bench_ref, np.ndarray)
+                 else ray.get(bench_ref))
+        doc = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        s_arr, d_arr = _flat_distinct_shingles(batch)
+        empty = pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "n_contam": pa.array([], type=pa.int64()),
+        })
+        if not len(s_arr) or not len(bench):
+            return empty
+        pos = np.searchsorted(bench, s_arr)
+        pos = np.minimum(pos, len(bench) - 1)
+        hit = (bench[pos] == s_arr) & (doc[d_arr] % mod != 0)
+        if not hit.any():
+            return empty
+        uv, cnt = np.unique(d_arr[hit], return_counts=True)
+        return pa.table({
+            "doc_id": pa.array(doc[uv], type=pa.int64()),
+            "n_contam": pa.array(cnt.astype(np.int64), type=pa.int64()),
+        })
+    return _p
+
+
+def decontaminate(docs_ds, bench_mod: int = 97) -> "ray.data.Dataset":
+    """Benchmark decontamination — the held-out-eval overlap check every
+    training-data pipeline runs before a model sees the corpus.
+
+    Documents with ``doc_id % bench_mod == 0`` form the benchmark; every
+    OTHER document is flagged with the number of its distinct 3-token
+    shingles that appear in ANY benchmark document. The benchmark
+    shingle set is the SMALL side (1/bench_mod of the corpus) — built
+    with one filtered streaming pass, ``ray.put`` ONCE as a sorted
+    string array, and probed per batch with a vectorized searchsorted
+    membership test: no shuffle touches the big side at all (the
+    broadcast-semi-join pattern). Returns a Dataset of (doc_id,
+    n_contam) rows for contaminated documents only."""
+    import ray
+
+    bench_parts = [
+        np.asarray(t.column("s")).astype(str)
+        for t in ray.get(
+            docs_ds.map_batches(
+                _bench_shingles(bench_mod), batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    bench = (np.unique(np.concatenate(bench_parts)) if bench_parts
+             else np.empty(0, dtype=str))
+    bench_ref = ray.put(bench)
+    return docs_ds.map_batches(
+        _contam_probe(bench_ref, bench_mod), batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -20,6 +20,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..core.shuffle import group_apply_tasks
+
 LANG_MARKERS = {
     "de": "sort",
     "en": "the",
@@ -146,3 +148,63 @@ def fingerprint(batch: pa.Table) -> pa.Table:
             "fingerprint": pa.array(h.astype(np.int64)),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary construction
+# ---------------------------------------------------------------------------
+
+
+def _vocab_local(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: local token value_counts (the partial
+    pre-aggregation that keeps the keyed shuffle small)."""
+    vc = pc.list_flatten(tokens_list(batch)).value_counts()
+    return pa.table({
+        "tok": vc.field("values"),
+        "cnt": pc.cast(vc.field("counts"), pa.int64()),
+    })
+
+
+def _vocab_merge_topk(k: int):
+    def _m(t: pa.Table) -> pa.Table:
+        agg = t.group_by("tok").aggregate([("cnt", "sum")])
+        tok = np.asarray(agg.column("tok")).astype(str)
+        cnt = np.asarray(agg.column("cnt_sum"), dtype=np.int64)
+        order = np.lexsort((tok, -cnt))[:k]
+        return pa.table({
+            "tok": pa.array(tok[order].tolist(), type=pa.string()),
+            "cnt": pa.array(cnt[order], type=pa.int64()),
+        })
+    return _m
+
+
+def vocab_topk(docs_ds, k: int = 100,
+               num_partitions: int | None = None) -> pa.Table:
+    """Global token-frequency top-k (count DESC, token ASC — a total
+    order, so the cut is deterministic): the vocabulary-construction
+    step of a BPE/tokenizer training pipeline.
+
+    Scale shape: per-batch value_counts combiner -> ONE warm-task keyed
+    shuffle of (token, partial count) rows -> per-partition exact top-k
+    partials (complete counts after the shuffle) -> driver merges g*k
+    rows. The full vocabulary never sits in one place; the driver sees
+    only g*k rows."""
+    import ray
+
+    partials = docs_ds.map_batches(
+        _vocab_local, batch_format="pyarrow", zero_copy_batch=True
+    )
+    merged = group_apply_tasks(partials, ["tok"], _vocab_merge_topk(k),
+                               num_partitions=num_partitions)
+    t = pa.concat_tables(
+        [r for r in ray.get(merged.to_arrow_refs()) if r.num_rows]
+        or [pa.table({"tok": pa.array([], type=pa.string()),
+                      "cnt": pa.array([], type=pa.int64())})]
+    )
+    tok = np.asarray(t.column("tok")).astype(str)
+    cnt = np.asarray(t.column("cnt"), dtype=np.int64)
+    order = np.lexsort((tok, -cnt))[:k]
+    return pa.table({
+        "tok": pa.array(tok[order].tolist(), type=pa.string()),
+        "cnt": pa.array(cnt[order], type=pa.int64()),
+    })

@@ -1347,3 +1347,131 @@ SELECT v.label AS label, CAST(d.dist AS BIGINT) AS dist
 FROM {prev} d JOIN verts v ON v.i = d.i
 """
     return sql
+
+
+@_materialized
+def clustering_coeff() -> str:
+    """Per-vertex triangles / degree / local clustering coefficient.
+    `coeff` is deliberately NOT rounded: both sides evaluate the
+    identical IEEE expression (2.0*tri)/(deg*(deg-1.0)) over exact
+    integers, so the doubles compare bit-equal."""
+    return PREFIX + """
+, und AS (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges GROUP BY 1, 2
+),
+uadj AS (SELECT a AS v, b AS u FROM und UNION ALL SELECT b, a FROM und),
+deg AS (SELECT v, count(*) AS d FROM uadj GROUP BY v),
+tri AS (
+  SELECT x.v AS v, count(*) AS t
+  FROM uadj x JOIN uadj y ON x.v = y.v AND x.u < y.u
+  JOIN und t2 ON t2.a = x.u AND t2.b = y.u
+  GROUP BY x.v
+)
+SELECT vt.label AS label,
+       CAST(coalesce(d.d, 0) AS BIGINT) AS deg,
+       CAST(coalesce(tr.t, 0) AS BIGINT) AS tri,
+       CASE WHEN coalesce(d.d, 0) >= 2
+            THEN 2.0 * coalesce(tr.t, 0) / (d.d * (d.d - 1.0))
+            ELSE 0.0 END AS coeff
+FROM verts vt
+LEFT JOIN deg d ON d.v = vt.i
+LEFT JOIN tri tr ON tr.v = vt.i
+"""
+
+
+@_materialized
+def kcore_fixed(k: int, rounds: int) -> str:
+    """Exactly-`rounds` synchronous k-core peel rounds."""
+    sql = PREFIX + """
+, und AS (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges GROUP BY 1, 2
+),
+uadj AS (SELECT a AS v, b AS u FROM und UNION ALL SELECT b, a FROM und),
+act0 AS (SELECT i FROM files)
+"""
+    prev = "act0"
+    for r in range(1, rounds + 1):
+        sql += f"""
+, act{r} AS (
+  SELECT a.v AS i
+  FROM uadj a
+  JOIN {prev} s ON s.i = a.u
+  JOIN {prev} m ON m.i = a.v
+  GROUP BY a.v HAVING count(*) >= {k}
+)"""
+        prev = f"act{r}"
+    sql += f"""
+SELECT vt.label AS label,
+       CAST(CASE WHEN a.i IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_core
+FROM verts vt LEFT JOIN {prev} a ON a.i = vt.i
+"""
+    return sql
+
+
+@_materialized
+def hits_fixed(iters: int) -> str:
+    """Exactly-`iters` un-normalized HITS iterations over the STRUCTURAL
+    directed graph (each distinct (src, dst) pair counts once); integer
+    sums end-to-end."""
+    sql = PREFIX + """
+, dpairs AS (SELECT src, dst FROM edges),
+h0 AS (SELECT i, CAST(1 AS BIGINT) AS h FROM files)
+"""
+    prev_h = "h0"
+    for it in range(1, iters + 1):
+        sql += f"""
+, a{it} AS (
+  SELECT f.i, coalesce(s.s, 0) AS a
+  FROM files f LEFT JOIN (
+    SELECT e.dst AS i, sum(h.h) AS s
+    FROM dpairs e JOIN {prev_h} h ON h.i = e.src GROUP BY e.dst
+  ) s ON s.i = f.i
+),
+h{it} AS (
+  SELECT f.i, coalesce(s.s, 0) AS h
+  FROM files f LEFT JOIN (
+    SELECT e.src AS i, sum(a.a) AS s
+    FROM dpairs e JOIN a{it} a ON a.i = e.dst GROUP BY e.src
+  ) s ON s.i = f.i
+)"""
+        prev_h = f"h{it}"
+    sql += f"""
+SELECT vt.label AS label,
+       CAST(a.a AS BIGINT) AS auth, CAST(h.h AS BIGINT) AS hub
+FROM verts vt
+JOIN a{iters} a ON a.i = vt.i
+JOIN h{iters} h ON h.i = vt.i
+"""
+    return sql
+
+
+def vocab_topk(k: int = 100) -> str:
+    return f"""
+WITH tok AS MATERIALIZED (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+)
+SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+FROM tok GROUP BY tok
+ORDER BY cnt DESC, tok ASC
+LIMIT {k}
+"""
+
+
+def decontaminate(mod: int = 97) -> str:
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+sh AS MATERIALIZED (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+  ))) AS s FROM toks
+),
+bench AS MATERIALIZED (SELECT DISTINCT s FROM sh WHERE doc_id % {mod} = 0)
+SELECT sh.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_contam
+FROM sh JOIN bench b ON b.s = sh.s
+WHERE sh.doc_id % {mod} <> 0
+GROUP BY sh.doc_id
+"""

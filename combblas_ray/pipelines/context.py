@@ -62,6 +62,10 @@ class GraphContext:
                 edges=base.edges.union(base.transpose().edges).materialize(),
                 labels=self.labels,
             )
+        elif variant == "reverse":
+            # transposed directed view (HITS hub direction)
+            g = Graph(n=self.n, edges=base.transpose().edges,
+                      labels=self.labels)
         elif variant == "sssp":
             g = self._sssp_graph(base)
         elif variant == "payload":
@@ -122,8 +126,16 @@ class GraphContext:
         if key in self._engines:
             return self._engines[key]
         ckpt = os.path.join(CKPT_ROOT, f"n{self.n}", f"{variant}_g{g}")
+        # dir_bool / rev_bool: STRUCTURAL (w=1 distinct-pair) engines over
+        # the directed / transposed views — the bool-matrix type
+        # conversion of the reference (`SpParMat` bool casts), used by
+        # fixed-iteration integer-exact apps (HITS)
+        graph_variant = {"dir_bool": "directed", "rev_bool": "reverse"}.get(
+            variant, variant
+        )
         eng = SpmvEngine.from_graph(
-            self.graph(variant), g, ckpt, structural=(variant == "sym"),
+            self.graph(graph_variant), g, ckpt,
+            structural=variant in ("sym", "dir_bool", "rev_bool"),
             payload=(PAYLOAD_SPEC if variant == "payload" else None),
         )
         self._engines[key] = eng

@@ -1609,3 +1609,83 @@ def q_filtered_bfs_payload(sf_dir: str):
         "label": _label_col(ctx, ids),
         "dist": pa.array(d[ids].astype(np.int64)),
     })
+
+
+KCORE_K = 3
+KCORE_ROUNDS = 6
+HITS_ITERS = 3
+VOCAB_K = 100
+DECON_MOD = 97
+
+
+def q_clustering_coeff(sf_dir: str):
+    """Per-vertex triangle count, distinct-neighbor degree and local
+    clustering coefficient over the undirected view — the per-vertex row
+    sums of the reference's masked-SpGEMM triangle recipe
+    (``SpParMat.h:161`` + ``ParFriends.h:1447``), fully distributed (see
+    `alg.clustering_coefficients`). `coeff` is left un-rounded: both
+    sides compute the identical IEEE expression (2.0*tri)/(deg*(deg-1.0))
+    over exact integers, so the doubles are bit-equal."""
+    ctx = get_context(sf_dir)
+    t = alg.clustering_coefficients(ctx.graph("sym").edges, ctx.n)
+    v = np.asarray(t.column("v"), dtype=np.int64)
+    deg = np.zeros(ctx.n, dtype=np.int64)
+    tri = np.zeros(ctx.n, dtype=np.int64)
+    deg[v] = np.asarray(t.column("deg"), dtype=np.int64)
+    tri[v] = np.asarray(t.column("tri"), dtype=np.int64)
+    coeff = np.zeros(ctx.n, dtype=np.float64)
+    m = deg >= 2
+    coeff[m] = (2.0 * tri[m]) / (deg[m] * (deg[m] - 1.0))
+    return pa.table({
+        "label": pa.array(np.asarray(ctx.labels), type=pa.string()),
+        "deg": pa.array(deg, type=pa.int64()),
+        "tri": pa.array(tri, type=pa.int64()),
+        "coeff": pa.array(coeff, type=pa.float64()),
+    })
+
+
+def q_kcore_fixed(sf_dir: str):
+    """k-core membership after exactly KCORE_ROUNDS synchronous peel
+    rounds (k = KCORE_K) — iterated structural Reduce + Prune
+    (`SpParMat::Reduce` + `SpParMat.h:152`), one fused SpMV+mask task
+    round per peel."""
+    ctx = get_context(sf_dir)
+    core = alg.kcore_fixed(ctx.engine("sym"), KCORE_K, KCORE_ROUNDS)
+    return pa.table({
+        "label": pa.array(np.asarray(ctx.labels), type=pa.string()),
+        "in_core": pa.array(core.astype(np.int64), type=pa.int64()),
+    })
+
+
+def q_hits_fixed(sf_dir: str):
+    """HITS authority/hub counts after exactly HITS_ITERS un-normalized
+    iterations over the STRUCTURAL directed graph (two plus_times SpMVs
+    per iteration, `ParFriends.h:2379`; integer-exact, see
+    `alg.hits_fixed`)."""
+    ctx = get_context(sf_dir)
+    auth, hub = alg.hits_fixed(
+        ctx.engine("dir_bool"), ctx.engine("rev_bool"), HITS_ITERS
+    )
+    return pa.table({
+        "label": pa.array(np.asarray(ctx.labels), type=pa.string()),
+        "auth": pa.array(auth, type=pa.int64()),
+        "hub": pa.array(hub, type=pa.int64()),
+    })
+
+
+def q_vocab_topk(sf_dir: str):
+    """Top-VOCAB_K corpus tokens by frequency (count DESC, token ASC) —
+    the tokenizer-vocabulary construction step (see `text.vocab_topk`)."""
+    from ..functions import text as textf
+
+    return textf.vocab_topk(_docs(sf_dir), k=VOCAB_K)
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: distinct 3-gram shingle overlap counts
+    of every non-benchmark document against the broadcast benchmark
+    shingle set (docs with doc_id %% DECON_MOD == 0; see
+    `dedup.decontaminate`)."""
+    from ..functions import dedup as dedupf
+
+    return dedupf.decontaminate(_docs(sf_dir), bench_mod=DECON_MOD)

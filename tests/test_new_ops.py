@@ -1,0 +1,166 @@
+"""Round-3 additions: clustering coefficients, k-core, HITS, vocabulary
+top-k, benchmark decontamination — brute-force equivalence on the n=500
+corpus graph / sf0.001 documents."""
+
+import numpy as np
+import pytest
+
+import ray
+
+from tests.conftest import brute_dense_matrix
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    return ray.data.read_parquet(f"{SF}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def doc_rows(docs):
+    return docs.take_all()
+
+
+@pytest.fixture(scope="module")
+def und500(ctx500):
+    """Brute undirected simple 0/1 adjacency in dense-id space."""
+    A = brute_dense_matrix(ctx500)
+    B = ((A + A.T) > 0).astype(np.int64)
+    np.fill_diagonal(B, 0)
+    return B
+
+
+def test_clustering_coefficients_vs_brute(ctx500, und500):
+    from combblas_ray.pipelines import algorithms as alg
+
+    B = und500
+    n = ctx500.n
+    deg_b = B.sum(axis=1)
+    tri_b = np.diag(B @ B @ B) // 2
+
+    t = alg.clustering_coefficients(ctx500.graph("sym").edges, n,
+                                    num_partitions=4)
+    v = np.asarray(t.column("v"))
+    deg = np.zeros(n, dtype=np.int64)
+    tri = np.zeros(n, dtype=np.int64)
+    deg[v] = np.asarray(t.column("deg"))
+    tri[v] = np.asarray(t.column("tri"))
+    assert np.array_equal(deg, deg_b)
+    assert np.array_equal(tri, tri_b)
+    # triple-counted total must agree with the scalar pipeline
+    total = alg.triangle_count(ctx500.graph("sym").edges, n, method="join")
+    assert tri.sum() == 3 * total
+
+
+def test_clustering_coefficients_g1(ctx500, und500):
+    """num_partitions=1 exercises every g==1 special case in the plan."""
+    from combblas_ray.pipelines import algorithms as alg
+
+    t = alg.clustering_coefficients(ctx500.graph("sym").edges, ctx500.n,
+                                    num_partitions=1)
+    tri = np.zeros(ctx500.n, dtype=np.int64)
+    tri[np.asarray(t.column("v"))] = np.asarray(t.column("tri"))
+    assert np.array_equal(tri, np.diag(und500 @ und500 @ und500) // 2)
+
+
+def test_kcore_fixed_vs_brute(ctx500, und500):
+    from combblas_ray.pipelines import algorithms as alg
+
+    B = und500
+    k, rounds = 3, 6
+    act = np.ones(ctx500.n, dtype=bool)
+    for _ in range(rounds):
+        act = act & (B @ act.astype(np.int64) >= k)
+    core = alg.kcore_fixed(ctx500.engine("sym"), k, rounds)
+    assert np.array_equal(core.astype(bool), act)
+
+
+def test_kcore_converges_to_true_core(ctx500, und500):
+    """Enough rounds = the true k-core (peeling fixpoint)."""
+    from combblas_ray.pipelines import algorithms as alg
+
+    B = und500
+    act = np.ones(ctx500.n, dtype=bool)
+    it = 0
+    while True:
+        new = act & (B @ act.astype(np.int64) >= 2)
+        it += 1
+        if np.array_equal(new, act):
+            break
+        act = new
+    core = alg.kcore_fixed(ctx500.engine("sym"), 2, it + 3)
+    assert np.array_equal(core.astype(bool), act)
+
+
+def test_hits_fixed_vs_brute(ctx500):
+    from combblas_ray.pipelines import algorithms as alg
+
+    A = brute_dense_matrix(ctx500)  # A[dst, src] weights
+    M = (A > 0).astype(np.int64)  # structural
+    h = np.ones(ctx500.n, dtype=np.int64)
+    for _ in range(3):
+        a = M @ h  # auth[dst] = sum over src
+        h = M.T @ a  # hub[src] = sum over dst
+    auth, hub = alg.hits_fixed(
+        ctx500.engine("dir_bool"), ctx500.engine("rev_bool"), 3
+    )
+    assert np.array_equal(auth, a)
+    assert np.array_equal(hub, h)
+
+
+def test_vocab_topk_vs_brute(docs, doc_rows):
+    from collections import Counter
+
+    from combblas_ray.functions.text import vocab_topk
+
+    c = Counter()
+    for r in doc_rows:
+        c.update(r["text"].split(" "))
+    brute = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    t = vocab_topk(docs, k=10)
+    got = list(zip(
+        np.asarray(t.column("tok")).tolist(),
+        np.asarray(t.column("cnt")).tolist(),
+    ))
+    assert got == brute
+
+
+def test_decontaminate_vs_brute(docs, doc_rows):
+    from combblas_ray.functions.dedup import decontaminate
+
+    mod = 97
+    sh = {}
+    for r in doc_rows:
+        t = r["text"].split(" ")
+        sh[r["doc_id"]] = {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+    bench = set()
+    for d, s in sh.items():
+        if d % mod == 0:
+            bench |= s
+    brute = {
+        d: len(s & bench)
+        for d, s in sh.items()
+        if d % mod != 0 and s & bench
+    }
+
+    out = decontaminate(docs, bench_mod=mod).to_pandas()
+    got = dict(zip(out["doc_id"], out["n_contam"]))
+    assert got == brute
+
+
+def test_decontaminate_empty_bench(ray_session):
+    """No benchmark docs at all -> empty output, schema intact."""
+    import pyarrow as pa
+
+    from combblas_ray.functions.dedup import decontaminate
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["a b c d", "b c d e", "x y z w"]),
+    }))
+    out = decontaminate(ds, bench_mod=97).to_pandas()
+    # doc_id 0 absent -> benchmark set is empty -> nothing contaminated
+    assert len(out) == 0
