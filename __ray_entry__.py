@@ -64,7 +64,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ewise_mult": q.q_ewise_mult,
         "ewise_apply_outer": q.q_ewise_apply_outer,
         "set_difference": q.q_set_difference,
-        "kselect2": q.q_kselect2,
         "reduce_colmax": q.q_reduce_colmax,
         "reach2_bool": q.q_reach2_bool,
         "prune_rect": q.q_prune_rect,
@@ -74,7 +73,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spasgn_general": q.q_spasgn_general,
         "ewise_scale": q.q_ewise_scale,
         "colstochastic": q.q_colstochastic,
-        "invert_vec": q.q_invert_vec,
         "embed_dups_lsh": q.q_embed_dups_lsh,
         "spmm_batch": q.q_spmm_batch,
         "randperm_sorted": q.q_randperm_sorted,
@@ -82,8 +80,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coeff": q.q_clustering_coeff,
         "kcore_fixed": q.q_kcore_fixed,
         "hits_fixed": q.q_hits_fixed,
+        "ppr": q.q_ppr,
         "vocab_topk": q.q_vocab_topk,
         "decontaminate": q.q_decontaminate,
+        "containment_pairs": q.q_containment_pairs,
         # LLM-data layer
         "dedup_exact": q.q_dedup_exact,
         "jaccard_pairs": q.q_jaccard_pairs,
@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_click": q.q_asof_click,
         # --- past the driver window: oracle-exact, code path covered by an
         # in-window sibling (locally gated every round) ---
+        "kselect2": q.q_kselect2,              # per-column top-k (driver-green r1+r2)
+        "invert_vec": q.q_invert_vec,          # vecops (driver-green r1+r2)
         "embed_dups": q.q_embed_dups,          # exact 2D-tiled path: embed_dups_lsh
         "bandwidth": q.q_bandwidth,            # profile composite (stable r1)
         "rcm": q.q_rcm,                        # ordering path (stable since r1)
@@ -185,8 +187,10 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": o.clustering_coeff(),
         "kcore_fixed": o.kcore_fixed(q.KCORE_K, q.KCORE_ROUNDS),
         "hits_fixed": o.hits_fixed(q.HITS_ITERS),
+        "ppr": o.ppr(q.PPR_ITERS, seed_mod=q.PPR_SEED_MOD),
         "vocab_topk": o.vocab_topk(q.VOCAB_K),
         "decontaminate": o.decontaminate(q.DECON_MOD),
+        "containment_pairs": o.containment_pairs(q.CONT_TAU),
         "matching_fixed": o.matching_fixed(q.MATCH_ROUNDS),
         "bfs_parents": o.bfs_parents("m_0", q.BFS_ITERS),
         "colstochastic": o.colstochastic(),

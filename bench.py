@@ -168,9 +168,10 @@ def run_dataops() -> None:
 
     from combblas_ray.functions.ann import ann_lsh_topk, embedding_dup_pairs_lsh
     from combblas_ray.functions.dedup import (
-        exact_dedup, jaccard_pairs, minhash_lsh_pairs,
+        containment_pairs, decontaminate, exact_dedup, jaccard_pairs,
+        minhash_lsh_pairs,
     )
-    from combblas_ray.functions.text import token_stats
+    from combblas_ray.functions.text import token_stats, vocab_topk
 
     import numpy as np
 
@@ -199,6 +200,18 @@ def run_dataops() -> None:
     t0 = time.perf_counter()
     counts["minhash_pairs"] = minhash_lsh_pairs(docs, tau=0.5).count()
     timings["minhash_lsh"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    counts["containment_pairs"] = containment_pairs(docs, tau=0.8).count()
+    timings["containment_pairs"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    counts["contaminated_docs"] = decontaminate(docs, bench_mod=97).count()
+    timings["decontaminate"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    counts["vocab_rows"] = vocab_topk(docs, k=100).num_rows
+    timings["vocab_topk"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     counts["token_stat_rows"] = docs.map_batches(

@@ -269,14 +269,19 @@ def _join_partitions() -> int:
     return max(2, min(16, cpus // 2))
 
 
+_METRIC_COL = {"jaccard": "jac", "containment": "cont"}
+
+
 def _verify_pairs(cand_ds, sh_tbl, tau: float,
-                  num_partitions: int | None = None):
-    """Exact-Jaccard verify as two distributed hash joins (warm-task
-    co-partitioned Arrow joins — no per-use operator spawn): candidates
-    x shingles(a), then x shingles(b) with the per-partition set
-    intersection fused into the second join task. Output (a, b, jac
-    round 6) for jac >= tau (unordered)."""
+                  num_partitions: int | None = None,
+                  metric: str = "jaccard"):
+    """Exact-Jaccard (or containment) verify as two distributed hash
+    joins (warm-task co-partitioned Arrow joins — no per-use operator
+    spawn): candidates x shingles(a), then x shingles(b) with the
+    per-partition set intersection fused into the second join task.
+    Output (a, b, <metric> round 6) for value >= tau (unordered)."""
     np_ = num_partitions or _join_partitions()
+    col = _METRIC_COL[metric]
     sh_m = sh_tbl.materialize()
     sa = sh_m.rename_columns({"doc_id": "a", "shingles": "sh_a"})
     sb = sh_m.rename_columns({"doc_id": "b", "shingles": "sh_b"})
@@ -290,7 +295,7 @@ def _verify_pairs(cand_ds, sh_tbl, tau: float,
             {
                 "a": pa.array([], type=pa.int64()),
                 "b": pa.array([], type=pa.int64()),
-                "jac": pa.array([], type=pa.float64()),
+                col: pa.array([], type=pa.float64()),
             }
         )
         npairs = batch.num_rows
@@ -318,17 +323,20 @@ def _verify_pairs(cand_ds, sh_tbl, tau: float,
         keys = np.sort(np.concatenate([keys_a, keys_b]))
         dup = keys[:-1][keys[1:] == keys[:-1]] if len(keys) else keys
         inter = np.bincount(dup // K, minlength=npairs)
-        union = len_a + len_b - inter
-        jac = inter / np.maximum(union, 1)
-        keep = (inter > 0) & (jac >= tau)  # threshold BEFORE rounding
-        jac = np.round(jac, 6)
+        if metric == "jaccard":
+            denom = len_a + len_b - inter
+        else:
+            denom = np.minimum(len_a, len_b)
+        val = inter / np.maximum(denom, 1)
+        keep = (inter > 0) & (val >= tau)  # threshold BEFORE rounding
+        val = np.round(val, 6)
         if not keep.any():
             return empty
         return pa.table(
             {
                 "a": pc.filter(batch.column("a"), pa.array(keep)),
                 "b": pc.filter(batch.column("b"), pa.array(keep)),
-                "jac": pa.array(jac[keep], type=pa.float64()),
+                col: pa.array(val[keep], type=pa.float64()),
             }
         )
 
@@ -414,14 +422,16 @@ def _split_cap_sentinel(tbl: pa.Table):
     return tbl.filter(pa.array(~neg)), int(b[neg].sum())
 
 
-def _pair_jac_reduce(tau: float):
+def _pair_jac_reduce(tau: float, metric: str = "jaccard"):
     """Per (a,b)-partition: multiplicity = |intersection|, sizes ride the
-    rows -> exact Jaccard with zero string movement."""
+    rows -> exact Jaccard (or containment = inter/min size) with zero
+    string movement."""
+    col = _METRIC_COL[metric]
 
     def _f(batch: pa.Table) -> pa.Table:
         empty = pa.table({"a": pa.array([], type=pa.int64()),
                           "b": pa.array([], type=pa.int64()),
-                          "jac": pa.array([], type=pa.float64())})
+                          col: pa.array([], type=pa.float64())})
         if batch.num_rows == 0 or "a" not in batch.column_names:
             return empty
         a = np.asarray(batch.column("a"), dtype=np.int64)
@@ -435,25 +445,22 @@ def _pair_jac_reduce(tau: float):
         starts = np.nonzero(new)[0]
         co = np.diff(np.append(starts, len(a)))
         a0, b0, sa0, sb0 = a[starts], b[starts], sa[starts], sb[starts]
-        jac = co / (sa0 + sb0 - co)
-        keep = jac >= tau  # threshold BEFORE rounding (oracle parity)
+        if metric == "jaccard":
+            val = co / (sa0 + sb0 - co)
+        else:
+            val = co / np.minimum(sa0, sb0)
+        keep = val >= tau  # threshold BEFORE rounding (oracle parity)
         if not keep.any():
             return empty
         return pa.table({"a": pa.array(a0[keep]), "b": pa.array(b0[keep]),
-                         "jac": pa.array(np.round(jac[keep], 6))})
+                         col: pa.array(np.round(val[keep], 6))})
 
     return _f
 
 
-def jaccard_pairs(docs_ds, tau: float = 0.5):
-    """Exact near-dup pairs (a < b, jaccard >= tau) among docs sharing at
-    least one shingle with document frequency <= DF_CAP. Fully
-    distributed, count-based: posting-list shuffle emits pairs with
-    multiplicity + doc sizes, ONE (a,b) shuffle turns multiplicity into
-    the exact intersection — no shingle strings ever ship per pair.
-    If any shingle exceeds DF_CAP (its shared shingles are dropped from
-    the pair stream, so counts would undercount), falls back to the
-    exact string-verify join path. Returns a Dataset (a, b, jac)."""
+def _sim_pairs(docs_ds, tau: float, metric: str):
+    """Shared exact similarity-pair plan (jaccard / containment): see
+    `jaccard_pairs` for the count-based design."""
     import ray
 
     from ..core.shuffle import _rt0
@@ -473,8 +480,31 @@ def jaccard_pairs(docs_ds, tau: float = 0.5):
     capped = sum(ray.get([h[1] for h in halves]))
     if capped:
         cands = _dedup_pairs(pairs.select_columns(["a", "b"]))
-        return _verify_pairs(cands, shingle_table(docs), tau)
-    return group_apply_tasks(pairs, ["a", "b"], _pair_jac_reduce(tau))
+        return _verify_pairs(cands, shingle_table(docs), tau,
+                             metric=metric)
+    return group_apply_tasks(pairs, ["a", "b"],
+                             _pair_jac_reduce(tau, metric=metric))
+
+
+def jaccard_pairs(docs_ds, tau: float = 0.5):
+    """Exact near-dup pairs (a < b, jaccard >= tau) among docs sharing at
+    least one shingle with document frequency <= DF_CAP. Fully
+    distributed, count-based: posting-list shuffle emits pairs with
+    multiplicity + doc sizes, ONE (a,b) shuffle turns multiplicity into
+    the exact intersection — no shingle strings ever ship per pair.
+    If any shingle exceeds DF_CAP (its shared shingles are dropped from
+    the pair stream, so counts would undercount), falls back to the
+    exact string-verify join path. Returns a Dataset (a, b, jac)."""
+    return _sim_pairs(docs_ds, tau, "jaccard")
+
+
+def containment_pairs(docs_ds, tau: float = 0.8):
+    """Exact CONTAINMENT near-dup pairs: |A∩B| / min(|A|, |B|) >= tau
+    (a < b) over distinct 3-gram shingle sets — the quote/subset
+    detector (a short doc embedded in a long one scores ~1.0 where
+    Jaccard stays low). Same fully-distributed count-based plan as
+    `jaccard_pairs`; returns a Dataset (a, b, cont)."""
+    return _sim_pairs(docs_ds, tau, "containment")
 
 
 def _minhash_params(num_perm: int = 64, seed: int = 7):

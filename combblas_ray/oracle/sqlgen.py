@@ -1475,3 +1475,76 @@ FROM sh JOIN bench b ON b.s = sh.s
 WHERE sh.doc_id % {mod} <> 0
 GROUP BY sh.doc_id
 """
+
+
+@_materialized
+def ppr(iters: int = 10, damping: float = 0.85, seed_mod: int = 101) -> str:
+    """Personalized PageRank: teleport + dangling mass on the seed set
+    {i %% seed_mod == 0}; r0 = teleport vector; unrolled iterations."""
+    d = damping
+    sql = PREFIX + f"""
+, seeds AS (SELECT i FROM files WHERE i % {seed_mod} = 0),
+sc AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM seeds),
+tvec AS (
+  SELECT f.i,
+         CASE WHEN s.i IS NOT NULL THEN 1.0 / sc.c ELSE 0.0 END AS tv
+  FROM files f CROSS JOIN sc LEFT JOIN seeds s ON s.i = f.i
+),
+outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+r0 AS (SELECT i, tv AS score FROM tvec)
+"""
+    prev = "r0"
+    for k in range(1, iters + 1):
+        sql += f"""
+, dang{k} AS (
+  SELECT coalesce(sum(r.score), 0.0) AS dm FROM {prev} r
+  LEFT JOIN outw o ON o.src = r.i WHERE o.src IS NULL
+),
+contrib{k} AS (
+  SELECT e.dst AS i, sum(r.score * e.w / o.ow) AS c
+  FROM edges e JOIN {prev} r ON r.i = e.src JOIN outw o ON o.src = e.src
+  GROUP BY e.dst
+),
+r{k} AS (
+  SELECT t.i,
+         (1.0 - {d}) * t.tv + {d} * (coalesce(c.c, 0.0) + dg.dm * t.tv)
+           AS score
+  FROM tvec t CROSS JOIN dang{k} dg
+  LEFT JOIN contrib{k} c ON c.i = t.i
+)"""
+        prev = f"r{k}"
+    sql += f"""
+SELECT v.label AS label, round(r.score * p.n, 6) AS score
+FROM {prev} r JOIN verts v ON v.i = r.i CROSS JOIN params p
+"""
+    return sql
+
+
+def containment_pairs(tau: float = 0.8, df_cap: int = 1000) -> str:
+    """Twin of `jaccard_pairs` with containment = inter / min size."""
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+sh AS MATERIALIZED (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+  ))) AS s FROM toks
+),
+counts AS MATERIALIZED (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+df AS MATERIALIZED (SELECT s, count(*) AS dfc FROM sh GROUP BY s),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  JOIN df ON df.s = a.s WHERE df.dfc <= {df_cap}
+),
+inter AS MATERIALIZED (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT c.a AS a, c.b AS b,
+       round(i.i * 1.0 / least(ca.nsh, cb.nsh), 6) AS cont
+FROM cand c JOIN inter i ON i.a = c.a AND i.b = c.b
+JOIN counts ca ON ca.doc_id = c.a JOIN counts cb ON cb.doc_id = c.b
+WHERE i.i * 1.0 / least(ca.nsh, cb.nsh) >= {tau}
+"""

@@ -194,3 +194,54 @@ def _load_latest(engine: SpmvEngine, ckpt_dir: str):
     from ..state.checkpoint import load_latest
 
     return load_latest(ckpt_dir, "pr", expected_sizes=engine.chunk_sizes())
+
+
+@ray.remote(num_returns=2, num_cpus=0)
+def _ppr_make_x(r: np.ndarray, inv_outw: np.ndarray, dang: np.ndarray):
+    """x = r / outw (0 on dangling) + this chunk's dangling mass."""
+    return r * inv_outw, float(r[dang].sum())
+
+
+def _ppr_update(t_chunk: np.ndarray, y: np.ndarray, bounds, *,
+                d: float, dmass: float):
+    """r' = (1-d)*t + d*(y + dmass*t) — teleport AND dangling mass both
+    land on the personalization vector (standard PPR convention)."""
+    return (1.0 - d) * t_chunk + d * (y + dmass * t_chunk)
+
+
+def ppr_fixed(engine: SpmvEngine, seed_mask: np.ndarray, *,
+              iters: int = 10, damping: float = 0.85) -> np.ndarray:
+    """Personalized PageRank, exactly ``iters`` power iterations with the
+    teleport vector t = seed_mask / |seeds| (r0 = t). Same chunked-refs
+    discipline as `pagerank` — per iteration one x/dangling-mass task
+    round + one fused SpMV-combine+update round; the driver syncs only
+    the dangling-mass scalar. Reference analog: the same iterated
+    ``SpMV<PlusTimesSRing>`` + axpy recipe (``MCL.cpp:388-394``) with a
+    non-uniform teleport."""
+    from functools import partial
+
+    n = engine.n
+    outw = engine.out_weights()
+    dang_full = outw == 0.0
+    inv_full = np.where(dang_full, 0.0,
+                        1.0 / np.where(dang_full, 1.0, outw))
+    t = seed_mask.astype(np.float64)
+    ts = t.sum()
+    if ts == 0:
+        raise ValueError("ppr_fixed: empty seed set")
+    t /= ts
+    t_refs = engine.chunk(t)
+    inv_refs = engine.chunk(inv_full)
+    dang_refs = engine.chunk(dang_full)
+    r_refs = t_refs
+    for _ in range(iters):
+        xs = [
+            _ppr_make_x.remote(r, iv, dg)
+            for r, iv, dg in zip(r_refs, inv_refs, dang_refs)
+        ]
+        dmass = float(sum(ray.get([x[1] for x in xs])))
+        r_refs = engine.spmv_apply_refs(
+            [x[0] for x in xs], "plus_times",
+            partial(_ppr_update, d=damping, dmass=dmass), 1, t_refs,
+        )[0]
+    return engine.unchunk(r_refs)

@@ -1689,3 +1689,33 @@ def q_decontaminate(sf_dir: str):
     from ..functions import dedup as dedupf
 
     return dedupf.decontaminate(_docs(sf_dir), bench_mod=DECON_MOD)
+
+
+PPR_ITERS = 10
+PPR_SEED_MOD = 101
+CONT_TAU = 0.8
+
+
+def q_ppr(sf_dir: str):
+    """Personalized PageRank (PPR_ITERS fixed iterations) with teleport
+    on the seed set {arith id %% PPR_SEED_MOD == 0} — dangling mass and
+    restarts both land on the seeds (see `pagerank.ppr_fixed`)."""
+    from .pagerank import ppr_fixed
+
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("directed")
+    mask = (np.asarray(ctx.arith) % PPR_SEED_MOD) == 0
+    r = ppr_fixed(eng, mask, iters=PPR_ITERS)
+    score = np.round(r * ctx.n, 6)
+    return pa.table({
+        "label": pa.array(np.asarray(ctx.labels), type=pa.string()),
+        "score": pa.array(score),
+    })
+
+
+def q_containment_pairs(sf_dir: str):
+    """Exact containment near-dup pairs (|A∩B| / min size >= CONT_TAU)
+    over distinct 3-gram shingles (see `dedup.containment_pairs`)."""
+    from ..functions import dedup as dedupf
+
+    return dedupf.containment_pairs(_docs(sf_dir), tau=CONT_TAU)

@@ -164,3 +164,97 @@ def test_decontaminate_empty_bench(ray_session):
     out = decontaminate(ds, bench_mod=97).to_pandas()
     # doc_id 0 absent -> benchmark set is empty -> nothing contaminated
     assert len(out) == 0
+
+
+def test_ppr_fixed_vs_brute(ctx500):
+    from combblas_ray.pipelines.pagerank import ppr_fixed
+
+    A = brute_dense_matrix(ctx500)  # A[dst, src]
+    n = ctx500.n
+    d = 0.85
+    mask = (np.asarray(ctx500.arith) % 101) == 0
+    t = mask.astype(np.float64)
+    t /= t.sum()
+    outw = A.sum(axis=0)
+    dang = outw == 0.0
+    inv = np.where(dang, 0.0, 1.0 / np.where(dang, 1.0, outw))
+    r = t.copy()
+    for _ in range(10):
+        x = r * inv
+        dm = r[dang].sum()
+        r = (1.0 - d) * t + d * (A @ x + dm * t)
+    got = ppr_fixed(ctx500.engine("directed"), mask, iters=10)
+    assert np.allclose(got, r, atol=1e-12)
+    assert abs(got.sum() - 1.0) < 1e-9  # probability mass conserved
+
+
+def test_ppr_empty_seed_raises(ctx500):
+    from combblas_ray.pipelines.pagerank import ppr_fixed
+
+    with pytest.raises(ValueError):
+        ppr_fixed(ctx500.engine("directed"),
+                  np.zeros(ctx500.n, dtype=bool), iters=1)
+
+
+def _brute_containment(doc_rows, tau):
+    from itertools import combinations
+
+    sh = {}
+    for r in doc_rows:
+        t = r["text"].split(" ")
+        sh[r["doc_id"]] = {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+    want = {}
+    for a, b in combinations(sorted(sh), 2):
+        inter = len(sh[a] & sh[b])
+        if not inter:
+            continue
+        cont = inter / min(len(sh[a]), len(sh[b]))
+        if cont >= tau:
+            want[(a, b)] = round(cont, 6)
+    return want
+
+
+def test_containment_pairs_vs_brute(docs, doc_rows):
+    from combblas_ray.functions.dedup import containment_pairs
+
+    got = {
+        (r["a"], r["b"]): r["cont"]
+        for r in containment_pairs(docs, 0.6).take_all()
+    }
+    assert got == _brute_containment(doc_rows, 0.6)
+
+
+def test_containment_fallback_when_df_cap_binds(docs, doc_rows,
+                                                monkeypatch):
+    """Forced df cap: containment must ride the string-verify fallback
+    with the capped-candidate semantics, like jaccard."""
+    import functools
+    from collections import Counter
+    from itertools import combinations
+
+    from combblas_ray.functions import dedup as D
+
+    CAP = 3
+    monkeypatch.setattr(
+        D, "_postings_pairs_counted",
+        functools.partial(D._postings_pairs_counted, df_cap=CAP),
+    )
+    got = {
+        (r["a"], r["b"]): r["cont"]
+        for r in D.containment_pairs(docs, 0.6).take_all()
+    }
+    sh = {}
+    for r in doc_rows:
+        t = r["text"].split(" ")
+        sh[r["doc_id"]] = {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+    df = Counter(s for ss in sh.values() for s in ss)
+    assert any(c > CAP for c in df.values())
+    want = {}
+    for a, b in combinations(sorted(sh), 2):
+        shared = sh[a] & sh[b]
+        if not any(df[s] <= CAP for s in shared):
+            continue
+        cont = len(shared) / min(len(sh[a]), len(sh[b]))
+        if cont >= 0.6:
+            want[(a, b)] = round(cont, 6)
+    assert got == want
