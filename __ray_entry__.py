@@ -63,7 +63,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spgemm_phased": q.q_spgemm_phased,
         "ewise_mult": q.q_ewise_mult,
         "ewise_apply_outer": q.q_ewise_apply_outer,
-        "set_difference": q.q_set_difference,
         "reduce_colmax": q.q_reduce_colmax,
         "reach2_bool": q.q_reach2_bool,
         "prune_rect": q.q_prune_rect,
@@ -81,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_fixed": q.q_kcore_fixed,
         "hits_fixed": q.q_hits_fixed,
         "ppr": q.q_ppr,
+        "ktruss_fixed": q.q_ktruss_fixed,
         "vocab_topk": q.q_vocab_topk,
         "decontaminate": q.q_decontaminate,
         "containment_pairs": q.q_containment_pairs,
@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_click": q.q_asof_click,
         # --- past the driver window: oracle-exact, code path covered by an
         # in-window sibling (locally gated every round) ---
+        "set_difference": q.q_set_difference,  # anti-join (driver-green r1+r2)
         "kselect2": q.q_kselect2,              # per-column top-k (driver-green r1+r2)
         "invert_vec": q.q_invert_vec,          # vecops (driver-green r1+r2)
         "embed_dups": q.q_embed_dups,          # exact 2D-tiled path: embed_dups_lsh
@@ -188,6 +189,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore_fixed": o.kcore_fixed(q.KCORE_K, q.KCORE_ROUNDS),
         "hits_fixed": o.hits_fixed(q.HITS_ITERS),
         "ppr": o.ppr(q.PPR_ITERS, seed_mod=q.PPR_SEED_MOD),
+        "ktruss_fixed": o.ktruss_fixed(q.KTRUSS_K, q.KTRUSS_ROUNDS),
         "vocab_topk": o.vocab_topk(q.VOCAB_K),
         "decontaminate": o.decontaminate(q.DECON_MOD),
         "containment_pairs": o.containment_pairs(q.CONT_TAU),

@@ -1548,3 +1548,42 @@ FROM cand c JOIN inter i ON i.a = c.a AND i.b = c.b
 JOIN counts ca ON ca.doc_id = c.a JOIN counts cb ON cb.doc_id = c.b
 WHERE i.i * 1.0 / least(ca.nsh, cb.nsh) >= {tau}
 """
+
+
+@_materialized
+def ktruss_fixed(k: int, rounds: int) -> str:
+    """Exactly-`rounds` synchronous k-truss edge-peel rounds: per round,
+    support(edge) = triangles over the CURRENT edge set; keep edges with
+    support >= k-2."""
+    sql = PREFIX + """
+, t0 AS (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges GROUP BY 1, 2
+)
+"""
+    prev = "t0"
+    for r in range(1, rounds + 1):
+        sql += f"""
+, adj{r} AS (
+  SELECT a AS v, b AS u FROM {prev} UNION ALL SELECT b, a FROM {prev}
+),
+supp{r} AS (
+  SELECT e.a, e.b, count(*) AS c
+  FROM {prev} e
+  JOIN adj{r} x ON x.v = e.a AND x.u <> e.b
+  JOIN {prev} t ON t.a = least(x.u, e.b) AND t.b = greatest(x.u, e.b)
+  GROUP BY e.a, e.b
+),
+t{r} AS (
+  SELECT e.a, e.b FROM {prev} e
+  JOIN supp{r} s ON s.a = e.a AND s.b = e.b
+  WHERE s.c >= {k - 2}
+)"""
+        prev = f"t{r}"
+    sql += f"""
+SELECT least(va.label, vb.label) AS a_label,
+       greatest(va.label, vb.label) AS b_label
+FROM {prev} e
+JOIN verts va ON va.i = e.a JOIN verts vb ON vb.i = e.b
+"""
+    return sql

@@ -1366,6 +1366,19 @@ def triangle_count(
 # ---------------------------------------------------------------------------
 
 
+def _tc_auto_grid(edges_ds, floor: int = 4, cap: int = 64,
+                  rows_per_part: int = 400_000) -> int:
+    """Adaptive shuffle width for the wedge-plan pipelines: the g^2 task
+    fan per wave costs ~25 ms/task on this box, so small inputs want a
+    narrow grid while 100-TB inputs want the cap. Sized from the edge
+    Dataset's (metadata) row count."""
+    try:
+        m = edges_ds.count()
+    except Exception:
+        return 16
+    return max(floor, min(cap, -(-int(m) // rows_per_part)))
+
+
 def _ccf_attach(g: int, n: int, *parts):
     """`_tc_attach_route_other` plus this v-partition's (vertex, degree)
     arrays as one extra return — degree = distinct-neighbor count (every
@@ -1473,7 +1486,7 @@ def _ccf_merge(n: int, deg_part, *parts):
 
 
 def clustering_coefficients(
-    sym_edges_ds, n: int, num_partitions: int = 16
+    sym_edges_ds, n: int, num_partitions: int | None = None
 ) -> pa.Table:
     """Per-vertex triangle counts + distinct-neighbor degrees from the
     undirected edge Dataset: the `triangle_count` join plan
@@ -1491,7 +1504,7 @@ def clustering_coefficients(
     with degree >= 1."""
     import ray
 
-    g = num_partitions
+    g = num_partitions or _tc_auto_grid(sym_edges_ds)
     blocks = sym_edges_ds.to_arrow_refs()
     routed = [
         _rt(_tc_route_blocks).options(num_returns=g).remote(bref, g, n)
@@ -1597,3 +1610,144 @@ def hits_fixed(eng_fwd: SpmvEngine, eng_rev: SpmvEngine, iters: int = 3):
             "needed at this scale"
         )
     return auth.astype(np.int64), hub.astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# k-truss (fixed synchronous edge-peel rounds)
+# ---------------------------------------------------------------------------
+
+
+def _kt_key(part) -> np.ndarray:
+    """Key partitions arrive as a bare array (round 0, from
+    `_tc_dedup_route_v`) or a `(keys,)` tuple (from `_kt_filter`)."""
+    return part[0] if isinstance(part, tuple) else part
+
+
+def _kt_route_v(g: int, n: int, *parts):
+    """From a (distinct) key partition: route endpoint rows (v, key) by
+    hash(v) for the degree/orientation stage (the second half of
+    `_tc_dedup_route_v`, without the re-dedup)."""
+    key = (np.concatenate([_kt_key(p) for p in parts]) if parts
+           else np.empty(0, dtype=np.int64))
+    a = (key // n).astype(np.int64)
+    b = (key % n).astype(np.int64)
+    v = np.concatenate([a, b])
+    k2 = np.concatenate([key, key])
+    return _tc_split((v, k2), _tc_part(v, g), g)
+
+
+def _kt_close_route_key(g: int, n: int, *parts):
+    """Per wedge-key partition: each closed wedge (x, z through m)
+    credits one SUPPORT to each of the triangle's three edges; per-edge
+    (id-ordered key, count) partials routed by hash(key) — aligned with
+    the surviving-edge partitions."""
+    e = np.empty(0, dtype=np.int64)
+    wk = np.concatenate([p[0] for p in parts]) if parts else e
+    wm = np.concatenate([p[1] for p in parts]) if parts else e
+    mk = np.concatenate([p[2] for p in parts]) if parts else e
+    if not len(wk) or not len(mk):
+        out = [(e, e) for _ in range(g)]
+        return out[0] if g == 1 else tuple(out)
+    mk = np.sort(mk)
+    pos = np.searchsorted(mk, wk)
+    pos = np.minimum(pos, len(mk) - 1)
+    closed = mk[pos] == wk
+    x = wk[closed] // n
+    z = wk[closed] % n
+    m = wm[closed]
+    lo = np.concatenate([np.minimum(x, z), np.minimum(x, m),
+                         np.minimum(m, z)])
+    hi = np.concatenate([np.maximum(x, z), np.maximum(x, m),
+                         np.maximum(m, z)])
+    uk, cnt = np.unique(lo * np.int64(n) + hi, return_counts=True)
+    return _tc_split((uk, cnt.astype(np.int64)), _tc_part(uk, g), g)
+
+
+def _kt_filter(min_supp: int, key_part, *supp_parts):
+    """Per key partition: merge support partials; keep keys with
+    support >= min_supp. Returns (surviving keys,) as a 1-tuple."""
+    key = _kt_key(key_part)
+    if supp_parts:
+        uk = np.concatenate([p[0] for p in supp_parts])
+        c = np.concatenate([p[1] for p in supp_parts])
+    else:
+        uk = c = np.empty(0, dtype=np.int64)
+    supp = np.zeros(len(key), dtype=np.int64)
+    if len(uk):
+        su, inv = np.unique(uk, return_inverse=True)
+        tot = np.zeros(len(su), dtype=np.int64)
+        np.add.at(tot, inv, c)
+        pos = np.searchsorted(key, su)  # key is sorted (np.unique upstream)
+        supp[pos] = tot
+    return (key[supp >= min_supp],)
+
+
+def ktruss_fixed(sym_edges_ds, n: int, k: int, rounds: int,
+                 num_partitions: int | None = None):
+    """k-truss, exactly ``rounds`` synchronous edge-peel rounds: drop
+    every edge whose SUPPORT (triangles it participates in, over the
+    current surviving edge set) is < k-2, rounds times. Per round the
+    `clustering_coefficients` wedge plan runs over the survivors and the
+    closure stage credits each closed wedge to its three EDGES (the
+    reference recipe is the same masked SpGEMM, ``SpParMat.h:161`` +
+    ``ParFriends.h:1447``, re-reduced per edge instead of per vertex).
+    All state stays as hash(key)-partitioned distinct-pair arrays in the
+    object store; the driver submits task waves only.
+
+    Returns the surviving distinct undirected pair keys (lo*n + hi) as
+    one int64 array."""
+    import ray
+
+    g = num_partitions or _tc_auto_grid(sym_edges_ds)
+    blocks = sym_edges_ds.to_arrow_refs()
+    routed = [
+        _rt(_tc_route_blocks).options(num_returns=g).remote(bref, g, n)
+        for bref in blocks
+    ]
+    routed = [[r] if g == 1 else list(r) for r in routed]
+    dedup = [
+        _rt(_tc_dedup_route_v).options(num_returns=g + 2).remote(
+            g, n, *[routed[j][i] for j in range(len(routed))]
+        )
+        for i in range(g)
+    ]
+    # current surviving keys, partition i = hash(key) == i, each sorted
+    keys = [d[g] for d in dedup]
+    for _ in range(rounds):
+        kv = [
+            _rt(_kt_route_v).options(num_returns=g).remote(
+                g, n, keys[i]
+            )
+            for i in range(g)
+        ]
+        kv = [[t] if g == 1 else list(t) for t in kv]
+        attach = [
+            _rt(_tc_attach_route_other).options(num_returns=g).remote(
+                g, n, *[kv[j][i] for j in range(g)]
+            )
+            for i in range(g)
+        ]
+        attach = [[t] if g == 1 else list(t) for t in attach]
+        wedge = [
+            _rt(_ccf_wedge_route).options(num_returns=g).remote(
+                g, n, *[attach[j][i] for j in range(g)]
+            )
+            for i in range(g)
+        ]
+        wedge = [[t] if g == 1 else list(t) for t in wedge]
+        close = [
+            _rt(_kt_close_route_key).options(num_returns=g).remote(
+                g, n, *[wedge[j][i] for j in range(g)]
+            )
+            for i in range(g)
+        ]
+        close = [[t] if g == 1 else list(t) for t in close]
+        keys = [
+            _rt(_kt_filter).remote(
+                k - 2, keys[i], *[close[j][i] for j in range(g)]
+            )
+            for i in range(g)
+        ]
+    parts = [_kt_key(p) for p in ray.get(keys)]
+    return (np.sort(np.concatenate(parts)) if parts
+            else np.empty(0, dtype=np.int64))

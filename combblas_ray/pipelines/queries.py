@@ -1719,3 +1719,31 @@ def q_containment_pairs(sf_dir: str):
     from ..functions import dedup as dedupf
 
     return dedupf.containment_pairs(_docs(sf_dir), tau=CONT_TAU)
+
+
+# k=3, 2 rounds: non-empty at both driver scales (the 4-truss of this
+# corpus graph is empty — multi-round peel dynamics are pytest-covered
+# on a crafted graph where round count changes the answer)
+KTRUSS_K = 3
+KTRUSS_ROUNDS = 2
+
+
+def q_ktruss_fixed(sf_dir: str):
+    """Edges surviving exactly KTRUSS_ROUNDS synchronous k-truss peel
+    rounds (k = KTRUSS_K: drop edges with support < k-2 each round) —
+    the per-EDGE reduction of the masked-SpGEMM triangle recipe (see
+    `alg.ktruss_fixed`). Pairs canonicalized by label order so both
+    sides agree on column orientation."""
+    ctx = get_context(sf_dir)
+    keys = alg.ktruss_fixed(
+        ctx.graph("sym").edges, ctx.n, KTRUSS_K, KTRUSS_ROUNDS
+    )
+    n = np.int64(ctx.n)
+    labels = np.asarray(ctx.labels)
+    la = labels[(keys // n).astype(np.int64)]
+    lb = labels[(keys % n).astype(np.int64)]
+    swap = la > lb  # np.minimum has no unicode loop; orient explicitly
+    return pa.table({
+        "a_label": pa.array(np.where(swap, lb, la), type=pa.string()),
+        "b_label": pa.array(np.where(swap, la, lb), type=pa.string()),
+    })

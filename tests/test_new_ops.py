@@ -258,3 +258,67 @@ def test_containment_fallback_when_df_cap_binds(docs, doc_rows,
         if cont >= 0.6:
             want[(a, b)] = round(cont, 6)
     assert got == want
+
+
+def _brute_ktruss(pairs: set, k: int, rounds: int) -> set:
+    cur = set(pairs)
+    for _ in range(rounds):
+        adj = {}
+        for a, b in cur:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        cur = {
+            (a, b) for a, b in cur
+            if len(adj[a] & adj[b]) >= k - 2
+        }
+    return cur
+
+
+def _pairs_of(keys, n):
+    return {(int(x // n), int(x % n)) for x in keys}
+
+
+def test_ktruss_fixed_vs_brute(ctx500, und500):
+    from combblas_ray.pipelines import algorithms as alg
+
+    n = ctx500.n
+    xs, ys = np.nonzero(np.triu(und500))
+    pairs = set(zip(xs.tolist(), ys.tolist()))
+    for k, rounds in ((3, 1), (3, 2), (4, 1), (4, 3)):
+        got = _pairs_of(
+            alg.ktruss_fixed(ctx500.graph("sym").edges, n, k, rounds,
+                             num_partitions=4),
+            n,
+        )
+        assert got == _brute_ktruss(pairs, k, rounds), (k, rounds)
+
+
+def test_ktruss_multi_round_dynamics(ray_session):
+    """Crafted graph where round count changes the answer: a 5-clique
+    (4-truss core) plus a triangle chain whose shared edge only dies in
+    round 2, after its outer support vanished in round 1."""
+    import pyarrow as pa
+
+    from combblas_ray.pipelines import algorithms as alg
+
+    # clique on 0..4; chain: triangles (10,11,12) and (11,12,13) share
+    # edge (11,12); triangle (5,6,7) isolated
+    und = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    und += [(10, 11), (10, 12), (11, 12), (11, 13), (12, 13), (5, 6),
+            (5, 7), (6, 7)]
+    n = 14
+    src = [a for a, b in und] + [b for a, b in und]
+    dst = [b for a, b in und] + [a for a, b in und]
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array(src, type=pa.int64()),
+        "dst": pa.array(dst, type=pa.int64()),
+        "w": pa.array([1.0] * len(src)),
+    }))
+    r1 = _pairs_of(alg.ktruss_fixed(ds, n, 4, 1, num_partitions=2), n)
+    r2 = _pairs_of(alg.ktruss_fixed(ds, n, 4, 2, num_partitions=2), n)
+    brute1 = _brute_ktruss(set(und), 4, 1)
+    brute2 = _brute_ktruss(set(und), 4, 2)
+    assert r1 == brute1 and r2 == brute2
+    assert (11, 12) in r1 and (11, 12) not in r2  # dies only in round 2
+    clique = {(a, b) for a in range(5) for b in range(a + 1, 5)}
+    assert r2 == clique
