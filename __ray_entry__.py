@@ -62,7 +62,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spgemm_aa": q.q_spgemm_aa,
         "spgemm_phased": q.q_spgemm_phased,
         "ewise_mult": q.q_ewise_mult,
-        "ewise_apply_outer": q.q_ewise_apply_outer,
         "reduce_colmax": q.q_reduce_colmax,
         "reach2_bool": q.q_reach2_bool,
         "prune_rect": q.q_prune_rect,
@@ -84,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": q.q_vocab_topk,
         "decontaminate": q.q_decontaminate,
         "containment_pairs": q.q_containment_pairs,
+        "sample_stratified": q.q_sample_stratified,
         # LLM-data layer
         "dedup_exact": q.q_dedup_exact,
         "jaccard_pairs": q.q_jaccard_pairs,
@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_click": q.q_asof_click,
         # --- past the driver window: oracle-exact, code path covered by an
         # in-window sibling (locally gated every round) ---
+        "ewise_apply_outer": q.q_ewise_apply_outer,  # null-policy EWise (driver-green r1+r2)
         "set_difference": q.q_set_difference,  # anti-join (driver-green r1+r2)
         "kselect2": q.q_kselect2,              # per-column top-k (driver-green r1+r2)
         "invert_vec": q.q_invert_vec,          # vecops (driver-green r1+r2)
@@ -192,6 +193,7 @@ def oracle_sql() -> dict[str, str]:
         "ktruss_fixed": o.ktruss_fixed(q.KTRUSS_K, q.KTRUSS_ROUNDS),
         "vocab_topk": o.vocab_topk(q.VOCAB_K),
         "decontaminate": o.decontaminate(q.DECON_MOD),
+        "sample_stratified": o.sample_stratified(),
         "containment_pairs": o.containment_pairs(q.CONT_TAU),
         "matching_fixed": o.matching_fixed(q.MATCH_ROUNDS),
         "bfs_parents": o.bfs_parents("m_0", q.BFS_ITERS),

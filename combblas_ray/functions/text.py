@@ -208,3 +208,46 @@ def vocab_topk(docs_ds, k: int = 100,
         "tok": pa.array(tok[order].tolist(), type=pa.string()),
         "cnt": pa.array(cnt[order], type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+# per-language keep quota out of 100 (language-balancing downsample: the
+# over-represented language is cut hardest)
+SAMPLE_QUOTA = {"en": 25, "de": 60, "es": 60, "fr": 60, "zh": 60}
+_SAMPLE_A = 48271  # LCG multiplier (MINSTD), exact in int64 for id < 2^47
+_SAMPLE_B = 11
+
+
+def _sample_filter(batch: pa.Table, *, quota: dict, default: int) -> pa.Table:
+    doc = np.asarray(batch.column("doc_id"), dtype=np.int64)
+    lang = np.asarray(batch.column("lang")).astype(str)
+    h = (doc * _SAMPLE_A + _SAMPLE_B) % 100
+    q = np.full(len(doc), default, dtype=np.int64)
+    for lg, rate in quota.items():
+        q[lang == lg] = rate
+    keep = h < q
+    return pa.table({
+        "doc_id": pa.array(doc[keep], type=pa.int64()),
+        "lang": pa.array(lang[keep].tolist(), type=pa.string()),
+    })
+
+
+def sample_stratified(docs_ds, quota: dict | None = None,
+                      default: int = 50):
+    """Deterministic per-language stratified downsample — the
+    language-balancing step of a corpus-mixing pipeline. Keep a document
+    iff ``(doc_id * 48271 + 11) %% 100 < quota[lang]`` — a seeded LCG
+    residue, so the sample is REPRODUCIBLE and resumable (re-running any
+    shard selects the same rows; no RNG state to checkpoint) and exactly
+    SQL-replicable. One streaming map_batches, no shuffle. Expects
+    columns (doc_id, lang); returns (doc_id, lang) of the kept rows."""
+    from functools import partial
+
+    q = quota or SAMPLE_QUOTA
+    return docs_ds.map_batches(
+        partial(_sample_filter, quota=q, default=default),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )

@@ -1587,3 +1587,12 @@ FROM {prev} e
 JOIN verts va ON va.i = e.a JOIN verts vb ON vb.i = e.b
 """
     return sql
+
+
+def sample_stratified(quota: dict | None = None, default: int = 50) -> str:
+    q = quota or {"en": 25, "de": 60, "es": 60, "fr": 60, "zh": 60}
+    cases = " ".join(f"WHEN '{lg}' THEN {r}" for lg, r in sorted(q.items()))
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE (doc_id * 48271 + 11) % 100 < CASE lang {cases} ELSE {default} END
+"""

@@ -1747,3 +1747,15 @@ def q_ktruss_fixed(sf_dir: str):
         "a_label": pa.array(np.where(swap, lb, la), type=pa.string()),
         "b_label": pa.array(np.where(swap, la, lb), type=pa.string()),
     })
+
+
+def q_sample_stratified(sf_dir: str):
+    """Deterministic language-balancing downsample (seeded LCG residue
+    per doc_id, per-language quota; see `text.sample_stratified`)."""
+    import ray
+
+    from ..functions import text as textf
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang"])
+    return textf.sample_stratified(docs)

@@ -322,3 +322,30 @@ def test_ktruss_multi_round_dynamics(ray_session):
     assert (11, 12) in r1 and (11, 12) not in r2  # dies only in round 2
     clique = {(a, b) for a in range(5) for b in range(a + 1, 5)}
     assert r2 == clique
+
+
+def test_sample_stratified_vs_brute(ray_session):
+    from combblas_ray.functions.text import (
+        SAMPLE_QUOTA, sample_stratified,
+    )
+
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet",
+                                 columns=["doc_id", "lang"])
+    rows = docs.take_all()
+    want = {
+        r["doc_id"]
+        for r in rows
+        if (r["doc_id"] * 48271 + 11) % 100
+        < SAMPLE_QUOTA.get(r["lang"], 50)
+    }
+    out = sample_stratified(docs).to_pandas()
+    assert set(out["doc_id"]) == want
+    # determinism: re-run selects the identical rows (resumability)
+    out2 = sample_stratified(docs).to_pandas()
+    assert set(out2["doc_id"]) == want
+    # the over-represented language is actually cut hardest
+    frac = out.groupby("lang").size() / (
+        __import__("pandas").Series([r["lang"] for r in rows])
+        .value_counts()
+    )
+    assert frac["en"] < frac.drop("en").min()
