@@ -165,16 +165,30 @@ def _vocab_local(batch: pa.Table) -> pa.Table:
     })
 
 
+def _topk_table(tok: np.ndarray, cnt: np.ndarray, k: int) -> pa.Table:
+    """Shared exact top-k cut (count DESC, token ASC): the partition
+    winners and the global winner MUST use the identical total order."""
+    order = np.lexsort((tok, -cnt))[:k]
+    return pa.table({
+        "tok": pa.array(tok[order].tolist(), type=pa.string()),
+        "cnt": pa.array(cnt[order], type=pa.int64()),
+    })
+
+
+_VOCAB_EMPTY = {"tok": np.empty(0, dtype=str),
+                "cnt": np.empty(0, dtype=np.int64)}
+
+
 def _vocab_merge_topk(k: int):
     def _m(t: pa.Table) -> pa.Table:
+        # shuffle merge fns run on empty partitions for schema stability;
+        # zero-column blocks can reach here from schema-less upstreams
+        if t.num_rows == 0 or "tok" not in t.column_names:
+            return _topk_table(_VOCAB_EMPTY["tok"], _VOCAB_EMPTY["cnt"], k)
         agg = t.group_by("tok").aggregate([("cnt", "sum")])
         tok = np.asarray(agg.column("tok")).astype(str)
         cnt = np.asarray(agg.column("cnt_sum"), dtype=np.int64)
-        order = np.lexsort((tok, -cnt))[:k]
-        return pa.table({
-            "tok": pa.array(tok[order].tolist(), type=pa.string()),
-            "cnt": pa.array(cnt[order], type=pa.int64()),
-        })
+        return _topk_table(tok, cnt, k)
     return _m
 
 
@@ -203,11 +217,7 @@ def vocab_topk(docs_ds, k: int = 100,
     )
     tok = np.asarray(t.column("tok")).astype(str)
     cnt = np.asarray(t.column("cnt"), dtype=np.int64)
-    order = np.lexsort((tok, -cnt))[:k]
-    return pa.table({
-        "tok": pa.array(tok[order].tolist(), type=pa.string()),
-        "cnt": pa.array(cnt[order], type=pa.int64()),
-    })
+    return _topk_table(tok, cnt, k)
 
 
 # ---------------------------------------------------------------------------
@@ -224,6 +234,14 @@ _SAMPLE_B = 11
 def _sample_filter(batch: pa.Table, *, quota: dict, default: int) -> pa.Table:
     doc = np.asarray(batch.column("doc_id"), dtype=np.int64)
     lang = np.asarray(batch.column("lang")).astype(str)
+    if len(doc) and int(doc.max()) > (2**63 - 1 - _SAMPLE_B) // _SAMPLE_A:
+        # numpy would wrap int64 silently while the SQL twin computes the
+        # true residue — refuse outside the LCG's exact domain (~1.9e14),
+        # matching the mis_fixed/matching_fixed guards
+        raise NotImplementedError(
+            "sample_stratified: doc_id exceeds the exact int64 domain of "
+            "the (id * 48271 + 11) hash; a wider-modulus hash is needed"
+        )
     h = (doc * _SAMPLE_A + _SAMPLE_B) % 100
     q = np.full(len(doc), default, dtype=np.int64)
     for lg, rate in quota.items():

@@ -1415,6 +1415,9 @@ def hits_fixed(iters: int) -> str:
     """Exactly-`iters` un-normalized HITS iterations over the STRUCTURAL
     directed graph (each distinct (src, dst) pair counts once); integer
     sums end-to-end."""
+    if iters < 1:
+        raise ValueError("hits_fixed oracle: iters must be >= 1 "
+                         "(the final SELECT references a{iters})")
     sql = PREFIX + """
 , dpairs AS (SELECT src, dst FROM edges),
 h0 AS (SELECT i, CAST(1 AS BIGINT) AS h FROM files)
@@ -1576,8 +1579,8 @@ supp{r} AS (
 ),
 t{r} AS (
   SELECT e.a, e.b FROM {prev} e
-  JOIN supp{r} s ON s.a = e.a AND s.b = e.b
-  WHERE s.c >= {k - 2}
+  LEFT JOIN supp{r} s ON s.a = e.a AND s.b = e.b
+  WHERE coalesce(s.c, 0) >= {k - 2}
 )"""
         prev = f"t{r}"
     sql += f"""

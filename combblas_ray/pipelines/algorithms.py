@@ -1130,10 +1130,11 @@ def _tc_dedup_route_v(g: int, n: int, *parts):
     return tuple(routed) + (key, int(len(key)))
 
 
-def _tc_attach_route_other(g: int, n: int, *parts):
-    """Per v-partition: every endpoint row of v is here, so deg(v) = row
-    count; rank r(v) = deg*n + v. Route (other_endpoint, v, r_v) rows by
-    hash(other)."""
+def _attach_core(g: int, n: int, parts):
+    """Shared degree/rank attach over a v-partition's (v, key) rows:
+    deg(v) = row count (one row per distinct pair per endpoint), rank
+    r(v) = deg*n + v. Returns (routed (other, v, r_v) parts split by
+    hash(other), distinct vertices, their degrees)."""
     if parts:
         v = np.concatenate([p[0] for p in parts])
         key = np.concatenate([p[1] for p in parts])
@@ -1143,11 +1144,19 @@ def _tc_attach_route_other(g: int, n: int, *parts):
         uv, inv, cnt = np.unique(v, return_inverse=True, return_counts=True)
         r = cnt[inv].astype(np.int64) * np.int64(n) + v
     else:
+        uv = cnt = np.empty(0, dtype=np.int64)
         r = np.empty(0, dtype=np.int64)
     a = key // n
     b = key % n
     other = np.where(a == v, b, a)
-    return _tc_split((other, v, r), _tc_part(other, g), g)
+    routed = _tc_split((other, v, r), _tc_part(other, g), g)
+    return routed, uv, cnt.astype(np.int64)
+
+
+def _tc_attach_route_other(g: int, n: int, *parts):
+    """Per v-partition: route (other_endpoint, v, r_v) rows by
+    hash(other) (see `_attach_core`)."""
+    return _attach_core(g, n, parts)[0]
 
 
 def _tc_wedge_route_key(g: int, n: int, *parts):
@@ -1156,16 +1165,31 @@ def _tc_wedge_route_key(g: int, n: int, *parts):
     neighbors, outs = higher-rank; emit per-(u_in, u_out) wedge keys
     (pre-aggregated) and the oriented L membership rows, both routed by
     hash(wedge key)."""
+    wk, wm, mk = _wedge_expand(n, parts)
+    uk, cnt = (np.unique(wk, return_counts=True) if len(wk)
+               else (wk, wk))
+    cnt = cnt.astype(np.int64)
+    pw = _tc_part(uk, g)
+    pm = _tc_part(mk, g)
+    out = [(uk[pw == i], cnt[pw == i], mk[pm == i]) for i in range(g)]
+    return out[0] if g == 1 else tuple(out)
+
+
+def _wedge_expand(n: int, parts):
+    """Shared wedge expansion over an m-partition's (m, u, r_u) rows:
+    deg(m) = m's row count so r(m) is local; ins = lower-rank neighbors,
+    outs = higher-rank. Returns (wedge keys u_in*n + u_out, wedge
+    midpoints, oriented-L membership keys m*n + u_out) — raw/
+    unaggregated; all empty when the partition is."""
     if parts:
         m = np.concatenate([p[0] for p in parts])
         u = np.concatenate([p[1] for p in parts])
         ru = np.concatenate([p[2] for p in parts])
     else:
         m = u = ru = np.empty(0, dtype=np.int64)
-    empty = (np.empty(0, dtype=np.int64),) * 3
+    e = np.empty(0, dtype=np.int64)
     if not len(m):
-        out = [empty for _ in range(g)]
-        return out[0] if g == 1 else tuple(out)
+        return e, e, e
     order = np.lexsort((ru, m))
     m, u, ru = m[order], u[order], ru[order]
     um, starts, cnts = np.unique(m, return_index=True, return_counts=True)
@@ -1184,15 +1208,11 @@ def _tc_wedge_route_key(g: int, n: int, *parts):
             np.arange(total) - np.repeat(offs, lens)
         )
         wk = np.repeat(u[in_rows], lens) * np.int64(n) + u[idx]
-        uk, cnt = np.unique(wk, return_counts=True)
-        cnt = cnt.astype(np.int64)
+        wm = np.repeat(m[in_rows], lens)
     else:
-        uk = cnt = np.empty(0, dtype=np.int64)
+        wk = wm = e
     mk = m[is_out] * np.int64(n) + u[is_out]  # oriented edge, emitted once
-    pw = _tc_part(uk, g)
-    pm = _tc_part(mk, g)
-    out = [(uk[pw == i], cnt[pw == i], mk[pm == i]) for i in range(g)]
-    return out[0] if g == 1 else tuple(out)
+    return wk, wm, mk
 
 
 def _tc_close(*parts) -> int:
@@ -1206,6 +1226,26 @@ def _tc_close(*parts) -> int:
     pos = np.searchsorted(mk, wk)
     pos = np.minimum(pos, len(mk) - 1)
     return int(wc[mk[pos] == wk].sum())
+
+
+def _pairs_scaffold(sym_edges_ds, g: int, n: int) -> list:
+    """Shared head of every wedge-plan pipeline: per input block
+    batch-local undirected dedup + route by hash(key), then per key
+    partition global dedup + endpoint routing. Returns the g dedup task
+    handles (num_returns = g + 2 each: g routed (v, key) parts, the
+    partition's distinct key array, its count)."""
+    blocks = sym_edges_ds.to_arrow_refs()
+    routed = [
+        _rt(_tc_route_blocks).options(num_returns=g).remote(bref, g, n)
+        for bref in blocks
+    ]
+    routed = [[r] if g == 1 else list(r) for r in routed]
+    return [
+        _rt(_tc_dedup_route_v).options(num_returns=g + 2).remote(
+            g, n, *[routed[j][i] for j in range(len(routed))]
+        )
+        for i in range(g)
+    ]
 
 
 def _tc_shuffle(pairs_parts: list, n: int, num_partitions: int) -> int:
@@ -1292,18 +1332,7 @@ def triangle_count(
     # input block batch-local unique + route by key hash, per partition
     # global unique. Raw num_cpus=0 tasks — Ray Data's actor-pool hash
     # shuffle pays ~5s of aggregator spawn per round on this box.
-    blocks = sym_edges_ds.to_arrow_refs()
-    routed = [
-        _rt(_tc_route_blocks).options(num_returns=g).remote(bref, g, n)
-        for bref in blocks
-    ]
-    routed = [[r] if g == 1 else list(r) for r in routed]
-    dedup = [
-        _rt(_tc_dedup_route_v).options(num_returns=g + 2).remote(
-            g, n, *[routed[j][i] for j in range(len(routed))]
-        )
-        for i in range(g)
-    ]
+    dedup = _pairs_scaffold(sym_edges_ds, g, n)
     pair_counts = ray.get([d[g + 1] for d in dedup])
     m_distinct = int(sum(pair_counts))
     if method == "auto":
@@ -1383,91 +1412,51 @@ def _ccf_attach(g: int, n: int, *parts):
     """`_tc_attach_route_other` plus this v-partition's (vertex, degree)
     arrays as one extra return — degree = distinct-neighbor count (every
     endpoint row of v is routed here, one row per distinct pair)."""
-    if parts:
-        v = np.concatenate([p[0] for p in parts])
-        key = np.concatenate([p[1] for p in parts])
-    else:
-        v = key = np.empty(0, dtype=np.int64)
-    if len(v):
-        uv, inv, cnt = np.unique(v, return_inverse=True, return_counts=True)
-        r = cnt[inv].astype(np.int64) * np.int64(n) + v
-    else:
-        uv = cnt = np.empty(0, dtype=np.int64)
-        r = np.empty(0, dtype=np.int64)
-    a = key // n
-    b = key % n
-    other = np.where(a == v, b, a)
-    routed = _tc_split((other, v, r), _tc_part(other, g), g)
+    routed, uv, cnt = _attach_core(g, n, parts)
     if g == 1:
         routed = (routed,)
-    return tuple(routed) + ((uv, cnt.astype(np.int64)),)
+    return tuple(routed) + ((uv, cnt),)
 
 
 def _ccf_wedge_route(g: int, n: int, *parts):
     """`_tc_wedge_route_key` variant that KEEPS the wedge midpoint:
     emits unaggregated (wedge key, midpoint) rows + the oriented-L
     membership keys, both routed by hash(wedge key) / hash(edge key)."""
-    if parts:
-        m = np.concatenate([p[0] for p in parts])
-        u = np.concatenate([p[1] for p in parts])
-        ru = np.concatenate([p[2] for p in parts])
-    else:
-        m = u = ru = np.empty(0, dtype=np.int64)
-    empty = (np.empty(0, dtype=np.int64),) * 3
-    if not len(m):
-        out = [empty for _ in range(g)]
-        return out[0] if g == 1 else tuple(out)
-    order = np.lexsort((ru, m))
-    m, u, ru = m[order], u[order], ru[order]
-    um, starts, cnts = np.unique(m, return_index=True, return_counts=True)
-    rm = np.repeat(cnts.astype(np.int64) * np.int64(n) + um, cnts)
-    is_out = ru > rm
-    grp = np.repeat(np.arange(len(um)), cnts)
-    n_out = np.bincount(grp, weights=is_out, minlength=len(um)).astype(np.int64)
-    n_in = cnts - n_out
-    out_start = starts + n_in
-    in_rows = np.nonzero(~is_out)[0]
-    lens = n_out[grp[in_rows]]
-    total = int(lens.sum())
-    if total:
-        offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
-        idx = np.repeat(out_start[grp[in_rows]], lens) + (
-            np.arange(total) - np.repeat(offs, lens)
-        )
-        wk = np.repeat(u[in_rows], lens) * np.int64(n) + u[idx]
-        wm = np.repeat(m[in_rows], lens)
-    else:
-        wk = wm = np.empty(0, dtype=np.int64)
-    mk = m[is_out] * np.int64(n) + u[is_out]
+    wk, wm, mk = _wedge_expand(n, parts)
     pw = _tc_part(wk, g)
     pm = _tc_part(mk, g)
     out = [(wk[pw == i], wm[pw == i], mk[pm == i]) for i in range(g)]
     return out[0] if g == 1 else tuple(out)
 
 
-def _ccf_close_route_v(g: int, n: int, *parts):
-    """Per wedge-key partition: each CLOSED wedge (x, z through midpoint
-    m, edge (x, z) present in oriented L) credits one triangle to each of
-    its three corners; per-vertex partial counts routed by hash(v)."""
+def _closed_corners(n: int, parts):
+    """Shared closure prologue over a wedge-key partition: membership-
+    test the (wk, wm) wedge rows against the sorted oriented-L keys;
+    returns the closed wedges' corner ids (x, z, midpoint) — all empty
+    when nothing closes."""
     e = np.empty(0, dtype=np.int64)
     wk = np.concatenate([p[0] for p in parts]) if parts else e
     wm = np.concatenate([p[1] for p in parts]) if parts else e
     mk = np.concatenate([p[2] for p in parts]) if parts else e
     if not len(wk) or not len(mk):
-        out = [(e, e) for _ in range(g)]
-        return out[0] if g == 1 else tuple(out)
+        return e, e, e
     mk = np.sort(mk)
     pos = np.searchsorted(mk, wk)
     pos = np.minimum(pos, len(mk) - 1)
     closed = mk[pos] == wk
-    x = wk[closed] // n
-    z = wk[closed] % n
-    mid = wm[closed]
+    return wk[closed] // n, wk[closed] % n, wm[closed]
+
+
+def _ccf_close_route_v(g: int, n: int, *parts):
+    """Per wedge-key partition: each CLOSED wedge (x, z through midpoint
+    m, edge (x, z) present in oriented L) credits one triangle to each of
+    its three corners; per-vertex partial counts routed by hash(v)."""
+    x, z, mid = _closed_corners(n, parts)
     uv, cnt = np.unique(np.concatenate([x, z, mid]), return_counts=True)
     return _tc_split((uv, cnt.astype(np.int64)), _tc_part(uv, g), g)
 
 
-def _ccf_merge(n: int, deg_part, *parts):
+def _ccf_merge(deg_part, *parts):
     """Per v-partition: sum the triangle partials and align them with the
     degree rows; returns (v, deg, tri) int64 arrays (vertices with
     degree >= 1 only — isolated vertices have deg = tri = 0)."""
@@ -1505,18 +1494,7 @@ def clustering_coefficients(
     import ray
 
     g = num_partitions or _tc_auto_grid(sym_edges_ds)
-    blocks = sym_edges_ds.to_arrow_refs()
-    routed = [
-        _rt(_tc_route_blocks).options(num_returns=g).remote(bref, g, n)
-        for bref in blocks
-    ]
-    routed = [[r] if g == 1 else list(r) for r in routed]
-    dedup = [
-        _rt(_tc_dedup_route_v).options(num_returns=g + 2).remote(
-            g, n, *[routed[j][i] for j in range(len(routed))]
-        )
-        for i in range(g)
-    ]
+    dedup = _pairs_scaffold(sym_edges_ds, g, n)
     pairs_parts = [[d[i] for i in range(g)] for d in dedup]
     attach = [
         _rt(_ccf_attach).options(num_returns=g + 1).remote(
@@ -1542,7 +1520,7 @@ def clustering_coefficients(
     close = [[t] if g == 1 else list(t) for t in close]
     merged = ray.get([
         _rt(_ccf_merge).remote(
-            n, deg_parts[i], *[close[j][i] for j in range(g)]
+            deg_parts[i], *[close[j][i] for j in range(g)]
         )
         for i in range(g)
     ])
@@ -1641,20 +1619,7 @@ def _kt_close_route_key(g: int, n: int, *parts):
     credits one SUPPORT to each of the triangle's three edges; per-edge
     (id-ordered key, count) partials routed by hash(key) — aligned with
     the surviving-edge partitions."""
-    e = np.empty(0, dtype=np.int64)
-    wk = np.concatenate([p[0] for p in parts]) if parts else e
-    wm = np.concatenate([p[1] for p in parts]) if parts else e
-    mk = np.concatenate([p[2] for p in parts]) if parts else e
-    if not len(wk) or not len(mk):
-        out = [(e, e) for _ in range(g)]
-        return out[0] if g == 1 else tuple(out)
-    mk = np.sort(mk)
-    pos = np.searchsorted(mk, wk)
-    pos = np.minimum(pos, len(mk) - 1)
-    closed = mk[pos] == wk
-    x = wk[closed] // n
-    z = wk[closed] % n
-    m = wm[closed]
+    x, z, m = _closed_corners(n, parts)
     lo = np.concatenate([np.minimum(x, z), np.minimum(x, m),
                          np.minimum(m, z)])
     hi = np.concatenate([np.maximum(x, z), np.maximum(x, m),
@@ -1699,18 +1664,7 @@ def ktruss_fixed(sym_edges_ds, n: int, k: int, rounds: int,
     import ray
 
     g = num_partitions or _tc_auto_grid(sym_edges_ds)
-    blocks = sym_edges_ds.to_arrow_refs()
-    routed = [
-        _rt(_tc_route_blocks).options(num_returns=g).remote(bref, g, n)
-        for bref in blocks
-    ]
-    routed = [[r] if g == 1 else list(r) for r in routed]
-    dedup = [
-        _rt(_tc_dedup_route_v).options(num_returns=g + 2).remote(
-            g, n, *[routed[j][i] for j in range(len(routed))]
-        )
-        for i in range(g)
-    ]
+    dedup = _pairs_scaffold(sym_edges_ds, g, n)
     # current surviving keys, partition i = hash(key) == i, each sorted
     keys = [d[g] for d in dedup]
     for _ in range(rounds):
