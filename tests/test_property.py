@@ -137,3 +137,47 @@ def test_join_plan_agrees_on_tiny_sparse_input(ray_session):
         for r in spgemm_tasks(g.edges, g.edges, n, num_partitions=2).take_all()
     )
     assert a == b and a
+
+
+@settings(**_SETTINGS)
+@given(_edges_strategy(nmax=20))
+def test_clustering_coefficients_match_brute(ray_session, data):
+    """Per-vertex triangle counts + degrees == dense diag(B^3)/2 and row
+    sums, on arbitrary random graphs (dups + loops dedup internally)."""
+    import combblas_ray.pipelines.algorithms as alg
+
+    n, edges = data
+    g = _graph_from_edges(edges, n)
+    U = np.zeros((n, n), dtype=np.int64)
+    for s, d, _w in edges:
+        if s != d:
+            U[s, d] = U[d, s] = 1
+    t = alg.clustering_coefficients(g.edges, n, num_partitions=2)
+    deg = np.zeros(n, dtype=np.int64)
+    tri = np.zeros(n, dtype=np.int64)
+    v = np.asarray(t.column("v"))
+    deg[v] = np.asarray(t.column("deg"))
+    tri[v] = np.asarray(t.column("tri"))
+    assert np.array_equal(deg, U.sum(axis=1))
+    assert np.array_equal(tri, np.diag(U @ U @ U) // 2)
+
+
+@settings(**_SETTINGS)
+@given(_edges_strategy(nmax=18), st.integers(3, 5), st.integers(1, 3))
+def test_ktruss_matches_brute_peel(ray_session, data, k, rounds):
+    """Fixed-round k-truss == brute synchronous edge peel for random
+    graphs and arbitrary (k, rounds)."""
+    import combblas_ray.pipelines.algorithms as alg
+
+    n, edges = data
+    g = _graph_from_edges(edges, n)
+    cur = {(min(s, d), max(s, d)) for s, d, _w in edges if s != d}
+    for _ in range(rounds):
+        adj = {}
+        for a, b in cur:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        cur = {(a, b) for a, b in cur if len(adj[a] & adj[b]) >= k - 2}
+    keys = alg.ktruss_fixed(g.edges, n, k, rounds, num_partitions=2)
+    got = {(int(x // n), int(x % n)) for x in keys}
+    assert got == cur
