@@ -721,35 +721,113 @@ def _contam_probe(bench_ref, mod: int):
     return _p
 
 
-def decontaminate(docs_ds, bench_mod: int = 97) -> "ray.data.Dataset":
+# above this many distinct benchmark shingles the broadcast side stops
+# being "small" (5M strings ~ a few hundred MB replicated per probe
+# task) and the plan switches to a distributed semi-join
+DECON_BROADCAST_MAX = 5_000_000
+
+
+def _contam_join_count(t: pa.Table) -> pa.Table:
+    """Fused post-kernel of the semi-join plan: per (doc partition),
+    count surviving (doc, shingle) rows per doc."""
+    empty = pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "n_contam": pa.array([], type=pa.int64()),
+    })
+    if t.num_rows == 0 or "doc_id" not in t.column_names:
+        return empty
+    uv, cnt = np.unique(np.asarray(t.column("doc_id"), dtype=np.int64),
+                        return_counts=True)
+    return pa.table({
+        "doc_id": pa.array(uv, type=pa.int64()),
+        "n_contam": pa.array(cnt.astype(np.int64), type=pa.int64()),
+    })
+
+
+def decontaminate(docs_ds, bench_mod: int = 97,
+                  broadcast_max: int = DECON_BROADCAST_MAX):
     """Benchmark decontamination — the held-out-eval overlap check every
     training-data pipeline runs before a model sees the corpus.
 
     Documents with ``doc_id % bench_mod == 0`` form the benchmark; every
     OTHER document is flagged with the number of its distinct 3-token
-    shingles that appear in ANY benchmark document. The benchmark
-    shingle set is the SMALL side (1/bench_mod of the corpus) — built
-    with one filtered streaming pass, ``ray.put`` ONCE as a sorted
-    string array, and probed per batch with a vectorized searchsorted
-    membership test: no shuffle touches the big side at all (the
-    broadcast-semi-join pattern). Returns a Dataset of (doc_id,
-    n_contam) rows for contaminated documents only."""
+    shingles that appear in ANY benchmark document.
+
+    Plan choice by benchmark size (the cost-based switch the engine uses
+    everywhere, `FastSV.h:221-228` analog):
+    - small benchmark (<= ``broadcast_max`` distinct shingles): built
+      with one filtered streaming pass, ``ray.put`` ONCE as a sorted
+      string array, probed per batch with a vectorized searchsorted
+      membership test — no shuffle touches the corpus side at all.
+    - large benchmark: distributed semi-join — exploded (shingle,
+      doc_id) rows of the non-benchmark side hash-joined against the
+      deduped benchmark shingle table (warm-task co-partitioned join),
+      per-doc counts fused into the join task, then one keyed reduce.
+
+    Returns a Dataset of (doc_id, n_contam) rows for contaminated
+    documents only."""
     import ray
 
-    bench_parts = [
-        np.asarray(t.column("s")).astype(str)
-        for t in ray.get(
-            docs_ds.map_batches(
-                _bench_shingles(bench_mod), batch_format="pyarrow",
-                zero_copy_batch=True,
-            ).to_arrow_refs()
-        )
-        if t.num_rows
-    ]
-    bench = (np.unique(np.concatenate(bench_parts)) if bench_parts
-             else np.empty(0, dtype=str))
-    bench_ref = ray.put(bench)
-    return docs_ds.map_batches(
-        _contam_probe(bench_ref, bench_mod), batch_format="pyarrow",
-        zero_copy_batch=True,
+    bench_parts = ray.get(
+        docs_ds.map_batches(
+            _bench_shingles(bench_mod), batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).to_arrow_refs()
     )
+    approx = sum(t.num_rows for t in bench_parts)
+    if approx <= broadcast_max:
+        arrs = [np.asarray(t.column("s")).astype(str)
+                for t in bench_parts if t.num_rows]
+        bench = (np.unique(np.concatenate(arrs)) if arrs
+                 else np.empty(0, dtype=str))
+        bench_ref = ray.put(bench)
+        return docs_ds.map_batches(
+            _contam_probe(bench_ref, bench_mod), batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    # scale path: nothing materializes on the driver
+    bench_ds = group_apply_tasks(
+        ray.data.from_arrow_refs([ray.put(t) for t in bench_parts]),
+        ["s"], _distinct_s,
+    ).rename_columns({"s": "shingle"})
+    # Ray's filter-expression parser rejects modulo on the left operand
+    # (and pyarrow.compute has no mod kernel); numpy mask + Table.filter
+    def _nonbench(t: pa.Table, *, _m=bench_mod) -> pa.Table:
+        doc = np.asarray(t.column("doc_id"), dtype=np.int64)
+        return t.filter(pa.array(doc % _m != 0))
+
+    probe = _exploded_shingles(docs_ds).map_batches(
+        _nonbench, batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = hash_join_tasks(probe, bench_ds, on="shingle",
+                             post=_contam_join_count)
+    return group_apply_tasks(joined, ["doc_id"], _contam_sum)
+
+
+def _distinct_s(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0 or "s" not in t.column_names:
+        return pa.table({"s": pa.array([], type=pa.string())})
+    return pa.table({
+        "s": pa.array(
+            np.unique(np.asarray(t.column("s")).astype(str)).tolist(),
+            type=pa.string(),
+        )
+    })
+
+
+def _contam_sum(t: pa.Table) -> pa.Table:
+    empty = pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "n_contam": pa.array([], type=pa.int64()),
+    })
+    if t.num_rows == 0 or "doc_id" not in t.column_names:
+        return empty
+    doc = np.asarray(t.column("doc_id"), dtype=np.int64)
+    c = np.asarray(t.column("n_contam"), dtype=np.int64)
+    uv, inv = np.unique(doc, return_inverse=True)
+    tot = np.zeros(len(uv), dtype=np.int64)
+    np.add.at(tot, inv, c)
+    return pa.table({
+        "doc_id": pa.array(uv, type=pa.int64()),
+        "n_contam": pa.array(tot, type=pa.int64()),
+    })

@@ -349,3 +349,15 @@ def test_sample_stratified_vs_brute(ray_session):
         .value_counts()
     )
     assert frac["en"] < frac.drop("en").min()
+
+
+def test_decontaminate_join_plan_agrees(docs):
+    """broadcast_max=0 forces the distributed semi-join plan; it must
+    emit exactly the broadcast plan's (doc_id, n_contam) rows."""
+    from combblas_ray.functions.dedup import decontaminate
+
+    a = decontaminate(docs, bench_mod=97).to_pandas()
+    b = decontaminate(docs, bench_mod=97, broadcast_max=0).to_pandas()
+    da = dict(zip(a["doc_id"], a["n_contam"]))
+    db = dict(zip(b["doc_id"], b["n_contam"]))
+    assert da == db and len(da) > 0
