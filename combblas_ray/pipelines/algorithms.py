@@ -1474,9 +1474,20 @@ def _ccf_merge(deg_part, *parts):
     return uv_d, deg, tri
 
 
+def _ccf_merge_table(deg_part, *parts) -> pa.Table:
+    """`_ccf_merge` emitting one Arrow block (Dataset-composable)."""
+    uv_d, deg, tri = _ccf_merge(deg_part, *parts)
+    return pa.table({
+        "v": pa.array(uv_d, type=pa.int64()),
+        "deg": pa.array(np.asarray(deg, dtype=np.int64), type=pa.int64()),
+        "tri": pa.array(tri, type=pa.int64()),
+    })
+
+
 def clustering_coefficients(
-    sym_edges_ds, n: int, num_partitions: int | None = None
-) -> pa.Table:
+    sym_edges_ds, n: int, num_partitions: int | None = None,
+    materialize: bool = True,
+):
     """Per-vertex triangle counts + distinct-neighbor degrees from the
     undirected edge Dataset: the `triangle_count` join plan
     (degree-ordered wedge expansion + closure against the oriented L,
@@ -1490,7 +1501,9 @@ def clustering_coefficients(
     route-by-wedge-key raw-task rounds as `_tc_shuffle` plus one final
     route-by-vertex merge; no task ever holds the pair set, L, or the
     wedge set whole. Returns an Arrow table (v, deg, tri) over vertices
-    with degree >= 1."""
+    with degree >= 1; ``materialize=False`` returns the same rows as a
+    Dataset of per-partition blocks instead (the scale form — per-vertex
+    output never lands on the driver)."""
     import ray
 
     g = num_partitions or _tc_auto_grid(sym_edges_ds)
@@ -1518,20 +1531,15 @@ def clustering_coefficients(
         for i in range(g)
     ]
     close = [[t] if g == 1 else list(t) for t in close]
-    merged = ray.get([
-        _rt(_ccf_merge).remote(
+    merged = [
+        _rt(_ccf_merge_table).remote(
             deg_parts[i], *[close[j][i] for j in range(g)]
         )
         for i in range(g)
-    ])
-    v = np.concatenate([p[0] for p in merged])
-    deg = np.concatenate([p[1] for p in merged])
-    tri = np.concatenate([p[2] for p in merged])
-    return pa.table({
-        "v": pa.array(v, type=pa.int64()),
-        "deg": pa.array(deg, type=pa.int64()),
-        "tri": pa.array(tri, type=pa.int64()),
-    })
+    ]
+    if not materialize:
+        return ray.data.from_arrow_refs(merged)
+    return pa.concat_tables(ray.get(merged))
 
 
 # ---------------------------------------------------------------------------
@@ -1628,6 +1636,15 @@ def _kt_close_route_key(g: int, n: int, *parts):
     return _tc_split((uk, cnt.astype(np.int64)), _tc_part(uk, g), g)
 
 
+def _kt_keys_table(n: int, key_part) -> pa.Table:
+    """One (src, dst) Arrow block from a surviving-key partition."""
+    key = _kt_key(key_part)
+    return pa.table({
+        "src": pa.array((key // n).astype(np.int64), type=pa.int64()),
+        "dst": pa.array((key % n).astype(np.int64), type=pa.int64()),
+    })
+
+
 def _kt_filter(min_supp: int, key_part, *supp_parts):
     """Per key partition: merge support partials; keep keys with
     support >= min_supp. Returns (surviving keys,) as a 1-tuple."""
@@ -1648,7 +1665,8 @@ def _kt_filter(min_supp: int, key_part, *supp_parts):
 
 
 def ktruss_fixed(sym_edges_ds, n: int, k: int, rounds: int,
-                 num_partitions: int | None = None):
+                 num_partitions: int | None = None,
+                 materialize: bool = True):
     """k-truss, exactly ``rounds`` synchronous edge-peel rounds: drop
     every edge whose SUPPORT (triangles it participates in, over the
     current surviving edge set) is < k-2, rounds times. Per round the
@@ -1660,7 +1678,9 @@ def ktruss_fixed(sym_edges_ds, n: int, k: int, rounds: int,
     object store; the driver submits task waves only.
 
     Returns the surviving distinct undirected pair keys (lo*n + hi) as
-    one int64 array."""
+    one int64 array; ``materialize=False`` returns a Dataset of (src,
+    dst) blocks instead (the scale form — the surviving edge set never
+    lands on the driver)."""
     import ray
 
     g = num_partitions or _tc_auto_grid(sym_edges_ds)
@@ -1702,6 +1722,10 @@ def ktruss_fixed(sym_edges_ds, n: int, k: int, rounds: int,
             )
             for i in range(g)
         ]
+    if not materialize:
+        return ray.data.from_arrow_refs(
+            [_rt(_kt_keys_table).remote(n, kp) for kp in keys]
+        )
     parts = [_kt_key(p) for p in ray.get(keys)]
     return (np.sort(np.concatenate(parts)) if parts
             else np.empty(0, dtype=np.int64))

@@ -361,3 +361,37 @@ def test_decontaminate_join_plan_agrees(docs):
     da = dict(zip(a["doc_id"], a["n_contam"]))
     db = dict(zip(b["doc_id"], b["n_contam"]))
     assert da == db and len(da) > 0
+
+
+def test_scale_form_returns_datasets(ctx500, und500):
+    """materialize=False keeps per-vertex / per-edge output distributed;
+    rows must equal the materialized form."""
+    from combblas_ray.pipelines import algorithms as alg
+
+    edges = ctx500.graph("sym").edges
+    n = ctx500.n
+    ds = alg.clustering_coefficients(edges, n, num_partitions=3,
+                                     materialize=False)
+    df = ds.to_pandas().set_index("v").sort_index()
+    t = alg.clustering_coefficients(edges, n, num_partitions=3)
+    tt = t.to_pandas().set_index("v").sort_index()
+    assert df.equals(tt)
+
+    # ktruss scale form on a graph whose truss is non-empty (the n=500
+    # corpus graph's 3-truss after 2 rounds is legitimately empty)
+    import pyarrow as pa
+
+    und = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    src = [a for a, b in und] + [b for a, b in und]
+    dst = [b for a, b in und] + [a for a, b in und]
+    tiny = ray.data.from_arrow(pa.table({
+        "src": pa.array(src, type=pa.int64()),
+        "dst": pa.array(dst, type=pa.int64()),
+        "w": pa.array([1.0] * len(src)),
+    }))
+    kd = alg.ktruss_fixed(tiny, 5, 4, 2, num_partitions=2,
+                          materialize=False).to_pandas()
+    keys = alg.ktruss_fixed(tiny, 5, 4, 2, num_partitions=2)
+    got = set(zip(kd["src"], kd["dst"]))
+    want = {(int(x // 5), int(x % 5)) for x in keys}
+    assert got == want and len(want) == 10  # the 5-clique survives
