@@ -768,16 +768,18 @@ def decontaminate(docs_ds, bench_mod: int = 97,
     documents only."""
     import ray
 
-    bench_parts = ray.get(
-        docs_ds.map_batches(
-            _bench_shingles(bench_mod), batch_format="pyarrow",
-            zero_copy_batch=True,
-        ).to_arrow_refs()
-    )
-    approx = sum(t.num_rows for t in bench_parts)
+    from ..core.shuffle import _rt0
+
+    bench_refs = docs_ds.map_batches(
+        _bench_shingles(bench_mod), batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_arrow_refs()
+    # plan choice from per-part row counts only — the shingle strings
+    # themselves reach the driver ONLY if the broadcast plan is chosen
+    approx = sum(ray.get([_rt0(_tbl_rows).remote(r) for r in bench_refs]))
     if approx <= broadcast_max:
         arrs = [np.asarray(t.column("s")).astype(str)
-                for t in bench_parts if t.num_rows]
+                for t in ray.get(bench_refs) if t.num_rows]
         bench = (np.unique(np.concatenate(arrs)) if arrs
                  else np.empty(0, dtype=str))
         bench_ref = ray.put(bench)
@@ -787,7 +789,7 @@ def decontaminate(docs_ds, bench_mod: int = 97,
         )
     # scale path: nothing materializes on the driver
     bench_ds = group_apply_tasks(
-        ray.data.from_arrow_refs([ray.put(t) for t in bench_parts]),
+        ray.data.from_arrow_refs(bench_refs),
         ["s"], _distinct_s,
     ).rename_columns({"s": "shingle"})
     # Ray's filter-expression parser rejects modulo on the left operand
@@ -802,6 +804,10 @@ def decontaminate(docs_ds, bench_mod: int = 97,
     joined = hash_join_tasks(probe, bench_ds, on="shingle",
                              post=_contam_join_count)
     return group_apply_tasks(joined, ["doc_id"], _contam_sum)
+
+
+def _tbl_rows(t: pa.Table) -> int:
+    return t.num_rows
 
 
 def _distinct_s(t: pa.Table) -> pa.Table:

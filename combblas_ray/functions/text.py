@@ -234,13 +234,17 @@ _SAMPLE_B = 11
 def _sample_filter(batch: pa.Table, *, quota: dict, default: int) -> pa.Table:
     doc = np.asarray(batch.column("doc_id"), dtype=np.int64)
     lang = np.asarray(batch.column("lang")).astype(str)
-    if len(doc) and int(doc.max()) > (2**63 - 1 - _SAMPLE_B) // _SAMPLE_A:
-        # numpy would wrap int64 silently while the SQL twin computes the
-        # true residue — refuse outside the LCG's exact domain (~1.9e14),
-        # matching the mis_fixed/matching_fixed guards
+    if len(doc) and (
+        int(doc.max()) > (2**63 - 1 - _SAMPLE_B) // _SAMPLE_A
+        or int(doc.min()) < 0
+    ):
+        # numpy would wrap int64 silently past the positive domain, and
+        # on NEGATIVE ids numpy's non-negative modulo diverges from the
+        # SQL twin's sign-of-dividend modulo — refuse both, matching the
+        # mis_fixed/matching_fixed guards
         raise NotImplementedError(
-            "sample_stratified: doc_id exceeds the exact int64 domain of "
-            "the (id * 48271 + 11) hash; a wider-modulus hash is needed"
+            "sample_stratified: doc_id outside the exact non-negative "
+            "int64 domain of the (id * 48271 + 11) % 100 hash"
         )
     h = (doc * _SAMPLE_A + _SAMPLE_B) % 100
     q = np.full(len(doc), default, dtype=np.int64)

@@ -196,12 +196,6 @@ def _load_latest(engine: SpmvEngine, ckpt_dir: str):
     return load_latest(ckpt_dir, "pr", expected_sizes=engine.chunk_sizes())
 
 
-@ray.remote(num_returns=2, num_cpus=0)
-def _ppr_make_x(r: np.ndarray, inv_outw: np.ndarray, dang: np.ndarray):
-    """x = r / outw (0 on dangling) + this chunk's dangling mass."""
-    return r * inv_outw, float(r[dang].sum())
-
-
 def _ppr_update(t_chunk: np.ndarray, y: np.ndarray, bounds, *,
                 d: float, dmass: float):
     """r' = (1-d)*t + d*(y + dmass*t) — teleport AND dangling mass both
@@ -236,7 +230,7 @@ def ppr_fixed(engine: SpmvEngine, seed_mask: np.ndarray, *,
     r_refs = t_refs
     for _ in range(iters):
         xs = [
-            _ppr_make_x.remote(r, iv, dg)
+            _make_x.remote(r, iv, dg)  # shared with pagerank's loop
             for r, iv, dg in zip(r_refs, inv_refs, dang_refs)
         ]
         dmass = float(sum(ray.get([x[1] for x in xs])))

@@ -395,3 +395,16 @@ def test_scale_form_returns_datasets(ctx500, und500):
     got = set(zip(kd["src"], kd["dst"]))
     want = {(int(x // 5), int(x % 5)) for x in keys}
     assert got == want and len(want) == 10  # the 5-clique survives
+
+
+def test_sample_stratified_rejects_out_of_domain(ray_session):
+    import pyarrow as pa
+
+    from combblas_ray.functions.text import sample_stratified
+
+    bad = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([-1, 5], type=pa.int64()),
+        "lang": pa.array(["en", "de"]),
+    }))
+    with pytest.raises(Exception, match="domain"):
+        sample_stratified(bad).take_all()
