@@ -62,7 +62,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spgemm_aa": q.q_spgemm_aa,
         "spgemm_phased": q.q_spgemm_phased,
         "ewise_mult": q.q_ewise_mult,
-        "reduce_colmax": q.q_reduce_colmax,
         "reach2_bool": q.q_reach2_bool,
         "prune_rect": q.q_prune_rect,
         "prune_column": q.q_prune_column,
@@ -84,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q.q_decontaminate,
         "containment_pairs": q.q_containment_pairs,
         "sample_stratified": q.q_sample_stratified,
+        "redact": q.q_redact,
         # LLM-data layer
         "dedup_exact": q.q_dedup_exact,
         "jaccard_pairs": q.q_jaccard_pairs,
@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_click": q.q_asof_click,
         # --- past the driver window: oracle-exact, code path covered by an
         # in-window sibling (locally gated every round) ---
+        "reduce_colmax": q.q_reduce_colmax,    # reduce path (driver-green r1+r2; rowmin sibling also out-of-window)
         "ewise_apply_outer": q.q_ewise_apply_outer,  # null-policy EWise (driver-green r1+r2)
         "set_difference": q.q_set_difference,  # anti-join (driver-green r1+r2)
         "kselect2": q.q_kselect2,              # per-column top-k (driver-green r1+r2)
@@ -194,6 +195,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk": o.vocab_topk(q.VOCAB_K),
         "decontaminate": o.decontaminate(q.DECON_MOD),
         "sample_stratified": o.sample_stratified(),
+        "redact": o.redact(),
         "containment_pairs": o.containment_pairs(q.CONT_TAU),
         "matching_fixed": o.matching_fixed(q.MATCH_ROUNDS),
         "bfs_parents": o.bfs_parents("m_0", q.BFS_ITERS),

@@ -273,3 +273,59 @@ def sample_stratified(docs_ds, quota: dict | None = None,
         partial(_sample_filter, quota=q, default=default),
         batch_format="pyarrow", zero_copy_batch=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# regex redaction (PII-scrub machinery)
+# ---------------------------------------------------------------------------
+
+# default pattern classes: SSN-like, email-like, plus one marker token
+# class that actually occurs in the synthetic corpus (so the machinery is
+# exercised end-to-end); both engines run RE2, so semantics are identical
+REDACT_PATTERNS = (
+    r"\b\d{3}-\d{2}-\d{4}\b",
+    r"[A-Za-z0-9._]+@[A-Za-z0-9.]+",
+    r"\bspark\b",
+)
+REDACT_REPL = "[REDACTED]"
+
+
+class Redactor:
+    """Actor-pool redaction stage — the PII-scrub step of a training-data
+    pipeline as a stateful callable class: pattern set fixed ONCE in
+    ``__init__`` (per actor), per-batch work is two vectorized Arrow RE2
+    kernels per pattern (`count_substring_regex` + `replace_substring_
+    regex`). Use with ``docs.map_batches(Redactor, concurrency=N,
+    batch_format="pyarrow")``. Emits (doc_id, clean, n_redact)."""
+
+    def __init__(self, patterns=REDACT_PATTERNS, repl: str = REDACT_REPL):
+        self.patterns = tuple(patterns)
+        self.repl = repl
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n = np.zeros(batch.num_rows, dtype=np.int64)
+        for p in self.patterns:
+            n += np.asarray(
+                pc.count_substring_regex(text, pattern=p), dtype=np.int64
+            )
+            text = pc.replace_substring_regex(
+                text, pattern=p, replacement=self.repl
+            )
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "clean": text,
+            "n_redact": pa.array(n, type=pa.int64()),
+        })
+
+
+def redact(docs_ds, patterns=REDACT_PATTERNS, repl: str = REDACT_REPL,
+           concurrency: int = 2):
+    """Streaming redaction over the documents table (see `Redactor`)."""
+    return docs_ds.map_batches(
+        Redactor, fn_constructor_kwargs={"patterns": patterns,
+                                         "repl": repl},
+        concurrency=concurrency, batch_format="pyarrow",
+    )

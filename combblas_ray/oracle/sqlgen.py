@@ -1599,3 +1599,32 @@ def sample_stratified(quota: dict | None = None, default: int = 50) -> str:
 SELECT doc_id, lang FROM documents
 WHERE (doc_id * 48271 + 11) % 100 < CASE lang {cases} ELSE {default} END
 """
+
+
+def redact(patterns=None, repl: str = "[REDACTED]") -> str:
+    """Sequential per-pattern chain matching `text.Redactor`: pattern i
+    is counted and replaced on the text AFTER patterns 1..i-1 ran (both
+    engines are RE2, so match semantics are identical)."""
+    pats = list(patterns) if patterns is not None else [
+        r"\b\d{3}-\d{2}-\d{4}\b",
+        r"[A-Za-z0-9._]+@[A-Za-z0-9.]+",
+        r"\bspark\b",
+    ]
+    sql = """
+WITH t0 AS MATERIALIZED (
+  SELECT doc_id, text AS s, CAST(0 AS BIGINT) AS n FROM documents
+)"""
+    prev = "t0"
+    for i, p in enumerate(pats, 1):
+        sql += f"""
+, t{i} AS MATERIALIZED (
+  SELECT doc_id,
+         regexp_replace(s, '{p}', '{repl}', 'g') AS s,
+         n + len(regexp_extract_all(s, '{p}')) AS n
+  FROM {prev}
+)"""
+        prev = f"t{i}"
+    sql += f"""
+SELECT doc_id, s AS clean, n AS n_redact FROM {prev}
+"""
+    return sql

@@ -1759,3 +1759,12 @@ def q_sample_stratified(sf_dir: str):
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "lang"])
     return textf.sample_stratified(docs)
+
+
+def q_redact(sf_dir: str):
+    """Regex redaction stage (PII-scrub machinery; see `text.Redactor`):
+    pattern set compiled once per actor, two vectorized RE2 kernels per
+    pattern per batch."""
+    from ..functions import text as textf
+
+    return textf.redact(_docs(sf_dir))

@@ -408,3 +408,39 @@ def test_sample_stratified_rejects_out_of_domain(ray_session):
     }))
     with pytest.raises(Exception, match="domain"):
         sample_stratified(bad).take_all()
+
+
+def test_redact_vs_brute(docs, doc_rows):
+    import re
+
+    from combblas_ray.functions.text import (
+        REDACT_PATTERNS, REDACT_REPL, redact,
+    )
+
+    out = {r["doc_id"]: r
+           for r in redact(docs, concurrency=1).take_all()}
+    for r in doc_rows:
+        s, n = r["text"], 0
+        for p in REDACT_PATTERNS:
+            n += len(re.findall(p, s))
+            s = re.sub(p, REDACT_REPL, s)
+        got = out[r["doc_id"]]
+        assert got["clean"] == s and got["n_redact"] == n
+    assert sum(v["n_redact"] for v in out.values()) > 0  # really fired
+
+
+def test_redact_pii_classes(ray_session):
+    """The SSN/email classes match and count sequentially."""
+    import pyarrow as pa
+
+    from combblas_ray.functions.text import redact
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0], type=pa.int64()),
+        "text": pa.array(["ssn 123-45-6789 mail a.b@c.d spark end"]),
+    }))
+    row = redact(ds, concurrency=1).take_all()[0]
+    assert row["n_redact"] == 3
+    assert row["clean"] == (
+        "ssn [REDACTED] mail [REDACTED] [REDACTED] end"
+    )
