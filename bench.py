@@ -171,7 +171,9 @@ def run_dataops() -> None:
         containment_pairs, decontaminate, exact_dedup, jaccard_pairs,
         minhash_lsh_pairs,
     )
-    from combblas_ray.functions.text import token_stats, vocab_topk
+    from combblas_ray.functions.text import (
+        redact, sample_stratified, token_stats, vocab_topk,
+    )
 
     import numpy as np
 
@@ -212,6 +214,20 @@ def run_dataops() -> None:
     t0 = time.perf_counter()
     counts["vocab_rows"] = vocab_topk(docs, k=100).num_rows
     timings["vocab_topk"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    counts["redacted_total"] = int(sum(
+        r["n_redact"] for r in redact(docs, concurrency=8)
+        .select_columns(["n_redact"]).take_all()
+    ))
+    timings["redact"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    docs_lang = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    counts["sampled_docs"] = sample_stratified(docs_lang).count()
+    timings["sample_stratified"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     counts["token_stat_rows"] = docs.map_batches(
