@@ -62,7 +62,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spgemm_aa": q.q_spgemm_aa,
         "spgemm_phased": q.q_spgemm_phased,
         "ewise_mult": q.q_ewise_mult,
-        "reach2_bool": q.q_reach2_bool,
         "prune_rect": q.q_prune_rect,
         "prune_column": q.q_prune_column,
         "matching_fixed": q.q_matching_fixed,
@@ -97,10 +96,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational / windowed
         "tpch_q1": q.q_tpch_q1,
         "events_hourly": q.q_events_hourly,
+        "events_quantiles": q.q_events_quantiles,
         "sessions": q.q_sessions,
         "asof_click": q.q_asof_click,
         # --- past the driver window: oracle-exact, code path covered by an
         # in-window sibling (locally gated every round) ---
+        "reach2_bool": q.q_reach2_bool,        # bool_or_and semiring (driver-green r2; filtered_bfs_payload uses the same semiring in-window)
         "reduce_colmax": q.q_reduce_colmax,    # reduce path (driver-green r1+r2; rowmin sibling also out-of-window)
         "ewise_apply_outer": q.q_ewise_apply_outer,  # null-policy EWise (driver-green r1+r2)
         "set_difference": q.q_set_difference,  # anti-join (driver-green r1+r2)
@@ -196,6 +197,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": o.decontaminate(q.DECON_MOD),
         "sample_stratified": o.sample_stratified(),
         "redact": o.redact(),
+        "events_quantiles": o.events_quantiles(),
         "containment_pairs": o.containment_pairs(q.CONT_TAU),
         "matching_fixed": o.matching_fixed(q.MATCH_ROUNDS),
         "bfs_parents": o.bfs_parents("m_0", q.BFS_ITERS),

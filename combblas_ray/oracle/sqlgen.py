@@ -1628,3 +1628,13 @@ WITH t0 AS MATERIALIZED (
 SELECT doc_id, s AS clean, n AS n_redact FROM {prev}
 """
     return sql
+
+
+def events_quantiles() -> str:
+    return """
+SELECT event_type,
+       quantile_disc(value, 0.5) AS q50,
+       quantile_disc(value, 0.9) AS q90,
+       quantile_disc(value, 0.99) AS q99
+FROM events GROUP BY event_type
+"""

@@ -1768,3 +1768,47 @@ def q_redact(sf_dir: str):
     from ..functions import text as textf
 
     return textf.redact(_docs(sf_dir))
+
+
+QUANTILES = (0.5, 0.9, 0.99)
+
+
+def _quantile_kernel(t: pa.Table) -> pa.Table:
+    """Per event_type partition: exact discrete quantiles
+    sorted[ceil(q*n)-1] — `quantile_disc` semantics, element equality
+    (no interpolation, so the oracle compare is exact)."""
+    empty = pa.table({
+        "event_type": pa.array([], type=pa.string()),
+        "q50": pa.array([], type=pa.float64()),
+        "q90": pa.array([], type=pa.float64()),
+        "q99": pa.array([], type=pa.float64()),
+    })
+    if t.num_rows == 0 or "event_type" not in t.column_names:
+        return empty
+    et = np.asarray(t.column("event_type")).astype(str)
+    val = np.asarray(t.column("value"), dtype=np.float64)
+    order = np.lexsort((val, et))
+    et, val = et[order], val[order]
+    keys, starts, cnts = np.unique(et, return_index=True,
+                                   return_counts=True)
+    cols = {"event_type": pa.array(keys.tolist(), type=pa.string())}
+    for name, q in zip(("q50", "q90", "q99"), QUANTILES):
+        idx = starts + np.minimum(
+            cnts - 1, np.ceil(q * cnts).astype(np.int64) - 1
+        )
+        cols[name] = pa.array(val[idx], type=pa.float64())
+    return pa.table(cols)
+
+
+def q_events_quantiles(sf_dir: str):
+    """Exact per-type value percentiles (p50/p90/p99, discrete
+    quantile) — ONE keyed warm-task shuffle, whole-partition vectorized
+    sort+pick per group."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return group_apply_tasks(ds, ["event_type"], _quantile_kernel)

@@ -444,3 +444,21 @@ def test_redact_pii_classes(ray_session):
     assert row["clean"] == (
         "ssn [REDACTED] mail [REDACTED] [REDACTED] end"
     )
+
+
+def test_events_quantiles_vs_brute(ray_session):
+    from combblas_ray.pipelines.queries import q_events_quantiles
+
+    out = q_events_quantiles(SF).to_pandas().set_index("event_type")
+    rows = ray.data.read_parquet(
+        f"{SF}/events.parquet", columns=["event_type", "value"]
+    ).take_all()
+    by = {}
+    for r in rows:
+        by.setdefault(r["event_type"], []).append(r["value"])
+    for et, vals in by.items():
+        s = np.sort(np.array(vals))
+        n = len(s)
+        for col, q in (("q50", 0.5), ("q90", 0.9), ("q99", 0.99)):
+            want = s[min(n - 1, int(np.ceil(q * n)) - 1)]
+            assert out.loc[et, col] == want, (et, col)
