@@ -95,6 +95,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": q.q_quality,
         # relational / windowed
         "tpch_q1": q.q_tpch_q1,
+        "tpch_q3": q.q_tpch_q3,
+        "group_topn": q.q_group_topn,
+        "degree_hist": q.q_degree_hist,
         "events_hourly": q.q_events_hourly,
         "events_quantiles": q.q_events_quantiles,
         "sessions": q.q_sessions,
@@ -176,6 +179,9 @@ def oracle_sql() -> dict[str, str]:
         "prune_w2": o.prune_w2(),
         "bandwidth": o.bandwidth(),
         "tpch_q1": o.tpch_q1(),
+        "tpch_q3": o.tpch_q3(q.TPCH_Q3_SEG),
+        "group_topn": o.group_topn(q.TOPN_PER_LANG),
+        "degree_hist": o.degree_hist(),
         "top_customers": o.top_customers(),
         "events_hourly": o.events_hourly(),
         "token_stats": o.token_stats(),

@@ -1630,6 +1630,55 @@ SELECT doc_id, s AS clean, n AS n_redact FROM {prev}
     return sql
 
 
+def tpch_q3(seg: str = "BUILDING", date: str = "1998-01-01") -> str:
+    """Three-table join chain + top-10; revenue in exact integer cents
+    (matches `queries.q_tpch_q3`'s floor(price*(1-disc)*100) per line —
+    identical IEEE double products, order-free integer sum)."""
+    return f"""
+SELECT l.l_orderkey AS l_orderkey,
+       sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                AS BIGINT)) AS rev_cents,
+       min(o.o_orderdate) AS o_orderdate,
+       min(o.o_orderpriority) AS o_orderpriority
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = '{seg}'
+  AND o.o_orderdate < TIMESTAMP '{date}'
+  AND l.l_shipdate > TIMESTAMP '{date}'
+GROUP BY l.l_orderkey
+ORDER BY rev_cents DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def group_topn(k: int = 3) -> str:
+    return f"""
+SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id ASC) AS rnk
+  FROM documents
+) WHERE rnk <= {k}
+"""
+
+
+@_materialized
+def degree_hist() -> str:
+    """Power-of-two out-degree histogram; the bucket bound is an integer
+    shift (1::BIGINT << k), never floor(log2(float))."""
+    return PREFIX + """
+, deg AS (SELECT src, count(*) AS cnt FROM edges GROUP BY src),
+buck AS (
+  SELECT p.k AS bucket
+  FROM deg d JOIN generate_series(0, 61) p(k)
+    ON d.cnt >= (CAST(1 AS BIGINT) << p.k)
+   AND d.cnt <  (CAST(1 AS BIGINT) << (p.k + 1))
+)
+SELECT bucket, count(*) AS n_vertices FROM buck GROUP BY bucket
+"""
+
+
 def events_quantiles() -> str:
     return """
 SELECT event_type,

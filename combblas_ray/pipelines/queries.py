@@ -559,6 +559,150 @@ def q_events_hourly(sf_dir: str):
     return group_apply_tasks(part, ["hour", "event_type"], _final)
 
 
+TPCH_Q3_SEG = "BUILDING"
+TPCH_Q3_DATE = (1998, 1, 1)
+
+
+def q_tpch_q3(sf_dir: str):
+    """TPC-H Q3-style shipping-priority query: the three-table join chain
+    customer |><| orders |><| lineitem with every filter pushed into the
+    parquet read, then top-10 orders by revenue. Revenue is summed as
+    exact integer cents (floor(price*(1-disc)*100) per line), so the
+    result is float-sum-order independent — the aggregate stays
+    hash-exact vs the SQL oracle regardless of partial-sum tree shape.
+    Both joins are warm-task co-partitioned hash joins; the lineitem
+    side pre-aggregates per batch before its shuffle, and the final
+    per-order combine is fused into the join task (``post=``)."""
+    import datetime
+
+    import ray
+
+    from ..core.shuffle import group_sum_per_key, hash_join_tasks
+
+    cut = datetime.datetime(*TPCH_Q3_DATE)
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey"],
+        filter=pc.field("c_mktsegment") == TPCH_Q3_SEG,
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=pc.field("o_orderdate") < pa.scalar(cut),
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pc.field("l_shipdate") > pa.scalar(cut),
+    )
+
+    def _li_partial(batch: pa.Table) -> pa.Table:
+        # per-line integer cents: exact in the float64 bincount channel
+        # while a partition's per-order sum < 2^53 (cents are ~1e6/line)
+        cents = np.floor(
+            np.asarray(batch.column("l_extendedprice"))
+            * (1.0 - np.asarray(batch.column("l_discount"))) * 100.0
+        )
+        uk, s = group_sum_per_key(cents, np.asarray(batch.column("l_orderkey")))
+        return pa.table({"l_orderkey": pa.array(uk),
+                         "cents": pa.array(s.astype(np.int64))})
+
+    li_part = li.map_batches(_li_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    # orders of BUILDING customers (semi-join; customer side is filtered small)
+    ojoin = hash_join_tasks(orders, cust, on="o_custkey",
+                            right_on="c_custkey")
+
+    def _final(t: pa.Table) -> pa.Table:
+        # all partials of an order co-locate: one exact per-order combine;
+        # date/priority are functionally dependent on the key (min = the value)
+        g = t.group_by("l_orderkey").aggregate(
+            [("cents", "sum"), ("o_orderdate", "min"),
+             ("o_orderpriority", "min")]
+        )
+        return pa.table({
+            "l_orderkey": g.column("l_orderkey"),
+            "rev_cents": g.column("cents_sum"),
+            "o_orderdate": g.column("o_orderdate_min"),
+            "o_orderpriority": g.column("o_orderpriority_min"),
+        })
+
+    rev = hash_join_tasks(li_part, ojoin, on="l_orderkey",
+                          right_on="o_orderkey", post=_final)
+    top = rev.sort(["rev_cents", "l_orderkey"],
+                   descending=[True, False]).limit(10).to_pandas()
+    return pa.Table.from_pandas(top, preserve_index=False)
+
+
+TOPN_PER_LANG = 3
+
+
+def q_group_topn(sf_dir: str):
+    """Top-``TOPN_PER_LANG`` documents per language by (n_chars DESC,
+    doc_id ASC) — the per-group ranking window (ROW_NUMBER() <= k).
+    Per-batch combiner keeps at most k rows per group before the lang
+    shuffle; the whole-partition final pass re-cuts exactly and attaches
+    the in-group rank."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "n_chars"])
+
+    def _topn(t: pa.Table, with_rank: bool) -> pa.Table:
+        lang = np.asarray(t.column("lang"))
+        nch = np.asarray(t.column("n_chars"), dtype=np.int64)
+        did = np.asarray(t.column("doc_id"), dtype=np.int64)
+        ul, inv = np.unique(lang, return_inverse=True)
+        order = np.lexsort((did, -nch, inv))
+        gi = inv[order]  # sorted group ids
+        starts = np.searchsorted(gi, np.arange(len(ul)))
+        rank = np.arange(len(gi)) - starts[gi]
+        keep = rank < TOPN_PER_LANG
+        sel = order[keep]
+        cols = {"lang": pa.array(lang[sel], type=pa.string()),
+                "doc_id": pa.array(did[sel]),
+                "n_chars": pa.array(nch[sel])}
+        if with_rank:
+            cols["rnk"] = pa.array((rank[keep] + 1).astype(np.int64))
+        return pa.table(cols)
+
+    part = ds.map_batches(lambda b: _topn(b, False), batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return group_apply_tasks(part, ["lang"], lambda t: _topn(t, True))
+
+
+def q_degree_hist(sf_dir: str):
+    """Out-degree histogram on power-of-two buckets (bucket k counts
+    vertices with 2^k <= outdeg < 2^(k+1)) — the link-graph skew profile
+    that sizes salting/partitioning decisions. Bucket indices come from
+    frexp exponents (pure integer logic: no libm log2 rounding hazard at
+    2^k boundaries); per-batch count partials, one tiny keyed merge."""
+    ctx = get_context(sf_dir)
+    agg = ctx.graph("directed").degree_table("row")
+
+    from ..core.shuffle import group_apply_tasks, group_sum_per_key
+
+    def _p(batch: pa.Table) -> pa.Table:
+        cnt = np.asarray(batch.column("cnt"), dtype=np.int64)
+        b = (np.frexp(cnt.astype(np.float64))[1] - 1).astype(np.int64)
+        ub, s = group_sum_per_key(np.ones(len(b)), b)
+        return pa.table({"bucket": pa.array(ub),
+                         "n_vertices": pa.array(s.astype(np.int64))})
+
+    def _m(batch: pa.Table) -> pa.Table:
+        ub, s = group_sum_per_key(
+            np.asarray(batch.column("n_vertices"), dtype=np.float64),
+            np.asarray(batch.column("bucket")),
+        )
+        return pa.table({"bucket": pa.array(ub),
+                         "n_vertices": pa.array(s.astype(np.int64))})
+
+    return group_apply_tasks(agg.map_batches(_p, batch_format="pyarrow"),
+                             ["bucket"], _m)
+
+
 # ---------------------------------------------------------------------------
 # wave 3: training-data pipeline operators (documents / embeddings tables)
 # ---------------------------------------------------------------------------

@@ -462,3 +462,69 @@ def test_events_quantiles_vs_brute(ray_session):
         for col, q in (("q50", 0.5), ("q90", 0.9), ("q99", 0.99)):
             want = s[min(n - 1, int(np.ceil(q * n)) - 1)]
             assert out.loc[et, col] == want, (et, col)
+
+
+def test_tpch_q3_vs_pandas_brute(ray_session):
+    import pandas as pd
+
+    from combblas_ray.pipelines.queries import (TPCH_Q3_DATE, TPCH_Q3_SEG,
+                                                q_tpch_q3)
+
+    out = q_tpch_q3(SF).to_pandas()
+    cut = pd.Timestamp(*TPCH_Q3_DATE)
+    c = pd.read_parquet(f"{SF}/customer.parquet")
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    c = c[c.c_mktsegment == TPCH_Q3_SEG]
+    o = o[o.o_orderdate < cut]
+    li = li[li.l_shipdate > cut].copy()
+    li["cents"] = np.floor(
+        li.l_extendedprice.to_numpy() * (1 - li.l_discount.to_numpy()) * 100
+    ).astype(np.int64)
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey").merge(
+        c, left_on="o_custkey", right_on="c_custkey")
+    g = (j.groupby("l_orderkey")
+          .agg(rev_cents=("cents", "sum"), o_orderdate=("o_orderdate", "min"),
+               o_orderpriority=("o_orderpriority", "min"))
+          .reset_index()
+          .sort_values(["rev_cents", "l_orderkey"], ascending=[False, True])
+          .head(10).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        out[["l_orderkey", "rev_cents", "o_orderdate", "o_orderpriority"]],
+        g, check_dtype=False)
+
+
+def test_group_topn_vs_pandas_brute(ray_session):
+    import pandas as pd
+
+    from combblas_ray.pipelines.queries import TOPN_PER_LANG, q_group_topn
+
+    out = q_group_topn(SF).to_pandas().sort_values(
+        ["lang", "rnk"]).reset_index(drop=True)
+    d = pd.read_parquet(f"{SF}/documents.parquet",
+                        columns=["doc_id", "lang", "n_chars"])
+    d = d.sort_values(["lang", "n_chars", "doc_id"],
+                      ascending=[True, False, True])
+    d["rnk"] = d.groupby("lang").cumcount() + 1
+    want = d[d.rnk <= TOPN_PER_LANG].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out[["doc_id", "lang", "n_chars", "rnk"]],
+        want[["doc_id", "lang", "n_chars", "rnk"]], check_dtype=False)
+
+
+def test_degree_hist_vs_brute(ray_session):
+    from combblas_ray.pipelines import queries as q
+    from combblas_ray.pipelines.context import get_context
+
+    # brute: out-degrees of the same sf0.001 corpus graph the query runs on
+    rows = get_context(SF).edges.take_all()
+    deg = {}
+    for r in rows:
+        deg[r["src"]] = deg.get(r["src"], 0) + 1
+    want = {}
+    for c in deg.values():
+        b = int(np.floor(np.log2(c)))
+        want[b] = want.get(b, 0) + 1
+    t = q.q_degree_hist(SF).to_pandas()
+    got = dict(zip(t.bucket, t.n_vertices))
+    assert got == want
