@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": q.q_minhash_pairs,
         "token_stats": q.q_token_stats,
         "mis_fixed": q.q_mis_fixed,
+        "coloring_fixed": q.q_coloring_fixed,
         "quality": q.q_quality,
         # relational / windowed
         "tpch_q1": q.q_tpch_q1,
@@ -194,6 +195,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": o.ann_topk(),
         "ann_lsh": o.ann_lsh(),
         "mis_fixed": o.mis_fixed(q.MIS_ROUNDS),
+        "coloring_fixed": o.coloring_fixed(q.COLOR_ROUNDS, q.COLOR_PRIO_B),
         "clustering_coeff": o.clustering_coeff(),
         "kcore_fixed": o.kcore_fixed(q.KCORE_K, q.KCORE_ROUNDS),
         "hits_fixed": o.hits_fixed(q.HITS_ITERS),

@@ -104,6 +104,14 @@ SEMIRINGS: dict[str, Semiring] = {
         "select2nd_min_i64", _second, np.minimum, I64MAX,
         dtype=np.dtype(np.int64),
     ),
+    # Bitwise-OR over int64 bitmask values carried on the x channel
+    # (`bitwise_or` from the reference's binary-functor catalog,
+    # Operations.h:184-293, as an SpMV additive monoid): y[v] = OR of
+    # x[u] over neighbors u. Jones-Plassmann coloring rides this to
+    # collect neighbor color masks in one SpMV (identity 0 = no bits).
+    "bor_second": Semiring(
+        "bor_second", _second, np.bitwise_or, 0, dtype=np.dtype(np.int64),
+    ),
 }
 
 

@@ -640,6 +640,62 @@ FROM pri p3 LEFT JOIN {prev_mis} m ON m.d = p3.d
 
 
 @_materialized
+def coloring_fixed(rounds: int = 8, b: int = 37) -> str:
+    """Fixed-round Jones-Plassmann twin of `queries.q_coloring_fixed`:
+    LCG priorities on dense ids; per unrolled round, an uncolored vertex
+    wins when its priority is below every uncolored neighbor's, then
+    takes the smallest color absent among its already-colored neighbors
+    (MIN over generate_series with a NOT EXISTS color probe — the SQL
+    analog of the engine's bor_second lowest-zero-bit mask)."""
+    p = 2147483647
+    sql = PREFIX + f"""
+, dense AS (
+  SELECT i, row_number() OVER (ORDER BY label) - 1 AS d, label FROM verts
+),
+pri AS (
+  SELECT d, label, (d * 48271 + {b}) % {p} AS prio FROM dense
+),
+du AS (
+  SELECT ds.d AS u, dd.d AS v
+  FROM edges e JOIN dense ds ON ds.i = e.src JOIN dense dd ON dd.i = e.dst
+  UNION
+  SELECT dd.d, ds.d
+  FROM edges e JOIN dense ds ON ds.i = e.src JOIN dense dd ON dd.i = e.dst
+),
+col0 AS (SELECT d, CAST(0 AS BIGINT) AS c FROM pri WHERE 1 = 0)
+"""
+    prev = "col0"
+    for k in range(1, rounds + 1):
+        sql += f"""
+, unc{k} AS (
+  SELECT p2.d, p2.prio FROM pri p2
+  WHERE p2.d NOT IN (SELECT d FROM {prev})
+),
+nbmin{k} AS (
+  SELECT e.u AS d, min(q.prio) AS m
+  FROM du e JOIN unc{k} q ON q.d = e.v GROUP BY e.u
+),
+win{k} AS (
+  SELECT u.d FROM unc{k} u LEFT JOIN nbmin{k} nb ON nb.d = u.d
+  WHERE u.prio < COALESCE(nb.m, {p + 1})
+),
+newc{k} AS (
+  SELECT w.d, min(gs.c) AS c
+  FROM win{k} w CROSS JOIN generate_series(0, 61) gs(c)
+  WHERE NOT EXISTS (SELECT 1 FROM du e JOIN {prev} pc ON pc.d = e.v
+                    WHERE e.u = w.d AND pc.c = gs.c)
+  GROUP BY w.d
+),
+col{k} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM newc{k})"""
+        prev = f"col{k}"
+    sql += f"""
+SELECT p3.label AS label, CAST(COALESCE(cc.c, -1) AS BIGINT) AS color
+FROM pri p3 LEFT JOIN {prev} cc ON cc.d = p3.d
+"""
+    return sql
+
+
+@_materialized
 def matching_fixed(rounds: int = 12, b: int = 23) -> str:
     """Fixed-round maximal-matching twin of `queries.q_matching_fixed`.
     Per round over unmatched vertices with LCG priorities

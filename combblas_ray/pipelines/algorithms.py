@@ -462,6 +462,84 @@ def luby_mis(engine: SpmvEngine, seed: int = 5,
     return engine.unchunk(in_mis)
 
 
+def _jp_x_prio(color, prio):
+    return np.where(color < 0, prio, np.inf)
+
+
+def _jp_winners_f(color, prio, nb_min, bounds):
+    """Fused combine+winners: uncolored v wins when its priority is below
+    every uncolored neighbor's (identity +inf -> isolated actives win)."""
+    return (color < 0) & (prio < nb_min)
+
+
+def _jp_x_mask(color):
+    if np.any(color >= 62):
+        raise NotImplementedError(
+            "jp_coloring: >62 colors exceed the int64 neighbor-mask "
+            "channel; a multi-word mask is needed for such graphs"
+        )
+    m = np.zeros(len(color), dtype=np.int64)
+    c = color >= 0
+    m[c] = np.int64(1) << color[c]
+    return m
+
+
+def _jp_assign_f(color, winners, nb_mask, bounds):
+    """Fused combine+assign: winners take the smallest color absent from
+    their colored neighbors' OR-mask (lowest zero bit, via the exact
+    frexp exponent of ~m & (m+1) — powers of two convert exactly)."""
+    out = color.copy()
+    if np.any(winners):
+        m = nb_mask[winners]
+        low0 = np.bitwise_and(np.invert(m), m + 1)
+        out[winners] = np.frexp(low0.astype(np.float64))[1] - 1
+    return out
+
+
+def jp_coloring(engine: SpmvEngine, seed: int = 5,
+                prio_full: np.ndarray | None = None,
+                max_rounds: int | None = None) -> np.ndarray:
+    """Jones-Plassmann greedy graph coloring over the symmetrized
+    structural engine — the classic parallel-symmetry-breaking sibling of
+    `luby_mis` (same per-round winner rule; reference functor catalog
+    `Operations.h:184-293` supplies the bitwise-or monoid used for the
+    neighbor color mask). Per round, two fused SpMV+step task rounds:
+
+    1. select2nd_min over uncolored-masked priorities -> winners
+       (uncolored vertices whose priority beats every uncolored
+       neighbor's; distinct priorities make ties impossible);
+    2. bor_second over (1 << color) masks -> each winner takes the
+       smallest color not used by any colored neighbor.
+
+    Vertex state (color, priority) stays chunked refs; the driver syncs
+    one uncolored-count scalar per round. ``max_rounds`` caps rounds for
+    fixed-round oracle parity (uncolored vertices keep color -1)."""
+    n = engine.n
+    if prio_full is None:
+        prio_full = np.random.RandomState(seed).permutation(n)
+    prio = engine.chunk(prio_full.astype(np.float64))
+    color = engine.map_chunks_i(
+        lambda b: np.full(b[1] - b[0], -1, dtype=np.int64))
+    rounds = 0
+    while sum(engine.chunk_scalars(_count_uncolored, color)):
+        if max_rounds is not None and rounds >= max_rounds:
+            break
+        rounds += 1
+        x1 = engine.map_chunks(_jp_x_prio, color, prio)
+        winners = engine.spmv_apply_refs(
+            x1, "select2nd_min", _jp_winners_f, 1, color, prio
+        )[0]
+        x2 = engine.map_chunks(_jp_x_mask, color)
+        color = engine.spmv_apply_refs(
+            x2, "bor_second", _jp_assign_f, 1, color, winners
+        )[0]
+    return engine.unchunk(color)
+
+
+def _count_uncolored(color):
+    return int(np.count_nonzero(color < 0))
+
+
 def rcm_ordering(engine: SpmvEngine) -> np.ndarray:
     """Reverse Cuthill-McKee ordering, level-synchronous relaxation (the
     shape distributed RCM implementations use — reference app

@@ -917,6 +917,34 @@ def q_mis_fixed(sf_dir: str):
     )
 
 
+COLOR_ROUNDS = 8
+COLOR_PRIO_B = 37
+
+
+def q_coloring_fixed(sf_dir: str):
+    """Oracle-mode Jones-Plassmann coloring: SQL-reproducible LCG
+    priorities prio(v) = (v*48271 + 37) mod 2^31-1 and exactly
+    COLOR_ROUNDS synchronous rounds (the `mis_fixed` trick); per round a
+    select2nd_min SpMV picks winners and a bor_second SpMV collects
+    neighbor color masks (see `alg.jp_coloring`). Uncolored = -1."""
+    ctx = get_context(sf_dir)
+    if ctx.n >= MIS_PRIO_P:
+        raise NotImplementedError(
+            "coloring_fixed: the LCG priority bijection needs n < 2^31-1"
+        )
+    prio_full = ((np.arange(ctx.n, dtype=np.int64) * 48271 + COLOR_PRIO_B)
+                 % MIS_PRIO_P)
+    color = alg.jp_coloring(ctx.engine("sym"), prio_full=prio_full,
+                            max_rounds=COLOR_ROUNDS)
+    ids = np.arange(ctx.n)
+    return pa.table(
+        {
+            "label": _label_col(ctx, ids),
+            "color": pa.array(color.astype(np.int64)),
+        }
+    )
+
+
 MCL_SUB = 6000  # induced-subgraph size for the MCL query (~20 s at sf0.01;
 # the full 60k-vertex graph runs in ~150 s — see pipelines/mcl.py — but that
 # exceeds the driver's per-round budget, so the query stays bounded)

@@ -528,3 +528,55 @@ def test_degree_hist_vs_brute(ray_session):
     t = q.q_degree_hist(SF).to_pandas()
     got = dict(zip(t.bucket, t.n_vertices))
     assert got == want
+
+
+def _brute_jp(B, prio, rounds):
+    """Synchronous Jones-Plassmann on a dense 0/1 adjacency."""
+    n = B.shape[0]
+    color = np.full(n, -1, dtype=np.int64)
+    for _ in range(rounds):
+        unc = color < 0
+        if not unc.any():
+            break
+        win = np.zeros(n, dtype=bool)
+        for v in np.nonzero(unc)[0]:
+            nb = np.nonzero(B[v])[0]
+            nbu = nb[unc[nb]]
+            if len(nbu) == 0 or prio[v] < prio[nbu].min():
+                win[v] = True
+        for v in np.nonzero(win)[0]:
+            used = set(color[u] for u in np.nonzero(B[v])[0] if color[u] >= 0)
+            c = 0
+            while c in used:
+                c += 1
+            color[v] = c
+    return color
+
+
+def test_jp_coloring_vs_brute(ctx500, und500):
+    from combblas_ray.pipelines import algorithms as alg
+
+    n = ctx500.n
+    prio = (np.arange(n, dtype=np.int64) * 48271 + 37) % 2147483647
+    for rounds in (1, 3, 8):
+        got = alg.jp_coloring(ctx500.engine("sym"), prio_full=prio,
+                              max_rounds=rounds)
+        want = _brute_jp(und500, prio, rounds)
+        assert np.array_equal(got, want), rounds
+
+
+def test_jp_coloring_proper(ctx500, und500):
+    """Converged coloring is proper: no edge joins two equal colors."""
+    from combblas_ray.pipelines import algorithms as alg
+
+    color = alg.jp_coloring(ctx500.engine("sym"), seed=3)
+    assert (color >= 0).all()
+    src, dst = np.nonzero(und500)
+    assert (color[src] != color[dst]).all()
+
+
+def test_jp_mask_width_guard():
+    from combblas_ray.pipelines.algorithms import _jp_x_mask
+
+    with pytest.raises(NotImplementedError):
+        _jp_x_mask(np.array([0, 5, 62], dtype=np.int64))
