@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fastsv": q.q_fastsv,
         "filtered_bfs_payload": q.q_filtered_bfs_payload,
         "bfs_parents": q.q_bfs_parents,
+        "bfs_sigma": q.q_bfs_sigma,
         "sssp": q.q_sssp,
         "label_propagation": q.q_label_propagation,
         "triangle_count": q.q_triangle_count,
@@ -76,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coeff": q.q_clustering_coeff,
         "kcore_fixed": q.q_kcore_fixed,
         "hits_fixed": q.q_hits_fixed,
+        "katz_fixed": q.q_katz_fixed,
         "ppr": q.q_ppr,
         "ktruss_fixed": q.q_ktruss_fixed,
         "vocab_topk": q.q_vocab_topk,
@@ -199,6 +201,7 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": o.clustering_coeff(),
         "kcore_fixed": o.kcore_fixed(q.KCORE_K, q.KCORE_ROUNDS),
         "hits_fixed": o.hits_fixed(q.HITS_ITERS),
+        "katz_fixed": o.katz_fixed(q.KATZ_ITERS, q.KATZ_ALPHA),
         "ppr": o.ppr(q.PPR_ITERS, seed_mod=q.PPR_SEED_MOD),
         "ktruss_fixed": o.ktruss_fixed(q.KTRUSS_K, q.KTRUSS_ROUNDS),
         "vocab_topk": o.vocab_topk(q.VOCAB_K),
@@ -209,6 +212,7 @@ def oracle_sql() -> dict[str, str]:
         "containment_pairs": o.containment_pairs(q.CONT_TAU),
         "matching_fixed": o.matching_fixed(q.MATCH_ROUNDS),
         "bfs_parents": o.bfs_parents("m_0", q.BFS_ITERS),
+        "bfs_sigma": o.bfs_sigma("m_0", q.BFS_ITERS),
         "colstochastic": o.colstochastic(),
         "masked_colsums": o.masked_colsums(),
         "ewise_apply_outer": o.ewise_apply_outer(),

@@ -230,6 +230,54 @@ FROM {prev} d JOIN verts v ON v.i = d.i
 
 
 @_materialized
+def bfs_sigma(root_label: str = "m_0", iters: int = 12) -> str:
+    """Unrolled BFS distances + per-level shortest-path-count sums
+    (sigma_k(v) = sum of sigma_{k-1} over predecessors; integer-exact,
+    order-free BIGINT sums — twin of `queries.q_bfs_sigma`)."""
+    sql = PREFIX + f"""
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+d0 AS (SELECT i, 0 AS dist FROM verts WHERE label = '{root_label}')
+"""
+    prev = "d0"
+    for k in range(1, iters + 1):
+        sql += f"""
+, d{k} AS (
+  SELECT i, min(dist) AS dist FROM (
+    SELECT i, dist FROM {prev}
+    UNION ALL
+    SELECT u.dst AS i, dp.dist + 1 AS dist
+    FROM und u JOIN {prev} dp ON dp.i = u.src
+  ) GROUP BY i
+)"""
+        prev = f"d{k}"
+    sql += f"""
+, distf AS (SELECT i, dist FROM {prev}),
+s0 AS (SELECT i, CAST(1 AS BIGINT) AS sig FROM d0)
+"""
+    for k in range(1, iters + 1):
+        # s(k-1) holds exactly the level-(k-1) vertices, so the only join
+        # guard needed is dist(dst) = k
+        sql += f"""
+, s{k} AS (
+  SELECT u.dst AS i, sum(sp.sig) AS sig
+  FROM und u JOIN s{k - 1} sp ON sp.i = u.src
+  JOIN distf dd ON dd.i = u.dst AND dd.dist = {k}
+  GROUP BY u.dst
+)"""
+    union = " UNION ALL ".join(f"SELECT * FROM s{k}"
+                               for k in range(iters + 1))
+    sql += f"""
+, sig AS ({union})
+SELECT v.label AS label, CAST(d.dist AS BIGINT) AS dist,
+       CAST(s.sig AS BIGINT) AS sigma
+FROM distf d JOIN sig s ON s.i = d.i JOIN verts v ON v.i = d.i
+"""
+    return sql
+
+
+@_materialized
 def sssp(root_label: str = "m_0", iters: int = 15) -> str:
     """Unrolled Bellman-Ford on the DIRECTED graph with integer lengths
     len(u,v) = 1 + (u + 2v) % 7; reached vertices only."""
@@ -1502,6 +1550,35 @@ SELECT vt.label AS label,
 FROM verts vt
 JOIN a{iters} a ON a.i = vt.i
 JOIN h{iters} h ON h.i = vt.i
+"""
+    return sql
+
+
+def katz_fixed(iters: int = 3, alpha: float = 0.125) -> str:
+    """Exactly-`iters` truncated Katz iterations over the structural
+    directed graph. alpha is a power of two, so every value is a dyadic
+    rational and the DOUBLE sums are order-free exact — the float column
+    hash-matches bit-for-bit (twin of `queries.q_katz_fixed`)."""
+    if iters < 1:
+        raise ValueError("katz_fixed oracle: iters must be >= 1")
+    sql = PREFIX + """
+, dpairs AS (SELECT src, dst FROM edges),
+x0 AS (SELECT i, CAST(1 AS DOUBLE) AS x FROM files)
+"""
+    prev = "x0"
+    for it in range(1, iters + 1):
+        sql += f"""
+, x{it} AS (
+  SELECT f.i, 1 + {alpha!r} * coalesce(s.s, 0) AS x
+  FROM files f LEFT JOIN (
+    SELECT e.dst AS i, sum(xp.x) AS s
+    FROM dpairs e JOIN {prev} xp ON xp.i = e.src GROUP BY e.dst
+  ) s ON s.i = f.i
+)"""
+        prev = f"x{it}"
+    sql += f"""
+SELECT vt.label AS label, x.x AS katz
+FROM verts vt JOIN {prev} x ON x.i = vt.i
 """
     return sql
 

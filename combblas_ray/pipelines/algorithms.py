@@ -462,6 +462,91 @@ def luby_mis(engine: SpmvEngine, seed: int = 5,
     return engine.unchunk(in_mis)
 
 
+def _katz_update_f(y, bounds, alpha):
+    return 1.0 + alpha * y
+
+
+def katz_fixed(engine: SpmvEngine, iters: int = 3,
+               alpha: float = 0.125) -> np.ndarray:
+    """Katz centrality, exactly ``iters`` synchronous iterations of
+    x_{k+1} = 1 + alpha * (A^T x_k) over the structural directed engine
+    (the truncated walk-count series; plus_times SpMV per iteration,
+    same engine family as `hits_fixed`). With ``alpha`` a power of two
+    every value is a dyadic rational — scaling shifts exponents only, so
+    sums stay EXACT in float64 (order-free) while the scaled integer
+    magnitude fits 53 bits (guarded). One fused SpMV+update task round
+    per iteration; x stays chunked refs."""
+    m, e = np.frexp(alpha)
+    if m != 0.5:
+        raise ValueError("katz_fixed: alpha must be a power of two for "
+                         "dyadic-exact float64 iteration")
+    x = engine.chunk(np.ones(engine.n, dtype=np.float64))
+    for _ in range(iters):
+        x = engine.spmv_apply_refs(
+            x, "plus_times", partial(_katz_update_f, alpha=alpha), 1
+        )[0]
+    out = engine.unchunk(x)
+    # scaled-integer exactness bound: x * alpha^-iters must stay < 2^53
+    if out.max(initial=0.0) * (1.0 / alpha) ** iters >= 2.0**53:
+        raise NotImplementedError(
+            "katz_fixed: walk counts exceed the exact dyadic float64 "
+            "range at this (iters, alpha); reduce iters or use the "
+            "approximate normalized variant"
+        )
+    return out
+
+
+def _sigma_seed(bounds, root):
+    s, e = bounds
+    sig = np.zeros(e - s)
+    if s <= root < e:
+        sig[root - s] = 1.0
+    return sig
+
+
+def _sigma_x(d, sigma, level):
+    return np.where(d == level, sigma, 0.0)
+
+
+def _sigma_update_f(d, sigma, y, bounds, level):
+    """Fused combine+update: vertices first reached at this level take
+    dist = level+1 and sigma = the plus_times path-count sum."""
+    new = np.isinf(d) & (y > 0.0)
+    d2, s2 = d.copy(), sigma.copy()
+    d2[new] = level + 1.0
+    s2[new] = y[new]
+    return d2, s2
+
+
+def bfs_sigma(engine: SpmvEngine, root: int, iters: int = 12):
+    """Level-synchronous shortest-path counting from ``root`` — the sigma
+    phase of Brandes betweenness (`BetwCent.cpp:179-187` runs it batched;
+    this is the single-source analog as its own operator): per level ONE
+    fused plus_times SpMV + update task round over the structural
+    undirected engine; sigma[v] = sum of sigma over predecessors at
+    dist[v]-1. d/sigma stay chunked refs; counts are integer-exact in the
+    f64 channel (guarded < 2^53). Returns (dist, sigma) full arrays
+    (inf / 0 for unreached)."""
+    d = engine.map_chunks_i(partial(_root_init, root=root))
+    sigma = engine.map_chunks_i(partial(_sigma_seed, root=root))
+    for level in range(iters):
+        x = engine.map_chunks(partial(_sigma_x, level=float(level)),
+                              d, sigma)
+        if not sum(engine.chunk_scalars(_count_true, x)):
+            break  # frontier empty: all further rounds are no-ops
+        d, sigma = engine.spmv_apply_refs(
+            x, "plus_times",
+            partial(_sigma_update_f, level=float(level)), 2, d, sigma,
+        )
+    df, sf = engine.unchunk(d), engine.unchunk(sigma)
+    if sf.max(initial=0.0) >= 2.0**53:
+        raise NotImplementedError(
+            "bfs_sigma: path counts exceed the exact float64 integer "
+            "range; a big-integer value channel is needed at this scale"
+        )
+    return df, sf
+
+
 def _jp_x_prio(color, prio):
     return np.where(color < 0, prio, np.inf)
 

@@ -157,6 +157,43 @@ def q_bfs(sf_dir: str):
     )
 
 
+KATZ_ITERS = 3
+KATZ_ALPHA = 0.125  # power of two -> dyadic-exact float64 iteration
+
+
+def q_katz_fixed(sf_dir: str):
+    """Katz centrality after exactly KATZ_ITERS un-normalized truncated
+    iterations (x = 1 + alpha*A^T x) over the structural directed graph;
+    alpha = 1/8 keeps every value a dyadic rational, so the float column
+    is bit-exact vs the SQL oracle (see `alg.katz_fixed`)."""
+    ctx = get_context(sf_dir)
+    katz = alg.katz_fixed(ctx.engine("dir_bool"), KATZ_ITERS, KATZ_ALPHA)
+    ids = np.arange(ctx.n)
+    return pa.table(
+        {
+            "label": _label_col(ctx, ids),
+            "katz": pa.array(katz),
+        }
+    )
+
+
+def q_bfs_sigma(sf_dir: str):
+    """Shortest-path counts from m_0 over the undirected structural
+    graph (the sigma phase of Brandes betweenness as a standalone
+    operator; integer-exact, see `alg.bfs_sigma`)."""
+    ctx = get_context(sf_dir)
+    root = int(np.searchsorted(ctx.labels, "m_0"))
+    d, sig = alg.bfs_sigma(ctx.engine("sym"), root, iters=BFS_ITERS)
+    ids = np.nonzero(np.isfinite(d))[0]
+    return pa.table(
+        {
+            "label": _label_col(ctx, ids),
+            "dist": pa.array(d[ids].astype(np.int64)),
+            "sigma": pa.array(sig[ids].astype(np.int64)),
+        }
+    )
+
+
 def q_sssp(sf_dir: str):
     ctx = get_context(sf_dir)
     root = int(np.searchsorted(ctx.labels, "m_1"))

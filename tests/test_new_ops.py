@@ -580,3 +580,44 @@ def test_jp_mask_width_guard():
 
     with pytest.raises(NotImplementedError):
         _jp_x_mask(np.array([0, 5, 62], dtype=np.int64))
+
+
+def test_bfs_sigma_vs_brute(ctx500, und500):
+    from combblas_ray.pipelines import algorithms as alg
+
+    B = und500
+    n = ctx500.n
+    root = 7
+    # brute level-synchronous sigma
+    dist = np.full(n, np.inf)
+    sig = np.zeros(n, dtype=np.int64)
+    dist[root], sig[root] = 0.0, 1
+    for lvl in range(12):
+        x = np.where(dist == lvl, sig, 0)
+        y = B @ x
+        new = np.isinf(dist) & (y > 0)
+        dist[new] = lvl + 1
+        sig[new] = y[new]
+    d, s = alg.bfs_sigma(ctx500.engine("sym"), root, iters=12)
+    assert np.array_equal(np.isfinite(d), np.isfinite(dist))
+    assert np.array_equal(d[np.isfinite(d)], dist[np.isfinite(dist)])
+    assert np.array_equal(s.astype(np.int64), sig)
+
+
+def test_katz_fixed_vs_brute(ctx500):
+    from combblas_ray.pipelines import algorithms as alg
+
+    A = brute_dense_matrix(ctx500)  # A[dst, src]
+    M = (A > 0).astype(np.float64)
+    x = np.ones(ctx500.n)
+    for _ in range(3):
+        x = 1.0 + 0.125 * (M @ x)
+    got = alg.katz_fixed(ctx500.engine("dir_bool"), 3, 0.125)
+    assert np.array_equal(got, x)  # dyadic-exact: bit equality, no allclose
+
+
+def test_katz_alpha_guard(ctx500):
+    from combblas_ray.pipelines import algorithms as alg
+
+    with pytest.raises(ValueError):
+        alg.katz_fixed(ctx500.engine("dir_bool"), 1, alpha=0.1)
