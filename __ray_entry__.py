@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus": q.q_clean_corpus,
         "knn_components": q.q_knn_components,
         "minhash_pairs": q.q_minhash_pairs,
+        "dup_clusters": q.q_dup_clusters,
         "token_stats": q.q_token_stats,
         "mis_fixed": q.q_mis_fixed,
         "coloring_fixed": q.q_coloring_fixed,
@@ -193,6 +194,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": o.dedup_exact(),
         "dedup_exact_digest": o.dedup_exact(),
         "jaccard_pairs": o.jaccard_pairs(),
+        "dup_clusters": o.dup_clusters(0.5, q.DUP_CLUSTER_ROUNDS),
         "minhash_pairs": o.minhash_pairs(),
         "ann_topk": o.ann_topk(),
         "ann_lsh": o.ann_lsh(),

@@ -498,6 +498,57 @@ def jaccard_pairs(docs_ds, tau: float = 0.5):
     return _sim_pairs(docs_ds, tau, "jaccard")
 
 
+def _dup_und(batch: pa.Table) -> pa.Table:
+    a = np.asarray(batch.column("a"), dtype=np.int64)
+    b = np.asarray(batch.column("b"), dtype=np.int64)
+    return pa.table({"u": pa.array(np.concatenate([a, b])),
+                     "v": pa.array(np.concatenate([b, a]))})
+
+
+def _dup_init(batch: pa.Table) -> pa.Table:
+    v = np.unique(np.asarray(batch.column("u"), dtype=np.int64))
+    return pa.table({"v": pa.array(v), "lbl": pa.array(v)})
+
+
+def _dup_min(t: pa.Table) -> pa.Table:
+    v = np.asarray(t.column("v"), dtype=np.int64)
+    lbl = np.asarray(t.column("lbl"), dtype=np.int64)
+    uv, inv = np.unique(v, return_inverse=True)
+    out = np.full(len(uv), np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(out, inv, lbl)
+    return pa.table({"v": pa.array(uv), "lbl": pa.array(out)})
+
+
+def _dup_msg(t: pa.Table) -> pa.Table:
+    return pa.table({"v": t.column("v"), "lbl": t.column("lbl")})
+
+
+def dup_clusters(docs_ds, tau: float = 0.5, rounds: int = 6):
+    """Near-duplicate cluster labels: connected components of the exact
+    Jaccard pair graph by ``rounds`` synchronous min-label rounds — the
+    canonical-document assignment step of a dedup pipeline (cluster id =
+    the smallest doc_id reachable within ``rounds`` hops; with enough
+    rounds, the true component minimum, i.e. the kept canonical doc).
+    Fully distributed: the (tiny) pair graph stays a Dataset; each round
+    is one co-partitioned hash join (neighbor label messages) + one
+    keyed min reduce on warm tasks. Docs in no pair are omitted.
+    Returns a Dataset (doc_id, cluster)."""
+    pairs = jaccard_pairs(docs_ds, tau)
+    und = pairs.map_batches(_dup_und, batch_format="pyarrow").materialize()
+    lab = group_apply_tasks(
+        und.map_batches(_dup_init, batch_format="pyarrow"), ["v"], _dup_min
+    )
+    for _ in range(rounds):
+        msgs = hash_join_tasks(und, lab, on="u", right_on="v",
+                               post=_dup_msg)
+        lab = group_apply_tasks(msgs.union(lab), ["v"], _dup_min)
+
+    def _rename(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("v"), "cluster": t.column("lbl")})
+
+    return lab.map_batches(_rename, batch_format="pyarrow")
+
+
 def containment_pairs(docs_ds, tau: float = 0.8):
     """Exact CONTAINMENT near-dup pairs: |A∩B| / min(|A|, |B|) >= tau
     (a < b) over distinct 3-gram shingle sets — the quote/subset

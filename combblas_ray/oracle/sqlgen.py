@@ -540,7 +540,9 @@ FROM documents
 """
 
 
-def jaccard_pairs(tau: float = 0.5, df_cap: int = 1000) -> str:
+def _jaccard_pairs_body(tau: float, df_cap: int) -> str:
+    """Shared CTE chain ending in ``pairs(a, b, jac)`` — used by both
+    `jaccard_pairs` and `dup_clusters`."""
     return f"""
 WITH toks AS MATERIALIZED (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -560,13 +562,49 @@ cand AS MATERIALIZED (
 inter AS MATERIALIZED (
   SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+),
+pairs AS MATERIALIZED (
+  SELECT c.a AS a, c.b AS b,
+         round(i.i * 1.0 / (ca.nsh + cb.nsh - i.i), 6) AS jac
+  FROM cand c JOIN inter i ON i.a = c.a AND i.b = c.b
+  JOIN counts ca ON ca.doc_id = c.a JOIN counts cb ON cb.doc_id = c.b
+  WHERE i.i * 1.0 / (ca.nsh + cb.nsh - i.i) >= {tau}
 )
-SELECT c.a AS a, c.b AS b,
-       round(i.i * 1.0 / (ca.nsh + cb.nsh - i.i), 6) AS jac
-FROM cand c JOIN inter i ON i.a = c.a AND i.b = c.b
-JOIN counts ca ON ca.doc_id = c.a JOIN counts cb ON cb.doc_id = c.b
-WHERE i.i * 1.0 / (ca.nsh + cb.nsh - i.i) >= {tau}
 """
+
+
+def jaccard_pairs(tau: float = 0.5, df_cap: int = 1000) -> str:
+    return _jaccard_pairs_body(tau, df_cap) + """
+SELECT a, b, jac FROM pairs
+"""
+
+
+def dup_clusters(tau: float = 0.5, rounds: int = 6,
+                 df_cap: int = 1000) -> str:
+    """Near-duplicate cluster labels: exactly ``rounds`` unrolled
+    synchronous min-label rounds over the Jaccard pair graph (twin of
+    `queries.q_dup_clusters`). Docs in no pair are omitted."""
+    sql = _jaccard_pairs_body(tau, df_cap) + """
+, und AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+),
+l0 AS MATERIALIZED (SELECT DISTINCT u AS v, u AS lbl FROM und)
+"""
+    prev = "l0"
+    for k in range(1, rounds + 1):
+        sql += f"""
+, l{k} AS MATERIALIZED (
+  SELECT v, min(lbl) AS lbl FROM (
+    SELECT v, lbl FROM {prev}
+    UNION ALL
+    SELECT e.v AS v, l.lbl FROM und e JOIN {prev} l ON l.v = e.u
+  ) GROUP BY v
+)"""
+        prev = f"l{k}"
+    sql += f"""
+SELECT v AS doc_id, CAST(lbl AS BIGINT) AS cluster FROM {prev}
+"""
+    return sql
 
 
 def minhash_pairs(tau: float = 0.5, num_perm: int = 64, bands: int = 16,

@@ -801,6 +801,19 @@ def q_jaccard_pairs(sf_dir: str):
     return D.jaccard_pairs(_docs(sf_dir), tau=0.5)
 
 
+DUP_CLUSTER_ROUNDS = 6
+
+
+def q_dup_clusters(sf_dir: str):
+    """Near-dup cluster labels (canonical-doc assignment): fixed-round
+    min-label CC over the exact Jaccard pair graph (see
+    `dedup.dup_clusters`)."""
+    from ..functions import dedup as D
+
+    return D.dup_clusters(_docs(sf_dir), tau=0.5,
+                          rounds=DUP_CLUSTER_ROUNDS)
+
+
 def q_minhash_pairs(sf_dir: str):
     from ..functions import dedup as D
 

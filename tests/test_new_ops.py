@@ -621,3 +621,33 @@ def test_katz_alpha_guard(ctx500):
 
     with pytest.raises(ValueError):
         alg.katz_fixed(ctx500.engine("dir_bool"), 1, alpha=0.1)
+
+
+def test_dup_clusters_vs_brute(docs, doc_rows):
+    """Fixed-round min-label over the brute pair graph; with enough
+    rounds = true connected components of the near-dup graph."""
+    from itertools import combinations
+
+    from combblas_ray.functions.dedup import dup_clusters
+
+    sh = {}
+    for r in doc_rows:
+        t = r["text"].split(" ")
+        sh[r["doc_id"]] = {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+    adj = {}
+    for a, b in combinations(sorted(sh), 2):
+        inter = len(sh[a] & sh[b])
+        if inter and inter / (len(sh[a]) + len(sh[b]) - inter) >= 0.5:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    lbl = {v: v for v in adj}
+    for _ in range(6):
+        new = {v: min([lbl[v]] + [lbl[u] for u in adj[v]]) for v in adj}
+        lbl = new
+
+    out = dup_clusters(docs, tau=0.5, rounds=6).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster"]))
+    assert got == lbl
+    # 6 rounds converged on this corpus: labels are the component minimum
+    stable = {v: min([lbl[v]] + [lbl[u] for u in adj[v]]) for v in adj}
+    assert stable == lbl
