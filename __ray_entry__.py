@@ -100,8 +100,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational / windowed
         "tpch_q1": q.q_tpch_q1,
         "tpch_q3": q.q_tpch_q3,
+        "tpch_q5": q.q_tpch_q5,
         "group_topn": q.q_group_topn,
         "degree_hist": q.q_degree_hist,
+        "degree_corr_stats": q.q_degree_corr_stats,
+        "funnel": q.q_funnel,
         "events_hourly": q.q_events_hourly,
         "events_quantiles": q.q_events_quantiles,
         "sessions": q.q_sessions,
@@ -184,8 +187,11 @@ def oracle_sql() -> dict[str, str]:
         "bandwidth": o.bandwidth(),
         "tpch_q1": o.tpch_q1(),
         "tpch_q3": o.tpch_q3(q.TPCH_Q3_SEG),
+        "tpch_q5": o.tpch_q5(q.TPCH_Q5_REGION),
         "group_topn": o.group_topn(q.TOPN_PER_LANG),
         "degree_hist": o.degree_hist(),
+        "degree_corr_stats": o.degree_corr_stats(),
+        "funnel": o.funnel(),
         "top_customers": o.top_customers(),
         "events_hourly": o.events_hourly(),
         "token_stats": o.token_stats(),

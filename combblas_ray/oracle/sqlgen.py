@@ -1823,6 +1823,28 @@ LIMIT 10
 """
 
 
+def tpch_q5(region: str = "ASIA", lo: str = "1996-01-01",
+            hi: str = "1999-01-01") -> str:
+    """Six-table local-supplier revenue per nation, exact integer cents
+    (twin of `queries.q_tpch_q5`)."""
+    return f"""
+SELECT n.n_name AS n_name,
+       sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                AS BIGINT)) AS rev_cents
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                AND s.s_nationkey = c.c_nationkey
+WHERE r.r_name = '{region}'
+  AND o.o_orderdate >= TIMESTAMP '{lo}'
+  AND o.o_orderdate <  TIMESTAMP '{hi}'
+GROUP BY n.n_name
+"""
+
+
 def group_topn(k: int = 3) -> str:
     return f"""
 SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, n_chars FROM (
@@ -1831,6 +1853,47 @@ SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, n_chars FROM (
                             ORDER BY n_chars DESC, doc_id ASC) AS rnk
   FROM documents
 ) WHERE rnk <= {k}
+"""
+
+
+@_materialized
+def degree_corr_stats() -> str:
+    """One-row integer sufficient statistics for Pearson degree
+    assortativity over directed edges (twin of
+    `queries.q_degree_corr_stats`)."""
+    return PREFIX + """
+, outd AS (SELECT src AS v, count(*) AS c FROM edges GROUP BY src),
+ind AS (SELECT dst AS v, count(*) AS c FROM edges GROUP BY dst)
+SELECT count(*) AS m,
+       sum(o.c) AS sum_du, sum(i.c) AS sum_dv,
+       sum(o.c * i.c) AS sum_dudv,
+       sum(o.c * o.c) AS sum_du2, sum(i.c * i.c) AS sum_dv2
+FROM edges e JOIN outd o ON o.v = e.src JOIN ind i ON i.v = e.dst
+"""
+
+
+def funnel() -> str:
+    """Ordered view -> click -> purchase funnel: stage k counts users
+    whose first stage-k event is strictly after their first stage-(k-1)
+    event (twin of `queries.q_funnel`)."""
+    return """
+WITH v AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY e.user_id
+)
+SELECT 'view' AS stage, count(*) AS n_users FROM v
+UNION ALL SELECT 'click', count(*) FROM c
+UNION ALL SELECT 'purchase', count(*) FROM p
 """
 
 

@@ -671,6 +671,100 @@ def q_tpch_q3(sf_dir: str):
     return pa.Table.from_pandas(top, preserve_index=False)
 
 
+TPCH_Q5_REGION = "ASIA"
+TPCH_Q5_LO = (1996, 1, 1)
+TPCH_Q5_HI = (1999, 1, 1)
+
+
+def q_tpch_q5(sf_dir: str):
+    """TPC-H Q5-style local-supplier revenue: the six-table join
+    region -> nation -> {customer, supplier} -> orders -> lineitem with
+    the same-nation (c_nationkey = s_nationkey) constraint, revenue per
+    nation in exact integer cents. The nation/region side (30 rows) is
+    resolved driver-side and pushed into the parquet reads as isin row
+    filters — the broadcast-small-side plan; the three big-table joins
+    are warm-task co-partitioned hash joins with the final filter+group
+    fused into the last join task."""
+    import datetime
+
+    import ray
+
+    from ..core.shuffle import group_apply_tasks, group_sum_per_key, \
+        hash_join_tasks
+
+    lo = datetime.datetime(*TPCH_Q5_LO)
+    hi = datetime.datetime(*TPCH_Q5_HI)
+    # small side: nations of the target region (25+5 rows -> driver)
+    region = ray.data.read_parquet(
+        f"{sf_dir}/region.parquet",
+        filter=pc.field("r_name") == TPCH_Q5_REGION).to_pandas()
+    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    nation = nation[nation.n_regionkey.isin(region.r_regionkey)]
+    nkeys = nation.n_nationkey.tolist()
+    nname = dict(zip(nation.n_nationkey, nation.n_name))
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"],
+        filter=pc.field("c_nationkey").isin(nkeys),
+    )
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey"],
+        filter=pc.field("s_nationkey").isin(nkeys),
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"],
+        filter=(pc.field("o_orderdate") >= pa.scalar(lo))
+        & (pc.field("o_orderdate") < pa.scalar(hi)),
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        c = np.floor(
+            np.asarray(batch.column("l_extendedprice"))
+            * (1.0 - np.asarray(batch.column("l_discount"))) * 100.0
+        ).astype(np.int64)
+        return pa.table({"l_orderkey": batch.column("l_orderkey"),
+                         "l_suppkey": batch.column("l_suppkey"),
+                         "cents": pa.array(c)})
+
+    li = li.map_batches(_cents, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    oc = hash_join_tasks(orders, cust, on="o_custkey",
+                         right_on="c_custkey")
+    ls = hash_join_tasks(li, supp, on="l_suppkey", right_on="s_suppkey")
+
+    def _grp(t: pa.Table) -> pa.Table:
+        keep = np.asarray(t.column("c_nationkey")) == np.asarray(
+            t.column("s_nationkey"))
+        nk = np.asarray(t.column("s_nationkey"))[keep]
+        cents = np.asarray(t.column("cents"), dtype=np.float64)[keep]
+        uk, s = group_sum_per_key(cents, nk.astype(np.int64))
+        return pa.table({"nationkey": pa.array(uk),
+                         "rev_cents": pa.array(s.astype(np.int64))})
+
+    part = hash_join_tasks(ls, oc, on="l_orderkey", right_on="o_orderkey",
+                           post=_grp)
+
+    def _final(t: pa.Table) -> pa.Table:
+        uk, s = group_sum_per_key(
+            np.asarray(t.column("rev_cents"), dtype=np.float64),
+            np.asarray(t.column("nationkey")),
+        )
+        return pa.table({
+            "n_name": pa.array([nname[int(k)] for k in uk],
+                               type=pa.string()),
+            "rev_cents": pa.array(s.astype(np.int64)),
+        })
+
+    return group_apply_tasks(part, ["nationkey"], _final)
+
+
 TOPN_PER_LANG = 3
 
 
@@ -708,6 +802,102 @@ def q_group_topn(sf_dir: str):
     part = ds.map_batches(lambda b: _topn(b, False), batch_format="pyarrow",
                           zero_copy_batch=True)
     return group_apply_tasks(part, ["lang"], lambda t: _topn(t, True))
+
+
+def q_degree_corr_stats(sf_dir: str):
+    """Degree-assortativity sufficient statistics over the directed
+    graph: for each edge (u -> v) take du = outdeg(u), dv = indeg(v) and
+    return ONE row of exact integer sums (m, sum_du, sum_dv, sum_dudv,
+    sum_du2, sum_dv2) — the inputs to Pearson assortativity r, kept as
+    BIGINTs so the aggregate is order-free exact (the float division
+    happens in the consumer, not the shuffle). Two warm-task hash joins
+    attach the degree tables; per-partition sums ride the join task."""
+    ctx = get_context(sf_dir)
+    g = ctx.graph("directed")
+
+    from ..core.shuffle import hash_join_tasks
+
+    def _proj(name):
+        def _f(t: pa.Table) -> pa.Table:
+            return pa.table({"v": t.column("v"), name: t.column("cnt")})
+        return _f
+
+    outd = g.degree_table("row").map_batches(_proj("du"),
+                                             batch_format="pyarrow")
+    ind = g.degree_table("col").map_batches(_proj("dv"),
+                                            batch_format="pyarrow")
+
+    def _edges_proj(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t.column("src"), "dst": t.column("dst")})
+
+    edges = ctx.edges.map_batches(_edges_proj, batch_format="pyarrow")
+    e1 = hash_join_tasks(edges, outd, on="src", right_on="v")
+
+    def _sums(t: pa.Table) -> pa.Table:
+        du = np.asarray(t.column("du"), dtype=np.int64)
+        dv = np.asarray(t.column("dv"), dtype=np.int64)
+        return pa.table({
+            "m": pa.array([np.int64(len(du))]),
+            "sum_du": pa.array([du.sum()]),
+            "sum_dv": pa.array([dv.sum()]),
+            "sum_dudv": pa.array([(du * dv).sum()]),
+            "sum_du2": pa.array([(du * du).sum()]),
+            "sum_dv2": pa.array([(dv * dv).sum()]),
+        })
+
+    part = hash_join_tasks(e1, ind, on="dst", right_on="v",
+                           post=_sums).to_pandas()
+    return pa.Table.from_pandas(part.sum().to_frame().T.astype(np.int64),
+                                preserve_index=False)
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def q_funnel(sf_dir: str):
+    """Ordered-sequence funnel over the events stream: stage k counts
+    users whose FIRST stage-k event is strictly after their first
+    stage-(k-1) event (view -> click -> purchase). One user_id hash
+    shuffle co-locates each user's history; the per-partition pass is
+    fully vectorized (one np.minimum.at chain per stage)."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_type"])
+    I64 = np.iinfo(np.int64).max
+
+    def _stage_counts(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t.column("user_id"), dtype=np.int64)
+        ts = np.asarray(t.column("ts")).astype("datetime64[us]"
+                                                ).astype(np.int64)
+        et = np.asarray(t.column("event_type"))
+        uu, inv = np.unique(uid, return_inverse=True)
+        prev = np.full(len(uu), -np.iinfo(np.int64).max, dtype=np.int64)
+        counts = []
+        for stage in FUNNEL_STAGES:
+            cur = np.full(len(uu), I64, dtype=np.int64)
+            sel = (et == stage) & (ts > prev[inv])
+            np.minimum.at(cur, inv[sel], ts[sel])
+            counts.append(int(np.count_nonzero(cur < I64)))
+            prev = cur
+        return pa.table({
+            "stage": pa.array(list(FUNNEL_STAGES), type=pa.string()),
+            "n_users": pa.array(np.asarray(counts, dtype=np.int64)),
+        })
+
+    part = group_apply_tasks(ds, ["user_id"], _stage_counts)
+
+    def _merge(t: pa.Table) -> pa.Table:
+        st = np.asarray(t.column("stage"))
+        us, inv = np.unique(st, return_inverse=True)
+        s = np.bincount(inv, weights=np.asarray(t.column("n_users"),
+                                                dtype=np.float64))
+        return pa.table({"stage": pa.array(us, type=pa.string()),
+                         "n_users": pa.array(s.astype(np.int64))})
+
+    return group_apply_tasks(part, ["stage"], _merge)
 
 
 def q_degree_hist(sf_dir: str):

@@ -651,3 +651,49 @@ def test_dup_clusters_vs_brute(docs, doc_rows):
     # 6 rounds converged on this corpus: labels are the component minimum
     stable = {v: min([lbl[v]] + [lbl[u] for u in adj[v]]) for v in adj}
     assert stable == lbl
+
+
+def test_degree_corr_stats_vs_brute(ray_session):
+    import pandas as pd
+
+    from combblas_ray.pipelines.context import get_context
+    from combblas_ray.pipelines.queries import q_degree_corr_stats
+
+    e = get_context(SF).edges.to_pandas()
+    du = e.groupby("src").size()
+    dv = e.groupby("dst").size()
+    edu = e.src.map(du).to_numpy(dtype=np.int64)
+    edv = e.dst.map(dv).to_numpy(dtype=np.int64)
+    out = q_degree_corr_stats(SF).to_pandas().iloc[0]
+    assert out["m"] == len(e)
+    assert out["sum_du"] == edu.sum()
+    assert out["sum_dv"] == edv.sum()
+    assert out["sum_dudv"] == (edu * edv).sum()
+    assert out["sum_du2"] == (edu * edu).sum()
+    assert out["sum_dv2"] == (edv * edv).sum()
+
+
+def test_funnel_vs_brute(ray_session):
+    import pandas as pd
+
+    from combblas_ray.pipelines.queries import FUNNEL_STAGES, q_funnel
+
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    want = {}
+    prev = None  # user -> first qualifying ts of previous stage
+    for stage in FUNNEL_STAGES:
+        sel = ev[ev.event_type == stage]
+        if prev is not None:
+            sel = sel[sel.user_id.isin(prev.index)]
+            sel = sel[sel.ts.to_numpy()
+                      > prev.loc[sel.user_id].to_numpy()]
+        cur = sel.groupby("user_id").ts.min()
+        want[stage] = len(cur)
+        prev = cur
+    out = q_funnel(SF).to_pandas()
+    got = dict(zip(out.stage, out.n_users))
+    assert got == want
+    # funnel is monotone non-increasing
+    vals = [got[s] for s in FUNNEL_STAGES]
+    assert vals == sorted(vals, reverse=True)
