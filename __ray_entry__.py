@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_fixed": q.q_kcore_fixed,
         "hits_fixed": q.q_hits_fixed,
         "katz_fixed": q.q_katz_fixed,
+        "harmonic2": q.q_harmonic2,
         "ppr": q.q_ppr,
         "ktruss_fixed": q.q_ktruss_fixed,
         "vocab_topk": q.q_vocab_topk,
@@ -210,6 +211,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore_fixed": o.kcore_fixed(q.KCORE_K, q.KCORE_ROUNDS),
         "hits_fixed": o.hits_fixed(q.HITS_ITERS),
         "katz_fixed": o.katz_fixed(q.KATZ_ITERS, q.KATZ_ALPHA),
+        "harmonic2": o.harmonic2(),
         "ppr": o.ppr(q.PPR_ITERS, seed_mod=q.PPR_SEED_MOD),
         "ktruss_fixed": o.ktruss_fixed(q.KTRUSS_K, q.KTRUSS_ROUNDS),
         "vocab_topk": o.vocab_topk(q.VOCAB_K),

@@ -139,6 +139,37 @@ SELECT v.label AS label FROM hop2 JOIN verts v ON v.i = hop2.i
 
 
 @_materialized
+@_materialized
+def harmonic2() -> str:
+    """Distance-2 harmonic centrality: c1 = distinct 1-hop, c2 = distinct
+    2-hop-only neighbors, h = c1 + c2/2 (dyadic-exact DOUBLE; twin of
+    `queries.q_harmonic2`)."""
+    return PREFIX + """
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+two AS (
+  SELECT DISTINCT a.src AS i, b.dst AS j
+  FROM und a JOIN und b ON a.dst = b.src
+  WHERE a.src <> b.dst
+),
+two2 AS (
+  SELECT i, j FROM two
+  WHERE NOT EXISTS (SELECT 1 FROM und u WHERE u.src = two.i
+                    AND u.dst = two.j)
+),
+c2t AS (SELECT i, count(*) AS c FROM two2 GROUP BY i),
+c1t AS (SELECT src AS i, count(*) AS c FROM und GROUP BY src)
+SELECT v.label AS label,
+       CAST(COALESCE(c1t.c, 0) AS BIGINT) AS c1,
+       CAST(COALESCE(c2t.c, 0) AS BIGINT) AS c2,
+       COALESCE(c1t.c, 0) + 0.5 * COALESCE(c2t.c, 0) AS harmonic
+FROM verts v
+LEFT JOIN c1t ON c1t.i = v.i
+LEFT JOIN c2t ON c2t.i = v.i
+"""
+
+
 def pagerank(iters: int = 10, damping: float = 0.85) -> str:
     d = damping
     sql = PREFIX + f"""

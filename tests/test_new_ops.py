@@ -697,3 +697,20 @@ def test_funnel_vs_brute(ray_session):
     # funnel is monotone non-increasing
     vals = [got[s] for s in FUNNEL_STAGES]
     assert vals == sorted(vals, reverse=True)
+
+
+def test_harmonic2_vs_brute(ctx500, und500):
+    from combblas_ray.pipelines.queries import harmonic2_table
+
+    out = harmonic2_table(ctx500)
+    A = und500.astype(np.float64)
+    bc1 = A.sum(axis=1).astype(np.int64)
+    t2 = (A @ A) > 0
+    np.fill_diagonal(t2, False)
+    t2[A > 0] = False  # 2-hop-only
+    bc2 = t2.sum(axis=1).astype(np.int64)
+    # label order == dense-id order (labels lexicographically sorted)
+    assert np.array_equal(np.asarray(out.column("c1")), bc1)
+    assert np.array_equal(np.asarray(out.column("c2")), bc2)
+    assert np.array_equal(np.asarray(out.column("harmonic")),
+                          bc1 + 0.5 * bc2)
