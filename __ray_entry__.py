@@ -38,67 +38,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from combblas_ray.pipelines import queries as q
 
     # Registration order matters: the driver records correctness rows for
-    # only the FIRST 50 registrations. The first 50 below are the
-    # oracle-exact queries most at risk of regression (one per distinct
-    # code path, all six relational/windowed pipelines, all new-this-round
-    # operators). Oracle-exact queries whose code path is already covered
-    # by an in-window sibling sit just past the window (still verified
-    # every round by tools/check_correctness.py); rows-only last.
+    # only the FIRST 50 registrations. Window policy this round: every
+    # oracle-exact query that has NEVER had a driver row (the round-3
+    # operator waves + the relational six the round-2 verdict flagged)
+    # sits in-window, topped up with the build pipeline, the four
+    # north-rule applications (PageRank / CC / label propagation /
+    # triangle count) and the two dedup paths whose oracle was refactored
+    # this session. Everything rotated out is driver-green in r1/r2 and
+    # re-verified every round by tools/check_correctness.py; rows-only
+    # queries register last.
     return {
         # --- driver-recorded window (50) ---
+        # build pipeline + north-rule applications
         "corpus_scan": q.q_corpus_scan,
         "edge_table": q.q_edge_table,
         "vertex_ids": q.q_vertex_ids,
-        "out_degrees": q.q_out_degrees,
-        "spmv_plus_times": q.q_spmv_plus_times,
         "pagerank": q.q_pagerank,
         "connected_components": q.q_connected_components,
-        "fastsv": q.q_fastsv,
-        "filtered_bfs_payload": q.q_filtered_bfs_payload,
-        "bfs_parents": q.q_bfs_parents,
-        "bfs_sigma": q.q_bfs_sigma,
-        "sssp": q.q_sssp,
         "label_propagation": q.q_label_propagation,
         "triangle_count": q.q_triangle_count,
-        "spgemm_aa": q.q_spgemm_aa,
-        "spgemm_phased": q.q_spgemm_phased,
-        "ewise_mult": q.q_ewise_mult,
-        "prune_rect": q.q_prune_rect,
-        "prune_column": q.q_prune_column,
+        # graph/engine operators without a prior driver row
+        "bfs_sigma": q.q_bfs_sigma,
+        "katz_fixed": q.q_katz_fixed,
+        "harmonic2": q.q_harmonic2,
+        "coloring_fixed": q.q_coloring_fixed,
+        "filtered_bfs_payload": q.q_filtered_bfs_payload,
         "matching_fixed": q.q_matching_fixed,
+        "mis_fixed": q.q_mis_fixed,
         "subsref_perm": q.q_subsref_perm,
         "spasgn_general": q.q_spasgn_general,
-        "ewise_scale": q.q_ewise_scale,
-        "colstochastic": q.q_colstochastic,
-        "embed_dups_lsh": q.q_embed_dups_lsh,
-        "spmm_batch": q.q_spmm_batch,
         "randperm_sorted": q.q_randperm_sorted,
-        # new-this-round operators (highest regression risk -> in window)
         "clustering_coeff": q.q_clustering_coeff,
         "kcore_fixed": q.q_kcore_fixed,
         "hits_fixed": q.q_hits_fixed,
-        "katz_fixed": q.q_katz_fixed,
-        "harmonic2": q.q_harmonic2,
         "ppr": q.q_ppr,
         "ktruss_fixed": q.q_ktruss_fixed,
+        "reach2_bool": q.q_reach2_bool,
+        # LLM-data layer without a prior driver row (+ refactored dedup)
+        "embed_dups_lsh": q.q_embed_dups_lsh,
+        "minhash_pairs": q.q_minhash_pairs,
+        "dup_clusters": q.q_dup_clusters,
         "vocab_topk": q.q_vocab_topk,
         "decontaminate": q.q_decontaminate,
         "containment_pairs": q.q_containment_pairs,
         "sample_stratified": q.q_sample_stratified,
         "redact": q.q_redact,
-        # LLM-data layer
         "dedup_exact": q.q_dedup_exact,
         "jaccard_pairs": q.q_jaccard_pairs,
-        "ann_topk": q.q_ann_topk,
-        "clean_corpus": q.q_clean_corpus,
-        "knn_components": q.q_knn_components,
-        "minhash_pairs": q.q_minhash_pairs,
-        "dup_clusters": q.q_dup_clusters,
-        "token_stats": q.q_token_stats,
-        "mis_fixed": q.q_mis_fixed,
-        "coloring_fixed": q.q_coloring_fixed,
-        "quality": q.q_quality,
-        # relational / windowed
+        "fingerprint": q.q_fingerprint,
+        "simhash": q.q_simhash,
+        "ann_lsh": q.q_ann_lsh,
+        # relational / windowed (round-2 verdict: keep driver evidence)
         "tpch_q1": q.q_tpch_q1,
         "tpch_q3": q.q_tpch_q3,
         "tpch_q5": q.q_tpch_q5,
@@ -110,39 +100,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantiles": q.q_events_quantiles,
         "sessions": q.q_sessions,
         "asof_click": q.q_asof_click,
-        # --- past the driver window: oracle-exact, code path covered by an
-        # in-window sibling (locally gated every round) ---
-        "reach2_bool": q.q_reach2_bool,        # bool_or_and semiring (driver-green r2; filtered_bfs_payload uses the same semiring in-window)
-        "reduce_colmax": q.q_reduce_colmax,    # reduce path (driver-green r1+r2; rowmin sibling also out-of-window)
-        "ewise_apply_outer": q.q_ewise_apply_outer,  # null-policy EWise (driver-green r1+r2)
-        "set_difference": q.q_set_difference,  # anti-join (driver-green r1+r2)
-        "kselect2": q.q_kselect2,              # per-column top-k (driver-green r1+r2)
-        "invert_vec": q.q_invert_vec,          # vecops (driver-green r1+r2)
-        "embed_dups": q.q_embed_dups,          # exact 2D-tiled path: embed_dups_lsh
-        "bandwidth": q.q_bandwidth,            # profile composite (stable r1)
-        "rcm": q.q_rcm,                        # ordering path (stable since r1)
-        "top_customers": q.q_top_customers,    # sort+limit (stable r1)
-        "uniq_degrees": q.q_uniq_degrees,      # vecops uniq (stable r1)
-        "in_degrees": q.q_in_degrees,          # reduce path: out_degrees
-        "token_counts_re": q.q_token_counts_re,  # text path: token_stats
-        "langid": q.q_langid,                  # text path: quality
-        "spasgn": q.q_spasgn,                  # special case: spasgn_general
-        "vec_argmin": q.q_vec_argmin,          # vecops path: invert_vec
-        "bfs": q.q_bfs,                        # min_plus_distances path: sssp
-        "subgraph": q.q_subgraph,              # SubsRef special case: subsref_perm
-        "spmv_min_plus": q.q_spmv_min_plus,    # semiring spmv: sssp
-        "reduce_rowmin": q.q_reduce_rowmin,    # reduce path: reduce_colmax
-        "prune_w2": q.q_prune_w2,              # prune path: prune_rect
-        "prune_column_idx": q.q_prune_column_idx,  # path: prune_column
-        "masked_colsums": q.q_masked_colsums,  # reduce path: colstochastic
-        "vec_ewise_add": q.q_vec_ewise_add,    # vecops path: invert_vec
-        "sample_edges": q.q_sample_edges,      # hash path: randperm_edges
-        "randperm_edges": q.q_randperm_edges,  # modular-relabel map (trivial)
-        "dedup_exact_digest": q.q_dedup_exact_digest,  # digest key: dedup_exact
+        "top_customers": q.q_top_customers,
+        "uniq_degrees": q.q_uniq_degrees,
+        "dedup_exact_digest": q.q_dedup_exact_digest,
+        # --- past the driver window: oracle-exact, driver-green in r1/r2
+        # and/or covered by an in-window sibling (locally gated every
+        # round by tools/check_correctness.py) ---
+        "out_degrees": q.q_out_degrees,
+        "in_degrees": q.q_in_degrees,
+        "spmv_plus_times": q.q_spmv_plus_times,
+        "spmv_min_plus": q.q_spmv_min_plus,
+        "fastsv": q.q_fastsv,
+        "bfs": q.q_bfs,
+        "bfs_parents": q.q_bfs_parents,
+        "sssp": q.q_sssp,
+        "spgemm_aa": q.q_spgemm_aa,
+        "spgemm_phased": q.q_spgemm_phased,
+        "ewise_mult": q.q_ewise_mult,
+        "ewise_scale": q.q_ewise_scale,
+        "ewise_apply_outer": q.q_ewise_apply_outer,
+        "set_difference": q.q_set_difference,
+        "kselect2": q.q_kselect2,
+        "reduce_colmax": q.q_reduce_colmax,
+        "reduce_rowmin": q.q_reduce_rowmin,
+        "prune_rect": q.q_prune_rect,
+        "prune_w2": q.q_prune_w2,
+        "prune_column": q.q_prune_column,
+        "prune_column_idx": q.q_prune_column_idx,
+        "masked_colsums": q.q_masked_colsums,
+        "colstochastic": q.q_colstochastic,
+        "spmm_batch": q.q_spmm_batch,
+        "subgraph": q.q_subgraph,
+        "spasgn": q.q_spasgn,
+        "invert_vec": q.q_invert_vec,
+        "vec_ewise_add": q.q_vec_ewise_add,
+        "vec_argmin": q.q_vec_argmin,
+        "sample_edges": q.q_sample_edges,
+        "randperm_edges": q.q_randperm_edges,
+        "ann_topk": q.q_ann_topk,
+        "clean_corpus": q.q_clean_corpus,
+        "knn_components": q.q_knn_components,
+        "token_stats": q.q_token_stats,
+        "token_counts_re": q.q_token_counts_re,
+        "langid": q.q_langid,
+        "quality": q.q_quality,
+        "embed_dups": q.q_embed_dups,
+        "bandwidth": q.q_bandwidth,
+        "rcm": q.q_rcm,
         # rows-only / iterative-hash pipelines (pytest-invariant-backed)
-        "fingerprint": q.q_fingerprint,
-        "simhash": q.q_simhash,
-        "ann_lsh": q.q_ann_lsh,
         "ann_ivf": q.q_ann_ivf,
         "mis": q.q_mis,
         "matching": q.q_matching,
