@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppr": q.q_ppr,
         "ktruss_fixed": q.q_ktruss_fixed,
         "reach2_bool": q.q_reach2_bool,
+        "link_predict_cn": q.q_link_predict_cn,
         # LLM-data layer without a prior driver row (+ refactored dedup)
         "embed_dups_lsh": q.q_embed_dups_lsh,
         "minhash_pairs": q.q_minhash_pairs,
@@ -102,10 +103,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_click": q.q_asof_click,
         "top_customers": q.q_top_customers,
         "uniq_degrees": q.q_uniq_degrees,
-        "dedup_exact_digest": q.q_dedup_exact_digest,
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
+        "dedup_exact_digest": q.q_dedup_exact_digest,  # same SQL: dedup_exact
         "out_degrees": q.q_out_degrees,
         "in_degrees": q.q_in_degrees,
         "spmv_plus_times": q.q_spmv_plus_times,
@@ -217,6 +218,7 @@ def oracle_sql() -> dict[str, str]:
         "hits_fixed": o.hits_fixed(q.HITS_ITERS),
         "katz_fixed": o.katz_fixed(q.KATZ_ITERS, q.KATZ_ALPHA),
         "harmonic2": o.harmonic2(),
+        "link_predict_cn": o.link_predict_cn(q.LP_CN_TOPK, q.LP_CN_MIN),
         "ppr": o.ppr(q.PPR_ITERS, seed_mod=q.PPR_SEED_MOD),
         "ktruss_fixed": o.ktruss_fixed(q.KTRUSS_K, q.KTRUSS_ROUNDS),
         "vocab_topk": o.vocab_topk(q.VOCAB_K),

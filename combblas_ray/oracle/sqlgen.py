@@ -170,6 +170,40 @@ LEFT JOIN c2t ON c2t.i = v.i
 """
 
 
+@_materialized
+def link_predict_cn(topk: int = 100, min_cn: int = 2) -> str:
+    """Common-neighbors link prediction on DENSE ids (pair orientation
+    and tie-breaks must match the engine's label-rank id space — twin of
+    `queries.q_link_predict_cn`)."""
+    return PREFIX + f"""
+, dense AS (
+  SELECT i, row_number() OVER (ORDER BY label) - 1 AS d, label FROM verts
+),
+du AS (
+  SELECT ds.d AS u, dd.d AS v
+  FROM edges e JOIN dense ds ON ds.i = e.src JOIN dense dd ON dd.i = e.dst
+  UNION
+  SELECT dd.d, ds.d
+  FROM edges e JOIN dense ds ON ds.i = e.src JOIN dense dd ON dd.i = e.dst
+),
+cn AS (
+  SELECT x.u AS a, y.v AS b, count(*) AS c
+  FROM du x JOIN du y ON x.v = y.u
+  WHERE x.u < y.v
+  GROUP BY 1, 2
+),
+cn2 AS (
+  SELECT a, b, c FROM cn
+  WHERE c >= {min_cn}
+    AND NOT EXISTS (SELECT 1 FROM du e WHERE e.u = cn.a AND e.v = cn.b)
+)
+SELECT da.label AS a, db.label AS b, CAST(c.c AS BIGINT) AS cn
+FROM cn2 c JOIN dense da ON da.d = c.a JOIN dense db ON db.d = c.b
+ORDER BY c.c DESC, c.a ASC, c.b ASC
+LIMIT {topk}
+"""
+
+
 def pagerank(iters: int = 10, damping: float = 0.85) -> str:
     d = damping
     sql = PREFIX + f"""

@@ -183,6 +183,58 @@ def harmonic2_table(ctx):
     })
 
 
+LP_CN_TOPK = 100
+LP_CN_MIN = 2
+
+
+def q_link_predict_cn(sf_dir: str):
+    """Common-neighbors link prediction: for every non-adjacent vertex
+    pair (a < b) with >= LP_CN_MIN shared neighbors, the shared-neighbor
+    count (integer-exact), top-LP_CN_TOPK by (cn DESC, a, b). One
+    add='sum' structural SpGEMM (wedge multiplicity = common-neighbor
+    count) + the anti coordinate mask; the i<j/threshold cut is fused
+    into the count partial; global top-k via sort+limit on the
+    thresholded survivors."""
+    return link_predict_cn_table(get_context(sf_dir))
+
+
+def link_predict_cn_table(ctx):
+    g = ctx.graph("sym")
+    n = ctx.n
+    from ..core import spgemm as SG
+
+    c1 = ctx.engine("sym").in_weights().astype(np.int64)
+    wedges = float((c1.astype(np.float64) ** 2).sum())
+    gp = int(max(8, min(64, np.ceil(wedges / 1.5e6))))
+    # structural distinct-pair cast: the lazy sym view is A union A^T
+    # WITHOUT dedup (bidirectional edges appear twice; block build
+    # normally dedups), and add='sum' must count WEDGES — 1 per distinct
+    # common neighbor — so dedup first, then w := 1
+    be = g.dedup_sum().cast_bool().edges
+    cn = SG.spgemm_tasks(be, be, n, add="sum", num_partitions=gp)
+    cn = SG.coordinate_mask(cn, g.edges, n, anti=True, num_partitions=gp)
+
+    def _cut(b: pa.Table) -> pa.Table:
+        s = np.asarray(b.column("src"))
+        d = np.asarray(b.column("dst"))
+        w = np.asarray(b.column("w"))
+        keep = (s < d) & (w >= LP_CN_MIN)
+        return pa.table({"a": pa.array(s[keep]), "b": pa.array(d[keep]),
+                         "cn": pa.array(w[keep].astype(np.int64))})
+
+    top = (cn.map_batches(_cut, batch_format="pyarrow")
+             .sort(["cn", "a", "b"], descending=[True, False, False])
+             .limit(LP_CN_TOPK).to_pandas())
+    lab = np.asarray(ctx.labels)
+    return pa.table({
+        "a": pa.array(lab[top["a"].to_numpy(dtype=np.int64)],
+                      type=pa.string()),
+        "b": pa.array(lab[top["b"].to_numpy(dtype=np.int64)],
+                      type=pa.string()),
+        "cn": pa.array(top["cn"].to_numpy(dtype=np.int64)),
+    })
+
+
 def q_pagerank(sf_dir: str):
     ctx = get_context(sf_dir)
     eng = ctx.engine("directed")

@@ -714,3 +714,26 @@ def test_harmonic2_vs_brute(ctx500, und500):
     assert np.array_equal(np.asarray(out.column("c2")), bc2)
     assert np.array_equal(np.asarray(out.column("harmonic")),
                           bc1 + 0.5 * bc2)
+
+
+def test_link_predict_cn_vs_brute(ctx500, und500):
+    from combblas_ray.pipelines.queries import (LP_CN_MIN, LP_CN_TOPK,
+                                                link_predict_cn_table)
+
+    A = und500.astype(np.float64)
+    CN = (A @ A).astype(np.int64)
+    np.fill_diagonal(CN, 0)
+    lab = np.asarray(ctx500.labels)
+    want = []
+    iu, ju = np.triu_indices(ctx500.n, k=1)
+    for i, j in zip(iu, ju):
+        if und500[i, j] == 0 and CN[i, j] >= LP_CN_MIN:
+            want.append((-CN[i, j], i, j))
+    want = sorted(want)[:LP_CN_TOPK]
+    want = [(lab[i], lab[j], -c) for c, i, j in want]
+
+    out = link_predict_cn_table(ctx500)
+    got = list(zip(np.asarray(out.column("a")).tolist(),
+                   np.asarray(out.column("b")).tolist(),
+                   np.asarray(out.column("cn")).tolist()))
+    assert got == want
