@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": q.q_minhash_pairs,
         "dup_clusters": q.q_dup_clusters,
         "vocab_topk": q.q_vocab_topk,
+        "countmin": q.q_countmin,
         "decontaminate": q.q_decontaminate,
         "containment_pairs": q.q_containment_pairs,
         "sample_stratified": q.q_sample_stratified,
@@ -102,11 +103,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": q.q_sessions,
         "asof_click": q.q_asof_click,
         "top_customers": q.q_top_customers,
-        "uniq_degrees": q.q_uniq_degrees,
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
         "dedup_exact_digest": q.q_dedup_exact_digest,  # same SQL: dedup_exact
+        "uniq_degrees": q.q_uniq_degrees,  # r1-green vecops uniq
         "out_degrees": q.q_out_degrees,
         "in_degrees": q.q_in_degrees,
         "spmv_plus_times": q.q_spmv_plus_times,
@@ -222,6 +223,7 @@ def oracle_sql() -> dict[str, str]:
         "ppr": o.ppr(q.PPR_ITERS, seed_mod=q.PPR_SEED_MOD),
         "ktruss_fixed": o.ktruss_fixed(q.KTRUSS_K, q.KTRUSS_ROUNDS),
         "vocab_topk": o.vocab_topk(q.VOCAB_K),
+        "countmin": o.countmin(),
         "decontaminate": o.decontaminate(q.DECON_MOD),
         "sample_stratified": o.sample_stratified(),
         "redact": o.redact(),

@@ -20,7 +20,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..core.shuffle import group_apply_tasks
+from ..core.shuffle import group_apply_tasks, group_sum_per_key
 
 LANG_MARKERS = {
     "de": "sort",
@@ -218,6 +218,83 @@ def vocab_topk(docs_ds, k: int = 100,
     tok = np.asarray(t.column("tok")).astype(str)
     cnt = np.asarray(t.column("cnt"), dtype=np.int64)
     return _topk_table(tok, cnt, k)
+
+
+CM_D = 4  # sketch depth (hash rows)
+CM_W = 512  # sketch width per row (power of two -> bucket = slice & mask)
+
+
+def _cm_local(batch: pa.Table) -> pa.Table:
+    """Per-batch partial Count-Min sketch as (r, b, cnt) rows: local
+    token value_counts, md5-low-64 per DISTINCT token (hashed once, not
+    per occurrence), row r's bucket = bits [16r, 16r+9) of the hash."""
+    vc = pc.list_flatten(tokens_list(batch)).value_counts()
+    uniq = np.asarray(vc.field("values")).astype(str)
+    counts = np.asarray(vc.field("counts"), dtype=np.int64)
+    hu = np.fromiter((md5_lower64(t) for t in uniq), dtype=np.uint64,
+                     count=len(uniq))
+    rs, bs, cs = [], [], []
+    for r in range(CM_D):
+        b = ((hu >> np.uint64(16 * r)) & np.uint64(CM_W - 1)).astype(
+            np.int64)
+        tab = np.zeros(CM_W, dtype=np.int64)
+        np.add.at(tab, b, counts)
+        nz = np.nonzero(tab)[0]
+        rs.append(np.full(len(nz), r, dtype=np.int64))
+        bs.append(nz)
+        cs.append(tab[nz])
+    return pa.table({
+        "r": pa.array(np.concatenate(rs) if rs else
+                      np.empty(0, dtype=np.int64)),
+        "b": pa.array(np.concatenate(bs) if bs else
+                      np.empty(0, dtype=np.int64)),
+        "cnt": pa.array(np.concatenate(cs) if cs else
+                        np.empty(0, dtype=np.int64)),
+    })
+
+
+def _cm_merge(t: pa.Table) -> pa.Table:
+    key = (np.asarray(t.column("r"), dtype=np.int64) * CM_W
+           + np.asarray(t.column("b"), dtype=np.int64))
+    uk, s = group_sum_per_key(
+        np.asarray(t.column("cnt"), dtype=np.float64), key)
+    return pa.table({
+        "r": pa.array(uk // CM_W),
+        "b": pa.array(uk % CM_W),
+        "cnt": pa.array(s.astype(np.int64)),
+    })
+
+
+def countmin_sketch(docs_ds):
+    """Count-Min sketch of corpus token frequencies (Cormode-Muthukrishnan
+    sketch; depth CM_D, width CM_W). The sketch is LINEAR, so it builds
+    as per-batch partial sketches merged by plain + — one streaming
+    map_batches pass and a keyed reduce of at most CM_D*CM_W rows; no
+    token strings survive the shuffle. Hash rows are byte slices of the
+    md5-low-64 token hash (DuckDB-reproducible: md5_number_lower >> 16r
+    & 511, same trick as `fingerprint`/`simhash`). Returns a Dataset
+    (r, b, cnt) of nonzero sketch cells; exact integers, so the whole
+    sketch is oracle-hashable. Point estimates via `countmin_estimate`."""
+    partials = docs_ds.map_batches(_cm_local, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    return group_apply_tasks(partials, ["r", "b"], _cm_merge)
+
+
+def countmin_estimate(sketch: pa.Table, tokens: list) -> np.ndarray:
+    """est(token) = min over rows of the token's bucket count (the CM
+    upper-bound estimator: est >= true, est <= true + eps*N w.h.p.)."""
+    tab = np.zeros((CM_D, CM_W), dtype=np.int64)
+    tab[np.asarray(sketch.column("r"), dtype=np.int64),
+        np.asarray(sketch.column("b"), dtype=np.int64)] = np.asarray(
+        sketch.column("cnt"), dtype=np.int64)
+    hu = np.fromiter((md5_lower64(t) for t in tokens), dtype=np.uint64,
+                     count=len(tokens))
+    ests = np.full(len(tokens), np.iinfo(np.int64).max, dtype=np.int64)
+    for r in range(CM_D):
+        b = ((hu >> np.uint64(16 * r)) & np.uint64(CM_W - 1)).astype(
+            np.int64)
+        ests = np.minimum(ests, tab[r, b])
+    return ests
 
 
 # ---------------------------------------------------------------------------

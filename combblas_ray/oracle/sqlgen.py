@@ -1686,6 +1686,23 @@ FROM verts vt JOIN {prev} x ON x.i = vt.i
     return sql
 
 
+def countmin(d: int = 4, w: int = 512) -> str:
+    """The identical Count-Min sketch rebuilt in SQL: row r's bucket =
+    (md5_number_lower(tok) >> 16r) & (w-1) (twin of
+    `queries.q_countmin`)."""
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+h AS MATERIALIZED (SELECT md5_number_lower(tok) AS h FROM toks),
+rb AS (
+  SELECT rr.r AS r, CAST((h.h >> (16 * rr.r)) & {w - 1} AS BIGINT) AS b
+  FROM h CROSS JOIN generate_series(0, {d - 1}) rr(r)
+)
+SELECT r, b, count(*) AS cnt FROM rb GROUP BY r, b
+"""
+
+
 def vocab_topk(k: int = 100) -> str:
     return f"""
 WITH tok AS MATERIALIZED (

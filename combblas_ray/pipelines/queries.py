@@ -1100,6 +1100,14 @@ def q_jaccard_pairs(sf_dir: str):
     return D.jaccard_pairs(_docs(sf_dir), tau=0.5)
 
 
+def q_countmin(sf_dir: str):
+    """Count-Min sketch of corpus token frequencies — the full (r, b,
+    cnt) sketch table (exact integers; see `text.countmin_sketch`)."""
+    from ..functions import text as T
+
+    return T.countmin_sketch(_docs(sf_dir))
+
+
 DUP_CLUSTER_ROUNDS = 6
 
 

@@ -737,3 +737,34 @@ def test_link_predict_cn_vs_brute(ctx500, und500):
                    np.asarray(out.column("b")).tolist(),
                    np.asarray(out.column("cn")).tolist()))
     assert got == want
+
+
+def test_countmin_sketch_vs_brute(docs, doc_rows):
+    from collections import Counter
+
+    from combblas_ray.functions.text import (CM_D, CM_W, countmin_estimate,
+                                             countmin_sketch, md5_lower64)
+
+    true = Counter()
+    for r in doc_rows:
+        true.update(r["text"].split(" "))
+
+    import pyarrow as pa
+
+    tab = pa.Table.from_pandas(countmin_sketch(docs).to_pandas())
+    # brute sketch
+    want = np.zeros((CM_D, CM_W), dtype=np.int64)
+    for tok, c in true.items():
+        h = md5_lower64(tok)
+        for r in range(CM_D):
+            want[r, (h >> (16 * r)) & (CM_W - 1)] += c
+    got = np.zeros((CM_D, CM_W), dtype=np.int64)
+    got[np.asarray(tab.column("r")), np.asarray(tab.column("b"))] = \
+        np.asarray(tab.column("cnt"))
+    assert np.array_equal(got, want)
+    # estimator invariants: est >= true for every token; exact for most
+    toks = list(true)[:200]
+    est = countmin_estimate(tab, toks)
+    tru = np.array([true[t] for t in toks])
+    assert (est >= tru).all()
+    assert (est <= tru + int(0.02 * sum(true.values()))).all()
