@@ -99,15 +99,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_corr_stats": q.q_degree_corr_stats,
         "funnel": q.q_funnel,
         "events_hourly": q.q_events_hourly,
+        "events_sliding": q.q_events_sliding,
         "events_quantiles": q.q_events_quantiles,
         "sessions": q.q_sessions,
         "asof_click": q.q_asof_click,
-        "top_customers": q.q_top_customers,
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
         "dedup_exact_digest": q.q_dedup_exact_digest,  # same SQL: dedup_exact
         "uniq_degrees": q.q_uniq_degrees,  # r1-green vecops uniq
+        "top_customers": q.q_top_customers,  # r1-green sort+limit
         "out_degrees": q.q_out_degrees,
         "in_degrees": q.q_in_degrees,
         "spmv_plus_times": q.q_spmv_plus_times,
@@ -202,6 +203,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel": o.funnel(),
         "top_customers": o.top_customers(),
         "events_hourly": o.events_hourly(),
+        "events_sliding": o.events_sliding(q.SLIDE_WIN_H),
         "token_stats": o.token_stats(),
         "langid": o.langid(),
         "quality": o.quality(),

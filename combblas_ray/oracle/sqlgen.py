@@ -552,6 +552,15 @@ FROM events GROUP BY 1, 2
 """
 
 
+def events_sliding(win_h: int = 2) -> str:
+    return f"""
+SELECT date_trunc('hour', ts) - k.k * INTERVAL 1 HOUR AS win, event_type,
+       count(*) AS cnt, round(sum(value), 6) AS sum_value
+FROM events CROSS JOIN generate_series(0, {win_h - 1}) k(k)
+GROUP BY 1, 2
+"""
+
+
 def token_stats() -> str:
     return """
 SELECT doc_id,

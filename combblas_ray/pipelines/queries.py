@@ -705,6 +705,64 @@ def q_events_hourly(sf_dir: str):
     return group_apply_tasks(part, ["hour", "event_type"], _final)
 
 
+SLIDE_WIN_H = 2  # window length (hours); hop is fixed at 1h
+
+
+def q_events_sliding(sf_dir: str):
+    """HOPPING window aggregate: 2h windows sliding by 1h — every event
+    lands in SLIDE_WIN_H windows (window_start in {trunc(ts)-1h,
+    trunc(ts)}), the complement of the tumbling `events_hourly`. The
+    window replication happens inside the per-batch combiner (one
+    concat_tables of shifted hour keys), so the shuffle still moves only
+    (window, type) partials."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    from ..core.shuffle import group_apply_tasks
+
+    def _p(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        reps = []
+        for k in range(SLIDE_WIN_H):
+            w = pc.subtract(
+                hour, pa.scalar(k * 3600_000_000, type=pa.duration("us"))
+            )
+            reps.append(pa.table({
+                "win": w,
+                "event_type": batch.column("event_type"),
+                "value": batch.column("value"),
+            }))
+        t = pa.concat_tables(reps)
+        g = t.group_by(["win", "event_type"]).aggregate(
+            [("value", "count"), ("value", "sum")]
+        )
+        return pa.table({
+            "win": g.column("win"),
+            "event_type": g.column("event_type"),
+            "cnt": g.column("value_count"),
+            "sum_value": g.column("value_sum"),
+        })
+
+    def _final(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["win", "event_type"]).aggregate(
+            [("cnt", "sum"), ("sum_value", "sum")]
+        )
+        return pa.table({
+            "win": g.column("win"),
+            "event_type": g.column("event_type"),
+            "cnt": g.column("cnt_sum"),
+            "sum_value": pa.array(np.round(
+                np.asarray(g.column("sum_value_sum"), dtype=np.float64),
+                6)),
+        })
+
+    part = ds.map_batches(_p, batch_format="pyarrow", zero_copy_batch=True)
+    return group_apply_tasks(part, ["win", "event_type"], _final)
+
+
 TPCH_Q3_SEG = "BUILDING"
 TPCH_Q3_DATE = (1998, 1, 1)
 

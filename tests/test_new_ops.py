@@ -768,3 +768,31 @@ def test_countmin_sketch_vs_brute(docs, doc_rows):
     tru = np.array([true[t] for t in toks])
     assert (est >= tru).all()
     assert (est <= tru + int(0.02 * sum(true.values()))).all()
+
+
+def test_events_sliding_vs_brute(ray_session):
+    import pandas as pd
+
+    from combblas_ray.pipelines.queries import q_events_sliding
+
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+    hour = ev.ts.dt.floor("h")
+    frames = []
+    for k in range(2):
+        frames.append(pd.DataFrame({
+            "win": hour - pd.Timedelta(hours=k),
+            "event_type": ev.event_type, "value": ev.value}))
+    allw = pd.concat(frames)
+    want = (allw.groupby(["win", "event_type"])
+            .agg(cnt=("value", "size"), sum_value=("value", "sum"))
+            .reset_index())
+    want["sum_value"] = want["sum_value"].round(6)
+    out = q_events_sliding(SF).to_pandas()
+    a = out.sort_values(["win", "event_type"]).reset_index(drop=True)
+    b = want.sort_values(["win", "event_type"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a[["win", "event_type", "cnt", "sum_value"]], b, check_dtype=False,
+        atol=1e-9)
+    # every event is in exactly 2 windows: total count doubles hourly's
+    assert out.cnt.sum() == 2 * len(ev)
