@@ -50,7 +50,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- driver-recorded window (50) ---
         # build pipeline + north-rule applications
-        "corpus_scan": q.q_corpus_scan,
         "edge_table": q.q_edge_table,
         "vertex_ids": q.q_vertex_ids,
         "pagerank": q.q_pagerank,
@@ -59,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": q.q_triangle_count,
         # graph/engine operators without a prior driver row
         "bfs_sigma": q.q_bfs_sigma,
+        "msbfs": q.q_msbfs,
         "katz_fixed": q.q_katz_fixed,
         "harmonic2": q.q_harmonic2,
         "coloring_fixed": q.q_coloring_fixed,
@@ -81,15 +81,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": q.q_dup_clusters,
         "vocab_topk": q.q_vocab_topk,
         "countmin": q.q_countmin,
+        "bigram_novelty": q.q_bigram_novelty,
         "decontaminate": q.q_decontaminate,
         "containment_pairs": q.q_containment_pairs,
         "sample_stratified": q.q_sample_stratified,
         "redact": q.q_redact,
-        "dedup_exact": q.q_dedup_exact,
         "jaccard_pairs": q.q_jaccard_pairs,
         "fingerprint": q.q_fingerprint,
         "simhash": q.q_simhash,
-        "ann_lsh": q.q_ann_lsh,
         # relational / windowed (round-2 verdict: keep driver evidence)
         "tpch_q1": q.q_tpch_q1,
         "tpch_q3": q.q_tpch_q3,
@@ -101,11 +100,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": q.q_events_hourly,
         "events_sliding": q.q_events_sliding,
         "events_quantiles": q.q_events_quantiles,
+        "events_outliers": q.q_events_outliers,
         "sessions": q.q_sessions,
         "asof_click": q.q_asof_click,
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
+        "corpus_scan": q.q_corpus_scan,  # r1+r2-green build scan
+        "dedup_exact": q.q_dedup_exact,  # r1+r2-green; digest twin below
+        "ann_lsh": q.q_ann_lsh,  # plane-literal LSH: embed_dups_lsh in-window
         "dedup_exact_digest": q.q_dedup_exact_digest,  # same SQL: dedup_exact
         "uniq_degrees": q.q_uniq_degrees,  # r1-green vecops uniq
         "top_customers": q.q_top_customers,  # r1-green sort+limit
@@ -226,14 +229,17 @@ def oracle_sql() -> dict[str, str]:
         "ktruss_fixed": o.ktruss_fixed(q.KTRUSS_K, q.KTRUSS_ROUNDS),
         "vocab_topk": o.vocab_topk(q.VOCAB_K),
         "countmin": o.countmin(),
+        "bigram_novelty": o.bigram_novelty(),
         "decontaminate": o.decontaminate(q.DECON_MOD),
         "sample_stratified": o.sample_stratified(),
         "redact": o.redact(),
         "events_quantiles": o.events_quantiles(),
+        "events_outliers": o.events_outliers(),
         "containment_pairs": o.containment_pairs(q.CONT_TAU),
         "matching_fixed": o.matching_fixed(q.MATCH_ROUNDS),
         "bfs_parents": o.bfs_parents("m_0", q.BFS_ITERS),
         "bfs_sigma": o.bfs_sigma("m_0", q.BFS_ITERS),
+        "msbfs": o.msbfs(q.MSBFS_MOD, q.BFS_ITERS),
         "colstochastic": o.colstochastic(),
         "masked_colsums": o.masked_colsums(),
         "ewise_apply_outer": o.ewise_apply_outer(),

@@ -343,6 +343,36 @@ FROM distf d JOIN sig s ON s.i = d.i JOIN verts v ON v.i = d.i
 
 
 @_materialized
+def msbfs(mod: int = 97, iters: int = 12) -> str:
+    """Multi-source BFS distances (nearest seed, seeds = i %% mod == 0)
+    — the `bfs_distance` chain with a seed-set d0 (twin of
+    `queries.q_msbfs`)."""
+    sql = PREFIX + f"""
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+d0 AS (SELECT i, 0 AS dist FROM verts WHERE i % {mod} = 0)
+"""
+    prev = "d0"
+    for k in range(1, iters + 1):
+        sql += f"""
+, d{k} AS (
+  SELECT i, min(dist) AS dist FROM (
+    SELECT i, dist FROM {prev}
+    UNION ALL
+    SELECT u.dst AS i, dp.dist + 1 AS dist
+    FROM und u JOIN {prev} dp ON dp.i = u.src
+  ) GROUP BY i
+)"""
+        prev = f"d{k}"
+    sql += f"""
+SELECT v.label AS label, CAST(d.dist AS BIGINT) AS dist
+FROM {prev} d JOIN verts v ON v.i = d.i
+"""
+    return sql
+
+
+@_materialized
 def sssp(root_label: str = "m_0", iters: int = 15) -> str:
     """Unrolled Bellman-Ford on the DIRECTED graph with integer lengths
     len(u,v) = 1 + (u + 2v) % 7; reached vertices only."""
@@ -2001,6 +2031,39 @@ buck AS (
    AND d.cnt <  (CAST(1 AS BIGINT) << (p.k + 1))
 )
 SELECT bucket, count(*) AS n_vertices FROM buck GROUP BY bucket
+"""
+
+
+def events_outliers() -> str:
+    """Per-type counts above the exact discrete p99 (twin of
+    `queries.q_events_outliers`; types with no outliers omitted)."""
+    return """
+WITH q AS (
+  SELECT event_type, quantile_disc(value, 0.99) AS p99
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type AS event_type, q.p99 AS p99,
+       count(*) AS n_above
+FROM events e JOIN q USING (event_type)
+WHERE e.value > q.p99
+GROUP BY e.event_type, q.p99
+"""
+
+
+def bigram_novelty() -> str:
+    """Per-doc count of globally unique distinct bigrams (df == 1; twin
+    of `queries.q_bigram_novelty`)."""
+    return """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+bg AS MATERIALIZED (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, len(t)), i -> t[i] || ' ' || t[i+1]
+  ))) AS s FROM toks
+),
+df AS (SELECT s, count(*) AS c, min(doc_id) AS d FROM bg GROUP BY s)
+SELECT d AS doc_id, count(*) AS n_unique FROM df WHERE c = 1 GROUP BY d
 """
 
 

@@ -203,6 +203,27 @@ def min_plus_distances(
     return engine.unchunk(d)
 
 
+def _seed_init(bounds, seeds):
+    s, e = bounds
+    d = np.full(e - s, np.inf)
+    local = seeds[(seeds >= s) & (seeds < e)] - s
+    d[local] = 0.0
+    return d
+
+
+def msbfs_distances(engine: SpmvEngine, seeds: np.ndarray,
+                    iters: int = 12) -> np.ndarray:
+    """Multi-source BFS: distance to the NEAREST seed within ``iters``
+    hops (min over seeds) — `min_plus_distances` with a seed-SET init
+    (the multi-root pattern of the reference's batched BFS drivers).
+    One fused min_plus SpMV + min round per level; unreached = +inf."""
+    seeds = np.asarray(seeds, dtype=np.int64)
+    d = engine.map_chunks_i(partial(_seed_init, seeds=seeds))
+    for _ in range(iters):
+        d = engine.spmv_apply_refs(d, "min_plus", _min2_b, 1, d)[0]
+    return engine.unchunk(d)
+
+
 def fastsv(engine: SpmvEngine, max_iters: int = 200) -> tuple[np.ndarray, int]:
     """FastSV connected components (``FastSV.h:335-374``), with the
     reference's primitive structure mapped to distributed ops:

@@ -303,6 +303,25 @@ def q_bfs_sigma(sf_dir: str):
     )
 
 
+MSBFS_MOD = 97
+
+
+def q_msbfs(sf_dir: str):
+    """Multi-source BFS: hop distance to the nearest seed (arith %% 97
+    == 0) within BFS_ITERS levels over the undirected structural graph
+    (see `alg.msbfs_distances`). Unreached vertices are omitted."""
+    ctx = get_context(sf_dir)
+    seeds = np.nonzero(np.asarray(ctx.arith) % MSBFS_MOD == 0)[0]
+    d = alg.msbfs_distances(ctx.engine("sym"), seeds, iters=BFS_ITERS)
+    ids = np.nonzero(np.isfinite(d))[0]
+    return pa.table(
+        {
+            "label": _label_col(ctx, ids),
+            "dist": pa.array(d[ids].astype(np.int64)),
+        }
+    )
+
+
 def q_sssp(sf_dir: str):
     ctx = get_context(sf_dir)
     root = int(np.searchsorted(ctx.labels, "m_1"))
@@ -1156,6 +1175,98 @@ def q_jaccard_pairs(sf_dir: str):
     from ..functions import dedup as D
 
     return D.jaccard_pairs(_docs(sf_dir), tau=0.5)
+
+
+def q_events_outliers(sf_dir: str):
+    """Per-type outlier counts: events with value strictly above the
+    type's exact discrete p99 — quantile + filter fused into ONE keyed
+    shuffle pass (all of a type's rows co-locate; the kernel sorts once
+    and counts the tail). Types with no outliers are omitted."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def _kernel(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "event_type": pa.array([], type=pa.string()),
+            "p99": pa.array([], type=pa.float64()),
+            "n_above": pa.array([], type=pa.int64()),
+        })
+        if t.num_rows == 0 or "event_type" not in t.column_names:
+            return empty
+        et = np.asarray(t.column("event_type")).astype(str)
+        val = np.asarray(t.column("value"), dtype=np.float64)
+        order = np.lexsort((val, et))
+        et, val = et[order], val[order]
+        keys, starts, cnts = np.unique(et, return_index=True,
+                                       return_counts=True)
+        idx = starts + np.minimum(
+            cnts - 1, np.ceil(0.99 * cnts).astype(np.int64) - 1)
+        p99 = val[idx]
+        # count strictly above p99 per group (few groups; per-group
+        # searchsorted on the already-sorted slice)
+        ends = starts + cnts
+        above = np.array([
+            int(cnts[i]) - int(np.searchsorted(
+                val[starts[i]:ends[i]], p99[i], side="right"))
+            for i in range(len(keys))
+        ], dtype=np.int64)
+        keep = above > 0
+        return pa.table({
+            "event_type": pa.array(keys[keep].tolist(), type=pa.string()),
+            "p99": pa.array(p99[keep]),
+            "n_above": pa.array(above[keep]),
+        })
+
+    return group_apply_tasks(ds, ["event_type"], _kernel)
+
+
+def q_bigram_novelty(sf_dir: str):
+    """Per-document novelty: the number of distinct bigrams that occur
+    in NO other document (global df == 1) — a cheap document-uniqueness
+    signal for dedup triage. Distinct per-doc bigrams ride the shared
+    vectorized shingle kernel (k=2); df counting and the df==1 cut fuse
+    into one bigram-keyed shuffle, then one tiny per-doc count reduce.
+    Docs with no unique bigram are omitted."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks, group_sum_per_key
+    from ..functions.dedup import _flat_distinct_shingles
+
+    docs = _docs(sf_dir)
+
+    def _bg(batch: pa.Table) -> pa.Table:
+        sh, pos = _flat_distinct_shingles(batch, k=2)
+        did = np.asarray(batch.column("doc_id"), dtype=np.int64)[pos]
+        return pa.table({"s": pa.array(sh, type=pa.string()),
+                         "doc_id": pa.array(did)})
+
+    def _df1(t: pa.Table) -> pa.Table:
+        s = np.asarray(t.column("s")).astype(str)
+        did = np.asarray(t.column("doc_id"), dtype=np.int64)
+        order = np.argsort(s, kind="stable")
+        s, did = s[order], did[order]
+        uniq, starts, cnts = np.unique(s, return_index=True,
+                                       return_counts=True)
+        solo = starts[cnts == 1]
+        uk, c = group_sum_per_key(np.ones(len(solo)), did[solo])
+        return pa.table({"doc_id": pa.array(uk),
+                         "n_unique": pa.array(c.astype(np.int64))})
+
+    def _merge(t: pa.Table) -> pa.Table:
+        uk, c = group_sum_per_key(
+            np.asarray(t.column("n_unique"), dtype=np.float64),
+            np.asarray(t.column("doc_id"), dtype=np.int64))
+        return pa.table({"doc_id": pa.array(uk),
+                         "n_unique": pa.array(c.astype(np.int64))})
+
+    part = group_apply_tasks(
+        docs.map_batches(_bg, batch_format="pyarrow"), ["s"], _df1)
+    return group_apply_tasks(part, ["doc_id"], _merge)
 
 
 def q_countmin(sf_dir: str):

@@ -796,3 +796,65 @@ def test_events_sliding_vs_brute(ray_session):
         atol=1e-9)
     # every event is in exactly 2 windows: total count doubles hourly's
     assert out.cnt.sum() == 2 * len(ev)
+
+
+def test_msbfs_vs_brute(ctx500, und500):
+    from combblas_ray.pipelines import algorithms as alg
+
+    n = ctx500.n
+    seeds = np.nonzero(np.asarray(ctx500.arith) % 11 == 0)[0]
+    dist = np.full(n, np.inf)
+    dist[seeds] = 0.0
+    for _ in range(12):
+        # relax: min over neighbors of d+1
+        cand = np.full(n, np.inf)
+        for v in range(n):
+            nb = np.nonzero(und500[v])[0]
+            if len(nb):
+                cand[v] = dist[nb].min() + 1
+        dist = np.minimum(dist, cand)
+    got = alg.msbfs_distances(ctx500.engine("sym"), seeds, iters=12)
+    assert np.array_equal(np.isfinite(got), np.isfinite(dist))
+    f = np.isfinite(dist)
+    assert np.array_equal(got[f], dist[f])
+
+
+def test_events_outliers_vs_brute(ray_session):
+    import pandas as pd
+
+    from combblas_ray.pipelines.queries import q_events_outliers
+
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "value"])
+    want = {}
+    for et, g in ev.groupby("event_type"):
+        s = np.sort(g.value.to_numpy())
+        p99 = s[min(len(s) - 1, int(np.ceil(0.99 * len(s))) - 1)]
+        above = int((s > p99).sum())
+        if above:
+            want[et] = (p99, above)
+    out = q_events_outliers(SF).to_pandas()
+    got = {r.event_type: (r.p99, r.n_above) for r in out.itertuples()}
+    assert got == want
+
+
+def test_bigram_novelty_vs_brute(ray_session, docs, doc_rows):
+    from combblas_ray.pipelines.queries import q_bigram_novelty
+
+    from collections import Counter
+
+    per_doc = {}
+    df = Counter()
+    for r in doc_rows:
+        t = r["text"].split(" ")
+        bgs = {f"{t[i]} {t[i+1]}" for i in range(len(t) - 1)}
+        per_doc[r["doc_id"]] = bgs
+        df.update(bgs)
+    want = {}
+    for d, bgs in per_doc.items():
+        u = sum(1 for b in bgs if df[b] == 1)
+        if u:
+            want[d] = u
+    out = q_bigram_novelty(SF).to_pandas()
+    got = dict(zip(out.doc_id, out.n_unique))
+    assert got == want
