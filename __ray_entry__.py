@@ -77,7 +77,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_predict_cn": q.q_link_predict_cn,
         # LLM-data layer without a prior driver row (+ refactored dedup)
         "embed_dups_lsh": q.q_embed_dups_lsh,
-        "minhash_pairs": q.q_minhash_pairs,
         "dup_clusters": q.q_dup_clusters,
         "vocab_topk": q.q_vocab_topk,
         "countmin": q.q_countmin,
@@ -87,8 +86,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_stratified": q.q_sample_stratified,
         "redact": q.q_redact,
         "jaccard_pairs": q.q_jaccard_pairs,
-        "fingerprint": q.q_fingerprint,
-        "simhash": q.q_simhash,
+        "hll_registers": q.q_hll_registers,
+        "tfidf_topk": q.q_tfidf_topk,
         # relational / windowed (round-2 verdict: keep driver evidence)
         "tpch_q1": q.q_tpch_q1,
         "tpch_q3": q.q_tpch_q3,
@@ -97,7 +96,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_hist": q.q_degree_hist,
         "degree_corr_stats": q.q_degree_corr_stats,
         "funnel": q.q_funnel,
-        "events_hourly": q.q_events_hourly,
+        "event_gaps": q.q_event_gaps,
+        "rollup_counts": q.q_rollup_counts,
         "events_sliding": q.q_events_sliding,
         "events_quantiles": q.q_events_quantiles,
         "events_outliers": q.q_events_outliers,
@@ -107,6 +107,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
         "corpus_scan": q.q_corpus_scan,  # r1+r2-green build scan
+        "minhash_pairs": q.q_minhash_pairs,  # r1-green; dup_clusters in-window
+        "fingerprint": q.q_fingerprint,  # r1-green md5 rolling hash
+        "simhash": q.q_simhash,  # r1-green md5 bit-vote
+        "events_hourly": q.q_events_hourly,  # r1-green; rollup_counts in-window
         "dedup_exact": q.q_dedup_exact,  # r1+r2-green; digest twin below
         "ann_lsh": q.q_ann_lsh,  # plane-literal LSH: embed_dups_lsh in-window
         "dedup_exact_digest": q.q_dedup_exact_digest,  # same SQL: dedup_exact
@@ -213,6 +217,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": o.dedup_exact(),
         "dedup_exact_digest": o.dedup_exact(),
         "jaccard_pairs": o.jaccard_pairs(),
+        "hll_registers": o.hll_registers(),
+        "tfidf_topk": o.tfidf_topk(),
+        "event_gaps": o.event_gaps(),
+        "rollup_counts": o.rollup_counts(),
         "dup_clusters": o.dup_clusters(0.5, q.DUP_CLUSTER_ROUNDS),
         "minhash_pairs": o.minhash_pairs(),
         "ann_topk": o.ann_topk(),

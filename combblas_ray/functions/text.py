@@ -20,7 +20,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..core.shuffle import group_apply_tasks, group_sum_per_key
+from ..core.shuffle import (group_apply_tasks, group_reduce_per_key,
+                            group_sum_per_key)
 
 LANG_MARKERS = {
     "de": "sort",
@@ -295,6 +296,170 @@ def countmin_estimate(sketch: pa.Table, tokens: list) -> np.ndarray:
             np.int64)
         ests = np.minimum(ests, tab[r, b])
     return ests
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-token sketch
+# ---------------------------------------------------------------------------
+
+HLL_P = 8  # 2^p registers
+HLL_M = 1 << HLL_P
+_HLL_RESTBITS = 52  # rest = hash bits [p, p+52) -> rho in [1, 53]
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """SWAR popcount of a uint64 vector (numpy 1.x has no bitwise_count)."""
+    x = x.astype(np.uint64)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(
+        np.int64)
+
+
+def _hll_local(batch: pa.Table) -> pa.Table:
+    """Per-batch partial HLL registers (b, r): bucket = low HLL_P hash
+    bits, rho = 1 + trailing-zero count of the next 52 bits (0 -> 53).
+    Registers are MAXes, so per-batch partials over batch-DISTINCT
+    tokens merge exactly (max is idempotent + commutative) — the sketch
+    build is one streaming pass + a <=HLL_M-row keyed max reduce."""
+    uniq = np.asarray(pc.unique(pc.list_flatten(tokens_list(batch)))
+                      ).astype(str)
+    hu = np.fromiter((md5_lower64(t) for t in uniq), dtype=np.uint64,
+                     count=len(uniq))
+    b = (hu & np.uint64(HLL_M - 1)).astype(np.int64)
+    rest = ((hu >> np.uint64(HLL_P))
+            & np.uint64((1 << _HLL_RESTBITS) - 1)).astype(np.int64)
+    lsb = (rest & -rest).astype(np.uint64)  # 2^tz exactly (0 when rest=0)
+    rho = np.where(rest > 0, _popcount64(lsb - np.uint64(1)) + 1,
+                   _HLL_RESTBITS + 1)
+    tab = np.zeros(HLL_M, dtype=np.int64)
+    np.maximum.at(tab, b, rho)
+    nz = np.nonzero(tab)[0]
+    return pa.table({"b": pa.array(nz), "r": pa.array(tab[nz])})
+
+
+def _hll_merge(t: pa.Table) -> pa.Table:
+    uk, mx = group_reduce_per_key(
+        np.asarray(t.column("r"), dtype=np.float64),
+        np.asarray(t.column("b"), dtype=np.int64), "max")
+    return pa.table({"b": pa.array(uk.astype(np.int64)),
+                     "r": pa.array(mx.astype(np.int64))})
+
+
+def hll_registers(docs_ds):
+    """HyperLogLog registers over corpus tokens (Flajolet et al. 2007):
+    the (b, r) nonzero-register table, integer-exact and therefore
+    oracle-hashable (the estimate is a deterministic driver-side formula
+    over these <=2^p rows, `hll_estimate`). md5-low-64 hashing shared
+    with `fingerprint`/`countmin_sketch` so the DuckDB twin
+    (md5_number_lower + bit_count) is bit-exact."""
+    partials = docs_ds.map_batches(_hll_local, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    return group_apply_tasks(partials, ["b"], _hll_merge)
+
+
+def hll_estimate(registers: pa.Table) -> float:
+    """Standard HLL estimator with the small-range linear-counting
+    correction (deterministic given the registers)."""
+    tab = np.zeros(HLL_M, dtype=np.int64)
+    tab[np.asarray(registers.column("b"), dtype=np.int64)] = np.asarray(
+        registers.column("r"), dtype=np.int64)
+    alpha = 0.7213 / (1.0 + 1.079 / HLL_M)
+    est = alpha * HLL_M * HLL_M / np.sum(np.ldexp(1.0, -tab))
+    zeros = int(np.sum(tab == 0))
+    if est <= 2.5 * HLL_M and zeros:
+        est = HLL_M * np.log(HLL_M / zeros)
+    return float(est)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top-k terms per document
+# ---------------------------------------------------------------------------
+
+TFIDF_K = 3
+TFIDF_SCALE = 1_000_000
+
+
+def _tf_local(batch: pa.Table) -> pa.Table:
+    """Per-batch exact (doc_id, tok, tf): a document's text is one row,
+    so per-batch term counts are globally exact — no tf shuffle at all
+    (the classic combiner-free layout of doc-partitioned corpora)."""
+    toks = tokens_list(batch)
+    lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+    flat = np.asarray(pc.list_flatten(toks)).astype(str)
+    doc = np.repeat(np.asarray(batch.column("doc_id"), dtype=np.int64),
+                    lens)
+    if len(flat) == 0:
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "tok": pa.array([], type=pa.string()),
+                         "tf": pa.array([], type=pa.int64())})
+    order = np.lexsort((flat, doc))
+    d, t = doc[order], flat[order]
+    new = np.empty(len(d), dtype=bool)
+    new[0] = True
+    new[1:] = (d[1:] != d[:-1]) | (t[1:] != t[:-1])
+    starts = np.nonzero(new)[0]
+    tf = np.diff(np.concatenate((starts, [len(d)])))
+    return pa.table({"doc_id": pa.array(d[starts]),
+                     "tok": pa.array(t[starts], type=pa.string()),
+                     "tf": pa.array(tf.astype(np.int64))})
+
+
+def _df_merge(t: pa.Table) -> pa.Table:
+    """(tok, df) for one tok-hash partition — df = #docs containing tok
+    (rows of the (doc, tok)-unique tf table)."""
+    tok = np.asarray(t.column("tok")).astype(str)
+    uk, inv = np.unique(tok, return_inverse=True)
+    df = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+    return pa.table({"tok": pa.array(uk, type=pa.string()),
+                     "df": pa.array(df)})
+
+
+def tfidf_topk(docs_ds, k: int = TFIDF_K):
+    """Top-k terms per document by integer tf-idf score
+    ``tf * ((N * TFIDF_SCALE) // df)`` (ties broken by term asc) — the
+    rational-idf variant keeps every value an exact int64 so the ranking
+    (and the oracle hash) is float-free. Plan: per-batch exact tf (docs
+    are row-atomic) -> tok-hash df reduce -> co-partitioned tok join with
+    the score fused into the join task -> doc-hash top-k cut. int64-safe
+    while N * TFIDF_SCALE < 2^63 (N < ~9.2e12 docs)."""
+    from ..core.shuffle import hash_join_tasks
+
+    n_docs = int(docs_ds.count())
+    tf = docs_ds.map_batches(_tf_local, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    tf = tf.materialize()  # consumed twice: df reduce + join
+    df = group_apply_tasks(tf, ["tok"], _df_merge)
+
+    idf_num = n_docs * TFIDF_SCALE
+
+    def _score(joined: pa.Table) -> pa.Table:
+        tfv = np.asarray(joined.column("tf"), dtype=np.int64)
+        dfv = np.asarray(joined.column("df"), dtype=np.int64)
+        score = tfv * (idf_num // np.where(dfv == 0, 1, dfv))
+        return joined.append_column("score", pa.array(score))
+
+    scored = hash_join_tasks(tf, df, on="tok", post=_score)
+
+    def _topk(t: pa.Table) -> pa.Table:
+        d = np.asarray(t.column("doc_id"), dtype=np.int64)
+        tok = np.asarray(t.column("tok")).astype(str)
+        s = np.asarray(t.column("score"), dtype=np.int64)
+        order = np.lexsort((tok, -s, d))
+        d_o = d[order]
+        new = np.empty(len(d_o), dtype=bool)
+        if len(d_o):
+            new[0] = True
+            new[1:] = d_o[1:] != d_o[:-1]
+        starts = np.nonzero(new)[0]
+        grp = np.cumsum(new) - 1
+        rank = np.arange(len(d_o)) - starts[grp]
+        keep = order[rank < k]
+        return t.take(pa.array(keep))
+
+    return group_apply_tasks(scored, ["doc_id"], _topk)
 
 
 # ---------------------------------------------------------------------------

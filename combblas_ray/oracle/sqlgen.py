@@ -2075,3 +2075,86 @@ SELECT event_type,
        quantile_disc(value, 0.99) AS q99
 FROM events GROUP BY event_type
 """
+
+
+def hll_registers() -> str:
+    """HyperLogLog register table rebuilt in SQL: bucket = low 8 bits of
+    md5_number_lower(tok); rho = 1 + trailing zeros of the next 52 bits
+    (twin of `text.hll_registers`)."""
+    return """
+WITH toks AS MATERIALIZED (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+h AS (SELECT md5_number_lower(tok) AS h FROM toks),
+parts AS (
+  SELECT CAST(h & 255 AS BIGINT) AS b,
+         CAST((h >> 8) & ((1::UBIGINT << 52) - 1) AS BIGINT) AS rest
+  FROM h
+),
+rho AS (
+  SELECT b, CASE WHEN rest > 0
+                 THEN bit_count((rest & (-rest)) - 1) + 1
+                 ELSE 53 END AS r
+  FROM parts
+)
+SELECT b, CAST(max(r) AS BIGINT) AS r FROM rho GROUP BY b
+"""
+
+
+def tfidf_topk(k: int = 3, scale: int = 1_000_000) -> str:
+    """Integer tf-idf top-k terms per doc (twin of `text.tfidf_topk`)."""
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS MATERIALIZED (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, tok
+),
+df AS MATERIALIZED (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+         tf.tf * ((n.n * {scale}) // df.df) AS score
+  FROM tf JOIN df USING (tok) CROSS JOIN n
+),
+rnk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, tok, tf, df, CAST(score AS BIGINT) AS score
+FROM rnk WHERE rn <= {k}
+"""
+
+
+def event_gaps() -> str:
+    return """
+WITH g AS (
+  SELECT event_id,
+         lag(event_id) OVER w AS prev_event_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, CAST(prev_event_id AS BIGINT) AS prev_event_id,
+       CAST(gap_us AS BIGINT) AS gap_us
+FROM g WHERE prev_event_id IS NOT NULL
+"""
+
+
+def rollup_counts() -> str:
+    return """
+WITH base AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(hr, -1) AS hr,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(cents) AS BIGINT) AS cents
+FROM base GROUP BY ROLLUP (event_type, hr)
+"""

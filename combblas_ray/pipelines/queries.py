@@ -2510,3 +2510,138 @@ def q_events_quantiles(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["event_type", "value"]
     )
     return group_apply_tasks(ds, ["event_type"], _quantile_kernel)
+
+
+# ---------------------------------------------------------------------------
+# wave 5: sketches, tf-idf, window lag, rollup
+# ---------------------------------------------------------------------------
+
+
+def q_hll_registers(sf_dir: str):
+    """HyperLogLog distinct-token sketch — the full (b, r) register
+    table (integer-exact; see `text.hll_registers`)."""
+    from ..functions import text as T
+
+    return T.hll_registers(_docs(sf_dir))
+
+
+def q_tfidf_topk(sf_dir: str):
+    """Top-3 terms per document by integer tf-idf score
+    tf * ((N*1e6) // df) (see `text.tfidf_topk`)."""
+    from ..functions import text as T
+
+    return T.tfidf_topk(_docs(sf_dir))
+
+
+def _gap_kernel(t: pa.Table) -> pa.Table:
+    """Per user-hash partition: LAG() over (PARTITION BY user ORDER BY
+    ts, event_id) — whole-partition lexsort + shifted compare."""
+    empty = pa.table({
+        "event_id": pa.array([], type=pa.int64()),
+        "prev_event_id": pa.array([], type=pa.int64()),
+        "gap_us": pa.array([], type=pa.int64()),
+    })
+    if t.num_rows == 0 or "user_id" not in t.column_names:
+        return empty
+    eid = np.asarray(t.column("event_id"), dtype=np.int64)
+    ts = np.asarray(t.column("ts")).astype("datetime64[us]").astype(np.int64)
+    uid = np.asarray(t.column("user_id"), dtype=np.int64)
+    order = np.lexsort((eid, ts, uid))
+    eid, ts, uid = eid[order], ts[order], uid[order]
+    same = np.zeros(len(eid), dtype=bool)
+    same[1:] = uid[1:] == uid[:-1]
+    idx = np.nonzero(same)[0]
+    return pa.table({
+        "event_id": pa.array(eid[idx]),
+        "prev_event_id": pa.array(eid[idx - 1]),
+        "gap_us": pa.array(ts[idx] - ts[idx - 1]),
+    })
+
+
+def q_event_gaps(sf_dir: str):
+    """Per-event time gap to the user's previous event (the LAG window
+    function): ONE user_id warm-task shuffle + whole-partition
+    vectorized sort/shift — all rows of a user co-locate, so the
+    partition-local lag is globally exact."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    return group_apply_tasks(ds, ["user_id"], _gap_kernel)
+
+
+def _rollup_kernel(t: pa.Table) -> pa.Table:
+    """Finest-level (event_type, hour-of-day) partial: count + exact
+    integer cents (floor(value*100 + 0.5) — same tie rule as the SQL
+    twin; np.round/SQL round differ on halves)."""
+    empty = pa.table({
+        "event_type": pa.array([], type=pa.string()),
+        "hr": pa.array([], type=pa.int64()),
+        "cnt": pa.array([], type=pa.int64()),
+        "cents": pa.array([], type=pa.int64()),
+    })
+    if t.num_rows == 0 or "event_type" not in t.column_names:
+        return empty
+    et = np.asarray(t.column("event_type")).astype(str)
+    ts = np.asarray(t.column("ts")).astype("datetime64[us]").astype(np.int64)
+    hr = (ts // 3_600_000_000) % 24
+    cents = np.floor(
+        np.asarray(t.column("value"), dtype=np.float64) * 100.0 + 0.5
+    ).astype(np.int64)
+    order = np.lexsort((hr, et))
+    et, hr, cents = et[order], hr[order], cents[order]
+    new = np.empty(len(et), dtype=bool)
+    new[0] = True
+    new[1:] = (et[1:] != et[:-1]) | (hr[1:] != hr[:-1])
+    starts = np.nonzero(new)[0]
+    grp = np.cumsum(new) - 1
+    cnt = np.bincount(grp).astype(np.int64)
+    cs = np.bincount(grp, weights=cents.astype(np.float64)).astype(np.int64)
+    return pa.table({
+        "event_type": pa.array(et[starts].tolist(), type=pa.string()),
+        "hr": pa.array(hr[starts]),
+        "cnt": pa.array(cnt),
+        "cents": pa.array(cs),
+    })
+
+
+def q_rollup_counts(sf_dir: str):
+    """GROUP BY ROLLUP(event_type, hour-of-day): the finest level is one
+    distributed keyed reduce; the coarser levels are derived from its
+    <=|types|*24 output rows (bounded — the classic rollup-from-finest
+    identity; sentinels 'ALL' / -1 stand in for the SQL NULLs)."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    fine = group_apply_tasks(ds, ["event_type"], _rollup_kernel)
+    tabs = [t for t in ray.get(fine.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return _rollup_kernel(pa.table({}))
+    fine_t = pa.concat_tables(tabs)
+    et = np.asarray(fine_t.column("event_type")).astype(str)
+    hr = np.asarray(fine_t.column("hr"), dtype=np.int64)
+    cnt = np.asarray(fine_t.column("cnt"), dtype=np.int64)
+    cents = np.asarray(fine_t.column("cents"), dtype=np.int64)
+    uk, inv = np.unique(et, return_inverse=True)
+    lvl1_cnt = np.bincount(inv, weights=cnt.astype(np.float64))
+    lvl1_cents = np.bincount(inv, weights=cents.astype(np.float64))
+    out_et = np.concatenate((et, uk, np.array(["ALL"])))
+    out_hr = np.concatenate((hr, np.full(len(uk), -1, dtype=np.int64),
+                             np.array([-1], dtype=np.int64)))
+    out_cnt = np.concatenate((cnt, lvl1_cnt.astype(np.int64),
+                              np.array([cnt.sum()], dtype=np.int64)))
+    out_cents = np.concatenate((cents, lvl1_cents.astype(np.int64),
+                                np.array([cents.sum()], dtype=np.int64)))
+    return pa.table({
+        "event_type": pa.array(out_et.tolist(), type=pa.string()),
+        "hr": pa.array(out_hr),
+        "cnt": pa.array(out_cnt),
+        "cents": pa.array(out_cents),
+    })
