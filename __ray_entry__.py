@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ktruss_fixed": q.q_ktruss_fixed,
         "reach2_bool": q.q_reach2_bool,
         "link_predict_cn": q.q_link_predict_cn,
+        "scc_coloring": q.q_scc_coloring,
+        "random_walks": q.q_random_walks,
         # LLM-data layer without a prior driver row (+ refactored dedup)
         "embed_dups_lsh": q.q_embed_dups_lsh,
         "dup_clusters": q.q_dup_clusters,
@@ -85,11 +87,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": q.q_containment_pairs,
         "sample_stratified": q.q_sample_stratified,
         "redact": q.q_redact,
-        "jaccard_pairs": q.q_jaccard_pairs,
         "hll_registers": q.q_hll_registers,
         "tfidf_topk": q.q_tfidf_topk,
         # relational / windowed (round-2 verdict: keep driver evidence)
-        "tpch_q1": q.q_tpch_q1,
         "tpch_q3": q.q_tpch_q3,
         "tpch_q5": q.q_tpch_q5,
         "group_topn": q.q_group_topn,
@@ -108,6 +108,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round by tools/check_correctness.py) ---
         "corpus_scan": q.q_corpus_scan,  # r1+r2-green build scan
         "minhash_pairs": q.q_minhash_pairs,  # r1-green; dup_clusters in-window
+        "jaccard_pairs": q.q_jaccard_pairs,  # r1+r2-green; containment sibling
+        "tpch_q1": q.q_tpch_q1,  # r1-green; tpch_q3/q5 in-window
         "fingerprint": q.q_fingerprint,  # r1-green md5 rolling hash
         "simhash": q.q_simhash,  # r1-green md5 bit-vote
         "events_hourly": q.q_events_hourly,  # r1-green; rollup_counts in-window
@@ -158,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bandwidth": q.q_bandwidth,
         "rcm": q.q_rcm,
         # rows-only / iterative-hash pipelines (pytest-invariant-backed)
+        "scc": q.q_scc,  # full decomposition (data-dependent rounds)
         "ann_ivf": q.q_ann_ivf,
         "mis": q.q_mis,
         "matching": q.q_matching,
@@ -218,6 +221,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_digest": o.dedup_exact(),
         "jaccard_pairs": o.jaccard_pairs(),
         "hll_registers": o.hll_registers(),
+        "scc_coloring": o.scc_coloring(q.SCC_COLOR_ITERS),
+        "random_walks": o.random_walks(q.RW_WALKERS, q.RW_STEPS),
         "tfidf_topk": o.tfidf_topk(),
         "event_gaps": o.event_gaps(),
         "rollup_counts": o.rollup_counts(),

@@ -2158,3 +2158,76 @@ SELECT coalesce(event_type, 'ALL') AS event_type,
        CAST(sum(cents) AS BIGINT) AS cents
 FROM base GROUP BY ROLLUP (event_type, hr)
 """
+
+
+def scc_coloring(iters: int = 8) -> str:
+    """Fixed-round SCC coloring: `iters` unrolled min-label rounds in
+    BOTH edge directions; scc = fwd-min when it equals bwd-min, else the
+    vertex's own label (twin of `algorithms.scc_coloring`)."""
+    sql = PREFIX + """
+, f0 AS (SELECT i, label AS m FROM verts),
+b0 AS (SELECT i, label AS m FROM verts)
+"""
+    for k in range(1, iters + 1):
+        sql += f"""
+, f{k} AS (
+  SELECT v.i, least(l.m, coalesce(x.mn, l.m)) AS m
+  FROM verts v JOIN f{k - 1} l ON l.i = v.i
+  LEFT JOIN (
+    SELECT e.src AS i, min(lp.m) AS mn
+    FROM edges e JOIN f{k - 1} lp ON lp.i = e.dst GROUP BY e.src
+  ) x ON x.i = v.i
+),
+b{k} AS (
+  SELECT v.i, least(l.m, coalesce(x.mn, l.m)) AS m
+  FROM verts v JOIN b{k - 1} l ON l.i = v.i
+  LEFT JOIN (
+    SELECT e.dst AS i, min(lp.m) AS mn
+    FROM edges e JOIN b{k - 1} lp ON lp.i = e.src GROUP BY e.dst
+  ) x ON x.i = v.i
+)"""
+    sql += f"""
+SELECT v.label AS label,
+       CASE WHEN f.m = b.m THEN f.m ELSE v.label END AS scc
+FROM verts v
+JOIN f{iters} f ON f.i = v.i
+JOIN b{iters} b ON b.i = v.i
+"""
+    return sql
+
+
+def random_walks(walkers: int = 24, steps: int = 6) -> str:
+    """Deterministic LCG random walks (twin of `algorithms.random_walks`):
+    neighbor rank ordered by the DENSE-ID order = dst label lexicographic
+    order; rank request = ((w*1000003 + t*10007)*1103515245 + 12345)
+    % 2^31 % outdeg."""
+    sql = PREFIX + """
+, adj AS MATERIALIZED (
+  SELECT e.src, e.dst,
+         row_number() OVER (PARTITION BY e.src ORDER BY vd.label) - 1
+           AS rnk,
+         count(*) OVER (PARTITION BY e.src) AS odeg
+  FROM edges e JOIN verts vd ON vd.i = e.dst
+),
+s0 AS (
+  SELECT t.t AS walker, v.i AS cur
+  FROM generate_series(0, {W}) t(t)
+  JOIN verts v ON v.label = 'm_' || t.t
+)
+""".replace("{W}", str(walkers - 1))
+    for k in range(1, steps + 1):
+        sql += f"""
+, s{k} AS (
+  SELECT s.walker, a.dst AS cur
+  FROM s{k - 1} s JOIN adj a ON a.src = s.cur
+   AND a.rnk = ((s.walker * 1000003 + {k} * 10007) * 1103515245 + 12345)
+               % 2147483648 % a.odeg
+)"""
+    selects = [
+        f"SELECT CAST(walker AS BIGINT) AS walker, "
+        f"CAST({k} AS BIGINT) AS step, v.label AS label "
+        f"FROM s{k} JOIN verts v ON v.i = s{k}.cur"
+        for k in range(0, steps + 1)
+    ]
+    sql += "\n" + "\nUNION ALL\n".join(selects)
+    return sql

@@ -1913,3 +1913,206 @@ def ktruss_fixed(sym_edges_ds, n: int, k: int, rounds: int,
     parts = [_kt_key(p) for p in ray.get(keys)]
     return (np.sort(np.concatenate(parts)) if parts
             else np.empty(0, dtype=np.int64))
+
+
+# --------------------------------------------------------------------------
+# strongly connected components (fixed-round forward/backward coloring)
+# --------------------------------------------------------------------------
+
+
+def scc_coloring(eng_fwd: SpmvEngine, eng_rev: SpmvEngine,
+                 iters: int) -> np.ndarray:
+    """ONE fixed-round FW-BW min-label coloring round (the first round
+    of an Orzan-style SCC decomposition, on the reference's min-label
+    machinery ``CC.h:419-577``): ``bwd[v]`` = min label that REACHES v
+    within `iters` hops (min-label rounds along edge direction, the
+    forward engine), ``fwd[v]`` = min label v reaches (the transposed
+    engine). ``fwd[v] == bwd[v] == r`` proves v and r are mutually
+    reachable, so v joins r's SCC; every other vertex keeps its own id.
+    This is a PARTIAL decomposition — it certifies exactly the SCCs
+    containing each reach-region's minimum (given iters >= their
+    diameter); `scc` iterates it (with trimming) to the full
+    decomposition. Fixed rounds keep the DuckDB twin unrollable. Both
+    label vectors stay chunked refs; two fused SpMV+min task rounds per
+    iteration."""
+    if eng_fwd.n != eng_rev.n:
+        raise ValueError("scc_coloring: engines must share n")
+    bwd = cc_fixed(eng_fwd, iters)
+    fwd = cc_fixed(eng_rev, iters)
+    return np.where(fwd == bwd, fwd, np.arange(eng_fwd.n, dtype=np.int64))
+
+
+# --------------------------------------------------------------------------
+# deterministic random walks (node2vec-style corpus sampling)
+# --------------------------------------------------------------------------
+
+_RW_T = 10007
+_RW_W = 1000003
+_RW_A = 1103515245
+_RW_C = 12345
+_RW_MOD = 2**31
+
+
+def _rw_rank_kernel(t: pa.Table) -> pa.Table:
+    """Per src-hash partition: neighbor rank (dst ascending) + outdegree
+    for every distinct (src, dst) edge."""
+    empty = pa.table({
+        "src": pa.array([], type=pa.int64()),
+        "dst": pa.array([], type=pa.int64()),
+        "rnk": pa.array([], type=pa.int64()),
+        "odeg": pa.array([], type=pa.int64()),
+    })
+    if t.num_rows == 0:
+        return empty
+    src = np.asarray(t.column("src"), dtype=np.int64)
+    dst = np.asarray(t.column("dst"), dtype=np.int64)
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    new = np.empty(len(src), dtype=bool)
+    new[0] = True
+    new[1:] = src[1:] != src[:-1]
+    starts = np.nonzero(new)[0]
+    grp = np.cumsum(new) - 1
+    rnk = np.arange(len(src)) - starts[grp]
+    odeg = np.bincount(grp).astype(np.int64)[grp]
+    return pa.table({
+        "src": pa.array(src), "dst": pa.array(dst),
+        "rnk": pa.array(rnk.astype(np.int64)), "odeg": pa.array(odeg),
+    })
+
+
+def _rw_lookup(part: pa.Table, walkers: np.ndarray, curs: np.ndarray,
+               step: int):
+    """One adjacency partition answers its walkers' next-hop requests:
+    target rank = LCG(walker, step) % outdeg(cur); a cur with no
+    out-edges returns dst -1 (the walk dies)."""
+    src = np.asarray(part.column("src"), dtype=np.int64)
+    dst = np.asarray(part.column("dst"), dtype=np.int64)
+    rnk = np.asarray(part.column("rnk"), dtype=np.int64)
+    out = np.full(len(walkers), -1, dtype=np.int64)
+    lcg = ((walkers * _RW_W + step * _RW_T) * _RW_A + _RW_C) % _RW_MOD
+    for i in range(len(walkers)):
+        m = src == curs[i]
+        if not m.any():
+            continue
+        want = lcg[i] % int(m.sum())
+        hit = np.nonzero(m & (rnk == want))[0]
+        if len(hit):
+            out[i] = dst[hit[0]]
+    return walkers, out
+
+
+def random_walks(edges_ds, seeds: np.ndarray, steps: int,
+                 num_partitions: int | None = None) -> pa.Table:
+    """`steps` deterministic LCG-driven walk steps from `seeds` over the
+    directed distinct-pair graph. The ranked adjacency is built ONCE
+    (one src-hash shuffle) and stays partitioned in the object store;
+    each step sends every walker's (cur, rank-request) to the ONE
+    partition owning cur (num_cpus=0 tasks) — per step the data moved
+    is O(walkers), never the edge table. Walks at a sink vertex stop.
+    Returns (walker, step, vertex) including step 0. Mirrors the
+    reference's roots-based traversal drivers (`SelectCandidates`,
+    DirOptBFS.cpp:268) re-cast as corpus walk sampling."""
+    import ray
+
+    from ..core.shuffle import (_FIB64, _rt0, default_shuffle_blocks,
+                                edge_group_apply_tasks)
+
+    g = num_partitions or default_shuffle_blocks()
+    ranked = edge_group_apply_tasks(edges_ds, "src", _rw_rank_kernel,
+                                    num_partitions=g)
+    parts = ranked.to_arrow_refs()  # parts[i] == src-hash partition i
+    walkers = np.arange(len(seeds), dtype=np.int64)
+    curs = np.asarray(seeds, dtype=np.int64)
+    alive = np.ones(len(seeds), dtype=bool)
+    rows_w = [walkers.copy()]
+    rows_s = [np.zeros(len(seeds), dtype=np.int64)]
+    rows_v = [curs.copy()]
+    lookup = _rt0(_rw_lookup)
+    for step in range(1, steps + 1):
+        if not alive.any():
+            break
+        aw, ac = walkers[alive], curs[alive]
+        p = ((ac.astype(np.uint64) * _FIB64) >> np.uint64(33)).astype(
+            np.int64) % g
+        futs = []
+        for pi in np.unique(p):
+            m = p == pi
+            futs.append(lookup.remote(parts[pi], aw[m], ac[m], step))
+        nxt = np.full(len(walkers), -1, dtype=np.int64)
+        for w_ids, dsts in ray.get(futs):
+            nxt[w_ids] = dsts
+        alive = nxt >= 0
+        curs = np.where(alive, nxt, curs)
+        if alive.any():
+            rows_w.append(walkers[alive])
+            rows_s.append(np.full(int(alive.sum()), step, dtype=np.int64))
+            rows_v.append(curs[alive])
+    return pa.table({
+        "walker": pa.array(np.concatenate(rows_w)),
+        "step": pa.array(np.concatenate(rows_s)),
+        "vertex": pa.array(np.concatenate(rows_v)),
+    })
+
+
+def scc(eng_fwd: SpmvEngine, eng_rev: SpmvEngine,
+        max_rounds: int = 60) -> np.ndarray:
+    """Full SCC decomposition: iterated trim + FW-BW min-label coloring
+    (Orzan coloring with trimming — the standard parallel SCC scheme;
+    the per-phase kernels are the reference's min-label machinery,
+    ``CC.h:419-577``). Per outer round, over the UNASSIGNED subgraph:
+
+    1. trim to fixpoint — a vertex with no unassigned in-neighbors or no
+       unassigned out-neighbors is a singleton SCC (cheap plus_times
+       indicator SpMVs);
+    2. min-label coloring to fixpoint in both directions (assigned
+       vertices are pinned at +inf so they neither relay nor receive);
+    3. assign v to SCC r where fwd-min == bwd-min == r (mutual
+       reachability proof).
+
+    Each round assigns at least the unassigned minimum's SCC, so the
+    loop terminates. The scc/fwd/bwd vectors are driver-resident O(n)
+    numpy (the FullyDistVec analog — same discipline as
+    `maximum_matching`); the per-iteration work is engine SpMVs.
+    Assumes a loop-free edge table (the corpus build drops loops);
+    self-loops would break the trim-singleton argument."""
+    n = eng_fwd.n
+    out = np.full(n, -1, dtype=np.int64)
+    ids = np.arange(n, dtype=np.int64)
+    for _ in range(max_rounds):
+        unass = out < 0
+        if not unass.any():
+            break
+        # 1. trim to fixpoint
+        while True:
+            ind = unass.astype(np.float64)
+            n_in = eng_fwd.spmv(ind, "plus_times")   # unassigned in-nbrs
+            n_out = eng_rev.spmv(ind, "plus_times")  # unassigned out-nbrs
+            trim = unass & ((n_in == 0) | (n_out == 0))
+            if not trim.any():
+                break
+            out[trim] = ids[trim]
+            unass = out < 0
+            if not unass.any():
+                return out
+        # 2. masked min-label coloring to fixpoint, both directions
+        def _color(eng):
+            x = np.where(unass, ids.astype(np.float64), np.inf)
+            while True:
+                y = eng.spmv(x, "select2nd_min")
+                nx = np.where(unass, np.minimum(x, y), np.inf)
+                if np.array_equal(nx, x, equal_nan=True):
+                    return x
+                x = nx
+
+        bwd = _color(eng_fwd)
+        fwd = _color(eng_rev)
+        # 3. assign agreeing vertices (fwd==bwd==r is mutual reach)
+        agree = unass & np.isfinite(fwd) & (fwd == bwd)
+        if not agree.any():
+            raise RuntimeError("scc: no progress (unexpected)")
+        out[agree] = fwd[agree].astype(np.int64)
+    if (out < 0).any():
+        raise RuntimeError(f"scc: {int((out < 0).sum())} vertices "
+                           f"unassigned after {max_rounds} rounds")
+    return out

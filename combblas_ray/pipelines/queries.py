@@ -2645,3 +2645,52 @@ def q_rollup_counts(sf_dir: str):
         "cnt": pa.array(out_cnt),
         "cents": pa.array(out_cents),
     })
+
+
+SCC_COLOR_ITERS = 8
+RW_STEPS = 6
+RW_WALKERS = 24
+
+
+def q_scc_coloring(sf_dir: str):
+    """Fixed-round SCC coloring: fwd/bwd min-label over the structural
+    directed + transposed engines; v joins SCC r iff both directional
+    minima agree on r (see `alg.scc_coloring`)."""
+    ctx = get_context(sf_dir)
+    scc = alg.scc_coloring(ctx.engine("dir_bool"), ctx.engine("rev_bool"),
+                        SCC_COLOR_ITERS)
+    return pa.table({
+        "label": pa.array(np.asarray(ctx.labels), type=pa.string()),
+        "scc": _label_col(ctx, scc),
+    })
+
+
+def q_random_walks(sf_dir: str):
+    """RW_WALKERS deterministic LCG walks of RW_STEPS steps from seeds
+    m_0..m_{W-1} over the directed distinct-pair graph (see
+    `alg.random_walks`; ranked-adjacency partitions are built once and
+    each step moves O(walkers) data)."""
+    ctx = get_context(sf_dir)
+    labels = np.asarray(ctx.labels)
+    seeds = np.searchsorted(labels, [f"m_{w}" for w in range(RW_WALKERS)])
+    walks = alg.random_walks(ctx.edges, seeds, RW_STEPS)
+    return pa.table({
+        "walker": walks.column("walker"),
+        "step": walks.column("step"),
+        "label": pa.array(
+            labels[np.asarray(walks.column("vertex"), dtype=np.int64)],
+            type=pa.string()),
+    })
+
+
+def q_scc(sf_dir: str):
+    """Full SCC decomposition (iterated trim + FW-BW coloring, see
+    `alg.scc`). Rows-only: the round count is data-dependent, so there
+    is no fixed-depth SQL unrolling; pytest verifies against a driver
+    Tarjan on the n=500 fixture."""
+    ctx = get_context(sf_dir)
+    labels = alg.scc(ctx.engine("dir_bool"), ctx.engine("rev_bool"))
+    return pa.table({
+        "label": pa.array(np.asarray(ctx.labels), type=pa.string()),
+        "scc": _label_col(ctx, labels),
+    })

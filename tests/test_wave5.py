@@ -156,3 +156,161 @@ def test_rollup_counts_matches_pandas(ray_session, tmp_path):
         out.astype({"hr": np.int64, "cnt": np.int64, "cents": np.int64}),
         exp.astype({"hr": np.int64, "cnt": np.int64, "cents": np.int64}),
     )
+
+
+# --------------------------------------------------------------------------
+# scc_fixed / random_walks
+# --------------------------------------------------------------------------
+
+
+def _minlabel_rounds(M, iters):
+    """Brute: x'[v] = min(x[v], min over {u: M[v, u]} x[u])."""
+    n = M.shape[0]
+    x = np.arange(n, dtype=np.int64)
+    mask = M.astype(bool)
+    for _ in range(iters):
+        cand = np.where(mask, x[None, :], np.iinfo(np.int64).max)
+        x = np.minimum(x, cand.min(axis=1))
+    return x
+
+
+def test_scc_coloring_vs_brute(ctx500):
+    from tests.conftest import brute_dense_matrix
+
+    from combblas_ray.pipelines import algorithms as alg
+
+    A = brute_dense_matrix(ctx500)  # A[dst, src]
+    M = (A > 0).astype(np.int64)
+    np.fill_diagonal(M, 0)
+    iters = 4
+    bwd = _minlabel_rounds(M, iters)      # min label reaching v
+    fwd = _minlabel_rounds(M.T, iters)    # min label v reaches
+    exp = np.where(fwd == bwd, fwd, np.arange(ctx500.n, dtype=np.int64))
+    got = alg.scc_coloring(ctx500.engine("dir_bool"),
+                           ctx500.engine("rev_bool"), iters)
+    assert np.array_equal(got, exp)
+
+
+def _tarjan(n, src, dst):
+    """Iterative Tarjan; scc id = min member id (canonical labeling)."""
+    adj = [[] for _ in range(n)]
+    for s, d in zip(src, dst):
+        adj[s].append(d)
+    index = [-1] * n
+    low = [0] * n
+    onstk = [False] * n
+    stk = []
+    out = [-1] * n
+    counter = [0]
+    for root in range(n):
+        if index[root] != -1:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stk.append(v)
+                onstk[v] = True
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if index[w] == -1:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if onstk[w]:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stk.pop()
+                    onstk[w] = False
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    out[w] = m
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+    return np.asarray(out, dtype=np.int64)
+
+
+def test_scc_full_vs_tarjan(ctx500):
+    from combblas_ray.pipelines import algorithms as alg
+
+    rows = ctx500.edges.take_all()
+    src = [int(r["src"]) for r in rows if r["src"] != r["dst"]]
+    dst = [int(r["dst"]) for r in rows if r["src"] != r["dst"]]
+    exp = _tarjan(ctx500.n, src, dst)
+    got = alg.scc(ctx500.engine("dir_bool"), ctx500.engine("rev_bool"))
+    assert np.array_equal(got, exp)
+
+
+def test_scc_two_cycles(ray_session, tmp_path):
+    """Crafted graph: two directed 3-cycles joined by a one-way bridge
+    -> exactly two SCCs (the bridge must NOT merge them; one coloring
+    round alone cannot see the second cycle — the full decomposition
+    must)."""
+    from combblas_ray.core.engine import SpmvEngine
+    from combblas_ray.core.graph import Graph
+    from combblas_ray.pipelines import algorithms as alg
+
+    src = np.array([0, 1, 2, 3, 4, 5, 2], dtype=np.int64)
+    dst = np.array([1, 2, 0, 4, 5, 3, 3], dtype=np.int64)
+
+    def _eng(s, d, sub):
+        ds = ray.data.from_arrow(pa.table({
+            "src": pa.array(s), "dst": pa.array(d),
+            "w": pa.array(np.ones(len(s), dtype=np.float64)),
+        }))
+        return SpmvEngine.from_graph(Graph(n=6, edges=ds), 1,
+                                     str(tmp_path / sub), resume=False)
+
+    eng_f = _eng(src, dst, "f")
+    eng_r = _eng(dst, src, "r")
+    part = alg.scc_coloring(eng_f, eng_r, 4)
+    assert part.tolist() == [0, 0, 0, 3, 4, 5]  # partial: region-min SCC
+    full = alg.scc(eng_f, eng_r)
+    assert full.tolist() == [0, 0, 0, 3, 3, 3]
+    eng_f.shutdown()
+    eng_r.shutdown()
+
+
+def test_random_walks_vs_brute(ctx500):
+    from combblas_ray.pipelines import algorithms as alg
+    from combblas_ray.pipelines.algorithms import (_RW_A, _RW_C, _RW_MOD,
+                                                   _RW_T, _RW_W)
+
+    rows = ctx500.edges.take_all()
+    adj = {}
+    for r in rows:
+        adj.setdefault(int(r["src"]), set()).add(int(r["dst"]))
+    adj = {s: sorted(d) for s, d in adj.items()}
+    seeds = np.arange(5, dtype=np.int64)
+    steps = 4
+    exp = []
+    for w, s in enumerate(seeds):
+        cur = int(s)
+        exp.append((w, 0, cur))
+        for t in range(1, steps + 1):
+            nbrs = adj.get(cur)
+            if not nbrs:
+                break
+            lcg = ((w * _RW_W + t * _RW_T) * _RW_A + _RW_C) % _RW_MOD
+            cur = nbrs[lcg % len(nbrs)]
+            exp.append((w, t, cur))
+    got = alg.random_walks(ctx500.edges, seeds, steps, num_partitions=4)
+    got_rows = sorted(zip(
+        np.asarray(got.column("walker")).tolist(),
+        np.asarray(got.column("step")).tolist(),
+        np.asarray(got.column("vertex")).tolist(),
+    ))
+    assert got_rows == sorted(exp)
