@@ -277,6 +277,36 @@ def run_dataops() -> None:
     counts["group_topn_rows"] = _nrows(q_group_topn(sf_dir))
     timings["group_topn"] = time.perf_counter() - t0
 
+    # --- wave-5 extension: sketches, tf-idf, window lag, pivot
+    from combblas_ray.functions.text import hll_registers, tfidf_topk
+    from combblas_ray.pipelines.queries import (q_event_gaps, q_oov_rate,
+                                                q_pivot_user_type,
+                                                q_rollup_counts)
+
+    t0 = time.perf_counter()
+    counts["hll_register_rows"] = _nrows(hll_registers(docs))
+    timings["hll_registers"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    counts["tfidf_rows"] = _nrows(tfidf_topk(docs))
+    timings["tfidf_topk"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    counts["oov_rows"] = _nrows(q_oov_rate(sf_dir))
+    timings["oov_rate"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    counts["event_gap_rows"] = _nrows(q_event_gaps(sf_dir))
+    timings["event_gaps"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    counts["pivot_rows"] = _nrows(q_pivot_user_type(sf_dir))
+    timings["pivot_user_type"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    counts["rollup_rows"] = _nrows(q_rollup_counts(sf_dir))
+    timings["rollup_counts"] = time.perf_counter() - t0
+
     total = sum(timings.values())
     print(json.dumps({
         "metric": "dataops_pipeline_total",

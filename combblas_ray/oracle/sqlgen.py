@@ -2231,3 +2231,40 @@ s0 AS (
     ]
     sql += "\n" + "\nUNION ALL\n".join(selects)
     return sql
+
+
+def pivot_user_type() -> str:
+    """PIVOT events into per-user per-type count columns (conditional
+    aggregation twin of `queries.q_pivot_user_type`)."""
+    types = ("click", "error", "purchase", "signup", "view")
+    cols = ",\n       ".join(
+        f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}"
+        for t in types
+    )
+    return f"""
+SELECT user_id,
+       {cols}
+FROM events GROUP BY user_id
+"""
+
+
+def oov_rate(k: int = 64) -> str:
+    """Per-doc OOV counts against the corpus top-k vocabulary
+    ((cnt DESC, tok ASC) cut — same deterministic tie rule as
+    `text.vocab_topk`)."""
+    return f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS MATERIALIZED (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS cnt FROM tok GROUP BY tok
+    ORDER BY cnt DESC, tok ASC LIMIT {k}
+  )
+)
+SELECT t.doc_id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(*) FILTER (
+         t.tok NOT IN (SELECT tok FROM vocab)) AS BIGINT) AS n_oov
+FROM tok t GROUP BY t.doc_id
+"""

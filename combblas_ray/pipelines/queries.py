@@ -2694,3 +2694,110 @@ def q_scc(sf_dir: str):
         "label": pa.array(np.asarray(ctx.labels), type=pa.string()),
         "scc": _label_col(ctx, labels),
     })
+
+
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _pivot_kernel(t: pa.Table) -> pa.Table:
+    """Per user-hash partition: one wide row per user with per-type
+    event counts (the PIVOT / conditional-aggregation kernel)."""
+    cols = {"user_id": pa.array([], type=pa.int64())}
+    for ty in PIVOT_TYPES:
+        cols[f"n_{ty}"] = pa.array([], type=pa.int64())
+    if t.num_rows == 0 or "user_id" not in t.column_names:
+        return pa.table(cols)
+    uid = np.asarray(t.column("user_id"), dtype=np.int64)
+    et = np.asarray(t.column("event_type")).astype(str)
+    uu, inv = np.unique(uid, return_inverse=True)
+    out = {"user_id": pa.array(uu)}
+    for ty in PIVOT_TYPES:
+        cnt = np.zeros(len(uu), dtype=np.int64)
+        np.add.at(cnt, inv[et == ty], 1)
+        out[f"n_{ty}"] = pa.array(cnt)
+    return pa.table(out)
+
+
+def q_pivot_user_type(sf_dir: str):
+    """PIVOT events into one wide per-user row of per-type counts
+    (conditional aggregation): ONE user_id warm-task shuffle +
+    whole-partition vectorized scatter-adds."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+    return group_apply_tasks(ds, ["user_id"], _pivot_kernel)
+
+
+OOV_VOCAB_K = 64
+
+
+def q_oov_rate(sf_dir: str):
+    """Out-of-vocabulary statistics per document against the corpus
+    top-OOV_VOCAB_K vocabulary (tokenizer-coverage audit): (doc_id,
+    n_tokens, n_oov), all integers. The vocabulary is a global top-k
+    (value_counts combiner + keyed shuffle, `text.vocab_topk`) whose
+    k rows broadcast once; the scan is one streaming map_batches with
+    a vectorized sorted-membership probe."""
+    import ray
+
+    from ..functions import text as T
+
+    docs = _docs(sf_dir)
+    vt = T.vocab_topk(docs, k=OOV_VOCAB_K)
+    vocab = np.sort(np.asarray(vt.column("tok")).astype(str))
+    vref = ray.put(vocab)
+
+    def _scan(batch: pa.Table, *, _ref=vref) -> pa.Table:
+        v = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+        toks = T.tokens_list(batch)
+        lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        flat = np.asarray(pc.list_flatten(toks)).astype(str)
+        if len(v):
+            pos = np.minimum(np.searchsorted(v, flat), len(v) - 1)
+            oov = (v[pos] != flat).astype(np.int64)
+        else:
+            oov = np.ones(len(flat), dtype=np.int64)
+        doc_grp = np.repeat(np.arange(batch.num_rows), lens)
+        n_oov = np.bincount(doc_grp, weights=oov.astype(np.float64),
+                            minlength=batch.num_rows).astype(np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(lens),
+            "n_oov": pa.array(n_oov),
+        })
+
+    return docs.map_batches(_scan, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def q_pagerank_incremental(sf_dir: str):
+    """Incremental PageRank: a deterministic 1%-ish edge delta is
+    removed, and the updated graph's ranks warm-start from the full
+    graph's converged vector (see `pagerank.pagerank_incremental`).
+    Rows-only: the fixpoint matches a cold re-run to tol (pytest
+    asserts allclose + fewer warm iterations), but the float path
+    differs per start so there is no hashable SQL twin."""
+    import os
+
+    from ..core.engine import SpmvEngine
+    from .context import CKPT_ROOT
+    from .pagerank import pagerank, pagerank_incremental
+
+    ctx = get_context(sf_dir)
+    r_prev, _ = pagerank(ctx.engine("directed"), tol=1e-10, max_iters=100)
+
+    pruned = ctx.graph("directed").prune(
+        lambda s, d, w: (s * 31 + d) % 101 == 0
+    )
+    eng = SpmvEngine.from_graph(
+        pruned, ctx.engine("directed").g,
+        os.path.join(CKPT_ROOT, f"princ_{ctx.n}"),
+    )
+    r, info = pagerank_incremental(eng, r_prev, tol=1e-10, max_iters=100)
+    return pa.table({
+        "label": pa.array(np.asarray(ctx.labels), type=pa.string()),
+        "score": pa.array(np.round(r, 9)),
+    })

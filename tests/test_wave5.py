@@ -314,3 +314,65 @@ def test_random_walks_vs_brute(ctx500):
         np.asarray(got.column("vertex")).tolist(),
     ))
     assert got_rows == sorted(exp)
+
+
+def test_pivot_user_type_matches_pandas(ray_session, tmp_path):
+    ds = _events_ds(n=250, users=9, seed=21)
+    pdf = ds.to_pandas()
+    pq.write_table(pa.Table.from_pandas(pdf),
+                   str(tmp_path / "events.parquet"))
+    from combblas_ray.pipelines import queries as q
+
+    out = (q.q_pivot_user_type(str(tmp_path)).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    piv = (pdf.pivot_table(index="user_id", columns="event_type",
+                           values="ts", aggfunc="count", fill_value=0)
+           .reset_index())
+    for ty in q.PIVOT_TYPES:
+        exp = (piv[ty].to_numpy(dtype=np.int64)
+               if ty in piv.columns else np.zeros(len(piv), dtype=np.int64))
+        assert np.array_equal(out[f"n_{ty}"].to_numpy(dtype=np.int64), exp)
+    assert np.array_equal(out["user_id"].to_numpy(),
+                          piv["user_id"].to_numpy())
+
+
+def test_oov_rate_matches_brute(ray_session, tmp_path):
+    texts = TEXTS * 3  # repeats push some tokens into the vocab cut
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    from collections import Counter
+
+    from combblas_ray.pipelines import queries as q
+
+    out = (q.q_oov_rate(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    c = Counter(t for s in texts for t in s.split(" "))
+    vocab = {t for t, _ in sorted(c.items(),
+                                  key=lambda kv: (-kv[1], kv[0]))
+             [:q.OOV_VOCAB_K]}
+    for d, s in enumerate(texts):
+        toks = s.split(" ")
+        assert out.loc[d, "n_tokens"] == len(toks)
+        assert out.loc[d, "n_oov"] == sum(t not in vocab for t in toks)
+
+
+def test_pagerank_incremental_matches_cold(ctx500, tmp_path):
+    from combblas_ray.core.engine import SpmvEngine
+    from combblas_ray.pipelines.pagerank import (pagerank,
+                                                 pagerank_incremental)
+
+    eng = ctx500.engine("directed")
+    r_prev, info_prev = pagerank(eng, tol=1e-12, max_iters=200)
+    pruned = ctx500.graph("directed").prune(
+        lambda s, d, w: (s * 31 + d) % 101 == 0)
+    eng2 = SpmvEngine.from_graph(pruned, 2, str(tmp_path / "princ"),
+                                 resume=False)
+    cold, info_cold = pagerank(eng2, tol=1e-12, max_iters=200)
+    warm, info_warm = pagerank_incremental(eng2, r_prev, tol=1e-12,
+                                           max_iters=200)
+    assert np.allclose(warm, cold, atol=1e-9)
+    assert info_warm["iters"] <= info_cold["iters"]
+    eng2.shutdown()
