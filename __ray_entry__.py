@@ -161,6 +161,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_dups": q.q_embed_dups,
         "bandwidth": q.q_bandwidth,
         "rcm": q.q_rcm,
+        "nbr_jaccard": q.q_nbr_jaccard,
+        "chunk_dups": q.q_chunk_dups,
+        "stress": q.q_stress,
+        "running_total": q.q_running_total,
+        "cust_no_orders": q.q_cust_no_orders,
+        "seq_pack": q.q_seq_pack,
         # rows-only / iterative-hash pipelines (pytest-invariant-backed)
         "scc": q.q_scc,  # full decomposition (data-dependent rounds)
         "pagerank_incremental": q.q_pagerank_incremental,  # warm-start, same fixpoint
@@ -287,6 +293,12 @@ def oracle_sql() -> dict[str, str]:
         "prune_column": o.prune_column(),
         "prune_column_idx": o.prune_column_idx(),
         "spgemm_phased": o.spgemm_aa(),  # phased result must equal unphased
+        "running_total": o.running_total(),
+        "nbr_jaccard": o.nbr_jaccard(q.NBRJ_TOPK, q.NBRJ_MIN),
+        "chunk_dups": o.chunk_dups(),
+        "stress": o.stress("m_0", q.BFS_ITERS),
+        "cust_no_orders": o.cust_no_orders(),
+        "seq_pack": o.seq_pack(q.SEQ_PACK_L),
         # mis: no SQL oracle (iterative random-priority algorithm);
         # pytest asserts independence + maximality invariants.
         # fingerprint / minhash_pairs / simhash / ann_lsh: deliberately no

@@ -888,3 +888,131 @@ def _contam_sum(t: pa.Table) -> pa.Table:
         "doc_id": pa.array(uv, type=pa.int64()),
         "n_contam": pa.array(tot, type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# Cross-document chunk dedup (the paragraph-dedup analog for flat token
+# streams): split each doc into consecutive CHUNK_W-token chunks, count
+# per doc how many of its chunks also occur in another document.
+# ---------------------------------------------------------------------------
+
+CHUNK_W = 8
+
+
+def _chunk_rows(batch: pa.Table, w: int) -> pa.Table:
+    """(chunk_hash, doc_id) per non-overlapping w-token chunk. The chunk
+    hash is the same md5+Horner-mod-2^61 rolling hash as `fingerprint`
+    restricted to the chunk's tokens, so the DuckDB twin reproduces it
+    bit-exactly (both sides group on the HASH — no collision-semantics
+    gap). Fully vectorized: one Horner vector step per position j < w."""
+    from .text import _FP_MASK, _fp_mulmod, md5_lower64
+
+    toks = tokens_list(batch)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = np.asarray(pc.list_flatten(toks)).astype(str)
+    lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+    doc = np.asarray(batch.column("doc_id"), dtype=np.int64)
+    empty = pa.table({
+        "ch": pa.array([], type=pa.int64()),
+        "doc_id": pa.array([], type=pa.int64()),
+    })
+    if len(flat) == 0:
+        return empty
+    offsets = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    nchunks = (lens + w - 1) // w
+    total = int(nchunks.sum())
+    if total == 0:
+        return empty
+    cds = np.concatenate(([0], np.cumsum(nchunks)))[:-1]
+    within = np.arange(total, dtype=np.int64) - np.repeat(cds, nchunks)
+    cstart = np.repeat(offsets, nchunks) + within * w
+    clen = np.minimum(w, np.repeat(lens, nchunks) - within * w)
+    uniq, inv = np.unique(flat, return_inverse=True)
+    hu = np.empty(len(uniq), dtype=np.uint64)
+    for i, t in enumerate(uniq):
+        hu[i] = md5_lower64(t)
+    hv = hu[inv] & _FP_MASK
+    h = np.zeros(total, dtype=np.uint64)
+    for j in range(w):
+        rows = np.nonzero(clen > j)[0]
+        if not len(rows):
+            break
+        h[rows] = (_fp_mulmod(h[rows]) + hv[cstart[rows] + j]) & _FP_MASK
+    return pa.table({
+        "ch": pa.array(h.astype(np.int64)),
+        "doc_id": pa.array(np.repeat(doc, nchunks)),
+    })
+
+
+def _chunk_flag_partial(t: pa.Table) -> pa.Table:
+    """Per chunk-hash partition: flag instances whose hash occurs in >1
+    distinct doc, then pre-aggregate to per-doc (cnt, dup) partials so
+    only O(docs-in-partition) rows re-ship to the doc_id reduce."""
+    empty = pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "n_chunks": pa.array([], type=pa.int64()),
+        "dup_chunks": pa.array([], type=pa.int64()),
+    })
+    if t.num_rows == 0 or "ch" not in t.column_names:
+        return empty
+    ch = np.asarray(t.column("ch"), dtype=np.int64)
+    doc = np.asarray(t.column("doc_id"), dtype=np.int64)
+    order = np.lexsort((doc, ch))
+    ch, doc = ch[order], doc[order]
+    new_ch = np.empty(len(ch), dtype=bool)
+    new_ch[0] = True
+    new_ch[1:] = ch[1:] != ch[:-1]
+    new_doc = np.empty(len(ch), dtype=bool)
+    new_doc[0] = True
+    new_doc[1:] = new_ch[1:] | (doc[1:] != doc[:-1])
+    grp = np.cumsum(new_ch) - 1
+    ndocs = np.bincount(grp, weights=new_doc).astype(np.int64)
+    isdup = (ndocs[grp] > 1).astype(np.int64)
+    ud, inv = np.unique(doc, return_inverse=True)
+    cnt = np.bincount(inv, minlength=len(ud)).astype(np.int64)
+    dup = np.zeros(len(ud), dtype=np.int64)
+    np.add.at(dup, inv, isdup)
+    return pa.table({
+        "doc_id": pa.array(ud),
+        "n_chunks": pa.array(cnt),
+        "dup_chunks": pa.array(dup),
+    })
+
+
+def _chunk_doc_merge(t: pa.Table) -> pa.Table:
+    empty = pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "n_chunks": pa.array([], type=pa.int64()),
+        "dup_chunks": pa.array([], type=pa.int64()),
+    })
+    if t.num_rows == 0 or "doc_id" not in t.column_names:
+        return empty
+    doc = np.asarray(t.column("doc_id"), dtype=np.int64)
+    cnt = np.asarray(t.column("n_chunks"), dtype=np.int64)
+    dup = np.asarray(t.column("dup_chunks"), dtype=np.int64)
+    ud, inv = np.unique(doc, return_inverse=True)
+    c = np.zeros(len(ud), dtype=np.int64)
+    d = np.zeros(len(ud), dtype=np.int64)
+    np.add.at(c, inv, cnt)
+    np.add.at(d, inv, dup)
+    return pa.table({
+        "doc_id": pa.array(ud),
+        "n_chunks": pa.array(c),
+        "dup_chunks": pa.array(d),
+    })
+
+
+def chunk_dup_stats(docs_ds, w: int = CHUNK_W):
+    """Per-doc cross-document duplicated-chunk stats (doc_id, n_chunks,
+    dup_chunks): two warm-task shuffles — (1) chunk-hash routed dup
+    flagging with per-doc partials fused into the group task, (2) a
+    doc_id keyed sum of the partials. Only (hash, doc_id) int pairs move
+    in shuffle 1 and per-doc int triples in shuffle 2; chunk text never
+    leaves the extraction task."""
+    rows = docs_ds.map_batches(
+        lambda b: _chunk_rows(b, w),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    partials = group_apply_tasks(rows, ["ch"], _chunk_flag_partial)
+    return group_apply_tasks(partials, ["doc_id"], _chunk_doc_merge)

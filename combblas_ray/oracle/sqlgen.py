@@ -2268,3 +2268,184 @@ SELECT t.doc_id AS doc_id,
          t.tok NOT IN (SELECT tok FROM vocab)) AS BIGINT) AS n_oov
 FROM tok t GROUP BY t.doc_id
 """
+
+
+def running_total() -> str:
+    """Twin of `queries.q_running_total` (cumulative SUM window)."""
+    return """
+SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_cents
+FROM events
+"""
+
+
+def cust_no_orders() -> str:
+    """Twin of `queries.q_cust_no_orders` (NOT EXISTS anti join)."""
+    return """
+SELECT c.c_custkey, c.c_name,
+       CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+def seq_pack(budget: int) -> str:
+    """Twin of `queries.q_seq_pack` (per-lang token-budget binning)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+  FROM documents
+)
+SELECT doc_id, lang, ntok,
+       CAST((sum(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - ntok)
+            // {budget} AS BIGINT) AS bin
+FROM toks
+"""
+
+
+def nbr_jaccard(topk: int = 100, min_cn: int = 2) -> str:
+    """Neighborhood-Jaccard link prediction on DENSE ids (integer-scaled
+    score, same orientation/tie-breaks as `queries.q_nbr_jaccard`)."""
+    return PREFIX + f"""
+, dense AS (
+  SELECT i, row_number() OVER (ORDER BY label) - 1 AS d, label FROM verts
+),
+du AS (
+  SELECT ds.d AS u, dd.d AS v
+  FROM edges e JOIN dense ds ON ds.i = e.src JOIN dense dd ON dd.i = e.dst
+  UNION
+  SELECT dd.d, ds.d
+  FROM edges e JOIN dense ds ON ds.i = e.src JOIN dense dd ON dd.i = e.dst
+),
+deg AS (SELECT u, count(*) AS dg FROM du GROUP BY u),
+cn AS (
+  SELECT x.u AS a, y.v AS b, count(*) AS c
+  FROM du x JOIN du y ON x.v = y.u
+  WHERE x.u < y.v
+  GROUP BY 1, 2
+),
+cn2 AS (
+  SELECT a, b,
+         CAST((c * 1000000) // (da.dg + db.dg - c) AS BIGINT) AS score
+  FROM cn JOIN deg da ON da.u = cn.a JOIN deg db ON db.u = cn.b
+  WHERE c >= {min_cn}
+    AND NOT EXISTS (SELECT 1 FROM du e WHERE e.u = cn.a AND e.v = cn.b)
+)
+SELECT da.label AS a, db.label AS b, c.score
+FROM cn2 c JOIN dense da ON da.d = c.a JOIN dense db ON db.d = c.b
+ORDER BY c.score DESC, c.a ASC, c.b ASC
+LIMIT {topk}
+"""
+
+
+def chunk_dups(w: int = 8) -> str:
+    """Twin of `queries.q_chunk_dups`: per-doc duplicated-chunk counts,
+    chunk hash = the fingerprint Horner chain over each w-token slice
+    (md5_number_lower % 2^61, HUGEINT accumulator)."""
+    p = 1 << 61
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+cks AS MATERIALIZED (
+  SELECT doc_id, l,
+         unnest(generate_series(
+           0, CAST((len(l) + {w} - 1) // {w} AS BIGINT) - 1)) AS ck
+  FROM toks
+),
+chunks AS MATERIALIZED (
+  SELECT doc_id,
+    CAST(list_reduce(
+      list_prepend(CAST(0 AS HUGEINT),
+        list_transform(l[(ck * {w} + 1):(ck * {w} + {w})],
+                       t -> CAST(md5_number_lower(t) % {p} AS HUGEINT))),
+      (acc, x) -> (acc * 1000003 + x) % {p}
+    ) AS BIGINT) AS ch
+  FROM cks
+),
+dupc AS MATERIALIZED (
+  SELECT ch FROM chunks GROUP BY ch HAVING count(DISTINCT doc_id) > 1
+)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(*) FILTER (WHERE d.ch IS NOT NULL) AS BIGINT)
+         AS dup_chunks
+FROM chunks c LEFT JOIN dupc d ON d.ch = c.ch
+GROUP BY c.doc_id
+"""
+
+
+@_materialized
+def stress(root_label: str = "m_0", iters: int = 12) -> str:
+    """Single-source stress centrality: the `bfs_sigma` forward chain +
+    an unrolled backward pass g(v) = SUM over dist-(k+1) neighbors of
+    (1 + g) by descending level; stress = sigma * g (integer BIGINT,
+    root excluded). Twin of `queries.q_stress`."""
+    sql = PREFIX + f"""
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+d0 AS (SELECT i, 0 AS dist FROM verts WHERE label = '{root_label}')
+"""
+    prev = "d0"
+    for k in range(1, iters + 1):
+        sql += f"""
+, d{k} AS (
+  SELECT i, min(dist) AS dist FROM (
+    SELECT i, dist FROM {prev}
+    UNION ALL
+    SELECT u.dst AS i, dp.dist + 1 AS dist
+    FROM und u JOIN {prev} dp ON dp.i = u.src
+  ) GROUP BY i
+)"""
+        prev = f"d{k}"
+    sql += f"""
+, distf AS (SELECT i, dist FROM {prev}),
+s0 AS (SELECT i, CAST(1 AS BIGINT) AS sig FROM d0)
+"""
+    for k in range(1, iters + 1):
+        sql += f"""
+, s{k} AS (
+  SELECT u.dst AS i, sum(sp.sig) AS sig
+  FROM und u JOIN s{k - 1} sp ON sp.i = u.src
+  JOIN distf dd ON dd.i = u.dst AND dd.dist = {k}
+  GROUP BY u.dst
+)"""
+    union = " UNION ALL ".join(f"SELECT * FROM s{k}"
+                               for k in range(iters + 1))
+    sql += f"""
+, sig AS ({union}),
+g{iters} AS (SELECT CAST(NULL AS BIGINT) AS i, CAST(0 AS BIGINT) AS g
+             WHERE 1 = 0)"""
+    for k in range(iters - 1, -1, -1):
+        sql += f"""
+, g{k} AS (
+  SELECT u.src AS i, sum(1 + coalesce(gn.g, 0)) AS g
+  FROM und u
+  JOIN distf ds ON ds.i = u.src AND ds.dist = {k}
+  JOIN distf dd ON dd.i = u.dst AND dd.dist = {k + 1}
+  LEFT JOIN g{k + 1} gn ON gn.i = u.dst
+  GROUP BY u.src
+)"""
+    gunion = " UNION ALL ".join(f"SELECT * FROM g{k}"
+                                for k in range(iters))
+    sql += f"""
+, gall AS ({gunion})
+SELECT v.label AS label, CAST(d.dist AS BIGINT) AS dist,
+       CAST(s.sig AS BIGINT) AS sigma,
+       CAST(s.sig * coalesce(ga.g, 0) AS BIGINT) AS stress
+FROM distf d
+JOIN sig s ON s.i = d.i
+LEFT JOIN gall ga ON ga.i = d.i
+JOIN verts v ON v.i = d.i
+WHERE v.label <> '{root_label}'
+"""
+    return sql

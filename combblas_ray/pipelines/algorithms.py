@@ -2116,3 +2116,67 @@ def scc(eng_fwd: SpmvEngine, eng_rev: SpmvEngine,
         raise RuntimeError(f"scc: {int((out < 0).sum())} vertices "
                            f"unassigned after {max_rounds} rounds")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Stress centrality (single source): the integer backward-accumulation
+# half of Brandes (`BetwCent.cpp:205-230` runs the float delta variant;
+# stress uses the INTEGER recurrence g(v) = sum_{w in succ(v)} (1 + g(w))
+# so the whole pipeline stays order-free exact).
+# ---------------------------------------------------------------------------
+
+
+def _zeros_chunk(bounds):
+    s, e = bounds
+    return np.zeros(e - s)
+
+
+def _stress_gx(d, g, level):
+    """Backward-pass x: 1 + g at the child level, 0 elsewhere."""
+    return np.where(d == level, 1.0 + g, 0.0)
+
+
+def _stress_gupd(d, g, y, bounds, level):
+    """Vertices at ``level`` take g = sum over dist-(level+1) neighbors
+    of (1 + g) — the plus_times SpMV restricted by the x mask."""
+    return np.where(d == level, y, g)
+
+
+def stress_source(engine: SpmvEngine, root: int, iters: int = 12):
+    """Single-source stress centrality: number of shortest paths from
+    ``root`` passing THROUGH each vertex v (= sigma(v) * g(v), with
+    g(v) the count of shortest-path-DAG paths starting at v). Forward
+    pass = `bfs_sigma`'s level loop; backward pass = one masked
+    plus_times SpMV per level from the deepest level up. All counts are
+    integers in the f64 channel (guarded < 2^53); d/sigma/g stay
+    chunked refs, the driver syncs one frontier scalar per level."""
+    d = engine.map_chunks_i(partial(_root_init, root=root))
+    sigma = engine.map_chunks_i(partial(_sigma_seed, root=root))
+    for level in range(iters):
+        x = engine.map_chunks(partial(_sigma_x, level=float(level)),
+                              d, sigma)
+        if not sum(engine.chunk_scalars(_count_true, x)):
+            break
+        d, sigma = engine.spmv_apply_refs(
+            x, "plus_times",
+            partial(_sigma_update_f, level=float(level)), 2, d, sigma,
+        )
+    g = engine.map_chunks_i(_zeros_chunk)
+    for level in range(iters - 1, -1, -1):
+        x = engine.map_chunks(partial(_stress_gx, level=float(level + 1)),
+                              d, g)
+        if not sum(engine.chunk_scalars(_count_true, x)):
+            continue  # no vertices at level+1: g at `level` stays 0
+        g = engine.spmv_apply_refs(
+            x, "plus_times", partial(_stress_gupd, level=float(level)),
+            1, d, g,
+        )[0]
+    df = engine.unchunk(d)
+    sf = engine.unchunk(sigma)
+    gf = engine.unchunk(g)
+    if sf.max(initial=0.0) >= 2.0**53 or (sf * gf).max(initial=0.0) >= 2.0**53:
+        raise NotImplementedError(
+            "stress_source: path counts exceed the exact float64 integer "
+            "range; an int64/big-integer value channel is needed here"
+        )
+    return df, sf, gf

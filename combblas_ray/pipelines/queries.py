@@ -2801,3 +2801,252 @@ def q_pagerank_incremental(sf_dir: str):
         "label": pa.array(np.asarray(ctx.labels), type=pa.string()),
         "score": pa.array(np.round(r, 9)),
     })
+
+
+# ---------------------------------------------------------------------------
+# Wave 6: running total / anti join / sequence packing
+# ---------------------------------------------------------------------------
+
+SEQ_PACK_L = 512  # token budget per packed training sequence
+
+
+def _runtot_kernel(t: pa.Table) -> pa.Table:
+    """Per user-hash partition: SUM(cents) OVER (PARTITION BY user_id
+    ORDER BY ts, event_id) — whole-partition lexsort + segmented cumsum
+    (integer cents via floor(value*100 + 0.5), same tie rule as SQL)."""
+    empty = pa.table({
+        "event_id": pa.array([], type=pa.int64()),
+        "user_id": pa.array([], type=pa.int64()),
+        "cum_cents": pa.array([], type=pa.int64()),
+    })
+    if t.num_rows == 0 or "user_id" not in t.column_names:
+        return empty
+    eid = np.asarray(t.column("event_id"), dtype=np.int64)
+    ts = np.asarray(t.column("ts")).astype("datetime64[us]").astype(np.int64)
+    uid = np.asarray(t.column("user_id"), dtype=np.int64)
+    cents = np.floor(
+        np.asarray(t.column("value"), dtype=np.float64) * 100.0 + 0.5
+    ).astype(np.int64)
+    order = np.lexsort((eid, ts, uid))
+    eid, uid, cents = eid[order], uid[order], cents[order]
+    cs = np.cumsum(cents)
+    new = np.empty(len(uid), dtype=bool)
+    new[0] = True
+    new[1:] = uid[1:] != uid[:-1]
+    starts = np.nonzero(new)[0]
+    seg_base = np.where(starts > 0, cs[starts - 1], 0)
+    grp = np.cumsum(new) - 1
+    cum = cs - seg_base[grp]
+    return pa.table({
+        "event_id": pa.array(eid),
+        "user_id": pa.array(uid),
+        "cum_cents": pa.array(cum),
+    })
+
+
+def q_running_total(sf_dir: str):
+    """Per-user running total of event value (the cumulative-SUM window
+    function): ONE user_id warm-task shuffle co-locates each user's
+    rows, then a whole-partition vectorized lexsort + segmented cumsum
+    — partition-local running totals are globally exact. Integer cents
+    keep the sums order-free exact."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    return group_apply_tasks(ds, ["user_id"], _runtot_kernel)
+
+
+def q_cust_no_orders(sf_dir: str):
+    """Anti join: customers that never placed an URGENT-priority order
+    (`NOT EXISTS` with a pushed-down predicate). The priority filter is
+    pushed into the parquet read (only matching row groups leave
+    storage); both sides route by custkey hash on warm num_cpus=0
+    tasks; the partition-local pyarrow `left anti` join is globally
+    exact under co-partitioning (all rows of a key land in one
+    partition). Account balance returned as exact integer cents."""
+    import pyarrow.dataset as pads
+    import ray
+
+    from ..core.shuffle import hash_join_tasks
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal"],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pads.field("o_orderpriority") == "1-URGENT",
+    )
+
+    def _cents(t: pa.Table) -> pa.Table:
+        bal = np.floor(
+            np.asarray(t.column("c_acctbal"), dtype=np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table({
+            "c_custkey": t.column("c_custkey"),
+            "c_name": t.column("c_name"),
+            "bal_cents": pa.array(bal),
+        })
+
+    return hash_join_tasks(
+        cust, orders, on="c_custkey", right_on="o_custkey",
+        join_type="left anti", post=_cents,
+    )
+
+
+def _seqpack_kernel(t: pa.Table) -> pa.Table:
+    """Per lang-hash partition: docs in doc_id order fill fixed
+    token-budget bins; bin = (running-token-total - ntok) // L (the
+    deterministic budget-sharding rule — each bin holds consecutive
+    docs totalling ~L tokens)."""
+    empty = pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "lang": pa.array([], type=pa.string()),
+        "ntok": pa.array([], type=pa.int64()),
+        "bin": pa.array([], type=pa.int64()),
+    })
+    if t.num_rows == 0 or "lang" not in t.column_names:
+        return empty
+    did = np.asarray(t.column("doc_id"), dtype=np.int64)
+    lang = np.asarray(t.column("lang")).astype(str)
+    ntok = np.asarray(t.column("ntok"), dtype=np.int64)
+    order = np.lexsort((did, lang))
+    did, lang, ntok = did[order], lang[order], ntok[order]
+    cs = np.cumsum(ntok)
+    new = np.empty(len(lang), dtype=bool)
+    new[0] = True
+    new[1:] = lang[1:] != lang[:-1]
+    starts = np.nonzero(new)[0]
+    seg_base = np.where(starts > 0, cs[starts - 1], 0)
+    grp = np.cumsum(new) - 1
+    cum = cs - seg_base[grp]
+    return pa.table({
+        "doc_id": pa.array(did),
+        "lang": pa.array(lang.tolist(), type=pa.string()),
+        "ntok": pa.array(ntok),
+        "bin": pa.array((cum - ntok) // SEQ_PACK_L),
+    })
+
+
+def q_seq_pack(sf_dir: str):
+    """Token-budget sequence packing prep: per language, docs in doc_id
+    order are assigned to consecutive training-sequence bins of
+    SEQ_PACK_L tokens (bin = floor(preceding-token-cumsum / L)). Token
+    counts are computed per batch BEFORE the shuffle (only 3 small int
+    columns move); one lang shuffle + whole-partition segmented cumsum."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+
+    def _ntok(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b.column("text"), " ")
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "lang": b.column("lang"),
+            "ntok": pc.cast(pc.list_value_length(toks), pa.int64()),
+        })
+
+    enc = ds.map_batches(_ntok, batch_format="pyarrow", zero_copy_batch=True)
+    return group_apply_tasks(enc, ["lang"], _seqpack_kernel)
+
+
+NBRJ_TOPK = 100
+NBRJ_MIN = 2  # min shared neighbors for a candidate pair
+
+
+def q_nbr_jaccard(sf_dir: str):
+    """Neighborhood-Jaccard link prediction: for every non-adjacent
+    pair (a < b) with >= NBRJ_MIN shared neighbors, the integer-scaled
+    Jaccard of their neighbor sets — score = cn * 10^6 //
+    (deg(a) + deg(b) - cn) — top-NBRJ_TOPK by (score DESC, a, b).
+    Same wedge SpGEMM + anti-mask plan as `q_link_predict_cn`; the
+    degree vector (one int per vertex, the FullyDistVec analog) is
+    `ray.put` ONCE and read per task — no degree join shuffle."""
+    return nbr_jaccard_table(get_context(sf_dir))
+
+
+def nbr_jaccard_table(ctx):
+    import ray
+
+    from ..core import spgemm as SG
+
+    g = ctx.graph("sym")
+    n = ctx.n
+    deg = ctx.engine("sym").in_weights().astype(np.int64)
+    wedges = float((deg.astype(np.float64) ** 2).sum())
+    gp = int(max(8, min(64, np.ceil(wedges / 1.5e6))))
+    be = g.dedup_sum().cast_bool().edges
+    cn = SG.spgemm_tasks(be, be, n, add="sum", num_partitions=gp)
+    cn = SG.coordinate_mask(cn, g.edges, n, anti=True, num_partitions=gp)
+    deg_ref = ray.put(deg)
+
+    def _score(b: pa.Table, *, _ref=deg_ref) -> pa.Table:
+        dv = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+        s = np.asarray(b.column("src"))
+        d = np.asarray(b.column("dst"))
+        w = np.asarray(b.column("w")).astype(np.int64)
+        keep = (s < d) & (w >= NBRJ_MIN)
+        s, d, w = s[keep], d[keep], w[keep]
+        union = dv[s] + dv[d] - w
+        return pa.table({
+            "a": pa.array(s), "b": pa.array(d),
+            "score": pa.array(w * 1_000_000 // union),
+        })
+
+    top = (cn.map_batches(_score, batch_format="pyarrow")
+             .sort(["score", "a", "b"], descending=[True, False, False])
+             .limit(NBRJ_TOPK).to_pandas())
+    lab = np.asarray(ctx.labels)
+    return pa.table({
+        "a": pa.array(lab[top["a"].to_numpy(dtype=np.int64)],
+                      type=pa.string()),
+        "b": pa.array(lab[top["b"].to_numpy(dtype=np.int64)],
+                      type=pa.string()),
+        "score": pa.array(top["score"].to_numpy(dtype=np.int64)),
+    })
+
+
+def q_chunk_dups(sf_dir: str):
+    """Cross-document chunk dedup (the paragraph-dedup analog): per doc,
+    how many of its consecutive 8-token chunks occur verbatim in another
+    document. Chunk identity = the fingerprint md5+Horner rolling hash
+    over the chunk's tokens (bit-exact SQL twin — both sides group on
+    the hash)."""
+    import ray
+
+    from ..functions.dedup import chunk_dup_stats
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return chunk_dup_stats(ds)
+
+
+def q_stress(sf_dir: str):
+    """Single-source stress centrality from m_0 (integer Brandes: sigma
+    forward + path-count backward accumulation, `alg.stress_source`).
+    Emits reached vertices OTHER than the root with their dist / sigma /
+    through-path count (all integer-exact)."""
+    ctx = get_context(sf_dir)
+    root = int(np.searchsorted(ctx.labels, "m_0"))
+    d, sig, g = alg.stress_source(ctx.engine("sym"), root, iters=BFS_ITERS)
+    ids = np.nonzero(np.isfinite(d))[0]
+    ids = ids[ids != root]
+    stress = (sig[ids] * g[ids]).astype(np.int64)
+    return pa.table(
+        {
+            "label": _label_col(ctx, ids),
+            "dist": pa.array(d[ids].astype(np.int64)),
+            "sigma": pa.array(sig[ids].astype(np.int64)),
+            "stress": pa.array(stress),
+        }
+    )

@@ -1,0 +1,217 @@
+"""Brute-force twins for the wave-6 operators: stress centrality,
+neighborhood-Jaccard link prediction, chunk dedup, running totals,
+anti join, sequence packing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+
+from tests.conftest import brute_dense_matrix
+
+
+def _und_sets(ctx):
+    A = brute_dense_matrix(ctx)
+    U = (A + A.T) > 0
+    np.fill_diagonal(U, False)
+    return [set(np.nonzero(U[v])[0]) for v in range(ctx.n)]
+
+
+def test_stress_source_vs_brute(ctx500):
+    from combblas_ray.pipelines import algorithms as alg
+
+    ctx = ctx500
+    nbrs = _und_sets(ctx)
+    root = int(np.searchsorted(ctx.labels, "m_0"))
+    iters = 12
+    n = ctx.n
+    # brute BFS + sigma + g
+    INF = np.inf
+    d = np.full(n, INF)
+    sig = np.zeros(n)
+    d[root], sig[root] = 0, 1
+    frontier = [root]
+    level = 0
+    while frontier and level < iters:
+        nxt = {}
+        for v in frontier:
+            for w in nbrs[v]:
+                if np.isinf(d[w]):
+                    nxt[w] = True
+        for w in nxt:
+            d[w] = level + 1
+            sig[w] = sum(sig[u] for u in nbrs[w] if d[u] == level)
+        frontier = list(nxt)
+        level += 1
+    g = np.zeros(n)
+    for lev in range(iters - 1, -1, -1):
+        for v in np.nonzero(d == lev)[0]:
+            g[v] = sum(1 + g[w] for w in nbrs[v] if d[w] == lev + 1)
+    df, sf, gf = alg.stress_source(ctx.engine("sym"), root, iters=iters)
+    assert np.array_equal(np.isfinite(df), np.isfinite(d))
+    m = np.isfinite(d)
+    assert np.array_equal(df[m], d[m])
+    assert np.array_equal(sf, sig)
+    assert np.array_equal(gf, g)
+
+
+def test_nbr_jaccard_vs_brute(ctx500):
+    from combblas_ray.pipelines import queries as q
+
+    ctx = ctx500
+    nbrs = _und_sets(ctx)
+    n = ctx.n
+    rows = []
+    for a in range(n):
+        for b in range(a + 1, n):
+            if b in nbrs[a]:
+                continue
+            cn = len(nbrs[a] & nbrs[b])
+            if cn < q.NBRJ_MIN:
+                continue
+            union = len(nbrs[a]) + len(nbrs[b]) - cn
+            rows.append((a, b, cn * 1_000_000 // union))
+    rows.sort(key=lambda r: (-r[2], r[0], r[1]))
+    exp = rows[: q.NBRJ_TOPK]
+    lab = np.asarray(ctx.labels)
+    out = q.nbr_jaccard_table(ctx).to_pandas()
+    assert len(out) == len(exp)
+    for (a, b, s), (_, row) in zip(exp, out.iterrows()):
+        assert row["a"] == lab[a] and row["b"] == lab[b]
+        assert row["score"] == s
+
+
+def test_chunk_dup_stats_vs_brute(ray_session):
+    from combblas_ray.functions.dedup import CHUNK_W, chunk_dup_stats
+
+    texts = [
+        "a b c d e f g h i j",           # chunk1 = a..h, chunk2 = i j
+        "a b c d e f g h x y",           # shares chunk1 with doc 0
+        "z z z z z z z z",               # unique single chunk
+        "i j",                            # == doc0's trailing chunk
+        "",                               # one '' token -> one chunk
+        "a b c d e f g h a b c d e f g h",  # internal repeat, shared w/ 0,1
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts, type=pa.string()),
+    })).repartition(3)
+    out = (chunk_dup_stats(ds).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # brute on chunk STRINGS (hash is injective on this fixture)
+    chunks = {}
+    per_doc = []
+    for did, t in enumerate(texts):
+        toks = t.split(" ")
+        cs = [" ".join(toks[i:i + CHUNK_W])
+              for i in range(0, len(toks), CHUNK_W)]
+        per_doc.append(cs)
+        for c in cs:
+            chunks.setdefault(c, set()).add(did)
+    exp = pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype=np.int64),
+        "n_chunks": [len(cs) for cs in per_doc],
+        "dup_chunks": [
+            sum(1 for c in cs if len(chunks[c]) > 1) for cs in per_doc
+        ],
+    }).astype(np.int64)
+    pd.testing.assert_frame_equal(out.astype(np.int64), exp)
+
+
+def _write_events(tmp_path, n=200, users=7, seed=3):
+    rng = np.random.RandomState(seed)
+    ts = (np.int64(1_700_000_000_000_000)
+          + np.sort(rng.randint(0, 10**9, n)).astype(np.int64))
+    pdf = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime(ts, unit="us"),
+        "user_id": rng.randint(0, users, n).astype(np.int64),
+        "event_type": rng.choice(["view", "click"], n),
+        "value": np.round(rng.uniform(0, 500, n), 2),
+        "props": ["{}"] * n,
+    })
+    pq.write_table(pa.Table.from_pandas(pdf), str(tmp_path / "events.parquet"))
+    return pdf
+
+
+def test_running_total_matches_pandas(ray_session, tmp_path):
+    from combblas_ray.pipelines import queries as q
+
+    pdf = _write_events(tmp_path)
+    out = (q.q_running_total(str(tmp_path)).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    pdf = pdf.copy()
+    pdf["cents"] = np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    pdf["ts_us"] = pdf["ts"].astype("int64")
+    pdf = pdf.sort_values(["user_id", "ts_us", "event_id"])
+    pdf["cum_cents"] = pdf.groupby("user_id")["cents"].cumsum()
+    exp = (pdf[["event_id", "user_id", "cum_cents"]]
+           .sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out.astype(np.int64), exp.astype(np.int64))
+
+
+def test_cust_no_orders_matches_pandas(ray_session, tmp_path):
+    from combblas_ray.pipelines import queries as q
+
+    rng = np.random.RandomState(11)
+    nc = 60
+    cust = pd.DataFrame({
+        "c_custkey": np.arange(nc, dtype=np.int64),
+        "c_name": [f"cust{i}" for i in range(nc)],
+        "c_nationkey": rng.randint(0, 5, nc).astype(np.int32),
+        "c_acctbal": np.round(rng.uniform(-100, 1000, nc), 2),
+        "c_mktsegment": ["SEG"] * nc,
+    })
+    no = 120
+    orders = pd.DataFrame({
+        "o_orderkey": np.arange(no, dtype=np.int64),
+        "o_custkey": rng.randint(0, nc, no).astype(np.int64),
+        "o_orderstatus": ["O"] * no,
+        "o_totalprice": np.round(rng.uniform(10, 999, no), 2),
+        "o_orderdate": pd.to_datetime("2024-01-01"),
+        "o_orderpriority": rng.choice(
+            ["1-URGENT", "2-HIGH", "5-LOW"], no),
+    })
+    pq.write_table(pa.Table.from_pandas(cust), str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.Table.from_pandas(orders), str(tmp_path / "orders.parquet"))
+    out = (q.q_cust_no_orders(str(tmp_path)).to_pandas()
+           .sort_values("c_custkey").reset_index(drop=True))
+    urgent = set(orders.loc[orders.o_orderpriority == "1-URGENT", "o_custkey"])
+    keep = cust[~cust.c_custkey.isin(urgent)]
+    exp = pd.DataFrame({
+        "c_custkey": keep.c_custkey.to_numpy(),
+        "c_name": keep.c_name.to_numpy(),
+        "bal_cents": np.floor(keep.c_acctbal.to_numpy() * 100 + 0.5)
+        .astype(np.int64),
+    }).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, exp)
+
+
+def test_seq_pack_matches_pandas(ray_session, tmp_path):
+    from combblas_ray.pipelines import queries as q
+
+    rng = np.random.RandomState(5)
+    nd = 80
+    texts = [" ".join(rng.choice(["aa", "bb", "cc"],
+                                 rng.randint(1, 400)))
+             for _ in range(nd)]
+    docs = pd.DataFrame({
+        "doc_id": np.arange(nd, dtype=np.int64),
+        "text": texts,
+        "lang": rng.choice(["en", "fr", "de"], nd),
+        "source": ["s"] * nd,
+        "n_chars": [len(t) for t in texts],
+    })
+    pq.write_table(pa.Table.from_pandas(docs), str(tmp_path / "documents.parquet"))
+    out = (q.q_seq_pack(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    docs = docs.copy()
+    docs["ntok"] = [len(t.split(" ")) for t in docs.text]
+    docs = docs.sort_values(["lang", "doc_id"])
+    docs["bin"] = (docs.groupby("lang")["ntok"].cumsum()
+                   - docs["ntok"]) // q.SEQ_PACK_L
+    exp = (docs[["doc_id", "lang", "ntok", "bin"]]
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, exp)
