@@ -164,6 +164,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nbr_jaccard": q.q_nbr_jaccard,
         "chunk_dups": q.q_chunk_dups,
         "stress": q.q_stress,
+        "widest_paths": q.q_widest_paths,
+        "community_stats": q.q_community_stats,
+        "json_props": q.q_json_props,
         "running_total": q.q_running_total,
         "cust_no_orders": q.q_cust_no_orders,
         "seq_pack": q.q_seq_pack,
@@ -297,6 +300,10 @@ def oracle_sql() -> dict[str, str]:
         "nbr_jaccard": o.nbr_jaccard(q.NBRJ_TOPK, q.NBRJ_MIN),
         "chunk_dups": o.chunk_dups(),
         "stress": o.stress("m_0", q.BFS_ITERS),
+        "widest_paths": o.widest_paths("m_1", q.WIDEST_ITERS,
+                                       int(q.BNECK_INF)),
+        "community_stats": o.community_stats(q.CC_ITERS),
+        "json_props": o.json_props(),
         "cust_no_orders": o.cust_no_orders(),
         "seq_pack": o.seq_pack(q.SEQ_PACK_L),
         # mis: no SQL oracle (iterative random-priority algorithm);

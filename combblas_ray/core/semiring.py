@@ -82,6 +82,10 @@ def _and(a, x):
     return np.logical_and(a != 0, x != 0).astype(np.float64)
 
 
+def _min_mul(a, x):
+    return np.minimum(a, x)
+
+
 I64MAX = np.iinfo(np.int64).max
 
 SEMIRINGS: dict[str, Semiring] = {
@@ -104,6 +108,11 @@ SEMIRINGS: dict[str, Semiring] = {
         "select2nd_min_i64", _second, np.minimum, I64MAX,
         dtype=np.dtype(np.int64),
     ),
+    # Widest-path (bottleneck) semiring: multiply = min(edge weight,
+    # incoming bottleneck), add = max — `MaxMinSRing` of the reference's
+    # semiring family (Semirings.h catalog; Operations.h min/max
+    # functors). Identity -inf = unreached.
+    "max_min": Semiring("max_min", _min_mul, np.maximum, -np.inf),
     # Bitwise-OR over int64 bitmask values carried on the x channel
     # (`bitwise_or` from the reference's binary-functor catalog,
     # Operations.h:184-293, as an SpMV additive monoid): y[v] = OR of

@@ -2449,3 +2449,94 @@ JOIN verts v ON v.i = d.i
 WHERE v.label <> '{root_label}'
 """
     return sql
+
+
+@_materialized
+def widest_paths(root_label: str = "m_1", iters: int = 8,
+                 inf: int = 1000000000) -> str:
+    """Unrolled fixed-round widest-path (max of path-min edge weight)
+    over the directed integer-weighted graph — twin of
+    `queries.q_widest_paths` (max_min semiring)."""
+    sql = PREFIX + f"""
+, wedges AS (
+  SELECT src, dst, CAST(1 + (src + 2 * dst) % 7 AS DOUBLE) AS len FROM edges
+),
+b0 AS (SELECT i, CAST({inf} AS DOUBLE) AS wd FROM verts
+       WHERE label = '{root_label}')
+"""
+    prev = "b0"
+    for k in range(1, iters + 1):
+        sql += f"""
+, b{k} AS (
+  SELECT i, max(wd) AS wd FROM (
+    SELECT i, wd FROM {prev}
+    UNION ALL
+    SELECT e.dst AS i, least(bp.wd, e.len) AS wd
+    FROM wedges e JOIN {prev} bp ON bp.i = e.src
+  ) GROUP BY i
+)"""
+        prev = f"b{k}"
+    sql += f"""
+SELECT v.label AS label, CAST(b.wd AS BIGINT) AS width
+FROM {prev} b JOIN verts v ON v.i = b.i
+"""
+    return sql
+
+
+@_materialized
+def community_stats(iters: int = 12) -> str:
+    """Per-component vertex + internal-edge counts over the fixed-round
+    min-label CC chain — twin of `queries.q_community_stats`."""
+    sql = PREFIX + """
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+l0 AS (SELECT i, label AS comp FROM verts)
+"""
+    prev = "l0"
+    for k in range(1, iters + 1):
+        sql += f"""
+, l{k} AS (
+  SELECT v.i, least(l.comp, coalesce(m.mn, l.comp)) AS comp
+  FROM verts v JOIN {prev} l ON l.i = v.i
+  LEFT JOIN (
+    SELECT u.dst AS i, min(lp.comp) AS mn
+    FROM und u JOIN {prev} lp ON lp.i = u.src GROUP BY u.dst
+  ) m ON m.i = v.i
+)"""
+        prev = f"l{k}"
+    sql += f"""
+, compf AS (SELECT i, comp FROM {prev}),
+vcnt AS (SELECT comp, CAST(count(*) AS BIGINT) AS n_vertices
+         FROM compf GROUP BY comp),
+ecnt AS (
+  SELECT cs.comp, CAST(count(*) AS BIGINT) AS n_edges
+  FROM edges e
+  JOIN compf cs ON cs.i = e.src
+  JOIN compf cd ON cd.i = e.dst AND cd.comp = cs.comp
+  GROUP BY cs.comp
+)
+SELECT v.comp AS comp, v.n_vertices,
+       coalesce(e.n_edges, 0) AS n_edges
+FROM vcnt v LEFT JOIN ecnt e ON e.comp = v.comp
+"""
+    return sql
+
+
+def json_props() -> str:
+    """Twin of `queries.q_json_props` (RE2 regexp_extract of the JSON
+    `k` field + per-type integer aggregates)."""
+    return """
+WITH k AS (
+  SELECT event_type,
+         TRY_CAST(nullif(regexp_extract(props, '"k":\\s*(\\d+)', 1),
+                        '') AS BIGINT) AS kv
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(kv) AS BIGINT) AS sum_k,
+       CAST(max(kv) AS BIGINT) AS max_k
+FROM k WHERE kv IS NOT NULL
+GROUP BY event_type
+"""

@@ -2180,3 +2180,36 @@ def stress_source(engine: SpmvEngine, root: int, iters: int = 12):
             "range; an int64/big-integer value channel is needed here"
         )
     return df, sf, gf
+
+
+# ---------------------------------------------------------------------------
+# Widest (bottleneck) paths: the max_min semiring end-to-end.
+# ---------------------------------------------------------------------------
+
+
+def _bneck_seed(bounds, root, inf):
+    s, e = bounds
+    b = np.full(e - s, -np.inf)
+    if s <= root < e:
+        b[root - s] = inf
+    return b
+
+
+def _bneck_update_f(b, y, bounds):
+    return np.maximum(b, y)
+
+
+def widest_paths_fixed(engine: SpmvEngine, root: int, iters: int,
+                       inf: float = 1e9) -> np.ndarray:
+    """Fixed-round widest-path (maximum-bottleneck) distances from
+    ``root`` over the DIRECTED weighted engine: exactly ``iters``
+    synchronous rounds of b = max(b, max_min-SpMV(b)) — the max_min
+    semiring (mul = min(edge w, incoming bottleneck), add = max)
+    driving the same fused SpMV+update loop as Bellman-Ford SSSP.
+    Integer edge weights make every value integer-exact; the root
+    carries the finite sentinel ``inf`` (SQL-representable, unlike
+    np.inf). Unreached vertices stay -inf."""
+    b = engine.map_chunks_i(partial(_bneck_seed, root=root, inf=inf))
+    for _ in range(iters):
+        b = engine.spmv_apply_refs(b, "max_min", _bneck_update_f, 1, b)[0]
+    return engine.unchunk(b)

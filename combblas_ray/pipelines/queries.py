@@ -3050,3 +3050,123 @@ def q_stress(sf_dir: str):
             "stress": pa.array(stress),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 7: widest paths / community stats / JSON props extraction
+# ---------------------------------------------------------------------------
+
+WIDEST_ITERS = 8
+BNECK_INF = 1e9  # finite root sentinel (SQL-representable)
+
+
+def q_widest_paths(sf_dir: str):
+    """Maximum-bottleneck path widths from m_1 over the directed
+    integer-weighted graph (the SSSP weight rule), exactly WIDEST_ITERS
+    synchronous max_min rounds — the max_min semiring end-to-end (see
+    `alg.widest_paths_fixed`). Reached vertices only; the root reports
+    the 10^9 sentinel."""
+    ctx = get_context(sf_dir)
+    root = int(np.searchsorted(ctx.labels, "m_1"))
+    b = alg.widest_paths_fixed(ctx.engine("sssp"), root, WIDEST_ITERS,
+                               inf=BNECK_INF)
+    ids = np.nonzero(np.isfinite(b))[0]
+    return pa.table(
+        {
+            "label": _label_col(ctx, ids),
+            "width": pa.array(b[ids].astype(np.int64)),
+        }
+    )
+
+
+def q_community_stats(sf_dir: str):
+    """Per-component summary of the fixed-round CC labeling: vertex
+    count + internal (distinct-pair, directed) edge count per
+    component. The O(n) component vector (FullyDistVec analog) is
+    `ray.put` ONCE; edge batches stream through a vectorized
+    equal-label bincount partial and only (comp, count) partials reach
+    the driver (output cardinality = number of components)."""
+    import ray
+
+    ctx = get_context(sf_dir)
+    comp = alg.cc_fixed(ctx.engine("sym"), CC_ITERS)
+    vcnt = np.bincount(comp, minlength=ctx.n)
+    comp_ref = ray.put(comp)
+
+    def _part(b: pa.Table, *, _ref=comp_ref) -> pa.Table:
+        c = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+        s = c[np.asarray(b.column("src"))]
+        d = c[np.asarray(b.column("dst"))]
+        m = s == d
+        u, cnt = np.unique(s[m], return_counts=True)
+        return pa.table({
+            "comp": pa.array(u.astype(np.int64)),
+            "ecnt": pa.array(cnt.astype(np.int64)),
+        })
+
+    parts = ctx.edges.map_batches(
+        _part, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    ecnt = parts.groupby("comp")["ecnt"].sum()
+    comps = np.nonzero(vcnt)[0]
+    e = np.zeros(len(comps), dtype=np.int64)
+    idx = {c: i for i, c in enumerate(comps)}
+    for c, v in ecnt.items():
+        e[idx[c]] = v
+    return pa.table({
+        "comp": _label_col(ctx, comps),
+        "n_vertices": pa.array(vcnt[comps].astype(np.int64)),
+        "n_edges": pa.array(e),
+    })
+
+
+def q_json_props(sf_dir: str):
+    """Semi-structured extraction: pull the integer `k` field out of
+    the JSON `props` column (vectorized RE2 `extract_regex` per batch —
+    the same engine DuckDB's regexp_extract uses) and aggregate per
+    event type: count, sum, max. One streaming map_batches + a bounded
+    per-type merge."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def _extract(b: pa.Table) -> pa.Table:
+        ks = pc.extract_regex(b.column("props"), r'"k":\s*(?P<k>\d+)')
+        k = pc.cast(pc.struct_field(ks, "k"), pa.int64())
+        et = np.asarray(b.column("event_type")).astype(str)
+        kv = k.to_numpy(zero_copy_only=False)
+        valid = ~pd_isnull(kv)
+        et, kv = et[valid], kv[valid].astype(np.int64)
+        u, inv = np.unique(et, return_inverse=True)
+        cnt = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        s = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, kv)
+        mx = np.full(len(u), np.iinfo(np.int64).min)
+        np.maximum.at(mx, inv, kv)
+        return pa.table({
+            "event_type": pa.array(u.tolist(), type=pa.string()),
+            "cnt": pa.array(cnt),
+            "sum_k": pa.array(s),
+            "max_k": pa.array(mx),
+        })
+
+    parts = ds.map_batches(
+        _extract, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    out = parts.groupby("event_type").agg(
+        cnt=("cnt", "sum"), sum_k=("sum_k", "sum"), max_k=("max_k", "max")
+    ).reset_index()
+    return pa.table({
+        "event_type": pa.array(out["event_type"], type=pa.string()),
+        "cnt": pa.array(out["cnt"].to_numpy(dtype=np.int64)),
+        "sum_k": pa.array(out["sum_k"].to_numpy(dtype=np.int64)),
+        "max_k": pa.array(out["max_k"].to_numpy(dtype=np.int64)),
+    })
+
+
+def pd_isnull(a: np.ndarray) -> np.ndarray:
+    import pandas as pd
+
+    return pd.isnull(a)
