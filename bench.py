@@ -307,6 +307,27 @@ def run_dataops() -> None:
     counts["rollup_rows"] = _nrows(q_rollup_counts(sf_dir))
     timings["rollup_counts"] = time.perf_counter() - t0
 
+    # --- wave-6 extension: chunk dedup, packing, window cumsum, anti join
+    from combblas_ray.functions.dedup import chunk_dup_stats
+    from combblas_ray.pipelines.queries import (q_cust_no_orders,
+                                                q_running_total, q_seq_pack)
+
+    t0 = time.perf_counter()
+    counts["chunk_dup_rows"] = _nrows(chunk_dup_stats(docs))
+    timings["chunk_dups"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    counts["seq_pack_rows"] = _nrows(q_seq_pack(sf_dir))
+    timings["seq_pack"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    counts["running_total_rows"] = _nrows(q_running_total(sf_dir))
+    timings["running_total"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    counts["cust_no_orders_rows"] = _nrows(q_cust_no_orders(sf_dir))
+    timings["cust_no_orders"] = time.perf_counter() - t0
+
     total = sum(timings.values())
     print(json.dumps({
         "metric": "dataops_pipeline_total",

@@ -2540,3 +2540,37 @@ SELECT event_type,
 FROM k WHERE kv IS NOT NULL
 GROUP BY event_type
 """
+
+
+@_materialized
+def ecc_sample(seeds: tuple = ("m_0", "m_1", "m_2"),
+               iters: int = 12) -> str:
+    """Per-seed BFS eccentricity + reach counts (unrolled min-label BFS
+    chains over the undirected view, one per seed) — twin of
+    `queries.q_ecc_sample`."""
+    sql = PREFIX + """
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+)"""
+    finals = []
+    for si, s in enumerate(seeds):
+        sql += f"""
+, q{si}d0 AS (SELECT i, 0 AS dist FROM verts WHERE label = '{s}')"""
+        prev = f"q{si}d0"
+        for k in range(1, iters + 1):
+            sql += f"""
+, q{si}d{k} AS (
+  SELECT i, min(dist) AS dist FROM (
+    SELECT i, dist FROM {prev}
+    UNION ALL
+    SELECT u.dst AS i, dp.dist + 1 AS dist
+    FROM und u JOIN {prev} dp ON dp.i = u.src
+  ) GROUP BY i
+)"""
+            prev = f"q{si}d{k}"
+        finals.append(
+            f"SELECT '{s}' AS seed, CAST(max(dist) AS BIGINT) AS ecc, "
+            f"CAST(count(*) AS BIGINT) AS n_reached FROM {prev}"
+        )
+    sql += "\n" + "\nUNION ALL\n".join(finals)
+    return sql

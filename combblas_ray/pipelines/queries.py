@@ -3170,3 +3170,29 @@ def pd_isnull(a: np.ndarray) -> np.ndarray:
     import pandas as pd
 
     return pd.isnull(a)
+
+
+ECC_SEEDS = ("m_0", "m_1", "m_2")
+
+
+def q_ecc_sample(sf_dir: str):
+    """Sampled eccentricities (the BFS-based diameter lower-bound
+    estimator): for each seed vertex, the max BFS level reached within
+    BFS_ITERS rounds plus the count of reached vertices — one
+    refs-only min_plus BFS per seed over the undirected structural
+    engine."""
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("sym")
+    seeds, eccs, reached = [], [], []
+    for s in ECC_SEEDS:
+        root = int(np.searchsorted(ctx.labels, s))
+        d = alg.min_plus_distances(eng, root, iters=BFS_ITERS)
+        fin = np.isfinite(d)
+        seeds.append(s)
+        eccs.append(int(d[fin].max(initial=0.0)))
+        reached.append(int(fin.sum()))
+    return pa.table({
+        "seed": pa.array(seeds, type=pa.string()),
+        "ecc": pa.array(np.array(eccs, dtype=np.int64)),
+        "n_reached": pa.array(np.array(reached, dtype=np.int64)),
+    })

@@ -112,3 +112,29 @@ def read_edges_parquet(path: str, n: int) -> Graph:
 
     ds = ray.data.read_parquet(path, columns=["src", "dst", "w"])
     return Graph(n=n, edges=ds)
+
+
+def write_edges_jsonl(graph: Graph, path: str) -> None:
+    """JSONL edge sink (`ds.write_json`): the text interchange format
+    for pipelines that feed non-Arrow consumers. One file per block —
+    resumable shards, same layout contract as the parquet sink."""
+    graph.edges.write_json(path)
+
+
+def read_edges_jsonl(path: str, n: int) -> Graph:
+    """JSONL edge source (`ray.data.read_json`, byte-range splittable).
+    Column types re-normalized to the engine contract (int64 ids,
+    float64 w) — JSON carries no schema."""
+    import ray
+
+    ds = ray.data.read_json(path)
+
+    def _norm(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pc.cast(batch.column("src"), pa.int64()),
+            "dst": pc.cast(batch.column("dst"), pa.int64()),
+            "w": pc.cast(batch.column("w"), pa.float64()),
+        })
+
+    return Graph(n=n, edges=ds.map_batches(_norm, batch_format="pyarrow",
+                                           zero_copy_batch=True))

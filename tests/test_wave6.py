@@ -302,3 +302,20 @@ def test_json_props_matches_pandas(ray_session, tmp_path):
            .reset_index().sort_values("event_type").reset_index(drop=True))
     exp[["cnt", "sum_k", "max_k"]] = exp[["cnt", "sum_k", "max_k"]].astype(np.int64)
     pd.testing.assert_frame_equal(out, exp)
+
+
+def test_jsonl_roundtrip(ctx500, tmp_path):
+    from combblas_ray.sources.io import read_edges_jsonl, write_edges_jsonl
+
+    ctx = ctx500
+    from combblas_ray.core.graph import Graph
+
+    g = Graph(n=ctx.n, edges=ctx.edges)
+    path = str(tmp_path / "edges_jsonl")
+    write_edges_jsonl(g, path)
+    back = read_edges_jsonl(path, ctx.n)
+    a = (g.edges.to_pandas().sort_values(["src", "dst"])
+         .reset_index(drop=True))
+    b = (back.edges.to_pandas().sort_values(["src", "dst"])
+         .reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b[a.columns.tolist()])
