@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_scan": q.q_corpus_scan,  # r1+r2-green build scan
         "community_stats": q.q_community_stats,  # cc_fixed sibling in-window
         "ecc_sample": q.q_ecc_sample,  # BFS chain: msbfs/bfs_sigma in-window
+        "coarsen": q.q_coarsen,  # matching chain: matching_fixed in-window
         "countmin": q.q_countmin,  # sketch family: hll_registers in-window
         "bigram_novelty": q.q_bigram_novelty,  # tfidf/oov siblings in-window
         "events_sliding": q.q_events_sliding,  # rollup/event_gaps in-window
@@ -306,6 +307,7 @@ def oracle_sql() -> dict[str, str]:
         "community_stats": o.community_stats(q.CC_ITERS),
         "json_props": o.json_props(),
         "ecc_sample": o.ecc_sample(q.ECC_SEEDS, q.BFS_ITERS),
+        "coarsen": o.coarsen(q.MATCH_ROUNDS),
         "cust_no_orders": o.cust_no_orders(),
         "seq_pack": o.seq_pack(q.SEQ_PACK_L),
         # mis: no SQL oracle (iterative random-priority algorithm);

@@ -204,6 +204,7 @@ LIMIT {topk}
 """
 
 
+@_materialized
 def pagerank(iters: int = 10, damping: float = 0.85) -> str:
     d = damping
     sql = PREFIX + f"""
@@ -885,16 +886,10 @@ FROM pri p3 LEFT JOIN {prev} cc ON cc.d = p3.d
     return sql
 
 
-@_materialized
-def matching_fixed(rounds: int = 12, b: int = 23) -> str:
-    """Fixed-round maximal-matching twin of `queries.q_matching_fixed`.
-    Per round over unmatched vertices with LCG priorities
-    prio(d) = (d*48271 + b) mod 2^31-1: encode x = prio*n + d, nb = min x
-    over neighbors, v proposes to nb%n when prio(v) < nb//n, each target
-    accepts its min-code proposer, both endpoints leave the pool.
-    Proposers are never targets (a proposer beats every unmatched
-    neighbor's priority), so the per-round accepts are conflict-free —
-    identical to the engine kernels `_mm_x/_mm_props/_mm_accept`."""
+def _matching_chain(rounds: int = 12, b: int = 23) -> tuple:
+    """Shared fixed-round maximal-matching CTE chain (LCG priorities,
+    propose/accept rounds — see `matching_fixed`); returns (sql_body,
+    final_match_cte). Reused by `matching_fixed` and `coarsen`."""
     p = 2147483647
     sql = PREFIX + f"""
 , dense AS (
@@ -943,6 +938,20 @@ match{k} AS (
   UNION ALL SELECT mate AS d, d AS mate FROM acc{k}
 )"""
         prev = f"match{k}"
+    return sql, prev
+
+
+@_materialized
+def matching_fixed(rounds: int = 12, b: int = 23) -> str:
+    """Fixed-round maximal-matching twin of `queries.q_matching_fixed`.
+    Per round over unmatched vertices with LCG priorities
+    prio(d) = (d*48271 + b) mod 2^31-1: encode x = prio*n + d, nb = min x
+    over neighbors, v proposes to nb%n when prio(v) < nb//n, each target
+    accepts its min-code proposer, both endpoints leave the pool.
+    Proposers are never targets (a proposer beats every unmatched
+    neighbor's priority), so the per-round accepts are conflict-free —
+    identical to the engine kernels `_mm_x/_mm_props/_mm_accept`."""
+    sql, prev = _matching_chain(rounds, b)
     sql += f"""
 SELECT da.label AS label, db.label AS partner
 FROM {prev} m
@@ -2160,6 +2169,7 @@ FROM base GROUP BY ROLLUP (event_type, hr)
 """
 
 
+@_materialized
 def scc_coloring(iters: int = 8) -> str:
     """Fixed-round SCC coloring: `iters` unrolled min-label rounds in
     BOTH edge directions; scc = fwd-min when it equals bwd-min, else the
@@ -2573,4 +2583,35 @@ def ecc_sample(seeds: tuple = ("m_0", "m_1", "m_2"),
             f"CAST(count(*) AS BIGINT) AS n_reached FROM {prev}"
         )
     sql += "\n" + "\nUNION ALL\n".join(finals)
+    return sql
+
+
+@_materialized
+def coarsen(rounds: int = 12, b: int = 23) -> str:
+    """Graph coarsening by matching contraction (S^T A S with S the
+    matched-pair selection matrix): comp(v) = min(v, mate(v)); coarse
+    edges = per-(comp s, comp d) weight sums, loops dropped. Twin of
+    `queries.q_coarsen`; reuses the `matching_fixed` chain."""
+    sql, prev = _matching_chain(rounds, b)
+    sql += f"""
+, compv AS (
+  SELECT de.d, least(de.d, coalesce(m.mate, de.d)) AS comp
+  FROM dense de LEFT JOIN {prev} m ON m.d = de.d
+),
+dedges AS (
+  SELECT ds_.d AS s, dd_.d AS t, e.w
+  FROM edges e
+  JOIN dense ds_ ON ds_.i = e.src
+  JOIN dense dd_ ON dd_.i = e.dst
+)
+SELECT da.label AS src_label, db.label AS dst_label,
+       CAST(sum(e.w) AS DOUBLE) AS w
+FROM dedges e
+JOIN compv cs ON cs.d = e.s
+JOIN compv cd ON cd.d = e.t
+JOIN dense da ON da.d = cs.comp
+JOIN dense db ON db.d = cd.comp
+WHERE cs.comp <> cd.comp
+GROUP BY 1, 2
+"""
     return sql

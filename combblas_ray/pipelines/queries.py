@@ -3196,3 +3196,46 @@ def q_ecc_sample(sf_dir: str):
         "ecc": pa.array(np.array(eccs, dtype=np.int64)),
         "n_reached": pa.array(np.array(reached, dtype=np.int64)),
     })
+
+
+def q_coarsen(sf_dir: str):
+    """Graph coarsening by matching contraction — the multilevel-method
+    building block (S^T A S with S the matched-pair selection matrix,
+    computed as a broadcast relabel + distributed dedup-sum rather than
+    two SpGEMMs; `tests/test_wave6.py` asserts the SpGEMM form agrees):
+    matched pairs from the fixed-round maximal matching collapse into
+    super-vertices (min id), coarse edge weights sum, loops drop."""
+    import ray
+
+    ctx = get_context(sf_dir)
+    if ctx.n >= MIS_PRIO_P:
+        raise NotImplementedError("coarsen: see matching_fixed LCG bound")
+    prio_full = (np.arange(ctx.n, dtype=np.int64) * 48271 + 23) % MIS_PRIO_P
+    m = alg.maximal_matching(ctx.engine("sym"), prio_full=prio_full,
+                             max_rounds=MATCH_ROUNDS)
+    return coarsen_table(ctx, m)
+
+
+def coarsen_table(ctx, mates: np.ndarray):
+    import ray
+
+    from ..core.graph import Graph
+
+    ids = np.arange(ctx.n, dtype=np.int64)
+    comp = np.where(mates >= 0, np.minimum(ids, mates), ids)
+    comp_ref = ray.put(comp)
+
+    def _con(b: pa.Table, *, _ref=comp_ref) -> pa.Table:
+        c = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+        s = c[np.asarray(b.column("src"))]
+        d = c[np.asarray(b.column("dst"))]
+        return pa.table({
+            "src": pa.array(s), "dst": pa.array(d),
+            "w": b.column("w"),
+        })
+
+    contracted = ctx.edges.map_batches(
+        _con, batch_format="pyarrow", zero_copy_batch=True
+    )
+    coarse = Graph(n=ctx.n, edges=contracted).dedup_sum(drop_loops=True)
+    return _decode_edge_labels(ctx, coarse.edges, "w")

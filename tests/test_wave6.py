@@ -319,3 +319,51 @@ def test_jsonl_roundtrip(ctx500, tmp_path):
     b = (back.edges.to_pandas().sort_values(["src", "dst"])
          .reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b[a.columns.tolist()])
+
+
+def test_coarsen_vs_brute_and_spgemm(ctx500):
+    from combblas_ray.core.spgemm import spgemm_tasks
+    from combblas_ray.pipelines import algorithms as alg
+    from combblas_ray.pipelines import queries as q
+
+    ctx = ctx500
+    prio = (np.arange(ctx.n, dtype=np.int64) * 48271 + 23) % q.MIS_PRIO_P
+    m = alg.maximal_matching(ctx.engine("sym"), prio_full=prio,
+                             max_rounds=q.MATCH_ROUNDS)
+    ids = np.arange(ctx.n, dtype=np.int64)
+    comp = np.where(m >= 0, np.minimum(ids, m), ids)
+    lab = np.asarray(ctx.labels)
+
+    out = (q.coarsen_table(ctx, m).to_pandas()
+           .sort_values(["src_label", "dst_label"]).reset_index(drop=True))
+    # pandas brute: relabel + group-sum + loop drop
+    e = ctx.edges.to_pandas()
+    e["cs"] = comp[e.src.to_numpy()]
+    e["cd"] = comp[e.dst.to_numpy()]
+    e = e[e.cs != e.cd]
+    brute = (e.groupby(["cs", "cd"])["w"].sum().reset_index())
+    brute = pd.DataFrame({
+        "src_label": lab[brute.cs.to_numpy()],
+        "dst_label": lab[brute.cd.to_numpy()],
+        "w": brute.w.to_numpy(),
+    }).sort_values(["src_label", "dst_label"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, brute)
+
+    # S^T A S SpGEMM form agrees (loops dropped afterwards)
+    S = ray.data.from_arrow(pa.table({
+        "src": pa.array(ids), "dst": pa.array(comp),
+        "w": pa.array(np.ones(ctx.n)),
+    }))
+    ST = ray.data.from_arrow(pa.table({
+        "src": pa.array(comp), "dst": pa.array(ids),
+        "w": pa.array(np.ones(ctx.n)),
+    }))
+    AS = spgemm_tasks(ctx.edges, S, ctx.n, add="sum", num_partitions=8)
+    C = spgemm_tasks(ST, AS, ctx.n, add="sum", num_partitions=8).to_pandas()
+    C = C[C.src != C.dst]
+    C2 = pd.DataFrame({
+        "src_label": lab[C.src.to_numpy()],
+        "dst_label": lab[C.dst.to_numpy()],
+        "w": C.w.to_numpy(),
+    }).sort_values(["src_label", "dst_label"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, C2)
