@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "community_stats": q.q_community_stats,  # cc_fixed sibling in-window
         "ecc_sample": q.q_ecc_sample,  # BFS chain: msbfs/bfs_sigma in-window
         "coarsen": q.q_coarsen,  # matching chain: matching_fixed in-window
+        "bigram_topk": q.q_bigram_topk,  # vocab shuffle: vocab_topk in-window
         "countmin": q.q_countmin,  # sketch family: hll_registers in-window
         "bigram_novelty": q.q_bigram_novelty,  # tfidf/oov siblings in-window
         "events_sliding": q.q_events_sliding,  # rollup/event_gaps in-window
@@ -308,6 +309,7 @@ def oracle_sql() -> dict[str, str]:
         "json_props": o.json_props(),
         "ecc_sample": o.ecc_sample(q.ECC_SEEDS, q.BFS_ITERS),
         "coarsen": o.coarsen(q.MATCH_ROUNDS),
+        "bigram_topk": o.bigram_topk(q.BIGRAM_K),
         "cust_no_orders": o.cust_no_orders(),
         "seq_pack": o.seq_pack(q.SEQ_PACK_L),
         # mis: no SQL oracle (iterative random-priority algorithm);

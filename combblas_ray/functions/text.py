@@ -571,3 +571,51 @@ def redact(docs_ds, patterns=REDACT_PATTERNS, repl: str = REDACT_REPL,
                                          "repl": repl},
         concurrency=concurrency, batch_format="pyarrow",
     )
+
+
+def _bigram_local(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: local bigram value_counts (consecutive token
+    pairs within a doc, space-joined) — vectorized via flat tokens +
+    parent indices; the pair string is built by one np.char.add."""
+    toks = tokens_list(batch)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = np.asarray(pc.list_flatten(toks)).astype(str)
+    par = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+    empty = pa.table({"tok": pa.array([], type=pa.string()),
+                      "cnt": pa.array([], type=pa.int64())})
+    if len(flat) < 2:
+        return empty
+    same = par[1:] == par[:-1]
+    if not same.any():
+        return empty
+    bi = np.char.add(np.char.add(flat[:-1][same], " "), flat[1:][same])
+    u, cnt = np.unique(bi, return_counts=True)
+    return pa.table({
+        "tok": pa.array(u.tolist(), type=pa.string()),
+        "cnt": pa.array(cnt.astype(np.int64)),
+    })
+
+
+def bigram_topk(docs_ds, k: int = 100,
+                num_partitions: int | None = None) -> pa.Table:
+    """Global bigram-frequency top-k (collocation extraction — the
+    phrase-vocabulary step of tokenizer/merge-rule training). Same
+    scale shape as `vocab_topk`: per-batch combiner -> one warm-task
+    keyed shuffle -> per-partition exact top-k partials -> driver
+    merges g*k rows."""
+    import ray
+
+    partials = docs_ds.map_batches(
+        _bigram_local, batch_format="pyarrow", zero_copy_batch=True
+    )
+    merged = group_apply_tasks(partials, ["tok"], _vocab_merge_topk(k),
+                               num_partitions=num_partitions)
+    t = pa.concat_tables(
+        [r for r in ray.get(merged.to_arrow_refs()) if r.num_rows]
+        or [pa.table({"tok": pa.array([], type=pa.string()),
+                      "cnt": pa.array([], type=pa.int64())})]
+    )
+    tok = np.asarray(t.column("tok")).astype(str)
+    cnt = np.asarray(t.column("cnt"), dtype=np.int64)
+    return _topk_table(tok, cnt, k)

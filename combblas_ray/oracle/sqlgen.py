@@ -2615,3 +2615,26 @@ WHERE cs.comp <> cd.comp
 GROUP BY 1, 2
 """
     return sql
+
+
+def bigram_topk(k: int = 100) -> str:
+    """Twin of `queries.q_bigram_topk`: consecutive token pairs within
+    each doc, global counts, exact (cnt DESC, tok ASC) top-k."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+flat AS (
+  SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS i
+  FROM toks
+),
+bi AS (
+  SELECT a.tok || ' ' || b.tok AS tok
+  FROM flat a JOIN flat b
+    ON b.doc_id = a.doc_id AND b.i = a.i + 1
+)
+SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+FROM bi GROUP BY tok
+ORDER BY cnt DESC, tok ASC
+LIMIT {k}
+"""

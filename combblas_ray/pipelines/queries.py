@@ -3239,3 +3239,19 @@ def coarsen_table(ctx, mates: np.ndarray):
     )
     coarse = Graph(n=ctx.n, edges=contracted).dedup_sum(drop_loops=True)
     return _decode_edge_labels(ctx, coarse.edges, "w")
+
+
+BIGRAM_K = 100
+
+
+def q_bigram_topk(sf_dir: str):
+    """Global top-k bigrams by frequency (collocation extraction for
+    tokenizer merge-rule training; see `text.bigram_topk`)."""
+    import ray
+
+    from ..functions.text import bigram_topk
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return bigram_topk(ds, k=BIGRAM_K)

@@ -367,3 +367,29 @@ def test_coarsen_vs_brute_and_spgemm(ctx500):
         "w": C.w.to_numpy(),
     }).sort_values(["src_label", "dst_label"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(out, C2)
+
+
+def test_bigram_topk_vs_brute(ray_session):
+    from collections import Counter
+
+    from combblas_ray.functions.text import bigram_topk
+
+    texts = [
+        "a b a b a b c",
+        "x y x y",
+        "a b",
+        "",
+        "solo",
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts, type=pa.string()),
+    })).repartition(3)
+    out = bigram_topk(ds, k=4).to_pandas()
+    c = Counter()
+    for t in texts:
+        toks = t.split(" ")
+        for i in range(len(toks) - 1):
+            c[toks[i] + " " + toks[i + 1]] += 1
+    exp = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    assert list(zip(out.tok, out.cnt)) == exp
