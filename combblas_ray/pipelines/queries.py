@@ -2899,49 +2899,22 @@ def q_cust_no_orders(sf_dir: str):
     )
 
 
-def _seqpack_kernel(t: pa.Table) -> pa.Table:
-    """Per lang-hash partition: docs in doc_id order fill fixed
-    token-budget bins; bin = (running-token-total - ntok) // L (the
-    deterministic budget-sharding rule — each bin holds consecutive
-    docs totalling ~L tokens)."""
-    empty = pa.table({
-        "doc_id": pa.array([], type=pa.int64()),
-        "lang": pa.array([], type=pa.string()),
-        "ntok": pa.array([], type=pa.int64()),
-        "bin": pa.array([], type=pa.int64()),
-    })
-    if t.num_rows == 0 or "lang" not in t.column_names:
-        return empty
-    did = np.asarray(t.column("doc_id"), dtype=np.int64)
-    lang = np.asarray(t.column("lang")).astype(str)
-    ntok = np.asarray(t.column("ntok"), dtype=np.int64)
-    order = np.lexsort((did, lang))
-    did, lang, ntok = did[order], lang[order], ntok[order]
-    cs = np.cumsum(ntok)
-    new = np.empty(len(lang), dtype=bool)
-    new[0] = True
-    new[1:] = lang[1:] != lang[:-1]
-    starts = np.nonzero(new)[0]
-    seg_base = np.where(starts > 0, cs[starts - 1], 0)
-    grp = np.cumsum(new) - 1
-    cum = cs - seg_base[grp]
-    return pa.table({
-        "doc_id": pa.array(did),
-        "lang": pa.array(lang.tolist(), type=pa.string()),
-        "ntok": pa.array(ntok),
-        "bin": pa.array((cum - ntok) // SEQ_PACK_L),
-    })
-
-
 def q_seq_pack(sf_dir: str):
     """Token-budget sequence packing prep: per language, docs in doc_id
     order are assigned to consecutive training-sequence bins of
-    SEQ_PACK_L tokens (bin = floor(preceding-token-cumsum / L)). Token
-    counts are computed per batch BEFORE the shuffle (only 3 small int
-    columns move); one lang shuffle + whole-partition segmented cumsum."""
-    import ray
+    SEQ_PACK_L tokens (bin = floor(preceding-token-cumsum / L)).
 
-    from ..core.shuffle import group_apply_tasks
+    Plan: a SHUFFLE-FREE two-pass distributed prefix scan — a lang
+    keyed shuffle would put every doc of a language in one partition
+    (language skew is the worst key skew there is at corpus scale).
+    Pass 1: per-block (block, lang, subtotal) partials (blocks are
+    doc_id-ordered parquet row ranges); the driver prefix-sums the
+    tiny (blocks x langs) grid; pass 2: per-block bin assignment with
+    the broadcast offsets — bin is a pure function of the global
+    per-lang cumsum, so the result is identical to the single-scan
+    answer. NOTE: assumes doc_id order == block order within the
+    parquet source (true for this corpus; a pre-sorted read at scale)."""
+    import ray
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
@@ -2955,8 +2928,61 @@ def q_seq_pack(sf_dir: str):
             "ntok": pc.cast(pc.list_value_length(toks), pa.int64()),
         })
 
-    enc = ds.map_batches(_ntok, batch_format="pyarrow", zero_copy_batch=True)
-    return group_apply_tasks(enc, ["lang"], _seqpack_kernel)
+    enc = ds.map_batches(_ntok, batch_format="pyarrow",
+                         zero_copy_batch=True).materialize()
+    refs = enc.to_arrow_refs()
+
+    @ray.remote(num_cpus=0)
+    def _subtotals(block: pa.Table):
+        did = np.asarray(block.column("doc_id"), dtype=np.int64)
+        lang = np.asarray(block.column("lang")).astype(str)
+        nt = np.asarray(block.column("ntok"), dtype=np.int64)
+        u, inv = np.unique(lang, return_inverse=True)
+        s = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, nt)
+        return int(did.min()) if len(did) else -1, u, s
+
+    subs = ray.get([_subtotals.remote(r) for r in refs])
+    # blocks are contiguous disjoint doc_id ranges but may come back in
+    # any order — rank them by min doc_id, not by ref position
+    rank = sorted(range(len(subs)), key=lambda i: subs[i][0])
+    offsets: list[dict] = [None] * len(subs)
+    running: dict[str, int] = {}
+    for i in rank:
+        offsets[i] = dict(running)
+        _, u, s = subs[i]
+        for l, v in zip(u, s):
+            running[l] = running.get(l, 0) + int(v)
+
+    @ray.remote(num_cpus=0)
+    def _assign(block: pa.Table, off: dict):
+        did = np.asarray(block.column("doc_id"), dtype=np.int64)
+        lang = np.asarray(block.column("lang")).astype(str)
+        nt = np.asarray(block.column("ntok"), dtype=np.int64)
+        order = np.lexsort((did, lang))
+        did, lang, nt = did[order], lang[order], nt[order]
+        cs = np.cumsum(nt)
+        new = np.empty(len(lang), dtype=bool)
+        if len(lang):
+            new[0] = True
+            new[1:] = lang[1:] != lang[:-1]
+        starts = np.nonzero(new)[0]
+        seg_base = np.where(starts > 0, cs[starts - 1], 0)
+        grp = np.cumsum(new) - 1
+        local = cs - seg_base[grp]
+        base = np.array([off.get(l, 0) for l in lang[starts]],
+                        dtype=np.int64)
+        cum = local + base[grp]
+        return pa.table({
+            "doc_id": pa.array(did),
+            "lang": pa.array(lang.tolist(), type=pa.string()),
+            "ntok": pa.array(nt),
+            "bin": pa.array((cum - nt) // SEQ_PACK_L),
+        })
+
+    return ray.data.from_arrow_refs(
+        [_assign.remote(r, offsets[i]) for i, r in enumerate(refs)]
+    )
 
 
 NBRJ_TOPK = 100
@@ -3104,8 +3130,27 @@ def q_community_stats(sf_dir: str):
             "ecnt": pa.array(cnt.astype(np.int64)),
         })
 
-    parts = ctx.edges.map_batches(
-        _part, batch_format="pyarrow", zero_copy_batch=True
+    from ..core.shuffle import group_apply_tasks
+
+    def _merge(t: pa.Table) -> pa.Table:
+        empty = pa.table({"comp": pa.array([], type=pa.int64()),
+                          "ecnt": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "comp" not in t.column_names:
+            return empty
+        c = np.asarray(t.column("comp"), dtype=np.int64)
+        e = np.asarray(t.column("ecnt"), dtype=np.int64)
+        u, inv = np.unique(c, return_inverse=True)
+        s = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, e)
+        return pa.table({"comp": pa.array(u), "ecnt": pa.array(s)})
+
+    # keyed reduce of the per-batch partials BEFORE the driver pull: the
+    # driver sees exactly one row per component, not one per (batch,
+    # component) pair
+    parts = group_apply_tasks(
+        ctx.edges.map_batches(_part, batch_format="pyarrow",
+                              zero_copy_batch=True),
+        ["comp"], _merge,
     ).to_pandas()
     ecnt = parts.groupby("comp")["ecnt"].sum()
     comps = np.nonzero(vcnt)[0]
