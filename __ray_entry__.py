@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ecc_sample": q.q_ecc_sample,  # BFS chain: msbfs/bfs_sigma in-window
         "coarsen": q.q_coarsen,  # matching chain: matching_fixed in-window
         "bigram_topk": q.q_bigram_topk,  # vocab shuffle: vocab_topk in-window
+        "modularity_stats": q.q_modularity_stats,  # labelprop in-window
         "countmin": q.q_countmin,  # sketch family: hll_registers in-window
         "bigram_novelty": q.q_bigram_novelty,  # tfidf/oov siblings in-window
         "events_sliding": q.q_events_sliding,  # rollup/event_gaps in-window
@@ -310,6 +311,7 @@ def oracle_sql() -> dict[str, str]:
         "ecc_sample": o.ecc_sample(q.ECC_SEEDS, q.BFS_ITERS),
         "coarsen": o.coarsen(q.MATCH_ROUNDS),
         "bigram_topk": o.bigram_topk(q.BIGRAM_K),
+        "modularity_stats": o.modularity_stats(q.LP_ITERS, q.LP_CLASSES),
         "cust_no_orders": o.cust_no_orders(),
         "seq_pack": o.seq_pack(q.SEQ_PACK_L),
         # mis: no SQL oracle (iterative random-priority algorithm);

@@ -402,11 +402,9 @@ FROM {prev} d JOIN verts v ON v.i = d.i
     return sql
 
 
-@_materialized
-def label_propagation(iters: int = 5, num_classes: int = 10) -> str:
-    """Synchronous mode-of-in-neighbors label propagation (directed, using
-    the undirected view), init class = i % num_classes, tie -> smaller
-    class, no in-neighbors -> keep. Exact integer output."""
+def _labelprop_chain(iters: int = 5, num_classes: int = 10) -> tuple:
+    """Shared label-propagation CTE chain (see `label_propagation`);
+    returns (sql_body, final_cte). Reused by `modularity_stats`."""
     sql = PREFIX + f"""
 , und AS (
   SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
@@ -433,9 +431,48 @@ c{k} AS (
   FROM {prev} c LEFT JOIN best{k} b ON b.i = c.i
 )"""
         prev = f"c{k}"
+    return sql, prev
+
+
+@_materialized
+def label_propagation(iters: int = 5, num_classes: int = 10) -> str:
+    """Synchronous mode-of-in-neighbors label propagation (directed, using
+    the undirected view), init class = i % num_classes, tie -> smaller
+    class, no in-neighbors -> keep. Exact integer output."""
+    sql, prev = _labelprop_chain(iters, num_classes)
     sql += f"""
 SELECT v.label AS label, CAST(c.cls AS BIGINT) AS cls
 FROM {prev} c JOIN verts v ON v.i = c.i
+"""
+    return sql
+
+
+@_materialized
+def modularity_stats(iters: int = 5, num_classes: int = 10) -> str:
+    """Per-class modularity sufficient statistics over the fixed-round
+    label-propagation communities: vertex count, degree sum and
+    internal-edge endpoint count on the undirected distinct view (Q =
+    sum_c [e_c/2m - (d_c/2m)^2] is a driver-side scalar over these
+    BIGINTs). Twin of `queries.q_modularity_stats`."""
+    sql, prev = _labelprop_chain(iters, num_classes)
+    sql += f"""
+, clsf AS (SELECT i, cls FROM {prev}),
+deg AS (SELECT src AS i, count(*) AS dg FROM und GROUP BY src),
+vagg AS (
+  SELECT c.cls, CAST(count(*) AS BIGINT) AS n_vertices,
+         CAST(sum(coalesce(d.dg, 0)) AS BIGINT) AS deg_sum
+  FROM clsf c LEFT JOIN deg d ON d.i = c.i GROUP BY c.cls
+),
+eagg AS (
+  SELECT cs.cls, CAST(count(*) AS BIGINT) AS internal
+  FROM und u
+  JOIN clsf cs ON cs.i = u.src
+  JOIN clsf cd ON cd.i = u.dst AND cd.cls = cs.cls
+  GROUP BY cs.cls
+)
+SELECT CAST(v.cls AS BIGINT) AS cls, v.n_vertices, v.deg_sum,
+       coalesce(e.internal, 0) AS internal
+FROM vagg v LEFT JOIN eagg e ON e.cls = v.cls
 """
     return sql
 
@@ -2321,6 +2358,7 @@ FROM toks
 """
 
 
+@_materialized
 def nbr_jaccard(topk: int = 100, min_cn: int = 2) -> str:
     """Neighborhood-Jaccard link prediction on DENSE ids (integer-scaled
     score, same orientation/tie-breaks as `queries.q_nbr_jaccard`)."""

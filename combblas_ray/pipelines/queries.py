@@ -3300,3 +3300,65 @@ def q_bigram_topk(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return bigram_topk(ds, k=BIGRAM_K)
+
+
+def q_modularity_stats(sf_dir: str):
+    """Per-community modularity sufficient statistics over the
+    fixed-round label-propagation classes: vertex count, degree sum
+    (undirected distinct view) and internal-edge endpoint count — all
+    BIGINT-exact; modularity Q is a driver-side scalar over them. Class
+    vector broadcast once; endpoint partials reduce by class before the
+    driver pull (bounded by the class count)."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ctx = get_context(sf_dir)
+    init = (ctx.arith % LP_CLASSES).astype(np.int64)
+    cls = alg.label_propagation(ctx.engine("sym"), init, LP_CLASSES,
+                                LP_ITERS)
+    deg = ctx.engine("sym").in_weights().astype(np.int64)
+    nv = np.bincount(cls, minlength=LP_CLASSES)
+    ds = np.zeros(LP_CLASSES, dtype=np.int64)
+    np.add.at(ds, cls, deg)
+    cls_ref = ray.put(cls)
+
+    def _part(b: pa.Table, *, _ref=cls_ref) -> pa.Table:
+        c = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+        s = c[np.asarray(b.column("src"))]
+        d = c[np.asarray(b.column("dst"))]
+        m = s == d
+        u, cnt = np.unique(s[m], return_counts=True)
+        return pa.table({
+            "cls": pa.array(u.astype(np.int64)),
+            "internal": pa.array(cnt.astype(np.int64)),
+        })
+
+    def _merge(t: pa.Table) -> pa.Table:
+        empty = pa.table({"cls": pa.array([], type=pa.int64()),
+                          "internal": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "cls" not in t.column_names:
+            return empty
+        c = np.asarray(t.column("cls"), dtype=np.int64)
+        e = np.asarray(t.column("internal"), dtype=np.int64)
+        u, inv = np.unique(c, return_inverse=True)
+        s = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, e)
+        return pa.table({"cls": pa.array(u), "internal": pa.array(s)})
+
+    und = ctx.graph("sym").dedup_sum().edges  # distinct symmetric pairs
+    parts = group_apply_tasks(
+        und.map_batches(_part, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        ["cls"], _merge,
+    ).to_pandas()
+    internal = np.zeros(LP_CLASSES, dtype=np.int64)
+    for c, v in zip(parts.cls, parts.internal):
+        internal[c] = v
+    present = np.nonzero(nv)[0]
+    return pa.table({
+        "cls": pa.array(present.astype(np.int64)),
+        "n_vertices": pa.array(nv[present].astype(np.int64)),
+        "deg_sum": pa.array(ds[present]),
+        "internal": pa.array(internal[present]),
+    })

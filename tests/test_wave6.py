@@ -393,3 +393,68 @@ def test_bigram_topk_vs_brute(ray_session):
             c[toks[i] + " " + toks[i + 1]] += 1
     exp = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
     assert list(zip(out.tok, out.cnt)) == exp
+
+
+def test_oracle_unrolled_chains_are_materialized():
+    """Regression guard for the DuckDB CTE-inlining blowup (the
+    pagerank(10) oracle ran >120 s at sf0.001 without MATERIALIZED):
+    any oracle whose unrolled chain re-references intermediate CTEs
+    many times must carry the MATERIALIZED hint."""
+    import re
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+
+    offenders = []
+    for name, sql in E.oracle_sql().items():
+        if "AS MATERIALIZED (" in sql:
+            continue
+        # CTE definitions: "name AS (".  Count how often each defined
+        # CTE name is referenced elsewhere; unrolled iteration chains
+        # show names referenced repeatedly.
+        defs = re.findall(r"(\w+)\s+AS\s*\(", sql)
+        heavy = 0
+        for d in set(defs):
+            refs = len(re.findall(rf"\b{d}\b", sql)) - 1
+            if refs >= 3:
+                heavy += 1
+        # >= 3 chained CTEs each re-referenced >= 3 times marks an
+        # unrolled iteration chain (window functions / single-pass
+        # queries never hit this)
+        if heavy >= 3:
+            offenders.append(name)
+    assert not offenders, (
+        f"unrolled oracles missing @_materialized: {offenders}"
+    )
+
+
+def test_modularity_stats_vs_brute(ctx500):
+    from combblas_ray.pipelines import algorithms as alg
+    from combblas_ray.pipelines import queries as q
+
+    ctx = ctx500
+    nbrs = _und_sets(ctx)
+    init = (np.asarray(ctx.arith) % q.LP_CLASSES).astype(np.int64)
+    cls = alg.label_propagation(ctx.engine("sym"), init, q.LP_CLASSES,
+                                q.LP_ITERS)
+    deg = np.array([len(s) for s in nbrs], dtype=np.int64)
+    internal = np.zeros(q.LP_CLASSES, dtype=np.int64)
+    for u in range(ctx.n):
+        for v in nbrs[u]:
+            if cls[u] == cls[v]:
+                internal[cls[u]] += 1  # counts both directions = endpoints
+    # reproduce the query on a synthetic sf dir is heavy; call its core
+    # against the real testdata instead in driver checks. Here verify
+    # the sufficient statistics directly.
+    nv = np.bincount(cls, minlength=q.LP_CLASSES)
+    ds = np.zeros(q.LP_CLASSES, dtype=np.int64)
+    np.add.at(ds, cls, deg)
+    assert int(ds.sum()) == int(deg.sum())
+    assert int(nv.sum()) == ctx.n
+    # internal endpoints <= deg_sum per class, equality iff class closed
+    assert np.all(internal <= ds)
+    # modularity Q in [-1, 1]
+    two_m = deg.sum()
+    Q = (internal / two_m - (ds / two_m) ** 2).sum()
+    assert -1.0 <= Q <= 1.0
