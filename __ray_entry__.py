@@ -70,13 +70,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coeff": q.q_clustering_coeff,
         "kcore_fixed": q.q_kcore_fixed,
         "ppr": q.q_ppr,
-        "reach2_bool": q.q_reach2_bool,
         "link_predict_cn": q.q_link_predict_cn,
         "scc_coloring": q.q_scc_coloring,
         "random_walks": q.q_random_walks,
         "stress": q.q_stress,
         "widest_paths": q.q_widest_paths,
         "nbr_jaccard": q.q_nbr_jaccard,
+        "transpose": q.q_transpose,
+        "galerkin": q.q_galerkin,
         # LLM-data layer without a prior driver row (+ refactored dedup)
         "embed_dups_lsh": q.q_embed_dups_lsh,
         "dup_clusters": q.q_dup_clusters,
@@ -95,10 +96,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q5": q.q_tpch_q5,
         "degree_corr_stats": q.q_degree_corr_stats,
         "funnel": q.q_funnel,
-        "pivot_user_type": q.q_pivot_user_type,
         "event_gaps": q.q_event_gaps,
         "rollup_counts": q.q_rollup_counts,
-        "events_quantiles": q.q_events_quantiles,
+        "tpch_q4": q.q_tpch_q4,
         "asof_click": q.q_asof_click,
         "running_total": q.q_running_total,
         "cust_no_orders": q.q_cust_no_orders,
@@ -107,6 +107,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
         "corpus_scan": q.q_corpus_scan,  # r1+r2-green build scan
+        "reach2_bool": q.q_reach2_bool,  # bool-SpGEMM: harmonic2 in-window
+        "pivot_user_type": q.q_pivot_user_type,  # rollup_counts in-window
+        "events_quantiles": q.q_events_quantiles,  # event_gaps/rollup in-win
         "community_stats": q.q_community_stats,  # cc_fixed sibling in-window
         "ecc_sample": q.q_ecc_sample,  # BFS chain: msbfs/bfs_sigma in-window
         "coarsen": q.q_coarsen,  # matching chain: matching_fixed in-window
@@ -314,6 +317,9 @@ def oracle_sql() -> dict[str, str]:
         "modularity_stats": o.modularity_stats(q.LP_ITERS, q.LP_CLASSES),
         "cust_no_orders": o.cust_no_orders(),
         "seq_pack": o.seq_pack(q.SEQ_PACK_L),
+        "transpose": o.transpose(),
+        "galerkin": o.galerkin(q.GALERKIN_NC, q.GALERKIN_WMOD),
+        "tpch_q4": o.tpch_q4(q.TPCH_Q4_LATE_DAYS),
         # mis: no SQL oracle (iterative random-priority algorithm);
         # pytest asserts independence + maximality invariants.
         # fingerprint / minhash_pairs / simhash / ann_lsh: deliberately no

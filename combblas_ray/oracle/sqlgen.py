@@ -2676,3 +2676,40 @@ FROM bi GROUP BY tok
 ORDER BY cnt DESC, tok ASC
 LIMIT {k}
 """
+
+
+def transpose() -> str:
+    """A^T (twin of `queries.q_transpose`)."""
+    return PREFIX + """
+SELECT vs.label AS src_label, vd.label AS dst_label, e.w AS w
+FROM edges e
+JOIN verts vs ON vs.i = e.dst JOIN verts vd ON vd.i = e.src
+"""
+
+
+def galerkin(nc: int = 64, wmod: int = 3) -> str:
+    """Weighted Galerkin triple product R*A*R^T on arithmetic ids (twin
+    of `queries.q_galerkin`)."""
+    return PREFIX + f"""
+SELECT CAST(e.src % {nc} AS BIGINT) AS csrc,
+       CAST(e.dst % {nc} AS BIGINT) AS cdst,
+       sum((1 + e.src % {wmod}) * e.w * (1 + e.dst % {wmod})) AS w
+FROM edges e
+GROUP BY csrc, cdst
+"""
+
+
+def tpch_q4(late_days: int = 60) -> str:
+    """EXISTS semi-join order-priority check (twin of
+    `queries.q_tpch_q4`)."""
+    return f"""
+SELECT o.o_orderpriority AS o_orderpriority,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL {late_days} DAY
+)
+GROUP BY o.o_orderpriority
+"""

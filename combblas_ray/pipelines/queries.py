@@ -3362,3 +3362,142 @@ def q_modularity_stats(sf_dir: str):
         "deg_sum": pa.array(ds[present]),
         "internal": pa.array(internal[present]),
     })
+
+
+def q_transpose(sf_dir: str):
+    """A^T as an edge table — `SpParMat::Transpose` (SpParMat.cpp:3541;
+    golden `ReleaseTests/Transpose_Test`). Pure per-batch column swap —
+    zero shuffle (the 2D block key flips (br,bc)->(bc,br) lazily at the
+    next repartition, exactly as the reference transposes ownership)."""
+    ctx = get_context(sf_dir)
+    return _decode_edge_labels(ctx, ctx.graph("directed").transpose().edges,
+                               "w")
+
+
+GALERKIN_NC = 64  # coarse vertex count
+GALERKIN_WMOD = 3  # restriction weight = 1 + (i % 3)
+
+
+def q_galerkin(sf_dir: str):
+    """Galerkin triple product A_c = R * A * R^T with a deterministic
+    weighted restriction R[c, i] = 1 + (i % 3) for c = i % 64 over
+    arithmetic ids — the multilevel coarse-grid operator
+    (`ReleaseTests/GalerkinNew.cpp`; `SpParMat::SubsRef_SR`'s
+    permutation-matrix SpGEMM machinery, SpParMat.cpp:2030). R's coarse
+    map is functional (each fine vertex has exactly one coarse row), so
+    the two SpGEMMs collapse into one per-batch relabel + weight scale
+    and a keyed dedup-sum on (csrc, cdst) — no permutation matrices
+    materialize, the reference's own plan for selection-like R. Exact:
+    every product/sum is a small integer in the f64 channel."""
+    return galerkin_table(get_context(sf_dir))
+
+
+def galerkin_table(ctx):
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    arith_ref = ray.put(ctx.arith)
+
+    def _coarsen(batch: pa.Table, *, _ref=arith_ref) -> pa.Table:
+        arith = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+        si = arith[np.asarray(batch.column("src"))]
+        di = arith[np.asarray(batch.column("dst"))]
+        w = np.asarray(batch.column("w"))
+        wc = (1.0 + si % GALERKIN_WMOD) * w * (1.0 + di % GALERKIN_WMOD)
+        key = (si % GALERKIN_NC) * GALERKIN_NC + (di % GALERKIN_NC)
+        # per-batch combiner: coarse key space is tiny (NC^2)
+        s = np.zeros(GALERKIN_NC * GALERKIN_NC, dtype=np.float64)
+        np.add.at(s, key, wc)
+        nz = np.nonzero(s)[0]
+        return pa.table({
+            "csrc": pa.array((nz // GALERKIN_NC).astype(np.int64)),
+            "cdst": pa.array((nz % GALERKIN_NC).astype(np.int64)),
+            "w": pa.array(s[nz]),
+        })
+
+    def _merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "csrc" not in t.column_names:
+            return pa.table({"csrc": pa.array([], type=pa.int64()),
+                             "cdst": pa.array([], type=pa.int64()),
+                             "w": pa.array([], type=pa.float64())})
+        key = (np.asarray(t.column("csrc")) * GALERKIN_NC
+               + np.asarray(t.column("cdst")))
+        u, inv = np.unique(key, return_inverse=True)
+        s = np.zeros(len(u), dtype=np.float64)
+        np.add.at(s, inv, np.asarray(t.column("w")))
+        return pa.table({
+            "csrc": pa.array((u // GALERKIN_NC).astype(np.int64)),
+            "cdst": pa.array((u % GALERKIN_NC).astype(np.int64)),
+            "w": pa.array(s),
+        })
+
+    return group_apply_tasks(
+        ctx.edges.map_batches(_coarsen, batch_format="pyarrow",
+                              zero_copy_batch=True),
+        ["csrc", "cdst"], _merge,
+    )
+
+
+TPCH_Q4_LATE_DAYS = 60
+
+
+def q_tpch_q4(sf_dir: str):
+    """TPC-H Q4-style order-priority check: count orders per priority
+    that have at least one LATE line (l_shipdate > o_orderdate + 60
+    days) — the EXISTS semi-join. The lineitem side reduces to one
+    (orderkey, max shipdate) row per order inside its batches before
+    the single co-partitioned hash join; the predicate + per-priority
+    count fuse into the join task, so only tiny (priority, cnt)
+    partials reach the driver. Timestamps compare as exact int64
+    microseconds."""
+    import ray
+
+    from ..core.shuffle import hash_join_tasks
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_shipdate"])
+
+    def _li_max(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch.column("l_orderkey"))
+        s = np.asarray(batch.column("l_shipdate")).astype("datetime64[us]") \
+            .astype(np.int64)
+        u, inv = np.unique(k, return_inverse=True)
+        mx = np.full(len(u), np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(mx, inv, s)
+        return pa.table({"l_orderkey": pa.array(u), "ship_us": pa.array(mx)})
+
+    li_max = li.map_batches(_li_max, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    late_us = TPCH_Q4_LATE_DAYS * 86400 * 1_000_000
+
+    def _late_counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"o_orderpriority": pa.array([], type=pa.string()),
+                             "cnt": pa.array([], type=pa.int64())})
+        # partials of one order co-locate: final per-order max, then filter
+        g = t.group_by("l_orderkey").aggregate(
+            [("ship_us", "max"), ("o_orderdate", "min"),
+             ("o_orderpriority", "min")])
+        od = np.asarray(g.column("o_orderdate_min")) \
+            .astype("datetime64[us]").astype(np.int64)
+        late = np.asarray(g.column("ship_us_max")) > od + late_us
+        pr = np.asarray(g.column("o_orderpriority_min")).astype(str)[late]
+        u, c = np.unique(pr, return_counts=True)
+        return pa.table({"o_orderpriority": pa.array(u.tolist(),
+                                                     type=pa.string()),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    parts = hash_join_tasks(li_max, orders, on="l_orderkey",
+                            right_on="o_orderkey",
+                            post=_late_counts).to_pandas()
+    g = parts.groupby("o_orderpriority", as_index=False)["cnt"].sum()
+    return pa.table({
+        "o_orderpriority": pa.array(g.o_orderpriority.tolist(),
+                                    type=pa.string()),
+        "cnt": pa.array(g.cnt.to_numpy().astype(np.int64)),
+    })
