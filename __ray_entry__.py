@@ -57,8 +57,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": q.q_triangle_count,
         # graph/engine operators without a prior driver row
         "bfs_sigma": q.q_bfs_sigma,
-        "msbfs": q.q_msbfs,
-        "katz_fixed": q.q_katz_fixed,
         "harmonic2": q.q_harmonic2,
         "coloring_fixed": q.q_coloring_fixed,
         "filtered_bfs_payload": q.q_filtered_bfs_payload,
@@ -70,7 +68,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coeff": q.q_clustering_coeff,
         "kcore_fixed": q.q_kcore_fixed,
         "ppr": q.q_ppr,
-        "link_predict_cn": q.q_link_predict_cn,
         "scc_coloring": q.q_scc_coloring,
         "random_walks": q.q_random_walks,
         "stress": q.q_stress,
@@ -78,6 +75,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nbr_jaccard": q.q_nbr_jaccard,
         "transpose": q.q_transpose,
         "galerkin": q.q_galerkin,
+        "wl_refine": q.q_wl_refine,
+        "cycle4": q.q_cycle4,
         # LLM-data layer without a prior driver row (+ refactored dedup)
         "embed_dups_lsh": q.q_embed_dups_lsh,
         "dup_clusters": q.q_dup_clusters,
@@ -99,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps": q.q_event_gaps,
         "rollup_counts": q.q_rollup_counts,
         "tpch_q4": q.q_tpch_q4,
+        "ntile": q.q_ntile,
         "asof_click": q.q_asof_click,
         "running_total": q.q_running_total,
         "cust_no_orders": q.q_cust_no_orders,
@@ -108,6 +108,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round by tools/check_correctness.py) ---
         "corpus_scan": q.q_corpus_scan,  # r1+r2-green build scan
         "reach2_bool": q.q_reach2_bool,  # bool-SpGEMM: harmonic2 in-window
+        "msbfs": q.q_msbfs,  # BFS chain: bfs_sigma/stress in-window
+        "katz_fixed": q.q_katz_fixed,  # power iter: ppr/pagerank in-window
+        "link_predict_cn": q.q_link_predict_cn,  # wedge: nbr_jaccard in-win
         "pivot_user_type": q.q_pivot_user_type,  # rollup_counts in-window
         "events_quantiles": q.q_events_quantiles,  # event_gaps/rollup in-win
         "community_stats": q.q_community_stats,  # cc_fixed sibling in-window
@@ -320,6 +323,9 @@ def oracle_sql() -> dict[str, str]:
         "transpose": o.transpose(),
         "galerkin": o.galerkin(q.GALERKIN_NC, q.GALERKIN_WMOD),
         "tpch_q4": o.tpch_q4(q.TPCH_Q4_LATE_DAYS),
+        "wl_refine": o.wl_refine(q.WL_ROUNDS),
+        "ntile": o.ntile(q.NTILE_K),
+        "cycle4": o.cycle4(),
         # mis: no SQL oracle (iterative random-priority algorithm);
         # pytest asserts independence + maximality invariants.
         # fingerprint / minhash_pairs / simhash / ann_lsh: deliberately no

@@ -2713,3 +2713,71 @@ WHERE EXISTS (
 )
 GROUP BY o.o_orderpriority
 """
+
+
+@_materialized
+def wl_refine(rounds: int = 2) -> str:
+    """Weisfeiler-Lehman color refinement twin of `queries.wl_refine`:
+    c0 = undirected degree; per round g = (c^2+3c+7) mod 2^61, S = sum
+    of neighbor g mod 2^64, c' = g(((S + 1000003*c) mod 2^64) mod 2^61).
+    All arithmetic in HUGEINT — bit-identical to the uint64 wrap/mask
+    kernels on the Ray side."""
+    M61 = 1 << 61
+    M64 = 1 << 64
+    sql = PREFIX + """
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+deg AS (SELECT src AS i, count(*) AS dg FROM und GROUP BY src),
+c0 AS (
+  SELECT v.i, CAST(coalesce(d.dg, 0) AS HUGEINT) AS c
+  FROM verts v LEFT JOIN deg d ON d.i = v.i
+)"""
+    prev = "c0"
+    for k in range(1, rounds + 1):
+        sql += f""",
+g{k} AS (SELECT i, (c*c + 3*c + 7) % {M61} AS gc FROM {prev}),
+s{k} AS (
+  SELECT u.src AS i, sum(g.gc) % {M64} AS s
+  FROM und u JOIN g{k} g ON g.i = u.dst GROUP BY u.src
+),
+t{k} AS (
+  SELECT p.i,
+         ((coalesce(s.s, 0) + 1000003 * p.c) % {M64}) % {M61} AS t
+  FROM {prev} p LEFT JOIN s{k} s ON s.i = p.i
+),
+c{k} AS (SELECT i, (t*t + 3*t + 7) % {M61} AS c FROM t{k})"""
+        prev = f"c{k}"
+    sql += f"""
+SELECT v.label AS label, CAST(c.c AS BIGINT) AS color
+FROM {prev} c JOIN verts v ON v.i = c.i
+"""
+    return sql
+
+
+def ntile(k: int = 4) -> str:
+    """Balanced-bucket window function (twin of `queries.q_ntile`)."""
+    return f"""
+SELECT event_id,
+       CAST(NTILE({k}) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS BIGINT) AS tile
+FROM events
+"""
+
+
+@_materialized
+def cycle4() -> str:
+    """Global 4-cycle statistic (twin of `queries.q_cycle4`)."""
+    return PREFIX + """
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+cn AS (
+  SELECT u1.src AS a, u2.src AS b, count(*) AS c
+  FROM und u1 JOIN und u2 ON u1.dst = u2.dst AND u1.src < u2.src
+  GROUP BY a, b
+),
+tot AS (SELECT coalesce(sum((c*(c-1))//2), 0) AS p2 FROM cn)
+SELECT CAST(p2 AS BIGINT) AS pairs2, CAST(p2 // 2 AS BIGINT) AS squares
+FROM tot
+"""

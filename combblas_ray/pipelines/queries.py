@@ -3501,3 +3501,160 @@ def q_tpch_q4(sf_dir: str):
                                     type=pa.string()),
         "cnt": pa.array(g.cnt.to_numpy().astype(np.int64)),
     })
+
+
+WL_ROUNDS = 2
+_WL_MASK61 = np.uint64((1 << 61) - 1)
+
+
+def _wl_g(x: np.ndarray) -> np.ndarray:
+    """Quadratic color mix g(x) = (x^2 + 3x + 7) mod 2^61 for x < 2^61,
+    exact in uint64: x = hi*2^31 + lo, so x^2 mod 2^61 =
+    ((hi*lo mod 2^29) << 32) + lo^2 (the hi^2*2^62 term vanishes).
+    The DuckDB twin computes the same polynomial in HUGEINT."""
+    x = x.astype(np.uint64)
+    hi = x >> np.uint64(31)
+    lo = x & np.uint64((1 << 31) - 1)
+    sq = (((hi * lo) & np.uint64((1 << 29) - 1)) << np.uint64(32)) + lo * lo
+    return (sq + np.uint64(3) * x + np.uint64(7)) & _WL_MASK61
+
+
+def wl_refine(ctx, rounds: int = WL_ROUNDS) -> np.ndarray:
+    """Weisfeiler-Lehman color refinement over the undirected distinct
+    view: c0 = degree; each round c' = g((S + 1000003*c) mod 2^64 mod
+    2^61) with S = sum over neighbors of g(c_u) mod 2^64 — a COMMUTATIVE
+    multiset hash, so the neighbor aggregation is a plain keyed sum (no
+    per-vertex sorting): one broadcast of the color vector + one keyed
+    reduce per round, partials wrapped in native uint64. The per-vertex
+    color vector is driver-resident (FullyDistVec analog, as in `scc`);
+    the scale path chunks it like the engine's vertex state. Graph
+    fingerprinting / iso-invariant bucketing for graph dedup."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    n = ctx.n
+    und = ctx.graph("sym").dedup_sum().edges
+    c = ctx.engine("sym").in_weights().astype(np.uint64)  # degree init
+    for _ in range(rounds):
+        gx = _wl_g(c)
+        gx_ref = ray.put(gx)
+
+        def _part(b: pa.Table, *, _ref=gx_ref) -> pa.Table:
+            g_ = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+            s = np.asarray(b.column("src"))
+            d = np.asarray(b.column("dst"))
+            u, inv = np.unique(s, return_inverse=True)
+            acc = np.zeros(len(u), dtype=np.uint64)
+            np.add.at(acc, inv, g_[d])  # uint64 wrap == mod 2^64
+            return pa.table({"v": pa.array(u.astype(np.int64)),
+                             "s": pa.array(acc.astype(np.int64))})
+
+        def _merge(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "v" not in t.column_names:
+                return pa.table({"v": pa.array([], type=pa.int64()),
+                                 "s": pa.array([], type=pa.int64())})
+            v = np.asarray(t.column("v"), dtype=np.int64)
+            sv = np.asarray(t.column("s")).view(np.uint64)
+            u, inv = np.unique(v, return_inverse=True)
+            acc = np.zeros(len(u), dtype=np.uint64)
+            np.add.at(acc, inv, sv)
+            return pa.table({"v": pa.array(u),
+                             "s": pa.array(acc.astype(np.int64))})
+
+        parts = group_apply_tasks(
+            und.map_batches(_part, batch_format="pyarrow",
+                            zero_copy_batch=True),
+            ["v"], _merge,
+        ).to_pandas()
+        S = np.zeros(n, dtype=np.uint64)
+        S[parts.v.to_numpy(dtype=np.int64)] = \
+            parts.s.to_numpy(dtype=np.int64).view(np.uint64)
+        t_ = (S + c * np.uint64(1000003)) & _WL_MASK61  # wraps mod 2^64 first
+        c = _wl_g(t_)
+    return c
+
+
+def q_wl_refine(sf_dir: str):
+    """2-round WL color refinement colors per vertex (exact 61-bit
+    integers; see `wl_refine`)."""
+    ctx = get_context(sf_dir)
+    c = wl_refine(ctx, WL_ROUNDS)
+    return pa.table({
+        "label": pa.array(np.asarray(ctx.labels), type=pa.string()),
+        "color": pa.array(c.astype(np.int64)),
+    })
+
+
+NTILE_K = 4
+
+
+def q_ntile(sf_dir: str):
+    """NTILE(4) per user over events ordered by (ts, event_id) — the
+    balanced-bucket window function. One user_id shuffle; each partition
+    computes every resident user's tiles with a vectorized
+    sort + segment-index pass (no per-row Python)."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id"])
+
+    def _tiles(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_id": pa.array([], type=pa.int64()),
+                             "tile": pa.array([], type=pa.int64())})
+        uid = np.asarray(t.column("user_id"))
+        ts = np.asarray(t.column("ts")).astype("datetime64[us]") \
+            .astype(np.int64)
+        eid = np.asarray(t.column("event_id"))
+        order = np.lexsort((eid, ts, uid))
+        uid, eid = uid[order], eid[order]
+        # per-user positional index + group size
+        uu, starts_idx, counts = np.unique(uid, return_index=True,
+                                           return_counts=True)
+        pos = np.arange(len(uid)) - np.repeat(starts_idx, counts)
+        nsz = np.repeat(counts, counts)
+        k = NTILE_K
+        size, rem = nsz // k, nsz % k
+        big = rem * (size + 1)  # rows covered by the (size+1)-sized tiles
+        tile = np.where(
+            pos < big,
+            pos // np.maximum(size + 1, 1),
+            rem + (pos - big) // np.maximum(size, 1),
+        ) + 1
+        return pa.table({"event_id": pa.array(eid),
+                         "tile": pa.array(tile.astype(np.int64))})
+
+    return group_apply_tasks(ev, ["user_id"], _tiles)
+
+
+def q_cycle4(sf_dir: str):
+    """Global 4-cycle statistic over the undirected distinct view: for
+    every unordered pair a<b, C(cn(a,b), 2) summed — each 4-cycle is
+    counted once per diagonal, so squares = pairs2 / 2. The
+    common-neighbor counts come from one boolean SpGEMM (the
+    triangle-count wedge plan re-aggregated); per-batch integer partials
+    reduce to a single row, so nothing wide reaches the driver."""
+    from ..core import spgemm as SG
+
+    ctx = get_context(sf_dir)
+    g = ctx.graph("sym")
+    deg = ctx.engine("sym").in_weights().astype(np.float64)
+    gp = int(max(8, min(64, np.ceil(float((deg ** 2).sum()) / 1.5e6))))
+    be = g.dedup_sum().cast_bool().edges
+    cn = SG.spgemm_tasks(be, be, ctx.n, add="sum", num_partitions=gp)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        s = np.asarray(b.column("src"))
+        d = np.asarray(b.column("dst"))
+        c = np.asarray(b.column("w")).astype(np.int64)
+        c = c[s < d]
+        tot = int((c * (c - 1) // 2).sum())
+        return pa.table({"p2": pa.array([tot], type=pa.int64())})
+
+    parts = cn.map_batches(_partial, batch_format="pyarrow").take_all()
+    p2 = int(sum(p["p2"] for p in parts))
+    return pa.table({"pairs2": pa.array([p2], type=pa.int64()),
+                     "squares": pa.array([p2 // 2], type=pa.int64())})
