@@ -106,6 +106,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
+        "tpch_q6": q.q_tpch_q6,  # filtered agg: tpch_q4 in-window
+        "basket_pairs": q.q_basket_pairs,  # pair expand: cycle4 in-window
+        "link_predict_ra": q.q_link_predict_ra,  # wedge: nbr_jaccard in-win
+        "first_last_event": q.q_first_last_event,  # window: ntile in-window
+        "dense_rank_spend": q.q_dense_rank_spend,  # window: ntile in-window
+        "cube_counts": q.q_cube_counts,  # rollup_counts sibling
+        "kmeans_fixed": q.q_kmeans_fixed,  # IVF-Lloyd sibling: ann_ivf
         "corpus_scan": q.q_corpus_scan,  # r1+r2-green build scan
         "reach2_bool": q.q_reach2_bool,  # bool-SpGEMM: harmonic2 in-window
         "msbfs": q.q_msbfs,  # BFS chain: bfs_sigma/stress in-window
@@ -326,6 +333,14 @@ def oracle_sql() -> dict[str, str]:
         "wl_refine": o.wl_refine(q.WL_ROUNDS),
         "ntile": o.ntile(q.NTILE_K),
         "cycle4": o.cycle4(),
+        "tpch_q6": o.tpch_q6(),
+        "basket_pairs": o.basket_pairs(q.BASKET_TOPK),
+        "link_predict_ra": o.link_predict_ra(q.RA_TOPK, q.RA_MIN,
+                                             q.RA_SCALE),
+        "first_last_event": o.first_last_event(),
+        "dense_rank_spend": o.dense_rank_spend(),
+        "cube_counts": o.cube_counts(),
+        "kmeans_fixed": o.kmeans_fixed(q.KM_K, q.KM_ROUNDS),
         # mis: no SQL oracle (iterative random-priority algorithm);
         # pytest asserts independence + maximality invariants.
         # fingerprint / minhash_pairs / simhash / ann_lsh: deliberately no

@@ -2781,3 +2781,180 @@ tot AS (SELECT coalesce(sum((c*(c-1))//2), 0) AS p2 FROM cn)
 SELECT CAST(p2 AS BIGINT) AS pairs2, CAST(p2 // 2 AS BIGINT) AS squares
 FROM tot
 """
+
+
+def tpch_q6(lo: str = "1996-01-01", hi: str = "1997-01-01") -> str:
+    """Filtered streaming aggregate (twin of `queries.q_tpch_q6`):
+    revenue = floor(price * discount * 100) per line, order-free
+    integer sum."""
+    return f"""
+SELECT coalesce(sum(CAST(floor(l_extendedprice * l_discount * 100)
+                         AS BIGINT)), 0) AS rev_cents,
+       count(*) AS nlines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{lo}'
+  AND l_shipdate <  TIMESTAMP '{hi}'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def basket_pairs(topk: int = 20) -> str:
+    """Market-basket part-pair co-occurrence counts, top-k (twin of
+    `queries.q_basket_pairs`)."""
+    return f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS cnt
+FROM op x JOIN op y ON x.l_orderkey = y.l_orderkey
+                   AND x.l_partkey < y.l_partkey
+GROUP BY 1, 2
+ORDER BY cnt DESC, a ASC, b ASC
+LIMIT {topk}
+"""
+
+
+def link_predict_ra(topk: int = 20, min_cn: int = 2,
+                    scale: int = 1_000_000_000) -> str:
+    """Resource-allocation link prediction on dense ids (integer RA
+    index; twin of `queries.q_link_predict_ra`)."""
+    return PREFIX + f"""
+, dense AS (
+  SELECT i, row_number() OVER (ORDER BY label) - 1 AS d, label FROM verts
+),
+du AS (
+  SELECT ds.d AS u, dd.d AS v
+  FROM edges e JOIN dense ds ON ds.i = e.src JOIN dense dd ON dd.i = e.dst
+  UNION
+  SELECT dd.d, ds.d
+  FROM edges e JOIN dense ds ON ds.i = e.src JOIN dense dd ON dd.i = e.dst
+),
+deg AS (SELECT u, count(*) AS dg FROM du GROUP BY u),
+cn AS (
+  SELECT x.u AS a, y.v AS b, count(*) AS c,
+         sum({scale} // dz.dg) AS ra
+  FROM du x JOIN du y ON x.v = y.u JOIN deg dz ON dz.u = x.v
+  WHERE x.u < y.v
+  GROUP BY 1, 2
+),
+cn2 AS (
+  SELECT a, b, CAST(ra AS BIGINT) AS score, CAST(c AS BIGINT) AS cn
+  FROM cn
+  WHERE c >= {min_cn}
+    AND NOT EXISTS (SELECT 1 FROM du e WHERE e.u = cn.a AND e.v = cn.b)
+)
+SELECT da.label AS a, db.label AS b, c.score, c.cn
+FROM cn2 c JOIN dense da ON da.d = c.a JOIN dense db ON db.d = c.b
+ORDER BY c.score DESC, c.a ASC, c.b ASC
+LIMIT {topk}
+"""
+
+
+def first_last_event() -> str:
+    """FIRST_VALUE / LAST_VALUE per user over (ts, event_id) order
+    (twin of `queries.q_first_last_event`)."""
+    return """
+WITH w AS (
+  SELECT user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+)
+SELECT a.user_id,
+       a.event_type AS first_type,
+       b.event_type AS last_type,
+       CAST(floor(b.value * 100 + 0.5) AS BIGINT)
+         - CAST(floor(a.value * 100 + 0.5) AS BIGINT) AS delta_cents,
+       CAST(a.n AS BIGINT) AS n
+FROM w a JOIN w b ON a.user_id = b.user_id AND b.rn = a.n
+WHERE a.rn = 1
+"""
+
+
+def dense_rank_spend() -> str:
+    """DENSE_RANK of customer total spend within market segment (twin
+    of `queries.q_dense_rank_spend`)."""
+    return """
+WITH s AS (
+  SELECT o_custkey,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+           AS spend_cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT c.c_custkey, c.c_mktsegment, s.spend_cents,
+       CAST(dense_rank() OVER (PARTITION BY c.c_mktsegment
+                               ORDER BY s.spend_cents DESC)
+            AS BIGINT) AS drank
+FROM s JOIN customer c ON c.c_custkey = s.o_custkey
+"""
+
+
+def cube_counts() -> str:
+    """GROUP BY CUBE(event_type, day-of-week); dow via pure integer
+    epoch-ms arithmetic (twin of `queries.q_cube_counts`)."""
+    return """
+WITH base AS (
+  SELECT event_type,
+         ((epoch_ms(ts) // 86400000) + 4) % 7 AS dow,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       CAST(coalesce(dow, -1) AS BIGINT) AS dow,
+       count(*) AS cnt,
+       sum(cents) AS cents
+FROM base GROUP BY CUBE(event_type, dow)
+"""
+
+
+@_materialized
+def kmeans_fixed(k: int = 4, rounds: int = 2, dim: int = 64,
+                 qscale: int = 1 << 20) -> str:
+    """Integer-exact fixed-round Lloyd k-means over quantized embeddings
+    (twin of `queries.q_kmeans_fixed`): q = floor((x+0.5)*2^20) — the
+    float32->double cast, the +0.5 add and the power-of-two scale incur
+    identical IEEE roundings in numpy and DuckDB; distances, argmin
+    tie-breaks and floor-mean centroid updates are all BIGINT."""
+    sql = f"""
+WITH q AS (
+  SELECT vec_id, CAST(g.d AS BIGINT) - 1 AS dim,
+         CAST(floor((CAST(embedding[CAST(g.d AS INT)] AS DOUBLE) + 0.5)
+                    * {qscale}) AS BIGINT) AS q
+  FROM embeddings CROSS JOIN generate_series(1, {dim}) g(d)
+),
+c0 AS (SELECT vec_id AS cluster, dim, q AS c FROM q WHERE vec_id < {k})"""
+    prev = "c0"
+    for r in range(1, rounds + 1):
+        sql += f""",
+a{r} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT q.vec_id, c.cluster,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY sum((q.q - c.c) * (q.q - c.c)) ASC, c.cluster ASC
+           ) AS rn
+    FROM q JOIN {prev} c ON c.dim = q.dim
+    GROUP BY q.vec_id, c.cluster
+  ) WHERE rn = 1
+),
+c{r} AS (
+  SELECT p.cluster, p.dim, coalesce(s.m, p.c) AS c
+  FROM {prev} p LEFT JOIN (
+    SELECT a.cluster, q.dim, sum(q.q) // count(*) AS m
+    FROM a{r} a JOIN q ON q.vec_id = a.vec_id
+    GROUP BY a.cluster, q.dim
+  ) s ON s.cluster = p.cluster AND s.dim = p.dim
+)"""
+        prev = f"c{r}"
+    sql += f"""
+SELECT vec_id, cluster FROM (
+  SELECT q.vec_id, c.cluster,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY sum((q.q - c.c) * (q.q - c.c)) ASC, c.cluster ASC
+         ) AS rn
+  FROM q JOIN {prev} c ON c.dim = q.dim
+  GROUP BY q.vec_id, c.cluster
+) WHERE rn = 1
+"""
+    return sql

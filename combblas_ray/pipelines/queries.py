@@ -3658,3 +3658,540 @@ def q_cycle4(sf_dir: str):
     p2 = int(sum(p["p2"] for p in parts))
     return pa.table({"pairs2": pa.array([p2], type=pa.int64()),
                      "squares": pa.array([p2 // 2], type=pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# Wave 9: relational windows / market-basket / weighted link prediction /
+# integer-exact k-means
+# ---------------------------------------------------------------------------
+
+TPCH_Q6_LO = (1996, 1, 1)
+TPCH_Q6_HI = (1997, 1, 1)
+
+
+def q_tpch_q6(sf_dir: str):
+    """TPC-H Q6-style forecasting-revenue-change query: one filtered
+    streaming aggregate, no shuffle at all. Every predicate is pushed
+    into the parquet read (shipdate window, discount band, quantity
+    cap); revenue = floor(price * discount * 100) per line — identical
+    IEEE double products on both sides, order-free integer sum. The
+    single-row result is the canonical 'prune at the read' benchmark."""
+    import datetime
+
+    import ray
+
+    lo = datetime.datetime(*TPCH_Q6_LO)
+    hi = datetime.datetime(*TPCH_Q6_HI)
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount"],
+        filter=(pc.field("l_shipdate") >= pa.scalar(lo))
+        & (pc.field("l_shipdate") < pa.scalar(hi))
+        & (pc.field("l_discount") >= 0.05)
+        & (pc.field("l_discount") <= 0.07)
+        & (pc.field("l_quantity") < 24.0),
+    )
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cents = np.floor(
+            np.asarray(b.column("l_extendedprice"))
+            * np.asarray(b.column("l_discount")) * 100.0
+        )
+        return pa.table({
+            "rev_cents": pa.array([int(cents.sum())], type=pa.int64()),
+            "nlines": pa.array([b.num_rows], type=pa.int64()),
+        })
+
+    parts = li.map_batches(_partial, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    return pa.table({
+        "rev_cents": pa.array([sum(p["rev_cents"] for p in parts)],
+                              type=pa.int64()),
+        "nlines": pa.array([sum(p["nlines"] for p in parts)],
+                           type=pa.int64()),
+    })
+
+
+BASKET_TOPK = 20
+
+
+def q_basket_pairs(sf_dir: str):
+    """Market-basket co-occurrence: the BASKET_TOPK part pairs (a < b)
+    most often appearing in the same order, counting each order once
+    per distinct pair. One orderkey shuffle (groups are bounded —
+    ~4 lines/order — so the triangular pair expansion is O(lines), not
+    all-pairs), pair emission batched by distinct run size
+    (`dedup._run_pairs`), local pair pre-aggregation, then a pair-key
+    reduce and a global sort+limit cut."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+    from ..functions.dedup import _run_pairs
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], type=pa.int64()),
+                          "b": pa.array([], type=pa.int64()),
+                          "cnt": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "l_orderkey" not in t.column_names:
+            return empty
+        ok = np.asarray(t.column("l_orderkey"), dtype=np.int64)
+        pk = np.asarray(t.column("l_partkey"), dtype=np.int64)
+        # distinct (order, part) then run structure over orders
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        keep = np.ones(len(ok), dtype=bool)
+        keep[1:] = (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])
+        ok, pk = ok[keep], pk[keep]
+        uo, starts, counts = np.unique(ok, return_index=True,
+                                       return_counts=True)
+        a, b = _run_pairs(starts, counts, pk)
+        if len(a) == 0:
+            return empty
+        # local pre-aggregate: same pair may recur across orders
+        key = np.lexsort((b, a))
+        a, b = a[key], b[key]
+        new = np.ones(len(a), dtype=bool)
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        seg = np.cumsum(new) - 1
+        cnt = np.bincount(seg)
+        return pa.table({"a": pa.array(a[new]), "b": pa.array(b[new]),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    def _sum(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        g = t.group_by(["a", "b"]).aggregate([("cnt", "sum")])
+        return pa.table({"a": g.column("a"), "b": g.column("b"),
+                         "cnt": g.column("cnt_sum")})
+
+    pairs = group_apply_tasks(
+        group_apply_tasks(li, ["l_orderkey"], _pairs), ["a", "b"], _sum
+    )
+    top = pairs.sort(["cnt", "a", "b"],
+                     descending=[True, False, False]) \
+        .limit(BASKET_TOPK).to_pandas()
+    return pa.Table.from_pandas(top, preserve_index=False)
+
+
+RA_SCALE = 1_000_000_000
+RA_MIN = 2  # >= 2 common neighbors (matches LP_CN_MIN class)
+RA_TOPK = 20
+
+
+def q_link_predict_ra(sf_dir: str):
+    """Resource-allocation link prediction: for non-adjacent pairs
+    (a < b) with >= RA_MIN common neighbors, score = sum over common
+    neighbors z of RA_SCALE // deg(z) (integer-exact RA index;
+    Adamic-Adar's log replaced by the SQL-reproducible reciprocal).
+    ONE wedge expansion carries BOTH channels: edges route by midpoint
+    z, each partition emits its z-runs' triangular pairs
+    (`dedup._run_pairs`, a<b by sorted-run construction) with the
+    per-z weight, pre-aggregates (ra, cn) locally, then one pair-keyed
+    reduce + a LEFT ANTI join against the adjacency drops existing
+    edges — half the data movement of running the CN SpGEMM twice.
+    RA sums stay exact in int64; the degree vector is `ray.put` once."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks, hash_join_tasks
+    from ..functions.dedup import _run_pairs
+
+    ctx = get_context(sf_dir)
+    g = ctx.graph("sym")
+    deg = ctx.engine("sym").in_weights().astype(np.int64)
+    wedges = float((deg.astype(np.float64) ** 2).sum())
+    gp = int(max(8, min(64, np.ceil(wedges / 1.5e6))))
+    be = g.dedup_sum().cast_bool().edges
+    deg_ref = ray.put(deg)
+
+    _empty = pa.table({"a": pa.array([], type=pa.int64()),
+                       "b": pa.array([], type=pa.int64()),
+                       "ra": pa.array([], type=pa.int64()),
+                       "cn": pa.array([], type=pa.int64())})
+
+    def _local_agg(a, b, v, c):
+        order = np.lexsort((b, a))
+        a, b, v, c = a[order], b[order], v[order], c[order]
+        new = np.ones(len(a), dtype=bool)
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        seg = np.cumsum(new) - 1
+        return pa.table({
+            "a": pa.array(a[new]), "b": pa.array(b[new]),
+            "ra": pa.array(np.bincount(seg, weights=v.astype(np.float64))
+                           .astype(np.int64)),
+            "cn": pa.array(np.bincount(seg, weights=c.astype(np.float64))
+                           .astype(np.int64)),
+        })
+
+    def _wedges(t: pa.Table, *, _ref=deg_ref) -> pa.Table:
+        if t.num_rows == 0 or "dst" not in t.column_names:
+            return _empty
+        dv = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+        z = np.asarray(t.column("dst"), dtype=np.int64)
+        u = np.asarray(t.column("src"), dtype=np.int64)
+        order = np.lexsort((u, z))
+        z, u = z[order], u[order]
+        uz, starts, counts = np.unique(z, return_index=True,
+                                       return_counts=True)
+        a, b = _run_pairs(starts, counts, u)
+        if len(a) == 0:
+            return _empty
+        # per-pair midpoint weight: repeat each z-run's weight over its
+        # C(deg,2) pairs in _run_pairs' distinct-size emission order
+        w = np.empty(len(a), dtype=np.int64)
+        pos = 0
+        for m in np.unique(counts):
+            if m < 2:
+                continue
+            runs = uz[counts == m]
+            npair = int(m) * (int(m) - 1) // 2
+            w[pos:pos + len(runs) * npair] = np.repeat(
+                RA_SCALE // dv[runs], npair).reshape(
+                    len(runs), npair).ravel()
+            pos += len(runs) * npair
+        return _local_agg(a, b, w, np.ones(len(a), dtype=np.int64))
+
+    def _merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return _empty
+        return _local_agg(
+            np.asarray(t.column("a"), dtype=np.int64),
+            np.asarray(t.column("b"), dtype=np.int64),
+            np.asarray(t.column("ra"), dtype=np.int64),
+            np.asarray(t.column("cn"), dtype=np.int64),
+        )
+
+    pairs = group_apply_tasks(
+        group_apply_tasks(be, ["dst"], _wedges, num_partitions=gp),
+        ["a", "b"], _merge, num_partitions=gp,
+    )
+
+    def _adj(t: pa.Table) -> pa.Table:
+        s = np.asarray(t.column("src"), dtype=np.int64)
+        d = np.asarray(t.column("dst"), dtype=np.int64)
+        keep = s < d
+        return pa.table({"a": pa.array(s[keep]), "b": pa.array(d[keep])})
+
+    adj = be.map_batches(_adj, batch_format="pyarrow")
+
+    def _cut(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64()),
+                             "score": pa.array([], type=pa.int64()),
+                             "cn": pa.array([], type=pa.int64())})
+        keep = np.asarray(t.column("cn"), dtype=np.int64) >= RA_MIN
+        return pa.table({"a": t.column("a").filter(pa.array(keep)),
+                         "b": t.column("b").filter(pa.array(keep)),
+                         "score": t.column("ra").filter(pa.array(keep)),
+                         "cn": t.column("cn").filter(pa.array(keep))})
+
+    nonadj = hash_join_tasks(pairs, adj, on=["a", "b"],
+                             join_type="left anti", post=_cut,
+                             num_partitions=gp)
+    top = nonadj.sort(["score", "a", "b"],
+                      descending=[True, False, False]) \
+        .limit(RA_TOPK).to_pandas()
+    lab = np.asarray(ctx.labels)
+    return pa.table({
+        "a": pa.array(lab[top["a"].to_numpy(dtype=np.int64)],
+                      type=pa.string()),
+        "b": pa.array(lab[top["b"].to_numpy(dtype=np.int64)],
+                      type=pa.string()),
+        "score": pa.array(top["score"].to_numpy(dtype=np.int64)),
+        "cn": pa.array(top["cn"].to_numpy(dtype=np.int64)),
+    })
+
+
+def q_first_last_event(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE window: per user the first and last
+    event type and the cents delta between last and first value, ordered
+    by (ts, event_id). ONE user_id shuffle; each partition resolves all
+    its users with a single lexsort + run boundaries."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def _fl(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], type=pa.int64()),
+            "first_type": pa.array([], type=pa.string()),
+            "last_type": pa.array([], type=pa.string()),
+            "delta_cents": pa.array([], type=pa.int64()),
+            "n": pa.array([], type=pa.int64()),
+        })
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return empty
+        uid = np.asarray(t.column("user_id"), dtype=np.int64)
+        ts = np.asarray(t.column("ts")).astype("datetime64[us]") \
+            .astype(np.int64)
+        eid = np.asarray(t.column("event_id"), dtype=np.int64)
+        et = np.asarray(t.column("event_type")).astype(str)
+        cents = np.floor(
+            np.asarray(t.column("value")) * 100.0 + 0.5).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, et, cents = uid[order], et[order], cents[order]
+        uu, starts, counts = np.unique(uid, return_index=True,
+                                       return_counts=True)
+        last = starts + counts - 1
+        return pa.table({
+            "user_id": pa.array(uu),
+            "first_type": pa.array(et[starts].tolist(), type=pa.string()),
+            "last_type": pa.array(et[last].tolist(), type=pa.string()),
+            "delta_cents": pa.array(cents[last] - cents[starts]),
+            "n": pa.array(counts.astype(np.int64)),
+        })
+
+    return group_apply_tasks(ev, ["user_id"], _fl)
+
+
+def q_dense_rank_spend(sf_dir: str):
+    """DENSE_RANK window over a join: customers ranked by total order
+    spend (exact integer cents) within their market segment. Per-batch
+    per-customer partials BEFORE the custkey shuffle, co-partitioned
+    hash join against customer, then one segment shuffle; each partition
+    dense-ranks all its segments vectorized (distinct-spend
+    searchsorted — no per-row loop)."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks, group_sum_per_key, \
+        hash_join_tasks
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+
+    def _opart(b: pa.Table) -> pa.Table:
+        cents = np.floor(
+            np.asarray(b.column("o_totalprice")) * 100.0 + 0.5)
+        uk, s = group_sum_per_key(
+            cents, np.asarray(b.column("o_custkey"), dtype=np.int64))
+        return pa.table({"o_custkey": pa.array(uk),
+                         "cents": pa.array(s.astype(np.int64))})
+
+    opart = orders.map_batches(_opart, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def _combine(t: pa.Table) -> pa.Table:
+        uk, s = group_sum_per_key(
+            np.asarray(t.column("cents"), dtype=np.float64),
+            np.asarray(t.column("o_custkey"), dtype=np.int64))
+        return pa.table({"o_custkey": pa.array(uk),
+                         "spend_cents": pa.array(s.astype(np.int64))})
+
+    spend = group_apply_tasks(opart, ["o_custkey"], _combine)
+    joined = hash_join_tasks(spend, cust, on="o_custkey",
+                             right_on="c_custkey")
+
+    def _rank(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "c_custkey": pa.array([], type=pa.int64()),
+            "c_mktsegment": pa.array([], type=pa.string()),
+            "spend_cents": pa.array([], type=pa.int64()),
+            "drank": pa.array([], type=pa.int64()),
+        })
+        if t.num_rows == 0 or "c_mktsegment" not in t.column_names:
+            return empty
+        seg = np.asarray(t.column("c_mktsegment")).astype(str)
+        ck = np.asarray(t.column("o_custkey"), dtype=np.int64)
+        sp = np.asarray(t.column("spend_cents"), dtype=np.int64)
+        out_rank = np.empty(len(ck), dtype=np.int64)
+        useg, inv = np.unique(seg, return_inverse=True)
+        for si in range(len(useg)):  # few segments, vectorized inside
+            m = inv == si
+            u = np.unique(sp[m])
+            out_rank[m] = len(u) - np.searchsorted(u, sp[m],
+                                                   side="right") + 1
+        return pa.table({
+            "c_custkey": pa.array(ck),
+            "c_mktsegment": pa.array(seg.tolist(), type=pa.string()),
+            "spend_cents": pa.array(sp),
+            "drank": pa.array(out_rank),
+        })
+
+    return group_apply_tasks(joined, ["c_mktsegment"], _rank)
+
+
+def q_cube_counts(sf_dir: str):
+    """GROUP BY CUBE(event_type, day-of-week): all four grouping sets.
+    The finest (type, dow) level is one distributed keyed reduce; the
+    three coarser levels derive from its bounded output (types x 7
+    rows). dow = ((epoch_seconds // 86400) + 4) % 7 (0 = Monday) — pure
+    integer arithmetic, identical in numpy and SQL."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def _fine(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "event_type": pa.array([], type=pa.string()),
+            "dow": pa.array([], type=pa.int64()),
+            "cnt": pa.array([], type=pa.int64()),
+            "cents": pa.array([], type=pa.int64()),
+        })
+        if t.num_rows == 0 or "event_type" not in t.column_names:
+            return empty
+        et = np.asarray(t.column("event_type")).astype(str)
+        secs = np.asarray(t.column("ts")).astype("datetime64[s]") \
+            .astype(np.int64)
+        dow = ((secs // 86400) + 4) % 7
+        cents = np.floor(
+            np.asarray(t.column("value")) * 100.0 + 0.5).astype(np.int64)
+        key = np.char.add(np.char.add(et, "|"), dow.astype(str))
+        uk, inv = np.unique(key, return_inverse=True)
+        cnt = np.bincount(inv)
+        cs = np.bincount(inv, weights=cents.astype(np.float64))
+        first = np.full(len(uk), -1, dtype=np.int64)
+        first[inv[::-1]] = np.arange(len(inv) - 1, -1, -1)
+        return pa.table({
+            "event_type": pa.array(et[first].tolist(), type=pa.string()),
+            "dow": pa.array(dow[first]),
+            "cnt": pa.array(cnt.astype(np.int64)),
+            "cents": pa.array(cs.astype(np.int64)),
+        })
+
+    fine = group_apply_tasks(ds, ["event_type"], _fine)
+    tabs = [t for t in ray.get(fine.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return _fine(pa.table({}))
+    ft = pa.concat_tables(tabs)
+    et = np.asarray(ft.column("event_type")).astype(str)
+    dow = np.asarray(ft.column("dow"), dtype=np.int64)
+    cnt = np.asarray(ft.column("cnt"), dtype=np.int64)
+    cents = np.asarray(ft.column("cents"), dtype=np.int64)
+
+    def _agg(keys):
+        uk, inv = np.unique(keys, return_inverse=True)
+        return uk, inv, np.bincount(inv, weights=cnt.astype(np.float64)) \
+            .astype(np.int64), \
+            np.bincount(inv, weights=cents.astype(np.float64)) \
+            .astype(np.int64)
+
+    ue, ie, ce, se = _agg(et)
+    ud, idw, cd, sd = _agg(dow.astype(str))
+    out_et = np.concatenate((et, ue, np.full(len(ud), "ALL"), ["ALL"]))
+    out_dow = np.concatenate((
+        dow, np.full(len(ue), -1, dtype=np.int64),
+        np.sort(np.unique(dow)), np.array([-1], dtype=np.int64)))
+    # dow-level sums must align with out_dow's sorted unique order
+    ud_i = np.sort(np.unique(dow))
+    dmap = {str(v): i for i, v in enumerate(ud_i)}
+    cd_o = np.empty(len(ud_i), dtype=np.int64)
+    sd_o = np.empty(len(ud_i), dtype=np.int64)
+    for i, v in enumerate(ud):
+        cd_o[dmap[v]] = cd[i]
+        sd_o[dmap[v]] = sd[i]
+    out_cnt = np.concatenate((cnt, ce, cd_o, [cnt.sum()]))
+    out_cents = np.concatenate((cents, se, sd_o, [cents.sum()]))
+    return pa.table({
+        "event_type": pa.array(out_et.tolist(), type=pa.string()),
+        "dow": pa.array(out_dow),
+        "cnt": pa.array(out_cnt),
+        "cents": pa.array(out_cents),
+    })
+
+
+KM_K = 4
+KM_ROUNDS = 2
+KM_QSCALE = 1 << 20  # quantization: q = floor((x + 0.5) * 2^20), exact
+
+
+def _km_quant(t: pa.Table):
+    """(vec_id, Q) with Q int64 (rows, dim): q = floor((x+0.5) * 2^20).
+    float32 -> float64 is exact; +0.5 and the power-of-two scale incur
+    the same single IEEE rounding in numpy and DuckDB, so both sides
+    quantize bit-identically."""
+    ids = np.asarray(t.column("vec_id"), dtype=np.int64)
+    emb = t.column("embedding")
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    flat = np.asarray(emb.values, dtype=np.float64)
+    q = np.floor((flat + 0.5) * KM_QSCALE).astype(np.int64)
+    return ids, q.reshape(len(ids), -1)
+
+
+def q_kmeans_fixed(sf_dir: str):
+    """KM_ROUNDS Lloyd iterations of k-means over quantized embeddings —
+    INTEGER-EXACT end to end: vectors quantize to q = floor((x+0.5)*2^20)
+    (identical IEEE arithmetic both sides), distances are int64 sums of
+    squares (< 2^46 at dim 64), argmin ties break to the lowest cluster
+    id, centroid update is the integer floor mean (sum // count, keeps
+    the previous centroid when a cluster empties). Distributed Lloyd:
+    centroids broadcast per round, per-batch assign + per-cluster
+    per-dim int64 partial sums; the driver holds only the k x dim
+    centroid matrix (the IVF coarse-quantizer pattern, `ann.py`).
+    Returns the assignment under the final centroids."""
+    import ray
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    # deterministic init: the k lowest vec_ids (seed vectors)
+    seed_t = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id") < KM_K,
+    ).sort("vec_id").take_batch(KM_K, batch_format="pyarrow")
+    _, cent = _km_quant(pa.table(seed_t))
+
+    def _assign(Q: np.ndarray, C: np.ndarray) -> np.ndarray:
+        # int64-exact squared distances (rows, k); argmin -> lowest id
+        d = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return d.argmin(axis=1)
+
+    for _ in range(KM_ROUNDS):
+        cref = ray.put(cent)
+
+        def _partial(t: pa.Table, *, _c=cref) -> pa.Table:
+            C = _c if isinstance(_c, np.ndarray) else ray.get(_c)
+            ids, Q = _km_quant(t)
+            a = _assign(Q, C)
+            k, dim = C.shape
+            sums = np.zeros((k, dim), dtype=np.int64)
+            np.add.at(sums, a, Q)
+            cnt = np.bincount(a, minlength=k).astype(np.int64)
+            return pa.table({
+                "cluster": pa.array(np.arange(k, dtype=np.int64)),
+                "cnt": pa.array(cnt),
+                "sums": pa.array(sums.tolist(),
+                                 type=pa.list_(pa.int64())),
+            })
+
+        parts = emb.map_batches(_partial, batch_format="pyarrow",
+                                zero_copy_batch=True).take_all()
+        k, dim = cent.shape
+        tot = np.zeros((k, dim), dtype=np.int64)
+        cnt = np.zeros(k, dtype=np.int64)
+        for p in parts:
+            tot[p["cluster"]] += np.asarray(p["sums"], dtype=np.int64)
+            cnt[p["cluster"]] += p["cnt"]
+        nz = cnt > 0
+        cent = cent.copy()
+        cent[nz] = tot[nz] // cnt[nz, None]  # non-negative: floor == trunc
+
+    cref = ray.put(cent)
+
+    def _final(t: pa.Table, *, _c=cref) -> pa.Table:
+        C = _c if isinstance(_c, np.ndarray) else ray.get(_c)
+        ids, Q = _km_quant(t)
+        return pa.table({"vec_id": pa.array(ids),
+                         "cluster": pa.array(_assign(Q, C))})
+
+    return emb.map_batches(_final, batch_format="pyarrow",
+                           zero_copy_batch=True)
