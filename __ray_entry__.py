@@ -113,6 +113,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dense_rank_spend": q.q_dense_rank_spend,  # window: ntile in-window
         "cube_counts": q.q_cube_counts,  # rollup_counts sibling
         "kmeans_fixed": q.q_kmeans_fixed,  # IVF-Lloyd sibling: ann_ivf
+        "closeness_sample": q.q_closeness_sample,  # BFS chain: ecc sibling
+        "source_stats": q.q_source_stats,  # provenance audit
+        "big_spenders": q.q_big_spenders,  # correlated scalar subquery
+        "rep_ngrams": q.q_rep_ngrams,  # repetition quality filter
+        "colloc_lift": q.q_colloc_lift,  # association-scored bigrams
+        "msf": q.q_msf,  # Boruvka MSF (rows-only; pytest Kruskal-exact)
         "corpus_scan": q.q_corpus_scan,  # r1+r2-green build scan
         "reach2_bool": q.q_reach2_bool,  # bool-SpGEMM: harmonic2 in-window
         "msbfs": q.q_msbfs,  # BFS chain: bfs_sigma/stress in-window
@@ -341,6 +347,11 @@ def oracle_sql() -> dict[str, str]:
         "dense_rank_spend": o.dense_rank_spend(),
         "cube_counts": o.cube_counts(),
         "kmeans_fixed": o.kmeans_fixed(q.KM_K, q.KM_ROUNDS),
+        "closeness_sample": o.closeness_sample(q.ECC_SEEDS, q.BFS_ITERS),
+        "source_stats": o.source_stats(),
+        "big_spenders": o.big_spenders(),
+        "rep_ngrams": o.rep_ngrams(q.REP_W),
+        "colloc_lift": o.colloc_lift(q.COLLOC_TOPK, q.COLLOC_MIN),
         # mis: no SQL oracle (iterative random-priority algorithm);
         # pytest asserts independence + maximality invariants.
         # fingerprint / minhash_pairs / simhash / ann_lsh: deliberately no

@@ -619,3 +619,174 @@ def bigram_topk(docs_ds, k: int = 100,
     tok = np.asarray(t.column("tok")).astype(str)
     cnt = np.asarray(t.column("cnt"), dtype=np.int64)
     return _topk_table(tok, cnt, k)
+
+
+# ---------------------------------------------------------------------------
+# Repetition-ratio quality (Gopher-style duplicate-n-gram stats)
+# ---------------------------------------------------------------------------
+
+
+def rep_ngram_stats(batch: pa.Table, w: int = 3) -> pa.Table:
+    """Per-doc repetition statistics: total w-grams, distinct w-grams,
+    duplicated w-grams (total - distinct) and the max single-token
+    multiplicity — the duplicate-n-gram quality filter of large-corpus
+    cleaning pipelines. Docs are row-atomic, so this is one vectorized
+    streaming pass (flat tokens + parent indices; no shuffle):
+    w-gram identity = the space-joined token string, exactly what the
+    SQL twin's list-slice array_to_string produces."""
+    toks = tokens_list(batch)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    doc_id = np.asarray(batch.column("doc_id"), dtype=np.int64)
+    flat = np.asarray(pc.list_flatten(toks)).astype(str)
+    par = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+    ndoc = len(doc_id)
+    lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+    t_w = np.maximum(lens - (w - 1), 0)
+    d_w = np.zeros(ndoc, dtype=np.int64)
+    maxtok = np.zeros(ndoc, dtype=np.int64)
+    if len(flat):
+        # max token multiplicity per doc
+        key = np.char.add(np.char.add(par.astype(str), "\x1f"), flat)
+        _, inv, cnts = np.unique(key, return_inverse=True,
+                                 return_counts=True)
+        np.maximum.at(maxtok, par, cnts[inv])
+        # distinct w-grams per doc
+        if len(flat) >= w:
+            ok = np.ones(len(flat) - (w - 1), dtype=bool)
+            gram = flat[: len(flat) - (w - 1)]
+            for j in range(1, w):
+                sl = slice(j, len(flat) - (w - 1) + j)
+                ok &= par[sl] == par[: len(flat) - (w - 1)]
+                gram = np.char.add(np.char.add(gram, " "), flat[sl])
+            gpar = par[: len(flat) - (w - 1)][ok]
+            gram = gram[ok]
+            gk = np.unique(
+                np.char.add(np.char.add(gpar.astype(str), "\x1f"), gram))
+            gp = np.fromiter((int(x.split("\x1f", 1)[0]) for x in gk),
+                             dtype=np.int64, count=len(gk))
+            np.add.at(d_w, gp, 1)
+    return pa.table({
+        "doc_id": pa.array(doc_id),
+        "total_w": pa.array(t_w),
+        "distinct_w": pa.array(d_w),
+        "dup_w": pa.array(t_w - d_w),
+        "maxtok": pa.array(maxtok),
+    })
+
+
+# ---------------------------------------------------------------------------
+# Collocation lift (association-scored bigrams)
+# ---------------------------------------------------------------------------
+
+
+COLLOC_SCALE = 1_000_000_000_000  # cab * 10^12 // (ca * cb)
+
+
+def colloc_lift_topk(docs_ds, k: int = 50, min_count: int = 5,
+                     num_partitions: int | None = None) -> pa.Table:
+    """Top-k bigrams by integer association score
+    cab * 10^12 // (ca * cb) with cab >= min_count — lift up to the
+    constant N^2/Nb factor, division-free and SQL-exact. Unigram and
+    bigram counts ride the SAME per-batch combiner pass; both reduce
+    by token hash; the bigram side then joins its two unigram counts
+    (co-partitioned warm-task joins) and the driver sees only the
+    thresholded candidates. int64-safe while cab < 9.2e6."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks, hash_join_tasks
+
+    def _local(batch: pa.Table) -> pa.Table:
+        toks = tokens_list(batch)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = np.asarray(pc.list_flatten(toks)).astype(str)
+        par = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+        out = {"a": [], "b": [], "cnt": []}
+        empty = pa.table({"a": pa.array([], type=pa.string()),
+                          "b": pa.array([], type=pa.string()),
+                          "cnt": pa.array([], type=pa.int64())})
+        if len(flat) == 0:
+            return empty
+        u1, c1 = np.unique(flat, return_counts=True)
+        tabs = [pa.table({"a": pa.array(u1.tolist(), type=pa.string()),
+                          "b": pa.array([""] * len(u1), type=pa.string()),
+                          "cnt": pa.array(c1.astype(np.int64))})]
+        if len(flat) >= 2:
+            same = par[1:] == par[:-1]
+            if same.any():
+                bi = np.char.add(np.char.add(flat[:-1][same], "\x1f"),
+                                 flat[1:][same])
+                u2, c2 = np.unique(bi, return_counts=True)
+                ab = np.array([x.split("\x1f", 1) for x in u2])
+                tabs.append(pa.table({
+                    "a": pa.array(ab[:, 0].tolist(), type=pa.string()),
+                    "b": pa.array(ab[:, 1].tolist(), type=pa.string()),
+                    "cnt": pa.array(c2.astype(np.int64)),
+                }))
+        return pa.concat_tables(tabs)
+
+    def _sum(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return pa.table({"a": pa.array([], type=pa.string()),
+                             "b": pa.array([], type=pa.string()),
+                             "cnt": pa.array([], type=pa.int64())})
+        g = t.group_by(["a", "b"]).aggregate([("cnt", "sum")])
+        return pa.table({"a": g.column("a"), "b": g.column("b"),
+                         "cnt": g.column("cnt_sum")})
+
+    counts = group_apply_tasks(
+        docs_ds.map_batches(_local, batch_format="pyarrow",
+                            zero_copy_batch=True),
+        ["a"], _sum, num_partitions=num_partitions)
+    # split: unigrams (b == "") vs thresholded bigram candidates
+    uni = counts.map_batches(
+        lambda t: pa.table({
+            "tok": t.column("a").filter(pc.equal(t.column("b"), "")),
+            "c": t.column("cnt").filter(pc.equal(t.column("b"), "")),
+        }), batch_format="pyarrow")
+
+    def _cand(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.not_equal(t.column("b"), ""),
+                    pc.greater_equal(t.column("cnt"), min_count))
+        return pa.table({"a": t.column("a").filter(m),
+                         "b": t.column("b").filter(m),
+                         "cab": t.column("cnt").filter(m)})
+
+    cand = counts.map_batches(_cand, batch_format="pyarrow")
+    ja = hash_join_tasks(cand, uni, on="a", right_on="tok",
+                         num_partitions=num_partitions,
+                         post=lambda t: pa.table({
+                             "a": t.column("a"), "b": t.column("b"),
+                             "cab": t.column("cab"),
+                             "ca": t.column("c")}))
+    jb = hash_join_tasks(ja, uni, on="b", right_on="tok",
+                         num_partitions=num_partitions,
+                         post=lambda t: pa.table({
+                             "a": t.column("a"), "b": t.column("b"),
+                             "cab": t.column("cab"),
+                             "ca": t.column("ca"),
+                             "cb": t.column("c")}))
+    import ray as _ray
+
+    tabs = [r for r in _ray.get(jb.to_arrow_refs()) if r.num_rows]
+    if not tabs:
+        return pa.table({"a": pa.array([], type=pa.string()),
+                         "b": pa.array([], type=pa.string()),
+                         "cab": pa.array([], type=pa.int64()),
+                         "score": pa.array([], type=pa.int64())})
+    t = pa.concat_tables(tabs)
+    a = np.asarray(t.column("a")).astype(str)
+    b = np.asarray(t.column("b")).astype(str)
+    cab = np.asarray(t.column("cab"), dtype=np.int64)
+    ca = np.asarray(t.column("ca"), dtype=np.int64)
+    cb = np.asarray(t.column("cb"), dtype=np.int64)
+    assert cab.max(initial=0) < 9_200_000, "colloc score overflow guard"
+    score = cab * COLLOC_SCALE // (ca * cb)
+    order = np.lexsort((b, a, -score))[:k]
+    return pa.table({
+        "a": pa.array(a[order].tolist(), type=pa.string()),
+        "b": pa.array(b[order].tolist(), type=pa.string()),
+        "cab": pa.array(cab[order]),
+        "score": pa.array(score[order]),
+    })

@@ -2958,3 +2958,148 @@ SELECT vec_id, cluster FROM (
 ) WHERE rn = 1
 """
     return sql
+
+
+@_materialized
+def closeness_sample(seeds: tuple = ("m_0", "m_1", "m_2"),
+                     iters: int = 12) -> str:
+    """Per-seed BFS distance sums + reach counts (twin of
+    `queries.q_closeness_sample`; same unrolled chains as
+    `ecc_sample`, MATERIALIZED so the 3x12 chain re-reads the edge
+    table once, not once per CTE scan)."""
+    sql = PREFIX + """
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+)"""
+    finals = []
+    for si, s in enumerate(seeds):
+        sql += f"""
+, c{si}d0 AS (SELECT i, 0 AS dist FROM verts WHERE label = '{s}')"""
+        prev = f"c{si}d0"
+        for k in range(1, iters + 1):
+            sql += f"""
+, c{si}d{k} AS (
+  SELECT i, min(dist) AS dist FROM (
+    SELECT i, dist FROM {prev}
+    UNION ALL
+    SELECT u.dst AS i, dp.dist + 1 AS dist
+    FROM und u JOIN {prev} dp ON dp.i = u.src
+  ) GROUP BY i
+)"""
+            prev = f"c{si}d{k}"
+        finals.append(
+            f"SELECT '{s}' AS seed, CAST(sum(dist) AS BIGINT) AS sum_d, "
+            f"CAST(count(*) AS BIGINT) AS n_reached FROM {prev}"
+        )
+    sql += "\n" + "\nUNION ALL\n".join(finals)
+    return sql
+
+
+def source_stats() -> str:
+    """Per-source doc/lang/char/distinct-text audit (twin of
+    `queries.q_source_stats`; distinct texts via md5_number_lower —
+    the Ray side hashes identically)."""
+    return """
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT lang) AS n_langs,
+       sum(n_chars) AS chars,
+       count(DISTINCT md5_number_lower(text)) AS n_distinct
+FROM documents GROUP BY source
+"""
+
+
+def big_spenders() -> str:
+    """Customers with spend > 2x segment mean, division-free integer
+    comparison (twin of `queries.q_big_spenders`)."""
+    return """
+WITH s AS (
+  SELECT o_custkey,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+           AS spend_cents
+  FROM orders GROUP BY o_custkey
+),
+j AS (
+  SELECT c.c_custkey, c.c_mktsegment, s.spend_cents
+  FROM s JOIN customer c ON c.c_custkey = s.o_custkey
+),
+seg AS (
+  SELECT c_mktsegment, sum(spend_cents) AS seg_sum,
+         count(*) AS seg_cnt
+  FROM j GROUP BY c_mktsegment
+)
+SELECT j.c_custkey, j.c_mktsegment, j.spend_cents
+FROM j JOIN seg g ON g.c_mktsegment = j.c_mktsegment
+WHERE j.spend_cents * g.seg_cnt > 2 * g.seg_sum
+"""
+
+
+@_materialized
+def rep_ngrams(w: int = 3) -> str:
+    """Per-doc duplicate-w-gram stats (twin of `queries.q_rep_ngrams`):
+    w-gram = space-joined list slice, token multiplicity via per-doc
+    group counts."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+gpos AS (
+  SELECT doc_id, l,
+         unnest(generate_series(1, len(l) - {w - 1})) AS d
+  FROM toks
+),
+grams AS (
+  SELECT doc_id, array_to_string(l[d : d + {w - 1}], ' ') AS gram
+  FROM gpos
+),
+dist AS (
+  SELECT doc_id, count(DISTINCT gram) AS d_w FROM grams GROUP BY doc_id
+),
+tokc AS (
+  SELECT doc_id, max(c) AS maxtok FROM (
+    SELECT doc_id, tok, count(*) AS c FROM (
+      SELECT doc_id, unnest(l) AS tok FROM toks
+    ) GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(greatest(len(t.l) - {w - 1}, 0) AS BIGINT) AS total_w,
+       CAST(coalesce(d.d_w, 0) AS BIGINT) AS distinct_w,
+       CAST(greatest(len(t.l) - {w - 1}, 0) - coalesce(d.d_w, 0)
+            AS BIGINT) AS dup_w,
+       CAST(coalesce(k.maxtok, 0) AS BIGINT) AS maxtok
+FROM toks t
+LEFT JOIN dist d ON d.doc_id = t.doc_id
+LEFT JOIN tokc k ON k.doc_id = t.doc_id
+"""
+
+
+@_materialized
+def colloc_lift(k: int = 50, min_count: int = 5,
+                scale: int = 1_000_000_000_000) -> str:
+    """Top-k bigrams by integer lift-association score (twin of
+    `queries.q_colloc_lift`)."""
+    return f"""
+WITH toks AS (
+  SELECT string_split(text, ' ') AS l FROM documents
+),
+ucnt AS (
+  SELECT tok, count(*) AS c FROM (
+    SELECT unnest(l) AS tok FROM toks
+  ) GROUP BY tok
+),
+bpos AS (
+  SELECT l, unnest(generate_series(1, len(l) - 1)) AS d FROM toks
+),
+bcnt AS (
+  SELECT a, b, count(*) AS cab FROM (
+    SELECT l[d] AS a, l[d + 1] AS b FROM bpos
+  ) GROUP BY a, b
+  HAVING count(*) >= {min_count}
+)
+SELECT bc.a, bc.b, CAST(bc.cab AS BIGINT) AS cab,
+       CAST(bc.cab * {scale} // (ua.c * ub.c) AS BIGINT) AS score
+FROM bcnt bc JOIN ucnt ua ON ua.tok = bc.a JOIN ucnt ub ON ub.tok = bc.b
+ORDER BY score DESC, bc.a ASC, bc.b ASC
+LIMIT {k}
+"""

@@ -2213,3 +2213,126 @@ def widest_paths_fixed(engine: SpmvEngine, root: int, iters: int,
     for _ in range(iters):
         b = engine.spmv_apply_refs(b, "max_min", _bneck_update_f, 1, b)[0]
     return engine.unchunk(b)
+
+
+# ---------------------------------------------------------------------------
+# Minimum spanning forest (distributed Boruvka)
+# ---------------------------------------------------------------------------
+
+
+def boruvka_msf(edges_ds, n: int, max_rounds: int = 40):
+    """Minimum spanning forest by synchronous Boruvka over the
+    edge Dataset: each round every component picks its minimum
+    incident cross edge under the TOTAL order (w, u, v) — the
+    lexicographic tie-break makes edge weights distinct, so the MSF is
+    unique and equals Kruskal's under the same order (pytest gate).
+    Per round: one streaming pass over the edges (component lookup via
+    a broadcast label vector + per-batch per-component min partials),
+    one component-keyed min reduce, then driver-side hooking
+    (parent = other component, 2-cycles break to the smaller id) and
+    pointer-jumping to roots. The component vector is a driver-resident
+    FullyDistVec analog (same discipline as `scc`); edges never
+    materialize on the driver — only <=#components candidate rows per
+    round. Rounds halve the component count, so max_rounds = 40 covers
+    n < 2^40.
+
+    ``edges_ds``: (src, dst, w) with BOTH directions present (sym view);
+    returns (msf_table(u, v, w), comp) — u < v, comp = final forest
+    labels."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    comp = np.arange(n, dtype=np.int64)
+    chosen_u, chosen_v, chosen_w = [], [], []
+
+    _empty = pa.table({"c": pa.array([], type=pa.int64()),
+                       "w": pa.array([], type=pa.float64()),
+                       "u": pa.array([], type=pa.int64()),
+                       "v": pa.array([], type=pa.int64())})
+
+    def _first_per_c(c, w, u, v):
+        order = np.lexsort((v, u, w, c))
+        c, w, u, v = c[order], w[order], u[order], v[order]
+        first = np.ones(len(c), dtype=bool)
+        first[1:] = c[1:] != c[:-1]
+        return c[first], w[first], u[first], v[first]
+
+    for _ in range(max_rounds):
+        comp_ref = ray.put(comp)
+
+        def _minedge(t: pa.Table, *, _ref=comp_ref) -> pa.Table:
+            if t.num_rows == 0 or "src" not in t.column_names:
+                return _empty
+            cm = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+            s = np.asarray(t.column("src"), dtype=np.int64)
+            d = np.asarray(t.column("dst"), dtype=np.int64)
+            w = np.asarray(t.column("w"), dtype=np.float64)
+            # canonical u < v so both directions of an edge agree
+            u = np.minimum(s, d)
+            v = np.maximum(s, d)
+            cs, cd = cm[s], cm[d]
+            cross = cs != cd
+            if not cross.any():
+                return _empty
+            c, w, u, v = cs[cross], w[cross], u[cross], v[cross]
+            c2, w2, u2, v2 = _first_per_c(c, w, u, v)
+            return pa.table({"c": pa.array(c2), "w": pa.array(w2),
+                             "u": pa.array(u2), "v": pa.array(v2)})
+
+        def _minmerge(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "c" not in t.column_names:
+                return _empty
+            c2, w2, u2, v2 = _first_per_c(
+                np.asarray(t.column("c"), dtype=np.int64),
+                np.asarray(t.column("w"), dtype=np.float64),
+                np.asarray(t.column("u"), dtype=np.int64),
+                np.asarray(t.column("v"), dtype=np.int64))
+            return pa.table({"c": pa.array(c2), "w": pa.array(w2),
+                             "u": pa.array(u2), "v": pa.array(v2)})
+
+        cand = group_apply_tasks(
+            edges_ds.map_batches(_minedge, batch_format="pyarrow",
+                                 zero_copy_batch=True),
+            ["c"], _minmerge)
+        tabs = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows]
+        if not tabs:
+            break
+        ct = pa.concat_tables(tabs)
+        c = np.asarray(ct.column("c"), dtype=np.int64)
+        w = np.asarray(ct.column("w"), dtype=np.float64)
+        u = np.asarray(ct.column("u"), dtype=np.int64)
+        v = np.asarray(ct.column("v"), dtype=np.int64)
+        if len(c) == 0:
+            break
+        # hooking: each component points at the other endpoint's root
+        parent = np.arange(n, dtype=np.int64)
+        other = np.where(comp[u] == c, comp[v], comp[u])
+        parent[c] = other
+        # break mutual (2-cycle) hooks at the smaller id
+        mutual = parent[parent[c]] == c
+        keep_root = c[mutual & (c < parent[c])]
+        parent[keep_root] = keep_root
+        # pointer-jump to roots (log rounds, driver numpy)
+        while True:
+            pp = parent[parent]
+            if np.array_equal(pp, parent):
+                break
+            parent = pp
+        comp = parent[comp]
+        # chosen edges: mutual picks & shared minima dedup on (u, v)
+        key = np.lexsort((v, u))
+        u, v, w = u[key], v[key], w[key]
+        new = np.ones(len(u), dtype=bool)
+        new[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+        chosen_u.append(u[new])
+        chosen_v.append(v[new])
+        chosen_w.append(w[new])
+
+    uu = np.concatenate(chosen_u) if chosen_u else np.empty(0, np.int64)
+    vv = np.concatenate(chosen_v) if chosen_v else np.empty(0, np.int64)
+    ww = np.concatenate(chosen_w) if chosen_w else np.empty(0, np.float64)
+    order = np.lexsort((vv, uu))
+    msf = pa.table({"u": pa.array(uu[order]), "v": pa.array(vv[order]),
+                    "w": pa.array(ww[order])})
+    return msf, comp

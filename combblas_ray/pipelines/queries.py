@@ -4195,3 +4195,246 @@ def q_kmeans_fixed(sf_dir: str):
 
     return emb.map_batches(_final, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Wave 10: closeness sampling / per-source stats / correlated subquery /
+# repetition quality / collocation lift / Boruvka MSF
+# ---------------------------------------------------------------------------
+
+
+def q_closeness_sample(sf_dir: str):
+    """Sampled closeness-centrality sufficient statistics: per seed the
+    SUM of BFS distances to reached vertices plus the reach count (the
+    harmonic/closeness estimator inputs; `ecc_sample`'s sibling with a
+    sum instead of a max) — one refs-only min_plus BFS per seed."""
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("sym")
+    seeds, sums, reached = [], [], []
+    for s in ECC_SEEDS:
+        root = int(np.searchsorted(ctx.labels, s))
+        d = alg.min_plus_distances(eng, root, iters=BFS_ITERS)
+        fin = np.isfinite(d)
+        seeds.append(s)
+        sums.append(int(d[fin].sum()))
+        reached.append(int(fin.sum()))
+    return pa.table({
+        "seed": pa.array(seeds, type=pa.string()),
+        "sum_d": pa.array(np.array(sums, dtype=np.int64)),
+        "n_reached": pa.array(np.array(reached, dtype=np.int64)),
+    })
+
+
+def q_source_stats(sf_dir: str):
+    """Per-source corpus audit: doc count, distinct languages, total
+    chars, distinct texts (md5-low-64 digests — DuckDB's
+    md5_number_lower bit-exactly; only (source, hash) distinct pairs
+    shuffle, never text). The provenance-level dedup-rate report."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+    from ..functions.text import md5_lower64
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["source", "lang", "n_chars", "text"],
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "source": pa.array([], type=pa.string()),
+            "lang": pa.array([], type=pa.string()),
+            "h": pa.array([], type=pa.int64()),
+            "n_docs": pa.array([], type=pa.int64()),
+            "chars": pa.array([], type=pa.int64()),
+        })
+        if t.num_rows == 0 or "source" not in t.column_names:
+            return empty
+        src = np.asarray(t.column("source")).astype(str)
+        lang = np.asarray(t.column("lang")).astype(str)
+        nch = np.asarray(t.column("n_chars"), dtype=np.int64)
+        txt = t.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        h = np.fromiter(
+            (md5_lower64(txt[i].as_py()) for i in range(len(txt))),
+            dtype=np.uint64, count=len(txt)).view(np.int64)
+        # distinct (source, lang, h) rows with per-row docs/chars partials
+        key = np.char.add(np.char.add(src, "\x1f"), lang)
+        order = np.lexsort((h, key))
+        key, src, lang, h, nch = (key[order], src[order], lang[order],
+                                  h[order], nch[order])
+        return pa.table({
+            "source": pa.array(src.tolist(), type=pa.string()),
+            "lang": pa.array(lang.tolist(), type=pa.string()),
+            "h": pa.array(h),
+            "n_docs": pa.array(np.ones(len(h), dtype=np.int64)),
+            "chars": pa.array(nch),
+        })
+
+    def _final(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "source": pa.array([], type=pa.string()),
+            "n_docs": pa.array([], type=pa.int64()),
+            "n_langs": pa.array([], type=pa.int64()),
+            "chars": pa.array([], type=pa.int64()),
+            "n_distinct": pa.array([], type=pa.int64()),
+        })
+        if t.num_rows == 0 or "source" not in t.column_names:
+            return empty
+        src = np.asarray(t.column("source")).astype(str)
+        lang = np.asarray(t.column("lang")).astype(str)
+        h = np.asarray(t.column("h"), dtype=np.int64)
+        nd = np.asarray(t.column("n_docs"), dtype=np.int64)
+        ch = np.asarray(t.column("chars"), dtype=np.int64)
+        us, inv = np.unique(src, return_inverse=True)
+        n_docs = np.bincount(inv, weights=nd.astype(np.float64))
+        chars = np.bincount(inv, weights=ch.astype(np.float64))
+        # distinct counts per source over (source, x) pairs
+        def _distinct(vals):
+            k = np.unique(np.stack([inv, vals]), axis=1)
+            return np.bincount(k[0].astype(np.int64), minlength=len(us))
+
+        sl = np.unique(np.char.add(np.char.add(src, "\x1f"), lang))
+        n_langs = np.bincount(
+            np.searchsorted(
+                us, np.array([x.split("\x1f")[0] for x in sl])),
+            minlength=len(us))
+        n_distinct = _distinct(h)
+        return pa.table({
+            "source": pa.array(us.tolist(), type=pa.string()),
+            "n_docs": pa.array(n_docs.astype(np.int64)),
+            "n_langs": pa.array(n_langs.astype(np.int64)),
+            "chars": pa.array(chars.astype(np.int64)),
+            "n_distinct": pa.array(n_distinct.astype(np.int64)),
+        })
+
+    return group_apply_tasks(ds.map_batches(_partial,
+                                            batch_format="pyarrow"),
+                             ["source"], _final)
+
+
+def q_big_spenders(sf_dir: str):
+    """Correlated-scalar-subquery filter: customers whose total spend
+    exceeds 2x their segment's MEAN spend — evaluated without division
+    as spend_cents * seg_cnt > 2 * seg_sum_cents (integer
+    cross-multiplication; exact). Spend partials combine per custkey,
+    join to segment, then one segment shuffle computes the segment
+    aggregates AND applies the filter in the same partition."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks, group_sum_per_key, \
+        hash_join_tasks
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+
+    def _opart(b: pa.Table) -> pa.Table:
+        cents = np.floor(
+            np.asarray(b.column("o_totalprice")) * 100.0 + 0.5)
+        uk, s = group_sum_per_key(
+            cents, np.asarray(b.column("o_custkey"), dtype=np.int64))
+        return pa.table({"o_custkey": pa.array(uk),
+                         "cents": pa.array(s.astype(np.int64))})
+
+    opart = orders.map_batches(_opart, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def _combine(t: pa.Table) -> pa.Table:
+        uk, s = group_sum_per_key(
+            np.asarray(t.column("cents"), dtype=np.float64),
+            np.asarray(t.column("o_custkey"), dtype=np.int64))
+        return pa.table({"o_custkey": pa.array(uk),
+                         "spend_cents": pa.array(s.astype(np.int64))})
+
+    spend = group_apply_tasks(opart, ["o_custkey"], _combine)
+    joined = hash_join_tasks(spend, cust, on="o_custkey",
+                             right_on="c_custkey")
+
+    def _filter(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "c_custkey": pa.array([], type=pa.int64()),
+            "c_mktsegment": pa.array([], type=pa.string()),
+            "spend_cents": pa.array([], type=pa.int64()),
+        })
+        if t.num_rows == 0 or "c_mktsegment" not in t.column_names:
+            return empty
+        seg = np.asarray(t.column("c_mktsegment")).astype(str)
+        ck = np.asarray(t.column("o_custkey"), dtype=np.int64)
+        sp = np.asarray(t.column("spend_cents"), dtype=np.int64)
+        useg, inv = np.unique(seg, return_inverse=True)
+        seg_sum = np.bincount(inv, weights=sp.astype(np.float64)) \
+            .astype(np.int64)
+        seg_cnt = np.bincount(inv).astype(np.int64)
+        keep = sp * seg_cnt[inv] > 2 * seg_sum[inv]
+        return pa.table({
+            "c_custkey": pa.array(ck[keep]),
+            "c_mktsegment": pa.array(seg[keep].tolist(),
+                                     type=pa.string()),
+            "spend_cents": pa.array(sp[keep]),
+        })
+
+    return group_apply_tasks(joined, ["c_mktsegment"], _filter)
+
+
+REP_W = 3
+
+
+def q_rep_ngrams(sf_dir: str):
+    """Per-doc duplicate-n-gram repetition statistics (the Gopher-style
+    repetition quality filter): total/distinct/duplicated 3-grams + max
+    token multiplicity — one streaming vectorized pass, no shuffle
+    (`text.rep_ngram_stats`)."""
+    import ray
+
+    from ..functions.text import rep_ngram_stats
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(
+        lambda b: rep_ngram_stats(b, REP_W),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+COLLOC_TOPK = 50
+COLLOC_MIN = 5
+
+
+def q_colloc_lift(sf_dir: str):
+    """Top-k bigram collocations by integer lift-association score
+    (cab * 10^12 // (ca * cb), cab >= COLLOC_MIN) — the
+    phrase-extraction step scored by association rather than raw
+    frequency (`text.colloc_lift_topk`)."""
+    import ray
+
+    from ..functions.text import colloc_lift_topk
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    return colloc_lift_topk(ds, COLLOC_TOPK, COLLOC_MIN)
+
+
+def q_msf(sf_dir: str):
+    """Minimum spanning forest (synchronous Boruvka, `alg.boruvka_msf`)
+    over the undirected dedup-summed weighted graph. Rows-only: the
+    round count is data-dependent (no fixed-depth SQL unrolling), but
+    the lexicographic (w, u, v) total order makes the MSF unique —
+    pytest proves exact edge-set equality against a Kruskal union-find
+    brute on the same graph."""
+    ctx = get_context(sf_dir)
+    edges = ctx.graph("sym").dedup_sum().edges
+    msf, _ = alg.boruvka_msf(edges, ctx.n)
+    lab = np.asarray(ctx.labels)
+    return pa.table({
+        "u": pa.array(lab[np.asarray(msf.column("u"), dtype=np.int64)],
+                      type=pa.string()),
+        "v": pa.array(lab[np.asarray(msf.column("v"), dtype=np.int64)],
+                      type=pa.string()),
+        "w": msf.column("w"),
+    })

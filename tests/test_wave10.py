@@ -1,0 +1,164 @@
+"""Brute-force twins for the wave-10 operators: Boruvka MSF, repetition
+stats, source stats, collocation lift, big spenders, closeness."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+SF = "/root/testdata/sf0.001"
+
+
+def _kruskal(edges, n):
+    """Unique-MSF Kruskal under the (w, u, v) total order; returns the
+    edge set and a union-find root array."""
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    chosen = []
+    for w, u, v in sorted(edges):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            chosen.append((u, v, w))
+    return set(chosen), [find(x) for x in range(n)]
+
+
+def test_boruvka_msf_vs_kruskal(ray_session):
+    from combblas_ray.pipelines import algorithms as alg
+    from combblas_ray.pipelines.context import get_context
+
+    ctx = get_context(SF)
+    e = ctx.graph("sym").dedup_sum().edges.to_pandas()
+    # undirected edge list with u < v, deduped
+    uv = {}
+    for s, d, w in zip(e.src, e.dst, e.w):
+        u, v = int(min(s, d)), int(max(s, d))
+        uv[(u, v)] = float(w)
+    want, roots = _kruskal([(w, u, v) for (u, v), w in uv.items()], ctx.n)
+    msf, comp = alg.boruvka_msf(ctx.graph("sym").dedup_sum().edges, ctx.n)
+    got = set(zip(msf.column("u").to_pylist(), msf.column("v").to_pylist(),
+                  msf.column("w").to_pylist()))
+    assert got == want
+    # components agree with union-find components
+    ra = np.asarray(roots)
+    a = np.unique(np.stack([comp, ra]), axis=1)
+    assert len(np.unique(a[0])) == len(a[0])  # bijection comp <-> root
+    assert len(np.unique(a[1])) == len(a[1])
+
+
+def test_boruvka_msf_crafted_two_triangles(ray_session):
+    import ray
+
+    from combblas_ray.pipelines import algorithms as alg
+
+    # two triangles joined by a heavy bridge; MSF drops each triangle's
+    # heaviest edge but keeps the bridge
+    und = [(0, 1, 1.0), (1, 2, 2.0), (0, 2, 3.0),
+           (3, 4, 1.0), (4, 5, 2.0), (3, 5, 3.0), (2, 3, 10.0)]
+    rows = []
+    for u, v, w in und:
+        rows.append({"src": u, "dst": v, "w": w})
+        rows.append({"src": v, "dst": u, "w": w})
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    msf, comp = alg.boruvka_msf(ds, 6)
+    got = set(zip(msf.column("u").to_pylist(), msf.column("v").to_pylist(),
+                  msf.column("w").to_pylist()))
+    assert got == {(0, 1, 1.0), (1, 2, 2.0), (3, 4, 1.0), (4, 5, 2.0),
+                   (2, 3, 10.0)}
+    assert len(set(comp)) == 1
+
+
+def test_rep_ngrams_vs_brute(ray_session):
+    from combblas_ray.functions.text import rep_ngram_stats
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["a b a b a b", "x y z", "q q q q"],
+                         type=pa.string()),
+    })
+    out = rep_ngram_stats(docs, 3).to_pandas()
+    # doc0: 4 trigrams (aba, bab, aba, bab) -> distinct 2, dup 2; max tok 3
+    # doc1: 1 trigram distinct; max tok 1
+    # doc2: 2 trigrams (qqq x2) -> distinct 1 dup 1; max tok 4
+    assert list(out.total_w) == [4, 1, 2]
+    assert list(out.distinct_w) == [2, 1, 1]
+    assert list(out.dup_w) == [2, 0, 1]
+    assert list(out.maxtok) == [3, 1, 4]
+
+
+def test_source_stats_vs_pandas_brute(ray_session):
+    from combblas_ray.pipelines.queries import q_source_stats
+
+    out = q_source_stats(SF).to_pandas().sort_values("source") \
+        .reset_index(drop=True)
+    d = pd.read_parquet(f"{SF}/documents.parquet")
+    g = d.groupby("source").agg(
+        n_docs=("doc_id", "size"), n_langs=("lang", "nunique"),
+        chars=("n_chars", "sum"), n_distinct=("text", "nunique"),
+    ).reset_index().sort_values("source").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out[["source", "n_docs", "n_langs", "chars", "n_distinct"]],
+        g, check_dtype=False)
+
+
+def test_colloc_lift_vs_counter_brute(ray_session):
+    from collections import Counter
+
+    from combblas_ray.functions.text import COLLOC_SCALE
+    from combblas_ray.pipelines.queries import (COLLOC_MIN, COLLOC_TOPK,
+                                                q_colloc_lift)
+
+    out = q_colloc_lift(SF).to_pandas()
+    d = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    uni, bi = Counter(), Counter()
+    for t in d.text:
+        toks = t.split(" ")
+        uni.update(toks)
+        bi.update(zip(toks[:-1], toks[1:]))
+    cands = [(cab * COLLOC_SCALE // (uni[a] * uni[b]), a, b, cab)
+             for (a, b), cab in bi.items() if cab >= COLLOC_MIN]
+    want = sorted(cands, key=lambda t: (-t[0], t[1], t[2]))[:COLLOC_TOPK]
+    got = list(zip(out.score, out.a, out.b, out.cab))
+    assert [(int(s), a, b, int(c)) for s, a, b, c in got] == want
+
+
+def test_big_spenders_vs_pandas_brute(ray_session):
+    from combblas_ray.pipelines.queries import q_big_spenders
+
+    out = q_big_spenders(SF).to_pandas().sort_values("c_custkey") \
+        .reset_index(drop=True)
+    od = pd.read_parquet(f"{SF}/orders.parquet",
+                         columns=["o_custkey", "o_totalprice"])
+    od["cents"] = np.floor(od.o_totalprice.to_numpy() * 100.0
+                           + 0.5).astype(np.int64)
+    spend = od.groupby("o_custkey").cents.sum().rename("spend_cents")
+    cust = pd.read_parquet(f"{SF}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    j = cust.join(spend, on="c_custkey", how="inner")
+    seg = j.groupby("c_mktsegment").spend_cents.agg(["sum", "count"])
+    j = j.join(seg, on="c_mktsegment")
+    want = j[j.spend_cents * j["count"] > 2 * j["sum"]] \
+        .sort_values("c_custkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out[["c_custkey", "c_mktsegment", "spend_cents"]],
+        want[["c_custkey", "c_mktsegment", "spend_cents"]],
+        check_dtype=False)
+
+
+def test_closeness_matches_ecc_reach(ray_session):
+    """closeness_sample and ecc_sample run the same BFS: reach counts
+    must agree and sum_d must be consistent with ecc bounds."""
+    from combblas_ray.pipelines.queries import (q_closeness_sample,
+                                                q_ecc_sample)
+
+    c = q_closeness_sample(SF).to_pandas().set_index("seed")
+    e = q_ecc_sample(SF).to_pandas().set_index("seed")
+    assert (c.n_reached == e.n_reached).all()
+    # 0 <= sum_d <= ecc * (reached - 1)
+    assert (c.sum_d <= e.ecc * (c.n_reached - 1)).all()
+    assert (c.sum_d >= c.n_reached - 1).all()
