@@ -119,6 +119,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rep_ngrams": q.q_rep_ngrams,  # repetition quality filter
         "colloc_lift": q.q_colloc_lift,  # association-scored bigrams
         "msf": q.q_msf,  # Boruvka MSF (rows-only; pytest Kruskal-exact)
+        "hyperanf": q.q_hyperanf,  # HLL-register ball sketch (ANF)
+        "tpch_q10": q.q_tpch_q10,  # returned-item revenue report
         "corpus_scan": q.q_corpus_scan,  # r1+r2-green build scan
         "reach2_bool": q.q_reach2_bool,  # bool-SpGEMM: harmonic2 in-window
         "msbfs": q.q_msbfs,  # BFS chain: bfs_sigma/stress in-window
@@ -352,6 +354,8 @@ def oracle_sql() -> dict[str, str]:
         "big_spenders": o.big_spenders(),
         "rep_ngrams": o.rep_ngrams(q.REP_W),
         "colloc_lift": o.colloc_lift(q.COLLOC_TOPK, q.COLLOC_MIN),
+        "hyperanf": o.hyperanf(q.ANF_ROUNDS, q.ANF_P),
+        "tpch_q10": o.tpch_q10(topk=q.TPCH_Q10_TOPK),
         # mis: no SQL oracle (iterative random-priority algorithm);
         # pytest asserts independence + maximality invariants.
         # fingerprint / minhash_pairs / simhash / ann_lsh: deliberately no

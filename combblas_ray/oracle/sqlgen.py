@@ -3103,3 +3103,72 @@ FROM bcnt bc JOIN ucnt ua ON ua.tok = bc.a JOIN ucnt ub ON ub.tok = bc.b
 ORDER BY score DESC, bc.a ASC, bc.b ASC
 LIMIT {k}
 """
+
+
+@_materialized
+def hyperanf(rounds: int = 3, p: int = 3) -> str:
+    """HyperANF register evolution (twin of `queries.q_hyperanf`):
+    per-vertex HLL registers (bucket = low p bits of
+    md5_number_lower(label), rho = trailing zeros of the next 52 bits)
+    max-merged over neighbors for `rounds` rounds, packed 6 bits per
+    register."""
+    m = 1 << p
+    sql = PREFIX + f"""
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+hh AS (
+  SELECT i, md5_number_lower(label) AS h FROM verts
+),
+r0 AS (
+  SELECT i, CAST(h & {m - 1} AS BIGINT) AS j,
+         CASE WHEN rest > 0
+              THEN bit_count((rest & (-rest)) - 1) + 1
+              ELSE 53 END AS r
+  FROM (SELECT i, h,
+               CAST((h >> {p}) & ((1::UBIGINT << 52) - 1) AS BIGINT)
+                 AS rest
+        FROM hh)
+)"""
+    prev = "r0"
+    for k in range(1, rounds + 1):
+        sql += f""",
+r{k} AS (
+  SELECT i, j, max(r) AS r FROM (
+    SELECT i, j, r FROM {prev}
+    UNION ALL
+    SELECT u.src AS i, q.j, q.r FROM und u JOIN {prev} q ON q.i = u.dst
+  ) GROUP BY i, j
+)"""
+        prev = f"r{k}"
+    sql += f"""
+SELECT v.label AS label,
+       CAST(coalesce(sum(CAST(q.r AS BIGINT) << CAST(6 * q.j AS INT)),
+                     0) AS BIGINT) AS packed
+FROM verts v LEFT JOIN {prev} q ON q.i = v.i
+GROUP BY v.label
+"""
+    return sql
+
+
+def tpch_q10(lo: str = "1996-07-01", hi: str = "1996-10-01",
+             topk: int = 20) -> str:
+    """Returned-item revenue per customer, top-k (twin of
+    `queries.q_tpch_q10`)."""
+    return f"""
+SELECT c.c_custkey, c.c_name,
+       sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                AS BIGINT)) AS rev_cents,
+       CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents,
+       n.n_name
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '{lo}'
+  AND o.o_orderdate <  TIMESTAMP '{hi}'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY rev_cents DESC, c.c_custkey ASC
+LIMIT {topk}
+"""

@@ -4438,3 +4438,125 @@ def q_msf(sf_dir: str):
                       type=pa.string()),
         "w": msf.column("w"),
     })
+
+
+ANF_P = 3  # 8 registers/vertex; 6-bit packing (rho <= 53 < 64)
+ANF_M = 1 << ANF_P
+ANF_ROUNDS = 3
+
+
+def q_hyperanf(sf_dir: str):
+    """HyperANF neighborhood-function sketch (Boldi-Rosa-Vigna): every
+    vertex carries an 8-register HLL of its <=ANF_ROUNDS-hop ball,
+    advanced by per-register max-merge over neighbors — ANF_M
+    select2nd_max SpMVs per round on the resident engine (one spmm
+    call). Register init = md5-low-64 of the vertex label (bucket =
+    low 3 bits, rho = trailing zeros of the next 52, the
+    `hll_registers` arithmetic), so the whole sketch is integer-exact
+    and SQL-reproducible; the result packs the 8 registers into one
+    int64 (6 bits each). The effective-diameter / ball-size estimator
+    over web graphs; estimates derive driver-side from the registers."""
+    from ..functions.text import _popcount64, md5_lower64
+
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("sym")
+    n = ctx.n
+    labels = np.asarray(ctx.labels)
+    hu = np.fromiter((md5_lower64(x) for x in labels), dtype=np.uint64,
+                     count=n)
+    b = (hu & np.uint64(ANF_M - 1)).astype(np.int64)
+    rest = ((hu >> np.uint64(ANF_P))
+            & np.uint64((1 << 52) - 1)).astype(np.int64)
+    lsb = (rest & -rest).astype(np.uint64)
+    rho = np.where(rest > 0, _popcount64(lsb - np.uint64(1)) + 1, 53)
+    R = np.zeros((ANF_M, n), dtype=np.float64)
+    R[b, np.arange(n)] = rho.astype(np.float64)
+    for _ in range(ANF_ROUNDS):
+        R = np.maximum(R, eng.spmm(R, "select2nd_max"))
+    packed = (R.astype(np.int64)
+              << (np.uint64(6) * np.arange(ANF_M, dtype=np.uint64)
+                  )[:, None].astype(np.int64)).sum(axis=0)
+    return pa.table({
+        "label": pa.array(labels, type=pa.string()),
+        "packed": pa.array(packed),
+    })
+
+
+TPCH_Q10_LO = (1996, 7, 1)
+TPCH_Q10_HI = (1996, 10, 1)
+TPCH_Q10_TOPK = 20
+
+
+def q_tpch_q10(sf_dir: str):
+    """TPC-H Q10-style returned-item report: customers ranked by revenue
+    lost to returned lineitems ('R' flag) of orders in a quarter —
+    orders date filter pushed into the read, per-order revenue partials
+    BEFORE the shuffle, two co-partitioned warm-task joins
+    (lineitem->orders->customer), nation name resolved from the 25-row
+    driver-side table; exact integer cents."""
+    import datetime
+
+    import ray
+
+    from ..core.shuffle import group_apply_tasks, group_sum_per_key, \
+        hash_join_tasks
+
+    lo = datetime.datetime(*TPCH_Q10_LO)
+    hi = datetime.datetime(*TPCH_Q10_HI)
+    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    nname = dict(zip(nation.n_nationkey, nation.n_name))
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"],
+        filter=(pc.field("o_orderdate") >= pa.scalar(lo))
+        & (pc.field("o_orderdate") < pa.scalar(hi)),
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pc.field("l_returnflag") == "R",
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+    )
+
+    def _li_partial(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            np.asarray(batch.column("l_extendedprice"))
+            * (1.0 - np.asarray(batch.column("l_discount"))) * 100.0
+        )
+        uk, s = group_sum_per_key(
+            cents, np.asarray(batch.column("l_orderkey"), dtype=np.int64))
+        return pa.table({"l_orderkey": pa.array(uk),
+                         "cents": pa.array(s.astype(np.int64))})
+
+    li_part = li.map_batches(_li_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    lo_j = hash_join_tasks(li_part, orders, on="l_orderkey",
+                           right_on="o_orderkey")
+
+    def _cust_partial(t: pa.Table) -> pa.Table:
+        uk, s = group_sum_per_key(
+            np.asarray(t.column("cents"), dtype=np.float64),
+            np.asarray(t.column("o_custkey"), dtype=np.int64))
+        return pa.table({"o_custkey": pa.array(uk),
+                         "rev_cents": pa.array(s.astype(np.int64))})
+
+    per_cust = group_apply_tasks(lo_j, ["o_custkey"], _cust_partial)
+    final = hash_join_tasks(per_cust, cust, on="o_custkey",
+                            right_on="c_custkey")
+    top = final.sort(["rev_cents", "o_custkey"],
+                     descending=[True, False]) \
+        .limit(TPCH_Q10_TOPK).to_pandas()
+    return pa.table({
+        "c_custkey": pa.array(top["o_custkey"].to_numpy(dtype=np.int64)),
+        "c_name": pa.array(top["c_name"].astype(str).tolist(),
+                           type=pa.string()),
+        "rev_cents": pa.array(top["rev_cents"].to_numpy(dtype=np.int64)),
+        "acctbal_cents": pa.array(
+            np.floor(top["c_acctbal"].to_numpy() * 100.0
+                     + 0.5).astype(np.int64)),
+        "n_name": pa.array([nname[int(k)] for k in top["c_nationkey"]],
+                           type=pa.string()),
+    })

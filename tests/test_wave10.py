@@ -162,3 +162,76 @@ def test_closeness_matches_ecc_reach(ray_session):
     # 0 <= sum_d <= ecc * (reached - 1)
     assert (c.sum_d <= e.ecc * (c.n_reached - 1)).all()
     assert (c.sum_d >= c.n_reached - 1).all()
+
+
+def test_hyperanf_vs_ball_brute(ray_session):
+    """HyperANF registers after K rounds must equal the HLL registers of
+    each vertex's exact <=K-hop ball (max-merge is exact, not an
+    estimate, for the register table itself)."""
+    from combblas_ray.functions.text import _popcount64, md5_lower64
+    from combblas_ray.pipelines.context import get_context
+    from combblas_ray.pipelines.queries import (ANF_M, ANF_P, ANF_ROUNDS,
+                                                q_hyperanf)
+
+    ctx = get_context(SF)
+    n = ctx.n
+    e = ctx.graph("sym").dedup_sum().edges.to_pandas()
+    nbrs = [[] for _ in range(n)]
+    for s, d in zip(e.src.to_numpy(), e.dst.to_numpy()):
+        nbrs[int(s)].append(int(d))
+    labels = np.asarray(ctx.labels)
+    hu = np.fromiter((md5_lower64(x) for x in labels), dtype=np.uint64,
+                     count=n)
+    b = (hu & np.uint64(ANF_M - 1)).astype(np.int64)
+    rest = ((hu >> np.uint64(ANF_P))
+            & np.uint64((1 << 52) - 1)).astype(np.int64)
+    lsb = (rest & -rest).astype(np.uint64)
+    rho = np.where(rest > 0, _popcount64(lsb - np.uint64(1)) + 1, 53)
+    # exact K-hop balls by BFS (n=6000: fine)
+    import collections
+    packed_want = np.zeros(n, dtype=np.int64)
+    for v in range(n):
+        seen = {v}
+        frontier = [v]
+        for _ in range(ANF_ROUNDS):
+            nxt = [u for f in frontier for u in nbrs[f] if u not in seen]
+            seen.update(nxt)
+            frontier = nxt
+            if not frontier:
+                break
+        regs = np.zeros(ANF_M, dtype=np.int64)
+        ball = np.fromiter(seen, dtype=np.int64, count=len(seen))
+        np.maximum.at(regs, b[ball], rho[ball])
+        packed_want[v] = int((regs << (6 * np.arange(ANF_M))).sum())
+    out = q_hyperanf(SF).to_pandas()
+    got = np.empty(n, dtype=np.int64)
+    got[np.searchsorted(labels, out.label.to_numpy())] = \
+        out.packed.to_numpy()
+    assert np.array_equal(got, packed_want)
+
+
+def test_tpch_q10_vs_pandas_brute(ray_session):
+    from combblas_ray.pipelines.queries import (TPCH_Q10_HI, TPCH_Q10_LO,
+                                                TPCH_Q10_TOPK, q_tpch_q10)
+
+    out = q_tpch_q10(SF).to_pandas()
+    import datetime
+    lo, hi = datetime.datetime(*TPCH_Q10_LO), datetime.datetime(*TPCH_Q10_HI)
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    o = o[(o.o_orderdate >= lo) & (o.o_orderdate < hi)]
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    li = li[li.l_returnflag == "R"].copy()
+    li["cents"] = np.floor(li.l_extendedprice.to_numpy()
+                           * (1.0 - li.l_discount.to_numpy())
+                           * 100.0).astype(np.int64)
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    rev = j.groupby("o_custkey").cents.sum().rename("rev_cents")
+    c = pd.read_parquet(f"{SF}/customer.parquet")
+    n = pd.read_parquet(f"{SF}/nation.parquet")
+    w = c.join(rev, on="c_custkey", how="inner") \
+        .merge(n, left_on="c_nationkey", right_on="n_nationkey")
+    w = w.sort_values(["rev_cents", "c_custkey"],
+                      ascending=[False, True]).head(TPCH_Q10_TOPK)
+    assert list(out.c_custkey) == list(w.c_custkey)
+    assert list(out.rev_cents) == list(w.rev_cents)
+    assert list(out.n_name) == list(w.n_name)
