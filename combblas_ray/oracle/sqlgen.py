@@ -2813,6 +2813,7 @@ LIMIT {topk}
 """
 
 
+@_materialized
 def link_predict_ra(topk: int = 20, min_cn: int = 2,
                     scale: int = 1_000_000_000) -> str:
     """Resource-allocation link prediction on dense ids (integer RA
