@@ -328,6 +328,42 @@ def run_dataops() -> None:
     counts["cust_no_orders_rows"] = _nrows(q_cust_no_orders(sf_dir))
     timings["cust_no_orders"] = time.perf_counter() - t0
 
+    # --- wave-9/10 extension: basket pairs, k-means, collocations,
+    # repetition stats, source audit, Boruvka MSF, HyperANF
+    from combblas_ray.functions.text import colloc_lift_topk, rep_ngram_stats
+    from combblas_ray.pipelines.queries import (q_basket_pairs, q_hyperanf,
+                                                q_kmeans_fixed, q_msf,
+                                                q_source_stats)
+
+    t0 = time.perf_counter()
+    counts["basket_pair_rows"] = _nrows(q_basket_pairs(sf_dir))
+    timings["basket_pairs"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    counts["kmeans_rows"] = _nrows(q_kmeans_fixed(sf_dir))
+    timings["kmeans_fixed"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    counts["colloc_rows"] = _nrows(colloc_lift_topk(docs, 50, 5))
+    timings["colloc_lift"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    counts["rep_ngram_rows"] = _nrows(
+        docs.map_batches(rep_ngram_stats, batch_format="pyarrow"))
+    timings["rep_ngrams"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    counts["source_stat_rows"] = _nrows(q_source_stats(sf_dir))
+    timings["source_stats"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    counts["msf_edges"] = _nrows(q_msf(sf_dir))
+    timings["msf"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    counts["hyperanf_rows"] = _nrows(q_hyperanf(sf_dir))
+    timings["hyperanf"] = time.perf_counter() - t0
+
     total = sum(timings.values())
     print(json.dumps({
         "metric": "dataops_pipeline_total",
