@@ -116,6 +116,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "big_spenders": q.q_big_spenders,  # correlated scalar subquery
         "msf": q.q_msf,  # Boruvka MSF (rows-only; pytest Kruskal-exact)
         "tpch_q10": q.q_tpch_q10,  # returned-item revenue report
+        "triangles_list": q.q_triangles_list,  # triangle enumeration
+        "edge_jaccard": q.q_edge_jaccard,  # SNN edge weighting
+        "tpch_q18": q.q_tpch_q18,  # HAVING over join
+        "tpch_q14": q.q_tpch_q14,  # conditional-agg join
         "transpose": q.q_transpose,  # R A R^T exercised by galerkin in-window
         "event_gaps": q.q_event_gaps,  # user-shuffle window: ntile/running_total in-window
         "oov_rate": q.q_oov_rate,  # broadcast probe: decontaminate in-window
@@ -356,6 +360,10 @@ def oracle_sql() -> dict[str, str]:
         "colloc_lift": o.colloc_lift(q.COLLOC_TOPK, q.COLLOC_MIN),
         "hyperanf": o.hyperanf(q.ANF_ROUNDS, q.ANF_P),
         "tpch_q10": o.tpch_q10(topk=q.TPCH_Q10_TOPK),
+        "triangles_list": o.triangles_list(),
+        "edge_jaccard": o.edge_jaccard(q.EDGEJ_SCALE),
+        "tpch_q18": o.tpch_q18(q.TPCH_Q18_QTY),
+        "tpch_q14": o.tpch_q14(),
         # mis: no SQL oracle (iterative random-priority algorithm);
         # pytest asserts independence + maximality invariants.
         # fingerprint / minhash_pairs / simhash / ann_lsh: deliberately no

@@ -3173,3 +3173,93 @@ GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
 ORDER BY rev_cents DESC, c.c_custkey ASC
 LIMIT {topk}
 """
+
+
+@_materialized
+def triangles_list() -> str:
+    """Triangle enumeration as label triples a < b < c (twin of
+    `queries.q_triangles_list`; orientation in LABEL order = the Ray
+    side's dense-id order, since dense ids are label ranks)."""
+    return PREFIX + """
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+lab AS (
+  SELECT v1.label AS la, v2.label AS lb
+  FROM und u JOIN verts v1 ON v1.i = u.src JOIN verts v2 ON v2.i = u.dst
+),
+adj AS (SELECT la AS a, lb AS b FROM lab WHERE la < lb)
+SELECT e1.a AS a, e1.b AS b, e2.b AS c
+FROM adj e1
+JOIN adj e2 ON e2.a = e1.b
+JOIN adj e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
+@_materialized
+def edge_jaccard(scale: int = 1_000_000) -> str:
+    """Edge-level neighborhood Jaccard on dense ids (twin of
+    `queries.q_edge_jaccard`; cn = 0 edges kept with score 0)."""
+    return PREFIX + f"""
+, dense AS (
+  SELECT i, row_number() OVER (ORDER BY label) - 1 AS d, label FROM verts
+),
+du AS (
+  SELECT ds.d AS u, dd.d AS v
+  FROM edges e JOIN dense ds ON ds.i = e.src JOIN dense dd ON dd.i = e.dst
+  UNION
+  SELECT dd.d, ds.d
+  FROM edges e JOIN dense ds ON ds.i = e.src JOIN dense dd ON dd.i = e.dst
+),
+deg AS (SELECT u, count(*) AS dg FROM du GROUP BY u),
+adj AS (SELECT u, v FROM du WHERE u < v),
+cn AS (
+  SELECT x.u AS a, y.v AS b, count(*) AS c
+  FROM du x JOIN du y ON x.v = y.u
+  WHERE x.u < y.v
+  GROUP BY 1, 2
+)
+SELECT da.label AS a, db.label AS b,
+       CAST(coalesce(c.c, 0) AS BIGINT) AS cn,
+       CAST(coalesce(c.c, 0) * {scale}
+            // (ga.dg + gb.dg - coalesce(c.c, 0)) AS BIGINT) AS score
+FROM adj j
+LEFT JOIN cn c ON c.a = j.u AND c.b = j.v
+JOIN deg ga ON ga.u = j.u
+JOIN deg gb ON gb.u = j.v
+JOIN dense da ON da.d = j.u
+JOIN dense db ON db.d = j.v
+"""
+
+
+def tpch_q18(qty: int = 150) -> str:
+    """Large-volume orders (HAVING over a join; twin of
+    `queries.q_tpch_q18`)."""
+    return f"""
+WITH s AS (
+  SELECT l_orderkey,
+         sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) > {qty}
+)
+SELECT o.o_orderkey, o.o_custkey,
+       CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+       s.sum_qty
+FROM s JOIN orders o ON o.o_orderkey = s.l_orderkey
+"""
+
+
+def tpch_q14(lo: str = "1996-09-01", hi: str = "1996-10-01") -> str:
+    """Promotion-effect sufficient statistics (twin of
+    `queries.q_tpch_q14`)."""
+    return f"""
+SELECT coalesce(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                              * 100) AS BIGINT))
+                FILTER (WHERE p.p_type = 'PROMO'), 0) AS promo_cents,
+       coalesce(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                              * 100) AS BIGINT)), 0) AS total_cents,
+       count(*) AS nlines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '{lo}'
+  AND l.l_shipdate <  TIMESTAMP '{hi}'
+"""

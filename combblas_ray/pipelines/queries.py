@@ -4560,3 +4560,300 @@ def q_tpch_q10(sf_dir: str):
         "n_name": pa.array([nname[int(k)] for k in top["c_nationkey"]],
                            type=pa.string()),
     })
+
+
+# ---------------------------------------------------------------------------
+# Wave 11: triangle enumeration / edge Jaccard / TPC-H Q18 + Q14
+# ---------------------------------------------------------------------------
+
+
+def q_triangles_list(sf_dir: str):
+    """Triangle ENUMERATION (not just the count): every triangle
+    a < b < c of the undirected distinct graph, as label triples. The
+    two-join plan: oriented adjacency (a < b) self-joined through the
+    middle vertex (each triangle x<y<z appears exactly once as the
+    wedge (x, y, z) through its middle y), then a LEFT SEMI join
+    against the adjacency closes the (a, c) side. Both joins are
+    co-partitioned warm tasks; fan sized by the oriented wedge volume
+    (sum over b of smaller-deg * larger-deg <= sum deg^2)."""
+    import ray
+
+    from ..core.shuffle import hash_join_tasks
+
+    ctx = get_context(sf_dir)
+    g = ctx.graph("sym")
+    deg = ctx.engine("sym").in_weights().astype(np.float64)
+    gp = int(max(8, min(64, np.ceil(float((deg ** 2).sum()) / 1.5e6))))
+    be = g.dedup_sum().cast_bool().edges
+
+    def _orient(t: pa.Table) -> pa.Table:
+        s = np.asarray(t.column("src"), dtype=np.int64)
+        d = np.asarray(t.column("dst"), dtype=np.int64)
+        keep = s < d
+        return pa.table({"a": pa.array(s[keep]), "b": pa.array(d[keep])})
+
+    adj = be.map_batches(_orient, batch_format="pyarrow")
+    # wedge through the middle: (a, b) x (b, c) with a < b < c
+    left = adj.map_batches(
+        lambda t: pa.table({"a": t.column("a"), "m": t.column("b")}),
+        batch_format="pyarrow")
+    right = adj.map_batches(
+        lambda t: pa.table({"m": t.column("a"), "c": t.column("b")}),
+        batch_format="pyarrow")
+    wedges = hash_join_tasks(left, right, on="m", num_partitions=gp)
+    tri = hash_join_tasks(
+        wedges.map_batches(
+            lambda t: t.select(["a", "m", "c"]), batch_format="pyarrow"),
+        adj.map_batches(
+            lambda t: pa.table({"a": t.column("a"), "c": t.column("b")}),
+            batch_format="pyarrow"),
+        on=["a", "c"], join_type="left semi", num_partitions=gp)
+    lab_ref = None
+    import ray as _ray
+    lab_ref = _ray.put(np.asarray(ctx.labels))
+
+    def _lab(t: pa.Table, *, _r=lab_ref) -> pa.Table:
+        L = _r if isinstance(_r, np.ndarray) else _ray.get(_r)
+        if t.num_rows == 0:
+            return pa.table({"a": pa.array([], type=pa.string()),
+                             "b": pa.array([], type=pa.string()),
+                             "c": pa.array([], type=pa.string())})
+        return pa.table({
+            "a": pa.array(L[np.asarray(t.column("a"), dtype=np.int64)],
+                          type=pa.string()),
+            "b": pa.array(L[np.asarray(t.column("m"), dtype=np.int64)],
+                          type=pa.string()),
+            "c": pa.array(L[np.asarray(t.column("c"), dtype=np.int64)],
+                          type=pa.string()),
+        })
+
+    return tri.map_batches(_lab, batch_format="pyarrow")
+
+
+EDGEJ_SCALE = 1_000_000
+
+
+def q_edge_jaccard(sf_dir: str):
+    """Edge-level neighborhood Jaccard: for every EXISTING edge (a < b),
+    score = cn * 10^6 // (deg a + deg b - cn) — the shared-neighbor
+    edge weighting of SNN/Jarvis-Patrick sparsification (the
+    `nbr_jaccard` wedge plan with a SEMI join against the adjacency
+    instead of the anti mask; cn = 0 edges score 0 and are kept)."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks, hash_join_tasks
+    from ..functions.dedup import _run_pairs
+
+    ctx = get_context(sf_dir)
+    g = ctx.graph("sym")
+    deg = ctx.engine("sym").in_weights().astype(np.int64)
+    wedges = float((deg.astype(np.float64) ** 2).sum())
+    gp = int(max(8, min(64, np.ceil(wedges / 1.5e6))))
+    be = g.dedup_sum().cast_bool().edges
+
+    _empty = pa.table({"a": pa.array([], type=pa.int64()),
+                       "b": pa.array([], type=pa.int64()),
+                       "cn": pa.array([], type=pa.int64())})
+
+    def _wedge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "dst" not in t.column_names:
+            return _empty
+        z = np.asarray(t.column("dst"), dtype=np.int64)
+        u = np.asarray(t.column("src"), dtype=np.int64)
+        order = np.lexsort((u, z))
+        z, u = z[order], u[order]
+        _, starts, counts = np.unique(z, return_index=True,
+                                      return_counts=True)
+        a, b = _run_pairs(starts, counts, u)
+        if len(a) == 0:
+            return _empty
+        key = np.lexsort((b, a))
+        a, b = a[key], b[key]
+        new = np.ones(len(a), dtype=bool)
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        seg = np.cumsum(new) - 1
+        return pa.table({"a": pa.array(a[new]), "b": pa.array(b[new]),
+                         "cn": pa.array(np.bincount(seg)
+                                        .astype(np.int64))})
+
+    def _merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return _empty
+        gb = t.group_by(["a", "b"]).aggregate([("cn", "sum")])
+        return pa.table({"a": gb.column("a"), "b": gb.column("b"),
+                         "cn": gb.column("cn_sum")})
+
+    cn = group_apply_tasks(
+        group_apply_tasks(be, ["dst"], _wedge, num_partitions=gp),
+        ["a", "b"], _merge, num_partitions=gp)
+
+    def _adj(t: pa.Table) -> pa.Table:
+        s = np.asarray(t.column("src"), dtype=np.int64)
+        d = np.asarray(t.column("dst"), dtype=np.int64)
+        keep = s < d
+        return pa.table({"a": pa.array(s[keep]), "b": pa.array(d[keep])})
+
+    adj = be.map_batches(_adj, batch_format="pyarrow")
+    deg_ref = ray.put(deg)
+
+    def _score(t: pa.Table, *, _ref=deg_ref) -> pa.Table:
+        dv = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+        if t.num_rows == 0:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64()),
+                             "cn": pa.array([], type=pa.int64()),
+                             "score": pa.array([], type=pa.int64())})
+        a = np.asarray(t.column("a"), dtype=np.int64)
+        b = np.asarray(t.column("b"), dtype=np.int64)
+        c = np.asarray(t.column("cn"))
+        c = np.where(np.isnan(c.astype(np.float64)), 0, c) \
+            .astype(np.int64)
+        union = dv[a] + dv[b] - c
+        return pa.table({"a": pa.array(a), "b": pa.array(b),
+                         "cn": pa.array(c),
+                         "score": pa.array(c * EDGEJ_SCALE // union)})
+
+    # LEFT OUTER join: adjacency keeps cn=0 edges (score 0)
+    scored = hash_join_tasks(adj, cn, on=["a", "b"], join_type="left outer",
+                             post=_score, num_partitions=gp)
+    lab = np.asarray(ctx.labels)
+    out = pa.concat_tables(
+        [t for t in ray.get(scored.to_arrow_refs()) if t.num_rows])
+    a = np.asarray(out.column("a"), dtype=np.int64)
+    b = np.asarray(out.column("b"), dtype=np.int64)
+    return pa.table({
+        "a": pa.array(lab[a], type=pa.string()),
+        "b": pa.array(lab[b], type=pa.string()),
+        "cn": out.column("cn"),
+        "score": out.column("score"),
+    })
+
+
+TPCH_Q18_QTY = 150
+
+
+def q_tpch_q18(sf_dir: str):
+    """TPC-H Q18-style large-volume orders: orders whose total lineitem
+    quantity exceeds TPCH_Q18_QTY, with customer key and integer total
+    quantity — per-order quantity partials combine before one orderkey
+    reduce; the HAVING cut happens in the reduce task; survivors join
+    orders+customer keys co-partitioned."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks, group_sum_per_key, \
+        hash_join_tasks
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def _qpart(b: pa.Table) -> pa.Table:
+        q = np.floor(np.asarray(b.column("l_quantity")) + 0.5)
+        uk, s = group_sum_per_key(
+            q, np.asarray(b.column("l_orderkey"), dtype=np.int64))
+        return pa.table({"l_orderkey": pa.array(uk),
+                         "qty": pa.array(s.astype(np.int64))})
+
+    part = li.map_batches(_qpart, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def _having(t: pa.Table) -> pa.Table:
+        uk, s = group_sum_per_key(
+            np.asarray(t.column("qty"), dtype=np.float64),
+            np.asarray(t.column("l_orderkey"), dtype=np.int64))
+        keep = s > TPCH_Q18_QTY
+        return pa.table({"l_orderkey": pa.array(uk[keep]),
+                         "sum_qty": pa.array(s[keep].astype(np.int64))})
+
+    big = group_apply_tasks(part, ["l_orderkey"], _having)
+
+    def _fin(t: pa.Table) -> pa.Table:
+        # co-partitioned join keeps the LEFT key name (l_orderkey)
+        if t.num_rows == 0:
+            return pa.table({
+                "o_orderkey": pa.array([], type=pa.int64()),
+                "o_custkey": pa.array([], type=pa.int64()),
+                "price_cents": pa.array([], type=pa.int64()),
+                "sum_qty": pa.array([], type=pa.int64()),
+            })
+        return pa.table({
+            "o_orderkey": t.column("l_orderkey"),
+            "o_custkey": t.column("o_custkey"),
+            "price_cents": pa.array(
+                np.floor(np.asarray(t.column("o_totalprice")) * 100.0
+                         + 0.5).astype(np.int64)),
+            "sum_qty": t.column("sum_qty"),
+        })
+
+    return hash_join_tasks(big, orders, on="l_orderkey",
+                           right_on="o_orderkey", post=_fin)
+
+
+TPCH_Q14_LO = (1996, 9, 1)
+TPCH_Q14_HI = (1996, 10, 1)
+
+
+def q_tpch_q14(sf_dir: str):
+    """TPC-H Q14-style promotion-effect: revenue from PROMO-type parts
+    vs all revenue in one ship month — the division-free sufficient
+    statistics (promo_cents, total_cents, nlines). The part type map
+    joins co-partitioned; conditional aggregation fused into the join
+    task; one-row integer result."""
+    import datetime
+
+    import ray
+
+    from ..core.shuffle import hash_join_tasks
+
+    lo = datetime.datetime(*TPCH_Q14_LO)
+    hi = datetime.datetime(*TPCH_Q14_HI)
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_shipdate") >= pa.scalar(lo))
+        & (pc.field("l_shipdate") < pa.scalar(hi)),
+    )
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+
+    def _cents(b: pa.Table) -> pa.Table:
+        c = np.floor(
+            np.asarray(b.column("l_extendedprice"))
+            * (1.0 - np.asarray(b.column("l_discount"))) * 100.0
+        ).astype(np.int64)
+        return pa.table({"l_partkey": b.column("l_partkey"),
+                         "cents": pa.array(c)})
+
+    li_c = li.map_batches(_cents, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def _agg(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "p_type" not in t.column_names:
+            z = np.int64(0)
+            return pa.table({"promo_cents": pa.array([z]),
+                             "total_cents": pa.array([z]),
+                             "nlines": pa.array([z])})
+        cents = np.asarray(t.column("cents"), dtype=np.int64)
+        promo = np.asarray(t.column("p_type")).astype(str) == "PROMO"
+        return pa.table({
+            "promo_cents": pa.array([int(cents[promo].sum())],
+                                    type=pa.int64()),
+            "total_cents": pa.array([int(cents.sum())], type=pa.int64()),
+            "nlines": pa.array([len(cents)], type=pa.int64()),
+        })
+
+    parts = hash_join_tasks(li_c, part, on="l_partkey",
+                            right_on="p_partkey", post=_agg).take_all()
+    return pa.table({
+        "promo_cents": pa.array(
+            [sum(p["promo_cents"] for p in parts)], type=pa.int64()),
+        "total_cents": pa.array(
+            [sum(p["total_cents"] for p in parts)], type=pa.int64()),
+        "nlines": pa.array([sum(p["nlines"] for p in parts)],
+                           type=pa.int64()),
+    })

@@ -235,3 +235,90 @@ def test_tpch_q10_vs_pandas_brute(ray_session):
     assert list(out.c_custkey) == list(w.c_custkey)
     assert list(out.rev_cents) == list(w.rev_cents)
     assert list(out.n_name) == list(w.n_name)
+
+
+def test_triangles_list_consistency_and_brute(ray_session):
+    from itertools import combinations
+
+    from combblas_ray.pipelines.context import get_context
+    from combblas_ray.pipelines.queries import q_triangles_list
+
+    out = q_triangles_list(SF).to_pandas()
+    # every row is an actual triangle with a < b < c in label order
+    ctx = get_context(SF)
+    e = ctx.graph("sym").dedup_sum().edges.to_pandas()
+    labels = np.asarray(ctx.labels)
+    nbrs: dict[int, set] = {}
+    for s, d in zip(e.src.to_numpy(), e.dst.to_numpy()):
+        nbrs.setdefault(int(s), set()).add(int(d))
+    want = set()
+    for z, ns in nbrs.items():
+        for a, b in combinations(sorted(ns), 2):
+            if b in nbrs[a] and z < a:  # each triangle once: z < a < b
+                want.add((labels[z], labels[a], labels[b]))
+    got = set(zip(out.a, out.b, out.c))
+    assert got == want
+
+
+def test_edge_jaccard_vs_set_brute(ray_session):
+    from combblas_ray.pipelines.context import get_context
+    from combblas_ray.pipelines.queries import EDGEJ_SCALE, q_edge_jaccard
+
+    out = q_edge_jaccard(SF).to_pandas()
+    ctx = get_context(SF)
+    e = ctx.graph("sym").dedup_sum().edges.to_pandas()
+    labels = np.asarray(ctx.labels)
+    nbrs: dict[int, set] = {}
+    for s, d in zip(e.src.to_numpy(), e.dst.to_numpy()):
+        nbrs.setdefault(int(s), set()).add(int(d))
+    want = {}
+    for a, ns in nbrs.items():
+        for b in ns:
+            if a < b:
+                cn = len(nbrs[a] & nbrs[b])
+                want[(labels[a], labels[b])] = (
+                    cn, cn * EDGEJ_SCALE // (len(nbrs[a]) + len(nbrs[b])
+                                             - cn))
+    got = {(r.a, r.b): (r.cn, r.score) for r in out.itertuples()}
+    assert got == want
+
+
+def test_tpch_q18_vs_pandas_brute(ray_session):
+    from combblas_ray.pipelines.queries import TPCH_Q18_QTY, q_tpch_q18
+
+    out = q_tpch_q18(SF).to_pandas().sort_values("o_orderkey") \
+        .reset_index(drop=True)
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+    li["q"] = np.floor(li.l_quantity.to_numpy() + 0.5).astype(np.int64)
+    s = li.groupby("l_orderkey").q.sum()
+    s = s[s > TPCH_Q18_QTY].rename("sum_qty")
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    w = o.join(s, on="o_orderkey", how="inner") \
+        .sort_values("o_orderkey").reset_index(drop=True)
+    assert list(out.o_orderkey) == list(w.o_orderkey)
+    assert list(out.o_custkey) == list(w.o_custkey)
+    assert list(out.sum_qty) == list(w.sum_qty)
+    assert list(out.price_cents) == list(
+        np.floor(w.o_totalprice.to_numpy() * 100.0 + 0.5).astype(np.int64))
+
+
+def test_tpch_q14_vs_pandas_brute(ray_session):
+    import datetime
+
+    from combblas_ray.pipelines.queries import (TPCH_Q14_HI, TPCH_Q14_LO,
+                                                q_tpch_q14)
+
+    out = q_tpch_q14(SF).to_pandas()
+    lo, hi = datetime.datetime(*TPCH_Q14_LO), datetime.datetime(*TPCH_Q14_HI)
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    li = li[(li.l_shipdate >= lo) & (li.l_shipdate < hi)].copy()
+    li["cents"] = np.floor(li.l_extendedprice.to_numpy()
+                           * (1.0 - li.l_discount.to_numpy())
+                           * 100.0).astype(np.int64)
+    p = pd.read_parquet(f"{SF}/part.parquet",
+                        columns=["p_partkey", "p_type"])
+    j = li.merge(p, left_on="l_partkey", right_on="p_partkey")
+    assert int(out.total_cents[0]) == int(j.cents.sum())
+    assert int(out.promo_cents[0]) == int(j.cents[j.p_type == "PROMO"].sum())
+    assert int(out.nlines[0]) == len(j)
