@@ -120,6 +120,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_jaccard": q.q_edge_jaccard,  # SNN edge weighting
         "tpch_q18": q.q_tpch_q18,  # HAVING over join
         "tpch_q14": q.q_tpch_q14,  # conditional-agg join
+        "window_pair_join": q.q_window_pair_join,  # interval self-join
+        "skyline_parts": q.q_skyline_parts,  # Pareto domination filter
+        "retention_cohorts": q.q_retention_cohorts,  # cohort analysis
         "transpose": q.q_transpose,  # R A R^T exercised by galerkin in-window
         "event_gaps": q.q_event_gaps,  # user-shuffle window: ntile/running_total in-window
         "oov_rate": q.q_oov_rate,  # broadcast probe: decontaminate in-window
@@ -364,6 +367,9 @@ def oracle_sql() -> dict[str, str]:
         "edge_jaccard": o.edge_jaccard(q.EDGEJ_SCALE),
         "tpch_q18": o.tpch_q18(q.TPCH_Q18_QTY),
         "tpch_q14": o.tpch_q14(),
+        "window_pair_join": o.window_pair_join(q.PAIRWIN_US),
+        "skyline_parts": o.skyline_parts(),
+        "retention_cohorts": o.retention_cohorts(),
         # mis: no SQL oracle (iterative random-priority algorithm);
         # pytest asserts independence + maximality invariants.
         # fingerprint / minhash_pairs / simhash / ann_lsh: deliberately no

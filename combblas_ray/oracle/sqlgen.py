@@ -3263,3 +3263,57 @@ FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE l.l_shipdate >= TIMESTAMP '{lo}'
   AND l.l_shipdate <  TIMESTAMP '{hi}'
 """
+
+
+def window_pair_join(win_us: int = 3_600_000_000) -> str:
+    """Per-user count of unordered event pairs within the time window
+    (twin of `queries.q_window_pair_join`; ties pair exactly once)."""
+    return f"""
+WITH pr AS (
+  SELECT a.user_id, count(*) AS c
+  FROM events a JOIN events b ON b.user_id = a.user_id
+  WHERE (b.ts > a.ts AND epoch_us(b.ts) <= epoch_us(a.ts) + {win_us})
+     OR (b.ts = a.ts AND b.event_id > a.event_id)
+  GROUP BY a.user_id
+),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id, CAST(coalesce(pr.c, 0) AS BIGINT) AS pairs_1h
+FROM u LEFT JOIN pr ON pr.user_id = u.user_id
+"""
+
+
+def skyline_parts() -> str:
+    """Pareto front of parts (maximize size, minimize price; twin of
+    `queries.q_skyline_parts`)."""
+    return """
+WITH p AS (
+  SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents
+  FROM part
+)
+SELECT a.p_partkey, a.p_size, a.price_cents
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.p_size >= a.p_size AND b.price_cents <= a.price_cents
+    AND (b.p_size > a.p_size OR b.price_cents < a.price_cents)
+)
+"""
+
+
+def retention_cohorts() -> str:
+    """Cohort-week retention counts (twin of
+    `queries.q_retention_cohorts`; weeks = epoch days // 7)."""
+    return """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         (epoch_ms(ts) // 86400000) // 7 AS wk
+  FROM events
+),
+coh AS (SELECT user_id, min(wk) AS cw FROM uw GROUP BY user_id)
+SELECT CAST(c.cw AS BIGINT) AS cohort_week,
+       CAST(u.wk - c.cw AS BIGINT) AS week_offset,
+       count(*) AS users
+FROM uw u JOIN coh c ON c.user_id = u.user_id
+GROUP BY 1, 2
+"""

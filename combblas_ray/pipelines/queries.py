@@ -4857,3 +4857,179 @@ def q_tpch_q14(sf_dir: str):
         "nlines": pa.array([sum(p["nlines"] for p in parts)],
                            type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# Wave 12: interval self-join / skyline / retention cohorts
+# ---------------------------------------------------------------------------
+
+PAIRWIN_US = 3_600_000_000  # 1h pairing window, microseconds
+
+
+def q_window_pair_join(sf_dir: str):
+    """Time-window SELF-join: per user, the number of ORDERED event
+    pairs (e1 before e2, e1 != e2) whose timestamps lie within one
+    hour — the interval-join cardinality statistic. One user_id
+    shuffle; each partition answers all its users with a vectorized
+    two-pointer (searchsorted over the sorted per-user timestamp runs),
+    never materializing the pairs."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], type=pa.int64()),
+                          "pairs_1h": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return empty
+        uid = np.asarray(t.column("user_id"), dtype=np.int64)
+        ts = np.asarray(t.column("ts")).astype("datetime64[us]") \
+            .astype(np.int64)
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
+        uu, starts, counts = np.unique(uid, return_index=True,
+                                       return_counts=True)
+        # one GLOBAL searchsorted over all runs: a composite key
+        # rank * SHIFT + rel is strictly run-ordered, and adding W
+        # never crosses into the next user's block (SHIFT > rel+W)
+        rel = ts - ts.min()
+        shift = int(rel.max()) + PAIRWIN_US + 1
+        rank = np.repeat(np.arange(len(uu), dtype=np.int64), counts)
+        assert shift < (1 << 62) // max(len(uu), 1), \
+            "window_pair_join composite-key overflow"
+        key = rank * shift + rel
+        # per event: later same-user events with ts <= ts_i + W
+        # (ties pair exactly once by position order)
+        hi = np.searchsorted(key, key + PAIRWIN_US, side="right")
+        later = hi - (np.arange(len(key)) + 1)
+        out = np.zeros(len(uu), dtype=np.int64)
+        np.add.at(out, rank, later)
+        return pa.table({"user_id": pa.array(uu),
+                         "pairs_1h": pa.array(out)})
+
+    return group_apply_tasks(ev, ["user_id"], _pairs)
+
+
+def q_skyline_parts(sf_dir: str):
+    """Skyline (Pareto-front) filter: parts not DOMINATED by any other
+    part — dominated = another part with size >= and price <= (one
+    strict). The classic distributed-skyline shape: the local skyline
+    is a sound combiner (dominators survive locally), so one per-batch
+    skyline pass feeds a single small global verify. Prices compare as
+    exact integer cents."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_size", "p_retailprice"],
+    )
+
+    _EMPTY_SKY = pa.table({"p_partkey": pa.array([], type=pa.int64()),
+                           "p_size": pa.array([], type=pa.int64()),
+                           "price_cents": pa.array([], type=pa.int64())})
+
+    def _sky_core(k, sz, pc_) -> pa.Table:
+        # exact 2D skyline with ties: a row survives iff
+        #   price == min price of its size group  AND
+        #   price <  min price over all STRICTLY larger sizes
+        # (equal (size, price) duplicates don't dominate each other).
+        # One sort by size desc + per-group mins + exclusive prefix min.
+        order = np.lexsort((pc_, -sz))
+        sz, pc_, k = sz[order], pc_[order], k[order]
+        gstart = np.ones(len(k), dtype=bool)
+        gstart[1:] = sz[1:] != sz[:-1]
+        gidx = np.cumsum(gstart) - 1
+        gmin = pc_[gstart]  # sorted by price within group: first = min
+        prev_best = np.concatenate((
+            [np.iinfo(np.int64).max], np.minimum.accumulate(gmin)[:-1]))
+        keep = (pc_ == gmin[gidx]) & (pc_ < prev_best[gidx])
+        return pa.table({"p_partkey": pa.array(k[keep]),
+                         "p_size": pa.array(sz[keep]),
+                         "price_cents": pa.array(pc_[keep])})
+
+    def _local_sky(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EMPTY_SKY
+        return _sky_core(
+            np.asarray(t.column("p_partkey"), dtype=np.int64),
+            np.asarray(t.column("p_size"), dtype=np.int64),
+            np.floor(np.asarray(t.column("p_retailprice")) * 100.0
+                     + 0.5).astype(np.int64))
+
+    local = ds.map_batches(_local_sky, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    tabs = [t for t in ray.get(local.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return _EMPTY_SKY
+    merged = pa.concat_tables(tabs)
+    return _sky_core(
+        np.asarray(merged.column("p_partkey"), dtype=np.int64),
+        np.asarray(merged.column("p_size"), dtype=np.int64),
+        np.asarray(merged.column("price_cents"), dtype=np.int64))
+
+
+def q_retention_cohorts(sf_dir: str):
+    """Cohort retention: users bucketed by first-event week (cohort),
+    counted as retained in each later week they were active —
+    (cohort_week, week_offset, users). One user_id shuffle; each
+    partition derives every resident user's cohort AND distinct active
+    weeks in the same vectorized pass; the (cohort, offset) matrix is
+    bounded (weeks^2) so the final combine is a driver-side bincount.
+    Weeks = epoch_days // 7 (pure integer, identical in SQL)."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def _cohort(t: pa.Table) -> pa.Table:
+        empty = pa.table({"cohort_week": pa.array([], type=pa.int64()),
+                          "week_offset": pa.array([], type=pa.int64()),
+                          "users": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return empty
+        uid = np.asarray(t.column("user_id"), dtype=np.int64)
+        wk = (np.asarray(t.column("ts")).astype("datetime64[s]")
+              .astype(np.int64) // 86400) // 7
+        # distinct (user, week)
+        key = np.lexsort((wk, uid))
+        uid, wk = uid[key], wk[key]
+        new = np.ones(len(uid), dtype=bool)
+        new[1:] = (uid[1:] != uid[:-1]) | (wk[1:] != wk[:-1])
+        uid, wk = uid[new], wk[new]
+        ustart = np.ones(len(uid), dtype=bool)
+        ustart[1:] = uid[1:] != uid[:-1]
+        cohort = np.repeat(wk[ustart],
+                           np.diff(np.nonzero(
+                               np.append(ustart, True))[0]))
+        off = wk - cohort
+        pk = cohort * 10000 + off  # offsets < 10000 weeks
+        upk, cnt = np.unique(pk, return_counts=True)
+        return pa.table({
+            "cohort_week": pa.array((upk // 10000).astype(np.int64)),
+            "week_offset": pa.array((upk % 10000).astype(np.int64)),
+            "users": pa.array(cnt.astype(np.int64)),
+        })
+
+    fine = group_apply_tasks(ev, ["user_id"], _cohort)
+    tabs = [t for t in ray.get(fine.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return _cohort(pa.table({}))
+    ft = pa.concat_tables(tabs)
+    cw = np.asarray(ft.column("cohort_week"), dtype=np.int64)
+    wo = np.asarray(ft.column("week_offset"), dtype=np.int64)
+    us = np.asarray(ft.column("users"), dtype=np.int64)
+    pk = cw * 10000 + wo
+    upk, inv = np.unique(pk, return_inverse=True)
+    tot = np.bincount(inv, weights=us.astype(np.float64)).astype(np.int64)
+    return pa.table({
+        "cohort_week": pa.array((upk // 10000).astype(np.int64)),
+        "week_offset": pa.array((upk % 10000).astype(np.int64)),
+        "users": pa.array(tot),
+    })

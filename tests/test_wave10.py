@@ -322,3 +322,47 @@ def test_tpch_q14_vs_pandas_brute(ray_session):
     assert int(out.total_cents[0]) == int(j.cents.sum())
     assert int(out.promo_cents[0]) == int(j.cents[j.p_type == "PROMO"].sum())
     assert int(out.nlines[0]) == len(j)
+
+
+def test_window_pair_join_vs_pandas_brute(ray_session):
+    from combblas_ray.pipelines.queries import PAIRWIN_US, q_window_pair_join
+
+    out = q_window_pair_join(SF).to_pandas().set_index("user_id")
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts"])
+    ev["us"] = ev.ts.astype("datetime64[us]").astype(np.int64)
+    for uid, grp in ev.groupby("user_id"):
+        ts = np.sort(grp.us.to_numpy())
+        cnt = sum(int(np.searchsorted(ts, ts[i] + PAIRWIN_US, "right")
+                      - i - 1) for i in range(len(ts)))
+        assert int(out.loc[uid, "pairs_1h"]) == cnt
+
+
+def test_skyline_parts_vs_brute(ray_session):
+    from combblas_ray.pipelines.queries import q_skyline_parts
+
+    out = q_skyline_parts(SF).to_pandas()
+    p = pd.read_parquet(f"{SF}/part.parquet")
+    sz = p.p_size.to_numpy().astype(np.int64)
+    pc = np.floor(p.p_retailprice.to_numpy() * 100 + 0.5).astype(np.int64)
+    dom = ((sz[:, None] >= sz[None, :]) & (pc[:, None] <= pc[None, :])
+           & ((sz[:, None] > sz[None, :]) | (pc[:, None] < pc[None, :])))
+    alive = ~dom.any(axis=0)
+    want = set(p.p_partkey.to_numpy()[alive])
+    assert set(out.p_partkey) == want
+
+
+def test_retention_cohorts_vs_pandas_brute(ray_session):
+    from combblas_ray.pipelines.queries import q_retention_cohorts
+
+    out = q_retention_cohorts(SF).to_pandas() \
+        .sort_values(["cohort_week", "week_offset"]).reset_index(drop=True)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts"])
+    ev["wk"] = (ev.ts.astype("datetime64[s]").astype(np.int64)
+                // 86400) // 7
+    uw = ev[["user_id", "wk"]].drop_duplicates()
+    coh = uw.groupby("user_id").wk.min().rename("cw")
+    j = uw.join(coh, on="user_id")
+    g = j.groupby([j.cw, j.wk - j.cw]).size().reset_index()
+    g.columns = ["cohort_week", "week_offset", "users"]
+    g = g.sort_values(["cohort_week", "week_offset"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, g, check_dtype=False)
