@@ -75,7 +75,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nbr_jaccard": q.q_nbr_jaccard,
         "galerkin": q.q_galerkin,
         "wl_refine": q.q_wl_refine,
-        "cycle4": q.q_cycle4,
+        # multimodal actor-pool pipelines (first-ever driver evidence
+        # for the decode/resize/frame-sample class)
+        "image_stats": q.q_image_stats,
+        "image_resize_stats": q.q_image_resize_stats,
+        "video_frames": q.q_video_frames,
         # LLM-data layer without a prior driver row (+ refactored dedup)
         "embed_dups_lsh": q.q_embed_dups_lsh,
         "dup_clusters": q.q_dup_clusters,
@@ -93,10 +97,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_corr_stats": q.q_degree_corr_stats,
         "rollup_counts": q.q_rollup_counts,
         "tpch_q4": q.q_tpch_q4,
-        "ntile": q.q_ntile,
         "asof_click": q.q_asof_click,
         "running_total": q.q_running_total,
-        "cust_no_orders": q.q_cust_no_orders,
         "json_props": q.q_json_props,
         "kmeans_fixed": q.q_kmeans_fixed,
         "hyperanf": q.q_hyperanf,
@@ -106,6 +108,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
+        "cycle4": q.q_cycle4,  # wedge machinery: clustering_coeff in-window
+        "ntile": q.q_ntile,  # user-shuffle window: running_total in-window
+        "cust_no_orders": q.q_cust_no_orders,  # anti join: tpch_q4/decontaminate in-window
         "tpch_q6": q.q_tpch_q6,  # filtered agg: tpch_q4 in-window
         "basket_pairs": q.q_basket_pairs,  # pair expand: cycle4 in-window
         "first_last_event": q.q_first_last_event,  # window: ntile in-window
@@ -370,6 +375,9 @@ def oracle_sql() -> dict[str, str]:
         "window_pair_join": o.window_pair_join(q.PAIRWIN_US),
         "skyline_parts": o.skyline_parts(),
         "retention_cohorts": o.retention_cohorts(),
+        "image_stats": o.image_stats(),
+        "image_resize_stats": o.image_resize_stats(),
+        "video_frames": o.video_frames(),
         # mis: no SQL oracle (iterative random-priority algorithm);
         # pytest asserts independence + maximality invariants.
         # fingerprint / minhash_pairs / simhash / ann_lsh: deliberately no

@@ -84,6 +84,107 @@ class DecodeStage:
         )
 
 
+def blob_dataset_from_docs(sf_dir: str, *, kind: str = "image",
+                           batch_size: int = 256):
+    """Blob table keyed by ``doc_id`` — one payload per corpus document,
+    so the multimodal pipelines scale with the same sf as everything
+    else. Pure integer synthesis (``make_blob``/``make_video_blob``)
+    makes the downstream stats SQL-reproducible (oracle-exact)."""
+    import ray
+
+    maker = make_blob if kind == "image" else make_video_blob
+
+    def _gen(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        return pa.table(
+            {
+                "item_id": pa.array(ids),
+                "payload": pa.array(
+                    [maker(int(i)) for i in ids], type=pa.binary()
+                ),
+                "kind": pa.array([kind] * len(ids), type=pa.string()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(_gen, batch_format="pyarrow", batch_size=batch_size)
+
+
+class IntStatsStage:
+    """Integer-exact decode statistics — the oracle-checkable sibling of
+    ``DecodeStage``: (width, height, px_sum, px_min, px_max) are all
+    int64, so a DuckDB twin can regenerate them from the synthesis
+    arithmetic. Same actor-pool shape (codec state in ``__init__``,
+    per-payload decode loop in ``__call__`` — inherent to opaque
+    binary rows)."""
+
+    def __init__(self):
+        self.header = HEADER
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ws, hs, sums, mins, maxs = [], [], [], [], [], []
+        for item_id, payload in zip(
+            batch.column("item_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            _, w, h = self.header.unpack_from(payload, 0)
+            pix = np.frombuffer(
+                payload, dtype=np.uint8, offset=self.header.size
+            ).astype(np.int64)
+            ids.append(item_id)
+            ws.append(w)
+            hs.append(h)
+            sums.append(int(pix.sum()))
+            mins.append(int(pix.min()) if len(pix) else 0)
+            maxs.append(int(pix.max()) if len(pix) else 0)
+        return pa.table(
+            {
+                "item_id": pa.array(ids, type=pa.int64()),
+                "width": pa.array(ws, type=pa.int64()),
+                "height": pa.array(hs, type=pa.int64()),
+                "px_sum": pa.array(sums, type=pa.int64()),
+                "px_min": pa.array(mins, type=pa.int64()),
+                "px_max": pa.array(maxs, type=pa.int64()),
+            }
+        )
+
+
+class VideoFrameSumStage:
+    """Integer-exact frame sampling: every ``stride``-th frame emits one
+    row (item_id, frame, f_sum) — ``FrameSampleStage`` with an int64
+    pixel sum instead of a float mean, so the sampled-frame table is
+    oracle-checkable."""
+
+    def __init__(self, stride: int = 2):
+        self.header = HEADER
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, sums = [], [], []
+        for item_id, payload in zip(
+            batch.column("item_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            _, nf, fsz = self.header.unpack_from(payload, 0)
+            data = np.frombuffer(
+                payload, dtype=np.uint8, offset=self.header.size
+            ).astype(np.int64)
+            frames = data.reshape(nf, fsz)
+            fsums = frames.sum(axis=1)
+            for j in range(0, nf, self.stride):
+                ids.append(item_id)
+                fidx.append(j)
+                sums.append(int(fsums[j]))
+        return pa.table(
+            {
+                "item_id": pa.array(ids, type=pa.int64()),
+                "frame": pa.array(fidx, type=pa.int64()),
+                "f_sum": pa.array(sums, type=pa.int64()),
+            }
+        )
+
+
 def decode_image_real(payload: bytes):
     """Real-codec decode — requires an image library not present in this
     container. The pipeline shape (DecodeStage actor pool) is identical."""

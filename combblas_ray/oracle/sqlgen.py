@@ -3317,3 +3317,77 @@ SELECT CAST(c.cw AS BIGINT) AS cohort_week,
 FROM uw u JOIN coh c ON c.user_id = u.user_id
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# multimodal (integer blob synthesis regenerated in SQL)
+# ---------------------------------------------------------------------------
+
+
+def image_stats() -> str:
+    """Regenerates make_blob's pixel arithmetic: w = 8+(id%5)*4,
+    h = 8+(id%3)*4, pixel i = (i*(id+7)) % 251 for i in [0, w*h)."""
+    return """
+WITH dims AS (
+  SELECT doc_id AS item_id,
+         CAST(8 + (doc_id % 5) * 4 AS BIGINT) AS width,
+         CAST(8 + (doc_id % 3) * 4 AS BIGINT) AS height
+  FROM documents
+)
+SELECT d.item_id, d.width, d.height,
+       CAST(SUM((r.i * (d.item_id + 7)) % 251) AS BIGINT) AS px_sum,
+       CAST(MIN((r.i * (d.item_id + 7)) % 251) AS BIGINT) AS px_min,
+       CAST(MAX((r.i * (d.item_id + 7)) % 251) AS BIGINT) AS px_max
+FROM dims d CROSS JOIN range(384) r(i)
+WHERE r.i < d.width * d.height
+GROUP BY 1, 2, 3
+"""
+
+
+def image_resize_stats() -> str:
+    """2x2 mean-pool resize twin: pooled pixel (X,Y) =
+    (p(2X,2Y)+p(2X+1,2Y)+p(2X,2Y+1)+p(2X+1,2Y+1)) // 4 with
+    p(x,y) = ((y*w + x)*(id+7)) % 251; w,h are always even here."""
+    return """
+WITH dims AS (
+  SELECT doc_id AS item_id,
+         CAST(8 + (doc_id % 5) * 4 AS BIGINT) AS w,
+         CAST(8 + (doc_id % 3) * 4 AS BIGINT) AS h
+  FROM documents
+),
+cells AS (
+  SELECT d.item_id, d.w, d.h,
+         ( ((2*y.i)   * d.w + 2*x.i    ) * (d.item_id + 7) % 251
+         + ((2*y.i)   * d.w + 2*x.i + 1) * (d.item_id + 7) % 251
+         + ((2*y.i+1) * d.w + 2*x.i    ) * (d.item_id + 7) % 251
+         + ((2*y.i+1) * d.w + 2*x.i + 1) * (d.item_id + 7) % 251
+         ) // 4 AS rp
+  FROM dims d CROSS JOIN range(12) x(i) CROSS JOIN range(8) y(i)
+  WHERE x.i < d.w // 2 AND y.i < d.h // 2
+)
+SELECT item_id,
+       CAST(w // 2 AS BIGINT) AS width,
+       CAST(h // 2 AS BIGINT) AS height,
+       CAST(SUM(rp) AS BIGINT) AS px_sum,
+       CAST(MIN(rp) AS BIGINT) AS px_min,
+       CAST(MAX(rp) AS BIGINT) AS px_max
+FROM cells GROUP BY 1, 2, 3
+"""
+
+
+def video_frames() -> str:
+    """make_video_blob twin: nf = 4+(id%5), 8x8 frames, data i =
+    (i*(id+3)) % 241; sampled frames are j = 0,2,4,... < nf."""
+    return """
+WITH vids AS (
+  SELECT doc_id AS item_id,
+         CAST(4 + (doc_id % 5) AS BIGINT) AS nf
+  FROM documents
+)
+SELECT v.item_id, f.i AS frame,
+       CAST(SUM(((f.i * 64 + k.i) * (v.item_id + 3)) % 241) AS BIGINT)
+         AS f_sum
+FROM vids v CROSS JOIN range(8) f(i) CROSS JOIN range(64) k(i)
+WHERE f.i < v.nf AND f.i % 2 = 0
+GROUP BY 1, 2
+"""

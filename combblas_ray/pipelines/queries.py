@@ -5033,3 +5033,53 @@ def q_retention_cohorts(sf_dir: str):
         "week_offset": pa.array((upk % 10000).astype(np.int64)),
         "users": pa.array(tot),
     })
+
+
+# ---------------------------------------------------------------------------
+# multimodal actor-pool pipelines, oracle-exact (integer synthesis)
+# ---------------------------------------------------------------------------
+
+
+def q_image_stats(sf_dir: str):
+    """Binary image payloads -> stateful actor-pool decode -> integer
+    per-item statistics. The synthetic payloads are pure integer
+    arithmetic (pixel i = (i*(id+7)) % 251), so the decode output is
+    SQL-reproducible — the first driver-checkable evidence for the
+    multimodal decode path (reference analog: typed I/O handlers,
+    TwitterEdge.h:78-130)."""
+    from ..functions import multimodal as M
+
+    blobs = M.blob_dataset_from_docs(sf_dir, kind="image")
+    return blobs.map_batches(
+        M.IntStatsStage, batch_format="pyarrow", batch_size=64,
+        concurrency=2,
+    )
+
+
+def q_image_resize_stats(sf_dir: str):
+    """Chained actor pools: decode -> 2x2 mean-pool resize -> integer
+    stats over the RESIZED payload. Pooled pixel = (sum of 2x2 block)//4
+    (exact: sum <= 1020 so the float64 mean truncation equals integer
+    floor division), keeping the whole chain oracle-exact."""
+    from ..functions import multimodal as M
+
+    blobs = M.blob_dataset_from_docs(sf_dir, kind="image")
+    resized = M.resize_pipeline(blobs, concurrency=2, batch_size=64)
+    return resized.map_batches(
+        M.IntStatsStage, batch_format="pyarrow", batch_size=64,
+        concurrency=2,
+    )
+
+
+def q_video_frames(sf_dir: str):
+    """Video payloads -> actor-pool frame sampling (every 2nd frame) ->
+    one row per sampled frame with its integer pixel sum — the
+    decode/sample/per-frame-feature layout of a video pretraining
+    pipeline, oracle-exact via the integer frame synthesis."""
+    from ..functions import multimodal as M
+
+    blobs = M.blob_dataset_from_docs(sf_dir, kind="video")
+    return blobs.map_batches(
+        M.VideoFrameSumStage, batch_format="pyarrow", batch_size=32,
+        concurrency=2, fn_constructor_kwargs={"stride": 2},
+    )

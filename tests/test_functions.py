@@ -354,3 +354,73 @@ def test_jaccard_fallback_when_df_cap_binds(docs, doc_rows, monkeypatch):
         if jac >= 0.5:
             want[(a, b)] = round(jac, 6)
     assert got == want
+
+
+def test_multimodal_int_stats_stage(ray_session):
+    """IntStatsStage (the oracle-checkable decode) matches per-blob
+    numpy recomputation, including through the resize chain."""
+    from combblas_ray.functions.multimodal import (
+        HEADER,
+        IntStatsStage,
+        make_blob,
+        resize_pipeline,
+        synth_blob_dataset,
+    )
+
+    ds = synth_blob_dataset(60)
+    got = {r["item_id"]: r for r in ds.map_batches(
+        IntStatsStage, batch_format="pyarrow", batch_size=16,
+        concurrency=2).take_all()}
+    assert len(got) == 60
+    for i in (0, 17, 59):
+        blob = make_blob(i)
+        _, w, h = HEADER.unpack_from(blob, 0)
+        pix = np.frombuffer(blob, dtype=np.uint8, offset=12).astype(np.int64)
+        r = got[i]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["px_sum"] == int(pix.sum())
+        assert r["px_min"] == int(pix.min())
+        assert r["px_max"] == int(pix.max())
+
+    # resize chain: pooled pixel = (2x2 block sum) // 4, exact.
+    # concurrency=1 per pool: two chained 2-actor pools would reserve
+    # all 4 fixture CPUs and starve the range->_gen task (deadlock).
+    rs = {r["item_id"]: r for r in resize_pipeline(
+        synth_blob_dataset(60), concurrency=1).map_batches(
+        IntStatsStage, batch_format="pyarrow", batch_size=16,
+        concurrency=1).take_all()}
+    for i in (3, 41):
+        blob = make_blob(i)
+        _, w, h = HEADER.unpack_from(blob, 0)
+        img = np.frombuffer(blob, dtype=np.uint8, offset=12
+                            ).astype(np.int64).reshape(h, w)
+        h2, w2 = h // 2 * 2, w // 2 * 2
+        small = img[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2
+                                      ).sum(axis=(1, 3)) // 4
+        r = rs[i]
+        assert (r["width"], r["height"]) == (w2 // 2, h2 // 2)
+        assert r["px_sum"] == int(small.sum())
+        assert r["px_min"] == int(small.min())
+        assert r["px_max"] == int(small.max())
+
+
+def test_multimodal_video_frame_sums(ray_session):
+    from combblas_ray.functions.multimodal import (
+        HEADER,
+        VideoFrameSumStage,
+        make_video_blob,
+        synth_video_dataset,
+    )
+
+    rows = synth_video_dataset(40).map_batches(
+        VideoFrameSumStage, batch_format="pyarrow", batch_size=16,
+        concurrency=2, fn_constructor_kwargs={"stride": 2}).take_all()
+    got = {(r["item_id"], r["frame"]): r["f_sum"] for r in rows}
+    for i in (0, 13, 39):
+        blob = make_video_blob(i)
+        _, nf, fsz = HEADER.unpack_from(blob, 0)
+        data = np.frombuffer(blob, dtype=np.uint8, offset=12
+                             ).astype(np.int64).reshape(nf, fsz)
+        for j in range(0, nf, 2):
+            assert got[(i, j)] == int(data[j].sum())
+        assert (i, 1) not in got  # stride skips odd frames
