@@ -89,8 +89,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_stratified": q.q_sample_stratified,
         "redact": q.q_redact,
         "hll_registers": q.q_hll_registers,
-        "chunk_dups": q.q_chunk_dups,
-        "seq_pack": q.q_seq_pack,
+        # wave 14 (newest = highest regression risk)
+        "rich_club": q.q_rich_club,
+        "tpch_q12": q.q_tpch_q12,
+        "tpch_q13": q.q_tpch_q13,
+        "rolling_sum4": q.q_rolling_sum4,
         # relational / windowed (round-2 verdict: keep driver evidence)
         "tpch_q3": q.q_tpch_q3,
         "tpch_q5": q.q_tpch_q5,
@@ -98,8 +101,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_counts": q.q_rollup_counts,
         "tpch_q4": q.q_tpch_q4,
         "asof_click": q.q_asof_click,
-        "running_total": q.q_running_total,
-        "json_props": q.q_json_props,
         "kmeans_fixed": q.q_kmeans_fixed,
         "hyperanf": q.q_hyperanf,
         "colloc_lift": q.q_colloc_lift,
@@ -108,8 +109,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
+        "running_total": q.q_running_total,  # user window: rolling_sum4 in-window
+        "json_props": q.q_json_props,  # RE2 extraction: redact in-window
+        "seq_pack": q.q_seq_pack,  # segmented cumsum: rolling_sum4 in-window
+        "chunk_dups": q.q_chunk_dups,  # chunk-hash dedup: containment/dup_clusters in-window
         "cycle4": q.q_cycle4,  # wedge machinery: clustering_coeff in-window
-        "ntile": q.q_ntile,  # user-shuffle window: running_total in-window
+        "ntile": q.q_ntile,  # user-shuffle window: rolling_sum4/running_total sibling
         "cust_no_orders": q.q_cust_no_orders,  # anti join: tpch_q4/decontaminate in-window
         "tpch_q6": q.q_tpch_q6,  # filtered agg: tpch_q4 in-window
         "basket_pairs": q.q_basket_pairs,  # pair expand: cycle4 in-window
@@ -375,6 +380,10 @@ def oracle_sql() -> dict[str, str]:
         "window_pair_join": o.window_pair_join(q.PAIRWIN_US),
         "skyline_parts": o.skyline_parts(),
         "retention_cohorts": o.retention_cohorts(),
+        "rich_club": o.rich_club(q.RICH_DEG),
+        "tpch_q12": o.tpch_q12(q.TPCH_Q12_YEAR),
+        "tpch_q13": o.tpch_q13(q.TPCH_Q13_EXCL),
+        "rolling_sum4": o.rolling_sum4(),
         "image_stats": o.image_stats(),
         "image_resize_stats": o.image_resize_stats(),
         "video_frames": o.video_frames(),

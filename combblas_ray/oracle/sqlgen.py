@@ -3391,3 +3391,64 @@ FROM vids v CROSS JOIN range(8) f(i) CROSS JOIN range(64) k(i)
 WHERE f.i < v.nf AND f.i % 2 = 0
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 14: rich club / TPC-H Q12, Q13 / rolling window
+# ---------------------------------------------------------------------------
+
+
+def rich_club(d: int = 8) -> str:
+    """Rich-club sufficient statistics (twin of `queries.q_rich_club`)."""
+    return PREFIX + f"""
+, und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+deg AS (SELECT src AS v, count(*) AS dg FROM und GROUP BY 1),
+rich AS (SELECT v FROM deg WHERE dg > {d})
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM rich) AS nv,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM und u JOIN rich a ON a.v = u.src JOIN rich b ON b.v = u.dst
+        WHERE u.src < u.dst) AS ne
+"""
+
+
+def tpch_q12(year: int = 1995) -> str:
+    """Shipping-priority counts by returnflag (twin of
+    `queries.q_tpch_q12`)."""
+    return f"""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= DATE '{year}-01-01'
+  AND l_shipdate < DATE '{year + 1}-01-01'
+GROUP BY 1
+"""
+
+
+def tpch_q13(excl: str = "4-NOT SPECIFIED") -> str:
+    """Customer order-count distribution (twin of `queries.q_tpch_q13`)."""
+    return f"""
+WITH c_orders AS (
+  SELECT c_custkey, count(o_custkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '{excl}'
+  GROUP BY c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM c_orders GROUP BY c_count
+"""
+
+
+def rolling_sum4() -> str:
+    """Bounded-frame rolling sum (twin of `queries.q_rolling_sum4`)."""
+    return """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS roll_cents
+FROM events
+"""

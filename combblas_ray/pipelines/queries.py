@@ -5083,3 +5083,212 @@ def q_video_frames(sf_dir: str):
         M.VideoFrameSumStage, batch_format="pyarrow", batch_size=32,
         concurrency=2, fn_constructor_kwargs={"stride": 2},
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 14: rich club / TPC-H Q12, Q13 / rolling window
+# ---------------------------------------------------------------------------
+
+RICH_DEG = 8
+
+
+def q_rich_club(sf_dir: str):
+    """Rich-club sufficient statistics: nv = vertices with degree >
+    RICH_DEG, ne = undirected distinct edges with BOTH endpoints rich
+    (the rich-club coefficient's numerator/denominator inputs
+    2*ne / (nv*(nv-1)) — returned as exact integers). Degree vector
+    broadcast once; one streaming pass over the a < b adjacency."""
+    import ray
+
+    ctx = get_context(sf_dir)
+    deg = ctx.engine("sym").in_weights().astype(np.int64)
+    rich = deg > RICH_DEG
+    rich_ref = ray.put(rich)
+    be = ctx.graph("sym").dedup_sum().cast_bool().edges
+
+    def _cnt(b: pa.Table, *, _ref=rich_ref) -> pa.Table:
+        m = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+        s = np.asarray(b.column("src"), dtype=np.int64)
+        d = np.asarray(b.column("dst"), dtype=np.int64)
+        keep = (s < d) & m[s] & m[d]
+        return pa.table({"ne": pa.array([int(keep.sum())],
+                                        type=pa.int64())})
+
+    parts = be.map_batches(_cnt, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    return pa.table({
+        "nv": pa.array([int(rich.sum())], type=pa.int64()),
+        "ne": pa.array([sum(p["ne"] for p in parts)], type=pa.int64()),
+    })
+
+
+TPCH_Q12_YEAR = 1995
+
+
+def q_tpch_q12(sf_dir: str):
+    """TPC-H Q12-style shipping-priority counts: lineitems shipped in
+    one year, joined co-partitioned to orders, grouped by returnflag
+    (this corpus' shipmode stand-in) with conditional high/low priority
+    counts fused into the join task; bounded (3-row) driver combine."""
+    import datetime
+
+    import ray
+
+    from ..core.shuffle import hash_join_tasks
+
+    lo = datetime.datetime(TPCH_Q12_YEAR, 1, 1)
+    hi = datetime.datetime(TPCH_Q12_YEAR + 1, 1, 1)
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag"],
+        filter=(pc.field("l_shipdate") >= pa.scalar(lo))
+        & (pc.field("l_shipdate") < pa.scalar(hi)),
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"],
+    )
+
+    def _agg(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_orderpriority" not in t.column_names:
+            return pa.table({"l_returnflag": pa.array([], type=pa.string()),
+                             "high_count": pa.array([], type=pa.int64()),
+                             "low_count": pa.array([], type=pa.int64())})
+        flag = np.asarray(t.column("l_returnflag")).astype(str)
+        pri = np.asarray(t.column("o_orderpriority")).astype(str)
+        high = (pri == "1-URGENT") | (pri == "2-HIGH")
+        uf, inv = np.unique(flag, return_inverse=True)
+        hi_c = np.bincount(inv, weights=high).astype(np.int64)
+        lo_c = np.bincount(inv, weights=~high).astype(np.int64)
+        return pa.table({"l_returnflag": pa.array(uf.tolist(),
+                                                  type=pa.string()),
+                         "high_count": pa.array(hi_c),
+                         "low_count": pa.array(lo_c)})
+
+    parts = hash_join_tasks(li, orders, on="l_orderkey",
+                            right_on="o_orderkey", post=_agg).take_all()
+    agg: dict[str, list[int]] = {}
+    for p in parts:
+        e = agg.setdefault(p["l_returnflag"], [0, 0])
+        e[0] += p["high_count"]
+        e[1] += p["low_count"]
+    flags = sorted(agg)
+    return pa.table({
+        "l_returnflag": pa.array(flags, type=pa.string()),
+        "high_count": pa.array([agg[f][0] for f in flags], type=pa.int64()),
+        "low_count": pa.array([agg[f][1] for f in flags], type=pa.int64()),
+    })
+
+
+TPCH_Q13_EXCL = "4-NOT SPECIFIED"
+
+
+def q_tpch_q13(sf_dir: str):
+    """TPC-H Q13-style customer order-count distribution: per-customer
+    counts over the filtered orders (priority-class exclusion standing
+    in for the NOT LIKE comment predicate), LEFT OUTER join keeps
+    zero-order customers, bounded histogram (c_count, custdist)
+    combined from per-partition partials."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks, group_sum_per_key, \
+        hash_join_tasks
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pc.field("o_orderpriority") != TPCH_Q13_EXCL,
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+
+    def _part(b: pa.Table) -> pa.Table:
+        uk, s = group_sum_per_key(
+            np.ones(b.num_rows),
+            np.asarray(b.column("o_custkey"), dtype=np.int64))
+        return pa.table({"o_custkey": pa.array(uk),
+                         "cnt": pa.array(s.astype(np.int64))})
+
+    counts = group_apply_tasks(
+        orders.map_batches(_part, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["o_custkey"],
+        lambda t: (lambda uk, s: pa.table(
+            {"o_custkey": pa.array(uk),
+             "cnt": pa.array(s.astype(np.int64))}))(
+            *group_sum_per_key(
+                np.asarray(t.column("cnt"), dtype=np.float64),
+                np.asarray(t.column("o_custkey"), dtype=np.int64)))
+        if t.num_rows and "o_custkey" in t.column_names
+        else pa.table({"o_custkey": pa.array([], type=pa.int64()),
+                       "cnt": pa.array([], type=pa.int64())}),
+    )
+
+    def _hist(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"c_count": pa.array([], type=pa.int64()),
+                             "custdist": pa.array([], type=pa.int64())})
+        c = np.asarray(t.column("cnt"))
+        c = np.where(np.isnan(c.astype(np.float64)), 0, c).astype(np.int64)
+        u, k = np.unique(c, return_counts=True)
+        return pa.table({"c_count": pa.array(u),
+                         "custdist": pa.array(k.astype(np.int64))})
+
+    parts = hash_join_tasks(cust, counts, on="c_custkey",
+                            right_on="o_custkey", join_type="left outer",
+                            post=_hist).take_all()
+    agg: dict[int, int] = {}
+    for p in parts:
+        agg[p["c_count"]] = agg.get(p["c_count"], 0) + p["custdist"]
+    ks = sorted(agg)
+    return pa.table({
+        "c_count": pa.array(ks, type=pa.int64()),
+        "custdist": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
+
+
+ROLL_WIN = 4  # current row + 3 preceding
+
+
+def q_rolling_sum4(sf_dir: str):
+    """Bounded-frame window aggregate: per user, the rolling sum of
+    integer event cents over ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+    ordered by (ts, event_id) — ONE user_id shuffle, then a
+    whole-partition vectorized segmented difference of prefix sums
+    (cum[i] - cum[max(segment_start, i-3)])."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+
+    def _roll(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return pa.table({"event_id": pa.array([], type=pa.int64()),
+                             "user_id": pa.array([], type=pa.int64()),
+                             "roll_cents": pa.array([], type=pa.int64())})
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        ts = np.asarray(t.column("ts")).astype("datetime64[us]").astype(
+            np.int64)
+        eid = np.asarray(t.column("event_id"), dtype=np.int64)
+        cents = np.floor(
+            np.asarray(t.column("value")) * 100.0 + 0.5).astype(np.int64)
+        order = np.lexsort((eid, ts, u))
+        u, eid, cents = u[order], eid[order], cents[order]
+        m = len(u)
+        segnew = np.ones(m, dtype=bool)
+        segnew[1:] = u[1:] != u[:-1]
+        seg_start = np.maximum.accumulate(
+            np.where(segnew, np.arange(m), 0))
+        cum0 = np.concatenate(([0], np.cumsum(cents)))
+        i = np.arange(m)
+        lo = np.maximum(seg_start, i - (ROLL_WIN - 1))
+        roll = cum0[i + 1] - cum0[lo]
+        return pa.table({"event_id": pa.array(eid),
+                         "user_id": pa.array(u),
+                         "roll_cents": pa.array(roll)})
+
+    return group_apply_tasks(ev, ["user_id"], _roll)

@@ -366,3 +366,77 @@ def test_retention_cohorts_vs_pandas_brute(ray_session):
     g.columns = ["cohort_week", "week_offset", "users"]
     g = g.sort_values(["cohort_week", "week_offset"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(out, g, check_dtype=False)
+
+
+def test_rich_club_vs_brute(ray_session):
+    from combblas_ray.pipelines.context import get_context
+    from combblas_ray.pipelines.queries import RICH_DEG, q_rich_club
+
+    out = q_rich_club(SF).to_pandas()
+    ctx = get_context(SF)
+    e = ctx.graph("sym").dedup_sum().edges.to_pandas()
+    pairs = {(min(int(s), int(d)), max(int(s), int(d)))
+             for s, d in zip(e.src, e.dst) if s != d}
+    deg = np.zeros(ctx.n, dtype=np.int64)
+    for a, b in pairs:
+        deg[a] += 1
+        deg[b] += 1
+    rich = set(np.flatnonzero(deg > RICH_DEG))
+    assert int(out["nv"][0]) == len(rich)
+    assert int(out["ne"][0]) == sum(
+        1 for a, b in pairs if a in rich and b in rich)
+
+
+def test_tpch_q12_vs_pandas_brute(ray_session):
+    import datetime
+
+    from combblas_ray.pipelines.queries import TPCH_Q12_YEAR, q_tpch_q12
+
+    out = q_tpch_q12(SF).to_pandas().set_index("l_returnflag")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey", "l_returnflag",
+                                  "l_shipdate"])
+    lo = datetime.datetime(TPCH_Q12_YEAR, 1, 1)
+    hi = datetime.datetime(TPCH_Q12_YEAR + 1, 1, 1)
+    li = li[(li.l_shipdate >= lo) & (li.l_shipdate < hi)]
+    o = pd.read_parquet(f"{SF}/orders.parquet",
+                        columns=["o_orderkey", "o_orderpriority"])
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    j["high"] = j.o_orderpriority.isin(["1-URGENT", "2-HIGH"])
+    g = j.groupby("l_returnflag").high.agg(["sum", "count"])
+    assert set(out.index) == set(g.index)
+    for f in g.index:
+        assert int(out.high_count[f]) == int(g["sum"][f])
+        assert int(out.low_count[f]) == int(g["count"][f] - g["sum"][f])
+
+
+def test_tpch_q13_vs_pandas_brute(ray_session):
+    from combblas_ray.pipelines.queries import TPCH_Q13_EXCL, q_tpch_q13
+
+    out = q_tpch_q13(SF).to_pandas().set_index("c_count")
+    o = pd.read_parquet(f"{SF}/orders.parquet",
+                        columns=["o_custkey", "o_orderpriority"])
+    o = o[o.o_orderpriority != TPCH_Q13_EXCL]
+    c = pd.read_parquet(f"{SF}/customer.parquet", columns=["c_custkey"])
+    cnt = o.groupby("o_custkey").size().reindex(
+        c.c_custkey, fill_value=0)
+    hist = cnt.value_counts()
+    assert set(out.index) == set(hist.index)
+    for k in hist.index:
+        assert int(out.custdist[k]) == int(hist[k])
+
+
+def test_rolling_sum4_vs_pandas_brute(ray_session):
+    from combblas_ray.pipelines.queries import ROLL_WIN, q_rolling_sum4
+
+    out = q_rolling_sum4(SF).to_pandas().set_index("event_id")
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    ev["cents"] = np.floor(
+        ev.value.to_numpy() * 100.0 + 0.5).astype(np.int64)
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    roll = ev.groupby("user_id").cents.rolling(
+        ROLL_WIN, min_periods=1).sum().reset_index(level=0, drop=True)
+    assert len(out) == len(ev)
+    for eid, want in zip(ev.event_id, roll):
+        assert int(out.roll_cents[eid]) == int(want)
