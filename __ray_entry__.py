@@ -82,11 +82,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frames": q.q_video_frames,
         # LLM-data layer without a prior driver row (+ refactored dedup)
         "embed_dups_lsh": q.q_embed_dups_lsh,
-        "dup_clusters": q.q_dup_clusters,
-        "vocab_topk": q.q_vocab_topk,
         "decontaminate": q.q_decontaminate,
         "containment_pairs": q.q_containment_pairs,
-        "sample_stratified": q.q_sample_stratified,
         "redact": q.q_redact,
         "hll_registers": q.q_hll_registers,
         # wave 14 (newest = highest regression risk)
@@ -94,6 +91,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q12": q.q_tpch_q12,
         "tpch_q13": q.q_tpch_q13,
         "rolling_sum4": q.q_rolling_sum4,
+        # wave 15
+        "reciprocity": q.q_reciprocity,
+        "simhash_pairs": q.q_simhash_pairs,
+        "range_search": q.q_range_search,
+        "tpch_q16": q.q_tpch_q16,
+        "mode_hour": q.q_mode_hour,
         # relational / windowed (round-2 verdict: keep driver evidence)
         "tpch_q3": q.q_tpch_q3,
         "tpch_q5": q.q_tpch_q5,
@@ -101,14 +104,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_counts": q.q_rollup_counts,
         "tpch_q4": q.q_tpch_q4,
         "asof_click": q.q_asof_click,
-        "kmeans_fixed": q.q_kmeans_fixed,
-        "hyperanf": q.q_hyperanf,
         "colloc_lift": q.q_colloc_lift,
         "link_predict_ra": q.q_link_predict_ra,
         "rep_ngrams": q.q_rep_ngrams,
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
+        "dup_clusters": q.q_dup_clusters,  # pair-graph CC: containment_pairs + connected_components in-window
+        "vocab_topk": q.q_vocab_topk,  # token counts: colloc_lift in-window
+        "sample_stratified": q.q_sample_stratified,  # LCG filter: pytest determinism + redact in-window
+        "kmeans_fixed": q.q_kmeans_fixed,  # quantized int kernels: range_search in-window
+        "hyperanf": q.q_hyperanf,  # HLL registers: hll_registers in-window
         "running_total": q.q_running_total,  # user window: rolling_sum4 in-window
         "json_props": q.q_json_props,  # RE2 extraction: redact in-window
         "seq_pack": q.q_seq_pack,  # segmented cumsum: rolling_sum4 in-window
@@ -384,6 +390,11 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q12": o.tpch_q12(q.TPCH_Q12_YEAR),
         "tpch_q13": o.tpch_q13(q.TPCH_Q13_EXCL),
         "rolling_sum4": o.rolling_sum4(),
+        "reciprocity": o.reciprocity(),
+        "simhash_pairs": o.simhash_pairs(q.SH_T),
+        "range_search": o.range_search(q.RS_Q, q.RS_MIN),
+        "tpch_q16": o.tpch_q16(q.Q16_EXCL_BRAND, q.Q16_SIZES),
+        "mode_hour": o.mode_hour(),
         "image_stats": o.image_stats(),
         "image_resize_stats": o.image_resize_stats(),
         "video_frames": o.video_frames(),

@@ -1375,12 +1375,8 @@ FROM documents
 """
 
 
-def simhash_sql() -> str:
-    """Bit-exact twin of `dedup.simhash`: per-bit signed token-occurrence
-    majority over md5_number_lower hashes, reassembled into the int64
-    bit pattern (bit 63 contributes -2^63)."""
-    return """
-WITH toks AS MATERIALIZED (
+_SIMHASH_CODES = """
+toks AS MATERIALIZED (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
 ),
 bits AS MATERIALIZED (
@@ -1389,13 +1385,23 @@ bits AS MATERIALIZED (
                   THEN 1 ELSE -1 END) AS s
   FROM toks CROSS JOIN generate_series(0, 63) AS g(j)
   GROUP BY doc_id, j
-)
-SELECT doc_id,
-  CAST(SUM(CASE WHEN s > 0 AND j < 63 THEN CAST(1 AS HUGEINT) << j ELSE 0 END)
-     + SUM(CASE WHEN s > 0 AND j = 63
-                THEN CAST(-9223372036854775808 AS HUGEINT) ELSE 0 END)
-  AS BIGINT) AS simhash
-FROM bits GROUP BY doc_id
+),
+codes AS MATERIALIZED (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN s > 0 AND j < 63 THEN CAST(1 AS HUGEINT) << j ELSE 0 END)
+       + SUM(CASE WHEN s > 0 AND j = 63
+                  THEN CAST(-9223372036854775808 AS HUGEINT) ELSE 0 END)
+    AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+)"""
+
+
+def simhash_sql() -> str:
+    """Bit-exact twin of `dedup.simhash`: per-bit signed token-occurrence
+    majority over md5_number_lower hashes, reassembled into the int64
+    bit pattern (bit 63 contributes -2^63)."""
+    return "WITH " + _SIMHASH_CODES + """
+SELECT doc_id, simhash FROM codes
 """
 
 
@@ -3451,4 +3457,87 @@ SELECT event_id, user_id,
            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT)
          AS roll_cents
 FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# wave 15: reciprocity / simhash pairs / range search / TPC-H Q16 / mode
+# ---------------------------------------------------------------------------
+
+
+def reciprocity() -> str:
+    """Directed reciprocity statistics (twin of `queries.q_reciprocity`)."""
+    return PREFIX + """
+, de AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM de) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM de e
+        JOIN de r ON r.src = e.dst AND r.dst = e.src) AS n_recip
+"""
+
+
+def simhash_pairs(t: int = 3) -> str:
+    """All doc pairs with SimHash hamming distance <= t (twin of
+    `queries.q_simhash_pairs`; the Ray side's 4-band blocking is
+    complete for t <= 3 by pigeonhole, so the blocked result equals
+    this all-pairs scan)."""
+    return "WITH " + _SIMHASH_CODES + f"""
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamm
+FROM codes x JOIN codes y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= {t}
+"""
+
+
+def range_search(nq: int = 4, thr: int = 18_000_000_000_000,
+                 dim: int = 64, qscale: int = 1 << 20) -> str:
+    """Integer-quantized threshold similarity search (twin of
+    `queries.q_range_search`; same q = floor((x+0.5)*2^20) quantization
+    as `kmeans_fixed`)."""
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id, CAST(g.d AS BIGINT) AS dim,
+         CAST(floor((CAST(embedding[CAST(g.d AS INT)] AS DOUBLE) + 0.5)
+                    * {qscale}) AS BIGINT) AS q
+  FROM embeddings CROSS JOIN generate_series(1, {dim}) g(d)
+),
+dots AS (
+  SELECT a.vec_id AS qid, b.vec_id AS vec_id, sum(a.q * b.q) AS dot
+  FROM q a JOIN q b ON b.dim = a.dim
+  WHERE a.vec_id < {nq}
+  GROUP BY 1, 2
+)
+SELECT qid, vec_id, CAST(dot AS BIGINT) AS dot
+FROM dots WHERE dot >= {thr}
+"""
+
+
+def tpch_q16(excl: str = "Brand#1",
+             sizes: tuple = (1, 7, 14, 21, 28, 35, 42, 49)) -> str:
+    """Supplier-count report with anti-joined bad suppliers (twin of
+    `queries.q_tpch_q16`)."""
+    in_list = ", ".join(str(s) for s in sizes)
+    return f"""
+SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> '{excl}' AND p_size IN ({in_list})
+  AND l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2
+"""
+
+
+def mode_hour() -> str:
+    """Per-type modal hour-of-day, ties to the lowest hour (twin of
+    `queries.q_mode_hour`)."""
+    return """
+WITH c AS (
+  SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY cnt DESC, hour) AS rn
+      FROM c)
+SELECT event_type, hour, cnt FROM r WHERE rn = 1
 """

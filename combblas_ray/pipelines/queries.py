@@ -5292,3 +5292,331 @@ def q_rolling_sum4(sf_dir: str):
                          "roll_cents": pa.array(roll)})
 
     return group_apply_tasks(ev, ["user_id"], _roll)
+
+
+# ---------------------------------------------------------------------------
+# Wave 15: reciprocity / simhash pairs / range search / TPC-H Q16 / mode
+# ---------------------------------------------------------------------------
+
+
+def q_reciprocity(sf_dir: str):
+    """Directed-graph reciprocity sufficient statistics: n_edges =
+    distinct non-loop directed edges, n_recip = directed edges whose
+    reverse also exists (the reciprocity coefficient's numerator;
+    r = n_recip / n_edges). One unordered-pair shuffle; each partition
+    counts its both-direction pairs vectorized — the coordinate-
+    intersect of A with A^T (EWiseMult(A, A^T) nnz) without
+    materializing the transpose."""
+    from ..core.shuffle import group_apply_tasks
+
+    ctx = get_context(sf_dir)
+    be = ctx.graph("directed").dedup_sum().cast_bool().edges
+
+    def _pairize(b: pa.Table) -> pa.Table:
+        s = np.asarray(b.column("src"), dtype=np.int64)
+        d = np.asarray(b.column("dst"), dtype=np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({
+            "a": pa.array(np.minimum(s, d)),
+            "b": pa.array(np.maximum(s, d)),
+            "fwd": pa.array((s < d).astype(np.int64)),
+        })
+
+    pairs = be.map_batches(_pairize, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def _cnt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            z = np.int64(0)
+            return pa.table({"n_edges": pa.array([z]),
+                             "n_recip": pa.array([z])})
+        a = np.asarray(t.column("a"), dtype=np.int64)
+        b = np.asarray(t.column("b"), dtype=np.int64)
+        f = np.asarray(t.column("fwd"), dtype=np.int64)
+        order = np.lexsort((b, a))
+        a, b, f = a[order], b[order], f[order]
+        new = np.ones(len(a), dtype=bool)
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        seg = np.cumsum(new) - 1
+        nseg = int(seg[-1]) + 1
+        has_f = np.bincount(seg, weights=f, minlength=nseg) > 0
+        has_r = np.bincount(seg, weights=1 - f, minlength=nseg) > 0
+        return pa.table({
+            "n_edges": pa.array([len(a)], type=pa.int64()),
+            "n_recip": pa.array([2 * int((has_f & has_r).sum())],
+                                type=pa.int64()),
+        })
+
+    parts = group_apply_tasks(pairs, ["a", "b"], _cnt).take_all()
+    return pa.table({
+        "n_edges": pa.array([sum(p["n_edges"] for p in parts)],
+                            type=pa.int64()),
+        "n_recip": pa.array([sum(p["n_recip"] for p in parts)],
+                            type=pa.int64()),
+    })
+
+
+SH_T = 3  # max hamming distance
+
+
+def q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs: doc pairs whose 64-bit SimHash codes
+    differ in <= SH_T bits, found by 4-band 16-bit blocking (pigeonhole:
+    hamming <= 3 over 4 bands forces at least one equal band) + exact
+    popcount verify — the classic Manku/Charikar web-dedup layout. Two
+    shuffles: band-bucket candidate generation, pair-keyed dedup+verify;
+    codes travel with the pairs so verify never re-reads the corpus."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+    from ..functions.dedup import _run_pairs, simhash
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    sh = simhash(docs)
+
+    def _bands(t: pa.Table) -> pa.Table:
+        d = np.asarray(t.column("doc_id"), dtype=np.int64)
+        c = np.asarray(t.column("simhash"), dtype=np.int64)
+        u = c.view(np.uint64)
+        bands, vals, ids, codes = [], [], [], []
+        for bi in range(4):
+            bands.append(np.full(len(d), bi, dtype=np.int64))
+            vals.append(((u >> np.uint64(16 * bi))
+                         & np.uint64(0xFFFF)).astype(np.int64))
+            ids.append(d)
+            codes.append(c)
+        return pa.table({
+            "band": pa.array(np.concatenate(bands)),
+            "val": pa.array(np.concatenate(vals)),
+            "doc_id": pa.array(np.concatenate(ids)),
+            "code": pa.array(np.concatenate(codes)),
+        })
+
+    bands = sh.map_batches(_bands, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    _empty = pa.table({"a": pa.array([], type=pa.int64()),
+                       "b": pa.array([], type=pa.int64()),
+                       "ca": pa.array([], type=pa.int64()),
+                       "cb": pa.array([], type=pa.int64())})
+
+    def _cand(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "band" not in t.column_names:
+            return _empty
+        band = np.asarray(t.column("band"), dtype=np.int64)
+        val = np.asarray(t.column("val"), dtype=np.int64)
+        d = np.asarray(t.column("doc_id"), dtype=np.int64)
+        c = np.asarray(t.column("code"), dtype=np.int64)
+        order = np.lexsort((d, val, band))
+        band, val, d, c = band[order], val[order], d[order], c[order]
+        new = np.ones(len(d), dtype=bool)
+        new[1:] = (band[1:] != band[:-1]) | (val[1:] != val[:-1])
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.concatenate((starts, [len(d)])))
+        la, ra, lc, rc = _run_pairs(starts, sizes, d, c)
+        if len(la) == 0:
+            return _empty
+        return pa.table({"a": pa.array(la), "b": pa.array(ra),
+                         "ca": pa.array(lc), "cb": pa.array(rc)})
+
+    cands = group_apply_tasks(bands, ["band", "val"], _cand)
+
+    def _verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64()),
+                             "hamm": pa.array([], type=pa.int64())})
+        a = np.asarray(t.column("a"), dtype=np.int64)
+        b = np.asarray(t.column("b"), dtype=np.int64)
+        ca = np.asarray(t.column("ca"), dtype=np.int64)
+        cb = np.asarray(t.column("cb"), dtype=np.int64)
+        order = np.lexsort((b, a))
+        a, b, ca, cb = a[order], b[order], ca[order], cb[order]
+        keep = np.ones(len(a), dtype=bool)
+        keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        a, b, ca, cb = a[keep], b[keep], ca[keep], cb[keep]
+        x = (ca.view(np.uint64) ^ cb.view(np.uint64))
+        ham = np.unpackbits(
+            x[:, None].view(np.uint8), axis=1).sum(axis=1).astype(np.int64)
+        ok = ham <= SH_T
+        return pa.table({"a": pa.array(a[ok]), "b": pa.array(b[ok]),
+                         "hamm": pa.array(ham[ok])})
+
+    return group_apply_tasks(cands, ["a", "b"], _verify)
+
+
+RS_Q = 4  # query vectors: vec_id < RS_Q
+RS_MIN = 18_000_000_000_000  # integer dot-product threshold
+
+
+def q_range_search(sf_dir: str):
+    """Threshold (range) similarity search: all (query, vector) pairs
+    with integer dot product >= RS_MIN over the `kmeans_fixed`
+    quantization q = floor((x+0.5)*2^20) — exact on both sides. The
+    RS_Q query rows broadcast once (`ray.put`); each batch answers with
+    one int64 matmul + threshold mask (the brute-force range-scan
+    baseline of the ANN family, `ann.py` discipline)."""
+    import ray
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    seed_t = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id") < RS_Q,
+    ).sort("vec_id").take_batch(RS_Q, batch_format="pyarrow")
+    qids, qmat = _km_quant(pa.table(seed_t))
+    qref = ray.put((qids, qmat))
+
+    def _scan(t: pa.Table, *, _ref=qref) -> pa.Table:
+        qi, qm = _ref if isinstance(_ref, tuple) else ray.get(_ref)
+        ids, Q = _km_quant(t)
+        if len(ids) == 0:
+            return pa.table({"qid": pa.array([], type=pa.int64()),
+                             "vec_id": pa.array([], type=pa.int64()),
+                             "dot": pa.array([], type=pa.int64())})
+        d = qm @ Q.T  # (RS_Q, rows) int64 exact (< 2^44 per term * 64)
+        qq, vv = np.nonzero(d >= RS_MIN)
+        return pa.table({"qid": pa.array(qi[qq]),
+                         "vec_id": pa.array(ids[vv]),
+                         "dot": pa.array(d[qq, vv])})
+
+    return emb.map_batches(_scan, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+Q16_EXCL_BRAND = "Brand#1"
+Q16_SIZES = (1, 7, 14, 21, 28, 35, 42, 49)
+
+
+def q_tpch_q16(sf_dir: str):
+    """TPC-H Q16-style supplier-count report: distinct suppliers able to
+    supply parts of each (brand, size) among the selected sizes,
+    excluding one brand and suppliers with negative account balance
+    (the complaints anti-join stand-in). Bad-supplier set broadcast
+    once; part attributes join co-partitioned on partkey with the
+    (brand, size, supp) projection fused; distinct via one more keyed
+    shuffle; bounded counts combine driver-side."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks, hash_join_tasks
+
+    bad = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey"],
+        filter=pc.field("s_acctbal") < 0.0,
+    ).take_all()
+    bad_set = np.sort(np.array([r["s_suppkey"] for r in bad],
+                               dtype=np.int64))
+    bad_ref = ray.put(bad_set)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_size"],
+        filter=(pc.field("p_brand") != Q16_EXCL_BRAND)
+        & pc.field("p_size").isin(list(Q16_SIZES)),
+    )
+
+    def _proj(t: pa.Table, *, _ref=bad_ref) -> pa.Table:
+        bs = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+        if t.num_rows == 0 or "p_brand" not in t.column_names:
+            return pa.table({"p_brand": pa.array([], type=pa.string()),
+                             "p_size": pa.array([], type=pa.int64()),
+                             "supp": pa.array([], type=pa.int64())})
+        sk = np.asarray(t.column("l_suppkey"), dtype=np.int64)
+        ok = np.ones(len(sk), dtype=bool)
+        if len(bs):
+            pos = np.searchsorted(bs, sk)
+            pos[pos >= len(bs)] = len(bs) - 1
+            ok = bs[pos] != sk
+        return pa.table({
+            "p_brand": t.column("p_brand").filter(pa.array(ok)),
+            "p_size": pa.array(
+                np.asarray(t.column("p_size"), dtype=np.int64)[ok]),
+            "supp": pa.array(sk[ok]),
+        })
+
+    proj = hash_join_tasks(li, part, on="l_partkey", right_on="p_partkey",
+                           post=_proj)
+
+    def _distinct_cnt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "p_brand" not in t.column_names:
+            return pa.table({"p_brand": pa.array([], type=pa.string()),
+                             "p_size": pa.array([], type=pa.int64()),
+                             "supplier_cnt": pa.array([], type=pa.int64())})
+        br = np.asarray(t.column("p_brand")).astype(str)
+        sz = np.asarray(t.column("p_size"), dtype=np.int64)
+        sp = np.asarray(t.column("supp"), dtype=np.int64)
+        trip = np.unique(
+            np.stack([br, sz.astype(str), sp.astype(str)], axis=1), axis=0)
+        key = np.char.add(np.char.add(trip[:, 0], "\x1f"), trip[:, 1])
+        ug, cnt = np.unique(key, return_counts=True)
+        b_out = [k.split("\x1f")[0] for k in ug]
+        s_out = [int(k.split("\x1f")[1]) for k in ug]
+        return pa.table({"p_brand": pa.array(b_out, type=pa.string()),
+                         "p_size": pa.array(s_out, type=pa.int64()),
+                         "supplier_cnt": pa.array(cnt.astype(np.int64))})
+
+    parts = group_apply_tasks(proj, ["p_brand", "p_size"],
+                              _distinct_cnt).take_all()
+    agg: dict[tuple, int] = {}
+    for p in parts:
+        k = (p["p_brand"], p["p_size"])
+        agg[k] = agg.get(k, 0) + p["supplier_cnt"]
+    ks = sorted(agg)
+    return pa.table({
+        "p_brand": pa.array([k[0] for k in ks], type=pa.string()),
+        "p_size": pa.array([k[1] for k in ks], type=pa.int64()),
+        "supplier_cnt": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
+
+
+def q_mode_hour(sf_dir: str):
+    """Per-type modal hour-of-day: the hour with the most events of each
+    type (ties -> lowest hour) and its count — the MODE aggregate as
+    bounded (type x 24) per-batch partials + a driver-side argmax.
+    Hour = (epoch_us // 3600e6) % 24, pure integer (equals
+    extract(hour) for the post-1970 timestamps here)."""
+    import ray
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def _part(b: pa.Table) -> pa.Table:
+        t = np.asarray(b.column("ts")).astype("datetime64[us]").astype(
+            np.int64)
+        hour = (t // 3_600_000_000) % 24
+        et = np.asarray(b.column("event_type")).astype(str)
+        key = np.char.add(np.char.add(et, "\x1f"), hour.astype(str))
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "event_type": pa.array([k.split("\x1f")[0] for k in uk],
+                                   type=pa.string()),
+            "hour": pa.array([int(k.split("\x1f")[1]) for k in uk],
+                             type=pa.int64()),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        })
+
+    parts = ev.map_batches(_part, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    agg: dict[tuple, int] = {}
+    for p in parts:
+        k = (p["event_type"], p["hour"])
+        agg[k] = agg.get(k, 0) + p["cnt"]
+    best: dict[str, tuple] = {}
+    for (et, hour), cnt in agg.items():
+        cur = best.get(et)
+        if cur is None or (-cnt, hour) < (-cur[1], cur[0]):
+            best[et] = (hour, cnt)
+    ets = sorted(best)
+    return pa.table({
+        "event_type": pa.array(ets, type=pa.string()),
+        "hour": pa.array([best[e][0] for e in ets], type=pa.int64()),
+        "cnt": pa.array([best[e][1] for e in ets], type=pa.int64()),
+    })

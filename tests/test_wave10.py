@@ -440,3 +440,99 @@ def test_rolling_sum4_vs_pandas_brute(ray_session):
     assert len(out) == len(ev)
     for eid, want in zip(ev.event_id, roll):
         assert int(out.roll_cents[eid]) == int(want)
+
+
+def test_reciprocity_vs_brute(ray_session):
+    from combblas_ray.pipelines.context import get_context
+    from combblas_ray.pipelines.queries import q_reciprocity
+
+    out = q_reciprocity(SF).to_pandas()
+    ctx = get_context(SF)
+    e = ctx.graph("directed").dedup_sum().edges.to_pandas()
+    de = {(int(s), int(d)) for s, d in zip(e.src, e.dst) if s != d}
+    recip = sum(1 for s, d in de if (d, s) in de)
+    assert int(out["n_edges"][0]) == len(de)
+    assert int(out["n_recip"][0]) == recip
+
+
+def test_simhash_pairs_vs_brute(ray_session):
+    from combblas_ray.functions.dedup import simhash
+    from combblas_ray.pipelines.queries import SH_T, q_simhash_pairs
+    import ray
+
+    out = q_simhash_pairs(SF).to_pandas()
+    got = {(int(a), int(b)): int(h)
+           for a, b, h in zip(out.a, out.b, out.hamm)}
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    sh = simhash(docs).to_pandas()
+    codes = dict(zip(sh.doc_id.astype(int),
+                     sh.simhash.to_numpy().astype(np.int64)))
+    want = {}
+    ids = sorted(codes)
+    arr = np.array([codes[i] for i in ids], dtype=np.int64).view(np.uint64)
+    for i in range(len(ids)):
+        x = arr[i] ^ arr[i + 1:]
+        ham = np.unpackbits(x[:, None].view(np.uint8), axis=1).sum(axis=1)
+        for off in np.flatnonzero(ham <= SH_T):
+            want[(ids[i], ids[i + 1 + off])] = int(ham[off])
+    assert got == want
+
+
+def test_range_search_vs_brute(ray_session):
+    import pyarrow.parquet as pq
+
+    from combblas_ray.pipelines.queries import (RS_MIN, RS_Q,
+                                                q_range_search)
+
+    out = q_range_search(SF).to_pandas()
+    got = {(int(q), int(v)): int(d)
+           for q, v, d in zip(out.qid, out.vec_id, out["dot"])}
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = np.asarray(t.column("vec_id"), dtype=np.int64)
+    E = np.vstack([np.asarray(x) for x in
+                   t.column("embedding").to_pylist()]).astype(np.float64)
+    Q = np.floor((E + 0.5) * (1 << 20)).astype(np.int64)
+    order = np.argsort(ids)
+    ids, Q = ids[order], Q[order]
+    d = Q[:RS_Q] @ Q.T
+    want = {}
+    for qi in range(RS_Q):
+        for j in np.flatnonzero(d[qi] >= RS_MIN):
+            want[(int(ids[qi]), int(ids[j]))] = int(d[qi, j])
+    assert got == want
+
+
+def test_tpch_q16_vs_pandas_brute(ray_session):
+    from combblas_ray.pipelines.queries import (Q16_EXCL_BRAND, Q16_SIZES,
+                                                q_tpch_q16)
+
+    out = q_tpch_q16(SF).to_pandas().set_index(["p_brand", "p_size"])
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey"])
+    p = pd.read_parquet(f"{SF}/part.parquet",
+                        columns=["p_partkey", "p_brand", "p_size"])
+    s = pd.read_parquet(f"{SF}/supplier.parquet")
+    bad = set(s[s.s_acctbal < 0].s_suppkey.astype(int))
+    p = p[(p.p_brand != Q16_EXCL_BRAND) & p.p_size.isin(Q16_SIZES)]
+    j = li.merge(p, left_on="l_partkey", right_on="p_partkey")
+    j = j[~j.l_suppkey.isin(bad)]
+    w = j.groupby(["p_brand", "p_size"]).l_suppkey.nunique()
+    assert len(out) == len(w)
+    for (b, sz), cnt in w.items():
+        assert int(out.supplier_cnt[(b, int(sz))]) == int(cnt)
+
+
+def test_mode_hour_vs_pandas_brute(ray_session):
+    from combblas_ray.pipelines.queries import q_mode_hour
+
+    out = q_mode_hour(SF).to_pandas().set_index("event_type")
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "ts"])
+    ev["hour"] = ev.ts.dt.hour
+    c = ev.groupby(["event_type", "hour"]).size().reset_index(name="cnt")
+    for et, grp in c.groupby("event_type"):
+        top = grp.sort_values(["cnt", "hour"],
+                              ascending=[False, True]).iloc[0]
+        assert int(out.hour[et]) == int(top.hour)
+        assert int(out.cnt[et]) == int(top.cnt)
