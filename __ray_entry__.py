@@ -97,19 +97,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_search": q.q_range_search,
         "tpch_q16": q.q_tpch_q16,
         "mode_hour": q.q_mode_hour,
+        # wave 16
+        "tpch_q7": q.q_tpch_q7,
+        "tpch_q15": q.q_tpch_q15,
+        "tpch_q17": q.q_tpch_q17,
+        "tpch_q22": q.q_tpch_q22,
+        "regr_stats": q.q_regr_stats,
         # relational / windowed (round-2 verdict: keep driver evidence)
         "tpch_q3": q.q_tpch_q3,
-        "tpch_q5": q.q_tpch_q5,
-        "degree_corr_stats": q.q_degree_corr_stats,
-        "rollup_counts": q.q_rollup_counts,
-        "tpch_q4": q.q_tpch_q4,
         "asof_click": q.q_asof_click,
         "colloc_lift": q.q_colloc_lift,
-        "link_predict_ra": q.q_link_predict_ra,
         "rep_ngrams": q.q_rep_ngrams,
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
+        "tpch_q5": q.q_tpch_q5,  # multi-join chain: tpch_q3/q7 in-window
+        "degree_corr_stats": q.q_degree_corr_stats,  # sufficient stats: regr_stats in-window
+        "rollup_counts": q.q_rollup_counts,  # grouping sets: regr_stats/mode_hour partials in-window
+        "tpch_q4": q.q_tpch_q4,  # EXISTS semi-join: tpch_q22 NOT-EXISTS in-window
+        "link_predict_ra": q.q_link_predict_ra,  # wedge expand: clustering_coeff in-window
         "dup_clusters": q.q_dup_clusters,  # pair-graph CC: containment_pairs + connected_components in-window
         "vocab_topk": q.q_vocab_topk,  # token counts: colloc_lift in-window
         "sample_stratified": q.q_sample_stratified,  # LCG filter: pytest determinism + redact in-window
@@ -395,6 +401,12 @@ def oracle_sql() -> dict[str, str]:
         "range_search": o.range_search(q.RS_Q, q.RS_MIN),
         "tpch_q16": o.tpch_q16(q.Q16_EXCL_BRAND, q.Q16_SIZES),
         "mode_hour": o.mode_hour(),
+        "tpch_q7": o.tpch_q7(q.Q7_LO_YEAR, q.Q7_HI_YEAR),
+        "tpch_q15": o.tpch_q15("%04d-%02d-%02d" % q.Q15_LO,
+                               "%04d-%02d-%02d" % q.Q15_HI),
+        "tpch_q17": o.tpch_q17(q.Q17_BRAND),
+        "tpch_q22": o.tpch_q22(q.Q22_SEGS, "%04d-%02d-%02d" % q.Q22_CUTOFF),
+        "regr_stats": o.regr_stats(),
         "image_stats": o.image_stats(),
         "image_resize_stats": o.image_resize_stats(),
         "video_frames": o.video_frames(),

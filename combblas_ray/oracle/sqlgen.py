@@ -3541,3 +3541,115 @@ r AS (SELECT *, row_number() OVER (PARTITION BY event_type
       FROM c)
 SELECT event_type, hour, cnt FROM r WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 16: TPC-H Q7 / Q15 / Q17 / Q22 + regression sufficient statistics
+# ---------------------------------------------------------------------------
+
+
+def tpch_q7(lo_year: int = 1995, hi_year: int = 1997) -> str:
+    """International shipping volume by nation pair x ship year, exact
+    integer cents (twin of `queries.q_tpch_q7`)."""
+    return f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(extract(year FROM l_shipdate) AS BIGINT) AS l_year,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) AS rev_cents
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE s_nationkey <> c_nationkey
+  AND l_shipdate >= DATE '{lo_year}-01-01'
+  AND l_shipdate < DATE '{hi_year}-01-01'
+GROUP BY 1, 2, 3
+"""
+
+
+def tpch_q15(lo: str = "1996-01-01", hi: str = "1996-04-01") -> str:
+    """Top supplier(s) by quarterly revenue, ties kept (twin of
+    `queries.q_tpch_q15`)."""
+    return f"""
+WITH revenue0 AS (
+  SELECT l_suppkey,
+         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)) AS total_rev_cents
+  FROM lineitem
+  WHERE l_shipdate >= DATE '{lo}' AND l_shipdate < DATE '{hi}'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_rev_cents
+FROM supplier JOIN revenue0 ON s_suppkey = l_suppkey
+WHERE total_rev_cents = (SELECT max(total_rev_cents) FROM revenue0)
+"""
+
+
+def tpch_q17(brand: str = "Brand#2") -> str:
+    """Small-quantity-order revenue: the correlated avg subquery run
+    division-free in integers (twin of `queries.q_tpch_q17`)."""
+    return f"""
+WITH pl AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = '{brand}'
+),
+st AS (
+  SELECT l_partkey, count(*) AS cnt, sum(qty) AS sq
+  FROM pl GROUP BY 1
+)
+SELECT CAST(coalesce(sum(pl.cents), 0) AS BIGINT) AS cents,
+       CAST(count(*) AS BIGINT) AS nlines
+FROM pl JOIN st USING (l_partkey)
+WHERE 5 * pl.qty * st.cnt < st.sq
+"""
+
+
+def tpch_q22(segs: tuple = ("BUILDING", "AUTOMOBILE", "MACHINERY"),
+             cutoff: str = "2000-01-01") -> str:
+    """Global sales opportunity: above-average-balance customers with no
+    RECENT orders, division-free comparison (twin of
+    `queries.q_tpch_q22`)."""
+    seg_list = ", ".join(f"'{s}'" for s in segs)
+    return f"""
+WITH base AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents,
+         (c_acctbal > 0.0)::INT AS is_pos
+  FROM customer WHERE c_mktsegment IN ({seg_list})
+),
+avgpos AS (
+  SELECT sum(is_pos) AS n_pos,
+         sum(CASE WHEN is_pos = 1 THEN bal_cents ELSE 0 END) AS sum_pos
+  FROM base
+)
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(bal_cents) AS BIGINT) AS totbal_cents
+FROM base, avgpos
+WHERE bal_cents * n_pos > sum_pos
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= DATE '{cutoff}')
+GROUP BY 1
+"""
+
+
+def regr_stats() -> str:
+    """Per-type integer regression sufficient statistics of value cents
+    vs hour-of-day (twin of `queries.q_regr_stats`)."""
+    return """
+WITH b AS (
+  SELECT event_type,
+         CAST(extract(hour FROM ts) AS BIGINT) AS x,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+       CAST(sum(x * y) AS BIGINT) AS sum_xy,
+       CAST(sum(x * x) AS BIGINT) AS sum_x2,
+       CAST(sum(y * y) AS BIGINT) AS sum_y2
+FROM b GROUP BY 1
+"""

@@ -5620,3 +5620,371 @@ def q_mode_hour(sf_dir: str):
         "hour": pa.array([best[e][0] for e in ets], type=pa.int64()),
         "cnt": pa.array([best[e][1] for e in ets], type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 16: TPC-H Q7 / Q15 / Q17 / Q22 + regression sufficient statistics
+# ---------------------------------------------------------------------------
+
+Q7_LO_YEAR, Q7_HI_YEAR = 1995, 1997  # shipdate in [1995, 1997)
+
+
+def q_tpch_q7(sf_dir: str):
+    """TPC-H Q7-style international shipping volume: revenue between
+    every (supplier nation != customer nation) pair by ship year.
+    Customer nation rides the co-partitioned orders|><|customer join;
+    the supplier->nation map broadcasts once (supplier is the smallest
+    dimension, the reference's replicated small side); lineitem joins
+    orders co-partitioned with the (snat, cnat, year) partial fused
+    into the join task; output is bounded (<= nations^2 x years)."""
+    import datetime
+
+    import ray
+
+    from ..core.shuffle import hash_join_tasks
+
+    sup = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).take_all()
+    skeys = np.array([r["s_suppkey"] for r in sup], dtype=np.int64)
+    snats = np.array([r["s_nationkey"] for r in sup], dtype=np.int64)
+    o = np.argsort(skeys)
+    smap_ref = ray.put((skeys[o], snats[o]))
+    nat = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).take_all()
+    nname = {r["n_nationkey"]: r["n_name"] for r in nat}
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    ojoin = hash_join_tasks(orders, cust, on="o_custkey",
+                            right_on="c_custkey")
+
+    lo = datetime.datetime(Q7_LO_YEAR, 1, 1)
+    hi = datetime.datetime(Q7_HI_YEAR, 1, 1)
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+        filter=(pc.field("l_shipdate") >= pa.scalar(lo))
+        & (pc.field("l_shipdate") < pa.scalar(hi)),
+    )
+
+    def _post(t: pa.Table, *, _ref=smap_ref) -> pa.Table:
+        empty = pa.table({"snat": pa.array([], type=pa.int64()),
+                          "cnat": pa.array([], type=pa.int64()),
+                          "l_year": pa.array([], type=pa.int64()),
+                          "cents": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "c_nationkey" not in t.column_names:
+            return empty
+        sk, sn = _ref if isinstance(_ref, tuple) else ray.get(_ref)
+        lsup = np.asarray(t.column("l_suppkey"), dtype=np.int64)
+        pos = np.searchsorted(sk, lsup)
+        pos[pos >= len(sk)] = len(sk) - 1 if len(sk) else 0
+        snat = sn[pos]
+        cnat = np.asarray(t.column("c_nationkey"), dtype=np.int64)
+        keep = snat != cnat
+        if not keep.any():
+            return empty
+        ship = np.asarray(t.column("l_shipdate")).astype("datetime64[us]")
+        year = ship.astype("datetime64[Y]").astype(np.int64)[keep] + 1970
+        cents = np.floor(
+            np.asarray(t.column("l_extendedprice"))
+            * (1.0 - np.asarray(t.column("l_discount"))) * 100.0
+        )[keep].astype(np.int64)
+        key = ((snat[keep] * 32 + cnat[keep]) * 4096
+               + (year - Q7_LO_YEAR))
+        uk, inv = np.unique(key, return_inverse=True)
+        s = np.bincount(inv, weights=cents.astype(np.float64))
+        return pa.table({"snat": pa.array(uk // (32 * 4096)),
+                         "cnat": pa.array((uk // 4096) % 32),
+                         "l_year": pa.array(uk % 4096 + Q7_LO_YEAR),
+                         "cents": pa.array(s.astype(np.int64))})
+
+    parts = hash_join_tasks(li, ojoin, on="l_orderkey",
+                            right_on="o_orderkey", post=_post).take_all()
+    agg: dict[tuple, int] = {}
+    for p in parts:
+        k = (p["snat"], p["cnat"], p["l_year"])
+        agg[k] = agg.get(k, 0) + p["cents"]
+    ks = sorted(agg, key=lambda k: (nname[k[0]], nname[k[1]], k[2]))
+    return pa.table({
+        "supp_nation": pa.array([nname[k[0]] for k in ks],
+                                type=pa.string()),
+        "cust_nation": pa.array([nname[k[1]] for k in ks],
+                                type=pa.string()),
+        "l_year": pa.array([k[2] for k in ks], type=pa.int64()),
+        "rev_cents": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
+
+
+Q15_LO = (1996, 1, 1)
+Q15_HI = (1996, 4, 1)
+
+
+def q_tpch_q15(sf_dir: str):
+    """TPC-H Q15-style top supplier(s): per-supplier quarterly revenue
+    (the revenue0 view) as per-batch integer-cents partials + one keyed
+    shuffle, then the max-revenue supplier set (ties kept, as in the
+    spec) joined to supplier names via the broadcast dimension."""
+    import datetime
+
+    import ray
+
+    from ..core.shuffle import group_apply_tasks, group_sum_per_key
+
+    lo = datetime.datetime(*Q15_LO)
+    hi = datetime.datetime(*Q15_HI)
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_shipdate") >= pa.scalar(lo))
+        & (pc.field("l_shipdate") < pa.scalar(hi)),
+    )
+
+    def _part(b: pa.Table) -> pa.Table:
+        cents = np.floor(
+            np.asarray(b.column("l_extendedprice"))
+            * (1.0 - np.asarray(b.column("l_discount"))) * 100.0)
+        uk, s = group_sum_per_key(cents,
+                                  np.asarray(b.column("l_suppkey"),
+                                             dtype=np.int64))
+        return pa.table({"l_suppkey": pa.array(uk),
+                         "cents": pa.array(s.astype(np.int64))})
+
+    def _merge(t: pa.Table) -> pa.Table:
+        uk, s = group_sum_per_key(
+            np.asarray(t.column("cents"), dtype=np.float64),
+            np.asarray(t.column("l_suppkey"), dtype=np.int64))
+        return pa.table({"l_suppkey": pa.array(uk),
+                         "total_rev_cents": pa.array(s.astype(np.int64))})
+
+    per_supp = group_apply_tasks(
+        li.map_batches(_part, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["l_suppkey"], _merge).take_all()
+    if not per_supp:
+        return pa.table({"s_suppkey": pa.array([], type=pa.int64()),
+                         "s_name": pa.array([], type=pa.string()),
+                         "total_rev_cents": pa.array([], type=pa.int64())})
+    best = max(p["total_rev_cents"] for p in per_supp)
+    winners = sorted(p["l_suppkey"] for p in per_supp
+                     if p["total_rev_cents"] == best)
+    sup = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).take_all()
+    names = {r["s_suppkey"]: r["s_name"] for r in sup}
+    return pa.table({
+        "s_suppkey": pa.array(winners, type=pa.int64()),
+        "s_name": pa.array([names[w] for w in winners], type=pa.string()),
+        "total_rev_cents": pa.array([best] * len(winners),
+                                    type=pa.int64()),
+    })
+
+
+Q17_BRAND = "Brand#2"
+
+
+def q_tpch_q17(sf_dir: str):
+    """TPC-H Q17-style small-quantity-order revenue: lineitems of one
+    brand's parts whose quantity is below 0.2x the part's average
+    quantity. The correlated scalar subquery becomes a per-part
+    whole-group kernel inside one co-partitioned shuffle (a part's
+    lines all land together, so avg + the conditional sum are exact in
+    one pass); the fraction test runs division-free as
+    5 * qty * cnt < sum_qty in integers. Brand part ids broadcast once
+    into the parquet read filter. One-row output (cents + line count),
+    division by 7.0 left to the reader as documented."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    pt = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"],
+        filter=pc.field("p_brand") == Q17_BRAND,
+    ).take_all()
+    pset = np.sort(np.array([r["p_partkey"] for r in pt], dtype=np.int64))
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+        filter=pc.field("l_partkey").isin(pset.tolist()),
+    )
+
+    def _group(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_partkey" not in t.column_names:
+            return pa.table({"cents": pa.array([], type=pa.int64()),
+                             "nlines": pa.array([], type=pa.int64())})
+        pk = np.asarray(t.column("l_partkey"), dtype=np.int64)
+        qty = np.asarray(t.column("l_quantity")).astype(np.int64)
+        cents = np.floor(
+            np.asarray(t.column("l_extendedprice")) * 100.0).astype(
+            np.int64)
+        uk, inv = np.unique(pk, return_inverse=True)
+        cnt = np.bincount(inv)
+        sq = np.bincount(inv, weights=qty.astype(np.float64)).astype(
+            np.int64)
+        low = 5 * qty * cnt[inv] < sq[inv]
+        return pa.table({
+            "cents": pa.array([int(cents[low].sum())], type=pa.int64()),
+            "nlines": pa.array([int(low.sum())], type=pa.int64()),
+        })
+
+    parts = group_apply_tasks(li, ["l_partkey"], _group).take_all()
+    return pa.table({
+        "cents": pa.array([sum(p["cents"] for p in parts)],
+                          type=pa.int64()),
+        "nlines": pa.array([sum(p["nlines"] for p in parts)],
+                           type=pa.int64()),
+    })
+
+
+Q22_SEGS = ("BUILDING", "AUTOMOBILE", "MACHINERY")
+Q22_CUTOFF = (2000, 1, 1)  # "no recent orders" (every customer here has
+#                            SOME order, so the spec's empty-order test
+#                            is re-dated to keep the query non-vacuous)
+
+
+def q_tpch_q22(sf_dir: str):
+    """TPC-H Q22-style global sales opportunity: customers in selected
+    market segments (the phone-prefix stand-in) with account balance
+    above the average positive balance of those segments AND no orders
+    since Q22_CUTOFF. Phase 1: one streaming pass -> (n_pos,
+    sum_pos_cents) scalars. Phase 2: the above-average test runs
+    division-free (bal_cents * n_pos > sum_pos) inside a co-partitioned
+    LEFT OUTER join against per-partition-distinct recent-order
+    custkeys (the NOT EXISTS). Output: per-segment customer count +
+    total balance cents."""
+    import datetime
+
+    import ray
+
+    from ..core.shuffle import hash_join_tasks
+
+    segs = list(Q22_SEGS)
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_acctbal", "c_mktsegment"],
+        filter=pc.field("c_mktsegment").isin(segs),
+    )
+
+    def _pos_part(b: pa.Table) -> pa.Table:
+        bal = np.asarray(b.column("c_acctbal"))
+        pos = bal > 0.0
+        cents = np.floor(bal[pos] * 100.0)
+        return pa.table({"n": pa.array([int(pos.sum())], type=pa.int64()),
+                         "s": pa.array([int(cents.sum())],
+                                       type=pa.int64())})
+
+    stats = cust.map_batches(_pos_part, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all()
+    n_pos = sum(p["n"] for p in stats)
+    sum_pos = sum(p["s"] for p in stats)
+
+    ords = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pc.field("o_orderdate")
+        >= pa.scalar(datetime.datetime(*Q22_CUTOFF)),
+    )
+
+    def _dedup(b: pa.Table) -> pa.Table:
+        uk = np.unique(np.asarray(b.column("o_custkey"), dtype=np.int64))
+        return pa.table({"o_custkey": pa.array(uk),
+                         "has_o": pa.array(np.ones(len(uk),
+                                                   dtype=np.int8))})
+
+    ouniq = ords.map_batches(_dedup, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def _post(t: pa.Table, *, _n=n_pos, _s=sum_pos) -> pa.Table:
+        empty = pa.table({"c_mktsegment": pa.array([], type=pa.string()),
+                          "numcust": pa.array([], type=pa.int64()),
+                          "totbal_cents": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "c_acctbal" not in t.column_names:
+            return empty
+        has_order = pc.is_valid(t.column("has_o")).to_numpy(
+            zero_copy_only=False)
+        bal_cents = np.floor(
+            np.asarray(t.column("c_acctbal")) * 100.0).astype(np.int64)
+        keep = (~has_order) & (bal_cents * _n > _s)
+        if not keep.any():
+            return empty
+        seg = np.asarray(t.column("c_mktsegment")).astype(str)[keep]
+        us, inv = np.unique(seg, return_inverse=True)
+        return pa.table({
+            "c_mktsegment": pa.array(us.tolist(), type=pa.string()),
+            "numcust": pa.array(np.bincount(inv).astype(np.int64)),
+            "totbal_cents": pa.array(np.bincount(
+                inv, weights=bal_cents[keep].astype(np.float64)
+            ).astype(np.int64)),
+        })
+
+    # LEFT OUTER keeps order-less customers; dedup partials of one key
+    # co-locate so a customer with orders joins >=1 non-null row and a
+    # customer without joins exactly one null row.
+    parts = hash_join_tasks(cust, ouniq, on="c_custkey",
+                            right_on="o_custkey", join_type="left outer",
+                            post=_post).take_all()
+    agg: dict[str, list[int]] = {}
+    for p in parts:
+        e = agg.setdefault(p["c_mktsegment"], [0, 0])
+        e[0] += p["numcust"]
+        e[1] += p["totbal_cents"]
+    ks = sorted(agg)
+    return pa.table({
+        "c_mktsegment": pa.array(ks, type=pa.string()),
+        "numcust": pa.array([agg[k][0] for k in ks], type=pa.int64()),
+        "totbal_cents": pa.array([agg[k][1] for k in ks],
+                                 type=pa.int64()),
+    })
+
+
+def q_regr_stats(sf_dir: str):
+    """Per-type linear-regression sufficient statistics of event value
+    (cents) against hour-of-day: n, sum_x, sum_y, sum_xy, sum_x2,
+    sum_y2 as exact integers — everything COVAR / CORR / REGR_SLOPE
+    need, shuffle-free (bounded per-batch partials, driver combine of
+    <= n_types rows)."""
+    import ray
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def _part(b: pa.Table) -> pa.Table:
+        t = np.asarray(b.column("ts")).astype("datetime64[us]").astype(
+            np.int64)
+        x = (t // 3_600_000_000) % 24
+        y = np.floor(np.asarray(b.column("value")) * 100.0 + 0.5).astype(
+            np.int64)
+        et = np.asarray(b.column("event_type")).astype(str)
+        ue, inv = np.unique(et, return_inverse=True)
+        def bc(w):
+            return np.bincount(inv, weights=w.astype(np.float64)).astype(
+                np.int64)
+        return pa.table({
+            "event_type": pa.array(ue.tolist(), type=pa.string()),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "sum_x": pa.array(bc(x)),
+            "sum_y": pa.array(bc(y)),
+            "sum_xy": pa.array(bc(x * y)),
+            "sum_x2": pa.array(bc(x * x)),
+            "sum_y2": pa.array(bc(y * y)),
+        })
+
+    parts = ev.map_batches(_part, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    agg: dict[str, np.ndarray] = {}
+    for p in parts:
+        v = np.array([p["n"], p["sum_x"], p["sum_y"], p["sum_xy"],
+                      p["sum_x2"], p["sum_y2"]], dtype=np.int64)
+        agg[p["event_type"]] = agg.get(p["event_type"], 0) + v
+    ks = sorted(agg)
+    cols = ["n", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2"]
+    out = {"event_type": pa.array(ks, type=pa.string())}
+    for i, c in enumerate(cols):
+        out[c] = pa.array([int(agg[k][i]) for k in ks], type=pa.int64())
+    return pa.table(out)
