@@ -87,16 +87,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact": q.q_redact,
         "hll_registers": q.q_hll_registers,
         # wave 14 (newest = highest regression risk)
-        "rich_club": q.q_rich_club,
-        "tpch_q12": q.q_tpch_q12,
-        "tpch_q13": q.q_tpch_q13,
         "rolling_sum4": q.q_rolling_sum4,
         # wave 15
-        "reciprocity": q.q_reciprocity,
         "simhash_pairs": q.q_simhash_pairs,
         "range_search": q.q_range_search,
         "tpch_q16": q.q_tpch_q16,
-        "mode_hour": q.q_mode_hour,
+        # wave 17
+        "tpch_q9": q.q_tpch_q9,
+        "tpch_q19": q.q_tpch_q19,
+        "edit_window": q.q_edit_window,
+        "lang_gini": q.q_lang_gini,
+        "audio_stats": q.q_audio_stats,
         # wave 16
         "tpch_q7": q.q_tpch_q7,
         "tpch_q15": q.q_tpch_q15,
@@ -111,6 +112,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
+        "rich_club": q.q_rich_club,  # degree-threshold semi-join: kcore_fixed/clustering_coeff in-window
+        "tpch_q12": q.q_tpch_q12,  # conditional-agg join: tpch_q9/q19 in-window
+        "tpch_q13": q.q_tpch_q13,  # LEFT OUTER machinery: tpch_q22 in-window
+        "mode_hour": q.q_mode_hour,  # bounded partials: regr_stats/lang_gini in-window
+        "reciprocity": q.q_reciprocity,  # edge self-join: triangles/edge_jaccard family, simhash_pairs in-window
         "tpch_q5": q.q_tpch_q5,  # multi-join chain: tpch_q3/q7 in-window
         "degree_corr_stats": q.q_degree_corr_stats,  # sufficient stats: regr_stats in-window
         "rollup_counts": q.q_rollup_counts,  # grouping sets: regr_stats/mode_hour partials in-window
@@ -402,6 +408,11 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q16": o.tpch_q16(q.Q16_EXCL_BRAND, q.Q16_SIZES),
         "mode_hour": o.mode_hour(),
         "tpch_q7": o.tpch_q7(q.Q7_LO_YEAR, q.Q7_HI_YEAR),
+        "tpch_q9": o.tpch_q9(q.Q9_PART),
+        "tpch_q19": o.tpch_q19(q.Q19_CLAUSES),
+        "edit_window": o.edit_window(q.ED_W, q.ED_K),
+        "lang_gini": o.lang_gini(),
+        "audio_stats": o.audio_stats(),
         "tpch_q15": o.tpch_q15("%04d-%02d-%02d" % q.Q15_LO,
                                "%04d-%02d-%02d" % q.Q15_HI),
         "tpch_q17": o.tpch_q17(q.Q17_BRAND),

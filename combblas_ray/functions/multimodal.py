@@ -92,7 +92,8 @@ def blob_dataset_from_docs(sf_dir: str, *, kind: str = "image",
     makes the downstream stats SQL-reproducible (oracle-exact)."""
     import ray
 
-    maker = make_blob if kind == "image" else make_video_blob
+    maker = {"image": make_blob, "video": make_video_blob,
+             "audio": make_audio_blob}[kind]
 
     def _gen(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
@@ -407,3 +408,54 @@ def resize_pipeline(blob_ds, *, concurrency: int = 2, batch_size: int = 64):
         ResizeStage, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# audio: (kind=2, sample_rate, n_samples) header + int16 PCM — integer
+# synthesis so the feature stage is SQL-reproducible (oracle-exact), the
+# audio sibling of make_blob/IntStatsStage
+# ---------------------------------------------------------------------------
+
+AUDIO_SR = 8000
+AUDIO_MOD = 4001  # sample i = (i * (id + 11)) % 4001 - 2000, int16-safe
+
+
+def make_audio_blob(item_id: int) -> bytes:
+    n = 256 + (item_id % 4) * 128
+    pcm = ((np.arange(n, dtype=np.int64) * (item_id + 11)) % AUDIO_MOD
+           - 2000).astype(np.int16)
+    return HEADER.pack(2, AUDIO_SR, n) + pcm.tobytes()
+
+
+class AudioIntStatsStage:
+    """Integer-exact audio features — the oracle-checkable sibling of
+    ``AudioFeatureStage``: n_samples, |PCM| sum, energy (sum of
+    squares) and zero crossings (sign flips of s<0) are all int64.
+    Same actor-pool shape: codec/header state once per actor in
+    ``__init__``, per-payload decode loop in ``__call__``."""
+
+    def __init__(self):
+        self.header = HEADER
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ns, abss, sqs, zcs = [], [], [], [], []
+        for item_id, payload in zip(
+            batch.column("item_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            _, sr, n = self.header.unpack_from(payload, 0)
+            pcm = np.frombuffer(payload, dtype=np.int16,
+                                offset=self.header.size).astype(np.int64)
+            ids.append(item_id)
+            ns.append(n)
+            abss.append(int(np.abs(pcm).sum()))
+            sqs.append(int((pcm * pcm).sum()))
+            neg = pcm < 0
+            zcs.append(int((neg[1:] != neg[:-1]).sum()) if n > 1 else 0)
+        return pa.table({
+            "item_id": pa.array(ids, type=pa.int64()),
+            "n_samples": pa.array(ns, type=pa.int64()),
+            "abs_sum": pa.array(abss, type=pa.int64()),
+            "sq_sum": pa.array(sqs, type=pa.int64()),
+            "zc": pa.array(zcs, type=pa.int64()),
+        })

@@ -790,3 +790,46 @@ def colloc_lift_topk(docs_ds, k: int = 50, min_count: int = 5,
         "cab": pa.array(cab[order]),
         "score": pa.array(score[order]),
     })
+
+
+# ---------------------------------------------------------------------------
+# batched byte-level Levenshtein (edit-distance near-dup verify)
+# ---------------------------------------------------------------------------
+
+
+def levenshtein_batch(a_list, b_list) -> np.ndarray:
+    """Exact unit-cost Levenshtein distance for a batch of string pairs,
+    vectorized over the pair axis: one python loop over DP rows (max
+    byte length), each row a few numpy ops over (npairs, maxlen).
+    Byte-level on UTF-8 (matches DuckDB's ``levenshtein``, which counts
+    byte edits — verified: levenshtein('héllo','hello') = 2). The
+    in-row insertion dependency resolves closed-form for unit costs:
+    row[j] = min_{k<=j} (cand[k] + (j-k)) = accmin(cand - j) + j."""
+    P = len(a_list)
+    if P == 0:
+        return np.zeros(0, dtype=np.int64)
+    ab = [s.encode("utf-8") for s in a_list]
+    bb = [s.encode("utf-8") for s in b_list]
+    la = np.fromiter((len(x) for x in ab), np.int64, P)
+    lb = np.fromiter((len(x) for x in bb), np.int64, P)
+    ma, mb = int(la.max()), int(lb.max())
+    A = np.zeros((P, ma), dtype=np.uint8)
+    B = np.zeros((P, mb), dtype=np.uint8)
+    for p, x in enumerate(ab):
+        A[p, : len(x)] = np.frombuffer(x, dtype=np.uint8)
+    for p, x in enumerate(bb):
+        B[p, : len(x)] = np.frombuffer(x, dtype=np.uint8)
+    res = np.where(la == 0, lb, 0).astype(np.int64)
+    prev = np.tile(np.arange(mb + 1, dtype=np.int64), (P, 1))
+    jidx = np.arange(mb + 1, dtype=np.int64)
+    for i in range(1, ma + 1):
+        cost = (A[:, i - 1][:, None] != B).astype(np.int64)
+        cand = np.minimum(prev[:, 1:] + 1, prev[:, :-1] + cost)
+        full = np.concatenate(
+            [np.full((P, 1), i, dtype=np.int64), cand - jidx[1:]], axis=1)
+        cur = np.minimum.accumulate(full, axis=1) + jidx
+        hit = la == i
+        if hit.any():
+            res[hit] = cur[hit, lb[hit]]
+        prev = cur
+    return res

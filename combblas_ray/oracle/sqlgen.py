@@ -3653,3 +3653,95 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(y * y) AS BIGINT) AS sum_y2
 FROM b GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 17: TPC-H Q9 / Q19, edit-distance window, language Gini, audio stats
+# ---------------------------------------------------------------------------
+
+
+def tpch_q9(part_sub: str = "widget") -> str:
+    """Product-type profit by supplier nation x ship year, exact integer
+    cents (twin of `queries.q_tpch_q9`)."""
+    return f"""
+SELECT n_name AS nation,
+       CAST(extract(year FROM l_shipdate) AS BIGINT) AS l_year,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) AS profit_cents
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%{part_sub}%'
+GROUP BY 1, 2
+"""
+
+
+def tpch_q19(clauses: tuple) -> str:
+    """Disjunctive-predicate revenue (twin of `queries.q_tpch_q19`)."""
+    ors = " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi} "
+        f"AND l_quantity BETWEEN {qlo} AND {qhi})"
+        for b, slo, shi, qlo, qhi in clauses)
+    return f"""
+SELECT CAST(coalesce(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                    * 100) AS BIGINT)), 0) AS BIGINT)
+         AS cents,
+       CAST(count(*) AS BIGINT) AS nlines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE {ors}
+"""
+
+
+def edit_window(w: int = 3, k: int = 96) -> str:
+    """Byte-level Levenshtein between prefix texts of neighbor doc pairs
+    (twin of `queries.q_edit_window`; DuckDB's levenshtein counts byte
+    edits, matching `text.levenshtein_batch`)."""
+    return f"""
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(levenshtein(substr(a.text, 1, {k}),
+                        substr(b.text, 1, {k})) AS BIGINT) AS dist
+FROM documents a
+JOIN documents b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + {w}
+"""
+
+
+def lang_gini() -> str:
+    """Per-source language-diversity sufficient statistics (twin of
+    `queries.q_lang_gini`)."""
+    return """
+WITH c AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY 1, 2
+)
+SELECT source, CAST(sum(cnt) AS BIGINT) AS n,
+       CAST(sum(cnt * cnt) AS BIGINT) AS sumsq
+FROM c GROUP BY 1
+"""
+
+
+def audio_stats(sr: int = 8000, mod: int = 4001) -> str:
+    """Regenerates make_audio_blob's PCM arithmetic:
+    n = 256 + (id%4)*128, sample i = (i*(id+11)) % mod - 2000; features
+    n_samples / abs sum / energy / zero crossings (twin of
+    `queries.q_audio_stats`)."""
+    return f"""
+WITH dims AS (
+  SELECT doc_id AS item_id,
+         CAST(256 + (doc_id % 4) * 128 AS BIGINT) AS n
+  FROM documents
+),
+s AS (
+  SELECT d.item_id, d.n, r.i,
+         (r.i * (d.item_id + 11)) % {mod} - 2000 AS v,
+         ((r.i - 1) * (d.item_id + 11)) % {mod} - 2000 AS pv
+  FROM dims d CROSS JOIN range(640) r(i)
+  WHERE r.i < d.n
+)
+SELECT item_id, CAST(min(n) AS BIGINT) AS n_samples,
+       CAST(sum(abs(v)) AS BIGINT) AS abs_sum,
+       CAST(sum(v * v) AS BIGINT) AS sq_sum,
+       CAST(sum(CASE WHEN i >= 1 AND ((v < 0) <> (pv < 0))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zc
+FROM s GROUP BY 1
+"""

@@ -5988,3 +5988,280 @@ def q_regr_stats(sf_dir: str):
     for i, c in enumerate(cols):
         out[c] = pa.array([int(agg[k][i]) for k in ks], type=pa.int64())
     return pa.table(out)
+
+
+# ---------------------------------------------------------------------------
+# wave 17: TPC-H Q9 / Q19, edit-distance window, language Gini, audio stats
+# ---------------------------------------------------------------------------
+
+Q9_PART = "widget"
+
+
+def q_tpch_q9(sf_dir: str):
+    """TPC-H Q9-style product-type profit: revenue of lineitems whose
+    part name contains Q9_PART, by supplier nation x ship year (profit
+    = discounted revenue cents; this corpus has no partsupp cost side).
+    Parts filter at the read (LIKE pushdown), lineitem joins the
+    filtered parts co-partitioned on partkey with the supplier->nation
+    broadcast map + bounded (nation x year) partials fused into the
+    join task."""
+    import ray
+
+    from ..core.shuffle import hash_join_tasks
+
+    sup = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).take_all()
+    skeys = np.array([r["s_suppkey"] for r in sup], dtype=np.int64)
+    snats = np.array([r["s_nationkey"] for r in sup], dtype=np.int64)
+    o = np.argsort(skeys)
+    smap_ref = ray.put((skeys[o], snats[o]))
+    nat = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).take_all()
+    nname = {r["n_nationkey"]: r["n_name"] for r in nat}
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"],
+        filter=pc.match_substring(pc.field("p_name"), Q9_PART),
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+    )
+
+    def _post(t: pa.Table, *, _ref=smap_ref) -> pa.Table:
+        empty = pa.table({"snat": pa.array([], type=pa.int64()),
+                          "l_year": pa.array([], type=pa.int64()),
+                          "cents": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "l_suppkey" not in t.column_names:
+            return empty
+        sk, sn = _ref if isinstance(_ref, tuple) else ray.get(_ref)
+        lsup = np.asarray(t.column("l_suppkey"), dtype=np.int64)
+        pos = np.searchsorted(sk, lsup)
+        pos[pos >= len(sk)] = len(sk) - 1 if len(sk) else 0
+        snat = sn[pos]
+        ship = np.asarray(t.column("l_shipdate")).astype("datetime64[us]")
+        year = ship.astype("datetime64[Y]").astype(np.int64) + 1970
+        cents = np.floor(
+            np.asarray(t.column("l_extendedprice"))
+            * (1.0 - np.asarray(t.column("l_discount"))) * 100.0
+        ).astype(np.int64)
+        key = snat * 4096 + (year - 1970)
+        uk, inv = np.unique(key, return_inverse=True)
+        s = np.bincount(inv, weights=cents.astype(np.float64))
+        return pa.table({"snat": pa.array(uk // 4096),
+                         "l_year": pa.array(uk % 4096 + 1970),
+                         "cents": pa.array(s.astype(np.int64))})
+
+    parts = hash_join_tasks(li, part, on="l_partkey",
+                            right_on="p_partkey", post=_post).take_all()
+    agg: dict[tuple, int] = {}
+    for p in parts:
+        k = (p["snat"], p["l_year"])
+        agg[k] = agg.get(k, 0) + p["cents"]
+    ks = sorted(agg, key=lambda k: (nname[k[0]], k[1]))
+    return pa.table({
+        "nation": pa.array([nname[k[0]] for k in ks], type=pa.string()),
+        "l_year": pa.array([k[1] for k in ks], type=pa.int64()),
+        "profit_cents": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
+
+
+# (brand, size_lo, size_hi, qty_lo, qty_hi) disjuncts
+Q19_CLAUSES = (("Brand#1", 1, 5, 1, 11),
+               ("Brand#2", 1, 10, 10, 20),
+               ("Brand#3", 1, 15, 20, 30))
+
+
+def q_tpch_q19(sf_dir: str):
+    """TPC-H Q19-style disjunctive-predicate revenue: three OR'd
+    (brand, size-range, quantity-range) clauses evaluated vectorized
+    inside one co-partitioned lineitem |><| part join; one-row integer
+    output (revenue cents + matching line count)."""
+    import ray
+
+    from ..core.shuffle import hash_join_tasks
+
+    brands = sorted({c[0] for c in Q19_CLAUSES})
+    max_size = max(c[2] for c in Q19_CLAUSES)
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_size"],
+        filter=pc.field("p_brand").isin(brands)
+        & (pc.field("p_size") <= max_size),
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"],
+    )
+
+    def _post(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "p_brand" not in t.column_names:
+            return pa.table({"cents": pa.array([], type=pa.int64()),
+                             "nlines": pa.array([], type=pa.int64())})
+        br = np.asarray(t.column("p_brand")).astype(str)
+        sz = np.asarray(t.column("p_size"), dtype=np.int64)
+        qty = np.asarray(t.column("l_quantity")).astype(np.int64)
+        keep = np.zeros(t.num_rows, dtype=bool)
+        for b, slo, shi, qlo, qhi in Q19_CLAUSES:
+            keep |= ((br == b) & (sz >= slo) & (sz <= shi)
+                     & (qty >= qlo) & (qty <= qhi))
+        cents = np.floor(
+            np.asarray(t.column("l_extendedprice"))
+            * (1.0 - np.asarray(t.column("l_discount"))) * 100.0
+        ).astype(np.int64)
+        return pa.table({
+            "cents": pa.array([int(cents[keep].sum())], type=pa.int64()),
+            "nlines": pa.array([int(keep.sum())], type=pa.int64()),
+        })
+
+    parts = hash_join_tasks(li, part, on="l_partkey",
+                            right_on="p_partkey", post=_post).take_all()
+    return pa.table({
+        "cents": pa.array([sum(p["cents"] for p in parts)],
+                          type=pa.int64()),
+        "nlines": pa.array([sum(p["nlines"] for p in parts)],
+                           type=pa.int64()),
+    })
+
+
+ED_W = 3    # neighbor window (doc_id distance)
+ED_K = 96   # codepoint prefix compared
+ED_B = 512  # doc_id partition width
+
+
+def q_edit_window(sf_dir: str):
+    """Edit-distance profile over neighbor document pairs: exact
+    byte-level Levenshtein between the ED_K-codepoint prefixes of every
+    doc pair at doc_id distance 1..ED_W — the near-dup verify kernel
+    (`text.levenshtein_batch`, one vectorized DP over the pair axis)
+    driven through a boundary-overlap routed shuffle: docs route to
+    partition doc_id // ED_B, and the first ED_W docs of each partition
+    also copy to the previous partition so cross-boundary pairs form
+    locally. No all-pairs stage anywhere."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+    from ..functions.text import levenshtein_batch
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def _route(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+        txt = pc.utf8_slice_codeunits(b.column("text"), 0, ED_K)
+        pk = ids // ED_B
+        base = pa.table({"pk": pa.array(pk), "doc_id": pa.array(ids),
+                         "text": txt})
+        low = (ids % ED_B < ED_W) & (pk > 0)
+        if not low.any():
+            return base
+        extra = pa.table({"pk": pa.array(pk[low] - 1),
+                          "doc_id": pa.array(ids[low]),
+                          "text": txt.filter(pa.array(low))})
+        return pa.concat_tables([base, extra])
+
+    routed = docs.map_batches(_route, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], type=pa.int64()),
+                          "b": pa.array([], type=pa.int64()),
+                          "dist": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return empty
+        ids = np.asarray(t.column("doc_id"), dtype=np.int64)
+        pk = np.asarray(t.column("pk"), dtype=np.int64)
+        # overlap copies duplicate (pk-1, id); dedup on id within the
+        # hash partition (several pk values co-locate per partition).
+        # "own" must OR over copies: the home row proves this partition
+        # owns the doc's pair emission even when the surviving unique
+        # row is the overlap copy.
+        home = pk == ids // ED_B
+        uids, first, inv = np.unique(ids, return_index=True,
+                                     return_inverse=True)
+        own = np.bincount(inv, weights=home.astype(np.float64)) > 0
+        txt = t.column("text").take(pa.array(first)).to_pylist()
+        ai, bi = [], []
+        for d in range(1, ED_W + 1):
+            pos = np.searchsorted(uids, uids + d)
+            ok = (pos < len(uids))
+            okp = np.flatnonzero(ok)
+            okp = okp[uids[pos[okp]] == uids[okp] + d]
+            okp = okp[own[okp]]
+            ai.append(okp)
+            bi.append(pos[okp])
+        ai = np.concatenate(ai) if ai else np.zeros(0, np.int64)
+        bi = np.concatenate(bi) if bi else np.zeros(0, np.int64)
+        if len(ai) == 0:
+            return empty
+        dist = levenshtein_batch([txt[i] for i in ai],
+                                 [txt[j] for j in bi])
+        return pa.table({"a": pa.array(uids[ai]),
+                         "b": pa.array(uids[bi]),
+                         "dist": pa.array(dist)})
+
+    return group_apply_tasks(routed, ["pk"], _pairs)
+
+
+def q_lang_gini(sf_dir: str):
+    """Per-source language-diversity sufficient statistics: document
+    count n and sum of squared per-language counts (Gini impurity
+    = 1 - sumsq/n^2, left rational) — exact integers, shuffle-free
+    bounded (source x lang) per-batch partials."""
+    import ray
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang"]
+    )
+
+    def _part(b: pa.Table) -> pa.Table:
+        src = np.asarray(b.column("source")).astype(str)
+        lng = np.asarray(b.column("lang")).astype(str)
+        key = np.char.add(np.char.add(src, "\x1f"), lng)
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "source": pa.array([k.split("\x1f")[0] for k in uk],
+                               type=pa.string()),
+            "lang": pa.array([k.split("\x1f")[1] for k in uk],
+                             type=pa.string()),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        })
+
+    parts = docs.map_batches(_part, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all()
+    agg: dict[tuple, int] = {}
+    for p in parts:
+        k = (p["source"], p["lang"])
+        agg[k] = agg.get(k, 0) + p["cnt"]
+    per_src: dict[str, list[int]] = {}
+    for (src, _), cnt in agg.items():
+        e = per_src.setdefault(src, [0, 0])
+        e[0] += cnt
+        e[1] += cnt * cnt
+    ks = sorted(per_src)
+    return pa.table({
+        "source": pa.array(ks, type=pa.string()),
+        "n": pa.array([per_src[k][0] for k in ks], type=pa.int64()),
+        "sumsq": pa.array([per_src[k][1] for k in ks], type=pa.int64()),
+    })
+
+
+def q_audio_stats(sf_dir: str):
+    """Binary audio payloads (int16 PCM, integer synthesis) -> stateful
+    actor-pool feature extraction -> integer per-item statistics
+    (n_samples, |PCM| sum, energy, zero crossings). The audio sibling
+    of `image_stats`: driver-checkable evidence for the audio decode
+    class; the float/codec stage (`AudioFeatureStage`) stays beside it,
+    pytest-backed."""
+    from ..functions import multimodal as M
+
+    blobs = M.blob_dataset_from_docs(sf_dir, kind="audio")
+    return blobs.map_batches(
+        M.AudioIntStatsStage, batch_format="pyarrow", batch_size=64,
+        concurrency=2,
+    )
