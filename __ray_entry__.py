@@ -69,11 +69,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_fixed": q.q_kcore_fixed,
         "ppr": q.q_ppr,
         "scc_coloring": q.q_scc_coloring,
-        "random_walks": q.q_random_walks,
-        "stress": q.q_stress,
-        "widest_paths": q.q_widest_paths,
-        "nbr_jaccard": q.q_nbr_jaccard,
-        "galerkin": q.q_galerkin,
         "wl_refine": q.q_wl_refine,
         # multimodal actor-pool pipelines (first-ever driver evidence
         # for the decode/resize/frame-sample class)
@@ -92,6 +87,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": q.q_simhash_pairs,
         "range_search": q.q_range_search,
         "tpch_q16": q.q_tpch_q16,
+        # wave 18
+        "tpch_q2": q.q_tpch_q2,
+        "tpch_q8": q.q_tpch_q8,
+        "tpch_q11": q.q_tpch_q11,
+        "tpch_q20": q.q_tpch_q20,
+        "bloom_probe": q.q_bloom_probe,
         # wave 17
         "tpch_q9": q.q_tpch_q9,
         "tpch_q19": q.q_tpch_q19,
@@ -112,6 +113,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
+        "random_walks": q.q_random_walks,  # seeded LCG walk: coloring_fixed/mis_fixed LCG in-window
+        "stress": q.q_stress,  # sigma chain: bfs_sigma in-window
+        "widest_paths": q.q_widest_paths,  # max_min semiring loop: sssp sibling, bfs_sigma in-window
+        "nbr_jaccard": q.q_nbr_jaccard,  # wedge set-similarity: clustering_coeff/containment_pairs in-window
+        "galerkin": q.q_galerkin,  # triple-product spgemm: triangle_count in-window
         "rich_club": q.q_rich_club,  # degree-threshold semi-join: kcore_fixed/clustering_coeff in-window
         "tpch_q12": q.q_tpch_q12,  # conditional-agg join: tpch_q9/q19 in-window
         "tpch_q13": q.q_tpch_q13,  # LEFT OUTER machinery: tpch_q22 in-window
@@ -409,6 +415,11 @@ def oracle_sql() -> dict[str, str]:
         "mode_hour": o.mode_hour(),
         "tpch_q7": o.tpch_q7(q.Q7_LO_YEAR, q.Q7_HI_YEAR),
         "tpch_q9": o.tpch_q9(q.Q9_PART),
+        "tpch_q2": o.tpch_q2(q.Q2_SUB, q.Q2_SIZES),
+        "tpch_q8": o.tpch_q8(),
+        "tpch_q11": o.tpch_q11(),
+        "tpch_q20": o.tpch_q20(q.Q20_YEAR),
+        "bloom_probe": o.bloom_probe(q.BLOOM_M, q.BLOOM_K, q.BLOOM_SEG),
         "tpch_q19": o.tpch_q19(q.Q19_CLAUSES),
         "edit_window": o.edit_window(q.ED_W, q.ED_K),
         "lang_gini": o.lang_gini(),

@@ -3745,3 +3745,124 @@ SELECT item_id, CAST(min(n) AS BIGINT) AS n_samples,
                      THEN 1 ELSE 0 END) AS BIGINT) AS zc
 FROM s GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 18: TPC-H Q2 / Q8 / Q11 / Q20 adaptations + Bloom-filter probe
+# ---------------------------------------------------------------------------
+
+
+def tpch_q2(sub: str = "bolt", sizes: tuple = ()) -> str:
+    """Minimum-balance supplier per selected part over distinct shipped
+    pairs (twin of `queries.q_tpch_q2`)."""
+    in_list = ", ".join(str(s) for s in sizes)
+    return f"""
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+cand AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name,
+         CAST(floor(s_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM pairs
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  WHERE p_name LIKE '%{sub}%' AND p_size IN ({in_list})
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY p_partkey
+                                   ORDER BY bal_cents, s_suppkey) AS rn
+      FROM cand)
+SELECT p_partkey, p_name, s_suppkey, s_name, bal_cents
+FROM r WHERE rn = 1
+"""
+
+
+def tpch_q8() -> str:
+    """Per (customer region, order year) total vs same-region-supplied
+    revenue, exact integer cents (twin of `queries.q_tpch_q8`)."""
+    return """
+SELECT r.r_name,
+       CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) AS total_cents,
+       sum(CASE WHEN sn.n_regionkey = cn.n_regionkey
+                THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                          AS BIGINT) ELSE 0 END) AS local_cents
+FROM lineitem
+JOIN orders    ON o_orderkey = l_orderkey
+JOIN customer  ON c_custkey = o_custkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+JOIN region r  ON r.r_regionkey = cn.n_regionkey
+JOIN supplier  ON s_suppkey = l_suppkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+GROUP BY 1, 2
+"""
+
+
+def tpch_q11() -> str:
+    """Important parts: value above 1.3x the mean per-part value,
+    division-free (twin of `queries.q_tpch_q11`)."""
+    return """
+WITH v AS (
+  SELECT l_partkey,
+         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)) AS value_cents
+  FROM lineitem GROUP BY 1
+),
+t AS (SELECT count(*) AS n, sum(value_cents) AS s FROM v)
+SELECT l_partkey, value_cents
+FROM v, t WHERE 10 * value_cents * n > 13 * s
+"""
+
+
+def tpch_q20(year: int = 1996) -> str:
+    """Dominant supplier pairs: more than half of a part's yearly
+    quantity (twin of `queries.q_tpch_q20`)."""
+    return f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= DATE '{year}-01-01'
+    AND l_shipdate < DATE '{year + 1}-01-01'
+  GROUP BY 1, 2
+),
+pt AS (SELECT l_partkey, sum(qty) AS total_qty FROM ps GROUP BY 1)
+SELECT ps.l_partkey, ps.l_suppkey, ps.qty,
+       CAST(pt.total_qty AS BIGINT) AS total_qty
+FROM ps JOIN pt USING (l_partkey)
+WHERE 2 * ps.qty > pt.total_qty
+"""
+
+
+def bloom_probe(m: int = 1 << 14, k: int = 4,
+                seg: str = "BUILDING") -> str:
+    """Bloom-filter probe counts rebuilt in SQL: bit j of key x =
+    (md5_number_lower(x) >> 14j) & (m-1); an order is bloom-positive
+    iff all k bits are set (twin of `queries.q_bloom_probe`)."""
+    return f"""
+WITH keys AS (
+  SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = '{seg}'
+),
+bits AS (
+  SELECT DISTINCT CAST((md5_number_lower(CAST(c_custkey AS VARCHAR))
+                        >> (14 * CAST(r.i AS INT)))
+                       & {m - 1} AS BIGINT) AS bit
+  FROM keys CROSS JOIN range({k}) r(i)
+),
+pu AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
+       FROM orders GROUP BY 1),
+pb AS (
+  SELECT pu.o_custkey,
+         CAST((md5_number_lower(CAST(pu.o_custkey AS VARCHAR))
+               >> (14 * CAST(r.i AS INT))) & {m - 1} AS BIGINT) AS bit
+  FROM pu CROSS JOIN range({k}) r(i)
+),
+posu AS (
+  SELECT o_custkey, min(CASE WHEN bit IN (SELECT bit FROM bits)
+                             THEN 1 ELSE 0 END) AS pos
+  FROM pb GROUP BY 1
+)
+SELECT CAST(sum(cnt) AS BIGINT) AS n_orders,
+       CAST(sum(cnt * pos) AS BIGINT) AS n_pos,
+       CAST(sum(CASE WHEN pu.o_custkey IN (SELECT c_custkey FROM keys)
+                     THEN cnt ELSE 0 END) AS BIGINT) AS n_true
+FROM pu JOIN posu USING (o_custkey)
+"""

@@ -6265,3 +6265,400 @@ def q_audio_stats(sf_dir: str):
         M.AudioIntStatsStage, batch_format="pyarrow", batch_size=64,
         concurrency=2,
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 18: TPC-H Q2 / Q8 / Q11 / Q20 adaptations + Bloom-filter probe
+# ---------------------------------------------------------------------------
+
+Q2_SUB = "bolt"
+Q2_SIZES = (5, 10, 15, 20, 25, 30, 35, 40, 45, 50)
+
+
+def q_tpch_q2(sf_dir: str):
+    """TPC-H Q2-style minimum-cost supplier: for every selected part
+    (name contains Q2_SUB, size in Q2_SIZES), the supplier with the
+    lowest account balance among suppliers that actually shipped it
+    (distinct (part, supplier) pairs from lineitem stand in for
+    partsupp). Distinct pairs: per-batch dedup + one partkey shuffle;
+    the per-part argmin (bal, suppkey tie-break) runs as a whole-group
+    kernel inside the co-partitioned join with the filtered part
+    table; supplier attributes broadcast once."""
+    import ray
+
+    from ..core.shuffle import hash_join_tasks
+
+    sup = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_acctbal"],
+    ).take_all()
+    skeys = np.array([r["s_suppkey"] for r in sup], dtype=np.int64)
+    sbal = np.array([int(np.floor(r["s_acctbal"] * 100.0)) for r in sup],
+                    dtype=np.int64)
+    snames = np.array([r["s_name"] for r in sup])
+    o = np.argsort(skeys)
+    smap_ref = ray.put((skeys[o], sbal[o], snames[o]))
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_name"],
+        filter=pc.match_substring(pc.field("p_name"), Q2_SUB)
+        & pc.field("p_size").isin(list(Q2_SIZES)),
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+
+    def _dedup(b: pa.Table) -> pa.Table:
+        pk = np.asarray(b.column("l_partkey"), dtype=np.int64)
+        sk = np.asarray(b.column("l_suppkey"), dtype=np.int64)
+        u = np.unique(pk << 20 | sk)
+        return pa.table({"l_partkey": pa.array(u >> 20),
+                         "l_suppkey": pa.array(u & ((1 << 20) - 1))})
+
+    pairs = li.map_batches(_dedup, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def _post(t: pa.Table, *, _ref=smap_ref) -> pa.Table:
+        empty = pa.table({"p_partkey": pa.array([], type=pa.int64()),
+                          "p_name": pa.array([], type=pa.string()),
+                          "s_suppkey": pa.array([], type=pa.int64()),
+                          "s_name": pa.array([], type=pa.string()),
+                          "bal_cents": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "p_name" not in t.column_names:
+            return empty
+        sk, bal, nm = _ref if isinstance(_ref, tuple) else ray.get(_ref)
+        pk = np.asarray(t.column("l_partkey"), dtype=np.int64)
+        ls = np.asarray(t.column("l_suppkey"), dtype=np.int64)
+        pos = np.searchsorted(sk, ls)
+        pos[pos >= len(sk)] = len(sk) - 1 if len(sk) else 0
+        b = bal[pos]
+        # per-part argmin under (bal, suppkey): lexsort + first-of-group
+        # (duplicate (pk, supp) pairs across batches collapse to the
+        # same argmin, so cross-batch dedup is unnecessary here)
+        order = np.lexsort((ls, b, pk))
+        pk_s = pk[order]
+        firsts = np.ones(len(pk_s), dtype=bool)
+        firsts[1:] = pk_s[1:] != pk_s[:-1]
+        w = order[firsts]
+        names = t.column("p_name").take(pa.array(w))
+        return pa.table({
+            "p_partkey": pa.array(pk[w]),
+            "p_name": names,
+            "s_suppkey": pa.array(ls[w]),
+            "s_name": pa.array(nm[pos[w]].tolist(), type=pa.string()),
+            "bal_cents": pa.array(b[w]),
+        })
+
+    return hash_join_tasks(pairs, part, on="l_partkey",
+                           right_on="p_partkey", post=_post)
+
+
+def q_tpch_q8(sf_dir: str):
+    """TPC-H Q8-style market share: per (customer region, order year),
+    total lineitem revenue vs the share supplied from the SAME region
+    (local content). Customer->nation->region rides the co-partitioned
+    orders join; supplier->region broadcasts; bounded
+    (region x year) partials fuse into the lineitem join; division
+    left rational (total_cents, local_cents)."""
+    import ray
+
+    from ..core.shuffle import hash_join_tasks
+
+    nat = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    ).take_all()
+    n2r = {r["n_nationkey"]: r["n_regionkey"] for r in nat}
+    reg = ray.data.read_parquet(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).take_all()
+    rname = {r["r_regionkey"]: r["r_name"] for r in reg}
+    sup = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).take_all()
+    skeys = np.array([r["s_suppkey"] for r in sup], dtype=np.int64)
+    sregs = np.array([n2r[r["s_nationkey"]] for r in sup], dtype=np.int64)
+    o = np.argsort(skeys)
+    smap_ref = ray.put((skeys[o], sregs[o]))
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+
+    def _creg(b: pa.Table) -> pa.Table:
+        cn = np.asarray(b.column("c_nationkey"), dtype=np.int64)
+        lut = np.full(int(max(n2r) + 1), -1, dtype=np.int64)
+        for k, v in n2r.items():
+            lut[k] = v
+        return pa.table({"c_custkey": b.column("c_custkey"),
+                         "c_reg": pa.array(lut[cn])})
+
+    cust_r = cust.map_batches(_creg, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    ojoin = hash_join_tasks(orders, cust_r, on="o_custkey",
+                            right_on="c_custkey")
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"],
+    )
+
+    def _post(t: pa.Table, *, _ref=smap_ref) -> pa.Table:
+        empty = pa.table({"c_reg": pa.array([], type=pa.int64()),
+                          "o_year": pa.array([], type=pa.int64()),
+                          "total": pa.array([], type=pa.int64()),
+                          "local": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "c_reg" not in t.column_names:
+            return empty
+        sk, sr = _ref if isinstance(_ref, tuple) else ray.get(_ref)
+        ls = np.asarray(t.column("l_suppkey"), dtype=np.int64)
+        pos = np.searchsorted(sk, ls)
+        pos[pos >= len(sk)] = len(sk) - 1 if len(sk) else 0
+        sreg = sr[pos]
+        creg = np.asarray(t.column("c_reg"), dtype=np.int64)
+        od = np.asarray(t.column("o_orderdate")).astype("datetime64[us]")
+        year = od.astype("datetime64[Y]").astype(np.int64) + 1970
+        cents = np.floor(
+            np.asarray(t.column("l_extendedprice"))
+            * (1.0 - np.asarray(t.column("l_discount"))) * 100.0
+        ).astype(np.int64)
+        key = creg * 4096 + (year - 1970)
+        uk, inv = np.unique(key, return_inverse=True)
+        tot = np.bincount(inv, weights=cents.astype(np.float64))
+        loc = np.bincount(inv, weights=np.where(sreg == creg, cents,
+                                                0).astype(np.float64))
+        return pa.table({"c_reg": pa.array(uk // 4096),
+                         "o_year": pa.array(uk % 4096 + 1970),
+                         "total": pa.array(tot.astype(np.int64)),
+                         "local": pa.array(loc.astype(np.int64))})
+
+    parts = hash_join_tasks(li, ojoin, on="l_orderkey",
+                            right_on="o_orderkey", post=_post).take_all()
+    agg: dict[tuple, list[int]] = {}
+    for p in parts:
+        e = agg.setdefault((p["c_reg"], p["o_year"]), [0, 0])
+        e[0] += p["total"]
+        e[1] += p["local"]
+    ks = sorted(agg, key=lambda k: (rname[k[0]], k[1]))
+    return pa.table({
+        "r_name": pa.array([rname[k[0]] for k in ks], type=pa.string()),
+        "o_year": pa.array([k[1] for k in ks], type=pa.int64()),
+        "total_cents": pa.array([agg[k][0] for k in ks], type=pa.int64()),
+        "local_cents": pa.array([agg[k][1] for k in ks], type=pa.int64()),
+    })
+
+
+def q_tpch_q11(sf_dir: str):
+    """TPC-H Q11-style important stock: parts whose total revenue value
+    exceeds 1.3x the mean per-part value — the HAVING-over-scalar-
+    subquery pattern run division-free and scale-free
+    (10 * value * n_parts > 13 * grand_total). One partkey shuffle produces
+    per-part values; the bounded survivors filter against two scalars
+    combined driver-side."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks, group_sum_per_key
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+
+    def _part(b: pa.Table) -> pa.Table:
+        cents = np.floor(
+            np.asarray(b.column("l_extendedprice"))
+            * (1.0 - np.asarray(b.column("l_discount"))) * 100.0)
+        uk, s = group_sum_per_key(
+            cents, np.asarray(b.column("l_partkey"), dtype=np.int64))
+        return pa.table({"l_partkey": pa.array(uk),
+                         "cents": pa.array(s.astype(np.int64))})
+
+    def _merge(t: pa.Table) -> pa.Table:
+        uk, s = group_sum_per_key(
+            np.asarray(t.column("cents"), dtype=np.float64),
+            np.asarray(t.column("l_partkey"), dtype=np.int64))
+        return pa.table({"l_partkey": pa.array(uk),
+                         "value_cents": pa.array(s.astype(np.int64))})
+
+    per_part = group_apply_tasks(
+        li.map_batches(_part, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["l_partkey"], _merge).materialize()
+
+    def _scal(b: pa.Table) -> pa.Table:
+        v = np.asarray(b.column("value_cents"), dtype=np.int64)
+        return pa.table({"n": pa.array([b.num_rows], type=pa.int64()),
+                         "s": pa.array([int(v.sum())], type=pa.int64())})
+
+    sc = per_part.map_batches(_scal, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all()
+    n_parts = sum(p["n"] for p in sc)
+    total = sum(p["s"] for p in sc)
+
+    def _filt(b: pa.Table, *, _n=n_parts, _t=total) -> pa.Table:
+        v = np.asarray(b.column("value_cents"), dtype=np.int64)
+        keep = 10 * v * _n > 13 * _t
+        return pa.table({
+            "l_partkey": pa.array(
+                np.asarray(b.column("l_partkey"), dtype=np.int64)[keep]),
+            "value_cents": pa.array(v[keep]),
+        })
+
+    return per_part.map_batches(_filt, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+
+Q20_YEAR = 1996
+
+
+def q_tpch_q20(sf_dir: str):
+    """TPC-H Q20-style dominant supplier detection: (part, supplier)
+    pairs where the supplier shipped MORE THAN HALF of the part's total
+    quantity in one year (2*qty > total, division-free — the
+    availqty > 0.5*sum(l_quantity) analog without partsupp). One
+    partkey shuffle; per-part totals + the pair filter run in one
+    whole-group kernel."""
+    import datetime
+
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    lo = datetime.datetime(Q20_YEAR, 1, 1)
+    hi = datetime.datetime(Q20_YEAR + 1, 1, 1)
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity"],
+        filter=(pc.field("l_shipdate") >= pa.scalar(lo))
+        & (pc.field("l_shipdate") < pa.scalar(hi)),
+    )
+
+    def _part(b: pa.Table) -> pa.Table:
+        pk = np.asarray(b.column("l_partkey"), dtype=np.int64)
+        sk = np.asarray(b.column("l_suppkey"), dtype=np.int64)
+        qty = np.asarray(b.column("l_quantity")).astype(np.int64)
+        key = pk << 20 | sk
+        uk, inv = np.unique(key, return_inverse=True)
+        s = np.bincount(inv, weights=qty.astype(np.float64)).astype(
+            np.int64)
+        return pa.table({"l_partkey": pa.array(uk >> 20),
+                         "l_suppkey": pa.array(uk & ((1 << 20) - 1)),
+                         "qty": pa.array(s)})
+
+    def _group(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_partkey" not in t.column_names:
+            return pa.table({"l_partkey": pa.array([], type=pa.int64()),
+                             "l_suppkey": pa.array([], type=pa.int64()),
+                             "qty": pa.array([], type=pa.int64()),
+                             "total_qty": pa.array([], type=pa.int64())})
+        pk = np.asarray(t.column("l_partkey"), dtype=np.int64)
+        sk = np.asarray(t.column("l_suppkey"), dtype=np.int64)
+        q = np.asarray(t.column("qty"), dtype=np.int64)
+        # combine per-batch partials to (part, supp), then part totals
+        key = pk << 20 | sk
+        uk, inv = np.unique(key, return_inverse=True)
+        qs = np.bincount(inv, weights=q.astype(np.float64)).astype(
+            np.int64)
+        upk = uk >> 20
+        up, pinv = np.unique(upk, return_inverse=True)
+        tot = np.bincount(pinv, weights=qs.astype(np.float64)).astype(
+            np.int64)
+        keep = 2 * qs > tot[pinv]
+        return pa.table({"l_partkey": pa.array(upk[keep]),
+                         "l_suppkey": pa.array((uk & ((1 << 20) - 1))[keep]),
+                         "qty": pa.array(qs[keep]),
+                         "total_qty": pa.array(tot[pinv][keep])})
+
+    parts = li.map_batches(_part, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return group_apply_tasks(parts, ["l_partkey"], _group)
+
+
+BLOOM_M = 1 << 14  # bits
+BLOOM_K = 4        # hash functions: 14-bit slices of md5-low-64
+BLOOM_SEG = "BUILDING"
+
+
+def q_bloom_probe(sf_dir: str):
+    """Deterministic Bloom-filter membership sketch: a BLOOM_M-bit /
+    BLOOM_K-hash filter built over one segment's customer keys
+    (per-batch partial bitsets OR-combined — the broadcast artifact is
+    the 2 KiB bitset, never the key set), probed by every order. Bits
+    j = (md5_low64(key) >> 14j) & (2^14-1), DuckDB-reproducible.
+    Output: probes / bloom-positives / true members (false-positive
+    rate left rational)."""
+    import ray
+
+    from ..functions.text import md5_lower64
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"],
+        filter=pc.field("c_mktsegment") == BLOOM_SEG,
+    )
+
+    def _bits_of(keys: np.ndarray) -> np.ndarray:
+        h = np.fromiter((md5_lower64(str(int(k))) for k in keys),
+                        dtype=np.uint64, count=len(keys))
+        return np.stack([(h >> np.uint64(14 * j))
+                         & np.uint64(BLOOM_M - 1)
+                         for j in range(BLOOM_K)], axis=1).astype(np.int64)
+
+    def _build(b: pa.Table) -> pa.Table:
+        keys = np.unique(np.asarray(b.column("c_custkey"),
+                                    dtype=np.int64))
+        bits = np.zeros(BLOOM_M, dtype=bool)
+        if len(keys):
+            bits[_bits_of(keys).ravel()] = True
+        return pa.table({"bits": pa.array([np.packbits(bits).tobytes()],
+                                          type=pa.binary())})
+
+    parts = cust.map_batches(_build, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all()
+    bitset = np.zeros(BLOOM_M, dtype=bool)
+    for p in parts:
+        bitset |= np.unpackbits(
+            np.frombuffer(p["bits"], dtype=np.uint8)).astype(bool)
+    bits_ref = ray.put(bitset)
+    # exact membership side (bounded here; the scale path is the
+    # existing co-partitioned semi-join — see q_tpch_q22)
+    keys = cust.take_all()
+    key_arr = np.sort(np.array([r["c_custkey"] for r in keys],
+                               dtype=np.int64))
+    keys_ref = ray.put(key_arr)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    )
+
+    def _probe(b: pa.Table, *, _bref=bits_ref, _kref=keys_ref) -> pa.Table:
+        bits = _bref if isinstance(_bref, np.ndarray) else ray.get(_bref)
+        karr = _kref if isinstance(_kref, np.ndarray) else ray.get(_kref)
+        ck = np.asarray(b.column("o_custkey"), dtype=np.int64)
+        uk, inv = np.unique(ck, return_inverse=True)
+        pos_u = bits[_bits_of(uk)].all(axis=1)
+        true_u = np.zeros(len(uk), dtype=bool)
+        if len(karr):
+            p = np.searchsorted(karr, uk)
+            p[p >= len(karr)] = len(karr) - 1
+            true_u = karr[p] == uk
+        return pa.table({
+            "n_orders": pa.array([b.num_rows], type=pa.int64()),
+            "n_pos": pa.array([int(pos_u[inv].sum())], type=pa.int64()),
+            "n_true": pa.array([int(true_u[inv].sum())],
+                               type=pa.int64()),
+        })
+
+    parts = orders.map_batches(_probe, batch_format="pyarrow",
+                               zero_copy_batch=True).take_all()
+    return pa.table({
+        "n_orders": pa.array([sum(p["n_orders"] for p in parts)],
+                             type=pa.int64()),
+        "n_pos": pa.array([sum(p["n_pos"] for p in parts)],
+                          type=pa.int64()),
+        "n_true": pa.array([sum(p["n_true"] for p in parts)],
+                           type=pa.int64()),
+    })
