@@ -84,9 +84,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 14 (newest = highest regression risk)
         "rolling_sum4": q.q_rolling_sum4,
         # wave 15
-        "simhash_pairs": q.q_simhash_pairs,
         "range_search": q.q_range_search,
-        "tpch_q16": q.q_tpch_q16,
+        # wave 19
+        "bipartite_proj": q.q_bipartite_proj,
+        "priority_sample": q.q_priority_sample,
+        "tpch_q21": q.q_tpch_q21,
+        "double_sweep": q.q_double_sweep,
+        "token_pos": q.q_token_pos,
         # wave 18
         "tpch_q2": q.q_tpch_q2,
         "tpch_q8": q.q_tpch_q8,
@@ -106,13 +110,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q22": q.q_tpch_q22,
         "regr_stats": q.q_regr_stats,
         # relational / windowed (round-2 verdict: keep driver evidence)
-        "tpch_q3": q.q_tpch_q3,
         "asof_click": q.q_asof_click,
-        "colloc_lift": q.q_colloc_lift,
-        "rep_ngrams": q.q_rep_ngrams,
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
+        "tpch_q16": q.q_tpch_q16,  # distinct-supplier report: tpch_q2 pair-dedup + q20 kernels in-window
+        "tpch_q3": q.q_tpch_q3,  # join chain + top-k: tpch_q2/q8 in-window
+        "colloc_lift": q.q_colloc_lift,  # token-pair shuffles: token_pos/bigram family, lang_gini in-window
+        "rep_ngrams": q.q_rep_ngrams,  # per-doc ngram stats: token_pos/lang_gini in-window
+        "simhash_pairs": q.q_simhash_pairs,  # blocked hamming pairs: edit_window pair class in-window
         "random_walks": q.q_random_walks,  # seeded LCG walk: coloring_fixed/mis_fixed LCG in-window
         "stress": q.q_stress,  # sigma chain: bfs_sigma in-window
         "widest_paths": q.q_widest_paths,  # max_min semiring loop: sssp sibling, bfs_sigma in-window
@@ -416,6 +422,11 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q7": o.tpch_q7(q.Q7_LO_YEAR, q.Q7_HI_YEAR),
         "tpch_q9": o.tpch_q9(q.Q9_PART),
         "tpch_q2": o.tpch_q2(q.Q2_SUB, q.Q2_SIZES),
+        "bipartite_proj": o.bipartite_proj(),
+        "priority_sample": o.priority_sample(q.PS_K),
+        "tpch_q21": o.tpch_q21(),
+        "double_sweep": o.double_sweep("m_0", q.BFS_ITERS),
+        "token_pos": o.token_pos(q.POS_TOKEN),
         "tpch_q8": o.tpch_q8(),
         "tpch_q11": o.tpch_q11(),
         "tpch_q20": o.tpch_q20(q.Q20_YEAR),

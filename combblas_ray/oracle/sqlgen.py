@@ -3866,3 +3866,121 @@ SELECT CAST(sum(cnt) AS BIGINT) AS n_orders,
                      THEN cnt ELSE 0 END) AS BIGINT) AS n_true
 FROM pu JOIN posu USING (o_custkey)
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 19: bipartite projection, priority sample, TPC-H Q21,
+# double-sweep BFS, positional token search
+# ---------------------------------------------------------------------------
+
+
+def bipartite_proj() -> str:
+    """Event-type co-occurrence by distinct users (twin of
+    `queries.q_bipartite_proj`)."""
+    return """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS t1, b.event_type AS t2,
+       CAST(count(*) AS BIGINT) AS users
+FROM ut a JOIN ut b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
+def priority_sample(k: int = 5) -> str:
+    """K smallest md5-low-63 priorities per language (twin of
+    `queries.q_priority_sample`)."""
+    return f"""
+WITH p AS (
+  SELECT lang, doc_id,
+         CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
+              & 9223372036854775807::UBIGINT AS BIGINT) AS prio
+  FROM documents
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY prio, doc_id) AS rn
+      FROM p)
+SELECT lang, doc_id, prio FROM r WHERE rn <= {k}
+"""
+
+
+def tpch_q21() -> str:
+    """Sole-R-supplier blame counts on finished multi-supplier orders
+    (twin of `queries.q_tpch_q21`)."""
+    return """
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey, l_returnflag
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+),
+per AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS ns,
+         count(DISTINCT CASE WHEN l_returnflag = 'R'
+                             THEN l_suppkey END) AS nr,
+         min(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS rsupp
+  FROM lo GROUP BY 1
+)
+SELECT rsupp AS l_suppkey, CAST(count(*) AS BIGINT) AS numwait
+FROM per WHERE ns >= 2 AND nr = 1
+GROUP BY 1
+"""
+
+
+@_materialized
+def double_sweep(root_label: str = "m_0", iters: int = 12) -> str:
+    """Double-sweep BFS: unrolled sweep from the root, re-root at the
+    farthest reached vertex (tie -> min id), unrolled sweep again
+    (twin of `queries.q_double_sweep`)."""
+    sql = PREFIX + f"""
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+d0 AS (SELECT i, 0 AS dist FROM verts WHERE label = '{root_label}')
+"""
+    prev = "d0"
+    for k in range(1, iters + 1):
+        sql += f"""
+, d{k} AS (
+  SELECT i, min(dist) AS dist FROM (
+    SELECT i, dist FROM {prev}
+    UNION ALL
+    SELECT u.dst AS i, dp.dist + 1 AS dist
+    FROM und u JOIN {prev} dp ON dp.i = u.src
+  ) GROUP BY i
+)"""
+        prev = f"d{k}"
+    sql += f"""
+, r2 AS (SELECT i FROM {prev} ORDER BY dist DESC, i LIMIT 1),
+e0 AS (SELECT i, 0 AS dist FROM r2)
+"""
+    prev = "e0"
+    for k in range(1, iters + 1):
+        sql += f"""
+, e{k} AS (
+  SELECT i, min(dist) AS dist FROM (
+    SELECT i, dist FROM {prev}
+    UNION ALL
+    SELECT u.dst AS i, dp.dist + 1 AS dist
+    FROM und u JOIN {prev} dp ON dp.i = u.src
+  ) GROUP BY i
+)"""
+        prev = f"e{k}"
+    sql += f"""
+SELECT (SELECT v.label FROM r2 JOIN verts v ON v.i = r2.i) AS label,
+       CAST((SELECT max(dist) FROM {prev}) AS BIGINT) AS ecc,
+       CAST((SELECT count(*) FROM {prev}) AS BIGINT) AS reached
+"""
+    return sql
+
+
+def token_pos(token: str = "data") -> str:
+    """First 1-based token index of `token` per document (twin of
+    `queries.q_token_pos`)."""
+    return f"""
+SELECT doc_id,
+       CAST(list_position(string_split(text, ' '), '{token}')
+            AS BIGINT) AS pos
+FROM documents
+WHERE list_position(string_split(text, ' '), '{token}') > 0
+"""

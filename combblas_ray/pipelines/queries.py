@@ -6662,3 +6662,266 @@ def q_bloom_probe(sf_dir: str):
         "n_true": pa.array([sum(p["n_true"] for p in parts)],
                            type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 19: bipartite projection, priority sampling, TPC-H Q21,
+# double-sweep BFS, positional token search
+# ---------------------------------------------------------------------------
+
+
+def q_bipartite_proj(sf_dir: str):
+    """Bipartite projection of the (user, event_type) incidence onto
+    event types: for every type pair, the number of distinct users with
+    both — the co-occurrence graph build (user-movie / doc-term
+    projection class). Per-batch distinct pairs -> one user shuffle ->
+    per-user pair expansion (type sets are bounded) with bounded
+    (type, type) counts per partition; driver combines <= types^2
+    rows."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def _dedup(b: pa.Table) -> pa.Table:
+        u = np.asarray(b.column("user_id"), dtype=np.int64)
+        t = np.asarray(b.column("event_type")).astype(str)
+        key = np.char.add(np.char.add(u.astype(str), "\x1f"), t)
+        _, idx = np.unique(key, return_index=True)
+        return pa.table({"user_id": pa.array(u[idx]),
+                         "event_type": pa.array(t[idx].tolist(),
+                                                type=pa.string())})
+
+    pairs = ev.map_batches(_dedup, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def _proj(t: pa.Table) -> pa.Table:
+        empty = pa.table({"t1": pa.array([], type=pa.string()),
+                          "t2": pa.array([], type=pa.string()),
+                          "users": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return empty
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        ty = np.asarray(t.column("event_type")).astype(str)
+        key = np.char.add(np.char.add(u.astype(str), "\x1f"), ty)
+        _, idx = np.unique(key, return_index=True)  # cross-batch dedup
+        u, ty = u[idx], ty[idx]
+        ut, tcode = np.unique(ty, return_inverse=True)
+        order = np.lexsort((tcode, u))
+        u, tc = u[order], tcode[order]
+        starts = np.nonzero(np.concatenate(
+            ([True], u[1:] != u[:-1])))[0]
+        ends = np.concatenate((starts[1:], [len(u)]))
+        cnt: dict[tuple, int] = {}
+        for s, e in zip(starts, ends):
+            row = tc[s:e]
+            for i in range(len(row)):
+                for j in range(i + 1, len(row)):
+                    k = (row[i], row[j])
+                    cnt[k] = cnt.get(k, 0) + 1
+        if not cnt:
+            return empty
+        ks = sorted(cnt)
+        return pa.table({
+            "t1": pa.array([ut[a] for a, _ in ks], type=pa.string()),
+            "t2": pa.array([ut[b] for _, b in ks], type=pa.string()),
+            "users": pa.array([cnt[k] for k in ks], type=pa.int64()),
+        })
+
+    parts = group_apply_tasks(pairs, ["user_id"], _proj).take_all()
+    agg: dict[tuple, int] = {}
+    for p in parts:
+        k = (p["t1"], p["t2"])
+        agg[k] = agg.get(k, 0) + p["users"]
+    ks = sorted(agg)
+    return pa.table({
+        "t1": pa.array([k[0] for k in ks], type=pa.string()),
+        "t2": pa.array([k[1] for k in ks], type=pa.string()),
+        "users": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
+
+
+PS_K = 5
+
+
+def q_priority_sample(sf_dir: str):
+    """Deterministic uniform sample WITHOUT replacement, PS_K docs per
+    language: priority = md5-low-63 of the doc id, keep the K smallest
+    (priority, doc_id) per group — the distributed order-invariant
+    sampling primitive (each batch keeps its local top-K, partials
+    combine exactly). DuckDB-reproducible priorities."""
+    import ray
+
+    from ..functions.text import md5_lower64
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+
+    def _partial(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+        lng = np.asarray(b.column("lang")).astype(str)
+        prio = np.fromiter(
+            (md5_lower64(str(int(i))) & ((1 << 63) - 1) for i in ids),
+            dtype=np.int64, count=len(ids))
+        keep = np.zeros(len(ids), dtype=bool)
+        order = np.lexsort((ids, prio, lng))
+        lx = lng[order]
+        pos_in_group = np.arange(len(lx))
+        if len(lx):
+            starts = np.concatenate(
+                ([0], np.nonzero(lx[1:] != lx[:-1])[0] + 1))
+            grp = np.searchsorted(starts, pos_in_group, side="right") - 1
+            keep[order[pos_in_group - starts[grp] < PS_K]] = True
+        return pa.table({"lang": pa.array(lng[keep].tolist(),
+                                          type=pa.string()),
+                         "doc_id": pa.array(ids[keep]),
+                         "prio": pa.array(prio[keep])})
+
+    parts = docs.map_batches(_partial, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all()
+    rows = sorted(((p["lang"], p["prio"], p["doc_id"]) for p in parts))
+    out: list[tuple] = []
+    seen: dict[str, int] = {}
+    for lang, prio, did in rows:
+        c = seen.get(lang, 0)
+        if c < PS_K:
+            seen[lang] = c + 1
+            out.append((lang, did, prio))
+    return pa.table({
+        "lang": pa.array([r[0] for r in out], type=pa.string()),
+        "doc_id": pa.array([r[1] for r in out], type=pa.int64()),
+        "prio": pa.array([r[2] for r in out], type=pa.int64()),
+    })
+
+
+def q_tpch_q21(sf_dir: str):
+    """TPC-H Q21-style blame analysis: on finished multi-supplier
+    orders, the supplier who was the ONLY one with a returned ('R')
+    line — the EXISTS(other supplier) AND NOT EXISTS(other R supplier)
+    pair as one vectorized whole-group kernel per order inside the
+    co-partitioned lineitem |><| orders join; per-supplier counts
+    combine driver-side (bounded by the supplier dimension)."""
+    import ray
+
+    from ..core.shuffle import hash_join_tasks
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"],
+        filter=pc.field("o_orderstatus") == "F",
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_returnflag"],
+    )
+
+    def _post(t: pa.Table) -> pa.Table:
+        empty = pa.table({"l_suppkey": pa.array([], type=pa.int64()),
+                          "numwait": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "l_suppkey" not in t.column_names:
+            return empty
+        ok = np.asarray(t.column("l_orderkey"), dtype=np.int64)
+        sk = np.asarray(t.column("l_suppkey"), dtype=np.int64)
+        isr = np.asarray(t.column("l_returnflag")).astype(str) == "R"
+        # distinct (order, supplier) and (order, R-supplier) pairs
+        pair = ok << 20 | sk
+        up = np.unique(pair)
+        uo = up >> 20
+        ns = np.bincount(np.unique(uo, return_inverse=True)[1])
+        upr = np.unique(pair[isr])
+        uor = upr >> 20
+        ords, oinv = np.unique(uo, return_inverse=True)
+        nr = np.zeros(len(ords), dtype=np.int64)
+        ridx = np.searchsorted(ords, uor)
+        np.add.at(nr, ridx, 1)
+        # blamed orders: >=2 distinct suppliers, exactly one R supplier
+        blamed = (ns >= 2) & (nr == 1)
+        if not blamed.any():
+            return empty
+        bo = ords[blamed]
+        # the single R supplier of each blamed order
+        sel = np.isin(uor, bo)
+        bsupp = (upr & ((1 << 20) - 1))[sel]
+        us, cnt = np.unique(bsupp, return_counts=True)
+        return pa.table({"l_suppkey": pa.array(us),
+                         "numwait": pa.array(cnt.astype(np.int64))})
+
+    parts = hash_join_tasks(li, orders, on="l_orderkey",
+                            right_on="o_orderkey", post=_post).take_all()
+    agg: dict[int, int] = {}
+    for p in parts:
+        agg[p["l_suppkey"]] = agg.get(p["l_suppkey"], 0) + p["numwait"]
+    ks = sorted(agg)
+    return pa.table({
+        "l_suppkey": pa.array(ks, type=pa.int64()),
+        "numwait": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
+
+
+def q_double_sweep(sf_dir: str):
+    """Double-sweep diameter lower bound: BFS from m_0, re-root at the
+    farthest reached vertex (tie -> smallest id), BFS again; report the
+    second root, its eccentricity and reach (both sweeps truncated at
+    BFS_ITERS rounds, matching the unrolled SQL twin). The adaptive
+    re-seeding composition the iFUB/diameter estimators build on."""
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("sym")
+    root = int(np.searchsorted(ctx.labels, "m_0"))
+    d1 = alg.min_plus_distances(eng, root, iters=BFS_ITERS)
+    fin = np.isfinite(d1)
+    # farthest reached, ties to the smallest vertex id
+    cand = np.nonzero(fin & (d1 == d1[fin].max()))[0]
+    root2 = int(cand.min())
+    d2 = alg.min_plus_distances(eng, root2, iters=BFS_ITERS)
+    fin2 = np.isfinite(d2)
+    return pa.table({
+        "label": pa.array([str(np.asarray(ctx.labels)[root2])],
+                          type=pa.string()),
+        "ecc": pa.array([int(d2[fin2].max())], type=pa.int64()),
+        "reached": pa.array([int(fin2.sum())], type=pa.int64()),
+    })
+
+
+POS_TOKEN = "data"
+
+
+def q_token_pos(sf_dir: str):
+    """Positional token search: the 1-based index of the first
+    occurrence of POS_TOKEN in each document's whitespace token stream
+    (docs without it drop out) — the concordance / KWIC primitive, one
+    streaming Arrow pass (split -> flatten + parent indices -> masked
+    group-min), no shuffle."""
+    import ray
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def _pos(b: pa.Table) -> pa.Table:
+        col = b.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern(col, " ")
+        flat = np.asarray(pc.list_flatten(toks)).astype(str)
+        parent = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+        offs = np.asarray(toks.offsets, dtype=np.int64)
+        idx_in_doc = np.arange(len(flat)) - offs[parent]
+        hit = flat == POS_TOKEN
+        ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+        if not hit.any():
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "pos": pa.array([], type=pa.int64())})
+        hp, hi = parent[hit], idx_in_doc[hit]
+        # first occurrence per parent: hits are in document order
+        firsts = np.ones(len(hp), dtype=bool)
+        firsts[1:] = hp[1:] != hp[:-1]
+        return pa.table({
+            "doc_id": pa.array(ids[hp[firsts]]),
+            "pos": pa.array(hi[firsts] + 1),
+        })
+
+    return docs.map_batches(_pos, batch_format="pyarrow",
+                            zero_copy_batch=True)
