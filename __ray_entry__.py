@@ -57,7 +57,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": q.q_triangle_count,
         # graph/engine operators without a prior driver row
         "bfs_sigma": q.q_bfs_sigma,
-        "harmonic2": q.q_harmonic2,
         "coloring_fixed": q.q_coloring_fixed,
         "filtered_bfs_payload": q.q_filtered_bfs_payload,
         "matching_fixed": q.q_matching_fixed,
@@ -67,8 +66,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "randperm_sorted": q.q_randperm_sorted,
         "clustering_coeff": q.q_clustering_coeff,
         "kcore_fixed": q.q_kcore_fixed,
-        "ppr": q.q_ppr,
-        "scc_coloring": q.q_scc_coloring,
         "wl_refine": q.q_wl_refine,
         # multimodal actor-pool pipelines (first-ever driver evidence
         # for the decode/resize/frame-sample class)
@@ -80,11 +77,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q.q_decontaminate,
         "containment_pairs": q.q_containment_pairs,
         "redact": q.q_redact,
-        "hll_registers": q.q_hll_registers,
         # wave 14 (newest = highest regression risk)
-        "rolling_sum4": q.q_rolling_sum4,
         # wave 15
         "range_search": q.q_range_search,
+        # wave 20
+        "bipartite_check": q.q_bipartite_check,
+        "percolation_cc": q.q_percolation_cc,
+        "kron_product": q.q_kron_product,
+        "max_drawdown": q.q_max_drawdown,
+        "decayed_counts": q.q_decayed_counts,
         # wave 19
         "bipartite_proj": q.q_bipartite_proj,
         "priority_sample": q.q_priority_sample,
@@ -114,6 +115,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
+        "harmonic2": q.q_harmonic2,  # bool-spgemm reach composite: double_sweep/bfs_sigma in-window
+        "ppr": q.q_ppr,  # personalized power iteration: pagerank in-window
+        "scc_coloring": q.q_scc_coloring,  # FW-BW coloring round: coloring_fixed in-window
+        "hll_registers": q.q_hll_registers,  # md5 sketch registers: bloom_probe/priority_sample in-window
+        "rolling_sum4": q.q_rolling_sum4,  # bounded-frame window: max_drawdown composite in-window
         "tpch_q16": q.q_tpch_q16,  # distinct-supplier report: tpch_q2 pair-dedup + q20 kernels in-window
         "tpch_q3": q.q_tpch_q3,  # join chain + top-k: tpch_q2/q8 in-window
         "colloc_lift": q.q_colloc_lift,  # token-pair shuffles: token_pos/bigram family, lang_gini in-window
@@ -423,6 +429,11 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q9": o.tpch_q9(q.Q9_PART),
         "tpch_q2": o.tpch_q2(q.Q2_SUB, q.Q2_SIZES),
         "bipartite_proj": o.bipartite_proj(),
+        "bipartite_check": o.bipartite_check("m_0", q.BFS_ITERS),
+        "percolation_cc": o.percolation_cc(q.PERC_P, q.CC_ITERS),
+        "kron_product": o.kron_product(q.KRON_B),
+        "max_drawdown": o.max_drawdown(),
+        "decayed_counts": o.decayed_counts(q.DECAY_US, q.DECAY_REF),
         "priority_sample": o.priority_sample(q.PS_K),
         "tpch_q21": o.tpch_q21(),
         "double_sweep": o.double_sweep("m_0", q.BFS_ITERS),

@@ -3984,3 +3984,154 @@ SELECT doc_id,
 FROM documents
 WHERE list_position(string_split(text, ' '), '{token}') > 0
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 20: bipartiteness, percolation CC, Kronecker product, drawdown,
+# decayed counters
+# ---------------------------------------------------------------------------
+
+
+@_materialized
+def bipartite_check(root_label: str = "m_0", iters: int = 12) -> str:
+    """BFS 2-coloring oddness of the reached subgraph (twin of
+    `queries.q_bipartite_check`)."""
+    sql = PREFIX + f"""
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+d0 AS (SELECT i, 0 AS dist FROM verts WHERE label = '{root_label}')
+"""
+    prev = "d0"
+    for k in range(1, iters + 1):
+        sql += f"""
+, d{k} AS (
+  SELECT i, min(dist) AS dist FROM (
+    SELECT i, dist FROM {prev}
+    UNION ALL
+    SELECT u.dst AS i, dp.dist + 1 AS dist
+    FROM und u JOIN {prev} dp ON dp.i = u.src
+  ) GROUP BY i
+)"""
+        prev = f"d{k}"
+    sql += f"""
+, ue AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+odd AS (
+  SELECT count(*) AS c
+  FROM ue JOIN {prev} da ON da.i = ue.a JOIN {prev} db ON db.i = ue.b
+  WHERE da.dist % 2 = db.dist % 2
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM {prev}) AS reached,
+       (SELECT CAST(c AS BIGINT) FROM odd) AS odd_edges,
+       (SELECT CAST(CASE WHEN c = 0 THEN 1 ELSE 0 END AS BIGINT)
+        FROM odd) AS is_bipartite
+"""
+    return sql
+
+
+@_materialized
+def percolation_cc(p: int = 60, iters: int = 12) -> str:
+    """Knuth-hash bond percolation + unrolled min-dense-id propagation;
+    component count (twin of `queries.q_percolation_cc`)."""
+    sql = PREFIX + f"""
+, dense AS (SELECT i, row_number() OVER (ORDER BY label) - 1 AS d
+            FROM verts),
+de AS (
+  SELECT DISTINCT ds.d AS s, dd.d AS t
+  FROM edges e JOIN dense ds ON ds.i = e.src
+               JOIN dense dd ON dd.i = e.dst
+  WHERE e.src <> e.dst
+),
+su AS (
+  SELECT s, t FROM de CROSS JOIN params pr
+  WHERE (((s * pr.n + t) % 1048576) * 2654435761
+         + (s * pr.n + t) // 1048576) % 4294967296 % 100 < {p}
+),
+sund AS (SELECT s, t FROM su UNION SELECT t AS s, s AS t FROM su),
+c0 AS (SELECT d AS i, d AS comp FROM dense)
+"""
+    prev = "c0"
+    for k in range(1, iters + 1):
+        sql += f"""
+, c{k} AS (
+  SELECT c.i, least(c.comp, coalesce(m.mn, c.comp)) AS comp
+  FROM {prev} c
+  LEFT JOIN (SELECT u.t AS i, min(cp.comp) AS mn
+             FROM sund u JOIN {prev} cp ON cp.i = u.s
+             GROUP BY u.t) m ON m.i = c.i
+)"""
+        prev = f"c{k}"
+    sql += f"""
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM su) AS kept_edges,
+       (SELECT CAST(count(DISTINCT comp) AS BIGINT) FROM {prev})
+         AS n_components
+"""
+    return sql
+
+
+def kron_product(b_edges: tuple = ()) -> str:
+    """Kronecker product of the full dense-id edge table with a literal
+    stencil (twin of `queries.q_kron_product`)."""
+    vals = ", ".join(f"({p}, {q}, {w})" for p, q, w in b_edges)
+    return PREFIX + f"""
+, dense AS (SELECT i, row_number() OVER (ORDER BY label) - 1 AS d
+            FROM verts),
+a AS (
+  SELECT ds.d AS s, dd.d AS t, CAST(e.w AS BIGINT) AS wa
+  FROM edges e JOIN dense ds ON ds.i = e.src
+               JOIN dense dd ON dd.i = e.dst
+),
+b (p, q, wb) AS (VALUES {vals})
+SELECT a.s * 5 + b.p AS ksrc, a.t * 5 + b.q AS kdst,
+       CAST(a.wa * b.wb AS BIGINT) AS w
+FROM a CROSS JOIN b
+"""
+
+
+def max_drawdown() -> str:
+    """Per-user max drawdown of the running cents balance (twin of
+    `queries.q_max_drawdown`)."""
+    return """
+WITH b AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+c AS (
+  SELECT user_id, ts, event_id,
+         SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum
+  FROM b
+),
+d AS (
+  SELECT user_id, cum,
+         MAX(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS peak
+  FROM c
+)
+SELECT user_id, CAST(max(peak - cum) AS BIGINT) AS max_drawdown
+FROM d GROUP BY 1
+"""
+
+
+def decayed_counts(decay_us: int, ref: str) -> str:
+    """Dyadic time-decayed counters per event type (twin of
+    `queries.q_decayed_counts`)."""
+    return f"""
+WITH b AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         least(greatest((epoch_us(TIMESTAMP '{ref}') - epoch_us(ts))
+                        // {decay_us}, 0), 62) AS age
+  FROM events
+)
+SELECT event_type,
+       CAST(sum(cents >> age) AS BIGINT) AS decayed,
+       CAST(sum(cents) AS BIGINT) AS raw
+FROM b GROUP BY 1
+"""

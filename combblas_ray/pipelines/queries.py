@@ -6925,3 +6925,272 @@ def q_token_pos(sf_dir: str):
 
     return docs.map_batches(_pos, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# wave 20: bipartiteness check, bond percolation CC, Kronecker product,
+# max drawdown, time-decayed counters
+# ---------------------------------------------------------------------------
+
+
+def q_bipartite_check(sf_dir: str):
+    """Bipartiteness test of m_0's BFS-reached subgraph: 2-color by BFS
+    parity, count odd (same-parity) edges among distinct undirected
+    reached edges. One BFS + one streaming edge pass with the parity
+    vector broadcast (`ray.put` once); output
+    (reached, odd_edges, is_bipartite)."""
+    import ray
+
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("sym")
+    root = int(np.searchsorted(ctx.labels, "m_0"))
+    d = alg.min_plus_distances(eng, root, iters=BFS_ITERS)
+    fin = np.isfinite(d)
+    par = np.where(fin, d.astype(np.int64) % 2, -1).astype(np.int8)
+    pref = ray.put(par)
+
+    def _odd(b: pa.Table, *, _ref=pref) -> pa.Table:
+        p = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+        src = np.asarray(b.column("src"), dtype=np.int64)
+        dst = np.asarray(b.column("dst"), dtype=np.int64)
+        keep = (src != dst) & (p[src] >= 0) & (p[dst] >= 0)
+        u = np.minimum(src[keep], dst[keep])
+        v = np.maximum(src[keep], dst[keep])
+        e = np.unique(u << 32 | v)
+        eu, ev = e >> 32, e & ((1 << 32) - 1)
+        odd = pa.table({"k": pa.array(e[p[eu] == p[ev]])})
+        return odd
+
+    parts = ctx.edges.map_batches(_odd, batch_format="pyarrow",
+                                  zero_copy_batch=True).take_all()
+    odd_keys = {p["k"] for p in parts}  # cross-batch dedup (bounded)
+    return pa.table({
+        "reached": pa.array([int(fin.sum())], type=pa.int64()),
+        "odd_edges": pa.array([len(odd_keys)], type=pa.int64()),
+        "is_bipartite": pa.array([int(not odd_keys)], type=pa.int64()),
+    })
+
+
+PERC_P = 60  # keep 60% of edges
+
+
+def q_percolation_cc(sf_dir: str):
+    """Bond percolation: keep each distinct edge with the deterministic
+    Knuth-hash rule (rate PERC_P%), then CC_ITERS rounds of synchronous
+    min-id propagation over the sampled undirected graph; output
+    (kept_edges, n_components). The percolation-threshold experiment
+    primitive. Per-round movement: per-batch (vertex, min-neighbor)
+    partials; the O(n) component vector stays driver-side between
+    rounds (FullyDistVec analog, the `scc`/Boruvka discipline)."""
+    from ..core.shuffle import group_reduce_per_key
+
+    ctx = get_context(sf_dir)
+    n = ctx.n
+
+    def _s(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch.column("src"), dtype=np.int64)
+        dst = np.asarray(batch.column("dst"), dtype=np.int64)
+        keep = src != dst
+        key = src[keep] * np.int64(n) + dst[keep]
+        h = ((key % (1 << 20)) * np.int64(2654435761)
+             + key // (1 << 20)) % np.int64(1 << 32)
+        ok = h % 100 < PERC_P
+        u = np.unique(key[ok])
+        return pa.table({"src": pa.array(u // n), "dst": pa.array(u % n)})
+
+    sampled = ctx.edges.map_batches(
+        _s, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def _kept(b: pa.Table) -> pa.Table:
+        k = np.unique(np.asarray(b.column("src"), dtype=np.int64)
+                      * n + np.asarray(b.column("dst"), dtype=np.int64))
+        return pa.table({"k": pa.array(k)})
+
+    kept = len({k["k"] for k in sampled.map_batches(
+        _kept, batch_format="pyarrow", zero_copy_batch=True).take_all()})
+
+    comp = np.arange(n, dtype=np.int64)
+    import ray
+
+    for _ in range(CC_ITERS):
+        cref = ray.put(comp)
+
+        def _round(b: pa.Table, *, _ref=cref) -> pa.Table:
+            c = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+            src = np.asarray(b.column("src"), dtype=np.int64)
+            dst = np.asarray(b.column("dst"), dtype=np.int64)
+            v = np.concatenate([dst, src])
+            m = np.concatenate([c[src], c[dst]])
+            uk, mn = group_reduce_per_key(m.astype(np.float64), v, "min")
+            return pa.table({"v": pa.array(uk),
+                             "m": pa.array(mn.astype(np.int64))})
+
+        parts = sampled.map_batches(_round, batch_format="pyarrow",
+                                    zero_copy_batch=True).take_all()
+        new = comp.copy()
+        if parts:
+            vv = np.fromiter((p["v"] for p in parts), np.int64,
+                             len(parts))
+            mm = np.fromiter((p["m"] for p in parts), np.int64,
+                             len(parts))
+            np.minimum.at(new, vv, mm)
+        if np.array_equal(new, comp):
+            break
+        comp = new
+
+    return pa.table({
+        "kept_edges": pa.array([kept], type=pa.int64()),
+        "n_components": pa.array([len(np.unique(comp))],
+                                 type=pa.int64()),
+    })
+
+
+KRON_B = tuple((p, q, p + q + 1) for p in range(5) for q in range(5)
+               if (2 * p + 3 * q) % 5 == 0)
+
+
+def q_kron_product(sf_dir: str):
+    """Kronecker graph product A (x) B: A = the full dedup-summed edge
+    table, B = a fixed 5-vertex stencil broadcast into every task —
+    the Graph500/R-MAT generator's algebraic core (big x small kron,
+    `GenGraph500Data` builds exactly this product implicitly). Kron
+    vertex (i, p) -> i*5 + p, weight = w_a * w_b. One partial-sum pass
+    + one keyed merge; the expansion is a vectorized tile inside the
+    merge task, so output rows never concentrate."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks, group_sum_per_key
+
+    ctx = get_context(sf_dir)
+    n = ctx.n
+
+    def _part(b: pa.Table) -> pa.Table:
+        src = np.asarray(b.column("src"), dtype=np.int64)
+        dst = np.asarray(b.column("dst"), dtype=np.int64)
+        w = np.asarray(b.column("w"))
+        key = src * np.int64(n) + dst
+        uk, s = group_sum_per_key(w.astype(np.float64), key)
+        return pa.table({"k": pa.array(uk), "w": pa.array(s)})
+
+    bp = np.array([b[0] for b in KRON_B], dtype=np.int64)
+    bq = np.array([b[1] for b in KRON_B], dtype=np.int64)
+    bw = np.array([b[2] for b in KRON_B], dtype=np.int64)
+
+    def _kron(t: pa.Table) -> pa.Table:
+        empty = pa.table({"ksrc": pa.array([], type=pa.int64()),
+                          "kdst": pa.array([], type=pa.int64()),
+                          "w": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "k" not in t.column_names:
+            return empty
+        uk, s = group_sum_per_key(
+            np.asarray(t.column("w"), dtype=np.float64),
+            np.asarray(t.column("k"), dtype=np.int64))
+        wa = s.astype(np.int64)
+        asrc, adst = uk // n, uk % n
+        nb = len(bp)
+        ksrc = np.repeat(asrc, nb) * 5 + np.tile(bp, len(asrc))
+        kdst = np.repeat(adst, nb) * 5 + np.tile(bq, len(adst))
+        w = np.repeat(wa, nb) * np.tile(bw, len(wa))
+        return pa.table({"ksrc": pa.array(ksrc), "kdst": pa.array(kdst),
+                         "w": pa.array(w)})
+
+    parts = ctx.edges.map_batches(_part, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    return group_apply_tasks(parts, ["k"], _kron)
+
+
+def q_max_drawdown(sf_dir: str):
+    """Per-user maximum drawdown of the running value balance (cents):
+    max over time of (prefix-peak - running total) — the
+    cummax-over-cumsum window composite. One user shuffle; segmented
+    cumsum/cummax run vectorized over the whole partition (the cummax
+    segment reset rides an offset channel, exact in int64)."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+
+    def _dd(t: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], type=pa.int64()),
+                          "max_drawdown": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return empty
+        uid = np.asarray(t.column("user_id"), dtype=np.int64)
+        ts = np.asarray(t.column("ts")).astype("datetime64[us]").astype(
+            np.int64)
+        eid = np.asarray(t.column("event_id"), dtype=np.int64)
+        cents = np.floor(np.asarray(t.column("value")) * 100.0
+                         + 0.5).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, cents = uid[order], cents[order]
+        starts = np.nonzero(np.concatenate(
+            ([True], uid[1:] != uid[:-1])))[0]
+        seg = np.cumsum(np.concatenate(
+            ([False], uid[1:] != uid[:-1]))).astype(np.int64)
+        cum = np.cumsum(cents)
+        cum -= np.repeat(cum[starts] - cents[starts], np.diff(
+            np.concatenate((starts, [len(uid)]))))
+        # segment cummax: add a per-segment offset that dominates the
+        # value range, accumulate, remove (exact: |cum| < 2^44,
+        # seg < 2^17 per partition)
+        off = seg << 45
+        peak = np.maximum.accumulate(cum + off) - off
+        dd = peak - cum
+        uu = uid[starts]
+        mdd = np.maximum.reduceat(dd, starts)
+        return pa.table({"user_id": pa.array(uu),
+                         "max_drawdown": pa.array(mdd)})
+
+    return group_apply_tasks(ev, ["user_id"], _dd)
+
+
+DECAY_US = 4 * 86_400_000_000  # half-life bucket: 4 days
+DECAY_REF = "2024-01-31 00:00:00"
+
+
+def q_decayed_counts(sf_dir: str):
+    """Time-decayed counters per event type: each event contributes
+    cents >> age, age = whole 4-day periods before DECAY_REF — the
+    exponential-decay sketch with exact dyadic arithmetic (bit shift on
+    both sides). Shuffle-free bounded partials + raw sums alongside."""
+    import ray
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    ref_us = np.datetime64(DECAY_REF, "us").astype(np.int64)
+
+    def _part(b: pa.Table) -> pa.Table:
+        t = np.asarray(b.column("ts")).astype("datetime64[us]").astype(
+            np.int64)
+        age = np.clip((ref_us - t) // DECAY_US, 0, 62)
+        cents = np.floor(np.asarray(b.column("value")) * 100.0
+                         + 0.5).astype(np.int64)
+        dec = cents >> age
+        et = np.asarray(b.column("event_type")).astype(str)
+        ue, inv = np.unique(et, return_inverse=True)
+        return pa.table({
+            "event_type": pa.array(ue.tolist(), type=pa.string()),
+            "decayed": pa.array(np.bincount(
+                inv, weights=dec.astype(np.float64)).astype(np.int64)),
+            "raw": pa.array(np.bincount(
+                inv, weights=cents.astype(np.float64)).astype(np.int64)),
+        })
+
+    parts = ev.map_batches(_part, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    agg: dict[str, list[int]] = {}
+    for p in parts:
+        e = agg.setdefault(p["event_type"], [0, 0])
+        e[0] += p["decayed"]
+        e[1] += p["raw"]
+    ks = sorted(agg)
+    return pa.table({
+        "event_type": pa.array(ks, type=pa.string()),
+        "decayed": pa.array([agg[k][0] for k in ks], type=pa.int64()),
+        "raw": pa.array([agg[k][1] for k in ks], type=pa.int64()),
+    })
