@@ -63,10 +63,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mis_fixed": q.q_mis_fixed,
         "subsref_perm": q.q_subsref_perm,
         "spasgn_general": q.q_spasgn_general,
-        "randperm_sorted": q.q_randperm_sorted,
         "clustering_coeff": q.q_clustering_coeff,
         "kcore_fixed": q.q_kcore_fixed,
-        "wl_refine": q.q_wl_refine,
         # multimodal actor-pool pipelines (first-ever driver evidence
         # for the decode/resize/frame-sample class)
         "image_stats": q.q_image_stats,
@@ -74,12 +72,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frames": q.q_video_frames,
         # LLM-data layer without a prior driver row (+ refactored dedup)
         "embed_dups_lsh": q.q_embed_dups_lsh,
-        "decontaminate": q.q_decontaminate,
-        "containment_pairs": q.q_containment_pairs,
         "redact": q.q_redact,
         # wave 14 (newest = highest regression risk)
         # wave 15
-        "range_search": q.q_range_search,
+        # wave 21
+        "pq_codes": q.q_pq_codes,
+        "kwic": q.q_kwic,
+        "running_distinct": q.q_running_distinct,
+        "reach2_parity": q.q_reach2_parity,
+        "triangle_strength": q.q_triangle_strength,
         # wave 20
         "bipartite_check": q.q_bipartite_check,
         "percolation_cc": q.q_percolation_cc,
@@ -115,6 +116,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
+        "range_search": q.q_range_search,  # quantized int matmul scan: pq_codes in-window
+        "wl_refine": q.q_wl_refine,  # multiset-hash rounds: percolation_cc/coloring_fixed in-window
+        "randperm_sorted": q.q_randperm_sorted,  # sort-rank perm: priority_sample order machinery in-window
+        "containment_pairs": q.q_containment_pairs,  # posting-pair set similarity: edit_window in-window
+        "decontaminate": q.q_decontaminate,  # broadcast anti-probe: bloom_probe in-window
         "harmonic2": q.q_harmonic2,  # bool-spgemm reach composite: double_sweep/bfs_sigma in-window
         "ppr": q.q_ppr,  # personalized power iteration: pagerank in-window
         "scc_coloring": q.q_scc_coloring,  # FW-BW coloring round: coloring_fixed in-window
@@ -430,6 +436,11 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q2": o.tpch_q2(q.Q2_SUB, q.Q2_SIZES),
         "bipartite_proj": o.bipartite_proj(),
         "bipartite_check": o.bipartite_check("m_0", q.BFS_ITERS),
+        "pq_codes": o.pq_codes(q.PQ_NSEED, q.PQ_SUB),
+        "kwic": o.kwic(q.POS_TOKEN),
+        "running_distinct": o.running_distinct(),
+        "reach2_parity": o.reach2_parity(),
+        "triangle_strength": o.triangle_strength(),
         "percolation_cc": o.percolation_cc(q.PERC_P, q.CC_ITERS),
         "kron_product": o.kron_product(q.KRON_B),
         "max_drawdown": o.max_drawdown(),

@@ -4135,3 +4135,104 @@ SELECT event_type,
        CAST(sum(cents) AS BIGINT) AS raw
 FROM b GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 21: PQ codes, KWIC, running distinct, parity reach, triangle
+# strength
+# ---------------------------------------------------------------------------
+
+
+def pq_codes(nseed: int = 4, nsub: int = 8, dim: int = 64,
+             qscale: int = 1 << 20) -> str:
+    """Product-quantization codes vs the quantized seed centroids (twin
+    of `queries.q_pq_codes`)."""
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id, CAST(g.d AS BIGINT) AS dim,
+         CAST(floor((CAST(embedding[CAST(g.d AS INT)] AS DOUBLE) + 0.5)
+                    * {qscale}) AS BIGINT) AS q
+  FROM embeddings CROSS JOIN generate_series(1, {dim}) g(d)
+),
+seeds AS (SELECT * FROM q WHERE vec_id < {nseed}),
+d2 AS (
+  SELECT v.vec_id, (v.dim - 1) // {dim // nsub} AS s,
+         c.vec_id AS code, sum((v.q - c.q) * (v.q - c.q)) AS d2
+  FROM q v JOIN seeds c ON c.dim = v.dim
+  GROUP BY 1, 2, 3
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                   ORDER BY d2, code) AS rn
+      FROM d2)
+SELECT vec_id, CAST(s AS BIGINT) AS s, CAST(code AS BIGINT) AS code
+FROM r WHERE rn = 1
+"""
+
+
+def kwic(token: str = "data") -> str:
+    """3-token window around the first occurrence of `token` (twin of
+    `queries.q_kwic`)."""
+    return f"""
+WITH p AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         list_position(string_split(text, ' '), '{token}') AS pos
+  FROM documents
+)
+SELECT doc_id,
+       array_to_string(list_slice(toks, greatest(pos - 1, 1), pos + 1),
+                       ' ') AS ctx3
+FROM p WHERE pos > 0
+"""
+
+
+def running_distinct() -> str:
+    """Running distinct event-type count per user (twin of
+    `queries.q_running_distinct`)."""
+    return """
+WITH b AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS first
+  FROM events
+)
+SELECT event_id,
+       CAST(SUM(first) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS run_distinct
+FROM b
+"""
+
+
+@_materialized
+def reach2_parity() -> str:
+    """Ordered pairs with an odd number of directed 2-paths (twin of
+    `queries.q_reach2_parity`)."""
+    return PREFIX + """
+, two AS (
+  SELECT a.src AS i, b.dst AS j, count(*) AS c
+  FROM edges a JOIN edges b ON b.src = a.dst
+  GROUP BY 1, 2
+)
+SELECT vi.label AS src_label, vj.label AS dst_label
+FROM two JOIN verts vi ON vi.i = two.i JOIN verts vj ON vj.i = two.j
+WHERE c % 2 = 1
+"""
+
+
+@_materialized
+def triangle_strength() -> str:
+    """Sum of min canonical edge weight over all triangles (twin of
+    `queries.q_triangle_strength`)."""
+    return PREFIX + """
+, uw AS (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+         CAST(sum(w) AS BIGINT) AS w
+  FROM edges WHERE src <> dst GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+       CAST(coalesce(sum(least(x.w, y.w, z.w)), 0) AS BIGINT)
+         AS strength
+FROM uw x JOIN uw y ON y.a = x.b
+          JOIN uw z ON z.a = x.a AND z.b = y.b
+"""

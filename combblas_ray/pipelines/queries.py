@@ -7194,3 +7194,271 @@ def q_decayed_counts(sf_dir: str):
         "decayed": pa.array([agg[k][0] for k in ks], type=pa.int64()),
         "raw": pa.array([agg[k][1] for k in ks], type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 21: PQ codes, KWIC extraction, running distinct, GF(2) parity
+# reach, weighted triangle strength
+# ---------------------------------------------------------------------------
+
+PQ_NSEED = 4   # centroids per subspace = quantized seed vectors 0..3
+PQ_SUB = 8     # subspaces of 8 dims each (64-dim embeddings)
+
+
+def q_pq_codes(sf_dir: str):
+    """Product-quantization codes: each embedding split into PQ_SUB
+    8-dim subvectors, each assigned to the nearest of PQ_NSEED fixed
+    integer centroids (the quantized seed vectors — `range_search`'s
+    quantization q = floor((x+0.5)*2^20), exact on both sides; ties ->
+    lowest centroid). The vector-compression primitive behind IVF-PQ
+    ANN. Centroid matrix broadcast once; one batched einsum per
+    batch."""
+    import ray
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    seed_t = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id") < PQ_NSEED,
+    ).sort("vec_id").take_batch(PQ_NSEED, batch_format="pyarrow")
+    _, cmat = _km_quant(pa.table(seed_t))  # (4, 64) int64
+    cref = ray.put(cmat)
+
+    def _codes(t: pa.Table, *, _ref=cref) -> pa.Table:
+        C = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+        ids, Q = _km_quant(t)
+        if len(ids) == 0:
+            return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.int64()),
+                             "code": pa.array([], type=pa.int64())})
+        d = Q.shape[1] // PQ_SUB
+        Qs = Q.reshape(len(ids), PQ_SUB, d)          # (B, S, d)
+        Cs = C.reshape(PQ_NSEED, PQ_SUB, d)          # (K, S, d)
+        diff = Qs[:, None, :, :] - Cs[None, :, :, :]  # (B, K, S, d)
+        d2 = (diff * diff).sum(axis=3)               # (B, K, S) int64
+        code = d2.argmin(axis=1)                     # ties -> lowest K
+        B = len(ids)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, PQ_SUB)),
+            "s": pa.array(np.tile(np.arange(PQ_SUB, dtype=np.int64), B)),
+            "code": pa.array(code.reshape(B * PQ_SUB)),
+        })
+
+    return emb.map_batches(_codes, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def q_kwic(sf_dir: str):
+    """Keyword-in-context extraction: the 3-token window (previous,
+    match, next — clamped at document edges) around the FIRST
+    occurrence of POS_TOKEN per document. token_pos's sibling with
+    string assembly; hits are <= 1/doc so the per-hit join loop is
+    bounded."""
+    import ray
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def _kwic(b: pa.Table) -> pa.Table:
+        col = b.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern(col, " ")
+        flat = np.asarray(pc.list_flatten(toks)).astype(str)
+        parent = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+        offs = np.asarray(toks.offsets, dtype=np.int64)
+        idx = np.arange(len(flat)) - offs[parent]
+        hit = flat == POS_TOKEN
+        ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+        if not hit.any():
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "ctx3": pa.array([], type=pa.string())})
+        hp, hi = parent[hit], idx[hit]
+        firsts = np.ones(len(hp), dtype=bool)
+        firsts[1:] = hp[1:] != hp[:-1]
+        hp, hi = hp[firsts], hi[firsts]
+        ntok = offs[hp + 1] - offs[hp]
+        lo = np.maximum(hi - 1, 0) + offs[hp]
+        hi_ex = np.minimum(hi + 2, ntok) + offs[hp]
+        ctx = [" ".join(flat[a:z]) for a, z in zip(lo, hi_ex)]
+        return pa.table({"doc_id": pa.array(ids[hp]),
+                         "ctx3": pa.array(ctx, type=pa.string())})
+
+    return docs.map_batches(_kwic, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def q_running_distinct(sf_dir: str):
+    """Per-event running count of DISTINCT event types the user has
+    produced so far (inclusive; order ts, event_id) — the cumulative
+    cardinality window, which SQL can only express via a
+    first-occurrence flag + running sum. One user shuffle; the
+    first-occurrence marking and segmented cumsum run vectorized over
+    the whole partition."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def _run(t: pa.Table) -> pa.Table:
+        empty = pa.table({"event_id": pa.array([], type=pa.int64()),
+                          "run_distinct": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return empty
+        uid = np.asarray(t.column("user_id"), dtype=np.int64)
+        ts = np.asarray(t.column("ts")).astype("datetime64[us]").astype(
+            np.int64)
+        eid = np.asarray(t.column("event_id"), dtype=np.int64)
+        _, tcode = np.unique(np.asarray(t.column("event_type"))
+                             .astype(str), return_inverse=True)
+        order = np.lexsort((eid, ts, uid))
+        u_s, t_s, c_s, e_s = uid[order], ts[order], tcode[order], \
+            eid[order]
+        # first occurrence of (user, type) in time order: sort by
+        # (user, type, ts, eid), mark group heads, scatter back
+        o2 = np.lexsort((e_s, t_s, c_s, u_s))
+        head = np.ones(len(o2), dtype=bool)
+        head[1:] = (u_s[o2][1:] != u_s[o2][:-1]) | \
+                   (c_s[o2][1:] != c_s[o2][:-1])
+        first = np.zeros(len(o2), dtype=np.int64)
+        first[o2] = head.astype(np.int64)
+        # segmented running sum over the time order
+        seg_start = np.concatenate(([True], u_s[1:] != u_s[:-1]))
+        cum = np.cumsum(first)
+        starts = np.nonzero(seg_start)[0]
+        base = np.repeat(cum[starts] - first[starts],
+                         np.diff(np.concatenate((starts, [len(u_s)]))))
+        return pa.table({"event_id": pa.array(e_s),
+                         "run_distinct": pa.array(cum - base)})
+
+    return group_apply_tasks(ev, ["user_id"], _run)
+
+
+def q_reach2_parity(sf_dir: str):
+    """GF(2) 2-hop reachability: ordered vertex pairs (i, j) with an
+    ODD number of length-2 directed paths — A^2 over the xor-and
+    semiring (`lxor` add), the Operations.h bitwise-catalog tail
+    exercised end-to-end through the raw-task SpGEMM."""
+    from ..core import spgemm as SG
+
+    ctx = get_context(sf_dir)
+    g = ctx.graph("directed").dedup_sum().cast_bool()
+    deg = ctx.engine("directed").in_weights().astype(np.float64)
+    gp = int(max(8, min(64, np.ceil(float((deg ** 2).sum()) / 1.5e6))))
+    two = SG.spgemm_tasks(g.edges, g.edges, ctx.n, add="lxor",
+                          num_partitions=gp)
+
+    import ray
+    lab_ref = ray.put(np.asarray(ctx.labels))
+
+    def _odd(t: pa.Table, *, _r=lab_ref) -> pa.Table:
+        L = _r if isinstance(_r, np.ndarray) else ray.get(_r)
+        empty = pa.table({"src_label": pa.array([], type=pa.string()),
+                          "dst_label": pa.array([], type=pa.string())})
+        if t.num_rows == 0 or "src" not in t.column_names:
+            return empty
+        w = np.asarray(t.column("w"))
+        keep = w % 2 == 1
+        if not keep.any():
+            return empty
+        return pa.table({
+            "src_label": pa.array(
+                L[np.asarray(t.column("src"), dtype=np.int64)[keep]],
+                type=pa.string()),
+            "dst_label": pa.array(
+                L[np.asarray(t.column("dst"), dtype=np.int64)[keep]],
+                type=pa.string()),
+        })
+
+    return two.map_batches(_odd, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def q_triangle_strength(sf_dir: str):
+    """Weighted triangle aggregate: sum over all triangles a < b < c of
+    min(w_ab, w_bc, w_ca) on canonical undirected dedup-summed weights
+    — the enumeration plan of `triangles_list` carrying weight
+    channels, with the min-over-cycle fused into the closing join.
+    One-row output (n_triangles, strength)."""
+    import ray
+
+    from ..core.shuffle import group_sum_per_key, hash_join_tasks
+
+    ctx = get_context(sf_dir)
+    n = ctx.n
+    deg = ctx.engine("sym").in_weights().astype(np.float64)
+    gp = int(max(8, min(64, np.ceil(float((deg ** 2).sum()) / 1.5e6))))
+
+    def _canon(b: pa.Table) -> pa.Table:
+        s = np.asarray(b.column("src"), dtype=np.int64)
+        d = np.asarray(b.column("dst"), dtype=np.int64)
+        w = np.asarray(b.column("w")).astype(np.float64)
+        keep = s != d
+        a = np.minimum(s[keep], d[keep])
+        c = np.maximum(s[keep], d[keep])
+        uk, ws = group_sum_per_key(w[keep], a * n + c)
+        return pa.table({"a": pa.array(uk // n), "b": pa.array(uk % n),
+                         "w": pa.array(ws)})
+
+    from ..core.shuffle import group_apply_tasks
+
+    def _merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64()),
+                             "w": pa.array([], type=pa.int64())})
+        uk, ws = group_sum_per_key(
+            np.asarray(t.column("w"), dtype=np.float64),
+            np.asarray(t.column("a"), dtype=np.int64) * n
+            + np.asarray(t.column("b"), dtype=np.int64))
+        return pa.table({"a": pa.array(uk // n), "b": pa.array(uk % n),
+                         "w": pa.array(ws.astype(np.int64))})
+
+    uw = group_apply_tasks(
+        ctx.edges.map_batches(_canon, batch_format="pyarrow",
+                              zero_copy_batch=True),
+        ["a", "b"], _merge).materialize()
+
+    left = uw.map_batches(
+        lambda t: pa.table({"a": t.column("a"), "m": t.column("b"),
+                            "wab": t.column("w")}),
+        batch_format="pyarrow")
+    right = uw.map_batches(
+        lambda t: pa.table({"m": t.column("a"), "c": t.column("b"),
+                            "wbc": t.column("w")}),
+        batch_format="pyarrow")
+    wedges = hash_join_tasks(left, right, on="m", num_partitions=gp)
+    closing = uw.map_batches(
+        lambda t: pa.table({"a": t.column("a"), "c": t.column("b"),
+                            "wac": t.column("w")}),
+        batch_format="pyarrow")
+
+    def _strength(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "wab" not in t.column_names:
+            return pa.table({"nt": pa.array([], type=pa.int64()),
+                             "st": pa.array([], type=pa.int64())})
+        m = np.minimum(np.minimum(
+            np.asarray(t.column("wab"), dtype=np.int64),
+            np.asarray(t.column("wbc"), dtype=np.int64)),
+            np.asarray(t.column("wac"), dtype=np.int64))
+        return pa.table({"nt": pa.array([t.num_rows], type=pa.int64()),
+                         "st": pa.array([int(m.sum())], type=pa.int64())})
+
+    parts = hash_join_tasks(
+        wedges.map_batches(
+            lambda t: t.select(["a", "c", "wab", "wbc"]),
+            batch_format="pyarrow"),
+        closing, on=["a", "c"], num_partitions=gp,
+        post=_strength).take_all()
+    return pa.table({
+        "n_triangles": pa.array([sum(p["nt"] for p in parts)],
+                                type=pa.int64()),
+        "strength": pa.array([sum(p["st"] for p in parts)],
+                             type=pa.int64()),
+    })
