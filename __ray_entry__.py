@@ -63,18 +63,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mis_fixed": q.q_mis_fixed,
         "subsref_perm": q.q_subsref_perm,
         "spasgn_general": q.q_spasgn_general,
-        "clustering_coeff": q.q_clustering_coeff,
-        "kcore_fixed": q.q_kcore_fixed,
         # multimodal actor-pool pipelines (first-ever driver evidence
         # for the decode/resize/frame-sample class)
         "image_stats": q.q_image_stats,
-        "image_resize_stats": q.q_image_resize_stats,
         "video_frames": q.q_video_frames,
         # LLM-data layer without a prior driver row (+ refactored dedup)
-        "embed_dups_lsh": q.q_embed_dups_lsh,
-        "redact": q.q_redact,
         # wave 14 (newest = highest regression risk)
         # wave 15
+        # wave 22
+        "max_streak": q.q_max_streak,
+        "byte_stats": q.q_byte_stats,
+        "cycle3_directed": q.q_cycle3_directed,
+        "repo_stats": q.q_repo_stats,
+        "top2_share": q.q_top2_share,
         # wave 21
         "pq_codes": q.q_pq_codes,
         "kwic": q.q_kwic,
@@ -116,6 +117,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
+        "clustering_coeff": q.q_clustering_coeff,  # wedge ratios: triangle_strength/cycle3 in-window
+        "kcore_fixed": q.q_kcore_fixed,  # peeling rounds: percolation_cc rounds in-window
+        "embed_dups_lsh": q.q_embed_dups_lsh,  # sign-LSH buckets: pq_codes quantized family in-window
+        "redact": q.q_redact,  # regex rewrite: kwic assembly in-window
+        "image_resize_stats": q.q_image_resize_stats,  # chained actor pools: image_stats/audio_stats/video_frames in-window
         "range_search": q.q_range_search,  # quantized int matmul scan: pq_codes in-window
         "wl_refine": q.q_wl_refine,  # multiset-hash rounds: percolation_cc/coloring_fixed in-window
         "randperm_sorted": q.q_randperm_sorted,  # sort-rank perm: priority_sample order machinery in-window
@@ -437,6 +443,11 @@ def oracle_sql() -> dict[str, str]:
         "bipartite_proj": o.bipartite_proj(),
         "bipartite_check": o.bipartite_check("m_0", q.BFS_ITERS),
         "pq_codes": o.pq_codes(q.PQ_NSEED, q.PQ_SUB),
+        "max_streak": o.max_streak(),
+        "byte_stats": o.byte_stats(),
+        "cycle3_directed": o.cycle3_directed(),
+        "repo_stats": o.repo_stats(),
+        "top2_share": o.top2_share(q.TOP2_K),
         "kwic": o.kwic(q.POS_TOKEN),
         "running_distinct": o.running_distinct(),
         "reach2_parity": o.reach2_parity(),

@@ -4236,3 +4236,90 @@ SELECT CAST(count(*) AS BIGINT) AS n_triangles,
 FROM uw x JOIN uw y ON y.a = x.b
           JOIN uw z ON z.a = x.a AND z.b = y.b
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 22: streaks, byte audit, directed 3-cycles, repo stats, top-2
+# share
+# ---------------------------------------------------------------------------
+
+
+def max_streak() -> str:
+    """Longest consecutive-day streak per user via gaps-and-islands
+    (twin of `queries.q_max_streak`)."""
+    return """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // 86400000000 AS day
+  FROM events
+),
+r AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id
+                                  ORDER BY day) AS isl
+  FROM d
+),
+runs AS (SELECT user_id, count(*) AS len FROM r GROUP BY user_id, isl)
+SELECT user_id, CAST(max(len) AS BIGINT) AS max_streak
+FROM runs GROUP BY 1
+"""
+
+
+def byte_stats() -> str:
+    """Per-language codepoint vs byte totals (twin of
+    `queries.q_byte_stats`)."""
+    return """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars,
+       CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
+FROM documents GROUP BY 1
+"""
+
+
+@_materialized
+def cycle3_directed() -> str:
+    """trace(A^3) over distinct loop-free directed edges (twin of
+    `queries.q_cycle3_directed`)."""
+    return PREFIX + """
+SELECT CAST(count(*) AS BIGINT) AS closed_walks3
+FROM edges e1
+JOIN edges e2 ON e2.src = e1.dst
+JOIN edges e3 ON e3.src = e2.dst AND e3.dst = e1.src
+"""
+
+
+@_materialized
+def repo_stats() -> str:
+    """Per-repo file/lang/import counts regenerated from the corpus
+    arithmetic (twin of `queries.q_repo_stats`; import lines per file
+    = its targets rows, incl. the ord-0 self-candidate)."""
+    return PREFIX + """
+, imp AS (SELECT i, count(*) AS ni FROM targets GROUP BY i)
+SELECT 'repo_' || (f.i % 100) AS repo,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(count(DISTINCT f.i % 4) AS BIGINT) AS n_langs,
+       CAST(sum(imp.ni) AS BIGINT) AS n_imports
+FROM files f JOIN imp ON imp.i = f.i
+GROUP BY 1
+"""
+
+
+def top2_share(k: int = 2) -> str:
+    """Top-k users by spend per event type with type totals (twin of
+    `queries.q_top2_share`)."""
+    return f"""
+WITH b AS (
+  SELECT event_type, user_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+tu AS (SELECT event_type, user_id, sum(cents) AS uc FROM b GROUP BY 1, 2),
+tt AS (SELECT event_type, sum(uc) AS tc FROM tu GROUP BY 1),
+r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY uc DESC, user_id) AS rn
+      FROM tu)
+SELECT r.event_type, CAST(rn AS BIGINT) AS rank, user_id,
+       CAST(uc AS BIGINT) AS user_cents, CAST(tc AS BIGINT) AS type_cents
+FROM r JOIN tt ON tt.event_type = r.event_type
+WHERE rn <= {k}
+"""

@@ -7462,3 +7462,283 @@ def q_triangle_strength(sf_dir: str):
         "strength": pa.array([sum(p["st"] for p in parts)],
                              type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 22: activity streaks, byte audit, directed 3-cycles, repo
+# provenance, top-2 share
+# ---------------------------------------------------------------------------
+
+
+def q_max_streak(sf_dir: str):
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands pattern: one user shuffle, per-partition distinct
+    active days + island detection vectorized (diff over sorted unique
+    days; islands split where the gap exceeds 1)."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def _streak(t: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], type=pa.int64()),
+                          "max_streak": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return empty
+        uid = np.asarray(t.column("user_id"), dtype=np.int64)
+        day = (np.asarray(t.column("ts")).astype("datetime64[us]")
+               .astype(np.int64) // 86_400_000_000)
+        key = np.unique(uid << 20 | day)
+        u, d = key >> 20, key & ((1 << 20) - 1)
+        # island heads: new user or day gap > 1
+        head = np.ones(len(u), dtype=bool)
+        head[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1] + 1)
+        isl = np.cumsum(head) - 1
+        ln = np.bincount(isl)
+        iu = u[head]
+        uu, inv = np.unique(iu, return_inverse=True)
+        best = np.zeros(len(uu), dtype=np.int64)
+        np.maximum.at(best, inv, ln)
+        return pa.table({"user_id": pa.array(uu),
+                         "max_streak": pa.array(best)})
+
+    return group_apply_tasks(ev, ["user_id"], _streak)
+
+
+def q_byte_stats(sf_dir: str):
+    """UTF-8 inflation audit per language: document count, total
+    codepoints and total encoded bytes — the encoding-cost profile a
+    tokenizer-budget planner needs. Shuffle-free bounded partials on
+    Arrow kernels (utf8_length / binary_length)."""
+    import ray
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+
+    def _part(b: pa.Table) -> pa.Table:
+        lng = np.asarray(b.column("lang")).astype(str)
+        chars = np.asarray(pc.utf8_length(b.column("text")),
+                           dtype=np.int64)
+        byts = np.asarray(pc.binary_length(b.column("text")),
+                          dtype=np.int64)
+        ul, inv = np.unique(lng, return_inverse=True)
+        return pa.table({
+            "lang": pa.array(ul.tolist(), type=pa.string()),
+            "n_docs": pa.array(np.bincount(inv).astype(np.int64)),
+            "n_chars": pa.array(np.bincount(
+                inv, weights=chars.astype(np.float64)).astype(np.int64)),
+            "n_bytes": pa.array(np.bincount(
+                inv, weights=byts.astype(np.float64)).astype(np.int64)),
+        })
+
+    parts = docs.map_batches(_part, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all()
+    agg: dict[str, np.ndarray] = {}
+    for p in parts:
+        v = np.array([p["n_docs"], p["n_chars"], p["n_bytes"]],
+                     dtype=np.int64)
+        agg[p["lang"]] = agg.get(p["lang"], 0) + v
+    ks = sorted(agg)
+    return pa.table({
+        "lang": pa.array(ks, type=pa.string()),
+        "n_docs": pa.array([int(agg[k][0]) for k in ks],
+                           type=pa.int64()),
+        "n_chars": pa.array([int(agg[k][1]) for k in ks],
+                            type=pa.int64()),
+        "n_bytes": pa.array([int(agg[k][2]) for k in ks],
+                            type=pa.int64()),
+    })
+
+
+def q_cycle3_directed(sf_dir: str):
+    """Directed 3-cycle census: trace(A^3) over the loop-free distinct
+    directed adjacency = 3x the number of directed 3-cycles. One
+    structural raw-task SpGEMM (2-path counts) closed by a
+    co-partitioned join against the reversed edge table, count fused
+    into the join task."""
+    from ..core import spgemm as SG
+    from ..core.shuffle import hash_join_tasks
+
+    ctx = get_context(sf_dir)
+    g = ctx.graph("directed").dedup_sum().cast_bool()
+    deg = ctx.engine("directed").in_weights().astype(np.float64)
+    gp = int(max(8, min(64, np.ceil(float((deg ** 2).sum()) / 1.5e6))))
+    two = SG.spgemm_tasks(g.edges, g.edges, ctx.n, add="sum",
+                          num_partitions=gp)
+    rev = g.edges.map_batches(
+        lambda t: pa.table({"src": t.column("dst"),
+                            "dst": t.column("src")}),
+        batch_format="pyarrow")
+
+    def _close(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "w" not in t.column_names:
+            return pa.table({"c": pa.array([], type=pa.int64())})
+        return pa.table({"c": pa.array(
+            [int(np.asarray(t.column("w")).sum())], type=pa.int64())})
+
+    parts = hash_join_tasks(two, rev, on=["src", "dst"],
+                            num_partitions=gp, post=_close).take_all()
+    return pa.table({"closed_walks3": pa.array(
+        [sum(p["c"] for p in parts)], type=pa.int64())})
+
+
+def q_repo_stats(sf_dir: str):
+    """Per-repository provenance audit over the flagship corpus table
+    (repo, path, commit, lang, content): file count, distinct
+    languages, total import statements (vectorized substring count on
+    content — the only content scan). Bounded (repo x lang) partials,
+    driver combine."""
+    from ..sources import corpus as C
+
+    n = C.n_files_for(sf_dir)
+    ds = C.corpus_dataset(n)
+
+    def _part(b: pa.Table) -> pa.Table:
+        repo = np.asarray(b.column("repo")).astype(str)
+        lang = np.asarray(b.column("lang")).astype(str)
+        imps = np.asarray(pc.count_substring(b.column("content"),
+                                             "import m_"),
+                          dtype=np.int64)
+        key = np.char.add(np.char.add(repo, "\x1f"), lang)
+        uk, inv = np.unique(key, return_inverse=True)
+        return pa.table({
+            "repo": pa.array([k.split("\x1f")[0] for k in uk],
+                             type=pa.string()),
+            "lang": pa.array([k.split("\x1f")[1] for k in uk],
+                             type=pa.string()),
+            "files": pa.array(np.bincount(inv).astype(np.int64)),
+            "imports": pa.array(np.bincount(
+                inv, weights=imps.astype(np.float64)).astype(np.int64)),
+        })
+
+    parts = ds.map_batches(_part, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    agg: dict[tuple, list[int]] = {}
+    for p in parts:
+        e = agg.setdefault((p["repo"], p["lang"]), [0, 0])
+        e[0] += p["files"]
+        e[1] += p["imports"]
+    per_repo: dict[str, list[int]] = {}
+    langs: dict[str, set] = {}
+    for (repo, lang), (f, im) in agg.items():
+        e = per_repo.setdefault(repo, [0, 0])
+        e[0] += f
+        e[1] += im
+        langs.setdefault(repo, set()).add(lang)
+    ks = sorted(per_repo)
+    return pa.table({
+        "repo": pa.array(ks, type=pa.string()),
+        "n_files": pa.array([per_repo[k][0] for k in ks],
+                            type=pa.int64()),
+        "n_langs": pa.array([len(langs[k]) for k in ks],
+                            type=pa.int64()),
+        "n_imports": pa.array([per_repo[k][1] for k in ks],
+                              type=pa.int64()),
+    })
+
+
+TOP2_K = 2
+
+
+def q_top2_share(sf_dir: str):
+    """Top-2 users by spend per event type with the type total alongside
+    (share left rational) — top-k per group AFTER aggregation: pair
+    totals in one (type, user) co-partitioned shuffle, per-partition
+    top-k partials (exact: a pair's total is complete in its
+    partition), bounded driver cut."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "user_id", "value"],
+    )
+
+    def _pair(b: pa.Table) -> pa.Table:
+        et = np.asarray(b.column("event_type")).astype(str)
+        uid = np.asarray(b.column("user_id"), dtype=np.int64)
+        cents = np.floor(np.asarray(b.column("value")) * 100.0
+                         + 0.5).astype(np.int64)
+        key = np.char.add(np.char.add(et, "\x1f"), uid.astype(str))
+        uk, inv = np.unique(key, return_inverse=True)
+        s = np.bincount(inv, weights=cents.astype(np.float64)).astype(
+            np.int64)
+        return pa.table({
+            "event_type": pa.array([k.split("\x1f")[0] for k in uk],
+                                   type=pa.string()),
+            "user_id": pa.array([int(k.split("\x1f")[1]) for k in uk],
+                                type=pa.int64()),
+            "uc": pa.array(s),
+        })
+
+    def _merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_type" not in t.column_names:
+            return pa.table({"event_type": pa.array([], type=pa.string()),
+                             "user_id": pa.array([], type=pa.int64()),
+                             "uc": pa.array([], type=pa.int64()),
+                             "tc_part": pa.array([], type=pa.int64())})
+        et = np.asarray(t.column("event_type")).astype(str)
+        uid = np.asarray(t.column("user_id"), dtype=np.int64)
+        uc = np.asarray(t.column("uc"), dtype=np.int64)
+        key = np.char.add(np.char.add(et, "\x1f"), uid.astype(str))
+        uk, inv = np.unique(key, return_inverse=True)
+        s = np.bincount(inv, weights=uc.astype(np.float64)).astype(
+            np.int64)
+        pe = np.array([k.split("\x1f")[0] for k in uk])
+        pu = np.array([int(k.split("\x1f")[1]) for k in uk],
+                      dtype=np.int64)
+        # per-type partial: top-k pairs (tc_part = 0) + ONE marker row
+        # per type carrying this partition's type sum (user_id = -1) —
+        # markers sum to the exact type total across partitions
+        order = np.lexsort((pu, -s, pe))
+        pe_s = pe[order]
+        head = np.ones(len(pe_s), dtype=bool)
+        head[1:] = pe_s[1:] != pe_s[:-1]
+        grp = np.cumsum(head) - 1
+        starts = np.nonzero(head)[0]
+        rank = np.arange(len(pe_s)) - starts[grp]
+        keep = rank < TOP2_K
+        ue, einv = np.unique(pe, return_inverse=True)
+        tsum = np.bincount(einv, weights=s.astype(np.float64)).astype(
+            np.int64)
+        return pa.table({
+            "event_type": pa.array(pe_s[keep].tolist() + ue.tolist(),
+                                   type=pa.string()),
+            "user_id": pa.array(np.concatenate(
+                [pu[order][keep], np.full(len(ue), -1, np.int64)])),
+            "uc": pa.array(np.concatenate(
+                [s[order][keep], np.zeros(len(ue), np.int64)])),
+            "tc_part": pa.array(np.concatenate(
+                [np.zeros(int(keep.sum()), np.int64), tsum])),
+        })
+
+    parts = group_apply_tasks(
+        ev.map_batches(_pair, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type", "user_id"], _merge).take_all()
+    by_type: dict[str, list] = {}
+    totals: dict[str, int] = {}
+    for p in parts:
+        if p["user_id"] < 0:
+            totals[p["event_type"]] = totals.get(p["event_type"], 0) \
+                + p["tc_part"]
+        else:
+            by_type.setdefault(p["event_type"], []).append(
+                (-p["uc"], p["user_id"]))
+    rows = []
+    for et, cand in sorted(by_type.items()):
+        cand.sort()
+        for r, (nuc, uid) in enumerate(cand[:TOP2_K], start=1):
+            rows.append((et, r, uid, -nuc, totals[et]))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], type=pa.string()),
+        "rank": pa.array([r[1] for r in rows], type=pa.int64()),
+        "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+        "user_cents": pa.array([r[3] for r in rows], type=pa.int64()),
+        "type_cents": pa.array([r[4] for r in rows], type=pa.int64()),
+    })
