@@ -56,10 +56,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_propagation": q.q_label_propagation,
         "triangle_count": q.q_triangle_count,
         # graph/engine operators without a prior driver row
-        "bfs_sigma": q.q_bfs_sigma,
         "coloring_fixed": q.q_coloring_fixed,
         "filtered_bfs_payload": q.q_filtered_bfs_payload,
-        "matching_fixed": q.q_matching_fixed,
         "mis_fixed": q.q_mis_fixed,
         "subsref_perm": q.q_subsref_perm,
         "spasgn_general": q.q_spasgn_general,
@@ -70,6 +68,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LLM-data layer without a prior driver row (+ refactored dedup)
         # wave 14 (newest = highest regression risk)
         # wave 15
+        # wave 23
+        "cocitation_topk": q.q_cocitation_topk,
+        "sim_hist": q.q_sim_hist,
+        "transition_counts": q.q_transition_counts,
+        "events_mad": q.q_events_mad,
+        "degree_quantiles": q.q_degree_quantiles,
         # wave 22
         "max_streak": q.q_max_streak,
         "byte_stats": q.q_byte_stats,
@@ -93,7 +97,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_sample": q.q_priority_sample,
         "tpch_q21": q.q_tpch_q21,
         "double_sweep": q.q_double_sweep,
-        "token_pos": q.q_token_pos,
         # wave 18
         "tpch_q2": q.q_tpch_q2,
         "tpch_q8": q.q_tpch_q8,
@@ -104,11 +107,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q9": q.q_tpch_q9,
         "tpch_q19": q.q_tpch_q19,
         "edit_window": q.q_edit_window,
-        "lang_gini": q.q_lang_gini,
         "audio_stats": q.q_audio_stats,
         # wave 16
         "tpch_q7": q.q_tpch_q7,
-        "tpch_q15": q.q_tpch_q15,
         "tpch_q17": q.q_tpch_q17,
         "tpch_q22": q.q_tpch_q22,
         "regr_stats": q.q_regr_stats,
@@ -117,6 +118,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
+        "bfs_sigma": q.q_bfs_sigma,  # sigma chain: double_sweep/bipartite_check BFS in-window
+        "matching_fixed": q.q_matching_fixed,  # LCG fixed rounds: mis_fixed/coloring_fixed in-window
+        "token_pos": q.q_token_pos,  # positional search: kwic (same machinery + assembly) in-window
+        "lang_gini": q.q_lang_gini,  # sufficient stats: byte_stats/regr_stats in-window
+        "tpch_q15": q.q_tpch_q15,  # top-by-aggregate with ties: top2_share in-window
         "clustering_coeff": q.q_clustering_coeff,  # wedge ratios: triangle_strength/cycle3 in-window
         "kcore_fixed": q.q_kcore_fixed,  # peeling rounds: percolation_cc rounds in-window
         "embed_dups_lsh": q.q_embed_dups_lsh,  # sign-LSH buckets: pq_codes quantized family in-window
@@ -444,6 +450,11 @@ def oracle_sql() -> dict[str, str]:
         "bipartite_check": o.bipartite_check("m_0", q.BFS_ITERS),
         "pq_codes": o.pq_codes(q.PQ_NSEED, q.PQ_SUB),
         "max_streak": o.max_streak(),
+        "cocitation_topk": o.cocitation_topk(q.COCIT_TOPK, q.COCIT_MIN),
+        "sim_hist": o.sim_hist(q.SIMH_N, q.SIMH_SHIFT),
+        "transition_counts": o.transition_counts(),
+        "events_mad": o.events_mad(),
+        "degree_quantiles": o.degree_quantiles(q.DEGQ),
         "byte_stats": o.byte_stats(),
         "cycle3_directed": o.cycle3_directed(),
         "repo_stats": o.repo_stats(),

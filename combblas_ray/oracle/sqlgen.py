@@ -4323,3 +4323,114 @@ SELECT r.event_type, CAST(rn AS BIGINT) AS rank, user_id,
 FROM r JOIN tt ON tt.event_type = r.event_type
 WHERE rn <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 23: co-citation, similarity histogram, transitions, MAD, degree
+# quantiles
+# ---------------------------------------------------------------------------
+
+
+@_materialized
+def cocitation_topk(k: int = 50, cmin: int = 2) -> str:
+    """Top-k co-citation pairs (common in-neighbors) (twin of
+    `queries.q_cocitation_topk`)."""
+    return PREFIX + f"""
+, cc AS (
+  SELECT vi.label AS a, vj.label AS b, count(*) AS cnt
+  FROM edges e1 JOIN edges e2 ON e2.src = e1.src AND e1.dst <> e2.dst
+  JOIN verts vi ON vi.i = e1.dst JOIN verts vj ON vj.i = e2.dst
+  WHERE vi.label < vj.label
+  GROUP BY 1, 2
+)
+SELECT a, b, CAST(cnt AS BIGINT) AS cnt
+FROM cc WHERE cnt >= {cmin}
+ORDER BY cnt DESC, a, b
+LIMIT {k}
+"""
+
+
+def sim_hist(nvec: int = 128, shift: int = 40, dim: int = 64,
+             qscale: int = 1 << 20) -> str:
+    """Bucketed pairwise integer-dot histogram (twin of
+    `queries.q_sim_hist`)."""
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id, CAST(g.d AS BIGINT) AS dim,
+         CAST(floor((CAST(embedding[CAST(g.d AS INT)] AS DOUBLE) + 0.5)
+                    * {qscale}) AS BIGINT) AS q
+  FROM embeddings CROSS JOIN generate_series(1, {dim}) g(d)
+  WHERE vec_id < {nvec}
+),
+dots AS (
+  SELECT a.vec_id AS i, b.vec_id AS j, sum(a.q * b.q) AS dot
+  FROM q a JOIN q b ON b.dim = a.dim AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT CAST(dot >> {shift} AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM dots GROUP BY 1
+"""
+
+
+def transition_counts() -> str:
+    """Markov transition counts of consecutive per-user event types
+    (twin of `queries.q_transition_counts`)."""
+    return """
+WITH o AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT event_type AS from_type, nxt AS to_type,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM o WHERE nxt IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def events_mad() -> str:
+    """Exact lower-median + MAD per event type, integer cents (twin of
+    `queries.q_events_mad`)."""
+    return """
+WITH b AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+r AS (
+  SELECT event_type, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM b
+),
+med AS (SELECT event_type, c AS med FROM r WHERE rn = (n + 1) // 2),
+a AS (
+  SELECT b.event_type, m.med, abs(b.c - m.med) AS d
+  FROM b JOIN med m ON m.event_type = b.event_type
+),
+r2 AS (
+  SELECT event_type, med, d,
+         row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM a
+)
+SELECT event_type, CAST(med AS BIGINT) AS med_cents,
+       CAST(d AS BIGINT) AS mad_cents
+FROM r2 WHERE rn = (n + 1) // 2
+"""
+
+
+@_materialized
+def degree_quantiles(ps: tuple = (50, 90, 99)) -> str:
+    """Discrete out-degree quantiles (twin of
+    `queries.q_degree_quantiles`)."""
+    vals = ", ".join(f"({p})" for p in ps)
+    return PREFIX + f"""
+, deg AS (SELECT src, count(*) AS dg FROM edges GROUP BY 1),
+cnt AS (SELECT count(*) AS c FROM deg),
+r AS (SELECT dg, row_number() OVER (ORDER BY dg) AS rn FROM deg)
+SELECT CAST(q.p AS BIGINT) AS p, CAST(r.dg AS BIGINT) AS degree
+FROM (VALUES {vals}) q(p), cnt
+JOIN r ON r.rn = greatest(1, (q.p * cnt.c + 99) // 100)
+"""

@@ -7742,3 +7742,219 @@ def q_top2_share(sf_dir: str):
         "user_cents": pa.array([r[3] for r in rows], type=pa.int64()),
         "type_cents": pa.array([r[4] for r in rows], type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 23: co-citation, similarity histogram, Markov transitions,
+# exact MAD, degree quantiles
+# ---------------------------------------------------------------------------
+
+COCIT_TOPK = 50
+COCIT_MIN = 2
+
+
+def q_cocitation_topk(sf_dir: str):
+    """Co-citation strength: vertex pairs (i < j) sharing in-neighbors,
+    count = |common in-neighbors| — A^T A through the raw-task SpGEMM
+    (the transpose-times-self shape; bibliographic-coupling twin of the
+    wedge A A^T). Threshold + global top-k by (cnt DESC, i, j)."""
+    from ..core import spgemm as SG
+
+    ctx = get_context(sf_dir)
+    g = ctx.graph("directed").dedup_sum().cast_bool()
+    deg = ctx.engine("directed").in_weights().astype(np.float64)
+    gp = int(max(8, min(64, np.ceil(float((deg ** 2).sum()) / 1.5e6))))
+    rev = g.edges.map_batches(
+        lambda t: pa.table({"src": t.column("dst"),
+                            "dst": t.column("src"),
+                            "w": t.column("w")}),
+        batch_format="pyarrow")
+    ata = SG.spgemm_tasks(rev, g.edges, ctx.n, add="sum",
+                          num_partitions=gp)
+
+    import ray
+    lab_ref = ray.put(np.asarray(ctx.labels))
+
+    def _cut(t: pa.Table) -> pa.Table:
+        empty = pa.table({"i": pa.array([], type=pa.int64()),
+                          "j": pa.array([], type=pa.int64()),
+                          "cnt": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "src" not in t.column_names:
+            return empty
+        i = np.asarray(t.column("src"), dtype=np.int64)
+        j = np.asarray(t.column("dst"), dtype=np.int64)
+        w = np.asarray(t.column("w")).astype(np.int64)
+        keep = (i < j) & (w >= COCIT_MIN)
+        return pa.table({"i": pa.array(i[keep]), "j": pa.array(j[keep]),
+                         "cnt": pa.array(w[keep])})
+
+    top = (ata.map_batches(_cut, batch_format="pyarrow",
+                           zero_copy_batch=True)
+           .sort(["cnt", "i", "j"], descending=[True, False, False])
+           .limit(COCIT_TOPK).take_all())
+    L = np.asarray(ctx.labels)
+    return pa.table({
+        "a": pa.array([L[r["i"]] for r in top], type=pa.string()),
+        "b": pa.array([L[r["j"]] for r in top], type=pa.string()),
+        "cnt": pa.array([r["cnt"] for r in top], type=pa.int64()),
+    })
+
+
+SIMH_N = 128
+SIMH_SHIFT = 40
+
+
+def q_sim_hist(sf_dir: str):
+    """Pairwise-similarity histogram over the first SIMH_N embeddings:
+    exact integer dot products (kmeans quantization) bucketed by
+    >> SIMH_SHIFT, counted over unordered pairs i < j — the similarity
+    -distribution audit behind dedup-threshold tuning. Query matrix
+    broadcast once; per-batch partial histograms."""
+    import ray
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id") < SIMH_N,
+    )
+    all_t = emb.sort("vec_id").take_batch(SIMH_N, batch_format="pyarrow")
+    aids, amat = _km_quant(pa.table(all_t))
+    aref = ray.put((aids, amat))
+
+    def _hist(t: pa.Table, *, _ref=aref) -> pa.Table:
+        ai, am = _ref if isinstance(_ref, tuple) else ray.get(_ref)
+        ids, Q = _km_quant(t)
+        if len(ids) == 0:
+            return pa.table({"bucket": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        d = Q @ am.T  # (batch, SIMH_N) exact int64
+        mask = ids[:, None] < ai[None, :]
+        b = (d[mask] >> SIMH_SHIFT)
+        ub, cnt = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(ub),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    parts = emb.map_batches(_hist, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all()
+    agg: dict[int, int] = {}
+    for p in parts:
+        agg[p["bucket"]] = agg.get(p["bucket"], 0) + p["cnt"]
+    ks = sorted(agg)
+    return pa.table({
+        "bucket": pa.array(ks, type=pa.int64()),
+        "cnt": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
+
+
+def q_transition_counts(sf_dir: str):
+    """Event-type Markov transition counts: consecutive (by ts,
+    event_id) event-type pairs per user, summed globally — the
+    transition-matrix estimator. One user shuffle, vectorized shifted
+    compare, bounded (types^2) output."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def _trans(t: pa.Table) -> pa.Table:
+        empty = pa.table({"from_type": pa.array([], type=pa.string()),
+                          "to_type": pa.array([], type=pa.string()),
+                          "cnt": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return empty
+        uid = np.asarray(t.column("user_id"), dtype=np.int64)
+        ts = np.asarray(t.column("ts")).astype("datetime64[us]").astype(
+            np.int64)
+        eid = np.asarray(t.column("event_id"), dtype=np.int64)
+        ut, tcode = np.unique(np.asarray(t.column("event_type"))
+                              .astype(str), return_inverse=True)
+        order = np.lexsort((eid, ts, uid))
+        u_s, c_s = uid[order], tcode[order]
+        same = u_s[1:] == u_s[:-1]
+        frm, to = c_s[:-1][same], c_s[1:][same]
+        if not len(frm):
+            return empty
+        key = frm * len(ut) + to
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "from_type": pa.array(ut[uk // len(ut)].tolist(),
+                                  type=pa.string()),
+            "to_type": pa.array(ut[uk % len(ut)].tolist(),
+                                type=pa.string()),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        })
+
+    parts = group_apply_tasks(ev, ["user_id"], _trans).take_all()
+    agg: dict[tuple, int] = {}
+    for p in parts:
+        k = (p["from_type"], p["to_type"])
+        agg[k] = agg.get(k, 0) + p["cnt"]
+    ks = sorted(agg)
+    return pa.table({
+        "from_type": pa.array([k[0] for k in ks], type=pa.string()),
+        "to_type": pa.array([k[1] for k in ks], type=pa.string()),
+        "cnt": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
+
+
+def q_events_mad(sf_dir: str):
+    """Exact per-type median absolute deviation (lower median both
+    times, integer cents) — the robust-scale statistic; one keyed
+    shuffle, whole-group two-phase order statistics vectorized."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def _mad(t: pa.Table) -> pa.Table:
+        empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                          "med_cents": pa.array([], type=pa.int64()),
+                          "mad_cents": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "event_type" not in t.column_names:
+            return empty
+        et = np.asarray(t.column("event_type")).astype(str)
+        cents = np.floor(np.asarray(t.column("value")) * 100.0
+                         + 0.5).astype(np.int64)
+        ue = np.unique(et)
+        meds, mads = [], []
+        for e in ue:  # groups per partition are bounded (n_types)
+            v = np.sort(cents[et == e])
+            med = int(v[(len(v) - 1) // 2])
+            d = np.sort(np.abs(v - med))
+            meds.append(med)
+            mads.append(int(d[(len(d) - 1) // 2]))
+        return pa.table({
+            "event_type": pa.array(ue.tolist(), type=pa.string()),
+            "med_cents": pa.array(meds, type=pa.int64()),
+            "mad_cents": pa.array(mads, type=pa.int64()),
+        })
+
+    return group_apply_tasks(ev, ["event_type"], _mad)
+
+
+DEGQ = (50, 90, 99)
+
+
+def q_degree_quantiles(sf_dir: str):
+    """Discrete p50/p90/p99 of the out-degree distribution (vertices
+    with >= 1 out-edge) — the skew-profile diagnostic feeding partition
+    sizing. Degrees from one keyed reduce; the order statistics run in
+    one whole-set kernel (rank = ceil(p/100 * n), 1-based)."""
+    ctx = get_context(sf_dir)
+    deg = ctx.engine("dir_bool").out_weights()  # structural counts
+    v = np.sort(deg[deg > 0]).astype(np.int64)
+    n = len(v)
+    out = []
+    for p in DEGQ:
+        rank = max(1, -(-p * n // 100))  # ceil
+        out.append(int(v[rank - 1]))
+    return pa.table({
+        "p": pa.array(list(DEGQ), type=pa.int64()),
+        "degree": pa.array(out, type=pa.int64()),
+    })
