@@ -58,9 +58,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # graph/engine operators without a prior driver row
         "coloring_fixed": q.q_coloring_fixed,
         "filtered_bfs_payload": q.q_filtered_bfs_payload,
-        "mis_fixed": q.q_mis_fixed,
-        "subsref_perm": q.q_subsref_perm,
-        "spasgn_general": q.q_spasgn_general,
         # multimodal actor-pool pipelines (first-ever driver evidence
         # for the decode/resize/frame-sample class)
         "image_stats": q.q_image_stats,
@@ -68,6 +65,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LLM-data layer without a prior driver row (+ refactored dedup)
         # wave 14 (newest = highest regression risk)
         # wave 15
+        # wave 24
+        "interval_coverage": q.q_interval_coverage,
+        "first_response": q.q_first_response,
+        "order_gap_stats": q.q_order_gap_stats,
+        "vertex_cover": q.q_vertex_cover,
+        "k_center": q.q_k_center,
         # wave 23
         "cocitation_topk": q.q_cocitation_topk,
         "sim_hist": q.q_sim_hist,
@@ -105,12 +108,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_probe": q.q_bloom_probe,
         # wave 17
         "tpch_q9": q.q_tpch_q9,
-        "tpch_q19": q.q_tpch_q19,
         "edit_window": q.q_edit_window,
         "audio_stats": q.q_audio_stats,
         # wave 16
         "tpch_q7": q.q_tpch_q7,
-        "tpch_q17": q.q_tpch_q17,
         "tpch_q22": q.q_tpch_q22,
         "regr_stats": q.q_regr_stats,
         # relational / windowed (round-2 verdict: keep driver evidence)
@@ -118,6 +119,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
+        "mis_fixed": q.q_mis_fixed,  # LCG fixed rounds: vertex_cover matching chain + coloring_fixed in-window
+        "subsref_perm": q.q_subsref_perm,  # dictionary-join indexing: kron_product/galerkin-class joins in-window
+        "spasgn_general": q.q_spasgn_general,  # carve+union indexing: subsref sibling, prune family local
+        "tpch_q17": q.q_tpch_q17,  # correlated avg subquery: tpch_q21/q22 in-window
+        "tpch_q19": q.q_tpch_q19,  # disjunctive predicate join: tpch_q2/q20 in-window
         "bfs_sigma": q.q_bfs_sigma,  # sigma chain: double_sweep/bipartite_check BFS in-window
         "matching_fixed": q.q_matching_fixed,  # LCG fixed rounds: mis_fixed/coloring_fixed in-window
         "token_pos": q.q_token_pos,  # positional search: kwic (same machinery + assembly) in-window
@@ -451,6 +457,11 @@ def oracle_sql() -> dict[str, str]:
         "pq_codes": o.pq_codes(q.PQ_NSEED, q.PQ_SUB),
         "max_streak": o.max_streak(),
         "cocitation_topk": o.cocitation_topk(q.COCIT_TOPK, q.COCIT_MIN),
+        "interval_coverage": o.interval_coverage(q.COV_WIN_US),
+        "first_response": o.first_response(q.FR_FROM, q.FR_TO),
+        "order_gap_stats": o.order_gap_stats(),
+        "vertex_cover": o.vertex_cover(q.MATCH_ROUNDS),
+        "k_center": o.k_center(q.KC_K),
         "sim_hist": o.sim_hist(q.SIMH_N, q.SIMH_SHIFT),
         "transition_counts": o.transition_counts(),
         "events_mad": o.events_mad(),

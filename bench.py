@@ -152,6 +152,8 @@ def run_headline() -> None:
         "block_imbalance_after_randperm": round(imb_after, 4),
     }
     print(json.dumps(out))
+    from combblas_ray.util import quiesce_data_stats
+    quiesce_data_stats()  # see util.py: stats-thread post-shutdown fatal
     ray.shutdown()
 
 
@@ -379,6 +381,8 @@ def run_dataops() -> None:
         "n_vectors": int(nvec),
         "counts": counts,
     }))
+    from combblas_ray.util import quiesce_data_stats
+    quiesce_data_stats()  # see util.py: stats-thread post-shutdown fatal
     ray.shutdown()
 
 
@@ -428,6 +432,8 @@ def run_scaling_child(num_cpus: int) -> None:
             }
         )
     )
+    from combblas_ray.util import quiesce_data_stats
+    quiesce_data_stats()  # see util.py: stats-thread post-shutdown fatal
     ray.shutdown()
 
 
@@ -543,6 +549,8 @@ def run_graph500(scale: int, edgefactor: int = 16, nroots: int = 8) -> None:
             }
         )
     )
+    from combblas_ray.util import quiesce_data_stats
+    quiesce_data_stats()  # see util.py: stats-thread post-shutdown fatal
     ray.shutdown()
 
 

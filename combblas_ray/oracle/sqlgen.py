@@ -4434,3 +4434,122 @@ SELECT CAST(q.p AS BIGINT) AS p, CAST(r.dg AS BIGINT) AS degree
 FROM (VALUES {vals}) q(p), cnt
 JOIN r ON r.rn = greatest(1, (q.p * cnt.c + 99) // 100)
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 24: interval coverage, forward as-of, reorder gaps, vertex
+# cover, greedy k-center
+# ---------------------------------------------------------------------------
+
+
+def interval_coverage(win_us: int) -> str:
+    """Interval-union covered time per user (twin of
+    `queries.q_interval_coverage`)."""
+    return f"""
+WITH b AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + {win_us} AS e,
+         event_id
+  FROM events
+),
+c AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS pm
+  FROM b
+)
+SELECT user_id,
+       CAST(sum(greatest(e - greatest(s, coalesce(pm, -1)), 0))
+            AS BIGINT) AS covered_us
+FROM c GROUP BY 1
+"""
+
+
+def first_response(frm: str = "view", to: str = "purchase") -> str:
+    """Forward as-of wait time (twin of `queries.q_first_response`)."""
+    return f"""
+WITH b AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE event_type IN ('{frm}', '{to}')
+),
+n AS (
+  SELECT user_id, ts, event_id, event_type,
+         min(CASE WHEN event_type = '{to}' THEN epoch_us(ts) END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS nxt
+  FROM b
+)
+SELECT event_id, CAST(nxt - epoch_us(ts) AS BIGINT) AS wait_us
+FROM n WHERE event_type = '{frm}' AND nxt IS NOT NULL
+"""
+
+
+def order_gap_stats() -> str:
+    """Consecutive-order gap statistics per customer (twin of
+    `queries.q_order_gap_stats`)."""
+    return """
+WITH o AS (
+  SELECT o_custkey,
+         (lead(epoch_us(o_orderdate))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate,
+                  o_orderkey)
+          - epoch_us(o_orderdate)) // 86400000000 AS gap
+  FROM orders
+)
+SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(sum(gap) AS BIGINT) AS sum_days,
+       CAST(max(gap) AS BIGINT) AS max_days
+FROM o WHERE gap IS NOT NULL
+GROUP BY 1
+"""
+
+
+@_materialized
+def vertex_cover(rounds: int = 12, b: int = 23) -> str:
+    """Matched endpoints of the fixed-round matching = 2-approx vertex
+    cover (twin of `queries.q_vertex_cover`)."""
+    sql, prev = _matching_chain(rounds, b)
+    sql += f"""
+SELECT da.label AS label
+FROM {prev} m JOIN dense da ON da.d = m.d
+"""
+    return sql
+
+
+def k_center(k: int = 6, dim: int = 64, qscale: int = 1 << 20) -> str:
+    """Greedy farthest-point selection, unrolled (twin of
+    `queries.q_k_center`)."""
+    sql = f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id, CAST(g.d AS BIGINT) AS dim,
+         CAST(floor((CAST(embedding[CAST(g.d AS INT)] AS DOUBLE) + 0.5)
+                    * {qscale}) AS BIGINT) AS q
+  FROM embeddings CROSS JOIN generate_series(1, {dim}) g(d)
+),
+dd AS MATERIALIZED (
+  SELECT a.vec_id AS i, b.vec_id AS c,
+         sum((a.q - b.q) * (a.q - b.q)) AS d2
+  FROM q a JOIN q b ON b.dim = a.dim
+  GROUP BY 1, 2
+),
+c0 (c) AS (VALUES (0))
+"""
+    prev = "c0"
+    for r in range(1, k):
+        sql += f"""
+, m{r} AS (
+  SELECT i FROM (
+    SELECT dd.i, min(dd.d2) AS md
+    FROM dd JOIN {prev} ON dd.c = {prev}.c
+    WHERE dd.i NOT IN (SELECT c FROM {prev})
+    GROUP BY dd.i
+  ) ORDER BY md DESC, i LIMIT 1
+),
+c{r} AS (SELECT c FROM {prev} UNION SELECT i FROM m{r})
+"""
+        prev = f"c{r}"
+    picks = ["SELECT 0 AS rank, 0 AS vec_id"] + [
+        f"SELECT {r} AS rank, i AS vec_id FROM m{r}" for r in range(1, k)]
+    sql += "\n" + "\nUNION ALL\n".join(picks)
+    return sql

@@ -7958,3 +7958,242 @@ def q_degree_quantiles(sf_dir: str):
         "p": pa.array(list(DEGQ), type=pa.int64()),
         "degree": pa.array(out, type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 24: interval coverage, forward as-of, reorder gaps, vertex
+# cover, greedy k-center
+# ---------------------------------------------------------------------------
+
+COV_WIN_US = 30 * 60 * 1_000_000  # 30-minute activity window
+
+
+def q_interval_coverage(sf_dir: str):
+    """Interval-union coverage: total time each user is 'active' when
+    every event opens a 30-minute window — the sweep-line union-length
+    op (overlaps collapse). One user shuffle; contribution = clip(end -
+    max(start, running-max prior end), 0), vectorized with the
+    offset-channel segment cummax."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id"],
+    )
+
+    def _cov(t: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], type=pa.int64()),
+                          "covered_us": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return empty
+        uid = np.asarray(t.column("user_id"), dtype=np.int64)
+        ts = np.asarray(t.column("ts")).astype("datetime64[us]").astype(
+            np.int64)
+        eid = np.asarray(t.column("event_id"), dtype=np.int64)
+        order = np.lexsort((eid, ts, uid))
+        u, s = uid[order], ts[order]
+        e = s + COV_WIN_US
+        seg = np.cumsum(np.concatenate(
+            ([False], u[1:] != u[:-1]))).astype(np.int64)
+        off = seg << 52  # ts fits < 2^51; segment channel dominates
+        prev_max = np.empty(len(e), dtype=np.int64)
+        acc = np.maximum.accumulate(e + off)
+        prev_max[1:] = acc[:-1] - off[1:]
+        heads = np.concatenate(([True], u[1:] != u[:-1]))
+        prev_max[heads] = -(1 << 62)
+        contrib = np.clip(e - np.maximum(s, prev_max), 0, None)
+        uu, inv = np.unique(u, return_inverse=True)
+        cov = np.bincount(inv, weights=contrib.astype(
+            np.float64)).astype(np.int64)
+        return pa.table({"user_id": pa.array(uu),
+                         "covered_us": pa.array(cov)})
+
+    return group_apply_tasks(ev, ["user_id"], _cov)
+
+
+FR_FROM, FR_TO = "view", "purchase"
+
+
+def q_first_response(sf_dir: str):
+    """Forward as-of: for every FR_FROM event, the microseconds until
+    the user's NEXT FR_TO event (strictly later in (ts, event_id)
+    order; views with no later purchase drop out) — asof_click's
+    forward twin, one user shuffle + a reverse segmented cummin."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+        filter=pc.field("event_type").isin([FR_FROM, FR_TO]),
+    )
+
+    def _fr(t: pa.Table) -> pa.Table:
+        empty = pa.table({"event_id": pa.array([], type=pa.int64()),
+                          "wait_us": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return empty
+        uid = np.asarray(t.column("user_id"), dtype=np.int64)
+        ts = np.asarray(t.column("ts")).astype("datetime64[us]").astype(
+            np.int64)
+        eid = np.asarray(t.column("event_id"), dtype=np.int64)
+        et = np.asarray(t.column("event_type")).astype(str)
+        order = np.lexsort((eid, ts, uid))
+        u, s, e, k = uid[order], ts[order], eid[order], et[order]
+        # sentinel must stay BELOW the 2^52 segment-offset granularity
+        # (epoch-us < 2^51 until 2041), or the offset channel cannot
+        # dominate and the segmented suffix-min leaks across users
+        BIG = np.int64(1 << 51)
+        tt = np.where(k == FR_TO, s, BIG)
+        # reverse segmented cummin of purchase ts STRICTLY AFTER row i
+        seg = np.cumsum(np.concatenate(
+            ([False], u[1:] != u[:-1]))).astype(np.int64)
+        segr = seg[::-1]
+        # suffix min within segments, excluding self: shift by one
+        offr = segr << 52
+        rmin = np.minimum.accumulate(tt[::-1] + offr)
+        nxt = np.full(len(u), BIG)
+        nxt[:-1] = (rmin - offr)[::-1][1:]
+        tails = np.concatenate((u[1:] != u[:-1], [True]))
+        nxt[tails] = BIG
+        hit = (k == FR_FROM) & (nxt < BIG)
+        return pa.table({"event_id": pa.array(e[hit]),
+                         "wait_us": pa.array(nxt[hit] - s[hit])})
+
+    return group_apply_tasks(ev, ["user_id"], _fr)
+
+
+def q_order_gap_stats(sf_dir: str):
+    """Customer reorder-interval sufficient statistics: per customer
+    with >= 2 orders, the number of consecutive-order gaps, total and
+    max gap in whole days ((ts2-ts1) // 86400s, order by (date, key))
+    — the LAG class on the orders table. One custkey shuffle."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey"],
+    )
+
+    def _gaps(t: pa.Table) -> pa.Table:
+        empty = pa.table({"o_custkey": pa.array([], type=pa.int64()),
+                          "n_gaps": pa.array([], type=pa.int64()),
+                          "sum_days": pa.array([], type=pa.int64()),
+                          "max_days": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "o_custkey" not in t.column_names:
+            return empty
+        ck = np.asarray(t.column("o_custkey"), dtype=np.int64)
+        od = np.asarray(t.column("o_orderdate")).astype(
+            "datetime64[us]").astype(np.int64)
+        ok = np.asarray(t.column("o_orderkey"), dtype=np.int64)
+        order = np.lexsort((ok, od, ck))
+        c, d = ck[order], od[order]
+        same = c[1:] == c[:-1]
+        gap = (d[1:] - d[:-1]) // 86_400_000_000
+        gc, gd = c[1:][same], gap[same]
+        if not len(gc):
+            return empty
+        uu, inv = np.unique(gc, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        sm = np.bincount(inv, weights=gd.astype(np.float64)).astype(
+            np.int64)
+        mx = np.zeros(len(uu), dtype=np.int64)
+        np.maximum.at(mx, inv, gd)
+        return pa.table({"o_custkey": pa.array(uu),
+                         "n_gaps": pa.array(n),
+                         "sum_days": pa.array(sm),
+                         "max_days": pa.array(mx)})
+
+    return group_apply_tasks(orders, ["o_custkey"], _gaps)
+
+
+def q_vertex_cover(sf_dir: str):
+    """2-approximate minimum vertex cover: both endpoints of the
+    fixed-round maximal matching (`matching_fixed`'s chain) — the
+    classic approximation-algorithm composition; maximality makes the
+    endpoint set a valid cover."""
+    ctx = get_context(sf_dir)
+    if ctx.n >= MIS_PRIO_P:
+        raise NotImplementedError("LCG priorities need n < 2^31-1")
+    prio_full = (np.arange(ctx.n, dtype=np.int64) * 48271 + 23) \
+        % MIS_PRIO_P
+    m = alg.maximal_matching(ctx.engine("sym"), prio_full=prio_full,
+                             max_rounds=MATCH_ROUNDS)
+    ids = np.nonzero(m >= 0)[0]
+    return pa.table({"label": _label_col(ctx, ids)})
+
+
+KC_K = 6
+
+
+def q_k_center(sf_dir: str):
+    """Greedy farthest-point k-center selection (Gonzalez): start at
+    vec 0, then KC_K-1 rounds of argmax over min squared distance to
+    the chosen centers (exact int64 on the kmeans quantization; ties ->
+    lowest id; chosen vecs excluded) — the coreset/seed-selection
+    primitive. Per round: centers broadcast, per-batch (max, argmax)
+    partials, bounded driver pick."""
+    import ray
+
+    # NOTE: no .materialize() here — a MaterializedDataset surviving the
+    # query outlives ray.shutdown() in test teardown and the GC then
+    # touches the dead core worker (hard process exit); the per-round
+    # re-read is a cheap pruned parquet scan
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    centers = [0]
+    for _ in range(KC_K - 1):
+        # take_all (complete consumption), NOT take_batch: a limit-
+        # truncated dataset leaves a _StatsManager execution entry
+        # behind, and its background thread then makes a remote call
+        # after ray.shutdown() -> hard process exit (core_worker c++
+        # fatal). The filter bounds the read to len(centers) rows.
+        rows = ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filter=pc.field("vec_id").isin(centers),
+        ).take_all()
+        rows.sort(key=lambda r: r["vec_id"])
+        c_t = pa.table({
+            "vec_id": pa.array([r["vec_id"] for r in rows],
+                               type=pa.int64()),
+            "embedding": pa.array([list(r["embedding"]) for r in rows]),
+        })
+        _, cmat = _km_quant(c_t)
+        cref = ray.put(cmat)
+        chosen = np.array(sorted(centers), dtype=np.int64)
+        sref = ray.put(chosen)
+
+        def _far(t: pa.Table, *, _c=cref, _s=sref) -> pa.Table:
+            C = _c if isinstance(_c, np.ndarray) else ray.get(_c)
+            S = _s if isinstance(_s, np.ndarray) else ray.get(_s)
+            ids, Q = _km_quant(t)
+            if len(ids) == 0:
+                return pa.table({"md": pa.array([], type=pa.int64()),
+                                 "i": pa.array([], type=pa.int64())})
+            d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            md = d2.min(axis=1)
+            pos = np.searchsorted(S, ids)
+            pos[pos >= len(S)] = len(S) - 1 if len(S) else 0
+            mask = (len(S) > 0) & (S[pos] == ids)
+            md[mask] = -1  # exclude already-chosen
+            best = np.lexsort((ids, -md))[0]
+            return pa.table({"md": pa.array([int(md[best])],
+                                            type=pa.int64()),
+                             "i": pa.array([int(ids[best])],
+                                           type=pa.int64())})
+
+        parts = emb.map_batches(_far, batch_format="pyarrow",
+                                zero_copy_batch=True).take_all()
+        best = min((-p["md"], p["i"]) for p in parts)
+        centers.append(int(best[1]))
+    return pa.table({
+        "rank": pa.array(np.arange(KC_K, dtype=np.int64)),
+        "vec_id": pa.array(np.array(centers, dtype=np.int64)),
+    })

@@ -1,0 +1,25 @@
+"""Small cross-cutting utilities."""
+
+from __future__ import annotations
+
+
+def quiesce_data_stats() -> None:
+    """Stop Ray Data's StatsManager background thread from making remote
+    calls after ``ray.shutdown()``.
+
+    A dataset whose execution is truncated (LimitOperator and friends)
+    can leave an entry in ``_StatsManager._last_execution_stats``; the
+    manager's daemon thread then keeps calling the stats actor every
+    interval, and a call landing after ``ray.shutdown()`` is a C++-level
+    fatal ("core worker has already been shutdown ... the process will
+    exit"). Clearing the dicts makes the thread's next wake-up a no-op
+    (it terminates after its inactivity limit). Call this right before
+    any ``ray.shutdown()`` this repo owns (tests, bench, tools).
+    Version-tolerant: failures are swallowed."""
+    try:
+        from ray.data._internal.stats import StatsManager
+
+        StatsManager._last_execution_stats.clear()
+        StatsManager._last_iteration_stats.clear()
+    except Exception:
+        pass

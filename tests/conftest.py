@@ -15,6 +15,8 @@ def ray_session():
         ignore_reinit_error=True,
     )
     yield
+    from combblas_ray.util import quiesce_data_stats
+    quiesce_data_stats()  # see util.py: stats-thread post-shutdown fatal
     ray.shutdown()
 
 

@@ -100,6 +100,8 @@ def main():
             f"{name:28s} {verdict}  rows={len(ray_df)} ray={t1-t0:.2f}s ora={t2-t1:.2f}s"
         )
     print("FAILURES:", failures)
+    from combblas_ray.util import quiesce_data_stats
+    quiesce_data_stats()  # see util.py: stats-thread post-shutdown fatal
     ray.shutdown()
     sys.exit(1 if failures else 0)
 
