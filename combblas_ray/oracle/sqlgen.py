@@ -4553,3 +4553,98 @@ c{r} AS (SELECT c FROM {prev} UNION SELECT i FROM m{r})
         f"SELECT {r} AS rank, i AS vec_id FROM m{r}" for r in range(1, k)]
     sql += "\n" + "\nUNION ALL\n".join(picks)
     return sql
+
+
+# ---------------------------------------------------------------------------
+# wave 25: attribute mixing, monthly buckets, schema harmonization,
+# degree moments, per-language quality
+# ---------------------------------------------------------------------------
+
+
+@_materialized
+def lang_mixing() -> str:
+    """Directed edge counts between endpoint file languages (twin of
+    `queries.q_lang_mixing`)."""
+    return PREFIX + """
+SELECT (['py','js','go','rs'])[(e.src % 4) + 1] AS lang_src,
+       (['py','js','go','rs'])[(e.dst % 4) + 1] AS lang_dst,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM edges e GROUP BY 1, 2
+"""
+
+
+def orders_monthly() -> str:
+    """Monthly order count + total cents (twin of
+    `queries.q_orders_monthly`)."""
+    return """
+SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(extract(month FROM o_orderdate) AS BIGINT) AS o_month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders GROUP BY 1, 2
+"""
+
+
+def party_counts() -> str:
+    """Customer/supplier union harmonized per nation (twin of
+    `queries.q_party_counts`)."""
+    return """
+WITH p AS (
+  SELECT c_nationkey AS nk, 'c' AS role,
+         CAST(floor(c_acctbal * 100) AS BIGINT) AS cents FROM customer
+  UNION ALL
+  SELECT s_nationkey, 's', CAST(floor(s_acctbal * 100) AS BIGINT)
+  FROM supplier
+)
+SELECT n_name,
+       CAST(sum(CASE WHEN role = 'c' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_customers,
+       CAST(sum(CASE WHEN role = 's' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_suppliers,
+       CAST(sum(CASE WHEN role = 'c' THEN cents ELSE 0 END) AS BIGINT)
+         AS cust_bal_cents,
+       CAST(sum(CASE WHEN role = 's' THEN cents ELSE 0 END) AS BIGINT)
+         AS supp_bal_cents
+FROM p JOIN nation ON n_nationkey = nk
+GROUP BY 1
+"""
+
+
+@_materialized
+def degree_moments() -> str:
+    """Degree-sequence wedge/claw normalizers (twin of
+    `queries.q_degree_moments`)."""
+    return PREFIX + """
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS d
+        FROM und GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+       CAST(sum(d) AS BIGINT) AS deg_sum,
+       CAST(sum(d * (d - 1) // 2) AS BIGINT) AS wedges,
+       CAST(sum(d * (d - 1) * (d - 2) // 6) AS BIGINT) AS claws
+FROM deg
+"""
+
+
+def quality_by_lang() -> str:
+    """Per-language quality sufficient statistics (twin of
+    `queries.q_quality_by_lang`)."""
+    return """
+WITH t AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+per AS (
+  SELECT doc_id, min(lang) AS lang, count(*) AS nt,
+         count(DISTINCT tok) AS nd, sum(length(tok)) AS ch
+  FROM t GROUP BY doc_id
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS sum_tokens,
+       CAST(sum(nd) AS BIGINT) AS sum_distinct,
+       CAST(sum(ch) AS BIGINT) AS sum_tok_chars
+FROM per GROUP BY 1
+"""

@@ -8197,3 +8197,223 @@ def q_k_center(sf_dir: str):
         "rank": pa.array(np.arange(KC_K, dtype=np.int64)),
         "vec_id": pa.array(np.array(centers, dtype=np.int64)),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 25: attribute mixing, monthly buckets, schema harmonization,
+# degree moments, per-language quality
+# ---------------------------------------------------------------------------
+
+LANG_NAMES = ("py", "js", "go", "rs")
+
+
+def q_lang_mixing(sf_dir: str):
+    """Vertex-attribute mixing matrix: directed edge counts between file
+    languages (lang = corpus arithmetic id % 4 joined onto both edge
+    endpoints) — the assortativity-by-attribute profile. Attribute
+    vector broadcast once; bounded (4 x 4) per-batch partials."""
+    import ray
+
+    ctx = get_context(sf_dir)
+    arith_ref = ray.put(np.asarray(ctx.arith))
+
+    def _mix(b: pa.Table, *, _ref=arith_ref) -> pa.Table:
+        A = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+        src = np.asarray(b.column("src"), dtype=np.int64)
+        dst = np.asarray(b.column("dst"), dtype=np.int64)
+        key = (A[src] % 4) * 4 + (A[dst] % 4)
+        cnt = np.bincount(key, minlength=16).astype(np.int64)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"k": pa.array(nz), "cnt": pa.array(cnt[nz])})
+
+    parts = ctx.edges.map_batches(_mix, batch_format="pyarrow",
+                                  zero_copy_batch=True).take_all()
+    agg = np.zeros(16, dtype=np.int64)
+    for p in parts:
+        agg[p["k"]] += p["cnt"]
+    nz = np.nonzero(agg)[0]
+    return pa.table({
+        "lang_src": pa.array([LANG_NAMES[k // 4] for k in nz],
+                             type=pa.string()),
+        "lang_dst": pa.array([LANG_NAMES[k % 4] for k in nz],
+                             type=pa.string()),
+        "cnt": pa.array(agg[nz]),
+    })
+
+
+def q_orders_monthly(sf_dir: str):
+    """Monthly order report: order count + total price cents per
+    calendar month — the coarse time-bucket roll-up (numpy
+    datetime64[M] on one side, date_trunc on the other, both exact).
+    Shuffle-free bounded partials."""
+    import ray
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def _part(b: pa.Table) -> pa.Table:
+        d = np.asarray(b.column("o_orderdate")).astype("datetime64[us]")
+        mon = d.astype("datetime64[M]").astype(np.int64)  # months since 1970
+        cents = np.floor(np.asarray(b.column("o_totalprice"))
+                         * 100.0).astype(np.int64)
+        uk, inv = np.unique(mon, return_inverse=True)
+        return pa.table({
+            "mon": pa.array(uk),
+            "n_orders": pa.array(np.bincount(inv).astype(np.int64)),
+            "cents": pa.array(np.bincount(
+                inv, weights=cents.astype(np.float64)).astype(np.int64)),
+        })
+
+    parts = orders.map_batches(_part, batch_format="pyarrow",
+                               zero_copy_batch=True).take_all()
+    agg: dict[int, list[int]] = {}
+    for p in parts:
+        e = agg.setdefault(p["mon"], [0, 0])
+        e[0] += p["n_orders"]
+        e[1] += p["cents"]
+    ks = sorted(agg)
+    return pa.table({
+        "o_year": pa.array([k // 12 + 1970 for k in ks], type=pa.int64()),
+        "o_month": pa.array([k % 12 + 1 for k in ks], type=pa.int64()),
+        "n_orders": pa.array([agg[k][0] for k in ks], type=pa.int64()),
+        "total_cents": pa.array([agg[k][1] for k in ks],
+                                type=pa.int64()),
+    })
+
+
+def q_party_counts(sf_dir: str):
+    """Schema harmonization: customers and suppliers unioned into one
+    'party' profile per nation — count and balance cents per role,
+    wide-row output (n_customers, n_suppliers, cust_bal_cents,
+    supp_bal_cents). Two pruned reads, bounded partials."""
+    import ray
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_acctbal"]
+    )
+    sup = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"]
+    )
+    nat = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).take_all()
+    nname = {r["n_nationkey"]: r["n_name"] for r in nat}
+
+    def _mk(nk_col, bal_col, role):
+        def _part(b: pa.Table) -> pa.Table:
+            nk = np.asarray(b.column(nk_col), dtype=np.int64)
+            cents = np.floor(np.asarray(b.column(bal_col))
+                             * 100.0).astype(np.int64)
+            uk, inv = np.unique(nk, return_inverse=True)
+            return pa.table({
+                "nk": pa.array(uk),
+                "role": pa.array([role] * len(uk), type=pa.string()),
+                "n": pa.array(np.bincount(inv).astype(np.int64)),
+                "cents": pa.array(np.bincount(
+                    inv, weights=cents.astype(np.float64)).astype(
+                    np.int64)),
+            })
+        return _part
+
+    parts = (cust.map_batches(_mk("c_nationkey", "c_acctbal", "c"),
+                              batch_format="pyarrow",
+                              zero_copy_batch=True).take_all()
+             + sup.map_batches(_mk("s_nationkey", "s_acctbal", "s"),
+                               batch_format="pyarrow",
+                               zero_copy_batch=True).take_all())
+    agg: dict[int, list[int]] = {}
+    for p in parts:
+        e = agg.setdefault(p["nk"], [0, 0, 0, 0])
+        if p["role"] == "c":
+            e[0] += p["n"]
+            e[2] += p["cents"]
+        else:
+            e[1] += p["n"]
+            e[3] += p["cents"]
+    ks = sorted(agg, key=lambda k: nname[k])
+    return pa.table({
+        "n_name": pa.array([nname[k] for k in ks], type=pa.string()),
+        "n_customers": pa.array([agg[k][0] for k in ks],
+                                type=pa.int64()),
+        "n_suppliers": pa.array([agg[k][1] for k in ks],
+                                type=pa.int64()),
+        "cust_bal_cents": pa.array([agg[k][2] for k in ks],
+                                   type=pa.int64()),
+        "supp_bal_cents": pa.array([agg[k][3] for k in ks],
+                                   type=pa.int64()),
+    })
+
+
+def q_degree_moments(sf_dir: str):
+    """Degree-sequence graphlet statistics of the undirected distinct
+    graph: vertex/edge counts, wedge count sum C(d,2) and claw (3-star)
+    count sum C(d,3) — exact integers from one degree pass (the
+    graphlet-census normalizers that pair with triangle counts)."""
+    ctx = get_context(sf_dir)
+    g = ctx.engine("sym")
+    d = g.in_weights().astype(np.int64)  # structural sym: distinct nbrs
+    d = d[d > 0]
+    wedges = int((d * (d - 1) // 2).sum())
+    claws = int((d * (d - 1) * (d - 2) // 6).sum())
+    return pa.table({
+        "n_vertices": pa.array([len(d)], type=pa.int64()),
+        "deg_sum": pa.array([int(d.sum())], type=pa.int64()),
+        "wedges": pa.array([wedges], type=pa.int64()),
+        "claws": pa.array([claws], type=pa.int64()),
+    })
+
+
+def q_quality_by_lang(sf_dir: str):
+    """Per-language corpus quality sufficient statistics: document
+    count, total tokens, total distinct-per-doc tokens, total token
+    chars — the aggregate behind per-language quality dashboards.
+    One streaming Arrow pass (flatten + parent indices), bounded
+    partials, no shuffle."""
+    import ray
+
+    from ..functions.text import tokens_list
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+
+    def _part(b: pa.Table) -> pa.Table:
+        toks = tokens_list(b)
+        flat = np.asarray(pc.list_flatten(toks)).astype(str)
+        par = np.asarray(pc.list_parent_indices(toks))
+        nrows = b.num_rows
+        n_tok = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        order = np.lexsort((flat, par))
+        sp, st = par[order], flat[order]
+        new = np.ones(len(sp), dtype=bool)
+        new[1:] = (sp[1:] != sp[:-1]) | (st[1:] != st[:-1])
+        n_dist = np.bincount(sp[new], minlength=nrows).astype(np.int64)
+        chars = np.bincount(par, weights=np.char.str_len(flat),
+                            minlength=nrows).astype(np.int64)
+        lng = np.asarray(b.column("lang")).astype(str)
+        ul, inv = np.unique(lng, return_inverse=True)
+        def bc(w):
+            return np.bincount(inv, weights=w.astype(
+                np.float64)).astype(np.int64)
+        return pa.table({
+            "lang": pa.array(ul.tolist(), type=pa.string()),
+            "n_docs": pa.array(np.bincount(inv).astype(np.int64)),
+            "sum_tokens": pa.array(bc(n_tok)),
+            "sum_distinct": pa.array(bc(n_dist)),
+            "sum_tok_chars": pa.array(bc(chars)),
+        })
+
+    parts = docs.map_batches(_part, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all()
+    agg: dict[str, np.ndarray] = {}
+    for p in parts:
+        v = np.array([p["n_docs"], p["sum_tokens"], p["sum_distinct"],
+                      p["sum_tok_chars"]], dtype=np.int64)
+        agg[p["lang"]] = agg.get(p["lang"], 0) + v
+    ks = sorted(agg)
+    cols = ["n_docs", "sum_tokens", "sum_distinct", "sum_tok_chars"]
+    out = {"lang": pa.array(ks, type=pa.string())}
+    for i, c in enumerate(cols):
+        out[c] = pa.array([int(agg[k][i]) for k in ks], type=pa.int64())
+    return pa.table(out)
