@@ -59,10 +59,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filtered_bfs_payload": q.q_filtered_bfs_payload,
         # multimodal actor-pool pipelines (first-ever driver evidence
         # for the decode/resize/frame-sample class)
-        "image_stats": q.q_image_stats,
         # LLM-data layer without a prior driver row (+ refactored dedup)
         # wave 14 (newest = highest regression risk)
         # wave 15
+        # wave 26
+        "continuation_counts": q.q_continuation_counts,
+        "butterfly_count": q.q_butterfly_count,
+        "rolling_dau": q.q_rolling_dau,
+        "video_motion": q.q_video_motion,
+        "supplier_hhi": q.q_supplier_hhi,
         # wave 25
         "lang_mixing": q.q_lang_mixing,
         "orders_monthly": q.q_orders_monthly,
@@ -77,12 +82,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_center": q.q_k_center,
         # wave 23
         "cocitation_topk": q.q_cocitation_topk,
-        "sim_hist": q.q_sim_hist,
         "transition_counts": q.q_transition_counts,
         "events_mad": q.q_events_mad,
         "degree_quantiles": q.q_degree_quantiles,
         # wave 22
-        "max_streak": q.q_max_streak,
         "byte_stats": q.q_byte_stats,
         "cycle3_directed": q.q_cycle3_directed,
         "repo_stats": q.q_repo_stats,
@@ -100,13 +103,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "max_drawdown": q.q_max_drawdown,
         "decayed_counts": q.q_decayed_counts,
         # wave 19
-        "bipartite_proj": q.q_bipartite_proj,
         "priority_sample": q.q_priority_sample,
         "tpch_q21": q.q_tpch_q21,
         "double_sweep": q.q_double_sweep,
         # wave 18
         "tpch_q2": q.q_tpch_q2,
-        "tpch_q8": q.q_tpch_q8,
         "tpch_q11": q.q_tpch_q11,
         "tpch_q20": q.q_tpch_q20,
         "bloom_probe": q.q_bloom_probe,
@@ -120,6 +121,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
+        "image_stats": q.q_image_stats,  # decode actor pool: audio_stats/video_motion in-window
+        "bipartite_proj": q.q_bipartite_proj,  # projection: butterfly_count rides it in-window
+        "tpch_q8": q.q_tpch_q8,  # region share join: tpch_q9 in-window
+        "max_streak": q.q_max_streak,  # gaps-and-islands: interval_coverage sweep in-window
+        "sim_hist": q.q_sim_hist,  # quantized pair dots: pq_codes/k_center in-window
         "coloring_fixed": q.q_coloring_fixed,  # LCG fixed rounds: vertex_cover/percolation_cc in-window
         "video_frames": q.q_video_frames,  # actor-pool frame sampling: image_stats/audio_stats in-window
         "tpch_q7": q.q_tpch_q7,  # nation-pair join: tpch_q8/q9 in-window
@@ -465,6 +471,11 @@ def oracle_sql() -> dict[str, str]:
         "cocitation_topk": o.cocitation_topk(q.COCIT_TOPK, q.COCIT_MIN),
         "interval_coverage": o.interval_coverage(q.COV_WIN_US),
         "lang_mixing": o.lang_mixing(),
+        "continuation_counts": o.continuation_counts(),
+        "butterfly_count": o.butterfly_count(),
+        "rolling_dau": o.rolling_dau(q.DAU_WIN),
+        "video_motion": o.video_motion(),
+        "supplier_hhi": o.supplier_hhi(),
         "orders_monthly": o.orders_monthly(),
         "party_counts": o.party_counts(),
         "degree_moments": o.degree_moments(),

@@ -459,3 +459,33 @@ class AudioIntStatsStage:
             "sq_sum": pa.array(sqs, type=pa.int64()),
             "zc": pa.array(zcs, type=pa.int64()),
         })
+
+
+class VideoMotionStage:
+    """Temporal-difference motion estimate: sum |frame_t - frame_{t-1}|
+    over all pixels per item, exact int64 — the scene-change /
+    motion-energy feature as an actor-pool stage (codec state in
+    ``__init__``, per-payload loop in ``__call__``)."""
+
+    def __init__(self):
+        self.header = HEADER
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, motions, nfs = [], [], []
+        for item_id, payload in zip(
+            batch.column("item_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            _, nf, fsz = self.header.unpack_from(payload, 0)
+            data = np.frombuffer(payload, dtype=np.uint8,
+                                 offset=self.header.size).astype(np.int64)
+            frames = data.reshape(nf, fsz)
+            ids.append(item_id)
+            nfs.append(nf)
+            motions.append(int(np.abs(np.diff(frames, axis=0)).sum())
+                           if nf > 1 else 0)
+        return pa.table({
+            "item_id": pa.array(ids, type=pa.int64()),
+            "n_frames": pa.array(nfs, type=pa.int64()),
+            "motion": pa.array(motions, type=pa.int64()),
+        })

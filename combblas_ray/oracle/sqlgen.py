@@ -4648,3 +4648,98 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(ch) AS BIGINT) AS sum_tok_chars
 FROM per GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 26: continuation counts, butterflies, rolling DAU, video motion,
+# supplier HHI
+# ---------------------------------------------------------------------------
+
+
+def continuation_counts() -> str:
+    """Distinct left contexts per token (twin of
+    `queries.q_continuation_counts`)."""
+    return """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+b AS (
+  SELECT unnest(toks[1:len(toks) - 1]) AS l,
+         unnest(toks[2:len(toks)]) AS r
+  FROM t
+),
+d AS (SELECT DISTINCT l, r FROM b)
+SELECT r AS tok, CAST(count(*) AS BIGINT) AS cont_cnt
+FROM d GROUP BY 1
+"""
+
+
+def butterfly_count() -> str:
+    """Bipartite 2x2 biclique count over (user, event_type) (twin of
+    `queries.q_butterfly_count`)."""
+    return """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+pairs AS (
+  SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS u
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT CAST(coalesce(sum(u * (u - 1) // 2), 0) AS BIGINT)
+  AS butterflies
+FROM pairs
+"""
+
+
+def rolling_dau(win: int = 7) -> str:
+    """Rolling distinct active users per day (twin of
+    `queries.q_rolling_dau`)."""
+    return f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+  FROM events
+),
+ex AS (
+  SELECT DISTINCT user_id, day + CAST(g.i AS BIGINT) AS wday
+  FROM ud CROSS JOIN generate_series(0, {win - 1}) g(i)
+)
+SELECT wday AS day, CAST(count(*) AS BIGINT) AS dau
+FROM ex GROUP BY 1
+"""
+
+
+def video_motion() -> str:
+    """Regenerates make_video_blob's frame arithmetic: nf = 4+(id%5),
+    frame-size 64, pixel i = (i*(id+3)) % 241; motion = sum over i>=64
+    of |p(i) - p(i-64)| (twin of `queries.q_video_motion`)."""
+    return """
+WITH dims AS (
+  SELECT doc_id AS item_id, CAST(4 + (doc_id % 5) AS BIGINT) AS nf
+  FROM documents
+),
+s AS (
+  SELECT d.item_id, d.nf,
+         abs((r.i * (d.item_id + 3)) % 241
+             - ((r.i - 64) * (d.item_id + 3)) % 241) AS dv
+  FROM dims d CROSS JOIN range(512) r(i)
+  WHERE r.i >= 64 AND r.i < d.nf * 64
+)
+SELECT item_id, CAST(min(nf) AS BIGINT) AS n_frames,
+       CAST(sum(dv) AS BIGINT) AS motion
+FROM s GROUP BY 1
+"""
+
+
+def supplier_hhi() -> str:
+    """Per-supplier part-concentration sufficient statistics (twin of
+    `queries.q_supplier_hhi`)."""
+    return """
+WITH c AS (
+  SELECT l_suppkey, l_partkey, CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_suppkey, CAST(sum(cnt) AS BIGINT) AS n_lines,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(cnt * cnt) AS BIGINT) AS sumsq
+FROM c GROUP BY 1
+"""

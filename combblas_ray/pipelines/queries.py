@@ -8417,3 +8417,177 @@ def q_quality_by_lang(sf_dir: str):
     for i, c in enumerate(cols):
         out[c] = pa.array([int(agg[k][i]) for k in ks], type=pa.int64())
     return pa.table(out)
+
+
+# ---------------------------------------------------------------------------
+# wave 26: continuation counts, butterfly census, rolling DAU, video
+# motion, supplier concentration
+# ---------------------------------------------------------------------------
+
+
+def q_continuation_counts(sf_dir: str):
+    """Kneser-Ney continuation counts: for each token, the number of
+    DISTINCT tokens that precede it anywhere in the corpus — the
+    smoothing statistic LM pipelines need beside raw bigram counts.
+    Distinct bigrams per batch -> one token-keyed shuffle -> distinct
+    left contexts per right token."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+    from ..functions.text import tokens_list
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def _bigrams(b: pa.Table) -> pa.Table:
+        toks = tokens_list(b)
+        flat = np.asarray(pc.list_flatten(toks)).astype(str)
+        par = np.asarray(pc.list_parent_indices(toks))
+        same = par[1:] == par[:-1]
+        left, right = flat[:-1][same], flat[1:][same]
+        key = np.char.add(np.char.add(left, "\x1f"), right)
+        uk = np.unique(key)
+        parts = np.char.partition(uk, "\x1f")
+        return pa.table({"left": pa.array(parts[:, 0].tolist(),
+                                          type=pa.string()),
+                         "tok": pa.array(parts[:, 2].tolist(),
+                                         type=pa.string())})
+
+    bg = docs.map_batches(_bigrams, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def _cont(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "tok" not in t.column_names:
+            return pa.table({"tok": pa.array([], type=pa.string()),
+                             "cont_cnt": pa.array([], type=pa.int64())})
+        tok = np.asarray(t.column("tok")).astype(str)
+        left = np.asarray(t.column("left")).astype(str)
+        key = np.char.add(np.char.add(tok, "\x1f"), left)
+        uk = np.unique(key)
+        rt = np.char.partition(uk, "\x1f")[:, 0]
+        ut, cnt = np.unique(rt, return_counts=True)
+        return pa.table({"tok": pa.array(ut.tolist(), type=pa.string()),
+                         "cont_cnt": pa.array(cnt.astype(np.int64))})
+
+    return group_apply_tasks(bg, ["tok"], _cont)
+
+
+def q_butterfly_count(sf_dir: str):
+    """Bipartite butterfly (2x2 biclique) census of the (user,
+    event_type) incidence: sum over type pairs of C(shared_users, 2) —
+    the bipartite clustering normalizer, one row. Rides the
+    `bipartite_proj` machinery."""
+    proj = q_bipartite_proj(sf_dir)
+    u = np.asarray(proj.column("users"), dtype=np.int64)
+    return pa.table({"butterflies": pa.array(
+        [int((u * (u - 1) // 2).sum())], type=pa.int64())})
+
+
+DAU_WIN = 7
+
+
+def q_rolling_dau(sf_dir: str):
+    """Rolling 7-day active users: for every day, the number of
+    DISTINCT users active in [day-6, day] — the DAU/WAU streaming
+    dashboard statistic. Each distinct (user, day) expands to its 7
+    window days; one shuffle dedups (user, window-day) and counts
+    (the distinct-over-sliding-window op SQL needs a lateral expand
+    for, same shape both sides)."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def _expand(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b.column("user_id"), dtype=np.int64)
+        day = (np.asarray(b.column("ts")).astype("datetime64[us]")
+               .astype(np.int64) // 86_400_000_000)
+        key = np.unique(uid << 20 | day)
+        u, d = key >> 20, key & ((1 << 20) - 1)
+        wd = (d[:, None] + np.arange(DAU_WIN)).ravel()
+        wu = np.repeat(u, DAU_WIN)
+        k2 = np.unique(wu << 20 | wd)
+        return pa.table({"wday": pa.array(k2 & ((1 << 20) - 1)),
+                         "user_id": pa.array(k2 >> 20)})
+
+    ex = ev.map_batches(_expand, batch_format="pyarrow",
+                        zero_copy_batch=True)
+
+    def _cnt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "wday" not in t.column_names:
+            return pa.table({"wday": pa.array([], type=pa.int64()),
+                             "dau": pa.array([], type=pa.int64())})
+        key = np.unique(
+            np.asarray(t.column("user_id"), dtype=np.int64) << 20
+            | np.asarray(t.column("wday"), dtype=np.int64))
+        wd = key & ((1 << 20) - 1)
+        uw, cnt = np.unique(wd, return_counts=True)
+        return pa.table({"wday": pa.array(uw),
+                         "dau": pa.array(cnt.astype(np.int64))})
+
+    parts = group_apply_tasks(ex, ["wday"], _cnt).take_all()
+    agg: dict[int, int] = {}
+    for p in parts:
+        agg[p["wday"]] = agg.get(p["wday"], 0) + p["dau"]
+    ks = sorted(agg)
+    return pa.table({
+        "day": pa.array(ks, type=pa.int64()),
+        "dau": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
+
+
+def q_video_motion(sf_dir: str):
+    """Temporal-difference motion energy per video payload: sum of
+    |frame_t - frame_{t-1}| over all pixels (exact int64) through the
+    `VideoMotionStage` actor pool — the scene-change feature; the
+    temporal sibling of `video_frames`."""
+    from ..functions import multimodal as M
+
+    blobs = M.blob_dataset_from_docs(sf_dir, kind="video")
+    return blobs.map_batches(
+        M.VideoMotionStage, batch_format="pyarrow", batch_size=64,
+        concurrency=2,
+    )
+
+
+def q_supplier_hhi(sf_dir: str):
+    """Supplier concentration profile: per supplier, lineitem count,
+    distinct parts and the Herfindahl numerator sum(c_p^2) over
+    per-part line counts (HHI = sumsq/total^2 left rational) — the
+    concentration-index class. One suppkey shuffle, whole-group
+    vectorized."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
+    )
+
+    def _hhi(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_suppkey" not in t.column_names:
+            return pa.table({"l_suppkey": pa.array([], type=pa.int64()),
+                             "n_lines": pa.array([], type=pa.int64()),
+                             "n_parts": pa.array([], type=pa.int64()),
+                             "sumsq": pa.array([], type=pa.int64())})
+        sk = np.asarray(t.column("l_suppkey"), dtype=np.int64)
+        pk = np.asarray(t.column("l_partkey"), dtype=np.int64)
+        key = sk << 20 | pk
+        uk, c = np.unique(key, return_counts=True)
+        us = uk >> 20
+        uu, inv = np.unique(us, return_inverse=True)
+        n_parts = np.bincount(inv).astype(np.int64)
+        sumsq = np.bincount(inv, weights=(c.astype(np.float64)) ** 2
+                            ).astype(np.int64)
+        n_lines = np.bincount(inv, weights=c.astype(np.float64)
+                              ).astype(np.int64)
+        return pa.table({"l_suppkey": pa.array(uu),
+                         "n_lines": pa.array(n_lines),
+                         "n_parts": pa.array(n_parts),
+                         "sumsq": pa.array(sumsq)})
+
+    return group_apply_tasks(li, ["l_suppkey"], _hhi)
