@@ -62,6 +62,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LLM-data layer without a prior driver row (+ refactored dedup)
         # wave 14 (newest = highest regression risk)
         # wave 15
+        # wave 27
+        "emb_label_stats": q.q_emb_label_stats,
+        "doc_deciles": q.q_doc_deciles,
+        "peak_hour_load": q.q_peak_hour_load,
+        "commit_nibbles": q.q_commit_nibbles,
+        "hapax_counts": q.q_hapax_counts,
         # wave 26
         "continuation_counts": q.q_continuation_counts,
         "butterfly_count": q.q_butterfly_count,
@@ -70,7 +76,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_hhi": q.q_supplier_hhi,
         # wave 25
         "lang_mixing": q.q_lang_mixing,
-        "orders_monthly": q.q_orders_monthly,
         "party_counts": q.q_party_counts,
         "degree_moments": q.q_degree_moments,
         "quality_by_lang": q.q_quality_by_lang,
@@ -92,7 +97,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top2_share": q.q_top2_share,
         # wave 21
         "pq_codes": q.q_pq_codes,
-        "kwic": q.q_kwic,
         "running_distinct": q.q_running_distinct,
         "reach2_parity": q.q_reach2_parity,
         "triangle_strength": q.q_triangle_strength,
@@ -101,18 +105,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolation_cc": q.q_percolation_cc,
         "kron_product": q.q_kron_product,
         "max_drawdown": q.q_max_drawdown,
-        "decayed_counts": q.q_decayed_counts,
         # wave 19
         "priority_sample": q.q_priority_sample,
         "tpch_q21": q.q_tpch_q21,
         "double_sweep": q.q_double_sweep,
         # wave 18
         "tpch_q2": q.q_tpch_q2,
-        "tpch_q11": q.q_tpch_q11,
         "tpch_q20": q.q_tpch_q20,
         "bloom_probe": q.q_bloom_probe,
         # wave 17
-        "tpch_q9": q.q_tpch_q9,
         "edit_window": q.q_edit_window,
         "audio_stats": q.q_audio_stats,
         # wave 16
@@ -121,6 +122,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
+        "tpch_q9": q.q_tpch_q9,  # profit join: tpch_q2/q20/q21 in-window
+        "tpch_q11": q.q_tpch_q11,  # scalar HAVING: top2_share/supplier_hhi in-window
+        "decayed_counts": q.q_decayed_counts,  # dyadic decay agg: byte_stats/quality_by_lang partial class in-window
+        "kwic": q.q_kwic,  # token assembly: continuation_counts/hapax_counts in-window
+        "orders_monthly": q.q_orders_monthly,  # time bucket: rolling_dau/peak_hour_load in-window
         "image_stats": q.q_image_stats,  # decode actor pool: audio_stats/video_motion in-window
         "bipartite_proj": q.q_bipartite_proj,  # projection: butterfly_count rides it in-window
         "tpch_q8": q.q_tpch_q8,  # region share join: tpch_q9 in-window
@@ -472,6 +478,11 @@ def oracle_sql() -> dict[str, str]:
         "interval_coverage": o.interval_coverage(q.COV_WIN_US),
         "lang_mixing": o.lang_mixing(),
         "continuation_counts": o.continuation_counts(),
+        "emb_label_stats": o.emb_label_stats(),
+        "doc_deciles": o.doc_deciles(q.DECILE_K),
+        "peak_hour_load": o.peak_hour_load(),
+        "commit_nibbles": o.commit_nibbles(),
+        "hapax_counts": o.hapax_counts(),
         "butterfly_count": o.butterfly_count(),
         "rolling_dau": o.rolling_dau(q.DAU_WIN),
         "video_motion": o.video_motion(),

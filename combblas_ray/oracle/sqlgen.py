@@ -4743,3 +4743,85 @@ SELECT l_suppkey, CAST(sum(cnt) AS BIGINT) AS n_lines,
        CAST(sum(cnt * cnt) AS BIGINT) AS sumsq
 FROM c GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 27: embedding label stats, global deciles, peak hour, commit
+# nibbles, hapax counts
+# ---------------------------------------------------------------------------
+
+
+def emb_label_stats(dim: int = 64, qscale: int = 1 << 20) -> str:
+    """Per-label count + quantized squared-norm totals (twin of
+    `queries.q_emb_label_stats`)."""
+    return f"""
+WITH q AS (
+  SELECT vec_id, label,
+         CAST(floor((CAST(embedding[CAST(g.d AS INT)] AS DOUBLE) + 0.5)
+                    * {qscale}) AS BIGINT) AS q
+  FROM embeddings CROSS JOIN generate_series(1, {dim}) g(d)
+),
+per AS (SELECT vec_id, min(label) AS label, sum(q * q) AS n2
+        FROM q GROUP BY 1)
+SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n2) AS BIGINT) AS sum_norm2
+FROM per GROUP BY 1
+"""
+
+
+def doc_deciles(k: int = 10) -> str:
+    """Global NTILE over (n_chars, doc_id) (twin of
+    `queries.q_doc_deciles`)."""
+    return f"""
+SELECT doc_id,
+       CAST(ntile({k}) OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+         AS decile
+FROM documents
+"""
+
+
+def peak_hour_load() -> str:
+    """Per-user modal absolute hour (ties -> earliest) (twin of
+    `queries.q_peak_hour_load`)."""
+    return """
+WITH c AS (
+  SELECT user_id, epoch_us(ts) // 3600000000 AS hr,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY cnt DESC, hr) AS rn
+      FROM c)
+SELECT user_id, CAST(hr AS BIGINT) AS peak_hour, cnt AS peak_cnt
+FROM r WHERE rn = 1
+"""
+
+
+@_materialized
+def commit_nibbles() -> str:
+    """Low-nibble histogram of corpus commit hashes (twin of
+    `queries.q_commit_nibbles`)."""
+    return PREFIX + """
+, com AS (
+  SELECT printf('%040x', (f.i * 2654435761 + 40503) % 4294967296)
+    AS commit
+  FROM files f
+)
+SELECT substr(commit, 40, 1) AS nibble, CAST(count(*) AS BIGINT) AS cnt
+FROM com GROUP BY 1
+"""
+
+
+def hapax_counts() -> str:
+    """Distinct tokens + hapax legomena per language (twin of
+    `queries.q_hapax_counts`)."""
+    return """
+WITH t AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+c AS (SELECT lang, tok, count(*) AS cnt FROM t GROUP BY 1, 2)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hapax
+FROM c GROUP BY 1
+"""

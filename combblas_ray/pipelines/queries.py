@@ -8591,3 +8591,252 @@ def q_supplier_hhi(sf_dir: str):
                          "sumsq": pa.array(sumsq)})
 
     return group_apply_tasks(li, ["l_suppkey"], _hhi)
+
+
+# ---------------------------------------------------------------------------
+# wave 27: embedding label stats, global deciles, peak hour load,
+# commit nibbles, hapax counts
+# ---------------------------------------------------------------------------
+
+
+def q_emb_label_stats(sf_dir: str):
+    """Per-class embedding statistics: vector count and total quantized
+    squared norm per label (exact int64 on the kmeans quantization) —
+    the class-balance / energy audit over the labeled embedding table.
+    Shuffle-free bounded partials."""
+    import ray
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+
+    def _part(b: pa.Table) -> pa.Table:
+        lab = np.asarray(b.column("label"), dtype=np.int64)
+        mat = np.stack([
+            np.floor((np.asarray(e, dtype=np.float64) + 0.5)
+                     * (1 << 20)).astype(np.int64)
+            for e in b.column("embedding").to_pylist()])
+        n2 = (mat * mat).sum(axis=1)
+        uk, inv = np.unique(lab, return_inverse=True)
+        return pa.table({
+            "label": pa.array(uk),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "sum_norm2": pa.array(np.bincount(
+                inv, weights=n2.astype(np.float64)).astype(np.int64)),
+        })
+
+    parts = emb.map_batches(_part, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all()
+    agg: dict[int, list[int]] = {}
+    for p in parts:
+        e = agg.setdefault(p["label"], [0, 0])
+        e[0] += p["n"]
+        e[1] += p["sum_norm2"]
+    ks = sorted(agg)
+    return pa.table({
+        "label": pa.array(ks, type=pa.int64()),
+        "n": pa.array([agg[k][0] for k in ks], type=pa.int64()),
+        "sum_norm2": pa.array([agg[k][1] for k in ks], type=pa.int64()),
+    })
+
+
+DECILE_K = 10
+
+
+def q_doc_deciles(sf_dir: str):
+    """GLOBAL NTILE: every document's length decile under the total
+    order (n_chars, doc_id) — the global-rank window function, which
+    distributes as a two-phase rank: (1) one bounded scan counts docs
+    per n_chars value (the split-point histogram), (2) one n_chars-
+    keyed shuffle assigns within-group ranks locally against the
+    broadcast prefix offsets. NTILE's balanced-bucket rule (first n%k
+    buckets one larger) applied to the global rank."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def _cnt(b: pa.Table) -> pa.Table:
+        nc = np.asarray(b.column("n_chars"), dtype=np.int64)
+        uk, c = np.unique(nc, return_counts=True)
+        return pa.table({"nc": pa.array(uk),
+                         "c": pa.array(c.astype(np.int64))})
+
+    parts = docs.map_batches(_cnt, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all()
+    hist: dict[int, int] = {}
+    for p in parts:
+        hist[p["nc"]] = hist.get(p["nc"], 0) + p["c"]
+    ks = sorted(hist)
+    n_total = sum(hist.values())
+    offsets = {}
+    acc = 0
+    for k in ks:
+        offsets[k] = acc
+        acc += hist[k]
+    off_ref = ray.put(offsets)
+
+    def _rank(t: pa.Table, *, _ref=off_ref, _n=n_total) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "decile": pa.array([], type=pa.int64())})
+        offs = _ref if isinstance(_ref, dict) else ray.get(_ref)
+        nc = np.asarray(t.column("n_chars"), dtype=np.int64)
+        did = np.asarray(t.column("doc_id"), dtype=np.int64)
+        order = np.lexsort((did, nc))
+        nc_s, did_s = nc[order], did[order]
+        starts = np.nonzero(np.concatenate(
+            ([True], nc_s[1:] != nc_s[:-1])))[0]
+        within = np.arange(len(nc_s)) - np.repeat(
+            starts, np.diff(np.concatenate((starts, [len(nc_s)]))))
+        base = np.array([offs[int(v)] for v in nc_s[starts]],
+                        dtype=np.int64)
+        rank = np.repeat(base, np.diff(np.concatenate(
+            (starts, [len(nc_s)])))) + within  # 0-based global rank
+        k = DECILE_K
+        size, rem = _n // k, _n % k
+        big = rem * (size + 1)
+        tile = np.where(
+            rank < big,
+            rank // max(size + 1, 1),
+            rem + (rank - big) // max(size, 1),
+        ) + 1
+        return pa.table({"doc_id": pa.array(did_s),
+                         "decile": pa.array(tile.astype(np.int64))})
+
+    return group_apply_tasks(docs, ["n_chars"], _rank)
+
+
+def q_peak_hour_load(sf_dir: str):
+    """Per-user peak load: the absolute hour bucket with the most
+    events and its count (ties -> earliest hour) — the burstiness
+    profile. One user shuffle, whole-group bincount + argmax."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def _peak(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "peak_hour": pa.array([], type=pa.int64()),
+                             "peak_cnt": pa.array([], type=pa.int64())})
+        uid = np.asarray(t.column("user_id"), dtype=np.int64)
+        hr = (np.asarray(t.column("ts")).astype("datetime64[us]")
+              .astype(np.int64) // 3_600_000_000)
+        key = uid << 24 | (hr & ((1 << 24) - 1))
+        uk, c = np.unique(key, return_counts=True)
+        uu = uk >> 24
+        order = np.lexsort((uk & ((1 << 24) - 1), -c, uu))
+        head = np.ones(len(order), dtype=bool)
+        head[1:] = uu[order][1:] != uu[order][:-1]
+        w = order[head]
+        return pa.table({
+            "user_id": pa.array(uu[w]),
+            "peak_hour": pa.array(uk[w] & ((1 << 24) - 1)),
+            "peak_cnt": pa.array(c[w].astype(np.int64)),
+        })
+
+    return group_apply_tasks(ev, ["user_id"], _peak)
+
+
+def q_commit_nibbles(sf_dir: str):
+    """Low-nibble histogram of corpus commit hashes (the hex-suffix
+    uniformity audit over the flagship corpus' commit column) —
+    bounded 16-row partials over the real string column."""
+    from ..sources import corpus as C
+
+    n = C.n_files_for(sf_dir)
+    ds = C.corpus_dataset(n)
+
+    def _nib(b: pa.Table) -> pa.Table:
+        com = np.asarray(b.column("commit")).astype(str)
+        last = np.array([c[-1] for c in com])
+        uk, c = np.unique(last, return_counts=True)
+        return pa.table({"nibble": pa.array(uk.tolist(),
+                                            type=pa.string()),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    parts = ds.map_batches(_nib, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    agg: dict[str, int] = {}
+    for p in parts:
+        agg[p["nibble"]] = agg.get(p["nibble"], 0) + p["cnt"]
+    ks = sorted(agg)
+    return pa.table({
+        "nibble": pa.array(ks, type=pa.string()),
+        "cnt": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
+
+
+def q_hapax_counts(sf_dir: str):
+    """Vocabulary tail profile per language: distinct tokens and hapax
+    legomena (global frequency exactly 1) — the vocabulary-cutoff
+    statistic. Per-batch (lang, token) count partials -> one keyed
+    shuffle (pairs complete per partition) -> bounded per-lang
+    partials."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+    from ..functions.text import tokens_list
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+
+    def _part(b: pa.Table) -> pa.Table:
+        toks = tokens_list(b)
+        flat = np.asarray(pc.list_flatten(toks)).astype(str)
+        par = np.asarray(pc.list_parent_indices(toks))
+        lng = np.asarray(b.column("lang")).astype(str)[par]
+        key = np.char.add(np.char.add(lng, "\x1f"), flat)
+        uk, c = np.unique(key, return_counts=True)
+        sp = np.char.partition(uk, "\x1f")
+        return pa.table({"lang": pa.array(sp[:, 0].tolist(),
+                                          type=pa.string()),
+                         "tok": pa.array(sp[:, 2].tolist(),
+                                         type=pa.string()),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    pairs = docs.map_batches(_part, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def _merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "lang" not in t.column_names:
+            return pa.table({"lang": pa.array([], type=pa.string()),
+                             "n_distinct": pa.array([], type=pa.int64()),
+                             "n_hapax": pa.array([], type=pa.int64())})
+        lng = np.asarray(t.column("lang")).astype(str)
+        tok = np.asarray(t.column("tok")).astype(str)
+        c = np.asarray(t.column("cnt"), dtype=np.int64)
+        key = np.char.add(np.char.add(lng, "\x1f"), tok)
+        uk, inv = np.unique(key, return_inverse=True)
+        tot = np.bincount(inv, weights=c.astype(np.float64)).astype(
+            np.int64)
+        ul = np.array([k.split("\x1f")[0] for k in uk])
+        uu, linv = np.unique(ul, return_inverse=True)
+        nd = np.bincount(linv).astype(np.int64)
+        nh = np.bincount(linv, weights=(tot == 1).astype(
+            np.float64)).astype(np.int64)
+        return pa.table({"lang": pa.array(uu.tolist(), type=pa.string()),
+                         "n_distinct": pa.array(nd),
+                         "n_hapax": pa.array(nh)})
+
+    parts = group_apply_tasks(pairs, ["lang", "tok"], _merge).take_all()
+    agg: dict[str, list[int]] = {}
+    for p in parts:
+        e = agg.setdefault(p["lang"], [0, 0])
+        e[0] += p["n_distinct"]
+        e[1] += p["n_hapax"]
+    ks = sorted(agg)
+    return pa.table({
+        "lang": pa.array(ks, type=pa.string()),
+        "n_distinct": pa.array([agg[k][0] for k in ks], type=pa.int64()),
+        "n_hapax": pa.array([agg[k][1] for k in ks], type=pa.int64()),
+    })
