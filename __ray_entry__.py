@@ -62,6 +62,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LLM-data layer without a prior driver row (+ refactored dedup)
         # wave 14 (newest = highest regression risk)
         # wave 15
+        # wave 28
+        "benford_digits": q.q_benford_digits,
+        "edge_multiplicity": q.q_edge_multiplicity,
+        "nation_roles_outer": q.q_nation_roles_outer,
+        "emb_dim_stats": q.q_emb_dim_stats,
+        "qty_disc_grid": q.q_qty_disc_grid,
         # wave 27
         "emb_label_stats": q.q_emb_label_stats,
         "doc_deciles": q.q_doc_deciles,
@@ -102,16 +108,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_strength": q.q_triangle_strength,
         # wave 20
         "bipartite_check": q.q_bipartite_check,
-        "percolation_cc": q.q_percolation_cc,
         "kron_product": q.q_kron_product,
         "max_drawdown": q.q_max_drawdown,
         # wave 19
-        "priority_sample": q.q_priority_sample,
         "tpch_q21": q.q_tpch_q21,
-        "double_sweep": q.q_double_sweep,
         # wave 18
-        "tpch_q2": q.q_tpch_q2,
-        "tpch_q20": q.q_tpch_q20,
         "bloom_probe": q.q_bloom_probe,
         # wave 17
         "edit_window": q.q_edit_window,
@@ -122,7 +123,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
-        "tpch_q9": q.q_tpch_q9,  # profit join: tpch_q2/q20/q21 in-window
+        "tpch_q2": q.q_tpch_q2,  # argmin-in-join: tpch_q21/top2_share kernels in-window
+        "tpch_q20": q.q_tpch_q20,  # dominant pairs: supplier_hhi per-part kernels in-window
+        "double_sweep": q.q_double_sweep,  # adaptive BFS chain: bipartite_check in-window
+        "percolation_cc": q.q_percolation_cc,  # min-id rounds: connected_components + vertex_cover rounds in-window
+        "priority_sample": q.q_priority_sample,  # md5-order sample: doc_deciles rank + bloom_probe in-window
+        "tpch_q9": q.q_tpch_q9,  # profit join: tpch_q2/q20/q21 siblings
         "tpch_q11": q.q_tpch_q11,  # scalar HAVING: top2_share/supplier_hhi in-window
         "decayed_counts": q.q_decayed_counts,  # dyadic decay agg: byte_stats/quality_by_lang partial class in-window
         "kwic": q.q_kwic,  # token assembly: continuation_counts/hapax_counts in-window
@@ -479,6 +485,11 @@ def oracle_sql() -> dict[str, str]:
         "lang_mixing": o.lang_mixing(),
         "continuation_counts": o.continuation_counts(),
         "emb_label_stats": o.emb_label_stats(),
+        "benford_digits": o.benford_digits(),
+        "edge_multiplicity": o.edge_multiplicity(),
+        "nation_roles_outer": o.nation_roles_outer(),
+        "emb_dim_stats": o.emb_dim_stats(),
+        "qty_disc_grid": o.qty_disc_grid(),
         "doc_deciles": o.doc_deciles(q.DECILE_K),
         "peak_hour_load": o.peak_hour_load(),
         "commit_nibbles": o.commit_nibbles(),

@@ -4825,3 +4825,76 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_distinct,
          AS n_hapax
 FROM c GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 28: Benford audit, edge multiplicity, full-outer roles, embedding
+# dim stats, qty-discount grid
+# ---------------------------------------------------------------------------
+
+
+def benford_digits() -> str:
+    """First-significant-digit histogram of positive cents (twin of
+    `queries.q_benford_digits`)."""
+    return """
+WITH b AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events
+)
+SELECT substr(CAST(cents AS VARCHAR), 1, 1) AS digit,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM b WHERE cents > 0
+GROUP BY 1
+"""
+
+
+@_materialized
+def edge_multiplicity() -> str:
+    """Histogram of dedup-summed edge weights (twin of
+    `queries.q_edge_multiplicity`)."""
+    return PREFIX + """
+SELECT CAST(w AS BIGINT) AS w, CAST(count(*) AS BIGINT) AS cnt
+FROM edges GROUP BY 1
+"""
+
+
+def nation_roles_outer() -> str:
+    """FULL OUTER of per-nation customer vs supplier counts (twin of
+    `queries.q_nation_roles_outer`)."""
+    return """
+WITH cc AS (SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS c
+            FROM customer GROUP BY 1),
+sc AS (SELECT s_nationkey AS nk, CAST(count(*) AS BIGINT) AS s
+       FROM supplier GROUP BY 1)
+SELECT coalesce(cc.nk, sc.nk) AS n_nationkey,
+       CAST(coalesce(cc.c, 0) AS BIGINT) AS n_cust,
+       CAST(coalesce(sc.s, 0) AS BIGINT) AS n_supp
+FROM cc FULL OUTER JOIN sc ON sc.nk = cc.nk
+"""
+
+
+def emb_dim_stats(dim: int = 64, qscale: int = 1 << 20) -> str:
+    """Per-dimension quantized sum / sum-of-squares (twin of
+    `queries.q_emb_dim_stats`)."""
+    return f"""
+WITH q AS (
+  SELECT CAST(g.d AS BIGINT) - 1 AS dim,
+         CAST(floor((CAST(embedding[CAST(g.d AS INT)] AS DOUBLE) + 0.5)
+                    * {qscale}) AS BIGINT) AS q
+  FROM embeddings CROSS JOIN generate_series(1, {dim}) g(d)
+)
+SELECT dim, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(q) AS BIGINT) AS sum_q,
+       CAST(sum(q * q) AS BIGINT) AS sum_q2
+FROM q GROUP BY 1
+"""
+
+
+def qty_disc_grid() -> str:
+    """Quantity-band x discount-percent counts (twin of
+    `queries.q_qty_disc_grid`)."""
+    return """
+SELECT CAST(CAST(l_quantity AS BIGINT) // 10 AS BIGINT) AS qty_band,
+       CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc_pct,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM lineitem GROUP BY 1, 2
+"""

@@ -8840,3 +8840,216 @@ def q_hapax_counts(sf_dir: str):
         "n_distinct": pa.array([agg[k][0] for k in ks], type=pa.int64()),
         "n_hapax": pa.array([agg[k][1] for k in ks], type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 28: Benford audit, edge multiplicity, full-outer nation roles,
+# per-dimension embedding stats, quantity-discount grid
+# ---------------------------------------------------------------------------
+
+
+def q_benford_digits(sf_dir: str):
+    """Benford first-significant-digit histogram of positive event
+    value cents — the numeric fraud/synthetic-data audit. Bounded
+    9-row partials, no shuffle."""
+    import ray
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["value"]
+    )
+
+    def _part(b: pa.Table) -> pa.Table:
+        cents = np.floor(np.asarray(b.column("value")) * 100.0
+                         + 0.5).astype(np.int64)
+        cents = cents[cents > 0]
+        first = np.array([s[0] for s in cents.astype(str)])
+        uk, c = np.unique(first, return_counts=True)
+        return pa.table({"digit": pa.array(uk.tolist(),
+                                           type=pa.string()),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    parts = ev.map_batches(_part, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    agg: dict[str, int] = {}
+    for p in parts:
+        agg[p["digit"]] = agg.get(p["digit"], 0) + p["cnt"]
+    ks = sorted(agg)
+    return pa.table({
+        "digit": pa.array(ks, type=pa.string()),
+        "cnt": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
+
+
+def q_edge_multiplicity(sf_dir: str):
+    """Multigraph edge-multiplicity histogram: how many distinct
+    directed pairs carry weight w (the parallel-edge count from the
+    corpus import extraction) — the multigraph audit. One bounded
+    histogram pass over the dedup-summed weights."""
+    ctx = get_context(sf_dir)
+
+    def _hist(b: pa.Table) -> pa.Table:
+        w = np.asarray(b.column("w")).astype(np.int64)
+        uk, c = np.unique(w, return_counts=True)
+        return pa.table({"w": pa.array(uk),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    parts = ctx.edges.map_batches(_hist, batch_format="pyarrow",
+                                  zero_copy_batch=True).take_all()
+    agg: dict[int, int] = {}
+    for p in parts:
+        agg[p["w"]] = agg.get(p["w"], 0) + p["cnt"]
+    ks = sorted(agg)
+    return pa.table({
+        "w": pa.array(ks, type=pa.int64()),
+        "cnt": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
+
+
+def q_nation_roles_outer(sf_dir: str):
+    """FULL OUTER join of per-nation customer counts vs supplier counts
+    — most nations lack suppliers at small sf, so both null sides are
+    exercised end-to-end through the co-partitioned outer join
+    (coalesced to zero). The outer-join driver evidence."""
+    import ray
+
+    from ..core.shuffle import group_sum_per_key, hash_join_tasks
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_nationkey"]
+    )
+    sup = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_nationkey"]
+    )
+
+    def _cnt(col):
+        def _p(b: pa.Table) -> pa.Table:
+            nk = np.asarray(b.column(col), dtype=np.int64)
+            uk, c = np.unique(nk, return_counts=True)
+            return pa.table({col: pa.array(uk),
+                             "cnt": pa.array(c.astype(np.int64))})
+        return _p
+
+    def _merge(col):
+        def _m(t: pa.Table) -> pa.Table:
+            uk, s = group_sum_per_key(
+                np.asarray(t.column("cnt"), dtype=np.float64),
+                np.asarray(t.column(col), dtype=np.int64))
+            return pa.table({col: pa.array(uk),
+                             "cnt": pa.array(s.astype(np.int64))})
+        return _m
+
+    from ..core.shuffle import group_apply_tasks
+
+    cc = group_apply_tasks(
+        cust.map_batches(_cnt("c_nationkey"), batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["c_nationkey"], _merge("c_nationkey"))
+    sc = group_apply_tasks(
+        sup.map_batches(_cnt("s_nationkey"), batch_format="pyarrow",
+                        zero_copy_batch=True),
+        ["s_nationkey"], _merge("s_nationkey"))
+
+    def _post(t: pa.Table) -> pa.Table:
+        # co-partitioned full outer: keys coalesce into c_nationkey,
+        # colliding cnt columns carry the suffixes (cnt_l / cnt_r)
+        empty = pa.table({"nk": pa.array([], type=pa.int64()),
+                          "n_cust": pa.array([], type=pa.int64()),
+                          "n_supp": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "c_nationkey" not in t.column_names:
+            return empty
+        nk = np.asarray(t.column("c_nationkey"), dtype=np.int64)
+
+        def cnt(col):
+            if col in t.column_names:
+                return np.asarray(pc.fill_null(t.column(col), 0),
+                                  dtype=np.int64)
+            return np.zeros(t.num_rows, dtype=np.int64)
+
+        return pa.table({"nk": pa.array(nk),
+                         "n_cust": pa.array(cnt("cnt_l")),
+                         "n_supp": pa.array(cnt("cnt_r"))})
+
+    out = hash_join_tasks(cc, sc, on="c_nationkey",
+                          right_on="s_nationkey",
+                          join_type="full outer",
+                          left_suffix="_l", right_suffix="_r",
+                          post=_post).take_all()
+    rows = sorted((r["nk"], r["n_cust"], r["n_supp"]) for r in out)
+    return pa.table({
+        "n_nationkey": pa.array([r[0] for r in rows], type=pa.int64()),
+        "n_cust": pa.array([r[1] for r in rows], type=pa.int64()),
+        "n_supp": pa.array([r[2] for r in rows], type=pa.int64()),
+    })
+
+
+def q_emb_dim_stats(sf_dir: str):
+    """Per-dimension embedding sufficient statistics (sum q, sum q^2
+    over the kmeans quantization) — the feature-normalization audit,
+    64 bounded rows, one columnar pass."""
+    import ray
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+
+    def _part(b: pa.Table) -> pa.Table:
+        mat = np.stack([
+            np.floor((np.asarray(e, dtype=np.float64) + 0.5)
+                     * (1 << 20)).astype(np.int64)
+            for e in b.column("embedding").to_pylist()])
+        return pa.table({
+            "dim": pa.array(np.arange(mat.shape[1], dtype=np.int64)),
+            "n": pa.array(np.full(mat.shape[1], len(mat), np.int64)),
+            "sum_q": pa.array(mat.sum(axis=0)),
+            "sum_q2": pa.array((mat * mat).sum(axis=0)),
+        })
+
+    parts = emb.map_batches(_part, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all()
+    agg: dict[int, list[int]] = {}
+    for p in parts:
+        e = agg.setdefault(p["dim"], [0, 0, 0])
+        e[0] += p["n"]
+        e[1] += p["sum_q"]
+        e[2] += p["sum_q2"]
+    ks = sorted(agg)
+    return pa.table({
+        "dim": pa.array(ks, type=pa.int64()),
+        "n": pa.array([agg[k][0] for k in ks], type=pa.int64()),
+        "sum_q": pa.array([agg[k][1] for k in ks], type=pa.int64()),
+        "sum_q2": pa.array([agg[k][2] for k in ks], type=pa.int64()),
+    })
+
+
+def q_qty_disc_grid(sf_dir: str):
+    """Quantity-band x discount-percent contingency grid over lineitem
+    (chi-square sufficient counts) — bounded (5 x ~11) partials,
+    shuffle-free."""
+    import ray
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_quantity", "l_discount"]
+    )
+
+    def _part(b: pa.Table) -> pa.Table:
+        qb = np.asarray(b.column("l_quantity")).astype(np.int64) // 10
+        dp = np.floor(np.asarray(b.column("l_discount")) * 100.0
+                      + 0.5).astype(np.int64)
+        key = qb * 101 + dp
+        uk, c = np.unique(key, return_counts=True)
+        return pa.table({"qty_band": pa.array(uk // 101),
+                         "disc_pct": pa.array(uk % 101),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    parts = li.map_batches(_part, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    agg: dict[tuple, int] = {}
+    for p in parts:
+        k = (p["qty_band"], p["disc_pct"])
+        agg[k] = agg.get(k, 0) + p["cnt"]
+    ks = sorted(agg)
+    return pa.table({
+        "qty_band": pa.array([k[0] for k in ks], type=pa.int64()),
+        "disc_pct": pa.array([k[1] for k in ks], type=pa.int64()),
+        "cnt": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
