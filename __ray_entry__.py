@@ -62,6 +62,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LLM-data layer without a prior driver row (+ refactored dedup)
         # wave 14 (newest = highest regression risk)
         # wave 15
+        # wave 29
+        "dag_layers": q.q_dag_layers,
+        "ooo_events": q.q_ooo_events,
+        "deg_joint_hist": q.q_deg_joint_hist,
+        "pixel_hist": q.q_pixel_hist,
+        "token_except": q.q_token_except,
         # wave 28
         "benford_digits": q.q_benford_digits,
         "edge_multiplicity": q.q_edge_multiplicity,
@@ -76,7 +82,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hapax_counts": q.q_hapax_counts,
         # wave 26
         "continuation_counts": q.q_continuation_counts,
-        "butterfly_count": q.q_butterfly_count,
         "rolling_dau": q.q_rolling_dau,
         "video_motion": q.q_video_motion,
         "supplier_hhi": q.q_supplier_hhi,
@@ -86,14 +91,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_moments": q.q_degree_moments,
         "quality_by_lang": q.q_quality_by_lang,
         # wave 24
-        "interval_coverage": q.q_interval_coverage,
         "first_response": q.q_first_response,
         "order_gap_stats": q.q_order_gap_stats,
         "vertex_cover": q.q_vertex_cover,
         "k_center": q.q_k_center,
         # wave 23
-        "cocitation_topk": q.q_cocitation_topk,
-        "transition_counts": q.q_transition_counts,
         "events_mad": q.q_events_mad,
         "degree_quantiles": q.q_degree_quantiles,
         # wave 22
@@ -107,7 +109,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reach2_parity": q.q_reach2_parity,
         "triangle_strength": q.q_triangle_strength,
         # wave 20
-        "bipartite_check": q.q_bipartite_check,
         "kron_product": q.q_kron_product,
         "max_drawdown": q.q_max_drawdown,
         # wave 19
@@ -123,6 +124,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
+        "bipartite_check": q.q_bipartite_check,  # BFS parity chain: dag_layers rounds + connected_components in-window
+        "transition_counts": q.q_transition_counts,  # adjacent-pair window: ooo_events in-window
+        "interval_coverage": q.q_interval_coverage,  # running-max sweep: ooo_events/max_drawdown in-window
+        "cocitation_topk": q.q_cocitation_topk,  # A^T A spgemm: reach2_parity/cycle3_directed in-window
+        "butterfly_count": q.q_butterfly_count,  # projection census: degree_moments/deg_joint_hist in-window
         "tpch_q2": q.q_tpch_q2,  # argmin-in-join: tpch_q21/top2_share kernels in-window
         "tpch_q20": q.q_tpch_q20,  # dominant pairs: supplier_hhi per-part kernels in-window
         "double_sweep": q.q_double_sweep,  # adaptive BFS chain: bipartite_check in-window
@@ -486,6 +492,11 @@ def oracle_sql() -> dict[str, str]:
         "continuation_counts": o.continuation_counts(),
         "emb_label_stats": o.emb_label_stats(),
         "benford_digits": o.benford_digits(),
+        "dag_layers": o.dag_layers(q.DAG_ITERS),
+        "ooo_events": o.ooo_events(),
+        "deg_joint_hist": o.deg_joint_hist(),
+        "pixel_hist": o.pixel_hist(),
+        "token_except": o.token_except(q.TE_LANG_A, q.TE_LANG_B),
         "edge_multiplicity": o.edge_multiplicity(),
         "nation_roles_outer": o.nation_roles_outer(),
         "emb_dim_stats": o.emb_dim_stats(),

@@ -4898,3 +4898,115 @@ SELECT CAST(CAST(l_quantity AS BIGINT) // 10 AS BIGINT) AS qty_band,
        CAST(count(*) AS BIGINT) AS cnt
 FROM lineitem GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 29: DAG layering, out-of-order audit, degree joint histogram,
+# pixel histogram, multiset except
+# ---------------------------------------------------------------------------
+
+
+@_materialized
+def dag_layers(iters: int = 12) -> str:
+    """Longest-path layering of the dense-order acyclic orientation
+    (twin of `queries.q_dag_layers`)."""
+    sql = PREFIX + """
+, dense AS (SELECT i, row_number() OVER (ORDER BY label) - 1 AS d,
+            label FROM verts),
+dag AS (
+  SELECT DISTINCT ds.d AS s, dd.d AS t
+  FROM edges e JOIN dense ds ON ds.i = e.src
+               JOIN dense dd ON dd.i = e.dst
+  WHERE ds.d < dd.d
+),
+l0 AS (SELECT d AS v, 0 AS layer FROM dense)
+"""
+    prev = "l0"
+    for k in range(1, iters + 1):
+        sql += f"""
+, l{k} AS (
+  SELECT p.v, greatest(p.layer, coalesce(m.mx, p.layer)) AS layer
+  FROM {prev} p
+  LEFT JOIN (SELECT g.t AS v, max(pp.layer + 1) AS mx
+             FROM dag g JOIN {prev} pp ON pp.v = g.s
+             GROUP BY g.t) m ON m.v = p.v
+)"""
+        prev = f"l{k}"
+    sql += f"""
+SELECT de.label AS label, CAST(l.layer AS BIGINT) AS layer
+FROM {prev} l JOIN dense de ON de.d = l.v
+"""
+    return sql
+
+
+def ooo_events() -> str:
+    """Per-user out-of-order inversion count + max backward skew (twin
+    of `queries.q_ooo_events`)."""
+    return """
+WITH b AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         MAX(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS pm
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN pm > us THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late,
+       CAST(coalesce(max(CASE WHEN pm > us THEN pm - us END), 0)
+            AS BIGINT) AS max_skew_us
+FROM b GROUP BY 1
+"""
+
+
+@_materialized
+def deg_joint_hist() -> str:
+    """Joint (outdeg, indeg) counts over ALL vertices (twin of
+    `queries.q_deg_joint_hist`)."""
+    return PREFIX + """
+, od AS (SELECT src AS v, count(*) AS d FROM edges GROUP BY 1),
+idg AS (SELECT dst AS v, count(*) AS d FROM edges GROUP BY 1)
+SELECT CAST(coalesce(od.d, 0) AS BIGINT) AS outdeg,
+       CAST(coalesce(idg.d, 0) AS BIGINT) AS indeg,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM verts v
+LEFT JOIN od ON od.v = v.i LEFT JOIN idg ON idg.v = v.i
+GROUP BY 1, 2
+"""
+
+
+def pixel_hist() -> str:
+    """Global pixel-value histogram over image payloads (twin of
+    `queries.q_pixel_hist`; make_blob arithmetic)."""
+    return """
+WITH dims AS (
+  SELECT doc_id AS item_id,
+         CAST(8 + (doc_id % 5) * 4 AS BIGINT) AS width,
+         CAST(8 + (doc_id % 3) * 4 AS BIGINT) AS height
+  FROM documents
+)
+SELECT CAST((r.i * (d.item_id + 7)) % 251 AS BIGINT) AS pixel,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM dims d CROSS JOIN range(384) r(i)
+WHERE r.i < d.width * d.height
+GROUP BY 1
+"""
+
+
+def token_except(a: str = "en", b: str = "es") -> str:
+    """Multiset EXCEPT ALL of token bags between two languages (twin of
+    `queries.q_token_except`)."""
+    return f"""
+WITH t AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE lang IN ('{a}', '{b}')
+),
+c AS (
+  SELECT tok,
+         sum(CASE WHEN lang = '{a}' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN lang = '{b}' THEN 1 ELSE 0 END) AS cb
+  FROM t GROUP BY 1
+)
+SELECT tok, CAST(ca - cb AS BIGINT) AS excess
+FROM c WHERE ca > cb
+"""

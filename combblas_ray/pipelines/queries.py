@@ -9053,3 +9053,227 @@ def q_qty_disc_grid(sf_dir: str):
         "disc_pct": pa.array([k[1] for k in ks], type=pa.int64()),
         "cnt": pa.array([agg[k] for k in ks], type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 29: DAG layering, out-of-order audit, degree joint histogram,
+# pixel histogram, multiset except
+# ---------------------------------------------------------------------------
+
+DAG_ITERS = 12
+
+
+def q_dag_layers(sf_dir: str):
+    """Longest-path layering (critical-path schedule) of the acyclic
+    orientation src < dst (dense order): layer(v) = max over incoming
+    (layer(u) + 1), DAG_ITERS synchronous max-plus rounds — the
+    topological-scheduling primitive. Per-round movement: per-batch
+    (dst, max candidate) partials; the O(n) layer vector stays driver-
+    side between rounds (FullyDistVec analog, `percolation_cc`
+    discipline)."""
+    from ..core.shuffle import group_reduce_per_key
+
+    ctx = get_context(sf_dir)
+    n = ctx.n
+
+    def _orient(b: pa.Table) -> pa.Table:
+        s = np.asarray(b.column("src"), dtype=np.int64)
+        d = np.asarray(b.column("dst"), dtype=np.int64)
+        keep = s < d
+        u = np.unique(s[keep] * n + d[keep])
+        return pa.table({"src": pa.array(u // n), "dst": pa.array(u % n)})
+
+    dag = ctx.edges.map_batches(_orient, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
+
+    import ray
+
+    layer = np.zeros(n, dtype=np.int64)
+    for _ in range(DAG_ITERS):
+        lref = ray.put(layer)
+
+        def _round(b: pa.Table, *, _ref=lref) -> pa.Table:
+            L = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+            s = np.asarray(b.column("src"), dtype=np.int64)
+            d = np.asarray(b.column("dst"), dtype=np.int64)
+            uk, mx = group_reduce_per_key(
+                (L[s] + 1).astype(np.float64), d, "max")
+            return pa.table({"v": pa.array(uk),
+                             "m": pa.array(mx.astype(np.int64))})
+
+        parts = dag.map_batches(_round, batch_format="pyarrow",
+                                zero_copy_batch=True).take_all()
+        new = layer.copy()
+        if parts:
+            vv = np.fromiter((p["v"] for p in parts), np.int64,
+                             len(parts))
+            mm = np.fromiter((p["m"] for p in parts), np.int64,
+                             len(parts))
+            np.maximum.at(new, vv, mm)
+        if np.array_equal(new, layer):
+            break
+        layer = new
+    # free the materialized DAG before the query returns (see
+    # util.quiesce_data_stats for the post-shutdown hazard class)
+    del dag
+    ids = np.arange(n)
+    return pa.table({
+        "label": _label_col(ctx, ids),
+        "layer": pa.array(layer),
+    })
+
+
+def q_ooo_events(sf_dir: str):
+    """Out-of-order stream audit: per user, events whose timestamp runs
+    BACKWARD relative to arrival order (event_id) — inversion count +
+    max backward skew in microseconds (the watermark-sizing statistic).
+    One user shuffle; running max over arrival order vectorized."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+
+    def _ooo(t: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], type=pa.int64()),
+                          "n_late": pa.array([], type=pa.int64()),
+                          "max_skew_us": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return empty
+        uid = np.asarray(t.column("user_id"), dtype=np.int64)
+        ts = np.asarray(t.column("ts")).astype("datetime64[us]").astype(
+            np.int64)
+        eid = np.asarray(t.column("event_id"), dtype=np.int64)
+        order = np.lexsort((eid, uid))  # arrival order within user
+        u, s = uid[order], ts[order]
+        seg = np.cumsum(np.concatenate(
+            ([False], u[1:] != u[:-1]))).astype(np.int64)
+        off = seg << 52
+        runmax = np.maximum.accumulate(s + off) - off
+        prev = np.empty_like(runmax)
+        prev[1:] = runmax[:-1]
+        heads = np.concatenate(([True], u[1:] != u[:-1]))
+        skew = np.where(heads, 0, prev - s)
+        late = skew > 0
+        uu, inv = np.unique(u, return_inverse=True)
+        n_late = np.bincount(inv, weights=late.astype(
+            np.float64)).astype(np.int64)
+        mx = np.zeros(len(uu), dtype=np.int64)
+        np.maximum.at(mx, inv, np.where(late, skew, 0))
+        return pa.table({"user_id": pa.array(uu),
+                         "n_late": pa.array(n_late),
+                         "max_skew_us": pa.array(mx)})
+
+    return group_apply_tasks(ev, ["user_id"], _ooo)
+
+
+def q_deg_joint_hist(sf_dir: str):
+    """Joint (out-degree, in-degree) distribution of the directed
+    structural graph — the hub/authority skew diagnostic feeding
+    partition sizing. Two fused degree vectors, bounded grid counts."""
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("dir_bool")
+    od = eng.out_weights().astype(np.int64)
+    idg = eng.in_weights().astype(np.int64)
+    key = od * 100_000 + idg
+    uk, c = np.unique(key, return_counts=True)
+    return pa.table({
+        "outdeg": pa.array(uk // 100_000),
+        "indeg": pa.array(uk % 100_000),
+        "cnt": pa.array(c.astype(np.int64)),
+    })
+
+
+def q_pixel_hist(sf_dir: str):
+    """Global pixel-value histogram over every image payload (251 bins)
+    — the exposure/equalization audit through the decode actor pool;
+    bounded per-batch partials."""
+    from ..functions import multimodal as M
+
+    blobs = M.blob_dataset_from_docs(sf_dir, kind="image")
+
+    class _Hist:
+        def __init__(self):
+            import struct
+            self.header = struct.Struct("<III")
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            h = np.zeros(256, dtype=np.int64)
+            for payload in batch.column("payload").to_pylist():
+                pix = np.frombuffer(payload, dtype=np.uint8,
+                                    offset=self.header.size)
+                h += np.bincount(pix, minlength=256)
+            nz = np.nonzero(h)[0]
+            return pa.table({"pixel": pa.array(nz.astype(np.int64)),
+                             "cnt": pa.array(h[nz])})
+
+    parts = blobs.map_batches(_Hist, batch_format="pyarrow",
+                              batch_size=64, concurrency=2).take_all()
+    agg: dict[int, int] = {}
+    for p in parts:
+        agg[p["pixel"]] = agg.get(p["pixel"], 0) + p["cnt"]
+    ks = sorted(agg)
+    return pa.table({
+        "pixel": pa.array(ks, type=pa.int64()),
+        "cnt": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
+
+
+TE_LANG_A, TE_LANG_B = "en", "es"
+
+
+def q_token_except(sf_dir: str):
+    """Multiset EXCEPT ALL: token occurrences in TE_LANG_A documents
+    minus those in TE_LANG_B, per token (excess > 0 only) — the
+    bag-difference op behind corpus-drift reports. Per-batch (lang,
+    token) partials -> one token shuffle -> per-token difference."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+    from ..functions.text import tokens_list
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"],
+        filter=pc.field("lang").isin([TE_LANG_A, TE_LANG_B]),
+    )
+
+    def _part(b: pa.Table) -> pa.Table:
+        toks = tokens_list(b)
+        flat = np.asarray(pc.list_flatten(toks)).astype(str)
+        par = np.asarray(pc.list_parent_indices(toks))
+        lng = np.asarray(b.column("lang")).astype(str)[par]
+        key = np.char.add(np.char.add(flat, "\x1f"), lng)
+        uk, c = np.unique(key, return_counts=True)
+        sp = np.char.partition(uk, "\x1f")
+        return pa.table({"tok": pa.array(sp[:, 0].tolist(),
+                                         type=pa.string()),
+                         "lang": pa.array(sp[:, 2].tolist(),
+                                          type=pa.string()),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    pairs = docs.map_batches(_part, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def _diff(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "tok" not in t.column_names:
+            return pa.table({"tok": pa.array([], type=pa.string()),
+                             "excess": pa.array([], type=pa.int64())})
+        tok = np.asarray(t.column("tok")).astype(str)
+        lng = np.asarray(t.column("lang")).astype(str)
+        c = np.asarray(t.column("cnt"), dtype=np.int64)
+        ut, inv = np.unique(tok, return_inverse=True)
+        ca = np.bincount(inv, weights=np.where(lng == TE_LANG_A, c, 0
+                                               ).astype(np.float64)
+                         ).astype(np.int64)
+        cb = np.bincount(inv, weights=np.where(lng == TE_LANG_B, c, 0
+                                               ).astype(np.float64)
+                         ).astype(np.int64)
+        ex = ca - cb
+        keep = ex > 0
+        return pa.table({"tok": pa.array(ut[keep].tolist(),
+                                         type=pa.string()),
+                         "excess": pa.array(ex[keep])})
+
+    return group_apply_tasks(pairs, ["tok"], _diff)
