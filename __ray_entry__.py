@@ -62,6 +62,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LLM-data layer without a prior driver row (+ refactored dedup)
         # wave 14 (newest = highest regression risk)
         # wave 15
+        # wave 30
+        "config_model_stats": q.q_config_model_stats,
+        "filter_funnel": q.q_filter_funnel,
+        "dup_size_hist": q.q_dup_size_hist,
+        "sim_by_label": q.q_sim_by_label,
         # wave 29
         "dag_layers": q.q_dag_layers,
         "ooo_events": q.q_ooo_events,
@@ -105,12 +110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top2_share": q.q_top2_share,
         # wave 21
         "pq_codes": q.q_pq_codes,
-        "running_distinct": q.q_running_distinct,
-        "reach2_parity": q.q_reach2_parity,
-        "triangle_strength": q.q_triangle_strength,
         # wave 20
         "kron_product": q.q_kron_product,
-        "max_drawdown": q.q_max_drawdown,
         # wave 19
         "tpch_q21": q.q_tpch_q21,
         # wave 18
@@ -124,6 +125,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
+        "reach2_parity": q.q_reach2_parity,  # xor-and spgemm: cycle3_directed in-window
+        "running_distinct": q.q_running_distinct,  # first-occurrence window: ooo_events in-window
+        "triangle_strength": q.q_triangle_strength,  # weighted enumeration: triangle_count/degree_moments in-window
+        "max_drawdown": q.q_max_drawdown,  # cummax window: ooo_events in-window
         "bipartite_check": q.q_bipartite_check,  # BFS parity chain: dag_layers rounds + connected_components in-window
         "transition_counts": q.q_transition_counts,  # adjacent-pair window: ooo_events in-window
         "interval_coverage": q.q_interval_coverage,  # running-max sweep: ooo_events/max_drawdown in-window
@@ -493,6 +498,11 @@ def oracle_sql() -> dict[str, str]:
         "emb_label_stats": o.emb_label_stats(),
         "benford_digits": o.benford_digits(),
         "dag_layers": o.dag_layers(q.DAG_ITERS),
+        "config_model_stats": o.config_model_stats(),
+        "filter_funnel": o.filter_funnel(q.FF_MIN_CHARS, q.FF_DR_NUM,
+                                         q.FF_DR_DEN),
+        "dup_size_hist": o.dup_size_hist(0.5, q.DUP_CLUSTER_ROUNDS),
+        "sim_by_label": o.sim_by_label(q.SIML_N),
         "ooo_events": o.ooo_events(),
         "deg_joint_hist": o.deg_joint_hist(),
         "pixel_hist": o.pixel_hist(),

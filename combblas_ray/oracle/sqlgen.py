@@ -5010,3 +5010,110 @@ c AS (
 SELECT tok, CAST(ca - cb AS BIGINT) AS excess
 FROM c WHERE ca > cb
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 30: configuration-model stats, curation funnel, dup-cluster
+# sizes, similarity by label
+# ---------------------------------------------------------------------------
+
+
+@_materialized
+def config_model_stats() -> str:
+    """Configuration-model null expectation numerators (twin of
+    `queries.q_config_model_stats`)."""
+    return PREFIX + """
+, od AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS d
+         FROM edges GROUP BY 1),
+idg AS (SELECT dst AS v, CAST(count(*) AS BIGINT) AS d
+        FROM edges GROUP BY 1)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM edges) AS m,
+       (SELECT CAST(sum(o.d * i.d) AS BIGINT)
+        FROM edges e JOIN od o ON o.v = e.src
+                     JOIN idg i ON i.v = e.dst) AS sum_dout_din,
+       (SELECT CAST(sum(d * d) AS BIGINT) FROM od) AS sum_dout2,
+       (SELECT CAST(sum(d * d) AS BIGINT) FROM idg) AS sum_din2
+"""
+
+
+def filter_funnel(min_chars: int = 150, num: int = 3,
+                  den: int = 10) -> str:
+    """Successive quality-gate survivor counts (twin of
+    `queries.q_filter_funnel`)."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, n_chars,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+per AS (
+  SELECT doc_id, min(lang) AS lang, min(n_chars) AS nc,
+         count(*) AS nt, count(DISTINCT tok) AS nd
+  FROM t GROUP BY doc_id
+),
+f AS (
+  SELECT (nc >= {min_chars}) AS s1,
+         (nc >= {min_chars} AND nd * {den} >= nt * {num}) AS s2,
+         (nc >= {min_chars} AND nd * {den} >= nt * {num}
+          AND lang <> 'zh') AS s3
+  FROM per
+)
+SELECT CAST(g.i AS BIGINT) AS stage,
+       CAST(CASE g.i WHEN 0 THEN (SELECT count(*) FROM f)
+                     WHEN 1 THEN (SELECT sum(s1::INT) FROM f)
+                     WHEN 2 THEN (SELECT sum(s2::INT) FROM f)
+                     ELSE (SELECT sum(s3::INT) FROM f) END AS BIGINT)
+         AS survivors
+FROM generate_series(0, 3) g(i)
+"""
+
+
+def dup_size_hist(tau: float = 0.5, rounds: int = 6,
+                  df_cap: int = 1000) -> str:
+    """Cluster-size histogram over the dup_clusters assignment (twin of
+    `queries.q_dup_size_hist`)."""
+    base = dup_clusters(tau, rounds, df_cap)
+    # swap the final projection for the size histogram
+    tail = base.rindex("SELECT v AS doc_id")
+    final_cte = base[tail:].split("FROM ")[1].strip()
+    return base[:tail] + """, sizes AS (
+  SELECT lbl, CAST(count(*) AS BIGINT) AS sz
+  FROM lfinal GROUP BY lbl
+)
+SELECT sz AS size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY 1
+""".replace("lfinal", final_cte)
+
+
+def sim_by_label(nvec: int = 128, dim: int = 64,
+                 qscale: int = 1 << 20) -> str:
+    """Same-label vs cross-label integer dot sums (twin of
+    `queries.q_sim_by_label`)."""
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id, label,
+         CAST(g.d AS BIGINT) AS dim,
+         CAST(floor((CAST(embedding[CAST(g.d AS INT)] AS DOUBLE) + 0.5)
+                    * {qscale}) AS BIGINT) AS q
+  FROM embeddings CROSS JOIN generate_series(1, {dim}) g(d)
+  WHERE vec_id < {nvec}
+),
+labs AS (SELECT DISTINCT vec_id, label FROM q),
+dots AS (
+  SELECT a.vec_id AS i, b.vec_id AS j, sum(a.q * b.q) AS dot
+  FROM q a JOIN q b ON b.dim = a.dim AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+tagged AS (
+  SELECT (la.label = lb.label)::INT AS same, dot
+  FROM dots JOIN labs la ON la.vec_id = dots.i
+            JOIN labs lb ON lb.vec_id = dots.j
+)
+SELECT CAST(g.i AS BIGINT) AS same_label,
+       CAST(coalesce(sum(CASE WHEN same = g.i THEN 1 END), 0)
+            AS BIGINT) AS n_pairs,
+       CAST(coalesce(sum(CASE WHEN same = g.i THEN dot END), 0)
+            AS BIGINT) AS sum_dot
+FROM generate_series(0, 1) g(i) LEFT JOIN tagged ON TRUE
+GROUP BY 1
+"""

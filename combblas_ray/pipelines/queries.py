@@ -9277,3 +9277,186 @@ def q_token_except(sf_dir: str):
                          "excess": pa.array(ex[keep])})
 
     return group_apply_tasks(pairs, ["tok"], _diff)
+
+
+# ---------------------------------------------------------------------------
+# wave 30: configuration-model stats, curation funnel, dup-cluster
+# sizes, similarity by label, null-model audit
+# ---------------------------------------------------------------------------
+
+
+def q_config_model_stats(sf_dir: str):
+    """Configuration-model null expectation numerators: sum over
+    distinct directed edges of outdeg(src) * indeg(dst), plus edge
+    count and degree-square sums — the modularity/assortativity
+    normalizers as exact integers. Degree vectors broadcast once; one
+    streaming edge pass."""
+    import ray
+
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("dir_bool")
+    od = eng.out_weights().astype(np.int64)
+    idg = eng.in_weights().astype(np.int64)
+    dref = ray.put((od, idg))
+
+    def _part(b: pa.Table, *, _ref=dref) -> pa.Table:
+        o, i = _ref if isinstance(_ref, tuple) else ray.get(_ref)
+        s = np.asarray(b.column("src"), dtype=np.int64)
+        d = np.asarray(b.column("dst"), dtype=np.int64)
+        u = np.unique(s * len(o) + d)
+        us, ud = u // len(o), u % len(o)
+        return pa.table({
+            "m": pa.array([len(u)], type=pa.int64()),
+            "dd": pa.array([int((o[us] * i[ud]).sum())],
+                           type=pa.int64()),
+        })
+
+    parts = ctx.edges.map_batches(_part, batch_format="pyarrow",
+                                  zero_copy_batch=True).take_all()
+    return pa.table({
+        "m": pa.array([sum(p["m"] for p in parts)], type=pa.int64()),
+        "sum_dout_din": pa.array([sum(p["dd"] for p in parts)],
+                                 type=pa.int64()),
+        "sum_dout2": pa.array([int((od * od).sum())], type=pa.int64()),
+        "sum_din2": pa.array([int((idg * idg).sum())],
+                             type=pa.int64()),
+    })
+
+
+FF_MIN_CHARS = 150
+FF_DR_NUM, FF_DR_DEN = 3, 10  # distinct_ratio >= 0.3, division-free
+
+
+def q_filter_funnel(sf_dir: str):
+    """Data-curation funnel: documents surviving each successive
+    quality gate — (0) all, (1) n_chars >= FF_MIN_CHARS, (2) distinct
+    token ratio >= 0.3 (run division-free: n_distinct * DEN >=
+    n_tokens * NUM), (3) non-'zh' language (the langid stand-in) —
+    one streaming pass, per-batch 4-counter partials."""
+    import ray
+
+    from ..functions.text import tokens_list
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "n_chars"],
+    )
+
+    def _part(b: pa.Table) -> pa.Table:
+        toks = tokens_list(b)
+        flat = np.asarray(pc.list_flatten(toks)).astype(str)
+        par = np.asarray(pc.list_parent_indices(toks))
+        nrows = b.num_rows
+        n_tok = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        order = np.lexsort((flat, par))
+        sp, st = par[order], flat[order]
+        new = np.ones(len(sp), dtype=bool)
+        new[1:] = (sp[1:] != sp[:-1]) | (st[1:] != st[:-1])
+        n_dist = np.bincount(sp[new], minlength=nrows).astype(np.int64)
+        nc = np.asarray(b.column("n_chars"), dtype=np.int64)
+        lng = np.asarray(b.column("lang")).astype(str)
+        s1 = nc >= FF_MIN_CHARS
+        s2 = s1 & (n_dist * FF_DR_DEN >= n_tok * FF_DR_NUM)
+        s3 = s2 & (lng != "zh")
+        return pa.table({
+            "stage": pa.array(np.arange(4, dtype=np.int64)),
+            "survivors": pa.array(np.array(
+                [nrows, int(s1.sum()), int(s2.sum()), int(s3.sum())],
+                dtype=np.int64)),
+        })
+
+    parts = docs.map_batches(_part, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all()
+    agg = np.zeros(4, dtype=np.int64)
+    for p in parts:
+        agg[p["stage"]] += p["survivors"]
+    return pa.table({
+        "stage": pa.array(np.arange(4, dtype=np.int64)),
+        "survivors": pa.array(agg),
+    })
+
+
+def q_dup_size_hist(sf_dir: str):
+    """Duplicate-cluster size histogram: how many near-dup clusters
+    have k members — the dedup-impact summary over the `dup_clusters`
+    assignment (bounded counts; singleton docs are out of the pair
+    graph and excluded, as in the cluster table itself)."""
+    clusters = q_dup_clusters(sf_dir)
+
+    def _sizes(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cluster" not in t.column_names:
+            return pa.table({"cluster": pa.array([], type=pa.int64()),
+                             "sz": pa.array([], type=pa.int64())})
+        cl = np.asarray(t.column("cluster"), dtype=np.int64)
+        uk, c = np.unique(cl, return_counts=True)
+        return pa.table({"cluster": pa.array(uk),
+                         "sz": pa.array(c.astype(np.int64))})
+
+    parts = clusters.map_batches(_sizes, batch_format="pyarrow",
+                                 zero_copy_batch=True).take_all()
+    agg: dict[int, int] = {}
+    for p in parts:
+        agg[p["cluster"]] = agg.get(p["cluster"], 0) + p["sz"]
+    hist: dict[int, int] = {}
+    for sz in agg.values():
+        hist[sz] = hist.get(sz, 0) + 1
+    ks = sorted(hist)
+    return pa.table({
+        "size": pa.array(ks, type=pa.int64()),
+        "n_clusters": pa.array([hist[k] for k in ks], type=pa.int64()),
+    })
+
+
+SIML_N = 128
+
+
+def q_sim_by_label(sf_dir: str):
+    """Metric-learning audit: over the first SIML_N embeddings, the
+    exact integer dot-product sums and pair counts for SAME-label vs
+    CROSS-label pairs — is the embedding space class-separating?
+    Two-row output; query matrix broadcast once."""
+    import ray
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+        filter=pc.field("vec_id") < SIML_N,
+    )
+    all_t = emb.sort("vec_id").take_batch(SIML_N, batch_format="pyarrow")
+    tt = pa.table(all_t)
+    aids, amat = _km_quant(tt.select(["vec_id", "embedding"]))
+    alab = np.asarray(tt.column("label"), dtype=np.int64)
+    aref = ray.put((aids, amat, alab))
+
+    def _acc(t: pa.Table, *, _ref=aref) -> pa.Table:
+        ai, am, al = _ref if isinstance(_ref, tuple) else ray.get(_ref)
+        ids, Q = _km_quant(t.select(["vec_id", "embedding"]))
+        lab = np.asarray(t.column("label"), dtype=np.int64)
+        if len(ids) == 0:
+            return pa.table({"same": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.int64())})
+        d = Q @ am.T
+        mask = ids[:, None] < ai[None, :]
+        same = lab[:, None] == al[None, :]
+        rows = []
+        for flag in (True, False):
+            m = mask & (same == flag)
+            rows.append((int(flag), int(m.sum()), int(d[m].sum())))
+        return pa.table({
+            "same": pa.array([r[0] for r in rows], type=pa.int64()),
+            "n": pa.array([r[1] for r in rows], type=pa.int64()),
+            "s": pa.array([r[2] for r in rows], type=pa.int64()),
+        })
+
+    parts = emb.map_batches(_acc, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all()
+    agg = {0: [0, 0], 1: [0, 0]}
+    for p in parts:
+        agg[p["same"]][0] += p["n"]
+        agg[p["same"]][1] += p["s"]
+    return pa.table({
+        "same_label": pa.array([0, 1], type=pa.int64()),
+        "n_pairs": pa.array([agg[0][0], agg[1][0]], type=pa.int64()),
+        "sum_dot": pa.array([agg[0][1], agg[1][1]], type=pa.int64()),
+    })

@@ -21,5 +21,12 @@ def quiesce_data_stats() -> None:
 
         StatsManager._last_execution_stats.clear()
         StatsManager._last_iteration_stats.clear()
+        # ALSO drop the cached actor handle: with a cached handle +
+        # matching cluster id the thread short-circuits straight to
+        # handle.update_metrics.remote() (the fatal call). With the
+        # cache nulled, the post-shutdown recreate path raises a normal
+        # Python exception, which the update loop catches and exits on.
+        StatsManager._stats_actor_handle = None
+        StatsManager._stats_actor_cluster_id = None
     except Exception:
         pass
