@@ -62,6 +62,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LLM-data layer without a prior driver row (+ refactored dedup)
         # wave 14 (newest = highest regression risk)
         # wave 15
+        # wave 31
+        "ball_conductance": q.q_ball_conductance,
+        "spend_gini": q.q_spend_gini,
+        "trigram_l1": q.q_trigram_l1,
+        "knn1_accuracy": q.q_knn1_accuracy,
+        "segment_momentum": q.q_segment_momentum,
         # wave 30
         "config_model_stats": q.q_config_model_stats,
         "filter_funnel": q.q_filter_funnel,
@@ -81,13 +87,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_disc_grid": q.q_qty_disc_grid,
         # wave 27
         "emb_label_stats": q.q_emb_label_stats,
-        "doc_deciles": q.q_doc_deciles,
         "peak_hour_load": q.q_peak_hour_load,
         "commit_nibbles": q.q_commit_nibbles,
         "hapax_counts": q.q_hapax_counts,
         # wave 26
         "continuation_counts": q.q_continuation_counts,
-        "rolling_dau": q.q_rolling_dau,
         "video_motion": q.q_video_motion,
         "supplier_hhi": q.q_supplier_hhi,
         # wave 25
@@ -109,22 +113,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repo_stats": q.q_repo_stats,
         "top2_share": q.q_top2_share,
         # wave 21
-        "pq_codes": q.q_pq_codes,
         # wave 20
         "kron_product": q.q_kron_product,
         # wave 19
-        "tpch_q21": q.q_tpch_q21,
         # wave 18
         "bloom_probe": q.q_bloom_probe,
         # wave 17
         "edit_window": q.q_edit_window,
-        "audio_stats": q.q_audio_stats,
         # wave 16
         # relational / windowed (round-2 verdict: keep driver evidence)
         "asof_click": q.q_asof_click,
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
+        "doc_deciles": q.q_doc_deciles,  # two-phase global rank: spend_gini in-window
+        "tpch_q21": q.q_tpch_q21,  # per-order EXISTS kernel: supplier_hhi/top2_share in-window
+        "rolling_dau": q.q_rolling_dau,  # window-day expand: peak_hour_load/ooo_events in-window
+        "pq_codes": q.q_pq_codes,  # quantized argmin codes: knn1_accuracy/k_center in-window
+        "audio_stats": q.q_audio_stats,  # int actor pool: pixel_hist/video_motion in-window
         "reach2_parity": q.q_reach2_parity,  # xor-and spgemm: cycle3_directed in-window
         "running_distinct": q.q_running_distinct,  # first-occurrence window: ooo_events in-window
         "triangle_strength": q.q_triangle_strength,  # weighted enumeration: triangle_count/degree_moments in-window
@@ -499,6 +505,11 @@ def oracle_sql() -> dict[str, str]:
         "benford_digits": o.benford_digits(),
         "dag_layers": o.dag_layers(q.DAG_ITERS),
         "config_model_stats": o.config_model_stats(),
+        "ball_conductance": o.ball_conductance("m_0", q.BALL_R),
+        "spend_gini": o.spend_gini(),
+        "trigram_l1": o.trigram_l1(q.TRI_LANG_A, q.TRI_LANG_B),
+        "knn1_accuracy": o.knn1_accuracy(q.KNN1_N),
+        "segment_momentum": o.segment_momentum(),
         "filter_funnel": o.filter_funnel(q.FF_MIN_CHARS, q.FF_DR_NUM,
                                          q.FF_DR_DEN),
         "dup_size_hist": o.dup_size_hist(0.5, q.DUP_CLUSTER_ROUNDS),

@@ -5117,3 +5117,153 @@ SELECT CAST(g.i AS BIGINT) AS same_label,
 FROM generate_series(0, 1) g(i) LEFT JOIN tagged ON TRUE
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 31: ball conductance, spend Gini, trigram L1, 1-NN accuracy,
+# segment momentum
+# ---------------------------------------------------------------------------
+
+
+@_materialized
+def ball_conductance(root_label: str = "m_0", r: int = 2) -> str:
+    """Sweep-cut statistics of the r-hop ball (twin of
+    `queries.q_ball_conductance`)."""
+    sql = PREFIX + f"""
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+d0 AS (SELECT i, 0 AS dist FROM verts WHERE label = '{root_label}')
+"""
+    prev = "d0"
+    for k in range(1, r + 1):
+        sql += f"""
+, d{k} AS (
+  SELECT i, min(dist) AS dist FROM (
+    SELECT i, dist FROM {prev}
+    UNION ALL
+    SELECT u.dst AS i, dp.dist + 1 AS dist
+    FROM und u JOIN {prev} dp ON dp.i = u.src
+  ) GROUP BY i
+)"""
+        prev = f"d{k}"
+    sql += f"""
+, ball AS (SELECT i FROM {prev}),
+deg AS (SELECT src AS v, count(*) AS d FROM und GROUP BY 1),
+ue AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+tagged AS (
+  SELECT (ba.i IS NOT NULL)::INT AS ia, (bb.i IS NOT NULL)::INT AS ib
+  FROM ue LEFT JOIN ball ba ON ba.i = ue.a
+          LEFT JOIN ball bb ON bb.i = ue.b
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM ball) AS ball_size,
+       (SELECT CAST(coalesce(sum(d.d), 0) AS BIGINT)
+        FROM ball b JOIN deg d ON d.v = b.i) AS volume,
+       (SELECT CAST(coalesce(sum(CASE WHEN ia <> ib THEN 1 END), 0)
+                    AS BIGINT) FROM tagged) AS cut_edges,
+       (SELECT CAST(coalesce(sum(CASE WHEN ia = 1 AND ib = 1
+                                      THEN 1 END), 0) AS BIGINT)
+        FROM tagged) AS internal_edges
+"""
+    return sql
+
+
+def spend_gini() -> str:
+    """Exact Gini numerator over customer spend (twin of
+    `queries.q_spend_gini`)."""
+    return """
+WITH s AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT cents, row_number() OVER (ORDER BY cents, o_custkey) AS rn,
+         count(*) OVER () AS n
+  FROM s
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(sum((2 * rn - n - 1) * cents) AS BIGINT) AS gini_num
+FROM r
+"""
+
+
+def trigram_l1(a: str = "en", b: str = "fr", maxlen: int = 600) -> str:
+    """Character-trigram L1 divergence between two language profiles
+    (twin of `queries.q_trigram_l1`)."""
+    return f"""
+WITH t AS (
+  SELECT lang, substr(text, CAST(r.i AS INT), 3) AS tri
+  FROM documents CROSS JOIN range(1, {maxlen}) r(i)
+  WHERE lang IN ('{a}', '{b}') AND r.i <= length(text) - 2
+),
+c AS (
+  SELECT tri,
+         sum(CASE WHEN lang = '{a}' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN lang = '{b}' THEN 1 ELSE 0 END) AS cb
+  FROM t GROUP BY 1
+)
+SELECT CAST(sum(abs(ca - cb)) AS BIGINT) AS l1_dist,
+       CAST(sum(ca) AS BIGINT) AS mass_a,
+       CAST(sum(cb) AS BIGINT) AS mass_b
+FROM c
+"""
+
+
+def knn1_accuracy(nvec: int = 256, dim: int = 64,
+                  qscale: int = 1 << 20) -> str:
+    """1-NN label-match accuracy over quantized dots (twin of
+    `queries.q_knn1_accuracy`)."""
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id, label, CAST(g.d AS BIGINT) AS dim,
+         CAST(floor((CAST(embedding[CAST(g.d AS INT)] AS DOUBLE) + 0.5)
+                    * {qscale}) AS BIGINT) AS q
+  FROM embeddings CROSS JOIN generate_series(1, {dim}) g(d)
+  WHERE vec_id < {nvec}
+),
+labs AS (SELECT DISTINCT vec_id, label FROM q),
+dots AS (
+  SELECT a.vec_id AS i, b.vec_id AS j, sum(a.q * b.q) AS dot
+  FROM q a JOIN q b ON b.dim = a.dim AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+),
+nn AS (
+  SELECT i, j FROM (
+    SELECT i, j, row_number() OVER (PARTITION BY i
+                                    ORDER BY dot DESC, j) AS rn
+    FROM dots
+  ) WHERE rn = 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct
+FROM nn JOIN labs la ON la.vec_id = nn.i
+        JOIN labs lb ON lb.vec_id = nn.j
+"""
+
+
+def segment_momentum() -> str:
+    """Month-over-month revenue deltas per segment (twin of
+    `queries.q_segment_momentum`)."""
+    return """
+WITH m AS (
+  SELECT c_mktsegment,
+         CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(extract(month FROM o_orderdate) AS BIGINT) AS o_month,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders JOIN customer ON c_custkey = o_custkey
+  GROUP BY 1, 2, 3
+)
+SELECT c_mktsegment, o_year, o_month, cents,
+       CAST(cents - lag(cents) OVER (PARTITION BY c_mktsegment
+                                     ORDER BY o_year, o_month)
+            AS BIGINT) AS delta
+FROM m
+"""

@@ -9460,3 +9460,343 @@ def q_sim_by_label(sf_dir: str):
         "n_pairs": pa.array([agg[0][0], agg[1][0]], type=pa.int64()),
         "sum_dot": pa.array([agg[0][1], agg[1][1]], type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 31: ball conductance, spend Gini, trigram L1, 1-NN accuracy,
+# segment momentum
+# ---------------------------------------------------------------------------
+
+BALL_R = 2
+
+
+def q_ball_conductance(sf_dir: str):
+    """Local community quality of the BALL_R-hop ball around m_0 on
+    the undirected view: volume (degree sum inside), cut (distinct
+    undirected edges leaving) and internal edge count — the
+    seed-expansion sweep-cut statistics, exact integers. One truncated
+    BFS + one streaming edge pass with the membership broadcast."""
+    import ray
+
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("sym")
+    root = int(np.searchsorted(ctx.labels, "m_0"))
+    d = alg.min_plus_distances(eng, root, iters=BALL_R)
+    inside = np.isfinite(d)
+    deg = eng.in_weights().astype(np.int64)
+    vol = int(deg[inside].sum())
+    mref = ray.put(inside)
+
+    def _cut(b: pa.Table, *, _ref=mref) -> pa.Table:
+        m = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+        s = np.asarray(b.column("src"), dtype=np.int64)
+        t = np.asarray(b.column("dst"), dtype=np.int64)
+        keep = s != t
+        u = np.minimum(s[keep], t[keep])
+        v = np.maximum(s[keep], t[keep])
+        e = np.unique(u << 32 | v)
+        eu, ev = e >> 32, e & ((1 << 32) - 1)
+        cut = e[m[eu] != m[ev]]
+        internal = e[m[eu] & m[ev]]
+        return pa.table({"k": pa.array(np.concatenate([cut, internal])),
+                         "is_cut": pa.array(np.concatenate(
+                             [np.ones(len(cut), np.int8),
+                              np.zeros(len(internal), np.int8)]))})
+
+    parts = ctx.edges.map_batches(_cut, batch_format="pyarrow",
+                                  zero_copy_batch=True).take_all()
+    cutset, inset = set(), set()
+    for p in parts:
+        (cutset if p["is_cut"] else inset).add(p["k"])
+    return pa.table({
+        "ball_size": pa.array([int(inside.sum())], type=pa.int64()),
+        "volume": pa.array([vol], type=pa.int64()),
+        "cut_edges": pa.array([len(cutset)], type=pa.int64()),
+        "internal_edges": pa.array([len(inset)], type=pa.int64()),
+    })
+
+
+def q_spend_gini(sf_dir: str):
+    """Wealth-inequality statistics of customer spend: n, total cents
+    and the exact Gini numerator sum_i (2*rank_i - n - 1) * x_(i) over
+    the global order (spend, custkey) — Gini = num / (n * total), left
+    rational. Per-customer spend via one keyed reduce; the global rank
+    distributes as the `doc_deciles` two-phase split-histogram rank."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks, group_sum_per_key
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def _spend(b: pa.Table) -> pa.Table:
+        cents = np.floor(np.asarray(b.column("o_totalprice"))
+                         * 100.0)
+        uk, s = group_sum_per_key(
+            cents, np.asarray(b.column("o_custkey"), dtype=np.int64))
+        return pa.table({"o_custkey": pa.array(uk),
+                         "cents": pa.array(s.astype(np.int64))})
+
+    def _merge(t: pa.Table) -> pa.Table:
+        uk, s = group_sum_per_key(
+            np.asarray(t.column("cents"), dtype=np.float64),
+            np.asarray(t.column("o_custkey"), dtype=np.int64))
+        return pa.table({"o_custkey": pa.array(uk),
+                         "cents": pa.array(s.astype(np.int64))})
+
+    spend = group_apply_tasks(
+        orders.map_batches(_spend, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["o_custkey"], _merge).materialize()
+
+    def _hist(b: pa.Table) -> pa.Table:
+        c = np.asarray(b.column("cents"), dtype=np.int64)
+        uk, n = np.unique(c, return_counts=True)
+        return pa.table({"c": pa.array(uk),
+                         "n": pa.array(n.astype(np.int64))})
+
+    parts = spend.map_batches(_hist, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all()
+    hist: dict[int, int] = {}
+    for p in parts:
+        hist[p["c"]] = hist.get(p["c"], 0) + p["n"]
+    ks = sorted(hist)
+    n_total = sum(hist.values())
+    offsets = {}
+    acc = 0
+    for k in ks:
+        offsets[k] = acc
+        acc += hist[k]
+    off_ref = ray.put(offsets)
+
+    def _gini(t: pa.Table, *, _ref=off_ref, _n=n_total) -> pa.Table:
+        if t.num_rows == 0 or "cents" not in t.column_names:
+            return pa.table({"num": pa.array([], type=pa.int64()),
+                             "tot": pa.array([], type=pa.int64())})
+        offs = _ref if isinstance(_ref, dict) else ray.get(_ref)
+        c = np.asarray(t.column("cents"), dtype=np.int64)
+        ck = np.asarray(t.column("o_custkey"), dtype=np.int64)
+        order = np.lexsort((ck, c))
+        c_s = c[order]
+        starts = np.nonzero(np.concatenate(
+            ([True], c_s[1:] != c_s[:-1])))[0]
+        within = np.arange(len(c_s)) - np.repeat(
+            starts, np.diff(np.concatenate((starts, [len(c_s)]))))
+        base = np.array([offs[int(v)] for v in c_s[starts]],
+                        dtype=np.int64)
+        rank = np.repeat(base, np.diff(np.concatenate(
+            (starts, [len(c_s)])))) + within + 1  # 1-based
+        num = int(((2 * rank - _n - 1) * c_s).sum())
+        return pa.table({"num": pa.array([num], type=pa.int64()),
+                         "tot": pa.array([int(c_s.sum())],
+                                         type=pa.int64())})
+
+    gp = group_apply_tasks(spend, ["cents"], _gini).take_all()
+    return pa.table({
+        "n": pa.array([n_total], type=pa.int64()),
+        "total_cents": pa.array([sum(p["tot"] for p in gp)],
+                                type=pa.int64()),
+        "gini_num": pa.array([sum(p["num"] for p in gp)],
+                             type=pa.int64()),
+    })
+
+
+TRI_LANG_A, TRI_LANG_B = "en", "fr"
+
+
+def q_trigram_l1(sf_dir: str):
+    """Character-trigram profile divergence: L1 distance between the
+    trigram count profiles of two languages (plus each profile's mass)
+    — the langid-confusability statistic, exact integers. Per-batch
+    (lang, trigram) partials -> one trigram shuffle -> per-trigram
+    |c_a - c_b| partial sums."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"],
+        filter=pc.field("lang").isin([TRI_LANG_A, TRI_LANG_B]),
+    )
+
+    def _part(b: pa.Table) -> pa.Table:
+        lng = np.asarray(b.column("lang")).astype(str)
+        rows_t, rows_l, rows_c = [], [], []
+        texts = b.column("text").to_pylist()
+        # vectorized per batch: concatenate with separators, slice 3-grams
+        for lang in (TRI_LANG_A, TRI_LANG_B):
+            segs = [t for t, l in zip(texts, lng) if l == lang]
+            if not segs:
+                continue
+            joined = "\x1e".join(segs)
+            arr = np.frombuffer(joined.encode("utf-32-le"),
+                                dtype=np.uint32)
+            tri = np.stack([arr[:-2], arr[1:-1], arr[2:]], axis=1)
+            ok = ~(tri == 0x1e).any(axis=1)
+            tri = tri[ok]
+            key = (tri[:, 0].astype(np.uint64) << 42
+                   | tri[:, 1].astype(np.uint64) << 21
+                   | tri[:, 2].astype(np.uint64))
+            uk, c = np.unique(key, return_counts=True)
+            rows_t.append(uk.astype(np.int64))
+            rows_l.append(np.full(len(uk), lang == TRI_LANG_A,
+                                  dtype=np.int8))
+            rows_c.append(c.astype(np.int64))
+        if not rows_t:
+            return pa.table({"tri": pa.array([], type=pa.int64()),
+                             "is_a": pa.array([], type=pa.int8()),
+                             "cnt": pa.array([], type=pa.int64())})
+        return pa.table({"tri": pa.array(np.concatenate(rows_t)),
+                         "is_a": pa.array(np.concatenate(rows_l)),
+                         "cnt": pa.array(np.concatenate(rows_c))})
+
+    pairs = docs.map_batches(_part, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def _l1(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "tri" not in t.column_names:
+            return pa.table({"l1": pa.array([], type=pa.int64()),
+                             "ma": pa.array([], type=pa.int64()),
+                             "mb": pa.array([], type=pa.int64())})
+        tri = np.asarray(t.column("tri"), dtype=np.int64)
+        isa = np.asarray(t.column("is_a"), dtype=np.int8)
+        c = np.asarray(t.column("cnt"), dtype=np.int64)
+        uk, inv = np.unique(tri, return_inverse=True)
+        ca = np.bincount(inv, weights=np.where(isa == 1, c, 0).astype(
+            np.float64)).astype(np.int64)
+        cb = np.bincount(inv, weights=np.where(isa == 0, c, 0).astype(
+            np.float64)).astype(np.int64)
+        return pa.table({
+            "l1": pa.array([int(np.abs(ca - cb).sum())],
+                           type=pa.int64()),
+            "ma": pa.array([int(ca.sum())], type=pa.int64()),
+            "mb": pa.array([int(cb.sum())], type=pa.int64()),
+        })
+
+    parts = group_apply_tasks(pairs, ["tri"], _l1).take_all()
+    return pa.table({
+        "l1_dist": pa.array([sum(p["l1"] for p in parts)],
+                            type=pa.int64()),
+        "mass_a": pa.array([sum(p["ma"] for p in parts)],
+                           type=pa.int64()),
+        "mass_b": pa.array([sum(p["mb"] for p in parts)],
+                           type=pa.int64()),
+    })
+
+
+KNN1_N = 256
+
+
+def q_knn1_accuracy(sf_dir: str):
+    """1-NN classification accuracy over the first KNN1_N embeddings:
+    nearest neighbor = max exact integer dot (tie -> lowest id, self
+    excluded); correct when labels match — the embedding-space
+    evaluation metric. Query matrix broadcast once; per-batch argmax
+    partials."""
+    import ray
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+        filter=pc.field("vec_id") < KNN1_N,
+    )
+    all_rows = emb.take_all()
+    all_rows.sort(key=lambda r: r["vec_id"])
+    tt = pa.table({
+        "vec_id": pa.array([r["vec_id"] for r in all_rows],
+                           type=pa.int64()),
+        "embedding": pa.array([list(r["embedding"]) for r in all_rows]),
+    })
+    aids, amat = _km_quant(tt)
+    alab = np.array([r["label"] for r in all_rows], dtype=np.int64)
+    aref = ray.put((aids, amat, alab))
+
+    def _nn(t: pa.Table, *, _ref=aref) -> pa.Table:
+        ai, am, al = _ref if isinstance(_ref, tuple) else ray.get(_ref)
+        ids, Q = _km_quant(t.select(["vec_id", "embedding"]))
+        lab = np.asarray(t.column("label"), dtype=np.int64)
+        if len(ids) == 0:
+            return pa.table({"n": pa.array([], type=pa.int64()),
+                             "correct": pa.array([], type=pa.int64())})
+        d = Q @ am.T
+        d[ids[:, None] == ai[None, :]] = np.iinfo(np.int64).min  # no self
+        # argmax with tie -> lowest neighbor id: lexsort per row
+        best = np.argmax(d, axis=1)  # first max = lowest index = lowest id
+        correct = al[best] == lab
+        return pa.table({"n": pa.array([len(ids)], type=pa.int64()),
+                         "correct": pa.array([int(correct.sum())],
+                                             type=pa.int64())})
+
+    parts = emb.map_batches(_nn, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all()
+    return pa.table({
+        "n": pa.array([sum(p["n"] for p in parts)], type=pa.int64()),
+        "n_correct": pa.array([sum(p["correct"] for p in parts)],
+                              type=pa.int64()),
+    })
+
+
+def q_segment_momentum(sf_dir: str):
+    """Month-over-month revenue momentum per market segment: monthly
+    cents with the previous month's delta (the LAG-on-aggregate
+    report). Customer segment rides the co-partitioned orders join;
+    bounded (segment x month) partials; the LAG runs on the bounded
+    aggregate driver-side."""
+    import ray
+
+    from ..core.shuffle import hash_join_tasks
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def _post(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "c_mktsegment" not in t.column_names:
+            return pa.table({"seg": pa.array([], type=pa.string()),
+                             "mon": pa.array([], type=pa.int64()),
+                             "cents": pa.array([], type=pa.int64())})
+        seg = np.asarray(t.column("c_mktsegment")).astype(str)
+        mon = (np.asarray(t.column("o_orderdate"))
+               .astype("datetime64[us]").astype("datetime64[M]")
+               .astype(np.int64))
+        cents = np.floor(np.asarray(t.column("o_totalprice"))
+                         * 100.0).astype(np.int64)
+        key = np.char.add(np.char.add(seg, "\x1f"), mon.astype(str))
+        uk, inv = np.unique(key, return_inverse=True)
+        s = np.bincount(inv, weights=cents.astype(np.float64)).astype(
+            np.int64)
+        return pa.table({
+            "seg": pa.array([k.split("\x1f")[0] for k in uk],
+                            type=pa.string()),
+            "mon": pa.array([int(k.split("\x1f")[1]) for k in uk],
+                            type=pa.int64()),
+            "cents": pa.array(s),
+        })
+
+    parts = hash_join_tasks(orders, cust, on="o_custkey",
+                            right_on="c_custkey", post=_post).take_all()
+    agg: dict[tuple, int] = {}
+    for p in parts:
+        k = (p["seg"], p["mon"])
+        agg[k] = agg.get(k, 0) + p["cents"]
+    rows = []
+    for seg in sorted({k[0] for k in agg}):
+        mons = sorted(m for s, m in agg if s == seg)
+        prev = None
+        for m in mons:
+            c = agg[(seg, m)]
+            rows.append((seg, m // 12 + 1970, m % 12 + 1, c,
+                         c - prev if prev is not None else None))
+            prev = c
+    return pa.table({
+        "c_mktsegment": pa.array([r[0] for r in rows], type=pa.string()),
+        "o_year": pa.array([r[1] for r in rows], type=pa.int64()),
+        "o_month": pa.array([r[2] for r in rows], type=pa.int64()),
+        "cents": pa.array([r[3] for r in rows], type=pa.int64()),
+        "delta": pa.array([r[4] for r in rows], type=pa.int64()),
+    })
