@@ -62,6 +62,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LLM-data layer without a prior driver row (+ refactored dedup)
         # wave 14 (newest = highest regression risk)
         # wave 15
+        # wave 32
+        "supplies_all": q.q_supplies_all,
+        "range_frame_sum": q.q_range_frame_sum,
+        "mixture_alloc": q.q_mixture_alloc,
+        "mobility_matrix": q.q_mobility_matrix,
+        "dow_hour_heat": q.q_dow_hour_heat,
         # wave 31
         "ball_conductance": q.q_ball_conductance,
         "spend_gini": q.q_spend_gini,
@@ -78,13 +84,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ooo_events": q.q_ooo_events,
         "deg_joint_hist": q.q_deg_joint_hist,
         "pixel_hist": q.q_pixel_hist,
-        "token_except": q.q_token_except,
         # wave 28
-        "benford_digits": q.q_benford_digits,
         "edge_multiplicity": q.q_edge_multiplicity,
         "nation_roles_outer": q.q_nation_roles_outer,
-        "emb_dim_stats": q.q_emb_dim_stats,
-        "qty_disc_grid": q.q_qty_disc_grid,
         # wave 27
         "emb_label_stats": q.q_emb_label_stats,
         "peak_hour_load": q.q_peak_hour_load,
@@ -95,7 +97,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_motion": q.q_video_motion,
         "supplier_hhi": q.q_supplier_hhi,
         # wave 25
-        "lang_mixing": q.q_lang_mixing,
         "party_counts": q.q_party_counts,
         "degree_moments": q.q_degree_moments,
         "quality_by_lang": q.q_quality_by_lang,
@@ -126,6 +127,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
+        "benford_digits": q.q_benford_digits,  # digit histogram: commit_nibbles/dow_hour_heat in-window
+        "qty_disc_grid": q.q_qty_disc_grid,  # contingency grid: dow_hour_heat/deg_joint_hist in-window
+        "emb_dim_stats": q.q_emb_dim_stats,  # per-dim stats: emb_label_stats/knn1_accuracy in-window
+        "lang_mixing": q.q_lang_mixing,  # attribute mixing counts: deg_joint_hist/repo_stats in-window
+        "token_except": q.q_token_except,  # bag difference: hapax_counts/continuation_counts in-window
         "doc_deciles": q.q_doc_deciles,  # two-phase global rank: spend_gini in-window
         "tpch_q21": q.q_tpch_q21,  # per-order EXISTS kernel: supplier_hhi/top2_share in-window
         "rolling_dau": q.q_rolling_dau,  # window-day expand: peak_hour_load/ooo_events in-window
@@ -506,6 +512,11 @@ def oracle_sql() -> dict[str, str]:
         "dag_layers": o.dag_layers(q.DAG_ITERS),
         "config_model_stats": o.config_model_stats(),
         "ball_conductance": o.ball_conductance("m_0", q.BALL_R),
+        "supplies_all": o.supplies_all(q.Q17_BRAND, q.DIV_TOPK),
+        "range_frame_sum": o.range_frame_sum(q.RANGE_WIN_US),
+        "mixture_alloc": o.mixture_alloc(q.MIX_TOTAL),
+        "mobility_matrix": o.mobility_matrix(q.MOB_YEAR_A, q.MOB_YEAR_B),
+        "dow_hour_heat": o.dow_hour_heat(),
         "spend_gini": o.spend_gini(),
         "trigram_l1": o.trigram_l1(q.TRI_LANG_A, q.TRI_LANG_B),
         "knn1_accuracy": o.knn1_accuracy(q.KNN1_N),

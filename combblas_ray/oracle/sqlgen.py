@@ -5267,3 +5267,119 @@ SELECT c_mktsegment, o_year, o_month, cents,
             AS BIGINT) AS delta
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 32: relational division, RANGE frame, apportionment, mobility,
+# time heatmap
+# ---------------------------------------------------------------------------
+
+
+def supplies_all(brand: str = "Brand#2", k: int = 3) -> str:
+    """Suppliers covering every one of the brand's top-k shipped parts
+    — relational division (twin of `queries.q_supplies_all`)."""
+    return f"""
+WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = '{brand}'),
+target AS (
+  SELECT l_partkey FROM lineitem JOIN bp ON p_partkey = l_partkey
+  GROUP BY 1 ORDER BY count(*) DESC, l_partkey LIMIT {k}
+),
+pairs AS (
+  SELECT DISTINCT l_suppkey, l_partkey
+  FROM lineitem JOIN target USING (l_partkey)
+)
+SELECT l_suppkey FROM pairs
+GROUP BY 1
+HAVING count(*) = (SELECT count(*) FROM target)
+"""
+
+
+def range_frame_sum(win_us: int) -> str:
+    """Value-based RANGE frame rolling sum, peers included (twin of
+    `queries.q_range_frame_sum`)."""
+    return f"""
+SELECT event_id,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL '{win_us} microseconds' PRECEDING
+           AND CURRENT ROW) AS BIGINT) AS range_cents
+FROM events
+"""
+
+
+def mixture_alloc(total: int = 1000) -> str:
+    """Largest-remainder apportionment of sampling slots by token mass
+    (twin of `queries.q_mixture_alloc`)."""
+    return f"""
+WITH t AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+m AS (SELECT lang, CAST(count(*) AS BIGINT) AS tokens FROM t GROUP BY 1),
+tot AS (SELECT sum(tokens) AS s, count(*) AS k FROM m),
+b AS (
+  SELECT lang, tokens,
+         {total} * tokens // s AS base,
+         {total} * tokens % s AS rem
+  FROM m, tot
+),
+lft AS (SELECT {total} - sum(base) AS l FROM b),
+r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, lang) AS rn
+      FROM b)
+SELECT lang, tokens,
+       CAST(base + CASE WHEN rn <= (SELECT l FROM lft)
+                        THEN 1 ELSE 0 END AS BIGINT) AS seats
+FROM r
+"""
+
+
+def mobility_matrix(ya: int = 1996, yb: int = 1999) -> str:
+    """Threshold-quartile spend mobility matrix (twin of
+    `queries.q_mobility_matrix`)."""
+    def spend(y, alias):
+        return f"""
+{alias} AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders
+  WHERE o_orderdate >= DATE '{y}-01-01'
+    AND o_orderdate < DATE '{y + 1}-01-01'
+  GROUP BY 1
+),
+{alias}r AS (
+  SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
+         count(*) OVER () AS n
+  FROM {alias}
+),
+{alias}t AS (
+  SELECT
+    (SELECT cents FROM {alias}r
+     WHERE rn = greatest(1, (25 * n + 99) // 100) LIMIT 1) AS t25,
+    (SELECT cents FROM {alias}r
+     WHERE rn = greatest(1, (50 * n + 99) // 100) LIMIT 1) AS t50,
+    (SELECT cents FROM {alias}r
+     WHERE rn = greatest(1, (75 * n + 99) // 100) LIMIT 1) AS t75
+)"""
+
+    return f"""
+WITH {spend(ya, "sa")},
+{spend(yb, "sb")[1:]}
+SELECT CAST(1 + (sa.cents > ta.t25)::INT + (sa.cents > ta.t50)::INT
+            + (sa.cents > ta.t75)::INT AS BIGINT) AS q_a,
+       CAST(1 + (sb.cents > tb.t25)::INT + (sb.cents > tb.t50)::INT
+            + (sb.cents > tb.t75)::INT AS BIGINT) AS q_b,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM sa JOIN sb ON sb.o_custkey = sa.o_custkey, sat ta, sbt tb
+GROUP BY 1, 2
+"""
+
+
+def dow_hour_heat() -> str:
+    """Weekday x hour event counts (twin of `queries.q_dow_hour_heat`;
+    dayofweek: 0 = Sunday, matching (epoch_day + 4) % 7)."""
+    return """
+SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+       CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM events GROUP BY 1, 2
+"""

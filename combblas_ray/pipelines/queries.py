@@ -9800,3 +9800,315 @@ def q_segment_momentum(sf_dir: str):
         "cents": pa.array([r[3] for r in rows], type=pa.int64()),
         "delta": pa.array([r[4] for r in rows], type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 32: relational division, RANGE window frame, apportionment,
+# quartile mobility, time heatmap
+# ---------------------------------------------------------------------------
+
+
+DIV_TOPK = 3
+
+
+def q_supplies_all(sf_dir: str):
+    """Relational DIVISION: suppliers that shipped EVERY one of the
+    brand's DIV_TOPK most-shipped parts (popularity rank: line count
+    DESC, partkey ASC — a scale-stable divisor; the full-brand divisor
+    goes vacuous as the part table grows). Distinct (supplier,
+    target-part) pairs -> per-supplier distinct count == |divisor|;
+    the divisor set broadcasts once (the small side, as division
+    requires)."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks, group_sum_per_key
+
+    pt = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"],
+        filter=pc.field("p_brand") == Q17_BRAND,
+    ).take_all()
+    bset = np.sort(np.array([r["p_partkey"] for r in pt],
+                            dtype=np.int64))
+    li_b = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey"],
+        filter=pc.field("l_partkey").isin(bset.tolist()),
+    )
+
+    def _pc(b: pa.Table) -> pa.Table:
+        uk, c = group_sum_per_key(
+            np.ones(b.num_rows),
+            np.asarray(b.column("l_partkey"), dtype=np.int64))
+        return pa.table({"k": pa.array(uk),
+                         "c": pa.array(c.astype(np.int64))})
+
+    pop = li_b.map_batches(_pc, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    cnt: dict[int, int] = {}
+    for p in pop:
+        cnt[p["k"]] = cnt.get(p["k"], 0) + p["c"]
+    top = sorted(cnt, key=lambda k: (-cnt[k], k))[:DIV_TOPK]
+    pset = np.sort(np.array(top, dtype=np.int64))
+    need = len(pset)
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"],
+        filter=pc.field("l_partkey").isin(pset.tolist()),
+    )
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        sk = np.asarray(b.column("l_suppkey"), dtype=np.int64)
+        pk = np.asarray(b.column("l_partkey"), dtype=np.int64)
+        u = np.unique(sk << 20 | pk)
+        return pa.table({"l_suppkey": pa.array(u >> 20),
+                         "l_partkey": pa.array(u & ((1 << 20) - 1))})
+
+    pairs = li.map_batches(_pairs, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def _div(t: pa.Table, *, _need=need) -> pa.Table:
+        if t.num_rows == 0 or "l_suppkey" not in t.column_names:
+            return pa.table({"l_suppkey": pa.array([], type=pa.int64())})
+        sk = np.asarray(t.column("l_suppkey"), dtype=np.int64)
+        pk = np.asarray(t.column("l_partkey"), dtype=np.int64)
+        u = np.unique(sk << 20 | pk)
+        us, c = np.unique(u >> 20, return_counts=True)
+        return pa.table({"l_suppkey": pa.array(us[c == _need])})
+
+    return group_apply_tasks(pairs, ["l_suppkey"], _div)
+
+
+RANGE_WIN_US = 3_600_000_000  # 1 hour
+
+
+def q_range_frame_sum(sf_dir: str):
+    """Value-based RANGE window frame: per event, the sum of the user's
+    value cents over [ts - 1h, ts] INCLUDING timestamp peers (SQL RANGE
+    frame semantics: all rows sharing the current ts are in-frame) —
+    the row-frame `rolling_sum4`'s value-frame sibling. One user
+    shuffle; per-user prefix sums + two searchsorted cuts."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+
+    def _rs(t: pa.Table) -> pa.Table:
+        empty = pa.table({"event_id": pa.array([], type=pa.int64()),
+                          "range_cents": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return empty
+        uid = np.asarray(t.column("user_id"), dtype=np.int64)
+        ts = np.asarray(t.column("ts")).astype("datetime64[us]").astype(
+            np.int64)
+        eid = np.asarray(t.column("event_id"), dtype=np.int64)
+        cents = np.floor(np.asarray(t.column("value")) * 100.0
+                         + 0.5).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        u, s, e, c = uid[order], ts[order], eid[order], cents[order]
+        starts = np.nonzero(np.concatenate(
+            ([True], u[1:] != u[:-1])))[0]
+        ends = np.concatenate((starts[1:], [len(u)]))
+        out_e, out_s = [], []
+        for a, z in zip(starts, ends):  # per-user slices, vectorized
+            seg_ts, seg_c = s[a:z], c[a:z]
+            pref = np.concatenate(([0], np.cumsum(seg_c)))
+            lo = np.searchsorted(seg_ts, seg_ts - RANGE_WIN_US, "left")
+            hi = np.searchsorted(seg_ts, seg_ts, "right")  # peers in
+            out_e.append(e[a:z])
+            out_s.append(pref[hi] - pref[lo])
+        return pa.table({"event_id": pa.array(np.concatenate(out_e)),
+                         "range_cents": pa.array(
+                             np.concatenate(out_s).astype(np.int64))})
+
+    return group_apply_tasks(ev, ["user_id"], _rs)
+
+
+MIX_TOTAL = 1000
+
+
+def q_mixture_alloc(sf_dir: str):
+    """Training-mixture apportionment: MIX_TOTAL sampling slots
+    allocated across languages proportional to token mass by the
+    largest-remainder (Hamilton) method — exact integers, remainder
+    ties -> lang ascending. Token masses from one streaming pass;
+    the apportionment itself is O(langs) driver arithmetic."""
+    import ray
+
+    from ..functions.text import tokens_list
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+
+    def _mass(b: pa.Table) -> pa.Table:
+        toks = tokens_list(b)
+        n_tok = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        lng = np.asarray(b.column("lang")).astype(str)
+        ul, inv = np.unique(lng, return_inverse=True)
+        return pa.table({
+            "lang": pa.array(ul.tolist(), type=pa.string()),
+            "m": pa.array(np.bincount(inv, weights=n_tok.astype(
+                np.float64)).astype(np.int64)),
+        })
+
+    parts = docs.map_batches(_mass, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all()
+    mass: dict[str, int] = {}
+    for p in parts:
+        mass[p["lang"]] = mass.get(p["lang"], 0) + p["m"]
+    langs = sorted(mass)
+    total = sum(mass.values())
+    base = {l: MIX_TOTAL * mass[l] // total for l in langs}
+    rem = {l: MIX_TOTAL * mass[l] % total for l in langs}
+    left = MIX_TOTAL - sum(base.values())
+    for l in sorted(langs, key=lambda x: (-rem[x], x))[:left]:
+        base[l] += 1
+    return pa.table({
+        "lang": pa.array(langs, type=pa.string()),
+        "tokens": pa.array([mass[l] for l in langs], type=pa.int64()),
+        "seats": pa.array([base[l] for l in langs], type=pa.int64()),
+    })
+
+
+MOB_YEAR_A, MOB_YEAR_B = 1996, 1999
+
+
+def q_mobility_matrix(sf_dir: str):
+    """Spend-quartile mobility: customers active in both MOB_YEAR_A and
+    MOB_YEAR_B, bucketed by threshold quartiles of each year's
+    per-customer spend (t_p = discrete quantile at ceil(p*n/100);
+    quartile = 1 + [x > t25] + [x > t50] + [x > t75]), counted as a
+    4 x 4 transition matrix — the cohort-mobility report. Per-year
+    spends via keyed reduces; thresholds from bounded value
+    histograms; one co-partitioned join pairs the years."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks, group_sum_per_key, \
+        hash_join_tasks
+
+    def year_spend(year):
+        import datetime
+        lo = datetime.datetime(year, 1, 1)
+        hi = datetime.datetime(year + 1, 1, 1)
+        orders = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_totalprice"],
+            filter=(pc.field("o_orderdate") >= pa.scalar(lo))
+            & (pc.field("o_orderdate") < pa.scalar(hi)),
+        )
+
+        def _p(b: pa.Table) -> pa.Table:
+            cents = np.floor(np.asarray(b.column("o_totalprice"))
+                             * 100.0)
+            uk, s = group_sum_per_key(
+                cents, np.asarray(b.column("o_custkey"),
+                                  dtype=np.int64))
+            return pa.table({"o_custkey": pa.array(uk),
+                             "cents": pa.array(s.astype(np.int64))})
+
+        def _m(t: pa.Table) -> pa.Table:
+            uk, s = group_sum_per_key(
+                np.asarray(t.column("cents"), dtype=np.float64),
+                np.asarray(t.column("o_custkey"), dtype=np.int64))
+            return pa.table({"o_custkey": pa.array(uk),
+                             "cents": pa.array(s.astype(np.int64))})
+
+        return group_apply_tasks(
+            orders.map_batches(_p, batch_format="pyarrow",
+                               zero_copy_batch=True),
+            ["o_custkey"], _m).materialize()
+
+    def thresholds(spend_ds):
+        def _h(b: pa.Table) -> pa.Table:
+            c = np.asarray(b.column("cents"), dtype=np.int64)
+            uk, n = np.unique(c, return_counts=True)
+            return pa.table({"c": pa.array(uk),
+                             "n": pa.array(n.astype(np.int64))})
+
+        parts = spend_ds.map_batches(_h, batch_format="pyarrow",
+                                     zero_copy_batch=True).take_all()
+        hist: dict[int, int] = {}
+        for p in parts:
+            hist[p["c"]] = hist.get(p["c"], 0) + p["n"]
+        ks = sorted(hist)
+        n = sum(hist.values())
+        ts = []
+        for pctl in (25, 50, 75):
+            rank = max(1, -(-pctl * n // 100))
+            acc = 0
+            for k in ks:
+                acc += hist[k]
+                if acc >= rank:
+                    ts.append(k)
+                    break
+        return ts
+
+    sa, sb = year_spend(MOB_YEAR_A), year_spend(MOB_YEAR_B)
+    ta, tb = thresholds(sa), thresholds(sb)
+
+    def _post(t: pa.Table, *, _ta=tuple(ta), _tb=tuple(tb)) -> pa.Table:
+        if t.num_rows == 0 or "cents_l" not in t.column_names:
+            return pa.table({"qa": pa.array([], type=pa.int64()),
+                             "qb": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        ca = np.asarray(t.column("cents_l"), dtype=np.int64)
+        cb = np.asarray(t.column("cents_r"), dtype=np.int64)
+        qa = 1 + sum((ca > x).astype(np.int64) for x in _ta)
+        qb = 1 + sum((cb > x).astype(np.int64) for x in _tb)
+        key = (qa - 1) * 4 + (qb - 1)  # quartiles are 1..4: pack 0-based
+        uk, c = np.unique(key, return_counts=True)
+        return pa.table({"qa": pa.array(uk // 4 + 1),
+                         "qb": pa.array(uk % 4 + 1),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    parts = hash_join_tasks(sa, sb, on="o_custkey",
+                            left_suffix="_l", right_suffix="_r",
+                            post=_post).take_all()
+    agg: dict[tuple, int] = {}
+    for p in parts:
+        k = (p["qa"], p["qb"])
+        agg[k] = agg.get(k, 0) + p["cnt"]
+    ks = sorted(agg)
+    return pa.table({
+        "q_a": pa.array([k[0] for k in ks], type=pa.int64()),
+        "q_b": pa.array([k[1] for k in ks], type=pa.int64()),
+        "cnt": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
+
+
+def q_dow_hour_heat(sf_dir: str):
+    """Weekday x hour-of-day event heatmap counts (pure integer epoch
+    arithmetic: dow = (epoch_days + 4) % 7, Thursday-anchored) —
+    bounded (7 x 24) partials, shuffle-free."""
+    import ray
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts"]
+    )
+
+    def _part(b: pa.Table) -> pa.Table:
+        us = np.asarray(b.column("ts")).astype("datetime64[us]").astype(
+            np.int64)
+        day = us // 86_400_000_000
+        dow = (day + 4) % 7  # 1970-01-01 was a Thursday; 0 = Sunday ->
+        #                      keep ISO-agnostic integer convention
+        hour = (us // 3_600_000_000) % 24
+        key = dow * 24 + hour
+        cnt = np.bincount(key, minlength=168).astype(np.int64)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"k": pa.array(nz.astype(np.int64)),
+                         "cnt": pa.array(cnt[nz])})
+
+    parts = ev.map_batches(_part, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    agg = np.zeros(168, dtype=np.int64)
+    for p in parts:
+        agg[p["k"]] += p["cnt"]
+    nz = np.nonzero(agg)[0]
+    return pa.table({
+        "dow": pa.array(nz // 24),
+        "hour": pa.array(nz % 24),
+        "cnt": pa.array(agg[nz]),
+    })
