@@ -62,6 +62,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LLM-data layer without a prior driver row (+ refactored dedup)
         # wave 14 (newest = highest regression risk)
         # wave 15
+        # wave 33
+        "closed_walks4": q.q_closed_walks4,
+        "idem_dedup": q.q_idem_dedup,
+        "token_intersect": q.q_token_intersect,
+        "pctl_cont": q.q_pctl_cont,
+        "pareto80": q.q_pareto80,
         # wave 32
         "supplies_all": q.q_supplies_all,
         "range_frame_sum": q.q_range_frame_sum,
@@ -70,7 +76,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dow_hour_heat": q.q_dow_hour_heat,
         # wave 31
         "ball_conductance": q.q_ball_conductance,
-        "spend_gini": q.q_spend_gini,
         "trigram_l1": q.q_trigram_l1,
         "knn1_accuracy": q.q_knn1_accuracy,
         "segment_momentum": q.q_segment_momentum,
@@ -90,8 +95,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 27
         "emb_label_stats": q.q_emb_label_stats,
         "peak_hour_load": q.q_peak_hour_load,
-        "commit_nibbles": q.q_commit_nibbles,
-        "hapax_counts": q.q_hapax_counts,
         # wave 26
         "continuation_counts": q.q_continuation_counts,
         "video_motion": q.q_video_motion,
@@ -106,11 +109,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vertex_cover": q.q_vertex_cover,
         "k_center": q.q_k_center,
         # wave 23
-        "events_mad": q.q_events_mad,
         "degree_quantiles": q.q_degree_quantiles,
         # wave 22
         "byte_stats": q.q_byte_stats,
-        "cycle3_directed": q.q_cycle3_directed,
         "repo_stats": q.q_repo_stats,
         "top2_share": q.q_top2_share,
         # wave 21
@@ -127,7 +128,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
-        "benford_digits": q.q_benford_digits,  # digit histogram: commit_nibbles/dow_hour_heat in-window
+        "cycle3_directed": q.q_cycle3_directed,  # A^3 trace: closed_walks4 in-window
+        "events_mad": q.q_events_mad,  # order statistics: pctl_cont in-window
+        "spend_gini": q.q_spend_gini,  # global rank economics: pareto80 in-window
+        "hapax_counts": q.q_hapax_counts,  # vocab tail: token_intersect/continuation_counts in-window
+        "commit_nibbles": q.q_commit_nibbles,  # hex histogram: dow_hour_heat/repo_stats in-window
+        "benford_digits": q.q_benford_digits,  # digit histogram: dow_hour_heat sibling
         "qty_disc_grid": q.q_qty_disc_grid,  # contingency grid: dow_hour_heat/deg_joint_hist in-window
         "emb_dim_stats": q.q_emb_dim_stats,  # per-dim stats: emb_label_stats/knn1_accuracy in-window
         "lang_mixing": q.q_lang_mixing,  # attribute mixing counts: deg_joint_hist/repo_stats in-window
@@ -513,6 +519,11 @@ def oracle_sql() -> dict[str, str]:
         "config_model_stats": o.config_model_stats(),
         "ball_conductance": o.ball_conductance("m_0", q.BALL_R),
         "supplies_all": o.supplies_all(q.Q17_BRAND, q.DIV_TOPK),
+        "closed_walks4": o.closed_walks4(),
+        "idem_dedup": o.idem_dedup(q.IDEM_BUCKET_US),
+        "token_intersect": o.token_intersect(q.TE_LANG_A, q.TE_LANG_B),
+        "pctl_cont": o.pctl_cont(q.PCTL_NUM, q.PCTL_DEN),
+        "pareto80": o.pareto80(q.PARETO_PCT),
         "range_frame_sum": o.range_frame_sum(q.RANGE_WIN_US),
         "mixture_alloc": o.mixture_alloc(q.MIX_TOTAL),
         "mobility_matrix": o.mobility_matrix(q.MOB_YEAR_A, q.MOB_YEAR_B),

@@ -5383,3 +5383,123 @@ SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
        CAST(count(*) AS BIGINT) AS cnt
 FROM events GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 33: spectral moment, idempotency dedup, multiset intersect,
+# continuous percentile, Pareto coverage
+# ---------------------------------------------------------------------------
+
+
+@_materialized
+def closed_walks4() -> str:
+    """trace(A^4) over the distinct directed adjacency (twin of
+    `queries.q_closed_walks4`)."""
+    return PREFIX + """
+, two AS (
+  SELECT a.src AS i, b.dst AS j, CAST(count(*) AS BIGINT) AS c
+  FROM edges a JOIN edges b ON b.src = a.dst
+  GROUP BY 1, 2
+)
+SELECT CAST(coalesce(sum(x.c * y.c), 0) AS BIGINT) AS closed_walks4
+FROM two x JOIN two y ON y.i = x.j AND y.j = x.i
+"""
+
+
+def idem_dedup(bucket_us: int) -> str:
+    """Events vs distinct (user, type, minute) keys per type (twin of
+    `queries.q_idem_dedup`)."""
+    return f"""
+WITH k AS (
+  SELECT event_type, user_id, epoch_us(ts) // {bucket_us} AS minute
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT (user_id, minute)) AS BIGINT) AS n_keys
+FROM k GROUP BY 1
+"""
+
+
+def token_intersect(a: str = "en", b: str = "es") -> str:
+    """Multiset INTERSECT ALL mass between two language token bags
+    (twin of `queries.q_token_intersect`)."""
+    return f"""
+WITH t AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE lang IN ('{a}', '{b}')
+),
+c AS (
+  SELECT tok,
+         sum(CASE WHEN lang = '{a}' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN lang = '{b}' THEN 1 ELSE 0 END) AS cb
+  FROM t GROUP BY 1
+)
+SELECT CAST(sum(least(ca, cb)) AS BIGINT) AS intersect_mass,
+       CAST(sum(CASE WHEN least(ca, cb) > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS common_tokens
+FROM c
+"""
+
+
+def pctl_cont(num: int = 3, den: int = 8) -> str:
+    """PERCENTILE_CONT bracketing order statistics as exact rationals
+    (twin of `queries.q_pctl_cont`)."""
+    return f"""
+WITH b AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+r AS (
+  SELECT event_type, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM b
+),
+pos AS (
+  SELECT event_type, min(n) AS n,
+         ((min(n) - 1) * {num}) // {den} AS k,
+         ((min(n) - 1) * {num}) % {den} AS rem
+  FROM r GROUP BY event_type
+)
+SELECT p.event_type,
+       CAST((SELECT c FROM r WHERE r.event_type = p.event_type
+             AND rn = p.k + 1) AS BIGINT) AS lo,
+       CAST(CASE WHEN p.rem = 0
+                 THEN (SELECT c FROM r WHERE r.event_type = p.event_type
+                       AND rn = p.k + 1)
+                 ELSE (SELECT c FROM r WHERE r.event_type = p.event_type
+                       AND rn = least(p.k + 2, p.n)) END AS BIGINT)
+         AS hi,
+       CAST(p.rem AS BIGINT) AS frac_num,
+       CAST({den} AS BIGINT) AS frac_den
+FROM pos p
+"""
+
+
+def pareto80(pct: int = 80) -> str:
+    """Smallest top-customer set reaching pct% of revenue (twin of
+    `queries.q_pareto80`)."""
+    return f"""
+WITH s AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents DESC, o_custkey) AS rn,
+         SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum
+  FROM s
+),
+t AS (SELECT sum(cents) AS total FROM s),
+hit AS (SELECT min(rn) AS n_top FROM r, t
+        WHERE 100 * cum >= {pct} * total)
+SELECT CAST(h.n_top AS BIGINT) AS n_top,
+       CAST((SELECT cum FROM r WHERE rn = h.n_top) AS BIGINT)
+         AS covered_cents,
+       CAST(t.total AS BIGINT) AS total_cents
+FROM hit h, t
+"""

@@ -10112,3 +10112,300 @@ def q_dow_hour_heat(sf_dir: str):
         "hour": pa.array(nz % 24),
         "cnt": pa.array(agg[nz]),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 33: spectral moment, idempotency dedup, multiset intersect,
+# continuous percentile, Pareto coverage
+# ---------------------------------------------------------------------------
+
+
+def q_closed_walks4(sf_dir: str):
+    """Fourth spectral moment trace(A^4) = sum over (i, j) of
+    paths2(i,j) * paths2(j,i) over the distinct directed adjacency —
+    one structural SpGEMM (A^2) closed against its own transpose by a
+    co-partitioned join with the product fused. One-row output."""
+    from ..core import spgemm as SG
+    from ..core.shuffle import hash_join_tasks
+
+    ctx = get_context(sf_dir)
+    g = ctx.graph("directed").dedup_sum().cast_bool()
+    deg = ctx.engine("directed").in_weights().astype(np.float64)
+    gp = int(max(8, min(64, np.ceil(float((deg ** 2).sum()) / 1.5e6))))
+    two = SG.spgemm_tasks(g.edges, g.edges, ctx.n, add="sum",
+                          num_partitions=gp).materialize()
+    rev = two.map_batches(
+        lambda t: pa.table({"src": t.column("dst"),
+                            "dst": t.column("src"),
+                            "w2": t.column("w")}),
+        batch_format="pyarrow")
+
+    def _close(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "w2" not in t.column_names:
+            return pa.table({"c": pa.array([], type=pa.int64())})
+        w = np.asarray(t.column("w")).astype(np.int64)
+        w2 = np.asarray(t.column("w2")).astype(np.int64)
+        return pa.table({"c": pa.array([int((w * w2).sum())],
+                                       type=pa.int64())})
+
+    parts = hash_join_tasks(two, rev, on=["src", "dst"],
+                            num_partitions=gp, post=_close).take_all()
+    return pa.table({"closed_walks4": pa.array(
+        [sum(p["c"] for p in parts)], type=pa.int64())})
+
+
+IDEM_BUCKET_US = 60_000_000  # 1-minute idempotency window
+
+
+def q_idem_dedup(sf_dir: str):
+    """Exactly-once audit: events vs distinct (user, type, minute)
+    idempotency keys per type — the streaming-dedup effectiveness
+    report. Per-batch distinct partials -> one keyed shuffle for the
+    exact global distinct count."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts"],
+    )
+
+    def _part(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b.column("user_id"), dtype=np.int64)
+        minute = (np.asarray(b.column("ts")).astype("datetime64[us]")
+                  .astype(np.int64) // IDEM_BUCKET_US)
+        et = np.asarray(b.column("event_type")).astype(str)
+        key = np.char.add(np.char.add(et, "\x1f"), np.char.add(
+            np.char.add(uid.astype(str), ":"), minute.astype(str)))
+        uk, c = np.unique(key, return_counts=True)
+        sp = np.char.partition(uk, "\x1f")
+        return pa.table({"event_type": pa.array(sp[:, 0].tolist(),
+                                                type=pa.string()),
+                         "ik": pa.array(sp[:, 2].tolist(),
+                                        type=pa.string()),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    pairs = ev.map_batches(_part, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def _merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_type" not in t.column_names:
+            return pa.table({"event_type": pa.array([], type=pa.string()),
+                             "n_events": pa.array([], type=pa.int64()),
+                             "n_keys": pa.array([], type=pa.int64())})
+        et = np.asarray(t.column("event_type")).astype(str)
+        ik = np.asarray(t.column("ik")).astype(str)
+        c = np.asarray(t.column("cnt"), dtype=np.int64)
+        key = np.char.add(np.char.add(et, "\x1f"), ik)
+        uk, inv = np.unique(key, return_inverse=True)
+        tot = np.bincount(inv, weights=c.astype(np.float64)).astype(
+            np.int64)
+        ue = np.array([k.split("\x1f")[0] for k in uk])
+        uu, einv = np.unique(ue, return_inverse=True)
+        return pa.table({
+            "event_type": pa.array(uu.tolist(), type=pa.string()),
+            "n_events": pa.array(np.bincount(
+                einv, weights=tot.astype(np.float64)).astype(np.int64)),
+            "n_keys": pa.array(np.bincount(einv).astype(np.int64)),
+        })
+
+    parts = group_apply_tasks(pairs, ["event_type", "ik"],
+                              _merge).take_all()
+    agg: dict[str, list[int]] = {}
+    for p in parts:
+        e = agg.setdefault(p["event_type"], [0, 0])
+        e[0] += p["n_events"]
+        e[1] += p["n_keys"]
+    ks = sorted(agg)
+    return pa.table({
+        "event_type": pa.array(ks, type=pa.string()),
+        "n_events": pa.array([agg[k][0] for k in ks], type=pa.int64()),
+        "n_keys": pa.array([agg[k][1] for k in ks], type=pa.int64()),
+    })
+
+
+def q_token_intersect(sf_dir: str):
+    """Multiset INTERSECT ALL mass between two language token bags:
+    sum over tokens of min(c_a, c_b) plus the distinct-common count —
+    `token_except`'s dual. One token shuffle."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+    from ..functions.text import tokens_list
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"],
+        filter=pc.field("lang").isin([TE_LANG_A, TE_LANG_B]),
+    )
+
+    def _part(b: pa.Table) -> pa.Table:
+        toks = tokens_list(b)
+        flat = np.asarray(pc.list_flatten(toks)).astype(str)
+        par = np.asarray(pc.list_parent_indices(toks))
+        lng = np.asarray(b.column("lang")).astype(str)[par]
+        key = np.char.add(np.char.add(flat, "\x1f"), lng)
+        uk, c = np.unique(key, return_counts=True)
+        sp = np.char.partition(uk, "\x1f")
+        return pa.table({"tok": pa.array(sp[:, 0].tolist(),
+                                         type=pa.string()),
+                         "lang": pa.array(sp[:, 2].tolist(),
+                                          type=pa.string()),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    pairs = docs.map_batches(_part, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def _inter(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "tok" not in t.column_names:
+            return pa.table({"mass": pa.array([], type=pa.int64()),
+                             "common": pa.array([], type=pa.int64())})
+        tok = np.asarray(t.column("tok")).astype(str)
+        lng = np.asarray(t.column("lang")).astype(str)
+        c = np.asarray(t.column("cnt"), dtype=np.int64)
+        uk, inv = np.unique(tok, return_inverse=True)
+        ca = np.bincount(inv, weights=np.where(lng == TE_LANG_A, c, 0
+                                               ).astype(np.float64)
+                         ).astype(np.int64)
+        cb = np.bincount(inv, weights=np.where(lng == TE_LANG_B, c, 0
+                                               ).astype(np.float64)
+                         ).astype(np.int64)
+        m = np.minimum(ca, cb)
+        return pa.table({
+            "mass": pa.array([int(m.sum())], type=pa.int64()),
+            "common": pa.array([int((m > 0).sum())], type=pa.int64()),
+        })
+
+    parts = group_apply_tasks(pairs, ["tok"], _inter).take_all()
+    return pa.table({
+        "intersect_mass": pa.array([sum(p["mass"] for p in parts)],
+                                   type=pa.int64()),
+        "common_tokens": pa.array([sum(p["common"] for p in parts)],
+                                  type=pa.int64()),
+    })
+
+
+PCTL_NUM, PCTL_DEN = 3, 8  # p37.5
+
+
+def q_pctl_cont(sf_dir: str):
+    """Continuous percentile as exact rationals: PERCENTILE_CONT(3/8)
+    interpolates between order statistics at h = (n-1)*3/8; output the
+    two bracketing values plus the fractional position (num, den) so
+    the interpolated value lo + (hi-lo)*num/den stays rational — the
+    float-free percentile_cont. One keyed shuffle per type, whole-group
+    order statistics."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def _pc(t: pa.Table) -> pa.Table:
+        empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                          "lo": pa.array([], type=pa.int64()),
+                          "hi": pa.array([], type=pa.int64()),
+                          "frac_num": pa.array([], type=pa.int64()),
+                          "frac_den": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "event_type" not in t.column_names:
+            return empty
+        et = np.asarray(t.column("event_type")).astype(str)
+        cents = np.floor(np.asarray(t.column("value")) * 100.0
+                         + 0.5).astype(np.int64)
+        rows = []
+        for e in np.unique(et):
+            v = np.sort(cents[et == e])
+            n = len(v)
+            pos_num = (n - 1) * PCTL_NUM  # h = pos_num / PCTL_DEN
+            k = pos_num // PCTL_DEN
+            rem = pos_num % PCTL_DEN
+            lo = int(v[k])
+            hi = int(v[min(k + 1, n - 1)]) if rem else lo
+            rows.append((e, lo, hi, rem, PCTL_DEN))
+        return pa.table({
+            "event_type": pa.array([r[0] for r in rows],
+                                   type=pa.string()),
+            "lo": pa.array([r[1] for r in rows], type=pa.int64()),
+            "hi": pa.array([r[2] for r in rows], type=pa.int64()),
+            "frac_num": pa.array([r[3] for r in rows], type=pa.int64()),
+            "frac_den": pa.array([r[4] for r in rows], type=pa.int64()),
+        })
+
+    return group_apply_tasks(ev, ["event_type"], _pc)
+
+
+PARETO_PCT = 80
+
+
+def q_pareto80(sf_dir: str):
+    """Pareto coverage: the smallest number of top customers whose
+    spend reaches PARETO_PCT% of total revenue (plus the covered
+    cents) — division-free via 100*cum >= PCT*total on the descending
+    global rank (the `spend_gini` two-phase machinery with reversed
+    order)."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks, group_sum_per_key
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def _spend(b: pa.Table) -> pa.Table:
+        cents = np.floor(np.asarray(b.column("o_totalprice")) * 100.0)
+        uk, s = group_sum_per_key(
+            cents, np.asarray(b.column("o_custkey"), dtype=np.int64))
+        return pa.table({"o_custkey": pa.array(uk),
+                         "cents": pa.array(s.astype(np.int64))})
+
+    def _merge(t: pa.Table) -> pa.Table:
+        uk, s = group_sum_per_key(
+            np.asarray(t.column("cents"), dtype=np.float64),
+            np.asarray(t.column("o_custkey"), dtype=np.int64))
+        return pa.table({"o_custkey": pa.array(uk),
+                         "cents": pa.array(s.astype(np.int64))})
+
+    spend = group_apply_tasks(
+        orders.map_batches(_spend, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["o_custkey"], _merge).materialize()
+
+    def _hist(b: pa.Table) -> pa.Table:
+        c = np.asarray(b.column("cents"), dtype=np.int64)
+        uk, n = np.unique(c, return_counts=True)
+        return pa.table({"c": pa.array(uk),
+                         "n": pa.array(n.astype(np.int64)),
+                         "s": pa.array(uk * n.astype(np.int64))})
+
+    parts = spend.map_batches(_hist, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all()
+    hist: dict[int, list[int]] = {}
+    for p in parts:
+        e = hist.setdefault(p["c"], [0, 0])
+        e[0] += p["n"]
+        e[1] += p["s"]
+    total = sum(v[1] for v in hist.values())
+    # walk values DESCENDING; within a value customers are
+    # interchangeable (equal cents), so the boundary count is closed
+    # form: smallest j with 100*(before + j*c) >= PCT*total
+    target = PARETO_PCT * total
+    n_top = covered = 0
+    before = 0
+    for c in sorted(hist, reverse=True):
+        n, sv = hist[c]
+        if 100 * (before + sv) >= target:
+            j = max(0, -(-(target - 100 * before) // (100 * c)))
+            n_top += int(j)
+            covered = before + int(j) * c
+            break
+        before += sv
+        n_top += n
+    else:
+        covered = before
+    return pa.table({
+        "n_top": pa.array([n_top], type=pa.int64()),
+        "covered_cents": pa.array([covered], type=pa.int64()),
+        "total_cents": pa.array([total], type=pa.int64()),
+    })
