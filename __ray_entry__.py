@@ -62,6 +62,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LLM-data layer without a prior driver row (+ refactored dedup)
         # wave 14 (newest = highest regression risk)
         # wave 15
+        # wave 34
+        "knn_curve": q.q_knn_curve,
+        "systematic_sample": q.q_systematic_sample,
+        "peel_trace": q.q_peel_trace,
+        "nchars_audit": q.q_nchars_audit,
+        "dominant_dim_hist": q.q_dominant_dim_hist,
         # wave 33
         "closed_walks4": q.q_closed_walks4,
         "idem_dedup": q.q_idem_dedup,
@@ -71,9 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 32
         "supplies_all": q.q_supplies_all,
         "range_frame_sum": q.q_range_frame_sum,
-        "mixture_alloc": q.q_mixture_alloc,
         "mobility_matrix": q.q_mobility_matrix,
-        "dow_hour_heat": q.q_dow_hour_heat,
         # wave 31
         "ball_conductance": q.q_ball_conductance,
         "trigram_l1": q.q_trigram_l1,
@@ -87,13 +91,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 29
         "dag_layers": q.q_dag_layers,
         "ooo_events": q.q_ooo_events,
-        "deg_joint_hist": q.q_deg_joint_hist,
         "pixel_hist": q.q_pixel_hist,
         # wave 28
         "edge_multiplicity": q.q_edge_multiplicity,
         "nation_roles_outer": q.q_nation_roles_outer,
         # wave 27
-        "emb_label_stats": q.q_emb_label_stats,
         "peak_hour_load": q.q_peak_hour_load,
         # wave 26
         "continuation_counts": q.q_continuation_counts,
@@ -112,7 +114,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_quantiles": q.q_degree_quantiles,
         # wave 22
         "byte_stats": q.q_byte_stats,
-        "repo_stats": q.q_repo_stats,
         "top2_share": q.q_top2_share,
         # wave 21
         # wave 20
@@ -128,6 +129,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
+        "deg_joint_hist": q.q_deg_joint_hist,  # degree census: knn_curve/degree_moments in-window
+        "repo_stats": q.q_repo_stats,  # provenance audit: nchars_audit/filter_funnel in-window
+        "emb_label_stats": q.q_emb_label_stats,  # per-class stats: dominant_dim_hist/knn1_accuracy in-window
+        "dow_hour_heat": q.q_dow_hour_heat,  # bounded time grid: peak_hour_load in-window
+        "mixture_alloc": q.q_mixture_alloc,  # apportionment: pareto80/filter_funnel in-window
         "cycle3_directed": q.q_cycle3_directed,  # A^3 trace: closed_walks4 in-window
         "events_mad": q.q_events_mad,  # order statistics: pctl_cont in-window
         "spend_gini": q.q_spend_gini,  # global rank economics: pareto80 in-window
@@ -520,6 +526,11 @@ def oracle_sql() -> dict[str, str]:
         "ball_conductance": o.ball_conductance("m_0", q.BALL_R),
         "supplies_all": o.supplies_all(q.Q17_BRAND, q.DIV_TOPK),
         "closed_walks4": o.closed_walks4(),
+        "knn_curve": o.knn_curve(),
+        "systematic_sample": o.systematic_sample(q.SYS_STEP),
+        "peel_trace": o.peel_trace(q.PEEL_ROUNDS, q.PEEL_K),
+        "nchars_audit": o.nchars_audit(),
+        "dominant_dim_hist": o.dominant_dim_hist(),
         "idem_dedup": o.idem_dedup(q.IDEM_BUCKET_US),
         "token_intersect": o.token_intersect(q.TE_LANG_A, q.TE_LANG_B),
         "pctl_cont": o.pctl_cont(q.PCTL_NUM, q.PCTL_DEN),

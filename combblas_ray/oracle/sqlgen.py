@@ -5337,7 +5337,7 @@ def mobility_matrix(ya: int = 1996, yb: int = 1999) -> str:
     `queries.q_mobility_matrix`)."""
     def spend(y, alias):
         return f"""
-{alias} AS (
+{alias} AS MATERIALIZED (
   SELECT o_custkey,
          CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
            AS cents
@@ -5346,7 +5346,7 @@ def mobility_matrix(ya: int = 1996, yb: int = 1999) -> str:
     AND o_orderdate < DATE '{y + 1}-01-01'
   GROUP BY 1
 ),
-{alias}r AS (
+{alias}r AS MATERIALIZED (
   SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
          count(*) OVER () AS n
   FROM {alias}
@@ -5502,4 +5502,127 @@ SELECT CAST(h.n_top AS BIGINT) AS n_top,
          AS covered_cents,
        CAST(t.total AS BIGINT) AS total_cents
 FROM hit h, t
+"""
+
+
+# ---------------------------------------------------------------------------
+# wave 34: neighbor-degree curve, systematic sampling, peel schedule,
+# n_chars audit, dominant-dimension histogram
+# ---------------------------------------------------------------------------
+
+
+@_materialized
+def knn_curve() -> str:
+    """Average-neighbor-degree curve sufficient statistics (twin of
+    `queries.q_knn_curve`)."""
+    return PREFIX + """
+, od AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS d
+         FROM edges GROUP BY 1)
+SELECT os.d AS d,
+       (SELECT CAST(count(*) AS BIGINT) FROM od x
+        WHERE x.d = os.d) AS n_vertices,
+       CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(coalesce(odd.d, 0)) AS BIGINT) AS nbr_deg_sum
+FROM edges e
+JOIN od os ON os.v = e.src
+LEFT JOIN od odd ON odd.v = e.dst
+GROUP BY os.d
+"""
+
+
+def systematic_sample(step: int = 37) -> str:
+    """Every step-th doc under the global (n_chars, doc_id) order
+    (twin of `queries.q_systematic_sample`)."""
+    return f"""
+WITH r AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rank
+  FROM documents
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank % {step} = 0
+"""
+
+
+@_materialized
+def peel_trace(rounds: int = 6, k: int = 2) -> str:
+    """Synchronous degree < k peeling schedule (twin of
+    `queries.q_peel_trace`)."""
+    sql = PREFIX + """
+, ue AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+alive0 AS (SELECT i FROM verts)
+"""
+    prev = "alive0"
+    selects = []
+    for r in range(1, rounds + 1):
+        sql += f"""
+, deg{r} AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT ue.a AS v FROM ue
+    JOIN {prev} x ON x.i = ue.a JOIN {prev} y ON y.i = ue.b
+    UNION ALL
+    SELECT ue.b FROM ue
+    JOIN {prev} x ON x.i = ue.a JOIN {prev} y ON y.i = ue.b
+  ) GROUP BY v
+),
+kill{r} AS (
+  SELECT p.i FROM {prev} p
+  LEFT JOIN deg{r} d ON d.v = p.i
+  WHERE coalesce(d.d, 0) < {k}
+),
+alive{r} AS (
+  SELECT i FROM {prev} WHERE i NOT IN (SELECT i FROM kill{r})
+)"""
+        selects.append(
+            f"SELECT {r} AS round,"
+            f" (SELECT CAST(count(*) AS BIGINT) FROM kill{r})"
+            f" AS removed,"
+            f" (SELECT CAST(count(*) AS BIGINT) FROM alive{r})"
+            f" AS surviving")
+        prev = f"alive{r}"
+    # the Ray side early-stops after the first empty round; mirror by
+    # keeping rows up to and including the first removed = 0 row
+    sql += ("\n, trace AS (" + "\nUNION ALL\n".join(selects) + ")\n"
+            + """
+, firstz AS (SELECT coalesce(min(round), 999) AS z FROM trace
+             WHERE removed = 0)
+SELECT CAST(round AS BIGINT) AS round, removed, surviving
+FROM trace, firstz WHERE round <= z
+""")
+    return sql
+
+
+def nchars_audit() -> str:
+    """n_chars column vs length(text) consistency (twin of
+    `queries.q_nchars_audit`)."""
+    return """
+SELECT CAST(sum(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_match,
+       CAST(sum(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_mismatch,
+       CAST(max(abs(length(text) - n_chars)) AS BIGINT) AS max_abs_diff
+FROM documents
+"""
+
+
+def dominant_dim_hist(dim: int = 64, qscale: int = 1 << 20) -> str:
+    """Argmax-dimension histogram (ties -> lowest dim) (twin of
+    `queries.q_dominant_dim_hist`)."""
+    return f"""
+WITH q AS (
+  SELECT vec_id, CAST(g.d AS BIGINT) - 1 AS dim,
+         CAST(floor((CAST(embedding[CAST(g.d AS INT)] AS DOUBLE) + 0.5)
+                    * {qscale}) AS BIGINT) AS q
+  FROM embeddings CROSS JOIN generate_series(1, {dim}) g(d)
+),
+r AS (SELECT vec_id, dim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY q DESC, dim) AS rn
+      FROM q)
+SELECT dim, CAST(count(*) AS BIGINT) AS cnt
+FROM r WHERE rn = 1
+GROUP BY 1
 """

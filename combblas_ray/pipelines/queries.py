@@ -10409,3 +10409,250 @@ def q_pareto80(sf_dir: str):
         "covered_cents": pa.array([covered], type=pa.int64()),
         "total_cents": pa.array([total], type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 34: neighbor-degree curve, systematic sampling, peel schedule,
+# n_chars audit, dominant-dimension histogram
+# ---------------------------------------------------------------------------
+
+
+def q_knn_curve(sf_dir: str):
+    """Average-neighbor-degree curve knn(d): per out-degree class d,
+    the number of vertices, their total out-neighbor out-degree sum
+    and edge count — the degree-assortativity curve's exact integer
+    sufficient statistics. Degree vector broadcast once; one streaming
+    edge pass + bounded by-degree partials."""
+    import ray
+
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("dir_bool")
+    od = eng.out_weights().astype(np.int64)
+    dref = ray.put(od)
+
+    def _part(b: pa.Table, *, _ref=dref) -> pa.Table:
+        d = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+        s = np.asarray(b.column("src"), dtype=np.int64)
+        t = np.asarray(b.column("dst"), dtype=np.int64)
+        u = np.unique(s * len(d) + t)
+        us, ut = u // len(d), u % len(d)
+        ds = d[us]
+        uk, inv = np.unique(ds, return_inverse=True)
+        return pa.table({
+            "d": pa.array(uk),
+            "nbr_deg_sum": pa.array(np.bincount(
+                inv, weights=d[ut].astype(np.float64)).astype(np.int64)),
+            "n_edges": pa.array(np.bincount(inv).astype(np.int64)),
+        })
+
+    parts = ctx.edges.map_batches(_part, batch_format="pyarrow",
+                                  zero_copy_batch=True).take_all()
+    agg: dict[int, list[int]] = {}
+    for p in parts:
+        e = agg.setdefault(p["d"], [0, 0])
+        e[0] += p["nbr_deg_sum"]
+        e[1] += p["n_edges"]
+    uv, cv = np.unique(od[od > 0], return_counts=True)
+    nvert = dict(zip(uv.tolist(), cv.tolist()))
+    ks = sorted(agg)
+    return pa.table({
+        "d": pa.array(ks, type=pa.int64()),
+        "n_vertices": pa.array([nvert.get(k, 0) for k in ks],
+                               type=pa.int64()),
+        "n_edges": pa.array([agg[k][1] for k in ks], type=pa.int64()),
+        "nbr_deg_sum": pa.array([agg[k][0] for k in ks],
+                                type=pa.int64()),
+    })
+
+
+SYS_STEP = 37
+
+
+def q_systematic_sample(sf_dir: str):
+    """Systematic sampling: every SYS_STEP-th document under the global
+    (n_chars, doc_id) order (rank % STEP == 0, 0-based) — the
+    equal-spaced design sibling of `priority_sample`, riding the
+    two-phase distributed rank."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def _cnt(b: pa.Table) -> pa.Table:
+        nc = np.asarray(b.column("n_chars"), dtype=np.int64)
+        uk, c = np.unique(nc, return_counts=True)
+        return pa.table({"nc": pa.array(uk),
+                         "c": pa.array(c.astype(np.int64))})
+
+    parts = docs.map_batches(_cnt, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all()
+    hist: dict[int, int] = {}
+    for p in parts:
+        hist[p["nc"]] = hist.get(p["nc"], 0) + p["c"]
+    offsets = {}
+    acc = 0
+    for k in sorted(hist):
+        offsets[k] = acc
+        acc += hist[k]
+    off_ref = ray.put(offsets)
+
+    def _pick(t: pa.Table, *, _ref=off_ref) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "rank": pa.array([], type=pa.int64())})
+        offs = _ref if isinstance(_ref, dict) else ray.get(_ref)
+        nc = np.asarray(t.column("n_chars"), dtype=np.int64)
+        did = np.asarray(t.column("doc_id"), dtype=np.int64)
+        order = np.lexsort((did, nc))
+        nc_s, did_s = nc[order], did[order]
+        starts = np.nonzero(np.concatenate(
+            ([True], nc_s[1:] != nc_s[:-1])))[0]
+        within = np.arange(len(nc_s)) - np.repeat(
+            starts, np.diff(np.concatenate((starts, [len(nc_s)]))))
+        base = np.array([offs[int(v)] for v in nc_s[starts]],
+                        dtype=np.int64)
+        rank = np.repeat(base, np.diff(np.concatenate(
+            (starts, [len(nc_s)])))) + within
+        keep = rank % SYS_STEP == 0
+        return pa.table({"doc_id": pa.array(did_s[keep]),
+                         "rank": pa.array(rank[keep])})
+
+    return group_apply_tasks(docs, ["n_chars"], _pick)
+
+
+PEEL_ROUNDS = 6
+PEEL_K = 3  # the corpus degree shell: k=3 strips the low-degree fringe
+
+
+def q_peel_trace(sf_dir: str):
+    """k-core peeling SCHEDULE: vertices removed in each of PEEL_ROUNDS
+    synchronous degree < PEEL_K pruning rounds on the undirected
+    distinct graph (plus the surviving count) — the peel-depth profile
+    (kcore gives the final core; this is the trace). O(n) alive/degree
+    vectors driver-resident between rounds (FullyDistVec analog)."""
+    import ray
+
+    from ..core.shuffle import group_reduce_per_key
+
+    ctx = get_context(sf_dir)
+    n = ctx.n
+
+    def _und(b: pa.Table) -> pa.Table:
+        s = np.asarray(b.column("src"), dtype=np.int64)
+        d = np.asarray(b.column("dst"), dtype=np.int64)
+        keep = s != d
+        a = np.minimum(s[keep], d[keep])
+        c = np.maximum(s[keep], d[keep])
+        u = np.unique(a * n + c)
+        return pa.table({"a": pa.array(u // n), "b": pa.array(u % n)})
+
+    und = ctx.edges.map_batches(_und, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
+    alive = np.ones(n, dtype=bool)
+    removed_per_round = []
+    for _ in range(PEEL_ROUNDS):
+        aref = ray.put(alive)
+
+        def _deg(b: pa.Table, *, _ref=aref) -> pa.Table:
+            al = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+            a = np.asarray(b.column("a"), dtype=np.int64)
+            c = np.asarray(b.column("b"), dtype=np.int64)
+            keep = al[a] & al[c]
+            v = np.concatenate([a[keep], c[keep]])
+            uk, s = group_reduce_per_key(
+                np.ones(len(v)), v, "sum")
+            return pa.table({"v": pa.array(uk),
+                             "d": pa.array(s.astype(np.int64))})
+
+        parts = und.map_batches(_deg, batch_format="pyarrow",
+                                zero_copy_batch=True).take_all()
+        deg = np.zeros(n, dtype=np.int64)
+        for p in parts:
+            deg[p["v"]] += p["d"]
+        kill = alive & (deg < PEEL_K)
+        removed_per_round.append(int(kill.sum()))
+        if not kill.any():
+            break
+        alive &= ~kill
+    rounds = len(removed_per_round)
+    rm = np.array(removed_per_round, dtype=np.int64)
+    return pa.table({
+        "round": pa.array(np.arange(1, rounds + 1, dtype=np.int64)),
+        "removed": pa.array(rm),
+        "surviving": pa.array(n - np.cumsum(rm)),
+    })
+
+
+def q_nchars_audit(sf_dir: str):
+    """Schema constraint validation: does the materialized n_chars
+    column equal length(text)? Counts of matches / mismatches and the
+    max absolute deviation — the data-quality assertion class,
+    shuffle-free."""
+    import ray
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "n_chars"]
+    )
+
+    def _part(b: pa.Table) -> pa.Table:
+        actual = np.asarray(pc.utf8_length(b.column("text")),
+                            dtype=np.int64)
+        claimed = np.asarray(b.column("n_chars"), dtype=np.int64)
+        diff = np.abs(actual - claimed)
+        return pa.table({
+            "n_match": pa.array([int((diff == 0).sum())],
+                                type=pa.int64()),
+            "n_mismatch": pa.array([int((diff != 0).sum())],
+                                   type=pa.int64()),
+            "max_abs_diff": pa.array([int(diff.max()) if len(diff)
+                                      else 0], type=pa.int64()),
+        })
+
+    parts = docs.map_batches(_part, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all()
+    return pa.table({
+        "n_match": pa.array([sum(p["n_match"] for p in parts)],
+                            type=pa.int64()),
+        "n_mismatch": pa.array([sum(p["n_mismatch"] for p in parts)],
+                               type=pa.int64()),
+        "max_abs_diff": pa.array([max(p["max_abs_diff"]
+                                      for p in parts)],
+                                 type=pa.int64()),
+    })
+
+
+def q_dominant_dim_hist(sf_dir: str):
+    """Dominant-feature histogram: per embedding the argmax quantized
+    dimension (ties -> lowest dim), counted per dimension — the
+    feature-collapse audit. One columnar pass, bounded 64-row
+    partials."""
+    import ray
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+
+    def _part(b: pa.Table) -> pa.Table:
+        mat = np.stack([
+            np.floor((np.asarray(e, dtype=np.float64) + 0.5)
+                     * (1 << 20)).astype(np.int64)
+            for e in b.column("embedding").to_pylist()])
+        arg = mat.argmax(axis=1)  # first max = lowest dim on ties
+        cnt = np.bincount(arg, minlength=mat.shape[1]).astype(np.int64)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"dim": pa.array(nz.astype(np.int64)),
+                         "cnt": pa.array(cnt[nz])})
+
+    parts = emb.map_batches(_part, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all()
+    agg: dict[int, int] = {}
+    for p in parts:
+        agg[p["dim"]] = agg.get(p["dim"], 0) + p["cnt"]
+    ks = sorted(agg)
+    return pa.table({
+        "dim": pa.array(ks, type=pa.int64()),
+        "cnt": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
