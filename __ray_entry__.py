@@ -62,6 +62,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LLM-data layer without a prior driver row (+ refactored dedup)
         # wave 14 (newest = highest regression risk)
         # wave 15
+        # wave 35
+        "motif_counts": q.q_motif_counts,
+        "digit_ratio": q.q_digit_ratio,
+        "basket_triples": q.q_basket_triples,
+        "orderkey_gaps": q.q_orderkey_gaps,
+        "user_gap_p95": q.q_user_gap_p95,
         # wave 34
         "knn_curve": q.q_knn_curve,
         "systematic_sample": q.q_systematic_sample,
@@ -84,16 +90,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn1_accuracy": q.q_knn1_accuracy,
         "segment_momentum": q.q_segment_momentum,
         # wave 30
-        "config_model_stats": q.q_config_model_stats,
         "filter_funnel": q.q_filter_funnel,
         "dup_size_hist": q.q_dup_size_hist,
         "sim_by_label": q.q_sim_by_label,
         # wave 29
         "dag_layers": q.q_dag_layers,
-        "ooo_events": q.q_ooo_events,
         "pixel_hist": q.q_pixel_hist,
         # wave 28
-        "edge_multiplicity": q.q_edge_multiplicity,
         "nation_roles_outer": q.q_nation_roles_outer,
         # wave 27
         "peak_hour_load": q.q_peak_hour_load,
@@ -111,9 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vertex_cover": q.q_vertex_cover,
         "k_center": q.q_k_center,
         # wave 23
-        "degree_quantiles": q.q_degree_quantiles,
         # wave 22
-        "byte_stats": q.q_byte_stats,
         "top2_share": q.q_top2_share,
         # wave 21
         # wave 20
@@ -129,6 +130,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
+        "degree_quantiles": q.q_degree_quantiles,  # discrete quantiles: pctl_cont/user_gap_p95 in-window
+        "config_model_stats": q.q_config_model_stats,  # degree products: knn_curve in-window
+        "byte_stats": q.q_byte_stats,  # per-lang totals: quality_by_lang/digit_ratio in-window
+        "edge_multiplicity": q.q_edge_multiplicity,  # weight histogram: knn_curve census in-window
+        "benford_digits": q.q_benford_digits,  # digit histogram: digit_ratio in-window
+        "ooo_events": q.q_ooo_events,  # inversion window: user_gap_p95/first_response in-window
         "deg_joint_hist": q.q_deg_joint_hist,  # degree census: knn_curve/degree_moments in-window
         "repo_stats": q.q_repo_stats,  # provenance audit: nchars_audit/filter_funnel in-window
         "emb_label_stats": q.q_emb_label_stats,  # per-class stats: dominant_dim_hist/knn1_accuracy in-window
@@ -139,7 +146,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spend_gini": q.q_spend_gini,  # global rank economics: pareto80 in-window
         "hapax_counts": q.q_hapax_counts,  # vocab tail: token_intersect/continuation_counts in-window
         "commit_nibbles": q.q_commit_nibbles,  # hex histogram: dow_hour_heat/repo_stats in-window
-        "benford_digits": q.q_benford_digits,  # digit histogram: dow_hour_heat sibling
         "qty_disc_grid": q.q_qty_disc_grid,  # contingency grid: dow_hour_heat/deg_joint_hist in-window
         "emb_dim_stats": q.q_emb_dim_stats,  # per-dim stats: emb_label_stats/knn1_accuracy in-window
         "lang_mixing": q.q_lang_mixing,  # attribute mixing counts: deg_joint_hist/repo_stats in-window
@@ -527,6 +533,12 @@ def oracle_sql() -> dict[str, str]:
         "supplies_all": o.supplies_all(q.Q17_BRAND, q.DIV_TOPK),
         "closed_walks4": o.closed_walks4(),
         "knn_curve": o.knn_curve(),
+        "motif_counts": o.motif_counts(),
+        "digit_ratio": o.digit_ratio(),
+        "basket_triples": o.basket_triples(q.TRIPLE_MINSUP,
+                                           q.TRIPLE_TOPK),
+        "orderkey_gaps": o.orderkey_gaps(),
+        "user_gap_p95": o.user_gap_p95(q.GAPQ_P),
         "systematic_sample": o.systematic_sample(q.SYS_STEP),
         "peel_trace": o.peel_trace(q.PEEL_ROUNDS, q.PEEL_K),
         "nchars_audit": o.nchars_audit(),

@@ -5626,3 +5626,97 @@ SELECT dim, CAST(count(*) AS BIGINT) AS cnt
 FROM r WHERE rn = 1
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 35: triad motifs, digit ratio, basket triples, key gaps,
+# per-user gap percentile
+# ---------------------------------------------------------------------------
+
+
+@_materialized
+def motif_counts() -> str:
+    """Feed-forward vs cyclic triads + mutual pairs (twin of
+    `queries.q_motif_counts`)."""
+    return PREFIX + """
+, two AS (
+  SELECT a.src AS i, b.dst AS j, CAST(count(*) AS BIGINT) AS c
+  FROM edges a JOIN edges b ON b.src = a.dst
+  GROUP BY 1, 2
+)
+SELECT (SELECT CAST(coalesce(sum(two.c), 0) AS BIGINT)
+        FROM two JOIN edges e ON e.src = two.i AND e.dst = two.j)
+         AS feed_forward,
+       (SELECT CAST(coalesce(sum(two.c), 0) AS BIGINT)
+        FROM two JOIN edges e ON e.src = two.j AND e.dst = two.i)
+         AS cycles3_walks,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM edges a JOIN edges b ON b.src = a.dst AND b.dst = a.src
+        WHERE a.src < a.dst) AS mutual_pairs
+"""
+
+
+def digit_ratio() -> str:
+    """Digit-bearing token counts per source (twin of
+    `queries.q_digit_ratio`)."""
+    return """
+WITH t AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN regexp_matches(tok, '[0-9]')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_digit
+FROM t GROUP BY 1
+"""
+
+
+def basket_triples(minsup: int = 2, k: int = 20) -> str:
+    """Frequent distinct part triples across orders (twin of
+    `queries.q_basket_triples`)."""
+    return f"""
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS p1, b.l_partkey AS p2, c.l_partkey AS p3,
+       CAST(count(*) AS BIGINT) AS support
+FROM d a
+JOIN d b ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey
+JOIN d c ON c.l_orderkey = a.l_orderkey AND c.l_partkey > b.l_partkey
+GROUP BY 1, 2, 3
+HAVING count(*) >= {minsup}
+ORDER BY support DESC, p1, p2, p3
+LIMIT {k}
+"""
+
+
+def orderkey_gaps() -> str:
+    """Orderkey sequence density audit (twin of
+    `queries.q_orderkey_gaps`)."""
+    return """
+SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+       CAST(max(o_orderkey) AS BIGINT) AS max_key,
+       CAST(max(o_orderkey) - min(o_orderkey) + 1
+            - count(DISTINCT o_orderkey) AS BIGINT) AS missing
+FROM orders
+"""
+
+
+def user_gap_p95(p: int = 95) -> str:
+    """Per-user p95 inter-event gap (twin of
+    `queries.q_user_gap_p95`)."""
+    return f"""
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+),
+gg AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL),
+r AS (
+  SELECT user_id, gap,
+         row_number() OVER (PARTITION BY user_id ORDER BY gap) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM gg
+)
+SELECT user_id, CAST(gap AS BIGINT) AS p95_gap_us
+FROM r WHERE rn = greatest(1, ({p} * n + 99) // 100)
+"""

@@ -10656,3 +10656,268 @@ def q_dominant_dim_hist(sf_dir: str):
         "dim": pa.array(ks, type=pa.int64()),
         "cnt": pa.array([agg[k] for k in ks], type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 35: triad motifs, digit ratio, basket triples, key-gap audit,
+# per-user gap percentile
+# ---------------------------------------------------------------------------
+
+
+def q_motif_counts(sf_dir: str):
+    """Directed triad motif counts: feed-forward loops (2-path i->k->j
+    closed by edge i->j), 3-cycles (closed by j->i; = trace(A^3)) and
+    mutual edge pairs — the FFL-vs-FBL motif comparison. One
+    structural SpGEMM joined against the edge table with BOTH closure
+    channels fused; reciprocity from one self-join."""
+    from ..core import spgemm as SG
+    from ..core.shuffle import hash_join_tasks
+
+    ctx = get_context(sf_dir)
+    g = ctx.graph("directed").dedup_sum().cast_bool()
+    deg = ctx.engine("directed").in_weights().astype(np.float64)
+    gp = int(max(8, min(64, np.ceil(float((deg ** 2).sum()) / 1.5e6))))
+    two = SG.spgemm_tasks(g.edges, g.edges, ctx.n, add="sum",
+                          num_partitions=gp).materialize()
+
+    def _fwd(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "w" not in t.column_names:
+            return pa.table({"c": pa.array([], type=pa.int64())})
+        return pa.table({"c": pa.array(
+            [int(np.asarray(t.column("w")).sum())], type=pa.int64())})
+
+    ffl = sum(p["c"] for p in hash_join_tasks(
+        two, g.edges.map_batches(
+            lambda t: pa.table({"src": t.column("src"),
+                                "dst": t.column("dst")}),
+            batch_format="pyarrow"),
+        on=["src", "dst"], num_partitions=gp, post=_fwd).take_all())
+    rev = g.edges.map_batches(
+        lambda t: pa.table({"src": t.column("dst"),
+                            "dst": t.column("src")}),
+        batch_format="pyarrow")
+    cyc = sum(p["c"] for p in hash_join_tasks(
+        two, rev, on=["src", "dst"], num_partitions=gp,
+        post=_fwd).take_all())
+
+    def _mut(b: pa.Table) -> pa.Table:
+        s = np.asarray(b.column("src"), dtype=np.int64)
+        d = np.asarray(b.column("dst"), dtype=np.int64)
+        keep = s != d
+        return pa.table({"k": pa.array(np.unique(
+            s[keep] * ctx.n + d[keep]))})
+
+    keys = set()
+    for p in g.edges.map_batches(_mut, batch_format="pyarrow",
+                                 zero_copy_batch=True).take_all():
+        keys.add(p["k"])
+    mutual = sum(1 for k in keys
+                 if (k % ctx.n) * ctx.n + k // ctx.n in keys
+                 and k // ctx.n < k % ctx.n)
+    return pa.table({
+        "feed_forward": pa.array([ffl], type=pa.int64()),
+        "cycles3_walks": pa.array([cyc], type=pa.int64()),
+        "mutual_pairs": pa.array([mutual], type=pa.int64()),
+    })
+
+
+def q_digit_ratio(sf_dir: str):
+    """Numeric-token profile per source: total tokens and tokens
+    containing a digit — the PII/number-heaviness quality signal.
+    One streaming Arrow pass, bounded partials."""
+    import ray
+
+    from ..functions.text import tokens_list
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+
+    def _part(b: pa.Table) -> pa.Table:
+        toks = tokens_list(b)
+        flat = pc.list_flatten(toks)
+        hasd = np.asarray(pc.match_substring_regex(flat, "[0-9]"))
+        par = np.asarray(pc.list_parent_indices(toks))
+        src = np.asarray(b.column("source")).astype(str)[par]
+        us, inv = np.unique(src, return_inverse=True)
+        return pa.table({
+            "source": pa.array(us.tolist(), type=pa.string()),
+            "n_tokens": pa.array(np.bincount(inv).astype(np.int64)),
+            "n_digit": pa.array(np.bincount(
+                inv, weights=hasd.astype(np.float64)).astype(np.int64)),
+        })
+
+    parts = docs.map_batches(_part, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all()
+    agg: dict[str, list[int]] = {}
+    for p in parts:
+        e = agg.setdefault(p["source"], [0, 0])
+        e[0] += p["n_tokens"]
+        e[1] += p["n_digit"]
+    ks = sorted(agg)
+    return pa.table({
+        "source": pa.array(ks, type=pa.string()),
+        "n_tokens": pa.array([agg[k][0] for k in ks], type=pa.int64()),
+        "n_digit": pa.array([agg[k][1] for k in ks], type=pa.int64()),
+    })
+
+
+TRIPLE_MINSUP = 2
+TRIPLE_TOPK = 20
+
+
+def q_basket_triples(sf_dir: str):
+    """Frequent part TRIPLES across orders (support >= TRIPLE_MINSUP,
+    top-TRIPLE_TOPK by (support DESC, parts ASC)) — the 3-itemset
+    mining step above `basket_pairs`; per-order groups are tiny (~4
+    lines) so the triangular triple expansion stays bounded. One
+    orderkey shuffle + one triple-keyed reduce."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+
+    def _triples(t: pa.Table) -> pa.Table:
+        empty = pa.table({"p1": pa.array([], type=pa.int64()),
+                          "p2": pa.array([], type=pa.int64()),
+                          "p3": pa.array([], type=pa.int64()),
+                          "cnt": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "l_orderkey" not in t.column_names:
+            return empty
+        ok = np.asarray(t.column("l_orderkey"), dtype=np.int64)
+        pk = np.asarray(t.column("l_partkey"), dtype=np.int64)
+        u = np.unique(ok << 20 | pk)
+        uo, up = u >> 20, u & ((1 << 20) - 1)
+        cnt: dict[tuple, int] = {}
+        starts = np.nonzero(np.concatenate(
+            ([True], uo[1:] != uo[:-1])))[0]
+        ends = np.concatenate((starts[1:], [len(uo)]))
+        for a, z in zip(starts, ends):
+            parts_o = up[a:z]
+            m = len(parts_o)
+            for i in range(m):
+                for j in range(i + 1, m):
+                    for k in range(j + 1, m):
+                        key = (parts_o[i], parts_o[j], parts_o[k])
+                        cnt[key] = cnt.get(key, 0) + 1
+        if not cnt:
+            return empty
+        ks = list(cnt)
+        return pa.table({
+            "p1": pa.array([k[0] for k in ks], type=pa.int64()),
+            "p2": pa.array([k[1] for k in ks], type=pa.int64()),
+            "p3": pa.array([k[2] for k in ks], type=pa.int64()),
+            "cnt": pa.array([cnt[k] for k in ks], type=pa.int64()),
+        })
+
+    per_order = group_apply_tasks(li, ["l_orderkey"], _triples)
+
+    def _merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "p1" not in t.column_names:
+            return pa.table({"p1": pa.array([], type=pa.int64()),
+                             "p2": pa.array([], type=pa.int64()),
+                             "p3": pa.array([], type=pa.int64()),
+                             "support": pa.array([], type=pa.int64())})
+        key = (np.asarray(t.column("p1"), dtype=np.int64) << 40
+               | np.asarray(t.column("p2"), dtype=np.int64) << 20
+               | np.asarray(t.column("p3"), dtype=np.int64))
+        c = np.asarray(t.column("cnt"), dtype=np.int64)
+        uk, inv = np.unique(key, return_inverse=True)
+        s = np.bincount(inv, weights=c.astype(np.float64)).astype(
+            np.int64)
+        keep = s >= TRIPLE_MINSUP
+        uk, s = uk[keep], s[keep]
+        return pa.table({
+            "p1": pa.array(uk >> 40), "p2": pa.array((uk >> 20)
+                                                     & ((1 << 20) - 1)),
+            "p3": pa.array(uk & ((1 << 20) - 1)),
+            "support": pa.array(s),
+        })
+
+    top = (group_apply_tasks(per_order, ["p1", "p2", "p3"], _merge)
+           .sort(["support", "p1", "p2", "p3"],
+                 descending=[True, False, False, False])
+           .limit(TRIPLE_TOPK).take_all())
+    return pa.table({
+        "p1": pa.array([r["p1"] for r in top], type=pa.int64()),
+        "p2": pa.array([r["p2"] for r in top], type=pa.int64()),
+        "p3": pa.array([r["p3"] for r in top], type=pa.int64()),
+        "support": pa.array([r["support"] for r in top],
+                            type=pa.int64()),
+    })
+
+
+def q_orderkey_gaps(sf_dir: str):
+    """Key-density audit: count, min, max and missing key count of the
+    orderkey sequence (max - min + 1 - n_distinct) — the gap-free
+    surrogate-key assertion, shuffle-free scalar partials with exact
+    distinct via per-batch dedup + a final bounded union."""
+    import ray
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    )
+
+    def _part(b: pa.Table) -> pa.Table:
+        k = np.unique(np.asarray(b.column("o_orderkey"),
+                                 dtype=np.int64))
+        return pa.table({"k": pa.array(k)})
+
+    keys = set()
+    for p in orders.map_batches(_part, batch_format="pyarrow",
+                                zero_copy_batch=True).take_all():
+        keys.add(p["k"])
+    lo, hi, n = min(keys), max(keys), len(keys)
+    return pa.table({
+        "n_distinct": pa.array([n], type=pa.int64()),
+        "min_key": pa.array([lo], type=pa.int64()),
+        "max_key": pa.array([hi], type=pa.int64()),
+        "missing": pa.array([hi - lo + 1 - n], type=pa.int64()),
+    })
+
+
+GAPQ_P = 95
+
+
+def q_user_gap_p95(sf_dir: str):
+    """Per-user p95 of inter-event gaps (discrete quantile at
+    ceil(p*n/100), microseconds; users with >= 2 events) — per-entity
+    tail-latency percentiles, one user shuffle with whole-group order
+    statistics."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+
+    def _p95(t: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], type=pa.int64()),
+                          "p95_gap_us": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return empty
+        uid = np.asarray(t.column("user_id"), dtype=np.int64)
+        ts = np.asarray(t.column("ts")).astype("datetime64[us]").astype(
+            np.int64)
+        eid = np.asarray(t.column("event_id"), dtype=np.int64)
+        order = np.lexsort((eid, ts, uid))
+        u, s = uid[order], ts[order]
+        same = u[1:] == u[:-1]
+        gu, gap = u[1:][same], (s[1:] - s[:-1])[same]
+        if not len(gu):
+            return empty
+        out_u, out_p = [], []
+        for x in np.unique(gu):
+            g = np.sort(gap[gu == x])
+            rank = max(1, -(-GAPQ_P * len(g) // 100))
+            out_u.append(int(x))
+            out_p.append(int(g[rank - 1]))
+        return pa.table({"user_id": pa.array(out_u, type=pa.int64()),
+                         "p95_gap_us": pa.array(out_p,
+                                                type=pa.int64())})
+
+    return group_apply_tasks(ev, ["user_id"], _p95)
