@@ -62,6 +62,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LLM-data layer without a prior driver row (+ refactored dedup)
         # wave 14 (newest = highest regression risk)
         # wave 15
+        # wave 36
+        "triplet_violations": q.q_triplet_violations,
+        "peak_concurrency": q.q_peak_concurrency,
+        "price_quartile_bins": q.q_price_quartile_bins,
+        "yoy_movers": q.q_yoy_movers,
+        "max_type_run": q.q_max_type_run,
         # wave 35
         "motif_counts": q.q_motif_counts,
         "digit_ratio": q.q_digit_ratio,
@@ -78,21 +84,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "closed_walks4": q.q_closed_walks4,
         "idem_dedup": q.q_idem_dedup,
         "token_intersect": q.q_token_intersect,
-        "pctl_cont": q.q_pctl_cont,
         "pareto80": q.q_pareto80,
         # wave 32
         "supplies_all": q.q_supplies_all,
         "range_frame_sum": q.q_range_frame_sum,
-        "mobility_matrix": q.q_mobility_matrix,
         # wave 31
         "ball_conductance": q.q_ball_conductance,
         "trigram_l1": q.q_trigram_l1,
-        "knn1_accuracy": q.q_knn1_accuracy,
         "segment_momentum": q.q_segment_momentum,
         # wave 30
         "filter_funnel": q.q_filter_funnel,
         "dup_size_hist": q.q_dup_size_hist,
-        "sim_by_label": q.q_sim_by_label,
         # wave 29
         "dag_layers": q.q_dag_layers,
         "pixel_hist": q.q_pixel_hist,
@@ -115,7 +117,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_center": q.q_k_center,
         # wave 23
         # wave 22
-        "top2_share": q.q_top2_share,
         # wave 21
         # wave 20
         "kron_product": q.q_kron_product,
@@ -130,7 +131,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
-        "degree_quantiles": q.q_degree_quantiles,  # discrete quantiles: pctl_cont/user_gap_p95 in-window
+        "sim_by_label": q.q_sim_by_label,  # label-pair dots: triplet_violations in-window
+        "mobility_matrix": q.q_mobility_matrix,  # two-year quartile join: yoy_movers in-window
+        "pctl_cont": q.q_pctl_cont,  # rational percentile: price_quartile_bins/user_gap_p95 in-window
+        "knn1_accuracy": q.q_knn1_accuracy,  # quantized eval: triplet_violations in-window
+        "top2_share": q.q_top2_share,  # per-group top-k agg: yoy_movers/supplier_hhi in-window
+        "degree_quantiles": q.q_degree_quantiles,  # discrete quantiles: user_gap_p95 in-window
         "config_model_stats": q.q_config_model_stats,  # degree products: knn_curve in-window
         "byte_stats": q.q_byte_stats,  # per-lang totals: quality_by_lang/digit_ratio in-window
         "edge_multiplicity": q.q_edge_multiplicity,  # weight histogram: knn_curve census in-window
@@ -534,6 +540,12 @@ def oracle_sql() -> dict[str, str]:
         "closed_walks4": o.closed_walks4(),
         "knn_curve": o.knn_curve(),
         "motif_counts": o.motif_counts(),
+        "triplet_violations": o.triplet_violations(q.TRIP_N),
+        "peak_concurrency": o.peak_concurrency(q.CONC_WIN_US),
+        "price_quartile_bins": o.price_quartile_bins(),
+        "yoy_movers": o.yoy_movers(q.MOB_YEAR_A, q.MOB_YEAR_B,
+                                   q.YOY_TOPK),
+        "max_type_run": o.max_type_run(),
         "digit_ratio": o.digit_ratio(),
         "basket_triples": o.basket_triples(q.TRIPLE_MINSUP,
                                            q.TRIPLE_TOPK),

@@ -5720,3 +5720,142 @@ r AS (
 SELECT user_id, CAST(gap AS BIGINT) AS p95_gap_us
 FROM r WHERE rn = greatest(1, ({p} * n + 99) // 100)
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 36: triplet violations, peak concurrency, quantile bins, YoY
+# movers, max type run
+# ---------------------------------------------------------------------------
+
+
+def triplet_violations(nvec: int = 256, dim: int = 64,
+                       qscale: int = 1 << 20) -> str:
+    """Triplet margin violations (twin of
+    `queries.q_triplet_violations`)."""
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id, label, CAST(g.d AS BIGINT) AS dim,
+         CAST(floor((CAST(embedding[CAST(g.d AS INT)] AS DOUBLE) + 0.5)
+                    * {qscale}) AS BIGINT) AS q
+  FROM embeddings CROSS JOIN generate_series(1, {dim}) g(d)
+  WHERE vec_id < {nvec}
+),
+labs AS (SELECT DISTINCT vec_id, label FROM q),
+trip AS (
+  SELECT a.vec_id AS a,
+         (SELECT min(p.vec_id) FROM labs p
+          WHERE p.vec_id > a.vec_id AND p.label = a.label) AS p,
+         (SELECT min(n.vec_id) FROM labs n
+          WHERE n.vec_id > a.vec_id AND n.label <> a.label) AS n
+  FROM labs a
+),
+tv AS (SELECT * FROM trip WHERE p IS NOT NULL AND n IS NOT NULL),
+dots AS (
+  SELECT x.vec_id AS i, y.vec_id AS j, sum(x.q * y.q) AS dot
+  FROM q x JOIN q y ON y.dim = x.dim
+  GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triplets,
+       CAST(sum(CASE WHEN dp.dot <= dn.dot THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_violations
+FROM tv
+JOIN dots dp ON dp.i = tv.a AND dp.j = tv.p
+JOIN dots dn ON dn.i = tv.a AND dn.j = tv.n
+"""
+
+
+def peak_concurrency(win_us: int) -> str:
+    """Max simultaneously-open event windows (twin of
+    `queries.q_peak_concurrency`)."""
+    return f"""
+WITH d AS (
+  SELECT epoch_us(ts) AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT epoch_us(ts) + {win_us}, -1 FROM events
+),
+r AS (
+  SELECT SUM(delta) OVER (ORDER BY t, delta
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS run
+  FROM d
+)
+SELECT CAST(max(run) AS BIGINT) AS max_concurrent FROM r
+"""
+
+
+def price_quartile_bins() -> str:
+    """Threshold-quartile bins with per-bin counts/sums (twin of
+    `queries.q_price_quartile_bins`)."""
+    return """
+WITH b AS (
+  SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS c
+  FROM lineitem
+),
+r AS (SELECT c, row_number() OVER (ORDER BY c) AS rn,
+             count(*) OVER () AS n
+      FROM b),
+t AS (
+  SELECT
+    (SELECT c FROM r WHERE rn = greatest(1, (25 * n + 99) // 100)
+     LIMIT 1) AS t25,
+    (SELECT c FROM r WHERE rn = greatest(1, (50 * n + 99) // 100)
+     LIMIT 1) AS t50,
+    (SELECT c FROM r WHERE rn = greatest(1, (75 * n + 99) // 100)
+     LIMIT 1) AS t75
+)
+SELECT CAST(1 + (c > t25)::INT + (c > t50)::INT + (c > t75)::INT
+            AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(c) AS BIGINT) AS sum_cents
+FROM b, t GROUP BY 1
+"""
+
+
+def yoy_movers(ya: int = 1996, yb: int = 1999, k: int = 10) -> str:
+    """Top-k absolute spend movers between two years (twin of
+    `queries.q_yoy_movers`)."""
+    return f"""
+WITH sa AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders
+  WHERE o_orderdate >= DATE '{ya}-01-01'
+    AND o_orderdate < DATE '{ya + 1}-01-01'
+  GROUP BY 1
+),
+sb AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders
+  WHERE o_orderdate >= DATE '{yb}-01-01'
+    AND o_orderdate < DATE '{yb + 1}-01-01'
+  GROUP BY 1
+)
+SELECT sa.o_custkey, CAST(sb.cents - sa.cents AS BIGINT) AS delta_cents
+FROM sa JOIN sb ON sb.o_custkey = sa.o_custkey
+ORDER BY abs(sb.cents - sa.cents) DESC, sa.o_custkey
+LIMIT {k}
+"""
+
+
+def max_type_run() -> str:
+    """Longest same-type run per type across user streams (twin of
+    `queries.q_max_type_run`)."""
+    return """
+WITH b AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn_all,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn_t
+  FROM events
+),
+runs AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS len
+  FROM b GROUP BY event_type, user_id, rn_all - rn_t
+)
+SELECT event_type, CAST(max(len) AS BIGINT) AS max_run
+FROM runs GROUP BY 1
+"""

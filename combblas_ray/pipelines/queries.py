@@ -10921,3 +10921,334 @@ def q_user_gap_p95(sf_dir: str):
                                                 type=pa.int64())})
 
     return group_apply_tasks(ev, ["user_id"], _p95)
+
+
+# ---------------------------------------------------------------------------
+# wave 36: triplet violations, peak concurrency, quantile bins, YoY
+# movers, max type run
+# ---------------------------------------------------------------------------
+
+TRIP_N = 256
+
+
+def q_triplet_violations(sf_dir: str):
+    """Metric-learning triplet audit over the first TRIP_N embeddings:
+    for every anchor, positive = the NEXT same-label vector and
+    negative = the NEXT different-label vector (by vec_id; anchors
+    missing either drop out); a violation is dot(a,p) <= dot(a,n) on
+    exact quantized dots. Output (n_triplets, n_violations)."""
+    import ray
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+        filter=pc.field("vec_id") < TRIP_N,
+    )
+    rows = emb.take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    tt = pa.table({
+        "vec_id": pa.array([r["vec_id"] for r in rows], type=pa.int64()),
+        "embedding": pa.array([list(r["embedding"]) for r in rows]),
+    })
+    ids, mat = _km_quant(tt)
+    lab = np.array([r["label"] for r in rows], dtype=np.int64)
+    # next same-label / next diff-label per anchor (driver arithmetic
+    # over the bounded TRIP_N set; the dot evaluation is distributed)
+    pos = np.full(len(ids), -1, dtype=np.int64)
+    neg = np.full(len(ids), -1, dtype=np.int64)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if pos[i] < 0 and lab[j] == lab[i]:
+                pos[i] = j
+            if neg[i] < 0 and lab[j] != lab[i]:
+                neg[i] = j
+            if pos[i] >= 0 and neg[i] >= 0:
+                break
+    ok = (pos >= 0) & (neg >= 0)
+    aref = ray.put((ids, mat, pos, neg, ok))
+
+    def _v(t: pa.Table, *, _ref=aref) -> pa.Table:
+        ai, am, p, ng, okm = _ref if isinstance(_ref, tuple) \
+            else ray.get(_ref)
+        bids, Q = _km_quant(t.select(["vec_id", "embedding"]))
+        if len(bids) == 0:
+            return pa.table({"n": pa.array([], type=pa.int64()),
+                             "v": pa.array([], type=pa.int64())})
+        idx = np.searchsorted(ai, bids)
+        keep = okm[idx]
+        if not keep.any():
+            return pa.table({"n": pa.array([0], type=pa.int64()),
+                             "v": pa.array([0], type=pa.int64())})
+        Qa = Q[keep]
+        pi, ni = p[idx[keep]], ng[idx[keep]]
+        dp = (Qa * am[pi]).sum(axis=1)
+        dn = (Qa * am[ni]).sum(axis=1)
+        return pa.table({"n": pa.array([int(keep.sum())],
+                                       type=pa.int64()),
+                         "v": pa.array([int((dp <= dn).sum())],
+                                       type=pa.int64())})
+
+    parts = emb.map_batches(_v, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all()
+    return pa.table({
+        "n_triplets": pa.array([sum(p["n"] for p in parts)],
+                               type=pa.int64()),
+        "n_violations": pa.array([sum(p["v"] for p in parts)],
+                                 type=pa.int64()),
+    })
+
+
+CONC_WIN_US = 30 * 60 * 1_000_000
+
+
+def q_peak_concurrency(sf_dir: str):
+    """Global peak concurrency: the maximum number of simultaneously
+    open 30-minute event windows (half-open [ts, ts+30m); at equal
+    instants closings precede openings) — the distributed sweep line:
+    per time-bucket partitions compute local delta prefixes, the
+    driver chains bounded per-bucket (total, max) partials (a classic
+    two-phase scan). Output (max_concurrent)."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts"]
+    )
+    BUCKET_US = 86_400_000_000  # one-day scan buckets
+
+    def _deltas(b: pa.Table) -> pa.Table:
+        s = np.asarray(b.column("ts")).astype("datetime64[us]").astype(
+            np.int64)
+        e = s + CONC_WIN_US
+        t = np.concatenate([s, e])
+        d = np.concatenate([np.ones(len(s), np.int64),
+                            np.full(len(e), -1, np.int64)])
+        return pa.table({"bucket": pa.array(t // BUCKET_US),
+                         "t": pa.array(t), "d": pa.array(d)})
+
+    deltas = ev.map_batches(_deltas, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def _scan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "t" not in t.column_names:
+            return pa.table({"bucket": pa.array([], type=pa.int64()),
+                             "total": pa.array([], type=pa.int64()),
+                             "pmax": pa.array([], type=pa.int64())})
+        tt = np.asarray(t.column("t"), dtype=np.int64)
+        dd = np.asarray(t.column("d"), dtype=np.int64)
+        bb = np.asarray(t.column("bucket"), dtype=np.int64)
+        out_b, out_t, out_m = [], [], []
+        for b in np.unique(bb):
+            m = bb == b
+            order = np.lexsort((dd[m], tt[m]))  # (t, d): -1 first
+            run = np.cumsum(dd[m][order])
+            out_b.append(int(b))
+            out_t.append(int(run[-1]))
+            out_m.append(int(run.max()))
+        return pa.table({"bucket": pa.array(out_b, type=pa.int64()),
+                         "total": pa.array(out_t, type=pa.int64()),
+                         "pmax": pa.array(out_m, type=pa.int64())})
+
+    parts = group_apply_tasks(deltas, ["bucket"], _scan).take_all()
+    per_bucket: dict[int, list[int]] = {}
+    for p in parts:
+        e = per_bucket.setdefault(p["bucket"], [0, -(1 << 62)])
+        # one bucket maps to one partition; rows are unique per bucket
+        e[0] = p["total"]
+        e[1] = p["pmax"]
+    acc = 0
+    best = 0
+    for b in sorted(per_bucket):
+        tot, mx = per_bucket[b]
+        best = max(best, acc + mx)
+        acc += tot
+    return pa.table({"max_concurrent": pa.array([best],
+                                                type=pa.int64())})
+
+
+def q_price_quartile_bins(sf_dir: str):
+    """Equal-mass quantile binning: lineitem price cents bucketed by
+    threshold quartiles (t_p at ceil rank), with per-bin counts and
+    sums — the quantile-binned aggregate. Thresholds from a bounded
+    value histogram; one binning pass."""
+    import ray
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+
+    def _h(b: pa.Table) -> pa.Table:
+        c = np.floor(np.asarray(b.column("l_extendedprice"))
+                     * 100.0).astype(np.int64)
+        uk, n = np.unique(c, return_counts=True)
+        return pa.table({"c": pa.array(uk),
+                         "n": pa.array(n.astype(np.int64))})
+
+    parts = li.map_batches(_h, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    hist: dict[int, int] = {}
+    for p in parts:
+        hist[p["c"]] = hist.get(p["c"], 0) + p["n"]
+    ks = sorted(hist)
+    n = sum(hist.values())
+    ts = []
+    for pctl in (25, 50, 75):
+        rank = max(1, -(-pctl * n // 100))
+        acc = 0
+        for k in ks:
+            acc += hist[k]
+            if acc >= rank:
+                ts.append(k)
+                break
+    tref = ray.put(tuple(ts))
+
+    def _bin(b: pa.Table, *, _ref=tref) -> pa.Table:
+        t = _ref if isinstance(_ref, tuple) else ray.get(_ref)
+        c = np.floor(np.asarray(b.column("l_extendedprice"))
+                     * 100.0).astype(np.int64)
+        q = 1 + sum((c > x).astype(np.int64) for x in t)
+        uk, inv = np.unique(q, return_inverse=True)
+        return pa.table({
+            "bin": pa.array(uk),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "sum_cents": pa.array(np.bincount(
+                inv, weights=c.astype(np.float64)).astype(np.int64)),
+        })
+
+    parts = li.map_batches(_bin, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    agg: dict[int, list[int]] = {}
+    for p in parts:
+        e = agg.setdefault(p["bin"], [0, 0])
+        e[0] += p["n"]
+        e[1] += p["sum_cents"]
+    ks2 = sorted(agg)
+    return pa.table({
+        "bin": pa.array(ks2, type=pa.int64()),
+        "n": pa.array([agg[k][0] for k in ks2], type=pa.int64()),
+        "sum_cents": pa.array([agg[k][1] for k in ks2],
+                              type=pa.int64()),
+    })
+
+
+YOY_TOPK = 10
+
+
+def q_yoy_movers(sf_dir: str):
+    """Year-over-year movers: the YOY_TOPK customers with the largest
+    absolute spend change between MOB_YEAR_A and MOB_YEAR_B (among
+    customers active BOTH years; order |delta| DESC, custkey) — the
+    change-detection report on the `mobility_matrix` join."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks, group_sum_per_key, \
+        hash_join_tasks
+
+    def year_spend(year):
+        import datetime
+        lo = datetime.datetime(year, 1, 1)
+        hi = datetime.datetime(year + 1, 1, 1)
+        orders = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_totalprice"],
+            filter=(pc.field("o_orderdate") >= pa.scalar(lo))
+            & (pc.field("o_orderdate") < pa.scalar(hi)),
+        )
+
+        def _p(b: pa.Table) -> pa.Table:
+            cents = np.floor(np.asarray(b.column("o_totalprice"))
+                             * 100.0)
+            uk, s = group_sum_per_key(
+                cents, np.asarray(b.column("o_custkey"),
+                                  dtype=np.int64))
+            return pa.table({"o_custkey": pa.array(uk),
+                             "cents": pa.array(s.astype(np.int64))})
+
+        def _m(t: pa.Table) -> pa.Table:
+            uk, s = group_sum_per_key(
+                np.asarray(t.column("cents"), dtype=np.float64),
+                np.asarray(t.column("o_custkey"), dtype=np.int64))
+            return pa.table({"o_custkey": pa.array(uk),
+                             "cents": pa.array(s.astype(np.int64))})
+
+        return group_apply_tasks(
+            orders.map_batches(_p, batch_format="pyarrow",
+                               zero_copy_batch=True),
+            ["o_custkey"], _m)
+
+    def _delta(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cents_l" not in t.column_names:
+            return pa.table({"o_custkey": pa.array([], type=pa.int64()),
+                             "delta": pa.array([], type=pa.int64()),
+                             "absd": pa.array([], type=pa.int64())})
+        d = (np.asarray(t.column("cents_r"), dtype=np.int64)
+             - np.asarray(t.column("cents_l"), dtype=np.int64))
+        return pa.table({
+            "o_custkey": t.column("o_custkey"),
+            "delta": pa.array(d),
+            "absd": pa.array(np.abs(d)),
+        })
+
+    j = hash_join_tasks(year_spend(MOB_YEAR_A), year_spend(MOB_YEAR_B),
+                        on="o_custkey", left_suffix="_l",
+                        right_suffix="_r", post=_delta)
+    top = (j.sort(["absd", "o_custkey"], descending=[True, False])
+           .limit(YOY_TOPK).take_all())
+    return pa.table({
+        "o_custkey": pa.array([r["o_custkey"] for r in top],
+                              type=pa.int64()),
+        "delta_cents": pa.array([r["delta"] for r in top],
+                                type=pa.int64()),
+    })
+
+
+def q_max_type_run(sf_dir: str):
+    """Longest consecutive same-type run per event type across user
+    streams (order ts, event_id within user) — categorical
+    run-length encoding statistics, one user shuffle with vectorized
+    run detection + bounded per-type maxima."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def _runs(t: pa.Table) -> pa.Table:
+        empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                          "max_run": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return empty
+        uid = np.asarray(t.column("user_id"), dtype=np.int64)
+        ts = np.asarray(t.column("ts")).astype("datetime64[us]").astype(
+            np.int64)
+        eid = np.asarray(t.column("event_id"), dtype=np.int64)
+        ut, tc = np.unique(np.asarray(t.column("event_type"))
+                           .astype(str), return_inverse=True)
+        order = np.lexsort((eid, ts, uid))
+        u, c = uid[order], tc[order]
+        head = np.ones(len(u), dtype=bool)
+        head[1:] = (u[1:] != u[:-1]) | (c[1:] != c[:-1])
+        rid = np.cumsum(head) - 1
+        ln = np.bincount(rid)
+        rt = c[head]
+        best = np.zeros(len(ut), dtype=np.int64)
+        np.maximum.at(best, rt, ln)
+        nz = best > 0
+        return pa.table({"event_type": pa.array(ut[nz].tolist(),
+                                                type=pa.string()),
+                         "max_run": pa.array(best[nz])})
+
+    parts = group_apply_tasks(ev, ["user_id"], _runs).take_all()
+    agg: dict[str, int] = {}
+    for p in parts:
+        agg[p["event_type"]] = max(agg.get(p["event_type"], 0),
+                                   p["max_run"])
+    ks = sorted(agg)
+    return pa.table({
+        "event_type": pa.array(ks, type=pa.string()),
+        "max_run": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
