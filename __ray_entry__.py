@@ -62,6 +62,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LLM-data layer without a prior driver row (+ refactored dedup)
         # wave 14 (newest = highest regression risk)
         # wave 15
+        # wave 37
+        "data_split": q.q_data_split,
+        "wedge_sample_est": q.q_wedge_sample_est,
+        "path_unique_audit": q.q_path_unique_audit,
+        "ref_integrity": q.q_ref_integrity,
+        "lag2_match": q.q_lag2_match,
         # wave 36
         "triplet_violations": q.q_triplet_violations,
         "peak_concurrency": q.q_peak_concurrency,
@@ -78,11 +84,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_curve": q.q_knn_curve,
         "systematic_sample": q.q_systematic_sample,
         "peel_trace": q.q_peel_trace,
-        "nchars_audit": q.q_nchars_audit,
         "dominant_dim_hist": q.q_dominant_dim_hist,
         # wave 33
         "closed_walks4": q.q_closed_walks4,
-        "idem_dedup": q.q_idem_dedup,
         "token_intersect": q.q_token_intersect,
         "pareto80": q.q_pareto80,
         # wave 32
@@ -99,7 +103,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dag_layers": q.q_dag_layers,
         "pixel_hist": q.q_pixel_hist,
         # wave 28
-        "nation_roles_outer": q.q_nation_roles_outer,
         # wave 27
         "peak_hour_load": q.q_peak_hour_load,
         # wave 26
@@ -119,10 +122,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 22
         # wave 21
         # wave 20
-        "kron_product": q.q_kron_product,
         # wave 19
         # wave 18
-        "bloom_probe": q.q_bloom_probe,
         # wave 17
         "edit_window": q.q_edit_window,
         # wave 16
@@ -131,6 +132,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
+        "nation_roles_outer": q.q_nation_roles_outer,  # full outer: ref_integrity in-window
+        "bloom_probe": q.q_bloom_probe,  # md5 membership: data_split in-window
+        "idem_dedup": q.q_idem_dedup,  # distinct-key audit: path_unique_audit in-window
+        "kron_product": q.q_kron_product,  # tile expand: wedge_sample_est join plan in-window
+        "nchars_audit": q.q_nchars_audit,  # column assertion: path_unique_audit/orderkey_gaps in-window
         "sim_by_label": q.q_sim_by_label,  # label-pair dots: triplet_violations in-window
         "mobility_matrix": q.q_mobility_matrix,  # two-year quartile join: yoy_movers in-window
         "pctl_cont": q.q_pctl_cont,  # rational percentile: price_quartile_bins/user_gap_p95 in-window
@@ -541,6 +547,11 @@ def oracle_sql() -> dict[str, str]:
         "knn_curve": o.knn_curve(),
         "motif_counts": o.motif_counts(),
         "triplet_violations": o.triplet_violations(q.TRIP_N),
+        "data_split": o.data_split(q.SPLIT_TRAIN, q.SPLIT_VAL),
+        "wedge_sample_est": o.wedge_sample_est(q.WEDGE_SAMPLE_MOD),
+        "path_unique_audit": o.path_unique_audit(),
+        "ref_integrity": o.ref_integrity(),
+        "lag2_match": o.lag2_match(),
         "peak_concurrency": o.peak_concurrency(q.CONC_WIN_US),
         "price_quartile_bins": o.price_quartile_bins(),
         "yoy_movers": o.yoy_movers(q.MOB_YEAR_A, q.MOB_YEAR_B,

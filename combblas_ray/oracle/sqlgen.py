@@ -5859,3 +5859,110 @@ runs AS (
 SELECT event_type, CAST(max(len) AS BIGINT) AS max_run
 FROM runs GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 37: dataset split, wedge-sample estimator, path uniqueness,
+# referential integrity, lag-2 autocorrelation
+# ---------------------------------------------------------------------------
+
+
+def data_split(train: int = 8, val: int = 1) -> str:
+    """md5 % 10 train/val/test assignment (twin of
+    `queries.q_data_split`)."""
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 10 AS BIGINT)
+           AS h
+  FROM documents
+)
+SELECT CASE WHEN h < {train} THEN 'train'
+            WHEN h < {train + val} THEN 'val' ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM s GROUP BY 1
+"""
+
+
+@_materialized
+def wedge_sample_est(mod: int = 7) -> str:
+    """Deterministic wedge sample + closure counts (twin of
+    `queries.q_wedge_sample_est`; dense-id LCG)."""
+    return PREFIX + f"""
+, dense AS (SELECT i, row_number() OVER (ORDER BY label) - 1 AS d
+            FROM verts),
+de AS (
+  SELECT ds.d AS s, dd.d AS t
+  FROM edges e JOIN dense ds ON ds.i = e.src
+               JOIN dense dd ON dd.i = e.dst
+  WHERE e.src <> e.dst
+),
+und AS (SELECT s AS m, t AS x FROM de UNION SELECT t, s FROM de),
+w AS (
+  SELECT w1.x AS a, w1.m AS m, w2.x AS c,
+         ((((w1.x * (SELECT n FROM params) + w2.x) % 2147483648)
+           * 48271 + w1.m) % {mod} = 0) AS sel
+  FROM und w1 JOIN und w2 ON w2.m = w1.m AND w1.x < w2.x
+),
+ue AS (SELECT least(m, x) AS a, greatest(m, x) AS b FROM und)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM w) AS total_wedges,
+       (SELECT CAST(count(*) AS BIGINT) FROM w WHERE sel) AS sampled,
+       (SELECT CAST(count(*) AS BIGINT) FROM w
+        WHERE sel AND EXISTS (SELECT 1 FROM ue
+                              WHERE ue.a = w.a AND ue.b = w.c))
+         AS closed
+"""
+
+
+@_materialized
+def path_unique_audit() -> str:
+    """Corpus (repo, path) primary-key audit (twin of
+    `queries.q_path_unique_audit`)."""
+    return PREFIX + """
+, pairs AS (
+  SELECT 'repo_' || (i % 100) AS repo, 'src/m_' || i || '.py' AS path
+  FROM files
+),
+c AS (SELECT repo, path, CAST(count(*) AS BIGINT) AS n
+      FROM pairs GROUP BY 1, 2)
+SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(max(n) AS BIGINT) AS max_dup
+FROM c
+"""
+
+
+def ref_integrity() -> str:
+    """documents.doc_id vs embeddings.vec_id FK audit (twin of
+    `queries.q_ref_integrity`)."""
+    return """
+WITH d AS (SELECT doc_id FROM documents),
+v AS (SELECT vec_id FROM embeddings)
+SELECT CAST(sum(CASE WHEN d.doc_id IS NOT NULL
+                     AND v.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS matched,
+       CAST(sum(CASE WHEN v.vec_id IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_only,
+       CAST(sum(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS vecs_only
+FROM d FULL OUTER JOIN v ON v.vec_id = d.doc_id
+"""
+
+
+def lag2_match() -> str:
+    """Lag-2 same-type pair counts per type (twin of
+    `queries.q_lag2_match`)."""
+    return """
+WITH o AS (
+  SELECT user_id, event_type,
+         lead(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS nxt2
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN nxt2 = event_type THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_match
+FROM o WHERE nxt2 IS NOT NULL
+GROUP BY 1
+"""

@@ -11252,3 +11252,320 @@ def q_max_type_run(sf_dir: str):
         "event_type": pa.array(ks, type=pa.string()),
         "max_run": pa.array([agg[k] for k in ks], type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 37: dataset split, wedge-sample estimator, path uniqueness,
+# referential integrity, lag-2 autocorrelation
+# ---------------------------------------------------------------------------
+
+SPLIT_TRAIN, SPLIT_VAL = 8, 1  # md5 % 10: 0-7 train, 8 val, 9 test
+
+
+def q_data_split(sf_dir: str):
+    """Deterministic train/val/test split: md5-low-64(doc_id) % 10 ->
+    0-7 train / 8 val / 9 test — the reproducible holdout-assignment
+    primitive; per-split doc counts + doc_id sums (identity check).
+    Shuffle-free."""
+    import ray
+
+    from ..functions.text import md5_lower64
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def _part(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+        h = np.fromiter((md5_lower64(str(int(i))) % 10 for i in ids),
+                        dtype=np.int64, count=len(ids))
+        split = np.where(h < SPLIT_TRAIN, 0,
+                         np.where(h < SPLIT_TRAIN + SPLIT_VAL, 1, 2))
+        uk, inv = np.unique(split, return_inverse=True)
+        return pa.table({
+            "split": pa.array(uk),
+            "n_docs": pa.array(np.bincount(inv).astype(np.int64)),
+            "id_sum": pa.array(np.bincount(
+                inv, weights=ids.astype(np.float64)).astype(np.int64)),
+        })
+
+    parts = docs.map_batches(_part, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all()
+    agg: dict[int, list[int]] = {}
+    for p in parts:
+        e = agg.setdefault(p["split"], [0, 0])
+        e[0] += p["n_docs"]
+        e[1] += p["id_sum"]
+    names = {0: "train", 1: "val", 2: "test"}
+    ks = sorted(agg)
+    return pa.table({
+        "split": pa.array([names[k] for k in ks], type=pa.string()),
+        "n_docs": pa.array([agg[k][0] for k in ks], type=pa.int64()),
+        "id_sum": pa.array([agg[k][1] for k in ks], type=pa.int64()),
+    })
+
+
+WEDGE_SAMPLE_MOD = 7  # keep wedges whose LCG lands on 0 (1/7 sample)
+
+
+def q_wedge_sample_est(sf_dir: str):
+    """Wedge-sampling triangle estimator calibration: deterministically
+    sample wedges (a-m-c, a < c, LCG on the wedge key % MOD == 0),
+    count how many close, and report (sampled, closed, total_wedges)
+    so estimate = closed/sampled * total is reproducible — exact
+    bookkeeping for an approximate counter. Wedge enumeration +
+    closure check ride the `triangles_list` join plan."""
+    import ray
+
+    from ..core.shuffle import hash_join_tasks
+
+    ctx = get_context(sf_dir)
+    n = ctx.n
+    g = ctx.graph("sym")
+    deg = ctx.engine("sym").in_weights().astype(np.float64)
+    gp = int(max(8, min(64, np.ceil(float((deg ** 2).sum()) / 1.5e6))))
+    be = g.dedup_sum().cast_bool().edges
+
+    def _orient(t: pa.Table) -> pa.Table:
+        s = np.asarray(t.column("src"), dtype=np.int64)
+        d = np.asarray(t.column("dst"), dtype=np.int64)
+        keep = s < d
+        return pa.table({"a": pa.array(s[keep]), "b": pa.array(d[keep])})
+
+    adj = be.map_batches(_orient, batch_format="pyarrow")
+    # wedges through any middle m: (a, m) x (m, c) over the UNDIRECTED
+    # adjacency with a < c to count each unordered wedge once
+    und = be.map_batches(
+        lambda t: pa.table({"m": t.column("src"), "x": t.column("dst")}),
+        batch_format="pyarrow")
+
+    def _wedge(t: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], type=pa.int64()),
+                          "c": pa.array([], type=pa.int64()),
+                          "tw": pa.array([], type=pa.int64()),
+                          "sw": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "x" not in t.column_names:
+            return empty
+        # rows: (m, x) joined with (m, x2): pairs x < x2
+        m = np.asarray(t.column("m"), dtype=np.int64)
+        x = np.asarray(t.column("x"), dtype=np.int64)
+        x2 = np.asarray(t.column("x_r"), dtype=np.int64)
+        keep = x < x2
+        a, c, mm = x[keep], x2[keep], m[keep]
+        key = (a * n + c) % np.int64(1 << 31)
+        lcg = (key * np.int64(48271) + mm) % np.int64(
+            WEDGE_SAMPLE_MOD)
+        sel = lcg == 0
+        out = pa.table({
+            "a": pa.array(a[sel]), "c": pa.array(c[sel]),
+            "tw": pa.array(np.full(sel.sum(), 0, np.int64)),
+            "sw": pa.array(np.ones(int(sel.sum()), np.int64)),
+        })
+        tot = pa.table({"a": pa.array([-1], type=pa.int64()),
+                        "c": pa.array([-1], type=pa.int64()),
+                        "tw": pa.array([int(keep.sum())],
+                                       type=pa.int64()),
+                        "sw": pa.array([0], type=pa.int64())})
+        return pa.concat_tables([out, tot])
+
+    wedges = hash_join_tasks(
+        und, und.map_batches(
+            lambda t: pa.table({"m": t.column("m"),
+                                "x_r": t.column("x")}),
+            batch_format="pyarrow"),
+        on="m", num_partitions=gp, post=_wedge).materialize()
+
+    def _tot(b: pa.Table) -> pa.Table:
+        tw = np.asarray(b.column("tw"), dtype=np.int64)
+        sw = np.asarray(b.column("sw"), dtype=np.int64)
+        return pa.table({"tw": pa.array([int(tw.sum())],
+                                        type=pa.int64()),
+                         "sw": pa.array([int(sw.sum())],
+                                        type=pa.int64())})
+
+    tots = wedges.map_batches(_tot, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all()
+    total_wedges = sum(p["tw"] for p in tots)
+    sampled = sum(p["sw"] for p in tots)
+
+    sampled_ds = wedges.map_batches(
+        lambda t: t.filter(pa.array(
+            np.asarray(t.column("a"), dtype=np.int64) >= 0)).select(
+            ["a", "c"]),
+        batch_format="pyarrow")
+
+    def _closed(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"c": pa.array([], type=pa.int64())})
+        return pa.table({"c": pa.array([t.num_rows], type=pa.int64())})
+
+    closed = sum(p["c"] for p in hash_join_tasks(
+        sampled_ds, adj.map_batches(
+            lambda t: pa.table({"a": t.column("a"),
+                                "c": t.column("b")}),
+            batch_format="pyarrow"),
+        on=["a", "c"], join_type="left semi", num_partitions=gp,
+        post=_closed).take_all())
+    return pa.table({
+        "total_wedges": pa.array([total_wedges], type=pa.int64()),
+        "sampled": pa.array([sampled], type=pa.int64()),
+        "closed": pa.array([closed], type=pa.int64()),
+    })
+
+
+def q_path_unique_audit(sf_dir: str):
+    """Corpus (repo, path) uniqueness assertion: distinct pairs vs rows
+    and the maximum duplicate multiplicity — the primary-key audit on
+    the flagship table. Per-batch distinct partials + one keyed
+    shuffle."""
+    from ..sources import corpus as C
+    from ..core.shuffle import group_apply_tasks
+
+    n = C.n_files_for(sf_dir)
+    ds = C.corpus_dataset(n)
+
+    def _part(b: pa.Table) -> pa.Table:
+        repo = np.asarray(b.column("repo")).astype(str)
+        path = np.asarray(b.column("path")).astype(str)
+        key = np.char.add(np.char.add(repo, "\x1f"), path)
+        uk, c = np.unique(key, return_counts=True)
+        return pa.table({"k": pa.array(uk.tolist(), type=pa.string()),
+                         "c": pa.array(c.astype(np.int64))})
+
+    pairs = ds.map_batches(_part, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def _merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "k" not in t.column_names:
+            return pa.table({"rows": pa.array([], type=pa.int64()),
+                             "distinct": pa.array([], type=pa.int64()),
+                             "maxdup": pa.array([], type=pa.int64())})
+        k = np.asarray(t.column("k")).astype(str)
+        c = np.asarray(t.column("c"), dtype=np.int64)
+        uk, inv = np.unique(k, return_inverse=True)
+        tot = np.bincount(inv, weights=c.astype(np.float64)).astype(
+            np.int64)
+        return pa.table({
+            "rows": pa.array([int(tot.sum())], type=pa.int64()),
+            "distinct": pa.array([len(uk)], type=pa.int64()),
+            "maxdup": pa.array([int(tot.max())], type=pa.int64()),
+        })
+
+    parts = group_apply_tasks(pairs, ["k"], _merge).take_all()
+    return pa.table({
+        "n_rows": pa.array([sum(p["rows"] for p in parts)],
+                           type=pa.int64()),
+        "n_distinct": pa.array([sum(p["distinct"] for p in parts)],
+                               type=pa.int64()),
+        "max_dup": pa.array([max(p["maxdup"] for p in parts)],
+                            type=pa.int64()),
+    })
+
+
+def q_ref_integrity(sf_dir: str):
+    """Cross-table referential integrity: documents.doc_id vs
+    embeddings.vec_id through the co-partitioned FULL OUTER join —
+    matched keys and each side's orphans. The FK-audit class."""
+    import ray
+
+    from ..core.shuffle import hash_join_tasks
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(
+        lambda t: pa.table({"doc_id": t.column("doc_id"),
+                            "isd": pa.array(
+                                np.ones(t.num_rows, np.int8))}),
+        batch_format="pyarrow")
+    vecs = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+    ).map_batches(
+        lambda t: pa.table({"vec_id": t.column("vec_id"),
+                            "isv": pa.array(
+                                np.ones(t.num_rows, np.int8))}),
+        batch_format="pyarrow")
+
+    def _post(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"m": pa.array([], type=pa.int64()),
+                             "d": pa.array([], type=pa.int64()),
+                             "v": pa.array([], type=pa.int64())})
+        hd = pc.is_valid(t.column("isd")).to_numpy(
+            zero_copy_only=False) if "isd" in t.column_names \
+            else np.zeros(t.num_rows, bool)
+        hv = pc.is_valid(t.column("isv")).to_numpy(
+            zero_copy_only=False) if "isv" in t.column_names \
+            else np.zeros(t.num_rows, bool)
+        return pa.table({
+            "m": pa.array([int((hd & hv).sum())], type=pa.int64()),
+            "d": pa.array([int((hd & ~hv).sum())], type=pa.int64()),
+            "v": pa.array([int((~hd & hv).sum())], type=pa.int64()),
+        })
+
+    parts = hash_join_tasks(docs, vecs, on="doc_id",
+                            right_on="vec_id",
+                            join_type="full outer",
+                            post=_post).take_all()
+    return pa.table({
+        "matched": pa.array([sum(p["m"] for p in parts)],
+                            type=pa.int64()),
+        "docs_only": pa.array([sum(p["d"] for p in parts)],
+                              type=pa.int64()),
+        "vecs_only": pa.array([sum(p["v"] for p in parts)],
+                              type=pa.int64()),
+    })
+
+
+def q_lag2_match(sf_dir: str):
+    """Lag-2 autocorrelation proxy: per event type, pairs at positions
+    (t-2, t) within a user stream and how many repeat the same type —
+    the periodicity signal. One user shuffle, vectorized shift."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def _l2(t: pa.Table) -> pa.Table:
+        empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                          "n_pairs": pa.array([], type=pa.int64()),
+                          "n_match": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return empty
+        uid = np.asarray(t.column("user_id"), dtype=np.int64)
+        ts = np.asarray(t.column("ts")).astype("datetime64[us]").astype(
+            np.int64)
+        eid = np.asarray(t.column("event_id"), dtype=np.int64)
+        ut, tc = np.unique(np.asarray(t.column("event_type"))
+                           .astype(str), return_inverse=True)
+        order = np.lexsort((eid, ts, uid))
+        u, c = uid[order], tc[order]
+        same_user = u[2:] == u[:-2]
+        frm = c[:-2][same_user]
+        match = (c[2:][same_user] == frm)
+        if not len(frm):
+            return empty
+        uk, inv = np.unique(frm, return_inverse=True)
+        return pa.table({
+            "event_type": pa.array(ut[uk].tolist(), type=pa.string()),
+            "n_pairs": pa.array(np.bincount(inv).astype(np.int64)),
+            "n_match": pa.array(np.bincount(
+                inv, weights=match.astype(np.float64)).astype(
+                np.int64)),
+        })
+
+    parts = group_apply_tasks(ev, ["user_id"], _l2).take_all()
+    agg: dict[str, list[int]] = {}
+    for p in parts:
+        e = agg.setdefault(p["event_type"], [0, 0])
+        e[0] += p["n_pairs"]
+        e[1] += p["n_match"]
+    ks = sorted(agg)
+    return pa.table({
+        "event_type": pa.array(ks, type=pa.string()),
+        "n_pairs": pa.array([agg[k][0] for k in ks], type=pa.int64()),
+        "n_match": pa.array([agg[k][1] for k in ks], type=pa.int64()),
+    })
