@@ -62,6 +62,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LLM-data layer without a prior driver row (+ refactored dedup)
         # wave 14 (newest = highest regression risk)
         # wave 15
+        # wave 38
+        "lang_confusion": q.q_lang_confusion,
+        "dag_path_counts": q.q_dag_path_counts,
+        "pos_profile": q.q_pos_profile,
+        "price_spread": q.q_price_spread,
+        "order_lines_hist": q.q_order_lines_hist,
         # wave 37
         "data_split": q.q_data_split,
         "wedge_sample_est": q.q_wedge_sample_est,
@@ -100,7 +106,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_funnel": q.q_filter_funnel,
         "dup_size_hist": q.q_dup_size_hist,
         # wave 29
-        "dag_layers": q.q_dag_layers,
         "pixel_hist": q.q_pixel_hist,
         # wave 28
         # wave 27
@@ -108,11 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 26
         "continuation_counts": q.q_continuation_counts,
         "video_motion": q.q_video_motion,
-        "supplier_hhi": q.q_supplier_hhi,
         # wave 25
-        "party_counts": q.q_party_counts,
-        "degree_moments": q.q_degree_moments,
-        "quality_by_lang": q.q_quality_by_lang,
         # wave 24
         "first_response": q.q_first_response,
         "order_gap_stats": q.q_order_gap_stats,
@@ -132,6 +133,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
+        "quality_by_lang": q.q_quality_by_lang,  # per-lang token stats: pos_profile/digit_ratio in-window
+        "dag_layers": q.q_dag_layers,  # max-plus DAG rounds: dag_path_counts in-window
+        "supplier_hhi": q.q_supplier_hhi,  # concentration agg: price_spread/order_lines_hist in-window
+        "degree_moments": q.q_degree_moments,  # graphlet census: knn_curve in-window
+        "party_counts": q.q_party_counts,  # bounded union: lang_confusion/ref_integrity in-window
         "nation_roles_outer": q.q_nation_roles_outer,  # full outer: ref_integrity in-window
         "bloom_probe": q.q_bloom_probe,  # md5 membership: data_split in-window
         "idem_dedup": q.q_idem_dedup,  # distinct-key audit: path_unique_audit in-window
@@ -548,6 +554,11 @@ def oracle_sql() -> dict[str, str]:
         "motif_counts": o.motif_counts(),
         "triplet_violations": o.triplet_violations(q.TRIP_N),
         "data_split": o.data_split(q.SPLIT_TRAIN, q.SPLIT_VAL),
+        "lang_confusion": o.lang_confusion(),
+        "dag_path_counts": o.dag_path_counts(q.DAG_ITERS, q.PATHC_MOD),
+        "pos_profile": o.pos_profile(q.POS_HEAD),
+        "price_spread": o.price_spread(q.SPREAD_TOPK),
+        "order_lines_hist": o.order_lines_hist(),
         "wedge_sample_est": o.wedge_sample_est(q.WEDGE_SAMPLE_MOD),
         "path_unique_audit": o.path_unique_audit(),
         "ref_integrity": o.ref_integrity(),

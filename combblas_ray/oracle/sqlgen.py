@@ -5966,3 +5966,117 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
 FROM o WHERE nxt2 IS NOT NULL
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 38: language confusion, DAG path counts, positional profile,
+# price spread, order-size histogram
+# ---------------------------------------------------------------------------
+
+
+def lang_confusion() -> str:
+    """(true lang, predicted lang) confusion counts over the marker
+    heuristic (twin of `queries.q_lang_confusion`; same CASE chain as
+    the green `langid` oracle)."""
+    return """
+WITH c AS (
+  SELECT lang,
+    len(list_filter(string_split(text,' '), t -> t = 'sort'))  AS c_de,
+    len(list_filter(string_split(text,' '), t -> t = 'the'))   AS c_en,
+    len(list_filter(string_split(text,' '), t -> t = 'data'))  AS c_es,
+    len(list_filter(string_split(text,' '), t -> t = 'join'))  AS c_fr,
+    len(list_filter(string_split(text,' '), t -> t = 'batch')) AS c_zh
+  FROM documents
+),
+p AS (
+  SELECT lang AS true_lang, CASE
+    WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr
+         AND c_de >= c_zh THEN 'de'
+    WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+    WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
+    WHEN c_fr >= c_zh THEN 'fr'
+    ELSE 'zh' END AS pred_lang
+  FROM c
+)
+SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS cnt
+FROM p GROUP BY 1, 2
+"""
+
+
+@_materialized
+def dag_path_counts(iters: int = 12, mod: int = (1 << 61) - 1) -> str:
+    """Synchronous DAG path-count DP mod 2^61-1 (twin of
+    `queries.q_dag_path_counts`)."""
+    sql = PREFIX + """
+, dense AS (SELECT i, row_number() OVER (ORDER BY label) - 1 AS d,
+            label FROM verts),
+dag AS (
+  SELECT DISTINCT ds.d AS s, dd.d AS t
+  FROM edges e JOIN dense ds ON ds.i = e.src
+               JOIN dense dd ON dd.i = e.dst
+  WHERE ds.d < dd.d
+),
+c0 AS (SELECT d AS v, CAST(1 AS HUGEINT) AS c FROM dense)
+"""
+    prev = "c0"
+    for k in range(1, iters + 1):
+        sql += f"""
+, c{k} AS (
+  SELECT p.v,
+         CAST((1 + coalesce(m.s, 0)) % {mod} AS HUGEINT) AS c
+  FROM (SELECT d AS v FROM dense) p
+  LEFT JOIN (SELECT g.t AS v, sum(pp.c % {mod}) AS s
+             FROM dag g JOIN {prev} pp ON pp.v = g.s
+             GROUP BY g.t) m ON m.v = p.v
+)"""
+        prev = f"c{k}"
+    sql += f"""
+SELECT de.label AS label, CAST(l.c AS BIGINT) AS paths
+FROM {prev} l JOIN dense de ON de.d = l.v
+"""
+    return sql
+
+
+def pos_profile(head: int = 10) -> str:
+    """Head vs tail positional token stats (twin of
+    `queries.q_pos_profile`)."""
+    return f"""
+WITH t AS (
+  SELECT string_split(text, ' ') AS toks FROM documents
+),
+u AS (
+  SELECT unnest(toks) AS tok,
+         generate_subscripts(toks, 1) - 1 AS pos
+  FROM t
+)
+SELECT CASE WHEN pos < {head} THEN 'head' ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(length(tok)) AS BIGINT) AS sum_len
+FROM u GROUP BY 1
+"""
+
+
+def price_spread(k: int = 15) -> str:
+    """Top-k parts by price spread (twin of
+    `queries.q_price_spread`)."""
+    return f"""
+SELECT l_partkey,
+       CAST(max(CAST(floor(l_extendedprice * 100) AS BIGINT))
+            - min(CAST(floor(l_extendedprice * 100) AS BIGINT))
+            AS BIGINT) AS spread,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem GROUP BY 1
+ORDER BY spread DESC, l_partkey
+LIMIT {k}
+"""
+
+
+def order_lines_hist() -> str:
+    """Lines-per-order histogram (twin of
+    `queries.q_order_lines_hist`)."""
+    return """
+WITH c AS (SELECT l_orderkey, count(*) AS k FROM lineitem GROUP BY 1)
+SELECT CAST(k AS BIGINT) AS n_lines, CAST(count(*) AS BIGINT)
+  AS n_orders
+FROM c GROUP BY 1
+"""

@@ -11569,3 +11569,252 @@ def q_lag2_match(sf_dir: str):
         "n_pairs": pa.array([agg[k][0] for k in ks], type=pa.int64()),
         "n_match": pa.array([agg[k][1] for k in ks], type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 38: language confusion matrix, DAG path counts, positional
+# profile, price spread, order-size histogram
+# ---------------------------------------------------------------------------
+
+
+def q_lang_confusion(sf_dir: str):
+    """Language-ID confusion matrix: counts per (true lang, predicted
+    lang) over the marker-token heuristic (`text.langid`) — the
+    classifier-evaluation matrix. One streaming pass; bounded 5x5
+    partials."""
+    import ray
+
+    from ..functions.text import langid
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+
+    def _conf(b: pa.Table) -> pa.Table:
+        pred = langid(b.select(["doc_id", "text"]))
+        tl = np.asarray(b.column("lang")).astype(str)
+        pl = np.asarray(pred.column("pred_lang")).astype(str)
+        key = np.char.add(np.char.add(tl, "\x1f"), pl)
+        uk, c = np.unique(key, return_counts=True)
+        sp = np.char.partition(uk, "\x1f")
+        return pa.table({"true_lang": pa.array(sp[:, 0].tolist(),
+                                               type=pa.string()),
+                         "pred_lang": pa.array(sp[:, 2].tolist(),
+                                               type=pa.string()),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    parts = docs.map_batches(_conf, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all()
+    agg: dict[tuple, int] = {}
+    for p in parts:
+        k = (p["true_lang"], p["pred_lang"])
+        agg[k] = agg.get(k, 0) + p["cnt"]
+    ks = sorted(agg)
+    return pa.table({
+        "true_lang": pa.array([k[0] for k in ks], type=pa.string()),
+        "pred_lang": pa.array([k[1] for k in ks], type=pa.string()),
+        "cnt": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
+
+
+PATHC_MOD = (1 << 61) - 1
+
+
+def q_dag_path_counts(sf_dir: str):
+    """DAG path-count DP: c(v) = 1 + sum over dag edges u->v of c(u)
+    (the number of distinct descending-id paths ENDING at v, counting
+    the empty path) mod 2^61-1, iterated synchronously to the fixpoint
+    (<= DAG_ITERS rounds, the `dag_layers` depth bound). The classic
+    topological DP beyond max-plus; O(n) count vector driver-resident
+    between rounds."""
+    from ..core.shuffle import group_reduce_per_key
+
+    ctx = get_context(sf_dir)
+    n = ctx.n
+
+    def _orient(b: pa.Table) -> pa.Table:
+        s = np.asarray(b.column("src"), dtype=np.int64)
+        d = np.asarray(b.column("dst"), dtype=np.int64)
+        keep = s < d
+        u = np.unique(s[keep] * n + d[keep])
+        return pa.table({"src": pa.array(u // n), "dst": pa.array(u % n)})
+
+    dag = ctx.edges.map_batches(_orient, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
+    import ray
+
+    cnt = np.ones(n, dtype=np.int64)  # the empty path
+    for _ in range(DAG_ITERS):
+        cref = ray.put(cnt)
+
+        def _round(b: pa.Table, *, _ref=cref) -> pa.Table:
+            C = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+            s = np.asarray(b.column("src"), dtype=np.int64)
+            d = np.asarray(b.column("dst"), dtype=np.int64)
+            uk, sm = group_reduce_per_key(
+                (C[s] % PATHC_MOD).astype(np.float64), d, "sum")
+            return pa.table({"v": pa.array(uk),
+                             "m": pa.array(sm.astype(np.int64))})
+
+        parts = dag.map_batches(_round, batch_format="pyarrow",
+                                zero_copy_batch=True).take_all()
+        new = np.ones(n, dtype=np.int64)
+        if parts:
+            vv = np.fromiter((p["v"] for p in parts), np.int64,
+                             len(parts))
+            mm = np.fromiter((p["m"] for p in parts), np.int64,
+                             len(parts))
+            np.add.at(new, vv, mm % PATHC_MOD)
+            new %= PATHC_MOD
+        if np.array_equal(new, cnt):
+            break
+        cnt = new
+    ids = np.arange(n)
+    return pa.table({
+        "label": _label_col(ctx, ids),
+        "paths": pa.array(cnt),
+    })
+
+
+POS_HEAD = 10
+
+
+def q_pos_profile(sf_dir: str):
+    """Positional token profile: token count and total codepoint length
+    for HEAD positions (< POS_HEAD) vs the TAIL — do openings use
+    shorter words? One streaming pass, two-row output."""
+    import ray
+
+    from ..functions.text import tokens_list
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+
+    def _part(b: pa.Table) -> pa.Table:
+        col = b.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern(col, " ")
+        flat = pc.list_flatten(toks)
+        lens = np.asarray(pc.utf8_length(flat), dtype=np.int64)
+        parent = np.asarray(pc.list_parent_indices(toks),
+                            dtype=np.int64)
+        offs = np.asarray(toks.offsets, dtype=np.int64)
+        idx = np.arange(len(lens)) - offs[parent]
+        head = idx < POS_HEAD
+        return pa.table({
+            "bucket": pa.array(["head", "tail"], type=pa.string()),
+            "n_tokens": pa.array([int(head.sum()),
+                                  int((~head).sum())],
+                                 type=pa.int64()),
+            "sum_len": pa.array([int(lens[head].sum()),
+                                 int(lens[~head].sum())],
+                                type=pa.int64()),
+        })
+
+    parts = docs.map_batches(_part, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all()
+    agg = {"head": [0, 0], "tail": [0, 0]}
+    for p in parts:
+        agg[p["bucket"]][0] += p["n_tokens"]
+        agg[p["bucket"]][1] += p["sum_len"]
+    return pa.table({
+        "bucket": pa.array(["head", "tail"], type=pa.string()),
+        "n_tokens": pa.array([agg["head"][0], agg["tail"][0]],
+                             type=pa.int64()),
+        "sum_len": pa.array([agg["head"][1], agg["tail"][1]],
+                            type=pa.int64()),
+    })
+
+
+SPREAD_TOPK = 15
+
+
+def q_price_spread(sf_dir: str):
+    """Per-part price volatility: top-SPREAD_TOPK parts by
+    (max - min) extended-price cents (tie -> partkey), with line
+    counts — min/max keyed reduce + bounded top-k cut."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice"],
+    )
+
+    def _mm(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_partkey" not in t.column_names:
+            return pa.table({"l_partkey": pa.array([], type=pa.int64()),
+                             "spread": pa.array([], type=pa.int64()),
+                             "n_lines": pa.array([], type=pa.int64())})
+        pk = np.asarray(t.column("l_partkey"), dtype=np.int64)
+        c = np.floor(np.asarray(t.column("l_extendedprice"))
+                     * 100.0).astype(np.int64)
+        uk, inv = np.unique(pk, return_inverse=True)
+        mn = np.full(len(uk), np.iinfo(np.int64).max)
+        mx = np.full(len(uk), np.iinfo(np.int64).min)
+        np.minimum.at(mn, inv, c)
+        np.maximum.at(mx, inv, c)
+        return pa.table({"l_partkey": pa.array(uk),
+                         "spread": pa.array(mx - mn),
+                         "n_lines": pa.array(
+                             np.bincount(inv).astype(np.int64))})
+
+    per_part = group_apply_tasks(li, ["l_partkey"], _mm)
+    top = (per_part.sort(["spread", "l_partkey"],
+                         descending=[True, False])
+           .limit(SPREAD_TOPK).take_all())
+    return pa.table({
+        "l_partkey": pa.array([r["l_partkey"] for r in top],
+                              type=pa.int64()),
+        "spread": pa.array([r["spread"] for r in top],
+                           type=pa.int64()),
+        "n_lines": pa.array([r["n_lines"] for r in top],
+                            type=pa.int64()),
+    })
+
+
+def q_order_lines_hist(sf_dir: str):
+    """Order-size distribution: how many orders have k lineitems —
+    the fan-out histogram. One orderkey-keyed partial + bounded
+    histogram combine."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks, group_sum_per_key
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]
+    )
+
+    def _p(b: pa.Table) -> pa.Table:
+        uk, c = group_sum_per_key(
+            np.ones(b.num_rows),
+            np.asarray(b.column("l_orderkey"), dtype=np.int64))
+        return pa.table({"l_orderkey": pa.array(uk),
+                         "c": pa.array(c.astype(np.int64))})
+
+    def _m(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_orderkey" not in t.column_names:
+            return pa.table({"k": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        uk, s = group_sum_per_key(
+            np.asarray(t.column("c"), dtype=np.float64),
+            np.asarray(t.column("l_orderkey"), dtype=np.int64))
+        kk, n = np.unique(s.astype(np.int64), return_counts=True)
+        return pa.table({"k": pa.array(kk),
+                         "n": pa.array(n.astype(np.int64))})
+
+    parts = group_apply_tasks(
+        li.map_batches(_p, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["l_orderkey"], _m).take_all()
+    agg: dict[int, int] = {}
+    for p in parts:
+        agg[p["k"]] = agg.get(p["k"], 0) + p["n"]
+    ks = sorted(agg)
+    return pa.table({
+        "n_lines": pa.array(ks, type=pa.int64()),
+        "n_orders": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
