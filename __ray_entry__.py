@@ -62,6 +62,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LLM-data layer without a prior driver row (+ refactored dedup)
         # wave 14 (newest = highest regression risk)
         # wave 15
+        # wave 39
+        "source_vocab_jaccard": q.q_source_vocab_jaccard,
+        "party_unpivot": q.q_party_unpivot,
+        "modal_transition": q.q_modal_transition,
+        "iceberg_cells": q.q_iceberg_cells,
+        "churn_flags": q.q_churn_flags,
         # wave 38
         "lang_confusion": q.q_lang_confusion,
         "dag_path_counts": q.q_dag_path_counts,
@@ -103,20 +109,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trigram_l1": q.q_trigram_l1,
         "segment_momentum": q.q_segment_momentum,
         # wave 30
-        "filter_funnel": q.q_filter_funnel,
         "dup_size_hist": q.q_dup_size_hist,
         # wave 29
         "pixel_hist": q.q_pixel_hist,
         # wave 28
         # wave 27
-        "peak_hour_load": q.q_peak_hour_load,
         # wave 26
-        "continuation_counts": q.q_continuation_counts,
         "video_motion": q.q_video_motion,
         # wave 25
         # wave 24
-        "first_response": q.q_first_response,
-        "order_gap_stats": q.q_order_gap_stats,
         "vertex_cover": q.q_vertex_cover,
         "k_center": q.q_k_center,
         # wave 23
@@ -133,6 +134,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
+        "continuation_counts": q.q_continuation_counts,  # token shuffle: source_vocab_jaccard in-window
+        "peak_hour_load": q.q_peak_hour_load,  # modal cell: modal_transition/iceberg_cells in-window
+        "first_response": q.q_first_response,  # forward as-of: asof_click in-window
+        "order_gap_stats": q.q_order_gap_stats,  # LAG gap stats: churn_flags/user-window family in-window
+        "filter_funnel": q.q_filter_funnel,  # staged audit: churn_flags/iceberg_cells in-window
         "quality_by_lang": q.q_quality_by_lang,  # per-lang token stats: pos_profile/digit_ratio in-window
         "dag_layers": q.q_dag_layers,  # max-plus DAG rounds: dag_path_counts in-window
         "supplier_hhi": q.q_supplier_hhi,  # concentration agg: price_spread/order_lines_hist in-window
@@ -555,6 +561,11 @@ def oracle_sql() -> dict[str, str]:
         "triplet_violations": o.triplet_violations(q.TRIP_N),
         "data_split": o.data_split(q.SPLIT_TRAIN, q.SPLIT_VAL),
         "lang_confusion": o.lang_confusion(),
+        "source_vocab_jaccard": o.source_vocab_jaccard(q.SVJ_TOPK),
+        "party_unpivot": o.party_unpivot(),
+        "modal_transition": o.modal_transition(),
+        "iceberg_cells": o.iceberg_cells(q.ICE_MIN),
+        "churn_flags": o.churn_flags(q.CHURN_DAYS),
         "dag_path_counts": o.dag_path_counts(q.DAG_ITERS, q.PATHC_MOD),
         "pos_profile": o.pos_profile(q.POS_HEAD),
         "price_spread": o.price_spread(q.SPREAD_TOPK),

@@ -6080,3 +6080,114 @@ SELECT CAST(k AS BIGINT) AS n_lines, CAST(count(*) AS BIGINT)
   AS n_orders
 FROM c GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 39: source vocabulary Jaccard, unpivot, modal transition,
+# iceberg cells, churn flags
+# ---------------------------------------------------------------------------
+
+
+def source_vocab_jaccard(k: int = 25) -> str:
+    """Top-k source pairs by shared distinct tokens + vocab sizes (twin
+    of `queries.q_source_vocab_jaccard`)."""
+    return f"""
+WITH ts AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS tok, source
+  FROM documents
+),
+inter AS (
+  SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT)
+    AS inter
+  FROM ts a JOIN ts b ON b.tok = a.tok AND a.source < b.source
+  GROUP BY 1, 2
+),
+vocab AS (SELECT source, CAST(count(*) AS BIGINT) AS v
+          FROM ts GROUP BY 1)
+SELECT sa, sb, inter, va.v AS na, vb.v AS nb
+FROM inter JOIN vocab va ON va.source = inter.sa
+           JOIN vocab vb ON vb.source = inter.sb
+ORDER BY inter DESC, sa, sb
+LIMIT {k}
+"""
+
+
+def party_unpivot() -> str:
+    """Wide party profile unpivoted to long form (twin of
+    `queries.q_party_unpivot`)."""
+    return """
+WITH p AS (
+  SELECT c_nationkey AS nk, 'c' AS role,
+         CAST(floor(c_acctbal * 100) AS BIGINT) AS cents FROM customer
+  UNION ALL
+  SELECT s_nationkey, 's', CAST(floor(s_acctbal * 100) AS BIGINT)
+  FROM supplier
+),
+wide AS (
+  SELECT n_name,
+         CAST(sum(CASE WHEN role = 'c' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_customers,
+         CAST(sum(CASE WHEN role = 's' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_suppliers,
+         CAST(sum(CASE WHEN role = 'c' THEN cents ELSE 0 END)
+              AS BIGINT) AS cust_bal_cents,
+         CAST(sum(CASE WHEN role = 's' THEN cents ELSE 0 END)
+              AS BIGINT) AS supp_bal_cents
+  FROM p JOIN nation ON n_nationkey = nk
+  GROUP BY 1
+)
+SELECT n_name, 'n_customers' AS metric, n_customers AS value FROM wide
+UNION ALL
+SELECT n_name, 'n_suppliers', n_suppliers FROM wide
+UNION ALL
+SELECT n_name, 'cust_bal_cents', cust_bal_cents FROM wide
+UNION ALL
+SELECT n_name, 'supp_bal_cents', supp_bal_cents FROM wide
+"""
+
+
+def modal_transition() -> str:
+    """Per from-type modal next type (twin of
+    `queries.q_modal_transition`)."""
+    return """
+WITH o AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+c AS (SELECT event_type AS from_type, nxt AS to_type,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY from_type
+                                   ORDER BY cnt DESC, to_type) AS rn
+      FROM c)
+SELECT from_type, to_type, cnt FROM r WHERE rn = 1
+"""
+
+
+def iceberg_cells(minc: int = 12) -> str:
+    """(type, hour) cells above threshold (twin of
+    `queries.q_iceberg_cells`)."""
+    return f"""
+SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM events GROUP BY 1, 2
+HAVING count(*) >= {minc}
+"""
+
+
+def churn_flags(days: int = 7) -> str:
+    """Inactive-user counts vs the trailing cutoff (twin of
+    `queries.q_churn_flags`)."""
+    return f"""
+WITH u AS (SELECT user_id, max(epoch_us(ts)) AS mx
+           FROM events GROUP BY 1),
+g AS (SELECT max(mx) AS gmax FROM u)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN mx < gmax - {days} * 86400000000::BIGINT
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+       CAST(min(gmax - {days} * 86400000000::BIGINT) AS BIGINT)
+         AS cutoff_us
+FROM u, g
+"""

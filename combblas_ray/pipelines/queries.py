@@ -11818,3 +11818,232 @@ def q_order_lines_hist(sf_dir: str):
         "n_lines": pa.array(ks, type=pa.int64()),
         "n_orders": pa.array([agg[k] for k in ks], type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 39: source vocabulary Jaccard, unpivot, modal transition,
+# iceberg cells, churn flags
+# ---------------------------------------------------------------------------
+
+SVJ_TOPK = 25
+
+
+def q_source_vocab_jaccard(sf_dir: str):
+    """Source-pair vocabulary overlap: for the SVJ_TOPK source pairs by
+    shared distinct tokens, the intersection size plus both vocabulary
+    sizes (Jaccard = inter / (na + nb - inter), left rational) — the
+    corpus-slice similarity matrix. Distinct (token, source) pairs ->
+    one token shuffle -> per-token source-pair expansion (sources are
+    bounded) -> bounded pair counts."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+    from ..functions.text import tokens_list
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        toks = tokens_list(b)
+        flat = np.asarray(pc.list_flatten(toks)).astype(str)
+        par = np.asarray(pc.list_parent_indices(toks))
+        src = np.asarray(b.column("source")).astype(str)[par]
+        key = np.char.add(np.char.add(flat, "\x1f"), src)
+        uk = np.unique(key)
+        sp = np.char.partition(uk, "\x1f")
+        return pa.table({"tok": pa.array(sp[:, 0].tolist(),
+                                         type=pa.string()),
+                         "source": pa.array(sp[:, 2].tolist(),
+                                            type=pa.string())})
+
+    pairs = docs.map_batches(_pairs, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def _expand(t: pa.Table) -> pa.Table:
+        empty = pa.table({"sa": pa.array([], type=pa.string()),
+                          "sb": pa.array([], type=pa.string()),
+                          "inter": pa.array([], type=pa.int64()),
+                          "size1": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "tok" not in t.column_names:
+            return empty
+        tok = np.asarray(t.column("tok")).astype(str)
+        src = np.asarray(t.column("source")).astype(str)
+        key = np.char.add(np.char.add(tok, "\x1f"), src)
+        uk = np.unique(key)
+        sp = np.char.partition(uk, "\x1f")
+        ut, tinv = np.unique(sp[:, 0], return_inverse=True)
+        ss = sp[:, 2]
+        order = np.argsort(tinv, kind="stable")
+        tinv_s, ss_s = tinv[order], ss[order]
+        starts = np.nonzero(np.concatenate(
+            ([True], tinv_s[1:] != tinv_s[:-1])))[0]
+        ends = np.concatenate((starts[1:], [len(tinv_s)]))
+        cnt: dict[tuple, int] = {}
+        size: dict[str, int] = {}
+        for a, z in zip(starts, ends):
+            row = sorted(ss_s[a:z])
+            for x in row:
+                size[x] = size.get(x, 0) + 1
+            for i in range(len(row)):
+                for j in range(i + 1, len(row)):
+                    k = (row[i], row[j])
+                    cnt[k] = cnt.get(k, 0) + 1
+        out_a = [k[0] for k in cnt] + list(size)
+        out_b = [k[1] for k in cnt] + [""] * len(size)
+        out_i = [cnt[k] for k in cnt] + [0] * len(size)
+        out_s = [0] * len(cnt) + [size[s] for s in size]
+        return pa.table({"sa": pa.array(out_a, type=pa.string()),
+                         "sb": pa.array(out_b, type=pa.string()),
+                         "inter": pa.array(out_i, type=pa.int64()),
+                         "size1": pa.array(out_s, type=pa.int64())})
+
+    parts = group_apply_tasks(pairs, ["tok"], _expand).take_all()
+    inter: dict[tuple, int] = {}
+    vocab: dict[str, int] = {}
+    for p in parts:
+        if p["sb"]:
+            k = (p["sa"], p["sb"])
+            inter[k] = inter.get(k, 0) + p["inter"]
+        else:
+            vocab[p["sa"]] = vocab.get(p["sa"], 0) + p["size1"]
+    top = sorted(inter, key=lambda k: (-inter[k], k))[:SVJ_TOPK]
+    return pa.table({
+        "sa": pa.array([k[0] for k in top], type=pa.string()),
+        "sb": pa.array([k[1] for k in top], type=pa.string()),
+        "inter": pa.array([inter[k] for k in top], type=pa.int64()),
+        "na": pa.array([vocab[k[0]] for k in top], type=pa.int64()),
+        "nb": pa.array([vocab[k[1]] for k in top], type=pa.int64()),
+    })
+
+
+def q_party_unpivot(sf_dir: str):
+    """UNPIVOT (melt): the per-nation wide party profile unpivoted to
+    (nation, metric, value) long form — the wide-to-long reshape
+    class. Rides the `party_counts` machinery; bounded output."""
+    wide = q_party_counts(sf_dir)
+    names = np.asarray(wide.column("n_name")).astype(str)
+    metrics = ["n_customers", "n_suppliers", "cust_bal_cents",
+               "supp_bal_cents"]
+    out_n, out_m, out_v = [], [], []
+    for m in metrics:
+        vals = np.asarray(wide.column(m), dtype=np.int64)
+        out_n.extend(names.tolist())
+        out_m.extend([m] * len(names))
+        out_v.extend(vals.tolist())
+    return pa.table({
+        "n_name": pa.array(out_n, type=pa.string()),
+        "metric": pa.array(out_m, type=pa.string()),
+        "value": pa.array(out_v, type=pa.int64()),
+    })
+
+
+def q_modal_transition(sf_dir: str):
+    """Markov summary: per from-type, the modal next type (tie ->
+    alphabetical) with its count — the transition-matrix argmax row,
+    riding `transition_counts`."""
+    t = q_transition_counts(sf_dir)
+    frm = np.asarray(t.column("from_type")).astype(str)
+    to = np.asarray(t.column("to_type")).astype(str)
+    cnt = np.asarray(t.column("cnt"), dtype=np.int64)
+    best: dict[str, tuple] = {}
+    for f, tt, c in zip(frm, to, cnt):
+        cur = best.get(f)
+        if cur is None or (-c, tt) < (-cur[1], cur[0]):
+            best[f] = (tt, c)
+    ks = sorted(best)
+    return pa.table({
+        "from_type": pa.array(ks, type=pa.string()),
+        "to_type": pa.array([best[k][0] for k in ks],
+                            type=pa.string()),
+        "cnt": pa.array([best[k][1] for k in ks], type=pa.int64()),
+    })
+
+
+ICE_MIN = 12
+
+
+def q_iceberg_cells(sf_dir: str):
+    """Iceberg aggregate: only the (event_type, hour-of-day) cells with
+    at least ICE_MIN events surface — the classic iceberg query,
+    bounded partials + threshold at the combine."""
+    import ray
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def _part(b: pa.Table) -> pa.Table:
+        t = np.asarray(b.column("ts")).astype("datetime64[us]").astype(
+            np.int64)
+        hour = (t // 3_600_000_000) % 24
+        et = np.asarray(b.column("event_type")).astype(str)
+        key = np.char.add(np.char.add(et, "\x1f"), hour.astype(str))
+        uk, c = np.unique(key, return_counts=True)
+        sp = np.char.partition(uk, "\x1f")
+        return pa.table({"event_type": pa.array(sp[:, 0].tolist(),
+                                                type=pa.string()),
+                         "hour": pa.array([int(x) for x in sp[:, 2]],
+                                          type=pa.int64()),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    parts = ev.map_batches(_part, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    agg: dict[tuple, int] = {}
+    for p in parts:
+        k = (p["event_type"], p["hour"])
+        agg[k] = agg.get(k, 0) + p["cnt"]
+    ks = sorted(k for k in agg if agg[k] >= ICE_MIN)
+    return pa.table({
+        "event_type": pa.array([k[0] for k in ks], type=pa.string()),
+        "hour": pa.array([k[1] for k in ks], type=pa.int64()),
+        "cnt": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
+
+
+CHURN_DAYS = 7
+
+
+def q_churn_flags(sf_dir: str):
+    """Churn audit: users whose LAST event precedes the corpus maximum
+    timestamp by more than CHURN_DAYS days — (n_users, n_churned,
+    cutoff_us). Per-user max via one keyed reduce; the global max is a
+    scalar pass."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks, group_reduce_per_key
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def _mx(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b.column("user_id"), dtype=np.int64)
+        t = np.asarray(b.column("ts")).astype("datetime64[us]").astype(
+            np.int64)
+        uk, m = group_reduce_per_key(t.astype(np.float64), uid, "max")
+        return pa.table({"user_id": pa.array(uk),
+                         "mx": pa.array(m.astype(np.int64))})
+
+    def _mm(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "mx": pa.array([], type=pa.int64())})
+        uk, m = group_reduce_per_key(
+            np.asarray(t.column("mx"), dtype=np.float64),
+            np.asarray(t.column("user_id"), dtype=np.int64), "max")
+        return pa.table({"user_id": pa.array(uk),
+                         "mx": pa.array(m.astype(np.int64))})
+
+    per_user = group_apply_tasks(
+        ev.map_batches(_mx, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["user_id"], _mm).take_all()
+    gmax = max(p["mx"] for p in per_user)
+    cutoff = gmax - CHURN_DAYS * 86_400_000_000
+    churned = sum(1 for p in per_user if p["mx"] < cutoff)
+    return pa.table({
+        "n_users": pa.array([len(per_user)], type=pa.int64()),
+        "n_churned": pa.array([churned], type=pa.int64()),
+        "cutoff_us": pa.array([cutoff], type=pa.int64()),
+    })
