@@ -62,6 +62,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LLM-data layer without a prior driver row (+ refactored dedup)
         # wave 14 (newest = highest regression risk)
         # wave 15
+        # wave 40
+        "lcc_share": q.q_lcc_share,
+        "top_spenders_ties": q.q_top_spenders_ties,
+        "nbr_lang_div": q.q_nbr_lang_div,
+        "segment_median": q.q_segment_median,
+        "farthest_pair": q.q_farthest_pair,
         # wave 39
         "source_vocab_jaccard": q.q_source_vocab_jaccard,
         "party_unpivot": q.q_party_unpivot,
@@ -85,13 +91,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_concurrency": q.q_peak_concurrency,
         "price_quartile_bins": q.q_price_quartile_bins,
         "yoy_movers": q.q_yoy_movers,
-        "max_type_run": q.q_max_type_run,
         # wave 35
         "motif_counts": q.q_motif_counts,
         "digit_ratio": q.q_digit_ratio,
         "basket_triples": q.q_basket_triples,
         "orderkey_gaps": q.q_orderkey_gaps,
-        "user_gap_p95": q.q_user_gap_p95,
         # wave 34
         "knn_curve": q.q_knn_curve,
         "systematic_sample": q.q_systematic_sample,
@@ -99,8 +103,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dominant_dim_hist": q.q_dominant_dim_hist,
         # wave 33
         "closed_walks4": q.q_closed_walks4,
-        "token_intersect": q.q_token_intersect,
-        "pareto80": q.q_pareto80,
         # wave 32
         "supplies_all": q.q_supplies_all,
         "range_frame_sum": q.q_range_frame_sum,
@@ -119,7 +121,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 25
         # wave 24
         "vertex_cover": q.q_vertex_cover,
-        "k_center": q.q_k_center,
         # wave 23
         # wave 22
         # wave 21
@@ -134,6 +135,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
+        "pareto80": q.q_pareto80,  # desc-rank coverage: top_spenders_ties in-window
+        "user_gap_p95": q.q_user_gap_p95,  # per-entity quantile: segment_median in-window
+        "token_intersect": q.q_token_intersect,  # bag overlap: source_vocab_jaccard in-window
+        "k_center": q.q_k_center,  # coreset argmax: farthest_pair in-window
+        "max_type_run": q.q_max_type_run,  # categorical RLE: lag2_match/churn window family in-window
         "continuation_counts": q.q_continuation_counts,  # token shuffle: source_vocab_jaccard in-window
         "peak_hour_load": q.q_peak_hour_load,  # modal cell: modal_transition/iceberg_cells in-window
         "first_response": q.q_first_response,  # forward as-of: asof_click in-window
@@ -562,6 +568,11 @@ def oracle_sql() -> dict[str, str]:
         "data_split": o.data_split(q.SPLIT_TRAIN, q.SPLIT_VAL),
         "lang_confusion": o.lang_confusion(),
         "source_vocab_jaccard": o.source_vocab_jaccard(q.SVJ_TOPK),
+        "lcc_share": o.lcc_share(q.CC_ITERS),
+        "top_spenders_ties": o.top_spenders_ties(q.RANK_CUT),
+        "nbr_lang_div": o.nbr_lang_div(),
+        "segment_median": o.segment_median(),
+        "farthest_pair": o.farthest_pair(q.FP_N),
         "party_unpivot": o.party_unpivot(),
         "modal_transition": o.modal_transition(),
         "iceberg_cells": o.iceberg_cells(q.ICE_MIN),

@@ -6191,3 +6191,97 @@ SELECT CAST(count(*) AS BIGINT) AS n_users,
          AS cutoff_us
 FROM u, g
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 40: LCC share, rank-cut top spenders, neighborhood diversity,
+# segment median, farthest pair
+# ---------------------------------------------------------------------------
+
+
+@_materialized
+def lcc_share(iters: int = 12) -> str:
+    """Largest-component summary over the fixed CC rounds (twin of
+    `queries.q_lcc_share`)."""
+    base = connected_components(iters)
+    tail = base.rindex("SELECT v.label AS label")
+    final = base[tail:].split("FROM ")[1].split(" ")[0].strip()
+    return base[:tail] + f"""
+, sizes AS (SELECT comp, CAST(count(*) AS BIGINT) AS sz
+            FROM {final} GROUP BY comp)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM verts) AS n,
+       (SELECT CAST(max(sz) AS BIGINT) FROM sizes) AS lcc_size,
+       (SELECT CAST(count(*) AS BIGINT) FROM sizes) AS n_components
+"""
+
+
+def top_spenders_ties(cut: int = 5) -> str:
+    """RANK <= cut with ties included (twin of
+    `queries.q_top_spenders_ties`)."""
+    return f"""
+WITH s AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+),
+r AS (SELECT *, rank() OVER (ORDER BY cents DESC) AS rk FROM s)
+SELECT o_custkey, cents FROM r WHERE rk <= {cut}
+"""
+
+
+@_materialized
+def nbr_lang_div() -> str:
+    """Distinct out-neighbor languages per vertex, histogrammed (twin
+    of `queries.q_nbr_lang_div`)."""
+    return PREFIX + """
+, pairs AS (
+  SELECT DISTINCT e.src AS v, e.dst % 4 AS lg FROM edges e
+),
+div AS (SELECT v, CAST(count(*) AS BIGINT) AS k FROM pairs GROUP BY 1)
+SELECT k AS n_langs, CAST(count(*) AS BIGINT) AS n_vertices
+FROM div GROUP BY 1
+"""
+
+
+def segment_median() -> str:
+    """Per-segment lower-median order cents (twin of
+    `queries.q_segment_median`)."""
+    return """
+WITH b AS (
+  SELECT c_mktsegment, CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders JOIN customer ON c_custkey = o_custkey
+),
+r AS (
+  SELECT c_mktsegment, c,
+         row_number() OVER (PARTITION BY c_mktsegment ORDER BY c)
+           AS rn,
+         count(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM b
+)
+SELECT c_mktsegment, CAST(c AS BIGINT) AS median_cents,
+       CAST(n AS BIGINT) AS n_orders
+FROM r WHERE rn = (n + 1) // 2
+"""
+
+
+def farthest_pair(nvec: int = 128, dim: int = 64,
+                  qscale: int = 1 << 20) -> str:
+    """Minimum-dot pair among the sample (twin of
+    `queries.q_farthest_pair`)."""
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id, CAST(g.d AS BIGINT) AS dim,
+         CAST(floor((CAST(embedding[CAST(g.d AS INT)] AS DOUBLE) + 0.5)
+                    * {qscale}) AS BIGINT) AS q
+  FROM embeddings CROSS JOIN generate_series(1, {dim}) g(d)
+  WHERE vec_id < {nvec}
+),
+dots AS (
+  SELECT a.vec_id AS i, b.vec_id AS j, sum(a.q * b.q) AS dot
+  FROM q a JOIN q b ON b.dim = a.dim AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT i, j, CAST(dot AS BIGINT) AS dot
+FROM dots ORDER BY dot, i, j LIMIT 1
+"""

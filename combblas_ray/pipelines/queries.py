@@ -12047,3 +12047,250 @@ def q_churn_flags(sf_dir: str):
         "n_churned": pa.array([churned], type=pa.int64()),
         "cutoff_us": pa.array([cutoff], type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 40: LCC share, rank-cut top spenders, neighborhood diversity,
+# segment median, farthest pair
+# ---------------------------------------------------------------------------
+
+
+def q_lcc_share(sf_dir: str):
+    """Largest-connected-component summary: total vertices, LCC size
+    and component count after the fixed CC rounds — the connectivity
+    health metric riding `cc_fixed`."""
+    ctx = get_context(sf_dir)
+    comp = alg.cc_fixed(ctx.engine("sym"), CC_ITERS)
+    _, counts = np.unique(comp, return_counts=True)
+    return pa.table({
+        "n": pa.array([ctx.n], type=pa.int64()),
+        "lcc_size": pa.array([int(counts.max())], type=pa.int64()),
+        "n_components": pa.array([len(counts)], type=pa.int64()),
+    })
+
+
+RANK_CUT = 5
+
+
+def q_top_spenders_ties(sf_dir: str):
+    """Top spenders by RANK <= RANK_CUT with TIES INCLUDED — RANK-cut
+    semantics (can return more rows than the cut when boundary spends
+    tie), vs LIMIT's arbitrary tie truncation. Per-customer spend via
+    one keyed reduce; the boundary value from the bounded descending
+    histogram; final filter streams."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks, group_sum_per_key
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def _p(b: pa.Table) -> pa.Table:
+        cents = np.floor(np.asarray(b.column("o_totalprice")) * 100.0)
+        uk, s = group_sum_per_key(
+            cents, np.asarray(b.column("o_custkey"), dtype=np.int64))
+        return pa.table({"o_custkey": pa.array(uk),
+                         "cents": pa.array(s.astype(np.int64))})
+
+    def _m(t: pa.Table) -> pa.Table:
+        uk, s = group_sum_per_key(
+            np.asarray(t.column("cents"), dtype=np.float64),
+            np.asarray(t.column("o_custkey"), dtype=np.int64))
+        return pa.table({"o_custkey": pa.array(uk),
+                         "cents": pa.array(s.astype(np.int64))})
+
+    spend = group_apply_tasks(
+        orders.map_batches(_p, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["o_custkey"], _m).materialize()
+
+    def _h(b: pa.Table) -> pa.Table:
+        c = np.asarray(b.column("cents"), dtype=np.int64)
+        uk, n = np.unique(c, return_counts=True)
+        return pa.table({"c": pa.array(uk),
+                         "n": pa.array(n.astype(np.int64))})
+
+    parts = spend.map_batches(_h, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all()
+    hist: dict[int, int] = {}
+    for p in parts:
+        hist[p["c"]] = hist.get(p["c"], 0) + p["n"]
+    # RANK() over cents DESC: rank of value v = 1 + #customers above v;
+    # keep values whose rank <= RANK_CUT
+    acc = 0
+    cutoff = None
+    for c in sorted(hist, reverse=True):
+        if acc + 1 <= RANK_CUT:
+            cutoff = c
+        else:
+            break
+        acc += hist[c]
+    out = spend.map_batches(
+        lambda t, _cut=cutoff: t.filter(pa.array(
+            np.asarray(t.column("cents"), dtype=np.int64) >= _cut)),
+        batch_format="pyarrow").take_all()
+    rows = sorted(((-r["cents"], r["o_custkey"]) for r in out))
+    return pa.table({
+        "o_custkey": pa.array([r[1] for r in rows], type=pa.int64()),
+        "cents": pa.array([-r[0] for r in rows], type=pa.int64()),
+    })
+
+
+def q_nbr_lang_div(sf_dir: str):
+    """Attribute neighborhood diversity: per vertex the number of
+    DISTINCT languages among its out-neighbors (lang = arith % 4),
+    histogrammed — how attribute-mixed are egonets? Lang vector
+    broadcast; distinct (src, lang) pairs per batch; one src-keyed
+    shuffle; bounded 0-4 histogram."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ctx = get_context(sf_dir)
+    arith_ref = ray.put(np.asarray(ctx.arith))
+
+    def _pairs(b: pa.Table, *, _ref=arith_ref) -> pa.Table:
+        A = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+        s = np.asarray(b.column("src"), dtype=np.int64)
+        d = np.asarray(b.column("dst"), dtype=np.int64)
+        key = np.unique(s * 4 + (A[d] % 4))
+        return pa.table({"src": pa.array(key // 4),
+                         "lg": pa.array(key % 4)})
+
+    pairs = ctx.edges.map_batches(_pairs, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    def _div(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "src" not in t.column_names:
+            return pa.table({"k": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        key = np.unique(
+            np.asarray(t.column("src"), dtype=np.int64) * 4
+            + np.asarray(t.column("lg"), dtype=np.int64))
+        us, c = np.unique(key // 4, return_counts=True)
+        uk, n = np.unique(c, return_counts=True)
+        return pa.table({"k": pa.array(uk.astype(np.int64)),
+                         "n": pa.array(n.astype(np.int64))})
+
+    parts = group_apply_tasks(pairs, ["src"], _div).take_all()
+    agg: dict[int, int] = {}
+    for p in parts:
+        agg[p["k"]] = agg.get(p["k"], 0) + p["n"]
+    ks = sorted(agg)
+    return pa.table({
+        "n_langs": pa.array(ks, type=pa.int64()),
+        "n_vertices": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
+
+
+def q_segment_median(sf_dir: str):
+    """Per-market-segment lower-median order value (cents) — the
+    grouped order statistic THROUGH a join: segment rides the
+    co-partitioned customer join, medians run whole-group per
+    segment."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks, hash_join_tasks
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    j = hash_join_tasks(orders, cust, on="o_custkey",
+                        right_on="c_custkey")
+
+    def _tag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "c_mktsegment" not in t.column_names:
+            return pa.table({"seg": pa.array([], type=pa.string()),
+                             "cents": pa.array([], type=pa.int64())})
+        return pa.table({
+            "seg": t.column("c_mktsegment"),
+            "cents": pa.array(np.floor(
+                np.asarray(t.column("o_totalprice")) * 100.0
+            ).astype(np.int64)),
+        })
+
+    tagged = j.map_batches(_tag, batch_format="pyarrow")
+
+    def _med(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "seg" not in t.column_names:
+            return pa.table({"c_mktsegment": pa.array([],
+                                                      type=pa.string()),
+                             "median_cents": pa.array([],
+                                                      type=pa.int64()),
+                             "n_orders": pa.array([], type=pa.int64())})
+        seg = np.asarray(t.column("seg")).astype(str)
+        c = np.asarray(t.column("cents"), dtype=np.int64)
+        out_s, out_m, out_n = [], [], []
+        for s in np.unique(seg):
+            v = np.sort(c[seg == s])
+            out_s.append(s)
+            out_m.append(int(v[(len(v) - 1) // 2]))
+            out_n.append(len(v))
+        return pa.table({
+            "c_mktsegment": pa.array(out_s, type=pa.string()),
+            "median_cents": pa.array(out_m, type=pa.int64()),
+            "n_orders": pa.array(out_n, type=pa.int64()),
+        })
+
+    return group_apply_tasks(tagged, ["seg"], _med)
+
+
+FP_N = 128
+
+
+def q_farthest_pair(sf_dir: str):
+    """Most-dissimilar embedding pair among the first FP_N vectors:
+    the (i, j) minimizing the exact integer dot (tie -> (i, j) asc) —
+    the diversity-anchor selection. Matrix broadcast; per-batch argmin
+    partials."""
+    import ray
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id") < FP_N,
+    )
+    rows = emb.take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    tt = pa.table({
+        "vec_id": pa.array([r["vec_id"] for r in rows], type=pa.int64()),
+        "embedding": pa.array([list(r["embedding"]) for r in rows]),
+    })
+    aids, amat = _km_quant(tt)
+    aref = ray.put((aids, amat))
+
+    def _mn(t: pa.Table, *, _ref=aref) -> pa.Table:
+        ai, am = _ref if isinstance(_ref, tuple) else ray.get(_ref)
+        ids, Q = _km_quant(t.select(["vec_id", "embedding"]))
+        if len(ids) == 0:
+            return pa.table({"i": pa.array([], type=pa.int64()),
+                             "j": pa.array([], type=pa.int64()),
+                             "dot": pa.array([], type=pa.int64())})
+        d = Q @ am.T
+        mask = ids[:, None] < ai[None, :]
+        if not mask.any():
+            return pa.table({"i": pa.array([], type=pa.int64()),
+                             "j": pa.array([], type=pa.int64()),
+                             "dot": pa.array([], type=pa.int64())})
+        dm = np.where(mask, d, np.iinfo(np.int64).max)
+        mval = dm.min()
+        rr, cc = np.nonzero(dm == mval)
+        # ties -> globally smallest (i, j): batch row order is not
+        # guaranteed sorted, so resolve over ids explicitly
+        bi, bj = min(zip(ids[rr].tolist(), ai[cc].tolist()))
+        return pa.table({"i": pa.array([int(bi)], type=pa.int64()),
+                         "j": pa.array([int(bj)], type=pa.int64()),
+                         "dot": pa.array([int(mval)],
+                                         type=pa.int64())})
+
+    parts = emb.map_batches(_mn, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all()
+    best = min(((p["dot"], p["i"], p["j"]) for p in parts))
+    return pa.table({
+        "i": pa.array([best[1]], type=pa.int64()),
+        "j": pa.array([best[2]], type=pa.int64()),
+        "dot": pa.array([best[0]], type=pa.int64()),
+    })
