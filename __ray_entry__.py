@@ -62,6 +62,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LLM-data layer without a prior driver row (+ refactored dedup)
         # wave 14 (newest = highest regression risk)
         # wave 15
+        # wave 41
+        "winsorized_stats": q.q_winsorized_stats,
+        "never_discounted": q.q_never_discounted,
+        "label_centroids": q.q_label_centroids,
+        "max_idle_gap": q.q_max_idle_gap,
+        "tok_len_hist": q.q_tok_len_hist,
         # wave 40
         "lcc_share": q.q_lcc_share,
         "top_spenders_ties": q.q_top_spenders_ties,
@@ -77,9 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 38
         "lang_confusion": q.q_lang_confusion,
         "dag_path_counts": q.q_dag_path_counts,
-        "pos_profile": q.q_pos_profile,
         "price_spread": q.q_price_spread,
-        "order_lines_hist": q.q_order_lines_hist,
         # wave 37
         "data_split": q.q_data_split,
         "wedge_sample_est": q.q_wedge_sample_est,
@@ -88,8 +92,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lag2_match": q.q_lag2_match,
         # wave 36
         "triplet_violations": q.q_triplet_violations,
-        "peak_concurrency": q.q_peak_concurrency,
-        "price_quartile_bins": q.q_price_quartile_bins,
         "yoy_movers": q.q_yoy_movers,
         # wave 35
         "motif_counts": q.q_motif_counts,
@@ -100,7 +102,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_curve": q.q_knn_curve,
         "systematic_sample": q.q_systematic_sample,
         "peel_trace": q.q_peel_trace,
-        "dominant_dim_hist": q.q_dominant_dim_hist,
         # wave 33
         "closed_walks4": q.q_closed_walks4,
         # wave 32
@@ -135,6 +136,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
+        "price_quartile_bins": q.q_price_quartile_bins,  # threshold bins: winsorized_stats in-window
+        "peak_concurrency": q.q_peak_concurrency,  # bucket scan combine: max_idle_gap in-window
+        "dominant_dim_hist": q.q_dominant_dim_hist,  # per-dim argmax: label_centroids in-window
+        "pos_profile": q.q_pos_profile,  # positional token stats: tok_len_hist in-window
+        "order_lines_hist": q.q_order_lines_hist,  # fan-out histogram: tok_len_hist/never_discounted in-window
         "pareto80": q.q_pareto80,  # desc-rank coverage: top_spenders_ties in-window
         "user_gap_p95": q.q_user_gap_p95,  # per-entity quantile: segment_median in-window
         "token_intersect": q.q_token_intersect,  # bag overlap: source_vocab_jaccard in-window
@@ -569,6 +575,11 @@ def oracle_sql() -> dict[str, str]:
         "lang_confusion": o.lang_confusion(),
         "source_vocab_jaccard": o.source_vocab_jaccard(q.SVJ_TOPK),
         "lcc_share": o.lcc_share(q.CC_ITERS),
+        "winsorized_stats": o.winsorized_stats(q.WINS_LO, q.WINS_HI),
+        "never_discounted": o.never_discounted(),
+        "label_centroids": o.label_centroids(),
+        "max_idle_gap": o.max_idle_gap(),
+        "tok_len_hist": o.tok_len_hist(),
         "top_spenders_ties": o.top_spenders_ties(q.RANK_CUT),
         "nbr_lang_div": o.nbr_lang_div(),
         "segment_median": o.segment_median(),

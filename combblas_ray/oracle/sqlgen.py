@@ -6285,3 +6285,94 @@ dots AS (
 SELECT i, j, CAST(dot AS BIGINT) AS dot
 FROM dots ORDER BY dot, i, j LIMIT 1
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 41: winsorized stats, never-discounted, label centroids, max
+# idle gap, token-length histogram
+# ---------------------------------------------------------------------------
+
+
+def winsorized_stats(lo: int = 5, hi: int = 95) -> str:
+    """Clipped-sum winsorized statistics (twin of
+    `queries.q_winsorized_stats`)."""
+    return f"""
+WITH b AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events
+),
+r AS (SELECT c, row_number() OVER (ORDER BY c) AS rn,
+             count(*) OVER () AS n
+      FROM b),
+t AS (
+  SELECT
+    (SELECT c FROM r WHERE rn = greatest(1, ({lo} * n + 99) // 100)
+     LIMIT 1) AS lo,
+    (SELECT c FROM r WHERE rn = greatest(1, ({hi} * n + 99) // 100)
+     LIMIT 1) AS hi
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(least(greatest(c, t.lo), t.hi)) AS BIGINT)
+         AS clipped_sum,
+       CAST(min(t.lo) AS BIGINT) AS lo,
+       CAST(min(t.hi) AS BIGINT) AS hi
+FROM b, t
+"""
+
+
+def never_discounted() -> str:
+    """Parts whose max discount is zero (twin of
+    `queries.q_never_discounted`)."""
+    return """
+WITH m AS (
+  SELECT l_partkey,
+         max(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS mx
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(CASE WHEN mx = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS never_discounted
+FROM m
+"""
+
+
+def label_centroids(dim: int = 64, qscale: int = 1 << 20) -> str:
+    """Per-label floor-mean centroids on the quantization (twin of
+    `queries.q_label_centroids`; q >= 0 so DuckDB's truncating //
+    equals floor)."""
+    return f"""
+WITH q AS (
+  SELECT label, CAST(g.d AS BIGINT) - 1 AS dim,
+         CAST(floor((CAST(embedding[CAST(g.d AS INT)] AS DOUBLE) + 0.5)
+                    * {qscale}) AS BIGINT) AS q
+  FROM embeddings CROSS JOIN generate_series(1, {dim}) g(d)
+)
+SELECT CAST(label AS BIGINT) AS label, dim,
+       CAST(sum(q) // count(*) AS BIGINT) AS centroid_q
+FROM q GROUP BY 1, 2
+"""
+
+
+def max_idle_gap() -> str:
+    """Largest global inter-event gap and its start (twin of
+    `queries.q_max_idle_gap`)."""
+    return """
+WITH t AS (SELECT epoch_us(ts) AS t FROM events),
+g AS (
+  SELECT t, lead(t) OVER (ORDER BY t) - t AS gap FROM t
+)
+SELECT CAST(gap AS BIGINT) AS gap_us, CAST(t AS BIGINT) AS at_us
+FROM g WHERE gap IS NOT NULL
+ORDER BY gap DESC, t LIMIT 1
+"""
+
+
+def tok_len_hist() -> str:
+    """Token-length histogram (twin of `queries.q_tok_len_hist`)."""
+    return """
+WITH t AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+)
+SELECT CAST(length(tok) AS BIGINT) AS len,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM t GROUP BY 1
+"""

@@ -12294,3 +12294,257 @@ def q_farthest_pair(sf_dir: str):
         "j": pa.array([best[2]], type=pa.int64()),
         "dot": pa.array([best[0]], type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 41: winsorized stats, never-discounted parts, label centroids,
+# max idle gap, token-length histogram
+# ---------------------------------------------------------------------------
+
+WINS_LO, WINS_HI = 5, 95
+
+
+def q_winsorized_stats(sf_dir: str):
+    """Winsorized event-value statistics: cents clipped to the [p5,
+    p95] discrete thresholds before summing — the outlier-robust mean
+    numerator (n, clipped_sum, lo, hi). Thresholds from the bounded
+    value histogram; one clipping pass."""
+    import ray
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["value"]
+    )
+
+    def _h(b: pa.Table) -> pa.Table:
+        c = np.floor(np.asarray(b.column("value")) * 100.0
+                     + 0.5).astype(np.int64)
+        uk, n = np.unique(c, return_counts=True)
+        return pa.table({"c": pa.array(uk),
+                         "n": pa.array(n.astype(np.int64))})
+
+    parts = ev.map_batches(_h, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    hist: dict[int, int] = {}
+    for p in parts:
+        hist[p["c"]] = hist.get(p["c"], 0) + p["n"]
+    ks = sorted(hist)
+    n = sum(hist.values())
+    ts = []
+    for pctl in (WINS_LO, WINS_HI):
+        rank = max(1, -(-pctl * n // 100))
+        acc = 0
+        for k in ks:
+            acc += hist[k]
+            if acc >= rank:
+                ts.append(k)
+                break
+    lo, hi = ts
+    tref = ray.put((lo, hi))
+
+    def _clip(b: pa.Table, *, _ref=tref) -> pa.Table:
+        l, h = _ref if isinstance(_ref, tuple) else ray.get(_ref)
+        c = np.floor(np.asarray(b.column("value")) * 100.0
+                     + 0.5).astype(np.int64)
+        return pa.table({"s": pa.array([int(np.clip(c, l, h).sum())],
+                                       type=pa.int64()),
+                         "n": pa.array([len(c)], type=pa.int64())})
+
+    parts = ev.map_batches(_clip, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    return pa.table({
+        "n": pa.array([sum(p["n"] for p in parts)], type=pa.int64()),
+        "clipped_sum": pa.array([sum(p["s"] for p in parts)],
+                                type=pa.int64()),
+        "lo": pa.array([lo], type=pa.int64()),
+        "hi": pa.array([hi], type=pa.int64()),
+    })
+
+
+def q_never_discounted(sf_dir: str):
+    """Parts never sold at a discount: parts present in lineitem whose
+    MAX discount is zero — the negative-evidence aggregate (count +
+    total parts). One partkey max-reduce."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks, group_reduce_per_key
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_discount"]
+    )
+
+    def _mx(b: pa.Table) -> pa.Table:
+        dp = np.floor(np.asarray(b.column("l_discount")) * 100.0
+                      + 0.5).astype(np.int64)
+        uk, m = group_reduce_per_key(
+            dp.astype(np.float64),
+            np.asarray(b.column("l_partkey"), dtype=np.int64), "max")
+        return pa.table({"l_partkey": pa.array(uk),
+                         "mx": pa.array(m.astype(np.int64))})
+
+    def _mm(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_partkey" not in t.column_names:
+            return pa.table({"tot": pa.array([], type=pa.int64()),
+                             "nz": pa.array([], type=pa.int64())})
+        uk, m = group_reduce_per_key(
+            np.asarray(t.column("mx"), dtype=np.float64),
+            np.asarray(t.column("l_partkey"), dtype=np.int64), "max")
+        return pa.table({"tot": pa.array([len(uk)], type=pa.int64()),
+                         "nz": pa.array([int((m == 0).sum())],
+                                        type=pa.int64())})
+
+    parts = group_apply_tasks(
+        li.map_batches(_mx, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["l_partkey"], _mm).take_all()
+    return pa.table({
+        "n_parts": pa.array([sum(p["tot"] for p in parts)],
+                            type=pa.int64()),
+        "never_discounted": pa.array([sum(p["nz"] for p in parts)],
+                                     type=pa.int64()),
+    })
+
+
+def q_label_centroids(sf_dir: str):
+    """Per-label centroid floor-means on the quantized embeddings:
+    (label, dim, floor(sum q / n)) — the feature-store class centroid
+    table, exact integers. Bounded (labels x dims) partials."""
+    import ray
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+
+    def _part(b: pa.Table) -> pa.Table:
+        lab = np.asarray(b.column("label"), dtype=np.int64)
+        mat = np.stack([
+            np.floor((np.asarray(e, dtype=np.float64) + 0.5)
+                     * (1 << 20)).astype(np.int64)
+            for e in b.column("embedding").to_pylist()])
+        ul, inv = np.unique(lab, return_inverse=True)
+        dims = mat.shape[1]
+        sums = np.zeros((len(ul), dims), dtype=np.int64)
+        np.add.at(sums, inv, mat)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(ul, dims)),
+            "dim": pa.array(np.tile(np.arange(dims, dtype=np.int64),
+                                    len(ul))),
+            "s": pa.array(sums.reshape(-1)),
+            "n": pa.array(np.repeat(cnt, dims)),
+        })
+
+    parts = emb.map_batches(_part, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all()
+    agg: dict[tuple, list[int]] = {}
+    for p in parts:
+        k = (p["label"], p["dim"])
+        e = agg.setdefault(k, [0, 0])
+        e[0] += p["s"]
+        e[1] += p["n"]
+    ks = sorted(agg)
+    # floor division of possibly-negative sums: Python // floors ✓
+    return pa.table({
+        "label": pa.array([k[0] for k in ks], type=pa.int64()),
+        "dim": pa.array([k[1] for k in ks], type=pa.int64()),
+        "centroid_q": pa.array([agg[k][0] // agg[k][1] for k in ks],
+                               type=pa.int64()),
+    })
+
+
+def q_max_idle_gap(sf_dir: str):
+    """Largest idle gap in the GLOBAL event stream: the maximum
+    difference between consecutive event timestamps and when it starts
+    — a two-phase distributed adjacent scan (per day-bucket: min, max
+    and max internal gap; the driver chains bounded bucket summaries,
+    adding the cross-bucket boundary gaps)."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts"]
+    )
+    BUCKET_US = 86_400_000_000
+
+    def _b(b: pa.Table) -> pa.Table:
+        t = np.asarray(b.column("ts")).astype("datetime64[us]").astype(
+            np.int64)
+        return pa.table({"bucket": pa.array(t // BUCKET_US),
+                         "t": pa.array(t)})
+
+    bt = ev.map_batches(_b, batch_format="pyarrow",
+                        zero_copy_batch=True)
+
+    def _scan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "t" not in t.column_names:
+            return pa.table({"bucket": pa.array([], type=pa.int64()),
+                             "mn": pa.array([], type=pa.int64()),
+                             "mx": pa.array([], type=pa.int64()),
+                             "g": pa.array([], type=pa.int64()),
+                             "at": pa.array([], type=pa.int64())})
+        tt = np.asarray(t.column("t"), dtype=np.int64)
+        bb = np.asarray(t.column("bucket"), dtype=np.int64)
+        out = {"bucket": [], "mn": [], "mx": [], "g": [], "at": []}
+        for b in np.unique(bb):
+            v = np.sort(tt[bb == b])
+            gaps = np.diff(v)
+            if len(gaps):
+                gi = int(np.argmax(gaps))
+                g, at = int(gaps[gi]), int(v[gi])
+            else:
+                g, at = -1, -1
+            out["bucket"].append(int(b))
+            out["mn"].append(int(v[0]))
+            out["mx"].append(int(v[-1]))
+            out["g"].append(g)
+            out["at"].append(at)
+        return pa.table({k: pa.array(vv, type=pa.int64())
+                         for k, vv in out.items()})
+
+    parts = group_apply_tasks(bt, ["bucket"], _scan).take_all()
+    parts.sort(key=lambda p: p["bucket"])
+    best_g, best_at = -1, -1
+    prev_mx = None
+    for p in parts:
+        if prev_mx is not None:
+            bg = p["mn"] - prev_mx
+            if bg > best_g or (bg == best_g and prev_mx < best_at):
+                best_g, best_at = bg, prev_mx
+        if p["g"] > best_g or (p["g"] == best_g and p["at"] < best_at):
+            best_g, best_at = p["g"], p["at"]
+        prev_mx = p["mx"]
+    return pa.table({
+        "gap_us": pa.array([best_g], type=pa.int64()),
+        "at_us": pa.array([best_at], type=pa.int64()),
+    })
+
+
+def q_tok_len_hist(sf_dir: str):
+    """Token-length histogram over the whole corpus (codepoints) —
+    the tokenizer-profile curve, one Arrow pass, bounded partials."""
+    import ray
+
+    from ..functions.text import tokens_list
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+
+    def _part(b: pa.Table) -> pa.Table:
+        toks = tokens_list(b)
+        lens = np.asarray(pc.utf8_length(pc.list_flatten(toks)),
+                          dtype=np.int64)
+        uk, c = np.unique(lens, return_counts=True)
+        return pa.table({"len": pa.array(uk),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    parts = docs.map_batches(_part, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all()
+    agg: dict[int, int] = {}
+    for p in parts:
+        agg[p["len"]] = agg.get(p["len"], 0) + p["cnt"]
+    ks = sorted(agg)
+    return pa.table({
+        "len": pa.array(ks, type=pa.int64()),
+        "cnt": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
