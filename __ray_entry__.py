@@ -62,6 +62,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LLM-data layer without a prior driver row (+ refactored dedup)
         # wave 14 (newest = highest regression risk)
         # wave 15
+        # wave 42
+        "part_growth": q.q_part_growth,
+        "bounce_stats": q.q_bounce_stats,
+        "audio_energy_hist": q.q_audio_energy_hist,
+        "p3_count": q.q_p3_count,
+        "blob_collisions": q.q_blob_collisions,
         # wave 41
         "winsorized_stats": q.q_winsorized_stats,
         "never_discounted": q.q_never_discounted,
@@ -86,7 +92,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_spread": q.q_price_spread,
         # wave 37
         "data_split": q.q_data_split,
-        "wedge_sample_est": q.q_wedge_sample_est,
         "path_unique_audit": q.q_path_unique_audit,
         "ref_integrity": q.q_ref_integrity,
         "lag2_match": q.q_lag2_match,
@@ -94,13 +99,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triplet_violations": q.q_triplet_violations,
         "yoy_movers": q.q_yoy_movers,
         # wave 35
-        "motif_counts": q.q_motif_counts,
         "digit_ratio": q.q_digit_ratio,
         "basket_triples": q.q_basket_triples,
         "orderkey_gaps": q.q_orderkey_gaps,
         # wave 34
-        "knn_curve": q.q_knn_curve,
-        "systematic_sample": q.q_systematic_sample,
         "peel_trace": q.q_peel_trace,
         # wave 33
         "closed_walks4": q.q_closed_walks4,
@@ -118,7 +120,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 28
         # wave 27
         # wave 26
-        "video_motion": q.q_video_motion,
         # wave 25
         # wave 24
         "vertex_cover": q.q_vertex_cover,
@@ -136,6 +137,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
+        "video_motion": q.q_video_motion,  # multimodal actor pool: audio_energy_hist/blob_collisions in-window
+        "wedge_sample_est": q.q_wedge_sample_est,  # wedge joins: p3_count graphlet family in-window
+        "knn_curve": q.q_knn_curve,  # degree curve: p3_count/nbr_lang_div in-window
+        "systematic_sample": q.q_systematic_sample,  # rank sample: data_split in-window
+        "motif_counts": q.q_motif_counts,  # triad census: p3_count/closed_walks4 in-window
         "price_quartile_bins": q.q_price_quartile_bins,  # threshold bins: winsorized_stats in-window
         "peak_concurrency": q.q_peak_concurrency,  # bucket scan combine: max_idle_gap in-window
         "dominant_dim_hist": q.q_dominant_dim_hist,  # per-dim argmax: label_centroids in-window
@@ -576,6 +582,11 @@ def oracle_sql() -> dict[str, str]:
         "source_vocab_jaccard": o.source_vocab_jaccard(q.SVJ_TOPK),
         "lcc_share": o.lcc_share(q.CC_ITERS),
         "winsorized_stats": o.winsorized_stats(q.WINS_LO, q.WINS_HI),
+        "part_growth": o.part_growth(),
+        "bounce_stats": o.bounce_stats(q.SESSION_GAP_MIN),
+        "audio_energy_hist": o.audio_energy_hist(q.AEH_SHIFT),
+        "p3_count": o.p3_count(),
+        "blob_collisions": o.blob_collisions(),
         "never_discounted": o.never_discounted(),
         "label_centroids": o.label_centroids(),
         "max_idle_gap": o.max_idle_gap(),

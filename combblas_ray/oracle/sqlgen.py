@@ -6376,3 +6376,138 @@ SELECT CAST(length(tok) AS BIGINT) AS len,
        CAST(count(*) AS BIGINT) AS cnt
 FROM t GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 42: part growth, bounce rate, audio energy histogram, P3
+# census, blob collisions
+# ---------------------------------------------------------------------------
+
+
+def part_growth() -> str:
+    """First-appearance month per part + cumulative counts (twin of
+    `queries.q_part_growth`)."""
+    return """
+WITH f AS (
+  SELECT l_partkey, min(date_trunc('month', o_orderdate)) AS m
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  GROUP BY 1
+),
+c AS (
+  SELECT CAST(extract(year FROM m) AS BIGINT) AS o_year,
+         CAST(extract(month FROM m) AS BIGINT) AS o_month,
+         CAST(count(*) AS BIGINT) AS new_parts
+  FROM f GROUP BY 1, 2
+)
+SELECT o_year, o_month, new_parts,
+       CAST(SUM(new_parts) OVER (ORDER BY o_year, o_month
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT)
+         AS cum_parts
+FROM c
+"""
+
+
+def bounce_stats(gap_minutes: int = 30) -> str:
+    """Session and bounce counts (twin of `queries.q_bounce_stats`)."""
+    return f"""
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                 > {gap_minutes} * 60000000::BIGINT
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sid AS (
+  SELECT user_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS s
+  FROM o
+),
+sizes AS (SELECT user_id, s, count(*) AS k FROM sid GROUP BY 1, 2)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounce
+FROM sizes
+"""
+
+
+def audio_energy_hist(shift: int = 27, mod: int = 4001) -> str:
+    """Energy-band histogram over the PCM synthesis (twin of
+    `queries.q_audio_energy_hist`)."""
+    return f"""
+WITH dims AS (
+  SELECT doc_id AS item_id,
+         CAST(256 + (doc_id % 4) * 128 AS BIGINT) AS n
+  FROM documents
+),
+s AS (
+  SELECT d.item_id,
+         sum(((r.i * (d.item_id + 11)) % {mod} - 2000)
+             * ((r.i * (d.item_id + 11)) % {mod} - 2000)) AS sq
+  FROM dims d CROSS JOIN range(640) r(i)
+  WHERE r.i < d.n
+  GROUP BY 1
+)
+SELECT CAST(sq >> {shift} AS BIGINT) AS band,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM s GROUP BY 1
+"""
+
+
+@_materialized
+def p3_count() -> str:
+    """3-edge path census closed form (twin of
+    `queries.q_p3_count`)."""
+    return PREFIX + """
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS d
+        FROM und GROUP BY 1),
+ue AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+ms AS (
+  SELECT CAST(sum((da.d - 1) * (db.d - 1)) AS BIGINT) AS s
+  FROM ue JOIN deg da ON da.v = ue.a JOIN deg db ON db.v = ue.b
+),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS t
+  FROM ue x JOIN ue y ON y.a = x.b JOIN ue z ON z.a = x.a
+                                           AND z.b = y.b
+)
+SELECT ms.s AS middle_sum, tri.t AS triangles,
+       CAST(ms.s - 3 * tri.t AS BIGINT) AS p3_paths
+FROM ms, tri
+"""
+
+
+def blob_collisions() -> str:
+    """Image payload (w, h, px_sum) collision audit (twin of
+    `queries.q_blob_collisions`; make_blob arithmetic)."""
+    return """
+WITH dims AS (
+  SELECT doc_id AS item_id,
+         CAST(8 + (doc_id % 5) * 4 AS BIGINT) AS w,
+         CAST(8 + (doc_id % 3) * 4 AS BIGINT) AS h
+  FROM documents
+),
+s AS (
+  SELECT d.item_id, d.w, d.h,
+         sum((r.i * (d.item_id + 7)) % 251) AS px
+  FROM dims d CROSS JOIN range(384) r(i)
+  WHERE r.i < d.w * d.h
+  GROUP BY 1, 2, 3
+),
+g AS (SELECT w, h, px, CAST(count(*) AS BIGINT) AS c
+      FROM s GROUP BY 1, 2, 3)
+SELECT CAST(sum(c) AS BIGINT) AS n_items,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(max(c) AS BIGINT) AS max_group
+FROM g
+"""

@@ -12548,3 +12548,234 @@ def q_tok_len_hist(sf_dir: str):
         "len": pa.array(ks, type=pa.int64()),
         "cnt": pa.array([agg[k] for k in ks], type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 42: part growth curve, bounce rate, audio energy histogram,
+# P3 census, blob collisions
+# ---------------------------------------------------------------------------
+
+
+def q_part_growth(sf_dir: str):
+    """Catalog growth curve: per calendar month, how many parts appear
+    in lineitem-joined orders for the FIRST time, plus the cumulative
+    count — the vocabulary-growth class on the part dimension. First
+    month per part via one keyed min-reduce through the co-partitioned
+    orders join; bounded month histogram + prefix sum."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks, group_reduce_per_key, \
+        hash_join_tasks
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+
+    def _post(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_orderdate" not in t.column_names:
+            return pa.table({"l_partkey": pa.array([], type=pa.int64()),
+                             "mon": pa.array([], type=pa.int64())})
+        mon = (np.asarray(t.column("o_orderdate"))
+               .astype("datetime64[us]").astype("datetime64[M]")
+               .astype(np.int64))
+        pk = np.asarray(t.column("l_partkey"), dtype=np.int64)
+        uk, m = group_reduce_per_key(mon.astype(np.float64), pk, "min")
+        return pa.table({"l_partkey": pa.array(uk),
+                         "mon": pa.array(m.astype(np.int64))})
+
+    partials = hash_join_tasks(li, orders, on="l_orderkey",
+                               right_on="o_orderkey", post=_post)
+
+    def _first(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_partkey" not in t.column_names:
+            return pa.table({"mon": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        uk, m = group_reduce_per_key(
+            np.asarray(t.column("mon"), dtype=np.float64),
+            np.asarray(t.column("l_partkey"), dtype=np.int64), "min")
+        um, c = np.unique(m.astype(np.int64), return_counts=True)
+        return pa.table({"mon": pa.array(um),
+                         "n": pa.array(c.astype(np.int64))})
+
+    parts = group_apply_tasks(partials, ["l_partkey"], _first).take_all()
+    agg: dict[int, int] = {}
+    for p in parts:
+        agg[p["mon"]] = agg.get(p["mon"], 0) + p["n"]
+    ks = sorted(agg)
+    cum = np.cumsum([agg[k] for k in ks])
+    return pa.table({
+        "o_year": pa.array([k // 12 + 1970 for k in ks],
+                           type=pa.int64()),
+        "o_month": pa.array([k % 12 + 1 for k in ks], type=pa.int64()),
+        "new_parts": pa.array([agg[k] for k in ks], type=pa.int64()),
+        "cum_parts": pa.array(cum.astype(np.int64)),
+    })
+
+
+def q_bounce_stats(sf_dir: str):
+    """Session bounce rate: 30-minute-gap sessionization, counting
+    sessions and single-event (bounce) sessions per user stream —
+    the engagement-quality metric riding the `sessions` discipline.
+    One user shuffle, vectorized session-boundary detection."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+    gap_us = SESSION_GAP_MIN * 60_000_000
+
+    def _b(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return pa.table({"ns": pa.array([], type=pa.int64()),
+                             "nb": pa.array([], type=pa.int64())})
+        uid = np.asarray(t.column("user_id"), dtype=np.int64)
+        ts = np.asarray(t.column("ts")).astype("datetime64[us]").astype(
+            np.int64)
+        eid = np.asarray(t.column("event_id"), dtype=np.int64)
+        order = np.lexsort((eid, ts, uid))
+        u, s = uid[order], ts[order]
+        new_sess = np.ones(len(u), dtype=bool)
+        new_sess[1:] = (u[1:] != u[:-1]) | (s[1:] - s[:-1] > gap_us)
+        sid = np.cumsum(new_sess)
+        sizes = np.bincount(sid)[1:]
+        return pa.table({"ns": pa.array([len(sizes)], type=pa.int64()),
+                         "nb": pa.array([int((sizes == 1).sum())],
+                                        type=pa.int64())})
+
+    parts = group_apply_tasks(ev, ["user_id"], _b).take_all()
+    return pa.table({
+        "n_sessions": pa.array([sum(p["ns"] for p in parts)],
+                               type=pa.int64()),
+        "n_bounce": pa.array([sum(p["nb"] for p in parts)],
+                             type=pa.int64()),
+    })
+
+
+AEH_SHIFT = 27
+
+
+def q_audio_energy_hist(sf_dir: str):
+    """Audio energy-band histogram: per payload the int64 energy
+    (sum of squares) bucketed by >> AEH_SHIFT — the loudness-profile
+    audit through the audio actor pool."""
+    from ..functions import multimodal as M
+
+    blobs = M.blob_dataset_from_docs(sf_dir, kind="audio")
+    stats = blobs.map_batches(
+        M.AudioIntStatsStage, batch_format="pyarrow", batch_size=64,
+        concurrency=2,
+    )
+
+    def _h(b: pa.Table) -> pa.Table:
+        e = np.asarray(b.column("sq_sum"), dtype=np.int64) >> AEH_SHIFT
+        uk, c = np.unique(e, return_counts=True)
+        return pa.table({"band": pa.array(uk),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    parts = stats.map_batches(_h, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all()
+    agg: dict[int, int] = {}
+    for p in parts:
+        agg[p["band"]] = agg.get(p["band"], 0) + p["cnt"]
+    ks = sorted(agg)
+    return pa.table({
+        "band": pa.array(ks, type=pa.int64()),
+        "cnt": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
+
+
+def q_p3_count(sf_dir: str):
+    """3-edge path (P4 subgraph) census of the undirected distinct
+    graph via the closed form sum over edges (d(u)-1)(d(v)-1) minus
+    3 * triangles (paths whose middle edge closes a triangle are
+    counted there) — graphlet arithmetic over one degree broadcast +
+    the existing triangle count. One streaming edge pass."""
+    import ray
+
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("sym")
+    deg = eng.in_weights().astype(np.int64)
+    dref = ray.put(deg)
+
+    def _canon(b: pa.Table) -> pa.Table:
+        s = np.asarray(b.column("src"), dtype=np.int64)
+        t = np.asarray(b.column("dst"), dtype=np.int64)
+        keep = s != t
+        u = np.minimum(s[keep], t[keep])
+        v = np.maximum(s[keep], t[keep])
+        return pa.table({"k": pa.array(np.unique(u << 32 | v))})
+
+    canon = ctx.edges.map_batches(_canon, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    from ..core.shuffle import group_apply_tasks
+
+    def _sum(t: pa.Table, *, _ref=dref) -> pa.Table:
+        if t.num_rows == 0 or "k" not in t.column_names:
+            return pa.table({"s": pa.array([], type=pa.int64())})
+        d = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+        e = np.unique(np.asarray(t.column("k"), dtype=np.int64))
+        eu, ev = e >> 32, e & ((1 << 32) - 1)
+        return pa.table({"s": pa.array(
+            [int(((d[eu] - 1) * (d[ev] - 1)).sum())], type=pa.int64())})
+
+    parts = group_apply_tasks(canon, ["k"], _sum).take_all()
+    middle_sum = sum(p["s"] for p in parts)
+    tri = int(np.asarray(
+        q_triangle_count(sf_dir).column("triangles"))[0])
+    return pa.table({
+        "middle_sum": pa.array([middle_sum], type=pa.int64()),
+        "triangles": pa.array([tri], type=pa.int64()),
+        "p3_paths": pa.array([middle_sum - 3 * tri], type=pa.int64()),
+    })
+
+
+def q_blob_collisions(sf_dir: str):
+    """Payload near-collision audit: image payloads grouped by the
+    (width, height, px_sum) content key — collision-group count and
+    the largest group (the cheap multimodal pre-dedup signature).
+    Decode through the actor pool; one key shuffle."""
+    from ..core.shuffle import group_apply_tasks
+    from ..functions import multimodal as M
+
+    blobs = M.blob_dataset_from_docs(sf_dir, kind="image")
+    stats = blobs.map_batches(
+        M.IntStatsStage, batch_format="pyarrow", batch_size=64,
+        concurrency=2,
+    )
+
+    def _key(b: pa.Table) -> pa.Table:
+        w = np.asarray(b.column("width"), dtype=np.int64)
+        h = np.asarray(b.column("height"), dtype=np.int64)
+        s = np.asarray(b.column("px_sum"), dtype=np.int64)
+        return pa.table({"k": pa.array(((w * 64 + h) << 32) | s)})
+
+    keyed = stats.map_batches(_key, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def _g(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "k" not in t.column_names:
+            return pa.table({"n": pa.array([], type=pa.int64()),
+                             "g": pa.array([], type=pa.int64()),
+                             "mx": pa.array([], type=pa.int64())})
+        k = np.asarray(t.column("k"), dtype=np.int64)
+        uk, c = np.unique(k, return_counts=True)
+        return pa.table({"n": pa.array([int(c.sum())], type=pa.int64()),
+                         "g": pa.array([len(uk)], type=pa.int64()),
+                         "mx": pa.array([int(c.max())],
+                                        type=pa.int64())})
+
+    parts = group_apply_tasks(keyed, ["k"], _g).take_all()
+    return pa.table({
+        "n_items": pa.array([sum(p["n"] for p in parts)],
+                            type=pa.int64()),
+        "n_groups": pa.array([sum(p["g"] for p in parts)],
+                             type=pa.int64()),
+        "max_group": pa.array([max(p["mx"] for p in parts)],
+                              type=pa.int64()),
+    })
