@@ -62,6 +62,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LLM-data layer without a prior driver row (+ refactored dedup)
         # wave 14 (newest = highest regression risk)
         # wave 15
+        # wave 43
+        "ks_stat": q.q_ks_stat,
+        "rank_sum_u": q.q_rank_sum_u,
+        "chi2_cells": q.q_chi2_cells,
+        "quarter_top_order": q.q_quarter_top_order,
+        "norm_outliers": q.q_norm_outliers,
         # wave 42
         "part_growth": q.q_part_growth,
         "bounce_stats": q.q_bounce_stats,
@@ -69,7 +75,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "p3_count": q.q_p3_count,
         "blob_collisions": q.q_blob_collisions,
         # wave 41
-        "winsorized_stats": q.q_winsorized_stats,
         "never_discounted": q.q_never_discounted,
         "label_centroids": q.q_label_centroids,
         "max_idle_gap": q.q_max_idle_gap,
@@ -79,7 +84,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_spenders_ties": q.q_top_spenders_ties,
         "nbr_lang_div": q.q_nbr_lang_div,
         "segment_median": q.q_segment_median,
-        "farthest_pair": q.q_farthest_pair,
         # wave 39
         "source_vocab_jaccard": q.q_source_vocab_jaccard,
         "party_unpivot": q.q_party_unpivot,
@@ -87,7 +91,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "iceberg_cells": q.q_iceberg_cells,
         "churn_flags": q.q_churn_flags,
         # wave 38
-        "lang_confusion": q.q_lang_confusion,
         "dag_path_counts": q.q_dag_path_counts,
         "price_spread": q.q_price_spread,
         # wave 37
@@ -97,7 +100,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lag2_match": q.q_lag2_match,
         # wave 36
         "triplet_violations": q.q_triplet_violations,
-        "yoy_movers": q.q_yoy_movers,
         # wave 35
         "digit_ratio": q.q_digit_ratio,
         "basket_triples": q.q_basket_triples,
@@ -112,7 +114,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 31
         "ball_conductance": q.q_ball_conductance,
         "trigram_l1": q.q_trigram_l1,
-        "segment_momentum": q.q_segment_momentum,
         # wave 30
         "dup_size_hist": q.q_dup_size_hist,
         # wave 29
@@ -137,6 +138,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
+        "winsorized_stats": q.q_winsorized_stats,  # value thresholds: ks_stat/rank_sum_u walks in-window
+        "lang_confusion": q.q_lang_confusion,  # grid + margins: chi2_cells in-window
+        "segment_momentum": q.q_segment_momentum,  # time-agg deltas: quarter_top_order/part_growth in-window
+        "farthest_pair": q.q_farthest_pair,  # extremal pair: norm_outliers in-window
+        "yoy_movers": q.q_yoy_movers,  # delta top-k: top_spenders_ties/quarter_top_order in-window
         "video_motion": q.q_video_motion,  # multimodal actor pool: audio_energy_hist/blob_collisions in-window
         "wedge_sample_est": q.q_wedge_sample_est,  # wedge joins: p3_count graphlet family in-window
         "knn_curve": q.q_knn_curve,  # degree curve: p3_count/nbr_lang_div in-window
@@ -583,6 +589,11 @@ def oracle_sql() -> dict[str, str]:
         "lcc_share": o.lcc_share(q.CC_ITERS),
         "winsorized_stats": o.winsorized_stats(q.WINS_LO, q.WINS_HI),
         "part_growth": o.part_growth(),
+        "ks_stat": o.ks_stat(q.KS_TYPE_A, q.KS_TYPE_B),
+        "rank_sum_u": o.rank_sum_u(q.KS_TYPE_A, q.KS_TYPE_B),
+        "chi2_cells": o.chi2_cells(),
+        "quarter_top_order": o.quarter_top_order(),
+        "norm_outliers": o.norm_outliers(q.NORM_TOPK),
         "bounce_stats": o.bounce_stats(q.SESSION_GAP_MIN),
         "audio_energy_hist": o.audio_energy_hist(q.AEH_SHIFT),
         "p3_count": o.p3_count(),

@@ -6511,3 +6511,120 @@ SELECT CAST(sum(c) AS BIGINT) AS n_items,
        CAST(max(c) AS BIGINT) AS max_group
 FROM g
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 43: KS statistic, rank-sum U, chi-square cells, quarterly top
+# order, norm outliers
+# ---------------------------------------------------------------------------
+
+
+def ks_stat(a: str = "click", b: str = "purchase") -> str:
+    """Division-free two-sample KS numerator (twin of
+    `queries.q_ks_stat`)."""
+    return f"""
+WITH v AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events WHERE event_type IN ('{a}', '{b}')
+),
+h AS (
+  SELECT c,
+         sum(CASE WHEN event_type = '{a}' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN event_type = '{b}' THEN 1 ELSE 0 END) AS cb
+  FROM v GROUP BY 1
+),
+n AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM h),
+w AS (
+  SELECT SUM(ca) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cua,
+         SUM(cb) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cub
+  FROM h
+)
+SELECT CAST(max(abs(cua * n.nb - cub * n.na)) AS BIGINT) AS ks_num,
+       CAST(min(n.na) AS BIGINT) AS n_a,
+       CAST(min(n.nb) AS BIGINT) AS n_b
+FROM w, n
+"""
+
+
+def rank_sum_u(a: str = "click", b: str = "purchase") -> str:
+    """Doubled-midrank Mann-Whitney numerators (twin of
+    `queries.q_rank_sum_u`)."""
+    return f"""
+WITH v AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events WHERE event_type IN ('{a}', '{b}')
+),
+h AS (
+  SELECT c,
+         sum(CASE WHEN event_type = '{a}' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN event_type = '{b}' THEN 1 ELSE 0 END) AS cb
+  FROM v GROUP BY 1
+),
+w AS (
+  SELECT ca, cb,
+         SUM(ca + cb) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND 1 PRECEDING) AS pos
+  FROM h
+),
+n AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM h)
+SELECT CAST(sum(((coalesce(pos, 0) + 1)
+                 + (coalesce(pos, 0) + ca + cb)) * ca) AS BIGINT)
+         AS r2_sum_a,
+       CAST(min(n.na) AS BIGINT) AS n_a,
+       CAST(min(n.nb) AS BIGINT) AS n_b
+FROM w, n
+"""
+
+
+def chi2_cells() -> str:
+    """(lang, source) contingency with margins (twin of
+    `queries.q_chi2_cells`)."""
+    return """
+WITH c AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS obs
+  FROM documents GROUP BY 1, 2
+),
+r AS (SELECT lang, sum(obs) AS rn FROM c GROUP BY 1),
+col AS (SELECT source, sum(obs) AS cn FROM c GROUP BY 1),
+g AS (SELECT sum(obs) AS n FROM c)
+SELECT c.lang, c.source, c.obs,
+       CAST(r.rn AS BIGINT) AS row_n, CAST(col.cn AS BIGINT) AS col_n,
+       CAST(g.n AS BIGINT) AS grand_n
+FROM c JOIN r ON r.lang = c.lang JOIN col ON col.source = c.source,
+     g
+"""
+
+
+def quarter_top_order() -> str:
+    """Per-quarter max vs total order cents (twin of
+    `queries.q_quarter_top_order`)."""
+    return """
+SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST((extract(month FROM o_orderdate) - 1) // 3 + 1 AS BIGINT)
+         AS quarter,
+       CAST(max(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS max_cents,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders GROUP BY 1, 2
+"""
+
+
+def norm_outliers(k: int = 5, dim: int = 64,
+                  qscale: int = 1 << 20) -> str:
+    """Top-k quantized squared norms (twin of
+    `queries.q_norm_outliers`)."""
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         CAST(floor((CAST(embedding[CAST(g.d AS INT)] AS DOUBLE) + 0.5)
+                    * {qscale}) AS BIGINT) AS q
+  FROM embeddings CROSS JOIN generate_series(1, {dim}) g(d)
+),
+n2 AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS norm2
+       FROM q GROUP BY 1)
+SELECT vec_id, norm2 FROM n2
+ORDER BY norm2 DESC, vec_id LIMIT {k}
+"""

@@ -12779,3 +12779,237 @@ def q_blob_collisions(sf_dir: str):
         "max_group": pa.array([max(p["mx"] for p in parts)],
                               type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 43: KS statistic, rank-sum U, chi-square cells, quarterly top
+# order, norm outliers
+# ---------------------------------------------------------------------------
+
+KS_TYPE_A, KS_TYPE_B = "click", "purchase"
+
+
+def q_ks_stat(sf_dir: str):
+    """Two-sample Kolmogorov-Smirnov numerator between the value-cents
+    distributions of two event types, division-free: KS = max over the
+    merged value walk of |cum_a * n_b - cum_b * n_a| (the exact
+    cross-multiplied CDF gap), with both sample sizes alongside.
+    Bounded per-type value histograms -> one driver walk."""
+    import ray
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"],
+        filter=pc.field("event_type").isin([KS_TYPE_A, KS_TYPE_B]),
+    )
+
+    def _h(b: pa.Table) -> pa.Table:
+        et = np.asarray(b.column("event_type")).astype(str)
+        c = np.floor(np.asarray(b.column("value")) * 100.0
+                     + 0.5).astype(np.int64)
+        isa = et == KS_TYPE_A
+        out = {}
+        for flag, name in ((isa, 1), (~isa, 0)):
+            uk, n = np.unique(c[flag], return_counts=True)
+            out[name] = (uk, n)
+        return pa.table({
+            "c": pa.array(np.concatenate([out[1][0], out[0][0]])),
+            "is_a": pa.array(np.concatenate(
+                [np.ones(len(out[1][0]), np.int8),
+                 np.zeros(len(out[0][0]), np.int8)])),
+            "n": pa.array(np.concatenate(
+                [out[1][1], out[0][1]]).astype(np.int64)),
+        })
+
+    parts = ev.map_batches(_h, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    ha: dict[int, int] = {}
+    hb: dict[int, int] = {}
+    for p in parts:
+        tgt = ha if p["is_a"] else hb
+        tgt[p["c"]] = tgt.get(p["c"], 0) + p["n"]
+    na, nb = sum(ha.values()), sum(hb.values())
+    ks = 0
+    ca = cb = 0
+    for v in sorted(set(ha) | set(hb)):
+        ca += ha.get(v, 0)
+        cb += hb.get(v, 0)
+        ks = max(ks, abs(ca * nb - cb * na))
+    return pa.table({
+        "ks_num": pa.array([ks], type=pa.int64()),
+        "n_a": pa.array([na], type=pa.int64()),
+        "n_b": pa.array([nb], type=pa.int64()),
+    })
+
+
+def q_rank_sum_u(sf_dir: str):
+    """Mann-Whitney rank-sum numerators between the same two event
+    types: DOUBLED midranks (2 * midrank = min_rank + max_rank of the
+    tie group, integer-exact) summed for sample A, plus both sizes —
+    U follows as n_a*n_b + n_a(n_a+1)/2 - R_a with R_a = r2_sum/2.
+    Bounded value histograms -> one exact driver walk."""
+    import ray
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"],
+        filter=pc.field("event_type").isin([KS_TYPE_A, KS_TYPE_B]),
+    )
+
+    def _h(b: pa.Table) -> pa.Table:
+        et = np.asarray(b.column("event_type")).astype(str)
+        c = np.floor(np.asarray(b.column("value")) * 100.0
+                     + 0.5).astype(np.int64)
+        isa = et == KS_TYPE_A
+        rows_c, rows_f, rows_n = [], [], []
+        for flag, name in ((isa, 1), (~isa, 0)):
+            uk, n = np.unique(c[flag], return_counts=True)
+            rows_c.append(uk)
+            rows_f.append(np.full(len(uk), name, np.int8))
+            rows_n.append(n.astype(np.int64))
+        return pa.table({"c": pa.array(np.concatenate(rows_c)),
+                         "is_a": pa.array(np.concatenate(rows_f)),
+                         "n": pa.array(np.concatenate(rows_n))})
+
+    parts = ev.map_batches(_h, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    ha: dict[int, int] = {}
+    hb: dict[int, int] = {}
+    for p in parts:
+        tgt = ha if p["is_a"] else hb
+        tgt[p["c"]] = tgt.get(p["c"], 0) + p["n"]
+    na, nb = sum(ha.values()), sum(hb.values())
+    r2_sum = 0
+    pos = 0  # ranks assigned so far
+    for v in sorted(set(ha) | set(hb)):
+        ta, tb = ha.get(v, 0), hb.get(v, 0)
+        tie = ta + tb
+        # doubled midrank of the tie group = (pos+1) + (pos+tie)
+        r2 = (pos + 1) + (pos + tie)
+        r2_sum += r2 * ta
+        pos += tie
+    return pa.table({
+        "r2_sum_a": pa.array([r2_sum], type=pa.int64()),
+        "n_a": pa.array([na], type=pa.int64()),
+        "n_b": pa.array([nb], type=pa.int64()),
+    })
+
+
+def q_chi2_cells(sf_dir: str):
+    """Chi-square preparation table for the (lang, source) contingency:
+    per cell the observed count with its row, column and grand totals
+    — everything the test statistic needs, exact integers. Bounded
+    grid partials."""
+    import ray
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source"]
+    )
+
+    def _part(b: pa.Table) -> pa.Table:
+        lng = np.asarray(b.column("lang")).astype(str)
+        src = np.asarray(b.column("source")).astype(str)
+        key = np.char.add(np.char.add(lng, "\x1f"), src)
+        uk, c = np.unique(key, return_counts=True)
+        sp = np.char.partition(uk, "\x1f")
+        return pa.table({"lang": pa.array(sp[:, 0].tolist(),
+                                          type=pa.string()),
+                         "source": pa.array(sp[:, 2].tolist(),
+                                            type=pa.string()),
+                         "obs": pa.array(c.astype(np.int64))})
+
+    parts = docs.map_batches(_part, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all()
+    agg: dict[tuple, int] = {}
+    for p in parts:
+        k = (p["lang"], p["source"])
+        agg[k] = agg.get(k, 0) + p["obs"]
+    rows = {k: 0 for k in {a for a, _ in agg}}
+    cols = {k: 0 for k in {b for _, b in agg}}
+    for (a, b), c in agg.items():
+        rows[a] += c
+        cols[b] += c
+    total = sum(agg.values())
+    ks = sorted(agg)
+    return pa.table({
+        "lang": pa.array([k[0] for k in ks], type=pa.string()),
+        "source": pa.array([k[1] for k in ks], type=pa.string()),
+        "obs": pa.array([agg[k] for k in ks], type=pa.int64()),
+        "row_n": pa.array([rows[k[0]] for k in ks], type=pa.int64()),
+        "col_n": pa.array([cols[k[1]] for k in ks], type=pa.int64()),
+        "grand_n": pa.array([total] * len(ks), type=pa.int64()),
+    })
+
+
+def q_quarter_top_order(sf_dir: str):
+    """Per-quarter revenue concentration: the largest single order vs
+    the quarter total (cents) — bounded (year, quarter) partials with
+    max+sum channels."""
+    import ray
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def _part(b: pa.Table) -> pa.Table:
+        d = np.asarray(b.column("o_orderdate")).astype("datetime64[us]")
+        mon = d.astype("datetime64[M]").astype(np.int64)
+        qtr = mon // 3
+        cents = np.floor(np.asarray(b.column("o_totalprice"))
+                         * 100.0).astype(np.int64)
+        uk, inv = np.unique(qtr, return_inverse=True)
+        mx = np.full(len(uk), np.iinfo(np.int64).min)
+        np.maximum.at(mx, inv, cents)
+        return pa.table({
+            "q": pa.array(uk),
+            "mx": pa.array(mx),
+            "tot": pa.array(np.bincount(
+                inv, weights=cents.astype(np.float64)).astype(np.int64)),
+        })
+
+    parts = orders.map_batches(_part, batch_format="pyarrow",
+                               zero_copy_batch=True).take_all()
+    agg: dict[int, list[int]] = {}
+    for p in parts:
+        e = agg.setdefault(p["q"], [np.iinfo(np.int64).min, 0])
+        e[0] = max(e[0], p["mx"])
+        e[1] += p["tot"]
+    ks = sorted(agg)
+    return pa.table({
+        "o_year": pa.array([k * 3 // 12 + 1970 for k in ks],
+                           type=pa.int64()),
+        "quarter": pa.array([k * 3 % 12 // 3 + 1 for k in ks],
+                            type=pa.int64()),
+        "max_cents": pa.array([agg[k][0] for k in ks], type=pa.int64()),
+        "total_cents": pa.array([agg[k][1] for k in ks],
+                                type=pa.int64()),
+    })
+
+
+NORM_TOPK = 5
+
+
+def q_norm_outliers(sf_dir: str):
+    """Embedding norm outliers: the NORM_TOPK vectors by quantized
+    squared norm (DESC, tie vec_id) — the magnitude-outlier audit.
+    Per-batch norms, global sort+limit."""
+    import ray
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def _n(b: pa.Table) -> pa.Table:
+        ids, Q = _km_quant(b)
+        if len(ids) == 0:
+            return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                             "norm2": pa.array([], type=pa.int64())})
+        return pa.table({"vec_id": pa.array(ids),
+                         "norm2": pa.array((Q * Q).sum(axis=1))})
+
+    top = (emb.map_batches(_n, batch_format="pyarrow",
+                           zero_copy_batch=True)
+           .sort(["norm2", "vec_id"], descending=[True, False])
+           .limit(NORM_TOPK).take_all())
+    return pa.table({
+        "vec_id": pa.array([r["vec_id"] for r in top], type=pa.int64()),
+        "norm2": pa.array([r["norm2"] for r in top], type=pa.int64()),
+    })
