@@ -62,6 +62,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LLM-data layer without a prior driver row (+ refactored dedup)
         # wave 14 (newest = highest regression risk)
         # wave 15
+        # wave 44
+        "rfm_cells": q.q_rfm_cells,
+        "emb_dim_range": q.q_emb_dim_range,
+        "part_lift_topk": q.q_part_lift_topk,
+        "benford_by_type": q.q_benford_by_type,
+        "slow_gaps": q.q_slow_gaps,
         # wave 43
         "ks_stat": q.q_ks_stat,
         "rank_sum_u": q.q_rank_sum_u,
@@ -76,7 +82,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blob_collisions": q.q_blob_collisions,
         # wave 41
         "never_discounted": q.q_never_discounted,
-        "label_centroids": q.q_label_centroids,
         "max_idle_gap": q.q_max_idle_gap,
         "tok_len_hist": q.q_tok_len_hist,
         # wave 40
@@ -89,7 +94,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "party_unpivot": q.q_party_unpivot,
         "modal_transition": q.q_modal_transition,
         "iceberg_cells": q.q_iceberg_cells,
-        "churn_flags": q.q_churn_flags,
         # wave 38
         "dag_path_counts": q.q_dag_path_counts,
         "price_spread": q.q_price_spread,
@@ -97,12 +101,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "data_split": q.q_data_split,
         "path_unique_audit": q.q_path_unique_audit,
         "ref_integrity": q.q_ref_integrity,
-        "lag2_match": q.q_lag2_match,
         # wave 36
         "triplet_violations": q.q_triplet_violations,
         # wave 35
-        "digit_ratio": q.q_digit_ratio,
-        "basket_triples": q.q_basket_triples,
         "orderkey_gaps": q.q_orderkey_gaps,
         # wave 34
         "peel_trace": q.q_peel_trace,
@@ -138,6 +139,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
+        "basket_triples": q.q_basket_triples,  # itemset expand: part_lift_topk in-window
+        "lag2_match": q.q_lag2_match,  # gap/lag pairs: slow_gaps in-window
+        "churn_flags": q.q_churn_flags,  # recency audit: rfm_cells in-window
+        "digit_ratio": q.q_digit_ratio,  # digit audit: benford_by_type in-window
+        "label_centroids": q.q_label_centroids,  # per-dim agg: emb_dim_range in-window
         "winsorized_stats": q.q_winsorized_stats,  # value thresholds: ks_stat/rank_sum_u walks in-window
         "lang_confusion": q.q_lang_confusion,  # grid + margins: chi2_cells in-window
         "segment_momentum": q.q_segment_momentum,  # time-agg deltas: quarter_top_order/part_growth in-window
@@ -590,6 +596,12 @@ def oracle_sql() -> dict[str, str]:
         "winsorized_stats": o.winsorized_stats(q.WINS_LO, q.WINS_HI),
         "part_growth": o.part_growth(),
         "ks_stat": o.ks_stat(q.KS_TYPE_A, q.KS_TYPE_B),
+        "rfm_cells": o.rfm_cells(q.RFM_R_DAYS, q.RFM_F, q.RFM_M_CENTS),
+        "emb_dim_range": o.emb_dim_range(),
+        "part_lift_topk": o.part_lift_topk(q.LIFT_SCALE, q.LIFT_TOPK,
+                                           q.LIFT_MINSUP),
+        "benford_by_type": o.benford_by_type(),
+        "slow_gaps": o.slow_gaps(q.SLOW_GAP_US),
         "rank_sum_u": o.rank_sum_u(q.KS_TYPE_A, q.KS_TYPE_B),
         "chi2_cells": o.chi2_cells(),
         "quarter_top_order": o.quarter_top_order(),

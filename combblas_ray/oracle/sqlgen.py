@@ -6628,3 +6628,112 @@ n2 AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS norm2
 SELECT vec_id, norm2 FROM n2
 ORDER BY norm2 DESC, vec_id LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 44: RFM segmentation, embedding ranges, part lift, Benford by
+# type, slow gaps
+# ---------------------------------------------------------------------------
+
+
+def rfm_cells(r_days: tuple = (400, 900), f: tuple = (5, 12),
+              m_cents: tuple = (10_000_000, 30_000_000)) -> str:
+    """Fixed-band RFM cell counts (twin of `queries.q_rfm_cells`)."""
+    return f"""
+WITH per AS (
+  SELECT o_custkey, max(epoch_us(o_orderdate)) AS last_us,
+         count(*) AS freq,
+         sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+g AS (SELECT max(last_us) AS gmax FROM per),
+b AS (
+  SELECT ((g.gmax - last_us) // 86400000000 > {r_days[0]})::INT
+         + ((g.gmax - last_us) // 86400000000 > {r_days[1]})::INT
+           AS rb,
+         (freq > {f[0]})::INT + (freq > {f[1]})::INT AS fb,
+         (cents > {m_cents[0]})::INT + (cents > {m_cents[1]})::INT
+           AS mb
+  FROM per, g
+)
+SELECT CAST(rb AS BIGINT) AS r_band, CAST(fb AS BIGINT) AS f_band,
+       CAST(mb AS BIGINT) AS m_band,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM b GROUP BY 1, 2, 3
+"""
+
+
+def emb_dim_range(dim: int = 64, qscale: int = 1 << 20) -> str:
+    """Per-dimension quantized min/max (twin of
+    `queries.q_emb_dim_range`)."""
+    return f"""
+WITH q AS (
+  SELECT CAST(g.d AS BIGINT) - 1 AS dim,
+         CAST(floor((CAST(embedding[CAST(g.d AS INT)] AS DOUBLE) + 0.5)
+                    * {qscale}) AS BIGINT) AS q
+  FROM embeddings CROSS JOIN generate_series(1, {dim}) g(d)
+)
+SELECT dim, CAST(min(q) AS BIGINT) AS min_q,
+       CAST(max(q) AS BIGINT) AS max_q
+FROM q GROUP BY 1
+"""
+
+
+def part_lift_topk(scale: int = 1_000_000_000, k: int = 5,
+                   minsup: int = 2) -> str:
+    """Integer basket lift for part pairs (twin of
+    `queries.q_part_lift_topk`)."""
+    return f"""
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey) AS no FROM d),
+marg AS (SELECT l_partkey, count(*) AS s FROM d GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS cab
+  FROM d a JOIN d b ON b.l_orderkey = a.l_orderkey
+                   AND b.l_partkey > a.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {minsup}
+)
+SELECT p1, p2, CAST(cab AS BIGINT) AS support,
+       CAST(cab * n.no * {scale} // (ma.s * mb.s) AS BIGINT)
+         AS lift_scaled
+FROM pairs
+JOIN marg ma ON ma.l_partkey = pairs.p1
+JOIN marg mb ON mb.l_partkey = pairs.p2, n
+ORDER BY lift_scaled DESC, p1, p2
+LIMIT {k}
+"""
+
+
+def benford_by_type() -> str:
+    """Per-type first-digit histogram (twin of
+    `queries.q_benford_by_type`)."""
+    return """
+WITH b AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type, substr(CAST(cents AS VARCHAR), 1, 1) AS digit,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM b WHERE cents > 0
+GROUP BY 1, 2
+"""
+
+
+def slow_gaps(thr_us: int) -> str:
+    """Per from-type gap counts above threshold (twin of
+    `queries.q_slow_gaps`)."""
+    return f"""
+WITH o AS (
+  SELECT event_type,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)
+           - epoch_us(ts) AS gap
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(sum(CASE WHEN gap > {thr_us} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_over
+FROM o WHERE gap IS NOT NULL
+GROUP BY 1
+"""

@@ -13013,3 +13013,316 @@ def q_norm_outliers(sf_dir: str):
         "vec_id": pa.array([r["vec_id"] for r in top], type=pa.int64()),
         "norm2": pa.array([r["norm2"] for r in top], type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 44: RFM segmentation, embedding ranges, part lift, Benford by
+# type, slow gaps
+# ---------------------------------------------------------------------------
+
+RFM_R_DAYS = (400, 900)            # recency band edges (days)
+RFM_F = (5, 12)                    # frequency band edges (orders)
+RFM_M_CENTS = (10_000_000, 30_000_000)  # monetary band edges
+
+
+def q_rfm_cells(sf_dir: str):
+    """RFM segmentation: per customer recency (days since last order vs
+    the global max date), frequency (order count) and monetary (total
+    cents), bucketed into fixed integer bands and counted per (r, f,
+    m) cell — the classic marketing segmentation cube, exact integers.
+    One custkey reduce + bounded 27-cell combine."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def _per(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_custkey" not in t.column_names:
+            return pa.table({"o_custkey": pa.array([], type=pa.int64()),
+                             "last_us": pa.array([], type=pa.int64()),
+                             "freq": pa.array([], type=pa.int64()),
+                             "cents": pa.array([], type=pa.int64())})
+        ck = np.asarray(t.column("o_custkey"), dtype=np.int64)
+        d = np.asarray(t.column("o_orderdate")).astype(
+            "datetime64[us]").astype(np.int64)
+        c = np.floor(np.asarray(t.column("o_totalprice"))
+                     * 100.0).astype(np.int64)
+        uk, inv = np.unique(ck, return_inverse=True)
+        mx = np.full(len(uk), np.iinfo(np.int64).min)
+        np.maximum.at(mx, inv, d)
+        return pa.table({
+            "o_custkey": pa.array(uk),
+            "last_us": pa.array(mx),
+            "freq": pa.array(np.bincount(inv).astype(np.int64)),
+            "cents": pa.array(np.bincount(
+                inv, weights=c.astype(np.float64)).astype(np.int64)),
+        })
+
+    per = group_apply_tasks(orders, ["o_custkey"], _per).materialize()
+    gmax = max(p["mx"] for p in per.map_batches(
+        lambda b: pa.table({"mx": pa.array(
+            [int(np.asarray(b.column("last_us"),
+                            dtype=np.int64).max())], type=pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True).take_all())
+
+    def _cells(b: pa.Table, *, _g=gmax) -> pa.Table:
+        last = np.asarray(b.column("last_us"), dtype=np.int64)
+        rec_days = (_g - last) // 86_400_000_000
+        f = np.asarray(b.column("freq"), dtype=np.int64)
+        m = np.asarray(b.column("cents"), dtype=np.int64)
+        rb = ((rec_days > RFM_R_DAYS[0]).astype(np.int64)
+              + (rec_days > RFM_R_DAYS[1]))
+        fb = (f > RFM_F[0]).astype(np.int64) + (f > RFM_F[1])
+        mb = ((m > RFM_M_CENTS[0]).astype(np.int64)
+              + (m > RFM_M_CENTS[1]))
+        key = rb * 9 + fb * 3 + mb
+        cnt = np.bincount(key, minlength=27).astype(np.int64)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"k": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(cnt[nz])})
+
+    parts = per.map_batches(_cells, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all()
+    agg = np.zeros(27, dtype=np.int64)
+    for p in parts:
+        agg[p["k"]] += p["n"]
+    nz = np.nonzero(agg)[0]
+    return pa.table({
+        "r_band": pa.array(nz // 9),
+        "f_band": pa.array((nz // 3) % 3),
+        "m_band": pa.array(nz % 3),
+        "n_customers": pa.array(agg[nz]),
+    })
+
+
+def q_emb_dim_range(sf_dir: str):
+    """Per-dimension quantized min/max envelope — the feature-range
+    audit completing `emb_dim_stats`. One columnar pass."""
+    import ray
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+
+    def _part(b: pa.Table) -> pa.Table:
+        mat = np.stack([
+            np.floor((np.asarray(e, dtype=np.float64) + 0.5)
+                     * (1 << 20)).astype(np.int64)
+            for e in b.column("embedding").to_pylist()])
+        return pa.table({
+            "dim": pa.array(np.arange(mat.shape[1], dtype=np.int64)),
+            "mn": pa.array(mat.min(axis=0)),
+            "mx": pa.array(mat.max(axis=0)),
+        })
+
+    parts = emb.map_batches(_part, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all()
+    agg: dict[int, list[int]] = {}
+    for p in parts:
+        e = agg.setdefault(p["dim"], [p["mn"], p["mx"]])
+        e[0] = min(e[0], p["mn"])
+        e[1] = max(e[1], p["mx"])
+    ks = sorted(agg)
+    return pa.table({
+        "dim": pa.array(ks, type=pa.int64()),
+        "min_q": pa.array([agg[k][0] for k in ks], type=pa.int64()),
+        "max_q": pa.array([agg[k][1] for k in ks], type=pa.int64()),
+    })
+
+
+LIFT_SCALE = 1_000_000_000
+LIFT_TOPK = 5
+LIFT_MINSUP = 2
+
+
+def q_part_lift_topk(sf_dir: str):
+    """Market-basket lift for part pairs: integer association score
+    support_ab * n_orders * SCALE // (support_a * support_b), pairs
+    with support >= LIFT_MINSUP, top-LIFT_TOPK by (lift DESC, pair) —
+    `colloc_lift`'s basket sibling. Pair counts from the per-order
+    expansion; margins from one order-distinct pass."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+
+    def _o(b: pa.Table) -> pa.Table:
+        ok = np.asarray(b.column("l_orderkey"), dtype=np.int64)
+        pk = np.asarray(b.column("l_partkey"), dtype=np.int64)
+        u = np.unique(ok << 20 | pk)
+        return pa.table({"l_orderkey": pa.array(u >> 20),
+                         "l_partkey": pa.array(u & ((1 << 20) - 1))})
+
+    d = li.map_batches(_o, batch_format="pyarrow",
+                       zero_copy_batch=True)
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], type=pa.int64()),
+                          "b": pa.array([], type=pa.int64()),
+                          "cnt": pa.array([], type=pa.int64()),
+                          "ns": pa.array([], type=pa.int64()),
+                          "s1": pa.array([], type=pa.int64()),
+                          "p1": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "l_orderkey" not in t.column_names:
+            return empty
+        ok = np.asarray(t.column("l_orderkey"), dtype=np.int64)
+        pk = np.asarray(t.column("l_partkey"), dtype=np.int64)
+        u = np.unique(ok << 20 | pk)
+        uo, up = u >> 20, u & ((1 << 20) - 1)
+        cnt: dict[tuple, int] = {}
+        starts = np.nonzero(np.concatenate(
+            ([True], uo[1:] != uo[:-1])))[0]
+        ends = np.concatenate((starts[1:], [len(uo)]))
+        for a, z in zip(starts, ends):
+            row = up[a:z]
+            for i in range(len(row)):
+                for j in range(i + 1, len(row)):
+                    k = (row[i], row[j])
+                    cnt[k] = cnt.get(k, 0) + 1
+        # marginals: per-part order counts + partition order count
+        upk, pc_ = np.unique(up, return_counts=True)
+        ks = list(cnt)
+        return pa.table({
+            "a": pa.array([k[0] for k in ks]
+                          + upk.tolist() + [-1], type=pa.int64()),
+            "b": pa.array([k[1] for k in ks]
+                          + [-1] * len(upk) + [-1], type=pa.int64()),
+            "cnt": pa.array([cnt[k] for k in ks]
+                            + [0] * len(upk) + [0], type=pa.int64()),
+            "ns": pa.array([0] * len(ks) + [0] * len(upk)
+                           + [len(starts)], type=pa.int64()),
+            "s1": pa.array([0] * len(ks) + pc_.astype(int).tolist()
+                           + [0], type=pa.int64()),
+            "p1": pa.array([0] * len(ks) + upk.tolist() + [-1],
+                           type=pa.int64()),
+        })
+
+    parts = group_apply_tasks(d, ["l_orderkey"], _pairs).take_all()
+    pair_cnt: dict[tuple, int] = {}
+    marg: dict[int, int] = {}
+    n_orders = 0
+    for p in parts:
+        if p["b"] >= 0:
+            k = (p["a"], p["b"])
+            pair_cnt[k] = pair_cnt.get(k, 0) + p["cnt"]
+        elif p["p1"] >= 0:
+            marg[p["p1"]] = marg.get(p["p1"], 0) + p["s1"]
+        else:
+            n_orders += p["ns"]
+    rows = []
+    for (a, b), cab in pair_cnt.items():
+        if cab < LIFT_MINSUP:
+            continue
+        lift = cab * n_orders * LIFT_SCALE // (marg[a] * marg[b])
+        rows.append((-lift, a, b, cab))
+    rows.sort()
+    rows = rows[:LIFT_TOPK]
+    return pa.table({
+        "p1": pa.array([r[1] for r in rows], type=pa.int64()),
+        "p2": pa.array([r[2] for r in rows], type=pa.int64()),
+        "support": pa.array([r[3] for r in rows], type=pa.int64()),
+        "lift_scaled": pa.array([-r[0] for r in rows],
+                                type=pa.int64()),
+    })
+
+
+def q_benford_by_type(sf_dir: str):
+    """First-digit histogram PER EVENT TYPE (Benford audit by segment)
+    — bounded (type x 9) partials."""
+    import ray
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def _part(b: pa.Table) -> pa.Table:
+        cents = np.floor(np.asarray(b.column("value")) * 100.0
+                         + 0.5).astype(np.int64)
+        et = np.asarray(b.column("event_type")).astype(str)
+        keep = cents > 0
+        first = np.array([s[0] for s in cents[keep].astype(str)])
+        key = np.char.add(np.char.add(et[keep], "\x1f"), first)
+        uk, c = np.unique(key, return_counts=True)
+        sp = np.char.partition(uk, "\x1f")
+        return pa.table({"event_type": pa.array(sp[:, 0].tolist(),
+                                                type=pa.string()),
+                         "digit": pa.array(sp[:, 2].tolist(),
+                                           type=pa.string()),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    parts = ev.map_batches(_part, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    agg: dict[tuple, int] = {}
+    for p in parts:
+        k = (p["event_type"], p["digit"])
+        agg[k] = agg.get(k, 0) + p["cnt"]
+    ks = sorted(agg)
+    return pa.table({
+        "event_type": pa.array([k[0] for k in ks], type=pa.string()),
+        "digit": pa.array([k[1] for k in ks], type=pa.string()),
+        "cnt": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
+
+
+SLOW_GAP_US = 3_600_000_000
+
+
+def q_slow_gaps(sf_dir: str):
+    """Tail-latency budget: per event type, consecutive-event gaps
+    within user streams and how many exceed one hour (per the FROM
+    event's type) — the SLO-breach counter. One user shuffle."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def _g(t: pa.Table) -> pa.Table:
+        empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                          "n_gaps": pa.array([], type=pa.int64()),
+                          "n_over": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return empty
+        uid = np.asarray(t.column("user_id"), dtype=np.int64)
+        ts = np.asarray(t.column("ts")).astype("datetime64[us]").astype(
+            np.int64)
+        eid = np.asarray(t.column("event_id"), dtype=np.int64)
+        ut, tc = np.unique(np.asarray(t.column("event_type"))
+                           .astype(str), return_inverse=True)
+        order = np.lexsort((eid, ts, uid))
+        u, s, c = uid[order], ts[order], tc[order]
+        same = u[1:] == u[:-1]
+        frm = c[:-1][same]
+        over = (s[1:] - s[:-1])[same] > SLOW_GAP_US
+        if not len(frm):
+            return empty
+        uk, inv = np.unique(frm, return_inverse=True)
+        return pa.table({
+            "event_type": pa.array(ut[uk].tolist(), type=pa.string()),
+            "n_gaps": pa.array(np.bincount(inv).astype(np.int64)),
+            "n_over": pa.array(np.bincount(
+                inv, weights=over.astype(np.float64)).astype(np.int64)),
+        })
+
+    parts = group_apply_tasks(ev, ["user_id"], _g).take_all()
+    agg: dict[str, list[int]] = {}
+    for p in parts:
+        e = agg.setdefault(p["event_type"], [0, 0])
+        e[0] += p["n_gaps"]
+        e[1] += p["n_over"]
+    ks = sorted(agg)
+    return pa.table({
+        "event_type": pa.array(ks, type=pa.string()),
+        "n_gaps": pa.array([agg[k][0] for k in ks], type=pa.int64()),
+        "n_over": pa.array([agg[k][1] for k in ks], type=pa.int64()),
+    })
