@@ -62,6 +62,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LLM-data layer without a prior driver row (+ refactored dedup)
         # wave 14 (newest = highest regression risk)
         # wave 15
+        # wave 45
+        "repo_density": q.q_repo_density,
+        "source_modal_lang": q.q_source_modal_lang,
+        "aspect_hist": q.q_aspect_hist,
+        "token_f2": q.q_token_f2,
+        "status_priority_grid": q.q_status_priority_grid,
         # wave 44
         "rfm_cells": q.q_rfm_cells,
         "emb_dim_range": q.q_emb_dim_range,
@@ -71,7 +77,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 43
         "ks_stat": q.q_ks_stat,
         "rank_sum_u": q.q_rank_sum_u,
-        "chi2_cells": q.q_chi2_cells,
         "quarter_top_order": q.q_quarter_top_order,
         "norm_outliers": q.q_norm_outliers,
         # wave 42
@@ -79,21 +84,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bounce_stats": q.q_bounce_stats,
         "audio_energy_hist": q.q_audio_energy_hist,
         "p3_count": q.q_p3_count,
-        "blob_collisions": q.q_blob_collisions,
         # wave 41
         "never_discounted": q.q_never_discounted,
         "max_idle_gap": q.q_max_idle_gap,
-        "tok_len_hist": q.q_tok_len_hist,
         # wave 40
         "lcc_share": q.q_lcc_share,
         "top_spenders_ties": q.q_top_spenders_ties,
         "nbr_lang_div": q.q_nbr_lang_div,
         "segment_median": q.q_segment_median,
         # wave 39
-        "source_vocab_jaccard": q.q_source_vocab_jaccard,
         "party_unpivot": q.q_party_unpivot,
         "modal_transition": q.q_modal_transition,
-        "iceberg_cells": q.q_iceberg_cells,
         # wave 38
         "dag_path_counts": q.q_dag_path_counts,
         "price_spread": q.q_price_spread,
@@ -139,6 +140,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
+        "blob_collisions": q.q_blob_collisions,  # decode signature: aspect_hist in-window
+        "source_vocab_jaccard": q.q_source_vocab_jaccard,  # slice similarity: source_modal_lang/token_f2 in-window
+        "tok_len_hist": q.q_tok_len_hist,  # token stats: token_f2 in-window
+        "chi2_cells": q.q_chi2_cells,  # grid + margins: status_priority_grid/rfm_cells in-window
+        "iceberg_cells": q.q_iceberg_cells,  # threshold grid: status_priority_grid in-window
         "basket_triples": q.q_basket_triples,  # itemset expand: part_lift_topk in-window
         "lag2_match": q.q_lag2_match,  # gap/lag pairs: slow_gaps in-window
         "churn_flags": q.q_churn_flags,  # recency audit: rfm_cells in-window
@@ -597,6 +603,11 @@ def oracle_sql() -> dict[str, str]:
         "part_growth": o.part_growth(),
         "ks_stat": o.ks_stat(q.KS_TYPE_A, q.KS_TYPE_B),
         "rfm_cells": o.rfm_cells(q.RFM_R_DAYS, q.RFM_F, q.RFM_M_CENTS),
+        "repo_density": o.repo_density(),
+        "source_modal_lang": o.source_modal_lang(),
+        "aspect_hist": o.aspect_hist(),
+        "token_f2": o.token_f2(),
+        "status_priority_grid": o.status_priority_grid(),
         "emb_dim_range": o.emb_dim_range(),
         "part_lift_topk": o.part_lift_topk(q.LIFT_SCALE, q.LIFT_TOPK,
                                            q.LIFT_MINSUP),

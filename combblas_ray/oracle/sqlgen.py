@@ -6737,3 +6737,80 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
 FROM o WHERE gap IS NOT NULL
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 45: repo density, source modal language, aspect histogram,
+# token second moment, status-priority grid
+# ---------------------------------------------------------------------------
+
+
+@_materialized
+def repo_density() -> str:
+    """Per-repo file + internal-edge counts (twin of
+    `queries.q_repo_density`)."""
+    return PREFIX + """
+, f AS (SELECT i % 100 AS repo, count(*) AS nf FROM files GROUP BY 1),
+ie AS (
+  SELECT src % 100 AS repo, CAST(count(*) AS BIGINT) AS e
+  FROM edges WHERE src % 100 = dst % 100
+  GROUP BY 1
+)
+SELECT 'repo_' || f.repo AS repo, CAST(f.nf AS BIGINT) AS n_files,
+       CAST(coalesce(ie.e, 0) AS BIGINT) AS internal_edges
+FROM f LEFT JOIN ie ON ie.repo = f.repo
+"""
+
+
+def source_modal_lang() -> str:
+    """Per-source modal language with counts (twin of
+    `queries.q_source_modal_lang`)."""
+    return """
+WITH c AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY 1, 2
+),
+t AS (SELECT source, sum(cnt) AS total FROM c GROUP BY 1),
+r AS (SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY cnt DESC, lang) AS rn
+      FROM c)
+SELECT r.source, r.lang AS modal_lang, r.cnt AS modal_cnt,
+       CAST(t.total AS BIGINT) AS total
+FROM r JOIN t ON t.source = r.source
+WHERE rn = 1
+"""
+
+
+def aspect_hist() -> str:
+    """Image (width, height) histogram (twin of
+    `queries.q_aspect_hist`)."""
+    return """
+SELECT CAST(8 + (doc_id % 5) * 4 AS BIGINT) AS width,
+       CAST(8 + (doc_id % 3) * 4 AS BIGINT) AS height,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM documents GROUP BY 1, 2
+"""
+
+
+def token_f2() -> str:
+    """Token-frequency second moment (twin of
+    `queries.q_token_f2`)."""
+    return """
+WITH t AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+f AS (SELECT tok, CAST(count(*) AS BIGINT) AS f FROM t GROUP BY 1)
+SELECT CAST(sum(f) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum(f * f) AS BIGINT) AS sum_f2
+FROM f
+"""
+
+
+def status_priority_grid() -> str:
+    """(status, priority) counts (twin of
+    `queries.q_status_priority_grid`)."""
+    return """
+SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS cnt
+FROM orders GROUP BY 1, 2
+"""

@@ -13326,3 +13326,212 @@ def q_slow_gaps(sf_dir: str):
         "n_gaps": pa.array([agg[k][0] for k in ks], type=pa.int64()),
         "n_over": pa.array([agg[k][1] for k in ks], type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 45: repo density, source modal language, aspect histogram,
+# token second moment, status-priority grid
+# ---------------------------------------------------------------------------
+
+
+def q_repo_density(sf_dir: str):
+    """Per-repo import-graph density numerators: file count and
+    INTERNAL edge count (both endpoints in the repo, repo = arith %
+    100) — the block-density profile of the corpus partitioning.
+    Attribute vector broadcast; bounded 100-row partials."""
+    import ray
+
+    ctx = get_context(sf_dir)
+    arith_ref = ray.put(np.asarray(ctx.arith))
+
+    def _part(b: pa.Table, *, _ref=arith_ref) -> pa.Table:
+        A = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+        s = np.asarray(b.column("src"), dtype=np.int64)
+        d = np.asarray(b.column("dst"), dtype=np.int64)
+        rs, rd = A[s] % 100, A[d] % 100
+        same = rs == rd
+        uk, c = np.unique(rs[same], return_counts=True)
+        return pa.table({"repo": pa.array(uk),
+                         "e": pa.array(c.astype(np.int64))})
+
+    parts = ctx.edges.map_batches(_part, batch_format="pyarrow",
+                                  zero_copy_batch=True).take_all()
+    agg: dict[int, int] = {}
+    for p in parts:
+        agg[p["repo"]] = agg.get(p["repo"], 0) + p["e"]
+    arith = np.asarray(ctx.arith)
+    files = np.bincount(arith % 100, minlength=100).astype(np.int64)
+    ks = sorted(set(range(100)) & set(np.nonzero(files)[0].tolist()))
+    return pa.table({
+        "repo": pa.array([f"repo_{k}" for k in ks], type=pa.string()),
+        "n_files": pa.array([int(files[k]) for k in ks],
+                            type=pa.int64()),
+        "internal_edges": pa.array([agg.get(k, 0) for k in ks],
+                                   type=pa.int64()),
+    })
+
+
+def q_source_modal_lang(sf_dir: str):
+    """Source purity: per source the modal language (tie ->
+    alphabetical) with its count and the source total — the
+    slice-purity audit. Bounded (source x lang) partials."""
+    import ray
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang"]
+    )
+
+    def _part(b: pa.Table) -> pa.Table:
+        src = np.asarray(b.column("source")).astype(str)
+        lng = np.asarray(b.column("lang")).astype(str)
+        key = np.char.add(np.char.add(src, "\x1f"), lng)
+        uk, c = np.unique(key, return_counts=True)
+        sp = np.char.partition(uk, "\x1f")
+        return pa.table({"source": pa.array(sp[:, 0].tolist(),
+                                            type=pa.string()),
+                         "lang": pa.array(sp[:, 2].tolist(),
+                                          type=pa.string()),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    parts = docs.map_batches(_part, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all()
+    agg: dict[tuple, int] = {}
+    for p in parts:
+        k = (p["source"], p["lang"])
+        agg[k] = agg.get(k, 0) + p["cnt"]
+    best: dict[str, tuple] = {}
+    total: dict[str, int] = {}
+    for (src, lng), c in agg.items():
+        total[src] = total.get(src, 0) + c
+        cur = best.get(src)
+        if cur is None or (-c, lng) < (-cur[1], cur[0]):
+            best[src] = (lng, c)
+    ks = sorted(best)
+    return pa.table({
+        "source": pa.array(ks, type=pa.string()),
+        "modal_lang": pa.array([best[k][0] for k in ks],
+                               type=pa.string()),
+        "modal_cnt": pa.array([best[k][1] for k in ks],
+                              type=pa.int64()),
+        "total": pa.array([total[k] for k in ks], type=pa.int64()),
+    })
+
+
+def q_aspect_hist(sf_dir: str):
+    """Image aspect histogram: payload counts per (width, height)
+    through the decode actor pool — the shape-bucketing knob for
+    batched image processing."""
+    from ..functions import multimodal as M
+
+    blobs = M.blob_dataset_from_docs(sf_dir, kind="image")
+    stats = blobs.map_batches(
+        M.IntStatsStage, batch_format="pyarrow", batch_size=64,
+        concurrency=2,
+    )
+
+    def _h(b: pa.Table) -> pa.Table:
+        w = np.asarray(b.column("width"), dtype=np.int64)
+        h = np.asarray(b.column("height"), dtype=np.int64)
+        key = w * 64 + h
+        uk, c = np.unique(key, return_counts=True)
+        return pa.table({"k": pa.array(uk),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    parts = stats.map_batches(_h, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all()
+    agg: dict[int, int] = {}
+    for p in parts:
+        agg[p["k"]] = agg.get(p["k"], 0) + p["cnt"]
+    ks = sorted(agg)
+    return pa.table({
+        "width": pa.array([k // 64 for k in ks], type=pa.int64()),
+        "height": pa.array([k % 64 for k in ks], type=pa.int64()),
+        "cnt": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
+
+
+def q_token_f2(sf_dir: str):
+    """Vocabulary collision mass: total tokens, distinct tokens and the
+    second moment sum f^2 over global token frequencies (the Simpson
+    /collision statistic behind dedup-shingle sizing). Per-batch
+    partials -> one token shuffle (frequencies complete per key)."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+    from ..functions.text import tokens_list
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+
+    def _part(b: pa.Table) -> pa.Table:
+        toks = tokens_list(b)
+        flat = np.asarray(pc.list_flatten(toks)).astype(str)
+        uk, c = np.unique(flat, return_counts=True)
+        return pa.table({"tok": pa.array(uk.tolist(), type=pa.string()),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    pairs = docs.map_batches(_part, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def _m(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "tok" not in t.column_names:
+            return pa.table({"n": pa.array([], type=pa.int64()),
+                             "d": pa.array([], type=pa.int64()),
+                             "f2": pa.array([], type=pa.int64())})
+        tok = np.asarray(t.column("tok")).astype(str)
+        c = np.asarray(t.column("cnt"), dtype=np.int64)
+        uk, inv = np.unique(tok, return_inverse=True)
+        f = np.bincount(inv, weights=c.astype(np.float64)).astype(
+            np.int64)
+        return pa.table({"n": pa.array([int(f.sum())], type=pa.int64()),
+                         "d": pa.array([len(uk)], type=pa.int64()),
+                         "f2": pa.array([int((f * f).sum())],
+                                        type=pa.int64())})
+
+    parts = group_apply_tasks(pairs, ["tok"], _m).take_all()
+    return pa.table({
+        "n_tokens": pa.array([sum(p["n"] for p in parts)],
+                             type=pa.int64()),
+        "n_distinct": pa.array([sum(p["d"] for p in parts)],
+                               type=pa.int64()),
+        "sum_f2": pa.array([sum(p["f2"] for p in parts)],
+                           type=pa.int64()),
+    })
+
+
+def q_status_priority_grid(sf_dir: str):
+    """Order (status x priority) contingency grid — the workload-mix
+    snapshot, bounded 15-cell partials."""
+    import ray
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority"],
+    )
+
+    def _part(b: pa.Table) -> pa.Table:
+        st = np.asarray(b.column("o_orderstatus")).astype(str)
+        pr = np.asarray(b.column("o_orderpriority")).astype(str)
+        key = np.char.add(np.char.add(st, "\x1f"), pr)
+        uk, c = np.unique(key, return_counts=True)
+        sp = np.char.partition(uk, "\x1f")
+        return pa.table({"o_orderstatus": pa.array(sp[:, 0].tolist(),
+                                                   type=pa.string()),
+                         "o_orderpriority": pa.array(
+                             sp[:, 2].tolist(), type=pa.string()),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    parts = orders.map_batches(_part, batch_format="pyarrow",
+                               zero_copy_batch=True).take_all()
+    agg: dict[tuple, int] = {}
+    for p in parts:
+        k = (p["o_orderstatus"], p["o_orderpriority"])
+        agg[k] = agg.get(k, 0) + p["cnt"]
+    ks = sorted(agg)
+    return pa.table({
+        "o_orderstatus": pa.array([k[0] for k in ks], type=pa.string()),
+        "o_orderpriority": pa.array([k[1] for k in ks],
+                                    type=pa.string()),
+        "cnt": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
