@@ -39,14 +39,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # Registration order matters: the driver records correctness rows for
     # only the FIRST 50 registrations. Window policy: newest code =
-    # highest regression risk, so the latest operator waves (wave 6/7:
-    # stress, widest_paths, nbr_jaccard, chunk_dups, seq_pack,
-    # running_total, cust_no_orders, json_props) sit in-window alongside
-    # the build pipeline, the four north-rule applications and every
-    # round-3 operator still awaiting its first driver row. Rotated-out
+    # highest regression risk, so the latest operator waves sit in-window
+    # alongside the build pipeline, the north-rule applications and
+    # asof_click/edit_window (kept per the round-2 verdict). Rotated-out
     # queries keep an in-window sibling exercising the same machinery
-    # (noted per line) and are re-verified every round by
-    # tools/check_correctness.py; rows-only queries register last.
+    # (noted per line) and are re-verified every session by the full
+    # tools/check_correctness.py sweep at sf0.001 (and new queries
+    # additionally at sf0.01); rows-only queries register last.
     return {
         # --- driver-recorded window (50) ---
         # build pipeline + north-rule applications

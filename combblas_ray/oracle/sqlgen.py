@@ -6578,6 +6578,7 @@ FROM w, n
 """
 
 
+@_materialized
 def chi2_cells() -> str:
     """(lang, source) contingency with margins (twin of
     `queries.q_chi2_cells`)."""
