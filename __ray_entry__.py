@@ -61,8 +61,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LLM-data layer without a prior driver row (+ refactored dedup)
         # wave 14 (newest = highest regression risk)
         # wave 15
+        # wave 46
+        "class_outliers": q.q_class_outliers,
+        "vertex_netflow": q.q_vertex_netflow,
+        "dag_layer_hist": q.q_dag_layer_hist,
+        "linenumber_audit": q.q_linenumber_audit,
+        "repo_cross_topk": q.q_repo_cross_topk,
         # wave 45
-        "repo_density": q.q_repo_density,
         "source_modal_lang": q.q_source_modal_lang,
         "aspect_hist": q.q_aspect_hist,
         "token_f2": q.q_token_f2,
@@ -77,7 +82,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_stat": q.q_ks_stat,
         "rank_sum_u": q.q_rank_sum_u,
         "quarter_top_order": q.q_quarter_top_order,
-        "norm_outliers": q.q_norm_outliers,
         # wave 42
         "part_growth": q.q_part_growth,
         "bounce_stats": q.q_bounce_stats,
@@ -89,13 +93,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 40
         "lcc_share": q.q_lcc_share,
         "top_spenders_ties": q.q_top_spenders_ties,
-        "nbr_lang_div": q.q_nbr_lang_div,
         "segment_median": q.q_segment_median,
         # wave 39
         "party_unpivot": q.q_party_unpivot,
         "modal_transition": q.q_modal_transition,
         # wave 38
-        "dag_path_counts": q.q_dag_path_counts,
         "price_spread": q.q_price_spread,
         # wave 37
         "data_split": q.q_data_split,
@@ -104,7 +106,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 36
         "triplet_violations": q.q_triplet_violations,
         # wave 35
-        "orderkey_gaps": q.q_orderkey_gaps,
         # wave 34
         "peel_trace": q.q_peel_trace,
         # wave 33
@@ -139,6 +140,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
+        "repo_density": q.q_repo_density,  # block density: repo_cross_topk in-window
+        "orderkey_gaps": q.q_orderkey_gaps,  # key audit: linenumber_audit in-window
+        "dag_path_counts": q.q_dag_path_counts,  # DAG DP chain: dag_layer_hist in-window
+        "norm_outliers": q.q_norm_outliers,  # magnitude outliers: class_outliers in-window
+        "nbr_lang_div": q.q_nbr_lang_div,  # attribute diversity: repo_cross_topk/vertex_netflow in-window
         "blob_collisions": q.q_blob_collisions,  # decode signature: aspect_hist in-window
         "source_vocab_jaccard": q.q_source_vocab_jaccard,  # slice similarity: source_modal_lang/token_f2 in-window
         "tok_len_hist": q.q_tok_len_hist,  # token stats: token_f2 in-window
@@ -603,6 +609,11 @@ def oracle_sql() -> dict[str, str]:
         "ks_stat": o.ks_stat(q.KS_TYPE_A, q.KS_TYPE_B),
         "rfm_cells": o.rfm_cells(q.RFM_R_DAYS, q.RFM_F, q.RFM_M_CENTS),
         "repo_density": o.repo_density(),
+        "class_outliers": o.class_outliers(),
+        "vertex_netflow": o.vertex_netflow(),
+        "dag_layer_hist": o.dag_layer_hist(q.DAG_ITERS),
+        "linenumber_audit": o.linenumber_audit(),
+        "repo_cross_topk": o.repo_cross_topk(q.XREPO_TOPK),
         "source_modal_lang": o.source_modal_lang(),
         "aspect_hist": o.aspect_hist(),
         "token_f2": o.token_f2(),

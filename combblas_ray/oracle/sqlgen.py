@@ -6815,3 +6815,113 @@ def status_priority_grid() -> str:
 SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS cnt
 FROM orders GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 46: class outliers, vertex net flow, DAG layer histogram,
+# linenumber audit, cross-repo cut
+# ---------------------------------------------------------------------------
+
+
+@_materialized
+def class_outliers(dim: int = 64, qscale: int = 1 << 20) -> str:
+    """Division-free in-class outlier counts vs floor-mean centroids
+    (twin of `queries.q_class_outliers`)."""
+    return f"""
+WITH q AS (
+  SELECT vec_id, label, CAST(g.d AS BIGINT) - 1 AS dim,
+         CAST(floor((CAST(embedding[CAST(g.d AS INT)] AS DOUBLE) + 0.5)
+                    * {qscale}) AS BIGINT) AS q
+  FROM embeddings CROSS JOIN generate_series(1, {dim}) g(d)
+),
+cent AS (
+  SELECT label, dim, sum(q) // count(*) AS c
+  FROM q GROUP BY 1, 2
+),
+d2 AS (
+  SELECT q.vec_id, q.label,
+         sum((q.q - c.c) * (q.q - c.c)) AS d2
+  FROM q JOIN cent c ON c.label = q.label AND c.dim = q.dim
+  GROUP BY 1, 2
+),
+st AS (SELECT label, count(*) AS n, sum(d2) AS s FROM d2 GROUP BY 1)
+SELECT CAST(st.label AS BIGINT) AS label, CAST(st.n AS BIGINT) AS n,
+       CAST(sum(CASE WHEN d2.d2 * st.n > 2 * st.s THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM d2 JOIN st ON st.label = d2.label
+GROUP BY 1, 2
+"""
+
+
+@_materialized
+def vertex_netflow() -> str:
+    """Flow-imbalance counts over dedup-summed weights (twin of
+    `queries.q_vertex_netflow`; vertices with no edges are balanced)."""
+    return PREFIX + """
+, ow AS (SELECT src AS v, sum(CAST(w AS BIGINT)) AS w
+         FROM edges GROUP BY 1),
+iw AS (SELECT dst AS v, sum(CAST(w AS BIGINT)) AS w
+       FROM edges GROUP BY 1),
+net AS (
+  SELECT v.i, coalesce(ow.w, 0) - coalesce(iw.w, 0) AS nf
+  FROM verts v LEFT JOIN ow ON ow.v = v.i LEFT JOIN iw ON iw.v = v.i
+)
+SELECT CAST(sum(CASE WHEN nf > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sources,
+       CAST(sum(CASE WHEN nf < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sinks,
+       CAST(sum(CASE WHEN nf = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_balanced,
+       CAST(max(nf) AS BIGINT) AS max_net,
+       CAST(min(nf) AS BIGINT) AS min_net
+FROM net
+"""
+
+
+@_materialized
+def dag_layer_hist(iters: int = 12) -> str:
+    """Layer-width histogram over the dag_layers chain (twin of
+    `queries.q_dag_layer_hist`)."""
+    base = dag_layers(iters)
+    tail = base.rindex("SELECT de.label AS label")
+    final = base[tail:].split("FROM ")[1].split(" ")[0].strip()
+    return base[:tail] + f"""
+SELECT CAST(layer AS BIGINT) AS layer,
+       CAST(count(*) AS BIGINT) AS n_vertices
+FROM {final} GROUP BY 1
+"""
+
+
+def linenumber_audit() -> str:
+    """Per-order linenumber contiguity assertion (twin of
+    `queries.q_linenumber_audit`)."""
+    return """
+WITH a AS (
+  SELECT l_orderkey, max(l_linenumber) AS mx, count(*) AS c
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN mx <> c THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations
+FROM a
+"""
+
+
+@_materialized
+def repo_cross_topk(k: int = 10) -> str:
+    """Top-k repo pairs by directed cross-edge count + the total cut
+    (twin of `queries.q_repo_cross_topk`)."""
+    return PREFIX + f"""
+, ce AS (
+  SELECT src % 100 AS ra, dst % 100 AS rb,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM edges WHERE src % 100 <> dst % 100
+  GROUP BY 1, 2
+),
+t AS (SELECT sum(cnt) AS total FROM ce)
+SELECT 'repo_' || ra AS repo_a, 'repo_' || rb AS repo_b, cnt,
+       CAST(t.total AS BIGINT) AS total_cut
+FROM ce, t
+ORDER BY cnt DESC, ra, rb
+LIMIT {k}
+"""

@@ -13535,3 +13535,228 @@ def q_status_priority_grid(sf_dir: str):
                                     type=pa.string()),
         "cnt": pa.array([agg[k] for k in ks], type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 46: class outliers, vertex net flow, DAG layer histogram,
+# linenumber audit, cross-repo cut
+# ---------------------------------------------------------------------------
+
+
+def q_class_outliers(sf_dir: str):
+    """In-class embedding outliers: per label, members whose squared
+    distance to the label's floor-mean centroid exceeds 2x the label's
+    mean squared distance (division-free: d2 * n > 2 * sum_d2) —
+    the mislabeled-sample screen. Pass 1 builds centroids (exact
+    integer sums), pass 2 accumulates d2 sums, pass 3 counts; all
+    bounded (labels x dims) driver state."""
+    import ray
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+
+    def _sums(b: pa.Table) -> pa.Table:
+        lab = np.asarray(b.column("label"), dtype=np.int64)
+        mat = np.stack([
+            np.floor((np.asarray(e, dtype=np.float64) + 0.5)
+                     * (1 << 20)).astype(np.int64)
+            for e in b.column("embedding").to_pylist()])
+        ul, inv = np.unique(lab, return_inverse=True)
+        dims = mat.shape[1]
+        sums = np.zeros((len(ul), dims), dtype=np.int64)
+        np.add.at(sums, inv, mat)
+        return pa.table({
+            "label": pa.array(np.repeat(ul, dims)),
+            "dim": pa.array(np.tile(np.arange(dims, dtype=np.int64),
+                                    len(ul))),
+            "s": pa.array(sums.reshape(-1)),
+            "n": pa.array(np.repeat(np.bincount(inv).astype(np.int64),
+                                    dims)),
+        })
+
+    parts = emb.map_batches(_sums, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all()
+    agg: dict[tuple, list[int]] = {}
+    for p in parts:
+        e = agg.setdefault((p["label"], p["dim"]), [0, 0])
+        e[0] += p["s"]
+        e[1] += p["n"]
+    labels = sorted({k[0] for k in agg})
+    dims = max(k[1] for k in agg) + 1
+    cent = {}
+    nmem = {}
+    for l in labels:
+        cent[l] = np.array([agg[(l, d)][0] // agg[(l, d)][1]
+                            for d in range(dims)], dtype=np.int64)
+        nmem[l] = agg[(l, 0)][1]
+    cref = ray.put((np.array(labels, dtype=np.int64),
+                    np.stack([cent[l] for l in labels])))
+
+    def _d2(b: pa.Table, *, _ref=cref) -> pa.Table:
+        ls, C = _ref if isinstance(_ref, tuple) else ray.get(_ref)
+        lab = np.asarray(b.column("label"), dtype=np.int64)
+        mat = np.stack([
+            np.floor((np.asarray(e, dtype=np.float64) + 0.5)
+                     * (1 << 20)).astype(np.int64)
+            for e in b.column("embedding").to_pylist()])
+        li = np.searchsorted(ls, lab)
+        diff = mat - C[li]
+        d2 = (diff * diff).sum(axis=1)
+        ul, inv = np.unique(lab, return_inverse=True)
+        return pa.table({"label": pa.array(ul),
+                         "sd2": pa.array(np.bincount(
+                             inv, weights=d2.astype(np.float64)
+                         ).astype(np.int64))})
+
+    parts = emb.map_batches(_d2, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all()
+    sum_d2: dict[int, int] = {}
+    for p in parts:
+        sum_d2[p["label"]] = sum_d2.get(p["label"], 0) + p["sd2"]
+    sref = ray.put((np.array(labels, dtype=np.int64),
+                    np.array([sum_d2[l] for l in labels],
+                             dtype=np.int64),
+                    np.array([nmem[l] for l in labels],
+                             dtype=np.int64)))
+
+    def _cnt(b: pa.Table, *, _c=cref, _s=sref) -> pa.Table:
+        ls, C = _c if isinstance(_c, tuple) else ray.get(_c)
+        ls2, S, N = _s if isinstance(_s, tuple) else ray.get(_s)
+        lab = np.asarray(b.column("label"), dtype=np.int64)
+        mat = np.stack([
+            np.floor((np.asarray(e, dtype=np.float64) + 0.5)
+                     * (1 << 20)).astype(np.int64)
+            for e in b.column("embedding").to_pylist()])
+        li = np.searchsorted(ls, lab)
+        diff = mat - C[li]
+        d2 = (diff * diff).sum(axis=1)
+        out = d2 * N[li] > 2 * S[li]
+        ul, inv = np.unique(lab, return_inverse=True)
+        return pa.table({"label": pa.array(ul),
+                         "n_out": pa.array(np.bincount(
+                             inv, weights=out.astype(np.float64)
+                         ).astype(np.int64))})
+
+    parts = emb.map_batches(_cnt, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all()
+    n_out: dict[int, int] = {}
+    for p in parts:
+        n_out[p["label"]] = n_out.get(p["label"], 0) + p["n_out"]
+    return pa.table({
+        "label": pa.array(labels, type=pa.int64()),
+        "n": pa.array([nmem[l] for l in labels], type=pa.int64()),
+        "n_outliers": pa.array([n_out.get(l, 0) for l in labels],
+                               type=pa.int64()),
+    })
+
+
+def q_vertex_netflow(sf_dir: str):
+    """Vertex flow imbalance over dedup-summed weights: counts of
+    source-like (out > in), sink-like (in > out) and balanced vertices
+    plus the extreme net flows — the conservation audit. Two fused
+    degree vectors."""
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("directed")
+    outw = eng.out_weights().astype(np.int64)
+    inw = eng.in_weights().astype(np.int64)
+    net = outw - inw
+    return pa.table({
+        "n_sources": pa.array([int((net > 0).sum())], type=pa.int64()),
+        "n_sinks": pa.array([int((net < 0).sum())], type=pa.int64()),
+        "n_balanced": pa.array([int((net == 0).sum())],
+                               type=pa.int64()),
+        "max_net": pa.array([int(net.max())], type=pa.int64()),
+        "min_net": pa.array([int(net.min())], type=pa.int64()),
+    })
+
+
+def q_dag_layer_hist(sf_dir: str):
+    """Critical-path layer histogram: vertex counts per longest-path
+    layer of the dense-order DAG (`dag_layers` summarized) — the
+    pipeline-stage width profile."""
+    t = q_dag_layers(sf_dir)
+    lay = np.asarray(t.column("layer"), dtype=np.int64)
+    uk, c = np.unique(lay, return_counts=True)
+    return pa.table({
+        "layer": pa.array(uk, type=pa.int64()),
+        "n_vertices": pa.array(c.astype(np.int64)),
+    })
+
+
+def q_linenumber_audit(sf_dir: str):
+    """Lineitem linenumber contiguity assertion: per order, does
+    max(l_linenumber) equal the line count (1-based dense)? —
+    (n_orders, n_violations). One orderkey reduce."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber"],
+    )
+
+    def _a(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_orderkey" not in t.column_names:
+            return pa.table({"n": pa.array([], type=pa.int64()),
+                             "v": pa.array([], type=pa.int64())})
+        ok = np.asarray(t.column("l_orderkey"), dtype=np.int64)
+        ln = np.asarray(t.column("l_linenumber"), dtype=np.int64)
+        uk, inv = np.unique(ok, return_inverse=True)
+        mx = np.full(len(uk), np.iinfo(np.int64).min)
+        np.maximum.at(mx, inv, ln)
+        cnt = np.bincount(inv)
+        bad = mx != cnt
+        return pa.table({"n": pa.array([len(uk)], type=pa.int64()),
+                         "v": pa.array([int(bad.sum())],
+                                       type=pa.int64())})
+
+    parts = group_apply_tasks(li, ["l_orderkey"], _a).take_all()
+    return pa.table({
+        "n_orders": pa.array([sum(p["n"] for p in parts)],
+                             type=pa.int64()),
+        "n_violations": pa.array([sum(p["v"] for p in parts)],
+                                 type=pa.int64()),
+    })
+
+
+XREPO_TOPK = 10
+
+
+def q_repo_cross_topk(sf_dir: str):
+    """Cross-repo cut profile: the XREPO_TOPK repo pairs by directed
+    cross-edge count (tie -> pair asc) plus the total cut — what a
+    repo-partitioned placement would ship. Bounded (100 x 100) pair
+    partials."""
+    import ray
+
+    ctx = get_context(sf_dir)
+    arith_ref = ray.put(np.asarray(ctx.arith))
+
+    def _part(b: pa.Table, *, _ref=arith_ref) -> pa.Table:
+        A = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+        s = np.asarray(b.column("src"), dtype=np.int64)
+        d = np.asarray(b.column("dst"), dtype=np.int64)
+        rs, rd = A[s] % 100, A[d] % 100
+        cross = rs != rd
+        key = rs[cross] * 100 + rd[cross]
+        uk, c = np.unique(key, return_counts=True)
+        return pa.table({"k": pa.array(uk),
+                         "c": pa.array(c.astype(np.int64))})
+
+    parts = ctx.edges.map_batches(_part, batch_format="pyarrow",
+                                  zero_copy_batch=True).take_all()
+    agg: dict[int, int] = {}
+    for p in parts:
+        agg[p["k"]] = agg.get(p["k"], 0) + p["c"]
+    total = sum(agg.values())
+    top = sorted(agg, key=lambda k: (-agg[k], k))[:XREPO_TOPK]
+    return pa.table({
+        "repo_a": pa.array([f"repo_{k // 100}" for k in top],
+                           type=pa.string()),
+        "repo_b": pa.array([f"repo_{k % 100}" for k in top],
+                           type=pa.string()),
+        "cnt": pa.array([agg[k] for k in top], type=pa.int64()),
+        "total_cut": pa.array([total] * len(top), type=pa.int64()),
+    })
