@@ -61,6 +61,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LLM-data layer without a prior driver row (+ refactored dedup)
         # wave 14 (newest = highest regression risk)
         # wave 15
+        # wave 47
+        "monthly_active_customers": q.q_monthly_active_customers,
+        "round_bias": q.q_round_bias,
+        "dim_sign_corr": q.q_dim_sign_corr,
+        "user_span": q.q_user_span,
+        "pname_vocab_topk": q.q_pname_vocab_topk,
         # wave 46
         "class_outliers": q.q_class_outliers,
         "vertex_netflow": q.q_vertex_netflow,
@@ -68,20 +74,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linenumber_audit": q.q_linenumber_audit,
         "repo_cross_topk": q.q_repo_cross_topk,
         # wave 45
-        "source_modal_lang": q.q_source_modal_lang,
-        "aspect_hist": q.q_aspect_hist,
         "token_f2": q.q_token_f2,
         "status_priority_grid": q.q_status_priority_grid,
         # wave 44
         "rfm_cells": q.q_rfm_cells,
-        "emb_dim_range": q.q_emb_dim_range,
         "part_lift_topk": q.q_part_lift_topk,
-        "benford_by_type": q.q_benford_by_type,
         "slow_gaps": q.q_slow_gaps,
         # wave 43
         "ks_stat": q.q_ks_stat,
         "rank_sum_u": q.q_rank_sum_u,
-        "quarter_top_order": q.q_quarter_top_order,
         # wave 42
         "part_growth": q.q_part_growth,
         "bounce_stats": q.q_bounce_stats,
@@ -140,6 +141,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
+        "source_modal_lang": q.q_source_modal_lang,  # modal grid: round_bias/status_priority_grid in-window
+        "aspect_hist": q.q_aspect_hist,  # shape grid: audio_energy_hist in-window
+        "quarter_top_order": q.q_quarter_top_order,  # time agg: monthly_active_customers/part_growth in-window
+        "emb_dim_range": q.q_emb_dim_range,  # per-dim envelope: dim_sign_corr/class_outliers in-window
+        "benford_by_type": q.q_benford_by_type,  # digit grid: round_bias in-window
         "repo_density": q.q_repo_density,  # block density: repo_cross_topk in-window
         "orderkey_gaps": q.q_orderkey_gaps,  # key audit: linenumber_audit in-window
         "dag_path_counts": q.q_dag_path_counts,  # DAG DP chain: dag_layer_hist in-window
@@ -610,6 +616,11 @@ def oracle_sql() -> dict[str, str]:
         "rfm_cells": o.rfm_cells(q.RFM_R_DAYS, q.RFM_F, q.RFM_M_CENTS),
         "repo_density": o.repo_density(),
         "class_outliers": o.class_outliers(),
+        "monthly_active_customers": o.monthly_active_customers(),
+        "round_bias": o.round_bias(),
+        "dim_sign_corr": o.dim_sign_corr(q.SIGN_TOPK, q.SIGN_MID),
+        "user_span": o.user_span(),
+        "pname_vocab_topk": o.pname_vocab_topk(q.PNAME_TOPK),
         "vertex_netflow": o.vertex_netflow(),
         "dag_layer_hist": o.dag_layer_hist(q.DAG_ITERS),
         "linenumber_audit": o.linenumber_audit(),

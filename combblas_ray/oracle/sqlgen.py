@@ -6925,3 +6925,85 @@ FROM ce, t
 ORDER BY cnt DESC, ra, rb
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 47: monthly active customers, round bias, dimension sign
+# correlation, user span, part-name vocabulary
+# ---------------------------------------------------------------------------
+
+
+def monthly_active_customers() -> str:
+    """Distinct ordering customers per month (twin of
+    `queries.q_monthly_active_customers`)."""
+    return """
+SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(extract(month FROM o_orderdate) AS BIGINT) AS o_month,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS active_customers
+FROM orders GROUP BY 1, 2
+"""
+
+
+def round_bias() -> str:
+    """Whole-dollar value share per type (twin of
+    `queries.q_round_bias`)."""
+    return """
+WITH b AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN c % 100 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_round
+FROM b GROUP BY 1
+"""
+
+
+def dim_sign_corr(k: int = 10, mid: int = 1 << 19, dim: int = 64,
+                  qscale: int = 1 << 20) -> str:
+    """Top-k dimension pairs by sign agreement (twin of
+    `queries.q_dim_sign_corr`)."""
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id, CAST(g.d AS BIGINT) - 1 AS dim,
+         CASE WHEN CAST(floor((CAST(embedding[CAST(g.d AS INT)]
+                               AS DOUBLE) + 0.5) * {qscale}) AS BIGINT)
+                   > {mid} THEN 1 ELSE -1 END AS s
+  FROM embeddings CROSS JOIN generate_series(1, {dim}) g(d)
+),
+g2 AS (
+  SELECT a.dim AS i, b.dim AS j, sum(a.s * b.s) AS g,
+         count(*) AS n
+  FROM q a JOIN q b ON b.vec_id = a.vec_id AND b.dim > a.dim
+  GROUP BY 1, 2
+)
+SELECT i AS dim_i, j AS dim_j,
+       CAST((n + g) // 2 AS BIGINT) AS agree, CAST(n AS BIGINT) AS n
+FROM g2
+ORDER BY agree DESC, i, j
+LIMIT {k}
+"""
+
+
+def user_span() -> str:
+    """Per-user activity envelope (twin of `queries.q_user_span`)."""
+    return """
+SELECT user_id,
+       CAST(max(epoch_us(ts) // 86400000000)
+            - min(epoch_us(ts) // 86400000000) AS BIGINT) AS span_days,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+def pname_vocab_topk(k: int = 10) -> str:
+    """Top-k part-name words (twin of
+    `queries.q_pname_vocab_topk`)."""
+    return f"""
+WITH t AS (
+  SELECT unnest(string_split(p_name, ' ')) AS word FROM part
+)
+SELECT word, CAST(count(*) AS BIGINT) AS cnt
+FROM t GROUP BY 1
+ORDER BY cnt DESC, word LIMIT {k}
+"""

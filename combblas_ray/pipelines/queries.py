@@ -13760,3 +13760,216 @@ def q_repo_cross_topk(sf_dir: str):
         "cnt": pa.array([agg[k] for k in top], type=pa.int64()),
         "total_cut": pa.array([total] * len(top), type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 47: monthly active customers, round-number bias, dimension sign
+# correlation, user span, part-name vocabulary
+# ---------------------------------------------------------------------------
+
+
+def q_monthly_active_customers(sf_dir: str):
+    """Monthly active customers: distinct ordering customers per
+    calendar month — the MAU curve. Distinct (custkey, month) pairs
+    per batch -> one keyed shuffle -> bounded month counts."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        ck = np.asarray(b.column("o_custkey"), dtype=np.int64)
+        mon = (np.asarray(b.column("o_orderdate"))
+               .astype("datetime64[us]").astype("datetime64[M]")
+               .astype(np.int64))
+        key = np.unique(ck << 16 | mon)
+        return pa.table({"o_custkey": pa.array(key >> 16),
+                         "mon": pa.array(key & ((1 << 16) - 1))})
+
+    pairs = orders.map_batches(_pairs, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def _cnt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "mon" not in t.column_names:
+            return pa.table({"mon": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        key = np.unique(
+            np.asarray(t.column("o_custkey"), dtype=np.int64) << 16
+            | np.asarray(t.column("mon"), dtype=np.int64))
+        um, c = np.unique(key & ((1 << 16) - 1), return_counts=True)
+        return pa.table({"mon": pa.array(um),
+                         "n": pa.array(c.astype(np.int64))})
+
+    parts = group_apply_tasks(pairs, ["mon"], _cnt).take_all()
+    agg: dict[int, int] = {}
+    for p in parts:
+        agg[p["mon"]] = agg.get(p["mon"], 0) + p["n"]
+    ks = sorted(agg)
+    return pa.table({
+        "o_year": pa.array([k // 12 + 1970 for k in ks],
+                           type=pa.int64()),
+        "o_month": pa.array([k % 12 + 1 for k in ks], type=pa.int64()),
+        "active_customers": pa.array([agg[k] for k in ks],
+                                     type=pa.int64()),
+    })
+
+
+def q_round_bias(sf_dir: str):
+    """Round-number bias: per event type, values landing on whole
+    dollars (cents % 100 == 0) — the human-entry / synthetic-data
+    fingerprint beside Benford. Bounded partials."""
+    import ray
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def _part(b: pa.Table) -> pa.Table:
+        et = np.asarray(b.column("event_type")).astype(str)
+        cents = np.floor(np.asarray(b.column("value")) * 100.0
+                         + 0.5).astype(np.int64)
+        rnd = cents % 100 == 0
+        ue, inv = np.unique(et, return_inverse=True)
+        return pa.table({
+            "event_type": pa.array(ue.tolist(), type=pa.string()),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "n_round": pa.array(np.bincount(
+                inv, weights=rnd.astype(np.float64)).astype(np.int64)),
+        })
+
+    parts = ev.map_batches(_part, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    agg: dict[str, list[int]] = {}
+    for p in parts:
+        e = agg.setdefault(p["event_type"], [0, 0])
+        e[0] += p["n"]
+        e[1] += p["n_round"]
+    ks = sorted(agg)
+    return pa.table({
+        "event_type": pa.array(ks, type=pa.string()),
+        "n": pa.array([agg[k][0] for k in ks], type=pa.int64()),
+        "n_round": pa.array([agg[k][1] for k in ks], type=pa.int64()),
+    })
+
+
+SIGN_TOPK = 10
+SIGN_MID = 1 << 19  # q > mid  <=>  raw value > 0
+
+
+def q_dim_sign_corr(sf_dir: str):
+    """Feature sign co-occurrence: for every dimension pair, how many
+    vectors agree in sign (q > 2^19 on both or neither) — computed as
+    the +-1 Gram matrix (agree = (n + B^T B) / 2, exact integers, one
+    matmul per batch), top-SIGN_TOPK pairs by agreement (tie -> pair
+    asc). The redundant-feature screen."""
+    import ray
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+
+    def _gram(b: pa.Table) -> pa.Table:
+        mat = np.stack([
+            np.floor((np.asarray(e, dtype=np.float64) + 0.5)
+                     * (1 << 20)).astype(np.int64)
+            for e in b.column("embedding").to_pylist()])
+        B = np.where(mat > SIGN_MID, 1, -1).astype(np.int64)
+        G = B.T @ B  # (dims, dims)
+        dims = G.shape[0]
+        iu, ju = np.triu_indices(dims, k=1)
+        return pa.table({
+            "i": pa.array(iu.astype(np.int64)),
+            "j": pa.array(ju.astype(np.int64)),
+            "g": pa.array(G[iu, ju]),
+            "n": pa.array(np.full(len(iu), len(mat), np.int64)),
+        })
+
+    parts = emb.map_batches(_gram, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all()
+    agg: dict[tuple, list[int]] = {}
+    for p in parts:
+        e = agg.setdefault((p["i"], p["j"]), [0, 0])
+        e[0] += p["g"]
+        e[1] += p["n"]
+    rows = []
+    for (i, j), (g, n) in agg.items():
+        rows.append((-(n + g) // 2, i, j, (n + g) // 2, n))
+    rows.sort()
+    rows = rows[:SIGN_TOPK]
+    return pa.table({
+        "dim_i": pa.array([r[1] for r in rows], type=pa.int64()),
+        "dim_j": pa.array([r[2] for r in rows], type=pa.int64()),
+        "agree": pa.array([r[3] for r in rows], type=pa.int64()),
+        "n": pa.array([r[4] for r in rows], type=pa.int64()),
+    })
+
+
+def q_user_span(sf_dir: str):
+    """Per-user activity envelope: first/last event day and event
+    count — the lifetime-span table. One user reduce."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def _env(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "span_days": pa.array([], type=pa.int64()),
+                             "n_events": pa.array([], type=pa.int64())})
+        uid = np.asarray(t.column("user_id"), dtype=np.int64)
+        day = (np.asarray(t.column("ts")).astype("datetime64[us]")
+               .astype(np.int64) // 86_400_000_000)
+        uk, inv = np.unique(uid, return_inverse=True)
+        mn = np.full(len(uk), np.iinfo(np.int64).max)
+        mx = np.full(len(uk), np.iinfo(np.int64).min)
+        np.minimum.at(mn, inv, day)
+        np.maximum.at(mx, inv, day)
+        return pa.table({"user_id": pa.array(uk),
+                         "span_days": pa.array(mx - mn),
+                         "n_events": pa.array(
+                             np.bincount(inv).astype(np.int64))})
+
+    return group_apply_tasks(ev, ["user_id"], _env)
+
+
+PNAME_TOPK = 10
+
+
+def q_pname_vocab_topk(sf_dir: str):
+    """Dimension-table vocabulary: the PNAME_TOPK most common words in
+    part names (cnt DESC, word ASC) — attribute-text profiling on the
+    small side. Bounded partials."""
+    import ray
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_name"]
+    )
+
+    def _v(b: pa.Table) -> pa.Table:
+        col = b.column("p_name")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern(col, " ")
+        flat = np.asarray(pc.list_flatten(toks)).astype(str)
+        uk, c = np.unique(flat, return_counts=True)
+        return pa.table({"word": pa.array(uk.tolist(),
+                                          type=pa.string()),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    parts = part.map_batches(_v, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all()
+    agg: dict[str, int] = {}
+    for p in parts:
+        agg[p["word"]] = agg.get(p["word"], 0) + p["cnt"]
+    top = sorted(agg, key=lambda k: (-agg[k], k))[:PNAME_TOPK]
+    return pa.table({
+        "word": pa.array(top, type=pa.string()),
+        "cnt": pa.array([agg[k] for k in top], type=pa.int64()),
+    })
