@@ -61,6 +61,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LLM-data layer without a prior driver row (+ refactored dedup)
         # wave 14 (newest = highest regression risk)
         # wave 15
+        # wave 48
+        "session_size_hist": q.q_session_size_hist,
+        "degree_tails": q.q_degree_tails,
+        "doc_length_extremes": q.q_doc_length_extremes,
         # wave 47
         "monthly_active_customers": q.q_monthly_active_customers,
         "round_bias": q.q_round_bias,
@@ -74,7 +78,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linenumber_audit": q.q_linenumber_audit,
         "repo_cross_topk": q.q_repo_cross_topk,
         # wave 45
-        "token_f2": q.q_token_f2,
         "status_priority_grid": q.q_status_priority_grid,
         # wave 44
         "rfm_cells": q.q_rfm_cells,
@@ -85,12 +88,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_sum_u": q.q_rank_sum_u,
         # wave 42
         "part_growth": q.q_part_growth,
-        "bounce_stats": q.q_bounce_stats,
         "audio_energy_hist": q.q_audio_energy_hist,
         "p3_count": q.q_p3_count,
         # wave 41
         "never_discounted": q.q_never_discounted,
-        "max_idle_gap": q.q_max_idle_gap,
         # wave 40
         "lcc_share": q.q_lcc_share,
         "top_spenders_ties": q.q_top_spenders_ties,
@@ -141,6 +142,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
+        "bounce_stats": q.q_bounce_stats,  # session sizes: session_size_hist in-window
+        "token_f2": q.q_token_f2,  # vocab collision mass: pname_vocab_topk/dim_sign_corr in-window
+        "max_idle_gap": q.q_max_idle_gap,  # adjacent-scan envelope: user_span/session_size_hist in-window
         "source_modal_lang": q.q_source_modal_lang,  # modal grid: round_bias/status_priority_grid in-window
         "aspect_hist": q.q_aspect_hist,  # shape grid: audio_energy_hist in-window
         "quarter_top_order": q.q_quarter_top_order,  # time agg: monthly_active_customers/part_growth in-window
@@ -617,6 +621,9 @@ def oracle_sql() -> dict[str, str]:
         "repo_density": o.repo_density(),
         "class_outliers": o.class_outliers(),
         "monthly_active_customers": o.monthly_active_customers(),
+        "session_size_hist": o.session_size_hist(q.SESSION_GAP_MIN),
+        "degree_tails": o.degree_tails(),
+        "doc_length_extremes": o.doc_length_extremes(),
         "round_bias": o.round_bias(),
         "dim_sign_corr": o.dim_sign_corr(q.SIGN_TOPK, q.SIGN_MID),
         "user_span": o.user_span(),

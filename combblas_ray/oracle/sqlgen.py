@@ -7007,3 +7007,75 @@ SELECT word, CAST(count(*) AS BIGINT) AS cnt
 FROM t GROUP BY 1
 ORDER BY cnt DESC, word LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 48: session size histogram, degree tails, document extremes
+# ---------------------------------------------------------------------------
+
+
+def session_size_hist(gap_minutes: int = 30) -> str:
+    """Session-size distribution (twin of
+    `queries.q_session_size_hist`)."""
+    return f"""
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                 > {gap_minutes} * 60000000::BIGINT
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sid AS (
+  SELECT user_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS s
+  FROM o
+),
+sizes AS (SELECT count(*) AS k FROM sid GROUP BY user_id, s)
+SELECT CAST(k AS BIGINT) AS size, CAST(count(*) AS BIGINT)
+  AS n_sessions
+FROM sizes GROUP BY 1
+"""
+
+
+@_materialized
+def degree_tails() -> str:
+    """Isolated/pendant/max-degree census (twin of
+    `queries.q_degree_tails`)."""
+    return PREFIX + """
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+deg AS (
+  SELECT v.i, CAST(coalesce(d.c, 0) AS BIGINT) AS d
+  FROM verts v LEFT JOIN (SELECT src AS i, count(*) AS c
+                          FROM und GROUP BY 1) d ON d.i = v.i
+),
+m AS (SELECT max(d) AS mx FROM deg)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg WHERE d = 0)
+         AS n_isolated,
+       (SELECT CAST(count(*) AS BIGINT) FROM deg WHERE d = 1)
+         AS n_pendant,
+       (SELECT CAST(mx AS BIGINT) FROM m) AS max_deg,
+       (SELECT CAST(count(*) AS BIGINT) FROM deg, m WHERE d = mx)
+         AS n_at_max
+"""
+
+
+def doc_length_extremes() -> str:
+    """Shortest/longest documents with tie-broken ids (twin of
+    `queries.q_doc_length_extremes`)."""
+    return """
+WITH lo AS (SELECT n_chars AS c, doc_id AS i FROM documents
+            ORDER BY n_chars, doc_id LIMIT 1),
+hi AS (SELECT n_chars AS c, doc_id AS i FROM documents
+       ORDER BY n_chars DESC, doc_id LIMIT 1)
+SELECT CAST(lo.c AS BIGINT) AS min_chars,
+       CAST(lo.i AS BIGINT) AS min_doc,
+       CAST(hi.c AS BIGINT) AS max_chars,
+       CAST(hi.i AS BIGINT) AS max_doc
+FROM lo, hi
+"""

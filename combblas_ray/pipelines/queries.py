@@ -13973,3 +13973,101 @@ def q_pname_vocab_topk(sf_dir: str):
         "word": pa.array(top, type=pa.string()),
         "cnt": pa.array([agg[k] for k in top], type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 48: session size histogram, degree tails, document extremes
+# ---------------------------------------------------------------------------
+
+
+def q_session_size_hist(sf_dir: str):
+    """Session-size distribution: sessions with k events under the
+    30-minute-gap rule — `bounce_stats` generalized to the full
+    histogram. One user shuffle."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+    gap_us = SESSION_GAP_MIN * 60_000_000
+
+    def _h(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return pa.table({"size": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        uid = np.asarray(t.column("user_id"), dtype=np.int64)
+        ts = np.asarray(t.column("ts")).astype("datetime64[us]").astype(
+            np.int64)
+        eid = np.asarray(t.column("event_id"), dtype=np.int64)
+        order = np.lexsort((eid, ts, uid))
+        u, s = uid[order], ts[order]
+        new_sess = np.ones(len(u), dtype=bool)
+        new_sess[1:] = (u[1:] != u[:-1]) | (s[1:] - s[:-1] > gap_us)
+        sizes = np.bincount(np.cumsum(new_sess))[1:]
+        uk, c = np.unique(sizes, return_counts=True)
+        return pa.table({"size": pa.array(uk.astype(np.int64)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    parts = group_apply_tasks(ev, ["user_id"], _h).take_all()
+    agg: dict[int, int] = {}
+    for p in parts:
+        agg[p["size"]] = agg.get(p["size"], 0) + p["n"]
+    ks = sorted(agg)
+    return pa.table({
+        "size": pa.array(ks, type=pa.int64()),
+        "n_sessions": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
+
+
+def q_degree_tails(sf_dir: str):
+    """Degree-tail audit of the undirected structural graph: isolated
+    and pendant (degree-1) vertex counts plus the maximum degree and
+    how many vertices attain it — the hub/fringe summary."""
+    ctx = get_context(sf_dir)
+    deg = ctx.engine("sym").in_weights().astype(np.int64)
+    mx = int(deg.max())
+    return pa.table({
+        "n_isolated": pa.array([int((deg == 0).sum())],
+                               type=pa.int64()),
+        "n_pendant": pa.array([int((deg == 1).sum())],
+                              type=pa.int64()),
+        "max_deg": pa.array([mx], type=pa.int64()),
+        "n_at_max": pa.array([int((deg == mx).sum())],
+                             type=pa.int64()),
+    })
+
+
+def q_doc_length_extremes(sf_dir: str):
+    """Document length extremes: the shortest and longest documents by
+    n_chars (ties -> lowest doc_id) — the envelope lookup. Per-batch
+    argmin/argmax partials."""
+    import ray
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def _ex(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+        nc = np.asarray(b.column("n_chars"), dtype=np.int64)
+        lo = min(zip(nc.tolist(), ids.tolist()))
+        hi = min(zip((-nc).tolist(), ids.tolist()))
+        return pa.table({
+            "lo_c": pa.array([lo[0]], type=pa.int64()),
+            "lo_id": pa.array([lo[1]], type=pa.int64()),
+            "hi_c": pa.array([-hi[0]], type=pa.int64()),
+            "hi_id": pa.array([hi[1]], type=pa.int64()),
+        })
+
+    parts = docs.map_batches(_ex, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all()
+    lo = min((p["lo_c"], p["lo_id"]) for p in parts)
+    hi = min((-p["hi_c"], p["hi_id"]) for p in parts)
+    return pa.table({
+        "min_chars": pa.array([lo[0]], type=pa.int64()),
+        "min_doc": pa.array([lo[1]], type=pa.int64()),
+        "max_chars": pa.array([-hi[0]], type=pa.int64()),
+        "max_doc": pa.array([hi[1]], type=pa.int64()),
+    })
