@@ -30,7 +30,7 @@ def entry() -> Any:
         ckpt_every=10,
     )
     return pd.DataFrame(
-        {"label": np.asarray(ctx.labels), "score": r}
+        {"label": ctx.gather_labels(np.arange(ctx.n)), "score": r}
     )
 
 

@@ -76,12 +76,16 @@ def run_headline() -> None:
     timings["cc_converged"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    root = int(np.searchsorted(ctx.labels, "m_0"))
+    root = ctx.lookup_id("m_0")  # distributed point-lookup, no driver dict
     alg.min_plus_distances(sym, root, iters=12)
     timings["bfs12"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    alg.label_propagation(sym, (ctx.arith % 10).astype(np.int64), 10, 5)
+    from combblas_ray.pipelines.queries import _lp_init_kernel
+
+    init_refs = sym.map_chunks(
+        _lp_init_kernel, ctx.vdict.arith_slice_refs(sym.bounds))
+    alg.label_propagation(sym, init_refs, 10, 5)
     timings["labelprop5"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()

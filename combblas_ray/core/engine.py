@@ -267,11 +267,23 @@ def update_blocks(man: dict, delta_graph, ckpt_dir: str) -> dict:
     n, g = man["n"], man["g"]
     if delta_graph.n != n:
         raise ValueError("delta must share the vertex space")
-    if man.get("payload"):
-        raise NotImplementedError(
-            "incremental update of payload-typed blocks is not supported; "
-            "rebuild with build_blocks(resume=False)"
-        )
+    payload = man.get("payload") or None
+    if payload:
+        # payload-typed blocks merge with the per-field dedup-combine
+        # (`_payload_combine`, the TwitterEdge operator+= semantics) —
+        # the Incremental family over ANY nonzero type
+        # (`Applications/Incremental`, `ParFriends.h:843-1237`). The
+        # delta edge table must carry every payload column. NOTE: fields
+        # combined with 'first' keep an arbitrary representative, so
+        # incremental == rebuild is guaranteed only for the
+        # order-independent aggs (sum/min/max/or/and).
+        missing = [f for f in payload
+                   if f not in delta_graph.edges.schema().names]
+        if missing:
+            raise ValueError(
+                f"payload-typed incremental update: delta edges lack "
+                f"payload column(s) {missing}"
+            )
 
     def _key(batch: pa.Table) -> pa.Table:
         src = np.asarray(batch.column("src"))
@@ -296,6 +308,8 @@ def update_blocks(man: dict, delta_graph, ckpt_dir: str) -> dict:
             src = np.asarray(batch.column("src"))[sel]
             dst = np.asarray(batch.column("dst"))[sel]
             w = np.asarray(batch.column("w"))[sel].astype(np.float64)
+            pay = {f: np.asarray(batch.column(f))[sel]
+                   for f in (payload or ())}
             old = existing.get(int(bid))
             if old is not None:
                 z = np.load(old["path"])
@@ -305,9 +319,13 @@ def update_blocks(man: dict, delta_graph, ckpt_dir: str) -> dict:
                 src = np.concatenate([src, z["cols"].astype(np.int64) + bc * ls_c])
                 dst = np.concatenate([dst, z["rows"].astype(np.int64) + br * ls_r])
                 w = np.concatenate([w, z["w"].astype(np.float64)])
+                for f in (payload or ()):
+                    pay[f] = np.concatenate(
+                        [pay[f], z[f"p_{f}"].astype(pay[f].dtype, copy=False)]
+                    )
             info = _rebuild_one_block(int(bid), src, dst, w, n, g, ckpt_dir,
                                       w_dtype=w_dtype, structural=structural,
-                                      gen=gen)
+                                      gen=gen, pay=pay, payload=payload)
             rows_out.append(info)
         if not rows_out:
             return _empty_manifest_table()
@@ -335,12 +353,14 @@ def update_blocks(man: dict, delta_graph, ckpt_dir: str) -> dict:
 
 def _rebuild_one_block(bid: int, src, dst, w, n: int, g: int, ckpt_dir: str,
                        *, w_dtype: str = "f8", structural: bool = False,
-                       gen: int = 0) -> dict:
+                       gen: int = 0, pay: dict | None = None,
+                       payload: dict[str, str] | None = None) -> dict:
     """Rebuild one block from (possibly merged) triples, honouring the
-    manifest's ``w_dtype``/``structural`` flags so delta merges keep the
-    original block semantics. ``gen > 0`` writes a generation-suffixed file
-    instead of mutating the prior block file, so Ray task replays after a
-    partial failure are idempotent (the old generation is never touched)."""
+    manifest's ``w_dtype``/``structural``/``payload`` flags so delta
+    merges keep the original block semantics. ``gen > 0`` writes a
+    generation-suffixed file instead of mutating the prior block file, so
+    Ray task replays after a partial failure are idempotent (the old
+    generation is never touched)."""
     ls_r = local_size(n, g)
     ls_c = local_size(n, g)
     br, bc = bid // g, bid % g
@@ -350,7 +370,10 @@ def _rebuild_one_block(bid: int, src, dst, w, n: int, g: int, ckpt_dir: str,
     rows = (np.asarray(dst) - row0).astype(np.int64)
     cols = (np.asarray(src) - col0).astype(np.int64)
     key = rows * np.int64(n) + cols
-    uk, inv = np.unique(key, return_inverse=True)
+    uk, first_idx, inv = np.unique(key, return_index=True,
+                                   return_inverse=True)
+    pcols = {f: _payload_combine(v, first_idx, inv, payload[f])
+             for f, v in (pay or {}).items()}
     wm = np.bincount(inv, weights=w)
     if structural:
         wm = np.ones_like(wm)
@@ -365,7 +388,8 @@ def _rebuild_one_block(bid: int, src, dst, w, n: int, g: int, ckpt_dir: str,
             else os.path.join(ckpt_dir, f"block_{bid:06d}_g{gen}.npz"))
     tmp = path + ".tmp.npz"
     np.savez(tmp, indptr=indptr, rows=rows, cols=cols, w=wm,
-             meta=np.array([bid, br, bc, row0, col0, nr], dtype=np.int64))
+             meta=np.array([bid, br, bc, row0, col0, nr], dtype=np.int64),
+             **{f"p_{f}": v for f, v in pcols.items()})
     os.replace(tmp, path)
     sha = hashlib.sha256(rows.tobytes() + cols.tobytes() + wm.tobytes()).hexdigest()[:16]
     return {"bid": bid, "br": br, "bc": bc, "path": path, "nnz": len(wm), "sha": sha}

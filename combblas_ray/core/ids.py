@@ -114,12 +114,258 @@ class VertexDict:
     n: int
 
     def materialize_labels(self) -> np.ndarray:
-        """Driver-side dense id -> label array. Small-graph convenience for
-        the query surface / oracles — NOT used by the build path."""
+        """Driver-side dense id -> label array. TOY-SCALE convenience only
+        (pulls every dictionary chunk to the driver) — NOT used by the
+        build path and, since round 4, not by the steady query path either
+        (queries label outputs via `gather_labels` / `decoder`, the
+        `Extract` route pattern of ``CC.h:419-577``)."""
         parts = ray.get(list(self.chunk_refs))
         return np.concatenate(
             [np.asarray(p[0]).astype(str) for p in parts]
         ) if parts else _EMPTY_STR
+
+    # ---- distributed label resolution (round-4: no O(n) driver arrays) --
+
+    def lookup_ids(self, labels) -> np.ndarray:
+        """label(s) -> dense id(s) for a FEW labels (roots, seeds): each
+        label routes to its owner chunk by the range boundaries and the
+        owner answers with offset + local rank — the driver never touches
+        the dictionary (contrast ``np.searchsorted(materialize_labels(),
+        lab)``). The distmapper point-lookup of ``SpParMat.cpp:3945``."""
+        labs = np.asarray(labels, dtype=str)
+        if len(labs) == 0:
+            return np.empty(0, dtype=np.int64)
+        ks = (
+            np.searchsorted(self.boundaries, labs, side="right")
+            if len(self.boundaries)
+            else np.zeros(len(labs), dtype=np.int64)
+        )
+        out = np.empty(len(labs), dtype=np.int64)
+        futs, sels = [], []
+        for k in np.unique(ks):
+            sel = np.nonzero(ks == k)[0]
+            futs.append(
+                _lookup_in_chunk.remote(
+                    self.chunk_refs[int(k)], int(self.offsets[int(k)]),
+                    labs[sel].tolist(),
+                )
+            )
+            sels.append(sel)
+        for vids, sel in zip(ray.get(futs), sels):
+            out[sel] = vids
+        return out
+
+    def lookup_id(self, label: str) -> int:
+        return int(self.lookup_ids([label])[0])
+
+    def gather_labels(self, ids: np.ndarray) -> np.ndarray:
+        """Bulk dense-id -> label gather: ids route to owner chunks
+        (searchsorted over the per-chunk start offsets), owners serve
+        label slices, the driver assembles only the ``len(ids)`` answers
+        — the `Extract` route/serve/assemble of ``CC.h:419-577`` applied
+        to the distmapper. O(len(ids)) driver memory, never O(n)."""
+        ids = np.asarray(ids, dtype=np.int64)
+        if len(ids) == 0:
+            return _EMPTY_STR
+        starts = np.asarray(self.offsets, dtype=np.int64)
+        ks = np.searchsorted(starts, ids, side="right") - 1
+        futs, sels = [], []
+        for k in np.unique(ks):
+            sel = np.nonzero(ks == k)[0]
+            futs.append(
+                _labels_take_chunk.remote(
+                    self.chunk_refs[int(k)], ids[sel] - starts[int(k)]
+                )
+            )
+            sels.append(sel)
+        out = np.empty(len(ids), dtype=object)
+        maxlen = 1
+        for labs, sel in zip(ray.get(futs), sels):
+            out[sel] = labs
+            if len(labs):
+                maxlen = max(maxlen, max(len(s) for s in labs))
+        return out.astype(f"U{maxlen}")
+
+    def decoder(self) -> "LabelDecoder":
+        """Picklable id->label decoder for use INSIDE map_batches / chunk
+        kernels: tasks fetch only the dictionary chunks their batch's ids
+        touch (object-store local after the first fetch on a node) — the
+        bcast/request hybrid of `Extract`, replacing the old
+        ``ray.put(materialize_labels())`` full broadcast."""
+        return LabelDecoder(
+            chunk_refs=list(self.chunk_refs),
+            offsets=np.asarray(self.offsets, dtype=np.int64),
+            n=self.n,
+        )
+
+    def label_slice_refs(self, bounds: list) -> list:
+        """Per-range label array refs aligned with ``bounds`` (engine
+        chunk bounds): one num_cpus=0 task per range concatenates the
+        overlapping dictionary-chunk slices. Feeds chunk kernels that
+        need this range's labels (e.g. HyperANF's md5 register init)
+        without any driver materialization."""
+        starts = np.asarray(self.offsets, dtype=np.int64)
+        ends = np.append(starts[1:], self.n)
+        out = []
+        for (s, e) in bounds:
+            ks = [
+                k for k in range(len(self.chunk_refs))
+                if starts[k] < e and ends[k] > s
+            ]
+            out.append(
+                _label_slice.remote(
+                    s, e,
+                    [int(starts[k]) for k in ks],
+                    *[self.chunk_refs[k] for k in ks],
+                )
+            )
+        return out
+
+    def arith_slice_refs(self, bounds: list) -> list:
+        """Per-range ``int(label[2:])`` int64 array refs aligned with
+        ``bounds`` — the arithmetic file index generated INSIDE tasks from
+        the dictionary chunks (seed masks / init vectors for chunked
+        engine loops, no O(n) driver array)."""
+        starts = np.asarray(self.offsets, dtype=np.int64)
+        ends = np.append(starts[1:], self.n)
+        out = []
+        for (s, e) in bounds:
+            ks = [
+                k for k in range(len(self.chunk_refs))
+                if starts[k] < e and ends[k] > s
+            ]
+            out.append(
+                _arith_slice.remote(
+                    s, e,
+                    [int(starts[k]) for k in ks],
+                    *[self.chunk_refs[k] for k in ks],
+                )
+            )
+        return out
+
+    @classmethod
+    def from_labels(cls, sorted_labels: np.ndarray,
+                    num_chunks: int = 4) -> "VertexDict":
+        """Build a VertexDict from a driver-side sorted label array (the
+        toy-n isolated-vertex fallback path)."""
+        n = len(sorted_labels)
+        num_chunks = max(1, min(num_chunks, n)) if n else 1
+        cuts = np.linspace(0, n, num_chunks + 1).astype(np.int64)
+        chunk_refs = []
+        for i in range(num_chunks):
+            labs = pa.array(sorted_labels[cuts[i]:cuts[i + 1]].tolist(),
+                            type=pa.string())
+            vids = np.arange(cuts[i], cuts[i + 1], dtype=np.int64)
+            chunk_refs.append(ray.put((labs, vids)))
+        boundaries = (
+            np.asarray(sorted_labels[cuts[1:-1]], dtype=str)
+            if num_chunks > 1 else np.empty(0, dtype="U1")
+        )
+        return cls(chunk_refs=chunk_refs, offsets=cuts[:-1],
+                   boundaries=boundaries, n=n)
+
+
+# Per-worker-process cache of fetched dictionary chunks: ray.get of the
+# same ObjectRef is already plasma-local after the first fetch on a node,
+# but the (labels pa.Array -> numpy) conversions below are not free — cache
+# the converted forms keyed by the ref hex.
+_CHUNK_CACHE: dict = {}
+
+
+def _cached_chunk(ref):
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    hit = _CHUNK_CACHE.get(key)
+    if hit is None:
+        labels, vids = ray.get(ref)
+        if isinstance(labels, pa.ChunkedArray):
+            labels = labels.combine_chunks()
+        hit = {"labels": labels}
+        if len(_CHUNK_CACHE) > 64:  # bound per-process memory
+            _CHUNK_CACHE.clear()
+        _CHUNK_CACHE[key] = hit
+    return hit
+
+
+@dataclass
+class LabelDecoder:
+    """Task-side id -> label (and label-arithmetic) resolver over the
+    distributed dictionary; see ``VertexDict.decoder``."""
+
+    chunk_refs: list
+    offsets: np.ndarray
+    n: int
+
+    def _fetch(self, ids: np.ndarray):
+        ks = np.searchsorted(self.offsets, ids, side="right") - 1
+        return ks
+
+    def take(self, ids: np.ndarray) -> pa.Array:
+        """labels[ids] as a pa.string Array, fetching only touched chunks."""
+        ids = np.asarray(ids, dtype=np.int64)
+        if len(ids) == 0:
+            return pa.array([], type=pa.string())
+        ks = self._fetch(ids)
+        out = np.empty(len(ids), dtype=object)
+        for k in np.unique(ks):
+            sel = ks == k
+            hit = _cached_chunk(self.chunk_refs[int(k)])
+            local = ids[sel] - int(self.offsets[int(k)])
+            taken = hit["labels"].take(pa.array(local, type=pa.int64()))
+            out[sel] = np.asarray(taken, dtype=object)
+        return pa.array(out, type=pa.string())
+
+    def arith(self, ids: np.ndarray) -> np.ndarray:
+        """int(label[2:]) per id for the synthetic "m_<i>" corpus labels
+        — the SQL-replicable arithmetic file index, computed task-side
+        from the touched dictionary chunks (cached per chunk)."""
+        ids = np.asarray(ids, dtype=np.int64)
+        if len(ids) == 0:
+            return np.empty(0, dtype=np.int64)
+        ks = self._fetch(ids)
+        out = np.empty(len(ids), dtype=np.int64)
+        for k in np.unique(ks):
+            sel = ks == k
+            hit = _cached_chunk(self.chunk_refs[int(k)])
+            if "arith" not in hit:
+                hit["arith"] = pc.cast(
+                    pc.utf8_slice_codeunits(hit["labels"], 2), pa.int64()
+                ).to_numpy()
+            out[sel] = hit["arith"][ids[sel] - int(self.offsets[int(k)])]
+        return out
+
+
+@ray.remote(num_cpus=0)
+def _lookup_in_chunk(chunk, offset: int, labels: list):
+    ch_labels, _vids = chunk
+    pos = pc.index_in(pa.array(labels, type=pa.string()),
+                      value_set=ch_labels)
+    return offset + pos.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+@ray.remote(num_cpus=0)
+def _labels_take_chunk(chunk, local_ids: np.ndarray):
+    ch_labels, _vids = chunk
+    if isinstance(ch_labels, pa.ChunkedArray):
+        ch_labels = ch_labels.combine_chunks()
+    return np.asarray(
+        ch_labels.take(pa.array(local_ids, type=pa.int64())), dtype=object
+    )
+
+
+@ray.remote(num_cpus=0)
+def _label_slice(s: int, e: int, chunk_starts: list, *chunks):
+    """Concatenate dictionary-chunk label slices covering vid range
+    [s, e) into one numpy str array (chunk-kernel input)."""
+    parts = []
+    for c0, ch in zip(chunk_starts, chunks):
+        labels, _vids = ch
+        if isinstance(labels, pa.ChunkedArray):
+            labels = labels.combine_chunks()
+        lo = max(0, s - c0)
+        hi = min(len(labels), e - c0)
+        if hi > lo:
+            parts.append(np.asarray(labels.slice(lo, hi - lo)).astype(str))
+    return np.concatenate(parts) if parts else _EMPTY_STR
 
 
 _EMPTY_STR = np.empty(0, dtype="U1")
@@ -354,6 +600,61 @@ def _serve_chunk_vids(chunk, *requests):
         for req in requests
     )
     return out if len(requests) > 1 else out[0]
+
+
+@ray.remote(num_cpus=0)
+def _arith_slice(s: int, e: int, chunk_starts: list, *chunks) -> np.ndarray:
+    """int(label[2:]) for vid range [s, e) from the overlapping
+    dictionary chunks."""
+    parts = []
+    for c0, ch in zip(chunk_starts, chunks):
+        labels, _vids = ch
+        if isinstance(labels, pa.ChunkedArray):
+            labels = labels.combine_chunks()
+        lo = max(0, s - c0)
+        hi = min(len(labels), e - c0)
+        if hi > lo:
+            parts.append(
+                pc.cast(
+                    pc.utf8_slice_codeunits(labels.slice(lo, hi - lo), 2),
+                    pa.int64(),
+                ).to_numpy()
+            )
+    return (np.concatenate(parts) if parts
+            else np.empty(0, dtype=np.int64))
+
+
+@ray.remote(num_cpus=0)
+def _arith_mod_hist(chunk, m: int) -> np.ndarray:
+    labels, _vids = chunk
+    if isinstance(labels, pa.ChunkedArray):
+        labels = labels.combine_chunks()
+    arith = pc.cast(pc.utf8_slice_codeunits(labels, 2), pa.int64()).to_numpy()
+    return np.bincount(arith % m, minlength=m).astype(np.int64)
+
+
+def arith_mod_hist(vdict: VertexDict, m: int) -> np.ndarray:
+    """Counts of vertices per (arith % m) bucket — per-dictionary-chunk
+    partials summed on the driver (m values per chunk, never the labels)."""
+    parts = ray.get([_arith_mod_hist.remote(r, m) for r in vdict.chunk_refs])
+    return np.sum(parts, axis=0) if parts else np.zeros(m, dtype=np.int64)
+
+
+@ray.remote(num_cpus=0)
+def _chunk_ids_table(chunk) -> pa.Table:
+    labels, vids = chunk
+    if isinstance(labels, pa.ChunkedArray):
+        labels = labels.combine_chunks()
+    return pa.table({"vid": pa.array(np.asarray(vids, dtype=np.int64)),
+                     "label": labels})
+
+
+def vertex_ids_dataset(vdict: VertexDict):
+    """The id -> label distmapper as a Dataset, one block per dictionary
+    chunk — the driver never concatenates the labels."""
+    return ray.data.from_arrow_refs(
+        [_chunk_ids_table.remote(r) for r in vdict.chunk_refs]
+    )
 
 
 def labels_table(sorted_labels: np.ndarray) -> pa.Table:

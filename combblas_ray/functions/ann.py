@@ -175,16 +175,32 @@ def _merge_knn(k: int, *tiles) -> pa.Table:
     )
 
 
-def knn_graph(emb_ds, k: int = 5, num_chunks: int | None = None):
-    """Exact cosine kNN graph over ALL vectors as a Dataset of
-    (query_id, neighbor_id, rnk) — 2D block-pair tiling, the SpGEMM-style
-    plan: C normalized chunks, C^2 tile tasks each holding ONE query chunk
-    and ONE db chunk, then a per-query-chunk vectorized merge. No full
-    matrix on the driver, no full-matrix broadcast (contrast
-    ``ann_bruteforce_topk``, which ships the whole query matrix to every
-    shard — kept as the small-query-set / pytest-oracle path). Exact kNN is
-    inherently O(N^2) flops; the sub-quadratic paths are ``ann_lsh_topk``
-    / ``ann_ivf_topk``."""
+# Above this many vectors the exact all-pairs plan's O(N^2) flop count,
+# not its memory (which is tiled), is the scale-killer — the cost switch
+# mirrors the reference's size-driven plan selection (`FastSV.h:221-228`,
+# `ParFriends.h:485-538` phase estimator).
+KNN_EXACT_MAX = 100_000
+
+
+def knn_graph(emb_ds, k: int = 5, num_chunks: int | None = None,
+              method: str = "auto", nbits: int | None = None,
+              probe_bits: int = 2):
+    """Cosine kNN graph over ALL vectors as a Dataset of
+    (query_id, neighbor_id, rnk).
+
+    ``method='auto'`` (the default) is a cost switch: up to
+    ``KNN_EXACT_MAX`` vectors the EXACT 2D block-pair tiled plan runs
+    (C normalized chunks, C^2 tile tasks, per-query-chunk vectorized
+    merge — no full matrix on the driver, no full-matrix broadcast);
+    above it the SUB-QUADRATIC plan runs: sign-LSH bucket candidate
+    generation + exact re-rank (``knn_graph_lsh``, recall >= 0.95 vs
+    brute asserted in pytest). ``method='exact'``/``'lsh'`` force a plan
+    (the exact plan doubles as the pytest oracle for the LSH plan)."""
+    if method == "auto":
+        method = "exact" if emb_ds.count() <= KNN_EXACT_MAX else "lsh"
+    if method == "lsh":
+        return knn_graph_lsh(emb_ds, k=k, nbits=nbits,
+                             probe_bits=probe_bits)
     if num_chunks is None:
         try:
             cpus = int(ray.cluster_resources().get("CPU", 8))
@@ -198,6 +214,154 @@ def knn_graph(emb_ds, k: int = 5, num_chunks: int | None = None):
              for qc in range(c)]
     merged = [_merge_knn.remote(k, *tiles[qc]) for qc in range(c)]
     return ray.data.from_arrow_refs(merged)
+
+
+def knn_graph_lsh(emb_ds, k: int = 5, nbits: int | None = None,
+                  probe_bits: int = 2, seed: int = 11):
+    """Sub-quadratic all-pairs kNN: sign-LSH candidate buckets + exact
+    per-bucket re-rank + per-query merge — three keyed shuffles, nothing
+    on the driver.
+
+    1. Every vector emits ONE data row (its own bucket) and one QUERY
+       row per probed bucket (its code plus every <= probe_bits bit
+       flip) — the multi-probe trick that recovers near-boundary
+       neighbors without more tables.
+    2. Per bucket (keyed shuffle): one matmul of the bucket's query rows
+       against its data rows, per-query top-(k+1) PARTIAL.
+    3. Per query (second keyed shuffle): merge bucket partials, dedup
+       neighbors, emit the global top-k by (-sim, neighbor_id).
+
+    With nbits ~ log2(N / target_bucket) expected bucket size is a
+    constant, so total flops are O(N * bucket * probes) instead of
+    O(N^2). Recall vs the exact tiled plan is asserted in pytest."""
+    import itertools
+
+    from ..core.shuffle import group_apply_tasks
+
+    first = emb_ds.take(1)
+    dim = len(first[0]["embedding"])
+    if nbits is None:
+        # target ~512 vectors per bucket
+        n = emb_ds.count()
+        nbits = max(2, min(20, int(np.ceil(np.log2(max(2, n / 512))))))
+    planes = lsh_planes(dim, nbits, seed)
+    flips = [0] + [
+        sum(1 << b for b in combo)
+        for r in range(1, probe_bits + 1)
+        for combo in itertools.combinations(range(nbits), r)
+    ]
+
+    def _emit(batch: pa.Table) -> pa.Table:
+        ids, emb = _to_matrix(batch)
+        M = _normalize(emb)
+        codes = _sign_codes(M, planes)
+        out_b, out_i, out_r = [], [], []
+        reps = 0
+        for f in flips:
+            out_b.append(codes ^ f)
+            out_i.append(ids)
+            # role 1 = query; the f == 0 copy doubles as the data row
+            out_r.append(np.full(len(ids), 1 if f else 0, dtype=np.int8))
+            reps += 1
+        E = np.tile(M, (reps, 1)) if len(M) else np.zeros((0, 0))
+        d = E.shape[1]
+        if len(E) == 0 or d == 0:
+            lst = pa.array([], type=pa.list_(pa.float64()))
+        else:
+            lst = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (len(E) + 1) * d, d, dtype=np.int32)),
+                pa.array(E.ravel(), type=pa.float64()),
+            )
+        return pa.table({
+            "bucket": pa.array(np.concatenate(out_b), type=pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_i), type=pa.int64()),
+            "role": pa.array(np.concatenate(out_r), type=pa.int8()),
+            "embedding": lst,
+        })
+
+    def _bucket_partials(batch: pa.Table) -> pa.Table:
+        """Per bucket: queries x data matmul, per-query top-(k+1)
+        partial. Batched by distinct (n_query, n_data) bucket shapes —
+        the `_run_pairs` no-Python-loop-over-buckets discipline relaxed
+        to a loop over buckets but vectorized inside (bucket count per
+        partition is ~rows/512)."""
+        bk = np.asarray(batch.column("bucket"))
+        ids = np.asarray(batch.column("vec_id"))
+        role = np.asarray(batch.column("role"))
+        col = batch.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = np.asarray(col.flatten(), dtype=np.float64)
+        empty = pa.table({"query_id": pa.array([], type=pa.int64()),
+                          "neighbor_id": pa.array([], type=pa.int64()),
+                          "sim": pa.array([], type=pa.float64())})
+        if len(ids) == 0:
+            return empty
+        M = flat.reshape(len(ids), len(flat) // len(ids))
+        order = np.lexsort((ids, role, bk))
+        bk, ids, role, M = bk[order], ids[order], role[order], M[order]
+        new = np.ones(len(bk), dtype=bool)
+        new[1:] = bk[1:] != bk[:-1]
+        starts = np.nonzero(new)[0]
+        ends = np.append(starts[1:], len(bk))
+        qs, ns, ss = [], [], []
+        for s, e in zip(starts, ends):
+            r = role[s:e]
+            nd = int((r == 0).sum())  # data rows sort first
+            if nd == 0:
+                continue
+            D, d_ids = M[s:s + nd], ids[s:s + nd]
+            # every member is also a query in its own bucket (role 0
+            # doubles as the query when f == 0); probing queries follow
+            Q, q_ids = M[s:e], ids[s:e]
+            sims = Q @ D.T
+            kk = min(k + 1, nd)
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            qs.append(np.repeat(q_ids, kk))
+            ns.append(d_ids[idx].ravel())
+            ss.append(np.take_along_axis(sims, idx, axis=1).ravel())
+        if not qs:
+            return empty
+        return pa.table({
+            "query_id": pa.array(np.concatenate(qs), type=pa.int64()),
+            "neighbor_id": pa.array(np.concatenate(ns), type=pa.int64()),
+            "sim": pa.array(np.concatenate(ss), type=pa.float64()),
+        })
+
+    def _final_topk(batch: pa.Table) -> pa.Table:
+        qs = np.asarray(batch.column("query_id"))
+        ns = np.asarray(batch.column("neighbor_id"))
+        ss = np.asarray(batch.column("sim"))
+        empty = pa.table({"query_id": pa.array([], type=pa.int64()),
+                          "neighbor_id": pa.array([], type=pa.int64()),
+                          "rnk": pa.array([], type=pa.int64())})
+        if len(qs) == 0:
+            return empty
+        m = qs != ns
+        qs, ns, ss = qs[m], ns[m], ss[m]
+        if len(qs) == 0:
+            return empty
+        # dedup (query, neighbor) across probed buckets, keep best sim
+        order = np.lexsort((ns, -ss, qs))
+        qs, ns, ss = qs[order], ns[order], ss[order]
+        first = np.ones(len(qs), dtype=bool)
+        first[1:] = (qs[1:] != qs[:-1]) | (ns[1:] != ns[:-1])
+        # re-rank the deduped rows by (-sim, neighbor) per query
+        qs, ns, ss = qs[first], ns[first], ss[first]
+        order = np.lexsort((ns, -ss, qs))
+        qs, ns, ss = qs[order], ns[order], ss[order]
+        _, starts, counts = np.unique(qs, return_index=True,
+                                      return_counts=True)
+        rnk = (np.arange(len(qs), dtype=np.int64)
+               - np.repeat(starts, counts) + 1)
+        keep = rnk <= k
+        return pa.table({"query_id": pa.array(qs[keep]),
+                         "neighbor_id": pa.array(ns[keep]),
+                         "rnk": pa.array(rnk[keep])})
+
+    emitted = emb_ds.map_batches(_emit, batch_format="pyarrow")
+    partials = group_apply_tasks(emitted, ["bucket"], _bucket_partials)
+    return group_apply_tasks(partials, ["query_id"], _final_topk)
 
 
 def lsh_planes(dim: int, nbits: int = 16, seed: int = 11) -> np.ndarray:

@@ -450,13 +450,16 @@ def luby_mis(engine: SpmvEngine, seed: int = 5,
 
     ``prio_full`` overrides the seeded permutation (must be distinct
     values — the `mis_fixed` oracle query injects the SQL-reproducible
-    LCG bijection (v*48271 + b) mod 2^31-1); ``max_rounds`` caps the
-    rounds for fixed-round oracle parity (the state after exactly K
-    rounds is deterministic whether or not the MIS converged)."""
+    LCG bijection (v*48271 + b) mod p); it may be an aligned LIST of
+    chunk refs (generated inside chunk kernels — no O(n) driver array).
+    ``max_rounds`` caps the rounds for fixed-round oracle parity (the
+    state after exactly K rounds is deterministic whether or not the
+    MIS converged)."""
     n = engine.n
     if prio_full is None:
         prio_full = np.random.RandomState(seed).permutation(n)
-    prio = engine.chunk(prio_full.astype(np.float64))
+    prio = (prio_full if isinstance(prio_full, list)
+            else engine.chunk(prio_full.astype(np.float64)))
     active = engine.map_chunks_i(lambda b: np.ones(b[1] - b[0], dtype=bool))
     in_mis = engine.map_chunks_i(lambda b: np.zeros(b[1] - b[0], dtype=bool))
     rounds = 0
@@ -623,7 +626,8 @@ def jp_coloring(engine: SpmvEngine, seed: int = 5,
     n = engine.n
     if prio_full is None:
         prio_full = np.random.RandomState(seed).permutation(n)
-    prio = engine.chunk(prio_full.astype(np.float64))
+    prio = (prio_full if isinstance(prio_full, list)
+            else engine.chunk(prio_full.astype(np.float64)))
     color = engine.map_chunks_i(
         lambda b: np.full(b[1] - b[0], -1, dtype=np.int64))
     rounds = 0
@@ -766,7 +770,8 @@ def maximal_matching(engine: SpmvEngine, seed: int = 9,
         )
     if prio_full is None:
         prio_full = np.random.RandomState(seed).permutation(n)
-    prio = engine.chunk(prio_full.astype(np.int64))
+    prio = (prio_full if isinstance(prio_full, list)
+            else engine.chunk(prio_full.astype(np.int64)))
     match = engine.map_chunks_i(_neg_ones)
     import ray
 
@@ -1248,14 +1253,17 @@ def brute_max_matching_size(U_edges: list, n: int) -> int:
 
 
 def label_propagation(
-    engine: SpmvEngine, init: np.ndarray, num_classes: int, iters: int
+    engine: SpmvEngine, init, num_classes: int, iters: int
 ) -> np.ndarray:
     """Synchronous mode-of-neighbors update; tie -> smallest class id;
     isolated vertices keep their class. Each round is the fused
     engine.labelprop_round: indicator built inside the resident actors,
     per-class counts merged and argmax'd in one combine task — two task
-    rounds per iteration, (k, n) state never leaves the object store."""
-    cls = engine.chunk(init.astype(np.int64))
+    rounds per iteration, (k, n) state never leaves the object store.
+    ``init`` is a dense int array OR an aligned list of chunk refs (the
+    refs form keeps the init off the driver too)."""
+    cls = init if isinstance(init, list) else engine.chunk(
+        init.astype(np.int64))
     for _ in range(iters):
         cls = engine.labelprop_round(cls, num_classes)
     return engine.unchunk(cls)

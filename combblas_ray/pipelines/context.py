@@ -5,6 +5,14 @@ driver's correctness sweep (one query call after another on the same
 sf_dir) reuses the materialized edge Dataset and the resident CSR actor
 pools instead of rebuilding per query. CSR block checkpoints live under
 /tmp/cbray/<n>/ and are reused across driver processes (resume path).
+
+Label resolution is DISTRIBUTED (round 4): the context holds the
+``VertexDict`` (sorted label chunks in the object store, driver keeps
+per-chunk offsets only) and queries resolve output labels through
+``ctx.gather_labels`` / ``ctx.decoder()`` — the `Extract` route pattern
+(``CC.h:419-577``). ``ctx.labels`` / ``ctx.arith`` remain as LAZY
+driver-side arrays for the toy-n long tail and tests; the steady query
+path does not touch them.
 """
 
 from __future__ import annotations
@@ -18,7 +26,7 @@ import ray
 
 from ..core.engine import SpmvEngine
 from ..core.graph import Graph
-from ..core.ids import assign_and_encode, encode_edges
+from ..core.ids import VertexDict, assign_and_encode, encode_edges
 from ..sources import corpus as corpus_src
 
 CKPT_ROOT = os.environ.get("CBRAY_CKPT_ROOT", "/tmp/cbray")
@@ -39,18 +47,56 @@ def default_grid() -> int:
 @dataclass
 class GraphContext:
     n: int
-    labels: np.ndarray  # dense id -> label, lexicographically sorted
-    arith: np.ndarray  # dense id -> arithmetic file index i
+    vdict: VertexDict  # distributed label dictionary (chunk refs)
     edges: "ray.data.Dataset" = None  # deduped, loop-free, dense-id edges
     _graphs: dict = field(default_factory=dict)
     _engines: dict = field(default_factory=dict)
+    _labels: np.ndarray | None = None
+    _arith: np.ndarray | None = None
+
+    # ---- distributed label resolution (steady path) ----
+
+    def lookup_id(self, label: str) -> int:
+        """label -> dense id via the owning dictionary chunk (no driver
+        dictionary)."""
+        return self.vdict.lookup_id(label)
+
+    def gather_labels(self, ids: np.ndarray) -> np.ndarray:
+        """labels[ids] via chunk-routed gather — O(len(ids)) driver memory."""
+        return self.vdict.gather_labels(ids)
+
+    def decoder(self):
+        """Task-side id->label / id->arith resolver for map_batches."""
+        return self.vdict.decoder()
+
+    # ---- lazy driver arrays (toy-n convenience ONLY; not the query path
+    # for the driver-window queries or anything iterative) ----
+
+    @property
+    def labels(self) -> np.ndarray:
+        """Dense id -> label, materialized ON FIRST TOUCH (toy-n only)."""
+        if self._labels is None:
+            self._labels = self.vdict.materialize_labels()
+        return self._labels
+
+    @property
+    def arith(self) -> np.ndarray:
+        """Dense id -> arithmetic file index (int(label[2:])), lazy."""
+        if self._arith is None:
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            self._arith = pc.cast(
+                pc.utf8_slice_codeunits(pa.array(self.labels), 2), pa.int64()
+            ).to_numpy()
+        return self._arith
 
     # ---- graphs ----
 
     def graph(self, variant: str = "directed") -> Graph:
         if variant in self._graphs:
             return self._graphs[variant]
-        base = Graph(n=self.n, edges=self.edges, labels=self.labels)
+        base = Graph(n=self.n, edges=self.edges)
         if variant == "directed":
             g = base
         elif variant == "sym":
@@ -60,12 +106,10 @@ class GraphContext:
             g = Graph(
                 n=self.n,
                 edges=base.edges.union(base.transpose().edges).materialize(),
-                labels=self.labels,
             )
         elif variant == "reverse":
             # transposed directed view (HITS hub direction)
-            g = Graph(n=self.n, edges=base.transpose().edges,
-                      labels=self.labels)
+            g = Graph(n=self.n, edges=base.transpose().edges)
         elif variant == "sssp":
             g = self._sssp_graph(base)
         elif variant == "payload":
@@ -77,21 +121,22 @@ class GraphContext:
 
     def _sssp_graph(self, base: Graph) -> Graph:
         """Directed graph with integer lengths len(u,v) = 1 + (au + 2*av) % 7
-        over the *arithmetic* file ids (SQL-replicable)."""
+        over the *arithmetic* file ids (SQL-replicable) — arith resolved
+        task-side through the dictionary decoder (no driver array)."""
         import pyarrow as pa
 
-        arith_ref = ray.put(self.arith)
+        dec = self.decoder()
 
-        def _w(batch, *, _ref=arith_ref):
-            arith = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+        def _w(batch, *, _dec=dec):
             src = np.asarray(batch.column("src"))
             dst = np.asarray(batch.column("dst"))
-            w = (1 + (arith[src] + 2 * arith[dst]) % 7).astype(np.float64)
+            au, av = _dec.arith(src), _dec.arith(dst)
+            w = (1 + (au + 2 * av) % 7).astype(np.float64)
             return pa.table({"src": batch.column("src"), "dst": batch.column("dst"),
                              "w": pa.array(w)})
 
         return Graph(n=self.n, edges=base.edges.map_batches(
-            _w, batch_format="pyarrow", zero_copy_batch=True), labels=self.labels)
+            _w, batch_format="pyarrow", zero_copy_batch=True))
 
     def _payload_graph(self, base: Graph) -> Graph:
         """Struct-nonzero edges (`TwitterEdge.h:15-58` analog) with
@@ -100,12 +145,11 @@ class GraphContext:
         latest = (a_src + 2*a_dst) % 1000."""
         import pyarrow as pa
 
-        arith_ref = ray.put(self.arith)
+        dec = self.decoder()
 
-        def _p(batch, *, _ref=arith_ref):
-            arith = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
-            a_s = arith[np.asarray(batch.column("src"))]
-            a_d = arith[np.asarray(batch.column("dst"))]
+        def _p(batch, *, _dec=dec):
+            a_s = _dec.arith(np.asarray(batch.column("src")))
+            a_d = _dec.arith(np.asarray(batch.column("dst")))
             return pa.table({
                 "src": batch.column("src"),
                 "dst": batch.column("dst"),
@@ -116,7 +160,7 @@ class GraphContext:
             })
 
         return Graph(n=self.n, edges=base.edges.map_batches(
-            _p, batch_format="pyarrow", zero_copy_batch=True), labels=self.labels)
+            _p, batch_format="pyarrow", zero_copy_batch=True))
 
     # ---- engines (resident CSR actor pools) ----
 
@@ -165,9 +209,8 @@ def get_context_for_n(n: int) -> GraphContext:
     # SpParMat.cpp:3889-3984, with the reread replaced by a materialized
     # intermediate).
     labeled = corpus_src.extract_labeled_edges(corpus).materialize()
-    # distributed dictionary build + encode (driver holds per-chunk counts
-    # only); the driver-side `labels` copy below exists solely for the
-    # query/oracle surface at test scale, not for the build path
+    # distributed dictionary build + encode: the driver holds per-chunk
+    # counts/offsets only; labels stay chunked in the object store
     vdict, encoded = assign_and_encode(labeled)
     if vdict.n != n:
         # isolated files (possible only at toy n) still get vertex ids —
@@ -181,20 +224,9 @@ def get_context_for_n(n: int) -> GraphContext:
             )
         )
         encoded = encode_edges(labeled, labels)
-    else:
-        labels = vdict.materialize_labels()
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    # labels are "m_<i>": slice + cast in Arrow (a Python int() loop over
-    # 600k labels cost ~1 s at sf0.1)
-    arith = pc.cast(
-        pc.utf8_slice_codeunits(pa.array(labels), 2), pa.int64()
-    ).to_numpy()
+        vdict = VertexDict.from_labels(labels)
     # loop-drop fused into the dedup merge tasks (no separate filter pass)
-    graph = Graph(n=n, edges=encoded, labels=labels).dedup_sum(
-        drop_loops=True)
-    ctx = GraphContext(n=n, labels=labels, arith=arith,
-                       edges=graph.edges.materialize())
+    graph = Graph(n=n, edges=encoded).dedup_sum(drop_loops=True)
+    ctx = GraphContext(n=n, vdict=vdict, edges=graph.edges.materialize())
     _CTX[n] = ctx
     return ctx

@@ -472,3 +472,81 @@ def test_payload_filtered_spmv_matches_scalar_prefilter(ctx500):
     M1[nz[0][keep1], nz[1][keep1]] = A[nz[0][keep1], nz[1][keep1]]
     got1 = eng.spmv_filtered(x, "plus_times", spec=(("latest", "ge", 300),))
     assert np.allclose(got1, M1 @ x)
+
+
+def test_incremental_payload_blocks(tmp_path, ray_session):
+    """Round-4: merging a delta into a PAYLOAD-typed block store must
+    equal a full rebuild of the unioned edge set, per-field combines
+    included (`Applications/Incremental` over struct nonzeros,
+    `TwitterEdge.h:36-42` operator+= semantics)."""
+    import pyarrow as pa
+
+    import ray
+
+    from combblas_ray.core.engine import build_blocks, update_blocks
+    from combblas_ray.core.graph import Graph
+
+    spec = {"follower": "or", "cnt": "sum", "latest": "max"}
+
+    def mk(rows, n=10):
+        t = pa.table({
+            "src": pa.array([r[0] for r in rows], type=pa.int64()),
+            "dst": pa.array([r[1] for r in rows], type=pa.int64()),
+            "w": pa.array([float(r[2]) for r in rows]),
+            "follower": pa.array([r[3] for r in rows], type=pa.int8()),
+            "cnt": pa.array([r[4] for r in rows], type=pa.int32()),
+            "latest": pa.array([r[5] for r in rows], type=pa.int64()),
+        })
+        return Graph(n=n, edges=ray.data.from_arrow(t))
+
+    base = [(0, 1, 1.0, 1, 2, 100), (1, 2, 1.0, 0, 3, 50),
+            (4, 5, 2.0, 0, 1, 10)]
+    delta = [(0, 1, 1.0, 0, 4, 700),  # coincides: or/sum/max combine
+             (7, 8, 1.0, 1, 1, 5)]    # new edge, untouched block region
+    d1 = str(tmp_path / "pinc")
+    man = build_blocks(mk(base), 2, d1, payload=spec)
+    man2 = update_blocks(man, mk(delta), d1)
+
+    d2 = str(tmp_path / "pfull")
+    man3 = build_blocks(mk(base + delta), 2, d2, payload=spec)
+
+    def block_dict(man_):
+        out = {}
+        for b in man_["blocks"]:
+            z = np.load(b["path"])
+            out[b["bid"]] = {
+                k: z[k].tolist()
+                for k in ("rows", "cols", "w", "p_follower", "p_cnt",
+                          "p_latest")
+            }
+        return out
+
+    assert block_dict(man2) == block_dict(man3)
+
+    # filtered BFS (payload-predicate SpMV) over the incrementally
+    # updated store equals the rebuilt store
+    from combblas_ray.core.engine import SpmvEngine
+
+    e_inc = SpmvEngine.from_manifest(man2)
+    e_full = SpmvEngine.from_manifest(man3)
+    spec = (("cnt", "gt", 1), ("latest", "ge", 50))
+    x = np.zeros(10)
+    x[0] = 1.0
+    for _ in range(3):
+        y_inc = e_inc.spmv_filtered(x, "bool_or_and", spec=spec)
+        y_full = e_full.spmv_filtered(x, "bool_or_and", spec=spec)
+        assert np.array_equal(y_inc, y_full)
+        x = np.maximum(x, y_inc)
+    e_inc.shutdown()
+    e_full.shutdown()
+
+    # delta missing a payload column fails loudly
+    bad = Graph(n=10, edges=ray.data.from_arrow(pa.table({
+        "src": pa.array([1], type=pa.int64()),
+        "dst": pa.array([2], type=pa.int64()),
+        "w": pa.array([1.0]),
+    })))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="payload"):
+        update_blocks(man2, bad, d1)

@@ -154,6 +154,33 @@ def test_knn_graph_tiled_equals_bruteforce(ray_session):
         assert tiled == brute, f"num_chunks={c}"
 
 
+def test_knn_graph_lsh_recall(ray_session):
+    """The sub-quadratic LSH-candidate kNN plan (the large-N default of
+    knn_graph's cost switch) must achieve >= 0.95 edge recall vs the
+    exact tiled plan, and its auto threshold must pick exact below
+    KNN_EXACT_MAX."""
+    from combblas_ray.functions.ann import (
+        KNN_EXACT_MAX,
+        knn_graph,
+        knn_graph_lsh,
+    )
+
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    n = int(emb.max("vec_id")) + 1
+    assert n <= KNN_EXACT_MAX  # auto picks the exact plan at test scale
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in knn_graph(emb, k=5, method="exact").take_all()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in knn_graph_lsh(emb, k=5, probe_bits=2).take_all()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.95, f"recall={recall:.3f}"
+    # every emitted edge is well-formed: rnk within k, no self loops
+    rows = knn_graph(emb, k=5, method="lsh").take_all()
+    assert all(1 <= r["rnk"] <= 5 and r["query_id"] != r["neighbor_id"]
+               for r in rows)
+
+
 def test_multimodal_decode_pipeline(ray_session):
     from combblas_ray.functions.multimodal import (
         decode_image_real,
