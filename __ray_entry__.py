@@ -61,10 +61,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LLM-data layer without a prior driver row (+ refactored dedup)
         # wave 14 (newest = highest regression risk)
         # wave 15
+        # wave 49 (round 4: newest = highest regression risk)
+        "rand_parent": q.q_rand_parent,
         # wave 48
         "session_size_hist": q.q_session_size_hist,
         "degree_tails": q.q_degree_tails,
-        "doc_length_extremes": q.q_doc_length_extremes,
         # wave 47
         "monthly_active_customers": q.q_monthly_active_customers,
         "round_bias": q.q_round_bias,
@@ -142,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
+        "doc_length_extremes": q.q_doc_length_extremes,  # extremal scan: degree_tails in-window (r3-green; rotated for wave-49 rand_parent)
         "bounce_stats": q.q_bounce_stats,  # session sizes: session_size_hist in-window
         "token_f2": q.q_token_f2,  # vocab collision mass: pname_vocab_topk/dim_sign_corr in-window
         "max_idle_gap": q.q_max_idle_gap,  # adjacent-scan envelope: user_span/session_size_hist in-window
@@ -260,8 +262,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regr_stats": q.q_regr_stats,  # sufficient stats: byte_stats/quality_by_lang in-window
         "tpch_q22": q.q_tpch_q22,  # NOT-EXISTS anti-join: tpch_q21/bloom_probe in-window
         "mis_fixed": q.q_mis_fixed,  # LCG fixed rounds: vertex_cover matching chain + coloring_fixed sibling
-        "subsref_perm": q.q_subsref_perm,  # dictionary-join indexing: kron_product/galerkin-class joins in-window
-        "spasgn_general": q.q_spasgn_general,  # carve+union indexing: subsref sibling, prune family local
+        "subsref_perm": q.q_subsref_perm,  # dictionary-join indexing (out of window since wave 41-48 rotation; locally re-verified every round)
+        "spasgn_general": q.q_spasgn_general,  # carve+union indexing: subsref sibling (out of window; locally re-verified)
         "tpch_q17": q.q_tpch_q17,  # correlated avg subquery: tpch_q21/q22 in-window
         "tpch_q19": q.q_tpch_q19,  # disjunctive predicate join: tpch_q2/q20 in-window
         "bfs_sigma": q.q_bfs_sigma,  # sigma chain: double_sweep/bipartite_check BFS in-window
@@ -433,6 +435,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "corpus_scan": o.corpus_scan(),
+        "rand_parent": o.rand_parent(q.RR_SEED),
         "edge_table": o.edge_table(),
         "vertex_ids": o.vertex_ids(),
         "out_degrees": o.out_degrees(),

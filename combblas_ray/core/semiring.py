@@ -86,6 +86,10 @@ def _min_mul(a, x):
     return np.minimum(a, x)
 
 
+def _times_i64(a, x):
+    return a.astype(np.int64) * x
+
+
 I64MAX = np.iinfo(np.int64).max
 
 SEMIRINGS: dict[str, Semiring] = {
@@ -107,6 +111,15 @@ SEMIRINGS: dict[str, Semiring] = {
     "select2nd_min_i64": Semiring(
         "select2nd_min_i64", _second, np.minimum, I64MAX,
         dtype=np.dtype(np.int64),
+    ),
+    # Exact int64 plus_times channel (path counting past the f64 2^53
+    # ceiling — the reference's templated 64-bit promote_trait types,
+    # ``promote.h``): multiply casts the (structural 1.0) edge weight to
+    # int64 so no value ever visits float; is_plus stays False so every
+    # reduce takes the dtype-preserving reduceat/ufunc.at paths instead
+    # of the float64 bincount fast path.
+    "plus_times_i64": Semiring(
+        "plus_times_i64", _times_i64, np.add, 0, dtype=np.dtype(np.int64),
     ),
     # Widest-path (bottleneck) semiring: multiply = min(edge weight,
     # incoming bottleneck), add = max — `MaxMinSRing` of the reference's

@@ -181,3 +181,37 @@ def randperm(n: int, seed: int = 0, num_buckets: int | None = None):
         for b in range(g)
     ]
     return ray.data.from_arrow_refs(merged)
+
+
+# ---------------------------------------------------------------------------
+# RandReduce — the random tie-break reduce functor (Operations.h:184-201)
+# ---------------------------------------------------------------------------
+
+_RR_MULT = np.int64(2654435761)
+_RR_M32 = np.int64(1) << 32
+_RR_M31 = np.int64(1) << 31
+
+
+def rand_reduce_key(v: np.ndarray, seed: int = 11) -> np.ndarray:
+    """The `RandReduce` functor (reference ``Operations.h:184-201``: a
+    reduce that picks a pseudo-random operand) made DETERMINISTIC and
+    oracle-reproducible: reduce = min over the packed key
+    ``h(v) << 31 | v`` with h the split-key Knuth scramble (every
+    intermediate exact in int64 on both the numpy and the SQL side).
+    min over packed (h, v) pairs is associative and commutative, so any
+    reduction tree picks the same pseudo-random representative — unlike
+    the reference's RNG-state version, replays and reorders can't change
+    the result. Requires v < 2^31 (packed-width guard)."""
+    v = np.asarray(v, dtype=np.int64)
+    if len(v) and int(v.max()) >= _RR_M31:
+        raise NotImplementedError(
+            "rand_reduce_key: ids must fit 31 bits next to the 32-bit "
+            "hash; widen the packing beyond 2^31 ids"
+        )
+    h = ((v % (1 << 20)) * _RR_MULT + v // (1 << 20) + seed) % _RR_M32
+    return (h << np.int64(31)) | v
+
+
+def rand_reduce_decode(key: np.ndarray) -> np.ndarray:
+    """Recover the chosen operand from a reduced packed key."""
+    return np.asarray(key, dtype=np.int64) & (_RR_M31 - 1)

@@ -7079,3 +7079,24 @@ SELECT CAST(lo.c AS BIGINT) AS min_chars,
        CAST(hi.i AS BIGINT) AS max_doc
 FROM lo, hi
 """
+
+
+@_materialized
+def rand_parent(seed: int = 11) -> str:
+    """RandReduce analog: per dst the in-neighbor minimizing the packed
+    (split-key Knuth hash << 31 | arith src) key — every intermediate
+    exact in BIGINT."""
+    return PREFIX + f"""
+, rr AS (
+  SELECT e.dst, e.src,
+         (((e.src % 1048576) * 2654435761 + e.src // 1048576 + {seed})
+          % 4294967296) * 2147483648 + e.src AS k
+  FROM edges e
+)
+SELECT v.label AS label, 'm_' || x.src AS parent
+FROM (
+  SELECT dst, src, row_number() OVER (PARTITION BY dst ORDER BY k) AS rn
+  FROM rr
+) x JOIN verts v ON v.i = x.dst
+WHERE x.rn = 1
+"""

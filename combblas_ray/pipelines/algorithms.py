@@ -522,20 +522,32 @@ def katz_fixed(engine: SpmvEngine, iters: int = 3,
 
 def _sigma_seed(bounds, root):
     s, e = bounds
-    sig = np.zeros(e - s)
+    sig = np.zeros(e - s, dtype=np.int64)
     if s <= root < e:
-        sig[root - s] = 1.0
+        sig[root - s] = 1
     return sig
 
 
 def _sigma_x(d, sigma, level):
-    return np.where(d == level, sigma, 0.0)
+    return np.where(d == level, sigma, np.int64(0))
+
+
+_SIGMA_TRIP = np.int64(1) << 61
 
 
 def _sigma_update_f(d, sigma, y, bounds, level):
     """Fused combine+update: vertices first reached at this level take
-    dist = level+1 and sigma = the plus_times path-count sum."""
-    new = np.isinf(d) & (y > 0.0)
+    dist = level+1 and sigma = the plus_times_i64 path-count sum.
+    Tripwire: counts are exact while every per-level sum stays in int64;
+    any negative (wrapped) or >= 2^61 partial raises — the reference's
+    templated int64 channel has NO such guard (silent wrap), so this is
+    strictly stronger than parity."""
+    if np.any(y < 0) or np.any(y >= _SIGMA_TRIP):
+        raise NotImplementedError(
+            "bfs_sigma: path counts reached the int64 tripwire (2^61); "
+            "a big-integer value channel is needed at this scale"
+        )
+    new = np.isinf(d) & (y > 0)
     d2, s2 = d.copy(), sigma.copy()
     d2[new] = level + 1.0
     s2[new] = y[new]
@@ -546,11 +558,13 @@ def bfs_sigma(engine: SpmvEngine, root: int, iters: int = 12):
     """Level-synchronous shortest-path counting from ``root`` — the sigma
     phase of Brandes betweenness (`BetwCent.cpp:179-187` runs it batched;
     this is the single-source analog as its own operator): per level ONE
-    fused plus_times SpMV + update task round over the structural
+    fused plus_times_i64 SpMV + update task round over the structural
     undirected engine; sigma[v] = sum of sigma over predecessors at
-    dist[v]-1. d/sigma stay chunked refs; counts are integer-exact in the
-    f64 channel (guarded < 2^53). Returns (dist, sigma) full arrays
-    (inf / 0 for unreached)."""
+    dist[v]-1. d/sigma stay chunked refs; counts ride the EXACT int64
+    value channel (round-4: the f64 2^53 ceiling became a 2^61 int64
+    tripwire — 256x more headroom, and negative/overflow partials raise
+    instead of silently losing precision). Returns (dist, sigma) full
+    arrays (inf / 0 for unreached)."""
     d = engine.map_chunks_i(partial(_root_init, root=root))
     sigma = engine.map_chunks_i(partial(_sigma_seed, root=root))
     for level in range(iters):
@@ -559,16 +573,10 @@ def bfs_sigma(engine: SpmvEngine, root: int, iters: int = 12):
         if not sum(engine.chunk_scalars(_count_true, x)):
             break  # frontier empty: all further rounds are no-ops
         d, sigma = engine.spmv_apply_refs(
-            x, "plus_times",
+            x, "plus_times_i64",
             partial(_sigma_update_f, level=float(level)), 2, d, sigma,
         )
-    df, sf = engine.unchunk(d), engine.unchunk(sigma)
-    if sf.max(initial=0.0) >= 2.0**53:
-        raise NotImplementedError(
-            "bfs_sigma: path counts exceed the exact float64 integer "
-            "range; a big-integer value channel is needed at this scale"
-        )
-    return df, sf
+    return engine.unchunk(d), engine.unchunk(sigma)
 
 
 def _jp_x_prio(color, prio):
@@ -2139,14 +2147,24 @@ def _zeros_chunk(bounds):
     return np.zeros(e - s)
 
 
+def _zeros_chunk_i64(bounds):
+    s, e = bounds
+    return np.zeros(e - s, dtype=np.int64)
+
+
 def _stress_gx(d, g, level):
-    """Backward-pass x: 1 + g at the child level, 0 elsewhere."""
-    return np.where(d == level, 1.0 + g, 0.0)
+    """Backward-pass x: 1 + g at the child level, 0 elsewhere (int64)."""
+    return np.where(d == level, np.int64(1) + g, np.int64(0))
 
 
 def _stress_gupd(d, g, y, bounds, level):
     """Vertices at ``level`` take g = sum over dist-(level+1) neighbors
-    of (1 + g) — the plus_times SpMV restricted by the x mask."""
+    of (1 + g) — the plus_times_i64 SpMV restricted by the x mask.
+    Same int64 tripwire as the sigma phase."""
+    if np.any(y < 0) or np.any(y >= _SIGMA_TRIP):
+        raise NotImplementedError(
+            "stress_source: path counts reached the int64 tripwire (2^61)"
+        )
     return np.where(d == level, y, g)
 
 
@@ -2155,9 +2173,10 @@ def stress_source(engine: SpmvEngine, root: int, iters: int = 12):
     ``root`` passing THROUGH each vertex v (= sigma(v) * g(v), with
     g(v) the count of shortest-path-DAG paths starting at v). Forward
     pass = `bfs_sigma`'s level loop; backward pass = one masked
-    plus_times SpMV per level from the deepest level up. All counts are
-    integers in the f64 channel (guarded < 2^53); d/sigma/g stay
-    chunked refs, the driver syncs one frontier scalar per level."""
+    plus_times_i64 SpMV per level from the deepest level up. All counts
+    ride the EXACT int64 channel (round-4: 2^61 tripwire replaces the f64
+    2^53 guard); d/sigma/g stay chunked refs, the driver syncs one
+    frontier scalar per level."""
     d = engine.map_chunks_i(partial(_root_init, root=root))
     sigma = engine.map_chunks_i(partial(_sigma_seed, root=root))
     for level in range(iters):
@@ -2166,26 +2185,27 @@ def stress_source(engine: SpmvEngine, root: int, iters: int = 12):
         if not sum(engine.chunk_scalars(_count_true, x)):
             break
         d, sigma = engine.spmv_apply_refs(
-            x, "plus_times",
+            x, "plus_times_i64",
             partial(_sigma_update_f, level=float(level)), 2, d, sigma,
         )
-    g = engine.map_chunks_i(_zeros_chunk)
+    g = engine.map_chunks_i(_zeros_chunk_i64)
     for level in range(iters - 1, -1, -1):
         x = engine.map_chunks(partial(_stress_gx, level=float(level + 1)),
                               d, g)
         if not sum(engine.chunk_scalars(_count_true, x)):
             continue  # no vertices at level+1: g at `level` stays 0
         g = engine.spmv_apply_refs(
-            x, "plus_times", partial(_stress_gupd, level=float(level)),
+            x, "plus_times_i64", partial(_stress_gupd, level=float(level)),
             1, d, g,
         )[0]
     df = engine.unchunk(d)
     sf = engine.unchunk(sigma)
     gf = engine.unchunk(g)
-    if sf.max(initial=0.0) >= 2.0**53 or (sf * gf).max(initial=0.0) >= 2.0**53:
+    # sigma*g products must stay exact in int64 (per-level sums are
+    # already tripwired); check the product without wrapping
+    if len(sf) and int(sf.max(initial=0)) * int(gf.max(initial=0)) >= 2**62:
         raise NotImplementedError(
-            "stress_source: path counts exceed the exact float64 integer "
-            "range; an int64/big-integer value channel is needed here"
+            "stress_source: sigma*g products reached the int64 tripwire"
         )
     return df, sf, gf
 

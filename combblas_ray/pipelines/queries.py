@@ -31,6 +31,19 @@ def _label_col(ctx, ids: np.ndarray) -> pa.Array:
     return pa.array(ctx.gather_labels(ids), type=pa.string())
 
 
+def _pack20(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+    """Pack (hi, lo) into one int64 key (hi << 20 | lo). ASSERTS the
+    fields fit their widths so out-of-range scale factors fail loudly
+    instead of silently colliding (round-3 advice: l_partkey exceeds
+    2^20 at TPC-H SF ~5.3, suppkey at SF ~105)."""
+    if len(lo) and (int(lo.max()) >= 1 << 20 or int(hi.max()) >= 1 << 43):
+        raise NotImplementedError(
+            "packed (hi<<20|lo) key: a field exceeds its width at this "
+            "scale factor; widen the packing"
+        )
+    return hi << 20 | lo
+
+
 def q_corpus_scan(sf_dir: str):
     n = corpus_src.n_files_for(sf_dir)
     return corpus_src.content_sha_dataset(corpus_src.corpus_dataset(n))
@@ -6353,7 +6366,7 @@ def q_tpch_q2(sf_dir: str):
     def _dedup(b: pa.Table) -> pa.Table:
         pk = np.asarray(b.column("l_partkey"), dtype=np.int64)
         sk = np.asarray(b.column("l_suppkey"), dtype=np.int64)
-        u = np.unique(pk << 20 | sk)
+        u = np.unique(_pack20(pk, sk))
         return pa.table({"l_partkey": pa.array(u >> 20),
                          "l_suppkey": pa.array(u & ((1 << 20) - 1))})
 
@@ -6582,7 +6595,7 @@ def q_tpch_q20(sf_dir: str):
         pk = np.asarray(b.column("l_partkey"), dtype=np.int64)
         sk = np.asarray(b.column("l_suppkey"), dtype=np.int64)
         qty = np.asarray(b.column("l_quantity")).astype(np.int64)
-        key = pk << 20 | sk
+        key = _pack20(pk, sk)
         uk, inv = np.unique(key, return_inverse=True)
         s = np.bincount(inv, weights=qty.astype(np.float64)).astype(
             np.int64)
@@ -6600,7 +6613,7 @@ def q_tpch_q20(sf_dir: str):
         sk = np.asarray(t.column("l_suppkey"), dtype=np.int64)
         q = np.asarray(t.column("qty"), dtype=np.int64)
         # combine per-batch partials to (part, supp), then part totals
-        key = pk << 20 | sk
+        key = _pack20(pk, sk)
         uk, inv = np.unique(key, return_inverse=True)
         qs = np.bincount(inv, weights=q.astype(np.float64)).astype(
             np.int64)
@@ -6868,7 +6881,7 @@ def q_tpch_q21(sf_dir: str):
         sk = np.asarray(t.column("l_suppkey"), dtype=np.int64)
         isr = np.asarray(t.column("l_returnflag")).astype(str) == "R"
         # distinct (order, supplier) and (order, R-supplier) pairs
-        pair = ok << 20 | sk
+        pair = _pack20(ok, sk)
         up = np.unique(pair)
         uo = up >> 20
         ns = np.bincount(np.unique(uo, return_inverse=True)[1])
@@ -8608,15 +8621,17 @@ def q_supplier_hhi(sf_dir: str):
                              "sumsq": pa.array([], type=pa.int64())})
         sk = np.asarray(t.column("l_suppkey"), dtype=np.int64)
         pk = np.asarray(t.column("l_partkey"), dtype=np.int64)
-        key = sk << 20 | pk
+        key = _pack20(sk, pk)
         uk, c = np.unique(key, return_counts=True)
         us = uk >> 20
         uu, inv = np.unique(us, return_inverse=True)
         n_parts = np.bincount(inv).astype(np.int64)
-        sumsq = np.bincount(inv, weights=(c.astype(np.float64)) ** 2
-                            ).astype(np.int64)
-        n_lines = np.bincount(inv, weights=c.astype(np.float64)
-                              ).astype(np.int64)
+        # integer accumulation (np.add.at on int64): exact past 2^53,
+        # unlike float64-weighted bincount (round-3 advice)
+        sumsq = np.zeros(len(uu), dtype=np.int64)
+        np.add.at(sumsq, inv, c * c)
+        n_lines = np.zeros(len(uu), dtype=np.int64)
+        np.add.at(n_lines, inv, c)
         return pa.table({"l_suppkey": pa.array(uu),
                          "n_lines": pa.array(n_lines),
                          "n_parts": pa.array(n_parts),
@@ -9889,7 +9904,7 @@ def q_supplies_all(sf_dir: str):
     def _pairs(b: pa.Table) -> pa.Table:
         sk = np.asarray(b.column("l_suppkey"), dtype=np.int64)
         pk = np.asarray(b.column("l_partkey"), dtype=np.int64)
-        u = np.unique(sk << 20 | pk)
+        u = np.unique(_pack20(sk, pk))
         return pa.table({"l_suppkey": pa.array(u >> 20),
                          "l_partkey": pa.array(u & ((1 << 20) - 1))})
 
@@ -9901,7 +9916,7 @@ def q_supplies_all(sf_dir: str):
             return pa.table({"l_suppkey": pa.array([], type=pa.int64())})
         sk = np.asarray(t.column("l_suppkey"), dtype=np.int64)
         pk = np.asarray(t.column("l_partkey"), dtype=np.int64)
-        u = np.unique(sk << 20 | pk)
+        u = np.unique(_pack20(sk, pk))
         us, c = np.unique(u >> 20, return_counts=True)
         return pa.table({"l_suppkey": pa.array(us[c == _need])})
 
@@ -10821,7 +10836,7 @@ def q_basket_triples(sf_dir: str):
             return empty
         ok = np.asarray(t.column("l_orderkey"), dtype=np.int64)
         pk = np.asarray(t.column("l_partkey"), dtype=np.int64)
-        u = np.unique(ok << 20 | pk)
+        u = np.unique(_pack20(ok, pk))
         uo, up = u >> 20, u & ((1 << 20) - 1)
         cnt: dict[tuple, int] = {}
         starts = np.nonzero(np.concatenate(
@@ -13185,7 +13200,7 @@ def q_part_lift_topk(sf_dir: str):
     def _o(b: pa.Table) -> pa.Table:
         ok = np.asarray(b.column("l_orderkey"), dtype=np.int64)
         pk = np.asarray(b.column("l_partkey"), dtype=np.int64)
-        u = np.unique(ok << 20 | pk)
+        u = np.unique(_pack20(ok, pk))
         return pa.table({"l_orderkey": pa.array(u >> 20),
                          "l_partkey": pa.array(u & ((1 << 20) - 1))})
 
@@ -13203,7 +13218,7 @@ def q_part_lift_topk(sf_dir: str):
             return empty
         ok = np.asarray(t.column("l_orderkey"), dtype=np.int64)
         pk = np.asarray(t.column("l_partkey"), dtype=np.int64)
-        u = np.unique(ok << 20 | pk)
+        u = np.unique(_pack20(ok, pk))
         uo, up = u >> 20, u & ((1 << 20) - 1)
         cnt: dict[tuple, int] = {}
         starts = np.nonzero(np.concatenate(
@@ -14097,3 +14112,55 @@ def q_doc_length_extremes(sf_dir: str):
         "max_chars": pa.array([-hi[0]], type=pa.int64()),
         "max_doc": pa.array([hi[1]], type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 49 (round 4): RandReduce functor end-to-end
+# ---------------------------------------------------------------------------
+
+RR_SEED = 11
+
+
+def q_rand_parent(sf_dir: str):
+    """Seeded pseudo-random in-neighbor per vertex — the `RandReduce`
+    random tie-break functor (reference ``Operations.h:184-201``, used
+    for random parent/star hooks) as its deterministic, oracle-exact
+    analog: reduce = min over packed ``h(a_src) << 31 | a_src`` keys
+    (split-key Knuth scramble over ARITHMETIC ids; associative, so any
+    reduction tree — per-batch partials then a dst-keyed shuffle min —
+    picks the same pseudo-random representative). Output
+    (label, parent)."""
+    from ..core.shuffle import group_apply_tasks
+    from ..core.vecops import rand_reduce_decode, rand_reduce_key
+
+    ctx = get_context(sf_dir)
+    dec = ctx.decoder()
+
+    def _partial(batch: pa.Table, *, _d=dec) -> pa.Table:
+        dst = np.asarray(batch.column("dst"))
+        src = np.asarray(batch.column("src"))
+        key = rand_reduce_key(_d.arith(src), seed=RR_SEED)
+        order = np.lexsort((key, dst))
+        dst, key = dst[order], key[order]
+        ud, starts = np.unique(dst, return_index=True)
+        return pa.table({"dst": pa.array(ud.astype(np.int64)),
+                         "k": pa.array(key[starts])})
+
+    part = ctx.edges.map_batches(_partial, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    def _final(t: pa.Table, *, _d=dec) -> pa.Table:
+        if t.num_rows == 0 or "dst" not in t.column_names:
+            return pa.table({"label": pa.array([], type=pa.string()),
+                             "parent": pa.array([], type=pa.string())})
+        dst = np.asarray(t.column("dst"), dtype=np.int64)
+        k = np.asarray(t.column("k"), dtype=np.int64)
+        order = np.lexsort((k, dst))
+        dst, k = dst[order], k[order]
+        ud, starts = np.unique(dst, return_index=True)
+        parent_a = rand_reduce_decode(k[starts])
+        parent = np.char.add("m_", parent_a.astype("U"))
+        return pa.table({"label": _d.take(ud),
+                         "parent": pa.array(parent, type=pa.string())})
+
+    return group_apply_tasks(part, ["dst"], _final)

@@ -172,7 +172,7 @@ def test_knn_graph_lsh_recall(ray_session):
     exact = {(r["query_id"], r["neighbor_id"])
              for r in knn_graph(emb, k=5, method="exact").take_all()}
     approx = {(r["query_id"], r["neighbor_id"])
-              for r in knn_graph_lsh(emb, k=5, probe_bits=2).take_all()}
+              for r in knn_graph_lsh(emb, k=5).take_all()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.95, f"recall={recall:.3f}"
     # every emitted edge is well-formed: rnk within k, no self loops

@@ -858,3 +858,31 @@ def test_bigram_novelty_vs_brute(ray_session, docs, doc_rows):
     out = q_bigram_novelty(SF).to_pandas()
     got = dict(zip(out.doc_id, out.n_unique))
     assert got == want
+
+
+def test_rand_reduce_functor(ray_session):
+    """RandReduce (Operations.h:184-201) as the deterministic packed-key
+    min: associative (any reduction tree agrees), seeded, decodable."""
+    from combblas_ray.core.vecops import rand_reduce_decode, rand_reduce_key
+
+    rng = np.random.RandomState(3)
+    v = rng.randint(0, 1 << 20, size=1000).astype(np.int64)
+    k = rand_reduce_key(v, seed=11)
+    # brute pick = argmin of the packed key
+    pick = int(rand_reduce_decode(np.array([k.min()])))
+    assert pick in set(v.tolist())
+    # associativity/order-independence: tree reduction over shuffled
+    # chunkings picks the same representative
+    for seed in (0, 1, 2):
+        perm = np.random.RandomState(seed).permutation(len(v))
+        parts = np.array_split(k[perm], 7)
+        tree = min(p.min() for p in parts if len(p))
+        assert int(rand_reduce_decode(np.array([tree]))) == pick
+    # different seed -> (almost surely) different representative stream
+    k2 = rand_reduce_key(v, seed=12)
+    assert k2.tolist() != k.tolist()
+    # width guard fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        rand_reduce_key(np.array([1 << 31], dtype=np.int64))
