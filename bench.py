@@ -81,10 +81,8 @@ def run_headline() -> None:
     timings["bfs12"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    from combblas_ray.pipelines.queries import _lp_init_kernel
-
     init_refs = sym.map_chunks(
-        _lp_init_kernel, ctx.vdict.arith_slice_refs(sym.bounds))
+        alg.lp_mod_init_kernel, ctx.vdict.arith_slice_refs(sym.bounds))
     alg.label_propagation(sym, init_refs, 10, 5)
     timings["labelprop5"] = time.perf_counter() - t0
 

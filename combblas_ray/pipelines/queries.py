@@ -6,6 +6,8 @@ column names match the DuckDB oracle in ``oracle/sqlgen.py`` exactly.
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -102,13 +104,21 @@ def _degrees(sf_dir: str, key: str, cnt_name: str, w_name: str):
     return agg.map_batches(_decode, batch_format="pyarrow")
 
 
-def _x_mod11(ctx) -> np.ndarray:
-    return ((ctx.arith % 11) + 1).astype(np.float64)
+def _x_mod11_kernel(a: np.ndarray) -> np.ndarray:
+    return ((a % 11) + 1).astype(np.float64)
+
+
+def _x_mod11_refs(ctx, eng) -> list:
+    """x[v] = (arith(v) % 11) + 1 as engine-aligned chunk refs (generated
+    from the dictionary chunks — no O(n) driver array)."""
+    return eng.map_chunks(_x_mod11_kernel,
+                          ctx.vdict.arith_slice_refs(eng.bounds))
 
 
 def q_spmv_plus_times(sf_dir: str):
     ctx = get_context(sf_dir)
-    y = ctx.engine("directed").spmv(_x_mod11(ctx), "plus_times")
+    eng = ctx.engine("directed")
+    y = eng.unchunk(eng.spmv_refs(_x_mod11_refs(ctx, eng), "plus_times"))
     mask = y > 0
     ids = np.nonzero(mask)[0]
     return pa.table({"label": _label_col(ctx, ids), "y": pa.array(y[ids])})
@@ -116,25 +126,34 @@ def q_spmv_plus_times(sf_dir: str):
 
 def q_spmv_min_plus(sf_dir: str):
     ctx = get_context(sf_dir)
-    x = _x_mod11(ctx)
-    n = ctx.n
     # min over in-edges of (w + x[src]); identity +inf marks "no in-edge"
     eng = ctx.engine("directed")
-    y = eng.spmv(x, "min_plus")
+    y = eng.unchunk(eng.spmv_refs(_x_mod11_refs(ctx, eng), "min_plus"))
     ids = np.nonzero(np.isfinite(y))[0]
     return pa.table({"label": _label_col(ctx, ids), "y": pa.array(y[ids])})
+
+
+def _seed_mod_kernel(a: np.ndarray, mod: int = 97) -> np.ndarray:
+    return (a % mod == 0).astype(np.float64)
+
+
+def _reach_max_f(r, y, bounds):
+    return np.maximum(r, y)
 
 
 def q_reach2_bool(sf_dir: str):
     """Vertices reachable within 2 hops of the seed set (arith % 97 == 0),
     via two `bool_or_and` SpMVs — the BoolCopy*SRing structural semiring
-    (Semirings.h + Operations.h catalog tail)."""
+    (Semirings.h + Operations.h catalog tail). Seeds generated per chunk;
+    the reach vector stays chunked refs (fused SpMV+max rounds)."""
     ctx = get_context(sf_dir)
     eng = ctx.engine("directed")
-    r = (np.asarray(ctx.arith) % 97 == 0).astype(np.float64)
+    r = eng.map_chunks(_seed_mod_kernel,
+                       ctx.vdict.arith_slice_refs(eng.bounds))
     for _ in range(2):
-        r = np.maximum(r, eng.spmv(r, "bool_or_and"))
-    ids = np.nonzero(r > 0)[0]
+        r = eng.spmv_apply_refs(r, "bool_or_and", _reach_max_f, 1, r)[0]
+    rv = eng.unchunk(r)
+    ids = np.nonzero(rv > 0)[0]
     return pa.table({"label": _label_col(ctx, ids)})
 
 
@@ -237,11 +256,10 @@ def link_predict_cn_table(ctx):
     top = (cn.map_batches(_cut, batch_format="pyarrow")
              .sort(["cn", "a", "b"], descending=[True, False, False])
              .limit(LP_CN_TOPK).to_pandas())
-    lab = np.asarray(ctx.labels)
     return pa.table({
-        "a": pa.array(lab[top["a"].to_numpy(dtype=np.int64)],
+        "a": pa.array(ctx.gather_labels(top["a"].to_numpy(dtype=np.int64)),
                       type=pa.string()),
-        "b": pa.array(lab[top["b"].to_numpy(dtype=np.int64)],
+        "b": pa.array(ctx.gather_labels(top["b"].to_numpy(dtype=np.int64)),
                       type=pa.string()),
         "cn": pa.array(top["cn"].to_numpy(dtype=np.int64)),
     })
@@ -343,7 +361,7 @@ def q_sssp(sf_dir: str):
 
 
 def _lp_init_kernel(a: np.ndarray) -> np.ndarray:
-    return (a % LP_CLASSES).astype(np.int64)
+    return alg.lp_mod_init_kernel(a, LP_CLASSES)
 
 
 def q_label_propagation(sf_dir: str):
@@ -352,7 +370,8 @@ def q_label_propagation(sf_dir: str):
     # init classes generated per chunk from the dictionary (arith % k) —
     # no O(n) driver array in the steady path
     init_refs = eng.map_chunks(
-        _lp_init_kernel, ctx.vdict.arith_slice_refs(eng.bounds))
+        partial(alg.lp_mod_init_kernel, num_classes=LP_CLASSES),
+        ctx.vdict.arith_slice_refs(eng.bounds))
     cls = alg.label_propagation(eng, init_refs, LP_CLASSES, LP_ITERS)
     ids = np.arange(ctx.n)
     return pa.table({"label": _label_col(ctx, ids), "cls": pa.array(cls)})
@@ -1533,7 +1552,7 @@ def q_mcl(sf_dir: str):
         _sub, batch_format="pyarrow", zero_copy_batch=True
     )
     clusters, _info = mcl(sub_edges, len(sel_ids), max_iters=8)
-    labels = np.asarray(ctx.labels)[sel_ids]
+    labels = ctx.gather_labels(sel_ids)
     return pa.table(
         {
             "label": pa.array(labels, type=pa.string()),
@@ -1590,7 +1609,7 @@ def q_mcl_incremental(sf_dir: str):
     clusters, info = mcl_incremental(prev, prev_clusters, delta, m,
                                      max_iters=8)
     assert info["affected"] > 0, info
-    labels = np.asarray(ctx.labels)[sel_ids]
+    labels = ctx.gather_labels(sel_ids)
     return pa.table(
         {
             "label": pa.array(labels, type=pa.string()),
@@ -2030,7 +2049,9 @@ def q_vec_argmin(sf_dir: str):
     row = deg.sort(["val", "v"]).limit(1).take_all()[0]
     return pa.table(
         {
-            "label": pa.array([str(np.asarray(ctx.labels)[int(row["v"])])]),
+            "label": pa.array(
+                ctx.gather_labels(np.array([int(row["v"])])).tolist(),
+                type=pa.string()),
             "minval": pa.array([int(row["val"])], type=pa.int64()),
         }
     )
@@ -2188,7 +2209,7 @@ def q_md_ordering(sf_dir: str):
     )
     order = alg.md_ordering(eng)
     eng.shutdown()
-    labels = np.asarray(ctx.labels)[sel_ids]
+    labels = ctx.gather_labels(sel_ids)
     return pa.table(
         {
             "rank": pa.array(np.arange(len(order), dtype=np.int64)),
@@ -2377,7 +2398,7 @@ def q_clustering_coeff(sf_dir: str):
     m = deg >= 2
     coeff[m] = (2.0 * tri[m]) / (deg[m] * (deg[m] - 1.0))
     return pa.table({
-        "label": pa.array(np.asarray(ctx.labels), type=pa.string()),
+        "label": _label_col(ctx, np.arange(ctx.n)),
         "deg": pa.array(deg, type=pa.int64()),
         "tri": pa.array(tri, type=pa.int64()),
         "coeff": pa.array(coeff, type=pa.float64()),
@@ -2392,7 +2413,7 @@ def q_kcore_fixed(sf_dir: str):
     ctx = get_context(sf_dir)
     core = alg.kcore_fixed(ctx.engine("sym"), KCORE_K, KCORE_ROUNDS)
     return pa.table({
-        "label": pa.array(np.asarray(ctx.labels), type=pa.string()),
+        "label": _label_col(ctx, np.arange(ctx.n)),
         "in_core": pa.array(core.astype(np.int64), type=pa.int64()),
     })
 
@@ -2407,7 +2428,7 @@ def q_hits_fixed(sf_dir: str):
         ctx.engine("dir_bool"), ctx.engine("rev_bool"), HITS_ITERS
     )
     return pa.table({
-        "label": pa.array(np.asarray(ctx.labels), type=pa.string()),
+        "label": _label_col(ctx, np.arange(ctx.n)),
         "auth": pa.array(auth, type=pa.int64()),
         "hub": pa.array(hub, type=pa.int64()),
     })
@@ -2448,7 +2469,7 @@ def q_ppr(sf_dir: str):
     r = ppr_fixed(eng, mask, iters=PPR_ITERS)
     score = np.round(r * ctx.n, 6)
     return pa.table({
-        "label": pa.array(np.asarray(ctx.labels), type=pa.string()),
+        "label": _label_col(ctx, np.arange(ctx.n)),
         "score": pa.array(score),
     })
 
@@ -2479,9 +2500,8 @@ def q_ktruss_fixed(sf_dir: str):
         ctx.graph("sym").edges, ctx.n, KTRUSS_K, KTRUSS_ROUNDS
     )
     n = np.int64(ctx.n)
-    labels = np.asarray(ctx.labels)
-    la = labels[(keys // n).astype(np.int64)]
-    lb = labels[(keys % n).astype(np.int64)]
+    la = ctx.gather_labels((keys // n).astype(np.int64))
+    lb = ctx.gather_labels((keys % n).astype(np.int64))
     swap = la > lb  # np.minimum has no unicode loop; orient explicitly
     return pa.table({
         "a_label": pa.array(np.where(swap, lb, la), type=pa.string()),
@@ -2702,7 +2722,7 @@ def q_scc_coloring(sf_dir: str):
     scc = alg.scc_coloring(ctx.engine("dir_bool"), ctx.engine("rev_bool"),
                         SCC_COLOR_ITERS)
     return pa.table({
-        "label": pa.array(np.asarray(ctx.labels), type=pa.string()),
+        "label": _label_col(ctx, np.arange(ctx.n)),
         "scc": _label_col(ctx, scc),
     })
 
@@ -2713,14 +2733,14 @@ def q_random_walks(sf_dir: str):
     `alg.random_walks`; ranked-adjacency partitions are built once and
     each step moves O(walkers) data)."""
     ctx = get_context(sf_dir)
-    labels = np.asarray(ctx.labels)
-    seeds = np.searchsorted(labels, [f"m_{w}" for w in range(RW_WALKERS)])
+    seeds = ctx.vdict.lookup_ids([f"m_{w}" for w in range(RW_WALKERS)])
     walks = alg.random_walks(ctx.edges, seeds, RW_STEPS)
     return pa.table({
         "walker": walks.column("walker"),
         "step": walks.column("step"),
         "label": pa.array(
-            labels[np.asarray(walks.column("vertex"), dtype=np.int64)],
+            ctx.gather_labels(
+                np.asarray(walks.column("vertex"), dtype=np.int64)),
             type=pa.string()),
     })
 
@@ -2733,7 +2753,7 @@ def q_scc(sf_dir: str):
     ctx = get_context(sf_dir)
     labels = alg.scc(ctx.engine("dir_bool"), ctx.engine("rev_bool"))
     return pa.table({
-        "label": pa.array(np.asarray(ctx.labels), type=pa.string()),
+        "label": _label_col(ctx, np.arange(ctx.n)),
         "scc": _label_col(ctx, labels),
     })
 
@@ -2840,7 +2860,7 @@ def q_pagerank_incremental(sf_dir: str):
     )
     r, info = pagerank_incremental(eng, r_prev, tol=1e-10, max_iters=100)
     return pa.table({
-        "label": pa.array(np.asarray(ctx.labels), type=pa.string()),
+        "label": _label_col(ctx, np.arange(ctx.n)),
         "score": pa.array(np.round(r, 9)),
     })
 
@@ -3073,11 +3093,10 @@ def nbr_jaccard_table(ctx):
     top = (cn.map_batches(_score, batch_format="pyarrow")
              .sort(["score", "a", "b"], descending=[True, False, False])
              .limit(NBRJ_TOPK).to_pandas())
-    lab = np.asarray(ctx.labels)
     return pa.table({
-        "a": pa.array(lab[top["a"].to_numpy(dtype=np.int64)],
+        "a": pa.array(ctx.gather_labels(top["a"].to_numpy(dtype=np.int64)),
                       type=pa.string()),
-        "b": pa.array(lab[top["b"].to_numpy(dtype=np.int64)],
+        "b": pa.array(ctx.gather_labels(top["b"].to_numpy(dtype=np.int64)),
                       type=pa.string()),
         "score": pa.array(top["score"].to_numpy(dtype=np.int64)),
     })
@@ -3619,7 +3638,7 @@ def q_wl_refine(sf_dir: str):
     ctx = get_context(sf_dir)
     c = wl_refine(ctx, WL_ROUNDS)
     return pa.table({
-        "label": pa.array(np.asarray(ctx.labels), type=pa.string()),
+        "label": _label_col(ctx, np.arange(ctx.n)),
         "color": pa.array(c.astype(np.int64)),
     })
 
@@ -3935,11 +3954,10 @@ def q_link_predict_ra(sf_dir: str):
     top = nonadj.sort(["score", "a", "b"],
                       descending=[True, False, False]) \
         .limit(RA_TOPK).to_pandas()
-    lab = np.asarray(ctx.labels)
     return pa.table({
-        "a": pa.array(lab[top["a"].to_numpy(dtype=np.int64)],
+        "a": pa.array(ctx.gather_labels(top["a"].to_numpy(dtype=np.int64)),
                       type=pa.string()),
-        "b": pa.array(lab[top["b"].to_numpy(dtype=np.int64)],
+        "b": pa.array(ctx.gather_labels(top["b"].to_numpy(dtype=np.int64)),
                       type=pa.string()),
         "score": pa.array(top["score"].to_numpy(dtype=np.int64)),
         "cn": pa.array(top["cn"].to_numpy(dtype=np.int64)),
@@ -4468,12 +4486,13 @@ def q_msf(sf_dir: str):
     ctx = get_context(sf_dir)
     edges = ctx.graph("sym").dedup_sum().edges
     msf, _ = alg.boruvka_msf(edges, ctx.n)
-    lab = np.asarray(ctx.labels)
     return pa.table({
-        "u": pa.array(lab[np.asarray(msf.column("u"), dtype=np.int64)],
-                      type=pa.string()),
-        "v": pa.array(lab[np.asarray(msf.column("v"), dtype=np.int64)],
-                      type=pa.string()),
+        "u": pa.array(
+            ctx.gather_labels(np.asarray(msf.column("u"), dtype=np.int64)),
+            type=pa.string()),
+        "v": pa.array(
+            ctx.gather_labels(np.asarray(msf.column("v"), dtype=np.int64)),
+            type=pa.string()),
         "w": msf.column("w"),
     })
 
@@ -4770,14 +4789,13 @@ def q_edge_jaccard(sf_dir: str):
     # LEFT OUTER join: adjacency keeps cn=0 edges (score 0)
     scored = hash_join_tasks(adj, cn, on=["a", "b"], join_type="left outer",
                              post=_score, num_partitions=gp)
-    lab = np.asarray(ctx.labels)
     out = pa.concat_tables(
         [t for t in ray.get(scored.to_arrow_refs()) if t.num_rows])
     a = np.asarray(out.column("a"), dtype=np.int64)
     b = np.asarray(out.column("b"), dtype=np.int64)
     return pa.table({
-        "a": pa.array(lab[a], type=pa.string()),
-        "b": pa.array(lab[b], type=pa.string()),
+        "a": pa.array(ctx.gather_labels(a), type=pa.string()),
+        "b": pa.array(ctx.gather_labels(b), type=pa.string()),
         "cn": out.column("cn"),
         "score": out.column("score"),
     })
@@ -6932,7 +6950,7 @@ def q_double_sweep(sf_dir: str):
     d2 = alg.min_plus_distances(eng, root2, iters=BFS_ITERS)
     fin2 = np.isfinite(d2)
     return pa.table({
-        "label": pa.array([str(np.asarray(ctx.labels)[root2])],
+        "label": pa.array(ctx.gather_labels(np.array([root2])).tolist(),
                           type=pa.string()),
         "ecc": pa.array([int(d2[fin2].max())], type=pa.int64()),
         "reached": pa.array([int(fin2.sum())], type=pa.int64()),

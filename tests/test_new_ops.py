@@ -886,3 +886,29 @@ def test_rand_reduce_functor(ray_session):
 
     with _pytest.raises(NotImplementedError):
         rand_reduce_key(np.array([1 << 31], dtype=np.int64))
+
+
+def test_jp_coloring_multiword_past_62_colors(ray_session, tmp_path):
+    """K_70 needs 70 colors — the multi-word bor_second SpMM mask must
+    take over past 62 (round-3 'what's missing': the >62-color raise)
+    and still produce a proper minimal greedy coloring."""
+    import pyarrow as pa
+
+    import ray
+
+    from combblas_ray.core.engine import SpmvEngine
+    from combblas_ray.core.graph import Graph
+    from combblas_ray.pipelines import algorithms as alg
+
+    n = 70
+    src, dst = np.nonzero(np.ones((n, n)) - np.eye(n))
+    t = pa.table({"src": pa.array(src.astype(np.int64)),
+                  "dst": pa.array(dst.astype(np.int64)),
+                  "w": pa.array(np.ones(len(src)))})
+    eng = SpmvEngine.from_graph(
+        Graph(n=n, edges=ray.data.from_arrow(t)), 2,
+        str(tmp_path / "k70"), structural=True)
+    color = alg.jp_coloring(eng, seed=5)
+    eng.shutdown()
+    # complete graph: all colors distinct, exactly 0..69 under greedy JP
+    assert sorted(color.tolist()) == list(range(n))
