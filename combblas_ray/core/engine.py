@@ -257,6 +257,118 @@ def build_blocks(graph, g: int, ckpt_dir: str, *, resume: bool = True,
     return man
 
 
+def _block_arrays(bid: int, dst, src, w, pay: dict, *, n: int, gr: int,
+                  gc: int, w_dtype: str, structural: bool,
+                  payload: dict | None) -> tuple[dict, dict]:
+    """Shared block-assembly math (local dedup-combine + CSR layout) —
+    returns (arrays dict, manifest-entry meta) without touching disk."""
+    ls_r = local_size(n, gr)
+    ls_c = local_size(n, gc)
+    br, bc = bid // gc, bid % gc
+    row0, col0 = br * ls_r, bc * ls_c
+    nr = (n - row0) if br == gr - 1 else ls_r
+    nc = (n - col0) if bc == gc - 1 else ls_c
+    rows = (dst - row0).astype(np.int64)
+    cols = (src - col0).astype(np.int64)
+    key = rows * np.int64(n) + cols
+    uk, first_idx, inv = np.unique(key, return_index=True,
+                                   return_inverse=True)
+    pcols = {f: _payload_combine(v, first_idx, inv, payload[f])
+             for f, v in pay.items()}
+    wm = np.bincount(inv, weights=w)
+    if structural:
+        wm = np.ones_like(wm)
+    idx_dt = np.uint16 if max(nr, nc) <= 65536 else np.int32
+    rows = (uk // n).astype(idx_dt)
+    cols = (uk % n).astype(idx_dt)
+    wm = wm.astype(np.float32 if w_dtype == "f4" else np.float64)
+    indptr = np.zeros(nr + 1, dtype=np.int64)
+    np.add.at(indptr, rows.astype(np.int64) + 1, 1)
+    np.cumsum(indptr, out=indptr)
+    arrays = {"indptr": indptr, "rows": rows, "cols": cols, "w": wm,
+              "meta": np.array([bid, br, bc, row0, col0, nr],
+                               dtype=np.int64)}
+    arrays.update({f"p_{f}": v for f, v in pcols.items()})
+    meta = {"bid": bid, "br": br, "bc": bc, "nnz": len(wm)}
+    return arrays, meta
+
+
+@ray.remote(num_cpus=0)
+def _bref_route(tbl: pa.Table, nb: int, n: int, g: int, payload):
+    """Route one edge block's rows by hash(bid) into nb partitions."""
+    cols = ["src", "dst", "w"] + list(payload or ())
+    if tbl.num_rows == 0 or "src" not in tbl.column_names:
+        empty = pa.table({c: pa.array([], type=pa.float64() if c == "w"
+                                      else pa.int64()) for c in cols})
+        return (empty,) * nb if nb > 1 else empty
+    src = np.asarray(tbl.column("src"))
+    dst = np.asarray(tbl.column("dst"))
+    bid = owner(dst, n, g) * g + owner(src, n, g)
+    part = bid % nb
+    keyed = tbl.select([c for c in cols if c in tbl.column_names]
+                       ).append_column("bid", pa.array(bid))
+    out = tuple(keyed.filter(pa.array(part == i)) for i in range(nb))
+    return out if nb > 1 else out[0]
+
+
+@ray.remote(num_cpus=0)
+def _bref_build(n: int, g: int, w_dtype: str, structural: bool, payload,
+                *parts):
+    """Build every block of one partition as PLASMA objects; returns
+    [(meta, ref)] — the no-disk leg of the block exchange."""
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return []
+    t = pa.concat_tables(parts)
+    bids = np.asarray(t.column("bid"))
+    dst = np.asarray(t.column("dst"))
+    src = np.asarray(t.column("src"))
+    w = np.asarray(t.column("w")).astype(np.float64)
+    pays = {f: np.asarray(t.column(f)) for f in (payload or ())}
+    order = np.argsort(bids, kind="stable")
+    bids, dst, src, w = bids[order], dst[order], src[order], w[order]
+    pays = {f: v[order] for f, v in pays.items()}
+    ub, starts = np.unique(bids, return_index=True)
+    ends = np.append(starts[1:], len(bids))
+    out = []
+    for b, s, e in zip(ub, starts, ends):
+        arrays, meta = _block_arrays(
+            int(b), dst[s:e], src[s:e], w[s:e],
+            {f: v[s:e] for f, v in pays.items()},
+            n=n, gr=g, gc=g, w_dtype=w_dtype, structural=structural,
+            payload=payload,
+        )
+        out.append((meta, ray.put(arrays)))
+    return out
+
+
+def build_block_refs(graph, g: int, *, w_dtype: str = "f8",
+                     structural: bool = False,
+                     payload: dict[str, str] | None = None) -> list:
+    """OBJECT-STORE-ONLY block build: the same one-shuffle 2D block
+    exchange as `build_blocks`, but every CSR block materializes as a
+    plasma object instead of an .npz file — the multi-node path when no
+    shared filesystem exists (actors on any node fetch blocks through
+    the object store; spilling handles overflow). No disk checkpoint =
+    no cross-run resume; `build_blocks` remains the checkpointed
+    sibling. Returns [(meta, ObjectRef)] sorted by bid."""
+    nb = _shuffle_partitions(g)
+    edge_refs = graph.edges.to_arrow_refs()
+    routed = [
+        _bref_route.options(num_returns=nb).remote(r, nb, graph.n, g,
+                                                   payload)
+        for r in edge_refs
+    ]
+    routed = [[r] if nb == 1 else list(r) for r in routed]
+    built = [
+        _bref_build.remote(graph.n, g, w_dtype, structural, payload,
+                           *[routed[j][i] for j in range(len(routed))])
+        for i in range(nb)
+    ]
+    entries = [e for part in ray.get(built) for e in part]
+    return sorted(entries, key=lambda e: e[0]["bid"])
+
+
 def update_blocks(man: dict, delta_graph, ckpt_dir: str) -> dict:
     """Incremental ingest (the `Applications/Incremental` family, e.g.
     ``IncrementalMCLSquare``, reimagined for the checkpointed block store):
@@ -401,10 +513,14 @@ def _rebuild_one_block(bid: int, src, dst, w, n: int, g: int, ckpt_dir: str,
 
 
 class _Block:
-    """One resident CSR block (built once at actor init)."""
+    """One resident CSR block (built once at actor init) — from an .npz
+    path (disk/shared-FS store) or a plasma ObjectRef / dict of arrays
+    (object-store-only mode, `build_block_refs`)."""
 
-    def __init__(self, path: str):
-        z = np.load(path)
+    def __init__(self, src):
+        if isinstance(src, ray.ObjectRef):
+            src = ray.get(src)  # plasma-local (zero-copy arrays)
+        z = np.load(src) if isinstance(src, str) else src
         self.indptr = z["indptr"]
         # local block indices stay 32-bit (the reference's "32-bit local /
         # 64-bit global" split, SpParMat.h:61-66) — halves index streaming
@@ -413,7 +529,8 @@ class _Block:
         self.w = z["w"]
         # struct-nonzero payload fields (TwitterEdge.h:15-58), aligned
         # with (rows, cols); empty dict for plain scalar graphs
-        self.payload = {k[2:]: z[k] for k in z.files if k.startswith("p_")}
+        keys = z.files if hasattr(z, "files") else z.keys()
+        self.payload = {k[2:]: z[k] for k in keys if k.startswith("p_")}
         meta = z["meta"]
         self.bid, self.br, self.bc = int(meta[0]), int(meta[1]), int(meta[2])
         self.nr = int(meta[5])
@@ -979,17 +1096,13 @@ class SpmvEngine:
                            structural=structural, payload=payload)
         return cls.from_manifest(man, pool_size=pool_size, pool_cpus=pool_cpus)
 
-    @classmethod
-    def from_manifest(cls, man: dict, *, pool_size: int | None = None,
-                      pool_cpus: float = 0):
-        n, g = man["n"], man["g"]
-        blocks = man["blocks"]
-        a = pool_size or _default_pool_size(len(blocks))
-        # Contiguous nnz-balanced assignment in (br, bc) order: a worker's
-        # blocks share row ranges, so partials merge locally before leaving
-        # the worker (one ~n/g array per worker-row instead of one per
-        # block) — the merge-tree layout of the reference's per-process-row
-        # reduce (ParFriends.h:2296).
+    @staticmethod
+    def _assign(blocks: list, a: int) -> list:
+        """Contiguous nnz-balanced assignment in (br, bc) order: a
+        worker's blocks share row ranges, so partials merge locally
+        before leaving the worker (one ~n/g array per worker-row instead
+        of one per block) — the merge-tree layout of the reference's
+        per-process-row reduce (ParFriends.h:2296)."""
         blocks = sorted(blocks, key=lambda b: (b["br"], b["bc"]))
         total_nnz = sum(b["nnz"] for b in blocks) or 1
         assign: list[list[dict]] = []
@@ -1004,20 +1117,55 @@ class SpmvEngine:
                 cur, acc = [], 0
         if cur:
             assign.append(cur)
-        assign = [grp for grp in assign if grp]
-        actors, actor_brs = [], []
+        return [grp for grp in assign if grp]
+
+    @classmethod
+    def _from_block_list(cls, n: int, g: int, man: dict, blocks: list,
+                         source_key: str, *, pool_size: int | None,
+                         pool_cpus: float):
+        assign = cls._assign(blocks, pool_size
+                             or _default_pool_size(len(blocks)))
+        actors, actor_brs, actor_bcs = [], [], []
         cls_handle = (
-            CsrPoolActor.options(num_cpus=pool_cpus) if pool_cpus else CsrPoolActor
+            CsrPoolActor.options(num_cpus=pool_cpus) if pool_cpus
+            else CsrPoolActor
         )
-        actor_bcs = []
         for grp in assign:
-            actors.append(cls_handle.remote([b["path"] for b in grp]))
+            actors.append(cls_handle.remote([b[source_key] for b in grp]))
             actor_brs.append(sorted({b["br"] for b in grp}))
             actor_bcs.append(sorted({b["bc"] for b in grp}))
-        eng = cls(n=n, g=g, manifest=man, actors=actors, actor_brs=actor_brs,
-                  actor_bcs=actor_bcs, bounds=chunk_bounds(n, g))
+        eng = cls(n=n, g=g, manifest=man, actors=actors,
+                  actor_brs=actor_brs, actor_bcs=actor_bcs,
+                  bounds=chunk_bounds(n, g))
         ray.get([a.ping.remote() for a in actors])  # wait for residency
         return eng
+
+    @classmethod
+    def from_manifest(cls, man: dict, *, pool_size: int | None = None,
+                      pool_cpus: float = 0):
+        return cls._from_block_list(
+            man["n"], man["g"], man, man["blocks"], "path",
+            pool_size=pool_size, pool_cpus=pool_cpus,
+        )
+
+    @classmethod
+    def from_block_refs(cls, n: int, g: int, entries: list, *,
+                        w_dtype: str = "f8",
+                        pool_size: int | None = None,
+                        pool_cpus: float = 0):
+        """Engine over an OBJECT-STORE-ONLY block build
+        (`build_block_refs` output) — no filesystem involved anywhere:
+        the multi-node path without a shared FS. The synthesized
+        manifest keeps metrics/load_imbalance working; its paths are
+        the '<object>' sentinel (not resumable across Ray sessions)."""
+        blocks = [dict(meta, ref=ref) for meta, ref in entries]
+        man = {"n": n, "g": g, "w_dtype": w_dtype, "complete": False,
+               "store": "object",
+               "blocks": [{k: b[k] for k in ("bid", "br", "bc", "nnz")}
+                          | {"path": "<object>"} for b in blocks]}
+        return cls._from_block_list(n, g, man, blocks, "ref",
+                                    pool_size=pool_size,
+                                    pool_cpus=pool_cpus)
 
     # ---- chunked vertex-vector helpers ----
 

@@ -550,3 +550,32 @@ def test_incremental_payload_blocks(tmp_path, ray_session):
 
     with _pytest.raises(ValueError, match="payload"):
         update_blocks(man2, bad, d1)
+
+
+def test_object_store_only_engine(ctx500, ray_session):
+    """build_block_refs + from_block_refs (no filesystem anywhere) must
+    agree with the disk-checkpointed engine on dense SpMV, SpMSpV, SpMM
+    and fused reductions — the no-shared-FS multi-node path."""
+    from combblas_ray.core.engine import SpmvEngine, build_block_refs
+
+    g = ctx500.graph("directed")
+    entries = build_block_refs(g, 3)
+    eng_obj = SpmvEngine.from_block_refs(ctx500.n, 3, entries)
+    eng_disk = ctx500.engine("directed", 3)
+    n = ctx500.n
+    x = ((np.arange(n) * 7) % 11 + 1).astype(np.float64)
+    assert np.array_equal(eng_obj.spmv(x, "plus_times"),
+                          eng_disk.spmv(x, "plus_times"))
+    assert np.array_equal(eng_obj.spmv(x, "min_plus"),
+                          eng_disk.spmv(x, "min_plus"))
+    si = np.array([0, 5, 17], dtype=np.int64)
+    a = eng_obj.spmspv(si, np.ones(3), "plus_times")
+    b = eng_disk.spmspv(si, np.ones(3), "plus_times")
+    assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
+    X = np.stack([x, 2 * x])
+    assert np.array_equal(eng_obj.spmm(X, "plus_times"),
+                          eng_disk.spmm(X, "plus_times"))
+    assert np.array_equal(eng_obj.out_weights(), eng_disk.out_weights())
+    assert eng_obj.manifest["store"] == "object"
+    assert eng_obj.nnz() == eng_disk.nnz()
+    eng_obj.shutdown()
