@@ -63,14 +63,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 15
         # wave 49 (round 4: newest = highest regression risk)
         "rand_parent": q.q_rand_parent,
+        "prep_corpus": q.q_prep_corpus,
+        "sigma_hist": q.q_sigma_hist,
         # wave 48
         "session_size_hist": q.q_session_size_hist,
-        "degree_tails": q.q_degree_tails,
         # wave 47
-        "monthly_active_customers": q.q_monthly_active_customers,
         "round_bias": q.q_round_bias,
         "dim_sign_corr": q.q_dim_sign_corr,
-        "user_span": q.q_user_span,
         "pname_vocab_topk": q.q_pname_vocab_topk,
         # wave 46
         "class_outliers": q.q_class_outliers,
@@ -143,7 +142,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
-        "doc_length_extremes": q.q_doc_length_extremes,  # extremal scan: degree_tails in-window (r3-green; rotated for wave-49 rand_parent)
+        "doc_length_extremes": q.q_doc_length_extremes,  # extremal scan (r3-green; rotated for wave-49 rand_parent)
+        "degree_tails": q.q_degree_tails,  # tail ranks (r3-green; rotated for wave-49 prep_corpus/sigma_hist)
+        "monthly_active_customers": q.q_monthly_active_customers,  # time agg (r3-green; rotated, quarter_top_order/part_growth siblings)
+        "user_span": q.q_user_span,  # per-user envelope (r3-green; rotated, session_size_hist in-window)
         "bounce_stats": q.q_bounce_stats,  # session sizes: session_size_hist in-window
         "token_f2": q.q_token_f2,  # vocab collision mass: pname_vocab_topk/dim_sign_corr in-window
         "max_idle_gap": q.q_max_idle_gap,  # adjacent-scan envelope: user_span/session_size_hist in-window
@@ -436,6 +438,10 @@ def oracle_sql() -> dict[str, str]:
     return {
         "corpus_scan": o.corpus_scan(),
         "rand_parent": o.rand_parent(q.RR_SEED),
+        "sigma_hist": o.sigma_hist("m_0", q.BFS_ITERS),
+        "prep_corpus": o.prep_corpus(q.PREP_MIN_TOKS, q.PREP_MIN_DR_NUM,
+                                     q.PREP_MIN_DR_DEN, q.SPLIT_TRAIN,
+                                     q.SPLIT_VAL),
         "edge_table": o.edge_table(),
         "vertex_ids": o.vertex_ids(),
         "out_degrees": o.out_degrees(),

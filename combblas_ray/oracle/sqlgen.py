@@ -344,6 +344,19 @@ FROM distf d JOIN sig s ON s.i = d.i JOIN verts v ON v.i = d.i
 
 
 @_materialized
+def sigma_hist(root_label: str = "m_0", iters: int = 12) -> str:
+    """Shortest-path-count histogram: (sigma, n_vertices) over the
+    reached set — the aggregate face of the int64 sigma channel (twin of
+    `queries.q_sigma_hist`; same unrolled chain as `bfs_sigma`)."""
+    base = bfs_sigma(root_label, iters)
+    return f"""
+WITH pervertex AS ({base})
+SELECT sigma, CAST(count(*) AS BIGINT) AS n_vertices
+FROM pervertex GROUP BY sigma
+"""
+
+
+@_materialized
 def msbfs(mod: int = 97, iters: int = 12) -> str:
     """Multi-source BFS distances (nearest seed, seeds = i %% mod == 0)
     — the `bfs_distance` chain with a seed-set d0 (twin of
@@ -7099,4 +7112,39 @@ FROM (
   FROM rr
 ) x JOIN verts v ON v.i = x.dst
 WHERE x.rn = 1
+"""
+
+
+def prep_corpus(min_toks: int = 5, dr_num: int = 1, dr_den: int = 2,
+                train: int = 8, val: int = 1) -> str:
+    """Dedup -> quality gate -> md5 split (twin of
+    `queries.q_prep_corpus`)."""
+    return f"""
+WITH k AS (
+  SELECT doc_id,
+         array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+                         ' ') AS key,
+         len(string_split(text, ' ')) AS ntoks,
+         len(list_distinct(string_split(text, ' '))) AS ndist
+  FROM documents
+),
+canon AS (
+  SELECT *, min(doc_id) OVER (PARTITION BY key) AS canon_id FROM k
+),
+reps AS (
+  SELECT doc_id, ntoks FROM canon
+  WHERE doc_id = canon_id AND ntoks >= {min_toks}
+    AND ndist * {dr_den} >= ntoks * {dr_num}
+),
+h AS (
+  SELECT doc_id, ntoks,
+         CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 10 AS BIGINT)
+           AS hh
+  FROM reps
+)
+SELECT doc_id,
+       CASE WHEN hh < {train} THEN 'train'
+            WHEN hh < {train + val} THEN 'val' ELSE 'test' END AS split,
+       CAST(ntoks AS BIGINT) AS n_tokens
+FROM h
 """

@@ -14182,3 +14182,106 @@ def q_rand_parent(sf_dir: str):
                          "parent": pa.array(parent, type=pa.string())})
 
     return group_apply_tasks(part, ["dst"], _final)
+
+
+def q_sigma_hist(sf_dir: str):
+    """Shortest-path-count histogram from m_0: (sigma, n_vertices) over
+    the reached set — the aggregate face of the exact int64 sigma
+    channel (`plus_times_i64` + 2^61 tripwire; per-vertex twin:
+    `bfs_sigma`)."""
+    ctx = get_context(sf_dir)
+    root = ctx.lookup_id("m_0")
+    d, sig = alg.bfs_sigma(ctx.engine("sym"), root, iters=BFS_ITERS)
+    reached = np.isfinite(d)
+    uk, cnt = np.unique(sig[reached], return_counts=True)
+    return pa.table({
+        "sigma": pa.array(uk.astype(np.int64)),
+        "n_vertices": pa.array(cnt.astype(np.int64)),
+    })
+
+
+PREP_MIN_TOKS = 5
+PREP_MIN_DR_NUM, PREP_MIN_DR_DEN = 1, 2  # distinct_ratio >= 1/2
+
+
+def q_prep_corpus(sf_dir: str):
+    """The LLM-data preparation flagship as ONE pipeline: exact dedup
+    (keep only each duplicate group's canonical min-id doc) -> quality
+    gate (>= PREP_MIN_TOKS tokens, distinct-token ratio >= 1/2) ->
+    deterministic md5 train/val/test split. One digest-keyed shuffle;
+    the quality stats ride the dedup rows, so the whole prep is a single
+    pass + one exchange. Output (doc_id, split, n_tokens)."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+    from ..functions.dedup import dedup_key
+    from ..functions.text import md5_lower64
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def _keyed(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        keys = dedup_key(batch)
+        ks = np.asarray(keys).astype(str)
+        uniq, inv = np.unique(ks, return_inverse=True)
+        if len(uniq):
+            dgs = np.frombuffer(
+                b"".join(
+                    hashlib.blake2b(k.encode(), digest_size=16).digest()
+                    for k in uniq
+                ),
+                dtype=np.int64,
+            ).reshape(-1, 2)
+        else:
+            dgs = np.zeros((0, 2), dtype=np.int64)
+        toks = pc.split_pattern(batch.column("text"), " ")
+        ntoks = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # distinct tokens per doc = the dedup key's token count
+        ndist = np.char.count(uniq[inv].astype(str), " ") + 1
+        return pa.table({
+            "kh": pa.array(dgs[inv, 0]),
+            "kh2": pa.array(dgs[inv, 1]),
+            "doc_id": batch.column("doc_id"),
+            "ntoks": pa.array(ntoks),
+            "ndist": pa.array(ndist.astype(np.int64)),
+        })
+
+    def _canon(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "split": pa.array([], type=pa.string()),
+                          "n_tokens": pa.array([], type=pa.int64())})
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return empty
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        k1 = np.asarray(batch.column("kh"), dtype=np.int64)
+        k2 = np.asarray(batch.column("kh2"), dtype=np.int64)
+        nt = np.asarray(batch.column("ntoks"), dtype=np.int64)
+        nd = np.asarray(batch.column("ndist"), dtype=np.int64)
+        order = np.lexsort((ids, k2, k1))
+        ids, k1, k2, nt, nd = (ids[order], k1[order], k2[order],
+                               nt[order], nd[order])
+        new = np.ones(len(ids), dtype=bool)
+        new[1:] = (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])
+        ids, nt, nd = ids[new], nt[new], nd[new]  # canonical reps
+        keep = (nt >= PREP_MIN_TOKS) & (
+            nd * PREP_MIN_DR_DEN >= nt * PREP_MIN_DR_NUM)
+        ids, nt = ids[keep], nt[keep]
+        if not len(ids):
+            return empty
+        h = np.fromiter((md5_lower64(str(int(i))) % 10 for i in ids),
+                        dtype=np.int64, count=len(ids))
+        names = np.array(["train", "val", "test"])
+        split = names[np.where(h < SPLIT_TRAIN, 0,
+                               np.where(h < SPLIT_TRAIN + SPLIT_VAL, 1, 2))]
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "split": pa.array(split, type=pa.string()),
+            "n_tokens": pa.array(nt),
+        })
+
+    keyed = docs.map_batches(_keyed, batch_format="pyarrow")
+    return group_apply_tasks(keyed, ["kh", "kh2"], _canon)
