@@ -87,8 +87,13 @@ def _payload_combine(vals: np.ndarray, first_idx: np.ndarray,
     (``TwitterEdge.h:36-42``: count sums, follower ORs, latest maxes).
     agg in {sum, min, max, or, and, first}."""
     if agg == "sum":
-        out = np.bincount(inv, weights=vals.astype(np.float64))
-        return out.astype(vals.dtype, copy=False) if vals.dtype.kind in "iu" else out
+        if vals.dtype.kind in "iu":
+            # integer accumulation: exact past 2^53 (round-3 advice)
+            out = np.zeros(int(inv.max()) + 1 if len(inv) else 0,
+                           dtype=np.int64)
+            np.add.at(out, inv, vals.astype(np.int64, copy=False))
+            return out.astype(vals.dtype, copy=False)
+        return np.bincount(inv, weights=vals.astype(np.float64))
     if agg == "first":  # arbitrary representative (post-shuffle order)
         return vals[first_idx]
     ufunc = {"min": np.minimum, "max": np.maximum,

@@ -13,6 +13,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..core.ids import labels_table
+from ..util import ibincount
 from ..sources import corpus as corpus_src
 from . import algorithms as alg
 from .context import get_context
@@ -2661,7 +2662,7 @@ def _rollup_kernel(t: pa.Table) -> pa.Table:
     starts = np.nonzero(new)[0]
     grp = np.cumsum(new) - 1
     cnt = np.bincount(grp).astype(np.int64)
-    cs = np.bincount(grp, weights=cents.astype(np.float64)).astype(np.int64)
+    cs = ibincount(grp, weights=cents.astype(np.float64)).astype(np.int64)
     return pa.table({
         "event_type": pa.array(et[starts].tolist(), type=pa.string()),
         "hr": pa.array(hr[starts]),
@@ -2823,7 +2824,7 @@ def q_oov_rate(sf_dir: str):
         else:
             oov = np.ones(len(flat), dtype=np.int64)
         doc_grp = np.repeat(np.arange(batch.num_rows), lens)
-        n_oov = np.bincount(doc_grp, weights=oov.astype(np.float64),
+        n_oov = ibincount(doc_grp, weights=oov.astype(np.float64),
                             minlength=batch.num_rows).astype(np.int64)
         return pa.table({
             "doc_id": batch.column("doc_id"),
@@ -3879,9 +3880,9 @@ def q_link_predict_ra(sf_dir: str):
         seg = np.cumsum(new) - 1
         return pa.table({
             "a": pa.array(a[new]), "b": pa.array(b[new]),
-            "ra": pa.array(np.bincount(seg, weights=v.astype(np.float64))
+            "ra": pa.array(ibincount(seg, weights=v.astype(np.float64))
                            .astype(np.int64)),
-            "cn": pa.array(np.bincount(seg, weights=c.astype(np.float64))
+            "cn": pa.array(ibincount(seg, weights=c.astype(np.float64))
                            .astype(np.int64)),
         })
 
@@ -4135,9 +4136,9 @@ def q_cube_counts(sf_dir: str):
 
     def _agg(keys):
         uk, inv = np.unique(keys, return_inverse=True)
-        return uk, inv, np.bincount(inv, weights=cnt.astype(np.float64)) \
+        return uk, inv, ibincount(inv, weights=cnt.astype(np.float64)) \
             .astype(np.int64), \
-            np.bincount(inv, weights=cents.astype(np.float64)) \
+            ibincount(inv, weights=cents.astype(np.float64)) \
             .astype(np.int64)
 
     ue, ie, ce, se = _agg(et)
@@ -4423,7 +4424,7 @@ def q_big_spenders(sf_dir: str):
         ck = np.asarray(t.column("o_custkey"), dtype=np.int64)
         sp = np.asarray(t.column("spend_cents"), dtype=np.int64)
         useg, inv = np.unique(seg, return_inverse=True)
-        seg_sum = np.bincount(inv, weights=sp.astype(np.float64)) \
+        seg_sum = ibincount(inv, weights=sp.astype(np.float64)) \
             .astype(np.int64)
         seg_cnt = np.bincount(inv).astype(np.int64)
         keep = sp * seg_cnt[inv] > 2 * seg_sum[inv]
@@ -5099,7 +5100,7 @@ def q_retention_cohorts(sf_dir: str):
     us = np.asarray(ft.column("users"), dtype=np.int64)
     pk = cw * 10000 + wo
     upk, inv = np.unique(pk, return_inverse=True)
-    tot = np.bincount(inv, weights=us.astype(np.float64)).astype(np.int64)
+    tot = ibincount(inv, weights=us.astype(np.float64)).astype(np.int64)
     return pa.table({
         "cohort_week": pa.array((upk // 10000).astype(np.int64)),
         "week_offset": pa.array((upk % 10000).astype(np.int64)),
@@ -5897,7 +5898,7 @@ def q_tpch_q17(sf_dir: str):
             np.int64)
         uk, inv = np.unique(pk, return_inverse=True)
         cnt = np.bincount(inv)
-        sq = np.bincount(inv, weights=qty.astype(np.float64)).astype(
+        sq = ibincount(inv, weights=qty.astype(np.float64)).astype(
             np.int64)
         low = 5 * qty * cnt[inv] < sq[inv]
         return pa.table({
@@ -5989,7 +5990,7 @@ def q_tpch_q22(sf_dir: str):
         return pa.table({
             "c_mktsegment": pa.array(us.tolist(), type=pa.string()),
             "numcust": pa.array(np.bincount(inv).astype(np.int64)),
-            "totbal_cents": pa.array(np.bincount(
+            "totbal_cents": pa.array(ibincount(
                 inv, weights=bal_cents[keep].astype(np.float64)
             ).astype(np.int64)),
         })
@@ -6035,7 +6036,7 @@ def q_regr_stats(sf_dir: str):
         et = np.asarray(b.column("event_type")).astype(str)
         ue, inv = np.unique(et, return_inverse=True)
         def bc(w):
-            return np.bincount(inv, weights=w.astype(np.float64)).astype(
+            return ibincount(inv, weights=w.astype(np.float64)).astype(
                 np.int64)
         return pa.table({
             "event_type": pa.array(ue.tolist(), type=pa.string()),
@@ -6615,7 +6616,7 @@ def q_tpch_q20(sf_dir: str):
         qty = np.asarray(b.column("l_quantity")).astype(np.int64)
         key = _pack20(pk, sk)
         uk, inv = np.unique(key, return_inverse=True)
-        s = np.bincount(inv, weights=qty.astype(np.float64)).astype(
+        s = ibincount(inv, weights=qty.astype(np.float64)).astype(
             np.int64)
         return pa.table({"l_partkey": pa.array(uk >> 20),
                          "l_suppkey": pa.array(uk & ((1 << 20) - 1)),
@@ -6633,11 +6634,11 @@ def q_tpch_q20(sf_dir: str):
         # combine per-batch partials to (part, supp), then part totals
         key = _pack20(pk, sk)
         uk, inv = np.unique(key, return_inverse=True)
-        qs = np.bincount(inv, weights=q.astype(np.float64)).astype(
+        qs = ibincount(inv, weights=q.astype(np.float64)).astype(
             np.int64)
         upk = uk >> 20
         up, pinv = np.unique(upk, return_inverse=True)
-        tot = np.bincount(pinv, weights=qs.astype(np.float64)).astype(
+        tot = ibincount(pinv, weights=qs.astype(np.float64)).astype(
             np.int64)
         keep = 2 * qs > tot[pinv]
         return pa.table({"l_partkey": pa.array(upk[keep]),
@@ -7247,9 +7248,9 @@ def q_decayed_counts(sf_dir: str):
         ue, inv = np.unique(et, return_inverse=True)
         return pa.table({
             "event_type": pa.array(ue.tolist(), type=pa.string()),
-            "decayed": pa.array(np.bincount(
+            "decayed": pa.array(ibincount(
                 inv, weights=dec.astype(np.float64)).astype(np.int64)),
-            "raw": pa.array(np.bincount(
+            "raw": pa.array(ibincount(
                 inv, weights=cents.astype(np.float64)).astype(np.int64)),
         })
 
@@ -7597,9 +7598,9 @@ def q_byte_stats(sf_dir: str):
         return pa.table({
             "lang": pa.array(ul.tolist(), type=pa.string()),
             "n_docs": pa.array(np.bincount(inv).astype(np.int64)),
-            "n_chars": pa.array(np.bincount(
+            "n_chars": pa.array(ibincount(
                 inv, weights=chars.astype(np.float64)).astype(np.int64)),
-            "n_bytes": pa.array(np.bincount(
+            "n_bytes": pa.array(ibincount(
                 inv, weights=byts.astype(np.float64)).astype(np.int64)),
         })
 
@@ -7679,7 +7680,7 @@ def q_repo_stats(sf_dir: str):
             "lang": pa.array([k.split("\x1f")[1] for k in uk],
                              type=pa.string()),
             "files": pa.array(np.bincount(inv).astype(np.int64)),
-            "imports": pa.array(np.bincount(
+            "imports": pa.array(ibincount(
                 inv, weights=imps.astype(np.float64)).astype(np.int64)),
         })
 
@@ -7734,7 +7735,7 @@ def q_top2_share(sf_dir: str):
                          + 0.5).astype(np.int64)
         key = np.char.add(np.char.add(et, "\x1f"), uid.astype(str))
         uk, inv = np.unique(key, return_inverse=True)
-        s = np.bincount(inv, weights=cents.astype(np.float64)).astype(
+        s = ibincount(inv, weights=cents.astype(np.float64)).astype(
             np.int64)
         return pa.table({
             "event_type": pa.array([k.split("\x1f")[0] for k in uk],
@@ -7755,7 +7756,7 @@ def q_top2_share(sf_dir: str):
         uc = np.asarray(t.column("uc"), dtype=np.int64)
         key = np.char.add(np.char.add(et, "\x1f"), uid.astype(str))
         uk, inv = np.unique(key, return_inverse=True)
-        s = np.bincount(inv, weights=uc.astype(np.float64)).astype(
+        s = ibincount(inv, weights=uc.astype(np.float64)).astype(
             np.int64)
         pe = np.array([k.split("\x1f")[0] for k in uk])
         pu = np.array([int(k.split("\x1f")[1]) for k in uk],
@@ -7772,7 +7773,7 @@ def q_top2_share(sf_dir: str):
         rank = np.arange(len(pe_s)) - starts[grp]
         keep = rank < TOP2_K
         ue, einv = np.unique(pe, return_inverse=True)
-        tsum = np.bincount(einv, weights=s.astype(np.float64)).astype(
+        tsum = ibincount(einv, weights=s.astype(np.float64)).astype(
             np.int64)
         return pa.table({
             "event_type": pa.array(pe_s[keep].tolist() + ue.tolist(),
@@ -8168,7 +8169,7 @@ def q_order_gap_stats(sf_dir: str):
             return empty
         uu, inv = np.unique(gc, return_inverse=True)
         n = np.bincount(inv).astype(np.int64)
-        sm = np.bincount(inv, weights=gd.astype(np.float64)).astype(
+        sm = ibincount(inv, weights=gd.astype(np.float64)).astype(
             np.int64)
         mx = np.zeros(len(uu), dtype=np.int64)
         np.maximum.at(mx, inv, gd)
@@ -8324,7 +8325,7 @@ def q_orders_monthly(sf_dir: str):
         return pa.table({
             "mon": pa.array(uk),
             "n_orders": pa.array(np.bincount(inv).astype(np.int64)),
-            "cents": pa.array(np.bincount(
+            "cents": pa.array(ibincount(
                 inv, weights=cents.astype(np.float64)).astype(np.int64)),
         })
 
@@ -8373,7 +8374,7 @@ def q_party_counts(sf_dir: str):
                 "nk": pa.array(uk),
                 "role": pa.array([role] * len(uk), type=pa.string()),
                 "n": pa.array(np.bincount(inv).astype(np.int64)),
-                "cents": pa.array(np.bincount(
+                "cents": pa.array(ibincount(
                     inv, weights=cents.astype(np.float64)).astype(
                     np.int64)),
             })
@@ -8686,7 +8687,7 @@ def q_emb_label_stats(sf_dir: str):
         return pa.table({
             "label": pa.array(uk),
             "n": pa.array(np.bincount(inv).astype(np.int64)),
-            "sum_norm2": pa.array(np.bincount(
+            "sum_norm2": pa.array(ibincount(
                 inv, weights=n2.astype(np.float64)).astype(np.int64)),
         })
 
@@ -8882,7 +8883,7 @@ def q_hapax_counts(sf_dir: str):
         c = np.asarray(t.column("cnt"), dtype=np.int64)
         key = np.char.add(np.char.add(lng, "\x1f"), tok)
         uk, inv = np.unique(key, return_inverse=True)
-        tot = np.bincount(inv, weights=c.astype(np.float64)).astype(
+        tot = ibincount(inv, weights=c.astype(np.float64)).astype(
             np.int64)
         ul = np.array([k.split("\x1f")[0] for k in uk])
         uu, linv = np.unique(ul, return_inverse=True)
@@ -9329,10 +9330,10 @@ def q_token_except(sf_dir: str):
         lng = np.asarray(t.column("lang")).astype(str)
         c = np.asarray(t.column("cnt"), dtype=np.int64)
         ut, inv = np.unique(tok, return_inverse=True)
-        ca = np.bincount(inv, weights=np.where(lng == TE_LANG_A, c, 0
+        ca = ibincount(inv, weights=np.where(lng == TE_LANG_A, c, 0
                                                ).astype(np.float64)
                          ).astype(np.int64)
-        cb = np.bincount(inv, weights=np.where(lng == TE_LANG_B, c, 0
+        cb = ibincount(inv, weights=np.where(lng == TE_LANG_B, c, 0
                                                ).astype(np.float64)
                          ).astype(np.int64)
         ex = ca - cb
@@ -9833,7 +9834,7 @@ def q_segment_momentum(sf_dir: str):
                          * 100.0).astype(np.int64)
         key = np.char.add(np.char.add(seg, "\x1f"), mon.astype(str))
         uk, inv = np.unique(key, return_inverse=True)
-        s = np.bincount(inv, weights=cents.astype(np.float64)).astype(
+        s = ibincount(inv, weights=cents.astype(np.float64)).astype(
             np.int64)
         return pa.table({
             "seg": pa.array([k.split("\x1f")[0] for k in uk],
@@ -10264,13 +10265,13 @@ def q_idem_dedup(sf_dir: str):
         c = np.asarray(t.column("cnt"), dtype=np.int64)
         key = np.char.add(np.char.add(et, "\x1f"), ik)
         uk, inv = np.unique(key, return_inverse=True)
-        tot = np.bincount(inv, weights=c.astype(np.float64)).astype(
+        tot = ibincount(inv, weights=c.astype(np.float64)).astype(
             np.int64)
         ue = np.array([k.split("\x1f")[0] for k in uk])
         uu, einv = np.unique(ue, return_inverse=True)
         return pa.table({
             "event_type": pa.array(uu.tolist(), type=pa.string()),
-            "n_events": pa.array(np.bincount(
+            "n_events": pa.array(ibincount(
                 einv, weights=tot.astype(np.float64)).astype(np.int64)),
             "n_keys": pa.array(np.bincount(einv).astype(np.int64)),
         })
@@ -10329,10 +10330,10 @@ def q_token_intersect(sf_dir: str):
         lng = np.asarray(t.column("lang")).astype(str)
         c = np.asarray(t.column("cnt"), dtype=np.int64)
         uk, inv = np.unique(tok, return_inverse=True)
-        ca = np.bincount(inv, weights=np.where(lng == TE_LANG_A, c, 0
+        ca = ibincount(inv, weights=np.where(lng == TE_LANG_A, c, 0
                                                ).astype(np.float64)
                          ).astype(np.int64)
-        cb = np.bincount(inv, weights=np.where(lng == TE_LANG_B, c, 0
+        cb = ibincount(inv, weights=np.where(lng == TE_LANG_B, c, 0
                                                ).astype(np.float64)
                          ).astype(np.int64)
         m = np.minimum(ca, cb)
@@ -10505,7 +10506,7 @@ def q_knn_curve(sf_dir: str):
         uk, inv = np.unique(ds, return_inverse=True)
         return pa.table({
             "d": pa.array(uk),
-            "nbr_deg_sum": pa.array(np.bincount(
+            "nbr_deg_sum": pa.array(ibincount(
                 inv, weights=d[ut].astype(np.float64)).astype(np.int64)),
             "n_edges": pa.array(np.bincount(inv).astype(np.int64)),
         })
@@ -10808,7 +10809,7 @@ def q_digit_ratio(sf_dir: str):
         return pa.table({
             "source": pa.array(us.tolist(), type=pa.string()),
             "n_tokens": pa.array(np.bincount(inv).astype(np.int64)),
-            "n_digit": pa.array(np.bincount(
+            "n_digit": pa.array(ibincount(
                 inv, weights=hasd.astype(np.float64)).astype(np.int64)),
         })
 
@@ -10891,7 +10892,7 @@ def q_basket_triples(sf_dir: str):
                | np.asarray(t.column("p3"), dtype=np.int64))
         c = np.asarray(t.column("cnt"), dtype=np.int64)
         uk, inv = np.unique(key, return_inverse=True)
-        s = np.bincount(inv, weights=c.astype(np.float64)).astype(
+        s = ibincount(inv, weights=c.astype(np.float64)).astype(
             np.int64)
         keep = s >= TRIPLE_MINSUP
         uk, s = uk[keep], s[keep]
@@ -11177,7 +11178,7 @@ def q_price_quartile_bins(sf_dir: str):
         return pa.table({
             "bin": pa.array(uk),
             "n": pa.array(np.bincount(inv).astype(np.int64)),
-            "sum_cents": pa.array(np.bincount(
+            "sum_cents": pa.array(ibincount(
                 inv, weights=c.astype(np.float64)).astype(np.int64)),
         })
 
@@ -11350,7 +11351,7 @@ def q_data_split(sf_dir: str):
         return pa.table({
             "split": pa.array(uk),
             "n_docs": pa.array(np.bincount(inv).astype(np.int64)),
-            "id_sum": pa.array(np.bincount(
+            "id_sum": pa.array(ibincount(
                 inv, weights=ids.astype(np.float64)).astype(np.int64)),
         })
 
@@ -11508,7 +11509,7 @@ def q_path_unique_audit(sf_dir: str):
         k = np.asarray(t.column("k")).astype(str)
         c = np.asarray(t.column("c"), dtype=np.int64)
         uk, inv = np.unique(k, return_inverse=True)
-        tot = np.bincount(inv, weights=c.astype(np.float64)).astype(
+        tot = ibincount(inv, weights=c.astype(np.float64)).astype(
             np.int64)
         return pa.table({
             "rows": pa.array([int(tot.sum())], type=pa.int64()),
@@ -11617,7 +11618,7 @@ def q_lag2_match(sf_dir: str):
         return pa.table({
             "event_type": pa.array(ut[uk].tolist(), type=pa.string()),
             "n_pairs": pa.array(np.bincount(inv).astype(np.int64)),
-            "n_match": pa.array(np.bincount(
+            "n_match": pa.array(ibincount(
                 inv, weights=match.astype(np.float64)).astype(
                 np.int64)),
         })
@@ -13023,7 +13024,7 @@ def q_quarter_top_order(sf_dir: str):
         return pa.table({
             "q": pa.array(uk),
             "mx": pa.array(mx),
-            "tot": pa.array(np.bincount(
+            "tot": pa.array(ibincount(
                 inv, weights=cents.astype(np.float64)).astype(np.int64)),
         })
 
@@ -13120,7 +13121,7 @@ def q_rfm_cells(sf_dir: str):
             "o_custkey": pa.array(uk),
             "last_us": pa.array(mx),
             "freq": pa.array(np.bincount(inv).astype(np.int64)),
-            "cents": pa.array(np.bincount(
+            "cents": pa.array(ibincount(
                 inv, weights=c.astype(np.float64)).astype(np.int64)),
         })
 
@@ -13372,7 +13373,7 @@ def q_slow_gaps(sf_dir: str):
         return pa.table({
             "event_type": pa.array(ut[uk].tolist(), type=pa.string()),
             "n_gaps": pa.array(np.bincount(inv).astype(np.int64)),
-            "n_over": pa.array(np.bincount(
+            "n_over": pa.array(ibincount(
                 inv, weights=over.astype(np.float64)).astype(np.int64)),
         })
 
@@ -13544,7 +13545,7 @@ def q_token_f2(sf_dir: str):
         tok = np.asarray(t.column("tok")).astype(str)
         c = np.asarray(t.column("cnt"), dtype=np.int64)
         uk, inv = np.unique(tok, return_inverse=True)
-        f = np.bincount(inv, weights=c.astype(np.float64)).astype(
+        f = ibincount(inv, weights=c.astype(np.float64)).astype(
             np.int64)
         return pa.table({"n": pa.array([int(f.sum())], type=pa.int64()),
                          "d": pa.array([len(uk)], type=pa.int64()),
@@ -13667,7 +13668,7 @@ def q_class_outliers(sf_dir: str):
         d2 = (diff * diff).sum(axis=1)
         ul, inv = np.unique(lab, return_inverse=True)
         return pa.table({"label": pa.array(ul),
-                         "sd2": pa.array(np.bincount(
+                         "sd2": pa.array(ibincount(
                              inv, weights=d2.astype(np.float64)
                          ).astype(np.int64))})
 
@@ -13696,7 +13697,7 @@ def q_class_outliers(sf_dir: str):
         out = d2 * N[li] > 2 * S[li]
         ul, inv = np.unique(lab, return_inverse=True)
         return pa.table({"label": pa.array(ul),
-                         "n_out": pa.array(np.bincount(
+                         "n_out": pa.array(ibincount(
                              inv, weights=out.astype(np.float64)
                          ).astype(np.int64))})
 
@@ -13895,7 +13896,7 @@ def q_round_bias(sf_dir: str):
         return pa.table({
             "event_type": pa.array(ue.tolist(), type=pa.string()),
             "n": pa.array(np.bincount(inv).astype(np.int64)),
-            "n_round": pa.array(np.bincount(
+            "n_round": pa.array(ibincount(
                 inv, weights=rnd.astype(np.float64)).astype(np.int64)),
         })
 

@@ -2,6 +2,29 @@
 
 from __future__ import annotations
 
+import numpy as np
+
+
+def ibincount(x: np.ndarray, weights: np.ndarray,
+              minlength: int = 0) -> np.ndarray:
+    """Exact int64 grouped sum — the integer-accumulation twin of
+    ``np.bincount(x, weights=w.astype(float64)).astype(int64)``.
+
+    The float64-weighted idiom silently loses exactness once a GROUP SUM
+    exceeds 2^53 (round-3 ADVICE); this scatter-adds into an int64
+    accumulator, so the only remaining assumption is that each ELEMENT
+    is exactly representable on entry (ints routed through float64 are
+    exact below 2^53 per element — a far weaker bound). Bool weights
+    count; negative weights are handled (unlike the hi/lo-split trick).
+    """
+    w = np.asarray(weights)
+    # callers often pass w.astype(float64) verbatim; values are integral
+    w = w.astype(np.int64) if w.dtype.kind != "i" else w
+    n = max(int(minlength), int(x.max()) + 1 if len(x) else 0)
+    out = np.zeros(n, dtype=np.int64)
+    np.add.at(out, x, w)
+    return out
+
 
 def quiesce_data_stats() -> None:
     """Stop Ray Data's StatsManager background thread from making remote

@@ -912,3 +912,31 @@ def test_jp_coloring_multiword_past_62_colors(ray_session, tmp_path):
     eng.shutdown()
     # complete graph: all colors distinct, exactly 0..69 under greedy JP
     assert sorted(color.tolist()) == list(range(n))
+
+
+def test_ibincount_exact_past_2e53():
+    """ibincount (round-3 advice): integer accumulation is exact where
+    float64-weighted bincount rounds — group sums past 2^53 — and
+    matches bincount exactly in-range (bool weights, minlength,
+    negatives, empty)."""
+    import numpy as np
+
+    from combblas_ray.util import ibincount
+
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 40, 50_000)
+    w = rng.integers(-10**6, 10**6, 50_000)
+    ref = np.bincount(x, weights=w.astype(np.float64)).astype(np.int64)
+    assert np.array_equal(ibincount(x, w), ref)  # in-range parity
+    b = rng.random(500) < 0.5
+    got = ibincount(np.zeros(4, np.int64), b[:4].astype(np.float64),
+                    minlength=6)
+    assert got.shape == (6,) and got[0] == int(b[:4].sum())
+    assert ibincount(np.array([], np.int64), np.array([])).shape == (0,)
+    # exactness: 2^62 + 3 survives; the float64 idiom would round it
+    big = ibincount(np.zeros(2, np.int64),
+                    np.array([2**62, 3], np.int64))
+    assert int(big[0]) == 2**62 + 3
+    lossy = np.bincount(np.zeros(2, np.int64),
+                        weights=np.array([2.0**62, 3.0])).astype(np.int64)
+    assert int(lossy[0]) != 2**62 + 3
