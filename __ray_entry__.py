@@ -61,7 +61,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LLM-data layer without a prior driver row (+ refactored dedup)
         # wave 14 (newest = highest regression risk)
         # wave 15
-        # wave 49 (round 4: newest = highest regression risk)
+        # wave 50 (round 4: newest = highest regression risk)
+        "edge_support_hist": q.q_edge_support_hist,
+        "edit1_pairs": q.q_edit1_pairs,
+        "above_avg_orders": q.q_above_avg_orders,
+        "ship_lag_stats": q.q_ship_lag_stats,
+        "knn_margin": q.q_knn_margin,
+        # wave 49 (round 4)
         "rand_parent": q.q_rand_parent,
         "prep_corpus": q.q_prep_corpus,
         "sigma_hist": q.q_sigma_hist,
@@ -100,7 +106,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "party_unpivot": q.q_party_unpivot,
         "modal_transition": q.q_modal_transition,
         # wave 38
-        "price_spread": q.q_price_spread,
         # wave 37
         "data_split": q.q_data_split,
         "path_unique_audit": q.q_path_unique_audit,
@@ -113,21 +118,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 33
         "closed_walks4": q.q_closed_walks4,
         # wave 32
-        "supplies_all": q.q_supplies_all,
         "range_frame_sum": q.q_range_frame_sum,
         # wave 31
         "ball_conductance": q.q_ball_conductance,
-        "trigram_l1": q.q_trigram_l1,
         # wave 30
         "dup_size_hist": q.q_dup_size_hist,
         # wave 29
-        "pixel_hist": q.q_pixel_hist,
         # wave 28
         # wave 27
         # wave 26
         # wave 25
         # wave 24
-        "vertex_cover": q.q_vertex_cover,
         # wave 23
         # wave 22
         # wave 21
@@ -142,7 +143,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
-        "doc_length_extremes": q.q_doc_length_extremes,  # extremal scan (r3-green; rotated for wave-49 rand_parent)
+        "doc_length_extremes": q.q_doc_length_extremes,  # extremal scan (r3-green; window slot 50 kept from r3)
+        "price_spread": q.q_price_spread,  # price agg (r3-green; rotated for wave-50, rfm_cells/segment_median siblings)
+        "supplies_all": q.q_supplies_all,  # relational division (r3-green; rotated for wave-50, above_avg_orders correlated-subquery sibling)
+        "trigram_l1": q.q_trigram_l1,  # text n-gram (r3-green; rotated for wave-50, pname_vocab_topk/edit1_pairs siblings)
+        "pixel_hist": q.q_pixel_hist,  # multimodal decode (r3-green; rotated for wave-50, audio_energy_hist in-window sibling)
+        "vertex_cover": q.q_vertex_cover,  # matching family (r3-green; rotated for wave-50, edge_support_hist per-edge-plan sibling)
         "degree_tails": q.q_degree_tails,  # tail ranks (r3-green; rotated for wave-49 prep_corpus/sigma_hist)
         "monthly_active_customers": q.q_monthly_active_customers,  # time agg (r3-green; rotated, quarter_top_order/part_growth siblings)
         "user_span": q.q_user_span,  # per-user envelope (r3-green; rotated, session_size_hist in-window)
@@ -437,6 +443,11 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "corpus_scan": o.corpus_scan(),
+        "edge_support_hist": o.edge_support_hist(),
+        "edit1_pairs": o.edit1_pairs(),
+        "above_avg_orders": o.above_avg_orders(),
+        "ship_lag_stats": o.ship_lag_stats(),
+        "knn_margin": o.knn_margin(q.KNN1_N),
         "rand_parent": o.rand_parent(q.RR_SEED),
         "sigma_hist": o.sigma_hist("m_0", q.BFS_ITERS),
         "prep_corpus": o.prep_corpus(q.PREP_MIN_TOKS, q.PREP_MIN_DR_NUM,

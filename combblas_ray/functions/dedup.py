@@ -1016,3 +1016,153 @@ def chunk_dup_stats(docs_ds, w: int = CHUNK_W):
     )
     partials = group_apply_tasks(rows, ["ch"], _chunk_flag_partial)
     return group_apply_tasks(partials, ["doc_id"], _chunk_doc_merge)
+
+
+# ---------------------------------------------------------------------------
+# edit-distance-1 vocabulary pairs (SymSpell deletion neighborhood)
+# ---------------------------------------------------------------------------
+
+_E1_MAXLEN = 64  # vocabulary words; guard asserts
+
+
+def _e1_vocab_partial(t: pa.Table) -> pa.Table:
+    """Per batch: distinct tokens (the vocabulary partial)."""
+    cols = [c for c in ("text",) if c in t.column_names]
+    if t.num_rows == 0 or not cols:
+        return pa.table({"tok": pa.array([], type=pa.string())})
+    toks = pc.list_flatten(pc.split_pattern(t.column("text"), " "))
+    u = pc.unique(toks)
+    return pa.table({"tok": u.cast(pa.string())})
+
+
+def _e1_distinct(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0 or "tok" not in t.column_names:
+        return pa.table({"tok": pa.array([], type=pa.string())})
+    return pa.table({"tok": pc.unique(t.column("tok")).cast(pa.string())})
+
+
+def _e1_keys(t: pa.Table) -> pa.Table:
+    """Per vocab partition: emit SymSpell keys. Each word w emits
+    (k=w, idx=-1) [the original] and (k=del_i(w), idx=i) for every
+    single-character deletion, built as vectorized char-matrix column
+    drops (one slice per index, no per-word Python). Candidates sharing
+    a key are provably levenshtein<=1 (see edit1_pairs)."""
+    empty = pa.table({"k": pa.array([], type=pa.string()),
+                      "word": pa.array([], type=pa.string()),
+                      "idx": pa.array([], type=pa.int64())})
+    if t.num_rows == 0 or "tok" not in t.column_names:
+        return empty
+    words = np.asarray(t.column("tok")).astype(str)
+    if not len(words):
+        return empty
+    L = max(int(np.char.str_len(words).max()), 1)
+    if L > _E1_MAXLEN:
+        raise NotImplementedError(
+            f"edit1_pairs: token length {L} > {_E1_MAXLEN}; widen "
+            "_E1_MAXLEN (char matrix is O(N*L))")
+    m = np.asarray(words, dtype=f"U{L}").view(np.uint32).reshape(-1, L)
+    lens = (m != 0).sum(axis=1)  # no NUL chars in tokens
+    ks, ws, ix = [words], [words], [np.full(len(words), -1, np.int64)]
+    for i in range(L):
+        # deletion at index i exists for words longer than i; the ""
+        # key from single-char words is kept — its (key="", idx=0)
+        # bucket carries the single-char substitution pairs and is
+        # alphabet-bounded, not a mega bucket
+        rows = lens > np.int64(i)
+        if not rows.any():
+            continue
+        sub = np.concatenate(
+            [m[rows][:, :i], m[rows][:, i + 1:],
+             np.zeros((int(rows.sum()), 1), np.uint32)], axis=1)
+        ks.append(sub.reshape(-1).view(f"U{L}").reshape(-1).astype(str))
+        ws.append(words[rows])
+        ix.append(np.full(int(rows.sum()), i, np.int64))
+    return pa.table({
+        "k": pa.array(np.concatenate(ks).tolist(), type=pa.string()),
+        "word": pa.array(np.concatenate(ws).tolist(), type=pa.string()),
+        "idx": pa.array(np.concatenate(ix)),
+    })
+
+
+def _e1_pair_kernel(t: pa.Table) -> pa.Table:
+    """Per key partition (all rows of a key co-located): emit the exact
+    levenshtein-1 pairs. Within one key bucket k:
+    - O = the word equal to k (idx=-1; at most one, vocab is distinct),
+    - D = words with del_idx(w) == k (len = len(k)+1).
+    O x D pairs are one INSERT apart (provable: one deletion aligns the
+    strings). D x D pairs sharing the SAME idx differ only at that
+    position (equal prefixes and suffixes around idx) -> one
+    SUBSTITUTION. No verify pass is needed; dedup is local because a
+    key's rows never split across partitions."""
+    empty = pa.table({"wa": pa.array([], type=pa.string()),
+                      "wb": pa.array([], type=pa.string())})
+    if t.num_rows == 0 or "k" not in t.column_names:
+        return empty
+    k = np.asarray(t.column("k")).astype(str)
+    w = np.asarray(t.column("word")).astype(str)
+    idx = np.asarray(t.column("idx"), dtype=np.int64)
+    pair_a, pair_b = [], []
+    # --- insert/delete: deleter rows whose key IS a vocab word ---
+    is_orig = idx < 0
+    orig_words = np.unique(k[is_orig])  # == the words themselves
+    dmask = ~is_orig
+    if dmask.any() and len(orig_words):
+        dk, dw = k[dmask], w[dmask]
+        hit = np.isin(dk, orig_words)
+        if hit.any():
+            # dedupe (key, word): "aa" deletes to "a" at idx 0 and 1
+            cand = np.unique(
+                np.char.add(np.char.add(dk[hit], "\x1f"), dw[hit]))
+            sp = np.char.partition(cand, "\x1f")
+            pair_a.append(sp[:, 0])
+            pair_b.append(sp[:, 2])
+    # --- substitution: same (key, idx) groups, all pairs ---
+    if dmask.any():
+        gk = np.char.add(np.char.add(k[dmask], "\x1f"),
+                         idx[dmask].astype(str))
+        order = np.argsort(gk, kind="stable")
+        gs, ws_ = gk[order], w[dmask][order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], gs[1:] != gs[:-1]]))
+        sizes = np.diff(np.concatenate([starts, [len(gs)]]))
+        for sz in np.unique(sizes[sizes > 1]):
+            base = starts[sizes == sz]
+            ii, jj = np.triu_indices(int(sz), k=1)
+            a = ws_[(base[:, None] + ii[None, :]).reshape(-1)]
+            b = ws_[(base[:, None] + jj[None, :]).reshape(-1)]
+            pair_a.append(a)
+            pair_b.append(b)
+    if not pair_a:
+        return empty
+    a = np.concatenate(pair_a)
+    b = np.concatenate(pair_b)
+    lo = np.where(a < b, a, b)
+    hi = np.where(a < b, b, a)
+    u = np.unique(np.char.add(np.char.add(lo, "\x1f"), hi))
+    sp = np.char.partition(u, "\x1f")
+    return pa.table({"wa": pa.array(sp[:, 0].tolist(), type=pa.string()),
+                     "wb": pa.array(sp[:, 2].tolist(), type=pa.string())})
+
+
+def edit1_pairs(*token_col_datasets):
+    """All unordered vocabulary pairs at levenshtein distance EXACTLY 1,
+    via the SymSpell deletion neighborhood (public spell-correction
+    technique): every word emits itself and its single-deletion variants
+    as keys; two words at distance 1 provably share a key (insert/delete
+    -> the shorter word is a deletion of the longer; substitution ->
+    both delete the differing index to the same string), and every
+    key-sharing candidate is provably at distance <= 1, so there is NO
+    quadratic verify stage and no levenshtein evaluation at all. Scale:
+    keys shuffle once (O(total chars) rows); bucket sizes are
+    alphabet-bounded for the substitution groups. Duplicate-free by
+    construction (vocab is distinct; pair dedup is partition-local).
+
+    Args: datasets with a ``tok`` column (pre-tokenized vocabularies,
+    possibly overlapping — they are unioned)."""
+    ds = token_col_datasets[0]
+    for other in token_col_datasets[1:]:
+        ds = ds.union(other)
+    vocab = group_apply_tasks(ds, ["tok"], _e1_distinct)
+    keys = vocab.map_batches(_e1_keys, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return group_apply_tasks(keys, ["k"], _e1_pair_kernel)

@@ -7148,3 +7148,133 @@ SELECT doc_id,
        CAST(ntoks AS BIGINT) AS n_tokens
 FROM h
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 50: edge support census, edit-1 vocabulary pairs, above-average
+# orders, ship-lag quantiles, 1-NN margins
+# ---------------------------------------------------------------------------
+
+
+@_materialized
+def edge_support_hist() -> str:
+    """Per-edge triangle-support histogram of the undirected distinct
+    graph (twin of `queries.q_edge_support_hist`): each triangle
+    u<w<v credits its three edges; left join keeps support-0 edges
+    (local bridges)."""
+    return PREFIX + """
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+L AS (SELECT src, dst FROM und WHERE src < dst),
+tris AS (
+  SELECT a.src AS u, a.dst AS w, b.dst AS v
+  FROM L a JOIN L b ON b.src = a.dst
+  JOIN L m ON m.src = a.src AND m.dst = b.dst
+),
+credit AS (
+  SELECT u AS lo, w AS hi FROM tris
+  UNION ALL SELECT w, v FROM tris
+  UNION ALL SELECT u, v FROM tris
+),
+supp AS (
+  SELECT l.src, l.dst, count(c.lo) AS s
+  FROM L l LEFT JOIN credit c ON c.lo = l.src AND c.hi = l.dst
+  GROUP BY l.src, l.dst
+)
+SELECT CAST(s AS BIGINT) AS support, CAST(count(*) AS BIGINT) AS n_edges
+FROM supp GROUP BY s
+"""
+
+
+def edit1_pairs() -> str:
+    """Levenshtein-1 vocabulary pairs over documents tokens UNION part
+    name words (twin of `queries.q_edit1_pairs` / SymSpell deletion
+    neighborhood — the oracle brute-forces levenshtein)."""
+    return """
+WITH t AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS tok FROM documents
+  UNION
+  SELECT DISTINCT unnest(string_split(p_name, ' ')) FROM part
+)
+SELECT a.tok AS wa, b.tok AS wb
+FROM t a JOIN t b ON a.tok < b.tok AND levenshtein(a.tok, b.tok) = 1
+"""
+
+
+def above_avg_orders() -> str:
+    """Per-customer orders strictly above the customer's own average
+    price, exact integer cross-multiplication (twin of
+    `queries.q_above_avg_orders`)."""
+    return """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+  FROM orders
+),
+s AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+         sum(c) AS sum_c
+  FROM o GROUP BY 1
+)
+SELECT o.o_custkey, s.n_orders,
+       CAST(sum(CASE WHEN o.c * s.n_orders > s.sum_c THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_above
+FROM o JOIN s USING (o_custkey)
+GROUP BY o.o_custkey, s.n_orders
+"""
+
+
+def ship_lag_stats() -> str:
+    """Order-to-ship lag-day quantiles/extremes per priority (twin of
+    `queries.q_ship_lag_stats`; timestamps midnight-aligned so the
+    day diff is exact)."""
+    return """
+WITH j AS (
+  SELECT o_orderpriority AS prio,
+         CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT)
+           AS lag
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+)
+SELECT prio, CAST(count(*) AS BIGINT) AS n,
+       CAST(quantile_disc(lag, 0.5) AS BIGINT) AS lag_q50,
+       CAST(quantile_disc(lag, 0.9) AS BIGINT) AS lag_q90,
+       CAST(min(lag) AS BIGINT) AS lag_min,
+       CAST(max(lag) AS BIGINT) AS lag_max
+FROM j GROUP BY 1
+"""
+
+
+def knn_margin(nvec: int = 256, dim: int = 64,
+               qscale: int = 1 << 20) -> str:
+    """Per-label 1-NN margin stats over quantized dots (twin of
+    `queries.q_knn_margin`)."""
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id, label, CAST(g.d AS BIGINT) AS dim,
+         CAST(floor((CAST(embedding[CAST(g.d AS INT)] AS DOUBLE) + 0.5)
+                    * {qscale}) AS BIGINT) AS q
+  FROM embeddings CROSS JOIN generate_series(1, {dim}) g(d)
+  WHERE vec_id < {nvec}
+),
+labs AS (SELECT DISTINCT vec_id, label FROM q),
+dots AS MATERIALIZED (
+  SELECT a.vec_id AS i, b.vec_id AS j, sum(a.q * b.q) AS dot
+  FROM q a JOIN q b ON b.dim = a.dim AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT d.i, any_value(la.label) AS label,
+         max(CASE WHEN lb.label = la.label THEN d.dot END) AS bs,
+         max(CASE WHEN lb.label <> la.label THEN d.dot END) AS bo
+  FROM dots d JOIN labs la ON la.vec_id = d.i
+              JOIN labs lb ON lb.vec_id = d.j
+  GROUP BY d.i
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN bs > bo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pos,
+       CAST(sum(bs - bo) AS BIGINT) AS sum_margin
+FROM best WHERE bs IS NOT NULL AND bo IS NOT NULL
+GROUP BY label
+"""

@@ -1995,6 +1995,86 @@ def ktruss_fixed(sym_edges_ds, n: int, k: int, rounds: int,
             else np.empty(0, dtype=np.int64))
 
 
+def _kt_support_hist(key_part, *supp_parts):
+    """Per key partition: merge the closed-wedge support partials over
+    this partition's distinct edge keys (zeros kept for never-credited
+    edges) and histogram -> (support_values, counts). The terminal
+    reduce of the one-pass support plan: only the tiny histogram leaves
+    the partition."""
+    key = _kt_key(key_part)
+    supp = np.zeros(len(key), dtype=np.int64)
+    if supp_parts:
+        uk = np.concatenate([p[0] for p in supp_parts])
+        c = np.concatenate([p[1] for p in supp_parts])
+        if len(uk):
+            su, inv = np.unique(uk, return_inverse=True)
+            tot = np.zeros(len(su), dtype=np.int64)
+            np.add.at(tot, inv, c)
+            pos = np.searchsorted(key, su)  # key sorted (np.unique upstream)
+            supp[pos] = tot
+    sv, sc = np.unique(supp, return_counts=True)
+    return sv, sc.astype(np.int64)
+
+
+def edge_support_hist(sym_edges_ds, n: int,
+                      num_partitions: int | None = None):
+    """Histogram of per-edge triangle SUPPORT over the distinct
+    undirected edge set — the k-truss support metric
+    (``ktruss_fixed``'s peel predicate, reference recipe masked SpGEMM
+    ``SpParMat.h:161`` + ``ParFriends.h:1447``) surfaced as a census
+    instead of a filter. Support 0 counts the graph's LOCAL BRIDGES
+    (edges whose endpoints share no neighbor). One wedge/close pass of
+    the distributed k-truss plan; per-partition histograms are the only
+    driver traffic. Returns (support, n_edges) int64 arrays."""
+    import ray
+
+    g = num_partitions or _tc_auto_grid(sym_edges_ds)
+    dedup = _pairs_scaffold(sym_edges_ds, g, n)
+    keys = [d[g] for d in dedup]
+    kv = [
+        _rt(_kt_route_v).options(num_returns=g).remote(g, n, keys[i])
+        for i in range(g)
+    ]
+    kv = [[t] if g == 1 else list(t) for t in kv]
+    attach = [
+        _rt(_tc_attach_route_other).options(num_returns=g).remote(
+            g, n, *[kv[j][i] for j in range(g)]
+        )
+        for i in range(g)
+    ]
+    attach = [[t] if g == 1 else list(t) for t in attach]
+    wedge = [
+        _rt(_ccf_wedge_route).options(num_returns=g).remote(
+            g, n, *[attach[j][i] for j in range(g)]
+        )
+        for i in range(g)
+    ]
+    wedge = [[t] if g == 1 else list(t) for t in wedge]
+    close = [
+        _rt(_kt_close_route_key).options(num_returns=g).remote(
+            g, n, *[wedge[j][i] for j in range(g)]
+        )
+        for i in range(g)
+    ]
+    close = [[t] if g == 1 else list(t) for t in close]
+    hists = ray.get([
+        _rt(_kt_support_hist).remote(
+            keys[i], *[close[j][i] for j in range(g)]
+        )
+        for i in range(g)
+    ])
+    sv = np.concatenate([h[0] for h in hists]) if hists \
+        else np.empty(0, dtype=np.int64)
+    sc = np.concatenate([h[1] for h in hists]) if hists \
+        else np.empty(0, dtype=np.int64)
+    if not len(sv):
+        return sv, sc
+    u, inv = np.unique(sv, return_inverse=True)
+    tot = np.zeros(len(u), dtype=np.int64)
+    np.add.at(tot, inv, sc)
+    return u, tot
+
+
 # --------------------------------------------------------------------------
 # strongly connected components (fixed-round forward/backward coloring)
 # --------------------------------------------------------------------------

@@ -14286,3 +14286,228 @@ def q_prep_corpus(sf_dir: str):
 
     keyed = docs.map_batches(_keyed, batch_format="pyarrow")
     return group_apply_tasks(keyed, ["kh", "kh2"], _canon)
+
+
+# ---------------------------------------------------------------------------
+# wave 50: edge support census, SymSpell edit-1 vocabulary pairs,
+# above-own-average orders, order-to-ship lag quantiles, 1-NN margins
+# ---------------------------------------------------------------------------
+
+
+def q_edge_support_hist(sf_dir: str):
+    """Per-edge triangle-SUPPORT histogram over the distinct undirected
+    edge set (k-truss's peel predicate as a census; support 0 = local
+    bridges) — one distributed wedge/close pass of the k-truss plan
+    (`alg.edge_support_hist`; reference recipe `SpParMat.h:161` +
+    `ParFriends.h:1447`), per-partition histograms only on the
+    driver."""
+    ctx = get_context(sf_dir)
+    sv, sc = alg.edge_support_hist(ctx.graph("sym").edges, ctx.n)
+    return pa.table({"support": pa.array(sv, type=pa.int64()),
+                     "n_edges": pa.array(sc, type=pa.int64())})
+
+
+def _tok_vocab_fn(col: str):
+    """Batch kernel: distinct whitespace tokens of `col` as a `tok`
+    table (the vocabulary partial for edit1_pairs)."""
+
+    def _f(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or col not in b.column_names:
+            return pa.table({"tok": pa.array([], type=pa.string())})
+        toks = pc.list_flatten(pc.split_pattern(b.column(col), " "))
+        return pa.table({"tok": pc.unique(toks).cast(pa.string())})
+
+    return _f
+
+
+def q_edit1_pairs(sf_dir: str):
+    """All vocabulary pairs at levenshtein distance exactly 1 over the
+    union of document tokens and part-name words — the SymSpell
+    deletion-neighborhood near-dup operator (`dedup.edit1_pairs`): no
+    quadratic verify, candidates are distance<=1 by construction."""
+    import ray
+
+    from ..functions.dedup import edit1_pairs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["text"])
+    parts = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                  columns=["p_name"])
+    return edit1_pairs(
+        docs.map_batches(_tok_vocab_fn("text"), batch_format="pyarrow",
+                         zero_copy_batch=True),
+        parts.map_batches(_tok_vocab_fn("p_name"), batch_format="pyarrow",
+                          zero_copy_batch=True),
+    )
+
+
+def q_above_avg_orders(sf_dir: str):
+    """Per customer: order count and how many of their own orders are
+    strictly above their personal average price — the correlated-
+    subquery pattern, exact via the integer cross-multiplication
+    cents*n > sum_cents (no division). One custkey shuffle,
+    whole-partition vectorized."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    o = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_custkey", "o_totalprice"])
+
+    def _k(t: pa.Table) -> pa.Table:
+        empty = pa.table({"o_custkey": pa.array([], type=pa.int64()),
+                          "n_orders": pa.array([], type=pa.int64()),
+                          "n_above": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "o_custkey" not in t.column_names:
+            return empty
+        ck = np.asarray(t.column("o_custkey"), dtype=np.int64)
+        cents = np.floor(
+            np.asarray(t.column("o_totalprice"), dtype=np.float64) * 100
+            + 0.5).astype(np.int64)
+        uk, inv = np.unique(ck, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        s = ibincount(inv, cents)
+        above = cents * n[inv] > s[inv]
+        na = ibincount(inv, above, minlength=len(uk))
+        return pa.table({"o_custkey": pa.array(uk),
+                         "n_orders": pa.array(n),
+                         "n_above": pa.array(na)})
+
+    return group_apply_tasks(o, ["o_custkey"], _k)
+
+
+SHIP_LAG_QS = (0.5, 0.9)
+
+
+def q_ship_lag_stats(sf_dir: str):
+    """Order-to-ship lag (whole days, exact: timestamps are
+    midnight-aligned) quantiles/extremes per order priority — the
+    fulfillment-latency profile. One co-partitioned hash join
+    (orderkey) with the lag computation fused into the join task, then
+    one priority shuffle with a whole-partition sort+pick quantile
+    kernel (`quantile_disc` semantics, element-exact)."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks, hash_join_tasks
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_shipdate"])
+    o = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    US_DAY = np.int64(86_400_000_000)
+
+    def _lag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"prio": pa.array([], type=pa.string()),
+                             "lag": pa.array([], type=pa.int64())})
+        ship = np.asarray(t.column("l_shipdate")).astype(
+            "datetime64[us]").view(np.int64)
+        ordd = np.asarray(t.column("o_orderdate")).astype(
+            "datetime64[us]").view(np.int64)
+        return pa.table({
+            "prio": t.column("o_orderpriority"),
+            "lag": pa.array((ship - ordd) // US_DAY),
+        })
+
+    lags = hash_join_tasks(li, o, on="l_orderkey",
+                           right_on="o_orderkey", post=_lag)
+
+    def _q(t: pa.Table) -> pa.Table:
+        empty = pa.table({"prio": pa.array([], type=pa.string()),
+                          "n": pa.array([], type=pa.int64()),
+                          "lag_q50": pa.array([], type=pa.int64()),
+                          "lag_q90": pa.array([], type=pa.int64()),
+                          "lag_min": pa.array([], type=pa.int64()),
+                          "lag_max": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "prio" not in t.column_names:
+            return empty
+        p = np.asarray(t.column("prio")).astype(str)
+        v = np.asarray(t.column("lag"), dtype=np.int64)
+        order = np.lexsort((v, p))
+        p, v = p[order], v[order]
+        keys, starts, cnts = np.unique(p, return_index=True,
+                                       return_counts=True)
+        cols = {"prio": pa.array(keys.tolist(), type=pa.string()),
+                "n": pa.array(cnts.astype(np.int64))}
+        for name, qq in zip(("lag_q50", "lag_q90"), SHIP_LAG_QS):
+            idx = starts + np.minimum(
+                cnts - 1, np.ceil(qq * cnts).astype(np.int64) - 1)
+            cols[name] = pa.array(v[idx])
+        cols["lag_min"] = pa.array(v[starts])
+        cols["lag_max"] = pa.array(v[starts + cnts - 1])
+        return pa.table(cols)
+
+    return group_apply_tasks(lags, ["prio"], _q)
+
+
+def q_knn_margin(sf_dir: str):
+    """Per-label 1-NN MARGIN statistics over the first KNN1_N
+    embeddings: margin = (best same-label dot) - (best other-label dot)
+    on the exact quantized integer dots (the separability face of
+    `knn1_accuracy`). Subset matrix broadcast once via ray.put;
+    per-batch vectorized masked-argmax partials; exact int64 sums."""
+    import ray
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+        filter=pc.field("vec_id") < KNN1_N,
+    )
+    all_rows = emb.take_all()  # bounded: KNN1_N rows by construction
+    all_rows.sort(key=lambda r: r["vec_id"])
+    tt = pa.table({
+        "vec_id": pa.array([r["vec_id"] for r in all_rows],
+                           type=pa.int64()),
+        "embedding": pa.array([list(r["embedding"]) for r in all_rows]),
+    })
+    aids, amat = _km_quant(tt)
+    alab = np.array([r["label"] for r in all_rows], dtype=np.int64)
+    aref = ray.put((aids, amat, alab))
+    I64MIN = np.iinfo(np.int64).min
+
+    def _mg(t: pa.Table, *, _ref=aref) -> pa.Table:
+        empty = pa.table({"label": pa.array([], type=pa.int64()),
+                          "n": pa.array([], type=pa.int64()),
+                          "n_pos": pa.array([], type=pa.int64()),
+                          "sum_margin": pa.array([], type=pa.int64())})
+        ai, am, al = _ref if isinstance(_ref, tuple) else ray.get(_ref)
+        ids, Q = _km_quant(t.select(["vec_id", "embedding"]))
+        lab = np.asarray(t.column("label"), dtype=np.int64)
+        if len(ids) == 0:
+            return empty
+        d = Q @ am.T
+        d[ids[:, None] == ai[None, :]] = I64MIN  # exclude self
+        same = lab[:, None] == al[None, :]
+        bs = np.where(same, d, I64MIN).max(axis=1)
+        bo = np.where(~same, d, I64MIN).max(axis=1)
+        ok = (bs > I64MIN) & (bo > I64MIN)
+        if not ok.any():
+            return empty
+        lab, bs, bo = lab[ok], bs[ok], bo[ok]
+        uk, inv = np.unique(lab, return_inverse=True)
+        return pa.table({
+            "label": pa.array(uk),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "n_pos": pa.array(ibincount(inv, bs > bo, minlength=len(uk))),
+            "sum_margin": pa.array(ibincount(inv, bs - bo,
+                                             minlength=len(uk))),
+        })
+
+    parts = emb.map_batches(_mg, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all()
+    agg: dict[int, list[int]] = {}
+    for p in parts:
+        e = agg.setdefault(int(p["label"]), [0, 0, 0])
+        e[0] += p["n"]
+        e[1] += p["n_pos"]
+        e[2] += p["sum_margin"]
+    ks = sorted(agg)
+    return pa.table({
+        "label": pa.array(ks, type=pa.int64()),
+        "n": pa.array([agg[k][0] for k in ks], type=pa.int64()),
+        "n_pos": pa.array([agg[k][1] for k in ks], type=pa.int64()),
+        "sum_margin": pa.array([agg[k][2] for k in ks],
+                               type=pa.int64()),
+    })
