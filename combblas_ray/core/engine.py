@@ -1091,15 +1091,19 @@ class SpmvEngine:
     actor_brs: list = field(default_factory=list)  # per actor: sorted row-blocks
     actor_bcs: list = field(default_factory=list)  # per actor: sorted col-blocks
     bounds: list = field(default_factory=list)
+    restartable: bool = False  # actors spawned with max_restarts (see below)
 
     @classmethod
     def from_graph(cls, graph, g: int, ckpt_dir: str, *, resume: bool = True,
                    pool_size: int | None = None, pool_cpus: float = 0,
                    w_dtype: str = "f8", structural: bool = False,
-                   payload: dict[str, str] | None = None):
+                   payload: dict[str, str] | None = None,
+                   max_restarts: int = 0):
         man = build_blocks(graph, g, ckpt_dir, resume=resume, w_dtype=w_dtype,
                            structural=structural, payload=payload)
-        return cls.from_manifest(man, pool_size=pool_size, pool_cpus=pool_cpus)
+        return cls.from_manifest(man, pool_size=pool_size,
+                                 pool_cpus=pool_cpus,
+                                 max_restarts=max_restarts)
 
     @staticmethod
     def _assign(blocks: list, a: int) -> list:
@@ -1127,37 +1131,51 @@ class SpmvEngine:
     @classmethod
     def _from_block_list(cls, n: int, g: int, man: dict, blocks: list,
                          source_key: str, *, pool_size: int | None,
-                         pool_cpus: float):
+                         pool_cpus: float, max_restarts: int = 0):
         assign = cls._assign(blocks, pool_size
                              or _default_pool_size(len(blocks)))
         actors, actor_brs, actor_bcs = [], [], []
-        cls_handle = (
-            CsrPoolActor.options(num_cpus=pool_cpus) if pool_cpus
-            else CsrPoolActor
-        )
+        opts = {}
+        if pool_cpus:
+            opts["num_cpus"] = pool_cpus
+        if max_restarts:
+            # FAULT TOLERANCE (multi-node: a worker node dies mid-run):
+            # Ray respawns the actor and replays __init__ — blocks
+            # reload from the checkpointed store (disk paths) or the
+            # driver-owned object refs, both of which survive the
+            # actor. max_task_retries makes in-flight partials retry
+            # transparently. Safe ONLY because the compute methods are
+            # pure reads of resident state; engines that mutate blocks
+            # in place (dim_apply) must not enable this — a restart
+            # would silently revert the scaling, so dim_apply raises.
+            opts["max_restarts"] = max_restarts
+            opts["max_task_retries"] = max_restarts
+        cls_handle = CsrPoolActor.options(**opts) if opts else CsrPoolActor
         for grp in assign:
             actors.append(cls_handle.remote([b[source_key] for b in grp]))
             actor_brs.append(sorted({b["br"] for b in grp}))
             actor_bcs.append(sorted({b["bc"] for b in grp}))
         eng = cls(n=n, g=g, manifest=man, actors=actors,
                   actor_brs=actor_brs, actor_bcs=actor_bcs,
-                  bounds=chunk_bounds(n, g))
+                  bounds=chunk_bounds(n, g),
+                  restartable=bool(max_restarts))
         ray.get([a.ping.remote() for a in actors])  # wait for residency
         return eng
 
     @classmethod
     def from_manifest(cls, man: dict, *, pool_size: int | None = None,
-                      pool_cpus: float = 0):
+                      pool_cpus: float = 0, max_restarts: int = 0):
         return cls._from_block_list(
             man["n"], man["g"], man, man["blocks"], "path",
             pool_size=pool_size, pool_cpus=pool_cpus,
+            max_restarts=max_restarts,
         )
 
     @classmethod
     def from_block_refs(cls, n: int, g: int, entries: list, *,
                         w_dtype: str = "f8",
                         pool_size: int | None = None,
-                        pool_cpus: float = 0):
+                        pool_cpus: float = 0, max_restarts: int = 0):
         """Engine over an OBJECT-STORE-ONLY block build
         (`build_block_refs` output) — no filesystem involved anywhere:
         the multi-node path without a shared FS. The synthesized
@@ -1170,7 +1188,8 @@ class SpmvEngine:
                           | {"path": "<object>"} for b in blocks]}
         return cls._from_block_list(n, g, man, blocks, "ref",
                                     pool_size=pool_size,
-                                    pool_cpus=pool_cpus)
+                                    pool_cpus=pool_cpus,
+                                    max_restarts=max_restarts)
 
     # ---- chunked vertex-vector helpers ----
 
@@ -1583,6 +1602,13 @@ class SpmvEngine:
         """Scale resident block weights by v (per-column for dim='col',
         per-row for dim='row') — `SpParMat::DimApply`. Mutates residency;
         a rebuilt pool (from_manifest) restores the on-disk weights."""
+        if self.restartable:
+            raise NotImplementedError(
+                "dim_apply mutates resident actor state; an actor restart "
+                "(max_restarts engine) would silently revert the scaling. "
+                "Build the engine without max_restarts, or fold the scale "
+                "into the SpMV vector (DimApply is algebraically a "
+                "diagonal matmul: spmv(sr, v*x) for dim='col').")
         v_refs = self.chunk(v)
         futs = []
         for actor, brs, bcs in zip(self.actors, self.actor_brs, self.actor_bcs):

@@ -579,3 +579,58 @@ def test_object_store_only_engine(ctx500, ray_session):
     assert eng_obj.manifest["store"] == "object"
     assert eng_obj.nnz() == eng_disk.nnz()
     eng_obj.shutdown()
+
+
+def test_actor_restart_fault_tolerance(ctx500, tmp_path, ray_session):
+    """max_restarts engines survive an actor death mid-run (the
+    multi-node node-loss case): Ray replays __init__ (blocks reload
+    from the checkpointed disk store) and max_task_retries re-submits
+    the in-flight partials — SpMV results identical before and after a
+    kill, with NO driver-side handling. dim_apply refuses on a
+    restartable engine (a restart would silently revert the in-place
+    scaling)."""
+    import pytest
+
+    import ray
+
+    from combblas_ray.core.engine import SpmvEngine, build_blocks
+
+    g = ctx500.graph("directed")
+    man = build_blocks(g, 3, str(tmp_path / "ft_store"))
+    eng = SpmvEngine.from_manifest(man, max_restarts=2)
+    assert eng.restartable
+    n = ctx500.n
+    x = ((np.arange(n) * 13) % 7 + 1).astype(np.float64)
+    base = eng.spmv(x, "plus_times")
+    # kill one actor; no_restart=False lets Ray respawn it
+    ray.kill(eng.actors[0], no_restart=False)
+    y = eng.spmv(x, "plus_times")  # retries ride max_task_retries
+    assert np.array_equal(y, base)
+    # a second kill mid-sequence, then SpMM and fused sums still agree
+    ray.kill(eng.actors[-1], no_restart=False)
+    X = np.stack([x, 3 * x])
+    disk = ctx500.engine("directed", 3)
+    assert np.array_equal(eng.spmm(X, "plus_times"),
+                          disk.spmm(X, "plus_times"))
+    assert np.array_equal(eng.out_weights(), disk.out_weights())
+    with pytest.raises(NotImplementedError):
+        eng.dim_apply("col", np.ones(n))
+    eng.shutdown()
+
+
+def test_actor_restart_object_store_refs(ctx500, ray_session):
+    """Restartable engines also work in object-store-only mode: the
+    constructor args are driver-owned block refs, which outlive the
+    actor, so the replayed __init__ re-fetches them."""
+    import ray
+
+    from combblas_ray.core.engine import SpmvEngine, build_block_refs
+
+    g = ctx500.graph("directed")
+    entries = build_block_refs(g, 2)
+    eng = SpmvEngine.from_block_refs(ctx500.n, 2, entries, max_restarts=1)
+    x = np.ones(ctx500.n)
+    base = eng.spmv(x, "plus_times")
+    ray.kill(eng.actors[0], no_restart=False)
+    assert np.array_equal(eng.spmv(x, "plus_times"), base)
+    eng.shutdown()
