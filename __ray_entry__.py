@@ -61,7 +61,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LLM-data layer without a prior driver row (+ refactored dedup)
         # wave 14 (newest = highest regression risk)
         # wave 15
-        # wave 50 (round 4: newest = highest regression risk)
+        # wave 51 (round 4: newest = highest regression risk)
+        "knn_confusion": q.q_knn_confusion,
+        "repeat_buyers": q.q_repeat_buyers,
+        "lang_norm_stats": q.q_lang_norm_stats,
+        "distance_hist": q.q_distance_hist,
+        "vocab_growth": q.q_vocab_growth,
+        # wave 50 (round 4)
         "edge_support_hist": q.q_edge_support_hist,
         "edit1_pairs": q.q_edit1_pairs,
         "above_avg_orders": q.q_above_avg_orders,
@@ -90,21 +96,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_lift_topk": q.q_part_lift_topk,
         "slow_gaps": q.q_slow_gaps,
         # wave 43
-        "ks_stat": q.q_ks_stat,
         "rank_sum_u": q.q_rank_sum_u,
         # wave 42
         "part_growth": q.q_part_growth,
         "audio_energy_hist": q.q_audio_energy_hist,
-        "p3_count": q.q_p3_count,
         # wave 41
-        "never_discounted": q.q_never_discounted,
         # wave 40
         "lcc_share": q.q_lcc_share,
         "top_spenders_ties": q.q_top_spenders_ties,
         "segment_median": q.q_segment_median,
         # wave 39
         "party_unpivot": q.q_party_unpivot,
-        "modal_transition": q.q_modal_transition,
         # wave 38
         # wave 37
         "data_split": q.q_data_split,
@@ -122,7 +124,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 31
         "ball_conductance": q.q_ball_conductance,
         # wave 30
-        "dup_size_hist": q.q_dup_size_hist,
         # wave 29
         # wave 28
         # wave 27
@@ -144,6 +145,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
         "doc_length_extremes": q.q_doc_length_extremes,  # extremal scan (r3-green; window slot 50 kept from r3)
+        "ks_stat": q.q_ks_stat,  # distribution test (r3-green; rotated for wave-51, rank_sum_u in-window sibling)
+        "p3_count": q.q_p3_count,  # walk census (r3-green; rotated for wave-51, closed_walks4/edge_support_hist siblings)
+        "never_discounted": q.q_never_discounted,  # anti-having (r3-green; rotated for wave-51, above_avg_orders sibling)
+        "modal_transition": q.q_modal_transition,  # transition grid (r3-green; rotated for wave-51, status_priority_grid sibling)
+        "dup_size_hist": q.q_dup_size_hist,  # dedup clusters (r3-green; rotated for wave-51, edit1_pairs dedup sibling)
         "price_spread": q.q_price_spread,  # price agg (r3-green; rotated for wave-50, rfm_cells/segment_median siblings)
         "supplies_all": q.q_supplies_all,  # relational division (r3-green; rotated for wave-50, above_avg_orders correlated-subquery sibling)
         "trigram_l1": q.q_trigram_l1,  # text n-gram (r3-green; rotated for wave-50, pname_vocab_topk/edit1_pairs siblings)
@@ -443,6 +449,11 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "corpus_scan": o.corpus_scan(),
+        "knn_confusion": o.knn_confusion(q.KNN1_N),
+        "repeat_buyers": o.repeat_buyers(),
+        "lang_norm_stats": o.lang_norm_stats(),
+        "distance_hist": o.msbfs_hist(q.MSBFS_MOD, q.BFS_ITERS),
+        "vocab_growth": o.vocab_growth(q.VG_BUCKETS),
         "edge_support_hist": o.edge_support_hist(),
         "edit1_pairs": o.edit1_pairs(),
         "above_avg_orders": o.above_avg_orders(),

@@ -7278,3 +7278,136 @@ SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n,
 FROM best WHERE bs IS NOT NULL AND bo IS NOT NULL
 GROUP BY label
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 51: 1-NN confusion, repeat buyers, cross-modal lang norms,
+# msbfs distance histogram, vocabulary growth
+# ---------------------------------------------------------------------------
+
+
+def knn_confusion(nvec: int = 256, dim: int = 64,
+                  qscale: int = 1 << 20) -> str:
+    """1-NN true-vs-predicted label confusion counts over quantized
+    dots (twin of `queries.q_knn_confusion`)."""
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id, label, CAST(g.d AS BIGINT) AS dim,
+         CAST(floor((CAST(embedding[CAST(g.d AS INT)] AS DOUBLE) + 0.5)
+                    * {qscale}) AS BIGINT) AS q
+  FROM embeddings CROSS JOIN generate_series(1, {dim}) g(d)
+  WHERE vec_id < {nvec}
+),
+labs AS (SELECT DISTINCT vec_id, label FROM q),
+dots AS (
+  SELECT a.vec_id AS i, b.vec_id AS j, sum(a.q * b.q) AS dot
+  FROM q a JOIN q b ON b.dim = a.dim AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+),
+nn AS (
+  SELECT i, j FROM (
+    SELECT i, j, row_number() OVER (PARTITION BY i
+                                    ORDER BY dot DESC, j) AS rn
+    FROM dots
+  ) WHERE rn = 1
+)
+SELECT CAST(la.label AS BIGINT) AS true_label,
+       CAST(lb.label AS BIGINT) AS pred_label,
+       CAST(count(*) AS BIGINT) AS n
+FROM nn JOIN labs la ON la.vec_id = nn.i
+        JOIN labs lb ON lb.vec_id = nn.j
+GROUP BY 1, 2
+"""
+
+
+def repeat_buyers() -> str:
+    """Customers with >= 2 orders in some calendar month (twin of
+    `queries.q_repeat_buyers`)."""
+    return """
+WITH m AS (
+  SELECT o_custkey,
+         CAST(extract(year FROM o_orderdate) AS BIGINT) * 12
+           + CAST(extract(month FROM o_orderdate) AS BIGINT) AS ym,
+         CAST(count(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_custkey,
+       CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repeat_months,
+       CAST(max(c) AS BIGINT) AS max_month_orders
+FROM m GROUP BY 1
+HAVING sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) >= 1
+"""
+
+
+def lang_norm_stats(dim: int = 64, qscale: int = 1 << 20) -> str:
+    """Per document-language embedding count + quantized squared-norm
+    totals, vec_id == doc_id join (twin of
+    `queries.q_lang_norm_stats`)."""
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         CAST(floor((CAST(embedding[CAST(g.d AS INT)] AS DOUBLE) + 0.5)
+                    * {qscale}) AS BIGINT) AS q
+  FROM embeddings CROSS JOIN generate_series(1, {dim}) g(d)
+),
+per AS (SELECT vec_id, sum(q * q) AS n2 FROM q GROUP BY 1)
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(per.n2) AS BIGINT) AS sum_norm2
+FROM per JOIN documents d ON d.doc_id = per.vec_id
+GROUP BY 1
+"""
+
+
+@_materialized
+def msbfs_hist(mod: int = 97, iters: int = 12) -> str:
+    """Histogram of nearest-seed hop distances (aggregate face of
+    `msbfs`; twin of `queries.q_distance_hist`)."""
+    sql = PREFIX + f"""
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+d0 AS (SELECT i, 0 AS dist FROM verts WHERE i % {mod} = 0)
+"""
+    prev = "d0"
+    for k in range(1, iters + 1):
+        sql += f"""
+, d{k} AS (
+  SELECT i, min(dist) AS dist FROM (
+    SELECT i, dist FROM {prev}
+    UNION ALL
+    SELECT u.dst AS i, dp.dist + 1 AS dist
+    FROM und u JOIN {prev} dp ON dp.i = u.src
+  ) GROUP BY i
+)"""
+        prev = f"d{k}"
+    sql += f"""
+SELECT CAST(dist AS BIGINT) AS dist,
+       CAST(count(*) AS BIGINT) AS n_vertices
+FROM {prev} GROUP BY 1
+"""
+    return sql
+
+
+def vocab_growth(buckets: int = 10) -> str:
+    """First-appearance decile histogram of the BIGRAM vocabulary
+    (Heaps curve; twin of `queries.q_vocab_growth`). md*B/n is exact
+    in float64 on both sides (md*B < 2^53; IEEE division + floor)."""
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+flat AS MATERIALIZED (
+  SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS i
+  FROM toks
+),
+bi AS (
+  SELECT a.doc_id AS doc_id, a.tok || ' ' || b.tok AS tok
+  FROM flat a JOIN flat b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+),
+m AS (SELECT tok, min(doc_id) AS md FROM bi GROUP BY 1),
+p AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+SELECT CAST(floor(md * {buckets} / n) AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS new_tokens
+FROM m, p GROUP BY 1
+"""

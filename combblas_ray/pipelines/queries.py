@@ -14511,3 +14511,248 @@ def q_knn_margin(sf_dir: str):
         "sum_margin": pa.array([agg[k][2] for k in ks],
                                type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 51: 1-NN confusion matrix, repeat buyers, cross-modal lang norms,
+# msbfs distance histogram, vocabulary growth curve
+# ---------------------------------------------------------------------------
+
+
+def q_knn_confusion(sf_dir: str):
+    """Full 1-NN label CONFUSION MATRIX over the first KNN1_N
+    embeddings (true label x nearest-neighbor label x count) — the
+    matrix face of `knn1_accuracy`, same exact quantized-dot plan:
+    subset broadcast once, per-batch argmax + packed-pair count
+    partials."""
+    import ray
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+        filter=pc.field("vec_id") < KNN1_N,
+    )
+    all_rows = emb.take_all()  # bounded: KNN1_N rows by construction
+    all_rows.sort(key=lambda r: r["vec_id"])
+    tt = pa.table({
+        "vec_id": pa.array([r["vec_id"] for r in all_rows],
+                           type=pa.int64()),
+        "embedding": pa.array([list(r["embedding"]) for r in all_rows]),
+    })
+    aids, amat = _km_quant(tt)
+    alab = np.array([r["label"] for r in all_rows], dtype=np.int64)
+    aref = ray.put((aids, amat, alab))
+    NLAB = np.int64(int(alab.max()) + 1 if len(alab) else 1)
+
+    def _cf(t: pa.Table, *, _ref=aref) -> pa.Table:
+        empty = pa.table({"true_label": pa.array([], type=pa.int64()),
+                          "pred_label": pa.array([], type=pa.int64()),
+                          "n": pa.array([], type=pa.int64())})
+        ai, am, al = _ref if isinstance(_ref, tuple) else ray.get(_ref)
+        ids, Q = _km_quant(t.select(["vec_id", "embedding"]))
+        lab = np.asarray(t.column("label"), dtype=np.int64)
+        if len(ids) == 0:
+            return empty
+        d = Q @ am.T
+        d[ids[:, None] == ai[None, :]] = np.iinfo(np.int64).min
+        best = np.argmax(d, axis=1)  # tie -> lowest id (first max)
+        key = lab * NLAB + al[best]
+        uk, c = np.unique(key, return_counts=True)
+        return pa.table({"true_label": pa.array(uk // NLAB),
+                         "pred_label": pa.array(uk % NLAB),
+                         "n": pa.array(c.astype(np.int64))})
+
+    parts = emb.map_batches(_cf, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all()
+    agg: dict[tuple, int] = {}
+    for p in parts:
+        k = (int(p["true_label"]), int(p["pred_label"]))
+        agg[k] = agg.get(k, 0) + p["n"]
+    ks = sorted(agg)
+    return pa.table({
+        "true_label": pa.array([k[0] for k in ks], type=pa.int64()),
+        "pred_label": pa.array([k[1] for k in ks], type=pa.int64()),
+        "n": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
+
+
+def q_repeat_buyers(sf_dir: str):
+    """Customers with at least one calendar month holding >= 2 of their
+    orders: per such customer, the number of repeat months and the max
+    orders in any month — the habit/retention face of the correlated
+    HAVING pattern. One custkey shuffle; months pack into the key."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    o = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_custkey", "o_orderdate"])
+
+    def _k(t: pa.Table) -> pa.Table:
+        empty = pa.table({"o_custkey": pa.array([], type=pa.int64()),
+                          "n_repeat_months": pa.array([], type=pa.int64()),
+                          "max_month_orders": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "o_custkey" not in t.column_names:
+            return empty
+        ck = np.asarray(t.column("o_custkey"), dtype=np.int64)
+        d = np.asarray(t.column("o_orderdate")).astype("datetime64[M]")
+        ym = d.view(np.int64)  # months since 1970-01 (< 2^20: ~87k yrs)
+        key = _pack20(ck, ym)  # width-asserted pack
+        uk, cnt = np.unique(key, return_counts=True)
+        cust = uk >> 20
+        uc, inv = np.unique(cust, return_inverse=True)
+        rep = ibincount(inv, cnt >= 2, minlength=len(uc))
+        mx = np.zeros(len(uc), dtype=np.int64)
+        np.maximum.at(mx, inv, cnt)
+        keep = rep >= 1
+        return pa.table({"o_custkey": pa.array(uc[keep]),
+                         "n_repeat_months": pa.array(rep[keep]),
+                         "max_month_orders": pa.array(mx[keep])})
+
+    return group_apply_tasks(o, ["o_custkey"], _k)
+
+
+def q_lang_norm_stats(sf_dir: str):
+    """Cross-modal join: per document LANGUAGE, the count and total
+    quantized squared norm of the docs' embedding vectors (vec_id ==
+    doc_id) — the modality-bridge aggregate (text metadata x embedding
+    table). Co-partitioned hash join with the per-lang partial fused
+    into the join task; exact int64."""
+    import ray
+
+    from ..core.shuffle import hash_join_tasks
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang"])
+
+    def _n2(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                             "n2": pa.array([], type=pa.int64())})
+        ids, Q = _km_quant(t)
+        return pa.table({"vec_id": pa.array(ids),
+                         "n2": pa.array((Q * Q).sum(axis=1))})
+
+    norms = emb.map_batches(_n2, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def _agg(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"lang": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64()),
+                             "sum_norm2": pa.array([], type=pa.int64())})
+        lng = np.asarray(t.column("lang")).astype(str)
+        n2 = np.asarray(t.column("n2"), dtype=np.int64)
+        uk, inv = np.unique(lng, return_inverse=True)
+        return pa.table({
+            "lang": pa.array(uk.tolist(), type=pa.string()),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "sum_norm2": pa.array(ibincount(inv, n2, minlength=len(uk))),
+        })
+
+    parts = hash_join_tasks(norms, docs, on="vec_id", right_on="doc_id",
+                            post=_agg).take_all()
+    agg: dict[str, list[int]] = {}
+    for p in parts:
+        e = agg.setdefault(p["lang"], [0, 0])
+        e[0] += p["n"]
+        e[1] += p["sum_norm2"]
+    ks = sorted(agg)
+    return pa.table({
+        "lang": pa.array(ks, type=pa.string()),
+        "n": pa.array([agg[k][0] for k in ks], type=pa.int64()),
+        "sum_norm2": pa.array([agg[k][1] for k in ks], type=pa.int64()),
+    })
+
+
+def q_distance_hist(sf_dir: str):
+    """Histogram of nearest-seed hop distances (the aggregate face of
+    `msbfs`, like `sigma_hist` is to `bfs_sigma`): (dist, n_vertices)
+    over the reached set within BFS_ITERS levels."""
+    ctx = get_context(sf_dir)
+    seeds = np.nonzero(np.asarray(ctx.arith) % MSBFS_MOD == 0)[0]
+    d = alg.msbfs_distances(ctx.engine("sym"), seeds, iters=BFS_ITERS)
+    dd = d[np.isfinite(d)].astype(np.int64)
+    uk, c = np.unique(dd, return_counts=True)
+    return pa.table({"dist": pa.array(uk, type=pa.int64()),
+                     "n_vertices": pa.array(c.astype(np.int64))})
+
+
+VG_BUCKETS = 10
+
+
+def q_vocab_growth(sf_dir: str):
+    """BIGRAM-vocabulary growth (Heaps-law curve, exact): per corpus
+    DECILE (by doc_id order), how many consecutive-token bigrams make
+    their FIRST-EVER appearance there — per-batch min-doc combiner ->
+    one bigram shuffle -> bounded decile histogram. The
+    streaming-novelty census behind dedup/novelty-rate dashboards
+    (bigrams, not unigrams: the synthetic token vocabulary saturates in
+    the first decile)."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+    from ..functions.text import tokens_list
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    n_docs = docs.count()
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        empty = pa.table({"tok": pa.array([], type=pa.string()),
+                          "md": pa.array([], type=pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        toks = tokens_list(b)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = np.asarray(pc.list_flatten(toks)).astype(str)
+        par = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+        if len(flat) < 2:
+            return empty
+        same = par[1:] == par[:-1]
+        if not same.any():
+            return empty
+        bi = np.char.add(np.char.add(flat[:-1][same], " "),
+                         flat[1:][same])
+        did = np.asarray(b.column("doc_id"), dtype=np.int64)[
+            par[:-1][same]]
+        # per-batch min doc per bigram (combiner before the shuffle)
+        order = np.lexsort((did, bi))
+        ft, fd = bi[order], did[order]
+        first = np.concatenate([[True], ft[1:] != ft[:-1]])
+        return pa.table({"tok": pa.array(ft[first].tolist(),
+                                         type=pa.string()),
+                         "md": pa.array(fd[first])})
+
+    pairs = docs.map_batches(_pairs, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def _hist(t: pa.Table, *, _n=n_docs) -> pa.Table:
+        empty = pa.table({"decile": pa.array([], type=pa.int64()),
+                          "new_tokens": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "tok" not in t.column_names:
+            return empty
+        tok = np.asarray(t.column("tok")).astype(str)
+        md = np.asarray(t.column("md"), dtype=np.int64)
+        order = np.lexsort((md, tok))
+        tok, md = tok[order], md[order]
+        first = np.concatenate([[True], tok[1:] != tok[:-1]])
+        dec = np.floor(md[first] * VG_BUCKETS / np.float64(_n)).astype(
+            np.int64)
+        uk, c = np.unique(dec, return_counts=True)
+        return pa.table({"decile": pa.array(uk),
+                         "new_tokens": pa.array(c.astype(np.int64))})
+
+    parts = group_apply_tasks(pairs, ["tok"], _hist).take_all()
+    agg: dict[int, int] = {}
+    for p in parts:
+        agg[int(p["decile"])] = agg.get(int(p["decile"]), 0) \
+            + p["new_tokens"]
+    ks = sorted(agg)
+    return pa.table({
+        "decile": pa.array(ks, type=pa.int64()),
+        "new_tokens": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
