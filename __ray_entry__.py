@@ -61,7 +61,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LLM-data layer without a prior driver row (+ refactored dedup)
         # wave 14 (newest = highest regression risk)
         # wave 15
-        # wave 51 (round 4: newest = highest regression risk)
+        # wave 52 (round 4: newest = highest regression risk)
+        "weighted_median_price": q.q_weighted_median_price,
+        "cc_size_hist": q.q_cc_size_hist,
+        "audio_lag_corr": q.q_audio_lag_corr,
+        "poly_filter": q.q_poly_filter,
+        "kmv_distinct": q.q_kmv_distinct,
+        # wave 51 (round 4)
         "knn_confusion": q.q_knn_confusion,
         "repeat_buyers": q.q_repeat_buyers,
         "lang_norm_stats": q.q_lang_norm_stats,
@@ -81,7 +87,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_size_hist": q.q_session_size_hist,
         # wave 47
         "round_bias": q.q_round_bias,
-        "dim_sign_corr": q.q_dim_sign_corr,
         "pname_vocab_topk": q.q_pname_vocab_topk,
         # wave 46
         "class_outliers": q.q_class_outliers,
@@ -98,13 +103,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 43
         "rank_sum_u": q.q_rank_sum_u,
         # wave 42
-        "part_growth": q.q_part_growth,
-        "audio_energy_hist": q.q_audio_energy_hist,
         # wave 41
         # wave 40
-        "lcc_share": q.q_lcc_share,
         "top_spenders_ties": q.q_top_spenders_ties,
-        "segment_median": q.q_segment_median,
         # wave 39
         "party_unpivot": q.q_party_unpivot,
         # wave 38
@@ -145,6 +146,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
         "doc_length_extremes": q.q_doc_length_extremes,  # extremal scan (r3-green; window slot 50 kept from r3)
+        "part_growth": q.q_part_growth,  # time agg (r3-green; rotated for wave-52, repeat_buyers sibling)
+        "audio_energy_hist": q.q_audio_energy_hist,  # audio stage (r3-green; rotated for wave-52, audio_lag_corr sibling)
+        "lcc_share": q.q_lcc_share,  # CC aggregate (r3-green; rotated for wave-52, cc_size_hist sibling)
+        "segment_median": q.q_segment_median,  # median (r3-green; rotated for wave-52, weighted_median_price sibling)
+        "dim_sign_corr": q.q_dim_sign_corr,  # embedding grid (r3-green; rotated for wave-52, knn_confusion/lang_norm_stats siblings)
         "ks_stat": q.q_ks_stat,  # distribution test (r3-green; rotated for wave-51, rank_sum_u in-window sibling)
         "p3_count": q.q_p3_count,  # walk census (r3-green; rotated for wave-51, closed_walks4/edge_support_hist siblings)
         "never_discounted": q.q_never_discounted,  # anti-having (r3-green; rotated for wave-51, above_avg_orders sibling)
@@ -449,6 +455,11 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "corpus_scan": o.corpus_scan(),
+        "weighted_median_price": o.weighted_median_price(),
+        "cc_size_hist": o.cc_size_hist(q.CC_ITERS),
+        "audio_lag_corr": o.audio_lag_corr(),
+        "poly_filter": o.poly_filter(),
+        "kmv_distinct": o.kmv_distinct(q.KMV_K, q.KMV_MASK),
         "knn_confusion": o.knn_confusion(q.KNN1_N),
         "repeat_buyers": o.repeat_buyers(),
         "lang_norm_stats": o.lang_norm_stats(),

@@ -489,3 +489,33 @@ class VideoMotionStage:
             "n_frames": pa.array(nfs, type=pa.int64()),
             "motion": pa.array(motions, type=pa.int64()),
         })
+
+
+class AudioLagCorrStage:
+    """Lag-1 autocorrelation sufficient statistics per audio payload:
+    n_samples and sum(x_t * x_{t+1}) over the int16 PCM, exact int64
+    (|x| < 2001, n <= 640 -> < 2^32 per item) — the periodicity/
+    smoothness feature next to `AudioIntStatsStage`'s energy. Same
+    actor-pool shape: header state once per actor, vectorized product
+    per payload."""
+
+    def __init__(self):
+        self.header = HEADER
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ns, lags = [], [], []
+        for item_id, payload in zip(
+            batch.column("item_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            _, sr, n = self.header.unpack_from(payload, 0)
+            pcm = np.frombuffer(payload, dtype=np.int16,
+                                offset=self.header.size).astype(np.int64)
+            ids.append(item_id)
+            ns.append(n)
+            lags.append(int((pcm[:-1] * pcm[1:]).sum()) if n > 1 else 0)
+        return pa.table({
+            "item_id": pa.array(ids, type=pa.int64()),
+            "n_samples": pa.array(ns, type=pa.int64()),
+            "lag1": pa.array(lags, type=pa.int64()),
+        })

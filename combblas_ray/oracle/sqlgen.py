@@ -7411,3 +7411,148 @@ SELECT CAST(floor(md * {buckets} / n) AS BIGINT) AS decile,
        CAST(count(*) AS BIGINT) AS new_tokens
 FROM m, p GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 52: weighted median, CC size histogram, audio lag-1 corr,
+# int64 polynomial SpMV, KMV distinct sketch
+# ---------------------------------------------------------------------------
+
+
+def weighted_median_price() -> str:
+    """Quantity-weighted lower median of part price cents per brand
+    (twin of `queries.q_weighted_median_price`)."""
+    return """
+WITH pw AS (
+  SELECT p_brand, CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+           AS cents,
+         CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY 1, 2
+),
+c AS (
+  SELECT p_brand, cents, w,
+         sum(w) OVER (PARTITION BY p_brand ORDER BY cents) AS cw,
+         sum(w) OVER (PARTITION BY p_brand) AS tot
+  FROM pw
+)
+SELECT p_brand, CAST(min(cents) AS BIGINT) AS wmedian_cents,
+       CAST(min(tot) AS BIGINT) AS total_qty
+FROM c WHERE 2 * cw >= tot GROUP BY 1
+"""
+
+
+@_materialized
+def cc_size_hist(iters: int = 12) -> str:
+    """Component-size histogram under the same fixed-round min-label
+    chain as `connected_components` (twin of
+    `queries.q_cc_size_hist`)."""
+    sql = PREFIX + """
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+l0 AS (SELECT i, label AS comp FROM verts)
+"""
+    prev = "l0"
+    for k in range(1, iters + 1):
+        sql += f"""
+, l{k} AS (
+  SELECT v.i, least(l.comp, coalesce(m.mn, l.comp)) AS comp
+  FROM verts v JOIN {prev} l ON l.i = v.i
+  LEFT JOIN (
+    SELECT u.dst AS i, min(lp.comp) AS mn
+    FROM und u JOIN {prev} lp ON lp.i = u.src GROUP BY u.dst
+  ) m ON m.i = v.i
+)"""
+        prev = f"l{k}"
+    sql += f"""
+SELECT CAST(cnt AS BIGINT) AS size,
+       CAST(count(*) AS BIGINT) AS n_components
+FROM (SELECT comp, count(*) AS cnt FROM {prev} GROUP BY comp)
+GROUP BY 1
+"""
+    return sql
+
+
+def audio_lag_corr(mod: int = 4001) -> str:
+    """Lag-1 PCM autocorrelation per audio payload (twin of
+    `queries.q_audio_lag_corr`; regenerates make_audio_blob's integer
+    synthesis)."""
+    return f"""
+WITH dims AS (
+  SELECT doc_id AS item_id,
+         CAST(256 + (doc_id % 4) * 128 AS BIGINT) AS n
+  FROM documents
+),
+s AS (
+  SELECT d.item_id, d.n, r.i,
+         (r.i * (d.item_id + 11)) % {mod} - 2000 AS v,
+         ((r.i + 1) * (d.item_id + 11)) % {mod} - 2000 AS nv
+  FROM dims d CROSS JOIN range(640) r(i)
+  WHERE r.i < d.n
+)
+SELECT item_id, CAST(min(n) AS BIGINT) AS n_samples,
+       CAST(sum(CASE WHEN i <= n - 2 THEN v * nv ELSE 0 END)
+            AS BIGINT) AS lag1
+FROM s GROUP BY 1
+"""
+
+
+@_materialized
+def poly_filter() -> str:
+    """p(A)x = A^2 x + A x + x over exact BIGINT (twin of
+    `queries.q_poly_filter`; x[i] = (i % 11) + 1)."""
+    return PREFIX + """
+, x AS (SELECT i, CAST((i % 11) + 1 AS BIGINT) AS v FROM files),
+y AS (
+  SELECT e.dst AS i, CAST(sum(CAST(e.w AS BIGINT) * x.v) AS BIGINT) AS v
+  FROM edges e JOIN x ON x.i = e.src GROUP BY 1
+),
+z AS (
+  SELECT e.dst AS i, CAST(sum(CAST(e.w AS BIGINT) * y.v) AS BIGINT) AS v
+  FROM edges e JOIN y ON y.i = e.src GROUP BY 1
+)
+SELECT vl.label AS label,
+       CAST(coalesce(z.v, 0) + coalesce(y.v, 0) + x.v AS BIGINT) AS p
+FROM x JOIN verts vl ON vl.i = x.i
+LEFT JOIN y ON y.i = x.i LEFT JOIN z ON z.i = x.i
+"""
+
+
+def kmv_distinct(k: int = 64, mask: int = (1 << 40) - 1) -> str:
+    """KMV distinct sketch vs exact over per-language bigrams (twin of
+    `queries.q_kmv_distinct`); estimate (k-1)*2^40 // h_k on the
+    masked md5 low-64 hash, exact-count fallback below k."""
+    scale = (k - 1) * (mask + 1)
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents
+),
+flat AS MATERIALIZED (
+  SELECT doc_id, lang, unnest(l) AS tok, generate_subscripts(l, 1) AS i
+  FROM toks
+),
+bi AS MATERIALIZED (
+  SELECT DISTINCT a.lang AS lang, a.tok || ' ' || b.tok AS tok
+  FROM flat a JOIN flat b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+),
+hx AS (
+  SELECT DISTINCT lang,
+         CAST(md5_number_lower(tok) & {mask} AS BIGINT) AS h
+  FROM bi
+),
+r AS (
+  SELECT lang, h,
+         row_number() OVER (PARTITION BY lang ORDER BY h) AS rn,
+         count(*) OVER (PARTITION BY lang) AS hcnt
+  FROM hx
+),
+ex AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_exact FROM bi
+       GROUP BY 1)
+SELECT ex.lang, ex.n_exact,
+       CAST(CASE WHEN min(r.hcnt) < {k} THEN min(r.hcnt)
+                 ELSE max(CASE WHEN r.rn = {k} THEN {scale} // r.h END)
+            END AS BIGINT) AS kmv_est
+FROM r JOIN ex ON ex.lang = r.lang
+GROUP BY ex.lang, ex.n_exact
+"""

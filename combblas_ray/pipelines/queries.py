@@ -14756,3 +14756,227 @@ def q_vocab_growth(sf_dir: str):
         "decile": pa.array(ks, type=pa.int64()),
         "new_tokens": pa.array([agg[k] for k in ks], type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 52: weighted median, component-size histogram, audio lag-1
+# autocorrelation, int64 polynomial SpMV filter, KMV distinct sketch
+# ---------------------------------------------------------------------------
+
+
+def q_weighted_median_price(sf_dir: str):
+    """Per brand: QUANTITY-WEIGHTED median part price (lower weighted
+    median over cents: smallest price with 2*cumweight >= total) and
+    the total shipped quantity — the weighted-holistic-aggregate class.
+    Join fused to (brand, cents, weight) partials, one brand shuffle,
+    whole-partition sort+cumsum pick."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks, hash_join_tasks
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_partkey", "l_quantity"])
+    p = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_retailprice"])
+
+    def _pw(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"p_brand": pa.array([], type=pa.string()),
+                             "cents": pa.array([], type=pa.int64()),
+                             "w": pa.array([], type=pa.int64())})
+        br = np.asarray(t.column("p_brand")).astype(str)
+        cents = np.floor(np.asarray(t.column("p_retailprice"),
+                                    dtype=np.float64) * 100
+                         + 0.5).astype(np.int64)
+        qty = np.asarray(t.column("l_quantity"),
+                         dtype=np.float64).astype(np.int64)
+        key = np.char.add(np.char.add(br, "\x1f"),
+                          np.char.zfill(cents.astype(str), 12))
+        uk, inv = np.unique(key, return_inverse=True)
+        sp = np.char.partition(uk, "\x1f")
+        return pa.table({
+            "p_brand": pa.array(sp[:, 0].tolist(), type=pa.string()),
+            "cents": pa.array(sp[:, 2].astype(np.int64)),
+            "w": pa.array(ibincount(inv, qty, minlength=len(uk))),
+        })
+
+    pw = hash_join_tasks(li, p, on="l_partkey", right_on="p_partkey",
+                         post=_pw)
+
+    def _med(t: pa.Table) -> pa.Table:
+        empty = pa.table({"p_brand": pa.array([], type=pa.string()),
+                          "wmedian_cents": pa.array([], type=pa.int64()),
+                          "total_qty": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "p_brand" not in t.column_names:
+            return empty
+        br = np.asarray(t.column("p_brand")).astype(str)
+        cents = np.asarray(t.column("cents"), dtype=np.int64)
+        w = np.asarray(t.column("w"), dtype=np.int64)
+        order = np.lexsort((cents, br))
+        br, cents, w = br[order], cents[order], w[order]
+        keys, starts, cnts = np.unique(br, return_index=True,
+                                       return_counts=True)
+        cw = np.cumsum(w)
+        meds, tots = [], []
+        for s, c in zip(starts, cnts):
+            base = cw[s - 1] if s else 0
+            seg = cw[s:s + c] - base
+            tot = seg[-1]
+            pos = np.searchsorted(2 * seg, tot)  # first 2*cum >= tot
+            meds.append(cents[s + pos])
+            tots.append(tot)
+        return pa.table({
+            "p_brand": pa.array(keys.tolist(), type=pa.string()),
+            "wmedian_cents": pa.array(np.array(meds, dtype=np.int64)),
+            "total_qty": pa.array(np.array(tots, dtype=np.int64)),
+        })
+
+    return group_apply_tasks(pw, ["p_brand"], _med)
+
+
+def q_cc_size_hist(sf_dir: str):
+    """Connected-component SIZE histogram (size, n_components) under
+    the same fixed-round min-label partition as `connected_components`
+    — the aggregate face of CC, like `distance_hist` is to `msbfs`."""
+    ctx = get_context(sf_dir)
+    comp = alg.cc_fixed(ctx.engine("sym"), CC_ITERS)
+    sizes = np.bincount(comp.astype(np.int64), minlength=0)
+    sizes = sizes[sizes > 0]
+    uk, c = np.unique(sizes, return_counts=True)
+    return pa.table({"size": pa.array(uk.astype(np.int64)),
+                     "n_components": pa.array(c.astype(np.int64))})
+
+
+def q_audio_lag_corr(sf_dir: str):
+    """Lag-1 autocorrelation sufficient statistics per audio payload
+    (n_samples, sum x_t*x_{t+1}) — the periodicity feature through the
+    `AudioLagCorrStage` actor pool; exact int64."""
+    from ..functions import multimodal as M
+
+    blobs = M.blob_dataset_from_docs(sf_dir, kind="audio")
+    return blobs.map_batches(
+        M.AudioLagCorrStage, batch_format="pyarrow", batch_size=64,
+        concurrency=2,
+    )
+
+
+def _x_mod11_i64_kernel(a: np.ndarray) -> np.ndarray:
+    return ((a % 11) + 1).astype(np.int64)
+
+
+def q_poly_filter(sf_dir: str):
+    """Matrix-polynomial filter p(A)x = A^2 x + A x + x on the EXACT
+    int64 channel (`plus_times_i64`, the `bfs_sigma` semiring): two
+    chained SpMV rounds over chunk refs, vector never on the driver
+    until the labeled output. The Chebyshev/Krylov building block
+    (reference: iterated `SpMV` chains, e.g. `Applications/` power
+    methods) as one oracle-exact query."""
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("directed")
+    x_refs = eng.map_chunks(_x_mod11_i64_kernel,
+                            ctx.vdict.arith_slice_refs(eng.bounds))
+    y_refs = eng.spmv_refs(x_refs, "plus_times_i64")
+    z_refs = eng.spmv_refs(y_refs, "plus_times_i64")
+    p = (eng.unchunk(z_refs) + eng.unchunk(y_refs)
+         + eng.unchunk(x_refs)).astype(np.int64)
+    ids = np.arange(ctx.n)
+    return pa.table({"label": _label_col(ctx, ids),
+                     "p": pa.array(p)})
+
+
+KMV_K = 64
+KMV_MASK = (1 << 40) - 1
+
+
+def q_kmv_distinct(sf_dir: str):
+    """KMV (k-minimum-values) distinct-count sketch vs exact, per
+    language, over the BIGRAM vocabulary: estimate = (k-1)*2^40 //
+    h_k on the masked md5 low-64 hash (deterministic, bit-exact in
+    SQL), falling back to the candidate count below k. The
+    mergeable-sketch class beside HLL: per-partition k-smallest
+    candidate lists merge losslessly (any global k-smallest hash is in
+    its partition's k-smallest)."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+    from ..functions.text import md5_lower64, tokens_list
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["lang", "text"])
+
+    def _bi(b: pa.Table) -> pa.Table:
+        empty = pa.table({"lang": pa.array([], type=pa.string()),
+                          "tok": pa.array([], type=pa.string())})
+        if b.num_rows == 0:
+            return empty
+        toks = tokens_list(b)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = np.asarray(pc.list_flatten(toks)).astype(str)
+        par = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+        if len(flat) < 2:
+            return empty
+        same = par[1:] == par[:-1]
+        if not same.any():
+            return empty
+        bi = np.char.add(np.char.add(flat[:-1][same], " "),
+                         flat[1:][same])
+        lng = np.asarray(b.column("lang")).astype(str)[par[:-1][same]]
+        key = np.char.add(np.char.add(lng, "\x1f"), bi)
+        uk = np.unique(key)
+        sp = np.char.partition(uk, "\x1f")
+        return pa.table({"lang": pa.array(sp[:, 0].tolist(),
+                                          type=pa.string()),
+                         "tok": pa.array(sp[:, 2].tolist(),
+                                         type=pa.string())})
+
+    pairs = docs.map_batches(_bi, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def _cand(t: pa.Table) -> pa.Table:
+        """Per tok-partition: per-lang exact distinct count + the k
+        smallest masked hashes (bounded partial: <= nlang*k rows)."""
+        empty = pa.table({"lang": pa.array([], type=pa.string()),
+                          "n_exact": pa.array([], type=pa.int64()),
+                          "hs": pa.array([], type=pa.list_(pa.int64()))})
+        if t.num_rows == 0 or "lang" not in t.column_names:
+            return empty
+        key = np.char.add(np.char.add(
+            np.asarray(t.column("lang")).astype(str), "\x1f"),
+            np.asarray(t.column("tok")).astype(str))
+        uk = np.unique(key)  # global distinct: a (lang,tok) never splits
+        sp = np.char.partition(uk, "\x1f")
+        lng, tok = sp[:, 0], sp[:, 2]
+        h = np.array([md5_lower64(s) & KMV_MASK for s in tok],
+                     dtype=np.int64)
+        langs, inv = np.unique(lng, return_inverse=True)
+        n_ex, hs = [], []
+        for li in range(len(langs)):
+            hh = np.unique(h[inv == li])  # dedup masked hashes locally
+            n_ex.append(int((inv == li).sum()))
+            hs.append(hh[:KMV_K].tolist())
+        return pa.table({"lang": pa.array(langs.tolist(),
+                                          type=pa.string()),
+                         "n_exact": pa.array(n_ex, type=pa.int64()),
+                         "hs": pa.array(hs, type=pa.list_(pa.int64()))})
+
+    parts = group_apply_tasks(pairs, ["tok"], _cand).take_all()
+    agg: dict[str, list] = {}
+    for p in parts:
+        e = agg.setdefault(p["lang"], [0, []])
+        e[0] += p["n_exact"]
+        e[1].extend(p["hs"])
+    ks = sorted(agg)
+    ests = []
+    for k in ks:
+        hh = np.unique(np.array(agg[k][1], dtype=np.int64))
+        if len(hh) < KMV_K:
+            ests.append(int(len(hh)))
+        else:
+            ests.append(int((KMV_K - 1) * (1 << 40) // hh[KMV_K - 1]))
+    return pa.table({
+        "lang": pa.array(ks, type=pa.string()),
+        "n_exact": pa.array([agg[k][0] for k in ks], type=pa.int64()),
+        "kmv_est": pa.array(ests, type=pa.int64()),
+    })
