@@ -61,7 +61,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LLM-data layer without a prior driver row (+ refactored dedup)
         # wave 14 (newest = highest regression risk)
         # wave 15
-        # wave 52 (round 4: newest = highest regression risk)
+        # wave 53 (round 4: newest = highest regression risk)
+        "prefix_census": q.q_prefix_census,
+        "tri_repo_mix": q.q_tri_repo_mix,
+        "disc_monotone": q.q_disc_monotone,
+        "topk_overlap": q.q_topk_overlap,
+        "record_counts": q.q_record_counts,
+        # wave 52 (round 4)
         "weighted_median_price": q.q_weighted_median_price,
         "cc_size_hist": q.q_cc_size_hist,
         "audio_lag_corr": q.q_audio_lag_corr,
@@ -87,21 +93,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_size_hist": q.q_session_size_hist,
         # wave 47
         "round_bias": q.q_round_bias,
-        "pname_vocab_topk": q.q_pname_vocab_topk,
         # wave 46
         "class_outliers": q.q_class_outliers,
         "vertex_netflow": q.q_vertex_netflow,
         "dag_layer_hist": q.q_dag_layer_hist,
-        "linenumber_audit": q.q_linenumber_audit,
         "repo_cross_topk": q.q_repo_cross_topk,
         # wave 45
         "status_priority_grid": q.q_status_priority_grid,
         # wave 44
         "rfm_cells": q.q_rfm_cells,
         "part_lift_topk": q.q_part_lift_topk,
-        "slow_gaps": q.q_slow_gaps,
         # wave 43
-        "rank_sum_u": q.q_rank_sum_u,
         # wave 42
         # wave 41
         # wave 40
@@ -119,7 +121,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 34
         "peel_trace": q.q_peel_trace,
         # wave 33
-        "closed_walks4": q.q_closed_walks4,
         # wave 32
         "range_frame_sum": q.q_range_frame_sum,
         # wave 31
@@ -146,6 +147,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
         "doc_length_extremes": q.q_doc_length_extremes,  # extremal scan (r3-green; window slot 50 kept from r3)
+        "rank_sum_u": q.q_rank_sum_u,  # rank stat (r3-green; rotated for wave-53, record_counts/topk_overlap order-statistic siblings)
+        "closed_walks4": q.q_closed_walks4,  # walk census (r3-green; rotated for wave-53, repo_triangles/edge_support_hist siblings)
+        "pname_vocab_topk": q.q_pname_vocab_topk,  # vocab top-k (r3-green; rotated for wave-53, prefix_census sibling)
+        "linenumber_audit": q.q_linenumber_audit,  # key audit (r3-green; rotated for wave-53, disc_monotone linenumber sibling)
+        "slow_gaps": q.q_slow_gaps,  # sequential scan (r3-green; rotated for wave-53, record_counts sibling)
         "part_growth": q.q_part_growth,  # time agg (r3-green; rotated for wave-52, repeat_buyers sibling)
         "audio_energy_hist": q.q_audio_energy_hist,  # audio stage (r3-green; rotated for wave-52, audio_lag_corr sibling)
         "lcc_share": q.q_lcc_share,  # CC aggregate (r3-green; rotated for wave-52, cc_size_hist sibling)
@@ -455,6 +461,11 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "corpus_scan": o.corpus_scan(),
+        "prefix_census": o.prefix_census(q.PREFIX_D),
+        "tri_repo_mix": o.tri_repo_mix(),
+        "disc_monotone": o.disc_monotone(),
+        "topk_overlap": o.topk_overlap(*q.TOPK_YEARS, q.TOPK_K),
+        "record_counts": o.record_counts(),
         "weighted_median_price": o.weighted_median_price(),
         "cc_size_hist": o.cc_size_hist(q.CC_ITERS),
         "audio_lag_corr": o.audio_lag_corr(),

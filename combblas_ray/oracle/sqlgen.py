@@ -7556,3 +7556,131 @@ SELECT ex.lang, ex.n_exact,
 FROM r JOIN ex ON ex.lang = r.lang
 GROUP BY ex.lang, ex.n_exact
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 53: prefix census, same-repo triangles, discount monotonicity,
+# top-k year overlap, record-breaking events
+# ---------------------------------------------------------------------------
+
+
+def prefix_census(depth: int = 5) -> str:
+    """Distinct token-prefix counts per depth (twin of
+    `queries.q_prefix_census`)."""
+    return f"""
+WITH t AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+p AS (
+  SELECT DISTINCT d.d AS depth,
+         substring(tok, 1, CAST(d.d AS INT)) AS pre
+  FROM t CROSS JOIN generate_series(1, {depth}) d(d)
+  WHERE length(tok) >= d.d
+)
+SELECT CAST(depth AS BIGINT) AS depth,
+       CAST(count(*) AS BIGINT) AS n_prefixes
+FROM p GROUP BY 1
+"""
+
+
+@_materialized
+def tri_repo_mix() -> str:
+    """Distinct-repo count per triangle (repo = i %% 100; twin of
+    `queries.q_tri_repo_mix`)."""
+    return PREFIX + """
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+L AS (SELECT src, dst FROM und WHERE src < dst),
+tris AS (
+  SELECT a.src % 100 AS ru, a.dst % 100 AS rw, b.dst % 100 AS rv
+  FROM L a JOIN L b ON b.src = a.dst
+  JOIN L m ON m.src = a.src AND m.dst = b.dst
+),
+cls AS (
+  SELECT CASE WHEN ru = rw AND ru = rv THEN 1
+              WHEN ru = rw OR ru = rv OR rw = rv THEN 2
+              ELSE 3 END AS n_repos
+  FROM tris
+)
+SELECT CAST(n_repos AS BIGINT) AS n_repos,
+       CAST(count(*) AS BIGINT) AS n_triangles
+FROM cls GROUP BY 1
+"""
+
+
+def disc_monotone() -> str:
+    """Discount monotonicity audit over linenumber order (twin of
+    `queries.q_disc_monotone`)."""
+    return """
+WITH d AS (
+  SELECT l_orderkey,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dc,
+         lag(CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+           OVER (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber,
+                          CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+           AS pdc
+  FROM lineitem
+),
+per AS (
+  SELECT l_orderkey,
+         CAST(sum(CASE WHEN pdc IS NOT NULL AND dc > pdc
+                       THEN 1 ELSE 0 END) AS BIGINT) AS viol
+  FROM d GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN viol > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nonmonotone,
+       CAST(sum(viol) AS BIGINT) AS n_violations
+FROM per
+"""
+
+
+def topk_overlap(y1: int = 1995, y2: int = 1996, k: int = 50) -> str:
+    """Leaderboard overlap: |top-k customers by revenue in y1 ∩ y2|
+    (rank by cents DESC, custkey ASC; twin of
+    `queries.q_topk_overlap`)."""
+    return f"""
+WITH s AS (
+  SELECT o_custkey,
+         CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders
+  WHERE extract(year FROM o_orderdate) IN ({y1}, {y2})
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT o_custkey, yr,
+         row_number() OVER (PARTITION BY yr
+                            ORDER BY cents DESC, o_custkey) AS rn
+  FROM s
+),
+a AS (SELECT o_custkey FROM r WHERE yr = {y1} AND rn <= {k}),
+b AS (SELECT o_custkey FROM r WHERE yr = {y2} AND rn <= {k})
+SELECT CAST({k} AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_overlap
+FROM a JOIN b USING (o_custkey)
+"""
+
+
+def record_counts() -> str:
+    """Record-breaking events per type (running strict max of value
+    cents over (ts, event_id) order; twin of
+    `queries.q_record_counts`)."""
+    return """
+WITH v AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+         max(CAST(floor(value * 100 + 0.5) AS BIGINT))
+           OVER (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN prev_max IS NULL OR c > prev_max
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_records
+FROM v GROUP BY 1
+"""

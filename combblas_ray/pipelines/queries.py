@@ -4647,20 +4647,17 @@ def q_tpch_q10(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
-def q_triangles_list(sf_dir: str):
-    """Triangle ENUMERATION (not just the count): every triangle
-    a < b < c of the undirected distinct graph, as label triples. The
-    two-join plan: oriented adjacency (a < b) self-joined through the
-    middle vertex (each triangle x<y<z appears exactly once as the
-    wedge (x, y, z) through its middle y), then a LEFT SEMI join
-    against the adjacency closes the (a, c) side. Both joins are
-    co-partitioned warm tasks; fan sized by the oriented wedge volume
-    (sum over b of smaller-deg * larger-deg <= sum deg^2)."""
-    import ray
-
+def _triangles_ids(ctx):
+    """Id-level triangle enumeration dataset (a, m, c with a < m < c):
+    the two-join plan of `q_triangles_list` — oriented adjacency
+    (a < b) self-joined through the middle vertex (each triangle x<y<z
+    appears exactly once as the wedge (x, y, z) through its middle y),
+    then a LEFT SEMI join against the adjacency closes the (a, c)
+    side. Both joins are co-partitioned warm tasks; fan sized by the
+    oriented wedge volume (sum over b of smaller-deg * larger-deg <=
+    sum deg^2)."""
     from ..core.shuffle import hash_join_tasks
 
-    ctx = get_context(sf_dir)
     g = ctx.graph("sym")
     deg = ctx.engine("sym").in_weights().astype(np.float64)
     gp = int(max(8, min(64, np.ceil(float((deg ** 2).sum()) / 1.5e6))))
@@ -4681,13 +4678,21 @@ def q_triangles_list(sf_dir: str):
         lambda t: pa.table({"m": t.column("a"), "c": t.column("b")}),
         batch_format="pyarrow")
     wedges = hash_join_tasks(left, right, on="m", num_partitions=gp)
-    tri = hash_join_tasks(
+    return hash_join_tasks(
         wedges.map_batches(
             lambda t: t.select(["a", "m", "c"]), batch_format="pyarrow"),
         adj.map_batches(
             lambda t: pa.table({"a": t.column("a"), "c": t.column("b")}),
             batch_format="pyarrow"),
         on=["a", "c"], join_type="left semi", num_partitions=gp)
+
+
+def q_triangles_list(sf_dir: str):
+    """Triangle ENUMERATION (not just the count): every triangle
+    a < b < c of the undirected distinct graph, as label triples (see
+    `_triangles_ids` for the two-join plan)."""
+    ctx = get_context(sf_dir)
+    tri = _triangles_ids(ctx)
     dec = ctx.decoder()
 
     def _lab(t: pa.Table, *, _d=dec) -> pa.Table:
@@ -14980,3 +14985,276 @@ def q_kmv_distinct(sf_dir: str):
         "n_exact": pa.array([agg[k][0] for k in ks], type=pa.int64()),
         "kmv_est": pa.array(ests, type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 53: prefix census, same-repo triangles, discount monotonicity,
+# top-k year overlap, record-breaking events
+# ---------------------------------------------------------------------------
+
+PREFIX_D = 5
+
+
+def q_prefix_census(sf_dir: str):
+    """Distinct token-prefix counts per depth 1..PREFIX_D (the trie
+    profile behind tokenizer merge-rule / autocomplete sizing). Key
+    insight for one-shuffle distribution: all tokens sharing any prefix
+    share their FIRST CHARACTER, so routing the distinct vocabulary by
+    first char makes prefix dedup partition-local."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["text"])
+    vocab = docs.map_batches(_tok_vocab_fn("text"),
+                             batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def _c1(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "tok" not in t.column_names:
+            return pa.table({"c1": pa.array([], type=pa.string()),
+                             "tok": pa.array([], type=pa.string())})
+        tok = np.unique(np.asarray(t.column("tok")).astype(str))
+        tok = tok[np.char.str_len(tok) > 0]
+        return pa.table({
+            "c1": pa.array([s[0] for s in tok.tolist()],
+                           type=pa.string()),
+            "tok": pa.array(tok.tolist(), type=pa.string()),
+        })
+
+    keyed = vocab.map_batches(_c1, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def _census(t: pa.Table) -> pa.Table:
+        empty = pa.table({"depth": pa.array([], type=pa.int64()),
+                          "n_prefixes": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "tok" not in t.column_names:
+            return empty
+        tok = np.unique(np.asarray(t.column("tok")).astype(str))
+        lens = np.char.str_len(tok)
+        depths, counts = [], []
+        for d in range(1, PREFIX_D + 1):
+            sub = tok[lens >= d]
+            if not len(sub):
+                continue
+            depths.append(d)
+            counts.append(len(np.unique(
+                sub.astype(f"U{d}"))))  # truncation = prefix
+        return pa.table({"depth": pa.array(depths, type=pa.int64()),
+                         "n_prefixes": pa.array(counts,
+                                                type=pa.int64())})
+
+    parts = group_apply_tasks(keyed, ["c1"], _census).take_all()
+    agg: dict[int, int] = {}
+    for p in parts:
+        agg[int(p["depth"])] = agg.get(int(p["depth"]), 0) \
+            + p["n_prefixes"]
+    ks = sorted(agg)
+    return pa.table({
+        "depth": pa.array(ks, type=pa.int64()),
+        "n_prefixes": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
+
+
+def q_tri_repo_mix(sf_dir: str):
+    """Triangle REPO-MIX census: for every triangle, the number of
+    distinct repos among its three vertices (1 = community-internal,
+    3 = fully cross-cutting; repo = arith % 100 from the corpus
+    layout) — the homophily profile of the triangle population. The
+    `triangles_list` two-join plan (`_triangles_ids`) with an
+    arith-decoder classification stage instead of labeling; bounded
+    (n_repos, count) partials."""
+    ctx = get_context(sf_dir)
+    tri = _triangles_ids(ctx)
+    dec = ctx.decoder()
+
+    def _cls(t: pa.Table, *, _d=dec) -> pa.Table:
+        empty = pa.table({"n_repos": pa.array([], type=pa.int64()),
+                          "n_triangles": pa.array([], type=pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        a = np.asarray(t.column("a"), dtype=np.int64)
+        m = np.asarray(t.column("m"), dtype=np.int64)
+        c = np.asarray(t.column("c"), dtype=np.int64)
+        ra = _d.arith(a) % 100
+        rm = _d.arith(m) % 100
+        rc = _d.arith(c) % 100
+        eq = ((ra == rm).astype(np.int64) + (ra == rc)
+              + (rm == rc))  # 3 pairs equal -> 1 repo; 1 -> 2; 0 -> 3
+        nrep = np.where(eq == 3, 1, np.where(eq >= 1, 2, 3))
+        uk, cnt = np.unique(nrep, return_counts=True)
+        return pa.table({
+            "n_repos": pa.array(uk.astype(np.int64)),
+            "n_triangles": pa.array(cnt.astype(np.int64)),
+        })
+
+    parts = tri.map_batches(_cls, batch_format="pyarrow").take_all()
+    agg: dict[int, int] = {}
+    for p in parts:
+        agg[int(p["n_repos"])] = agg.get(int(p["n_repos"]), 0) \
+            + p["n_triangles"]
+    ks = sorted(agg)
+    return pa.table({
+        "n_repos": pa.array(ks, type=pa.int64()),
+        "n_triangles": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
+
+
+def q_disc_monotone(sf_dir: str):
+    """Discount-sequence monotonicity audit: orders whose per-line
+    discount INCREASES somewhere along the linenumber order (policy
+    says discounts only tighten), plus the total violation count —
+    the sequence-predicate class over a keyed sort. One orderkey
+    shuffle, segment-vectorized diff."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_discount"])
+
+    def _k(t: pa.Table) -> pa.Table:
+        empty = pa.table({"n_orders": pa.array([], type=pa.int64()),
+                          "n_nonmonotone": pa.array([], type=pa.int64()),
+                          "n_violations": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "l_orderkey" not in t.column_names:
+            return empty
+        ok = np.asarray(t.column("l_orderkey"), dtype=np.int64)
+        ln = np.asarray(t.column("l_linenumber"), dtype=np.int64)
+        dc = np.floor(np.asarray(t.column("l_discount"),
+                                 dtype=np.float64) * 100
+                      + 0.5).astype(np.int64)
+        # (linenumber, cents) order: the synthetic lineitem table has
+        # duplicate (orderkey, linenumber) pairs, so the discount value
+        # itself is the deterministic tiebreaker (mirrored in the SQL
+        # window ORDER BY)
+        order = np.lexsort((dc, ln, ok))
+        ok, dc = ok[order], dc[order]
+        same = ok[1:] == ok[:-1]
+        inc = same & (dc[1:] > dc[:-1])
+        uo, inv = np.unique(ok, return_inverse=True)
+        viol = ibincount(inv[1:], inc, minlength=len(uo))
+        return pa.table({
+            "n_orders": pa.array([len(uo)], type=pa.int64()),
+            "n_nonmonotone": pa.array([int((viol > 0).sum())],
+                                      type=pa.int64()),
+            "n_violations": pa.array([int(inc.sum())], type=pa.int64()),
+        })
+
+    parts = group_apply_tasks(li, ["l_orderkey"], _k).take_all()
+    return pa.table({
+        "n_orders": pa.array([sum(p["n_orders"] for p in parts)],
+                             type=pa.int64()),
+        "n_nonmonotone": pa.array(
+            [sum(p["n_nonmonotone"] for p in parts)], type=pa.int64()),
+        "n_violations": pa.array(
+            [sum(p["n_violations"] for p in parts)], type=pa.int64()),
+    })
+
+
+TOPK_YEARS = (1995, 1996)
+TOPK_K = 50
+
+
+def q_topk_overlap(sf_dir: str):
+    """Churn-of-the-leaderboard: |top-K customers by order revenue in
+    1995 ∩ top-K in 1996| (rank by cents DESC, custkey ASC — fully
+    deterministic) — the set-overlap-of-derived-top-k class. Per-year
+    spend via one custkey shuffle; two bounded top-K pulls."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    o = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice", "o_orderdate"])
+
+    def _per_year(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_custkey" not in t.column_names:
+            return pa.table({"o_custkey": pa.array([], type=pa.int64()),
+                             "yr": pa.array([], type=pa.int64()),
+                             "cents": pa.array([], type=pa.int64())})
+        ck = np.asarray(t.column("o_custkey"), dtype=np.int64)
+        yr = np.asarray(t.column("o_orderdate")).astype(
+            "datetime64[Y]").view(np.int64) + 1970
+        cents = np.floor(np.asarray(t.column("o_totalprice"),
+                                    dtype=np.float64) * 100
+                         + 0.5).astype(np.int64)
+        sel = (yr == TOPK_YEARS[0]) | (yr == TOPK_YEARS[1])
+        if not sel.any():
+            return pa.table({"o_custkey": pa.array([], type=pa.int64()),
+                             "yr": pa.array([], type=pa.int64()),
+                             "cents": pa.array([], type=pa.int64())})
+        ck, yr, cents = ck[sel], yr[sel], cents[sel]
+        key = _pack20(ck, yr - 1970)
+        uk, inv = np.unique(key, return_inverse=True)
+        return pa.table({
+            "o_custkey": pa.array(uk >> 20),
+            "yr": pa.array((uk & ((1 << 20) - 1)) + 1970),
+            "cents": pa.array(ibincount(inv, cents, minlength=len(uk))),
+        })
+
+    per = group_apply_tasks(o, ["o_custkey"], _per_year).materialize()
+
+    def _topk(yr: int) -> set:
+        ds = per.filter(expr=f"yr == {yr}")
+        rows = ds.sort(["cents", "o_custkey"],
+                       descending=[True, False]).take(TOPK_K)
+        return {r["o_custkey"] for r in rows}
+
+    a, b = _topk(TOPK_YEARS[0]), _topk(TOPK_YEARS[1])
+    return pa.table({
+        "k": pa.array([TOPK_K], type=pa.int64()),
+        "n_overlap": pa.array([len(a & b)], type=pa.int64()),
+    })
+
+
+def q_record_counts(sf_dir: str):
+    """Record-breaking events per type: how many events set a new
+    running maximum of value (cents; strictly greater than every
+    earlier event of the type, ordered by ts then event_id; the first
+    event is a record) — the running-extremum census. One type shuffle,
+    np.maximum.accumulate per segment."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "event_id", "value"])
+
+    def _k(t: pa.Table) -> pa.Table:
+        empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                          "n_events": pa.array([], type=pa.int64()),
+                          "n_records": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "event_type" not in t.column_names:
+            return empty
+        et = np.asarray(t.column("event_type")).astype(str)
+        tsi = np.asarray(t.column("ts")).astype(
+            "datetime64[us]").view(np.int64)
+        eid = np.asarray(t.column("event_id"), dtype=np.int64)
+        v = np.floor(np.asarray(t.column("value"), dtype=np.float64)
+                     * 100 + 0.5).astype(np.int64)
+        order = np.lexsort((eid, tsi, et))
+        et, v = et[order], v[order]
+        keys, starts, cnts = np.unique(et, return_index=True,
+                                       return_counts=True)
+        # per-segment running max (segments contiguous post-sort; the
+        # segment count is the type cardinality, tiny)
+        rec = np.zeros(len(v), dtype=bool)
+        for s, c in zip(starts, cnts):
+            seg = v[s:s + c]
+            rm = np.maximum.accumulate(seg)
+            rec[s] = True
+            rec[s + 1:s + c] = seg[1:] > rm[:-1]
+        return pa.table({
+            "event_type": pa.array(keys.tolist(), type=pa.string()),
+            "n_events": pa.array(cnts.astype(np.int64)),
+            "n_records": pa.array(ibincount(
+                np.repeat(np.arange(len(keys)), cnts), rec,
+                minlength=len(keys))),
+        })
+
+    return group_apply_tasks(ev, ["event_type"], _k)
