@@ -61,7 +61,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LLM-data layer without a prior driver row (+ refactored dedup)
         # wave 14 (newest = highest regression risk)
         # wave 15
-        # wave 53 (round 4: newest = highest regression risk)
+        # wave 54 (round 4: newest = highest regression risk)
+        "apsp_top": q.q_apsp_top,
+        "succ_variety": q.q_succ_variety,
+        "yearend_ledger": q.q_yearend_ledger,
+        "nation_priority_grid": q.q_nation_priority_grid,
+        "emb_dim_quartiles": q.q_emb_dim_quartiles,
+        # wave 53 (round 4)
         "prefix_census": q.q_prefix_census,
         "tri_repo_mix": q.q_tri_repo_mix,
         "disc_monotone": q.q_disc_monotone,
@@ -92,14 +98,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 48
         "session_size_hist": q.q_session_size_hist,
         # wave 47
-        "round_bias": q.q_round_bias,
         # wave 46
-        "class_outliers": q.q_class_outliers,
-        "vertex_netflow": q.q_vertex_netflow,
         "dag_layer_hist": q.q_dag_layer_hist,
         "repo_cross_topk": q.q_repo_cross_topk,
         # wave 45
-        "status_priority_grid": q.q_status_priority_grid,
         # wave 44
         "rfm_cells": q.q_rfm_cells,
         "part_lift_topk": q.q_part_lift_topk,
@@ -112,7 +114,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "party_unpivot": q.q_party_unpivot,
         # wave 38
         # wave 37
-        "data_split": q.q_data_split,
         "path_unique_audit": q.q_path_unique_audit,
         "ref_integrity": q.q_ref_integrity,
         # wave 36
@@ -147,6 +148,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
         "doc_length_extremes": q.q_doc_length_extremes,  # extremal scan (r3-green; window slot 50 kept from r3)
+        "round_bias": q.q_round_bias,  # digit grid (r3-green; rotated for wave-54, record_counts/ledger value-scan siblings)
+        "class_outliers": q.q_class_outliers,  # embedding outliers (r3-green; rotated for wave-54, emb_dim_quartiles/knn_confusion siblings)
+        "vertex_netflow": q.q_vertex_netflow,  # signed degree (r3-green; rotated for wave-54, apsp_top/edge_support_hist graph siblings)
+        "status_priority_grid": q.q_status_priority_grid,  # grid (r3-green; rotated for wave-54, nation_priority_grid sibling)
+        "data_split": q.q_data_split,  # hash split (r3-green; rotated for wave-54, prep_corpus in-window exercises the splitter)
         "rank_sum_u": q.q_rank_sum_u,  # rank stat (r3-green; rotated for wave-53, record_counts/topk_overlap order-statistic siblings)
         "closed_walks4": q.q_closed_walks4,  # walk census (r3-green; rotated for wave-53, repo_triangles/edge_support_hist siblings)
         "pname_vocab_topk": q.q_pname_vocab_topk,  # vocab top-k (r3-green; rotated for wave-53, prefix_census sibling)
@@ -461,6 +467,11 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "corpus_scan": o.corpus_scan(),
+        "apsp_top": o.apsp_top(q.APSP_K, q.BFS_ITERS),
+        "succ_variety": o.succ_variety(q.SUCC_K),
+        "yearend_ledger": o.yearend_ledger(q.LEDGER_Y0, q.LEDGER_Y1),
+        "nation_priority_grid": o.nation_priority_grid(),
+        "emb_dim_quartiles": o.emb_dim_quartiles(),
         "prefix_census": o.prefix_census(q.PREFIX_D),
         "tri_repo_mix": o.tri_repo_mix(),
         "disc_monotone": o.disc_monotone(),

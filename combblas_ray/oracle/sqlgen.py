@@ -7684,3 +7684,122 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_records
 FROM v GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 54: induced APSP, successor variety, year-end ledger, nation x
+# priority grid, per-dim quartiles
+# ---------------------------------------------------------------------------
+
+
+@_materialized
+def apsp_top(k: int = 32, iters: int = 12) -> str:
+    """Hub-to-hub hop distances over the full graph within `iters`
+    hops: rooted min-plus BFS chain with a root column, restricted to
+    hub columns (twin of `queries.q_apsp_top`)."""
+    sql = PREFIX + f"""
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+deg AS (SELECT src AS i, count(*) AS d FROM und GROUP BY 1),
+S AS (
+  SELECT i FROM (
+    SELECT i, row_number() OVER (ORDER BY d DESC, i) AS rn FROM deg
+  ) WHERE rn <= {k}
+),
+d0 AS (SELECT i AS r, i, 0 AS dist FROM S)
+"""
+    prev = "d0"
+    for x in range(1, iters + 1):
+        sql += f"""
+, d{x} AS (
+  SELECT r, i, min(dist) AS dist FROM (
+    SELECT r, i, dist FROM {prev}
+    UNION ALL
+    SELECT dp.r, u.dst AS i, dp.dist + 1 AS dist
+    FROM und u JOIN {prev} dp ON dp.i = u.src
+  ) GROUP BY 1, 2
+)"""
+        prev = f"d{x}"
+    sql += f"""
+SELECT va.label AS a_label, vb.label AS b_label,
+       CAST(d.dist AS BIGINT) AS dist
+FROM {prev} d JOIN S t ON t.i = d.i
+JOIN verts va ON va.i = d.r JOIN verts vb ON vb.i = d.i
+WHERE d.r <> d.i
+"""
+    return sql
+
+
+def succ_variety(k: int = 20) -> str:
+    """Top-k tokens by distinct-successor count (twin of
+    `queries.q_succ_variety`)."""
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+flat AS MATERIALIZED (
+  SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS i
+  FROM toks
+),
+bi AS (
+  SELECT DISTINCT a.tok AS tok, b.tok AS suc
+  FROM flat a JOIN flat b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+),
+v AS (SELECT tok, CAST(count(*) AS BIGINT) AS variety FROM bi
+      GROUP BY 1)
+SELECT tok, variety FROM v ORDER BY variety DESC, tok LIMIT {k}
+"""
+
+
+def yearend_ledger(y0: int = 1992, y1: int = 1998) -> str:
+    """Cumulative (orders, cents) per customer at each spine year end,
+    carry-forward (twin of `queries.q_yearend_ledger`)."""
+    return f"""
+WITH cust AS (SELECT DISTINCT o_custkey FROM orders),
+yrs AS (SELECT CAST(y.y AS BIGINT) AS yr
+        FROM generate_series({y0}, {y1}) y(y)),
+o AS (
+  SELECT o_custkey,
+         CAST(extract(year FROM o_orderdate) AS BIGINT) AS oy,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT c.o_custkey, yrs.yr,
+       CAST(count(o.oy) AS BIGINT) AS cum_orders,
+       CAST(coalesce(sum(o.cents), 0) AS BIGINT) AS cum_cents
+FROM cust c CROSS JOIN yrs
+LEFT JOIN o ON o.o_custkey = c.o_custkey AND o.oy <= yrs.yr
+GROUP BY 1, 2
+"""
+
+
+def nation_priority_grid() -> str:
+    """Order counts per (customer nation, priority) — 3-table star
+    join (twin of `queries.q_nation_priority_grid`)."""
+    return """
+SELECT n_name, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON c_custkey = o_custkey
+JOIN nation   ON n_nationkey = c_nationkey
+GROUP BY 1, 2
+"""
+
+
+def emb_dim_quartiles(dim: int = 64, qscale: int = 1 << 20) -> str:
+    """Per-dimension exact discrete quartiles of quantized embedding
+    values (twin of `queries.q_emb_dim_quartiles`)."""
+    return f"""
+WITH q AS (
+  SELECT CAST(g.d - 1 AS BIGINT) AS dim,
+         CAST(floor((CAST(embedding[CAST(g.d AS INT)] AS DOUBLE) + 0.5)
+                    * {qscale}) AS BIGINT) AS q
+  FROM embeddings CROSS JOIN generate_series(1, {dim}) g(d)
+)
+SELECT dim,
+       CAST(quantile_disc(q, 0.25) AS BIGINT) AS q25,
+       CAST(quantile_disc(q, 0.5) AS BIGINT) AS q50,
+       CAST(quantile_disc(q, 0.75) AS BIGINT) AS q75
+FROM q GROUP BY 1
+"""

@@ -15258,3 +15258,266 @@ def q_record_counts(sf_dir: str):
         })
 
     return group_apply_tasks(ev, ["event_type"], _k)
+
+
+# ---------------------------------------------------------------------------
+# wave 54: induced-subgraph APSP, successor variety, year-end ledger,
+# nation x priority grid, per-dim embedding quartiles
+# ---------------------------------------------------------------------------
+
+APSP_K = 32
+
+
+def q_apsp_top(sf_dir: str):
+    """Hub-to-hub shortest hop distances: the APSP_K highest-degree
+    vertices (ties by arith id), distances over the FULL graph within
+    BFS_ITERS hops via K-source min-plus SpMM (one (K, n) frontier
+    matrix, `eng.spmm(D, "min_plus")` per round — the batched-BFS
+    form of the betweenness machinery). Output = the K x K hub
+    distance matrix as (a_label, b_label, dist); unreachable-in-window
+    pairs omitted. Driver holds the (K, n) state (the refs form
+    `spmm_refs` is the scale path, as in `hyperanf`)."""
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("sym")
+    deg = eng.in_weights().astype(np.int64)
+    ar = np.asarray(ctx.arith, dtype=np.int64)
+    S = np.sort(np.lexsort((ar, -deg))[:APSP_K].astype(np.int64))
+    K = len(S)
+    D = np.full((K, ctx.n), np.inf)
+    D[np.arange(K), S] = 0.0
+    for _ in range(BFS_ITERS):
+        D = np.minimum(D, eng.spmm(D, "min_plus"))
+    H = D[:, S]
+    la = np.asarray(ctx.gather_labels(S)).astype(str)
+    ii, jj = np.nonzero(np.isfinite(H) & ~np.eye(K, dtype=bool))
+    return pa.table({
+        "a_label": pa.array(la[ii].tolist(), type=pa.string()),
+        "b_label": pa.array(la[jj].tolist(), type=pa.string()),
+        "dist": pa.array(H[ii, jj].astype(np.int64)),
+    })
+
+
+SUCC_K = 20
+
+
+def q_succ_variety(sf_dir: str):
+    """Successor variety: for each token, the number of DISTINCT tokens
+    that follow it anywhere in the corpus; global top-SUCC_K by
+    (variety DESC, token ASC) — the stemming/segmentation signal
+    (Harris). Per-batch distinct-pair combiner -> one predecessor
+    shuffle -> bounded per-partition top-k partials."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+    from ..functions.text import tokens_list
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["text"])
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        empty = pa.table({"tok": pa.array([], type=pa.string()),
+                          "suc": pa.array([], type=pa.string())})
+        if b.num_rows == 0:
+            return empty
+        toks = tokens_list(b)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = np.asarray(pc.list_flatten(toks)).astype(str)
+        par = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+        if len(flat) < 2:
+            return empty
+        same = par[1:] == par[:-1]
+        if not same.any():
+            return empty
+        key = np.unique(np.char.add(np.char.add(
+            flat[:-1][same], "\x1f"), flat[1:][same]))
+        sp = np.char.partition(key, "\x1f")
+        return pa.table({"tok": pa.array(sp[:, 0].tolist(),
+                                         type=pa.string()),
+                         "suc": pa.array(sp[:, 2].tolist(),
+                                         type=pa.string())})
+
+    pairs = docs.map_batches(_pairs, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def _var(t: pa.Table) -> pa.Table:
+        empty = pa.table({"tok": pa.array([], type=pa.string()),
+                          "variety": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "tok" not in t.column_names:
+            return empty
+        key = np.unique(np.char.add(np.char.add(
+            np.asarray(t.column("tok")).astype(str), "\x1f"),
+            np.asarray(t.column("suc")).astype(str)))
+        sp = np.char.partition(key, "\x1f")
+        uk, c = np.unique(sp[:, 0], return_counts=True)
+        # per-partition top-k partial (global merge is driver-side)
+        o = np.lexsort((uk, -c))[:SUCC_K]
+        return pa.table({"tok": pa.array(uk[o].tolist(),
+                                         type=pa.string()),
+                         "variety": pa.array(c[o].astype(np.int64))})
+
+    parts = group_apply_tasks(pairs, ["tok"], _var).take_all()
+    tok = np.array([p["tok"] for p in parts], dtype=str)
+    var = np.array([p["variety"] for p in parts], dtype=np.int64)
+    o = np.lexsort((tok, -var))[:SUCC_K]
+    return pa.table({"tok": pa.array(tok[o].tolist(), type=pa.string()),
+                     "variety": pa.array(var[o])})
+
+
+LEDGER_Y0, LEDGER_Y1 = 1992, 1998
+
+
+def q_yearend_ledger(sf_dir: str):
+    """Year-end cumulative ledger per customer over a DENSE year spine
+    (1992..1998): cumulative order count and spend cents at each year
+    end, carry-forward across orderless years — the gap-fill +
+    as-of-accumulate class. One custkey shuffle; the kernel builds the
+    spine as a (customers x years) matrix and cumsums along the year
+    axis."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    o = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice", "o_orderdate"])
+    NY = LEDGER_Y1 - LEDGER_Y0 + 1
+
+    def _k(t: pa.Table) -> pa.Table:
+        empty = pa.table({"o_custkey": pa.array([], type=pa.int64()),
+                          "yr": pa.array([], type=pa.int64()),
+                          "cum_orders": pa.array([], type=pa.int64()),
+                          "cum_cents": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "o_custkey" not in t.column_names:
+            return empty
+        ck = np.asarray(t.column("o_custkey"), dtype=np.int64)
+        yr = np.asarray(t.column("o_orderdate")).astype(
+            "datetime64[Y]").view(np.int64) + 1970
+        cents = np.floor(np.asarray(t.column("o_totalprice"),
+                                    dtype=np.float64) * 100
+                         + 0.5).astype(np.int64)
+        # spine rows for EVERY customer seen (even all-post-spine
+        # ones: the SQL twin's DISTINCT o_custkey spine keeps them)
+        uc, inv = np.unique(ck, return_inverse=True)
+        keep = yr <= LEDGER_Y1  # post-spine orders never accumulate
+        yi = np.maximum(yr[keep] - LEDGER_Y0, 0)  # pre-spine -> cell 0
+        cell = inv[keep] * NY + yi
+        cnt = np.zeros(len(uc) * NY, dtype=np.int64)
+        np.add.at(cnt, cell, 1)
+        cs = np.zeros(len(uc) * NY, dtype=np.int64)
+        np.add.at(cs, cell, cents[keep])
+        cum_n = np.cumsum(cnt.reshape(len(uc), NY), axis=1)
+        cum_c = np.cumsum(cs.reshape(len(uc), NY), axis=1)
+        return pa.table({
+            "o_custkey": pa.array(np.repeat(uc, NY)),
+            "yr": pa.array(np.tile(
+                np.arange(LEDGER_Y0, LEDGER_Y1 + 1, dtype=np.int64),
+                len(uc))),
+            "cum_orders": pa.array(cum_n.reshape(-1)),
+            "cum_cents": pa.array(cum_c.reshape(-1)),
+        })
+
+    return group_apply_tasks(o, ["o_custkey"], _k)
+
+
+def q_nation_priority_grid(sf_dir: str):
+    """Order counts per (customer nation, order priority) — the
+    3-table star-join grid (orders x customer x nation): one
+    co-partitioned custkey join with the per-(nationkey, priority)
+    partial fused into the join task, the 25-row nation dimension
+    applied driver-side."""
+    import ray
+
+    from ..core.shuffle import hash_join_tasks
+
+    o = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_custkey", "o_orderpriority"])
+    c = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_nationkey"])
+    nat = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name"]).take_all()
+    nmap = {int(r["n_nationkey"]): r["n_name"] for r in nat}
+
+    def _agg(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"nk": pa.array([], type=pa.int64()),
+                             "prio": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        nk = np.asarray(t.column("c_nationkey"), dtype=np.int64)
+        pr = np.asarray(t.column("o_orderpriority")).astype(str)
+        key = np.char.add(np.char.add(nk.astype(str), "\x1f"), pr)
+        uk, cnt = np.unique(key, return_counts=True)
+        sp = np.char.partition(uk, "\x1f")
+        return pa.table({
+            "nk": pa.array(sp[:, 0].astype(np.int64)),
+            "prio": pa.array(sp[:, 2].tolist(), type=pa.string()),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    parts = hash_join_tasks(o, c, on="o_custkey", right_on="c_custkey",
+                            post=_agg).take_all()
+    agg: dict[tuple, int] = {}
+    for p in parts:
+        k = (nmap[int(p["nk"])], p["prio"])
+        agg[k] = agg.get(k, 0) + p["n"]
+    ks = sorted(agg)
+    return pa.table({
+        "n_name": pa.array([k[0] for k in ks], type=pa.string()),
+        "o_orderpriority": pa.array([k[1] for k in ks],
+                                    type=pa.string()),
+        "n_orders": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
+
+
+EMB_QUARTS = (0.25, 0.5, 0.75)
+
+
+def q_emb_dim_quartiles(sf_dir: str):
+    """Per-dimension exact discrete quartiles of the quantized
+    embedding values (q25/q50/q75, `quantile_disc` semantics) — the
+    holistic per-feature profile beside `emb_dim_stats`' moments. One
+    dim-keyed shuffle of (dim, q) pairs, whole-partition sort+pick."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+
+    def _flat(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"dim": pa.array([], type=pa.int64()),
+                             "q": pa.array([], type=pa.int64())})
+        ids, Q = _km_quant(t)
+        nd = Q.shape[1]
+        return pa.table({
+            "dim": pa.array(np.tile(np.arange(nd, dtype=np.int64),
+                                    len(ids))),
+            "q": pa.array(Q.reshape(-1)),
+        })
+
+    flat = emb.map_batches(_flat, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def _quart(t: pa.Table) -> pa.Table:
+        empty = pa.table({"dim": pa.array([], type=pa.int64()),
+                          "q25": pa.array([], type=pa.int64()),
+                          "q50": pa.array([], type=pa.int64()),
+                          "q75": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "dim" not in t.column_names:
+            return empty
+        dm = np.asarray(t.column("dim"), dtype=np.int64)
+        v = np.asarray(t.column("q"), dtype=np.int64)
+        order = np.lexsort((v, dm))
+        dm, v = dm[order], v[order]
+        keys, starts, cnts = np.unique(dm, return_index=True,
+                                       return_counts=True)
+        cols = {"dim": pa.array(keys)}
+        for name, qq in zip(("q25", "q50", "q75"), EMB_QUARTS):
+            idx = starts + np.minimum(
+                cnts - 1, np.ceil(qq * cnts).astype(np.int64) - 1)
+            cols[name] = pa.array(v[idx])
+        return pa.table(cols)
+
+    return group_apply_tasks(flat, ["dim"], _quart)
