@@ -61,7 +61,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LLM-data layer without a prior driver row (+ refactored dedup)
         # wave 14 (newest = highest regression risk)
         # wave 15
-        # wave 54 (round 4: newest = highest regression risk)
+        # wave 55 (round 4: newest = highest regression risk)
+        "hub_asymmetry": q.q_hub_asymmetry,
+        "dupgraph_triangles": q.q_dupgraph_triangles,
+        "loyal_customers": q.q_loyal_customers,
+        "peak_position": q.q_peak_position,
+        "lineitem_cov": q.q_lineitem_cov,
+        # wave 54 (round 4)
         "apsp_top": q.q_apsp_top,
         "succ_variety": q.q_succ_variety,
         "yearend_ledger": q.q_yearend_ledger,
@@ -96,15 +102,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prep_corpus": q.q_prep_corpus,
         "sigma_hist": q.q_sigma_hist,
         # wave 48
-        "session_size_hist": q.q_session_size_hist,
         # wave 47
         # wave 46
-        "dag_layer_hist": q.q_dag_layer_hist,
-        "repo_cross_topk": q.q_repo_cross_topk,
         # wave 45
         # wave 44
-        "rfm_cells": q.q_rfm_cells,
-        "part_lift_topk": q.q_part_lift_topk,
         # wave 43
         # wave 42
         # wave 41
@@ -148,6 +149,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
         "doc_length_extremes": q.q_doc_length_extremes,  # extremal scan (r3-green; window slot 50 kept from r3)
+        "session_size_hist": q.q_session_size_hist,  # session census (r3-green; rotated for wave-55, peak_position sequence sibling)
+        "dag_layer_hist": q.q_dag_layer_hist,  # level census (r3-green; rotated for wave-55, apsp_top/hub_asymmetry distance siblings)
+        "repo_cross_topk": q.q_repo_cross_topk,  # block grid (r3-green; rotated for wave-55, tri_repo_mix repo sibling)
+        "rfm_cells": q.q_rfm_cells,  # customer cells (r3-green; rotated for wave-55, loyal_customers/yearend_ledger siblings)
+        "part_lift_topk": q.q_part_lift_topk,  # basket lift (r3-green; rotated for wave-55, lineitem_cov stats sibling)
         "round_bias": q.q_round_bias,  # digit grid (r3-green; rotated for wave-54, record_counts/ledger value-scan siblings)
         "class_outliers": q.q_class_outliers,  # embedding outliers (r3-green; rotated for wave-54, emb_dim_quartiles/knn_confusion siblings)
         "vertex_netflow": q.q_vertex_netflow,  # signed degree (r3-green; rotated for wave-54, apsp_top/edge_support_hist graph siblings)
@@ -467,6 +473,11 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "corpus_scan": o.corpus_scan(),
+        "hub_asymmetry": o.hub_asymmetry(q.APSP_K, q.BFS_ITERS),
+        "dupgraph_triangles": o.dupgraph_triangles(q.DUPG_TAU),
+        "loyal_customers": o.loyal_customers(q.LOYAL_YEARS),
+        "peak_position": o.peak_position(q.PEAK_BUCKETS),
+        "lineitem_cov": o.lineitem_cov(),
         "apsp_top": o.apsp_top(q.APSP_K, q.BFS_ITERS),
         "succ_variety": o.succ_variety(q.SUCC_K),
         "yearend_ledger": o.yearend_ledger(q.LEDGER_Y0, q.LEDGER_Y1),

@@ -7803,3 +7803,143 @@ SELECT dim,
        CAST(quantile_disc(q, 0.75) AS BIGINT) AS q75
 FROM q GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 55: hub asymmetry, dup-graph triangles, loyal customers,
+# peak-position census, lineitem covariance
+# ---------------------------------------------------------------------------
+
+
+@_materialized
+def hub_asymmetry(k: int = 32, iters: int = 12) -> str:
+    """Directed-distance asymmetry classification over hub pairs (twin
+    of `queries.q_hub_asymmetry`)."""
+    sql = PREFIX + f"""
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+deg AS (SELECT src AS i, count(*) AS d FROM und GROUP BY 1),
+S AS (
+  SELECT i FROM (
+    SELECT i, row_number() OVER (ORDER BY d DESC, i) AS rn FROM deg
+  ) WHERE rn <= {k}
+),
+d0 AS (SELECT i AS r, i, 0 AS dist FROM S)
+"""
+    prev = "d0"
+    for x in range(1, iters + 1):
+        sql += f"""
+, d{x} AS (
+  SELECT r, i, min(dist) AS dist FROM (
+    SELECT r, i, dist FROM {prev}
+    UNION ALL
+    SELECT dp.r, e.dst AS i, dp.dist + 1 AS dist
+    FROM edges e JOIN {prev} dp ON dp.i = e.src
+  ) GROUP BY 1, 2
+)"""
+        prev = f"d{x}"
+    sql += f"""
+, dm AS (
+  SELECT d.r, d.i, d.dist FROM {prev} d JOIN S t ON t.i = d.i
+),
+pairs AS (
+  SELECT s1.i AS a, s2.i AS b FROM S s1 JOIN S s2 ON s1.i < s2.i
+),
+j AS (
+  SELECT p.a, p.b, x.dist AS dab, y.dist AS dba
+  FROM pairs p
+  LEFT JOIN dm x ON x.r = p.a AND x.i = p.b
+  LEFT JOIN dm y ON y.r = p.b AND y.i = p.a
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN dab IS NOT NULL AND dba IS NOT NULL
+                          AND dab = dba THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_symmetric,
+       CAST(sum(CASE WHEN dab IS NOT NULL AND dba IS NOT NULL
+                          AND dab <> dba THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_asymmetric,
+       CAST(sum(CASE WHEN (dab IS NULL) <> (dba IS NULL)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_oneway,
+       CAST(sum(CASE WHEN dab IS NULL AND dba IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_unreachable
+FROM j
+"""
+    return sql
+
+
+def dupgraph_triangles(tau: float = 0.5) -> str:
+    """Triangles in the exact-jaccard near-dup pair graph (twin of
+    `queries.q_dupgraph_triangles`)."""
+    return f"""
+WITH L AS (
+  SELECT a AS src, b AS dst FROM ({jaccard_pairs(tau)}) t
+)
+SELECT CAST(count(*) AS BIGINT) AS dup_triangles
+FROM L x JOIN L y ON y.src = x.dst
+JOIN L m ON m.src = x.src AND m.dst = y.dst
+"""
+
+
+def loyal_customers(years: tuple = (1995, 1996, 1997)) -> str:
+    """Customers with >= 1 order in EVERY listed year (twin of
+    `queries.q_loyal_customers`)."""
+    ylist = ", ".join(str(y) for y in years)
+    return f"""
+SELECT CAST(count(*) AS BIGINT) AS n_loyal FROM (
+  SELECT o_custkey FROM orders
+  WHERE extract(year FROM o_orderdate) IN ({ylist})
+  GROUP BY 1
+  HAVING count(DISTINCT extract(year FROM o_orderdate))
+         = {len(years)}
+)
+"""
+
+
+def peak_position(buckets: int = 4) -> str:
+    """Quartile of the first-maximum position per user (twin of
+    `queries.q_peak_position`)."""
+    return f"""
+WITH r AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) - 1 AS idx,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+mx AS (
+  SELECT user_id, idx, n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY c DESC, idx) AS rk
+  FROM r
+)
+SELECT CAST(idx * {buckets} // n AS BIGINT) AS quartile,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM mx WHERE rk = 1 GROUP BY 1
+"""
+
+
+def lineitem_cov() -> str:
+    """Pairwise covariance sufficient statistics over (quantity, price
+    cents, discount cents), exact BIGINT (twin of
+    `queries.q_lineitem_cov`)."""
+    return """
+WITH v AS (
+  SELECT CAST(floor(l_quantity) AS BIGINT) AS q,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS p,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d
+  FROM lineitem
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(q) AS BIGINT) AS sum_q,
+       CAST(sum(p) AS BIGINT) AS sum_p,
+       CAST(sum(d) AS BIGINT) AS sum_d,
+       CAST(sum(q * q) AS BIGINT) AS sum_qq,
+       CAST(sum(q * p) AS BIGINT) AS sum_qp,
+       CAST(sum(q * d) AS BIGINT) AS sum_qd,
+       CAST(sum(p * p) AS BIGINT) AS sum_pp,
+       CAST(sum(p * d) AS BIGINT) AS sum_pd,
+       CAST(sum(d * d) AS BIGINT) AS sum_dd
+FROM v
+"""

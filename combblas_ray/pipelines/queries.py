@@ -15521,3 +15521,206 @@ def q_emb_dim_quartiles(sf_dir: str):
         return pa.table(cols)
 
     return group_apply_tasks(flat, ["dim"], _quart)
+
+
+# ---------------------------------------------------------------------------
+# wave 55: directed hub asymmetry, dup-graph triangles, loyal customers,
+# peak-position census, lineitem covariance sufficient stats
+# ---------------------------------------------------------------------------
+
+
+def q_hub_asymmetry(sf_dir: str):
+    """DIRECTED distance asymmetry among the hubs: for every unordered
+    hub pair {a, b} (same APSP_K top-degree set as `apsp_top`),
+    classify d(a->b) vs d(b->a) within BFS_ITERS hops over the
+    directed structural graph — symmetric / asymmetric (both finite,
+    different) / one-way / unreachable. Same K-source min-plus SpMM
+    machinery on the `dir_bool` engine; one bounded count row."""
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("dir_bool")
+    deg = ctx.engine("sym").in_weights().astype(np.int64)
+    ar = np.asarray(ctx.arith, dtype=np.int64)
+    S = np.sort(np.lexsort((ar, -deg))[:APSP_K].astype(np.int64))
+    K = len(S)
+    D = np.full((K, ctx.n), np.inf)
+    D[np.arange(K), S] = 0.0
+    for _ in range(BFS_ITERS):
+        D = np.minimum(D, eng.spmm(D, "min_plus"))
+    H = D[:, S]  # H[i, j] = d(S[i] -> S[j])
+    iu, ju = np.triu_indices(K, k=1)
+    ab, ba = H[iu, ju], H[ju, iu]
+    fa, fb = np.isfinite(ab), np.isfinite(ba)
+    return pa.table({
+        "n_pairs": pa.array([len(ab)], type=pa.int64()),
+        "n_symmetric": pa.array([int((fa & fb & (ab == ba)).sum())],
+                                type=pa.int64()),
+        "n_asymmetric": pa.array([int((fa & fb & (ab != ba)).sum())],
+                                 type=pa.int64()),
+        "n_oneway": pa.array([int((fa ^ fb).sum())], type=pa.int64()),
+        "n_unreachable": pa.array([int((~fa & ~fb).sum())],
+                                  type=pa.int64()),
+    })
+
+
+DUPG_TAU = 0.5
+
+
+def q_dupgraph_triangles(sf_dir: str):
+    """COMPOSITE pipeline: near-duplicate pair graph (exact jaccard >=
+    DUPG_TAU, `dedup.jaccard_pairs`) fed into the masked-SpGEMM
+    triangle counter — triangles in the duplicate graph measure
+    cluster cliquishness (transitivity of near-duplication). The
+    dedup output Dataset streams straight into the graph algorithm;
+    nothing materializes on the driver."""
+    import ray
+
+    from ..functions import dedup as D
+
+    pairs = D.jaccard_pairs(_docs(sf_dir), tau=DUPG_TAU)
+
+    def _sym(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return pa.table({"src": pa.array([], type=pa.int64()),
+                             "dst": pa.array([], type=pa.int64()),
+                             "w": pa.array([], type=pa.float64())})
+        a = np.asarray(t.column("a"), dtype=np.int64)
+        b = np.asarray(t.column("b"), dtype=np.int64)
+        return pa.table({
+            "src": pa.array(np.concatenate([a, b])),
+            "dst": pa.array(np.concatenate([b, a])),
+            "w": pa.array(np.ones(2 * len(a))),
+        })
+
+    sym = pairs.map_batches(_sym, batch_format="pyarrow")
+    n_docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]).count()
+    cnt = alg.triangle_count(sym, n_docs, method="join")
+    return pa.table({"dup_triangles": pa.array([int(cnt)],
+                                               type=pa.int64())})
+
+
+LOYAL_YEARS = (1995, 1996, 1997)
+
+
+def q_loyal_customers(sf_dir: str):
+    """Relational division over DERIVED sets: customers with at least
+    one order in EVERY year of LOYAL_YEARS. One custkey shuffle,
+    bitmask-vectorized; single count row."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    o = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_custkey", "o_orderdate"])
+
+    def _k(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_custkey" not in t.column_names:
+            return pa.table({"n_loyal": pa.array([], type=pa.int64())})
+        ck = np.asarray(t.column("o_custkey"), dtype=np.int64)
+        yr = np.asarray(t.column("o_orderdate")).astype(
+            "datetime64[Y]").view(np.int64) + 1970
+        uc, inv = np.unique(ck, return_inverse=True)
+        mask = np.zeros(len(uc), dtype=np.int64)
+        for bit, y in enumerate(LOYAL_YEARS):
+            np.bitwise_or.at(mask, inv[yr == y], 1 << bit)
+        full = (1 << len(LOYAL_YEARS)) - 1
+        return pa.table({"n_loyal": pa.array([int((mask == full).sum())],
+                                             type=pa.int64())})
+
+    parts = group_apply_tasks(o, ["o_custkey"], _k).take_all()
+    return pa.table({"n_loyal": pa.array(
+        [sum(p["n_loyal"] for p in parts)], type=pa.int64())})
+
+
+PEAK_BUCKETS = 4
+
+
+def q_peak_position(sf_dir: str):
+    """Peak-position census: for each user, WHERE in their event
+    sequence the maximum-value event falls (first max by (ts,
+    event_id); position quartile floor(idx * 4 / n)) — histogram of
+    (quartile, n_users). The argmax-position class over a keyed
+    sequence scan."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"])
+
+    def _k(t: pa.Table) -> pa.Table:
+        empty = pa.table({"quartile": pa.array([], type=pa.int64()),
+                          "n_users": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return empty
+        uid = np.asarray(t.column("user_id"), dtype=np.int64)
+        tsi = np.asarray(t.column("ts")).astype(
+            "datetime64[us]").view(np.int64)
+        eid = np.asarray(t.column("event_id"), dtype=np.int64)
+        v = np.floor(np.asarray(t.column("value"), dtype=np.float64)
+                     * 100 + 0.5).astype(np.int64)
+        order = np.lexsort((eid, tsi, uid))
+        uid, v = uid[order], v[order]
+        uu, starts, cnts = np.unique(uid, return_index=True,
+                                     return_counts=True)
+        quart = np.empty(len(uu), dtype=np.int64)
+        for x, (s, c) in enumerate(zip(starts, cnts)):
+            idx = int(np.argmax(v[s:s + c]))  # first max in seq order
+            quart[x] = idx * PEAK_BUCKETS // c
+        uk, n = np.unique(quart, return_counts=True)
+        return pa.table({"quartile": pa.array(uk),
+                         "n_users": pa.array(n.astype(np.int64))})
+
+    parts = group_apply_tasks(ev, ["user_id"], _k).take_all()
+    agg: dict[int, int] = {}
+    for p in parts:
+        agg[int(p["quartile"])] = agg.get(int(p["quartile"]), 0) \
+            + p["n_users"]
+    ks = sorted(agg)
+    return pa.table({
+        "quartile": pa.array(ks, type=pa.int64()),
+        "n_users": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
+
+
+def q_lineitem_cov(sf_dir: str):
+    """Pairwise covariance SUFFICIENT STATISTICS over (quantity,
+    price cents, discount cents): n, the three sums, three sums of
+    squares, and the three cross-products — all exact int64, one
+    shuffle-free bounded-partial pass (the correlation-matrix feed;
+    `regr_stats`' multi-column generalization)."""
+    import ray
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount"])
+
+    cols = ("q", "p", "d")
+
+    def _part(t: pa.Table) -> pa.Table:
+        q = np.floor(np.asarray(t.column("l_quantity"),
+                                dtype=np.float64)).astype(np.int64)
+        p = np.floor(np.asarray(t.column("l_extendedprice"),
+                                dtype=np.float64) * 100
+                     + 0.5).astype(np.int64)
+        d = np.floor(np.asarray(t.column("l_discount"),
+                                dtype=np.float64) * 100
+                     + 0.5).astype(np.int64)
+        v = {"q": q, "p": p, "d": d}
+        out = {"n": pa.array([len(q)], type=pa.int64())}
+        for a in cols:
+            out[f"sum_{a}"] = pa.array([int(v[a].sum())],
+                                       type=pa.int64())
+        for i, a in enumerate(cols):
+            for b in cols[i:]:
+                out[f"sum_{a}{b}"] = pa.array(
+                    [int((v[a] * v[b]).sum())], type=pa.int64())
+        return pa.table(out)
+
+    parts = li.map_batches(_part, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    keys = ["n"] + [f"sum_{a}" for a in cols] + [
+        f"sum_{a}{b}" for i, a in enumerate(cols) for b in cols[i:]]
+    return pa.table({k: pa.array([sum(p[k] for p in parts)],
+                                 type=pa.int64()) for k in keys})
