@@ -61,7 +61,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LLM-data layer without a prior driver row (+ refactored dedup)
         # wave 14 (newest = highest regression risk)
         # wave 15
-        # wave 55 (round 4: newest = highest regression risk)
+        # wave 56 (round 4: newest = highest regression risk)
+        "orders_autocorr": q.q_orders_autocorr,
+        "type_audience_jaccard": q.q_type_audience_jaccard,
+        "home_supplied_customers": q.q_home_supplied_customers,
+        "hourly_uniques": q.q_hourly_uniques,
+        "multi_supplier_orders": q.q_multi_supplier_orders,
+        # wave 55 (round 4)
         "hub_asymmetry": q.q_hub_asymmetry,
         "dupgraph_triangles": q.q_dupgraph_triangles,
         "loyal_customers": q.q_loyal_customers,
@@ -115,18 +121,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "party_unpivot": q.q_party_unpivot,
         # wave 38
         # wave 37
-        "path_unique_audit": q.q_path_unique_audit,
-        "ref_integrity": q.q_ref_integrity,
         # wave 36
-        "triplet_violations": q.q_triplet_violations,
         # wave 35
         # wave 34
-        "peel_trace": q.q_peel_trace,
         # wave 33
         # wave 32
         "range_frame_sum": q.q_range_frame_sum,
         # wave 31
-        "ball_conductance": q.q_ball_conductance,
         # wave 30
         # wave 29
         # wave 28
@@ -149,6 +150,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
         "doc_length_extremes": q.q_doc_length_extremes,  # extremal scan (r3-green; window slot 50 kept from r3)
+        "triplet_violations": q.q_triplet_violations,  # embedding eval (r3-green; rotated for wave-56, knn_confusion/knn_margin siblings)
+        "peel_trace": q.q_peel_trace,  # peel schedule (r3-green; rotated for wave-56, edge_support_hist truss sibling)
+        "ball_conductance": q.q_ball_conductance,  # cut ratio (r3-green; rotated for wave-56, apsp_top/hub_asymmetry reach siblings)
+        "ref_integrity": q.q_ref_integrity,  # FK audit (r3-green; rotated for wave-56, home_supplied_customers join-audit sibling)
+        "path_unique_audit": q.q_path_unique_audit,  # per-key facet audit (r3-green; rotated for wave-56, multi_supplier_orders sibling)
         "session_size_hist": q.q_session_size_hist,  # session census (r3-green; rotated for wave-55, peak_position sequence sibling)
         "dag_layer_hist": q.q_dag_layer_hist,  # level census (r3-green; rotated for wave-55, apsp_top/hub_asymmetry distance siblings)
         "repo_cross_topk": q.q_repo_cross_topk,  # block grid (r3-green; rotated for wave-55, tri_repo_mix repo sibling)
@@ -473,6 +479,11 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "corpus_scan": o.corpus_scan(),
+        "orders_autocorr": o.orders_autocorr(),
+        "type_audience_jaccard": o.type_audience_jaccard(),
+        "home_supplied_customers": o.home_supplied_customers(),
+        "hourly_uniques": o.hourly_uniques(),
+        "multi_supplier_orders": o.multi_supplier_orders(q.MSO_SUPP, q.MSO_PART),
         "hub_asymmetry": o.hub_asymmetry(q.APSP_K, q.BFS_ITERS),
         "dupgraph_triangles": o.dupgraph_triangles(q.DUPG_TAU),
         "loyal_customers": o.loyal_customers(q.LOYAL_YEARS),

@@ -7943,3 +7943,95 @@ SELECT CAST(count(*) AS BIGINT) AS n,
        CAST(sum(d * d) AS BIGINT) AS sum_dd
 FROM v
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 56: monthly autocorrelation, audience overlap, home-supplied
+# customers, hourly uniques, multi-supplier orders
+# ---------------------------------------------------------------------------
+
+
+def orders_autocorr() -> str:
+    """Lag-1 autocorrelation sufficient stats of the monthly order
+    count series (twin of `queries.q_orders_autocorr`)."""
+    return """
+WITH m AS (
+  SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) * 12
+           + CAST(extract(month FROM o_orderdate) AS BIGINT) AS ym,
+         CAST(count(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+),
+s AS (
+  SELECT c, lead(c) OVER (ORDER BY ym) AS nc FROM m
+)
+SELECT CAST(count(*) AS BIGINT) AS n_months,
+       CAST(sum(c) AS BIGINT) AS sum_c,
+       CAST(sum(c * c) AS BIGINT) AS sum_cc,
+       CAST(coalesce(sum(c * nc), 0) AS BIGINT) AS sum_lag
+FROM s
+"""
+
+
+def type_audience_jaccard() -> str:
+    """Audience overlap counts per event-type pair (twin of
+    `queries.q_type_audience_jaccard`)."""
+    return """
+WITH a AS (SELECT DISTINCT event_type, user_id FROM events),
+t AS (SELECT DISTINCT event_type FROM events),
+p AS (
+  SELECT x.event_type AS ta, y.event_type AS tb
+  FROM t x JOIN t y ON x.event_type < y.event_type
+)
+SELECT p.ta, p.tb,
+       CAST((SELECT count(*) FROM a WHERE a.event_type = p.ta)
+            AS BIGINT) AS n_a,
+       CAST((SELECT count(*) FROM a WHERE a.event_type = p.tb)
+            AS BIGINT) AS n_b,
+       CAST((SELECT count(*) FROM a x JOIN a y
+             ON y.user_id = x.user_id
+             WHERE x.event_type = p.ta AND y.event_type = p.tb)
+            AS BIGINT) AS n_both
+FROM p
+"""
+
+
+def home_supplied_customers() -> str:
+    """Customers with a lineitem supplied from their own nation (twin
+    of `queries.q_home_supplied_customers`)."""
+    return """
+SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_home
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE s_nationkey = c_nationkey
+"""
+
+
+def hourly_uniques() -> str:
+    """Distinct users per (event type, epoch hour) (twin of
+    `queries.q_hourly_uniques`)."""
+    return """
+SELECT event_type,
+       CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+
+def multi_supplier_orders(min_supp: int = 3, min_part: int = 2) -> str:
+    """Orders with >= min_supp suppliers AND >= min_part parts, plus
+    the facet maxima (twin of `queries.q_multi_supplier_orders`)."""
+    return f"""
+WITH per AS (
+  SELECT l_orderkey,
+         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS ns,
+         CAST(count(DISTINCT l_partkey) AS BIGINT) AS np
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(sum(CASE WHEN ns >= {min_supp} AND np >= {min_part}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_orders,
+       CAST(max(ns) AS BIGINT) AS max_supps,
+       CAST(max(np) AS BIGINT) AS max_parts
+FROM per
+"""

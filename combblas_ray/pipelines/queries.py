@@ -15724,3 +15724,293 @@ def q_lineitem_cov(sf_dir: str):
         f"sum_{a}{b}" for i, a in enumerate(cols) for b in cols[i:]]
     return pa.table({k: pa.array([sum(p[k] for p in parts)],
                                  type=pa.int64()) for k in keys})
+
+
+# ---------------------------------------------------------------------------
+# wave 56: monthly autocorrelation, type-audience overlap, home-supplied
+# customers, hourly unique users, multi-supplier orders
+# ---------------------------------------------------------------------------
+
+
+def q_orders_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation SUFFICIENT STATISTICS of the monthly
+    order-count series (two-level: distributed per-month counts, then
+    one tiny ordered scan): n months, sum, sum of squares, lag-1
+    cross-sum — exact int64, the seasonality-strength feed."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    o = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderdate"])
+
+    def _m(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"ym": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+        ym = np.asarray(t.column("o_orderdate")).astype(
+            "datetime64[M]").view(np.int64)
+        uk, c = np.unique(ym, return_counts=True)
+        return pa.table({"ym": pa.array(uk),
+                         "c": pa.array(c.astype(np.int64))})
+
+    per = o.map_batches(_m, batch_format="pyarrow",
+                        zero_copy_batch=True)
+
+    def _merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "ym" not in t.column_names:
+            return pa.table({"ym": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+        ym = np.asarray(t.column("ym"), dtype=np.int64)
+        c = np.asarray(t.column("c"), dtype=np.int64)
+        uk, inv = np.unique(ym, return_inverse=True)
+        return pa.table({"ym": pa.array(uk),
+                         "c": pa.array(ibincount(inv, c,
+                                                 minlength=len(uk)))})
+
+    months = group_apply_tasks(per, ["ym"], _merge).take_all()
+    months.sort(key=lambda r: r["ym"])
+    c = np.array([m["c"] for m in months], dtype=np.int64)
+    return pa.table({
+        "n_months": pa.array([len(c)], type=pa.int64()),
+        "sum_c": pa.array([int(c.sum())], type=pa.int64()),
+        "sum_cc": pa.array([int((c * c).sum())], type=pa.int64()),
+        "sum_lag": pa.array([int((c[:-1] * c[1:]).sum()) if len(c) > 1
+                             else 0], type=pa.int64()),
+    })
+
+
+def q_type_audience_jaccard(sf_dir: str):
+    """Audience overlap between event types: for every type pair
+    (a < b), |users(a)|, |users(b)|, |users(a) ∩ users(b)| — exact
+    integer Jaccard feed. One user shuffle; each partition contributes
+    bitmask-per-user partials, pair counts stay bounded (T^2 rows)."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+
+    def _k(t: pa.Table) -> pa.Table:
+        empty = pa.table({"ta": pa.array([], type=pa.string()),
+                          "tb": pa.array([], type=pa.string()),
+                          "n_a": pa.array([], type=pa.int64()),
+                          "n_b": pa.array([], type=pa.int64()),
+                          "n_both": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return empty
+        uid = np.asarray(t.column("user_id"), dtype=np.int64)
+        et = np.asarray(t.column("event_type")).astype(str)
+        types, ti = np.unique(et, return_inverse=True)
+        uu, ui = np.unique(uid, return_inverse=True)
+        has = np.zeros((len(uu), len(types)), dtype=bool)
+        has[ui, ti] = True
+        ta, tb, na, nb, nb2 = [], [], [], [], []
+        for i in range(len(types)):
+            for j in range(i + 1, len(types)):
+                ta.append(types[i])
+                tb.append(types[j])
+                na.append(int(has[:, i].sum()))
+                nb.append(int(has[:, j].sum()))
+                nb2.append(int((has[:, i] & has[:, j]).sum()))
+        return pa.table({"ta": pa.array(ta, type=pa.string()),
+                         "tb": pa.array(tb, type=pa.string()),
+                         "n_a": pa.array(na, type=pa.int64()),
+                         "n_b": pa.array(nb, type=pa.int64()),
+                         "n_both": pa.array(nb2, type=pa.int64())})
+
+    parts = group_apply_tasks(ev, ["user_id"], _k).take_all()
+    agg: dict[tuple, list[int]] = {}
+    for p in parts:
+        e = agg.setdefault((p["ta"], p["tb"]), [0, 0, 0])
+        e[0] += p["n_a"]
+        e[1] += p["n_b"]
+        e[2] += p["n_both"]
+    ks = sorted(agg)
+    return pa.table({
+        "ta": pa.array([k[0] for k in ks], type=pa.string()),
+        "tb": pa.array([k[1] for k in ks], type=pa.string()),
+        "n_a": pa.array([agg[k][0] for k in ks], type=pa.int64()),
+        "n_b": pa.array([agg[k][1] for k in ks], type=pa.int64()),
+        "n_both": pa.array([agg[k][2] for k in ks], type=pa.int64()),
+    })
+
+
+def q_home_supplied_customers(sf_dir: str):
+    """Customers with at least one lineitem whose SUPPLIER sits in the
+    customer's own nation — a 4-table reachability semi-join
+    (lineitem -> orders -> customer x supplier): supplier nation map
+    broadcast (small side), two co-partitioned joins, distinct-cust
+    count. Single count row."""
+    import ray
+
+    from ..core.shuffle import hash_join_tasks
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_suppkey"])
+    o = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_custkey"])
+    c = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_nationkey"])
+    sup = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey"]).take_all()
+    smap_k = np.array(sorted(int(r["s_suppkey"]) for r in sup),
+                      dtype=np.int64)
+    smap_v = np.array([dict((int(r["s_suppkey"]), int(r["s_nationkey"]))
+                            for r in sup)[k] for k in smap_k],
+                      dtype=np.int64)
+    sref = ray.put((smap_k, smap_v))
+
+    def _sn(t: pa.Table, *, _r=sref) -> pa.Table:
+        sk, sv = _r if isinstance(_r, tuple) else ray.get(_r)
+        if t.num_rows == 0:
+            return pa.table({"o_custkey": pa.array([], type=pa.int64()),
+                             "snk": pa.array([], type=pa.int64())})
+        s = np.asarray(t.column("l_suppkey"), dtype=np.int64)
+        pos = np.minimum(np.searchsorted(sk, s), len(sk) - 1)
+        ok_ = sk[pos] == s
+        return pa.table({
+            "o_custkey": pa.array(np.asarray(
+                t.column("o_custkey"), dtype=np.int64)[ok_]),
+            "snk": pa.array(sv[pos][ok_]),
+        })
+
+    # lineitem x orders (orderkey co-partition), supplier nation mapped
+    lo = hash_join_tasks(li, o, on="l_orderkey", right_on="o_orderkey",
+                         post=_sn)
+
+    def _match(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"n_home": pa.array([], type=pa.int64())})
+        ck = np.asarray(t.column("o_custkey"), dtype=np.int64)
+        cn = np.asarray(t.column("c_nationkey"), dtype=np.int64)
+        sn = np.asarray(t.column("snk"), dtype=np.int64)
+        home = np.unique(ck[cn == sn])
+        return pa.table({"n_home": pa.array([len(home)],
+                                            type=pa.int64())})
+
+    parts = hash_join_tasks(lo, c, on="o_custkey",
+                            right_on="c_custkey",
+                            post=_match).take_all()
+    return pa.table({"n_home": pa.array(
+        [sum(p["n_home"] for p in parts)], type=pa.int64())})
+
+
+def q_hourly_uniques(sf_dir: str):
+    """Distinct users per tumbling 1-hour window x event type — the
+    windowed COUNT DISTINCT (holistic, unlike `events_hourly`'s
+    algebraic count+sum): one (type, hour) shuffle of per-batch
+    distinct partials."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type", "user_id"])
+    US_H = np.int64(3_600_000_000)
+
+    def _dedupe(et, hr, uid):
+        order = np.lexsort((uid, hr, et))
+        et, hr, uid = et[order], hr[order], uid[order]
+        first = np.concatenate([[True],
+                                (et[1:] != et[:-1]) | (hr[1:] != hr[:-1])
+                                | (uid[1:] != uid[:-1])])
+        return et[first], hr[first], uid[first]
+
+    def _pre(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_type": pa.array([], type=pa.string()),
+                             "hr": pa.array([], type=pa.int64()),
+                             "user_id": pa.array([], type=pa.int64())})
+        et = np.asarray(t.column("event_type")).astype(str)
+        hr = np.asarray(t.column("ts")).astype(
+            "datetime64[us]").view(np.int64) // US_H
+        uid = np.asarray(t.column("user_id"), dtype=np.int64)
+        et, hr, uid = _dedupe(et, hr, uid)
+        return pa.table({
+            "event_type": pa.array(et.tolist(), type=pa.string()),
+            "hr": pa.array(hr),
+            "user_id": pa.array(uid),
+        })
+
+    pre = ev.map_batches(_pre, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+    def _cnt(t: pa.Table) -> pa.Table:
+        empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                          "hr": pa.array([], type=pa.int64()),
+                          "n_users": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "event_type" not in t.column_names:
+            return empty
+        et, hr, _ = _dedupe(
+            np.asarray(t.column("event_type")).astype(str),
+            np.asarray(t.column("hr"), dtype=np.int64),
+            np.asarray(t.column("user_id"), dtype=np.int64))
+        grp = np.concatenate([[True], (et[1:] != et[:-1])
+                              | (hr[1:] != hr[:-1])])
+        starts = np.flatnonzero(grp)
+        cnts = np.diff(np.concatenate([starts, [len(et)]]))
+        return pa.table({
+            "event_type": pa.array(et[starts].tolist(),
+                                   type=pa.string()),
+            "hr": pa.array(hr[starts]),
+            "n_users": pa.array(cnts.astype(np.int64)),
+        })
+
+    return group_apply_tasks(pre, ["event_type", "hr"], _cnt)
+
+
+MSO_SUPP, MSO_PART = 3, 2
+
+
+def q_multi_supplier_orders(sf_dir: str):
+    """Orders sourced from >= MSO_SUPP distinct suppliers AND >=
+    MSO_PART distinct parts — the multi-facet HAVING over two distinct
+    counts. One orderkey shuffle; single count row plus the max facet
+    values (envelope)."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_partkey"])
+
+    def _k(t: pa.Table) -> pa.Table:
+        empty = pa.table({"n_orders": pa.array([], type=pa.int64()),
+                          "max_supps": pa.array([], type=pa.int64()),
+                          "max_parts": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "l_orderkey" not in t.column_names:
+            return empty
+        ok_ = np.asarray(t.column("l_orderkey"), dtype=np.int64)
+        sk = np.asarray(t.column("l_suppkey"), dtype=np.int64)
+        pk = np.asarray(t.column("l_partkey"), dtype=np.int64)
+        uo, inv = np.unique(ok_, return_inverse=True)
+        # distinct suppliers per order
+        su = np.unique(inv * np.int64(1 << 40) + sk)
+        ns = np.bincount((su >> 40).astype(np.int64),
+                         minlength=len(uo)).astype(np.int64)
+        pu = np.unique(inv * np.int64(1 << 40) + pk)
+        npt = np.bincount((pu >> 40).astype(np.int64),
+                          minlength=len(uo)).astype(np.int64)
+        hit = (ns >= MSO_SUPP) & (npt >= MSO_PART)
+        return pa.table({
+            "n_orders": pa.array([int(hit.sum())], type=pa.int64()),
+            "max_supps": pa.array([int(ns.max()) if len(ns) else 0],
+                                  type=pa.int64()),
+            "max_parts": pa.array([int(npt.max()) if len(npt) else 0],
+                                  type=pa.int64()),
+        })
+
+    parts = group_apply_tasks(li, ["l_orderkey"], _k).take_all()
+    return pa.table({
+        "n_orders": pa.array([sum(p["n_orders"] for p in parts)],
+                             type=pa.int64()),
+        "max_supps": pa.array([max(p["max_supps"] for p in parts)],
+                              type=pa.int64()),
+        "max_parts": pa.array([max(p["max_parts"] for p in parts)],
+                              type=pa.int64()),
+    })
