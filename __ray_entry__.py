@@ -61,7 +61,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LLM-data layer without a prior driver row (+ refactored dedup)
         # wave 14 (newest = highest regression risk)
         # wave 15
-        # wave 56 (round 4: newest = highest regression risk)
+        # wave 57 (round 4: newest = highest regression risk)
+        "diverse_top_orders": q.q_diverse_top_orders,
+        "nation_p90_orders": q.q_nation_p90_orders,
+        "order_index_cents": q.q_order_index_cents,
+        "fano_factor": q.q_fano_factor,
+        "emb_pair_dots": q.q_emb_pair_dots,
+        # wave 56 (round 4)
         "orders_autocorr": q.q_orders_autocorr,
         "type_audience_jaccard": q.q_type_audience_jaccard,
         "home_supplied_customers": q.q_home_supplied_customers,
@@ -100,8 +106,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 50 (round 4)
         "edge_support_hist": q.q_edge_support_hist,
         "edit1_pairs": q.q_edit1_pairs,
-        "above_avg_orders": q.q_above_avg_orders,
-        "ship_lag_stats": q.q_ship_lag_stats,
         "knn_margin": q.q_knn_margin,
         # wave 49 (round 4)
         "rand_parent": q.q_rand_parent,
@@ -116,9 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 42
         # wave 41
         # wave 40
-        "top_spenders_ties": q.q_top_spenders_ties,
         # wave 39
-        "party_unpivot": q.q_party_unpivot,
         # wave 38
         # wave 37
         # wave 36
@@ -126,7 +128,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 34
         # wave 33
         # wave 32
-        "range_frame_sum": q.q_range_frame_sum,
         # wave 31
         # wave 30
         # wave 29
@@ -150,6 +151,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
         "doc_length_extremes": q.q_doc_length_extremes,  # extremal scan (r3-green; window slot 50 kept from r3)
+        "top_spenders_ties": q.q_top_spenders_ties,  # rank-with-ties (r3-green; rotated for wave-57, diverse_top_orders ranking sibling)
+        "party_unpivot": q.q_party_unpivot,  # unpivot (r3-green; rotated for wave-57, order_index_cents rebucket sibling)
+        "range_frame_sum": q.q_range_frame_sum,  # RANGE frame (r3-green; rotated for wave-57, fano_factor/orders_autocorr series siblings)
+        "above_avg_orders": q.q_above_avg_orders,  # correlated subquery (r4 wave-50 green; rotated for wave-57, nation_p90_orders sibling)
+        "ship_lag_stats": q.q_ship_lag_stats,  # quantile join (r4 wave-50 green; rotated for wave-57, nation_p90_orders sibling)
         "triplet_violations": q.q_triplet_violations,  # embedding eval (r3-green; rotated for wave-56, knn_confusion/knn_margin siblings)
         "peel_trace": q.q_peel_trace,  # peel schedule (r3-green; rotated for wave-56, edge_support_hist truss sibling)
         "ball_conductance": q.q_ball_conductance,  # cut ratio (r3-green; rotated for wave-56, apsp_top/hub_asymmetry reach siblings)
@@ -479,6 +485,11 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "corpus_scan": o.corpus_scan(),
+        "diverse_top_orders": o.diverse_top_orders(q.DIV_K, q.DIV_PER_CUST),
+        "nation_p90_orders": o.nation_p90_orders(),
+        "order_index_cents": o.order_index_cents(q.OIDX_BUCKETS),
+        "fano_factor": o.fano_factor(),
+        "emb_pair_dots": o.emb_pair_dots(),
         "orders_autocorr": o.orders_autocorr(),
         "type_audience_jaccard": o.type_audience_jaccard(),
         "home_supplied_customers": o.home_supplied_customers(),

@@ -8035,3 +8035,100 @@ SELECT CAST(sum(CASE WHEN ns >= {min_supp} AND np >= {min_part}
        CAST(max(np) AS BIGINT) AS max_parts
 FROM per
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 57: diversified top-k, nation p90 outliers, order-index curve,
+# Fano burstiness, adjacent embedding dots
+# ---------------------------------------------------------------------------
+
+
+def diverse_top_orders(k: int = 10, per_cust: int = 2) -> str:
+    """Quota-constrained top-k orders (twin of
+    `queries.q_diverse_top_orders`)."""
+    return f"""
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY cents DESC, o_orderkey) AS rn
+  FROM o
+)
+SELECT o_orderkey, o_custkey, cents FROM r WHERE rn <= {per_cust}
+ORDER BY cents DESC, o_orderkey LIMIT {k}
+"""
+
+
+def nation_p90_orders() -> str:
+    """Per-nation order count, exact discrete p90 and strict-tail count
+    (twin of `queries.q_nation_p90_orders`)."""
+    return """
+WITH j AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nk,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders JOIN customer ON c_custkey = o_custkey
+),
+p AS (
+  SELECT nk, CAST(quantile_disc(cents, 0.9) AS BIGINT) AS p90
+  FROM j GROUP BY 1
+)
+SELECT j.nk AS nk, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(min(p.p90) AS BIGINT) AS p90_cents,
+       CAST(sum(CASE WHEN j.cents > p.p90 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_above
+FROM j JOIN p ON p.nk = j.nk GROUP BY 1
+"""
+
+
+def order_index_cents(buckets: int = 3) -> str:
+    """Lifetime order-index buckets (1st, 2nd, 3rd+) with count and
+    cents sums (twin of `queries.q_order_index_cents`)."""
+    return f"""
+WITH r AS (
+  SELECT o_custkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+)
+SELECT CAST(least(rn, {buckets}) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM r GROUP BY 1
+"""
+
+
+def fano_factor() -> str:
+    """Per-type burstiness sufficient stats over observed per-hour
+    counts (twin of `queries.q_fano_factor`)."""
+    return """
+WITH h AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+       CAST(sum(c) AS BIGINT) AS sum_c,
+       CAST(sum(c * c) AS BIGINT) AS sum_cc
+FROM h GROUP BY 1
+"""
+
+
+def emb_pair_dots(dim: int = 64, qscale: int = 1 << 20) -> str:
+    """Quantized dots between consecutive vec_ids (twin of
+    `queries.q_emb_pair_dots`)."""
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id, CAST(g.d AS BIGINT) AS dim,
+         CAST(floor((CAST(embedding[CAST(g.d AS INT)] AS DOUBLE) + 0.5)
+                    * {qscale}) AS BIGINT) AS q
+  FROM embeddings CROSS JOIN generate_series(1, {dim}) g(d)
+)
+SELECT a.vec_id, CAST(sum(a.q * b.q) AS BIGINT) AS dot
+FROM q a JOIN q b ON b.vec_id = a.vec_id + 1 AND b.dim = a.dim
+GROUP BY 1
+"""

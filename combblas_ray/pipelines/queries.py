@@ -16014,3 +16014,309 @@ def q_multi_supplier_orders(sf_dir: str):
         "max_parts": pa.array([max(p["max_parts"] for p in parts)],
                               type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 57: diversified top-k, nation p90 outliers, order-index curve,
+# Fano burstiness, adjacent embedding dots
+# ---------------------------------------------------------------------------
+
+DIV_K, DIV_PER_CUST = 10, 2
+
+
+def q_diverse_top_orders(sf_dir: str):
+    """DIVERSIFIED top-k: the DIV_K highest-price orders with at most
+    DIV_PER_CUST per customer (rank cents DESC, orderkey ASC) — the
+    quota-constrained ranking class. Per-customer top-quota partials
+    (one custkey shuffle) then a bounded driver merge; the quota makes
+    the per-group partial provably sufficient."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    o = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def _k(t: pa.Table) -> pa.Table:
+        empty = pa.table({"o_orderkey": pa.array([], type=pa.int64()),
+                          "o_custkey": pa.array([], type=pa.int64()),
+                          "cents": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "o_custkey" not in t.column_names:
+            return empty
+        ok_ = np.asarray(t.column("o_orderkey"), dtype=np.int64)
+        ck = np.asarray(t.column("o_custkey"), dtype=np.int64)
+        cents = np.floor(np.asarray(t.column("o_totalprice"),
+                                    dtype=np.float64) * 100
+                         + 0.5).astype(np.int64)
+        order = np.lexsort((ok_, -cents, ck))
+        ck, ok_, cents = ck[order], ok_[order], cents[order]
+        starts = np.flatnonzero(np.concatenate(
+            [[True], ck[1:] != ck[:-1]]))
+        rank = np.arange(len(ck)) - np.repeat(
+            starts, np.diff(np.concatenate([starts, [len(ck)]])))
+        keep = rank < DIV_PER_CUST
+        return pa.table({"o_orderkey": pa.array(ok_[keep]),
+                         "o_custkey": pa.array(ck[keep]),
+                         "cents": pa.array(cents[keep])})
+
+    cand = group_apply_tasks(o, ["o_custkey"], _k).take_all()
+    cand.sort(key=lambda r: (-r["cents"], r["o_orderkey"]))
+    top = cand[:DIV_K]
+    return pa.table({
+        "o_orderkey": pa.array([r["o_orderkey"] for r in top],
+                               type=pa.int64()),
+        "o_custkey": pa.array([r["o_custkey"] for r in top],
+                              type=pa.int64()),
+        "cents": pa.array([r["cents"] for r in top], type=pa.int64()),
+    })
+
+
+def q_nation_p90_orders(sf_dir: str):
+    """Per customer NATION: order count and how many orders price
+    strictly above the nation's own exact discrete p90 (two-level
+    holistic: join to nation, per-nation sort+pick quantile + tail
+    count fused in one partition kernel)."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks, hash_join_tasks
+
+    o = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_custkey", "o_totalprice"])
+    c = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_nationkey"])
+
+    def _proj(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"nk": pa.array([], type=pa.int64()),
+                             "cents": pa.array([], type=pa.int64())})
+        return pa.table({
+            "nk": t.column("c_nationkey").cast(pa.int64()),
+            "cents": pa.array(np.floor(np.asarray(
+                t.column("o_totalprice"), dtype=np.float64) * 100
+                + 0.5).astype(np.int64)),
+        })
+
+    j = hash_join_tasks(o, c, on="o_custkey", right_on="c_custkey",
+                        post=_proj)
+
+    def _k(t: pa.Table) -> pa.Table:
+        empty = pa.table({"nk": pa.array([], type=pa.int64()),
+                          "n_orders": pa.array([], type=pa.int64()),
+                          "p90_cents": pa.array([], type=pa.int64()),
+                          "n_above": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "nk" not in t.column_names:
+            return empty
+        nk = np.asarray(t.column("nk"), dtype=np.int64)
+        v = np.asarray(t.column("cents"), dtype=np.int64)
+        order = np.lexsort((v, nk))
+        nk, v = nk[order], v[order]
+        keys, starts, cnts = np.unique(nk, return_index=True,
+                                       return_counts=True)
+        idx = starts + np.minimum(
+            cnts - 1, np.ceil(0.9 * cnts).astype(np.int64) - 1)
+        p90 = v[idx]
+        above = np.empty(len(keys), dtype=np.int64)
+        for x, (s, cn) in enumerate(zip(starts, cnts)):
+            above[x] = int((v[s:s + cn] > p90[x]).sum())
+        return pa.table({"nk": pa.array(keys),
+                         "n_orders": pa.array(cnts.astype(np.int64)),
+                         "p90_cents": pa.array(p90),
+                         "n_above": pa.array(above)})
+
+    return group_apply_tasks(j, ["nk"], _k)
+
+
+OIDX_BUCKETS = 3  # 1st order, 2nd order, 3rd+
+
+
+def q_order_index_cents(sf_dir: str):
+    """Customer learning curve: orders bucketed by their per-customer
+    lifetime INDEX (1st, 2nd, 3rd+; rank by date then orderkey), with
+    exact count and cents sum per bucket — the rank-then-rebucket
+    sequence class."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    o = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate",
+                 "o_totalprice"])
+
+    def _k(t: pa.Table) -> pa.Table:
+        empty = pa.table({"bucket": pa.array([], type=pa.int64()),
+                          "n_orders": pa.array([], type=pa.int64()),
+                          "sum_cents": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "o_custkey" not in t.column_names:
+            return empty
+        ck = np.asarray(t.column("o_custkey"), dtype=np.int64)
+        ok_ = np.asarray(t.column("o_orderkey"), dtype=np.int64)
+        d = np.asarray(t.column("o_orderdate")).astype(
+            "datetime64[us]").view(np.int64)
+        cents = np.floor(np.asarray(t.column("o_totalprice"),
+                                    dtype=np.float64) * 100
+                         + 0.5).astype(np.int64)
+        order = np.lexsort((ok_, d, ck))
+        ck, cents = ck[order], cents[order]
+        starts = np.flatnonzero(np.concatenate(
+            [[True], ck[1:] != ck[:-1]]))
+        rank = np.arange(len(ck)) - np.repeat(
+            starts, np.diff(np.concatenate([starts, [len(ck)]])))
+        bucket = np.minimum(rank, OIDX_BUCKETS - 1)
+        return pa.table({
+            "bucket": pa.array(np.arange(OIDX_BUCKETS,
+                                         dtype=np.int64)),
+            "n_orders": pa.array(np.bincount(
+                bucket, minlength=OIDX_BUCKETS).astype(np.int64)),
+            "sum_cents": pa.array(ibincount(
+                bucket, cents, minlength=OIDX_BUCKETS)),
+        })
+
+    parts = group_apply_tasks(o, ["o_custkey"], _k).take_all()
+    agg = np.zeros((OIDX_BUCKETS, 2), dtype=np.int64)
+    for p in parts:
+        agg[int(p["bucket"]), 0] += p["n_orders"]
+        agg[int(p["bucket"]), 1] += p["sum_cents"]
+    return pa.table({
+        "bucket": pa.array(np.arange(OIDX_BUCKETS, dtype=np.int64) + 1),
+        "n_orders": pa.array(agg[:, 0]),
+        "sum_cents": pa.array(agg[:, 1]),
+    })
+
+
+def q_fano_factor(sf_dir: str):
+    """Burstiness sufficient statistics per event type: over the
+    per-hour count series (observed hours only), n_hours, sum and sum
+    of squares — the Fano (variance/mean) feed, exact int64. Two-level:
+    per-(type,hour) counts then bounded per-type reduction in the same
+    keyed shuffle."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type"])
+    US_H = np.int64(3_600_000_000)
+
+    def _pre(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_type": pa.array([], type=pa.string()),
+                             "hr": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+        et = np.asarray(t.column("event_type")).astype(str)
+        hr = np.asarray(t.column("ts")).astype(
+            "datetime64[us]").view(np.int64) // US_H
+        key = np.char.add(np.char.add(et, "\x1f"),
+                          np.char.zfill(hr.astype(str), 12))
+        uk, c = np.unique(key, return_counts=True)
+        sp = np.char.partition(uk, "\x1f")
+        return pa.table({
+            "event_type": pa.array(sp[:, 0].tolist(), type=pa.string()),
+            "hr": pa.array(sp[:, 2].astype(np.int64)),
+            "c": pa.array(c.astype(np.int64)),
+        })
+
+    pre = ev.map_batches(_pre, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+    def _k(t: pa.Table) -> pa.Table:
+        empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                          "n_hours": pa.array([], type=pa.int64()),
+                          "sum_c": pa.array([], type=pa.int64()),
+                          "sum_cc": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "event_type" not in t.column_names:
+            return empty
+        et = np.asarray(t.column("event_type")).astype(str)
+        hr = np.asarray(t.column("hr"), dtype=np.int64)
+        c = np.asarray(t.column("c"), dtype=np.int64)
+        # merge split per-batch partials for the same (type, hour)
+        key = np.char.add(np.char.add(et, "\x1f"),
+                          np.char.zfill(hr.astype(str), 12))
+        uk, inv = np.unique(key, return_inverse=True)
+        tot = ibincount(inv, c, minlength=len(uk))
+        sp = np.char.partition(uk, "\x1f")
+        types, tinv = np.unique(sp[:, 0], return_inverse=True)
+        return pa.table({
+            "event_type": pa.array(types.tolist(), type=pa.string()),
+            "n_hours": pa.array(np.bincount(
+                tinv, minlength=len(types)).astype(np.int64)),
+            "sum_c": pa.array(ibincount(tinv, tot,
+                                        minlength=len(types))),
+            "sum_cc": pa.array(ibincount(tinv, tot * tot,
+                                         minlength=len(types))),
+        })
+
+    return group_apply_tasks(pre, ["event_type"], _k)
+
+
+EPD_BLK = 256  # small enough that the gate corpora exercise block boundaries
+
+
+def q_emb_pair_dots(sf_dir: str):
+    """Quantized dot products between CONSECUTIVE vec_ids (i, i+1) —
+    the O(N) adjacent-pair similarity scan (a cheap drift/continuity
+    audit over the embedding stream). Range-block routing: each row
+    goes to block vec_id // EPD_BLK, block-boundary rows ALSO to the
+    previous block (Acero joins reject list payloads, so no join);
+    each partition sorts its ids and dots the consecutive pairs whose
+    LEFT id it owns."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+
+    def _route(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"blk": pa.array([], type=pa.int64()),
+                             "vec_id": pa.array([], type=pa.int64()),
+                             "qv": pa.array([], type=pa.list_(
+                                 pa.int64()))})
+        ids, Q = _km_quant(t)
+        blk = ids // EPD_BLK
+        qv = Q.tolist()
+        # boundary rows also serve the previous block's last pair
+        bd = np.flatnonzero((ids % EPD_BLK == 0) & (ids > 0))
+        out_blk = np.concatenate([blk, blk[bd] - 1])
+        out_ids = np.concatenate([ids, ids[bd]])
+        out_qv = qv + [qv[int(i)] for i in bd]
+        return pa.table({"blk": pa.array(out_blk),
+                         "vec_id": pa.array(out_ids),
+                         "qv": pa.array(out_qv,
+                                        type=pa.list_(pa.int64()))})
+
+    routed = emb.map_batches(_route, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def _dot(t: pa.Table) -> pa.Table:
+        empty = pa.table({"vec_id": pa.array([], type=pa.int64()),
+                          "dot": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "vec_id" not in t.column_names:
+            return empty
+        ids = np.asarray(t.column("vec_id"), dtype=np.int64)
+        blk = np.asarray(t.column("blk"), dtype=np.int64)
+        qv = t.column("qv")
+        if isinstance(qv, pa.ChunkedArray):
+            qv = qv.combine_chunks()
+        M = np.asarray(qv.values, dtype=np.int64).reshape(len(ids), -1)
+        # sort (id asc, blk desc) so a duplicate id keeps its HOME
+        # copy (larger blk): the own-check below reads the kept blk, and
+        # a boundary id acting as LEFT of its (x, x+1) pair must carry
+        # its home block or the pair would be silently dropped when
+        # blk and blk-1 hash to the same partition
+        order = np.lexsort((-blk, ids))
+        ids, blk, M = ids[order], blk[order], M[order]
+        first = np.concatenate([[True], ids[1:] != ids[:-1]])
+        ids, blk, M = ids[first], blk[first], M[first]
+        adj = ids[1:] == ids[:-1] + 1
+        own = blk[:-1] == ids[:-1] // EPD_BLK  # left id owned here
+        keep = adj & own
+        if not keep.any():
+            return empty
+        dots = (M[:-1][keep] * M[1:][keep]).sum(axis=1)
+        return pa.table({"vec_id": pa.array(ids[:-1][keep]),
+                         "dot": pa.array(dots)})
+
+    return group_apply_tasks(routed, ["blk"], _dot)
