@@ -61,7 +61,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LLM-data layer without a prior driver row (+ refactored dedup)
         # wave 14 (newest = highest regression risk)
         # wave 15
-        # wave 57 (round 4: newest = highest regression risk)
+        # wave 58 (round 4: newest = highest regression risk)
+        "nn_hubness": q.q_nn_hubness,
+        "hub_bisector": q.q_hub_bisector,
+        "lorenz_deciles": q.q_lorenz_deciles,
+        "copurchase_degree_hist": q.q_copurchase_degree_hist,
+        "comeback_customers": q.q_comeback_customers,
+        # wave 57 (round 4)
         "diverse_top_orders": q.q_diverse_top_orders,
         "nation_p90_orders": q.q_nation_p90_orders,
         "order_index_cents": q.q_order_index_cents,
@@ -84,12 +90,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "succ_variety": q.q_succ_variety,
         "yearend_ledger": q.q_yearend_ledger,
         "nation_priority_grid": q.q_nation_priority_grid,
-        "emb_dim_quartiles": q.q_emb_dim_quartiles,
         # wave 53 (round 4)
         "prefix_census": q.q_prefix_census,
         "tri_repo_mix": q.q_tri_repo_mix,
         "disc_monotone": q.q_disc_monotone,
-        "topk_overlap": q.q_topk_overlap,
         "record_counts": q.q_record_counts,
         # wave 52 (round 4)
         "weighted_median_price": q.q_weighted_median_price,
@@ -99,14 +103,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_distinct": q.q_kmv_distinct,
         # wave 51 (round 4)
         "knn_confusion": q.q_knn_confusion,
-        "repeat_buyers": q.q_repeat_buyers,
         "lang_norm_stats": q.q_lang_norm_stats,
-        "distance_hist": q.q_distance_hist,
         "vocab_growth": q.q_vocab_growth,
         # wave 50 (round 4)
         "edge_support_hist": q.q_edge_support_hist,
         "edit1_pairs": q.q_edit1_pairs,
-        "knn_margin": q.q_knn_margin,
         # wave 49 (round 4)
         "rand_parent": q.q_rand_parent,
         "prep_corpus": q.q_prep_corpus,
@@ -151,6 +152,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
         "doc_length_extremes": q.q_doc_length_extremes,  # extremal scan (r3-green; window slot 50 kept from r3)
+        "knn_margin": q.q_knn_margin,  # 1-NN margins (r4 wave-50 green; rotated for wave-58, knn_confusion/nn_hubness siblings)
+        "distance_hist": q.q_distance_hist,  # msbfs census (r4 wave-51 green; rotated for wave-58, hub_bisector/apsp_top siblings)
+        "repeat_buyers": q.q_repeat_buyers,  # monthly repeats (r4 wave-51 green; rotated for wave-58, comeback_customers sibling)
+        "emb_dim_quartiles": q.q_emb_dim_quartiles,  # per-dim quartiles (r4 wave-54 green; rotated for wave-58, emb_pair_dots/nn_hubness siblings)
+        "topk_overlap": q.q_topk_overlap,  # leaderboard overlap (r4 wave-53 green; rotated for wave-58, diverse_top_orders sibling)
         "top_spenders_ties": q.q_top_spenders_ties,  # rank-with-ties (r3-green; rotated for wave-57, diverse_top_orders ranking sibling)
         "party_unpivot": q.q_party_unpivot,  # unpivot (r3-green; rotated for wave-57, order_index_cents rebucket sibling)
         "range_frame_sum": q.q_range_frame_sum,  # RANGE frame (r3-green; rotated for wave-57, fano_factor/orders_autocorr series siblings)
@@ -485,6 +491,11 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "corpus_scan": o.corpus_scan(),
+        "nn_hubness": o.nn_hubness(q.KNN1_N),
+        "hub_bisector": o.hub_bisector(q.BFS_ITERS),
+        "lorenz_deciles": o.lorenz_deciles(q.LORENZ_BUCKETS),
+        "copurchase_degree_hist": o.copurchase_degree_hist(),
+        "comeback_customers": o.comeback_customers(q.COMEBACK_DAYS),
         "diverse_top_orders": o.diverse_top_orders(q.DIV_K, q.DIV_PER_CUST),
         "nation_p90_orders": o.nation_p90_orders(),
         "order_index_cents": o.order_index_cents(q.OIDX_BUCKETS),

@@ -8132,3 +8132,166 @@ SELECT a.vec_id, CAST(sum(a.q * b.q) AS BIGINT) AS dot
 FROM q a JOIN q b ON b.vec_id = a.vec_id + 1 AND b.dim = a.dim
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 58: 1-NN hubness, hub bisector, Lorenz deciles, co-purchase
+# degree histogram, comeback customers
+# ---------------------------------------------------------------------------
+
+
+def nn_hubness(nvec: int = 256, dim: int = 64,
+               qscale: int = 1 << 20) -> str:
+    """1-NN in-degree histogram over quantized dots (twin of
+    `queries.q_nn_hubness`)."""
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id, CAST(g.d AS BIGINT) AS dim,
+         CAST(floor((CAST(embedding[CAST(g.d AS INT)] AS DOUBLE) + 0.5)
+                    * {qscale}) AS BIGINT) AS q
+  FROM embeddings CROSS JOIN generate_series(1, {dim}) g(d)
+  WHERE vec_id < {nvec}
+),
+ids AS (SELECT DISTINCT vec_id FROM q),
+dots AS (
+  SELECT a.vec_id AS i, b.vec_id AS j, sum(a.q * b.q) AS dot
+  FROM q a JOIN q b ON b.dim = a.dim AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+),
+nn AS (
+  SELECT i, j FROM (
+    SELECT i, j, row_number() OVER (PARTITION BY i
+                                    ORDER BY dot DESC, j) AS rn
+    FROM dots
+  ) WHERE rn = 1
+),
+deg AS (
+  SELECT ids.vec_id, CAST(count(nn.i) AS BIGINT) AS indeg
+  FROM ids LEFT JOIN nn ON nn.j = ids.vec_id
+  GROUP BY 1
+)
+SELECT indeg, CAST(count(*) AS BIGINT) AS n_vectors
+FROM deg GROUP BY 1
+"""
+
+
+@_materialized
+def hub_bisector(iters: int = 12) -> str:
+    """Two-hub Voronoi bisector census (twin of
+    `queries.q_hub_bisector`)."""
+    sql = PREFIX + """
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+deg AS (SELECT src AS i, count(*) AS d FROM und GROUP BY 1),
+S AS (
+  SELECT i, rn FROM (
+    SELECT i, row_number() OVER (ORDER BY d DESC, i) AS rn FROM deg
+  ) WHERE rn <= 2
+),
+d0 AS (SELECT rn AS r, i, 0 AS dist FROM S)
+"""
+    prev = "d0"
+    for x in range(1, iters + 1):
+        sql += f"""
+, d{x} AS (
+  SELECT r, i, min(dist) AS dist FROM (
+    SELECT r, i, dist FROM {prev}
+    UNION ALL
+    SELECT dp.r, u.dst AS i, dp.dist + 1 AS dist
+    FROM und u JOIN {prev} dp ON dp.i = u.src
+  ) GROUP BY 1, 2
+)"""
+        prev = f"d{x}"
+    sql += f"""
+, wide AS (
+  SELECT v.i,
+         min(CASE WHEN d.r = 1 THEN d.dist END) AS da,
+         min(CASE WHEN d.r = 2 THEN d.dist END) AS db
+  FROM verts v LEFT JOIN {prev} d ON d.i = v.i
+  GROUP BY 1
+)
+SELECT CAST(sum(CASE WHEN da IS NOT NULL AND db IS NOT NULL
+                          AND da < db THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_closer_a,
+       CAST(sum(CASE WHEN da IS NOT NULL AND db IS NOT NULL
+                          AND db < da THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_closer_b,
+       CAST(sum(CASE WHEN da IS NOT NULL AND db IS NOT NULL
+                          AND da = db THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tie,
+       CAST(sum(CASE WHEN da IS NOT NULL AND db IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_only_a,
+       CAST(sum(CASE WHEN db IS NOT NULL AND da IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_only_b,
+       CAST(sum(CASE WHEN da IS NULL AND db IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+FROM wide
+"""
+    return sql
+
+
+def lorenz_deciles(buckets: int = 10) -> str:
+    """Customer-spend Lorenz deciles (twin of
+    `queries.q_lorenz_deciles`)."""
+    return f"""
+WITH s AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents, o_custkey) - 1 AS rk,
+         count(*) OVER () AS n
+  FROM s
+)
+SELECT CAST(rk * {buckets} // n AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM r GROUP BY 1
+"""
+
+
+def copurchase_degree_hist() -> str:
+    """Distinct co-purchase partner count histogram (twin of
+    `queries.q_copurchase_degree_hist`)."""
+    return """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pp AS (
+  SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+  FROM op a JOIN op b
+    ON b.l_orderkey = a.l_orderkey AND b.l_partkey <> a.l_partkey
+),
+deg AS (SELECT x, CAST(count(*) AS BIGINT) AS partners FROM pp
+        GROUP BY 1)
+SELECT partners, CAST(count(*) AS BIGINT) AS n_parts
+FROM deg GROUP BY 1
+"""
+
+
+def comeback_customers(days: int = 365) -> str:
+    """Customers with a >= `days` gap between consecutive orders, and
+    the total gap count (twin of `queries.q_comeback_customers`)."""
+    return f"""
+WITH r AS (
+  SELECT o_custkey, o_orderdate,
+         lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey)
+           AS prev_d
+  FROM orders
+),
+g AS (
+  SELECT o_custkey,
+         CAST(sum(CASE WHEN prev_d IS NOT NULL AND
+                            date_diff('day', prev_d, o_orderdate)
+                            >= {days} THEN 1 ELSE 0 END) AS BIGINT)
+           AS gaps
+  FROM r GROUP BY 1
+)
+SELECT CAST(sum(CASE WHEN gaps > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_comeback,
+       CAST(sum(gaps) AS BIGINT) AS n_gaps
+FROM g
+"""

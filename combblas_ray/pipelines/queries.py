@@ -16320,3 +16320,248 @@ def q_emb_pair_dots(sf_dir: str):
                          "dot": pa.array(dots)})
 
     return group_apply_tasks(routed, ["blk"], _dot)
+
+
+# ---------------------------------------------------------------------------
+# wave 58: 1-NN hubness, hub bisector census, Lorenz deciles,
+# co-purchase degree histogram, comeback customers
+# ---------------------------------------------------------------------------
+
+
+def q_nn_hubness(sf_dir: str):
+    """HUBNESS histogram of the 1-NN graph over the first KNN1_N
+    embeddings: for each vector, how many OTHER vectors choose it as
+    their nearest neighbor (exact quantized dots, tie -> lowest id);
+    output (indeg, n_vectors) — the hubness pathology census of
+    embedding spaces (high-hubness spaces degrade kNN retrieval)."""
+    import ray
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id") < KNN1_N,
+    )
+    all_rows = emb.take_all()  # bounded: KNN1_N rows
+    all_rows.sort(key=lambda r: r["vec_id"])
+    tt = pa.table({
+        "vec_id": pa.array([r["vec_id"] for r in all_rows],
+                           type=pa.int64()),
+        "embedding": pa.array([list(r["embedding"]) for r in all_rows]),
+    })
+    aids, amat = _km_quant(tt)
+    aref = ray.put((aids, amat))
+
+    def _nn(t: pa.Table, *, _ref=aref) -> pa.Table:
+        ai, am = _ref if isinstance(_ref, tuple) else ray.get(_ref)
+        ids, Q = _km_quant(t.select(["vec_id", "embedding"]))
+        if len(ids) == 0:
+            return pa.table({"target": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+        d = Q @ am.T
+        d[ids[:, None] == ai[None, :]] = np.iinfo(np.int64).min
+        best = ai[np.argmax(d, axis=1)]
+        uk, c = np.unique(best, return_counts=True)
+        return pa.table({"target": pa.array(uk),
+                         "c": pa.array(c.astype(np.int64))})
+
+    parts = emb.map_batches(_nn, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all()
+    indeg = np.zeros(len(aids), dtype=np.int64)
+    pos = {int(v): i for i, v in enumerate(aids)}
+    for p in parts:
+        indeg[pos[int(p["target"])]] += p["c"]
+    uk, c = np.unique(indeg, return_counts=True)
+    return pa.table({"indeg": pa.array(uk),
+                     "n_vectors": pa.array(c.astype(np.int64))})
+
+
+def q_hub_bisector(sf_dir: str):
+    """Voronoi bisector census between the TWO top-degree hubs: among
+    all vertices, how many are strictly closer (hop distance within
+    BFS_ITERS, undirected) to hub A vs hub B, equidistant, reached by
+    only one, or by neither — the 2-seed msbfs variant keeping the
+    seeds SEPARATE (msbfs min-merges them)."""
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("sym")
+    deg = eng.in_weights().astype(np.int64)
+    ar = np.asarray(ctx.arith, dtype=np.int64)
+    top2 = np.lexsort((ar, -deg))[:2].astype(np.int64)
+    D = np.full((2, ctx.n), np.inf)
+    D[np.arange(2), top2] = 0.0
+    for _ in range(BFS_ITERS):
+        D = np.minimum(D, eng.spmm(D, "min_plus"))
+    fa, fb = np.isfinite(D[0]), np.isfinite(D[1])
+    both = fa & fb
+    return pa.table({
+        "n_closer_a": pa.array([int((both & (D[0] < D[1])).sum())],
+                               type=pa.int64()),
+        "n_closer_b": pa.array([int((both & (D[1] < D[0])).sum())],
+                               type=pa.int64()),
+        "n_tie": pa.array([int((both & (D[0] == D[1])).sum())],
+                          type=pa.int64()),
+        "n_only_a": pa.array([int((fa & ~fb).sum())], type=pa.int64()),
+        "n_only_b": pa.array([int((fb & ~fa).sum())], type=pa.int64()),
+        "n_neither": pa.array([int((~fa & ~fb).sum())],
+                              type=pa.int64()),
+    })
+
+
+LORENZ_BUCKETS = 10
+
+
+def q_lorenz_deciles(sf_dir: str):
+    """Lorenz curve of customer spend: customers ranked by total cents
+    (ties by custkey), bucketed into LORENZ_BUCKETS rank deciles;
+    per decile the customer count and cents sum — the inequality curve
+    whose cumulative form reads off Gini/Pareto. Per-cust sums via one
+    shuffle; the decile assignment needs global ranks, done on the
+    bounded per-cust aggregate."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    o = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_custkey", "o_totalprice"])
+
+    def _k(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_custkey" not in t.column_names:
+            return pa.table({"o_custkey": pa.array([], type=pa.int64()),
+                             "cents": pa.array([], type=pa.int64())})
+        ck = np.asarray(t.column("o_custkey"), dtype=np.int64)
+        cents = np.floor(np.asarray(t.column("o_totalprice"),
+                                    dtype=np.float64) * 100
+                         + 0.5).astype(np.int64)
+        uk, inv = np.unique(ck, return_inverse=True)
+        return pa.table({"o_custkey": pa.array(uk),
+                         "cents": pa.array(ibincount(inv, cents,
+                                                     minlength=len(uk)))})
+
+    per = group_apply_tasks(o, ["o_custkey"], _k).take_all()
+    ck = np.array([p["o_custkey"] for p in per], dtype=np.int64)
+    cents = np.array([p["cents"] for p in per], dtype=np.int64)
+    order = np.lexsort((ck, cents))  # ascending spend, ties by key
+    cents = cents[order]
+    n = len(cents)
+    dec = np.arange(n, dtype=np.int64) * LORENZ_BUCKETS // n
+    return pa.table({
+        "decile": pa.array(np.arange(LORENZ_BUCKETS, dtype=np.int64)),
+        "n_customers": pa.array(np.bincount(
+            dec, minlength=LORENZ_BUCKETS).astype(np.int64)),
+        "sum_cents": pa.array(ibincount(dec, cents,
+                                        minlength=LORENZ_BUCKETS)),
+    })
+
+
+def q_copurchase_degree_hist(sf_dir: str):
+    """Co-purchase projection degree census: for each part, the number
+    of DISTINCT partner parts it shares an order with; output
+    (partners, n_parts) histogram. Order-local distinct pair expansion
+    (bounded basket sizes), symmetric emission, one partner shuffle
+    with partition-local distinct, bounded histogram partials."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+    from ..functions.dedup import _run_pairs
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey"])
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table({"x": pa.array([], type=pa.int64()),
+                          "y": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "l_orderkey" not in t.column_names:
+            return empty
+        ok_ = np.asarray(t.column("l_orderkey"), dtype=np.int64)
+        pk = np.asarray(t.column("l_partkey"), dtype=np.int64)
+        order = np.lexsort((pk, ok_))
+        ok_, pk = ok_[order], pk[order]
+        keep = np.ones(len(ok_), dtype=bool)
+        keep[1:] = (ok_[1:] != ok_[:-1]) | (pk[1:] != pk[:-1])
+        ok_, pk = ok_[keep], pk[keep]
+        uo, starts, counts = np.unique(ok_, return_index=True,
+                                       return_counts=True)
+        a, b = _run_pairs(starts, counts, pk)
+        if len(a) == 0:
+            return empty
+        x = np.concatenate([a, b])
+        y = np.concatenate([b, a])
+        assert int(y.max()) < 1 << 30, "partkey exceeds 2^30 pack width"
+        key = np.unique(x * np.int64(1 << 30) + y)  # local dedup
+        return pa.table({"x": pa.array((key >> 30).astype(np.int64)),
+                         "y": pa.array((key & ((1 << 30) - 1))
+                                       .astype(np.int64))})
+
+    pairs = group_apply_tasks(li, ["l_orderkey"], _pairs)
+
+    def _deg(t: pa.Table) -> pa.Table:
+        empty = pa.table({"partners": pa.array([], type=pa.int64()),
+                          "n_parts": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "x" not in t.column_names:
+            return empty
+        x = np.asarray(t.column("x"), dtype=np.int64)
+        y = np.asarray(t.column("y"), dtype=np.int64)
+        key = np.unique(x * np.int64(1 << 30) + y)
+        deg = np.bincount((key >> 30).astype(np.int64))
+        deg = deg[deg > 0]
+        uk, c = np.unique(deg, return_counts=True)
+        return pa.table({"partners": pa.array(uk.astype(np.int64)),
+                         "n_parts": pa.array(c.astype(np.int64))})
+
+    parts = group_apply_tasks(pairs, ["x"], _deg).take_all()
+    agg: dict[int, int] = {}
+    for p in parts:
+        agg[int(p["partners"])] = agg.get(int(p["partners"]), 0) \
+            + p["n_parts"]
+    ks = sorted(agg)
+    return pa.table({
+        "partners": pa.array(ks, type=pa.int64()),
+        "n_parts": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
+
+
+COMEBACK_DAYS = 365
+
+
+def q_comeback_customers(sf_dir: str):
+    """Dormancy-reactivation census: customers with at least one gap of
+    >= COMEBACK_DAYS whole days between CONSECUTIVE orders (ordered by
+    date then orderkey), plus the total number of such comeback gaps.
+    One custkey shuffle, segment diff."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    o = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate"])
+    US_DAY = np.int64(86_400_000_000)
+
+    def _k(t: pa.Table) -> pa.Table:
+        empty = pa.table({"n_comeback": pa.array([], type=pa.int64()),
+                          "n_gaps": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "o_custkey" not in t.column_names:
+            return empty
+        ck = np.asarray(t.column("o_custkey"), dtype=np.int64)
+        ok_ = np.asarray(t.column("o_orderkey"), dtype=np.int64)
+        d = np.asarray(t.column("o_orderdate")).astype(
+            "datetime64[us]").view(np.int64)
+        order = np.lexsort((ok_, d, ck))
+        ck, d = ck[order], d[order]
+        same = ck[1:] == ck[:-1]
+        gap = same & ((d[1:] - d[:-1]) // US_DAY >= COMEBACK_DAYS)
+        uc, inv = np.unique(ck, return_inverse=True)
+        per = ibincount(inv[1:], gap, minlength=len(uc))
+        return pa.table({
+            "n_comeback": pa.array([int((per > 0).sum())],
+                                   type=pa.int64()),
+            "n_gaps": pa.array([int(gap.sum())], type=pa.int64()),
+        })
+
+    parts = group_apply_tasks(o, ["o_custkey"], _k).take_all()
+    return pa.table({
+        "n_comeback": pa.array([sum(p["n_comeback"] for p in parts)],
+                               type=pa.int64()),
+        "n_gaps": pa.array([sum(p["n_gaps"] for p in parts)],
+                           type=pa.int64()),
+    })
