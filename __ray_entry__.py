@@ -61,7 +61,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LLM-data layer without a prior driver row (+ refactored dedup)
         # wave 14 (newest = highest regression risk)
         # wave 15
-        # wave 58 (round 4: newest = highest regression risk)
+        # wave 59 (round 4: newest = highest regression risk)
+        "cc_by_degree": q.q_cc_by_degree,
+        "decile_priority_grid": q.q_decile_priority_grid,
+        "dup_cluster_purity": q.q_dup_cluster_purity,
+        "core_periphery_mix": q.q_core_periphery_mix,
+        "last_order_status": q.q_last_order_status,
+        # wave 58 (round 4)
         "nn_hubness": q.q_nn_hubness,
         "hub_bisector": q.q_hub_bisector,
         "lorenz_deciles": q.q_lorenz_deciles,
@@ -89,29 +95,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "apsp_top": q.q_apsp_top,
         "succ_variety": q.q_succ_variety,
         "yearend_ledger": q.q_yearend_ledger,
-        "nation_priority_grid": q.q_nation_priority_grid,
         # wave 53 (round 4)
         "prefix_census": q.q_prefix_census,
         "tri_repo_mix": q.q_tri_repo_mix,
-        "disc_monotone": q.q_disc_monotone,
         "record_counts": q.q_record_counts,
         # wave 52 (round 4)
         "weighted_median_price": q.q_weighted_median_price,
-        "cc_size_hist": q.q_cc_size_hist,
         "audio_lag_corr": q.q_audio_lag_corr,
         "poly_filter": q.q_poly_filter,
         "kmv_distinct": q.q_kmv_distinct,
         # wave 51 (round 4)
         "knn_confusion": q.q_knn_confusion,
         "lang_norm_stats": q.q_lang_norm_stats,
-        "vocab_growth": q.q_vocab_growth,
         # wave 50 (round 4)
         "edge_support_hist": q.q_edge_support_hist,
         "edit1_pairs": q.q_edit1_pairs,
         # wave 49 (round 4)
         "rand_parent": q.q_rand_parent,
         "prep_corpus": q.q_prep_corpus,
-        "sigma_hist": q.q_sigma_hist,
         # wave 48
         # wave 47
         # wave 46
@@ -152,6 +153,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
         "doc_length_extremes": q.q_doc_length_extremes,  # extremal scan (r3-green; window slot 50 kept from r3)
+        "vocab_growth": q.q_vocab_growth,  # Heaps curve (r4 wave-51 green; rotated for wave-59, prefix_census/succ_variety siblings)
+        "cc_size_hist": q.q_cc_size_hist,  # CC census (r4 wave-52 green; rotated for wave-59, cc_by_degree/hub_bisector siblings)
+        "disc_monotone": q.q_disc_monotone,  # sequence audit (r4 wave-53 green; rotated for wave-59, record_counts/comeback_customers siblings)
+        "sigma_hist": q.q_sigma_hist,  # int64 sigma census (r4 wave-49 green; rotated for wave-59, poly_filter i64-channel sibling)
+        "nation_priority_grid": q.q_nation_priority_grid,  # star grid (r4 wave-54 green; rotated for wave-59, decile_priority_grid sibling)
         "knn_margin": q.q_knn_margin,  # 1-NN margins (r4 wave-50 green; rotated for wave-58, knn_confusion/nn_hubness siblings)
         "distance_hist": q.q_distance_hist,  # msbfs census (r4 wave-51 green; rotated for wave-58, hub_bisector/apsp_top siblings)
         "repeat_buyers": q.q_repeat_buyers,  # monthly repeats (r4 wave-51 green; rotated for wave-58, comeback_customers sibling)
@@ -491,6 +497,11 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "corpus_scan": o.corpus_scan(),
+        "cc_by_degree": o.cc_by_degree(),
+        "decile_priority_grid": o.decile_priority_grid(q.LORENZ_BUCKETS),
+        "dup_cluster_purity": o.dup_cluster_purity(0.5, q.DUP_CLUSTER_ROUNDS),
+        "core_periphery_mix": o.core_periphery_mix(q.APSP_K),
+        "last_order_status": o.last_order_status(),
         "nn_hubness": o.nn_hubness(q.KNN1_N),
         "hub_bisector": o.hub_bisector(q.BFS_ITERS),
         "lorenz_deciles": o.lorenz_deciles(q.LORENZ_BUCKETS),

@@ -8295,3 +8295,128 @@ SELECT CAST(sum(CASE WHEN gaps > 0 THEN 1 ELSE 0 END) AS BIGINT)
        CAST(sum(gaps) AS BIGINT) AS n_gaps
 FROM g
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 59: C(k) curve, decile-priority grid, dup-cluster purity,
+# core-periphery mixing, last-order status
+# ---------------------------------------------------------------------------
+
+
+def cc_by_degree() -> str:
+    """Per log2-degree bucket: vertex count, triangle and wedge sums
+    (twin of `queries.q_cc_by_degree`)."""
+    return PREFIX + """
+, und AS (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges GROUP BY 1, 2
+),
+uadj AS (SELECT a AS v, b AS u FROM und UNION ALL SELECT b, a FROM und),
+deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM uadj GROUP BY v),
+tri AS (
+  SELECT x.v AS v, CAST(count(*) AS BIGINT) AS t
+  FROM uadj x JOIN uadj y ON x.v = y.v AND x.u < y.u
+  JOIN und t2 ON t2.a = x.u AND t2.b = y.u
+  GROUP BY x.v
+),
+per AS (
+  SELECT d.v, d.d, coalesce(tr.t, 0) AS t
+  FROM deg d LEFT JOIN tri tr ON tr.v = d.v
+  WHERE d.d >= 2
+)
+SELECT CAST(floor(log2(d)) AS BIGINT) AS log2_deg,
+       CAST(count(*) AS BIGINT) AS n_vertices,
+       CAST(sum(t) AS BIGINT) AS sum_tri,
+       CAST(sum(d * (d - 1) // 2) AS BIGINT) AS sum_wedges
+FROM per GROUP BY 1
+"""
+
+
+def decile_priority_grid(buckets: int = 10) -> str:
+    """Order counts per (customer spend-decile, priority) (twin of
+    `queries.q_decile_priority_grid`)."""
+    return f"""
+WITH s AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT o_custkey,
+         (row_number() OVER (ORDER BY cents, o_custkey) - 1)
+           * {buckets} // (count(*) OVER ()) AS dec
+  FROM s
+)
+SELECT CAST(r.dec AS BIGINT) AS decile, o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o JOIN r ON r.o_custkey = o.o_custkey
+GROUP BY 1, 2
+"""
+
+
+def dup_cluster_purity(tau: float = 0.5, rounds: int = 6,
+                       df_cap: int = 1000) -> str:
+    """Language purity of near-dup clusters (twin of
+    `queries.q_dup_cluster_purity`)."""
+    base = dup_clusters(tau, rounds, df_cap)
+    tail = base.rindex("SELECT v AS doc_id")
+    final_cte = base[tail:].split("FROM ")[1].strip()
+    return base[:tail] + """, per AS (
+  SELECT f.lbl AS lbl,
+         CAST(count(DISTINCT d.lang) AS BIGINT) AS nl
+  FROM lfinal f JOIN documents d ON d.doc_id = f.v
+  GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(CASE WHEN nl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pure,
+       CAST(sum(CASE WHEN nl > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_mixed
+FROM per
+""".replace("lfinal", final_cte)
+
+
+def core_periphery_mix(k: int = 32) -> str:
+    """Distinct undirected edges by hub membership of endpoints (twin
+    of `queries.q_core_periphery_mix`)."""
+    return PREFIX + f"""
+, undd AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+deg AS (SELECT src AS i, count(*) AS d FROM undd GROUP BY 1),
+S AS (
+  SELECT i FROM (
+    SELECT i, row_number() OVER (ORDER BY d DESC, i) AS rn FROM deg
+  ) WHERE rn <= {k}
+),
+L AS (SELECT src, dst FROM undd WHERE src < dst),
+cls AS (
+  SELECT (CASE WHEN sa.i IS NOT NULL THEN 1 ELSE 0 END)
+         + (CASE WHEN sb.i IS NOT NULL THEN 1 ELSE 0 END) AS ic
+  FROM L LEFT JOIN S sa ON sa.i = L.src LEFT JOIN S sb ON sb.i = L.dst
+)
+SELECT CAST(sum(CASE WHEN ic = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cc,
+       CAST(sum(CASE WHEN ic = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cp,
+       CAST(sum(CASE WHEN ic = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pp
+FROM cls
+"""
+
+
+def last_order_status() -> str:
+    """Status of each customer's final order, counted per status (twin
+    of `queries.q_last_order_status`)."""
+    return """
+WITH r AS (
+  SELECT o_custkey, o_orderstatus,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC,
+                                     o_orderkey DESC) AS rn
+  FROM orders
+)
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_customers
+FROM r WHERE rn = 1 GROUP BY 1
+"""

@@ -16565,3 +16565,254 @@ def q_comeback_customers(sf_dir: str):
         "n_gaps": pa.array([sum(p["n_gaps"] for p in parts)],
                            type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 59: clustering-by-degree curve, spend-decile priority grid,
+# dup-cluster language purity, core-periphery mixing, last-order status
+# ---------------------------------------------------------------------------
+
+
+def q_cc_by_degree(sf_dir: str):
+    """The C(k) curve feed: per log2-degree bucket, vertex count, total
+    triangles and total wedges C(d,2) — the degree-resolved clustering
+    profile (exact integers; the famous clustering-vs-degree decay
+    reads off as 2*sum_tri/sum_wedges per bucket). Rides the
+    distributed per-vertex triangle recipe
+    (`alg.clustering_coefficients`)."""
+    ctx = get_context(sf_dir)
+    t = alg.clustering_coefficients(ctx.graph("sym").edges, ctx.n)
+    deg = np.asarray(t.column("deg"), dtype=np.int64)
+    tri = np.asarray(t.column("tri"), dtype=np.int64)
+    m = deg >= 2
+    deg, tri = deg[m], tri[m]
+    # floor(log2(deg)) via frexp (exact: deg < 2^53)
+    bucket = np.frexp(deg.astype(np.float64))[1].astype(np.int64) - 1
+    wedges = deg * (deg - 1) // 2
+    uk, inv = np.unique(bucket, return_inverse=True)
+    return pa.table({
+        "log2_deg": pa.array(uk),
+        "n_vertices": pa.array(np.bincount(inv).astype(np.int64)),
+        "sum_tri": pa.array(ibincount(inv, tri, minlength=len(uk))),
+        "sum_wedges": pa.array(ibincount(inv, wedges,
+                                         minlength=len(uk))),
+    })
+
+
+def q_decile_priority_grid(sf_dir: str):
+    """Derived-dimension grid: orders counted by (customer spend-decile
+    x priority). Two passes — the bounded per-customer spend aggregate
+    assigns rank deciles (the `lorenz_deciles` machinery), the decile
+    map broadcasts back over orders for the grid count (classification
+    by global quantile, then regroup)."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    o = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice", "o_orderpriority"])
+
+    def _k(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_custkey" not in t.column_names:
+            return pa.table({"o_custkey": pa.array([], type=pa.int64()),
+                             "cents": pa.array([], type=pa.int64())})
+        ck = np.asarray(t.column("o_custkey"), dtype=np.int64)
+        cents = np.floor(np.asarray(t.column("o_totalprice"),
+                                    dtype=np.float64) * 100
+                         + 0.5).astype(np.int64)
+        uk, inv = np.unique(ck, return_inverse=True)
+        return pa.table({"o_custkey": pa.array(uk),
+                         "cents": pa.array(ibincount(inv, cents,
+                                                     minlength=len(uk)))})
+
+    per = group_apply_tasks(
+        o.map_batches(lambda t: t.select(["o_custkey", "o_totalprice"]),
+                      batch_format="pyarrow"),
+        ["o_custkey"], _k).take_all()
+    ck = np.array([p["o_custkey"] for p in per], dtype=np.int64)
+    cents = np.array([p["cents"] for p in per], dtype=np.int64)
+    order = np.lexsort((ck, cents))
+    n = len(ck)
+    dec = np.empty(n, dtype=np.int64)
+    dec[order] = np.arange(n, dtype=np.int64) * LORENZ_BUCKETS // n
+    so = np.argsort(ck)
+    dref = None
+    import ray as _ray
+
+    dref = _ray.put((ck[so], dec[so]))
+
+    def _grid(t: pa.Table, *, _r=dref) -> pa.Table:
+        keys, decs = _r if isinstance(_r, tuple) else _ray.get(_r)
+        if t.num_rows == 0:
+            return pa.table({"decile": pa.array([], type=pa.int64()),
+                             "prio": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        ckb = np.asarray(t.column("o_custkey"), dtype=np.int64)
+        pr = np.asarray(t.column("o_orderpriority")).astype(str)
+        pos = np.searchsorted(keys, ckb)
+        d = decs[pos]
+        key = np.char.add(np.char.add(d.astype(str), "\x1f"), pr)
+        uk, c = np.unique(key, return_counts=True)
+        sp = np.char.partition(uk, "\x1f")
+        return pa.table({
+            "decile": pa.array(sp[:, 0].astype(np.int64)),
+            "prio": pa.array(sp[:, 2].tolist(), type=pa.string()),
+            "n": pa.array(c.astype(np.int64)),
+        })
+
+    parts = o.map_batches(_grid, batch_format="pyarrow",
+                          zero_copy_batch=True).take_all()
+    agg: dict[tuple, int] = {}
+    for p in parts:
+        k = (int(p["decile"]), p["prio"])
+        agg[k] = agg.get(k, 0) + p["n"]
+    ks = sorted(agg)
+    return pa.table({
+        "decile": pa.array([k[0] for k in ks], type=pa.int64()),
+        "o_orderpriority": pa.array([k[1] for k in ks],
+                                    type=pa.string()),
+        "n_orders": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
+
+
+def q_dup_cluster_purity(sf_dir: str):
+    """COMPOSITE dedup -> metadata audit: near-dup clusters (the
+    `dup_clusters` fixed-round min-label assignment; every clustered
+    doc has a partner, so clusters have >= 2 members) joined to
+    document language — how many clusters are language-PURE vs mixed.
+    The contamination check run after every dedup pass."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks, hash_join_tasks
+    from ..functions import dedup as D
+
+    lab = D.dup_clusters(_docs(sf_dir), tau=0.5,
+                         rounds=DUP_CLUSTER_ROUNDS)
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang"])
+    j = hash_join_tasks(lab, docs, on="doc_id")
+
+    def _k(t: pa.Table) -> pa.Table:
+        empty = pa.table({"n_clusters": pa.array([], type=pa.int64()),
+                          "n_pure": pa.array([], type=pa.int64()),
+                          "n_mixed": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "cluster" not in t.column_names:
+            return empty
+        lbl = np.asarray(t.column("cluster"), dtype=np.int64)
+        lng = np.asarray(t.column("lang")).astype(str)
+        order = np.lexsort((lng, lbl))
+        lbl, lng = lbl[order], lng[order]
+        starts = np.flatnonzero(np.concatenate(
+            [[True], lbl[1:] != lbl[:-1]]))
+        cnts = np.diff(np.concatenate([starts, [len(lbl)]]))
+        pure = mixed = 0
+        for s, c in zip(starts, cnts):
+            if (lng[s:s + c] == lng[s]).all():
+                pure += 1
+            else:
+                mixed += 1
+        return pa.table({
+            "n_clusters": pa.array([pure + mixed], type=pa.int64()),
+            "n_pure": pa.array([pure], type=pa.int64()),
+            "n_mixed": pa.array([mixed], type=pa.int64()),
+        })
+
+    parts = group_apply_tasks(j, ["cluster"], _k).take_all()
+    return pa.table({
+        "n_clusters": pa.array([sum(p["n_clusters"] for p in parts)],
+                               type=pa.int64()),
+        "n_pure": pa.array([sum(p["n_pure"] for p in parts)],
+                           type=pa.int64()),
+        "n_mixed": pa.array([sum(p["n_mixed"] for p in parts)],
+                            type=pa.int64()),
+    })
+
+
+def q_core_periphery_mix(sf_dir: str):
+    """Core-periphery mixing matrix: distinct undirected edges
+    classified by hub membership of their endpoints (core = the APSP_K
+    top-degree set) — (core-core, core-periphery,
+    periphery-periphery) counts. Hub set broadcast; one edge pass with
+    batch-local dedup riding the distinct-pair graph."""
+    import ray
+
+    ctx = get_context(sf_dir)
+    deg = ctx.engine("sym").in_weights().astype(np.int64)
+    ar = np.asarray(ctx.arith, dtype=np.int64)
+    S = np.sort(np.lexsort((ar, -deg))[:APSP_K].astype(np.int64))
+    sref = ray.put(S)
+    be = ctx.graph("sym").dedup_sum().cast_bool().edges
+
+    def _cls(t: pa.Table, *, _r=sref) -> pa.Table:
+        sel = _r if isinstance(_r, np.ndarray) else ray.get(_r)
+        empty = pa.table({"n_cc": pa.array([], type=pa.int64()),
+                          "n_cp": pa.array([], type=pa.int64()),
+                          "n_pp": pa.array([], type=pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        s = np.asarray(t.column("src"), dtype=np.int64)
+        d = np.asarray(t.column("dst"), dtype=np.int64)
+        keep = s < d  # each undirected edge once
+        s, d = s[keep], d[keep]
+        ic = np.isin(s, sel).astype(np.int64) + np.isin(d, sel)
+        return pa.table({
+            "n_cc": pa.array([int((ic == 2).sum())], type=pa.int64()),
+            "n_cp": pa.array([int((ic == 1).sum())], type=pa.int64()),
+            "n_pp": pa.array([int((ic == 0).sum())], type=pa.int64()),
+        })
+
+    parts = be.map_batches(_cls, batch_format="pyarrow").take_all()
+    return pa.table({
+        "n_cc": pa.array([sum(p["n_cc"] for p in parts)],
+                         type=pa.int64()),
+        "n_cp": pa.array([sum(p["n_cp"] for p in parts)],
+                         type=pa.int64()),
+        "n_pp": pa.array([sum(p["n_pp"] for p in parts)],
+                         type=pa.int64()),
+    })
+
+
+def q_last_order_status(sf_dir: str):
+    """Final-state census: the status of each customer's LAST order
+    (by date, ties by orderkey DESC -> the latest key wins), counted
+    per status — the last-value-per-group class on the orders domain.
+    One custkey shuffle, segment argmax."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    o = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate",
+                 "o_orderstatus"])
+
+    def _k(t: pa.Table) -> pa.Table:
+        empty = pa.table({"o_orderstatus": pa.array([], type=pa.string()),
+                          "n_customers": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "o_custkey" not in t.column_names:
+            return empty
+        ck = np.asarray(t.column("o_custkey"), dtype=np.int64)
+        ok_ = np.asarray(t.column("o_orderkey"), dtype=np.int64)
+        d = np.asarray(t.column("o_orderdate")).astype(
+            "datetime64[us]").view(np.int64)
+        st = np.asarray(t.column("o_orderstatus")).astype(str)
+        order = np.lexsort((ok_, d, ck))
+        ck, st = ck[order], st[order]
+        last = np.concatenate([ck[1:] != ck[:-1], [True]])
+        uk, c = np.unique(st[last], return_counts=True)
+        return pa.table({
+            "o_orderstatus": pa.array(uk.tolist(), type=pa.string()),
+            "n_customers": pa.array(c.astype(np.int64)),
+        })
+
+    parts = group_apply_tasks(o, ["o_custkey"], _k).take_all()
+    agg: dict[str, int] = {}
+    for p in parts:
+        agg[p["o_orderstatus"]] = agg.get(p["o_orderstatus"], 0) \
+            + p["n_customers"]
+    ks = sorted(agg)
+    return pa.table({
+        "o_orderstatus": pa.array(ks, type=pa.string()),
+        "n_customers": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
