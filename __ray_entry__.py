@@ -61,7 +61,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LLM-data layer without a prior driver row (+ refactored dedup)
         # wave 14 (newest = highest regression risk)
         # wave 15
-        # wave 59 (round 4: newest = highest regression risk)
+        # wave 60 (round 4: newest = highest regression risk)
+        "bfs_children_hist": q.q_bfs_children_hist,
+        "len_freq_grid": q.q_len_freq_grid,
+        "user_type_div_hist": q.q_user_type_div_hist,
+        "strong_triangles": q.q_strong_triangles,
+        "nation_top_brand": q.q_nation_top_brand,
+        # wave 59 (round 4)
         "cc_by_degree": q.q_cc_by_degree,
         "decile_priority_grid": q.q_decile_priority_grid,
         "dup_cluster_purity": q.q_dup_cluster_purity,
@@ -80,7 +86,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fano_factor": q.q_fano_factor,
         "emb_pair_dots": q.q_emb_pair_dots,
         # wave 56 (round 4)
-        "orders_autocorr": q.q_orders_autocorr,
         "type_audience_jaccard": q.q_type_audience_jaccard,
         "home_supplied_customers": q.q_home_supplied_customers,
         "hourly_uniques": q.q_hourly_uniques,
@@ -88,12 +93,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 55 (round 4)
         "hub_asymmetry": q.q_hub_asymmetry,
         "dupgraph_triangles": q.q_dupgraph_triangles,
-        "loyal_customers": q.q_loyal_customers,
         "peak_position": q.q_peak_position,
-        "lineitem_cov": q.q_lineitem_cov,
         # wave 54 (round 4)
-        "apsp_top": q.q_apsp_top,
-        "succ_variety": q.q_succ_variety,
         "yearend_ledger": q.q_yearend_ledger,
         # wave 53 (round 4)
         "prefix_census": q.q_prefix_census,
@@ -153,6 +154,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
         "doc_length_extremes": q.q_doc_length_extremes,  # extremal scan (r3-green; window slot 50 kept from r3)
+        "succ_variety": q.q_succ_variety,  # successor census (r4 wave-54 green; rotated for wave-60, prefix_census/len_freq_grid siblings)
+        "orders_autocorr": q.q_orders_autocorr,  # series stats (r4 wave-56 green; rotated for wave-60, fano_factor sibling)
+        "loyal_customers": q.q_loyal_customers,  # derived division (r4 wave-55 green; rotated for wave-60, comeback_customers/yearend_ledger siblings)
+        "lineitem_cov": q.q_lineitem_cov,  # covariance stats (r4 wave-55 green; rotated for wave-60, fano_factor sufficient-stats sibling)
+        "apsp_top": q.q_apsp_top,  # hub distances (r4 wave-54 green; rotated for wave-60, hub_asymmetry/hub_bisector same machinery)
         "vocab_growth": q.q_vocab_growth,  # Heaps curve (r4 wave-51 green; rotated for wave-59, prefix_census/succ_variety siblings)
         "cc_size_hist": q.q_cc_size_hist,  # CC census (r4 wave-52 green; rotated for wave-59, cc_by_degree/hub_bisector siblings)
         "disc_monotone": q.q_disc_monotone,  # sequence audit (r4 wave-53 green; rotated for wave-59, record_counts/comeback_customers siblings)
@@ -497,6 +503,11 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "corpus_scan": o.corpus_scan(),
+        "bfs_children_hist": o.bfs_children_hist("m_0", q.BFS_ITERS),
+        "len_freq_grid": o.len_freq_grid(),
+        "user_type_div_hist": o.user_type_div_hist(),
+        "strong_triangles": o.strong_triangles(),
+        "nation_top_brand": o.nation_top_brand(),
         "cc_by_degree": o.cc_by_degree(),
         "decile_priority_grid": o.decile_priority_grid(q.LORENZ_BUCKETS),
         "dup_cluster_purity": o.dup_cluster_purity(0.5, q.DUP_CLUSTER_ROUNDS),

@@ -8420,3 +8420,129 @@ WITH r AS (
 SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_customers
 FROM r WHERE rn = 1 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 60: BFS children histogram, length-frequency grid, user type
+# diversity, strong-tie triangles, nation top brand
+# ---------------------------------------------------------------------------
+
+
+@_materialized
+def bfs_children_hist(root_label: str = "m_0", iters: int = 12) -> str:
+    """Children-per-parent histogram of the deterministic BFS parent
+    tree (twin of `queries.q_bfs_children_hist`)."""
+    sql = PREFIX + f"""
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+d0 AS (SELECT i, 0 AS dist FROM verts WHERE label = '{root_label}')
+"""
+    prev = "d0"
+    for k in range(1, iters + 1):
+        sql += f"""
+, d{k} AS (
+  SELECT i, min(dist) AS dist FROM (
+    SELECT i, dist FROM {prev}
+    UNION ALL
+    SELECT u.dst AS i, dp.dist + 1 AS dist
+    FROM und u JOIN {prev} dp ON dp.i = u.src
+  ) GROUP BY i
+)"""
+        prev = f"d{k}"
+    sql += f"""
+, pt AS (
+  SELECT d.i, (
+    SELECT min(vp.label)
+    FROM und u JOIN {prev} dp ON dp.i = u.src
+    JOIN verts vp ON vp.i = u.src
+    WHERE u.dst = d.i AND dp.dist = d.dist - 1
+  ) AS parent_label
+  FROM {prev} d WHERE d.dist >= 1
+),
+cc AS (SELECT parent_label, count(*) AS c FROM pt GROUP BY 1)
+SELECT CAST(c AS BIGINT) AS n_children,
+       CAST(count(*) AS BIGINT) AS n_parents
+FROM cc GROUP BY 1
+"""
+    return sql
+
+
+def len_freq_grid() -> str:
+    """(token length x log2 global frequency) vocabulary census (twin
+    of `queries.q_len_freq_grid`)."""
+    return """
+WITH t AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+f AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM t GROUP BY 1)
+SELECT CAST(length(tok) AS BIGINT) AS tok_len,
+       CAST(floor(log2(freq)) AS BIGINT) AS log2_freq,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM f GROUP BY 1, 2
+"""
+
+
+def user_type_div_hist() -> str:
+    """Distinct-event-type-per-user histogram (twin of
+    `queries.q_user_type_div_hist`)."""
+    return """
+WITH d AS (
+  SELECT user_id, count(DISTINCT event_type) AS nt FROM events
+  GROUP BY 1
+)
+SELECT CAST(nt AS BIGINT) AS n_types,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM d GROUP BY 1
+"""
+
+
+@_materialized
+def strong_triangles() -> str:
+    """Triangles on the full vs the w>=2 symmetric-multiplicity pruned
+    graph (twin of `queries.q_strong_triangles`)."""
+    return PREFIX + """
+, uw AS (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+         sum(w) AS w2
+  FROM edges GROUP BY 1, 2
+),
+t1 AS (
+  SELECT count(*) AS c
+  FROM uw x JOIN uw y ON y.a = x.b
+  JOIN uw m ON m.a = x.a AND m.b = y.b
+),
+s2 AS (SELECT a, b FROM uw WHERE w2 >= 2),
+t2 AS (
+  SELECT count(*) AS c
+  FROM s2 x JOIN s2 y ON y.a = x.b
+  JOIN s2 m ON m.a = x.a AND m.b = y.b
+)
+SELECT CAST(1 AS BIGINT) AS w_min, CAST(t1.c AS BIGINT) AS triangles
+FROM t1
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(t2.c AS BIGINT) FROM t2
+"""
+
+
+def nation_top_brand() -> str:
+    """Top revenue brand per customer nation, ties brand asc (twin of
+    `queries.q_nation_top_brand`)."""
+    return """
+WITH rev AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nk, p_brand AS brand,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN part     ON p_partkey = l_partkey
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY nk
+                               ORDER BY cents DESC, brand) AS rn
+  FROM rev
+)
+SELECT nk, brand AS top_brand, cents FROM r WHERE rn = 1
+"""

@@ -16816,3 +16816,240 @@ def q_last_order_status(sf_dir: str):
         "o_orderstatus": pa.array(ks, type=pa.string()),
         "n_customers": pa.array([agg[k] for k in ks], type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 60: BFS children histogram, length-frequency grid, user type
+# diversity, strong-tie triangles, nation top brand
+# ---------------------------------------------------------------------------
+
+
+def q_bfs_children_hist(sf_dir: str):
+    """BFS tree SHAPE census: histogram of children-per-parent in the
+    deterministic parent tree (parent = lexicographically smallest
+    neighbor one level closer, the `bfs_parents` rule) — output
+    (n_children, n_parents). Tree fan-out profile for frontier-cost
+    models."""
+    ctx = get_context(sf_dir)
+    root = ctx.lookup_id("m_0")
+    parents, dist = alg.bfs_parents(ctx.engine("sym"), root)
+    ids = np.nonzero((parents >= 0) & (np.arange(ctx.n) != root))[0]
+    cnt = np.bincount(parents[ids].astype(np.int64))
+    cnt = cnt[cnt > 0]
+    uk, c = np.unique(cnt, return_counts=True)
+    return pa.table({"n_children": pa.array(uk.astype(np.int64)),
+                     "n_parents": pa.array(c.astype(np.int64))})
+
+
+def q_len_freq_grid(sf_dir: str):
+    """Vocabulary (token length x log2 global frequency) census — the
+    joint profile behind subword-tokenizer sizing. One token shuffle
+    for exact global frequencies, bounded (len, bucket) partials."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+    from ..functions.text import tokens_list
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["text"])
+
+    def _cnt(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"tok": pa.array([], type=pa.string()),
+                             "c": pa.array([], type=pa.int64())})
+        toks = tokens_list(b)
+        flat = np.asarray(pc.list_flatten(toks)).astype(str)
+        uk, c = np.unique(flat, return_counts=True)
+        return pa.table({"tok": pa.array(uk.tolist(),
+                                         type=pa.string()),
+                         "c": pa.array(c.astype(np.int64))})
+
+    partial = docs.map_batches(_cnt, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def _grid(t: pa.Table) -> pa.Table:
+        empty = pa.table({"tok_len": pa.array([], type=pa.int64()),
+                          "log2_freq": pa.array([], type=pa.int64()),
+                          "n_tokens": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "tok" not in t.column_names:
+            return empty
+        tok = np.asarray(t.column("tok")).astype(str)
+        c = np.asarray(t.column("c"), dtype=np.int64)
+        uk, inv = np.unique(tok, return_inverse=True)
+        freq = ibincount(inv, c, minlength=len(uk))
+        ln = np.char.str_len(uk).astype(np.int64)
+        lf = np.frexp(freq.astype(np.float64))[1].astype(np.int64) - 1
+        key = ln * np.int64(1 << 20) + lf
+        kk, n = np.unique(key, return_counts=True)
+        return pa.table({
+            "tok_len": pa.array((kk >> 20).astype(np.int64)),
+            "log2_freq": pa.array((kk & ((1 << 20) - 1))
+                                  .astype(np.int64)),
+            "n_tokens": pa.array(n.astype(np.int64)),
+        })
+
+    parts = group_apply_tasks(partial, ["tok"], _grid).take_all()
+    agg: dict[tuple, int] = {}
+    for p in parts:
+        k = (int(p["tok_len"]), int(p["log2_freq"]))
+        agg[k] = agg.get(k, 0) + p["n_tokens"]
+    ks = sorted(agg)
+    return pa.table({
+        "tok_len": pa.array([k[0] for k in ks], type=pa.int64()),
+        "log2_freq": pa.array([k[1] for k in ks], type=pa.int64()),
+        "n_tokens": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
+
+
+def q_user_type_div_hist(sf_dir: str):
+    """Behavioral-diversity census: histogram of DISTINCT event types
+    per user (n_types, n_users) — one user shuffle, bounded partials."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+
+    def _k(t: pa.Table) -> pa.Table:
+        empty = pa.table({"n_types": pa.array([], type=pa.int64()),
+                          "n_users": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return empty
+        uid = np.asarray(t.column("user_id"), dtype=np.int64)
+        et = np.asarray(t.column("event_type")).astype(str)
+        key = np.unique(np.char.add(np.char.add(
+            uid.astype(str), "\x1f"), et))
+        sp = np.char.partition(key, "\x1f")
+        _, c = np.unique(sp[:, 0], return_counts=True)
+        uk, n = np.unique(c, return_counts=True)
+        return pa.table({"n_types": pa.array(uk.astype(np.int64)),
+                         "n_users": pa.array(n.astype(np.int64))})
+
+    parts = group_apply_tasks(ev, ["user_id"], _k).take_all()
+    agg: dict[int, int] = {}
+    for p in parts:
+        agg[int(p["n_types"])] = agg.get(int(p["n_types"]), 0) \
+            + p["n_users"]
+    ks = sorted(agg)
+    return pa.table({
+        "n_types": pa.array(ks, type=pa.int64()),
+        "n_users": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
+
+
+def q_strong_triangles(sf_dir: str):
+    """Strong-tie closure: triangle count over the FULL distinct
+    undirected graph and over the PRUNED w >= 2 subgraph (symmetric
+    multiplicity; `PruneI` -> masked-SpGEMM composite, `SpParMat.h:161`)
+    — output rows (w_min, triangles). Strong ties close triangles at a
+    different rate than weak ones (Granovetter)."""
+    ctx = get_context(sf_dir)
+    g = ctx.graph("sym").dedup_sum()
+    rows = []
+    for wmin in (1, 2):
+        if wmin == 1:
+            edges = g.edges
+        else:
+            def _f(t: pa.Table, *, _w=wmin) -> pa.Table:
+                w = np.asarray(t.column("w"), dtype=np.float64)
+                return t.filter(pa.array(w >= _w))
+
+            edges = g.edges.map_batches(_f, batch_format="pyarrow")
+        cnt = alg.triangle_count(edges, ctx.n, method="join")
+        rows.append((wmin, int(cnt)))
+    return pa.table({
+        "w_min": pa.array([r[0] for r in rows], type=pa.int64()),
+        "triangles": pa.array([r[1] for r in rows], type=pa.int64()),
+    })
+
+
+def q_nation_top_brand(sf_dir: str):
+    """Group-ARGMAX over a join chain: for each customer nation, the
+    part brand with the highest revenue cents (ties -> brand asc).
+    lineitem->orders->customer joins co-partitioned with fused
+    projections; the part->brand map is the documented broadcast small
+    side; per-(nation, brand) partials are bounded (25 x 25)."""
+    import ray
+
+    from ..core.shuffle import hash_join_tasks
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_extendedprice",
+                 "l_discount"])
+    o = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_custkey"])
+    c = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_nationkey"])
+    p = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                              columns=["p_partkey", "p_brand"]).take_all()
+    pk = np.array(sorted(int(r["p_partkey"]) for r in p),
+                  dtype=np.int64)
+    bmap = dict((int(r["p_partkey"]), r["p_brand"]) for r in p)
+    bv = np.array([bmap[k] for k in pk], dtype=object)
+    pref = ray.put((pk, bv))
+
+    def _rev(t: pa.Table, *, _r=pref) -> pa.Table:
+        kk, vv = _r if isinstance(_r, tuple) else ray.get(_r)
+        if t.num_rows == 0:
+            return pa.table({"o_custkey": pa.array([], type=pa.int64()),
+                             "brand": pa.array([], type=pa.string()),
+                             "cents": pa.array([], type=pa.int64())})
+        part = np.asarray(t.column("l_partkey"), dtype=np.int64)
+        pos = np.minimum(np.searchsorted(kk, part), len(kk) - 1)
+        okm = kk[pos] == part
+        cents = np.floor(
+            np.asarray(t.column("l_extendedprice"), dtype=np.float64)
+            * (1.0 - np.asarray(t.column("l_discount"),
+                                dtype=np.float64)) * 100).astype(
+            np.int64)
+        return pa.table({
+            "o_custkey": pa.array(np.asarray(
+                t.column("o_custkey"), dtype=np.int64)[okm]),
+            "brand": pa.array(vv[pos][okm].tolist(),
+                              type=pa.string()),
+            "cents": pa.array(cents[okm]),
+        })
+
+    lo = hash_join_tasks(li, o, on="l_orderkey", right_on="o_orderkey",
+                         post=_rev)
+
+    def _agg(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"nk": pa.array([], type=pa.int64()),
+                             "brand": pa.array([], type=pa.string()),
+                             "cents": pa.array([], type=pa.int64())})
+        nk = np.asarray(t.column("c_nationkey"), dtype=np.int64)
+        br = np.asarray(t.column("brand")).astype(str)
+        cents = np.asarray(t.column("cents"), dtype=np.int64)
+        key = np.char.add(np.char.add(
+            np.char.zfill(nk.astype(str), 4), "\x1f"), br)
+        uk, inv = np.unique(key, return_inverse=True)
+        sp = np.char.partition(uk, "\x1f")
+        return pa.table({
+            "nk": pa.array(sp[:, 0].astype(np.int64)),
+            "brand": pa.array(sp[:, 2].tolist(), type=pa.string()),
+            "cents": pa.array(ibincount(inv, cents,
+                                        minlength=len(uk))),
+        })
+
+    parts = hash_join_tasks(lo, c, on="o_custkey",
+                            right_on="c_custkey",
+                            post=_agg).take_all()
+    agg: dict[tuple, int] = {}
+    for r in parts:
+        k = (int(r["nk"]), r["brand"])
+        agg[k] = agg.get(k, 0) + r["cents"]
+    best: dict[int, tuple] = {}
+    for (nk, br), cents in sorted(agg.items()):
+        cur = best.get(nk)
+        if cur is None or cents > cur[1]:
+            best[nk] = (br, cents)
+    ks = sorted(best)
+    return pa.table({
+        "nk": pa.array(ks, type=pa.int64()),
+        "top_brand": pa.array([best[k][0] for k in ks],
+                              type=pa.string()),
+        "cents": pa.array([best[k][1] for k in ks], type=pa.int64()),
+    })
