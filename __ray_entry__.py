@@ -61,7 +61,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LLM-data layer without a prior driver row (+ refactored dedup)
         # wave 14 (newest = highest regression risk)
         # wave 15
-        # wave 60 (round 4: newest = highest regression risk)
+        # wave 61 (round 4: newest = highest regression risk)
+        "daily_new_users": q.q_daily_new_users,
+        "centroid_dists": q.q_centroid_dists,
+        "priority_escalation": q.q_priority_escalation,
+        "supplier_brand_span": q.q_supplier_brand_span,
+        "disc_band_share": q.q_disc_band_share,
+        # wave 60 (round 4)
         "bfs_children_hist": q.q_bfs_children_hist,
         "len_freq_grid": q.q_len_freq_grid,
         "user_type_div_hist": q.q_user_type_div_hist,
@@ -86,14 +92,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fano_factor": q.q_fano_factor,
         "emb_pair_dots": q.q_emb_pair_dots,
         # wave 56 (round 4)
-        "type_audience_jaccard": q.q_type_audience_jaccard,
         "home_supplied_customers": q.q_home_supplied_customers,
-        "hourly_uniques": q.q_hourly_uniques,
-        "multi_supplier_orders": q.q_multi_supplier_orders,
         # wave 55 (round 4)
         "hub_asymmetry": q.q_hub_asymmetry,
         "dupgraph_triangles": q.q_dupgraph_triangles,
-        "peak_position": q.q_peak_position,
         # wave 54 (round 4)
         "yearend_ledger": q.q_yearend_ledger,
         # wave 53 (round 4)
@@ -101,7 +103,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tri_repo_mix": q.q_tri_repo_mix,
         "record_counts": q.q_record_counts,
         # wave 52 (round 4)
-        "weighted_median_price": q.q_weighted_median_price,
         "audio_lag_corr": q.q_audio_lag_corr,
         "poly_filter": q.q_poly_filter,
         "kmv_distinct": q.q_kmv_distinct,
@@ -154,6 +155,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
         "doc_length_extremes": q.q_doc_length_extremes,  # extremal scan (r3-green; window slot 50 kept from r3)
+        "weighted_median_price": q.q_weighted_median_price,  # weighted holistic (r4 wave-52 green; rotated for wave-61, nation_p90_orders quantile sibling)
+        "hourly_uniques": q.q_hourly_uniques,  # windowed distinct (r4 wave-56 green; rotated for wave-61, daily_new_users sibling)
+        "type_audience_jaccard": q.q_type_audience_jaccard,  # audience overlap (r4 wave-56 green; rotated for wave-61, user_type_div_hist sibling)
+        "multi_supplier_orders": q.q_multi_supplier_orders,  # facet HAVING (r4 wave-56 green; rotated for wave-61, supplier_brand_span sibling)
+        "peak_position": q.q_peak_position,  # argmax position (r4 wave-55 green; rotated for wave-61, priority_escalation sequence sibling)
         "succ_variety": q.q_succ_variety,  # successor census (r4 wave-54 green; rotated for wave-60, prefix_census/len_freq_grid siblings)
         "orders_autocorr": q.q_orders_autocorr,  # series stats (r4 wave-56 green; rotated for wave-60, fano_factor sibling)
         "loyal_customers": q.q_loyal_customers,  # derived division (r4 wave-55 green; rotated for wave-60, comeback_customers/yearend_ledger siblings)
@@ -503,6 +509,11 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "corpus_scan": o.corpus_scan(),
+        "daily_new_users": o.daily_new_users(),
+        "centroid_dists": o.centroid_dists(),
+        "priority_escalation": o.priority_escalation(),
+        "supplier_brand_span": o.supplier_brand_span(),
+        "disc_band_share": o.disc_band_share(q.DISC_BANDS),
         "bfs_children_hist": o.bfs_children_hist("m_0", q.BFS_ITERS),
         "len_freq_grid": o.len_freq_grid(),
         "user_type_div_hist": o.user_type_div_hist(),

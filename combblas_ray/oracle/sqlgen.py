@@ -8546,3 +8546,110 @@ r AS (
 )
 SELECT nk, brand AS top_brand, cents FROM r WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 61: daily new users, centroid distances, priority escalation,
+# supplier brand span, discount-band share
+# ---------------------------------------------------------------------------
+
+
+def daily_new_users() -> str:
+    """Per-day active vs first-ever users (twin of
+    `queries.q_daily_new_users`)."""
+    return """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events
+),
+act AS (
+  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+  FROM e GROUP BY 1
+),
+fst AS (SELECT user_id, min(day) AS day FROM e GROUP BY 1),
+new_ AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new FROM fst
+         GROUP BY 1)
+SELECT act.day, act.n_active,
+       CAST(coalesce(new_.n_new, 0) AS BIGINT) AS n_new
+FROM act LEFT JOIN new_ ON new_.day = act.day
+"""
+
+
+def centroid_dists(dim: int = 64, qscale: int = 1 << 20) -> str:
+    """Pairwise squared distances between per-label integer centroids
+    (twin of `queries.q_centroid_dists`)."""
+    return f"""
+WITH q AS (
+  SELECT label, CAST(g.d - 1 AS BIGINT) AS dim,
+         CAST(floor((CAST(embedding[CAST(g.d AS INT)] AS DOUBLE) + 0.5)
+                    * {qscale}) AS BIGINT) AS q
+  FROM embeddings CROSS JOIN generate_series(1, {dim}) g(d)
+),
+c AS (
+  SELECT CAST(label AS BIGINT) AS label, dim,
+         CAST(floor(sum(q) / count(*)) AS BIGINT) AS cq
+  FROM q GROUP BY 1, 2
+)
+SELECT a.label AS la, b.label AS lb,
+       CAST(sum((a.cq - b.cq) * (a.cq - b.cq)) AS BIGINT) AS dist2
+FROM c a JOIN c b ON b.dim = a.dim AND a.label < b.label
+GROUP BY 1, 2
+"""
+
+
+def priority_escalation() -> str:
+    """Consecutive-order priority transitions per customer, classified
+    by leading digit (twin of `queries.q_priority_escalation`)."""
+    return """
+WITH r AS (
+  SELECT o_custkey,
+         CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS dig,
+         lag(CAST(substring(o_orderpriority, 1, 1) AS BIGINT))
+           OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS pdig
+  FROM orders
+)
+SELECT CAST(sum(CASE WHEN pdig IS NOT NULL AND dig < pdig
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+       CAST(sum(CASE WHEN pdig IS NOT NULL AND dig > pdig
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+       CAST(sum(CASE WHEN pdig IS NOT NULL AND dig = pdig
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+FROM r
+"""
+
+
+def supplier_brand_span() -> str:
+    """Distinct-brand-per-supplier histogram (twin of
+    `queries.q_supplier_brand_span`)."""
+    return """
+WITH sb AS (
+  SELECT DISTINCT l_suppkey, p_brand
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+),
+per AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS brands FROM sb
+        GROUP BY 1)
+SELECT brands, CAST(count(*) AS BIGINT) AS n_suppliers
+FROM per GROUP BY 1
+"""
+
+
+def disc_band_share(bands: tuple = (0, 3, 6, 9)) -> str:
+    """Lineitem count + revenue cents per discount band (twin of
+    `queries.q_disc_band_share`)."""
+    cuts = list(bands[1:])
+    case = "CASE "
+    for i, c in enumerate(cuts):
+        case += f"WHEN dc < {c} THEN {i} "
+    case += f"ELSE {len(cuts)} END"
+    return f"""
+WITH v AS (
+  SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dc,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+)
+SELECT CAST({case} AS BIGINT) AS band,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM v GROUP BY 1
+"""

@@ -17053,3 +17053,250 @@ def q_nation_top_brand(sf_dir: str):
                               type=pa.string()),
         "cents": pa.array([best[k][1] for k in ks], type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 61: daily new users, centroid distances, priority escalation,
+# supplier brand span, discount-band revenue share
+# ---------------------------------------------------------------------------
+
+
+def q_daily_new_users(sf_dir: str):
+    """User-novelty curve: per day, the number of distinct active
+    users and how many of them are NEW (first-ever event that day) —
+    the acquisition/returning split. Two bounded aggregates off one
+    user shuffle: per-user first-day plus per-(day,user) distinct."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    US_DAY = np.int64(86_400_000_000)
+
+    def _k(t: pa.Table) -> pa.Table:
+        empty = pa.table({"day": pa.array([], type=pa.int64()),
+                          "n_active": pa.array([], type=pa.int64()),
+                          "n_new": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return empty
+        uid = np.asarray(t.column("user_id"), dtype=np.int64)
+        day = np.asarray(t.column("ts")).astype(
+            "datetime64[us]").view(np.int64) // US_DAY
+        key = np.unique(_pack20(uid, day))  # width-asserted pack
+        u = (key >> 20).astype(np.int64)
+        d = (key & ((1 << 20) - 1)).astype(np.int64)
+        act_d, act_c = np.unique(d, return_counts=True)
+        # first day per user: key sorted -> first row of each user run
+        first = np.concatenate([[True], u[1:] != u[:-1]])
+        new_d, new_c = np.unique(d[first], return_counts=True)
+        days = np.union1d(act_d, new_d)
+        na = np.zeros(len(days), dtype=np.int64)
+        na[np.searchsorted(days, act_d)] = act_c
+        nn = np.zeros(len(days), dtype=np.int64)
+        nn[np.searchsorted(days, new_d)] = new_c
+        return pa.table({"day": pa.array(days),
+                         "n_active": pa.array(na),
+                         "n_new": pa.array(nn)})
+
+    parts = group_apply_tasks(ev, ["user_id"], _k).take_all()
+    agg: dict[int, list[int]] = {}
+    for p in parts:
+        e = agg.setdefault(int(p["day"]), [0, 0])
+        e[0] += p["n_active"]
+        e[1] += p["n_new"]
+    ks = sorted(agg)
+    return pa.table({
+        "day": pa.array(ks, type=pa.int64()),
+        "n_active": pa.array([agg[k][0] for k in ks], type=pa.int64()),
+        "n_new": pa.array([agg[k][1] for k in ks], type=pa.int64()),
+    })
+
+
+def q_centroid_dists(sf_dir: str):
+    """Pairwise exact squared distances between the per-label integer
+    centroids (the `label_centroids` floor-means) — the class-geometry
+    audit (which classes sit close). Bounded: labels^2 driver rows over
+    the distributed centroid aggregate."""
+    t = q_label_centroids(sf_dir)
+    lab = np.asarray(t.column("label"), dtype=np.int64)
+    dim = np.asarray(t.column("dim"), dtype=np.int64)
+    cq = np.asarray(t.column("centroid_q"), dtype=np.int64)
+    ul = np.unique(lab)
+    nd = int(dim.max()) + 1
+    C = np.zeros((len(ul), nd), dtype=np.int64)
+    C[np.searchsorted(ul, lab), dim] = cq
+    la, lb, d2 = [], [], []
+    for i in range(len(ul)):
+        for j in range(i + 1, len(ul)):
+            diff = C[i] - C[j]
+            la.append(int(ul[i]))
+            lb.append(int(ul[j]))
+            d2.append(int((diff * diff).sum()))
+    return pa.table({"la": pa.array(la, type=pa.int64()),
+                     "lb": pa.array(lb, type=pa.int64()),
+                     "dist2": pa.array(d2, type=pa.int64())})
+
+
+def q_priority_escalation(sf_dir: str):
+    """Consecutive-order priority ESCALATION census per customer:
+    transitions classified by the leading priority digit (1-URGENT ..
+    5-LOW; lower digit = more urgent) as up (more urgent), down, or
+    same — the order-domain sequence-transition matrix summary. Orders
+    sequenced by (date, orderkey); one custkey shuffle."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    o = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate",
+                 "o_orderpriority"])
+
+    def _k(t: pa.Table) -> pa.Table:
+        empty = pa.table({"n_up": pa.array([], type=pa.int64()),
+                          "n_down": pa.array([], type=pa.int64()),
+                          "n_same": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "o_custkey" not in t.column_names:
+            return empty
+        ck = np.asarray(t.column("o_custkey"), dtype=np.int64)
+        ok_ = np.asarray(t.column("o_orderkey"), dtype=np.int64)
+        d = np.asarray(t.column("o_orderdate")).astype(
+            "datetime64[us]").view(np.int64)
+        pr = np.asarray(t.column("o_orderpriority")).astype(str)
+        dig = pr.astype('U1').astype(np.int64)  # leading digit
+        order = np.lexsort((ok_, d, ck))
+        ck, dig = ck[order], dig[order]
+        same_c = ck[1:] == ck[:-1]
+        diff = dig[1:] - dig[:-1]
+        return pa.table({
+            "n_up": pa.array([int((same_c & (diff < 0)).sum())],
+                             type=pa.int64()),
+            "n_down": pa.array([int((same_c & (diff > 0)).sum())],
+                               type=pa.int64()),
+            "n_same": pa.array([int((same_c & (diff == 0)).sum())],
+                               type=pa.int64()),
+        })
+
+    parts = group_apply_tasks(o, ["o_custkey"], _k).take_all()
+    return pa.table({
+        "n_up": pa.array([sum(p["n_up"] for p in parts)],
+                         type=pa.int64()),
+        "n_down": pa.array([sum(p["n_down"] for p in parts)],
+                           type=pa.int64()),
+        "n_same": pa.array([sum(p["n_same"] for p in parts)],
+                           type=pa.int64()),
+    })
+
+
+def q_supplier_brand_span(sf_dir: str):
+    """Supplier assortment census: distinct part BRANDS shipped per
+    supplier, as a (brands, n_suppliers) histogram — the supply-chain
+    diversity profile. Brand map broadcast; one suppkey shuffle of
+    distinct (supplier, brand) partials."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_suppkey", "l_partkey"])
+    p = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                              columns=["p_partkey", "p_brand"]).take_all()
+    pk = np.array(sorted(int(r["p_partkey"]) for r in p),
+                  dtype=np.int64)
+    bmap = dict((int(r["p_partkey"]), r["p_brand"]) for r in p)
+    bv = np.array([bmap[k] for k in pk], dtype=object)
+    pref = ray.put((pk, bv))
+
+    def _pre(t: pa.Table, *, _r=pref) -> pa.Table:
+        kk, vv = _r if isinstance(_r, tuple) else ray.get(_r)
+        empty = pa.table({"sk": pa.array([], type=pa.int64()),
+                          "brand": pa.array([], type=pa.string())})
+        if t.num_rows == 0:
+            return empty
+        sk = np.asarray(t.column("l_suppkey"), dtype=np.int64)
+        part = np.asarray(t.column("l_partkey"), dtype=np.int64)
+        pos = np.minimum(np.searchsorted(kk, part), len(kk) - 1)
+        okm = kk[pos] == part
+        key = np.unique(np.char.add(np.char.add(
+            sk[okm].astype(str), "\x1f"),
+            vv[pos][okm].astype(str)))
+        sp = np.char.partition(key, "\x1f")
+        return pa.table({"sk": pa.array(sp[:, 0].astype(np.int64)),
+                         "brand": pa.array(sp[:, 2].tolist(),
+                                           type=pa.string())})
+
+    pre = li.map_batches(_pre, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+    def _k(t: pa.Table) -> pa.Table:
+        empty = pa.table({"brands": pa.array([], type=pa.int64()),
+                          "n_suppliers": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "sk" not in t.column_names:
+            return empty
+        key = np.unique(np.char.add(np.char.add(
+            np.asarray(t.column("sk"), dtype=np.int64).astype(str),
+            "\x1f"), np.asarray(t.column("brand")).astype(str)))
+        sp = np.char.partition(key, "\x1f")
+        _, c = np.unique(sp[:, 0], return_counts=True)
+        uk, n = np.unique(c, return_counts=True)
+        return pa.table({"brands": pa.array(uk.astype(np.int64)),
+                         "n_suppliers": pa.array(n.astype(np.int64))})
+
+    parts = group_apply_tasks(pre, ["sk"], _k).take_all()
+    agg: dict[int, int] = {}
+    for p_ in parts:
+        agg[int(p_["brands"])] = agg.get(int(p_["brands"]), 0) \
+            + p_["n_suppliers"]
+    ks = sorted(agg)
+    return pa.table({
+        "brands": pa.array(ks, type=pa.int64()),
+        "n_suppliers": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
+
+
+DISC_BANDS = (0, 3, 6, 9)
+
+
+def q_disc_band_share(sf_dir: str):
+    """Revenue by discount band (cents bands 0-2, 3-5, 6-8, 9+):
+    lineitem count and exact revenue cents per band — the promo-mix
+    profile, shuffle-free bounded partials."""
+    import ray
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_discount", "l_extendedprice"])
+
+    def _part(t: pa.Table) -> pa.Table:
+        dc = np.floor(np.asarray(t.column("l_discount"),
+                                 dtype=np.float64) * 100
+                      + 0.5).astype(np.int64)
+        cents = np.floor(
+            np.asarray(t.column("l_extendedprice"), dtype=np.float64)
+            * 100 + 0.5).astype(np.int64)
+        band = np.searchsorted(np.array(DISC_BANDS[1:], dtype=np.int64),
+                               dc, side="right")
+        n = np.bincount(band, minlength=len(DISC_BANDS)).astype(
+            np.int64)
+        s = ibincount(band, cents, minlength=len(DISC_BANDS))
+        return pa.table({
+            "band": pa.array(np.arange(len(DISC_BANDS),
+                                       dtype=np.int64)),
+            "n_lines": pa.array(n),
+            "sum_cents": pa.array(s),
+        })
+
+    parts = li.map_batches(_part, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    agg = np.zeros((len(DISC_BANDS), 2), dtype=np.int64)
+    for p in parts:
+        agg[int(p["band"]), 0] += p["n_lines"]
+        agg[int(p["band"]), 1] += p["sum_cents"]
+    keep = agg[:, 0] > 0  # SQL GROUP BY omits empty bands
+    return pa.table({
+        "band": pa.array(np.arange(len(DISC_BANDS),
+                                   dtype=np.int64)[keep]),
+        "n_lines": pa.array(agg[keep, 0]),
+        "sum_cents": pa.array(agg[keep, 1]),
+    })
