@@ -61,7 +61,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LLM-data layer without a prior driver row (+ refactored dedup)
         # wave 14 (newest = highest regression risk)
         # wave 15
-        # wave 61 (round 4: newest = highest regression risk)
+        # wave 62 (round 4: newest = highest regression risk)
+        "type_run_hist": q.q_type_run_hist,
+        "lsh_bucket_census": q.q_lsh_bucket_census,
+        "status_line_grid": q.q_status_line_grid,
+        "quality_gate_grid": q.q_quality_gate_grid,
+        "local_homophily_hist": q.q_local_homophily_hist,
+        # wave 61 (round 4)
         "daily_new_users": q.q_daily_new_users,
         "centroid_dists": q.q_centroid_dists,
         "priority_escalation": q.q_priority_escalation,
@@ -97,15 +103,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hub_asymmetry": q.q_hub_asymmetry,
         "dupgraph_triangles": q.q_dupgraph_triangles,
         # wave 54 (round 4)
-        "yearend_ledger": q.q_yearend_ledger,
         # wave 53 (round 4)
-        "prefix_census": q.q_prefix_census,
-        "tri_repo_mix": q.q_tri_repo_mix,
-        "record_counts": q.q_record_counts,
         # wave 52 (round 4)
         "audio_lag_corr": q.q_audio_lag_corr,
         "poly_filter": q.q_poly_filter,
-        "kmv_distinct": q.q_kmv_distinct,
         # wave 51 (round 4)
         "knn_confusion": q.q_knn_confusion,
         "lang_norm_stats": q.q_lang_norm_stats,
@@ -155,6 +156,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
         "doc_length_extremes": q.q_doc_length_extremes,  # extremal scan (r3-green; window slot 50 kept from r3)
+        "record_counts": q.q_record_counts,  # running extremum (r4 wave-53 green; rotated for wave-62, type_run_hist sequence sibling)
+        "kmv_distinct": q.q_kmv_distinct,  # KMV sketch (r4 wave-52 green; rotated for wave-62, lsh_bucket_census bucket sibling)
+        "tri_repo_mix": q.q_tri_repo_mix,  # triangle homophily (r4 wave-53 green; rotated for wave-62, local_homophily_hist sibling)
+        "yearend_ledger": q.q_yearend_ledger,  # gap-fill ledger (r4 wave-54 green; rotated for wave-62, daily_new_users curve sibling)
+        "prefix_census": q.q_prefix_census,  # trie profile (r4 wave-53 green; rotated for wave-62, len_freq_grid vocab sibling)
         "weighted_median_price": q.q_weighted_median_price,  # weighted holistic (r4 wave-52 green; rotated for wave-61, nation_p90_orders quantile sibling)
         "hourly_uniques": q.q_hourly_uniques,  # windowed distinct (r4 wave-56 green; rotated for wave-61, daily_new_users sibling)
         "type_audience_jaccard": q.q_type_audience_jaccard,  # audience overlap (r4 wave-56 green; rotated for wave-61, user_type_div_hist sibling)
@@ -509,6 +515,11 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "corpus_scan": o.corpus_scan(),
+        "type_run_hist": o.type_run_hist(),
+        "lsh_bucket_census": o.lsh_bucket_census(q.LSHC_DIMS),
+        "status_line_grid": o.status_line_grid(),
+        "quality_gate_grid": o.quality_gate_grid(q.PREP_MIN_TOKS, q.PREP_MIN_DR_NUM, q.PREP_MIN_DR_DEN),
+        "local_homophily_hist": o.local_homophily_hist(q.HOMO_BUCKETS),
         "daily_new_users": o.daily_new_users(),
         "centroid_dists": o.centroid_dists(),
         "priority_escalation": o.priority_escalation(),

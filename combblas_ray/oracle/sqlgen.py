@@ -8653,3 +8653,111 @@ SELECT CAST({case} AS BIGINT) AS band,
        CAST(sum(cents) AS BIGINT) AS sum_cents
 FROM v GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 62: run-length histogram, LSH bucket census, status-line grid,
+# quality-gate grid, local homophily
+# ---------------------------------------------------------------------------
+
+
+def type_run_hist() -> str:
+    """Same-type run-length histogram per user sequence (twin of
+    `queries.q_type_run_hist`; islands via rank difference)."""
+    return """
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rt
+  FROM events
+),
+runs AS (
+  SELECT user_id, event_type, rn - rt AS grp,
+         CAST(count(*) AS BIGINT) AS len
+  FROM r GROUP BY 1, 2, 3
+)
+SELECT len AS run_len, CAST(count(*) AS BIGINT) AS n_runs
+FROM runs GROUP BY 1
+"""
+
+
+def lsh_bucket_census(dims: int = 8, qscale: int = 1 << 20) -> str:
+    """Sign-LSH bucket-size histogram over dims 0..dims-1 (twin of
+    `queries.q_lsh_bucket_census`)."""
+    half = qscale // 2
+    return f"""
+WITH q AS (
+  SELECT vec_id, CAST(g.d - 1 AS BIGINT) AS dim,
+         CAST(floor((CAST(embedding[CAST(g.d AS INT)] AS DOUBLE) + 0.5)
+                    * {qscale}) AS BIGINT) AS q
+  FROM embeddings CROSS JOIN generate_series(1, {dims}) g(d)
+),
+b AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN q >= {half} THEN 1 << dim ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM q GROUP BY 1
+),
+sz AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1)
+SELECT c AS bucket_size, CAST(count(*) AS BIGINT) AS n_buckets
+FROM sz GROUP BY 1
+"""
+
+
+def status_line_grid() -> str:
+    """Lineitem counts per (order status, line status) (twin of
+    `queries.q_status_line_grid`)."""
+    return """
+SELECT o_orderstatus, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+GROUP BY 1, 2
+"""
+
+
+def quality_gate_grid(min_toks: int = 5, dr_num: int = 1,
+                      dr_den: int = 2) -> str:
+    """2x2 quality-gate census (twin of
+    `queries.q_quality_gate_grid`)."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+flat AS (
+  SELECT doc_id, unnest(l) AS tok FROM t
+),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS nt,
+         CAST(count(DISTINCT tok) AS BIGINT) AS nd
+  FROM flat GROUP BY 1
+)
+SELECT CAST(CASE WHEN nt >= {min_toks} THEN 1 ELSE 0 END AS BIGINT)
+         AS pass_len,
+       CAST(CASE WHEN nd * {dr_den} >= nt * {dr_num} THEN 1 ELSE 0 END
+            AS BIGINT) AS pass_ratio,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM per GROUP BY 1, 2
+"""
+
+
+@_materialized
+def local_homophily_hist(buckets: int = 10) -> str:
+    """Same-repo neighbor-share decile histogram (twin of
+    `queries.q_local_homophily_hist`)."""
+    return PREFIX + f"""
+, undd AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+per AS (
+  SELECT src AS v, CAST(count(*) AS BIGINT) AS tot,
+         CAST(sum(CASE WHEN src % 100 = dst % 100 THEN 1 ELSE 0 END)
+              AS BIGINT) AS same
+  FROM undd GROUP BY 1
+)
+SELECT CAST(least(same * {buckets} // tot, {buckets - 1}) AS BIGINT)
+         AS decile,
+       CAST(count(*) AS BIGINT) AS n_vertices
+FROM per GROUP BY 1
+"""

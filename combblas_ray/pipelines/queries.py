@@ -17300,3 +17300,274 @@ def q_disc_band_share(sf_dir: str):
         "n_lines": pa.array(agg[keep, 0]),
         "sum_cents": pa.array(agg[keep, 1]),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 62: type-run histogram, LSH bucket census, status-line grid,
+# quality-gate grid, local homophily histogram
+# ---------------------------------------------------------------------------
+
+
+def q_type_run_hist(sf_dir: str):
+    """Run-length DISTRIBUTION of consecutive same-type events per
+    user sequence ((ts, event_id) order): histogram (run_len, n_runs)
+    — the full islands census behind `max_type_run`'s extremum. One
+    user shuffle, vectorized run detection."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"])
+
+    def _k(t: pa.Table) -> pa.Table:
+        empty = pa.table({"run_len": pa.array([], type=pa.int64()),
+                          "n_runs": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return empty
+        uid = np.asarray(t.column("user_id"), dtype=np.int64)
+        tsi = np.asarray(t.column("ts")).astype(
+            "datetime64[us]").view(np.int64)
+        eid = np.asarray(t.column("event_id"), dtype=np.int64)
+        et = np.asarray(t.column("event_type")).astype(str)
+        order = np.lexsort((eid, tsi, uid))
+        uid, et = uid[order], et[order]
+        new = np.concatenate([[True], (uid[1:] != uid[:-1])
+                              | (et[1:] != et[:-1])])
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.concatenate([starts, [len(uid)]]))
+        uk, c = np.unique(lens, return_counts=True)
+        return pa.table({"run_len": pa.array(uk.astype(np.int64)),
+                         "n_runs": pa.array(c.astype(np.int64))})
+
+    parts = group_apply_tasks(ev, ["user_id"], _k).take_all()
+    agg: dict[int, int] = {}
+    for p in parts:
+        agg[int(p["run_len"])] = agg.get(int(p["run_len"]), 0) \
+            + p["n_runs"]
+    ks = sorted(agg)
+    return pa.table({
+        "run_len": pa.array(ks, type=pa.int64()),
+        "n_runs": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
+
+
+LSHC_DIMS = 8
+
+
+def q_lsh_bucket_census(sf_dir: str):
+    """Sign-LSH bucket BALANCE audit: bucket = the 8-bit sign pattern
+    of dims 0..7 of the quantized embedding (q >= 2^19 -> original
+    value >= 0, bit set); output the histogram of bucket sizes
+    (bucket_size, n_buckets). Skewed bucket occupancy predicts LSH
+    probe blowup — the planning census before `ann_lsh_topk`."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    HALF = np.int64(1 << 19)  # q = floor((x+0.5)*2^20); x>=0 <=> q>=2^19
+
+    def _b(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"bucket": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+        _, Q = _km_quant(t)
+        bits = (Q[:, :LSHC_DIMS] >= HALF).astype(np.int64)
+        bucket = (bits << np.arange(LSHC_DIMS,
+                                    dtype=np.int64)).sum(axis=1)
+        uk, c = np.unique(bucket, return_counts=True)
+        return pa.table({"bucket": pa.array(uk),
+                         "c": pa.array(c.astype(np.int64))})
+
+    parts = emb.map_batches(_b, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def _m(t: pa.Table) -> pa.Table:
+        empty = pa.table({"bucket_size": pa.array([], type=pa.int64()),
+                          "n_buckets": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "bucket" not in t.column_names:
+            return empty
+        b = np.asarray(t.column("bucket"), dtype=np.int64)
+        c = np.asarray(t.column("c"), dtype=np.int64)
+        uk, inv = np.unique(b, return_inverse=True)
+        tot = ibincount(inv, c, minlength=len(uk))
+        sz, n = np.unique(tot, return_counts=True)
+        return pa.table({"bucket_size": pa.array(sz.astype(np.int64)),
+                         "n_buckets": pa.array(n.astype(np.int64))})
+
+    parts2 = group_apply_tasks(parts, ["bucket"], _m).take_all()
+    agg: dict[int, int] = {}
+    for p in parts2:
+        agg[int(p["bucket_size"])] = agg.get(int(p["bucket_size"]), 0) \
+            + p["n_buckets"]
+    ks = sorted(agg)
+    return pa.table({
+        "bucket_size": pa.array(ks, type=pa.int64()),
+        "n_buckets": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
+
+
+def q_status_line_grid(sf_dir: str):
+    """Cross-table consistency audit: lineitem counts per
+    (o_orderstatus, l_linestatus) pair — the order-vs-line lifecycle
+    agreement grid, one co-partitioned orderkey join with the pair
+    count fused in."""
+    import ray
+
+    from ..core.shuffle import hash_join_tasks
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_linestatus"])
+    o = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_orderstatus"])
+
+    def _agg(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"os": pa.array([], type=pa.string()),
+                             "ls": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        osv = np.asarray(t.column("o_orderstatus")).astype(str)
+        lsv = np.asarray(t.column("l_linestatus")).astype(str)
+        key = np.char.add(np.char.add(osv, "\x1f"), lsv)
+        uk, c = np.unique(key, return_counts=True)
+        sp = np.char.partition(uk, "\x1f")
+        return pa.table({"os": pa.array(sp[:, 0].tolist(),
+                                        type=pa.string()),
+                         "ls": pa.array(sp[:, 2].tolist(),
+                                        type=pa.string()),
+                         "n": pa.array(c.astype(np.int64))})
+
+    parts = hash_join_tasks(li, o, on="l_orderkey",
+                            right_on="o_orderkey",
+                            post=_agg).take_all()
+    agg: dict[tuple, int] = {}
+    for p in parts:
+        k = (p["os"], p["ls"])
+        agg[k] = agg.get(k, 0) + p["n"]
+    ks = sorted(agg)
+    return pa.table({
+        "o_orderstatus": pa.array([k[0] for k in ks],
+                                  type=pa.string()),
+        "l_linestatus": pa.array([k[1] for k in ks],
+                                 type=pa.string()),
+        "n_lines": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
+
+
+def q_quality_gate_grid(sf_dir: str):
+    """Quality-gate 2x2 census: documents counted by (passes the
+    length gate, passes the distinct-ratio gate) — the audit face of
+    `prep_corpus`'s fused filter (which cells does the gate actually
+    cut?). Shuffle-free bounded partials."""
+    import ray
+
+    from ..functions.text import tokens_list
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["text"])
+
+    def _part(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"pass_len": pa.array([], type=pa.int64()),
+                             "pass_ratio": pa.array([], type=pa.int64()),
+                             "n_docs": pa.array([], type=pa.int64())})
+        toks = tokens_list(b)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = np.asarray(pc.list_flatten(toks)).astype(str)
+        lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        par = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+        # distinct-per-doc, fully vectorized: sort (doc, token), count
+        # first occurrences per doc
+        order = np.lexsort((flat, par))
+        pp, ff = par[order], flat[order]
+        first = np.concatenate([[True], (pp[1:] != pp[:-1])
+                                | (ff[1:] != ff[:-1])])
+        nd = np.bincount(pp[first], minlength=b.num_rows).astype(
+            np.int64)
+        pl = (lens >= PREP_MIN_TOKS).astype(np.int64)
+        pr = (nd * PREP_MIN_DR_DEN >= lens * PREP_MIN_DR_NUM).astype(
+            np.int64)
+        key = pl * 2 + pr
+        c = np.bincount(key, minlength=4).astype(np.int64)
+        return pa.table({
+            "pass_len": pa.array(np.array([0, 0, 1, 1],
+                                          dtype=np.int64)),
+            "pass_ratio": pa.array(np.array([0, 1, 0, 1],
+                                            dtype=np.int64)),
+            "n_docs": pa.array(c),
+        })
+
+    parts = docs.map_batches(_part, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all()
+    agg = np.zeros(4, dtype=np.int64)
+    for p in parts:
+        agg[int(p["pass_len"]) * 2 + int(p["pass_ratio"])] += \
+            p["n_docs"]
+    keep = agg > 0
+    pl = np.array([0, 0, 1, 1], dtype=np.int64)
+    pr = np.array([0, 1, 0, 1], dtype=np.int64)
+    return pa.table({
+        "pass_len": pa.array(pl[keep]),
+        "pass_ratio": pa.array(pr[keep]),
+        "n_docs": pa.array(agg[keep]),
+    })
+
+
+HOMO_BUCKETS = 10
+
+
+def q_local_homophily_hist(sf_dir: str):
+    """Node-level homophily distribution: per vertex, the share of
+    distinct neighbors in the SAME repo (repo = arith % 100), bucketed
+    floor(share * 10) — histogram (decile, n_vertices) over vertices
+    with >= 1 neighbor. Per-edge same-repo flags via the arith decoder,
+    one endpoint shuffle."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ctx = get_context(sf_dir)
+    be = ctx.graph("sym").dedup_sum().cast_bool().edges
+    dec = ctx.decoder()
+
+    def _flag(t: pa.Table, *, _d=dec) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"v": pa.array([], type=pa.int64()),
+                             "same": pa.array([], type=pa.int64())})
+        s = np.asarray(t.column("src"), dtype=np.int64)
+        d = np.asarray(t.column("dst"), dtype=np.int64)
+        same = (_d.arith(s) % 100 == _d.arith(d) % 100).astype(np.int64)
+        return pa.table({"v": pa.array(s), "same": pa.array(same)})
+
+    flags = be.map_batches(_flag, batch_format="pyarrow")
+
+    def _k(t: pa.Table) -> pa.Table:
+        empty = pa.table({"decile": pa.array([], type=pa.int64()),
+                          "n_vertices": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "v" not in t.column_names:
+            return empty
+        v = np.asarray(t.column("v"), dtype=np.int64)
+        sm = np.asarray(t.column("same"), dtype=np.int64)
+        uk, inv = np.unique(v, return_inverse=True)
+        tot = np.bincount(inv).astype(np.int64)
+        same = ibincount(inv, sm, minlength=len(uk))
+        dec_ = same * np.int64(HOMO_BUCKETS) // tot
+        dec_ = np.minimum(dec_, HOMO_BUCKETS - 1)  # share==1 -> top
+        uk2, c = np.unique(dec_, return_counts=True)
+        return pa.table({"decile": pa.array(uk2.astype(np.int64)),
+                         "n_vertices": pa.array(c.astype(np.int64))})
+
+    parts = group_apply_tasks(flags, ["v"], _k).take_all()
+    agg: dict[int, int] = {}
+    for p in parts:
+        agg[int(p["decile"])] = agg.get(int(p["decile"]), 0) \
+            + p["n_vertices"]
+    ks = sorted(agg)
+    return pa.table({
+        "decile": pa.array(ks, type=pa.int64()),
+        "n_vertices": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
