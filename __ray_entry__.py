@@ -61,7 +61,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LLM-data layer without a prior driver row (+ refactored dedup)
         # wave 14 (newest = highest regression risk)
         # wave 15
-        # wave 62 (round 4: newest = highest regression risk)
+        # wave 63 (round 4: newest = highest regression risk)
+        "brand_rank_concordance": q.q_brand_rank_concordance,
+        "reach2_hist": q.q_reach2_hist,
+        "dedup_share_by_source": q.q_dedup_share_by_source,
+        "type_gap_median": q.q_type_gap_median,
+        "brand_price_mode": q.q_brand_price_mode,
+        # wave 62 (round 4)
         "type_run_hist": q.q_type_run_hist,
         "lsh_bucket_census": q.q_lsh_bucket_census,
         "status_line_grid": q.q_status_line_grid,
@@ -88,7 +94,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 58 (round 4)
         "nn_hubness": q.q_nn_hubness,
         "hub_bisector": q.q_hub_bisector,
-        "lorenz_deciles": q.q_lorenz_deciles,
         "copurchase_degree_hist": q.q_copurchase_degree_hist,
         "comeback_customers": q.q_comeback_customers,
         # wave 57 (round 4)
@@ -98,17 +103,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fano_factor": q.q_fano_factor,
         "emb_pair_dots": q.q_emb_pair_dots,
         # wave 56 (round 4)
-        "home_supplied_customers": q.q_home_supplied_customers,
         # wave 55 (round 4)
-        "hub_asymmetry": q.q_hub_asymmetry,
-        "dupgraph_triangles": q.q_dupgraph_triangles,
         # wave 54 (round 4)
         # wave 53 (round 4)
         # wave 52 (round 4)
         "audio_lag_corr": q.q_audio_lag_corr,
         "poly_filter": q.q_poly_filter,
         # wave 51 (round 4)
-        "knn_confusion": q.q_knn_confusion,
         "lang_norm_stats": q.q_lang_norm_stats,
         # wave 50 (round 4)
         "edge_support_hist": q.q_edge_support_hist,
@@ -156,6 +157,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
         "doc_length_extremes": q.q_doc_length_extremes,  # extremal scan (r3-green; window slot 50 kept from r3)
+        "knn_confusion": q.q_knn_confusion,  # 1-NN matrix (r4 wave-51 green; rotated for wave-63, nn_hubness sibling)
+        "home_supplied_customers": q.q_home_supplied_customers,  # 4-table semi-join (r4 wave-56 green; rotated for wave-63, nation_top_brand/brand_rank_concordance siblings)
+        "dupgraph_triangles": q.q_dupgraph_triangles,  # composite dedup->graph (r4 wave-55 green; rotated for wave-63, dedup_share_by_source/dup_cluster_purity siblings)
+        "lorenz_deciles": q.q_lorenz_deciles,  # inequality curve (r4 wave-58 green; rotated for wave-63, decile_priority_grid sibling)
+        "hub_asymmetry": q.q_hub_asymmetry,  # directed hub census (r4 wave-55 green; rotated for wave-63, hub_bisector same machinery)
         "record_counts": q.q_record_counts,  # running extremum (r4 wave-53 green; rotated for wave-62, type_run_hist sequence sibling)
         "kmv_distinct": q.q_kmv_distinct,  # KMV sketch (r4 wave-52 green; rotated for wave-62, lsh_bucket_census bucket sibling)
         "tri_repo_mix": q.q_tri_repo_mix,  # triangle homophily (r4 wave-53 green; rotated for wave-62, local_homophily_hist sibling)
@@ -515,6 +521,11 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "corpus_scan": o.corpus_scan(),
+        "brand_rank_concordance": o.brand_rank_concordance(*q.BRC_YEARS),
+        "reach2_hist": o.reach2_hist(),
+        "dedup_share_by_source": o.dedup_share_by_source(),
+        "type_gap_median": o.type_gap_median(),
+        "brand_price_mode": o.brand_price_mode(),
         "type_run_hist": o.type_run_hist(),
         "lsh_bucket_census": o.lsh_bucket_census(q.LSHC_DIMS),
         "status_line_grid": o.status_line_grid(),

@@ -8761,3 +8761,130 @@ SELECT CAST(least(same * {buckets} // tot, {buckets - 1}) AS BIGINT)
        CAST(count(*) AS BIGINT) AS n_vertices
 FROM per GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 63: brand rank concordance, 2-hop ball census, dedup share by
+# source, type gap medians, brand price mode
+# ---------------------------------------------------------------------------
+
+
+def brand_rank_concordance(y1: int = 1995, y2: int = 1996) -> str:
+    """Kendall concordant/discordant/tied pair counts between two
+    years' brand revenue rankings (twin of
+    `queries.q_brand_rank_concordance`)."""
+    return f"""
+WITH rev AS (
+  SELECT p_brand AS brand,
+         CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr,
+         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)) AS cents
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN part   ON p_partkey = l_partkey
+  WHERE extract(year FROM o_orderdate) IN ({y1}, {y2})
+  GROUP BY 1, 2
+),
+w AS (
+  SELECT brand,
+         coalesce(max(CASE WHEN yr = {y1} THEN cents END), 0) AS a,
+         coalesce(max(CASE WHEN yr = {y2} THEN cents END), 0) AS b
+  FROM rev GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN x.a <> y.a AND x.b <> y.b
+                          AND ((x.a > y.a) = (x.b > y.b))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_concordant,
+       CAST(sum(CASE WHEN x.a <> y.a AND x.b <> y.b
+                          AND ((x.a > y.a) <> (x.b > y.b))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_discordant,
+       CAST(sum(CASE WHEN x.a = y.a OR x.b = y.b
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_tied
+FROM w x JOIN w y ON x.brand < y.brand
+"""
+
+
+@_materialized
+def reach2_hist() -> str:
+    """2-hop ball-size histogram over the undirected distinct graph
+    (twin of `queries.q_reach2_hist`)."""
+    return PREFIX + """
+, undd AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+two AS (
+  SELECT a.src AS v, b.dst AS u
+  FROM undd a JOIN undd b ON b.src = a.dst
+),
+ball AS (
+  SELECT DISTINCT v, u FROM (
+    SELECT src AS v, dst AS u FROM undd
+    UNION ALL SELECT v, u FROM two
+  ) WHERE v <> u
+),
+per AS (SELECT v, CAST(count(*) AS BIGINT) AS bs FROM ball GROUP BY 1)
+SELECT bs AS ball_size, CAST(count(*) AS BIGINT) AS n_vertices
+FROM per GROUP BY 1
+"""
+
+
+def dedup_share_by_source() -> str:
+    """Exact-dedup canonical share per source (twin of
+    `queries.q_dedup_share_by_source`; canonical = min doc_id per
+    sorted-distinct-token key)."""
+    return """
+WITH k AS (
+  SELECT doc_id, source,
+         array_to_string(
+           list_sort(list_distinct(string_split(text, ' '))), ' ')
+           AS key
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY key)
+              THEN 1 ELSE 0 END AS canon
+  FROM k
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(canon) AS BIGINT) AS n_canonical
+FROM c GROUP BY 1
+"""
+
+
+def type_gap_median() -> str:
+    """Per-type inter-event gap quantiles in global (ts, event_id)
+    order (twin of `queries.q_type_gap_median`)."""
+    return """
+WITH r AS (
+  SELECT event_type, epoch_us(ts) AS t,
+         lag(epoch_us(ts)) OVER (PARTITION BY event_type
+                                 ORDER BY ts, event_id) AS pt
+  FROM events
+),
+g AS (SELECT event_type, CAST(t - pt AS BIGINT) AS gap FROM r
+      WHERE pt IS NOT NULL)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(quantile_disc(gap, 0.5) AS BIGINT) AS gap_q50_us,
+       CAST(quantile_disc(gap, 0.9) AS BIGINT) AS gap_q90_us
+FROM g GROUP BY 1
+"""
+
+
+def brand_price_mode() -> str:
+    """Modal retail price cents per brand, ties -> lowest cents (twin
+    of `queries.q_brand_price_mode`)."""
+    return """
+WITH c AS (
+  SELECT p_brand,
+         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS n
+  FROM part GROUP BY 1, 2
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY p_brand
+                               ORDER BY n DESC, cents) AS rn
+  FROM c
+)
+SELECT p_brand, cents AS modal_cents, n FROM r WHERE rn = 1
+"""

@@ -17571,3 +17571,313 @@ def q_local_homophily_hist(sf_dir: str):
         "decile": pa.array(ks, type=pa.int64()),
         "n_vertices": pa.array([agg[k] for k in ks], type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 63: brand rank concordance, 2-hop ball census, dedup share by
+# source, type gap medians, brand price mode
+# ---------------------------------------------------------------------------
+
+BRC_YEARS = (1995, 1996)
+
+
+def q_brand_rank_concordance(sf_dir: str):
+    """Kendall-tau SUFFICIENT COUNTS between two years' brand revenue
+    rankings: over all brand pairs, concordant / discordant / tied
+    (exact integer cents revenues; the rank-stability audit between
+    periods). Distributed per-(brand, year) sums; the 25-brand pair
+    scan is driver-side."""
+    import ray
+
+    from ..core.shuffle import hash_join_tasks
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_extendedprice",
+                 "l_discount"])
+    o = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_orderdate"])
+    p = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                              columns=["p_partkey", "p_brand"]).take_all()
+    pk = np.array(sorted(int(r["p_partkey"]) for r in p),
+                  dtype=np.int64)
+    bmap = dict((int(r["p_partkey"]), r["p_brand"]) for r in p)
+    bv = np.array([bmap[k] for k in pk], dtype=object)
+    pref = ray.put((pk, bv))
+
+    def _agg(t: pa.Table, *, _r=pref) -> pa.Table:
+        kk, vv = _r if isinstance(_r, tuple) else ray.get(_r)
+        empty = pa.table({"brand": pa.array([], type=pa.string()),
+                          "yr": pa.array([], type=pa.int64()),
+                          "cents": pa.array([], type=pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        yr = np.asarray(t.column("o_orderdate")).astype(
+            "datetime64[Y]").view(np.int64) + 1970
+        sel = (yr == BRC_YEARS[0]) | (yr == BRC_YEARS[1])
+        if not sel.any():
+            return empty
+        part = np.asarray(t.column("l_partkey"), dtype=np.int64)[sel]
+        pos = np.minimum(np.searchsorted(kk, part), len(kk) - 1)
+        okm = kk[pos] == part
+        cents = np.floor(
+            np.asarray(t.column("l_extendedprice"),
+                       dtype=np.float64)[sel]
+            * (1.0 - np.asarray(t.column("l_discount"),
+                                dtype=np.float64)[sel])
+            * 100).astype(np.int64)
+        key = np.char.add(np.char.add(
+            vv[pos][okm].astype(str), "\x1f"),
+            yr[sel][okm].astype(str))
+        uk, inv = np.unique(key, return_inverse=True)
+        sp = np.char.partition(uk, "\x1f")
+        return pa.table({
+            "brand": pa.array(sp[:, 0].tolist(), type=pa.string()),
+            "yr": pa.array(sp[:, 2].astype(np.int64)),
+            "cents": pa.array(ibincount(inv, cents[okm],
+                                        minlength=len(uk))),
+        })
+
+    parts = hash_join_tasks(li, o, on="l_orderkey",
+                            right_on="o_orderkey",
+                            post=_agg).take_all()
+    agg: dict[tuple, int] = {}
+    for r in parts:
+        k = (r["brand"], int(r["yr"]))
+        agg[k] = agg.get(k, 0) + r["cents"]
+    brands = sorted({k[0] for k in agg})
+    a = np.array([agg.get((b, BRC_YEARS[0]), 0) for b in brands],
+                 dtype=np.int64)
+    b = np.array([agg.get((b, BRC_YEARS[1]), 0) for b in brands],
+                 dtype=np.int64)
+    conc = disc = ties = 0
+    for i in range(len(brands)):
+        for j in range(i + 1, len(brands)):
+            da, db = a[i] - a[j], b[i] - b[j]
+            if da == 0 or db == 0:
+                ties += 1
+            elif (da > 0) == (db > 0):
+                conc += 1
+            else:
+                disc += 1
+    return pa.table({
+        "n_pairs": pa.array([conc + disc + ties], type=pa.int64()),
+        "n_concordant": pa.array([conc], type=pa.int64()),
+        "n_discordant": pa.array([disc], type=pa.int64()),
+        "n_tied": pa.array([ties], type=pa.int64()),
+    })
+
+
+def q_reach2_hist(sf_dir: str):
+    """2-hop BALL-SIZE census: per vertex, |{u != v : dist(v, u) <=
+    2}| over the undirected distinct graph, as a histogram
+    (ball_size, n_vertices) — composed from the boolean SpGEMM (A^2
+    edge relation) unioned with A, one src-keyed distinct count. The
+    neighborhood-function feed (HyperANF's exact small-radius twin)."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+    from ..core.spgemm import spgemm
+
+    ctx = get_context(sf_dir)
+    be = ctx.graph("sym").dedup_sum().cast_bool()
+    C = spgemm(be.edges, be.edges, ctx.n)
+
+    def _proj(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"src": pa.array([], type=pa.int64()),
+                             "dst": pa.array([], type=pa.int64())})
+        return pa.table({"src": t.column("src").cast(pa.int64()),
+                         "dst": t.column("dst").cast(pa.int64())})
+
+    both = C.map_batches(_proj, batch_format="pyarrow").union(
+        be.edges.map_batches(_proj, batch_format="pyarrow"))
+
+    def _k(t: pa.Table) -> pa.Table:
+        empty = pa.table({"ball_size": pa.array([], type=pa.int64()),
+                          "n_vertices": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "src" not in t.column_names:
+            return empty
+        s = np.asarray(t.column("src"), dtype=np.int64)
+        d = np.asarray(t.column("dst"), dtype=np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        key = np.unique(s * np.int64(1 << 31) + d)
+        cnt = np.bincount((key >> 31).astype(np.int64))
+        cnt = cnt[cnt > 0]
+        uk, c = np.unique(cnt, return_counts=True)
+        return pa.table({"ball_size": pa.array(uk.astype(np.int64)),
+                         "n_vertices": pa.array(c.astype(np.int64))})
+
+    parts = group_apply_tasks(both, ["src"], _k).take_all()
+    agg: dict[int, int] = {}
+    for p in parts:
+        agg[int(p["ball_size"])] = agg.get(int(p["ball_size"]), 0) \
+            + p["n_vertices"]
+    ks = sorted(agg)
+    return pa.table({
+        "ball_size": pa.array(ks, type=pa.int64()),
+        "n_vertices": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
+
+
+def q_dedup_share_by_source(sf_dir: str):
+    """Exact-dedup survivor share per SOURCE: per source, document
+    count and how many are their duplicate group's canonical (min
+    doc_id) representative — the per-slice dedup yield audit
+    (composite dedup -> metadata group)."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+    from ..functions.dedup import dedup_key
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "text"])
+
+    def _keyed(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"k": pa.array([], type=pa.string()),
+                             "doc_id": pa.array([], type=pa.int64()),
+                             "source": pa.array([], type=pa.string())})
+        keys = dedup_key(b.select(["doc_id", "text"]))
+        return pa.table({"k": keys,
+                         "doc_id": b.column("doc_id"),
+                         "source": b.column("source")})
+
+    keyed = docs.map_batches(_keyed, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def _canon(t: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], type=pa.string()),
+                          "n_docs": pa.array([], type=pa.int64()),
+                          "n_canonical": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "k" not in t.column_names:
+            return empty
+        k = np.asarray(t.column("k")).astype(str)
+        did = np.asarray(t.column("doc_id"), dtype=np.int64)
+        src_ = np.asarray(t.column("source")).astype(str)
+        order = np.lexsort((did, k))
+        k, did, src_ = k[order], did[order], src_[order]
+        first = np.concatenate([[True], k[1:] != k[:-1]])
+        canon = np.zeros(len(k), dtype=np.int64)
+        canon[first] = 1
+        uk, inv = np.unique(src_, return_inverse=True)
+        return pa.table({
+            "source": pa.array(uk.tolist(), type=pa.string()),
+            "n_docs": pa.array(np.bincount(
+                inv, minlength=len(uk)).astype(np.int64)),
+            "n_canonical": pa.array(ibincount(inv, canon,
+                                              minlength=len(uk))),
+        })
+
+    parts = group_apply_tasks(keyed, ["k"], _canon).take_all()
+    agg: dict[str, list[int]] = {}
+    for p in parts:
+        e = agg.setdefault(p["source"], [0, 0])
+        e[0] += p["n_docs"]
+        e[1] += p["n_canonical"]
+    ks = sorted(agg)
+    return pa.table({
+        "source": pa.array(ks, type=pa.string()),
+        "n_docs": pa.array([agg[k][0] for k in ks], type=pa.int64()),
+        "n_canonical": pa.array([agg[k][1] for k in ks],
+                                type=pa.int64()),
+    })
+
+
+def q_type_gap_median(sf_dir: str):
+    """Per event type: exact discrete median and p90 of the
+    inter-event gaps (microseconds) in the type's GLOBAL (ts,
+    event_id) order — the arrival-process profile; sequence diff +
+    holistic quantile in one keyed shuffle."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "event_id"])
+
+    def _k(t: pa.Table) -> pa.Table:
+        empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                          "n_gaps": pa.array([], type=pa.int64()),
+                          "gap_q50_us": pa.array([], type=pa.int64()),
+                          "gap_q90_us": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "event_type" not in t.column_names:
+            return empty
+        et = np.asarray(t.column("event_type")).astype(str)
+        tsi = np.asarray(t.column("ts")).astype(
+            "datetime64[us]").view(np.int64)
+        eid = np.asarray(t.column("event_id"), dtype=np.int64)
+        order = np.lexsort((eid, tsi, et))
+        et, tsi = et[order], tsi[order]
+        same = et[1:] == et[:-1]
+        gaps = (tsi[1:] - tsi[:-1])[same]
+        ge = et[1:][same]
+        if not len(gaps):
+            return empty
+        o2 = np.lexsort((gaps, ge))
+        ge, gaps = ge[o2], gaps[o2]
+        keys, starts, cnts = np.unique(ge, return_index=True,
+                                       return_counts=True)
+        q50 = gaps[starts + np.minimum(
+            cnts - 1, np.ceil(0.5 * cnts).astype(np.int64) - 1)]
+        q90 = gaps[starts + np.minimum(
+            cnts - 1, np.ceil(0.9 * cnts).astype(np.int64) - 1)]
+        return pa.table({
+            "event_type": pa.array(keys.tolist(), type=pa.string()),
+            "n_gaps": pa.array(cnts.astype(np.int64)),
+            "gap_q50_us": pa.array(q50),
+            "gap_q90_us": pa.array(q90),
+        })
+
+    return group_apply_tasks(ev, ["event_type"], _k)
+
+
+def q_brand_price_mode(sf_dir: str):
+    """Modal retail price per brand (exact cents; ties -> lowest
+    cents) with its multiplicity — the numeric-mode class. Bounded
+    (brand, cents) partials, driver argmax."""
+    import ray
+
+    p = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                              columns=["p_brand", "p_retailprice"])
+
+    def _part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"brand": pa.array([], type=pa.string()),
+                             "cents": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+        br = np.asarray(t.column("p_brand")).astype(str)
+        cents = np.floor(np.asarray(t.column("p_retailprice"),
+                                    dtype=np.float64) * 100
+                         + 0.5).astype(np.int64)
+        key = np.char.add(np.char.add(br, "\x1f"),
+                          np.char.zfill(cents.astype(str), 12))
+        uk, c = np.unique(key, return_counts=True)
+        sp = np.char.partition(uk, "\x1f")
+        return pa.table({
+            "brand": pa.array(sp[:, 0].tolist(), type=pa.string()),
+            "cents": pa.array(sp[:, 2].astype(np.int64)),
+            "c": pa.array(c.astype(np.int64)),
+        })
+
+    parts = p.map_batches(_part, batch_format="pyarrow",
+                          zero_copy_batch=True).take_all()
+    agg: dict[tuple, int] = {}
+    for r in parts:
+        k = (r["brand"], int(r["cents"]))
+        agg[k] = agg.get(k, 0) + r["c"]
+    best: dict[str, tuple] = {}
+    for (br, cents), c in sorted(agg.items()):
+        cur = best.get(br)
+        if cur is None or c > cur[1]:
+            best[br] = (cents, c)
+    ks = sorted(best)
+    return pa.table({
+        "p_brand": pa.array(ks, type=pa.string()),
+        "modal_cents": pa.array([best[k][0] for k in ks],
+                                type=pa.int64()),
+        "n": pa.array([best[k][1] for k in ks], type=pa.int64()),
+    })
