@@ -61,7 +61,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LLM-data layer without a prior driver row (+ refactored dedup)
         # wave 14 (newest = highest regression risk)
         # wave 15
-        # wave 63 (round 4: newest = highest regression risk)
+        # wave 64 (round 4: newest = highest regression risk)
+        "cust_concentration": q.q_cust_concentration,
+        "weekend_split": q.q_weekend_split,
+        "name_key_audit": q.q_name_key_audit,
+        "id_alignment_audit": q.q_id_alignment_audit,
+        "region_profile": q.q_region_profile,
+        # wave 63 (round 4)
         "brand_rank_concordance": q.q_brand_rank_concordance,
         "reach2_hist": q.q_reach2_hist,
         "dedup_share_by_source": q.q_dedup_share_by_source,
@@ -94,14 +100,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 58 (round 4)
         "nn_hubness": q.q_nn_hubness,
         "hub_bisector": q.q_hub_bisector,
-        "copurchase_degree_hist": q.q_copurchase_degree_hist,
-        "comeback_customers": q.q_comeback_customers,
         # wave 57 (round 4)
         "diverse_top_orders": q.q_diverse_top_orders,
         "nation_p90_orders": q.q_nation_p90_orders,
-        "order_index_cents": q.q_order_index_cents,
-        "fano_factor": q.q_fano_factor,
-        "emb_pair_dots": q.q_emb_pair_dots,
         # wave 56 (round 4)
         # wave 55 (round 4)
         # wave 54 (round 4)
@@ -157,6 +158,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
         "doc_length_extremes": q.q_doc_length_extremes,  # extremal scan (r3-green; window slot 50 kept from r3)
+        "fano_factor": q.q_fano_factor,  # burstiness stats (r4 wave-57 green; rotated for wave-64, weekend_split/type_gap_median siblings)
+        "order_index_cents": q.q_order_index_cents,  # lifetime buckets (r4 wave-57 green; rotated for wave-64, cust_concentration sibling)
+        "comeback_customers": q.q_comeback_customers,  # dormancy gaps (r4 wave-55 green; rotated for wave-64, type_gap_median gap sibling)
+        "emb_pair_dots": q.q_emb_pair_dots,  # adjacent dots (r4 wave-57 green; rotated for wave-64, lsh_bucket_census/nn_hubness siblings)
+        "copurchase_degree_hist": q.q_copurchase_degree_hist,  # projection degrees (r4 wave-58 green; rotated for wave-64, supplier_brand_span sibling)
         "knn_confusion": q.q_knn_confusion,  # 1-NN matrix (r4 wave-51 green; rotated for wave-63, nn_hubness sibling)
         "home_supplied_customers": q.q_home_supplied_customers,  # 4-table semi-join (r4 wave-56 green; rotated for wave-63, nation_top_brand/brand_rank_concordance siblings)
         "dupgraph_triangles": q.q_dupgraph_triangles,  # composite dedup->graph (r4 wave-55 green; rotated for wave-63, dedup_share_by_source/dup_cluster_purity siblings)
@@ -521,6 +527,11 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "corpus_scan": o.corpus_scan(),
+        "cust_concentration": o.cust_concentration(),
+        "weekend_split": o.weekend_split(),
+        "name_key_audit": o.name_key_audit(),
+        "id_alignment_audit": o.id_alignment_audit(),
+        "region_profile": o.region_profile(),
         "brand_rank_concordance": o.brand_rank_concordance(*q.BRC_YEARS),
         "reach2_hist": o.reach2_hist(),
         "dedup_share_by_source": o.dedup_share_by_source(),

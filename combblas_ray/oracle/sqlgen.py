@@ -8888,3 +8888,105 @@ r AS (
 )
 SELECT p_brand, cents AS modal_cents, n FROM r WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 64: customer concentration, weekend split, name-key audit,
+# id alignment, region profile
+# ---------------------------------------------------------------------------
+
+
+def cust_concentration() -> str:
+    """Largest-order share decile per customer (twin of
+    `queries.q_cust_concentration`)."""
+    return """
+WITH c AS (
+  SELECT o_custkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+s AS (
+  SELECT o_custkey, CAST(sum(cents) AS BIGINT) AS tot,
+         CAST(max(cents) AS BIGINT) AS mx
+  FROM c GROUP BY 1
+)
+SELECT CAST(least(mx * 10 // tot, 9) AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM s GROUP BY 1
+"""
+
+
+def weekend_split() -> str:
+    """Weekend/weekday count + value sums per event type (twin of
+    `queries.q_weekend_split`; epoch day 0 = Thursday -> weekend is
+    day %% 7 in (2, 3))."""
+    return """
+SELECT event_type,
+       CAST(CASE WHEN (CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7)
+                      IN (2, 3) THEN 1 ELSE 0 END AS BIGINT)
+         AS is_weekend,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM events GROUP BY 1, 2
+"""
+
+
+def name_key_audit() -> str:
+    """Numeric-suffix-vs-key consistency over customer and supplier
+    names (twin of `queries.q_name_key_audit`)."""
+    return """
+SELECT 'customer' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN CAST(string_split(c_name, '#')[2] AS BIGINT)
+                          = c_custkey THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_match,
+       CAST(sum(CAST(string_split(c_name, '#')[2] AS BIGINT))
+            AS BIGINT) AS sum_parsed
+FROM customer
+UNION ALL
+SELECT 'supplier', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN CAST(string_split(s_name, '#')[2] AS BIGINT)
+                          = s_suppkey THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CAST(string_split(s_name, '#')[2] AS BIGINT))
+            AS BIGINT)
+FROM supplier
+"""
+
+
+def id_alignment_audit() -> str:
+    """Full-outer key alignment between embeddings.vec_id and
+    documents.doc_id (twin of `queries.q_id_alignment_audit`)."""
+    return """
+WITH j AS (
+  SELECT e.vec_id, d.doc_id
+  FROM embeddings e FULL OUTER JOIN documents d
+    ON d.doc_id = e.vec_id
+)
+SELECT CAST(sum(CASE WHEN vec_id IS NOT NULL AND doc_id IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_aligned,
+       CAST(sum(CASE WHEN vec_id IS NOT NULL AND doc_id IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_emb_only,
+       CAST(sum(CASE WHEN vec_id IS NULL AND doc_id IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_doc_only
+FROM j
+"""
+
+
+def region_profile() -> str:
+    """Per-region nation/customer/supplier counts (twin of
+    `queries.q_region_profile`)."""
+    return """
+SELECT r_name,
+       CAST((SELECT count(*) FROM nation n
+             WHERE n.n_regionkey = r.r_regionkey) AS BIGINT)
+         AS n_nations,
+       CAST((SELECT count(*) FROM customer c JOIN nation n2
+             ON n2.n_nationkey = c.c_nationkey
+             WHERE n2.n_regionkey = r.r_regionkey) AS BIGINT)
+         AS n_customers,
+       CAST((SELECT count(*) FROM supplier s JOIN nation n3
+             ON n3.n_nationkey = s.s_nationkey
+             WHERE n3.n_regionkey = r.r_regionkey) AS BIGINT)
+         AS n_suppliers
+FROM region r
+"""

@@ -17881,3 +17881,270 @@ def q_brand_price_mode(sf_dir: str):
                                 type=pa.int64()),
         "n": pa.array([best[k][1] for k in ks], type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 64: customer concentration, weekend split, name-key audit,
+# id alignment audit, region profile
+# ---------------------------------------------------------------------------
+
+
+def q_cust_concentration(sf_dir: str):
+    """Per-customer spend CONCENTRATION census: decile of (largest
+    order / total spend) per customer with >= 1 order, bucket =
+    max_cents * 10 // total_cents (integer-exact, no division) —
+    histogram (decile, n_customers). The whale-order dependence
+    profile."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    o = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_custkey", "o_totalprice"])
+
+    def _k(t: pa.Table) -> pa.Table:
+        empty = pa.table({"decile": pa.array([], type=pa.int64()),
+                          "n_customers": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "o_custkey" not in t.column_names:
+            return empty
+        ck = np.asarray(t.column("o_custkey"), dtype=np.int64)
+        cents = np.floor(np.asarray(t.column("o_totalprice"),
+                                    dtype=np.float64) * 100
+                         + 0.5).astype(np.int64)
+        uk, inv = np.unique(ck, return_inverse=True)
+        tot = ibincount(inv, cents, minlength=len(uk))
+        mx = np.zeros(len(uk), dtype=np.int64)
+        np.maximum.at(mx, inv, cents)
+        dec = np.minimum(mx * np.int64(10) // tot, 9)
+        ud, c = np.unique(dec, return_counts=True)
+        return pa.table({"decile": pa.array(ud.astype(np.int64)),
+                         "n_customers": pa.array(c.astype(np.int64))})
+
+    parts = group_apply_tasks(o, ["o_custkey"], _k).take_all()
+    agg: dict[int, int] = {}
+    for p in parts:
+        agg[int(p["decile"])] = agg.get(int(p["decile"]), 0) \
+            + p["n_customers"]
+    ks = sorted(agg)
+    return pa.table({
+        "decile": pa.array(ks, type=pa.int64()),
+        "n_customers": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
+
+
+def q_weekend_split(sf_dir: str):
+    """Weekend-vs-weekday split per event type: count and exact value
+    cents sums (epoch day % 7: day 0 = Thursday, so weekend = days 2
+    and 3 of the modulus) — the calendar-effect profile, shuffle-free
+    bounded partials."""
+    import ray
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type", "value"])
+    US_DAY = np.int64(86_400_000_000)
+
+    def _part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_type": pa.array([], type=pa.string()),
+                             "is_weekend": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64()),
+                             "sum_cents": pa.array([], type=pa.int64())})
+        et = np.asarray(t.column("event_type")).astype(str)
+        day = np.asarray(t.column("ts")).astype(
+            "datetime64[us]").view(np.int64) // US_DAY
+        # epoch day 0 = Thursday; Saturday = 2, Sunday = 3 (mod 7)
+        wk = (((day % 7) == 2) | ((day % 7) == 3)).astype(np.int64)
+        cents = np.floor(np.asarray(t.column("value"),
+                                    dtype=np.float64) * 100
+                         + 0.5).astype(np.int64)
+        key = np.char.add(np.char.add(et, "\x1f"), wk.astype(str))
+        uk, inv = np.unique(key, return_inverse=True)
+        sp = np.char.partition(uk, "\x1f")
+        return pa.table({
+            "event_type": pa.array(sp[:, 0].tolist(), type=pa.string()),
+            "is_weekend": pa.array(sp[:, 2].astype(np.int64)),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "sum_cents": pa.array(ibincount(inv, cents,
+                                            minlength=len(uk))),
+        })
+
+    parts = ev.map_batches(_part, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    agg: dict[tuple, list[int]] = {}
+    for p in parts:
+        k = (p["event_type"], int(p["is_weekend"]))
+        e = agg.setdefault(k, [0, 0])
+        e[0] += p["n"]
+        e[1] += p["sum_cents"]
+    ks = sorted(agg)
+    return pa.table({
+        "event_type": pa.array([k[0] for k in ks], type=pa.string()),
+        "is_weekend": pa.array([k[1] for k in ks], type=pa.int64()),
+        "n": pa.array([agg[k][0] for k in ks], type=pa.int64()),
+        "sum_cents": pa.array([agg[k][1] for k in ks],
+                              type=pa.int64()),
+    })
+
+
+def q_name_key_audit(sf_dir: str):
+    """Cross-FIELD consistency audit: parse the numeric suffix out of
+    c_name ('Customer#000000042' -> 42) and compare to c_custkey —
+    (n_rows, n_match, sum_parsed); the string-parse data-contract
+    check. Same audit over supplier names rides the same kernel."""
+    import ray
+
+    out = {}
+    for tbl, keycol, namecol in (("customer", "c_custkey", "c_name"),
+                                 ("supplier", "s_suppkey", "s_name")):
+        ds = ray.data.read_parquet(f"{sf_dir}/{tbl}.parquet",
+                                   columns=[keycol, namecol])
+
+        def _k(t: pa.Table, *, _kc=keycol, _nc=namecol) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"n": pa.array([], type=pa.int64()),
+                                 "m": pa.array([], type=pa.int64()),
+                                 "s": pa.array([], type=pa.int64())})
+            key = np.asarray(t.column(_kc), dtype=np.int64)
+            nm = np.asarray(t.column(_nc)).astype(str)
+            parsed = np.char.partition(nm, "#")[:, 2].astype(np.int64)
+            return pa.table({
+                "n": pa.array([len(key)], type=pa.int64()),
+                "m": pa.array([int((parsed == key).sum())],
+                              type=pa.int64()),
+                "s": pa.array([int(parsed.sum())], type=pa.int64()),
+            })
+
+        parts = ds.map_batches(_k, batch_format="pyarrow",
+                               zero_copy_batch=True).take_all()
+        out[tbl] = [sum(p["n"] for p in parts),
+                    sum(p["m"] for p in parts),
+                    sum(p["s"] for p in parts)]
+    return pa.table({
+        "tbl": pa.array(sorted(out), type=pa.string()),
+        "n_rows": pa.array([out[k][0] for k in sorted(out)],
+                           type=pa.int64()),
+        "n_match": pa.array([out[k][1] for k in sorted(out)],
+                            type=pa.int64()),
+        "sum_parsed": pa.array([out[k][2] for k in sorted(out)],
+                               type=pa.int64()),
+    })
+
+
+def q_id_alignment_audit(sf_dir: str):
+    """Cross-TABLE key alignment: embeddings.vec_id vs
+    documents.doc_id — counts of aligned ids, embedding-only ids and
+    document-only ids (full-outer key audit between the two
+    modalities). Co-partitioned full outer join with the count fused
+    in."""
+    import ray
+
+    from ..core.shuffle import hash_join_tasks
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id"]).map_batches(
+        lambda t: t.append_column(
+            "has_e", pa.array(np.ones(t.num_rows, dtype=np.int64))),
+        batch_format="pyarrow")
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"]).map_batches(
+        lambda t: t.append_column(
+            "has_d", pa.array(np.ones(t.num_rows, dtype=np.int64))),
+        batch_format="pyarrow")
+
+    def _cnt(t: pa.Table) -> pa.Table:
+        # pyarrow full-outer joins COALESCE the key columns, so side
+        # membership rides explicit marker columns
+        if t.num_rows == 0:
+            return pa.table({"b": pa.array([], type=pa.int64()),
+                             "eo": pa.array([], type=pa.int64()),
+                             "do_": pa.array([], type=pa.int64())})
+        e_null = np.asarray(pc.is_null(t.column("has_e")))
+        d_null = np.asarray(pc.is_null(t.column("has_d")))
+        return pa.table({
+            "b": pa.array([int((~e_null & ~d_null).sum())],
+                          type=pa.int64()),
+            "eo": pa.array([int((~e_null & d_null).sum())],
+                           type=pa.int64()),
+            "do_": pa.array([int((e_null & ~d_null).sum())],
+                            type=pa.int64()),
+        })
+
+    parts = hash_join_tasks(emb, docs, on="vec_id",
+                            right_on="doc_id",
+                            join_type="full outer",
+                            post=_cnt).take_all()
+    return pa.table({
+        "n_aligned": pa.array([sum(p["b"] for p in parts)],
+                              type=pa.int64()),
+        "n_emb_only": pa.array([sum(p["eo"] for p in parts)],
+                               type=pa.int64()),
+        "n_doc_only": pa.array([sum(p["do_"] for p in parts)],
+                               type=pa.int64()),
+    })
+
+
+def q_region_profile(sf_dir: str):
+    """Dimensional rollup: per region, nation / customer / supplier
+    counts — the 4-table star profile over the tiny dimension chain
+    (all small sides driver-resident by design; the fact-side counts
+    come from bounded partials)."""
+    import ray
+
+    nat = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_regionkey"]).take_all()
+    reg = ray.data.read_parquet(
+        f"{sf_dir}/region.parquet",
+        columns=["r_regionkey", "r_name"]).take_all()
+    n2r = {int(r["n_nationkey"]): int(r["n_regionkey"]) for r in nat}
+    rname = {int(r["r_regionkey"]): r["r_name"] for r in reg}
+    nref = None
+    import ray as _ray
+
+    nk = np.array(sorted(n2r), dtype=np.int64)
+    rv = np.array([n2r[k] for k in nk], dtype=np.int64)
+    nref = _ray.put((nk, rv))
+
+    def _cnt_fn(col):
+        def _f(t: pa.Table, *, _r=nref, _c=col) -> pa.Table:
+            kk, vv = _r if isinstance(_r, tuple) else _ray.get(_r)
+            if t.num_rows == 0:
+                return pa.table({"rk": pa.array([], type=pa.int64()),
+                                 "c": pa.array([], type=pa.int64())})
+            nkv = np.asarray(t.column(_c), dtype=np.int64)
+            pos = np.minimum(np.searchsorted(kk, nkv), len(kk) - 1)
+            okm = kk[pos] == nkv
+            rk = vv[pos][okm]
+            uk, c = np.unique(rk, return_counts=True)
+            return pa.table({"rk": pa.array(uk),
+                             "c": pa.array(c.astype(np.int64))})
+        return _f
+
+    cust = _ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                  columns=["c_nationkey"])
+    sup = _ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                                 columns=["s_nationkey"])
+    cc = cust.map_batches(_cnt_fn("c_nationkey"),
+                          batch_format="pyarrow").take_all()
+    sc = sup.map_batches(_cnt_fn("s_nationkey"),
+                         batch_format="pyarrow").take_all()
+    nreg: dict[int, int] = {}
+    for k in n2r.values():
+        nreg[k] = nreg.get(k, 0) + 1
+    ca: dict[int, int] = {}
+    for p in cc:
+        ca[int(p["rk"])] = ca.get(int(p["rk"]), 0) + p["c"]
+    sa: dict[int, int] = {}
+    for p in sc:
+        sa[int(p["rk"])] = sa.get(int(p["rk"]), 0) + p["c"]
+    ks = sorted(rname)
+    return pa.table({
+        "r_name": pa.array([rname[k] for k in ks], type=pa.string()),
+        "n_nations": pa.array([nreg.get(k, 0) for k in ks],
+                              type=pa.int64()),
+        "n_customers": pa.array([ca.get(k, 0) for k in ks],
+                                type=pa.int64()),
+        "n_suppliers": pa.array([sa.get(k, 0) for k in ks],
+                                type=pa.int64()),
+    })
