@@ -61,7 +61,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LLM-data layer without a prior driver row (+ refactored dedup)
         # wave 14 (newest = highest regression risk)
         # wave 15
-        # wave 64 (round 4: newest = highest regression risk)
+        # wave 65 (round 4: newest = highest regression risk)
+        "col_sumsq": q.q_col_sumsq,
+        "lang_run_stats": q.q_lang_run_stats,
+        "user_lifetime_hist": q.q_user_lifetime_hist,
+        # wave 64 (round 4)
         "cust_concentration": q.q_cust_concentration,
         "weekend_split": q.q_weekend_split,
         "name_key_audit": q.q_name_key_audit,
@@ -80,8 +84,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_gate_grid": q.q_quality_gate_grid,
         "local_homophily_hist": q.q_local_homophily_hist,
         # wave 61 (round 4)
-        "daily_new_users": q.q_daily_new_users,
-        "centroid_dists": q.q_centroid_dists,
         "priority_escalation": q.q_priority_escalation,
         "supplier_brand_span": q.q_supplier_brand_span,
         "disc_band_share": q.q_disc_band_share,
@@ -101,7 +103,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nn_hubness": q.q_nn_hubness,
         "hub_bisector": q.q_hub_bisector,
         # wave 57 (round 4)
-        "diverse_top_orders": q.q_diverse_top_orders,
         "nation_p90_orders": q.q_nation_p90_orders,
         # wave 56 (round 4)
         # wave 55 (round 4)
@@ -158,6 +159,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
         "doc_length_extremes": q.q_doc_length_extremes,  # extremal scan (r3-green; window slot 50 kept from r3)
+        "daily_new_users": q.q_daily_new_users,  # novelty curve (r4 wave-61 green; rotated for wave-65, user_lifetime_hist user-span sibling)
+        "centroid_dists": q.q_centroid_dists,  # class geometry (r4 wave-61 green; rotated for wave-65, lsh_bucket_census/nn_hubness emb siblings)
+        "diverse_top_orders": q.q_diverse_top_orders,  # quota top-k (r4 wave-57 green; rotated for wave-65, nation_p90_orders/brand_price_mode ranking siblings)
         "fano_factor": q.q_fano_factor,  # burstiness stats (r4 wave-57 green; rotated for wave-64, weekend_split/type_gap_median siblings)
         "order_index_cents": q.q_order_index_cents,  # lifetime buckets (r4 wave-57 green; rotated for wave-64, cust_concentration sibling)
         "comeback_customers": q.q_comeback_customers,  # dormancy gaps (r4 wave-55 green; rotated for wave-64, type_gap_median gap sibling)
@@ -527,6 +531,9 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "corpus_scan": o.corpus_scan(),
+        "col_sumsq": o.col_sumsq(),
+        "lang_run_stats": o.lang_run_stats(),
+        "user_lifetime_hist": o.user_lifetime_hist(),
         "cust_concentration": o.cust_concentration(),
         "weekend_split": o.weekend_split(),
         "name_key_audit": o.name_key_audit(),

@@ -8990,3 +8990,53 @@ SELECT r_name,
          AS n_suppliers
 FROM region r
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 65: Gram diagonal, language run stats, user lifetime histogram
+# ---------------------------------------------------------------------------
+
+
+@_materialized
+def col_sumsq() -> str:
+    """diag(A^T A): per-column sum of squared in-edge weights (twin of
+    `queries.q_col_sumsq`)."""
+    return PREFIX + """
+SELECT vd.label AS label, CAST(sum(e.w * e.w) AS BIGINT) AS sum_w2
+FROM edges e JOIN verts vd ON vd.i = e.dst GROUP BY 1
+"""
+
+
+def lang_run_stats() -> str:
+    """Global language runs along doc_id order (twin of
+    `queries.q_lang_run_stats`)."""
+    return """
+WITH r AS (
+  SELECT lang, row_number() OVER (ORDER BY doc_id) AS rn,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rl
+  FROM documents
+),
+runs AS (
+  SELECT lang, rn - rl AS grp, CAST(count(*) AS BIGINT) AS len
+  FROM r GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(max(len) AS BIGINT) AS max_run,
+       CAST(count(*) - 1 AS BIGINT) AS n_switches
+FROM runs
+"""
+
+
+def user_lifetime_hist() -> str:
+    """First-to-last event whole-day span histogram per user (twin of
+    `queries.q_user_lifetime_hist`)."""
+    return """
+WITH s AS (
+  SELECT user_id,
+         CAST(floor(epoch(max(ts)) / 86400)
+              - floor(epoch(min(ts)) / 86400) AS BIGINT) AS days
+  FROM events GROUP BY 1
+)
+SELECT days, CAST(count(*) AS BIGINT) AS n_users
+FROM s GROUP BY 1
+"""

@@ -18148,3 +18148,174 @@ def q_region_profile(sf_dir: str):
         "n_suppliers": pa.array([sa.get(k, 0) for k in ks],
                                 type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 65: Gram diagonal, language run stats, user lifetime histogram
+# ---------------------------------------------------------------------------
+
+
+def _sq_unop(w: np.ndarray) -> np.ndarray:
+    return w * w
+
+
+def q_col_sumsq(sf_dir: str):
+    """Gram-matrix diagonal diag(A^T A): per column, the sum of
+    squared in-edge weights — `Reduce(Column, plus, square)` with the
+    squaring UNOP fused into the batch-local partial (the
+    `SpParMat::Reduce(dim, binop, unop)` three-argument form). Exact:
+    weights are integral counts, w^2 sums stay far below 2^53."""
+    ctx = get_context(sf_dir)
+    dec = ctx.decoder()
+    red = ctx.graph("directed").reduce("col", "sum", unop=_sq_unop)
+
+    def _dec(batch: pa.Table, *, _d=dec) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"label": pa.array([], type=pa.string()),
+                             "sum_w2": pa.array([], type=pa.int64())})
+        v = np.asarray(batch.column("v"))
+        return pa.table({
+            "label": _d.take(v),
+            "sum_w2": pa.array(np.asarray(
+                batch.column("val"),
+                dtype=np.float64).astype(np.int64)),
+        })
+
+    return red.map_batches(_dec, batch_format="pyarrow")
+
+
+def q_lang_run_stats(sf_dir: str):
+    """Language RUN statistics along the document stream (doc_id
+    order): total runs, longest run, and the count of language
+    switches — the stream-locality audit (a shuffled corpus should
+    have short runs). Two-phase distributed adjacent scan: per
+    doc_id-range bucket (first/last lang, head/tail run lengths, runs,
+    maxrun), then an EXACT bounded boundary chain on the driver (a run
+    spanning buckets accumulates tail + heads across the chain)."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang"])
+    BKT = 512
+
+    def _pre(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"bkt": pa.array([], type=pa.int64()),
+                             "doc_id": pa.array([], type=pa.int64()),
+                             "lang": pa.array([], type=pa.string())})
+        did = np.asarray(t.column("doc_id"), dtype=np.int64)
+        return pa.table({"bkt": pa.array(did // BKT),
+                         "doc_id": t.column("doc_id"),
+                         "lang": t.column("lang")})
+
+    pre = docs.map_batches(_pre, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def _k(t: pa.Table) -> pa.Table:
+        empty = pa.table({"bkt": pa.array([], type=pa.int64()),
+                          "first_lang": pa.array([], type=pa.string()),
+                          "last_lang": pa.array([], type=pa.string()),
+                          "head_len": pa.array([], type=pa.int64()),
+                          "tail_len": pa.array([], type=pa.int64()),
+                          "runs": pa.array([], type=pa.int64()),
+                          "maxrun": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "bkt" not in t.column_names:
+            return empty
+        bkt = np.asarray(t.column("bkt"), dtype=np.int64)
+        did = np.asarray(t.column("doc_id"), dtype=np.int64)
+        lng = np.asarray(t.column("lang")).astype(str)
+        out = {k: [] for k in ("bkt", "first_lang", "last_lang",
+                               "head_len", "tail_len", "runs",
+                               "maxrun")}
+        for b in np.unique(bkt):
+            m = bkt == b
+            order = np.argsort(did[m])
+            ls = lng[m][order]
+            new = np.concatenate([[True], ls[1:] != ls[:-1]])
+            starts = np.flatnonzero(new)
+            lens = np.diff(np.concatenate([starts, [len(ls)]]))
+            out["bkt"].append(int(b))
+            out["first_lang"].append(ls[0])
+            out["last_lang"].append(ls[-1])
+            out["head_len"].append(int(lens[0]))
+            out["tail_len"].append(int(lens[-1]))
+            out["runs"].append(int(len(starts)))
+            out["maxrun"].append(int(lens.max()))
+        return pa.table({
+            "bkt": pa.array(out["bkt"], type=pa.int64()),
+            "first_lang": pa.array(out["first_lang"],
+                                   type=pa.string()),
+            "last_lang": pa.array(out["last_lang"], type=pa.string()),
+            "head_len": pa.array(out["head_len"], type=pa.int64()),
+            "tail_len": pa.array(out["tail_len"], type=pa.int64()),
+            "runs": pa.array(out["runs"], type=pa.int64()),
+            "maxrun": pa.array(out["maxrun"], type=pa.int64()),
+        })
+
+    parts = group_apply_tasks(pre, ["bkt"], _k).take_all()
+    parts.sort(key=lambda r: r["bkt"])
+    runs = maxrun = 0
+    carry = 0  # length of the run ending at the previous bucket's end
+    prev_last = None
+    for p in parts:
+        single = p["runs"] == 1
+        if prev_last is not None and p["first_lang"] == prev_last:
+            runs += p["runs"] - 1  # boundary merges two runs into one
+            spanning = carry + p["head_len"]
+            maxrun = max(maxrun, spanning)
+            carry = (carry + p["tail_len"]) if single \
+                else p["tail_len"]
+        else:
+            runs += p["runs"]
+            carry = p["tail_len"]
+        maxrun = max(maxrun, p["maxrun"], carry)
+        prev_last = p["last_lang"]
+    n_switches = runs - 1 if runs else 0
+    return pa.table({
+        "n_runs": pa.array([runs], type=pa.int64()),
+        "max_run": pa.array([maxrun], type=pa.int64()),
+        "n_switches": pa.array([n_switches], type=pa.int64()),
+    })
+
+
+def q_user_lifetime_hist(sf_dir: str):
+    """User LIFETIME (whole days between first and last event)
+    histogram: (days, n_users) — the engagement-span census. One user
+    shuffle, per-user min/max."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    US_DAY = np.int64(86_400_000_000)
+
+    def _k(t: pa.Table) -> pa.Table:
+        empty = pa.table({"days": pa.array([], type=pa.int64()),
+                          "n_users": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return empty
+        uid = np.asarray(t.column("user_id"), dtype=np.int64)
+        tsi = np.asarray(t.column("ts")).astype(
+            "datetime64[us]").view(np.int64)
+        uk, inv = np.unique(uid, return_inverse=True)
+        lo = np.full(len(uk), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(lo, inv, tsi)
+        hi = np.full(len(uk), np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(hi, inv, tsi)
+        days = (hi // US_DAY) - (lo // US_DAY)
+        uk2, c = np.unique(days, return_counts=True)
+        return pa.table({"days": pa.array(uk2.astype(np.int64)),
+                         "n_users": pa.array(c.astype(np.int64))})
+
+    parts = group_apply_tasks(ev, ["user_id"], _k).take_all()
+    agg: dict[int, int] = {}
+    for p in parts:
+        agg[int(p["days"])] = agg.get(int(p["days"]), 0) + p["n_users"]
+    ks = sorted(agg)
+    return pa.table({
+        "days": pa.array(ks, type=pa.int64()),
+        "n_users": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
