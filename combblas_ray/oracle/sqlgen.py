@@ -8303,6 +8303,7 @@ FROM g
 # ---------------------------------------------------------------------------
 
 
+@_materialized
 def cc_by_degree() -> str:
     """Per log2-degree bucket: vertex count, triangle and wedge sums
     (twin of `queries.q_cc_by_degree`)."""
