@@ -61,7 +61,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LLM-data layer without a prior driver row (+ refactored dedup)
         # wave 14 (newest = highest regression risk)
         # wave 15
-        # wave 65 (round 4: newest = highest regression risk)
+        # wave 66 (round 4: newest = highest regression risk)
+        "cross_source_dups": q.q_cross_source_dups,
+        "user_trend_split": q.q_user_trend_split,
+        "cc_threshold_curve": q.q_cc_threshold_curve,
+        # wave 65 (round 4)
         "col_sumsq": q.q_col_sumsq,
         "lang_run_stats": q.q_lang_run_stats,
         "user_lifetime_hist": q.q_user_lifetime_hist,
@@ -74,8 +78,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 63 (round 4)
         "brand_rank_concordance": q.q_brand_rank_concordance,
         "reach2_hist": q.q_reach2_hist,
-        "dedup_share_by_source": q.q_dedup_share_by_source,
-        "type_gap_median": q.q_type_gap_median,
         "brand_price_mode": q.q_brand_price_mode,
         # wave 62 (round 4)
         "type_run_hist": q.q_type_run_hist,
@@ -91,7 +93,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_children_hist": q.q_bfs_children_hist,
         "len_freq_grid": q.q_len_freq_grid,
         "user_type_div_hist": q.q_user_type_div_hist,
-        "strong_triangles": q.q_strong_triangles,
         "nation_top_brand": q.q_nation_top_brand,
         # wave 59 (round 4)
         "cc_by_degree": q.q_cc_by_degree,
@@ -159,6 +160,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
         "doc_length_extremes": q.q_doc_length_extremes,  # extremal scan (r3-green; window slot 50 kept from r3)
+        "dedup_share_by_source": q.q_dedup_share_by_source,  # dedup yield (r4 wave-63 green; rotated for wave-66, cross_source_dups sibling)
+        "type_gap_median": q.q_type_gap_median,  # gap quantiles (r4 wave-63 green; rotated for wave-66, user_trend_split sequence sibling)
+        "strong_triangles": q.q_strong_triangles,  # prune composite (r4 wave-60 green; rotated for wave-66, cc_threshold_curve PruneI sibling)
         "daily_new_users": q.q_daily_new_users,  # novelty curve (r4 wave-61 green; rotated for wave-65, user_lifetime_hist user-span sibling)
         "centroid_dists": q.q_centroid_dists,  # class geometry (r4 wave-61 green; rotated for wave-65, lsh_bucket_census/nn_hubness emb siblings)
         "diverse_top_orders": q.q_diverse_top_orders,  # quota top-k (r4 wave-57 green; rotated for wave-65, nation_p90_orders/brand_price_mode ranking siblings)
@@ -531,6 +535,9 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "corpus_scan": o.corpus_scan(),
+        "cross_source_dups": o.cross_source_dups(),
+        "user_trend_split": o.user_trend_split(),
+        "cc_threshold_curve": o.cc_threshold_curve(q.CC_ITERS),
         "col_sumsq": o.col_sumsq(),
         "lang_run_stats": o.lang_run_stats(),
         "user_lifetime_hist": o.user_lifetime_hist(),

@@ -9041,3 +9041,102 @@ WITH s AS (
 SELECT days, CAST(count(*) AS BIGINT) AS n_users
 FROM s GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 66: cross-source duplicate leakage, user trend split,
+# CC weight-threshold curve
+# ---------------------------------------------------------------------------
+
+
+def cross_source_dups() -> str:
+    """Exact-dup groups spanning multiple sources (twin of
+    `queries.q_cross_source_dups`)."""
+    return """
+WITH k AS (
+  SELECT doc_id, source,
+         array_to_string(
+           list_sort(list_distinct(string_split(text, ' '))), ' ')
+           AS key
+  FROM documents
+),
+g AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS c,
+         CAST(count(DISTINCT source) AS BIGINT) AS ns
+  FROM k GROUP BY 1
+)
+SELECT CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_groups,
+       CAST(sum(CASE WHEN c >= 2 AND ns > 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_spanning,
+       CAST(sum(CASE WHEN c >= 2 AND ns > 1 THEN c ELSE 0 END)
+            AS BIGINT) AS n_docs_spanning
+FROM g
+"""
+
+
+def user_trend_split() -> str:
+    """Rising/falling/flat users by half-sequence mean comparison
+    (twin of `queries.q_user_trend_split`)."""
+    return """
+WITH r AS (
+  SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) - 1 AS idx,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+),
+per AS (
+  SELECT user_id, CAST(min(n) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN idx < n // 2 THEN c ELSE 0 END)
+              AS BIGINT) AS a,
+         CAST(sum(CASE WHEN idx >= n // 2 THEN c ELSE 0 END)
+              AS BIGINT) AS b
+  FROM r GROUP BY 1 HAVING min(n) >= 2
+)
+SELECT CAST(sum(CASE WHEN b * (n // 2) > a * (n - n // 2)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_rising,
+       CAST(sum(CASE WHEN b * (n // 2) < a * (n - n // 2)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_falling,
+       CAST(sum(CASE WHEN b * (n // 2) = a * (n - n // 2)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flat
+FROM per
+"""
+
+
+@_materialized
+def cc_threshold_curve(iters: int = 12) -> str:
+    """Component counts at symmetric-weight thresholds 1 and 2 (twin
+    of `queries.q_cc_threshold_curve`)."""
+    sql = PREFIX + """
+, uw AS (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b, sum(w) AS w2
+  FROM edges GROUP BY 1, 2
+)"""
+    parts = []
+    for t in (1, 2):
+        sql += f"""
+, u{t} AS (
+  SELECT a AS src, b AS dst FROM uw WHERE w2 >= {t}
+  UNION ALL SELECT b, a FROM uw WHERE w2 >= {t}
+),
+t{t}l0 AS (SELECT i, label AS comp FROM verts)
+"""
+        prev = f"t{t}l0"
+        for k in range(1, iters + 1):
+            sql += f"""
+, t{t}l{k} AS (
+  SELECT v.i, least(l.comp, coalesce(m.mn, l.comp)) AS comp
+  FROM verts v JOIN {prev} l ON l.i = v.i
+  LEFT JOIN (
+    SELECT u.dst AS i, min(lp.comp) AS mn
+    FROM u{t} u JOIN {prev} lp ON lp.i = u.src GROUP BY u.dst
+  ) m ON m.i = v.i
+)"""
+            prev = f"t{t}l{k}"
+        parts.append(
+            f"SELECT CAST({t} AS BIGINT) AS w_min, "
+            f"CAST(count(DISTINCT comp) AS BIGINT) AS n_components "
+            f"FROM {prev}")
+    sql += "\n" + "\nUNION ALL\n".join(parts)
+    return sql

@@ -18319,3 +18319,177 @@ def q_user_lifetime_hist(sf_dir: str):
         "days": pa.array(ks, type=pa.int64()),
         "n_users": pa.array([agg[k] for k in ks], type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 66: cross-source duplicate leakage, user trend split,
+# CC weight-threshold curve
+# ---------------------------------------------------------------------------
+
+
+def q_cross_source_dups(sf_dir: str):
+    """LEAKAGE detection: exact-duplicate groups (sorted-distinct-token
+    key) that SPAN more than one source — the train/test-contamination
+    face of exact dedup (a duplicate crossing source slices leaks
+    between splits drawn per source). Output: total multi-doc groups,
+    groups spanning >1 source, docs inside spanning groups."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+    from ..functions.dedup import dedup_key
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "text"])
+
+    def _keyed(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"k": pa.array([], type=pa.string()),
+                             "source": pa.array([], type=pa.string())})
+        keys = dedup_key(b.select(["doc_id", "text"]))
+        return pa.table({"k": keys, "source": b.column("source")})
+
+    keyed = docs.map_batches(_keyed, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def _grp(t: pa.Table) -> pa.Table:
+        empty = pa.table({"n_groups": pa.array([], type=pa.int64()),
+                          "n_spanning": pa.array([], type=pa.int64()),
+                          "n_docs_spanning": pa.array([],
+                                                      type=pa.int64())})
+        if t.num_rows == 0 or "k" not in t.column_names:
+            return empty
+        k = np.asarray(t.column("k")).astype(str)
+        src_ = np.asarray(t.column("source")).astype(str)
+        order = np.lexsort((src_, k))
+        k, src_ = k[order], src_[order]
+        starts = np.flatnonzero(np.concatenate(
+            [[True], k[1:] != k[:-1]]))
+        cnts = np.diff(np.concatenate([starts, [len(k)]]))
+        groups = spanning = span_docs = 0
+        for s, c in zip(starts, cnts):
+            if c < 2:
+                continue
+            groups += 1
+            if (src_[s:s + c] != src_[s]).any():
+                spanning += 1
+                span_docs += int(c)
+        return pa.table({
+            "n_groups": pa.array([groups], type=pa.int64()),
+            "n_spanning": pa.array([spanning], type=pa.int64()),
+            "n_docs_spanning": pa.array([span_docs], type=pa.int64()),
+        })
+
+    parts = group_apply_tasks(keyed, ["k"], _grp).take_all()
+    return pa.table({
+        "n_groups": pa.array([sum(p["n_groups"] for p in parts)],
+                             type=pa.int64()),
+        "n_spanning": pa.array([sum(p["n_spanning"] for p in parts)],
+                               type=pa.int64()),
+        "n_docs_spanning": pa.array(
+            [sum(p["n_docs_spanning"] for p in parts)],
+            type=pa.int64()),
+    })
+
+
+def q_user_trend_split(sf_dir: str):
+    """Per-user TREND census: split each user's event sequence
+    ((ts, event_id) order) at the midpoint floor(n/2); compare the
+    value-cents sums of the two halves scaled to a common denominator
+    (first*ceil vs second*floor half sizes — exact cross
+    multiplication); count rising / falling / flat users. Users with
+    < 2 events are flat by definition of empty halves? they are
+    EXCLUDED (no two halves to compare)."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"])
+
+    def _k(t: pa.Table) -> pa.Table:
+        empty = pa.table({"n_rising": pa.array([], type=pa.int64()),
+                          "n_falling": pa.array([], type=pa.int64()),
+                          "n_flat": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return empty
+        uid = np.asarray(t.column("user_id"), dtype=np.int64)
+        tsi = np.asarray(t.column("ts")).astype(
+            "datetime64[us]").view(np.int64)
+        eid = np.asarray(t.column("event_id"), dtype=np.int64)
+        v = np.floor(np.asarray(t.column("value"), dtype=np.float64)
+                     * 100 + 0.5).astype(np.int64)
+        order = np.lexsort((eid, tsi, uid))
+        uid, v = uid[order], v[order]
+        uu, starts, cnts = np.unique(uid, return_index=True,
+                                     return_counts=True)
+        rising = falling = flat = 0
+        for s, c in zip(starts, cnts):
+            if c < 2:
+                continue
+            h = int(c) // 2
+            a = int(v[s:s + h].sum())          # first half (h events)
+            b = int(v[s + h:s + c].sum())      # second half (c-h)
+            # per-event averages compared exactly: a/h vs b/(c-h)
+            lhs, rhs = a * (int(c) - h), b * h
+            if rhs > lhs:
+                rising += 1
+            elif rhs < lhs:
+                falling += 1
+            else:
+                flat += 1
+        return pa.table({
+            "n_rising": pa.array([rising], type=pa.int64()),
+            "n_falling": pa.array([falling], type=pa.int64()),
+            "n_flat": pa.array([flat], type=pa.int64()),
+        })
+
+    parts = group_apply_tasks(ev, ["user_id"], _k).take_all()
+    return pa.table({
+        "n_rising": pa.array([sum(p["n_rising"] for p in parts)],
+                             type=pa.int64()),
+        "n_falling": pa.array([sum(p["n_falling"] for p in parts)],
+                              type=pa.int64()),
+        "n_flat": pa.array([sum(p["n_flat"] for p in parts)],
+                           type=pa.int64()),
+    })
+
+
+def q_cc_threshold_curve(sf_dir: str):
+    """Connectivity PERSISTENCE under edge-weight thresholds: the
+    number of connected components (fixed CC_ITERS min-label rounds,
+    counting every vertex; weight-dropped vertices become singletons)
+    on the symmetric-multiplicity graph pruned at w >= 1 and w >= 2 —
+    `PruneI` -> CC composite (the weighted-percolation face of
+    `strong_triangles`)."""
+    import ray
+
+    from ..core.engine import SpmvEngine
+    from ..core.graph import Graph
+
+    ctx = get_context(sf_dir)
+    g = ctx.graph("sym").dedup_sum()
+    rows = []
+    for wmin in (1, 2):
+        if wmin == 1:
+            eng = ctx.engine("sym")
+            comp = alg.cc_fixed(eng, CC_ITERS)
+        else:
+            def _f(t: pa.Table, *, _w=wmin) -> pa.Table:
+                w = np.asarray(t.column("w"), dtype=np.float64)
+                return t.filter(pa.array(w >= _w))
+
+            edges = g.edges.map_batches(_f, batch_format="pyarrow")
+            eng = SpmvEngine.from_graph(
+                Graph(n=ctx.n, edges=edges), 4,
+                f"/tmp/cbray/ccthr_n{ctx.n}_w{wmin}",
+                structural=True)
+            comp = alg.cc_fixed(eng, CC_ITERS)
+            eng.shutdown()
+        rows.append((wmin, int(len(np.unique(comp)))))
+    return pa.table({
+        "w_min": pa.array([r[0] for r in rows], type=pa.int64()),
+        "n_components": pa.array([r[1] for r in rows],
+                                 type=pa.int64()),
+    })
