@@ -61,7 +61,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LLM-data layer without a prior driver row (+ refactored dedup)
         # wave 14 (newest = highest regression risk)
         # wave 15
-        # wave 66 (round 4: newest = highest regression risk)
+        # wave 67 (round 4: newest = highest regression risk)
+        "cc_convergence_trace": q.q_cc_convergence_trace,
+        "bfs_frontier_trace": q.q_bfs_frontier_trace,
+        "whale_share": q.q_whale_share,
+        # wave 66 (round 4)
         "cross_source_dups": q.q_cross_source_dups,
         "user_trend_split": q.q_user_trend_split,
         "cc_threshold_curve": q.q_cc_threshold_curve,
@@ -90,12 +94,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_brand_span": q.q_supplier_brand_span,
         "disc_band_share": q.q_disc_band_share,
         # wave 60 (round 4)
-        "bfs_children_hist": q.q_bfs_children_hist,
         "len_freq_grid": q.q_len_freq_grid,
         "user_type_div_hist": q.q_user_type_div_hist,
-        "nation_top_brand": q.q_nation_top_brand,
         # wave 59 (round 4)
-        "cc_by_degree": q.q_cc_by_degree,
         "decile_priority_grid": q.q_decile_priority_grid,
         "dup_cluster_purity": q.q_dup_cluster_purity,
         "core_periphery_mix": q.q_core_periphery_mix,
@@ -160,6 +161,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
         "doc_length_extremes": q.q_doc_length_extremes,  # extremal scan (r3-green; window slot 50 kept from r3)
+        "bfs_children_hist": q.q_bfs_children_hist,  # tree fan-out (r4 wave-60 green; rotated for wave-67, bfs_frontier_trace sibling)
+        "cc_by_degree": q.q_cc_by_degree,  # C(k) curve (r4 wave-59 green; rotated for wave-67, cc_convergence_trace CC sibling)
+        "nation_top_brand": q.q_nation_top_brand,  # join argmax (r4 wave-60 green; rotated for wave-67, whale_share/brand_price_mode ranking siblings)
         "dedup_share_by_source": q.q_dedup_share_by_source,  # dedup yield (r4 wave-63 green; rotated for wave-66, cross_source_dups sibling)
         "type_gap_median": q.q_type_gap_median,  # gap quantiles (r4 wave-63 green; rotated for wave-66, user_trend_split sequence sibling)
         "strong_triangles": q.q_strong_triangles,  # prune composite (r4 wave-60 green; rotated for wave-66, cc_threshold_curve PruneI sibling)
@@ -535,6 +539,9 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "corpus_scan": o.corpus_scan(),
+        "cc_convergence_trace": o.cc_convergence_trace(q.CC_ITERS),
+        "bfs_frontier_trace": o.bfs_frontier_trace("m_0", q.BFS_ITERS),
+        "whale_share": o.whale_share(q.WHALE_K),
         "cross_source_dups": o.cross_source_dups(),
         "user_trend_split": o.user_trend_split(),
         "cc_threshold_curve": o.cc_threshold_curve(q.CC_ITERS),

@@ -9140,3 +9140,95 @@ t{t}l0 AS (SELECT i, label AS comp FROM verts)
             f"FROM {prev}")
     sql += "\n" + "\nUNION ALL\n".join(parts)
     return sql
+
+
+# ---------------------------------------------------------------------------
+# wave 67: CC convergence trace, BFS frontier trace, whale share
+# ---------------------------------------------------------------------------
+
+
+@_materialized
+def cc_convergence_trace(iters: int = 12) -> str:
+    """Per-round changed-label counts of the min-label chain (twin of
+    `queries.q_cc_convergence_trace`; min over label strings equals
+    min over dense ids because ids are the label sort ranks)."""
+    sql = PREFIX + """
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+l0 AS (SELECT i, label AS comp FROM verts)
+"""
+    prev = "l0"
+    for k in range(1, iters + 1):
+        sql += f"""
+, l{k} AS (
+  SELECT v.i, least(l.comp, coalesce(m.mn, l.comp)) AS comp
+  FROM verts v JOIN {prev} l ON l.i = v.i
+  LEFT JOIN (
+    SELECT u.dst AS i, min(lp.comp) AS mn
+    FROM und u JOIN {prev} lp ON lp.i = u.src GROUP BY u.dst
+  ) m ON m.i = v.i
+)"""
+        prev = f"l{k}"
+    parts = []
+    for k in range(1, iters + 1):
+        parts.append(
+            f"SELECT CAST({k} AS BIGINT) AS round, "
+            f"CAST(count(*) AS BIGINT) AS n_changed "
+            f"FROM l{k} a JOIN l{k - 1} b ON b.i = a.i "
+            f"WHERE a.comp <> b.comp")
+    sql += "\n" + "\nUNION ALL\n".join(parts)
+    return sql
+
+
+@_materialized
+def bfs_frontier_trace(root_label: str = "m_0", iters: int = 12) -> str:
+    """Level-size histogram of the BFS from the root (twin of
+    `queries.q_bfs_frontier_trace`)."""
+    sql = PREFIX + f"""
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+d0 AS (SELECT i, 0 AS dist FROM verts WHERE label = '{root_label}')
+"""
+    prev = "d0"
+    for k in range(1, iters + 1):
+        sql += f"""
+, d{k} AS (
+  SELECT i, min(dist) AS dist FROM (
+    SELECT i, dist FROM {prev}
+    UNION ALL
+    SELECT u.dst AS i, dp.dist + 1 AS dist
+    FROM und u JOIN {prev} dp ON dp.i = u.src
+  ) GROUP BY i
+)"""
+        prev = f"d{k}"
+    sql += f"""
+SELECT CAST(dist AS BIGINT) AS level,
+       CAST(count(*) AS BIGINT) AS n_vertices
+FROM {prev} GROUP BY 1
+"""
+    return sql
+
+
+def whale_share(k: int = 10) -> str:
+    """Top-k user value share, exact cents pair (twin of
+    `queries.q_whale_share`)."""
+    return f"""
+WITH s AS (
+  SELECT user_id,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY 1
+),
+r AS (
+  SELECT cents, row_number() OVER (ORDER BY cents DESC, user_id)
+           AS rn
+  FROM s
+)
+SELECT CAST({k} AS BIGINT) AS k,
+       CAST(sum(CASE WHEN rn <= {k} THEN cents ELSE 0 END) AS BIGINT)
+         AS topk_cents,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM r
+"""

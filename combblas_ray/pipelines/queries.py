@@ -18493,3 +18493,87 @@ def q_cc_threshold_curve(sf_dir: str):
         "n_components": pa.array([r[1] for r in rows],
                                  type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 67: CC convergence trace, BFS frontier trace, whale share
+# ---------------------------------------------------------------------------
+
+
+def _ne_count(a: np.ndarray, b: np.ndarray) -> int:
+    return int((np.asarray(a) != np.asarray(b)).sum())
+
+
+def q_cc_convergence_trace(sf_dir: str):
+    """Algorithm OBSERVABILITY: per min-label round 1..CC_ITERS, how
+    many vertex labels changed — the convergence trace behind CC's
+    round budget (the driver pulls ONE scalar per round; labels stay
+    chunked refs). Rounds after convergence report 0."""
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("sym")
+    l = eng.map_chunks_i(alg._iota)
+    rounds, changed = [], []
+    for r in range(1, CC_ITERS + 1):
+        nl = eng.spmv_apply_refs(l, "select2nd_min", alg._min2_b, 1,
+                                 l)[0]
+        c = sum(eng.chunk_scalars(_ne_count, nl, l))
+        rounds.append(r)
+        changed.append(int(c))
+        l = nl
+    return pa.table({"round": pa.array(rounds, type=pa.int64()),
+                     "n_changed": pa.array(changed, type=pa.int64())})
+
+
+def q_bfs_frontier_trace(sf_dir: str):
+    """BFS FRONTIER-SIZE trace from m_0: per level 1..BFS_ITERS, the
+    number of newly reached vertices (level sizes; level 0 = the
+    root). The frontier-cost profile that motivates direction
+    switching — derived from the oracle-green distance machinery."""
+    ctx = get_context(sf_dir)
+    root = ctx.lookup_id("m_0")
+    d = alg.min_plus_distances(ctx.engine("sym"), root,
+                               iters=BFS_ITERS)
+    dd = d[np.isfinite(d)].astype(np.int64)
+    uk, c = np.unique(dd, return_counts=True)
+    return pa.table({"level": pa.array(uk, type=pa.int64()),
+                     "n_vertices": pa.array(c.astype(np.int64))})
+
+
+WHALE_K = 10
+
+
+def q_whale_share(sf_dir: str):
+    """Whale concentration: total event value cents of the top
+    WHALE_K users (rank by cents DESC, user_id ASC) vs the global
+    total — exact integer pair (no ratio). Per-user sums via one
+    shuffle; bounded top-k pull."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "value"])
+
+    def _k(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "cents": pa.array([], type=pa.int64())})
+        uid = np.asarray(t.column("user_id"), dtype=np.int64)
+        cents = np.floor(np.asarray(t.column("value"),
+                                    dtype=np.float64) * 100
+                         + 0.5).astype(np.int64)
+        uk, inv = np.unique(uid, return_inverse=True)
+        return pa.table({"user_id": pa.array(uk),
+                         "cents": pa.array(ibincount(inv, cents,
+                                                     minlength=len(uk)))})
+
+    per = group_apply_tasks(ev, ["user_id"], _k).take_all()
+    uid = np.array([p["user_id"] for p in per], dtype=np.int64)
+    cents = np.array([p["cents"] for p in per], dtype=np.int64)
+    order = np.lexsort((uid, -cents))[:WHALE_K]
+    return pa.table({
+        "k": pa.array([WHALE_K], type=pa.int64()),
+        "topk_cents": pa.array([int(cents[order].sum())],
+                               type=pa.int64()),
+        "total_cents": pa.array([int(cents.sum())], type=pa.int64()),
+    })
