@@ -61,7 +61,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LLM-data layer without a prior driver row (+ refactored dedup)
         # wave 14 (newest = highest regression risk)
         # wave 15
-        # wave 67 (round 4: newest = highest regression risk)
+        # wave 68 (round 4: newest = highest regression risk)
+        "suffix_census": q.q_suffix_census,
+        "edge_deg_grid": q.q_edge_deg_grid,
+        "same_day_orders": q.q_same_day_orders,
+        "blob_bytes_hist": q.q_blob_bytes_hist,
+        # wave 67 (round 4)
         "cc_convergence_trace": q.q_cc_convergence_trace,
         "bfs_frontier_trace": q.q_bfs_frontier_trace,
         "whale_share": q.q_whale_share,
@@ -82,19 +87,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 63 (round 4)
         "brand_rank_concordance": q.q_brand_rank_concordance,
         "reach2_hist": q.q_reach2_hist,
-        "brand_price_mode": q.q_brand_price_mode,
         # wave 62 (round 4)
         "type_run_hist": q.q_type_run_hist,
         "lsh_bucket_census": q.q_lsh_bucket_census,
         "status_line_grid": q.q_status_line_grid,
         "quality_gate_grid": q.q_quality_gate_grid,
-        "local_homophily_hist": q.q_local_homophily_hist,
         # wave 61 (round 4)
         "priority_escalation": q.q_priority_escalation,
         "supplier_brand_span": q.q_supplier_brand_span,
         "disc_band_share": q.q_disc_band_share,
         # wave 60 (round 4)
-        "len_freq_grid": q.q_len_freq_grid,
         "user_type_div_hist": q.q_user_type_div_hist,
         # wave 59 (round 4)
         "decile_priority_grid": q.q_decile_priority_grid,
@@ -111,7 +113,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 54 (round 4)
         # wave 53 (round 4)
         # wave 52 (round 4)
-        "audio_lag_corr": q.q_audio_lag_corr,
         "poly_filter": q.q_poly_filter,
         # wave 51 (round 4)
         "lang_norm_stats": q.q_lang_norm_stats,
@@ -161,6 +162,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
         "doc_length_extremes": q.q_doc_length_extremes,  # extremal scan (r3-green; window slot 50 kept from r3)
+        "len_freq_grid": q.q_len_freq_grid,  # vocab grid (r4 wave-60 green; rotated for wave-68, suffix_census sibling)
+        "local_homophily_hist": q.q_local_homophily_hist,  # node homophily (r4 wave-62 green; rotated for wave-68, edge_deg_grid mixing sibling)
+        "brand_price_mode": q.q_brand_price_mode,  # numeric mode (r4 wave-63 green; rotated for wave-68, same_day_orders audit sibling)
+        "audio_lag_corr": q.q_audio_lag_corr,  # audio feature (r4 wave-52 green; rotated for wave-68, blob_bytes_hist multimodal sibling)
         "bfs_children_hist": q.q_bfs_children_hist,  # tree fan-out (r4 wave-60 green; rotated for wave-67, bfs_frontier_trace sibling)
         "cc_by_degree": q.q_cc_by_degree,  # C(k) curve (r4 wave-59 green; rotated for wave-67, cc_convergence_trace CC sibling)
         "nation_top_brand": q.q_nation_top_brand,  # join argmax (r4 wave-60 green; rotated for wave-67, whale_share/brand_price_mode ranking siblings)
@@ -539,6 +544,10 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "corpus_scan": o.corpus_scan(),
+        "suffix_census": o.suffix_census(q.PREFIX_D),
+        "edge_deg_grid": o.edge_deg_grid(),
+        "same_day_orders": o.same_day_orders(),
+        "blob_bytes_hist": o.blob_bytes_hist(),
         "cc_convergence_trace": o.cc_convergence_trace(q.CC_ITERS),
         "bfs_frontier_trace": o.bfs_frontier_trace("m_0", q.BFS_ITERS),
         "whale_share": o.whale_share(q.WHALE_K),

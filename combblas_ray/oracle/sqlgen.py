@@ -9232,3 +9232,93 @@ SELECT CAST({k} AS BIGINT) AS k,
        CAST(sum(cents) AS BIGINT) AS total_cents
 FROM r
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 68: suffix census, edge degree grid, same-day orders,
+# blob byte histogram
+# ---------------------------------------------------------------------------
+
+
+def suffix_census(depth: int = 5) -> str:
+    """Distinct token-suffix counts per depth (twin of
+    `queries.q_suffix_census`)."""
+    return f"""
+WITH t AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+p AS (
+  SELECT DISTINCT d.d AS depth,
+         substring(tok, length(tok) - CAST(d.d AS INT) + 1,
+                   CAST(d.d AS INT)) AS suf
+  FROM t CROSS JOIN generate_series(1, {depth}) d(d)
+  WHERE length(tok) >= d.d
+)
+SELECT CAST(depth AS BIGINT) AS depth,
+       CAST(count(*) AS BIGINT) AS n_suffixes
+FROM p GROUP BY 1
+"""
+
+
+@_materialized
+def edge_deg_grid() -> str:
+    """Sorted log2-degree bucket pair per distinct undirected edge
+    (twin of `queries.q_edge_deg_grid`)."""
+    return PREFIX + """
+, undd AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+deg AS (SELECT src AS i, CAST(count(*) AS BIGINT) AS d FROM undd
+        GROUP BY 1),
+L AS (SELECT src, dst FROM undd WHERE src < dst),
+cls AS (
+  SELECT least(CAST(floor(log2(da.d)) AS BIGINT),
+               CAST(floor(log2(db.d)) AS BIGINT)) AS lo_bucket,
+         greatest(CAST(floor(log2(da.d)) AS BIGINT),
+                  CAST(floor(log2(db.d)) AS BIGINT)) AS hi_bucket
+  FROM L JOIN deg da ON da.i = L.src JOIN deg db ON db.i = L.dst
+)
+SELECT lo_bucket, hi_bucket, CAST(count(*) AS BIGINT) AS n_edges
+FROM cls GROUP BY 1, 2
+"""
+
+
+def same_day_orders() -> str:
+    """Same-day multi-order counts (twin of
+    `queries.q_same_day_orders`)."""
+    return """
+WITH d AS (
+  SELECT o_custkey,
+         CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2
+),
+m AS (SELECT * FROM d WHERE c >= 2)
+SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(count(*) AS BIGINT) AS n_cust_days,
+       CAST(coalesce(sum(c), 0) AS BIGINT) AS n_orders_involved
+FROM m
+"""
+
+
+def blob_bytes_hist() -> str:
+    """Synthetic blob byte-length histogram per modality (twin of
+    `queries.q_blob_bytes_hist`; 12-byte header + integer payload
+    formulas from multimodal.make_*)."""
+    return """
+WITH d AS (SELECT doc_id FROM documents),
+sz AS (
+  SELECT 'image' AS kind,
+         CAST(12 + (8 + (doc_id % 5) * 4) * (8 + (doc_id % 3) * 4)
+              AS BIGINT) AS nbytes
+  FROM d
+  UNION ALL
+  SELECT 'audio', CAST(12 + 2 * (256 + (doc_id % 4) * 128) AS BIGINT)
+  FROM d
+  UNION ALL
+  SELECT 'video', CAST(12 + (4 + (doc_id % 5)) * 64 AS BIGINT)
+  FROM d
+)
+SELECT kind, nbytes, CAST(count(*) AS BIGINT) AS n_items
+FROM sz GROUP BY 1, 2
+"""

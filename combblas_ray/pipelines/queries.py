@@ -18577,3 +18577,215 @@ def q_whale_share(sf_dir: str):
                                type=pa.int64()),
         "total_cents": pa.array([int(cents.sum())], type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 68: suffix census, edge degree grid, same-day orders,
+# blob byte histogram
+# ---------------------------------------------------------------------------
+
+
+def q_suffix_census(sf_dir: str):
+    """Distinct token-SUFFIX counts per depth 1..PREFIX_D (the
+    stemming-side trie profile; mirror of `prefix_census`). Routing by
+    LAST character makes suffix dedup partition-local; suffixes are
+    gathered vectorized via take_along_axis over the padded char
+    matrix (no per-token Python)."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["text"])
+    vocab = docs.map_batches(_tok_vocab_fn("text"),
+                             batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def _cz(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "tok" not in t.column_names:
+            return pa.table({"cz": pa.array([], type=pa.string()),
+                             "tok": pa.array([], type=pa.string())})
+        tok = np.unique(np.asarray(t.column("tok")).astype(str))
+        tok = tok[np.char.str_len(tok) > 0]
+        return pa.table({
+            "cz": pa.array([s[-1] for s in tok.tolist()],
+                           type=pa.string()),
+            "tok": pa.array(tok.tolist(), type=pa.string()),
+        })
+
+    keyed = vocab.map_batches(_cz, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def _census(t: pa.Table) -> pa.Table:
+        empty = pa.table({"depth": pa.array([], type=pa.int64()),
+                          "n_suffixes": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "tok" not in t.column_names:
+            return empty
+        tok = np.unique(np.asarray(t.column("tok")).astype(str))
+        lens = np.char.str_len(tok).astype(np.int64)
+        L = max(int(lens.max()), 1)
+        m = np.asarray(tok, dtype=f"U{L}").view(np.uint32).reshape(
+            -1, L)
+        depths, counts = [], []
+        for d in range(1, PREFIX_D + 1):
+            rows = lens >= d
+            if not rows.any():
+                continue
+            idx = (lens[rows, None] - d
+                   + np.arange(d, dtype=np.int64)[None, :])
+            suf = np.take_along_axis(m[rows], idx, axis=1)
+            if d < L:  # pad to a common width for the string view
+                suf = np.concatenate(
+                    [suf, np.zeros((suf.shape[0], L - d),
+                                   np.uint32)], axis=1)
+            sufs = suf.reshape(-1).view(f"U{L}").reshape(-1)
+            depths.append(d)
+            counts.append(len(np.unique(sufs)))
+        return pa.table({"depth": pa.array(depths, type=pa.int64()),
+                         "n_suffixes": pa.array(counts,
+                                                type=pa.int64())})
+
+    parts = group_apply_tasks(keyed, ["cz"], _census).take_all()
+    agg: dict[int, int] = {}
+    for p in parts:
+        agg[int(p["depth"])] = agg.get(int(p["depth"]), 0) \
+            + p["n_suffixes"]
+    ks = sorted(agg)
+    return pa.table({
+        "depth": pa.array(ks, type=pa.int64()),
+        "n_suffixes": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
+
+
+def q_edge_deg_grid(sf_dir: str):
+    """Edge-endpoint DEGREE MIXING matrix: every distinct undirected
+    edge classified by the (sorted) log2-degree buckets of its two
+    endpoints — (lo_bucket, hi_bucket, n_edges); the assortativity
+    grid partition planners read. Degree vector broadcast once."""
+    import ray
+
+    ctx = get_context(sf_dir)
+    deg = ctx.engine("sym").in_weights().astype(np.int64)
+    dref = ray.put(deg)
+    be = ctx.graph("sym").dedup_sum().cast_bool().edges
+
+    def _cls(t: pa.Table, *, _r=dref) -> pa.Table:
+        dv = _r if isinstance(_r, np.ndarray) else ray.get(_r)
+        empty = pa.table({"lo_bucket": pa.array([], type=pa.int64()),
+                          "hi_bucket": pa.array([], type=pa.int64()),
+                          "n_edges": pa.array([], type=pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        s = np.asarray(t.column("src"), dtype=np.int64)
+        d = np.asarray(t.column("dst"), dtype=np.int64)
+        keep = s < d
+        s, d = s[keep], d[keep]
+        bs = np.frexp(np.maximum(dv[s], 1).astype(
+            np.float64))[1].astype(np.int64) - 1
+        bd = np.frexp(np.maximum(dv[d], 1).astype(
+            np.float64))[1].astype(np.int64) - 1
+        lo = np.minimum(bs, bd)
+        hi = np.maximum(bs, bd)
+        key = lo * np.int64(64) + hi
+        uk, c = np.unique(key, return_counts=True)
+        return pa.table({
+            "lo_bucket": pa.array((uk // 64).astype(np.int64)),
+            "hi_bucket": pa.array((uk % 64).astype(np.int64)),
+            "n_edges": pa.array(c.astype(np.int64)),
+        })
+
+    parts = be.map_batches(_cls, batch_format="pyarrow").take_all()
+    agg: dict[tuple, int] = {}
+    for p in parts:
+        k = (int(p["lo_bucket"]), int(p["hi_bucket"]))
+        agg[k] = agg.get(k, 0) + p["n_edges"]
+    ks = sorted(agg)
+    return pa.table({
+        "lo_bucket": pa.array([k[0] for k in ks], type=pa.int64()),
+        "hi_bucket": pa.array([k[1] for k in ks], type=pa.int64()),
+        "n_edges": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
+
+
+def q_same_day_orders(sf_dir: str):
+    """Same-day multi-order census: customers placing >= 2 orders on
+    one calendar day — (n_customers, n_cust_days, n_orders_involved).
+    The fraud/dup-submission audit; one custkey shuffle."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    o = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_custkey", "o_orderdate"])
+    US_DAY = np.int64(86_400_000_000)
+
+    def _k(t: pa.Table) -> pa.Table:
+        empty = pa.table({"n_customers": pa.array([], type=pa.int64()),
+                          "n_cust_days": pa.array([], type=pa.int64()),
+                          "n_orders_involved": pa.array(
+                              [], type=pa.int64())})
+        if t.num_rows == 0 or "o_custkey" not in t.column_names:
+            return empty
+        ck = np.asarray(t.column("o_custkey"), dtype=np.int64)
+        day = np.asarray(t.column("o_orderdate")).astype(
+            "datetime64[us]").view(np.int64) // US_DAY
+        key = _pack20(ck, day)
+        uk, cnt = np.unique(key, return_counts=True)
+        multi = cnt >= 2
+        custs = np.unique((uk[multi] >> 20))
+        return pa.table({
+            "n_customers": pa.array([len(custs)], type=pa.int64()),
+            "n_cust_days": pa.array([int(multi.sum())],
+                                    type=pa.int64()),
+            "n_orders_involved": pa.array([int(cnt[multi].sum())],
+                                          type=pa.int64()),
+        })
+
+    parts = group_apply_tasks(o, ["o_custkey"], _k).take_all()
+    return pa.table({
+        "n_customers": pa.array([sum(p["n_customers"] for p in parts)],
+                                type=pa.int64()),
+        "n_cust_days": pa.array([sum(p["n_cust_days"] for p in parts)],
+                                type=pa.int64()),
+        "n_orders_involved": pa.array(
+            [sum(p["n_orders_involved"] for p in parts)],
+            type=pa.int64()),
+    })
+
+
+def q_blob_bytes_hist(sf_dir: str):
+    """Payload-size census per modality: histogram of blob byte
+    lengths for image / audio / video payloads — the storage- and
+    batch-size-planning profile (large-binary columns want small
+    batches). Rides the synthetic blob pipelines; SQL-reproducible
+    because the synthesis is pure integer arithmetic."""
+    from ..functions import multimodal as M
+
+    rows = {"kind": [], "nbytes": [], "n_items": []}
+    for kind in ("image", "audio", "video"):
+        blobs = M.blob_dataset_from_docs(sf_dir, kind=kind)
+
+        def _ln(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"nbytes": pa.array([], type=pa.int64()),
+                                 "c": pa.array([], type=pa.int64())})
+            ln = pc.binary_length(t.column("payload"))
+            uk, c = np.unique(np.asarray(ln, dtype=np.int64),
+                              return_counts=True)
+            return pa.table({"nbytes": pa.array(uk),
+                             "c": pa.array(c.astype(np.int64))})
+
+        parts = blobs.map_batches(_ln, batch_format="pyarrow").take_all()
+        agg: dict[int, int] = {}
+        for p in parts:
+            agg[int(p["nbytes"])] = agg.get(int(p["nbytes"]), 0) \
+                + p["c"]
+        for k in sorted(agg):
+            rows["kind"].append(kind)
+            rows["nbytes"].append(k)
+            rows["n_items"].append(agg[k])
+    return pa.table({
+        "kind": pa.array(rows["kind"], type=pa.string()),
+        "nbytes": pa.array(rows["nbytes"], type=pa.int64()),
+        "n_items": pa.array(rows["n_items"], type=pa.int64()),
+    })
