@@ -61,7 +61,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LLM-data layer without a prior driver row (+ refactored dedup)
         # wave 14 (newest = highest regression risk)
         # wave 15
-        # wave 68 (round 4: newest = highest regression risk)
+        # wave 69 (round 4: newest = highest regression risk)
+        "busy_minutes": q.q_busy_minutes,
+        "bfs_level_cut": q.q_bfs_level_cut,
+        # wave 68 (round 4)
         "suffix_census": q.q_suffix_census,
         "edge_deg_grid": q.q_edge_deg_grid,
         "same_day_orders": q.q_same_day_orders,
@@ -77,7 +80,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 65 (round 4)
         "col_sumsq": q.q_col_sumsq,
         "lang_run_stats": q.q_lang_run_stats,
-        "user_lifetime_hist": q.q_user_lifetime_hist,
         # wave 64 (round 4)
         "cust_concentration": q.q_cust_concentration,
         "weekend_split": q.q_weekend_split,
@@ -91,7 +93,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_run_hist": q.q_type_run_hist,
         "lsh_bucket_census": q.q_lsh_bucket_census,
         "status_line_grid": q.q_status_line_grid,
-        "quality_gate_grid": q.q_quality_gate_grid,
         # wave 61 (round 4)
         "priority_escalation": q.q_priority_escalation,
         "supplier_brand_span": q.q_supplier_brand_span,
@@ -162,6 +163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
         "doc_length_extremes": q.q_doc_length_extremes,  # extremal scan (r3-green; window slot 50 kept from r3)
+        "user_lifetime_hist": q.q_user_lifetime_hist,  # span census (r4 wave-65 green; rotated for wave-69, busy_minutes window sibling)
+        "quality_gate_grid": q.q_quality_gate_grid,  # gate census (r4 wave-62 green; rotated for wave-69, cross_source_dups prep sibling)
         "len_freq_grid": q.q_len_freq_grid,  # vocab grid (r4 wave-60 green; rotated for wave-68, suffix_census sibling)
         "local_homophily_hist": q.q_local_homophily_hist,  # node homophily (r4 wave-62 green; rotated for wave-68, edge_deg_grid mixing sibling)
         "brand_price_mode": q.q_brand_price_mode,  # numeric mode (r4 wave-63 green; rotated for wave-68, same_day_orders audit sibling)
@@ -544,6 +547,8 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "corpus_scan": o.corpus_scan(),
+        "busy_minutes": o.busy_minutes(q.BUSY_K),
+        "bfs_level_cut": o.bfs_level_cut("m_0", q.BFS_ITERS),
         "suffix_census": o.suffix_census(q.PREFIX_D),
         "edge_deg_grid": o.edge_deg_grid(),
         "same_day_orders": o.same_day_orders(),

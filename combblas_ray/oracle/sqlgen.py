@@ -9322,3 +9322,65 @@ sz AS (
 SELECT kind, nbytes, CAST(count(*) AS BIGINT) AS n_items
 FROM sz GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# wave 69: busy minutes, BFS level cut
+# ---------------------------------------------------------------------------
+
+
+def busy_minutes(k: int = 3) -> str:
+    """HOURS holding >= k events per type (twin of
+    `queries.q_busy_minutes`; hour windows — see the query note)."""
+    return f"""
+WITH m AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS mn,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(sum(CASE WHEN c >= {k} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_busy_minutes
+FROM m GROUP BY 1
+HAVING sum(CASE WHEN c >= {k} THEN 1 ELSE 0 END) > 0
+"""
+
+
+@_materialized
+def bfs_level_cut(root_label: str = "m_0", iters: int = 12) -> str:
+    """Distinct undirected edges by BFS-level relation of endpoints
+    (twin of `queries.q_bfs_level_cut`)."""
+    sql = PREFIX + f"""
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+d0 AS (SELECT i, 0 AS dist FROM verts WHERE label = '{root_label}')
+"""
+    prev = "d0"
+    for x in range(1, iters + 1):
+        sql += f"""
+, d{x} AS (
+  SELECT i, min(dist) AS dist FROM (
+    SELECT i, dist FROM {prev}
+    UNION ALL
+    SELECT u.dst AS i, dp.dist + 1 AS dist
+    FROM und u JOIN {prev} dp ON dp.i = u.src
+  ) GROUP BY i
+)"""
+        prev = f"d{x}"
+    sql += f"""
+, L AS (SELECT src AS a, dst AS b FROM und WHERE src < dst),
+cls AS (
+  SELECT la.dist AS x, lb.dist AS y
+  FROM L LEFT JOIN {prev} la ON la.i = L.a
+  LEFT JOIN {prev} lb ON lb.i = L.b
+)
+SELECT CAST(sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL AND x = y
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+       CAST(sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL AND x <> y
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_cross,
+       CAST(sum(CASE WHEN x IS NULL OR y IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_unreached
+FROM cls
+"""
+    return sql

@@ -18789,3 +18789,132 @@ def q_blob_bytes_hist(sf_dir: str):
         "nbytes": pa.array(rows["nbytes"], type=pa.int64()),
         "n_items": pa.array(rows["n_items"], type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 69: busy minutes, BFS level cut
+# ---------------------------------------------------------------------------
+
+BUSY_K = 3
+
+
+def q_busy_minutes(sf_dir: str):
+    """Windowed THRESHOLD census: per event type, the number of
+    distinct epoch HOURS holding >= BUSY_K events — the burst-window
+    count behind rate-limit sizing (hour windows: the sf0.001 stream
+    never puts two events in one minute). One (type, hour) count pass,
+    bounded partials."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type"])
+    US_HOUR = np.int64(3_600_000_000)
+
+    def _pre(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_type": pa.array([], type=pa.string()),
+                             "mn": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+        et = np.asarray(t.column("event_type")).astype(str)
+        mn = np.asarray(t.column("ts")).astype(
+            "datetime64[us]").view(np.int64) // US_HOUR
+        key = np.char.add(np.char.add(et, "\x1f"),
+                          np.char.zfill(mn.astype(str), 14))
+        uk, c = np.unique(key, return_counts=True)
+        sp = np.char.partition(uk, "\x1f")
+        return pa.table({
+            "event_type": pa.array(sp[:, 0].tolist(), type=pa.string()),
+            "mn": pa.array(sp[:, 2].astype(np.int64)),
+            "c": pa.array(c.astype(np.int64)),
+        })
+
+    pre = ev.map_batches(_pre, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+    def _k(t: pa.Table) -> pa.Table:
+        empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                          "n_busy_minutes": pa.array([],
+                                                     type=pa.int64())})
+        if t.num_rows == 0 or "event_type" not in t.column_names:
+            return empty
+        et = np.asarray(t.column("event_type")).astype(str)
+        mn = np.asarray(t.column("mn"), dtype=np.int64)
+        c = np.asarray(t.column("c"), dtype=np.int64)
+        key = np.char.add(np.char.add(et, "\x1f"),
+                          np.char.zfill(mn.astype(str), 14))
+        uk, inv = np.unique(key, return_inverse=True)
+        tot = ibincount(inv, c, minlength=len(uk))
+        sp = np.char.partition(uk, "\x1f")
+        busy = tot >= BUSY_K
+        types, tinv = np.unique(sp[:, 0], return_inverse=True)
+        nb = ibincount(tinv, busy, minlength=len(types))
+        keep = nb > 0
+        return pa.table({
+            "event_type": pa.array(types[keep].tolist(),
+                                   type=pa.string()),
+            "n_busy_minutes": pa.array(nb[keep]),
+        })
+
+    parts = group_apply_tasks(pre, ["event_type"], _k).take_all()
+    agg: dict[str, int] = {}
+    for p in parts:
+        agg[p["event_type"]] = agg.get(p["event_type"], 0) \
+            + p["n_busy_minutes"]
+    ks = sorted(agg)
+    return pa.table({
+        "event_type": pa.array(ks, type=pa.string()),
+        "n_busy_minutes": pa.array([agg[k] for k in ks],
+                                   type=pa.int64()),
+    })
+
+
+def q_bfs_level_cut(sf_dir: str):
+    """BFS-DAG structure census from m_0: distinct undirected edges
+    classified by their endpoints' BFS levels — same-level /
+    cross-level (levels differ by exactly 1; BFS guarantees no larger
+    gap among reached pairs) / touching an unreached endpoint. The
+    frontier-expansion cost anatomy. Levels broadcast once; one edge
+    pass."""
+    import ray
+
+    ctx = get_context(sf_dir)
+    root = ctx.lookup_id("m_0")
+    d = alg.min_plus_distances(ctx.engine("sym"), root,
+                               iters=BFS_ITERS)
+    lev = np.where(np.isfinite(d), d, -1.0).astype(np.int64)
+    lref = ray.put(lev)
+    be = ctx.graph("sym").dedup_sum().cast_bool().edges
+
+    def _cls(t: pa.Table, *, _r=lref) -> pa.Table:
+        lv = _r if isinstance(_r, np.ndarray) else ray.get(_r)
+        empty = pa.table({"n_same": pa.array([], type=pa.int64()),
+                          "n_cross": pa.array([], type=pa.int64()),
+                          "n_unreached": pa.array([], type=pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        s = np.asarray(t.column("src"), dtype=np.int64)
+        dd = np.asarray(t.column("dst"), dtype=np.int64)
+        keep = s < dd
+        s, dd = s[keep], dd[keep]
+        la, lb = lv[s], lv[dd]
+        reached = (la >= 0) & (lb >= 0)
+        return pa.table({
+            "n_same": pa.array([int((reached & (la == lb)).sum())],
+                               type=pa.int64()),
+            "n_cross": pa.array([int((reached & (la != lb)).sum())],
+                                type=pa.int64()),
+            "n_unreached": pa.array([int((~reached).sum())],
+                                    type=pa.int64()),
+        })
+
+    parts = be.map_batches(_cls, batch_format="pyarrow").take_all()
+    return pa.table({
+        "n_same": pa.array([sum(p["n_same"] for p in parts)],
+                           type=pa.int64()),
+        "n_cross": pa.array([sum(p["n_cross"] for p in parts)],
+                            type=pa.int64()),
+        "n_unreached": pa.array([sum(p["n_unreached"] for p in parts)],
+                                type=pa.int64()),
+    })
