@@ -92,6 +92,16 @@ def _payload_combine(vals: np.ndarray, first_idx: np.ndarray,
             out = np.zeros(int(inv.max()) + 1 if len(inv) else 0,
                            dtype=np.int64)
             np.add.at(out, inv, vals.astype(np.int64, copy=False))
+            if vals.dtype != np.int64 and len(out):
+                # narrow payload dtypes (i32/i16) keep their stored
+                # schema only while the group totals fit — raise
+                # instead of silently wrapping on the cast back
+                info = np.iinfo(vals.dtype)
+                if out.max() > info.max or out.min() < info.min:
+                    raise OverflowError(
+                        f"payload sum overflows {vals.dtype} (max "
+                        f"{out.max()}); store the field as int64"
+                    )
             return out.astype(vals.dtype, copy=False)
         return np.bincount(inv, weights=vals.astype(np.float64))
     if agg == "first":  # arbitrary representative (post-shuffle order)
@@ -356,7 +366,11 @@ def build_block_refs(graph, g: int, *, w_dtype: str = "f8",
     shared filesystem exists (actors on any node fetch blocks through
     the object store; spilling handles overflow). No disk checkpoint =
     no cross-run resume; `build_blocks` remains the checkpointed
-    sibling. Returns [(meta, ObjectRef)] sorted by bid."""
+    sibling. Fault-tolerance scope: the refs are ray.put by the build
+    workers, so with `max_restarts` engines they survive actor-process
+    death but NOT loss of the node holding their primary copy — use the
+    disk store when node-loss recovery matters.
+    Returns [(meta, ObjectRef)] sorted by bid."""
     nb = _shuffle_partitions(g)
     edge_refs = graph.edges.to_arrow_refs()
     routed = [
@@ -848,6 +862,38 @@ class CsrPoolActor:
     def row_sums(self):
         return [(b.br, b.row_sums()) for b in self.blocks]
 
+    def _sums_chunked(self, keyed):
+        """Pre-merge per-chunk sum partials on the actor (pad shorter
+        block partials with 0) — the refs form of col/row_sums: the
+        driver never touches the arrays, only combine tasks do."""
+        out: dict[int, np.ndarray] = {}
+        for key, part in keyed:
+            if key in out:
+                prev = out[key]
+                if len(prev) < len(part):
+                    prev, part = part, prev
+                if len(part) < len(prev):
+                    q = np.zeros(len(prev), dtype=np.float64)
+                    q[: len(part)] = part
+                    part = q
+                out[key] = prev + part
+            else:
+                out[key] = part.astype(np.float64, copy=False)
+        return out
+
+    def row_sums_chunked(self):
+        """Per-row-chunk pre-merged row sums, returned in ``self.brs``
+        order (dynamic num_returns — each lands in plasma separately)."""
+        out = self._sums_chunked((b.br, b.row_sums()) for b in self.blocks)
+        res = [out[br] for br in self.brs]
+        return res[0] if len(res) == 1 else tuple(res)
+
+    def col_sums_chunked(self):
+        """Per-col-chunk pre-merged column sums in ``self.bcs`` order."""
+        out = self._sums_chunked((b.bc, b.col_sums()) for b in self.blocks)
+        res = [out[bc] for bc in self.bcs]
+        return res[0] if len(res) == 1 else tuple(res)
+
     def dim_apply(self, dim: str, *v_chunks: np.ndarray) -> bool:
         """Scale resident weights by a vertex vector (chunks align with
         self.bcs for dim='col', self.brs for dim='row')."""
@@ -1139,15 +1185,19 @@ class SpmvEngine:
         if pool_cpus:
             opts["num_cpus"] = pool_cpus
         if max_restarts:
-            # FAULT TOLERANCE (multi-node: a worker node dies mid-run):
-            # Ray respawns the actor and replays __init__ — blocks
-            # reload from the checkpointed store (disk paths) or the
-            # driver-owned object refs, both of which survive the
-            # actor. max_task_retries makes in-flight partials retry
-            # transparently. Safe ONLY because the compute methods are
-            # pure reads of resident state; engines that mutate blocks
-            # in place (dim_apply) must not enable this — a restart
-            # would silently revert the scaling, so dim_apply raises.
+            # FAULT TOLERANCE: Ray respawns the actor and replays
+            # __init__. What a restart can reload depends on the block
+            # source: the checkpointed DISK store survives both actor
+            # death and node loss (shared FS); `build_block_refs`
+            # objects are ray.put inside worker tasks, so their primary
+            # plasma copies live on (and are owned by) the node that
+            # built them — that path tolerates actor-PROCESS death
+            # only, not loss of the owning node. max_task_retries makes
+            # in-flight partials retry transparently. Safe ONLY because
+            # the compute methods are pure reads of resident state;
+            # engines that mutate blocks in place (dim_apply) must not
+            # enable this — a restart would silently revert the
+            # scaling, so dim_apply raises.
             opts["max_restarts"] = max_restarts
             opts["max_task_retries"] = max_restarts
         cls_handle = CsrPoolActor.options(**opts) if opts else CsrPoolActor
@@ -1597,6 +1647,35 @@ class SpmvEngine:
 
     def in_weights(self) -> np.ndarray:
         return self._fused_sums("row_sums")
+
+    def _fused_sums_refs(self, method: str, keysets: list) -> list:
+        """Chunked-refs form of `_fused_sums`: actors return pre-merged
+        per-chunk partials (dynamic num_returns), one `_combine` task per
+        chunk sums them — the degree vector never lands on the driver."""
+        partials: dict[int, list] = {i: [] for i in range(self.g)}
+        for actor, keys in zip(self.actors, keysets):
+            refs = getattr(actor, method).options(
+                num_returns=len(keys)
+            ).remote()
+            if len(keys) == 1:
+                refs = [refs]
+            for k, ref in zip(keys, refs):
+                partials[k].append(ref)
+        return [
+            _combine.remote(
+                "plus_times", self.bounds[i][1] - self.bounds[i][0],
+                *partials[i]
+            )
+            for i in range(self.g)
+        ]
+
+    def in_weights_refs(self) -> list:
+        """Row-sum (in-weight / in-degree on bool graphs) chunk refs."""
+        return self._fused_sums_refs("row_sums_chunked", self.actor_brs)
+
+    def out_weights_refs(self) -> list:
+        """Column-sum (out-weight) chunk refs."""
+        return self._fused_sums_refs("col_sums_chunked", self.actor_bcs)
 
     def dim_apply(self, dim: str, v: np.ndarray) -> None:
         """Scale resident block weights by v (per-column for dim='col',

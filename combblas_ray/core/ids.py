@@ -339,6 +339,11 @@ def _lookup_in_chunk(chunk, offset: int, labels: list):
     ch_labels, _vids = chunk
     pos = pc.index_in(pa.array(labels, type=pa.string()),
                       value_set=ch_labels)
+    if pos.null_count:
+        missing = [lb for lb, p in zip(labels, pos.to_pylist())
+                   if p is None]
+        raise KeyError(f"labels not in vertex dictionary: {missing[:10]}"
+                       + (" ..." if len(missing) > 10 else ""))
     return offset + pos.to_numpy(zero_copy_only=False).astype(np.int64)
 
 

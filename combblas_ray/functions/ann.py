@@ -197,7 +197,17 @@ def knn_graph(emb_ds, k: int = 5, num_chunks: int | None = None,
     brute asserted in pytest). ``method='exact'``/``'lsh'`` force a plan
     (the exact plan doubles as the pytest oracle for the LSH plan)."""
     if method == "auto":
-        method = "exact" if emb_ds.count() <= KNN_EXACT_MAX else "lsh"
+        n_vecs = emb_ds.count()
+        method = "exact" if n_vecs <= KNN_EXACT_MAX else "lsh"
+        if method == "lsh":
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "knn_graph: auto selected the APPROXIMATE sign-LSH plan "
+                "(%d vectors > KNN_EXACT_MAX=%d; recall ~0.95). Pass "
+                "method='exact' to force exact neighbors.",
+                n_vecs, KNN_EXACT_MAX,
+            )
     if method == "lsh":
         return knn_graph_lsh(emb_ds, k=k, nbits=nbits, tables=tables)
     if num_chunks is None:
@@ -481,12 +491,17 @@ def embedding_dup_pairs(emb_ds, tau: float = 0.4,
 
 
 def embedding_dup_pairs_lsh(emb_ds, tau: float = 0.4, nbits: int = 4,
-                            probe_bits: int = 1, seed: int = 11):
+                            probe_bits: int = 1, seed: int = 11,
+                            bucket_cap: int = 512, cap_anchors: int = 8):
     """Scale path for embedding near-dup: sign-LSH code per vector,
     candidate pairs restricted to identical (or probe_bits-flipped)
     buckets via a keyed shuffle, exact cosine verify per partition —
     the embedding analog of the MinHash-LSH near-dup pipeline; recall
-    vs the exact baseline asserted in pytest."""
+    vs the exact baseline asserted in pytest. Buckets larger than
+    ``bucket_cap`` verify anchor-star only (each member against the
+    ``cap_anchors`` smallest vec_ids) — the `dedup.LSH_BUCKET_CAP`
+    policy: no quadratic task from one degenerate bucket, dup-cluster
+    connectivity preserved, gate-scale buckets unaffected."""
     import itertools
 
     import ray
@@ -553,6 +568,20 @@ def embedding_dup_pairs_lsh(emb_ds, tau: float = 0.4, nbits: int = 4,
         starts = np.nonzero(new)[0]
         sizes = np.diff(np.append(starts, len(bk)))
         a_out, b_out = [], []
+        for s0, m in zip(starts[sizes > bucket_cap],
+                         sizes[sizes > bucket_cap]):
+            # anchor-star verify for over-cap runs (ids ascending
+            # within a run, so the first rows are the smallest ids)
+            na = min(cap_anchors, int(m) - 1)
+            A = M[s0:s0 + na]
+            G = M[s0:s0 + m]
+            sims = A @ G.T                      # (na, m)
+            ai, gj = np.nonzero(sims >= tau)
+            av, bv = ids[s0 + ai], ids[s0 + gj]
+            keep = av < bv
+            a_out.append(av[keep])
+            b_out.append(bv[keep])
+        starts, sizes = starts[sizes <= bucket_cap], sizes[sizes <= bucket_cap]
         for m in np.unique(sizes):
             if m < 2:
                 continue

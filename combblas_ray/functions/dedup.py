@@ -613,12 +613,28 @@ def minhash_signatures(docs_ds, num_perm: int = 64):
     return docs_ds.map_batches(_sig, batch_format="pyarrow")
 
 
+# Per-bucket pair-expansion cap (the LSH twin of DF_CAP): a degenerate
+# bucket (boilerplate / license files at corpus scale) would otherwise
+# emit C(B, 2) pairs in one task. Over-cap runs fall back to an
+# anchor-star expansion: every member pairs with the LSH_CAP_ANCHORS
+# smallest doc_ids of the bucket — O(B * anchors) emission that keeps
+# every member connected to the bucket's canonical docs (dup-cluster
+# connectivity preserved; pairs remain exact-Jaccard verified), while
+# the full quadratic pair set of a near-identical pile is redundant for
+# dedup anyway. Gate-scale buckets never reach the cap, so oracle
+# parity is untouched.
+LSH_BUCKET_CAP = 512
+LSH_CAP_ANCHORS = 8
+
+
 def minhash_lsh_pairs(docs_ds, tau: float = 0.5, num_perm: int = 64,
-                      bands: int = 16):
+                      bands: int = 16, bucket_cap: int = LSH_BUCKET_CAP,
+                      cap_anchors: int = LSH_CAP_ANCHORS):
     """LSH candidate pairs (banded minhash buckets -> bucket shuffle ->
     per-bucket pairs -> pair-dedup shuffle) verified with exact Jaccard
-    via distributed joins — the scalable near-dup path. Returns a
-    Dataset (a, b, jac)."""
+    via distributed joins — the scalable near-dup path. Buckets larger
+    than ``bucket_cap`` switch from triangular to anchor-star expansion
+    (see `LSH_BUCKET_CAP`). Returns a Dataset (a, b, jac)."""
     from .text import _FP_MASK, _fp_mulmod
 
     rows_per_band = num_perm // bands
@@ -662,7 +678,9 @@ def minhash_lsh_pairs(docs_ds, tau: float = 0.5, num_perm: int = 64,
     def _pairs(batch: pa.Table) -> pa.Table:
         """Whole-partition pair emission: lexsort (bucket, doc), distinct,
         bucket-run triangular pairs via `_run_pairs` (Python loops over
-        distinct run sizes only, never rows)."""
+        distinct run sizes only, never rows). Runs over ``bucket_cap``
+        use the anchor-star fallback — no quadratic blow-up from one
+        degenerate bucket."""
         bk = np.asarray(batch.column("bucket"), dtype=np.int64)
         ds = np.asarray(batch.column("doc_id"), dtype=np.int64)
         order = np.lexsort((ds, bk))
@@ -676,8 +694,21 @@ def minhash_lsh_pairs(docs_ds, tau: float = 0.5, num_perm: int = 64,
             new[1:] = bk[1:] != bk[:-1]
         starts = np.nonzero(new)[0]
         sizes = np.diff(np.append(starts, len(bk)))
-        a, b = _run_pairs(starts, sizes, ds)
-        return pa.table({"a": pa.array(a), "b": pa.array(b)})
+        ok = sizes <= bucket_cap
+        a, b = _run_pairs(starts[ok], sizes[ok], ds)
+        out_a, out_b = [a], [b]
+        for s0, m in zip(starts[~ok], sizes[~ok]):
+            # anchor-star: members sorted ascending within the run, so
+            # the first `cap_anchors` are the smallest ids; pairs
+            # (anchor, member) keep a < b by construction
+            mem = ds[s0:s0 + m]
+            na = min(cap_anchors, m - 1)
+            anc = mem[:na]
+            ii, jj = np.nonzero(anc[:, None] < mem[None, :])
+            out_a.append(anc[ii])
+            out_b.append(mem[jj])
+        return pa.table({"a": pa.array(np.concatenate(out_a)),
+                         "b": pa.array(np.concatenate(out_b))})
 
     bucketed = sigs.map_batches(_buckets, batch_format="pyarrow")
     cands = _dedup_pairs(group_apply_tasks(bucketed, ["bucket"], _pairs))

@@ -224,6 +224,91 @@ def msbfs_distances(engine: SpmvEngine, seeds: np.ndarray,
     return engine.unchunk(d)
 
 
+def _mod_seed_init(arith_chunk, mod):
+    """Seed-distance init from the dictionary's arith chunk: 0 where
+    arith %% mod == 0, +inf elsewhere — no driver seed array."""
+    d = np.full(len(arith_chunk), np.inf)
+    d[np.asarray(arith_chunk, dtype=np.int64) % mod == 0] = 0.0
+    return d
+
+
+def msbfs_mod_distances_refs(engine: SpmvEngine, arith_refs: list,
+                             mod: int, iters: int = 12) -> list:
+    """`msbfs_distances` with the seed set (arith %% mod == 0) generated
+    PER CHUNK from the dictionary's arith slices — the whole loop is
+    refs-only and the driver never holds a seed or distance array.
+    Returns distance chunk refs (+inf = unreached)."""
+    d = engine.map_chunks(partial(_mod_seed_init, mod=mod), arith_refs)
+    for _ in range(iters):
+        d = engine.spmv_apply_refs(d, "min_plus", _min2_b, 1, d)[0]
+    return d
+
+
+def _topk_cand(deg_chunk, arith_chunk, bounds, k):
+    """Per-chunk top-k candidates by (deg DESC, arith ASC): returns
+    (global ids, degs, ariths) of at most k rows."""
+    s, _e = bounds
+    deg = np.asarray(deg_chunk, dtype=np.int64)
+    ar = np.asarray(arith_chunk, dtype=np.int64)
+    kk = min(k, len(deg))
+    order = np.lexsort((ar, -deg))[:kk]
+    return order.astype(np.int64) + s, deg[order], ar[order]
+
+
+def top_by_degree(engine: SpmvEngine, arith_refs: list, k: int,
+                  deg_refs: list | None = None) -> np.ndarray:
+    """Distributed top-k vertices by (degree DESC, arith ASC) — the hub
+    seed selector (`Reduce` + driver-k pattern, ``BetwCent.cpp:179``):
+    per-chunk candidate top-k over fused row-sum refs, then an O(g*k)
+    driver merge. No O(n) driver arrays. Returns dense ids in RANK
+    order (callers needing sorted ids apply np.sort)."""
+    import ray
+
+    if deg_refs is None:
+        deg_refs = engine.in_weights_refs()
+    i_refs, d_refs, a_refs = engine.map_chunks_n(
+        partial(_topk_cand, k=k), 3, deg_refs, arith_refs,
+        with_bounds=True
+    )
+    ids = np.concatenate(ray.get(i_refs))
+    deg = np.concatenate(ray.get(d_refs))
+    ar = np.concatenate(ray.get(a_refs))
+    top = np.lexsort((ar, -deg))[:k]
+    return ids[top].astype(np.int64)
+
+
+def _kseed_init(bounds, seeds):
+    """(k, chunk) distance init: row i is seed i's BFS state."""
+    s, e = bounds
+    D = np.full((len(seeds), e - s), np.inf)
+    sel = (seeds >= s) & (seeds < e)
+    D[np.nonzero(sel)[0], seeds[sel] - s] = 0.0
+    return D
+
+
+def _kmin_f(D, Y, bounds):
+    """spmm_apply_refs adapter: fused combine + elementwise min against
+    the prior (k, chunk) distance state."""
+    return np.minimum(D, Y)
+
+
+def kseed_distances_refs(engine: SpmvEngine, seeds: np.ndarray,
+                         iters: int = 12) -> list:
+    """K-source hop distances as CHUNKED (k, n/g) refs — the batched
+    min-plus SpMM loop of the betweenness machinery
+    (``BetwCent.cpp:179-187``) with the seeds kept SEPARATE (one row per
+    seed). The driver never holds a (k, n) matrix; callers reduce the
+    refs with `map_chunks` census kernels or gather seed columns only."""
+    seeds = np.asarray(seeds, dtype=np.int64)
+    k = len(seeds)
+    D = engine.map_chunks_n(
+        partial(_kseed_init, seeds=seeds), 1, with_bounds=True
+    )[0]
+    for _ in range(iters):
+        D = engine.spmm_apply_refs(D, k, "min_plus", _kmin_f, 1, D)[0]
+    return D
+
+
 def fastsv(engine: SpmvEngine, max_iters: int = 200) -> tuple[np.ndarray, int]:
     """FastSV connected components (``FastSV.h:335-374``), with the
     reference's primitive structure mapped to distributed ops:
@@ -535,13 +620,40 @@ def _sigma_x(d, sigma, level):
 _SIGMA_TRIP = np.int64(1) << 61
 
 
+def _count_and_mass(a):
+    """(nnz, float64 mass) of a frontier chunk — the mass feeds the
+    pre-level overflow bound (float64 rounding is ~1e-16 relative,
+    negligible against the 4x margin between the 2^61 guard and the
+    2^63 wrap point)."""
+    return int(np.count_nonzero(a)), float(a.astype(np.float64).sum())
+
+
+def _sigma_level_guard(engine, x) -> int:
+    """Pre-level input bound closing the wrap-around hole: with unit
+    edge weights every per-vertex level sum is bounded by the TOTAL
+    frontier path-count mass (all terms nonnegative), so mass < 2^61
+    guarantees no intermediate int64 sum can reach 2^64 and alias back
+    into range past the post-reduce check. Returns the frontier nnz."""
+    parts = engine.chunk_scalars(_count_and_mass, x)
+    nnz = sum(p[0] for p in parts)
+    if sum(p[1] for p in parts) >= float(_SIGMA_TRIP):
+        raise NotImplementedError(
+            "bfs_sigma: total frontier path-count mass reached the "
+            "int64 tripwire (2^61); a big-integer value channel is "
+            "needed at this scale"
+        )
+    return nnz
+
+
 def _sigma_update_f(d, sigma, y, bounds, level):
     """Fused combine+update: vertices first reached at this level take
     dist = level+1 and sigma = the plus_times_i64 path-count sum.
     Tripwire: counts are exact while every per-level sum stays in int64;
-    any negative (wrapped) or >= 2^61 partial raises — the reference's
-    templated int64 channel has NO such guard (silent wrap), so this is
-    strictly stronger than parity."""
+    any negative (wrapped) or >= 2^61 partial raises, and the driver's
+    pre-level mass bound (`_sigma_level_guard`) rules out sums that wrap
+    past 2^64 back into range — the reference's templated int64 channel
+    has NO such guard (silent wrap), so this is strictly stronger than
+    parity."""
     if np.any(y < 0) or np.any(y >= _SIGMA_TRIP):
         raise NotImplementedError(
             "bfs_sigma: path counts reached the int64 tripwire (2^61); "
@@ -570,7 +682,7 @@ def bfs_sigma(engine: SpmvEngine, root: int, iters: int = 12):
     for level in range(iters):
         x = engine.map_chunks(partial(_sigma_x, level=float(level)),
                               d, sigma)
-        if not sum(engine.chunk_scalars(_count_true, x)):
+        if not _sigma_level_guard(engine, x):
             break  # frontier empty: all further rounds are no-ops
         d, sigma = engine.spmv_apply_refs(
             x, "plus_times_i64",
@@ -2326,7 +2438,7 @@ def stress_source(engine: SpmvEngine, root: int, iters: int = 12):
     for level in range(iters):
         x = engine.map_chunks(partial(_sigma_x, level=float(level)),
                               d, sigma)
-        if not sum(engine.chunk_scalars(_count_true, x)):
+        if not _sigma_level_guard(engine, x):
             break
         d, sigma = engine.spmv_apply_refs(
             x, "plus_times_i64",
@@ -2336,7 +2448,7 @@ def stress_source(engine: SpmvEngine, root: int, iters: int = 12):
     for level in range(iters - 1, -1, -1):
         x = engine.map_chunks(partial(_stress_gx, level=float(level + 1)),
                               d, g)
-        if not sum(engine.chunk_scalars(_count_true, x)):
+        if not _sigma_level_guard(engine, x):
             continue  # no vertices at level+1: g at `level` stays 0
         g = engine.spmv_apply_refs(
             x, "plus_times_i64", partial(_stress_gupd, level=float(level)),

@@ -72,9 +72,23 @@ class GraphContext:
     # ---- lazy driver arrays (toy-n convenience ONLY; not the query path
     # for the driver-window queries or anything iterative) ----
 
+    # Hard ceiling for the toy-n lazies: past this a driver label array
+    # would silently allocate GBs; fail loudly instead — callers must use
+    # gather_labels / decoder / vdict.arith_slice_refs (all distributed).
+    TOY_N_MAX = 50_000_000
+
+    def _toy_n_guard(self, what: str) -> None:
+        if self.n > self.TOY_N_MAX:
+            raise RuntimeError(
+                f"ctx.{what} materializes an O(n) driver array and is "
+                f"gated to n <= {self.TOY_N_MAX} (n={self.n}); use "
+                "gather_labels/decoder/vdict.arith_slice_refs instead"
+            )
+
     @property
     def labels(self) -> np.ndarray:
         """Dense id -> label, materialized ON FIRST TOUCH (toy-n only)."""
+        self._toy_n_guard("labels")
         if self._labels is None:
             self._labels = self.vdict.materialize_labels()
         return self._labels
@@ -82,6 +96,7 @@ class GraphContext:
     @property
     def arith(self) -> np.ndarray:
         """Dense id -> arithmetic file index (int(label[2:])), lazy."""
+        self._toy_n_guard("arith")
         if self._arith is None:
             import pyarrow as pa
             import pyarrow.compute as pc

@@ -337,18 +337,41 @@ def q_bfs_sigma(sf_dir: str):
 MSBFS_MOD = 97
 
 
+def _reached_pairs(d_chunk, bounds):
+    """(global ids, int dists) of the reached rows in a distance chunk."""
+    s, _e = bounds
+    loc = np.nonzero(np.isfinite(d_chunk))[0]
+    return loc.astype(np.int64) + s, d_chunk[loc].astype(np.int64)
+
+
+def _dist_hist_part(d_chunk):
+    """Per-chunk (dist, count) histogram of reached rows."""
+    dd = d_chunk[np.isfinite(d_chunk)].astype(np.int64)
+    uk, c = np.unique(dd, return_counts=True)
+    return uk, c.astype(np.int64)
+
+
 def q_msbfs(sf_dir: str):
     """Multi-source BFS: hop distance to the nearest seed (arith %% 97
     == 0) within BFS_ITERS levels over the undirected structural graph
-    (see `alg.msbfs_distances`). Unreached vertices are omitted."""
+    (see `alg.msbfs_mod_distances_refs`). Unreached vertices are
+    omitted. Refs-only: seeds generated per chunk from the dictionary's
+    arith slices, distances stay chunked; the driver assembles only the
+    output rows."""
+    import ray
+
     ctx = get_context(sf_dir)
-    seeds = np.nonzero(np.asarray(ctx.arith) % MSBFS_MOD == 0)[0]
-    d = alg.msbfs_distances(ctx.engine("sym"), seeds, iters=BFS_ITERS)
-    ids = np.nonzero(np.isfinite(d))[0]
+    eng = ctx.engine("sym")
+    d_refs = alg.msbfs_mod_distances_refs(
+        eng, ctx.vdict.arith_slice_refs(eng.bounds), MSBFS_MOD,
+        iters=BFS_ITERS)
+    gi, dd = eng.map_chunks_n(_reached_pairs, 2, d_refs,
+                              with_bounds=True)
+    ids = np.concatenate(ray.get(gi))
     return pa.table(
         {
             "label": _label_col(ctx, ids),
-            "dist": pa.array(d[ids].astype(np.int64)),
+            "dist": pa.array(np.concatenate(ray.get(dd))),
         }
     )
 
@@ -14676,13 +14699,23 @@ def q_distance_hist(sf_dir: str):
     """Histogram of nearest-seed hop distances (the aggregate face of
     `msbfs`, like `sigma_hist` is to `bfs_sigma`): (dist, n_vertices)
     over the reached set within BFS_ITERS levels."""
+    import ray
+
     ctx = get_context(sf_dir)
-    seeds = np.nonzero(np.asarray(ctx.arith) % MSBFS_MOD == 0)[0]
-    d = alg.msbfs_distances(ctx.engine("sym"), seeds, iters=BFS_ITERS)
-    dd = d[np.isfinite(d)].astype(np.int64)
-    uk, c = np.unique(dd, return_counts=True)
-    return pa.table({"dist": pa.array(uk, type=pa.int64()),
-                     "n_vertices": pa.array(c.astype(np.int64))})
+    eng = ctx.engine("sym")
+    d_refs = alg.msbfs_mod_distances_refs(
+        eng, ctx.vdict.arith_slice_refs(eng.bounds), MSBFS_MOD,
+        iters=BFS_ITERS)
+    # bounded reduce: per-chunk histograms (<= BFS_ITERS+1 rows each)
+    uk_refs, c_refs = eng.map_chunks_n(_dist_hist_part, 2, d_refs)
+    acc: dict[int, int] = {}
+    for uk, c in zip(ray.get(uk_refs), ray.get(c_refs)):
+        for k, v in zip(uk, c):
+            acc[int(k)] = acc.get(int(k), 0) + int(v)
+    ks = sorted(acc)
+    return pa.table({"dist": pa.array(ks, type=pa.int64()),
+                     "n_vertices": pa.array([acc[k] for k in ks],
+                                            type=pa.int64())})
 
 
 VG_BUCKETS = 10
@@ -15268,6 +15301,15 @@ def q_record_counts(sf_dir: str):
 APSP_K = 32
 
 
+def _seed_cols(D, bounds, seeds):
+    """Per-chunk gather of the seed COLUMNS of the (K, chunk) distance
+    state: (positions of local seeds in the seed array, (K, n_local)
+    submatrix) — bounded output."""
+    s, e = bounds
+    sel = np.nonzero((seeds >= s) & (seeds < e))[0]
+    return sel.astype(np.int64), D[:, seeds[sel] - s]
+
+
 def q_apsp_top(sf_dir: str):
     """Hub-to-hub shortest hop distances: the APSP_K highest-degree
     vertices (ties by arith id), distances over the FULL graph within
@@ -15275,19 +15317,23 @@ def q_apsp_top(sf_dir: str):
     matrix, `eng.spmm(D, "min_plus")` per round — the batched-BFS
     form of the betweenness machinery). Output = the K x K hub
     distance matrix as (a_label, b_label, dist); unreachable-in-window
-    pairs omitted. Driver holds the (K, n) state (the refs form
-    `spmm_refs` is the scale path, as in `hyperanf`)."""
+    pairs omitted. Refs-only: hub seeds via the distributed top-k, the
+    (K, n) state as per-chunk refs (`alg.kseed_distances_refs`), and
+    only the K seed COLUMNS gathered back (bounded K x K driver
+    state)."""
+    import ray
+
     ctx = get_context(sf_dir)
     eng = ctx.engine("sym")
-    deg = eng.in_weights().astype(np.int64)
-    ar = np.asarray(ctx.arith, dtype=np.int64)
-    S = np.sort(np.lexsort((ar, -deg))[:APSP_K].astype(np.int64))
+    S = np.sort(alg.top_by_degree(
+        eng, ctx.vdict.arith_slice_refs(eng.bounds), APSP_K))
     K = len(S)
-    D = np.full((K, ctx.n), np.inf)
-    D[np.arange(K), S] = 0.0
-    for _ in range(BFS_ITERS):
-        D = np.minimum(D, eng.spmm(D, "min_plus"))
-    H = D[:, S]
+    D_refs = alg.kseed_distances_refs(eng, S, iters=BFS_ITERS)
+    pos_refs, sub_refs = eng.map_chunks_n(
+        partial(_seed_cols, seeds=S), 2, D_refs, with_bounds=True)
+    H = np.full((K, K), np.inf)
+    for pos, sub in zip(ray.get(pos_refs), ray.get(sub_refs)):
+        H[:, pos] = sub
     la = np.asarray(ctx.gather_labels(S)).astype(str)
     ii, jj = np.nonzero(np.isfinite(H) & ~np.eye(K, dtype=bool))
     return pa.table({
@@ -15535,18 +15581,22 @@ def q_hub_asymmetry(sf_dir: str):
     classify d(a->b) vs d(b->a) within BFS_ITERS hops over the
     directed structural graph — symmetric / asymmetric (both finite,
     different) / one-way / unreachable. Same K-source min-plus SpMM
-    machinery on the `dir_bool` engine; one bounded count row."""
+    machinery on the `dir_bool` engine (refs-only, like `apsp_top`);
+    one bounded count row."""
+    import ray
+
     ctx = get_context(sf_dir)
     eng = ctx.engine("dir_bool")
-    deg = ctx.engine("sym").in_weights().astype(np.int64)
-    ar = np.asarray(ctx.arith, dtype=np.int64)
-    S = np.sort(np.lexsort((ar, -deg))[:APSP_K].astype(np.int64))
+    sym = ctx.engine("sym")
+    S = np.sort(alg.top_by_degree(
+        sym, ctx.vdict.arith_slice_refs(sym.bounds), APSP_K))
     K = len(S)
-    D = np.full((K, ctx.n), np.inf)
-    D[np.arange(K), S] = 0.0
-    for _ in range(BFS_ITERS):
-        D = np.minimum(D, eng.spmm(D, "min_plus"))
-    H = D[:, S]  # H[i, j] = d(S[i] -> S[j])
+    D_refs = alg.kseed_distances_refs(eng, S, iters=BFS_ITERS)
+    pos_refs, sub_refs = eng.map_chunks_n(
+        partial(_seed_cols, seeds=S), 2, D_refs, with_bounds=True)
+    H = np.full((K, K), np.inf)  # H[i, j] = d(S[i] -> S[j])
+    for pos, sub in zip(ray.get(pos_refs), ray.get(sub_refs)):
+        H[:, pos] = sub
     iu, ju = np.triu_indices(K, k=1)
     ab, ba = H[iu, ju], H[ju, iu]
     fa, fb = np.isfinite(ab), np.isfinite(ba)
@@ -16375,35 +16425,44 @@ def q_nn_hubness(sf_dir: str):
                      "n_vectors": pa.array(c.astype(np.int64))})
 
 
+def _bisector_census(D):
+    """Per-chunk 6-way census over the (2, chunk) hub-distance state:
+    (closer_a, closer_b, tie, only_a, only_b, neither) counts."""
+    fa, fb = np.isfinite(D[0]), np.isfinite(D[1])
+    both = fa & fb
+    return np.array([
+        int((both & (D[0] < D[1])).sum()),
+        int((both & (D[1] < D[0])).sum()),
+        int((both & (D[0] == D[1])).sum()),
+        int((fa & ~fb).sum()),
+        int((fb & ~fa).sum()),
+        int((~fa & ~fb).sum()),
+    ], dtype=np.int64)
+
+
 def q_hub_bisector(sf_dir: str):
     """Voronoi bisector census between the TWO top-degree hubs: among
     all vertices, how many are strictly closer (hop distance within
     BFS_ITERS, undirected) to hub A vs hub B, equidistant, reached by
     only one, or by neither — the 2-seed msbfs variant keeping the
-    seeds SEPARATE (msbfs min-merges them)."""
+    seeds SEPARATE (msbfs min-merges them). Refs-only end-to-end: hub
+    seeds via the distributed (deg DESC, arith ASC) top-k, the (2, n)
+    distance state as per-chunk refs (`alg.kseed_distances_refs`), and
+    the census reduced from bounded per-chunk counts — the driver never
+    holds an O(n) array."""
+    import ray
+
     ctx = get_context(sf_dir)
     eng = ctx.engine("sym")
-    deg = eng.in_weights().astype(np.int64)
-    ar = np.asarray(ctx.arith, dtype=np.int64)
-    top2 = np.lexsort((ar, -deg))[:2].astype(np.int64)
-    D = np.full((2, ctx.n), np.inf)
-    D[np.arange(2), top2] = 0.0
-    for _ in range(BFS_ITERS):
-        D = np.minimum(D, eng.spmm(D, "min_plus"))
-    fa, fb = np.isfinite(D[0]), np.isfinite(D[1])
-    both = fa & fb
-    return pa.table({
-        "n_closer_a": pa.array([int((both & (D[0] < D[1])).sum())],
-                               type=pa.int64()),
-        "n_closer_b": pa.array([int((both & (D[1] < D[0])).sum())],
-                               type=pa.int64()),
-        "n_tie": pa.array([int((both & (D[0] == D[1])).sum())],
-                          type=pa.int64()),
-        "n_only_a": pa.array([int((fa & ~fb).sum())], type=pa.int64()),
-        "n_only_b": pa.array([int((fb & ~fa).sum())], type=pa.int64()),
-        "n_neither": pa.array([int((~fa & ~fb).sum())],
-                              type=pa.int64()),
-    })
+    top2 = alg.top_by_degree(
+        eng, ctx.vdict.arith_slice_refs(eng.bounds), 2)
+    D_refs = alg.kseed_distances_refs(eng, top2, iters=BFS_ITERS)
+    parts = np.sum(ray.get(eng.map_chunks(_bisector_census, D_refs)),
+                   axis=0)
+    names = ["n_closer_a", "n_closer_b", "n_tie", "n_only_a",
+             "n_only_b", "n_neither"]
+    return pa.table({nm: pa.array([int(v)], type=pa.int64())
+                     for nm, v in zip(names, parts)})
 
 
 LORENZ_BUCKETS = 10
@@ -16738,9 +16797,9 @@ def q_core_periphery_mix(sf_dir: str):
     import ray
 
     ctx = get_context(sf_dir)
-    deg = ctx.engine("sym").in_weights().astype(np.int64)
-    ar = np.asarray(ctx.arith, dtype=np.int64)
-    S = np.sort(np.lexsort((ar, -deg))[:APSP_K].astype(np.int64))
+    eng = ctx.engine("sym")
+    S = np.sort(alg.top_by_degree(
+        eng, ctx.vdict.arith_slice_refs(eng.bounds), APSP_K))
     sref = ray.put(S)
     be = ctx.graph("sym").dedup_sum().cast_bool().edges
 

@@ -1,0 +1,194 @@
+"""Wave 70: round-5 hardening — LSH bucket caps, refs-only K-source
+distance machinery, degree-refs, toy-n gates, overflow guards."""
+
+import numpy as np
+import pytest
+
+import ray
+
+from .conftest import brute_dense_matrix
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# LSH bucket cap: adversarial all-identical corpus must not emit
+# quadratic pairs, must keep every doc connected to the canonical one
+# ---------------------------------------------------------------------------
+
+
+def _identical_docs(n):
+    import pyarrow as pa
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    return ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "text": pa.array([text] * n)})
+    )
+
+
+def test_minhash_lsh_bucket_cap_not_quadratic():
+    from combblas_ray.functions.dedup import minhash_lsh_pairs
+
+    n = 300
+    docs = _identical_docs(n)
+    pairs = minhash_lsh_pairs(docs, 0.5, bucket_cap=32,
+                              cap_anchors=4).take_all()
+    # anchor-star: far fewer than C(300,2)=44850, at most ~n*anchors
+    assert 0 < len(pairs) <= n * 4
+    # every doc connected to doc 0's cluster (dedup keeps working)
+    seen = set()
+    for r in pairs:
+        assert r["jac"] == 1.0
+        assert r["a"] < r["b"]
+        seen.add(r["a"])
+        seen.add(r["b"])
+    assert seen == set(range(n))
+    # anchors are the smallest ids
+    assert {r["a"] for r in pairs} <= set(range(4))
+
+
+def test_minhash_lsh_under_cap_unchanged(ray_session):
+    """Below the cap the pair set is the exact full triangular set."""
+    from combblas_ray.functions.dedup import minhash_lsh_pairs
+
+    n = 20
+    docs = _identical_docs(n)
+    got = {(r["a"], r["b"]) for r in
+           minhash_lsh_pairs(docs, 0.5, bucket_cap=512).take_all()}
+    assert got == {(a, b) for a in range(n) for b in range(a + 1, n)}
+
+
+def test_embedding_lsh_bucket_cap_not_quadratic():
+    import pyarrow as pa
+
+    from combblas_ray.functions.ann import embedding_dup_pairs_lsh
+
+    n = 256
+    vec = [1.0, 0.5, 0.25, 0.125]
+    emb = ray.data.from_arrow(
+        pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "embedding": pa.array([vec] * n)})
+    )
+    pairs = embedding_dup_pairs_lsh(emb, 0.4, bucket_cap=32,
+                                    cap_anchors=4).take_all()
+    assert 0 < len(pairs) <= n * 4 * 2  # multi-probe may double-cover
+    seen = set()
+    for r in pairs:
+        assert r["a"] < r["b"]
+        seen.add(r["a"])
+        seen.add(r["b"])
+    assert seen == set(range(n))
+
+
+# ---------------------------------------------------------------------------
+# degree refs + distributed top-k + K-source chunked distances
+# ---------------------------------------------------------------------------
+
+
+def test_weights_refs_match_dense(ctx500):
+    eng = ctx500.engine("directed", g=2)
+    A = brute_dense_matrix(ctx500)
+    got_in = eng.unchunk(eng.in_weights_refs())
+    got_out = eng.unchunk(eng.out_weights_refs())
+    assert np.allclose(got_in, A.sum(axis=1))
+    assert np.allclose(got_out, A.sum(axis=0))
+
+
+def test_top_by_degree_matches_brute(ctx500):
+    from combblas_ray.pipelines.algorithms import top_by_degree
+
+    eng = ctx500.engine("sym", g=2)
+    deg = eng.in_weights().astype(np.int64)
+    ar = np.asarray(ctx500.arith, dtype=np.int64)
+    for k in (1, 2, 7, 32):
+        want = np.lexsort((ar, -deg))[:k]
+        got = top_by_degree(
+            eng, ctx500.vdict.arith_slice_refs(eng.bounds), k)
+        assert np.array_equal(got, want), k
+
+
+def test_kseed_distances_refs_match_dense_loop(ctx500):
+    from combblas_ray.pipelines.algorithms import kseed_distances_refs
+
+    eng = ctx500.engine("sym", g=2)
+    seeds = np.array([3, 250, 499], dtype=np.int64)
+    D_refs = kseed_distances_refs(eng, seeds, iters=6)
+    got = np.concatenate([np.asarray(c) for c in ray.get(D_refs)],
+                         axis=1)
+    # dense driver twin
+    D = np.full((3, ctx500.n), np.inf)
+    D[np.arange(3), seeds] = 0.0
+    for _ in range(6):
+        D = np.minimum(D, eng.spmm(D, "min_plus"))
+    assert np.array_equal(np.isfinite(got), np.isfinite(D))
+    assert np.allclose(got[np.isfinite(got)], D[np.isfinite(D)])
+
+
+# ---------------------------------------------------------------------------
+# O(n)-driver-state audit: the K-source query family must not touch the
+# toy-n lazies (ctx.labels / ctx.arith stay unmaterialized)
+# ---------------------------------------------------------------------------
+
+
+def test_ksource_queries_leave_lazies_cold(ray_session):
+    from combblas_ray.pipelines import queries as Q
+    from combblas_ray.pipelines.context import get_context
+
+    ctx = get_context(SF)
+    saved = (ctx._labels, ctx._arith)
+    ctx._labels = ctx._arith = None
+    try:
+        for fn in (Q.q_hub_bisector, Q.q_msbfs, Q.q_distance_hist,
+                   Q.q_apsp_top, Q.q_core_periphery_mix,
+                   Q.q_hub_asymmetry):
+            t = fn(SF)
+            assert t.num_rows >= 1
+            assert ctx._labels is None and ctx._arith is None, fn.__name__
+    finally:
+        ctx._labels, ctx._arith = saved
+
+
+def test_toy_n_guard_raises():
+    from combblas_ray.pipelines.context import GraphContext
+
+    ctx = GraphContext(n=GraphContext.TOY_N_MAX + 1, vdict=None)
+    with pytest.raises(RuntimeError, match="gated"):
+        _ = ctx.labels
+    with pytest.raises(RuntimeError, match="gated"):
+        _ = ctx.arith
+
+
+# ---------------------------------------------------------------------------
+# overflow / missing-label guards (round-5 advice)
+# ---------------------------------------------------------------------------
+
+
+def test_payload_sum_narrow_dtype_overflow_raises():
+    from combblas_ray.core.engine import _payload_combine
+
+    vals = np.array([2**30, 2**30, 2**30], dtype=np.int32)
+    inv = np.zeros(3, dtype=np.int64)
+    first = np.array([0], dtype=np.int64)
+    with pytest.raises(OverflowError, match="int64"):
+        _payload_combine(vals, first, inv, "sum")
+    ok = _payload_combine(np.array([3, 4], dtype=np.int32),
+                          np.array([0], dtype=np.int64),
+                          np.zeros(2, dtype=np.int64), "sum")
+    assert ok.dtype == np.int32 and ok[0] == 7
+
+
+def test_lookup_missing_label_raises(ctx500):
+    with pytest.raises(KeyError, match="not in vertex dictionary"):
+        ctx500.vdict.lookup_id("zz_not_a_label")
+
+
+def test_sigma_level_guard_trips_on_mass(ctx500):
+    from combblas_ray.pipelines.algorithms import _sigma_level_guard
+
+    eng = ctx500.engine("sym", g=2)
+    ok = eng.chunk(np.ones(ctx500.n, dtype=np.int64))
+    assert _sigma_level_guard(eng, ok) == ctx500.n
+    hot = eng.chunk(np.full(ctx500.n, np.int64(1) << 58))
+    with pytest.raises(NotImplementedError, match="tripwire"):
+        _sigma_level_guard(eng, hot)
