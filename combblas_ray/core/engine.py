@@ -46,6 +46,7 @@ from .partition import chunk_bounds, local_size, owner
 from .semiring import Semiring, get_semiring
 
 MANIFEST_NAME = "manifest.json"
+_I64MAX = np.iinfo(np.int64).max  # bottom-up "no parent" sentinel
 
 
 # --------------------------------------------------------------------------
@@ -552,9 +553,12 @@ class _Block:
         self.payload = {k[2:]: z[k] for k in keys if k.startswith("p_")}
         meta = z["meta"]
         self.bid, self.br, self.bc = int(meta[0]), int(meta[1]), int(meta[2])
+        self.col0 = int(meta[4])  # global column offset (bottom-up BFS)
         self.nr = int(meta[5])
         self._csc = None  # built lazily for sparse-frontier SpMSpV
         self._buf = np.empty(len(self.w), dtype=np.float64)  # reused gather buf
+        self._nnzrows = None  # lazy row-id-per-nnz stream (bottom-up BFS)
+        self._rowsorted = None  # lazy: cols ascending within each row?
 
     def spmv_partial(self, x_chunk: np.ndarray, sr) -> np.ndarray:
         if sr.name == "plus_times":
@@ -613,6 +617,9 @@ class _Block:
             v.w = self.w[keep]
             v.payload = {}  # views are SpMV-only; payload stays on the base
             v.bid, v.br, v.bc, v.nr = self.bid, self.br, self.bc, self.nr
+            v.col0 = self.col0
+            v._nnzrows = None
+            v._rowsorted = None
             indptr = np.zeros(self.nr + 1, dtype=np.int64)
             np.add.at(indptr, v.rows.astype(np.int64) + 1, 1)
             np.cumsum(indptr, out=indptr)
@@ -659,6 +666,87 @@ class _Block:
             merged = np.full(len(ur), sr.identity, dtype=sr.dtype)
             sr.add_ufunc.at(merged, inv, vals)
         return ur, merged
+
+    def _ensure_nnzrows(self):
+        if self._nnzrows is None:
+            self._nnzrows = np.repeat(
+                np.arange(self.nr, dtype=np.int32), np.diff(self.indptr)
+            )
+
+    def _ensure_rowsorted(self):
+        """One O(nnz) check that cols ascend within every row (true for
+        all `_block_arrays`-built blocks: CSR comes from sorted unique
+        keys) — lets bottom-up take first-hit-per-row = min without a
+        sort; falls back to lexsort otherwise."""
+        if self._rowsorted is None:
+            c = self.cols
+            if len(c) < 2:
+                self._rowsorted = True
+            else:
+                bad = c[1:] <= c[:-1]
+                allowed = np.zeros(len(c) - 1, dtype=bool)
+                pos = self.indptr[1:-1] - 1
+                allowed[pos[(pos >= 0) & (pos < len(allowed))]] = True
+                self._rowsorted = not bool(np.any(bad & ~allowed))
+
+    def bottomup_partial(self, row_mask: np.ndarray,
+                         fbit: np.ndarray) -> np.ndarray:
+        """Bottom-up BFS scan (``DirOptBFS.cpp`` / ``BitMap.h``): only
+        UNVISITED local rows (``row_mask``) scan their adjacency; a row
+        whose neighbor column is in the frontier bitmap (``fbit``,
+        aligned with this block's column range) adopts the smallest such
+        GLOBAL column id as parent candidate. Returns int64[nr] with
+        I64MAX where no frontier neighbor. Two plans: mostly-unvisited
+        levels stream ALL nnz against the cached row-id stream (no
+        ragged gather); sparse-unvisited levels gather only unvisited
+        rows' spans — O(nnz of unvisited rows)."""
+        out = np.full(self.nr, _I64MAX, dtype=np.int64)
+        if not len(self.cols):
+            return out
+        rm = row_mask[: self.nr]
+        nu = int(rm.sum())
+        if nu == 0:
+            return out
+        self._ensure_rowsorted()
+        if 2 * nu >= self.nr:
+            # dense-unvisited plan: one contiguous pass over all nnz
+            self._ensure_nnzrows()
+            hit = fbit[self.cols] & rm[self._nnzrows]
+            if not hit.any():
+                return out
+            rid = self._nnzrows[hit]
+            gc = self.cols[hit].astype(np.int64) + self.col0
+        else:
+            rows_u = np.nonzero(rm)[0]
+            st = self.indptr[rows_u]
+            cnt = self.indptr[rows_u + 1] - st
+            nz = cnt > 0
+            rows_u, st, cnt = rows_u[nz], st[nz], cnt[nz]
+            total = int(cnt.sum())
+            if total == 0:
+                return out
+            # ragged span gather (the SpMSpV index idiom)
+            offs = np.concatenate(([0], np.cumsum(cnt)))[:-1]
+            idx = np.repeat(st, cnt) + (np.arange(total)
+                                        - np.repeat(offs, cnt))
+            cols = self.cols[idx]
+            hit = fbit[cols]
+            if not hit.any():
+                return out
+            rid = np.repeat(rows_u, cnt)[hit]
+            gc = cols[hit].astype(np.int64) + self.col0
+        if self._rowsorted:
+            # rid non-decreasing, gc ascending within rid: first = min
+            first = np.ones(len(rid), dtype=bool)
+            first[1:] = rid[1:] != rid[:-1]
+            out[rid[first]] = gc[first]
+        else:
+            order = np.lexsort((gc, rid))
+            r_s, g_s = rid[order], gc[order]
+            first = np.ones(len(r_s), dtype=bool)
+            first[1:] = r_s[1:] != r_s[:-1]
+            out[r_s[first]] = g_s[first]
+        return out
 
     def col_sums(self) -> np.ndarray:
         nc = int(self.cols.max()) + 1 if len(self.cols) else 0
@@ -854,6 +942,31 @@ class CsrPoolActor:
             rows, vals = b.spmspv_partial(fi, fv, sr)
             out.append((b.br, rows, vals))
         return out
+
+    def bfs_bottomup_partial(self, *chunks):
+        """Bottom-up BFS partials: ``chunks`` = frontier bitmaps aligned
+        with self.bcs, then unvisited row masks aligned with self.brs.
+        Returns per-row-block min parent-candidate arrays (int64, I64MAX
+        = none) in ``self.brs`` order (dynamic num_returns)."""
+        nb = len(self.bcs)
+        fb = dict(zip(self.bcs, chunks[:nb]))
+        um = dict(zip(self.brs, chunks[nb:]))
+        out: dict[int, np.ndarray] = {}
+        for b in self.blocks:
+            part = b.bottomup_partial(um[b.br], fb[b.bc])
+            if b.br in out:
+                prev = out[b.br]
+                if len(prev) < len(part):
+                    prev, part = part, prev
+                if len(part) < len(prev):
+                    q = np.full(len(prev), _I64MAX, dtype=np.int64)
+                    q[: len(part)] = part
+                    part = q
+                out[b.br] = np.minimum(prev, part)
+            else:
+                out[b.br] = part
+        res = [out[br] for br in self.brs]
+        return res[0] if len(res) == 1 else tuple(res)
 
     def col_sums(self):
         """(bc, partial) pairs — `Reduce(Row, plus)` fused into residency."""
@@ -1062,6 +1175,19 @@ def _spmm_combine_apply(sr_name: str, k: int, fn, n_state: int, bounds_i,
         get_semiring(sr_name), k, bounds_i[1] - bounds_i[0], parts
     )
     return fn(*state, merged, bounds_i)
+
+
+@ray.remote(num_cpus=0)
+def _bu_combine_apply(fn, n_state: int, bounds_i, *args):
+    """Bottom-up BFS combine: min-merge this row chunk's parent-candidate
+    partials (pad with I64MAX) and apply ``fn(*state_chunks, cand,
+    bounds_i)`` (nout-tuple kernel, `map_chunks_n` convention)."""
+    state, parts = args[:n_state], args[n_state:]
+    nrows = bounds_i[1] - bounds_i[0]
+    cand = np.full(nrows, _I64MAX, dtype=np.int64)
+    for p in parts:
+        np.minimum(cand[: len(p)], p, out=cand[: len(p)])
+    return fn(*state, cand, bounds_i)
 
 
 @ray.remote(num_cpus=0)
@@ -1438,6 +1564,36 @@ class SpmvEngine:
         for br in range(self.g):
             r = _spmm_combine_apply.options(num_returns=nout).remote(
                 sr.name, k, fn, len(state_refs_lists), self.bounds[br],
+                *[refs[br] for refs in state_refs_lists], *partials[br]
+            )
+            if nout == 1:
+                r = [r]
+            for j in range(nout):
+                outs[j].append(r[j])
+        return outs
+
+    def bottomup_apply_refs(self, fbit_refs: list, unv_refs: list, fn,
+                            nout: int, *state_refs_lists) -> list:
+        """One bottom-up BFS round (``DirOptBFS.cpp`` kernel): actors
+        scan only unvisited rows' adjacency against frontier bitmaps
+        (`bfs_bottomup_partial`), then ONE task per row chunk min-merges
+        the parent candidates and runs ``fn(*state_chunks, cand,
+        bounds_i)``. Same refs-only discipline as `spmm_apply_refs`."""
+        partials: dict[int, list] = {br: [] for br in range(self.g)}
+        for actor, brs, bcs in zip(self.actors, self.actor_brs,
+                                   self.actor_bcs):
+            refs = actor.bfs_bottomup_partial.options(
+                num_returns=len(brs)
+            ).remote(*[fbit_refs[bc] for bc in bcs],
+                     *[unv_refs[br] for br in brs])
+            if len(brs) == 1:
+                refs = [refs]
+            for br, ref in zip(brs, refs):
+                partials[br].append(ref)
+        outs: list[list] = [[] for _ in range(nout)]
+        for br in range(self.g):
+            r = _bu_combine_apply.options(num_returns=nout).remote(
+                fn, len(state_refs_lists), self.bounds[br],
                 *[refs[br] for refs in state_refs_lists], *partials[br]
             )
             if nout == 1:

@@ -398,13 +398,59 @@ def _neg_ones(bounds):
     return np.full(e - s, -1, dtype=np.int64)
 
 
-def bfs_parents(engine: SpmvEngine, root: int, max_iters: int = 10_000):
-    """Frontier-driven top-down BFS producing the parent tree — the actual
-    reference loop (``TopDownBFS.cpp:440-449``): per level,
-    ``fringe = SpMSpV(A, fringe)`` with the min-parent-id semiring,
-    ``fringe = EWiseMult(fringe, parents, exclude=true)`` (drop visited),
-    ``parents.Set(fringe)``. Parent tie-break: smallest dense id among
-    previous-level neighbors. Returns (parents, dist); parents[root]=root,
+_BU_NONE = np.iinfo(np.int64).max  # engine's bottom-up "no parent" sentinel
+
+
+def _bu_prep_p(pair, parents, bounds):
+    """Per chunk: frontier pair -> membership bitmap; parents -> the
+    unvisited row mask (the two bottom-up scan inputs)."""
+    s, e = bounds
+    bm = np.zeros(e - s, dtype=bool)
+    bm[pair[0]] = True
+    return bm, parents == -1
+
+
+def _bu_step_p(parents, dist, cand, bounds, level):
+    """Bottom-up step: unvisited rows with a frontier neighbor adopt the
+    min neighbor id as parent (same tie-break as the top-down
+    select2nd_min semiring — exact cross-kernel parity)."""
+    newly = (parents == -1) & (cand != _BU_NONE)
+    parents = parents.copy()
+    dist = dist.copy()
+    parents[newly] = cand[newly]
+    dist[newly] = level
+    fi = np.nonzero(newly)[0]
+    return parents, dist, (fi, (fi + bounds[0]).astype(np.float64)), len(fi)
+
+
+def _bu_prep_d(pair, d, bounds):
+    s, e = bounds
+    bm = np.zeros(e - s, dtype=bool)
+    bm[pair[0]] = True
+    return bm, np.isinf(d)
+
+
+def _bu_step_d(d, cand, bounds, level):
+    newly = np.isinf(d) & (cand != _BU_NONE)
+    d = d.copy()
+    d[newly] = level
+    fi = np.nonzero(newly)[0]
+    return d, (fi, np.full(len(fi), float(level))), len(fi)
+
+
+def bfs_parents(engine: SpmvEngine, root: int, max_iters: int = 10_000,
+                bottomup: bool = True):
+    """Direction-optimizing BFS producing the parent tree
+    (``TopDownBFS.cpp:440-449`` + ``DirOptBFS.cpp``): sparse levels run
+    top-down — ``fringe = SpMSpV(A, fringe)`` with the min-parent-id
+    semiring, drop visited, ``parents.Set(fringe)``; dense levels run
+    the TRUE bottom-up kernel — every unvisited row scans its own
+    adjacency against frontier BITMAPS and steals the smallest frontier
+    neighbor as parent (`engine.bottomup_apply_refs`), touching only
+    O(nnz of unvisited rows) edges. Both kernels use the same
+    min-neighbor-id tie-break, so the parent tree is identical
+    (``bottomup=False`` forces the old dense-SpMV fallback — the pytest
+    cross-kernel twin). Returns (parents, dist); parents[root]=root,
     unreached = -1. Frontier/parents/dist are chunked refs; the driver
     syncs one frontier-size scalar per level."""
     import ray
@@ -427,9 +473,18 @@ def bfs_parents(engine: SpmvEngine, root: int, max_iters: int = 10_000):
                 frontier, "select2nd_min", partial(_bfs_step, level=level),
                 4, parents, dist,
             )
+        elif bottomup:
+            # bottom-up (`DirOptBFS.cpp`): unvisited rows steal parents
+            # from the frontier bitmap; one prep round + one scan round
+            fbit, unv = engine.map_chunks_n(
+                _bu_prep_p, 2, frontier, parents, with_bounds=True
+            )
+            parents, dist, frontier, sizes = engine.bottomup_apply_refs(
+                fbit, unv, partial(_bu_step_p, level=level), 4,
+                parents, dist,
+            )
         else:
-            # bottom-up analog (`DirOptBFS.cpp` switch): dense SpMV over
-            # the frontier indicator; x = frontier vertex ids
+            # dense select2nd_min SpMV fallback (cross-kernel twin)
             x = engine.map_chunks_i(_bfs_dense_x, frontier)
             parents, dist, frontier, sizes = engine.spmv_apply_refs(
                 x, "select2nd_min", partial(_bfs_step_dense, level=level),
@@ -458,10 +513,12 @@ def _bfsd_dense_step_b(d, nd, bounds):
     return _bfsd_dense_step(d, nd)
 
 
-def bfs_distances_auto(engine: SpmvEngine, root: int) -> np.ndarray:
-    """BFS distances with the sparse/dense plan switch: when the frontier
-    is below n/50 use SpMSpV, else dense min-plus SpMV — the reference's
-    density-threshold switch (``CC.h:1256``, ``FastSV.h:346``)."""
+def bfs_distances_auto(engine: SpmvEngine, root: int,
+                       bottomup: bool = True) -> np.ndarray:
+    """BFS distances with the direction-optimizing plan switch: frontier
+    below n/50 runs top-down SpMSpV; dense levels run the bottom-up
+    unvisited-row scan (``DirOptBFS.cpp``; ``bottomup=False`` forces the
+    old dense min-plus SpMV — the cross-kernel pytest twin)."""
     n = engine.n
     import ray
 
@@ -477,6 +534,13 @@ def bfs_distances_auto(engine: SpmvEngine, root: int) -> np.ndarray:
             d, frontier, sizes = engine.spmspv_apply_refs(
                 frontier, "min_plus",
                 partial(_bfsd_sparse_step, level=level), 3, d,
+            )
+        elif bottomup:
+            fbit, unv = engine.map_chunks_n(
+                _bu_prep_d, 2, frontier, d, with_bounds=True
+            )
+            d, frontier, sizes = engine.bottomup_apply_refs(
+                fbit, unv, partial(_bu_step_d, level=level), 3, d,
             )
         else:
             d, frontier, sizes = engine.spmv_apply_refs(

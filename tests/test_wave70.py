@@ -192,3 +192,52 @@ def test_sigma_level_guard_trips_on_mass(ctx500):
     hot = eng.chunk(np.full(ctx500.n, np.int64(1) << 58))
     with pytest.raises(NotImplementedError, match="tripwire"):
         _sigma_level_guard(eng, hot)
+
+
+# ---------------------------------------------------------------------------
+# direction-optimizing BFS: true bottom-up kernel vs the dense-SpMV twin
+# ---------------------------------------------------------------------------
+
+
+def test_bfs_parents_bottomup_matches_dense_twin(ctx500):
+    from combblas_ray.pipelines.algorithms import bfs_parents
+
+    eng = ctx500.engine("sym", g=2)
+    for root in (0, 17, 333):
+        p_bu, d_bu = bfs_parents(eng, root, bottomup=True)
+        p_td, d_td = bfs_parents(eng, root, bottomup=False)
+        assert np.array_equal(p_bu, p_td), root
+        assert np.array_equal(d_bu, d_td), root
+
+
+def test_bfs_distances_bottomup_matches_dense_twin(ctx500):
+    from combblas_ray.pipelines.algorithms import bfs_distances_auto
+
+    eng = ctx500.engine("sym", g=2)
+    for root in (0, 42):
+        a = bfs_distances_auto(eng, root, bottomup=True)
+        b = bfs_distances_auto(eng, root, bottomup=False)
+        assert np.array_equal(np.isfinite(a), np.isfinite(b))
+        assert np.array_equal(a[np.isfinite(a)], b[np.isfinite(b)])
+
+
+def test_bfs_parents_tree_valid_bottomup(ctx500):
+    """Every non-root parent is a real neighbor one level closer."""
+    from combblas_ray.pipelines.algorithms import bfs_parents
+    from .conftest import brute_dense_matrix
+
+    A = brute_dense_matrix(ctx500)
+    U = ((A + A.T) > 0)
+    np.fill_diagonal(U, False)
+    eng = ctx500.engine("sym", g=2)
+    p, d = bfs_parents(eng, 7)
+    assert p[7] == 7 and d[7] == 0
+    for v in np.nonzero(p >= 0)[0]:
+        if v == 7:
+            continue
+        assert U[v, p[v]], v
+        assert d[v] == d[p[v]] + 1, v
+        # min tie-break: no smaller neighbor at the previous level
+        nbrs = np.nonzero(U[v])[0]
+        prev = nbrs[d[nbrs] == d[v] - 1]
+        assert p[v] == prev.min(), v
