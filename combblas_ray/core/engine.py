@@ -1844,7 +1844,16 @@ class SpmvEngine:
                 "Build the engine without max_restarts, or fold the scale "
                 "into the SpMV vector (DimApply is algebraically a "
                 "diagonal matmul: spmv(sr, v*x) for dim='col').")
-        v_refs = self.chunk(v)
+        self.dim_apply_refs(dim, self.chunk(v))
+
+    def dim_apply_refs(self, dim: str, v_refs: list) -> None:
+        """`DimApply` from chunked refs (engine-state form): the scale
+        vector never lands on the driver — pair with
+        `out_weights_refs`/`in_weights_refs` or any map_chunks output."""
+        if self.restartable:
+            raise NotImplementedError(
+                "dim_apply mutates resident actor state; an actor restart "
+                "(max_restarts engine) would silently revert the scaling.")
         futs = []
         for actor, brs, bcs in zip(self.actors, self.actor_brs, self.actor_bcs):
             keys = bcs if dim == "col" else brs

@@ -127,6 +127,59 @@ class Graph:
         return self._with(self.edges.map_batches(_pc, batch_format="pyarrow",
                                                  zero_copy_batch=True))
 
+    def prune_column_refs(self, pvals_refs: list, bounds: list,
+                          op: str = "lt") -> "Graph":
+        """Chunked-refs `PruneColumn`: ``pvals`` arrives as per-range
+        chunk refs aligned with ``bounds`` (the engine/VertexDict state
+        form) — no O(n) driver array, no full-vector broadcast. Each map
+        task fetches only the chunks its batch touches (plasma
+        zero-copy, process-cached), so a task reading one block range
+        ships one chunk."""
+        ufunc = self._PRUNE_OPS[op]
+        starts = np.asarray([s for s, _ in bounds], dtype=np.int64)
+        refs = list(pvals_refs)
+
+        def _pc(batch: pa.Table, *, _r=refs, _s=starts) -> pa.Table:
+            src = np.asarray(batch.column("src"), dtype=np.int64)
+            w = np.asarray(batch.column("w"))
+            if len(src) == 0:
+                return batch
+            drop = np.zeros(len(src), dtype=bool)
+            ks = np.searchsorted(_s, src, side="right") - 1
+            for k in np.unique(ks):
+                sel = ks == k
+                pv = _cached_vec_chunk(_r[int(k)])
+                drop[sel] = ufunc(w[sel], pv[src[sel] - _s[int(k)]])
+            return batch.filter(pa.array(~drop))
+
+        return self._with(self.edges.map_batches(_pc, batch_format="pyarrow",
+                                                 zero_copy_batch=True))
+
+    def reduce_dense_refs(self, dim: str, agg: str, bounds: list) -> list:
+        """Densified `Reduce(dim, agg)` as chunk refs aligned with
+        ``bounds`` (identity 0 where the dimension is empty) — the
+        `FullyDistVec` result form without a driver-side dense vector:
+        each reduce partition routes its (v, val) rows to owner ranges
+        (num_returns=g split tasks), each owner scatter-assigns its
+        slices into a dense chunk (v is globally unique after the keyed
+        reduce). Pairs with `prune_column_refs` / `engine.dim_apply_refs`."""
+        from ..core.shuffle import _rt0
+
+        g = len(bounds)
+        routed = []
+        for t in self.reduce(dim, agg).to_arrow_refs():
+            r = _rt0(_owsr_route).options(num_returns=g).remote(t, bounds)
+            routed.append([r] if g == 1 else list(r))
+        return [
+            _rt0(_owsr_merge).remote(e - s, *[rt[k] for rt in routed])
+            for k, (s, e) in enumerate(bounds)
+        ]
+
+    def out_weight_sums_refs(self, bounds: list) -> list:
+        """Chunked-refs out-weight sums — the `MakeColStochastic` input
+        without a driver-side dense vector."""
+        return self.reduce_dense_refs("row", "sum", bounds)
+
     def prune_column_by_index(self, cols: np.ndarray) -> "Graph":
         """`PruneColumnByIndex(ci)` (``SpDCCols.cpp:574``,
         ``dcsc.cpp:840-898``): drop ALL nonzeros in the listed columns."""
@@ -356,3 +409,48 @@ class Graph:
 
     def _with(self, edges) -> "Graph":
         return Graph(n=self.n, edges=edges, labels=self.labels)
+
+
+# --------------------------------------------------------------------------
+# chunked-refs helpers (module-level: cloudpickled into map tasks)
+# --------------------------------------------------------------------------
+
+_VEC_CHUNK_CACHE: dict = {}
+
+
+def _cached_vec_chunk(ref) -> np.ndarray:
+    """Per-process cache of fetched vector chunks (plasma zero-copy on
+    the same node) — the `ids._cached_chunk` pattern for numeric state."""
+    import ray
+
+    if isinstance(ref, np.ndarray):
+        return ref
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    hit = _VEC_CHUNK_CACHE.get(key)
+    if hit is None:
+        hit = np.asarray(ray.get(ref))
+        if len(_VEC_CHUNK_CACHE) > 64:  # bound per-process memory
+            _VEC_CHUNK_CACHE.clear()
+        _VEC_CHUNK_CACHE[key] = hit
+    return hit
+
+
+def _owsr_route(tbl: pa.Table, bounds: list):
+    """Split one (v, val) reduce partition by owner range."""
+    if tbl.num_rows == 0 or "v" not in tbl.column_names:
+        e = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+        return e if len(bounds) == 1 else tuple(e for _ in bounds)
+    v = np.asarray(tbl.column("v"), dtype=np.int64)
+    val = np.asarray(tbl.column("val"), dtype=np.float64)
+    out = []
+    for (s, e) in bounds:
+        sel = (v >= s) & (v < e)
+        out.append((v[sel] - s, val[sel]))
+    return out[0] if len(out) == 1 else tuple(out)
+
+
+def _owsr_merge(nrows: int, *parts) -> np.ndarray:
+    out = np.zeros(nrows, dtype=np.float64)
+    for idx, vals in parts:
+        out[idx] = vals  # reduce() made v globally unique: pure scatter
+    return out

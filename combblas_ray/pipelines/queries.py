@@ -1391,20 +1391,28 @@ def q_bfs_parents(sf_dir: str):
 
 def q_colstochastic(sf_dir: str):
     """Column-stochastic edge weights: w / out-weight(src) — `DimApply` +
-    `MakeColStochastic` (MCL.cpp:388-394) via broadcast vector."""
-    import ray
+    `MakeColStochastic` (MCL.cpp:388-394). Refs-only: the out-weight
+    vector stays as engine chunk refs (`out_weights_refs`); map tasks
+    fetch only the chunks their batch touches (process-cached plasma
+    reads) — no O(n) driver array or full-vector broadcast."""
+    from ..core.graph import _cached_vec_chunk
 
     ctx = get_context(sf_dir)
-    outw = ctx.engine("directed").out_weights()
-    ow_ref = ray.put(outw)
+    eng = ctx.engine("directed")
+    ow_refs = eng.out_weights_refs()
+    starts = np.asarray([s for s, _ in eng.bounds], dtype=np.int64)
     dec = ctx.decoder()
 
-    def _norm(batch: pa.Table, *, _ow=ow_ref, _d=dec) -> pa.Table:
-        ow = _ow if isinstance(_ow, np.ndarray) else ray.get(_ow)
-        src = np.asarray(batch.column("src"))
+    def _norm(batch: pa.Table, *, _r=ow_refs, _s=starts, _d=dec) -> pa.Table:
+        src = np.asarray(batch.column("src"), dtype=np.int64)
         dst = np.asarray(batch.column("dst"))
         w = np.asarray(batch.column("w"))
-        wn = np.round(w / ow[src], 10)
+        ow = np.empty(len(src), dtype=np.float64)
+        ks = np.searchsorted(_s, src, side="right") - 1
+        for k in np.unique(ks):
+            sel = ks == k
+            ow[sel] = _cached_vec_chunk(_r[int(k)])[src[sel] - _s[int(k)]]
+        wn = np.round(w / ow, 10)
         return pa.table(
             {
                 "src_label": _d.take(src),
@@ -2137,21 +2145,17 @@ def q_asof_click(sf_dir: str):
 def q_prune_column(sf_dir: str):
     """Standalone vector PruneColumn (SpParMat.cpp:2578-2654): pvals =
     per-column max weight; drop entries with w < pvals[col] — keeps
-    exactly each column's maxima."""
-    import ray
+    exactly each column's maxima. Refs-only: pvals densifies into CHUNK
+    refs (`reduce_dense_refs`) and `prune_column_refs` fetches only the
+    chunks each batch touches — no O(n) driver vector."""
+    from ..core.partition import chunk_bounds
 
     ctx = get_context(sf_dir)
     g = ctx.graph("directed")
-    # per-src (column) max -> dense pvals via one vectorized scatter
-    # (pvals is the FullyDistVec analog: O(n) is inherent to the op)
-    pvals = np.zeros(ctx.n, dtype=np.float64)
-    for t in ray.get(g.reduce("row", "max").to_arrow_refs()):
-        if t.num_rows == 0 or "v" not in t.column_names:
-            continue  # empty shuffle partitions may carry an empty schema
-        pvals[np.asarray(t.column("v"), dtype=np.int64)] = np.asarray(
-            t.column("val"), dtype=np.float64
-        )
-    return _decode_edge_labels(ctx, g.prune_column(pvals, "lt").edges, "w")
+    bounds = chunk_bounds(ctx.n, max(2, min(16, ctx.n // 1000 or 2)))
+    p_refs = g.reduce_dense_refs("row", "max", bounds)
+    return _decode_edge_labels(
+        ctx, g.prune_column_refs(p_refs, bounds, "lt").edges, "w")
 
 
 def q_prune_column_idx(sf_dir: str):

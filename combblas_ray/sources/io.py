@@ -5,9 +5,14 @@
   in the reference), the body is byte-range-split by ``ray.data.read_text``
   and parsed vectorized; duplicate entries merge by + downstream (the
   reference's BinOp).
-- ``write_matrix_market`` <- `ParallelWriteMM` (``SpParMat.cpp:4133``) /
-  `SaveGathered` — single-file gather form (debug-scale, like the
-  reference's gathered writer).
+- ``write_matrix_market`` <- `ParallelWriteMM` (``SpParMat.cpp:4133-4222``):
+  the reference writes one file from all ranks via MPI-IO after an exscan
+  of byte offsets; the Ray analog formats per-partition text SHARDS in
+  parallel tasks (pandas' C csv writer over the globally sorted edge
+  Dataset), then the driver streams shard bytes into the single output
+  file in order — no ``take_all``, no per-row Python loop, O(1) driver
+  memory. Shard files land next to the output (shared-FS contract, same
+  as the block store).
 - ``write_edges_parquet`` / ``read_edges_parquet`` <- `ParallelBinaryWrite`
   (``SpParMat.cpp:620``) — partitioned parquet, the production format.
 """
@@ -76,14 +81,58 @@ def read_matrix_market(path: str, *, onebased: bool = True) -> Graph:
     return Graph(n=n, edges=lines.map_batches(_parse, batch_format="pyarrow"))
 
 
+def _mm_format_shard(tbl: pa.Table, shard_path: str, off: int) -> int:
+    """Format one sorted edge partition as matrix-market body text —
+    pandas' C csv writer (vectorized %g), no per-row Python. Returns
+    the shard's row count."""
+    import pandas as pd
+
+    if tbl.num_rows == 0 or "dst" not in tbl.column_names:
+        open(shard_path, "w").close()
+        return 0
+    d = np.asarray(tbl.column("dst"), dtype=np.int64) + off
+    s = np.asarray(tbl.column("src"), dtype=np.int64) + off
+    w = np.asarray(tbl.column("w"), dtype=np.float64)
+    pd.DataFrame({"d": d, "s": s, "w": w}).to_csv(
+        shard_path, sep=" ", header=False, index=False, float_format="%g"
+    )
+    return len(d)
+
+
 def write_matrix_market(graph: Graph, path: str, *, onebased: bool = True) -> None:
-    rows = graph.edges.take_all()
+    """Distributed single-file matrix-market writer (`ParallelWriteMM`,
+    ``SpParMat.cpp:4133-4222``): distributed sort by (dst, src), one
+    formatting task per sorted partition writing a text shard, then a
+    driver-side ordered byte concat under the banner — the driver never
+    holds rows."""
+    import os
+    import shutil
+    import tempfile
+
+    import ray
+
+    from ..core.shuffle import _rt0
+
     off = 1 if onebased else 0
-    with open(path, "w") as f:
-        f.write("%%MatrixMarket matrix coordinate real general\n")
-        f.write(f"{graph.n} {graph.n} {len(rows)}\n")
-        for r in sorted(rows, key=lambda r: (r["dst"], r["src"])):
-            f.write(f"{int(r['dst']) + off} {int(r['src']) + off} {r['w']:g}\n")
+    refs = graph.edges.sort(["dst", "src"]).to_arrow_refs()
+    tmpdir = tempfile.mkdtemp(prefix=".mm_shards_",
+                              dir=os.path.dirname(os.path.abspath(path)))
+    try:
+        shard_paths = [os.path.join(tmpdir, f"shard_{i:06d}.txt")
+                       for i in range(len(refs))]
+        counts = ray.get([
+            _rt0(_mm_format_shard).remote(r, p, off)
+            for r, p in zip(refs, shard_paths)
+        ])
+        with open(path, "w") as f:
+            f.write("%%MatrixMarket matrix coordinate real general\n")
+            f.write(f"{graph.n} {graph.n} {sum(counts)}\n")
+            for p, c in zip(shard_paths, counts):
+                if c:
+                    with open(p) as sf:
+                        shutil.copyfileobj(sf, f, 1 << 20)
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
 
 
 def write_edges_parquet(graph: Graph, path: str, *, partition_by_block: int = 0):
