@@ -56,6 +56,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": q.q_triangle_count,
         # graph/engine operators without a prior driver row
         "filtered_bfs_payload": q.q_filtered_bfs_payload,
+        # wave 70 (round 5: direction-optimizing BFS kernel, refs-only
+        # K-source distance family, chunked prune/stochastic vectors,
+        # LSH bucket caps — newest = highest regression risk)
+        "bfs": q.q_bfs,
+        "bfs_parents": q.q_bfs_parents,
+        "msbfs": q.q_msbfs,
+        "distance_hist": q.q_distance_hist,
+        "apsp_top": q.q_apsp_top,
+        "hub_asymmetry": q.q_hub_asymmetry,
+        "prune_column": q.q_prune_column,
+        "colstochastic": q.q_colstochastic,
+        "minhash_pairs": q.q_minhash_pairs,
         # multimodal actor-pool pipelines (first-ever driver evidence
         # for the decode/resize/frame-sample class)
         # LLM-data layer without a prior driver row (+ refactored dedup)
@@ -67,15 +79,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 68 (round 4)
         "suffix_census": q.q_suffix_census,
         "edge_deg_grid": q.q_edge_deg_grid,
-        "same_day_orders": q.q_same_day_orders,
         "blob_bytes_hist": q.q_blob_bytes_hist,
         # wave 67 (round 4)
         "cc_convergence_trace": q.q_cc_convergence_trace,
         "bfs_frontier_trace": q.q_bfs_frontier_trace,
-        "whale_share": q.q_whale_share,
         # wave 66 (round 4)
         "cross_source_dups": q.q_cross_source_dups,
-        "user_trend_split": q.q_user_trend_split,
         "cc_threshold_curve": q.q_cc_threshold_curve,
         # wave 65 (round 4)
         "col_sumsq": q.q_col_sumsq,
@@ -83,20 +92,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 64 (round 4)
         "cust_concentration": q.q_cust_concentration,
         "weekend_split": q.q_weekend_split,
-        "name_key_audit": q.q_name_key_audit,
         "id_alignment_audit": q.q_id_alignment_audit,
-        "region_profile": q.q_region_profile,
         # wave 63 (round 4)
-        "brand_rank_concordance": q.q_brand_rank_concordance,
         "reach2_hist": q.q_reach2_hist,
         # wave 62 (round 4)
         "type_run_hist": q.q_type_run_hist,
         "lsh_bucket_census": q.q_lsh_bucket_census,
-        "status_line_grid": q.q_status_line_grid,
         # wave 61 (round 4)
-        "priority_escalation": q.q_priority_escalation,
         "supplier_brand_span": q.q_supplier_brand_span,
-        "disc_band_share": q.q_disc_band_share,
         # wave 60 (round 4)
         "user_type_div_hist": q.q_user_type_div_hist,
         # wave 59 (round 4)
@@ -162,6 +165,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
+        "same_day_orders": q.q_same_day_orders,  # date-join census (r4 wave-68 green; window slot 50 kept after the wave-70 rotation)
+        "whale_share": q.q_whale_share,  # spend concentration (r4 wave-67 green; rotated for wave-70, cust_concentration in-window sibling)
+        "user_trend_split": q.q_user_trend_split,  # per-user census (r4 wave-66 green; rotated for wave-70, user_type_div_hist in-window sibling)
+        "name_key_audit": q.q_name_key_audit,  # audit class (r4 wave-64 green; rotated for wave-70, id_alignment_audit in-window sibling)
+        "region_profile": q.q_region_profile,  # regional rollup (r4 wave-64 green; rotated for wave-70, nation_p90_orders in-window sibling)
+        "brand_rank_concordance": q.q_brand_rank_concordance,  # rank grid (r4 wave-63 green; rotated for wave-70, supplier_brand_span in-window sibling)
+        "priority_escalation": q.q_priority_escalation,  # status class (r4 wave-61 green; rotated for wave-70, last_order_status in-window sibling)
+        "disc_band_share": q.q_disc_band_share,  # banded census (r4 wave-61 green; rotated for wave-70, decile_priority_grid in-window sibling)
+        "status_line_grid": q.q_status_line_grid,  # grid census (r4 wave-62 green; rotated for wave-70, edge_deg_grid in-window sibling)
         "doc_length_extremes": q.q_doc_length_extremes,  # extremal scan (r3-green; window slot 50 kept from r3)
         "user_lifetime_hist": q.q_user_lifetime_hist,  # span census (r4 wave-65 green; rotated for wave-69, busy_minutes window sibling)
         "quality_gate_grid": q.q_quality_gate_grid,  # gate census (r4 wave-62 green; rotated for wave-69, cross_source_dups prep sibling)
@@ -187,7 +199,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "home_supplied_customers": q.q_home_supplied_customers,  # 4-table semi-join (r4 wave-56 green; rotated for wave-63, nation_top_brand/brand_rank_concordance siblings)
         "dupgraph_triangles": q.q_dupgraph_triangles,  # composite dedup->graph (r4 wave-55 green; rotated for wave-63, dedup_share_by_source/dup_cluster_purity siblings)
         "lorenz_deciles": q.q_lorenz_deciles,  # inequality curve (r4 wave-58 green; rotated for wave-63, decile_priority_grid sibling)
-        "hub_asymmetry": q.q_hub_asymmetry,  # directed hub census (r4 wave-55 green; rotated for wave-63, hub_bisector same machinery)
         "record_counts": q.q_record_counts,  # running extremum (r4 wave-53 green; rotated for wave-62, type_run_hist sequence sibling)
         "kmv_distinct": q.q_kmv_distinct,  # KMV sketch (r4 wave-52 green; rotated for wave-62, lsh_bucket_census bucket sibling)
         "tri_repo_mix": q.q_tri_repo_mix,  # triangle homophily (r4 wave-53 green; rotated for wave-62, local_homophily_hist sibling)
@@ -202,14 +213,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_autocorr": q.q_orders_autocorr,  # series stats (r4 wave-56 green; rotated for wave-60, fano_factor sibling)
         "loyal_customers": q.q_loyal_customers,  # derived division (r4 wave-55 green; rotated for wave-60, comeback_customers/yearend_ledger siblings)
         "lineitem_cov": q.q_lineitem_cov,  # covariance stats (r4 wave-55 green; rotated for wave-60, fano_factor sufficient-stats sibling)
-        "apsp_top": q.q_apsp_top,  # hub distances (r4 wave-54 green; rotated for wave-60, hub_asymmetry/hub_bisector same machinery)
         "vocab_growth": q.q_vocab_growth,  # Heaps curve (r4 wave-51 green; rotated for wave-59, prefix_census/succ_variety siblings)
         "cc_size_hist": q.q_cc_size_hist,  # CC census (r4 wave-52 green; rotated for wave-59, cc_by_degree/hub_bisector siblings)
         "disc_monotone": q.q_disc_monotone,  # sequence audit (r4 wave-53 green; rotated for wave-59, record_counts/comeback_customers siblings)
         "sigma_hist": q.q_sigma_hist,  # int64 sigma census (r4 wave-49 green; rotated for wave-59, poly_filter i64-channel sibling)
         "nation_priority_grid": q.q_nation_priority_grid,  # star grid (r4 wave-54 green; rotated for wave-59, decile_priority_grid sibling)
         "knn_margin": q.q_knn_margin,  # 1-NN margins (r4 wave-50 green; rotated for wave-58, knn_confusion/nn_hubness siblings)
-        "distance_hist": q.q_distance_hist,  # msbfs census (r4 wave-51 green; rotated for wave-58, hub_bisector/apsp_top siblings)
         "repeat_buyers": q.q_repeat_buyers,  # monthly repeats (r4 wave-51 green; rotated for wave-58, comeback_customers sibling)
         "emb_dim_quartiles": q.q_emb_dim_quartiles,  # per-dim quartiles (r4 wave-54 green; rotated for wave-58, emb_pair_dots/nn_hubness siblings)
         "topk_overlap": q.q_topk_overlap,  # leaderboard overlap (r4 wave-53 green; rotated for wave-58, diverse_top_orders sibling)
@@ -454,7 +463,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": q.q_funnel,  # event sequencing: asof_click/ntile in-window
         "corpus_scan": q.q_corpus_scan,  # r1+r2-green build scan
         "reach2_bool": q.q_reach2_bool,  # bool-SpGEMM: harmonic2 in-window
-        "msbfs": q.q_msbfs,  # BFS chain: bfs_sigma/stress in-window
         "katz_fixed": q.q_katz_fixed,  # power iter: ppr/pagerank in-window
         "link_predict_cn": q.q_link_predict_cn,  # wedge: nbr_jaccard in-win
         "pivot_user_type": q.q_pivot_user_type,  # rollup_counts in-window
@@ -473,7 +481,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ktruss_fixed": q.q_ktruss_fixed,  # wedge-plan: clustering_coeff in
         "hits_fixed": q.q_hits_fixed,  # structural-engine: katz in-window
         "vertex_ids": q.q_vertex_ids,  # r1+r2-green; edge_table in-window
-        "minhash_pairs": q.q_minhash_pairs,  # r1-green; dup_clusters in-window
         "jaccard_pairs": q.q_jaccard_pairs,  # r1+r2-green; containment sibling
         "tpch_q1": q.q_tpch_q1,  # r1-green; tpch_q3/q5 in-window
         "fingerprint": q.q_fingerprint,  # r1-green md5 rolling hash
@@ -490,8 +497,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spmv_plus_times": q.q_spmv_plus_times,
         "spmv_min_plus": q.q_spmv_min_plus,
         "fastsv": q.q_fastsv,
-        "bfs": q.q_bfs,
-        "bfs_parents": q.q_bfs_parents,
         "sssp": q.q_sssp,
         "spgemm_aa": q.q_spgemm_aa,
         "spgemm_phased": q.q_spgemm_phased,
@@ -504,10 +509,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reduce_rowmin": q.q_reduce_rowmin,
         "prune_rect": q.q_prune_rect,
         "prune_w2": q.q_prune_w2,
-        "prune_column": q.q_prune_column,
         "prune_column_idx": q.q_prune_column_idx,
         "masked_colsums": q.q_masked_colsums,
-        "colstochastic": q.q_colstochastic,
         "spmm_batch": q.q_spmm_batch,
         "subgraph": q.q_subgraph,
         "spasgn": q.q_spasgn,

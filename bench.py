@@ -556,12 +556,85 @@ def run_graph500(scale: int, edgefactor: int = 16, nroots: int = 8) -> None:
     ray.shutdown()
 
 
+def run_objectstore() -> None:
+    """Headline graph pipeline entirely through the OBJECT-STORE-ONLY
+    block path (`build_block_refs` / `from_block_refs`) — zero /tmp
+    block files, the no-shared-FS multi-node mode. Wall-time evidence
+    that the plasma-resident path carries the same workload the disk
+    store does (kernel parity is separately pytest-proven)."""
+    import numpy as np
+
+    import ray
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+
+    from combblas_ray.core.engine import SpmvEngine, build_block_refs
+    from combblas_ray.pipelines import algorithms as alg
+    from combblas_ray.pipelines.context import default_grid, get_context
+    from combblas_ray.pipelines.pagerank import pagerank
+
+    timings: dict[str, float] = {}
+    t0 = time.perf_counter()
+    ctx = get_context(sf_dir)
+    nnz = ctx.edges.count()
+    timings["build_edges"] = time.perf_counter() - t0
+
+    g = default_grid()
+    t0 = time.perf_counter()
+    entries = build_block_refs(ctx.graph("directed"), g)
+    eng = SpmvEngine.from_block_refs(ctx.n, g, entries)
+    timings["build_blocks_obj"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    pagerank(eng, iters=10, ckpt_dir=None)
+    timings["pagerank10"] = time.perf_counter() - t0
+    pr_eps = nnz * 10 / timings["pagerank10"]
+
+    t0 = time.perf_counter()
+    entries_s = build_block_refs(ctx.graph("sym"), g, structural=True)
+    sym = SpmvEngine.from_block_refs(ctx.n, g, entries_s)
+    timings["build_sym_obj"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    _, cc_iters = alg.connected_components(sym)
+    timings["cc_converged"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    root = ctx.lookup_id("m_0")
+    alg.min_plus_distances(sym, root, iters=12)
+    timings["bfs12"] = time.perf_counter() - t0
+
+    total = sum(timings.values())
+    print(json.dumps({
+        "metric": "objectstore_pipeline_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_vertices": ctx.n,
+        "nnz": int(nnz),
+        "pagerank_edges_per_sec": round(pr_eps, 1),
+        "cc_iters": cc_iters,
+        "store": "object-only (no block files)",
+    }))
+    eng.shutdown()
+    sym.shutdown()
+    from combblas_ray.util import quiesce_data_stats
+    quiesce_data_stats()
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scaling-child", action="store_true")
     ap.add_argument("--graph500", action="store_true")
     ap.add_argument("--dataops", action="store_true")
+    ap.add_argument("--objectstore", action="store_true")
     ap.add_argument("--scale", type=int, default=20)
     ap.add_argument("--edgefactor", type=int, default=16)
     ap.add_argument("--cpus", type=int, default=8)
@@ -574,5 +647,7 @@ if __name__ == "__main__":
         run_graph500(args.scale, args.edgefactor)
     elif args.dataops:
         run_dataops()
+    elif args.objectstore:
+        run_objectstore()
     else:
         run_headline()
