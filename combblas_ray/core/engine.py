@@ -555,10 +555,38 @@ class _Block:
         self.bid, self.br, self.bc = int(meta[0]), int(meta[1]), int(meta[2])
         self.col0 = int(meta[4])  # global column offset (bottom-up BFS)
         self.nr = int(meta[5])
+        self._finish_layout()
+
+    # rows-per-nnz threshold past which a block stores the DCSC-analog
+    # compact layout instead of an O(nr) indptr (`dcsc.h:46-136`)
+    HYPERSPARSE_RATIO = 4
+
+    def _finish_layout(self):
+        """Shared layout tail (init + filtered views): lazy caches, and
+        the HYPERSPARSE conversion — the `SpDCCols`/DCSC analog
+        (``dcsc.h:46-136``, arrays cp/jc/ir/numx at ``dcsc.h:125-128``):
+        when the row dimension dwarfs nnz (extreme grids, RandPerm-ed
+        power-law tails) the O(nr) indptr dominates resident memory, so
+        such blocks keep only the PRESENT rows (`urows` = jc), a compact
+        row id per nonzero, and an indptr over present rows (= cp) —
+        resident memory O(nnz), not O(nr). Dense-output kernels scatter
+        compact partials through `urows`; the plus-semiring bincount
+        fast path uses `rows` unchanged."""
         self._csc = None  # built lazily for sparse-frontier SpMSpV
         self._buf = np.empty(len(self.w), dtype=np.float64)  # reused gather buf
         self._nnzrows = None  # lazy row-id-per-nnz stream (bottom-up BFS)
         self._rowsorted = None  # lazy: cols ascending within each row?
+        if len(self.w) and self.nr > self.HYPERSPARSE_RATIO * len(self.w):
+            rows64 = self.rows.astype(np.int64)
+            self.urows = np.unique(rows64)
+            self.crows = np.searchsorted(self.urows, rows64).astype(np.int32)
+            cip = np.zeros(len(self.urows) + 1, dtype=np.int64)
+            cip[1:] = np.bincount(self.crows, minlength=len(self.urows))
+            np.cumsum(cip, out=cip)
+            self.cindptr = cip
+            self.indptr = None  # the O(nr) array is dropped
+        else:
+            self.urows = None
 
     def spmv_partial(self, x_chunk: np.ndarray, sr) -> np.ndarray:
         if sr.name == "plus_times":
@@ -572,6 +600,10 @@ class _Block:
             return np.bincount(self.rows, weights=vals, minlength=self.nr).astype(
                 np.float64, copy=False
             )
+        if self.urows is not None:  # hypersparse: compact reduce + scatter
+            out = sr.empty(self.nr)
+            out[self.urows] = sr.reduce_segments(vals, self.cindptr)
+            return out
         return sr.reduce_segments(vals, self.indptr)
 
     def spmm_partial(self, X_chunk: np.ndarray, sr) -> np.ndarray:
@@ -618,14 +650,11 @@ class _Block:
             v.payload = {}  # views are SpMV-only; payload stays on the base
             v.bid, v.br, v.bc, v.nr = self.bid, self.br, self.bc, self.nr
             v.col0 = self.col0
-            v._nnzrows = None
-            v._rowsorted = None
             indptr = np.zeros(self.nr + 1, dtype=np.int64)
             np.add.at(indptr, v.rows.astype(np.int64) + 1, 1)
             np.cumsum(indptr, out=indptr)
             v.indptr = indptr
-            v._csc = None
-            v._buf = np.empty(len(v.w), dtype=np.float64)
+            v._finish_layout()  # may drop indptr for hypersparse views
             self._views[key] = v
         return self._views[key]
 
@@ -669,9 +698,12 @@ class _Block:
 
     def _ensure_nnzrows(self):
         if self._nnzrows is None:
-            self._nnzrows = np.repeat(
-                np.arange(self.nr, dtype=np.int32), np.diff(self.indptr)
-            )
+            if self.urows is not None:
+                self._nnzrows = self.urows[self.crows].astype(np.int32)
+            else:
+                self._nnzrows = np.repeat(
+                    np.arange(self.nr, dtype=np.int32), np.diff(self.indptr)
+                )
 
     def _ensure_rowsorted(self):
         """One O(nnz) check that cols ascend within every row (true for
@@ -683,9 +715,10 @@ class _Block:
             if len(c) < 2:
                 self._rowsorted = True
             else:
+                ip = self.cindptr if self.urows is not None else self.indptr
                 bad = c[1:] <= c[:-1]
                 allowed = np.zeros(len(c) - 1, dtype=bool)
-                pos = self.indptr[1:-1] - 1
+                pos = ip[1:-1] - 1
                 allowed[pos[(pos >= 0) & (pos < len(allowed))]] = True
                 self._rowsorted = not bool(np.any(bad & ~allowed))
 
@@ -717,9 +750,16 @@ class _Block:
             rid = self._nnzrows[hit]
             gc = self.cols[hit].astype(np.int64) + self.col0
         else:
-            rows_u = np.nonzero(rm)[0]
-            st = self.indptr[rows_u]
-            cnt = self.indptr[rows_u + 1] - st
+            if self.urows is not None:
+                # hypersparse: only present rows have spans
+                rc = np.nonzero(rm[self.urows])[0]
+                rows_u = self.urows[rc]
+                st = self.cindptr[rc]
+                cnt = self.cindptr[rc + 1] - st
+            else:
+                rows_u = np.nonzero(rm)[0]
+                st = self.indptr[rows_u]
+                cnt = self.indptr[rows_u + 1] - st
             nz = cnt > 0
             rows_u, st, cnt = rows_u[nz], st[nz], cnt[nz]
             total = int(cnt.sum())

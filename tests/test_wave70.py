@@ -315,3 +315,83 @@ def test_dim_apply_refs_matches_dense(ctx500, tmp_path):
     assert np.allclose(e1.spmv(x, "plus_times"), e2.spmv(x, "plus_times"))
     e1.shutdown()
     e2.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# hypersparse (DCSC-analog) block layout: parity with the dense layout
+# ---------------------------------------------------------------------------
+
+
+def _sparse_graph(n=3000, m=120, seed=3):
+    import pyarrow as pa
+
+    from combblas_ray.core.graph import Graph
+
+    rng = np.random.RandomState(seed)
+    src = rng.randint(0, n, m).astype(np.int64)
+    dst = rng.randint(0, n, m).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    w = (rng.randint(1, 5, len(src))).astype(np.float64)
+    edges = ray.data.from_arrow(pa.table(
+        {"src": pa.array(src), "dst": pa.array(dst), "w": pa.array(w)}))
+    g = Graph(n=n, edges=edges).dedup_sum()
+    A = np.zeros((n, n))
+    for s, d, ww in zip(src, dst, w):
+        A[d, s] += ww
+    return g, A
+
+
+def test_hypersparse_blocks_engage_and_match_dense(ray_session, tmp_path):
+    from combblas_ray.core.engine import SpmvEngine
+
+    g, A = _sparse_graph()
+    eng = SpmvEngine.from_graph(g, 2, str(tmp_path / "hs"))
+    # the layout must actually be hypersparse at this density
+    hyper = ray.get(eng.actors[0].ping.remote()) is not None
+    assert hyper
+    blocks_hyper = []
+    for a in eng.actors:
+        blocks_hyper.append(ray.get(a.__ray_call__.remote(
+            lambda self: [b.urows is not None for b in self.blocks])))
+    assert any(any(bl) for bl in blocks_hyper)
+    n = g.n
+    x = ((np.arange(n) * 13) % 17 + 1).astype(np.float64)
+    assert np.allclose(eng.spmv(x, "plus_times"), A @ x)
+    # non-plus semiring exercises the compact reduce + scatter path
+    with np.errstate(invalid="ignore"):
+        M = np.where(A > 0, A, np.inf)
+        want_mp = (M + x[None, :]).min(axis=1)
+    assert np.allclose(eng.spmv(x, "min_plus"), want_mp)
+    want_s2 = np.where(A > 0, x[None, :], np.inf).min(axis=1)
+    assert np.allclose(eng.spmv(x, "select2nd_min"), want_s2)
+    assert np.allclose(eng.in_weights(), A.sum(axis=1))
+    assert np.allclose(eng.unchunk(eng.in_weights_refs()), A.sum(axis=1))
+    eng.shutdown()
+
+
+def test_hypersparse_bfs_both_kernels(ray_session, tmp_path):
+    from combblas_ray.core.engine import SpmvEngine
+    from combblas_ray.core.graph import Graph
+    from combblas_ray.pipelines.algorithms import bfs_parents
+
+    # star + chain: root reaches everything; n >> nnz forces hypersparse
+    import pyarrow as pa
+
+    n = 4000
+    hub = 0
+    others = np.arange(1, 400, dtype=np.int64)
+    src = np.concatenate([np.full(len(others), hub), others])
+    dst = np.concatenate([others, np.full(len(others), hub)])
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(src), "dst": pa.array(dst),
+        "w": pa.array(np.ones(len(src)))}))
+    g = Graph(n=n, edges=edges).dedup_sum()
+    eng = SpmvEngine.from_graph(g, 3, str(tmp_path / "hsb"),
+                                structural=True)
+    p_bu, d_bu = bfs_parents(eng, 0, bottomup=True)
+    p_td, d_td = bfs_parents(eng, 0, bottomup=False)
+    assert np.array_equal(p_bu, p_td)
+    assert np.array_equal(d_bu, d_td)
+    assert d_bu[1] == 1 and p_bu[1] == 0
+    eng.shutdown()
