@@ -174,6 +174,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_escalation": q.q_priority_escalation,  # status class (r4 wave-61 green; rotated for wave-70, last_order_status in-window sibling)
         "disc_band_share": q.q_disc_band_share,  # banded census (r4 wave-61 green; rotated for wave-70, decile_priority_grid in-window sibling)
         "status_line_grid": q.q_status_line_grid,  # grid census (r4 wave-62 green; rotated for wave-70, edge_deg_grid in-window sibling)
+        # wave 71 (round 5: K-source aggregate faces, lag/entropy classes;
+        # out-of-window — locally gated at sf0.001 + sf0.01 each round)
+        "hub_ecc": q.q_hub_ecc,
+        "hub_coreach": q.q_hub_coreach,
+        "source_lang_entropy": q.q_source_lang_entropy,
+        "user_value_lag": q.q_user_value_lag,
+        "order_gap_hist": q.q_order_gap_hist,
         "doc_length_extremes": q.q_doc_length_extremes,  # extremal scan (r3-green; window slot 50 kept from r3)
         "user_lifetime_hist": q.q_user_lifetime_hist,  # span census (r4 wave-65 green; rotated for wave-69, busy_minutes window sibling)
         "quality_gate_grid": q.q_quality_gate_grid,  # gate census (r4 wave-62 green; rotated for wave-69, cross_source_dups prep sibling)
@@ -616,6 +623,11 @@ def oracle_sql() -> dict[str, str]:
         "peak_position": o.peak_position(q.PEAK_BUCKETS),
         "lineitem_cov": o.lineitem_cov(),
         "apsp_top": o.apsp_top(q.APSP_K, q.BFS_ITERS),
+        "hub_ecc": o.hub_ecc(q.APSP_K, q.BFS_ITERS),
+        "hub_coreach": o.hub_coreach(q.APSP_K, q.BFS_ITERS),
+        "source_lang_entropy": o.source_lang_entropy(),
+        "user_value_lag": o.user_value_lag(),
+        "order_gap_hist": o.order_gap_hist(),
         "succ_variety": o.succ_variety(q.SUCC_K),
         "yearend_ledger": o.yearend_ledger(q.LEDGER_Y0, q.LEDGER_Y1),
         "nation_priority_grid": o.nation_priority_grid(),

@@ -9384,3 +9384,110 @@ SELECT CAST(sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL AND x = y
 FROM cls
 """
     return sql
+
+
+def _apsp_chain(k: int, iters: int) -> str:
+    """Shared hub K-source min-plus chain prefix (see `apsp_top`)."""
+    sql = PREFIX + f"""
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+deg AS (SELECT src AS i, count(*) AS d FROM und GROUP BY 1),
+S AS (
+  SELECT i FROM (
+    SELECT i, row_number() OVER (ORDER BY d DESC, i) AS rn FROM deg
+  ) WHERE rn <= {k}
+),
+d0 AS (SELECT i AS r, i, 0 AS dist FROM S)
+"""
+    prev = "d0"
+    for x in range(1, iters + 1):
+        sql += f"""
+, d{x} AS (
+  SELECT r, i, min(dist) AS dist FROM (
+    SELECT r, i, dist FROM {prev}
+    UNION ALL
+    SELECT dp.r, u.dst AS i, dp.dist + 1 AS dist
+    FROM und u JOIN {prev} dp ON dp.i = u.src
+  ) GROUP BY 1, 2
+)"""
+        prev = f"d{x}"
+    return sql, prev
+
+
+@_materialized
+def hub_ecc(k: int = 32, iters: int = 12) -> str:
+    """Per-hub windowed eccentricity + reach count (twin of
+    `queries.q_hub_ecc`)."""
+    sql, prev = _apsp_chain(k, iters)
+    return sql + f"""
+SELECT va.label AS label, CAST(max(d.dist) AS BIGINT) AS ecc,
+       CAST(count(*) AS BIGINT) AS n_reached
+FROM {prev} d JOIN verts va ON va.i = d.r
+GROUP BY 1
+"""
+
+
+@_materialized
+def hub_coreach(k: int = 32, iters: int = 12) -> str:
+    """Vertices reached by all / any / none of the hubs (twin of
+    `queries.q_hub_coreach`)."""
+    sql, prev = _apsp_chain(k, iters)
+    return sql + f"""
+, reach AS (SELECT i, count(DISTINCT r) AS nr FROM {prev} GROUP BY 1),
+tot AS (SELECT count(*) AS n FROM verts)
+SELECT CAST(sum(CASE WHEN nr = {k} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_all,
+       CAST(count(*) AS BIGINT) AS n_any,
+       CAST((SELECT n FROM tot) - count(*) AS BIGINT) AS n_none
+FROM reach
+"""
+
+
+def source_lang_entropy() -> str:
+    """Per-source language-mix Shannon entropy (twin of
+    `queries.q_source_lang_entropy`)."""
+    return """
+WITH c AS (
+  SELECT source, lang, CAST(count(*) AS DOUBLE) AS c
+  FROM documents GROUP BY 1, 2
+),
+t AS (SELECT source, sum(c) AS s FROM c GROUP BY 1)
+SELECT c.source AS source,
+       round(-sum((c.c / t.s) * ln(c.c / t.s)), 6) AS entropy,
+       CAST(t.s AS BIGINT) AS n_docs
+FROM c JOIN t ON c.source = t.source
+GROUP BY c.source, t.s
+"""
+
+
+def user_value_lag() -> str:
+    """Per-type mean |lag-1 value delta| over (user, type) streams
+    (twin of `queries.q_user_value_lag`)."""
+    return """
+WITH l AS (
+  SELECT event_type,
+         value - lag(value) OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS dv
+  FROM events
+)
+SELECT event_type, round(avg(abs(dv)), 6) AS mean_abs_dv,
+       CAST(count(dv) AS BIGINT) AS n_pairs
+FROM l WHERE dv IS NOT NULL GROUP BY 1
+"""
+
+
+def order_gap_hist() -> str:
+    """Histogram of per-customer consecutive-order day gaps (twin of
+    `queries.q_order_gap_hist`)."""
+    return """
+WITH l AS (
+  SELECT date_diff('day',
+           lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey),
+           o_orderdate) AS gap
+  FROM orders
+)
+SELECT CAST(gap AS BIGINT) AS gap_days, CAST(count(*) AS BIGINT) AS n
+FROM l WHERE gap IS NOT NULL GROUP BY 1
+"""

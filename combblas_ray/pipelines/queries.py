@@ -18981,3 +18981,239 @@ def q_bfs_level_cut(sf_dir: str):
         "n_unreached": pa.array([sum(p["n_unreached"] for p in parts)],
                                 type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 71 (round 5): K-source aggregate faces on the new chunked
+# machinery + lag/entropy operator classes
+# ---------------------------------------------------------------------------
+
+
+def _hub_ecc_part(D):
+    """Per-chunk (K,) partials: max finite distance and finite count."""
+    fin = np.isfinite(D)
+    mx = np.where(fin, D, -1.0).max(axis=1)
+    return mx, fin.sum(axis=1).astype(np.int64)
+
+
+def q_hub_ecc(sf_dir: str):
+    """Hub ECCENTRICITY census (within BFS_ITERS hops, undirected): for
+    each of the APSP_K top-degree hubs, the max hop distance to any
+    reached vertex and the reached count (self included) — the
+    radius/diameter feed. Refs-only: seeds via the distributed top-k,
+    (K, n) distance state as chunk refs (`alg.kseed_distances_refs`),
+    two (K,)-sized partials per chunk."""
+    import ray
+
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("sym")
+    S = np.sort(alg.top_by_degree(
+        eng, ctx.vdict.arith_slice_refs(eng.bounds), APSP_K))
+    D_refs = alg.kseed_distances_refs(eng, S, iters=BFS_ITERS)
+    mx_refs, ct_refs = eng.map_chunks_n(_hub_ecc_part, 2, D_refs)
+    mx = np.max(ray.get(mx_refs), axis=0)
+    ct = np.sum(ray.get(ct_refs), axis=0)
+    la = np.asarray(ctx.gather_labels(S)).astype(str)
+    return pa.table({
+        "label": pa.array(la.tolist(), type=pa.string()),
+        "ecc": pa.array(np.maximum(mx, 0).astype(np.int64)),
+        "n_reached": pa.array(ct),
+    })
+
+
+def _hub_coreach_part(D):
+    """Per-chunk (n_all, n_any, n_none) over the (K, chunk) state."""
+    fin = np.isfinite(D)
+    return np.array([int(fin.all(axis=0).sum()),
+                     int(fin.any(axis=0).sum()),
+                     int((~fin.any(axis=0)).sum())], dtype=np.int64)
+
+
+def q_hub_coreach(sf_dir: str):
+    """Hub CO-REACHABILITY census: how many vertices are reached
+    (within BFS_ITERS hops, undirected) by ALL of the APSP_K top hubs,
+    by at least one, and by none — the coverage face of the K-source
+    machinery (one bounded row)."""
+    import ray
+
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("sym")
+    S = np.sort(alg.top_by_degree(
+        eng, ctx.vdict.arith_slice_refs(eng.bounds), APSP_K))
+    D_refs = alg.kseed_distances_refs(eng, S, iters=BFS_ITERS)
+    parts = np.sum(ray.get(eng.map_chunks(_hub_coreach_part, D_refs)),
+                   axis=0)
+    return pa.table({
+        "n_all": pa.array([int(parts[0])], type=pa.int64()),
+        "n_any": pa.array([int(parts[1])], type=pa.int64()),
+        "n_none": pa.array([int(parts[2])], type=pa.int64()),
+    })
+
+
+def q_source_lang_entropy(sf_dir: str):
+    """Per-SOURCE language-mix Shannon entropy (nats, round 6) + doc
+    count — the corpus-balance dashboard metric. One (source, lang)
+    count shuffle with per-batch combiners; the entropy folds over the
+    bounded (source, lang) aggregate."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "lang"])
+
+    def _cnt(t: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], type=pa.string()),
+                          "lang": pa.array([], type=pa.string()),
+                          "c": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "source" not in t.column_names:
+            return empty
+        key = np.char.add(np.char.add(
+            np.asarray(t.column("source")).astype(str), "\x1f"),
+            np.asarray(t.column("lang")).astype(str))
+        uk, c = np.unique(key, return_counts=True)
+        sp = np.char.partition(uk, "\x1f")
+        return pa.table({"source": pa.array(sp[:, 0].tolist(),
+                                            type=pa.string()),
+                         "lang": pa.array(sp[:, 2].tolist(),
+                                          type=pa.string()),
+                         "c": pa.array(c.astype(np.int64))})
+
+    pre = docs.map_batches(_cnt, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    # merge duplicate (source, lang) rows from different batches
+    def _m2(t: pa.Table) -> pa.Table:
+        empty = pa.table({"source": pa.array([], type=pa.string()),
+                          "lang": pa.array([], type=pa.string()),
+                          "c": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "source" not in t.column_names:
+            return empty
+        key = np.char.add(np.char.add(
+            np.asarray(t.column("source")).astype(str), "\x1f"),
+            np.asarray(t.column("lang")).astype(str))
+        c = np.asarray(t.column("c"), dtype=np.int64)
+        uk, inv = np.unique(key, return_inverse=True)
+        tot = ibincount(inv, c, minlength=len(uk))
+        sp = np.char.partition(uk, "\x1f")
+        return pa.table({"source": pa.array(sp[:, 0].tolist(),
+                                            type=pa.string()),
+                         "lang": pa.array(sp[:, 2].tolist(),
+                                          type=pa.string()),
+                         "c": pa.array(tot)})
+
+    rows = group_apply_tasks(pre, ["source"], _m2).take_all()
+    agg: dict[str, dict[str, int]] = {}
+    for r in rows:
+        agg.setdefault(r["source"], {})[r["lang"]] = \
+            agg.get(r["source"], {}).get(r["lang"], 0) + r["c"]
+    srcs = sorted(agg)
+    ents, nds = [], []
+    for s in srcs:
+        c = np.array(sorted(agg[s].values()), dtype=np.float64)
+        p = c / c.sum()
+        ents.append(round(float(-(p * np.log(p)).sum()), 6))
+        nds.append(int(c.sum()))
+    return pa.table({
+        "source": pa.array(srcs, type=pa.string()),
+        "entropy": pa.array(ents, type=pa.float64()),
+        "n_docs": pa.array(nds, type=pa.int64()),
+    })
+
+
+def q_user_value_lag(sf_dir: str):
+    """Lag-1 VALUE-delta census: per event type, the mean |value -
+    previous value| over each (user, type)'s ts-ordered event stream
+    (ties by event_id) + the pair count — the jitter/stability signal
+    of the window-function class. One user shuffle; runs diffed
+    vectorized per partition."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts", "value", "event_id"])
+
+    def _k(t: pa.Table) -> pa.Table:
+        empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                          "s": pa.array([], type=pa.float64()),
+                          "np_": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return empty
+        u = np.asarray(t.column("user_id"), dtype=np.int64)
+        et = np.asarray(t.column("event_type")).astype(str)
+        ts = np.asarray(t.column("ts")).astype(
+            "datetime64[us]").view(np.int64)
+        v = np.asarray(t.column("value"), dtype=np.float64)
+        ei = np.asarray(t.column("event_id"), dtype=np.int64)
+        order = np.lexsort((ei, ts, et, u))
+        u, et, v = u[order], et[order], v[order]
+        same = (u[1:] == u[:-1]) & (et[1:] == et[:-1])
+        if not same.any():
+            return empty
+        dv = np.abs(v[1:] - v[:-1])[same]
+        types = et[1:][same]
+        uk, inv = np.unique(types, return_inverse=True)
+        s = np.bincount(inv, weights=dv, minlength=len(uk))
+        c = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        return pa.table({"event_type": pa.array(uk.tolist(),
+                                                type=pa.string()),
+                         "s": pa.array(s), "np_": pa.array(c)})
+
+    rows = group_apply_tasks(ev, ["user_id"], _k).take_all()
+    agg: dict[str, list] = {}
+    for r in rows:
+        a = agg.setdefault(r["event_type"], [0.0, 0])
+        a[0] += r["s"]
+        a[1] += r["np_"]
+    ks = sorted(agg)
+    return pa.table({
+        "event_type": pa.array(ks, type=pa.string()),
+        "mean_abs_dv": pa.array([round(agg[k][0] / agg[k][1], 6)
+                                 for k in ks], type=pa.float64()),
+        "n_pairs": pa.array([agg[k][1] for k in ks], type=pa.int64()),
+    })
+
+
+def q_order_gap_hist(sf_dir: str):
+    """Inter-order GAP histogram: days between each customer's
+    consecutive orders (date order, ties by orderkey), counted per gap
+    length — the repeat-purchase cadence curve. One custkey shuffle,
+    vectorized run diffs, bounded histogram."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    o = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey"])
+
+    def _k(t: pa.Table) -> pa.Table:
+        empty = pa.table({"gap_days": pa.array([], type=pa.int64()),
+                          "n": pa.array([], type=pa.int64())})
+        if t.num_rows == 0 or "o_custkey" not in t.column_names:
+            return empty
+        ck = np.asarray(t.column("o_custkey"), dtype=np.int64)
+        ok_ = np.asarray(t.column("o_orderkey"), dtype=np.int64)
+        d = np.asarray(t.column("o_orderdate")).astype(
+            "datetime64[D]").view(np.int64)
+        order = np.lexsort((ok_, d, ck))
+        ck, d = ck[order], d[order]
+        same = ck[1:] == ck[:-1]
+        if not same.any():
+            return empty
+        gaps = (d[1:] - d[:-1])[same]
+        uk, c = np.unique(gaps, return_counts=True)
+        return pa.table({"gap_days": pa.array(uk.astype(np.int64)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    rows = group_apply_tasks(o, ["o_custkey"], _k).take_all()
+    agg: dict[int, int] = {}
+    for r in rows:
+        agg[r["gap_days"]] = agg.get(r["gap_days"], 0) + r["n"]
+    ks = sorted(agg)
+    return pa.table({
+        "gap_days": pa.array(ks, type=pa.int64()),
+        "n": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
