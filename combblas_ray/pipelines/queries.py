@@ -17734,45 +17734,46 @@ def q_brand_rank_concordance(sf_dir: str):
 def q_reach2_hist(sf_dir: str):
     """2-hop BALL-SIZE census: per vertex, |{u != v : dist(v, u) <=
     2}| over the undirected distinct graph, as a histogram
-    (ball_size, n_vertices) — composed from the boolean SpGEMM (A^2
-    edge relation) unioned with A, one src-keyed distinct count. The
-    neighborhood-function feed (HyperANF's exact small-radius twin)."""
+    (ball_size, n_vertices). ONE fused SpGEMM: C = A(A + I) covers
+    1-hop UNION 2-hop in the same multiply (self-loops on the right =
+    the identity term), `partition_on='src'` lands every vertex's ball
+    whole in one merge partition, and the histogram partial runs as the
+    merge's `post_fn` — no second shuffle, no union stage (was: SpGEMM
+    + union + src shuffle). The neighborhood-function feed (HyperANF's
+    exact small-radius twin)."""
     import ray
 
-    from ..core.shuffle import group_apply_tasks
     from ..core.spgemm import spgemm
 
     ctx = get_context(sf_dir)
     be = ctx.graph("sym").dedup_sum().cast_bool()
-    C = spgemm(be.edges, be.edges, ctx.n)
 
-    def _proj(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"src": pa.array([], type=pa.int64()),
-                             "dst": pa.array([], type=pa.int64())})
-        return pa.table({"src": t.column("src").cast(pa.int64()),
-                         "dst": t.column("dst").cast(pa.int64())})
+    def _eye(b: pa.Table) -> pa.Table:
+        i = np.asarray(b.column("id"), dtype=np.int64)
+        return pa.table({"src": pa.array(i), "dst": pa.array(i),
+                         "w": pa.array(np.ones(len(i)))})
 
-    both = C.map_batches(_proj, batch_format="pyarrow").union(
-        be.edges.map_batches(_proj, batch_format="pyarrow"))
+    eye = ray.data.range(ctx.n).map_batches(_eye, batch_format="pyarrow")
 
-    def _k(t: pa.Table) -> pa.Table:
+    def _ball_hist(t: pa.Table) -> pa.Table:
         empty = pa.table({"ball_size": pa.array([], type=pa.int64()),
                           "n_vertices": pa.array([], type=pa.int64())})
         if t.num_rows == 0 or "src" not in t.column_names:
             return empty
         s = np.asarray(t.column("src"), dtype=np.int64)
         d = np.asarray(t.column("dst"), dtype=np.int64)
-        keep = s != d
-        s, d = s[keep], d[keep]
-        key = np.unique(s * np.int64(1 << 31) + d)
-        cnt = np.bincount((key >> 31).astype(np.int64))
-        cnt = cnt[cnt > 0]
+        s = s[s != d]  # (src, dst) rows are distinct post-merge
+        if not len(s):
+            return empty
+        _, cnt = np.unique(s, return_counts=True)
         uk, c = np.unique(cnt, return_counts=True)
         return pa.table({"ball_size": pa.array(uk.astype(np.int64)),
                          "n_vertices": pa.array(c.astype(np.int64))})
 
-    parts = group_apply_tasks(both, ["src"], _k).take_all()
+    both = spgemm(be.edges, be.edges.union(eye), ctx.n,
+                  partition_on="src", post_fn=_ball_hist)
+
+    parts = both.take_all()  # bounded histogram partials
     agg: dict[int, int] = {}
     for p in parts:
         agg[int(p["ball_size"])] = agg.get(int(p["ball_size"]), 0) \
