@@ -11,6 +11,8 @@
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 
@@ -492,7 +494,8 @@ def embedding_dup_pairs(emb_ds, tau: float = 0.4,
 
 def embedding_dup_pairs_lsh(emb_ds, tau: float = 0.4, nbits: int = 4,
                             probe_bits: int = 1, seed: int = 11,
-                            bucket_cap: int = 512, cap_anchors: int = 8):
+                            bucket_cap: int | None = None,
+                            cap_anchors: int = 8):
     """Scale path for embedding near-dup: sign-LSH code per vector,
     candidate pairs restricted to identical (or probe_bits-flipped)
     buckets via a keyed shuffle, exact cosine verify per partition —
@@ -501,7 +504,12 @@ def embedding_dup_pairs_lsh(emb_ds, tau: float = 0.4, nbits: int = 4,
     ``bucket_cap`` verify anchor-star only (each member against the
     ``cap_anchors`` smallest vec_ids) — the `dedup.LSH_BUCKET_CAP`
     policy: no quadratic task from one degenerate bucket, dup-cluster
-    connectivity preserved, gate-scale buckets unaffected."""
+    connectivity preserved. Unlike minhash bands (2^61 cells, where a
+    big bucket means near-identical docs), sign-LSH has only 2^nbits
+    cells and big buckets are the NORMAL fill — so the default cap is
+    ADAPTIVE: 8x the expected uniform bucket size (and >= 512), which
+    never trips on healthy data; pass an int to force an absolute
+    cap."""
     import itertools
 
     import ray
@@ -512,6 +520,11 @@ def embedding_dup_pairs_lsh(emb_ds, tau: float = 0.4, nbits: int = 4,
     first = emb_ds.take(1)
     dim = len(first[0]["embedding"])
     planes = lsh_planes(dim, nbits, seed)
+    if bucket_cap is None:
+        n_vecs = emb_ds.count()
+        probes = 1 + sum(
+            math.comb(nbits, r) for r in range(1, probe_bits + 1))
+        bucket_cap = max(512, (8 * n_vecs * probes) >> nbits)
     flips = [0] + [
         sum(1 << b for b in combo)
         for r in range(1, probe_bits + 1)
