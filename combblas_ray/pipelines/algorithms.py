@@ -59,6 +59,14 @@ def _min2_b(a, y, bounds):
     return np.minimum(a, y)
 
 
+def _min2c_b(a, y, bounds):
+    """`_min2_b` + a fused change flag: min-plus relaxation reaches its
+    fixpoint when no chunk improves, and further rounds are no-ops —
+    so fixed-`iters` (oracle-mode) loops may exit early EXACTLY."""
+    m = np.minimum(a, y)
+    return m, bool((m < a).any())
+
+
 def _as_int(a):
     return a.astype(np.int64)
 
@@ -193,13 +201,14 @@ def min_plus_distances(
     """d' = min(d, min over in-edges (w(u,v) + d[u])); fixed `iters` rounds
     (oracle mode) or until fixpoint. Unreached = +inf. Distance vector is
     chunked refs; convergence syncs one small count per round."""
+    import ray
+
     d = engine.map_chunks_i(partial(_root_init, root=root))
     total = iters if iters is not None else max_iters
     for _ in range(total):
-        nd = engine.spmv_apply_refs(d, "min_plus", _min2_b, 1, d)[0]
-        if iters is None and sum(engine.chunk_scalars(_neq_inf_count, nd, d)) == 0:
-            return engine.unchunk(nd)
-        d = nd
+        d, ch = engine.spmv_apply_refs(d, "min_plus", _min2c_b, 2, d)
+        if not any(ray.get(ch)):
+            break  # fixpoint: remaining rounds are no-ops (exact)
     return engine.unchunk(d)
 
 
@@ -217,10 +226,14 @@ def msbfs_distances(engine: SpmvEngine, seeds: np.ndarray,
     hops (min over seeds) — `min_plus_distances` with a seed-SET init
     (the multi-root pattern of the reference's batched BFS drivers).
     One fused min_plus SpMV + min round per level; unreached = +inf."""
+    import ray
+
     seeds = np.asarray(seeds, dtype=np.int64)
     d = engine.map_chunks_i(partial(_seed_init, seeds=seeds))
     for _ in range(iters):
-        d = engine.spmv_apply_refs(d, "min_plus", _min2_b, 1, d)[0]
+        d, ch = engine.spmv_apply_refs(d, "min_plus", _min2c_b, 2, d)
+        if not any(ray.get(ch)):
+            break  # fixpoint (exact)
     return engine.unchunk(d)
 
 
@@ -238,9 +251,13 @@ def msbfs_mod_distances_refs(engine: SpmvEngine, arith_refs: list,
     PER CHUNK from the dictionary's arith slices — the whole loop is
     refs-only and the driver never holds a seed or distance array.
     Returns distance chunk refs (+inf = unreached)."""
+    import ray
+
     d = engine.map_chunks(partial(_mod_seed_init, mod=mod), arith_refs)
     for _ in range(iters):
-        d = engine.spmv_apply_refs(d, "min_plus", _min2_b, 1, d)[0]
+        d, ch = engine.spmv_apply_refs(d, "min_plus", _min2c_b, 2, d)
+        if not any(ray.get(ch)):
+            break  # fixpoint (exact)
     return d
 
 
@@ -288,8 +305,9 @@ def _kseed_init(bounds, seeds):
 
 def _kmin_f(D, Y, bounds):
     """spmm_apply_refs adapter: fused combine + elementwise min against
-    the prior (k, chunk) distance state."""
-    return np.minimum(D, Y)
+    the prior (k, chunk) distance state (+ fixpoint change flag)."""
+    M = np.minimum(D, Y)
+    return M, bool((M < D).any())
 
 
 def kseed_distances_refs(engine: SpmvEngine, seeds: np.ndarray,
@@ -299,13 +317,17 @@ def kseed_distances_refs(engine: SpmvEngine, seeds: np.ndarray,
     (``BetwCent.cpp:179-187``) with the seeds kept SEPARATE (one row per
     seed). The driver never holds a (k, n) matrix; callers reduce the
     refs with `map_chunks` census kernels or gather seed columns only."""
+    import ray
+
     seeds = np.asarray(seeds, dtype=np.int64)
     k = len(seeds)
     D = engine.map_chunks_n(
         partial(_kseed_init, seeds=seeds), 1, with_bounds=True
     )[0]
     for _ in range(iters):
-        D = engine.spmm_apply_refs(D, k, "min_plus", _kmin_f, 1, D)[0]
+        D, ch = engine.spmm_apply_refs(D, k, "min_plus", _kmin_f, 2, D)
+        if not any(ray.get(ch)):
+            break  # fixpoint: remaining rounds are no-ops (exact)
     return D
 
 
