@@ -2566,7 +2566,10 @@ def _bneck_seed(bounds, root, inf):
 
 
 def _bneck_update_f(b, y, bounds):
-    return np.maximum(b, y)
+    """Fused max-update + fixpoint change flag (monotone max-min
+    relaxation: a no-improvement round ends the computation exactly)."""
+    m = np.maximum(b, y)
+    return m, bool((m > b).any())
 
 
 def widest_paths_fixed(engine: SpmvEngine, root: int, iters: int,
@@ -2579,9 +2582,13 @@ def widest_paths_fixed(engine: SpmvEngine, root: int, iters: int,
     Integer edge weights make every value integer-exact; the root
     carries the finite sentinel ``inf`` (SQL-representable, unlike
     np.inf). Unreached vertices stay -inf."""
+    import ray
+
     b = engine.map_chunks_i(partial(_bneck_seed, root=root, inf=inf))
     for _ in range(iters):
-        b = engine.spmv_apply_refs(b, "max_min", _bneck_update_f, 1, b)[0]
+        b, ch = engine.spmv_apply_refs(b, "max_min", _bneck_update_f, 2, b)
+        if not any(ray.get(ch)):
+            break  # fixpoint (exact)
     return engine.unchunk(b)
 
 
