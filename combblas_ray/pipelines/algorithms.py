@@ -395,10 +395,11 @@ def _dense_to_pair(res):
     return idx, res[idx]
 
 
-def _bfs_step(parents, dist, pair, bounds, level):
+def _bfs_step(deg, parents, dist, pair, bounds, level):
     """Per-chunk: drop visited candidates (EWiseMult exclude=true), set
-    parents/dist, emit the next frontier pair (vals = global ids) and its
-    size (fused loop-control scalar — no extra task round)."""
+    parents/dist, emit the next frontier pair (vals = global ids) and
+    fused loop-control stats [n_frontier, edges_incident_to_frontier] —
+    the edge count feeds the Beamer direction-switch heuristic."""
     idx, pv = pair
     unv = parents[idx] == -1
     fi = idx[unv]
@@ -406,13 +407,14 @@ def _bfs_step(parents, dist, pair, bounds, level):
     dist = dist.copy()
     parents[fi] = pv[unv].astype(np.int64)
     dist[fi] = level
-    return parents, dist, (fi, (fi + bounds[0]).astype(np.float64)), len(fi)
+    stats = np.array([len(fi), int(deg[fi].sum())], dtype=np.int64)
+    return parents, dist, (fi, (fi + bounds[0]).astype(np.float64)), stats
 
 
-def _bfs_step_dense(parents, dist, y, bounds, level):
+def _bfs_step_dense(deg, parents, dist, y, bounds, level):
     """Dense-branch step: convert the combined SpMV result to a sparse
     pair, then the shared `_bfs_step` (fused into the combine task)."""
-    return _bfs_step(parents, dist, _dense_to_pair(y), bounds, level)
+    return _bfs_step(deg, parents, dist, _dense_to_pair(y), bounds, level)
 
 
 def _neg_ones(bounds):
@@ -432,7 +434,7 @@ def _bu_prep_p(pair, parents, bounds):
     return bm, parents == -1
 
 
-def _bu_step_p(parents, dist, cand, bounds, level):
+def _bu_step_p(deg, parents, dist, cand, bounds, level):
     """Bottom-up step: unvisited rows with a frontier neighbor adopt the
     min neighbor id as parent (same tie-break as the top-down
     select2nd_min semiring — exact cross-kernel parity)."""
@@ -442,7 +444,8 @@ def _bu_step_p(parents, dist, cand, bounds, level):
     parents[newly] = cand[newly]
     dist[newly] = level
     fi = np.nonzero(newly)[0]
-    return parents, dist, (fi, (fi + bounds[0]).astype(np.float64)), len(fi)
+    stats = np.array([len(fi), int(deg[fi].sum())], dtype=np.int64)
+    return parents, dist, (fi, (fi + bounds[0]).astype(np.float64)), stats
 
 
 def _bu_prep_d(pair, d, bounds):
@@ -452,12 +455,13 @@ def _bu_prep_d(pair, d, bounds):
     return bm, np.isinf(d)
 
 
-def _bu_step_d(d, cand, bounds, level):
+def _bu_step_d(deg, d, cand, bounds, level):
     newly = np.isinf(d) & (cand != _BU_NONE)
     d = d.copy()
     d[newly] = level
     fi = np.nonzero(newly)[0]
-    return d, (fi, np.full(len(fi), float(level))), len(fi)
+    stats = np.array([len(fi), int(deg[fi].sum())], dtype=np.int64)
+    return d, (fi, np.full(len(fi), float(level))), stats
 
 
 def bfs_parents(engine: SpmvEngine, root: int, max_iters: int = 10_000,
@@ -478,22 +482,38 @@ def bfs_parents(engine: SpmvEngine, root: int, max_iters: int = 10_000,
     import ray
 
     n = engine.n
+    m = engine.nnz()
+    deg_refs = engine.in_weights_refs()
     parents = engine.map_chunks_i(_neg_ones)
     dist = engine.map_chunks_i(_neg_ones)
     seed = engine.map_chunks_i(partial(_frontier_seed, root=root))
     parents, dist, frontier, sizes = engine.map_chunks_n(
-        partial(_bfs_step, level=0), 4, parents, dist, seed, with_bounds=True
+        partial(_bfs_step, level=0), 4, deg_refs, parents, dist, seed,
+        with_bounds=True
     )
-    fsize = sum(ray.get(sizes))
+    stats = np.sum(ray.get(sizes), axis=0)
+    fsize, fedges = int(stats[0]), int(stats[1])
+    m_rem = m - fedges  # edges incident to still-unvisited vertices (approx)
     level = 0
     while fsize and level < max_iters:
         level += 1
-        if fsize * 50 < n:
+        # Direction switch (Beamer / `DirOptBFS.cpp`): bottom-up when the
+        # frontier's incident EDGES rival the unexplored side, or the
+        # frontier is a large vertex fraction — the edge test catches
+        # hub-heavy frontiers that are small by vertex count. The 4x
+        # multiplier is measured for THIS kernel pair (the vectorized
+        # SpMSpV top-down is cheap per edge; bottom-up carries a fixed
+        # bitmap-prep round), lower than Beamer's classic alpha=14.
+        if bottomup:
+            top_down = fsize * 50 < n and fedges * 4 < m_rem
+        else:  # dense-SpMV twin keeps the legacy vertex-count rule
+            top_down = fsize * 50 < n
+        if top_down:
             # top-down: sparse frontier SpMSpV, merge+step in ONE fused
             # task round (2 rounds/level total — the latency floor)
             parents, dist, frontier, sizes = engine.spmspv_apply_refs(
                 frontier, "select2nd_min", partial(_bfs_step, level=level),
-                4, parents, dist,
+                4, deg_refs, parents, dist,
             )
         elif bottomup:
             # bottom-up (`DirOptBFS.cpp`): unvisited rows steal parents
@@ -503,36 +523,40 @@ def bfs_parents(engine: SpmvEngine, root: int, max_iters: int = 10_000,
             )
             parents, dist, frontier, sizes = engine.bottomup_apply_refs(
                 fbit, unv, partial(_bu_step_p, level=level), 4,
-                parents, dist,
+                deg_refs, parents, dist,
             )
         else:
             # dense select2nd_min SpMV fallback (cross-kernel twin)
             x = engine.map_chunks_i(_bfs_dense_x, frontier)
             parents, dist, frontier, sizes = engine.spmv_apply_refs(
                 x, "select2nd_min", partial(_bfs_step_dense, level=level),
-                4, parents, dist,
+                4, deg_refs, parents, dist,
             )
-        fsize = sum(ray.get(sizes))
+        stats = np.sum(ray.get(sizes), axis=0)
+        fsize, fedges = int(stats[0]), int(stats[1])
+        m_rem -= fedges
     return engine.unchunk(parents), engine.unchunk(dist)
 
 
-def _bfsd_sparse_step(d, pair, bounds, level):
+def _bfsd_sparse_step(deg, d, pair, bounds, level):
     """Per-chunk relax of SpMSpV candidates: vals = w + x = level."""
     idx, vals = pair
     newly = idx[vals < d[idx]]
     d = d.copy()
     d[newly] = level
-    return d, (newly, np.full(len(newly), float(level))), len(newly)
+    stats = np.array([len(newly), int(deg[newly].sum())], dtype=np.int64)
+    return d, (newly, np.full(len(newly), float(level))), stats
 
 
-def _bfsd_dense_step(d, nd):
+def _bfsd_dense_step(deg, d, nd):
     nd = np.minimum(d, nd)
     newly = np.nonzero(nd < d)[0]
-    return nd, (newly, nd[newly]), len(newly)
+    stats = np.array([len(newly), int(deg[newly].sum())], dtype=np.int64)
+    return nd, (newly, nd[newly]), stats
 
 
-def _bfsd_dense_step_b(d, nd, bounds):
-    return _bfsd_dense_step(d, nd)
+def _bfsd_dense_step_b(deg, d, nd, bounds):
+    return _bfsd_dense_step(deg, d, nd)
 
 
 def bfs_distances_auto(engine: SpmvEngine, root: int,
@@ -544,31 +568,41 @@ def bfs_distances_auto(engine: SpmvEngine, root: int,
     n = engine.n
     import ray
 
+    m = engine.nnz()
+    deg_refs = engine.in_weights_refs()
     d = engine.map_chunks_i(partial(_root_init, root=root))
     frontier = engine.map_chunks_i(partial(_frontier_seed_zero, root=root))
     fsize = sum(engine.chunk_scalars(_pair_len, frontier))
+    fedges, m_rem = fsize, m
     level = 0
     while fsize:
         level += 1
-        if fsize * 50 < n:
+        if bottomup:
+            top_down = fsize * 50 < n and fedges * 4 < m_rem
+        else:
+            top_down = fsize * 50 < n
+        if top_down:
             # SpMSpV: val = w + x = 1 + (level-1) = level for structural
             # w=1; merge + relax fused into one task round
             d, frontier, sizes = engine.spmspv_apply_refs(
                 frontier, "min_plus",
-                partial(_bfsd_sparse_step, level=level), 3, d,
+                partial(_bfsd_sparse_step, level=level), 3, deg_refs, d,
             )
         elif bottomup:
             fbit, unv = engine.map_chunks_n(
                 _bu_prep_d, 2, frontier, d, with_bounds=True
             )
             d, frontier, sizes = engine.bottomup_apply_refs(
-                fbit, unv, partial(_bu_step_d, level=level), 3, d,
+                fbit, unv, partial(_bu_step_d, level=level), 3,
+                deg_refs, d,
             )
         else:
             d, frontier, sizes = engine.spmv_apply_refs(
-                d, "min_plus", _bfsd_dense_step_b, 3, d
+                d, "min_plus", _bfsd_dense_step_b, 3, deg_refs, d
             )
-        fsize = sum(ray.get(sizes))
+        stats = np.sum(ray.get(sizes), axis=0)
+        fsize, fedges = int(stats[0]), int(stats[1])
+        m_rem -= fedges
     return engine.unchunk(d)
 
 
