@@ -141,7 +141,7 @@ def test_ksource_queries_leave_lazies_cold(ray_session):
     try:
         for fn in (Q.q_hub_bisector, Q.q_msbfs, Q.q_distance_hist,
                    Q.q_apsp_top, Q.q_core_periphery_mix,
-                   Q.q_hub_asymmetry):
+                   Q.q_hub_asymmetry, Q.q_hub_ecc, Q.q_hub_coreach):
             t = fn(SF)
             assert t.num_rows >= 1
             assert ctx._labels is None and ctx._arith is None, fn.__name__
