@@ -181,6 +181,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_lang_entropy": q.q_source_lang_entropy,
         "user_value_lag": q.q_user_value_lag,
         "order_gap_hist": q.q_order_gap_hist,
+        # wave 72 (round 5: iterative linear-algebra faces — power
+        # iteration, Sinkhorn balancing, Jacobi solve, GCN propagation)
+        "eigencentrality": q.q_eigencentrality,
+        "spectral_bound": q.q_spectral_bound,
+        "sinkhorn_balance": q.q_sinkhorn_balance,
+        "jacobi_laplacian": q.q_jacobi_laplacian,
+        "jacobi_resid": q.q_jacobi_resid,
+        "gcn_prop": q.q_gcn_prop,
         "doc_length_extremes": q.q_doc_length_extremes,  # extremal scan (r3-green; window slot 50 kept from r3)
         "user_lifetime_hist": q.q_user_lifetime_hist,  # span census (r4 wave-65 green; rotated for wave-69, busy_minutes window sibling)
         "quality_gate_grid": q.q_quality_gate_grid,  # gate census (r4 wave-62 green; rotated for wave-69, cross_source_dups prep sibling)
@@ -628,6 +636,12 @@ def oracle_sql() -> dict[str, str]:
         "source_lang_entropy": o.source_lang_entropy(),
         "user_value_lag": o.user_value_lag(),
         "order_gap_hist": o.order_gap_hist(),
+        "eigencentrality": o.eigencentrality(q.EIG_ITERS),
+        "spectral_bound": o.spectral_bound(q.EIG_ITERS),
+        "sinkhorn_balance": o.sinkhorn_balance(q.SK_ITERS),
+        "jacobi_laplacian": o.jacobi_laplacian(q.JAC_ITERS),
+        "jacobi_resid": o.jacobi_resid(q.JAC_ITERS),
+        "gcn_prop": o.gcn_prop(q.GCN_F),
         "succ_variety": o.succ_variety(q.SUCC_K),
         "yearend_ledger": o.yearend_ledger(q.LEDGER_Y0, q.LEDGER_Y1),
         "nation_priority_grid": o.nation_priority_grid(),

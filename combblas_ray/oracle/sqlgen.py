@@ -9491,3 +9491,225 @@ WITH l AS (
 SELECT CAST(gap AS BIGINT) AS gap_days, CAST(count(*) AS BIGINT) AS n
 FROM l WHERE gap IS NOT NULL GROUP BY 1
 """
+
+
+# --- wave 72: iterative linear-algebra faces -------------------------------
+
+
+def _w72_power_chain(iters: int) -> str:
+    """Shared unrolled power-iteration chain: x{iters} is the final unit
+    vector over the undirected structural adjacency (norm-0 rounds hold
+    the uniform fixed point, mirroring the Ray short-circuit)."""
+    sql = PREFIX + """
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+x0 AS (SELECT f.i, 1.0 / sqrt(p.n) AS v FROM files f CROSS JOIN params p)
+"""
+    prev = "x0"
+    for k in range(1, iters + 1):
+        sql += f"""
+, y{k} AS (
+  SELECT f.i, coalesce(s.sv, 0.0) AS v
+  FROM files f LEFT JOIN (
+    SELECT u.src AS i, sum(x.v) AS sv
+    FROM und u JOIN {prev} x ON x.i = u.dst GROUP BY u.src
+  ) s ON s.i = f.i
+),
+n{k} AS (SELECT sqrt(sum(v * v)) AS nrm FROM y{k}),
+x{k} AS (
+  SELECT y.i,
+         CASE WHEN n.nrm > 0 THEN y.v / n.nrm
+              ELSE 1.0 / sqrt(p.n) END AS v
+  FROM y{k} y CROSS JOIN n{k} n CROSS JOIN params p
+)"""
+        prev = f"x{k}"
+    return sql
+
+
+@_materialized
+def eigencentrality(iters: int = 8) -> str:
+    """Power iteration (twin of `queries.q_eigencentrality`): score =
+    final unit-vector entry * sqrt(n), rounded 6."""
+    return _w72_power_chain(iters) + f"""
+SELECT v.label AS label, round(x.v * sqrt(p.n), 6) AS score
+FROM x{iters} x JOIN verts v ON v.i = x.i CROSS JOIN params p
+"""
+
+
+@_materialized
+def spectral_bound(iters: int = 8) -> str:
+    """Rayleigh quotient x^T A x of the final power-iteration vector
+    (twin of `queries.q_spectral_bound`); one row."""
+    return _w72_power_chain(iters) + f"""
+, yfin AS (
+  SELECT f.i, coalesce(s.sv, 0.0) AS v
+  FROM files f LEFT JOIN (
+    SELECT u.src AS i, sum(x.v) AS sv
+    FROM und u JOIN x{iters} x ON x.i = u.dst GROUP BY u.src
+  ) s ON s.i = f.i
+)
+SELECT round(coalesce(sum(x.v * y.v), 0.0), 6) AS rayleigh
+FROM x{iters} x JOIN yfin y ON y.i = x.i
+"""
+
+
+@_materialized
+def sinkhorn_balance(iters: int = 6) -> str:
+    """Sinkhorn-Knopp alternating scaling rounds (twin of
+    `queries.q_sinkhorn_balance`): r = 1/(A c), c = 1/(A r) from c = 1,
+    isolated vertices at 0; per-vertex (r, c) rounded 6."""
+    sql = PREFIX + """
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+c0 AS (SELECT i, 1.0 AS v FROM files)
+"""
+    prev_c = "c0"
+    for k in range(1, iters + 1):
+        sql += f"""
+, r{k} AS (
+  SELECT f.i,
+         CASE WHEN coalesce(s.sv, 0.0) > 0 THEN 1.0 / s.sv
+              ELSE 0.0 END AS v
+  FROM files f LEFT JOIN (
+    SELECT u.src AS i, sum(c.v) AS sv
+    FROM und u JOIN {prev_c} c ON c.i = u.dst GROUP BY u.src
+  ) s ON s.i = f.i
+),
+c{k} AS (
+  SELECT f.i,
+         CASE WHEN coalesce(s.sv, 0.0) > 0 THEN 1.0 / s.sv
+              ELSE 0.0 END AS v
+  FROM files f LEFT JOIN (
+    SELECT u.src AS i, sum(r.v) AS sv
+    FROM und u JOIN r{k} r ON r.i = u.dst GROUP BY u.src
+  ) s ON s.i = f.i
+)"""
+        prev_c = f"c{k}"
+    sql += f"""
+SELECT v.label AS label, round(r.v, 6) AS r, round(c.v, 6) AS c
+FROM r{iters} r JOIN c{iters} c ON c.i = r.i
+JOIN verts v ON v.i = r.i
+"""
+    return sql
+
+
+def _w72_jacobi_chain(iters: int) -> str:
+    sql = PREFIX + """
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+degq AS (
+  SELECT f.i, CAST(coalesce(d.d, 0) AS DOUBLE) AS d
+  FROM files f LEFT JOIN (
+    SELECT src AS i, count(*) AS d FROM und GROUP BY src
+  ) d ON d.i = f.i
+),
+bvec AS (SELECT i, CAST(1 + i % 7 AS DOUBLE) AS v FROM files),
+jx0 AS (SELECT i, 0.0 AS v FROM files)
+"""
+    prev = "jx0"
+    for k in range(1, iters + 1):
+        sql += f"""
+, jx{k} AS (
+  SELECT d.i, (b.v + coalesce(s.sv, 0.0)) / (d.d + 1.0) AS v
+  FROM degq d JOIN bvec b ON b.i = d.i
+  LEFT JOIN (
+    SELECT u.src AS i, sum(x.v) AS sv
+    FROM und u JOIN {prev} x ON x.i = u.dst GROUP BY u.src
+  ) s ON s.i = d.i
+)"""
+        prev = f"jx{k}"
+    return sql
+
+
+@_materialized
+def jacobi_laplacian(iters: int = 8) -> str:
+    """Unrolled Jacobi rounds for (L + I) x = b, b = 1 + (i % 7) (twin
+    of `queries.q_jacobi_laplacian`); per-vertex x rounded 6."""
+    return _w72_jacobi_chain(iters) + f"""
+SELECT v.label AS label, round(x.v, 6) AS x
+FROM jx{iters} x JOIN verts v ON v.i = x.i
+"""
+
+
+@_materialized
+def jacobi_resid(iters: int = 8) -> str:
+    """||(L + I) x - b||_inf after the Jacobi rounds (twin of
+    `queries.q_jacobi_resid`); one row."""
+    return _w72_jacobi_chain(iters) + f"""
+, yfin AS (
+  SELECT f.i, coalesce(s.sv, 0.0) AS v
+  FROM files f LEFT JOIN (
+    SELECT u.src AS i, sum(x.v) AS sv
+    FROM und u JOIN jx{iters} x ON x.i = u.dst GROUP BY u.src
+  ) s ON s.i = f.i
+)
+SELECT round(max(abs((d.d + 1.0) * x.v - y.v - b.v)), 6) AS resid
+FROM jx{iters} x JOIN degq d ON d.i = x.i
+JOIN bvec b ON b.i = x.i JOIN yfin y ON y.i = x.i
+"""
+
+
+@_materialized
+def gcn_prop(f: int = 4) -> str:
+    """Two-layer GCN propagation H = A_hat relu(A_hat X W1) W2 with
+    A_hat = D^{-1/2}(A + I)D^{-1/2}, X = one-hot(i % f) (twin of
+    `queries.q_gcn_prop`); per-vertex (y0, y1) rounded 6."""
+    w1_rows = ", ".join(
+        f"({a}, {b}, {((3 * a + 5 * b) % 7 - 3) / 4.0})"
+        for a in range(f) for b in range(f))
+    w2_rows = ", ".join(
+        f"({a}, {b}, {((2 * a + 3 * b) % 5 - 2) / 4.0})"
+        for a in range(f) for b in range(2))
+    return PREFIX + f"""
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+w1(a, b, w) AS (VALUES {w1_rows}),
+w2(a, b, w) AS (VALUES {w2_rows}),
+degq AS (
+  SELECT f.i, CAST(coalesce(d.d, 0) AS DOUBLE) AS d
+  FROM files f LEFT JOIN (
+    SELECT src AS i, count(*) AS d FROM und GROUP BY src
+  ) d ON d.i = f.i
+),
+sv AS (SELECT i, 1.0 / sqrt(d + 1.0) AS s FROM degq),
+h0 AS (
+  SELECT f.i, t.f AS f,
+         CASE WHEN f.i % {f} = t.f THEN 1.0 ELSE 0.0 END AS v
+  FROM files f CROSS JOIN generate_series(0, {f - 1}) t(f)
+),
+u0 AS (SELECT h.i, h.f, h.v * s.s AS v FROM h0 h JOIN sv s ON s.i = h.i),
+p0 AS (
+  SELECT u.i, u.f, (u.v + coalesce(a.sv, 0.0)) * s.s AS v
+  FROM u0 u JOIN sv s ON s.i = u.i
+  LEFT JOIN (
+    SELECT e.src AS i, uu.f, sum(uu.v) AS sv
+    FROM und e JOIN u0 uu ON uu.i = e.dst GROUP BY e.src, uu.f
+  ) a ON a.i = u.i AND a.f = u.f
+),
+h1 AS (
+  SELECT p.i, w.b AS f, greatest(0.0, sum(p.v * w.w)) AS v
+  FROM p0 p JOIN w1 w ON w.a = p.f GROUP BY p.i, w.b
+),
+u1 AS (SELECT h.i, h.f, h.v * s.s AS v FROM h1 h JOIN sv s ON s.i = h.i),
+p1 AS (
+  SELECT u.i, u.f, (u.v + coalesce(a.sv, 0.0)) * s.s AS v
+  FROM u1 u JOIN sv s ON s.i = u.i
+  LEFT JOIN (
+    SELECT e.src AS i, uu.f, sum(uu.v) AS sv
+    FROM und e JOIN u1 uu ON uu.i = e.dst GROUP BY e.src, uu.f
+  ) a ON a.i = u.i AND a.f = u.f
+),
+h2 AS (
+  SELECT p.i, w.b AS f, sum(p.v * w.w) AS v
+  FROM p1 p JOIN w2 w ON w.a = p.f GROUP BY p.i, w.b
+)
+SELECT v.label AS label,
+       round(max(CASE WHEN h.f = 0 THEN h.v END), 6) AS y0,
+       round(max(CASE WHEN h.f = 1 THEN h.v END), 6) AS y1
+FROM h2 h JOIN verts v ON v.i = h.i
+GROUP BY v.label
+"""

@@ -2747,3 +2747,165 @@ def boruvka_msf(edges_ds, n: int, max_rounds: int = 40):
     msf = pa.table({"u": pa.array(uu[order]), "v": pa.array(vv[order]),
                     "w": pa.array(ww[order])})
     return msf, comp
+
+
+# ---------------------------------------------------------------------------
+# Iterative linear-algebra kernels (wave 72): power iteration, Sinkhorn
+# balancing, Jacobi solve, normalized-adjacency feature propagation
+# ---------------------------------------------------------------------------
+
+
+def _w72_fill(ar, val):
+    return np.full(len(ar), val, dtype=np.float64)
+
+
+def _w72_sumsq(y):
+    return float(np.dot(y, y))
+
+
+def _w72_dot(a, b):
+    return float(np.dot(a, b))
+
+
+def _w72_scale(y, s):
+    return y * s
+
+
+def eigencentrality_refs(eng: SpmvEngine, arith_refs: list, iters: int):
+    """Eigenvector centrality by power iteration on the structural
+    symmetric adjacency: ``x_{k+1} = A x_k / ||A x_k||_2``, exactly
+    ``iters`` normalized plus_times SpMVs from the uniform unit vector
+    (SpMV + ``Reduce``/``Apply`` composition, ``ParFriends.h:2379`` +
+    ``SpParMat.cpp:888``). Refs-only: the driver syncs ONE scalar (the
+    squared norm) per iteration; vertex state stays chunked.
+
+    Returns ``(x_refs, rayleigh)`` — the final unit vector and its
+    Rayleigh quotient ``x^T A x`` (the lambda_1 estimate). An edgeless
+    graph short-circuits at the uniform vector with rayleigh 0 (the
+    SQL twin's norm-0 branch mirrors this fixed point)."""
+    import math
+
+    x = eng.map_chunks(partial(_w72_fill, val=1.0 / math.sqrt(eng.n)),
+                       arith_refs)
+    for _ in range(iters):
+        y = eng.spmv_refs(x, "plus_times")
+        nrm = math.sqrt(math.fsum(eng.chunk_scalars(_w72_sumsq, y)))
+        if nrm == 0.0:
+            return x, 0.0
+        x = eng.map_chunks(partial(_w72_scale, s=1.0 / nrm), y)
+    y = eng.spmv_refs(x, "plus_times")
+    lam = math.fsum(eng.chunk_scalars(_w72_dot, x, y))
+    return x, lam
+
+
+def _w72_recip0(t):
+    out = np.zeros_like(t)
+    np.divide(1.0, t, out=out, where=t > 0)
+    return out
+
+
+def sinkhorn_refs(eng: SpmvEngine, arith_refs: list, iters: int):
+    """Sinkhorn-Knopp doubly-stochastic balancing of the structural
+    symmetric adjacency: alternating scaling vectors ``r = 1 / (A c)``,
+    ``c = 1 / (A r)`` for exactly ``iters`` rounds from ``c = 1``
+    (isolated vertices scale to 0). The TWO-SIDED generalization of
+    ``MakeColStochastic``'s one-sided ``DimApply`` (``MCL.cpp:391``,
+    ``SpParMat.cpp:171-206``): each half-round is one plus_times SpMV
+    + an elementwise reciprocal, refs-only end-to-end.
+
+    Returns ``(r_refs, c_refs)``; the balanced matrix is
+    ``diag(r) A diag(c)`` (never materialized here)."""
+    c = eng.map_chunks(partial(_w72_fill, val=1.0), arith_refs)
+    r = c
+    for _ in range(iters):
+        r = eng.map_chunks(_w72_recip0, eng.spmv_refs(c, "plus_times"))
+        c = eng.map_chunks(_w72_recip0, eng.spmv_refs(r, "plus_times"))
+    return r, c
+
+
+def _w72_jacobi_step(b, deg, y):
+    return (b + y) / (deg + 1.0)
+
+
+def _w72_resid_inf(b, deg, x, y):
+    if not len(x):
+        return 0.0
+    return float(np.max(np.abs((deg + 1.0) * x - y - b)))
+
+
+def jacobi_laplacian_refs(eng: SpmvEngine, b_refs: list, iters: int):
+    """Jacobi iteration for the regularized Laplacian system
+    ``(L + I) x = b`` with ``L = D - A`` over the structural symmetric
+    adjacency: ``x_{k+1} = (b + A x_k) / (deg + 1)`` from ``x_0 = 0``,
+    exactly ``iters`` rounds (diagonal preconditioning = the
+    ``DimApply`` pattern fused into the SpMV step). Refs-only.
+
+    Returns ``(x_refs, resid_inf)`` where ``resid_inf`` is
+    ``||(L + I) x - b||_inf`` after the final round — the convergence
+    certificate a solver user would log per checkpoint."""
+    ones = eng.map_chunks(partial(_w72_fill, val=1.0), b_refs)
+    deg = eng.spmv_refs(ones, "plus_times")
+    x = eng.map_chunks(partial(_w72_fill, val=0.0), b_refs)
+    for _ in range(iters):
+        y = eng.spmv_refs(x, "plus_times")
+        x = eng.map_chunks(_w72_jacobi_step, b_refs, deg, y)
+    y = eng.spmv_refs(x, "plus_times")
+    resid = max(eng.chunk_scalars(_w72_resid_inf, b_refs, deg, x, y))
+    return x, resid
+
+
+def _w72_inv_sqrt1(deg):
+    return 1.0 / np.sqrt(deg + 1.0)
+
+
+def _w72_gcn_h0(ar, f):
+    out = np.zeros((f, len(ar)), dtype=np.float64)
+    if len(ar):
+        out[np.asarray(ar, dtype=np.int64) % f,
+            np.arange(len(ar))] = 1.0
+    return out
+
+
+def _w72_colscale(H, s):
+    return H * s
+
+
+def _w72_prop_combine(U, s, Y, bounds):
+    # A-hat H for this row chunk: Y = A U arrived combined; add the
+    # self-loop term U and rescale by s = 1/sqrt(deg+1). Bare-array
+    # return (nout=1 `spmm_apply_refs` convention).
+    return (Y + U) * s
+
+
+def _w72_mat_act(H, W, relu):
+    out = W.T @ H
+    if relu:
+        np.maximum(out, 0.0, out=out)
+    return out
+
+
+def gcn_prop_refs(eng: SpmvEngine, arith_refs: list,
+                  w1: np.ndarray, w2: np.ndarray) -> list:
+    """Two-layer GCN-style feature propagation
+    ``H = A_hat relu(A_hat X W1) W2`` with the Kipf-Welling normalized
+    self-looped adjacency ``A_hat = D^{-1/2} (A + I) D^{-1/2}``
+    (D = deg + 1), X the deterministic one-hot ``arith % f`` feature
+    block. Each propagation is ONE fused tall-skinny SpMM round
+    (`spmm_apply_refs`, the BetwCent batching of ``BetwCent.cpp:
+    179-187``); the self-loop add + both D^{-1/2} scalings ride the
+    combine task, and the dense (f x f) weight multiply + activation is
+    a per-chunk kernel — the message-passing step of a training-data
+    featurization pipeline, refs-only end-to-end.
+
+    Returns the final (w2.shape[1], chunk) state refs."""
+    f = int(w1.shape[0])
+    ones = eng.map_chunks(partial(_w72_fill, val=1.0), arith_refs)
+    deg = eng.spmv_refs(ones, "plus_times")
+    s = eng.map_chunks(_w72_inv_sqrt1, deg)
+    H = eng.map_chunks(partial(_w72_gcn_h0, f=f), arith_refs)
+    for W, relu in ((w1, True), (w2, False)):
+        U = eng.map_chunks(_w72_colscale, H, s)
+        P = eng.spmm_apply_refs(U, int(W.shape[0]), "plus_times",
+                                _w72_prop_combine, 1, U, s)[0]
+        H = eng.map_chunks(partial(_w72_mat_act, W=W, relu=relu), P)
+    return H

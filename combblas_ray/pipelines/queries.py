@@ -19218,3 +19218,115 @@ def q_order_gap_hist(sf_dir: str):
         "gap_days": pa.array(ks, type=pa.int64()),
         "n": pa.array([agg[k] for k in ks], type=pa.int64()),
     })
+
+
+# --- wave 72: iterative linear-algebra faces -------------------------------
+
+EIG_ITERS = 8
+SK_ITERS = 6
+JAC_ITERS = 8
+GCN_F = 4
+
+
+def _w72_weights():
+    """Deterministic small GCN weight matrices (SQL-replicable integer
+    arithmetic): W1 (4x4), W2 (4x2)."""
+    a4 = np.arange(GCN_F)[:, None]
+    w1 = ((3 * a4 + 5 * np.arange(GCN_F)[None, :]) % 7 - 3) / 4.0
+    w2 = ((2 * a4 + 3 * np.arange(2)[None, :]) % 5 - 2) / 4.0
+    return w1, w2
+
+
+def q_eigencentrality(sf_dir: str):
+    """Eigenvector centrality: EIG_ITERS normalized power-iteration
+    rounds on the structural undirected adjacency (see
+    `alg.eigencentrality_refs`); score = x * sqrt(n) rounded 6 (the
+    uniform start maps to score 1.0 everywhere)."""
+    import math
+
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("sym")
+    x_refs, _ = alg.eigencentrality_refs(
+        eng, ctx.vdict.arith_slice_refs(eng.bounds), EIG_ITERS)
+    score = np.round(eng.unchunk(x_refs) * math.sqrt(ctx.n), 6)
+    return pa.table({
+        "label": _label_col(ctx, np.arange(ctx.n)),
+        "score": pa.array(score),
+    })
+
+
+def q_spectral_bound(sf_dir: str):
+    """Rayleigh-quotient estimate of lambda_1 (the spectral norm of the
+    structural undirected adjacency) after EIG_ITERS power-iteration
+    rounds — one bounded row (see `alg.eigencentrality_refs`)."""
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("sym")
+    _, lam = alg.eigencentrality_refs(
+        eng, ctx.vdict.arith_slice_refs(eng.bounds), EIG_ITERS)
+    return pa.table({"rayleigh": pa.array([round(lam, 6)])})
+
+
+def q_sinkhorn_balance(sf_dir: str):
+    """Sinkhorn-Knopp doubly-stochastic balancing after SK_ITERS
+    alternating (r, c) rounds over the structural undirected adjacency
+    (see `alg.sinkhorn_refs`); per-vertex scaling factors rounded 6,
+    isolated vertices at 0."""
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("sym")
+    r_refs, c_refs = alg.sinkhorn_refs(
+        eng, ctx.vdict.arith_slice_refs(eng.bounds), SK_ITERS)
+    return pa.table({
+        "label": _label_col(ctx, np.arange(ctx.n)),
+        "r": pa.array(np.round(eng.unchunk(r_refs), 6)),
+        "c": pa.array(np.round(eng.unchunk(c_refs), 6)),
+    })
+
+
+def _w72_b(ar):
+    return 1.0 + (np.asarray(ar, dtype=np.int64) % 7).astype(np.float64)
+
+
+def q_jacobi_laplacian(sf_dir: str):
+    """Jacobi solve of the regularized Laplacian system (L + I) x = b,
+    b = 1 + (arith % 7), after exactly JAC_ITERS rounds (see
+    `alg.jacobi_laplacian_refs`); per-vertex x rounded 6."""
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("sym")
+    b_refs = eng.map_chunks(
+        _w72_b, ctx.vdict.arith_slice_refs(eng.bounds))
+    x_refs, _ = alg.jacobi_laplacian_refs(eng, b_refs, JAC_ITERS)
+    return pa.table({
+        "label": _label_col(ctx, np.arange(ctx.n)),
+        "x": pa.array(np.round(eng.unchunk(x_refs), 6)),
+    })
+
+
+def q_jacobi_resid(sf_dir: str):
+    """Convergence certificate of the JAC_ITERS-round Jacobi solve:
+    ||(L + I) x - b||_inf rounded 6 — one bounded row."""
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("sym")
+    b_refs = eng.map_chunks(
+        _w72_b, ctx.vdict.arith_slice_refs(eng.bounds))
+    _, resid = alg.jacobi_laplacian_refs(eng, b_refs, JAC_ITERS)
+    return pa.table({"resid": pa.array([round(resid, 6)])})
+
+
+def q_gcn_prop(sf_dir: str):
+    """Two-layer GCN-style propagation H = A_hat relu(A_hat X W1) W2
+    over the Kipf-Welling normalized self-looped adjacency, X = one-hot
+    (arith % GCN_F) features, deterministic weights (see
+    `alg.gcn_prop_refs`); per-vertex output pair rounded 6."""
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("sym")
+    w1, w2 = _w72_weights()
+    h_refs = alg.gcn_prop_refs(
+        eng, ctx.vdict.arith_slice_refs(eng.bounds), w1, w2)
+    import ray as _ray
+
+    H = np.concatenate([np.asarray(c) for c in _ray.get(h_refs)], axis=1)
+    return pa.table({
+        "label": _label_col(ctx, np.arange(ctx.n)),
+        "y0": pa.array(np.round(H[0], 6)),
+        "y1": pa.array(np.round(H[1], 6)),
+    })
