@@ -189,6 +189,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jacobi_laplacian": q.q_jacobi_laplacian,
         "jacobi_resid": q.q_jacobi_resid,
         "gcn_prop": q.q_gcn_prop,
+        # wave 73 (round 5: Chebyshev filter, CG solve, LM scoring)
+        "chebyshev_filter": q.q_chebyshev_filter,
+        "conjgrad_fixed": q.q_conjgrad_fixed,
+        "cg_resid": q.q_cg_resid,
+        "lm_score": q.q_lm_score,
         "doc_length_extremes": q.q_doc_length_extremes,  # extremal scan (r3-green; window slot 50 kept from r3)
         "user_lifetime_hist": q.q_user_lifetime_hist,  # span census (r4 wave-65 green; rotated for wave-69, busy_minutes window sibling)
         "quality_gate_grid": q.q_quality_gate_grid,  # gate census (r4 wave-62 green; rotated for wave-69, cross_source_dups prep sibling)
@@ -642,6 +647,10 @@ def oracle_sql() -> dict[str, str]:
         "jacobi_laplacian": o.jacobi_laplacian(q.JAC_ITERS),
         "jacobi_resid": o.jacobi_resid(q.JAC_ITERS),
         "gcn_prop": o.gcn_prop(q.GCN_F),
+        "chebyshev_filter": o.chebyshev_filter(q.CHEB_ORDER),
+        "conjgrad_fixed": o.conjgrad_fixed(q.CG_ITERS),
+        "cg_resid": o.cg_resid(q.CG_ITERS),
+        "lm_score": o.lm_score(),
         "succ_variety": o.succ_variety(q.SUCC_K),
         "yearend_ledger": o.yearend_ledger(q.LEDGER_Y0, q.LEDGER_Y1),
         "nation_priority_grid": o.nation_priority_grid(),

@@ -833,3 +833,116 @@ def levenshtein_batch(a_list, b_list) -> np.ndarray:
             res[hit] = cur[hit, lb[hit]]
         prev = cur
     return res
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM quality scoring (wave 73)
+# ---------------------------------------------------------------------------
+
+
+def _lm_merge_counts(t: pa.Table) -> pa.Table:
+    """Per-partition exact token-count merge (post-shuffle)."""
+    tok = np.asarray(t.column("tok")).astype(str)
+    uk, s = group_sum_per_key(
+        np.asarray(t.column("cnt"), dtype=np.int64), tok)
+    return pa.table({"tok": pa.array(uk.tolist(), type=pa.string()),
+                     "cnt": pa.array(s.astype(np.int64))})
+
+
+class _LmScoreLocal:
+    """Scoring stage: broadcast (sorted vocab, logp) arrays resolved
+    once per actor task; per batch, flatten tokens -> searchsorted
+    logp lookup -> segment-mean per doc -> per-lang (h_sum, n_docs)
+    partial rows."""
+
+    def __init__(self, model_ref):
+        import ray
+
+        self.vocab, self.logp, self.oov = ray.get(model_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table({"lang": pa.array([], type=pa.string()),
+                          "h_sum": pa.array([], type=pa.float64()),
+                          "n_docs": pa.array([], type=pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        toks = tokens_list(batch)
+        flat = np.asarray(pc.list_flatten(toks)).astype(str)
+        lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        pos = np.searchsorted(self.vocab, flat)
+        pos_c = np.minimum(pos, len(self.vocab) - 1)
+        hit = self.vocab[pos_c] == flat
+        nll = np.where(hit, -self.logp[pos_c], -self.oov)
+        off = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=off[1:])
+        nz = lens > 0
+        h = np.zeros(len(lens), dtype=np.float64)
+        if nz.any():
+            seg = np.add.reduceat(nll, off[:-1][nz])
+            h[nz] = seg / lens[nz]
+        lang = np.asarray(batch.column("lang")).astype(str)
+        ul, inv = np.unique(lang[nz], return_inverse=True)
+        if not len(ul):
+            return empty
+        hs = np.zeros(len(ul), dtype=np.float64)
+        np.add.at(hs, inv, h[nz])
+        nd = np.bincount(inv, minlength=len(ul)).astype(np.int64)
+        return pa.table({"lang": pa.array(ul.tolist(), type=pa.string()),
+                         "h_sum": pa.array(hs),
+                         "n_docs": pa.array(nd)})
+
+
+def lm_score(docs_ds, num_partitions: int | None = None) -> pa.Table:
+    """Per-language mean unigram cross-entropy (nats) under the
+    add-one-smoothed corpus LM — the LM-based quality-scoring stage of
+    a training-data pipeline: p(tok) = (cnt + 1) / (N + V), per-doc
+    H = mean(-ln p), per-lang mean over non-empty docs.
+
+    Scale shape: per-batch value_counts combiner -> ONE keyed shuffle
+    for exact global counts -> counts collected to the driver
+    (VOCAB-BOUNDED — this corpus has a tiny closed vocabulary; natural
+    text at 100 TB would cap to the top-V tokens + an OOV bucket, the
+    same broadcast-small-side pattern as `decontaminate`) -> `ray.put`
+    the (vocab, logp) model once -> ONE scoring pass emitting bounded
+    per-lang partials folded on the driver."""
+    import math
+
+    import ray
+
+    partials = docs_ds.map_batches(
+        _vocab_local, batch_format="pyarrow", zero_copy_batch=True)
+    merged = group_apply_tasks(partials, ["tok"], _lm_merge_counts,
+                               num_partitions=num_partitions)
+    t = pa.concat_tables(
+        [r for r in ray.get(merged.to_arrow_refs()) if r.num_rows]
+        or [pa.table({"tok": pa.array([], type=pa.string()),
+                      "cnt": pa.array([], type=pa.int64())})]
+    )
+    vocab = np.asarray(t.column("tok")).astype(str)
+    cnt = np.asarray(t.column("cnt"), dtype=np.int64)
+    order = np.argsort(vocab)
+    vocab, cnt = vocab[order], cnt[order]
+    n_tot = int(cnt.sum())
+    v = len(vocab)
+    denom = float(n_tot + v)
+    logp = np.log((cnt + 1.0) / denom) if v else np.empty(0)
+    oov = math.log(1.0 / denom) if denom > 0 else 0.0
+    model_ref = ray.put((vocab, logp, oov))
+
+    parts = docs_ds.map_batches(
+        _LmScoreLocal, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 8), fn_constructor_args=(model_ref,),
+    ).take_all()
+    agg: dict[str, list] = {}
+    for r in parts:
+        a = agg.setdefault(r["lang"], [0.0, 0])
+        a[0] += r["h_sum"]
+        a[1] += r["n_docs"]
+    langs = sorted(agg)
+    return pa.table({
+        "lang": pa.array(langs, type=pa.string()),
+        "mean_h": pa.array([round(agg[g][0] / agg[g][1], 6)
+                            for g in langs]),
+        "n_docs": pa.array([agg[g][1] for g in langs],
+                           type=pa.int64()),
+    })

@@ -9713,3 +9713,150 @@ SELECT v.label AS label,
 FROM h2 h JOIN verts v ON v.i = h.i
 GROUP BY v.label
 """
+
+
+# --- wave 73: spectral filter, CG solve, LM quality scoring ----------------
+
+
+def _w73_lt_cte(name: str, prev: str) -> str:
+    """One scaled-Laplacian apply: {name} = (2/lmax)(d*v - A v) - v."""
+    return f"""
+, {name} AS (
+  SELECT d.i,
+         (2.0 / lm.m) * (d.d * t.v - coalesce(s.sv, 0.0)) - t.v AS v
+  FROM degq d JOIN {prev} t ON t.i = d.i CROSS JOIN lmax lm
+  LEFT JOIN (
+    SELECT u.src AS i, sum(tt.v) AS sv
+    FROM und u JOIN {prev} tt ON tt.i = u.dst GROUP BY u.src
+  ) s ON s.i = d.i
+)"""
+
+
+@_materialized
+def chebyshev_filter(order: int = 4) -> str:
+    """Order-``order`` Chebyshev filter on the scaled Laplacian with
+    lmax = 2(max_deg + 1), theta_j = 1/(j+1) (twin of
+    `queries.q_chebyshev_filter`); per-vertex y rounded 6."""
+    sql = PREFIX + """
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+degq AS (
+  SELECT f.i, CAST(coalesce(d.d, 0) AS DOUBLE) AS d
+  FROM files f LEFT JOIN (
+    SELECT src AS i, count(*) AS d FROM und GROUP BY src
+  ) d ON d.i = f.i
+),
+lmax AS (SELECT 2.0 * (max(d) + 1.0) AS m FROM degq),
+t0 AS (SELECT i, CAST(1 + i % 7 AS DOUBLE) AS v FROM files)
+"""
+    sql += _w73_lt_cte("t1", "t0")
+    for j in range(2, order + 1):
+        sql += _w73_lt_cte(f"lt{j}", f"t{j - 1}")
+        sql += f"""
+, t{j} AS (
+  SELECT a.i, 2.0 * a.v - b.v AS v
+  FROM lt{j} a JOIN t{j - 2} b ON b.i = a.i
+)"""
+    terms = " + ".join(f"t{j}.v / {j + 1}.0" for j in range(order + 1))
+    joins = "".join(f" JOIN t{j} ON t{j}.i = t0.i"
+                    for j in range(1, order + 1))
+    sql += f"""
+SELECT v.label AS label, round({terms}, 6) AS y
+FROM t0{joins} JOIN verts v ON v.i = t0.i
+"""
+    return sql
+
+
+def _w73_cg_chain(iters: int) -> str:
+    sql = PREFIX + """
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+degq AS (
+  SELECT f.i, CAST(coalesce(d.d, 0) AS DOUBLE) AS d
+  FROM files f LEFT JOIN (
+    SELECT src AS i, count(*) AS d FROM und GROUP BY src
+  ) d ON d.i = f.i
+),
+cg_x0 AS (SELECT i, 0.0 AS v FROM files),
+cg_r0 AS (SELECT i, CAST(1 + i % 7 AS DOUBLE) AS v FROM files),
+cg_p0 AS (SELECT i, v FROM cg_r0),
+rr0 AS (SELECT sum(v * v) AS s FROM cg_r0)
+"""
+    for k in range(1, iters + 1):
+        p, kk = f"cg_p{k - 1}", k
+        sql += f"""
+, q{kk} AS (
+  SELECT d.i, (d.d + 1.0) * p.v - coalesce(s.sv, 0.0) AS v
+  FROM degq d JOIN {p} p ON p.i = d.i
+  LEFT JOIN (
+    SELECT u.src AS i, sum(pp.v) AS sv
+    FROM und u JOIN {p} pp ON pp.i = u.dst GROUP BY u.src
+  ) s ON s.i = d.i
+),
+pq{kk} AS (SELECT sum(p.v * q.v) AS s FROM {p} p JOIN q{kk} q ON q.i = p.i),
+al{kk} AS (
+  SELECT CASE WHEN pq.s > 0 THEN rr.s / pq.s ELSE 0.0 END AS a
+  FROM pq{kk} pq CROSS JOIN rr{k - 1} rr
+),
+cg_x{kk} AS (
+  SELECT x.i, x.v + al.a * p.v AS v
+  FROM cg_x{k - 1} x JOIN {p} p ON p.i = x.i CROSS JOIN al{kk} al
+),
+cg_r{kk} AS (
+  SELECT r.i, r.v - al.a * q.v AS v
+  FROM cg_r{k - 1} r JOIN q{kk} q ON q.i = r.i CROSS JOIN al{kk} al
+),
+rr{kk} AS (SELECT sum(v * v) AS s FROM cg_r{kk}),
+be{kk} AS (
+  SELECT CASE WHEN rrp.s > 0 THEN rr.s / rrp.s ELSE 0.0 END AS b
+  FROM rr{kk} rr CROSS JOIN rr{k - 1} rrp
+),
+cg_p{kk} AS (
+  SELECT r.i, r.v + be.b * p.v AS v
+  FROM cg_r{kk} r JOIN {p} p ON p.i = r.i CROSS JOIN be{kk} be
+)"""
+    return sql
+
+
+@_materialized
+def conjgrad_fixed(iters: int = 5) -> str:
+    """Unrolled guarded conjugate-gradient rounds for (L + I) x = b
+    (twin of `queries.q_conjgrad_fixed`); per-vertex x rounded 6."""
+    return _w73_cg_chain(iters) + f"""
+SELECT v.label AS label, round(x.v, 6) AS x
+FROM cg_x{iters} x JOIN verts v ON v.i = x.i
+"""
+
+
+@_materialized
+def cg_resid(iters: int = 5) -> str:
+    """||r||_2 after the CG rounds (twin of `queries.q_cg_resid`)."""
+    return _w73_cg_chain(iters) + f"""
+SELECT round(sqrt(s), 6) AS resid FROM rr{iters}
+"""
+
+
+def lm_score() -> str:
+    """Per-language mean add-one-smoothed unigram cross-entropy (twin
+    of `queries.q_lm_score`); space tokenizer = `vocab_topk`'s."""
+    return """
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+cnt AS MATERIALIZED (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+tot AS (
+  SELECT (SELECT count(*) FROM tok) AS n, (SELECT count(*) FROM cnt) AS v
+),
+doc AS (
+  SELECT t.doc_id, any_value(t.lang) AS lang,
+         avg(-ln((c.c + 1.0) / (tt.n + tt.v))) AS h
+  FROM tok t JOIN cnt c ON c.tok = t.tok CROSS JOIN tot tt
+  GROUP BY t.doc_id
+)
+SELECT lang, round(avg(h), 6) AS mean_h,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM doc GROUP BY lang
+"""

@@ -2909,3 +2909,93 @@ def gcn_prop_refs(eng: SpmvEngine, arith_refs: list,
                                 _w72_prop_combine, 1, U, s)[0]
         H = eng.map_chunks(partial(_w72_mat_act, W=W, relu=relu), P)
     return H
+
+
+# ---------------------------------------------------------------------------
+# Wave 73: Chebyshev spectral filter + conjugate gradient (fixed rounds)
+# ---------------------------------------------------------------------------
+
+
+def _w73_lt(deg, v, av, lmax):
+    # scaled-Laplacian apply: Lt v = (2/lmax) (deg*v - A v) - v
+    return (2.0 / lmax) * (deg * v - av) - v
+
+
+def _w73_max(d):
+    return float(d.max()) if len(d) else 0.0
+
+
+def _w73_cheb3(tp, tpp, lt_tp):
+    # 3-term recurrence: T_j = 2 Lt T_{j-1} - T_{j-2}
+    return 2.0 * lt_tp - tpp
+
+
+def _w73_axpy(y, x, a):
+    return y + a * x
+
+
+def chebyshev_filter_refs(eng: SpmvEngine, b_refs: list, order: int):
+    """Chebyshev polynomial filter y = sum_{j=0..order} theta_j T_j(Lt) b
+    with theta_j = 1/(j+1), over the scaled Laplacian
+    ``Lt = 2 L / lmax - I`` (L = D - A, deterministic spectral bound
+    ``lmax = 2 (max_deg + 1)`` so both twins scale identically). The
+    classic 3-term recurrence — each step is ONE plus_times SpMV plus
+    fused chunk kernels (the GraphBLAS spectral-filter idiom; SpMV
+    ``ParFriends.h:2379``). Refs-only; the driver holds only the lmax
+    scalar. Returns y chunk refs."""
+    ones = eng.map_chunks(partial(_w72_fill, val=1.0), b_refs)
+    deg = eng.spmv_refs(ones, "plus_times")
+    lmax = 2.0 * (max(eng.chunk_scalars(_w73_max, deg)) + 1.0)
+
+    def lt(v_refs):
+        av = eng.spmv_refs(v_refs, "plus_times")
+        return eng.map_chunks(partial(_w73_lt, lmax=lmax), deg, v_refs, av)
+
+    t_pp = b_refs                      # T_0
+    t_p = lt(b_refs)                   # T_1
+    y = eng.map_chunks(partial(_w73_axpy, a=1.0 / 2.0), t_pp, t_p)
+    for j in range(2, order + 1):
+        t_j = eng.map_chunks(_w73_cheb3, t_p, t_pp, lt(t_p))
+        y = eng.map_chunks(partial(_w73_axpy, a=1.0 / (j + 1.0)), y, t_j)
+        t_pp, t_p = t_p, t_j
+    return y
+
+
+def _w73_cg_q(deg, p, ap):
+    # (L + I) p = (deg + 1) p - A p
+    return (deg + 1.0) * p - ap
+
+
+def _w73_saxpy(x, p, a):
+    return x + a * p
+
+
+def conjgrad_refs(eng: SpmvEngine, b_refs: list, iters: int):
+    """Conjugate gradient on the SPD system ``(L + I) x = b``, exactly
+    ``iters`` rounds from x0 = 0 (r0 = p0 = b). Every alpha/beta is
+    GUARDED (0 when its denominator is non-positive) so the fixed
+    unroll is total — the SQL twin carries the same CASE guards, and
+    on an exactly-converged system both sides idle identically. One
+    plus_times SpMV + two driver scalars (p^T q, r^T r) per round;
+    vertex state stays chunked. Returns ``(x_refs, resid2)`` with
+    ``resid2 = ||r||_2`` after the final round."""
+    import math
+
+    ones = eng.map_chunks(partial(_w72_fill, val=1.0), b_refs)
+    deg = eng.spmv_refs(ones, "plus_times")
+    x = eng.map_chunks(partial(_w72_fill, val=0.0), b_refs)
+    r = b_refs
+    p = b_refs
+    rr = math.fsum(eng.chunk_scalars(_w72_dot, r, r))
+    for _ in range(iters):
+        ap = eng.spmv_refs(p, "plus_times")
+        q = eng.map_chunks(_w73_cg_q, deg, p, ap)
+        pq = math.fsum(eng.chunk_scalars(_w72_dot, p, q))
+        alpha = rr / pq if pq > 0 else 0.0
+        x = eng.map_chunks(partial(_w73_saxpy, a=alpha), x, p)
+        r = eng.map_chunks(partial(_w73_saxpy, a=-alpha), r, q)
+        rr_new = math.fsum(eng.chunk_scalars(_w72_dot, r, r))
+        beta = rr_new / rr if rr > 0 else 0.0
+        p = eng.map_chunks(partial(_w73_saxpy, a=beta), r, p)
+        rr = rr_new
+    return x, math.sqrt(max(rr, 0.0))

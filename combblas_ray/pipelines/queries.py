@@ -19330,3 +19330,64 @@ def q_gcn_prop(sf_dir: str):
         "y0": pa.array(np.round(H[0], 6)),
         "y1": pa.array(np.round(H[1], 6)),
     })
+
+
+# --- wave 73: spectral filter, CG solve, LM quality scoring ----------------
+
+CHEB_ORDER = 4
+CG_ITERS = 5
+
+
+def q_chebyshev_filter(sf_dir: str):
+    """Chebyshev filter y = sum_j T_j(Lt) b / (j+1) of order CHEB_ORDER
+    on the scaled Laplacian (lmax = 2(max_deg+1)), b = 1 + (arith % 7)
+    (see `alg.chebyshev_filter_refs`); per-vertex y rounded 6."""
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("sym")
+    b_refs = eng.map_chunks(
+        _w72_b, ctx.vdict.arith_slice_refs(eng.bounds))
+    y_refs = alg.chebyshev_filter_refs(eng, b_refs, CHEB_ORDER)
+    return pa.table({
+        "label": _label_col(ctx, np.arange(ctx.n)),
+        "y": pa.array(np.round(eng.unchunk(y_refs), 6)),
+    })
+
+
+def q_conjgrad_fixed(sf_dir: str):
+    """Conjugate-gradient solve of (L + I) x = b, b = 1 + (arith % 7),
+    after exactly CG_ITERS guarded rounds (see `alg.conjgrad_refs`);
+    per-vertex x rounded 6."""
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("sym")
+    b_refs = eng.map_chunks(
+        _w72_b, ctx.vdict.arith_slice_refs(eng.bounds))
+    x_refs, _ = alg.conjgrad_refs(eng, b_refs, CG_ITERS)
+    return pa.table({
+        "label": _label_col(ctx, np.arange(ctx.n)),
+        "x": pa.array(np.round(eng.unchunk(x_refs), 6)),
+    })
+
+
+def q_cg_resid(sf_dir: str):
+    """||r||_2 after the CG_ITERS-round conjugate-gradient solve — one
+    bounded row (vs the Jacobi residual of `q_jacobi_resid`: same
+    system, Krylov vs stationary convergence)."""
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("sym")
+    b_refs = eng.map_chunks(
+        _w72_b, ctx.vdict.arith_slice_refs(eng.bounds))
+    _, resid = alg.conjgrad_refs(eng, b_refs, CG_ITERS)
+    return pa.table({"resid": pa.array([round(resid, 6)])})
+
+
+def q_lm_score(sf_dir: str):
+    """Per-language mean unigram cross-entropy under the add-one
+    smoothed corpus LM — the LM quality-scoring stage (see
+    `text.lm_score`)."""
+    import ray
+
+    from ..functions import text as textf
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["text", "lang"])
+    return textf.lm_score(docs)
