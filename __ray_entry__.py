@@ -194,6 +194,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conjgrad_fixed": q.q_conjgrad_fixed,
         "cg_resid": q.q_cg_resid,
         "lm_score": q.q_lm_score,
+        # wave 74 (round 5: SALSA walk, spectral gap, LM outlier gate)
+        "salsa_fixed": q.q_salsa_fixed,
+        "lambda2": q.q_lambda2,
+        "lm_outliers": q.q_lm_outliers,
         "doc_length_extremes": q.q_doc_length_extremes,  # extremal scan (r3-green; window slot 50 kept from r3)
         "user_lifetime_hist": q.q_user_lifetime_hist,  # span census (r4 wave-65 green; rotated for wave-69, busy_minutes window sibling)
         "quality_gate_grid": q.q_quality_gate_grid,  # gate census (r4 wave-62 green; rotated for wave-69, cross_source_dups prep sibling)
@@ -651,6 +655,9 @@ def oracle_sql() -> dict[str, str]:
         "conjgrad_fixed": o.conjgrad_fixed(q.CG_ITERS),
         "cg_resid": o.cg_resid(q.CG_ITERS),
         "lm_score": o.lm_score(),
+        "salsa_fixed": o.salsa_fixed(q.SALSA_ITERS),
+        "lambda2": o.lambda2(q.EIG_ITERS),
+        "lm_outliers": o.lm_outliers(),
         "succ_variety": o.succ_variety(q.SUCC_K),
         "yearend_ledger": o.yearend_ledger(q.LEDGER_Y0, q.LEDGER_Y1),
         "nation_priority_grid": o.nation_priority_grid(),

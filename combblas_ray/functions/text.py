@@ -905,6 +905,31 @@ def lm_score(docs_ds, num_partitions: int | None = None) -> pa.Table:
     same broadcast-small-side pattern as `decontaminate`) -> `ray.put`
     the (vocab, logp) model once -> ONE scoring pass emitting bounded
     per-lang partials folded on the driver."""
+    import ray
+
+    model_ref, _, _ = _lm_build_model(docs_ds, num_partitions)
+    parts = docs_ds.map_batches(
+        _LmScoreLocal, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 8), fn_constructor_args=(model_ref,),
+    ).take_all()
+    agg: dict[str, list] = {}
+    for r in parts:
+        a = agg.setdefault(r["lang"], [0.0, 0])
+        a[0] += r["h_sum"]
+        a[1] += r["n_docs"]
+    langs = sorted(agg)
+    return pa.table({
+        "lang": pa.array(langs, type=pa.string()),
+        "mean_h": pa.array([round(agg[g][0] / agg[g][1], 6)
+                            for g in langs]),
+        "n_docs": pa.array([agg[g][1] for g in langs],
+                           type=pa.int64()),
+    })
+
+
+def _lm_build_model(docs_ds, num_partitions=None):
+    """Shared LM-count stage: returns (model_ref, n_tot, v) where the
+    ref holds the (sorted vocab, logp, oov) broadcast triple."""
     import math
 
     import ray
@@ -927,22 +952,115 @@ def lm_score(docs_ds, num_partitions: int | None = None) -> pa.Table:
     denom = float(n_tot + v)
     logp = np.log((cnt + 1.0) / denom) if v else np.empty(0)
     oov = math.log(1.0 / denom) if denom > 0 else 0.0
-    model_ref = ray.put((vocab, logp, oov))
+    return ray.put((vocab, logp, oov)), n_tot, v
 
+
+class _LmMomentsLocal(_LmScoreLocal):
+    """First pass of the outlier census: per-lang (h_sum, h2_sum, n)
+    moment partials over per-doc cross-entropies."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table({"lang": pa.array([], type=pa.string()),
+                          "h_sum": pa.array([], type=pa.float64()),
+                          "h2_sum": pa.array([], type=pa.float64()),
+                          "n_docs": pa.array([], type=pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        lang, h, nz = self._doc_h(batch)
+        ul, inv = np.unique(lang[nz], return_inverse=True)
+        if not len(ul):
+            return empty
+        hs = np.zeros(len(ul))
+        h2 = np.zeros(len(ul))
+        np.add.at(hs, inv, h[nz])
+        np.add.at(h2, inv, h[nz] * h[nz])
+        nd = np.bincount(inv, minlength=len(ul)).astype(np.int64)
+        return pa.table({"lang": pa.array(ul.tolist(), type=pa.string()),
+                         "h_sum": pa.array(hs), "h2_sum": pa.array(h2),
+                         "n_docs": pa.array(nd)})
+
+    def _doc_h(self, batch: pa.Table):
+        toks = tokens_list(batch)
+        flat = np.asarray(pc.list_flatten(toks)).astype(str)
+        lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        pos = np.searchsorted(self.vocab, flat)
+        pos_c = np.minimum(pos, max(len(self.vocab) - 1, 0))
+        hit = (self.vocab[pos_c] == flat) if len(self.vocab) else \
+            np.zeros(len(flat), dtype=bool)
+        nll = np.where(hit, -self.logp[pos_c] if len(self.vocab)
+                       else -self.oov, -self.oov)
+        off = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=off[1:])
+        nz = lens > 0
+        h = np.zeros(len(lens))
+        if nz.any():
+            h[nz] = np.add.reduceat(nll, off[:-1][nz]) / lens[nz]
+        return np.asarray(batch.column("lang")).astype(str), h, nz
+
+
+class _LmOutlierLocal(_LmMomentsLocal):
+    """Second pass: per-lang count of docs with h > the broadcast
+    (mean + 2 sigma) threshold."""
+
+    def __init__(self, model_ref, thr_ref):
+        import ray
+
+        super().__init__(model_ref)
+        self.thr = ray.get(thr_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table({"lang": pa.array([], type=pa.string()),
+                          "n_out": pa.array([], type=pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        lang, h, nz = self._doc_h(batch)
+        thr = np.array([self.thr.get(g, np.inf) for g in lang])
+        out = nz & (h > thr)
+        ul, cnts = np.unique(lang[out], return_counts=True)
+        if not len(ul):
+            return empty
+        return pa.table({"lang": pa.array(ul.tolist(), type=pa.string()),
+                         "n_out": pa.array(cnts.astype(np.int64))})
+
+
+def lm_outliers(docs_ds, num_partitions: int | None = None) -> pa.Table:
+    """Per-language LM-score outlier census: docs whose unigram
+    cross-entropy exceeds their language's mean + 2 * population sigma
+    — the statistical quality-gate of an LM-scored filtering stage.
+    Two broadcast-model passes: (1) per-lang (sum, sumsq, n) moment
+    partials -> driver thresholds (bounded: one row per language);
+    (2) per-lang outlier counts against the broadcast thresholds."""
+    import math
+
+    import ray
+
+    model_ref, _, _ = _lm_build_model(docs_ds, num_partitions)
     parts = docs_ds.map_batches(
-        _LmScoreLocal, batch_format="pyarrow", zero_copy_batch=True,
+        _LmMomentsLocal, batch_format="pyarrow", zero_copy_batch=True,
         concurrency=(1, 8), fn_constructor_args=(model_ref,),
     ).take_all()
     agg: dict[str, list] = {}
     for r in parts:
-        a = agg.setdefault(r["lang"], [0.0, 0])
+        a = agg.setdefault(r["lang"], [0.0, 0.0, 0])
         a[0] += r["h_sum"]
-        a[1] += r["n_docs"]
+        a[1] += r["h2_sum"]
+        a[2] += r["n_docs"]
+    thr = {}
+    for g, (s, s2, n) in agg.items():
+        mean = s / n
+        var = max(s2 / n - mean * mean, 0.0)
+        thr[g] = mean + 2.0 * math.sqrt(var)
+    thr_ref = ray.put(thr)
+    parts2 = docs_ds.map_batches(
+        _LmOutlierLocal, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 8), fn_constructor_args=(model_ref, thr_ref),
+    ).take_all()
+    out: dict[str, int] = {g: 0 for g in agg}
+    for r in parts2:
+        out[r["lang"]] = out.get(r["lang"], 0) + r["n_out"]
     langs = sorted(agg)
     return pa.table({
         "lang": pa.array(langs, type=pa.string()),
-        "mean_h": pa.array([round(agg[g][0] / agg[g][1], 6)
-                            for g in langs]),
-        "n_docs": pa.array([agg[g][1] for g in langs],
-                           type=pa.int64()),
+        "n_docs": pa.array([agg[g][2] for g in langs], type=pa.int64()),
+        "n_out": pa.array([out[g] for g in langs], type=pa.int64()),
     })

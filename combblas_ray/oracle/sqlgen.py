@@ -9860,3 +9860,168 @@ SELECT lang, round(avg(h), 6) AS mean_h,
        CAST(count(*) AS BIGINT) AS n_docs
 FROM doc GROUP BY lang
 """
+
+
+# --- wave 74: SALSA, lambda_2, LM outlier census ----------------------------
+
+
+@_materialized
+def salsa_fixed(iters: int = 4) -> str:
+    """Unrolled SALSA authority rounds on the structural directed graph
+    (twin of `queries.q_salsa_fixed`): h = D_out^{-1} A a then
+    a = D_in^{-1} A^T h, guarded divisions; per-vertex auth rounded 6."""
+    sql = PREFIX + """
+, din AS (
+  SELECT f.i, CAST(coalesce(d.c, 0) AS DOUBLE) AS d
+  FROM files f LEFT JOIN (
+    SELECT dst AS i, count(*) AS c FROM edges GROUP BY dst
+  ) d ON d.i = f.i
+),
+dout AS (
+  SELECT f.i, CAST(coalesce(d.c, 0) AS DOUBLE) AS d
+  FROM files f LEFT JOIN (
+    SELECT src AS i, count(*) AS c FROM edges GROUP BY src
+  ) d ON d.i = f.i
+),
+sa0 AS (SELECT i, 1.0 AS v FROM files)
+"""
+    prev = "sa0"
+    for k in range(1, iters + 1):
+        sql += f"""
+, sh{k} AS (
+  SELECT o.i,
+         CASE WHEN o.d > 0 THEN coalesce(s.sv, 0.0) / o.d
+              ELSE 0.0 END AS v
+  FROM dout o LEFT JOIN (
+    SELECT e.src AS i, sum(a.v) AS sv
+    FROM edges e JOIN {prev} a ON a.i = e.dst GROUP BY e.src
+  ) s ON s.i = o.i
+),
+sa{k} AS (
+  SELECT d.i,
+         CASE WHEN d.d > 0 THEN coalesce(s.sv, 0.0) / d.d
+              ELSE 0.0 END AS v
+  FROM din d LEFT JOIN (
+    SELECT e.dst AS i, sum(h.v) AS sv
+    FROM edges e JOIN sh{k} h ON h.i = e.src GROUP BY e.dst
+  ) s ON s.i = d.i
+)"""
+        prev = f"sa{k}"
+    sql += f"""
+SELECT v.label AS label, round(a.v, 6) AS auth
+FROM {prev} a JOIN verts v ON v.i = a.i
+"""
+    return sql
+
+
+@_materialized
+def lambda2(iters: int = 8) -> str:
+    """(lambda_1, lambda_2) by power + Wielandt-deflated power iteration
+    (twin of `queries.q_lambda2`); one row, rounded 6. The deflated
+    start is b = 1 + (i % 7) unit-normalized then orthogonalized
+    against x1; every normalization is zero-guarded like the Ray side."""
+    sql = _w72_power_chain(iters) + f"""
+, yf1 AS (
+  SELECT f.i, coalesce(s.sv, 0.0) AS v
+  FROM files f LEFT JOIN (
+    SELECT u.src AS i, sum(x.v) AS sv
+    FROM und u JOIN x{iters} x ON x.i = u.dst GROUP BY u.src
+  ) s ON s.i = f.i
+),
+lam1 AS (
+  SELECT coalesce(sum(x.v * y.v), 0.0) AS l
+  FROM x{iters} x JOIN yf1 y ON y.i = x.i
+),
+dbv AS (SELECT i, CAST(1 + i % 7 AS DOUBLE) AS v FROM files),
+dbb AS (SELECT sqrt(sum(v * v)) AS s FROM dbv),
+dw AS (
+  SELECT b.i, CASE WHEN n.s > 0 THEN b.v / n.s ELSE 0.0 END AS v
+  FROM dbv b CROSS JOIN dbb n
+),
+dc AS (
+  SELECT coalesce(sum(x.v * w.v), 0.0) AS c
+  FROM x{iters} x JOIN dw w ON w.i = x.i
+),
+dv0r AS (
+  SELECT w.i, w.v - dc.c * x.v AS v
+  FROM dw w JOIN x{iters} x ON x.i = w.i CROSS JOIN dc
+),
+dn0 AS (SELECT sqrt(sum(v * v)) AS s FROM dv0r),
+dv0 AS (
+  SELECT r.i, CASE WHEN n.s > 0 THEN r.v / n.s ELSE 0.0 END AS v
+  FROM dv0r r CROSS JOIN dn0 n
+)"""
+    prev = "dv0"
+    for k in range(1, iters + 1):
+        sql += f"""
+, dy{k} AS (
+  SELECT f.i, coalesce(s.sv, 0.0) AS v
+  FROM files f LEFT JOIN (
+    SELECT u.src AS i, sum(v.v) AS sv
+    FROM und u JOIN {prev} v ON v.i = u.dst GROUP BY u.src
+  ) s ON s.i = f.i
+),
+dxv{k} AS (
+  SELECT coalesce(sum(x.v * v.v), 0.0) AS c
+  FROM x{iters} x JOIN {prev} v ON v.i = x.i
+),
+dd{k} AS (
+  SELECT y.i, y.v - l.l * c.c * x.v AS v
+  FROM dy{k} y JOIN x{iters} x ON x.i = y.i
+  CROSS JOIN lam1 l CROSS JOIN dxv{k} c
+),
+dn{k} AS (SELECT sqrt(sum(v * v)) AS s FROM dd{k}),
+dv{k} AS (
+  SELECT d.i, CASE WHEN n.s > 0 THEN d.v / n.s ELSE 0.0 END AS v
+  FROM dd{k} d CROSS JOIN dn{k} n
+)"""
+        prev = f"dv{k}"
+    sql += f"""
+, dyf AS (
+  SELECT f.i, coalesce(s.sv, 0.0) AS v
+  FROM files f LEFT JOIN (
+    SELECT u.src AS i, sum(v.v) AS sv
+    FROM und u JOIN {prev} v ON v.i = u.dst GROUP BY u.src
+  ) s ON s.i = f.i
+)
+SELECT round((SELECT l FROM lam1), 6) AS lambda1,
+       round(coalesce(sum(v.v * y.v), 0.0), 6) AS lambda2
+FROM {prev} v JOIN dyf y ON y.i = v.i
+"""
+    return sql
+
+
+def lm_outliers() -> str:
+    """Per-language (n_docs, n_out) with outlier = per-doc unigram
+    cross-entropy > mean + 2 * population sigma (twin of
+    `queries.q_lm_outliers`)."""
+    return """
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+cnt AS MATERIALIZED (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+tot AS (
+  SELECT (SELECT count(*) FROM tok) AS n, (SELECT count(*) FROM cnt) AS v
+),
+doc AS MATERIALIZED (
+  SELECT t.doc_id, any_value(t.lang) AS lang,
+         avg(-ln((c.c + 1.0) / (tt.n + tt.v))) AS h
+  FROM tok t JOIN cnt c ON c.tok = t.tok CROSS JOIN tot tt
+  GROUP BY t.doc_id
+),
+st AS (
+  SELECT lang, avg(h) AS m,
+         avg(h * h) - avg(h) * avg(h) AS vp,
+         count(*) AS n
+  FROM doc GROUP BY lang
+)
+SELECT s.lang, CAST(s.n AS BIGINT) AS n_docs,
+       CAST(coalesce(o.c, 0) AS BIGINT) AS n_out
+FROM st s LEFT JOIN (
+  SELECT d.lang, count(*) AS c
+  FROM doc d JOIN st s2 ON s2.lang = d.lang
+  WHERE d.h > s2.m + 2.0 * sqrt(greatest(s2.vp, 0.0))
+  GROUP BY d.lang
+) o ON o.lang = s.lang
+"""

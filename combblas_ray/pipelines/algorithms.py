@@ -2999,3 +2999,88 @@ def conjgrad_refs(eng: SpmvEngine, b_refs: list, iters: int):
         p = eng.map_chunks(partial(_w73_saxpy, a=beta), r, p)
         rr = rr_new
     return x, math.sqrt(max(rr, 0.0))
+
+
+# ---------------------------------------------------------------------------
+# Wave 74: SALSA authority walk + deflated power iteration (lambda_2)
+# ---------------------------------------------------------------------------
+
+
+def _w74_mul(a, b):
+    return a * b
+
+
+def salsa_refs(eng_fwd: SpmvEngine, eng_rev: SpmvEngine,
+               arith_refs: list, iters: int):
+    """SALSA authority scores, exactly ``iters`` un-teleported rounds of
+    the alternating backward/forward stochastic walk on the STRUCTURAL
+    directed graph: ``h = D_out^{-1} A a`` then ``a' = D_in^{-1} A^T h``
+    (Lempel-Moran; the authority chain ``D_in^{-1} A^T D_out^{-1} A`` is
+    row-stochastic on the reachable set, so scores stay O(1) without
+    normalization). Two plus_times SpMVs + two reciprocal-scale chunk
+    kernels per round, refs-only; vertices with no in-edges stay 0
+    after round 1 (both twins share the guarded reciprocal).
+
+    Engine convention matches `hits_fixed`: ``eng_fwd`` pushes src->dst
+    (y[dst] = sum over in-neighbors), ``eng_rev`` is the transpose.
+    Returns the authority chunk refs."""
+    if eng_fwd.n != eng_rev.n or eng_fwd.g != eng_rev.g:
+        raise ValueError("salsa_refs: engines must share (n, g)")
+    ones = eng_fwd.map_chunks(partial(_w72_fill, val=1.0), arith_refs)
+    din = eng_fwd.spmv_refs(ones, "plus_times")
+    dout = eng_rev.spmv_refs(ones, "plus_times")
+    rdin = eng_fwd.map_chunks(_w72_recip0, din)
+    rdout = eng_fwd.map_chunks(_w72_recip0, dout)
+    a = ones
+    for _ in range(iters):
+        h = eng_fwd.map_chunks(_w74_mul, rdout,
+                               eng_rev.spmv_refs(a, "plus_times"))
+        a = eng_fwd.map_chunks(_w74_mul, rdin,
+                               eng_fwd.spmv_refs(h, "plus_times"))
+    return a
+
+
+def _w74_deflate(x1, y, lam_xv):
+    # y - lam1 (x1 . v) x1 with the (x1 . v) scalar folded in by the driver
+    return y - lam_xv * x1
+
+
+def _w74_orth(w, x1, c):
+    return w - c * x1
+
+
+def lambda2_refs(eng: SpmvEngine, arith_refs: list, b_refs: list,
+                 iters: int):
+    """Second-eigenvalue estimate of the structural symmetric adjacency
+    by Wielandt-deflated power iteration: first run
+    `eigencentrality_refs` for (x1, lambda1), then iterate
+    ``v <- normalize(A v - lambda1 (x1 . v) x1)`` from the deterministic
+    start ``v0 = normalize(b - (x1 . b_hat) x1)`` (b = the arith-derived
+    vector, unit-normalized first). Exactly ``iters`` deflated rounds;
+    the driver syncs two scalars per round (the projection and the
+    norm). Returns ``(rayleigh2, lambda1)`` — the deflated Rayleigh
+    quotient v^T A v and the first eigenvalue, both driver floats."""
+    import math
+
+    x1, lam1 = eigencentrality_refs(eng, arith_refs, iters)
+    bb = math.sqrt(math.fsum(eng.chunk_scalars(_w72_sumsq, b_refs)))
+    w = eng.map_chunks(partial(_w72_scale, s=1.0 / bb if bb else 0.0),
+                       b_refs)
+    c = math.fsum(eng.chunk_scalars(_w72_dot, x1, w))
+    v = eng.map_chunks(partial(_w74_orth, c=c), w, x1)
+    nv = math.sqrt(math.fsum(eng.chunk_scalars(_w72_sumsq, v)))
+    if nv == 0.0:
+        return 0.0, lam1
+    v = eng.map_chunks(partial(_w72_scale, s=1.0 / nv), v)
+    for _ in range(iters):
+        y = eng.spmv_refs(v, "plus_times")
+        xv = math.fsum(eng.chunk_scalars(_w72_dot, x1, v))
+        y = eng.map_chunks(partial(_w74_deflate, lam_xv=lam1 * xv),
+                           x1, y)
+        ny = math.sqrt(math.fsum(eng.chunk_scalars(_w72_sumsq, y)))
+        if ny == 0.0:
+            return 0.0, lam1
+        v = eng.map_chunks(partial(_w72_scale, s=1.0 / ny), y)
+    y = eng.spmv_refs(v, "plus_times")
+    lam2 = math.fsum(eng.chunk_scalars(_w72_dot, v, y))
+    return lam2, lam1

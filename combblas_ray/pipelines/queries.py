@@ -19391,3 +19391,52 @@ def q_lm_score(sf_dir: str):
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["text", "lang"])
     return textf.lm_score(docs)
+
+
+# --- wave 74: SALSA, lambda_2, LM outlier census ----------------------------
+
+SALSA_ITERS = 4
+
+
+def q_salsa_fixed(sf_dir: str):
+    """SALSA authority scores after SALSA_ITERS alternating stochastic
+    walk rounds on the structural directed graph (see `alg.salsa_refs`);
+    per-vertex auth rounded 6 (vertices with no in-edges at 0)."""
+    ctx = get_context(sf_dir)
+    fwd = ctx.engine("dir_bool")
+    rev = ctx.engine("rev_bool")
+    a_refs = alg.salsa_refs(
+        fwd, rev, ctx.vdict.arith_slice_refs(fwd.bounds), SALSA_ITERS)
+    return pa.table({
+        "label": _label_col(ctx, np.arange(ctx.n)),
+        "auth": pa.array(np.round(fwd.unchunk(a_refs), 6)),
+    })
+
+
+def q_lambda2(sf_dir: str):
+    """(lambda_1, lambda_2) spectral estimates of the structural
+    undirected adjacency: power iteration + Wielandt-deflated power
+    iteration, EIG_ITERS rounds each (see `alg.lambda2_refs`) — one
+    bounded row (the spectral-gap dashboard feed)."""
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("sym")
+    ar = ctx.vdict.arith_slice_refs(eng.bounds)
+    b_refs = eng.map_chunks(_w72_b, ar)
+    lam2, lam1 = alg.lambda2_refs(eng, ar, b_refs, EIG_ITERS)
+    return pa.table({
+        "lambda1": pa.array([round(lam1, 6)]),
+        "lambda2": pa.array([round(lam2, 6)]),
+    })
+
+
+def q_lm_outliers(sf_dir: str):
+    """Per-language count of LM-score outlier docs (cross-entropy above
+    mean + 2 population sigma) — the statistical quality gate over the
+    unigram LM scores (see `text.lm_outliers`)."""
+    import ray
+
+    from ..functions import text as textf
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["text", "lang"])
+    return textf.lm_outliers(docs)
