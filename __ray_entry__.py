@@ -68,6 +68,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prune_column": q.q_prune_column,
         "colstochastic": q.q_colstochastic,
         "minhash_pairs": q.q_minhash_pairs,
+        # waves 72-74 (round 5: iterative linear-algebra + LM scoring —
+        # newest = highest regression risk)
+        "eigencentrality": q.q_eigencentrality,
+        "sinkhorn_balance": q.q_sinkhorn_balance,
+        "jacobi_laplacian": q.q_jacobi_laplacian,
+        "gcn_prop": q.q_gcn_prop,
+        "chebyshev_filter": q.q_chebyshev_filter,
+        "conjgrad_fixed": q.q_conjgrad_fixed,
+        "lm_score": q.q_lm_score,
+        "salsa_fixed": q.q_salsa_fixed,
+        "lambda2": q.q_lambda2,
+        "lm_outliers": q.q_lm_outliers,
         # multimodal actor-pool pipelines (first-ever driver evidence
         # for the decode/resize/frame-sample class)
         # LLM-data layer without a prior driver row (+ refactored dedup)
@@ -77,7 +89,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "busy_minutes": q.q_busy_minutes,
         "bfs_level_cut": q.q_bfs_level_cut,
         # wave 68 (round 4)
-        "suffix_census": q.q_suffix_census,
         "edge_deg_grid": q.q_edge_deg_grid,
         "blob_bytes_hist": q.q_blob_bytes_hist,
         # wave 67 (round 4)
@@ -85,18 +96,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_frontier_trace": q.q_bfs_frontier_trace,
         # wave 66 (round 4)
         "cross_source_dups": q.q_cross_source_dups,
-        "cc_threshold_curve": q.q_cc_threshold_curve,
         # wave 65 (round 4)
-        "col_sumsq": q.q_col_sumsq,
         "lang_run_stats": q.q_lang_run_stats,
         # wave 64 (round 4)
-        "cust_concentration": q.q_cust_concentration,
-        "weekend_split": q.q_weekend_split,
         "id_alignment_audit": q.q_id_alignment_audit,
         # wave 63 (round 4)
         "reach2_hist": q.q_reach2_hist,
         # wave 62 (round 4)
-        "type_run_hist": q.q_type_run_hist,
         "lsh_bucket_census": q.q_lsh_bucket_census,
         # wave 61 (round 4)
         "supplier_brand_span": q.q_supplier_brand_span,
@@ -106,7 +112,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decile_priority_grid": q.q_decile_priority_grid,
         "dup_cluster_purity": q.q_dup_cluster_purity,
         "core_periphery_mix": q.q_core_periphery_mix,
-        "last_order_status": q.q_last_order_status,
         # wave 58 (round 4)
         "nn_hubness": q.q_nn_hubness,
         "hub_bisector": q.q_hub_bisector,
@@ -117,14 +122,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 54 (round 4)
         # wave 53 (round 4)
         # wave 52 (round 4)
-        "poly_filter": q.q_poly_filter,
         # wave 51 (round 4)
-        "lang_norm_stats": q.q_lang_norm_stats,
         # wave 50 (round 4)
         "edge_support_hist": q.q_edge_support_hist,
         "edit1_pairs": q.q_edit1_pairs,
         # wave 49 (round 4)
-        "rand_parent": q.q_rand_parent,
         "prep_corpus": q.q_prep_corpus,
         # wave 48
         # wave 47
@@ -165,8 +167,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
-        "same_day_orders": q.q_same_day_orders,  # date-join census (r4 wave-68 green; window slot 50 kept after the wave-70 rotation)
-        "whale_share": q.q_whale_share,  # spend concentration (r4 wave-67 green; rotated for wave-70, cust_concentration in-window sibling)
+        "same_day_orders": q.q_same_day_orders,  # date-join census (r4 wave-68 green; window slot 50 kept across rotations)
+        # rotated out for waves 72-74 (all r4-driver-green; named
+        # in-window siblings exercise the same machinery)
+        "col_sumsq": q.q_col_sumsq,  # fused col reduce (r4 wave-65 green; sinkhorn_balance/colstochastic reduction siblings)
+        "rand_parent": q.q_rand_parent,  # rand-reduce face (r4 wave-49 green; bfs_parents select sibling)
+        "cc_threshold_curve": q.q_cc_threshold_curve,  # thresholded CC (r4 wave-66 green; cc_convergence_trace sibling)
+        "weekend_split": q.q_weekend_split,  # calendar census (r4 wave-64 green; busy_minutes sibling)
+        "cust_concentration": q.q_cust_concentration,  # spend concentration (r4 wave-64 green; decile_priority_grid sibling)
+        "type_run_hist": q.q_type_run_hist,  # run-length census (r4 wave-62 green; lang_run_stats sibling)
+        "suffix_census": q.q_suffix_census,  # text census (r4 wave-68 green; lang_run_stats/edit1_pairs text siblings)
+        "last_order_status": q.q_last_order_status,  # status class (r4 wave-59 green; decile_priority_grid sibling)
+        "lang_norm_stats": q.q_lang_norm_stats,  # normalized text stats (r4 wave-51 green; lang_run_stats sibling)
+        "poly_filter": q.q_poly_filter,  # vector Apply face (r4 wave-52 green; colstochastic/jacobi_laplacian apply siblings)
+        "whale_share": q.q_whale_share,  # spend concentration (r4 wave-67 green; rotated for wave-70, decile_priority_grid in-window sibling)
         "user_trend_split": q.q_user_trend_split,  # per-user census (r4 wave-66 green; rotated for wave-70, user_type_div_hist in-window sibling)
         "name_key_audit": q.q_name_key_audit,  # audit class (r4 wave-64 green; rotated for wave-70, id_alignment_audit in-window sibling)
         "region_profile": q.q_region_profile,  # regional rollup (r4 wave-64 green; rotated for wave-70, nation_p90_orders in-window sibling)
@@ -181,23 +195,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_lang_entropy": q.q_source_lang_entropy,
         "user_value_lag": q.q_user_value_lag,
         "order_gap_hist": q.q_order_gap_hist,
-        # wave 72 (round 5: iterative linear-algebra faces — power
-        # iteration, Sinkhorn balancing, Jacobi solve, GCN propagation)
-        "eigencentrality": q.q_eigencentrality,
+        # scalar faces of the in-window wave-72/73 kernels (same code
+        # paths; locally gated each round)
         "spectral_bound": q.q_spectral_bound,
-        "sinkhorn_balance": q.q_sinkhorn_balance,
-        "jacobi_laplacian": q.q_jacobi_laplacian,
         "jacobi_resid": q.q_jacobi_resid,
-        "gcn_prop": q.q_gcn_prop,
-        # wave 73 (round 5: Chebyshev filter, CG solve, LM scoring)
-        "chebyshev_filter": q.q_chebyshev_filter,
-        "conjgrad_fixed": q.q_conjgrad_fixed,
         "cg_resid": q.q_cg_resid,
-        "lm_score": q.q_lm_score,
-        # wave 74 (round 5: SALSA walk, spectral gap, LM outlier gate)
-        "salsa_fixed": q.q_salsa_fixed,
-        "lambda2": q.q_lambda2,
-        "lm_outliers": q.q_lm_outliers,
         "doc_length_extremes": q.q_doc_length_extremes,  # extremal scan (r3-green; window slot 50 kept from r3)
         "user_lifetime_hist": q.q_user_lifetime_hist,  # span census (r4 wave-65 green; rotated for wave-69, busy_minutes window sibling)
         "quality_gate_grid": q.q_quality_gate_grid,  # gate census (r4 wave-62 green; rotated for wave-69, cross_source_dups prep sibling)
