@@ -200,6 +200,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spectral_bound": q.q_spectral_bound,
         "jacobi_resid": q.q_jacobi_resid,
         "cg_resid": q.q_cg_resid,
+        # wave 75 (round 5: Estrada subgraph centrality faces)
+        "estrada_trunc": q.q_estrada_trunc,
+        "closed_walks234": q.q_closed_walks234,
         "doc_length_extremes": q.q_doc_length_extremes,  # extremal scan (r3-green; window slot 50 kept from r3)
         "user_lifetime_hist": q.q_user_lifetime_hist,  # span census (r4 wave-65 green; rotated for wave-69, busy_minutes window sibling)
         "quality_gate_grid": q.q_quality_gate_grid,  # gate census (r4 wave-62 green; rotated for wave-69, cross_source_dups prep sibling)
@@ -660,6 +663,8 @@ def oracle_sql() -> dict[str, str]:
         "salsa_fixed": o.salsa_fixed(q.SALSA_ITERS),
         "lambda2": o.lambda2(q.EIG_ITERS),
         "lm_outliers": o.lm_outliers(),
+        "estrada_trunc": o.estrada_trunc(),
+        "closed_walks234": o.closed_walks234(),
         "succ_variety": o.succ_variety(q.SUCC_K),
         "yearend_ledger": o.yearend_ledger(q.LEDGER_Y0, q.LEDGER_Y1),
         "nation_priority_grid": o.nation_priority_grid(),

@@ -10025,3 +10025,51 @@ FROM st s LEFT JOIN (
   GROUP BY d.lang
 ) o ON o.lang = s.lang
 """
+
+
+# --- wave 75: subgraph centrality (truncated Estrada) -----------------------
+
+_W75_BASE = """
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+a2 AS MATERIALIZED (
+  SELECT a.src AS i, b.dst AS j, CAST(count(*) AS BIGINT) AS c
+  FROM und a JOIN und b ON a.dst = b.src
+  GROUP BY a.src, b.dst
+),
+wd2 AS (SELECT src AS i, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY src),
+wd3 AS (
+  SELECT a2.i, CAST(sum(a2.c) AS BIGINT) AS d
+  FROM a2 JOIN und u ON u.src = a2.i AND u.dst = a2.j
+  GROUP BY a2.i
+),
+wd4 AS (SELECT i, CAST(sum(c * c) AS BIGINT) AS d FROM a2 GROUP BY i)
+"""
+
+
+@_materialized
+def estrada_trunc() -> str:
+    """sc(v) = 1 + d2/2! + d3/3! + d4/4! from the exact closed-walk
+    diagonals (twin of `queries.q_estrada_trunc`)."""
+    return PREFIX + _W75_BASE + """
+SELECT v.label AS label,
+       round(1.0 + coalesce(d2.d, 0) / 2.0 + coalesce(d3.d, 0) / 6.0
+             + coalesce(d4.d, 0) / 24.0, 6) AS sc
+FROM files f
+LEFT JOIN wd2 d2 ON d2.i = f.i
+LEFT JOIN wd3 d3 ON d3.i = f.i
+LEFT JOIN wd4 d4 ON d4.i = f.i
+JOIN verts v ON v.i = f.i
+"""
+
+
+@_materialized
+def closed_walks234() -> str:
+    """Exact int64 traces tr(A^2..4) (twin of
+    `queries.q_closed_walks234`); one row."""
+    return PREFIX + _W75_BASE + """
+SELECT (SELECT coalesce(sum(d), 0) FROM wd2) AS w2,
+       (SELECT coalesce(sum(d), 0) FROM wd3) AS w3,
+       (SELECT coalesce(sum(d), 0) FROM wd4) AS w4
+"""

@@ -19440,3 +19440,99 @@ def q_lm_outliers(sf_dir: str):
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["text", "lang"])
     return textf.lm_outliers(docs)
+
+
+# --- wave 75: subgraph centrality (truncated Estrada) -----------------------
+
+
+def _w75_rowsum_p(b: pa.Table, squared: bool) -> pa.Table:
+    """Per-batch exact int64 row-sum partial of S's values (or their
+    squares) keyed by src."""
+    empty = pa.table({"v": pa.array([], type=pa.int64()),
+                      "s": pa.array([], type=pa.int64())})
+    if b.num_rows == 0:
+        return empty
+    src = np.asarray(b.column("src"), dtype=np.int64)
+    val = np.asarray(b.column("w")).astype(np.int64)
+    if squared:
+        val = val * val
+    uk, inv = np.unique(src, return_inverse=True)
+    out = np.zeros(len(uk), dtype=np.int64)
+    np.add.at(out, inv, val)
+    return pa.table({"v": pa.array(uk), "s": pa.array(out)})
+
+
+def _w75_rowsum_m(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0:
+        return pa.table({"v": pa.array([], type=pa.int64()),
+                         "s": pa.array([], type=pa.int64())})
+    uk, inv = np.unique(np.asarray(t.column("v"), dtype=np.int64),
+                        return_inverse=True)
+    out = np.zeros(len(uk), dtype=np.int64)
+    np.add.at(out, inv, np.asarray(t.column("s"), dtype=np.int64))
+    return pa.table({"v": pa.array(uk), "s": pa.array(out)})
+
+
+def _estrada_parts(ctx):
+    """(d2, d3, d4) exact int64 per-vertex closed-walk counts over the
+    loop-free structural undirected graph: d2 = diag(A^2) = deg,
+    d3 = diag(A^3) (2x wedge-closures at v), d4 = diag(A^4) = row
+    sum-of-squares of S = A^2. ONE SpGEMM (`Mult_AnXBn_Synch` analog)
+    + an EWiseMult coordinate mask (``SpParMat.cpp:2815``) + two exact
+    int64 row reductions; the wedge-volume heuristic sizes the shuffle
+    like `harmonic2_table`."""
+    from ..core import spgemm as SG
+    from ..core.shuffle import group_apply_tasks
+
+    n = ctx.n
+    und = ctx.graph("directed").union_max()
+    d2 = ctx.engine("sym").in_weights().astype(np.int64)
+    wedges = float((d2.astype(np.float64) ** 2).sum())
+    gp = int(max(8, min(64, np.ceil(wedges / 1.5e6))))
+    S = SG.spgemm_tasks(und.edges, und.edges, n, add="sum",
+                        num_partitions=gp)
+
+    def _gather(ds) -> np.ndarray:
+        out = np.zeros(n, dtype=np.int64)
+        for r in ds.take_all():
+            out[r["v"]] = r["s"]
+        return out
+
+    d4 = _gather(group_apply_tasks(
+        S.map_batches(partial(_w75_rowsum_p, squared=True),
+                      batch_format="pyarrow", zero_copy_batch=True),
+        ["v"], _w75_rowsum_m, num_partitions=gp))
+    M = SG.coordinate_mask(S, und.edges, n, anti=False,
+                           num_partitions=gp)
+    d3 = _gather(group_apply_tasks(
+        M.map_batches(partial(_w75_rowsum_p, squared=False),
+                      batch_format="pyarrow", zero_copy_batch=True),
+        ["v"], _w75_rowsum_m, num_partitions=gp))
+    return d2, d3, d4
+
+
+def q_estrada_trunc(sf_dir: str):
+    """Truncated subgraph (Estrada) centrality
+    sc(v) = 1 + d2/2! + d3/3! + d4/4! from the exact int64 closed-walk
+    diagonals (see `_estrada_parts`) — per-vertex, float arithmetic
+    identical on both twins (same ints, same operation order)."""
+    ctx = get_context(sf_dir)
+    d2, d3, d4 = _estrada_parts(ctx)
+    sc = 1.0 + d2 / 2.0 + d3 / 6.0 + d4 / 24.0
+    return pa.table({
+        "label": _label_col(ctx, np.arange(ctx.n)),
+        "sc": pa.array(np.round(sc, 6)),
+    })
+
+
+def q_closed_walks234(sf_dir: str):
+    """Exact closed-walk traces tr(A^2), tr(A^3), tr(A^4) of the
+    structural undirected graph (int64; tr(A^2) = 2m, tr(A^3) = 6x
+    triangles) — one bounded row from the `_estrada_parts` diagonals."""
+    ctx = get_context(sf_dir)
+    d2, d3, d4 = _estrada_parts(ctx)
+    return pa.table({
+        "w2": pa.array([int(d2.sum())], type=pa.int64()),
+        "w3": pa.array([int(d3.sum())], type=pa.int64()),
+        "w4": pa.array([int(d4.sum())], type=pa.int64()),
+    })
