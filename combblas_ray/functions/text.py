@@ -1064,3 +1064,76 @@ def lm_outliers(docs_ds, num_partitions: int | None = None) -> pa.Table:
         "n_docs": pa.array([agg[g][2] for g in langs], type=pa.int64()),
         "n_out": pa.array([out[g] for g in langs], type=pa.int64()),
     })
+
+
+class _LmCorrLocal(_LmMomentsLocal):
+    """Per-lang joint moment partials of (token count, cross-entropy):
+    (sx, sy, sxy, sx2, sy2, n) — the Pearson-correlation feed."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = ["lang", "sx", "sy", "sxy", "sx2", "sy2", "n"]
+        empty = pa.table({"lang": pa.array([], type=pa.string()),
+                          **{c: pa.array([], type=pa.float64())
+                             for c in cols[1:6]},
+                          "n": pa.array([], type=pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        lang, h, nz = self._doc_h(batch)
+        toks = tokens_list(batch)
+        x = np.asarray(pc.list_value_length(toks),
+                       dtype=np.int64).astype(np.float64)
+        ul, inv = np.unique(lang[nz], return_inverse=True)
+        if not len(ul):
+            return empty
+        xs, ys = x[nz], h[nz]
+
+        def seg(v):
+            o = np.zeros(len(ul))
+            np.add.at(o, inv, v)
+            return o
+
+        return pa.table({
+            "lang": pa.array(ul.tolist(), type=pa.string()),
+            "sx": pa.array(seg(xs)), "sy": pa.array(seg(ys)),
+            "sxy": pa.array(seg(xs * ys)), "sx2": pa.array(seg(xs * xs)),
+            "sy2": pa.array(seg(ys * ys)),
+            "n": pa.array(np.bincount(inv, minlength=len(ul))
+                          .astype(np.int64)),
+        })
+
+
+def lm_len_corr(docs_ds, num_partitions: int | None = None) -> pa.Table:
+    """Per-language Pearson correlation between document token count and
+    unigram LM cross-entropy — the length-vs-quality diagnostic of an
+    LM-scored corpus. One broadcast-model pass emitting bounded per-lang
+    joint-moment partials; r folds on the driver with the textbook
+    (n Sxy - Sx Sy) / sqrt((n Sx2 - Sx^2)(n Sy2 - Sy^2)) formula (the
+    SQL twin uses the identical expression)."""
+    import math
+
+    import ray
+
+    model_ref, _, _ = _lm_build_model(docs_ds, num_partitions)
+    parts = docs_ds.map_batches(
+        _LmCorrLocal, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 8), fn_constructor_args=(model_ref,),
+    ).take_all()
+    agg: dict[str, list] = {}
+    for r in parts:
+        a = agg.setdefault(r["lang"], [0.0] * 5 + [0])
+        for i, k in enumerate(("sx", "sy", "sxy", "sx2", "sy2", "n")):
+            a[i] += r[k]
+    langs = sorted(agg)
+    rs = []
+    for g in langs:
+        sx, sy, sxy, sx2, sy2, n = agg[g]
+        n = float(n)
+        den = (n * sx2 - sx * sx) * (n * sy2 - sy * sy)
+        rs.append(round((n * sxy - sx * sy) / math.sqrt(den), 6)
+                  if den > 0 else 0.0)
+    return pa.table({
+        "lang": pa.array(langs, type=pa.string()),
+        "r": pa.array(rs),
+        "n_docs": pa.array([int(agg[g][5]) for g in langs],
+                           type=pa.int64()),
+    })

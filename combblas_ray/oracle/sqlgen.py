@@ -10073,3 +10073,58 @@ SELECT (SELECT coalesce(sum(d), 0) FROM wd2) AS w2,
        (SELECT coalesce(sum(d), 0) FROM wd3) AS w3,
        (SELECT coalesce(sum(d), 0) FROM wd4) AS w4
 """
+
+
+# --- wave 76: convergence trace + LM length-quality correlation ------------
+
+
+@_materialized
+def power_trace(iters: int = 8) -> str:
+    """Per-iteration Rayleigh quotients r_k = x_k^T A x_k of the power
+    chain (twin of `queries.q_power_trace`); iters rows."""
+    sql = _w72_power_chain(iters) + f"""
+, y{iters + 1} AS (
+  SELECT f.i, coalesce(s.sv, 0.0) AS v
+  FROM files f LEFT JOIN (
+    SELECT u.src AS i, sum(x.v) AS sv
+    FROM und u JOIN x{iters} x ON x.i = u.dst GROUP BY u.src
+  ) s ON s.i = f.i
+)"""
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({k + 1} AS BIGINT) AS iter, "
+        f"round((SELECT coalesce(sum(x.v * y.v), 0.0) "
+        f"FROM x{k} x JOIN y{k + 1} y ON y.i = x.i), 6) AS rayleigh"
+        for k in range(iters))
+    return sql + "\n" + rows + "\n"
+
+
+def lm_len_corr() -> str:
+    """Per-language Pearson r of (token count, cross-entropy) (twin of
+    `queries.q_lm_len_corr`)."""
+    return """
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+cnt AS MATERIALIZED (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+tot AS (
+  SELECT (SELECT count(*) FROM tok) AS n, (SELECT count(*) FROM cnt) AS v
+),
+doc AS MATERIALIZED (
+  SELECT t.doc_id, any_value(t.lang) AS lang,
+         CAST(count(*) AS DOUBLE) AS tn,
+         avg(-ln((c.c + 1.0) / (tt.n + tt.v))) AS h
+  FROM tok t JOIN cnt c ON c.tok = t.tok CROSS JOIN tot tt
+  GROUP BY t.doc_id
+)
+SELECT lang,
+       CASE WHEN (count(*) * sum(tn * tn) - sum(tn) * sum(tn))
+                 * (count(*) * sum(h * h) - sum(h) * sum(h)) > 0
+            THEN round((count(*) * sum(tn * h) - sum(tn) * sum(h))
+                       / sqrt((count(*) * sum(tn * tn) - sum(tn) * sum(tn))
+                              * (count(*) * sum(h * h) - sum(h) * sum(h))),
+                       6)
+            ELSE 0.0 END AS r,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM doc GROUP BY lang
+"""

@@ -3084,3 +3084,29 @@ def lambda2_refs(eng: SpmvEngine, arith_refs: list, b_refs: list,
     y = eng.spmv_refs(v, "plus_times")
     lam2 = math.fsum(eng.chunk_scalars(_w72_dot, v, y))
     return lam2, lam1
+
+
+def power_rayleigh_trace_refs(eng: SpmvEngine, arith_refs: list,
+                              iters: int):
+    """Per-iteration Rayleigh-quotient trace of the power iteration —
+    the convergence-curve diagnostic a spectral job logs per round.
+    Identical recurrence to `eigencentrality_refs` plus ONE extra dot
+    per round: after normalizing x_k, r_k = x_k^T (A x_k) where A x_k
+    is the NEXT round's un-normalized vector, so the trace costs no
+    additional SpMVs beyond the final one. Returns the list of
+    ``iters`` Rayleigh values (driver floats)."""
+    import math
+
+    x = eng.map_chunks(partial(_w72_fill, val=1.0 / math.sqrt(eng.n)),
+                       arith_refs)
+    out = []
+    y = eng.spmv_refs(x, "plus_times")
+    for _ in range(iters):
+        out.append(math.fsum(eng.chunk_scalars(_w72_dot, x, y)))
+        nrm = math.sqrt(math.fsum(eng.chunk_scalars(_w72_sumsq, y)))
+        if nrm == 0.0:
+            out.extend([0.0] * (iters - len(out)))
+            return out
+        x = eng.map_chunks(partial(_w72_scale, s=1.0 / nrm), y)
+        y = eng.spmv_refs(x, "plus_times")
+    return out

@@ -19536,3 +19536,32 @@ def q_closed_walks234(sf_dir: str):
         "w3": pa.array([int(d3.sum())], type=pa.int64()),
         "w4": pa.array([int(d4.sum())], type=pa.int64()),
     })
+
+
+# --- wave 76: convergence trace + LM length-quality correlation ------------
+
+
+def q_power_trace(sf_dir: str):
+    """Per-iteration Rayleigh-quotient convergence trace of the power
+    iteration (EIG_ITERS rows; r_0 = mean degree, r_k -> lambda_1; see
+    `alg.power_rayleigh_trace_refs`)."""
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("sym")
+    tr = alg.power_rayleigh_trace_refs(
+        eng, ctx.vdict.arith_slice_refs(eng.bounds), EIG_ITERS)
+    return pa.table({
+        "iter": pa.array(np.arange(1, len(tr) + 1, dtype=np.int64)),
+        "rayleigh": pa.array([round(v, 6) for v in tr]),
+    })
+
+
+def q_lm_len_corr(sf_dir: str):
+    """Per-language Pearson correlation between doc token count and LM
+    cross-entropy (see `text.lm_len_corr`)."""
+    import ray
+
+    from ..functions import text as textf
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["text", "lang"])
+    return textf.lm_len_corr(docs)
