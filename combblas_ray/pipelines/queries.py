@@ -19484,6 +19484,9 @@ def _estrada_parts(ctx):
     from ..core import spgemm as SG
     from ..core.shuffle import group_apply_tasks
 
+    cached = getattr(ctx, "_estrada_memo", None)
+    if cached is not None:
+        return cached
     n = ctx.n
     und = ctx.graph("directed").union_max()
     d2 = ctx.engine("sym").in_weights().astype(np.int64)
@@ -19508,6 +19511,8 @@ def _estrada_parts(ctx):
         M.map_batches(partial(_w75_rowsum_p, squared=False),
                       batch_format="pyarrow", zero_copy_batch=True),
         ["v"], _w75_rowsum_m, num_partitions=gp))
+    ctx._estrada_memo = (d2, d3, d4)  # contexts are process-cached; the
+    # SpGEMM is the cost, the three int64 vectors are the memo
     return d2, d3, d4
 
 
