@@ -10128,3 +10128,47 @@ SELECT lang,
        CAST(count(*) AS BIGINT) AS n_docs
 FROM doc GROUP BY lang
 """
+
+
+# --- wave 77: PageRank convergence metrics ----------------------------------
+
+
+@_materialized
+def pagerank_trace(iters: int = 8, damping: float = 0.85) -> str:
+    """Per-iteration (dangling mass, L1 delta) of the pagerank chain,
+    both scaled by n (twin of `queries.q_pagerank_trace`)."""
+    d = damping
+    sql = PREFIX + f"""
+, outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+r0 AS (SELECT f.i, 1.0 / p.n AS score FROM files f CROSS JOIN params p)
+"""
+    prev = "r0"
+    for k in range(1, iters + 1):
+        sql += f"""
+, dang{k} AS (
+  SELECT coalesce(sum(r.score), 0.0) AS dm FROM {prev} r
+  LEFT JOIN outw o ON o.src = r.i WHERE o.src IS NULL
+),
+contrib{k} AS (
+  SELECT e.dst AS i, sum(r.score * e.w / o.ow) AS c
+  FROM edges e JOIN {prev} r ON r.i = e.src JOIN outw o ON o.src = e.src
+  GROUP BY e.dst
+),
+r{k} AS (
+  SELECT f.i,
+         (1.0 - {d}) / p.n + {d} * (coalesce(c.c, 0.0) + dg.dm / p.n) AS score
+  FROM files f CROSS JOIN params p CROSS JOIN dang{k} dg
+  LEFT JOIN contrib{k} c ON c.i = f.i
+),
+dl{k} AS (
+  SELECT sum(abs(a.score - b.score)) AS dlt
+  FROM r{k} a JOIN {prev} b ON b.i = a.i
+)"""
+        prev = f"r{k}"
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS iter, "
+        f"round((SELECT dm FROM dang{k}) * p.n, 3) AS dmass_n, "
+        f"round((SELECT dlt FROM dl{k}) * p.n, 3) AS delta_n "
+        f"FROM params p"
+        for k in range(1, iters + 1))
+    return sql + "\n" + rows + "\n"

@@ -71,11 +71,15 @@ def pagerank(
     ckpt_every: int = 5,
     resume: bool = True,
     r0: np.ndarray | None = None,
+    collect_trace: bool = False,
 ) -> tuple[np.ndarray, dict]:
     """Returns (rank vector, info). ``iters`` forces an exact iteration count
     (oracle mode); otherwise runs to L1 ``tol``. ``r0`` warm-starts the
     power iteration (incremental PageRank; a checkpoint resume wins over
-    it when both are present)."""
+    it when both are present). ``collect_trace`` records the
+    per-iteration (dangling mass, L1 delta) pair in info["trace"] —
+    the convergence-metrics feed (costs the delta sync even in fixed
+    mode)."""
     n, g = engine.n, engine.g
     outw = engine.out_weights()
     dang_full = outw == 0.0
@@ -118,9 +122,11 @@ def pagerank(
             for i in range(g)
         ]
         new_refs = [u[0] for u in upd]
-        if not fixed:
+        if not fixed or collect_trace:
             delta = sum(ray.get([u[1] for u in upd]))
             info["delta"] = delta
+        if collect_trace:
+            info.setdefault("trace", []).append((dmass, delta))
         r_refs = new_refs
         k += 1
         info["iter_times"].append(time.perf_counter() - t0)

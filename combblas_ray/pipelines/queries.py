@@ -19570,3 +19570,30 @@ def q_lm_len_corr(sf_dir: str):
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["text", "lang"])
     return textf.lm_len_corr(docs)
+
+
+# --- wave 77: PageRank convergence metrics ----------------------------------
+
+PR_TRACE_ITERS = 8
+
+
+def q_pagerank_trace(sf_dir: str):
+    """Per-iteration PageRank convergence metrics over PR_TRACE_ITERS
+    fixed rounds: the dangling mass entering each round and the L1
+    update delta, both scaled by n (the per-checkpoint metrics the
+    north-rule job logs; see `pagerank(collect_trace=True)`)."""
+    from .pagerank import pagerank
+
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("directed")
+    _, info = pagerank(eng, iters=PR_TRACE_ITERS, ckpt_dir=None,
+                       collect_trace=True)
+    tr = info["trace"]
+    n = float(ctx.n)
+    return pa.table({
+        "iter": pa.array(np.arange(1, len(tr) + 1, dtype=np.int64)),
+        # round 3: values are O(1e3-1e5); 6 decimals sits at the float64
+        # summation-noise boundary (one ULP flipped a digit at sf0.01)
+        "dmass_n": pa.array([round(dm * n, 3) for dm, _ in tr]),
+        "delta_n": pa.array([round(dl * n, 3) for _, dl in tr]),
+    })
