@@ -208,6 +208,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_len_corr": q.q_lm_len_corr,
         # wave 77 (round 5: PageRank convergence metrics)
         "pagerank_trace": q.q_pagerank_trace,
+        # wave 78 (round 5: MCL chaos trace — first oracle-exact MCL face)
+        "mcl_chaos_trace": q.q_mcl_chaos_trace,
         "doc_length_extremes": q.q_doc_length_extremes,  # extremal scan (r3-green; window slot 50 kept from r3)
         "user_lifetime_hist": q.q_user_lifetime_hist,  # span census (r4 wave-65 green; rotated for wave-69, busy_minutes window sibling)
         "quality_gate_grid": q.q_quality_gate_grid,  # gate census (r4 wave-62 green; rotated for wave-69, cross_source_dups prep sibling)
@@ -673,6 +675,7 @@ def oracle_sql() -> dict[str, str]:
         "power_trace": o.power_trace(q.EIG_ITERS),
         "lm_len_corr": o.lm_len_corr(),
         "pagerank_trace": o.pagerank_trace(q.PR_TRACE_ITERS),
+        "mcl_chaos_trace": o.mcl_chaos_trace(q.MCLT_ROUNDS),
         "succ_variety": o.succ_variety(q.SUCC_K),
         "yearend_ledger": o.yearend_ledger(q.LEDGER_Y0, q.LEDGER_Y1),
         "nation_priority_grid": o.nation_priority_grid(),

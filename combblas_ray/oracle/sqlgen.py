@@ -10172,3 +10172,62 @@ dl{k} AS (
         f"FROM params p"
         for k in range(1, iters + 1))
     return sql + "\n" + rows + "\n"
+
+
+# --- wave 78: MCL chaos trace ------------------------------------------------
+
+
+@_materialized
+def mcl_chaos_trace(rounds: int = 2, inflation: float = 2.0,
+                    prune: float = 1e-4, select: int = 50) -> str:
+    """Per-round MCL chaos over the fixed expand/prune/select/inflate
+    recipe (twin of `queries.q_mcl_chaos_trace`): columns are keyed by
+    src (the pipeline's column-distributed convention), ranks tie-break
+    by dst ASC like the numpy lexsort."""
+    sql = PREFIX + f"""
+, undm AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+withloops AS (
+  SELECT src, dst, 1.0 AS w FROM undm
+  UNION ALL
+  SELECT i, i, 1.0 FROM files
+),
+m0 AS (
+  SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS w
+  FROM withloops
+)"""
+    for k in range(1, rounds + 1):
+        sql += f"""
+, me{k} AS MATERIALIZED (
+  SELECT a.src AS src, b.dst AS dst, sum(a.w * b.w) AS w
+  FROM m{k - 1} a JOIN m{k - 1} b ON a.dst = b.src
+  GROUP BY a.src, b.dst
+),
+mn{k} AS (
+  SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS w FROM me{k}
+),
+ms{k} AS (
+  SELECT src, dst, w FROM (
+    SELECT src, dst, w,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY w DESC, dst ASC) AS rn
+    FROM mn{k} WHERE w >= {prune}
+  ) WHERE rn <= {select}
+),
+m{k} AS (
+  SELECT src, dst,
+         pow(w, {inflation}) / sum(pow(w, {inflation}))
+             OVER (PARTITION BY src) AS w
+  FROM ms{k}
+),
+mch{k} AS (
+  SELECT max(cm - cs) AS chaos FROM (
+    SELECT src, max(w) AS cm, sum(w * w) AS cs FROM m{k} GROUP BY src
+  )
+)"""
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS round, "
+        f"round((SELECT chaos FROM mch{k}), 6) AS chaos"
+        for k in range(1, rounds + 1))
+    return sql + "\n" + rows + "\n"

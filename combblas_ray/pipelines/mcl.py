@@ -77,6 +77,7 @@ def mcl(
     select: int = 50,
     eps: float = 1e-3,
     max_iters: int = 20,
+    interpret: bool = True,
 ) -> tuple[np.ndarray, dict]:
     """Returns (cluster labels per vertex, info). Input: structural
     undirected edge Dataset (both directions present)."""
@@ -183,6 +184,8 @@ def mcl(
         info["t_iter"].append(time.perf_counter() - t1)
         if ch < eps:
             break
+    if not interpret:  # metrics-only callers (chaos trace) skip the CC
+        return None, info
     # Interpret: clusters = CC of the structural converged matrix
     t1 = time.perf_counter()
     clusters = _interpret_cc(A, n)

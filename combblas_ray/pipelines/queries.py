@@ -19597,3 +19597,26 @@ def q_pagerank_trace(sf_dir: str):
         "dmass_n": pa.array([round(dm * n, 3) for dm, _ in tr]),
         "delta_n": pa.array([round(dl * n, 3) for _, dl in tr]),
     })
+
+
+# --- wave 78: MCL chaos trace ------------------------------------------------
+
+MCLT_ROUNDS = 2
+
+
+def q_mcl_chaos_trace(sf_dir: str):
+    """Per-round MCL chaos metric (max over columns of colmax - col
+    sum-of-squares, ``MCL.cpp:406-420``) over exactly MCLT_ROUNDS
+    expand/prune/select/inflate rounds — the HipMCL convergence log,
+    and the MCL family's first value-exact oracle face (see
+    `mcl(interpret=False)`)."""
+    from .mcl import mcl
+
+    ctx = get_context(sf_dir)
+    _, info = mcl(ctx.graph("sym").edges, ctx.n,
+                  max_iters=MCLT_ROUNDS, eps=-1.0, interpret=False)
+    ch = info["chaos"]
+    return pa.table({
+        "round": pa.array(np.arange(1, len(ch) + 1, dtype=np.int64)),
+        "chaos": pa.array([round(c, 6) for c in ch]),
+    })
