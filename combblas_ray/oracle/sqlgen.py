@@ -10231,3 +10231,55 @@ mch{k} AS (
         f"round((SELECT chaos FROM mch{k}), 6) AS chaos"
         for k in range(1, rounds + 1))
     return sql + "\n" + rows + "\n"
+
+
+# --- wave 79: BFS direction-switch trace -------------------------------------
+
+
+@_materialized
+def bfs_dir_trace(root_label: str = "m_0", iters: int = 12) -> str:
+    """Replays the direction-optimizing BFS's per-level Beamer decision
+    from the exact level sets (twin of `queries.q_bfs_dir_trace`):
+    fedges_l = sum of undirected degrees over the level-l frontier,
+    m_rem at decision l+1 = |und| - sum(fedges_0..l), bottomup unless
+    fsize*50 < n AND fedges*4 < m_rem. All-integer row set."""
+    sql = PREFIX + f"""
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+degq AS (SELECT src AS i, count(*) AS d FROM und GROUP BY src),
+d0 AS (SELECT i, 0 AS dist FROM verts WHERE label = '{root_label}')
+"""
+    prev = "d0"
+    for k in range(1, iters + 1):
+        sql += f"""
+, d{k} AS (
+  SELECT i, min(dist) AS dist FROM (
+    SELECT i, dist FROM {prev}
+    UNION ALL
+    SELECT u.dst AS i, dp.dist + 1 AS dist
+    FROM und u JOIN {prev} dp ON dp.i = u.src
+  ) GROUP BY i
+)"""
+        prev = f"d{k}"
+    sql += f"""
+, fl AS (
+  SELECT CAST(l.dist AS BIGINT) AS l,
+         CAST(count(*) AS BIGINT) AS fsize,
+         CAST(sum(coalesce(g.d, 0)) AS BIGINT) AS fedges
+  FROM {prev} l LEFT JOIN degq g ON g.i = l.i
+  GROUP BY l.dist
+),
+mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und)
+SELECT f.l + 1 AS level, f.fsize, f.fedges,
+       mm.m - (SELECT sum(f2.fedges) FROM fl f2 WHERE f2.l <= f.l)
+         AS m_rem,
+       CASE WHEN f.fsize * 50 < p.n
+                 AND f.fedges * 4 < mm.m
+                     - (SELECT sum(f2.fedges) FROM fl f2
+                        WHERE f2.l <= f.l)
+            THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS bottomup
+FROM fl f CROSS JOIN mm CROSS JOIN params p
+WHERE f.l + 1 <= {iters}
+"""
+    return sql

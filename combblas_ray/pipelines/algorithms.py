@@ -465,7 +465,7 @@ def _bu_step_d(deg, d, cand, bounds, level):
 
 
 def bfs_parents(engine: SpmvEngine, root: int, max_iters: int = 10_000,
-                bottomup: bool = True):
+                bottomup: bool = True, trace: list | None = None):
     """Direction-optimizing BFS producing the parent tree
     (``TopDownBFS.cpp:440-449`` + ``DirOptBFS.cpp``): sparse levels run
     top-down — ``fringe = SpMSpV(A, fringe)`` with the min-parent-id
@@ -478,7 +478,11 @@ def bfs_parents(engine: SpmvEngine, root: int, max_iters: int = 10_000,
     (``bottomup=False`` forces the old dense-SpMV fallback — the pytest
     cross-kernel twin). Returns (parents, dist); parents[root]=root,
     unreached = -1. Frontier/parents/dist are chunked refs; the driver
-    syncs one frontier-size scalar per level."""
+    syncs one frontier-size scalar per level. Pass ``trace`` (a list)
+    to record each level's direction decision as
+    ``(level, fsize, fedges, m_rem, bottomup_used)`` — the Beamer-rule
+    evidence channel (all integers; the SQL twin replays the same
+    rule)."""
     import ray
 
     n = engine.n
@@ -508,6 +512,9 @@ def bfs_parents(engine: SpmvEngine, root: int, max_iters: int = 10_000,
             top_down = fsize * 50 < n and fedges * 4 < m_rem
         else:  # dense-SpMV twin keeps the legacy vertex-count rule
             top_down = fsize * 50 < n
+        if trace is not None:
+            trace.append((level, fsize, fedges, m_rem,
+                          0 if top_down else 1))
         if top_down:
             # top-down: sparse frontier SpMSpV, merge+step in ONE fused
             # task round (2 rounds/level total — the latency floor)

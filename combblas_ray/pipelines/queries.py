@@ -19620,3 +19620,27 @@ def q_mcl_chaos_trace(sf_dir: str):
         "round": pa.array(np.arange(1, len(ch) + 1, dtype=np.int64)),
         "chaos": pa.array([round(c, 6) for c in ch]),
     })
+
+
+# --- wave 79: BFS direction-switch trace -------------------------------------
+
+
+def q_bfs_dir_trace(sf_dir: str):
+    """Per-level Beamer-rule evidence of the direction-optimizing BFS
+    from m_0: (level, frontier size, frontier incident edges, remaining
+    unexplored edges, bottomup flag) — all integers, the rule
+    ``top_down = fsize*50 < n AND fedges*4 < m_rem`` replayed by the
+    SQL twin (see `alg.bfs_parents(trace=...)`, ``DirOptBFS.cpp``)."""
+    ctx = get_context(sf_dir)
+    root = ctx.lookup_id("m_0")
+    tr: list = []
+    alg.bfs_parents(ctx.engine("sym"), root, max_iters=BFS_ITERS,
+                    trace=tr)
+    cols = list(zip(*tr)) if tr else [[], [], [], [], []]
+    return pa.table({
+        "level": pa.array(np.asarray(cols[0], dtype=np.int64)),
+        "fsize": pa.array(np.asarray(cols[1], dtype=np.int64)),
+        "fedges": pa.array(np.asarray(cols[2], dtype=np.int64)),
+        "m_rem": pa.array(np.asarray(cols[3], dtype=np.int64)),
+        "bottomup": pa.array(np.asarray(cols[4], dtype=np.int64)),
+    })
