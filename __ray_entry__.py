@@ -212,6 +212,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mcl_chaos_trace": q.q_mcl_chaos_trace,
         # wave 79 (round 5: Beamer-rule evidence channel)
         "bfs_dir_trace": q.q_bfs_dir_trace,
+        # wave 80 (round 5: SSSP + label-propagation convergence logs)
+        "sssp_relax_trace": q.q_sssp_relax_trace,
+        "labelprop_flip_trace": q.q_labelprop_flip_trace,
         "doc_length_extremes": q.q_doc_length_extremes,  # extremal scan (r3-green; window slot 50 kept from r3)
         "user_lifetime_hist": q.q_user_lifetime_hist,  # span census (r4 wave-65 green; rotated for wave-69, busy_minutes window sibling)
         "quality_gate_grid": q.q_quality_gate_grid,  # gate census (r4 wave-62 green; rotated for wave-69, cross_source_dups prep sibling)
@@ -679,6 +682,9 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_trace": o.pagerank_trace(q.PR_TRACE_ITERS),
         "mcl_chaos_trace": o.mcl_chaos_trace(q.MCLT_ROUNDS),
         "bfs_dir_trace": o.bfs_dir_trace("m_0", q.BFS_ITERS),
+        "sssp_relax_trace": o.sssp_relax_trace("m_1", q.SSSP_ITERS),
+        "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,
+                                                       q.LP_CLASSES),
         "succ_variety": o.succ_variety(q.SUCC_K),
         "yearend_ledger": o.yearend_ledger(q.LEDGER_Y0, q.LEDGER_Y1),
         "nation_priority_grid": o.nation_priority_grid(),

@@ -10283,3 +10283,60 @@ FROM fl f CROSS JOIN mm CROSS JOIN params p
 WHERE f.l + 1 <= {iters}
 """
     return sql
+
+
+# --- wave 80: SSSP relaxation + label-flip traces ----------------------------
+
+
+@_materialized
+def sssp_relax_trace(root_label: str = "m_1", iters: int = 15) -> str:
+    """Per-round strict-improvement counts of the Bellman-Ford chain
+    (twin of `queries.q_sssp_relax_trace`): improved = newly reached or
+    distance lowered; zero-count rounds are filtered (the Ray loop
+    exits at the fixpoint)."""
+    sql = PREFIX + f"""
+, wedges AS (
+  SELECT src, dst, CAST(1 + (src + 2 * dst) % 7 AS DOUBLE) AS len FROM edges
+),
+sd0 AS (SELECT i, CAST(0 AS DOUBLE) AS dist
+        FROM verts WHERE label = '{root_label}')
+"""
+    prev = "sd0"
+    for k in range(1, iters + 1):
+        sql += f"""
+, sd{k} AS (
+  SELECT i, min(dist) AS dist FROM (
+    SELECT i, dist FROM {prev}
+    UNION ALL
+    SELECT e.dst AS i, dp.dist + e.len AS dist
+    FROM wedges e JOIN {prev} dp ON dp.i = e.src
+  ) GROUP BY i
+),
+imp{k} AS (
+  SELECT CAST(count(*) AS BIGINT) AS c
+  FROM sd{k} a LEFT JOIN {prev} b ON b.i = a.i
+  WHERE b.i IS NULL OR a.dist < b.dist
+)"""
+        prev = f"sd{k}"
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS round, "
+        f"(SELECT c FROM imp{k}) AS n_improved"
+        for k in range(1, iters + 1))
+    return sql + f"""
+SELECT round, n_improved FROM (
+{rows}
+) WHERE n_improved > 0
+"""
+
+
+@_materialized
+def labelprop_flip_trace(iters: int = 5, num_classes: int = 10) -> str:
+    """Per-round label-flip counts of the LP chain (twin of
+    `queries.q_labelprop_flip_trace`)."""
+    sql, _ = _labelprop_chain(iters, num_classes)
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS round, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM c{k} a "
+        f"JOIN c{k - 1} b ON b.i = a.i WHERE a.cls <> b.cls) AS n_flips"
+        for k in range(1, iters + 1))
+    return sql + "\n" + rows + "\n"

@@ -60,11 +60,13 @@ def _min2_b(a, y, bounds):
 
 
 def _min2c_b(a, y, bounds):
-    """`_min2_b` + a fused change flag: min-plus relaxation reaches its
+    """`_min2_b` + a fused change COUNT: min-plus relaxation reaches its
     fixpoint when no chunk improves, and further rounds are no-ops —
-    so fixed-`iters` (oracle-mode) loops may exit early EXACTLY."""
+    so fixed-`iters` (oracle-mode) loops may exit early EXACTLY. The
+    count (truthiness-compatible with the old bool flag) also feeds the
+    relaxation-trace queries."""
     m = np.minimum(a, y)
-    return m, bool((m < a).any())
+    return m, int((m < a).sum())
 
 
 def _as_int(a):
@@ -196,18 +198,25 @@ def _root_init(bounds, root):
 
 
 def min_plus_distances(
-    engine: SpmvEngine, root: int, iters: int | None = None, max_iters: int = 10_000
+    engine: SpmvEngine, root: int, iters: int | None = None,
+    max_iters: int = 10_000, trace: list | None = None
 ) -> np.ndarray:
     """d' = min(d, min over in-edges (w(u,v) + d[u])); fixed `iters` rounds
     (oracle mode) or until fixpoint. Unreached = +inf. Distance vector is
-    chunked refs; convergence syncs one small count per round."""
+    chunked refs; convergence syncs one small count per round. Pass
+    ``trace`` (a list) to record each round's improved-vertex count —
+    the Bellman-Ford relaxation log (zero-count rounds never run, so
+    the trace has one row per productive round)."""
     import ray
 
     d = engine.map_chunks_i(partial(_root_init, root=root))
     total = iters if iters is not None else max_iters
     for _ in range(total):
         d, ch = engine.spmv_apply_refs(d, "min_plus", _min2c_b, 2, d)
-        if not any(ray.get(ch)):
+        n_impr = sum(ray.get(ch))
+        if trace is not None and n_impr:
+            trace.append(int(n_impr))
+        if not n_impr:
             break  # fixpoint: remaining rounds are no-ops (exact)
     return engine.unchunk(d)
 
@@ -1564,7 +1573,8 @@ def lp_mod_init_kernel(a: np.ndarray, num_classes: int = 10) -> np.ndarray:
 
 
 def label_propagation(
-    engine: SpmvEngine, init, num_classes: int, iters: int
+    engine: SpmvEngine, init, num_classes: int, iters: int,
+    trace: list | None = None
 ) -> np.ndarray:
     """Synchronous mode-of-neighbors update; tie -> smallest class id;
     isolated vertices keep their class. Each round is the fused
@@ -1572,12 +1582,21 @@ def label_propagation(
     per-class counts merged and argmax'd in one combine task — two task
     rounds per iteration, (k, n) state never leaves the object store.
     ``init`` is a dense int array OR an aligned list of chunk refs (the
-    refs form keeps the init off the driver too)."""
+    refs form keeps the init off the driver too). Pass ``trace`` (a
+    list) to record each round's label-flip count."""
     cls = init if isinstance(init, list) else engine.chunk(
         init.astype(np.int64))
     for _ in range(iters):
-        cls = engine.labelprop_round(cls, num_classes)
+        new_cls = engine.labelprop_round(cls, num_classes)
+        if trace is not None:
+            trace.append(int(sum(engine.chunk_scalars(_ne_count,
+                                                      cls, new_cls))))
+        cls = new_cls
     return engine.unchunk(cls)
+
+
+def _ne_count(a, b):
+    return int((np.asarray(a) != np.asarray(b)).sum())
 
 
 # --------------------------------------------------------------------------

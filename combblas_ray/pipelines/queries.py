@@ -19644,3 +19644,38 @@ def q_bfs_dir_trace(sf_dir: str):
         "m_rem": pa.array(np.asarray(cols[3], dtype=np.int64)),
         "bottomup": pa.array(np.asarray(cols[4], dtype=np.int64)),
     })
+
+
+# --- wave 80: SSSP relaxation + label-flip traces ----------------------------
+
+
+def q_sssp_relax_trace(sf_dir: str):
+    """Per-round improved-vertex counts of the Bellman-Ford relaxation
+    from m_1 on the weighted sssp engine — one row per productive round
+    (all integers; see `alg.min_plus_distances(trace=...)`)."""
+    ctx = get_context(sf_dir)
+    root = ctx.lookup_id("m_1")
+    tr: list = []
+    alg.min_plus_distances(ctx.engine("sssp"), root, iters=SSSP_ITERS,
+                           trace=tr)
+    return pa.table({
+        "round": pa.array(np.arange(1, len(tr) + 1, dtype=np.int64)),
+        "n_improved": pa.array(np.asarray(tr, dtype=np.int64)),
+    })
+
+
+def q_labelprop_flip_trace(sf_dir: str):
+    """Per-round label-flip counts of the fixed LP_ITERS synchronous
+    label-propagation rounds (all integers; see
+    `alg.label_propagation(trace=...)`)."""
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("sym")
+    init_refs = eng.map_chunks(
+        partial(alg.lp_mod_init_kernel, num_classes=LP_CLASSES),
+        ctx.vdict.arith_slice_refs(eng.bounds))
+    tr: list = []
+    alg.label_propagation(eng, init_refs, LP_CLASSES, LP_ITERS, trace=tr)
+    return pa.table({
+        "round": pa.array(np.arange(1, len(tr) + 1, dtype=np.int64)),
+        "n_flips": pa.array(np.asarray(tr, dtype=np.int64)),
+    })
