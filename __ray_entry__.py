@@ -80,6 +80,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salsa_fixed": q.q_salsa_fixed,
         "lambda2": q.q_lambda2,
         "lm_outliers": q.q_lm_outliers,
+        # waves 77-80 (round 5: convergence/metrics faces of the core
+        # apps — these touched the pagerank/BFS/SSSP/LP/MCL loops)
+        "pagerank_trace": q.q_pagerank_trace,
+        "mcl_chaos_trace": q.q_mcl_chaos_trace,
+        "bfs_dir_trace": q.q_bfs_dir_trace,
+        "sssp_relax_trace": q.q_sssp_relax_trace,
+        "labelprop_flip_trace": q.q_labelprop_flip_trace,
         # multimodal actor-pool pipelines (first-ever driver evidence
         # for the decode/resize/frame-sample class)
         # LLM-data layer without a prior driver row (+ refactored dedup)
@@ -93,7 +100,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blob_bytes_hist": q.q_blob_bytes_hist,
         # wave 67 (round 4)
         "cc_convergence_trace": q.q_cc_convergence_trace,
-        "bfs_frontier_trace": q.q_bfs_frontier_trace,
         # wave 66 (round 4)
         "cross_source_dups": q.q_cross_source_dups,
         # wave 65 (round 4)
@@ -105,13 +111,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 62 (round 4)
         "lsh_bucket_census": q.q_lsh_bucket_census,
         # wave 61 (round 4)
-        "supplier_brand_span": q.q_supplier_brand_span,
         # wave 60 (round 4)
-        "user_type_div_hist": q.q_user_type_div_hist,
         # wave 59 (round 4)
         "decile_priority_grid": q.q_decile_priority_grid,
-        "dup_cluster_purity": q.q_dup_cluster_purity,
-        "core_periphery_mix": q.q_core_periphery_mix,
         # wave 58 (round 4)
         "nn_hubness": q.q_nn_hubness,
         "hub_bisector": q.q_hub_bisector,
@@ -168,6 +170,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
         "same_day_orders": q.q_same_day_orders,  # date-join census (r4 wave-68 green; window slot 50 kept across rotations)
+        # rotated out for waves 77-80 (all r4-driver-green)
+        "bfs_frontier_trace": q.q_bfs_frontier_trace,  # level sizes (r4 wave-67 green; superseded by the richer bfs_dir_trace in-window)
+        "supplier_brand_span": q.q_supplier_brand_span,  # relational span (r4 wave-61 green; decile_priority_grid/edge_deg_grid siblings)
+        "user_type_div_hist": q.q_user_type_div_hist,  # diversity census (r4 wave-60 green; lang_run_stats/decile_priority_grid siblings)
+        "dup_cluster_purity": q.q_dup_cluster_purity,  # dup-cluster face (r4 wave-59 green; minhash_pairs/lsh_bucket_census dedup siblings)
+        "core_periphery_mix": q.q_core_periphery_mix,  # K-source mix (r4 wave-59 green; msbfs/apsp_top/hub_bisector siblings)
         # rotated out for waves 72-74 (all r4-driver-green; named
         # in-window siblings exercise the same machinery)
         "col_sumsq": q.q_col_sumsq,  # fused col reduce (r4 wave-65 green; sinkhorn_balance/colstochastic reduction siblings)
@@ -181,10 +189,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_norm_stats": q.q_lang_norm_stats,  # normalized text stats (r4 wave-51 green; lang_run_stats sibling)
         "poly_filter": q.q_poly_filter,  # vector Apply face (r4 wave-52 green; colstochastic/jacobi_laplacian apply siblings)
         "whale_share": q.q_whale_share,  # spend concentration (r4 wave-67 green; rotated for wave-70, decile_priority_grid in-window sibling)
-        "user_trend_split": q.q_user_trend_split,  # per-user census (r4 wave-66 green; rotated for wave-70, user_type_div_hist in-window sibling)
+        "user_trend_split": q.q_user_trend_split,  # per-user census (r4 wave-66 green; rotated for wave-70, decile_priority_grid in-window sibling)
         "name_key_audit": q.q_name_key_audit,  # audit class (r4 wave-64 green; rotated for wave-70, id_alignment_audit in-window sibling)
         "region_profile": q.q_region_profile,  # regional rollup (r4 wave-64 green; rotated for wave-70, nation_p90_orders in-window sibling)
-        "brand_rank_concordance": q.q_brand_rank_concordance,  # rank grid (r4 wave-63 green; rotated for wave-70, supplier_brand_span in-window sibling)
+        "brand_rank_concordance": q.q_brand_rank_concordance,  # rank grid (r4 wave-63 green; rotated for wave-70, edge_deg_grid in-window sibling)
         "priority_escalation": q.q_priority_escalation,  # status class (r4 wave-61 green; rotated for wave-70, last_order_status in-window sibling)
         "disc_band_share": q.q_disc_band_share,  # banded census (r4 wave-61 green; rotated for wave-70, decile_priority_grid in-window sibling)
         "status_line_grid": q.q_status_line_grid,  # grid census (r4 wave-62 green; rotated for wave-70, edge_deg_grid in-window sibling)
@@ -206,15 +214,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 76 (round 5: convergence trace + LM length correlation)
         "power_trace": q.q_power_trace,
         "lm_len_corr": q.q_lm_len_corr,
-        # wave 77 (round 5: PageRank convergence metrics)
-        "pagerank_trace": q.q_pagerank_trace,
-        # wave 78 (round 5: MCL chaos trace — first oracle-exact MCL face)
-        "mcl_chaos_trace": q.q_mcl_chaos_trace,
-        # wave 79 (round 5: Beamer-rule evidence channel)
-        "bfs_dir_trace": q.q_bfs_dir_trace,
-        # wave 80 (round 5: SSSP + label-propagation convergence logs)
-        "sssp_relax_trace": q.q_sssp_relax_trace,
-        "labelprop_flip_trace": q.q_labelprop_flip_trace,
         "doc_length_extremes": q.q_doc_length_extremes,  # extremal scan (r3-green; window slot 50 kept from r3)
         "user_lifetime_hist": q.q_user_lifetime_hist,  # span census (r4 wave-65 green; rotated for wave-69, busy_minutes window sibling)
         "quality_gate_grid": q.q_quality_gate_grid,  # gate census (r4 wave-62 green; rotated for wave-69, cross_source_dups prep sibling)
@@ -222,7 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_homophily_hist": q.q_local_homophily_hist,  # node homophily (r4 wave-62 green; rotated for wave-68, edge_deg_grid mixing sibling)
         "brand_price_mode": q.q_brand_price_mode,  # numeric mode (r4 wave-63 green; rotated for wave-68, same_day_orders audit sibling)
         "audio_lag_corr": q.q_audio_lag_corr,  # audio feature (r4 wave-52 green; rotated for wave-68, blob_bytes_hist multimodal sibling)
-        "bfs_children_hist": q.q_bfs_children_hist,  # tree fan-out (r4 wave-60 green; rotated for wave-67, bfs_frontier_trace sibling)
+        "bfs_children_hist": q.q_bfs_children_hist,  # tree fan-out (r4 wave-60 green; rotated for wave-67, bfs_dir_trace in-window sibling)
         "cc_by_degree": q.q_cc_by_degree,  # C(k) curve (r4 wave-59 green; rotated for wave-67, cc_convergence_trace CC sibling)
         "nation_top_brand": q.q_nation_top_brand,  # join argmax (r4 wave-60 green; rotated for wave-67, whale_share/brand_price_mode ranking siblings)
         "dedup_share_by_source": q.q_dedup_share_by_source,  # dedup yield (r4 wave-63 green; rotated for wave-66, cross_source_dups sibling)
@@ -235,10 +234,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_index_cents": q.q_order_index_cents,  # lifetime buckets (r4 wave-57 green; rotated for wave-64, cust_concentration sibling)
         "comeback_customers": q.q_comeback_customers,  # dormancy gaps (r4 wave-55 green; rotated for wave-64, type_gap_median gap sibling)
         "emb_pair_dots": q.q_emb_pair_dots,  # adjacent dots (r4 wave-57 green; rotated for wave-64, lsh_bucket_census/nn_hubness siblings)
-        "copurchase_degree_hist": q.q_copurchase_degree_hist,  # projection degrees (r4 wave-58 green; rotated for wave-64, supplier_brand_span sibling)
+        "copurchase_degree_hist": q.q_copurchase_degree_hist,  # projection degrees (r4 wave-58 green; rotated for wave-64, edge_deg_grid sibling)
         "knn_confusion": q.q_knn_confusion,  # 1-NN matrix (r4 wave-51 green; rotated for wave-63, nn_hubness sibling)
         "home_supplied_customers": q.q_home_supplied_customers,  # 4-table semi-join (r4 wave-56 green; rotated for wave-63, nation_top_brand/brand_rank_concordance siblings)
-        "dupgraph_triangles": q.q_dupgraph_triangles,  # composite dedup->graph (r4 wave-55 green; rotated for wave-63, dedup_share_by_source/dup_cluster_purity siblings)
+        "dupgraph_triangles": q.q_dupgraph_triangles,  # composite dedup->graph (r4 wave-55 green; rotated for wave-63, minhash_pairs/lsh_bucket_census dedup siblings)
         "lorenz_deciles": q.q_lorenz_deciles,  # inequality curve (r4 wave-58 green; rotated for wave-63, decile_priority_grid sibling)
         "record_counts": q.q_record_counts,  # running extremum (r4 wave-53 green; rotated for wave-62, type_run_hist sequence sibling)
         "kmv_distinct": q.q_kmv_distinct,  # KMV sketch (r4 wave-52 green; rotated for wave-62, lsh_bucket_census bucket sibling)
@@ -247,8 +246,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_census": q.q_prefix_census,  # trie profile (r4 wave-53 green; rotated for wave-62, len_freq_grid vocab sibling)
         "weighted_median_price": q.q_weighted_median_price,  # weighted holistic (r4 wave-52 green; rotated for wave-61, nation_p90_orders quantile sibling)
         "hourly_uniques": q.q_hourly_uniques,  # windowed distinct (r4 wave-56 green; rotated for wave-61, daily_new_users sibling)
-        "type_audience_jaccard": q.q_type_audience_jaccard,  # audience overlap (r4 wave-56 green; rotated for wave-61, user_type_div_hist sibling)
-        "multi_supplier_orders": q.q_multi_supplier_orders,  # facet HAVING (r4 wave-56 green; rotated for wave-61, supplier_brand_span sibling)
+        "type_audience_jaccard": q.q_type_audience_jaccard,  # audience overlap (r4 wave-56 green; rotated for wave-61, lsh_bucket_census overlap sibling)
+        "multi_supplier_orders": q.q_multi_supplier_orders,  # facet HAVING (r4 wave-56 green; rotated for wave-61, decile_priority_grid sibling)
         "peak_position": q.q_peak_position,  # argmax position (r4 wave-55 green; rotated for wave-61, priority_escalation sequence sibling)
         "succ_variety": q.q_succ_variety,  # successor census (r4 wave-54 green; rotated for wave-60, prefix_census/len_freq_grid siblings)
         "orders_autocorr": q.q_orders_autocorr,  # series stats (r4 wave-56 green; rotated for wave-60, fano_factor sibling)
