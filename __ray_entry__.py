@@ -203,6 +203,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_lang_entropy": q.q_source_lang_entropy,
         "user_value_lag": q.q_user_value_lag,
         "order_gap_hist": q.q_order_gap_hist,
+        # wave 81 (round 5: widest/katz convergence logs + LSH PR audit)
+        "widest_relax_trace": q.q_widest_relax_trace,
+        "katz_growth_trace": q.q_katz_growth_trace,
+        "lsh_pr_audit": q.q_lsh_pr_audit,
         # scalar faces of the in-window wave-72/73 kernels (same code
         # paths; locally gated each round)
         "spectral_bound": q.q_spectral_bound,
@@ -682,6 +686,12 @@ def oracle_sql() -> dict[str, str]:
         "mcl_chaos_trace": o.mcl_chaos_trace(q.MCLT_ROUNDS),
         "bfs_dir_trace": o.bfs_dir_trace("m_0", q.BFS_ITERS),
         "sssp_relax_trace": o.sssp_relax_trace("m_1", q.SSSP_ITERS),
+        "widest_relax_trace": o.widest_relax_trace(
+            "m_1", q.WIDEST_ITERS, int(q.BNECK_INF)),
+        "katz_growth_trace": o.katz_growth_trace(q.KATZ_ITERS,
+                                                 q.KATZ_ALPHA),
+        # lsh_pr_audit: rows-only (the minhash side is hash-defined);
+        # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,
                                                        q.LP_CLASSES),
         "succ_variety": o.succ_variety(q.SUCC_K),

@@ -10340,3 +10340,72 @@ def labelprop_flip_trace(iters: int = 5, num_classes: int = 10) -> str:
         f"JOIN c{k - 1} b ON b.i = a.i WHERE a.cls <> b.cls) AS n_flips"
         for k in range(1, iters + 1))
     return sql + "\n" + rows + "\n"
+
+
+# --- wave 81: widest/katz convergence traces ---------------------------------
+
+
+@_materialized
+def widest_relax_trace(root_label: str = "m_1", iters: int = 8,
+                       inf: int = 1000000000) -> str:
+    """Per-round strict-improvement counts of the max-min chain (twin
+    of `queries.q_widest_relax_trace`); zero rounds filtered."""
+    sql = PREFIX + f"""
+, wedges AS (
+  SELECT src, dst, CAST(1 + (src + 2 * dst) % 7 AS DOUBLE) AS len FROM edges
+),
+wb0 AS (SELECT i, CAST({inf} AS DOUBLE) AS wd FROM verts
+        WHERE label = '{root_label}')
+"""
+    prev = "wb0"
+    for k in range(1, iters + 1):
+        sql += f"""
+, wb{k} AS (
+  SELECT i, max(wd) AS wd FROM (
+    SELECT i, wd FROM {prev}
+    UNION ALL
+    SELECT e.dst AS i, least(bp.wd, e.len) AS wd
+    FROM wedges e JOIN {prev} bp ON bp.i = e.src
+  ) GROUP BY i
+),
+wimp{k} AS (
+  SELECT CAST(count(*) AS BIGINT) AS c
+  FROM wb{k} a LEFT JOIN {prev} b ON b.i = a.i
+  WHERE b.i IS NULL OR a.wd > b.wd
+)"""
+        prev = f"wb{k}"
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS round, "
+        f"(SELECT c FROM wimp{k}) AS n_improved"
+        for k in range(1, iters + 1))
+    return sql + f"""
+SELECT round, n_improved FROM (
+{rows}
+) WHERE n_improved > 0
+"""
+
+
+@_materialized
+def katz_growth_trace(iters: int = 3, alpha: float = 0.125) -> str:
+    """Per-iteration sum(x_k) of the dyadic Katz chain (order-free
+    exact DOUBLE; twin of `queries.q_katz_growth_trace`)."""
+    sql = PREFIX + """
+, dpairs AS (SELECT src, dst FROM edges),
+kx0 AS (SELECT i, CAST(1 AS DOUBLE) AS x FROM files)
+"""
+    prev = "kx0"
+    for it in range(1, iters + 1):
+        sql += f"""
+, kx{it} AS (
+  SELECT f.i, 1 + {alpha!r} * coalesce(s.s, 0) AS x
+  FROM files f LEFT JOIN (
+    SELECT e.dst AS i, sum(xp.x) AS s
+    FROM dpairs e JOIN {prev} xp ON xp.i = e.src GROUP BY e.dst
+  ) s ON s.i = f.i
+)"""
+        prev = f"kx{it}"
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({it} AS BIGINT) AS iter, "
+        f"(SELECT sum(x) FROM kx{it}) AS sum_x"
+        for it in range(1, iters + 1))
+    return sql + "\n" + rows + "\n"

@@ -712,7 +712,8 @@ def _katz_update_f(y, bounds, alpha):
 
 
 def katz_fixed(engine: SpmvEngine, iters: int = 3,
-               alpha: float = 0.125) -> np.ndarray:
+               alpha: float = 0.125,
+               trace: list | None = None) -> np.ndarray:
     """Katz centrality, exactly ``iters`` synchronous iterations of
     x_{k+1} = 1 + alpha * (A^T x_k) over the structural directed engine
     (the truncated walk-count series; plus_times SpMV per iteration,
@@ -730,6 +731,9 @@ def katz_fixed(engine: SpmvEngine, iters: int = 3,
         x = engine.spmv_apply_refs(
             x, "plus_times", partial(_katz_update_f, alpha=alpha), 1
         )[0]
+        if trace is not None:
+            # dyadic values: the sum is order-free exact (span-guarded)
+            trace.append(float(sum(engine.chunk_scalars(_w72_sumv, x))))
     out = engine.unchunk(x)
     # scaled-integer exactness bound: x * alpha^-iters must stay < 2^53
     if out.max(initial=0.0) * (1.0 / alpha) ** iters >= 2.0**53:
@@ -2626,14 +2630,16 @@ def _bneck_seed(bounds, root, inf):
 
 
 def _bneck_update_f(b, y, bounds):
-    """Fused max-update + fixpoint change flag (monotone max-min
-    relaxation: a no-improvement round ends the computation exactly)."""
+    """Fused max-update + fixpoint change COUNT (monotone max-min
+    relaxation: a no-improvement round ends the computation exactly;
+    the count also feeds the relaxation-trace query)."""
     m = np.maximum(b, y)
-    return m, bool((m > b).any())
+    return m, int((m > b).sum())
 
 
 def widest_paths_fixed(engine: SpmvEngine, root: int, iters: int,
-                       inf: float = 1e9) -> np.ndarray:
+                       inf: float = 1e9,
+                       trace: list | None = None) -> np.ndarray:
     """Fixed-round widest-path (maximum-bottleneck) distances from
     ``root`` over the DIRECTED weighted engine: exactly ``iters``
     synchronous rounds of b = max(b, max_min-SpMV(b)) — the max_min
@@ -2647,7 +2653,10 @@ def widest_paths_fixed(engine: SpmvEngine, root: int, iters: int,
     b = engine.map_chunks_i(partial(_bneck_seed, root=root, inf=inf))
     for _ in range(iters):
         b, ch = engine.spmv_apply_refs(b, "max_min", _bneck_update_f, 2, b)
-        if not any(ray.get(ch)):
+        n_impr = sum(ray.get(ch))
+        if trace is not None and n_impr:
+            trace.append(int(n_impr))
+        if not n_impr:
             break  # fixpoint (exact)
     return engine.unchunk(b)
 
@@ -2795,6 +2804,10 @@ def _w72_dot(a, b):
 
 def _w72_scale(y, s):
     return y * s
+
+
+def _w72_sumv(y):
+    return float(y.sum())
 
 
 def eigencentrality_refs(eng: SpmvEngine, arith_refs: list, iters: int):

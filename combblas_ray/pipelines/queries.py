@@ -19679,3 +19679,69 @@ def q_labelprop_flip_trace(sf_dir: str):
         "round": pa.array(np.arange(1, len(tr) + 1, dtype=np.int64)),
         "n_flips": pa.array(np.asarray(tr, dtype=np.int64)),
     })
+
+
+# --- wave 81: widest/katz traces + LSH precision-recall audit ---------------
+
+
+def q_widest_relax_trace(sf_dir: str):
+    """Per-round improved-vertex counts of the max-min (widest path)
+    relaxation from m_1 — the bottleneck-path convergence log (all
+    integers; see `alg.widest_paths_fixed(trace=...)`)."""
+    ctx = get_context(sf_dir)
+    root = ctx.lookup_id("m_1")
+    tr: list = []
+    alg.widest_paths_fixed(ctx.engine("sssp"), root, WIDEST_ITERS,
+                           inf=BNECK_INF, trace=tr)
+    return pa.table({
+        "round": pa.array(np.arange(1, len(tr) + 1, dtype=np.int64)),
+        "n_improved": pa.array(np.asarray(tr, dtype=np.int64)),
+    })
+
+
+def q_katz_growth_trace(sf_dir: str):
+    """Per-iteration total Katz mass sum(x_k) over the truncated
+    dyadic-exact iteration (order-free exact float64; see
+    `alg.katz_fixed(trace=...)`)."""
+    ctx = get_context(sf_dir)
+    tr: list = []
+    alg.katz_fixed(ctx.engine("dir_bool"), KATZ_ITERS, KATZ_ALPHA,
+                   trace=tr)
+    return pa.table({
+        "iter": pa.array(np.arange(1, len(tr) + 1, dtype=np.int64)),
+        "sum_x": pa.array(tr),
+    })
+
+
+def q_lsh_pr_audit(sf_dir: str):
+    """Precision/recall of the MinHash-LSH candidate pairs against the
+    exact shingle-Jaccard pairs at the same tau=0.5 — the quality audit
+    every banded-LSH deployment logs before trusting the bucketer
+    (rows-only: the minhash side is hash-defined; the pytest twin
+    recomputes both sides brute-force). One bounded row of integer
+    counts + the two ratios."""
+    from ..functions import dedup as D
+
+    lsh = D.minhash_lsh_pairs(_docs(sf_dir), tau=0.5).to_pandas()
+    exact = D.jaccard_pairs(_docs(sf_dir), tau=0.5).to_pandas()
+
+    def keyset(df):
+        if not len(df):
+            return set()
+        a = df.iloc[:, 0].to_numpy()
+        b = df.iloc[:, 1].to_numpy()
+        lo = np.minimum(a, b).astype(np.int64)
+        hi = np.maximum(a, b).astype(np.int64)
+        return set((lo * np.int64(1) << np.int64(32) | hi).tolist())
+
+    ls, ex = keyset(lsh), keyset(exact)
+    tp = len(ls & ex)
+    prec = tp / len(ls) if ls else 1.0
+    rec = tp / len(ex) if ex else 1.0
+    return pa.table({
+        "n_lsh": pa.array([len(ls)], type=pa.int64()),
+        "n_exact": pa.array([len(ex)], type=pa.int64()),
+        "n_match": pa.array([tp], type=pa.int64()),
+        "precision": pa.array([round(prec, 6)]),
+        "recall": pa.array([round(rec, 6)]),
+    })
