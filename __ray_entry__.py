@@ -207,6 +207,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "widest_relax_trace": q.q_widest_relax_trace,
         "katz_growth_trace": q.q_katz_growth_trace,
         "lsh_pr_audit": q.q_lsh_pr_audit,
+        # wave 82 (round 5: sketch-accuracy audits)
+        "hll_audit": q.q_hll_audit,
+        "cm_audit": q.q_cm_audit,
         # scalar faces of the in-window wave-72/73 kernels (same code
         # paths; locally gated each round)
         "spectral_bound": q.q_spectral_bound,
@@ -690,6 +693,8 @@ def oracle_sql() -> dict[str, str]:
             "m_1", q.WIDEST_ITERS, int(q.BNECK_INF)),
         "katz_growth_trace": o.katz_growth_trace(q.KATZ_ITERS,
                                                  q.KATZ_ALPHA),
+        "hll_audit": o.hll_audit(),
+        "cm_audit": o.cm_audit(q.CM_AUDIT_K),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

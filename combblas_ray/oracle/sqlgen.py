@@ -10409,3 +10409,90 @@ kx0 AS (SELECT i, CAST(1 AS DOUBLE) AS x FROM files)
         f"(SELECT sum(x) FROM kx{it}) AS sum_x"
         for it in range(1, iters + 1))
     return sql + "\n" + rows + "\n"
+
+
+# --- wave 82: sketch-accuracy audits -----------------------------------------
+
+
+def hll_audit() -> str:
+    """HLL estimate vs exact distinct tokens (twin of
+    `queries.q_hll_audit`): identical registers, identical estimator
+    (alpha m^2 / sum 2^-r with linear-counting correction)."""
+    return """
+WITH toks AS MATERIALIZED (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+h AS (SELECT md5_number_lower(tok) AS h FROM toks),
+parts AS (
+  SELECT CAST(h & 255 AS BIGINT) AS b,
+         CAST((h >> 8) & ((1::UBIGINT << 52) - 1) AS BIGINT) AS rest
+  FROM h
+),
+rho AS (
+  SELECT b, CASE WHEN rest > 0
+                 THEN bit_count((rest & (-rest)) - 1) + 1
+                 ELSE 53 END AS r
+  FROM parts
+),
+regs AS (SELECT b, CAST(max(r) AS BIGINT) AS r FROM rho GROUP BY b),
+full_regs AS (
+  SELECT g.b, coalesce(regs.r, 0) AS r
+  FROM generate_series(0, 255) g(b) LEFT JOIN regs ON regs.b = g.b
+),
+stats AS (
+  SELECT sum(pow(2.0, -r)) AS denom,
+         sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS zeros
+  FROM full_regs
+),
+est0 AS (
+  SELECT (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 / denom AS e,
+         zeros
+  FROM stats
+),
+estf AS (
+  SELECT CASE WHEN e <= 2.5 * 256.0 AND zeros > 0
+              THEN 256.0 * ln(256.0 / zeros) ELSE e END AS e
+  FROM est0
+),
+ex AS (SELECT CAST(count(*) AS BIGINT) AS exact FROM toks)
+SELECT round(estf.e, 6) AS est, ex.exact,
+       round((estf.e - ex.exact) / ex.exact, 6) AS rel_err
+FROM estf CROSS JOIN ex
+"""
+
+
+def cm_audit(k: int = 10, d: int = 4, w: int = 512) -> str:
+    """Count-Min overcount census for the top-k tokens (twin of
+    `queries.q_cm_audit`); all-integer columns, same md5-low-64 bucket
+    rule as the `countmin` oracle."""
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+cnt AS MATERIALIZED (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok
+),
+hashed AS MATERIALIZED (
+  SELECT tok, c, md5_number_lower(tok) AS h FROM cnt
+),
+sketch AS MATERIALIZED (
+  SELECT r.r AS r, CAST((h >> (16 * r.r)) & {w - 1} AS BIGINT) AS b,
+         sum(c) AS s
+  FROM hashed CROSS JOIN generate_series(0, {d - 1}) r(r)
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT tok, c, h FROM hashed ORDER BY c DESC, tok ASC LIMIT {k}
+),
+est AS (
+  SELECT t.tok, t.c, min(sk.s) AS e
+  FROM top t CROSS JOIN generate_series(0, {d - 1}) r(r)
+  JOIN sketch sk
+    ON sk.r = r.r
+   AND sk.b = CAST((t.h >> (16 * r.r)) & {w - 1} AS BIGINT)
+  GROUP BY t.tok, t.c
+)
+SELECT tok, c AS exact, CAST(e AS BIGINT) AS est,
+       CAST(e - c AS BIGINT) AS overcount
+FROM est
+"""

@@ -19745,3 +19745,68 @@ def q_lsh_pr_audit(sf_dir: str):
         "precision": pa.array([round(prec, 6)]),
         "recall": pa.array([round(rec, 6)]),
     })
+
+
+# --- wave 82: sketch-accuracy audits -----------------------------------------
+
+
+def q_hll_audit(sf_dir: str):
+    """HyperLogLog accuracy audit: the register-table estimate vs the
+    exact distinct-token count, plus the signed relative error — the
+    sketch-quality gate a cardinality pipeline logs (see
+    `text.hll_registers` / `text.hll_estimate`; both twins compute the
+    identical estimator from the identical integer registers)."""
+    import ray
+
+    from ..functions import text as T
+
+    regs = pa.concat_tables([
+        r for r in ray.get(T.hll_registers(_docs(sf_dir)).to_arrow_refs())
+        if r.num_rows
+    ] or [pa.table({"b": pa.array([], type=pa.int64()),
+                    "r": pa.array([], type=pa.int64())})])
+    est = T.hll_estimate(regs)
+    exact = int(T.vocab_topk(_docs(sf_dir), k=1 << 30).num_rows)
+    rel = (est - exact) / exact if exact else 0.0
+    return pa.table({
+        "est": pa.array([round(est, 6)]),
+        "exact": pa.array([exact], type=pa.int64()),
+        "rel_err": pa.array([round(rel, 6)]),
+    })
+
+
+CM_AUDIT_K = 10
+
+
+def q_cm_audit(sf_dir: str):
+    """Count-Min overcount census for the CM_AUDIT_K most frequent
+    tokens: exact count, sketch estimate (min over the D rows), and the
+    non-negative overcount — all exact integers (see
+    `text.countmin_sketch`)."""
+    import ray
+
+    from ..functions import text as T
+
+    sk = pa.concat_tables([
+        r for r in ray.get(T.countmin_sketch(_docs(sf_dir))
+                           .to_arrow_refs()) if r.num_rows
+    ])
+    tab = np.zeros((T.CM_D, T.CM_W), dtype=np.int64)
+    tab[np.asarray(sk.column("r"), dtype=np.int64),
+        np.asarray(sk.column("b"), dtype=np.int64)] = np.asarray(
+        sk.column("cnt"), dtype=np.int64)
+    top = T.vocab_topk(_docs(sf_dir), k=CM_AUDIT_K)
+    toks = np.asarray(top.column("tok")).astype(str)
+    cnts = np.asarray(top.column("cnt"), dtype=np.int64)
+    hu = np.array([T.md5_lower64(t) for t in toks], dtype=np.uint64)
+    est = np.full(len(toks), np.iinfo(np.int64).max, dtype=np.int64)
+    for r in range(T.CM_D):
+        b = ((hu >> np.uint64(16 * r)) & np.uint64(T.CM_W - 1)).astype(
+            np.int64)
+        est = np.minimum(est, tab[r, b])
+    return pa.table({
+        "tok": pa.array(toks.tolist(), type=pa.string()),
+        "exact": pa.array(cnts),
+        "est": pa.array(est),
+        "overcount": pa.array(est - cnts),
+    })
