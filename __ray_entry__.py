@@ -210,6 +210,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 82 (round 5: sketch-accuracy audits)
         "hll_audit": q.q_hll_audit,
         "cm_audit": q.q_cm_audit,
+        # wave 83 (round 5: 2D partition-layout evidence)
+        "grid_census": q.q_grid_census,
         # scalar faces of the in-window wave-72/73 kernels (same code
         # paths; locally gated each round)
         "spectral_bound": q.q_spectral_bound,
@@ -591,6 +593,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _ctx_grid() -> int:
+    from combblas_ray.pipelines.context import default_grid
+
+    return default_grid()
+
+
 def oracle_sql() -> dict[str, str]:
     from combblas_ray.oracle import sqlgen as o
     from combblas_ray.pipelines import queries as q
@@ -695,6 +703,9 @@ def oracle_sql() -> dict[str, str]:
                                                  q.KATZ_ALPHA),
         "hll_audit": o.hll_audit(),
         "cm_audit": o.cm_audit(q.CM_AUDIT_K),
+        # grid_census: g resolved at registration time (same session as
+        # the Ray run, so the grids agree)
+        "grid_census": o.grid_census(_ctx_grid()),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

@@ -10496,3 +10496,27 @@ SELECT tok, c AS exact, CAST(e AS BIGINT) AS est,
        CAST(e - c AS BIGINT) AS overcount
 FROM est
 """
+
+
+# --- wave 83: 2D grid census (partition-layout evidence) ---------------------
+
+
+def grid_census(g: int) -> str:
+    """Replays the 2D owner rule min(i // (n//g), g-1) over the edge
+    table (row block by dst, column block by src) over the engine's DENSE ids
+    (label-sort ranks, the `vertex_ids` rule) — twin of
+    `queries.q_grid_census`."""
+    return PREFIX + f"""
+, vids AS (
+  SELECT i, row_number() OVER (ORDER BY label) - 1 AS vid FROM verts
+),
+ls AS (SELECT greatest(n // {g}, 1) AS v FROM params)
+SELECT least(vd.vid // ls.v, {g - 1}) AS br,
+       least(vs.vid // ls.v, {g - 1}) AS bc,
+       CAST(count(*) AS BIGINT) AS nnz
+FROM edges e
+JOIN vids vs ON vs.i = e.src
+JOIN vids vd ON vd.i = e.dst
+CROSS JOIN ls
+GROUP BY 1, 2
+"""

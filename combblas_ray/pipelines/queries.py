@@ -19810,3 +19810,25 @@ def q_cm_audit(sf_dir: str):
         "est": pa.array(est),
         "overcount": pa.array(est - cnts),
     })
+
+
+# --- wave 83: 2D grid census (partition-layout evidence) ---------------------
+
+
+def q_grid_census(sf_dir: str):
+    """Per-block nonzero counts of the engine's 2D grid, read straight
+    from the block MANIFEST (no recompute): (block_row, block_col, nnz)
+    for every non-empty block — driver-checkable evidence that the
+    resident layout implements exactly the declared owner rule
+    ``min(i // (n // g), g - 1)`` (``SpParMat.cpp:5081``; the SQL twin
+    replays the rule over the edge table)."""
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("directed")
+    g = eng.g
+    rows = sorted((b["bid"] // g, b["bid"] % g, b["nnz"])
+                  for b in eng.manifest["blocks"] if b["nnz"])
+    return pa.table({
+        "br": pa.array([r[0] for r in rows], type=pa.int64()),
+        "bc": pa.array([r[1] for r in rows], type=pa.int64()),
+        "nnz": pa.array([r[2] for r in rows], type=pa.int64()),
+    })
