@@ -212,6 +212,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cm_audit": q.q_cm_audit,
         # wave 83 (round 5: 2D partition-layout evidence)
         "grid_census": q.q_grid_census,
+        # wave 84 (round 5: SpGEMM planning metrics)
+        "spgemm_flops": q.q_spgemm_flops,
         # scalar faces of the in-window wave-72/73 kernels (same code
         # paths; locally gated each round)
         "spectral_bound": q.q_spectral_bound,
@@ -706,6 +708,7 @@ def oracle_sql() -> dict[str, str]:
         # grid_census: g resolved at registration time (same session as
         # the Ray run, so the grids agree)
         "grid_census": o.grid_census(_ctx_grid()),
+        "spgemm_flops": o.spgemm_flops(),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

@@ -10520,3 +10520,28 @@ JOIN vids vd ON vd.i = e.dst
 CROSS JOIN ls
 GROUP BY 1, 2
 """
+
+
+# --- wave 84: SpGEMM planning metrics ----------------------------------------
+
+
+@_materialized
+def spgemm_flops() -> str:
+    """EstimateFLOP metrics for C = A*A on the undirected structural
+    graph (twin of `queries.q_spgemm_flops`): flops = sum deg(k)^2,
+    nnz_c = distinct product coordinates, compression = their ratio."""
+    return PREFIX + """
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+degq AS (SELECT src AS i, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY src),
+fl AS (SELECT CAST(sum(d * d) AS BIGINT) AS flops FROM degq),
+nc AS (
+  SELECT CAST(count(*) AS BIGINT) AS nnz_c FROM (
+    SELECT DISTINCT a.src, b.dst FROM und a JOIN und b ON a.dst = b.src
+  )
+)
+SELECT fl.flops, nc.nnz_c,
+       round(CAST(fl.flops AS DOUBLE) / nc.nnz_c, 6) AS compression
+FROM fl CROSS JOIN nc
+"""

@@ -19832,3 +19832,30 @@ def q_grid_census(sf_dir: str):
         "bc": pa.array([r[1] for r in rows], type=pa.int64()),
         "nnz": pa.array([r[2] for r in rows], type=pa.int64()),
     })
+
+
+# --- wave 84: SpGEMM planning metrics ----------------------------------------
+
+
+def q_spgemm_flops(sf_dir: str):
+    """`EstimateFLOP` planning metrics for C = A*A on the structural
+    undirected graph: exact multiply count (sum over k of
+    nnz(A(:,k)) * nnz(A(k,:)) — `core.spgemm.estimate_flop`,
+    ``ParFriends.h:356``), the output nonzero count, and the
+    compression factor flops/nnz(C) the phased planner keys on — one
+    bounded row (ratio computed from exact integers on both twins)."""
+    from ..core import spgemm as SG
+
+    ctx = get_context(sf_dir)
+    und = ctx.graph("directed").union_max()
+    fl = int(SG.estimate_flop(und.edges, und.edges, ctx.n))
+    d2 = ctx.engine("sym").in_weights().astype(np.int64)
+    wedges = float((d2.astype(np.float64) ** 2).sum())
+    gp = int(max(8, min(64, np.ceil(wedges / 1.5e6))))
+    nnz_c = SG.spgemm_tasks(und.edges, und.edges, ctx.n, add="max",
+                            num_partitions=gp).count()
+    return pa.table({
+        "flops": pa.array([fl], type=pa.int64()),
+        "nnz_c": pa.array([int(nnz_c)], type=pa.int64()),
+        "compression": pa.array([round(fl / nnz_c, 6)]),
+    })
