@@ -214,6 +214,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grid_census": q.q_grid_census,
         # wave 84 (round 5: SpGEMM planning metrics)
         "spgemm_flops": q.q_spgemm_flops,
+        # wave 85 (round 5: MCL prune/select log counts)
+        "mcl_prune_stats": q.q_mcl_prune_stats,
         # scalar faces of the in-window wave-72/73 kernels (same code
         # paths; locally gated each round)
         "spectral_bound": q.q_spectral_bound,
@@ -709,6 +711,7 @@ def oracle_sql() -> dict[str, str]:
         # the Ray run, so the grids agree)
         "grid_census": o.grid_census(_ctx_grid()),
         "spgemm_flops": o.spgemm_flops(),
+        "mcl_prune_stats": o.mcl_prune_stats(1),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

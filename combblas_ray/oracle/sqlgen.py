@@ -10545,3 +10545,59 @@ SELECT fl.flops, nc.nnz_c,
        round(CAST(fl.flops AS DOUBLE) / nc.nnz_c, 6) AS compression
 FROM fl CROSS JOIN nc
 """
+
+
+# --- wave 85: MCL prune/select statistics ------------------------------------
+
+
+@_materialized
+def mcl_prune_stats(rounds: int = 2, inflation: float = 2.0,
+                    prune: float = 1e-4, select: int = 50) -> str:
+    """Per-round expansion/prune/select nonzero counts of the MCL chain
+    (twin of `queries.q_mcl_prune_stats`); shares the recipe CTEs of
+    the `mcl_chaos_trace` oracle."""
+    sql = PREFIX + f"""
+, undm AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+withloops AS (
+  SELECT src, dst, 1.0 AS w FROM undm
+  UNION ALL
+  SELECT i, i, 1.0 FROM files
+),
+m0 AS (
+  SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS w
+  FROM withloops
+)"""
+    for k in range(1, rounds + 1):
+        sql += f"""
+, me{k} AS MATERIALIZED (
+  SELECT a.src AS src, b.dst AS dst, sum(a.w * b.w) AS w
+  FROM m{k - 1} a JOIN m{k - 1} b ON a.dst = b.src
+  GROUP BY a.src, b.dst
+),
+mn{k} AS (
+  SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS w FROM me{k}
+),
+ms{k} AS MATERIALIZED (
+  SELECT src, dst, w FROM (
+    SELECT src, dst, w,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY w DESC, dst ASC) AS rn
+    FROM mn{k} WHERE w >= {prune}
+  ) WHERE rn <= {select}
+),
+m{k} AS (
+  SELECT src, dst,
+         pow(w, {inflation}) / sum(pow(w, {inflation}))
+             OVER (PARTITION BY src) AS w
+  FROM ms{k}
+)"""
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS round, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM me{k}) AS nnz_expanded, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM mn{k} "
+        f"WHERE w >= {prune}) AS nnz_pruned, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM ms{k}) AS nnz_selected"
+        for k in range(1, rounds + 1))
+    return sql + "\n" + rows + "\n"

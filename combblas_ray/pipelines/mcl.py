@@ -57,15 +57,23 @@ def _col_normalize(edges_ds, n: int):
 
 
 def _split_sentinel(tbl: pa.Table):
-    """(real edge rows, partition chaos max) from a _fused_post output."""
+    """(real edge rows, partition stats) from a _fused_post output.
+    Stats = (chaos max, nnz expanded, nnz after prune, nnz after
+    select) — the `MCLPruneRecoverySelect` log counts (``MCL.cpp``),
+    carried as sentinel rows src=-1 keyed by dst 0..3."""
     if tbl.num_rows == 0 or "src" not in tbl.column_names:
-        return tbl, 0.0
+        return tbl, (0.0, 0, 0, 0)
     src = np.asarray(tbl.column("src"))
     neg = src < 0
     if not neg.any():
-        return tbl, 0.0
-    w = np.asarray(tbl.column("w"), dtype=np.float64)
-    return tbl.filter(pa.array(~neg)), float(w[neg].max())
+        return tbl, (0.0, 0, 0, 0)
+    dst = np.asarray(tbl.column("dst"))[neg]
+    w = np.asarray(tbl.column("w"), dtype=np.float64)[neg]
+    stats = np.zeros(4)
+    stats[dst] = w
+    return (tbl.filter(pa.array(~neg)),
+            (float(stats[0]), int(stats[1]), int(stats[2]),
+             int(stats[3])))
 
 
 def mcl(
@@ -103,6 +111,7 @@ def mcl(
         src = np.asarray(tbl.column("src"))
         dst = np.asarray(tbl.column("dst"))
         w = np.asarray(tbl.column("w")).astype(np.float64)
+        n_expanded = len(src)
         if len(src) == 0:
             return pa.table(
                 {"src": pa.array([], type=pa.int64()),
@@ -123,6 +132,7 @@ def mcl(
         w = w / colsums(w)  # stochastic (prune threshold semantics)
         keep = w >= prune_threshold
         src, dst, w = src[keep], dst[keep], w[keep]
+        n_pruned = len(src)
         if len(src) == 0:
             return pa.table(
                 {"src": pa.array([], type=pa.int64()),
@@ -144,11 +154,14 @@ def mcl(
             (np.maximum.reduceat(w, starts)
              - np.add.reduceat(w * w, starts)).max()
         )
+        sent = np.array([chaos, float(n_expanded), float(n_pruned),
+                         float(len(src))])
         return pa.table(
             {
-                "src": pa.array(np.append(src, -1)),
-                "dst": pa.array(np.append(dst, -1)),
-                "w": pa.array(np.append(w, chaos)),
+                "src": pa.array(np.append(src, np.full(4, -1))),
+                "dst": pa.array(np.append(dst,
+                                          np.arange(4, dtype=np.int64))),
+                "w": pa.array(np.append(w, sent)),
             }
         )
 
@@ -178,8 +191,12 @@ def mcl(
             for b in A_next.to_arrow_refs()
         ]
         A = ray.data.from_arrow_refs([h[0] for h in halves])
-        ch = max(ray.get([h[1] for h in halves]), default=0.0)
+        stats = ray.get([h[1] for h in halves])
+        ch = max((st[0] for st in stats), default=0.0)
         info["chaos"].append(ch)
+        info.setdefault("prune_stats", []).append((
+            sum(st[1] for st in stats), sum(st[2] for st in stats),
+            sum(st[3] for st in stats)))
         info["iters"] = it + 1
         info["t_iter"].append(time.perf_counter() - t1)
         if ch < eps:

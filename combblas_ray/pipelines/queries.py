@@ -19859,3 +19859,31 @@ def q_spgemm_flops(sf_dir: str):
         "nnz_c": pa.array([int(nnz_c)], type=pa.int64()),
         "compression": pa.array([round(fl / nnz_c, 6)]),
     })
+
+
+# --- wave 85: MCL prune/select statistics ------------------------------------
+
+
+def q_mcl_prune_stats(sf_dir: str):
+    """First-round `MCLPruneRecoverySelect` log counts: expanded
+    coordinates, survivors of the 1e-4 prune, survivors of the top-50
+    select — all integers (see `mcl`'s sentinel channel; reference
+    ``MCL.cpp`` prune logs). ONE round only: later rounds' support sets
+    sit downstream of ULP-knife-edge rank-50 cuts, so their counts are
+    implementation-sensitive (the chaos TRACE stays robust across
+    rounds because it is a max of smooth quantities)."""
+    from .mcl import mcl
+
+    ctx = get_context(sf_dir)
+    _, info = mcl(ctx.graph("sym").edges, ctx.n,
+                  max_iters=1, eps=-1.0, interpret=False)
+    st = info["prune_stats"]
+    return pa.table({
+        "round": pa.array(np.arange(1, len(st) + 1, dtype=np.int64)),
+        "nnz_expanded": pa.array([int(a) for a, _, _ in st],
+                                 type=pa.int64()),
+        "nnz_pruned": pa.array([int(b) for _, b, _ in st],
+                               type=pa.int64()),
+        "nnz_selected": pa.array([int(c) for _, _, c in st],
+                                 type=pa.int64()),
+    })
