@@ -216,6 +216,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spgemm_flops": q.q_spgemm_flops,
         # wave 85 (round 5: MCL prune/select log counts)
         "mcl_prune_stats": q.q_mcl_prune_stats,
+        # wave 86 (round 5: spectral bisection, effective resistance,
+        # Zipf fit, min-plus doubling)
+        "fiedler_cut": q.q_fiedler_cut,
+        "effres_hubs": q.q_effres_hubs,
+        "zipf_fit": q.q_zipf_fit,
+        "minplus_doubling": q.q_minplus_doubling,
         # scalar faces of the in-window wave-72/73 kernels (same code
         # paths; locally gated each round)
         "spectral_bound": q.q_spectral_bound,
@@ -712,6 +718,11 @@ def oracle_sql() -> dict[str, str]:
         "grid_census": o.grid_census(_ctx_grid()),
         "spgemm_flops": o.spgemm_flops(),
         "mcl_prune_stats": o.mcl_prune_stats(1),
+        "fiedler_cut": o.fiedler_cut(q.EIG_ITERS),
+        "effres_hubs": o.effres_hubs(q.EFFRES_ITERS, q.EFFRES_HUBS),
+        "zipf_fit": o.zipf_fit(q.ZIPF_K),
+        "minplus_doubling": o.minplus_doubling(q.DOUBLING_K,
+                                               q.DOUBLING_ROUNDS),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

@@ -9914,12 +9914,12 @@ FROM {prev} a JOIN verts v ON v.i = a.i
     return sql
 
 
-@_materialized
-def lambda2(iters: int = 8) -> str:
-    """(lambda_1, lambda_2) by power + Wielandt-deflated power iteration
-    (twin of `queries.q_lambda2`); one row, rounded 6. The deflated
+def _w86_deflate_chain(iters: int) -> str:
+    """Shared Wielandt-deflation chain: everything through ``dv{iters}``
+    (the normalized deflated vector) plus the ``lam1`` CTE. The deflated
     start is b = 1 + (i % 7) unit-normalized then orthogonalized
-    against x1; every normalization is zero-guarded like the Ray side."""
+    against x1; every normalization is zero-guarded like the Ray side.
+    Used by `lambda2` (scalar) and `fiedler_cut` (sign bisection)."""
     sql = _w72_power_chain(iters) + f"""
 , yf1 AS (
   SELECT f.i, coalesce(s.sv, 0.0) AS v
@@ -9976,19 +9976,72 @@ dv{k} AS (
   FROM dd{k} d CROSS JOIN dn{k} n
 )"""
         prev = f"dv{k}"
-    sql += f"""
+    return sql
+
+
+def _w86_dyf(iters: int) -> str:
+    return f"""
 , dyf AS (
   SELECT f.i, coalesce(s.sv, 0.0) AS v
   FROM files f LEFT JOIN (
     SELECT u.src AS i, sum(v.v) AS sv
-    FROM und u JOIN {prev} v ON v.i = u.dst GROUP BY u.src
+    FROM und u JOIN dv{iters} v ON v.i = u.dst GROUP BY u.src
   ) s ON s.i = f.i
-)
+)"""
+
+
+@_materialized
+def lambda2(iters: int = 8) -> str:
+    """(lambda_1, lambda_2) by power + Wielandt-deflated power iteration
+    (twin of `queries.q_lambda2`); one row, rounded 6."""
+    return _w86_deflate_chain(iters) + _w86_dyf(iters) + f"""
 SELECT round((SELECT l FROM lam1), 6) AS lambda1,
        round(coalesce(sum(v.v * y.v), 0.0), 6) AS lambda2
-FROM {prev} v JOIN dyf y ON y.i = v.i
+FROM dv{iters} v JOIN dyf y ON y.i = v.i
 """
-    return sql
+
+
+@_materialized
+def fiedler_cut(iters: int = 8) -> str:
+    """Spectral-bisection quality by the SIGN of the deflated power
+    vector (twin of `queries.q_fiedler_cut`): one row with (lambda2,
+    side sizes, undirected cut size, conductance). Side = round(v, 9)
+    >= 0 — the rounding is shared with the Ray side so both twins take
+    the same branch on near-zero entries."""
+    return _w86_deflate_chain(iters) + _w86_dyf(iters) + f"""
+, lam2q AS (
+  SELECT coalesce(sum(v.v * y.v), 0.0) AS l
+  FROM dv{iters} v JOIN dyf y ON y.i = v.i
+),
+sideq AS (
+  SELECT i, CASE WHEN round(v, 9) >= 0 THEN 1 ELSE 0 END AS s
+  FROM dv{iters}
+),
+degq2 AS (
+  SELECT f.i, coalesce(d.d, 0) AS d
+  FROM files f LEFT JOIN (
+    SELECT src AS i, count(*) AS d FROM und GROUP BY 1
+  ) d ON d.i = f.i
+),
+cutq AS (
+  SELECT count(*) AS c
+  FROM und u JOIN sideq a ON a.i = u.src JOIN sideq b ON b.i = u.dst
+  WHERE a.s = 0 AND b.s = 1
+),
+vols AS (
+  SELECT sum(CASE WHEN s.s = 1 THEN d.d ELSE 0 END) AS vp,
+         sum(d.d) AS vt, sum(s.s) AS np, count(*) AS nn
+  FROM degq2 d JOIN sideq s ON s.i = d.i
+)
+SELECT round((SELECT l FROM lam2q), 6) AS lambda2,
+       CAST(v.np AS BIGINT) AS n_pos,
+       CAST(v.nn - v.np AS BIGINT) AS n_neg,
+       CAST((SELECT c FROM cutq) AS BIGINT) AS cut_edges,
+       round(CASE WHEN least(v.vp, v.vt - v.vp) > 0
+                  THEN (SELECT c FROM cutq) / least(v.vp, v.vt - v.vp)
+                  ELSE 0.0 END, 6) AS conductance
+FROM vols v
+"""
 
 
 def lm_outliers() -> str:
@@ -10601,3 +10654,148 @@ m{k} AS (
         f"(SELECT CAST(count(*) AS BIGINT) FROM ms{k}) AS nnz_selected"
         for k in range(1, rounds + 1))
     return sql + "\n" + rows + "\n"
+
+
+@_materialized
+def effres_hubs(iters: int = 12, k: int = 4) -> str:
+    """Pairwise regularized effective resistance between the top-k
+    degree hubs (twin of `queries.q_effres_hubs`): for each rank pair
+    (pa < pb), unrolled batched Jacobi rounds of (L + I) x = e_s - e_t,
+    r_eff = x_s - x_t rounded 6. The pair dimension rides every CTE so
+    all C(k,2) solves unroll in ONE chain (the SQL image of the fused
+    SpMM batching)."""
+    sql = PREFIX + f"""
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+degq AS (
+  SELECT f.i, CAST(coalesce(d.d, 0) AS DOUBLE) AS d
+  FROM files f LEFT JOIN (
+    SELECT src AS i, count(*) AS d FROM und GROUP BY src
+  ) d ON d.i = f.i
+),
+S AS (
+  SELECT i, rn FROM (
+    SELECT i, row_number() OVER (ORDER BY d DESC, i) AS rn FROM degq
+  ) WHERE rn <= {k}
+),
+prs AS (
+  SELECT a.rn AS pa, b.rn AS pb, a.i AS s, b.i AS t
+  FROM S a JOIN S b ON a.rn < b.rn
+),
+bvec AS (
+  SELECT pa, pb, s AS i, 1.0 AS v FROM prs
+  UNION ALL
+  SELECT pa, pb, t AS i, -1.0 AS v FROM prs
+),
+frame AS (SELECT p.pa, p.pb, f.i FROM files f CROSS JOIN prs p),
+jx0 AS (SELECT pa, pb, i, 0.0 AS v FROM frame)
+"""
+    prev = "jx0"
+    for r in range(1, iters + 1):
+        sql += f"""
+, jx{r} AS (
+  SELECT fr.pa, fr.pb, fr.i,
+         (coalesce(b.v, 0.0) + coalesce(s.sv, 0.0)) / (d.d + 1.0) AS v
+  FROM frame fr
+  JOIN degq d ON d.i = fr.i
+  LEFT JOIN bvec b
+    ON b.pa = fr.pa AND b.pb = fr.pb AND b.i = fr.i
+  LEFT JOIN (
+    SELECT x.pa, x.pb, u.src AS i, sum(x.v) AS sv
+    FROM und u JOIN {prev} x ON x.i = u.dst
+    GROUP BY 1, 2, 3
+  ) s ON s.pa = fr.pa AND s.pb = fr.pb AND s.i = fr.i
+)"""
+        prev = f"jx{r}"
+    sql += f"""
+SELECT p.pa AS pa, p.pb AS pb, round(xs.v - xt.v, 6) AS r_eff
+FROM prs p
+JOIN {prev} xs ON xs.pa = p.pa AND xs.pb = p.pb AND xs.i = p.s
+JOIN {prev} xt ON xt.pa = p.pa AND xt.pb = p.pb AND xt.i = p.t
+ORDER BY pa, pb
+"""
+    return sql
+
+
+def zipf_fit(k: int = 100) -> str:
+    """OLS fit of ln(count) on ln(rank) over the top-k token spectrum
+    (twin of `queries.q_zipf_fit`); one row (n_tokens, slope,
+    intercept, r2), rank by (count DESC, token ASC)."""
+    return f"""
+WITH tok AS MATERIALIZED (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tc AS MATERIALIZED (
+  SELECT tok, count(*) AS cnt FROM tok GROUP BY tok
+),
+top AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS r
+  FROM tc ORDER BY cnt DESC, tok ASC LIMIT {k}
+)
+SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+       round(coalesce(regr_slope(ln(cnt), ln(r)), 0.0), 6) AS slope,
+       round(coalesce(regr_intercept(ln(cnt), ln(r)),
+                      avg(ln(cnt))), 6) AS intercept,
+       round(coalesce(pow(corr(ln(cnt), ln(r)), 2), 1.0), 6) AS r2
+FROM top
+"""
+
+
+@_materialized
+def minplus_doubling(k: int = 128, rounds: int = 3) -> str:
+    """Min-plus distance-doubling APSP on the top-k-degree induced
+    subgraph (twin of `queries.q_minplus_doubling`): unordered-pair
+    distance histogram for distances <= 2^rounds, plus a dist = -1 row
+    for unreached pairs (only when nonzero)."""
+    sql = PREFIX + f"""
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+degq AS (
+  SELECT f.i, coalesce(d.d, 0) AS d
+  FROM files f LEFT JOIN (
+    SELECT src AS i, count(*) AS d FROM und GROUP BY src
+  ) d ON d.i = f.i
+),
+S AS (
+  SELECT i, rn FROM (
+    SELECT i, row_number() OVER (ORDER BY d DESC, i) AS rn FROM degq
+  ) WHERE rn <= {k}
+),
+d0 AS (
+  SELECT u.src AS i, u.dst AS j, 1 AS d
+  FROM und u JOIN S a ON a.i = u.src JOIN S b ON b.i = u.dst
+  UNION ALL
+  SELECT i, i, 0 FROM S
+)
+"""
+    prev = "d0"
+    for r in range(1, rounds + 1):
+        sql += f"""
+, d{r} AS (
+  SELECT i, j, min(d) AS d FROM (
+    SELECT i, j, d FROM {prev}
+    UNION ALL
+    SELECT a.i, b.j, a.d + b.d
+    FROM {prev} a JOIN {prev} b ON a.j = b.i
+  ) GROUP BY 1, 2
+)"""
+        prev = f"d{r}"
+    sql += f"""
+, reach AS (
+  SELECT CAST(d AS BIGINT) AS dist, CAST(count(*) AS BIGINT) AS pairs
+  FROM {prev} WHERE i < j GROUP BY d
+),
+tot AS (
+  SELECT cnt * (cnt - 1) / 2 AS np
+  FROM (SELECT count(*) AS cnt FROM S)
+)
+SELECT dist, pairs FROM reach
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS dist,
+       CAST(t.np - (SELECT sum(pairs) FROM reach) AS BIGINT) AS pairs
+FROM tot t
+WHERE t.np - (SELECT sum(pairs) FROM reach) > 0
+"""
+    return sql

@@ -2893,6 +2893,56 @@ def jacobi_laplacian_refs(eng: SpmvEngine, b_refs: list, iters: int):
     return x, resid
 
 
+def _jm_binit(bounds, seeds_s, seeds_t):
+    """(k, chunk) RHS init for pairwise solves: B[p] = e_{s_p} - e_{t_p}
+    restricted to this chunk's vertex range."""
+    c0, c1 = bounds
+    B = np.zeros((len(seeds_s), c1 - c0))
+    for arr, val in ((seeds_s, 1.0), (seeds_t, -1.0)):
+        sel = (arr >= c0) & (arr < c1)
+        B[np.nonzero(sel)[0], arr[sel] - c0] += val
+    return B
+
+
+def _jm_zeros(B):
+    return np.zeros_like(B)
+
+
+def _jm_step(B, deg, Y, bounds):
+    # batched Jacobi round: X <- (B + A X) / (deg + 1), row-broadcast
+    return (B + Y) / (deg + 1.0)
+
+
+def _jm_rowdot(A, B):
+    return (A * B).sum(axis=1)
+
+
+def jacobi_multi_refs(eng: SpmvEngine, seeds_s: np.ndarray,
+                      seeds_t: np.ndarray, iters: int):
+    """BATCHED Jacobi solves of the regularized Laplacian systems
+    ``(L + I) X = B`` with one RHS per seed pair, ``B[p] = e_{s_p} -
+    e_{t_p}`` — the effective-resistance proxy kernel. All k solves ride
+    ONE fused tall-skinny SpMM per round (`spmm_apply_refs`, the
+    BetwCent batching of ``BetwCent.cpp:179-187``); the (k, n) solution
+    state stays chunked in the object store end-to-end.
+
+    Returns ``(B_refs, X_refs)``; callers reduce r_p = B[p] . X[p]
+    (= x_{s_p} - x_{t_p}, the regularized pairwise resistance) via
+    bounded per-chunk row-dot partials."""
+    seeds_s = np.asarray(seeds_s, dtype=np.int64)
+    seeds_t = np.asarray(seeds_t, dtype=np.int64)
+    k = len(seeds_s)
+    B = eng.map_chunks_n(
+        partial(_jm_binit, seeds_s=seeds_s, seeds_t=seeds_t), 1,
+        with_bounds=True)[0]
+    deg = eng.in_weights_refs()
+    X = eng.map_chunks(_jm_zeros, B)
+    for _ in range(iters):
+        X = eng.spmm_apply_refs(X, k, "plus_times", _jm_step, 1,
+                                B, deg)[0]
+    return B, X
+
+
 def _w72_inv_sqrt1(deg):
     return 1.0 / np.sqrt(deg + 1.0)
 
@@ -3088,17 +3138,18 @@ def _w74_orth(w, x1, c):
     return w - c * x1
 
 
-def lambda2_refs(eng: SpmvEngine, arith_refs: list, b_refs: list,
-                 iters: int):
-    """Second-eigenvalue estimate of the structural symmetric adjacency
-    by Wielandt-deflated power iteration: first run
-    `eigencentrality_refs` for (x1, lambda1), then iterate
-    ``v <- normalize(A v - lambda1 (x1 . v) x1)`` from the deterministic
-    start ``v0 = normalize(b - (x1 . b_hat) x1)`` (b = the arith-derived
-    vector, unit-normalized first). Exactly ``iters`` deflated rounds;
-    the driver syncs two scalars per round (the projection and the
-    norm). Returns ``(rayleigh2, lambda1)`` — the deflated Rayleigh
-    quotient v^T A v and the first eigenvalue, both driver floats."""
+def fiedler_vector_refs(eng: SpmvEngine, arith_refs: list, b_refs: list,
+                        iters: int):
+    """Wielandt-deflated power iteration over the structural symmetric
+    adjacency, returning the deflated VECTOR as well as the spectral
+    estimates: first run `eigencentrality_refs` for (x1, lambda1), then
+    iterate ``v <- normalize(A v - lambda1 (x1 . v) x1)`` from the
+    deterministic start ``v0 = normalize(b - (x1 . b_hat) x1)`` (b = the
+    arith-derived vector, unit-normalized first). Exactly ``iters``
+    deflated rounds; the driver syncs two scalars per round. Returns
+    ``(v_refs, rayleigh2, lambda1)`` — the chunked deflated vector (the
+    spectral-bisection side indicator reads off its sign) plus the
+    deflated Rayleigh quotient and the first eigenvalue."""
     import math
 
     x1, lam1 = eigencentrality_refs(eng, arith_refs, iters)
@@ -3109,7 +3160,7 @@ def lambda2_refs(eng: SpmvEngine, arith_refs: list, b_refs: list,
     v = eng.map_chunks(partial(_w74_orth, c=c), w, x1)
     nv = math.sqrt(math.fsum(eng.chunk_scalars(_w72_sumsq, v)))
     if nv == 0.0:
-        return 0.0, lam1
+        return v, 0.0, lam1
     v = eng.map_chunks(partial(_w72_scale, s=1.0 / nv), v)
     for _ in range(iters):
         y = eng.spmv_refs(v, "plus_times")
@@ -3118,10 +3169,18 @@ def lambda2_refs(eng: SpmvEngine, arith_refs: list, b_refs: list,
                            x1, y)
         ny = math.sqrt(math.fsum(eng.chunk_scalars(_w72_sumsq, y)))
         if ny == 0.0:
-            return 0.0, lam1
+            return y, 0.0, lam1
         v = eng.map_chunks(partial(_w72_scale, s=1.0 / ny), y)
     y = eng.spmv_refs(v, "plus_times")
     lam2 = math.fsum(eng.chunk_scalars(_w72_dot, v, y))
+    return v, lam2, lam1
+
+
+def lambda2_refs(eng: SpmvEngine, arith_refs: list, b_refs: list,
+                 iters: int):
+    """Second-eigenvalue estimate (scalars-only wrapper of
+    `fiedler_vector_refs`): returns ``(rayleigh2, lambda1)``."""
+    _, lam2, lam1 = fiedler_vector_refs(eng, arith_refs, b_refs, iters)
     return lam2, lam1
 
 

@@ -19887,3 +19887,185 @@ def q_mcl_prune_stats(sf_dir: str):
         "nnz_selected": pa.array([int(c) for _, _, c in st],
                                  type=pa.int64()),
     })
+
+
+# --- wave 86: spectral bisection, effective resistance, Zipf fit, -----------
+# --- min-plus distance doubling ----------------------------------------------
+
+EFFRES_HUBS = 4
+EFFRES_ITERS = 12
+ZIPF_K = 100
+DOUBLING_K = 128
+DOUBLING_ROUNDS = 3  # exact induced distances up to 2^3 = 8 hops
+
+
+def _w86_side(v):
+    """Bisection side indicator from the deflated vector: 1.0 where
+    round(v, 9) >= 0 (the rounding is shared with the SQL twin so both
+    sides take the same branch on near-zero entries)."""
+    return (np.round(v, 9) >= 0.0).astype(np.float64)
+
+
+def _w86_cut(x, y):
+    # y = A x (x the 0/1 side vector): sum over u NOT in S of y_u =
+    # |{(u, v) in und : v in S, u not in S}| = the undirected cut size
+    return float(((1.0 - x) * y).sum())
+
+
+def _w86_sum(d):
+    return float(d.sum())
+
+
+def q_fiedler_cut(sf_dir: str):
+    """Spectral bisection quality: partition by the SIGN of the
+    Wielandt-deflated power vector (`alg.fiedler_vector_refs`, EIG_ITERS
+    rounds) and report (lambda2, side sizes, cut edges, conductance) —
+    the one-row dashboard a spectral partitioner logs. The cut and the
+    volumes are pure SpMV algebra over the side indicator (cut =
+    (1-x)^T A x, vol = x . deg), refs-only end-to-end — no per-edge
+    driver pass and no O(n) driver arrays (reference use case:
+    CombBLAS-backed spectral partitioning; SpParMat Reduce +
+    `BetwCent.cpp` batching)."""
+    import math
+
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("sym")
+    ar = ctx.vdict.arith_slice_refs(eng.bounds)
+    b_refs = eng.map_chunks(_w72_b, ar)
+    v, lam2, _ = alg.fiedler_vector_refs(eng, ar, b_refs, EIG_ITERS)
+    x = eng.map_chunks(_w86_side, v)
+    deg = eng.in_weights_refs()
+    y = eng.spmv_refs(x, "plus_times")
+    cut = math.fsum(eng.chunk_scalars(_w86_cut, x, y))
+    vol_pos = math.fsum(eng.chunk_scalars(alg._w72_dot, x, deg))
+    vol_all = math.fsum(eng.chunk_scalars(_w86_sum, deg))
+    n_pos = math.fsum(eng.chunk_scalars(_w86_sum, x))
+    vmin = min(vol_pos, vol_all - vol_pos)
+    cond = cut / vmin if vmin > 0 else 0.0
+    return pa.table({
+        "lambda2": pa.array([round(lam2, 6)]),
+        "n_pos": pa.array([int(n_pos)], type=pa.int64()),
+        "n_neg": pa.array([int(ctx.n - n_pos)], type=pa.int64()),
+        "cut_edges": pa.array([int(cut)], type=pa.int64()),
+        "conductance": pa.array([round(cond, 6)]),
+    })
+
+
+def q_effres_hubs(sf_dir: str):
+    """Effective-resistance proxy between the top-EFFRES_HUBS degree
+    hubs (all pairs, rank order): r(s, t) = x_s - x_t where
+    (L + I) x = e_s - e_t after exactly EFFRES_ITERS batched Jacobi
+    rounds (`alg.jacobi_multi_refs` — all C(4,2) solves ride ONE fused
+    SpMM per round). The regularized r is the spanning-edge-centrality
+    proxy a graph-sparsification pipeline logs per hub pair; bounded
+    (k) per-chunk row-dot partials, no O(n) driver arrays."""
+    import ray
+
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("sym")
+    top = alg.top_by_degree(
+        eng, ctx.vdict.arith_slice_refs(eng.bounds), EFFRES_HUBS)
+    k = len(top)
+    pa_, pb_, ss, tt = [], [], [], []
+    for i in range(k):
+        for j in range(i + 1, k):
+            pa_.append(i + 1)
+            pb_.append(j + 1)
+            ss.append(top[i])
+            tt.append(top[j])
+    B, X = alg.jacobi_multi_refs(
+        eng, np.array(ss), np.array(tt), EFFRES_ITERS)
+    r = np.sum(eng.chunk_scalars(alg._jm_rowdot, B, X), axis=0)
+    return pa.table({
+        "pa": pa.array(pa_, type=pa.int64()),
+        "pb": pa.array(pb_, type=pa.int64()),
+        "r_eff": pa.array(np.round(r, 6)),
+    })
+
+
+def q_zipf_fit(sf_dir: str):
+    """Zipf's-law fit over the global token frequency spectrum: OLS of
+    ln(count) on ln(rank) for the top-ZIPF_K tokens (rank by count DESC,
+    token ASC — the `vocab_topk` total order), reporting (n_tokens,
+    slope, intercept, r2) — the corpus-health diagnostic a tokenizer
+    pipeline logs (natural text ~ slope -1). Distributed spectrum via
+    the vocab_topk combiner/shuffle; the fit itself is over the bounded
+    top-k rows."""
+    import ray
+
+    from ..functions import text as textf
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["text"])
+    t = textf.vocab_topk(docs, k=ZIPF_K)
+    cnt = np.asarray(t.column("cnt"), dtype=np.float64)
+    r = np.arange(1, len(cnt) + 1, dtype=np.float64)
+    x, y = np.log(r), np.log(cnt)
+    xm, ym = x.mean(), y.mean()
+    sxx = float(((x - xm) ** 2).sum())
+    sxy = float(((x - xm) * (y - ym)).sum())
+    syy = float(((y - ym) ** 2).sum())
+    slope = sxy / sxx if sxx > 0 else 0.0
+    intercept = ym - slope * xm
+    r2 = (sxy * sxy) / (sxx * syy) if sxx > 0 and syy > 0 else 1.0
+    return pa.table({
+        "n_tokens": pa.array([len(cnt)], type=pa.int64()),
+        "slope": pa.array([round(slope, 6)]),
+        "intercept": pa.array([round(intercept, 6)]),
+        "r2": pa.array([round(r2, 6)]),
+    })
+
+
+def q_minplus_doubling(sf_dir: str):
+    """APSP by min-plus distance DOUBLING on the hub-induced subgraph:
+    take the top-DOUBLING_K degree vertices, `SubsRef` the induced
+    structural undirected subgraph (distributed filter over the edge
+    dataset — `SpParMat.cpp:2030`), then D <- min(D, D (+) D) for
+    DOUBLING_ROUNDS rounds (exact distances to 2^rounds hops — the
+    min_plus-semiring SpGEMM squaring kernel on the BOUNDED k x k
+    extract, k^3 driver flops like the kselect/k_center merges).
+    Output: unordered-pair distance histogram + an `unreached` row
+    (dist = -1) for pairs beyond 2^rounds hops within the subgraph."""
+    import ray
+
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("sym")
+    sel = np.sort(alg.top_by_degree(
+        eng, ctx.vdict.arith_slice_refs(eng.bounds), DOUBLING_K))
+    sel_ref = ray.put(sel)
+
+    def _induced(batch: pa.Table, *, _ref=sel_ref) -> pa.Table:
+        s = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+        src = np.asarray(batch.column("src"))
+        dst = np.asarray(batch.column("dst"))
+        si = np.minimum(np.searchsorted(s, src), len(s) - 1)
+        sj = np.minimum(np.searchsorted(s, dst), len(s) - 1)
+        keep = (s[si] == src) & (s[sj] == dst) & (src != dst)
+        return pa.table({
+            "si": pa.array(si[keep].astype(np.int64)),
+            "sj": pa.array(sj[keep].astype(np.int64)),
+        })
+
+    pairs = ctx.graph("sym").edges.map_batches(
+        _induced, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # bounded: <= k^2 coordinate rows
+    k = len(sel)
+    D = np.full((k, k), np.inf)
+    np.fill_diagonal(D, 0.0)
+    D[pairs.si.to_numpy(), pairs.sj.to_numpy()] = 1.0
+    for _ in range(DOUBLING_ROUNDS):
+        D = np.minimum(D, (D[:, :, None] + D[None, :, :]).min(axis=1))
+    iu = np.triu_indices(k, 1)
+    d = D[iu]
+    fin = np.isfinite(d)
+    dist, cnt = np.unique(d[fin].astype(np.int64), return_counts=True)
+    rows_d = list(dist)
+    rows_c = list(cnt)
+    unreach = int((~fin).sum())
+    if unreach > 0:
+        rows_d.append(-1)
+        rows_c.append(unreach)
+    return pa.table({
+        "dist": pa.array(np.array(rows_d, dtype=np.int64)),
+        "pairs": pa.array(np.array(rows_c, dtype=np.int64)),
+    })
