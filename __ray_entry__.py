@@ -222,6 +222,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "effres_hubs": q.q_effres_hubs,
         "zipf_fit": q.q_zipf_fit,
         "minplus_doubling": q.q_minplus_doubling,
+        # wave 87 (round 5: Cheeger sweep, SimRank, weighted sampling)
+        "cheeger_sweep": q.q_cheeger_sweep,
+        "simrank_pairs": q.q_simrank_pairs,
+        "weighted_systematic": q.q_weighted_systematic,
         # scalar faces of the in-window wave-72/73 kernels (same code
         # paths; locally gated each round)
         "spectral_bound": q.q_spectral_bound,
@@ -723,6 +727,9 @@ def oracle_sql() -> dict[str, str]:
         "zipf_fit": o.zipf_fit(q.ZIPF_K),
         "minplus_doubling": o.minplus_doubling(q.DOUBLING_K,
                                                q.DOUBLING_ROUNDS),
+        "cheeger_sweep": o.cheeger_sweep(q.EIG_ITERS, q.CHEEGER_B),
+        "simrank_pairs": o.simrank_pairs(q.SIMRANK_C, q.SIMRANK_HUBS),
+        "weighted_systematic": o.weighted_systematic(q.WSYS_K),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

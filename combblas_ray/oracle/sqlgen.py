@@ -10799,3 +10799,134 @@ FROM tot t
 WHERE t.np - (SELECT sum(pairs) FROM reach) > 0
 """
     return sql
+
+
+@_materialized
+def cheeger_sweep(iters: int = 8, B: int = 64) -> str:
+    """Threshold sweep-cut curve over the deflated power vector (twin
+    of `queries.q_cheeger_sweep`): per fixed threshold t_b = -1 + 2b/B
+    the proper-cut rows (b, thresh, n_in, cut_edges, conductance)."""
+    return _w86_deflate_chain(iters) + f"""
+, bs AS (SELECT b FROM generate_series(1, {B - 1}) t(b)),
+sideq AS (
+  SELECT s.b, v.i,
+         CASE WHEN round(v.v, 9) <= -1.0 + 2.0 * s.b / {B}
+              THEN 1 ELSE 0 END AS s
+  FROM dv{iters} v CROSS JOIN bs s
+),
+degq2 AS (
+  SELECT f.i, coalesce(d.d, 0) AS d
+  FROM files f LEFT JOIN (
+    SELECT src AS i, count(*) AS d FROM und GROUP BY 1
+  ) d ON d.i = f.i
+),
+agg AS (
+  SELECT sq.b, sum(sq.s) AS nin, sum(sq.s * d.d) AS vol
+  FROM sideq sq JOIN degq2 d ON d.i = sq.i GROUP BY 1
+),
+cutq AS (
+  SELECT a.b, count(*) AS cut
+  FROM und u
+  JOIN sideq a ON a.i = u.src
+  JOIN sideq b2 ON b2.i = u.dst AND b2.b = a.b
+  WHERE a.s = 1 AND b2.s = 0
+  GROUP BY 1
+),
+tot AS (SELECT sum(d) AS vt, count(*) AS n FROM degq2)
+SELECT a.b AS b, round(-1.0 + 2.0 * a.b / {B}, 6) AS thresh,
+       CAST(a.nin AS BIGINT) AS n_in,
+       CAST(coalesce(c.cut, 0) AS BIGINT) AS cut_edges,
+       round(CASE WHEN least(a.vol, t.vt - a.vol) > 0
+                  THEN coalesce(c.cut, 0)
+                       / least(a.vol, t.vt - a.vol)
+                  ELSE 0.0 END, 6) AS conductance
+FROM agg a LEFT JOIN cutq c ON c.b = a.b CROSS JOIN tot t
+WHERE a.nin > 0 AND a.nin < t.n
+ORDER BY b
+"""
+
+
+@_materialized
+def simrank_pairs(c: float = 0.8, k: int = 3) -> str:
+    """SimRank S1/S2 between the top-k in-degree hubs (twin of
+    `queries.q_simrank_pairs`): S1 from common in-neighbors, S2 the
+    full definition sum over I(a) x I(b) with S0 = I."""
+    return PREFIX + f"""
+, ind AS (
+  SELECT f.i, coalesce(d.c, 0) AS d
+  FROM files f LEFT JOIN (
+    SELECT dst AS i, count(*) AS c FROM edges GROUP BY 1
+  ) d ON d.i = f.i
+),
+S AS (
+  SELECT i, rn FROM (
+    SELECT i, row_number() OVER (ORDER BY d DESC, i) AS rn FROM ind
+  ) WHERE rn <= {k}
+),
+prs AS (
+  SELECT a.rn AS pa, b.rn AS pb, a.i AS a, b.i AS b
+  FROM S a JOIN S b ON a.rn < b.rn
+),
+ia AS (SELECT p.pa, p.pb, e.src AS i FROM edges e JOIN prs p
+       ON e.dst = p.a),
+ib AS (SELECT p.pa, p.pb, e.src AS j FROM edges e JOIN prs p
+       ON e.dst = p.b),
+cn AS (
+  SELECT e1.dst AS i, e2.dst AS j, count(*) AS c
+  FROM edges e1 JOIN edges e2 ON e1.src = e2.src
+  GROUP BY 1, 2
+),
+terms AS (
+  SELECT x.pa, x.pb,
+         CASE WHEN x.i = y.j THEN 1.0
+              WHEN di.d > 0 AND dj.d > 0
+              THEN {c} * coalesce(q.c, 0) / (di.d * dj.d)
+              ELSE 0.0 END AS s
+  FROM ia x
+  JOIN ib y ON y.pa = x.pa AND y.pb = x.pb
+  JOIN ind di ON di.i = x.i
+  JOIN ind dj ON dj.i = y.j
+  LEFT JOIN cn q ON q.i = x.i AND q.j = y.j
+),
+nab AS (
+  SELECT x.pa, x.pb, count(*) AS c
+  FROM ia x JOIN ib y
+    ON y.pa = x.pa AND y.pb = x.pb AND y.j = x.i
+  GROUP BY 1, 2
+),
+tsum AS (SELECT pa, pb, sum(s) AS s FROM terms GROUP BY 1, 2)
+SELECT p.pa AS pa, p.pb AS pb,
+       round({c} * coalesce(nq.c, 0) / (da.d * db.d), 6) AS s1,
+       round({c} * coalesce(ts.s, 0.0) / (da.d * db.d), 6) AS s2
+FROM prs p
+JOIN ind da ON da.i = p.a
+JOIN ind db ON db.i = p.b
+LEFT JOIN nab nq ON nq.pa = p.pa AND nq.pb = p.pb
+LEFT JOIN tsum ts ON ts.pa = p.pa AND ts.pb = p.pb
+ORDER BY pa, pb
+"""
+
+
+def weighted_systematic(k: int = 16) -> str:
+    """Weighted systematic sample of orders, probability proportional
+    to cents(o_totalprice) (twin of `queries.q_weighted_systematic`):
+    thresholds t_j = (2j+1) W / (2k) exact-int against the cumulative
+    cents in o_orderkey order."""
+    return f"""
+WITH oc AS (
+  SELECT o_orderkey AS kk,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+cw AS (
+  SELECT kk, cents, sum(cents) OVER (ORDER BY kk) AS cum FROM oc
+),
+tot AS (SELECT sum(cents) AS w FROM oc),
+th AS (
+  SELECT s.j, (2 * s.j + 1) * t.w // (2 * {k}) AS t
+  FROM generate_series(0, {k - 1}) s(j) CROSS JOIN tot t
+)
+SELECT th.j AS j, c.kk AS o_orderkey, c.cents AS cents
+FROM th JOIN cw c ON th.t >= c.cum - c.cents AND th.t < c.cum
+ORDER BY j
+"""

@@ -20069,3 +20069,241 @@ def q_minplus_doubling(sf_dir: str):
         "dist": pa.array(np.array(rows_d, dtype=np.int64)),
         "pairs": pa.array(np.array(rows_c, dtype=np.int64)),
     })
+
+
+# --- wave 87: Cheeger threshold sweep, SimRank hub pairs, ------------------
+# --- weighted systematic sampling -------------------------------------------
+
+CHEEGER_B = 64
+SIMRANK_C = 0.8
+SIMRANK_HUBS = 3
+WSYS_K = 16
+WSYS_BUCKETS = 32
+
+
+def _w87_prefix_ind(v):
+    """(B-1, chunk) prefix indicators of the deflated vector against the
+    fixed threshold grid t_b = -1 + 2b/B (unit vector => v in [-1, 1];
+    the grid is value-fixed so the SQL twin reproduces it exactly)."""
+    vr = np.round(v, 9)
+    t = -1.0 + 2.0 * np.arange(1, CHEEGER_B) / CHEEGER_B
+    return (vr[None, :] <= t[:, None]).astype(np.float64)
+
+
+def _w87_keep_y(Y, bounds):
+    return Y
+
+
+def _w87_sweep_part(X, Y, deg):
+    """(3, B-1) bounded partial per chunk: prefix sizes, volumes, cuts."""
+    nin = X.sum(axis=1)
+    vol = (X * deg).sum(axis=1)
+    cut = ((1.0 - X) * Y).sum(axis=1)
+    return np.stack([nin, vol, cut])
+
+
+def q_cheeger_sweep(sf_dir: str):
+    """Cheeger-style threshold sweep over the deflated power vector:
+    for each fixed threshold t_b = -1 + 2b/B the prefix set
+    S_b = {u : round(v_u, 9) <= t_b}, reporting (b, thresh, n_in,
+    cut_edges, conductance) for every PROPER cut — the sweep-cut curve
+    a spectral partitioner scans for the Cheeger minimum. ALL B-1
+    prefixes ride ONE fused tall-skinny SpMM (Y = A X over the (B-1, n)
+    indicator state, `spmm_apply_refs`) + bounded (3, B-1) per-chunk
+    partials; refs-only end-to-end."""
+    import math
+
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("sym")
+    ar = ctx.vdict.arith_slice_refs(eng.bounds)
+    b_refs = eng.map_chunks(_w72_b, ar)
+    v, _, _ = alg.fiedler_vector_refs(eng, ar, b_refs, EIG_ITERS)
+    X = eng.map_chunks(_w87_prefix_ind, v)
+    Y = eng.spmm_apply_refs(X, CHEEGER_B - 1, "plus_times",
+                            _w87_keep_y, 1)[0]
+    deg = eng.in_weights_refs()
+    parts = np.sum(eng.chunk_scalars(_w87_sweep_part, X, Y, deg), axis=0)
+    nin, vol, cut = parts[0], parts[1], parts[2]
+    vol_all = math.fsum(eng.chunk_scalars(_w86_sum, deg))
+    bs = np.arange(1, CHEEGER_B)
+    keep = (nin > 0) & (nin < ctx.n)
+    vmin = np.minimum(vol[keep], vol_all - vol[keep])
+    cond = np.where(vmin > 0, cut[keep] / np.where(vmin > 0, vmin, 1.0),
+                    0.0)
+    return pa.table({
+        "b": pa.array(bs[keep].astype(np.int64)),
+        "thresh": pa.array(np.round(-1.0 + 2.0 * bs[keep] / CHEEGER_B,
+                                    6)),
+        "n_in": pa.array(nin[keep].astype(np.int64)),
+        "cut_edges": pa.array(cut[keep].astype(np.int64)),
+        "conductance": pa.array(np.round(cond, 6)),
+    })
+
+
+def _w87_unit(bounds, v):
+    s, e = bounds
+    x = np.zeros(e - s)
+    if s <= v < e:
+        x[v - s] = 1.0
+    return x
+
+
+def _w87_qvec(ia, d):
+    out = np.zeros_like(ia)
+    np.divide(ia, d, out=out, where=d > 0)
+    return out
+
+
+def _w87_invd_common(ia, ib, d):
+    m = (ia > 0) & (ib > 0) & (d > 0)
+    return float((1.0 / d[m]).sum()) if m.any() else 0.0
+
+
+def q_simrank_pairs(sf_dir: str):
+    """SimRank similarity (c = 0.8, 2 iterations from S_0 = I) between
+    the top-SIMRANK_HUBS in-degree hubs, all rank pairs: S1 directly
+    from common in-neighbors, S2 via the closed form
+
+      S2(a,b) = c/(|Ia||Ib|) * (c * (A q_a . A q_b - corr) + |Ia inter Ib|)
+
+    with q_x = indicator(I(x)) / indeg elementwise and corr the
+    double-counted i = j diagonal — i.e. the whole second SimRank
+    iteration for a pair collapses to FOUR forward SpMVs + bounded
+    dots (no n x n similarity matrix anywhere). Reference semantics:
+    semiring SpMV composition (`SpParMat` plus_times)."""
+    import math
+
+    ctx = get_context(sf_dir)
+    # reverse structural engine: its spmv is y_i = sum_v E_orig(i -> v)
+    # x_v (the in-neighbor gather) and its column sums are the original
+    # in-degrees — every primitive below rides ONE engine
+    eng = ctx.engine("rev_bool")
+    ar = ctx.vdict.arith_slice_refs(eng.bounds)
+    d = eng.out_weights_refs()  # original in-degrees
+    top = alg.top_by_degree(eng, ar, SIMRANK_HUBS, deg_refs=d)
+    ind, q, aq, size = {}, {}, {}, {}
+    for h in top:
+        e_h = eng.map_chunks_i(partial(_w87_unit, v=int(h)))
+        ia = eng.spmv_refs(e_h, "plus_times")  # in-nbr indicator of h
+        ind[h] = ia
+        size[h] = math.fsum(eng.chunk_scalars(_w86_sum, ia))
+        q[h] = eng.map_chunks(_w87_qvec, ia, d)
+        aq[h] = eng.spmv_refs(q[h], "plus_times")
+    c = SIMRANK_C
+    rows = {"pa": [], "pb": [], "s1": [], "s2": []}
+    for i in range(len(top)):
+        for j in range(i + 1, len(top)):
+            a, b = top[i], top[j]
+            na, nb = size[a], size[b]
+            nab = math.fsum(eng.chunk_scalars(alg._w72_dot,
+                                              ind[a], ind[b]))
+            cross = math.fsum(eng.chunk_scalars(alg._w72_dot,
+                                                aq[a], aq[b]))
+            corr = math.fsum(eng.chunk_scalars(_w87_invd_common,
+                                               ind[a], ind[b], d))
+            s1 = c * nab / (na * nb) if na > 0 and nb > 0 else 0.0
+            s2 = (c / (na * nb) * (c * (cross - corr) + nab)
+                  if na > 0 and nb > 0 else 0.0)
+            rows["pa"].append(i + 1)
+            rows["pb"].append(j + 1)
+            rows["s1"].append(round(s1, 6))
+            rows["s2"].append(round(s2, 6))
+    return pa.table({
+        "pa": pa.array(rows["pa"], type=pa.int64()),
+        "pb": pa.array(rows["pb"], type=pa.int64()),
+        "s1": pa.array(rows["s1"]),
+        "s2": pa.array(rows["s2"]),
+    })
+
+
+def q_weighted_systematic(sf_dir: str):
+    """Weighted systematic sample of orders, probability proportional
+    to total price: thresholds t_j = (2j+1) W / (2K) (exact int64
+    cents) against the cumulative-cents sequence in o_orderkey order —
+    heavy orders can absorb several picks. The cumulative sequence is
+    a DISTRIBUTED SCAN: per-range cents sums -> bounded driver offset
+    prefix -> per-range local cumsum + searchsorted picks (one
+    warm-task shuffle; the driver sees only the P range sums and the
+    K picks)."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    o = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_totalprice"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        k = np.asarray(t.column("o_orderkey"), dtype=np.int64)
+        cents = np.floor(np.asarray(t.column("o_totalprice"),
+                                    dtype=np.float64) * 100
+                         + 0.5).astype(np.int64)
+        return pa.table({"k": pa.array(k), "cents": pa.array(cents)})
+
+    oc = o.map_batches(_cents, batch_format="pyarrow",
+                       zero_copy_batch=True).materialize()
+    # pass 1: bounded per-batch partials -> (max key, total cents)
+
+    def _mw(t: pa.Table) -> pa.Table:
+        k = np.asarray(t.column("k"), dtype=np.int64)
+        cents = np.asarray(t.column("cents"), dtype=np.int64)
+        return pa.table({"mk": pa.array([int(k.max()) if len(k) else -1],
+                                        type=pa.int64()),
+                         "w": pa.array([int(cents.sum())],
+                                       type=pa.int64())})
+
+    mw = oc.map_batches(_mw, batch_format="pyarrow",
+                        zero_copy_batch=True).to_pandas()
+    maxk = int(mw.mk.max())
+    W = int(mw.w.sum())
+    span = maxk // WSYS_BUCKETS + 1
+    th = (2 * np.arange(WSYS_K, dtype=np.int64) + 1) * W // (2 * WSYS_K)
+
+    # pass 2: per-bucket cents sums (bounded) -> offsets
+    def _bsum(t: pa.Table) -> pa.Table:
+        k = np.asarray(t.column("k"), dtype=np.int64)
+        cents = np.asarray(t.column("cents"), dtype=np.int64)
+        ub, inv = np.unique(k // span, return_inverse=True)
+        return pa.table({"bucket": pa.array(ub),
+                         "s": pa.array(ibincount(inv, cents,
+                                                 minlength=len(ub)))})
+
+    bs = oc.map_batches(_bsum, batch_format="pyarrow",
+                        zero_copy_batch=True).to_pandas()
+    sums = np.zeros(WSYS_BUCKETS, dtype=np.int64)
+    np.add.at(sums, bs.bucket.to_numpy(), bs.s.to_numpy())
+    offsets = np.concatenate(([0], np.cumsum(sums)[:-1]))
+
+    def _bk(t: pa.Table) -> pa.Table:
+        k = np.asarray(t.column("k"), dtype=np.int64)
+        return t.append_column("bucket", pa.array(k // span))
+
+    def _pick(t: pa.Table) -> pa.Table:
+        empty = pa.table({"j": pa.array([], type=pa.int64()),
+                          "o_orderkey": pa.array([], type=pa.int64()),
+                          "cents": pa.array([], type=pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        k = np.asarray(t.column("k"), dtype=np.int64)
+        cents = np.asarray(t.column("cents"), dtype=np.int64)
+        b = np.asarray(t.column("bucket"), dtype=np.int64)
+        out_j, out_k, out_c = [], [], []
+        for ub in np.unique(b):
+            m = b == ub
+            order = np.argsort(k[m], kind="stable")
+            kk, cc = k[m][order], cents[m][order]
+            cum = offsets[ub] + np.cumsum(cc)
+            lo, hi = offsets[ub], offsets[ub] + cc.sum()
+            js = np.nonzero((th >= lo) & (th < hi))[0]
+            idx = np.searchsorted(cum, th[js], side="right")
+            out_j.append(js.astype(np.int64))
+            out_k.append(kk[idx])
+            out_c.append(cc[idx])
+        return pa.table({
+            "j": pa.array(np.concatenate(out_j)),
+            "o_orderkey": pa.array(np.concatenate(out_k)),
+            "cents": pa.array(np.concatenate(out_c)),
+        })
+
+    withb = oc.map_batches(_bk, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return group_apply_tasks(withb, ["bucket"], _pick)
