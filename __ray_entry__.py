@@ -226,6 +226,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cheeger_sweep": q.q_cheeger_sweep,
         "simrank_pairs": q.q_simrank_pairs,
         "weighted_systematic": q.q_weighted_systematic,
+        # wave 88 (round 5: Hutchinson trace, k-truss peel, EWMA flags)
+        "hutchinson_trace": q.q_hutchinson_trace,
+        "ktruss_peel": q.q_ktruss_peel,
+        "ewma_daily": q.q_ewma_daily,
         # scalar faces of the in-window wave-72/73 kernels (same code
         # paths; locally gated each round)
         "spectral_bound": q.q_spectral_bound,
@@ -730,6 +734,9 @@ def oracle_sql() -> dict[str, str]:
         "cheeger_sweep": o.cheeger_sweep(q.EIG_ITERS, q.CHEEGER_B),
         "simrank_pairs": o.simrank_pairs(q.SIMRANK_C, q.SIMRANK_HUBS),
         "weighted_systematic": o.weighted_systematic(q.WSYS_K),
+        "hutchinson_trace": o.hutchinson_trace(q.HUTCH_P),
+        "ktruss_peel": o.ktruss_peel(q.TRUSS_K, q.TRUSS_ROUNDS),
+        "ewma_daily": o.ewma_daily(q.EWMA_NUM, q.EWMA_DEN, q.EWMA_FACTOR),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

@@ -10930,3 +10930,108 @@ SELECT th.j AS j, c.kk AS o_orderkey, c.cents AS cents
 FROM th JOIN cw c ON th.t >= c.cum - c.cents AND th.t < c.cum
 ORDER BY j
 """
+
+
+# --- wave 88: Hutchinson trace, k-truss peel, EWMA daily flags --------------
+
+
+@_materialized
+def hutchinson_trace(P: int = 6) -> str:
+    """Per-probe Hutchinson estimates of tr(A^3) with Knuth-hash
+    Rademacher signs; exact-int64 chained SpMVs (twin of
+    `queries.q_hutchinson_trace`)."""
+    return PREFIX + f"""
+, und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+z AS (
+  SELECT pr.p, f.i,
+         CAST(1 - 2 * (((((((((pr.p * pm.n + f.i) % 1048576) * 2654435761
+              + ((pr.p * pm.n + f.i) // 1048576) * 40503) % 4294967296)
+              % 65536) * 48271
+              + ((((pr.p * pm.n + f.i) % 1048576) * 2654435761
+              + ((pr.p * pm.n + f.i) // 1048576) * 40503) % 4294967296)
+              // 65536) % 4294967296) // 65536) % 2) AS BIGINT) AS v
+  FROM generate_series(1, {P}) pr(p) CROSS JOIN files f CROSS JOIN params pm
+),
+y1 AS (
+  SELECT z.p, u.src AS i, CAST(sum(z.v) AS BIGINT) AS v
+  FROM und u JOIN z ON z.i = u.dst GROUP BY z.p, u.src
+),
+y2 AS (
+  SELECT y1.p, u.src AS i, CAST(sum(y1.v) AS BIGINT) AS v
+  FROM und u JOIN y1 ON y1.i = u.dst GROUP BY y1.p, u.src
+),
+y3 AS (
+  SELECT y2.p, u.src AS i, CAST(sum(y2.v) AS BIGINT) AS v
+  FROM und u JOIN y2 ON y2.i = u.dst GROUP BY y2.p, u.src
+),
+est AS (
+  SELECT z.p, CAST(coalesce(sum(z.v * y3.v), 0) AS BIGINT) AS est
+  FROM z LEFT JOIN y3 ON y3.p = z.p AND y3.i = z.i GROUP BY z.p
+)
+SELECT p AS probe, est,
+       round(avg(est) OVER (ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW), 6) AS mean_est
+FROM est ORDER BY p
+"""
+
+
+@_materialized
+def ktruss_peel(k: int = 4, rounds: int = 3) -> str:
+    """Per-round k-truss peel counts: support = common-neighbor count on
+    edges, peel support < k-2 (twin of `queries.q_ktruss_peel`)."""
+    sql = PREFIX + """
+, e0 AS (SELECT src, dst FROM edges WHERE src <> dst
+         UNION SELECT dst AS src, src AS dst FROM edges WHERE src <> dst)
+"""
+    for r in range(1, rounds + 1):
+        sql += f"""
+, s{r} AS (
+  SELECT a.src AS i, b.dst AS j, count(*) AS c
+  FROM e{r - 1} a JOIN e{r - 1} b ON a.dst = b.src
+  GROUP BY a.src, b.dst
+),
+e{r} AS (
+  SELECT e.src, e.dst
+  FROM e{r - 1} e JOIN s{r} s ON s.i = e.src AND s.j = e.dst
+  WHERE s.c >= {k - 2}
+)"""
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, "
+        f"(SELECT count(*) // 2 FROM e{r - 1}) AS n_edges, "
+        f"(SELECT count(*) // 2 FROM e{r}) AS n_survive"
+        for r in range(1, rounds + 1))
+    return sql + "\n" + rows + "\nORDER BY round\n"
+
+
+def ewma_daily(num: int = 1, den: int = 4, factor: float = 1.5) -> str:
+    """Recursive EWMA over the dense daily event-count axis with dyadic
+    alpha = num/den and burst flag (twin of `queries.q_ewma_daily`)."""
+    a = num / den
+    return f"""
+WITH RECURSIVE d0 AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS c
+  FROM events GROUP BY 1
+),
+bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM d0),
+axis AS (
+  SELECT lo AS day, CAST(0 AS BIGINT) AS t FROM bounds
+  UNION ALL
+  SELECT a.day + 1, a.t + 1 FROM axis a, bounds b WHERE a.day < b.hi
+),
+x AS MATERIALIZED (
+  SELECT a.day, a.t, coalesce(d0.c, 0) AS c
+  FROM axis a LEFT JOIN d0 ON d0.day = a.day
+),
+rec AS (
+  SELECT day, t, c, CAST(c AS DOUBLE) AS s, FALSE AS flag
+  FROM x WHERE t = 0
+  UNION ALL
+  SELECT x.day, x.t, x.c,
+         {a!r} * x.c + {1.0 - a!r} * r.s,
+         x.c > {factor!r} * r.s
+  FROM rec r JOIN x ON x.t = r.t + 1
+)
+SELECT day, CAST(c AS BIGINT) AS cnt,
+       CAST(floor(s * 1000000 + 0.5) AS BIGINT) AS ewma_u, flag
+FROM rec ORDER BY day
+"""

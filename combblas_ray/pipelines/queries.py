@@ -20307,3 +20307,153 @@ def q_weighted_systematic(sf_dir: str):
     withb = oc.map_batches(_bk, batch_format="pyarrow",
                            zero_copy_batch=True)
     return group_apply_tasks(withb, ["bucket"], _pick)
+
+
+# --- wave 88: Hutchinson trace estimator, k-truss peel trace, ---------------
+# --- EWMA daily anomaly flags -------------------------------------------------
+
+HUTCH_P = 6
+TRUSS_K = 4
+TRUSS_ROUNDS = 3
+EWMA_NUM = 1  # alpha = EWMA_NUM / EWMA_DEN = 0.25 (dyadic: exact in binary)
+EWMA_DEN = 4
+EWMA_FACTOR = 1.5
+
+
+def _w88_probe(n, ar, bounds):
+    """(HUTCH_P, chunk) Rademacher probe block: z_p[v] = 1 - 2*bit16 of
+    a TWO-round Knuth/Lehmer multiplicative mix of (p*n + arith(v)).
+    Two rounds matter: the low bit of key*odd is just parity(key)
+    (constant across probes when n is even), and even bit 16 of one
+    multiply is a Weyl sequence with visible structure — keyed on the
+    permutation-stable ARITH label index (not the dense id), the same
+    deterministic SQL-expressible generator as the percolation sampler."""
+    key = (np.arange(1, HUTCH_P + 1, dtype=np.int64)[:, None] * np.int64(n)
+           + np.asarray(ar, dtype=np.int64)[None, :])
+    h1 = ((key % (1 << 20)) * np.int64(2654435761)
+          + (key // (1 << 20)) * np.int64(40503)) % np.int64(1 << 32)
+    h2 = ((h1 % (1 << 16)) * np.int64(48271)
+          + h1 // (1 << 16)) % np.int64(1 << 32)
+    return (1 - 2 * ((h2 >> 16) % 2)).astype(np.int64)
+
+
+def q_hutchinson_trace(sf_dir: str):
+    """Hutchinson stochastic trace estimator of tr(A^3) = 6 x triangles
+    over the structural undirected graph: HUTCH_P deterministic
+    Rademacher probes (Knuth-hash signs), est_p = z_p^T A^3 z_p via
+    THREE chained exact-int64 batched SpMMs (`plus_times_i64` — path
+    counting past the f64 2^53 ceiling, the reference's promoted 64-bit
+    semiring types) riding the chunked refs form (BetwCent.cpp:179-187
+    batched fringes); per-probe row-dot partials close the quadratic
+    form. The trace-estimation primitive of spectral-density / Estrada
+    pipelines at scales where diag(A^3) SpGEMM is unaffordable. Output:
+    (probe, est, mean_est) with the running mean — integer-exact per
+    probe on both twins, no O(n) driver arrays."""
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("sym")
+    ar = ctx.vdict.arith_slice_refs(eng.bounds)
+    z = eng.map_chunks_i(partial(_w88_probe, ctx.n), ar)
+    y = z
+    for _ in range(3):
+        y = eng.spmm_refs(y, HUTCH_P, "plus_times_i64")
+    ests = np.sum(eng.chunk_scalars(alg._jm_rowdot, z, y), axis=0)
+    ests = ests.astype(np.int64)
+    means = np.cumsum(ests) / np.arange(1, HUTCH_P + 1)
+    return pa.table({
+        "probe": pa.array(np.arange(1, HUTCH_P + 1), type=pa.int64()),
+        "est": pa.array(ests, type=pa.int64()),
+        "mean_est": pa.array(np.round(means, 6)),
+    })
+
+
+def _w88_keep(b: pa.Table) -> pa.Table:
+    m = np.asarray(b.column("w"), dtype=np.int64) >= TRUSS_K - 2
+    return pa.table({
+        "src": pa.array(np.asarray(b.column("src"), dtype=np.int64)[m]),
+        "dst": pa.array(np.asarray(b.column("dst"), dtype=np.int64)[m]),
+        "w": pa.array(np.ones(int(m.sum()), dtype=np.float64)),
+    })
+
+
+def q_ktruss_peel(sf_dir: str):
+    """TRUSS_K-truss peeling trace: per round, the per-edge triangle
+    support of the CURRENT undirected edge set is ONE SpGEMM
+    (`Mult_AnXBn_Synch` analog, warm-task shuffle plan) + an EWiseMult
+    coordinate mask (``SpParMat.cpp:2815``) — support(u,v) = (A^2)_uv
+    on edges — then edges with support < K-2 are peeled. The truss
+    decomposition inner loop (cohesive-subgraph mining); each round's
+    shuffle width follows the wedge-volume heuristic. Output one row
+    per round: (round, n_edges, n_survive) in canonical-pair counts."""
+    from ..core import spgemm as SG
+
+    ctx = get_context(sf_dir)
+    n = ctx.n
+    E = ctx.graph("directed").union_max().edges.materialize()
+    deg = ctx.engine("sym").in_weights().astype(np.float64)
+    gp = int(max(8, min(64, np.ceil(float((deg ** 2).sum()) / 1.5e6))))
+    rounds, before, after = [], [], []
+    for r in range(1, TRUSS_ROUNDS + 1):
+        m0 = E.count()
+        if m0 == 0:
+            # empty fixpoint: every later round is (0, 0) exactly —
+            # skip the degenerate SpGEMM instead of shuffling nothing
+            m1 = 0
+        else:
+            S = SG.spgemm_tasks(E, E, n, add="sum", num_partitions=gp)
+            M = SG.coordinate_mask(S, E, n, num_partitions=gp)
+            E = M.map_batches(_w88_keep, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+            m1 = E.count()
+        rounds.append(r)
+        before.append(m0 // 2)
+        after.append(m1 // 2)
+    return pa.table({
+        "round": pa.array(rounds, type=pa.int64()),
+        "n_edges": pa.array(before, type=pa.int64()),
+        "n_survive": pa.array(after, type=pa.int64()),
+    })
+
+
+def q_ewma_daily(sf_dir: str):
+    """EWMA anomaly flags over the daily event-count series: dense day
+    axis from min to max epoch-day (zero-filled), s_1 = x_1,
+    s_t = alpha*x_t + (1-alpha)*s_{t-1} with the DYADIC alpha = 1/4 (so
+    every smoothed value is an exact binary float on both twins), and
+    flag_t = x_t > 1.5 * s_{t-1} — the streaming burst detector a
+    volume-monitoring pipeline runs per day. The day histogram is
+    distributed (per-batch bincount partials, bounded rows to the
+    driver); the recursion itself is over the bounded day axis. Output
+    (day, cnt, ewma, flag)."""
+    import ray
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def _days(b: pa.Table) -> pa.Table:
+        day = (np.asarray(b.column("ts")).astype("datetime64[us]")
+               .astype(np.int64) // 86_400_000_000)
+        u, c = np.unique(day, return_counts=True)
+        return pa.table({"day": pa.array(u), "c": pa.array(c)})
+
+    agg: dict[int, int] = {}
+    for r in ev.map_batches(_days, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all():
+        agg[r["day"]] = agg.get(r["day"], 0) + r["c"]
+    lo, hi = min(agg), max(agg)
+    days = np.arange(lo, hi + 1, dtype=np.int64)
+    x = np.array([agg.get(int(d), 0) for d in days], dtype=np.int64)
+    a = EWMA_NUM / EWMA_DEN
+    s = np.empty(len(days), dtype=np.float64)
+    flag = np.zeros(len(days), dtype=bool)
+    s[0] = float(x[0])
+    for t in range(1, len(days)):
+        flag[t] = x[t] > EWMA_FACTOR * s[t - 1]
+        s[t] = a * x[t] + (1.0 - a) * s[t - 1]
+    return pa.table({
+        "day": pa.array(days),
+        "cnt": pa.array(x),
+        # micro-units fixed point: the dyadic alpha makes exact .5 ties
+        # common, where round() half-even (numpy) vs half-away (DuckDB)
+        # split — floor(x*1e6 + 0.5) is one deterministic rule both sides
+        "ewma_u": pa.array(np.floor(s * 1e6 + 0.5).astype(np.int64)),
+        "flag": pa.array(flag),
+    })
