@@ -230,6 +230,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hutchinson_trace": q.q_hutchinson_trace,
         "ktruss_peel": q.q_ktruss_peel,
         "ewma_daily": q.q_ewma_daily,
+        # wave 89 (round 5: bow-tie census, K4 count, CUSUM flags)
+        "bowtie_census": q.q_bowtie_census,
+        "k4_count": q.q_k4_count,
+        "cusum_flags": q.q_cusum_flags,
         # scalar faces of the in-window wave-72/73 kernels (same code
         # paths; locally gated each round)
         "spectral_bound": q.q_spectral_bound,
@@ -737,6 +741,9 @@ def oracle_sql() -> dict[str, str]:
         "hutchinson_trace": o.hutchinson_trace(q.HUTCH_P),
         "ktruss_peel": o.ktruss_peel(q.TRUSS_K, q.TRUSS_ROUNDS),
         "ewma_daily": o.ewma_daily(q.EWMA_NUM, q.EWMA_DEN, q.EWMA_FACTOR),
+        "bowtie_census": o.bowtie_census(),
+        "k4_count": o.k4_count(),
+        "cusum_flags": o.cusum_flags(q.CUSUM_H_MULT),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

@@ -11035,3 +11035,120 @@ SELECT day, CAST(c AS BIGINT) AS cnt,
        CAST(floor(s * 1000000 + 0.5) AS BIGINT) AS ewma_u, flag
 FROM rec ORDER BY day
 """
+
+
+# --- wave 89: bow-tie census, 4-clique count, CUSUM drift flags -------------
+
+
+def bowtie_census() -> str:
+    """CORE/IN/OUT/OTHER bow-tie census pivoted on the top-degree hub,
+    with forward/backward reach as recursive closures (exact fixpoint —
+    twin of `queries.q_bowtie_census`). Recursive CTEs cannot take the
+    MATERIALIZED hint, so only the prefix/prep CTEs are materialized."""
+    pre = re.sub(r"\bAS \(", "AS MATERIALIZED (", PREFIX).replace(
+        "WITH params", "WITH RECURSIVE params", 1)
+    return pre + """
+, und AS MATERIALIZED (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+deg AS MATERIALIZED (SELECT src AS i, count(*) AS d FROM und GROUP BY 1),
+pv AS MATERIALIZED (
+  SELECT i FROM deg ORDER BY d DESC, i LIMIT 1
+),
+fwd AS (
+  SELECT i FROM pv
+  UNION
+  SELECT e.dst AS i FROM edges e JOIN fwd r ON r.i = e.src
+),
+bwd AS (
+  SELECT i FROM pv
+  UNION
+  SELECT e.src AS i FROM edges e JOIN bwd r ON r.i = e.dst
+),
+cls AS MATERIALIZED (
+  SELECT v.i, (f.i IS NOT NULL) AS in_f, (b.i IS NOT NULL) AS in_b
+  FROM files v LEFT JOIN fwd f ON f.i = v.i
+               LEFT JOIN bwd b ON b.i = v.i
+)
+SELECT CAST(sum(CASE WHEN in_f AND in_b THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_core,
+       CAST(sum(CASE WHEN in_b AND NOT in_f THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_in,
+       CAST(sum(CASE WHEN in_f AND NOT in_b THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_out,
+       CAST(sum(CASE WHEN NOT in_f AND NOT in_b THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_other
+FROM cls
+"""
+
+
+@_materialized
+def k4_count() -> str:
+    """Triangle / triangle-pair / K4 counts via the shared-lowest-edge
+    triangle join (twin of `queries.q_k4_count`). n_triangles and n_k4
+    are id-space invariant, but n_tri_pairs groups triangles by their
+    LOWEST edge, which depends on the vertex total order — so the
+    oracle maps into dense label-rank ids, the Ray side's order."""
+    return PREFIX + """
+, dense AS (
+  SELECT i, row_number() OVER (ORDER BY label) - 1 AS d FROM verts
+),
+de AS (
+  SELECT ds.d AS src, dd.d AS dst
+  FROM edges e JOIN dense ds ON ds.i = e.src JOIN dense dd ON dd.i = e.dst
+),
+und AS (
+  SELECT src, dst FROM de UNION SELECT dst, src FROM de
+),
+adj AS (SELECT src AS a, dst AS b FROM und WHERE src < dst),
+tri AS (
+  SELECT e1.a AS a, e1.b AS m, e2.b AS c
+  FROM adj e1
+  JOIN adj e2 ON e2.a = e1.b
+  JOIN adj e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+pairs AS (
+  SELECT t1.c AS c1, t2.c AS c2
+  FROM tri t1 JOIN tri t2 ON t1.a = t2.a AND t1.m = t2.m AND t1.c < t2.c
+)
+SELECT (SELECT count(*) FROM tri) AS n_triangles,
+       (SELECT count(*) FROM pairs) AS n_tri_pairs,
+       (SELECT count(*) FROM pairs p
+        JOIN adj e ON e.a = p.c1 AND e.b = p.c2) AS n_k4
+"""
+
+
+def cusum_flags(mult: int = 2) -> str:
+    """Integer one-sided Page CUSUM over the dense daily event-count
+    axis (twin of `queries.q_cusum_flags`)."""
+    return f"""
+WITH RECURSIVE d0 AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS c
+  FROM events GROUP BY 1
+),
+bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM d0),
+axis AS (
+  SELECT lo AS day, CAST(0 AS BIGINT) AS t FROM bounds
+  UNION ALL
+  SELECT a.day + 1, a.t + 1 FROM axis a, bounds b WHERE a.day < b.hi
+),
+x AS MATERIALIZED (
+  SELECT a.day, a.t, coalesce(d0.c, 0) AS c
+  FROM axis a LEFT JOIN d0 ON d0.day = a.day
+),
+kk AS MATERIALIZED (
+  SELECT CAST(sum(c) // count(*) AS BIGINT) AS k FROM x
+),
+rec AS (
+  SELECT day, t, c,
+         greatest(CAST(0 AS BIGINT), CAST(c - k.k AS BIGINT)) AS s
+  FROM x, kk k WHERE t = 0
+  UNION ALL
+  SELECT x.day, x.t, x.c,
+         greatest(CAST(0 AS BIGINT), CAST(r.s + x.c - k.k AS BIGINT))
+  FROM rec r JOIN x ON x.t = r.t + 1, kk k
+)
+SELECT day, CAST(c AS BIGINT) AS cnt, s AS cusum,
+       s > {mult} * k.k AS flag
+FROM rec, kk k ORDER BY day
+"""

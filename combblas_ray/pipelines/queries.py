@@ -20457,3 +20457,153 @@ def q_ewma_daily(sf_dir: str):
         "ewma_u": pa.array(np.floor(s * 1e6 + 0.5).astype(np.int64)),
         "flag": pa.array(flag),
     })
+
+
+# --- wave 89: web bow-tie census, 4-clique count, CUSUM drift flags ---------
+
+CUSUM_H_MULT = 2
+
+
+def _w89_bowtie_part(F, B):
+    """Per-chunk 4-way bow-tie census over the (1, chunk) forward /
+    backward hub-reach distance states: (core, in, out, other)."""
+    f, b = np.isfinite(F[0]), np.isfinite(B[0])
+    core = f & b
+    return np.array([
+        int(core.sum()),
+        int((b & ~core).sum()),
+        int((f & ~core).sum()),
+        int((~f & ~b).sum()),
+    ], dtype=np.int64)
+
+
+def q_bowtie_census(sf_dir: str):
+    """Web BOW-TIE decomposition relative to the SCC of the top-degree
+    hub (Broder et al.'s CORE/IN/OUT census, pivoted like one FW-BW SCC
+    round — the deterministic pivot makes it SQL-checkable where the
+    full data-dependent SCC sweep is not): forward reach on the
+    directed structural engine and backward reach on its transpose both
+    run TO FIXPOINT (the min-plus kseed loop's exact early exit — no
+    iteration bound), then CORE = fwd AND bwd (mutual reach with the
+    hub = the hub's SCC), IN = bwd-only, OUT = fwd-only, OTHER =
+    tendrils + disconnected. The census reduces bounded per-chunk
+    counts; the driver never holds an O(n) array. Reference semantics:
+    the FW-BW pivot round of the SCC machinery (min-label SpMV,
+    ``CC.h:419-577``)."""
+    import ray
+
+    ctx = get_context(sf_dir)
+    sym = ctx.engine("sym")
+    hub = np.asarray(alg.top_by_degree(
+        sym, ctx.vdict.arith_slice_refs(sym.bounds), 1), dtype=np.int64)
+    F = alg.kseed_distances_refs(ctx.engine("dir_bool"), hub,
+                                 iters=1 << 20)
+    B = alg.kseed_distances_refs(ctx.engine("rev_bool"), hub,
+                                 iters=1 << 20)
+    parts = np.sum(ray.get(sym.map_chunks(_w89_bowtie_part, F, B)),
+                   axis=0)
+    names = ["n_core", "n_in", "n_out", "n_other"]
+    return pa.table({nm: pa.array([int(v)], type=pa.int64())
+                     for nm, v in zip(names, parts)})
+
+
+def _w89_left(t: pa.Table) -> pa.Table:
+    return pa.table({"a": t.column("a"), "m": t.column("m"),
+                     "c1": t.column("c")})
+
+
+def _w89_right(t: pa.Table) -> pa.Table:
+    return pa.table({"a": t.column("a"), "m": t.column("m"),
+                     "c2": t.column("c")})
+
+
+def _w89_pairs(t: pa.Table) -> pa.Table:
+    c1 = np.asarray(t.column("c1"), dtype=np.int64)
+    c2 = np.asarray(t.column("c2"), dtype=np.int64)
+    keep = c1 < c2
+    return pa.table({"a": pa.array(c1[keep]), "c": pa.array(c2[keep])})
+
+
+def q_k4_count(sf_dir: str):
+    """4-clique (K4) census via the triangle-edge join: every triangle
+    a < m < c is keyed by its LOWEST edge (a, m); two triangles sharing
+    that edge give a candidate third-vertex pair (c1 < c2), and the
+    candidate is a K4 iff (c1, c2) is itself an edge — so each K4
+    w < x < y < z is counted exactly ONCE, via its two-smallest-vertex
+    edge (w, x) (the other two triangle keys (w, y) / (x, y) hold one
+    triangle each and emit nothing). Both the self-join and the closing
+    adjacency semi join are co-partitioned warm tasks sized by the
+    wedge volume — the masked-SpGEMM composition (`MaskedSpGEMM`
+    analog) lifted one motif order above `q_triangle_count`. Output one
+    row: (n_triangles, n_tri_pairs, n_k4)."""
+    from ..core.shuffle import hash_join_tasks
+
+    ctx = get_context(sf_dir)
+    tri = _triangles_ids(ctx).materialize()
+    n_tri = tri.count()
+    deg = ctx.engine("sym").in_weights().astype(np.float64)
+    gp = int(max(8, min(64, np.ceil(float((deg ** 2).sum()) / 1.5e6))))
+    pairs = hash_join_tasks(
+        tri.map_batches(_w89_left, batch_format="pyarrow"),
+        tri.map_batches(_w89_right, batch_format="pyarrow"),
+        on=["a", "m"], num_partitions=gp, post=_w89_pairs,
+    ).materialize()
+    n_pairs = pairs.count()
+    g = ctx.graph("sym")
+    adj = g.dedup_sum().cast_bool().edges.map_batches(
+        _w89_orient_ac, batch_format="pyarrow")
+    k4 = hash_join_tasks(pairs, adj, on=["a", "c"],
+                         join_type="left semi", num_partitions=gp)
+    return pa.table({
+        "n_triangles": pa.array([int(n_tri)], type=pa.int64()),
+        "n_tri_pairs": pa.array([int(n_pairs)], type=pa.int64()),
+        "n_k4": pa.array([int(k4.count())], type=pa.int64()),
+    })
+
+
+def _w89_orient_ac(t: pa.Table) -> pa.Table:
+    s = np.asarray(t.column("src"), dtype=np.int64)
+    d = np.asarray(t.column("dst"), dtype=np.int64)
+    keep = s < d
+    return pa.table({"a": pa.array(s[keep]), "c": pa.array(d[keep])})
+
+
+def q_cusum_flags(sf_dir: str):
+    """One-sided Page CUSUM drift detector over the dense daily
+    event-count axis, kept ALL-INTEGER (exact on both twins; the EWMA
+    sibling covers the dyadic-float recursion): target k = floor(total
+    / n_days), S_0 = max(0, x_0 - k), S_t = max(0, S_{t-1} + x_t - k),
+    flag when S_t > h = CUSUM_H_MULT * k — the volume-monitor burst
+    detector with drift normalization. The day histogram is distributed
+    (per-batch bincount partials, bounded rows to the driver); the
+    recursion folds over the bounded day axis. Output
+    (day, cnt, cusum, flag)."""
+    import ray
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def _days(b: pa.Table) -> pa.Table:
+        day = (np.asarray(b.column("ts")).astype("datetime64[us]")
+               .astype(np.int64) // 86_400_000_000)
+        u, c = np.unique(day, return_counts=True)
+        return pa.table({"day": pa.array(u), "c": pa.array(c)})
+
+    agg: dict[int, int] = {}
+    for r in ev.map_batches(_days, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all():
+        agg[r["day"]] = agg.get(r["day"], 0) + r["c"]
+    lo, hi = min(agg), max(agg)
+    days = np.arange(lo, hi + 1, dtype=np.int64)
+    x = np.array([agg.get(int(d), 0) for d in days], dtype=np.int64)
+    k = int(x.sum()) // len(days)
+    h = CUSUM_H_MULT * k
+    s = np.empty(len(days), dtype=np.int64)
+    s[0] = max(0, int(x[0]) - k)
+    for t in range(1, len(days)):
+        s[t] = max(0, int(s[t - 1]) + int(x[t]) - k)
+    return pa.table({
+        "day": pa.array(days),
+        "cnt": pa.array(x),
+        "cusum": pa.array(s),
+        "flag": pa.array(s > h),
+    })
