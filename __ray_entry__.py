@@ -234,6 +234,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bowtie_census": q.q_bowtie_census,
         "k4_count": q.q_k4_count,
         "cusum_flags": q.q_cusum_flags,
+        # wave 90 (round 5: Steiner 2-approx, mutual NN, snowball)
+        "steiner_approx": q.q_steiner_approx,
+        "mutual_nn": q.q_mutual_nn,
+        "snowball_census": q.q_snowball_census,
         # scalar faces of the in-window wave-72/73 kernels (same code
         # paths; locally gated each round)
         "spectral_bound": q.q_spectral_bound,
@@ -744,6 +748,9 @@ def oracle_sql() -> dict[str, str]:
         "bowtie_census": o.bowtie_census(),
         "k4_count": o.k4_count(),
         "cusum_flags": o.cusum_flags(q.CUSUM_H_MULT),
+        "steiner_approx": o.steiner_approx(q.STEINER_K, q.BFS_ITERS),
+        "mutual_nn": o.mutual_nn(),
+        "snowball_census": o.snowball_census(q.SNOW_ROUNDS, q.SNOW_FAN),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

@@ -11152,3 +11152,116 @@ SELECT day, CAST(c AS BIGINT) AS cnt, s AS cusum,
        s > {mult} * k.k AS flag
 FROM rec, kk k ORDER BY day
 """
+
+
+# --- wave 90: Steiner 2-approx, mutual-NN pairs, snowball census ------------
+
+
+@_materialized
+def steiner_approx(k: int = 4, iters: int = 12) -> str:
+    """Metric-closure MST over the top-k hub terminals: rank-rooted
+    min-plus BFS chain + unrolled Prim with the (dist, rank_a, rank_b)
+    tie-break (twin of `queries.q_steiner_approx`)."""
+    sql = PREFIX + f"""
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+deg AS (SELECT src AS i, count(*) AS d FROM und GROUP BY 1),
+S AS (
+  SELECT i, rn FROM (
+    SELECT i, row_number() OVER (ORDER BY d DESC, i) AS rn FROM deg
+  ) WHERE rn <= {k}
+),
+d0 AS (SELECT rn AS r, i, 0 AS dist FROM S)
+"""
+    prev = "d0"
+    for x in range(1, iters + 1):
+        sql += f"""
+, d{x} AS (
+  SELECT r, i, min(dist) AS dist FROM (
+    SELECT r, i, dist FROM {prev}
+    UNION ALL
+    SELECT dp.r, u.dst AS i, dp.dist + 1 AS dist
+    FROM und u JOIN {prev} dp ON dp.i = u.src
+  ) GROUP BY 1, 2
+)"""
+        prev = f"d{x}"
+    sql += f"""
+, h AS (
+  SELECT d.r AS ta, t.rn AS tb, min(d.dist) AS d
+  FROM {prev} d JOIN S t ON t.i = d.i WHERE d.r <> t.rn GROUP BY 1, 2
+),
+tr0 AS (SELECT 1 AS t)"""
+    for s in range(1, k):
+        sql += f"""
+, p{s} AS (
+  SELECT ta, tb, d FROM h
+  WHERE ta IN (SELECT t FROM tr{s - 1})
+    AND tb NOT IN (SELECT t FROM tr{s - 1})
+  ORDER BY d, ta, tb LIMIT 1
+),
+tr{s} AS (SELECT t FROM tr{s - 1} UNION ALL SELECT tb FROM p{s})"""
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({s} AS BIGINT) AS step, CAST(ta AS BIGINT) AS ta, "
+        f"CAST(tb AS BIGINT) AS tb, CAST(d AS BIGINT) AS dist FROM p{s}"
+        for s in range(1, k))
+    return sql + "\n" + rows + "\nORDER BY step\n"
+
+
+def mutual_nn() -> str:
+    """Mutual cosine top-1 pairs over the embedding table (twin of
+    `queries.q_mutual_nn`; ties by neighbor id)."""
+    return """
+WITH sims AS MATERIALIZED (
+  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         list_cosine_similarity(a.embedding, b.embedding) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+top1 AS MATERIALIZED (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY sim DESC, nid ASC) AS rn
+    FROM sims
+  ) WHERE rn = 1
+)
+SELECT t1.qid AS a, t1.nid AS b
+FROM top1 t1 JOIN top1 t2 ON t2.qid = t1.nid AND t2.nid = t1.qid
+WHERE t1.qid < t1.nid
+"""
+
+
+@_materialized
+def snowball_census(rounds: int = 2, fan: int = 3) -> str:
+    """Deterministic snowball sample from the top-degree hub: each
+    frontier vertex names its `fan` smallest-id structural neighbors
+    (id = arith on both twins), unrolled `rounds` rounds (twin of
+    `queries.q_snowball_census`)."""
+    sql = PREFIX + """
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+deg AS (SELECT src AS i, count(*) AS d FROM und GROUP BY 1),
+pv AS (SELECT i FROM deg ORDER BY d DESC, i LIMIT 1),
+s0 AS (SELECT i, 0 AS rnd FROM pv),
+f0 AS (SELECT i FROM pv)
+"""
+    for r in range(1, rounds + 1):
+        sql += f"""
+, cand{r} AS (
+  SELECT u.src, u.dst,
+         row_number() OVER (PARTITION BY u.src ORDER BY u.dst) AS rn
+  FROM und u WHERE u.src IN (SELECT i FROM f{r - 1})
+),
+new{r} AS (
+  SELECT DISTINCT dst AS i FROM cand{r}
+  WHERE rn <= {fan} AND dst NOT IN (SELECT i FROM s{r - 1})
+),
+s{r} AS (SELECT i, rnd FROM s{r - 1}
+         UNION ALL SELECT i, {r} AS rnd FROM new{r}),
+f{r} AS (SELECT i FROM new{r})"""
+    sql += f"""
+SELECT v.label AS label, CAST(s.rnd AS BIGINT) AS round
+FROM s{rounds} s JOIN verts v ON v.i = s.i
+"""
+    return sql

@@ -20607,3 +20607,154 @@ def q_cusum_flags(sf_dir: str):
         "cusum": pa.array(s),
         "flag": pa.array(s > h),
     })
+
+
+# --- wave 90: Steiner 2-approx, mutual-NN pairs, snowball census ------------
+
+STEINER_K = 4
+SNOW_ROUNDS = 2
+SNOW_FAN = 3
+
+
+def q_steiner_approx(sf_dir: str):
+    """Metric-closure Steiner tree 2-approximation over the STEINER_K
+    top-degree hub terminals (Kou-Markowsky-Berman step 1-2): hub-to-hub
+    hop distances within BFS_ITERS via the K-source min-plus SpMM
+    (chunked refs, only the K seed COLUMNS gathered — bounded K x K
+    driver state, `BetwCent.cpp:179-187` batched form), then Prim's MST
+    over the K x K closure with the (dist, rank_a, rank_b) lexicographic
+    tie-break — terminal RANKS (1-based position in the (deg DESC,
+    arith ASC) hub order) are id-space invariant, so the same tie-break
+    is expressible in SQL. Output one row per Prim step:
+    (step, ta, tb, dist); unreachable-in-window terminals end the tree
+    early on both twins."""
+    import ray
+
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("sym")
+    S = alg.top_by_degree(
+        eng, ctx.vdict.arith_slice_refs(eng.bounds), STEINER_K)
+    K = len(S)
+    D_refs = alg.kseed_distances_refs(eng, S, iters=BFS_ITERS)
+    pos_refs, sub_refs = eng.map_chunks_n(
+        partial(_seed_cols, seeds=S), 2, D_refs, with_bounds=True)
+    H = np.full((K, K), np.inf)
+    for pos, sub in zip(ray.get(pos_refs), ray.get(sub_refs)):
+        H[:, pos] = sub
+    in_tree = [0]
+    steps, tas, tbs, ds = [], [], [], []
+    for step in range(1, K):
+        best = None
+        for a in in_tree:
+            for b in range(K):
+                if b in in_tree or not np.isfinite(H[a, b]):
+                    continue
+                cand = (float(H[a, b]), a + 1, b + 1)
+                if best is None or cand < best:
+                    best = cand
+        if best is None:
+            break  # remaining terminals unreachable within the window
+        d, ta, tb = best
+        in_tree.append(tb - 1)
+        steps.append(step)
+        tas.append(ta)
+        tbs.append(tb)
+        ds.append(int(d))
+    return pa.table({
+        "step": pa.array(steps, type=pa.int64()),
+        "ta": pa.array(tas, type=pa.int64()),
+        "tb": pa.array(tbs, type=pa.int64()),
+        "dist": pa.array(ds, type=pa.int64()),
+    })
+
+
+def _w90_fwd(t: pa.Table) -> pa.Table:
+    return pa.table({"a": t.column("query_id"), "b": t.column("neighbor_id")})
+
+
+def _w90_rev(t: pa.Table) -> pa.Table:
+    return pa.table({"a": t.column("neighbor_id"), "b": t.column("query_id")})
+
+
+def q_mutual_nn(sf_dir: str):
+    """Mutual nearest-neighbor pairs over the embedding table: each
+    vector's cosine top-1 (ties by neighbor id — `knn_graph`'s exact 2D
+    block-pair tiled plan, k=1), kept iff the relation is SYMMETRIC
+    (a's NN is b AND b's NN is a) — the bitext-mining / cluster-seeding
+    primitive (a stricter face of the kNN graph). The mutuality check
+    is the kNN dataset inner-joined with its own reverse on BOTH id
+    columns (co-partitioned warm tasks). Output (a, b) vec_id pairs,
+    a < b."""
+    import ray
+
+    from ..core.shuffle import hash_join_tasks
+    from ..functions.ann import knn_graph
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    nn = knn_graph(emb, k=1, method="exact").materialize()
+    pairs = hash_join_tasks(
+        nn.map_batches(_w90_fwd, batch_format="pyarrow"),
+        nn.map_batches(_w90_rev, batch_format="pyarrow"),
+        on=["a", "b"], num_partitions=8, post=_w90_ab,
+    )
+    return pairs
+
+
+def _w90_ab(t: pa.Table) -> pa.Table:
+    a = np.asarray(t.column("a"), dtype=np.int64)
+    b = np.asarray(t.column("b"), dtype=np.int64)
+    keep = a < b
+    return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
+
+
+def q_snowball_census(sf_dir: str):
+    """Deterministic snowball sample from the top-degree hub: each
+    frontier vertex names its SNOW_FAN smallest-arith structural
+    neighbors (the respondent-driven-sampling rule with the
+    permutation-stable arith order standing in for 'first k contacts');
+    newly named vertices join the sample and expand next round, for
+    SNOW_ROUNDS rounds. The per-round candidate edges are a distributed
+    Dataset filter against the broadcast (bounded) frontier; ranking
+    folds over the frontier-degree-bounded candidate set. Output
+    (label, round) for every sampled vertex."""
+    import ray
+
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("sym")
+    hub = int(alg.top_by_degree(
+        eng, ctx.vdict.arith_slice_refs(eng.bounds), 1)[0])
+    be = ctx.graph("sym").dedup_sum().cast_bool().edges
+    sampled = {hub: 0}
+    frontier = [hub]
+    for r in range(1, SNOW_ROUNDS + 1):
+        fset = set(frontier)
+
+        def _cand(t: pa.Table, *, _f=frozenset(fset)) -> pa.Table:
+            s = np.asarray(t.column("src"), dtype=np.int64)
+            d = np.asarray(t.column("dst"), dtype=np.int64)
+            keep = np.isin(s, np.fromiter(_f, dtype=np.int64))
+            return pa.table({"s": pa.array(s[keep]),
+                             "d": pa.array(d[keep])})
+
+        cand = be.map_batches(_cand, batch_format="pyarrow").to_pandas()
+        if len(cand) == 0:
+            break
+        dst = cand["d"].to_numpy()
+        ar = ctx.decoder().arith(dst)
+        new = []
+        for s in sorted(fset):
+            m = cand["s"].to_numpy() == s
+            picks = dst[m][np.argsort(ar[m], kind="stable")][:SNOW_FAN]
+            for v in picks:
+                if int(v) not in sampled:
+                    sampled[int(v)] = r
+                    new.append(int(v))
+        if not new:
+            break
+        frontier = new
+    ids = np.array(sorted(sampled), dtype=np.int64)
+    return pa.table({
+        "label": _label_col(ctx, ids),
+        "round": pa.array([sampled[int(v)] for v in ids], type=pa.int64()),
+    })
