@@ -238,6 +238,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "steiner_approx": q.q_steiner_approx,
         "mutual_nn": q.q_mutual_nn,
         "snowball_census": q.q_snowball_census,
+        # wave 91 (round 5: hub walk returns, cascade, Holt trend)
+        "hub_walk_returns": q.q_hub_walk_returns,
+        "threshold_cascade": q.q_threshold_cascade,
+        "holt_trend": q.q_holt_trend,
         # scalar faces of the in-window wave-72/73 kernels (same code
         # paths; locally gated each round)
         "spectral_bound": q.q_spectral_bound,
@@ -751,6 +755,11 @@ def oracle_sql() -> dict[str, str]:
         "steiner_approx": o.steiner_approx(q.STEINER_K, q.BFS_ITERS),
         "mutual_nn": o.mutual_nn(),
         "snowball_census": o.snowball_census(q.SNOW_ROUNDS, q.SNOW_FAN),
+        "hub_walk_returns": o.hub_walk_returns(q.WALK_T),
+        "threshold_cascade": o.threshold_cascade(
+            q.CASC_MOD, q.CASC_THETA, q.CASC_ROUNDS),
+        "holt_trend": o.holt_trend(q.HOLT_A_NUM, q.HOLT_A_DEN,
+                                   q.HOLT_B_NUM, q.HOLT_B_DEN),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

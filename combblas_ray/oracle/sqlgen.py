@@ -11265,3 +11265,104 @@ SELECT v.label AS label, CAST(s.rnd AS BIGINT) AS round
 FROM s{rounds} s JOIN verts v ON v.i = s.i
 """
     return sql
+
+
+# --- wave 91: hub walk returns, threshold cascade, Holt trend ---------------
+
+
+@_materialized
+def hub_walk_returns(t_max: int = 6) -> str:
+    """Exact closed-walk counts (A^t)[hub,hub] at the top-degree hub
+    (twin of `queries.q_hub_walk_returns`)."""
+    sql = PREFIX + """
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+deg AS (SELECT src AS i, count(*) AS d FROM und GROUP BY 1),
+pv AS (SELECT i FROM deg ORDER BY d DESC, i LIMIT 1),
+w0 AS (SELECT i, CAST(1 AS BIGINT) AS c FROM pv)
+"""
+    for t in range(1, t_max + 1):
+        sql += f"""
+, w{t} AS (
+  SELECT u.dst AS i, CAST(sum(w.c) AS BIGINT) AS c
+  FROM und u JOIN w{t - 1} w ON w.i = u.src GROUP BY 1
+)"""
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({t} AS BIGINT) AS t, CAST(coalesce("
+        f"(SELECT w.c FROM w{t} w, pv p WHERE w.i = p.i), 0) AS BIGINT)"
+        f" AS walks"
+        for t in range(1, t_max + 1))
+    return sql + "\n" + rows + "\nORDER BY t\n"
+
+
+@_materialized
+def threshold_cascade(mod: int = 17, theta: int = 2,
+                      rounds: int = 4) -> str:
+    """Bootstrap-percolation active counts per synchronous round (twin
+    of `queries.q_threshold_cascade`)."""
+    sql = PREFIX + f"""
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+a0 AS (SELECT i FROM files WHERE i % {mod} = 0)
+"""
+    for r in range(1, rounds + 1):
+        sql += f"""
+, y{r} AS (
+  SELECT u.dst AS j, count(*) AS c
+  FROM und u JOIN a{r - 1} w ON w.i = u.src GROUP BY 1
+),
+a{r} AS (
+  SELECT i FROM a{r - 1}
+  UNION
+  SELECT j AS i FROM y{r} WHERE c >= {theta}
+)"""
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, "
+        f"(SELECT count(*) FROM a{r}) AS n_active"
+        for r in range(rounds + 1))
+    return sql + "\n" + rows + "\nORDER BY round\n"
+
+
+def holt_trend(a_num: int = 1, a_den: int = 2,
+               b_num: int = 1, b_den: int = 4) -> str:
+    """Holt double-exponential smoothing over the dense daily axis with
+    dyadic gains (twin of `queries.q_holt_trend`). The recursive step
+    recomputes the new level inline for the trend update — the same
+    double expression twice is bit-identical, matching numpy's use of
+    the stored value."""
+    a = a_num / a_den
+    be = b_num / b_den
+    newl = f"{a!r} * x.c + {1.0 - a!r} * (r.l + r.b)"
+    return f"""
+WITH RECURSIVE d0 AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS c
+  FROM events GROUP BY 1
+),
+bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM d0),
+axis AS (
+  SELECT lo AS day, CAST(0 AS BIGINT) AS t FROM bounds
+  UNION ALL
+  SELECT a.day + 1, a.t + 1 FROM axis a, bounds b WHERE a.day < b.hi
+),
+x AS MATERIALIZED (
+  SELECT a.day, a.t, coalesce(d0.c, 0) AS c
+  FROM axis a LEFT JOIN d0 ON d0.day = a.day
+),
+rec AS (
+  SELECT day, t, c, CAST(c AS DOUBLE) AS l,
+         CAST(coalesce((SELECT c FROM x WHERE t = 1), c) - c AS DOUBLE)
+           AS b
+  FROM x WHERE t = 0
+  UNION ALL
+  SELECT x.day, x.t, x.c,
+         {newl},
+         {be!r} * (({newl}) - r.l) + {1.0 - be!r} * r.b
+  FROM rec r JOIN x ON x.t = r.t + 1
+)
+SELECT day, CAST(c AS BIGINT) AS cnt,
+       CAST(floor(l * 1000000 + 0.5) AS BIGINT) AS level_u,
+       CAST(floor(b * 1000000 + 0.5) AS BIGINT) AS trend_u
+FROM rec ORDER BY day
+"""

@@ -20758,3 +20758,136 @@ def q_snowball_census(sf_dir: str):
         "label": _label_col(ctx, ids),
         "round": pa.array([sampled[int(v)] for v in ids], type=pa.int64()),
     })
+
+
+# --- wave 91: hub closed-walk returns, threshold cascade, Holt trend --------
+
+WALK_T = 6
+CASC_MOD = 17
+CASC_THETA = 2
+CASC_ROUNDS = 4
+HOLT_A_NUM, HOLT_A_DEN = 1, 2  # alpha = 1/2  (dyadic: exact in binary)
+HOLT_B_NUM, HOLT_B_DEN = 1, 4  # beta  = 1/4
+
+
+def _w91_seed(bounds, hub):
+    s, e = bounds
+    x = np.zeros((1, e - s), dtype=np.int64)
+    if s <= hub < e:
+        x[0, hub - s] = 1
+    return x
+
+
+def q_hub_walk_returns(sf_dir: str):
+    """Closed-walk return counts at the top-degree hub: c_t =
+    (A^t)[hub, hub] for t = 1..WALK_T over the structural undirected
+    graph, via repeated EXACT-int64 SpMV from e_hub riding chunked refs
+    (`plus_times_i64` — path counting past the f64 2^53 ceiling, the
+    reference's promoted 64-bit semiring types); only the hub's single
+    entry is gathered back per step. The single-vertex face of the
+    Estrada/closed-walk machinery: c_1 = 0 (loop-free), c_2 = deg(hub),
+    c_3 = 2 x triangles at the hub. Output (t, walks)."""
+    import ray
+
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("sym")
+    hub = int(alg.top_by_degree(
+        eng, ctx.vdict.arith_slice_refs(eng.bounds), 1)[0])
+    x = eng.map_chunks_n(partial(_w91_seed, hub=hub), 1,
+                         with_bounds=True)[0]
+    walks = []
+    for _ in range(WALK_T):
+        x = eng.spmm_refs(x, 1, "plus_times_i64")
+        pos_refs, sub_refs = eng.map_chunks_n(
+            partial(_seed_cols, seeds=np.array([hub])), 2, x,
+            with_bounds=True)
+        val = 0
+        for pos, sub in zip(ray.get(pos_refs), ray.get(sub_refs)):
+            if len(pos):
+                val = int(sub[0, 0])
+        walks.append(val)
+    return pa.table({
+        "t": pa.array(np.arange(1, WALK_T + 1), type=pa.int64()),
+        "walks": pa.array(walks, type=pa.int64()),
+    })
+
+
+def _w91_casc_seed(ar):
+    return (np.asarray(ar, dtype=np.int64)[None, :] % CASC_MOD == 0
+            ).astype(np.int64)
+
+
+def _w91_casc_step(a, y):
+    return ((a[0] > 0) | (y[0] >= CASC_THETA)).astype(np.int64)[None, :]
+
+
+def _w91_count(a):
+    return np.array([int(a.sum())], dtype=np.int64)
+
+
+def q_threshold_cascade(sf_dir: str):
+    """Bootstrap-percolation / linear-threshold cascade: seeds are the
+    vertices with arith %% CASC_MOD == 0; each round an inactive vertex
+    activates when >= CASC_THETA of its structural neighbors are active
+    (the deterministic-threshold influence-spread model), CASC_ROUNDS
+    synchronous rounds. Per round: ONE exact-int64 indicator SpMV
+    (active-neighbor counts) + an elementwise threshold OR — all state
+    as chunked refs, per-round counts reduced from bounded per-chunk
+    scalars. Output (round, n_active) including round 0 (the seeds)."""
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("sym")
+    ar = ctx.vdict.arith_slice_refs(eng.bounds)
+    a = eng.map_chunks(_w91_casc_seed, ar)
+    counts = [int(np.sum(eng.chunk_scalars(_w91_count, a)))]
+    for _ in range(CASC_ROUNDS):
+        y = eng.spmm_refs(a, 1, "plus_times_i64")
+        a = eng.map_chunks(_w91_casc_step, a, y)
+        counts.append(int(np.sum(eng.chunk_scalars(_w91_count, a))))
+    return pa.table({
+        "round": pa.array(np.arange(CASC_ROUNDS + 1), type=pa.int64()),
+        "n_active": pa.array(counts, type=pa.int64()),
+    })
+
+
+def q_holt_trend(sf_dir: str):
+    """Holt's linear (double exponential) smoothing over the dense
+    daily event-count axis with DYADIC gains alpha = 1/2, beta = 1/4
+    (every level/trend value is an exact binary float on both twins):
+    l_0 = x_0, b_0 = x_1 - x_0, then l_t = alpha*x_t +
+    (1-alpha)*(l_{t-1}+b_{t-1}), b_t = beta*(l_t-l_{t-1}) +
+    (1-beta)*b_{t-1} — the trend-aware forecaster next to the EWMA /
+    CUSUM siblings. Day histogram distributed; the two-state recursion
+    folds over the bounded day axis. Output (day, cnt, level_u,
+    trend_u) in micro-unit fixed point."""
+    import ray
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def _days(b: pa.Table) -> pa.Table:
+        day = (np.asarray(b.column("ts")).astype("datetime64[us]")
+               .astype(np.int64) // 86_400_000_000)
+        u, c = np.unique(day, return_counts=True)
+        return pa.table({"day": pa.array(u), "c": pa.array(c)})
+
+    agg: dict[int, int] = {}
+    for r in ev.map_batches(_days, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all():
+        agg[r["day"]] = agg.get(r["day"], 0) + r["c"]
+    lo, hi = min(agg), max(agg)
+    days = np.arange(lo, hi + 1, dtype=np.int64)
+    x = np.array([agg.get(int(d), 0) for d in days], dtype=np.int64)
+    a = HOLT_A_NUM / HOLT_A_DEN
+    be = HOLT_B_NUM / HOLT_B_DEN
+    lev = np.empty(len(days))
+    tr = np.empty(len(days))
+    lev[0] = float(x[0])
+    tr[0] = float(x[1] - x[0]) if len(x) > 1 else 0.0
+    for t in range(1, len(days)):
+        lev[t] = a * x[t] + (1.0 - a) * (lev[t - 1] + tr[t - 1])
+        tr[t] = be * (lev[t] - lev[t - 1]) + (1.0 - be) * tr[t - 1]
+    return pa.table({
+        "day": pa.array(days),
+        "cnt": pa.array(x),
+        "level_u": pa.array(np.floor(lev * 1e6 + 0.5).astype(np.int64)),
+        "trend_u": pa.array(np.floor(tr * 1e6 + 0.5).astype(np.int64)),
+    })
