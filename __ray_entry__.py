@@ -61,9 +61,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LSH bucket caps — newest = highest regression risk)
         "bfs": q.q_bfs,
         "bfs_parents": q.q_bfs_parents,
-        "msbfs": q.q_msbfs,
-        "distance_hist": q.q_distance_hist,
-        "apsp_top": q.q_apsp_top,
         "hub_asymmetry": q.q_hub_asymmetry,
         "prune_column": q.q_prune_column,
         "colstochastic": q.q_colstochastic,
@@ -80,6 +77,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salsa_fixed": q.q_salsa_fixed,
         "lambda2": q.q_lambda2,
         "lm_outliers": q.q_lm_outliers,
+        # waves 88-91 (round 5 session 3: newest = highest regression
+        # risk — trace/audit + motif/reach/sampling/forecast faces)
+        "hutchinson_trace": q.q_hutchinson_trace,
+        "ktruss_peel": q.q_ktruss_peel,
+        "ewma_daily": q.q_ewma_daily,
+        "bowtie_census": q.q_bowtie_census,
+        "k4_count": q.q_k4_count,
+        "cusum_flags": q.q_cusum_flags,
+        "steiner_approx": q.q_steiner_approx,
+        "mutual_nn": q.q_mutual_nn,
+        "snowball_census": q.q_snowball_census,
+        "hub_walk_returns": q.q_hub_walk_returns,
+        "threshold_cascade": q.q_threshold_cascade,
+        "holt_trend": q.q_holt_trend,
+        # wave 92 (round 5 session 4: BM25 retrieval scoring — newest)
+        "bm25_topk": q.q_bm25_topk,
         # waves 77-80 (round 5: convergence/metrics faces of the core
         # apps — these touched the pagerank/BFS/SSSP/LP/MCL loops)
         "pagerank_trace": q.q_pagerank_trace,
@@ -93,32 +106,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 14 (newest = highest regression risk)
         # wave 15
         # wave 69 (round 4: newest = highest regression risk)
-        "busy_minutes": q.q_busy_minutes,
         "bfs_level_cut": q.q_bfs_level_cut,
-        # wave 68 (round 4)
-        "edge_deg_grid": q.q_edge_deg_grid,
-        "blob_bytes_hist": q.q_blob_bytes_hist,
-        # wave 67 (round 4)
-        "cc_convergence_trace": q.q_cc_convergence_trace,
         # wave 66 (round 4)
         "cross_source_dups": q.q_cross_source_dups,
-        # wave 65 (round 4)
-        "lang_run_stats": q.q_lang_run_stats,
-        # wave 64 (round 4)
-        "id_alignment_audit": q.q_id_alignment_audit,
-        # wave 63 (round 4)
-        "reach2_hist": q.q_reach2_hist,
-        # wave 62 (round 4)
-        "lsh_bucket_census": q.q_lsh_bucket_census,
-        # wave 61 (round 4)
-        # wave 60 (round 4)
         # wave 59 (round 4)
         "decile_priority_grid": q.q_decile_priority_grid,
         # wave 58 (round 4)
-        "nn_hubness": q.q_nn_hubness,
         "hub_bisector": q.q_hub_bisector,
-        # wave 57 (round 4)
-        "nation_p90_orders": q.q_nation_p90_orders,
         # wave 56 (round 4)
         # wave 55 (round 4)
         # wave 54 (round 4)
@@ -170,6 +164,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
         "same_day_orders": q.q_same_day_orders,  # date-join census (r4 wave-68 green; window slot 50 kept across rotations)
+        # rotated out for waves 88-92 (all driver-green in r4/r5 windows;
+        # named in-window siblings exercise the same machinery)
+        "apsp_top": q.q_apsp_top,  # K-source top rows (r5 wave-70 green; steiner_approx kseed sibling)
+        "msbfs": q.q_msbfs,  # K-source min-merge (r4 wave-70 green; apsp_top/steiner_approx kseed siblings)
+        "distance_hist": q.q_distance_hist,  # K-source census (r4 wave-70 green; hub_bisector/steiner_approx siblings)
+        "busy_minutes": q.q_busy_minutes,  # minute census (r4 wave-69 green; ewma_daily/cusum_flags/holt_trend day-axis siblings)
+        "edge_deg_grid": q.q_edge_deg_grid,  # degree grid (r4 wave-68 green; decile_priority_grid grid sibling)
+        "blob_bytes_hist": q.q_blob_bytes_hist,  # corpus census (r4 wave-68 green; cross_source_dups corpus sibling)
+        "cc_convergence_trace": q.q_cc_convergence_trace,  # CC trace (r4 wave-67 green; connected_components in-window)
+        "lang_run_stats": q.q_lang_run_stats,  # text runs (r4 wave-65 green; lm_score/lm_outliers text siblings)
+        "id_alignment_audit": q.q_id_alignment_audit,  # id audit (r4 wave-64 green; edge_table end-to-end id sibling)
+        "reach2_hist": q.q_reach2_hist,  # 2-hop SpGEMM reach (r4 wave-63 green; ktruss_peel/k4_count SpGEMM siblings)
+        "lsh_bucket_census": q.q_lsh_bucket_census,  # LSH buckets (r4 wave-62 green; minhash_pairs in-window)
+        "nn_hubness": q.q_nn_hubness,  # kNN in-degree (r4 wave-58 green; mutual_nn knn-graph sibling)
+        "nation_p90_orders": q.q_nation_p90_orders,  # percentile rollup (r4 wave-57 green; decile_priority_grid sibling)
         # rotated out for waves 77-80 (all r4-driver-green)
         "bfs_frontier_trace": q.q_bfs_frontier_trace,  # level sizes (r4 wave-67 green; superseded by the richer bfs_dir_trace in-window)
         "supplier_brand_span": q.q_supplier_brand_span,  # relational span (r4 wave-61 green; decile_priority_grid/edge_deg_grid siblings)
@@ -226,22 +235,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cheeger_sweep": q.q_cheeger_sweep,
         "simrank_pairs": q.q_simrank_pairs,
         "weighted_systematic": q.q_weighted_systematic,
-        # wave 88 (round 5: Hutchinson trace, k-truss peel, EWMA flags)
-        "hutchinson_trace": q.q_hutchinson_trace,
-        "ktruss_peel": q.q_ktruss_peel,
-        "ewma_daily": q.q_ewma_daily,
-        # wave 89 (round 5: bow-tie census, K4 count, CUSUM flags)
-        "bowtie_census": q.q_bowtie_census,
-        "k4_count": q.q_k4_count,
-        "cusum_flags": q.q_cusum_flags,
-        # wave 90 (round 5: Steiner 2-approx, mutual NN, snowball)
-        "steiner_approx": q.q_steiner_approx,
-        "mutual_nn": q.q_mutual_nn,
-        "snowball_census": q.q_snowball_census,
-        # wave 91 (round 5: hub walk returns, cascade, Holt trend)
-        "hub_walk_returns": q.q_hub_walk_returns,
-        "threshold_cascade": q.q_threshold_cascade,
-        "holt_trend": q.q_holt_trend,
         # scalar faces of the in-window wave-72/73 kernels (same code
         # paths; locally gated each round)
         "spectral_bound": q.q_spectral_bound,
@@ -760,6 +753,7 @@ def oracle_sql() -> dict[str, str]:
             q.CASC_MOD, q.CASC_THETA, q.CASC_ROUNDS),
         "holt_trend": o.holt_trend(q.HOLT_A_NUM, q.HOLT_A_DEN,
                                    q.HOLT_B_NUM, q.HOLT_B_DEN),
+        "bm25_topk": o.bm25_topk(q.BM25_K, q.BM25_QK),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

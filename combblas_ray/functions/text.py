@@ -22,6 +22,7 @@ import pyarrow.compute as pc
 
 from ..core.shuffle import (group_apply_tasks, group_reduce_per_key,
                             group_sum_per_key)
+from ..util import ibincount
 
 LANG_MARKERS = {
     "de": "sort",
@@ -1136,4 +1137,115 @@ def lm_len_corr(docs_ds, num_partitions: int | None = None) -> pa.Table:
         "r": pa.array(rs),
         "n_docs": pa.array([int(agg[g][5]) for g in langs],
                            type=pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring (integer-rational variant)
+# ---------------------------------------------------------------------------
+
+BM25_SCALE = 1_000  # idf_u = (N * BM25_SCALE) // df
+# k1 = 1.2, b = 0.75 folded into one integer-rational per-term factor:
+#   tf*(k1+1) / (tf + k1*(1 - b + b*dl*N/S))
+#     = (22000 * tf * S) // (10*S*tf + 3*S + 9*dl*N)   [milli-units]
+# staying int64-safe (22000 * tf * S < 2^63 while S < ~4e14 tokens).
+
+
+def _dl_from_tf(t: pa.Table) -> pa.Table:
+    """Per-batch exact (doc_id, dl) from the tf table: docs are
+    row-atomic, so one doc's (tok, tf) rows all live in one tf block and
+    dl = sum(tf) per doc needs no shuffle (and no second corpus scan)."""
+    doc = np.asarray(t.column("doc_id"), dtype=np.int64)
+    tfv = np.asarray(t.column("tf"), dtype=np.int64)
+    uk, inv = np.unique(doc, return_inverse=True)
+    return pa.table({
+        "doc_id": pa.array(uk),
+        "dl": pa.array(ibincount(inv, tfv, minlength=len(uk))),
+    })
+
+
+def bm25_topk(docs_ds, k: int = 15, qk: int = 3):
+    """Top-k documents by BM25 against the corpus's own top-`qk`
+    document-frequency tokens (ties by token asc) — the classic
+    retrieval ranking kept ENTIRELY integer-rational (k1 = 1.2,
+    b = 0.75 as exact fractions, floor division at the two defined
+    points) so the ranking and the oracle hash are float-free, like
+    `tfidf_topk`. Plan: per-batch exact tf + dl (row-atomic docs, no
+    shuffle), tok-hash df reduce, bounded top-qk query-token merge,
+    broadcast query set probed inside the tf scan, one doc-hash score
+    reduce. Returns (doc_id, score_u) with score_u > 0, top-k by
+    (score_u DESC, doc_id ASC)."""
+    from ..core.shuffle import hash_join_tasks
+
+    n_docs = int(docs_ds.count())
+    tf = docs_ds.map_batches(_tf_local, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+    df = group_apply_tasks(tf, ["tok"], _df_merge)
+
+    def _qcand(t: pa.Table) -> pa.Table:
+        tok = np.asarray(t.column("tok")).astype(str)
+        dfv = np.asarray(t.column("df"), dtype=np.int64)
+        order = np.lexsort((tok, -dfv))[:qk]
+        return pa.table({"tok": pa.array(tok[order], type=pa.string()),
+                         "df": pa.array(dfv[order])})
+
+    cands = df.map_batches(_qcand, batch_format="pyarrow").to_pandas()
+    order = np.lexsort((cands["tok"].to_numpy().astype(str),
+                        -cands["df"].to_numpy()))[:qk]
+    qtok = cands["tok"].to_numpy().astype(str)[order]
+    qdf = cands["df"].to_numpy()[order].astype(np.int64)
+    idf_u = {t: int((n_docs * BM25_SCALE) // d)
+             for t, d in zip(qtok, qdf)}
+
+    dl = tf.map_batches(_dl_from_tf, batch_format="pyarrow",
+                        zero_copy_batch=True).materialize()
+    s_total = int(sum(r["dl"] for r in
+                      dl.map_batches(
+                          lambda t: pa.table({"dl": pa.array(
+                              [np.asarray(t.column("dl"),
+                                          dtype=np.int64).sum()])}),
+                          batch_format="pyarrow").take_all()))
+
+    qset = frozenset(qtok)
+
+    def _probe(t: pa.Table, *, _q=qset) -> pa.Table:
+        tok = np.asarray(t.column("tok")).astype(str)
+        keep = np.isin(tok, np.array(sorted(_q)))
+        return pa.table({
+            "doc_id": pa.array(np.asarray(t.column("doc_id"),
+                                          dtype=np.int64)[keep]),
+            "tok": pa.array(tok[keep], type=pa.string()),
+            "tf": pa.array(np.asarray(t.column("tf"),
+                                      dtype=np.int64)[keep]),
+        })
+
+    hits = tf.map_batches(_probe, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    idf_items = tuple(sorted(idf_u.items()))
+
+    def _score(j: pa.Table, *, _idf=idf_items, _s=s_total,
+               _n=n_docs) -> pa.Table:
+        tok = np.asarray(j.column("tok")).astype(str)
+        tfv = np.asarray(j.column("tf"), dtype=np.int64)
+        dlv = np.asarray(j.column("dl"), dtype=np.int64)
+        lut = dict(_idf)
+        idf = np.array([lut[t] for t in tok], dtype=np.int64)
+        r_u = (22_000 * tfv * _s) // (10 * _s * tfv + 3 * _s
+                                      + 9 * dlv * _n)
+        doc = np.asarray(j.column("doc_id"), dtype=np.int64)
+        uk, inv = np.unique(doc, return_inverse=True)
+        sc = ibincount(inv, idf * r_u, minlength=len(uk))
+        return pa.table({"doc_id": pa.array(uk),
+                         "score_u": pa.array(sc)})
+
+    scored = hash_join_tasks(hits, dl, on="doc_id", post=_score)
+    rows = scored.to_pandas()
+    rows = rows[rows.score_u > 0]
+    order = np.lexsort((rows.doc_id.to_numpy(),
+                        -rows.score_u.to_numpy()))[:k]
+    rows = rows.iloc[order]
+    return pa.table({
+        "doc_id": pa.array(rows.doc_id.to_numpy(), type=pa.int64()),
+        "score_u": pa.array(rows.score_u.to_numpy(), type=pa.int64()),
     })

@@ -11366,3 +11366,43 @@ SELECT day, CAST(c AS BIGINT) AS cnt,
        CAST(floor(b * 1000000 + 0.5) AS BIGINT) AS trend_u
 FROM rec ORDER BY day
 """
+
+
+def bm25_topk(k: int = 15, qk: int = 3, scale: int = 1_000) -> str:
+    """Integer-rational BM25 top-k (twin of `text.bm25_topk`): query =
+    top-`qk` DF tokens, idf_u = (N*scale)//df, tf factor in milli-units
+    via the exact k1=1.2 / b=0.75 fraction (22000*tf*S)//(10*S*tf +
+    3*S + 9*dl*N)."""
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+flat AS MATERIALIZED (
+  SELECT doc_id, unnest(t) AS tok FROM toks
+),
+tf AS MATERIALIZED (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM flat GROUP BY doc_id, tok
+),
+df AS MATERIALIZED (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+dl AS MATERIALIZED (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks
+),
+s AS (SELECT CAST(sum(dl) AS BIGINT) AS s FROM dl),
+q AS (SELECT tok, df FROM df ORDER BY df DESC, tok ASC LIMIT {qk}),
+scored AS (
+  SELECT tf.doc_id,
+         ((n.n * {scale}) // q.df) * ((22000 * tf.tf * s.s) //
+           (10 * s.s * tf.tf + 3 * s.s + 9 * dl.dl * n.n)) AS part
+  FROM tf JOIN q USING (tok)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN n CROSS JOIN s
+),
+agg AS (SELECT doc_id, CAST(sum(part) AS BIGINT) AS score_u
+        FROM scored GROUP BY doc_id)
+SELECT doc_id, score_u FROM agg WHERE score_u > 0
+ORDER BY score_u DESC, doc_id ASC LIMIT {k}
+"""

@@ -20891,3 +20891,22 @@ def q_holt_trend(sf_dir: str):
         "level_u": pa.array(np.floor(lev * 1e6 + 0.5).astype(np.int64)),
         "trend_u": pa.array(np.floor(tr * 1e6 + 0.5).astype(np.int64)),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 92: BM25 retrieval scoring
+# ---------------------------------------------------------------------------
+
+BM25_K = 15  # result cut
+BM25_QK = 3  # query = top-QK tokens by document frequency
+
+
+def q_bm25_topk(sf_dir: str):
+    """Top-15 documents by integer-rational BM25 (k1 = 1.2, b = 0.75 as
+    exact fractions) against the corpus's own top-3 DF tokens — the
+    classic retrieval ranking, float-free end to end (see
+    `text.bm25_topk`; reference analog: semiring SpMV of the query
+    indicator against the doc-term matrix, `SpParMat.h:67`)."""
+    from ..functions import text as T
+
+    return T.bm25_topk(_docs(sf_dir), k=BM25_K, qk=BM25_QK)
