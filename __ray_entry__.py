@@ -68,9 +68,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # waves 72-74 (round 5: iterative linear-algebra + LM scoring —
         # newest = highest regression risk)
         "eigencentrality": q.q_eigencentrality,
-        "sinkhorn_balance": q.q_sinkhorn_balance,
-        "jacobi_laplacian": q.q_jacobi_laplacian,
-        "gcn_prop": q.q_gcn_prop,
         "chebyshev_filter": q.q_chebyshev_filter,
         "conjgrad_fixed": q.q_conjgrad_fixed,
         "lm_score": q.q_lm_score,
@@ -93,6 +90,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "holt_trend": q.q_holt_trend,
         # wave 92 (round 5 session 4: BM25 retrieval scoring — newest)
         "bm25_topk": q.q_bm25_topk,
+        # wave 93 (round 5 session 4: Hashimoto NBT walk trace +
+        # the 4-vertex motif spectrum completion — newest)
+        "nbt_trace": q.q_nbt_trace,
+        "diamond_count": q.q_diamond_count,
+        "tailed_triangles": q.q_tailed_triangles,
         # waves 77-80 (round 5: convergence/metrics faces of the core
         # apps — these touched the pagerank/BFS/SSSP/LP/MCL loops)
         "pagerank_trace": q.q_pagerank_trace,
@@ -167,6 +169,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotated out for waves 88-92 (all driver-green in r4/r5 windows;
         # named in-window siblings exercise the same machinery)
         "apsp_top": q.q_apsp_top,  # K-source top rows (r5 wave-70 green; steiner_approx kseed sibling)
+        "sinkhorn_balance": q.q_sinkhorn_balance,  # row/col rescale loop (r5 wave-72 green; eigencentrality/chebyshev_filter spmv-loop siblings)
+        "jacobi_laplacian": q.q_jacobi_laplacian,  # stationary solver (r5 wave-73 green; conjgrad_fixed solver sibling)
+        "gcn_prop": q.q_gcn_prop,  # normalized propagation (r5 wave-72 green; nbt_trace/chebyshev_filter recurrence siblings)
         "msbfs": q.q_msbfs,  # K-source min-merge (r4 wave-70 green; apsp_top/steiner_approx kseed siblings)
         "distance_hist": q.q_distance_hist,  # K-source census (r4 wave-70 green; hub_bisector/steiner_approx siblings)
         "busy_minutes": q.q_busy_minutes,  # minute census (r4 wave-69 green; ewma_daily/cusum_flags/holt_trend day-axis siblings)
@@ -754,6 +759,9 @@ def oracle_sql() -> dict[str, str]:
         "holt_trend": o.holt_trend(q.HOLT_A_NUM, q.HOLT_A_DEN,
                                    q.HOLT_B_NUM, q.HOLT_B_DEN),
         "bm25_topk": o.bm25_topk(q.BM25_K, q.BM25_QK),
+        "nbt_trace": o.nbt_trace(q.NBT_T),
+        "diamond_count": o.diamond_count(),
+        "tailed_triangles": o.tailed_triangles(),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

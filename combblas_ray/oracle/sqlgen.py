@@ -11406,3 +11406,87 @@ agg AS (SELECT doc_id, CAST(sum(part) AS BIGINT) AS score_u
 SELECT doc_id, score_u FROM agg WHERE score_u > 0
 ORDER BY score_u DESC, doc_id ASC LIMIT {k}
 """
+
+
+def nbt_trace(t_max: int = 6) -> str:
+    """Non-backtracking walk totals via the vertex-space Hashimoto
+    recurrence p2 = A p1 - D p0, pk = A p_{k-1} - (D-I) p_{k-2} (twin
+    of `queries.q_nbt_trace`)."""
+    sql = PREFIX + """
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+degt AS (SELECT src AS i, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY 1),
+deg AS (
+  SELECT f.i, coalesce(degt.d, 0) AS d
+  FROM files f LEFT JOIN degt ON degt.i = f.i
+),
+p0 AS (SELECT i, CAST(1 AS BIGINT) AS c FROM files),
+p1 AS (SELECT i, d AS c FROM deg)
+"""
+    for k in range(2, t_max + 1):
+        coef = "dg.d" if k == 2 else "(dg.d - 1)"
+        sql += f"""
+, p{k} AS (
+  SELECT dg.i, coalesce(a.s, 0) - {coef} * q.c AS c
+  FROM deg dg
+  JOIN p{k - 2} q ON q.i = dg.i
+  LEFT JOIN (
+    SELECT u.dst AS i, sum(p.c) AS s
+    FROM und u JOIN p{k - 1} p ON p.i = u.src GROUP BY 1
+  ) a ON a.i = dg.i
+)"""
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS k, "
+        f"CAST((SELECT sum(c) FROM p{k}) AS BIGINT) AS walks"
+        for k in range(1, t_max + 1))
+    return sql + "\n" + rows + "\nORDER BY k\n"
+
+
+TRI_ID_CTE = """
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+adj AS (SELECT src AS a, dst AS b FROM und WHERE src < dst),
+tri AS (
+  SELECT e1.a AS a, e1.b AS m, e2.b AS c
+  FROM adj e1
+  JOIN adj e2 ON e2.a = e1.b
+  JOIN adj e3 ON e3.a = e1.a AND e3.b = e2.b
+)"""
+
+
+def diamond_count() -> str:
+    """Diamonds = sum over edges of C(triangle-support, 2) (twin of
+    `queries.q_diamond_count`)."""
+    return PREFIX + TRI_ID_CTE + """
+, te AS (
+  SELECT a AS u, m AS v FROM tri
+  UNION ALL SELECT a, c FROM tri
+  UNION ALL SELECT m, c FROM tri
+),
+sup AS (SELECT u, v, CAST(count(*) AS BIGINT) AS s FROM te GROUP BY u, v)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM tri) AS n_triangles,
+       CAST(count(*) AS BIGINT) AS n_sup_edges,
+       CAST(coalesce(sum(s * (s - 1) // 2), 0) AS BIGINT) AS n_diamonds,
+       CAST(coalesce(max(s), 0) AS BIGINT) AS max_support
+FROM sup
+"""
+
+
+def tailed_triangles() -> str:
+    """Paw census sum_v t_v * (d_v - 2) (twin of
+    `queries.q_tailed_triangles`)."""
+    return PREFIX + TRI_ID_CTE + """
+, tv AS (
+  SELECT a AS v FROM tri
+  UNION ALL SELECT m FROM tri
+  UNION ALL SELECT c FROM tri
+),
+tc AS (SELECT v, CAST(count(*) AS BIGINT) AS t FROM tv GROUP BY v),
+degt AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS d
+         FROM und GROUP BY 1)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM tri) AS n_triangles,
+       CAST(coalesce(sum(tc.t * (degt.d - 2)), 0) AS BIGINT) AS n_tailed
+FROM tc JOIN degt USING (v)
+"""

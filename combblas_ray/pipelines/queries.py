@@ -20910,3 +20910,200 @@ def q_bm25_topk(sf_dir: str):
     from ..functions import text as T
 
     return T.bm25_topk(_docs(sf_dir), k=BM25_K, qk=BM25_QK)
+
+
+# ---------------------------------------------------------------------------
+# wave 93: non-backtracking walk trace, diamond count, tailed triangles
+# ---------------------------------------------------------------------------
+
+NBT_T = 6  # non-backtracking walk horizon
+
+
+def _w93_ones(bounds):
+    s, e = bounds
+    return np.ones((1, e - s), dtype=np.int64)
+
+
+def _w93_sum(a):
+    return np.array([int(a.sum())], dtype=np.int64)
+
+
+def _w93_nbt2(ay, d):
+    # p2 = A p1 - D p0  with p1 = deg, p0 = 1
+    return ay[0:1] - d[0:1]
+
+
+def _w93_nbt_step(ay, d, pprev):
+    # pk = A p_{k-1} - (D - I) p_{k-2}   (k >= 3)
+    out = ay[0:1] - (d[0:1] - 1) * pprev[0:1]
+    if out.size and np.abs(out).max() >= 2 ** 61:
+        raise OverflowError(
+            "nbt_trace: walk counts hit the int64 tripwire (2^61)")
+    return out
+
+
+def q_nbt_trace(sf_dir: str):
+    """Non-backtracking walk totals w_k = sum_v p_k(v) for k = 1..NBT_T,
+    where p_k(v) counts length-k walks from v that never immediately
+    reverse an edge — the Hashimoto/non-backtracking spectrum's moment
+    sequence (the sparse-graph spectral-clustering operator), computed
+    WITHOUT materializing the 2m x 2m edge adjacency via the classic
+    vertex-space recurrence p_2 = A p_1 - D p_0, p_k = A p_{k-1} -
+    (D - I) p_{k-2} over the structural undirected graph. One exact
+    int64 SpMV (`plus_times_i64`) + one elementwise combine per k, all
+    state chunked refs; per-k totals reduced from bounded per-chunk
+    scalars, with a 2^61 overflow tripwire (the reference's promoted
+    64-bit semiring discipline). w_1 = 2m, w_2 = sum_v d(d-1). Output
+    (k, walks)."""
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("sym")
+    ones = eng.map_chunks_n(_w93_ones, 1, with_bounds=True)[0]
+    deg = eng.spmm_refs(ones, 1, "plus_times_i64")  # p1 = A·1
+    totals = [int(np.sum(eng.chunk_scalars(_w93_sum, deg)))]
+    ay = eng.spmm_refs(deg, 1, "plus_times_i64")
+    p_prev, p_cur = deg, eng.map_chunks(_w93_nbt2, ay, deg)
+    totals.append(int(np.sum(eng.chunk_scalars(_w93_sum, p_cur))))
+    for _ in range(NBT_T - 2):
+        ay = eng.spmm_refs(p_cur, 1, "plus_times_i64")
+        p_prev, p_cur = p_cur, eng.map_chunks(_w93_nbt_step, ay, deg,
+                                              p_prev)
+        totals.append(int(np.sum(eng.chunk_scalars(_w93_sum, p_cur))))
+    return pa.table({
+        "k": pa.array(np.arange(1, NBT_T + 1), type=pa.int64()),
+        "walks": pa.array(totals, type=pa.int64()),
+    })
+
+
+def _w93_tri_edges(t: pa.Table) -> pa.Table:
+    a = np.asarray(t.column("a"), dtype=np.int64)
+    m = np.asarray(t.column("m"), dtype=np.int64)
+    c = np.asarray(t.column("c"), dtype=np.int64)
+    return pa.table({"u": pa.array(np.concatenate([a, a, m])),
+                     "v": pa.array(np.concatenate([m, c, c]))})
+
+
+def _w93_diamond_partial(t: pa.Table) -> pa.Table:
+    """One (u, v)-hash partition: run-count the edge multiplicities
+    (= per-edge triangle support) and fold C(s, 2) locally — only a
+    1-row partial leaves the task."""
+    u = np.asarray(t.column("u"), dtype=np.int64)
+    v = np.asarray(t.column("v"), dtype=np.int64)
+    if len(u) == 0:
+        return pa.table({"n_edges": pa.array([0], type=pa.int64()),
+                         "n_diamonds": pa.array([0], type=pa.int64()),
+                         "max_sup": pa.array([0], type=pa.int64())})
+    order = np.lexsort((v, u))
+    us, vs = u[order], v[order]
+    new = np.empty(len(us), dtype=bool)
+    new[0] = True
+    new[1:] = (us[1:] != us[:-1]) | (vs[1:] != vs[:-1])
+    starts = np.nonzero(new)[0]
+    s = np.diff(np.concatenate((starts, [len(us)]))).astype(np.int64)
+    return pa.table({
+        "n_edges": pa.array([len(starts)], type=pa.int64()),
+        "n_diamonds": pa.array([int((s * (s - 1) // 2).sum())],
+                               type=pa.int64()),
+        "max_sup": pa.array([int(s.max())], type=pa.int64()),
+    })
+
+
+def q_diamond_count(sf_dir: str):
+    """Diamond (K4-minus-an-edge) census: each diamond is a pair of
+    triangles sharing its chord edge, so n_diamonds = sum over edges of
+    C(support_e, 2) — the motif one prune short of `q_k4_count`'s
+    clique, from the SAME triangle enumeration (`_triangles_ids`, the
+    masked-SpGEMM two-join plan). Triangles flat-map to their 3 edges,
+    one (u, v)-hash shuffle co-locates each edge's support, and only
+    1-row partials reach the driver. Output one row: (n_triangles,
+    n_sup_edges, n_diamonds, max_support)."""
+    from ..core.shuffle import group_apply_tasks
+
+    ctx = get_context(sf_dir)
+    tri = _triangles_ids(ctx).materialize()
+    n_tri = tri.count()
+    te = tri.map_batches(_w93_tri_edges, batch_format="pyarrow")
+    parts = group_apply_tasks(te, ["u", "v"],
+                              _w93_diamond_partial).to_pandas()
+    return pa.table({
+        "n_triangles": pa.array([int(n_tri)], type=pa.int64()),
+        "n_sup_edges": pa.array([int(parts.n_edges.sum())],
+                                type=pa.int64()),
+        "n_diamonds": pa.array([int(parts.n_diamonds.sum())],
+                               type=pa.int64()),
+        "max_support": pa.array([int(parts.max_sup.max())
+                                 if len(parts) else 0], type=pa.int64()),
+    })
+
+
+def _w93_tri_verts(t: pa.Table) -> pa.Table:
+    a = np.asarray(t.column("a"), dtype=np.int64)
+    m = np.asarray(t.column("m"), dtype=np.int64)
+    c = np.asarray(t.column("c"), dtype=np.int64)
+    return pa.table({"v": pa.array(np.concatenate([a, m, c]))})
+
+
+def _w93_vpartial(t: pa.Table) -> pa.Table:
+    """Per-batch combiner: (v, c) partial counts — pre-aggregates before
+    the v-hash shuffle so only distinct-vertex partials ship."""
+    v = np.asarray(t.column("v"), dtype=np.int64)
+    uk, inv = np.unique(v, return_inverse=True)
+    return pa.table({"v": pa.array(uk),
+                     "c": pa.array(np.bincount(
+                         inv, minlength=len(uk)).astype(np.int64))})
+
+
+def _w93_vmerge(name: str):
+    """Partition kernel: sum the per-batch partials per vertex, output
+    column named `name`."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        v = np.asarray(t.column("v"), dtype=np.int64)
+        c = np.asarray(t.column("c"), dtype=np.int64)
+        uk, inv = np.unique(v, return_inverse=True)
+        return pa.table({"v": pa.array(uk),
+                         name: pa.array(ibincount(inv, c,
+                                                  minlength=len(uk)))})
+
+    return _f
+
+
+def _w93_tail_post(j: pa.Table) -> pa.Table:
+    tv = np.asarray(j.column("t"), dtype=np.int64)
+    dv = np.asarray(j.column("d"), dtype=np.int64)
+    return pa.table({"n_tailed": pa.array([int((tv * (dv - 2)).sum())],
+                                          type=pa.int64())})
+
+
+def q_tailed_triangles(sf_dir: str):
+    """Tailed-triangle (paw) census: n_tailed = sum_v t_v * (d_v - 2)
+    where t_v = triangles through v — every (triangle, pendant edge at
+    a corner) pair counted once; with `q_diamond_count` and
+    `q_k4_count` this completes the connected 4-vertex motif spectrum
+    the graphlet-kernel literature builds on. Per-vertex triangle
+    counts from `_triangles_ids` (v-hash shuffle), structural degrees
+    from the symmetric edge set (same shuffle key), one co-partitioned
+    join with the sum fused into the join task — 1-row partials only.
+    Output one row: (n_triangles, n_tailed)."""
+    from ..core.shuffle import group_apply_tasks, hash_join_tasks
+
+    ctx = get_context(sf_dir)
+    tri = _triangles_ids(ctx).materialize()
+    n_tri = tri.count()
+    tcnt = group_apply_tasks(
+        tri.map_batches(_w93_tri_verts, batch_format="pyarrow")
+           .map_batches(_w93_vpartial, batch_format="pyarrow"),
+        ["v"], _w93_vmerge("t"))
+    be = ctx.graph("sym").dedup_sum().cast_bool().edges
+    degs = group_apply_tasks(
+        be.map_batches(
+            lambda t: pa.table({"v": t.column("src")}),
+            batch_format="pyarrow")
+          .map_batches(_w93_vpartial, batch_format="pyarrow"),
+        ["v"], _w93_vmerge("d"))
+    parts = hash_join_tasks(tcnt, degs, on="v",
+                            post=_w93_tail_post).to_pandas()
+    return pa.table({
+        "n_triangles": pa.array([int(n_tri)], type=pa.int64()),
+        "n_tailed": pa.array([int(parts.n_tailed.sum())],
+                             type=pa.int64()),
+    })
