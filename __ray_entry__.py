@@ -70,9 +70,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eigencentrality": q.q_eigencentrality,
         "chebyshev_filter": q.q_chebyshev_filter,
         "conjgrad_fixed": q.q_conjgrad_fixed,
-        "lm_score": q.q_lm_score,
-        "salsa_fixed": q.q_salsa_fixed,
-        "lambda2": q.q_lambda2,
         "lm_outliers": q.q_lm_outliers,
         # waves 88-91 (round 5 session 3: newest = highest regression
         # risk — trace/audit + motif/reach/sampling/forecast faces)
@@ -95,6 +92,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nbt_trace": q.q_nbt_trace,
         "diamond_count": q.q_diamond_count,
         "tailed_triangles": q.q_tailed_triangles,
+        # wave 94 (round 5 session 4: daily trend statistics — newest)
+        "mann_kendall": q.q_mann_kendall,
+        "theil_sen": q.q_theil_sen,
+        "runs_test": q.q_runs_test,
         # waves 77-80 (round 5: convergence/metrics faces of the core
         # apps — these touched the pagerank/BFS/SSSP/LP/MCL loops)
         "pagerank_trace": q.q_pagerank_trace,
@@ -172,6 +173,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sinkhorn_balance": q.q_sinkhorn_balance,  # row/col rescale loop (r5 wave-72 green; eigencentrality/chebyshev_filter spmv-loop siblings)
         "jacobi_laplacian": q.q_jacobi_laplacian,  # stationary solver (r5 wave-73 green; conjgrad_fixed solver sibling)
         "gcn_prop": q.q_gcn_prop,  # normalized propagation (r5 wave-72 green; nbt_trace/chebyshev_filter recurrence siblings)
+        "lm_score": q.q_lm_score,  # unigram LM scoring (r5 wave-73 green; lm_outliers in-window runs the same scorer)
+        "salsa_fixed": q.q_salsa_fixed,  # authority walk (r5 wave-74 green; eigencentrality/chebyshev power-loop siblings)
+        "lambda2": q.q_lambda2,  # deflated power (r5 wave-74 green; eigencentrality in-window shares the deflation loop)
         "msbfs": q.q_msbfs,  # K-source min-merge (r4 wave-70 green; apsp_top/steiner_approx kseed siblings)
         "distance_hist": q.q_distance_hist,  # K-source census (r4 wave-70 green; hub_bisector/steiner_approx siblings)
         "busy_minutes": q.q_busy_minutes,  # minute census (r4 wave-69 green; ewma_daily/cusum_flags/holt_trend day-axis siblings)
@@ -762,6 +766,9 @@ def oracle_sql() -> dict[str, str]:
         "nbt_trace": o.nbt_trace(q.NBT_T),
         "diamond_count": o.diamond_count(),
         "tailed_triangles": o.tailed_triangles(),
+        "mann_kendall": o.mann_kendall(),
+        "theil_sen": o.theil_sen(),
+        "runs_test": o.runs_test(),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

@@ -11490,3 +11490,97 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM tri) AS n_triangles,
        CAST(coalesce(sum(tc.t * (degt.d - 2)), 0) AS BIGINT) AS n_tailed
 FROM tc JOIN degt USING (v)
 """
+
+
+DAILY_AXIS_CTE = """
+WITH RECURSIVE d0 AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS c
+  FROM events GROUP BY 1
+),
+bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM d0),
+axis AS (
+  SELECT lo AS day, CAST(0 AS BIGINT) AS t FROM bounds
+  UNION ALL
+  SELECT a.day + 1, a.t + 1 FROM axis a, bounds b WHERE a.day < b.hi
+),
+x AS MATERIALIZED (
+  SELECT a.day, a.t, CAST(coalesce(d0.c, 0) AS BIGINT) AS c
+  FROM axis a LEFT JOIN d0 ON d0.day = a.day
+)"""
+
+
+def mann_kendall() -> str:
+    """Mann-Kendall S + tie-corrected 18*Var(S) over the dense daily
+    axis (twin of `queries.q_mann_kendall`)."""
+    return DAILY_AXIS_CTE + """
+, pairs AS (
+  SELECT CAST(sign(j.c - i.c) AS BIGINT) AS sg
+  FROM x i JOIN x j ON j.t > i.t
+),
+ties AS (SELECT CAST(count(*) AS BIGINT) AS t FROM x GROUP BY c),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM x)
+SELECT n.n AS n_days,
+       (SELECT CAST(coalesce(sum(sg), 0) AS BIGINT) FROM pairs) AS s_stat,
+       CAST(n.n * (n.n - 1) * (2 * n.n + 5)
+            - coalesce((SELECT sum(t * (t - 1) * (2 * t + 5)) FROM ties),
+                       0) AS BIGINT) AS var18
+FROM n
+"""
+
+
+def theil_sen() -> str:
+    """Theil-Sen slope as an exact reduced fraction: median of pairwise
+    slopes, even medians averaged exactly (twin of
+    `queries.q_theil_sen`). Pair slopes order exactly under DOUBLE
+    division (small-integer numerators/denominators are well separated
+    beyond 2^-53); the median itself stays integer-rational."""
+    return DAILY_AXIS_CTE + """
+, sl AS (
+  SELECT j.c - i.c AS num, j.t - i.t AS den
+  FROM x i JOIN x j ON j.t > i.t
+),
+rnk AS (
+  SELECT num, den, row_number() OVER (
+    ORDER BY CAST(num AS DOUBLE) / den, num, den) AS rn,
+    count(*) OVER () AS cnt
+  FROM sl
+),
+m1 AS (SELECT num AS n1, den AS d1 FROM rnk WHERE rn = (cnt + 1) // 2),
+m2 AS (SELECT num AS n2, den AS d2 FROM rnk WHERE rn = (cnt + 2) // 2),
+med AS (
+  SELECT (SELECT cnt FROM rnk LIMIT 1) AS n_pairs,
+         n1 * d2 + n2 * d1 AS num, 2 * d1 * d2 AS den
+  FROM m1, m2
+)
+SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(CASE WHEN num = 0 THEN 0
+                 ELSE num // gcd(abs(num), den) END AS BIGINT)
+         AS slope_num,
+       CAST(CASE WHEN num = 0 THEN 1
+                 ELSE den // gcd(abs(num), den) END AS BIGINT)
+         AS slope_den
+FROM med
+"""
+
+
+def runs_test() -> str:
+    """Wald-Wolfowitz runs statistics against the discrete median of
+    the daily counts (twin of `queries.q_runs_test`; equal-to-median
+    days dropped)."""
+    return DAILY_AXIS_CTE + """
+, med AS (SELECT quantile_disc(c, 0.5) AS m FROM x),
+s AS (
+  SELECT t, c > m.m AS sgn
+  FROM x, med m WHERE c <> m.m
+),
+runs AS (
+  SELECT sgn, lag(sgn) OVER (ORDER BY t) AS prev FROM s
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM s WHERE sgn) AS n_plus,
+       (SELECT CAST(count(*) AS BIGINT) FROM s WHERE NOT sgn) AS n_minus,
+       (SELECT CAST(coalesce(sum(CASE WHEN prev IS NULL
+                                      OR sgn <> prev THEN 1
+                                      ELSE 0 END), 0) AS BIGINT)
+        FROM runs) AS n_runs,
+       (SELECT CAST(m AS BIGINT) FROM med) AS median_cnt
+"""

@@ -21107,3 +21107,105 @@ def q_tailed_triangles(sf_dir: str):
         "n_tailed": pa.array([int(parts.n_tailed.sum())],
                              type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 94: trend statistics on the daily event series
+# (Mann-Kendall S, exact-fraction Theil-Sen slope, runs test)
+# ---------------------------------------------------------------------------
+
+TSEN_SCALE_DEN = 1  # slope kept as an exact reduced fraction, no scaling
+
+
+def _w94_daily_axis(sf_dir: str):
+    """Dense (days, counts) axis of the event stream: per-batch bincount
+    partials (bounded rows to the driver), zero-filled min..max epoch-day
+    — the shared distributed step of the daily trend statistics."""
+    import ray
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def _days(b: pa.Table) -> pa.Table:
+        day = (np.asarray(b.column("ts")).astype("datetime64[us]")
+               .astype(np.int64) // 86_400_000_000)
+        u, c = np.unique(day, return_counts=True)
+        return pa.table({"day": pa.array(u), "c": pa.array(c)})
+
+    agg: dict[int, int] = {}
+    for r in ev.map_batches(_days, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all():
+        agg[r["day"]] = agg.get(r["day"], 0) + r["c"]
+    lo, hi = min(agg), max(agg)
+    days = np.arange(lo, hi + 1, dtype=np.int64)
+    x = np.array([agg.get(int(d), 0) for d in days], dtype=np.int64)
+    return days, x
+
+
+def q_mann_kendall(sf_dir: str):
+    """Mann-Kendall monotone-trend test over the daily event counts:
+    S = sum_{i<j} sign(x_j - x_i) plus the tie-corrected variance
+    NUMERATOR var18 = n(n-1)(2n+5) - sum_ties t(t-1)(2t+5) (= 18*Var(S),
+    kept integer so the twin hash is float-free) — the standard
+    nonparametric trend gate a monitoring pipeline runs before alerting
+    on a drift. Day histogram distributed; the O(T^2) pair fold runs on
+    the bounded day axis. Output one row: (n_days, s_stat, var18)."""
+    days, x = _w94_daily_axis(sf_dir)
+    diff_sign = np.sign(x[None, :] - x[:, None])
+    s = int(np.triu(diff_sign, 1).sum())
+    n = len(x)
+    _, tc = np.unique(x, return_counts=True)
+    ties = int((tc * (tc - 1) * (2 * tc + 5)).sum())
+    var18 = n * (n - 1) * (2 * n + 5) - ties
+    return pa.table({
+        "n_days": pa.array([n], type=pa.int64()),
+        "s_stat": pa.array([s], type=pa.int64()),
+        "var18": pa.array([var18], type=pa.int64()),
+    })
+
+
+def q_theil_sen(sf_dir: str):
+    """Theil-Sen slope of the daily event counts: the MEDIAN of the
+    C(T,2) pairwise slopes (x_j - x_i)/(j - i), kept as an EXACT reduced
+    fraction (slope_num, slope_den) — the robust trend estimator
+    (29%-breakdown) next to the least-squares `regr_stats`, float-free
+    on both twins (even-count medians average the two middle fractions
+    exactly). Output one row: (n_pairs, slope_num, slope_den)."""
+    from fractions import Fraction
+    from math import gcd
+
+    days, x = _w94_daily_axis(sf_dir)
+    t = len(x)
+    slopes = [Fraction(int(x[j] - x[i]), j - i)
+              for i in range(t) for j in range(i + 1, t)]
+    slopes.sort()
+    np_ = len(slopes)
+    m1, m2 = slopes[(np_ - 1) // 2], slopes[np_ // 2]
+    med = (m1 + m2) / 2
+    num, den = med.numerator, med.denominator
+    g = gcd(num, den) or 1
+    return pa.table({
+        "n_pairs": pa.array([np_], type=pa.int64()),
+        "slope_num": pa.array([num // g], type=pa.int64()),
+        "slope_den": pa.array([den // g], type=pa.int64()),
+    })
+
+
+def q_runs_test(sf_dir: str):
+    """Wald-Wolfowitz runs test sufficient statistics over the daily
+    event counts: dichotomize against the discrete median (days equal
+    to the median are dropped, the classic convention), then count the
+    maximal same-sign runs — randomness-of-sequence evidence for the
+    day axis. Output one row: (n_plus, n_minus, n_runs, median_cnt)."""
+    days, x = _w94_daily_axis(sf_dir)
+    med = int(np.sort(x)[(len(x) - 1) // 2])  # quantile_disc 0.5
+    keep = x != med
+    sign = x[keep] > med
+    n_plus = int(sign.sum())
+    n_minus = int((~sign).sum())
+    n_runs = int(1 + (sign[1:] != sign[:-1]).sum()) if len(sign) else 0
+    return pa.table({
+        "n_plus": pa.array([n_plus], type=pa.int64()),
+        "n_minus": pa.array([n_minus], type=pa.int64()),
+        "n_runs": pa.array([n_runs], type=pa.int64()),
+        "median_cnt": pa.array([med], type=pa.int64()),
+    })
