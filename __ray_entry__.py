@@ -96,13 +96,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mann_kendall": q.q_mann_kendall,
         "theil_sen": q.q_theil_sen,
         "runs_test": q.q_runs_test,
+        # wave 95 (round 5 session 4: winnowing fingerprints, MG heavy
+        # hitters, event-type lag coupling — newest)
+        "winnow_stats": q.q_winnow_stats,
+        "heavy_hitters": q.q_heavy_hitters,
+        "daily_xcorr": q.q_daily_xcorr,
         # waves 77-80 (round 5: convergence/metrics faces of the core
         # apps — these touched the pagerank/BFS/SSSP/LP/MCL loops)
-        "pagerank_trace": q.q_pagerank_trace,
         "mcl_chaos_trace": q.q_mcl_chaos_trace,
         "bfs_dir_trace": q.q_bfs_dir_trace,
-        "sssp_relax_trace": q.q_sssp_relax_trace,
-        "labelprop_flip_trace": q.q_labelprop_flip_trace,
         # multimodal actor-pool pipelines (first-ever driver evidence
         # for the decode/resize/frame-sample class)
         # LLM-data layer without a prior driver row (+ refactored dedup)
@@ -176,6 +178,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_score": q.q_lm_score,  # unigram LM scoring (r5 wave-73 green; lm_outliers in-window runs the same scorer)
         "salsa_fixed": q.q_salsa_fixed,  # authority walk (r5 wave-74 green; eigencentrality/chebyshev power-loop siblings)
         "lambda2": q.q_lambda2,  # deflated power (r5 wave-74 green; eigencentrality in-window shares the deflation loop)
+        "pagerank_trace": q.q_pagerank_trace,  # convergence trace (r5 wave-77 green; pagerank in-window runs the same loop)
+        "sssp_relax_trace": q.q_sssp_relax_trace,  # min-plus trace (r5 wave-80 green; steiner_approx min-plus kseed sibling)
+        "labelprop_flip_trace": q.q_labelprop_flip_trace,  # LP trace (r5 wave-80 green; label_propagation in-window)
         "msbfs": q.q_msbfs,  # K-source min-merge (r4 wave-70 green; apsp_top/steiner_approx kseed siblings)
         "distance_hist": q.q_distance_hist,  # K-source census (r4 wave-70 green; hub_bisector/steiner_approx siblings)
         "busy_minutes": q.q_busy_minutes,  # minute census (r4 wave-69 green; ewma_daily/cusum_flags/holt_trend day-axis siblings)
@@ -632,6 +637,7 @@ def _ctx_grid() -> int:
 
 
 def oracle_sql() -> dict[str, str]:
+    from combblas_ray.functions import text as textf
     from combblas_ray.oracle import sqlgen as o
     from combblas_ray.pipelines import queries as q
 
@@ -769,6 +775,9 @@ def oracle_sql() -> dict[str, str]:
         "mann_kendall": o.mann_kendall(),
         "theil_sen": o.theil_sen(),
         "runs_test": o.runs_test(),
+        "winnow_stats": o.winnow_stats(textf.WINNOW_K, textf.WINNOW_W),
+        "heavy_hitters": o.heavy_hitters(textf.HH_K),
+        "daily_xcorr": o.daily_xcorr(q.XCORR_L),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

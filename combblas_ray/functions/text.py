@@ -1249,3 +1249,168 @@ def bm25_topk(docs_ds, k: int = 15, qk: int = 3):
         "doc_id": pa.array(rows.doc_id.to_numpy(), type=pa.int64()),
         "score_u": pa.array(rows.score_u.to_numpy(), type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer-Wilkerson-Aiken / MOSS)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 3  # k-gram size (tokens)
+WINNOW_W = 4  # window size (k-grams)
+
+
+def winnow_stats(batch: pa.Table, k: int = WINNOW_K,
+                 w: int = WINNOW_W) -> pa.Table:
+    """Per-document winnowing fingerprint census: hash every token
+    k-gram (md5_number_lower of the space-joined gram, mod 2^61 — the
+    same SQL-reproducible basis as `fingerprint`), slide a w-window over
+    the k-gram hash sequence and select each window's MINIMUM; the
+    document's fingerprint is the distinct selected set (the MOSS
+    document-similarity fingerprint: any shared substring of length >=
+    w + k - 1 tokens is guaranteed to share a selected hash). Documents
+    shorter than w k-grams select their global minimum. Fully
+    vectorized: one sliding_window_view min over the batch-flat valid
+    k-gram array with cross-document windows masked, distinct-per-doc
+    via lexsort run-dedup, XOR identity via bitwise reduceat. Output
+    (doc_id, n_kgrams, n_fps, fp_xor)."""
+    toks = tokens_list(batch)
+    lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+    flat = np.asarray(pc.list_flatten(toks)).astype(str)
+    nrows = batch.num_rows
+    n_kg = np.maximum(lens - (k - 1), 0)
+    out_fps = np.zeros(nrows, dtype=np.int64)
+    out_xor = np.zeros(nrows, dtype=np.int64)
+    if len(flat) >= k:
+        # k-gram strings at every flat position (cross-doc ones dropped
+        # below by construction of the per-doc position ranges)
+        grams = flat[: len(flat) - (k - 1)]
+        for i in range(1, k):
+            grams = np.char.add(np.char.add(grams, " "),
+                                flat[i: len(flat) - (k - 1) + i])
+        uniq, inv = np.unique(grams, return_inverse=True)
+        hu = np.empty(len(uniq), dtype=np.uint64)
+        for i, g in enumerate(uniq):
+            hu[i] = md5_lower64(g)
+        gh_full = (hu & _FP_MASK).astype(np.int64)[inv]
+        # valid grams = positions whose k tokens stay in one document
+        dof = np.repeat(np.arange(nrows), lens)
+        gsel = np.nonzero(dof[: len(flat) - (k - 1)] == dof[k - 1:])[0]
+        gvals = gh_full[gsel]
+        gdoc = dof[gsel]
+        pairs_doc, pairs_val = [], []
+        if len(gvals) >= w:
+            from numpy.lib.stride_tricks import sliding_window_view
+
+            wins = sliding_window_view(gvals, w).min(axis=1)
+            ok = gdoc[: len(wins)] == gdoc[w - 1:]
+            pairs_doc.append(gdoc[: len(wins)][ok])
+            pairs_val.append(wins[ok])
+        # short docs (0 < ng < w): single window = global min. reduceat
+        # over the nonzero docs' offsets gives each such doc's segment
+        # min (consecutive starts = consecutive nonzero docs).
+        short = (n_kg > 0) & (n_kg < w)
+        if short.any():
+            goff = np.concatenate(([0], np.cumsum(n_kg)))[:-1]
+            nz = n_kg > 0
+            seg_min = np.minimum.reduceat(gvals, goff[nz])
+            pairs_doc.append(np.nonzero(short)[0])
+            pairs_val.append(seg_min[short[nz]])
+        if pairs_doc:
+            pd_ = np.concatenate(pairs_doc)
+            pv = np.concatenate(pairs_val)
+            order = np.lexsort((pv, pd_))
+            d, v = pd_[order], pv[order]
+            new = np.empty(len(d), dtype=bool)
+            new[0] = True
+            new[1:] = (d[1:] != d[:-1]) | (v[1:] != v[:-1])
+            dd, vv = d[new], v[new]
+            np.add.at(out_fps, dd, 1)
+            np.bitwise_xor.at(out_xor, dd, vv)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_kgrams": pa.array(n_kg),
+        "n_fps": pa.array(out_fps),
+        "fp_xor": pa.array(out_xor),
+    })
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (mergeable summaries + exact verify)
+# ---------------------------------------------------------------------------
+
+HH_K = 64  # counter budget = heavy-hitter threshold denominator
+
+
+def _mg_truncate(tok: np.ndarray, cnt: np.ndarray, k: int):
+    """Misra-Gries reduction of exact (tok, cnt) to <= k counters:
+    subtract the (k+1)-th largest count from all, keep positives — the
+    array form of the k-counter decrement loop (Misra-Gries '82 /
+    mergeable summaries, Agarwal et al. '12)."""
+    if len(tok) <= k:
+        return tok, cnt
+    kth = np.partition(cnt, len(cnt) - (k + 1))[len(cnt) - (k + 1)]
+    keep = cnt > kth
+    return tok[keep], cnt[keep] - kth
+
+
+def _mg_batch_kernel(k: int):
+    def _f(b: pa.Table) -> pa.Table:
+        toks = tokens_list(b)
+        flat = np.asarray(pc.list_flatten(toks)).astype(str)
+        uk, inv = np.unique(flat, return_inverse=True)
+        cnt = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        t2, c2 = _mg_truncate(uk, cnt, k)
+        return pa.table({
+            "tok": pa.array(np.concatenate((t2, ["\x00"])),
+                            type=pa.string()),
+            "cnt": pa.array(np.concatenate((c2, [len(flat)]))),
+            "is_total": pa.array([False] * len(t2) + [True]),
+        })
+
+    return _f
+
+
+def heavy_hitters(docs_ds, k: int = HH_K):
+    """Exact tokens with global count > m/k (m = total corpus tokens)
+    via the Misra-Gries mergeable-summary prefilter: <= k-counter
+    summaries per batch (bounded driver traffic), one array-form MG
+    merge, then an exact broadcast-probe recount of the <= k surviving
+    candidates — the summary's m/(k+1) error bound guarantees no true
+    heavy hitter is lost before the exact verify. Output (tok, cnt)
+    with cnt * k > m, token ascending."""
+    parts = docs_ds.map_batches(
+        _mg_batch_kernel(k), batch_format="pyarrow",
+        zero_copy_batch=True).to_pandas()
+    m = int(parts.cnt[parts.is_total].sum())
+    rows = parts[~parts.is_total]
+    tok = rows.tok.to_numpy().astype(str)
+    cnt = rows.cnt.to_numpy().astype(np.int64)
+    uk, inv = np.unique(tok, return_inverse=True)
+    merged = np.zeros(len(uk), dtype=np.int64)
+    np.add.at(merged, inv, cnt)
+    cands, _ = _mg_truncate(uk, merged, k)
+    cand_set = np.sort(cands)
+
+    def _probe(b: pa.Table, *, _c=cand_set) -> pa.Table:
+        toks = tokens_list(b)
+        flat = np.asarray(pc.list_flatten(toks)).astype(str)
+        keep = flat[np.isin(flat, _c)]
+        uk2, inv2 = np.unique(keep, return_inverse=True)
+        return pa.table({
+            "tok": pa.array(uk2, type=pa.string()),
+            "cnt": pa.array(np.bincount(
+                inv2, minlength=len(uk2)).astype(np.int64)),
+        })
+
+    ex = docs_ds.map_batches(_probe, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas()
+    tok2 = ex.tok.to_numpy().astype(str)
+    cnt2 = ex.cnt.to_numpy().astype(np.int64)
+    uk3, inv3 = np.unique(tok2, return_inverse=True)
+    tot = np.zeros(len(uk3), dtype=np.int64)
+    np.add.at(tot, inv3, cnt2)
+    hh = tot * k > m
+    return pa.table({
+        "tok": pa.array(uk3[hh], type=pa.string()),
+        "cnt": pa.array(tot[hh]),
+    })

@@ -11584,3 +11584,103 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM s WHERE sgn) AS n_plus,
         FROM runs) AS n_runs,
        (SELECT CAST(m AS BIGINT) FROM med) AS median_cnt
 """
+
+
+def winnow_stats(k: int = 3, w: int = 4) -> str:
+    """Winnowing fingerprint census twin of `queries.q_winnow_stats`:
+    md5 k-gram hashes mod 2^61, per-doc window-min selection (short
+    docs select their global min), distinct-set count + XOR."""
+    p = 1 << 61
+    gram = " || ' ' || ".join(
+        "t[i]" if j == 0 else f"t[i+{j}]" for j in range(k))
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+kg AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) - {k - 2}), i ->
+           {{'i': i,
+             'h': CAST(md5_number_lower({gram}) % {p} AS BIGINT)}})) AS u
+  FROM toks WHERE len(t) >= {k}
+),
+kh AS (SELECT doc_id, u.i AS i, u.h AS h FROM kg),
+win AS (
+  SELECT doc_id, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+           AS mh,
+         count(*) OVER (PARTITION BY doc_id) AS ng
+  FROM kh
+),
+sel AS (SELECT DISTINCT doc_id, mh FROM win
+        WHERE i <= greatest(ng - {w} + 1, 1)),
+fps AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps,
+         CAST(bit_xor(mh) AS BIGINT) AS fp_xor
+  FROM sel GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(greatest(len(string_split(d.text, ' ')) - {k - 1}, 0)
+            AS BIGINT) AS n_kgrams,
+       CAST(coalesce(f.n_fps, 0) AS BIGINT) AS n_fps,
+       CAST(coalesce(f.fp_xor, 0) AS BIGINT) AS fp_xor
+FROM documents d LEFT JOIN fps f ON f.doc_id = d.doc_id
+"""
+
+
+def heavy_hitters(k: int = 64) -> str:
+    """Exact frequent items cnt * k > m (twin of
+    `queries.q_heavy_hitters`; the Ray side's Misra-Gries prefilter is
+    an internal optimization with a lossless guarantee)."""
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM toks)
+SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+FROM toks, m GROUP BY tok, m.m HAVING count(*) * {k} > m.m
+"""
+
+
+def daily_xcorr(max_lag: int = 3) -> str:
+    """Integer lag co-moments between the two busiest event types'
+    daily series (twin of `queries.q_daily_xcorr`)."""
+    return f"""
+WITH RECURSIVE d0 AS (
+  SELECT event_type AS et, epoch_us(ts) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT et, sum(c) AS s FROM d0 GROUP BY et),
+t2 AS (SELECT et, row_number() OVER (ORDER BY s DESC, et ASC) AS rn
+       FROM tot),
+bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM d0),
+axis AS (
+  SELECT lo AS day, CAST(0 AS BIGINT) AS t FROM bounds
+  UNION ALL
+  SELECT a.day + 1, a.t + 1 FROM axis a, bounds b WHERE a.day < b.hi
+),
+x AS MATERIALIZED (
+  SELECT a.t, coalesce(d.c, 0) AS c
+  FROM axis a LEFT JOIN (
+    SELECT day, c FROM d0 JOIN t2 USING (et) WHERE rn = 1
+  ) d ON d.day = a.day
+),
+y AS MATERIALIZED (
+  SELECT a.t, coalesce(d.c, 0) AS c
+  FROM axis a LEFT JOIN (
+    SELECT day, c FROM d0 JOIN t2 USING (et) WHERE rn = 2
+  ) d ON d.day = a.day
+),
+lags AS (SELECT unnest(generate_series(0, {max_lag})) AS lag)
+SELECT CAST(l.lag AS BIGINT) AS lag,
+       CAST((SELECT count(*) FROM x) - l.lag AS BIGINT) AS n_terms,
+       (SELECT CAST(coalesce(sum(x.c * y.c), 0) AS BIGINT)
+        FROM x JOIN y ON y.t = x.t + l.lag) AS sxy,
+       (SELECT CAST(coalesce(sum(y.c * x.c), 0) AS BIGINT)
+        FROM y JOIN x ON x.t = y.t + l.lag) AS syx,
+       (SELECT et FROM t2 WHERE rn = 1) AS tx,
+       (SELECT et FROM t2 WHERE rn = 2) AS ty
+FROM lags l ORDER BY lag
+"""

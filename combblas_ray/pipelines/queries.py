@@ -21209,3 +21209,89 @@ def q_runs_test(sf_dir: str):
         "n_runs": pa.array([n_runs], type=pa.int64()),
         "median_cnt": pa.array([med], type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 95: winnowing fingerprints, Misra-Gries heavy hitters,
+# daily cross-correlation between event types
+# ---------------------------------------------------------------------------
+
+XCORR_L = 3  # max lag (days)
+
+
+def q_winnow_stats(sf_dir: str):
+    """Per-document winnowing (MOSS) fingerprint census: distinct
+    window-min k-gram hashes per doc with an XOR identity — the
+    plagiarism/near-dup fingerprint selection step (see
+    `text.winnow_stats`; guarantees shared >= w+k-1-token substrings
+    share a fingerprint). Pure per-batch map, no shuffle."""
+    from ..functions import text as T
+
+    return _docs(sf_dir).map_batches(T.winnow_stats,
+                                     batch_format="pyarrow",
+                                     zero_copy_batch=True)
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Exact corpus tokens with count > m/HH_K via the Misra-Gries
+    mergeable-summary prefilter + broadcast exact recount (see
+    `text.heavy_hitters`) — the scalable frequent-items plan: bounded
+    <= k-row summaries per batch, never a full-vocabulary shuffle."""
+    from ..functions import text as T
+
+    return T.heavy_hitters(_docs(sf_dir))
+
+
+def q_daily_xcorr(sf_dir: str):
+    """Cross-correlation raw co-moments between the daily count series
+    of the two busiest event types (ties by type asc): for each lag
+    l = 0..XCORR_L, sxy = sum_t x_t * y_{t+l} and syx = sum_t y_t *
+    x_{t+l} over the shared dense day axis — the lead/lag coupling
+    evidence between event streams, integer-exact. Distributed step:
+    per-batch (event_type, day) bincount partials; the lag fold runs on
+    the bounded axis. Output (lag, n_terms, sxy, syx, tx, ty)."""
+    import ray
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type"])
+
+    def _days(b: pa.Table) -> pa.Table:
+        day = (np.asarray(b.column("ts")).astype("datetime64[us]")
+               .astype(np.int64) // 86_400_000_000)
+        et = np.asarray(b.column("event_type")).astype(str)
+        ue, einv = np.unique(et, return_inverse=True)
+        key = einv.astype(np.int64) * (1 << 32) + day  # epoch day < 2^32
+        uk, inv = np.unique(key, return_inverse=True)
+        c = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        return pa.table({
+            "et": pa.array(ue[uk >> 32], type=pa.string()),
+            "day": pa.array(uk & ((1 << 32) - 1)),
+            "c": pa.array(c),
+        })
+
+    agg: dict[tuple, int] = {}
+    for r in ev.map_batches(_days, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all():
+        key = (r["et"], r["day"])
+        agg[key] = agg.get(key, 0) + r["c"]
+    totals: dict[str, int] = {}
+    for (et, _d), c in agg.items():
+        totals[et] = totals.get(et, 0) + c
+    tx, ty = sorted(totals, key=lambda t: (-totals[t], t))[:2]
+    lo = min(d for _e, d in agg)
+    hi = max(d for _e, d in agg)
+    days = np.arange(lo, hi + 1, dtype=np.int64)
+    x = np.array([agg.get((tx, int(d)), 0) for d in days], dtype=np.int64)
+    y = np.array([agg.get((ty, int(d)), 0) for d in days], dtype=np.int64)
+    lags = np.arange(XCORR_L + 1, dtype=np.int64)
+    t = len(days)
+    sxy = [int((x[: t - l] * y[l:]).sum()) for l in lags]
+    syx = [int((y[: t - l] * x[l:]).sum()) for l in lags]
+    return pa.table({
+        "lag": pa.array(lags),
+        "n_terms": pa.array(t - lags),
+        "sxy": pa.array(np.array(sxy, dtype=np.int64)),
+        "syx": pa.array(np.array(syx, dtype=np.int64)),
+        "tx": pa.array([tx] * len(lags), type=pa.string()),
+        "ty": pa.array([ty] * len(lags), type=pa.string()),
+    })
