@@ -101,6 +101,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_stats": q.q_winnow_stats,
         "heavy_hitters": q.q_heavy_hitters,
         "daily_xcorr": q.q_daily_xcorr,
+        # wave 96 (round 5 session 4: SymSpell-2 verify, dow season,
+        # hub-attack robustness — newest)
+        "lev2_pairs": q.q_lev2_pairs,
+        "dow_seasonal": q.q_dow_seasonal,
+        "attack_curve": q.q_attack_curve,
         # waves 77-80 (round 5: convergence/metrics faces of the core
         # apps — these touched the pagerank/BFS/SSSP/LP/MCL loops)
         "mcl_chaos_trace": q.q_mcl_chaos_trace,
@@ -110,10 +115,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LLM-data layer without a prior driver row (+ refactored dedup)
         # wave 14 (newest = highest regression risk)
         # wave 15
-        # wave 69 (round 4: newest = highest regression risk)
-        "bfs_level_cut": q.q_bfs_level_cut,
-        # wave 66 (round 4)
-        "cross_source_dups": q.q_cross_source_dups,
         # wave 59 (round 4)
         "decile_priority_grid": q.q_decile_priority_grid,
         # wave 58 (round 4)
@@ -125,7 +126,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 52 (round 4)
         # wave 51 (round 4)
         # wave 50 (round 4)
-        "edge_support_hist": q.q_edge_support_hist,
         "edit1_pairs": q.q_edit1_pairs,
         # wave 49 (round 4)
         "prep_corpus": q.q_prep_corpus,
@@ -181,6 +181,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_trace": q.q_pagerank_trace,  # convergence trace (r5 wave-77 green; pagerank in-window runs the same loop)
         "sssp_relax_trace": q.q_sssp_relax_trace,  # min-plus trace (r5 wave-80 green; steiner_approx min-plus kseed sibling)
         "labelprop_flip_trace": q.q_labelprop_flip_trace,  # LP trace (r5 wave-80 green; label_propagation in-window)
+        "bfs_level_cut": q.q_bfs_level_cut,  # level anatomy (r4 wave-69 green; bfs/bfs_dir_trace in-window)
+        "cross_source_dups": q.q_cross_source_dups,  # dedup leakage (r4 wave-66 green; minhash_pairs/prep_corpus dedup siblings)
+        "edge_support_hist": q.q_edge_support_hist,  # truss support census (r4 wave-50 green; diamond_count in-window folds the same support)
         "msbfs": q.q_msbfs,  # K-source min-merge (r4 wave-70 green; apsp_top/steiner_approx kseed siblings)
         "distance_hist": q.q_distance_hist,  # K-source census (r4 wave-70 green; hub_bisector/steiner_approx siblings)
         "busy_minutes": q.q_busy_minutes,  # minute census (r4 wave-69 green; ewma_daily/cusum_flags/holt_trend day-axis siblings)
@@ -778,6 +781,9 @@ def oracle_sql() -> dict[str, str]:
         "winnow_stats": o.winnow_stats(textf.WINNOW_K, textf.WINNOW_W),
         "heavy_hitters": o.heavy_hitters(textf.HH_K),
         "daily_xcorr": o.daily_xcorr(q.XCORR_L),
+        "lev2_pairs": o.lev2_pairs(),
+        "dow_seasonal": o.dow_seasonal(),
+        "attack_curve": o.attack_curve(q.ATK_H, q.ATK_ITERS),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

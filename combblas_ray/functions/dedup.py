@@ -1197,3 +1197,167 @@ def edit1_pairs(*token_col_datasets):
     keys = vocab.map_batches(_e1_keys, batch_format="pyarrow",
                              zero_copy_batch=True)
     return group_apply_tasks(keys, ["k"], _e1_pair_kernel)
+
+
+# ---------------------------------------------------------------------------
+# Levenshtein-2 pairs: SymSpell depth-2 deletion neighborhood + exact
+# vectorized DP verify
+# ---------------------------------------------------------------------------
+
+_L2_BUCKET_CAP = 200_000  # loud tripwire: C(bucket, 2) candidate pairs
+
+
+def _l2_keys(t: pa.Table) -> pa.Table:
+    """Per vocab partition: depth-<=2 deletion keys. Each word emits
+    itself, every single deletion, and every ordered double deletion
+    (i < j), built as vectorized char-matrix column drops. Two words at
+    levenshtein distance <= 2 provably share a key (align the edit
+    script: each side deletes the <= 2 positions it does not share);
+    sharing a key only bounds the distance by 4, so a verify stage
+    follows — the depth-2 SymSpell contract."""
+    empty = pa.table({"k": pa.array([], type=pa.string()),
+                      "word": pa.array([], type=pa.string())})
+    if t.num_rows == 0 or "tok" not in t.column_names:
+        return empty
+    words = np.asarray(t.column("tok")).astype(str)
+    if not len(words):
+        return empty
+    L = max(int(np.char.str_len(words).max()), 1)
+    if L > _E1_MAXLEN:
+        raise NotImplementedError(
+            f"lev2_pairs: token length {L} > {_E1_MAXLEN}; widen "
+            "_E1_MAXLEN (char matrix is O(N*L^2))")
+    m = np.asarray(words, dtype=f"U{L}").view(np.uint32).reshape(-1, L)
+    lens = (m != 0).sum(axis=1)
+    ks, ws = [words], [words]
+
+    def _emit(drop: tuple, minlen: int):
+        rows = lens >= np.int64(minlen)
+        if not rows.any():
+            return
+        keep_cols = [c for c in range(L) if c not in drop]
+        sub = m[rows][:, keep_cols] if keep_cols else \
+            np.zeros((int(rows.sum()), 0), dtype=np.uint32)
+        pad = np.zeros((sub.shape[0], len(drop)), dtype=np.uint32)
+        kk = np.ascontiguousarray(
+            np.concatenate((sub, pad), axis=1)).view(f"U{L}").ravel()
+        ks.append(kk.astype(str))
+        ws.append(words[rows])
+
+    for i in range(L):
+        _emit((i,), i + 1)
+        for j in range(i + 1, L):
+            _emit((i, j), j + 1)
+    return pa.table({"k": pa.array(np.concatenate(ks), type=pa.string()),
+                     "word": pa.array(np.concatenate(ws),
+                                      type=pa.string())})
+
+
+def _l2_cand_kernel(t: pa.Table) -> pa.Table:
+    """Per key partition: unordered candidate pairs per key bucket
+    (partition-local dedup; global dedup happens in the verify stage).
+    A degenerate bucket raises loudly instead of emitting a quadratic
+    surprise (the DF_CAP discipline of the Jaccard posting path)."""
+    empty = pa.table({"wa": pa.array([], type=pa.string()),
+                      "wb": pa.array([], type=pa.string())})
+    if t.num_rows == 0 or "k" not in t.column_names:
+        return empty
+    k = np.asarray(t.column("k")).astype(str)
+    w = np.asarray(t.column("word")).astype(str)
+    # distinct (k, word) first: one word reaches one key many ways
+    kw = np.unique(np.char.add(np.char.add(k, "\x1f"), w))
+    sp = np.char.partition(kw, "\x1f")
+    k, w = sp[:, 0], sp[:, 2]
+    order = np.argsort(k, kind="stable")
+    k, w = k[order], w[order]
+    new = np.empty(len(k), dtype=bool)
+    if len(k):
+        new[0] = True
+        new[1:] = k[1:] != k[:-1]
+    starts = np.nonzero(new)[0]
+    sizes = np.diff(np.concatenate((starts, [len(k)])))
+    if ((sizes * (sizes - 1)) // 2).sum() > _L2_BUCKET_CAP:
+        raise OverflowError(
+            "lev2_pairs: candidate bucket blow-up past "
+            f"{_L2_BUCKET_CAP}; stratify the hot keys")
+    pa_, pb_ = [], []
+    for s, z in zip(starts, sizes):
+        if z < 2:
+            continue
+        ww = np.sort(w[s:s + z])
+        ia, ib = np.triu_indices(z, 1)
+        pa_.append(ww[ia])
+        pb_.append(ww[ib])
+    if not pa_:
+        return empty
+    return pa.table({"wa": pa.array(np.concatenate(pa_),
+                                    type=pa.string()),
+                     "wb": pa.array(np.concatenate(pb_),
+                                    type=pa.string())})
+
+
+def _lev_dist_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Exact Levenshtein distances for a BATCH of string pairs: the
+    classic DP run once with every row vectorized across the pair axis
+    (O(La*Lb) numpy ops total, no per-pair Python DP)."""
+    p = len(a)
+    if p == 0:
+        return np.zeros(0, dtype=np.int64)
+    la = np.char.str_len(a).astype(np.int64)
+    lb = np.char.str_len(b).astype(np.int64)
+    ga, gb = max(int(la.max()), 1), max(int(lb.max()), 1)
+    ea = np.ascontiguousarray(np.asarray(a, dtype=f"U{ga}")) \
+        .view(np.uint32).reshape(p, ga)
+    eb = np.ascontiguousarray(np.asarray(b, dtype=f"U{gb}")) \
+        .view(np.uint32).reshape(p, gb)
+    prev = np.tile(np.arange(gb + 1, dtype=np.int64), (p, 1))
+    for i in range(1, ga + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        sub = (ea[:, i - 1][:, None] != eb).astype(np.int64)
+        cur[:, 1:] = np.minimum(prev[:, 1:] + 1, prev[:, :-1] + sub)
+        for j in range(1, gb + 1):
+            np.minimum(cur[:, j], cur[:, j - 1] + 1, out=cur[:, j])
+        done = la < i  # shorter words: answer already in their row la
+        if done.any():
+            cur[done] = prev[done]
+        prev = cur
+    return prev[np.arange(p), lb]
+
+
+def _l2_verify_kernel(t: pa.Table) -> pa.Table:
+    """Per pair-hash partition: global pair dedup + exact DP verify,
+    keep distance EXACTLY 2 (distance-1 pairs are `edit1_pairs`)."""
+    empty = pa.table({"wa": pa.array([], type=pa.string()),
+                      "wb": pa.array([], type=pa.string())})
+    if t.num_rows == 0 or "wa" not in t.column_names:
+        return empty
+    cand = np.unique(np.char.add(
+        np.char.add(np.asarray(t.column("wa")).astype(str), "\x1f"),
+        np.asarray(t.column("wb")).astype(str)))
+    if not len(cand):
+        return empty
+    sp = np.char.partition(cand, "\x1f")
+    wa, wb = sp[:, 0], sp[:, 2]
+    d = _lev_dist_batch(wa, wb)
+    keep = d == 2
+    return pa.table({"wa": pa.array(wa[keep], type=pa.string()),
+                     "wb": pa.array(wb[keep], type=pa.string())})
+
+
+def lev2_pairs(*token_col_datasets):
+    """All unordered vocabulary pairs at levenshtein distance EXACTLY 2
+    — depth-2 SymSpell: deletion-neighborhood blocking (keys shuffle
+    once), candidate pairs per shared key, pair-hash global dedup, then
+    one exact vectorized-DP verify per surviving candidate (sharing a
+    depth-2 key bounds the distance by 4, so unlike `edit1_pairs` the
+    verify stage is load-bearing). Fuzzy-match dedup one edit wider
+    than the SymSpell-1 operator."""
+    ds = token_col_datasets[0]
+    for other in token_col_datasets[1:]:
+        ds = ds.union(other)
+    vocab = group_apply_tasks(ds, ["tok"], _e1_distinct)
+    keys = vocab.map_batches(_l2_keys, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    cands = group_apply_tasks(keys, ["k"], _l2_cand_kernel)
+    return group_apply_tasks(cands, ["wa", "wb"], _l2_verify_kernel)

@@ -11684,3 +11684,85 @@ SELECT CAST(l.lag AS BIGINT) AS lag,
        (SELECT et FROM t2 WHERE rn = 2) AS ty
 FROM lags l ORDER BY lag
 """
+
+
+def lev2_pairs() -> str:
+    """Levenshtein-exactly-2 vocabulary pairs (twin of
+    `queries.q_lev2_pairs`; the oracle brute-forces levenshtein over
+    the V^2 grid, the Ray side blocks with depth-2 SymSpell)."""
+    return """
+WITH t AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS tok FROM documents
+  UNION
+  SELECT DISTINCT unnest(string_split(p_name, ' ')) FROM part
+)
+SELECT a.tok AS wa, b.tok AS wb
+FROM t a JOIN t b ON a.tok < b.tok AND levenshtein(a.tok, b.tok) = 2
+"""
+
+
+def dow_seasonal() -> str:
+    """Day-of-week seasonal sufficient statistics over the dense daily
+    axis (twin of `queries.q_dow_seasonal`)."""
+    return DAILY_AXIS_CTE + """
+SELECT CAST((day + 4) % 7 AS BIGINT) AS dow,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(c) AS BIGINT) AS sum_cnt,
+       CAST(min(c) AS BIGINT) AS min_cnt,
+       CAST(max(c) AS BIGINT) AS max_cnt
+FROM x GROUP BY 1
+"""
+
+
+@_materialized
+def attack_curve(h: int = 4, iters: int = 12) -> str:
+    """Hub-removal robustness curve (twin of `queries.q_attack_curve`):
+    per removal count j, `iters` unrolled min-label rounds over the
+    induced subgraph in LABEL-string order (lexicographic label rank ==
+    the Ray side's dense-id order)."""
+    sql = PREFIX + """
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+degt AS (SELECT src AS i, CAST(count(*) AS BIGINT) AS d
+         FROM und GROUP BY 1),
+degall AS (
+  SELECT f.i, coalesce(degt.d, 0) AS d
+  FROM files f LEFT JOIN degt ON degt.i = f.i
+),
+hubs AS (
+  SELECT i, row_number() OVER (ORDER BY d DESC, i ASC) AS rk
+  FROM degall
+)"""
+    parts = []
+    for j in range(h + 1):
+        sql += f"""
+, k{j} AS (SELECT v.i, v.label FROM verts v
+           WHERE v.i NOT IN (SELECT i FROM hubs WHERE rk <= {j})),
+u{j} AS (
+  SELECT u.src, u.dst FROM und u
+  JOIN k{j} a ON a.i = u.src JOIN k{j} b ON b.i = u.dst
+),
+a{j}l0 AS (SELECT i, label AS comp FROM k{j})
+"""
+        prev = f"a{j}l0"
+        for r in range(1, iters + 1):
+            sql += f"""
+, a{j}l{r} AS (
+  SELECT v.i, least(l.comp, coalesce(m.mn, l.comp)) AS comp
+  FROM k{j} v JOIN {prev} l ON l.i = v.i
+  LEFT JOIN (
+    SELECT u.dst AS i, min(lp.comp) AS mn
+    FROM u{j} u JOIN {prev} lp ON lp.i = u.src GROUP BY u.dst
+  ) m ON m.i = v.i
+)"""
+            prev = f"a{j}l{r}"
+        parts.append(f"""
+SELECT CAST({j} AS BIGINT) AS n_removed,
+       CAST((SELECT count(*) FROM k{j}) AS BIGINT) AS n_kept,
+       CAST(count(DISTINCT comp) AS BIGINT) AS n_components,
+       CAST((SELECT max(cc) FROM (
+         SELECT count(*) AS cc FROM {prev} GROUP BY comp)) AS BIGINT)
+         AS lcc_size
+FROM {prev}""")
+    return sql + "\nUNION ALL\n".join(parts)

@@ -21295,3 +21295,124 @@ def q_daily_xcorr(sf_dir: str):
         "tx": pa.array([tx] * len(lags), type=pa.string()),
         "ty": pa.array([ty] * len(lags), type=pa.string()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 96: SymSpell-2 fuzzy pairs, day-of-week seasonality,
+# hub-removal robustness curve
+# ---------------------------------------------------------------------------
+
+ATK_H = 4       # hubs removed, one at a time
+ATK_ITERS = 12  # synchronous min-label rounds (matches CC_ITERS)
+
+
+def q_lev2_pairs(sf_dir: str):
+    """All vocabulary pairs at levenshtein distance EXACTLY 2 over the
+    documents + part-name vocabulary — depth-2 SymSpell blocking with
+    an exact vectorized-DP verify (see `dedup.lev2_pairs`); the fuzzy
+    sibling one edit wider than `q_edit1_pairs`."""
+    import ray
+
+    from ..functions.dedup import lev2_pairs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["text"])
+    parts = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                  columns=["p_name"])
+    return lev2_pairs(
+        docs.map_batches(_tok_vocab_fn("text"), batch_format="pyarrow",
+                         zero_copy_batch=True),
+        parts.map_batches(_tok_vocab_fn("p_name"),
+                          batch_format="pyarrow", zero_copy_batch=True),
+    )
+
+
+def q_dow_seasonal(sf_dir: str):
+    """Day-of-week seasonal profile of the daily event counts over the
+    dense zero-filled axis (dow = (epoch_day + 4) % 7, Thursday-anchored
+    pure integer arithmetic): per-dow sufficient statistics for the
+    seasonal-decomposition step a volume forecaster subtracts before
+    trend fitting. Output (dow, n_days, sum_cnt, min_cnt, max_cnt)."""
+    days, x = _w94_daily_axis(sf_dir)
+    dow = ((days + 4) % 7).astype(np.int64)
+    uk = np.unique(dow)
+    return pa.table({
+        "dow": pa.array(uk),
+        "n_days": pa.array(np.array(
+            [int((dow == d).sum()) for d in uk], dtype=np.int64)),
+        "sum_cnt": pa.array(np.array(
+            [int(x[dow == d].sum()) for d in uk], dtype=np.int64)),
+        "min_cnt": pa.array(np.array(
+            [int(x[dow == d].min()) for d in uk], dtype=np.int64)),
+        "max_cnt": pa.array(np.array(
+            [int(x[dow == d].max()) for d in uk], dtype=np.int64)),
+    })
+
+
+def _atk_mask(bounds, rm):
+    s, e = bounds
+    m = np.zeros((1, e - s), dtype=np.float64)
+    inr = rm[(rm >= s) & (rm < e)]
+    m[0, inr - s] = 1.0
+    return m
+
+
+def _atk_seed(bounds):
+    s, e = bounds
+    return np.arange(s, e, dtype=np.float64)[None, :]
+
+
+def _atk_x(l, m):
+    return np.where(m[0:1] > 0, np.inf, l[0:1])
+
+
+def _atk_upd(l, y, m):
+    return np.where(m[0:1] > 0, np.inf, np.minimum(l[0:1], y[0:1]))
+
+
+def _atk_census(l, m):
+    keep = (m[0] == 0) & np.isfinite(l[0])
+    uk, c = np.unique(l[0][keep].astype(np.int64), return_counts=True)
+    return (uk, c.astype(np.int64))
+
+
+def q_attack_curve(sf_dir: str):
+    """Targeted-attack robustness curve: remove the top-ATK_H hubs
+    (structural degree DESC, arith ASC) ONE at a time and report, after
+    exactly ATK_ITERS synchronous min-label rounds on the surviving
+    induced subgraph, the component census — n_components and the
+    largest-component size (the percolation evidence behind "scale-free
+    graphs are fragile to hub removal"). No engine rebuild per step:
+    removal is an elementwise mask fused around the same resident-CSR
+    min-label SpMV (removed vertices propagate +inf and ignore
+    updates), labels stay chunked refs; the census merges bounded
+    per-chunk (label, count) partials. Output (n_removed, n_kept,
+    n_components, lcc_size)."""
+    import ray
+
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("sym")
+    hubs = alg.top_by_degree(
+        eng, ctx.vdict.arith_slice_refs(eng.bounds), ATK_H)
+    rows = []
+    for j in range(ATK_H + 1):
+        rm = np.asarray(hubs[:j], dtype=np.int64)
+        mask = eng.map_chunks_n(partial(_atk_mask, rm=rm), 1,
+                                with_bounds=True)[0]
+        lab = eng.map_chunks_n(_atk_seed, 1, with_bounds=True)[0]
+        for _ in range(ATK_ITERS):
+            x = eng.map_chunks(_atk_x, lab, mask)
+            y = eng.spmm_refs(x, 1, "select2nd_min")
+            lab = eng.map_chunks(_atk_upd, lab, y, mask)
+        agg: dict[int, int] = {}
+        for uk, c in eng.chunk_scalars(_atk_census, lab, mask):
+            for kk, cc in zip(uk, c):
+                agg[int(kk)] = agg.get(int(kk), 0) + int(cc)
+        rows.append((j, ctx.n - j, len(agg),
+                     max(agg.values()) if agg else 0))
+    return pa.table({
+        "n_removed": pa.array([r[0] for r in rows], type=pa.int64()),
+        "n_kept": pa.array([r[1] for r in rows], type=pa.int64()),
+        "n_components": pa.array([r[2] for r in rows], type=pa.int64()),
+        "lcc_size": pa.array([r[3] for r in rows], type=pa.int64()),
+    })
