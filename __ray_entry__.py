@@ -61,8 +61,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LSH bucket caps — newest = highest regression risk)
         "bfs": q.q_bfs,
         "bfs_parents": q.q_bfs_parents,
-        "hub_asymmetry": q.q_hub_asymmetry,
-        "prune_column": q.q_prune_column,
         "colstochastic": q.q_colstochastic,
         "minhash_pairs": q.q_minhash_pairs,
         # waves 72-74 (round 5: iterative linear-algebra + LM scoring —
@@ -106,6 +104,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lev2_pairs": q.q_lev2_pairs,
         "dow_seasonal": q.q_dow_seasonal,
         "attack_curve": q.q_attack_curve,
+        # wave 97 (round 5 session 4: BPE tokenizer training + Zipf
+        # coverage — newest)
+        "bpe_merges": q.q_bpe_merges,
+        "bpe_doc_stats": q.q_bpe_doc_stats,
+        "vocab_coverage": q.q_vocab_coverage,
         # waves 77-80 (round 5: convergence/metrics faces of the core
         # apps — these touched the pagerank/BFS/SSSP/LP/MCL loops)
         "mcl_chaos_trace": q.q_mcl_chaos_trace,
@@ -125,8 +128,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 53 (round 4)
         # wave 52 (round 4)
         # wave 51 (round 4)
-        # wave 50 (round 4)
-        "edit1_pairs": q.q_edit1_pairs,
         # wave 49 (round 4)
         "prep_corpus": q.q_prep_corpus,
         # wave 48
@@ -184,6 +185,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_level_cut": q.q_bfs_level_cut,  # level anatomy (r4 wave-69 green; bfs/bfs_dir_trace in-window)
         "cross_source_dups": q.q_cross_source_dups,  # dedup leakage (r4 wave-66 green; minhash_pairs/prep_corpus dedup siblings)
         "edge_support_hist": q.q_edge_support_hist,  # truss support census (r4 wave-50 green; diamond_count in-window folds the same support)
+        "hub_asymmetry": q.q_hub_asymmetry,  # hub in/out face (r5 wave-70 green; hub_bisector/hub_walk_returns in-window)
+        "prune_column": q.q_prune_column,  # chunked vector prune (r5 wave-70 green; colstochastic in-window shares the chunked dim machinery)
+        "edit1_pairs": q.q_edit1_pairs,  # SymSpell-1 (r4 wave-50 green; lev2_pairs in-window runs the depth-2 superset plan)
         "msbfs": q.q_msbfs,  # K-source min-merge (r4 wave-70 green; apsp_top/steiner_approx kseed siblings)
         "distance_hist": q.q_distance_hist,  # K-source census (r4 wave-70 green; hub_bisector/steiner_approx siblings)
         "busy_minutes": q.q_busy_minutes,  # minute census (r4 wave-69 green; ewma_daily/cusum_flags/holt_trend day-axis siblings)
@@ -784,6 +788,10 @@ def oracle_sql() -> dict[str, str]:
         "lev2_pairs": o.lev2_pairs(),
         "dow_seasonal": o.dow_seasonal(),
         "attack_curve": o.attack_curve(q.ATK_H, q.ATK_ITERS),
+        "bpe_merges": o.bpe_merges(textf.BPE_ROUNDS, textf.BPE_JOIN),
+        "bpe_doc_stats": o.bpe_doc_stats(textf.BPE_ROUNDS,
+                                         textf.BPE_JOIN),
+        "vocab_coverage": o.vocab_coverage(q.VOCAB_COV_JS),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

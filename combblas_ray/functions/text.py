@@ -1414,3 +1414,115 @@ def heavy_hitters(docs_ds, k: int = HH_K):
         "tok": pa.array(uk3[hh], type=pa.string()),
         "cnt": pa.array(tot[hh]),
     })
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (merge trace over the token-symbol corpus)
+# ---------------------------------------------------------------------------
+
+BPE_ROUNDS = 4
+BPE_JOIN = "+"
+
+
+def _bpe_pair_partial(b: pa.Table) -> pa.Table:
+    """Per-batch adjacent-symbol pair counts (overlapping positions, the
+    classic BPE counting convention), cross-document pairs masked."""
+    toks = tokens_list(b)
+    lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+    flat = np.asarray(pc.list_flatten(toks)).astype(str)
+    if len(flat) < 2:
+        return pa.table({"a": pa.array([], type=pa.string()),
+                         "b": pa.array([], type=pa.string()),
+                         "c": pa.array([], type=pa.int64())})
+    dof = np.repeat(np.arange(b.num_rows), lens)
+    same = dof[:-1] == dof[1:]
+    keys = np.char.add(np.char.add(flat[:-1][same], "\x1f"),
+                       flat[1:][same])
+    uk, inv = np.unique(keys, return_inverse=True)
+    c = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+    sp = np.char.partition(uk, "\x1f")
+    return pa.table({"a": pa.array(sp[:, 0], type=pa.string()),
+                     "b": pa.array(sp[:, 2], type=pa.string()),
+                     "c": pa.array(c)})
+
+
+def _bpe_apply_fn(x: str, y: str):
+    """Batch kernel applying one merge (x, y) -> x+BPE_JOIN+y with the
+    greedy left-to-right non-overlapping rule, fully vectorized: match
+    runs detected with a maximum.accumulate anchor, alternating
+    selection within each run (only x == y can produce runs)."""
+    merged = x + BPE_JOIN + y
+
+    def _f(b: pa.Table) -> pa.Table:
+        toks = tokens_list(b)
+        lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        flat = np.asarray(pc.list_flatten(toks)).astype(str)
+        if len(flat) < 2:
+            return b
+        dof = np.repeat(np.arange(b.num_rows), lens)
+        m = np.concatenate((
+            (flat[:-1] == x) & (flat[1:] == y) & (dof[:-1] == dof[1:]),
+            [False]))
+        idx = np.arange(len(m))
+        run_start = m & ~np.concatenate(([False], m[:-1]))
+        anchor = np.maximum.accumulate(np.where(run_start, idx, -1))
+        sel = m & ((idx - anchor) % 2 == 0)
+        sel_idx = np.nonzero(sel)[0]
+        out = flat.astype(object)
+        out[sel_idx] = merged
+        keep = np.ones(len(flat), dtype=bool)
+        keep[sel_idx + 1] = False
+        new_lens = lens - np.bincount(dof[sel_idx],
+                                      minlength=b.num_rows)
+        offs = np.concatenate(([0], np.cumsum(new_lens)))
+        la = pa.ListArray.from_arrays(
+            pa.array(offs, type=pa.int32()),
+            pa.array(out[keep].astype(str), type=pa.string()))
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "text": pc.binary_join(la, " "),
+        })
+
+    return _f
+
+
+def bpe_train(docs_ds, rounds: int = BPE_ROUNDS):
+    """Train `rounds` BPE merges over the whitespace-symbol corpus: per
+    round, one distributed adjacent-pair count (per-batch partials,
+    bounded by the live vocabulary), a driver argmax with the
+    deterministic (count DESC, a ASC, b ASC) tie-break, and one
+    broadcast vectorized merge pass — the tokenizer-training loop of an
+    LLM data pipeline expressed as K scan+apply rounds (no shuffle; the
+    pair table IS the reduction). Returns (merge_table, final_ds):
+    merge_table rows (round, sym_a, sym_b, pair_count, syms_after)."""
+    ds = docs_ds
+    rows = []
+    for r in range(1, rounds + 1):
+        parts = ds.map_batches(_bpe_pair_partial, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+        if len(parts) == 0:
+            break
+        key = parts.a.astype(str) + "\x1f" + parts.b.astype(str)
+        tot = parts.groupby(key, sort=True).c.sum()
+        order = np.lexsort((tot.index.to_numpy().astype(str),
+                            -tot.to_numpy()))
+        best = tot.index[order[0]]
+        cnt = int(tot.iloc[order[0]])
+        xa, xb = best.split("\x1f")
+        ds = ds.map_batches(_bpe_apply_fn(xa, xb),
+                            batch_format="pyarrow").materialize()
+        n_after = int(sum(
+            r2["n"] for r2 in ds.map_batches(
+                lambda t: pa.table({"n": pa.array([int(np.asarray(
+                    pc.list_value_length(tokens_list(t)),
+                    dtype=np.int64).sum())])}),
+                batch_format="pyarrow").take_all()))
+        rows.append((r, xa, xb, cnt, n_after))
+    merge_table = pa.table({
+        "round": pa.array([r[0] for r in rows], type=pa.int64()),
+        "sym_a": pa.array([r[1] for r in rows], type=pa.string()),
+        "sym_b": pa.array([r[2] for r in rows], type=pa.string()),
+        "pair_count": pa.array([r[3] for r in rows], type=pa.int64()),
+        "syms_after": pa.array([r[4] for r in rows], type=pa.int64()),
+    })
+    return merge_table, ds

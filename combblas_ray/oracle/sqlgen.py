@@ -11766,3 +11766,87 @@ SELECT CAST({j} AS BIGINT) AS n_removed,
          AS lcc_size
 FROM {prev}""")
     return sql + "\nUNION ALL\n".join(parts)
+
+
+def _bpe_chain(rounds: int, join: str) -> str:
+    """Shared BPE round chain: padded double-space representation (each
+    symbol owns its leading/trailing space) makes plain left-to-right
+    replace() exactly the greedy non-overlapping BPE merge rule."""
+    sql = """
+WITH s0 AS MATERIALIZED (
+  SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS s
+  FROM documents
+)"""
+    for r in range(rounds):
+        sql += f"""
+, t{r} AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(s), ' +') AS t FROM s{r}
+),
+p{r} AS MATERIALIZED (
+  SELECT u.a AS a, u.b AS b, count(*) AS c FROM (
+    SELECT unnest(list_transform(range(1, len(t)), i ->
+      {{'a': t[i], 'b': t[i+1]}})) AS u
+    FROM t{r} WHERE len(t) >= 2
+  ) GROUP BY 1, 2
+),
+m{r} AS MATERIALIZED (
+  SELECT a, b, CAST(c AS BIGINT) AS c FROM p{r}
+  ORDER BY c DESC, a ASC, b ASC LIMIT 1
+),
+s{r + 1} AS MATERIALIZED (
+  SELECT x.doc_id,
+         replace(x.s, ' ' || m.a || '  ' || m.b || ' ',
+                 ' ' || m.a || '{join}' || m.b || ' ') AS s
+  FROM s{r} x, m{r} m
+)"""
+    sql += f"""
+, t{rounds} AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(s), ' +') AS t FROM s{rounds}
+)"""
+    return sql
+
+
+def bpe_merges(rounds: int = 4, join: str = "+") -> str:
+    """BPE merge trace (twin of `queries.q_bpe_merges`)."""
+    parts = [
+        f"SELECT CAST({r + 1} AS BIGINT) AS round, m{r}.a AS sym_a, "
+        f"m{r}.b AS sym_b, m{r}.c AS pair_count, "
+        f"(SELECT CAST(sum(len(t)) AS BIGINT) FROM t{r + 1}) "
+        f"AS syms_after FROM m{r}"
+        for r in range(rounds)
+    ]
+    return _bpe_chain(rounds, join) + "\n" + "\nUNION ALL\n".join(parts) \
+        + "\nORDER BY round\n"
+
+
+def bpe_doc_stats(rounds: int = 4, join: str = "+") -> str:
+    """Per-doc symbol counts before/after the trained merges (twin of
+    `queries.q_bpe_doc_stats`)."""
+    return _bpe_chain(rounds, join) + f"""
+SELECT b.doc_id, CAST(len(b.t) AS BIGINT) AS n_before,
+       CAST(len(a.t) AS BIGINT) AS n_after
+FROM t0 b JOIN t{rounds} a ON a.doc_id = b.doc_id
+"""
+
+
+def vocab_coverage(js=(1, 2, 4, 8, 16, 32)) -> str:
+    """Zipf coverage curve (twin of `queries.q_vocab_coverage`)."""
+    lst = ", ".join(str(j) for j in js)
+    return f"""
+WITH f AS MATERIALIZED (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS MATERIALIZED (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM f GROUP BY tok
+),
+rk AS MATERIALIZED (
+  SELECT c, row_number() OVER (ORDER BY c DESC, tok ASC) AS rn FROM tf
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS m FROM tf),
+js AS (SELECT unnest([{lst}]) AS j)
+SELECT CAST(j AS BIGINT) AS j,
+       (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM rk
+        WHERE rn <= j) AS covered,
+       tot.m AS total
+FROM js, tot ORDER BY j
+"""

@@ -21416,3 +21416,81 @@ def q_attack_curve(sf_dir: str):
         "n_components": pa.array([r[2] for r in rows], type=pa.int64()),
         "lcc_size": pa.array([r[3] for r in rows], type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 97: BPE tokenizer training + vocabulary coverage
+# ---------------------------------------------------------------------------
+
+VOCAB_COV_JS = (1, 2, 4, 8, 16, 32)
+
+
+def q_bpe_merges(sf_dir: str):
+    """BPE tokenizer-training trace: the first BPE_ROUNDS merges over
+    the whitespace-symbol corpus — per round the chosen pair (count
+    DESC, pair ASC), its adjacent-position count, and the corpus symbol
+    total after the merge (see `text.bpe_train`; the tokenizer-training
+    step of an LLM data pipeline). Output (round, sym_a, sym_b,
+    pair_count, syms_after)."""
+    from ..functions import text as T
+
+    merges, _ds = T.bpe_train(_docs(sf_dir))
+    return merges
+
+
+def q_bpe_doc_stats(sf_dir: str):
+    """Per-document symbol counts before/after the BPE_ROUNDS trained
+    merges — verifies the greedy left-to-right merge APPLICATION
+    document by document (see `text.bpe_train`). Output (doc_id,
+    n_before, n_after)."""
+    from ..functions import text as T
+
+    docs = _docs(sf_dir)
+    before = docs.map_batches(T.token_stats, batch_format="pyarrow",
+                              zero_copy_batch=True).to_pandas()
+    _merges, after_ds = T.bpe_train(docs)
+    after = after_ds.map_batches(T.token_stats, batch_format="pyarrow",
+                                 zero_copy_batch=True).to_pandas()
+    bm = dict(zip(before.doc_id, before.n_tokens))
+    return pa.table({
+        "doc_id": pa.array(after.doc_id.to_numpy(), type=pa.int64()),
+        "n_before": pa.array(np.array(
+            [bm[d] for d in after.doc_id], dtype=np.int64)),
+        "n_after": pa.array(after.n_tokens.to_numpy().astype(np.int64)),
+    })
+
+
+def q_vocab_coverage(sf_dir: str):
+    """Zipf coverage curve of the token vocabulary: for each budget j in
+    VOCAB_COV_JS, the number of corpus token occurrences covered by the
+    top-j tokens (count DESC, token ASC) plus the corpus total — the
+    "how big must the vocab be" sufficient statistics of tokenizer
+    design. Per-batch count partials only; the rank fold is over the
+    bounded vocabulary. Output (j, covered, total)."""
+    from ..core.shuffle import group_apply_tasks
+    from ..functions import text as T
+
+    tf = _docs(sf_dir).map_batches(T._tf_local, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+
+    def _vmerge(t: pa.Table) -> pa.Table:
+        tok = np.asarray(t.column("tok")).astype(str)
+        c = np.asarray(t.column("tf"), dtype=np.int64)
+        uk, inv = np.unique(tok, return_inverse=True)
+        return pa.table({"tok": pa.array(uk, type=pa.string()),
+                         "c": pa.array(ibincount(inv, c,
+                                                 minlength=len(uk)))})
+
+    vc = group_apply_tasks(tf, ["tok"], _vmerge).to_pandas()
+    tok = vc.tok.to_numpy().astype(str)
+    c = vc.c.to_numpy().astype(np.int64)
+    order = np.lexsort((tok, -c))
+    cs = np.cumsum(c[order])
+    total = int(c.sum())
+    js = np.array(VOCAB_COV_JS, dtype=np.int64)
+    cov = [int(cs[min(j, len(cs)) - 1]) if len(cs) else 0 for j in js]
+    return pa.table({
+        "j": pa.array(js),
+        "covered": pa.array(np.array(cov, dtype=np.int64)),
+        "total": pa.array(np.full(len(js), total, dtype=np.int64)),
+    })
