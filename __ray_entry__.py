@@ -55,7 +55,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_propagation": q.q_label_propagation,
         "triangle_count": q.q_triangle_count,
         # graph/engine operators without a prior driver row
-        "filtered_bfs_payload": q.q_filtered_bfs_payload,
         # wave 70 (round 5: direction-optimizing BFS kernel, refs-only
         # K-source distance family, chunked prune/stochastic vectors,
         # LSH bucket caps — newest = highest regression risk)
@@ -109,6 +108,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": q.q_bpe_merges,
         "bpe_doc_stats": q.q_bpe_doc_stats,
         "vocab_coverage": q.q_vocab_coverage,
+        # wave 98 (round 5 session 4: router-balance audit, table
+        # profiling, hub ball similarity — newest)
+        "route_balance": q.q_route_balance,
+        "table_profile": q.q_table_profile,
+        "ball2_jaccard": q.q_ball2_jaccard,
         # waves 77-80 (round 5: convergence/metrics faces of the core
         # apps — these touched the pagerank/BFS/SSSP/LP/MCL loops)
         "mcl_chaos_trace": q.q_mcl_chaos_trace,
@@ -118,8 +122,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LLM-data layer without a prior driver row (+ refactored dedup)
         # wave 14 (newest = highest regression risk)
         # wave 15
-        # wave 59 (round 4)
-        "decile_priority_grid": q.q_decile_priority_grid,
         # wave 58 (round 4)
         "hub_bisector": q.q_hub_bisector,
         # wave 56 (round 4)
@@ -169,7 +171,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
-        "same_day_orders": q.q_same_day_orders,  # date-join census (r4 wave-68 green; window slot 50 kept across rotations)
+        "same_day_orders": q.q_same_day_orders,  # date-join census (r4 wave-68 green; daily_xcorr/dow_seasonal day-axis joins in-window)
+        "filtered_bfs_payload": q.q_filtered_bfs_payload,  # payload-predicate BFS (r4 driver-green; bfs/bfs_dir_trace in-window)
+        "decile_priority_grid": q.q_decile_priority_grid,  # decile grid (r4 wave-59 green; dow_seasonal/vocab_coverage census siblings)
         # rotated out for waves 88-92 (all driver-green in r4/r5 windows;
         # named in-window siblings exercise the same machinery)
         "apsp_top": q.q_apsp_top,  # K-source top rows (r5 wave-70 green; steiner_approx kseed sibling)
@@ -792,6 +796,9 @@ def oracle_sql() -> dict[str, str]:
         "bpe_doc_stats": o.bpe_doc_stats(textf.BPE_ROUNDS,
                                          textf.BPE_JOIN),
         "vocab_coverage": o.vocab_coverage(q.VOCAB_COV_JS),
+        "route_balance": o.route_balance(q.ROUTE_G),
+        "table_profile": o.table_profile(q.PROFILE_TABLES),
+        "ball2_jaccard": o.ball2_jaccard(),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

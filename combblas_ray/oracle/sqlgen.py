@@ -11850,3 +11850,101 @@ SELECT CAST(j AS BIGINT) AS j,
        tot.m AS total
 FROM js, tot ORDER BY j
 """
+
+
+def _mix64_sql(col: str) -> str:
+    """splitmix64 of UBIGINT column expr `col`, bit-exact vs
+    `shuffle._mix64` (32-bit split multiplies mod 2^64)."""
+    m64 = 18446744073709551616
+
+    def mul(z, m):
+        return (f"CAST(((((CAST({z} AS HUGEINT) >> 32) * {m}) "
+                f"% 4294967296) * 4294967296 + "
+                f"(CAST({z} AS HUGEINT) % 4294967296) * {m}) "
+                f"% {m64} AS UBIGINT)")
+
+    z1 = (f"CAST((CAST({col} AS HUGEINT) + 11400714819323198485) "
+          f"% {m64} AS UBIGINT)")
+    z2 = mul(f"xor({z1}, ({z1}) >> 30)", 13787848793156543929)
+    z3 = mul(f"xor({z2}, ({z2}) >> 27)", 10723151780598845931)
+    return f"xor({z3}, ({z3}) >> 31)"
+
+
+def route_balance(g: int = 32) -> str:
+    """Per-bucket row counts of the engine's double-splitmix64 router
+    on l_orderkey (twin of `queries.q_route_balance`: bucket =
+    (mix64(mix64(key)) >> 33) % g)."""
+    inner = _mix64_sql("CAST(l_orderkey AS UBIGINT)")
+    outer = _mix64_sql(f"h")
+    return f"""
+WITH h1 AS (SELECT {inner} AS h FROM lineitem),
+h2 AS (SELECT {outer} AS h FROM h1)
+SELECT CAST((h >> 33) % {g} AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS rows
+FROM h2 GROUP BY 1
+"""
+
+
+def table_profile(tables: dict) -> str:
+    """Null / exact-distinct census per column (twin of
+    `queries.q_table_profile`)."""
+    parts = []
+    for tbl, cols in tables.items():
+        for c in cols:
+            parts.append(f"""
+SELECT '{tbl}' AS tbl, '{c}' AS col,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+FROM {tbl}""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@_materialized
+def ball2_jaccard() -> str:
+    """Distance-<=2 ball sizes and intersections of the top-3 hubs
+    (twin of `queries.q_ball2_jaccard`)."""
+    sql = PREFIX + """
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+degt AS (SELECT src AS i, CAST(count(*) AS BIGINT) AS d
+         FROM und GROUP BY 1),
+degall AS (
+  SELECT f.i, coalesce(degt.d, 0) AS d
+  FROM files f LEFT JOIN degt ON degt.i = f.i
+),
+hub3 AS (
+  SELECT i, rk FROM (
+    SELECT i, row_number() OVER (ORDER BY d DESC, i ASC) AS rk
+    FROM degall
+  ) WHERE rk <= 3
+),
+b1 AS (
+  SELECT DISTINCT h.rk, u.dst AS v
+  FROM und u JOIN hub3 h ON h.i = u.src
+  UNION SELECT rk, i FROM hub3
+),
+b2 AS (
+  SELECT DISTINCT b.rk, u.dst AS v
+  FROM und u JOIN b1 b ON b.v = u.src
+  UNION SELECT rk, v FROM b1
+),
+sz AS (SELECT rk, CAST(count(*) AS BIGINT) AS n FROM b2 GROUP BY rk),
+ix AS (
+  SELECT a.rk AS ra, b.rk AS rb, CAST(count(*) AS BIGINT) AS inter
+  FROM b2 a JOIN b2 b ON a.v = b.v AND a.rk < b.rk
+  GROUP BY 1, 2
+)
+SELECT (SELECT v.label FROM hub3 h JOIN verts v ON v.i = h.i
+        WHERE h.rk = p.ra) AS la,
+       (SELECT v.label FROM hub3 h JOIN verts v ON v.i = h.i
+        WHERE h.rk = p.rb) AS lb,
+       (SELECT n FROM sz WHERE rk = p.ra) AS na,
+       (SELECT n FROM sz WHERE rk = p.rb) AS nb,
+       coalesce((SELECT inter FROM ix
+                 WHERE ra = p.ra AND rb = p.rb), 0) AS inter
+FROM (VALUES (1, 2), (1, 3), (2, 3)) p(ra, rb)
+"""
+    return sql

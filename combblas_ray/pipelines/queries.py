@@ -21494,3 +21494,161 @@ def q_vocab_coverage(sf_dir: str):
         "covered": pa.array(np.array(cov, dtype=np.int64)),
         "total": pa.array(np.full(len(js), total, dtype=np.int64)),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 98: shuffle-route balance audit, table profiling, 2-hop ball
+# similarity of hubs
+# ---------------------------------------------------------------------------
+
+ROUTE_G = 32  # audited fan-out
+PROFILE_TABLES = {
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus",
+               "o_totalprice", "o_orderdate", "o_orderpriority"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"],
+}
+
+
+def q_route_balance(sf_dir: str):
+    """Partition-balance audit of the engine's OWN shuffle router: the
+    exact per-bucket row counts `_gen_route` produces for lineitem
+    keyed on l_orderkey at fan-out ROUTE_G — runs the real
+    `_col_hash`/`_mix64` double-splitmix64 path per batch (bincount
+    partials only), and the DuckDB twin re-implements splitmix64
+    bit-exactly (split 32-bit multiplies mod 2^64). The evidence that
+    hash routing balances the wide steps. Output (bucket, rows)."""
+    import ray
+
+    from ..core.shuffle import _col_hash, _mix64
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey"])
+
+    def _part(b: pa.Table) -> pa.Table:
+        acc = np.zeros(b.num_rows, dtype=np.uint64)
+        acc = _mix64(acc * np.uint64(11400714819323198485)
+                     + _col_hash(b.column("l_orderkey"), b.num_rows))
+        p = (acc >> np.uint64(33)).astype(np.int64) % ROUTE_G
+        return pa.table({
+            "bucket": pa.array(np.arange(ROUTE_G, dtype=np.int64)),
+            "rows": pa.array(np.bincount(
+                p, minlength=ROUTE_G).astype(np.int64)),
+        })
+
+    parts = ds.map_batches(_part, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    agg = parts.groupby("bucket", sort=True).rows.sum()
+    return pa.table({
+        "bucket": pa.array(agg.index.to_numpy().astype(np.int64)),
+        "rows": pa.array(agg.to_numpy().astype(np.int64)),
+    })
+
+
+def q_table_profile(sf_dir: str):
+    """Data-profiling census over the orders and customer tables: per
+    column, row count, null count, and EXACT distinct count (per-batch
+    unique partials, value-hash shuffle, per-partition distinct counts
+    summed — never a full-column driver gather). The schema-drift /
+    quality gate a pipeline runs before trusting an input drop. Output
+    (tbl, col, n_rows, n_nulls, n_distinct)."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    rows = []
+    for tbl, cols in PROFILE_TABLES.items():
+        ds = ray.data.read_parquet(f"{sf_dir}/{tbl}.parquet",
+                                   columns=cols)
+        n_rows = int(ds.count())
+        for c in cols:
+            def _uniq(b: pa.Table, *, _c=c) -> pa.Table:
+                u = pc.unique(pc.drop_null(b.column(_c)))
+                return pa.table({"v": u.cast(pa.string())})
+
+            def _nulls(b: pa.Table, *, _c=c) -> pa.Table:
+                return pa.table({"nn": pa.array(
+                    [b.column(_c).null_count], type=pa.int64())})
+
+            n_nulls = int(sum(
+                r["nn"] for r in ds.map_batches(
+                    _nulls, batch_format="pyarrow",
+                    zero_copy_batch=True).take_all()))
+
+            def _dcount(t: pa.Table) -> pa.Table:
+                v = np.asarray(t.column("v")).astype(str)
+                return pa.table({"d": pa.array(
+                    [len(np.unique(v))], type=pa.int64())})
+
+            nd = int(group_apply_tasks(
+                ds.map_batches(_uniq, batch_format="pyarrow",
+                               zero_copy_batch=True), ["v"],
+                _dcount).to_pandas().d.sum())
+            rows.append((tbl, c, n_rows, n_nulls, nd))
+    return pa.table({
+        "tbl": pa.array([r[0] for r in rows], type=pa.string()),
+        "col": pa.array([r[1] for r in rows], type=pa.string()),
+        "n_rows": pa.array([r[2] for r in rows], type=pa.int64()),
+        "n_nulls": pa.array([r[3] for r in rows], type=pa.int64()),
+        "n_distinct": pa.array([r[4] for r in rows], type=pa.int64()),
+    })
+
+
+def _b2_seed(bounds, seeds):
+    s, e = bounds
+    x = np.zeros((len(seeds), e - s), dtype=np.int64)
+    for r, v in enumerate(seeds):
+        if s <= v < e:
+            x[r, v - s] = 1
+    return x
+
+
+def _b2_or(b, y):
+    return ((b > 0) | (y > 0)).astype(np.int64)
+
+
+def _b2_stats(b):
+    sizes = b.sum(axis=1).astype(np.int64)
+    inter = np.array([
+        int(((b[0] > 0) & (b[1] > 0)).sum()),
+        int(((b[0] > 0) & (b[2] > 0)).sum()),
+        int(((b[1] > 0) & (b[2] > 0)).sum()),
+    ], dtype=np.int64)
+    return (sizes, inter)
+
+
+def q_ball2_jaccard(sf_dir: str):
+    """Jaccard sufficient statistics between the distance-<=2 BALLS of
+    the top-3 hubs (degree DESC, arith ASC): ball sizes and pairwise
+    intersections — neighborhood-similarity evidence one hop wider than
+    `nbr_jaccard`, computed as TWO batched bool SpMM rounds from a
+    (3, n) indicator (state chunked; one bounded stats sync). Output
+    (la, lb, na, nb, inter) per hub pair, label identities."""
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("sym")
+    hubs = alg.top_by_degree(
+        eng, ctx.vdict.arith_slice_refs(eng.bounds), 3)
+    b = eng.map_chunks_n(partial(_b2_seed, seeds=list(hubs)), 1,
+                         with_bounds=True)[0]
+    for _ in range(2):
+        y = eng.spmm_refs(b, 3, "plus_times_i64")
+        b = eng.map_chunks(_b2_or, b, y)
+    sizes = np.zeros(3, dtype=np.int64)
+    inter = np.zeros(3, dtype=np.int64)
+    for sz, it in eng.chunk_scalars(_b2_stats, b):
+        sizes += sz
+        inter += it
+    labs = ctx.gather_labels(np.asarray(hubs, dtype=np.int64))
+    pairs = [(0, 1, 0), (0, 2, 1), (1, 2, 2)]
+    return pa.table({
+        "la": pa.array([labs[a] for a, _b2, _i in pairs],
+                       type=pa.string()),
+        "lb": pa.array([labs[b2] for _a, b2, _i in pairs],
+                       type=pa.string()),
+        "na": pa.array([int(sizes[a]) for a, _b2, _i in pairs],
+                       type=pa.int64()),
+        "nb": pa.array([int(sizes[b2]) for _a, b2, _i in pairs],
+                       type=pa.int64()),
+        "inter": pa.array([int(inter[i]) for _a, _b2, i in pairs],
+                          type=pa.int64()),
+    })
