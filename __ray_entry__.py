@@ -59,13 +59,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # K-source distance family, chunked prune/stochastic vectors,
         # LSH bucket caps — newest = highest regression risk)
         "bfs": q.q_bfs,
-        "bfs_parents": q.q_bfs_parents,
         "colstochastic": q.q_colstochastic,
         "minhash_pairs": q.q_minhash_pairs,
         # waves 72-74 (round 5: iterative linear-algebra + LM scoring —
         # newest = highest regression risk)
         "eigencentrality": q.q_eigencentrality,
-        "chebyshev_filter": q.q_chebyshev_filter,
         "conjgrad_fixed": q.q_conjgrad_fixed,
         "lm_outliers": q.q_lm_outliers,
         # waves 88-91 (round 5 session 3: newest = highest regression
@@ -113,9 +111,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "route_balance": q.q_route_balance,
         "table_profile": q.q_table_profile,
         "ball2_jaccard": q.q_ball2_jaccard,
+        # wave 99 (round 5 session 4: rank correlation, Lorenz/Gini,
+        # seasonal-adjusted anomalies — newest)
+        "deg_kendall": q.q_deg_kendall,
+        "segment_gini": q.q_segment_gini,
+        "deseason_top": q.q_deseason_top,
         # waves 77-80 (round 5: convergence/metrics faces of the core
         # apps — these touched the pagerank/BFS/SSSP/LP/MCL loops)
-        "mcl_chaos_trace": q.q_mcl_chaos_trace,
         "bfs_dir_trace": q.q_bfs_dir_trace,
         # multimodal actor-pool pipelines (first-ever driver evidence
         # for the decode/resize/frame-sample class)
@@ -191,7 +193,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_support_hist": q.q_edge_support_hist,  # truss support census (r4 wave-50 green; diamond_count in-window folds the same support)
         "hub_asymmetry": q.q_hub_asymmetry,  # hub in/out face (r5 wave-70 green; hub_bisector/hub_walk_returns in-window)
         "prune_column": q.q_prune_column,  # chunked vector prune (r5 wave-70 green; colstochastic in-window shares the chunked dim machinery)
-        "edit1_pairs": q.q_edit1_pairs,  # SymSpell-1 (r4 wave-50 green; lev2_pairs in-window runs the depth-2 superset plan)
+        "edit1_pairs": q.q_edit1_pairs,  # SymSpell-1 (r4 wave-50 green + judge spot-check; lev2_pairs in-window runs the depth-2 superset plan)
+        "bfs_parents": q.q_bfs_parents,  # parent semiring (r4 oracle-exact; bfs/bfs_dir_trace/steiner_approx BFS faces in-window)
+        "chebyshev_filter": q.q_chebyshev_filter,  # polynomial filter (r5 wave-73 locally green; eigencentrality/nbt_trace recurrence siblings in-window)
+        "mcl_chaos_trace": q.q_mcl_chaos_trace,  # MCL chaos (r5 wave-78 locally green; mcl itself judge-spot-checked r4)
         "msbfs": q.q_msbfs,  # K-source min-merge (r4 wave-70 green; apsp_top/steiner_approx kseed siblings)
         "distance_hist": q.q_distance_hist,  # K-source census (r4 wave-70 green; hub_bisector/steiner_approx siblings)
         "busy_minutes": q.q_busy_minutes,  # minute census (r4 wave-69 green; ewma_daily/cusum_flags/holt_trend day-axis siblings)
@@ -799,6 +804,9 @@ def oracle_sql() -> dict[str, str]:
         "route_balance": o.route_balance(q.ROUTE_G),
         "table_profile": o.table_profile(q.PROFILE_TABLES),
         "ball2_jaccard": o.ball2_jaccard(),
+        "deg_kendall": o.deg_kendall(),
+        "segment_gini": o.segment_gini(),
+        "deseason_top": o.deseason_top(q.DESEASON_K),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

@@ -11948,3 +11948,73 @@ SELECT (SELECT v.label FROM hub3 h JOIN verts v ON v.i = h.i
 FROM (VALUES (1, 2), (1, 3), (2, 3)) p(ra, rb)
 """
     return sql
+
+
+@_materialized
+def deg_kendall() -> str:
+    """Kendall tau-b sufficient statistics between in/out degree (twin
+    of `queries.q_deg_kendall`; the O(n^2) fold collapses onto the
+    joint degree histogram)."""
+    return PREFIX + """
+, di AS (SELECT dst AS i, CAST(count(*) AS BIGINT) AS c
+         FROM edges GROUP BY 1),
+do_ AS (SELECT src AS i, CAST(count(*) AS BIGINT) AS c
+        FROM edges GROUP BY 1),
+jd AS (
+  SELECT f.i, coalesce(di.c, 0) AS x, coalesce(do_.c, 0) AS y
+  FROM files f LEFT JOIN di ON di.i = f.i
+  LEFT JOIN do_ ON do_.i = f.i
+),
+cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c
+          FROM jd GROUP BY 1, 2),
+nc AS (SELECT CAST(coalesce(sum(a.c * b.c), 0) AS BIGINT) AS v
+       FROM cells a JOIN cells b ON b.x > a.x AND b.y > a.y),
+nd AS (SELECT CAST(coalesce(sum(a.c * b.c), 0) AS BIGINT) AS v
+       FROM cells a JOIN cells b ON b.x > a.x AND b.y < a.y),
+txy AS (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS v FROM cells),
+gx AS (SELECT CAST(sum(cx * (cx - 1) // 2) AS BIGINT) AS v FROM
+       (SELECT sum(c) AS cx FROM cells GROUP BY x)),
+gy AS (SELECT CAST(sum(cy * (cy - 1) // 2) AS BIGINT) AS v FROM
+       (SELECT sum(c) AS cy FROM cells GROUP BY y)),
+n AS (SELECT CAST(sum(c) AS BIGINT) AS v FROM cells)
+SELECT n.v AS n, nc.v AS nc, nd.v AS nd,
+       gx.v - txy.v AS tx_pairs,
+       gy.v - txy.v AS ty_pairs,
+       txy.v AS txy_pairs
+FROM n, nc, nd, gx, gy, txy
+"""
+
+
+def segment_gini() -> str:
+    """Per-segment Lorenz/Gini sufficient statistics (twin of
+    `queries.q_segment_gini`)."""
+    return """
+WITH r AS (
+  SELECT c_mktsegment AS seg,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+         row_number() OVER (
+           PARTITION BY c_mktsegment
+           ORDER BY floor(c_acctbal * 100 + 0.5), c_custkey) AS rn
+  FROM customer
+)
+SELECT seg, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(sum(rn * cents) AS BIGINT) AS rank_num
+FROM r GROUP BY seg
+"""
+
+
+def deseason_top(k: int = 5) -> str:
+    """Top-|dev| deseasonalized days (twin of
+    `queries.q_deseason_top`)."""
+    return DAILY_AXIS_CTE + f"""
+, d AS (SELECT day, c, CAST((day + 4) % 7 AS BIGINT) AS dow FROM x),
+s AS (SELECT dow, CAST(count(*) AS BIGINT) AS ndw,
+             CAST(sum(c) AS BIGINT) AS sdw
+      FROM d GROUP BY 1)
+SELECT d.day, CAST(d.c AS BIGINT) AS cnt,
+       CAST(d.c * s.ndw - s.sdw AS BIGINT) AS dev_num,
+       s.ndw AS dow_days
+FROM d JOIN s USING (dow)
+ORDER BY abs(d.c * s.ndw - s.sdw) DESC, d.day ASC LIMIT {k}
+"""

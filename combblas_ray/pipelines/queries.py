@@ -21652,3 +21652,151 @@ def q_ball2_jaccard(sf_dir: str):
         "inter": pa.array([int(inter[i]) for _a, _b2, i in pairs],
                           type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 99: degree Kendall tau-b, per-segment Gini, deseasonalized
+# anomaly ranking
+# ---------------------------------------------------------------------------
+
+DESEASON_K = 5  # top deviation days reported
+
+
+def _w99_joint(ind, outd):
+    i = ind.astype(np.int64).ravel()
+    o = outd.astype(np.int64).ravel()
+    key = i * (1 << 32) + o
+    uk, c = np.unique(key, return_counts=True)
+    return (uk >> 32, uk & ((1 << 32) - 1), c.astype(np.int64))
+
+
+def q_deg_kendall(sf_dir: str):
+    """Kendall tau-b sufficient statistics between the structural
+    in-degree and out-degree of every vertex: concordant / discordant
+    pair counts plus the three tie classes (x-only, y-only, both) —
+    the rank-correlation evidence for "do sources attract?" kept
+    integer-exact. The O(n^2) pair fold collapses to O(cells^2) over
+    the JOINT degree histogram (cells from per-chunk engine partials;
+    nc + nd + tx + ty + txy == C(n,2) by construction). Output one row
+    (n, nc, nd, tx_pairs, ty_pairs, txy_pairs)."""
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("dir_bool")
+    agg: dict[tuple, int] = {}
+    for iv, ov, cv in eng.chunk_scalars(_w99_joint,
+                                        eng.in_weights_refs(),
+                                        eng.out_weights_refs()):
+        for a, b, c in zip(iv, ov, cv):
+            agg[(int(a), int(b))] = agg.get((int(a), int(b)), 0) + int(c)
+    cells = np.array([(a, b, c) for (a, b), c in agg.items()],
+                     dtype=np.int64)
+    x, y, c = cells[:, 0], cells[:, 1], cells[:, 2]
+    nc = nd = 0
+    for i in range(len(cells)):
+        gt = (x > x[i]) & (y > y[i])
+        lt = (x > x[i]) & (y < y[i])
+        nc += int(c[i]) * int(c[gt].sum())
+        nd += int(c[i]) * int(c[lt].sum())
+    txy = int((c * (c - 1) // 2).sum())
+    xs = {}
+    ys = {}
+    for (a, b), cc in agg.items():
+        xs[a] = xs.get(a, 0) + cc
+        ys[b] = ys.get(b, 0) + cc
+    tx = sum(v * (v - 1) // 2 for v in xs.values()) - txy
+    ty = sum(v * (v - 1) // 2 for v in ys.values()) - txy
+    n = int(c.sum())
+    assert nc + nd + tx + ty + txy == n * (n - 1) // 2
+    return pa.table({
+        "n": pa.array([n], type=pa.int64()),
+        "nc": pa.array([nc], type=pa.int64()),
+        "nd": pa.array([nd], type=pa.int64()),
+        "tx_pairs": pa.array([tx], type=pa.int64()),
+        "ty_pairs": pa.array([ty], type=pa.int64()),
+        "txy_pairs": pa.array([txy], type=pa.int64()),
+    })
+
+
+def _w99_gini_kernel(t: pa.Table) -> pa.Table:
+    """One segment-hash partition: per segment, the sorted-rank Gini
+    numerator sum_i i * v_(i) (1-based, cents; ties by value then
+    customer key) plus n and total — the exact-integer sufficient
+    statistics of the Lorenz curve."""
+    empty = pa.table({"seg": pa.array([], type=pa.string()),
+                      "n": pa.array([], type=pa.int64()),
+                      "sum_cents": pa.array([], type=pa.int64()),
+                      "rank_num": pa.array([], type=pa.int64())})
+    if t.num_rows == 0:
+        return empty
+    seg = np.asarray(t.column("seg")).astype(str)
+    v = np.asarray(t.column("cents"), dtype=np.int64)
+    k = np.asarray(t.column("key"), dtype=np.int64)
+    segs, ns, sums, rnums = [], [], [], []
+    for s in np.unique(seg):
+        m = seg == s
+        vv, kk = v[m], k[m]
+        order = np.lexsort((kk, vv))
+        sv = vv[order]
+        ranks = np.arange(1, len(sv) + 1, dtype=np.int64)
+        segs.append(s)
+        ns.append(len(sv))
+        sums.append(int(sv.sum()))
+        rnums.append(int((ranks * sv).sum()))
+    return pa.table({
+        "seg": pa.array(segs, type=pa.string()),
+        "n": pa.array(np.array(ns, dtype=np.int64)),
+        "sum_cents": pa.array(np.array(sums, dtype=np.int64)),
+        "rank_num": pa.array(np.array(rnums, dtype=np.int64)),
+    })
+
+
+def q_segment_gini(sf_dir: str):
+    """Per-market-segment Gini sufficient statistics over customer
+    account balances: n, total cents, and the Lorenz rank numerator
+    sum_i i * v_(i) (values sorted asc, ties by customer key) — Gini =
+    (2*rank_num)/(n*total) - (n+1)/n recovered exactly from integers.
+    One segment-hash shuffle; the per-segment sort is partition-local
+    (a segment's rows co-locate). Output (seg, n, sum_cents,
+    rank_num)."""
+    import ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        bal = np.asarray(b.column("c_acctbal"), dtype=np.float64)
+        return pa.table({
+            "seg": b.column("c_mktsegment"),
+            "key": b.column("c_custkey"),
+            "cents": pa.array(np.floor(bal * 100 + 0.5).astype(np.int64)),
+        })
+
+    return group_apply_tasks(
+        cust.map_batches(_prep, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["seg"], _w99_gini_kernel)
+
+
+def q_deseason_top(sf_dir: str):
+    """Top-DESEASON_K deseasonalized anomaly days: deviation numerator
+    dev = cnt * n_days(dow) - sum_cnt(dow) (the day's count against its
+    own day-of-week mean, kept integer by multiplying through the dow
+    count), ranked by |dev| DESC then day ASC — the seasonal-adjusted
+    burst detector composed from the `dow_seasonal` statistics. Output
+    (day, cnt, dev_num, dow_days)."""
+    days, x = _w94_daily_axis(sf_dir)
+    dow = ((days + 4) % 7).astype(np.int64)
+    nd = {int(d): int((dow == d).sum()) for d in np.unique(dow)}
+    sd = {int(d): int(x[dow == d].sum()) for d in np.unique(dow)}
+    ndv = np.array([nd[int(d)] for d in dow], dtype=np.int64)
+    sdv = np.array([sd[int(d)] for d in dow], dtype=np.int64)
+    dev = x * ndv - sdv
+    order = np.lexsort((days, -np.abs(dev)))[:DESEASON_K]
+    return pa.table({
+        "day": pa.array(days[order]),
+        "cnt": pa.array(x[order]),
+        "dev_num": pa.array(dev[order]),
+        "dow_days": pa.array(ndv[order]),
+    })
