@@ -70,16 +70,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # risk — trace/audit + motif/reach/sampling/forecast faces)
         "hutchinson_trace": q.q_hutchinson_trace,
         "ktruss_peel": q.q_ktruss_peel,
-        "ewma_daily": q.q_ewma_daily,
         "bowtie_census": q.q_bowtie_census,
         "k4_count": q.q_k4_count,
-        "cusum_flags": q.q_cusum_flags,
         "steiner_approx": q.q_steiner_approx,
         "mutual_nn": q.q_mutual_nn,
         "snowball_census": q.q_snowball_census,
         "hub_walk_returns": q.q_hub_walk_returns,
         "threshold_cascade": q.q_threshold_cascade,
-        "holt_trend": q.q_holt_trend,
         # wave 92 (round 5 session 4: BM25 retrieval scoring — newest)
         "bm25_topk": q.q_bm25_topk,
         # wave 93 (round 5 session 4: Hashimoto NBT walk trace +
@@ -116,6 +113,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "deg_kendall": q.q_deg_kendall,
         "segment_gini": q.q_segment_gini,
         "deseason_top": q.q_deseason_top,
+        # wave 100 (round 5 session 4: compositions ON the north-rule
+        # outputs — newest)
+        "pr_deg_footrule": q.q_pr_deg_footrule,
+        "pr_mass_by_comp": q.q_pr_mass_by_comp,
+        "pr_lorenz": q.q_pr_lorenz,
         # waves 77-80 (round 5: convergence/metrics faces of the core
         # apps — these touched the pagerank/BFS/SSSP/LP/MCL loops)
         "bfs_dir_trace": q.q_bfs_dir_trace,
@@ -197,6 +199,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_parents": q.q_bfs_parents,  # parent semiring (r4 oracle-exact; bfs/bfs_dir_trace/steiner_approx BFS faces in-window)
         "chebyshev_filter": q.q_chebyshev_filter,  # polynomial filter (r5 wave-73 locally green; eigencentrality/nbt_trace recurrence siblings in-window)
         "mcl_chaos_trace": q.q_mcl_chaos_trace,  # MCL chaos (r5 wave-78 locally green; mcl itself judge-spot-checked r4)
+        "ewma_daily": q.q_ewma_daily,  # EWMA flags (r5 wave-88 locally green; 6 day-axis siblings in-window: mann_kendall/theil_sen/runs_test/dow_seasonal/deseason_top/daily_xcorr)
+        "cusum_flags": q.q_cusum_flags,  # CUSUM drift (r5 wave-89 locally green; same day-axis siblings)
+        "holt_trend": q.q_holt_trend,  # Holt smoothing (r5 wave-91 locally green; same day-axis siblings)
         "msbfs": q.q_msbfs,  # K-source min-merge (r4 wave-70 green; apsp_top/steiner_approx kseed siblings)
         "distance_hist": q.q_distance_hist,  # K-source census (r4 wave-70 green; hub_bisector/steiner_approx siblings)
         "busy_minutes": q.q_busy_minutes,  # minute census (r4 wave-69 green; ewma_daily/cusum_flags/holt_trend day-axis siblings)
@@ -807,6 +812,9 @@ def oracle_sql() -> dict[str, str]:
         "deg_kendall": o.deg_kendall(),
         "segment_gini": o.segment_gini(),
         "deseason_top": o.deseason_top(q.DESEASON_K),
+        "pr_deg_footrule": o.pr_deg_footrule(q.PR_ITERS),
+        "pr_mass_by_comp": o.pr_mass_by_comp(q.PR_ITERS, q.CC_ITERS),
+        "pr_lorenz": o.pr_lorenz(q.PR_ITERS),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

@@ -12018,3 +12018,108 @@ SELECT d.day, CAST(d.c AS BIGINT) AS cnt,
 FROM d JOIN s USING (dow)
 ORDER BY abs(d.c * s.ndw - s.sdw) DESC, d.day ASC LIMIT {k}
 """
+
+
+def _pr_chain(iters: int = 10, damping: float = 0.85) -> str:
+    """PageRank CTE chain ending at r{iters} (same recurrence as
+    `pagerank()`), for oracles composing on the PR output."""
+    d = damping
+    sql = PREFIX + """
+, outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+r0 AS (SELECT f.i, 1.0 / p.n AS score FROM files f CROSS JOIN params p)
+"""
+    prev = "r0"
+    for k in range(1, iters + 1):
+        sql += f"""
+, dang{k} AS (
+  SELECT coalesce(sum(r.score), 0.0) AS dm FROM {prev} r
+  LEFT JOIN outw o ON o.src = r.i WHERE o.src IS NULL
+),
+contrib{k} AS (
+  SELECT e.dst AS i, sum(r.score * e.w / o.ow) AS c
+  FROM edges e JOIN {prev} r ON r.i = e.src JOIN outw o ON o.src = e.src
+  GROUP BY e.dst
+),
+r{k} AS (
+  SELECT f.i,
+         (1.0 - {d}) / p.n + {d} * (coalesce(c.c, 0.0) + dg.dm / p.n)
+           AS score
+  FROM files f CROSS JOIN params p CROSS JOIN dang{k} dg
+  LEFT JOIN contrib{k} c ON c.i = f.i
+)"""
+        prev = f"r{k}"
+    sql += f"""
+, su AS MATERIALIZED (
+  SELECT r.i, v.label,
+         CAST(round(round(r.score * p.n, 6) * 1000000) AS BIGINT) AS su
+  FROM {prev} r JOIN verts v ON v.i = r.i CROSS JOIN params p
+)"""
+    return sql
+
+
+@_materialized
+def pr_deg_footrule(iters: int = 10) -> str:
+    """Footrule/d^2 between the PageRank and in-degree rankings (twin
+    of `queries.q_pr_deg_footrule`)."""
+    return _pr_chain(iters) + """
+, di AS (SELECT dst AS i, CAST(count(*) AS BIGINT) AS c
+         FROM edges GROUP BY 1),
+rk AS (
+  SELECT s.i,
+         row_number() OVER (ORDER BY s.su DESC, s.label ASC) AS r1,
+         row_number() OVER (ORDER BY coalesce(di.c, 0) DESC,
+                            s.label ASC) AS r2
+  FROM su s LEFT JOIN di ON di.i = s.i
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(abs(r1 - r2)) AS BIGINT) AS footrule,
+       CAST(sum((r1 - r2) * (r1 - r2)) AS BIGINT) AS d2_sum
+FROM rk
+"""
+
+
+@_materialized
+def pr_mass_by_comp(iters: int = 10, cc_iters: int = 12) -> str:
+    """PageRank mass per fixed-round min-label component (twin of
+    `queries.q_pr_mass_by_comp`)."""
+    sql = _pr_chain(iters) + """
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+l0 AS (SELECT i, label AS comp FROM verts)
+"""
+    prev = "l0"
+    for k in range(1, cc_iters + 1):
+        sql += f"""
+, l{k} AS MATERIALIZED (
+  SELECT v.i, least(l.comp, coalesce(m.mn, l.comp)) AS comp
+  FROM verts v JOIN {prev} l ON l.i = v.i
+  LEFT JOIN (
+    SELECT u.dst AS i, min(lp.comp) AS mn
+    FROM und u JOIN {prev} lp ON lp.i = u.src GROUP BY u.dst
+  ) m ON m.i = v.i
+)"""
+        prev = f"l{k}"
+    sql += f"""
+SELECT l.comp AS comp, CAST(count(*) AS BIGINT) AS n_vertices,
+       CAST(sum(s.su) AS BIGINT) AS mass_u
+FROM {prev} l JOIN su s ON s.i = l.i
+GROUP BY l.comp
+"""
+    return sql
+
+
+@_materialized
+def pr_lorenz(iters: int = 10) -> str:
+    """PageRank-mass Lorenz deciles (twin of `queries.q_pr_lorenz`)."""
+    return _pr_chain(iters) + """
+, rk AS (
+  SELECT su, (10 * (row_number() OVER (ORDER BY su ASC, label ASC) - 1))
+             // (SELECT count(*) FROM su) AS decile
+  FROM su
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(su) AS BIGINT) AS mass_u
+FROM rk GROUP BY decile
+"""

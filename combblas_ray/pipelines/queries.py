@@ -21800,3 +21800,91 @@ def q_deseason_top(sf_dir: str):
         "dev_num": pa.array(dev[order]),
         "dow_days": pa.array(ndv[order]),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 100: analytics ON the north-rule outputs — PageRank vs degree
+# rank distance, PageRank mass per component, PageRank Lorenz deciles
+# ---------------------------------------------------------------------------
+
+
+def _pr_score_u(ctx):
+    """round6(score * n) * 1e6 as exact int64 — the integerized
+    PageRank scores shared by the wave-100 compositions (identical to
+    the driver-verified `pagerank` column up to the fixed 1e6 scale)."""
+    from ..pipelines.pagerank import pagerank as _pr
+
+    eng = ctx.engine("directed")
+    r, _ = _pr(eng, iters=PR_ITERS)
+    return np.round(np.round(r * ctx.n, 6) * 1_000_000).astype(np.int64)
+
+
+def q_pr_deg_footrule(sf_dir: str):
+    """Spearman footrule and d^2 between the PageRank ranking and the
+    structural in-degree ranking (both DESC, ties by label ASC) — "how
+    far does link analysis move you past raw citation count", kept
+    integer-exact over the driver-verified rounded scores. Rank folds
+    are O(n log n) on the result vector (at 10^9 vertices the same
+    ranks come from the engine's distributed sort-rank used by
+    `randperm_sorted`). Output one row (n, footrule, d2_sum)."""
+    ctx = get_context(sf_dir)
+    su = _pr_score_u(ctx)
+    eng = ctx.engine("dir_bool")
+    import ray
+
+    ind = np.concatenate(ray.get(eng.in_weights_refs())).astype(np.int64)
+    # label rank == dense id; ties by label ASC == by dense id ASC
+    n = ctx.n
+    ids = np.arange(n)
+    r_pr = np.empty(n, dtype=np.int64)
+    r_pr[np.lexsort((ids, -su))] = np.arange(1, n + 1)
+    r_dg = np.empty(n, dtype=np.int64)
+    r_dg[np.lexsort((ids, -ind))] = np.arange(1, n + 1)
+    d = r_pr - r_dg
+    return pa.table({
+        "n": pa.array([n], type=pa.int64()),
+        "footrule": pa.array([int(np.abs(d).sum())], type=pa.int64()),
+        "d2_sum": pa.array([int((d * d).sum())], type=pa.int64()),
+    })
+
+
+def q_pr_mass_by_comp(sf_dir: str):
+    """PageRank mass per connected component: the two north-rule apps
+    composed — component labels from CC_ITERS min-label rounds, mass =
+    exact int64 sum of the integerized scores per component (where does
+    the stationary mass live, fragment by fragment). Output
+    (comp, n_vertices, mass_u)."""
+    ctx = get_context(sf_dir)
+    su = _pr_score_u(ctx)
+    comp = alg.cc_fixed(ctx.engine("sym"), CC_ITERS)
+    uk, inv = np.unique(comp, return_inverse=True)
+    cnt = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+    mass = ibincount(inv, su, minlength=len(uk))
+    return pa.table({
+        "comp": _label_col(ctx, uk.astype(np.int64)),
+        "n_vertices": pa.array(cnt),
+        "mass_u": pa.array(mass),
+    })
+
+
+def q_pr_lorenz(sf_dir: str):
+    """Lorenz concentration of PageRank mass: vertices sorted by
+    integerized score ASC (ties by label ASC) into 10 rank deciles,
+    per-decile count and exact mass — the inequality profile of link
+    authority (the graph sibling of the spend Lorenz census). Output
+    (decile, n, mass_u)."""
+    ctx = get_context(sf_dir)
+    su = _pr_score_u(ctx)
+    n = ctx.n
+    order = np.lexsort((np.arange(n), su))
+    dec = (10 * np.arange(n, dtype=np.int64)) // n
+    uk = np.unique(dec)
+    mass_sorted = su[order]
+    return pa.table({
+        "decile": pa.array(uk),
+        "n": pa.array(np.bincount(dec, minlength=10)[uk].astype(
+            np.int64)),
+        "mass_u": pa.array(np.array(
+            [int(mass_sorted[dec == d2].sum()) for d2 in uk],
+            dtype=np.int64)),
+    })
