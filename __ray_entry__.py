@@ -74,9 +74,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k4_count": q.q_k4_count,
         "steiner_approx": q.q_steiner_approx,
         "mutual_nn": q.q_mutual_nn,
-        "snowball_census": q.q_snowball_census,
-        "hub_walk_returns": q.q_hub_walk_returns,
-        "threshold_cascade": q.q_threshold_cascade,
         # wave 92 (round 5 session 4: BM25 retrieval scoring — newest)
         "bm25_topk": q.q_bm25_topk,
         # wave 93 (round 5 session 4: Hashimoto NBT walk trace +
@@ -118,6 +115,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pr_deg_footrule": q.q_pr_deg_footrule,
         "pr_mass_by_comp": q.q_pr_mass_by_comp,
         "pr_lorenz": q.q_pr_lorenz,
+        # wave 101 (round 5 session 4: the Graph500 R-MAT generator
+        # gets bit-exact driver-gated oracle faces — newest)
+        "rmat_census": q.q_rmat_census,
+        "rmat_deg_hist": q.q_rmat_deg_hist,
+        "rmat_quadrants": q.q_rmat_quadrants,
         # waves 77-80 (round 5: convergence/metrics faces of the core
         # apps — these touched the pagerank/BFS/SSSP/LP/MCL loops)
         "bfs_dir_trace": q.q_bfs_dir_trace,
@@ -202,6 +204,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ewma_daily": q.q_ewma_daily,  # EWMA flags (r5 wave-88 locally green; 6 day-axis siblings in-window: mann_kendall/theil_sen/runs_test/dow_seasonal/deseason_top/daily_xcorr)
         "cusum_flags": q.q_cusum_flags,  # CUSUM drift (r5 wave-89 locally green; same day-axis siblings)
         "holt_trend": q.q_holt_trend,  # Holt smoothing (r5 wave-91 locally green; same day-axis siblings)
+        "hub_walk_returns": q.q_hub_walk_returns,  # closed walks (r5 wave-91 locally green; nbt_trace/hutchinson_trace richer walk faces in-window)
+        "threshold_cascade": q.q_threshold_cascade,  # indicator SpMV rounds (r5 wave-91 locally green; attack_curve masked min-label in-window)
+        "snowball_census": q.q_snowball_census,  # hop expansion (r5 wave-90 locally green; ball2_jaccard layered balls in-window)
         "msbfs": q.q_msbfs,  # K-source min-merge (r4 wave-70 green; apsp_top/steiner_approx kseed siblings)
         "distance_hist": q.q_distance_hist,  # K-source census (r4 wave-70 green; hub_bisector/steiner_approx siblings)
         "busy_minutes": q.q_busy_minutes,  # minute census (r4 wave-69 green; ewma_daily/cusum_flags/holt_trend day-axis siblings)
@@ -815,6 +820,12 @@ def oracle_sql() -> dict[str, str]:
         "pr_deg_footrule": o.pr_deg_footrule(q.PR_ITERS),
         "pr_mass_by_comp": o.pr_mass_by_comp(q.PR_ITERS, q.CC_ITERS),
         "pr_lorenz": o.pr_lorenz(q.PR_ITERS),
+        "rmat_census": o.rmat_census(
+            q.RMAT_AUDIT_SCALE, q.RMAT_AUDIT_EF, q.RMAT_AUDIT_SEED),
+        "rmat_deg_hist": o.rmat_deg_hist(
+            q.RMAT_AUDIT_SCALE, q.RMAT_AUDIT_EF, q.RMAT_AUDIT_SEED),
+        "rmat_quadrants": o.rmat_quadrants(
+            q.RMAT_AUDIT_SCALE, q.RMAT_AUDIT_EF, q.RMAT_AUDIT_SEED),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

@@ -12123,3 +12123,70 @@ SELECT CAST(decile AS BIGINT) AS decile,
        CAST(sum(su) AS BIGINT) AS mass_u
 FROM rk GROUP BY decile
 """
+
+
+def _rmat_chain(scale: int = 10, ef: int = 8, seed: int = 1) -> str:
+    """Bit-exact SQL twin of `sources.rmat.rmat_batch`: per (edge id,
+    bit) splitmix64 draw, exact double thresholds (embedded via repr of
+    the SAME float sums numpy uses), bits assembled MSB-first."""
+    a, b, c = 0.57, 0.19, 0.19
+    t1, t2, t3 = repr(a), repr(a + b), repr(a + b + c)
+    ne = ef * (1 << scale)
+    mix = _mix64_sql(
+        f"CAST((CAST(e AS HUGEINT) * 2654435761 + {seed * 1_000_003} "
+        f"+ bit) % 18446744073709551616 AS UBIGINT)")
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {ne - 1})) AS e),
+bits AS (
+  SELECT e, unnest(generate_series(0, {scale - 1})) AS bit FROM ids
+),
+h AS MATERIALIZED (SELECT e, bit, {mix} AS h FROM bits),
+qq AS MATERIALIZED (
+  SELECT e, bit,
+         CASE WHEN r < {t1} THEN 0 WHEN r < {t2} THEN 1
+              WHEN r < {t3} THEN 2 ELSE 3 END AS q
+  FROM (SELECT e, bit,
+               CAST(h >> 11 AS DOUBLE) / 9007199254740992.0 AS r
+        FROM h)
+),
+redges AS MATERIALIZED (
+  SELECT e,
+         CAST(sum((q // 2) << ({scale - 1} - bit)) AS BIGINT) AS u,
+         CAST(sum((q % 2) << ({scale - 1} - bit)) AS BIGINT) AS v
+  FROM qq GROUP BY e
+)"""
+
+
+def rmat_census(scale: int = 10, ef: int = 8, seed: int = 1) -> str:
+    """R-MAT structural census (twin of `queries.q_rmat_census`)."""
+    return _rmat_chain(scale, ef, seed) + """
+, dis AS (SELECT DISTINCT u, v FROM redges WHERE u <> v)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM redges) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM redges WHERE u = v)
+         AS n_loops,
+       (SELECT CAST(count(*) AS BIGINT) FROM dis) AS n_distinct,
+       (SELECT CAST(count(*) AS BIGINT) FROM
+         (SELECT u AS x FROM dis UNION SELECT v FROM dis)) AS n_touched
+"""
+
+
+def rmat_deg_hist(scale: int = 10, ef: int = 8, seed: int = 1) -> str:
+    """Out-degree histogram over distinct loopless R-MAT pairs (twin of
+    `queries.q_rmat_deg_hist`)."""
+    return _rmat_chain(scale, ef, seed) + """
+, dis AS (SELECT DISTINCT u, v FROM redges WHERE u <> v),
+dg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM dis GROUP BY u)
+SELECT d AS outdeg, CAST(count(*) AS BIGINT) AS n_vertices
+FROM dg GROUP BY d
+"""
+
+
+def rmat_quadrants(scale: int = 10, ef: int = 8, seed: int = 1) -> str:
+    """Top-level initiator-quadrant counts (twin of
+    `queries.q_rmat_quadrants`)."""
+    return _rmat_chain(scale, ef, seed) + f"""
+SELECT CAST(u >> {scale - 1} AS BIGINT) AS qu,
+       CAST(v >> {scale - 1} AS BIGINT) AS qv,
+       CAST(count(*) AS BIGINT) AS n_edges
+FROM redges GROUP BY 1, 2
+"""

@@ -21888,3 +21888,134 @@ def q_pr_lorenz(sf_dir: str):
             [int(mass_sorted[dec == d2].sum()) for d2 in uk],
             dtype=np.int64)),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 101: R-MAT generator audits (the Graph500 source gets a
+# driver-gated oracle face)
+# ---------------------------------------------------------------------------
+
+RMAT_AUDIT_SCALE = 10
+RMAT_AUDIT_EF = 8
+RMAT_AUDIT_SEED = 1
+
+
+def _rmat_ds():
+    from ..sources.rmat import rmat_dataset
+
+    return rmat_dataset(RMAT_AUDIT_SCALE, RMAT_AUDIT_EF,
+                        seed=RMAT_AUDIT_SEED)
+
+
+def q_rmat_census(sf_dir: str):
+    """Structural census of the deterministic R-MAT generator output
+    (scale 10, edgefactor 8, seed 1): raw edges, self-loops, distinct
+    loopless pairs, touched vertices — the counter-hash generator
+    (`sources/rmat.py`, `DistEdgeList.cpp:222`/`RefGen21.h` analog)
+    audited against a BIT-EXACT splitmix64 SQL twin. Output one row
+    (n_edges, n_loops, n_distinct, n_touched)."""
+    from ..core.shuffle import group_apply_tasks
+
+    ds = _rmat_ds().materialize()
+
+    def _scal(b: pa.Table) -> pa.Table:
+        u = np.asarray(b.column("src"), dtype=np.int64)
+        v = np.asarray(b.column("dst"), dtype=np.int64)
+        return pa.table({"ne": pa.array([len(u)], type=pa.int64()),
+                         "nl": pa.array([int((u == v).sum())],
+                                        type=pa.int64())})
+
+    tot = ds.map_batches(_scal, batch_format="pyarrow").to_pandas()
+    n_edges, n_loops = int(tot["ne"].sum()), int(tot["nl"].sum())
+
+    def _keys(b: pa.Table) -> pa.Table:
+        u = np.asarray(b.column("src"), dtype=np.int64)
+        v = np.asarray(b.column("dst"), dtype=np.int64)
+        keep = u != v
+        return pa.table({"k": pa.array(np.unique(
+            u[keep] * (1 << 32) + v[keep]))})
+
+    def _dcount(t: pa.Table) -> pa.Table:
+        k = np.unique(np.asarray(t.column("k"), dtype=np.int64))
+        verts = np.unique(np.concatenate((k >> 32,
+                                          k & ((1 << 32) - 1))))
+        dcol = np.zeros(len(verts), dtype=np.int64)
+        if len(dcol):
+            dcol[0] = len(k)
+        return pa.table({"d": pa.array(dcol),
+                         "vmin": pa.array(verts, type=pa.int64())})
+
+    dp = group_apply_tasks(
+        ds.map_batches(_keys, batch_format="pyarrow"), ["k"],
+        _dcount).to_pandas()
+    n_distinct = int(dp.d.sum())
+    # touched vertices: union across partitions (vertex ids bounded by
+    # 2^scale, the per-partition vertex lists are small)
+    n_touched = len(np.unique(dp.vmin.to_numpy()))
+    return pa.table({
+        "n_edges": pa.array([n_edges], type=pa.int64()),
+        "n_loops": pa.array([n_loops], type=pa.int64()),
+        "n_distinct": pa.array([n_distinct], type=pa.int64()),
+        "n_touched": pa.array([n_touched], type=pa.int64()),
+    })
+
+
+def q_rmat_deg_hist(sf_dir: str):
+    """Out-degree histogram of the R-MAT output over distinct loopless
+    pairs — the power-law signature of the Graph500 generator, oracle
+    bit-exact. Output (outdeg, n_vertices)."""
+    from ..core.shuffle import group_apply_tasks
+
+    ds = _rmat_ds()
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        u = np.asarray(b.column("src"), dtype=np.int64)
+        v = np.asarray(b.column("dst"), dtype=np.int64)
+        keep = u != v
+        k = np.unique(u[keep] * (1 << 32) + v[keep])
+        return pa.table({"src": pa.array(k >> 32), "k": pa.array(k)})
+
+    # distinct pairs co-partitioned by SRC so per-partition degree
+    # counts are globally exact after the key dedup
+    withsrc = ds.map_batches(_pairs, batch_format="pyarrow")
+
+    def _deg2(t: pa.Table) -> pa.Table:
+        k = np.unique(np.asarray(t.column("k"), dtype=np.int64))
+        uk, c = np.unique(k >> 32, return_counts=True)
+        return pa.table({"src": pa.array(uk),
+                         "d": pa.array(c.astype(np.int64))})
+
+    degs = group_apply_tasks(withsrc, ["src"], _deg2).to_pandas()
+    uk, cnt = np.unique(degs.d.to_numpy().astype(np.int64),
+                        return_counts=True)
+    return pa.table({
+        "outdeg": pa.array(uk),
+        "n_vertices": pa.array(cnt.astype(np.int64)),
+    })
+
+
+def q_rmat_quadrants(sf_dir: str):
+    """Top-level quadrant counts of the raw R-MAT edges (MSBs of src
+    and dst) — the initiator-matrix (0.57/0.19/0.19/0.05) evidence in
+    one groupby. Output (qu, qv, n_edges)."""
+    ds = _rmat_ds()
+    sh = RMAT_AUDIT_SCALE - 1
+
+    def _part(b: pa.Table) -> pa.Table:
+        u = np.asarray(b.column("src"), dtype=np.int64) >> sh
+        v = np.asarray(b.column("dst"), dtype=np.int64) >> sh
+        key = u * 2 + v
+        c = np.bincount(key, minlength=4).astype(np.int64)
+        return pa.table({
+            "qu": pa.array(np.array([0, 0, 1, 1], dtype=np.int64)),
+            "qv": pa.array(np.array([0, 1, 0, 1], dtype=np.int64)),
+            "n_edges": pa.array(c),
+        })
+
+    parts = ds.map_batches(_part, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby(["qu", "qv"], sort=True).n_edges.sum()
+    return pa.table({
+        "qu": pa.array([k[0] for k in agg.index], type=pa.int64()),
+        "qv": pa.array([k[1] for k in agg.index], type=pa.int64()),
+        "n_edges": pa.array(agg.to_numpy().astype(np.int64)),
+    })
