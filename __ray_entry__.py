@@ -68,10 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_outliers": q.q_lm_outliers,
         # waves 88-91 (round 5 session 3: newest = highest regression
         # risk — trace/audit + motif/reach/sampling/forecast faces)
-        "hutchinson_trace": q.q_hutchinson_trace,
-        "ktruss_peel": q.q_ktruss_peel,
         "bowtie_census": q.q_bowtie_census,
-        "k4_count": q.q_k4_count,
         "steiner_approx": q.q_steiner_approx,
         "mutual_nn": q.q_mutual_nn,
         # wave 92 (round 5 session 4: BM25 retrieval scoring — newest)
@@ -120,6 +117,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rmat_census": q.q_rmat_census,
         "rmat_deg_hist": q.q_rmat_deg_hist,
         "rmat_quadrants": q.q_rmat_quadrants,
+        # wave 102 (round 5 session 4: durability faces — checkpoint
+        # resume, incremental block update, MM writer roundtrip)
+        "pagerank_resumed": q.q_pagerank_resumed,
+        "cc_incremental": q.q_cc_incremental,
+        "mm_roundtrip": q.q_mm_roundtrip,
         # waves 77-80 (round 5: convergence/metrics faces of the core
         # apps — these touched the pagerank/BFS/SSSP/LP/MCL loops)
         "bfs_dir_trace": q.q_bfs_dir_trace,
@@ -207,6 +209,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hub_walk_returns": q.q_hub_walk_returns,  # closed walks (r5 wave-91 locally green; nbt_trace/hutchinson_trace richer walk faces in-window)
         "threshold_cascade": q.q_threshold_cascade,  # indicator SpMV rounds (r5 wave-91 locally green; attack_curve masked min-label in-window)
         "snowball_census": q.q_snowball_census,  # hop expansion (r5 wave-90 locally green; ball2_jaccard layered balls in-window)
+        "hutchinson_trace": q.q_hutchinson_trace,  # probe trace (r5 wave-88 locally green; nbt_trace/eigencentrality trace siblings in-window)
+        "ktruss_peel": q.q_ktruss_peel,  # support peel (r5 wave-88 locally green; diamond_count folds the same edge support in-window)
+        "k4_count": q.q_k4_count,  # clique motif (r5 wave-89 locally green; diamond_count/tailed_triangles share the triangle-join plan in-window)
         "msbfs": q.q_msbfs,  # K-source min-merge (r4 wave-70 green; apsp_top/steiner_approx kseed siblings)
         "distance_hist": q.q_distance_hist,  # K-source census (r4 wave-70 green; hub_bisector/steiner_approx siblings)
         "busy_minutes": q.q_busy_minutes,  # minute census (r4 wave-69 green; ewma_daily/cusum_flags/holt_trend day-axis siblings)
@@ -826,6 +831,9 @@ def oracle_sql() -> dict[str, str]:
             q.RMAT_AUDIT_SCALE, q.RMAT_AUDIT_EF, q.RMAT_AUDIT_SEED),
         "rmat_quadrants": o.rmat_quadrants(
             q.RMAT_AUDIT_SCALE, q.RMAT_AUDIT_EF, q.RMAT_AUDIT_SEED),
+        "pagerank_resumed": o.pagerank(q.PR_ITERS),
+        "cc_incremental": o.connected_components(q.CC_ITERS),
+        "mm_roundtrip": o.mm_roundtrip(),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

@@ -12190,3 +12190,14 @@ SELECT CAST(u >> {scale - 1} AS BIGINT) AS qu,
        CAST(count(*) AS BIGINT) AS n_edges
 FROM redges GROUP BY 1, 2
 """
+
+
+def mm_roundtrip() -> str:
+    """Edge census the MM writer/reader roundtrip must reproduce (twin
+    of `queries.q_mm_roundtrip`; PREFIX edges are the dedup-summed
+    loopless truth)."""
+    return PREFIX + """
+SELECT CAST(count(*) AS BIGINT) AS nnz,
+       CAST(round(sum(w)) AS BIGINT) AS w_sum
+FROM edges
+"""

@@ -22019,3 +22019,110 @@ def q_rmat_quadrants(sf_dir: str):
         "qv": pa.array([k[1] for k in agg.index], type=pa.int64()),
         "n_edges": pa.array(agg.to_numpy().astype(np.int64)),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 102: checkpoint-resume, incremental block update, and MM-writer
+# roundtrip — the durability paths get driver-gated faces
+# ---------------------------------------------------------------------------
+
+PR_RESUME_AT = 5  # snapshot boundary the resumed run must start from
+
+
+def q_pagerank_resumed(sf_dir: str):
+    """PageRank RESUMED FROM CHECKPOINT: run the first PR_RESUME_AT
+    iterations with a snapshot at the boundary, then a second pagerank
+    call restores that snapshot and finishes to PR_ITERS — the
+    north-rule resumability requirement, driver-verified because the
+    resumed result must hash-match the plain `pagerank` oracle exactly
+    (same schema, same rounded scores). Raises if the resume did not
+    actually engage."""
+    import shutil
+
+    from .context import CKPT_ROOT
+    from .pagerank import pagerank as _pr
+
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("directed")
+    ck = f"{CKPT_ROOT}/prresume_n{ctx.n}"
+    shutil.rmtree(ck, ignore_errors=True)
+    _r1, info1 = _pr(eng, iters=PR_RESUME_AT, tol=None, ckpt_dir=ck,
+                     ckpt_every=PR_RESUME_AT)
+    r, info = _pr(eng, iters=PR_ITERS, tol=None, ckpt_dir=ck,
+                  ckpt_every=PR_RESUME_AT, resume=True)
+    if info.get("resumed_at") != PR_RESUME_AT:
+        raise RuntimeError(
+            f"checkpoint resume did not engage: resumed_at="
+            f"{info.get('resumed_at')}")
+    score = np.round(r * ctx.n, 6)
+    return pa.table({
+        "label": _label_col(ctx, np.arange(ctx.n)),
+        "score": pa.array(score),
+    })
+
+
+def q_cc_incremental(sf_dir: str):
+    """Connected components after an INCREMENTAL block update: a
+    deterministic ~1% edge delta is withheld from the symmetric graph,
+    blocks are built on the remainder, then `engine.update_blocks`
+    merges the delta back — rebuilding ONLY the touched (br, bc) blocks
+    (`Applications/Incremental` semantics, `SpParMat.cpp:741`) — and
+    CC_ITERS min-label rounds run on the updated manifest. The end
+    state must equal the full graph's CC, so the plain
+    `connected_components` oracle gates the whole incremental path."""
+    from ..core.engine import SpmvEngine, build_blocks, update_blocks
+    from .context import CKPT_ROOT
+
+    ctx = get_context(sf_dir)
+    g = ctx.graph("sym")
+    pred = lambda s, d, w: (s * 31 + d) % 101 == 0  # noqa: E731
+    base = g.prune(pred)  # prune DROPS where pred: base = graph - delta
+    delta = g.prune(lambda s, d, w: ~pred(s, d, w))
+    ck = f"{CKPT_ROOT}/ccinc_n{ctx.n}"
+    import shutil
+
+    shutil.rmtree(ck, ignore_errors=True)
+    man = build_blocks(base, ctx.engine("sym").g, ck)
+    man2 = update_blocks(man, delta, ck)
+    eng = SpmvEngine.from_manifest(man2)
+    comp = alg.cc_fixed(eng, CC_ITERS)
+    eng.shutdown()
+    return pa.table({
+        "label": _label_col(ctx, np.arange(ctx.n)),
+        "comp": _label_col(ctx, comp),
+    })
+
+
+def q_mm_roundtrip(sf_dir: str):
+    """Distributed matrix-market writer/reader roundtrip census: the
+    edge table goes out through `write_matrix_market` (per-partition
+    formatted shards + ordered concat, `ParallelWriteMM`
+    `SpParMat.cpp:4133`), comes back through the byte-range parallel
+    reader, and the census (nnz, integer weight total) must equal the
+    source of truth — the IO path's driver-gated face. Output one row
+    (nnz, w_sum)."""
+    import os
+
+    from ..sources.io import read_matrix_market, write_matrix_market
+    from .context import CKPT_ROOT
+
+    ctx = get_context(sf_dir)
+    g = ctx.graph("directed").dedup_sum()
+    path = f"{CKPT_ROOT}/mmrt_n{ctx.n}.mtx"
+    os.makedirs(CKPT_ROOT, exist_ok=True)
+    write_matrix_market(g, path)
+    g2 = read_matrix_market(path)
+
+    def _census(b: pa.Table) -> pa.Table:
+        w = np.asarray(b.column("w"), dtype=np.float64)
+        return pa.table({
+            "nnz": pa.array([b.num_rows], type=pa.int64()),
+            "w_sum": pa.array([int(np.round(w.sum()))], type=pa.int64()),
+        })
+
+    parts = g2.edges.map_batches(_census,
+                                 batch_format="pyarrow").to_pandas()
+    return pa.table({
+        "nnz": pa.array([int(parts.nnz.sum())], type=pa.int64()),
+        "w_sum": pa.array([int(parts.w_sum.sum())], type=pa.int64()),
+    })
