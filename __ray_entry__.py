@@ -64,13 +64,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # waves 72-74 (round 5: iterative linear-algebra + LM scoring —
         # newest = highest regression risk)
         "eigencentrality": q.q_eigencentrality,
-        "conjgrad_fixed": q.q_conjgrad_fixed,
         "lm_outliers": q.q_lm_outliers,
         # waves 88-91 (round 5 session 3: newest = highest regression
         # risk — trace/audit + motif/reach/sampling/forecast faces)
         "bowtie_census": q.q_bowtie_census,
         "steiner_approx": q.q_steiner_approx,
-        "mutual_nn": q.q_mutual_nn,
         # wave 92 (round 5 session 4: BM25 retrieval scoring — newest)
         "bm25_topk": q.q_bm25_topk,
         # wave 93 (round 5 session 4: Hashimoto NBT walk trace +
@@ -122,6 +120,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_resumed": q.q_pagerank_resumed,
         "cc_incremental": q.q_cc_incremental,
         "mm_roundtrip": q.q_mm_roundtrip,
+        # wave 103 (round 5 session 4: salted-key skew mitigation gets
+        # driver-gated faces — newest)
+        "salted_degree_topk": q.q_salted_degree_topk,
+        "salt_imbalance": q.q_salt_imbalance,
         # waves 77-80 (round 5: convergence/metrics faces of the core
         # apps — these touched the pagerank/BFS/SSSP/LP/MCL loops)
         "bfs_dir_trace": q.q_bfs_dir_trace,
@@ -212,6 +214,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hutchinson_trace": q.q_hutchinson_trace,  # probe trace (r5 wave-88 locally green; nbt_trace/eigencentrality trace siblings in-window)
         "ktruss_peel": q.q_ktruss_peel,  # support peel (r5 wave-88 locally green; diamond_count folds the same edge support in-window)
         "k4_count": q.q_k4_count,  # clique motif (r5 wave-89 locally green; diamond_count/tailed_triangles share the triangle-join plan in-window)
+        "mutual_nn": q.q_mutual_nn,  # kNN reciprocity (r5 wave-90 locally green; ball2_jaccard similarity face in-window, knn family pytest-gated)
+        "conjgrad_fixed": q.q_conjgrad_fixed,  # CG solver (r5 wave-73 locally green; eigencentrality/nbt_trace iterative faces in-window, cg_resid out-of-window gated)
         "msbfs": q.q_msbfs,  # K-source min-merge (r4 wave-70 green; apsp_top/steiner_approx kseed siblings)
         "distance_hist": q.q_distance_hist,  # K-source census (r4 wave-70 green; hub_bisector/steiner_approx siblings)
         "busy_minutes": q.q_busy_minutes,  # minute census (r4 wave-69 green; ewma_daily/cusum_flags/holt_trend day-axis siblings)
@@ -834,6 +838,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_resumed": o.pagerank(q.PR_ITERS),
         "cc_incremental": o.connected_components(q.CC_ITERS),
         "mm_roundtrip": o.mm_roundtrip(),
+        "salted_degree_topk": o.salted_degree_topk(q.SALT_TOPK),
+        "salt_imbalance": o.salt_imbalance(q.SALT_S),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

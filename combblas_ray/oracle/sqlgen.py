@@ -12201,3 +12201,42 @@ SELECT CAST(count(*) AS BIGINT) AS nnz,
        CAST(round(sum(w)) AS BIGINT) AS w_sum
 FROM edges
 """
+
+
+def salted_degree_topk(k: int = 10) -> str:
+    """Plain degree top-k — the salt-free truth the salted two-phase
+    plan must reproduce (twin of `queries.q_salted_degree_topk`)."""
+    return PREFIX + f"""
+SELECT v.label AS label, CAST(count(*) AS BIGINT) AS indeg
+FROM edges e JOIN verts v ON v.i = e.dst
+GROUP BY v.label ORDER BY indeg DESC, label ASC LIMIT {k}
+"""
+
+
+def salt_imbalance(s: int = 8) -> str:
+    """Group-size census with and without the splitmix64 salt (twin of
+    `queries.q_salt_imbalance`). The salt hashes the DENSE vertex id
+    (label rank — the engine's id space), so the oracle maps src
+    through the label-rank dictionary first."""
+    mix = _mix64_sql("CAST(dn.d AS UBIGINT)")
+    return PREFIX + f"""
+, dense AS (
+  SELECT i, row_number() OVER (ORDER BY 'm_' || i) - 1 AS d FROM files
+),
+plain AS (SELECT dst, CAST(count(*) AS BIGINT) AS c
+          FROM edges GROUP BY dst),
+salted AS (
+  SELECT e.dst, CAST(({mix}) % {s} AS BIGINT) AS salt,
+         CAST(count(*) AS BIGINT) AS c
+  FROM edges e JOIN dense dn ON dn.i = e.src GROUP BY 1, 2
+)
+SELECT 'plain' AS variant,
+       (SELECT CAST(count(*) AS BIGINT) FROM plain) AS n_groups,
+       (SELECT CAST(max(c) AS BIGINT) FROM plain) AS max_group,
+       (SELECT CAST(sum(c) AS BIGINT) FROM plain) AS sum_rows
+UNION ALL
+SELECT 'salted',
+       (SELECT CAST(count(*) AS BIGINT) FROM salted),
+       (SELECT CAST(max(c) AS BIGINT) FROM salted),
+       (SELECT CAST(sum(c) AS BIGINT) FROM salted)
+"""

@@ -22126,3 +22126,133 @@ def q_mm_roundtrip(sf_dir: str):
         "nnz": pa.array([int(parts.nnz.sum())], type=pa.int64()),
         "w_sum": pa.array([int(parts.w_sum.sum())], type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 103: salted-key skew mitigation gets driver-gated faces
+# ---------------------------------------------------------------------------
+
+SALT_S = 8    # sub-keys per hot key
+SALT_TOPK = 10
+
+
+def q_salted_degree_topk(sf_dir: str):
+    """Top-SALT_TOPK structural in-degrees computed through the SALTED
+    two-phase aggregation plan (the north rule's power-law skew
+    mitigation): phase 1 counts per (dst, salt = mix64(src) % SALT_S)
+    so a hub's rows split across SALT_S sub-partitions, phase 2 is the
+    tiny unsalted combine over sub-totals — and the result must equal
+    the plain degree top-k exactly (the oracle never sees the salt).
+    Output (label, indeg), top-k by (indeg DESC, label ASC)."""
+    from ..core.shuffle import _mix64, group_apply_tasks
+
+    ctx = get_context(sf_dir)
+    be = ctx.graph("directed").dedup_sum().cast_bool().edges
+
+    def _phase1(b: pa.Table) -> pa.Table:
+        s = np.asarray(b.column("src"), dtype=np.int64)
+        d = np.asarray(b.column("dst"), dtype=np.int64)
+        salt = (_mix64(s.view(np.uint64)) % np.uint64(SALT_S)) \
+            .astype(np.int64)
+        key = d * SALT_S + salt
+        uk, inv = np.unique(key, return_inverse=True)
+        c = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        return pa.table({"dst": pa.array(uk // SALT_S),
+                         "salt": pa.array(uk % SALT_S),
+                         "c": pa.array(c)})
+
+    def _sub(t: pa.Table) -> pa.Table:
+        d = np.asarray(t.column("dst"), dtype=np.int64)
+        s = np.asarray(t.column("salt"), dtype=np.int64)
+        c = np.asarray(t.column("c"), dtype=np.int64)
+        key = d * SALT_S + s
+        uk, inv = np.unique(key, return_inverse=True)
+        return pa.table({"dst": pa.array(uk // SALT_S),
+                         "c": pa.array(ibincount(inv, c,
+                                                 minlength=len(uk)))})
+
+    def _tot(t: pa.Table) -> pa.Table:
+        d = np.asarray(t.column("dst"), dtype=np.int64)
+        c = np.asarray(t.column("c"), dtype=np.int64)
+        uk, inv = np.unique(d, return_inverse=True)
+        tot = ibincount(inv, c, minlength=len(uk))
+        # per-partition top-k candidates only
+        top = np.lexsort((uk, -tot))[:SALT_TOPK]
+        return pa.table({"dst": pa.array(uk[top]),
+                         "indeg": pa.array(tot[top])})
+
+    sub = group_apply_tasks(
+        be.map_batches(_phase1, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["dst", "salt"], _sub)
+    cands = group_apply_tasks(sub, ["dst"], _tot).to_pandas()
+    order = np.lexsort((cands.dst.to_numpy(),
+                        -cands.indeg.to_numpy()))[:SALT_TOPK]
+    ids = cands.dst.to_numpy()[order].astype(np.int64)
+    return pa.table({
+        "label": _label_col(ctx, ids),
+        "indeg": pa.array(cands.indeg.to_numpy()[order]
+                          .astype(np.int64)),
+    })
+
+
+def q_salt_imbalance(sf_dir: str):
+    """The skew evidence itself: group-size census of the structural
+    in-degree aggregation WITHOUT salting (groups = dst) vs WITH
+    salting (groups = (dst, mix64(src) % SALT_S)) — max group size
+    drops by ~SALT_S on the hubs, n_groups grows by at most SALT_S x.
+    Both sides integer-exact (the salt is the same splitmix64 the SQL
+    twin re-implements). Output (variant, n_groups, max_group,
+    sum_rows)."""
+    from ..core.shuffle import _mix64, group_apply_tasks
+
+    ctx = get_context(sf_dir)
+    be = ctx.graph("directed").dedup_sum().cast_bool().edges
+
+    def _keys(b: pa.Table) -> pa.Table:
+        s = np.asarray(b.column("src"), dtype=np.int64)
+        d = np.asarray(b.column("dst"), dtype=np.int64)
+        salt = (_mix64(s.view(np.uint64)) % np.uint64(SALT_S)) \
+            .astype(np.int64)
+        key = d * SALT_S + salt
+        uk, inv = np.unique(key, return_inverse=True)
+        c = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        return pa.table({"k": pa.array(uk), "c": pa.array(c)})
+
+    def _groups(t: pa.Table) -> pa.Table:
+        k = np.asarray(t.column("k"), dtype=np.int64)
+        c = np.asarray(t.column("c"), dtype=np.int64)
+        uk, inv = np.unique(k, return_inverse=True)
+        salted = ibincount(inv, c, minlength=len(uk))
+        ud, dinv = np.unique(uk // SALT_S, return_inverse=True)
+        plain = ibincount(dinv, salted, minlength=len(ud))
+        return pa.table({
+            "ns": pa.array([len(uk)], type=pa.int64()),
+            "ms": pa.array([int(salted.max()) if len(salted) else 0],
+                           type=pa.int64()),
+            "np_": pa.array([len(ud)], type=pa.int64()),
+            "mp": pa.array([int(plain.max()) if len(plain) else 0],
+                           type=pa.int64()),
+            "sr": pa.array([int(plain.sum())], type=pa.int64()),
+        })
+
+    # route by dst so BOTH group families are partition-local exact
+    # (all salts of a dst share its partition)
+    def _dstcol(t: pa.Table) -> pa.Table:
+        k = np.asarray(t.column("k"), dtype=np.int64)
+        return t.append_column("dst", pa.array(k // SALT_S))
+
+    parts = group_apply_tasks(
+        be.map_batches(_keys, batch_format="pyarrow",
+                       zero_copy_batch=True)
+          .map_batches(_dstcol, batch_format="pyarrow"),
+        ["dst"], _groups).to_pandas()
+    return pa.table({
+        "variant": pa.array(["plain", "salted"], type=pa.string()),
+        "n_groups": pa.array([int(parts.np_.sum()),
+                              int(parts.ns.sum())], type=pa.int64()),
+        "max_group": pa.array([int(parts.mp.max()),
+                               int(parts.ms.max())], type=pa.int64()),
+        "sum_rows": pa.array([int(parts.sr.sum())] * 2,
+                             type=pa.int64()),
+    })
