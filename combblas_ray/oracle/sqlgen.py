@@ -11408,6 +11408,7 @@ ORDER BY score_u DESC, doc_id ASC LIMIT {k}
 """
 
 
+@_materialized
 def nbt_trace(t_max: int = 6) -> str:
     """Non-backtracking walk totals via the vertex-space Hashimoto
     recurrence p2 = A p1 - D p0, pk = A p_{k-1} - (D-I) p_{k-2} (twin
@@ -11456,6 +11457,7 @@ tri AS (
 )"""
 
 
+@_materialized
 def diamond_count() -> str:
     """Diamonds = sum over edges of C(triangle-support, 2) (twin of
     `queries.q_diamond_count`)."""
@@ -11474,6 +11476,7 @@ FROM sup
 """
 
 
+@_materialized
 def tailed_triangles() -> str:
     """Paw census sum_v t_v * (d_v - 2) (twin of
     `queries.q_tailed_triangles`)."""
@@ -12213,6 +12216,7 @@ GROUP BY v.label ORDER BY indeg DESC, label ASC LIMIT {k}
 """
 
 
+@_materialized
 def salt_imbalance(s: int = 8) -> str:
     """Group-size census with and without the splitmix64 salt (twin of
     `queries.q_salt_imbalance`). The salt hashes the DENSE vertex id
