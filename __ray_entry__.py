@@ -59,7 +59,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # K-source distance family, chunked prune/stochastic vectors,
         # LSH bucket caps — newest = highest regression risk)
         "bfs": q.q_bfs,
-        "colstochastic": q.q_colstochastic,
+        # multimodal actor-pool class keeps a driver row every round
+        "pixel_hist": q.q_pixel_hist,
         "minhash_pairs": q.q_minhash_pairs,
         # waves 72-74 (round 5: iterative linear-algebra + LM scoring —
         # newest = highest regression risk)
@@ -381,7 +382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_spread": q.q_price_spread,  # price agg (r3-green; rotated for wave-50, rfm_cells/segment_median siblings)
         "supplies_all": q.q_supplies_all,  # relational division (r3-green; rotated for wave-50, above_avg_orders correlated-subquery sibling)
         "trigram_l1": q.q_trigram_l1,  # text n-gram (r3-green; rotated for wave-50, pname_vocab_topk/edit1_pairs siblings)
-        "pixel_hist": q.q_pixel_hist,  # multimodal decode (r3-green; rotated for wave-50, audio_energy_hist in-window sibling)
+        "colstochastic": q.q_colstochastic,  # dim_apply rescale (r5 wave-70 locally green; exercised inside mcl/prenormalized-pagerank pipelines)
         "vertex_cover": q.q_vertex_cover,  # matching family (r3-green; rotated for wave-50, edge_support_hist per-edge-plan sibling)
         "degree_tails": q.q_degree_tails,  # tail ranks (r3-green; rotated for wave-49 prep_corpus/sigma_hist)
         "monthly_active_customers": q.q_monthly_active_customers,  # time agg (r3-green; rotated, quarter_top_order/part_growth siblings)
