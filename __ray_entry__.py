@@ -133,8 +133,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LLM-data layer without a prior driver row (+ refactored dedup)
         # wave 14 (newest = highest regression risk)
         # wave 15
-        # wave 58 (round 4)
-        "hub_bisector": q.q_hub_bisector,
+        # embedding similarity-search class keeps a driver row (brute
+        # cosine top-k, the ANN baseline)
+        "ann_topk": q.q_ann_topk,
         # wave 56 (round 4)
         # wave 55 (round 4)
         # wave 54 (round 4)
@@ -641,7 +642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vec_argmin": q.q_vec_argmin,
         "sample_edges": q.q_sample_edges,
         "randperm_edges": q.q_randperm_edges,
-        "ann_topk": q.q_ann_topk,
+        "hub_bisector": q.q_hub_bisector,  # K-source bisection (r4 driver-green + r4 judge spot-check of the r5 refs-only fix; steiner_approx kseed sibling in-window)
         "clean_corpus": q.q_clean_corpus,
         "knn_components": q.q_knn_components,
         "token_stats": q.q_token_stats,
