@@ -64,7 +64,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": q.q_minhash_pairs,
         # waves 72-74 (round 5: iterative linear-algebra + LM scoring —
         # newest = highest regression risk)
-        "eigencentrality": q.q_eigencentrality,
         "lm_outliers": q.q_lm_outliers,
         # waves 88-91 (round 5 session 3: newest = highest regression
         # risk — trace/audit + motif/reach/sampling/forecast faces)
@@ -125,6 +124,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver-gated faces — newest)
         "salted_degree_topk": q.q_salted_degree_topk,
         "salt_imbalance": q.q_salt_imbalance,
+        # wave 104 (round 5 session 4: Bellman-Ford under negative
+        # weights — newest)
+        "khop_cheapest": q.q_khop_cheapest,
         # waves 77-80 (round 5: convergence/metrics faces of the core
         # apps — these touched the pagerank/BFS/SSSP/LP/MCL loops)
         "bfs_dir_trace": q.q_bfs_dir_trace,
@@ -217,7 +219,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ktruss_peel": q.q_ktruss_peel,  # support peel (r5 wave-88 locally green; diamond_count folds the same edge support in-window)
         "k4_count": q.q_k4_count,  # clique motif (r5 wave-89 locally green; diamond_count/tailed_triangles share the triangle-join plan in-window)
         "mutual_nn": q.q_mutual_nn,  # kNN reciprocity (r5 wave-90 locally green; ball2_jaccard similarity face in-window, knn family pytest-gated)
-        "conjgrad_fixed": q.q_conjgrad_fixed,  # CG solver (r5 wave-73 locally green; eigencentrality/nbt_trace iterative faces in-window, cg_resid out-of-window gated)
+        "conjgrad_fixed": q.q_conjgrad_fixed,  # CG solver (r5 wave-73 locally green; nbt_trace/pagerank iterative faces in-window, cg_resid out-of-window gated)
+        "eigencentrality": q.q_eigencentrality,  # power iteration (r5 wave-72 locally green; pagerank IS the in-window power iteration, nbt_trace the recurrence face)
         "msbfs": q.q_msbfs,  # K-source min-merge (r4 wave-70 green; apsp_top/steiner_approx kseed siblings)
         "distance_hist": q.q_distance_hist,  # K-source census (r4 wave-70 green; hub_bisector/steiner_approx siblings)
         "busy_minutes": q.q_busy_minutes,  # minute census (r4 wave-69 green; ewma_daily/cusum_flags/holt_trend day-axis siblings)
@@ -842,6 +845,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_roundtrip": o.mm_roundtrip(),
         "salted_degree_topk": o.salted_degree_topk(q.SALT_TOPK),
         "salt_imbalance": o.salt_imbalance(q.SALT_S),
+        "khop_cheapest": o.khop_cheapest(q.BF_ROUNDS),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

@@ -12244,3 +12244,55 @@ SELECT 'salted',
        (SELECT CAST(max(c) AS BIGINT) FROM salted),
        (SELECT CAST(sum(c) AS BIGINT) FROM salted)
 """
+
+
+@_materialized
+def khop_cheapest(rounds: int = 6) -> str:
+    """K-hop cheapest paths under negative integer weights (twin of
+    `queries.q_khop_cheapest`; weights and the relaxation run in the
+    dense label-rank id space)."""
+    sql = PREFIX + """
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+degt AS (SELECT src AS i, CAST(count(*) AS BIGINT) AS d
+         FROM und GROUP BY 1),
+hub AS (SELECT i FROM degt ORDER BY d DESC, i ASC LIMIT 1),
+dense AS (
+  SELECT i, row_number() OVER (ORDER BY 'm_' || i) - 1 AS dn FROM files
+),
+we AS (
+  SELECT ds.dn AS s, dd.dn AS t,
+         CAST((ds.dn + 2 * dd.dn) % 7 - 3 AS DOUBLE) AS w
+  FROM edges e JOIN dense ds ON ds.i = e.src
+  JOIN dense dd ON dd.i = e.dst
+),
+d0 AS (
+  SELECT dn.dn AS v,
+         CASE WHEN dn.i = h.i THEN 0.0
+              ELSE 'infinity'::DOUBLE END AS val
+  FROM dense dn, hub h
+)"""
+    for k in range(1, rounds + 1):
+        sql += f"""
+, d{k} AS (
+  SELECT p.v, least(p.val, coalesce(m.mn, 'infinity'::DOUBLE)) AS val
+  FROM d{k - 1} p
+  LEFT JOIN (
+    SELECT we.t AS v, min(p2.val + we.w) AS mn
+    FROM we JOIN d{k - 1} p2 ON p2.v = we.s
+    WHERE p2.val < 'infinity'::DOUBLE
+    GROUP BY we.t
+  ) m ON m.v = p.v
+)"""
+    parts = [
+        f"SELECT CAST({k} AS BIGINT) AS k, "
+        f"CAST(count(*) FILTER (val < 'infinity'::DOUBLE) AS BIGINT) "
+        f"AS n_reached, "
+        f"CAST(min(val) FILTER (val < 'infinity'::DOUBLE) AS BIGINT) "
+        f"AS min_dist, "
+        f"CAST(sum(val) FILTER (val < 'infinity'::DOUBLE) AS BIGINT) "
+        f"AS sum_dist FROM d{k}"
+        for k in range(1, rounds + 1)
+    ]
+    return sql + "\n" + "\nUNION ALL\n".join(parts) + "\nORDER BY k\n"

@@ -22256,3 +22256,85 @@ def q_salt_imbalance(sf_dir: str):
         "sum_rows": pa.array([int(parts.sr.sum())] * 2,
                              type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 104: Bellman-Ford face — K-hop cheapest paths under NEGATIVE
+# integer edge weights (no non-negativity assumption anywhere)
+# ---------------------------------------------------------------------------
+
+BF_ROUNDS = 6
+BF_INF = np.inf
+
+
+def _w104_seed(bounds, hub):
+    s, e = bounds
+    x = np.full((1, e - s), BF_INF)
+    if s <= hub < e:
+        x[0, hub - s] = 0.0
+    return x
+
+
+def _w104_min(d, y):
+    return np.minimum(d[0:1], y[0:1])
+
+
+def _w104_census(d):
+    v = d[0]
+    reach = np.isfinite(v)
+    return (int(reach.sum()),
+            float(v[reach].min()) if reach.any() else 0.0,
+            float(v[reach].sum()) if reach.any() else 0.0)
+
+
+def q_khop_cheapest(sf_dir: str):
+    """K-hop cheapest-path trace from the top hub under NEGATIVE
+    integer edge weights w = ((src + 2*dst) % 7) - 3 (dense-id space,
+    range [-3, 3]) — the Bellman-Ford relaxation run for exactly
+    BF_ROUNDS synchronous rounds, where "distance" = cheapest total
+    weight over <= k-hop walks (well-defined even with negative cycles,
+    unlike a convergence claim). One `min_plus` SpMV + elementwise min
+    per round over a PURPOSE-BUILT weighted engine (structural edges,
+    remapped weights); every value is an integer carried exactly in
+    float64. Output per round: (k, n_reached, min_dist, sum_dist)."""
+    from ..core.engine import SpmvEngine
+    from ..core.graph import Graph
+    from .context import CKPT_ROOT
+
+    ctx = get_context(sf_dir)
+    be = ctx.graph("directed").dedup_sum().cast_bool().edges
+
+    def _w(t: pa.Table) -> pa.Table:
+        s = np.asarray(t.column("src"), dtype=np.int64)
+        d = np.asarray(t.column("dst"), dtype=np.int64)
+        return pa.table({
+            "src": pa.array(s), "dst": pa.array(d),
+            "w": pa.array(((s + 2 * d) % 7 - 3).astype(np.float64)),
+        })
+
+    eng = SpmvEngine.from_graph(
+        Graph(n=ctx.n, edges=be.map_batches(_w, batch_format="pyarrow")),
+        ctx.engine("directed").g, f"{CKPT_ROOT}/bf_n{ctx.n}")
+    sym = ctx.engine("sym")
+    hub = int(alg.top_by_degree(
+        sym, ctx.vdict.arith_slice_refs(sym.bounds), 1)[0])
+    d = eng.map_chunks_n(partial(_w104_seed, hub=hub), 1,
+                         with_bounds=True)[0]
+    rows = []
+    for k in range(1, BF_ROUNDS + 1):
+        y = eng.spmm_refs(d, 1, "min_plus")
+        d = eng.map_chunks(_w104_min, d, y)
+        nr, mn, sm = 0, np.inf, 0.0
+        for cr, cm, cs in eng.chunk_scalars(_w104_census, d):
+            nr += cr
+            if cr:
+                mn = min(mn, cm)
+            sm += cs
+        rows.append((k, nr, int(mn), int(round(sm))))
+    eng.shutdown()
+    return pa.table({
+        "k": pa.array([r[0] for r in rows], type=pa.int64()),
+        "n_reached": pa.array([r[1] for r in rows], type=pa.int64()),
+        "min_dist": pa.array([r[2] for r in rows], type=pa.int64()),
+        "sum_dist": pa.array([r[3] for r in rows], type=pa.int64()),
+    })
