@@ -68,7 +68,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # waves 88-91 (round 5 session 3: newest = highest regression
         # risk — trace/audit + motif/reach/sampling/forecast faces)
         "bowtie_census": q.q_bowtie_census,
-        "steiner_approx": q.q_steiner_approx,
         # wave 92 (round 5 session 4: BM25 retrieval scoring — newest)
         "bm25_topk": q.q_bm25_topk,
         # wave 93 (round 5 session 4: Hashimoto NBT walk trace +
@@ -127,6 +126,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 104 (round 5 session 4: Bellman-Ford under negative
         # weights — newest)
         "khop_cheapest": q.q_khop_cheapest,
+        # wave 105 (round 5 session 4: modularity-driven community
+        # sweep — newest)
+        "louvain_pass": q.q_louvain_pass,
         # waves 77-80 (round 5: convergence/metrics faces of the core
         # apps — these touched the pagerank/BFS/SSSP/LP/MCL loops)
         "bfs_dir_trace": q.q_bfs_dir_trace,
@@ -221,6 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mutual_nn": q.q_mutual_nn,  # kNN reciprocity (r5 wave-90 locally green; ball2_jaccard similarity face in-window, knn family pytest-gated)
         "conjgrad_fixed": q.q_conjgrad_fixed,  # CG solver (r5 wave-73 locally green; nbt_trace/pagerank iterative faces in-window, cg_resid out-of-window gated)
         "eigencentrality": q.q_eigencentrality,  # power iteration (r5 wave-72 locally green; pagerank IS the in-window power iteration, nbt_trace the recurrence face)
+        "steiner_approx": q.q_steiner_approx,  # Prim-merge 2-approx (r5 wave-90 locally green; khop_cheapest min-plus kseed relaxation in-window)
         "msbfs": q.q_msbfs,  # K-source min-merge (r4 wave-70 green; apsp_top/steiner_approx kseed siblings)
         "distance_hist": q.q_distance_hist,  # K-source census (r4 wave-70 green; hub_bisector/steiner_approx siblings)
         "busy_minutes": q.q_busy_minutes,  # minute census (r4 wave-69 green; ewma_daily/cusum_flags/holt_trend day-axis siblings)
@@ -846,6 +849,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_degree_topk": o.salted_degree_topk(q.SALT_TOPK),
         "salt_imbalance": o.salt_imbalance(q.SALT_S),
         "khop_cheapest": o.khop_cheapest(q.BF_ROUNDS),
+        "louvain_pass": o.louvain_pass(),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

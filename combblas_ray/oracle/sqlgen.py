@@ -12296,3 +12296,39 @@ d0 AS (
         for k in range(1, rounds + 1)
     ]
     return sql + "\n" + "\nUNION ALL\n".join(parts) + "\nORDER BY k\n"
+
+
+@_materialized
+def louvain_pass() -> str:
+    """One singleton-start Louvain sweep with the integer gain score
+    m2*w - k_u*k_v, ties by neighbor label (twin of
+    `queries.q_louvain_pass`)."""
+    return PREFIX + """
+, sym AS (
+  SELECT u, v, CAST(sum(w) AS BIGINT) AS w FROM (
+    SELECT src AS u, dst AS v, w FROM edges
+    UNION ALL SELECT dst, src, w FROM edges
+  ) GROUP BY u, v
+),
+kk AS (SELECT u, CAST(sum(w) AS BIGINT) AS k FROM sym GROUP BY u),
+m2 AS (SELECT CAST(sum(w) AS BIGINT) AS m2 FROM sym),
+sc AS (
+  SELECT s.u, s.v, m2.m2 * s.w - ku.k * kv.k AS score,
+         vl.label AS vlabel
+  FROM sym s
+  JOIN kk ku ON ku.u = s.u
+  JOIN kk kv ON kv.u = s.v
+  CROSS JOIN m2
+  JOIN verts vl ON vl.i = s.v
+),
+pick AS (
+  SELECT u, v, score, row_number() OVER (
+    PARTITION BY u ORDER BY score DESC, vlabel ASC) AS rn
+  FROM sc
+)
+SELECT va.label AS label,
+       CASE WHEN p.score > 0 THEN vb.label ELSE va.label END AS comm
+FROM verts va
+LEFT JOIN (SELECT * FROM pick WHERE rn = 1) p ON p.u = va.i
+LEFT JOIN verts vb ON vb.i = p.v
+"""

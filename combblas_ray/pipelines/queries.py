@@ -22338,3 +22338,84 @@ def q_khop_cheapest(sf_dir: str):
         "min_dist": pa.array([r[2] for r in rows], type=pa.int64()),
         "sum_dist": pa.array([r[3] for r in rows], type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 105: Louvain first sweep (modularity-gain argmax from
+# singletons, integer-exact)
+# ---------------------------------------------------------------------------
+
+
+def q_louvain_pass(sf_dir: str):
+    """ONE synchronous Louvain sweep from singleton communities over
+    the weighted symmetric graph: vertex v joins the neighbor u
+    maximizing the singleton-merge modularity gain, compared via the
+    INTEGER score m2*w(v,u) - k_v*k_u (m2 = total weight = 2m; the
+    standard gain w/m - k_v k_u / 2m^2 scaled by 2m^2 — no floats, no
+    resolution ambiguity), if that score is positive; ties by neighbor
+    label ASC; otherwise v stays singleton. The community-detection
+    face beyond `label_propagation` (modularity-driven, not
+    majority-driven). Plan: one dst-keyed degree join, one src-hash
+    group with k_v = the group's own weight sum (the symmetric graph
+    pays no second join). Output (label, comm) labels."""
+    from ..core.shuffle import group_apply_tasks, hash_join_tasks
+
+    ctx = get_context(sf_dir)
+    sym = ctx.graph("sym").dedup_sum().edges
+
+    def _kpart(b: pa.Table) -> pa.Table:
+        s = np.asarray(b.column("src"), dtype=np.int64)
+        w = np.asarray(b.column("w"), dtype=np.float64)
+        uk, inv = np.unique(s, return_inverse=True)
+        return pa.table({"v": pa.array(uk),
+                         "c": pa.array(ibincount(inv, w.astype(np.int64),
+                                                 minlength=len(uk)))})
+
+    ktab = group_apply_tasks(
+        sym.map_batches(_kpart, batch_format="pyarrow",
+                        zero_copy_batch=True), ["v"], _w93_vmerge("k"))
+    m2 = int(sum(r["c"] for r in ktab.map_batches(
+        lambda t: pa.table({"c": pa.array([int(np.asarray(
+            t.column("k"), dtype=np.int64).sum())])}),
+        batch_format="pyarrow").take_all()))
+
+    def _pick(j: pa.Table, *, _m2=m2) -> pa.Table:
+        """One src-hash partition (ALL of a vertex's rows co-locate, so
+        k_v is the group's own weight sum): vectorized argmax per src
+        by (score DESC, dst ASC) via a (src, -score, dst) lexsort +
+        first-of-run."""
+        empty = pa.table({"v": pa.array([], type=pa.int64()),
+                          "comm": pa.array([], type=pa.int64())})
+        if j.num_rows == 0:
+            return empty
+        s = np.asarray(j.column("src"), dtype=np.int64)
+        d = np.asarray(j.column("dst"), dtype=np.int64)
+        w = np.asarray(j.column("w"), dtype=np.float64).astype(np.int64)
+        kd = np.asarray(j.column("k"), dtype=np.int64)
+        uk, inv = np.unique(s, return_inverse=True)
+        kv = ibincount(inv, w, minlength=len(uk))  # includes loops: none
+        score = _m2 * w - kv[inv] * kd
+        keep = d != s
+        if not keep.any():
+            return empty
+        s, d, score = s[keep], d[keep], score[keep]
+        o = np.lexsort((d, -score, s))
+        so, do, sco = s[o], d[o], score[o]
+        first = np.empty(len(so), dtype=bool)
+        first[0] = True
+        first[1:] = so[1:] != so[:-1]
+        fv, fc, fs = so[first], do[first], sco[first]
+        return pa.table({
+            "v": pa.array(fv),
+            "comm": pa.array(np.where(fs > 0, fc, fv)),
+        })
+
+    joined = hash_join_tasks(sym, ktab, on="dst", right_on="v")
+    res = group_apply_tasks(joined, ["src"], _pick).to_pandas()
+    comm = np.arange(ctx.n, dtype=np.int64)  # isolated = singleton
+    comm[res.v.to_numpy().astype(np.int64)] = \
+        res.comm.to_numpy().astype(np.int64)
+    return pa.table({
+        "label": _label_col(ctx, np.arange(ctx.n)),
+        "comm": _label_col(ctx, comm),
+    })
