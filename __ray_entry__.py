@@ -78,7 +78,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 94 (round 5 session 4: daily trend statistics — newest)
         "mann_kendall": q.q_mann_kendall,
         "theil_sen": q.q_theil_sen,
-        "runs_test": q.q_runs_test,
         # wave 95 (round 5 session 4: winnowing fingerprints, MG heavy
         # hitters, event-type lag coupling — newest)
         "winnow_stats": q.q_winnow_stats,
@@ -129,6 +128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 105 (round 5 session 4: modularity-driven community
         # sweep — newest)
         "louvain_pass": q.q_louvain_pass,
+        # wave 106 (round 5 session 4: densest-subgraph parallel peel)
+        "densest_peel": q.q_densest_peel,
         # waves 77-80 (round 5: convergence/metrics faces of the core
         # apps — these touched the pagerank/BFS/SSSP/LP/MCL loops)
         "bfs_dir_trace": q.q_bfs_dir_trace,
@@ -224,6 +225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conjgrad_fixed": q.q_conjgrad_fixed,  # CG solver (r5 wave-73 locally green; nbt_trace/pagerank iterative faces in-window, cg_resid out-of-window gated)
         "eigencentrality": q.q_eigencentrality,  # power iteration (r5 wave-72 locally green; pagerank IS the in-window power iteration, nbt_trace the recurrence face)
         "steiner_approx": q.q_steiner_approx,  # Prim-merge 2-approx (r5 wave-90 locally green; khop_cheapest min-plus kseed relaxation in-window)
+        "runs_test": q.q_runs_test,  # randomness runs (r5 wave-94 locally green; mann_kendall/theil_sen trend gates in-window on the same axis)
         "msbfs": q.q_msbfs,  # K-source min-merge (r4 wave-70 green; apsp_top/steiner_approx kseed siblings)
         "distance_hist": q.q_distance_hist,  # K-source census (r4 wave-70 green; hub_bisector/steiner_approx siblings)
         "busy_minutes": q.q_busy_minutes,  # minute census (r4 wave-69 green; ewma_daily/cusum_flags/holt_trend day-axis siblings)
@@ -850,6 +852,7 @@ def oracle_sql() -> dict[str, str]:
         "salt_imbalance": o.salt_imbalance(q.SALT_S),
         "khop_cheapest": o.khop_cheapest(q.BF_ROUNDS),
         "louvain_pass": o.louvain_pass(),
+        "densest_peel": o.densest_peel(q.DS_ROUNDS),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

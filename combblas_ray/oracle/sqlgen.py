@@ -12332,3 +12332,41 @@ FROM verts va
 LEFT JOIN (SELECT * FROM pick WHERE rn = 1) p ON p.u = va.i
 LEFT JOIN verts vb ON vb.i = p.v
 """
+
+
+@_materialized
+def densest_peel(rounds: int = 8) -> str:
+    """Synchronous densest-subgraph peel trace (twin of
+    `queries.q_densest_peel`; integer cross-multiplied removal rule)."""
+    sql = PREFIX + """
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+a0 AS (SELECT i FROM files)
+"""
+    for r in range(rounds + 1):
+        sql += f"""
+, d{r} AS (
+  SELECT a.i, CAST(coalesce(x.c, 0) AS BIGINT) AS dg
+  FROM a{r} a
+  LEFT JOIN (
+    SELECT u.src AS i, count(*) AS c
+    FROM und u JOIN a{r} b ON b.i = u.dst GROUP BY u.src
+  ) x ON x.i = a.i
+),
+s{r} AS (
+  SELECT CAST(count(*) AS BIGINT) AS nv,
+         CAST(coalesce(sum(dg), 0) AS BIGINT) AS ne2
+  FROM d{r}
+)"""
+        if r < rounds:
+            sql += f"""
+, a{r + 1} AS (
+  SELECT d.i FROM d{r} d, s{r} s WHERE d.dg * s.nv > s.ne2
+)"""
+    parts = [
+        f"SELECT CAST({r} AS BIGINT) AS round, nv AS n_v, "
+        f"ne2 // 2 AS n_e FROM s{r}"
+        for r in range(rounds + 1)
+    ]
+    return sql + "\n" + "\nUNION ALL\n".join(parts) + "\nORDER BY round\n"

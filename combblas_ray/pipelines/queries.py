@@ -22419,3 +22419,59 @@ def q_louvain_pass(sf_dir: str):
         "label": _label_col(ctx, np.arange(ctx.n)),
         "comm": _label_col(ctx, comm),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 106: densest-subgraph parallel peel (Charikar greedy, the
+# synchronous MapReduce variant)
+# ---------------------------------------------------------------------------
+
+DS_ROUNDS = 8
+
+
+def _w106_ones(bounds):
+    s, e = bounds
+    return np.ones((1, e - s), dtype=np.int64)
+
+
+def _w106_counts(a, y):
+    act = a[0] > 0
+    return (int(act.sum()), int(y[0][act].sum()))
+
+
+def _w106_peel(a, y, nv, ne2):
+    act = a[0] > 0
+    rm = act & (y[0] * nv <= ne2)
+    return (act & ~rm).astype(np.int64)[None, :]
+
+
+def q_densest_peel(sf_dir: str):
+    """Densest-subgraph parallel peel trace (Charikar's greedy in the
+    synchronous map-reduce form, Bahmani et al.): each round removes
+    EVERY active vertex whose in-subgraph degree satisfies
+    deg * |V| <= 2|E| (i.e. deg <= average degree — the integer
+    cross-multiplied comparison, no density floats anywhere), for
+    DS_ROUNDS rounds. The max of |E|/|V| along the trace 2-approximates
+    the densest subgraph. One structural SpMV per round against the
+    active-indicator mask (the attack_curve masking pattern); counts
+    are bounded per-chunk partials. Output (round, n_v, n_e) for
+    round = 0 (whole graph) .. DS_ROUNDS."""
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("sym")
+    a = eng.map_chunks_n(_w106_ones, 1, with_bounds=True)[0]
+    rows = []
+    for r in range(DS_ROUNDS + 1):
+        y = eng.spmm_refs(a, 1, "plus_times_i64")
+        nv, ne2 = 0, 0
+        for cv, ce in eng.chunk_scalars(_w106_counts, a, y):
+            nv += cv
+            ne2 += ce
+        rows.append((r, nv, ne2 // 2))
+        if r < DS_ROUNDS:
+            a = eng.map_chunks(partial(_w106_peel, nv=nv, ne2=ne2),
+                               a, y)
+    return pa.table({
+        "round": pa.array([x[0] for x in rows], type=pa.int64()),
+        "n_v": pa.array([x[1] for x in rows], type=pa.int64()),
+        "n_e": pa.array([x[2] for x in rows], type=pa.int64()),
+    })
