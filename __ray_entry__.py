@@ -54,20 +54,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": q.q_connected_components,
         "label_propagation": q.q_label_propagation,
         "triangle_count": q.q_triangle_count,
-        # graph/engine operators without a prior driver row
-        # wave 70 (round 5: direction-optimizing BFS kernel, refs-only
-        # K-source distance family, chunked prune/stochastic vectors,
-        # LSH bucket caps — newest = highest regression risk)
-        "bfs": q.q_bfs,
-        # multimodal actor-pool class keeps a driver row every round
-        "pixel_hist": q.q_pixel_hist,
-        "minhash_pairs": q.q_minhash_pairs,
-        # waves 72-74 (round 5: iterative linear-algebra + LM scoring —
-        # newest = highest regression risk)
-        "lm_outliers": q.q_lm_outliers,
-        # waves 88-91 (round 5 session 3: newest = highest regression
-        # risk — trace/audit + motif/reach/sampling/forecast faces)
-        "bowtie_census": q.q_bowtie_census,
+        # standing per-axis representatives (each machinery class keeps
+        # a driver row every round; rotated-out siblings are locally
+        # gated each session)
+        "bfs": q.q_bfs,                     # BFS / direction-opt kernel
+        "pixel_hist": q.q_pixel_hist,       # multimodal actor pool
+        "minhash_pairs": q.q_minhash_pairs,  # MinHash-LSH dedup
+        "lm_outliers": q.q_lm_outliers,     # unigram-LM quality gate
+        "bowtie_census": q.q_bowtie_census,  # SCC / reach fixpoint
         # wave 92 (round 5 session 4: BM25 retrieval scoring — newest)
         "bm25_topk": q.q_bm25_topk,
         # wave 93 (round 5 session 4: Hashimoto NBT walk trace +
