@@ -68,7 +68,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the 4-vertex motif spectrum completion — newest)
         "nbt_trace": q.q_nbt_trace,
         "diamond_count": q.q_diamond_count,
-        "tailed_triangles": q.q_tailed_triangles,
         # wave 94 (round 5 session 4: daily trend statistics — newest)
         "mann_kendall": q.q_mann_kendall,
         "theil_sen": q.q_theil_sen,
@@ -124,6 +123,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "louvain_pass": q.q_louvain_pass,
         # wave 106 (round 5 session 4: densest-subgraph parallel peel)
         "densest_peel": q.q_densest_peel,
+        # wave 107 (round 5 session 5: collective-influence ranking)
+        "ci_topk": q.q_ci_topk,
         # waves 77-80 (round 5: convergence/metrics faces of the core
         # apps — these touched the pagerank/BFS/SSSP/LP/MCL loops)
         "bfs_dir_trace": q.q_bfs_dir_trace,
@@ -182,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
+        "tailed_triangles": q.q_tailed_triangles,  # motif census (r5 wave-93 green; diamond_count in-window runs the same wedge plan; rotated for wave-107 ci_topk)
         "same_day_orders": q.q_same_day_orders,  # date-join census (r4 wave-68 green; daily_xcorr/dow_seasonal day-axis joins in-window)
         "filtered_bfs_payload": q.q_filtered_bfs_payload,  # payload-predicate BFS (r4 driver-green; bfs/bfs_dir_trace in-window)
         "decile_priority_grid": q.q_decile_priority_grid,  # decile grid (r4 wave-59 green; dow_seasonal/vocab_coverage census siblings)
@@ -847,6 +849,7 @@ def oracle_sql() -> dict[str, str]:
         "khop_cheapest": o.khop_cheapest(q.BF_ROUNDS),
         "louvain_pass": o.louvain_pass(),
         "densest_peel": o.densest_peel(q.DS_ROUNDS),
+        "ci_topk": o.ci_topk(q.CI_TOPK_K),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

@@ -12370,3 +12370,26 @@ s{r} AS (
         for r in range(rounds + 1)
     ]
     return sql + "\n" + "\nUNION ALL\n".join(parts) + "\nORDER BY round\n"
+
+
+@_materialized
+def ci_topk(k: int = 25) -> str:
+    """Collective-influence CI_1 top-k (twin of `queries.q_ci_topk`)."""
+    return PREFIX + """
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+deg AS (SELECT src AS i, CAST(count(*) AS BIGINT) AS d FROM und
+        GROUP BY src),
+ciq AS (
+  SELECT u.src AS i, CAST(sum(greatest(dn.d - 1, 0)) AS BIGINT) AS s
+  FROM und u JOIN deg dn ON dn.i = u.dst GROUP BY u.src
+)
+SELECT v.label AS label,
+       coalesce(d.d, 0) AS deg,
+       coalesce(greatest(d.d - 1, 0) * c.s, 0) AS ci
+FROM verts v
+LEFT JOIN deg d ON d.i = v.i
+LEFT JOIN ciq c ON c.i = v.i
+ORDER BY ci DESC, v.i ASC
+LIMIT """ + str(k) + "\n"

@@ -22475,3 +22475,59 @@ def q_densest_peel(sf_dir: str):
         "n_v": pa.array([x[1] for x in rows], type=pa.int64()),
         "n_e": pa.array([x[2] for x in rows], type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 107: collective-influence ranking (Morone-Makse CI_1)
+# ---------------------------------------------------------------------------
+
+CI_TOPK_K = 25
+
+
+def _w107_x(d):
+    return np.maximum(d.astype(np.int64) - 1, 0)
+
+
+def _w107_cand(d, y, ar, bounds, k):
+    """Per-chunk top-k CI candidates by (ci DESC, arith ASC)."""
+    s, _e = bounds
+    km1 = np.maximum(np.asarray(d).astype(np.int64) - 1, 0)
+    ci = km1 * np.asarray(y, dtype=np.int64)
+    arv = np.asarray(ar, dtype=np.int64)
+    kk = min(k, len(ci))
+    o = np.lexsort((arv, -ci))[:kk]
+    return ((o + s).astype(np.int64), ci[o],
+            np.asarray(d)[o].astype(np.int64), arv[o])
+
+
+def q_ci_topk(sf_dir: str):
+    """Collective-influence ranking CI_1 (Morone & Makse
+    optimal-percolation score): ci(v) = (deg_v - 1) * sum_{u ~ v}
+    (deg_u - 1) over the undirected structural graph — ONE exact-int64
+    plus_times SpMV of the (deg - 1) vector against the symmetric
+    engine, then per-chunk candidate top-k + an O(g*k) driver merge
+    (the `top_by_degree` hub-seed pattern, ``BetwCent.cpp:179-187``).
+    Output: the CI_TOPK_K rows (label, deg, ci) by (ci DESC, arith
+    ASC). Reference semantics: `Reduce` row degree + semiring SpMV
+    (``SpParMat.h:67-456`` plus_times)."""
+    import ray as _ray
+
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("sym")
+    deg = eng.in_weights_refs()
+    x = eng.map_chunks(_w107_x, deg)
+    y = eng.spmv_refs(x, "plus_times_i64")
+    ar = ctx.vdict.arith_slice_refs(eng.bounds)
+    i_r, c_r, d_r, a_r = eng.map_chunks_n(
+        partial(_w107_cand, k=CI_TOPK_K), 4, deg, y, ar, with_bounds=True
+    )
+    ids = np.concatenate(_ray.get(i_r))
+    ci = np.concatenate(_ray.get(c_r))
+    dg = np.concatenate(_ray.get(d_r))
+    arv = np.concatenate(_ray.get(a_r))
+    o = np.lexsort((arv, -ci))[:CI_TOPK_K]
+    return pa.table({
+        "label": _label_col(ctx, ids[o]),
+        "deg": pa.array(dg[o], type=pa.int64()),
+        "ci": pa.array(ci[o], type=pa.int64()),
+    })
