@@ -70,7 +70,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diamond_count": q.q_diamond_count,
         # wave 94 (round 5 session 4: daily trend statistics — newest)
         "mann_kendall": q.q_mann_kendall,
-        "theil_sen": q.q_theil_sen,
         # wave 95 (round 5 session 4: winnowing fingerprints, MG heavy
         # hitters, event-type lag coupling — newest)
         "winnow_stats": q.q_winnow_stats,
@@ -125,6 +124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "densest_peel": q.q_densest_peel,
         # wave 107 (round 5 session 5: collective-influence ranking)
         "ci_topk": q.q_ci_topk,
+        # wave 108 (round 5 session 5: parallel greedy dominating set)
+        "domset_trace": q.q_domset_trace,
         # waves 77-80 (round 5: convergence/metrics faces of the core
         # apps — these touched the pagerank/BFS/SSSP/LP/MCL loops)
         "bfs_dir_trace": q.q_bfs_dir_trace,
@@ -184,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
         "tailed_triangles": q.q_tailed_triangles,  # motif census (r5 wave-93 green; diamond_count in-window runs the same wedge plan; rotated for wave-107 ci_topk)
+        "theil_sen": q.q_theil_sen,  # exact-fraction trend slope (r5 wave-94 green; mann_kendall in-window runs the same day-series plan; rotated for wave-108 domset_trace)
         "same_day_orders": q.q_same_day_orders,  # date-join census (r4 wave-68 green; daily_xcorr/dow_seasonal day-axis joins in-window)
         "filtered_bfs_payload": q.q_filtered_bfs_payload,  # payload-predicate BFS (r4 driver-green; bfs/bfs_dir_trace in-window)
         "decile_priority_grid": q.q_decile_priority_grid,  # decile grid (r4 wave-59 green; dow_seasonal/vocab_coverage census siblings)
@@ -850,6 +852,8 @@ def oracle_sql() -> dict[str, str]:
         "louvain_pass": o.louvain_pass(),
         "densest_peel": o.densest_peel(q.DS_ROUNDS),
         "ci_topk": o.ci_topk(q.CI_TOPK_K),
+        "domset_trace": o.domset_trace(q.DOMSET_ROUNDS, q.DOMSET_PRIO_B,
+                                       q.MIS_PRIO_P),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

@@ -121,6 +121,15 @@ SEMIRINGS: dict[str, Semiring] = {
     "plus_times_i64": Semiring(
         "plus_times_i64", _times_i64, np.add, 0, dtype=np.dtype(np.int64),
     ),
+    # Exact int64 select2nd_max channel (the max twin of
+    # `select2nd_min_i64`): identity = int64 min is the "no value"
+    # sentinel (the -inf analog). The dominating-set greedy rides this
+    # to take exact closed-neighborhood score maxima past the float64
+    # 2^53 ceiling.
+    "select2nd_max_i64": Semiring(
+        "select2nd_max_i64", _second, np.maximum,
+        np.iinfo(np.int64).min, dtype=np.dtype(np.int64),
+    ),
     # Widest-path (bottleneck) semiring: multiply = min(edge weight,
     # incoming bottleneck), add = max — `MaxMinSRing` of the reference's
     # semiring family (Semirings.h catalog; Operations.h min/max

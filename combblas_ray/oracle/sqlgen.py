@@ -12393,3 +12393,68 @@ LEFT JOIN deg d ON d.i = v.i
 LEFT JOIN ciq c ON c.i = v.i
 ORDER BY ci DESC, v.i ASC
 LIMIT """ + str(k) + "\n"
+
+
+@_materialized
+def domset_trace(rounds: int = 6, b: int = 53,
+                 p: int = 2147483647) -> str:
+    """Synchronous parallel greedy dominating set trace (twin of
+    `queries.q_domset_trace`): priorities (d*48271 + b) mod p on DENSE
+    ids (label ranks); score = closed-nbhd white count * p + prio;
+    local maxima join per round, their closed neighborhoods turn
+    dominated."""
+    sql = PREFIX + f"""
+, dense AS (
+  SELECT i, row_number() OVER (ORDER BY label) - 1 AS d FROM verts
+),
+pr AS (SELECT d, CAST((d * 48271 + {b}) % {p} AS BIGINT) AS prio
+       FROM dense),
+und AS (
+  SELECT ds.d AS u, dd.d AS v
+  FROM edges e JOIN dense ds ON ds.i = e.src JOIN dense dd ON dd.i = e.dst
+  UNION
+  SELECT dd.d, ds.d
+  FROM edges e JOIN dense ds ON ds.i = e.src JOIN dense dd ON dd.i = e.dst
+),
+s0 AS (SELECT d FROM pr WHERE FALSE),
+w0 AS (SELECT d FROM pr)
+"""
+    for r in range(rounds):
+        sql += f"""
+, wc{r} AS (
+  SELECT pr.d,
+         CAST((CASE WHEN pr.d IN (SELECT d FROM w{r}) THEN 1 ELSE 0 END)
+              + coalesce(x.c, 0) AS BIGINT) AS wv
+  FROM pr LEFT JOIN (
+    SELECT u.u AS d, count(*) AS c
+    FROM und u JOIN w{r} wb ON wb.d = u.v GROUP BY u.u
+  ) x ON x.d = pr.d
+),
+sc{r} AS (
+  SELECT w.d,
+         CASE WHEN w.d IN (SELECT d FROM s{r}) OR w.wv = 0 THEN 0
+              ELSE w.wv * {p} + pr.prio END AS sc
+  FROM wc{r} w JOIN pr ON pr.d = w.d
+),
+mx{r} AS (
+  SELECT u.u AS d, max(s2.sc) AS m
+  FROM und u JOIN sc{r} s2 ON s2.d = u.v GROUP BY u.u
+),
+win{r} AS (
+  SELECT s.d FROM sc{r} s LEFT JOIN mx{r} m ON m.d = s.d
+  WHERE s.sc > 0 AND s.sc >= coalesce(m.m, 0)
+),
+s{r + 1} AS (SELECT d FROM s{r} UNION SELECT d FROM win{r}),
+w{r + 1} AS (
+  SELECT w.d FROM w{r} w
+  WHERE w.d NOT IN (SELECT d FROM win{r})
+    AND w.d NOT IN (SELECT u.u FROM und u
+                    JOIN win{r} x ON x.d = u.v)
+)"""
+    parts = [
+        f"SELECT CAST({r} AS BIGINT) AS round, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM s{r}) AS n_set, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM w{r}) AS n_white"
+        for r in range(rounds + 1)
+    ]
+    return sql + "\n" + "\nUNION ALL\n".join(parts) + "\nORDER BY round\n"

@@ -22531,3 +22531,92 @@ def q_ci_topk(sf_dir: str):
         "deg": pa.array(dg[o], type=pa.int64()),
         "ci": pa.array(ci[o], type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 108: parallel greedy dominating set (synchronous local-maximum
+# greedy, the Jones-Plassmann/Luby pattern applied to domination)
+# ---------------------------------------------------------------------------
+
+DOMSET_ROUNDS = 6
+DOMSET_PRIO_B = 53
+
+
+def _w108_white0(bounds):
+    s, e = bounds
+    return np.ones(e - s, dtype=np.int64)
+
+
+def _w108_zeros(bounds):
+    s, e = bounds
+    return np.zeros(e - s, dtype=np.int64)
+
+
+def _w108_score(white, inset, yw, prio, p):
+    """score(v) = wv * p + prio(v) for eligible v (not in set, covers
+    >= 1 white vertex in its CLOSED neighborhood), else 0. The affine
+    composite is injective on eligibles (prio < p distinct), so local
+    maxima are unique."""
+    wv = white + yw
+    elig = (inset == 0) & (wv > 0)
+    return np.where(elig, wv * np.int64(p) + prio, np.int64(0))
+
+
+def _w108_win(score, nbmax):
+    return ((score > 0) & (score >= nbmax)).astype(np.int64)
+
+
+def _w108_join(inset, win):
+    return inset | win
+
+
+def _w108_uncover(white, win, ywin):
+    return white & np.int64(1 - ((win > 0) | (ywin > 0)))
+
+
+def _w108_counts(inset, white):
+    return (int(inset.sum()), int(white.sum()))
+
+
+def q_domset_trace(sf_dir: str):
+    """Synchronous parallel greedy dominating set (the distributed
+    local-maximum greedy — Jones-Plassmann-style rounds applied to
+    domination): per round every vertex scores wv * p + prio where wv
+    is its CLOSED-neighborhood white count; vertices whose score beats
+    every neighbor's join the set, and their closed neighborhoods turn
+    dominated. Exactly DOMSET_ROUNDS rounds; all three SpMVs per round
+    ride exact-int64 channels (plus_times_i64 white counts,
+    select2nd_max_i64 score maxima). Output (round, n_set, n_white)
+    for round = 0 .. DOMSET_ROUNDS. Reference semantics: the
+    `FilteredMIS.cpp` select-winners/deactivate family over semiring
+    SpMV (``Semirings.h`` catalog)."""
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("sym")
+    p = lcg_modulus(ctx.n)
+    prio = _lcg_prio_refs(eng, DOMSET_PRIO_B, p, dtype=np.int64)
+    white = eng.map_chunks_i(_w108_white0)
+    inset = eng.map_chunks_i(_w108_zeros)
+    rows = []
+    for r in range(DOMSET_ROUNDS + 1):
+        ns, nw = 0, 0
+        for cs, cw in eng.chunk_scalars(_w108_counts, inset, white):
+            ns += cs
+            nw += cw
+        rows.append((r, ns, nw))
+        if r == DOMSET_ROUNDS or nw == 0 and r > 0:
+            # converged traces keep emitting the (stable) fixpoint rows
+            # so the row count is deterministic
+            continue
+        yw = eng.spmv_refs(white, "plus_times_i64")
+        score = eng.map_chunks(partial(_w108_score, p=p),
+                               white, inset, yw, prio)
+        nbmax = eng.spmv_refs(score, "select2nd_max_i64")
+        win = eng.map_chunks(_w108_win, score, nbmax)
+        inset = eng.map_chunks(_w108_join, inset, win)
+        ywin = eng.spmv_refs(win, "plus_times_i64")
+        white = eng.map_chunks(_w108_uncover, white, win, ywin)
+    return pa.table({
+        "round": pa.array([x[0] for x in rows], type=pa.int64()),
+        "n_set": pa.array([x[1] for x in rows], type=pa.int64()),
+        "n_white": pa.array([x[2] for x in rows], type=pa.int64()),
+    })
