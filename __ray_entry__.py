@@ -74,7 +74,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hitters, event-type lag coupling — newest)
         "winnow_stats": q.q_winnow_stats,
         "heavy_hitters": q.q_heavy_hitters,
-        "daily_xcorr": q.q_daily_xcorr,
         # wave 96 (round 5 session 4: SymSpell-2 verify, dow season,
         # hub-attack robustness — newest)
         "lev2_pairs": q.q_lev2_pairs,
@@ -126,6 +125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ci_topk": q.q_ci_topk,
         # wave 108 (round 5 session 5: parallel greedy dominating set)
         "domset_trace": q.q_domset_trace,
+        # wave 109 (round 5 session 5: ego-net scan statistic)
+        "scan_topk": q.q_scan_topk,
         # waves 77-80 (round 5: convergence/metrics faces of the core
         # apps — these touched the pagerank/BFS/SSSP/LP/MCL loops)
         "bfs_dir_trace": q.q_bfs_dir_trace,
@@ -186,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round by tools/check_correctness.py) ---
         "tailed_triangles": q.q_tailed_triangles,  # motif census (r5 wave-93 green; diamond_count in-window runs the same wedge plan; rotated for wave-107 ci_topk)
         "theil_sen": q.q_theil_sen,  # exact-fraction trend slope (r5 wave-94 green; mann_kendall in-window runs the same day-series plan; rotated for wave-108 domset_trace)
+        "daily_xcorr": q.q_daily_xcorr,  # day-lag coupling (r5 wave-95 green; mann_kendall/dow_seasonal day-series siblings in-window; rotated for wave-109 scan_topk)
         "same_day_orders": q.q_same_day_orders,  # date-join census (r4 wave-68 green; daily_xcorr/dow_seasonal day-axis joins in-window)
         "filtered_bfs_payload": q.q_filtered_bfs_payload,  # payload-predicate BFS (r4 driver-green; bfs/bfs_dir_trace in-window)
         "decile_priority_grid": q.q_decile_priority_grid,  # decile grid (r4 wave-59 green; dow_seasonal/vocab_coverage census siblings)
@@ -854,6 +856,7 @@ def oracle_sql() -> dict[str, str]:
         "ci_topk": o.ci_topk(q.CI_TOPK_K),
         "domset_trace": o.domset_trace(q.DOMSET_ROUNDS, q.DOMSET_PRIO_B,
                                        q.MIS_PRIO_P),
+        "scan_topk": o.scan_topk(q.SCAN_TOPK_K),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

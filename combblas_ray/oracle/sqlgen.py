@@ -12458,3 +12458,35 @@ w{r + 1} AS (
         for r in range(rounds + 1)
     ]
     return sql + "\n" + "\nUNION ALL\n".join(parts) + "\nORDER BY round\n"
+
+
+@_materialized
+def scan_topk(k: int = 25) -> str:
+    """Ego-net scan statistic top-k (twin of `queries.q_scan_topk`;
+    scan = deg + per-vertex triangles, ties by dense label rank)."""
+    return PREFIX + """
+, dense AS (
+  SELECT i, row_number() OVER (ORDER BY label) - 1 AS d, label
+  FROM verts
+),
+und AS (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges GROUP BY 1, 2
+),
+uadj AS (SELECT a AS v, b AS u FROM und UNION ALL SELECT b, a FROM und),
+deg AS (SELECT v, count(*) AS dg FROM uadj GROUP BY v),
+tri AS (
+  SELECT x.v AS v, count(*) AS t
+  FROM uadj x JOIN uadj y ON x.v = y.v AND x.u < y.u
+  JOIN und t2 ON t2.a = x.u AND t2.b = y.u
+  GROUP BY x.v
+)
+SELECT dn.label AS label,
+       CAST(d.dg AS BIGINT) AS deg,
+       CAST(coalesce(tr.t, 0) AS BIGINT) AS tri,
+       CAST(d.dg + coalesce(tr.t, 0) AS BIGINT) AS scan
+FROM deg d
+JOIN dense dn ON dn.i = d.v
+LEFT JOIN tri tr ON tr.v = d.v
+ORDER BY scan DESC, dn.d ASC
+LIMIT """ + str(k) + "\n"

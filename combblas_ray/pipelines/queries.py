@@ -22620,3 +22620,51 @@ def q_domset_trace(sf_dir: str):
         "n_set": pa.array([x[1] for x in rows], type=pa.int64()),
         "n_white": pa.array([x[2] for x in rows], type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 109: ego-net scan statistic (Priebe's scan_1 anomaly score)
+# ---------------------------------------------------------------------------
+
+SCAN_TOPK_K = 25
+
+
+def _w109_cand(batch: pa.Table, k: int) -> pa.Table:
+    """Per-block scan-statistic candidate top-k by (scan DESC, v ASC)."""
+    v = np.asarray(batch.column("v"), dtype=np.int64)
+    deg = np.asarray(batch.column("deg"), dtype=np.int64)
+    tri = np.asarray(batch.column("tri"), dtype=np.int64)
+    scan = deg + tri
+    kk = min(k, len(v))
+    o = np.lexsort((v, -scan))[:kk]
+    return pa.table({
+        "v": pa.array(v[o]), "deg": pa.array(deg[o]),
+        "tri": pa.array(tri[o]), "scan": pa.array(scan[o]),
+    })
+
+
+def q_scan_topk(sf_dir: str):
+    """Ego-net scan statistic (Priebe's scan_1 anomaly score): scan(v)
+    = |E(ego(v))| = deg(v) + tri(v), the edge count of the CLOSED
+    1-ball — per-vertex triangle counts ride the distributed
+    degree-ordered wedge plan (`alg.clustering_coefficients`,
+    the reference's masked-SpGEMM per-vertex row sums,
+    ``SpParMat.h:161`` + ``ParFriends.h:1447``) in its streaming
+    Dataset form (materialize=False: per-vertex rows never land on the
+    driver), then per-block candidate top-k + an O(g*k) driver merge.
+    Output: the SCAN_TOPK_K rows (label, deg, tri, scan) by (scan
+    DESC, dense id ASC)."""
+    ctx = get_context(sf_dir)
+    ds = alg.clustering_coefficients(ctx.graph("sym").edges, ctx.n,
+                                     materialize=False)
+    cand = ds.map_batches(partial(_w109_cand, k=SCAN_TOPK_K),
+                          batch_format="pyarrow").to_pandas()
+    v = cand.v.to_numpy(dtype=np.int64)
+    scan = cand["scan"].to_numpy(dtype=np.int64)
+    o = np.lexsort((v, -scan))[:SCAN_TOPK_K]
+    return pa.table({
+        "label": _label_col(ctx, v[o]),
+        "deg": pa.array(cand.deg.to_numpy(dtype=np.int64)[o]),
+        "tri": pa.array(cand.tri.to_numpy(dtype=np.int64)[o]),
+        "scan": pa.array(scan[o]),
+    })
