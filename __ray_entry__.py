@@ -76,7 +76,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": q.q_heavy_hitters,
         # wave 96 (round 5 session 4: SymSpell-2 verify, dow season,
         # hub-attack robustness — newest)
-        "lev2_pairs": q.q_lev2_pairs,
         "dow_seasonal": q.q_dow_seasonal,
         "attack_curve": q.q_attack_curve,
         # wave 97 (round 5 session 4: BPE tokenizer training + Zipf
@@ -127,6 +126,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domset_trace": q.q_domset_trace,
         # wave 109 (round 5 session 5: ego-net scan statistic)
         "scan_topk": q.q_scan_topk,
+        # wave 110 (round 5 session 5: H-index coreness iteration)
+        "hindex_coreness": q.q_hindex_coreness,
         # waves 77-80 (round 5: convergence/metrics faces of the core
         # apps — these touched the pagerank/BFS/SSSP/LP/MCL loops)
         "bfs_dir_trace": q.q_bfs_dir_trace,
@@ -188,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tailed_triangles": q.q_tailed_triangles,  # motif census (r5 wave-93 green; diamond_count in-window runs the same wedge plan; rotated for wave-107 ci_topk)
         "theil_sen": q.q_theil_sen,  # exact-fraction trend slope (r5 wave-94 green; mann_kendall in-window runs the same day-series plan; rotated for wave-108 domset_trace)
         "daily_xcorr": q.q_daily_xcorr,  # day-lag coupling (r5 wave-95 green; mann_kendall/dow_seasonal day-series siblings in-window; rotated for wave-109 scan_topk)
+        "lev2_pairs": q.q_lev2_pairs,  # SymSpell-2 fuzzy pairs (r5 wave-96 green; edit_window in-window runs the same banded-Levenshtein verify kernel; rotated for wave-110 hindex_coreness)
         "same_day_orders": q.q_same_day_orders,  # date-join census (r4 wave-68 green; daily_xcorr/dow_seasonal day-axis joins in-window)
         "filtered_bfs_payload": q.q_filtered_bfs_payload,  # payload-predicate BFS (r4 driver-green; bfs/bfs_dir_trace in-window)
         "decile_priority_grid": q.q_decile_priority_grid,  # decile grid (r4 wave-59 green; dow_seasonal/vocab_coverage census siblings)
@@ -857,6 +859,7 @@ def oracle_sql() -> dict[str, str]:
         "domset_trace": o.domset_trace(q.DOMSET_ROUNDS, q.DOMSET_PRIO_B,
                                        q.MIS_PRIO_P),
         "scan_topk": o.scan_topk(q.SCAN_TOPK_K),
+        "hindex_coreness": o.hindex_coreness(q.HIDX_ROUNDS),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

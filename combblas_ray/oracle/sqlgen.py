@@ -12490,3 +12490,33 @@ JOIN dense dn ON dn.i = d.v
 LEFT JOIN tri tr ON tr.v = d.v
 ORDER BY scan DESC, dn.d ASC
 LIMIT """ + str(k) + "\n"
+
+
+@_materialized
+def hindex_coreness(rounds: int = 4) -> str:
+    """Iterated neighborhood H-index (twin of
+    `queries.q_hindex_coreness`): c_0 = deg, c_{k+1}(v) = H-index of
+    neighbor c_k values via max(least(c, rank))."""
+    sql = PREFIX + """
+, und AS (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges GROUP BY 1, 2
+),
+uadj AS (SELECT a AS v, b AS u FROM und UNION ALL SELECT b, a FROM und),
+c0 AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM uadj GROUP BY v)
+"""
+    for k in range(1, rounds + 1):
+        sql += f"""
+, c{k} AS (
+  SELECT v, CAST(max(least(c, rn)) AS BIGINT) AS c FROM (
+    SELECT u.v AS v, p.c AS c,
+           row_number() OVER (PARTITION BY u.v ORDER BY p.c DESC) AS rn
+    FROM uadj u JOIN c{k - 1} p ON p.v = u.u
+  ) GROUP BY v
+)"""
+    return sql + f"""
+SELECT vt.label AS label, d.c AS deg, f.c AS core
+FROM c0 d
+JOIN c{rounds} f ON f.v = d.v
+JOIN verts vt ON vt.i = d.v
+"""

@@ -22668,3 +22668,67 @@ def q_scan_topk(sf_dir: str):
         "tri": pa.array(cand.tri.to_numpy(dtype=np.int64)[o]),
         "scan": pa.array(scan[o]),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 110: coreness via iterated neighborhood H-index (Lu et al.: the
+# h-operator fixpoint IS the k-core number)
+# ---------------------------------------------------------------------------
+
+HIDX_ROUNDS = 4
+
+
+def _w110_deg(j: pa.Table) -> pa.Table:
+    s = np.asarray(j.column("src"), dtype=np.int64)
+    uk, cnt = np.unique(s, return_counts=True)
+    return pa.table({"v": pa.array(uk), "c": pa.array(cnt.astype(np.int64))})
+
+
+def _w110_hindex(j: pa.Table) -> pa.Table:
+    """One src-hash partition (ALL of a vertex's adjacency co-locates):
+    vectorized per-group H-index — sort (src, c DESC), 1-based in-group
+    rank rn, H = max over the group of min(c, rn)."""
+    if j.num_rows == 0:
+        return pa.table({"v": pa.array([], type=pa.int64()),
+                         "c": pa.array([], type=pa.int64())})
+    s = np.asarray(j.column("src"), dtype=np.int64)
+    c = np.asarray(j.column("c"), dtype=np.int64)
+    o = np.lexsort((-c, s))
+    so, co = s[o], c[o]
+    starts = np.nonzero(np.r_[True, so[1:] != so[:-1]])[0]
+    sizes = np.diff(np.r_[starts, len(so)])
+    rn = np.arange(len(so), dtype=np.int64) - np.repeat(starts, sizes) + 1
+    h = np.maximum.reduceat(np.minimum(co, rn), starts)
+    return pa.table({"v": pa.array(so[starts]), "c": pa.array(h)})
+
+
+def q_hindex_coreness(sf_dir: str):
+    """Coreness via the iterated neighborhood H-index operator (Lu,
+    Zhou, Zhang, Stanley: c_0 = deg, c_{k+1}(v) = H-index of
+    {c_k(u) : u ~ v}; the fixpoint is exactly the k-core number —
+    here exactly HIDX_ROUNDS synchronous rounds, the oracle-replicable
+    truncation). Per round: ONE dst-keyed join ships the current c to
+    every adjacency row, ONE src-hash group computes the vectorized
+    per-group H-index (sort + reduceat, no per-row Python). The
+    multiset H-operator is NOT a semiring reduce, so this rides the
+    warm-task join/group machinery instead of the SpMV engine — the
+    composition face `kcore_fixed` (membership at one k) cannot cover.
+    Output: (label, deg, core) for every vertex with deg >= 1."""
+    from ..core.shuffle import group_apply_tasks, hash_join_tasks
+
+    ctx = get_context(sf_dir)
+    sym = ctx.graph("sym").dedup_sum().edges
+    ctab = group_apply_tasks(sym, ["src"], _w110_deg)
+    deg = ctab.to_pandas()  # (v, c0) — this query's own O(n) output
+    for _ in range(HIDX_ROUNDS):
+        joined = hash_join_tasks(sym, ctab, on="dst", right_on="v")
+        ctab = group_apply_tasks(joined, ["src"], _w110_hindex)
+    core = ctab.to_pandas()
+    dv = deg.v.to_numpy(dtype=np.int64)
+    cv = core.v.to_numpy(dtype=np.int64)
+    do, co = np.argsort(dv), np.argsort(cv)  # same deg>=1 vertex set
+    return pa.table({
+        "label": _label_col(ctx, dv[do]),
+        "deg": pa.array(deg.c.to_numpy(dtype=np.int64)[do]),
+        "core": pa.array(core.c.to_numpy(dtype=np.int64)[co]),
+    })
