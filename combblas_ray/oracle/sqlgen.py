@@ -12520,3 +12520,76 @@ FROM c0 d
 JOIN c{rounds} f ON f.v = d.v
 JOIN verts vt ON vt.i = d.v
 """
+
+
+@_materialized
+def odd_cycle_census(cc_iters: int = 12, rounds: int = 12,
+                     topc: int = 10) -> str:
+    """Per-component odd-cycle census (twin of
+    `queries.q_odd_cycle_census`): min-label CC chain, parity BFS from
+    each component representative, equal-level edges counted as odd."""
+    sql = PREFIX + """
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+l0 AS (SELECT i, label AS comp FROM verts)
+"""
+    prev = "l0"
+    for k in range(1, cc_iters + 1):
+        sql += f"""
+, l{k} AS (
+  SELECT v.i, least(l.comp, coalesce(m.mn, l.comp)) AS comp
+  FROM verts v JOIN {prev} l ON l.i = v.i
+  LEFT JOIN (
+    SELECT u.dst AS i, min(lp.comp) AS mn
+    FROM und u JOIN {prev} lp ON lp.i = u.src GROUP BY u.dst
+  ) m ON m.i = v.i
+)"""
+        prev = f"l{k}"
+    sql += f"""
+, rep AS (
+  SELECT l.i FROM {prev} l JOIN verts v ON v.i = l.i
+  WHERE v.label = l.comp
+),
+d0 AS (SELECT i, CAST(0 AS BIGINT) AS dist FROM rep)
+"""
+    dprev = "d0"
+    for r in range(1, rounds + 1):
+        sql += f"""
+, d{r} AS (
+  SELECT i, min(dist) AS dist FROM (
+    SELECT i, dist FROM {dprev}
+    UNION ALL
+    SELECT u.dst AS i, p.dist + 1 AS dist
+    FROM und u JOIN {dprev} p ON p.i = u.src
+  ) GROUP BY i
+)"""
+        dprev = f"d{r}"
+    sql += f"""
+, uedge AS (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges GROUP BY 1, 2
+),
+ecen AS (
+  SELECT l.comp,
+         CAST(count(*) AS BIGINT) AS n_edges,
+         CAST(coalesce(count(*) FILTER (da.dist IS NOT NULL
+              AND db.dist IS NOT NULL AND da.dist = db.dist), 0)
+              AS BIGINT) AS odd_edges
+  FROM uedge e
+  JOIN {prev} l ON l.i = e.a
+  LEFT JOIN {dprev} da ON da.i = e.a
+  LEFT JOIN {dprev} db ON db.i = e.b
+  GROUP BY l.comp
+),
+csize AS (
+  SELECT comp, CAST(count(*) AS BIGINT) AS size FROM {prev} GROUP BY comp
+)
+SELECT s.comp AS comp, s.size,
+       coalesce(e.n_edges, 0) AS n_edges,
+       coalesce(e.odd_edges, 0) AS odd_edges
+FROM csize s LEFT JOIN ecen e ON e.comp = s.comp
+ORDER BY s.size DESC, s.comp ASC
+LIMIT {topc}
+"""
+    return sql

@@ -22732,3 +22732,145 @@ def q_hindex_coreness(sf_dir: str):
         "deg": pa.array(deg.c.to_numpy(dtype=np.int64)[do]),
         "core": pa.array(core.c.to_numpy(dtype=np.int64)[co]),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 111: per-component odd-cycle / bipartiteness census (CC labels +
+# parity BFS from each component representative, all components in ONE
+# BFS state vector)
+# ---------------------------------------------------------------------------
+
+ODDC_ROUNDS = 12
+ODDC_TOPC = 10
+
+
+def _w111_seed(lab, bounds):
+    s, e = bounds
+    return np.where(np.asarray(lab, dtype=np.int64)
+                    == np.arange(s, e, dtype=np.int64), 0.0, np.inf)
+
+
+def _w111_relax(d, y, bounds):
+    return np.minimum(d, y)
+
+
+def _w111_vtab(lab, d, bounds):
+    s, e = bounds
+    di = np.where(np.isinf(d), np.int64(-1), d).astype(np.int64)
+    return pa.table({
+        "v": pa.array(np.arange(s, e, dtype=np.int64)),
+        "comp": pa.array(np.asarray(lab, dtype=np.int64)),
+        "dv": pa.array(di),
+    })
+
+
+def _w111_half(b: pa.Table) -> pa.Table:
+    s = np.asarray(b.column("src"), dtype=np.int64)
+    d = np.asarray(b.column("dst"), dtype=np.int64)
+    keep = s < d
+    return pa.table({"src": pa.array(s[keep]), "dst": pa.array(d[keep])})
+
+
+def _w111_ecensus(j: pa.Table) -> pa.Table:
+    comp = np.asarray(j.column("comp"), dtype=np.int64)
+    du = np.asarray(j.column("du"), dtype=np.int64)
+    dv = np.asarray(j.column("dv"), dtype=np.int64)
+    uk, inv = np.unique(comp, return_inverse=True)
+    odd = ((du >= 0) & (dv >= 0) & (du == dv)).astype(np.int64)
+    return pa.table({
+        "comp": pa.array(uk),
+        "n_edges": pa.array(np.bincount(inv, minlength=len(uk))
+                            .astype(np.int64)),
+        "odd_edges": pa.array(ibincount(inv, odd, minlength=len(uk))),
+    })
+
+
+def _w111_csize(j: pa.Table) -> pa.Table:
+    comp = np.asarray(j.column("comp"), dtype=np.int64)
+    uk, cnt = np.unique(comp, return_counts=True)
+    return pa.table({"comp": pa.array(uk),
+                     "size": pa.array(cnt.astype(np.int64))})
+
+
+def _w111_cand(b: pa.Table, k: int) -> pa.Table:
+    sz = np.asarray(b.column("size"), dtype=np.int64)
+    comp = np.asarray(b.column("comp"), dtype=np.int64)
+    kk = min(k, len(sz))
+    o = np.lexsort((comp, -sz))[:kk]
+    return b.take(pa.array(o))
+
+
+def q_odd_cycle_census(sf_dir: str):
+    """Per-component odd-cycle / bipartiteness census: CC min-labels
+    (CC_ITERS synchronous rounds, the `cc_fixed` chain) pick one
+    representative per component (label == own dense id); ONE min_plus
+    BFS state vector runs ODDC_ROUNDS levels from ALL representatives
+    simultaneously (components are disjoint, so the single vector IS
+    the per-component BFS — no K-source matrix); an undirected edge
+    with equal finite endpoint levels witnesses an odd closed walk, so
+    a component is bipartite iff its odd_edges = 0 (exact once fully
+    explored). Labels/distances stay chunked refs through every round;
+    the census rides per-chunk Arrow tables -> warm-task joins -> a
+    per-partition candidate top-k. Output: the ODDC_TOPC components by
+    (size DESC, comp ASC): (comp, size, n_edges, odd_edges).
+    Reference semantics: composed semiring SpMV fixpoints
+    (``FastSV.h:335`` min-label + min-plus BFS levels)."""
+    import ray as _ray
+
+    from ..core.shuffle import group_apply_tasks, hash_join_tasks
+
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("sym")
+    lab = eng.map_chunks_i(alg._iota)
+    for _ in range(CC_ITERS):
+        lab = eng.spmv_apply_refs(lab, "select2nd_min", alg._min2_b,
+                                  1, lab)[0]
+    d = eng.map_chunks_i(_w111_seed, lab)
+    for _ in range(ODDC_ROUNDS):
+        d = eng.spmv_apply_refs(d, "min_plus", _w111_relax, 1, d)[0]
+    vt_refs = eng.map_chunks_i(_w111_vtab, lab, d)
+    vtab = _ray.data.from_arrow_refs(vt_refs)
+
+    half = ctx.graph("sym").dedup_sum().edges.map_batches(
+        _w111_half, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["src", "dst"])
+
+    def _post1(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "dst": t.column("dst"), "comp": t.column("comp"),
+            "du": t.column("dv"),
+        })
+
+    j1 = hash_join_tasks(half, vtab, on="src", right_on="v", post=_post1)
+    j2 = hash_join_tasks(j1, vtab.select_columns(["v", "dv"]),
+                         on="dst", right_on="v")
+    ecen = group_apply_tasks(j2, ["comp"], _w111_ecensus)
+    csize = group_apply_tasks(vtab.select_columns(["comp"]),
+                              ["comp"], _w111_csize)
+
+    def _post3(t: pa.Table) -> pa.Table:
+        sz = np.asarray(t.column("size"), dtype=np.int64)
+        ne = t.column("n_edges").to_numpy(zero_copy_only=False)
+        oe = t.column("odd_edges").to_numpy(zero_copy_only=False)
+        ne = np.where(np.isnan(ne.astype(np.float64)), 0, ne).astype(np.int64) \
+            if ne.dtype.kind == "f" else np.nan_to_num(ne).astype(np.int64)
+        oe = np.where(np.isnan(oe.astype(np.float64)), 0, oe).astype(np.int64) \
+            if oe.dtype.kind == "f" else np.nan_to_num(oe).astype(np.int64)
+        return pa.table({
+            "comp": t.column("comp"), "size": pa.array(sz),
+            "n_edges": pa.array(ne), "odd_edges": pa.array(oe),
+        })
+
+    merged = hash_join_tasks(csize, ecen, on="comp",
+                             join_type="left outer", post=_post3)
+    cand = merged.map_batches(partial(_w111_cand, k=ODDC_TOPC),
+                              batch_format="pyarrow").to_pandas()
+    sz = cand["size"].to_numpy(dtype=np.int64)
+    comp = cand.comp.to_numpy(dtype=np.int64)
+    o = np.lexsort((comp, -sz))[:ODDC_TOPC]
+    return pa.table({
+        "comp": _label_col(ctx, comp[o]),
+        "size": pa.array(sz[o]),
+        "n_edges": pa.array(cand.n_edges.to_numpy(dtype=np.int64)[o]),
+        "odd_edges": pa.array(cand.odd_edges.to_numpy(dtype=np.int64)[o]),
+    })
