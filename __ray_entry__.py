@@ -85,7 +85,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 98 (round 5 session 4: router-balance audit, table
         # profiling, hub ball similarity — newest)
         "route_balance": q.q_route_balance,
-        "table_profile": q.q_table_profile,
         "ball2_jaccard": q.q_ball2_jaccard,
         # wave 99 (round 5 session 4: rank correlation, Lorenz/Gini,
         # seasonal-adjusted anomalies — newest)
@@ -129,6 +128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hindex_coreness": q.q_hindex_coreness,
         # wave 111 (round 5 session 5: odd-cycle / bipartiteness census)
         "odd_cycle_census": q.q_odd_cycle_census,
+        # wave 112 (round 5 session 5: absorbing-walk hitting time)
+        "hitting_time": q.q_hitting_time,
         # waves 77-80 (round 5: convergence/metrics faces of the core
         # apps — these touched the pagerank/BFS/SSSP/LP/MCL loops)
         "bfs_dir_trace": q.q_bfs_dir_trace,
@@ -192,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_xcorr": q.q_daily_xcorr,  # day-lag coupling (r5 wave-95 green; mann_kendall/dow_seasonal day-series siblings in-window; rotated for wave-109 scan_topk)
         "lev2_pairs": q.q_lev2_pairs,  # SymSpell-2 fuzzy pairs (r5 wave-96 green; edit_window in-window runs the same banded-Levenshtein verify kernel; rotated for wave-110 hindex_coreness)
         "bpe_doc_stats": q.q_bpe_doc_stats,  # per-doc BPE stats (r5 wave-97 green; bpe_merges in-window trains the same merge table; rotated for wave-111 odd_cycle_census)
+        "table_profile": q.q_table_profile,  # multi-table column profiling (r5 wave-98 green; route_balance/record_counts census siblings in-window; rotated for wave-112 hitting_time)
         "same_day_orders": q.q_same_day_orders,  # date-join census (r4 wave-68 green; daily_xcorr/dow_seasonal day-axis joins in-window)
         "filtered_bfs_payload": q.q_filtered_bfs_payload,  # payload-predicate BFS (r4 driver-green; bfs/bfs_dir_trace in-window)
         "decile_priority_grid": q.q_decile_priority_grid,  # decile grid (r4 wave-59 green; dow_seasonal/vocab_coverage census siblings)
@@ -864,6 +866,7 @@ def oracle_sql() -> dict[str, str]:
         "hindex_coreness": o.hindex_coreness(q.HIDX_ROUNDS),
         "odd_cycle_census": o.odd_cycle_census(q.CC_ITERS, q.ODDC_ROUNDS,
                                                q.ODDC_TOPC),
+        "hitting_time": o.hitting_time(q.HIT_ROUNDS, q.HIT_SEED_MOD),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

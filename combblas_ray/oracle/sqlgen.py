@@ -12593,3 +12593,35 @@ ORDER BY s.size DESC, s.comp ASC
 LIMIT {topc}
 """
     return sql
+
+
+@_materialized
+def hitting_time(rounds: int = 6, seed_mod: int = 97) -> str:
+    """Truncated hitting time to the absorbing seed set (twin of
+    `queries.q_hitting_time`)."""
+    sql = PREFIX + f"""
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+deg AS (SELECT src AS i, count(*) AS d FROM und GROUP BY src),
+seeds AS (SELECT i FROM files WHERE i % {seed_mod} = 0),
+h0 AS (SELECT i, CAST(0 AS DOUBLE) AS h FROM files)
+"""
+    for k in range(1, rounds + 1):
+        sql += f"""
+, h{k} AS (
+  SELECT f.i,
+         CASE WHEN f.i IN (SELECT i FROM seeds) THEN 0.0
+              WHEN coalesce(dg.d, 0) = 0 THEN 0.0
+              ELSE 1.0 + coalesce(s.y, 0.0) / dg.d END AS h
+  FROM files f
+  LEFT JOIN deg dg ON dg.i = f.i
+  LEFT JOIN (
+    SELECT u.src AS i, sum(p.h) AS y
+    FROM und u JOIN h{k - 1} p ON p.i = u.dst GROUP BY u.src
+  ) s ON s.i = f.i
+)"""
+    return sql + f"""
+SELECT v.label AS label, round(h.h, 6) AS h
+FROM h{rounds} h JOIN verts v ON v.i = h.i
+"""

@@ -22874,3 +22874,55 @@ def q_odd_cycle_census(sf_dir: str):
         "n_edges": pa.array(cand.n_edges.to_numpy(dtype=np.int64)[o]),
         "odd_edges": pa.array(cand.odd_edges.to_numpy(dtype=np.int64)[o]),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 112: truncated hitting time to an absorbing seed set (value
+# iteration on the random walk)
+# ---------------------------------------------------------------------------
+
+HIT_ROUNDS = 6
+HIT_SEED_MOD = 97
+
+
+def _w112_seed(ar):
+    return (np.asarray(ar, dtype=np.int64) % HIT_SEED_MOD) == 0
+
+
+def _w112_h0(bounds):
+    s, e = bounds
+    return np.zeros(e - s)
+
+
+def _w112_step(seedc, deg, y, bounds):
+    d = np.asarray(deg, dtype=np.float64)
+    h = np.where(d > 0, 1.0 + y / np.where(d > 0, d, 1.0), 0.0)
+    h[seedc] = 0.0
+    return h
+
+
+def q_hitting_time(sf_dir: str):
+    """Expected hitting time to the absorbing seed set (arith id %
+    HIT_SEED_MOD == 0), truncated at horizon HIT_ROUNDS — the
+    finite-horizon value iteration h_{k+1}(v) = 1 + mean_{u~v} h_k(u)
+    with h = 0 clamped on seeds (the random-walk absorbing-chain face
+    of the PPR/walk family; one plus_times SpMV + fused clamp per
+    round, seeds/degrees/state all chunked refs). Output (label, h)
+    rounded to 6 decimals (both sides evaluate the identical
+    expression; the sum order differs only at ~1e-16). Reference
+    semantics: semiring SpMV power iteration (``SpParMat`` plus_times,
+    the `BetwCent.cpp` batched-walk pattern)."""
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("sym")
+    ar = ctx.vdict.arith_slice_refs(eng.bounds)
+    seed = eng.map_chunks(_w112_seed, ar)
+    deg = eng.in_weights_refs()
+    h = eng.map_chunks_i(_w112_h0)
+    for _ in range(HIT_ROUNDS):
+        h = eng.spmv_apply_refs(h, "plus_times", _w112_step, 1,
+                                seed, deg)[0]
+    hf = eng.unchunk(h)
+    return pa.table({
+        "label": _label_col(ctx, np.arange(ctx.n)),
+        "h": pa.array(np.round(hf, 6)),
+    })
