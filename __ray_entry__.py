@@ -90,7 +90,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # seasonal-adjusted anomalies — newest)
         "deg_kendall": q.q_deg_kendall,
         "segment_gini": q.q_segment_gini,
-        "deseason_top": q.q_deseason_top,
         # wave 100 (round 5 session 4: compositions ON the north-rule
         # outputs — newest)
         "pr_deg_footrule": q.q_pr_deg_footrule,
@@ -130,6 +129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "odd_cycle_census": q.q_odd_cycle_census,
         # wave 112 (round 5 session 5: absorbing-walk hitting time)
         "hitting_time": q.q_hitting_time,
+        # wave 113 (round 5 session 5: training-mix apportionment)
+        "mix_allocation": q.q_mix_allocation,
         # waves 77-80 (round 5: convergence/metrics faces of the core
         # apps — these touched the pagerank/BFS/SSSP/LP/MCL loops)
         "bfs_dir_trace": q.q_bfs_dir_trace,
@@ -194,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lev2_pairs": q.q_lev2_pairs,  # SymSpell-2 fuzzy pairs (r5 wave-96 green; edit_window in-window runs the same banded-Levenshtein verify kernel; rotated for wave-110 hindex_coreness)
         "bpe_doc_stats": q.q_bpe_doc_stats,  # per-doc BPE stats (r5 wave-97 green; bpe_merges in-window trains the same merge table; rotated for wave-111 odd_cycle_census)
         "table_profile": q.q_table_profile,  # multi-table column profiling (r5 wave-98 green; route_balance/record_counts census siblings in-window; rotated for wave-112 hitting_time)
+        "deseason_top": q.q_deseason_top,  # seasonal-adjusted anomalies (r5 wave-99 green; dow_seasonal/mann_kendall day-series siblings in-window; rotated for wave-113 mix_allocation)
         "same_day_orders": q.q_same_day_orders,  # date-join census (r4 wave-68 green; daily_xcorr/dow_seasonal day-axis joins in-window)
         "filtered_bfs_payload": q.q_filtered_bfs_payload,  # payload-predicate BFS (r4 driver-green; bfs/bfs_dir_trace in-window)
         "decile_priority_grid": q.q_decile_priority_grid,  # decile grid (r4 wave-59 green; dow_seasonal/vocab_coverage census siblings)
@@ -867,6 +869,7 @@ def oracle_sql() -> dict[str, str]:
         "odd_cycle_census": o.odd_cycle_census(q.CC_ITERS, q.ODDC_ROUNDS,
                                                q.ODDC_TOPC),
         "hitting_time": o.hitting_time(q.HIT_ROUNDS, q.HIT_SEED_MOD),
+        "mix_allocation": o.mix_allocation(q.ALLOC_BUDGET),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

@@ -12625,3 +12625,36 @@ h0 AS (SELECT i, CAST(0 AS DOUBLE) AS h FROM files)
 SELECT v.label AS label, round(h.h, 6) AS h
 FROM h{rounds} h JOIN verts v ON v.i = h.i
 """
+
+
+def mix_allocation(budget: int = 100000) -> str:
+    """Largest-remainder training-mix apportionment (twin of
+    `queries.q_mix_allocation`; exact integer arithmetic)."""
+    return f"""
+WITH cells AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS docs
+  FROM documents GROUP BY source, lang
+),
+w AS (
+  SELECT source, lang, docs,
+         CAST(floor(sqrt(docs)) AS BIGINT) AS wt
+  FROM cells
+),
+tot AS (SELECT CAST(sum(wt) AS BIGINT) AS tw FROM w),
+qt AS (
+  SELECT source, lang, docs, wt,
+         ({budget} * wt) // t.tw AS fl,
+         ({budget} * wt) % t.tw AS rem
+  FROM w CROSS JOIN tot t
+),
+r AS (SELECT {budget} - CAST(sum(fl) AS BIGINT) AS topup FROM qt),
+rk AS (
+  SELECT *, row_number() OVER (
+    ORDER BY rem DESC, source ASC, lang ASC) AS rn
+  FROM qt
+)
+SELECT source, lang, docs,
+       CAST(fl + CASE WHEN rn <= (SELECT topup FROM r) THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+FROM rk
+"""

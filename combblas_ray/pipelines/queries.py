@@ -22926,3 +22926,79 @@ def q_hitting_time(sf_dir: str):
         "label": _label_col(ctx, np.arange(ctx.n)),
         "h": pa.array(np.round(hf, 6)),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 113: training-mix apportionment (temperature-scaled largest-
+# remainder allocation, exact integer arithmetic)
+# ---------------------------------------------------------------------------
+
+ALLOC_BUDGET = 100000
+
+
+def _w113_agg(src, lng, dc):
+    key = np.char.add(np.char.add(src.astype(str), "\x00"),
+                      lng.astype(str))
+    uk, inv = np.unique(key, return_inverse=True)
+    tot = ibincount(inv, dc, minlength=len(uk))
+    gidx, first = np.unique(inv, return_index=True)
+    pos = np.empty(len(uk), dtype=np.int64)
+    pos[gidx] = first
+    return pa.table({
+        "source": pa.array(src[pos]), "lang": pa.array(lng[pos]),
+        "docs": pa.array(tot),
+    })
+
+
+def _w113_part(b: pa.Table) -> pa.Table:
+    src = np.asarray(b.column("source")).astype(object)
+    lng = np.asarray(b.column("lang")).astype(object)
+    return _w113_agg(src, lng, np.ones(len(src), dtype=np.int64))
+
+
+def _w113_merge(j: pa.Table) -> pa.Table:
+    src = np.asarray(j.column("source")).astype(object)
+    lng = np.asarray(j.column("lang")).astype(object)
+    dc = np.asarray(j.column("docs"), dtype=np.int64)
+    return _w113_agg(src, lng, dc)
+
+
+def q_mix_allocation(sf_dir: str):
+    """Training-corpus mixing plan: apportion an ALLOC_BUDGET-slot
+    sampling budget over (source, lang) cells with temperature-0.5
+    upweighting of small cells — weight = floor(sqrt(docs)) — via the
+    LARGEST-REMAINDER (Hare) method in EXACT int64 arithmetic: floor
+    share = (B*w) // W, then the B - sum(floor) leftover slots go to
+    the largest integer remainders (B*w) % W, ties by (source, lang).
+    No float ever enters the apportionment, so the plan is
+    bit-reproducible across engines. The cell counts are the only
+    distributed step (per-batch Arrow group-count partials + one
+    warm-task keyed merge); the O(cells) plan itself is driver-side.
+    Output (source, lang, docs, alloc) with sum(alloc) == B exactly."""
+    import ray as _ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ds = _ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["source", "lang"])
+    parts = ds.map_batches(_w113_part, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    cells = group_apply_tasks(parts, ["source", "lang"],
+                              _w113_merge).to_pandas()
+    docs = cells.docs.to_numpy(dtype=np.int64)
+    w = np.floor(np.sqrt(docs.astype(np.float64))).astype(np.int64)
+    W = int(w.sum())
+    B = ALLOC_BUDGET
+    fl = (B * w) // W
+    rem = (B * w) % W
+    topup = B - int(fl.sum())
+    order = np.lexsort((cells.lang.to_numpy().astype(str),
+                        cells.source.to_numpy().astype(str), -rem))
+    alloc = fl.copy()
+    alloc[order[:topup]] += 1
+    return pa.table({
+        "source": pa.array(cells.source.to_numpy().astype(object)),
+        "lang": pa.array(cells.lang.to_numpy().astype(object)),
+        "docs": pa.array(docs),
+        "alloc": pa.array(alloc),
+    })
