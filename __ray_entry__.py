@@ -94,7 +94,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # outputs — newest)
         "pr_deg_footrule": q.q_pr_deg_footrule,
         "pr_mass_by_comp": q.q_pr_mass_by_comp,
-        "pr_lorenz": q.q_pr_lorenz,
         # wave 101 (round 5 session 4: the Graph500 R-MAT generator
         # gets bit-exact driver-gated oracle faces — newest)
         "rmat_census": q.q_rmat_census,
@@ -131,6 +130,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hitting_time": q.q_hitting_time,
         # wave 113 (round 5 session 5: training-mix apportionment)
         "mix_allocation": q.q_mix_allocation,
+        # wave 114 (round 5 session 5: WebGraph gap-encoding cost model)
+        "gap_encoding": q.q_gap_encoding,
         # waves 77-80 (round 5: convergence/metrics faces of the core
         # apps — these touched the pagerank/BFS/SSSP/LP/MCL loops)
         "bfs_dir_trace": q.q_bfs_dir_trace,
@@ -196,6 +197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_doc_stats": q.q_bpe_doc_stats,  # per-doc BPE stats (r5 wave-97 green; bpe_merges in-window trains the same merge table; rotated for wave-111 odd_cycle_census)
         "table_profile": q.q_table_profile,  # multi-table column profiling (r5 wave-98 green; route_balance/record_counts census siblings in-window; rotated for wave-112 hitting_time)
         "deseason_top": q.q_deseason_top,  # seasonal-adjusted anomalies (r5 wave-99 green; dow_seasonal/mann_kendall day-series siblings in-window; rotated for wave-113 mix_allocation)
+        "pr_lorenz": q.q_pr_lorenz,  # PageRank mass Lorenz curve (r5 wave-100 green; pr_deg_footrule/pr_mass_by_comp north-rule compositions in-window; rotated for wave-114 gap_encoding)
         "same_day_orders": q.q_same_day_orders,  # date-join census (r4 wave-68 green; daily_xcorr/dow_seasonal day-axis joins in-window)
         "filtered_bfs_payload": q.q_filtered_bfs_payload,  # payload-predicate BFS (r4 driver-green; bfs/bfs_dir_trace in-window)
         "decile_priority_grid": q.q_decile_priority_grid,  # decile grid (r4 wave-59 green; dow_seasonal/vocab_coverage census siblings)
@@ -870,6 +872,7 @@ def oracle_sql() -> dict[str, str]:
                                                q.ODDC_TOPC),
         "hitting_time": o.hitting_time(q.HIT_ROUNDS, q.HIT_SEED_MOD),
         "mix_allocation": o.mix_allocation(q.ALLOC_BUDGET),
+        "gap_encoding": o.gap_encoding(),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

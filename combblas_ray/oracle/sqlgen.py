@@ -12658,3 +12658,52 @@ SELECT source, lang, docs,
             AS BIGINT) AS alloc
 FROM rk
 """
+
+
+@_materialized
+def gap_encoding() -> str:
+    """WebGraph gap-encoding cost under original dense ids vs the
+    degree-rank relabel (twin of `queries.q_gap_encoding`)."""
+    return PREFIX + """
+, dense AS (
+  SELECT i, row_number() OVER (ORDER BY label) - 1 AS d FROM verts
+),
+du AS (
+  SELECT ds.d AS u, dd.d AS v
+  FROM edges e JOIN dense ds ON ds.i = e.src JOIN dense dd ON dd.i = e.dst
+  UNION
+  SELECT dd.d, ds.d
+  FROM edges e JOIN dense ds ON ds.i = e.src JOIN dense dd ON dd.i = e.dst
+),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS dg FROM du GROUP BY u),
+rk AS (
+  SELECT u, row_number() OVER (ORDER BY dg DESC, u ASC) - 1 AS r
+  FROM deg
+),
+rdu AS (
+  SELECT ru.r AS u, rv.r AS v
+  FROM du JOIN rk ru ON ru.u = du.u JOIN rk rv ON rv.u = du.v
+),
+cost_orig AS (
+  SELECT CAST(sum(CAST(floor(log2(g)) AS BIGINT) + 1) AS BIGINT) AS bits,
+         CAST(count(DISTINCT u) AS BIGINT) AS lists
+  FROM (
+    SELECT u, coalesce(v - lag(v) OVER (PARTITION BY u ORDER BY v),
+                       v + 1) AS g
+    FROM du
+  )
+),
+cost_rank AS (
+  SELECT CAST(sum(CAST(floor(log2(g)) AS BIGINT) + 1) AS BIGINT) AS bits,
+         CAST(count(DISTINCT u) AS BIGINT) AS lists
+  FROM (
+    SELECT u, coalesce(v - lag(v) OVER (PARTITION BY u ORDER BY v),
+                       v + 1) AS g
+    FROM rdu
+  )
+)
+SELECT 'orig' AS ordering, bits AS total_bits, lists AS n_lists
+FROM cost_orig
+UNION ALL
+SELECT 'degrank', bits, lists FROM cost_rank
+"""

@@ -23002,3 +23002,122 @@ def q_mix_allocation(sf_dir: str):
         "docs": pa.array(docs),
         "alloc": pa.array(alloc),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 114: WebGraph-style adjacency gap-encoding cost model (does a
+# degree-rank relabel shrink the graph?)
+# ---------------------------------------------------------------------------
+
+
+def _w114_bits(x: np.ndarray) -> np.ndarray:
+    """bits(x) = floor(log2(x)) + 1 for x >= 1 (minimal binary length).
+    floor(log2) is IEEE-safe on integers: the only inputs where log2
+    lands within an ulp of an integer are exact powers of two, where
+    log2 is exact."""
+    return np.floor(np.log2(x.astype(np.float64))).astype(np.int64) + 1
+
+
+def _w114_cost(j: pa.Table, col: str) -> pa.Table:
+    """One src-hash partition: per-vertex sorted neighbor gaps, summed
+    encoding bits (first neighbor costs bits(id+1), each further one
+    bits(gap))."""
+    s = np.asarray(j.column("src"), dtype=np.int64)
+    d = np.asarray(j.column(col), dtype=np.int64)
+    if len(s) == 0:
+        return pa.table({"bits": pa.array([], type=pa.int64()),
+                         "lists": pa.array([], type=pa.int64())})
+    o = np.lexsort((d, s))
+    so, do = s[o], d[o]
+    firsts = np.r_[True, so[1:] != so[:-1]]
+    gaps = np.where(firsts, do + 1, do - np.r_[np.int64(0), do[:-1]])
+    bits = int(_w114_bits(gaps).sum())
+    return pa.table({"bits": pa.array([bits], type=pa.int64()),
+                     "lists": pa.array([int(firsts.sum())],
+                                       type=pa.int64())})
+
+
+def _w114_degrank(j: pa.Table, offsets: dict) -> pa.Table:
+    """One degree-hash partition: all vertices of a degree co-locate;
+    rank = global offset of the degree class + in-class id rank."""
+    v = np.asarray(j.column("v"), dtype=np.int64)
+    dg = np.asarray(j.column("deg"), dtype=np.int64)
+    if len(v) == 0:
+        return pa.table({"v": pa.array([], type=pa.int64()),
+                         "rank": pa.array([], type=pa.int64())})
+    o = np.lexsort((v, dg))
+    vo, dgo = v[o], dg[o]
+    starts = np.nonzero(np.r_[True, dgo[1:] != dgo[:-1]])[0]
+    sizes = np.diff(np.r_[starts, len(vo)])
+    within = np.arange(len(vo), dtype=np.int64) - np.repeat(starts, sizes)
+    base = np.array([offsets[int(dgo[s])] for s in starts],
+                    dtype=np.int64)
+    return pa.table({"v": pa.array(vo),
+                     "rank": pa.array(np.repeat(base, sizes) + within)})
+
+
+def q_gap_encoding(sf_dir: str):
+    """WebGraph-flavored adjacency-compression cost model (Boldi &
+    Vigna gap encoding): every vertex's sorted neighbor list costs
+    bits(first+1) + sum bits(consecutive gaps), bits(x) =
+    floor(log2 x) + 1 — once under ORIGINAL dense ids and once under
+    the DEGREE-RANK relabel (rank by deg DESC, id ASC: hubs get small
+    ids, so hub-heavy lists shrink — the locality win the reference
+    chases with `PermEdges`/RCM orderings, ``DistEdgeList.cpp:222``).
+    Distributed: degree classes from one keyed reduce; in-class ranks
+    by a degree-hash group (offsets = driver-side cumsum of the SMALL
+    degree histogram); costs per src-hash partition. Output one row
+    per ordering: (ordering, total_bits, n_lists)."""
+    import ray as _ray
+
+    from ..core.shuffle import group_apply_tasks, hash_join_tasks
+
+    ctx = get_context(sf_dir)
+    sym = ctx.graph("sym").dedup_sum().edges
+
+    deg_tab = group_apply_tasks(sym, ["src"], _w110_deg)  # (v, c)
+
+    # degree histogram -> rank offset per degree class (deg DESC)
+    hist = {}
+    for b in deg_tab.map_batches(
+            lambda t: pa.table({
+                "d": pa.array(np.unique(
+                    np.asarray(t.column("c"), dtype=np.int64))),
+                "n": pa.array(np.unique(
+                    np.asarray(t.column("c"), dtype=np.int64),
+                    return_counts=True)[1].astype(np.int64)),
+            }), batch_format="pyarrow").take_all():
+        hist[int(b["d"])] = hist.get(int(b["d"]), 0) + int(b["n"])
+    offsets, acc = {}, 0
+    for dcls in sorted(hist, reverse=True):
+        offsets[dcls] = acc
+        acc += hist[dcls]
+
+    ranks = group_apply_tasks(
+        deg_tab.map_batches(
+            lambda t: pa.table({"v": t.column("v"),
+                                "deg": t.column("c")}),
+            batch_format="pyarrow"),
+        ["deg"], partial(_w114_degrank, offsets=offsets))
+
+    relab = hash_join_tasks(
+        hash_join_tasks(sym.select_columns(["src", "dst"]), ranks,
+                        on="src", right_on="v",
+                        post=lambda t: pa.table({
+                            "dst": t.column("dst"),
+                            "src": t.column("rank")})),
+        ranks, on="dst", right_on="v",
+        post=lambda t: pa.table({"src": t.column("src"),
+                                 "rdst": t.column("rank")}))
+
+    rows = []
+    for name, ds, col in (("orig", sym, "dst"), ("degrank", relab, "rdst")):
+        parts = group_apply_tasks(
+            ds, ["src"], partial(_w114_cost, col=col)).to_pandas()
+        rows.append((name, int(parts.bits.sum()),
+                     int(parts.lists.sum())))
+    return pa.table({
+        "ordering": pa.array([r[0] for r in rows]),
+        "total_bits": pa.array([r[1] for r in rows], type=pa.int64()),
+        "n_lists": pa.array([r[2] for r in rows], type=pa.int64()),
+    })
