@@ -98,7 +98,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gets bit-exact driver-gated oracle faces — newest)
         "rmat_census": q.q_rmat_census,
         "rmat_deg_hist": q.q_rmat_deg_hist,
-        "rmat_quadrants": q.q_rmat_quadrants,
         # wave 102 (round 5 session 4: durability faces — checkpoint
         # resume, incremental block update, MM writer roundtrip)
         "pagerank_resumed": q.q_pagerank_resumed,
@@ -132,6 +131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_allocation": q.q_mix_allocation,
         # wave 114 (round 5 session 5: WebGraph gap-encoding cost model)
         "gap_encoding": q.q_gap_encoding,
+        # wave 115 (round 5 session 5: cross-split dup leakage audit)
+        "split_leakage": q.q_split_leakage,
         # waves 77-80 (round 5: convergence/metrics faces of the core
         # apps — these touched the pagerank/BFS/SSSP/LP/MCL loops)
         "bfs_dir_trace": q.q_bfs_dir_trace,
@@ -198,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_profile": q.q_table_profile,  # multi-table column profiling (r5 wave-98 green; route_balance/record_counts census siblings in-window; rotated for wave-112 hitting_time)
         "deseason_top": q.q_deseason_top,  # seasonal-adjusted anomalies (r5 wave-99 green; dow_seasonal/mann_kendall day-series siblings in-window; rotated for wave-113 mix_allocation)
         "pr_lorenz": q.q_pr_lorenz,  # PageRank mass Lorenz curve (r5 wave-100 green; pr_deg_footrule/pr_mass_by_comp north-rule compositions in-window; rotated for wave-114 gap_encoding)
+        "rmat_quadrants": q.q_rmat_quadrants,  # R-MAT quadrant audit (r5 wave-101 green; rmat_census/rmat_deg_hist generator rows in-window; rotated for wave-115 split_leakage)
         "same_day_orders": q.q_same_day_orders,  # date-join census (r4 wave-68 green; daily_xcorr/dow_seasonal day-axis joins in-window)
         "filtered_bfs_payload": q.q_filtered_bfs_payload,  # payload-predicate BFS (r4 driver-green; bfs/bfs_dir_trace in-window)
         "decile_priority_grid": q.q_decile_priority_grid,  # decile grid (r4 wave-59 green; dow_seasonal/vocab_coverage census siblings)
@@ -873,6 +875,7 @@ def oracle_sql() -> dict[str, str]:
         "hitting_time": o.hitting_time(q.HIT_ROUNDS, q.HIT_SEED_MOD),
         "mix_allocation": o.mix_allocation(q.ALLOC_BUDGET),
         "gap_encoding": o.gap_encoding(),
+        "split_leakage": o.split_leakage(),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

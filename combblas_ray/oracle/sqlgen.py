@@ -12707,3 +12707,27 @@ FROM cost_orig
 UNION ALL
 SELECT 'degrank', bits, lists FROM cost_rank
 """
+
+
+def split_leakage(tau: float = 0.5, df_cap: int = 1000,
+                  train: int = 8, val: int = 1) -> str:
+    """Cross-split near-duplicate leakage census (twin of
+    `queries.q_split_leakage`)."""
+    return _jaccard_pairs_body(tau, df_cap) + f"""
+, sp AS (
+  SELECT doc_id,
+         CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 10
+                   < {train} THEN 0
+              WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 10
+                   < {train + val} THEN 1
+              ELSE 2 END AS c
+  FROM documents
+)
+SELECT (['train', 'val', 'test'])[least(sa.c, sb.c) + 1] AS split_a,
+       (['train', 'val', 'test'])[greatest(sa.c, sb.c) + 1] AS split_b,
+       CAST(count(*) AS BIGINT) AS pairs
+FROM pairs p
+JOIN sp sa ON sa.doc_id = p.a
+JOIN sp sb ON sb.doc_id = p.b
+GROUP BY 1, 2
+"""

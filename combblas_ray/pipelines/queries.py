@@ -23121,3 +23121,59 @@ def q_gap_encoding(sf_dir: str):
         "total_bits": pa.array([r[1] for r in rows], type=pa.int64()),
         "n_lists": pa.array([r[2] for r in rows], type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 115: cross-split near-duplicate leakage audit (eval
+# contamination by the holdout's own near-dups)
+# ---------------------------------------------------------------------------
+
+_SPLIT_NAMES = ("train", "val", "test")
+
+
+def _w115_census(b: pa.Table) -> pa.Table:
+    from ..functions.text import md5_lower64
+
+    a = np.asarray(b.column("a"), dtype=np.int64)
+    bb = np.asarray(b.column("b"), dtype=np.int64)
+
+    def _code(ids):
+        h = np.fromiter((md5_lower64(str(int(i))) % 10 for i in ids),
+                        dtype=np.int64, count=len(ids))
+        return np.where(h < SPLIT_TRAIN, 0,
+                        np.where(h < SPLIT_TRAIN + SPLIT_VAL, 1, 2))
+
+    ca, cb = _code(a), _code(bb)
+    lo, hi = np.minimum(ca, cb), np.maximum(ca, cb)
+    key = lo * 3 + hi
+    uk, inv = np.unique(key, return_inverse=True)
+    return pa.table({
+        "k": pa.array(uk),
+        "n": pa.array(np.bincount(inv).astype(np.int64)),
+    })
+
+
+def q_split_leakage(sf_dir: str):
+    """Cross-split near-duplicate LEAKAGE audit — the eval-contamination
+    check an LLM data pipeline runs before training: verified Jaccard
+    near-dup pairs (the `jaccard_pairs` capped posting-list plan, tau =
+    0.5) bucketed by the md5 %% 10 train/val/test assignment of BOTH
+    endpoints (`data_split` semantics — the split is derived from the
+    pair ids directly, no join needed). Any train x val / train x test
+    row is a leak: the holdout contains a near-copy of a training doc.
+    Output (split_a, split_b, pairs) with split_a <= split_b in
+    (train, val, test) order."""
+    from ..functions import dedup as D
+
+    pairs = D.jaccard_pairs(_docs(sf_dir), tau=0.5)
+    parts = pairs.select_columns(["a", "b"]).map_batches(
+        _w115_census, batch_format="pyarrow").to_pandas()
+    tot = np.zeros(9, dtype=np.int64)
+    for _, r in parts.iterrows():
+        tot[int(r.k)] += int(r.n)
+    ks = np.nonzero(tot)[0]
+    return pa.table({
+        "split_a": pa.array([_SPLIT_NAMES[k // 3] for k in ks]),
+        "split_b": pa.array([_SPLIT_NAMES[k % 3] for k in ks]),
+        "pairs": pa.array(tot[ks]),
+    })
