@@ -93,7 +93,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 100 (round 5 session 4: compositions ON the north-rule
         # outputs — newest)
         "pr_deg_footrule": q.q_pr_deg_footrule,
-        "pr_mass_by_comp": q.q_pr_mass_by_comp,
         # wave 101 (round 5 session 4: the Graph500 R-MAT generator
         # gets bit-exact driver-gated oracle faces — newest)
         "rmat_census": q.q_rmat_census,
@@ -133,6 +132,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gap_encoding": q.q_gap_encoding,
         # wave 115 (round 5 session 5: cross-split dup leakage audit)
         "split_leakage": q.q_split_leakage,
+        # wave 116 (round 5 session 5: ACL PPR push, synchronous)
+        "ppr_push": q.q_ppr_push,
         # waves 77-80 (round 5: convergence/metrics faces of the core
         # apps — these touched the pagerank/BFS/SSSP/LP/MCL loops)
         "bfs_dir_trace": q.q_bfs_dir_trace,
@@ -200,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "deseason_top": q.q_deseason_top,  # seasonal-adjusted anomalies (r5 wave-99 green; dow_seasonal/mann_kendall day-series siblings in-window; rotated for wave-113 mix_allocation)
         "pr_lorenz": q.q_pr_lorenz,  # PageRank mass Lorenz curve (r5 wave-100 green; pr_deg_footrule/pr_mass_by_comp north-rule compositions in-window; rotated for wave-114 gap_encoding)
         "rmat_quadrants": q.q_rmat_quadrants,  # R-MAT quadrant audit (r5 wave-101 green; rmat_census/rmat_deg_hist generator rows in-window; rotated for wave-115 split_leakage)
+        "pr_mass_by_comp": q.q_pr_mass_by_comp,  # PR mass per component (r5 wave-100 green; pagerank/pr_deg_footrule/connected_components in-window; rotated for wave-116 ppr_push)
         "same_day_orders": q.q_same_day_orders,  # date-join census (r4 wave-68 green; daily_xcorr/dow_seasonal day-axis joins in-window)
         "filtered_bfs_payload": q.q_filtered_bfs_payload,  # payload-predicate BFS (r4 driver-green; bfs/bfs_dir_trace in-window)
         "decile_priority_grid": q.q_decile_priority_grid,  # decile grid (r4 wave-59 green; dow_seasonal/vocab_coverage census siblings)
@@ -876,6 +878,8 @@ def oracle_sql() -> dict[str, str]:
         "mix_allocation": o.mix_allocation(q.ALLOC_BUDGET),
         "gap_encoding": o.gap_encoding(),
         "split_leakage": o.split_leakage(),
+        "ppr_push": o.ppr_push(q.PUSH_ROUNDS, q.PUSH_ALPHA, q.PUSH_KEEP,
+                               q.PUSH_EPS),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

@@ -12731,3 +12731,52 @@ JOIN sp sa ON sa.doc_id = p.a
 JOIN sp sb ON sb.doc_id = p.b
 GROUP BY 1, 2
 """
+
+
+@_materialized
+def ppr_push(rounds: int = 5, alpha: float = 0.25, keep: float = 0.375,
+             eps: float = 0.0009765625,
+             root_label: str = "m_0") -> str:
+    """Synchronous ACL PPR push from the root (twin of
+    `queries.q_ppr_push`)."""
+    sql = PREFIX + f"""
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+deg AS (SELECT src AS i, CAST(count(*) AS DOUBLE) AS d FROM und
+        GROUP BY src),
+rt AS (SELECT i FROM verts WHERE label = '{root_label}'),
+s0 AS (
+  SELECT f.i,
+         CASE WHEN f.i IN (SELECT i FROM rt) THEN 1.0 ELSE 0.0 END AS r,
+         0.0 AS p
+  FROM files f
+)
+"""
+    prev = "s0"
+    for k in range(1, rounds + 1):
+        sql += f"""
+, x{k} AS (
+  SELECT s.i,
+         CASE WHEN coalesce(dg.d, 0) > 0 AND s.r > {eps} * dg.d
+              THEN {keep} * s.r / dg.d ELSE 0.0 END AS x
+  FROM {prev} s LEFT JOIN deg dg ON dg.i = s.i
+),
+s{k} AS (
+  SELECT s.i,
+         CASE WHEN coalesce(dg.d, 0) > 0 AND s.r > {eps} * dg.d
+              THEN {keep} * s.r ELSE s.r END + coalesce(y.y, 0.0) AS r,
+         CASE WHEN coalesce(dg.d, 0) > 0 AND s.r > {eps} * dg.d
+              THEN s.p + {alpha} * s.r ELSE s.p END AS p
+  FROM {prev} s
+  LEFT JOIN deg dg ON dg.i = s.i
+  LEFT JOIN (
+    SELECT u.src AS i, sum(xx.x) AS y
+    FROM und u JOIN x{k} xx ON xx.i = u.dst GROUP BY u.src
+  ) y ON y.i = s.i
+)"""
+        prev = f"s{k}"
+    return sql + f"""
+SELECT v.label AS label, round(s.p, 6) AS p, round(s.r, 6) AS r
+FROM {prev} s JOIN verts v ON v.i = s.i
+"""

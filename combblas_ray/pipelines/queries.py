@@ -23177,3 +23177,71 @@ def q_split_leakage(sf_dir: str):
         "split_b": pa.array([_SPLIT_NAMES[k % 3] for k in ks]),
         "pairs": pa.array(tot[ks]),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 116: Andersen-Chung-Lang PPR push, synchronous rounds (the
+# local-clustering primitive)
+# ---------------------------------------------------------------------------
+
+PUSH_ROUNDS = 5
+PUSH_ALPHA = 0.25          # teleport (power of two: exact scaling)
+PUSH_KEEP = 0.375          # (1 - alpha) / 2, the lazy-walk half
+PUSH_EPS = 0.0009765625    # 2^-10 activation threshold
+
+
+def _w116_r0(bounds, root):
+    s, e = bounds
+    r = np.zeros(e - s)
+    if s <= root < e:
+        r[root - s] = 1.0
+    return r
+
+
+def _w116_zero(bounds):
+    s, e = bounds
+    return np.zeros(e - s)
+
+
+def _w116_x(r, deg, bounds):
+    d = np.asarray(deg, dtype=np.float64)
+    a = r > PUSH_EPS * d
+    return np.where(a & (d > 0), PUSH_KEEP * r / np.where(d > 0, d, 1.0),
+                    0.0)
+
+
+def _w116_step(r, p, deg, y, bounds):
+    d = np.asarray(deg, dtype=np.float64)
+    a = (d > 0) & (r > PUSH_EPS * d)
+    p2 = np.where(a, p + PUSH_ALPHA * r, p)
+    r2 = np.where(a, PUSH_KEEP * r, r) + y
+    return r2, p2
+
+
+def q_ppr_push(sf_dir: str):
+    """Andersen-Chung-Lang personalized-PageRank PUSH from root m_0,
+    run as PUSH_ROUNDS SYNCHRONOUS push-all-active rounds (every
+    vertex with residual r > eps*deg pushes at once — the distributed
+    batch form of the sequential ACL queue): p += alpha*r on actives,
+    each active keeps (1-alpha)/2 of r and spreads (1-alpha)/2 r/deg
+    to every neighbor (one plus_times SpMV; mask/keep/teleport fused
+    into the combine task). The mass invariant p + sum(r) = 1 holds
+    every round. Output (label, p, r) over all vertices, rounded to 6
+    decimals. Reference semantics: semiring SpMV over the lazy-walk
+    matrix (`SpParMat` plus_times; the seeded-walk pattern of
+    ``BetwCent.cpp:179``)."""
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("sym")
+    root = ctx.lookup_id("m_0")
+    deg = eng.in_weights_refs()
+    r = eng.map_chunks_i(partial(_w116_r0, root=int(root)))
+    p = eng.map_chunks_i(_w116_zero)
+    for _ in range(PUSH_ROUNDS):
+        x = eng.map_chunks_i(_w116_x, r, deg)
+        r, p = eng.spmv_apply_refs(x, "plus_times", _w116_step, 2,
+                                   r, p, deg)
+    return pa.table({
+        "label": _label_col(ctx, np.arange(ctx.n)),
+        "p": pa.array(np.round(eng.unchunk(p), 6)),
+        "r": pa.array(np.round(eng.unchunk(r), 6)),
+    })
