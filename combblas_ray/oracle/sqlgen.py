@@ -12780,3 +12780,85 @@ s{k} AS (
 SELECT v.label AS label, round(s.p, 6) AS p, round(s.r, 6) AS r
 FROM {prev} s JOIN verts v ON v.i = s.i
 """
+
+
+@_materialized
+def edge_betweenness(root_label: str = "m_0", iters: int = 8,
+                     topk: int = 20) -> str:
+    """Single-source edge betweenness over the shortest-path DAG
+    (twin of `queries.q_edge_betweenness`): the `bfs_sigma` forward
+    chain + an unrolled backward dependency chain, edge score =
+    sigma_u/sigma_v * (1 + delta_v)."""
+    sql = PREFIX + f"""
+, dense AS (
+  SELECT i, row_number() OVER (ORDER BY label) - 1 AS d FROM verts
+),
+und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+d0 AS (SELECT i, 0 AS dist FROM verts WHERE label = '{root_label}')
+"""
+    prev = "d0"
+    for k in range(1, iters + 1):
+        sql += f"""
+, d{k} AS (
+  SELECT i, min(dist) AS dist FROM (
+    SELECT i, dist FROM {prev}
+    UNION ALL
+    SELECT u.dst AS i, dp.dist + 1 AS dist
+    FROM und u JOIN {prev} dp ON dp.i = u.src
+  ) GROUP BY i
+)"""
+        prev = f"d{k}"
+    sql += f"""
+, distf AS (SELECT i, dist FROM {prev}),
+s0 AS (SELECT i, CAST(1 AS BIGINT) AS sig FROM d0)
+"""
+    for k in range(1, iters + 1):
+        sql += f"""
+, s{k} AS (
+  SELECT u.dst AS i, sum(sp.sig) AS sig
+  FROM und u JOIN s{k - 1} sp ON sp.i = u.src
+  JOIN distf dd ON dd.i = u.dst AND dd.dist = {k}
+  GROUP BY u.dst
+)"""
+    union = " UNION ALL ".join(f"SELECT * FROM s{k}"
+                               for k in range(iters + 1))
+    sql += f"""
+, sig AS ({union}),
+del{iters} AS (SELECT i, CAST(0 AS DOUBLE) AS delta
+               FROM distf WHERE FALSE)
+"""
+    for lv in range(iters, 0, -1):
+        sql += f"""
+, nb{lv} AS (
+  SELECT u.src AS i,
+         sum((ss.sig / sd.sig) * (1 + coalesce(dd.delta, 0))) AS delta
+  FROM und u
+  JOIN distf fu ON fu.i = u.src AND fu.dist = {lv - 1}
+  JOIN distf fv ON fv.i = u.dst AND fv.dist = {lv}
+  JOIN sig ss ON ss.i = u.src
+  JOIN sig sd ON sd.i = u.dst
+  LEFT JOIN del{lv} dd ON dd.i = u.dst
+  GROUP BY u.src
+),
+del{lv - 1} AS (SELECT * FROM del{lv} UNION ALL SELECT * FROM nb{lv})"""
+    sql += f"""
+SELECT vu.label AS src_label, vv.label AS dst_label,
+       round((su.sig / sv.sig) * (1 + coalesce(dd.delta, 0)), 6)
+         AS score
+FROM und u
+JOIN distf fu ON fu.i = u.src
+JOIN distf fv ON fv.i = u.dst AND fv.dist = fu.dist + 1
+JOIN sig su ON su.i = u.src
+JOIN sig sv ON sv.i = u.dst
+LEFT JOIN del0 dd ON dd.i = u.dst
+JOIN verts vu ON vu.i = u.src
+JOIN verts vv ON vv.i = u.dst
+JOIN dense du2 ON du2.i = u.src
+JOIN dense dv2 ON dv2.i = u.dst
+ORDER BY (su.sig / sv.sig) * (1 + coalesce(dd.delta, 0)) DESC,
+         du2.d ASC, dv2.d ASC
+LIMIT {topk}
+"""
+    return sql

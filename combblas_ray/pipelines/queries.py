@@ -23245,3 +23245,115 @@ def q_ppr_push(sf_dir: str):
         "p": pa.array(np.round(eng.unchunk(p), 6)),
         "r": pa.array(np.round(eng.unchunk(r), 6)),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 117: edge betweenness (single-source Brandes, dependency
+# accumulation on EDGES of the shortest-path DAG)
+# ---------------------------------------------------------------------------
+
+EB_ITERS = 8
+EB_TOPK = 20
+
+
+def _w117_coeff(depth, delta, sigma, bounds, level):
+    at = depth == level
+    return np.where(at, (1.0 + delta) / np.where(sigma == 0, 1.0, sigma),
+                    0.0)
+
+
+def _w117_back(depth, delta, sigma, y, bounds, level):
+    prev = depth == (level - 1)
+    return delta + np.where(prev, y * sigma, 0.0)
+
+
+def _w117_vtab(depth, sigma, delta, bounds):
+    s, e = bounds
+    return pa.table({
+        "v": pa.array(np.arange(s, e, dtype=np.int64)),
+        "dist": pa.array(depth.astype(np.int64)),
+        "sig": pa.array(sigma),
+        "delta": pa.array(delta),
+    })
+
+
+def _w117_score(b: pa.Table, k: int) -> pa.Table:
+    du = np.asarray(b.column("du"), dtype=np.int64)
+    dv = np.asarray(b.column("dv"), dtype=np.int64)
+    keep = (du >= 0) & (dv == du + 1)
+    if not keep.any():
+        return pa.table({c: pa.array([], type=pa.int64() if c in
+                                     ("a", "b") else pa.float64())
+                         for c in ("a", "b", "sc")})
+    su = np.asarray(b.column("su"), dtype=np.float64)[keep]
+    sv = np.asarray(b.column("sv"), dtype=np.float64)[keep]
+    dl = np.asarray(b.column("deltav"), dtype=np.float64)[keep]
+    a = np.asarray(b.column("src"), dtype=np.int64)[keep]
+    bb = np.asarray(b.column("dst"), dtype=np.int64)[keep]
+    sc = su / sv * (1.0 + dl)
+    kk = min(k, len(sc))
+    o = np.lexsort((bb, a, -sc))[:kk]
+    return pa.table({"a": pa.array(a[o]), "b": pa.array(bb[o]),
+                     "sc": pa.array(sc[o])})
+
+
+def q_edge_betweenness(sf_dir: str):
+    """Single-source EDGE betweenness (Brandes dependency accumulation
+    credited to the shortest-path-DAG edges, Girvan-Newman's edge
+    score): forward = the exact-int64 `bfs_sigma` chain from root m_0
+    (EB_ITERS levels); backward = per-level coeff SpMV + fused
+    accumulate (``BetwCent.cpp:188-209``, the K=1 row of the batched
+    sweep); every DAG edge u->v (dist_v = dist_u + 1) scores
+    sigma_u/sigma_v * (1 + delta_v). dist/sigma/delta stay chunked
+    through both sweeps and ship to the scoring joins as per-chunk
+    Arrow tables (no driver-side edge loop). Output: top EB_TOPK DAG
+    edges (src_label, dst_label, score rounded 6) by (score DESC,
+    dense src, dense dst)."""
+    import ray as _ray
+
+    from ..core.shuffle import hash_join_tasks
+
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("sym")
+    root = ctx.lookup_id("m_0")
+    dist, sigma = alg.bfs_sigma(eng, int(root), iters=EB_ITERS)
+    depth = np.where(np.isinf(dist), np.int64(-1),
+                     dist).astype(np.int64)
+    dep = eng.chunk(depth)
+    sig = eng.chunk(sigma.astype(np.float64))
+    delta = eng.map_chunks_i(_w116_zero)
+    for level in range(EB_ITERS, 0, -1):
+        x = eng.map_chunks_i(partial(_w117_coeff, level=level),
+                             dep, delta, sig)
+        delta = eng.spmv_apply_refs(
+            x, "plus_times", partial(_w117_back, level=level), 1,
+            dep, delta, sig)[0]
+    vt = _ray.data.from_arrow_refs(
+        eng.map_chunks_i(_w117_vtab, dep, sig, delta))
+
+    both = ctx.graph("sym").dedup_sum().edges.select_columns(
+        ["src", "dst"])
+    j1 = hash_join_tasks(
+        both, vt.select_columns(["v", "dist", "sig"]),
+        on="src", right_on="v",
+        post=lambda t: pa.table({
+            "src": t.column("src"), "dst": t.column("dst"),
+            "du": t.column("dist"), "su": t.column("sig")}))
+    j2 = hash_join_tasks(
+        j1, vt, on="dst", right_on="v",
+        post=lambda t: pa.table({
+            "src": t.column("src"), "dst": t.column("dst"),
+            "du": t.column("du"), "su": t.column("su"),
+            "dv": t.column("dist"), "sv": t.column("sig"),
+            "deltav": t.column("delta")}))
+    cand = j2.map_batches(partial(_w117_score, k=EB_TOPK),
+                          batch_format="pyarrow").to_pandas()
+    a = cand.a.to_numpy(dtype=np.int64)
+    b = cand.b.to_numpy(dtype=np.int64)
+    sc = cand.sc.to_numpy(dtype=np.float64)
+    o = np.lexsort((b, a, -sc))[:EB_TOPK]
+    return pa.table({
+        "src_label": _label_col(ctx, a[o]),
+        "dst_label": _label_col(ctx, b[o]),
+        "score": pa.array(np.round(sc[o], 6)),
+    })
