@@ -75,7 +75,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": q.q_heavy_hitters,
         # wave 96 (round 5 session 4: SymSpell-2 verify, dow season,
         # hub-attack robustness — newest)
-        "dow_seasonal": q.q_dow_seasonal,
         "attack_curve": q.q_attack_curve,
         # wave 97 (round 5 session 4: BPE tokenizer training + Zipf
         # coverage — newest)
@@ -135,6 +134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppr_push": q.q_ppr_push,
         # wave 117 (round 5 session 5: single-source edge betweenness)
         "edge_betweenness": q.q_edge_betweenness,
+        # wave 118 (round 5 session 5: partition-pruned block scan)
+        "block_prune_scan": q.q_block_prune_scan,
         # waves 77-80 (round 5: convergence/metrics faces of the core
         # apps — these touched the pagerank/BFS/SSSP/LP/MCL loops)
         "bfs_dir_trace": q.q_bfs_dir_trace,
@@ -204,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rmat_quadrants": q.q_rmat_quadrants,  # R-MAT quadrant audit (r5 wave-101 green; rmat_census/rmat_deg_hist generator rows in-window; rotated for wave-115 split_leakage)
         "pr_mass_by_comp": q.q_pr_mass_by_comp,  # PR mass per component (r5 wave-100 green; pagerank/pr_deg_footrule/connected_components in-window; rotated for wave-116 ppr_push)
         "winnow_stats": q.q_winnow_stats,  # winnowing fingerprints (r5 wave-95 green; minhash_pairs in-window covers the shingle-hash dedup axis; rotated for wave-117 edge_betweenness)
+        "dow_seasonal": q.q_dow_seasonal,  # day-of-week seasonality (r5 wave-96 green; mann_kendall/deseason-family day-series sibling in-window; rotated for wave-118 block_prune_scan)
         "same_day_orders": q.q_same_day_orders,  # date-join census (r4 wave-68 green; daily_xcorr/dow_seasonal day-axis joins in-window)
         "filtered_bfs_payload": q.q_filtered_bfs_payload,  # payload-predicate BFS (r4 driver-green; bfs/bfs_dir_trace in-window)
         "decile_priority_grid": q.q_decile_priority_grid,  # decile grid (r4 wave-59 green; dow_seasonal/vocab_coverage census siblings)
@@ -884,6 +886,7 @@ def oracle_sql() -> dict[str, str]:
                                q.PUSH_EPS),
         "edge_betweenness": o.edge_betweenness("m_0", q.EB_ITERS,
                                                q.EB_TOPK),
+        "block_prune_scan": o.block_prune_scan(q.BPS_G),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

@@ -12862,3 +12862,32 @@ ORDER BY (su.sig / sv.sig) * (1 + coalesce(dd.delta, 0)) DESC,
 LIMIT {topk}
 """
     return sql
+
+
+@_materialized
+def block_prune_scan(g: int = 4) -> str:
+    """Diagonal-block census through the Owner arithmetic on dense ids
+    (twin of `queries.q_block_prune_scan`; ls = max(1, n // g),
+    br keys on dst, bc on src — ``SpParMat.cpp:5081``)."""
+    return PREFIX + f"""
+, dense AS (
+  SELECT i, row_number() OVER (ORDER BY label) - 1 AS d FROM verts
+),
+de AS (
+  SELECT ds.d AS src, dd.d AS dst, e.w
+  FROM edges e
+  JOIN dense ds ON ds.i = e.src
+  JOIN dense dd ON dd.i = e.dst
+),
+ls AS (SELECT greatest(1, CAST(n AS BIGINT) // {g}) AS v FROM params),
+keyed AS (
+  SELECT least(dst // ls.v, {g - 1}) * {g}
+         + least(src // ls.v, {g - 1}) AS bid, w
+  FROM de CROSS JOIN ls
+)
+SELECT bid, CAST(count(*) AS BIGINT) AS nnz,
+       CAST(sum(w) AS BIGINT) AS wsum
+FROM keyed
+WHERE bid % {g + 1} = 0
+GROUP BY bid
+"""

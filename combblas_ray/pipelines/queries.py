@@ -23357,3 +23357,75 @@ def q_edge_betweenness(sf_dir: str):
         "dst_label": _label_col(ctx, b[o]),
         "score": pa.array(np.round(sc[o], 6)),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 118: partition-pruned block-parquet scan (read ONLY the
+# diagonal blocks of the 2D grid back from a partitioned sink)
+# ---------------------------------------------------------------------------
+
+BPS_G = 4
+
+
+def _w118_part(b: pa.Table, n: int, g: int) -> pa.Table:
+    from ..core.partition import owner
+
+    s = np.asarray(b.column("src"), dtype=np.int64)
+    d = np.asarray(b.column("dst"), dtype=np.int64)
+    w = np.asarray(b.column("w"), dtype=np.float64)
+    bid = owner(d, n, g) * g + owner(s, n, g)
+    uk, inv = np.unique(bid, return_inverse=True)
+    return pa.table({
+        "bid": pa.array(uk),
+        "nnz": pa.array(np.bincount(inv).astype(np.int64)),
+        "wsum": pa.array(ibincount(inv, w.astype(np.int64),
+                                   minlength=len(uk))),
+    })
+
+
+def q_block_prune_scan(sf_dir: str):
+    """Partition-pruned 2D-block scan: the edge table is written ONCE
+    as hive-partitioned parquet keyed by the CombBLAS 2D block id
+    (`write_edges_parquet(partition_by_block=g)`, the
+    `InducedSubgraphs2Procs` sink), then ONLY the g diagonal-block
+    partitions are read back — `read_parquet` touches just those
+    directories with `columns=[...]` pruned, the at-the-read pruning a
+    100-TB pipeline relies on (no full-table scan anywhere). Each
+    read batch re-derives its block id through the same `owner`
+    arithmetic (``SpParMat.cpp:5081``) as an integrity check. Output
+    (bid, nnz, wsum) for every NONEMPTY diagonal block."""
+    import os
+    import shutil
+
+    import ray as _ray
+
+    from ..sources import io as io_src
+
+    ctx = get_context(sf_dir)
+    path = os.path.join("/tmp", "cbray_scratch", f"bps_n{ctx.n}")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    io_src.write_edges_parquet(ctx.graph("directed"), path,
+                               partition_by_block=BPS_G)
+    import glob
+
+    sel = [b * BPS_G + b for b in range(BPS_G)]
+    files = [f for b in sel for f in
+             sorted(glob.glob(os.path.join(path, f"bid={b}", "*.parquet")))]
+    ds = _ray.data.read_parquet(files, columns=["src", "dst", "w"])
+    parts = ds.map_batches(
+        partial(_w118_part, n=ctx.n, g=BPS_G),
+        batch_format="pyarrow").to_pandas()
+    tot_n: dict[int, int] = {}
+    tot_w: dict[int, int] = {}
+    for _, r in parts.iterrows():
+        tot_n[int(r.bid)] = tot_n.get(int(r.bid), 0) + int(r.nnz)
+        tot_w[int(r.bid)] = tot_w.get(int(r.bid), 0) + int(r.wsum)
+    ks = sorted(tot_n)
+    assert all(k in sel for k in ks)  # pruning really pruned
+    return pa.table({
+        "bid": pa.array(ks, type=pa.int64()),
+        "nnz": pa.array([tot_n[k] for k in ks], type=pa.int64()),
+        "wsum": pa.array([tot_w[k] for k in ks], type=pa.int64()),
+    })
