@@ -83,7 +83,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 98 (round 5 session 4: router-balance audit, table
         # profiling, hub ball similarity — newest)
         "route_balance": q.q_route_balance,
-        "ball2_jaccard": q.q_ball2_jaccard,
         # wave 99 (round 5 session 4: rank correlation, Lorenz/Gini,
         # seasonal-adjusted anomalies — newest)
         "deg_kendall": q.q_deg_kendall,
@@ -136,6 +135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_betweenness": q.q_edge_betweenness,
         # wave 118 (round 5 session 5: partition-pruned block scan)
         "block_prune_scan": q.q_block_prune_scan,
+        # wave 119 (round 5 session 5: ViT patchification census)
+        "patch_stats": q.q_patch_stats,
         # waves 77-80 (round 5: convergence/metrics faces of the core
         # apps — these touched the pagerank/BFS/SSSP/LP/MCL loops)
         "bfs_dir_trace": q.q_bfs_dir_trace,
@@ -206,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pr_mass_by_comp": q.q_pr_mass_by_comp,  # PR mass per component (r5 wave-100 green; pagerank/pr_deg_footrule/connected_components in-window; rotated for wave-116 ppr_push)
         "winnow_stats": q.q_winnow_stats,  # winnowing fingerprints (r5 wave-95 green; minhash_pairs in-window covers the shingle-hash dedup axis; rotated for wave-117 edge_betweenness)
         "dow_seasonal": q.q_dow_seasonal,  # day-of-week seasonality (r5 wave-96 green; mann_kendall/deseason-family day-series sibling in-window; rotated for wave-118 block_prune_scan)
+        "ball2_jaccard": q.q_ball2_jaccard,  # hub 2-ball similarity (r5 wave-98 green; ci_topk/scan_topk hub-analysis rows in-window; rotated for wave-119 patch_stats)
         "same_day_orders": q.q_same_day_orders,  # date-join census (r4 wave-68 green; daily_xcorr/dow_seasonal day-axis joins in-window)
         "filtered_bfs_payload": q.q_filtered_bfs_payload,  # payload-predicate BFS (r4 driver-green; bfs/bfs_dir_trace in-window)
         "decile_priority_grid": q.q_decile_priority_grid,  # decile grid (r4 wave-59 green; dow_seasonal/vocab_coverage census siblings)
@@ -887,6 +889,7 @@ def oracle_sql() -> dict[str, str]:
         "edge_betweenness": o.edge_betweenness("m_0", q.EB_ITERS,
                                                q.EB_TOPK),
         "block_prune_scan": o.block_prune_scan(q.BPS_G),
+        "patch_stats": o.patch_stats(q.PATCH_P),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

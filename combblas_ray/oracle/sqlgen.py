@@ -12891,3 +12891,31 @@ FROM keyed
 WHERE bid % {g + 1} = 0
 GROUP BY bid
 """
+
+
+def patch_stats(p: int = 4) -> str:
+    """4x4 patch-mean brightness census (twin of
+    `queries.q_patch_stats`; make_blob pixel arithmetic regenerated:
+    pixel (x, y) = ((y*w + x) * (id+7)) % 251)."""
+    return f"""
+WITH dims AS (
+  SELECT doc_id AS item_id,
+         CAST(8 + (doc_id % 5) * 4 AS BIGINT) AS w,
+         CAST(8 + (doc_id % 3) * 4 AS BIGINT) AS h
+  FROM documents
+),
+patches AS (
+  SELECT d.item_id, pr.i AS pr, pc.i AS pc,
+         SUM(((pr.i * {p} + dy.i) * d.w + pc.i * {p} + dx.i)
+             * (d.item_id + 7) % 251) AS psum
+  FROM dims d
+  CROSS JOIN range(4) pr(i) CROSS JOIN range(6) pc(i)
+  CROSS JOIN range({p}) dy(i) CROSS JOIN range({p}) dx(i)
+  WHERE pr.i < d.h // {p} AND pc.i < d.w // {p}
+  GROUP BY 1, 2, 3
+)
+SELECT CAST((psum // {p * p}) // 16 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_patches
+FROM patches
+GROUP BY 1
+"""

@@ -23429,3 +23429,58 @@ def q_block_prune_scan(sf_dir: str):
         "nnz": pa.array([tot_n[k] for k in ks], type=pa.int64()),
         "wsum": pa.array([tot_w[k] for k in ks], type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 119: ViT-style patch extraction census (4x4 non-overlapping
+# patches over every image payload)
+# ---------------------------------------------------------------------------
+
+PATCH_P = 4
+
+
+def q_patch_stats(sf_dir: str):
+    """ViT-patchification plumbing audit: every image payload is cut
+    into non-overlapping PATCH_P x PATCH_P patches (the make_blob
+    dims are multiples of 4 by construction); each patch reduces to
+    its integer mean (sum // P^2) and the means bucket into 16
+    brightness bands (mean // 16). Decode + patchify run in a
+    stateful actor pool (header struct compiled once per actor);
+    only the 16-bin per-batch partials reach the driver. Output
+    (bucket, n_patches). The patch-embedding precursor every
+    vision-LM pipeline runs; integer-exact, SQL-regenerable."""
+    from ..functions import multimodal as M
+
+    blobs = M.blob_dataset_from_docs(sf_dir, kind="image")
+    P = PATCH_P
+
+    class _Patch:
+        def __init__(self):
+            import struct
+            self.header = struct.Struct("<III")
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            hist = np.zeros(16, dtype=np.int64)
+            for payload in batch.column("payload").to_pylist():
+                _k, w, h = self.header.unpack_from(payload, 0)
+                pix = np.frombuffer(payload, dtype=np.uint8,
+                                    offset=self.header.size
+                                    ).astype(np.int64).reshape(h, w)
+                sums = pix.reshape(h // P, P, w // P, P).sum(axis=(1, 3))
+                buckets = (sums // (P * P)) // 16
+                hist += np.bincount(buckets.ravel(), minlength=16)
+            nz = np.nonzero(hist)[0]
+            return pa.table({"bucket": pa.array(nz.astype(np.int64)),
+                             "n_patches": pa.array(hist[nz])})
+
+    parts = blobs.map_batches(_Patch, batch_format="pyarrow",
+                              batch_size=64, concurrency=2).take_all()
+    agg: dict[int, int] = {}
+    for r in parts:
+        agg[int(r["bucket"])] = agg.get(int(r["bucket"]), 0) \
+            + int(r["n_patches"])
+    ks = sorted(agg)
+    return pa.table({
+        "bucket": pa.array(ks, type=pa.int64()),
+        "n_patches": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
