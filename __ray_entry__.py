@@ -85,7 +85,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "route_balance": q.q_route_balance,
         # wave 99 (round 5 session 4: rank correlation, Lorenz/Gini,
         # seasonal-adjusted anomalies — newest)
-        "deg_kendall": q.q_deg_kendall,
         "segment_gini": q.q_segment_gini,
         # wave 100 (round 5 session 4: compositions ON the north-rule
         # outputs — newest)
@@ -137,6 +136,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "block_prune_scan": q.q_block_prune_scan,
         # wave 119 (round 5 session 5: ViT patchification census)
         "patch_stats": q.q_patch_stats,
+        # wave 120 (round 5 session 5: distributed PCA top component)
+        "pca_top": q.q_pca_top,
         # waves 77-80 (round 5: convergence/metrics faces of the core
         # apps — these touched the pagerank/BFS/SSSP/LP/MCL loops)
         "bfs_dir_trace": q.q_bfs_dir_trace,
@@ -208,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_stats": q.q_winnow_stats,  # winnowing fingerprints (r5 wave-95 green; minhash_pairs in-window covers the shingle-hash dedup axis; rotated for wave-117 edge_betweenness)
         "dow_seasonal": q.q_dow_seasonal,  # day-of-week seasonality (r5 wave-96 green; mann_kendall/deseason-family day-series sibling in-window; rotated for wave-118 block_prune_scan)
         "ball2_jaccard": q.q_ball2_jaccard,  # hub 2-ball similarity (r5 wave-98 green; ci_topk/scan_topk hub-analysis rows in-window; rotated for wave-119 patch_stats)
+        "deg_kendall": q.q_deg_kendall,  # rank tau-b (r5 wave-99 green; pr_deg_footrule in-window runs the same rank-comparison plan; rotated for wave-120 pca_top)
         "same_day_orders": q.q_same_day_orders,  # date-join census (r4 wave-68 green; daily_xcorr/dow_seasonal day-axis joins in-window)
         "filtered_bfs_payload": q.q_filtered_bfs_payload,  # payload-predicate BFS (r4 driver-green; bfs/bfs_dir_trace in-window)
         "decile_priority_grid": q.q_decile_priority_grid,  # decile grid (r4 wave-59 green; dow_seasonal/vocab_coverage census siblings)
@@ -890,6 +892,7 @@ def oracle_sql() -> dict[str, str]:
                                                q.EB_TOPK),
         "block_prune_scan": o.block_prune_scan(q.BPS_G),
         "patch_stats": o.patch_stats(q.PATCH_P),
+        "pca_top": o.pca_top(q.PCA_ITERS, q.PCA_DIM),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

@@ -12919,3 +12919,55 @@ SELECT CAST((psum // {p * p}) // 16 AS BIGINT) AS bucket,
 FROM patches
 GROUP BY 1
 """
+
+
+@_materialized
+def pca_top(iters: int = 3, dim: int = 64) -> str:
+    """Top principal component by power iteration (twin of
+    `queries.q_pca_top`; per-row evaluation of the identical
+    C v = sum_i x_i (x_i . v)/N - mu (mu . v) recurrence)."""
+    sql = f"""
+WITH nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+mu AS (
+  SELECT CAST(g.d - 1 AS BIGINT) AS dim,
+         sum(CAST(embedding[CAST(g.d AS INT)] AS DOUBLE)) / nn.n AS mj
+  FROM embeddings CROSS JOIN generate_series(1, {dim}) g(d)
+  CROSS JOIN nn
+  GROUP BY 1, nn.n
+),
+v0 AS (SELECT CAST(g.d - 1 AS BIGINT) AS dim, 0.125 AS val
+       FROM generate_series(1, {dim}) g(d))
+"""
+    prev = "v0"
+    for k in range(1, iters + 1):
+        sql += f"""
+, p{k} AS (
+  SELECT e.vec_id,
+         sum(CAST(e.embedding[CAST(g.d AS INT)] AS DOUBLE) * v.val)
+           AS pv
+  FROM embeddings e CROSS JOIN generate_series(1, {dim}) g(d)
+  JOIN {prev} v ON v.dim = g.d - 1
+  GROUP BY e.vec_id
+),
+mv{k} AS (
+  SELECT sum(mu.mj * v.val) AS muv
+  FROM mu JOIN {prev} v ON v.dim = mu.dim
+),
+w{k} AS (
+  SELECT CAST(g.d - 1 AS BIGINT) AS dim,
+         sum(CAST(e.embedding[CAST(g.d AS INT)] AS DOUBLE) * p.pv)
+           / nn.n
+         - any_value(mu.mj) * any_value(mv.muv) AS u
+  FROM embeddings e CROSS JOIN generate_series(1, {dim}) g(d)
+  JOIN p{k} p ON p.vec_id = e.vec_id
+  JOIN mu ON mu.dim = g.d - 1
+  CROSS JOIN mv{k} mv CROSS JOIN nn
+  GROUP BY 1, nn.n
+),
+nrm{k} AS (SELECT sqrt(sum(u * u)) AS s FROM w{k}),
+v{k} AS (SELECT w.dim, w.u / nrm.s AS val
+         FROM w{k} w CROSS JOIN nrm{k} nrm)"""
+        prev = f"v{k}"
+    return sql + f"""
+SELECT dim, round(val, 6) AS loading FROM {prev} ORDER BY dim
+"""

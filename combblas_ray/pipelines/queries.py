@@ -23484,3 +23484,65 @@ def q_patch_stats(sf_dir: str):
         "bucket": pa.array(ks, type=pa.int64()),
         "n_patches": pa.array([agg[k] for k in ks], type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 120: distributed PCA top principal component (one-pass moment
+# accumulation + driver-side power iteration on the 64x64 covariance)
+# ---------------------------------------------------------------------------
+
+PCA_ITERS = 3
+PCA_DIM = 64
+
+
+def _w120_part(b: pa.Table) -> pa.Table:
+    col = b.column("embedding")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    mat = np.asarray(col.flatten(), dtype=np.float64
+                     ).reshape(b.num_rows, -1)
+    S = mat.T @ mat                     # (d, d) second moment
+    m = mat.sum(axis=0)                 # (d,) first moment
+    d = mat.shape[1]
+    return pa.table({
+        "idx": pa.array(np.arange(d * d + d + 1, dtype=np.int64)),
+        "val": pa.array(np.concatenate([S.reshape(-1), m,
+                                        [float(len(mat))]])),
+    })
+
+
+def q_pca_top(sf_dir: str):
+    """Distributed PCA, top principal component of the embedding table:
+    ONE streaming pass accumulates the (d x d) second moment, the mean
+    vector and the count as bounded per-batch partials (the classic
+    distributed-PCA moment sketch — d^2 floats per batch, never the
+    data); the driver then runs PCA_ITERS power iterations with L2
+    normalization on the 64 x 64 covariance C = S/N - mu mu^T from the
+    fixed start v0 = 1/8. Output (dim, loading) rounded to 6 decimals
+    (sign fixed by the deterministic start; the oracle evaluates the
+    algebraically identical per-row iteration). The embedding-table
+    twin of the reference's dense-matrix reductions
+    (``DenseParMat.h``)."""
+    import ray as _ray
+
+    emb = _ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                 columns=["embedding"])
+    parts = emb.map_batches(_w120_part, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas()
+    d = PCA_DIM
+    acc = np.zeros(d * d + d + 1)
+    np.add.at(acc, parts.idx.to_numpy(dtype=np.int64),
+              parts.val.to_numpy(dtype=np.float64))
+    S = acc[: d * d].reshape(d, d)
+    m = acc[d * d: d * d + d]
+    N = acc[-1]
+    mu = m / N
+    C = S / N - np.outer(mu, mu)
+    v = np.full(d, 0.125)
+    for _ in range(PCA_ITERS):
+        v = C @ v
+        v = v / np.sqrt((v * v).sum())
+    return pa.table({
+        "dim": pa.array(np.arange(d, dtype=np.int64)),
+        "loading": pa.array(np.round(v, 6)),
+    })
