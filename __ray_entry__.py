@@ -67,7 +67,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 93 (round 5 session 4: Hashimoto NBT walk trace +
         # the 4-vertex motif spectrum completion — newest)
         "nbt_trace": q.q_nbt_trace,
-        "diamond_count": q.q_diamond_count,
         # wave 94 (round 5 session 4: daily trend statistics — newest)
         "mann_kendall": q.q_mann_kendall,
         # wave 95 (round 5 session 4: winnowing fingerprints, MG heavy
@@ -138,6 +137,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "patch_stats": q.q_patch_stats,
         # wave 120 (round 5 session 5: distributed PCA top component)
         "pca_top": q.q_pca_top,
+        # wave 121 (round 5 session 5: structural twin census)
+        "twin_census": q.q_twin_census,
         # waves 77-80 (round 5: convergence/metrics faces of the core
         # apps — these touched the pagerank/BFS/SSSP/LP/MCL loops)
         "bfs_dir_trace": q.q_bfs_dir_trace,
@@ -210,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dow_seasonal": q.q_dow_seasonal,  # day-of-week seasonality (r5 wave-96 green; mann_kendall/deseason-family day-series sibling in-window; rotated for wave-118 block_prune_scan)
         "ball2_jaccard": q.q_ball2_jaccard,  # hub 2-ball similarity (r5 wave-98 green; ci_topk/scan_topk hub-analysis rows in-window; rotated for wave-119 patch_stats)
         "deg_kendall": q.q_deg_kendall,  # rank tau-b (r5 wave-99 green; pr_deg_footrule in-window runs the same rank-comparison plan; rotated for wave-120 pca_top)
+        "diamond_count": q.q_diamond_count,  # 4-motif census (r5 wave-93 green; triangle_count in-window runs the wedge machinery; rotated for wave-121 twin_census)
         "same_day_orders": q.q_same_day_orders,  # date-join census (r4 wave-68 green; daily_xcorr/dow_seasonal day-axis joins in-window)
         "filtered_bfs_payload": q.q_filtered_bfs_payload,  # payload-predicate BFS (r4 driver-green; bfs/bfs_dir_trace in-window)
         "decile_priority_grid": q.q_decile_priority_grid,  # decile grid (r4 wave-59 green; dow_seasonal/vocab_coverage census siblings)
@@ -893,6 +895,7 @@ def oracle_sql() -> dict[str, str]:
         "block_prune_scan": o.block_prune_scan(q.BPS_G),
         "patch_stats": o.patch_stats(q.PATCH_P),
         "pca_top": o.pca_top(q.PCA_ITERS, q.PCA_DIM),
+        "twin_census": o.twin_census(),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

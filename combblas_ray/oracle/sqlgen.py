@@ -12971,3 +12971,26 @@ v{k} AS (SELECT w.dim, w.u / nrm.s AS val
     return sql + f"""
 SELECT dim, round(val, 6) AS loading FROM {prev} ORDER BY dim
 """
+
+
+@_materialized
+def twin_census() -> str:
+    """Twin-class size histogram (twin of `queries.q_twin_census`;
+    id-invariant census — equal neighbor SETS class together on either
+    id space)."""
+    return PREFIX + """
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+sig AS (
+  SELECT src AS u,
+         md5_number_lower(string_agg(CAST(dst AS VARCHAR), ','
+                                     ORDER BY dst))
+           % 9223372036854775808 AS sg
+  FROM und GROUP BY src
+),
+cls AS (SELECT sg, count(*) AS cnt FROM sig GROUP BY sg)
+SELECT CAST(cnt AS BIGINT) AS class_size,
+       CAST(count(*) AS BIGINT) AS n_classes
+FROM cls GROUP BY cnt ORDER BY 1
+"""

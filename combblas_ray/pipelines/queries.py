@@ -23546,3 +23546,66 @@ def q_pca_top(sf_dir: str):
         "dim": pa.array(np.arange(d, dtype=np.int64)),
         "loading": pa.array(np.round(v, 6)),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 121: structural twin-vertex census (identical open
+# neighborhoods -> supernode candidates, the graph-summarization face)
+# ---------------------------------------------------------------------------
+
+
+def _w121_sig(j: pa.Table) -> pa.Table:
+    """One src-hash partition: per-vertex digest of the SORTED neighbor
+    list (md5-low-64 of the comma-joined ids — DuckDB
+    `md5_number_lower` bit-exactly)."""
+    from ..functions.text import md5_lower64
+
+    s = np.asarray(j.column("src"), dtype=np.int64)
+    d = np.asarray(j.column("dst"), dtype=np.int64)
+    if len(s) == 0:
+        return pa.table({"sig": pa.array([], type=pa.int64())})
+    o = np.lexsort((d, s))
+    so, do = s[o], d[o]
+    starts = np.nonzero(np.r_[True, so[1:] != so[:-1]])[0]
+    ends = np.r_[starts[1:], len(so)]
+    sigs = np.fromiter(
+        (md5_lower64(",".join(map(str, do[a:b]))) % (1 << 63)
+         for a, b in zip(starts, ends)),
+        dtype=np.int64, count=len(starts))
+    return pa.table({"sig": pa.array(sigs)})
+
+
+def _w121_cls(j: pa.Table) -> pa.Table:
+    sg = np.asarray(j.column("sig"), dtype=np.int64)
+    _uk, cnt = np.unique(sg, return_counts=True)
+    us, n = np.unique(cnt, return_counts=True)
+    return pa.table({"class_size": pa.array(us.astype(np.int64)),
+                     "n_classes": pa.array(n.astype(np.int64))})
+
+
+def q_twin_census(sf_dir: str):
+    """Structural twin census — the graph-summarization signal: two
+    vertices are (false) TWINS when their open neighborhoods are
+    IDENTICAL, so a supernode can replace the whole class (WebGraph /
+    modular-decomposition compression; the id-invariant census of
+    class sizes). Per src-hash partition every vertex digests its
+    sorted adjacency (md5-low-64, DuckDB-bit-exact), classes form by
+    ONE digest-keyed group, and only the (class_size, n_classes)
+    histogram reaches the driver. Output rows sorted by class_size;
+    class_size = 1 means no twin."""
+    from ..core.shuffle import group_apply_tasks
+
+    ctx = get_context(sf_dir)
+    sym = ctx.graph("sym").dedup_sum().edges
+    sigs = group_apply_tasks(sym.select_columns(["src", "dst"]),
+                             ["src"], _w121_sig)
+    hist = group_apply_tasks(sigs, ["sig"], _w121_cls).to_pandas()
+    agg: dict[int, int] = {}
+    for _, r in hist.iterrows():
+        agg[int(r.class_size)] = agg.get(int(r.class_size), 0) \
+            + int(r.n_classes)
+    ks = sorted(agg)
+    return pa.table({
+        "class_size": pa.array(ks, type=pa.int64()),
+        "n_classes": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
