@@ -60,7 +60,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs": q.q_bfs,                     # BFS / direction-opt kernel
         "pixel_hist": q.q_pixel_hist,       # multimodal actor pool
         "minhash_pairs": q.q_minhash_pairs,  # MinHash-LSH dedup
-        "lm_outliers": q.q_lm_outliers,     # unigram-LM quality gate
         "bowtie_census": q.q_bowtie_census,  # SCC / reach fixpoint
         # wave 92 (round 5 session 4: BM25 retrieval scoring — newest)
         "bm25_topk": q.q_bm25_topk,
@@ -139,6 +138,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_top": q.q_pca_top,
         # wave 121 (round 5 session 5: structural twin census)
         "twin_census": q.q_twin_census,
+        # wave 122 (round 5 session 5: k-anonymity risk census)
+        "kanon_risk": q.q_kanon_risk,
         # waves 77-80 (round 5: convergence/metrics faces of the core
         # apps — these touched the pagerank/BFS/SSSP/LP/MCL loops)
         "bfs_dir_trace": q.q_bfs_dir_trace,
@@ -212,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ball2_jaccard": q.q_ball2_jaccard,  # hub 2-ball similarity (r5 wave-98 green; ci_topk/scan_topk hub-analysis rows in-window; rotated for wave-119 patch_stats)
         "deg_kendall": q.q_deg_kendall,  # rank tau-b (r5 wave-99 green; pr_deg_footrule in-window runs the same rank-comparison plan; rotated for wave-120 pca_top)
         "diamond_count": q.q_diamond_count,  # 4-motif census (r5 wave-93 green; triangle_count in-window runs the wedge machinery; rotated for wave-121 twin_census)
+        "lm_outliers": q.q_lm_outliers,  # unigram-LM quality gate (r5 green every round since r4; prep_corpus in-window runs the same quality filter, bm25_topk the same token scorer; rotated for wave-122 kanon_risk)
         "same_day_orders": q.q_same_day_orders,  # date-join census (r4 wave-68 green; daily_xcorr/dow_seasonal day-axis joins in-window)
         "filtered_bfs_payload": q.q_filtered_bfs_payload,  # payload-predicate BFS (r4 driver-green; bfs/bfs_dir_trace in-window)
         "decile_priority_grid": q.q_decile_priority_grid,  # decile grid (r4 wave-59 green; dow_seasonal/vocab_coverage census siblings)
@@ -896,6 +898,7 @@ def oracle_sql() -> dict[str, str]:
         "patch_stats": o.patch_stats(q.PATCH_P),
         "pca_top": o.pca_top(q.PCA_ITERS, q.PCA_DIM),
         "twin_census": o.twin_census(),
+        "kanon_risk": o.kanon_risk(q.KANON_KS, q.KANON_WIDTHS),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

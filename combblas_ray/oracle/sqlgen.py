@@ -12994,3 +12994,20 @@ SELECT CAST(cnt AS BIGINT) AS class_size,
        CAST(count(*) AS BIGINT) AS n_classes
 FROM cls GROUP BY cnt ORDER BY 1
 """
+
+
+def kanon_risk(ks=(2, 5, 10, 20), widths=(256, 1024)) -> str:
+    """k-anonymity risk census (twin of `queries.q_kanon_risk`)."""
+    parts = []
+    for w in widths:
+        for k in ks:
+            parts.append(f"""
+SELECT CAST({w} AS BIGINT) AS width, CAST({k} AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_cells_below,
+       CAST(coalesce(sum(docs), 0) AS BIGINT) AS n_docs_below
+FROM (
+  SELECT source, lang, n_chars // {w} AS nb,
+         count(*) AS docs
+  FROM documents GROUP BY 1, 2, 3
+) WHERE docs < {k}""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY width, k\n"

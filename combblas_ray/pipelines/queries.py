@@ -23609,3 +23609,74 @@ def q_twin_census(sf_dir: str):
         "class_size": pa.array(ks, type=pa.int64()),
         "n_classes": pa.array([agg[k] for k in ks], type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 122: k-anonymity risk census over quasi-identifiers (privacy
+# audit with one generalization step)
+# ---------------------------------------------------------------------------
+
+KANON_KS = (2, 5, 10, 20)
+KANON_WIDTHS = (256, 1024)
+
+
+def _w122_part(b: pa.Table, width: int) -> pa.Table:
+    src = np.asarray(b.column("source")).astype(object)
+    lng = np.asarray(b.column("lang")).astype(object)
+    nb = np.asarray(b.column("n_chars"), dtype=np.int64) // width
+    key = np.char.add(np.char.add(
+        np.char.add(src.astype(str), "\x00"), lng.astype(str)),
+        np.char.add("\x00", nb.astype(str)))
+    uk, inv = np.unique(key, return_inverse=True)
+    return pa.table({
+        "cell": pa.array(uk.astype(object)),
+        "docs": pa.array(np.bincount(inv).astype(np.int64)),
+    })
+
+
+def _w122_merge(j: pa.Table) -> pa.Table:
+    c = np.asarray(j.column("cell")).astype(object)
+    d = np.asarray(j.column("docs"), dtype=np.int64)
+    uk, inv = np.unique(c.astype(str), return_inverse=True)
+    return pa.table({
+        "cell": pa.array(uk.astype(object)),
+        "docs": pa.array(ibincount(inv, d, minlength=len(uk))),
+    })
+
+
+def q_kanon_risk(sf_dir: str):
+    """k-anonymity risk census — the privacy/governance audit of a
+    training corpus: docs grouped by the quasi-identifier triple
+    (source, lang, n_chars // width); a doc in a class smaller than k
+    is re-identification-prone. Reported for k in KANON_KS at BOTH
+    bucket widths (256 and the one-step generalization 1024 — the
+    coarsening rescue). Distributed: per-batch cell partials + one
+    keyed merge per width; the threshold census is a driver fold over
+    the SMALL cell table. Output (width, k, n_cells_below,
+    n_docs_below)."""
+    import ray as _ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    rows = []
+    for width in KANON_WIDTHS:
+        ds = _ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["source", "lang", "n_chars"])
+        cells = group_apply_tasks(
+            ds.map_batches(partial(_w122_part, width=width),
+                           batch_format="pyarrow", zero_copy_batch=True),
+            ["cell"], _w122_merge).to_pandas()
+        docs = cells.docs.to_numpy(dtype=np.int64)
+        for k in KANON_KS:
+            below = docs < k
+            rows.append((width, k, int(below.sum()),
+                         int(docs[below].sum())))
+    return pa.table({
+        "width": pa.array([r[0] for r in rows], type=pa.int64()),
+        "k": pa.array([r[1] for r in rows], type=pa.int64()),
+        "n_cells_below": pa.array([r[2] for r in rows],
+                                  type=pa.int64()),
+        "n_docs_below": pa.array([r[3] for r in rows],
+                                 type=pa.int64()),
+    })
