@@ -80,7 +80,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage": q.q_vocab_coverage,
         # wave 98 (round 5 session 4: router-balance audit, table
         # profiling, hub ball similarity — newest)
-        "route_balance": q.q_route_balance,
         # wave 99 (round 5 session 4: rank correlation, Lorenz/Gini,
         # seasonal-adjusted anomalies — newest)
         "segment_gini": q.q_segment_gini,
@@ -140,6 +139,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "twin_census": q.q_twin_census,
         # wave 122 (round 5 session 5: k-anonymity risk census)
         "kanon_risk": q.q_kanon_risk,
+        # wave 123 (round 5 session 5: resident block-format census)
+        "block_format_census": q.q_block_format_census,
         # waves 77-80 (round 5: convergence/metrics faces of the core
         # apps — these touched the pagerank/BFS/SSSP/LP/MCL loops)
         "bfs_dir_trace": q.q_bfs_dir_trace,
@@ -214,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "deg_kendall": q.q_deg_kendall,  # rank tau-b (r5 wave-99 green; pr_deg_footrule in-window runs the same rank-comparison plan; rotated for wave-120 pca_top)
         "diamond_count": q.q_diamond_count,  # 4-motif census (r5 wave-93 green; triangle_count in-window runs the wedge machinery; rotated for wave-121 twin_census)
         "lm_outliers": q.q_lm_outliers,  # unigram-LM quality gate (r5 green every round since r4; prep_corpus in-window runs the same quality filter, bm25_topk the same token scorer; rotated for wave-122 kanon_risk)
+        "route_balance": q.q_route_balance,  # router-balance audit (r5 wave-98 green; salted_degree_topk/salt_imbalance partitioning-audit rows in-window; rotated for wave-123 block_format_census)
         "same_day_orders": q.q_same_day_orders,  # date-join census (r4 wave-68 green; daily_xcorr/dow_seasonal day-axis joins in-window)
         "filtered_bfs_payload": q.q_filtered_bfs_payload,  # payload-predicate BFS (r4 driver-green; bfs/bfs_dir_trace in-window)
         "decile_priority_grid": q.q_decile_priority_grid,  # decile grid (r4 wave-59 green; dow_seasonal/vocab_coverage census siblings)
@@ -899,6 +901,7 @@ def oracle_sql() -> dict[str, str]:
         "pca_top": o.pca_top(q.PCA_ITERS, q.PCA_DIM),
         "twin_census": o.twin_census(),
         "kanon_risk": o.kanon_risk(q.KANON_KS, q.KANON_WIDTHS),
+        "block_format_census": o.block_format_census(q.BFMT_G),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

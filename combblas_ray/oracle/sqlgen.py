@@ -13011,3 +13011,42 @@ FROM (
   FROM documents GROUP BY 1, 2, 3
 ) WHERE docs < {k}""")
     return "\nUNION ALL\n".join(parts) + "\nORDER BY width, k\n"
+
+
+@_materialized
+def block_format_census(g: int = 32, ratio: int = 4) -> str:
+    """Resident block-format census (twin of
+    `queries.q_block_format_census`; Owner arithmetic on dense ids,
+    hypersparse iff nr > ratio * nnz)."""
+    return PREFIX + f"""
+, dense AS (
+  SELECT i, row_number() OVER (ORDER BY label) - 1 AS d FROM verts
+),
+du AS (
+  SELECT ds.d AS u, dd.d AS v
+  FROM edges e JOIN dense ds ON ds.i = e.src JOIN dense dd ON dd.i = e.dst
+  UNION
+  SELECT dd.d, ds.d
+  FROM edges e JOIN dense ds ON ds.i = e.src JOIN dense dd ON dd.i = e.dst
+),
+ls AS (SELECT greatest(1, CAST(n AS BIGINT) // {g}) AS lsz FROM params),
+blk AS (
+  SELECT least(du.v // ls.lsz, {g - 1}) AS br,
+         CAST(count(*) AS BIGINT) AS nnz
+  FROM du CROSS JOIN ls
+  GROUP BY least(du.v // ls.lsz, {g - 1}), least(du.u // ls.lsz, {g - 1})
+),
+sized AS (
+  SELECT nnz,
+         CASE WHEN br < {g - 1} THEN ls.lsz
+              ELSE (SELECT CAST(n AS BIGINT) FROM params)
+                   - {g - 1} * ls.lsz END AS nr
+  FROM blk CROSS JOIN ls
+)
+SELECT CASE WHEN nnz > 0 AND nr > {ratio} * nnz
+            THEN 'hypersparse' ELSE 'csr' END AS fmt,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(nnz) AS BIGINT) AS nnz
+FROM sized
+GROUP BY 1 ORDER BY 1
+"""

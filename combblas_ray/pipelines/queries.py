@@ -23680,3 +23680,45 @@ def q_kanon_risk(sf_dir: str):
         "n_docs_below": pa.array([r[3] for r in rows],
                                  type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 123: resident block-format census (does the DCSC-analog
+# hypersparse layout engage on a fine grid?)
+# ---------------------------------------------------------------------------
+
+BFMT_G = 32
+
+
+def q_block_format_census(sf_dir: str):
+    """Engine-introspection audit: build the symmetric engine on a
+    FINE BFMT_G x BFMT_G grid (small blocks -> power-law tails go
+    hypersparse) and report, per resident layout, how many blocks and
+    nonzeros chose it. The layout rule is the `_Block` conversion
+    itself — a block stores the DCSC-analog compact form
+    (``dcsc.h:46-136``) iff nr > HYPERSPARSE_RATIO * nnz — evaluated
+    here from the build manifest's per-block nnz (no block is
+    loaded), so the driver row proves the documented memory-scaling
+    path actually engages. Output (fmt, n_blocks, nnz)."""
+    from ..core.engine import _Block
+    from ..core.partition import chunk_bounds
+
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("sym", g=BFMT_G)
+    bounds = chunk_bounds(ctx.n, BFMT_G)
+    agg: dict[str, list[int]] = {}
+    for b in eng.manifest["blocks"]:
+        nr = bounds[int(b["br"])][1] - bounds[int(b["br"])][0]
+        nnz = int(b["nnz"])
+        fmt = ("hypersparse"
+               if nnz and nr > _Block.HYPERSPARSE_RATIO * nnz
+               else "csr")
+        cur = agg.setdefault(fmt, [0, 0])
+        cur[0] += 1
+        cur[1] += nnz
+    ks = sorted(agg)
+    return pa.table({
+        "fmt": pa.array(ks),
+        "n_blocks": pa.array([agg[k][0] for k in ks], type=pa.int64()),
+        "nnz": pa.array([agg[k][1] for k in ks], type=pa.int64()),
+    })
