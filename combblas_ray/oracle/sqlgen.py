@@ -13050,3 +13050,32 @@ SELECT CASE WHEN nnz > 0 AND nr > {ratio} * nnz
 FROM sized
 GROUP BY 1 ORDER BY 1
 """
+
+
+def cdc_chunks(w: int = 8, b: int = 131, mask: int = 64) -> str:
+    """Content-defined chunk-count histogram (twin of
+    `queries.q_cdc_chunks`)."""
+    terms = " + ".join(
+        f"CAST(ascii(substr(d.text, CAST(d.p - {j} AS INT), 1)) AS BIGINT) * {b ** j}"
+        for j in range(w))
+    return f"""
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(generate_series({w}, length(text))) AS p
+  FROM documents
+),
+cuts AS (
+  SELECT d.doc_id,
+         CAST(count(*) FILTER (({terms}) % {mask} = 0) AS BIGINT)
+           AS n_cuts
+  FROM pos d
+  GROUP BY d.doc_id
+),
+alldocs AS (
+  SELECT doc_id, coalesce(c.n_cuts, 0) + 1 AS n_chunks
+  FROM documents LEFT JOIN cuts c USING (doc_id)
+)
+SELECT CAST(n_chunks AS BIGINT) AS n_chunks,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM alldocs GROUP BY 1 ORDER BY 1
+"""

@@ -23722,3 +23722,64 @@ def q_block_format_census(sf_dir: str):
         "n_blocks": pa.array([agg[k][0] for k in ks], type=pa.int64()),
         "nnz": pa.array([agg[k][1] for k in ks], type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 124: content-defined chunking census (Rabin-style polynomial
+# window fingerprint, deterministic cutpoints)
+# ---------------------------------------------------------------------------
+
+CDC_W = 8
+CDC_B = 131
+CDC_MASK = 64
+
+
+def _w124_part(b: pa.Table) -> pa.Table:
+    """Per-batch CDC: windowed polynomial fingerprint h(i) =
+    sum_{j<W} byte[i-j] * B^j (fits int64: 255 * B^(W-1) * W < 2^63);
+    a position cuts when h % MASK == 0. Vectorized via a strided
+    correlation — no per-char Python."""
+    w = CDC_W
+    pw = CDC_B ** np.arange(w, dtype=np.int64)
+    counts = []
+    for t in b.column("text").to_pylist():
+        bt = np.frombuffer(t.encode(), dtype=np.uint8).astype(np.int64)
+        if len(bt) < w:
+            counts.append(1)
+            continue
+        win = np.lib.stride_tricks.sliding_window_view(bt, w)
+        # h at position i (0-based end of window): reversed j order:
+        # byte[i-j] * B^j  ==  win[:, ::-1] @ pw
+        h = win[:, ::-1] @ pw
+        counts.append(1 + int((h % CDC_MASK == 0).sum()))
+    uk, cnt = np.unique(np.array(counts, dtype=np.int64),
+                        return_counts=True)
+    return pa.table({"n_chunks": pa.array(uk),
+                     "n_docs": pa.array(cnt.astype(np.int64))})
+
+
+def q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking census — the dedup-at-scale primitive
+    (LBFS/rsync/CDC dedup family): every document is cut wherever the
+    W-byte Rabin-style polynomial fingerprint hits 0 mod CDC_MASK,
+    so chunk boundaries survive insertions/deletions (unlike
+    fixed-size chunking, `chunk_dups`' sibling). Pure int64
+    arithmetic (the window polynomial fits without modular
+    reduction), vectorized as a strided matvec per batch; only the
+    per-batch (n_chunks, n_docs) histogram partials reach the
+    driver. Output: per-doc chunk-count histogram."""
+    import ray as _ray
+
+    ds = _ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["text"])
+    parts = ds.map_batches(_w124_part, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    agg: dict[int, int] = {}
+    for _, r in parts.iterrows():
+        agg[int(r.n_chunks)] = agg.get(int(r.n_chunks), 0) \
+            + int(r.n_docs)
+    ks = sorted(agg)
+    return pa.table({
+        "n_chunks": pa.array(ks, type=pa.int64()),
+        "n_docs": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
