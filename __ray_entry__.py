@@ -64,7 +64,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 92 (round 5 session 4: BM25 retrieval scoring — newest)
         "bm25_topk": q.q_bm25_topk,
         # wave 94 (round 5 session 4: daily trend statistics — newest)
-        "mann_kendall": q.q_mann_kendall,
         # wave 95 (round 5 session 4: winnowing fingerprints, MG heavy
         # hitters, event-type lag coupling — newest)
         "heavy_hitters": q.q_heavy_hitters,
@@ -140,6 +139,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "block_format_census": q.q_block_format_census,
         # wave 124 (round 5 session 5: content-defined chunking)
         "cdc_chunks": q.q_cdc_chunks,
+        # wave 125 (round 5 session 5: multi-touch attribution)
+        "attribution": q.q_attribution,
         # waves 77-80 (round 5: convergence/metrics faces of the core
         # apps — these touched the pagerank/BFS/SSSP/LP/MCL loops)
         "bfs_dir_trace": q.q_bfs_dir_trace,
@@ -216,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_outliers": q.q_lm_outliers,  # unigram-LM quality gate (r5 green every round since r4; prep_corpus in-window runs the same quality filter, bm25_topk the same token scorer; rotated for wave-122 kanon_risk)
         "route_balance": q.q_route_balance,  # router-balance audit (r5 wave-98 green; salted_degree_topk/salt_imbalance partitioning-audit rows in-window; rotated for wave-123 block_format_census)
         "nbt_trace": q.q_nbt_trace,  # Hashimoto NBT walk trace (r5 wave-93 green; eigencentrality/power-loop siblings gated locally, SpMM loops in-window via label_propagation; rotated for wave-124 cdc_chunks)
+        "mann_kendall": q.q_mann_kendall,  # Mann-Kendall trend S (r5 wave-94 green; dow_seasonal rotated out too but attribution/daily family keeps an events day-axis row in-window; rotated for wave-125 attribution)
         "same_day_orders": q.q_same_day_orders,  # date-join census (r4 wave-68 green; daily_xcorr/dow_seasonal day-axis joins in-window)
         "filtered_bfs_payload": q.q_filtered_bfs_payload,  # payload-predicate BFS (r4 driver-green; bfs/bfs_dir_trace in-window)
         "decile_priority_grid": q.q_decile_priority_grid,  # decile grid (r4 wave-59 green; dow_seasonal/vocab_coverage census siblings)
@@ -903,6 +905,7 @@ def oracle_sql() -> dict[str, str]:
         "kanon_risk": o.kanon_risk(q.KANON_KS, q.KANON_WIDTHS),
         "block_format_census": o.block_format_census(q.BFMT_G),
         "cdc_chunks": o.cdc_chunks(q.CDC_W, q.CDC_B, q.CDC_MASK),
+        "attribution": o.attribution(),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

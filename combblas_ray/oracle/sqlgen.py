@@ -13079,3 +13079,47 @@ SELECT CAST(n_chunks AS BIGINT) AS n_chunks,
        CAST(count(*) AS BIGINT) AS n_docs
 FROM alldocs GROUP BY 1 ORDER BY 1
 """
+
+
+def attribution() -> str:
+    """Last-touch vs first-touch purchase attribution (twin of
+    `queries.q_attribution`)."""
+    return """
+WITH e AS (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER w AS rn,
+         count(*) FILTER (event_type = 'purchase') OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+touches AS (
+  SELECT user_id, coalesce(seg, 0) AS seg, event_type, rn
+  FROM e WHERE event_type <> 'purchase'
+),
+spans AS (
+  SELECT user_id, seg,
+         arg_max(event_type, rn) AS et_last,
+         arg_min(event_type, rn) AS et_first
+  FROM touches GROUP BY 1, 2
+),
+conv AS (
+  SELECT user_id, coalesce(seg, 0) AS seg
+  FROM e WHERE event_type = 'purchase'
+),
+credits AS (
+  SELECT s.et_last, s.et_first
+  FROM conv c JOIN spans s ON s.user_id = c.user_id AND s.seg = c.seg
+)
+SELECT coalesce(a.event_type, b.event_type) AS event_type,
+       coalesce(a.c, 0) AS last_touch,
+       coalesce(b.c, 0) AS first_touch
+FROM (SELECT et_last AS event_type, CAST(count(*) AS BIGINT) AS c
+      FROM credits GROUP BY 1) a
+FULL OUTER JOIN
+     (SELECT et_first AS event_type, CAST(count(*) AS BIGINT) AS c
+      FROM credits GROUP BY 1) b
+  ON a.event_type = b.event_type
+ORDER BY 1
+"""

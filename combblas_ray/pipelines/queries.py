@@ -23783,3 +23783,89 @@ def q_cdc_chunks(sf_dir: str):
         "n_chunks": pa.array(ks, type=pa.int64()),
         "n_docs": pa.array([agg[k] for k in ks], type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 125: conversion attribution — last-touch vs first-touch credit
+# per event type (the marketing-analytics window composition)
+# ---------------------------------------------------------------------------
+
+
+def _w125_credits(j: pa.Table) -> pa.Table:
+    """One user-hash partition (every user's full history co-locates):
+    sort (user, ts, event_id); segment = #purchases strictly before
+    the row; each purchase credits the LAST and FIRST non-purchase
+    touch of its own (user, segment) span. Vectorized run logic."""
+    u = np.asarray(j.column("user_id"), dtype=np.int64)
+    ts = np.asarray(j.column("ts")).astype("datetime64[us]").astype(
+        np.int64)
+    eid = np.asarray(j.column("event_id"), dtype=np.int64)
+    et = np.asarray(j.column("event_type")).astype(object)
+    o = np.lexsort((eid, ts, u))
+    u, ts, eid, et = u[o], ts[o], eid[o], et[o]
+    is_p = et == "purchase"
+    # per-user purchases strictly before each row: global cumsum minus
+    # its value at the user's first row (seg_global is nondecreasing,
+    # so max-accumulate over the start-masked array propagates it)
+    starts = np.r_[True, u[1:] != u[:-1]]
+    seg = np.cumsum(is_p) - is_p
+    seg = seg - np.maximum.accumulate(np.where(starts, seg, -(10**18)))
+    key = u * (1 << 32) + seg  # segment key (seg < 2^32 by construction)
+    last_c: dict[str, int] = {}
+    first_c: dict[str, int] = {}
+    tmask = ~is_p
+    tk, tfirst = np.unique(key[tmask], return_index=True)
+    # last touch index per group: reversed-unique trick
+    rk = key[tmask][::-1]
+    _, rlast = np.unique(rk, return_index=True)
+    tlast = (len(rk) - 1) - rlast
+    ttypes = et[tmask]
+    t_first_type = dict(zip(tk.tolist(), ttypes[tfirst].tolist()))
+    t_last_type = dict(zip(tk.tolist(), ttypes[tlast].tolist()))
+    for k in key[is_p].tolist():
+        lt = t_last_type.get(k)
+        ft = t_first_type.get(k)
+        if lt is not None:
+            last_c[lt] = last_c.get(lt, 0) + 1
+        if ft is not None:
+            first_c[ft] = first_c.get(ft, 0) + 1
+    types = sorted(set(last_c) | set(first_c))
+    return pa.table({
+        "event_type": pa.array(types),
+        "last_touch": pa.array([last_c.get(t, 0) for t in types],
+                               type=pa.int64()),
+        "first_touch": pa.array([first_c.get(t, 0) for t in types],
+                                type=pa.int64()),
+    })
+
+
+def q_attribution(sf_dir: str):
+    """Multi-touch attribution comparison: every purchase credits (a)
+    its LAST preceding non-purchase touch and (b) the FIRST touch
+    since the user's previous purchase — the two classic attribution
+    models, computed in ONE user-keyed shuffle pass (all of a user's
+    events co-locate; per-partition run logic is vectorized numpy).
+    Purchases with no touch in their span credit nobody. Output
+    (event_type, last_touch, first_touch)."""
+    import ray as _ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ds = _ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"])
+    parts = group_apply_tasks(ds, ["user_id"],
+                              _w125_credits).to_pandas()
+    agg: dict[str, list[int]] = {}
+    for _, r in parts.iterrows():
+        cur = agg.setdefault(r.event_type, [0, 0])
+        cur[0] += int(r.last_touch)
+        cur[1] += int(r.first_touch)
+    ks = sorted(agg)
+    return pa.table({
+        "event_type": pa.array(ks),
+        "last_touch": pa.array([agg[k][0] for k in ks],
+                               type=pa.int64()),
+        "first_touch": pa.array([agg[k][1] for k in ks],
+                                type=pa.int64()),
+    })
