@@ -73,7 +73,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 97 (round 5 session 4: BPE tokenizer training + Zipf
         # coverage — newest)
         "bpe_merges": q.q_bpe_merges,
-        "vocab_coverage": q.q_vocab_coverage,
         # wave 98 (round 5 session 4: router-balance audit, table
         # profiling, hub ball similarity — newest)
         # wave 99 (round 5 session 4: rank correlation, Lorenz/Gini,
@@ -141,6 +140,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_chunks": q.q_cdc_chunks,
         # wave 125 (round 5 session 5: multi-touch attribution)
         "attribution": q.q_attribution,
+        # wave 126 (round 5 session 5: GraphBLAS write-mask SpMV)
+        "masked_spmv": q.q_masked_spmv,
         # waves 77-80 (round 5: convergence/metrics faces of the core
         # apps — these touched the pagerank/BFS/SSSP/LP/MCL loops)
         "bfs_dir_trace": q.q_bfs_dir_trace,
@@ -218,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "route_balance": q.q_route_balance,  # router-balance audit (r5 wave-98 green; salted_degree_topk/salt_imbalance partitioning-audit rows in-window; rotated for wave-123 block_format_census)
         "nbt_trace": q.q_nbt_trace,  # Hashimoto NBT walk trace (r5 wave-93 green; eigencentrality/power-loop siblings gated locally, SpMM loops in-window via label_propagation; rotated for wave-124 cdc_chunks)
         "mann_kendall": q.q_mann_kendall,  # Mann-Kendall trend S (r5 wave-94 green; dow_seasonal rotated out too but attribution/daily family keeps an events day-axis row in-window; rotated for wave-125 attribution)
+        "vocab_coverage": q.q_vocab_coverage,  # Zipf vocab coverage (r5 wave-97 green; bpe_merges in-window trains the same token stream; rotated for wave-126 masked_spmv)
         "same_day_orders": q.q_same_day_orders,  # date-join census (r4 wave-68 green; daily_xcorr/dow_seasonal day-axis joins in-window)
         "filtered_bfs_payload": q.q_filtered_bfs_payload,  # payload-predicate BFS (r4 driver-green; bfs/bfs_dir_trace in-window)
         "decile_priority_grid": q.q_decile_priority_grid,  # decile grid (r4 wave-59 green; dow_seasonal/vocab_coverage census siblings)
@@ -906,6 +908,7 @@ def oracle_sql() -> dict[str, str]:
         "block_format_census": o.block_format_census(q.BFMT_G),
         "cdc_chunks": o.cdc_chunks(q.CDC_W, q.CDC_B, q.CDC_MASK),
         "attribution": o.attribution(),
+        "masked_spmv": o.masked_spmv(q.MASK_MOD, q.ACC_MOD),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

@@ -13123,3 +13123,22 @@ FULL OUTER JOIN
   ON a.event_type = b.event_type
 ORDER BY 1
 """
+
+
+@_materialized
+def masked_spmv(mask_mod: int = 3, acc_mod: int = 7) -> str:
+    """Masked SpMV, replace vs accumulate (twin of
+    `queries.q_masked_spmv`)."""
+    return PREFIX + f"""
+, yv AS (
+  SELECT v.i, sum(e.w * ((e.src % 11) + 1)) AS y
+  FROM edges e JOIN verts v ON v.i = e.dst GROUP BY v.i
+)
+SELECT v.label AS label,
+       CASE WHEN v.i % {mask_mod} = 0 THEN coalesce(yv.y, 0.0)
+            ELSE 0.0 END AS y_replace,
+       CASE WHEN v.i % {mask_mod} = 0
+            THEN (v.i % {acc_mod}) + coalesce(yv.y, 0.0)
+            ELSE CAST(v.i % {acc_mod} AS DOUBLE) END AS y_accum
+FROM verts v LEFT JOIN yv ON yv.i = v.i
+"""

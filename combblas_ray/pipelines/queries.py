@@ -23869,3 +23869,41 @@ def q_attribution(sf_dir: str):
         "first_touch": pa.array([agg[k][1] for k in ks],
                                 type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 126: masked SpMV with GraphBLAS write-mask semantics (replace
+# vs accumulate)
+# ---------------------------------------------------------------------------
+
+MASK_MOD = 3
+ACC_MOD = 7
+
+
+def _w126_fuse(ar, y, bounds):
+    a = np.asarray(ar, dtype=np.int64)
+    m = (a % MASK_MOD) == 0
+    y0 = (a % ACC_MOD).astype(np.float64)
+    return np.where(m, y, 0.0), np.where(m, y0 + y, y0)
+
+
+def q_masked_spmv(sf_dir: str):
+    """Masked SpMV under BOTH GraphBLAS write-mask semantics
+    (`GrB_REPLACE` vs accumulate — the reference expresses the same
+    through `EWiseMult` fringe filtering, ``TopDownBFS.cpp:271``
+    family): y = A x with x[v] = arith%11 + 1, mask m = (arith%3==0),
+    initial output y0 = arith%7. REPLACE: out = y on m, 0 elsewhere;
+    ACCUMULATE: out = y0 + y on m, y0 elsewhere. ONE plus_times SpMV;
+    mask/accumulate fused into the combine task (the mask never
+    leaves the chunk kernels). Output (label, y_replace, y_accum)
+    over all vertices."""
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("directed")
+    ar = ctx.vdict.arith_slice_refs(eng.bounds)
+    rep, acc = eng.spmv_apply_refs(_x_mod11_refs(ctx, eng),
+                                   "plus_times", _w126_fuse, 2, ar)
+    return pa.table({
+        "label": _label_col(ctx, np.arange(ctx.n)),
+        "y_replace": pa.array(eng.unchunk(rep)),
+        "y_accum": pa.array(eng.unchunk(acc)),
+    })
