@@ -66,7 +66,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 94 (round 5 session 4: daily trend statistics — newest)
         # wave 95 (round 5 session 4: winnowing fingerprints, MG heavy
         # hitters, event-type lag coupling — newest)
-        "heavy_hitters": q.q_heavy_hitters,
         # wave 96 (round 5 session 4: SymSpell-2 verify, dow season,
         # hub-attack robustness — newest)
         "attack_curve": q.q_attack_curve,
@@ -142,6 +141,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attribution": q.q_attribution,
         # wave 126 (round 5 session 5: GraphBLAS write-mask SpMV)
         "masked_spmv": q.q_masked_spmv,
+        # wave 127 (round 5 session 5: top-p mass data selection)
+        "topp_selection": q.q_topp_selection,
         # waves 77-80 (round 5: convergence/metrics faces of the core
         # apps — these touched the pagerank/BFS/SSSP/LP/MCL loops)
         "bfs_dir_trace": q.q_bfs_dir_trace,
@@ -220,6 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nbt_trace": q.q_nbt_trace,  # Hashimoto NBT walk trace (r5 wave-93 green; eigencentrality/power-loop siblings gated locally, SpMM loops in-window via label_propagation; rotated for wave-124 cdc_chunks)
         "mann_kendall": q.q_mann_kendall,  # Mann-Kendall trend S (r5 wave-94 green; dow_seasonal rotated out too but attribution/daily family keeps an events day-axis row in-window; rotated for wave-125 attribution)
         "vocab_coverage": q.q_vocab_coverage,  # Zipf vocab coverage (r5 wave-97 green; bpe_merges in-window trains the same token stream; rotated for wave-126 masked_spmv)
+        "heavy_hitters": q.q_heavy_hitters,  # Misra-Gries heavy hitters (r5 wave-95 green; hll_audit/cm_audit sketch siblings gated locally, bm25_topk token stream in-window; rotated for wave-127 topp_selection)
         "same_day_orders": q.q_same_day_orders,  # date-join census (r4 wave-68 green; daily_xcorr/dow_seasonal day-axis joins in-window)
         "filtered_bfs_payload": q.q_filtered_bfs_payload,  # payload-predicate BFS (r4 driver-green; bfs/bfs_dir_trace in-window)
         "decile_priority_grid": q.q_decile_priority_grid,  # decile grid (r4 wave-59 green; dow_seasonal/vocab_coverage census siblings)
@@ -909,6 +911,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_chunks": o.cdc_chunks(q.CDC_W, q.CDC_B, q.CDC_MASK),
         "attribution": o.attribution(),
         "masked_spmv": o.masked_spmv(q.MASK_MOD, q.ACC_MOD),
+        "topp_selection": o.topp_selection(q.TOPP_NUM, q.TOPP_DEN),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

@@ -13142,3 +13142,28 @@ SELECT v.label AS label,
             ELSE CAST(v.i % {acc_mod} AS DOUBLE) END AS y_accum
 FROM verts v LEFT JOIN yv ON yv.i = v.i
 """
+
+
+def topp_selection(num: int = 1, den: int = 2) -> str:
+    """Top-p mass selection per language (twin of
+    `queries.q_topp_selection`)."""
+    return f"""
+WITH ranked AS (
+  SELECT lang, n_chars,
+         sum(n_chars) OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS before_mass
+  FROM documents
+),
+tot AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS char_mass
+  FROM documents GROUP BY lang
+)
+SELECT t.lang, t.n_docs, t.char_mass,
+       CAST(count(*) FILTER ({den} * coalesce(r.before_mass, 0)
+                             < {num} * t.char_mass) AS BIGINT) AS kept
+FROM ranked r JOIN tot t ON t.lang = r.lang
+GROUP BY t.lang, t.n_docs, t.char_mass
+"""

@@ -23907,3 +23907,66 @@ def q_masked_spmv(sf_dir: str):
         "y_replace": pa.array(eng.unchunk(rep)),
         "y_accum": pa.array(eng.unchunk(acc)),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 127: top-p mass data selection per language (keep the largest
+# docs until half the char mass is covered — the curation-budget cut)
+# ---------------------------------------------------------------------------
+
+TOPP_NUM = 1
+TOPP_DEN = 2  # keep until cumulative mass >= 1/2 of the lang total
+
+
+def _w127_sel(j: pa.Table) -> pa.Table:
+    """One lang-hash partition: sort (lang, n_chars DESC, doc_id ASC),
+    per-lang prefix sums, kept = first row where DEN*cumsum >= NUM*total
+    (integer cross-multiplied — no float mass)."""
+    lg = np.asarray(j.column("lang")).astype(object)
+    if len(lg) == 0:
+        return pa.table({
+            "lang": pa.array([], type=pa.string()),
+            "n_docs": pa.array([], type=pa.int64()),
+            "char_mass": pa.array([], type=pa.int64()),
+            "kept": pa.array([], type=pa.int64()),
+        })
+    nc = np.asarray(j.column("n_chars"), dtype=np.int64)
+    did = np.asarray(j.column("doc_id"), dtype=np.int64)
+    o = np.lexsort((did, -nc, lg.astype(str)))
+    lg, nc = lg[o], nc[o]
+    starts = np.nonzero(np.r_[True, lg[1:] != lg[:-1]])[0]
+    sizes = np.diff(np.r_[starts, len(lg)])
+    cs = np.cumsum(nc)
+    base = np.repeat(np.r_[np.int64(0), cs[starts[1:] - 1]], sizes)
+    within = cs - base                       # per-lang prefix mass
+    tot = np.repeat(within[starts + sizes - 1], sizes)
+    kept_mask = TOPP_DEN * (within - nc) < TOPP_NUM * tot  # rows BEFORE
+    # the threshold crossing keep; the crossing row itself also keeps
+    rows = []
+    for s, z in zip(starts, sizes):
+        km = kept_mask[s:s + z]
+        kept = int(km.sum())
+        rows.append((lg[s], int(z), int(tot[s]), kept))
+    return pa.table({
+        "lang": pa.array([r[0] for r in rows]),
+        "n_docs": pa.array([r[1] for r in rows], type=pa.int64()),
+        "char_mass": pa.array([r[2] for r in rows], type=pa.int64()),
+        "kept": pa.array([r[3] for r in rows], type=pa.int64()),
+    })
+
+
+def q_topp_selection(sf_dir: str):
+    """Top-p mass selection — the curation-budget cut an LLM data
+    pipeline applies per language: docs rank by (n_chars DESC, doc_id
+    ASC) and the kept prefix is the smallest one covering >= NUM/DEN
+    of the language's total char mass (integer cross-multiplied, no
+    float thresholds). ONE lang-keyed shuffle; per-partition prefix
+    sums are vectorized. Output (lang, n_docs, char_mass, kept)."""
+    import ray as _ray
+
+    from ..core.shuffle import group_apply_tasks
+
+    ds = _ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "n_chars"])
+    return group_apply_tasks(ds, ["lang"], _w127_sel).to_pandas()
