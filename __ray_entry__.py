@@ -68,7 +68,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hitters, event-type lag coupling — newest)
         # wave 96 (round 5 session 4: SymSpell-2 verify, dow season,
         # hub-attack robustness — newest)
-        "attack_curve": q.q_attack_curve,
         # wave 97 (round 5 session 4: BPE tokenizer training + Zipf
         # coverage — newest)
         "bpe_merges": q.q_bpe_merges,
@@ -143,6 +142,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "masked_spmv": q.q_masked_spmv,
         # wave 127 (round 5 session 5: top-p mass data selection)
         "topp_selection": q.q_topp_selection,
+        # wave 128 (round 5 session 5: repo boilerplate census)
+        "repo_boilerplate": q.q_repo_boilerplate,
         # waves 77-80 (round 5: convergence/metrics faces of the core
         # apps — these touched the pagerank/BFS/SSSP/LP/MCL loops)
         "bfs_dir_trace": q.q_bfs_dir_trace,
@@ -222,6 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mann_kendall": q.q_mann_kendall,  # Mann-Kendall trend S (r5 wave-94 green; dow_seasonal rotated out too but attribution/daily family keeps an events day-axis row in-window; rotated for wave-125 attribution)
         "vocab_coverage": q.q_vocab_coverage,  # Zipf vocab coverage (r5 wave-97 green; bpe_merges in-window trains the same token stream; rotated for wave-126 masked_spmv)
         "heavy_hitters": q.q_heavy_hitters,  # Misra-Gries heavy hitters (r5 wave-95 green; hll_audit/cm_audit sketch siblings gated locally, bm25_topk token stream in-window; rotated for wave-127 topp_selection)
+        "attack_curve": q.q_attack_curve,  # hub-attack robustness (r5 wave-96 green; ci_topk/densest_peel hub/peel rows in-window; rotated for wave-128 repo_boilerplate)
         "same_day_orders": q.q_same_day_orders,  # date-join census (r4 wave-68 green; daily_xcorr/dow_seasonal day-axis joins in-window)
         "filtered_bfs_payload": q.q_filtered_bfs_payload,  # payload-predicate BFS (r4 driver-green; bfs/bfs_dir_trace in-window)
         "decile_priority_grid": q.q_decile_priority_grid,  # decile grid (r4 wave-59 green; dow_seasonal/vocab_coverage census siblings)
@@ -912,6 +914,7 @@ def oracle_sql() -> dict[str, str]:
         "attribution": o.attribution(),
         "masked_spmv": o.masked_spmv(q.MASK_MOD, q.ACC_MOD),
         "topp_selection": o.topp_selection(q.TOPP_NUM, q.TOPP_DEN),
+        "repo_boilerplate": o.repo_boilerplate(),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

@@ -13167,3 +13167,25 @@ SELECT t.lang, t.n_docs, t.char_mass,
 FROM ranked r JOIN tot t ON t.lang = r.lang
 GROUP BY t.lang, t.n_docs, t.char_mass
 """
+
+
+@_materialized
+def repo_boilerplate() -> str:
+    """Repo import-line boilerplate census (twin of
+    `queries.q_repo_boilerplate`; regenerates the corpus import lines
+    from the targets relation)."""
+    return PREFIX + """
+, lines AS (
+  SELECT 'repo_' || (t.i % 100) AS repo, 'import m_' || t.j AS line
+  FROM targets t
+),
+percnt AS (
+  SELECT repo, line, CAST(count(*) AS BIGINT) AS c
+  FROM lines GROUP BY repo, line
+)
+SELECT repo,
+       CAST(sum(c) AS BIGINT) AS n_imports,
+       CAST(count(*) AS BIGINT) AS distinct_imports,
+       CAST(max(c) AS BIGINT) AS max_repeat
+FROM percnt GROUP BY repo
+"""

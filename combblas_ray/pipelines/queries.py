@@ -22937,7 +22937,7 @@ ALLOC_BUDGET = 100000
 
 
 def _w113_agg(src, lng, dc):
-    key = np.char.add(np.char.add(src.astype(str), "\x00"),
+    key = np.char.add(np.char.add(src.astype(str), "\x1f"),
                       lng.astype(str))
     uk, inv = np.unique(key, return_inverse=True)
     tot = ibincount(inv, dc, minlength=len(uk))
@@ -23625,8 +23625,8 @@ def _w122_part(b: pa.Table, width: int) -> pa.Table:
     lng = np.asarray(b.column("lang")).astype(object)
     nb = np.asarray(b.column("n_chars"), dtype=np.int64) // width
     key = np.char.add(np.char.add(
-        np.char.add(src.astype(str), "\x00"), lng.astype(str)),
-        np.char.add("\x00", nb.astype(str)))
+        np.char.add(src.astype(str), "\x1f"), lng.astype(str)),
+        np.char.add("\x1f", nb.astype(str)))
     uk, inv = np.unique(key, return_inverse=True)
     return pa.table({
         "cell": pa.array(uk.astype(object)),
@@ -23970,3 +23970,75 @@ def q_topp_selection(sf_dir: str):
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "lang", "n_chars"])
     return group_apply_tasks(ds, ["lang"], _w127_sel).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# wave 128: repo boilerplate census (repeated-line detection over the
+# raw corpus content — the dedup signal BELOW document granularity)
+# ---------------------------------------------------------------------------
+
+
+def _w128_lines(b: pa.Table) -> pa.Table:
+    """Vectorized per-batch import-line extraction: Arrow split on
+    newline, keep 'import ' lines, emit (repo, line) pairs."""
+    import pyarrow.compute as pc
+
+    parts = pc.split_pattern(b.column("content"), "\n")
+    flat = parts.combine_chunks() if isinstance(parts, pa.ChunkedArray) \
+        else parts
+    lens = pc.list_value_length(flat).to_numpy(zero_copy_only=False)
+    lines = flat.flatten()
+    repo = np.repeat(np.asarray(b.column("repo")).astype(object),
+                     lens.astype(np.int64))
+    keep = pc.starts_with(lines, "import ").to_numpy(
+        zero_copy_only=False).astype(bool)
+    return pa.table({
+        "repo": pa.array(repo[keep]),
+        "line": pa.array(np.asarray(lines).astype(object)[keep]),
+    })
+
+
+def _w128_census(j: pa.Table) -> pa.Table:
+    rp = np.asarray(j.column("repo")).astype(object)
+    ln = np.asarray(j.column("line")).astype(object)
+    if len(rp) == 0:
+        return pa.table({
+            "repo": pa.array([], type=pa.string()),
+            "n_imports": pa.array([], type=pa.int64()),
+            "distinct_imports": pa.array([], type=pa.int64()),
+            "max_repeat": pa.array([], type=pa.int64()),
+        })
+    key = np.char.add(np.char.add(rp.astype(str), "\x1f"),
+                      ln.astype(str))
+    uk, inv, cnt = np.unique(key, return_inverse=True,
+                             return_counts=True)
+    urepo = np.array([k.split("\x1f", 1)[0] for k in uk], dtype=object)
+    ur, rinv = np.unique(urepo.astype(str), return_inverse=True)
+    tot = ibincount(rinv, cnt.astype(np.int64), minlength=len(ur))
+    dst = np.bincount(rinv, minlength=len(ur)).astype(np.int64)
+    mx = np.zeros(len(ur), dtype=np.int64)
+    np.maximum.at(mx, rinv, cnt.astype(np.int64))
+    return pa.table({
+        "repo": pa.array(ur.astype(object)),
+        "n_imports": pa.array(tot),
+        "distinct_imports": pa.array(dst),
+        "max_repeat": pa.array(mx),
+    })
+
+
+def q_repo_boilerplate(sf_dir: str):
+    """Repo-level boilerplate census — the sub-document dedup signal
+    (license headers / generated imports repeated across a repo's
+    files): the RAW content column is split on newlines with Arrow
+    kernels (no Python over chars), 'import' lines key a (repo, line)
+    shuffle, and each repo reports total import lines, distinct
+    import lines, and the multiplicity of its most-repeated line
+    (max_repeat >> 1 = boilerplate). Output (repo, n_imports,
+    distinct_imports, max_repeat); integer-exact."""
+    from ..core.shuffle import group_apply_tasks
+
+    n = corpus_src.n_files_for(sf_dir)
+    corpus = corpus_src.corpus_dataset(n)
+    pairs = corpus.map_batches(_w128_lines, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return group_apply_tasks(pairs, ["repo"], _w128_census).to_pandas()
