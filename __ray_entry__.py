@@ -75,7 +75,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # profiling, hub ball similarity — newest)
         # wave 99 (round 5 session 4: rank correlation, Lorenz/Gini,
         # seasonal-adjusted anomalies — newest)
-        "segment_gini": q.q_segment_gini,
         # wave 100 (round 5 session 4: compositions ON the north-rule
         # outputs — newest)
         "pr_deg_footrule": q.q_pr_deg_footrule,
@@ -144,6 +143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topp_selection": q.q_topp_selection,
         # wave 128 (round 5 session 5: repo boilerplate census)
         "repo_boilerplate": q.q_repo_boilerplate,
+        # wave 129 (round 5 session 5: dedup-discounted data budget)
+        "effective_tokens": q.q_effective_tokens,
         # waves 77-80 (round 5: convergence/metrics faces of the core
         # apps — these touched the pagerank/BFS/SSSP/LP/MCL loops)
         "bfs_dir_trace": q.q_bfs_dir_trace,
@@ -224,6 +225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage": q.q_vocab_coverage,  # Zipf vocab coverage (r5 wave-97 green; bpe_merges in-window trains the same token stream; rotated for wave-126 masked_spmv)
         "heavy_hitters": q.q_heavy_hitters,  # Misra-Gries heavy hitters (r5 wave-95 green; hll_audit/cm_audit sketch siblings gated locally, bm25_topk token stream in-window; rotated for wave-127 topp_selection)
         "attack_curve": q.q_attack_curve,  # hub-attack robustness (r5 wave-96 green; ci_topk/densest_peel hub/peel rows in-window; rotated for wave-128 repo_boilerplate)
+        "segment_gini": q.q_segment_gini,  # per-segment Gini (r5 wave-99 green; lorenz/pareto inequality siblings gated locally; rotated for wave-129 effective_tokens)
         "same_day_orders": q.q_same_day_orders,  # date-join census (r4 wave-68 green; daily_xcorr/dow_seasonal day-axis joins in-window)
         "filtered_bfs_payload": q.q_filtered_bfs_payload,  # payload-predicate BFS (r4 driver-green; bfs/bfs_dir_trace in-window)
         "decile_priority_grid": q.q_decile_priority_grid,  # decile grid (r4 wave-59 green; dow_seasonal/vocab_coverage census siblings)
@@ -915,6 +917,7 @@ def oracle_sql() -> dict[str, str]:
         "masked_spmv": o.masked_spmv(q.MASK_MOD, q.ACC_MOD),
         "topp_selection": o.topp_selection(q.TOPP_NUM, q.TOPP_DEN),
         "repo_boilerplate": o.repo_boilerplate(),
+        "effective_tokens": o.effective_tokens(0.5, q.DUP_CLUSTER_ROUNDS),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

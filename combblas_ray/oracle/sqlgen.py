@@ -13189,3 +13189,26 @@ SELECT repo,
        CAST(max(c) AS BIGINT) AS max_repeat
 FROM percnt GROUP BY repo
 """
+
+
+def effective_tokens(tau: float = 0.5, rounds: int = 6,
+                     df_cap: int = 1000) -> str:
+    """Dedup-discounted mass per source (twin of
+    `queries.q_effective_tokens`; wraps the `dup_clusters` chain)."""
+    inner = dup_clusters(tau, rounds, df_cap)
+    return f"""
+WITH dc AS MATERIALIZED ({inner}),
+sizes AS MATERIALIZED (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS sz
+  FROM dc GROUP BY cluster
+)
+SELECT d.source,
+       CAST(sum(d.n_chars) AS BIGINT) AS raw_chars,
+       round(sum(d.n_chars / CAST(coalesce(s.sz, 1) AS DOUBLE)), 6)
+         AS effective_chars
+FROM documents d
+LEFT JOIN dc ON dc.doc_id = d.doc_id
+LEFT JOIN sizes s ON s.cluster = dc.cluster
+GROUP BY d.source
+ORDER BY d.source
+"""

@@ -24042,3 +24042,71 @@ def q_repo_boilerplate(sf_dir: str):
     pairs = corpus.map_batches(_w128_lines, batch_format="pyarrow",
                                zero_copy_batch=True)
     return group_apply_tasks(pairs, ["repo"], _w128_census).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# wave 129: dedup-discounted effective token budget per source (each
+# doc counts 1/cluster-size of its mass)
+# ---------------------------------------------------------------------------
+
+
+def _w129_sizes(j: pa.Table) -> pa.Table:
+    c = np.asarray(j.column("cluster"), dtype=np.int64)
+    uk, cnt = np.unique(c, return_counts=True)
+    return pa.table({"cluster": pa.array(uk),
+                     "sz": pa.array(cnt.astype(np.int64))})
+
+
+def _w129_part(b: pa.Table) -> pa.Table:
+    src = np.asarray(b.column("source")).astype(object)
+    nc = np.asarray(b.column("n_chars"), dtype=np.float64)
+    szc = b.column("sz").to_numpy(zero_copy_only=False).astype(
+        np.float64)
+    sz = np.where(np.isnan(szc), 1.0, szc)
+    uk, inv = np.unique(src.astype(str), return_inverse=True)
+    raw = ibincount(inv, nc.astype(np.int64), minlength=len(uk))
+    eff = np.bincount(inv, weights=nc / sz, minlength=len(uk))
+    return pa.table({
+        "source": pa.array(uk.astype(object)),
+        "raw": pa.array(raw),
+        "eff": pa.array(eff),
+    })
+
+
+def q_effective_tokens(sf_dir: str):
+    """Dedup-discounted data budget — the planning number an LLM run
+    actually trains on: every document contributes its char mass
+    divided by its near-dup CLUSTER size (clusters = fixed-round
+    min-label CC over the exact Jaccard pair graph, `dup_clusters`;
+    docs in no pair count fully). Per source: raw vs effective mass —
+    the gap IS the redundancy tax. One cluster-size group + two
+    co-partitioned joins + per-batch source partials. Output
+    (source, raw_chars, effective_chars rounded 6)."""
+    import ray as _ray
+
+    from ..core.shuffle import group_apply_tasks, hash_join_tasks
+    from ..functions import dedup as D
+
+    docs = _ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars"])
+    cl = D.dup_clusters(_docs(sf_dir), tau=0.5,
+                        rounds=DUP_CLUSTER_ROUNDS)
+    sizes = group_apply_tasks(cl, ["cluster"], _w129_sizes)
+    cl2 = hash_join_tasks(cl, sizes, on="cluster")
+    j = hash_join_tasks(docs, cl2.select_columns(["doc_id", "sz"]),
+                        on="doc_id", join_type="left outer")
+    parts = j.map_batches(_w129_part,
+                          batch_format="pyarrow").to_pandas()
+    agg: dict[str, list[float]] = {}
+    for _, r in parts.iterrows():
+        cur = agg.setdefault(r.source, [0, 0.0])
+        cur[0] += int(r.raw)
+        cur[1] += float(r.eff)
+    ks = sorted(agg)
+    return pa.table({
+        "source": pa.array(ks),
+        "raw_chars": pa.array([agg[k][0] for k in ks],
+                              type=pa.int64()),
+        "effective_chars": pa.array([round(agg[k][1], 6) for k in ks]),
+    })
