@@ -77,7 +77,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # seasonal-adjusted anomalies — newest)
         # wave 100 (round 5 session 4: compositions ON the north-rule
         # outputs — newest)
-        "pr_deg_footrule": q.q_pr_deg_footrule,
         # wave 101 (round 5 session 4: the Graph500 R-MAT generator
         # gets bit-exact driver-gated oracle faces — newest)
         "rmat_census": q.q_rmat_census,
@@ -145,6 +144,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repo_boilerplate": q.q_repo_boilerplate,
         # wave 129 (round 5 session 5: dedup-discounted data budget)
         "effective_tokens": q.q_effective_tokens,
+        # wave 130 (round 5 session 5: PR damping sensitivity capstone)
+        "pr_damping_sensitivity": q.q_pr_damping_sensitivity,
         # waves 77-80 (round 5: convergence/metrics faces of the core
         # apps — these touched the pagerank/BFS/SSSP/LP/MCL loops)
         "bfs_dir_trace": q.q_bfs_dir_trace,
@@ -226,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": q.q_heavy_hitters,  # Misra-Gries heavy hitters (r5 wave-95 green; hll_audit/cm_audit sketch siblings gated locally, bm25_topk token stream in-window; rotated for wave-127 topp_selection)
         "attack_curve": q.q_attack_curve,  # hub-attack robustness (r5 wave-96 green; ci_topk/densest_peel hub/peel rows in-window; rotated for wave-128 repo_boilerplate)
         "segment_gini": q.q_segment_gini,  # per-segment Gini (r5 wave-99 green; lorenz/pareto inequality siblings gated locally; rotated for wave-129 effective_tokens)
+        "pr_deg_footrule": q.q_pr_deg_footrule,  # PR-vs-degree rank distance (r5 wave-100 green; pr_damping_sensitivity in-window is the standing PR-composition row; rotated for wave-130)
         "same_day_orders": q.q_same_day_orders,  # date-join census (r4 wave-68 green; daily_xcorr/dow_seasonal day-axis joins in-window)
         "filtered_bfs_payload": q.q_filtered_bfs_payload,  # payload-predicate BFS (r4 driver-green; bfs/bfs_dir_trace in-window)
         "decile_priority_grid": q.q_decile_priority_grid,  # decile grid (r4 wave-59 green; dow_seasonal/vocab_coverage census siblings)
@@ -918,6 +920,8 @@ def oracle_sql() -> dict[str, str]:
         "topp_selection": o.topp_selection(q.TOPP_NUM, q.TOPP_DEN),
         "repo_boilerplate": o.repo_boilerplate(),
         "effective_tokens": o.effective_tokens(0.5, q.DUP_CLUSTER_ROUNDS),
+        "pr_damping_sensitivity": o.pr_damping_sensitivity(
+            q.PR_ITERS, q.PRDS_D2, q.PRDS_TOPK),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

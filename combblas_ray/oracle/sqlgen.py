@@ -13212,3 +13212,61 @@ LEFT JOIN sizes s ON s.cluster = dc.cluster
 GROUP BY d.source
 ORDER BY d.source
 """
+
+
+@_materialized
+def pr_damping_sensitivity(iters: int = 10, d2: float = 0.6,
+                           topk: int = 20) -> str:
+    """PageRank damping sensitivity (twin of
+    `queries.q_pr_damping_sensitivity`; two unrolled chains, ranks
+    over rounded scores with arith tie-break)."""
+
+    def chain(tag: str, d: float) -> str:
+        sql = f"""
+, r{tag}0 AS (SELECT f.i, 1.0 / p.n AS score
+              FROM files f CROSS JOIN params p)
+"""
+        prev = f"r{tag}0"
+        for k in range(1, iters + 1):
+            sql += f"""
+, dang{tag}{k} AS (
+  SELECT coalesce(sum(r.score), 0.0) AS dm FROM {prev} r
+  LEFT JOIN outw o ON o.src = r.i WHERE o.src IS NULL
+),
+contrib{tag}{k} AS (
+  SELECT e.dst AS i, sum(r.score * e.w / o.ow) AS c
+  FROM edges e JOIN {prev} r ON r.i = e.src
+  JOIN outw o ON o.src = e.src
+  GROUP BY e.dst
+),
+r{tag}{k} AS (
+  SELECT f.i,
+         (1.0 - {d}) / p.n
+         + {d} * (coalesce(c.c, 0.0) + dg.dm / p.n) AS score
+  FROM files f CROSS JOIN params p CROSS JOIN dang{tag}{k} dg
+  LEFT JOIN contrib{tag}{k} c ON c.i = f.i
+)"""
+            prev = f"r{tag}{k}"
+        return sql
+
+    return PREFIX + """
+, outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src)
+""" + chain("a", 0.85) + chain("b", d2) + f"""
+, sc AS (
+  SELECT a.i, round(a.score * p.n, 6) AS s085,
+         round(b.score * p.n, 6) AS s060
+  FROM ra{iters} a JOIN rb{iters} b ON b.i = a.i CROSS JOIN params p
+),
+rk AS (
+  SELECT i, s085, s060,
+         row_number() OVER (ORDER BY s085 DESC, i ASC) AS rank85,
+         row_number() OVER (ORDER BY s060 DESC, i ASC) AS rank60
+  FROM sc
+)
+SELECT v.label AS label, r.s085, r.s060,
+       CAST(r.rank85 AS BIGINT) AS rank85,
+       CAST(r.rank60 AS BIGINT) AS rank60
+FROM rk r JOIN verts v ON v.i = r.i
+ORDER BY r.rank85
+LIMIT {topk}
+"""

@@ -24110,3 +24110,44 @@ def q_effective_tokens(sf_dir: str):
                               type=pa.int64()),
         "effective_chars": pa.array([round(agg[k][1], 6) for k in ks]),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 130: PageRank damping sensitivity (north-rule capstone — how
+# stable is the ranking when the teleport knob moves?)
+# ---------------------------------------------------------------------------
+
+PRDS_D2 = 0.6
+PRDS_TOPK = 20
+
+
+def q_pr_damping_sensitivity(sf_dir: str):
+    """Damping sensitivity of the north-rule ranking: PageRank at
+    alpha = 0.85 and alpha = PRDS_D2 (same fixed PR_ITERS synchronous
+    iterations, both refs-only through the resident engine), scores
+    rounded to 6 decimals, ranks taken over the ROUNDED scores
+    (deterministic cross-engine: rounding is the oracle-equality
+    granularity) with arith-id tie-break. Output: the PRDS_TOPK rows
+    of the alpha=0.85 ranking with both scores and both ranks — rank
+    churn here = teleport-sensitive hubs."""
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("directed")
+    r85, _ = pagerank(eng, iters=PR_ITERS)
+    r60, _ = pagerank(eng, damping=PRDS_D2, iters=PR_ITERS)
+    s85 = np.round(r85 * ctx.n, 6)
+    s60 = np.round(r60 * ctx.n, 6)
+    ar = np.asarray(ctx.arith, dtype=np.int64)
+    o85 = np.lexsort((ar, -s85))
+    o60 = np.lexsort((ar, -s60))
+    rk85 = np.empty(ctx.n, dtype=np.int64)
+    rk85[o85] = np.arange(1, ctx.n + 1)
+    rk60 = np.empty(ctx.n, dtype=np.int64)
+    rk60[o60] = np.arange(1, ctx.n + 1)
+    top = o85[:PRDS_TOPK]
+    return pa.table({
+        "label": _label_col(ctx, top),
+        "s085": pa.array(s85[top]),
+        "s060": pa.array(s60[top]),
+        "rank85": pa.array(rk85[top]),
+        "rank60": pa.array(rk60[top]),
+    })
