@@ -85,7 +85,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # resume, incremental block update, MM writer roundtrip)
         "pagerank_resumed": q.q_pagerank_resumed,
         "cc_incremental": q.q_cc_incremental,
-        "mm_roundtrip": q.q_mm_roundtrip,
         # wave 103 (round 5 session 4: salted-key skew mitigation gets
         # driver-gated faces — newest)
         "salted_degree_topk": q.q_salted_degree_topk,
@@ -146,6 +145,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "effective_tokens": q.q_effective_tokens,
         # wave 130 (round 5 session 5: PR damping sensitivity capstone)
         "pr_damping_sensitivity": q.q_pr_damping_sensitivity,
+        # wave 131 (round 5 session 5: JSONL interchange roundtrip)
+        "jsonl_roundtrip": q.q_jsonl_roundtrip,
         # waves 77-80 (round 5: convergence/metrics faces of the core
         # apps — these touched the pagerank/BFS/SSSP/LP/MCL loops)
         "bfs_dir_trace": q.q_bfs_dir_trace,
@@ -228,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attack_curve": q.q_attack_curve,  # hub-attack robustness (r5 wave-96 green; ci_topk/densest_peel hub/peel rows in-window; rotated for wave-128 repo_boilerplate)
         "segment_gini": q.q_segment_gini,  # per-segment Gini (r5 wave-99 green; lorenz/pareto inequality siblings gated locally; rotated for wave-129 effective_tokens)
         "pr_deg_footrule": q.q_pr_deg_footrule,  # PR-vs-degree rank distance (r5 wave-100 green; pr_damping_sensitivity in-window is the standing PR-composition row; rotated for wave-130)
+        "mm_roundtrip": q.q_mm_roundtrip,  # matrix-market writer roundtrip (r5 wave-102 green; jsonl_roundtrip/block_prune_scan IO-sink rows in-window; rotated for wave-131)
         "same_day_orders": q.q_same_day_orders,  # date-join census (r4 wave-68 green; daily_xcorr/dow_seasonal day-axis joins in-window)
         "filtered_bfs_payload": q.q_filtered_bfs_payload,  # payload-predicate BFS (r4 driver-green; bfs/bfs_dir_trace in-window)
         "decile_priority_grid": q.q_decile_priority_grid,  # decile grid (r4 wave-59 green; dow_seasonal/vocab_coverage census siblings)
@@ -922,6 +924,7 @@ def oracle_sql() -> dict[str, str]:
         "effective_tokens": o.effective_tokens(0.5, q.DUP_CLUSTER_ROUNDS),
         "pr_damping_sensitivity": o.pr_damping_sensitivity(
             q.PR_ITERS, q.PRDS_D2, q.PRDS_TOPK),
+        "jsonl_roundtrip": o.jsonl_roundtrip(),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

@@ -13270,3 +13270,25 @@ FROM rk r JOIN verts v ON v.i = r.i
 ORDER BY r.rank85
 LIMIT {topk}
 """
+
+
+@_materialized
+def jsonl_roundtrip() -> str:
+    """JSONL roundtrip census in dense id space (twin of
+    `queries.q_jsonl_roundtrip`)."""
+    return PREFIX + """
+, dense AS (
+  SELECT i, row_number() OVER (ORDER BY label) - 1 AS d FROM verts
+),
+de AS (
+  SELECT ds.d AS src, dd.d AS dst, e.w
+  FROM edges e
+  JOIN dense ds ON ds.i = e.src
+  JOIN dense dd ON dd.i = e.dst
+)
+SELECT CAST(count(*) AS BIGINT) AS nnz,
+       CAST(sum(src) AS BIGINT) AS srcsum,
+       CAST(sum(dst) AS BIGINT) AS dstsum,
+       CAST(sum(w) AS BIGINT) AS wsum
+FROM de
+"""

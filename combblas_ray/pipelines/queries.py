@@ -24151,3 +24151,54 @@ def q_pr_damping_sensitivity(sf_dir: str):
         "rank85": pa.array(rk85[top]),
         "rank60": pa.array(rk60[top]),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 131: JSONL interchange roundtrip census (the non-Arrow consumer
+# contract, driver-gated)
+# ---------------------------------------------------------------------------
+
+
+def _w131_census(b: pa.Table) -> pa.Table:
+    s = np.asarray(b.column("src"), dtype=np.int64)
+    d = np.asarray(b.column("dst"), dtype=np.int64)
+    w = np.asarray(b.column("w"), dtype=np.float64).astype(np.int64)
+    return pa.table({
+        "nnz": pa.array([len(s)], type=pa.int64()),
+        "srcsum": pa.array([int(s.sum())], type=pa.int64()),
+        "dstsum": pa.array([int(d.sum())], type=pa.int64()),
+        "wsum": pa.array([int(w.sum())], type=pa.int64()),
+    })
+
+
+def q_jsonl_roundtrip(sf_dir: str):
+    """JSONL interchange roundtrip (the non-Arrow consumer contract,
+    `write_edges_jsonl`/`read_edges_jsonl`): the edge table is written
+    as block-sharded JSONL under /tmp, read back through
+    `ray.data.read_json` (byte-range splittable, schema re-normalized
+    to the engine contract), and censused — nnz and the exact id/w
+    sums must survive the text round trip bit-for-bit. The oracle
+    computes the same census from the relational edge derivation, so
+    a lossy writer/reader would hash-mismatch. Output one row
+    (nnz, srcsum, dstsum, wsum) in DENSE id space (the oracle
+    re-derives dense ids as label ranks)."""
+    import os
+    import shutil
+
+    from ..sources import io as io_src
+
+    ctx = get_context(sf_dir)
+    path = os.path.join("/tmp", "cbray_scratch", f"jsonl_n{ctx.n}")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+    io_src.write_edges_jsonl(ctx.graph("directed"), path)
+    g2 = io_src.read_edges_jsonl(path, ctx.n)
+    parts = g2.edges.map_batches(_w131_census,
+                                 batch_format="pyarrow").to_pandas()
+    return pa.table({
+        "nnz": pa.array([int(parts.nnz.sum())], type=pa.int64()),
+        "srcsum": pa.array([int(parts.srcsum.sum())], type=pa.int64()),
+        "dstsum": pa.array([int(parts.dstsum.sum())], type=pa.int64()),
+        "wsum": pa.array([int(parts.wsum.sum())], type=pa.int64()),
+    })
