@@ -80,7 +80,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 101 (round 5 session 4: the Graph500 R-MAT generator
         # gets bit-exact driver-gated oracle faces — newest)
         "rmat_census": q.q_rmat_census,
-        "rmat_deg_hist": q.q_rmat_deg_hist,
         # wave 102 (round 5 session 4: durability faces — checkpoint
         # resume, incremental block update, MM writer roundtrip)
         "pagerank_resumed": q.q_pagerank_resumed,
@@ -147,6 +146,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pr_damping_sensitivity": q.q_pr_damping_sensitivity,
         # wave 131 (round 5 session 5: JSONL interchange roundtrip)
         "jsonl_roundtrip": q.q_jsonl_roundtrip,
+        # wave 132 (round 5 session 5: video shot-boundary census)
+        "shot_census": q.q_shot_census,
         # waves 77-80 (round 5: convergence/metrics faces of the core
         # apps — these touched the pagerank/BFS/SSSP/LP/MCL loops)
         "bfs_dir_trace": q.q_bfs_dir_trace,
@@ -230,6 +231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_gini": q.q_segment_gini,  # per-segment Gini (r5 wave-99 green; lorenz/pareto inequality siblings gated locally; rotated for wave-129 effective_tokens)
         "pr_deg_footrule": q.q_pr_deg_footrule,  # PR-vs-degree rank distance (r5 wave-100 green; pr_damping_sensitivity in-window is the standing PR-composition row; rotated for wave-130)
         "mm_roundtrip": q.q_mm_roundtrip,  # matrix-market writer roundtrip (r5 wave-102 green; jsonl_roundtrip/block_prune_scan IO-sink rows in-window; rotated for wave-131)
+        "rmat_deg_hist": q.q_rmat_deg_hist,  # R-MAT degree histogram (r5 wave-101 green; rmat_census generator row in-window; rotated for wave-132 shot_census)
         "same_day_orders": q.q_same_day_orders,  # date-join census (r4 wave-68 green; daily_xcorr/dow_seasonal day-axis joins in-window)
         "filtered_bfs_payload": q.q_filtered_bfs_payload,  # payload-predicate BFS (r4 driver-green; bfs/bfs_dir_trace in-window)
         "decile_priority_grid": q.q_decile_priority_grid,  # decile grid (r4 wave-59 green; dow_seasonal/vocab_coverage census siblings)
@@ -925,6 +927,7 @@ def oracle_sql() -> dict[str, str]:
         "pr_damping_sensitivity": o.pr_damping_sensitivity(
             q.PR_ITERS, q.PRDS_D2, q.PRDS_TOPK),
         "jsonl_roundtrip": o.jsonl_roundtrip(),
+        "shot_census": o.shot_census(q.SHOT_T),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

@@ -13292,3 +13292,33 @@ SELECT CAST(count(*) AS BIGINT) AS nnz,
        CAST(sum(w) AS BIGINT) AS wsum
 FROM de
 """
+
+
+def shot_census(t: int = 5000) -> str:
+    """Shot-boundary census (twin of `queries.q_shot_census`;
+    make_video_blob frame arithmetic regenerated: frame size 64,
+    pixel i = (i*(id+3)) % 241, a cut where the pair diff sum > t)."""
+    return f"""
+WITH dims AS (
+  SELECT doc_id AS item_id, CAST(4 + (doc_id % 5) AS BIGINT) AS nf
+  FROM documents
+),
+pairdiff AS (
+  SELECT d.item_id, (r.i // 64) AS pair_idx,
+         CAST(sum(abs((r.i * (d.item_id + 3)) % 241
+                      - ((r.i - 64) * (d.item_id + 3)) % 241))
+              AS BIGINT) AS dv
+  FROM dims d CROSS JOIN range(512) r(i)
+  WHERE r.i >= 64 AND r.i < d.nf * 64
+  GROUP BY 1, 2
+),
+shots AS (
+  SELECT dm.item_id,
+         1 + CAST(coalesce(count(*) FILTER (p.dv > {t}), 0) AS BIGINT)
+           AS n_shots
+  FROM dims dm LEFT JOIN pairdiff p ON p.item_id = dm.item_id
+  GROUP BY dm.item_id
+)
+SELECT n_shots, CAST(count(*) AS BIGINT) AS n_videos
+FROM shots GROUP BY 1 ORDER BY 1
+"""

@@ -24202,3 +24202,58 @@ def q_jsonl_roundtrip(sf_dir: str):
         "dstsum": pa.array([int(parts.dstsum.sum())], type=pa.int64()),
         "wsum": pa.array([int(parts.wsum.sum())], type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 132: video shot-boundary census (per-frame-pair motion
+# thresholding through the decode actor pool)
+# ---------------------------------------------------------------------------
+
+SHOT_T = 5000  # per-frame-pair absolute-diff sum above this = a cut
+
+
+def q_shot_census(sf_dir: str):
+    """Shot-boundary detection plumbing — the video curation stage
+    that splits clips at scene cuts: every payload decodes in the
+    actor pool, each adjacent frame PAIR scores its absolute pixel
+    diff sum, pairs above SHOT_T are cuts, shots = cuts + 1 (the
+    frame-sample sibling of `video_motion`, which only totals the
+    motion). Only the (n_shots, n_videos) histogram partials reach
+    the driver. Integer-exact, SQL-regenerable."""
+    from ..functions import multimodal as M
+
+    blobs = M.blob_dataset_from_docs(sf_dir, kind="video")
+
+    class _Shots:
+        def __init__(self):
+            import struct
+            self.header = struct.Struct("<III")
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            counts: dict[int, int] = {}
+            for payload in batch.column("payload").to_pylist():
+                _k, nf, fsz = self.header.unpack_from(payload, 0)
+                fr = np.frombuffer(payload, dtype=np.uint8,
+                                   offset=self.header.size
+                                   ).astype(np.int64).reshape(nf, fsz)
+                dv = np.abs(fr[1:] - fr[:-1]).sum(axis=1)
+                shots = 1 + int((dv > SHOT_T).sum())
+                counts[shots] = counts.get(shots, 0) + 1
+            ks = sorted(counts)
+            return pa.table({
+                "n_shots": pa.array(ks, type=pa.int64()),
+                "n_videos": pa.array([counts[k] for k in ks],
+                                     type=pa.int64()),
+            })
+
+    parts = blobs.map_batches(_Shots, batch_format="pyarrow",
+                              batch_size=64, concurrency=2).take_all()
+    agg: dict[int, int] = {}
+    for r in parts:
+        agg[int(r["n_shots"])] = agg.get(int(r["n_shots"]), 0) \
+            + int(r["n_videos"])
+    ks = sorted(agg)
+    return pa.table({
+        "n_shots": pa.array(ks, type=pa.int64()),
+        "n_videos": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
