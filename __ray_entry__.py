@@ -91,9 +91,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 104 (round 5 session 4: Bellman-Ford under negative
         # weights — newest)
         "khop_cheapest": q.q_khop_cheapest,
-        # wave 105 (round 5 session 4: modularity-driven community
-        # sweep — newest)
-        "louvain_pass": q.q_louvain_pass,
         # wave 106 (round 5 session 4: densest-subgraph parallel peel)
         "densest_peel": q.q_densest_peel,
         # wave 107 (round 5 session 5: collective-influence ranking)
@@ -148,6 +145,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip": q.q_jsonl_roundtrip,
         # wave 132 (round 5 session 5: video shot-boundary census)
         "shot_census": q.q_shot_census,
+        # wave 133 (round 5 session 5: ANN recall agreement audit)
+        "ann_recall_audit": q.q_ann_recall_audit,
         # waves 77-80 (round 5: convergence/metrics faces of the core
         # apps — these touched the pagerank/BFS/SSSP/LP/MCL loops)
         "bfs_dir_trace": q.q_bfs_dir_trace,
@@ -232,6 +231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pr_deg_footrule": q.q_pr_deg_footrule,  # PR-vs-degree rank distance (r5 wave-100 green; pr_damping_sensitivity in-window is the standing PR-composition row; rotated for wave-130)
         "mm_roundtrip": q.q_mm_roundtrip,  # matrix-market writer roundtrip (r5 wave-102 green; jsonl_roundtrip/block_prune_scan IO-sink rows in-window; rotated for wave-131)
         "rmat_deg_hist": q.q_rmat_deg_hist,  # R-MAT degree histogram (r5 wave-101 green; rmat_census generator row in-window; rotated for wave-132 shot_census)
+        "louvain_pass": q.q_louvain_pass,  # Louvain first sweep (r5 wave-105 green; densest_peel/domset_trace community-peel rows in-window; rotated for wave-133 ann_recall_audit)
         "same_day_orders": q.q_same_day_orders,  # date-join census (r4 wave-68 green; daily_xcorr/dow_seasonal day-axis joins in-window)
         "filtered_bfs_payload": q.q_filtered_bfs_payload,  # payload-predicate BFS (r4 driver-green; bfs/bfs_dir_trace in-window)
         "decile_priority_grid": q.q_decile_priority_grid,  # decile grid (r4 wave-59 green; dow_seasonal/vocab_coverage census siblings)
@@ -928,6 +928,7 @@ def oracle_sql() -> dict[str, str]:
             q.PR_ITERS, q.PRDS_D2, q.PRDS_TOPK),
         "jsonl_roundtrip": o.jsonl_roundtrip(),
         "shot_census": o.shot_census(q.SHOT_T),
+        "ann_recall_audit": o.ann_recall_audit(),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

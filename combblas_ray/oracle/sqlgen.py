@@ -13322,3 +13322,26 @@ shots AS (
 SELECT n_shots, CAST(count(*) AS BIGINT) AS n_videos
 FROM shots GROUP BY 1 ORDER BY 1
 """
+
+
+def ann_recall_audit(nq: int = 10, k: int = 5) -> str:
+    """Recall@k histogram of LSH vs exact (twin of
+    `queries.q_ann_recall_audit`; wraps the two green ANN oracles)."""
+    ex = ann_topk(nq, k)
+    ls = ann_lsh(nq, k)
+    return f"""
+WITH exact_nn AS MATERIALIZED ({ex}),
+lsh_nn AS MATERIALIZED ({ls}),
+perq AS (
+  SELECT q.qid, CAST(coalesce(h.c, 0) AS BIGINT) AS hits
+  FROM (SELECT DISTINCT query_id AS qid FROM exact_nn) q
+  LEFT JOIN (
+    SELECT e.query_id AS qid, count(*) AS c
+    FROM exact_nn e JOIN lsh_nn l
+      ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+    GROUP BY 1
+  ) h ON h.qid = q.qid
+)
+SELECT hits, CAST(count(*) AS BIGINT) AS n_queries
+FROM perq GROUP BY 1 ORDER BY 1
+"""

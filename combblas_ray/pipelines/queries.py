@@ -24257,3 +24257,43 @@ def q_shot_census(sf_dir: str):
         "n_shots": pa.array(ks, type=pa.int64()),
         "n_videos": pa.array([agg[k] for k in ks], type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 133: ANN recall audit (exact vs multi-probe LSH, both plans
+# driver-gated already — this row gates their AGREEMENT)
+# ---------------------------------------------------------------------------
+
+
+def q_ann_recall_audit(sf_dir: str):
+    """Recall@k audit of the approximate similarity-search plan: the
+    exact brute-force top-k (`ann_bruteforce_topk`, the 2D-tiled
+    baseline) and the multi-probe sign-LSH plan (`ann_lsh_topk`) run
+    over the SAME 10 queries; per query, hits = |exact ∩ lsh| — the
+    per-query recall numerator the ANN literature reports. Output the
+    (hits, n_queries) histogram: any mass below k quantifies exactly
+    what the sub-quadratic plan trades away. Both member plans are
+    bit-exact-oracled on their own; this row gates their AGREEMENT."""
+    import ray as _ray
+
+    from ..functions import ann as A
+
+    emb = _ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                 columns=["vec_id", "embedding"])
+    qs = np.arange(10)
+    ex = A.ann_bruteforce_topk(emb, qs, k=5).to_pandas()
+    ls = A.ann_lsh_topk(emb, qs, k=5).to_pandas()
+    ex_set = {(int(r.query_id), int(r.neighbor_id))
+              for _, r in ex.iterrows()}
+    hits_per_q: dict[int, int] = {int(q): 0 for q in qs}
+    for _, r in ls.iterrows():
+        if (int(r.query_id), int(r.neighbor_id)) in ex_set:
+            hits_per_q[int(r.query_id)] += 1
+    agg: dict[int, int] = {}
+    for h in hits_per_q.values():
+        agg[h] = agg.get(h, 0) + 1
+    ks = sorted(agg)
+    return pa.table({
+        "hits": pa.array(ks, type=pa.int64()),
+        "n_queries": pa.array([agg[k] for k in ks], type=pa.int64()),
+    })
