@@ -13345,3 +13345,25 @@ perq AS (
 SELECT hits, CAST(count(*) AS BIGINT) AS n_queries
 FROM perq GROUP BY 1 ORDER BY 1
 """
+
+
+@_materialized
+def pr_mass_by_repo(iters: int = 10, topk: int = 10) -> str:
+    """PageRank mass per repository (twin of
+    `queries.q_pr_mass_by_repo`; repo = arith id % 100)."""
+    base = pagerank(iters)
+    return f"""
+WITH pr AS MATERIALIZED (
+  SELECT CAST(substr(label, 3) AS BIGINT) AS i, score
+  FROM ({base})
+),
+agg AS (
+  SELECT (i % 100) AS rid, CAST(count(*) AS BIGINT) AS n_modules,
+         round(sum(score), 6) AS mass
+  FROM pr GROUP BY 1
+)
+SELECT 'repo_' || rid AS repo, n_modules, mass
+FROM agg
+ORDER BY mass DESC, rid ASC
+LIMIT {topk}
+"""

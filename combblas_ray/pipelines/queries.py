@@ -24297,3 +24297,45 @@ def q_ann_recall_audit(sf_dir: str):
         "hits": pa.array(ks, type=pa.int64()),
         "n_queries": pa.array([agg[k] for k in ks], type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 134: PageRank mass by repository (north-rule output joined to
+# the corpus metadata axis)
+# ---------------------------------------------------------------------------
+
+PRREPO_TOPK = 10
+
+
+def q_pr_mass_by_repo(sf_dir: str):
+    """Where does the rank live? PageRank mass aggregated by the
+    REPOSITORY each module belongs to (repo = arith % 100, the corpus
+    layout): scores stay chunked refs out of the solver; the repo key
+    derives per chunk from the dictionary arith slices, so the
+    aggregation is a bounded (100-entry) per-chunk partial — no
+    vertex-level shuffle at all. Output the PRREPO_TOPK repos by
+    (mass DESC, repo ASC): (repo, n_modules, mass rounded 6)."""
+    ctx = get_context(sf_dir)
+    eng = ctx.engine("directed")
+    r, _ = pagerank(eng, iters=PR_ITERS)
+    # chunked aggregation: repo key from arith refs, mass partials
+    ar_refs = ctx.vdict.arith_slice_refs(eng.bounds)
+    # per-vertex scores rounded FIRST (the oracle-equality granularity,
+    # same as the green `pagerank` row), then mass-summed
+    rref = eng.chunk(np.round(r * ctx.n, 6))
+
+    def _part(ar, rv):
+        rep = np.asarray(ar, dtype=np.int64) % 100
+        cnt = np.bincount(rep, minlength=100).astype(np.int64)
+        mass = np.bincount(rep, weights=rv, minlength=100)
+        return cnt, mass
+
+    parts = eng.chunk_scalars(_part, ar_refs, rref)
+    cnt = np.sum([p[0] for p in parts], axis=0)
+    mass = np.sum([p[1] for p in parts], axis=0)
+    o = np.lexsort((np.arange(100), -np.round(mass, 6)))[:PRREPO_TOPK]
+    return pa.table({
+        "repo": pa.array([f"repo_{i}" for i in o]),
+        "n_modules": pa.array(cnt[o], type=pa.int64()),
+        "mass": pa.array(np.round(mass[o], 6)),
+    })
