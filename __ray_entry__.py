@@ -208,6 +208,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 134 (round 5 session 5, registered out-of-window to keep
         # the certified window frozen: PR mass by repository)
         "pr_mass_by_repo": q.q_pr_mass_by_repo,
+        # wave 135 (out-of-window: Watts-Strogatz generator census)
+        "ws_census": q.q_ws_census,
         "tailed_triangles": q.q_tailed_triangles,  # motif census (r5 wave-93 green; diamond_count in-window runs the same wedge plan; rotated for wave-107 ci_topk)
         "theil_sen": q.q_theil_sen,  # exact-fraction trend slope (r5 wave-94 green; mann_kendall in-window runs the same day-series plan; rotated for wave-108 domset_trace)
         "daily_xcorr": q.q_daily_xcorr,  # day-lag coupling (r5 wave-95 green; mann_kendall/dow_seasonal day-series siblings in-window; rotated for wave-109 scan_topk)
@@ -933,6 +935,7 @@ def oracle_sql() -> dict[str, str]:
         "shot_census": o.shot_census(q.SHOT_T),
         "ann_recall_audit": o.ann_recall_audit(),
         "pr_mass_by_repo": o.pr_mass_by_repo(q.PR_ITERS, q.PRREPO_TOPK),
+        "ws_census": o.ws_census(q.WS_K, q.WS_REWIRE_MOD),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

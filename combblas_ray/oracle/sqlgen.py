@@ -13367,3 +13367,34 @@ FROM agg
 ORDER BY mass DESC, rid ASC
 LIMIT {topk}
 """
+
+
+@_materialized
+def ws_census(k: int = 2, mod: int = 10) -> str:
+    """Watts-Strogatz degree census (twin of `queries.q_ws_census`;
+    md5-rewired ring lattice regenerated bit-exactly)."""
+    return PREFIX + f"""
+, base AS (
+  SELECT f.i, j.j,
+         md5_number_lower('ws:' || f.i || ':' || j.j) AS h
+  FROM files f CROSS JOIN generate_series(1, {k}) j(j)
+),
+ed AS (
+  SELECT i AS src,
+         CASE WHEN h % {mod} = 0 THEN
+           CASE WHEN CAST((h // {mod}) % p.n AS BIGINT) = i
+                THEN CAST(((h // {mod}) % p.n + 1) % p.n AS BIGINT)
+                ELSE CAST((h // {mod}) % p.n AS BIGINT) END
+         ELSE (i + j) % p.n END AS dst
+  FROM base CROSS JOIN params p
+),
+und AS (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM ed GROUP BY 1, 2
+),
+uadj AS (SELECT a AS v FROM und UNION ALL SELECT b FROM und),
+deg AS (SELECT v, count(*) AS d FROM uadj GROUP BY v)
+SELECT CAST(d AS BIGINT) AS deg,
+       CAST(count(*) AS BIGINT) AS n_vertices
+FROM deg GROUP BY 1 ORDER BY 1
+"""

@@ -24339,3 +24339,73 @@ def q_pr_mass_by_repo(sf_dir: str):
         "n_modules": pa.array(cnt[o], type=pa.int64()),
         "mass": pa.array(np.round(mass[o], 6)),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 135: Watts-Strogatz small-world generator census (ring lattice
+# + deterministic md5 rewiring — the second synthetic-graph source
+# beside R-MAT)
+# ---------------------------------------------------------------------------
+
+WS_K = 2          # ring neighbors per side
+WS_REWIRE_MOD = 10  # ~10% of lattice edges rewire
+
+
+def _w135_edges(b: pa.Table) -> pa.Table:
+    """Per-batch WS edge synthesis: for each vertex i and offset j in
+    1..K, the lattice edge (i, (i+j) % n) rewires to a hash-derived
+    target iff md5_lower64('ws:i:j') % MOD == 0 — bit-exact in SQL via
+    md5_number_lower on the same string."""
+    from ..functions.text import md5_lower64
+
+    ids = np.asarray(b.column("id"), dtype=np.int64)
+    n = int(b.column("n")[0].as_py())
+    src_all, dst_all = [], []
+    for j in range(1, WS_K + 1):
+        h = np.fromiter((md5_lower64(f"ws:{int(i)}:{j}") for i in ids),
+                        dtype=np.uint64, count=len(ids)).astype(object)
+        lat = (ids + j) % n
+        rew = np.array([int(x) % WS_REWIRE_MOD == 0 for x in h])
+        tgt = np.array([int(x) // WS_REWIRE_MOD % n for x in h],
+                       dtype=np.int64)
+        tgt = np.where(tgt == ids, (tgt + 1) % n, tgt)
+        dst = np.where(rew, tgt, lat)
+        src_all.append(ids)
+        dst_all.append(dst)
+    return pa.table({
+        "src": pa.array(np.concatenate(src_all)),
+        "dst": pa.array(np.concatenate(dst_all)),
+        "w": pa.array(np.ones(len(ids) * WS_K)),
+    })
+
+
+def q_ws_census(sf_dir: str):
+    """Watts-Strogatz small-world generator (`GenGraph500Data`'s
+    deterministic-synthesis contract applied to the OTHER classic
+    model, ``DistEdgeList.cpp:222-280`` family): ring lattice of K=2
+    neighbors per side over n = corpus-size vertices, each lattice
+    edge rewired to an md5-derived target with probability 1/10 —
+    every coin and target is md5-low-64 of 'ws:i:j', so DuckDB
+    regenerates the graph bit-exactly. Census: the distinct-pair
+    undirected degree histogram (the small-world signature: a sharp
+    peak at 2K with a rewiring tail). Output (deg, n_vertices)."""
+    import ray as _ray
+
+    from ..core.graph import Graph
+    from ..core.shuffle import group_apply_tasks
+
+    n = corpus_src.n_files_for(sf_dir)
+    base = _ray.data.range(n).map_batches(
+        lambda t: pa.table({"id": t.column("id"),
+                            "n": pa.array([n] * t.num_rows,
+                                          type=pa.int64())}),
+        batch_format="pyarrow")
+    edges = base.map_batches(_w135_edges, batch_format="pyarrow")
+    und = Graph(n=n, edges=edges).union_max().edges
+    deg = group_apply_tasks(und, ["src"], _w110_deg).to_pandas()
+    uk, cnt = np.unique(deg.c.to_numpy(dtype=np.int64),
+                        return_counts=True)
+    return pa.table({
+        "deg": pa.array(uk, type=pa.int64()),
+        "n_vertices": pa.array(cnt.astype(np.int64)),
+    })
