@@ -13398,3 +13398,48 @@ SELECT CAST(d AS BIGINT) AS deg,
        CAST(count(*) AS BIGINT) AS n_vertices
 FROM deg GROUP BY 1 ORDER BY 1
 """
+
+
+@_materialized
+def ws_bfs_trace(rounds: int = 8, k: int = 2, mod: int = 10) -> str:
+    """BFS reach trace over the regenerated WS graph (twin of
+    `queries.q_ws_bfs_trace`)."""
+    sql = PREFIX + f"""
+, base AS (
+  SELECT f.i, j.j,
+         md5_number_lower('ws:' || f.i || ':' || j.j) AS h
+  FROM files f CROSS JOIN generate_series(1, {k}) j(j)
+),
+ed AS (
+  SELECT i AS src,
+         CASE WHEN h % {mod} = 0 THEN
+           CASE WHEN CAST((h // {mod}) % p.n AS BIGINT) = i
+                THEN CAST(((h // {mod}) % p.n + 1) % p.n AS BIGINT)
+                ELSE CAST((h // {mod}) % p.n AS BIGINT) END
+         ELSE (i + j) % p.n END AS dst
+  FROM base CROSS JOIN params p
+),
+wund AS (
+  SELECT src, dst FROM ed WHERE src <> dst
+  UNION SELECT dst, src FROM ed WHERE src <> dst
+),
+wd0 AS (SELECT CAST(0 AS BIGINT) AS i, 0 AS dist)
+"""
+    prev = "wd0"
+    for r in range(1, rounds + 1):
+        sql += f"""
+, wd{r} AS (
+  SELECT i, min(dist) AS dist FROM (
+    SELECT i, dist FROM {prev}
+    UNION ALL
+    SELECT u.dst AS i, dp.dist + 1 AS dist
+    FROM wund u JOIN {prev} dp ON dp.i = u.src
+  ) GROUP BY i
+)"""
+        prev = f"wd{r}"
+    parts = [
+        f"SELECT CAST({r} AS BIGINT) AS round, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM wd{r}) AS n_reached"
+        for r in range(rounds + 1)
+    ]
+    return sql + "\n" + "\nUNION ALL\n".join(parts) + "\nORDER BY round\n"

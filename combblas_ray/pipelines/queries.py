@@ -24409,3 +24409,65 @@ def q_ws_census(sf_dir: str):
         "deg": pa.array(uk, type=pa.int64()),
         "n_vertices": pa.array(cnt.astype(np.int64)),
     })
+
+
+# ---------------------------------------------------------------------------
+# wave 136: BFS level trace over the GENERATED Watts-Strogatz graph
+# (engine-over-generator: the resident-block machinery runs on
+# synthesized inputs, driver-gated)
+# ---------------------------------------------------------------------------
+
+WSB_ROUNDS = 8
+
+
+def q_ws_bfs_trace(sf_dir: str):
+    """Small-world reachability trace: the Watts-Strogatz graph from
+    `ws_census` is built into a RESIDENT block engine (the same
+    build_blocks -> CsrPoolActor path the corpus rides — proving the
+    engine consumes generated sources end-to-end, the Graph500 BFS
+    contract as a driver row), then WSB_ROUNDS min_plus BFS levels run
+    from vertex 0. Output (round, n_reached): the rewired shortcuts
+    make reach grow far faster than the 2K+1 lattice cone."""
+    import os
+
+    import ray as _ray
+
+    from ..core.engine import SpmvEngine
+    from ..core.graph import Graph
+    from ..pipelines.context import CKPT_ROOT
+
+    n = corpus_src.n_files_for(sf_dir)
+    base = _ray.data.range(n).map_batches(
+        lambda t: pa.table({"id": t.column("id"),
+                            "n": pa.array([n] * t.num_rows,
+                                          type=pa.int64())}),
+        batch_format="pyarrow")
+    g = Graph(n=n, edges=base.map_batches(
+        _w135_edges, batch_format="pyarrow")).union_max()
+    eng = SpmvEngine.from_graph(
+        g, 4, os.path.join(CKPT_ROOT, f"n{n}", "ws_g4"),
+        structural=True)
+    d = eng.map_chunks_i(partial(_w111_seed_at, root=0))
+    rows = []
+    for r in range(WSB_ROUNDS + 1):
+        reached = int(sum(eng.chunk_scalars(_w136_count, d)))
+        rows.append((r, reached))
+        if r < WSB_ROUNDS:
+            d = eng.spmv_apply_refs(d, "min_plus", _w111_relax, 1, d)[0]
+    eng.shutdown()
+    return pa.table({
+        "round": pa.array([x[0] for x in rows], type=pa.int64()),
+        "n_reached": pa.array([x[1] for x in rows], type=pa.int64()),
+    })
+
+
+def _w111_seed_at(bounds, root):
+    s, e = bounds
+    d = np.full(e - s, np.inf)
+    if s <= root < e:
+        d[root - s] = 0.0
+    return d
+
+
+def _w136_count(d):
+    return int(np.isfinite(d).sum())
