@@ -13443,3 +13443,50 @@ wd0 AS (SELECT CAST(0 AS BIGINT) AS i, 0 AS dist)
         for r in range(rounds + 1)
     ]
     return sql + "\n" + "\nUNION ALL\n".join(parts) + "\nORDER BY round\n"
+
+
+@_materialized
+def coverage_greedy(k: int = 5) -> str:
+    """Greedy max-coverage selection trace (twin of
+    `queries.q_coverage_greedy`; shingle identity = md5-low-64 mod
+    2^63, identical digests on both sides)."""
+    sql = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+shd AS (
+  SELECT DISTINCT doc_id,
+         md5_number_lower(s) % 9223372036854775808 AS dig
+  FROM (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+      range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+    ))) AS s FROM toks
+  )
+),
+cov0 AS (SELECT CAST(NULL AS HUGEINT) AS dig WHERE FALSE)
+"""
+    sel: list[str] = []
+    for r in range(1, k + 1):
+        notin = (" AND doc_id NOT IN (" + ", ".join(
+            f"(SELECT doc_id FROM pick{i})" for i in range(1, r))
+            + ")") if r > 1 else ""
+        sql += f"""
+, gain{r} AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS g
+  FROM shd
+  WHERE dig NOT IN (SELECT dig FROM cov{r - 1}){notin}
+  GROUP BY doc_id
+),
+pick{r} AS (
+  SELECT doc_id, g FROM gain{r} ORDER BY g DESC, doc_id ASC LIMIT 1
+),
+cov{r} AS (
+  SELECT dig FROM cov{r - 1}
+  UNION
+  SELECT s.dig FROM shd s JOIN pick{r} p ON p.doc_id = s.doc_id
+)"""
+        sel.append(
+            f"SELECT CAST({r} AS BIGINT) AS round, p.doc_id, p.g AS gain, "
+            f"(SELECT CAST(count(*) AS BIGINT) FROM cov{r}) "
+            f"AS covered_total FROM pick{r} p")
+    return sql + "\n" + "\nUNION ALL\n".join(sel) + "\nORDER BY round\n"
