@@ -13490,3 +13490,79 @@ cov{r} AS (
             f"(SELECT CAST(count(*) AS BIGINT) FROM cov{r}) "
             f"AS covered_total FROM pick{r} p")
     return sql + "\n" + "\nUNION ALL\n".join(sel) + "\nORDER BY round\n"
+
+
+@_materialized
+def greedy_routing(pairs: int = 20, hmax: int = 12, k: int = 2,
+                   mod: int = 10) -> str:
+    """Greedy ring-metric routing on the regenerated WS graph (twin of
+    `queries.q_greedy_routing`)."""
+    sql = PREFIX + f"""
+, base AS (
+  SELECT f.i, j.j,
+         md5_number_lower('ws:' || f.i || ':' || j.j) AS h
+  FROM files f CROSS JOIN generate_series(1, {k}) j(j)
+),
+ed AS (
+  SELECT i AS src,
+         CASE WHEN h % {mod} = 0 THEN
+           CASE WHEN CAST((h // {mod}) % p.n AS BIGINT) = i
+                THEN CAST(((h // {mod}) % p.n + 1) % p.n AS BIGINT)
+                ELSE CAST((h // {mod}) % p.n AS BIGINT) END
+         ELSE (i + j) % p.n END AS dst
+  FROM base CROSS JOIN params p
+),
+wund AS (
+  SELECT src, dst FROM ed WHERE src <> dst
+  UNION SELECT dst, src FROM ed WHERE src <> dst
+),
+pr AS (
+  SELECT g.p AS p,
+         CAST((g.p * 7919) % pp.n AS BIGINT) AS s,
+         CAST((g.p * 104729 + 17) % pp.n AS BIGINT) AS t
+  FROM generate_series(0, {pairs - 1}) g(p) CROSS JOIN params pp
+),
+st0 AS (
+  SELECT p, s AS c, t,
+         CASE WHEN s = t THEN 1 ELSE 0 END AS reached,
+         CAST(0 AS BIGINT) AS hops
+  FROM pr
+)
+"""
+    prev = "st0"
+    for h in range(1, hmax + 1):
+        sql += f"""
+, pk{h} AS (
+  SELECT p, nbr, nd, row_number() OVER (
+    PARTITION BY p ORDER BY nd ASC, nbr ASC) AS rn
+  FROM (
+    SELECT s.p, u.dst AS nbr,
+           least(((u.dst - s.t) % pp.n + pp.n) % pp.n,
+                 pp.n - ((u.dst - s.t) % pp.n + pp.n) % pp.n) AS nd
+    FROM {prev} s JOIN wund u ON u.src = s.c CROSS JOIN params pp
+    WHERE s.reached = 0
+  )
+),
+st{h} AS (
+  SELECT s.p,
+         CASE WHEN s.reached = 1 THEN s.c
+              ELSE coalesce(w.nbr, s.c) END AS c,
+         s.t,
+         CASE WHEN s.reached = 1 THEN 1
+              WHEN w.nbr = s.t THEN 1 ELSE 0 END AS reached,
+         CASE WHEN s.reached = 1 THEN s.hops
+              ELSE CAST({h} AS BIGINT) END AS hops
+  FROM {prev} s
+  LEFT JOIN (SELECT * FROM pk{h} WHERE rn = 1) w ON w.p = s.p
+)"""
+        prev = f"st{h}"
+    return sql + f"""
+SELECT s.p AS pair, CAST(s.reached AS BIGINT) AS reached,
+       CASE WHEN s.reached = 1 THEN s.hops
+            ELSE CAST({hmax} AS BIGINT) END AS hops,
+       CAST(least(((s.c - s.t) % pp.n + pp.n) % pp.n,
+                  pp.n - ((s.c - s.t) % pp.n + pp.n) % pp.n)
+            AS BIGINT) AS final_dist
+FROM {prev} s CROSS JOIN params pp
+ORDER BY pair
+"""
