@@ -13566,3 +13566,39 @@ SELECT s.p AS pair, CAST(s.reached AS BIGINT) AS reached,
 FROM {prev} s CROSS JOIN params pp
 ORDER BY pair
 """
+
+
+def lru_audit(caps=(2, 4, 8)) -> str:
+    """LRU stack-distance hit counts per (user, capacity) — independent
+    re-derivation via lag() + a correlated distinct-count over the
+    inter-access window (twin of `queries.q_lru_audit`)."""
+    cap_list = ", ".join(str(c) for c in caps)
+    return f"""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(ts) OVER w AS pts, lag(event_id) OVER w AS pid
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+),
+dist AS (
+  SELECT o.user_id,
+         (SELECT count(DISTINCT e2.event_type) FROM events e2
+          WHERE e2.user_id = o.user_id
+            AND (e2.ts > o.pts OR (e2.ts = o.pts AND e2.event_id > o.pid))
+            AND (e2.ts < o.ts OR (e2.ts = o.ts AND e2.event_id < o.event_id))
+         ) + 1 AS sd
+  FROM ordered o WHERE o.pts IS NOT NULL
+),
+caps AS (SELECT unnest([{cap_list}]) AS capacity),
+acc AS (SELECT user_id, count(*) AS accesses FROM events GROUP BY 1),
+hit AS (
+  SELECT d.user_id, c.capacity, count(*) AS hits
+  FROM dist d JOIN caps c ON d.sd <= c.capacity
+  GROUP BY 1, 2
+)
+SELECT a.user_id, CAST(c.capacity AS BIGINT) AS capacity,
+       CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       CAST(a.accesses AS BIGINT) AS accesses
+FROM acc a CROSS JOIN caps c
+LEFT JOIN hit h ON h.user_id = a.user_id AND h.capacity = c.capacity
+"""
