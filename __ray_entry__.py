@@ -218,6 +218,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "greedy_routing": q.q_greedy_routing,
         # wave 139 (out-of-window: LRU stack-distance cache audit)
         "lru_audit": q.q_lru_audit,
+        # wave 140 (out-of-window: graph Voronoi landmark partition)
+        "voronoi_cells": q.q_voronoi_cells,
         "tailed_triangles": q.q_tailed_triangles,  # motif census (r5 wave-93 green; diamond_count in-window runs the same wedge plan; rotated for wave-107 ci_topk)
         "theil_sen": q.q_theil_sen,  # exact-fraction trend slope (r5 wave-94 green; mann_kendall in-window runs the same day-series plan; rotated for wave-108 domset_trace)
         "daily_xcorr": q.q_daily_xcorr,  # day-lag coupling (r5 wave-95 green; mann_kendall/dow_seasonal day-series siblings in-window; rotated for wave-109 scan_topk)
@@ -950,6 +952,7 @@ def oracle_sql() -> dict[str, str]:
         "greedy_routing": o.greedy_routing(q.ROUTE_P, q.ROUTE_H,
                                            q.WS_K, q.WS_REWIRE_MOD),
         "lru_audit": o.lru_audit(q.LRU_CAPS),
+        "voronoi_cells": o.voronoi_cells(q.VOR_L, q.VOR_ITERS),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

@@ -13602,3 +13602,45 @@ SELECT a.user_id, CAST(c.capacity AS BIGINT) AS capacity,
 FROM acc a CROSS JOIN caps c
 LEFT JOIN hit h ON h.user_id = a.user_id AND h.capacity = c.capacity
 """
+
+
+@_materialized
+def voronoi_cells(L: int = 8, iters: int = 12) -> str:
+    """Graph Voronoi cells around landmarks (l*7919+5) % n — unrolled
+    multi-source BFS carrying the composite val = dist*(L+1) + landmark
+    (numeric min == lexicographic (dist, lm) min; twin of
+    `queries.q_voronoi_cells`)."""
+    w = L + 1
+    sql = PREFIX + f"""
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+seeds AS (
+  SELECT i, min(lm) AS lm FROM (
+    SELECT g.l AS lm, CAST((g.l * 7919 + 5) % p.n AS BIGINT) AS i
+    FROM generate_series(0, {L - 1}) g(l) CROSS JOIN params p
+  ) GROUP BY i
+),
+s0 AS (SELECT i, CAST(lm AS BIGINT) AS val FROM seeds)
+"""
+    prev = "s0"
+    for k in range(1, iters + 1):
+        sql += f"""
+, s{k} AS (
+  SELECT i, min(val) AS val FROM (
+    SELECT i, val FROM {prev}
+    UNION ALL
+    SELECT u.dst AS i, sp.val + {w} AS val
+    FROM und u JOIN {prev} sp ON sp.i = u.src
+  ) GROUP BY i
+)"""
+        prev = f"s{k}"
+    return sql + f"""
+SELECT CAST(s.val % {w} AS BIGINT) AS landmark,
+       'm_' || sd.i AS seed_label,
+       CAST(count(*) AS BIGINT) AS cell_size,
+       CAST(sum(s.val // {w}) AS BIGINT) AS dist_sum,
+       CAST(max(s.val // {w}) AS BIGINT) AS ecc
+FROM {prev} s JOIN seeds sd ON sd.lm = s.val % {w}
+GROUP BY 1, 2
+"""
