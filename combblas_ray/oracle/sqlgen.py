@@ -13644,3 +13644,42 @@ SELECT CAST(s.val % {w} AS BIGINT) AS landmark,
 FROM {prev} s JOIN seeds sd ON sd.lm = s.val % {w}
 GROUP BY 1, 2
 """
+
+
+def fdr_select(M: int = 1_000_003, alpha_den: int = 20,
+               sig_mod: int = 7, sig_div: int = 997) -> str:
+    """Benjamini-Hochberg selection per language (twin of
+    `queries.q_fdr_select`): cumulative rank via a RANGE window (peers
+    included), exact integer feasibility test."""
+    return f"""
+WITH p AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % {sig_mod} = 0
+              THEN ((doc_id * 2654435761) % {M}) // {sig_div}
+              ELSE (doc_id * 2654435761) % {M} END AS p_int
+  FROM documents
+),
+mm AS (SELECT count(*) AS m FROM p),
+r AS (
+  SELECT p_int,
+         count(*) OVER (ORDER BY p_int RANGE UNBOUNDED PRECEDING) AS rk
+  FROM p
+),
+feas AS (
+  SELECT p_int, rk FROM r CROSS JOIN mm
+  WHERE p_int * {alpha_den} * m <= rk * {M}
+),
+thr AS (
+  SELECT coalesce(max(p_int), -1) AS thr,
+         coalesce(max(rk), 0) AS k_star
+  FROM feas
+)
+SELECT p.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN p.p_int <= t.thr THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_selected,
+       CAST(t.k_star AS BIGINT) AS k_star,
+       CAST(t.thr AS BIGINT) AS thr
+FROM p CROSS JOIN thr t
+GROUP BY p.lang, t.k_star, t.thr
+"""
