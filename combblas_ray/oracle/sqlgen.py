@@ -13683,3 +13683,45 @@ SELECT p.lang,
 FROM p CROSS JOIN thr t
 GROUP BY p.lang, t.k_star, t.thr
 """
+
+
+def stopping_audit() -> str:
+    """Secretary 1/3-rule stopping audit per user (twin of
+    `queries.q_stopping_audit`)."""
+    return """
+WITH o AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY user_id) AS m
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+ph AS (
+  SELECT user_id, max(value) AS pmax FROM o WHERE rn <= m // 3 GROUP BY 1
+),
+cand AS (
+  SELECT o.user_id, o.event_id, o.value, o.rn
+  FROM o LEFT JOIN ph ON ph.user_id = o.user_id
+  WHERE o.rn > o.m // 3 AND (ph.pmax IS NULL OR o.value > ph.pmax)
+),
+first_cand AS (
+  SELECT user_id, event_id, value FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY rn) AS r
+    FROM cand
+  ) WHERE r = 1
+),
+last_ev AS (
+  SELECT user_id, event_id, value FROM o WHERE rn = m
+),
+mx AS (SELECT user_id, max(value) AS vmax, count(*) AS m
+       FROM events GROUP BY 1)
+SELECT mx.user_id, CAST(mx.m AS BIGINT) AS m,
+       CAST(coalesce(fc.event_id, le.event_id) AS BIGINT)
+         AS picked_event_id,
+       coalesce(fc.value, le.value) AS picked_value,
+       CAST(CASE WHEN coalesce(fc.value, le.value) = mx.vmax
+                 THEN 1 ELSE 0 END AS BIGINT) AS success
+FROM mx
+JOIN last_ev le ON le.user_id = mx.user_id
+LEFT JOIN first_cand fc ON fc.user_id = mx.user_id
+"""
