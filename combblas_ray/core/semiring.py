@@ -143,6 +143,11 @@ SEMIRINGS: dict[str, Semiring] = {
     "bor_second": Semiring(
         "bor_second", _second, np.bitwise_or, 0, dtype=np.dtype(np.int64),
     ),
+    # Longest-path (critical-path / tropical-max) semiring: multiply =
+    # value + edge length, add = max — the max-plus twin of `min_plus`
+    # (`Semirings.h` catalog's max-plus member; scheduling / earliest-
+    # finish relaxation on DAGs). Identity -inf = unreachable.
+    "max_plus": Semiring("max_plus", _plus, np.maximum, -np.inf),
 }
 
 

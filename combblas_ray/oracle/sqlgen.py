@@ -13725,3 +13725,37 @@ FROM mx
 JOIN last_ev le ON le.user_id = mx.user_id
 LEFT JOIN first_cand fc ON fc.user_id = mx.user_id
 """
+
+
+@_materialized
+def critical_path(iters: int = 12) -> str:
+    """Weighted earliest-finish histogram on the dense-order DAG with
+    len(u,v) = 1 + (u + 2v) % 7 over file ids (twin of
+    `queries.q_critical_path`; unrolled max-plus relaxation)."""
+    sql = PREFIX + """
+, dense AS (SELECT i, row_number() OVER (ORDER BY label) - 1 AS d
+            FROM verts),
+dag AS (
+  SELECT DISTINCT ds.d AS s, dd.d AS t,
+         CAST(1 + (e.src + 2 * e.dst) % 7 AS BIGINT) AS len
+  FROM edges e JOIN dense ds ON ds.i = e.src
+               JOIN dense dd ON dd.i = e.dst
+  WHERE ds.d < dd.d
+),
+f0 AS (SELECT d AS v, CAST(0 AS BIGINT) AS ef FROM dense)
+"""
+    prev = "f0"
+    for k in range(1, iters + 1):
+        sql += f"""
+, f{k} AS (
+  SELECT p.v, greatest(p.ef, coalesce(m.mx, p.ef)) AS ef
+  FROM {prev} p
+  LEFT JOIN (SELECT g.t AS v, max(pp.ef + g.len) AS mx
+             FROM dag g JOIN {prev} pp ON pp.v = g.s
+             GROUP BY g.t) m ON m.v = p.v
+)"""
+        prev = f"f{k}"
+    return sql + f"""
+SELECT CAST(ef AS BIGINT) AS ef, CAST(count(*) AS BIGINT) AS cnt
+FROM {prev} GROUP BY ef
+"""

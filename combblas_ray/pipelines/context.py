@@ -127,6 +127,8 @@ class GraphContext:
             g = Graph(n=self.n, edges=base.transpose().edges)
         elif variant == "sssp":
             g = self._sssp_graph(base)
+        elif variant == "dag":
+            g = self._dag_graph(base)
         elif variant == "payload":
             g = self._payload_graph(base)
         else:
@@ -148,6 +150,30 @@ class GraphContext:
             au, av = _dec.arith(src), _dec.arith(dst)
             w = (1 + (au + 2 * av) % 7).astype(np.float64)
             return pa.table({"src": batch.column("src"), "dst": batch.column("dst"),
+                             "w": pa.array(w)})
+
+        return Graph(n=self.n, edges=base.edges.map_batches(
+            _w, batch_format="pyarrow", zero_copy_batch=True))
+
+    def _dag_graph(self, base: Graph) -> Graph:
+        """Acyclic orientation src < dst (dense label order, the
+        `q_dag_layers` convention) with the sssp-style integer lengths
+        len(u,v) = 1 + (au + 2*av) % 7 over the *arithmetic* file ids
+        (SQL-replicable) — the weighted scheduling DAG for critical-path
+        (max_plus) relaxation. Arith resolved task-side through the
+        dictionary decoder (no driver array)."""
+        import pyarrow as pa
+
+        dec = self.decoder()
+
+        def _w(batch, *, _dec=dec):
+            src = np.asarray(batch.column("src"))
+            dst = np.asarray(batch.column("dst"))
+            keep = src < dst
+            src, dst = src[keep], dst[keep]
+            au, av = _dec.arith(src), _dec.arith(dst)
+            w = (1 + (au + 2 * av) % 7).astype(np.float64)
+            return pa.table({"src": pa.array(src), "dst": pa.array(dst),
                              "w": pa.array(w)})
 
         return Graph(n=self.n, edges=base.edges.map_batches(
