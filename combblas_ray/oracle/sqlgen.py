@@ -13759,3 +13759,29 @@ f0 AS (SELECT d AS v, CAST(0 AS BIGINT) AS ef FROM dense)
 SELECT CAST(ef AS BIGINT) AS ef, CAST(count(*) AS BIGINT) AS cnt
 FROM {prev} GROUP BY ef
 """
+
+
+def morton_census(bits: int = 8) -> str:
+    """Z-order cell census over the first two embedding dims (twin of
+    `queries.q_morton_census`); bit interleave unrolled as int ops."""
+    terms = " | ".join(
+        f"(((q0 >> {b}) & 1) << {2 * b}) | (((q1 >> {b}) & 1) << {2 * b + 1})"
+        for b in range(bits)
+    )
+    return f"""
+WITH q AS (
+  SELECT label,
+         CAST(least(greatest(
+           floor((CAST(embedding[1] AS DOUBLE) + 1.0) * 128.0), 0), 255)
+           AS BIGINT) AS q0,
+         CAST(least(greatest(
+           floor((CAST(embedding[2] AS DOUBLE) + 1.0) * 128.0), 0), 255)
+           AS BIGINT) AS q1
+  FROM embeddings
+),
+z AS (SELECT label, {terms} AS cell FROM q)
+SELECT CAST(cell AS BIGINT) AS cell,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(count(DISTINCT label) AS BIGINT) AS n_labels
+FROM z GROUP BY cell
+"""
