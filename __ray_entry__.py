@@ -228,6 +228,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "critical_path": q.q_critical_path,
         # wave 144 (out-of-window: Morton Z-order embedding cell census)
         "morton_census": q.q_morton_census,
+        # wave 145 (out-of-window: Gale-Shapley deferred acceptance)
+        "stable_matching": q.q_stable_matching,
         "tailed_triangles": q.q_tailed_triangles,  # motif census (r5 wave-93 green; diamond_count in-window runs the same wedge plan; rotated for wave-107 ci_topk)
         "theil_sen": q.q_theil_sen,  # exact-fraction trend slope (r5 wave-94 green; mann_kendall in-window runs the same day-series plan; rotated for wave-108 domset_trace)
         "daily_xcorr": q.q_daily_xcorr,  # day-lag coupling (r5 wave-95 green; mann_kendall/dow_seasonal day-series siblings in-window; rotated for wave-109 scan_topk)
@@ -966,6 +968,7 @@ def oracle_sql() -> dict[str, str]:
         "stopping_audit": o.stopping_audit(),
         "critical_path": o.critical_path(q.CP_ITERS),
         "morton_census": o.morton_census(q.MORTON_BITS),
+        "stable_matching": o.stable_matching(q.GS_C, q.GS_R, q.GS_RANK_M),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

@@ -13785,3 +13785,44 @@ SELECT CAST(cell AS BIGINT) AS cell,
        CAST(count(DISTINCT label) AS BIGINT) AS n_labels
 FROM z GROUP BY cell
 """
+
+
+@_materialized
+def stable_matching(C: int = 4, R: int = 10, M: int = 100003) -> str:
+    """Gale-Shapley deferred acceptance after R synchronous rounds
+    (twin of `queries.q_stable_matching`): unrolled state recurrence
+    (s, ptr, held) with bounded candidate lists."""
+    sql = PREFIX + """
+, g0 AS (SELECT i AS s, CAST(0 AS BIGINT) AS ptr,
+         CAST(-1 AS BIGINT) AS held FROM files)
+"""
+    prev = "g0"
+    for k in range(1, R + 1):
+        sql += f"""
+, c{k} AS (
+  SELECT s, ptr,
+         CASE WHEN held >= 0 THEN held
+              ELSE (s * 101 + ptr * 4099 + 17)
+                   % greatest(p.n // 3, 1) END AS r
+  FROM {prev} CROSS JOIN params p
+  WHERE held >= 0 OR ptr < {C}
+),
+w{k} AS (
+  SELECT s, ptr, r,
+         row_number() OVER (PARTITION BY r
+                            ORDER BY (r * 7919 + s * 104729 + 11) % {M}, s) AS rn
+  FROM c{k}
+),
+g{k} AS (
+  SELECT g.s,
+         CASE WHEN w.rn > 1 THEN g.ptr + 1 ELSE g.ptr END AS ptr,
+         CASE WHEN w.rn = 1 THEN w.r ELSE CAST(-1 AS BIGINT) END AS held
+  FROM {prev} g LEFT JOIN w{k} w ON w.s = g.s
+)"""
+        prev = f"g{k}"
+    return sql + f"""
+SELECT CAST(CASE WHEN held >= 0 THEN ptr ELSE -1 END AS BIGINT)
+         AS rank_choice,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM {prev} GROUP BY 1
+"""
