@@ -13826,3 +13826,38 @@ SELECT CAST(CASE WHEN held >= 0 THEN ptr ELSE -1 END AS BIGINT)
        CAST(count(*) AS BIGINT) AS cnt
 FROM {prev} GROUP BY 1
 """
+
+
+def ipc_roundtrip() -> str:
+    """Arrow IPC roundtrip census — same relational census as the JSONL
+    twin (`queries.q_ipc_roundtrip`); the interchange format differs,
+    the surviving numbers must not."""
+    return jsonl_roundtrip()
+
+
+def ring_balance(W: int = 16, V: int = 8, M: int = 1 << 20) -> str:
+    """Consistent-hash ring placement per worker (twin of
+    `queries.q_ring_balance`): first vnode clockwise, wrap to the ring
+    minimum, ties by (pos, w, v)."""
+    return PREFIX + f"""
+, ring AS (
+  SELECT w.w, v.v, (w.w * 104729 + v.v * 7919 + 1) % {M} AS pos
+  FROM generate_series(0, {W - 1}) w(w)
+  CROSS JOIN generate_series(0, {V - 1}) v(v)
+),
+items AS (
+  SELECT i, (i * 2654435761) % {M} AS ipos FROM files
+),
+assigned AS (
+  SELECT it.i,
+         coalesce(
+           (SELECT r.w FROM ring r WHERE r.pos >= it.ipos
+            ORDER BY r.pos, r.w, r.v LIMIT 1),
+           (SELECT r.w FROM ring r ORDER BY r.pos, r.w, r.v LIMIT 1)
+         ) AS worker
+  FROM items it
+)
+SELECT CAST(worker AS BIGINT) AS worker,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM assigned GROUP BY worker
+"""
