@@ -13604,12 +13604,9 @@ LEFT JOIN hit h ON h.user_id = a.user_id AND h.capacity = c.capacity
 """
 
 
-@_materialized
-def voronoi_cells(L: int = 8, iters: int = 12) -> str:
-    """Graph Voronoi cells around landmarks (l*7919+5) % n — unrolled
-    multi-source BFS carrying the composite val = dist*(L+1) + landmark
-    (numeric min == lexicographic (dist, lm) min; twin of
-    `queries.q_voronoi_cells`)."""
+def _voronoi_chain(L: int, iters: int):
+    """Shared unrolled multi-source composite-BFS chain for the Voronoi
+    twins; returns (sql_through_last_state, last_state_name)."""
     w = L + 1
     sql = PREFIX + f"""
 , und AS (
@@ -13635,6 +13632,17 @@ s0 AS (SELECT i, CAST(lm AS BIGINT) AS val FROM seeds)
   ) GROUP BY i
 )"""
         prev = f"s{k}"
+    return sql, prev
+
+
+@_materialized
+def voronoi_cells(L: int = 8, iters: int = 12) -> str:
+    """Graph Voronoi cells around landmarks (l*7919+5) % n — unrolled
+    multi-source BFS carrying the composite val = dist*(L+1) + landmark
+    (numeric min == lexicographic (dist, lm) min; twin of
+    `queries.q_voronoi_cells`)."""
+    w = L + 1
+    sql, prev = _voronoi_chain(L, iters)
     return sql + f"""
 SELECT CAST(s.val % {w} AS BIGINT) AS landmark,
        'm_' || sd.i AS seed_label,
@@ -13642,6 +13650,24 @@ SELECT CAST(s.val % {w} AS BIGINT) AS landmark,
        CAST(sum(s.val // {w}) AS BIGINT) AS dist_sum,
        CAST(max(s.val // {w}) AS BIGINT) AS ecc
 FROM {prev} s JOIN seeds sd ON sd.lm = s.val % {w}
+GROUP BY 1, 2
+"""
+
+
+@_materialized
+def voronoi_quotient(L: int = 8, iters: int = 12) -> str:
+    """Ordered adjacent-pair counts between Voronoi cells (twin of
+    `queries.q_voronoi_quotient`): the X^T A X quotient re-derived
+    relationally over the undirected distinct-pair view."""
+    w = L + 1
+    sql, prev = _voronoi_chain(L, iters)
+    return sql + f"""
+SELECT CAST(sa.val % {w} AS BIGINT) AS cell_a,
+       CAST(sb.val % {w} AS BIGINT) AS cell_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM und u
+JOIN {prev} sa ON sa.i = u.src
+JOIN {prev} sb ON sb.i = u.dst
 GROUP BY 1, 2
 """
 
