@@ -13711,16 +13711,17 @@ GROUP BY p.lang, t.k_star, t.thr
 """
 
 
+@_materialized
 def stopping_audit() -> str:
     """Secretary 1/3-rule stopping audit per user (twin of
     `queries.q_stopping_audit`)."""
     return """
 WITH o AS (
   SELECT user_id, event_id, value,
-         row_number() OVER w AS rn,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
          count(*) OVER (PARTITION BY user_id) AS m
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 ph AS (
   SELECT user_id, max(value) AS pmax FROM o WHERE rn <= m // 3 GROUP BY 1
