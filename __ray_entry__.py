@@ -236,6 +236,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ring_balance": q.q_ring_balance,
         # wave 148 (out-of-window: Voronoi quotient graph via X^T A X)
         "voronoi_quotient": q.q_voronoi_quotient,
+        # wave 149 (out-of-window: histogram-equalization remap census)
+        "equalize_hist": q.q_equalize_hist,
         "tailed_triangles": q.q_tailed_triangles,  # motif census (r5 wave-93 green; diamond_count in-window runs the same wedge plan; rotated for wave-107 ci_topk)
         "theil_sen": q.q_theil_sen,  # exact-fraction trend slope (r5 wave-94 green; mann_kendall in-window runs the same day-series plan; rotated for wave-108 domset_trace)
         "daily_xcorr": q.q_daily_xcorr,  # day-lag coupling (r5 wave-95 green; mann_kendall/dow_seasonal day-series siblings in-window; rotated for wave-109 scan_topk)
@@ -978,6 +980,7 @@ def oracle_sql() -> dict[str, str]:
         "ipc_roundtrip": o.ipc_roundtrip(),
         "ring_balance": o.ring_balance(q.RING_W, q.RING_V, q.RING_M),
         "voronoi_quotient": o.voronoi_quotient(q.VOR_L, q.VOR_ITERS),
+        "equalize_hist": o.equalize_hist(),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

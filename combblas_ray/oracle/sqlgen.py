@@ -13888,3 +13888,32 @@ SELECT CAST(worker AS BIGINT) AS worker,
        CAST(count(*) AS BIGINT) AS n_items
 FROM assigned GROUP BY worker
 """
+
+
+def equalize_hist() -> str:
+    """Global census of per-image histogram-equalized pixels (twin of
+    `queries.q_equalize_hist`; make_blob arithmetic, RANGE window =
+    count of pixels <= p within the image)."""
+    return """
+WITH dims AS (
+  SELECT doc_id AS item_id,
+         CAST(8 + (doc_id % 5) * 4 AS BIGINT) AS width,
+         CAST(8 + (doc_id % 3) * 4 AS BIGINT) AS height
+  FROM documents
+),
+pix AS (
+  SELECT d.item_id, (r.i * (d.item_id + 7)) % 251 AS p,
+         d.width * d.height AS N
+  FROM dims d CROSS JOIN range(384) r(i)
+  WHERE r.i < d.width * d.height
+),
+cum AS (
+  SELECT item_id, p, N,
+         count(*) OVER (PARTITION BY item_id ORDER BY p
+                        RANGE UNBOUNDED PRECEDING) AS c
+  FROM pix
+)
+SELECT CAST((255 * c) // N AS BIGINT) AS eq_pixel,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM cum GROUP BY 1
+"""
