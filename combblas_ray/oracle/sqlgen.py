@@ -13917,3 +13917,62 @@ SELECT CAST((255 * c) // N AS BIGINT) AS eq_pixel,
        CAST(count(*) AS BIGINT) AS cnt
 FROM cum GROUP BY 1
 """
+
+
+@_materialized
+def landmark_dist_audit(L: int = 8, P: int = 12, iters: int = 12) -> str:
+    """Landmark-oracle estimate vs true hop distance for P sample pairs
+    (twin of `queries.q_landmark_dist_audit`): two grouped unrolled
+    BFS chains (per-landmark and per-source), both depth-capped."""
+    sql = PREFIX + f"""
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+lmseed AS (
+  SELECT g.l, CAST((g.l * 7919 + 5) % p.n AS BIGINT) AS i
+  FROM generate_series(0, {L - 1}) g(l) CROSS JOIN params p
+),
+pr AS (
+  SELECT g.p,
+         CAST((g.p * 7919 + 3) % pp.n AS BIGINT) AS s,
+         CAST((g.p * 104729 + 31) % pp.n AS BIGINT) AS t
+  FROM generate_series(0, {P - 1}) g(p) CROSS JOIN params pp
+),
+ld0 AS (SELECT l, i, CAST(0 AS BIGINT) AS d FROM lmseed),
+sd0 AS (SELECT p, s AS i, CAST(0 AS BIGINT) AS d FROM pr)
+"""
+    lp, sp = "ld0", "sd0"
+    for k in range(1, iters + 1):
+        sql += f"""
+, ld{k} AS (
+  SELECT l, i, min(d) AS d FROM (
+    SELECT l, i, d FROM {lp}
+    UNION ALL
+    SELECT x.l, u.dst AS i, x.d + 1 AS d
+    FROM und u JOIN {lp} x ON x.i = u.src
+  ) GROUP BY l, i
+),
+sd{k} AS (
+  SELECT p, i, min(d) AS d FROM (
+    SELECT p, i, d FROM {sp}
+    UNION ALL
+    SELECT x.p, u.dst AS i, x.d + 1 AS d
+    FROM und u JOIN {sp} x ON x.i = u.src
+  ) GROUP BY p, i
+)"""
+        lp, sp = f"ld{k}", f"sd{k}"
+    return sql + f"""
+SELECT pr.p AS pair,
+       CAST(coalesce(tr.d, -1) AS BIGINT) AS true_d,
+       CAST(coalesce(es.est, -1) AS BIGINT) AS est_d
+FROM pr
+LEFT JOIN {sp} tr ON tr.p = pr.p AND tr.i = pr.t
+LEFT JOIN (
+  SELECT pr2.p, min(a.d + b.d) AS est
+  FROM pr pr2
+  JOIN {lp} a ON a.i = pr2.s
+  JOIN {lp} b ON b.i = pr2.t AND b.l = a.l
+  GROUP BY pr2.p
+) es ON es.p = pr.p
+ORDER BY pair
+"""
