@@ -13976,3 +13976,36 @@ LEFT JOIN (
 ) es ON es.p = pr.p
 ORDER BY pair
 """
+
+
+def ordinal_patterns() -> str:
+    """Sliding-window-3 ordinal pattern census per event type (twin of
+    `queries.q_ordinal_patterns`); ranks via pairwise comparisons with
+    earlier-day tie preference."""
+    return """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+win AS (
+  SELECT event_type,
+         lag(c, 2) OVER (PARTITION BY event_type ORDER BY day) AS v0,
+         lag(c, 1) OVER (PARTITION BY event_type ORDER BY day) AS v1,
+         c AS v2
+  FROM daily
+),
+pat AS (
+  SELECT event_type,
+         100 * (CASE WHEN v1 < v0 THEN 1 ELSE 0 END
+                + CASE WHEN v2 < v0 THEN 1 ELSE 0 END)
+         + 10 * (CASE WHEN v0 <= v1 THEN 1 ELSE 0 END
+                 + CASE WHEN v2 < v1 THEN 1 ELSE 0 END)
+         + (CASE WHEN v0 <= v2 THEN 1 ELSE 0 END
+            + CASE WHEN v1 <= v2 THEN 1 ELSE 0 END) AS pattern
+  FROM win WHERE v0 IS NOT NULL
+)
+SELECT event_type, CAST(pattern AS BIGINT) AS pattern,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM pat GROUP BY 1, 2
+"""
