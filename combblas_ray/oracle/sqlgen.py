@@ -14009,3 +14009,26 @@ SELECT event_type, CAST(pattern AS BIGINT) AS pattern,
        CAST(count(*) AS BIGINT) AS cnt
 FROM pat GROUP BY 1, 2
 """
+
+
+def ldiversity(ls=(2, 3, 4)) -> str:
+    """l-diversity census over hour cells (twin of
+    `queries.q_ldiversity`)."""
+    l_list = ", ".join(str(x) for x in ls)
+    return f"""
+WITH cells AS (
+  SELECT epoch_us(ts) // 3600000000 AS cell,
+         count(*) AS n_events,
+         count(DISTINCT event_type) AS n_types
+  FROM events GROUP BY 1
+),
+ls AS (SELECT unnest([{l_list}]) AS l)
+SELECT CAST(ls.l AS BIGINT) AS l,
+       CAST(coalesce(sum(CASE WHEN c.n_types < ls.l THEN 1 END), 0)
+            AS BIGINT) AS n_cells_below,
+       CAST(coalesce(sum(CASE WHEN c.n_types < ls.l
+                               THEN c.n_events END), 0)
+            AS BIGINT) AS n_events_below
+FROM ls LEFT JOIN cells c ON true
+GROUP BY ls.l
+"""
