@@ -244,6 +244,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ordinal_patterns": q.q_ordinal_patterns,
         # wave 152 (out-of-window: l-diversity privacy census)
         "ldiversity": q.q_ldiversity,
+        # wave 153 (out-of-window: Voronoi landmark-failure audit)
+        "voronoi_failover": q.q_voronoi_failover,
         "tailed_triangles": q.q_tailed_triangles,  # motif census (r5 wave-93 green; diamond_count in-window runs the same wedge plan; rotated for wave-107 ci_topk)
         "theil_sen": q.q_theil_sen,  # exact-fraction trend slope (r5 wave-94 green; mann_kendall in-window runs the same day-series plan; rotated for wave-108 domset_trace)
         "daily_xcorr": q.q_daily_xcorr,  # day-lag coupling (r5 wave-95 green; mann_kendall/dow_seasonal day-series siblings in-window; rotated for wave-109 scan_topk)
@@ -991,6 +993,7 @@ def oracle_sql() -> dict[str, str]:
                                                      q.BFS_ITERS),
         "ordinal_patterns": o.ordinal_patterns(),
         "ldiversity": o.ldiversity(q.LDIV_LS),
+        "voronoi_failover": o.voronoi_failover(q.VOR_L, q.VOR_ITERS),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

@@ -13604,26 +13604,26 @@ LEFT JOIN hit h ON h.user_id = a.user_id AND h.capacity = c.capacity
 """
 
 
-def _voronoi_chain(L: int, iters: int):
-    """Shared unrolled multi-source composite-BFS chain for the Voronoi
-    twins; returns (sql_through_last_state, last_state_name)."""
+def _voronoi_rounds(L: int, iters: int, state: str, seeds: str,
+                    skip: int | None = None):
+    """One unrolled composite-BFS chain (seeds + state CTEs, names
+    parameterized so two chains can share a query); returns
+    (sql_fragment, last_state_name). ``skip`` drops one landmark."""
     w = L + 1
-    sql = PREFIX + f"""
-, und AS (
-  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
-),
-seeds AS (
+    cond = f" WHERE g.l <> {skip}" if skip is not None else ""
+    sql = f"""
+, {seeds} AS (
   SELECT i, min(lm) AS lm FROM (
     SELECT g.l AS lm, CAST((g.l * 7919 + 5) % p.n AS BIGINT) AS i
-    FROM generate_series(0, {L - 1}) g(l) CROSS JOIN params p
+    FROM generate_series(0, {L - 1}) g(l) CROSS JOIN params p{cond}
   ) GROUP BY i
 ),
-s0 AS (SELECT i, CAST(lm AS BIGINT) AS val FROM seeds)
+{state}0 AS (SELECT i, CAST(lm AS BIGINT) AS val FROM {seeds})
 """
-    prev = "s0"
+    prev = f"{state}0"
     for k in range(1, iters + 1):
         sql += f"""
-, s{k} AS (
+, {state}{k} AS (
   SELECT i, min(val) AS val FROM (
     SELECT i, val FROM {prev}
     UNION ALL
@@ -13631,8 +13631,19 @@ s0 AS (SELECT i, CAST(lm AS BIGINT) AS val FROM seeds)
     FROM und u JOIN {prev} sp ON sp.i = u.src
   ) GROUP BY i
 )"""
-        prev = f"s{k}"
+        prev = f"{state}{k}"
     return sql, prev
+
+
+def _voronoi_chain(L: int, iters: int):
+    """PREFIX + undirected view + the full-landmark chain; returns
+    (sql_through_last_state, last_state_name)."""
+    head = PREFIX + """
+, und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+)"""
+    body, prev = _voronoi_rounds(L, iters, "s", "seeds")
+    return head + body, prev
 
 
 @_materialized
@@ -14031,4 +14042,21 @@ SELECT CAST(ls.l AS BIGINT) AS l,
             AS BIGINT) AS n_events_below
 FROM ls LEFT JOIN cells c ON true
 GROUP BY ls.l
+"""
+
+
+@_materialized
+def voronoi_failover(L: int = 8, iters: int = 12) -> str:
+    """Redistribution of landmark 0's Voronoi cell after dropping it
+    (twin of `queries.q_voronoi_failover`): full chain and survivor
+    chain side by side, histogram over the survivors' cells."""
+    w = L + 1
+    sql, sp = _voronoi_chain(L, iters)
+    body, rp = _voronoi_rounds(L, iters, "r", "rseeds", skip=0)
+    return sql + body + f"""
+SELECT CAST(coalesce(r.val % {w}, -1) AS BIGINT) AS new_cell,
+       CAST(count(*) AS BIGINT) AS n_reassigned
+FROM {sp} s LEFT JOIN {rp} r ON r.i = s.i
+WHERE s.val % {w} = 0
+GROUP BY 1
 """
