@@ -246,6 +246,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ldiversity": q.q_ldiversity,
         # wave 153 (out-of-window: Voronoi landmark-failure audit)
         "voronoi_failover": q.q_voronoi_failover,
+        # wave 154 (out-of-window: sorted-neighborhood LCP census)
+        "lcp_census": q.q_lcp_census,
+        # wave 155 (out-of-window: randomized-response DP estimator)
+        "rr_histogram": q.q_rr_histogram,
         "tailed_triangles": q.q_tailed_triangles,  # motif census (r5 wave-93 green; diamond_count in-window runs the same wedge plan; rotated for wave-107 ci_topk)
         "theil_sen": q.q_theil_sen,  # exact-fraction trend slope (r5 wave-94 green; mann_kendall in-window runs the same day-series plan; rotated for wave-108 domset_trace)
         "daily_xcorr": q.q_daily_xcorr,  # day-lag coupling (r5 wave-95 green; mann_kendall/dow_seasonal day-series siblings in-window; rotated for wave-109 scan_topk)
@@ -994,6 +998,8 @@ def oracle_sql() -> dict[str, str]:
         "ordinal_patterns": o.ordinal_patterns(),
         "ldiversity": o.ldiversity(q.LDIV_LS),
         "voronoi_failover": o.voronoi_failover(q.VOR_L, q.VOR_ITERS),
+        "lcp_census": o.lcp_census(q.LCP_CAP, q.LCP_BUCKET),
+        "rr_histogram": o.rr_histogram(q.RR_COIN_MOD),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

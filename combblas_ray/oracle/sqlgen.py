@@ -14060,3 +14060,63 @@ FROM {sp} s LEFT JOIN {rp} r ON r.i = s.i
 WHERE s.val % {w} = 0
 GROUP BY 1
 """
+
+
+def lcp_census(cap: int = 64, bucket: int = 8) -> str:
+    """Adjacent-pair LCP histogram over text-sorted docs (twin of
+    `queries.q_lcp_census`); LCP = monotone prefix-equality indicator
+    sum, length-clamped."""
+    terms = " + ".join(
+        f"CASE WHEN substr(text, 1, {k}) = substr(prev, 1, {k}) "
+        f"THEN 1 ELSE 0 END"
+        for k in range(1, cap + 1)
+    )
+    return f"""
+WITH s AS (
+  SELECT text, lag(text) OVER (ORDER BY text) AS prev FROM documents
+),
+p AS (
+  SELECT least({terms},
+               length(text), length(prev), {cap}) AS lcp
+  FROM s WHERE prev IS NOT NULL
+)
+SELECT CAST(lcp // {bucket} AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM p GROUP BY 1
+"""
+
+
+@_materialized
+def rr_histogram(coin_mod: int = 3) -> str:
+    """Randomized-response histogram + debiased estimator numerator
+    (twin of `queries.q_rr_histogram`)."""
+    return f"""
+WITH kk AS (
+  SELECT count(DISTINCT event_type) AS K, count(*) AS N FROM events
+),
+types AS (
+  SELECT event_type, row_number() OVER (ORDER BY event_type) - 1 AS ti
+  FROM (SELECT DISTINCT event_type FROM events)
+),
+h AS (
+  SELECT event_type, (event_id * 2654435761) % 1000003 AS hv
+  FROM events
+),
+rep AS (
+  SELECT CASE WHEN h.hv % {coin_mod} <> 0 THEN h.event_type
+              ELSE tt.event_type END AS rep
+  FROM h CROSS JOIN kk
+  LEFT JOIN types tt ON tt.ti = (h.hv // {coin_mod}) % kk.K
+),
+tc AS (SELECT event_type, count(*) AS true_cnt FROM events GROUP BY 1),
+nc AS (SELECT rep AS event_type, count(*) AS noisy_cnt
+       FROM rep GROUP BY 1)
+SELECT t.event_type,
+       CAST(coalesce(tc.true_cnt, 0) AS BIGINT) AS true_cnt,
+       CAST(coalesce(nc.noisy_cnt, 0) AS BIGINT) AS noisy_cnt,
+       CAST(9 * kk.K * coalesce(nc.noisy_cnt, 0) - 3 * kk.N AS BIGINT)
+         AS est_num6k
+FROM types t CROSS JOIN kk
+LEFT JOIN tc ON tc.event_type = t.event_type
+LEFT JOIN nc ON nc.event_type = t.event_type
+"""
