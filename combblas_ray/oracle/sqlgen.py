@@ -14120,3 +14120,37 @@ FROM types t CROSS JOIN kk
 LEFT JOIN tc ON tc.event_type = t.event_type
 LEFT JOIN nc ON nc.event_type = t.event_type
 """
+
+
+@_materialized
+def dag_negative_sssp(iters: int = 12, shift: int = 4) -> str:
+    """Negative-weight shortest-path histogram on the dense-order DAG,
+    len(u,v) = 1 + (u + 2v) % 7 - shift (twin of
+    `queries.q_dag_negative_sssp`; unrolled min-plus relaxation)."""
+    sql = PREFIX + f"""
+, dense AS (SELECT i, row_number() OVER (ORDER BY label) - 1 AS d
+            FROM verts),
+dag AS (
+  SELECT DISTINCT ds.d AS s, dd.d AS t,
+         CAST(1 + (e.src + 2 * e.dst) % 7 - {shift} AS BIGINT) AS len
+  FROM edges e JOIN dense ds ON ds.i = e.src
+               JOIN dense dd ON dd.i = e.dst
+  WHERE ds.d < dd.d
+),
+n0 AS (SELECT d AS v, CAST(0 AS BIGINT) AS dist FROM dense)
+"""
+    prev = "n0"
+    for k in range(1, iters + 1):
+        sql += f"""
+, n{k} AS (
+  SELECT p.v, least(p.dist, coalesce(m.mn, p.dist)) AS dist
+  FROM {prev} p
+  LEFT JOIN (SELECT g.t AS v, min(pp.dist + g.len) AS mn
+             FROM dag g JOIN {prev} pp ON pp.v = g.s
+             GROUP BY g.t) m ON m.v = p.v
+)"""
+        prev = f"n{k}"
+    return sql + f"""
+SELECT CAST(dist AS BIGINT) AS dist, CAST(count(*) AS BIGINT) AS cnt
+FROM {prev} GROUP BY dist
+"""
