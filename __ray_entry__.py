@@ -252,6 +252,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rr_histogram": q.q_rr_histogram,
         # wave 156 (out-of-window: negative-weight DAG shortest paths)
         "dag_negative_sssp": q.q_dag_negative_sssp,
+        # wave 157 (out-of-window: JL projection distortion audit)
+        "jl_distortion": q.q_jl_distortion,
         "tailed_triangles": q.q_tailed_triangles,  # motif census (r5 wave-93 green; diamond_count in-window runs the same wedge plan; rotated for wave-107 ci_topk)
         "theil_sen": q.q_theil_sen,  # exact-fraction trend slope (r5 wave-94 green; mann_kendall in-window runs the same day-series plan; rotated for wave-108 domset_trace)
         "daily_xcorr": q.q_daily_xcorr,  # day-lag coupling (r5 wave-95 green; mann_kendall/dow_seasonal day-series siblings in-window; rotated for wave-109 scan_topk)
@@ -1003,6 +1005,7 @@ def oracle_sql() -> dict[str, str]:
         "lcp_census": o.lcp_census(q.LCP_CAP, q.LCP_BUCKET),
         "rr_histogram": o.rr_histogram(q.RR_COIN_MOD),
         "dag_negative_sssp": o.dag_negative_sssp(q.CP_ITERS, q.NEG_SHIFT),
+        "jl_distortion": o.jl_distortion(q.JL_DIM, q.JL_K, q.JL_P),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

@@ -14154,3 +14154,52 @@ n0 AS (SELECT d AS v, CAST(0 AS BIGINT) AS dist FROM dense)
 SELECT CAST(dist AS BIGINT) AS dist, CAST(count(*) AS BIGINT) AS cnt
 FROM {prev} GROUP BY dist
 """
+
+
+@_materialized
+def jl_distortion(dim: int = 64, K: int = 8, P: int = 16,
+                  qscale: int = 1 << 20) -> str:
+    """Exact integer JL distortion pairs (twin of
+    `queries.q_jl_distortion`)."""
+    return f"""
+WITH q AS (
+  SELECT vec_id, CAST(g.d AS BIGINT) AS dim,
+         CAST(floor((CAST(embedding[CAST(g.d AS INT)] AS DOUBLE) + 0.5)
+                    * {qscale}) AS BIGINT) AS q
+  FROM embeddings CROSS JOIN generate_series(1, {dim}) g(d)
+),
+sgn AS (
+  SELECT d.d, k.k,
+         CASE WHEN (d.d * 31 + k.k * 17) % 2 = 0 THEN 1 ELSE -1 END AS s
+  FROM generate_series(0, {dim - 1}) d(d)
+  CROSS JOIN generate_series(0, {K - 1}) k(k)
+),
+proj AS (
+  SELECT q.vec_id, sg.k, sum(q.q * sg.s) AS p
+  FROM q JOIN sgn sg ON sg.d = q.dim - 1
+  GROUP BY 1, 2
+),
+vv AS (SELECT count(*) AS V FROM embeddings),
+pairs AS (
+  SELECT g.p, (g.p * 37 + 1) % vv.V AS a, (g.p * 61 + 7) % vv.V AS b
+  FROM generate_series(0, {P - 1}) g(p) CROSS JOIN vv
+),
+od AS (
+  SELECT pr.p, sum((qa.q - qb.q) * (qa.q - qb.q)) AS d_orig
+  FROM pairs pr
+  JOIN q qa ON qa.vec_id = pr.a
+  JOIN q qb ON qb.vec_id = pr.b AND qb.dim = qa.dim
+  GROUP BY 1
+),
+pd AS (
+  SELECT pr.p, sum((pa.p - pb.p) * (pa.p - pb.p)) AS d_proj
+  FROM pairs pr
+  JOIN proj pa ON pa.vec_id = pr.a
+  JOIN proj pb ON pb.vec_id = pr.b AND pb.k = pa.k
+  GROUP BY 1
+)
+SELECT pr.p AS pair, CAST(od.d_orig AS BIGINT) AS d_orig,
+       CAST(pd.d_proj AS BIGINT) AS d_proj
+FROM pairs pr JOIN od ON od.p = pr.p JOIN pd ON pd.p = pr.p
+ORDER BY pair
+"""
