@@ -254,6 +254,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dag_negative_sssp": q.q_dag_negative_sssp,
         # wave 157 (out-of-window: JL projection distortion audit)
         "jl_distortion": q.q_jl_distortion,
+        # wave 158 (out-of-window: repo-disjoint split audit)
+        "group_split": q.q_group_split,
         "tailed_triangles": q.q_tailed_triangles,  # motif census (r5 wave-93 green; diamond_count in-window runs the same wedge plan; rotated for wave-107 ci_topk)
         "theil_sen": q.q_theil_sen,  # exact-fraction trend slope (r5 wave-94 green; mann_kendall in-window runs the same day-series plan; rotated for wave-108 domset_trace)
         "daily_xcorr": q.q_daily_xcorr,  # day-lag coupling (r5 wave-95 green; mann_kendall/dow_seasonal day-series siblings in-window; rotated for wave-109 scan_topk)
@@ -1006,6 +1008,7 @@ def oracle_sql() -> dict[str, str]:
         "rr_histogram": o.rr_histogram(q.RR_COIN_MOD),
         "dag_negative_sssp": o.dag_negative_sssp(q.CP_ITERS, q.NEG_SHIFT),
         "jl_distortion": o.jl_distortion(q.JL_DIM, q.JL_K, q.JL_P),
+        "group_split": o.group_split(q.GSPLIT_MOD),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

@@ -14203,3 +14203,22 @@ SELECT pr.p AS pair, CAST(od.d_orig AS BIGINT) AS d_orig,
 FROM pairs pr JOIN od ON od.p = pr.p JOIN pd ON pd.p = pr.p
 ORDER BY pair
 """
+
+
+def group_split(mod: int = 10) -> str:
+    """Repo-disjoint split census (twin of `queries.q_group_split`)."""
+    return PREFIX + f"""
+, r AS (
+  SELECT i % 100 AS rnum, count(*) AS nf FROM files GROUP BY 1
+),
+a AS (
+  SELECT rnum, nf,
+         CASE WHEN (rnum * 2654435761) % {mod} < 8 THEN 'train'
+              WHEN (rnum * 2654435761) % {mod} = 8 THEN 'val'
+              ELSE 'test' END AS split
+  FROM r
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_repos,
+       CAST(sum(nf) AS BIGINT) AS n_files
+FROM a GROUP BY split
+"""
