@@ -61,8 +61,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pixel_hist": q.q_pixel_hist,       # multimodal actor pool
         "minhash_pairs": q.q_minhash_pairs,  # MinHash-LSH dedup
         "bowtie_census": q.q_bowtie_census,  # SCC / reach fixpoint
-        # wave 92 (round 5 session 4: BM25 retrieval scoring — newest)
-        "bm25_topk": q.q_bm25_topk,
+        # wave 139 (round 5 session 6: LRU stack-distance cache audit)
+        "lru_audit": q.q_lru_audit,
         # wave 94 (round 5 session 4: daily trend statistics — newest)
         # wave 95 (round 5 session 4: winnowing fingerprints, MG heavy
         # hitters, event-type lag coupling — newest)
@@ -70,7 +70,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hub-attack robustness — newest)
         # wave 97 (round 5 session 4: BPE tokenizer training + Zipf
         # coverage — newest)
-        "bpe_merges": q.q_bpe_merges,
+        # wave 140 (round 5 session 6: graph Voronoi landmark partition)
+        "voronoi_cells": q.q_voronoi_cells,
         # wave 98 (round 5 session 4: router-balance audit, table
         # profiling, hub ball similarity — newest)
         # wave 99 (round 5 session 4: rank correlation, Lorenz/Gini,
@@ -88,27 +89,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver-gated faces — newest)
         "salted_degree_topk": q.q_salted_degree_topk,
         "salt_imbalance": q.q_salt_imbalance,
-        # wave 104 (round 5 session 4: Bellman-Ford under negative
-        # weights — newest)
-        "khop_cheapest": q.q_khop_cheapest,
+        # wave 141 (round 5 session 6: Benjamini-Hochberg FDR gate)
+        "fdr_select": q.q_fdr_select,
         # wave 106 (round 5 session 4: densest-subgraph parallel peel)
         "densest_peel": q.q_densest_peel,
-        # wave 107 (round 5 session 5: collective-influence ranking)
-        "ci_topk": q.q_ci_topk,
-        # wave 108 (round 5 session 5: parallel greedy dominating set)
-        "domset_trace": q.q_domset_trace,
-        # wave 109 (round 5 session 5: ego-net scan statistic)
-        "scan_topk": q.q_scan_topk,
-        # wave 110 (round 5 session 5: H-index coreness iteration)
-        "hindex_coreness": q.q_hindex_coreness,
-        # wave 111 (round 5 session 5: odd-cycle / bipartiteness census)
-        "odd_cycle_census": q.q_odd_cycle_census,
+        # wave 142 (round 5 session 6: secretary-rule stopping audit)
+        "stopping_audit": q.q_stopping_audit,
+        # wave 143 (round 5 session 6: max_plus critical path, DAG engine)
+        "critical_path": q.q_critical_path,
+        # wave 144 (round 5 session 6: Morton Z-order embedding census)
+        "morton_census": q.q_morton_census,
+        # wave 145 (round 5 session 6: Gale-Shapley deferred acceptance)
+        "stable_matching": q.q_stable_matching,
+        # wave 146 (round 5 session 6: Arrow IPC stream roundtrip)
+        "ipc_roundtrip": q.q_ipc_roundtrip,
         # wave 112 (round 5 session 5: absorbing-walk hitting time)
         "hitting_time": q.q_hitting_time,
         # wave 113 (round 5 session 5: training-mix apportionment)
         "mix_allocation": q.q_mix_allocation,
-        # wave 114 (round 5 session 5: WebGraph gap-encoding cost model)
-        "gap_encoding": q.q_gap_encoding,
+        # wave 147 (round 5 session 6: consistent-hash ring balance)
+        "ring_balance": q.q_ring_balance,
         # wave 115 (round 5 session 5: cross-split dup leakage audit)
         "split_leakage": q.q_split_leakage,
         # wave 116 (round 5 session 5: ACL PPR push, synchronous)
@@ -117,36 +117,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_betweenness": q.q_edge_betweenness,
         # wave 118 (round 5 session 5: partition-pruned block scan)
         "block_prune_scan": q.q_block_prune_scan,
-        # wave 119 (round 5 session 5: ViT patchification census)
-        "patch_stats": q.q_patch_stats,
+        # wave 148 (round 5 session 6: Voronoi quotient via X^T A X)
+        "voronoi_quotient": q.q_voronoi_quotient,
         # wave 120 (round 5 session 5: distributed PCA top component)
         "pca_top": q.q_pca_top,
-        # wave 121 (round 5 session 5: structural twin census)
-        "twin_census": q.q_twin_census,
-        # wave 122 (round 5 session 5: k-anonymity risk census)
-        "kanon_risk": q.q_kanon_risk,
-        # wave 123 (round 5 session 5: resident block-format census)
-        "block_format_census": q.q_block_format_census,
+        # wave 149 (round 5 session 6: histogram-equalization census)
+        "equalize_hist": q.q_equalize_hist,
+        # wave 150 (round 5 session 6: landmark distance-oracle audit)
+        "landmark_dist_audit": q.q_landmark_dist_audit,
+        # wave 151 (round 5 session 6: ordinal-pattern census)
+        "ordinal_patterns": q.q_ordinal_patterns,
         # wave 124 (round 5 session 5: content-defined chunking)
         "cdc_chunks": q.q_cdc_chunks,
-        # wave 125 (round 5 session 5: multi-touch attribution)
-        "attribution": q.q_attribution,
+        # wave 152 (round 5 session 6: l-diversity privacy census)
+        "ldiversity": q.q_ldiversity,
         # wave 126 (round 5 session 5: GraphBLAS write-mask SpMV)
         "masked_spmv": q.q_masked_spmv,
-        # wave 127 (round 5 session 5: top-p mass data selection)
-        "topp_selection": q.q_topp_selection,
-        # wave 128 (round 5 session 5: repo boilerplate census)
-        "repo_boilerplate": q.q_repo_boilerplate,
-        # wave 129 (round 5 session 5: dedup-discounted data budget)
-        "effective_tokens": q.q_effective_tokens,
+        # wave 153 (round 5 session 6: Voronoi landmark-failure audit)
+        "voronoi_failover": q.q_voronoi_failover,
+        # wave 154 (round 5 session 6: sorted-neighborhood LCP census)
+        "lcp_census": q.q_lcp_census,
+        # wave 155 (round 5 session 6: randomized-response DP audit)
+        "rr_histogram": q.q_rr_histogram,
         # wave 130 (round 5 session 5: PR damping sensitivity capstone)
         "pr_damping_sensitivity": q.q_pr_damping_sensitivity,
-        # wave 131 (round 5 session 5: JSONL interchange roundtrip)
-        "jsonl_roundtrip": q.q_jsonl_roundtrip,
-        # wave 132 (round 5 session 5: video shot-boundary census)
-        "shot_census": q.q_shot_census,
-        # wave 133 (round 5 session 5: ANN recall agreement audit)
-        "ann_recall_audit": q.q_ann_recall_audit,
+        # wave 156 (round 5 session 6: negative-weight DAG SSSP)
+        "dag_negative_sssp": q.q_dag_negative_sssp,
+        # wave 157 (round 5 session 6: JL projection distortion audit)
+        "jl_distortion": q.q_jl_distortion,
+        # wave 158 (round 5 session 6: repo-disjoint split audit)
+        "group_split": q.q_group_split,
         # waves 77-80 (round 5: convergence/metrics faces of the core
         # apps — these touched the pagerank/BFS/SSSP/LP/MCL loops)
         "bfs_dir_trace": q.q_bfs_dir_trace,
@@ -205,6 +205,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
+        # session-6 rotation: waves 92-133 representatives rotated out
+        # (each driver-green in a prior round; in-window siblings noted)
+        "bm25_topk": q.q_bm25_topk,  # text scoring (r5-s5 green; tfidf/lcp siblings in sweep)
+        "bpe_merges": q.q_bpe_merges,  # tokenizer training (r5-s5 green)
+        "khop_cheapest": q.q_khop_cheapest,  # negative-weight k-hop (dag_negative_sssp in-window runs the same min_plus-with-negatives class)
+        "ci_topk": q.q_ci_topk,  # collective influence (r5-s5 green)
+        "domset_trace": q.q_domset_trace,  # greedy dominating set (r5-s5 green)
+        "scan_topk": q.q_scan_topk,  # ego-net scan statistic (r5-s5 green)
+        "hindex_coreness": q.q_hindex_coreness,  # H-index iteration (r5-s5 green)
+        "odd_cycle_census": q.q_odd_cycle_census,  # parity BFS (voronoi family in-window rides the same multi-source machinery)
+        "gap_encoding": q.q_gap_encoding,  # WebGraph cost model (r5-s5 green)
+        "patch_stats": q.q_patch_stats,  # ViT patches (equalize_hist in-window runs the same decode pool)
+        "twin_census": q.q_twin_census,  # structural twins (r5-s5 green)
+        "kanon_risk": q.q_kanon_risk,  # k-anonymity (ldiversity in-window covers the privacy axis)
+        "block_format_census": q.q_block_format_census,  # DCSC census (r5-s5 green)
+        "attribution": q.q_attribution,  # touch attribution (stopping_audit in-window covers per-user event folds)
+        "topp_selection": q.q_topp_selection,  # top-p selection (fdr_select in-window covers threshold selection)
+        "repo_boilerplate": q.q_repo_boilerplate,  # boilerplate census (lcp_census in-window covers prefix structure)
+        "effective_tokens": q.q_effective_tokens,  # dedup discounting (r5-s5 green)
+        "jsonl_roundtrip": q.q_jsonl_roundtrip,  # JSONL interchange (ipc_roundtrip in-window covers the roundtrip axis)
+        "shot_census": q.q_shot_census,  # video cuts (equalize_hist in-window runs the same actor pool)
+        "ann_recall_audit": q.q_ann_recall_audit,  # ANN recall (jl_distortion in-window covers embedding audits)
         # wave 134 (round 5 session 5, registered out-of-window to keep
         # the certified window frozen: PR mass by repository)
         "pr_mass_by_repo": q.q_pr_mass_by_repo,
@@ -216,46 +238,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coverage_greedy": q.q_coverage_greedy,
         # wave 138 (out-of-window: Kleinberg greedy routing on WS)
         "greedy_routing": q.q_greedy_routing,
-        # wave 139 (out-of-window: LRU stack-distance cache audit)
-        "lru_audit": q.q_lru_audit,
-        # wave 140 (out-of-window: graph Voronoi landmark partition)
-        "voronoi_cells": q.q_voronoi_cells,
-        # wave 141 (out-of-window: Benjamini-Hochberg FDR selection)
-        "fdr_select": q.q_fdr_select,
-        # wave 142 (out-of-window: secretary-rule stopping audit)
-        "stopping_audit": q.q_stopping_audit,
-        # wave 143 (out-of-window: max_plus critical path on DAG engine)
-        "critical_path": q.q_critical_path,
-        # wave 144 (out-of-window: Morton Z-order embedding cell census)
-        "morton_census": q.q_morton_census,
-        # wave 145 (out-of-window: Gale-Shapley deferred acceptance)
-        "stable_matching": q.q_stable_matching,
-        # wave 146 (out-of-window: Arrow IPC stream roundtrip)
-        "ipc_roundtrip": q.q_ipc_roundtrip,
-        # wave 147 (out-of-window: consistent-hash ring balance)
-        "ring_balance": q.q_ring_balance,
-        # wave 148 (out-of-window: Voronoi quotient graph via X^T A X)
-        "voronoi_quotient": q.q_voronoi_quotient,
-        # wave 149 (out-of-window: histogram-equalization remap census)
-        "equalize_hist": q.q_equalize_hist,
-        # wave 150 (out-of-window: landmark distance-oracle audit)
-        "landmark_dist_audit": q.q_landmark_dist_audit,
-        # wave 151 (out-of-window: ordinal-pattern census)
-        "ordinal_patterns": q.q_ordinal_patterns,
-        # wave 152 (out-of-window: l-diversity privacy census)
-        "ldiversity": q.q_ldiversity,
-        # wave 153 (out-of-window: Voronoi landmark-failure audit)
-        "voronoi_failover": q.q_voronoi_failover,
-        # wave 154 (out-of-window: sorted-neighborhood LCP census)
-        "lcp_census": q.q_lcp_census,
-        # wave 155 (out-of-window: randomized-response DP estimator)
-        "rr_histogram": q.q_rr_histogram,
-        # wave 156 (out-of-window: negative-weight DAG shortest paths)
-        "dag_negative_sssp": q.q_dag_negative_sssp,
-        # wave 157 (out-of-window: JL projection distortion audit)
-        "jl_distortion": q.q_jl_distortion,
-        # wave 158 (out-of-window: repo-disjoint split audit)
-        "group_split": q.q_group_split,
         "tailed_triangles": q.q_tailed_triangles,  # motif census (r5 wave-93 green; diamond_count in-window runs the same wedge plan; rotated for wave-107 ci_topk)
         "theil_sen": q.q_theil_sen,  # exact-fraction trend slope (r5 wave-94 green; mann_kendall in-window runs the same day-series plan; rotated for wave-108 domset_trace)
         "daily_xcorr": q.q_daily_xcorr,  # day-lag coupling (r5 wave-95 green; mann_kendall/dow_seasonal day-series siblings in-window; rotated for wave-109 scan_topk)
