@@ -205,6 +205,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the driver window: oracle-exact, driver-green in r1/r2
         # and/or covered by an in-window sibling (locally gated every
         # round by tools/check_correctness.py) ---
+        # wave 159 (out-of-window: DAG transitive reduction)
+        "dag_transitive": q.q_dag_transitive,
         # session-6 rotation: waves 92-133 representatives rotated out
         # (each driver-green in a prior round; in-window siblings noted)
         "bm25_topk": q.q_bm25_topk,  # text scoring (r5-s5 green; tfidf/lcp siblings in sweep)
@@ -991,6 +993,7 @@ def oracle_sql() -> dict[str, str]:
         "dag_negative_sssp": o.dag_negative_sssp(q.CP_ITERS, q.NEG_SHIFT),
         "jl_distortion": o.jl_distortion(q.JL_DIM, q.JL_K, q.JL_P),
         "group_split": o.group_split(q.GSPLIT_MOD),
+        "dag_transitive": o.dag_transitive(),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

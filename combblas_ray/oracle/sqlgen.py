@@ -14222,3 +14222,31 @@ SELECT split, CAST(count(*) AS BIGINT) AS n_repos,
        CAST(sum(nf) AS BIGINT) AS n_files
 FROM a GROUP BY split
 """
+
+
+@_materialized
+def dag_transitive(iters_unused: int = 0) -> str:
+    """Transitive-reduction census of the dense-order DAG (twin of
+    `queries.q_dag_transitive`)."""
+    return PREFIX + """
+, dense AS (SELECT i, row_number() OVER (ORDER BY label) - 1 AS d
+            FROM verts),
+dag AS (
+  SELECT DISTINCT ds.d AS s, dd.d AS t
+  FROM edges e JOIN dense ds ON ds.i = e.src
+               JOIN dense dd ON dd.i = e.dst
+  WHERE ds.d < dd.d
+),
+p2 AS (
+  SELECT a.s, b.t, count(*) AS m
+  FROM dag a JOIN dag b ON b.s = a.t
+  GROUP BY 1, 2
+),
+red AS (
+  SELECT d.s, d.t, coalesce(p.m, 0) AS m
+  FROM dag d LEFT JOIN p2 p ON p.s = d.s AND p.t = d.t
+)
+SELECT CAST(m AS BIGINT) AS two_paths,
+       CAST(count(*) AS BIGINT) AS n_edges
+FROM red GROUP BY m
+"""
