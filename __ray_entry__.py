@@ -207,6 +207,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round by tools/check_correctness.py) ---
         # wave 159 (out-of-window: DAG transitive reduction)
         "dag_transitive": q.q_dag_transitive,
+        # wave 160 (out-of-window: 2D-grid vertex replication factor)
+        "replication_factor": q.q_replication_factor,
         # session-6 rotation: waves 92-133 representatives rotated out
         # (each driver-green in a prior round; in-window siblings noted)
         "bm25_topk": q.q_bm25_topk,  # text scoring (r5-s5 green; tfidf/lcp siblings in sweep)
@@ -994,6 +996,7 @@ def oracle_sql() -> dict[str, str]:
         "jl_distortion": o.jl_distortion(q.JL_DIM, q.JL_K, q.JL_P),
         "group_split": o.group_split(q.GSPLIT_MOD),
         "dag_transitive": o.dag_transitive(),
+        "replication_factor": o.replication_factor(_ctx_grid()),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

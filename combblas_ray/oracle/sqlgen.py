@@ -14250,3 +14250,33 @@ SELECT CAST(m AS BIGINT) AS two_paths,
        CAST(count(*) AS BIGINT) AS n_edges
 FROM red GROUP BY m
 """
+
+
+@_materialized
+def replication_factor(g: int) -> str:
+    """Vertex replication histogram over the 2D owner rule (twin of
+    `queries.q_replication_factor`)."""
+    return PREFIX + f"""
+, vids AS (
+  SELECT i, row_number() OVER (ORDER BY label) - 1 AS vid FROM verts
+),
+ls AS (SELECT greatest(n // {g}, 1) AS v FROM params),
+be AS (
+  SELECT vs.vid AS s, vd.vid AS d,
+         least(vd.vid // ls.v, {g - 1}) * {g}
+           + least(vs.vid // ls.v, {g - 1}) AS bid
+  FROM edges e
+  JOIN vids vs ON vs.i = e.src
+  JOIN vids vd ON vd.i = e.dst
+  CROSS JOIN ls
+),
+vb AS (
+  SELECT DISTINCT s AS v, bid FROM be
+  UNION
+  SELECT DISTINCT d AS v, bid FROM be
+),
+rep AS (SELECT v, count(*) AS r FROM vb GROUP BY v)
+SELECT CAST(r AS BIGINT) AS replication,
+       CAST(count(*) AS BIGINT) AS n_vertices
+FROM rep GROUP BY r
+"""
