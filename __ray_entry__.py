@@ -209,6 +209,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dag_transitive": q.q_dag_transitive,
         # wave 160 (out-of-window: 2D-grid vertex replication factor)
         "replication_factor": q.q_replication_factor,
+        # wave 161 (out-of-window: max-min fair water-filling)
+        "fair_share": q.q_fair_share,
         # session-6 rotation: waves 92-133 representatives rotated out
         # (each driver-green in a prior round; in-window siblings noted)
         "bm25_topk": q.q_bm25_topk,  # text scoring (r5-s5 green; tfidf/lcp siblings in sweep)
@@ -997,6 +999,7 @@ def oracle_sql() -> dict[str, str]:
         "group_split": o.group_split(q.GSPLIT_MOD),
         "dag_transitive": o.dag_transitive(),
         "replication_factor": o.replication_factor(_ctx_grid()),
+        "fair_share": o.fair_share(q.FAIR_NUM, q.FAIR_DEN),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

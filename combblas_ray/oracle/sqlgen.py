@@ -14280,3 +14280,45 @@ SELECT CAST(r AS BIGINT) AS replication,
        CAST(count(*) AS BIGINT) AS n_vertices
 FROM rep GROUP BY r
 """
+
+
+@_materialized
+def fair_share(num: int = 6, den: int = 10) -> str:
+    """Max-min fair water-filling across sources (twin of
+    `queries.q_fair_share`); closed-form prefix test in exact
+    integers."""
+    return f"""
+WITH d AS (
+  SELECT source, count(*) AS dem FROM documents GROUP BY 1
+),
+cap AS (
+  SELECT ({num} * sum(dem)) // {den} AS C, count(*) AS m FROM d
+),
+s AS (
+  SELECT source, dem,
+         row_number() OVER (ORDER BY dem, source) AS rk,
+         sum(dem) OVER (ORDER BY dem, source
+                        ROWS UNBOUNDED PRECEDING) AS pref
+  FROM d
+),
+kk AS (
+  SELECT coalesce(max(s.rk), 0) AS k
+  FROM s CROSS JOIN cap
+  WHERE s.dem * (cap.m - s.rk + 1) <= cap.C - (s.pref - s.dem)
+),
+pk AS (
+  SELECT coalesce((SELECT pref FROM s JOIN kk ON s.rk = kk.k), 0) AS Pk
+),
+lev AS (
+  SELECT CASE WHEN cap.m > kk.k
+              THEN (cap.C - pk.Pk) // (cap.m - kk.k) ELSE 0 END AS L,
+         CASE WHEN cap.m > kk.k
+              THEN (cap.C - pk.Pk) % (cap.m - kk.k) ELSE 0 END AS r
+  FROM cap CROSS JOIN kk CROSS JOIN pk
+)
+SELECT s.source, CAST(s.dem AS BIGINT) AS demand,
+       CAST(CASE WHEN s.rk <= kk.k THEN s.dem
+                 WHEN s.rk - kk.k <= lev.r THEN lev.L + 1
+                 ELSE lev.L END AS BIGINT) AS alloc
+FROM s CROSS JOIN kk CROSS JOIN lev
+"""
