@@ -211,6 +211,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "replication_factor": q.q_replication_factor,
         # wave 161 (out-of-window: max-min fair water-filling)
         "fair_share": q.q_fair_share,
+        # wave 162 (out-of-window: keep-best dedup canonicalization)
+        "dedup_canonical": q.q_dedup_canonical,
         # session-6 rotation: waves 92-133 representatives rotated out
         # (each driver-green in a prior round; in-window siblings noted)
         "bm25_topk": q.q_bm25_topk,  # text scoring (r5-s5 green; tfidf/lcp siblings in sweep)
@@ -1000,6 +1002,7 @@ def oracle_sql() -> dict[str, str]:
         "dag_transitive": o.dag_transitive(),
         "replication_factor": o.replication_factor(_ctx_grid()),
         "fair_share": o.fair_share(q.FAIR_NUM, q.FAIR_DEN),
+        "dedup_canonical": o.dedup_canonical(0.5, q.DUP_CLUSTER_ROUNDS),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

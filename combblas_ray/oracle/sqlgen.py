@@ -14322,3 +14322,33 @@ SELECT s.source, CAST(s.dem AS BIGINT) AS demand,
                  ELSE lev.L END AS BIGINT) AS alloc
 FROM s CROSS JOIN kk CROSS JOIN lev
 """
+
+
+def dedup_canonical(tau: float = 0.5, rounds: int = 6,
+                    df_cap: int = 1000) -> str:
+    """Keep-longest canonicalization over the near-dup clusters (twin
+    of `queries.q_dedup_canonical`; nests the dup_clusters chain)."""
+    return f"""
+WITH clus AS (
+{dup_clusters(tau, rounds, df_cap)}
+),
+j AS (
+  SELECT c.cluster, c.doc_id, d.n_chars
+  FROM clus c JOIN documents d ON d.doc_id = c.doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster
+                               ORDER BY n_chars DESC, doc_id) AS rn
+  FROM j
+),
+agg AS (
+  SELECT cluster, count(*) AS n_members, sum(n_chars) AS tot
+  FROM j GROUP BY 1
+)
+SELECT CAST(a.cluster AS BIGINT) AS cluster,
+       CAST(r.doc_id AS BIGINT) AS rep_doc,
+       CAST(a.n_members AS BIGINT) AS n_members,
+       CAST(r.n_chars AS BIGINT) AS chars_kept,
+       CAST(a.tot - r.n_chars AS BIGINT) AS chars_dropped
+FROM agg a JOIN ranked r ON r.cluster = a.cluster AND r.rn = 1
+"""
