@@ -213,6 +213,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fair_share": q.q_fair_share,
         # wave 162 (out-of-window: keep-best dedup canonicalization)
         "dedup_canonical": q.q_dedup_canonical,
+        # wave 163 (out-of-window: columnar encoding-planner census)
+        "encoding_planner": q.q_encoding_planner,
+        # wave 164 (out-of-window: incremental vocabulary merge audit)
+        "vocab_incremental": q.q_vocab_incremental,
         # session-6 rotation: waves 92-133 representatives rotated out
         # (each driver-green in a prior round; in-window siblings noted)
         "bm25_topk": q.q_bm25_topk,  # text scoring (r5-s5 green; tfidf/lcp siblings in sweep)
@@ -1003,6 +1007,8 @@ def oracle_sql() -> dict[str, str]:
         "replication_factor": o.replication_factor(_ctx_grid()),
         "fair_share": o.fair_share(q.FAIR_NUM, q.FAIR_DEN),
         "dedup_canonical": o.dedup_canonical(0.5, q.DUP_CLUSTER_ROUNDS),
+        "encoding_planner": o.encoding_planner(q.ENC_COLS),
+        "vocab_incremental": o.vocab_topk(q.INC_VOCAB_K),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

@@ -14352,3 +14352,24 @@ SELECT CAST(a.cluster AS BIGINT) AS cluster,
        CAST(a.tot - r.n_chars AS BIGINT) AS chars_dropped
 FROM agg a JOIN ranked r ON r.cluster = a.cluster AND r.rn = 1
 """
+
+
+def encoding_planner(cols=("l_returnflag", "l_linestatus",
+                           "l_quantity")) -> str:
+    """Per-column RLE/dict/plain census in primary-key order (twin of
+    `queries.q_encoding_planner`)."""
+    parts = []
+    for c in cols:
+        parts.append(f"""
+SELECT '{c}' AS col,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN pv IS NULL OR v <> pv THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_runs,
+       (SELECT CAST(count(DISTINCT {c}) AS BIGINT) FROM lineitem)
+         AS n_distinct
+FROM (
+  SELECT {c} AS v,
+         lag({c}) OVER (ORDER BY l_orderkey, l_linenumber) AS pv
+  FROM lineitem
+)""")
+    return "\nUNION ALL\n".join(parts)
