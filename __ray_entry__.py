@@ -217,6 +217,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encoding_planner": q.q_encoding_planner,
         # wave 164 (out-of-window: incremental vocabulary merge audit)
         "vocab_incremental": q.q_vocab_incremental,
+        # wave 165 (out-of-window: exact diversity indices per source)
+        "diversity_index": q.q_diversity_index,
         # session-6 rotation: waves 92-133 representatives rotated out
         # (each driver-green in a prior round; in-window siblings noted)
         "bm25_topk": q.q_bm25_topk,  # text scoring (r5-s5 green; tfidf/lcp siblings in sweep)
@@ -1009,6 +1011,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_canonical": o.dedup_canonical(0.5, q.DUP_CLUSTER_ROUNDS),
         "encoding_planner": o.encoding_planner(q.ENC_COLS),
         "vocab_incremental": o.vocab_topk(q.INC_VOCAB_K),
+        "diversity_index": o.diversity_index(),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

@@ -14373,3 +14373,19 @@ FROM (
   FROM lineitem
 )""")
     return "\nUNION ALL\n".join(parts)
+
+
+def diversity_index() -> str:
+    """Exact-integer Gini-Simpson + Berger-Parker per source (twin of
+    `queries.q_diversity_index`)."""
+    return """
+WITH sl AS (
+  SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2
+)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS n_docs,
+       CAST(sum(c * (c - 1)) AS BIGINT) AS simpson_num,
+       CAST(sum(c) * (sum(c) - 1) AS BIGINT) AS simpson_den,
+       CAST(max(c) AS BIGINT) AS berger_max
+FROM sl GROUP BY source
+"""
