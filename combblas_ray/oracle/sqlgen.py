@@ -14389,3 +14389,55 @@ SELECT source,
        CAST(max(c) AS BIGINT) AS berger_max
 FROM sl GROUP BY source
 """
+
+
+@_materialized
+def cuckoo_feasibility(rounds: int = 48) -> str:
+    """Cuckoo bucket-graph component excess census (twin of
+    `queries.q_cuckoo_feasibility`); M = 2^ceil(log2 n) derived from
+    the corpus, md5 bucket hashes."""
+    sql = PREFIX + f"""
+, mm AS (
+  SELECT CAST(power(2, ceil(log2(n))) AS BIGINT) AS M FROM params
+),
+ck AS (
+  SELECT md5_number_lower('ck1:' || i) % mm.M AS u,
+         md5_number_lower('ck2:' || i) % mm.M AS v
+  FROM files CROSS JOIN mm
+),
+cund AS (
+  SELECT u, v FROM ck UNION ALL SELECT v AS u, u AS v FROM ck
+),
+c0 AS (SELECT DISTINCT u AS v, u AS lbl FROM cund)
+"""
+    prev = "c0"
+    for k in range(1, rounds + 1):
+        sql += f"""
+, c{k}n AS (
+  SELECT v, min(lbl) AS lbl FROM (
+    SELECT v, lbl FROM {prev}
+    UNION ALL
+    SELECT e.v AS v, l.lbl FROM cund e JOIN {prev} l ON l.v = e.u
+  ) GROUP BY v
+),
+c{k} AS (
+  SELECT a.v, least(a.lbl, coalesce(b.lbl, a.lbl)) AS lbl
+  FROM c{k}n a LEFT JOIN c{k}n b ON b.v = a.lbl
+)"""
+        prev = f"c{k}"
+    return sql + f"""
+, nb AS (SELECT lbl, count(*) AS n_buckets FROM {prev} GROUP BY 1),
+ek AS (
+  SELECT l.lbl, count(*) AS n_keys
+  FROM ck k JOIN {prev} l ON l.v = k.u
+  GROUP BY 1
+),
+comp AS (
+  SELECT nb.lbl, nb.n_buckets, coalesce(ek.n_keys, 0) AS n_keys
+  FROM nb LEFT JOIN ek ON ek.lbl = nb.lbl
+)
+SELECT CAST(n_keys - n_buckets AS BIGINT) AS excess,
+       CAST(count(*) AS BIGINT) AS n_components,
+       CAST(sum(n_keys) AS BIGINT) AS n_keys
+FROM comp GROUP BY 1
+"""
