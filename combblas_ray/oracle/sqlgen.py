@@ -14441,3 +14441,19 @@ SELECT CAST(n_keys - n_buckets AS BIGINT) AS excess,
        CAST(sum(n_keys) AS BIGINT) AS n_keys
 FROM comp GROUP BY 1
 """
+
+
+def policy_scan(patterns=("window window", "batch batch batch",
+                          "^the ")) -> str:
+    """Per-(pattern, lang) regex match counts (twin of
+    `queries.q_policy_scan`); newline spliced via chr(10)."""
+    parts = []
+    for i, p in enumerate(patterns):
+        lit = p.replace("\n", "' || chr(10) || '")
+        parts.append(f"""
+SELECT CAST({i} AS BIGINT) AS pattern_id, lang,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+WHERE regexp_matches(text, '{lit}')
+GROUP BY lang""")
+    return "\nUNION ALL\n".join(parts)
