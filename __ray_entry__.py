@@ -223,6 +223,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cuckoo_feasibility": q.q_cuckoo_feasibility,
         # wave 167 (out-of-window: policy regex scan census)
         "policy_scan": q.q_policy_scan,
+        # wave 168 (out-of-window: rack-aware replica spread census)
+        "replica_spread": q.q_replica_spread,
         # session-6 rotation: waves 92-133 representatives rotated out
         # (each driver-green in a prior round; in-window siblings noted)
         "bm25_topk": q.q_bm25_topk,  # text scoring (r5-s5 green; tfidf/lcp siblings in sweep)
@@ -1018,6 +1020,7 @@ def oracle_sql() -> dict[str, str]:
         "diversity_index": o.diversity_index(),
         "cuckoo_feasibility": o.cuckoo_feasibility(q.CUCKOO_ROUNDS),
         "policy_scan": o.policy_scan(q.POLICY_PATTERNS),
+        "replica_spread": o.replica_spread(q.RACK_W, q.RACK_R, q.RACK_K),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

@@ -14457,3 +14457,18 @@ FROM documents
 WHERE regexp_matches(text, '{lit}')
 GROUP BY lang""")
     return "\nUNION ALL\n".join(parts)
+
+
+def replica_spread(W: int = 16, R: int = 4, K: int = 3) -> str:
+    """Distinct-rack spread census of hash replica placement (twin of
+    `queries.q_replica_spread`)."""
+    cols = ", ".join(
+        f"(md5_number_lower('rp:' || i || ':' || {j}) % {W}) % {R} AS r{j}"
+        for j in range(K))
+    distinct = f"len(list_distinct([{', '.join(f'r{j}' for j in range(K))}]))"
+    return PREFIX + f"""
+, pl AS (SELECT {cols} FROM files)
+SELECT CAST({distinct} AS BIGINT) AS n_racks,
+       CAST(count(*) AS BIGINT) AS n_objects
+FROM pl GROUP BY 1
+"""
