@@ -225,6 +225,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "policy_scan": q.q_policy_scan,
         # wave 168 (out-of-window: rack-aware replica spread census)
         "replica_spread": q.q_replica_spread,
+        # wave 169 (out-of-window: D2 alignment-free lang similarity)
+        "d2_similarity": q.q_d2_similarity,
         # session-6 rotation: waves 92-133 representatives rotated out
         # (each driver-green in a prior round; in-window siblings noted)
         "bm25_topk": q.q_bm25_topk,  # text scoring (r5-s5 green; tfidf/lcp siblings in sweep)
@@ -1021,6 +1023,7 @@ def oracle_sql() -> dict[str, str]:
         "cuckoo_feasibility": o.cuckoo_feasibility(q.CUCKOO_ROUNDS),
         "policy_scan": o.policy_scan(q.POLICY_PATTERNS),
         "replica_spread": o.replica_spread(q.RACK_W, q.RACK_R, q.RACK_K),
+        "d2_similarity": o.d2_similarity(),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

@@ -14472,3 +14472,25 @@ SELECT CAST({distinct} AS BIGINT) AS n_racks,
        CAST(count(*) AS BIGINT) AS n_objects
 FROM pl GROUP BY 1
 """
+
+
+@_materialized
+def d2_similarity() -> str:
+    """Cross-language D2 bigram dot products (twin of
+    `queries.q_d2_similarity`)."""
+    return """
+WITH toks AS (
+  SELECT lang, string_split(text, ' ') AS t FROM documents
+),
+bi AS (
+  SELECT lang,
+         unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i + 1])) AS g
+  FROM toks
+),
+c AS (SELECT lang, g, count(*) AS c FROM bi GROUP BY 1, 2)
+SELECT a.lang AS lang_a, b.lang AS lang_b,
+       CAST(sum(a.c * b.c) AS BIGINT) AS d2
+FROM c a JOIN c b ON b.g = a.g AND a.lang < b.lang
+GROUP BY 1, 2
+"""
