@@ -227,6 +227,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "replica_spread": q.q_replica_spread,
         # wave 169 (out-of-window: D2 alignment-free lang similarity)
         "d2_similarity": q.q_d2_similarity,
+        # wave 170 (out-of-window: weighted directed Voronoi)
+        "weighted_voronoi": q.q_weighted_voronoi,
         # session-6 rotation: waves 92-133 representatives rotated out
         # (each driver-green in a prior round; in-window siblings noted)
         "bm25_topk": q.q_bm25_topk,  # text scoring (r5-s5 green; tfidf/lcp siblings in sweep)
@@ -1024,6 +1026,8 @@ def oracle_sql() -> dict[str, str]:
         "policy_scan": o.policy_scan(q.POLICY_PATTERNS),
         "replica_spread": o.replica_spread(q.RACK_W, q.RACK_R, q.RACK_K),
         "d2_similarity": o.d2_similarity(),
+        "weighted_voronoi": o.weighted_voronoi(q.VOR_L, q.VORW_ITERS,
+                                               q.VORW_FRAC),
         # lsh_pr_audit: rows-only (the minhash side is hash-defined);
         # pytest recomputes both sides brute-force.
         "labelprop_flip_trace": o.labelprop_flip_trace(q.LP_ITERS,

@@ -14494,3 +14494,45 @@ SELECT a.lang AS lang_a, b.lang AS lang_b,
 FROM c a JOIN c b ON b.g = a.g AND a.lang < b.lang
 GROUP BY 1, 2
 """
+
+
+@_materialized
+def weighted_voronoi(L: int = 8, iters: int = 16,
+                     frac: int = 16) -> str:
+    """Weighted directed Voronoi cells via the dyadic dist + lm/16
+    composite (twin of `queries.q_weighted_voronoi`); lengths
+    1 + (src + 2*dst) % 7 on the directed edge table."""
+    sql = PREFIX + f"""
+, wedges AS (
+  SELECT src, dst,
+         CAST(1 + (src + 2 * dst) % 7 AS DOUBLE) AS len
+  FROM edges
+),
+vseeds AS (
+  SELECT i, min(lm) AS lm FROM (
+    SELECT g.l AS lm, CAST((g.l * 7919 + 5) % p.n AS BIGINT) AS i
+    FROM generate_series(0, {L - 1}) g(l) CROSS JOIN params p
+  ) GROUP BY i
+),
+w0 AS (SELECT i, CAST(lm AS DOUBLE) / {frac} AS val FROM vseeds)
+"""
+    prev = "w0"
+    for k in range(1, iters + 1):
+        sql += f"""
+, w{k} AS (
+  SELECT i, min(val) AS val FROM (
+    SELECT i, val FROM {prev}
+    UNION ALL
+    SELECT e.dst AS i, sp.val + e.len AS val
+    FROM wedges e JOIN {prev} sp ON sp.i = e.src
+  ) GROUP BY i
+)"""
+        prev = f"w{k}"
+    return sql + f"""
+SELECT CAST(round((val - floor(val)) * {frac}) AS BIGINT) AS landmark,
+       CAST(count(*) AS BIGINT) AS cell_size,
+       CAST(sum(floor(val)) AS BIGINT) AS dist_sum,
+       CAST(max(floor(val)) AS BIGINT) AS ecc
+FROM {prev}
+GROUP BY 1
+"""
